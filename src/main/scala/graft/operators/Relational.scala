@@ -1,0 +1,289 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational / OLAP operator suite (SURVEY.md §2C).
+  *
+  * Design notes (100 TB scale):
+  *  - every query is a declarative DataFrame tree: filters/projections
+  *    reach the parquet scan (PushedFilters / ReadSchema), Catalyst
+  *    reorders joins, AQE re-plans at runtime;
+  *  - dimension sides of joins are wrapped in `broadcast(...)` where the
+  *    dimension stays small at any SF (region/nation/supplier/part and
+  *    filtered customer slices); fact-fact joins shuffle on their keys;
+  *  - money/quantity aggregates run in DecimalType (exact, order-free)
+  *    and are cast to double only in the final projection so results are
+  *    bit-identical to the DuckDB oracle regardless of partitioning.
+  */
+object Relational {
+
+  private val D12 = DecimalType(12, 2) // money columns (< 10^10)
+  private val D4  = DecimalType(4, 2)  // rates: discount / tax in [0,1)
+
+  private def m(c: Column): Column = c.cast(D12)
+  private def r(c: Column): Column = c.cast(D4)
+  private def dbl(c: Column): Column = c.cast("double")
+
+  /** q01: scan + pushed filter + pruned projection. Per-row scalar double
+    * math only (IEEE-identical across engines). */
+  def q01ScanFilterProject(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+  }
+
+  /** q02: TPC-H Q1 shape — grouped aggregation, decimal-exact sums. */
+  def q02AggGroup(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dbl(sum(m(col("l_quantity")))).as("sum_qty"),
+        dbl(sum(m(col("l_extendedprice")))).as("sum_base_price"),
+        dbl(sum(m(col("l_extendedprice")) * (lit(1) - r(col("l_discount")))))
+          .as("sum_disc_price"),
+        dbl(sum(m(col("l_extendedprice")) * (lit(1) - r(col("l_discount"))) *
+            (lit(1) + r(col("l_tax"))))).as("sum_charge"),
+        (dbl(sum(m(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q03: TPC-H Q3 shape — selective dim broadcast, fact-fact shuffle join,
+    * top-k with unique tiebreak. */
+  def q03JoinAggTopk(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li   = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"))
+      .agg(dbl(sum(m(col("l_extendedprice")) * (lit(1) - r(col("l_discount")))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q04: EXISTS ≡ left-semi join (no row duplication, build side only keys). */
+  def q04SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val li  = Tables.lineitem(s, d).filter(col("l_quantity") > 49)
+    ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  /** q05: NOT EXISTS ≡ left-anti join. */
+  def q05AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord  = Tables.orders(s, d)
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  /** q06: TPC-H Q5 shape — snowflake join over 6 tables; all dims broadcast,
+    * only orders⋈lineitem shuffles. */
+  def q06MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val or = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val cu = Tables.customer(s, d)
+    val su = Tables.supplier(s, d)
+    val na = Tables.nation(s, d)
+    val re = Tables.region(s, d)
+    li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(dbl(sum(m(col("l_extendedprice")) * (lit(1) - r(col("l_discount")))))
+        .as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** q07: TPC-H Q6 shape — fully pushed-down selective scan-agg. */
+  def q07SelectiveAgg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(dbl(sum(m(col("l_extendedprice")) * r(col("l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** q08: global top-k — TakeOrderedAndProject (no full sort materialized). */
+  def q08SortLimit(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(20)
+  }
+
+  /** q09: distinct projection (shuffle on the distinct key set). */
+  def q09Distinct(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+
+  /** q10: exact grouped distinct counts (expand + two-phase agg). */
+  def q10CountDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+
+  /** q11: HAVING — post-aggregation filter. */
+  def q11Having(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(dbl(sum(m(col("o_totalprice")))).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("total_spent") > 1000000.0)
+
+  /** q12: TPC-H Q12 shape — conditional aggregation over a join. */
+  def q12CaseAgg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val or = Tables.orders(s, d)
+    li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+  }
+
+  /** q13: TPC-H Q13 — outer join with join-side filter, nested aggregation. */
+  def q13OuterJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val ord  = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** q14: UNION ALL of heterogeneous slices, then aggregate. */
+  def q14Union(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(lit("cust").as("kind"), col("c_nationkey").cast("int").as("nk"))
+    val p = Tables.supplier(s, d)
+      .select(lit("supp").as("kind"), col("s_nationkey").cast("int").as("nk"))
+    c.unionAll(p).groupBy(col("kind"), col("nk")).agg(count(lit(1)).as("n"))
+  }
+
+  /** q15: top-N per key via window rank (single shuffle on the key). */
+  def q15WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+  }
+
+  /** q16: running sum per key (decimal-exact accumulation). */
+  def q16WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        dbl(sum(m(col("l_quantity"))).over(w)).as("running_qty"))
+  }
+
+  /** q17: ROLLUP grouping sets; rolled-up keys coalesced to 'ALL'. */
+  def q17Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dbl(sum(m(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n"))
+
+  /** q18: IN (uncorrelated subquery) ≡ semi join against the subquery. */
+  def q18InSubquery(s: SparkSession, d: String): DataFrame = {
+    val rich = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"))
+    Tables.orders(s, d)
+      .join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** q19: correlated EXISTS with extra predicate ≡ filtered semi join. */
+  def q19ExistsCorrelated(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 450000 &&
+      col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    Tables.customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
+
+  /** q20: TPC-H Q17 shape — correlated aggregate subquery (per-part avg).
+    * Quantities are integral doubles, so the per-part sum is exact and the
+    * avg is deterministic across engines. */
+  def q20ScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val li  = Tables.lineitem(s, d)
+    val avg = li.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(avg), col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(dbl(sum(m(col("l_extendedprice")))).as("total_price"),
+        count(lit(1)).as("n"))
+  }
+
+  /** q21: lag over event time per user — gap to previous event in micros. */
+  def q21LagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+  }
+
+  /** q22: tumbling daily window aggregation over the event stream table. */
+  def q22TimeWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+        .as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(col("value").cast(D12))).as("sum_value"))
+
+  /** q23: pivot event_type → columns (explicit value list keeps the plan
+    * single-pass; no collect-driven schema inference). */
+  def q23Pivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .count()
+    p.select(col("user_id") +:
+      types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+  }
+
+  /** q24: JSON field extraction from the string props column. */
+  def q24JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k_val")).as("sum_k"), count(lit(1)).as("n"))
+}
