@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{MapReduceJobs, Relational, StorageRoundtrip}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -36,6 +36,14 @@ object SparkEntry {
     "q22_time_window"         -> (Relational.q22TimeWindow _),
     "q23_pivot"               -> (Relational.q23Pivot _),
     "q24_json_extract"        -> (Relational.q24JsonExtract _),
+    "q25_csv_roundtrip"       -> (StorageRoundtrip.csvRoundtrip _),
+    "q26_json_roundtrip"      -> (StorageRoundtrip.jsonRoundtrip _),
+    "q27_text_lines"          -> (StorageRoundtrip.textLines _),
+    "mr_wordcount"            -> (MapReduceJobs.wordCount _),
+    "mr_grep"                 -> (MapReduceJobs.grep _),
+    "mr_sort"                 -> (MapReduceJobs.sort _),
+    "mr_inverted_index"       -> (MapReduceJobs.invertedIndex _),
+    "mr_join_tagged"          -> (MapReduceJobs.joinTagged _),
   )
 
   /** DuckDB-runnable twins of `queries`. Column names/aliases match the
@@ -76,7 +84,8 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)""".stripMargin,
     "q05_anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
     "q06_multi_join" ->
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
@@ -199,5 +208,39 @@ object SparkEntry {
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "q25_csv_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_quantity > 45 GROUP BY l_returnflag""".stripMargin,
+    "q26_json_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_date
+        |FROM orders WHERE o_totalprice > 400000 GROUP BY o_orderstatus""".stripMargin,
+    "q27_text_lines" ->
+      """SELECT length(text) AS len, COUNT(*) AS n
+        |FROM documents GROUP BY length(text)""".stripMargin,
+    "mr_wordcount" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "mr_grep" ->
+      """SELECT source, COUNT(*) AS n FROM documents
+        |WHERE text LIKE '%spark%' GROUP BY source""".stripMargin,
+    "mr_sort" ->
+      """SELECT doc_id, n_chars,
+        |  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank
+        |FROM documents""".stripMargin,
+    "mr_inverted_index" ->
+      """SELECT word, COUNT(DISTINCT doc_id) AS n_docs FROM (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents) t
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "mr_join_tagged" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
   )
 }

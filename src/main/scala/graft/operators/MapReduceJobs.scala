@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+
+/** MapReduce-equivalent core jobs (SURVEY.md §2B) — the canonical jobs the
+  * reference framework runs (word count, grep, sort, inverted index,
+  * reduce-side join), re-expressed as Catalyst plans.
+  *
+  * Reference semantics: HDFS-MR's MapReduce does split → map → shuffle/sort
+  * by key → reduce (see reference MapReduce job flow). Each job below keeps
+  * that dataflow but lets Catalyst plan it: `explode` is the map phase,
+  * hash aggregation with map-side partial aggregation is the combine +
+  * reduce phase, and shuffle joins are reduce-side joins.
+  */
+object MapReduceJobs {
+
+  private val D12 = DecimalType(12, 2)
+
+  /** Tokenize the documents corpus — the "map" of word count. Splitting on
+    * runs of whitespace keeps Spark and the DuckDB oracle in lockstep. */
+  private def words(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+
+  /** mr_wordcount: flatMap(split) → count by word. Map-side partial agg
+    * means the shuffle carries one row per (partition, word), not per
+    * token — the classic MR combiner, for free. */
+  def wordCount(s: SparkSession, d: String): DataFrame =
+    words(s, d).groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** mr_grep: distributed grep — substring filter (pushed to the scan as a
+    * Contains filter) then count per source file, like grep -c per input. */
+  def grep(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("text").contains("spark"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+
+  /** mr_sort: global total-order sort with an explicit global rank.
+    *
+    * Scale path: `repartitionByRange` samples the key distribution and
+    * range-partitions (what MR's TotalOrderPartitioner does by hand), each
+    * partition sorts locally, and `zipWithIndex` assigns global positions
+    * with one extra count-per-partition job (a prefix-sum of partition
+    * sizes) — no single-partition bottleneck at any scale. */
+  def sort(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sorted = docs
+      .repartitionByRange(parts, col("n_chars"), col("doc_id"))
+      .sortWithinPartitions(col("n_chars"), col("doc_id"))
+    val schema = StructType(sorted.schema.fields :+
+      StructField("rank", LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ (i + 1L))
+    }
+    s.createDataFrame(ranked, schema)
+  }
+
+  /** mr_inverted_index: word → distinct-document count (the count form of
+    * an inverted index; the posting-list form is the same plan with
+    * collect_set instead of count_distinct). */
+  def invertedIndex(s: SparkSession, d: String): DataFrame =
+    words(s, d).groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+
+  /** mr_join_tagged: MR-style reduce-side join — both inputs shuffled on
+    * the join key (tagged union → co-located reduce). Forced to a shuffle
+    * merge join to exercise exactly that dataflow; at real scale Catalyst
+    * would pick broadcast only if one side fit. */
+  def joinTagged(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d).hint("SHUFFLE_MERGE"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D12)).cast("double").as("total"))
+}

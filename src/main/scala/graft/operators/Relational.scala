@@ -81,10 +81,12 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderstatus"))
   }
 
-  /** q05: NOT EXISTS ≡ left-anti join. */
+  /** q05: NOT EXISTS ≡ left-anti join. The orders side is filtered so the
+    * result is non-degenerate at every SF (customers exist with orders but
+    * none above the threshold). */
   def q05AntiJoin(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d)
-    val ord  = Tables.orders(s, d)
+    val ord  = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
     cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_mktsegment"))
   }

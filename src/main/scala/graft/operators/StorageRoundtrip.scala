@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Storage source/sink roundtrips (SURVEY.md §2A) — the reference's HDFS
+  * put/get path re-expressed as Spark sources: write a slice out in a
+  * format, read it back through the corresponding source, aggregate.
+  *
+  * Numeric columns travel as DECIMAL(12,2) (exact text representation) so
+  * the roundtrip is lossless in CSV/JSON; the oracle computes the same
+  * aggregate straight from parquet.
+  */
+object StorageRoundtrip {
+
+  private val D12 = DecimalType(12, 2)
+
+  private def tmp(name: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_rt/$name"
+    dir
+  }
+
+  /** q25: CSV sink + source. Header on, explicit schema on read-back (no
+    * inference scan at scale). */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("csv_lineitem")
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity").cast(D12).as("qty"),
+        col("l_extendedprice").cast(D12).as("price"))
+      .write.mode("overwrite").option("header", "true").csv(out)
+    s.read
+      .schema("l_orderkey LONG, l_returnflag STRING, qty DECIMAL(12,2), price DECIMAL(12,2)")
+      .option("header", "true").csv(out)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).cast("double").as("sum_qty"),
+        sum(col("price")).cast("double").as("sum_price"))
+  }
+
+  /** q26: JSON sink + source. Dates stringified before the sink so the
+    * roundtrip has no timezone/format ambiguity. */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("json_orders")
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(D12).as("price"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+      .write.mode("overwrite").json(out)
+    s.read
+      .schema("o_orderkey LONG, o_orderstatus STRING, price DECIMAL(12,2), odate STRING")
+      .json(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"),
+        min(col("odate")).as("first_date"))
+  }
+
+  /** q27: text sink + source — raw line ingestion (the reference's
+    * text-oriented HDFS file model), aggregated by line length. */
+  def textLines(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("text_documents")
+    Tables.documents(s, d).select(col("text")).write.mode("overwrite").text(out)
+    s.read.text(out)
+      .groupBy(length(col("value")).as("len"))
+      .agg(count(lit(1)).as("n"))
+  }
+}
