@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{MapReduceJobs, Relational, StorageRoundtrip}
+import graft.operators.{Dedup, MapReduceJobs, Relational, StorageRoundtrip, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -44,6 +44,16 @@ object SparkEntry {
     "mr_sort"                 -> (MapReduceJobs.sort _),
     "mr_inverted_index"       -> (MapReduceJobs.invertedIndex _),
     "mr_join_tagged"          -> (MapReduceJobs.joinTagged _),
+    "dd_exact"                -> (Dedup.exact _),
+    "dd_minhash_lsh"          -> (Dedup.minhashLsh _),
+    "dd_simhash"              -> (Dedup.simhash _),
+    "dd_ngram_jaccard"        -> (Dedup.ngramJaccard _),
+    "dd_embed_cosine"         -> (Dedup.embedCosine _),
+    "ta_token_count"          -> (TextAnalysis.tokenCount _),
+    "ta_quality_score"        -> (TextAnalysis.qualityScore _),
+    "ta_langid"               -> (TextAnalysis.langId _),
+    "ta_fingerprint"          -> (TextAnalysis.fingerprintDocs _),
+    "ta_sessionize"           -> (TextAnalysis.sessionize _),
   )
 
   /** DuckDB-runnable twins of `queries`. Column names/aliases match the
@@ -242,5 +252,65 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "dd_exact" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  doc_id = MIN(doc_id) OVER (
+        |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep
+        |FROM documents""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  CAST(common AS DOUBLE) / (s1.n + s2.n - common) AS j
+        |FROM cand
+        |JOIN sizes s1 ON d1 = s1.doc_id
+        |JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.8""".stripMargin,
+    "dd_embed_cosine" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+    "ta_token_count" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_n,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_n
+        |FROM documents""".stripMargin,
+    "ta_quality_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop_n
+        |  FROM documents)
+        |SELECT doc_id, n_tok,
+        |  CAST(stop_n AS DOUBLE) / n_tok AS stop_ratio,
+        |  LEAST(1.0, n_tok / 100.0) * (1.0 - CAST(stop_n AS DOUBLE) / n_tok) AS score
+        |FROM t""".stripMargin,
+    "ta_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin,
+    "ta_sessionize" ->
+      """SELECT event_id, user_id, session_num FROM (
+        |  SELECT event_id, user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |      CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        OR epoch_us(ts) - epoch_us(LAG(ts) OVER (
+        |             PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |    FROM events) t) tt""".stripMargin,
   )
 }

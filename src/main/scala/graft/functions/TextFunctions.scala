@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the text-analysis and dedup operators
+  * (SURVEY.md §2D/§2F). All pure `functions._` compositions — codegen'd,
+  * no UDFs, embarrassingly parallel per row.
+  */
+object TextFunctions {
+
+  /** Whitespace-collapsed, trimmed, lowercased normal form — the identity
+    * used for exact dedup and fingerprinting. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens, empties dropped. */
+  def wsTokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** BPE-ish pre-tokenization: alphanumeric runs or single non-space
+    * symbols — the regex shape BPE tokenizers use for their initial split. */
+  val BpePattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(c, lit(BpePattern), lit(0))
+
+  /** Distinct word n-gram shingles over a token array. */
+  def shingles(tokens: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+
+  /** Tiny English-ish stopword list (shared with oracle SQL literals). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  def stopwordCount(tokens: Column): Column =
+    size(filter(tokens, t => t.isin(Stopwords: _*)))
+
+  /** md5 hex fingerprint of the normal form. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+}

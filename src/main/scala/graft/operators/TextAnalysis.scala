@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §2F).
+  * Every computation is a per-row `functions._` expression tree (codegen,
+  * no shuffle except where a window/groupBy genuinely needs one).
+  */
+object TextAnalysis {
+
+  /** ta_token_count: whitespace tokens + BPE-ish regex tokens per doc. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).as("ws_n"),
+      size(bpeTokens(col("text"))).as("bpe_n"))
+
+  /** ta_quality_score: length/stopword-ratio quality heuristic. The exact
+    * double expression tree is mirrored in the oracle SQL so the score is
+    * bit-identical. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(toks).as("n_tok"),
+        stopwordCount(toks).as("stop_n"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("stop_n").cast("double") / col("n_tok")).as("stop_ratio"),
+        (least(lit(1.0), col("n_tok") / 100.0) *
+          (lit(1.0) - col("stop_n").cast("double") / col("n_tok")))
+          .as("score"))
+  }
+
+  /** ta_langid: stopword-profile language ID. Scores each language by how
+    * many of its profile words appear as tokens; argmax via array_max over
+    * (score, lang) structs — deterministic tiebreak, no UDF, no shuffle.
+    * Rows-oracle: the heuristic itself is the spec. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "of", "and", "is"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "de" -> Seq("der", "die", "und", "das", "ein"),
+      "es" -> Seq("el", "los", "las", "una", "y"),
+      "zh" -> Seq("的", "是", "了", "在", "和"))
+    val toks = wsTokens(col("text"))
+    val scored = array(profiles.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words: _*))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array_max(scored).getField("lang").as("pred_lang"))
+  }
+
+  /** ta_fingerprint: normalized-text md5 identity per doc. */
+  def fingerprintDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** ta_sessionize: gap-based sessionization (30-min inactivity splits).
+    * One shuffle on user_id, then two in-partition window passes — the
+    * batch twin of the streaming flatMapGroupsWithState sessionizer. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) -
+      lag(unix_micros(col("ts")), 1).over(byUser)
+    Tables.events(s, d)
+      .withColumn("new_s",
+        when(gapUs.isNull || gapUs > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_num",
+        sum(col("new_s")).over(byUser.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_id"), col("user_id"), col("session_num"))
+  }
+}
