@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, MapReduceJobs, Relational, StorageRoundtrip, TextAnalysis}
+import graft.operators.{AsOf, Dedup, MapReduceJobs, Relational, Similarity, StorageRoundtrip, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -54,6 +54,10 @@ object SparkEntry {
     "ta_langid"               -> (TextAnalysis.langId _),
     "ta_fingerprint"          -> (TextAnalysis.fingerprintDocs _),
     "ta_sessionize"           -> (TextAnalysis.sessionize _),
+    "sim_knn_brute"           -> (Similarity.knnBrute _),
+    "sim_ann_lsh"             -> (Similarity.annLsh _),
+    "sim_ann_ivf"             -> (Similarity.annIvf _),
+    "op_asof_join"            -> (AsOf.purchaseToClick _),
   )
 
   /** DuckDB-runnable twins of `queries`. Column names/aliases match the
@@ -312,5 +316,19 @@ object SparkEntry {
         |             PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
         |      THEN 1 ELSE 0 END AS new_s
         |    FROM events) t) tt""".stripMargin,
+    "sim_knn_brute" ->
+      """SELECT q_id, n_id, rank FROM (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+        |                 CAST(q.embedding AS DOUBLE[])) DESC, n.vec_id) AS rank
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id) t
+        |WHERE rank <= 5""".stripMargin,
+    "op_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(c.ts) AS click_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
   )
 }

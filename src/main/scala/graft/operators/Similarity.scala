@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the embeddings table (SURVEY.md §2E).
+  *
+  * sim_knn_brute is the exact baseline: the (small) query set is broadcast
+  * against the corpus — a map-side join, one window per query for top-k.
+  * The scale paths avoid scanning the corpus per query: sim_ann_lsh buckets
+  * by random-hyperplane signs, sim_ann_ivf by nearest coarse centroid, so
+  * each query only scores its bucket/probed clusters.
+  */
+object Similarity {
+
+  val K = 5
+  private val NumQueries = 10 // query set = vec_id < 10
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** sim_knn_brute: exact cosine top-k per query vector. Queries broadcast
+    * (map-side cross), rank via one window on q_id. */
+  def knnBrute(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  // ---- Random-hyperplane LSH ----------------------------------------------
+
+  private val NumTables = 8 // independent hash tables (recall amplification)
+  private val PlanesPerTable = 4 // 16 buckets per table
+  private val Dim = 64
+
+  /** Deterministic ±1 hyperplane components (splitmix scramble of
+    * (plane, dim) — reproducible, no RNG state). */
+  private def planeSign(plane: Int, k: Int): Double = {
+    var z = (plane.toLong << 32 | k.toLong) * 0x9E3779B97F4A7C15L + 0x1234567L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Sign bucket for one table: bit j = sign(v · r_{t,j}). The hyperplanes
+    * are literal arrays, so each signature is one codegen'd projection. */
+  private def lshBucket(v: Column, table: Int): Column =
+    (0 until PlanesPerTable).map { j =>
+      val plane = array((0 until Dim).map(k =>
+        lit(planeSign(table * PlanesPerTable + j, k))): _*)
+      when(dot(v, plane) > 0, lit(1 << j)).otherwise(0)
+    }.reduce(_ + _)
+
+  /** (vec_id, v, table, bucket) — one row per vector per hash table. */
+  private def lshTables(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("v"),
+      explode(array((0 until NumTables).map(t =>
+        struct(lit(t).as("t"), lshBucket(col("v"), t).as("bucket"))): _*))
+        .as("tb"))
+      .select(col("vec_id"), col("v"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+
+  /** sim_ann_lsh: multi-table random-hyperplane LSH — candidates are
+    * vectors sharing a (table, bucket) with the query in ANY of the 8
+    * tables, deduped, then scored exactly. Recall < 100% by design; at
+    * 100 TB the bucket joins replace the full corpus scan per query.
+    * Rows-oracle (approximate results have no SQL twin). */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val all = lshTables(vecs(s, d))
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("t"), col("bucket"))
+    val cands = all.join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), col("v"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = cands.select(col("q_id"), col("n_id"),
+      cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
+  // ---- IVF ----------------------------------------------------------------
+
+  private val NumCentroids = 10
+  private val NProbe = 2
+
+  /** sim_ann_ivf: coarse quantization with deterministic centroids (every
+    * 50th vector — a stand-in for k-means at test scale; the plan shape is
+    * identical with trained centroids). Each vector is assigned to its
+    * nearest centroid once; queries probe the NProbe nearest clusters and
+    * score only those members. Rows-oracle. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val cents = all.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    // nearest centroid per vector (centroids broadcast; one window)
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = all.join(broadcast(cents), expr("true"))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        cosine(col("v"), col("cv")).as("c_cos"))
+      .withColumn("crank", row_number().over(byVec))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("v"), col("c_id"))
+    // queries probe their NProbe nearest centroids
+    val q = all.filter(col("vec_id") < NumQueries)
+    val byQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.join(broadcast(cents), expr("true"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id"),
+        cosine(col("v"), col("cv")).as("c_cos"))
+      .withColumn("crank", row_number().over(byQ))
+      .filter(col("crank") <= NProbe)
+      .select(col("q_id"), col("qv"), col("c_id"))
+    val scored = assigned.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+}
