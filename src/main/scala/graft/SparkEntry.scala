@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, MapReduceJobs, Relational, Similarity, StorageRoundtrip, TextAnalysis}
+import graft.operators.{AsOf, Dedup, MapReduceJobs, Multimodal, Relational, Similarity, StorageRoundtrip, TextAnalysis}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -58,6 +59,9 @@ object SparkEntry {
     "sim_ann_lsh"             -> (Similarity.annLsh _),
     "sim_ann_ivf"             -> (Similarity.annIvf _),
     "op_asof_join"            -> (AsOf.purchaseToClick _),
+    "mm_binary_meta"          -> (Multimodal.binaryMeta _),
+    "mm_decode_stub"          -> (Multimodal.decodeStub _),
+    "st_stream_window"        -> (Streams.streamWindow _),
   )
 
   /** DuckDB-runnable twins of `queries`. Column names/aliases match the
@@ -330,5 +334,16 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS nbytes,
+        |  ascii(substr(text, 1, 1)) AS magic,
+        |  CASE WHEN ascii(substr(text, 1, 1)) BETWEEN 97 AND 122
+        |    THEN 'text' ELSE 'other' END AS tag
+        |FROM documents""".stripMargin,
+    "st_stream_window" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2H): media payloads modeled as
+  * opaque `binary` columns with typed metadata. The test corpus has no
+  * real media, so the payload is the UTF-8 text bytes — the Spark-side
+  * plumbing (schema, batched mapPartitions, metadata extraction) is real
+  * and is exactly what a jpeg/wav payload would flow through.
+  */
+object Multimodal {
+
+  /** mm_binary_meta: typed metadata off an opaque binary column — byte
+    * length and leading "magic" byte (how real pipelines route jpeg/png/
+    * wav payloads to the right decoder), all codegen'd scalars. */
+  def binaryMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("nbytes"),
+        ascii(col("payload").cast("string").substr(1, 1)).as("magic"))
+      .withColumn("tag",
+        when(col("magic").between(97, 122), "text").otherwise("other"))
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("feat_mean", DoubleType)))
+
+  /** mm_decode_stub: the decode/feature-extract pipeline over the binary
+    * column. Runs as batched mapPartitions (the shape a vectorized decode
+    * UDF needs: amortize model/codec init per batch, not per row).
+    *
+    * STUB: the decode step is a deterministic fake — this container has no
+    * image/audio codecs. `fakeDecode` stands in for e.g. JPEG decode +
+    * embedding; everything around it (schema, batching, partition flow)
+    * is production-shaped. */
+  def decodeStub(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val batchSize = 64
+    val decoded = src.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // codec/model init would happen here, once per batch
+        batch.iterator.map { row =>
+          val id = row.getLong(0)
+          val bytes = row.getAs[Array[Byte]](1)
+          val (w, h, f, m) = fakeDecode(bytes)
+          Row(id, w, h, f, m)
+        }
+      }
+    }
+    s.createDataFrame(decoded, decodedSchema)
+  }
+
+  /** Deterministic stand-in for a media decoder: derives fake dimensions,
+    * frame count, and a feature mean from the payload bytes alone. */
+  private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    val width = 64 + (math.abs(h) % 1024).toInt
+    val height = 64 + (math.abs(h >> 10) % 1024).toInt
+    val frames = 1 + (math.abs(h >> 20) % 32).toInt
+    val featMean = (math.abs(h >> 25) % 1000000) / 1000000.0
+    (width, height, frames, featMean)
+  }
+}

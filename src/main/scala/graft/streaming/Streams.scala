@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming jobs (SURVEY.md §2G).
+  *
+  * st_stream_window runs the events table as a bounded stream
+  * (Trigger.AvailableNow) through a tumbling daily window aggregation into
+  * a memory sink — the same plan an unbounded kafka/files source would
+  * run, which is the point: batch and stream share the logical plan.
+  */
+object Streams {
+
+  /** Streaming-source schema for events.parquet: ts is TIMESTAMP(NANOS) on
+    * disk, read as long under the nanosAsLong legacy conf. */
+  private val eventsDdl =
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  /** st_stream_window: readStream → tumbling day window agg → memory sink,
+    * drained with AvailableNow so the result is batch-equivalent and
+    * oracle-checkable. Complete output mode because the bounded run has no
+    * watermark to finalize windows early. */
+  def streamWindow(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming file source lists a directory; single-file tables are
+    // selected with a glob filter over the parent dir
+    val src = s.readStream.schema(eventsDdl)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = src
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double")
+          .as("sum_value"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .format("memory").queryName("st_stream_window")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("st_stream_window")
+  }
+
+  // ---- Stateful sessionization --------------------------------------------
+
+  case class Event(user_id: Long, ts_us: Long, event_id: Long)
+  case class SessionState(sessionNum: Long, lastTsUs: Long)
+  case class SessionedEvent(user_id: Long, event_id: Long, session_num: Long)
+
+  val GapUs: Long = 1800L * 1000000L // 30-min inactivity gap
+
+  /** Per-user session assignment for one group batch — pure function so
+    * the batch spec and the streaming job share the exact logic. Events
+    * must arrive (or be sorted) in ts order within the batch. */
+  def assignSessions(events: Iterator[Event],
+                     state: GroupState[SessionState]): Iterator[SessionedEvent] = {
+    var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+    val out = events.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+      val newSession = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > GapUs
+      st = SessionState(if (newSession) st.sessionNum + 1 else st.sessionNum, e.ts_us)
+      SessionedEvent(e.user_id, e.event_id, st.sessionNum)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Stateful sessionizer over a (possibly streaming) Dataset[Event]:
+    * groupByKey(user) → flatMapGroupsWithState. On an unbounded stream the
+    * state carries each user's open session across micro-batches; on a
+    * bounded run it degenerates to one pass — same code either way. */
+  def sessionized(events: Dataset[Event]): Dataset[SessionedEvent] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state) => assignSessions(it, state)
+      }
+  }
+}
