@@ -1,0 +1,46 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** Unit-level checks for the shared expression builders. */
+class FunctionsSpec extends SparkSpec {
+
+  test("shingles produce overlapping distinct n-grams") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("a b c d").toDF("text")
+      .select(TextFunctions.shingles(
+        TextFunctions.wsTokens(col("text")), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+  }
+
+  test("normText collapses whitespace and case") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("  Hello   WORLD  ").toDF("t")
+      .select(TextFunctions.normText(col("t"))).as[String].head()
+    assert(got == "hello world")
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 2.0)))
+      .toDF("a", "b", "c")
+    val (same, orth) = df.select(
+      VectorFunctions.cosine(col("a"), col("b")),
+      VectorFunctions.cosine(col("a"), col("c")))
+      .as[(Double, Double)].head()
+    assert(math.abs(same - 1.0) < 1e-12 && math.abs(orth) < 1e-12)
+  }
+
+  test("bpe tokens split words and symbols") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("ab1 cd, e!").toDF("t")
+      .select(TextFunctions.bpeTokens(col("t"))).as[Seq[String]].head()
+    assert(got == Seq("ab1", "cd", ",", "e", "!"))
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+/** Every SparkEntry query runs end-to-end on sf0.001 and returns a sane
+  * result. Value-level correctness is the DuckDB oracle's job (driver +
+  * tools/check.py); this guards the API surface: every inventory entry
+  * stays runnable, every oracle key stays wired to a query.
+  */
+class OperatorSmokeSpec extends SparkSpec {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
+  }
+
+  // Queries whose result can legitimately be empty at the smallest SF
+  // (near-dup pairs may not exist among ~50 docs).
+  private val mayBeEmpty = Set(
+    "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard", "dd_embed_cosine",
+    "q05_anti_join")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val n = fn(spark, sf).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

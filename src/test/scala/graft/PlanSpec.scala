@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Relational
+
+/** Physical-plan assertions — the scale contract (SURVEY.md §4). These
+  * fail if a refactor silently loses filter pushdown, column pruning,
+  * broadcast joins, or the top-k short-circuit.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01 pushes filters to the parquet scan") {
+    val p = plan(Relational.q01ScanFilterProject(spark, sf))
+    // toString truncates the PushedFilters list; assert on its head plus
+    // the full Filter node for the quantity predicate
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p.take(800))
+    assert(p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("l_quantity") && l.contains("> 45")),
+      p.take(800))
+  }
+
+  test("q01 prunes the read schema to used columns") {
+    val p = plan(Relational.q01ScanFilterProject(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("q06 snowflake joins broadcast every dimension") {
+    val p = plan(Relational.q06MultiJoin(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
+  }
+
+  test("q08 global top-k avoids a full sort (TakeOrderedAndProject)") {
+    val p = plan(Relational.q08SortLimit(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("q02 aggregation is whole-stage codegen'd") {
+    val df = Relational.q02AggGroup(spark, sf)
+    df.collect() // materialize the AQE final plan
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // '*' before an operator marks whole-stage-codegen membership
+    assert(p.contains("* HashAggregate"), p.take(1200))
+  }
+
+  test("q07 selective agg pushes both date bounds") {
+    val p = plan(Relational.q07SelectiveAgg(spark, sf))
+    val filterLine = p.linesIterator
+      .find(l => l.contains("Filter") && l.contains("l_shipdate"))
+      .getOrElse("")
+    assert(filterLine.contains(">= 1997-01-01") &&
+      filterLine.contains("< 1998-01-01"), filterLine)
+  }
+}
