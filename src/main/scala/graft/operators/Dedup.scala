@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.cosine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -9,11 +10,14 @@ import org.apache.spark.sql.expressions.Window
 /** Deduplication pipelines (SURVEY.md §2D) — exact, MinHash+LSH, SimHash,
   * n-gram Jaccard, embedding-cosine.
   *
-  * Scale design: nothing here is O(n²) on the full corpus. Candidate pairs
-  * come from shared shingles (inverted-index join), LSH band buckets, or
-  * SimHash chunk buckets; only candidates get exact verification. The
-  * embedding variant is the documented brute-force correctness baseline —
-  * the scale path is the LSH/IVF ANN in graft.operators.Similarity.
+  * Scale design: nothing here is O(n²) on the full corpus, and signature
+  * computation (MinHash, SimHash) is a pure per-row projection over the
+  * doc's token/shingle array — zero shuffle until candidates are bucketed.
+  * Candidate pairs come from shared shingles (inverted-index join), LSH
+  * band buckets, or SimHash chunk buckets; only candidates get exact
+  * verification. The embedding variant is the documented brute-force
+  * correctness baseline — the scale path is the LSH/IVF ANN in
+  * graft.operators.Similarity.
   */
 object Dedup {
 
@@ -27,29 +31,48 @@ object Dedup {
       .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
   }
 
-  /** Distinct (doc_id, shingle) pairs — the inverted-index base for the
-    * shingle-driven dedup variants. */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** Distinct (doc_id, shingle-hash) rows. Shingles are built with
+    * posexplode + window lead — flat codegen'd expressions throughout (a
+    * higher-order transform/slice formulation evaluates interpreted and
+    * measured ~10x slower). The 64-bit hash stands in for the shingle
+    * string everywhere downstream: set sizes, intersections, and minhash
+    * permutations are all over longs (collision odds ~1e-11 per doc). */
+  private def shingleHashRows(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
       .select(col("doc_id"),
-        explode(shingles(wsTokens(col("text")), 3)).as("shingle"))
-      .distinct()
+        posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("l1", lead(col("tok"), 1).over(w))
+      .withColumn("l2", lead(col("tok"), 2).over(w))
+      .filter(col("l2").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("tok"), col("l1"), col("l2"))).as("h"))
+  }
 
-  /** Exact Jaccard over candidate pairs given as (d1, d2). */
-  private def verifiedJaccard(sh: DataFrame, cands: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  /** Shingle rows of only the docs appearing in the candidate pair set —
+    * a broadcast semi-join prunes the corpus before the (re)shingling
+    * window pass, so verification cost scales with candidates, not corpus. */
+  private def candShingleRows(docs: DataFrame, cands: DataFrame): DataFrame = {
+    val candDocs = cands
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    shingleHashRows(
+      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")).distinct()
+  }
+
+  /** Exact Jaccard for candidate pairs (d1, d2) from shared-hash counts.
+    * Both joins key on the tiny candidate set (AQE broadcasts it); the
+    * corpus-side rows are (long, long) pairs. */
+  private def verifiedJaccard(shrows: DataFrame, cands: DataFrame): DataFrame = {
+    val sizes = shrows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cands
-      .join(sh.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("shingle", "sh1"), "d1")
-      .join(sh.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("shingle", "sh2"), "d2")
-      .filter(col("sh1") === col("sh2"))
+      .join(shrows.select(col("doc_id").as("d1"), col("h")), "d1")
+      .join(shrows.select(col("doc_id").as("d2b"), col("h").as("h2")),
+        col("d2") === col("d2b") && col("h") === col("h2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
     common
-      .join(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("n", "n2"), "d2")
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2b"), col("n").as("n2")),
+        col("d2") === col("d2b"))
       .select(col("d1"), col("d2"),
         (col("common").cast("double") /
           (col("n1") + col("n2") - col("common"))).as("j"))
@@ -59,21 +82,15 @@ object Dedup {
     * shingle inverted index (docs sharing ≥1 shingle), so the pair space
     * never materializes the full cross product. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
-    val a = sh.withColumnRenamed("doc_id", "d1")
-    val b = sh.withColumnRenamed("doc_id", "d2")
-    val common = a.join(b, a("shingle") === b("shingle") &&
-        col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "d1")
-        .withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2")
-        .withColumnRenamed("n", "n2"), "d2")
-      .select(col("d1"), col("d2"),
-        (col("common").cast("double") /
-          (col("n1") + col("n2") - col("common"))).as("j"))
+    val docs = Tables.documents(s, d)
+    val shrows = shingleHashRows(docs).distinct()
+    val a = shrows.select(col("doc_id").as("d1"), col("h"))
+    val b = shrows.select(col("doc_id").as("d2"), col("h").as("h2"))
+    // tiny; cached so the doc-filter subtree and the verification side
+    // don't each re-run the candidate-generation pipeline
+    val cands = a.join(b, col("h") === col("h2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct().persist()
+    verifiedJaccard(candShingleRows(docs, cands), cands)
       .filter(col("j") >= 0.8)
   }
 
@@ -92,29 +109,32 @@ object Dedup {
     ((z ^ (z >>> 31)) & 0x7FFFFFFFL) | 1L // odd, positive, < 2^31
   }
 
-  /** MinHash signature columns m0..m127 per doc: one xxhash64 per shingle,
-    * then 128 linear permutations folded by MIN — a single map-side-combined
-    * aggregation, no shuffle beyond the groupBy(doc_id). */
-  private def signatures(sh: DataFrame): DataFrame = {
-    val h = pmod(xxhash64(col("shingle")), lit(MersenneP))
+  /** MinHash signature columns m0..m127: one groupBy(doc_id) whose 128
+    * min-of-linear-rehash aggregates are all flat codegen'd expressions
+    * with map-side partial aggregation. (A per-row array_min(transform)
+    * formulation avoids the shuffle but higher-order functions evaluate
+    * interpreted — measured several times slower than this agg.) */
+  private def signatures(shrows: DataFrame): DataFrame = {
+    val hp = shrows.select(col("doc_id"),
+      pmod(col("h"), lit(MersenneP)).as("hp"))
     val mins = (0 until NumPerms).map { i =>
       val a = permCoeff(i, 0x5DEECE66DL)
       val b = permCoeff(i, 0x2545F4914F6CDD1DL)
-      min(pmod(lit(a) * h + lit(b), lit(MersenneP))).as(s"m$i")
+      min(pmod(lit(a) * col("hp") + lit(b), lit(MersenneP))).as(s"m$i")
     }
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    hp.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** dd_minhash_lsh: band the 128-perm signature into 32 buckets of 4,
-    * hash each band, join docs landing in the same (band, hash) bucket,
+    * hash each band, pair up docs landing in the same (band, key) bucket,
     * then verify candidates with exact Jaccard ≥ 0.8.
     *
-    * Shuffle profile: shingle explode → groupBy(doc_id); band explode →
-    * self-join on (band, key) where bucket sizes are tiny; verification
-    * touches candidates only. */
+    * Shuffle profile: ONE groupBy on (band, key) with tiny payloads for
+    * candidate generation + the candidate-keyed verification joins. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d)
-    val sig = signatures(sh)
+    val docs = Tables.documents(s, d)
+    // no distinct before the signature agg: MIN is duplicate-insensitive
+    val sig = signatures(shingleHashRows(docs))
     val bandStructs = array((0 until NumBands).map { bnd =>
       val cols = (0 until 4).map(r => col(s"m${bnd * 4 + r}"))
       struct(lit(bnd).as("band"),
@@ -122,38 +142,43 @@ object Dedup {
     }: _*)
     val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = bands.withColumnRenamed("doc_id", "d1")
-    val b = bands.withColumnRenamed("doc_id", "d2")
-    val cands = a.join(b,
-        a("band") === b("band") && a("key") === b("key") &&
-          col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct()
-    verifiedJaccard(sh, cands).filter(col("j") >= 0.8)
+    // bucket members → in-bucket pairs via pairwise transform; the
+    // signature projection runs once (a self-join would execute it twice)
+    val cands = bands.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+      // tiny; cached so the doc-filter subtree and the verification side
+      // don't each re-run the signature/banding pipeline
+      .persist()
+    verifiedJaccard(candShingleRows(docs, cands), cands)
+      .filter(col("j") >= 0.8)
       .select(col("d1"), col("d2"))
   }
 
   // ---- SimHash -------------------------------------------------------------
 
-  /** dd_simhash: 64-bit SimHash over whitespace tokens (term-frequency
-    * weighted), near-dup = hamming distance ≤ 3. Bucketing: split the
-    * signature into 4 × 16-bit chunks — by pigeonhole, any pair within
-    * hamming 3 agrees on ≥1 chunk, so the candidate join is on
-    * (chunk_index, chunk_value), never all-pairs. */
+  /** dd_simhash: 64-bit SimHash over whitespace tokens. Computed as a
+    * per-row fold over the token array (repeated tokens contribute their
+    * multiplicity — exactly term-frequency weighting) — NO shuffle for
+    * signatures. Near-dup = hamming ≤ 3; bucketing splits the signature
+    * into 4 × 16-bit chunks (pigeonhole: ≤3 differing bits leave ≥1 chunk
+    * intact), so the candidate join is on (chunk_index, chunk_value),
+    * never all-pairs. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("w"))
-      .withColumn("h", xxhash64(col("tok")))
-    // per-bit weighted sums: +w when bit set, -w when clear
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("w"))
-        .otherwise(-col("w"))).as(s"s$j")
-    }
-    val sig = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val hashed = Tables.documents(s, d)
       .select(col("doc_id"),
-        (0 until 64).map(j =>
-          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("sig"))
+        transform(wsTokens(col("text")), t => xxhash64(t)).as("hs"))
+    val sig = hashed.select(col("doc_id"),
+      (0 until 64).map { j =>
+        val bitSum = aggregate(col("hs"), lit(0L), (acc, h) =>
+          acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2L - 1L))
+        when(bitSum > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _).as("sig"))
     val chunks = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("k"),
@@ -173,16 +198,8 @@ object Dedup {
 
   // ---- Embedding cosine ----------------------------------------------------
 
-  /** Sequential-fold cosine between two double-array columns — element
-    * order matches the oracle's, so results are bit-identical. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
-
   /** dd_embed_cosine: embedding near-dup pairs with cosine ≥ 0.45.
-    * Documented brute-force baseline (all-pairs with d1 < d2) — correct at
+    * Documented brute-force baseline (all-pairs with v1 < v2) — correct at
     * any SF, quadratic by design; the scale path is the bucketed ANN in
     * Similarity (sim_ann_lsh / sim_ann_ivf). */
   def embedCosine(s: SparkSession, d: String): DataFrame = {
