@@ -170,15 +170,20 @@ object Dedup {
     * intact), so the candidate join is on (chunk_index, chunk_value),
     * never all-pairs. */
   def simhash(s: SparkSession, d: String): DataFrame = {
+    // explode + groupBy with 64 flat sum() aggregates: all codegen'd with
+    // map-side combine (per-row higher-order folds evaluate interpreted)
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"),
-        transform(wsTokens(col("text")), t => xxhash64(t)).as("hs"))
-    val sig = hashed.select(col("doc_id"),
-      (0 until 64).map { j =>
-        val bitSum = aggregate(col("hs"), lit(0L), (acc, h) =>
-          acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2L - 1L))
-        when(bitSum > 0, lit(1L << j)).otherwise(0L)
-      }.reduce(_ + _).as("sig"))
+        explode(wsTokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"s$j")
+    }
+    val sig = hashed.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("sig"))
     val chunks = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("k"),
