@@ -23,8 +23,25 @@ object Similarity {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** Two-phase top-k per q_id: a salted pre-rank keeps per-partition work
+    * bounded (a single window on q_id would funnel the whole corpus into
+    * #queries partitions — a skew wall at scale), then the final rank runs
+    * over ≤ K×salts survivors per query. Results identical to one window. */
+  private val TopKSalts = 32
+  private def topKPerQuery(scored: DataFrame): DataFrame = {
+    val w1 = Window.partitionBy(col("q_id"), pmod(col("n_id"), lit(TopKSalts)))
+      .orderBy(col("cos").desc, col("n_id"))
+    val survivors = scored.withColumn("prerank", row_number().over(w1))
+      .filter(col("prerank") <= K)
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    survivors.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("n_id"), col("rank"))
+  }
+
   /** sim_knn_brute: exact cosine top-k per query vector. Queries broadcast
-    * (map-side cross), rank via one window on q_id. */
+    * (map-side cross), then salted two-phase top-k. */
   def knnBrute(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
     val q = all.filter(col("vec_id") < NumQueries)
@@ -32,11 +49,7 @@ object Similarity {
     val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("n_id"), col("rank"))
+    topKPerQuery(scored)
   }
 
   // ---- Random-hyperplane LSH ----------------------------------------------
@@ -88,11 +101,7 @@ object Similarity {
       .dropDuplicates("q_id", "n_id")
     val scored = cands.select(col("q_id"), col("n_id"),
       cosine(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("n_id"), col("rank"))
+    topKPerQuery(scored)
   }
 
   // ---- IVF ----------------------------------------------------------------
@@ -109,15 +118,18 @@ object Similarity {
     val all = vecs(s, d)
     val cents = all.filter(pmod(col("vec_id"), lit(50)) === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    // nearest centroid per vector (centroids broadcast; one window)
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
+    // nearest centroid per vector: centroids broadcast, argmax via a
+    // lexicographic max-of-struct aggregate — map-side combined, so the
+    // shuffle carries ONE row per vector (a window formulation would
+    // shuffle the full corpus×k cross product)
     val assigned = all.join(broadcast(cents), expr("true"))
       .select(col("vec_id"), col("v"), col("c_id"),
         cosine(col("v"), col("cv")).as("c_cos"))
-      .withColumn("crank", row_number().over(byVec))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("v"), col("c_id"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), // constant within the group
+        max(struct(col("c_cos").as("cos"), (-col("c_id")).as("negid")))
+          .as("best"))
+      .select(col("vec_id"), col("v"), (-col("best.negid")).as("c_id"))
     // queries probe their NProbe nearest centroids
     val q = all.filter(col("vec_id") < NumQueries)
     val byQ = Window.partitionBy(col("q_id"))
@@ -132,10 +144,6 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("n_id"), col("rank"))
+    topKPerQuery(scored)
   }
 }
