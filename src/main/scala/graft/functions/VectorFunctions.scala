@@ -17,7 +17,13 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Native codegen'd expression (same sequential accumulation order as
+    * the fold below — bit-identical results, ~no boxing). */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
+  /** Higher-order-function formulation, kept as the reference
+    * implementation for cross-checking the native expression. */
+  def cosineFold(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** Cosine given precomputed norms — lets pipelines compute each row's

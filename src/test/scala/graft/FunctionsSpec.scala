@@ -36,6 +36,22 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(same - 1.0) < 1e-12 && math.abs(orth) < 1e-12)
   }
 
+  test("native cosine expression is bit-identical to the HOF fold") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rng.nextDouble() * 2 - 1),
+      Seq.fill(64)(rng.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val diffs = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("native"),
+      VectorFunctions.cosineFold(col("a"), col("b")).as("fold"))
+      .as[(Double, Double)].collect()
+      .filter { case (n, f) => n != f }
+    assert(diffs.isEmpty, s"first diff: ${diffs.headOption}")
+  }
+
   test("bpe tokens split words and symbols") {
     val s = spark
     import s.implicits._
