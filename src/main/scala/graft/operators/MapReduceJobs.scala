@@ -9,11 +9,12 @@ import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructTyp
   * reference framework runs (word count, grep, sort, inverted index,
   * reduce-side join), re-expressed as Catalyst plans.
   *
-  * Reference semantics: HDFS-MR's MapReduce does split → map → shuffle/sort
-  * by key → reduce (see reference MapReduce job flow). Each job below keeps
-  * that dataflow but lets Catalyst plan it: `explode` is the map phase,
-  * hash aggregation with map-side partial aggregation is the combine +
-  * reduce phase, and shuffle joins are reduce-side joins.
+  * Reference semantics (amoghbl1/HDFS-MR, MapReduce side — JobTracker/
+  * TaskTracker job flow per SURVEY.md §1): split → map(k,v) → shuffle/sort
+  * by key → reduce. Each job below keeps that dataflow but lets Catalyst
+  * plan it: `explode` is the map phase, hash aggregation with map-side
+  * partial aggregation is the combine + reduce phase, and shuffle joins
+  * are reduce-side joins.
   */
 object MapReduceJobs {
 

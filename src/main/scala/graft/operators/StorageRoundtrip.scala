@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Storage source/sink roundtrips (SURVEY.md §2A) — the reference's HDFS
-  * put/get path re-expressed as Spark sources: write a slice out in a
-  * format, read it back through the corresponding source, aggregate.
+  * put/get/list path (amoghbl1/HDFS-MR NameNode/DataNode block storage,
+  * per SURVEY.md §1) re-expressed as Spark sources: write a slice out in
+  * a format, read it back through the corresponding source, aggregate.
   *
   * Numeric columns travel as DECIMAL(12,2) (exact text representation) so
   * the roundtrip is lossless in CSV/JSON; the oracle computes the same
