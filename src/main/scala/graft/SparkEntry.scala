@@ -40,6 +40,7 @@ object SparkEntry {
     "q25_csv_roundtrip"       -> (StorageRoundtrip.csvRoundtrip _),
     "q26_json_roundtrip"      -> (StorageRoundtrip.jsonRoundtrip _),
     "q27_text_lines"          -> (StorageRoundtrip.textLines _),
+    "q28_partitioned_write"   -> (StorageRoundtrip.partitionedWrite _),
     "mr_wordcount"            -> (MapReduceJobs.wordCount _),
     "mr_grep"                 -> (MapReduceJobs.grep _),
     "mr_sort"                 -> (MapReduceJobs.sort _),
@@ -239,6 +240,10 @@ object SparkEntry {
     "q27_text_lines" ->
       """SELECT length(text) AS len, COUNT(*) AS n
         |FROM documents GROUP BY length(text)""".stripMargin,
+    "q28_partitioned_write" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin,
     "mr_wordcount" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t

@@ -61,6 +61,23 @@ object StorageRoundtrip {
         min(col("odate")).as("first_date"))
   }
 
+  /** q28: hive-style partitioned parquet sink + source. The read-back
+    * filter on the partition column never touches non-matching files —
+    * partition pruning (PartitionFilters in the scan), the layout pattern
+    * that makes 100 TB tables scannable. */
+  def partitionedWrite(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("part_orders")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(D12).as("price"), col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"))
+  }
+
   /** q27: text sink + source — raw line ingestion (the reference's
     * text-oriented HDFS file model), aggregated by line length. */
   def textLines(s: SparkSession, d: String): DataFrame = {

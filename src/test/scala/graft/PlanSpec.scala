@@ -49,6 +49,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("* HashAggregate"), p.take(1200))
   }
 
+  test("q28 partitioned read prunes partitions at the scan") {
+    val df = graft.operators.StorageRoundtrip.partitionedWrite(spark, sf)
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"), p.take(1200))
+  }
+
+  test("bucketed tables join co-located, with no shuffle exchange") {
+    val s = spark
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // a fresh derby metastore doesn't know about table dirs left by a
+      // previous JVM — clear the locations before CTAS
+      Seq("li_bucketed", "ord_bucketed").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val dir = new java.io.File(
+          s"${sys.props("java.io.tmpdir")}/graft_warehouse/$t")
+        if (dir.exists()) {
+          dir.listFiles().foreach(_.delete()); dir.delete()
+        }
+      }
+      Tables.lineitem(s, sf)
+        .select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("li_bucketed")
+      Tables.orders(s, sf)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("ord_bucketed")
+      val j = s.table("li_bucketed").join(s.table("ord_bucketed"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles: ${p.take(800)}")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q07 selective agg pushes both date bounds") {
     val p = plan(Relational.q07SelectiveAgg(spark, sf))
     val filterLine = p.linesIterator
