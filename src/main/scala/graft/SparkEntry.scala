@@ -41,6 +41,7 @@ object SparkEntry {
     "q26_json_roundtrip"      -> (StorageRoundtrip.jsonRoundtrip _),
     "q27_text_lines"          -> (StorageRoundtrip.textLines _),
     "q28_partitioned_write"   -> (StorageRoundtrip.partitionedWrite _),
+    "q29_percentile"          -> (Relational.q29Percentile _),
     "mr_wordcount"            -> (MapReduceJobs.wordCount _),
     "mr_grep"                 -> (MapReduceJobs.grep _),
     "mr_sort"                 -> (MapReduceJobs.sort _),
@@ -244,6 +245,11 @@ object SparkEntry {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin,
+    "q29_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "mr_wordcount" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t

@@ -281,6 +281,15 @@ object Relational {
       types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
   }
 
+  /** q29: exact percentiles (median, p95) per group — sort-based exact
+    * aggregation; the approx_percentile sketch is the scale path when
+    * exactness isn't required. */
+  def q29Percentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+
   /** q24: JSON field extraction from the string props column. */
   def q24JsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for shuffle joins (SURVEY.md §4). AQE's runtime
+  * skew splitting covers most cases; this utility is for the pathological
+  * hot key known ahead of time (a null-ish default id, a celebrity user)
+  * where pre-salting beats letting one task receive the key's entire
+  * partition.
+  *
+  * Left rows get a random-but-deterministic salt in [0, salts); right
+  * rows are replicated once per salt value. The join key becomes
+  * (key, salt), spreading each hot key over `salts` tasks. Inner-join
+  * semantics are preserved exactly.
+  */
+object SkewJoin {
+
+  /** Inner join `left` and `right` on leftKey == rightKey with the left
+    * side salted and the right side replicated `salts` ways.
+    *
+    * The salt is derived from stable per-row content (xxhash64 of the
+    * whole row's key + a monotonic id would break determinism across
+    * retries — hash of the key alone would NOT spread the hot key, so we
+    * hash the key with spark_partition_id, which is stable within a task
+    * retry and uniform enough to spread). */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 salts: Int): DataFrame = {
+    val l = left.withColumn("_salt",
+      pmod(xxhash64(col(leftKey), spark_partition_id()), lit(salts)))
+    val r = right.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    l.join(r, col(leftKey) === col(rightKey) && l("_salt") === r("_salt"))
+      .drop("_salt")
+  }
+}

@@ -41,6 +41,24 @@ class AsOfSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin matches the plain shuffle join exactly") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val ord = Tables.orders(s, sf)
+    val cust = Tables.customer(s, sf)
+    val plain = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("t"))
+      .as[(String, Long, Double)].collect().toSet
+    val salted = graft.operators.SkewJoin
+      .saltedJoin(ord, cust, "o_custkey", "c_custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("t"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(salted == plain)
+  }
+
   test("asofJoin with empty right side yields all nulls") {
     val s = spark
     import s.implicits._
