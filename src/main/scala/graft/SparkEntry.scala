@@ -42,6 +42,7 @@ object SparkEntry {
     "q27_text_lines"          -> (StorageRoundtrip.textLines _),
     "q28_partitioned_write"   -> (StorageRoundtrip.partitionedWrite _),
     "q29_percentile"          -> (Relational.q29Percentile _),
+    "q30_approx_sketch"       -> (Relational.q30ApproxSketch _),
     "mr_wordcount"            -> (MapReduceJobs.wordCount _),
     "mr_grep"                 -> (MapReduceJobs.grep _),
     "mr_sort"                 -> (MapReduceJobs.sort _),

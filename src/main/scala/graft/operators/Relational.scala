@@ -290,6 +290,19 @@ object Relational {
       .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
         percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
 
+  /** q30: sketch-based aggregation — HyperLogLog++ approximate distinct
+    * users and an approximate p50 sketch per event_type, next to the exact
+    * values. At 100 TB the sketches are the default: fixed-size state,
+    * mergeable across partitions, no expand-distinct shuffle. Rows-oracle
+    * (sketch estimates differ per implementation, so no SQL twin). */
+  def q30ApproxSketch(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"))
+
   /** q24: JSON field extraction from the string props column. */
   def q24JsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

@@ -31,6 +31,36 @@ class StreamingSessionSpec extends SparkSpec {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
 
+  test("windowed agg with watermark drops events later than the threshold") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = mem.toDS().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("win"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").cast("long").as("start"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      mem.addData((ts(0), 1L), (ts(5), 2L))
+      q.processAllAvailable()
+      // advance the watermark past the first window...
+      mem.addData((ts(25), 3L))
+      q.processAllAvailable()
+      // ...then send an event into the now-closed first window: dropped
+      mem.addData((ts(1), 4L), (ts(26), 5L))
+      q.processAllAvailable()
+      mem.addData((ts(45), 6L)) // close the remaining windows
+      q.processAllAvailable()
+      val got = s.table("wm_test").as[(Long, Long)].collect().toMap
+      val base = ts(0).getTime / 1000
+      assert(got(base) == 2L, s"late event leaked into closed window: $got")
+    } finally q.stop()
+  }
+
   test("state carries open sessions across micro-batches") {
     val s = spark
     import s.implicits._
