@@ -14,6 +14,7 @@ object Engine {
   def session(cpus: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)

@@ -52,6 +52,13 @@ class FunctionsSpec extends SparkSpec {
     assert(diffs.isEmpty, s"first diff: ${diffs.headOption}")
   }
 
+  test("cosine_similarity is callable from SQL via GraftExtensions") {
+    val got = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .head().getDouble(0)
+    assert(got == 1.0)
+  }
+
   test("bpe tokens split words and symbols") {
     val s = spark
     import s.implicits._
