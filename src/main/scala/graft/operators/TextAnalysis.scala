@@ -47,9 +47,13 @@ object TextAnalysis {
       "es" -> Seq("el", "los", "las", "una", "y"),
       "zh" -> Seq("的", "是", "了", "在", "和"))
     val toks = wsTokens(col("text"))
-    val scored = array(profiles.map { case (lang, words) =>
+    // prior breaks score ties toward the earlier profile (en first), so a
+    // zero-hit doc degrades to "en" rather than whichever language sorts
+    // last lexicographically
+    val scored = array(profiles.zipWithIndex.map { case ((lang, words), i) =>
       struct(
         size(filter(toks, t => t.isin(words: _*))).as("score"),
+        lit(-i).as("prior"),
         lit(lang).as("lang"))
     }: _*)
     Tables.documents(s, d).select(
