@@ -43,6 +43,8 @@ object SparkEntry {
     "q28_partitioned_write"   -> (StorageRoundtrip.partitionedWrite _),
     "q29_percentile"          -> (Relational.q29Percentile _),
     "q30_approx_sketch"       -> (Relational.q30ApproxSketch _),
+    "q31_full_outer"          -> (Relational.q31FullOuter _),
+    "q32_set_ops"             -> (Relational.q32SetOps _),
     "mr_wordcount"            -> (MapReduceJobs.wordCount _),
     "mr_grep"                 -> (MapReduceJobs.grep _),
     "mr_sort"                 -> (MapReduceJobs.sort _),
@@ -246,6 +248,24 @@ object SparkEntry {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus""".stripMargin,
+    "q31_full_outer" ->
+      """SELECT nk_c, nk_s, n_cust, n_supp FROM
+        |  (SELECT c_nationkey AS nk_c, COUNT(*) AS n_cust FROM customer
+        |   GROUP BY c_nationkey HAVING c_nationkey < 13) c
+        |FULL OUTER JOIN
+        |  (SELECT s_nationkey AS nk_s, COUNT(*) AS n_supp FROM supplier
+        |   GROUP BY s_nationkey HAVING s_nationkey >= 7) p
+        |ON nk_c = nk_s""".stripMargin,
+    "q32_set_ops" ->
+      """SELECT 'both' AS kind, ck FROM (
+        |  SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 200000
+        |  INTERSECT
+        |  SELECT c_custkey AS ck FROM customer WHERE c_acctbal > 5000)
+        |UNION ALL
+        |SELECT 'only_orders' AS kind, ck FROM (
+        |  SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 200000
+        |  EXCEPT
+        |  SELECT c_custkey AS ck FROM customer WHERE c_acctbal > 5000)""".stripMargin,
     "q29_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS p50,

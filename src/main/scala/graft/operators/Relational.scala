@@ -303,6 +303,33 @@ object Relational {
         countDistinct(col("user_id")).as("exact_users"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"))
 
+  /** q31: full outer join — customers vs suppliers per nation, with
+    * nulls surviving on both sides. */
+  def q31FullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_cust"))
+      .filter(col("nk_c") < 13)
+    val p = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+      .filter(col("nk_s") >= 7)
+    c.join(p, col("nk_c") === col("nk_s"), "full_outer")
+      .select(col("nk_c"), col("nk_s"), col("n_cust"), col("n_supp"))
+  }
+
+  /** q32: set operations — INTERSECT and EXCEPT of key slices, tagged and
+    * unioned (both rewrite to semi/anti joins under Catalyst). */
+  def q32SetOps(s: SparkSession, d: String): DataFrame = {
+    val ordCust = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 200000).select(col("o_custkey").as("ck"))
+    val bigCust = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("ck"))
+    val both = ordCust.intersect(bigCust)
+      .select(lit("both").as("kind"), col("ck"))
+    val onlyOrders = ordCust.except(bigCust)
+      .select(lit("only_orders").as("kind"), col("ck"))
+    both.unionAll(onlyOrders)
+  }
+
   /** q24: JSON field extraction from the string props column. */
   def q24JsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
