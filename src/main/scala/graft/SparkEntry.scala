@@ -67,6 +67,7 @@ object SparkEntry {
     "mm_binary_meta"          -> (Multimodal.binaryMeta _),
     "mm_decode_stub"          -> (Multimodal.decodeStub _),
     "st_stream_window"        -> (Streams.streamWindow _),
+    "st_stream_session"       -> (Streams.streamSession _),
   )
 
   /** DuckDB-runnable twins of `queries`. Column names/aliases match the
@@ -377,5 +378,17 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "st_stream_session" ->
+      """SELECT event_id, user_id, session_num FROM (
+        |  SELECT event_id, user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |      CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        OR epoch_us(ts) - epoch_us(LAG(ts) OVER (
+        |             PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |    FROM events) t) tt""".stripMargin,
   )
 }

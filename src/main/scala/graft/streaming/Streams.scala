@@ -69,6 +69,20 @@ object Streams {
     out.iterator
   }
 
+  /** st_stream_session: the stateful sessionizer executed over the events
+    * table as a bounded Dataset — the same flatMapGroupsWithState code the
+    * unbounded stream runs, hash-checked against the window-based SQL
+    * oracle (identical output to ta_sessionize by construction). */
+  def streamSession(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val events = graft.Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[Event]
+    sessionized(events)
+      .select(col("event_id"), col("user_id"), col("session_num"))
+  }
+
   /** Stateful sessionizer over a (possibly streaming) Dataset[Event]:
     * groupByKey(user) → flatMapGroupsWithState. On an unbounded stream the
     * state carries each user's open session across micro-batches; on a
