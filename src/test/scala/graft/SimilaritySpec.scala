@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Quality contracts for the approximate paths that the rows-only oracle
+  * can't see into. */
+class SimilaritySpec extends SparkSpec {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("simhash chunk bucketing is lossless for hamming <= 3") {
+    // pigeonhole: 4 chunks, <= 3 differing bits => >= 1 identical chunk,
+    // so the bucketed join must find EXACTLY the brute-force pair set
+    val s = spark
+    import s.implicits._
+    val bucketed = Dedup.simhash(s, sf01)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // recompute signatures the same way, brute-force all pairs in memory
+    val sigRows = graft.Tables.documents(s, sf01)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg((0 until 64).map(j =>
+        sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"s$j")).head,
+        (0 until 64).map(j =>
+          sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"s$j")).tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("sig"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (d1, s1) <- sigRows; (d2, s2) <- sigRows if d1 < d2
+      if java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (d1, d2)).toSet
+    assert(bucketed == brute,
+      s"missing=${(brute -- bucketed).take(3)} extra=${(bucketed -- brute).take(3)}")
+  }
+
+  test("LSH ANN finds at least half of the exact top-k at sf0.01") {
+    val s = spark
+    import s.implicits._
+    val brute = Similarity.knnBrute(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.annLsh(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall $recall")
+  }
+
+  test("IVF ANN probes return full top-k result sets per query") {
+    val s = spark
+    import s.implicits._
+    val ivf = Similarity.annIvf(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(ivf.length == 50, s"expected 10 queries x k=5, got ${ivf.length}")
+  }
+}
