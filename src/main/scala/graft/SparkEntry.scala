@@ -59,11 +59,13 @@ object SparkEntry {
     "ta_quality_score"        -> (TextAnalysis.qualityScore _),
     "ta_langid"               -> (TextAnalysis.langId _),
     "ta_fingerprint"          -> (TextAnalysis.fingerprintDocs _),
+    "ta_rolling_fingerprint"  -> (TextAnalysis.rollingFingerprint _),
     "ta_sessionize"           -> (TextAnalysis.sessionize _),
     "sim_knn_brute"           -> (Similarity.knnBrute _),
     "sim_ann_lsh"             -> (Similarity.annLsh _),
     "sim_ann_ivf"             -> (Similarity.annIvf _),
     "op_asof_join"            -> (AsOf.purchaseToClick _),
+    "op_range_join"           -> (AsOf.errorClickWindow _),
     "mm_binary_meta"          -> (Multimodal.binaryMeta _),
     "mm_decode_stub"          -> (Multimodal.decodeStub _),
     "st_stream_window"        -> (Streams.streamWindow _),
@@ -341,6 +343,13 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,
+    "ta_rolling_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(text, ''),
+        |      x -> CAST(ascii(x) AS BIGINT))),
+        |  (h, c) -> (h * 31 + c) % 2147483647) AS rh
+        |FROM documents""".stripMargin,
     "ta_sessionize" ->
       """SELECT event_id, user_id, session_num FROM (
         |  SELECT event_id, user_id,
@@ -367,6 +376,16 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "op_range_join" ->
+      """SELECT e.event_id, e.user_id, COUNT(c.c_us) AS n_clicks FROM
+        |  (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+        |   WHERE event_type = 'error') e
+        |LEFT JOIN
+        |  (SELECT user_id AS c_user, epoch_us(ts) AS c_us FROM events
+        |   WHERE event_type = 'click') c
+        |ON e.user_id = c.c_user
+        |  AND c.c_us >= e.t_us - 3600000000 AND c.c_us <= e.t_us
+        |GROUP BY e.event_id, e.user_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS nbytes,
         |  ascii(substr(text, 1, 1)) AS magic,

@@ -47,6 +47,28 @@ object AsOf {
       .select(lcols.map(col) :+ col("_asof"): _*)
   }
 
+  /** op_range_join: keyed interval join — for each error event, the count
+    * of clicks by the same user in the preceding hour (attribution
+    * window). With a key present this is a plain shuffle join on the key
+    * plus a range filter — Catalyst's hash join handles it; a key-less
+    * range join would add time-bucketing (join on overlapping day buckets,
+    * then filter) to avoid the nested-loop cross product. */
+  def errorClickWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        unix_micros(col("ts")).as("c_us"))
+    errors.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_us") >= col("t_us") - lit(3600L * 1000000L) &&
+          col("c_us") <= col("t_us"), "left_outer")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("c_us")).as("n_clicks"))
+  }
+
   /** op_asof_join: for each purchase event, the nearest earlier (or
     * simultaneous) click by the same user. Output carries the matched
     * click's timestamp (epoch micros) — tie-safe vs. the DuckDB ASOF

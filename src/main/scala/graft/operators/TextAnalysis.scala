@@ -66,6 +66,15 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** ta_rolling_fingerprint: Rabin–Karp polynomial rolling hash over each
+    * doc's bytes via the native codegen'd RollingHash expression — the
+    * cheap doc-identity hash for corpus-scale fingerprinting (md5 is the
+    * cryptographic alternative in [[fingerprintDocs]]). */
+  def rollingFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.RollingHash(col("text")).as("rh"))
+
   /** ta_sessionize: gap-based sessionization (30-min inactivity splits).
     * One shuffle on user_id, then two in-partition window passes — the
     * batch twin of the streaming flatMapGroupsWithState sessionizer. */
