@@ -30,7 +30,10 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType),
-    StructField("feat_mean", DoubleType)))
+    StructField("feat_mean", DoubleType),
+    StructField("resized_w", IntegerType),
+    StructField("resized_h", IntegerType),
+    StructField("sampled_frames", ArrayType(IntegerType))))
 
   /** mm_decode_stub: the decode/feature-extract pipeline over the binary
     * column. Runs as batched mapPartitions (the shape a vectorized decode
@@ -51,12 +54,26 @@ object Multimodal {
           val id = row.getLong(0)
           val bytes = row.getAs[Array[Byte]](1)
           val (w, h, f, m) = fakeDecode(bytes)
-          Row(id, w, h, f, m)
+          val (rw, rh) = resizeDims(w, h, 256)
+          Row(id, w, h, f, m, rw, rh, sampleFrames(f, 4))
         }
       }
     }
     s.createDataFrame(decoded, decodedSchema)
   }
+
+  /** Resize to fit a max edge, preserving aspect ratio — the arithmetic a
+    * real resize kernel uses to pick its output buffer. */
+  private def resizeDims(w: Int, h: Int, maxEdge: Int): (Int, Int) = {
+    val scale = maxEdge.toDouble / math.max(w, h)
+    if (scale >= 1.0) (w, h)
+    else (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+  }
+
+  /** Uniform frame sampling: k frame indices evenly spaced in [0, n). */
+  private def sampleFrames(n: Int, k: Int): Seq[Int] =
+    if (n <= k) 0 until n
+    else (0 until k).map(i => (i.toLong * n / k).toInt)
 
   /** Deterministic stand-in for a media decoder: derives fake dimensions,
     * frame count, and a feature mean from the payload bytes alone. */
