@@ -32,9 +32,12 @@ object Bench {
       try fn(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: $e"); false }
+      // a failed query reports -1, never a fast-looking time-to-crash
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -7,12 +7,13 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Polynomial rolling hash (Rabin–Karp style) over a string's UTF-8
-  * bytes: h = Σ b_i · B^i  (mod P), computed as h = h·B + b_i per byte.
-  * Native codegen'd expression — a tight primitive loop per row, the
-  * document-identity hash a fingerprinting pipeline computes per doc at
-  * corpus scale.
+/** Polynomial rolling hash (Rabin–Karp style) over a string's Unicode
+  * codepoints: h = h·B + cp_i (mod P) per codepoint. Native codegen'd
+  * expression — a tight primitive loop per row, the document-identity
+  * hash a fingerprinting pipeline computes per doc at corpus scale.
   *
+  * Codepoints (not UTF-8 bytes) so the DuckDB oracle's per-character
+  * ascii() fold matches for ALL of Unicode, not just ASCII corpora.
   * B = 31, P = 2^31 − 1; result is a non-negative long < P.
   */
 case class RollingHash(child: Expression) extends UnaryExpression {
@@ -24,25 +25,29 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   private val P = 2147483647L
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val s = input.asInstanceOf[UTF8String].toString
     var h = 0L
     var i = 0
-    while (i < bytes.length) {
-      h = (h * B + (bytes(i) & 0xFF)) % P
-      i += 1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * B + cp) % P
+      i += Character.charCount(cp)
     }
     h
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val (bytes, h, i) =
-        (ctx.freshName("bytes"), ctx.freshName("h"), ctx.freshName("i"))
+      val (s, h, i, cp) = (ctx.freshName("s"), ctx.freshName("h"),
+        ctx.freshName("i"), ctx.freshName("cp"))
       s"""
-         |byte[] $bytes = $c.getBytes();
+         |java.lang.String $s = $c.toString();
          |long $h = 0L;
-         |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $h = ($h * ${B}L + ($bytes[$i] & 0xFF)) % ${P}L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * ${B}L + $cp) % ${P}L;
+         |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = $h;
        """.stripMargin

@@ -24,11 +24,16 @@ object TextFunctions {
   def bpeTokens(c: Column): Column =
     regexp_extract_all(c, lit(BpePattern), lit(0))
 
-  /** Distinct word n-gram shingles over a token array. */
+  /** Distinct word n-gram shingles over a token array; empty for arrays
+    * shorter than n (no partial shingles). NOTE: higher-order array
+    * functions evaluate interpreted — for corpus-scale shingling prefer
+    * the posexplode + window-lead formulation in operators.Dedup. */
   def shingles(tokens: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(tokens) - n, lit(0))),
-      i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+    when(size(tokens) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
 
   /** Tiny English-ish stopword list (shared with oracle SQL literals). */
   val Stopwords: Seq[String] =

@@ -106,7 +106,7 @@ object Similarity {
 
   // ---- IVF ----------------------------------------------------------------
 
-  private val NumCentroids = 10
+  private val CentroidStride = 50 // every 50th vector is a coarse centroid
   private val NProbe = 2
 
   /** sim_ann_ivf: coarse quantization with deterministic centroids (every
@@ -116,7 +116,7 @@ object Similarity {
     * score only those members. Rows-oracle. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
-    val cents = all.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val cents = all.filter(pmod(col("vec_id"), lit(CentroidStride)) === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     // nearest centroid per vector: centroids broadcast, argmax via a
     // lexicographic max-of-struct aggregate — map-side combined, so the

@@ -19,16 +19,18 @@ object SkewJoin {
   /** Inner join `left` and `right` on leftKey == rightKey with the left
     * side salted and the right side replicated `salts` ways.
     *
-    * The salt is derived from stable per-row content (xxhash64 of the
-    * whole row's key + a monotonic id would break determinism across
-    * retries — hash of the key alone would NOT spread the hot key, so we
-    * hash the key with spark_partition_id, which is stable within a task
-    * retry and uniform enough to spread). */
+    * The salt mixes the key hash with a per-row monotonic id, so a hot
+    * key spreads over all `salts` buckets even when its rows arrive
+    * clustered in one or two input partitions (hashing the key alone, or
+    * key + partition id, would leave clustered hot rows in few buckets —
+    * exactly the layout that caused the skew). monotonically_increasing_id
+    * is deterministic given a fixed partition layout, which task retries
+    * preserve. */
   def saltedJoin(left: DataFrame, right: DataFrame,
                  leftKey: String, rightKey: String,
                  salts: Int): DataFrame = {
     val l = left.withColumn("_salt",
-      pmod(xxhash64(col(leftKey), spark_partition_id()), lit(salts)))
+      pmod(xxhash64(col(leftKey), monotonically_increasing_id()), lit(salts)))
     val r = right.withColumn("_salt",
       explode(array((0 until salts).map(lit): _*)))
     l.join(r, col(leftKey) === col(rightKey) && l("_salt") === r("_salt"))

@@ -82,7 +82,11 @@ object StorageRoundtrip {
     * text-oriented HDFS file model), aggregated by line length. */
   def textLines(s: SparkSession, d: String): DataFrame = {
     val out = tmp("text_documents")
-    Tables.documents(s, d).select(col("text")).write.mode("overwrite").text(out)
+    // length-preserving newline scrub: embedded \n|\r would split one doc
+    // into several read-back lines and break the line-per-doc contract
+    Tables.documents(s, d)
+      .select(translate(col("text"), "\n\r", "  ").as("text"))
+      .write.mode("overwrite").text(out)
     s.read.text(out)
       .groupBy(length(col("value")).as("len"))
       .agg(count(lit(1)).as("n"))

@@ -62,7 +62,11 @@ object Streams {
     var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
     val out = events.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
       val newSession = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > GapUs
-      st = SessionState(if (newSession) st.sessionNum + 1 else st.sessionNum, e.ts_us)
+      // lastTsUs only moves forward: a late event (earlier than state from
+      // a previous batch) joins the open session without regressing the
+      // gap baseline, so it can't split later on-time events
+      st = SessionState(if (newSession) st.sessionNum + 1 else st.sessionNum,
+        math.max(st.lastTsUs, e.ts_us))
       SessionedEvent(e.user_id, e.event_id, st.sessionNum)
     }
     state.update(st)

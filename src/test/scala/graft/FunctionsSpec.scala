@@ -16,6 +16,32 @@ class FunctionsSpec extends SparkSpec {
     assert(got == Seq("a b c", "b c d"))
   }
 
+  test("shingles of a doc shorter than n is empty, not a partial shingle") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("a b", "").toDF("text")
+      .select(TextFunctions.shingles(
+        TextFunctions.wsTokens(col("text")), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(got.forall(_.isEmpty), got.mkString(","))
+  }
+
+  test("rolling hash folds codepoints (matches oracle beyond ASCII)") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("hello world", "héllo wörld").toDF("t")
+      .select(graft.functions.RollingHash(col("t"))).as[Long].collect()
+    def ref(str: String): Long = {
+      var h = 0L; var i = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        h = (h * 31 + cp) % 2147483647L; i += Character.charCount(cp)
+      }
+      h
+    }
+    assert(got.toSeq == Seq(ref("hello world"), ref("héllo wörld")))
+  }
+
   test("normText collapses whitespace and case") {
     val s = spark
     import s.implicits._

@@ -31,6 +31,29 @@ class StreamingSessionSpec extends SparkSpec {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
 
+  test("a late event joins the open session without regressing the gap baseline") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionized(mem.toDS()).writeStream
+      .format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val gap = Streams.GapUs
+      mem.addData(Event(1L, 0L, 1L), Event(1L, gap * 3, 2L)) // two sessions
+      q.processAllAvailable()
+      // late arrival (before the open session's start), then an on-time
+      // event 1s after the open session's last: both must be session 2 —
+      // the late event must NOT drag lastTs backward and split them
+      mem.addData(Event(1L, 1000L, 3L), Event(1L, gap * 3 + 1000000L, 4L))
+      q.processAllAvailable()
+      val got = s.table("late_test").as[SessionedEvent]
+        .collect().map(e => e.event_id -> e.session_num).toMap
+      assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L), got.toString)
+    } finally q.stop()
+  }
+
   test("windowed agg with watermark drops events later than the threshold") {
     val s = spark
     import s.implicits._

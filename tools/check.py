@@ -49,6 +49,10 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"FAIL: unknown query name(s) in filter: {sorted(unknown)}")
+        sys.exit(2)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
@@ -82,7 +86,7 @@ def main():
             print(f"PASS {name} ({len(g_rows)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+    sys.exit(1 if n_fail or n_pass == 0 else 0)
 
 
 if __name__ == "__main__":
