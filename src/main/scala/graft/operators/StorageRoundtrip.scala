@@ -23,6 +23,20 @@ object StorageRoundtrip {
     dir
   }
 
+  /** The reference's `list` operation: enumerate a storage path through
+    * the Hadoop FileSystem API (works for any supported scheme — local,
+    * HDFS, s3a) as a DataFrame of (path, bytes, is_dir). Driver-side
+    * listing by design: it's metadata, not data. */
+  def ls(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(p).toSeq.map { st =>
+      (st.getPath.toString, st.getLen, st.isDirectory)
+    }
+    entries.toDF("path", "bytes", "is_dir")
+  }
+
   /** q25: CSV sink + source. Header on, explicit schema on read-back (no
     * inference scan at scale). */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {

@@ -11,6 +11,15 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("storage ls lists the test tables with sizes") {
+    val s = spark
+    import s.implicits._
+    val files = graft.operators.StorageRoundtrip.ls(s, sf)
+      .as[(String, Long, Boolean)].collect()
+    assert(files.exists(_._1.endsWith("lineitem.parquet")))
+    assert(files.filter(!_._3).forall(_._2 > 0L))
+  }
+
   test("every oracleSql key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
