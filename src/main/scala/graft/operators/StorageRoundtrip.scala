@@ -18,10 +18,10 @@ object StorageRoundtrip {
 
   private val D12 = DecimalType(12, 2)
 
-  private def tmp(name: String): String = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_rt/$name"
-    dir
-  }
+  /** Per-process scratch dir: two concurrent runs (say, the driver's
+    * verify and a local one) must not overwrite each other's sink dirs. */
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_rt_${ProcessHandle.current().pid()}/$name"
 
   /** The reference's `list` operation: enumerate a storage path through
     * the Hadoop FileSystem API (works for any supported scheme — local,
