@@ -109,6 +109,51 @@ object Similarity {
   private val CentroidStride = 50 // every 50th vector is a coarse centroid
   private val NProbe = 2
 
+  // ---- Spherical k-means --------------------------------------------------
+
+  private val KmeansK = 8
+  private val KmeansIters = 3
+
+  /** argmax-cosine centroid id against driver-held centroid literals —
+    * each distance is the native codegen'd CosineSimilarity against a
+    * typedlit array, so assignment is one shuffle-free projection. */
+  private def bestCentroid(cents: Seq[Seq[Double]]): Column =
+    -array_max(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        graft.functions.CosineSimilarity(col("v"), typedLit(c)).as("cos"),
+        lit(-i).as("nid"))
+    }: _*)).getField("nid")
+
+  /** sim_kmeans: Lloyd's iterations of spherical k-means (cosine
+    * assignment, mean + renormalize update). Centroids live on the driver
+    * between iterations — k×dim doubles, the canonical k-means scale
+    * shape: assignment is a map-only pass, the update is one groupBy with
+    * 64 flat avg() aggregates (map-side combined), and only k rows come
+    * back per iteration. Rows-oracle (float summation order varies with
+    * partitioning; cluster structure, asserted in specs, does not). */
+  def kmeans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = vecs(s, d)
+    var cents: Seq[Seq[Double]] = all.filter(col("vec_id") < KmeansK)
+      .orderBy("vec_id").select("v").as[Seq[Double]].collect().toSeq
+    for (_ <- 1 to KmeansIters) {
+      val assigned = all.withColumn("cid", bestCentroid(cents))
+      val dims = (0 until Dim).map(i =>
+        avg(element_at(col("v"), i + 1)).as(s"d$i"))
+      val updated = assigned.groupBy(col("cid"))
+        .agg(dims.head, dims.tail: _*)
+        .collect()
+        .map { r =>
+          val mean = (0 until Dim).map(i => r.getDouble(i + 1))
+          val n = math.sqrt(mean.map(x => x * x).sum)
+          r.getInt(0) -> (if (n == 0) mean else mean.map(_ / n))
+        }.toMap
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    all.withColumn("cluster", bestCentroid(cents))
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** sim_ann_ivf: coarse quantization with deterministic centroids (every
     * 50th vector — a stand-in for k-means at test scale; the plan shape is
     * identical with trained centroids). Each vector is assigned to its

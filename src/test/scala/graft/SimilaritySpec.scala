@@ -49,6 +49,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall $recall")
   }
 
+  test("kmeans assigns every vector and uses multiple clusters") {
+    val s = spark
+    import s.implicits._
+    val assign = Similarity.kmeans(s, sf01)
+      .as[(Long, Int)].collect()
+    assert(assign.length == 500)
+    val clusters = assign.map(_._2).toSet
+    assert(clusters.size > 1 && clusters.forall(c => c >= 0 && c < 8),
+      s"clusters: $clusters")
+  }
+
   test("IVF ANN probes return full top-k result sets per query") {
     val s = spark
     import s.implicits._
