@@ -54,6 +54,36 @@ class StreamingSessionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches clicks to purchases within the bound") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    val cdf = clicks.toDS().toDF("c_ts", "c_user").withWatermark("c_ts", "1 hour")
+    val bdf = buys.toDS().toDF("b_ts", "b_user").withWatermark("b_ts", "1 hour")
+    // purchase joins clicks by the same user in the preceding 30 minutes
+    val joined = bdf.join(cdf,
+      col("b_user") === col("c_user") &&
+        col("c_ts") >= col("b_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("b_ts"))
+      .select(col("b_user"), col("b_ts").cast("long").as("b"),
+        col("c_ts").cast("long").as("c"))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      clicks.addData((ts(0), 1L), (ts(40), 1L), (ts(5), 2L))
+      buys.addData((ts(50), 1L), (ts(45), 2L))
+      q.processAllAvailable()
+      val got = s.table("ssj_test").as[(Long, Long, Long)].collect().toSet
+      // user 1: purchase 10:50 matches click 10:40 (not 10:00, outside 30m);
+      // user 2: purchase 10:45 has no click in [10:15, 10:45]
+      assert(got == Set((1L, ts(50).getTime / 1000, ts(40).getTime / 1000)),
+        got.toString)
+    } finally q.stop()
+  }
+
   test("windowed agg with watermark drops events later than the threshold") {
     val s = spark
     import s.implicits._
