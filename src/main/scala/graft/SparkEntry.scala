@@ -45,6 +45,7 @@ object SparkEntry {
     "q30_approx_sketch"       -> (Relational.q30ApproxSketch _),
     "q31_full_outer"          -> (Relational.q31FullOuter _),
     "q32_set_ops"             -> (Relational.q32SetOps _),
+    "q33_cube"                -> (Relational.q33Cube _),
     "mr_wordcount"            -> (MapReduceJobs.wordCount _),
     "mr_grep"                 -> (MapReduceJobs.grep _),
     "mr_sort"                 -> (MapReduceJobs.sort _),
@@ -270,6 +271,12 @@ object SparkEntry {
         |  SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 200000
         |  EXCEPT
         |  SELECT c_custkey AS ck FROM customer WHERE c_acctbal > 5000)""".stripMargin,
+    "q33_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q29_percentile" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_extendedprice, 0.5) AS p50,

@@ -219,6 +219,17 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
         col("sum_qty"), col("n"))
 
+  /** q33: CUBE grouping sets — all key combinations in one pass
+    * (complements q17's ROLLUP). */
+  def q33Cube(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dbl(sum(m(col("o_totalprice")))).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+
   /** q18: IN (uncorrelated subquery) ≡ semi join against the subquery. */
   def q18InSubquery(s: SparkSession, d: String): DataFrame = {
     val rich = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
