@@ -61,6 +61,7 @@ object SparkEntry {
     "ta_langid"               -> (TextAnalysis.langId _),
     "ta_fingerprint"          -> (TextAnalysis.fingerprintDocs _),
     "ta_rolling_fingerprint"  -> (TextAnalysis.rollingFingerprint _),
+    "ta_split"                -> (TextAnalysis.split3 _),
     "ta_sessionize"           -> (TextAnalysis.sessionize _),
     "sim_knn_brute"           -> (Similarity.knnBrute _),
     "sim_ann_lsh"             -> (Similarity.annLsh _),
@@ -358,6 +359,12 @@ object SparkEntry {
         |      x -> CAST(ascii(x) AS BIGINT))),
         |  (h, c) -> (h * 31 + c) % 2147483647) AS rh
         |FROM documents""".stripMargin,
+    "ta_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin,
     "ta_sessionize" ->
       """SELECT event_id, user_id, session_num FROM (
         |  SELECT event_id, user_id,

@@ -75,6 +75,21 @@ object TextAnalysis {
       .select(col("doc_id"),
         graft.functions.RollingHash(col("text")).as("rh"))
 
+  /** ta_split: deterministic train/val/test assignment by hashing the
+    * stable doc id — reproducible across engines, runs, and partitionings
+    * (the property random() splits lack). Buckets by the first two hex
+    * chars of md5: < 'e6' (230/256 ≈ 90%) train, < 'f3' (≈ 5%) val, rest
+    * test. Lexicographic hex compare works identically in any engine. */
+  def split3(s: SparkSession, d: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(bucket < "e6", "train")
+          .when(bucket < "f3", "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+  }
+
   /** ta_sessionize: gap-based sessionization (30-min inactivity splits).
     * One shuffle on user_id, then two in-partition window passes — the
     * batch twin of the streaming flatMapGroupsWithState sessionizer. */
