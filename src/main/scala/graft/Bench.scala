@@ -41,8 +41,18 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries (reported as -1 in `queries`) are EXCLUDED from the
+    // total and surfaced in `failures` — a crashed run must never read as
+    // a fast one
+    val failures = results.count(_._2 < 0)
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}"""
+    println(json)
+    // also write to a file: stdout goes through sbt's [info] prefix, which
+    // machine parsers choke on
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
   }
 }

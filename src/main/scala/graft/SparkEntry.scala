@@ -46,6 +46,8 @@ object SparkEntry {
     "q31_full_outer"          -> (Relational.q31FullOuter _),
     "q32_set_ops"             -> (Relational.q32SetOps _),
     "q33_cube"                -> (Relational.q33Cube _),
+    "q34_part_promo"          -> (Relational.q34PartPromo _),
+    "q35_storage_list"        -> (StorageRoundtrip.listDir _),
     "mr_wordcount"            -> (MapReduceJobs.wordCount _),
     "mr_grep"                 -> (MapReduceJobs.grep _),
     "mr_sort"                 -> (MapReduceJobs.sort _),
@@ -74,6 +76,65 @@ object SparkEntry {
     "st_stream_window"        -> (Streams.streamWindow _),
     "st_stream_session"       -> (Streams.streamSession _),
   )
+
+  /** ta_langid oracle: same stopword-profile scores, argmax with the same
+    * earlier-profile tiebreak (the >= CASE chain ≡ the engine's
+    * (score, prior) struct max). Profiles mirror TextAnalysis.langId. */
+  private def taLangidOracle: String = {
+    val profiles = Seq(
+      "en" -> Seq("the", "a", "of", "and", "is"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "de" -> Seq("der", "die", "und", "das", "ein"),
+      "es" -> Seq("el", "los", "las", "una", "y"),
+      "zh" -> Seq("的", "是", "了", "在", "和"))
+    val scores = profiles.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split_regex(text, '\\s+'), x -> x IN ($inList))) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = profiles.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("\n       ")
+    s"""WITH t AS (SELECT doc_id,
+       |    $scores
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CASE $cases
+       |       ELSE '${langs.last}' END AS pred_lang
+       |FROM t""".stripMargin
+  }
+
+  /** dd_simhash oracle: replays the exact 60-bit md5-prefix SimHash
+    * (Dedup.SimhashBits / TextFunctions.tokHash60), the 4×15-bit chunk
+    * bucketing, and the hamming ≤ 3 filter — bit-for-bit. */
+  private def ddSimhashOracle: String = {
+    val bits = graft.operators.Dedup.SimhashBits
+    val bitSums = (0 until bits)
+      .map(j => s"SUM(((h >> $j) & 1) * 2 - 1) AS s$j").mkString(",\n    ")
+    val sigExpr = (0 until bits)
+      .map(j => s"CASE WHEN s$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+       |bs AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS sig FROM bs),
+       |chunks AS (
+       |  SELECT doc_id, sig, k, (sig >> (15 * k)) & 32767 AS v
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS k)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |  FROM chunks a JOIN chunks b
+       |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+  }
 
   /** DuckDB-runnable twins of `queries`. Column names/aliases match the
     * Spark side exactly (driver sorts columns by name before hashing). */
@@ -283,6 +344,24 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
         |  quantile_cont(l_extendedprice, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q34_part_promo" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+        |  CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) * 100.0
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-03-01'""".stripMargin,
+    // NOTE: the driver's correctness gate always runs at sf0.01, so the
+    // listing oracle globs that directory literally (a DuckDB oracle has no
+    // way to receive the sfDir parameter).
+    "q35_storage_list" ->
+      """SELECT regexp_extract(filename, '[^/]+$') AS name,
+        |  CAST(size AS BIGINT) AS bytes
+        |FROM read_blob('/root/testdata/sf0.01/*')""".stripMargin,
+    "ta_langid" -> taLangidOracle,
+    "dd_simhash" -> ddSimhashOracle,
     "mr_wordcount" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
@@ -368,8 +447,8 @@ object SparkEntry {
     "ta_sessionize" ->
       """SELECT event_id, user_id, session_num FROM (
         |  SELECT event_id, user_id,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
         |  FROM (
         |    SELECT event_id, user_id, ts,
         |      CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -415,8 +494,8 @@ object SparkEntry {
     "st_stream_session" ->
       """SELECT event_id, user_id, session_num FROM (
         |  SELECT event_id, user_id,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
         |  FROM (
         |    SELECT event_id, user_id, ts,
         |      CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

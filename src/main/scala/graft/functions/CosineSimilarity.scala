@@ -18,18 +18,26 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * zip_with/aggregate fold it replaces and the DuckDB oracle — double
   * results are bit-identical. Null elements inside the arrays are not
   * supported (vectors are dense by contract).
+  *
+  * Mismatched lengths return NULL (an upstream dimension bug must surface,
+  * not be masked as a plausible similarity — the oracle's
+  * list_cosine_similarity errors on mismatch). A zero-norm input yields
+  * NaN (0/0), which no >= threshold ever passes.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true // null on length mismatch
+
   override def prettyName: String = "cosine_similarity"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = x.getDouble(i); val yi = y.getDouble(i)
@@ -43,14 +51,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val (dot, na, nb, n, i) = (ctx.freshName("dot"), ctx.freshName("na"),
         ctx.freshName("nb"), ctx.freshName("n"), ctx.freshName("i"))
       s"""
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double xi = $a.getDouble($i);
-         |  double yi = $b.getDouble($i);
-         |  $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double xi = $a.getDouble($i);
+         |    double yi = $b.getDouble($i);
+         |    $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

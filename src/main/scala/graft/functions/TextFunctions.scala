@@ -44,4 +44,13 @@ object TextFunctions {
 
   /** md5 hex fingerprint of the normal form. */
   def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Cross-engine 60-bit token hash: the first 15 hex chars of md5, parsed
+    * base-16. Any engine with md5 computes it identically (the SQL twin is
+    * `CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)`); 15 hex chars = 60
+    * bits keep the unsigned parse inside a signed 64-bit long. Used where
+    * an oracle must replay the hash — xxhash64 stays the choice for
+    * engine-internal hashing (cheaper, 64 bits). */
+  def tokHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 }

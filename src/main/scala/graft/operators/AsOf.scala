@@ -17,33 +17,51 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOf {
 
+  // internal columns get an unambiguous prefix; a left frame that already
+  // uses one of these names is rejected up front rather than silently
+  // corrupted by the union/select below
+  private val K = "__graft_asof_k"
+  private val T = "__graft_asof_t"
+  private val Tag = "__graft_asof_tag"
+  private val Rv = "__graft_asof_rv"
+
   /** Generic as-of: for each left row, the latest `rightVal` at or before
-    * the left row's time, per key. Left columns are preserved.
+    * the left row's time, per key. Left columns are preserved; the matched
+    * value is appended as `_asof`.
     *
     * Right rows sort before left rows at equal timestamps (tag 0 < tag 1),
     * so a right row at exactly t matches a left row at t — "at or before"
-    * semantics, matching DuckDB's ASOF JOIN (>=). */
+    * semantics, matching DuckDB's ASOF JOIN (>=). When multiple right rows
+    * share the same (key, timestamp), the LARGEST `rightVal` wins (the
+    * window orders by value within equal timestamps) — a deterministic
+    * tiebreak regardless of partitioning. */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
                rightVal: String): DataFrame = {
     val lcols = left.columns
+    val clash = lcols.toSet
+      .intersect(Set(K, T, Tag, Rv, "_asof"))
+    require(clash.isEmpty,
+      s"asofJoin: left columns collide with internal names: $clash")
     val l = left
-      .withColumn("_k", col(leftKey)).withColumn("_t", col(leftTime))
-      .withColumn("_tag", lit(1)).withColumn("_rv", lit(null).cast(
+      .withColumn(K, col(leftKey)).withColumn(T, col(leftTime))
+      .withColumn(Tag, lit(1)).withColumn(Rv, lit(null).cast(
         right.schema(rightVal).dataType))
     val r = right.select(
-      col(rightKey).as("_k"), col(rightTime).as("_t"),
-      lit(0).as("_tag"), col(rightVal).as("_rv"))
+      col(rightKey).as(K), col(rightTime).as(T),
+      lit(0).as(Tag), col(rightVal).as(Rv))
     val runion = l.columns.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
     }.select(l.columns.map(col): _*)
-    val w = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
+    // ordering by Rv after (T, Tag) makes `last` deterministic when several
+    // right rows share one (key, timestamp): the max value wins
+    val w = Window.partitionBy(col(K)).orderBy(col(T), col(Tag), col(Rv))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(runion)
-      .withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_tag") === 1)
+      .withColumn("_asof", last(col(Rv), ignoreNulls = true).over(w))
+      .filter(col(Tag) === 1)
       .select(lcols.map(col) :+ col("_asof"): _*)
   }
 

@@ -78,18 +78,42 @@ object Dedup {
           (col("n1") + col("n2") - col("common"))).as("j"))
   }
 
-  /** dd_ngram_jaccard: 3-gram shingle Jaccard ≥ 0.8. Candidates from the
-    * shingle inverted index (docs sharing ≥1 shingle), so the pair space
-    * never materializes the full cross product. */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  /** Shingles shared by more than this many docs are dropped from candidate
+    * GENERATION (never from verification, which re-shingles in full). A
+    * 3-gram shared by 10⁵ docs would otherwise emit 10¹⁰ candidate pairs —
+    * the classic hot-shingle blowup of web-crawl dedup. A true near-dup
+    * pair (J ≥ 0.8) shares most of its shingles, so losing only the
+    * ultra-common ones doesn't lose the pair. Max observed doc-freq in the
+    * test corpora is 25 (sf0.1), so 128 is a no-op at test scale. */
+  val MaxShingleDf = 128
+
+  /** Candidate pairs from the shingle inverted index, with the hot-shingle
+    * doc-frequency cap applied. Package-visible for the bounded-candidates
+    * spec. */
+  private[graft] def ngramCandidates(docs: DataFrame, maxDf: Int): DataFrame = {
     val shrows = shingleHashRows(docs).distinct()
-    val a = shrows.select(col("doc_id").as("d1"), col("h"))
-    val b = shrows.select(col("doc_id").as("d2"), col("h").as("h2"))
-    // tiny; cached so the doc-filter subtree and the verification side
-    // don't each re-run the candidate-generation pipeline
-    val cands = a.join(b, col("h") === col("h2") && col("d1") < col("d2"))
-      .select(col("d1"), col("d2")).distinct().persist()
+    val rare = shrows.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") > 1)
+      .select(col("h"))
+    val pruned = shrows.join(rare, Seq("h"), "left_semi")
+    val a = pruned.select(col("doc_id").as("d1"), col("h"))
+    val b = pruned.select(col("doc_id").as("d2"), col("h").as("h2"))
+    a.join(b, col("h") === col("h2") && col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** dd_ngram_jaccard: 3-gram shingle Jaccard ≥ 0.8. Candidates from the
+    * shingle inverted index (docs sharing ≥1 shingle, doc-freq-capped), so
+    * the pair space never materializes the full cross product. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardDocs(Tables.documents(s, d))
+
+  private[graft] def ngramJaccardDocs(docs: DataFrame): DataFrame = {
+    // localCheckpoint (not persist): materialized once for the two
+    // downstream consumers, lineage truncated, and the blocks are freed by
+    // the ContextCleaner when the result is unreferenced — no storage leak
+    // across queries in a long-lived session
+    val cands = ngramCandidates(docs, MaxShingleDf).localCheckpoint(true)
     verifiedJaccard(candShingleRows(docs, cands), cands)
       .filter(col("j") >= 0.8)
   }
@@ -131,8 +155,10 @@ object Dedup {
     *
     * Shuffle profile: ONE groupBy on (band, key) with tiny payloads for
     * candidate generation + the candidate-keyed verification joins. */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshDocs(Tables.documents(s, d))
+
+  private[graft] def minhashLshDocs(docs: DataFrame): DataFrame = {
     // no distinct before the signature agg: MIN is duplicate-insensitive
     val sig = signatures(shingleHashRows(docs))
     val bandStructs = array((0 until NumBands).map { bnd =>
@@ -142,19 +168,23 @@ object Dedup {
     }: _*)
     val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // bucket members → in-bucket pairs via pairwise transform; the
-    // signature projection runs once (a self-join would execute it twice)
-    val cands = bands.groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))),
-          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    // in-bucket pairing is ANCHORED: each member pairs with the bucket's
+    // min doc_id, giving O(|bucket|) pairs instead of O(|bucket|²). A
+    // mega-cluster of near-identical docs — the NORM in web-crawl dedup —
+    // previously materialized the whole bucket in one collect_list row and
+    // emitted a quadratic pair set; now it's one window min over the
+    // (band, key) shuffle and B-1 rows. Every duplicate still links to its
+    // cluster representative, which is what dedup needs (keep the anchor,
+    // drop the rest).
+    val wBucket = Window.partitionBy(col("band"), col("key"))
+    val cands = bands
+      .withColumn("d1", min(col("doc_id")).over(wBucket))
+      .filter(col("doc_id") > col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"))
       .distinct()
-      // tiny; cached so the doc-filter subtree and the verification side
-      // don't each re-run the signature/banding pipeline
-      .persist()
+      // localCheckpoint (not persist): see ngramJaccardDocs — no storage
+      // leak across queries, blocks freed when the result is unreferenced
+      .localCheckpoint(true)
     verifiedJaccard(candShingleRows(docs, cands), cands)
       .filter(col("j") >= 0.8)
       .select(col("d1"), col("d2"))
@@ -162,32 +192,37 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------------
 
-  /** dd_simhash: 64-bit SimHash over whitespace tokens. Computed as a
+  /** Signature width: 60 bits — the token hash is the md5-prefix
+    * [[graft.functions.TextFunctions.tokHash60]], chosen so a SQL oracle
+    * can replay the exact signature (xxhash64 exists in no other engine). */
+  val SimhashBits = 60
+
+  /** dd_simhash: 60-bit SimHash over whitespace tokens. Computed as a
     * per-row fold over the token array (repeated tokens contribute their
     * multiplicity — exactly term-frequency weighting) — NO shuffle for
     * signatures. Near-dup = hamming ≤ 3; bucketing splits the signature
-    * into 4 × 16-bit chunks (pigeonhole: ≤3 differing bits leave ≥1 chunk
+    * into 4 × 15-bit chunks (pigeonhole: ≤3 differing bits leave ≥1 chunk
     * intact), so the candidate join is on (chunk_index, chunk_value),
     * never all-pairs. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    // explode + groupBy with 64 flat sum() aggregates: all codegen'd with
+    // explode + groupBy with 60 flat sum() aggregates: all codegen'd with
     // map-side combine (per-row higher-order folds evaluate interpreted)
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(wsTokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { j =>
+      .select(col("doc_id"), tokHash60(col("tok")).as("h"))
+    val bitSums = (0 until SimhashBits).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"s$j")
     }
     val sig = hashed.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(j =>
+        (0 until SimhashBits).map(j =>
           when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("sig"))
     val chunks = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("k"),
-          shiftright(col("sig"), 16 * k).bitwiseAND(lit(0xFFFFL))
+          shiftright(col("sig"), 15 * k).bitwiseAND(lit(0x7FFFL))
             .as("v"))): _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.v").as("v"))
     val a = chunks.select(col("doc_id").as("d1"), col("sig").as("sig1"),

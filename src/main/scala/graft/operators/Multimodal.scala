@@ -33,7 +33,7 @@ object Multimodal {
     StructField("feat_mean", DoubleType),
     StructField("resized_w", IntegerType),
     StructField("resized_h", IntegerType),
-    StructField("sampled_frames", ArrayType(IntegerType))))
+    StructField("sampled_frames", StringType)))
 
   /** mm_decode_stub: the decode/feature-extract pipeline over the binary
     * column. Runs as batched mapPartitions (the shape a vectorized decode
@@ -55,7 +55,9 @@ object Multimodal {
           val bytes = row.getAs[Array[Byte]](1)
           val (w, h, f, m) = fakeDecode(bytes)
           val (rw, rh) = resizeDims(w, h, 256)
-          Row(id, w, h, f, m, rw, rh, sampleFrames(f, 4))
+          // canonical comma-joined string, not array<int>: downstream
+          // row-level comparers (and many sinks) can't hash array cells
+          Row(id, w, h, f, m, rw, rh, sampleFrames(f, 4).mkString(","))
         }
       }
     }

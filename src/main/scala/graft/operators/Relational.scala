@@ -12,9 +12,12 @@ import org.apache.spark.sql.types.DecimalType
   *  - every query is a declarative DataFrame tree: filters/projections
   *    reach the parquet scan (PushedFilters / ReadSchema), Catalyst
   *    reorders joins, AQE re-plans at runtime;
-  *  - dimension sides of joins are wrapped in `broadcast(...)` where the
-  *    dimension stays small at any SF (region/nation/supplier/part and
-  *    filtered customer slices); fact-fact joins shuffle on their keys;
+  *  - `broadcast(...)` hints ONLY on dimensions bounded at any SF
+  *    (region=5, nation=25). SF-proportional sides (customer, supplier,
+  *    part, filtered slices of them) carry NO hint: a forced hint is
+  *    honored past the 8 GB broadcast limit and OOMs at 100 TB, while
+  *    CBO/AQE broadcasts them automatically whenever the side is actually
+  *    small. Fact-fact joins shuffle on their keys;
   *  - money/quantity aggregates run in DecimalType (exact, order-free)
   *    and are cast to double only in the final projection so results are
   *    bit-identical to the DuckDB oracle regardless of partitioning.
@@ -63,8 +66,11 @@ object Relational {
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li   = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    // no broadcast hint on customer: it grows linearly with SF, and a forced
+    // hint is honored past the 8 GB broadcast limit. AQE/CBO still picks
+    // BroadcastHashJoin at any SF where the filtered slice is actually small.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"))
       .agg(dbl(sum(m(col("l_extendedprice")) * (lit(1) - r(col("l_discount")))))
@@ -102,9 +108,13 @@ object Relational {
     val su = Tables.supplier(s, d)
     val na = Tables.nation(s, d)
     val re = Tables.region(s, d)
+    // broadcast hints ONLY on the bounded dims (nation=25, region=5 at any
+    // SF). customer/supplier grow linearly — AQE converts those joins to
+    // broadcast at runtime when the side is genuinely small, and degrades
+    // to shuffle joins at 100 TB instead of OOMing on a forced hint.
     li.join(or, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
@@ -235,7 +245,9 @@ object Relational {
     val rich = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
       .select(col("c_custkey"))
     Tables.orders(s, d)
-      .join(broadcast(rich), col("o_custkey") === col("c_custkey"), "left_semi")
+      // no hint: the acctbal slice is a constant fraction of customer and
+      // grows with SF; AQE broadcasts it at runtime while it's small
+      .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"))
   }
@@ -256,7 +268,9 @@ object Relational {
     val li  = Tables.lineitem(s, d)
     val avg = li.groupBy(col("l_partkey").as("pk"))
       .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
-    li.join(broadcast(avg), col("l_partkey") === col("pk"))
+    // cardinality(avg) = |distinct partkey| — SF-proportional, so a shuffle
+    // join on partkey is the scale-correct plan (both sides co-partition)
+    li.join(avg, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") < col("avg_qty") * 0.5)
       .agg(dbl(sum(m(col("l_extendedprice")))).as("total_price"),
         count(lit(1)).as("n"))
@@ -348,4 +362,22 @@ object Relational {
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))
       .groupBy(col("event_type"))
       .agg(sum(col("k_val")).as("sum_k"), count(lit(1)).as("n"))
+
+  /** q34: TPC-H Q14 shape — lineitem⋈part fact-dim join, promo-class
+    * revenue share. part is SF-proportional so NO broadcast hint: the join
+    * shuffles on partkey (both sides co-partition) and AQE broadcasts it
+    * while it's genuinely small. Decimal-exact sums; the percentage is one
+    * double multiply-then-divide, mirrored exactly in the oracle. */
+  def q34PartPromo(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-03-01").cast("timestamp"))
+    val net = m(col("l_extendedprice")) * (lit(1) - r(col("l_discount")))
+    li.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dbl(sum(when(col("p_type") === "ECONOMY", net))).as("promo_revenue"),
+        dbl(sum(net)).as("total_revenue"))
+      .withColumn("promo_pct",
+        col("promo_revenue") * 100.0 / col("total_revenue"))
+  }
 }

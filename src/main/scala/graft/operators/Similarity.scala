@@ -106,8 +106,10 @@ object Similarity {
 
   // ---- IVF ----------------------------------------------------------------
 
-  private val CentroidStride = 50 // every 50th vector is a coarse centroid
-  private val NProbe = 2
+  private val CentroidStride = 50 // every 50th vector seeds a coarse centroid
+  private val NumCentroids = 16
+  private val NProbe = 4
+  private val IvfIters = 3
 
   // ---- Spherical k-means --------------------------------------------------
 
@@ -131,12 +133,15 @@ object Similarity {
     * 64 flat avg() aggregates (map-side combined), and only k rows come
     * back per iteration. Rows-oracle (float summation order varies with
     * partitioning; cluster structure, asserted in specs, does not). */
-  def kmeans(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val all = vecs(s, d)
-    var cents: Seq[Seq[Double]] = all.filter(col("vec_id") < KmeansK)
-      .orderBy("vec_id").select("v").as[Seq[Double]].collect().toSeq
-    for (_ <- 1 to KmeansIters) {
+  /** Lloyd iterations of spherical k-means over driver-held centroids —
+    * k×dim doubles on the driver, the canonical k-means scale shape:
+    * assignment is a map-only pass against literal centroids, the update is
+    * one groupBy with 64 flat avg() aggregates (map-side combined), and
+    * only k rows come back per iteration. */
+  private def trainCentroids(all: DataFrame, seeds: Seq[Seq[Double]],
+      iters: Int): Seq[Seq[Double]] = {
+    var cents = seeds
+    for (_ <- 1 to iters) {
       val assigned = all.withColumn("cid", bestCentroid(cents))
       val dims = (0 until Dim).map(i =>
         avg(element_at(col("v"), i + 1)).as(s"d$i"))
@@ -150,41 +155,49 @@ object Similarity {
         }.toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
+    cents
+  }
+
+  /** sim_kmeans: spherical k-means (cosine assignment, mean + renormalize
+    * update). Rows-oracle (float summation order varies with partitioning;
+    * cluster structure, asserted in specs, does not). */
+  def kmeans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = vecs(s, d)
+    val seeds: Seq[Seq[Double]] = all.filter(col("vec_id") < KmeansK)
+      .orderBy("vec_id").select("v").as[Seq[Double]].collect().toSeq
+    val cents = trainCentroids(all, seeds, KmeansIters)
     all.withColumn("cluster", bestCentroid(cents))
       .select(col("vec_id"), col("cluster"))
   }
 
-  /** sim_ann_ivf: coarse quantization with deterministic centroids (every
-    * 50th vector — a stand-in for k-means at test scale; the plan shape is
-    * identical with trained centroids). Each vector is assigned to its
-    * nearest centroid once; queries probe the NProbe nearest clusters and
-    * score only those members. Rows-oracle. */
+  /** sim_ann_ivf: coarse quantization with k-means-trained centroids
+    * (stride-sampled seeds + Lloyd iterations, all driver-held literals).
+    * Cell assignment is the literal-centroid argmax — a map-only projection
+    * with ZERO shuffle and no corpus×k row blowup; queries rank the same
+    * literal centroid array per-row (sort_array over ≤16 structs) and probe
+    * their NProbe nearest cells. Only probed cells are scored exactly.
+    * Rows-oracle (approximate results have no SQL twin). */
   def annIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val all = vecs(s, d)
-    val cents = all.filter(pmod(col("vec_id"), lit(CentroidStride)) === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    // nearest centroid per vector: centroids broadcast, argmax via a
-    // lexicographic max-of-struct aggregate — map-side combined, so the
-    // shuffle carries ONE row per vector (a window formulation would
-    // shuffle the full corpus×k cross product)
-    val assigned = all.join(broadcast(cents), expr("true"))
-      .select(col("vec_id"), col("v"), col("c_id"),
-        cosine(col("v"), col("cv")).as("c_cos"))
-      .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), // constant within the group
-        max(struct(col("c_cos").as("cos"), (-col("c_id")).as("negid")))
-          .as("best"))
-      .select(col("vec_id"), col("v"), (-col("best.negid")).as("c_id"))
-    // queries probe their NProbe nearest centroids
-    val q = all.filter(col("vec_id") < NumQueries)
-    val byQ = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    val probes = q.join(broadcast(cents), expr("true"))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id"),
-        cosine(col("v"), col("cv")).as("c_cos"))
-      .withColumn("crank", row_number().over(byQ))
-      .filter(col("crank") <= NProbe)
-      .select(col("q_id"), col("qv"), col("c_id"))
+    val seeds: Seq[Seq[Double]] = all
+      .filter(pmod(col("vec_id"), lit(CentroidStride)) === 0)
+      .orderBy("vec_id").limit(NumCentroids)
+      .select("v").as[Seq[Double]].collect().toSeq
+    val cents = trainCentroids(all, seeds, IvfIters)
+    val assigned = all.withColumn("c_id", bestCentroid(cents))
+    // per-query probe list: sort the (‑cos, cid) struct array ascending →
+    // the first NProbe entries are the nearest cells; 10 query rows, so
+    // even an interpreted array sort is nothing
+    val centArr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-graft.functions.CosineSimilarity(col("v"), typedLit(c)))
+        .as("negcos"), lit(i).as("cid"))
+    }: _*)
+    val probes = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(slice(sort_array(centArr), 1, NProbe)).as("p"))
+      .select(col("q_id"), col("qv"), col("p.cid").as("c_id"))
     val scored = assigned.join(broadcast(probes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),

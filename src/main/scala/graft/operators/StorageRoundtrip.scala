@@ -37,6 +37,14 @@ object StorageRoundtrip {
     entries.toDF("path", "bytes", "is_dir")
   }
 
+  /** q35: the reference's `list` primitive as a checked query — enumerate
+    * the source dir via [[ls]], project (name, bytes) for plain files.
+    * The oracle replays the same listing with DuckDB's read_blob glob. */
+  def listDir(s: SparkSession, d: String): DataFrame =
+    ls(s, d).filter(!col("is_dir"))
+      .select(regexp_extract(col("path"), "[^/]+$", 0).as("name"),
+        col("bytes"))
+
   /** q25: CSV sink + source. Header on, explicit schema on read-back (no
     * inference scan at scale). */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {

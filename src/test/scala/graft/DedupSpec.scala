@@ -25,6 +25,38 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("minhash LSH survives a 10k-member duplicate mega-cluster") {
+    // the data shape LLM dedup exists for: one document duplicated en
+    // masse. Anchored in-bucket pairing must link every member to the
+    // cluster representative (min doc_id) in O(n) pairs — never O(n²).
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while the cat naps near the warm stone wall"
+    val docs = s.range(10000)
+      .select(col("id").as("doc_id"), lit(base).as("text"))
+    val n = operators.Dedup.minhashLshDocs(docs).count()
+    assert(n == 9999L,
+      s"expected every member anchored to doc 0 (9999 pairs), got $n")
+  }
+
+  test("hot-shingle doc-frequency cap bounds ngram candidate generation") {
+    // stopword-heavy corpus: every doc shares one universal 3-gram but is
+    // otherwise unique. Uncapped, that shingle alone emits n*(n-1)/2
+    // candidate pairs; with the DF cap the pair space collapses.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val docs = s.range(500)
+      .select(col("id").as("doc_id"),
+        concat(lit("common shared shingle u"), col("id"),
+          lit(" t"), col("id")).as("text"))
+    val capped = operators.Dedup.ngramCandidates(docs, 100).count()
+    val uncapped = operators.Dedup.ngramCandidates(docs, Int.MaxValue).count()
+    assert(uncapped == 500L * 499L / 2,
+      s"universal shingle should pair everyone uncapped, got $uncapped")
+    assert(capped == 0L, s"cap should drop the universal shingle, got $capped")
+  }
+
   test("simhash near-dup pairs overlap the exact Jaccard pairs") {
     val s = spark
     import s.implicits._

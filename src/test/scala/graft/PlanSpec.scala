@@ -29,8 +29,13 @@ class PlanSpec extends SparkSpec {
       s"scan reads unused columns: $readSchema")
   }
 
-  test("q06 snowflake joins broadcast every dimension") {
-    val p = plan(Relational.q06MultiJoin(spark, sf))
+  test("q06 snowflake joins broadcast every dimension (stats/AQE, no hints)") {
+    // only nation/region carry hints; customer/supplier must STILL come out
+    // broadcast at this SF purely from statistics — proving the plan picks
+    // broadcast when a side is small and can degrade to shuffle when not
+    val df = Relational.q06MultiJoin(spark, sf)
+    df.collect() // materialize so AQE's final plan is available
+    val p = df.queryExecution.executedPlan.toString
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
     assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
   }

@@ -14,20 +14,22 @@ class SimilaritySpec extends SparkSpec {
     // so the bucketed join must find EXACTLY the brute-force pair set
     val s = spark
     import s.implicits._
+    val bits = Dedup.SimhashBits
     val bucketed = Dedup.simhash(s, sf01)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     // recompute signatures the same way, brute-force all pairs in memory
     val sigRows = graft.Tables.documents(s, sf01)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokHash60(col("tok")).as("h"))
       .groupBy("doc_id")
-      .agg((0 until 64).map(j =>
+      .agg((0 until bits).map(j =>
         sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"s$j")).head,
-        (0 until 64).map(j =>
+        (0 until bits).map(j =>
           sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L).as(s"s$j")).tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(j =>
+        (0 until bits).map(j =>
           when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _).as("sig"))
       .as[(Long, Long)].collect()
     val brute = (for {
@@ -58,6 +60,17 @@ class SimilaritySpec extends SparkSpec {
     val clusters = assign.map(_._2).toSet
     assert(clusters.size > 1 && clusters.forall(c => c >= 0 && c < 8),
       s"clusters: $clusters")
+  }
+
+  test("IVF ANN recall >= 0.75 vs exact top-k at sf0.01") {
+    val s = spark
+    import s.implicits._
+    val brute = Similarity.knnBrute(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.75, s"IVF recall $recall")
   }
 
   test("IVF ANN probes return full top-k result sets per query") {
