@@ -48,6 +48,12 @@ object SparkEntry {
     "q33_cube"                -> (Relational.q33Cube _),
     "q34_part_promo"          -> (Relational.q34PartPromo _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
+    "q36_orc_roundtrip"       -> (StorageRoundtrip.orcRoundtrip _),
+    "op_salted_join"          -> (SkewJoin.saltedOrdersBySegment _),
+    "dd_prefix"               -> (Dedup.prefixDedup _),
+    "ta_repetition"           -> (TextAnalysis.repetition _),
+    "ta_bigrams"              -> (TextAnalysis.bigrams _),
+    "st_stream_dedup"         -> (Streams.streamDedup _),
     "mr_wordcount"            -> (MapReduceJobs.wordCount _),
     "mr_grep"                 -> (MapReduceJobs.grep _),
     "mr_sort"                 -> (MapReduceJobs.sort _),

@@ -31,6 +31,18 @@ object Dedup {
       .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
   }
 
+  /** dd_prefix: boilerplate-prefix dedup — fingerprint only the first 80
+    * chars of the normal form (the flavor that catches templated pages /
+    * shared headers that diverge in a tail). Same one-shuffle keep-min
+    * shape as [[exact]]. */
+  def prefixDedup(s: SparkSession, d: String): DataFrame = {
+    val byFp = Window.partitionBy(col("fp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(substring(normText(col("text")), 1, 80)).as("fp"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
+  }
+
   /** Distinct (doc_id, shingle-hash) rows. Shingles are built with
     * posexplode + window lead — flat codegen'd expressions throughout (a
     * higher-order transform/slice formulation evaluates interpreted and
@@ -197,13 +209,25 @@ object Dedup {
     * can replay the exact signature (xxhash64 exists in no other engine). */
   val SimhashBits = 60
 
+  /** Multi-block candidate scheme (the standard near-duplicate simhash
+    * index): 6 blocks of 10 bits, one hash table per 3-block combination
+    * (C(6,3) = 20 tables with 30-bit keys). ≤3 differing bits touch ≤3
+    * blocks, leaving ≥3 intact — and every 3-subset of blocks IS a table,
+    * so some table key matches: lossless for hamming ≤ 3 (spec-proven
+    * against brute force). The payoff over few-wide-chunk schemes is key
+    * width: expected bucket size is n/2³⁰, so candidate pairs stay
+    * near-linear even at 10⁹ docs, where a 15-bit chunk key would emit
+    * ~4·n²/2¹⁵ pairs. */
+  private val NumBlocks = 6
+  private val BlockBits = SimhashBits / NumBlocks // 10
+  private val BlockCombos: Seq[Seq[Int]] =
+    (0 until NumBlocks).combinations(3).map(_.toSeq).toSeq // 20 tables
+
   /** dd_simhash: 60-bit SimHash over whitespace tokens. Computed as a
     * per-row fold over the token array (repeated tokens contribute their
     * multiplicity — exactly term-frequency weighting) — NO shuffle for
-    * signatures. Near-dup = hamming ≤ 3; bucketing splits the signature
-    * into 4 × 15-bit chunks (pigeonhole: ≤3 differing bits leave ≥1 chunk
-    * intact), so the candidate join is on (chunk_index, chunk_value),
-    * never all-pairs. */
+    * signatures. Near-dup = hamming ≤ 3; candidates come from the
+    * multi-block tables above, never all-pairs. */
   def simhash(s: SparkSession, d: String): DataFrame = {
     // explode + groupBy with 60 flat sum() aggregates: all codegen'd with
     // map-side combine (per-row higher-order folds evaluate interpreted)
@@ -219,11 +243,15 @@ object Dedup {
         (0 until SimhashBits).map(j =>
           when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("sig"))
+    val blockMask = (1L << BlockBits) - 1
     val chunks = sig.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("k"),
-          shiftright(col("sig"), 15 * k).bitwiseAND(lit(0x7FFFL))
-            .as("v"))): _*)).as("c"))
+      explode(array(BlockCombos.zipWithIndex.map { case (blks, ci) =>
+        struct(lit(ci).as("k"),
+          blks.zipWithIndex.map { case (b, pos) =>
+            shiftleft(shiftright(col("sig"), BlockBits * b)
+              .bitwiseAND(lit(blockMask)), BlockBits * pos)
+          }.reduce(_ bitwiseOR _).as("v"))
+      }: _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.k").as("k"), col("c.v").as("v"))
     val a = chunks.select(col("doc_id").as("d1"), col("sig").as("sig1"),
       col("k"), col("v"))

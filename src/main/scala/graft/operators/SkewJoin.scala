@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Manual skew mitigation for shuffle joins (SURVEY.md §4). AQE's runtime
   * skew splitting covers most cases; this utility is for the pathological
@@ -36,4 +38,16 @@ object SkewJoin {
     l.join(r, col(leftKey) === col(rightKey) && l("_salt") === r("_salt"))
       .drop("_salt")
   }
+
+  /** op_salted_join: the salting utility as a checked query — orders ⋈
+    * customer on custkey, 8-way salted, aggregated per market segment.
+    * The oracle is the PLAIN join: salting must be invisible in the
+    * result, only in the task-size distribution. */
+  def saltedOrdersBySegment(s: SparkSession, d: String): DataFrame =
+    saltedJoin(Tables.orders(s, d), Tables.customer(s, d),
+      "o_custkey", "c_custkey", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(12, 2))).cast("double")
+          .as("total"))
 }

@@ -100,6 +100,25 @@ object StorageRoundtrip {
         sum(col("price")).cast("double").as("sum_price"))
   }
 
+  /** q36: ORC sink + source — the second columnar format Spark ships
+    * natively (predicate pushdown + column pruning work the same as
+    * parquet). The oracle computes the identical aggregate straight from
+    * the parquet original, proving the roundtrip lossless. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("orc_lineitem")
+    Tables.lineitem(s, d)
+      .filter(col("l_discount") >= 0.05)
+      .select(col("l_orderkey"), col("l_linestatus"),
+        col("l_quantity").cast(D12).as("qty"),
+        col("l_extendedprice").cast(D12).as("price"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).cast("double").as("sum_qty"),
+        sum(col("price")).cast("double").as("sum_price"))
+  }
+
   /** q27: text sink + source — raw line ingestion (the reference's
     * text-oriented HDFS file model), aggregated by line length. */
   def textLines(s: SparkSession, d: String): DataFrame = {

@@ -90,6 +90,39 @@ object TextAnalysis {
       .groupBy(col("split")).agg(count(lit(1)).as("n"))
   }
 
+  /** ta_repetition: per-doc token-repetition stats — the cheap repetition
+    * detector pipelines use to drop boilerplate and spam (high max-token
+    * share, low unique share). One explode + two aggregation levels, both
+    * map-side combined; the shuffle carries one row per (doc, token). */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tok"), count(lit(1)).as("n_uniq"),
+        max(col("n")).as("max_n"))
+      .select(col("doc_id"), col("n_tok"), col("n_uniq"), col("max_n"),
+        (lit(1.0) - col("n_uniq").cast("double") / col("n_tok"))
+          .as("rep_ratio"))
+
+  /** ta_bigrams: corpus-wide top-20 bigram counts (the n-gram frequency
+    * table quality/contamination analyses start from). Bigrams via the
+    * same posexplode + window-lead shape as dedup shingling (flat codegen
+    * exprs); the count aggregate is map-side combined, and the top-20 is
+    * a TakeOrdered — no global sort materialized. */
+  def bigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("nx", lead(col("tok"), 1).over(w))
+      .filter(col("nx").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("nx")).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** ta_sessionize: gap-based sessionization (30-min inactivity splits).
     * One shuffle on user_id, then two in-partition window passes — the
     * batch twin of the streaming flatMapGroupsWithState sessionizer. */

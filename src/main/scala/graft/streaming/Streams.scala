@@ -46,6 +46,33 @@ object Streams {
     s.table("st_stream_window")
   }
 
+  /** st_stream_dedup: streaming exact dedup. The stream is the events
+    * table with every row emitted twice; watermarked dropDuplicates
+    * returns each event exactly once. State is BOUNDED: including the
+    * watermarked `ts` in the dedup key lets Spark expire an event's dedup
+    * entry once the watermark passes it — the only formulation whose state
+    * doesn't grow forever on an unbounded stream. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(eventsDdl)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val doubled = src
+      .withColumn("_copy", explode(array(lit(1), lit(2))))
+      .drop("_copy")
+    val deduped = doubled
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val q = deduped.writeStream
+      .format("memory").queryName("st_stream_dedup")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("st_stream_dedup")
+  }
+
   // ---- Stateful sessionization --------------------------------------------
 
   case class Event(user_id: Long, ts_us: Long, event_id: Long)
