@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, MapReduceJobs, Multimodal, Relational, Similarity, StorageRoundtrip, TextAnalysis}
+import graft.operators.{AsOf, Dedup, MapReduceJobs, Multimodal, Relational, Similarity, SkewJoin, StorageRoundtrip, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
