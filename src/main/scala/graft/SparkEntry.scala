@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, MapReduceJobs, Multimodal, Relational, Similarity, SkewJoin, StorageRoundtrip, TextAnalysis}
+import graft.operators.{AsOf, Dedup, MapReduceJobs, Multimodal, Pipeline, Relational, Similarity, SkewJoin, StorageRoundtrip, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -55,9 +55,11 @@ object SparkEntry {
     "ta_bigrams"              -> (TextAnalysis.bigrams _),
     "st_stream_dedup"         -> (Streams.streamDedup _),
     "mr_wordcount"            -> (MapReduceJobs.wordCount _),
+    "mr_api_wordcount"        -> (MapReduceJobs.wordCountViaApi _),
     "mr_grep"                 -> (MapReduceJobs.grep _),
     "mr_sort"                 -> (MapReduceJobs.sort _),
     "mr_inverted_index"       -> (MapReduceJobs.invertedIndex _),
+    "mr_inverted_postings"    -> (MapReduceJobs.invertedPostings _),
     "mr_join_tagged"          -> (MapReduceJobs.joinTagged _),
     "dd_exact"                -> (Dedup.exact _),
     "dd_minhash_lsh"          -> (Dedup.minhashLsh _),
@@ -71,6 +73,7 @@ object SparkEntry {
     "ta_rolling_fingerprint"  -> (TextAnalysis.rollingFingerprint _),
     "ta_split"                -> (TextAnalysis.split3 _),
     "ta_sessionize"           -> (TextAnalysis.sessionize _),
+    "pipe_clean_corpus"       -> (Pipeline.cleanCorpus _),
     "sim_knn_brute"           -> (Similarity.knnBrute _),
     "sim_ann_lsh"             -> (Similarity.annLsh _),
     "sim_ann_ivf"             -> (Similarity.annIvf _),
@@ -368,7 +371,22 @@ object SparkEntry {
         |FROM read_blob('/root/testdata/sf0.01/*')""".stripMargin,
     "ta_langid" -> taLangidOracle,
     "dd_simhash" -> ddSimhashOracle,
+    "q36_orc_roundtrip" ->
+      """SELECT l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_discount >= 0.05 GROUP BY l_linestatus""".stripMargin,
+    // salting must be invisible in the result: the oracle is the PLAIN join
+    "op_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     "mr_wordcount" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "mr_api_wordcount" ->
       """SELECT word, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents) t
         |WHERE word <> '' GROUP BY word""".stripMargin,
@@ -384,6 +402,13 @@ object SparkEntry {
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
         |  FROM documents) t
         |WHERE word <> '' GROUP BY word""".stripMargin,
+    "mr_inverted_postings" ->
+      """SELECT word,
+        |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+        |FROM (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents) t
+        |WHERE word <> '' GROUP BY word""".stripMargin,
     "mr_join_tagged" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
@@ -394,6 +419,12 @@ object SparkEntry {
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  doc_id = MIN(doc_id) OVER (
         |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep
+        |FROM documents""".stripMargin,
+    "dd_prefix" ->
+      """SELECT doc_id,
+        |  md5(substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 80)) AS fp,
+        |  doc_id = MIN(doc_id) OVER (
+        |    PARTITION BY md5(substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 80))) AS keep
         |FROM documents""".stripMargin,
     "dd_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id,
@@ -433,6 +464,29 @@ object SparkEntry {
         |  CAST(stop_n AS DOUBLE) / n_tok AS stop_ratio,
         |  LEAST(1.0, n_tok / 100.0) * (1.0 - CAST(stop_n AS DOUBLE) / n_tok) AS score
         |FROM t""".stripMargin,
+    "ta_repetition" ->
+      """WITH tc AS (
+        |  SELECT doc_id, tok, COUNT(*) AS n FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |    FROM documents) t
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id,
+        |  CAST(SUM(n) AS BIGINT) AS n_tok,
+        |  COUNT(*) AS n_uniq,
+        |  MAX(n) AS max_n,
+        |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS rep_ratio
+        |FROM tc GROUP BY doc_id""".stripMargin,
+    "ta_bigrams" ->
+      """WITH w AS (SELECT
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS (SELECT
+        |    unnest(list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM w)
+        |SELECT bigram, COUNT(*) AS n FROM bg
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
@@ -462,6 +516,26 @@ object SparkEntry {
         |             PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
         |      THEN 1 ELSE 0 END AS new_s
         |    FROM events) t) tt""".stripMargin,
+    "pipe_clean_corpus" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop_n
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, text FROM scored
+        |  WHERE LEAST(1.0, n_tok / 100.0) * (1.0 - CAST(stop_n AS DOUBLE) / n_tok) >= 0.5),
+        |dd AS (
+        |  SELECT doc_id,
+        |    doc_id = MIN(doc_id) OVER (
+        |      PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep
+        |  FROM kept)
+        |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n
+        |FROM dd WHERE keep GROUP BY 1""".stripMargin,
     "sim_knn_brute" ->
       """SELECT q_id, n_id, rank FROM (
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
@@ -492,6 +566,8 @@ object SparkEntry {
         |  CASE WHEN ascii(substr(text, 1, 1)) BETWEEN 97 AND 122
         |    THEN 'text' ELSE 'other' END AS tag
         |FROM documents""".stripMargin,
+    "st_stream_dedup" ->
+      "SELECT DISTINCT event_id, user_id, event_type FROM events",
     "st_stream_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |  COUNT(*) AS n,

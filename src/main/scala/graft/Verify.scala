@@ -34,8 +34,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Oracle SQL that references the source dir literally (q35's read_blob
+    // glob) is written against the canonical sf0.01 path; rewrite it to the
+    // dir this dump actually ran on so the compare holds at any SF.
+    val sfAbs = Paths.get(sfDir).toAbsolutePath.normalize.toString
+      .stripSuffix("/")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("/root/testdata/sf0.01", sfAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -180,26 +180,37 @@ object Dedup {
     }: _*)
     val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // in-bucket pairing is ANCHORED: each member pairs with the bucket's
-    // min doc_id, giving O(|bucket|) pairs instead of O(|bucket|²). A
-    // mega-cluster of near-identical docs — the NORM in web-crawl dedup —
-    // previously materialized the whole bucket in one collect_list row and
-    // emitted a quadratic pair set; now it's one window min over the
-    // (band, key) shuffle and B-1 rows. Every duplicate still links to its
-    // cluster representative, which is what dedup needs (keep the anchor,
-    // drop the rest).
-    val wBucket = Window.partitionBy(col("band"), col("key"))
-    val cands = bands
-      .withColumn("d1", min(col("doc_id")).over(wBucket))
-      .filter(col("doc_id") > col("d1"))
-      .select(col("d1"), col("doc_id").as("d2"))
-      .distinct()
+    val cands = bucketPairs(bands)
       // localCheckpoint (not persist): see ngramJaccardDocs — no storage
       // leak across queries, blocks freed when the result is unreferenced
       .localCheckpoint(true)
     verifiedJaccard(candShingleRows(docs, cands), cands)
       .filter(col("j") >= 0.8)
       .select(col("d1"), col("d2"))
+  }
+
+  /** In-bucket candidate pairing over (doc_id, band, key) rows, ANCHORED +
+    * CHAINED: each member pairs with the bucket's min doc_id (the anchor)
+    * AND its doc_id-order predecessor — ≤ 2(B-1) pairs per B-member bucket
+    * instead of O(B²). A mega-cluster of near-identical docs (the NORM in
+    * web-crawl dedup) costs one sorted window pass over the (band, key)
+    * shuffle, never a quadratic pair set. The chain links mean a bucket
+    * whose anchor is a banding false positive (near no other member)
+    * can't sever true near-dup pairs among the rest: consecutive members
+    * pair directly, and transitive clusters stay connected through the
+    * chain even when every anchor pair fails verification. */
+  private[graft] def bucketPairs(bands: DataFrame): DataFrame = {
+    val wSeq = Window.partitionBy(col("band"), col("key"))
+      .orderBy(col("doc_id"))
+    bands
+      .withColumn("anchor", first(col("doc_id")).over(
+        wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev", lag(col("doc_id"), 1).over(wSeq))
+      .filter(col("doc_id") > col("anchor"))
+      .select(
+        explode(array_distinct(array(col("anchor"), col("prev")))).as("d1"),
+        col("doc_id").as("d2"))
+      .distinct()
   }
 
   // ---- SimHash -------------------------------------------------------------

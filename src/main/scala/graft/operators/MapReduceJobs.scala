@@ -63,11 +63,34 @@ object MapReduceJobs {
   }
 
   /** mr_inverted_index: word → distinct-document count (the count form of
-    * an inverted index; the posting-list form is the same plan with
-    * collect_set instead of count_distinct). */
+    * an inverted index; the posting-list form is [[invertedPostings]]). */
   def invertedIndex(s: SparkSession, d: String): DataFrame =
     words(s, d).groupBy(col("word"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
+
+  /** mr_inverted_postings: the classic posting-list form — word → sorted
+    * distinct doc_id list, stringified so the oracle compare is exact.
+    * collect_set is a mergeable (map-side combined) aggregate; the sort
+    * runs per-row after aggregation, so the shuffle carries set partials,
+    * never the exploded token stream. */
+  def invertedPostings(s: SparkSession, d: String): DataFrame =
+    words(s, d).groupBy(col("word"))
+      .agg(concat_ws(",", sort_array(collect_set(col("doc_id"))))
+        .as("postings"))
+
+  /** mr_api_wordcount: word count routed through the generic user contract
+    * [[graft.api.MapReduce.run]] — the user writes only map and reduce
+    * (the reference's programming model); the combiner-friendly reduce
+    * shape gives map-side partial aggregation exactly like the DataFrame
+    * twin [[wordCount]], and the same oracle checks both. */
+  def wordCountViaApi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("text")).as[String]
+    graft.api.MapReduce.run(docs)(
+      t => t.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, 1L)))(
+      _ + _)
+      .toDF("word", "n")
+  }
 
   /** mr_join_tagged: MR-style reduce-side join — both inputs shuffled on
     * the join key (tagged union → co-located reduce). Forced to a shuffle

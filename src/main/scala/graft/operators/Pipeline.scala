@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** End-to-end training-data pipeline (SURVEY.md §2F): the individual
+  * operators composed the way a pipeline user actually runs them —
+  * quality-filter → exact-dedup → deterministic split — as ONE Catalyst
+  * plan. Nothing materializes between stages: the filter prunes before
+  * the dedup shuffle, the dedup window is the plan's only wide exchange
+  * over documents, and the split + count is a 3-group aggregate. At
+  * 100 TB this chains the same way: each stage is row-local except the
+  * single fingerprint shuffle.
+  */
+object Pipeline {
+
+  /** pipe_clean_corpus: keep docs with quality score ≥ 0.5, drop exact
+    * duplicates (keep min doc_id per normalized-text fingerprint), assign
+    * md5-bucket train/val/test splits, count per split. The score/dedup/
+    * split expressions are byte-identical to ta_quality_score, dd_exact
+    * and ta_split, so the SQL oracle replays the whole chain exactly. */
+  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    val toks = wsTokens(col("text"))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        size(toks).as("n_tok"), stopwordCount(toks).as("stop_n"))
+      .select(col("doc_id"), col("text"),
+        (least(lit(1.0), col("n_tok") / 100.0) *
+          (lit(1.0) - col("stop_n").cast("double") / col("n_tok")))
+          .as("score"))
+      .filter(col("score") >= 0.5)
+    val byFp = Window.partitionBy(col("fp"))
+    val deduped = scored
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
+      .filter(col("keep"))
+    val bucket =
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    deduped
+      .select(col("doc_id"),
+        when(bucket < "e6", "train")
+          .when(bucket < "f3", "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+  }
+}

@@ -27,8 +27,10 @@ class DedupSpec extends SparkSpec {
 
   test("minhash LSH survives a 10k-member duplicate mega-cluster") {
     // the data shape LLM dedup exists for: one document duplicated en
-    // masse. Anchored in-bucket pairing must link every member to the
-    // cluster representative (min doc_id) in O(n) pairs — never O(n²).
+    // masse. Anchored+chained in-bucket pairing must link every member to
+    // the cluster representative (min doc_id) plus its predecessor in
+    // O(n) pairs — never O(n²): B members → (B-1) anchor pairs and (B-2)
+    // distinct chain pairs = 2B-3.
     val s = spark
     import org.apache.spark.sql.functions._
     val base = "the quick brown fox jumps over the lazy dog " +
@@ -36,8 +38,23 @@ class DedupSpec extends SparkSpec {
     val docs = s.range(10000)
       .select(col("id").as("doc_id"), lit(base).as("text"))
     val n = operators.Dedup.minhashLshDocs(docs).count()
-    assert(n == 9999L,
-      s"expected every member anchored to doc 0 (9999 pairs), got $n")
+    assert(n == 2L * 10000 - 3,
+      s"expected anchor + chain pairs (2B-3 = 19997), got $n")
+  }
+
+  test("bucket pairing emits anchor AND chain links (false-anchor rescue)") {
+    // a bucket {0,1,2} where the anchor 0 is a banding false positive:
+    // anchor-only pairing emits (0,1),(0,2) — if both fail verification
+    // the true pair (1,2) is lost. The chain link (1,2) must be generated
+    // so verification can confirm it.
+    val s = spark
+    import s.implicits._
+    val bands = Seq((0L, 0, 7L), (1L, 0, 7L), (2L, 0, 7L), (5L, 1, 9L))
+      .toDF("doc_id", "band", "key")
+    val pairs = operators.Dedup.bucketPairs(bands)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"expected anchor pairs + chain pair, got $pairs")
   }
 
   test("hot-shingle doc-frequency cap bounds ngram candidate generation") {

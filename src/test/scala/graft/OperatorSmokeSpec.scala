@@ -25,6 +25,18 @@ class OperatorSmokeSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
   }
 
+  test("every query key appears in the SURVEY.md §2 inventory exactly once") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s2 = survey.substring(survey.indexOf("## §2"), survey.indexOf("## §3"))
+    val bad = SparkEntry.queries.keySet.toSeq.sorted.flatMap { k =>
+      val n = s2.sliding(k.length + 2).count(_ == s"`$k`")
+      if (n != 1) Some(s"$k (x$n)") else None
+    }
+    assert(bad.isEmpty,
+      s"§2 inventory drift — keys not listed exactly once: $bad")
+  }
+
   // Queries whose result can legitimately be empty at the smallest SF
   // (near-dup pairs may not exist among ~50 docs).
   private val mayBeEmpty = Set(
