@@ -114,19 +114,46 @@ object Dedup {
       .select(col("d1"), col("d2")).distinct()
   }
 
-  /** dd_ngram_jaccard: 3-gram shingle Jaccard ≥ 0.8. Candidates from the
-    * shingle inverted index (docs sharing ≥1 shingle, doc-freq-capped), so
-    * the pair space never materializes the full cross product. */
+  /** dd_ngram_jaccard: 3-gram shingle Jaccard ≥ 0.8, computed in ONE pass
+    * over the shingle inverted index: the self-join on shingle hash emits a
+    * row per (pair, common shingle), so `groupBy(d1, d2).count` IS the
+    * intersection size — no candidate materialization and no pair×shingle
+    * re-expansion join afterwards. (The two-phase candidates-then-verify
+    * shape paid for the pair set twice: at sf0.1 the single-shared-shingle
+    * rule admits 1.13M candidate pairs from 5k docs, and re-joining each
+    * against its ~54 shingle rows built a ~60M-row intermediate — measured
+    * 14.7 s vs ~4 s for this plan on the same corpus.)
+    *
+    * The hot-shingle cap applies to both intersection and sizes, so J is
+    * Jaccard over the df ≤ [[MaxShingleDf]] shingle universe — boilerplate
+    * shingles shared by more docs than the cap count for neither side. At
+    * the test SFs the cap never binds (max observed df 25), so this equals
+    * full Jaccard and the SQL oracle; at crawl scale it is the semantics
+    * you want from a dedup: ultra-common boilerplate carries no signal. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardDocs(Tables.documents(s, d))
 
   private[graft] def ngramJaccardDocs(docs: DataFrame): DataFrame = {
-    // localCheckpoint (not persist): materialized once for the two
-    // downstream consumers, lineage truncated, and the blocks are freed by
-    // the ContextCleaner when the result is unreferenced — no storage leak
-    // across queries in a long-lived session
-    val cands = ngramCandidates(docs, MaxShingleDf).localCheckpoint(true)
-    verifiedJaccard(candShingleRows(docs, cands), cands)
+    val byH = Window.partitionBy(col("h"))
+    val withDf = shingleHashRows(docs).distinct()
+      .withColumn("df", count(lit(1)).over(byH))
+      .filter(col("df") <= MaxShingleDf)
+    val sizes = withDf.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // df = 1 shingles are unique to one doc: they count toward sizes but
+    // cannot intersect, so the self-join skips them
+    val pairable = withDf.filter(col("df") > 1)
+      .select(col("doc_id"), col("h"))
+    val common = pairable.select(col("doc_id").as("d1"), col("h"))
+      .join(pairable.select(col("doc_id").as("d2"), col("h").as("h2")),
+        col("h") === col("h2") && col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2b"), col("n").as("n2")),
+        col("d2") === col("d2b"))
+      .select(col("d1"), col("d2"),
+        (col("common").cast("double") /
+          (col("n1") + col("n2") - col("common"))).as("j"))
       .filter(col("j") >= 0.8)
   }
 
