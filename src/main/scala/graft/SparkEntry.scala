@@ -65,6 +65,7 @@ object SparkEntry {
     "dd_minhash_lsh"          -> (Dedup.minhashLsh _),
     "dd_simhash"              -> (Dedup.simhash _),
     "dd_ngram_jaccard"        -> (Dedup.ngramJaccard _),
+    "dd_cluster"              -> (Dedup.cluster _),
     "dd_embed_cosine"         -> (Dedup.embedCosine _),
     "ta_token_count"          -> (TextAnalysis.tokenCount _),
     "ta_quality_score"        -> (TextAnalysis.qualityScore _),
@@ -72,6 +73,8 @@ object SparkEntry {
     "ta_fingerprint"          -> (TextAnalysis.fingerprintDocs _),
     "ta_rolling_fingerprint"  -> (TextAnalysis.rollingFingerprint _),
     "ta_split"                -> (TextAnalysis.split3 _),
+    "ta_pii_scrub"            -> (TextAnalysis.piiScrubDocs _),
+    "ta_sample_stratified"    -> (TextAnalysis.sampleStratified _),
     "ta_sessionize"           -> (TextAnalysis.sessionize _),
     "pipe_clean_corpus"       -> (Pipeline.cleanCorpus _),
     "sim_knn_brute"           -> (Similarity.knnBrute _),
@@ -444,6 +447,31 @@ object SparkEntry {
         |JOIN sizes s1 ON d1 = s1.doc_id
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.8""".stripMargin,
+    // Same pair derivation as dd_ngram_jaccard, then transitive closure via
+    // recursive CTE; rep = min doc_id reachable (matches min-label propagation).
+    "dd_cluster" ->
+      """WITH RECURSIVE w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM cand
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.8),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY src""".stripMargin,
     "dd_embed_cosine" ->
       """SELECT a.vec_id AS v1, b.vec_id AS v2
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -504,6 +532,29 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |       COUNT(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    // The corpus has no PII, so both sides inject identical deterministic
+    // contact lines keyed on doc_id; patterns are the RE2/Java-regex common
+    // subset, so the scrub + counts replay bit-exactly.
+    "ta_pii_scrub" ->
+      """WITH r AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+        |         || ' from 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+        |         || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-4567' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean,
+        |  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(raw, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone
+        |FROM r""".stripMargin,
+    "ta_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |  ELSE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) < '80' END""".stripMargin,
     "ta_sessionize" ->
       """SELECT event_id, user_id, session_num FROM (
         |  SELECT event_id, user_id,

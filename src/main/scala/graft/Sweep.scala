@@ -1,0 +1,45 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Timing sweep main: runs EVERY SparkEntry.queries entry (warm, like
+  * Bench) at SPARK_GRAFT_SF_DIR and prints one `SWEEP name seconds rows`
+  * line per query, slowest last. Not part of the driver contract — this is
+  * the profiling loop that finds per-query outliers the 8-query Bench
+  * headline can't see (dd_ngram_jaccard's 14.7 s regression at sf0.1 was
+  * invisible to Bench and found by exactly this sweep). */
+object Sweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val only = args.toSet
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
+    val results = names.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      try {
+        fn(spark, sfDir).count() // warm: codegen/JIT off the clock
+        val t0 = System.nanoTime()
+        val rows = fn(spark, sfDir).count()
+        Some((name, (System.nanoTime() - t0) / 1e9, rows))
+      } catch { case e: Throwable =>
+        System.err.println(s"[sweep] $name FAILED: $e"); None
+      }
+    }
+    results.sortBy(_._2).foreach { case (n, s, r) =>
+      println(f"SWEEP $n%-24s $s%8.3f s  ($r rows)")
+    }
+    println(f"SWEEP TOTAL ${results.map(_._2).sum}%.3f s over ${results.size} queries")
+    spark.stop()
+  }
+}

@@ -45,6 +45,23 @@ object TextFunctions {
   /** md5 hex fingerprint of the normal form. */
   def fingerprint(c: Column): Column = md5(normText(c))
 
+  /** PII patterns, deliberately restricted to syntax that means the same
+    * thing in Java regex (Spark codegen) and RE2 (DuckDB oracle): character
+    * classes, bounded repetition, ASCII \b. Scrub order matters: emails
+    * first (they contain dots and digits an IP/phone pattern could chew
+    * on), then IPv4, then NNN-NNN-NNNN phones. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Redact emails, IPv4 addresses, and phone numbers to typed tags. */
+  def piiScrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
   /** Cross-engine 60-bit token hash: the first 15 hex chars of md5, parsed
     * base-16. Any engine with md5 computes it identically (the SQL twin is
     * `CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)`); 15 hex chars = 60

@@ -302,6 +302,57 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
+  // ---- Cluster assignment --------------------------------------------------
+
+  /** dd_cluster: connected-component dedup clusters over the verified
+    * near-dup pair graph — the step that turns pairwise J ≥ 0.8 links into
+    * keep-one-representative groups (a pipeline drops every doc whose
+    * `rep` ≠ `doc_id`). Emits (doc_id, rep) for every doc in ≥ 1 pair,
+    * rep = min doc_id of the component. */
+  def cluster(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+      ngramJaccardDocs(Tables.documents(s, d)).select(col("d1"), col("d2")))
+
+  /** Min-label propagation with pointer jumping, the standard distributed
+    * connected-components loop: each round every node takes the min label
+    * in its closed neighborhood, then labels compress through their own
+    * representative (label(x) := label(label(x))) — the jump halves chain
+    * depth, so rounds are O(log diameter), not O(diameter), which is what
+    * makes chained-pair buckets (diameter = bucket size) safe at scale.
+    * Each round is two shuffle joins over the label set (one row per doc
+    * in the pair graph — far smaller than the corpus) and the loop
+    * localCheckpoints each generation so lineage stays flat. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 40) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("rep")), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min(col("rep")).as("nrep"))
+      val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      val repTable = propagated
+        .select(col("doc_id").as("repkey"), col("rep").as("rrep"))
+      val next = propagated
+        .join(repTable, col("rep") === col("repkey"), "left")
+        .select(col("doc_id"), coalesce(col("rrep"), col("rep")).as("rep"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
+        .filter(col("rep") =!= col("old")).count()
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
   // ---- Embedding cosine ----------------------------------------------------
 
   /** dd_embed_cosine: embedding near-dup pairs with cosine ≥ 0.45.

@@ -123,6 +123,52 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** ta_pii_scrub: email/IPv4/phone redaction — the privacy-scrub pass a
+    * training-data pipeline runs before anything else sees the text. The
+    * scrubber itself is [[graft.functions.TextFunctions.piiScrub]] (pure
+    * regexp_replace chain, codegen'd, zero shuffle). The synthetic corpus
+    * contains no PII, so the query suffixes each doc with deterministic
+    * synthetic contact lines derived from doc_id — making the redaction
+    * observable: the oracle replays the same injection + scrub and the
+    * per-kind match counts prove each pattern fired exactly once. */
+  def piiScrubDocs(s: SparkSession, d: String): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.org"),
+      lit(" from 10.1."), pmod(col("doc_id"), lit(256)), lit(".7"),
+      lit(" call 555-"), lpad(pmod(col("doc_id"), lit(1000)), 3, "0"),
+      lit("-4567"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), injected.as("raw"))
+      .select(col("doc_id"),
+        piiScrub(col("raw")).as("clean"),
+        size(regexp_extract_all(col("raw"), lit(EmailPattern), lit(0)))
+          .as("n_email"),
+        size(regexp_extract_all(col("raw"), lit(Ipv4Pattern), lit(0)))
+          .as("n_ip"),
+        size(regexp_extract_all(col("raw"), lit(PhonePattern), lit(0)))
+          .as("n_phone"))
+  }
+
+  /** ta_sample_stratified: deterministic per-stratum sampling — 10% of the
+    * dominant language, 50% of everything else (the up/down-weighting move
+    * of corpus mixing). Membership is a pure hash-threshold test on
+    * md5(doc_id) exactly like [[split3]]'s bucketing: no window, no
+    * per-stratum rank funnel, no RNG — each row decides locally, so the
+    * sample is reproducible across engines and partitionings and the
+    * operator stays embarrassingly parallel at any corpus size (an exact-
+    * quota variant would need a per-stratum ordered rank — a single-
+    * partition funnel on a 100 TB stratum). '1a' = 26/256 ≈ 10.2%,
+    * '80' = 128/256 = 50%, compared lexicographically on hex chars. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val bucket = substring(
+      md5(concat(lit("sample:"), col("doc_id").cast("string")).cast("binary")),
+      1, 2)
+    Tables.documents(s, d)
+      .filter(when(col("lang") === "en", bucket < "1a")
+        .otherwise(bucket < "80"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** ta_sessionize: gap-based sessionization (30-min inactivity splits).
     * One shuffle on user_id, then two in-partition window passes — the
     * batch twin of the streaming flatMapGroupsWithState sessionizer. */

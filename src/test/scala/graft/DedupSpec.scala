@@ -74,6 +74,37 @@ class DedupSpec extends SparkSpec {
     assert(capped == 0L, s"cap should drop the universal shingle, got $capped")
   }
 
+  test("connected components label a chain through pointer jumping") {
+    // a path graph 1-2-3-...-9 has diameter 8; min-label propagation
+    // without pointer jumping needs 8 rounds, with it O(log 8). Every
+    // node must land on rep = 1, and a disjoint pair {20,21} on rep = 20.
+    val s = spark
+    import s.implicits._
+    val pairs = ((1L to 8L).map(i => (i, i + 1)) :+ (20L, 21L))
+      .toDF("d1", "d2")
+    val labels = operators.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 9L).forall(labels(_) == 1L), s"chain labels: $labels")
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+    assert(labels.size == 11)
+  }
+
+  test("dd_cluster reps are consistent with the verified pair graph") {
+    val s = spark
+    import s.implicits._
+    val pairs = Dedup.ngramJaccard(s, sf01)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    val clusters = Dedup.cluster(s, sf01)
+      .as[(Long, Long)].collect().toMap
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every doc in a pair is labeled, and paired docs share a component
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across reps")
+    }
+    // a rep is its own rep (label idempotence)
+    clusters.values.foreach(r => assert(clusters(r) == r, s"rep $r not fixed"))
+  }
+
   test("simhash near-dup pairs overlap the exact Jaccard pairs") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Behavior checks for the text-pipeline operators whose oracles only
+  * prove engine parity — these pin the *semantics* (what gets redacted,
+  * what gets sampled) on hand-built inputs. */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("piiScrub redacts emails, IPv4s, and phones to typed tags") {
+    val s = spark
+    import s.implicits._
+    val got = Seq(
+      "mail a.b+c@ex-ample.org now",
+      "host 192.168.0.1 up",
+      "call 415-555-0123 today",
+      "all three x@y.io 10.0.0.7 555-867-5309",
+      "no pii here 1.2 v3").toDF("t")
+      .select(TextFunctions.piiScrub(col("t"))).as[String].collect()
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "host <IP> up")
+    assert(got(2) == "call <PHONE> today")
+    assert(got(3) == "all three <EMAIL> <IP> <PHONE>")
+    assert(got(4) == "no pii here 1.2 v3", s"over-scrubbed: ${got(4)}")
+  }
+
+  test("ta_pii_scrub fires each injected pattern exactly once per doc") {
+    val s = spark
+    import s.implicits._
+    val rows = TextAnalysis.piiScrubDocs(s, sf)
+      .select("n_email", "n_ip", "n_phone", "clean")
+      .as[(Int, Int, Int, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (e, i, p, clean) =>
+      assert(e == 1 && i == 1 && p == 1, s"counts ($e,$i,$p)")
+      assert(clean.contains("<EMAIL>") && clean.contains("<IP>") &&
+        clean.contains("<PHONE>"))
+      assert(!clean.contains("@mail.example.org"), "email survived scrub")
+    }
+  }
+
+  test("stratified sample matches a local md5-threshold replay") {
+    val s = spark
+    import s.implicits._
+    val all = Tables.documents(s, "/root/testdata/sf0.01")
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    def bucket(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s"sample:$id".getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString
+    }
+    val expected = all.filter { case (id, lang) =>
+      if (lang == "en") bucket(id) < "1a" else bucket(id) < "80"
+    }.toSet
+    val got = TextAnalysis.sampleStratified(s, "/root/testdata/sf0.01")
+      .as[(Long, String)].collect().toSet
+    assert(got == expected,
+      s"sample mismatch: ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+    // both strata present and the en stratum is downsampled harder
+    val enRate = got.count(_._2 == "en").toDouble / all.count(_._2 == "en")
+    val otherRate =
+      got.count(_._2 != "en").toDouble / all.count(_._2 != "en")
+    assert(enRate < otherRate,
+      s"en rate $enRate should be below non-en rate $otherRate")
+  }
+}
