@@ -75,6 +75,7 @@ object SparkEntry {
     "ta_split"                -> (TextAnalysis.split3 _),
     "ta_pii_scrub"            -> (TextAnalysis.piiScrubDocs _),
     "ta_sample_stratified"    -> (TextAnalysis.sampleStratified _),
+    "ta_pack_sequences"       -> (TextAnalysis.packSequences _),
     "ta_sessionize"           -> (TextAnalysis.sessionize _),
     "pipe_clean_corpus"       -> (Pipeline.cleanCorpus _),
     "sim_knn_brute"           -> (Similarity.knnBrute _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "mm_decode_stub"          -> (Multimodal.decodeStub _),
     "st_stream_window"        -> (Streams.streamWindow _),
     "st_stream_session"       -> (Streams.streamSession _),
+    "st_stream_enrich"        -> (Streams.streamEnrich _),
   )
 
   /** ta_langid oracle: same stopword-profile scores, argmax with the same
@@ -555,6 +557,17 @@ object SparkEntry {
         |WHERE CASE WHEN lang = 'en'
         |  THEN substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
         |  ELSE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) < '80' END""".stripMargin,
+    "ta_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 16 AS shard,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT shard, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT shard, CAST(FLOOR((cum - n_tok) / 2048.0) AS BIGINT) AS seq_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "ta_sessionize" ->
       """SELECT event_id, user_id, session_num FROM (
         |  SELECT event_id, user_id,
@@ -619,6 +632,9 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "st_stream_dedup" ->
       "SELECT DISTINCT event_id, user_id, event_type FROM events",
+    "st_stream_enrich" ->
+      """SELECT event_id, user_id, event_type, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
     "st_stream_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |  COUNT(*) AS n,

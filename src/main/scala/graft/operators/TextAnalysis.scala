@@ -169,6 +169,31 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** ta_pack_sequences: pack documents into fixed-token-budget training
+    * sequences — concat-then-chunk semantics (each doc starts at its
+    * shard's running token offset; sequence = offset div budget, so a doc
+    * may straddle a boundary, exactly like pretraining concatenation).
+    * Docs are sharded by doc_id % 16 and packed independently per shard:
+    * the only shuffle is the shard window, each shard's cumulative sum is
+    * one in-partition sort, and shard count is the parallelism knob — at
+    * 100 TB you raise it to ~2^14 so no shard outgrows a partition,
+    * instead of the single global-order funnel a corpus-wide cumsum would
+    * be. Returns one row per (shard, seq_id) with doc/token counts. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val budget = 2048
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(16)).as("shard"),
+        size(wsTokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("shard"),
+        floor((col("cum") - col("n_tok")) / lit(budget.toDouble)).as("seq_id"),
+        col("n_tok"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
   /** ta_sessionize: gap-based sessionization (30-min inactivity splits).
     * One shuffle on user_id, then two in-partition window passes — the
     * batch twin of the streaming flatMapGroupsWithState sessionizer. */

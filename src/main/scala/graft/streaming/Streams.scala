@@ -73,6 +73,31 @@ object Streams {
     s.table("st_stream_dedup")
   }
 
+  /** st_stream_enrich: stream-static enrichment join — the canonical
+    * streaming pattern of decorating an event stream with a slowly-changing
+    * dimension read as a plain batch table. The static side (customer) is
+    * re-read per micro-batch by Spark and broadcast (bounded dim), the
+    * stream side never shuffles, and append mode needs no state at all —
+    * this is the shape that runs forever on an unbounded source. */
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(eventsDdl)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val dim = broadcast(graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val enriched = src
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"))
+    val q = enriched.writeStream
+      .format("memory").queryName("st_stream_enrich")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("st_stream_enrich")
+  }
+
   // ---- Stateful sessionization --------------------------------------------
 
   case class Event(user_id: Long, ts_us: Long, event_id: Long)

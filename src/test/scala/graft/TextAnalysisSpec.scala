@@ -41,6 +41,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing conserves docs and tokens across sequences") {
+    val s = spark
+    import s.implicits._
+    val packed = TextAnalysis.packSequences(s, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = Tables.documents(s, "/root/testdata/sf0.01")
+    val totalDocs = docs.count()
+    val totalToks = docs
+      .select(size(TextFunctions.wsTokens(col("text"))).cast("long"))
+      .as[Long].collect().sum
+    assert(packed.map(_._3).sum == totalDocs, "docs lost in packing")
+    assert(packed.map(_._4).sum == totalToks, "tokens lost in packing")
+    // sequences within a shard are contiguous from 0
+    packed.groupBy(_._1).foreach { case (shard, rows) =>
+      val ids = rows.map(_._2).sorted.toSeq
+      assert(ids == Seq.range(0L, ids.length.toLong),
+        s"shard $shard has non-contiguous seq_ids: $ids")
+    }
+  }
+
   test("stratified sample matches a local md5-threshold replay") {
     val s = spark
     import s.implicits._
