@@ -61,6 +61,8 @@ object SparkEntry {
     "mr_inverted_index"       -> (MapReduceJobs.invertedIndex _),
     "mr_inverted_postings"    -> (MapReduceJobs.invertedPostings _),
     "mr_join_tagged"          -> (MapReduceJobs.joinTagged _),
+    "mr_mapside_join"         -> (MapReduceJobs.joinMapSide _),
+    "mr_secondary_sort"       -> (MapReduceJobs.secondarySort _),
     "dd_exact"                -> (Dedup.exact _),
     "dd_minhash_lsh"          -> (Dedup.minhashLsh _),
     "dd_simhash"              -> (Dedup.simhash _),
@@ -419,6 +421,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "mr_mapside_join" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "mr_secondary_sort" ->
+      """SELECT event_id, user_id,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS seq
+        |FROM events""".stripMargin,
     "dd_exact" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

@@ -54,7 +54,7 @@ object AsOf {
     val runion = l.columns.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(l.schema(c).dataType))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
     // ordering by Rv after (T, Tag) makes `last` deterministic when several
     // right rows share one (key, timestamp): the max value wins
     val w = Window.partitionBy(col(K)).orderBy(col(T), col(Tag), col(Rv))
@@ -62,7 +62,7 @@ object AsOf {
     l.unionByName(runion)
       .withColumn("_asof", last(col(Rv), ignoreNulls = true).over(w))
       .filter(col(Tag) === 1)
-      .select(lcols.map(col) :+ col("_asof"): _*)
+      .select(lcols.toIndexedSeq.map(col) :+ col("_asof"): _*)
   }
 
   /** op_range_join: keyed interval join — for each error event, the count

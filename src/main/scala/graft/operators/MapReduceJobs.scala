@@ -56,7 +56,7 @@ object MapReduceJobs {
       .sortWithinPartitions(col("n_chars"), col("doc_id"))
     val schema = StructType(sorted.schema.fields :+
       StructField("rank", LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex.map { case (row, i) =>
+    val ranked = sorted.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ (i + 1L))
     }
     s.createDataFrame(ranked, schema)
@@ -91,6 +91,49 @@ object MapReduceJobs {
       _ + _)
       .toDF("word", "n")
   }
+
+  /** mr_secondary_sort: the classic MR secondary-sort pattern — partition
+    * by the grouping key, sort within partitions by a composite key, then
+    * one streaming pass numbers each user's events in time order. This is
+    * the composite-key + grouping-comparator trick MR needs a custom
+    * partitioner for, expressed as repartition + sortWithinPartitions +
+    * a single mapPartitions sweep with O(1) state (no per-group
+    * buffering — a user's whole history never materializes in memory,
+    * which is what makes it safe on a 100 TB event log). The oracle
+    * replays it declaratively as a ROW_NUMBER window, proving the
+    * imperative and declarative forms identical. */
+  def secondarySort(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+      .repartition(parts, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .mapPartitions { it =>
+        var curUser = Long.MinValue
+        var seq = 0L
+        it.map { case (u, _, e) =>
+          if (u != curUser) { curUser = u; seq = 0L }
+          seq += 1L
+          (e, u, seq)
+        }
+      }.toDF("event_id", "user_id", "seq")
+  }
+
+  /** mr_mapside_join: the distributed-cache (map-side) join — the bounded
+    * dimension ships to every task and the fact side never shuffles for
+    * the join. Spark's broadcast hash join is Hadoop's map-side join with
+    * the DistributedCache replaced by a torrent broadcast. Only nation
+    * (≤ 25 rows at any SF) is broadcast — never an SF-proportional side. */
+  def joinMapSide(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(D12)).cast("double").as("total_bal"))
 
   /** mr_join_tagged: MR-style reduce-side join — both inputs shuffled on
     * the join key (tagged union → co-located reduce). Forced to a shuffle
