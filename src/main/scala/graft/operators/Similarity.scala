@@ -110,6 +110,11 @@ object Similarity {
   private val NumCentroids = 16
   private val NProbe = 4
   private val IvfIters = 3
+  // coarse centroids are trained on a deterministic sample of ~2k vectors
+  // (the standard IVF recipe: train on a fixed-size sample, assign the
+  // full corpus) — training cost stays constant as the corpus grows, so
+  // at 100 TB the Lloyd passes touch the same ~2k rows they do here
+  private val TrainTarget = 2048L
 
   // ---- Spherical k-means --------------------------------------------------
 
@@ -185,7 +190,9 @@ object Similarity {
       .filter(pmod(col("vec_id"), lit(CentroidStride)) === 0)
       .orderBy("vec_id").limit(NumCentroids)
       .select("v").as[Seq[Double]].collect().toSeq
-    val cents = trainCentroids(all, seeds, IvfIters)
+    val stride = math.max(1L, all.count() / TrainTarget)
+    val trainSet = all.filter(pmod(col("vec_id"), lit(stride)) === 0)
+    val cents = trainCentroids(trainSet, seeds, IvfIters)
     val assigned = all.withColumn("c_id", bestCentroid(cents))
     // per-query probe list: sort the (‑cos, cid) struct array ascending →
     // the first NProbe entries are the nearest cells; 10 query rows, so
