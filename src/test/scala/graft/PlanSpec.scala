@@ -93,6 +93,25 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("mr_mapside_join broadcasts the bounded dim, never the fact side") {
+    val df = graft.operators.MapReduceJobs.joinMapSide(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the broadcast exchange must sit on the nation (dim) subtree
+    val bcastIdx = p.indexOf("BroadcastExchange")
+    assert(bcastIdx >= 0 && p.substring(bcastIdx).contains("nation"),
+      s"broadcast side is not nation: ${p.take(800)}")
+  }
+
+  test("ta_pack_sequences reuses the shard partitioning for the final agg") {
+    // the window shuffles on shard; the groupBy(shard, seq_id) must NOT
+    // add a second exchange (hash(shard) already clusters (shard, seq_id))
+    val p = plan(graft.operators.TextAnalysis.packSequences(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected exactly 1 shuffle, got $exchanges: ${p.take(1200)}")
+  }
+
   test("q07 selective agg pushes both date bounds") {
     val p = plan(Relational.q07SelectiveAgg(spark, sf))
     val filterLine = p.linesIterator
