@@ -49,7 +49,7 @@ object Dedup {
     * measured ~10x slower). The 64-bit hash stands in for the shingle
     * string everywhere downstream: set sizes, intersections, and minhash
     * permutations are all over longs (collision odds ~1e-11 per doc). */
-  private def shingleHashRows(docs: DataFrame): DataFrame = {
+  private[graft] def shingleHashRows(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     docs
       .select(col("doc_id"),
@@ -172,12 +172,13 @@ object Dedup {
     ((z ^ (z >>> 31)) & 0x7FFFFFFFL) | 1L // odd, positive, < 2^31
   }
 
-  /** MinHash signature columns m0..m127: one groupBy(doc_id) whose 128
-    * min-of-linear-rehash aggregates are all flat codegen'd expressions
-    * with map-side partial aggregation. (A per-row array_min(transform)
-    * formulation avoids the shuffle but higher-order functions evaluate
-    * interpreted — measured several times slower than this agg.) */
-  private def signatures(shrows: DataFrame): DataFrame = {
+  /** REFERENCE formulation of the signature: one groupBy(doc_id) whose 128
+    * min-of-linear-rehash aggregates are flat codegen'd expressions with
+    * map-side partial aggregation. Superseded in the query path by the
+    * native one-pass [[graft.functions.MinHashSignature]] expression
+    * (map-only, no explode, no shuffle); kept because the parity spec
+    * (DedupSpec) asserts the two produce bit-identical signatures. */
+  private[graft] def signatures(shrows: DataFrame): DataFrame = {
     val hp = shrows.select(col("doc_id"),
       pmod(col("h"), lit(MersenneP)).as("hp"))
     val mins = (0 until NumPerms).map { i =>
@@ -198,10 +199,14 @@ object Dedup {
     minhashLshDocs(Tables.documents(s, d))
 
   private[graft] def minhashLshDocs(docs: DataFrame): DataFrame = {
-    // no distinct before the signature agg: MIN is duplicate-insensitive
-    val sig = signatures(shingleHashRows(docs))
+    // signatures are a map-only projection: the native MinHashSignature
+    // expression tokenizes, shingles, hashes, and folds all 128 minima in
+    // one pass per doc — no shingle explosion, no signature shuffle
+    val sig = docs.select(col("doc_id"),
+      graft.functions.MinHashSignature(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandStructs = array((0 until NumBands).map { bnd =>
-      val cols = (0 until 4).map(r => col(s"m${bnd * 4 + r}"))
+      val cols = (0 until 4).map(r => element_at(col("sig"), bnd * 4 + r + 1))
       struct(lit(bnd).as("band"),
         xxhash64(lit(bnd) +: cols: _*).as("key"))
     }: _*)

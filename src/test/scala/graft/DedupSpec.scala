@@ -74,6 +74,29 @@ class DedupSpec extends SparkSpec {
     assert(capped == 0L, s"cap should drop the universal shingle, got $capped")
   }
 
+  test("native MinHashSignature is bit-identical to the aggregate formulation") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(s, sf01).limit(50)
+      .select("doc_id", "text").localCheckpoint(true)
+    val native = docs
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    // the historical explode + 128×min() aggregate path
+    val agg = Dedup.signatures(Dedup.shingleHashRows(docs))
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 128).map(r.getLong(_)).toSeq)
+      .toMap
+    assert(native.keySet == agg.keySet,
+      s"doc coverage differs: ${native.keySet diff agg.keySet} / ${agg.keySet diff native.keySet}")
+    native.foreach { case (id, sig) =>
+      assert(sig == agg(id), s"signature mismatch for doc $id")
+    }
+  }
+
   test("connected components label a chain through pointer jumping") {
     // a path graph 1-2-3-...-9 has diameter 8; min-label propagation
     // without pointer jumping needs 8 rounds, with it O(log 8). Every
