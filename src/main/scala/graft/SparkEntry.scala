@@ -47,6 +47,9 @@ object SparkEntry {
     "q32_set_ops"             -> (Relational.q32SetOps _),
     "q33_cube"                -> (Relational.q33Cube _),
     "q34_part_promo"          -> (Relational.q34PartPromo _),
+    "q37_grouping_sets"       -> (Relational.q37GroupingSets _),
+    "q38_window_range"        -> (Relational.q38WindowRange _),
+    "q39_unpivot"             -> (Relational.q39Unpivot _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
     "q36_orc_roundtrip"       -> (StorageRoundtrip.orcRoundtrip _),
     "op_salted_join"          -> (SkewJoin.saltedOrdersBySegment _),
@@ -369,6 +372,26 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-03-01'""".stripMargin,
+    "q37_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        |       COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "q38_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS spend_30d
+        |FROM orders""".stripMargin,
+    "q39_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+        |FROM part""".stripMargin,
     // NOTE: the driver's correctness gate always runs at sf0.01, so the
     // listing oracle globs that directory literally (a DuckDB oracle has no
     // way to receive the sfDir parameter).

@@ -368,6 +368,50 @@ object Relational {
     * shuffles on partkey (both sides co-partition) and AQE broadcasts it
     * while it's genuinely small. Decimal-exact sums; the percentage is one
     * double multiply-then-divide, mirrored exactly in the oracle. */
+  /** q37: explicit GROUPING SETS — the general form rollup/cube are sugar
+    * for; each set is a separate grand-total lane in one aggregation pass
+    * (same single-shuffle plan as q17/q33). */
+  def q37GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(dbl(sum(m(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n"))
+
+  /** q38: RANGE-frame window — per customer, total order value in the
+    * 30 days preceding each order (value-based frame over event time, the
+    * sliding-lookback shape ROWS frames can't express). Frames are over
+    * epoch micros so the bound is engine-portable; RANGE includes
+    * same-timestamp peers, so the result is deterministic under ties. */
+  def q38WindowRange(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od_us"))
+      .rangeBetween(-2592000000000L, 0L) // 30 days in microseconds
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        // o_orderdate is TIMESTAMP_NTZ on disk; the session runs UTC, so
+        // the cast is value-identical and matches the oracle's epoch_us
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+        col("o_totalprice"))
+      .withColumn("spend_30d", dbl(sum(m(col("o_totalprice"))).over(w)))
+      .select(col("o_orderkey"), col("o_custkey"), col("spend_30d"))
+  }
+
+  /** q39: unpivot/melt — wide metric columns to (key, metric, val) rows,
+    * the inverse of q23's pivot. Row-local (zero shuffle). */
+  def q39Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")),
+        "metric", "val")
+
   def q34PartPromo(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
