@@ -112,6 +112,49 @@ class PlanSpec extends SparkSpec {
       s"expected exactly 1 shuffle, got $exchanges: ${p.take(1200)}")
   }
 
+  test("dynamic partition pruning injects a runtime partition filter") {
+    // at 100 TB the scan of a date/status-partitioned fact MUST be pruned
+    // by the dim filter's runtime values, not read in full — assert Spark
+    // plans the join that way over our partitioned layout
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_dpp_orders"
+    Tables.orders(s, sf).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(dir)
+    val fact = s.read.parquet(dir)
+    val dim = Tables.orders(s, sf)
+      .select(col("o_orderstatus").as("st"), col("o_orderpriority"))
+      .distinct().filter(col("o_orderpriority") === "1-URGENT")
+    val p = plan(fact.join(dim, col("o_orderstatus") === col("st"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n")))
+    assert(p.contains("dynamicpruningexpression"),
+      s"no DPP in plan: ${p.take(1000)}")
+  }
+
+  test("runtime bloom filter prunes the probe side of a shuffle join") {
+    // the other runtime filter: when the build side is selective but too
+    // big to broadcast, a bloom filter of its keys pre-filters the fact
+    // scan before the shuffle — the difference between shuffling 100 TB
+    // and shuffling the matching fraction
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1000000000",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> s.conf.get(k) }
+    try {
+      keys.foreach { case (k, v) => s.conf.set(k, v) }
+      val li = Tables.lineitem(s, sf)
+      val ord = Tables.orders(s, sf).filter(col("o_totalprice") > 450000)
+      val p = plan(li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n")))
+      assert(p.contains("bloom_filter_agg") && p.contains("might_contain"),
+        s"no runtime bloom filter in plan: ${p.take(1000)}")
+    } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("q07 selective agg pushes both date bounds") {
     val p = plan(Relational.q07SelectiveAgg(spark, sf))
     val filterLine = p.linesIterator
