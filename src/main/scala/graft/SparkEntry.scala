@@ -50,6 +50,7 @@ object SparkEntry {
     "q37_grouping_sets"       -> (Relational.q37GroupingSets _),
     "q38_window_range"        -> (Relational.q38WindowRange _),
     "q39_unpivot"             -> (Relational.q39Unpivot _),
+    "op_upsert"               -> (Relational.opUpsert _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
     "q36_orc_roundtrip"       -> (StorageRoundtrip.orcRoundtrip _),
     "op_salted_join"          -> (SkewJoin.saltedOrdersBySegment _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "ta_pii_scrub"            -> (TextAnalysis.piiScrubDocs _),
     "ta_sample_stratified"    -> (TextAnalysis.sampleStratified _),
     "ta_pack_sequences"       -> (TextAnalysis.packSequences _),
+    "ta_tfidf"                -> (TextAnalysis.tfidf _),
     "ta_sessionize"           -> (TextAnalysis.sessionize _),
     "pipe_clean_corpus"       -> (Pipeline.cleanCorpus _),
     "sim_knn_brute"           -> (Similarity.knnBrute _),
@@ -392,6 +394,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
         |FROM part""".stripMargin,
+    "op_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority, 0 AS src
+        |  FROM orders),
+        |updates AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    CAST(o_totalprice + 1000.0 AS DOUBLE) AS o_totalprice,
+        |    '5-LOW' AS o_orderpriority, 1 AS src
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |inserts AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+        |    'N' AS o_orderstatus,
+        |    CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority, 1 AS src
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |merged AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates
+        |        UNION ALL SELECT * FROM inserts))
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM merged WHERE rn = 1""".stripMargin,
     // NOTE: the driver's correctness gate always runs at sf0.01, so the
     // listing oracle globs that directory literally (a DuckDB oracle has no
     // way to receive the sfDir parameter).
@@ -569,6 +589,16 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |       COUNT(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    "ta_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+        |SELECT t.doc_id, t.tok, t.tf, d.df,
+        |  ROUND(t.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / d.df), 4)
+        |    AS tfidf
+        |FROM tf t JOIN df d USING (tok)""".stripMargin,
     // The corpus has no PII, so both sides inject identical deterministic
     // contact lines keyed on doc_id; patterns are the RE2/Java-regex common
     // subset, so the scrub + counts replay bit-exactly.

@@ -412,6 +412,37 @@ object Relational {
         Array(col("p_size"), col("p_retailprice")),
         "metric", "val")
 
+  /** op_upsert: MERGE-style upsert — apply a deterministic change set
+    * (updates to every 10th order, inserts of new keys derived from every
+    * 97th) onto the orders base, latest-wins per key. The plan is the
+    * scale-canonical merge: union the base with the (much smaller) change
+    * set, ONE shuffle on the key, and a per-key window keeps the newest
+    * version — no driver-side diffing, no row-by-row apply. */
+  def opUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        dbl(col("o_totalprice")).as("o_totalprice"), col("o_orderpriority"))
+      .withColumn("src", lit(0))
+    val updates = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        dbl(col("o_totalprice") + 1000.0).as("o_totalprice"),
+        lit("5-LOW").as("o_orderpriority"), lit(1).as("src"))
+    val inserts = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"),
+        dbl(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderpriority"), lit(1).as("src"))
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("src").desc)
+    base.unionByName(updates).unionByName(inserts)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+  }
+
   def q34PartPromo(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&

