@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 128-permutation MinHash signature of a document's 3-token shingles,
@@ -68,20 +68,17 @@ object MinHashSignature {
   private val B: Array[Long] =
     Array.tabulate(NumPerms)(permCoeff(_, 0x2545F4914F6CDD1DL))
 
-  /** One pass: whitespace tokens (empties dropped, like wsTokens), 3-token
-    * shingles "a b c", xxhash64(seed 42) per shingle — matching SQL
-    * `xxhash64(concat_ws(' ', t0, t1, t2))` — then 128 running minima of
-    * (a_i·(h mod P) + b_i) mod P. Null for < 3 tokens. */
+  /** One pass: shingle hashes via the shared [[ShingleHashes]] kernel
+    * (whitespace tokens, "a b c" shingles, xxhash64 seed 42 — matching
+    * SQL `xxhash64(concat_ws(' ', t0, t1, t2))`), then 128 running
+    * minima of (a_i·(h mod P) + b_i) mod P. Null for < 3 tokens. */
   def compute(text: UTF8String): Array[Long] = {
-    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < 3) return null
+    val hashes = ShingleHashes.compute(text)
+    if (hashes.isEmpty) return null
     val mins = Array.fill(NumPerms)(Long.MaxValue)
     var i = 0
-    while (i + 2 < toks.length) {
-      val sh = UTF8String.fromString(
-        toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
-      val h = XxHash64Function.hash(sh, StringType, 42L)
-      var hp = h % P
+    while (i < hashes.length) {
+      var hp = hashes(i) % P
       if (hp < 0) hp += P
       var j = 0
       while (j < NumPerms) {

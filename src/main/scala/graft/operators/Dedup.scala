@@ -43,23 +43,17 @@ object Dedup {
       .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
   }
 
-  /** Distinct (doc_id, shingle-hash) rows. Shingles are built with
-    * posexplode + window lead — flat codegen'd expressions throughout (a
-    * higher-order transform/slice formulation evaluates interpreted and
-    * measured ~10x slower). The 64-bit hash stands in for the shingle
-    * string everywhere downstream: set sizes, intersections, and minhash
-    * permutations are all over longs (collision odds ~1e-11 per doc). */
-  private[graft] def shingleHashRows(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs
-      .select(col("doc_id"),
-        posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("l1", lead(col("tok"), 1).over(w))
-      .withColumn("l2", lead(col("tok"), 2).over(w))
-      .filter(col("l2").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", col("tok"), col("l1"), col("l2"))).as("h"))
-  }
+  /** (doc_id, shingle-hash) rows, one per shingle occurrence. Shingling +
+    * hashing is the native [[graft.functions.ShingleHashes]] kernel — a
+    * shuffle-free projection (the earlier posexplode + window-lead plan
+    * shuffled every token row through a per-doc window sort; an HOF
+    * transform/slice formulation evaluates interpreted, ~10x slower). The
+    * 64-bit hash stands in for the shingle string everywhere downstream:
+    * set sizes, intersections, and minhash permutations are all over
+    * longs (collision odds ~1e-11 per doc). */
+  private[graft] def shingleHashRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes(col("text"))).as("h"))
 
   /** Shingle rows of only the docs appearing in the candidate pair set —
     * a broadcast semi-join prunes the corpus before the (re)shingling
