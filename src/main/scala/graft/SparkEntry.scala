@@ -51,6 +51,9 @@ object SparkEntry {
     "q38_window_range"        -> (Relational.q38WindowRange _),
     "q39_unpivot"             -> (Relational.q39Unpivot _),
     "op_upsert"               -> (Relational.opUpsert _),
+    "op_scd2"                 -> (Relational.opScd2 _),
+    "q40_schema_evolution"    -> (StorageRoundtrip.schemaEvolution _),
+    "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
     "q36_orc_roundtrip"       -> (StorageRoundtrip.orcRoundtrip _),
     "op_salted_join"          -> (SkewJoin.saltedOrdersBySegment _),
@@ -589,6 +592,31 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |       COUNT(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
+    "op_scd2" ->
+      """SELECT o_orderkey, o_custkey, valid_from_us,
+        |  LEAD(valid_from_us) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from_us, o_orderkey) AS valid_to_us,
+        |  LEAD(valid_from_us) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from_us, o_orderkey) IS NULL AS is_current
+        |FROM (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS valid_from_us
+        |      FROM orders)""".stripMargin,
+    "q40_schema_evolution" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(o_orderstatus) AS n_status
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 1)""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(range(0, greatest(1, CAST(ceil(length(text)/256.0) AS BIGINT)))) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        |  md5(substr(text, CAST(frame_idx*256+1 AS INT), 256)) AS frame_md5
+        |FROM f WHERE frame_idx % 4 = 0""".stripMargin,
     "ta_tfidf" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok

@@ -64,6 +64,25 @@ object Multimodal {
     s.createDataFrame(decoded, decodedSchema)
   }
 
+  /** mm_frame_sample: deterministic frame sampling over an opaque payload
+    * — the payload is sliced into fixed 256-char frames and every 4th
+    * frame is kept, fingerprinted by md5. This is the video-pipeline
+    * access pattern (seek to frame boundaries, decode a strided subset)
+    * with the decode replaced by a hash the oracle can replay; the
+    * explode fan-out is bounded by payload size / frame size per row and
+    * everything is row-local (zero shuffle). */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val nFrames = greatest(lit(1L),
+      ceil(length(col("text")) / lit(256.0)).cast("long"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), nFrames - 1)).as("frame_idx"))
+      .filter(pmod(col("frame_idx"), lit(4)) === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr("substring(text, CAST(frame_idx*256+1 AS INT), 256)")
+          .cast("binary")).as("frame_md5"))
+  }
+
   /** Resize to fit a max edge, preserving aspect ratio — the arithmetic a
     * real resize kernel uses to pick its output buffer. */
   private def resizeDims(w: Int, h: Int, maxEdge: Int): (Int, Int) = {

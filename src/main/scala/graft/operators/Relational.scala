@@ -412,6 +412,22 @@ object Relational {
         Array(col("p_size"), col("p_retailprice")),
         "metric", "val")
 
+  /** op_scd2: slowly-changing-dimension type 2 — turn a per-key change
+    * log (each customer's orders in date order) into versioned rows with
+    * validity intervals: valid_from = this change's time, valid_to = the
+    * next change's time, NULL marks the current version. One shuffle on
+    * the key, one in-partition window pass — the standard way to build
+    * point-in-time-joinable dimension history at any scale. */
+  def opScd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("valid_from_us"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
   /** op_upsert: MERGE-style upsert — apply a deterministic change set
     * (updates to every 10th order, inserts of new keys derived from every
     * 97th) onto the orders base, latest-wins per key. The plan is the

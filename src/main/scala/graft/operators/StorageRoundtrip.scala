@@ -119,6 +119,27 @@ object StorageRoundtrip {
         sum(col("price")).cast("double").as("sum_price"))
   }
 
+  /** q40: schema evolution — two parquet generations (v2 adds a column)
+    * read back as ONE table via mergeSchema; the old generation's missing
+    * column reads as NULL. This is how a long-lived 100 TB table actually
+    * looks on disk: readers must span schema versions without a rewrite.
+    * The oracle replays the union with an explicit NULL column. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("schema_evo_orders")
+    val orders = Tables.orders(s, d)
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"), col("o_totalprice").cast(D12).as("price"))
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"), col("o_totalprice").cast(D12).as("price"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"),
+        count(col("o_orderstatus")).as("n_status"))
+  }
+
   /** q27: text sink + source — raw line ingestion (the reference's
     * text-oriented HDFS file model), aggregated by line length. */
   def textLines(s: SparkSession, d: String): DataFrame = {
