@@ -10,15 +10,35 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * Engine factory does) or `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def unary(name: String, clazz: Class[_], build: Expression => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"$name requires 1 argument, got ${children.length}")
+      build(children.head)
+    })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         "cosine_similarity"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 2,
           s"cosine_similarity requires 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectFunction(unary("rolling_hash",
+      classOf[graft.functions.RollingHash], graft.functions.RollingHash(_)))
+    ext.injectFunction(unary("minhash_signature",
+      classOf[graft.functions.MinHashSignature],
+      graft.functions.MinHashSignature(_)))
+    ext.injectFunction(unary("shingle_hashes",
+      classOf[graft.functions.ShingleHashes],
+      graft.functions.ShingleHashes(_)))
   }
 }

@@ -85,6 +85,17 @@ class FunctionsSpec extends SparkSpec {
     assert(got == 1.0)
   }
 
+  test("all native expressions are callable from SQL via GraftExtensions") {
+    val rh = spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)
+    assert(rh == ((('a' * 31L + 'b') % 2147483647L) * 31 + 'c') % 2147483647L)
+    val sh = spark.sql("SELECT size(shingle_hashes('a b c d')) AS n")
+      .head().getInt(0)
+    assert(sh == 2)
+    val mh = spark.sql("SELECT size(minhash_signature('a b c d')) AS n")
+      .head().getInt(0)
+    assert(mh == 128)
+  }
+
   test("bpe tokens split words and symbols") {
     val s = spark
     import s.implicits._
