@@ -99,6 +99,7 @@ object SparkEntry {
     "st_stream_window"        -> (Streams.streamWindow _),
     "st_stream_session"       -> (Streams.streamSession _),
     "st_stream_enrich"        -> (Streams.streamEnrich _),
+    "st_stream_join"          -> (Streams.streamJoin _),
   )
 
   /** ta_langid oracle: same stopword-profile scores, argmax with the same
@@ -728,6 +729,13 @@ object SparkEntry {
     "st_stream_enrich" ->
       """SELECT event_id, user_id, event_type, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
+    "st_stream_join" ->
+      """SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
     "st_stream_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |  COUNT(*) AS n,

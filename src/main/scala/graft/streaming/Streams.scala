@@ -98,6 +98,41 @@ object Streams {
     s.table("st_stream_enrich")
   }
 
+  /** st_stream_join: watermarked stream-stream interval join — each
+    * purchase matched to the same user's clicks in the preceding hour.
+    * Both sides carry watermarks and the join condition bounds event time
+    * on both sides, so state is EXPIRABLE: a click's join-state entry
+    * dies once the purchase-side watermark passes its upper bound — the
+    * only stream-stream join formulation whose state doesn't grow forever.
+    * Drained with AvailableNow, so the result equals the batch join and
+    * the oracle checks it exactly. */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src = s.readStream.schema(eventsDdl)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("p_user").as("user_id"), col("c_id"))
+    val q = joined.writeStream
+      .format("memory").queryName("st_stream_join")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("st_stream_join")
+  }
+
   // ---- Stateful sessionization --------------------------------------------
 
   case class Event(user_id: Long, ts_us: Long, event_id: Long)
