@@ -64,6 +64,7 @@ object SparkEntry {
     "mr_wordcount"            -> (MapReduceJobs.wordCount _),
     "mr_api_wordcount"        -> (MapReduceJobs.wordCountViaApi _),
     "mr_grep"                 -> (MapReduceJobs.grep _),
+    "mr_api_grep"             -> (MapReduceJobs.grepViaApi _),
     "mr_sort"                 -> (MapReduceJobs.sort _),
     "mr_inverted_index"       -> (MapReduceJobs.invertedIndex _),
     "mr_inverted_postings"    -> (MapReduceJobs.invertedPostings _),
@@ -447,6 +448,32 @@ object SparkEntry {
     "mr_grep" ->
       """SELECT source, COUNT(*) AS n FROM documents
         |WHERE text LIKE '%spark%' GROUP BY source""".stripMargin,
+    "mr_api_grep" ->
+      """SELECT source, COUNT(*) AS n FROM documents
+        |WHERE text LIKE '%spark%' GROUP BY source""".stripMargin,
+    // Replays fakeDecode's modular byte fold per char (corpus is ASCII:
+    // bytes == codepoints) and the resize/sample integer arithmetic.
+    "mm_decode_stub" ->
+      """WITH hh AS (SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(string_split_regex(text, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 2147483647) AS h
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CAST(64 + h % 1024 AS INT) AS width,
+        |    CAST(64 + (h // 1024) % 1024 AS INT) AS height,
+        |    CAST(1 + (h // 1048576) % 32 AS INT) AS n_frames,
+        |    (h % 1000000) / 1000000.0 AS feat_mean
+        |  FROM hh)
+        |SELECT doc_id, width, height, n_frames, feat_mean,
+        |  CASE WHEN greatest(width, height) <= 256 THEN width
+        |    ELSE greatest(1, CAST(floor(width * (256.0 / greatest(width, height))) AS INT)) END AS resized_w,
+        |  CASE WHEN greatest(width, height) <= 256 THEN height
+        |    ELSE greatest(1, CAST(floor(height * (256.0 / greatest(width, height))) AS INT)) END AS resized_h,
+        |  CASE WHEN n_frames <= 4 THEN array_to_string(range(0, n_frames), ',')
+        |    ELSE array_to_string(list_transform(range(0, 4), i -> (i * n_frames) // 4), ',') END AS sampled_frames
+        |FROM d""".stripMargin,
     "mr_sort" ->
       """SELECT doc_id, n_chars,
         |  ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank

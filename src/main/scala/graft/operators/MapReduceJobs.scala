@@ -92,6 +92,22 @@ object MapReduceJobs {
       .toDF("word", "n")
   }
 
+  /** mr_api_grep: grep routed through the GENERAL user contract
+    * [[graft.api.MapReduce.runGroups]] — the reducer sees its key's whole
+    * value group (the non-combinable MR idiom). The lambda map phase
+    * can't push the substring filter to the scan (the trade a black-box
+    * user function always makes vs [[grep]]'s Catalyst plan); the same
+    * oracle checks both paths. */
+  def grepViaApi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("text")).as[(String, String)]
+    graft.api.MapReduce.runGroups(docs) { case (src, text) =>
+      if (text.contains("spark")) Iterator.single((src, 1L)) else Iterator.empty
+    } { (k, it) => (k, it.sum) }
+      .toDF("source", "n")
+  }
+
   /** mr_secondary_sort: the classic MR secondary-sort pattern — partition
     * by the grouping key, sort within partitions by a composite key, then
     * one streaming pass numbers each user's events in time order. This is

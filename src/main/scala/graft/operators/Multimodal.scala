@@ -97,15 +97,19 @@ object Multimodal {
     else (0 until k).map(i => (i.toLong * n / k).toInt)
 
   /** Deterministic stand-in for a media decoder: derives fake dimensions,
-    * frame count, and a feature mean from the payload bytes alone. */
+    * frame count, and a feature mean from the payload bytes alone. The
+    * fold is MODULAR (mod 2^31−1, no long overflow) so the DuckDB oracle
+    * can replay it with list_reduce over per-char codepoints — the corpus
+    * is ASCII, where bytes and codepoints coincide. */
+  private val P = 2147483647L
   private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Double) = {
-    var h = 1125899906842597L
+    var h = 7L
     var i = 0
-    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    val width = 64 + (math.abs(h) % 1024).toInt
-    val height = 64 + (math.abs(h >> 10) % 1024).toInt
-    val frames = 1 + (math.abs(h >> 20) % 32).toInt
-    val featMean = (math.abs(h >> 25) % 1000000) / 1000000.0
+    while (i < bytes.length) { h = (h * 31 + (bytes(i) & 0xFF)) % P; i += 1 }
+    val width = 64 + (h % 1024).toInt
+    val height = 64 + ((h / 1024) % 1024).toInt
+    val frames = 1 + ((h / 1048576) % 32).toInt
+    val featMean = (h % 1000000) / 1000000.0
     (width, height, frames, featMean)
   }
 }
