@@ -53,6 +53,7 @@ object SparkEntry {
     "op_upsert"               -> (Relational.opUpsert _),
     "op_scd2"                 -> (Relational.opScd2 _),
     "q40_schema_evolution"    -> (StorageRoundtrip.schemaEvolution _),
+    "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
     "q36_orc_roundtrip"       -> (StorageRoundtrip.orcRoundtrip _),
@@ -628,6 +629,12 @@ object SparkEntry {
         |    ORDER BY valid_from_us, o_orderkey) IS NULL AS is_current
         |FROM (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS valid_from_us
         |      FROM orders)""".stripMargin,
+    // bucketing must be invisible in results: the oracle is the plain join
+    "op_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
     "q40_schema_evolution" ->
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,

@@ -335,18 +335,20 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("rep")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min(col("rep")).as("nrep"))
+      // carry the previous label through as `old` so convergence is a
+      // filter-count on the checkpointed result — no extra join per round
       val propagated = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("rep").as("old"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
       val repTable = propagated
         .select(col("doc_id").as("repkey"), col("rep").as("rrep"))
       val next = propagated
         .join(repTable, col("rep") === col("repkey"), "left")
-        .select(col("doc_id"), coalesce(col("rrep"), col("rep")).as("rep"))
+        .select(col("doc_id"), col("old"),
+          coalesce(col("rrep"), col("rep")).as("rep"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("rep", "old"), "doc_id")
-        .filter(col("rep") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("rep") =!= col("old")).count()
+      labels = next.select(col("doc_id"), col("rep"))
       rounds += 1
     }
     labels

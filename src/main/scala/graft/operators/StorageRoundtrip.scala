@@ -119,6 +119,37 @@ object StorageRoundtrip {
         sum(col("price")).cast("double").as("sum_price"))
   }
 
+  /** op_bucketed_join: co-located join via bucketed tables — both sides
+    * written `bucketBy` the join key, so the join needs NO exchange at
+    * any scale (the layout IS the shuffle, paid once at write time and
+    * amortized over every subsequent join; PlanSpec proves the
+    * zero-Exchange plan). The oracle is the plain join — bucketing must
+    * be invisible in results. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (liT, ordT) = ("graft_li_bkt", "graft_ord_bkt")
+    Seq(liT, ordT).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      // a fresh derby metastore doesn't know about table dirs left by a
+      // previous JVM — clear stale locations before CTAS
+      val dir = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse/$t")
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity").cast(D12).as("qty"))
+      .write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable(liT)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable(ordT)
+    s.table(liT)
+      .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).cast("double").as("sum_qty"))
+  }
+
   /** q40: schema evolution — two parquet generations (v2 adds a column)
     * read back as ONE table via mergeSchema; the old generation's missing
     * column reads as NULL. This is how a long-lived 100 TB table actually
