@@ -112,6 +112,38 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 11)
   }
 
+  test("connected components match a union-find reference on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (trial <- 1 to 3) {
+      val n = 100 + trial * 50
+      val edges = Seq.fill(n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = operators.Dedup.connectedComponents(
+        edges.toDF("d1", "d2")).as[(Long, Long)].collect().toMap
+      // min-label propagation and union-find both root at the component
+      // min because union always keeps the smaller id
+      assert(got == want,
+        s"trial $trial: ${(got.toSet diff want.toSet).take(5)}")
+    }
+  }
+
   test("dd_cluster reps are consistent with the verified pair graph") {
     val s = spark
     import s.implicits._
