@@ -90,6 +90,7 @@ object SparkEntry {
     "ta_tfidf"                -> (TextAnalysis.tfidf _),
     "ta_sessionize"           -> (TextAnalysis.sessionize _),
     "pipe_clean_corpus"       -> (Pipeline.cleanCorpus _),
+    "pipe_dedup_corpus"       -> (Pipeline.dedupCorpus _),
     "sim_knn_brute"           -> (Similarity.knnBrute _),
     "sim_ann_lsh"             -> (Similarity.annLsh _),
     "sim_ann_ivf"             -> (Similarity.annIvf _),
@@ -728,6 +729,42 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |       COUNT(*) AS n
         |FROM dd WHERE keep GROUP BY 1""".stripMargin,
+    "pipe_dedup_corpus" ->
+      """WITH RECURSIVE kept AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      doc_id = MIN(doc_id) OVER (
+        |        PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep
+        |    FROM documents) WHERE keep),
+        |w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM kept),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM cand
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.8),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |dropped AS (
+        |  SELECT src AS doc_id FROM reach GROUP BY src HAVING MIN(dst) <> src)
+        |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n
+        |FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY 1""".stripMargin,
     "sim_knn_brute" ->
       """SELECT q_id, n_id, rank FROM (
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,

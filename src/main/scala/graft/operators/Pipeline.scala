@@ -46,4 +46,35 @@ object Pipeline {
           .otherwise("test").as("split"))
       .groupBy(col("split")).agg(count(lit(1)).as("n"))
   }
+
+  /** pipe_dedup_corpus: the full dedup story composed end-to-end — exact
+    * dedup, then NEAR-dup removal via the verified n-gram pair graph's
+    * connected components (every doc whose component representative isn't
+    * itself is dropped), then split counts. This is the keep-one-per-
+    * cluster semantics a crawl pipeline actually ships: pairs alone
+    * don't dedup anything; components + representative selection do.
+    * Chains [[Dedup.exact]]-shape dedup, [[Dedup.ngramJaccardDocs]],
+    * [[Dedup.connectedComponents]], and the ta_split bucketing — each
+    * stage's expressions byte-identical to its standalone operator, so
+    * the oracle replays the chain (recursive CTE for the closure). */
+  def dedupCorpus(s: SparkSession, d: String): DataFrame = {
+    val byFp = Window.partitionBy(col("fp"))
+    val exactKept = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(true) // feeds pair-gen AND the final anti-join
+    val reps = Dedup.connectedComponents(
+      Dedup.ngramJaccardDocs(exactKept).select(col("d1"), col("d2")))
+    val dropped = reps.filter(col("rep") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val bucket =
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    exactKept.join(dropped, Seq("doc_id"), "left_anti")
+      .select(when(bucket < "e6", "train")
+        .when(bucket < "f3", "val")
+        .otherwise("test").as("split"))
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+  }
 }
