@@ -85,6 +85,18 @@ class FunctionsSpec extends SparkSpec {
     assert(got == 1.0)
   }
 
+  test("short docs: minhash is null, shingles empty — never partials") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq("a b", "", "a b c").toDF("t")
+      .select(graft.functions.MinHashSignature(col("t")).as("sig"),
+        graft.functions.ShingleHashes(col("t")).as("sh"))
+      .as[(Option[Seq[Long]], Seq[Long])].collect()
+    assert(rows(0)._1.isEmpty && rows(0)._2.isEmpty)
+    assert(rows(1)._1.isEmpty && rows(1)._2.isEmpty)
+    assert(rows(2)._1.exists(_.length == 128) && rows(2)._2.length == 1)
+  }
+
   test("all native expressions are callable from SQL via GraftExtensions") {
     val rh = spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)
     assert(rh == ((('a' * 31L + 'b') % 2147483647L) * 31 + 'c') % 2147483647L)
