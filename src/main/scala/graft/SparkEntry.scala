@@ -458,7 +458,8 @@ object SparkEntry {
     "mm_decode_stub" ->
       """WITH hh AS (SELECT doc_id,
         |    list_reduce(list_prepend(CAST(7 AS BIGINT),
-        |      list_transform(string_split_regex(text, ''),
+        |      list_transform(
+        |        list_filter(string_split_regex(text, ''), c -> c <> ''),
         |        c -> CAST(ascii(c) AS BIGINT))),
         |      (a, b) -> (a * 31 + b) % 2147483647) AS h
         |  FROM documents),

@@ -23,7 +23,9 @@ object Sweep {
         val t0 = System.nanoTime()
         val rows = fn(spark, sfDir).count()
         Some((name, (System.nanoTime() - t0) / 1e9, rows))
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // fatal errors (OOM, stack overflow) must propagate: timings
+        // taken in a corrupted JVM would be garbage
         System.err.println(s"[sweep] $name FAILED: $e"); None
       }
     }

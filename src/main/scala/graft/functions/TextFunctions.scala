@@ -45,6 +45,26 @@ object TextFunctions {
   /** md5 hex fingerprint of the normal form. */
   def fingerprint(c: Column): Column = md5(normText(c))
 
+  /** Deterministic train/val/test assignment from the first two hex chars
+    * of md5(doc_id): < 'e6' (230/256 ≈ 90%) train, < 'f3' (≈ 5%) val,
+    * rest test. THE single definition — ta_split and both pipe_* queries
+    * use it, and their oracles replay exactly this expression; edit here
+    * and the oracle SQL together or parity breaks. */
+  def splitBucket(docId: Column): Column = {
+    val bucket = substring(md5(docId.cast("string").cast("binary")), 1, 2)
+    when(bucket < "e6", "train")
+      .when(bucket < "f3", "val")
+      .otherwise("test")
+  }
+
+  /** keep = is this row the minimum doc_id of its fingerprint group — the
+    * shared keep-one-representative window of dd_exact/dd_prefix and the
+    * pipeline dedup stages (one shuffle on fp). */
+  def keepMinByFp(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    df.withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
+  }
+
   /** PII patterns, deliberately restricted to syntax that means the same
     * thing in Java regex (Spark codegen) and RE2 (DuckDB oracle): character
     * classes, bounded repetition, ASCII \b. Scrub order matters: emails

@@ -24,24 +24,18 @@ object Dedup {
   /** dd_exact: exact dedup on the md5 of normalized text. Emits every doc
     * with its fingerprint and whether it is the kept representative
     * (minimum doc_id in its group) — one shuffle on the fingerprint. */
-  def exact(s: SparkSession, d: String): DataFrame = {
-    val byFp = Window.partitionBy(col("fp"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
-  }
+  def exact(s: SparkSession, d: String): DataFrame =
+    keepMinByFp(Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp")))
 
   /** dd_prefix: boilerplate-prefix dedup — fingerprint only the first 80
     * chars of the normal form (the flavor that catches templated pages /
     * shared headers that diverge in a tail). Same one-shuffle keep-min
     * shape as [[exact]]. */
-  def prefixDedup(s: SparkSession, d: String): DataFrame = {
-    val byFp = Window.partitionBy(col("fp"))
-    Tables.documents(s, d)
+  def prefixDedup(s: SparkSession, d: String): DataFrame =
+    keepMinByFp(Tables.documents(s, d)
       .select(col("doc_id"),
-        md5(substring(normText(col("text")), 1, 80)).as("fp"))
-      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
-  }
+        md5(substring(normText(col("text")), 1, 80)).as("fp")))
 
   /** (doc_id, shingle-hash) rows, one per shingle occurrence. Shingling +
     * hashing is the native [[graft.functions.ShingleHashes]] kernel — a

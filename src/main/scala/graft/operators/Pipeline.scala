@@ -32,18 +32,11 @@ object Pipeline {
           (lit(1.0) - col("stop_n").cast("double") / col("n_tok")))
           .as("score"))
       .filter(col("score") >= 0.5)
-    val byFp = Window.partitionBy(col("fp"))
-    val deduped = scored
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
+    val deduped = keepMinByFp(
+      scored.select(col("doc_id"), fingerprint(col("text")).as("fp")))
       .filter(col("keep"))
-    val bucket =
-      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
     deduped
-      .select(col("doc_id"),
-        when(bucket < "e6", "train")
-          .when(bucket < "f3", "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitBucket(col("doc_id")).as("split"))
       .groupBy(col("split")).agg(count(lit(1)).as("n"))
   }
 
@@ -58,10 +51,8 @@ object Pipeline {
     * stage's expressions byte-identical to its standalone operator, so
     * the oracle replays the chain (recursive CTE for the closure). */
   def dedupCorpus(s: SparkSession, d: String): DataFrame = {
-    val byFp = Window.partitionBy(col("fp"))
-    val exactKept = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp"))
-      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byFp))
+    val exactKept = keepMinByFp(Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), fingerprint(col("text")).as("fp")))
       .filter(col("keep"))
       .select(col("doc_id"), col("text"))
       .localCheckpoint(true) // feeds pair-gen AND the final anti-join
@@ -69,12 +60,8 @@ object Pipeline {
       Dedup.ngramJaccardDocs(exactKept).select(col("d1"), col("d2")))
     val dropped = reps.filter(col("rep") =!= col("doc_id"))
       .select(col("doc_id"))
-    val bucket =
-      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
     exactKept.join(dropped, Seq("doc_id"), "left_anti")
-      .select(when(bucket < "e6", "train")
-        .when(bucket < "f3", "val")
-        .otherwise("test").as("split"))
+      .select(splitBucket(col("doc_id")).as("split"))
       .groupBy(col("split")).agg(count(lit(1)).as("n"))
   }
 }

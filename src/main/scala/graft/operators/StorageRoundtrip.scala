@@ -23,6 +23,11 @@ object StorageRoundtrip {
   private def tmp(name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_rt_${ProcessHandle.current().pid()}/$name"
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+
   /** The reference's `list` operation: enumerate a storage path through
     * the Hadoop FileSystem API (works for any supported scheme — local,
     * HDFS, s3a) as a DataFrame of (path, bytes, is_dir). Driver-side
@@ -129,11 +134,12 @@ object StorageRoundtrip {
     val (liT, ordT) = ("graft_li_bkt", "graft_ord_bkt")
     Seq(liT, ordT).foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
-      // a fresh derby metastore doesn't know about table dirs left by a
-      // previous JVM — clear stale locations before CTAS
-      val dir = new java.io.File(
-        s"${sys.props("java.io.tmpdir")}/graft_warehouse/$t")
-      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+      // a fresh in-memory catalog doesn't know about table dirs left by a
+      // previous run of this JVM's warehouse — clear stale locations
+      // (recursively: a killed run can leave _temporary/ subtrees) before
+      // CTAS, or saveAsTable fails with "location already exists"
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      deleteRecursively(new java.io.File(s"$wh/$t"))
     }
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_quantity").cast(D12).as("qty"))

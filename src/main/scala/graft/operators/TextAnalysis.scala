@@ -80,15 +80,10 @@ object TextAnalysis {
     * (the property random() splits lack). Buckets by the first two hex
     * chars of md5: < 'e6' (230/256 ≈ 90%) train, < 'f3' (≈ 5%) val, rest
     * test. Lexicographic hex compare works identically in any engine. */
-  def split3(s: SparkSession, d: String): DataFrame = {
-    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+  def split3(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        when(bucket < "e6", "train")
-          .when(bucket < "f3", "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitBucket(col("doc_id")).as("split"))
       .groupBy(col("split")).agg(count(lit(1)).as("n"))
-  }
 
   /** ta_repetition: per-doc token-repetition stats — the cheap repetition
     * detector pipelines use to drop boilerplate and spam (high max-token

@@ -41,6 +41,7 @@ class OperatorSmokeSpec extends SparkSpec {
   // (near-dup pairs may not exist among ~50 docs).
   private val mayBeEmpty = Set(
     "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard", "dd_embed_cosine",
+    "dd_cluster", // components of the (may-be-empty) ngram pair graph
     "q05_anti_join")
 
   SparkEntry.queries.foreach { case (name, fn) =>

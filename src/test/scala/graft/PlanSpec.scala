@@ -67,13 +67,14 @@ class PlanSpec extends SparkSpec {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       // a fresh derby metastore doesn't know about table dirs left by a
       // previous JVM — clear the locations before CTAS
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
       Seq("li_bucketed", "ord_bucketed").foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
-        val dir = new java.io.File(
-          s"${sys.props("java.io.tmpdir")}/graft_warehouse/$t")
-        if (dir.exists()) {
-          dir.listFiles().foreach(_.delete()); dir.delete()
-        }
+        rm(new java.io.File(s"$wh/$t"))
       }
       Tables.lineitem(s, sf)
         .select("l_orderkey", "l_quantity")
