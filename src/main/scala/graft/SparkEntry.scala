@@ -94,6 +94,7 @@ object SparkEntry {
     "sim_knn_brute"           -> (Similarity.knnBrute _),
     "sim_ann_lsh"             -> (Similarity.annLsh _),
     "sim_ann_ivf"             -> (Similarity.annIvf _),
+    "sim_ann_pq"              -> (Similarity.annPq _),
     "sim_kmeans"              -> (Similarity.kmeans _),
     "op_asof_join"            -> (AsOf.purchaseToClick _),
     "op_range_join"           -> (AsOf.errorClickWindow _),

