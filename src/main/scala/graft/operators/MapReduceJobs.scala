@@ -92,6 +92,45 @@ object MapReduceJobs {
       .toDF("word", "n")
   }
 
+  /** mr_pagerank: the canonical iterative MapReduce workload — 5 PageRank
+    * rounds over a deterministic synthetic graph on the customer nodes
+    * (two quadratic out-edges per node; quadratic so in-degrees vary and
+    * mass actually concentrates). All arithmetic is INTEGER micro-units
+    * (rank×10⁶, floor division) so every engine computes bit-identical
+    * ranks — no float summation-order drift — and the oracle replays the
+    * 5 rounds as chained SQL CTEs. Per round: one join to ship each
+    * node's rank share along its edges, one groupBy(dst) sum (map-side
+    * combined), one left join to apply the damping update; lineage is
+    * localCheckpoint-flattened per round, the same loop discipline as
+    * [[graft.operators.Dedup.connectedComponents]]. Top-20 by rank via
+    * TakeOrdered. */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.customer(s, d).select(col("c_custkey").as("node"))
+    val n = nodes.count()
+    val edges = nodes.select(col("node").as("src"),
+        pmod(col("node") * col("node") + 7, lit(n)).as("dst"))
+      .union(nodes.select(col("node").as("src"),
+        pmod(lit(13L) * col("node") * col("node") + col("node") + 5,
+          lit(n)).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .join(outdeg, "src")
+        .groupBy(col("dst")).agg(sum(expr("r DIV deg")).as("c"))
+      ranks = ranks.select(col("node"))
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr("150000 + (85 * coalesce(c, 0)) DIV 100").as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.orderBy(col("r").desc, col("node")).limit(20)
+  }
+
   /** mr_api_grep: grep routed through the GENERAL user contract
     * [[graft.api.MapReduce.runGroups]] — the reducer sees its key's whole
     * value group (the non-combinable MR idiom). The lambda map phase
