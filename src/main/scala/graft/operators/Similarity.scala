@@ -145,13 +145,6 @@ object Similarity {
   private def bestCentroid(cents: Seq[Seq[Double]]): Column =
     bestCentroidOn(cents, col("v"))
 
-  /** sim_kmeans: Lloyd's iterations of spherical k-means (cosine
-    * assignment, mean + renormalize update). Centroids live on the driver
-    * between iterations — k×dim doubles, the canonical k-means scale
-    * shape: assignment is a map-only pass, the update is one groupBy with
-    * 64 flat avg() aggregates (map-side combined), and only k rows come
-    * back per iteration. Rows-oracle (float summation order varies with
-    * partitioning; cluster structure, asserted in specs, does not). */
   /** Lloyd iterations of spherical k-means over driver-held centroids —
     * k×dim doubles on the driver, the canonical k-means scale shape:
     * assignment is a map-only pass against literal centroids, the update is
