@@ -211,8 +211,13 @@ object Relational {
 
   /** q16: running sum per key (decimal-exact accumulation). */
   def q16WindowRunning(s: SparkSession, d: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in this data (118k dup
+    // groups at sf0.1, one of which also ties shipdate+suppkey), so the
+    // ROWS frame needs l_quantity in the order: ties then carry equal
+    // quantity and the running sum is invariant under their order
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, d)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
