@@ -511,7 +511,10 @@ object SparkEntry {
         |    ORDER BY ts, event_id) AS seq
         |FROM events""".stripMargin,
     // integer micro-unit PageRank: bit-exact in any engine (no float
-    // summation order); 5 rounds unrolled as chained CTEs
+    // summation order); 5 rounds unrolled as chained CTEs. Each round's
+    // rank is CAST back to BIGINT because DuckDB widens the SUM to
+    // HUGEINT, which pandas renders as float64 ("150000.0" vs "150000")
+    // and the driver's value-hash then mismatches on equal numbers.
     "mr_pagerank" ->
       """WITH nodes AS (SELECT c_custkey AS node FROM customer),
         |n AS (SELECT COUNT(*) AS n FROM nodes),
@@ -521,23 +524,23 @@ object SparkEntry {
         |  SELECT DISTINCT node AS src, (13 * node * node + node + 5) % (SELECT n FROM n) AS dst FROM nodes),
         |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
-        |r1 AS (SELECT r0.node, 150000 + (85 * COALESCE(c, 0)) // 100 AS r FROM r0
+        |r1 AS (SELECT r0.node, CAST(150000 + (85 * COALESCE(c, 0)) // 100 AS BIGINT) AS r FROM r0
         |  LEFT JOIN (SELECT e.dst, SUM(p.r // o.deg) AS c FROM edges e
         |    JOIN r0 p ON e.src = p.node JOIN outdeg o ON e.src = o.src GROUP BY e.dst) s
         |  ON r0.node = s.dst),
-        |r2 AS (SELECT r1.node, 150000 + (85 * COALESCE(c, 0)) // 100 AS r FROM r1
+        |r2 AS (SELECT r1.node, CAST(150000 + (85 * COALESCE(c, 0)) // 100 AS BIGINT) AS r FROM r1
         |  LEFT JOIN (SELECT e.dst, SUM(p.r // o.deg) AS c FROM edges e
         |    JOIN r1 p ON e.src = p.node JOIN outdeg o ON e.src = o.src GROUP BY e.dst) s
         |  ON r1.node = s.dst),
-        |r3 AS (SELECT r2.node, 150000 + (85 * COALESCE(c, 0)) // 100 AS r FROM r2
+        |r3 AS (SELECT r2.node, CAST(150000 + (85 * COALESCE(c, 0)) // 100 AS BIGINT) AS r FROM r2
         |  LEFT JOIN (SELECT e.dst, SUM(p.r // o.deg) AS c FROM edges e
         |    JOIN r2 p ON e.src = p.node JOIN outdeg o ON e.src = o.src GROUP BY e.dst) s
         |  ON r2.node = s.dst),
-        |r4 AS (SELECT r3.node, 150000 + (85 * COALESCE(c, 0)) // 100 AS r FROM r3
+        |r4 AS (SELECT r3.node, CAST(150000 + (85 * COALESCE(c, 0)) // 100 AS BIGINT) AS r FROM r3
         |  LEFT JOIN (SELECT e.dst, SUM(p.r // o.deg) AS c FROM edges e
         |    JOIN r3 p ON e.src = p.node JOIN outdeg o ON e.src = o.src GROUP BY e.dst) s
         |  ON r3.node = s.dst),
-        |r5 AS (SELECT r4.node, 150000 + (85 * COALESCE(c, 0)) // 100 AS r FROM r4
+        |r5 AS (SELECT r4.node, CAST(150000 + (85 * COALESCE(c, 0)) // 100 AS BIGINT) AS r FROM r4
         |  LEFT JOIN (SELECT e.dst, SUM(p.r // o.deg) AS c FROM edges e
         |    JOIN r4 p ON e.src = p.node JOIN outdeg o ON e.src = o.src GROUP BY e.dst) s
         |  ON r4.node = s.dst)

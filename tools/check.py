@@ -66,6 +66,17 @@ def main():
             continue
         try:
             exp = con.sql(sql)
+            # The driver compares via pandas, where HUGEINT (DuckDB's
+            # widened SUM type) becomes float64 and hashes as "150000.0"
+            # against Spark's "150000". fetchall() hides that (python
+            # ints), so lint the declared types and fail loudly here.
+            wide = [c for c, t in zip(exp.columns, exp.types)
+                    if str(t) == "HUGEINT"]
+            if wide:
+                print(f"FAIL {name}: oracle column(s) {wide} are HUGEINT "
+                      f"(pandas→float64 on the driver); CAST AS BIGINT")
+                n_fail += 1
+                continue
             e_cols, e_rows = canon(exp.fetchall(), exp.columns)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
