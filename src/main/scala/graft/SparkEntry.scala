@@ -105,6 +105,11 @@ object SparkEntry {
     "st_stream_session"       -> (Streams.streamSession _),
     "st_stream_enrich"        -> (Streams.streamEnrich _),
     "st_stream_join"          -> (Streams.streamJoin _),
+    "mr_triangle_count"       -> (MapReduceJobs.triangleCount _),
+    "ta_ngram_lm"             -> (TextAnalysis.ngramLm _),
+    "q41_datetime"            -> (Relational.q41Datetime _),
+    "q42_string_funcs"        -> (Relational.q42StringFuncs _),
+    "q43_higher_order"        -> (Relational.q43HigherOrder _),
   )
 
   /** ta_langid oracle: same stopword-profile scores, argmax with the same
@@ -545,6 +550,78 @@ object SparkEntry {
         |    JOIN r4 p ON e.src = p.node JOIN outdeg o ON e.src = o.src GROUP BY e.dst) s
         |  ON r4.node = s.dst)
         |SELECT node, r FROM r5 ORDER BY r DESC, node LIMIT 20""".stripMargin,
+    // orientation-FREE replay (numeric a<b<c joins) of the Spark side's
+    // degree-oriented count — per-bucket totals are orientation-invariant
+    "mr_triangle_count" ->
+      """WITH nodes AS (SELECT c_custkey AS node FROM customer),
+        |n AS (SELECT COUNT(*) AS n FROM nodes),
+        |raw AS (
+        |  SELECT node AS a, (node * node + 7) % (SELECT n FROM n) AS b FROM nodes
+        |  UNION ALL
+        |  SELECT node AS a, (13 * node * node + node + 5) % (SELECT n FROM n) AS b FROM nodes
+        |  UNION ALL
+        |  SELECT node AS a, (7 * node + 3) % (SELECT n FROM n) AS b FROM nodes),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM raw
+        |      WHERE least(a, b) <> greatest(a, b)),
+        |tri AS (SELECT e1.u AS a FROM e e1
+        |        JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT a % 10 AS bucket, COUNT(*) AS n_tri FROM tri GROUP BY 1""".stripMargin,
+    "ta_ngram_lm" ->
+      """WITH w AS (SELECT
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |tg AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1], w3 := ws[i+2]))) AS t
+        |  FROM w),
+        |c AS (SELECT t.w1 AS w1, t.w2 AS w2, t.w3 AS w3, COUNT(*) AS n
+        |  FROM tg GROUP BY 1, 2, 3)
+        |SELECT w1, w2, w3, n,
+        |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY w1, w2) AS BIGINT)
+        |    AS cond_micro
+        |FROM c ORDER BY n DESC, w1, w2, w3 LIMIT 20""".stripMargin,
+    "q41_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  year(o_orderdate) AS y,
+        |  quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |  last_day(CAST(o_orderdate AS DATE)) AS ld,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  weekofyear(o_orderdate) AS woy,
+        |  dayofweek(o_orderdate) + 1 AS dow
+        |FROM orders WHERE o_orderkey % 997 = 0""".stripMargin,
+    "q42_string_funcs" ->
+      """SELECT doc_id,
+        |  upper(substr(text, 1, 20)) AS up,
+        |  lower(substr(text, 1, 20)) AS lo,
+        |  reverse(substr(text, 1, 20)) AS rev,
+        |  translate(substr(text, 1, 20), 'aeiou', 'AEIOU') AS tr,
+        |  lpad(CAST(doc_id AS VARCHAR), 8, '0') AS lp,
+        |  repeat(substr(text, 1, 2), 3) AS rep,
+        |  instr(text, 'the') AS ins,
+        |  CAST(ascii(lang) AS BIGINT) AS asc,
+        |  concat_ws('|', lang, source) AS cw,
+        |  regexp_extract(text, '([A-Za-z]+ing)', 1) AS rx,
+        |  levenshtein(lang, source) AS lev,
+        |  CAST(length(string_split_regex(text, '\s+')) AS BIGINT) AS ntok
+        |FROM documents WHERE doc_id % 17 = 0""".stripMargin,
+    "q43_higher_order" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> length(x) > 5)) AS BIGINT) AS n_long,
+        |  CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+        |    AS BIGINT) AS chars,
+        |  array_to_string(list_transform(toks[1:5], x -> upper(x)), ',')
+        |    AS head5_up,
+        |  array_to_string(list_sort(list_distinct(toks[1:8])), ',')
+        |    AS head8_uniq,
+        |  coalesce(list_contains(toks, 'the'), false) AS has_the
+        |FROM t""".stripMargin,
     "dd_exact" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
@@ -129,6 +129,66 @@ object MapReduceJobs {
         .localCheckpoint(true)
     }
     ranks.orderBy(col("r").desc, col("node")).limit(20)
+  }
+
+  /** mr_triangle_count: triangle counting — with PageRank, the canonical
+    * iterative-graph MR workload. Reuses [[pagerank]]'s deterministic
+    * quadratic edge generators (plus one affine generator for density),
+    * canonicalized to an undirected simple graph (u < v, self-loops
+    * dropped). The plan uses DEGREE-ORDERED ORIENTATION: each edge points
+    * from its (degree, id)-lower endpoint to the higher one, which bounds
+    * every node's out-degree by O(√m), so the wedge self-join enumerates
+    * O(m^1.5) candidate pairs worst-case — the optimal bound — instead of
+    * Σ deg² around hub nodes. On a power-law graph (the 100 TB reality)
+    * that is the difference between a bounded shuffle and a hub node
+    * exploding into billions of wedges. Each triangle is counted exactly
+    * once, at its orientation-minimal vertex; a left-semi join closes the
+    * wedge. The oracle replays the count orientation-FREE (numeric
+    * a < b < c joins): per-bucket triangle totals are orientation-
+    * invariant, so two deliberately different plans must agree exactly. */
+  def triangleCount(s: SparkSession, d: String): DataFrame = {
+    val nodes = Tables.customer(s, d).select(col("c_custkey").as("node"))
+    val n = nodes.count()
+    val raw = nodes.select(col("node").as("a"),
+        pmod(col("node") * col("node") + 7, lit(n)).as("b"))
+      .union(nodes.select(col("node").as("a"),
+        pmod(lit(13L) * col("node") * col("node") + col("node") + 5,
+          lit(n)).as("b")))
+      .union(nodes.select(col("node").as("a"),
+        pmod(lit(7L) * col("node") + 3, lit(n)).as("b")))
+    val edges = raw
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // the (degree, id) total order packed into one sortable long; degree
+    // and id are both < 2^31 so the packing never collides
+    def okey(dg: Column, id: Column): Column = dg * lit(1L << 32) + id
+    val oriented = edges
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(when(okey(col("du"), col("u")) < okey(col("dv"), col("v")),
+          struct(col("u").as("src"), col("v").as("dst"),
+            okey(col("dv"), col("v")).as("kdst")))
+        .otherwise(struct(col("v").as("src"), col("u").as("dst"),
+          okey(col("du"), col("u")).as("kdst"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.kdst"))
+      .localCheckpoint(true)
+    val wedges = oriented
+      .select(col("src"), col("dst").as("y"), col("kdst").as("ky"))
+      .join(oriented.select(col("src"), col("dst").as("z"),
+        col("kdst").as("kz")), "src")
+      .where(col("ky") < col("kz"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("y"), col("dst").as("z")),
+      Seq("y", "z"), "left_semi")
+    tris.select(least(col("src"), col("y"), col("z")).as("m"))
+      .groupBy(pmod(col("m"), lit(10L)).as("bucket"))
+      .agg(count(lit(1)).as("n_tri"))
   }
 
   /** mr_api_grep: grep routed through the GENERAL user contract

@@ -464,6 +464,80 @@ object Relational {
         col("o_totalprice"), col("o_orderpriority"))
   }
 
+  /** q41: datetime-function battery over a deterministic order slice —
+    * truncation, field extraction, interval/day arithmetic, ISO week.
+    * Row-local, zero shuffle. The oracle maps each function to its DuckDB
+    * twin, normalizing the two engines' calendar conventions: DuckDB's
+    * dayofweek is 0-based from Sunday where Spark's is 1-based, and
+    * DuckDB's date_trunc returns DATE where Spark returns TIMESTAMP —
+    * both sides project to DATE and Spark's numbering. */
+  def q41Datetime(s: SparkSession, d: String): DataFrame = {
+    val od = col("o_orderdate")
+    Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+      .select(col("o_orderkey"),
+        to_date(od).as("d"),
+        year(od).cast("long").as("y"),
+        quarter(od).cast("long").as("q"),
+        month(od).cast("long").as("m"),
+        to_date(date_trunc("month", od)).as("mon"),
+        last_day(to_date(od)).as("ld"),
+        date_add(to_date(od), 30).as("plus30"),
+        datediff(to_date(od), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        weekofyear(od).cast("long").as("woy"),
+        dayofweek(od).cast("long").as("dow"))
+  }
+
+  /** q42: string-function battery over a deterministic document slice —
+    * case mapping, reverse, translate, pad, repeat, substring search,
+    * regex extraction, edit distance, tokenize-count. Row-local, zero
+    * shuffle; every function is restricted to inputs where the Java
+    * (Spark codegen) and DuckDB definitions provably agree (char-based
+    * semantics on the multilingual text; levenshtein on ASCII columns
+    * since the engines differ on multibyte edit distance). */
+  def q42StringFuncs(s: SparkSession, d: String): DataFrame = {
+    val t20 = substring(col("text"), 1, 20)
+    Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select(col("doc_id"),
+        upper(t20).as("up"),
+        lower(t20).as("lo"),
+        reverse(t20).as("rev"),
+        translate(t20, "aeiou", "AEIOU").as("tr"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("lp"),
+        repeat(substring(col("text"), 1, 2), 3).as("rep"),
+        instr(col("text"), "the").cast("long").as("ins"),
+        ascii(col("lang")).cast("long").as("asc"),
+        concat_ws("|", col("lang"), col("source")).as("cw"),
+        regexp_extract(col("text"), "([A-Za-z]+ing)", 1).as("rx"),
+        levenshtein(col("lang"), col("source")).cast("long").as("lev"),
+        size(split(col("text"), "\\s+")).cast("long").as("ntok"))
+  }
+
+  /** q43: higher-order array functions — filter / aggregate (fold) /
+    * transform / exists over the token array, plus distinct + sort.
+    * Row-local, zero shuffle. NOTE: Spark evaluates lambda functions
+    * interpreted (no codegen), so corpus-scale hot paths use the
+    * explode + aggregate formulation instead (see ta_repetition); this
+    * battery pins down the semantics of the lambda forms themselves.
+    * Array outputs are stringified for exact oracle compare; the
+    * distinct head is sorted on both sides because DuckDB's
+    * list_distinct does not preserve first-occurrence order. */
+  def q43HigherOrder(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select(col("doc_id"),
+        size(filter(toks, t => length(t) > 5)).cast("long").as("n_long"),
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).as("chars"),
+        concat_ws(",", transform(slice(toks, 1, 5), t => upper(t)))
+          .as("head5_up"),
+        concat_ws(",", sort_array(array_distinct(slice(toks, 1, 8))))
+          .as("head8_uniq"),
+        exists(toks, t => t === "the").as("has_the"))
+  }
+
   def q34PartPromo(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&

@@ -118,6 +118,36 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** ta_ngram_lm: corpus trigram language-model statistics — the table a
+    * perplexity / contamination filter is built from. Trigrams use the
+    * same posexplode + window-lead shape as [[bigrams]] (flat codegen'd
+    * expressions; the per-doc window is the only pre-aggregation
+    * shuffle), then one map-side-combined count. The conditional
+    * probability P(w3 | w1 w2) is kept in integer MICRO-UNITS
+    * (count × 10⁶ floor-divided by the prefix total, the
+    * [[MapReduceJobs.pagerank]] discipline) so the oracle replay is
+    * bit-exact — no float-division drift. The prefix total is a window
+    * over the already-aggregated trigram table, which is vocabulary-
+    * sized, not corpus-sized. Top-20 by count, full lexicographic
+    * tiebreak. */
+  def ngramLm(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("w2", lead(col("tok"), 1).over(w))
+      .withColumn("w3", lead(col("tok"), 2).over(w))
+      .filter(col("w3").isNotNull)
+      .groupBy(col("tok").as("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prefix_n",
+        sum(col("n")).over(Window.partitionBy(col("w1"), col("w2"))))
+      .withColumn("cond_micro", expr("(n * 1000000) DIV prefix_n"))
+      .select(col("w1"), col("w2"), col("w3"), col("n"), col("cond_micro"))
+      .orderBy(col("n").desc, col("w1"), col("w2"), col("w3"))
+      .limit(20)
+  }
+
   /** ta_pii_scrub: email/IPv4/phone redaction — the privacy-scrub pass a
     * training-data pipeline runs before anything else sees the text. The
     * scrubber itself is [[graft.functions.TextFunctions.piiScrub]] (pure
