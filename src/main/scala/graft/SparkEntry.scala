@@ -107,6 +107,8 @@ object SparkEntry {
     "st_stream_join"          -> (Streams.streamJoin _),
     "mr_triangle_count"       -> (MapReduceJobs.triangleCount _),
     "ta_ngram_lm"             -> (TextAnalysis.ngramLm _),
+    "ta_contamination"        -> (TextAnalysis.contamination _),
+    "ta_lm_score"             -> (TextAnalysis.lmScore _),
     "q41_datetime"            -> (Relational.q41Datetime _),
     "q42_string_funcs"        -> (Relational.q42StringFuncs _),
     "q43_higher_order"        -> (Relational.q43HigherOrder _),
@@ -580,6 +582,44 @@ object SparkEntry {
         |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY w1, w2) AS BIGINT)
         |    AS cond_micro
         |FROM c ORDER BY n DESC, w1, w2, w3 LIMIT 20""".stripMargin,
+    "ta_contamination" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |tg AS (SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    unnest(list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+        |  FROM w),
+        |train AS (SELECT DISTINCT shingle FROM tg WHERE split = 'train'),
+        |test AS (SELECT DISTINCT doc_id, shingle FROM tg WHERE split = 'test'),
+        |m AS (SELECT doc_id, COUNT(*) AS n_matched FROM test
+        |  WHERE shingle IN (SELECT shingle FROM train) GROUP BY doc_id),
+        |t AS (SELECT doc_id, COUNT(*) AS n_tri FROM test GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_tri,
+        |  COALESCE(m.n_matched, 0) AS n_matched,
+        |  CAST((COALESCE(m.n_matched, 0) * 1000000) // t.n_tri AS BIGINT)
+        |    AS contam_micro
+        |FROM t LEFT JOIN m ON t.doc_id = m.doc_id""".stripMargin,
+    "ta_lm_score" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |tg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+        |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1], w3 := ws[i+2]))) AS t
+        |  FROM w),
+        |inst AS (SELECT doc_id, t.w1 AS w1, t.w2 AS w2, t.w3 AS w3 FROM tg),
+        |c AS (SELECT w1, w2, w3, COUNT(*) AS n FROM inst GROUP BY 1, 2, 3),
+        |model AS (SELECT w1, w2, w3,
+        |    CAST((n * 1000000) // SUM(n) OVER (PARTITION BY w1, w2) AS BIGINT)
+        |      AS cond_micro
+        |  FROM c)
+        |SELECT i.doc_id, COUNT(*) AS n_tri,
+        |  CAST(SUM(m.cond_micro) // COUNT(*) AS BIGINT) AS lm_micro
+        |FROM inst i JOIN model m USING (w1, w2, w3)
+        |GROUP BY i.doc_id""".stripMargin,
     "q41_datetime" ->
       """SELECT o_orderkey,
         |  CAST(o_orderdate AS DATE) AS d,

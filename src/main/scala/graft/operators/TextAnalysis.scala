@@ -148,6 +148,73 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** ta_contamination: train→test benchmark-contamination check — for
+    * each TEST document (split per [[graft.functions.TextFunctions
+    * .splitBucket]]), the fraction of its distinct trigrams that appear
+    * anywhere in the TRAIN split. The membership test is a LEFT-SEMI join
+    * of test trigrams against the distinct train-trigram set — an
+    * inverted-index lookup, NOT a test×train pair join, so no hot shingle
+    * can go quadratic (the blowup [[Dedup.ngramJaccard]] needs a df-cap
+    * for never arises). The score is integer micro-units (matched × 10⁶
+    * floor-div total), bit-exact for the oracle. At 100 TB the train
+    * shingle set shuffles once on the shingle hash; contamination of a
+    * small eval set against a huge train corpus is exactly this plan with
+    * the test side broadcast. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val tri = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("w2", lead(col("tok"), 1).over(w))
+      .withColumn("w3", lead(col("tok"), 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("w2"), col("w3")).as("shingle"),
+        splitBucket(col("doc_id")).as("split"))
+    val trainSet = tri.filter(col("split") === "train")
+      .select(col("shingle")).distinct()
+    val testTri = tri.filter(col("split") === "test")
+      .select(col("doc_id"), col("shingle")).distinct()
+    val matched = testTri.join(trainSet, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+    testTri.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tri"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("contam_micro", expr("(n_matched * 1000000) DIV n_tri"))
+  }
+
+  /** ta_lm_score: language-model fluency scoring — each document scored
+    * by the corpus trigram model of [[ngramLm]] (full model, no top-k):
+    * the average conditional probability P(w3 | w1 w2) of its trigram
+    * instances, in integer micro-units (sum of cond_micro floor-div
+    * count). The model is vocabulary-sized; scoring is ONE shuffle join
+    * of corpus trigram instances against it on (w1,w2,w3) — the shape of
+    * every model-based quality filter: train statistics once, stream the
+    * corpus through a join. Every doc long enough to have a trigram gets
+    * a row; integer arithmetic end-to-end keeps the oracle bit-exact. */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val inst = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("w2", lead(col("tok"), 1).over(w))
+      .withColumn("w3", lead(col("tok"), 2).over(w))
+      .filter(col("w3").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("w2"), col("w3"))
+    val model = inst.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prefix_n",
+        sum(col("n")).over(Window.partitionBy(col("w1"), col("w2"))))
+      .select(col("w1"), col("w2"), col("w3"),
+        expr("(n * 1000000) DIV prefix_n").as("cond_micro"))
+    inst.join(model, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("cond_micro")).as("s"))
+      .select(col("doc_id"), col("n_tri"),
+        expr("s DIV n_tri").as("lm_micro"))
+  }
+
   /** ta_pii_scrub: email/IPv4/phone redaction — the privacy-scrub pass a
     * training-data pipeline runs before anything else sees the text. The
     * scrubber itself is [[graft.functions.TextFunctions.piiScrub]] (pure
