@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOf, Dedup, MapReduceJobs, Multimodal, Pipeline, Relational, Similarity, SkewJoin, StorageRoundtrip, TextAnalysis}
+import graft.functions.TextFunctions.splitBucketSql
+import graft.operators.{AsOf, Dedup, MapReduceJobs, Multimodal, Pipeline, Relational, Similarity, SkewJoin, SqlSurface, StorageRoundtrip, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -105,6 +106,7 @@ object SparkEntry {
     "st_stream_session"       -> (Streams.streamSession _),
     "st_stream_enrich"        -> (Streams.streamEnrich _),
     "st_stream_join"          -> (Streams.streamJoin _),
+    "st_stream_file_sink"     -> (Streams.streamFileSink _),
     "mr_triangle_count"       -> (MapReduceJobs.triangleCount _),
     "ta_ngram_lm"             -> (TextAnalysis.ngramLm _),
     "ta_contamination"        -> (TextAnalysis.contamination _),
@@ -112,6 +114,9 @@ object SparkEntry {
     "q41_datetime"            -> (Relational.q41Datetime _),
     "q42_string_funcs"        -> (Relational.q42StringFuncs _),
     "q43_higher_order"        -> (Relational.q43HigherOrder _),
+    "sql_text_agg"            -> (SqlSurface.textAgg _),
+    "sql_text_rolling"        -> (SqlSurface.textRolling _),
+    "sql_text_knn"            -> (SqlSurface.textKnn _),
   )
 
   /** ta_langid oracle: same stopword-profile scores, argmax with the same
@@ -172,6 +177,28 @@ object SparkEntry {
        |    ON a.k = b.k AND a.v = b.v AND a.doc_id < b.doc_id)
        |SELECT d1, d2, hamming FROM pairs WHERE hamming <= 3""".stripMargin
   }
+
+  /** Rolling-hash replay shared by ta_rolling_fingerprint and
+    * sql_text_rolling (the SQL-text route through the same native
+    * expression — both front-ends held to one oracle). */
+  private val rollingHashOracle =
+    """SELECT doc_id, list_reduce(
+      |  list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split_regex(text, ''),
+      |      x -> CAST(ascii(x) AS BIGINT))),
+      |  (h, c) -> (h * 31 + c) % 2147483647) AS rh
+      |FROM documents""".stripMargin
+
+  /** Exact cosine top-k replay shared by sim_knn_brute and sql_text_knn. */
+  private val knnBruteOracle =
+    """SELECT q_id, n_id, rank FROM (
+      |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
+      |                 CAST(q.embedding AS DOUBLE[])) DESC, n.vec_id) AS rank
+      |  FROM embeddings q, embeddings n
+      |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id) t
+      |WHERE rank <= 5""".stripMargin
 
   /** DuckDB-runnable twins of `queries`. Column names/aliases match the
     * Spark side exactly (driver sorts columns by name before hashing). */
@@ -381,6 +408,15 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
         |  quantile_cont(l_extendedprice, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // exact columns hash-checked; the sketch estimates are engine-internal,
+    // so the oracle asserts the error-bound booleans instead
+    "q30_approx_sketch" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  quantile_cont(value, 0.5) AS exact_p50,
+        |  TRUE AS approx_users_ok,
+        |  TRUE AS approx_p50_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "q34_part_promo" ->
       """SELECT
         |  CAST(SUM(CASE WHEN p_type = 'ECONOMY' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) END) AS DOUBLE) AS promo_revenue,
@@ -583,13 +619,11 @@ object SparkEntry {
         |    AS cond_micro
         |FROM c ORDER BY n DESC, w1, w2, w3 LIMIT 20""".stripMargin,
     "ta_contamination" ->
-      """WITH w AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+      s"""WITH w AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
         |  FROM documents),
         |tg AS (SELECT doc_id,
-        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
-        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
-        |         ELSE 'test' END AS split,
+        |    ${splitBucketSql("doc_id")} AS split,
         |    unnest(list_transform(generate_series(1, len(ws) - 2),
         |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
         |  FROM w),
@@ -764,17 +798,15 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,
-    "ta_rolling_fingerprint" ->
-      """SELECT doc_id, list_reduce(
-        |  list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(string_split_regex(text, ''),
-        |      x -> CAST(ascii(x) AS BIGINT))),
-        |  (h, c) -> (h * 31 + c) % 2147483647) AS rh
-        |FROM documents""".stripMargin,
+    "ta_rolling_fingerprint" -> rollingHashOracle,
+    // SQL-text front-end twins: held to the same oracles as the DataFrame
+    // formulations they mirror (sql_text_agg's statement is itself the
+    // engine-portable ANSI subset, so the SAME string is the oracle)
+    "sql_text_agg" -> graft.operators.SqlSurface.TextAggSql,
+    "sql_text_rolling" -> rollingHashOracle,
+    "sql_text_knn" -> knnBruteOracle,
     "ta_split" ->
-      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
-        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
-        |            ELSE 'test' END AS split,
+      s"""SELECT ${splitBucketSql("doc_id")} AS split,
         |       COUNT(*) AS n
         |FROM documents GROUP BY 1""".stripMargin,
     "op_scd2" ->
@@ -865,10 +897,10 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END AS new_s
         |    FROM events) t) tt""".stripMargin,
     "pipe_clean_corpus" ->
-      """WITH scored AS (
+      s"""WITH scored AS (
         |  SELECT doc_id, text,
-        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok,
-        |    len(list_filter(string_split_regex(text, '\s+'),
+        |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tok,
+        |    len(list_filter(string_split_regex(text, '\\s+'),
         |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS stop_n
         |  FROM documents),
         |kept AS (
@@ -877,22 +909,20 @@ object SparkEntry {
         |dd AS (
         |  SELECT doc_id,
         |    doc_id = MIN(doc_id) OVER (
-        |      PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep
+        |      PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
         |  FROM kept)
-        |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
-        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
-        |            ELSE 'test' END AS split,
+        |SELECT ${splitBucketSql("doc_id")} AS split,
         |       COUNT(*) AS n
         |FROM dd WHERE keep GROUP BY 1""".stripMargin,
     "pipe_dedup_corpus" ->
-      """WITH RECURSIVE kept AS (
+      s"""WITH RECURSIVE kept AS (
         |  SELECT doc_id, text FROM (
         |    SELECT doc_id, text,
         |      doc_id = MIN(doc_id) OVER (
-        |        PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep
+        |        PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keep
         |    FROM documents) WHERE keep),
         |w AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
         |  FROM kept),
         |sh AS (SELECT DISTINCT doc_id,
         |    unnest(list_transform(generate_series(1, len(ws) - 2),
@@ -914,21 +944,11 @@ object SparkEntry {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
         |dropped AS (
         |  SELECT src AS doc_id FROM reach GROUP BY src HAVING MIN(dst) <> src)
-        |SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
-        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
-        |            ELSE 'test' END AS split,
+        |SELECT ${splitBucketSql("doc_id")} AS split,
         |       COUNT(*) AS n
         |FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |GROUP BY 1""".stripMargin,
-    "sim_knn_brute" ->
-      """SELECT q_id, n_id, rank FROM (
-        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(CAST(n.embedding AS DOUBLE[]),
-        |                 CAST(q.embedding AS DOUBLE[])) DESC, n.vec_id) AS rank
-        |  FROM embeddings q, embeddings n
-        |  WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id) t
-        |WHERE rank <= 5""".stripMargin,
+    "sim_knn_brute" -> knnBruteOracle,
     "op_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(c.ts) AS click_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -952,6 +972,9 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "st_stream_dedup" ->
       "SELECT DISTINCT event_id, user_id, event_type FROM events",
+    "st_stream_file_sink" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS day, value
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
     "st_stream_enrich" ->
       """SELECT event_id, user_id, event_type, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,

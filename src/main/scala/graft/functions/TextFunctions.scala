@@ -45,17 +45,28 @@ object TextFunctions {
   /** md5 hex fingerprint of the normal form. */
   def fingerprint(c: Column): Column = md5(normText(c))
 
-  /** Deterministic train/val/test assignment from the first two hex chars
-    * of md5(doc_id): < 'e6' (230/256 ≈ 90%) train, < 'f3' (≈ 5%) val,
-    * rest test. THE single definition — ta_split and both pipe_* queries
-    * use it, and their oracles replay exactly this expression; edit here
-    * and the oracle SQL together or parity breaks. */
+  /** Split thresholds on the first two hex chars of md5(doc_id):
+    * < TrainUpper (230/256 ≈ 90%) train, < ValUpper (≈ 5%) val, rest test.
+    * THE single source — both the Column expression below and every oracle
+    * SQL replay ([[splitBucketSql]]) interpolate these constants, so the
+    * thresholds cannot drift apart. */
+  val TrainUpper = "e6"
+  val ValUpper = "f3"
+
+  /** Deterministic train/val/test assignment (engine side). */
   def splitBucket(docId: Column): Column = {
     val bucket = substring(md5(docId.cast("string").cast("binary")), 1, 2)
-    when(bucket < "e6", "train")
-      .when(bucket < "f3", "val")
+    when(bucket < TrainUpper, "train")
+      .when(bucket < ValUpper, "val")
       .otherwise("test")
   }
+
+  /** DuckDB twin of [[splitBucket]], generated from the same threshold
+    * constants — interpolate into oracle SQL instead of inlining copies. */
+  def splitBucketSql(idExpr: String): String =
+    s"CASE WHEN substr(md5(CAST($idExpr AS VARCHAR)), 1, 2) < '$TrainUpper' THEN 'train'\n" +
+      s"            WHEN substr(md5(CAST($idExpr AS VARCHAR)), 1, 2) < '$ValUpper' THEN 'val'\n" +
+      s"            ELSE 'test' END"
 
   /** keep = is this row the minimum doc_id of its fingerprint group — the
     * shared keep-one-representative window of dd_exact/dd_prefix and the

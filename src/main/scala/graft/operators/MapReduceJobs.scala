@@ -104,14 +104,35 @@ object MapReduceJobs {
     * localCheckpoint-flattened per round, the same loop discipline as
     * [[graft.operators.Dedup.connectedComponents]]. Top-20 by rank via
     * TakeOrdered. */
+  /** Deterministic synthetic-graph edge generators shared by [[pagerank]]
+    * and [[triangleCount]]. Every intermediate is pmod-reduced BEFORE the
+    * next multiply, so nothing wraps in non-ANSI long arithmetic as long
+    * as the NODE COUNT n < 2^31.5 ≈ 3.03e9 (the raw id range is
+    * unbounded — ids reduce mod n first; reducing mod n commutes with the
+    * polynomial, so values are identical to the unreduced form). A graph
+    * beyond ~3e9 nodes needs a 128-bit mulmod; the DuckDB oracle's
+    * HUGEINT promotion is exact either way, so the two sides agree at any
+    * supported scale. */
+  private def quadEdge(node: Column, n: Long): Column = {
+    val m = pmod(node, lit(n))
+    pmod(m * m + 7, lit(n))
+  }
+  private def quadEdge13(node: Column, n: Long): Column = {
+    val m = pmod(node, lit(n))
+    pmod(lit(13L) * pmod(m * m, lit(n)) + m + 5, lit(n))
+  }
+  private def affineEdge7(node: Column, n: Long): Column = {
+    val m = pmod(node, lit(n))
+    pmod(lit(7L) * m + 3, lit(n))
+  }
+
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val nodes = Tables.customer(s, d).select(col("c_custkey").as("node"))
     val n = nodes.count()
     val edges = nodes.select(col("node").as("src"),
-        pmod(col("node") * col("node") + 7, lit(n)).as("dst"))
+        quadEdge(col("node"), n).as("dst"))
       .union(nodes.select(col("node").as("src"),
-        pmod(lit(13L) * col("node") * col("node") + col("node") + 5,
-          lit(n)).as("dst")))
+        quadEdge13(col("node"), n).as("dst")))
       .distinct()
       .localCheckpoint(true)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -150,12 +171,11 @@ object MapReduceJobs {
     val nodes = Tables.customer(s, d).select(col("c_custkey").as("node"))
     val n = nodes.count()
     val raw = nodes.select(col("node").as("a"),
-        pmod(col("node") * col("node") + 7, lit(n)).as("b"))
+        quadEdge(col("node"), n).as("b"))
       .union(nodes.select(col("node").as("a"),
-        pmod(lit(13L) * col("node") * col("node") + col("node") + 5,
-          lit(n)).as("b")))
+        quadEdge13(col("node"), n).as("b")))
       .union(nodes.select(col("node").as("a"),
-        pmod(lit(7L) * col("node") + 3, lit(n)).as("b")))
+        affineEdge7(col("node"), n).as("b")))
     val edges = raw
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))

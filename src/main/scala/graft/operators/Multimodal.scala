@@ -1,9 +1,8 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY.md §2H): media payloads modeled as
   * opaque `binary` columns with typed metadata. The test corpus has no
@@ -25,43 +24,44 @@ object Multimodal {
       .withColumn("tag",
         when(col("magic").between(97, 122), "text").otherwise("other"))
 
-  private val decodedSchema = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("n_frames", IntegerType),
-    StructField("feat_mean", DoubleType),
-    StructField("resized_w", IntegerType),
-    StructField("resized_h", IntegerType),
-    StructField("sampled_frames", StringType)))
+  /** Typed output row of the decode stage — the Encoder keeps the
+    * object-boundary serialization in Tungsten format (DeserializeToObject/
+    * SerializeFromObject around the mapPartitions, no Row boxing, and the
+    * surrounding plan stays columnar/codegen'd). */
+  case class DecodedMeta(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, feat_mean: Double, resized_w: Int, resized_h: Int,
+      sampled_frames: String)
 
   /** mm_decode_stub: the decode/feature-extract pipeline over the binary
-    * column. Runs as batched mapPartitions (the shape a vectorized decode
-    * UDF needs: amortize model/codec init per batch, not per row).
+    * column. Runs as batched `Dataset.mapPartitions` (the shape a
+    * vectorized decode UDF needs: amortize model/codec init per batch, not
+    * per row) with case-class Encoders on both sides — the typed path, not
+    * an RDD drop-out, so the exchange in/out of JVM objects is a single
+    * DeserializeToObject/SerializeFromObject pair in the plan.
     *
     * STUB: the decode step is a deterministic fake — this container has no
     * image/audio codecs. `fakeDecode` stands in for e.g. JPEG decode +
     * embedding; everything around it (schema, batching, partition flow)
     * is production-shaped. */
   def decodeStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val src = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
     val batchSize = 64
-    val decoded = src.rdd.mapPartitions { it =>
+    src.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // codec/model init would happen here, once per batch
-        batch.iterator.map { row =>
-          val id = row.getLong(0)
-          val bytes = row.getAs[Array[Byte]](1)
+        batch.iterator.map { case (id, bytes) =>
           val (w, h, f, m) = fakeDecode(bytes)
           val (rw, rh) = resizeDims(w, h, 256)
           // canonical comma-joined string, not array<int>: downstream
           // row-level comparers (and many sinks) can't hash array cells
-          Row(id, w, h, f, m, rw, rh, sampleFrames(f, 4).mkString(","))
+          DecodedMeta(id, w, h, f, m, rw, rh,
+            sampleFrames(f, 4).mkString(","))
         }
       }
-    }
-    s.createDataFrame(decoded, decodedSchema)
+    }.toDF()
   }
 
   /** mm_frame_sample: deterministic frame sampling over an opaque payload

@@ -323,15 +323,31 @@ object Relational {
   /** q30: sketch-based aggregation — HyperLogLog++ approximate distinct
     * users and an approximate p50 sketch per event_type, next to the exact
     * values. At 100 TB the sketches are the default: fixed-size state,
-    * mergeable across partitions, no expand-distinct shuffle. Rows-oracle
-    * (sketch estimates differ per implementation, so no SQL twin). */
+    * mergeable across partitions, no expand-distinct shuffle.
+    *
+    * Oracle design: the raw sketch estimates have no SQL twin (every
+    * engine's HLL/KLL differs), so the emitted columns are the EXACT
+    * values (hash-checked against DuckDB) plus error-bound booleans
+    * computed from the sketches — the oracle asserts them TRUE, so an
+    * accuracy regression in either sketch flips this row red while the
+    * implementation-specific estimate itself stays out of the hash. */
   def q30ApproxSketch(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+        percentile(col("value"), lit(0.5)).as("exact_p50"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"))
+      .select(col("event_type"), col("exact_users"), col("exact_p50"),
+        // 3·rsd relative bound (HLL++ is exact in sparse mode, so the
+        // floor only matters for tiny groups)
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(col("exact_users") * 0.03, lit(3.0))).as("approx_users_ok"),
+        // percentile_approx at accuracy 10000 lands on a data value within
+        // rank error n/10000; exact p50 interpolates, hence the small slack
+        (abs(col("approx_p50") - col("exact_p50")) <=
+          greatest(abs(col("exact_p50")) * 0.05, lit(0.05))).as("approx_p50_ok"))
 
   /** q31: full outer join — customers vs suppliers per nation, with
     * nulls surviving on both sides. */
@@ -492,10 +508,13 @@ object Relational {
   /** q42: string-function battery over a deterministic document slice —
     * case mapping, reverse, translate, pad, repeat, substring search,
     * regex extraction, edit distance, tokenize-count. Row-local, zero
-    * shuffle; every function is restricted to inputs where the Java
-    * (Spark codegen) and DuckDB definitions provably agree (char-based
-    * semantics on the multilingual text; levenshtein on ASCII columns
-    * since the engines differ on multibyte edit distance). */
+    * shuffle. Cross-engine parity caveat: the correctness corpus is
+    * ASCII, where Java (Spark codegen) and DuckDB semantics coincide for
+    * every function here; on multibyte text the engines can diverge
+    * (code-point vs grapheme reverse, locale-sensitive case mapping,
+    * multibyte edit distance), so the oracle proves ASCII parity only —
+    * StringFuncsSpec pins Spark's own non-ASCII behavior (code-point
+    * reverse, Unicode simple case mapping) as the documented contract. */
   def q42StringFuncs(s: SparkSession, d: String): DataFrame = {
     val t20 = substring(col("text"), 1, 20)
     Tables.documents(s, d)

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-text front-end (SURVEY.md §2C): the engine's capabilities exercised
+  * through `spark.sql("...")` strings instead of the DataFrame API —
+  * including the GraftExtensions-registered native expressions
+  * (`rolling_hash`, `cosine_similarity`) — proving a SQL-only user gets
+  * the same surface, plans, and answers. Each query here shares its DuckDB
+  * oracle with the DataFrame twin it mirrors, so the two front-ends are
+  * held to the same hash.
+  */
+object SqlSurface {
+
+  private def view(s: SparkSession, d: String, name: String): Unit =
+    Tables.table(s, d, name).createOrReplaceTempView(name)
+
+  /** sql_text_agg: the q02 pricing summary through SQL text. The statement
+    * is the engine-portable ANSI subset — the same string runs on DuckDB —
+    * and Catalyst plans it identically to the DataFrame formulation (one
+    * hash aggregate over the pushed-down scan). */
+  val TextAggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  def textAgg(s: SparkSession, d: String): DataFrame = {
+    view(s, d, "lineitem")
+    s.sql(TextAggSql)
+  }
+
+  /** sql_text_rolling: the native codegen'd RollingHash expression called
+    * by its SQL name — the function registration path
+    * (SparkSessionExtensions.injectFunction), not the Column builder. */
+  def textRolling(s: SparkSession, d: String): DataFrame = {
+    view(s, d, "documents")
+    s.sql("SELECT doc_id, rolling_hash(text) AS rh FROM documents")
+  }
+
+  /** sql_text_knn: exact cosine top-k per query vector via SQL text, the
+    * native cosine_similarity expression in a window ORDER BY. Same
+    * oracle as sim_knn_brute — SQL front-end and DataFrame API are held
+    * to identical results. The 10-row query side broadcasts, so the plan
+    * is the same map-side scan as the DataFrame twin. */
+  def textKnn(s: SparkSession, d: String): DataFrame = {
+    view(s, d, "embeddings")
+    s.sql(
+      """SELECT q_id, n_id, rank FROM (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY cosine_similarity(CAST(n.embedding AS ARRAY<DOUBLE>),
+        |                 CAST(q.embedding AS ARRAY<DOUBLE>)) DESC, n.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10) t
+        |WHERE rank <= 5""".stripMargin)
+  }
+}

@@ -133,31 +133,94 @@ object Streams {
     s.table("st_stream_join")
   }
 
+  /** st_stream_file_sink: the PRODUCTION sink path — the purchase stream
+    * written to a parquet file sink with a checkpoint. The sink's
+    * _spark_metadata transaction log plus the checkpoint give exactly-once
+    * file commits (a replayed micro-batch re-commits the same batch id
+    * instead of duplicating rows); the memory-sink variants above validate
+    * plans, this one validates the durable path a cluster actually ships.
+    * Stateless filter + project, so it runs forever on an unbounded
+    * source. The result is read BACK from the sink directory, so the
+    * oracle hashes what landed on disk, not what left the plan. */
+  def streamFileSink(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_file_sink_${ProcessHandle.current().pid()}"
+    // wipe the per-process sink + checkpoint so re-verification starts
+    // from a clean transaction log (append-only otherwise)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    val src = s.readStream.schema(eventsDdl)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = src.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+    val q = out.writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+  }
+
   // ---- Stateful sessionization --------------------------------------------
 
   case class Event(user_id: Long, ts_us: Long, event_id: Long)
-  case class SessionState(sessionNum: Long, lastTsUs: Long)
-  case class SessionedEvent(user_id: Long, event_id: Long, session_num: Long)
+  case class SessionState(sessionNum: Long, lastTsUs: Long, startTsUs: Long)
+  case class SessionedEvent(user_id: Long, event_id: Long, session_num: Long,
+      session_start_us: Long)
 
   val GapUs: Long = 1800L * 1000000L // 30-min inactivity gap
 
+  /** How long a session may wait for late events before its state can be
+    * reclaimed: the watermark delay on the event stream. Timeout fires
+    * when the watermark passes lastTs + [[GapUs]], i.e. the open session
+    * provably cannot receive another on-time event. */
+  val Lateness = "2 hours"
+
   /** Per-user session assignment for one group batch — pure function so
     * the batch spec and the streaming job share the exact logic. Events
-    * must arrive (or be sorted) in ts order within the batch. */
+    * must arrive (or be sorted) in ts order within the batch; the sort
+    * buffers ONE user's events of ONE micro-batch (bounded by per-batch
+    * volume, never by stream history).
+    *
+    * `expire` (streaming only): registers an event-time timeout at
+    * lastTs + gap. When the watermark passes it, the group is invoked
+    * with hasTimedOut and the state is DROPPED — an idle user costs no
+    * memory forever. A user returning after expiry restarts session_num
+    * at 1; `session_start_us` stays globally unique per (user, session),
+    * so downstream consumers that need identity across expiry key on it
+    * rather than the ordinal. */
   def assignSessions(events: Iterator[Event],
-                     state: GroupState[SessionState]): Iterator[SessionedEvent] = {
-    var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-    val out = events.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
-      val newSession = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > GapUs
-      // lastTsUs only moves forward: a late event (earlier than state from
-      // a previous batch) joins the open session without regressing the
-      // gap baseline, so it can't split later on-time events
-      st = SessionState(if (newSession) st.sessionNum + 1 else st.sessionNum,
-        math.max(st.lastTsUs, e.ts_us))
-      SessionedEvent(e.user_id, e.event_id, st.sessionNum)
+                     state: GroupState[SessionState],
+                     expire: Boolean): Iterator[SessionedEvent] = {
+    if (state.hasTimedOut) {
+      // watermark passed lastTs + gap: the open session can never see
+      // another on-time event — reclaim the state (bounded memory)
+      state.remove()
+      Iterator.empty
+    } else {
+      var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+      val out = events.toSeq.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        val newSession = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > GapUs
+        // lastTsUs only moves forward: a late event (earlier than state from
+        // a previous batch) joins the open session without regressing the
+        // gap baseline, so it can't split later on-time events
+        st = SessionState(
+          if (newSession) st.sessionNum + 1 else st.sessionNum,
+          math.max(st.lastTsUs, e.ts_us),
+          if (newSession) e.ts_us else st.startTsUs)
+        SessionedEvent(e.user_id, e.event_id, st.sessionNum, st.startTsUs)
+      }
+      state.update(st)
+      if (expire) state.setTimeoutTimestamp(st.lastTsUs / 1000L + GapUs / 1000L)
+      out.iterator
     }
-    state.update(st)
-    out.iterator
   }
 
   /** st_stream_session: the stateful sessionizer executed over the events
@@ -175,16 +238,35 @@ object Streams {
   }
 
   /** Stateful sessionizer over a (possibly streaming) Dataset[Event]:
-    * groupByKey(user) → flatMapGroupsWithState. On an unbounded stream the
-    * state carries each user's open session across micro-batches; on a
-    * bounded run it degenerates to one pass — same code either way. */
+    * watermark → groupByKey(user) → flatMapGroupsWithState with
+    * EventTimeTimeout. On an unbounded stream the state carries each
+    * user's open session across micro-batches and is RECLAIMED once the
+    * watermark passes the session's inactivity gap (state stays bounded
+    * by the number of users active inside the watermark horizon); on a
+    * bounded run the watermark node is elided by the analyzer and the
+    * job degenerates to one pass — same code either way, so `expire`
+    * follows `isStreaming` (batch GroupState has no watermark to time
+    * out against). */
+  /** Event plus its watermark column: the event-time attribute must stay
+    * in the grouped child's output for the analyzer to accept
+    * EventTimeTimeout (and for the watermark to advance). */
+  private[streaming] case class EventTs(user_id: Long, ts_us: Long,
+      event_id: Long, ts: java.sql.Timestamp)
+
   def sessionized(events: Dataset[Event]): Dataset[SessionedEvent] = {
     val s = events.sparkSession
     import s.implicits._
-    events.groupByKey(_.user_id)
+    val expire = events.isStreaming
+    val withWm = events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", Lateness)
+      .as[EventTs]
+    withWm.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionedEvent](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, it, state) => assignSessions(it, state)
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, it, state) =>
+          assignSessions(it.map(e => Event(e.user_id, e.ts_us, e.event_id)),
+            state, expire)
       }
   }
 }

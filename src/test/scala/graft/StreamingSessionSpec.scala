@@ -114,6 +114,44 @@ class StreamingSessionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer state expires once the watermark passes the inactivity gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streams.sessionized(mem.toDS()).writeStream
+      .format("memory").queryName("expiry_test")
+      .outputMode(OutputMode.Append()).start()
+    def stateRows: Long = q.recentProgress
+      .filter(_.stateOperators.nonEmpty)
+      .lastOption.map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+    try {
+      val day = 86400L * 1000000L
+      mem.addData(Event(1L, 0L, 1L))
+      q.processAllAvailable()
+      assert(stateRows == 1L, s"expected user 1's open session, got $stateRows")
+      // user 2 ten days later: the watermark (10d − 2h lateness) passes
+      // user 1's lastTs + gap, so user 1's state must be reclaimed in the
+      // following (possibly no-data) micro-batch
+      mem.addData(Event(2L, 10 * day, 2L))
+      q.processAllAvailable()
+      mem.addData(Event(2L, 10 * day + 1000000L, 3L))
+      q.processAllAvailable()
+      assert(stateRows == 1L,
+        s"idle user's state not reclaimed after watermark passed: $stateRows rows")
+      // a returning expired user restarts the ordinal at 1 (the old
+      // state is gone — that's the point); session_start_us still
+      // uniquely identifies the new session
+      mem.addData(Event(1L, 20 * day, 4L))
+      q.processAllAvailable()
+      val got = s.table("expiry_test").as[SessionedEvent].collect()
+      assert(got.length == 4, s"timeout must emit nothing: ${got.length} rows")
+      val e4 = got.find(_.event_id == 4L).get
+      assert(e4.session_num == 1L && e4.session_start_us == 20 * day,
+        e4.toString)
+    } finally q.stop()
+  }
+
   test("state carries open sessions across micro-batches") {
     val s = spark
     import s.implicits._

@@ -66,15 +66,21 @@ def main():
             continue
         try:
             exp = con.sql(sql)
-            # The driver compares via pandas, where HUGEINT (DuckDB's
-            # widened SUM type) becomes float64 and hashes as "150000.0"
-            # against Spark's "150000". fetchall() hides that (python
-            # ints), so lint the declared types and fail loudly here.
-            wide = [c for c, t in zip(exp.columns, exp.types)
-                    if str(t) == "HUGEINT"]
+            # The driver compares via pandas, where several DuckDB types
+            # change representation (HUGEINT/UBIGINT -> float64/object,
+            # DECIMAL -> Decimal objects, TIMESTAMP -> Timestamp repr) and
+            # hash differently from Spark's parquet values even when the
+            # numbers are equal ("150000.0" vs "150000"). fetchall() hides
+            # that (python ints), so lint the DECLARED types against an
+            # allowlist of representation-stable ones and fail loudly.
+            SAFE_TYPES = {"BOOLEAN", "TINYINT", "SMALLINT", "INTEGER",
+                          "BIGINT", "FLOAT", "DOUBLE", "VARCHAR", "DATE"}
+            wide = [f"{c}:{t}" for c, t in zip(exp.columns, exp.types)
+                    if str(t) not in SAFE_TYPES]
             if wide:
-                print(f"FAIL {name}: oracle column(s) {wide} are HUGEINT "
-                      f"(pandas→float64 on the driver); CAST AS BIGINT")
+                print(f"FAIL {name}: oracle column(s) {wide} not in the "
+                      f"driver-safe type allowlist {sorted(SAFE_TYPES)}; "
+                      f"CAST to a safe type (e.g. BIGINT/DOUBLE/VARCHAR)")
                 n_fail += 1
                 continue
             e_cols, e_rows = canon(exp.fetchall(), exp.columns)
