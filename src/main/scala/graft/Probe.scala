@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scratch diagnostics main — ad-hoc measurements during development.
+  * Not part of the driver contract; safe to change at will. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session(16, appName = "graft-probe")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    args.drop(1).headOption.getOrElse("q30") match {
+      case "q30" =>
+        Tables.events(spark, d)
+          .groupBy(col("event_type"))
+          .agg(
+            percentile(col("value"), lit(0.5)).as("exact_p50"),
+            percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+          .show(20, false)
+      case "recall" =>
+        import spark.implicits._
+        val brute = operators.Similarity.knnBrute(spark, d)
+          .select("q_id", "n_id").as[(Long, Long)].collect().groupBy(_._1)
+          .map { case (q, a) => q -> a.map(_._2).toSet }
+        for ((name, df) <- Seq(
+            "lsh" -> operators.Similarity.annLsh(spark, d),
+            "ivf" -> operators.Similarity.annIvf(spark, d),
+            "pq"  -> operators.Similarity.annPq(spark, d))) {
+          val ann = df.select("q_id", "n_id").as[(Long, Long)].collect()
+            .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+          val hits = brute.keys.toSeq.sorted.map(q =>
+            q -> ann.getOrElse(q, Set.empty).intersect(brute(q)).size)
+          println(s"RECALL $name: ${hits.mkString(" ")} total=${hits.map(_._2).sum}/${brute.values.map(_.size).sum}")
+        }
+      case other => println(s"unknown probe: $other")
+    }
+    spark.stop()
+  }
+}

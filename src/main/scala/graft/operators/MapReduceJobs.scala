@@ -92,18 +92,6 @@ object MapReduceJobs {
       .toDF("word", "n")
   }
 
-  /** mr_pagerank: the canonical iterative MapReduce workload — 5 PageRank
-    * rounds over a deterministic synthetic graph on the customer nodes
-    * (two quadratic out-edges per node; quadratic so in-degrees vary and
-    * mass actually concentrates). All arithmetic is INTEGER micro-units
-    * (rank×10⁶, floor division) so every engine computes bit-identical
-    * ranks — no float summation-order drift — and the oracle replays the
-    * 5 rounds as chained SQL CTEs. Per round: one join to ship each
-    * node's rank share along its edges, one groupBy(dst) sum (map-side
-    * combined), one left join to apply the damping update; lineage is
-    * localCheckpoint-flattened per round, the same loop discipline as
-    * [[graft.operators.Dedup.connectedComponents]]. Top-20 by rank via
-    * TakeOrdered. */
   /** Deterministic synthetic-graph edge generators shared by [[pagerank]]
     * and [[triangleCount]]. Every intermediate is pmod-reduced BEFORE the
     * next multiply, so nothing wraps in non-ANSI long arithmetic as long
@@ -126,6 +114,18 @@ object MapReduceJobs {
     pmod(lit(7L) * m + 3, lit(n))
   }
 
+  /** mr_pagerank: the canonical iterative MapReduce workload — 5 PageRank
+    * rounds over a deterministic synthetic graph on the customer nodes
+    * (two quadratic out-edges per node; quadratic so in-degrees vary and
+    * mass actually concentrates). All arithmetic is INTEGER micro-units
+    * (rank×10⁶, floor division) so every engine computes bit-identical
+    * ranks — no float summation-order drift — and the oracle replays the
+    * 5 rounds as chained SQL CTEs. Per round: one join to ship each
+    * node's rank share along its edges, one groupBy(dst) sum (map-side
+    * combined), one left join to apply the damping update; lineage is
+    * localCheckpoint-flattened per round, the same loop discipline as
+    * [[graft.operators.Dedup.connectedComponents]]. Top-20 by rank via
+    * TakeOrdered. */
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val nodes = Tables.customer(s, d).select(col("c_custkey").as("node"))
     val n = nodes.count()

@@ -331,23 +331,41 @@ object Relational {
     * computed from the sketches — the oracle asserts them TRUE, so an
     * accuracy regression in either sketch flips this row red while the
     * implementation-specific estimate itself stays out of the hash. */
-  def q30ApproxSketch(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+  def q30ApproxSketch(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
         percentile(col("value"), lit(0.5)).as("exact_p50"),
-        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"))
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_p50"),
+        count(lit(1)).as("n"))
+    // percentile_approx guarantees RANK error (<= n/accuracy), not value
+    // error, so the check is in rank space: re-rank the estimate against
+    // the group's values (one pass over events against the broadcast
+    // 5-row sketch table) and require the target rank ceil(n/2) to fall
+    // within [below+1, upto] widened by 1 + n/accuracy. A value-relative
+    // bound misfires on plateaued or skewed distributions; interpolated
+    // quantile bounds misfire when adjacent data values are farther
+    // apart than the rank tolerance.
+    val ranks = Tables.events(s, d)
+      .join(broadcast(agg.select(col("event_type"), col("approx_p50"))),
+        Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") < col("approx_p50"), 1L).otherwise(0L)).as("below"),
+        sum(when(col("value") <= col("approx_p50"), 1L).otherwise(0L)).as("upto"))
+    val slack = lit(1.0) + col("n") / 10000.0
+    val target = ceil(col("n") / 2.0)
+    agg.join(ranks, Seq("event_type"))
       .select(col("event_type"), col("exact_users"), col("exact_p50"),
         // 3·rsd relative bound (HLL++ is exact in sparse mode, so the
         // floor only matters for tiny groups)
         (abs(col("approx_users") - col("exact_users")) <=
           greatest(col("exact_users") * 0.03, lit(3.0))).as("approx_users_ok"),
-        // percentile_approx at accuracy 10000 lands on a data value within
-        // rank error n/10000; exact p50 interpolates, hence the small slack
-        (abs(col("approx_p50") - col("exact_p50")) <=
-          greatest(abs(col("exact_p50")) * 0.05, lit(0.05))).as("approx_p50_ok"))
+        (col("below") + 1 <= target + slack &&
+          col("upto") >= target - slack).as("approx_p50_ok"))
+  }
 
   /** q31: full outer join — customers vs suppliers per nation, with
     * nulls surviving on both sides. */

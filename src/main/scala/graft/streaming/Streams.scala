@@ -148,7 +148,9 @@ object Streams {
     // wipe the per-process sink + checkpoint so re-verification starts
     // from a clean transaction log (append-only otherwise)
     def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
+      // listFiles returns null on I/O or permission errors, not empty
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()
     }
     rm(new java.io.File(base))
@@ -210,7 +212,13 @@ object Streams {
         val newSession = st.lastTsUs == Long.MinValue || e.ts_us - st.lastTsUs > GapUs
         // lastTsUs only moves forward: a late event (earlier than state from
         // a previous batch) joins the open session without regressing the
-        // gap baseline, so it can't split later on-time events
+        // gap baseline, so it can't split later on-time events. On the
+        // STREAMING path this holds only within the watermark horizon:
+        // FlatMapGroupsWithStateExec drops rows older than the watermark
+        // before they reach this function, so an event later than
+        // [[Lateness]] (2h) is silently discarded there — batch and
+        // streaming runs can diverge on such very-late data (batch sees it,
+        // the stream never does)
         st = SessionState(
           if (newSession) st.sessionNum + 1 else st.sessionNum,
           math.max(st.lastTsUs, e.ts_us),
