@@ -949,6 +949,9 @@ object SparkEntry {
         |FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |GROUP BY 1""".stripMargin,
     "sim_knn_brute" -> knnBruteOracle,
+    // full replay of the approximate LSH path (literal hyperplanes) — the
+    // buckets, candidate union, and ranking are all hash-checked
+    "sim_ann_lsh" -> graft.operators.Similarity.lshOracle,
     "op_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(c.ts) AS click_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -61,7 +61,7 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane components (splitmix scramble of
     * (plane, dim) — reproducible, no RNG state). */
-  private def planeSign(plane: Int, k: Int): Double = {
+  private[graft] def planeSign(plane: Int, k: Int): Double = {
     var z = (plane.toLong << 32 | k.toLong) * 0x9E3779B97F4A7C15L + 0x1234567L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -103,6 +103,47 @@ object Similarity {
     val scored = cands.select(col("q_id"), col("n_id"),
       cosine(col("qv"), col("v")).as("cos"))
     topKPerQuery(scored)
+  }
+
+  /** DuckDB replay of [[annLsh]], generated from the same deterministic
+    * hyperplanes: each of the 32 sign tests is an explicit left-to-right
+    * ±v[k] sum (bit-identical to the zip_with/aggregate fold over the ±1
+    * literal plane — products by ±1.0 are exact, and both engines
+    * accumulate in element order), buckets unpivot to (t, bucket) rows,
+    * candidates are shared-bucket pairs, and the exact cosine re-rank is
+    * the same replay sim_knn_brute's oracle uses. The whole approximate
+    * path — bucketing, candidate union, ranking — is therefore
+    * hash-checked, not just bounded. */
+  private[graft] def lshOracle: String = {
+    def dotExpr(plane: Int): String =
+      "0.0 " + (0 until Dim).map(k =>
+        (if (planeSign(plane, k) > 0) " + " else " - ") + s"v[${k + 1}]")
+        .mkString
+    def bucketExpr(t: Int): String =
+      (0 until PlanesPerTable).map { j =>
+        s"(CASE WHEN ${dotExpr(t * PlanesPerTable + j)} > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+    val bucketCols = (0 until NumTables)
+      .map(t => s"  (${bucketExpr(t)}) AS b$t").mkString(",\n")
+    val unions = (0 until NumTables)
+      .map(t => s"SELECT vec_id, $t AS t, b$t AS bucket FROM b")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT vec_id,
+       |$bucketCols
+       |FROM e),
+       |tb AS ($unions),
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+       |  FROM tb q JOIN tb c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
+       |scored AS (SELECT cand.q_id, cand.n_id,
+       |    list_cosine_similarity(qe.v, ce.v) AS cos
+       |  FROM cand JOIN e ce ON ce.vec_id = cand.n_id
+       |            JOIN e qe ON qe.vec_id = cand.q_id)
+       |SELECT q_id, n_id, rank FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id) AS rank FROM scored) t
+       |WHERE rank <= $K""".stripMargin
   }
 
   // ---- IVF ----------------------------------------------------------------
