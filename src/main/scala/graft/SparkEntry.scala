@@ -952,6 +952,11 @@ object SparkEntry {
     // full replay of the approximate LSH path (literal hyperplanes) — the
     // buckets, candidate union, and ranking are all hash-checked
     "sim_ann_lsh" -> graft.operators.Similarity.lshOracle,
+    // full replay of spherical k-means INCLUDING the training loop — the
+    // integer-micro-unit Lloyd update is deterministic and SQL-expressible
+    "sim_kmeans" -> graft.operators.Similarity.kmeansOracle,
+    // full replay of IVF: training, cell assignment, probes, and ranking
+    "sim_ann_ivf" -> graft.operators.Similarity.ivfOracle,
     "op_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(c.ts) AS click_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -189,26 +189,87 @@ object Similarity {
   /** Lloyd iterations of spherical k-means over driver-held centroids —
     * k×dim doubles on the driver, the canonical k-means scale shape:
     * assignment is a map-only pass against literal centroids, the update is
-    * one groupBy with 64 flat avg() aggregates (map-side combined), and
-    * only k rows come back per iteration. */
+    * one groupBy with 64 flat sum() aggregates (map-side combined), and
+    * only k rows come back per iteration.
+    *
+    * The update is DETERMINISTIC regardless of partitioning: each member
+    * component is quantized to integer micro-units (floor(x·10⁶ + 0.5))
+    * and summed as longs — exact, order-independent — and the spherical
+    * normalization runs over those integer sums (csum/|csum| ≡ mean/|mean|,
+    * the n·10⁶ scale cancels), with the squared norm accumulated exactly in
+    * BigInt before ONE double conversion. Every arithmetic step after the
+    * integer sums is a fixed sequence of IEEE ops, so a SQL oracle replays
+    * the whole training bit-for-bit (kmeansOracle below) — which is what
+    * promotes sim_kmeans/sim_ann_ivf from rows-tier to hash-checked.
+    * Rounding centroids to 1e-6 also keeps the codegen literals (and the
+    * Janino cache key) stable across runs. */
   private def trainCentroids(all: DataFrame, seeds: Seq[Seq[Double]],
       iters: Int): Seq[Seq[Double]] = {
     var cents = seeds
     for (_ <- 1 to iters) {
       val assigned = all.withColumn("cid", bestCentroid(cents))
-      val dims = (0 until Dim).map(i =>
-        avg(element_at(col("v"), i + 1)).as(s"d$i"))
+      val sums = (0 until Dim).map(i =>
+        sum(floor(element_at(col("v"), i + 1) * 1e6 + 0.5)).as(s"s$i"))
       val updated = assigned.groupBy(col("cid"))
-        .agg(dims.head, dims.tail: _*)
+        .agg(sums.head, sums.tail: _*)
         .collect()
         .map { r =>
-          val mean = (0 until Dim).map(i => r.getDouble(i + 1))
-          val n = math.sqrt(mean.map(x => x * x).sum)
-          r.getInt(0) -> stable(if (n == 0) mean else mean.map(_ / n))
+          val cs = (0 until Dim).map(i => r.getLong(i + 1))
+          val norm = math.sqrt(cs.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+          r.getInt(0) -> cs.map(x =>
+            if (norm == 0) 0.0
+            else math.floor(x.toDouble / norm * 1e6 + 0.5) / 1e6)
         }.toMap
       cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
     }
     cents
+  }
+
+  /** SQL text of one Lloyd round: assignment against the previous round's
+    * centroid lists, integer micro-unit sums, exact squared norm, and the
+    * same floor-rounding as [[trainCentroids]] — chained as CTEs. `src` is
+    * the train-set CTE (full corpus for kmeans, stride sample for IVF). */
+  private def lloydRoundSql(i: Int, src: String = "e"): String = {
+    val (p, n) = (s"c$i", s"c${i + 1}")
+    s"""a$i AS (SELECT vec_id, v, cid FROM (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |  FROM $src e CROSS JOIN ${p}l c) t WHERE rn = 1),
+       |u$i AS (SELECT cid, ks.k,
+       |    SUM(CAST(floor(v[ks.k] * 1000000 + 0.5) AS BIGINT)) AS s
+       |  FROM a$i CROSS JOIN ks GROUP BY cid, ks.k),
+       |n$i AS (SELECT cid, CAST(SUM(s * s) AS DOUBLE) AS nsq
+       |  FROM u$i GROUP BY cid),
+       |$n AS (SELECT p.cid, p.k,
+       |    COALESCE(CASE WHEN nn.nsq = 0 THEN 0.0
+       |      ELSE floor(CAST(u.s AS DOUBLE) / sqrt(nn.nsq) * 1000000 + 0.5)
+       |           / 1000000 END, p.val) AS val
+       |  FROM $p p LEFT JOIN u$i u ON p.cid = u.cid AND p.k = u.k
+       |            LEFT JOIN n$i nn ON p.cid = nn.cid),
+       |${n}l AS (SELECT cid, list(val ORDER BY k) AS cv FROM $n GROUP BY cid)""".stripMargin
+  }
+
+  /** DuckDB replay of [[kmeans]]: seeds from the first [[KmeansK]]
+    * vectors, [[KmeansIters]] unrolled Lloyd rounds (each bit-identical to
+    * the engine's integer-micro-unit update, see [[trainCentroids]]), and
+    * the final argmax-cosine assignment. The training loop itself is
+    * hash-checked, not just the output shape. */
+  private[graft] def kmeansOracle: String = {
+    val rounds = (0 until KmeansIters).map(lloydRoundSql(_)).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ks AS (SELECT unnest(generate_series(1, $Dim)) AS k),
+       |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS cid, v
+       |  FROM e WHERE vec_id < $KmeansK),
+       |c0 AS (SELECT cid, ks.k, v[ks.k] AS val FROM seeds CROSS JOIN ks),
+       |c0l AS (SELECT cid, list(val ORDER BY k) AS cv FROM c0 GROUP BY cid),
+       |$rounds
+       |SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+       |  SELECT e.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN c${KmeansIters}l c) t WHERE rn = 1""".stripMargin
   }
 
   /** sim_kmeans: spherical k-means (cosine assignment, mean + renormalize
@@ -308,6 +369,45 @@ object Similarity {
       .join(broadcast(q.select(col("q_id"), col("qv"))), "q_id")
       .select(col("q_id"), col("n_id"), cosine(col("qv"), col("v")).as("cos"))
     topKPerQuery(rescored)
+  }
+
+  /** DuckDB replay of [[annIvf]]: the stride-sampled seeds and train set,
+    * [[IvfIters]] unrolled integer-micro-unit Lloyd rounds (bit-identical
+    * to [[trainCentroids]]), full-corpus cell assignment, per-query
+    * [[NProbe]]-nearest probe lists, and the exact cosine top-k over
+    * probed cells — the entire approximate path hash-checked. */
+  private[graft] def ivfOracle: String = {
+    val rounds = (0 until IvfIters).map(lloydRoundSql(_, "ts")).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ks AS (SELECT unnest(generate_series(1, $Dim)) AS k),
+       |ts AS (SELECT vec_id, v FROM e
+       |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // $TrainTarget) FROM e) = 0),
+       |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS cid, v
+       |  FROM e WHERE vec_id % $CentroidStride = 0
+       |  ORDER BY vec_id LIMIT $NumCentroids),
+       |c0 AS (SELECT cid, ks.k, v[ks.k] AS val FROM seeds CROSS JOIN ks),
+       |c0l AS (SELECT cid, list(val ORDER BY k) AS cv FROM c0 GROUP BY cid),
+       |$rounds,
+       |assigned AS (SELECT vec_id, v, cid AS c_id FROM (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN c${IvfIters}l c) t WHERE rn = 1),
+       |probes AS (SELECT q_id, qv, cid AS c_id FROM (
+       |  SELECT e.vec_id AS q_id, e.v AS qv, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN c${IvfIters}l c WHERE e.vec_id < $NumQueries) t
+       |  WHERE rn <= $NProbe),
+       |scored AS (SELECT p.q_id, a.vec_id AS n_id,
+       |    list_cosine_similarity(p.qv, a.v) AS cos
+       |  FROM assigned a JOIN probes p ON a.c_id = p.c_id
+       |  WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, n_id, rank FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id) AS rank FROM scored) t
+       |WHERE rank <= $K""".stripMargin
   }
 
   /** sim_ann_ivf: coarse quantization with k-means-trained centroids
