@@ -957,6 +957,8 @@ object SparkEntry {
     "sim_kmeans" -> graft.operators.Similarity.kmeansOracle,
     // full replay of IVF: training, cell assignment, probes, and ranking
     "sim_ann_ivf" -> graft.operators.Similarity.ivfOracle,
+    // full replay of PQ: codebook training, encoding, ADC, re-rank
+    "sim_ann_pq" -> graft.operators.Similarity.pqOracle,
     "op_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(c.ts) AS click_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -158,16 +158,6 @@ object Similarity {
   // at 100 TB the Lloyd passes touch the same ~2k rows they do here
   private val TrainTarget = 2048L
 
-  /** Round trained centroid components to 6 decimals. Mean aggregation
-    * order varies with partitioning, so raw centroids differ in the last
-    * ulps run-to-run — and since centroids become codegen LITERALS, every
-    * run would Janino-recompile the (large) assignment projections from
-    * scratch. Rounding makes the literals — and the codegen cache key —
-    * stable across runs (measured: sim_ann_pq 8.5s → ~3s warm), and costs
-    * nothing at 1e-6 vs unit-norm vectors. */
-  private def stable(v: Seq[Double]): Seq[Double] =
-    v.map(x => math.rint(x * 1e6) / 1e6)
-
   // ---- Spherical k-means --------------------------------------------------
 
   private val KmeansK = 8
@@ -297,7 +287,10 @@ object Similarity {
     * sample as IVF. All 8 subspaces train in ONE pass per iteration: the
     * sample explodes to (m, subvector) rows, an 8-way CASE assigns each
     * row against its subspace's literal codebook, and a single
-    * groupBy(m, cid) brings ≤ M×K mean rows back to the driver. */
+    * groupBy(m, cid) brings ≤ M×K sum rows back to the driver. The update
+    * uses the same deterministic integer-micro-unit arithmetic as
+    * [[trainCentroids]], so the whole PQ pipeline is SQL-replayable
+    * (pqOracle) and the codebook literals are stable across runs. */
   private def trainCodebooks(sample: DataFrame): Seq[Seq[Seq[Double]]] = {
     val s = sample.sparkSession
     import s.implicits._
@@ -313,20 +306,95 @@ object Similarity {
         case (acc, m) =>
           acc.when(col("m") === m, bestCentroidOn(books(m), col("sv")))
       }
-      val dims = (0 until PqSubDim).map(i =>
-        avg(element_at(col("sv"), i + 1)).as(s"d$i"))
+      val sums = (0 until PqSubDim).map(i =>
+        sum(floor(element_at(col("sv"), i + 1) * 1e6 + 0.5)).as(s"s$i"))
       val updated = subRows.withColumn("cid", cid)
-        .groupBy(col("m"), col("cid")).agg(dims.head, dims.tail: _*)
+        .groupBy(col("m"), col("cid")).agg(sums.head, sums.tail: _*)
         .collect()
         .map { r =>
-          val mean = (0 until PqSubDim).map(i => r.getDouble(i + 2))
-          val n = math.sqrt(mean.map(x => x * x).sum)
-          (r.getInt(0), r.getInt(1)) -> stable(if (n == 0) mean else mean.map(_ / n))
+          val cs = (0 until PqSubDim).map(i => r.getLong(i + 2))
+          val norm = math.sqrt(cs.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+          (r.getInt(0), r.getInt(1)) -> cs.map(x =>
+            if (norm == 0) 0.0
+            else math.floor(x.toDouble / norm * 1e6 + 0.5) / 1e6)
         }.toMap
       books = (0 until PqM).map(m =>
         books(m).indices.map(i => updated.getOrElse((m, i), books(m)(i))))
     }
     books
+  }
+
+  /** DuckDB replay of [[annPq]]: seeds and one integer-micro-unit Lloyd
+    * round per subspace (bit-identical to [[trainCodebooks]]), corpus
+    * encoding, the per-query 8×16 dot table, ADC scoring (the 8-term sum
+    * folds left-to-right via list_reduce, matching the engine's
+    * reduce(_ + _) order exactly), top-[[PqRerank]] candidate selection,
+    * and the exact cosine re-rank. The raw dot products are explicit
+    * sv[k]·cv[k] sums in element order — the same IEEE sequence as the
+    * zip_with/aggregate fold they replay. */
+  private[graft] def pqOracle: String = {
+    // explicit left-to-right 8-term dot; (0.0 + t1) == t1, so no seed term
+    val dotExpr = (1 to PqSubDim)
+      .map(k => s"s.sv[$k] * b.cv[$k]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |ks AS (SELECT unnest(generate_series(1, $PqSubDim)) AS k),
+       |ts AS (SELECT vec_id, v FROM e
+       |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // $TrainTarget) FROM e) = 0),
+       |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS cid, v
+       |  FROM ts ORDER BY vec_id LIMIT $PqK),
+       |b0 AS (SELECT ms.m, s.cid, ks.k, s.v[ms.m * $PqSubDim + ks.k] AS val
+       |  FROM seeds s CROSS JOIN ms CROSS JOIN ks),
+       |b0l AS (SELECT m, cid, list(val ORDER BY k) AS cv FROM b0 GROUP BY m, cid),
+       |sub AS (SELECT vec_id, ms.m,
+       |    list_slice(v, ms.m * $PqSubDim + 1, ms.m * $PqSubDim + $PqSubDim) AS sv
+       |  FROM ts CROSS JOIN ms),
+       |pa0 AS (SELECT vec_id, m, sv, cid FROM (
+       |  SELECT s.vec_id, s.m, s.sv, b.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY list_cosine_similarity(s.sv, b.cv) DESC, b.cid) AS rn
+       |  FROM sub s JOIN b0l b ON s.m = b.m) t WHERE rn = 1),
+       |pu0 AS (SELECT m, cid, ks.k,
+       |    SUM(CAST(floor(sv[ks.k] * 1000000 + 0.5) AS BIGINT)) AS s
+       |  FROM pa0 CROSS JOIN ks GROUP BY m, cid, ks.k),
+       |pn0 AS (SELECT m, cid, CAST(SUM(s * s) AS DOUBLE) AS nsq
+       |  FROM pu0 GROUP BY m, cid),
+       |b1 AS (SELECT p.m, p.cid, p.k,
+       |    COALESCE(CASE WHEN nn.nsq = 0 THEN 0.0
+       |      ELSE floor(CAST(u.s AS DOUBLE) / sqrt(nn.nsq) * 1000000 + 0.5)
+       |           / 1000000 END, p.val) AS val
+       |  FROM b0 p LEFT JOIN pu0 u ON p.m = u.m AND p.cid = u.cid AND p.k = u.k
+       |            LEFT JOIN pn0 nn ON p.m = nn.m AND p.cid = nn.cid),
+       |b1l AS (SELECT m, cid, list(val ORDER BY k) AS cv FROM b1 GROUP BY m, cid),
+       |esub AS (SELECT vec_id, ms.m,
+       |    list_slice(v, ms.m * $PqSubDim + 1, ms.m * $PqSubDim + $PqSubDim) AS sv
+       |  FROM e CROSS JOIN ms),
+       |code AS (SELECT vec_id, m, cid FROM (
+       |  SELECT s.vec_id, s.m, b.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY list_cosine_similarity(s.sv, b.cv) DESC, b.cid) AS rn
+       |  FROM esub s JOIN b1l b ON s.m = b.m) t WHERE rn = 1),
+       |qt AS (SELECT s.vec_id AS q_id, s.m, b.cid, $dotExpr AS tv
+       |  FROM esub s JOIN b1l b ON s.m = b.m WHERE s.vec_id < $NumQueries),
+       |adc AS (SELECT q_id, n_id,
+       |    list_reduce(list_prepend(0.0, list(tv ORDER BY m)),
+       |      (a, b) -> a + b) AS pqscore
+       |  FROM (SELECT qt.q_id, c.vec_id AS n_id, qt.m, qt.tv
+       |    FROM code c JOIN qt ON qt.m = c.m AND qt.cid = c.cid
+       |    WHERE c.vec_id <> qt.q_id) t GROUP BY q_id, n_id),
+       |cand AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY pqscore DESC, n_id) AS rn FROM adc) t
+       |  WHERE rn <= $PqRerank),
+       |scored AS (SELECT cand.q_id, cand.n_id,
+       |    list_cosine_similarity(qe.v, ce.v) AS cos
+       |  FROM cand JOIN e ce ON ce.vec_id = cand.n_id
+       |            JOIN e qe ON qe.vec_id = cand.q_id)
+       |SELECT q_id, n_id, rank FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id) AS rank FROM scored) t
+       |WHERE rank <= $K""".stripMargin
   }
 
   /** sim_ann_pq: product quantization with asymmetric distance — the
