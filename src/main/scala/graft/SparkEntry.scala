@@ -473,6 +473,9 @@ object SparkEntry {
         |FROM read_blob('/root/testdata/sf0.01/*')""".stripMargin,
     "ta_langid" -> taLangidOracle,
     "dd_simhash" -> ddSimhashOracle,
+    // full replay of MinHash+LSH: modular shingle hashes, 128 permutation
+    // minima, raw-minima band buckets, anchored+chained pairs, Jaccard
+    "dd_minhash_lsh" -> graft.operators.Dedup.minhashOracle,
     "q36_orc_roundtrip" ->
       """SELECT l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -9,11 +9,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 128-permutation MinHash signature of a document's 3-token shingles,
-  * computed in ONE native pass per row: tokenize, shingle, xxhash64, and
-  * fold all 128 running minima in a tight primitive loop. This replaces
-  * the explode-shingles → groupBy(doc) → 128×min() aggregation plan for
-  * signatures — same values (identical shingle hash: xxhash64 seed 42
-  * over "t0 t1 t2"; identical permutation coefficients), but a map-only
+  * computed in ONE native pass per row: tokenize, shingle, modular-hash,
+  * and fold all 128 running minima in a tight primitive loop. This
+  * replaces the explode-shingles → groupBy(doc) → 128×min() aggregation
+  * plan for signatures — same values (identical modular shingle hash over
+  * "t0 t1 t2"; identical permutation coefficients), but a map-only
   * projection with NO row explosion and NO signature shuffle, which is
   * what you want when every doc of a 100 TB corpus needs a signature.
   *
@@ -68,18 +68,18 @@ object MinHashSignature {
   private val B: Array[Long] =
     Array.tabulate(NumPerms)(permCoeff(_, 0x2545F4914F6CDD1DL))
 
-  /** One pass: shingle hashes via the shared [[ShingleHashes]] kernel
-    * (whitespace tokens, "a b c" shingles, xxhash64 seed 42 — matching
-    * SQL `xxhash64(concat_ws(' ', t0, t1, t2))`), then 128 running
-    * minima of (a_i·(h mod P) + b_i) mod P. Null for < 3 tokens. */
+  /** One pass: MODULAR shingle hashes via the shared
+    * [[ShingleHashes.computeModular]] kernel (whitespace tokens, "a b c"
+    * shingles, rolling h·31 + cp fold mod P — SQL-replayable character by
+    * character, unlike xxhash64), then 128 running minima of
+    * (a_i·h + b_i) mod P. Null for < 3 tokens. */
   def compute(text: UTF8String): Array[Long] = {
-    val hashes = ShingleHashes.compute(text)
+    val hashes = ShingleHashes.computeModular(text)
     if (hashes.isEmpty) return null
     val mins = Array.fill(NumPerms)(Long.MaxValue)
     var i = 0
     while (i < hashes.length) {
-      var hp = hashes(i) % P
-      if (hp < 0) hp += P
+      val hp = hashes(i) // already in [0, P)
       var j = 0
       while (j < NumPerms) {
         val v = (A(j) * hp + B(j)) % P

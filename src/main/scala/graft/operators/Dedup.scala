@@ -178,8 +178,9 @@ object Dedup {
   }
 
   /** dd_minhash_lsh: band the 128-perm signature into 32 buckets of 4,
-    * hash each band, pair up docs landing in the same (band, key) bucket,
-    * then verify candidates with exact Jaccard ≥ 0.8.
+    * key each band by its raw 4-minima struct, pair up docs landing in the
+    * same (band, key) bucket, then verify candidates with exact
+    * Jaccard ≥ 0.8.
     *
     * Shuffle profile: ONE groupBy on (band, key) with tiny payloads for
     * candidate generation + the candidate-keyed verification joins. */
@@ -193,10 +194,13 @@ object Dedup {
     val sig = docs.select(col("doc_id"),
       graft.functions.MinHashSignature(col("text")).as("sig"))
       .filter(col("sig").isNotNull)
+    // the band key is the raw 4-minima struct (not a hash of it):
+    // collision-free by construction, a few bytes wider on the shuffle
+    // wire, and — decisively — replayable by the SQL oracle, which lets
+    // the whole candidate pipeline be hash-checked
     val bandStructs = array((0 until NumBands).map { bnd =>
       val cols = (0 until 4).map(r => element_at(col("sig"), bnd * 4 + r + 1))
-      struct(lit(bnd).as("band"),
-        xxhash64(lit(bnd) +: cols: _*).as("key"))
+      struct(lit(bnd).as("band"), struct(cols: _*).as("key"))
     }: _*)
     val bands = sig.select(col("doc_id"), explode(bandStructs).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -231,6 +235,74 @@ object Dedup {
         explode(array_distinct(array(col("anchor"), col("prev")))).as("d1"),
         col("doc_id").as("d2"))
       .distinct()
+  }
+
+  /** Modular shingle-hash rows (the MinHash hash space) — the aggregate
+    * formulation's input, kept for the signature parity spec. */
+  private[graft] def modularShingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.ShingleHashes.modular(col("text"))).as("h"))
+
+  /** DuckDB replay of [[minhashLshDocs]] — the ENTIRE candidate pipeline:
+    * modular shingle hashes (character-by-character rolling fold, the
+    * [[graft.functions.ShingleHashes.computeModular]] recurrence), all 128
+    * permutation minima as flat MIN aggregates with the same literal
+    * coefficients, the 32 raw-minima band keys, anchored+chained in-bucket
+    * pairing via window functions, and exact string-shingle Jaccard
+    * verification at the same threshold. Promotes dd_minhash_lsh from
+    * rows-tier to fully hash-checked. */
+  private[graft] def minhashOracle: String = {
+    val minExprs = (0 until NumPerms).map { i =>
+      val a = permCoeff(i, 0x5DEECE66DL)
+      val b = permCoeff(i, 0x2545F4914F6CDD1DL)
+      s"MIN(($a * hp + $b) % $MersenneP) AS m$i"
+    }.mkString(",\n    ")
+    val bandStructs = (0 until NumBands).map { bnd =>
+      val ks = (0 until 4).map(r => s"k${r + 1} := m${bnd * 4 + r}")
+        .mkString(", ")
+      s"struct_pack(band := $bnd, $ks)"
+    }.mkString(",\n      ")
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+       |  FROM documents),
+       |sh AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(ws) - 2),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |  FROM w),
+       |hp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split_regex(shingle, ''),
+       |      c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % $MersenneP) AS hp
+       |  FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $minExprs
+       |  FROM hp GROUP BY doc_id),
+       |bl AS (SELECT doc_id, unnest([
+       |      $bandStructs]) AS u
+       |  FROM sig),
+       |bands AS (SELECT doc_id, u.band AS band,
+       |    u.k1 AS k1, u.k2 AS k2, u.k3 AS k3, u.k4 AS k4
+       |  FROM bl),
+       |bp AS (SELECT doc_id,
+       |    MIN(doc_id) OVER (PARTITION BY band, k1, k2, k3, k4) AS anchor,
+       |    LAG(doc_id) OVER (PARTITION BY band, k1, k2, k3, k4
+       |      ORDER BY doc_id) AS prev
+       |  FROM bands),
+       |cand AS (SELECT DISTINCT d1, d2 FROM (
+       |  SELECT anchor AS d1, doc_id AS d2 FROM bp WHERE doc_id > anchor
+       |  UNION ALL
+       |  SELECT prev AS d1, doc_id AS d2 FROM bp
+       |  WHERE doc_id > anchor AND prev <> anchor) t),
+       |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+       |common AS (SELECT c.d1, c.d2, COUNT(*) AS common
+       |  FROM cand c JOIN dsh a ON a.doc_id = c.d1
+       |              JOIN dsh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+       |  GROUP BY c.d1, c.d2)
+       |SELECT d1, d2 FROM common
+       |JOIN sizes s1 ON d1 = s1.doc_id
+       |JOIN sizes s2 ON d2 = s2.doc_id
+       |WHERE CAST(common AS DOUBLE) / (s1.n + s2.n - common) >= 0.8""".stripMargin
   }
 
   // ---- SimHash -------------------------------------------------------------

@@ -85,8 +85,9 @@ class DedupSpec extends SparkSpec {
         graft.functions.MinHashSignature(col("text")).as("sig"))
       .filter(col("sig").isNotNull)
       .as[(Long, Seq[Long])].collect().toMap
-    // the historical explode + 128×min() aggregate path
-    val agg = Dedup.signatures(Dedup.shingleHashRows(docs))
+    // the historical explode + 128×min() aggregate path, over the same
+    // modular shingle-hash space the native kernel now uses
+    val agg = Dedup.signatures(Dedup.modularShingleRows(docs))
       .collect()
       .map(r => r.getLong(0) -> (1 to 128).map(r.getLong(_)).toSeq)
       .toMap
