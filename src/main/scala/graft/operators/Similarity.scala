@@ -78,7 +78,7 @@ object Similarity {
     }.reduce(_ + _)
 
   /** (vec_id, v, table, bucket) — one row per vector per hash table. */
-  private def lshTables(df: DataFrame): DataFrame =
+  private[graft] def lshTables(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("v"),
       explode(array((0 until NumTables).map(t =>
         struct(lit(t).as("t"), lshBucket(col("v"), t).as("bucket"))): _*))
@@ -105,16 +105,11 @@ object Similarity {
     topKPerQuery(scored)
   }
 
-  /** DuckDB replay of [[annLsh]], generated from the same deterministic
-    * hyperplanes: each of the 32 sign tests is an explicit left-to-right
-    * ±v[k] sum (bit-identical to the zip_with/aggregate fold over the ±1
-    * literal plane — products by ±1.0 are exact, and both engines
-    * accumulate in element order), buckets unpivot to (t, bucket) rows,
-    * candidates are shared-bucket pairs, and the exact cosine re-rank is
-    * the same replay sim_knn_brute's oracle uses. The whole approximate
-    * path — bucketing, candidate union, ranking — is therefore
-    * hash-checked, not just bounded. */
-  private[graft] def lshOracle: String = {
+  /** Shared oracle CTE block replaying the LSH tables: `e` (corpus as
+    * double lists), `b` (8 bucket columns from literal-hyperplane sign
+    * tests), `tb` ((vec_id, t, bucket) rows). Used by [[lshOracle]] and
+    * Dedup's embedding-dedup oracle. */
+  private[graft] def lshBucketCtes: String = {
     def dotExpr(plane: Int): String =
       "0.0 " + (0 until Dim).map(k =>
         (if (planeSign(plane, k) > 0) " + " else " - ") + s"v[${k + 1}]")
@@ -128,11 +123,24 @@ object Similarity {
     val unions = (0 until NumTables)
       .map(t => s"SELECT vec_id, $t AS t, b$t AS bucket FROM b")
       .mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |b AS (SELECT vec_id,
        |$bucketCols
        |FROM e),
-       |tb AS ($unions),
+       |tb AS ($unions)""".stripMargin
+  }
+
+  /** DuckDB replay of [[annLsh]], generated from the same deterministic
+    * hyperplanes: each of the 32 sign tests is an explicit left-to-right
+    * ±v[k] sum (bit-identical to the zip_with/aggregate fold over the ±1
+    * literal plane — products by ±1.0 are exact, and both engines
+    * accumulate in element order), buckets unpivot to (t, bucket) rows,
+    * candidates are shared-bucket pairs, and the exact cosine re-rank is
+    * the same replay sim_knn_brute's oracle uses. The whole approximate
+    * path — bucketing, candidate union, ranking — is therefore
+    * hash-checked, not just bounded. */
+  private[graft] def lshOracle: String = {
+    s"""WITH $lshBucketCtes,
        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
        |  FROM tb q JOIN tb c ON q.t = c.t AND q.bucket = c.bucket
        |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id),
@@ -485,16 +493,39 @@ object Similarity {
     * literal centroid array per-row (sort_array over ≤16 structs) and probe
     * their NProbe nearest cells. Only probed cells are scored exactly.
     * Rows-oracle (approximate results have no SQL twin). */
-  def annIvf(s: SparkSession, d: String): DataFrame = {
+  /** The IVF coarse codebook: stride-sampled seeds refined by
+    * [[trainCentroids]] on the fixed-size deterministic sample. Shared by
+    * [[annIvf]] and [[probedCells]]. */
+  private def ivfCentroids(s: SparkSession, all: DataFrame): Seq[Seq[Double]] = {
     import s.implicits._
-    val all = vecs(s, d)
     val seeds: Seq[Seq[Double]] = all
       .filter(pmod(col("vec_id"), lit(CentroidStride)) === 0)
       .orderBy("vec_id").limit(NumCentroids)
       .select("v").as[Seq[Double]].collect().toSeq
     val stride = math.max(1L, all.count() / TrainTarget)
     val trainSet = all.filter(pmod(col("vec_id"), lit(stride)) === 0)
-    val cents = trainCentroids(trainSet, seeds, IvfIters)
+    trainCentroids(trainSet, seeds, IvfIters)
+  }
+
+  /** (vec_id, c_id) — every vector's [[NProbe]] nearest coarse cells (the
+    * multi-probe assignment). Candidate generation for the bucketed
+    * embedding-dedup path: two vectors are candidates iff they share a
+    * probed cell. Map-only against literal centroids — no shuffle. */
+  private[graft] def probedCells(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val cents = ivfCentroids(s, all)
+    val centArr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-graft.functions.CosineSimilarity(col("v"), typedLit(c)))
+        .as("negcos"), lit(i).as("cid"))
+    }: _*)
+    all.select(col("vec_id"), col("v"),
+        explode(slice(sort_array(centArr), 1, NProbe)).as("p"))
+      .select(col("vec_id"), col("v"), col("p.cid").as("c_id"))
+  }
+
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val cents = ivfCentroids(s, all)
     val assigned = all.withColumn("c_id", bestCentroid(cents))
     // per-query probe list: sort the (‑cos, cid) struct array ascending →
     // the first NProbe entries are the nearest cells; 10 query rows, so

@@ -25,6 +25,34 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("bucketed embed-cosine pairs: subset of exact, recall >= 0.9, pruned candidates") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val exact = Dedup.embedCosineExact(s, sf01)
+      .as[(Long, Long)].collect().toSet
+    val bucketed = Dedup.embedCosine(s, sf01)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data has no cosine pairs at sf0.01")
+    assert((bucketed -- exact).isEmpty,
+      s"false positives survived verification: ${(bucketed -- exact).take(3)}")
+    val recall = bucketed.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"bucketed embed recall $recall")
+    // the candidate space must be a strict subset of all pairs even at
+    // this deliberately-hard tau (see embedCosine's scaladoc)
+    val e = graft.Tables.embeddings(s, sf01)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count()
+    val tb = operators.Similarity.lshTables(e)
+    val nCands = tb.select(col("t"), col("bucket"), col("vec_id").as("v1"))
+      .join(tb.select(col("t"), col("bucket"), col("vec_id").as("v2")),
+        Seq("t", "bucket"))
+      .filter(col("v1") < col("v2"))
+      .select("v1", "v2").distinct().count()
+    assert(nCands < n * (n - 1) / 2 / 2,
+      s"candidates $nCands not pruned vs ${n * (n - 1) / 2} pairs")
+  }
+
   test("minhash LSH survives a 10k-member duplicate mega-cluster") {
     // the data shape LLM dedup exists for: one document duplicated en
     // masse. Anchored+chained in-bucket pairing must link every member to
