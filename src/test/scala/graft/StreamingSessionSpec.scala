@@ -41,12 +41,20 @@ class StreamingSessionSpec extends SparkSpec {
       .outputMode(OutputMode.Append()).start()
     try {
       val gap = Streams.GapUs
-      mem.addData(Event(1L, 0L, 1L), Event(1L, gap * 3, 2L)) // two sessions
+      // base offset: the stateful operator's late-row filter drops events
+      // with ts <= the current watermark, and the watermark floor is 0 —
+      // an event AT epoch 0 would be discarded before reaching the
+      // sessionizer, so the scenario starts a day in
+      val b = 86400L * 1000000L
+      mem.addData(Event(1L, b, 1L), Event(1L, b + gap * 3, 2L)) // two sessions
       q.processAllAvailable()
-      // late arrival (before the open session's start), then an on-time
-      // event 1s after the open session's last: both must be session 2 —
-      // the late event must NOT drag lastTs backward and split them
-      mem.addData(Event(1L, 1000L, 3L), Event(1L, gap * 3 + 1000000L, 4L))
+      // late arrival (before even session 1's start, but above the
+      // watermark b+90min-2h = b-30min so it clears the late-row filter),
+      // then an on-time event 1s after the open session's last: both must
+      // be session 2 — the late event must NOT drag lastTs backward and
+      // split them
+      mem.addData(Event(1L, b + 1000L, 3L),
+        Event(1L, b + gap * 3 + 1000000L, 4L))
       q.processAllAvailable()
       val got = s.table("late_test").as[SessionedEvent]
         .collect().map(e => e.event_id -> e.session_num).toMap
@@ -127,27 +135,29 @@ class StreamingSessionSpec extends SparkSpec {
       .lastOption.map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
     try {
       val day = 86400L * 1000000L
-      mem.addData(Event(1L, 0L, 1L))
+      // day-one base: an event at epoch 0 would be <= the initial
+      // watermark and dropped by the stateful operator's late-row filter
+      mem.addData(Event(1L, day, 1L))
       q.processAllAvailable()
       assert(stateRows == 1L, s"expected user 1's open session, got $stateRows")
-      // user 2 ten days later: the watermark (10d − 2h lateness) passes
+      // user 2 ten days later: the watermark (11d − 2h lateness) passes
       // user 1's lastTs + gap, so user 1's state must be reclaimed in the
       // following (possibly no-data) micro-batch
-      mem.addData(Event(2L, 10 * day, 2L))
+      mem.addData(Event(2L, 11 * day, 2L))
       q.processAllAvailable()
-      mem.addData(Event(2L, 10 * day + 1000000L, 3L))
+      mem.addData(Event(2L, 11 * day + 1000000L, 3L))
       q.processAllAvailable()
       assert(stateRows == 1L,
         s"idle user's state not reclaimed after watermark passed: $stateRows rows")
       // a returning expired user restarts the ordinal at 1 (the old
       // state is gone — that's the point); session_start_us still
       // uniquely identifies the new session
-      mem.addData(Event(1L, 20 * day, 4L))
+      mem.addData(Event(1L, 21 * day, 4L))
       q.processAllAvailable()
       val got = s.table("expiry_test").as[SessionedEvent].collect()
       assert(got.length == 4, s"timeout must emit nothing: ${got.length} rows")
       val e4 = got.find(_.event_id == 4L).get
-      assert(e4.session_num == 1L && e4.session_start_us == 20 * day,
+      assert(e4.session_num == 1L && e4.session_start_us == 21 * day,
         e4.toString)
     } finally q.stop()
   }
@@ -162,11 +172,14 @@ class StreamingSessionSpec extends SparkSpec {
       .outputMode(OutputMode.Append()).start()
     try {
       val gap = Streams.GapUs
+      // day-one base: see the late-row filter note in the tests above
+      val b = 86400L * 1000000L
       // batch 1: two events 1s apart -> one session
-      mem.addData(Event(1L, 0L, 1L), Event(1L, 1000000L, 2L))
+      mem.addData(Event(1L, b, 1L), Event(1L, b + 1000000L, 2L))
       q.processAllAvailable()
       // batch 2: one event inside the gap (same session), one past it (new)
-      mem.addData(Event(1L, 2000000L, 3L), Event(1L, 2000000L + gap + 1L, 4L))
+      mem.addData(Event(1L, b + 2000000L, 3L),
+        Event(1L, b + 2000000L + gap + 1L, 4L))
       q.processAllAvailable()
       val got = s.table("sessions_test").as[SessionedEvent]
         .collect().map(e => e.event_id -> e.session_num).toMap
