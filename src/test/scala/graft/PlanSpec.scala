@@ -164,4 +164,15 @@ class PlanSpec extends SparkSpec {
     assert(filterLine.contains(">= 1997-01-01") &&
       filterLine.contains("< 1998-01-01"), filterLine)
   }
+
+  test("dd_embed_cosine plans no cartesian or nested-loop join") {
+    // the round-4 weak item: the embedding dedup used an all-pairs
+    // inequality join (BroadcastNestedLoopJoin — O(n²) rows at any SF).
+    // The bucketed path must plan only equi-joins on (table, bucket) and
+    // candidate keys, never a cartesian product
+    val p = plan(graft.operators.Dedup.embedCosine(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join shape in plan: ${p.take(1200)}")
+  }
 }
