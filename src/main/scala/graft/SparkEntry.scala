@@ -54,6 +54,7 @@ object SparkEntry {
     "op_upsert"               -> (Relational.opUpsert _),
     "op_scd2"                 -> (Relational.opScd2 _),
     "q40_schema_evolution"    -> (StorageRoundtrip.schemaEvolution _),
+    "q44_compaction"          -> (StorageRoundtrip.compaction _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -825,6 +826,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin,
+    // content invariance hash-checked from the base table; the file-count
+    // contract travels as an oracle-asserted boolean (q30 pattern)
+    "q44_compaction" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  TRUE AS compacted_ok
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q40_schema_evolution" ->
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,

@@ -24,7 +24,9 @@ object StorageRoundtrip {
     s"${sys.props("java.io.tmpdir")}/graft_rt_${ProcessHandle.current().pid()}/$name"
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    // listFiles returns null on I/O or permission errors, not empty
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
   }
 
@@ -175,6 +177,50 @@ object StorageRoundtrip {
       .agg(count(lit(1)).as("n"),
         sum(col("price")).cast("double").as("sum_price"),
         count(col("o_orderstatus")).as("n_status"))
+  }
+
+  /** q44_compaction: small-file compaction — the table-maintenance job
+    * every long-lived big table needs. Streaming appends / tiny batch
+    * writes leave a 100 TB table as millions of KB-scale files, and scan
+    * cost becomes per-FILE overhead (open + footer + seek), not data.
+    * Here: orders deliberately fragmented into 64 tiny files, then
+    * compacted by rewriting with a partition count derived from actual
+    * on-disk bytes over a target file size — the standard OPTIMIZE /
+    * rewrite-data-files recipe, expressed as one repartition + write.
+    *
+    * Oracle design: compaction must be CONTENT-INVARIANT, so the output
+    * is the per-status aggregate of the compacted table (hash-checked
+    * against the base table straight from parquet) plus file-count
+    * booleans the oracle asserts TRUE (fragmented > compacted ∧ compacted
+    * ≤ target) — a compaction that loses rows, alters values, or fails to
+    * reduce file count flips the row red. */
+  def compaction(s: SparkSession, d: String): DataFrame = {
+    val outSmall = tmp("compact_small")
+    val outBig = tmp("compact_big")
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(D12).as("price"))
+    orders.repartition(64).write.mode("overwrite").parquet(outSmall)
+    def parquetFiles(dir: String): Seq[(String, Long)] = {
+      import s.implicits._
+      ls(s, dir).filter(!col("is_dir") && col("path").endsWith(".parquet"))
+        .select(col("path"), col("bytes")).as[(String, Long)].collect().toSeq
+    }
+    val small = parquetFiles(outSmall)
+    // target partition count from measured bytes (128 MiB target files,
+    // the usual parquet sweet spot); tiny test tables collapse to 1
+    val targetBytes = 128L * 1024 * 1024
+    val target = math.max(1L,
+      (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+    s.read.parquet(outSmall).repartition(target)
+      .write.mode("overwrite").parquet(outBig)
+    val nBig = parquetFiles(outBig).size
+    s.read.parquet(outBig)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total"))
+      .withColumn("compacted_ok",
+        lit(nBig < small.size && nBig <= target))
   }
 
   /** q27: text sink + source — raw line ingestion (the reference's
