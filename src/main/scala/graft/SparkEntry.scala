@@ -55,6 +55,7 @@ object SparkEntry {
     "op_scd2"                 -> (Relational.opScd2 _),
     "q40_schema_evolution"    -> (StorageRoundtrip.schemaEvolution _),
     "q44_compaction"          -> (StorageRoundtrip.compaction _),
+    "q45_zorder"              -> (StorageRoundtrip.zorder _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -833,6 +834,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         |  TRUE AS compacted_ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // content invariance of the box-filtered agg hash-checked (bounds are
+    // data-derived, replayed via MIN/MAX subqueries); measured file-level
+    // locality travels as an oracle-asserted boolean
+    "q45_zorder" ->
+      """WITH d AS (SELECT o_custkey,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS od,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders),
+        |b AS (SELECT MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) // 4 AS cq,
+        |             MIN(od) + (MAX(od) - MIN(od)) // 4 AS dq FROM d)
+        |SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total_price,
+        |  TRUE AS clustered_ok
+        |FROM d, b WHERE o_custkey < cq AND od < dq""".stripMargin,
     "q40_schema_evolution" ->
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -221,6 +221,62 @@ object StorageRoundtrip {
         sum(col("price")).cast("double").as("total"))
       .withColumn("compacted_ok",
         lit(nBig < small.size && nBig <= target))
+  }
+
+  /** q45_zorder: multi-dimensional clustering for scan pruning — the
+    * data-layout technique (Delta/Iceberg OPTIMIZE ZORDER) that makes
+    * selective scans on a 100 TB table skip most files when queries
+    * filter on TWO dimensions at once (range-partitioning on one column
+    * only clusters that column). The z-value interleaves the bits of the
+    * 16-bit min/max-scaled ranks of (customer, order-day); writing
+    * range-partitioned + sorted by it gives every file a tight bounding
+    * box in BOTH dimensions, so parquet min/max stats prune files for
+    * predicates on either or both.
+    *
+    * The z-value is layout-internal (never in the output), so no
+    * cross-engine arithmetic matters. The CHECKED contract: a two-sided
+    * box predicate's aggregate read back from the clustered files
+    * (hash-checked against the base table — clustering must be
+    * content-invariant), plus `clustered_ok`: the fraction of files whose
+    * per-file (min,max) bounding box intersects the quarter×quarter query
+    * box must be ≤ half — an unclustered layout intersects ~all files.
+    * Locality is measured from the actual files via input_file_name(). */
+  def zorder(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("zorder_orders")
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01")).as("od"),
+        col("o_totalprice").cast(D12).as("price"))
+    val Array(cmin, cmax, dmin, dmax) = base
+      .agg(min("o_custkey"), max("o_custkey"), min("od"), max("od"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Number].longValue).toArray
+    def scaled(c: Column, lo: Long, hi: Long): Column =
+      (c.cast("long") - lo) * 65535L / math.max(1L, hi - lo)
+    val z = (0 until 16).map { k =>
+      (shiftright(scaled(col("o_custkey"), cmin, cmax), k)
+        .bitwiseAND(lit(1L)) * lit(1L << (2 * k))) +
+      (shiftright(scaled(col("od"), dmin, dmax), k)
+        .bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1)))
+    }.reduce(_ + _)
+    base.withColumn("z", z)
+      .repartitionByRange(8, col("z")).sortWithinPartitions(col("z"))
+      .drop("z")
+      .write.mode("overwrite").parquet(out)
+    // query box: the low quarter of both dimensions
+    val (cq, dq) = (cmin + (cmax - cmin) / 4, dmin + (dmax - dmin) / 4)
+    val clustered = s.read.parquet(out)
+    val boxed = clustered
+      .filter(col("o_custkey") < cq && col("od") < dq)
+    // per-file bounding boxes: which files could a stats-pruned scan of
+    // the box predicate touch?
+    val boxes = clustered
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_custkey").as("clo"), min("od").as("dlo"))
+    val total = boxes.count()
+    val hit = boxes.filter(col("clo") < cq && col("dlo") < dq).count()
+    boxed.agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total_price"))
+      .withColumn("clustered_ok", lit(hit * 2 <= total))
   }
 
   /** q27: text sink + source — raw line ingestion (the reference's
