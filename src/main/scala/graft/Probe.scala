@@ -33,6 +33,26 @@ object Probe {
             q -> ann.getOrElse(q, Set.empty).intersect(brute(q)).size)
           println(s"RECALL $name: ${hits.mkString(" ")} total=${hits.map(_._2).sum}/${brute.values.map(_.size).sum}")
         }
+      case "buckets" =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        Seq("li_b2", "ord_b2").foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t"); rm(new java.io.File(s"$wh/$t"))
+        }
+        Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
+          .repartition(4, col("l_orderkey"))
+          .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b2")
+        Tables.orders(spark, d).select("o_orderkey", "o_totalprice")
+          .repartition(4, col("o_orderkey"))
+          .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_b2")
+        val j = spark.table("li_b2").join(spark.table("ord_b2"),
+          col("l_orderkey") === col("o_orderkey"))
+        println(j.queryExecution.executedPlan.toString)
       case "ivfcover" =>
         import spark.implicits._
         val brute = operators.Dedup.embedCosine(spark, d)

@@ -63,8 +63,14 @@ class PlanSpec extends SparkSpec {
   test("bucketed tables join co-located, with no shuffle exchange") {
     val s = spark
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevOrd = s.conf
+      .get("spark.sql.legacy.bucketedTableScan.outputOrdering")
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // claim bucket sort order on scan (off by default since 3.0 because
+      // multi-file buckets concatenate unordered; safe here — the
+      // repartition below guarantees one file per bucket)
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // a fresh derby metastore doesn't know about table dirs left by a
       // previous JVM — clear the locations before CTAS
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
@@ -76,12 +82,18 @@ class PlanSpec extends SparkSpec {
         s.sql(s"DROP TABLE IF EXISTS $t")
         rm(new java.io.File(s"$wh/$t"))
       }
+      // repartition on the bucket key first: one writer task per bucket
+      // => ONE file per bucket => the read preserves bucket sort order
+      // and the SMJ can skip its sorts (multi-file buckets concatenate
+      // and lose order, forcing a re-sort)
       Tables.lineitem(s, sf)
         .select("l_orderkey", "l_quantity")
+        .repartition(4, org.apache.spark.sql.functions.col("l_orderkey"))
         .write.mode("overwrite").bucketBy(4, "l_orderkey")
         .sortBy("l_orderkey").saveAsTable("li_bucketed")
       Tables.orders(s, sf)
         .select("o_orderkey", "o_totalprice")
+        .repartition(4, org.apache.spark.sql.functions.col("o_orderkey"))
         .write.mode("overwrite").bucketBy(4, "o_orderkey")
         .sortBy("o_orderkey").saveAsTable("ord_bucketed")
       val j = s.table("li_bucketed").join(s.table("ord_bucketed"),
@@ -91,7 +103,16 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("SortMergeJoin"), p.take(800))
       assert(!p.contains("Exchange"),
         s"bucketed join still shuffles: ${p.take(800)}")
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // sortBy buckets + single-file buckets + the outputOrdering conf:
+      // the SMJ must also skip the per-partition sort — the layout pays
+      // for BOTH the shuffle and the sort exactly once, at write time
+      // "Sort [" matches the Sort node only, not SortMergeJoin
+      assert(!p.linesIterator.exists(_.trim.matches("[:+]- Sort \\[.*")),
+        s"bucket-sorted join still sorts: ${p.take(3000)}")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prevOrd)
+    }
   }
 
   test("mr_mapside_join broadcasts the bounded dim, never the fact side") {
