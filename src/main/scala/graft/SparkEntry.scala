@@ -92,6 +92,7 @@ object SparkEntry {
     "ta_sample_stratified"    -> (TextAnalysis.sampleStratified _),
     "ta_pack_sequences"       -> (TextAnalysis.packSequences _),
     "ta_tfidf"                -> (TextAnalysis.tfidf _),
+    "ta_feature_hash"         -> (TextAnalysis.featureHash _),
     "ta_sessionize"           -> (TextAnalysis.sessionize _),
     "pipe_clean_corpus"       -> (Pipeline.cleanCorpus _),
     "pipe_dedup_corpus"       -> (Pipeline.dedupCorpus _),
@@ -803,6 +804,20 @@ object SparkEntry {
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents""".stripMargin,
     "ta_rolling_fingerprint" -> rollingHashOracle,
+    // per-token rolling-hash replay, bucketed to the fixed feature space
+    "ta_feature_hash" ->
+      s"""WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+        |      AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(tok, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647)
+        |    % ${graft.operators.TextAnalysis.FeatureDims} AS dim
+        |  FROM tok)
+        |SELECT doc_id, dim, COUNT(*) AS tf FROM h GROUP BY doc_id, dim""".stripMargin,
     // SQL-text front-end twins: held to the same oracles as the DataFrame
     // formulations they mirror (sql_text_agg's statement is itself the
     // engine-portable ANSI subset, so the SAME string is the oracle)

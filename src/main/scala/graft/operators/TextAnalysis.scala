@@ -19,6 +19,28 @@ object TextAnalysis {
       size(wsTokens(col("text"))).as("ws_n"),
       size(bpeTokens(col("text"))).as("bpe_n"))
 
+  /** Feature-hash dimensionality (power of two, the usual choice). */
+  val FeatureDims = 1024
+
+  /** ta_feature_hash: the hashing trick — fixed-[[FeatureDims]]-dim
+    * bag-of-words features per doc as sparse (doc_id, dim, tf) rows,
+    * dim = rolling_hash(token) mod dims. No vocabulary is ever built:
+    * unlike dictionary featurization (a corpus-wide distinct + join),
+    * hashing is a pure per-row projection — at 100 TB it needs ONE
+    * map-side-combined groupBy and zero global state, and the feature
+    * space is identical across corpora/shards by construction (what makes
+    * it trainable incrementally). Token hash is the native codegen'd
+    * [[graft.functions.RollingHash]], replayed character-by-character by
+    * the oracle. */
+  def featureHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(graft.functions.RollingHash(col("tok")), lit(FeatureDims.toLong))
+          .as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("tf"))
+
   /** ta_quality_score: length/stopword-ratio quality heuristic. The exact
     * double expression tree is mirrored in the oracle SQL so the score is
     * bit-identical. */
