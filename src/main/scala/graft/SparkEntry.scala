@@ -110,6 +110,7 @@ object SparkEntry {
     "st_stream_enrich"        -> (Streams.streamEnrich _),
     "st_stream_join"          -> (Streams.streamJoin _),
     "st_stream_file_sink"     -> (Streams.streamFileSink _),
+    "st_stream_upsert"        -> (Streams.streamUpsert _),
     "mr_triangle_count"       -> (MapReduceJobs.triangleCount _),
     "ta_ngram_lm"             -> (TextAnalysis.ngramLm _),
     "ta_contamination"        -> (TextAnalysis.contamination _),
@@ -1024,6 +1025,26 @@ object SparkEntry {
     "st_stream_file_sink" ->
       """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS day, value
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    // same change-set + latest-wins contract as op_upsert, replayed from
+    // parquet — the streamed foreachBatch merge must land the same table
+    "st_stream_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority, 0 AS src
+        |  FROM orders),
+        |updates AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    CAST(o_totalprice + 1000.0 AS DOUBLE) AS o_totalprice,
+        |    '5-LOW' AS o_orderpriority, 1 AS src
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |inserts AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+        |    'N' AS o_orderstatus,
+        |    CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderpriority, 1 AS src
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |merged AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM updates
+        |        UNION ALL SELECT * FROM inserts))
+        |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM merged WHERE rn = 1""".stripMargin,
     "st_stream_enrich" ->
       """SELECT event_id, user_id, event_type, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,

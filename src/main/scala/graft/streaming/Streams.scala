@@ -170,6 +170,72 @@ object Streams {
     s.read.parquet(s"$base/out")
   }
 
+  /** st_stream_upsert: the foreachBatch MERGE sink — maintaining a keyed
+    * table from a change stream, the production pattern behind every
+    * "stream into a warehouse table" pipeline. The change stream derives
+    * base records plus deterministic updates (every 10th key) and inserts
+    * (every 97th key, new keyspace) from the orders table; each
+    * micro-batch merges latest-wins-by-src into a VERSIONED parquet
+    * target (read version N, merge, write version N+1 — the
+    * copy-on-write table layout, atomic at the directory level).
+    *
+    * Batch-boundary invariance: the merge keeps max(src) per key, so the
+    * final table is identical however AvailableNow splits the stream —
+    * and a replayed batch re-merges idempotently (same rows, same
+    * winner), which is what makes foreachBatch exactly-once-effective on
+    * top of an at-least-once source. The oracle replays the same change
+    * set + latest-wins window straight from parquet. */
+  def streamUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_upsert_${ProcessHandle.current().pid()}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    val ordersDdl =
+      "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING"
+    val src = s.readStream.schema(ordersDdl)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+    val changes = src.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"), lit(0).as("src"))
+      .unionByName(src.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("5-LOW").as("o_orderpriority"), lit(1).as("src")))
+      .unionByName(src.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"), lit(1).as("src")))
+    def versions(): Seq[Long] = {
+      val dirs = Option(new java.io.File(s"$base/table").listFiles())
+        .getOrElse(Array.empty)
+      dirs.filter(_.isDirectory).map(_.getName.stripPrefix("v").toLong).toSeq
+    }
+    val q = changes.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prev = versions().sorted.lastOption
+          .map(v => s.read.parquet(s"$base/table/v$v"))
+          .getOrElse(batch.limit(0))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderkey"))
+          .orderBy(col("src").desc)
+        prev.unionByName(batch)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .write.mode("overwrite").parquet(s"$base/table/v$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val last = versions().sorted.last
+    s.read.parquet(s"$base/table/v$last")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+  }
+
   // ---- Stateful sessionization --------------------------------------------
 
   case class Event(user_id: Long, ts_us: Long, event_id: Long)
