@@ -111,6 +111,7 @@ object SparkEntry {
     "st_stream_join"          -> (Streams.streamJoin _),
     "st_stream_file_sink"     -> (Streams.streamFileSink _),
     "st_stream_upsert"        -> (Streams.streamUpsert _),
+    "st_stream_session_window" -> (Streams.streamSessionWindow _),
     "mr_triangle_count"       -> (MapReduceJobs.triangleCount _),
     "ta_ngram_lm"             -> (TextAnalysis.ngramLm _),
     "ta_contamination"        -> (TextAnalysis.contamination _),
@@ -1055,6 +1056,22 @@ object SparkEntry {
         |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         |  AND epoch_us(c.ts) <= epoch_us(p.ts)
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
+    // LAG-based session replay; >= gap starts a new session (half-open
+    // session windows), MIN(ts) per session = the window start
+    "st_stream_session_window" ->
+      """WITH t AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           IS NULL
+        |      OR epoch_us(ts) - epoch_us(LAG(ts) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sn AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM t)
+        |SELECT user_id, MIN(epoch_us(ts)) AS session_start_us, COUNT(*) AS n
+        |FROM sn GROUP BY user_id, sid""".stripMargin,
     "st_stream_window" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |  COUNT(*) AS n,

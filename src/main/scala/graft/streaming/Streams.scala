@@ -170,6 +170,36 @@ object Streams {
     s.read.parquet(s"$base/out")
   }
 
+  /** st_stream_session_window: gap-based sessions via the BUILT-IN
+    * session_window aggregation — the declarative twin of the
+    * flatMapGroupsWithState sessionizer ([[streamSession]]). Catalyst
+    * owns the state layout and merge (sessions merge when a late event
+    * bridges two windows), so this is the formulation to prefer when the
+    * per-session output is an aggregate; the imperative version remains
+    * for per-EVENT session stamping, which session_window can't emit.
+    * Session boundary: an event exactly gap after the last starts a NEW
+    * session (windows are half-open [start, last+gap)), hence the >= in
+    * the oracle's replay. */
+  def streamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = s.readStream.schema(eventsDdl)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = src
+      .groupBy(session_window(col("ts"), "30 minutes").as("win"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("win.start")).as("session_start_us"), col("n"))
+    val q = agg.writeStream
+      .format("memory").queryName("st_stream_session_window")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("st_stream_session_window")
+  }
+
   /** st_stream_upsert: the foreachBatch MERGE sink — maintaining a keyed
     * table from a change stream, the production pattern behind every
     * "stream into a warehouse table" pipeline. The change stream derives
