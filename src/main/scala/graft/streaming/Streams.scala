@@ -108,6 +108,18 @@ object Streams {
     * the oracle checks it exactly. */
   def streamJoin(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // a stream-stream join instantiates FOUR state stores per shuffle
+    // partition; in local mode the per-store setup dominates (measured
+    // ~7-8 s at EVERY SF with 32 partitions, ~3.4 s with 8). Size the
+    // stateful shuffle to the actual executor count — on a real cluster
+    // this conf is per-query-run anyway; restore it for the next query
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try streamJoinInner(s, d)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def streamJoinInner(s: SparkSession, d: String): DataFrame = {
     def src = s.readStream.schema(eventsDdl)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
