@@ -56,6 +56,7 @@ object SparkEntry {
     "q40_schema_evolution"    -> (StorageRoundtrip.schemaEvolution _),
     "q44_compaction"          -> (StorageRoundtrip.compaction _),
     "q45_zorder"              -> (StorageRoundtrip.zorder _),
+    "q46_bad_records"         -> (StorageRoundtrip.badRecords _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -122,6 +123,7 @@ object SparkEntry {
     "sql_text_agg"            -> (SqlSurface.textAgg _),
     "sql_text_rolling"        -> (SqlSurface.textRolling _),
     "sql_text_knn"            -> (SqlSurface.textKnn _),
+    "sql_text_minhash"        -> (SqlSurface.textMinhash _),
   )
 
   /** ta_langid oracle: same stopword-profile scores, argmax with the same
@@ -826,6 +828,7 @@ object SparkEntry {
     "sql_text_agg" -> graft.operators.SqlSurface.TextAggSql,
     "sql_text_rolling" -> rollingHashOracle,
     "sql_text_knn" -> knnBruteOracle,
+    "sql_text_minhash" -> graft.operators.Dedup.minhashProbeOracle,
     "ta_split" ->
       s"""SELECT ${splitBucketSql("doc_id")} AS split,
         |       COUNT(*) AS n
@@ -864,6 +867,14 @@ object SparkEntry {
         |SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total_price,
         |  TRUE AS clustered_ok
         |FROM d, b WHERE o_custkey < cq AND od < dq""".stripMargin,
+    // replay the deterministic corruption rule arithmetically
+    "q46_bad_records" ->
+      """SELECT
+        |  COUNT(CASE WHEN o_orderkey % 13 <> 0 THEN 1 END) AS n_good,
+        |  COUNT(CASE WHEN o_orderkey % 13 = 0 THEN 1 END) AS n_bad,
+        |  CAST(SUM(CASE WHEN o_orderkey % 13 <> 0
+        |    THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_good
+        |FROM orders""".stripMargin,
     "q40_schema_evolution" ->
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,

@@ -251,18 +251,17 @@ object Dedup {
     * pairing via window functions, and exact string-shingle Jaccard
     * verification at the same threshold. Promotes dd_minhash_lsh from
     * rows-tier to fully hash-checked. */
-  private[graft] def minhashOracle: String = {
-    val minExprs = (0 until NumPerms).map { i =>
-      val a = permCoeff(i, 0x5DEECE66DL)
-      val b = permCoeff(i, 0x2545F4914F6CDD1DL)
-      s"MIN(($a * hp + $b) % $MersenneP) AS m$i"
-    }.mkString(",\n    ")
-    val bandStructs = (0 until NumBands).map { bnd =>
-      val ks = (0 until 4).map(r => s"k${r + 1} := m${bnd * 4 + r}")
-        .mkString(", ")
-      s"struct_pack(band := $bnd, $ks)"
-    }.mkString(",\n      ")
-    s"""WITH w AS (SELECT doc_id,
+  /** The permutation-minimum aggregate for index `i`, as oracle SQL. */
+  private def minExpr(i: Int): String = {
+    val a = permCoeff(i, 0x5DEECE66DL)
+    val b = permCoeff(i, 0x2545F4914F6CDD1DL)
+    s"MIN(($a * hp + $b) % $MersenneP)"
+  }
+
+  /** Shared oracle CTEs deriving per-shingle modular hashes `hp` from
+    * documents (tokenize → 3-gram shingle strings → rolling fold). */
+  private val shingleHashCtes: String =
+    s"""w AS (SELECT doc_id,
        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
        |  FROM documents),
        |sh AS (SELECT doc_id,
@@ -273,7 +272,25 @@ object Dedup {
        |    list_transform(string_split_regex(shingle, ''),
        |      c -> CAST(ascii(c) AS BIGINT))),
        |    (h, c) -> (h * 31 + c) % $MersenneP) AS hp
-       |  FROM sh),
+       |  FROM sh)""".stripMargin
+
+  /** Oracle for sql_text_minhash: the three probed signature positions
+    * recomputed from the shared shingle-hash CTEs. */
+  private[graft] def minhashProbeOracle: String =
+    s"""WITH $shingleHashCtes
+       |SELECT doc_id, ${minExpr(0)} AS m1, ${minExpr(63)} AS m64,
+       |  ${minExpr(127)} AS m128
+       |FROM hp GROUP BY doc_id""".stripMargin
+
+  private[graft] def minhashOracle: String = {
+    val minExprs = (0 until NumPerms).map(i => s"${minExpr(i)} AS m$i")
+      .mkString(",\n    ")
+    val bandStructs = (0 until NumBands).map { bnd =>
+      val ks = (0 until 4).map(r => s"k${r + 1} := m${bnd * 4 + r}")
+        .mkString(", ")
+      s"struct_pack(band := $bnd, $ks)"
+    }.mkString(",\n      ")
+    s"""WITH $shingleHashCtes,
        |sig AS (SELECT doc_id,
        |    $minExprs
        |  FROM hp GROUP BY doc_id),

@@ -44,6 +44,22 @@ object SqlSurface {
     s.sql("SELECT doc_id, rolling_hash(text) AS rh FROM documents")
   }
 
+  /** sql_text_minhash: the native one-pass MinHash signature called by
+    * its SQL name, probed at three permutation positions (first, middle,
+    * last). The oracle recomputes those three minima from the replayable
+    * modular shingle hashes — the SQL front-end, the native kernel, and
+    * the oracle's aggregate formulation all held to one hash. */
+  def textMinhash(s: SparkSession, d: String): DataFrame = {
+    view(s, d, "documents")
+    s.sql(
+      """SELECT doc_id,
+        |  element_at(minhash_signature(text), 1) AS m1,
+        |  element_at(minhash_signature(text), 64) AS m64,
+        |  element_at(minhash_signature(text), 128) AS m128
+        |FROM documents
+        |WHERE minhash_signature(text) IS NOT NULL""".stripMargin)
+  }
+
   /** sql_text_knn: exact cosine top-k per query vector via SQL text, the
     * native cosine_similarity expression in a window ORDER BY. Same
     * oracle as sim_knn_brute — SQL front-end and DataFrame API are held

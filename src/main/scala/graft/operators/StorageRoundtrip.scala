@@ -279,6 +279,35 @@ object StorageRoundtrip {
       .withColumn("clustered_ok", lit(hit * 2 <= total))
   }
 
+  /** q46_bad_records: corrupt-record-tolerant ingest — at 100 TB some
+    * fraction of any JSON/CSV feed is malformed, and the job must
+    * quarantine those rows, not die (FAILFAST) or silently null them
+    * untracked. Deterministic corruption: every 13th order's JSON line is
+    * truncated mid-object; the PERMISSIVE reader routes those lines to
+    * _corrupt_record, and the output counts good/bad plus an exact
+    * decimal aggregate over the rows that parsed. The oracle replays the
+    * corruption rule arithmetically from parquet. */
+  def badRecords(s: SparkSession, d: String): DataFrame = {
+    val out = tmp("bad_json_orders")
+    Tables.orders(s, d)
+      .select(when(pmod(col("o_orderkey"), lit(13)) === 0,
+          concat(lit("{\"k\":"), col("o_orderkey"), lit(",\"p\":")))
+        .otherwise(concat(lit("{\"k\":"), col("o_orderkey"), lit(",\"p\":"),
+          col("o_totalprice").cast(D12), lit("}")))
+        .as("value"))
+      .write.mode("overwrite").text(out)
+    val parsed = s.read
+      .schema("k LONG, p DECIMAL(12,2), _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+    parsed.agg(
+      count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+      count(col("_corrupt_record")).as("n_bad"),
+      sum(when(col("_corrupt_record").isNull, col("p")))
+        .cast("double").as("sum_good"))
+  }
+
   /** q27: text sink + source — raw line ingestion (the reference's
     * text-oriented HDFS file model), aggregated by line length. */
   def textLines(s: SparkSession, d: String): DataFrame = {
