@@ -94,6 +94,8 @@ object SparkEntry {
     "ta_pack_sequences"       -> (TextAnalysis.packSequences _),
     "ta_tfidf"                -> (TextAnalysis.tfidf _),
     "ta_feature_hash"         -> (TextAnalysis.featureHash _),
+    "ta_entropy"              -> (TextAnalysis.entropy _),
+    "sim_range_search"        -> (Similarity.rangeSearch _),
     "ta_sessionize"           -> (TextAnalysis.sessionize _),
     "pipe_clean_corpus"       -> (Pipeline.cleanCorpus _),
     "pipe_dedup_corpus"       -> (Pipeline.dedupCorpus _),
@@ -1001,6 +1003,20 @@ object SparkEntry {
         |FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |GROUP BY 1""".stripMargin,
     "sim_knn_brute" -> knnBruteOracle,
+    // radius query over the replayed LSH buckets
+    "sim_range_search" -> graft.operators.Similarity.rangeSearchOracle,
+    // per-term micro-unit quantization before the sum: exact integers
+    "ta_entropy" ->
+      """WITH tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |        AS tok
+        |    FROM documents) t
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok, COUNT(*) AS n_uniq,
+        |  CAST(SUM(CAST(floor(n * ln(n) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS nlogn4
+        |FROM tc GROUP BY doc_id""".stripMargin,
     // full replay of the approximate LSH path (literal hyperplanes) — the
     // buckets, candidate union, and ranking are all hash-checked
     "sim_ann_lsh" -> graft.operators.Similarity.lshOracle,

@@ -154,6 +154,39 @@ object Similarity {
        |WHERE rank <= $K""".stripMargin
   }
 
+  private[graft] val RangeTau = 0.3
+
+  /** sim_range_search: radius queries — ALL neighbors with cosine ≥
+    * [[RangeTau]] per query vector, not a fixed top-k (the dedup/recall
+    * API shape: "everything similar enough", result size data-dependent).
+    * Candidates from the shared LSH tables, exact cosine filter on
+    * candidates only; approximate like every bucketed path here, and like
+    * them hash-checked end-to-end by replaying the buckets. */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    val all = lshTables(vecs(s, d))
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("t"), col("bucket"))
+    all.join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("qv"), col("v"))
+      .dropDuplicates("q_id", "n_id")
+      .filter(cosine(col("qv"), col("v")) >= RangeTau)
+      .select(col("q_id"), col("n_id"))
+  }
+
+  /** DuckDB replay of [[rangeSearch]]: shared bucket CTEs + the cosine
+    * radius filter. */
+  private[graft] def rangeSearchOracle: String =
+    s"""WITH $lshBucketCtes,
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+       |  FROM tb q JOIN tb c ON q.t = c.t AND q.bucket = c.bucket
+       |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+       |SELECT q_id, n_id FROM cand
+       |JOIN e qe ON qe.vec_id = q_id
+       |JOIN e ce ON ce.vec_id = n_id
+       |WHERE list_cosine_similarity(qe.v, ce.v) >= $RangeTau""".stripMargin
+
   // ---- IVF ----------------------------------------------------------------
 
   private val CentroidStride = 50 // every 50th vector seeds a coarse centroid

@@ -19,6 +19,24 @@ object TextAnalysis {
       size(wsTokens(col("text"))).as("ws_n"),
       size(bpeTokens(col("text"))).as("bpe_n"))
 
+  /** ta_entropy: per-doc token-distribution entropy — the statistical
+    * quality signal (low entropy = repetitive/boilerplate, degenerate
+    * high entropy = random noise). Emitted in the micro-unit discipline:
+    * per distinct token, n·ln(n) is quantized to 1e-4 units BEFORE the
+    * sum, so the aggregate is an exact integer in any order/engine
+    * (entropy itself derives as ln(n_tok) − nlogn4/(n_tok·10⁴) — the
+    * division stays out of the hashed columns). */
+  def entropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tok"),
+        count(lit(1)).as("n_uniq"),
+        sum(floor(col("n") * log(col("n")) * 1e4 + 0.5).cast("long"))
+          .as("nlogn4"))
+
   /** Feature-hash dimensionality (power of two, the usual choice). */
   val FeatureDims = 1024
 
