@@ -85,6 +85,28 @@ class SimilaritySpec extends SparkSpec {
     assert(pq.size == brute.size, s"PQ returned ${pq.size} of ${brute.size}")
   }
 
+  test("range search: subset of exact radius matches with recall >= 0.6") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(s, sf01)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .filter(graft.functions.CosineSimilarity(col("qv"), col("v")) >=
+        operators.Similarity.RangeTau)
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .as[(Long, Long)].collect().toSet
+    val bucketed = operators.Similarity.rangeSearch(s, sf01)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert((bucketed -- exact).isEmpty,
+      s"false positives: ${(bucketed -- exact).take(3)}")
+    val recall = bucketed.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"range-search recall $recall")
+  }
+
   test("IVF ANN probes return full top-k result sets per query") {
     val s = spark
     import s.implicits._
