@@ -68,23 +68,25 @@ object Similarity {
     if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
   }
 
-  /** Sign bucket for one table: bit j = sign(v · r_{t,j}). The hyperplanes
-    * are literal arrays, so each signature is one codegen'd projection. */
-  private def lshBucket(v: Column, table: Int): Column =
+  /** REFERENCE formulation of one table's sign bucket: bit j =
+    * sign(v · r_{t,j}) via the zip_with/aggregate fold over ±1 literal
+    * planes. Superseded in the query path by the native one-pass
+    * [[graft.functions.HyperplaneBuckets]] expression (the HOF fold
+    * evaluates interpreted — 32 folds per row); kept because the parity
+    * spec (FunctionsSpec) asserts bit-identical buckets. */
+  private[graft] def lshBucketFold(v: Column, table: Int): Column =
     (0 until PlanesPerTable).map { j =>
       val plane = array((0 until Dim).map(k =>
         lit(planeSign(table * PlanesPerTable + j, k))): _*)
       when(dot(v, plane) > 0, lit(1 << j)).otherwise(0)
     }.reduce(_ + _)
 
-  /** (vec_id, v, table, bucket) — one row per vector per hash table. */
+  /** (vec_id, v, table, bucket) — one row per vector per hash table. All
+    * 8 bucket ids come from ONE native codegen'd pass per row. */
   private[graft] def lshTables(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("v"),
-      explode(array((0 until NumTables).map(t =>
-        struct(lit(t).as("t"), lshBucket(col("v"), t).as("bucket"))): _*))
-        .as("tb"))
-      .select(col("vec_id"), col("v"),
-        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      posexplode(graft.functions.HyperplaneBuckets(col("v")))
+        .as(Seq("t", "bucket")))
 
   /** sim_ann_lsh: multi-table random-hyperplane LSH — candidates are
     * vectors sharing a (table, bucket) with the query in ANY of the 8

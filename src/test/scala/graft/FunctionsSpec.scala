@@ -78,6 +78,29 @@ class FunctionsSpec extends SparkSpec {
     assert(diffs.isEmpty, s"first diff: ${diffs.headOption}")
   }
 
+  test("native hyperplane buckets are bit-identical to the literal-plane fold") {
+    val s = spark
+    import s.implicits._
+    // real vectors: the sf0.001 embeddings corpus
+    val e = Tables.embeddings(s, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val native = e.select(col("vec_id"),
+        graft.functions.HyperplaneBuckets(col("v")).as("b"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val folded = e.select(col("vec_id"),
+        array((0 until 8).map(t =>
+          operators.Similarity.lshBucketFold(col("v"), t)): _*).as("b"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(native.keySet == folded.keySet)
+    native.foreach { case (id, b) =>
+      assert(b == folded(id), s"bucket mismatch for vec $id")
+    }
+    // and the plane-sign source of truth matches the oracle generator's
+    for (p <- 0 until 32; k <- 0 until 64)
+      assert(graft.functions.HyperplaneBuckets.signAt(p, k) ==
+        operators.Similarity.planeSign(p, k))
+  }
+
   test("cosine_similarity is callable from SQL via GraftExtensions") {
     val got = spark.sql(
       "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
