@@ -1005,7 +1005,8 @@ object SparkEntry {
     "sim_knn_brute" -> knnBruteOracle,
     // radius query over the replayed LSH buckets
     "sim_range_search" -> graft.operators.Similarity.rangeSearchOracle,
-    // per-term micro-unit quantization before the sum: exact integers
+    // per-term quantization before the sum: exact integers (coarse 1e-2
+    // quantum because ln is not correctly rounded across engines)
     "ta_entropy" ->
       """WITH tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM (
         |    SELECT doc_id,
@@ -1014,8 +1015,8 @@ object SparkEntry {
         |    FROM documents) t
         |  GROUP BY doc_id, tok)
         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok, COUNT(*) AS n_uniq,
-        |  CAST(SUM(CAST(floor(n * ln(n) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
-        |    AS nlogn4
+        |  CAST(SUM(CAST(floor(n * ln(n) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS nlogn2
         |FROM tc GROUP BY doc_id""".stripMargin,
     // full replay of the approximate LSH path (literal hyperplanes) — the
     // buckets, candidate union, and ranking are all hash-checked

@@ -63,6 +63,11 @@ object HyperplaneBuckets {
     Array.tabulate(NumTables * PlanesPerTable, 64)(signAt)
 
   def compute(v: Array[Double]): Array[Int] = {
+    // A silent partial dot would bucket from a prefix of the dims while the
+    // SQL oracle's v[k] past-the-end reads go NULL — engine and oracle
+    // would diverge quietly. A dimension mismatch must be an ERROR.
+    require(v.length == 64,
+      s"hyperplane_buckets expects a 64-dim vector, got ${v.length}")
     val out = new Array[Int](NumTables)
     var t = 0
     while (t < NumTables) {
@@ -70,7 +75,7 @@ object HyperplaneBuckets {
       var j = 0
       while (j < PlanesPerTable) {
         val s = Signs(t * PlanesPerTable + j)
-        val n = math.min(v.length, s.length)
+        val n = s.length
         var dot = 0.0
         var k = 0
         while (k < n) { dot += v(k) * s(k); k += 1 }

@@ -272,7 +272,7 @@ object Similarity {
        |u$i AS (SELECT cid, ks.k,
        |    SUM(CAST(floor(v[ks.k] * 1000000 + 0.5) AS BIGINT)) AS s
        |  FROM a$i CROSS JOIN ks GROUP BY cid, ks.k),
-       |n$i AS (SELECT cid, CAST(SUM(s * s) AS DOUBLE) AS nsq
+       |n$i AS (SELECT cid, CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE) AS nsq
        |  FROM u$i GROUP BY cid),
        |$n AS (SELECT p.cid, p.k,
        |    COALESCE(CASE WHEN nn.nsq = 0 THEN 0.0
@@ -401,7 +401,7 @@ object Similarity {
        |pu0 AS (SELECT m, cid, ks.k,
        |    SUM(CAST(floor(sv[ks.k] * 1000000 + 0.5) AS BIGINT)) AS s
        |  FROM pa0 CROSS JOIN ks GROUP BY m, cid, ks.k),
-       |pn0 AS (SELECT m, cid, CAST(SUM(s * s) AS DOUBLE) AS nsq
+       |pn0 AS (SELECT m, cid, CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE) AS nsq
        |  FROM pu0 GROUP BY m, cid),
        |b1 AS (SELECT p.m, p.cid, p.k,
        |    COALESCE(CASE WHEN nn.nsq = 0 THEN 0.0

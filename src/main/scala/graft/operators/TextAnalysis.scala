@@ -22,10 +22,14 @@ object TextAnalysis {
   /** ta_entropy: per-doc token-distribution entropy — the statistical
     * quality signal (low entropy = repetitive/boilerplate, degenerate
     * high entropy = random noise). Emitted in the micro-unit discipline:
-    * per distinct token, n·ln(n) is quantized to 1e-4 units BEFORE the
+    * per distinct token, n·ln(n) is quantized to 1e-2 units BEFORE the
     * sum, so the aggregate is an exact integer in any order/engine
-    * (entropy itself derives as ln(n_tok) − nlogn4/(n_tok·10⁴) — the
-    * division stays out of the hashed columns). */
+    * (entropy itself derives as ln(n_tok) − nlogn2/(n_tok·10²) — the
+    * division stays out of the hashed columns). The quantum is 1e-2, not
+    * the 1e-6 used for the pure-IEEE Lloyd sums, because ln is NOT
+    * correctly rounded (JVM vs libm can differ in the last ulp): a term
+    * flips only if n·ln(n)·100 lands within ~1 ulp of a half-integer, and
+    * the coarse quantum keeps that probability negligible per corpus. */
   def entropy(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
@@ -34,8 +38,8 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("n")).as("n_tok"),
         count(lit(1)).as("n_uniq"),
-        sum(floor(col("n") * log(col("n")) * 1e4 + 0.5).cast("long"))
-          .as("nlogn4"))
+        sum(floor(col("n") * log(col("n")) * 1e2 + 0.5).cast("long"))
+          .as("nlogn2"))
 
   /** Feature-hash dimensionality (power of two, the usual choice). */
   val FeatureDims = 1024

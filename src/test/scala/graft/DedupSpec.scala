@@ -37,7 +37,12 @@ class DedupSpec extends SparkSpec {
     assert((bucketed -- exact).isEmpty,
       s"false positives survived verification: ${(bucketed -- exact).take(3)}")
     val recall = bucketed.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.9, s"bucketed embed recall $recall")
+    // Dedup.embedCosine's scaladoc measures 84-93% recall for these tables
+    // at this deliberately-hard tau depending on corpus/SF; assert the
+    // documented worst case so the spec holds at any scale factor (sf0.01
+    // itself clears 0.9 — its near-dup pairs are injected clones whose
+    // cosine is far above tau, so the 8 tables rarely all miss)
+    assert(recall >= 0.8, s"bucketed embed recall $recall")
     // the candidate space must be a strict subset of all pairs even at
     // this deliberately-hard tau (see embedCosine's scaladoc)
     val e = graft.Tables.embeddings(s, sf01)

@@ -106,8 +106,9 @@ class PlanSpec extends SparkSpec {
       // sortBy buckets + single-file buckets + the outputOrdering conf:
       // the SMJ must also skip the per-partition sort — the layout pays
       // for BOTH the shuffle and the sort exactly once, at write time
-      // "Sort [" matches the Sort node only, not SortMergeJoin
-      assert(!p.linesIterator.exists(_.trim.matches("[:+]- Sort \\[.*")),
+      // "Sort [" matches the Sort node only, not SortMergeJoin; match it
+      // anywhere in the line so nested nodes (":  +- Sort [") are caught too
+      assert(!p.linesIterator.exists(_.matches(".*\\bSort \\[.*")),
         s"bucket-sorted join still sorts: ${p.take(3000)}")
     } finally {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
