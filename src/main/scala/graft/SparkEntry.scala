@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.TextFunctions.splitBucketSql
-import graft.operators.{AsOf, Dedup, MapReduceJobs, Multimodal, Pipeline, Relational, Similarity, SkewJoin, SqlSurface, StorageRoundtrip, TextAnalysis}
+import graft.operators.{AsOf, Dedup, MapReduceJobs, Multimodal, Pipeline, Relational, Similarity, SkewJoin, SqlSurface, StorageRoundtrip, TextAnalysis, TxnTable}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -57,6 +57,9 @@ object SparkEntry {
     "q44_compaction"          -> (StorageRoundtrip.compaction _),
     "q45_zorder"              -> (StorageRoundtrip.zorder _),
     "q46_bad_records"         -> (StorageRoundtrip.badRecords _),
+    "op_txn_commit"           -> (TxnTable.txnCommit _),
+    "op_vacuum"               -> (TxnTable.vacuumTable _),
+    "op_cdc_read"             -> (TxnTable.cdcRead _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -856,6 +859,49 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         |  TRUE AS compacted_ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // snapshot isolation: the v0-pinned reader hashes to the BASE content
+    // even though a compaction and an append committed after it resolved;
+    // the latest snapshot hashes to base+delta; txn_ok carries the log
+    // mechanics (file counts, v0 files intact, versions 0..2)
+    "op_txn_commit" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total,
+        |  'v0_reader' AS src, TRUE AS txn_ok
+        |FROM b GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total,
+        |  'latest' AS src, TRUE AS txn_ok
+        |FROM (SELECT * FROM b
+        |      UNION ALL SELECT * FROM b WHERE o_orderkey % 97 = 0)
+        |GROUP BY o_orderstatus""".stripMargin,
+    // retention: after vacuum(retain=1) the latest snapshot's content is
+    // unchanged; vacuum_ok asserts old files physically gone, latest files
+    // intact, and a vacuumed-version read failing cleanly
+    "op_vacuum" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  'latest' AS src, TRUE AS vacuum_ok
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // change feed v0->v1 replayed from the deterministic change rules:
+    // update keys %50=0 (price+100), delete keys %61=0 (unless updated),
+    // insert key+10000000 for keys %97=0
+    "op_cdc_read" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT k AS o_orderkey, 'update_pre' AS op, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price FROM b WHERE k % 50 = 0
+        |UNION ALL
+        |SELECT k, 'update_post', st, CAST(price + 100 AS DOUBLE)
+        |FROM b WHERE k % 50 = 0
+        |UNION ALL
+        |SELECT k, 'delete', st, CAST(price AS DOUBLE)
+        |FROM b WHERE k % 61 = 0 AND k % 50 <> 0
+        |UNION ALL
+        |SELECT k + 10000000, 'insert', 'N', CAST(price AS DOUBLE)
+        |FROM b WHERE k % 97 = 0""".stripMargin,
     // content invariance of the box-filtered agg hash-checked (bounds are
     // data-derived, replayed via MIN/MAX subqueries); measured file-level
     // locality travels as an oracle-asserted boolean

@@ -1,0 +1,317 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.ConcurrentModificationException
+
+import graft.Tables
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A minimal transaction log over immutable parquet files — the public
+  * Delta/Iceberg-style snapshot protocol (SURVEY.md §2A), sized to what the
+  * maintenance operators actually need:
+  *
+  *   table/
+  *     data/<uuid>/part-*.parquet   immutable; never rewritten in place
+  *     _log/00000000.manifest      one live-file relative path per line
+  *     _log/00000001.manifest      ...
+  *
+  * The COMMIT is the atomic unit: a writer stages new parquet files under a
+  * fresh uuid dir (invisible — no manifest references them), writes the next
+  * manifest to a `.tmp-*` name, and RENAMEs it to `NNNNNNNN.manifest`. HDFS
+  * rename is atomic and fails if the destination exists, so of two racing
+  * writers exactly one wins version N and the loser retries against N — the
+  * compare-and-swap at the heart of every public table format. (The local
+  * filesystem overwrites on rename, so we pre-check existence; an object
+  * store would use a conditional PUT — same protocol, different primitive.)
+  *
+  * Readers resolve a snapshot by reading ONE manifest and scanning exactly
+  * the files it lists — never by listing the data directory. That single
+  * rule is what upgrades q44-style maintenance from "rewrites a directory"
+  * (a concurrent reader sees a mixed file set) to "commits a snapshot":
+  * compaction/z-order/upsert stage + commit, and a reader pinned to version
+  * V keeps reading V's exact files no matter how many commits land after it.
+  *
+  * Scale notes: the manifest holds file PATHS, not data — O(#files), read
+  * once on the driver per snapshot resolution (the same driver-side metadata
+  * cost as any file listing, minus the eventual-consistency hazards).
+  * Production formats shard manifests + checkpoint them; one file per
+  * version is the honest minimum that preserves the semantics.
+  */
+object TxnTable {
+
+  private val D12 = DecimalType(12, 2)
+
+  /** Per-process scratch root (same discipline as StorageRoundtrip.tmp). */
+  private def tmp(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_txn_${ProcessHandle.current().pid()}/$name"
+
+  private def fs(s: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def logDir(table: String): Path = new Path(table, "_log")
+
+  private def manifestPath(table: String, v: Long): Path =
+    new Path(logDir(table), f"$v%08d.manifest")
+
+  /** Committed versions, ascending. `.tmp-*` files (a crashed writer's
+    * half-written manifest) don't match the suffix and are invisible. */
+  def versions(s: SparkSession, table: String): Seq[Long] = {
+    val ld = logDir(table)
+    val f = fs(s, ld)
+    if (!f.exists(ld)) Seq.empty
+    else f.listStatus(ld).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripSuffix(".manifest").toLong).sorted
+  }
+
+  def currentVersion(s: SparkSession, table: String): Long = {
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"$table has no committed version")
+    vs.last
+  }
+
+  /** The live-file set of version `v`, table-relative, as committed. */
+  def liveFiles(s: SparkSession, table: String, v: Long): Seq[String] = {
+    val mp = manifestPath(table, v)
+    val f = fs(s, mp)
+    require(f.exists(mp), s"$table version $v not found (vacuumed or never committed)")
+    val in = f.open(mp)
+    val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    text.linesIterator.filter(_.nonEmpty).toSeq
+  }
+
+  /** Atomically commit `relFiles` as the table's next version. `expected`
+    * is the version the writer based its work on (-1 for a fresh table):
+    * if another commit landed since, the caller must re-read and retry —
+    * optimistic concurrency, never clobber. */
+  def commit(s: SparkSession, table: String, relFiles: Seq[String],
+             expected: Long): Long = {
+    val ld = logDir(table)
+    val f = fs(s, ld)
+    f.mkdirs(ld)
+    val cur = versions(s, table).lastOption.getOrElse(-1L)
+    if (cur != expected)
+      throw new ConcurrentModificationException(
+        s"$table moved to version $cur while writer expected $expected")
+    val next = cur + 1
+    val tmpP = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmpP, false)
+    try out.write((relFiles.sorted.mkString("\n") + "\n").getBytes(UTF_8))
+    finally out.close()
+    val dst = manifestPath(table, next)
+    if (f.exists(dst) || !f.rename(tmpP, dst)) {
+      f.delete(tmpP, false)
+      throw new ConcurrentModificationException(
+        s"$table version $next was committed concurrently")
+    }
+    next
+  }
+
+  /** Stage a DataFrame as new immutable parquet files under a fresh uuid
+    * dir; returns their table-relative paths. Staged files are invisible
+    * until a manifest references them — a crashed writer leaves garbage
+    * for vacuum, never a corrupt table. */
+  def stage(s: SparkSession, table: String, df: DataFrame): Seq[String] = {
+    val sub = s"data/${java.util.UUID.randomUUID()}"
+    df.write.parquet(s"$table/$sub")
+    val dir = new Path(s"$table/$sub")
+    fs(s, dir).listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.map(n => s"$sub/$n")
+  }
+
+  /** Create the table at version 0. */
+  def create(s: SparkSession, table: String, df: DataFrame): Long =
+    commit(s, table, stage(s, table, df), expected = -1L)
+
+  /** Append-commit: next version = current files + newly staged ones. */
+  def append(s: SparkSession, table: String, df: DataFrame): Long = {
+    val cur = currentVersion(s, table)
+    commit(s, table, liveFiles(s, table, cur) ++ stage(s, table, df), cur)
+  }
+
+  /** Overwrite-commit: next version lists ONLY the newly staged files
+    * (copy-on-write — the old version's files stay on disk for pinned
+    * readers until vacuum). */
+  def overwrite(s: SparkSession, table: String, df: DataFrame): Long = {
+    val cur = currentVersion(s, table)
+    commit(s, table, stage(s, table, df), cur)
+  }
+
+  /** Resolve a snapshot: read version `v`'s manifest (latest if -1) and
+    * scan EXACTLY those files. The file list is fixed here, eagerly — the
+    * returned plan keeps reading this version's files no matter what is
+    * committed (or staged, or orphaned) afterwards. */
+  def snapshot(s: SparkSession, table: String, v: Long = -1L): DataFrame = {
+    val ver = if (v < 0) currentVersion(s, table) else v
+    val files = liveFiles(s, table, ver).map(rel => s"$table/$rel")
+    s.read.parquet(files: _*)
+  }
+
+  /** Compaction THROUGH the log: stage the current snapshot rewritten at a
+    * byte-derived target file count (128 MiB target, same recipe as
+    * q44_compaction), overwrite-commit. Content-invariant by construction;
+    * concurrent readers of older versions are untouched. */
+  def compact(s: SparkSession, table: String): Long = {
+    val cur = currentVersion(s, table)
+    val files = liveFiles(s, table, cur).map(rel => new Path(s"$table/$rel"))
+    val bytes = files.map(p => fs(s, p).getFileStatus(p).getLen).sum
+    val targetBytes = 128L * 1024 * 1024
+    val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    commit(s, table, stage(s, table, snapshot(s, table, cur).repartition(target)), cur)
+  }
+
+  /** Retention: keep the newest `retain` versions; delete every data file
+    * referenced ONLY by older versions, then the old manifests themselves.
+    * Orphaned staging dirs (crashed writers) die here too. The barrier any
+    * pinned reader must respect: versions below the cutoff are GONE. */
+  def vacuum(s: SparkSession, table: String, retain: Int = 1): Unit = {
+    val vs = versions(s, table)
+    val (dead, live) = vs.splitAt(math.max(0, vs.size - retain))
+    val keep = live.flatMap(liveFiles(s, table, _)).toSet
+    val dataDir = new Path(table, "data")
+    val f = fs(s, dataDir)
+    // every staged file on disk, table-relative
+    val onDisk = f.listStatus(dataDir).toSeq.filter(_.isDirectory).flatMap { d =>
+      f.listStatus(d.getPath).toSeq.map(st =>
+        s"data/${d.getPath.getName}/${st.getPath.getName}")
+    }
+    onDisk.filterNot(keep).foreach(rel => f.delete(new Path(s"$table/$rel"), false))
+    // drop now-empty uuid dirs, then the dead manifests
+    f.listStatus(dataDir).toSeq.filter(_.isDirectory)
+      .filter(d => f.listStatus(d.getPath).isEmpty)
+      .foreach(d => f.delete(d.getPath, false))
+    dead.foreach(v => f.delete(manifestPath(table, v), false))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  private def freshDir(name: String): String = {
+    val dir = tmp(name)
+    deleteRecursively(new java.io.File(dir))
+    dir
+  }
+
+  private def ordersSlice(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(D12).as("price"))
+
+  private def statusAgg(df: DataFrame, src: String): DataFrame =
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+      .withColumn("src", lit(src))
+
+  /** op_txn_commit: the snapshot-isolation contract, end to end. A
+    * fragmented table is committed at v0 and a reader resolves (pins) that
+    * snapshot. THEN two commits land: a compaction (v1, content-invariant)
+    * and an append of a deterministic delta (v2, content-changing). The
+    * output aggregates BOTH the pinned reader and the latest snapshot —
+    * computed after all commits:
+    *
+    *   - the pinned reader must hash to the BASE content (had it seen v2's
+    *     files — or v1's half-written rewrite in the directory-scan world —
+    *     the delta/dup rows would red the row),
+    *   - the latest snapshot must hash to base+delta,
+    *   - `txn_ok` asserts the mechanics: compaction reduced the live-file
+    *     count, v0's files are still on disk (pinned readers stay valid
+    *     until vacuum), and the log holds exactly versions 0,1,2.
+    */
+  def txnCommit(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("txn_orders")
+    val base = ordersSlice(s, d)
+    val v0 = create(s, t, base.repartition(16))
+    val reader = snapshot(s, t, v0) // pinned BEFORE the commits below
+    val v0Files = liveFiles(s, t, v0)
+    val v1 = compact(s, t)
+    val delta = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+    append(s, t, delta)
+    val fsys = fs(s, new Path(t))
+    val ok = liveFiles(s, t, v1).size < v0Files.size &&
+      v0Files.forall(rel => fsys.exists(new Path(s"$t/$rel"))) &&
+      versions(s, t) == Seq(0L, 1L, 2L)
+    statusAgg(reader, "v0_reader")
+      .unionByName(statusAgg(snapshot(s, t), "latest"))
+      .withColumn("txn_ok", lit(ok))
+  }
+
+  /** op_vacuum: the other half of the maintenance story — compaction keeps
+    * a table scannable, vacuum keeps it from growing forever. v0
+    * (fragmented) is compacted to v1, then vacuum(retain=1) runs. Checked:
+    * the latest snapshot still hashes to the base content, v0's
+    * superseded files are physically gone, v1's files all survive, and a
+    * read of the vacuumed v0 fails CLEANLY (missing manifest — an error,
+    * not silently wrong data). */
+  def vacuumTable(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("vacuum_orders")
+    val base = ordersSlice(s, d)
+    val v0 = create(s, t, base.repartition(16))
+    val v0Files = liveFiles(s, t, v0)
+    val v1 = compact(s, t)
+    vacuum(s, t, retain = 1)
+    val fsys = fs(s, new Path(t))
+    val v1Files = liveFiles(s, t, v1)
+    val oldGone = v0Files.filterNot(v1Files.contains)
+      .forall(rel => !fsys.exists(new Path(s"$t/$rel")))
+    val latestIntact = v1Files.forall(rel => fsys.exists(new Path(s"$t/$rel")))
+    val oldReadFails =
+      try { snapshot(s, t, v0); false }
+      catch { case _: IllegalArgumentException => true }
+    statusAgg(snapshot(s, t), "latest")
+      .withColumn("vacuum_ok", lit(oldGone && latestIntact && oldReadFails))
+  }
+
+  /** op_cdc_read: the change feed between two committed versions — what
+    * incremental downstream pipelines consume instead of re-reading 100 TB.
+    * v0 = the base slice; v1 = copy-on-write overwrite applying a
+    * deterministic change set (update / delete / insert rules on the key).
+    * The feed is computed as a diff of the two MANIFEST-RESOLVED snapshots:
+    * one co-partitioned full-outer join on the key (both sides shuffle
+    * once; at production scale the commit would also persist its change
+    * files so the feed is a pure read — the diff is the general fallback
+    * that works for ANY two versions). Emitted rows: (key, op ∈ insert /
+    * delete / update_pre / update_post, payload); unchanged rows never
+    * appear. The oracle replays the change rules arithmetically. */
+  def cdcRead(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("cdc_orders")
+    val base = ordersSlice(s, d)
+    create(s, t, base.repartition(4))
+    val k = col("o_orderkey")
+    val isUpd = pmod(k, lit(50)) === 0
+    val isDel = pmod(k, lit(61)) === 0 && pmod(k, lit(50)) =!= 0
+    val inserts = base.filter(pmod(k, lit(97)) === 0)
+      .select((k + 10000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("price"))
+    val v1Data = base.filter(!isDel)
+      .withColumn("price",
+        when(isUpd, col("price") + lit(100).cast(D12)).otherwise(col("price")))
+      .unionByName(inserts)
+    overwrite(s, t, v1Data)
+    // prices are DECIMAL(12/13,2) — exactly representable as doubles, so
+    // the diff equality and the emitted payload agree bit-for-bit with the
+    // oracle's CAST(... AS DOUBLE) replay
+    val a = snapshot(s, t, 0).select(k.as("ak"),
+      col("o_orderstatus").as("ast"), col("price").cast("double").as("apr"))
+    val b = snapshot(s, t, 1).select(k.as("bk"),
+      col("o_orderstatus").as("bst"), col("price").cast("double").as("bpr"))
+    val pre = struct(lit("update_pre").as("op"), col("ast").as("st"), col("apr").as("pr"))
+    val post = struct(lit("update_post").as("op"), col("bst").as("st"), col("bpr").as("pr"))
+    a.join(b, col("ak") === col("bk"), "full_outer")
+      .select(coalesce(col("ak"), col("bk")).as("o_orderkey"),
+        when(col("ak").isNull,
+            array(struct(lit("insert").as("op"), col("bst").as("st"), col("bpr").as("pr"))))
+          .when(col("bk").isNull,
+            array(struct(lit("delete").as("op"), col("ast").as("st"), col("apr").as("pr"))))
+          .when(col("ast") =!= col("bst") || col("apr") =!= col("bpr"), array(pre, post))
+          .otherwise(array().cast("array<struct<op:string,st:string,pr:double>>"))
+          .as("ch"))
+      .select(col("o_orderkey"), explode(col("ch")).as("c"))
+      .select(col("o_orderkey"), col("c.op").as("op"),
+        col("c.st").as("o_orderstatus"), col("c.pr").as("price"))
+  }
+}

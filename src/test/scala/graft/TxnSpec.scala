@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.TxnTable
+import org.apache.spark.sql.functions._
+
+/** The transaction-log contract (TxnTable): manifest-resolved reads,
+  * snapshot isolation, optimistic-concurrency commits, crash tolerance,
+  * and retention. */
+class TxnSpec extends SparkSpec {
+
+  private def freshTable(name: String): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_txnspec_${ProcessHandle.current().pid()}/$name"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(dir))
+    dir
+  }
+
+  private def baseDf(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+  }
+
+  test("snapshot is manifest-resolved, never a directory listing") {
+    val t = freshTable("manifest_resolved")
+    TxnTable.create(spark, t, baseDf(100).repartition(4))
+    // an ORPHAN parquet file lands in the data dir (a crashed writer's
+    // staging, a stray upload): a directory-scan reader would count it
+    baseDf(50).write.parquet(s"$t/data/orphan-not-committed")
+    val snap = TxnTable.snapshot(spark, t)
+    assert(snap.count() === 100,
+      "snapshot read rows from files no manifest references")
+    val manifest = TxnTable.liveFiles(spark, t, 0).map(rel => s"$t/$rel").toSet
+    val scanned = snap.inputFiles.map(_.replaceFirst("^file:/+", "/")).toSet
+    assert(scanned == manifest,
+      s"scan files != manifest files: ${scanned.diff(manifest).take(3)}")
+  }
+
+  test("pinned snapshot survives an overwrite commit (isolation)") {
+    val t = freshTable("isolation")
+    TxnTable.create(spark, t, baseDf(100))
+    val pinned = TxnTable.snapshot(spark, t, 0) // resolved now
+    TxnTable.overwrite(spark, t, baseDf(7))     // copy-on-write replace
+    assert(pinned.count() === 100, "pinned reader saw the new version")
+    assert(TxnTable.snapshot(spark, t).count() === 7)
+    assert(TxnTable.versions(spark, t) === Seq(0L, 1L))
+  }
+
+  test("conflicting commit throws instead of clobbering") {
+    val t = freshTable("conflict")
+    TxnTable.create(spark, t, baseDf(10))
+    val files = TxnTable.liveFiles(spark, t, 0)
+    TxnTable.commit(spark, t, files, expected = 0L) // someone else lands v1
+    intercept[java.util.ConcurrentModificationException] {
+      TxnTable.commit(spark, t, files, expected = 0L) // stale writer loses
+    }
+    assert(TxnTable.currentVersion(spark, t) === 1L)
+  }
+
+  test("a crashed writer's temp manifest is invisible to readers") {
+    val t = freshTable("crashed_writer")
+    TxnTable.create(spark, t, baseDf(10))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_log/.tmp-crashed"),
+      "data/bogus/file.parquet\n".getBytes)
+    assert(TxnTable.versions(spark, t) === Seq(0L))
+    assert(TxnTable.snapshot(spark, t).count() === 10)
+  }
+
+  test("compaction commits through the log and keeps old files for pinned readers") {
+    val t = freshTable("compact")
+    TxnTable.create(spark, t, baseDf(100).repartition(8))
+    val v0Files = TxnTable.liveFiles(spark, t, 0)
+    val pinned = TxnTable.snapshot(spark, t, 0)
+    val v1 = TxnTable.compact(spark, t)
+    assert(TxnTable.liveFiles(spark, t, v1).size < v0Files.size)
+    assert(pinned.count() === 100)
+    assert(TxnTable.snapshot(spark, t).count() === 100)
+    // v0's files still on disk — pinned readers stay valid until vacuum
+    assert(v0Files.forall(rel => new java.io.File(s"$t/$rel").exists()))
+  }
+
+  test("vacuum removes superseded files and fails old reads cleanly") {
+    val t = freshTable("vacuum")
+    TxnTable.create(spark, t, baseDf(100).repartition(8))
+    val v0Files = TxnTable.liveFiles(spark, t, 0)
+    val v1 = TxnTable.compact(spark, t)
+    TxnTable.vacuum(spark, t, retain = 1)
+    val v1Files = TxnTable.liveFiles(spark, t, v1).toSet
+    assert(v0Files.filterNot(v1Files)
+      .forall(rel => !new java.io.File(s"$t/$rel").exists()),
+      "vacuum left superseded data files on disk")
+    assert(TxnTable.snapshot(spark, t).count() === 100)
+    intercept[IllegalArgumentException] {
+      TxnTable.snapshot(spark, t, 0)
+    }
+  }
+
+  test("cdc feed emits exactly the changed rows with correct ops") {
+    val t = freshTable("cdc")
+    val s = spark
+    import s.implicits._
+    TxnTable.create(spark, t, baseDf(10))
+    // change set: update k=2 (new payload), delete k=5, insert k=100
+    val v1 = baseDf(10).filter(col("k") =!= 5)
+      .withColumn("v", when(col("k") === 2, lit("CHANGED")).otherwise(col("v")))
+      .unionByName(Seq((100L, "new")).toDF("k", "v"))
+    TxnTable.overwrite(spark, t, v1)
+    val a = TxnTable.snapshot(spark, t, 0)
+      .select(col("k").as("ak"), col("v").as("av"))
+    val b = TxnTable.snapshot(spark, t, 1)
+      .select(col("k").as("bk"), col("v").as("bv"))
+    val feed = a.join(b, col("ak") === col("bk"), "full_outer")
+      .select(coalesce(col("ak"), col("bk")).as("k"),
+        when(col("ak").isNull, lit("insert"))
+          .when(col("bk").isNull, lit("delete"))
+          .when(col("av") =!= col("bv"), lit("update"))
+          .otherwise(lit("same")).as("op"))
+      .filter(col("op") =!= "same")
+      .as[(Long, String)].collect().toSet
+    assert(feed === Set((2L, "update"), (5L, "delete"), (100L, "insert")))
+  }
+}
