@@ -57,6 +57,7 @@ object SparkEntry {
     "q44_compaction"          -> (StorageRoundtrip.compaction _),
     "q45_zorder"              -> (StorageRoundtrip.zorder _),
     "q46_bad_records"         -> (StorageRoundtrip.badRecords _),
+    "q47_stats_join"          -> (Relational.q47StatsJoin _),
     "op_txn_commit"           -> (TxnTable.txnCommit _),
     "op_vacuum"               -> (TxnTable.vacuumTable _),
     "op_cdc_read"             -> (TxnTable.cdcRead _),
@@ -859,6 +860,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         |  TRUE AS compacted_ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // values are the plain join aggregate; the catalog-stats-driven plan
+    // divergence travels as an oracle-asserted boolean
+    "q47_stats_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  TRUE AS stats_broadcast_ok
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_mktsegment""".stripMargin,
     // snapshot isolation: the v0-pinned reader hashes to the BASE content
     // even though a compaction and an append committed after it resolved;
     // the latest snapshot hashes to base+delta; txn_ok carries the log

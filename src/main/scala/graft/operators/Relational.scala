@@ -587,4 +587,76 @@ object Relational {
       .withColumn("promo_pct",
         col("promo_revenue") * 100.0 / col("total_revenue"))
   }
+
+  /** q47_stats_join: persisted-statistics-driven planning — the CBO box.
+    * AQE fixes runtime sizes, but the COMPILE-TIME broadcast/reorder
+    * decision on a 1000-executor cluster comes from catalog statistics
+    * (ANALYZE TABLE), and this query proves the engine actually consumes
+    * them. Two identical customer catalog tables; one gets
+    * `ANALYZE ... FOR ALL COLUMNS`, the twin stays stats-less. With AQE
+    * OFF and CBO ON, the same segment-filtered join is planned against
+    * both at ONE threshold chosen strictly between the two estimates:
+    *
+    *   - analyzed:  FilterEstimation shrinks the dim by the segment's
+    *     1/ndv selectivity and column pruning drops the unread columns →
+    *     estimate clears the threshold → BroadcastHashJoin;
+    *   - stats-less: the relation's estimate is its raw on-disk size
+    *     (no rowCount → no filter/projection shrink) → exceeds the
+    *     threshold → shuffle join.
+    *
+    * `stats_broadcast_ok` asserts exactly that plan divergence (plus that
+    * the analyzed estimate is genuinely smaller). Values are the plain
+    * join aggregate, hash-checked; confs are restored in a finally so the
+    * (lazy) returned frame re-plans under the session defaults — the
+    * booleans, captured here, carry the planning evidence. */
+  def q47StatsJoin(s: SparkSession, d: String): DataFrame = {
+    val (ordT, custT, twinT) =
+      ("graft_stats_ord", "graft_stats_cust", "graft_stats_cust_twin")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(ordT, custT, twinT).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"$wh/$t"))
+    }
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), m(col("o_totalprice")).as("price"))
+      .write.saveAsTable(ordT)
+    val cust = Tables.customer(s, d)
+    cust.write.saveAsTable(custT)
+    cust.write.saveAsTable(twinT)
+    s.sql(s"ANALYZE TABLE $ordT COMPUTE STATISTICS FOR ALL COLUMNS")
+    s.sql(s"ANALYZE TABLE $custT COMPUTE STATISTICS FOR ALL COLUMNS")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+    val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      def dim(t: String) = s.table(t)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      def joined(t: String) = s.table(ordT)
+        .join(dim(t), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dbl(sum(col("price"))).as("total"))
+      val estWith = dim(custT).queryExecution.optimizedPlan.stats.sizeInBytes
+      val estSans = dim(twinT).queryExecution.optimizedPlan.stats.sizeInBytes
+      // one threshold strictly between the two estimates: only the
+      // stats-informed plan may broadcast
+      val thr = ((estWith + estSans) / 2).toLong
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+      def bhj(df: DataFrame) =
+        df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+      val ok = estWith < estSans && bhj(joined(custT)) && !bhj(joined(twinT))
+      joined(custT).withColumn("stats_broadcast_ok", lit(ok))
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+  }
 }

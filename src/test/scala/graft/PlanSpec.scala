@@ -40,6 +40,17 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts")
   }
 
+  test("q47 broadcast decision comes from catalog stats (CBO, AQE off)") {
+    // q47StatsJoin plans the same filtered join against an ANALYZEd dim
+    // and a stats-less twin at one threshold strictly between the two
+    // estimates; stats_broadcast_ok is true iff the analyzed plan
+    // broadcasts AND the twin does not AND the stats estimate is smaller
+    val row = Relational.q47StatsJoin(spark, sf).collect()
+    assert(row.nonEmpty)
+    assert(row.forall(_.getAs[Boolean]("stats_broadcast_ok")),
+      "catalog stats did not flip the broadcast decision")
+  }
+
   test("q08 global top-k avoids a full sort (TakeOrderedAndProject)") {
     val p = plan(Relational.q08SortLimit(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
