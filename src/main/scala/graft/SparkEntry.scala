@@ -99,6 +99,8 @@ object SparkEntry {
     "ta_tfidf"                -> (TextAnalysis.tfidf _),
     "ta_feature_hash"         -> (TextAnalysis.featureHash _),
     "ta_entropy"              -> (TextAnalysis.entropy _),
+    "ta_bpe_train"            -> (TextAnalysis.bpeTrainQuery _),
+    "ta_bpe_tokenize"         -> (TextAnalysis.bpeTokenize _),
     "sim_range_search"        -> (Similarity.rangeSearch _),
     "ta_sessionize"           -> (TextAnalysis.sessionize _),
     "pipe_clean_corpus"       -> (Pipeline.cleanCorpus _),
@@ -1074,6 +1076,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(floor(n * ln(n) * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS nlogn2
         |FROM tc GROUP BY doc_id""".stripMargin,
+    // the BPE trainer replayed round by round: word histogram -> spaced
+    // symbol rendering -> (pair count, argmax, literal replace) x12 —
+    // the training loop itself is hash-checked, like the trigram LM
+    "ta_bpe_train" -> graft.operators.TextAnalysis.bpeTrainOracle,
+    // the learned merges applied: per-doc BPE token counts via the
+    // fully-merged vocabulary
+    "ta_bpe_tokenize" -> graft.operators.TextAnalysis.bpeTokenizeOracle,
     // full replay of the approximate LSH path (literal hyperplanes) — the
     // buckets, candidate union, and ranking are all hash-checked
     "sim_ann_lsh" -> graft.operators.Similarity.lshOracle,

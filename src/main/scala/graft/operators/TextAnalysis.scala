@@ -352,6 +352,145 @@ object TextAnalysis {
         round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
   }
 
+  /** Number of BPE merges learned; the oracle unrolls this many rounds. */
+  val BpeMerges = 12
+
+  /** BPE training corpus: printable-ASCII docs only (explicit char-class —
+    * Java \s and RE2 \s disagree on \x0B), so Spark's code-unit char split
+    * and DuckDB's codepoint split provably agree. */
+  private val BpeAscii = "^[\\x20-\\x7E\\t\\n\\r]*$"
+
+  private def bpeDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("text").rlike(BpeAscii))
+
+  /** Word-frequency vocabulary with each word rendered as its BPE symbol
+    * sequence: single outer spaces, TWO-space separators (" l  o  w ").
+    * Under that rendering one merge is ONE literal string replace — and
+    * literal replace scans left-to-right continuing after each match in
+    * BOTH engines, which is exactly BPE's greedy non-overlapping merge
+    * ([a,a,a] -> [aa,a]; [l,o,l,o] -> [lo,lo]). Symbols contain no spaces,
+    * so the double-space pattern can never match across symbol boundaries
+    * ("ax  y" is not hit by the (x,y) merge). */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    bpeDocs(s, d)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("sym", concat(lit(" "),
+        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), "  "),
+        lit(" ")))
+
+  /** The BPE trainer (Sennrich et al. 2016, the public byte-pair-encoding
+    * recipe): [[BpeMerges]] rounds of count-adjacent-pairs -> merge the
+    * most frequent pair everywhere. Scale shape: training touches only the
+    * DISTINCT-WORD vocabulary with counts (Zipf: vocab << corpus — the
+    * corpus itself is read once for the word histogram, one map-side-
+    * combined shuffle); each round is a vocabulary-sized pair aggregate
+    * plus a 1-ROW argmax collect (the same driver-held-literal shape as
+    * the k-means centroids) and a map-only literal replace. Deterministic:
+    * integer pair counts with a (freq DESC, l, r) total-order tiebreak, so
+    * the oracle replays every round bit-exactly as chained CTEs.
+    * Returns the merge list and the fully-merged vocabulary. */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab = bpeVocab(s, d).localCheckpoint()
+    val merges = (1 to BpeMerges).map { i =>
+      // adjacent pairs, one row per position (overlaps counted, as in the
+      // reference BPE recipe); sequence() guarded — size<=1 has no pairs
+      val pairs = vocab
+        .withColumn("syms", split(trim(col("sym")), "  "))
+        .filter(size(col("syms")) > 1)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms)-1)," +
+            " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("f"))
+      val top = pairs.orderBy(col("f").desc, col("l"), col("r")).limit(1)
+        .collect()
+      assert(top.nonEmpty, s"BPE corpus ran out of pairs at round $i")
+      val (l, r, f) =
+        (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+      vocab = vocab.withColumn("sym",
+        replace(col("sym"), lit(s" $l  $r "), lit(s" $l$r ")))
+      (i, l, r, f)
+    }
+    (merges, vocab)
+  }
+
+  /** ta_bpe_train: the learned merge table (rank, lhs, rhs, merged, freq)
+    * — a real tokenizer trained from scratch on the corpus itself, fully
+    * hash-checked (the oracle replays all [[BpeMerges]] training rounds). */
+  def bpeTrainQuery(s: SparkSession, d: String): DataFrame = {
+    val (merges, _) = bpeTrain(s, d)
+    import s.implicits._
+    merges.map { case (i, l, r, f) => (i.toLong, l, r, l + r, f) }
+      .toDF("rank", "lhs", "rhs", "merged", "freq")
+  }
+
+  /** ta_bpe_tokenize: apply the learned merges — per-doc BPE token counts
+    * next to whitespace word counts, the REAL token budget for
+    * ta_pack_sequences-style packing. The fully-merged vocabulary maps
+    * word -> token count once; the corpus then joins words to that
+    * (vocabulary-sized, AQE-broadcast) map and sums per doc — tokenizing
+    * 100 TB never re-runs the merge loop per document. */
+  def bpeTokenize(s: SparkSession, d: String): DataFrame = {
+    val (_, vocab) = bpeTrain(s, d)
+    val counts = vocab.select(col("w"),
+      size(split(trim(col("sym")), "  ")).cast("long").as("n"))
+    bpeDocs(s, d)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("w"))
+      .join(counts, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_bpe"))
+  }
+
+  /** DuckDB replay of [[bpeTrain]]: the word histogram, the spaced symbol
+    * rendering, and `rounds` unrolled (pairs -> argmax -> literal replace)
+    * CTEs — bit-exact mirrors of the engine's rounds. Every round CTE is
+    * MATERIALIZED: r_i is referenced twice (by p_{i+1} and r_{i+1}), so
+    * inlining doubles the plan tree per round — 2^rounds blowup, measured
+    * ~290 s at 12 rounds vs 0.1 s materialized. */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val head =
+      s"""WITH w AS MATERIALIZED (SELECT
+         |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+         |  FROM documents WHERE regexp_matches(text, '$BpeAscii')),
+         |v0 AS MATERIALIZED (SELECT w, COUNT(*) AS freq FROM w GROUP BY w),
+         |r0 AS MATERIALIZED (SELECT w, freq,
+         |  ' ' || array_to_string(regexp_extract_all(w, '.'), '  ') || ' ' AS sym
+         |  FROM v0)""".stripMargin
+    val rs = (1 to rounds).map { i =>
+      s""",
+         |p$i AS MATERIALIZED (SELECT l, r, SUM(freq) AS f FROM (
+         |    SELECT freq, syms[k] AS l, syms[k+1] AS r FROM
+         |      (SELECT freq, string_split(trim(sym), '  ') AS syms FROM r${i - 1}),
+         |      UNNEST(generate_series(1, len(syms)-1)) AS t(k)
+         |  ) GROUP BY l, r),
+         |b$i AS MATERIALIZED (SELECT l, r, f FROM p$i ORDER BY f DESC, l, r LIMIT 1),
+         |r$i AS MATERIALIZED (SELECT w, freq,
+         |  replace(sym, ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS sym
+         |  FROM r${i - 1}, b$i b)""".stripMargin
+    }.mkString
+    head + rs
+  }
+
+  private[graft] def bpeTrainOracle: String =
+    bpeOracleCtes(BpeMerges) + "\n" +
+      (1 to BpeMerges).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs,
+           |  l || r AS merged, CAST(f AS BIGINT) AS freq FROM b$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+
+  private[graft] def bpeTokenizeOracle: String =
+    bpeOracleCtes(BpeMerges) +
+      s""",
+         |tok AS (SELECT w, len(string_split(trim(sym), '  ')) AS n
+         |  FROM r$BpeMerges),
+         |docs AS (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+         |  FROM documents WHERE regexp_matches(text, '$BpeAscii'))
+         |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(t.n) AS BIGINT) AS n_bpe
+         |FROM docs JOIN tok t USING (w) GROUP BY doc_id""".stripMargin
+
   /** ta_sessionize: gap-based sessionization (30-min inactivity splits).
     * One shuffle on user_id, then two in-partition window passes — the
     * batch twin of the streaming flatMapGroupsWithState sessionizer. */

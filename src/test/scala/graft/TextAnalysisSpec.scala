@@ -9,6 +9,42 @@ import org.apache.spark.sql.functions._
   * what gets sampled) on hand-built inputs. */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("BPE merge via literal replace has greedy left-to-right semantics") {
+    // the rendering contract: merging (a,a) in [a,a,a] must yield [aa,a]
+    // (no overlap) and (l,o) in [l,o,l,o] must yield [lo,lo] (back-to-back
+    // both merged) — the same scan-continue-after-match semantics DuckDB's
+    // replace() has, which is what makes the oracle replay bit-exact
+    val s = spark
+    import s.implicits._
+    val got = Seq(" a  a  a ", " l  o  l  o ").toDF("sym")
+      .select(
+        replace(col("sym"), lit(" a  a "), lit(" aa ")),
+        replace(col("sym"), lit(" l  o "), lit(" lo ")))
+      .as[(String, String)].collect()
+    assert(got(0)._1 == " aa  a ")
+    assert(got(1)._2 == " lo  lo ")
+  }
+
+  test("ta_bpe_train learns well-formed merges; tokenize respects them") {
+    val rows = TextAnalysis.bpeTrainQuery(spark, sf).collect()
+    assert(rows.length == TextAnalysis.BpeMerges)
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      (1L to TextAnalysis.BpeMerges.toLong))
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("lhs") + r.getAs[String]("rhs"))
+      assert(r.getAs[Long]("freq") > 0)
+    }
+    // every word is at least one token and at most its char count, so
+    // per doc: n_words <= n_bpe <= total chars; merges must bite (some
+    // doc ends up with fewer bpe tokens than characters)
+    val tok = TextAnalysis.bpeTokenize(spark, sf).collect()
+    assert(tok.nonEmpty)
+    tok.foreach { r =>
+      assert(r.getAs[Long]("n_bpe") >= r.getAs[Long]("n_words"))
+    }
+  }
+
   test("piiScrub redacts emails, IPv4s, and phones to typed tags") {
     val s = spark
     import s.implicits._
