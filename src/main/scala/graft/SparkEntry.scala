@@ -101,6 +101,7 @@ object SparkEntry {
     "ta_entropy"              -> (TextAnalysis.entropy _),
     "ta_bpe_train"            -> (TextAnalysis.bpeTrainQuery _),
     "ta_bpe_tokenize"         -> (TextAnalysis.bpeTokenize _),
+    "ta_pack_bpe"             -> (TextAnalysis.packBpe _),
     "sim_range_search"        -> (Similarity.rangeSearch _),
     "ta_sessionize"           -> (TextAnalysis.sessionize _),
     "pipe_clean_corpus"       -> (Pipeline.cleanCorpus _),
@@ -1083,6 +1084,9 @@ object SparkEntry {
     // the learned merges applied: per-doc BPE token counts via the
     // fully-merged vocabulary
     "ta_bpe_tokenize" -> graft.operators.TextAnalysis.bpeTokenizeOracle,
+    // sequence packing billed in real BPE tokens (pack_sequences shape
+    // over the replayed per-doc counts)
+    "ta_pack_bpe" -> graft.operators.TextAnalysis.packBpeOracle,
     // full replay of the approximate LSH path (literal hyperplanes) — the
     // buckets, candidate union, and ranking are all hash-checked
     "sim_ann_lsh" -> graft.operators.Similarity.lshOracle,

@@ -480,16 +480,56 @@ object TextAnalysis {
            |  l || r AS merged, CAST(f AS BIGINT) AS freq FROM b$i""".stripMargin
       }.mkString("\nUNION ALL\n")
 
-  private[graft] def bpeTokenizeOracle: String =
+  private def bpePerDocCtes: String =
     bpeOracleCtes(BpeMerges) +
       s""",
          |tok AS (SELECT w, len(string_split(trim(sym), '  ')) AS n
          |  FROM r$BpeMerges),
          |docs AS (SELECT doc_id,
          |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
-         |  FROM documents WHERE regexp_matches(text, '$BpeAscii'))
-         |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(t.n) AS BIGINT) AS n_bpe
-         |FROM docs JOIN tok t USING (w) GROUP BY doc_id""".stripMargin
+         |  FROM documents WHERE regexp_matches(text, '$BpeAscii'))""".stripMargin
+
+  private[graft] def bpeTokenizeOracle: String =
+    bpePerDocCtes +
+      """
+        |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(t.n) AS BIGINT) AS n_bpe
+        |FROM docs JOIN tok t USING (w) GROUP BY doc_id""".stripMargin
+
+  /** Token budget for [[packBpe]] sequences. */
+  val BpeBudget = 1024
+
+  /** ta_pack_bpe: sequence packing against the REAL token budget — the
+    * composition the tokenizer exists for. Identical shard-local
+    * concat-then-chunk shape as [[packSequences]] (one shard-window
+    * shuffle, no global-order funnel), but each doc costs its BPE token
+    * count under the corpus-trained merges instead of a regex
+    * approximation — the budget the training job actually bills. */
+  def packBpe(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bpeTokenize(s, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(16)).as("shard"),
+        col("n_bpe").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("shard"),
+        floor((col("cum") - col("n_tok")) / lit(BpeBudget.toDouble)).as("seq_id"),
+        col("n_tok"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
+  private[graft] def packBpeOracle: String =
+    bpePerDocCtes +
+      s""",
+         |pd AS MATERIALIZED (SELECT doc_id, CAST(SUM(t.n) AS BIGINT) AS n_tok
+         |  FROM docs JOIN tok t USING (w) GROUP BY doc_id),
+         |c AS (SELECT doc_id % 16 AS shard, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM pd)
+         |SELECT shard, CAST(FLOOR((cum - n_tok) / $BpeBudget.0) AS BIGINT) AS seq_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY 1, 2""".stripMargin
 
   /** ta_sessionize: gap-based sessionization (30-min inactivity splits).
     * One shuffle on user_id, then two in-partition window passes — the

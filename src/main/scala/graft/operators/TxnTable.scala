@@ -102,13 +102,22 @@ object TxnTable {
     try out.write((relFiles.sorted.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
     val dst = manifestPath(table, next)
-    if (f.exists(dst) || !f.rename(tmpP, dst)) {
+    // HDFS rename refuses an existing destination atomically; the LOCAL
+    // filesystem overwrites (POSIX rename), so the exists+rename pair is
+    // serialized JVM-wide for same-process writers (the only kind local
+    // runs have) — cross-process writers rely on the store's primitive
+    val won = commitLock.synchronized {
+      !f.exists(dst) && f.rename(tmpP, dst)
+    }
+    if (!won) {
       f.delete(tmpP, false)
       throw new ConcurrentModificationException(
         s"$table version $next was committed concurrently")
     }
     next
   }
+
+  private val commitLock = new Object
 
   /** Stage a DataFrame as new immutable parquet files under a fresh uuid
     * dir; returns their table-relative paths. Staged files are invisible

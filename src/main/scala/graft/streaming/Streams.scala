@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.TxnTable
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -218,8 +219,10 @@ object Streams {
     * base records plus deterministic updates (every 10th key) and inserts
     * (every 97th key, new keyspace) from the orders table; each
     * micro-batch merges latest-wins-by-src into a VERSIONED parquet
-    * target (read version N, merge, write version N+1 — the
-    * copy-on-write table layout, atomic at the directory level).
+    * target maintained through the TxnTable snapshot log: read the
+    * current snapshot, merge, stage new files, atomic manifest commit —
+    * copy-on-write generations a concurrent reader can pin mid-stream
+    * without ever seeing a half-written merge.
     *
     * Batch-boundary invariance: the merge keeps max(src) per key, so the
     * final table is identical however AvailableNow splits the stream —
@@ -249,31 +252,27 @@ object Streams {
         .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
           lit("N").as("o_orderstatus"), col("o_totalprice"),
           col("o_orderpriority"), lit(1).as("src")))
-    def versions(): Seq[Long] = {
-      val dirs = Option(new java.io.File(s"$base/table").listFiles())
-        .getOrElse(Array.empty)
-      dirs.filter(_.isDirectory).map(_.getName.stripPrefix("v").toLong).toSeq
-    }
+    val table = s"$base/table"
     val q = changes.writeStream
       .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val prev = versions().sorted.lastOption
-          .map(v => s.read.parquet(s"$base/table/v$v"))
-          .getOrElse(batch.limit(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hasVersion = TxnTable.versions(s, table).nonEmpty
+        val prev =
+          if (hasVersion) TxnTable.snapshot(s, table) else batch.limit(0)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("o_orderkey"))
           .orderBy(col("src").desc)
-        prev.unionByName(batch)
+        val merged = prev.unionByName(batch)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
-          .write.mode("overwrite").parquet(s"$base/table/v$batchId")
+        if (hasVersion) TxnTable.overwrite(s, table, merged)
+        else TxnTable.create(s, table, merged)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val last = versions().sorted.last
-    s.read.parquet(s"$base/table/v$last")
+    TxnTable.snapshot(s, table)
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderpriority"))
   }

@@ -100,6 +100,37 @@ class TxnSpec extends SparkSpec {
     }
   }
 
+  test("racing append committers all land via optimistic retry, no lost updates") {
+    val t = freshTable("race")
+    TxnTable.create(spark, t, baseDf(10))
+    // 4 concurrent writers each append a disjoint 10-row slice; every
+    // commit CAS-es against the version it read, losers re-read and
+    // retry — the classic optimistic-concurrency loop. No commit may
+    // clobber another (lost update = missing rows at the end).
+    val writers = (1 to 4).map { i =>
+      new Thread(() => {
+        val staged = TxnTable.stage(spark, t,
+          baseDf(10).withColumn("k", col("k") + lit(i * 100L)))
+        var done = false
+        while (!done) {
+          val cur = TxnTable.currentVersion(spark, t)
+          val files = TxnTable.liveFiles(spark, t, cur) ++ staged
+          try { TxnTable.commit(spark, t, files, cur); done = true }
+          catch { case _: java.util.ConcurrentModificationException => () }
+        }
+      })
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    assert(TxnTable.versions(spark, t) === (0L to 4L))
+    val s = spark
+    import s.implicits._
+    val keys = TxnTable.snapshot(spark, t).select("k").as[Long].collect().toSet
+    val expected = (0L until 10L).toSet ++
+      (1 to 4).flatMap(i => (0L until 10L).map(_ + i * 100L))
+    assert(keys === expected, "a racing commit lost another writer's rows")
+  }
+
   test("cdc feed emits exactly the changed rows with correct ops") {
     val t = freshTable("cdc")
     val s = spark
