@@ -51,6 +51,60 @@ class PlanSpec extends SparkSpec {
       "catalog stats did not flip the broadcast decision")
   }
 
+  test("catalog stats drive join REORDER (CostBasedJoinReorder)") {
+    // the other half of the CBO story next to q47's broadcast flip: a
+    // 3-table join written in a deliberately bad syntactic order
+    // (customer JOIN orders first, the selective lineitem filter last)
+    // must be REORDERED by the stats-fed DP so the small filtered pair
+    // joins innermost — the decision a 1000-executor driver takes from
+    // the metastore before any task runs
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val ts = Seq("graft_cbo_ord", "graft_cbo_cust", "graft_cbo_li")
+    ts.foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(s"$wh/$t"))
+    }
+    graft.Tables.orders(s, sf).select(col("o_orderkey"), col("o_custkey"))
+      .write.saveAsTable("graft_cbo_ord")
+    graft.Tables.customer(s, sf).select(col("c_custkey"), col("c_name"))
+      .write.saveAsTable("graft_cbo_cust")
+    graft.Tables.lineitem(s, sf).select(col("l_orderkey"), col("l_quantity"))
+      .write.saveAsTable("graft_cbo_li")
+    ts.foreach(t => s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    val prev = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> s.conf.get(k))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      def innermostJoinLeaves(reorder: Boolean): String = {
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", reorder.toString)
+        val df = s.table("graft_cbo_cust")
+          .join(s.table("graft_cbo_ord"), col("c_custkey") === col("o_custkey"))
+          .join(s.table("graft_cbo_li").filter(col("l_quantity") > 49),
+            col("o_orderkey") === col("l_orderkey"))
+          .agg(count(lit(1)).as("n"))
+        val joins = df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }
+        joins.last.collectLeaves().mkString("\n")
+      }
+      val syntactic = innermostJoinLeaves(reorder = false)
+      assert(syntactic.contains("graft_cbo_cust") &&
+        syntactic.contains("graft_cbo_ord"),
+        s"without reorder the syntactic (cust, ord) pair should join first:\n$syntactic")
+      val reordered = innermostJoinLeaves(reorder = true)
+      assert(reordered.contains("graft_cbo_li") &&
+        !reordered.contains("graft_cbo_cust"),
+        s"stats-fed reorder should join the filtered lineitem first:\n$reordered")
+    } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("q08 global top-k avoids a full sort (TakeOrderedAndProject)") {
     val p = plan(Relational.q08SortLimit(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
