@@ -135,9 +135,20 @@ object TxnTable {
   def create(s: SparkSession, table: String, df: DataFrame): Long =
     commit(s, table, stage(s, table, df), expected = -1L)
 
-  /** Append-commit: next version = current files + newly staged ones. */
+  /** Append-commit: next version = current files + newly staged ones.
+    * The append must match the table's schema (names + types, nullability
+    * ignored): a drifted append would not fail here but at some future
+    * read, as missing columns or a parquet merge error — the table
+    * format's job is to turn that into an immediate commit-time error.
+    * (Overwrite-commits MAY change the schema: that is how a table
+    * evolves.) */
   def append(s: SparkSession, table: String, df: DataFrame): Long = {
     val cur = currentVersion(s, table)
+    val have = snapshot(s, table, cur).schema
+      .map(f => (f.name, f.dataType)).toSeq
+    val got = df.schema.map(f => (f.name, f.dataType)).toSeq
+    require(got == have,
+      s"append schema $got does not match table schema $have")
     commit(s, table, liveFiles(s, table, cur) ++ stage(s, table, df), cur)
   }
 

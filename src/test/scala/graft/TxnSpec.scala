@@ -131,6 +131,31 @@ class TxnSpec extends SparkSpec {
     assert(keys === expected, "a racing commit lost another writer's rows")
   }
 
+  test("append with a drifted schema fails at commit time, not at read time") {
+    val t = freshTable("schema_guard")
+    TxnTable.create(spark, t, baseDf(10))
+    intercept[IllegalArgumentException] {
+      TxnTable.append(spark, t,
+        baseDf(5).withColumn("extra", col("k") * 2))
+    }
+    // overwrite MAY evolve the schema — that's how a table changes shape
+    TxnTable.overwrite(spark, t,
+      baseDf(5).withColumn("extra", col("k") * 2))
+    assert(TxnTable.snapshot(spark, t).columns.toSeq == Seq("k", "v", "extra"))
+  }
+
+  test("cdc diff plans one co-partitioned join, never a cartesian") {
+    val t = freshTable("cdc_plan")
+    TxnTable.create(spark, t, baseDf(100))
+    TxnTable.overwrite(spark, t, baseDf(90))
+    val a = TxnTable.snapshot(spark, t, 0).select(col("k").as("ak"))
+    val b = TxnTable.snapshot(spark, t, 1).select(col("k").as("bk"))
+    val p = a.join(b, col("ak") === col("bk"), "full_outer")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      p.take(800))
+  }
+
   test("cdc feed emits exactly the changed rows with correct ops") {
     val t = freshTable("cdc")
     val s = spark
