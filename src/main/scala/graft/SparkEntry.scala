@@ -61,6 +61,7 @@ object SparkEntry {
     "op_txn_commit"           -> (TxnTable.txnCommit _),
     "op_vacuum"               -> (TxnTable.vacuumTable _),
     "op_cdc_read"             -> (TxnTable.cdcRead _),
+    "op_manifest_skip"        -> (TxnTable.manifestSkip _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -898,6 +899,17 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         |  'latest' AS src, TRUE AS vacuum_ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // the pruned range read must return exactly the full filter's
+    // content; manifest-level file skipping travels as a boolean
+    "op_manifest_skip" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |r AS (SELECT MIN(o_orderkey) AS lo,
+        |    MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS hi
+        |  FROM b)
+        |SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total,
+        |  TRUE AS skip_ok
+        |FROM b, r WHERE o_orderkey >= lo AND o_orderkey <= hi""".stripMargin,
     // change feed v0->v1 replayed from the deterministic change rules:
     // update keys %50=0 (price+100), delete keys %61=0 (unless updated),
     // insert key+10000000 for keys %97=0

@@ -73,15 +73,31 @@ object TxnTable {
     vs.last
   }
 
-  /** The live-file set of version `v`, table-relative, as committed. */
-  def liveFiles(s: SparkSession, table: String, v: Long): Seq[String] = {
+  /** One manifest entry: a live file plus optional per-file column stats
+    * (indexed column name, min, max) for manifest-level data skipping. */
+  case class Entry(path: String, stats: Option[(String, Long, Long)])
+
+  /** The live-file entries of version `v`. Manifest line format:
+    * `path` or `path<TAB>col<TAB>min<TAB>max` (stats written by
+    * [[stageIndexed]]). */
+  def liveEntries(s: SparkSession, table: String, v: Long): Seq[Entry] = {
     val mp = manifestPath(table, v)
     val f = fs(s, mp)
     require(f.exists(mp), s"$table version $v not found (vacuumed or never committed)")
     val in = f.open(mp)
     val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
-    text.linesIterator.filter(_.nonEmpty).toSeq
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      line.split('\t') match {
+        case Array(p)             => Entry(p, None)
+        case Array(p, c, lo, hi)  => Entry(p, Some((c, lo.toLong, hi.toLong)))
+        case _ => throw new IllegalArgumentException(s"bad manifest line: $line")
+      }
+    }.toSeq
   }
+
+  /** The live-file set of version `v`, table-relative, as committed. */
+  def liveFiles(s: SparkSession, table: String, v: Long): Seq[String] =
+    liveEntries(s, table, v).map(_.path)
 
   /** Atomically commit `relFiles` as the table's next version. `expected`
     * is the version the writer based its work on (-1 for a fresh table):
@@ -135,13 +151,14 @@ object TxnTable {
   def create(s: SparkSession, table: String, df: DataFrame): Long =
     commit(s, table, stage(s, table, df), expected = -1L)
 
-  /** Append-commit: next version = current files + newly staged ones.
-    * The append must match the table's schema (names + types, nullability
-    * ignored): a drifted append would not fail here but at some future
-    * read, as missing columns or a parquet merge error — the table
-    * format's job is to turn that into an immediate commit-time error.
-    * (Overwrite-commits MAY change the schema: that is how a table
-    * evolves.) */
+  /** Append-commit: next version = current entries + newly staged ones
+    * (prior entries keep their manifest lines verbatim, so per-file stats
+    * survive appends). The append must match the table's schema (names +
+    * types, nullability ignored): a drifted append would not fail here
+    * but at some future read, as missing columns or a parquet merge
+    * error — the table format's job is to turn that into an immediate
+    * commit-time error. (Overwrite-commits MAY change the schema: that
+    * is how a table evolves.) */
   def append(s: SparkSession, table: String, df: DataFrame): Long = {
     val cur = currentVersion(s, table)
     val have = snapshot(s, table, cur).schema
@@ -149,7 +166,58 @@ object TxnTable {
     val got = df.schema.map(f => (f.name, f.dataType)).toSeq
     require(got == have,
       s"append schema $got does not match table schema $have")
-    commit(s, table, liveFiles(s, table, cur) ++ stage(s, table, df), cur)
+    val kept = liveEntries(s, table, cur).map(render)
+    commit(s, table, kept ++ stage(s, table, df), cur)
+  }
+
+  private def render(e: Entry): String = e.stats match {
+    case Some((c, lo, hi)) => s"${e.path}\t$c\t$lo\t$hi"
+    case None              => e.path
+  }
+
+  /** Stage with per-file column statistics: like [[stage]], but each
+    * manifest line carries (indexCol, min, max) measured from the staged
+    * files — the Iceberg-style metadata that lets a reader prune files
+    * from the MANIFEST, before touching storage. `indexCol` must be an
+    * integral column; stats cost one scan of the just-staged files
+    * (write-time, amortized over every future selective read). */
+  def stageIndexed(s: SparkSession, table: String, df: DataFrame,
+                   indexCol: String): Seq[String] = {
+    val rels = stage(s, table, df)
+    val dir = rels.head.split('/').dropRight(1).mkString("/")
+    val stats = s.read.parquet(s"$table/$dir")
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(indexCol)).cast("long").as("lo"),
+        max(col(indexCol)).cast("long").as("hi"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last,
+        (r.getLong(1), r.getLong(2)))).toMap
+    rels.map { rel =>
+      // a zero-row staged file has no stats row — keep it conservatively
+      render(Entry(rel, stats.get(rel.split('/').last)
+        .map { case (lo, hi) => (indexCol, lo, hi) }))
+    }
+  }
+
+  /** Resolve a snapshot pruned by a range predicate on the indexed
+    * column: manifest entries whose [min,max] cannot intersect [lo,hi]
+    * are SKIPPED — their files are never listed, opened, or scanned.
+    * This is planning from table metadata alone (the manifest is
+    * O(#files) driver-side state); the residual per-row filter still
+    * applies inside the surviving files. Entries without stats are
+    * conservatively kept. Returns the frame plus the (scanned, total)
+    * file counts so callers can assert the skip actually bit. */
+  def snapshotRange(s: SparkSession, table: String, indexCol: String,
+                    lo: Long, hi: Long, v: Long = -1L): (DataFrame, Int, Int) = {
+    val ver = if (v < 0) currentVersion(s, table) else v
+    val entries = liveEntries(s, table, ver)
+    val kept = entries.filter(_.stats match {
+      case Some((c, fLo, fHi)) if c == indexCol => fHi >= lo && fLo <= hi
+      case _ => true
+    })
+    val df = s.read.parquet(kept.map(e => s"$table/${e.path}"): _*)
+      .filter(col(indexCol) >= lo && col(indexCol) <= hi)
+    (df, kept.size, entries.size)
   }
 
   /** Overwrite-commit: next version lists ONLY the newly staged files
@@ -284,6 +352,32 @@ object TxnTable {
       catch { case _: IllegalArgumentException => true }
     statusAgg(snapshot(s, t), "latest")
       .withColumn("vacuum_ok", lit(oldGone && latestIntact && oldReadFails))
+  }
+
+  /** op_manifest_skip: manifest-level data skipping — the planning move
+    * that makes selective reads on a 100 TB table cheap: the orders slice
+    * is range-clustered on o_orderkey and committed with per-file
+    * (min,max) key stats in the manifest; a range read then prunes files
+    * from the MANIFEST alone (driver-side O(#files) metadata — the
+    * skipped files are never listed, opened, or footer-read, unlike
+    * parquet row-group stats which require opening every file). The
+    * hashed aggregate proves the pruned read returns exactly the full
+    * filter's content; `skip_ok` asserts the prune actually dropped
+    * files. The range bounds derive from data min/max so the oracle
+    * replays them. */
+  def manifestSkip(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("skip_orders")
+    val base = ordersSlice(s, d)
+    val clustered = base.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+    commit(s, t, stageIndexed(s, t, clustered, "o_orderkey"), expected = -1L)
+    val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
+    val (lo, hi) = (kmin, kmin + (kmax - kmin) / 8)
+    val (snap, scanned, total) = snapshotRange(s, t, "o_orderkey", lo, hi)
+    snap.agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total"))
+      .withColumn("skip_ok", lit(scanned >= 1 && scanned < total))
   }
 
   /** op_cdc_read: the change feed between two committed versions — what

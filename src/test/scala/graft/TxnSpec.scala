@@ -156,6 +156,30 @@ class TxnSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("manifest stats prune files from metadata; pruned files never read") {
+    val t = freshTable("skip")
+    val s = spark
+    import s.implicits._
+    // keys 0..99 range-clustered into 4 files (~25-key spans)
+    val df = baseDf(100).repartitionByRange(4, col("k"))
+      .sortWithinPartitions(col("k"))
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t, df, "k"), -1L)
+    val entries = TxnTable.liveEntries(spark, t, 0)
+    assert(entries.forall(_.stats.nonEmpty), "stageIndexed left stats off")
+    val (snap, scanned, total) = TxnTable.snapshotRange(spark, t, "k", 10L, 20L)
+    assert(scanned < total, s"no files pruned ($scanned of $total)")
+    // correctness: pruned read == full filter
+    assert(snap.select("k").as[Long].collect().toSet === (10L to 20L).toSet)
+    // the scan's input files are exactly the kept manifest entries — a
+    // file whose [min,max] misses the range is never listed or opened
+    val kept = entries.filter(e =>
+      e.stats.exists { case (_, lo, hi) => hi >= 10L && lo <= 20L })
+      .map(e => s"$t/${e.path}").toSet
+    val scannedFiles = snap.inputFiles.map(_.replaceFirst("^file:/+", "/")).toSet
+    assert(scannedFiles == kept,
+      s"scan read outside the pruned manifest set: ${scannedFiles.diff(kept).take(3)}")
+  }
+
   test("cdc feed emits exactly the changed rows with correct ops") {
     val t = freshTable("cdc")
     val s = spark
