@@ -241,14 +241,26 @@ object TxnTable {
   /** Compaction THROUGH the log: stage the current snapshot rewritten at a
     * byte-derived target file count (128 MiB target, same recipe as
     * q44_compaction), overwrite-commit. Content-invariant by construction;
-    * concurrent readers of older versions are untouched. */
+    * concurrent readers of older versions are untouched. An INDEXED table
+    * (every manifest entry carries stats on one column) is re-clustered
+    * and re-indexed on that column — compaction must never downgrade a
+    * table's manifest-skipping ability. */
   def compact(s: SparkSession, table: String): Long = {
     val cur = currentVersion(s, table)
-    val files = liveFiles(s, table, cur).map(rel => new Path(s"$table/$rel"))
+    val entries = liveEntries(s, table, cur)
+    val files = entries.map(e => new Path(s"$table/${e.path}"))
     val bytes = files.map(p => fs(s, p).getFileStatus(p).getLen).sum
     val targetBytes = 128L * 1024 * 1024
     val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    commit(s, table, stage(s, table, snapshot(s, table, cur).repartition(target)), cur)
+    val snap = snapshot(s, table, cur)
+    val idxCols = entries.flatMap(_.stats.map(_._1)).distinct
+    val lines = idxCols match {
+      case Seq(c) if entries.forall(_.stats.nonEmpty) =>
+        stageIndexed(s, table,
+          snap.repartitionByRange(target, col(c)).sortWithinPartitions(col(c)), c)
+      case _ => stage(s, table, snap.repartition(target))
+    }
+    commit(s, table, lines, cur)
   }
 
   /** Retention: keep the newest `retain` versions; delete every data file

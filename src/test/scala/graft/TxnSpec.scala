@@ -180,6 +180,22 @@ class TxnSpec extends SparkSpec {
       s"scan read outside the pruned manifest set: ${scannedFiles.diff(kept).take(3)}")
   }
 
+  test("compacting an indexed table re-indexes — skipping ability survives") {
+    val t = freshTable("skip_compact")
+    val s = spark
+    import s.implicits._
+    val df = baseDf(100).repartitionByRange(4, col("k"))
+      .sortWithinPartitions(col("k"))
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t, df, "k"), -1L)
+    val v1 = TxnTable.compact(spark, t)
+    val entries = TxnTable.liveEntries(spark, t, v1)
+    assert(entries.forall(_.stats.exists(_._1 == "k")),
+      "compaction dropped the manifest index")
+    val (snap, _, _) = TxnTable.snapshotRange(spark, t, "k", 10L, 20L)
+    assert(snap.select("k").as[Long].collect().toSet === (10L to 20L).toSet)
+    assert(TxnTable.snapshot(spark, t).count() === 100)
+  }
+
   test("cdc feed emits exactly the changed rows with correct ops") {
     val t = freshTable("cdc")
     val s = spark
