@@ -62,6 +62,7 @@ object SparkEntry {
     "op_vacuum"               -> (TxnTable.vacuumTable _),
     "op_cdc_read"             -> (TxnTable.cdcRead _),
     "op_manifest_skip"        -> (TxnTable.manifestSkip _),
+    "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -899,6 +900,25 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         |  'latest' AS src, TRUE AS vacuum_ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // the incremental fold (v0 + signed change feeds) must hash-equal the
+    // DIRECT recompute of v2, whose content the oracle replays by
+    // chaining both change-set rules
+    "op_incremental_agg" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(14,2)) AS price FROM orders),
+        |v1 AS (SELECT k, st,
+        |    CAST(CASE WHEN k % 50 = 0 THEN price + 100 ELSE price END
+        |      AS DECIMAL(14,2)) AS price
+        |  FROM b WHERE NOT (k % 61 = 0 AND k % 50 <> 0)
+        |  UNION ALL SELECT k + 10000000, 'N', price FROM b WHERE k % 97 = 0),
+        |v2 AS (SELECT k, st,
+        |    CAST(CASE WHEN k % 30 = 0 THEN price + 50 ELSE price END
+        |      AS DECIMAL(14,2)) AS price
+        |  FROM v1 WHERE NOT (k % 77 = 0 AND k % 30 <> 0)
+        |  UNION ALL SELECT k + 20000000, 'M', price FROM v1 WHERE k % 89 = 0)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total
+        |FROM v2 GROUP BY st""".stripMargin,
     // the pruned range read must return exactly the full filter's
     // content; manifest-level file skipping travels as a boolean
     "op_manifest_skip" ->

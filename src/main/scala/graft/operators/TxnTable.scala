@@ -366,6 +366,76 @@ object TxnTable {
       .withColumn("vacuum_ok", lit(oldGone && latestIntact && oldReadFails))
   }
 
+  /** Signed change rows between two committed versions: weight +1 for
+    * arriving rows (insert / update_post), −1 for departing ones (delete
+    * / update_pre). Any LINEAR aggregate summed over v0 ∪ the signed
+    * feeds telescopes to the latest version — incremental view
+    * maintenance, the consumption pattern the change feed exists for.
+    * One co-partitioned full-outer key join; payloads compared null-safe
+    * as a struct. */
+  def cdcSigned(s: SparkSession, table: String, vA: Long, vB: Long,
+                key: String): DataFrame = {
+    val a = snapshot(s, table, vA)
+    val cols = a.columns.filterNot(_ == key).toSeq
+    val b = snapshot(s, table, vB)
+    def pay(side: String) = struct(cols.map(c => col(s"$side.$c")): _*)
+    val j = a.alias("a")
+      .join(b.alias("b"), col(s"a.$key") === col(s"b.$key"), "full_outer")
+    val departing = j
+      .filter(col(s"a.$key").isNotNull &&
+        (col(s"b.$key").isNull || !(pay("a") <=> pay("b"))))
+      .select(col(s"a.$key").as(key) +: lit(-1).as("w") +:
+        cols.map(c => col(s"a.$c").as(c)): _*)
+    val arriving = j
+      .filter(col(s"b.$key").isNotNull &&
+        (col(s"a.$key").isNull || !(pay("a") <=> pay("b"))))
+      .select(col(s"b.$key").as(key) +: lit(1).as("w") +:
+        cols.map(c => col(s"b.$c").as(c)): _*)
+    departing.unionByName(arriving)
+  }
+
+  private val D14 = DecimalType(14, 2)
+
+  /** op_incremental_agg: incremental view maintenance over the change
+    * feed — the reason a 100 TB pipeline wants CDC at all. The table
+    * moves v0 → v1 → v2 under two deterministic change sets
+    * (update/delete/insert rules on the key); the downstream per-status
+    * aggregate is then computed WITHOUT reading v2: one declarative plan
+    * unions v0 (weight +1) with the two signed feeds and sums
+    * weight·price — the telescoping fold every incremental consumer
+    * runs. Hash-checked against the oracle's DIRECT replay of v2's
+    * content: incremental maintenance ≡ recompute, exactly. Prices are
+    * normalized to DECIMAL(14,2) at every staging so version payloads
+    * compare type-identically and the sums stay exact integers. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("incr_orders")
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice").cast(D14).as("price"))
+    create(s, t, base.repartition(4))
+    def applyChanges(df: DataFrame, updMod: Int, updAmt: Int, delMod: Int,
+                     insMod: Int, insOff: Long, insSt: String): DataFrame = {
+      val k = col("o_orderkey")
+      df.filter(!(pmod(k, lit(delMod)) === 0 && pmod(k, lit(updMod)) =!= 0))
+        .withColumn("price",
+          when(pmod(k, lit(updMod)) === 0, col("price") + lit(updAmt))
+            .otherwise(col("price")).cast(D14))
+        .unionByName(df.filter(pmod(k, lit(insMod)) === 0)
+          .select((k + insOff).as("o_orderkey"),
+            lit(insSt).as("o_orderstatus"), col("price")))
+    }
+    overwrite(s, t, applyChanges(snapshot(s, t, 0), 50, 100, 61, 97, 10000000L, "N"))
+    overwrite(s, t, applyChanges(snapshot(s, t, 1), 30, 50, 77, 89, 20000000L, "M"))
+    val pick = (df: DataFrame) =>
+      df.select(col("o_orderstatus"), col("w"), col("price"))
+    pick(snapshot(s, t, 0).withColumn("w", lit(1)))
+      .unionByName(pick(cdcSigned(s, t, 0, 1, "o_orderkey")))
+      .unionByName(pick(cdcSigned(s, t, 1, 2, "o_orderkey")))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("w")).as("n"),
+        sum(col("w") * col("price")).cast("double").as("total"))
+      .filter(col("n") =!= 0) // a fully-cancelled group matches its absence
+  }
+
   /** op_manifest_skip: manifest-level data skipping — the planning move
     * that makes selective reads on a 100 TB table cheap: the orders slice
     * is range-clustered on o_orderkey and committed with per-file
