@@ -63,6 +63,7 @@ object SparkEntry {
     "op_cdc_read"             -> (TxnTable.cdcRead _),
     "op_manifest_skip"        -> (TxnTable.manifestSkip _),
     "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
+    "op_table_history"        -> (TxnTable.tableHistory _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -900,6 +901,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         |  'latest' AS src, TRUE AS vacuum_ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // the audit trail read back from the manifests; the scenario's data
+    // is synthetic and fixed, so the trail is literal at any SF
+    "op_table_history" ->
+      """SELECT CAST(version AS BIGINT) AS version, op,
+        |  CAST(n_files AS BIGINT) AS n_files
+        |FROM (VALUES (0, 'create', 8), (1, 'compact', 1),
+        |  (2, 'append', 3), (3, 'overwrite', 2)) AS t(version, op, n_files)""".stripMargin,
     // the incremental fold (v0 + signed change feeds) must hash-equal the
     // DIRECT recompute of v2, whose content the oracle replays by
     // chaining both change-set rules

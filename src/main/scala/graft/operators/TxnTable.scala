@@ -77,23 +77,37 @@ object TxnTable {
     * (indexed column name, min, max) for manifest-level data skipping. */
   case class Entry(path: String, stats: Option[(String, Long, Long)])
 
-  /** The live-file entries of version `v`. Manifest line format:
-    * `path` or `path<TAB>col<TAB>min<TAB>max` (stats written by
-    * [[stageIndexed]]). */
-  def liveEntries(s: SparkSession, table: String, v: Long): Seq[Entry] = {
+  private def manifestText(s: SparkSession, table: String, v: Long): String = {
     val mp = manifestPath(table, v)
     val f = fs(s, mp)
     require(f.exists(mp), s"$table version $v not found (vacuumed or never committed)")
     val in = f.open(mp)
-    val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { line =>
-      line.split('\t') match {
-        case Array(p)             => Entry(p, None)
-        case Array(p, c, lo, hi)  => Entry(p, Some((c, lo.toLong, hi.toLong)))
-        case _ => throw new IllegalArgumentException(s"bad manifest line: $line")
-      }
-    }.toSeq
+    try new String(in.readAllBytes(), UTF_8) finally in.close()
   }
+
+  /** The live-file entries of version `v`. Manifest line format:
+    * `path` or `path<TAB>col<TAB>min<TAB>max` (stats written by
+    * [[stageIndexed]]); lines starting with `#` are commit metadata. */
+  def liveEntries(s: SparkSession, table: String, v: Long): Seq[Entry] =
+    manifestText(s, table, v).linesIterator
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+        line.split('\t') match {
+          case Array(p)             => Entry(p, None)
+          case Array(p, c, lo, hi)  => Entry(p, Some((c, lo.toLong, hi.toLong)))
+          case _ => throw new IllegalArgumentException(s"bad manifest line: $line")
+        }
+      }.toSeq
+
+  /** The table's audit trail — (version, operation, live-file count) per
+    * commit, from the manifests alone (DESCRIBE HISTORY, minus wall-clock
+    * timestamps, which would not be deterministic). */
+  def history(s: SparkSession, table: String): Seq[(Long, String, Long)] =
+    versions(s, table).map { v =>
+      val op = manifestText(s, table, v).linesIterator
+        .find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
+        .getOrElse("write")
+      (v, op, liveEntries(s, table, v).size.toLong)
+    }
 
   /** The live-file set of version `v`, table-relative, as committed. */
   def liveFiles(s: SparkSession, table: String, v: Long): Seq[String] =
@@ -104,7 +118,7 @@ object TxnTable {
     * if another commit landed since, the caller must re-read and retry —
     * optimistic concurrency, never clobber. */
   def commit(s: SparkSession, table: String, relFiles: Seq[String],
-             expected: Long): Long = {
+             expected: Long, op: String = "write"): Long = {
     val ld = logDir(table)
     val f = fs(s, ld)
     f.mkdirs(ld)
@@ -115,7 +129,8 @@ object TxnTable {
     val next = cur + 1
     val tmpP = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmpP, false)
-    try out.write((relFiles.sorted.mkString("\n") + "\n").getBytes(UTF_8))
+    try out.write(
+      (s"#op=$op\n" + relFiles.sorted.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
     val dst = manifestPath(table, next)
     // HDFS rename refuses an existing destination atomically; the LOCAL
@@ -149,7 +164,7 @@ object TxnTable {
 
   /** Create the table at version 0. */
   def create(s: SparkSession, table: String, df: DataFrame): Long =
-    commit(s, table, stage(s, table, df), expected = -1L)
+    commit(s, table, stage(s, table, df), expected = -1L, op = "create")
 
   /** Append-commit: next version = current entries + newly staged ones
     * (prior entries keep their manifest lines verbatim, so per-file stats
@@ -167,7 +182,7 @@ object TxnTable {
     require(got == have,
       s"append schema $got does not match table schema $have")
     val kept = liveEntries(s, table, cur).map(render)
-    commit(s, table, kept ++ stage(s, table, df), cur)
+    commit(s, table, kept ++ stage(s, table, df), cur, op = "append")
   }
 
   private def render(e: Entry): String = e.stats match {
@@ -225,7 +240,7 @@ object TxnTable {
     * readers until vacuum). */
   def overwrite(s: SparkSession, table: String, df: DataFrame): Long = {
     val cur = currentVersion(s, table)
-    commit(s, table, stage(s, table, df), cur)
+    commit(s, table, stage(s, table, df), cur, op = "overwrite")
   }
 
   /** Resolve a snapshot: read version `v`'s manifest (latest if -1) and
@@ -260,7 +275,7 @@ object TxnTable {
           snap.repartitionByRange(target, col(c)).sortWithinPartitions(col(c)), c)
       case _ => stage(s, table, snap.repartition(target))
     }
-    commit(s, table, lines, cur)
+    commit(s, table, lines, cur, op = "compact")
   }
 
   /** Retention: keep the newest `retain` versions; delete every data file
@@ -364,6 +379,25 @@ object TxnTable {
       catch { case _: IllegalArgumentException => true }
     statusAgg(snapshot(s, t), "latest")
       .withColumn("vacuum_ok", lit(oldGone && latestIntact && oldReadFails))
+  }
+
+  /** op_table_history: the audit trail as a checked query — every commit
+    * kind exercised once on a fixed synthetic table (data-independent so
+    * file counts are deterministic at ANY scale factor), then the history
+    * read back from the manifests alone: (version, operation, live-file
+    * count). No wall-clock timestamps — they would not be replayable; a
+    * production log would add them as informational metadata. Oracle =
+    * the literal expected trail. */
+  def tableHistory(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("history_table")
+    import s.implicits._
+    val df = s.range(1000).select(col("id").as("k"),
+      (col("id") % 7).cast("long").as("v"))
+    commit(s, t, stage(s, t, df.repartition(8)), -1L, op = "create")
+    compact(s, t)                                    // 1000 tiny rows -> 1 file
+    append(s, t, df.filter(col("k") < 100).repartition(2))
+    overwrite(s, t, df.repartition(2))
+    history(s, t).toDF("version", "op", "n_files")
   }
 
   /** Signed change rows between two committed versions: weight +1 for
