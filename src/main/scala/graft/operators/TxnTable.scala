@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.DecimalType
   *
   *   table/
   *     data/<uuid>/part-*.parquet   immutable; never rewritten in place
-  *     _log/00000000.manifest      one live-file relative path per line
-  *     _log/00000001.manifest      ...
+  *     _log/00000000.manifest      '#op=<operation>' header, then one
+  *     _log/00000001.manifest      live file per line — bare relative
+  *                                 path, or path TAB col TAB min TAB max
+  *                                 when committed with per-file stats
   *
   * The COMMIT is the atomic unit: a writer stages new parquet files under a
   * fresh uuid dir (invisible — no manifest references them), writes the next
@@ -486,7 +488,8 @@ object TxnTable {
     val base = ordersSlice(s, d)
     val clustered = base.repartitionByRange(8, col("o_orderkey"))
       .sortWithinPartitions(col("o_orderkey"))
-    commit(s, t, stageIndexed(s, t, clustered, "o_orderkey"), expected = -1L)
+    commit(s, t, stageIndexed(s, t, clustered, "o_orderkey"),
+      expected = -1L, op = "create")
     val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
     val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
     val (lo, hi) = (kmin, kmin + (kmax - kmin) / 8)
