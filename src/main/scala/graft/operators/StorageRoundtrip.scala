@@ -193,7 +193,12 @@ object StorageRoundtrip {
     * against the base table straight from parquet) plus file-count
     * booleans the oracle asserts TRUE (fragmented > compacted ∧ compacted
     * ≤ target) — a compaction that loses rows, alters values, or fails to
-    * reduce file count flips the row red. */
+    * reduce file count flips the row red.
+    *
+    * This demonstrates the rewrite recipe in isolation; the committed,
+    * reader-isolated form (rewrite staged + atomic manifest advance, old
+    * snapshot still readable) is [[TxnTable.compact]], checked by
+    * op_txn_commit. */
   def compaction(s: SparkSession, d: String): DataFrame = {
     val outSmall = tmp("compact_small")
     val outBig = tmp("compact_big")
