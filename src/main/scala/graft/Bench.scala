@@ -43,8 +43,8 @@ object Bench {
     val qs2 = obj(r => (r._1, r._3))
     // failed queries (reported as -1 in `queries`) are EXCLUDED from the
     // total and surfaced in `failures` — a crashed run must never read as
-    // a fast one
-    val failures = results.count(_._2 < 0)
+    // a fast one, in EITHER timed pass
+    val failures = results.count(r => r._2 < 0 || r._3 < 0)
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_rerun":$qs2,"failures":$failures,"sf":"$sfDir"}"""

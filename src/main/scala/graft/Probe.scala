@@ -37,12 +37,9 @@ object Probe {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete()
-        }
         Seq("li_b2", "ord_b2").foreach { t =>
-          spark.sql(s"DROP TABLE IF EXISTS $t"); rm(new java.io.File(s"$wh/$t"))
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          graft.Fs.deleteRecursively(s"$wh/$t")
         }
         Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
           .repartition(4, col("l_orderkey"))

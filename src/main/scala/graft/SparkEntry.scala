@@ -918,12 +918,12 @@ object SparkEntry {
         |    CAST(CASE WHEN k % 50 = 0 THEN price + 100 ELSE price END
         |      AS DECIMAL(14,2)) AS price
         |  FROM b WHERE NOT (k % 61 = 0 AND k % 50 <> 0)
-        |  UNION ALL SELECT k + 10000000, 'N', price FROM b WHERE k % 97 = 0),
+        |  UNION ALL SELECT k + 100000000, 'N', price FROM b WHERE k % 97 = 0),
         |v2 AS (SELECT k, st,
         |    CAST(CASE WHEN k % 30 = 0 THEN price + 50 ELSE price END
         |      AS DECIMAL(14,2)) AS price
         |  FROM v1 WHERE NOT (k % 77 = 0 AND k % 30 <> 0)
-        |  UNION ALL SELECT k + 20000000, 'M', price FROM v1 WHERE k % 89 = 0)
+        |  UNION ALL SELECT k + 200000000, 'M', price FROM v1 WHERE k % 89 = 0)
         |SELECT st AS o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(price) AS DOUBLE) AS total
         |FROM v2 GROUP BY st""".stripMargin,
@@ -953,7 +953,7 @@ object SparkEntry {
         |SELECT k, 'delete', st, CAST(price AS DOUBLE)
         |FROM b WHERE k % 61 = 0 AND k % 50 <> 0
         |UNION ALL
-        |SELECT k + 10000000, 'insert', 'N', CAST(price AS DOUBLE)
+        |SELECT k + 100000000, 'insert', 'N', CAST(price AS DOUBLE)
         |FROM b WHERE k % 97 = 0""".stripMargin,
     // content invariance of the box-filtered agg hash-checked (bounds are
     // data-derived, replayed via MIN/MAX subqueries); measured file-level

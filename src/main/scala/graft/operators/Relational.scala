@@ -615,12 +615,7 @@ object Relational {
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     Seq(ordT, custT, twinT).foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(s"$wh/$t"))
+      graft.Fs.deleteRecursively(s"$wh/$t")
     }
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), m(col("o_totalprice")).as("price"))

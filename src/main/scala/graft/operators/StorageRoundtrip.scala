@@ -20,15 +20,7 @@ object StorageRoundtrip {
 
   /** Per-process scratch dir: two concurrent runs (say, the driver's
     * verify and a local one) must not overwrite each other's sink dirs. */
-  private def tmp(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_rt_${ProcessHandle.current().pid()}/$name"
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    // listFiles returns null on I/O or permission errors, not empty
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-  }
+  private def tmp(name: String): String = graft.Fs.scratch("graft_rt", name)
 
   /** The reference's `list` operation: enumerate a storage path through
     * the Hadoop FileSystem API (works for any supported scheme — local,
@@ -141,7 +133,7 @@ object StorageRoundtrip {
       // (recursively: a killed run can leave _temporary/ subtrees) before
       // CTAS, or saveAsTable fails with "location already exists"
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      deleteRecursively(new java.io.File(s"$wh/$t"))
+      graft.Fs.deleteRecursively(s"$wh/$t")
     }
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_quantity").cast(D12).as("qty"))

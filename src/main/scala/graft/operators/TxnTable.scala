@@ -46,10 +46,6 @@ object TxnTable {
 
   private val D12 = DecimalType(12, 2)
 
-  /** Per-process scratch root (same discipline as StorageRoundtrip.tmp). */
-  private def tmp(name: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_txn_${ProcessHandle.current().pid()}/$name"
-
   private def fs(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
@@ -102,13 +98,14 @@ object TxnTable {
 
   /** The table's audit trail — (version, operation, live-file count) per
     * commit, from the manifests alone (DESCRIBE HISTORY, minus wall-clock
-    * timestamps, which would not be deterministic). */
+    * timestamps, which would not be deterministic). One storage read per
+    * manifest. */
   def history(s: SparkSession, table: String): Seq[(Long, String, Long)] =
     versions(s, table).map { v =>
-      val op = manifestText(s, table, v).linesIterator
-        .find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
+      val lines = manifestText(s, table, v).linesIterator.toSeq
+      val op = lines.find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
         .getOrElse("write")
-      (v, op, liveEntries(s, table, v).size.toLong)
+      (v, op, lines.count(l => l.nonEmpty && !l.startsWith("#")).toLong)
     }
 
   /** The live-file set of version `v`, table-relative, as committed. */
@@ -183,8 +180,15 @@ object TxnTable {
     val got = df.schema.map(f => (f.name, f.dataType)).toSeq
     require(got == have,
       s"append schema $got does not match table schema $have")
-    val kept = liveEntries(s, table, cur).map(render)
-    commit(s, table, kept ++ stage(s, table, df), cur, op = "append")
+    val entries = liveEntries(s, table, cur)
+    // appending stat-less files to an INDEXED table would degrade pruning
+    // and make the next compact() drop the index — stage with stats on
+    // the table's index column instead
+    val fresh = entries.flatMap(_.stats.map(_._1)).distinct match {
+      case Seq(c) if entries.forall(_.stats.nonEmpty) => stageIndexed(s, table, df, c)
+      case _                                          => stage(s, table, df)
+    }
+    commit(s, table, entries.map(render) ++ fresh, cur, op = "append")
   }
 
   private def render(e: Entry): String = e.stats match {
@@ -232,7 +236,12 @@ object TxnTable {
       case Some((c, fLo, fHi)) if c == indexCol => fHi >= lo && fLo <= hi
       case _ => true
     })
-    val df = s.read.parquet(kept.map(e => s"$table/${e.path}"): _*)
+    // a range that prunes EVERYTHING is a legitimate 0-row query, not a
+    // crash: read one file for the schema behind an always-false filter
+    val paths = (if (kept.nonEmpty) kept else entries.take(1))
+      .map(e => s"$table/${e.path}")
+    val df = s.read.parquet(paths: _*)
+      .filter(if (kept.nonEmpty) lit(true) else lit(false))
       .filter(col(indexCol) >= lo && col(indexCol) <= hi)
     (df, kept.size, entries.size)
   }
@@ -290,28 +299,32 @@ object TxnTable {
     val keep = live.flatMap(liveFiles(s, table, _)).toSet
     val dataDir = new Path(table, "data")
     val f = fs(s, dataDir)
+    // dead manifests go FIRST: if the vacuum crashes mid-way, a vacuumed
+    // version must already fail cleanly at manifest resolution — never
+    // resolve and then hit missing files mid-scan. (The reverse order
+    // would leave that window open; files orphaned by a crash here are
+    // collected by the next vacuum, whose keep-set excludes them.)
+    dead.foreach(v => f.delete(manifestPath(table, v), false))
+    // crashed writers' half-written manifests (vacuum implies no writer
+    // is mid-commit, same contract as every public table format)
+    f.listStatus(logDir(table)).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(".tmp-"))
+      .foreach(p => f.delete(p, false))
     // every staged file on disk, table-relative
     val onDisk = f.listStatus(dataDir).toSeq.filter(_.isDirectory).flatMap { d =>
       f.listStatus(d.getPath).toSeq.map(st =>
         s"data/${d.getPath.getName}/${st.getPath.getName}")
     }
     onDisk.filterNot(keep).foreach(rel => f.delete(new Path(s"$table/$rel"), false))
-    // drop now-empty uuid dirs, then the dead manifests
+    // drop now-empty uuid dirs
     f.listStatus(dataDir).toSeq.filter(_.isDirectory)
       .filter(d => f.listStatus(d.getPath).isEmpty)
       .foreach(d => f.delete(d.getPath, false))
-    dead.foreach(v => f.delete(manifestPath(table, v), false))
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
   }
 
   private def freshDir(name: String): String = {
-    val dir = tmp(name)
-    deleteRecursively(new java.io.File(dir))
+    val dir = graft.Fs.scratch("graft_txn", name)
+    graft.Fs.deleteRecursively(dir)
     dir
   }
 
@@ -349,7 +362,13 @@ object TxnTable {
     val delta = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
     append(s, t, delta)
     val fsys = fs(s, new Path(t))
-    val ok = liveFiles(s, t, v1).size < v0Files.size &&
+    // compaction lands exactly the byte-derived target count (same math
+    // as compact itself, so the assertion holds at ANY scale factor —
+    // once the slice outgrows 16 x 128 MiB a strict file-count drop would
+    // be the wrong expectation)
+    val bytes = v0Files.map(r => fsys.getFileStatus(new Path(s"$t/$r")).getLen).sum
+    val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+    val ok = liveFiles(s, t, v1).size == target &&
       v0Files.forall(rel => fsys.exists(new Path(s"$t/$rel"))) &&
       versions(s, t) == Seq(0L, 1L, 2L)
     statusAgg(reader, "v0_reader")
@@ -459,8 +478,8 @@ object TxnTable {
           .select((k + insOff).as("o_orderkey"),
             lit(insSt).as("o_orderstatus"), col("price")))
     }
-    overwrite(s, t, applyChanges(snapshot(s, t, 0), 50, 100, 61, 97, 10000000L, "N"))
-    overwrite(s, t, applyChanges(snapshot(s, t, 1), 30, 50, 77, 89, 20000000L, "M"))
+    overwrite(s, t, applyChanges(snapshot(s, t, 0), 50, 100, 61, 97, 100000000L, "N"))
+    overwrite(s, t, applyChanges(snapshot(s, t, 1), 30, 50, 77, 89, 200000000L, "M"))
     val pick = (df: DataFrame) =>
       df.select(col("o_orderstatus"), col("w"), col("price"))
     pick(snapshot(s, t, 0).withColumn("w", lit(1)))
@@ -517,8 +536,11 @@ object TxnTable {
     val k = col("o_orderkey")
     val isUpd = pmod(k, lit(50)) === 0
     val isDel = pmod(k, lit(61)) === 0 && pmod(k, lit(50)) =!= 0
+    // +1e8 keyspace shift for inserts (same convention as streamUpsert):
+    // TPC-H orderkeys reach 6e6 x SF, so this stays collision-free to
+    // SF ~16 — far past any tested scale, and documented at the rule
     val inserts = base.filter(pmod(k, lit(97)) === 0)
-      .select((k + 10000000L).as("o_orderkey"),
+      .select((k + 100000000L).as("o_orderkey"),
         lit("N").as("o_orderstatus"), col("price"))
     val v1Data = base.filter(!isDel)
       .withColumn("price",

@@ -157,16 +157,10 @@ object Streams {
     * oracle hashes what landed on disk, not what left the plan. */
   def streamFileSink(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_file_sink_${ProcessHandle.current().pid()}"
+    val base = graft.Fs.scratch("graft_file_sink", "")
     // wipe the per-process sink + checkpoint so re-verification starts
     // from a clean transaction log (append-only otherwise)
-    def rm(f: java.io.File): Unit = {
-      // listFiles returns null on I/O or permission errors, not empty
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(base))
+    graft.Fs.deleteRecursively(base)
     val src = s.readStream.schema(eventsDdl)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -231,13 +225,8 @@ object Streams {
     * top of an at-least-once source. The oracle replays the same change
     * set + latest-wins window straight from parquet. */
   def streamUpsert(s: SparkSession, d: String): DataFrame = {
-    val base = s"${sys.props("java.io.tmpdir")}/graft_stream_upsert_${ProcessHandle.current().pid()}"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(base))
+    val base = graft.Fs.scratch("graft_stream_upsert", "")
+    graft.Fs.deleteRecursively(base)
     val ordersDdl =
       "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING"
     val src = s.readStream.schema(ordersDdl)

@@ -64,12 +64,7 @@ class PlanSpec extends SparkSpec {
     val ts = Seq("graft_cbo_ord", "graft_cbo_cust", "graft_cbo_li")
     ts.foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS $t")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(s"$wh/$t"))
+      graft.Fs.deleteRecursively(s"$wh/$t")
     }
     graft.Tables.orders(s, sf).select(col("o_orderkey"), col("o_custkey"))
       .write.saveAsTable("graft_cbo_ord")
@@ -139,13 +134,9 @@ class PlanSpec extends SparkSpec {
       // a fresh derby metastore doesn't know about table dirs left by a
       // previous JVM — clear the locations before CTAS
       val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
       Seq("li_bucketed", "ord_bucketed").foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
-        rm(new java.io.File(s"$wh/$t"))
+        graft.Fs.deleteRecursively(s"$wh/$t")
       }
       // repartition on the bucket key first: one writer task per bucket
       // => ONE file per bucket => the read preserves bucket sort order

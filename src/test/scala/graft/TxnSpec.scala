@@ -9,13 +9,8 @@ import org.apache.spark.sql.functions._
 class TxnSpec extends SparkSpec {
 
   private def freshTable(name: String): String = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_txnspec_${ProcessHandle.current().pid()}/$name"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(dir))
+    val dir = Fs.scratch("graft_txnspec", name)
+    Fs.deleteRecursively(dir)
     dir
   }
 
@@ -178,6 +173,33 @@ class TxnSpec extends SparkSpec {
     val scannedFiles = snap.inputFiles.map(_.replaceFirst("^file:/+", "/")).toSet
     assert(scannedFiles == kept,
       s"scan read outside the pruned manifest set: ${scannedFiles.diff(kept).take(3)}")
+  }
+
+  test("a range that prunes every file returns 0 rows, not a crash") {
+    val t = freshTable("skip_all")
+    val df = baseDf(100).repartitionByRange(4, col("k"))
+      .sortWithinPartitions(col("k"))
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t, df, "k"), -1L)
+    val (snap, scanned, total) = TxnTable.snapshotRange(spark, t, "k", 500L, 600L)
+    assert(scanned === 0 && total === 4)
+    assert(snap.count() === 0)
+  }
+
+  test("appending to an indexed table stages WITH stats (index survives)") {
+    val t = freshTable("skip_append")
+    val df = baseDf(100).repartitionByRange(4, col("k"))
+      .sortWithinPartitions(col("k"))
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t, df, "k"), -1L)
+    val s = spark
+    import s.implicits._
+    TxnTable.append(spark, t,
+      Seq((200L, "x"), (201L, "y")).toDF("k", "v"))
+    val entries = TxnTable.liveEntries(spark, t, 1)
+    assert(entries.forall(_.stats.exists(_._1 == "k")),
+      "append dropped the manifest index from new files")
+    val (snap, scanned, total) = TxnTable.snapshotRange(spark, t, "k", 200L, 300L)
+    assert(scanned < total, "appended file stats did not prune")
+    assert(snap.select("k").as[Long].collect().toSet === Set(200L, 201L))
   }
 
   test("compacting an indexed table re-indexes — skipping ability survives") {
