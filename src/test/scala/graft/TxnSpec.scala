@@ -218,6 +218,54 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.snapshot(spark, t).count() === 100)
   }
 
+  test("a multi-batch stream of merges commits one version per batch; " +
+      "incremental fold over the signed feeds equals the final snapshot") {
+    // what the registered queries can't show (a single parquet file
+    // drains in ONE AvailableNow batch): MemoryStream drives THREE
+    // micro-batches through a foreachBatch latest-wins merge committing
+    // through the log, then the change feeds across all consecutive
+    // version pairs are folded incrementally and compared to the final
+    // table — the streaming + txn-log + CDC composition end to end
+    val t = freshTable("stream_multi")
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = mem.toDS().toDF("k", "v").writeStream
+      .option("checkpointLocation", s"$t-ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hasV = TxnTable.versions(s, t).nonEmpty
+        val prev = if (hasV) TxnTable.snapshot(s, t) else batch.limit(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("src").desc)
+        val merged = prev.withColumn("src", lit(0))
+          .unionByName(batch.withColumn("src", lit(1)))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn", "src")
+        if (hasV) TxnTable.overwrite(s, t, merged)
+        else TxnTable.create(s, t, merged)
+        ()
+      }.start()
+    try {
+      mem.addData((1L, 10L), (2L, 20L), (3L, 30L)); q.processAllAvailable()
+      mem.addData((2L, 21L), (4L, 40L));            q.processAllAvailable()
+      mem.addData((1L, 12L), (5L, 50L));            q.processAllAvailable()
+    } finally q.stop()
+    val vs = TxnTable.versions(s, t)
+    assert(vs === Seq(0L, 1L, 2L), "expected one committed version per batch")
+    val fold = TxnTable.snapshot(s, t, 0).withColumn("w", lit(1))
+      .select(col("k"), col("v"), col("w"))
+      .unionByName(TxnTable.cdcSigned(s, t, 0, 1, "k").select("k", "v", "w"))
+      .unionByName(TxnTable.cdcSigned(s, t, 1, 2, "k").select("k", "v", "w"))
+      .groupBy("k").agg(sum(col("w") * col("v")).as("v"), sum(col("w")).as("n"))
+      .filter(col("n") =!= 0)
+      .select(col("k"), col("v")).as[(Long, Long)].collect().toSet
+    val direct = TxnTable.snapshot(s, t).as[(Long, Long)].collect().toSet
+    assert(fold === direct,
+      s"incremental fold diverged from the final snapshot: $fold vs $direct")
+    assert(direct === Set((1L, 12L), (2L, 21L), (3L, 30L), (4L, 40L), (5L, 50L)))
+  }
+
   test("cdc feed emits exactly the changed rows with correct ops") {
     val t = freshTable("cdc")
     val s = spark
