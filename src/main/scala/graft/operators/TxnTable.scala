@@ -434,19 +434,21 @@ object TxnTable {
     val cols = a.columns.filterNot(_ == key).toSeq
     val b = snapshot(s, table, vB)
     def pay(side: String) = struct(cols.map(c => col(s"$side.$c")): _*)
-    val j = a.alias("a")
+    // ONE pass over ONE join: each row becomes an array of signed change
+    // structs and explodes. Unchanged rows fall through the when-chain to
+    // NULL, which explode drops — no second scan of the join (a union of
+    // two filtered reads would compute the fact-fact join twice at scale)
+    val wA = struct(lit(-1).as("w") +: cols.map(c => col(s"a.$c").as(c)): _*)
+    val wB = struct(lit(1).as("w") +: cols.map(c => col(s"b.$c").as(c)): _*)
+    a.alias("a")
       .join(b.alias("b"), col(s"a.$key") === col(s"b.$key"), "full_outer")
-    val departing = j
-      .filter(col(s"a.$key").isNotNull &&
-        (col(s"b.$key").isNull || !(pay("a") <=> pay("b"))))
-      .select(col(s"a.$key").as(key) +: lit(-1).as("w") +:
-        cols.map(c => col(s"a.$c").as(c)): _*)
-    val arriving = j
-      .filter(col(s"b.$key").isNotNull &&
-        (col(s"a.$key").isNull || !(pay("a") <=> pay("b"))))
-      .select(col(s"b.$key").as(key) +: lit(1).as("w") +:
-        cols.map(c => col(s"b.$c").as(c)): _*)
-    departing.unionByName(arriving)
+      .select(coalesce(col(s"a.$key"), col(s"b.$key")).as(key),
+        explode(
+          when(col(s"a.$key").isNull, array(wB))
+            .when(col(s"b.$key").isNull, array(wA))
+            .when(!(pay("a") <=> pay("b")), array(wA, wB))).as("c"))
+      .select(col(key) +: col("c.w").as("w") +:
+        cols.map(c => col(s"c.$c").as(c)): _*)
   }
 
   private val D14 = DecimalType(14, 2)
