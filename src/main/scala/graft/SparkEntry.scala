@@ -62,6 +62,7 @@ object SparkEntry {
     "op_vacuum"               -> (TxnTable.vacuumTable _),
     "op_cdc_read"             -> (TxnTable.cdcRead _),
     "op_manifest_skip"        -> (TxnTable.manifestSkip _),
+    "op_zorder_manifest"      -> (TxnTable.zorderManifest _),
     "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
     "op_table_history"        -> (TxnTable.tableHistory _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
@@ -927,6 +928,19 @@ object SparkEntry {
         |SELECT st AS o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(price) AS DOUBLE) AS total
         |FROM v2 GROUP BY st""".stripMargin,
+    // z-order + two-column manifest stats: the box aggregate is
+    // hash-checked (bounds replayed from min/max), metadata-only 2-D
+    // skipping travels as a boolean
+    "op_zorder_manifest" ->
+      """WITH d AS (SELECT o_custkey,
+        |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS od,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |  FROM orders),
+        |b AS (SELECT MIN(o_custkey) + (MAX(o_custkey) - MIN(o_custkey)) // 4 AS cq,
+        |             MIN(od) + (MAX(od) - MIN(od)) // 4 AS dq FROM d)
+        |SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total_price,
+        |  TRUE AS skip_ok
+        |FROM d, b WHERE o_custkey <= cq AND od <= dq""".stripMargin,
     // the pruned range read must return exactly the full filter's
     // content; manifest-level file skipping travels as a boolean
     "op_manifest_skip" ->

@@ -5,7 +5,7 @@ import java.util.ConcurrentModificationException
 
 import graft.Tables
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -71,9 +71,15 @@ object TxnTable {
     vs.last
   }
 
-  /** One manifest entry: a live file plus optional per-file column stats
-    * (indexed column name, min, max) for manifest-level data skipping. */
-  case class Entry(path: String, stats: Option[(String, Long, Long)])
+  /** One manifest entry: a live file plus per-file column stats — zero or
+    * more (column, min, max) triples — for manifest-level data skipping.
+    * Multiple columns give MULTI-dimensional skipping: with a z-ordered
+    * layout every file has a tight bounding box in each indexed
+    * dimension, so a box predicate prunes on all of them at once. */
+  case class Entry(path: String, stats: Seq[(String, Long, Long)]) {
+    def statFor(c: String): Option[(Long, Long)] =
+      stats.collectFirst { case (`c`, lo, hi) => (lo, hi) }
+  }
 
   private def manifestText(s: SparkSession, table: String, v: Long): String = {
     val mp = manifestPath(table, v)
@@ -84,16 +90,17 @@ object TxnTable {
   }
 
   /** The live-file entries of version `v`. Manifest line format:
-    * `path` or `path<TAB>col<TAB>min<TAB>max` (stats written by
-    * [[stageIndexed]]); lines starting with `#` are commit metadata. */
+    * `path` followed by zero or more `<TAB>col<TAB>min<TAB>max` stat
+    * groups (written by [[stageIndexed]]); `#`-prefixed lines are commit
+    * metadata. */
   def liveEntries(s: SparkSession, table: String, v: Long): Seq[Entry] =
     manifestText(s, table, v).linesIterator
       .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
-        line.split('\t') match {
-          case Array(p)             => Entry(p, None)
-          case Array(p, c, lo, hi)  => Entry(p, Some((c, lo.toLong, hi.toLong)))
-          case _ => throw new IllegalArgumentException(s"bad manifest line: $line")
-        }
+        val parts = line.split('\t')
+        require(parts.length % 3 == 1, s"bad manifest line: $line")
+        val stats = parts.drop(1).grouped(3)
+          .map { case Array(c, lo, hi) => (c, lo.toLong, hi.toLong) }.toSeq
+        Entry(parts.head, stats)
       }.toSeq
 
   /** The table's audit trail — (version, operation, live-file count) per
@@ -183,68 +190,82 @@ object TxnTable {
     val entries = liveEntries(s, table, cur)
     // appending stat-less files to an INDEXED table would degrade pruning
     // and make the next compact() drop the index — stage with stats on
-    // the table's index column instead
-    val fresh = entries.flatMap(_.stats.map(_._1)).distinct match {
-      case Seq(c) if entries.forall(_.stats.nonEmpty) => stageIndexed(s, table, df, c)
-      case _                                          => stage(s, table, df)
-    }
+    // the table's index columns instead
+    val idxCols = entries.flatMap(_.stats.map(_._1)).distinct
+    val fresh =
+      if (idxCols.nonEmpty && entries.forall(_.stats.nonEmpty))
+        stageIndexed(s, table, df, idxCols)
+      else stage(s, table, df)
     commit(s, table, entries.map(render) ++ fresh, cur, op = "append")
   }
 
-  private def render(e: Entry): String = e.stats match {
-    case Some((c, lo, hi)) => s"${e.path}\t$c\t$lo\t$hi"
-    case None              => e.path
-  }
+  private def render(e: Entry): String =
+    (e.path +: e.stats.map { case (c, lo, hi) => s"$c\t$lo\t$hi" })
+      .mkString("\t")
 
   /** Stage with per-file column statistics: like [[stage]], but each
-    * manifest line carries (indexCol, min, max) measured from the staged
-    * files — the Iceberg-style metadata that lets a reader prune files
-    * from the MANIFEST, before touching storage. `indexCol` must be an
-    * integral column; stats cost one scan of the just-staged files
-    * (write-time, amortized over every future selective read). */
+    * manifest line carries (col, min, max) for every index column,
+    * measured from the staged files — the Iceberg-style metadata that
+    * lets a reader prune files from the MANIFEST, before touching
+    * storage. Index columns must be integral; stats cost one scan of the
+    * just-staged files (write-time, amortized over every future
+    * selective read). */
   def stageIndexed(s: SparkSession, table: String, df: DataFrame,
-                   indexCol: String): Seq[String] = {
+                   indexCols: Seq[String]): Seq[String] = {
     val rels = stage(s, table, df)
     val dir = rels.head.split('/').dropRight(1).mkString("/")
+    val aggs = indexCols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c")))
     val stats = s.read.parquet(s"$table/$dir")
       .groupBy(input_file_name().as("f"))
-      .agg(min(col(indexCol)).cast("long").as("lo"),
-        max(col(indexCol)).cast("long").as("hi"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => (r.getString(0).split('/').last,
-        (r.getLong(1), r.getLong(2)))).toMap
+        indexCols.map(c => (c, r.getAs[Long](s"lo_$c"), r.getAs[Long](s"hi_$c")))))
+      .toMap
     rels.map { rel =>
       // a zero-row staged file has no stats row — keep it conservatively
-      render(Entry(rel, stats.get(rel.split('/').last)
-        .map { case (lo, hi) => (indexCol, lo, hi) }))
+      render(Entry(rel, stats.getOrElse(rel.split('/').last, Seq.empty)))
     }
   }
 
-  /** Resolve a snapshot pruned by a range predicate on the indexed
-    * column: manifest entries whose [min,max] cannot intersect [lo,hi]
-    * are SKIPPED — their files are never listed, opened, or scanned.
-    * This is planning from table metadata alone (the manifest is
+  def stageIndexed(s: SparkSession, table: String, df: DataFrame,
+                   indexCol: String): Seq[String] =
+    stageIndexed(s, table, df, Seq(indexCol))
+
+  /** Resolve a snapshot pruned by a BOX predicate — one [lo,hi] range per
+    * indexed column: manifest entries whose bounding box cannot intersect
+    * the query box are SKIPPED — their files are never listed, opened, or
+    * scanned. This is planning from table metadata alone (the manifest is
     * O(#files) driver-side state); the residual per-row filter still
-    * applies inside the surviving files. Entries without stats are
-    * conservatively kept. Returns the frame plus the (scanned, total)
-    * file counts so callers can assert the skip actually bit. */
-  def snapshotRange(s: SparkSession, table: String, indexCol: String,
-                    lo: Long, hi: Long, v: Long = -1L): (DataFrame, Int, Int) = {
+    * applies inside the surviving files. Entries without stats on a
+    * predicate column are conservatively kept. Returns the frame plus the
+    * (scanned, total) file counts so callers can assert the skip bit. */
+  def snapshotBox(s: SparkSession, table: String,
+                  box: Seq[(String, Long, Long)], v: Long = -1L)
+      : (DataFrame, Int, Int) = {
     val ver = if (v < 0) currentVersion(s, table) else v
     val entries = liveEntries(s, table, ver)
-    val kept = entries.filter(_.stats match {
-      case Some((c, fLo, fHi)) if c == indexCol => fHi >= lo && fLo <= hi
-      case _ => true
-    })
-    // a range that prunes EVERYTHING is a legitimate 0-row query, not a
+    val kept = entries.filter { e =>
+      box.forall { case (c, lo, hi) =>
+        e.statFor(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+      }
+    }
+    // a box that prunes EVERYTHING is a legitimate 0-row query, not a
     // crash: read one file for the schema behind an always-false filter
     val paths = (if (kept.nonEmpty) kept else entries.take(1))
       .map(e => s"$table/${e.path}")
+    val residual = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
     val df = s.read.parquet(paths: _*)
       .filter(if (kept.nonEmpty) lit(true) else lit(false))
-      .filter(col(indexCol) >= lo && col(indexCol) <= hi)
+      .filter(residual)
     (df, kept.size, entries.size)
   }
+
+  def snapshotRange(s: SparkSession, table: String, indexCol: String,
+                    lo: Long, hi: Long, v: Long = -1L): (DataFrame, Int, Int) =
+    snapshotBox(s, table, Seq((indexCol, lo, hi)), v)
 
   /** Overwrite-commit: next version lists ONLY the newly staged files
     * (copy-on-write — the old version's files stay on disk for pinned
@@ -280,12 +301,12 @@ object TxnTable {
     val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     val snap = snapshot(s, table, cur)
     val idxCols = entries.flatMap(_.stats.map(_._1)).distinct
-    val lines = idxCols match {
-      case Seq(c) if entries.forall(_.stats.nonEmpty) =>
+    val lines =
+      if (idxCols.nonEmpty && entries.forall(_.stats.nonEmpty))
         stageIndexed(s, table,
-          snap.repartitionByRange(target, col(c)).sortWithinPartitions(col(c)), c)
-      case _ => stage(s, table, snap.repartition(target))
-    }
+          snap.repartitionByRange(target, idxCols.map(col): _*)
+            .sortWithinPartitions(idxCols.map(col): _*), idxCols)
+      else stage(s, table, snap.repartition(target))
     commit(s, table, lines, cur, op = "compact")
   }
 
@@ -518,6 +539,48 @@ object TxnTable {
     snap.agg(count(lit(1)).as("n"),
         sum(col("price")).cast("double").as("total"))
       .withColumn("skip_ok", lit(scanned >= 1 && scanned < total))
+  }
+
+  /** op_zorder_manifest: z-order clustering MARRIED to the manifest — the
+    * full Delta/Iceberg OPTIMIZE-ZORDER story. Orders are clustered by
+    * the bit-interleaved z-value of the 16-bit-scaled (o_custkey,
+    * order-day) ranks (same recipe as q45_zorder) and committed with
+    * per-file (min,max) stats on BOTH dimensions; a two-sided box query
+    * then prunes files from the MANIFEST alone — the z-layout is what
+    * makes every file's box tight in both dimensions at once, so
+    * multi-column metadata skipping actually bites (a one-dimensional
+    * sort gives tight boxes in one dimension only). Hashed output = the
+    * box aggregate (bounds derived from data min/max, oracle-replayed);
+    * `skip_ok` asserts the metadata prune dropped at least half the
+    * files. */
+  def zorderManifest(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("zorder_manifest")
+    val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01")).as("od"),
+      col("o_totalprice").cast(D12).as("price"))
+    val Seq(cmin, cmax, dmin, dmax) = base
+      .agg(min("o_custkey"), max("o_custkey"), min("od"), max("od"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Number].longValue)
+    def scaled(c: Column, lo: Long, hi: Long): Column =
+      (c.cast("long") - lo) * 65535L / math.max(1L, hi - lo)
+    val z = (0 until 16).map { k =>
+      (shiftright(scaled(col("o_custkey"), cmin, cmax), k)
+        .bitwiseAND(lit(1L)) * lit(1L << (2 * k))) +
+        (shiftright(scaled(col("od"), dmin, dmax), k)
+          .bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1)))
+    }.reduce(_ + _)
+    val clustered = base.withColumn("z", z)
+      .repartitionByRange(8, col("z")).sortWithinPartitions(col("z"))
+      .drop("z")
+    commit(s, t, stageIndexed(s, t, clustered, Seq("o_custkey", "od")),
+      expected = -1L, op = "create")
+    // query box: the low quarter of both dimensions (oracle-replayable)
+    val (cq, dq) = (cmin + (cmax - cmin) / 4, dmin + (dmax - dmin) / 4)
+    val (snap, scanned, total) =
+      snapshotBox(s, t, Seq(("o_custkey", cmin, cq), ("od", dmin, dq)))
+    snap.agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total_price"))
+      .withColumn("skip_ok", lit(scanned >= 1 && scanned * 2 <= total))
   }
 
   /** op_cdc_read: the change feed between two committed versions — what

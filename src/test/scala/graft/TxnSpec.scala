@@ -202,6 +202,31 @@ class TxnSpec extends SparkSpec {
     assert(snap.select("k").as[Long].collect().toSet === Set(200L, 201L))
   }
 
+  test("multi-column stats prune on EVERY box dimension independently") {
+    val t = freshTable("skip_2d")
+    val s = spark
+    import s.implicits._
+    // 4 files, each a distinct (x-range, y-range) quadrant
+    val df = (0 until 100).map { i =>
+      (i.toLong % 2 * 100 + i, i.toLong / 50 * 100 + i)
+    }.toDF("x", "y").repartitionByRange(4, col("x"), col("y"))
+      .sortWithinPartitions(col("x"), col("y"))
+    TxnTable.commit(spark, t,
+      TxnTable.stageIndexed(spark, t, df, Seq("x", "y")), -1L)
+    val entries = TxnTable.liveEntries(spark, t, 0)
+    assert(entries.forall(e =>
+      e.statFor("x").nonEmpty && e.statFor("y").nonEmpty))
+    // a box narrow in x AND y must prune files that match x but miss y
+    val (snap, scanned, total) =
+      TxnTable.snapshotBox(spark, t, Seq(("x", 0L, 49L), ("y", 0L, 49L)))
+    assert(scanned < total, s"2-D box did not prune ($scanned of $total)")
+    val rows = snap.as[(Long, Long)].collect().toSet
+    val expect = (0 until 100).map { i =>
+      (i.toLong % 2 * 100 + i, i.toLong / 50 * 100 + i)
+    }.filter { case (x, y) => x <= 49 && y <= 49 }.toSet
+    assert(rows === expect)
+  }
+
   test("compacting an indexed table re-indexes — skipping ability survives") {
     val t = freshTable("skip_compact")
     val s = spark
