@@ -954,7 +954,7 @@ object SparkEntry {
         |FROM b, r WHERE o_orderkey >= lo AND o_orderkey <= hi""".stripMargin,
     // change feed v0->v1 replayed from the deterministic change rules:
     // update keys %50=0 (price+100), delete keys %61=0 (unless updated),
-    // insert key+10000000 for keys %97=0
+    // insert key+100000000 for keys %97=0
     "op_cdc_read" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)

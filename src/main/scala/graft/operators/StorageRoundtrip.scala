@@ -205,10 +205,9 @@ object StorageRoundtrip {
     }
     val small = parquetFiles(outSmall)
     // target partition count from measured bytes (128 MiB target files,
-    // the usual parquet sweet spot); tiny test tables collapse to 1
-    val targetBytes = 128L * 1024 * 1024
-    val target = math.max(1L,
-      (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+    // the usual parquet sweet spot); tiny test tables collapse to 1.
+    // Same byte math as the committed form (TxnTable.compact)
+    val target = TxnTable.compactionTarget(small.map(_._2).sum)
     s.read.parquet(outSmall).repartition(target)
       .write.mode("overwrite").parquet(outBig)
     val nBig = parquetFiles(outBig).size
@@ -247,14 +246,8 @@ object StorageRoundtrip {
     val Array(cmin, cmax, dmin, dmax) = base
       .agg(min("o_custkey"), max("o_custkey"), min("od"), max("od"))
       .collect()(0).toSeq.map(_.asInstanceOf[Number].longValue).toArray
-    def scaled(c: Column, lo: Long, hi: Long): Column =
-      (c.cast("long") - lo) * 65535L / math.max(1L, hi - lo)
-    val z = (0 until 16).map { k =>
-      (shiftright(scaled(col("o_custkey"), cmin, cmax), k)
-        .bitwiseAND(lit(1L)) * lit(1L << (2 * k))) +
-      (shiftright(scaled(col("od"), dmin, dmax), k)
-        .bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1)))
-    }.reduce(_ + _)
+    val z = ZOrder.zValue(Seq(
+      (col("o_custkey"), cmin, cmax), (col("od"), dmin, dmax)))
     base.withColumn("z", z)
       .repartitionByRange(8, col("z")).sortWithinPartitions(col("z"))
       .drop("z")

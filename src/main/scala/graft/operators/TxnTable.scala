@@ -244,8 +244,12 @@ object TxnTable {
   def snapshotBox(s: SparkSession, table: String,
                   box: Seq[(String, Long, Long)], v: Long = -1L)
       : (DataFrame, Int, Int) = {
+    require(box.nonEmpty, "snapshotBox needs at least one (col, lo, hi)")
     val ver = if (v < 0) currentVersion(s, table) else v
     val entries = liveEntries(s, table, ver)
+    // parquet needs at least one file to carry the schema — fail loudly
+    // on a zero-file version instead of an obscure schema-inference error
+    require(entries.nonEmpty, s"$table version $ver lists no files")
     val kept = entries.filter { e =>
       box.forall { case (c, lo, hi) =>
         e.statFor(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
@@ -292,13 +296,24 @@ object TxnTable {
     * (every manifest entry carries stats on one column) is re-clustered
     * and re-indexed on that column — compaction must never downgrade a
     * table's manifest-skipping ability. */
+  /** Byte-derived compaction file count: 128 MiB target files (the usual
+    * parquet sweet spot) — ONE definition, shared by [[compact]] and the
+    * op_txn_commit assertion that predicts its outcome. */
+  def compactionTarget(bytes: Long): Int = {
+    val targetBytes = 128L * 1024 * 1024
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+  }
+
+  private def liveBytes(s: SparkSession, table: String, v: Long): Long =
+    liveFiles(s, table, v).map { rel =>
+      val p = new Path(s"$table/$rel")
+      fs(s, p).getFileStatus(p).getLen
+    }.sum
+
   def compact(s: SparkSession, table: String): Long = {
     val cur = currentVersion(s, table)
     val entries = liveEntries(s, table, cur)
-    val files = entries.map(e => new Path(s"$table/${e.path}"))
-    val bytes = files.map(p => fs(s, p).getFileStatus(p).getLen).sum
-    val targetBytes = 128L * 1024 * 1024
-    val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val target = compactionTarget(liveBytes(s, table, cur))
     val snap = snapshot(s, table, cur)
     val idxCols = entries.flatMap(_.stats.map(_._1)).distinct
     val lines =
@@ -383,12 +398,11 @@ object TxnTable {
     val delta = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
     append(s, t, delta)
     val fsys = fs(s, new Path(t))
-    // compaction lands exactly the byte-derived target count (same math
-    // as compact itself, so the assertion holds at ANY scale factor —
-    // once the slice outgrows 16 x 128 MiB a strict file-count drop would
-    // be the wrong expectation)
-    val bytes = v0Files.map(r => fsys.getFileStatus(new Path(s"$t/$r")).getLen).sum
-    val target = math.max(1L, (bytes + (128L << 20) - 1) / (128L << 20)).toInt
+    // compaction lands exactly the byte-derived target count (THE SAME
+    // compactionTarget helper compact uses, so the assertion holds at ANY
+    // scale factor — once the slice outgrows 16 x 128 MiB a strict
+    // file-count drop would be the wrong expectation)
+    val target = compactionTarget(liveBytes(s, t, v0))
     val ok = liveFiles(s, t, v1).size == target &&
       v0Files.forall(rel => fsys.exists(new Path(s"$t/$rel"))) &&
       versions(s, t) == Seq(0L, 1L, 2L)
@@ -458,15 +472,18 @@ object TxnTable {
     // ONE pass over ONE join: each row becomes an array of signed change
     // structs and explodes. Unchanged rows fall through the when-chain to
     // NULL, which explode drops — no second scan of the join (a union of
-    // two filtered reads would compute the fact-fact join twice at scale)
+    // two filtered reads would compute the fact-fact join twice at scale).
+    // Side presence is detected via non-nullable markers, NOT the key
+    // columns — a row whose key VALUE is NULL must not read as "absent"
     val wA = struct(lit(-1).as("w") +: cols.map(c => col(s"a.$c").as(c)): _*)
     val wB = struct(lit(1).as("w") +: cols.map(c => col(s"b.$c").as(c)): _*)
-    a.alias("a")
-      .join(b.alias("b"), col(s"a.$key") === col(s"b.$key"), "full_outer")
+    a.withColumn("_in", lit(true)).alias("a")
+      .join(b.withColumn("_in", lit(true)).alias("b"),
+        col(s"a.$key") === col(s"b.$key"), "full_outer")
       .select(coalesce(col(s"a.$key"), col(s"b.$key")).as(key),
         explode(
-          when(col(s"a.$key").isNull, array(wB))
-            .when(col(s"b.$key").isNull, array(wA))
+          when(col("a._in").isNull, array(wB))
+            .when(col("b._in").isNull, array(wA))
             .when(!(pay("a") <=> pay("b")), array(wA, wB))).as("c"))
       .select(col(key) +: col("c.w").as("w") +:
         cols.map(c => col(s"c.$c").as(c)): _*)
@@ -561,14 +578,8 @@ object TxnTable {
     val Seq(cmin, cmax, dmin, dmax) = base
       .agg(min("o_custkey"), max("o_custkey"), min("od"), max("od"))
       .collect()(0).toSeq.map(_.asInstanceOf[Number].longValue)
-    def scaled(c: Column, lo: Long, hi: Long): Column =
-      (c.cast("long") - lo) * 65535L / math.max(1L, hi - lo)
-    val z = (0 until 16).map { k =>
-      (shiftright(scaled(col("o_custkey"), cmin, cmax), k)
-        .bitwiseAND(lit(1L)) * lit(1L << (2 * k))) +
-        (shiftright(scaled(col("od"), dmin, dmax), k)
-          .bitwiseAND(lit(1L)) * lit(1L << (2 * k + 1)))
-    }.reduce(_ + _)
+    val z = ZOrder.zValue(Seq(
+      (col("o_custkey"), cmin, cmax), (col("od"), dmin, dmax)))
     val clustered = base.withColumn("z", z)
       .repartitionByRange(8, col("z")).sortWithinPartitions(col("z"))
       .drop("z")

@@ -256,8 +256,11 @@ class TxnSpec extends SparkSpec {
     import s.implicits._
     implicit val sc = s.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    // checkpoint INSIDE the table dir so freshTable's wipe covers it —
+    // a surviving checkpoint would make a re-run silently skip batches
+    // (snapshot resolution never lists it: only manifest paths are read)
     val q = mem.toDS().toDF("k", "v").writeStream
-      .option("checkpointLocation", s"$t-ckpt")
+      .option("checkpointLocation", s"$t/_ckpt")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val hasV = TxnTable.versions(s, t).nonEmpty
         val prev = if (hasV) TxnTable.snapshot(s, t) else batch.limit(0)
