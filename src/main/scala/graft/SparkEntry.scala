@@ -58,6 +58,8 @@ object SparkEntry {
     "q45_zorder"              -> (StorageRoundtrip.zorder _),
     "q46_bad_records"         -> (StorageRoundtrip.badRecords _),
     "q47_stats_join"          -> (Relational.q47StatsJoin _),
+    "q48_set_ops_all"         -> (Relational.q48SetOpsAll _),
+    "q49_null_semantics"      -> (Relational.q49NullSemantics _),
     "op_txn_commit"           -> (TxnTable.txnCommit _),
     "op_vacuum"               -> (TxnTable.vacuumTable _),
     "op_cdc_read"             -> (TxnTable.cdcRead _),
@@ -867,6 +869,37 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         |  TRUE AS compacted_ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // multiset set ops: duplicates survive with bag multiplicities
+    "q48_set_ops_all" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+        |a AS (SELECT o_custkey, o_orderstatus FROM o WHERE o_orderkey % 3 <> 0),
+        |b AS (SELECT o_custkey, o_orderstatus FROM o WHERE o_orderkey % 2 = 0),
+        |i AS (SELECT o_orderstatus, COUNT(*) AS n_intersect
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1),
+        |e AS (SELECT o_orderstatus, COUNT(*) AS n_except
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1)
+        |SELECT COALESCE(i.o_orderstatus, e.o_orderstatus) AS o_orderstatus,
+        |  COALESCE(n_intersect, 0) AS n_intersect,
+        |  COALESCE(n_except, 0) AS n_except
+        |FROM i FULL OUTER JOIN e ON i.o_orderstatus = e.o_orderstatus""".stripMargin,
+    // the NULL battery: null group keys, COUNT variants, COALESCE/NULLIF,
+    // null-safe equality — nulls injected deterministically by key
+    "q49_null_semantics" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS st,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS pr
+        |  FROM orders)
+        |SELECT st, COUNT(*) AS n_rows, COUNT(pr) AS n_price,
+        |  COUNT(DISTINCT pr) AS n_distinct_price,
+        |  CAST(SUM(COALESCE(pr, 0)) AS DOUBLE) AS sum_coalesced,
+        |  CAST(SUM(CASE WHEN pr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_price,
+        |  CAST(SUM(CASE WHEN NULLIF(st, 'F') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nullif_f,
+        |  CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM 'O' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_eq_ns_o
+        |FROM base GROUP BY st""".stripMargin,
     // values are the plain join aggregate; the catalog-stats-driven plan
     // divergence travels as an oracle-asserted boolean
     "q47_stats_join" ->

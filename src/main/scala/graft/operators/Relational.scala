@@ -588,6 +588,51 @@ object Relational {
         col("promo_revenue") * 100.0 / col("total_revenue"))
   }
 
+  /** q48_set_ops_all: INTERSECT ALL / EXCEPT ALL — the multiset set ops,
+    * which Catalyst rewrites very differently from q32's distinct forms
+    * (row_number replication + join instead of semi/anti): duplicates
+    * survive with min/“bag difference” multiplicity. Two overlapping
+    * slices of orders keyed by (custkey, status) exercise real duplicate
+    * multiplicities; outputs are per-status counts of both results. */
+  def q48SetOpsAll(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderstatus"))
+    val a = o.filter(col("o_orderkey") % 3 =!= 0)
+    val b = o.filter(col("o_orderkey") % 2 === 0)
+    a.intersectAll(b).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_intersect"))
+      .join(a.exceptAll(b).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_except")), Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        coalesce(col("n_intersect"), lit(0L)).as("n_intersect"),
+        coalesce(col("n_except"), lit(0L)).as("n_except"))
+  }
+
+  /** q49_null_semantics: the NULL battery — the semantics every engine
+    * pair must agree on before any other result can be trusted at 100 TB
+    * (real columns are nullable): NULL group keys (one group, present in
+    * GROUP BY output), COUNT(*) vs COUNT(col) vs COUNT(DISTINCT col),
+    * COALESCE, NULLIF, and null-safe equality (<=> / IS NOT DISTINCT
+    * FROM). Nulls are injected deterministically by key so the oracle
+    * replays the rule. */
+  def q49NullSemantics(s: SparkSession, d: String): DataFrame = {
+    val k = col("o_orderkey")
+    val base = Tables.orders(s, d).select(k.as("k"),
+      when(pmod(k, lit(7)) === 0, lit(null)).otherwise(col("o_orderstatus"))
+        .as("st"),
+      when(pmod(k, lit(11)) === 0, lit(null)).otherwise(m(col("o_totalprice")))
+        .as("pr"))
+    base.groupBy(col("st"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("pr")).as("n_price"),
+        countDistinct(col("pr")).as("n_distinct_price"),
+        dbl(sum(coalesce(col("pr"), lit(0).cast(D12)))).as("sum_coalesced"),
+        sum(when(col("pr").isNull, 1).otherwise(0)).as("n_null_price"),
+        sum(when(nullif(col("st"), lit("F")).isNull, 1).otherwise(0))
+          .as("n_nullif_f"),
+        sum(when(col("st") <=> lit("O"), 1).otherwise(0)).as("n_eq_ns_o"))
+  }
+
   /** q47_stats_join: persisted-statistics-driven planning — the CBO box.
     * AQE fixes runtime sizes, but the COMPILE-TIME broadcast/reorder
     * decision on a 1000-executor cluster comes from catalog statistics
