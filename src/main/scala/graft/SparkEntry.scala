@@ -67,6 +67,7 @@ object SparkEntry {
     "op_zorder_manifest"      -> (TxnTable.zorderManifest _),
     "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
     "op_table_history"        -> (TxnTable.tableHistory _),
+    "op_txn_race"             -> (TxnTable.txnRace _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -935,6 +936,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         |  'latest' AS src, TRUE AS vacuum_ok
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // four racing appenders through the commit CAS: synthetic data, so
+    // the surviving per-group counts are literal at any SF
+    "op_txn_race" ->
+      """SELECT CAST(grp AS BIGINT) AS grp, CAST(n AS BIGINT) AS n,
+        |  TRUE AS race_ok
+        |FROM (VALUES (0, 280), (1, 280), (2, 280), (3, 280), (4, 280))
+        |  AS t(grp, n)""".stripMargin,
     // the audit trail read back from the manifests; the scenario's data
     // is synthetic and fixed, so the trail is literal at any SF
     "op_table_history" ->

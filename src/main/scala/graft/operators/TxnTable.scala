@@ -456,6 +456,47 @@ object TxnTable {
     history(s, t).toDF("version", "op", "n_files")
   }
 
+  /** op_txn_race: optimistic concurrency as a CHECKED query, not just a
+    * spec — four writers race disjoint appends against the same table,
+    * each retrying through the commit CAS when it loses a version. The
+    * hashed output is the final per-group row count (base 200/group +
+    * 4 writers × 20/group = 280, a literal at any SF — the data is
+    * synthetic); `race_ok` asserts the log landed exactly versions 0..4
+    * with every commit recorded as an append. A lost update (one writer
+    * clobbering another) would red the counts; a broken CAS would red
+    * the version trail. */
+  def txnRace(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("race_table")
+    val base = s.range(1000).select(col("id").as("k"),
+      pmod(col("id"), lit(5)).cast("long").as("grp"))
+    create(s, t, base)
+    val writers = (1 to 4).map { i =>
+      new Thread(() => {
+        val staged = stage(s, t, s.range(100)
+          .select((col("id") + i * 100000L).as("k"),
+            pmod(col("id"), lit(5)).cast("long").as("grp")))
+        var done = false
+        while (!done) {
+          val cur = currentVersion(s, t)
+          try {
+            commit(s, t, liveEntries(s, t, cur).map(render) ++ staged,
+              cur, op = "append")
+            done = true
+          } catch {
+            case _: ConcurrentModificationException => () // re-read, retry
+          }
+        }
+      })
+    }
+    writers.foreach(_.start())
+    writers.foreach(_.join())
+    val ok = versions(s, t) == (0L to 4L) &&
+      history(s, t).drop(1).forall(_._2 == "append")
+    snapshot(s, t).groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("race_ok", lit(ok))
+  }
+
   /** Signed change rows between two committed versions: weight +1 for
     * arriving rows (insert / update_post), −1 for departing ones (delete
     * / update_pre). Any LINEAR aggregate summed over v0 ∪ the signed
