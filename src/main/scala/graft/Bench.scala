@@ -41,18 +41,20 @@ object Bench {
         .mkString("{", ",", "}")
     val qs = obj(r => (r._1, r._2))
     val qs2 = obj(r => (r._1, r._3))
-    // failed queries (reported as -1 in `queries`) are EXCLUDED from the
-    // total and surfaced in `failures` — a crashed run must never read as
-    // a fast one, in EITHER timed pass
+    // failed queries are EXCLUDED from the total and surfaced in
+    // `failures` — a crashed run must never read as a fast one, in EITHER
+    // timed pass (a pass-2 crash disqualifies the query's pass-1 time too)
     val failures = results.count(r => r._2 < 0 || r._3 < 0)
-    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val total = results.filter(r => r._2 >= 0 && r._3 >= 0).map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_rerun":$qs2,"failures":$failures,"sf":"$sfDir"}"""
-    println(json)
     // also write to a file: stdout goes through sbt's [info] prefix, which
     // machine parsers choke on
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       json.getBytes("UTF-8"))
     spark.stop()
+    // the ONE JSON object, printed after spark.stop() so it is stdout's
+    // LAST line — the driver's parser takes the final line
+    println(json)
   }
 }

@@ -190,11 +190,13 @@ object TxnTable {
     val entries = liveEntries(s, table, cur)
     // appending stat-less files to an INDEXED table would degrade pruning
     // and make the next compact() drop the index — stage with stats on
-    // the table's index columns instead
+    // the table's index columns instead. Indexed = ANY entry carries
+    // stats: a zero-row staged file legitimately has none, and one such
+    // entry must not silently downgrade the whole table (skipping keeps
+    // stat-less entries conservatively anyway)
     val idxCols = entries.flatMap(_.stats.map(_._1)).distinct
     val fresh =
-      if (idxCols.nonEmpty && entries.forall(_.stats.nonEmpty))
-        stageIndexed(s, table, df, idxCols)
+      if (idxCols.nonEmpty) stageIndexed(s, table, df, idxCols)
       else stage(s, table, df)
     commit(s, table, entries.map(render) ++ fresh, cur, op = "append")
   }
@@ -286,6 +288,9 @@ object TxnTable {
   def snapshot(s: SparkSession, table: String, v: Long = -1L): DataFrame = {
     val ver = if (v < 0) currentVersion(s, table) else v
     val files = liveFiles(s, table, ver).map(rel => s"$table/$rel")
+    // same guard as snapshotBox: a zero-file version (an overwrite that
+    // staged nothing) must fail loudly, not as a schema-inference error
+    require(files.nonEmpty, s"$table version $ver lists no files")
     s.read.parquet(files: _*)
   }
 
@@ -317,7 +322,7 @@ object TxnTable {
     val snap = snapshot(s, table, cur)
     val idxCols = entries.flatMap(_.stats.map(_._1)).distinct
     val lines =
-      if (idxCols.nonEmpty && entries.forall(_.stats.nonEmpty))
+      if (idxCols.nonEmpty)
         stageIndexed(s, table,
           snap.repartitionByRange(target, idxCols.map(col): _*)
             .sortWithinPartitions(idxCols.map(col): _*), idxCols)
@@ -630,9 +635,14 @@ object TxnTable {
     val (cq, dq) = (cmin + (cmax - cmin) / 4, dmin + (dmax - dmin) / 4)
     val (snap, scanned, total) =
       snapshotBox(s, t, Seq(("o_custkey", cmin, cq), ("od", dmin, dq)))
+    // the skip bit only asserts that metadata pruning BIT (scanned <
+    // total): how many of the 8 boxes a quarter-box query intersects is
+    // data-distribution-dependent, so a fixed half-prune bound could flip
+    // at an untested SF despite correct behavior (at sf0.001-0.1 the
+    // z-layout actually prunes >= half; the hash check pins the content)
     snap.agg(count(lit(1)).as("n"),
         sum(col("price")).cast("double").as("total_price"))
-      .withColumn("skip_ok", lit(scanned >= 1 && scanned * 2 <= total))
+      .withColumn("skip_ok", lit(scanned >= 1 && scanned < total))
   }
 
   /** op_cdc_read: the change feed between two committed versions — what
@@ -679,7 +689,10 @@ object TxnTable {
             array(struct(lit("insert").as("op"), col("bst").as("st"), col("bpr").as("pr"))))
           .when(col("bk").isNull,
             array(struct(lit("delete").as("op"), col("ast").as("st"), col("apr").as("pr"))))
-          .when(col("ast") =!= col("bst") || col("apr") =!= col("bpr"), array(pre, post))
+          // null-safe struct compare, same as cdcSigned: a NULL→value
+          // payload change must read as an update, not fall through
+          .when(!(struct(col("ast"), col("apr")) <=> struct(col("bst"), col("bpr"))),
+            array(pre, post))
           .otherwise(array().cast("array<struct<op:string,st:string,pr:double>>"))
           .as("ch"))
       .select(col("o_orderkey"), explode(col("ch")).as("c"))

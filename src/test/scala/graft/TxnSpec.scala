@@ -294,6 +294,25 @@ class TxnSpec extends SparkSpec {
     assert(direct === Set((1L, 12L), (2L, 21L), (3L, 30L), (4L, 40L), (5L, 50L)))
   }
 
+  test("cdc compares payloads null-safe: NULL→value and value→NULL are updates") {
+    val t = freshTable("cdc_null")
+    val s = spark
+    import s.implicits._
+    // v column nullable: k=1 NULL→"a" (update), k=2 "b"→NULL (update),
+    // k=3 NULL→NULL (unchanged — must NOT appear in the feed)
+    TxnTable.create(spark, t,
+      Seq((1L, Option.empty[String]), (2L, Some("b")), (3L, Option.empty[String]))
+        .toDF("k", "v"))
+    TxnTable.overwrite(spark, t,
+      Seq((1L, Some("a")), (2L, Option.empty[String]), (3L, Option.empty[String]))
+        .toDF("k", "v"))
+    val feed = TxnTable.cdcSigned(spark, t, 0, 1, "k")
+      .select(col("k"), col("w")).as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(feed === Map(1L -> Seq(-1, 1), 2L -> Seq(-1, 1)),
+      s"null-unsafe payload compare: $feed")
+  }
+
   test("cdc feed emits exactly the changed rows with correct ops") {
     val t = freshTable("cdc")
     val s = spark
