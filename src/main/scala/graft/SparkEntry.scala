@@ -68,6 +68,7 @@ object SparkEntry {
     "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
     "op_table_history"        -> (TxnTable.tableHistory _),
     "op_txn_race"             -> (TxnTable.txnRace _),
+    "op_merge_pruned"         -> (TxnTable.mergePruned _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -993,6 +994,25 @@ object SparkEntry {
         |SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total,
         |  TRUE AS skip_ok
         |FROM b, r WHERE o_orderkey >= lo AND o_orderkey <= hi""".stripMargin,
+    // file-pruned MERGE: the merged table's content replayed as the plain
+    // latest-wins change set (updates replace, inserts add); the file
+    // accounting (≥ half untouched, manifest lines verbatim) travels as
+    // an oracle-asserted boolean
+    "op_merge_pruned" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |r AS (SELECT MIN(k) + (MAX(k) - MIN(k)) // 8 AS hi FROM b),
+        |upd AS (SELECT k, 'U' AS st,
+        |    CAST(price + 100 AS DECIMAL(12,2)) AS price
+        |  FROM b, r WHERE k <= hi AND k % 5 = 0),
+        |ins AS (SELECT k + 100000000 AS k, 'N' AS st, price
+        |  FROM b, r WHERE k <= hi AND k % 7 = 0)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS merge_ok
+        |FROM (SELECT k, st, price FROM b
+        |        WHERE k NOT IN (SELECT k FROM upd)
+        |      UNION ALL SELECT k, st, price FROM upd
+        |      UNION ALL SELECT k, st, price FROM ins)""".stripMargin,
     // change feed v0->v1 replayed from the deterministic change rules:
     // update keys %50=0 (price+100), delete keys %61=0 (unless updated),
     // insert key+100000000 for keys %97=0

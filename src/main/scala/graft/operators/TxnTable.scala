@@ -215,6 +215,7 @@ object TxnTable {
   def stageIndexed(s: SparkSession, table: String, df: DataFrame,
                    indexCols: Seq[String]): Seq[String] = {
     val rels = stage(s, table, df)
+    if (rels.isEmpty) return rels
     val dir = rels.head.split('/').dropRight(1).mkString("/")
     val aggs = indexCols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c")))
@@ -272,6 +273,104 @@ object TxnTable {
   def snapshotRange(s: SparkSession, table: String, indexCol: String,
                     lo: Long, hi: Long, v: Long = -1L): (DataFrame, Int, Int) =
     snapshotBox(s, table, Seq((indexCol, lo, hi)), v)
+
+  /** Outcome of a file-pruned [[merge]]: the committed version plus the
+    * file accounting the caller asserts on — how many of the previous
+    * version's files were rewritten vs carried verbatim. */
+  case class MergeResult(version: Long, touched: Int, untouched: Int) {
+    def total: Int = touched + untouched
+  }
+
+  /** File-pruned copy-on-write MERGE (latest-wins upsert): batch rows
+    * REPLACE current rows with the same key, new keys insert — but only
+    * the files whose manifest [min,max] key range can contain a batch key
+    * are read and rewritten. Every other entry keeps its manifest line
+    * VERBATIM (same path, same stats): on a 100 TB table a keyed batch
+    * touching one key region rewrites that region's files, not the table
+    * — the write-amplification fix for the naive read-union-overwrite
+    * merge, and the reason manifests carry per-file key stats at all.
+    *
+    * Touched-file detection is a broadcast interval join of the batch's
+    * keys against the O(#files) manifest range list (map-only over the
+    * batch; the distinct matched file ids pulled back are bounded by
+    * #files — driver-scale metadata, which the manifest already is). This
+    * strictly dominates the row-level find-touched-files join public
+    * formats run (joining the batch against the whole TABLE with
+    * input_file_name to learn which files hold matching keys): file
+    * key-range metadata answers from the manifest what a data join would
+    * re-derive from 100 TB. Entries with no stats on the merge key are
+    * conservatively treated as touched, so an unindexed table degrades to
+    * the correct full rewrite, never to wrong content.
+    *
+    * The rewritten region is re-range-clustered on the key and staged
+    * with fresh stats on the table's index columns, so merge never
+    * degrades the manifest-skipping ability that makes the NEXT merge
+    * cheap. `batch` must be key-unique (pre-resolve in-batch duplicates —
+    * the caller owns that policy, e.g. max(src) — and must match the
+    * table's schema). */
+  def merge(s: SparkSession, table: String, batch: DataFrame,
+            key: String): MergeResult = {
+    val cur = currentVersion(s, table)
+    val entries = liveEntries(s, table, cur)
+    val ranged = entries.zipWithIndex.flatMap { case (e, i) =>
+      e.statFor(key).map { case (lo, hi) => (i, lo, hi) }
+    }
+    val statless = entries.zipWithIndex
+      .collect { case (e, i) if e.statFor(key).isEmpty => i }
+    val touchedIdx: Set[Int] = (if (ranged.isEmpty) Seq.empty[Int] else {
+      import s.implicits._
+      val ranges = broadcast(ranged.toDF("_fid", "_lo", "_hi"))
+      batch.select(col(key).cast("long").as("_k"))
+        .join(ranges, col("_k") >= col("_lo") && col("_k") <= col("_hi"))
+        .select("_fid").distinct().as[Int].collect().toSeq
+    }).toSet ++ statless
+    val (touched, kept) = entries.zipWithIndex.partition { case (_, i) =>
+      touchedIdx.contains(i)
+    } match { case (t, k) => (t.map(_._1), k.map(_._1)) }
+    val merged =
+      if (touched.isEmpty) batch
+      else {
+        val prev = s.read.parquet(touched.map(e => s"$table/${e.path}"): _*)
+        // anti-join on the key is the MERGE itself: surviving old rows +
+        // the batch. Co-partitioned hash join over touched data only.
+        prev.join(batch.select(col(key)).distinct(), Seq(key), "left_anti")
+          .unionByName(batch)
+      }
+    val idxCols = entries.flatMap(_.stats.map(_._1)).distinct
+    val parts = math.max(touched.size, 1)
+    def clusterStage(df: DataFrame): Seq[String] = {
+      val c = df.repartitionByRange(parts, col(key))
+        .sortWithinPartitions(col(key))
+      if (idxCols.nonEmpty)
+        // Spark's writer emits one ZERO-ROW file for an empty side
+        // (partition 0 always writes, to preserve schema). A zero-row
+        // entry has no stats line, i.e. would be conservatively touched
+        // by every future merge — drop it instead (the unreferenced file
+        // is staging garbage; vacuum collects it)
+        stageIndexed(s, table, c, idxCols).filter(_.contains('\t'))
+      else stage(s, table, c)
+    }
+    // stage the rewritten region and out-of-range inserts SEPARATELY:
+    // packing an insert far outside the touched key region (a new
+    // keyspace) into the rewrite cluster would mint a file whose range
+    // spans the gap — a wide bounding box that future merges and range
+    // reads can never prune. Two tight clusters keep every new file's
+    // range honest. (Empty sides write no files — RangePartitioner only
+    // materializes non-empty partitions.)
+    val touchedBounds = {
+      val bs = touched.flatMap(_.statFor(key))
+      if (bs.isEmpty || bs.size < touched.size) None
+      else Some((bs.map(_._1).min, bs.map(_._2).max))
+    }
+    val fresh = touchedBounds match {
+      case Some((tlo, thi)) =>
+        clusterStage(merged.filter(col(key) >= tlo && col(key) <= thi)) ++
+          clusterStage(merged.filter(col(key) < tlo || col(key) > thi))
+      case None => clusterStage(merged)
+    }
+    val v = commit(s, table, kept.map(render) ++ fresh, cur, op = "merge")
+    MergeResult(v, touched.size, kept.size)
+  }
 
   /** Overwrite-commit: next version lists ONLY the newly staged files
     * (copy-on-write — the old version's files stay on disk for pinned
@@ -643,6 +742,48 @@ object TxnTable {
     snap.agg(count(lit(1)).as("n"),
         sum(col("price")).cast("double").as("total_price"))
       .withColumn("skip_ok", lit(scanned >= 1 && scanned < total))
+  }
+
+  /** op_merge_pruned: the file-pruned MERGE as a checked query — the
+    * write path a keyed 100 TB table lives on. The orders slice is
+    * range-clustered on o_orderkey into 8 indexed files; a batch of
+    * changes confined to the LOWEST EIGHTH of the keyspace (price updates
+    * for keys %5, inserts at key+1e8 — a key region no existing file's
+    * range contains) is merged. The manifest key stats let [[merge]]
+    * rewrite only the file(s) covering that eighth: the hashed output is
+    * the merged table's full content (oracle replays the latest-wins
+    * change set); `merge_ok` asserts ≥ half the files survived untouched
+    * AND that every untouched entry's manifest line (path + stats) is
+    * carried VERBATIM into the new version. */
+  def mergePruned(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("merge_orders")
+    val base = ordersSlice(s, d)
+    val clustered = base.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+    commit(s, t, stageIndexed(s, t, clustered, "o_orderkey"),
+      expected = -1L, op = "create")
+    val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
+    val hi = kmin + (kmax - kmin) / 8
+    val k = col("o_orderkey")
+    val low = base.filter(k <= hi)
+    // key-unique batch: update keys (≤ data max) and insert keys (+1e8,
+    // the keyspace-shift convention documented at cdcRead) are disjoint
+    val batch = low.filter(pmod(k, lit(5)) === 0)
+      .select(k, lit("U").as("o_orderstatus"),
+        (col("price") + lit(100).cast(D12)).cast(D12).as("price"))
+      .unionByName(low.filter(pmod(k, lit(7)) === 0)
+        .select((k + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("price")))
+    val before = liveEntries(s, t, 0).map(render)
+    val res = merge(s, t, batch, "o_orderkey")
+    val after = liveEntries(s, t, res.version).map(render).toSet
+    // untouched = lines common to both manifests, carried verbatim
+    val verbatim = before.count(after.contains) == res.untouched
+    val ok = res.touched >= 1 && res.untouched * 2 >= res.total && verbatim
+    snapshot(s, t)
+      .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
+      .withColumn("merge_ok", lit(ok))
   }
 
   /** op_cdc_read: the change feed between two committed versions — what

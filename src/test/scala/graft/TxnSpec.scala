@@ -294,6 +294,80 @@ class TxnSpec extends SparkSpec {
     assert(direct === Set((1L, 12L), (2L, 21L), (3L, 30L), (4L, 40L), (5L, 50L)))
   }
 
+  test("merge rewrites only key-intersecting files; untouched paths identical") {
+    val t = freshTable("merge_pruned")
+    val s = spark
+    import s.implicits._
+    // keys 0..99 range-clustered into 4 indexed files (~25-key spans)
+    val df = baseDf(100).repartitionByRange(4, col("k"))
+      .sortWithinPartitions(col("k"))
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t, df, "k"), -1L)
+    val entriesBefore = TxnTable.liveEntries(spark, t, 0)
+    // batch confined to keys 10..20 plus an insert at 200: only the file
+    // covering [0,~25) intersects; the other three must carry over
+    val batch = ((10L to 20L).map(i => (i, s"upd$i")) :+ (200L, "new"))
+      .toDF("k", "v")
+    val res = TxnTable.merge(spark, t, batch, "k")
+    assert(res.touched === 1 && res.untouched === 3, res.toString)
+    val pathsBefore = entriesBefore.map(_.path).toSet
+    val entriesAfter = TxnTable.liveEntries(spark, t, res.version)
+    val carried = entriesAfter.filter(e => pathsBefore.contains(e.path))
+    assert(carried.size === 3, "untouched files were rewritten")
+    // carried entries keep path AND stats verbatim
+    assert(carried.toSet.subsetOf(entriesBefore.toSet))
+    // content = latest-wins merge, exactly
+    val got = TxnTable.snapshot(spark, t).as[(Long, String)].collect().toSet
+    val expect = (0 until 100).map { i =>
+      (i.toLong, if (i >= 10 && i <= 20) s"upd$i" else s"row$i")
+    }.toSet + ((200L, "new"))
+    assert(got === expect)
+    // merged region re-staged WITH stats: the index survives the merge
+    assert(entriesAfter.forall(_.stats.exists(_._1 == "k")),
+      "merge dropped the manifest index from rewritten files")
+    // and a second merge into an untouched region still prunes
+    val res2 = TxnTable.merge(spark, t,
+      Seq((80L, "late")).toDF("k", "v"), "k")
+    assert(res2.touched === 1, res2.toString)
+  }
+
+  test("a multi-batch stream of file-pruned merges rewrites only touched files") {
+    // the st_stream_upsert sink shape driven batch-by-batch: create from
+    // batch 1 (range-clustered + indexed), MERGE batches 2..3 — each
+    // commit must prune (touched < total) because each batch hits one
+    // key region of a 4-file table
+    val t = freshTable("stream_merge")
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[TxnTable.MergeResult]
+    val q = mem.toDS().toDF("k", "v").writeStream
+      .option("checkpointLocation", s"$t/_ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (TxnTable.versions(s, t).nonEmpty)
+          results += TxnTable.merge(s, t, batch, "k")
+        else TxnTable.commit(s, t, TxnTable.stageIndexed(s, t,
+          batch.repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+          "k"), -1L, op = "create")
+        ()
+      }.start()
+    try {
+      mem.addData((0L until 100L).map(i => (i, i * 10)): _*); q.processAllAvailable()
+      mem.addData((10L, 111L), (12L, 222L)); q.processAllAvailable()
+      mem.addData((90L, 999L), (200L, 1L));  q.processAllAvailable()
+    } finally q.stop()
+    // batch 2 touches file [0..24] of 4; batch 3 touches [75..99] of the
+    // 4-entry manifest (3 originals + batch-2's rewrite), and its insert
+    // at k=200 lands OUTSIDE every range — no extra file touched
+    assert(results.map(r => (r.touched, r.untouched)) === Seq((1, 3), (1, 3)),
+      s"merges did not prune: $results")
+    val got = TxnTable.snapshot(s, t).as[(Long, Long)].collect().toSet
+    val expect = (0L until 100L).map(i => (i, i * 10)).toMap ++
+      Map(10L -> 111L, 12L -> 222L, 90L -> 999L, 200L -> 1L)
+    assert(got === expect.toSet)
+    assert(TxnTable.history(s, t).map(_._2) === Seq("create", "merge", "merge"))
+  }
+
   test("cdc compares payloads null-safe: NULL→value and value→NULL are updates") {
     val t = freshTable("cdc_null")
     val s = spark
