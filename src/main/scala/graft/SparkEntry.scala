@@ -69,6 +69,7 @@ object SparkEntry {
     "op_table_history"        -> (TxnTable.tableHistory _),
     "op_txn_race"             -> (TxnTable.txnRace _),
     "op_merge_pruned"         -> (TxnTable.mergePruned _),
+    "op_txn_schema_evolve"    -> (TxnTable.schemaEvolve _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -1013,6 +1014,20 @@ object SparkEntry {
         |        WHERE k NOT IN (SELECT k FROM upd)
         |      UNION ALL SELECT k, st, price FROM upd
         |      UNION ALL SELECT k, st, price FROM ins)""".stripMargin,
+    // add-column evolution: old generation reads NULL for the new
+    // column (n_prio counts only evolved rows); the O(metadata) claim
+    // (v0 files verbatim, v0 still reads old schema) travels as a boolean
+    "op_txn_schema_evolve" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price, o_orderpriority
+        |  FROM orders),
+        |u AS (SELECT k, st, price, NULL AS prio FROM b
+        |      UNION ALL SELECT k + 100000000, st, price, o_orderpriority
+        |      FROM b WHERE k % 97 = 0)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total,
+        |  COUNT(prio) AS n_prio, TRUE AS evolve_ok
+        |FROM u GROUP BY st""".stripMargin,
     // change feed v0->v1 replayed from the deterministic change rules:
     // update keys %50=0 (price+100), delete keys %61=0 (unless updated),
     // insert key+100000000 for keys %97=0

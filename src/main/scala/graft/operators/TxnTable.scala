@@ -124,7 +124,8 @@ object TxnTable {
     * if another commit landed since, the caller must re-read and retry —
     * optimistic concurrency, never clobber. */
   def commit(s: SparkSession, table: String, relFiles: Seq[String],
-             expected: Long, op: String = "write"): Long = {
+             expected: Long, op: String = "write",
+             schemaJson: String = null): Long = {
     val ld = logDir(table)
     val f = fs(s, ld)
     f.mkdirs(ld)
@@ -135,8 +136,14 @@ object TxnTable {
     val next = cur + 1
     val tmpP = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmpP, false)
+    // the committed schema travels IN the log (one JSON line): readers
+    // plan from manifest metadata alone — no footer reads, and a version
+    // whose file set predates an added column still reads correctly
+    // (parquet fills requested-but-absent columns with NULL by name)
+    val schemaLine = Option(schemaJson).map(j => s"#schema=$j\n").getOrElse("")
     try out.write(
-      (s"#op=$op\n" + relFiles.sorted.mkString("\n") + "\n").getBytes(UTF_8))
+      (s"#op=$op\n" + schemaLine + relFiles.sorted.mkString("\n") + "\n")
+        .getBytes(UTF_8))
     finally out.close()
     val dst = manifestPath(table, next)
     // HDFS rename refuses an existing destination atomically; the LOCAL
@@ -170,7 +177,8 @@ object TxnTable {
 
   /** Create the table at version 0. */
   def create(s: SparkSession, table: String, df: DataFrame): Long =
-    commit(s, table, stage(s, table, df), expected = -1L, op = "create")
+    commit(s, table, stage(s, table, df), expected = -1L, op = "create",
+      schemaJson = df.schema.json)
 
   /** Append-commit: next version = current entries + newly staged ones
     * (prior entries keep their manifest lines verbatim, so per-file stats
@@ -198,7 +206,8 @@ object TxnTable {
     val fresh =
       if (idxCols.nonEmpty) stageIndexed(s, table, df, idxCols)
       else stage(s, table, df)
-    commit(s, table, entries.map(render) ++ fresh, cur, op = "append")
+    commit(s, table, entries.map(render) ++ fresh, cur, op = "append",
+      schemaJson = df.schema.json)
   }
 
   private def render(e: Entry): String =
@@ -264,7 +273,11 @@ object TxnTable {
       .map(e => s"$table/${e.path}")
     val residual = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
       .reduce(_ && _)
-    val df = s.read.parquet(paths: _*)
+    val reader = committedSchema(s, table, ver) match {
+      case Some(sch) => s.read.schema(sch)
+      case None      => s.read
+    }
+    val df = reader.parquet(paths: _*)
       .filter(if (kept.nonEmpty) lit(true) else lit(false))
       .filter(residual)
     (df, kept.size, entries.size)
@@ -368,7 +381,8 @@ object TxnTable {
           clusterStage(merged.filter(col(key) < tlo || col(key) > thi))
       case None => clusterStage(merged)
     }
-    val v = commit(s, table, kept.map(render) ++ fresh, cur, op = "merge")
+    val v = commit(s, table, kept.map(render) ++ fresh, cur, op = "merge",
+      schemaJson = batch.schema.json)
     MergeResult(v, touched.size, kept.size)
   }
 
@@ -377,20 +391,61 @@ object TxnTable {
     * readers until vacuum). */
   def overwrite(s: SparkSession, table: String, df: DataFrame): Long = {
     val cur = currentVersion(s, table)
-    commit(s, table, stage(s, table, df), cur, op = "overwrite")
+    commit(s, table, stage(s, table, df), cur, op = "overwrite",
+      schemaJson = df.schema.json)
   }
 
   /** Resolve a snapshot: read version `v`'s manifest (latest if -1) and
     * scan EXACTLY those files. The file list is fixed here, eagerly — the
     * returned plan keeps reading this version's files no matter what is
     * committed (or staged, or orphaned) afterwards. */
+  /** The schema version `v` was committed with, if the commit recorded
+    * one (`#schema=` manifest line — schema-in-the-log, the way every
+    * public table format evolves: the file footers never decide). */
+  def committedSchema(s: SparkSession, table: String, v: Long)
+      : Option[org.apache.spark.sql.types.StructType] =
+    manifestText(s, table, v).linesIterator
+      .find(_.startsWith("#schema=")).map(l =>
+        org.apache.spark.sql.types.DataType.fromJson(
+          l.stripPrefix("#schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   def snapshot(s: SparkSession, table: String, v: Long = -1L): DataFrame = {
     val ver = if (v < 0) currentVersion(s, table) else v
     val files = liveFiles(s, table, ver).map(rel => s"$table/$rel")
     // same guard as snapshotBox: a zero-file version (an overwrite that
     // staged nothing) must fail loudly, not as a schema-inference error
     require(files.nonEmpty, s"$table version $ver lists no files")
-    s.read.parquet(files: _*)
+    // a committed schema wins over file-footer inference: files older
+    // than an added column read it as NULL (by-name parquet resolution)
+    committedSchema(s, table, ver) match {
+      case Some(sch) => s.read.schema(sch).parquet(files: _*)
+      case None      => s.read.parquet(files: _*)
+    }
+  }
+
+  /** Schema-evolving append: `df` may carry NEW columns beyond the
+    * table's current schema (add-column evolution — common columns must
+    * match exactly; dropping or retyping is overwrite territory). The
+    * commit keeps every prior entry VERBATIM — zero data files rewritten;
+    * the evolution is one manifest line recording the widened schema,
+    * which is the whole point: on a 100 TB table, adding a column must
+    * cost O(metadata), not a rewrite. Prior files read NULL for the new
+    * columns from then on. */
+  def appendEvolve(s: SparkSession, table: String, df: DataFrame): Long = {
+    val cur = currentVersion(s, table)
+    val have = snapshot(s, table, cur).schema
+      .map(f => (f.name, f.dataType)).toSeq
+    val got = df.schema.map(f => (f.name, f.dataType)).toSeq
+    require(got.take(have.size) == have,
+      s"evolved schema $got must extend table schema $have (common columns first, unchanged)")
+    val entries = liveEntries(s, table, cur)
+    val idxCols = entries.flatMap(_.stats.map(_._1)).distinct
+    val fresh =
+      if (idxCols.nonEmpty) stageIndexed(s, table, df, idxCols)
+      else stage(s, table, df)
+    commit(s, table, entries.map(render) ++ fresh, cur, op = "evolve",
+      schemaJson = df.schema.json)
   }
 
   /** Compaction THROUGH the log: stage the current snapshot rewritten at a
@@ -426,7 +481,8 @@ object TxnTable {
           snap.repartitionByRange(target, idxCols.map(col): _*)
             .sortWithinPartitions(idxCols.map(col): _*), idxCols)
       else stage(s, table, snap.repartition(target))
-    commit(s, table, lines, cur, op = "compact")
+    commit(s, table, lines, cur, op = "compact",
+      schemaJson = snap.schema.json)
   }
 
   /** Retention: keep the newest `retain` versions; delete every data file
@@ -784,6 +840,38 @@ object TxnTable {
     snapshot(s, t)
       .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
       .withColumn("merge_ok", lit(ok))
+  }
+
+  /** op_txn_schema_evolve: add-column evolution THROUGH the log. v0 is
+    * the 3-column orders slice; v1 appends rows carrying a NEW fourth
+    * column (o_orderpriority, keyspace-shifted keys) via [[appendEvolve]]
+    * — the widened schema is recorded in the manifest, v0's data files
+    * are carried VERBATIM (adding a column costs O(metadata), zero
+    * rewrite), and the latest snapshot reads old files' missing column
+    * as NULL. Hashed output = the two-generation aggregate (n_prio
+    * counts only evolved rows); `evolve_ok` asserts the pre-evolution
+    * version still reads with the OLD 3-column schema and that no v0
+    * manifest line changed. */
+  def schemaEvolve(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("evolve_orders")
+    val base = ordersSlice(s, d)
+    create(s, t, base.repartition(4))
+    val v0Lines = liveEntries(s, t, 0).map(render).toSet
+    val delta = Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").cast(D12).as("price"),
+        col("o_orderpriority").as("prio"))
+    val v1 = appendEvolve(s, t, delta)
+    val oldOk = snapshot(s, t, 0).columns.toSeq ==
+      Seq("o_orderkey", "o_orderstatus", "price")
+    val verbatim = v0Lines.subsetOf(liveEntries(s, t, v1).map(render).toSet)
+    snapshot(s, t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total"),
+        count(col("prio")).as("n_prio"))
+      .withColumn("evolve_ok", lit(oldOk && verbatim))
   }
 
   /** op_cdc_read: the change feed between two committed versions — what

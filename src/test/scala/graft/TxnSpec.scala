@@ -368,6 +368,43 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.history(s, t).map(_._2) === Seq("create", "merge", "merge"))
   }
 
+  test("schema evolution through the log: add-column costs metadata only") {
+    val t = freshTable("evolve")
+    val s = spark
+    import s.implicits._
+    TxnTable.create(spark, t, baseDf(10))
+    val v0Files = TxnTable.liveFiles(spark, t, 0)
+    val v1 = TxnTable.appendEvolve(spark, t,
+      Seq((100L, "new", 7L), (101L, "new2", 8L)).toDF("k", "v", "extra"))
+    // v0's files carried verbatim — zero data rewritten for the evolution
+    assert(TxnTable.liveFiles(spark, t, v1).toSet
+      .intersect(v0Files.toSet) === v0Files.toSet)
+    // the evolved snapshot reads old rows' missing column as NULL
+    val latest = TxnTable.snapshot(spark, t)
+    assert(latest.columns.toSeq === Seq("k", "v", "extra"))
+    assert(latest.filter(col("extra").isNull).count() === 10)
+    assert(latest.filter(col("extra").isNotNull).count() === 2)
+    // the PRE-evolution version still reads with the old schema
+    assert(TxnTable.snapshot(spark, t, 0).columns.toSeq === Seq("k", "v"))
+    // a drifted evolve (common columns changed) still fails
+    intercept[IllegalArgumentException] {
+      TxnTable.appendEvolve(spark, t,
+        Seq((1, "x", 2L)).toDF("k", "v", "extra")) // k INT, not LONG
+    }
+    // evolution composes with the rest of the write path: a plain append
+    // must now match the WIDENED schema, and compaction preserves it
+    intercept[IllegalArgumentException] {
+      TxnTable.append(spark, t, baseDf(3))
+    }
+    TxnTable.append(spark, t,
+      Seq((102L, "app", Option.empty[Long])).toDF("k", "v", "extra"))
+    TxnTable.compact(spark, t)
+    val after = TxnTable.snapshot(spark, t)
+    assert(after.columns.toSeq === Seq("k", "v", "extra"))
+    assert(after.count() === 13)
+    assert(after.filter(col("extra").isNull).count() === 11)
+  }
+
   test("cdc compares payloads null-safe: NULL→value and value→NULL are updates") {
     val t = freshTable("cdc_null")
     val s = spark
