@@ -70,6 +70,7 @@ object SparkEntry {
     "op_txn_race"             -> (TxnTable.txnRace _),
     "op_merge_pruned"         -> (TxnTable.mergePruned _),
     "op_txn_schema_evolve"    -> (TxnTable.schemaEvolve _),
+    "op_txn_checkpoint"       -> (TxnTable.txnCheckpoint _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -952,6 +953,15 @@ object SparkEntry {
         |  CAST(n_files AS BIGINT) AS n_files
         |FROM (VALUES (0, 'create', 8), (1, 'compact', 1),
         |  (2, 'append', 3), (3, 'overwrite', 2)) AS t(version, op, n_files)""".stripMargin,
+    // the audit trail after a mid-log checkpoint — identical to the
+    // checkpoint-free replay (literal: synthetic fixed scenario); the
+    // read-count bound (1 checkpoint + 2 tail, not 6) travels as a boolean
+    "op_txn_checkpoint" ->
+      """SELECT CAST(version AS BIGINT) AS version, op,
+        |  CAST(n_files AS BIGINT) AS n_files, TRUE AS ckpt_ok
+        |FROM (VALUES (0, 'create', 8), (1, 'compact', 1),
+        |  (2, 'append', 3), (3, 'overwrite', 2),
+        |  (4, 'append', 3), (5, 'overwrite', 4)) AS t(version, op, n_files)""".stripMargin,
     // the incremental fold (v0 + signed change feeds) must hash-equal the
     // DIRECT recompute of v2, whose content the oracle replays by
     // chaining both change-set rules

@@ -81,10 +81,16 @@ object TxnTable {
       stats.collectFirst { case (`c`, lo, hi) => (lo, hi) }
   }
 
+  /** Log-file reads since process start — instrumentation for the
+    * checkpointing contract (history must read O(1) + tail, not
+    * O(versions)); incremented on every manifest or checkpoint open. */
+  private[graft] val logReads = new java.util.concurrent.atomic.AtomicLong
+
   private def manifestText(s: SparkSession, table: String, v: Long): String = {
     val mp = manifestPath(table, v)
     val f = fs(s, mp)
     require(f.exists(mp), s"$table version $v not found (vacuumed or never committed)")
+    logReads.incrementAndGet()
     val in = f.open(mp)
     try new String(in.readAllBytes(), UTF_8) finally in.close()
   }
@@ -103,17 +109,77 @@ object TxnTable {
         Entry(parts.head, stats)
       }.toSeq
 
+  private def checkpointPath(table: String, v: Long): Path =
+    new Path(logDir(table), f"$v%08d.checkpoint")
+
+  /** Committed checkpoint versions, ascending. */
+  def checkpointVersions(s: SparkSession, table: String): Seq[Long] = {
+    val ld = logDir(table)
+    val f = fs(s, ld)
+    if (!f.exists(ld)) Seq.empty
+    else f.listStatus(ld).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).sorted
+  }
+
+  private def readCheckpoint(s: SparkSession, table: String, v: Long)
+      : Seq[(Long, String, Long)] = {
+    val cp = checkpointPath(table, v)
+    val f = fs(s, cp)
+    logReads.incrementAndGet()
+    val in = f.open(cp)
+    val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(ver, op, n) = line.split('\t')
+      (ver.toLong, op, n.toLong)
+    }.toSeq
+  }
+
+  /** Checkpoint the log at the current version: one `.checkpoint` file
+    * summarizing the audit trail of every version ≤ N, so [[history]]
+    * reads O(1) + the post-checkpoint tail instead of every manifest —
+    * the log-compaction every production format runs once the version
+    * count grows (resolution of any SNAPSHOT was always one manifest
+    * read; it is the trail that accumulated). Same tmp+rename commit
+    * protocol as manifests; `.checkpoint` files are invisible to version
+    * resolution and survive vacuum, so the audit of vacuumed versions
+    * outlives their manifests — retention bounds data, not lineage. */
+  def checkpoint(s: SparkSession, table: String): Long = {
+    val cur = currentVersion(s, table)
+    val trail = history(s, table)
+    val f = fs(s, logDir(table))
+    val tmpP = new Path(logDir(table), s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmpP, false)
+    try out.write(trail.map { case (v, op, n) => s"$v\t$op\t$n" }
+      .mkString("", "\n", "\n").getBytes(UTF_8))
+    finally out.close()
+    val dst = checkpointPath(table, cur)
+    // idempotent: two checkpointers of the same version write identical
+    // content — losing the rename race is success
+    if (!f.rename(tmpP, dst)) f.delete(tmpP, false)
+    cur
+  }
+
   /** The table's audit trail — (version, operation, live-file count) per
-    * commit, from the manifests alone (DESCRIBE HISTORY, minus wall-clock
-    * timestamps, which would not be deterministic). One storage read per
-    * manifest. */
-  def history(s: SparkSession, table: String): Seq[(Long, String, Long)] =
-    versions(s, table).map { v =>
+    * commit (DESCRIBE HISTORY, minus wall-clock timestamps, which would
+    * not be deterministic). With a checkpoint in the log this reads ONE
+    * checkpoint file plus the post-checkpoint manifests; without one it
+    * reads every manifest. Checkpointed entries for vacuumed versions are
+    * kept — the audit trail survives retention. */
+  def history(s: SparkSession, table: String): Seq[(Long, String, Long)] = {
+    val vs = versions(s, table)
+    def readOne(v: Long): (Long, String, Long) = {
       val lines = manifestText(s, table, v).linesIterator.toSeq
       val op = lines.find(_.startsWith("#op=")).map(_.stripPrefix("#op="))
         .getOrElse("write")
       (v, op, lines.count(l => l.nonEmpty && !l.startsWith("#")).toLong)
     }
+    checkpointVersions(s, table).lastOption match {
+      case Some(cv) if vs.isEmpty || cv <= vs.last =>
+        readCheckpoint(s, table, cv) ++ vs.filter(_ > cv).map(readOne)
+      case _ => vs.map(readOne)
+    }
+  }
 
   /** The live-file set of version `v`, table-relative, as committed. */
   def liveFiles(s: SparkSession, table: String, v: Long): Seq[String] =
@@ -614,6 +680,35 @@ object TxnTable {
     append(s, t, df.filter(col("k") < 100).repartition(2))
     overwrite(s, t, df.repartition(2))
     history(s, t).toDF("version", "op", "n_files")
+  }
+
+  /** op_txn_checkpoint: log checkpointing as a checked query. A fixed
+    * synthetic table takes six commits (every op kind); the log is
+    * checkpointed after the fourth, then two more land. The history read
+    * must then cost ONE checkpoint read plus the two tail manifests —
+    * never the six reads a full replay costs (O(versions) driver work
+    * forever on a long-lived table is what checkpointing exists to
+    * close). Hashed output = the literal audit trail (identical to the
+    * checkpoint-free replay); `ckpt_ok` asserts the measured read count.
+    */
+  def txnCheckpoint(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("ckpt_table")
+    val s2 = s
+    import s2.implicits._
+    val df = s.range(1000).select(col("id").as("k"),
+      (col("id") % 7).cast("long").as("v"))
+    commit(s, t, stage(s, t, df.repartition(8)), -1L, op = "create")
+    compact(s, t)                                    // v1: 1 file
+    append(s, t, df.filter(col("k") < 100).repartition(2)) // v2: 3 files
+    overwrite(s, t, df.repartition(2))               // v3: 2 files
+    checkpoint(s, t)                                 // summarizes 0..3
+    append(s, t, df.filter(col("k") < 50).repartition(1))  // v4: 3 files
+    overwrite(s, t, df.repartition(4))               // v5: 4 files
+    val before = logReads.get()
+    val trail = history(s, t)
+    val reads = logReads.get() - before
+    trail.toDF("version", "op", "n_files")
+      .withColumn("ckpt_ok", lit(reads == 3L))
   }
 
   /** op_txn_race: optimistic concurrency as a CHECKED query, not just a

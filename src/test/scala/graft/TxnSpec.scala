@@ -405,6 +405,27 @@ class TxnSpec extends SparkSpec {
     assert(after.filter(col("extra").isNull).count() === 11)
   }
 
+  test("log checkpoint: history reads checkpoint + tail; audit survives vacuum") {
+    val t = freshTable("ckpt")
+    TxnTable.create(spark, t, baseDf(10))
+    (1 to 16).foreach(_ => TxnTable.append(spark, t, baseDf(2))) // v1..v16
+    TxnTable.checkpoint(spark, t)                                // @16
+    (1 to 3).foreach(_ => TxnTable.append(spark, t, baseDf(2)))  // v17..v19
+    val before = TxnTable.logReads.get()
+    val trail = TxnTable.history(spark, t)
+    val reads = TxnTable.logReads.get() - before
+    assert(reads === 4, s"history cost $reads log reads, not 1 ckpt + 3 tail")
+    assert(trail.map(_._1) === (0L to 19L))
+    assert(trail.head._2 === "create" && trail.tail.forall(_._2 === "append"))
+    // checkpoint at the latest version, then vacuum: the audit trail of
+    // vacuumed versions survives their manifests
+    TxnTable.checkpoint(spark, t) // @19
+    TxnTable.vacuum(spark, t, retain = 2)
+    assert(TxnTable.versions(spark, t) === Seq(18L, 19L))
+    assert(TxnTable.history(spark, t).map(_._1) === (0L to 19L))
+    assert(TxnTable.snapshot(spark, t).count() === 10 + 19 * 2)
+  }
+
   test("cdc compares payloads null-safe: NULL→value and value→NULL are updates") {
     val t = freshTable("cdc_null")
     val s = spark
