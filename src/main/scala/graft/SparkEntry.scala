@@ -132,6 +132,7 @@ object SparkEntry {
     "st_stream_file_sink"     -> (Streams.streamFileSink _),
     "st_stream_upsert"        -> (Streams.streamUpsert _),
     "st_stream_session_window" -> (Streams.streamSessionWindow _),
+    "st_stream_cdc"           -> (Streams.streamCdc _),
     "mr_triangle_count"       -> (MapReduceJobs.triangleCount _),
     "ta_ngram_lm"             -> (TextAnalysis.ngramLm _),
     "ta_contamination"        -> (TextAnalysis.contamination _),
@@ -1286,6 +1287,25 @@ object SparkEntry {
     "st_stream_enrich" ->
       """SELECT event_id, user_id, event_type, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
+    // the streamed telescoping fold (v0 + the tailed change feed) must
+    // hash-equal the oracle's DIRECT replay of v2 — same change rules as
+    // op_incremental_agg; the consumer here is a live file-stream
+    "st_stream_cdc" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(14,2)) AS price FROM orders),
+        |v1 AS (SELECT k, st,
+        |    CAST(CASE WHEN k % 50 = 0 THEN price + 100 ELSE price END
+        |      AS DECIMAL(14,2)) AS price
+        |  FROM b WHERE NOT (k % 61 = 0 AND k % 50 <> 0)
+        |  UNION ALL SELECT k + 100000000, 'N', price FROM b WHERE k % 97 = 0),
+        |v2 AS (SELECT k, st,
+        |    CAST(CASE WHEN k % 30 = 0 THEN price + 50 ELSE price END
+        |      AS DECIMAL(14,2)) AS price
+        |  FROM v1 WHERE NOT (k % 77 = 0 AND k % 30 <> 0)
+        |  UNION ALL SELECT k + 200000000, 'M', price FROM v1 WHERE k % 89 = 0)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total
+        |FROM v2 GROUP BY st""".stripMargin,
     "st_stream_join" ->
       """SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id
         |FROM events p JOIN events c

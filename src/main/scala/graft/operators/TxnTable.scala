@@ -461,6 +461,37 @@ object TxnTable {
       schemaJson = df.schema.json)
   }
 
+  /** Overwrite-commit that also PERSISTS the signed change feed: after
+    * the commit wins, the [[cdcSigned]] diff against the previous version
+    * is written under `table/_cdc/` as flat, version-prefixed parquet
+    * files (staged to a tmp dir, then renamed in — a tailing file-stream
+    * reader never sees a half-written file). This is what turns CDC from
+    * a batch diff into a STREAMING source: each commit's change files
+    * arrive as new files under one directory, and any number of
+    * downstream `readStream` consumers tail it incrementally — no
+    * re-diffing, no re-reading the table. The feed is computed from the
+    * two manifest-resolved snapshots once, at write time, where the
+    * copy-on-write diff is cheapest. */
+  def overwriteCdc(s: SparkSession, table: String, df: DataFrame,
+                   key: String): Long = {
+    val cur = currentVersion(s, table)
+    val v = overwrite(s, table, df)
+    val feed = cdcSigned(s, table, cur, v, key)
+    val tmp = new Path(s"$table/_cdc/.tmp-${java.util.UUID.randomUUID()}")
+    val f = fs(s, tmp)
+    // one file per commit: a change set is one append to the feed (a
+    // huge change set would shard — then the per-file rename below keeps
+    // each file's arrival atomic for the tailing reader)
+    feed.coalesce(1).write.parquet(tmp.toString)
+    f.listStatus(tmp).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).zipWithIndex
+      .foreach { case (p, i) =>
+        f.rename(p, new Path(s"$table/_cdc/" + f"v$v%08d-$i.parquet"))
+      }
+    f.delete(tmp, true)
+    v
+  }
+
   /** Resolve a snapshot: read version `v`'s manifest (latest if -1) and
     * scan EXACTLY those files. The file list is fixed here, eagerly — the
     * returned plan keeps reading this version's files no matter what is
@@ -798,24 +829,33 @@ object TxnTable {
     * content: incremental maintenance ≡ recompute, exactly. Prices are
     * normalized to DECIMAL(14,2) at every staging so version payloads
     * compare type-identically and the sums stay exact integers. */
+  /** The deterministic order-table change rules shared by
+    * [[incrementalAgg]] and the streaming CDC consumer (Streams
+    * .streamCdc): update keys %updMod (price+updAmt), delete keys
+    * %delMod unless updated, insert key+insOff for keys %insMod. */
+  private[graft] def applyOrderChanges(df: DataFrame, updMod: Int,
+      updAmt: Int, delMod: Int, insMod: Int, insOff: Long,
+      insSt: String): DataFrame = {
+    val k = col("o_orderkey")
+    df.filter(!(pmod(k, lit(delMod)) === 0 && pmod(k, lit(updMod)) =!= 0))
+      .withColumn("price",
+        when(pmod(k, lit(updMod)) === 0, col("price") + lit(updAmt))
+          .otherwise(col("price")).cast(D14))
+      .unionByName(df.filter(pmod(k, lit(insMod)) === 0)
+        .select((k + insOff).as("o_orderkey"),
+          lit(insSt).as("o_orderstatus"), col("price")))
+  }
+
+  /** The D14-normalized orders slice the CDC scenarios run on. */
+  private[graft] def ordersSlice14(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice").cast(D14).as("price"))
+
   def incrementalAgg(s: SparkSession, d: String): DataFrame = {
     val t = freshDir("incr_orders")
-    val base = Tables.orders(s, d).select(col("o_orderkey"),
-      col("o_orderstatus"), col("o_totalprice").cast(D14).as("price"))
-    create(s, t, base.repartition(4))
-    def applyChanges(df: DataFrame, updMod: Int, updAmt: Int, delMod: Int,
-                     insMod: Int, insOff: Long, insSt: String): DataFrame = {
-      val k = col("o_orderkey")
-      df.filter(!(pmod(k, lit(delMod)) === 0 && pmod(k, lit(updMod)) =!= 0))
-        .withColumn("price",
-          when(pmod(k, lit(updMod)) === 0, col("price") + lit(updAmt))
-            .otherwise(col("price")).cast(D14))
-        .unionByName(df.filter(pmod(k, lit(insMod)) === 0)
-          .select((k + insOff).as("o_orderkey"),
-            lit(insSt).as("o_orderstatus"), col("price")))
-    }
-    overwrite(s, t, applyChanges(snapshot(s, t, 0), 50, 100, 61, 97, 100000000L, "N"))
-    overwrite(s, t, applyChanges(snapshot(s, t, 1), 30, 50, 77, 89, 200000000L, "M"))
+    create(s, t, ordersSlice14(s, d).repartition(4))
+    overwrite(s, t, applyOrderChanges(snapshot(s, t, 0), 50, 100, 61, 97, 100000000L, "N"))
+    overwrite(s, t, applyOrderChanges(snapshot(s, t, 1), 30, 50, 77, 89, 200000000L, "M"))
     val pick = (df: DataFrame) =>
       df.select(col("o_orderstatus"), col("w"), col("price"))
     pick(snapshot(s, t, 0).withColumn("w", lit(1)))

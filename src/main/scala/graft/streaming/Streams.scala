@@ -281,6 +281,50 @@ object Streams {
         col("o_totalprice"), col("o_orderpriority"))
   }
 
+  /** st_stream_cdc: the change feed as a STREAMING source — the
+    * composition the txn log + CDC pieces exist for. The table takes two
+    * [[TxnTable.overwriteCdc]] commits (the op_incremental_agg change
+    * rules); each commit persists its signed change files under
+    * `table/_cdc/`, and the consumer is a file-source readStream TAILING
+    * that directory — maxFilesPerTrigger=1 forces one commit's feed per
+    * micro-batch, so the Complete-mode aggregate is genuinely maintained
+    * incrementally across batches (state = one row per group), exactly
+    * how it would run forever against a table taking minutely commits.
+    * The final telescoping fold (v0 aggregate + streamed delta) is
+    * hash-checked against the oracle's DIRECT replay of v2: continuous
+    * incremental maintenance ≡ recompute. */
+  def streamCdc(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Fs.scratch("graft_stream_cdc", "")
+    graft.Fs.deleteRecursively(base)
+    val t = s"$base/table"
+    TxnTable.create(s, t, TxnTable.ordersSlice14(s, d).repartition(4))
+    TxnTable.overwriteCdc(s, t, TxnTable.applyOrderChanges(
+      TxnTable.snapshot(s, t, 0), 50, 100, 61, 97, 100000000L, "N"), "o_orderkey")
+    TxnTable.overwriteCdc(s, t, TxnTable.applyOrderChanges(
+      TxnTable.snapshot(s, t, 1), 30, 50, 77, 89, 200000000L, "M"), "o_orderkey")
+    val feedDdl =
+      "o_orderkey LONG, w INT, o_orderstatus STRING, price DECIMAL(14,2)"
+    val feed = s.readStream.schema(feedDdl)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$t/_cdc")
+    val agg = feed.groupBy(col("o_orderstatus"))
+      .agg(sum(col("w")).as("n"), sum(col("w") * col("price")).as("total"))
+    val q = agg.writeStream
+      .format("memory").queryName("st_stream_cdc_delta")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val v0 = TxnTable.snapshot(s, t, 0).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).as("total"))
+    v0.unionByName(s.table("st_stream_cdc_delta"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("total")).cast("double").as("total"))
+      .filter(col("n") =!= 0)
+  }
+
   // ---- Stateful sessionization --------------------------------------------
 
   case class Event(user_id: Long, ts_us: Long, event_id: Long)

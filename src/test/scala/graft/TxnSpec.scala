@@ -445,6 +445,50 @@ class TxnSpec extends SparkSpec {
       s"null-unsafe payload compare: $feed")
   }
 
+  test("overwriteCdc persists one change file per commit; a tailing stream " +
+      "consumes one commit per micro-batch") {
+    val t = freshTable("cdc_stream")
+    val s = spark
+    import s.implicits._
+    TxnTable.create(spark, t,
+      (0L until 50L).map(i => (i, i * 2)).toDF("k", "v"))
+    // two committed change sets, each persisting its signed feed
+    TxnTable.overwriteCdc(spark, t,
+      TxnTable.snapshot(spark, t)
+        .withColumn("v", when(col("k") === 7, lit(700L)).otherwise(col("v"))),
+      "k")
+    TxnTable.overwriteCdc(spark, t,
+      TxnTable.snapshot(spark, t).filter(col("k") =!= 3), "k")
+    val cdcFiles = new java.io.File(s"$t/_cdc").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted
+    assert(cdcFiles.length === 2 && cdcFiles.forall(_.startsWith("v000000")),
+      cdcFiles.mkString(","))
+    // tail the feed: maxFilesPerTrigger=1 → one commit's changes per batch
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = s.readStream.schema("k LONG, w INT, v LONG")
+      .option("maxFilesPerTrigger", "1").parquet(s"$t/_cdc")
+      .writeStream
+      .option("checkpointLocation", s"$t/_cdc_ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes += b.count(); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // batch 1 = the update (±1 on k=7); batch 2 = the delete (-1 on k=3)
+    assert(batchSizes.toSeq === Seq(2L, 1L), batchSizes.toString)
+    // the tailed feed folds to the final snapshot
+    val fold = TxnTable.snapshot(spark, t, 0).withColumn("w", lit(1))
+      .select("k", "v", "w")
+      .unionByName(s.read.schema("k LONG, w INT, v LONG").parquet(s"$t/_cdc")
+        .select("k", "v", "w"))
+      .groupBy("k").agg(sum(col("w") * col("v")).as("v"), sum("w").as("n"))
+      .filter(col("n") =!= 0).select(col("k"), col("v"))
+      .as[(Long, Long)].collect().toSet
+    val direct = TxnTable.snapshot(spark, t).as[(Long, Long)].collect().toSet
+    assert(fold === direct)
+  }
+
   test("cdc feed emits exactly the changed rows with correct ops") {
     val t = freshTable("cdc")
     val s = spark
