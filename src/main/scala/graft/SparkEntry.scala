@@ -71,6 +71,7 @@ object SparkEntry {
     "op_merge_pruned"         -> (TxnTable.mergePruned _),
     "op_txn_schema_evolve"    -> (TxnTable.schemaEvolve _),
     "op_txn_checkpoint"       -> (TxnTable.txnCheckpoint _),
+    "op_null_skip"            -> (TxnTable.nullSkip _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -1006,6 +1007,16 @@ object SparkEntry {
         |SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total,
         |  TRUE AS skip_ok
         |FROM b, r WHERE o_orderkey >= lo AND o_orderkey <= hi""".stripMargin,
+    // IS NULL pruning via null-count manifest stats: the null rows are
+    // exactly the lowest-eighth keys (oracle-replayed); the metadata
+    // prune travels as a boolean
+    "op_null_skip" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |r AS (SELECT MIN(k) + (MAX(k) - MIN(k)) // 8 AS hi FROM b)
+        |SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(SUM(price) AS DOUBLE) AS total, TRUE AS skip_ok
+        |FROM b, r WHERE k <= hi""".stripMargin,
     // file-pruned MERGE: the merged table's content replayed as the plain
     // latest-wins change set (updates replace, inserts add); the file
     // accounting (≥ half untouched, manifest lines verbatim) travels as

@@ -71,14 +71,24 @@ object TxnTable {
     vs.last
   }
 
+  /** Per-file, per-column statistics: value range plus NULL count. An
+    * all-null file carries the EMPTY range (lo > hi) — it can never
+    * intersect a value box, but its null count keeps it visible to
+    * IS NULL pruning. */
+  case class ColStat(col: String, lo: Long, hi: Long, nulls: Long)
+
   /** One manifest entry: a live file plus per-file column stats — zero or
-    * more (column, min, max) triples — for manifest-level data skipping.
-    * Multiple columns give MULTI-dimensional skipping: with a z-ordered
-    * layout every file has a tight bounding box in each indexed
-    * dimension, so a box predicate prunes on all of them at once. */
-  case class Entry(path: String, stats: Seq[(String, Long, Long)]) {
+    * more (column, min, max, nulls) groups — for manifest-level data
+    * skipping. Multiple columns give MULTI-dimensional skipping: with a
+    * z-ordered layout every file has a tight bounding box in each indexed
+    * dimension, so a box predicate prunes on all of them at once; null
+    * counts let IS NULL predicates prune too (the Iceberg/Delta stat
+    * triple). */
+  case class Entry(path: String, stats: Seq[ColStat]) {
     def statFor(c: String): Option[(Long, Long)] =
-      stats.collectFirst { case (`c`, lo, hi) => (lo, hi) }
+      stats.collectFirst { case ColStat(`c`, lo, hi, _) => (lo, hi) }
+    def nullsFor(c: String): Option[Long] =
+      stats.collectFirst { case ColStat(`c`, _, _, n) => n }
   }
 
   /** Log-file reads since process start — instrumentation for the
@@ -95,17 +105,19 @@ object TxnTable {
     try new String(in.readAllBytes(), UTF_8) finally in.close()
   }
 
-  /** The live-file entries of version `v`. Manifest line format:
-    * `path` followed by zero or more `<TAB>col<TAB>min<TAB>max` stat
+  /** The live-file entries of version `v`. Manifest line format: `path`
+    * followed by zero or more `<TAB>col<TAB>min<TAB>max<TAB>nulls` stat
     * groups (written by [[stageIndexed]]); `#`-prefixed lines are commit
     * metadata. */
   def liveEntries(s: SparkSession, table: String, v: Long): Seq[Entry] =
     manifestText(s, table, v).linesIterator
       .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
         val parts = line.split('\t')
-        require(parts.length % 3 == 1, s"bad manifest line: $line")
-        val stats = parts.drop(1).grouped(3)
-          .map { case Array(c, lo, hi) => (c, lo.toLong, hi.toLong) }.toSeq
+        require(parts.length % 4 == 1, s"bad manifest line: $line")
+        val stats = parts.drop(1).grouped(4)
+          .map { case Array(c, lo, hi, n) =>
+            ColStat(c, lo.toLong, hi.toLong, n.toLong)
+          }.toSeq
         Entry(parts.head, stats)
       }.toSeq
 
@@ -268,7 +280,7 @@ object TxnTable {
     // stats: a zero-row staged file legitimately has none, and one such
     // entry must not silently downgrade the whole table (skipping keeps
     // stat-less entries conservatively anyway)
-    val idxCols = entries.flatMap(_.stats.map(_._1)).distinct
+    val idxCols = entries.flatMap(_.stats.map(_.col)).distinct
     val fresh =
       if (idxCols.nonEmpty) stageIndexed(s, table, df, idxCols)
       else stage(s, table, df)
@@ -277,7 +289,7 @@ object TxnTable {
   }
 
   private def render(e: Entry): String =
-    (e.path +: e.stats.map { case (c, lo, hi) => s"$c\t$lo\t$hi" })
+    (e.path +: e.stats.map { case ColStat(c, lo, hi, n) => s"$c\t$lo\t$hi\t$n" })
       .mkString("\t")
 
   /** Stage with per-file column statistics: like [[stage]], but each
@@ -293,13 +305,22 @@ object TxnTable {
     if (rels.isEmpty) return rels
     val dir = rels.head.split('/').dropRight(1).mkString("/")
     val aggs = indexCols.flatMap(c => Seq(
-      min(col(c)).cast("long").as(s"lo_$c"), max(col(c)).cast("long").as(s"hi_$c")))
+      min(col(c)).cast("long").as(s"lo_$c"),
+      max(col(c)).cast("long").as(s"hi_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")))
     val stats = s.read.parquet(s"$table/$dir")
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => (r.getString(0).split('/').last,
-        indexCols.map(c => (c, r.getAs[Long](s"lo_$c"), r.getAs[Long](s"hi_$c")))))
+        indexCols.map { c =>
+          // an ALL-NULL file has no min/max: record the empty range
+          // (lo > hi) — unmatchable by any value box, kept by IS NULL
+          if (r.isNullAt(r.fieldIndex(s"lo_$c")))
+            ColStat(c, 0L, -1L, r.getAs[Long](s"nn_$c"))
+          else ColStat(c, r.getAs[Long](s"lo_$c"), r.getAs[Long](s"hi_$c"),
+            r.getAs[Long](s"nn_$c"))
+        }))
       .toMap
     rels.map { rel =>
       // a zero-row staged file has no stats row — keep it conservatively
@@ -330,7 +351,10 @@ object TxnTable {
     require(entries.nonEmpty, s"$table version $ver lists no files")
     val kept = entries.filter { e =>
       box.forall { case (c, lo, hi) =>
-        e.statFor(c).forall { case (fLo, fHi) => fHi >= lo && fLo <= hi }
+        // an EMPTY recorded range (fLo > fHi: the file is all-null in c)
+        // intersects no value box; a missing stat keeps the file
+        e.statFor(c).forall { case (fLo, fHi) =>
+          fLo <= fHi && fHi >= lo && fLo <= hi }
       }
     }
     // a box that prunes EVERYTHING is a legitimate 0-row query, not a
@@ -352,6 +376,30 @@ object TxnTable {
   def snapshotRange(s: SparkSession, table: String, indexCol: String,
                     lo: Long, hi: Long, v: Long = -1L): (DataFrame, Int, Int) =
     snapshotBox(s, table, Seq((indexCol, lo, hi)), v)
+
+  /** Resolve a snapshot pruned by an IS NULL predicate on `c`: manifest
+    * entries whose per-file null COUNT for `c` is zero are skipped —
+    * value ranges can't answer IS NULL (min/max ignore nulls), which is
+    * exactly why production manifests carry null counts alongside them.
+    * Entries without stats on `c` are conservatively kept. Returns the
+    * frame plus (scanned, total) file counts. */
+  def snapshotNulls(s: SparkSession, table: String, c: String,
+                    v: Long = -1L): (DataFrame, Int, Int) = {
+    val ver = if (v < 0) currentVersion(s, table) else v
+    val entries = liveEntries(s, table, ver)
+    require(entries.nonEmpty, s"$table version $ver lists no files")
+    val kept = entries.filter(_.nullsFor(c).forall(_ > 0))
+    val paths = (if (kept.nonEmpty) kept else entries.take(1))
+      .map(e => s"$table/${e.path}")
+    val reader = committedSchema(s, table, ver) match {
+      case Some(sch) => s.read.schema(sch)
+      case None      => s.read
+    }
+    val df = reader.parquet(paths: _*)
+      .filter(if (kept.nonEmpty) lit(true) else lit(false))
+      .filter(col(c).isNull)
+    (df, kept.size, entries.size)
+  }
 
   /** Outcome of a file-pruned [[merge]]: the committed version plus the
     * file accounting the caller asserts on — how many of the previous
@@ -415,7 +463,7 @@ object TxnTable {
         prev.join(batch.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(batch)
       }
-    val idxCols = entries.flatMap(_.stats.map(_._1)).distinct
+    val idxCols = entries.flatMap(_.stats.map(_.col)).distinct
     val parts = math.max(touched.size, 1)
     def clusterStage(df: DataFrame): Seq[String] = {
       val c = df.repartitionByRange(parts, col(key))
@@ -537,7 +585,7 @@ object TxnTable {
     require(got.take(have.size) == have,
       s"evolved schema $got must extend table schema $have (common columns first, unchanged)")
     val entries = liveEntries(s, table, cur)
-    val idxCols = entries.flatMap(_.stats.map(_._1)).distinct
+    val idxCols = entries.flatMap(_.stats.map(_.col)).distinct
     val fresh =
       if (idxCols.nonEmpty) stageIndexed(s, table, df, idxCols)
       else stage(s, table, df)
@@ -571,7 +619,7 @@ object TxnTable {
     val entries = liveEntries(s, table, cur)
     val target = compactionTarget(liveBytes(s, table, cur))
     val snap = snapshot(s, table, cur)
-    val idxCols = entries.flatMap(_.stats.map(_._1)).distinct
+    val idxCols = entries.flatMap(_.stats.map(_.col)).distinct
     val lines =
       if (idxCols.nonEmpty)
         stageIndexed(s, table,
@@ -932,6 +980,36 @@ object TxnTable {
     // z-layout actually prunes >= half; the hash check pins the content)
     snap.agg(count(lit(1)).as("n"),
         sum(col("price")).cast("double").as("total_price"))
+      .withColumn("skip_ok", lit(scanned >= 1 && scanned < total))
+  }
+
+  /** op_null_skip: IS NULL pruning from null-count manifest stats. The
+    * orders slice gains a nullable `d` column (NULL exactly for keys in
+    * the lowest eighth of the keyspace, k%1000 otherwise), range-clustered
+    * on o_orderkey into 8 files and committed with stats on BOTH columns
+    * — so the nulls concentrate in the file(s) covering the low keys, and
+    * every other file records `nulls=0` for `d`. An IS NULL read then
+    * prunes from the MANIFEST alone: min/max can never answer IS NULL
+    * (they ignore nulls — the reason null counts are a first-class stat
+    * in every public manifest format). Hashed output = the aggregate of
+    * the null rows (the key rule is oracle-replayable); `skip_ok` asserts
+    * the metadata prune dropped files. */
+  def nullSkip(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("nullskip_orders")
+    val base = ordersSlice(s, d)
+    val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
+    val hi = kmin + (kmax - kmin) / 8
+    val k = col("o_orderkey")
+    val withD = base.withColumn("d",
+      when(k <= hi, lit(null).cast("long")).otherwise(pmod(k, lit(1000))))
+    val clustered = withD.repartitionByRange(8, k).sortWithinPartitions(k)
+    commit(s, t, stageIndexed(s, t, clustered, Seq("o_orderkey", "d")),
+      expected = -1L, op = "create")
+    val (snap, scanned, total) = snapshotNulls(s, t, "d")
+    snap.agg(count(lit(1)).as("n"),
+        sum(k).as("sum_k"),
+        sum(col("price")).cast("double").as("total"))
       .withColumn("skip_ok", lit(scanned >= 1 && scanned < total))
   }
 

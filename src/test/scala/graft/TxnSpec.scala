@@ -168,7 +168,7 @@ class TxnSpec extends SparkSpec {
     // the scan's input files are exactly the kept manifest entries — a
     // file whose [min,max] misses the range is never listed or opened
     val kept = entries.filter(e =>
-      e.stats.exists { case (_, lo, hi) => hi >= 10L && lo <= 20L })
+      e.statFor("k").exists { case (lo, hi) => hi >= 10L && lo <= 20L })
       .map(e => s"$t/${e.path}").toSet
     val scannedFiles = snap.inputFiles.map(_.replaceFirst("^file:/+", "/")).toSet
     assert(scannedFiles == kept,
@@ -195,7 +195,7 @@ class TxnSpec extends SparkSpec {
     TxnTable.append(spark, t,
       Seq((200L, "x"), (201L, "y")).toDF("k", "v"))
     val entries = TxnTable.liveEntries(spark, t, 1)
-    assert(entries.forall(_.stats.exists(_._1 == "k")),
+    assert(entries.forall(_.stats.exists(_.col == "k")),
       "append dropped the manifest index from new files")
     val (snap, scanned, total) = TxnTable.snapshotRange(spark, t, "k", 200L, 300L)
     assert(scanned < total, "appended file stats did not prune")
@@ -236,7 +236,7 @@ class TxnSpec extends SparkSpec {
     TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t, df, "k"), -1L)
     val v1 = TxnTable.compact(spark, t)
     val entries = TxnTable.liveEntries(spark, t, v1)
-    assert(entries.forall(_.stats.exists(_._1 == "k")),
+    assert(entries.forall(_.stats.exists(_.col == "k")),
       "compaction dropped the manifest index")
     val (snap, _, _) = TxnTable.snapshotRange(spark, t, "k", 10L, 20L)
     assert(snap.select("k").as[Long].collect().toSet === (10L to 20L).toSet)
@@ -322,7 +322,7 @@ class TxnSpec extends SparkSpec {
     }.toSet + ((200L, "new"))
     assert(got === expect)
     // merged region re-staged WITH stats: the index survives the merge
-    assert(entriesAfter.forall(_.stats.exists(_._1 == "k")),
+    assert(entriesAfter.forall(_.stats.exists(_.col == "k")),
       "merge dropped the manifest index from rewritten files")
     // and a second merge into an untouched region still prunes
     val res2 = TxnTable.merge(spark, t,
@@ -424,6 +424,43 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.versions(spark, t) === Seq(18L, 19L))
     assert(TxnTable.history(spark, t).map(_._1) === (0L to 19L))
     assert(TxnTable.snapshot(spark, t).count() === 10 + 19 * 2)
+  }
+
+  test("null-count stats prune IS NULL reads; pruned files never opened") {
+    val t = freshTable("null_skip")
+    val s = spark
+    import s.implicits._
+    // keys 0..99, d NULL exactly for k < 25 → nulls concentrate in the
+    // low-key file(s) of the 4-file range clustering
+    val df = (0 until 100).map(i =>
+        (i.toLong, if (i < 25) None else Some(i.toLong * 3)))
+      .toDF("k", "d")
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+    TxnTable.commit(spark, t,
+      TxnTable.stageIndexed(spark, t, df, Seq("k", "d")), -1L)
+    val entries = TxnTable.liveEntries(spark, t, 0)
+    assert(entries.map(_.nullsFor("d").get).sum === 25L)
+    val withNulls = entries.filter(_.nullsFor("d").exists(_ > 0))
+    val (snap, scanned, total) = TxnTable.snapshotNulls(spark, t, "d")
+    assert(total === 4 && scanned === withNulls.size && scanned < total,
+      s"IS NULL did not prune ($scanned of $total)")
+    assert(snap.select("k").as[Long].collect().toSet === (0L until 25L).toSet)
+    // only null-carrying files are ever opened
+    val keptPaths = withNulls.map(e => s"$t/${e.path}").toSet
+    assert(snap.inputFiles.map(_.replaceFirst("^file:/+", "/")).toSet === keptPaths)
+    // an ALL-null file records the empty range: unmatchable by any value
+    // box, still visible to IS NULL
+    val t2 = freshTable("null_skip_allnull")
+    TxnTable.commit(spark, t2, TxnTable.stageIndexed(spark, t2,
+      Seq((1L, Option.empty[Long]), (2L, Option.empty[Long])).toDF("k", "d"),
+      Seq("k", "d")), -1L)
+    val e2 = TxnTable.liveEntries(spark, t2, 0)
+    assert(e2.forall(_.statFor("d").exists { case (lo, hi) => lo > hi }))
+    assert(e2.map(_.nullsFor("d").get).sum === 2L)
+    val (boxDf, boxScanned, _) =
+      TxnTable.snapshotRange(spark, t2, "d", Long.MinValue, Long.MaxValue)
+    assert(boxScanned === 0 && boxDf.count() === 0,
+      "empty range matched a value box")
   }
 
   test("cdc compares payloads null-safe: NULL→value and value→NULL are updates") {
