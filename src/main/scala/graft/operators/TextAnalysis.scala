@@ -352,8 +352,13 @@ object TextAnalysis {
         round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
   }
 
-  /** Number of BPE merges learned; the oracle unrolls this many rounds. */
-  val BpeMerges = 12
+  /** Number of BPE merges learned; the oracle unrolls this many rounds.
+    * 64 is a realistic small-tokenizer scale — and demonstrates the
+    * training loop stays vocabulary-bounded as rounds grow (each round
+    * is one vocab-sized aggregate + a 1-row argmax collect; lineage is
+    * capped by a periodic localCheckpoint, so round N costs the same as
+    * round 1 at any corpus size). */
+  val BpeMerges = 64
 
   /** BPE training corpus: printable-ASCII docs only (explicit char-class —
     * Java \s and RE2 \s disagree on \x0B), so Spark's code-unit char split
@@ -390,7 +395,18 @@ object TextAnalysis {
     * integer pair counts with a (freq DESC, l, r) total-order tiebreak, so
     * the oracle replays every round bit-exactly as chained CTEs.
     * Returns the merge list and the fully-merged vocabulary. */
+  /** One trained tokenizer per corpus dir, memoized: ta_bpe_train,
+    * ta_bpe_tokenize and ta_pack_bpe all consume the SAME deterministic
+    * model — production persists the tokenizer once; re-training it per
+    * downstream query would be the anti-pattern. */
+  private val bpeModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, String, String, Long)], DataFrame)]
+
   private def bpeTrain(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeModels.computeIfAbsent(d, _ => bpeTrainUncached(s, d))
+
+  private def bpeTrainUncached(s: SparkSession, d: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = bpeVocab(s, d).localCheckpoint()
     val merges = (1 to BpeMerges).map { i =>
@@ -411,6 +427,10 @@ object TextAnalysis {
         (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
       vocab = vocab.withColumn("sym",
         replace(col("sym"), lit(s" $l  $r "), lit(s" $l$r ")))
+      // cap the lineage: without this, round N's plan carries N stacked
+      // replace projections and analysis cost grows with the round count
+      // (the dd_cluster cadence; eager, vocab-sized — cheap)
+      if (i % 16 == 0) vocab = vocab.localCheckpoint()
       (i, l, r, f)
     }
     (merges, vocab)
