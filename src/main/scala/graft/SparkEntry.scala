@@ -72,6 +72,7 @@ object SparkEntry {
     "op_txn_schema_evolve"    -> (TxnTable.schemaEvolve _),
     "op_txn_checkpoint"       -> (TxnTable.txnCheckpoint _),
     "op_null_skip"            -> (TxnTable.nullSkip _),
+    "op_delete_pruned"        -> (TxnTable.deletePruned _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -1007,6 +1008,17 @@ object SparkEntry {
         |SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total,
         |  TRUE AS skip_ok
         |FROM b, r WHERE o_orderkey >= lo AND o_orderkey <= hi""".stripMargin,
+    // file-pruned DELETE: survivors replayed from the range rule; the
+    // three-way file accounting (interior files dropped metadata-only,
+    // ≤2 boundary rewrites, rest verbatim) travels as a boolean
+    "op_delete_pruned" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |r AS (SELECT MIN(k) + (MAX(k) - MIN(k)) // 4 AS lo,
+        |             MIN(k) + (MAX(k) - MIN(k)) // 2 AS hi FROM b)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS delete_ok
+        |FROM b, r WHERE k < lo OR k > hi""".stripMargin,
     // IS NULL pruning via null-count manifest stats: the null rows are
     // exactly the lowest-eighth keys (oracle-replayed); the metadata
     // prune travels as a boolean

@@ -408,6 +408,61 @@ object TxnTable {
     def total: Int = touched + untouched
   }
 
+  /** Outcome of a file-pruned [[deleteRange]]: `dropped` files were
+    * removed from the manifest WITHOUT being read (their whole key range
+    * fell inside the predicate — metadata-only deletion), `rewritten`
+    * were filtered and re-staged, `kept` carried verbatim. */
+  case class DeleteResult(version: Long, dropped: Int, rewritten: Int,
+      kept: Int) {
+    def total: Int = dropped + rewritten + kept
+  }
+
+  /** File-pruned DELETE of the key range [lo, hi]: the manifest's
+    * per-file key stats split the live set three ways — files fully
+    * INSIDE the range are dropped as pure metadata (never listed, opened,
+    * or read: deleting an aligned partition of a 100 TB table costs one
+    * manifest write), files straddling a range boundary are rewritten
+    * with the residual filter, and files fully OUTSIDE keep their
+    * manifest lines verbatim. Entries without stats on `key` are
+    * conservatively rewritten. Copy-on-write as always: pinned readers
+    * of older versions still see the deleted rows until vacuum. */
+  def deleteRange(s: SparkSession, table: String, key: String,
+                  lo: Long, hi: Long): DeleteResult = {
+    val cur = currentVersion(s, table)
+    val entries = liveEntries(s, table, cur)
+    val idxCols = entries.flatMap(_.stats.map(_.col)).distinct
+    def side(e: Entry): Char = e.statFor(key) match {
+      // an empty recorded range (all-null file) holds no key VALUES the
+      // range predicate could delete — keep it verbatim
+      case Some((fLo, fHi)) if fLo > fHi => 'k'
+      case Some((fLo, fHi)) if fLo >= lo && fHi <= hi &&
+        e.nullsFor(key).forall(_ == 0L) => 'd' // fully inside, no nulls
+      case Some((fLo, fHi)) if fHi < lo || fLo > hi => 'k' // fully outside
+      case _ => 'r'
+    }
+    val dropped = entries.filter(side(_) == 'd')
+    val kept = entries.filter(side(_) == 'k')
+    val rewrite = entries.filter(side(_) == 'r')
+    val fresh =
+      if (rewrite.isEmpty) Seq.empty
+      else {
+        val prev = s.read.parquet(rewrite.map(e => s"$table/${e.path}"): _*)
+        // residual: keep rows OUTSIDE [lo,hi]; null keys are never
+        // deleted by a range predicate (SQL three-valued logic)
+        val survivors = prev.filter(col(key).isNull ||
+          col(key) < lo || col(key) > hi)
+        val c = survivors
+          .repartitionByRange(math.max(rewrite.size, 1), col(key))
+          .sortWithinPartitions(col(key))
+        if (idxCols.nonEmpty)
+          stageIndexed(s, table, c, idxCols).filter(_.contains('\t'))
+        else stage(s, table, c)
+      }
+    val v = commit(s, table, kept.map(render) ++ fresh, cur, op = "delete",
+      schemaJson = committedSchema(s, table, cur).map(_.json).orNull)
+    DeleteResult(v, dropped.size, rewrite.size, kept.size)
+  }
+
   /** File-pruned copy-on-write MERGE (latest-wins upsert): batch rows
     * REPLACE current rows with the same key, new keys insert — but only
     * the files whose manifest [min,max] key range can contain a batch key
@@ -1085,6 +1140,38 @@ object TxnTable {
         sum(col("price")).cast("double").as("total"),
         count(col("prio")).as("n_prio"))
       .withColumn("evolve_ok", lit(oldOk && verbatim))
+  }
+
+  /** op_delete_pruned: the file-pruned DELETE as a checked query — the
+    * third leg of the DML triangle (append / merge / delete), and the
+    * only one with a METADATA-ONLY fast path. The orders slice is
+    * range-clustered on o_orderkey into 8 indexed files; deleting the
+    * second quarter of the keyspace must DROP the fully-covered interior
+    * file(s) from the manifest without reading them, rewrite at most the
+    * two boundary-straddling files, and carry everything else verbatim.
+    * Hashed output = the surviving rows (the range is oracle-replayable);
+    * `delete_ok` asserts the three-way file accounting. */
+  def deletePruned(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("delete_orders")
+    val base = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    commit(s, t, stageIndexed(s, t,
+      base.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create")
+    val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
+    val span = kmax - kmin
+    val (lo, hi) = (kmin + span / 4, kmin + span / 2)
+    val before = liveEntries(s, t, 0).map(render).toSet
+    val res = deleteRange(s, t, "o_orderkey", lo, hi)
+    val after = liveEntries(s, t, res.version).map(render).toSet
+    val verbatim = before.count(after.contains) == res.kept
+    // a contiguous range can straddle at most two boundary files
+    val ok = res.dropped >= 1 && res.kept >= 1 && res.rewritten <= 2 &&
+      verbatim
+    snapshot(s, t)
+      .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
+      .withColumn("delete_ok", lit(ok))
   }
 
   /** op_cdc_read: the change feed between two committed versions — what

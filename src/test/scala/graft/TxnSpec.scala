@@ -463,6 +463,41 @@ class TxnSpec extends SparkSpec {
       "empty range matched a value box")
   }
 
+  test("deleteRange drops fully-covered files metadata-only; null keys survive") {
+    val t = freshTable("delete_pruned")
+    val s = spark
+    import s.implicits._
+    val df = baseDf(100).repartitionByRange(4, col("k"))
+      .sortWithinPartitions(col("k"))
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t, df, "k"), -1L)
+    val entriesBefore = TxnTable.liveEntries(spark, t, 0)
+    val res = TxnTable.deleteRange(spark, t, "k", 30L, 80L)
+    // [~50..75) falls fully inside → dropped without a read; the two
+    // boundary files rewritten; [0..~25) untouched
+    assert(res.dropped === 1 && res.rewritten === 2 && res.kept === 1,
+      res.toString)
+    val droppedPath = entriesBefore.find(e =>
+      e.statFor("k").exists { case (lo, hi) => lo >= 30L && hi <= 80L }).get.path
+    val after = TxnTable.liveEntries(spark, t, res.version)
+    assert(!after.exists(_.path == droppedPath))
+    // copy-on-write: the dropped file stays on disk for pinned readers
+    assert(new java.io.File(s"$t/$droppedPath").exists())
+    assert(TxnTable.snapshot(spark, t, 0).count() === 100)
+    val got = TxnTable.snapshot(spark, t).select("k").as[Long].collect().toSet
+    assert(got === (0L until 100L).filter(k => k < 30 || k > 80).toSet)
+    // NULL keys are never deleted by a range predicate: a file fully
+    // inside the range but carrying null keys is rewritten, not dropped
+    val t2 = freshTable("delete_nulls")
+    val withNulls = (Seq.tabulate(10)(i => Some(i.toLong)) ++
+      Seq(None, None)).map(k => (k, "x")).toDF("k", "v").coalesce(1)
+    TxnTable.commit(spark, t2,
+      TxnTable.stageIndexed(spark, t2, withNulls, "k"), -1L)
+    val res2 = TxnTable.deleteRange(spark, t2, "k", 0L, 100L)
+    assert(res2.dropped === 0 && res2.rewritten === 1, res2.toString)
+    assert(TxnTable.snapshot(spark, t2).count() === 2)
+    assert(TxnTable.snapshot(spark, t2).filter(col("k").isNull).count() === 2)
+  }
+
   test("cdc compares payloads null-safe: NULL→value and value→NULL are updates") {
     val t = freshTable("cdc_null")
     val s = spark
