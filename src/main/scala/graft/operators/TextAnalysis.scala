@@ -395,16 +395,19 @@ object TextAnalysis {
     * integer pair counts with a (freq DESC, l, r) total-order tiebreak, so
     * the oracle replays every round bit-exactly as chained CTEs.
     * Returns the merge list and the fully-merged vocabulary. */
-  /** One trained tokenizer per corpus dir, memoized: ta_bpe_train,
-    * ta_bpe_tokenize and ta_pack_bpe all consume the SAME deterministic
-    * model — production persists the tokenizer once; re-training it per
-    * downstream query would be the anti-pattern. */
+  /** One trained tokenizer per (session, corpus dir), memoized:
+    * ta_bpe_train, ta_bpe_tokenize and ta_pack_bpe all consume the SAME
+    * deterministic model — production persists the tokenizer once;
+    * re-training it per downstream query would be the anti-pattern. The
+    * session is part of the key because the cached vocabulary is a
+    * localCheckpoint whose blocks die with its session — a new session
+    * must retrain, never inherit a stopped session's RDD. */
   private val bpeModels = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[(Int, String, String, Long)], DataFrame)]
+    (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame)]
 
   private def bpeTrain(s: SparkSession, d: String)
       : (Seq[(Int, String, String, Long)], DataFrame) =
-    bpeModels.computeIfAbsent(d, _ => bpeTrainUncached(s, d))
+    bpeModels.computeIfAbsent((s, d), _ => bpeTrainUncached(s, d))
 
   private def bpeTrainUncached(s: SparkSession, d: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {

@@ -158,7 +158,10 @@ object TxnTable {
     * outlives their manifests — retention bounds data, not lineage. */
   def checkpoint(s: SparkSession, table: String): Long = {
     val cur = currentVersion(s, table)
-    val trail = history(s, table)
+    // a commit can land between reading `cur` and the history scan: a
+    // checkpoint named `cur` must summarize versions ≤ cur ONLY, or the
+    // raced version would appear twice in every later history read
+    val trail = history(s, table).filter(_._1 <= cur)
     val f = fs(s, logDir(table))
     val tmpP = new Path(logDir(table), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmpP, false)
@@ -443,10 +446,17 @@ object TxnTable {
     val dropped = entries.filter(side(_) == 'd')
     val kept = entries.filter(side(_) == 'k')
     val rewrite = entries.filter(side(_) == 'r')
+    // rewritten files read with the COMMITTED schema (see merge): after
+    // an appendEvolve, footer inference could silently drop the new
+    // column from re-staged survivors
+    val reader = committedSchema(s, table, cur) match {
+      case Some(sch) => s.read.schema(sch)
+      case None      => s.read
+    }
     val fresh =
       if (rewrite.isEmpty) Seq.empty
       else {
-        val prev = s.read.parquet(rewrite.map(e => s"$table/${e.path}"): _*)
+        val prev = reader.parquet(rewrite.map(e => s"$table/${e.path}"): _*)
         // residual: keep rows OUTSIDE [lo,hi]; null keys are never
         // deleted by a range predicate (SQL three-valued logic)
         val survivors = prev.filter(col(key).isNull ||
@@ -458,7 +468,15 @@ object TxnTable {
           stageIndexed(s, table, c, idxCols).filter(_.contains('\t'))
         else stage(s, table, c)
       }
-    val v = commit(s, table, kept.map(render) ++ fresh, cur, op = "delete",
+    val lines = kept.map(render) ++ fresh
+    // a delete that empties the table must not commit a ZERO-file
+    // version (unreadable by design — snapshot fails loudly on those):
+    // stage one empty file carrying the schema so the empty table stays
+    // readable and appendable
+    val finalLines =
+      if (lines.nonEmpty) lines
+      else stage(s, table, snapshot(s, table, cur).limit(0))
+    val v = commit(s, table, finalLines, cur, op = "delete",
       schemaJson = committedSchema(s, table, cur).map(_.json).orNull)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
   }
@@ -509,12 +527,21 @@ object TxnTable {
     val (touched, kept) = entries.zipWithIndex.partition { case (_, i) =>
       touchedIdx.contains(i)
     } match { case (t, k) => (t.map(_._1), k.map(_._1)) }
+    // touched files are read with the COMMITTED schema (like snapshot):
+    // after an appendEvolve, footer inference could pick a pre-evolution
+    // file's schema and silently drop the new column from the rewrite
+    val reader = committedSchema(s, table, cur) match {
+      case Some(sch) => s.read.schema(sch)
+      case None      => s.read
+    }
     val merged =
       if (touched.isEmpty) batch
       else {
-        val prev = s.read.parquet(touched.map(e => s"$table/${e.path}"): _*)
+        val prev = reader.parquet(touched.map(e => s"$table/${e.path}"): _*)
         // anti-join on the key is the MERGE itself: surviving old rows +
         // the batch. Co-partitioned hash join over touched data only.
+        // NULL keys never match a key equality (SQL semantics), so
+        // null-key rows always survive the anti-join / always insert.
         prev.join(batch.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(batch)
       }
@@ -546,8 +573,16 @@ object TxnTable {
     }
     val fresh = touchedBounds match {
       case Some((tlo, thi)) =>
-        clusterStage(merged.filter(col(key) >= tlo && col(key) <= thi)) ++
+        // the split writes scan `merged` twice — persist so the touched
+        // files + anti-join execute ONCE, not per staging write (at
+        // scale the touched-region read is the dominant merge cost).
+        // NULL keys match neither range filter (three-valued logic), so
+        // they ride with the in-range cluster explicitly.
+        merged.persist()
+        try clusterStage(merged.filter(col(key).isNull ||
+            (col(key) >= tlo && col(key) <= thi))) ++
           clusterStage(merged.filter(col(key) < tlo || col(key) > thi))
+        finally merged.unpersist(blocking = false)
       case None => clusterStage(merged)
     }
     val v = commit(s, table, kept.map(render) ++ fresh, cur, op = "merge",
@@ -589,9 +624,20 @@ object TxnTable {
     f.listStatus(tmp).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).zipWithIndex
       .foreach { case (p, i) =>
-        f.rename(p, new Path(s"$table/_cdc/" + f"v$v%08d-$i.parquet"))
+        val dst = new Path(s"$table/_cdc/" + f"v$v%08d-$i.parquet")
+        // losing the rename to an existing dst is fine ONLY because the
+        // feed is deterministic (a crashed earlier publish of the same
+        // version wrote identical content); anything else must surface
+        require(f.rename(p, dst) || f.exists(dst),
+          s"cdc publish failed for $dst")
       }
     f.delete(tmp, true)
+    // crash window: a failure between the overwrite() above and this
+    // point commits version v with no change file. Single-writer
+    // recovery: re-running overwriteCdc's publish (or regenerating via
+    // cdcSigned(v-1, v) — the feed is a pure function of two committed
+    // versions) closes the gap; a production commit would stage the
+    // change files INSIDE the manifest transaction instead.
     v
   }
 

@@ -498,6 +498,52 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.snapshot(spark, t2).filter(col("k").isNull).count() === 2)
   }
 
+  test("merge preserves null-key rows and the evolved column; full delete stays readable") {
+    val s = spark
+    import s.implicits._
+    // (a) a null-key row in a TOUCHED file must survive the split
+    // staging (both range filters evaluate NULL to false)
+    val t = freshTable("merge_nulls")
+    val withNull = (Seq.tabulate(20)(i => (Some(i.toLong), s"row$i")) :+
+      ((Option.empty[Long], "nullrow"))).toDF("k", "v").coalesce(1)
+    TxnTable.commit(spark, t,
+      TxnTable.stageIndexed(spark, t, withNull, "k"), -1L)
+    val res = TxnTable.merge(spark, t, Seq((5L, "upd")).toDF("k", "v"), "k")
+    assert(res.touched === 1)
+    val after = TxnTable.snapshot(spark, t)
+    assert(after.filter(col("k").isNull).count() === 1,
+      "merge dropped the null-key row")
+    assert(after.count() === 21)
+    assert(after.filter(col("k") === 5L).select("v").as[String].collect()
+      === Array("upd"))
+    // (b) merge AFTER appendEvolve reads touched files with the
+    // committed schema — the evolved column survives the rewrite
+    val t2 = freshTable("merge_evolved")
+    val df2 = baseDf(40).repartitionByRange(2, col("k"))
+      .sortWithinPartitions(col("k"))
+    TxnTable.commit(spark, t2, TxnTable.stageIndexed(spark, t2, df2, "k"), -1L,
+      schemaJson = df2.schema.json)
+    TxnTable.appendEvolve(spark, t2,
+      Seq((100L, "new", 7L)).toDF("k", "v", "extra"))
+    val res2 = TxnTable.merge(spark, t2,
+      Seq((100L, "upd", Some(8L)), (3L, "u3", Option.empty[Long]))
+        .toDF("k", "v", "extra"), "k")
+    val snap2 = TxnTable.snapshot(spark, t2, res2.version)
+    assert(snap2.columns.toSeq === Seq("k", "v", "extra"))
+    assert(snap2.filter(col("k") === 100L).select("extra").as[Long].collect()
+      === Array(8L))
+    assert(snap2.count() === 41)
+    // (c) deleting EVERYTHING commits a readable, appendable empty table
+    val t3 = freshTable("delete_all")
+    TxnTable.commit(spark, t3,
+      TxnTable.stageIndexed(spark, t3, baseDf(10).coalesce(1), "k"), -1L)
+    val res3 = TxnTable.deleteRange(spark, t3, "k", Long.MinValue, Long.MaxValue)
+    assert(TxnTable.snapshot(spark, t3).count() === 0)
+    assert(TxnTable.snapshot(spark, t3).columns.toSeq === Seq("k", "v"))
+    TxnTable.append(spark, t3, baseDf(3))
+    assert(TxnTable.snapshot(spark, t3).count() === 3)
+  }
+
   test("cdc compares payloads null-safe: NULL→value and value→NULL are updates") {
     val t = freshTable("cdc_null")
     val s = spark
