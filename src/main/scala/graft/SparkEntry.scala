@@ -73,6 +73,7 @@ object SparkEntry {
     "op_txn_checkpoint"       -> (TxnTable.txnCheckpoint _),
     "op_null_skip"            -> (TxnTable.nullSkip _),
     "op_delete_pruned"        -> (TxnTable.deletePruned _),
+    "op_delete_mor"           -> (TxnTable.deleteMor _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -1019,6 +1020,19 @@ object SparkEntry {
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS delete_ok
         |FROM b, r WHERE k < lo OR k > hi""".stripMargin,
+    // merge-on-read delete: both generations (tombstone anti-join, then
+    // compacted materialization) must hash to the same surviving rows;
+    // zero-rewrite + tombstone accounting travels as a boolean
+    "op_delete_mor" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |f AS (SELECT * FROM b WHERE k % 7 <> 0)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total, 'mor' AS src, TRUE AS mor_ok
+        |FROM f GROUP BY st
+        |UNION ALL
+        |SELECT st, COUNT(*), CAST(SUM(price) AS DOUBLE), 'compacted', TRUE
+        |FROM f GROUP BY st""".stripMargin,
     // IS NULL pruning via null-count manifest stats: the null rows are
     // exactly the lowest-eighth keys (oracle-replayed); the metadata
     // prune travels as a boolean

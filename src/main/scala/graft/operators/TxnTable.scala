@@ -206,7 +206,8 @@ object TxnTable {
     * optimistic concurrency, never clobber. */
   def commit(s: SparkSession, table: String, relFiles: Seq[String],
              expected: Long, op: String = "write",
-             schemaJson: String = null): Long = {
+             schemaJson: String = null,
+             deleteLines: Seq[(String, String)] = Nil): Long = {
     val ld = logDir(table)
     val f = fs(s, ld)
     f.mkdirs(ld)
@@ -220,11 +221,15 @@ object TxnTable {
     // the committed schema travels IN the log (one JSON line): readers
     // plan from manifest metadata alone — no footer reads, and a version
     // whose file set predates an added column still reads correctly
-    // (parquet fills requested-but-absent columns with NULL by name)
+    // (parquet fills requested-but-absent columns with NULL by name).
+    // `#delete=` lines register merge-on-read tombstone files (path +
+    // key column) the reader anti-joins at scan time.
     val schemaLine = Option(schemaJson).map(j => s"#schema=$j\n").getOrElse("")
+    val delLines = deleteLines
+      .map { case (p, c) => s"#delete=$p\t$c\n" }.mkString
     try out.write(
-      (s"#op=$op\n" + schemaLine + relFiles.sorted.mkString("\n") + "\n")
-        .getBytes(UTF_8))
+      (s"#op=$op\n" + schemaLine + delLines +
+        relFiles.sorted.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
     val dst = manifestPath(table, next)
     // HDFS rename refuses an existing destination atomically; the LOCAL
@@ -271,6 +276,7 @@ object TxnTable {
     * is how a table evolves.) */
   def append(s: SparkSession, table: String, df: DataFrame): Long = {
     val cur = currentVersion(s, table)
+    requireNoTombstones(s, table, cur, "append")
     val have = snapshot(s, table, cur).schema
       .map(f => (f.name, f.dataType)).toSeq
     val got = df.schema.map(f => (f.name, f.dataType)).toSeq
@@ -370,8 +376,9 @@ object TxnTable {
       case Some(sch) => s.read.schema(sch)
       case None      => s.read
     }
-    val df = reader.parquet(paths: _*)
-      .filter(if (kept.nonEmpty) lit(true) else lit(false))
+    val df = applyTombstones(s, table, ver,
+      reader.parquet(paths: _*)
+        .filter(if (kept.nonEmpty) lit(true) else lit(false)))
       .filter(residual)
     (df, kept.size, entries.size)
   }
@@ -398,8 +405,9 @@ object TxnTable {
       case Some(sch) => s.read.schema(sch)
       case None      => s.read
     }
-    val df = reader.parquet(paths: _*)
-      .filter(if (kept.nonEmpty) lit(true) else lit(false))
+    val df = applyTombstones(s, table, ver,
+      reader.parquet(paths: _*)
+        .filter(if (kept.nonEmpty) lit(true) else lit(false)))
       .filter(col(c).isNull)
     (df, kept.size, entries.size)
   }
@@ -432,6 +440,7 @@ object TxnTable {
   def deleteRange(s: SparkSession, table: String, key: String,
                   lo: Long, hi: Long): DeleteResult = {
     val cur = currentVersion(s, table)
+    requireNoTombstones(s, table, cur, "deleteRange")
     val entries = liveEntries(s, table, cur)
     val idxCols = entries.flatMap(_.stats.map(_.col)).distinct
     def side(e: Entry): Char = e.statFor(key) match {
@@ -511,6 +520,7 @@ object TxnTable {
   def merge(s: SparkSession, table: String, batch: DataFrame,
             key: String): MergeResult = {
     val cur = currentVersion(s, table)
+    requireNoTombstones(s, table, cur, "merge")
     val entries = liveEntries(s, table, cur)
     val ranged = entries.zipWithIndex.flatMap { case (e, i) =>
       e.statFor(key).map { case (lo, hi) => (i, lo, hi) }
@@ -645,6 +655,50 @@ object TxnTable {
     * scan EXACTLY those files. The file list is fixed here, eagerly — the
     * returned plan keeps reading this version's files no matter what is
     * committed (or staged, or orphaned) afterwards. */
+  /** The merge-on-read tombstone files of version `v`: (table-relative
+    * path, key column). Rows whose key appears in a tombstone file are
+    * DELETED as of this version — readers anti-join them at scan time. */
+  def deleteFiles(s: SparkSession, table: String, v: Long)
+      : Seq[(String, String)] =
+    manifestText(s, table, v).linesIterator
+      .filter(_.startsWith("#delete=")).map { l =>
+        val Array(p, c) = l.stripPrefix("#delete=").split('\t')
+        (p, c)
+      }.toSeq
+
+  /** Merge-on-read DELETE by key set: stages ONE tombstone file (the
+    * distinct keys to drop) and commits it as manifest metadata — every
+    * data entry carries verbatim, zero data rewritten. The copy-on-write
+    * complement: [[deleteRange]] wins when the predicate aligns with the
+    * file layout; for keys SCATTERED across every file (the GDPR
+    * per-record erasure shape) copy-on-write would rewrite the whole
+    * table, while merge-on-read costs one small write now and defers the
+    * rewrite to [[compact]], which applies tombstones and commits a
+    * clean version. Readers pay the anti-join until then — the classic
+    * read/write amplification trade, chosen per delete.
+    *
+    * Tombstones are equality deletes on CURRENT rows; writers that could
+    * change what "current" means file-by-file (append/merge/deleteRange)
+    * refuse while tombstones are pending (no per-file sequence numbers
+    * in this minimal log — public formats add them to lift exactly this
+    * restriction). Apply via compact() first. */
+  def deleteKeysMor(s: SparkSession, table: String, keys: DataFrame,
+                    key: String): Long = {
+    val cur = currentVersion(s, table)
+    val entries = liveEntries(s, table, cur)
+    val staged = stage(s, table, keys.select(col(key)).distinct().coalesce(1))
+    val dels = deleteFiles(s, table, cur) ++ staged.map((_, key))
+    commit(s, table, entries.map(render), cur, op = "delete_mor",
+      schemaJson = committedSchema(s, table, cur).map(_.json).orNull,
+      deleteLines = dels)
+  }
+
+  private def requireNoTombstones(s: SparkSession, table: String, cur: Long,
+                                  op: String): Unit =
+    require(deleteFiles(s, table, cur).isEmpty,
+      s"$op on $table requires no pending merge-on-read tombstones — " +
+        "compact() applies them first")
+
   /** The schema version `v` was committed with, if the commit recorded
     * one (`#schema=` manifest line — schema-in-the-log, the way every
     * public table format evolves: the file footers never decide). */
@@ -656,6 +710,20 @@ object TxnTable {
           l.stripPrefix("#schema="))
           .asInstanceOf[org.apache.spark.sql.types.StructType])
 
+  /** Anti-join version `ver`'s merge-on-read tombstones (if any) into a
+    * scan of its data files. Tombstone sets are small (one file of keys
+    * per delete) — AQE broadcasts the build side, so the read pays a
+    * map-only filter, not a shuffle. */
+  private def applyTombstones(s: SparkSession, table: String, ver: Long,
+                              df: DataFrame): DataFrame =
+    deleteFiles(s, table, ver).groupBy(_._2).foldLeft(df) {
+      case (acc, (kc, fls)) =>
+        acc.join(
+          s.read.parquet(fls.map(f => s"$table/${f._1}"): _*)
+            .select(col(kc)).distinct(),
+          Seq(kc), "left_anti")
+    }
+
   def snapshot(s: SparkSession, table: String, v: Long = -1L): DataFrame = {
     val ver = if (v < 0) currentVersion(s, table) else v
     val files = liveFiles(s, table, ver).map(rel => s"$table/$rel")
@@ -664,10 +732,11 @@ object TxnTable {
     require(files.nonEmpty, s"$table version $ver lists no files")
     // a committed schema wins over file-footer inference: files older
     // than an added column read it as NULL (by-name parquet resolution)
-    committedSchema(s, table, ver) match {
+    val base = committedSchema(s, table, ver) match {
       case Some(sch) => s.read.schema(sch).parquet(files: _*)
       case None      => s.read.parquet(files: _*)
     }
+    applyTombstones(s, table, ver, base)
   }
 
   /** Schema-evolving append: `df` may carry NEW columns beyond the
@@ -680,6 +749,7 @@ object TxnTable {
     * columns from then on. */
   def appendEvolve(s: SparkSession, table: String, df: DataFrame): Long = {
     val cur = currentVersion(s, table)
+    requireNoTombstones(s, table, cur, "appendEvolve")
     val have = snapshot(s, table, cur).schema
       .map(f => (f.name, f.dataType)).toSeq
     val got = df.schema.map(f => (f.name, f.dataType)).toSeq
@@ -738,7 +808,11 @@ object TxnTable {
   def vacuum(s: SparkSession, table: String, retain: Int = 1): Unit = {
     val vs = versions(s, table)
     val (dead, live) = vs.splitAt(math.max(0, vs.size - retain))
-    val keep = live.flatMap(liveFiles(s, table, _)).toSet
+    // a retained version's files include its merge-on-read TOMBSTONES:
+    // they live under data/ like any staged file, and deleting one would
+    // silently resurrect deleted rows
+    val keep = live.flatMap(liveFiles(s, table, _)).toSet ++
+      live.flatMap(deleteFiles(s, table, _).map(_._1))
     val dataDir = new Path(table, "data")
     val f = fs(s, dataDir)
     // dead manifests go FIRST: if the vacuum crashes mid-way, a vacuumed
@@ -1218,6 +1292,37 @@ object TxnTable {
     snapshot(s, t)
       .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
       .withColumn("delete_ok", lit(ok))
+  }
+
+  /** op_delete_mor: merge-on-read DELETE as a checked query — the
+    * complement of op_delete_pruned for keys SCATTERED across every file
+    * (per-record erasure): copy-on-write would rewrite the whole table,
+    * merge-on-read commits ONE tombstone file of keys (%7) as manifest
+    * metadata while every data entry carries VERBATIM. The first output
+    * generation ('mor') hashes the anti-joined read; compact() then
+    * APPLIES the tombstones and the second generation ('compacted')
+    * must hash identically from a clean, tombstone-free version.
+    * `mor_ok` asserts the mechanics: zero data files rewritten by the
+    * delete, exactly one tombstone registered, none after compaction,
+    * and the pre-delete version still reads the full content. */
+  def deleteMor(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("mor_orders")
+    val base = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    commit(s, t, stageIndexed(s, t,
+      base.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create")
+    val before = liveEntries(s, t, 0).map(render)
+    val v1 = deleteKeysMor(s, t, base.filter(pmod(k, lit(7)) === 0)
+      .select(k), "o_orderkey")
+    val verbatim = liveEntries(s, t, v1).map(render) == before
+    val morAgg = statusAgg(snapshot(s, t, v1), "mor")
+    val v2 = compact(s, t)
+    val ok = verbatim && deleteFiles(s, t, v1).size == 1 &&
+      deleteFiles(s, t, v2).isEmpty &&
+      snapshot(s, t, 0).count() > snapshot(s, t, v2).count()
+    morAgg.unionByName(statusAgg(snapshot(s, t, v2), "compacted"))
+      .withColumn("mor_ok", lit(ok))
   }
 
   /** op_cdc_read: the change feed between two committed versions — what

@@ -544,6 +544,50 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.snapshot(spark, t3).count() === 3)
   }
 
+  test("merge-on-read delete: zero rewrite, anti-joined reads, compact applies") {
+    val t = freshTable("mor")
+    val s = spark
+    import s.implicits._
+    val df = baseDf(100).repartitionByRange(4, col("k"))
+      .sortWithinPartitions(col("k"))
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t, df, "k"), -1L)
+    val v0Files = TxnTable.liveFiles(spark, t, 0)
+    // scattered keys (every file hit) — the shape copy-on-write hates
+    val v1 = TxnTable.deleteKeysMor(spark, t,
+      (0L until 100L by 7L).toDF("k"), "k")
+    // zero data rewrite: identical file list, one tombstone registered
+    assert(TxnTable.liveFiles(spark, t, v1) === v0Files)
+    assert(TxnTable.deleteFiles(spark, t, v1).size === 1)
+    // reads anti-join the tombstone; the pinned version still sees all
+    val expect = (0L until 100L).filterNot(_ % 7 == 0).toSet
+    assert(TxnTable.snapshot(spark, t).select("k").as[Long].collect().toSet
+      === expect)
+    assert(TxnTable.snapshot(spark, t, 0).count() === 100)
+    // box reads apply tombstones too
+    val (boxDf, _, _) = TxnTable.snapshotRange(spark, t, "k", 0L, 20L)
+    assert(boxDf.select("k").as[Long].collect().toSet
+      === (0L to 20L).filterNot(_ % 7 == 0).toSet)
+    // writers that can't see through tombstones refuse until compaction
+    intercept[IllegalArgumentException] {
+      TxnTable.append(spark, t, baseDf(2))
+    }
+    intercept[IllegalArgumentException] {
+      TxnTable.merge(spark, t, Seq((1L, "x")).toDF("k", "v"), "k")
+    }
+    // vacuum keeps the tombstone while its version is retained
+    TxnTable.vacuum(spark, t, retain = 2)
+    assert(TxnTable.snapshot(spark, t).count() === expect.size)
+    // compact applies tombstones: clean version, same content, and the
+    // table is writable again
+    val v2 = TxnTable.compact(spark, t)
+    assert(TxnTable.deleteFiles(spark, t, v2).isEmpty)
+    assert(TxnTable.snapshot(spark, t).select("k").as[Long].collect().toSet
+      === expect)
+    TxnTable.append(spark, t,
+      Seq((200L, "new")).toDF("k", "v"))
+    assert(TxnTable.snapshot(spark, t).count() === expect.size + 1)
+  }
+
   test("cdc compares payloads null-safe: NULL→value and value→NULL are updates") {
     val t = freshTable("cdc_null")
     val s = spark
