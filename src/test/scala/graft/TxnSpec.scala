@@ -588,6 +588,19 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.snapshot(spark, t).count() === expect.size + 1)
   }
 
+  test("tombstone anti-join broadcasts the key set — no shuffle on the scan side") {
+    val t = freshTable("mor_plan")
+    val s = spark
+    import s.implicits._
+    TxnTable.create(spark, t, baseDf(1000))
+    TxnTable.deleteKeysMor(spark, t, (0L until 1000L by 9L).toDF("k"), "k")
+    val plan = TxnTable.snapshot(spark, t).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      "tombstone anti-join shuffled the table side:\n" + plan.take(800))
+  }
+
   test("cdc compares payloads null-safe: NULL→value and value→NULL are updates") {
     val t = freshTable("cdc_null")
     val s = spark
