@@ -406,8 +406,13 @@ object TextAnalysis {
     (SparkSession, String), (Seq[(Int, String, String, Long)], DataFrame)]
 
   private def bpeTrain(s: SparkSession, d: String)
-      : (Seq[(Int, String, String, Long)], DataFrame) =
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    // evict entries pinned to STOPPED sessions — otherwise a process
+    // that cycles sessions leaks one dead session + cached vocabulary
+    // per cycle for the life of the JVM
+    bpeModels.keySet.removeIf(k => k._1.sparkContext.isStopped)
     bpeModels.computeIfAbsent((s, d), _ => bpeTrainUncached(s, d))
+  }
 
   private def bpeTrainUncached(s: SparkSession, d: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {

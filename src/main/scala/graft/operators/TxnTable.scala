@@ -105,13 +105,34 @@ object TxnTable {
     try new String(in.readAllBytes(), UTF_8) finally in.close()
   }
 
-  /** The live-file entries of version `v`. Manifest line format: `path`
+  /** One fully-parsed manifest — a snapshot resolution or a guarded
+    * write reads and parses the log file ONCE and threads this struct
+    * through, instead of re-opening the same manifest for each facet
+    * (on an object store every open is a GET). */
+  case class Manifest(op: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      deletes: Seq[(String, String)], entries: Seq[Entry]) {
+    def liveFiles: Seq[String] = entries.map(_.path)
+    def idxCols: Seq[String] = entries.flatMap(_.stats.map(_.col)).distinct
+  }
+
+  /** Read + parse version `v`'s manifest. Line format: `#op=`/`#schema=`
+    * /`#delete=` metadata headers, then one live file per line — `path`
     * followed by zero or more `<TAB>col<TAB>min<TAB>max<TAB>nulls` stat
-    * groups (written by [[stageIndexed]]); `#`-prefixed lines are commit
-    * metadata. */
-  def liveEntries(s: SparkSession, table: String, v: Long): Seq[Entry] =
-    manifestText(s, table, v).linesIterator
-      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+    * groups (written by [[stageIndexed]]). */
+  def manifest(s: SparkSession, table: String, v: Long): Manifest = {
+    val lines = manifestText(s, table, v).linesIterator.toSeq
+    val op = lines.find(_.startsWith("#op="))
+      .map(_.stripPrefix("#op=")).getOrElse("write")
+    val schema = lines.find(_.startsWith("#schema=")).map(l =>
+      org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema="))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    val deletes = lines.filter(_.startsWith("#delete=")).map { l =>
+      val Array(p, c) = l.stripPrefix("#delete=").split('\t')
+      (p, c)
+    }
+    val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { line =>
         val parts = line.split('\t')
         require(parts.length % 4 == 1, s"bad manifest line: $line")
         val stats = parts.drop(1).grouped(4)
@@ -119,7 +140,14 @@ object TxnTable {
             ColStat(c, lo.toLong, hi.toLong, n.toLong)
           }.toSeq
         Entry(parts.head, stats)
-      }.toSeq
+      }
+    Manifest(op, schema, deletes, entries)
+  }
+
+  /** The live-file entries of version `v` (one log read; callers
+    * touching several manifest facets should use [[manifest]] once). */
+  def liveEntries(s: SparkSession, table: String, v: Long): Seq[Entry] =
+    manifest(s, table, v).entries
 
   private def checkpointPath(table: String, v: Long): Path =
     new Path(logDir(table), f"$v%08d.checkpoint")
@@ -276,24 +304,25 @@ object TxnTable {
     * is how a table evolves.) */
   def append(s: SparkSession, table: String, df: DataFrame): Long = {
     val cur = currentVersion(s, table)
-    requireNoTombstones(s, table, cur, "append")
-    val have = snapshot(s, table, cur).schema
+    val m = manifest(s, table, cur) // ONE log read for all facets below
+    requireNoTombstones(m.deletes, table, "append")
+    // the committed schema answers the drift check without touching any
+    // data file; only a pre-#schema table falls back to a footer read
+    val have = m.schema.getOrElse(snapshot(s, table, cur).schema)
       .map(f => (f.name, f.dataType)).toSeq
     val got = df.schema.map(f => (f.name, f.dataType)).toSeq
     require(got == have,
       s"append schema $got does not match table schema $have")
-    val entries = liveEntries(s, table, cur)
     // appending stat-less files to an INDEXED table would degrade pruning
     // and make the next compact() drop the index — stage with stats on
     // the table's index columns instead. Indexed = ANY entry carries
     // stats: a zero-row staged file legitimately has none, and one such
     // entry must not silently downgrade the whole table (skipping keeps
     // stat-less entries conservatively anyway)
-    val idxCols = entries.flatMap(_.stats.map(_.col)).distinct
     val fresh =
-      if (idxCols.nonEmpty) stageIndexed(s, table, df, idxCols)
+      if (m.idxCols.nonEmpty) stageIndexed(s, table, df, m.idxCols)
       else stage(s, table, df)
-    commit(s, table, entries.map(render) ++ fresh, cur, op = "append",
+    commit(s, table, m.entries.map(render) ++ fresh, cur, op = "append",
       schemaJson = df.schema.json)
   }
 
@@ -354,7 +383,8 @@ object TxnTable {
       : (DataFrame, Int, Int) = {
     require(box.nonEmpty, "snapshotBox needs at least one (col, lo, hi)")
     val ver = if (v < 0) currentVersion(s, table) else v
-    val entries = liveEntries(s, table, ver)
+    val m = manifest(s, table, ver)
+    val entries = m.entries
     // parquet needs at least one file to carry the schema — fail loudly
     // on a zero-file version instead of an obscure schema-inference error
     require(entries.nonEmpty, s"$table version $ver lists no files")
@@ -372,12 +402,8 @@ object TxnTable {
       .map(e => s"$table/${e.path}")
     val residual = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
       .reduce(_ && _)
-    val reader = committedSchema(s, table, ver) match {
-      case Some(sch) => s.read.schema(sch)
-      case None      => s.read
-    }
-    val df = applyTombstones(s, table, ver,
-      reader.parquet(paths: _*)
+    val df = applyTombstones(s, table, m.deletes,
+      schemaReader(s, m).parquet(paths: _*)
         .filter(if (kept.nonEmpty) lit(true) else lit(false)))
       .filter(residual)
     (df, kept.size, entries.size)
@@ -396,17 +422,14 @@ object TxnTable {
   def snapshotNulls(s: SparkSession, table: String, c: String,
                     v: Long = -1L): (DataFrame, Int, Int) = {
     val ver = if (v < 0) currentVersion(s, table) else v
-    val entries = liveEntries(s, table, ver)
+    val m = manifest(s, table, ver)
+    val entries = m.entries
     require(entries.nonEmpty, s"$table version $ver lists no files")
     val kept = entries.filter(_.nullsFor(c).forall(_ > 0))
     val paths = (if (kept.nonEmpty) kept else entries.take(1))
       .map(e => s"$table/${e.path}")
-    val reader = committedSchema(s, table, ver) match {
-      case Some(sch) => s.read.schema(sch)
-      case None      => s.read
-    }
-    val df = applyTombstones(s, table, ver,
-      reader.parquet(paths: _*)
+    val df = applyTombstones(s, table, m.deletes,
+      schemaReader(s, m).parquet(paths: _*)
         .filter(if (kept.nonEmpty) lit(true) else lit(false)))
       .filter(col(c).isNull)
     (df, kept.size, entries.size)
@@ -440,9 +463,10 @@ object TxnTable {
   def deleteRange(s: SparkSession, table: String, key: String,
                   lo: Long, hi: Long): DeleteResult = {
     val cur = currentVersion(s, table)
-    requireNoTombstones(s, table, cur, "deleteRange")
-    val entries = liveEntries(s, table, cur)
-    val idxCols = entries.flatMap(_.stats.map(_.col)).distinct
+    val m = manifest(s, table, cur) // ONE log read for all facets below
+    requireNoTombstones(m.deletes, table, "deleteRange")
+    val entries = m.entries
+    val idxCols = m.idxCols
     def side(e: Entry): Char = e.statFor(key) match {
       // an empty recorded range (all-null file) holds no key VALUES the
       // range predicate could delete — keep it verbatim
@@ -458,14 +482,11 @@ object TxnTable {
     // rewritten files read with the COMMITTED schema (see merge): after
     // an appendEvolve, footer inference could silently drop the new
     // column from re-staged survivors
-    val reader = committedSchema(s, table, cur) match {
-      case Some(sch) => s.read.schema(sch)
-      case None      => s.read
-    }
     val fresh =
       if (rewrite.isEmpty) Seq.empty
       else {
-        val prev = reader.parquet(rewrite.map(e => s"$table/${e.path}"): _*)
+        val prev = schemaReader(s, m)
+          .parquet(rewrite.map(e => s"$table/${e.path}"): _*)
         // residual: keep rows OUTSIDE [lo,hi]; null keys are never
         // deleted by a range predicate (SQL three-valued logic)
         val survivors = prev.filter(col(key).isNull ||
@@ -486,7 +507,7 @@ object TxnTable {
       if (lines.nonEmpty) lines
       else stage(s, table, snapshot(s, table, cur).limit(0))
     val v = commit(s, table, finalLines, cur, op = "delete",
-      schemaJson = committedSchema(s, table, cur).map(_.json).orNull)
+      schemaJson = m.schema.map(_.json).orNull)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
   }
 
@@ -520,8 +541,9 @@ object TxnTable {
   def merge(s: SparkSession, table: String, batch: DataFrame,
             key: String): MergeResult = {
     val cur = currentVersion(s, table)
-    requireNoTombstones(s, table, cur, "merge")
-    val entries = liveEntries(s, table, cur)
+    val m = manifest(s, table, cur) // ONE log read for all facets below
+    requireNoTombstones(m.deletes, table, "merge")
+    val entries = m.entries
     val ranged = entries.zipWithIndex.flatMap { case (e, i) =>
       e.statFor(key).map { case (lo, hi) => (i, lo, hi) }
     }
@@ -540,10 +562,7 @@ object TxnTable {
     // touched files are read with the COMMITTED schema (like snapshot):
     // after an appendEvolve, footer inference could pick a pre-evolution
     // file's schema and silently drop the new column from the rewrite
-    val reader = committedSchema(s, table, cur) match {
-      case Some(sch) => s.read.schema(sch)
-      case None      => s.read
-    }
+    val reader = schemaReader(s, m)
     val merged =
       if (touched.isEmpty) batch
       else {
@@ -659,12 +678,7 @@ object TxnTable {
     * path, key column). Rows whose key appears in a tombstone file are
     * DELETED as of this version — readers anti-join them at scan time. */
   def deleteFiles(s: SparkSession, table: String, v: Long)
-      : Seq[(String, String)] =
-    manifestText(s, table, v).linesIterator
-      .filter(_.startsWith("#delete=")).map { l =>
-        val Array(p, c) = l.stripPrefix("#delete=").split('\t')
-        (p, c)
-      }.toSeq
+      : Seq[(String, String)] = manifest(s, table, v).deletes
 
   /** Merge-on-read DELETE by key set: stages ONE tombstone file (the
     * distinct keys to drop) and commits it as manifest metadata — every
@@ -685,17 +699,27 @@ object TxnTable {
   def deleteKeysMor(s: SparkSession, table: String, keys: DataFrame,
                     key: String): Long = {
     val cur = currentVersion(s, table)
-    val entries = liveEntries(s, table, cur)
-    val staged = stage(s, table, keys.select(col(key)).distinct().coalesce(1))
-    val dels = deleteFiles(s, table, cur) ++ staged.map((_, key))
-    commit(s, table, entries.map(render), cur, op = "delete_mor",
-      schemaJson = committedSchema(s, table, cur).map(_.json).orNull,
+    val m = manifest(s, table, cur)
+    // a tombstone on a column the table doesn't have would poison every
+    // future read (the anti-join can't resolve) — fail HERE instead
+    val cols = m.schema.map(_.fieldNames.toSeq)
+      .getOrElse(snapshot(s, table, cur).columns.toSeq)
+    require(cols.contains(key),
+      s"tombstone key '$key' is not a column of $table (has: $cols)")
+    val keySet = keys.select(col(key)).distinct().coalesce(1)
+    // an empty delete must be a NO-OP: committing an empty tombstone
+    // would lock out writers until a full-table compaction for nothing
+    if (keySet.isEmpty) return cur
+    val staged = stage(s, table, keySet)
+    val dels = m.deletes ++ staged.map((_, key))
+    commit(s, table, m.entries.map(render), cur, op = "delete_mor",
+      schemaJson = m.schema.map(_.json).orNull,
       deleteLines = dels)
   }
 
-  private def requireNoTombstones(s: SparkSession, table: String, cur: Long,
-                                  op: String): Unit =
-    require(deleteFiles(s, table, cur).isEmpty,
+  private def requireNoTombstones(deletes: Seq[(String, String)],
+                                  table: String, op: String): Unit =
+    require(deletes.isEmpty,
       s"$op on $table requires no pending merge-on-read tombstones — " +
         "compact() applies them first")
 
@@ -704,19 +728,16 @@ object TxnTable {
     * public table format evolves: the file footers never decide). */
   def committedSchema(s: SparkSession, table: String, v: Long)
       : Option[org.apache.spark.sql.types.StructType] =
-    manifestText(s, table, v).linesIterator
-      .find(_.startsWith("#schema=")).map(l =>
-        org.apache.spark.sql.types.DataType.fromJson(
-          l.stripPrefix("#schema="))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    manifest(s, table, v).schema
 
-  /** Anti-join version `ver`'s merge-on-read tombstones (if any) into a
-    * scan of its data files. Tombstone sets are small (one file of keys
+  /** Anti-join merge-on-read tombstones (if any) into a scan of a
+    * version's data files. Tombstone sets are small (one file of keys
     * per delete) — AQE broadcasts the build side, so the read pays a
     * map-only filter, not a shuffle. */
-  private def applyTombstones(s: SparkSession, table: String, ver: Long,
+  private def applyTombstones(s: SparkSession, table: String,
+                              deletes: Seq[(String, String)],
                               df: DataFrame): DataFrame =
-    deleteFiles(s, table, ver).groupBy(_._2).foldLeft(df) {
+    deletes.groupBy(_._2).foldLeft(df) {
       case (acc, (kc, fls)) =>
         acc.join(
           s.read.parquet(fls.map(f => s"$table/${f._1}"): _*)
@@ -724,19 +745,22 @@ object TxnTable {
           Seq(kc), "left_anti")
     }
 
+  private def schemaReader(s: SparkSession, m: Manifest) = m.schema match {
+    case Some(sch) => s.read.schema(sch)
+    case None      => s.read
+  }
+
   def snapshot(s: SparkSession, table: String, v: Long = -1L): DataFrame = {
     val ver = if (v < 0) currentVersion(s, table) else v
-    val files = liveFiles(s, table, ver).map(rel => s"$table/$rel")
+    val m = manifest(s, table, ver)
+    val files = m.liveFiles.map(rel => s"$table/$rel")
     // same guard as snapshotBox: a zero-file version (an overwrite that
     // staged nothing) must fail loudly, not as a schema-inference error
     require(files.nonEmpty, s"$table version $ver lists no files")
     // a committed schema wins over file-footer inference: files older
     // than an added column read it as NULL (by-name parquet resolution)
-    val base = committedSchema(s, table, ver) match {
-      case Some(sch) => s.read.schema(sch).parquet(files: _*)
-      case None      => s.read.parquet(files: _*)
-    }
-    applyTombstones(s, table, ver, base)
+    applyTombstones(s, table, m.deletes,
+      schemaReader(s, m).parquet(files: _*))
   }
 
   /** Schema-evolving append: `df` may carry NEW columns beyond the
@@ -749,18 +773,17 @@ object TxnTable {
     * columns from then on. */
   def appendEvolve(s: SparkSession, table: String, df: DataFrame): Long = {
     val cur = currentVersion(s, table)
-    requireNoTombstones(s, table, cur, "appendEvolve")
-    val have = snapshot(s, table, cur).schema
+    val m = manifest(s, table, cur) // ONE log read for all facets below
+    requireNoTombstones(m.deletes, table, "appendEvolve")
+    val have = m.schema.getOrElse(snapshot(s, table, cur).schema)
       .map(f => (f.name, f.dataType)).toSeq
     val got = df.schema.map(f => (f.name, f.dataType)).toSeq
     require(got.take(have.size) == have,
       s"evolved schema $got must extend table schema $have (common columns first, unchanged)")
-    val entries = liveEntries(s, table, cur)
-    val idxCols = entries.flatMap(_.stats.map(_.col)).distinct
     val fresh =
-      if (idxCols.nonEmpty) stageIndexed(s, table, df, idxCols)
+      if (m.idxCols.nonEmpty) stageIndexed(s, table, df, m.idxCols)
       else stage(s, table, df)
-    commit(s, table, entries.map(render) ++ fresh, cur, op = "evolve",
+    commit(s, table, m.entries.map(render) ++ fresh, cur, op = "evolve",
       schemaJson = df.schema.json)
   }
 
@@ -810,9 +833,10 @@ object TxnTable {
     val (dead, live) = vs.splitAt(math.max(0, vs.size - retain))
     // a retained version's files include its merge-on-read TOMBSTONES:
     // they live under data/ like any staged file, and deleting one would
-    // silently resurrect deleted rows
-    val keep = live.flatMap(liveFiles(s, table, _)).toSet ++
-      live.flatMap(deleteFiles(s, table, _).map(_._1))
+    // silently resurrect deleted rows. (One parsed manifest per retained
+    // version covers both facets.)
+    val keep = live.map(manifest(s, table, _))
+      .flatMap(m => m.liveFiles ++ m.deletes.map(_._1)).toSet
     val dataDir = new Path(table, "data")
     val f = fs(s, dataDir)
     // dead manifests go FIRST: if the vacuum crashes mid-way, a vacuumed

@@ -552,6 +552,15 @@ class TxnSpec extends SparkSpec {
       .sortWithinPartitions(col("k"))
     TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t, df, "k"), -1L)
     val v0Files = TxnTable.liveFiles(spark, t, 0)
+    // a tombstone on a non-existent column must fail NOW, not poison
+    // every future read; an empty key set must be a no-op commit
+    intercept[IllegalArgumentException] {
+      TxnTable.deleteKeysMor(spark, t,
+        (0L until 3L).toDF("bogus"), "bogus")
+    }
+    assert(TxnTable.deleteKeysMor(spark, t,
+      (0L until 100L).filter(_ => false).toDF("k"), "k") === 0L)
+    assert(TxnTable.versions(spark, t) === Seq(0L), "empty delete committed")
     // scattered keys (every file hit) — the shape copy-on-write hates
     val v1 = TxnTable.deleteKeysMor(spark, t,
       (0L until 100L by 7L).toDF("k"), "k")
