@@ -74,6 +74,7 @@ object SparkEntry {
     "op_null_skip"            -> (TxnTable.nullSkip _),
     "op_delete_pruned"        -> (TxnTable.deletePruned _),
     "op_delete_mor"           -> (TxnTable.deleteMor _),
+    "op_str_skip"             -> (TxnTable.strSkip _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
@@ -1020,6 +1021,13 @@ object SparkEntry {
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS delete_ok
         |FROM b, r WHERE k < lo OR k > hi""".stripMargin,
+    // string manifest stats: the priority slice is trivially replayed;
+    // the string-bound metadata prune travels as a boolean
+    "op_str_skip" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  TRUE AS skip_ok
+        |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     // merge-on-read delete: both generations (tombstone anti-join, then
     // compacted materialization) must hash to the same surviving rows;
     // zero-rewrite + tombstone accounting travels as a boolean

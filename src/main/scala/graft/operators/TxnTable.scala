@@ -77,18 +77,30 @@ object TxnTable {
     * IS NULL pruning. */
   case class ColStat(col: String, lo: Long, hi: Long, nulls: Long)
 
+  /** Per-file STRING-column statistics: truncated [lo, hi] bounds plus
+    * null count. Bounds are conservative under truncation — `lo` is a
+    * prefix (≤ every value), `hi` a prefix with its last char bumped
+    * (≥ every value) — so pruning stays sound however long the values
+    * are (the public Iceberg bound-truncation recipe). Comparisons are
+    * binary/ASCII-faithful; the manifest encodes bounds base64 so tabs
+    * or newlines in data can never corrupt the line format. */
+  case class StrStat(col: String, lo: String, hi: String, nulls: Long)
+
   /** One manifest entry: a live file plus per-file column stats — zero or
-    * more (column, min, max, nulls) groups — for manifest-level data
-    * skipping. Multiple columns give MULTI-dimensional skipping: with a
-    * z-ordered layout every file has a tight bounding box in each indexed
-    * dimension, so a box predicate prunes on all of them at once; null
-    * counts let IS NULL predicates prune too (the Iceberg/Delta stat
-    * triple). */
-  case class Entry(path: String, stats: Seq[ColStat]) {
+    * more (column, min, max, nulls) groups, integral or string — for
+    * manifest-level data skipping. Multiple columns give
+    * MULTI-dimensional skipping: with a z-ordered layout every file has
+    * a tight bounding box in each indexed dimension, so a box predicate
+    * prunes on all of them at once; null counts let IS NULL predicates
+    * prune too (the Iceberg/Delta stat triple). */
+  case class Entry(path: String, stats: Seq[ColStat],
+      strStats: Seq[StrStat] = Nil) {
     def statFor(c: String): Option[(Long, Long)] =
       stats.collectFirst { case ColStat(`c`, lo, hi, _) => (lo, hi) }
     def nullsFor(c: String): Option[Long] =
       stats.collectFirst { case ColStat(`c`, _, _, n) => n }
+    def strStatFor(c: String): Option[(String, String)] =
+      strStats.collectFirst { case StrStat(`c`, lo, hi, _) => (lo, hi) }
   }
 
   /** Log-file reads since process start — instrumentation for the
@@ -114,6 +126,8 @@ object TxnTable {
       deletes: Seq[(String, String)], entries: Seq[Entry]) {
     def liveFiles: Seq[String] = entries.map(_.path)
     def idxCols: Seq[String] = entries.flatMap(_.stats.map(_.col)).distinct
+    def strIdxCols: Seq[String] =
+      entries.flatMap(_.strStats.map(_.col)).distinct
   }
 
   /** Read + parse version `v`'s manifest. Line format: `#op=`/`#schema=`
@@ -135,14 +149,38 @@ object TxnTable {
       .map { line =>
         val parts = line.split('\t')
         require(parts.length % 4 == 1, s"bad manifest line: $line")
-        val stats = parts.drop(1).grouped(4)
-          .map { case Array(c, lo, hi, n) =>
+        val groups = parts.drop(1).grouped(4).toSeq
+        val stats = groups.collect {
+          case Array(c, lo, hi, n) if !c.endsWith("~s") =>
             ColStat(c, lo.toLong, hi.toLong, n.toLong)
-          }.toSeq
-        Entry(parts.head, stats)
+        }
+        val strs = groups.collect {
+          case Array(c, lo, hi, n) if c.endsWith("~s") =>
+            StrStat(c.stripSuffix("~s"), b64dec(lo), b64dec(hi), n.toLong)
+        }
+        Entry(parts.head, stats, strs)
       }
     Manifest(op, schema, deletes, entries)
   }
+
+  private def b64enc(v: String): String =
+    java.util.Base64.getEncoder.encodeToString(v.getBytes(UTF_8))
+  private def b64dec(v: String): String =
+    new String(java.util.Base64.getDecoder.decode(v), UTF_8)
+
+  /** Iceberg-style conservative bound truncation at 16 chars: the lower
+    * bound truncates to a prefix (≤ every value); the upper bound bumps
+    * the truncated prefix's last char (≥ every value). A last char at
+    * Char.MaxValue falls back to the untruncated value (vanishingly
+    * rare; correctness over compactness). */
+  private[operators] def truncLower(v: String): String = v.take(16)
+  private[operators] def truncUpper(v: String): String =
+    if (v.length <= 16) v
+    else {
+      val t = v.take(16)
+      if (t.last == Char.MaxValue) v
+      else t.init + (t.last + 1).toChar
+    }
 
   /** The live-file entries of version `v` (one log read; callers
     * touching several manifest facets should use [[manifest]] once). */
@@ -320,14 +358,18 @@ object TxnTable {
     // entry must not silently downgrade the whole table (skipping keeps
     // stat-less entries conservatively anyway)
     val fresh =
-      if (m.idxCols.nonEmpty) stageIndexed(s, table, df, m.idxCols)
+      if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
+        stageIndexed(s, table, df, m.idxCols, m.strIdxCols)
       else stage(s, table, df)
     commit(s, table, m.entries.map(render) ++ fresh, cur, op = "append",
       schemaJson = df.schema.json)
   }
 
   private def render(e: Entry): String =
-    (e.path +: e.stats.map { case ColStat(c, lo, hi, n) => s"$c\t$lo\t$hi\t$n" })
+    (e.path +:
+      (e.stats.map { case ColStat(c, lo, hi, n) => s"$c\t$lo\t$hi\t$n" } ++
+        e.strStats.map { case StrStat(c, lo, hi, n) =>
+          s"$c~s\t${b64enc(lo)}\t${b64enc(hi)}\t$n" }))
       .mkString("\t")
 
   /** Stage with per-file column statistics: like [[stage]], but each
@@ -338,31 +380,47 @@ object TxnTable {
     * just-staged files (write-time, amortized over every future
     * selective read). */
   def stageIndexed(s: SparkSession, table: String, df: DataFrame,
-                   indexCols: Seq[String]): Seq[String] = {
+                   indexCols: Seq[String],
+                   strCols: Seq[String] = Nil): Seq[String] = {
     val rels = stage(s, table, df)
     if (rels.isEmpty) return rels
     val dir = rels.head.split('/').dropRight(1).mkString("/")
     val aggs = indexCols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"lo_$c"),
       max(col(c)).cast("long").as(s"hi_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")))
-    val stats = s.read.parquet(s"$table/$dir")
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))) ++
+      strCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"slo_$c"),
+        max(col(c)).cast("string").as(s"shi_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"snn_$c")))
+    val rows = s.read.parquet(s"$table/$dir")
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => (r.getString(0).split('/').last,
-        indexCols.map { c =>
-          // an ALL-NULL file has no min/max: record the empty range
-          // (lo > hi) — unmatchable by any value box, kept by IS NULL
-          if (r.isNullAt(r.fieldIndex(s"lo_$c")))
-            ColStat(c, 0L, -1L, r.getAs[Long](s"nn_$c"))
-          else ColStat(c, r.getAs[Long](s"lo_$c"), r.getAs[Long](s"hi_$c"),
-            r.getAs[Long](s"nn_$c"))
-        }))
+    val stats = rows.map(r => (r.getString(0).split('/').last,
+      (indexCols.map { c =>
+        // an ALL-NULL file has no min/max: record the empty range
+        // (lo > hi) — unmatchable by any value box, kept by IS NULL
+        if (r.isNullAt(r.fieldIndex(s"lo_$c")))
+          ColStat(c, 0L, -1L, r.getAs[Long](s"nn_$c"))
+        else ColStat(c, r.getAs[Long](s"lo_$c"), r.getAs[Long](s"hi_$c"),
+          r.getAs[Long](s"nn_$c"))
+      },
+        // an all-null STRING column omits its group (no sound bounds
+        // exist; missing stat = conservatively kept)
+        strCols.flatMap { c =>
+          if (r.isNullAt(r.fieldIndex(s"slo_$c"))) None
+          else Some(StrStat(c,
+            truncLower(r.getAs[String](s"slo_$c")),
+            truncUpper(r.getAs[String](s"shi_$c")),
+            r.getAs[Long](s"snn_$c")))
+        })))
       .toMap
     rels.map { rel =>
       // a zero-row staged file has no stats row — keep it conservatively
-      render(Entry(rel, stats.getOrElse(rel.split('/').last, Seq.empty)))
+      val (ints, strs) =
+        stats.getOrElse(rel.split('/').last, (Seq.empty, Seq.empty))
+      render(Entry(rel, ints, strs))
     }
   }
 
@@ -412,6 +470,33 @@ object TxnTable {
   def snapshotRange(s: SparkSession, table: String, indexCol: String,
                     lo: Long, hi: Long, v: Long = -1L): (DataFrame, Int, Int) =
     snapshotBox(s, table, Seq((indexCol, lo, hi)), v)
+
+  /** Resolve a snapshot pruned by a STRING range predicate on `c` from
+    * the manifest's string stats: entries whose truncated [lo, hi]
+    * bounds cannot intersect the query range are skipped. Bounds are
+    * conservative under truncation (see [[StrStat]]); entries without
+    * string stats on `c` are kept. Comparisons are lexicographic —
+    * ASCII-faithful on both the manifest side (Java) and the residual
+    * filter side (Spark UTF-8 binary). Returns the frame plus the
+    * (scanned, total) counts. */
+  def snapshotStrRange(s: SparkSession, table: String, c: String,
+                       lo: String, hi: String, v: Long = -1L)
+      : (DataFrame, Int, Int) = {
+    val ver = if (v < 0) currentVersion(s, table) else v
+    val m = manifest(s, table, ver)
+    val entries = m.entries
+    require(entries.nonEmpty, s"$table version $ver lists no files")
+    val kept = entries.filter(_.strStatFor(c).forall {
+      case (fLo, fHi) => fHi >= lo && fLo <= hi
+    })
+    val paths = (if (kept.nonEmpty) kept else entries.take(1))
+      .map(e => s"$table/${e.path}")
+    val df = applyTombstones(s, table, m.deletes,
+      schemaReader(s, m).parquet(paths: _*)
+        .filter(if (kept.nonEmpty) lit(true) else lit(false)))
+      .filter(col(c) >= lo && col(c) <= hi)
+    (df, kept.size, entries.size)
+  }
 
   /** Resolve a snapshot pruned by an IS NULL predicate on `c`: manifest
     * entries whose per-file null COUNT for `c` is zero are skipped —
@@ -494,8 +579,9 @@ object TxnTable {
         val c = survivors
           .repartitionByRange(math.max(rewrite.size, 1), col(key))
           .sortWithinPartitions(col(key))
-        if (idxCols.nonEmpty)
-          stageIndexed(s, table, c, idxCols).filter(_.contains('\t'))
+        if (idxCols.nonEmpty || m.strIdxCols.nonEmpty)
+          stageIndexed(s, table, c, idxCols, m.strIdxCols)
+            .filter(_.contains('\t'))
         else stage(s, table, c)
       }
     val lines = kept.map(render) ++ fresh
@@ -574,18 +660,19 @@ object TxnTable {
         prev.join(batch.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(batch)
       }
-    val idxCols = entries.flatMap(_.stats.map(_.col)).distinct
+    val idxCols = m.idxCols
     val parts = math.max(touched.size, 1)
     def clusterStage(df: DataFrame): Seq[String] = {
       val c = df.repartitionByRange(parts, col(key))
         .sortWithinPartitions(col(key))
-      if (idxCols.nonEmpty)
+      if (idxCols.nonEmpty || m.strIdxCols.nonEmpty)
         // Spark's writer emits one ZERO-ROW file for an empty side
         // (partition 0 always writes, to preserve schema). A zero-row
         // entry has no stats line, i.e. would be conservatively touched
         // by every future merge — drop it instead (the unreferenced file
         // is staging garbage; vacuum collects it)
-        stageIndexed(s, table, c, idxCols).filter(_.contains('\t'))
+        stageIndexed(s, table, c, idxCols, m.strIdxCols)
+          .filter(_.contains('\t'))
       else stage(s, table, c)
     }
     // stage the rewritten region and out-of-range inserts SEPARATELY:
@@ -781,7 +868,8 @@ object TxnTable {
     require(got.take(have.size) == have,
       s"evolved schema $got must extend table schema $have (common columns first, unchanged)")
     val fresh =
-      if (m.idxCols.nonEmpty) stageIndexed(s, table, df, m.idxCols)
+      if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
+        stageIndexed(s, table, df, m.idxCols, m.strIdxCols)
       else stage(s, table, df)
     commit(s, table, m.entries.map(render) ++ fresh, cur, op = "evolve",
       schemaJson = df.schema.json)
@@ -810,15 +898,24 @@ object TxnTable {
 
   def compact(s: SparkSession, table: String): Long = {
     val cur = currentVersion(s, table)
-    val entries = liveEntries(s, table, cur)
+    val m = manifest(s, table, cur)
     val target = compactionTarget(liveBytes(s, table, cur))
     val snap = snapshot(s, table, cur)
-    val idxCols = entries.flatMap(_.stats.map(_.col)).distinct
+    val idxCols = m.idxCols
+    // re-cluster on the integral index columns (string stats re-measure
+    // from the new layout regardless — compaction must never downgrade
+    // EITHER kind of manifest-skipping ability)
     val lines =
       if (idxCols.nonEmpty)
         stageIndexed(s, table,
           snap.repartitionByRange(target, idxCols.map(col): _*)
-            .sortWithinPartitions(idxCols.map(col): _*), idxCols)
+            .sortWithinPartitions(idxCols.map(col): _*),
+          idxCols, m.strIdxCols)
+      else if (m.strIdxCols.nonEmpty)
+        stageIndexed(s, table,
+          snap.repartitionByRange(target, m.strIdxCols.map(col): _*)
+            .sortWithinPartitions(m.strIdxCols.map(col): _*),
+          Nil, m.strIdxCols)
       else stage(s, table, snap.repartition(target))
     commit(s, table, lines, cur, op = "compact",
       schemaJson = snap.schema.json)
@@ -1316,6 +1413,31 @@ object TxnTable {
     snapshot(s, t)
       .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
       .withColumn("delete_ok", lit(ok))
+  }
+
+  /** op_str_skip: STRING manifest stats — the stat kind integral ranges
+    * can't provide. Orders are clustered by (o_orderpriority,
+    * o_orderkey) into 8 files committed with truncated string bounds
+    * per file; an equality read on one priority then prunes files from
+    * the MANIFEST alone. Hashed output = the priority slice's aggregate
+    * (trivially oracle-replayable); `skip_ok` asserts the metadata
+    * prune dropped files. Bound truncation (16 chars, upper bumped) is
+    * spec-proven conservative in TxnSpec. */
+  def strSkip(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("strskip_orders")
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderpriority"), col("o_totalprice").cast(D12).as("price"))
+    val clustered = base
+      .repartitionByRange(8, col("o_orderpriority"), col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderpriority"), col("o_orderkey"))
+    commit(s, t,
+      stageIndexed(s, t, clustered, Nil, Seq("o_orderpriority")),
+      expected = -1L, op = "create")
+    val (snap, scanned, total) =
+      snapshotStrRange(s, t, "o_orderpriority", "1-URGENT", "1-URGENT")
+    snap.agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total"))
+      .withColumn("skip_ok", lit(scanned >= 1 && scanned < total))
   }
 
   /** op_delete_mor: merge-on-read DELETE as a checked query — the

@@ -610,6 +610,44 @@ class TxnSpec extends SparkSpec {
       "tombstone anti-join shuffled the table side:\n" + plan.take(800))
   }
 
+  test("string manifest stats prune; truncated bounds stay conservative") {
+    val t = freshTable("str_skip")
+    val s = spark
+    import s.implicits._
+    // two name regions, >16-char values so truncation engages; one
+    // value carries a TAB to prove the base64 encoding keeps the
+    // manifest line format intact
+    val df = ((0 until 50).map(i => (i.toLong, f"aaaaaaaaaaaaaaaaZZ$i%02d")) ++
+      (50 until 100).map(i => (i.toLong, f"zzzzzzzzzzzzzzzzAA\t$i%02d")))
+      .toDF("k", "name")
+      .repartitionByRange(4, col("name")).sortWithinPartitions(col("name"))
+    TxnTable.commit(spark, t,
+      TxnTable.stageIndexed(spark, t, df, Seq("k"), Seq("name")), -1L)
+    val entries = TxnTable.liveEntries(spark, t, 0)
+    assert(entries.forall(e => e.strStatFor("name").nonEmpty &&
+      e.statFor("k").nonEmpty), "string + int stats must coexist")
+    // truncation: stored bounds are ≤16+1 chars and conservative
+    entries.flatMap(_.strStatFor("name")).foreach { case (lo, hi) =>
+      assert(lo.length <= 16 && hi.length <= 17, s"($lo,$hi)")
+    }
+    // a query inside the 'aaa…' region prunes the 'zzz…' files
+    val (snap, scanned, total) = TxnTable.snapshotStrRange(spark, t,
+      "name", "aaaaaaaaaaaaaaaaZZ00", "aaaaaaaaaaaaaaaaZZ49")
+    assert(scanned < total, s"string stats did not prune ($scanned of $total)")
+    assert(snap.count() === 50,
+      "truncated bounds pruned a file that held matching rows")
+    // equality on a TAB-carrying value still resolves correctly
+    val (snapTab, _, _) = TxnTable.snapshotStrRange(spark, t,
+      "name", "zzzzzzzzzzzzzzzzAA\t50", "zzzzzzzzzzzzzzzzAA\t50")
+    assert(snapTab.select("k").as[Long].collect().toSeq === Seq(50L))
+    // append keeps BOTH stat kinds on new files
+    TxnTable.append(spark, t,
+      Seq((200L, "mmmmmmmmmmmmmmmmMM")).toDF("k", "name"))
+    val e2 = TxnTable.liveEntries(spark, t, 1)
+    assert(e2.forall(e => e.strStatFor("name").nonEmpty &&
+      e.statFor("k").nonEmpty), "append dropped a stat kind")
+  }
+
   test("cdc compares payloads null-safe: NULL→value and value→NULL are updates") {
     val t = freshTable("cdc_null")
     val s = spark
