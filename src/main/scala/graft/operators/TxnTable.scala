@@ -168,18 +168,37 @@ object TxnTable {
   private def b64dec(v: String): String =
     new String(java.util.Base64.getDecoder.decode(v), UTF_8)
 
+  /** UTF-8 binary-order string comparison — the SAME order Spark's
+    * min/max and string filters use. Java's code-unit compareTo
+    * disagrees with it for supplementary characters vs [U+E000,U+FFFF],
+    * so manifest-side pruning must compare the encoded bytes, not the
+    * UTF-16 units. */
+  private def u8cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
+
   /** Iceberg-style conservative bound truncation at 16 chars: the lower
-    * bound truncates to a prefix (≤ every value); the upper bound bumps
-    * the truncated prefix's last char (≥ every value). A last char at
-    * Char.MaxValue falls back to the untruncated value (vanishingly
-    * rare; correctness over compactness). */
-  private[operators] def truncLower(v: String): String = v.take(16)
-  private[operators] def truncUpper(v: String): String =
+    * bound truncates to a prefix (≤ every value in UTF-8 order); the
+    * upper bound bumps the truncated prefix's last char (≥ every value
+    * with that prefix). Truncation must never mint an unpaired UTF-16
+    * surrogate — getBytes would silently encode it as '?' and the
+    * persisted bound could sort BELOW the data it must cover — so a cut
+    * or bump that lands in surrogate space falls back to dropping the
+    * split char (lower: still a prefix) or keeping the full value
+    * (upper: correctness over compactness). */
+  private[graft] def truncLower(v: String): String =
     if (v.length <= 16) v
     else {
       val t = v.take(16)
-      if (t.last == Char.MaxValue) v
-      else t.init + (t.last + 1).toChar
+      if (Character.isHighSurrogate(t.last)) t.init else t
+    }
+  private[graft] def truncUpper(v: String): String =
+    if (v.length <= 16) v
+    else {
+      val t = v.take(16)
+      val bumped = (t.last + 1).toChar
+      if (Character.isHighSurrogate(t.last) || Character.isSurrogate(bumped)
+        || t.last == Char.MaxValue) v
+      else t.init + bumped
     }
 
   /** The live-file entries of version `v` (one log read; callers
@@ -382,6 +401,12 @@ object TxnTable {
   def stageIndexed(s: SparkSession, table: String, df: DataFrame,
                    indexCols: Seq[String],
                    strCols: Seq[String] = Nil): Seq[String] = {
+    // the '~s' suffix discriminates stat kinds in the manifest and TAB
+    // separates fields — a column name using either would corrupt every
+    // future parse of the committed line
+    (indexCols ++ strCols).foreach(c =>
+      require(!c.endsWith("~s") && !c.exists("\t\n".contains(_)),
+        s"index column name '$c' would corrupt the manifest format"))
     val rels = stage(s, table, df)
     if (rels.isEmpty) return rels
     val dir = rels.head.split('/').dropRight(1).mkString("/")
@@ -406,14 +431,19 @@ object TxnTable {
         else ColStat(c, r.getAs[Long](s"lo_$c"), r.getAs[Long](s"hi_$c"),
           r.getAs[Long](s"nn_$c"))
       },
-        // an all-null STRING column omits its group (no sound bounds
-        // exist; missing stat = conservatively kept)
-        strCols.flatMap { c =>
-          if (r.isNullAt(r.fieldIndex(s"slo_$c"))) None
-          else Some(StrStat(c,
+        strCols.map { c =>
+          // an all-null STRING column records the EMPTY range (lo > hi
+          // in UTF-8 order), mirroring the integral convention: the
+          // group must still be EMITTED — omitting it would render a
+          // path-only line that the zero-row-file filter in merge/
+          // deleteRange (no TAB ⇒ zero rows) would silently drop,
+          // losing live rows
+          if (r.isNullAt(r.fieldIndex(s"slo_$c")))
+            StrStat(c, "", "", r.getAs[Long](s"snn_$c"))
+          else StrStat(c,
             truncLower(r.getAs[String](s"slo_$c")),
             truncUpper(r.getAs[String](s"shi_$c")),
-            r.getAs[Long](s"snn_$c")))
+            r.getAs[Long](s"snn_$c"))
         })))
       .toMap
     rels.map { rel =>
@@ -442,11 +472,7 @@ object TxnTable {
     require(box.nonEmpty, "snapshotBox needs at least one (col, lo, hi)")
     val ver = if (v < 0) currentVersion(s, table) else v
     val m = manifest(s, table, ver)
-    val entries = m.entries
-    // parquet needs at least one file to carry the schema — fail loudly
-    // on a zero-file version instead of an obscure schema-inference error
-    require(entries.nonEmpty, s"$table version $ver lists no files")
-    val kept = entries.filter { e =>
+    val kept = m.entries.filter { e =>
       box.forall { case (c, lo, hi) =>
         // an EMPTY recorded range (fLo > fHi: the file is all-null in c)
         // intersects no value box; a missing stat keeps the file
@@ -454,17 +480,9 @@ object TxnTable {
           fLo <= fHi && fHi >= lo && fLo <= hi }
       }
     }
-    // a box that prunes EVERYTHING is a legitimate 0-row query, not a
-    // crash: read one file for the schema behind an always-false filter
-    val paths = (if (kept.nonEmpty) kept else entries.take(1))
-      .map(e => s"$table/${e.path}")
-    val residual = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
-      .reduce(_ && _)
-    val df = applyTombstones(s, table, m.deletes,
-      schemaReader(s, m).parquet(paths: _*)
-        .filter(if (kept.nonEmpty) lit(true) else lit(false)))
-      .filter(residual)
-    (df, kept.size, entries.size)
+    prunedRead(s, table, m, kept,
+      box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+        .reduce(_ && _))
   }
 
   def snapshotRange(s: SparkSession, table: String, indexCol: String,
@@ -484,18 +502,14 @@ object TxnTable {
       : (DataFrame, Int, Int) = {
     val ver = if (v < 0) currentVersion(s, table) else v
     val m = manifest(s, table, ver)
-    val entries = m.entries
-    require(entries.nonEmpty, s"$table version $ver lists no files")
-    val kept = entries.filter(_.strStatFor(c).forall {
-      case (fLo, fHi) => fHi >= lo && fLo <= hi
+    // UTF-8 byte-order comparisons (u8cmp) — Spark's own string order;
+    // the empty recorded range (fLo > fHi: all-null file) intersects no
+    // value range, exactly like the integral convention
+    val kept = m.entries.filter(_.strStatFor(c).forall {
+      case (fLo, fHi) => u8cmp(fLo, fHi) <= 0 &&
+        u8cmp(fHi, lo) >= 0 && u8cmp(fLo, hi) <= 0
     })
-    val paths = (if (kept.nonEmpty) kept else entries.take(1))
-      .map(e => s"$table/${e.path}")
-    val df = applyTombstones(s, table, m.deletes,
-      schemaReader(s, m).parquet(paths: _*)
-        .filter(if (kept.nonEmpty) lit(true) else lit(false)))
-      .filter(col(c) >= lo && col(c) <= hi)
-    (df, kept.size, entries.size)
+    prunedRead(s, table, m, kept, col(c) >= lo && col(c) <= hi)
   }
 
   /** Resolve a snapshot pruned by an IS NULL predicate on `c`: manifest
@@ -508,16 +522,12 @@ object TxnTable {
                     v: Long = -1L): (DataFrame, Int, Int) = {
     val ver = if (v < 0) currentVersion(s, table) else v
     val m = manifest(s, table, ver)
-    val entries = m.entries
-    require(entries.nonEmpty, s"$table version $ver lists no files")
-    val kept = entries.filter(_.nullsFor(c).forall(_ > 0))
-    val paths = (if (kept.nonEmpty) kept else entries.take(1))
-      .map(e => s"$table/${e.path}")
-    val df = applyTombstones(s, table, m.deletes,
-      schemaReader(s, m).parquet(paths: _*)
-        .filter(if (kept.nonEmpty) lit(true) else lit(false)))
-      .filter(col(c).isNull)
-    (df, kept.size, entries.size)
+    // a string-indexed column counts nulls too — either stat kind answers
+    val kept = m.entries.filter(e =>
+      e.nullsFor(c).orElse(e.strStats.collectFirst {
+        case StrStat(`c`, _, _, n) => n
+      }).forall(_ > 0))
+    prunedRead(s, table, m, kept, col(c).isNull)
   }
 
   /** Outcome of a file-pruned [[merge]]: the committed version plus the
@@ -835,6 +845,24 @@ object TxnTable {
   private def schemaReader(s: SparkSession, m: Manifest) = m.schema match {
     case Some(sch) => s.read.schema(sch)
     case None      => s.read
+  }
+
+  /** Shared tail of every stat-pruned read (box / IS NULL / string
+    * range): scan exactly the `kept` entries — or, when the prune
+    * dropped EVERYTHING, one file behind an always-false filter so the
+    * 0-row result still carries the schema — apply tombstones, then the
+    * residual per-row predicate. Returns (frame, scanned, total). */
+  private def prunedRead(s: SparkSession, table: String, m: Manifest,
+                         kept: Seq[Entry], residual: Column)
+      : (DataFrame, Int, Int) = {
+    require(m.entries.nonEmpty, s"$table version lists no files")
+    val paths = (if (kept.nonEmpty) kept else m.entries.take(1))
+      .map(e => s"$table/${e.path}")
+    val df = applyTombstones(s, table, m.deletes,
+      schemaReader(s, m).parquet(paths: _*)
+        .filter(if (kept.nonEmpty) lit(true) else lit(false)))
+      .filter(residual)
+    (df, kept.size, m.entries.size)
   }
 
   def snapshot(s: SparkSession, table: String, v: Long = -1L): DataFrame = {

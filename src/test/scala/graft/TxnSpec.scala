@@ -646,6 +646,30 @@ class TxnSpec extends SparkSpec {
     val e2 = TxnTable.liveEntries(spark, t, 1)
     assert(e2.forall(e => e.strStatFor("name").nonEmpty &&
       e.statFor("k").nonEmpty), "append dropped a stat kind")
+    // surrogate-safe truncation: a cut or bump that would mint an
+    // unpaired surrogate must fall back, never corrupt via getBytes
+    val emoji = "aaaaaaaaaaaaaaa😀xxx" // high surrogate at idx 15
+    assert(TxnTable.truncLower(emoji) === "aaaaaaaaaaaaaaa")
+    assert(TxnTable.truncUpper(emoji) === emoji)
+    val atBoundary = "aaaaaaaaaaaaaaa퟿zzzz" // bump would land in D800
+    assert(TxnTable.truncUpper(atBoundary) === atBoundary)
+    // a merge whose rewritten region is ALL-NULL in the string-indexed
+    // column must keep those rows (the sentinel group keeps the line
+    // TAB-carrying, distinct from a zero-row file)
+    val t2 = freshTable("str_allnull_merge")
+    val nulls = (0 until 20).map(i => (i.toLong, Option.empty[String]))
+      .toDF("k", "name").coalesce(1)
+    TxnTable.commit(spark, t2,
+      TxnTable.stageIndexed(spark, t2, nulls, Seq("k"), Seq("name")), -1L)
+    val res = TxnTable.merge(spark, t2,
+      Seq((5L, Some("x"))).toDF("k", "name"), "k")
+    assert(TxnTable.snapshot(spark, t2, res.version).count() === 20,
+      "all-null string group dropped live rows through a merge")
+    // and an all-null string stat is never matched by a value range
+    val (snapNone, scannedNone, _) = TxnTable.snapshotStrRange(
+      spark, t2, "name", "", "￿")
+    assert(snapNone.filter(col("name").isNotNull).count() === 1)
+    assert(scannedNone >= 1)
   }
 
   test("cdc compares payloads null-safe: NULL→value and value→NULL are updates") {
