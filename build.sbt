@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "ONE JSON line on stdout's LAST line".
+// Two sbt behaviors break that for machine parsers: the default
+// LoggedOutput strategy prefixes every forked-process line with
+// "[info] ", and sbt prints a trailing "[success] Total time" line
+// after the run. Raw pass-through + no success banner fix both.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -123,19 +123,42 @@ object TxnTable {
     * (on an object store every open is a GET). */
   case class Manifest(op: String,
       schema: Option[org.apache.spark.sql.types.StructType],
-      deletes: Seq[(String, String)], entries: Seq[Entry]) {
+      deletes: Seq[(String, String)], entries: Seq[Entry],
+      hdrIdx: Option[Seq[String]] = None,
+      hdrStrIdx: Option[Seq[String]] = None) {
     def liveFiles: Seq[String] = entries.map(_.path)
-    def idxCols: Seq[String] = entries.flatMap(_.stats.map(_.col)).distinct
+    // the index column set prefers the `#index=` header: deriving it from
+    // entry stats alone loses the index whenever a version legitimately
+    // carries no stat groups (a delete that emptied the table down to the
+    // zero-row sentinel file), permanently downgrading every later
+    // append/merge/compact to unindexed staging
+    def idxCols: Seq[String] =
+      hdrIdx.getOrElse(entries.flatMap(_.stats.map(_.col)).distinct)
     def strIdxCols: Seq[String] =
-      entries.flatMap(_.strStats.map(_.col)).distinct
+      hdrStrIdx.getOrElse(entries.flatMap(_.strStats.map(_.col)).distinct)
   }
 
   /** Read + parse version `v`'s manifest. Line format: `#op=`/`#schema=`
     * /`#delete=` metadata headers, then one live file per line — `path`
     * followed by zero or more `<TAB>col<TAB>min<TAB>max<TAB>nulls` stat
     * groups (written by [[stageIndexed]]). */
+  /** Current manifest format version, written as a `#format=` header.
+    * v2 = 4-field stat groups (col, min, max, nulls; `~s`-suffixed string
+    * groups base64-encoded). A manifest WITHOUT the header is parsed as
+    * the legacy v1 format — 3-field integral-only (col, min, max) groups,
+    * read with nulls UNKNOWN (−1), which every consumer treats
+    * conservatively — so pre-header tables stay readable instead of
+    * failing a line-level parse. Anything else fails with a clear
+    * unsupported-format error, never a cryptic field-count require. */
+  private val ManifestFormat = 2L
+
   def manifest(s: SparkSession, table: String, v: Long): Manifest = {
     val lines = manifestText(s, table, v).linesIterator.toSeq
+    val fmt = lines.find(_.startsWith("#format="))
+      .map(_.stripPrefix("#format=").toLong).getOrElse(1L)
+    require(fmt <= ManifestFormat,
+      s"$table version $v uses manifest format $fmt; this reader " +
+        s"understands <= $ManifestFormat")
     val op = lines.find(_.startsWith("#op="))
       .map(_.stripPrefix("#op=")).getOrElse("write")
     val schema = lines.find(_.startsWith("#schema=")).map(l =>
@@ -145,14 +168,20 @@ object TxnTable {
       val Array(p, c) = l.stripPrefix("#delete=").split('\t')
       (p, c)
     }
+    def idxHdr(prefix: String): Option[Seq[String]] =
+      lines.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+        .map(v => if (v.isEmpty) Seq.empty else v.split(',').toSeq)
+    val groupLen = if (fmt >= 2) 4 else 3
     val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val parts = line.split('\t')
-        require(parts.length % 4 == 1, s"bad manifest line: $line")
-        val groups = parts.drop(1).grouped(4).toSeq
+        require(parts.length % groupLen == 1, s"bad manifest line: $line")
+        val groups = parts.drop(1).grouped(groupLen).toSeq
         val stats = groups.collect {
           case Array(c, lo, hi, n) if !c.endsWith("~s") =>
             ColStat(c, lo.toLong, hi.toLong, n.toLong)
+          case Array(c, lo, hi) => // legacy v1: null count unknown
+            ColStat(c, lo.toLong, hi.toLong, -1L)
         }
         val strs = groups.collect {
           case Array(c, lo, hi, n) if c.endsWith("~s") =>
@@ -160,7 +189,8 @@ object TxnTable {
         }
         Entry(parts.head, stats, strs)
       }
-    Manifest(op, schema, deletes, entries)
+    Manifest(op, schema, deletes, entries,
+      idxHdr("#index="), idxHdr("#strindex="))
   }
 
   private def b64enc(v: String): String =
@@ -196,7 +226,12 @@ object TxnTable {
     else {
       val t = v.take(16)
       val bumped = (t.last + 1).toChar
-      if (Character.isHighSurrogate(t.last) || Character.isSurrogate(bumped)
+      // ANY surrogate last char falls back: a HIGH one is itself unpaired
+      // after the cut; a LOW one (e.g. U+103FF's \uDFFF, whose bump
+      //  is innocently non-surrogate) leaves t.init ending with the
+      // pair's now-unpaired HIGH surrogate — getBytes would encode that
+      // as '?' and the persisted bound could sort BELOW the data
+      if (Character.isSurrogate(t.last) || Character.isSurrogate(bumped)
         || t.last == Char.MaxValue) v
       else t.init + bumped
     }
@@ -255,8 +290,13 @@ object TxnTable {
     finally out.close()
     val dst = checkpointPath(table, cur)
     // idempotent: two checkpointers of the same version write identical
-    // content — losing the rename race is success
-    if (!f.rename(tmpP, dst)) f.delete(tmpP, false)
+    // content — losing the rename race is success ONLY if the checkpoint
+    // actually exists at dst; a transient FS failure must surface, not
+    // read as a committed checkpoint that silently never lands
+    if (!f.rename(tmpP, dst)) {
+      require(f.exists(dst), s"checkpoint commit failed for $dst")
+      f.delete(tmpP, false)
+    }
     cur
   }
 
@@ -292,7 +332,9 @@ object TxnTable {
   def commit(s: SparkSession, table: String, relFiles: Seq[String],
              expected: Long, op: String = "write",
              schemaJson: String = null,
-             deleteLines: Seq[(String, String)] = Nil): Long = {
+             deleteLines: Seq[(String, String)] = Nil,
+             idxCols: Seq[String] = Nil,
+             strIdxCols: Seq[String] = Nil): Long = {
     val ld = logDir(table)
     val f = fs(s, ld)
     f.mkdirs(ld)
@@ -308,12 +350,24 @@ object TxnTable {
     // whose file set predates an added column still reads correctly
     // (parquet fills requested-but-absent columns with NULL by name).
     // `#delete=` lines register merge-on-read tombstone files (path +
-    // key column) the reader anti-joins at scan time.
+    // key column) the reader anti-joins at scan time. `#index=` /
+    // `#strindex=` persist the table's index column set so it survives
+    // versions whose entries carry no stat groups (an emptied table's
+    // zero-row sentinel) — without the header the next writer would
+    // silently stop indexing.
     val schemaLine = Option(schemaJson).map(j => s"#schema=$j\n").getOrElse("")
     val delLines = deleteLines
       .map { case (p, c) => s"#delete=$p\t$c\n" }.mkString
+    def idxLine(prefix: String, cols: Seq[String]): String =
+      if (cols.isEmpty) ""
+      else {
+        cols.foreach(c => require(!c.contains(','),
+          s"index column name '$c' would corrupt the $prefix header"))
+        prefix + cols.mkString(",") + "\n"
+      }
     try out.write(
-      (s"#op=$op\n" + schemaLine + delLines +
+      (s"#format=$ManifestFormat\n#op=$op\n" + schemaLine + delLines +
+        idxLine("#index=", idxCols) + idxLine("#strindex=", strIdxCols) +
         relFiles.sorted.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
     val dst = manifestPath(table, next)
@@ -381,7 +435,8 @@ object TxnTable {
         stageIndexed(s, table, df, m.idxCols, m.strIdxCols)
       else stage(s, table, df)
     commit(s, table, m.entries.map(render) ++ fresh, cur, op = "append",
-      schemaJson = df.schema.json)
+      schemaJson = df.schema.json,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols)
   }
 
   private def render(e: Entry): String =
@@ -401,11 +456,12 @@ object TxnTable {
   def stageIndexed(s: SparkSession, table: String, df: DataFrame,
                    indexCols: Seq[String],
                    strCols: Seq[String] = Nil): Seq[String] = {
-    // the '~s' suffix discriminates stat kinds in the manifest and TAB
-    // separates fields — a column name using either would corrupt every
-    // future parse of the committed line
+    // the '~s' suffix discriminates stat kinds in the manifest, TAB
+    // separates fields, and ',' separates the `#index=` header's column
+    // list — a column name using any of them would corrupt every future
+    // parse of the committed line
     (indexCols ++ strCols).foreach(c =>
-      require(!c.endsWith("~s") && !c.exists("\t\n".contains(_)),
+      require(!c.endsWith("~s") && !c.exists("\t\n,".contains(_)),
         s"index column name '$c' would corrupt the manifest format"))
     val rels = stage(s, table, df)
     if (rels.isEmpty) return rels
@@ -522,11 +578,12 @@ object TxnTable {
                     v: Long = -1L): (DataFrame, Int, Int) = {
     val ver = if (v < 0) currentVersion(s, table) else v
     val m = manifest(s, table, ver)
-    // a string-indexed column counts nulls too — either stat kind answers
+    // a string-indexed column counts nulls too — either stat kind
+    // answers; a legacy-manifest UNKNOWN count (−1) keeps the file
     val kept = m.entries.filter(e =>
       e.nullsFor(c).orElse(e.strStats.collectFirst {
         case StrStat(`c`, _, _, n) => n
-      }).forall(_ > 0))
+      }).forall(_ != 0))
     prunedRead(s, table, m, kept, col(c).isNull)
   }
 
@@ -603,7 +660,8 @@ object TxnTable {
       if (lines.nonEmpty) lines
       else stage(s, table, snapshot(s, table, cur).limit(0))
     val v = commit(s, table, finalLines, cur, op = "delete",
-      schemaJson = m.schema.map(_.json).orNull)
+      schemaJson = m.schema.map(_.json).orNull,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
   }
 
@@ -712,7 +770,8 @@ object TxnTable {
       case None => clusterStage(merged)
     }
     val v = commit(s, table, kept.map(render) ++ fresh, cur, op = "merge",
-      schemaJson = batch.schema.json)
+      schemaJson = batch.schema.json,
+      idxCols = idxCols, strIdxCols = m.strIdxCols)
     MergeResult(v, touched.size, kept.size)
   }
 
@@ -811,7 +870,8 @@ object TxnTable {
     val dels = m.deletes ++ staged.map((_, key))
     commit(s, table, m.entries.map(render), cur, op = "delete_mor",
       schemaJson = m.schema.map(_.json).orNull,
-      deleteLines = dels)
+      deleteLines = dels,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols)
   }
 
   private def requireNoTombstones(deletes: Seq[(String, String)],
@@ -900,7 +960,8 @@ object TxnTable {
         stageIndexed(s, table, df, m.idxCols, m.strIdxCols)
       else stage(s, table, df)
     commit(s, table, m.entries.map(render) ++ fresh, cur, op = "evolve",
-      schemaJson = df.schema.json)
+      schemaJson = df.schema.json,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols)
   }
 
   /** Compaction THROUGH the log: stage the current snapshot rewritten at a
@@ -946,7 +1007,8 @@ object TxnTable {
           Nil, m.strIdxCols)
       else stage(s, table, snap.repartition(target))
     commit(s, table, lines, cur, op = "compact",
-      schemaJson = snap.schema.json)
+      schemaJson = snap.schema.json,
+      idxCols = idxCols, strIdxCols = m.strIdxCols)
   }
 
   /** Retention: keep the newest `retain` versions; delete every data file

@@ -759,4 +759,75 @@ class TxnSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(feed === Set((2L, "update"), (5L, "delete"), (100L, "insert")))
   }
+
+  test("truncUpper falls back when the cut lands after a LOW surrogate") {
+    // U+103FF = 𐏿: the 16-char cut puts the pair's LOW half
+    // last. Its bump () is innocently non-surrogate, but keeping
+    // init+bump would leave the HIGH half unpaired — getBytes encodes it
+    // as '?' (0x3F) and the persisted bound would sort BELOW the data
+    val lowLast = "a" * 14 + "𐏿" + "zzzz"
+    assert(TxnTable.truncUpper(lowLast) === lowLast)
+    // the fallback must not regress ordinary bounds
+    assert(TxnTable.truncUpper("b" * 20) === "b" * 15 + "c")
+  }
+
+  test("index columns survive a delete that empties the table") {
+    val t = freshTable("empty_then_append")
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t, df, "k"), -1L)
+    // delete EVERYTHING: the new version's only entry is the zero-row
+    // sentinel file, which legitimately carries no stat groups
+    TxnTable.deleteRange(spark, t, "k", Long.MinValue, Long.MaxValue)
+    assert(TxnTable.snapshot(spark, t).count() === 0)
+    // the `#index=` header must keep the table indexed: the next append
+    // stages WITH stats, and range pruning still works afterwards
+    val v2 = TxnTable.append(spark, t,
+      (0 until 100).map(i => (i.toLong, s"new$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")))
+    val statted = TxnTable.liveEntries(spark, t, v2)
+      .filter(_.statFor("k").nonEmpty)
+    assert(statted.size >= 4, "append after emptying delete lost the index")
+    val (_, scanned, total) = TxnTable.snapshotRange(spark, t, "k", 0L, 10L)
+    assert(scanned < total, "range pruning dead after emptying delete")
+  }
+
+  test("a legacy v1 manifest (3-field stats, no #format) still reads") {
+    val t = freshTable("legacy_v1")
+    val s = spark
+    import s.implicits._
+    // stage one real data file, then hand-write a pre-#format manifest
+    // whose stat group is the old (col, min, max) triple
+    val rel = TxnTable.stage(spark, t,
+      (0 until 10).map(i => (i.toLong, s"row$i")).toDF("k", "v").coalesce(1))
+    val logDir = new java.io.File(t, "_log"); logDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(logDir, "00000000.manifest").toPath,
+      s"#op=create\n${rel.head}\tk\t0\t9\n".getBytes("UTF-8"))
+    val m = TxnTable.manifest(spark, t, 0)
+    assert(m.entries.head.statFor("k") === Some((0L, 9L)))
+    // null count is UNKNOWN (-1): IS NULL pruning must KEEP the file,
+    // never skip it on absent information
+    assert(m.entries.head.nullsFor("k") === Some(-1L))
+    val (snap, scanned, total) = TxnTable.snapshotNulls(spark, t, "k")
+    assert(scanned === total)
+    assert(snap.count() === 0) // no actual nulls in the data
+    // and value-range pruning still works off the legacy bounds
+    val (_, sc2, _) = TxnTable.snapshotRange(spark, t, "k", 100L, 200L)
+    assert(sc2 === 0)
+  }
+
+  test("a future-format manifest fails with a clear error") {
+    val t = freshTable("future_fmt")
+    TxnTable.create(spark, t, baseDf(5))
+    val mf = new java.io.File(s"$t/_log/00000001.manifest")
+    java.nio.file.Files.write(mf.toPath,
+      "#format=99\n#op=write\nsomething\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.manifest(spark, t, 1)
+    }
+    assert(e.getMessage.contains("manifest format 99"))
+  }
 }
