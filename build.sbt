@@ -18,7 +18,7 @@ run / fork := true
 // after the run. Raw pass-through + no success banner fix both.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
-Global / excludeLintKeys += run / outputStrategy
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -74,6 +74,10 @@ object SparkEntry {
     "op_null_skip"            -> (TxnTable.nullSkip _),
     "op_delete_pruned"        -> (TxnTable.deletePruned _),
     "op_delete_mor"           -> (TxnTable.deleteMor _),
+    "op_txn_restore"          -> (TxnTable.txnRestore _),
+    "op_txn_clone"            -> (TxnTable.txnClone _),
+    "op_mor_seq"              -> (TxnTable.morSeq _),
+    "op_merge_full"           -> (TxnTable.mergeFull _),
     "op_str_skip"             -> (TxnTable.strSkip _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
@@ -1028,6 +1032,69 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         |  TRUE AS skip_ok
         |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    // RESTORE to v0 after a bad overwrite: the restored content is
+    // exactly the base slice; the verbatim-manifest + audit-trail
+    // mechanics travel as a boolean
+    "op_txn_restore" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  'restored' AS src, TRUE AS restore_ok
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // zero-copy shallow clone, then divergence: the source stays the
+    // base content, the clone gains the keyspace-shifted delta; the
+    // zero-copy mechanics travel as a boolean
+    "op_txn_clone" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total, 'src' AS src,
+        |  TRUE AS clone_ok
+        |FROM b GROUP BY st
+        |UNION ALL
+        |SELECT st, COUNT(*), CAST(SUM(price) AS DOUBLE), 'clone', TRUE
+        |FROM (SELECT k, st, price FROM b
+        |      UNION ALL SELECT k + 100000000, 'C', price FROM b
+        |      WHERE k % 97 = 0) GROUP BY st""".stripMargin,
+    // sequenced tombstones: MoR delete %7, append re-inserts %14 (the
+    // re-inserted rows are NEWER than the tombstone and stay visible),
+    // then a low-eighth %5 price merge — all with the tombstone still
+    // pending; the per-version counts travel as a boolean
+    "op_mor_seq" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |r AS (SELECT MIN(k) + (MAX(k) - MIN(k)) // 8 AS hi FROM b),
+        |pre AS (SELECT k, st, price FROM b WHERE k % 7 <> 0
+        |        UNION ALL SELECT k, 'R', price FROM b WHERE k % 14 = 0),
+        |bat AS (SELECT k, 'U' AS st,
+        |    CAST(price + 100 AS DECIMAL(12,2)) AS price
+        |  FROM b, r WHERE k <= hi AND k % 5 = 0)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS seq_ok
+        |FROM (SELECT k, st, price FROM pre
+        |        WHERE k NOT IN (SELECT k FROM bat)
+        |      UNION ALL SELECT k, st, price FROM bat)""".stripMargin,
+    // full MERGE: matched-update (%5 of the low eighth), matched-delete
+    // (%3 unless updated), not-matched-insert (+1e8), not-matched-delete
+    // ghosts (+3e8, must no-op), replayed clause by clause; the
+    // file-pruning accounting travels as a boolean
+    "op_merge_full" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |r AS (SELECT MIN(k) + (MAX(k) - MIN(k)) // 8 AS hi FROM b),
+        |upd AS (SELECT k, 'U' AS st,
+        |    CAST(price + 100 AS DECIMAL(12,2)) AS price
+        |  FROM b, r WHERE k <= hi AND k % 5 = 0),
+        |del AS (SELECT k FROM b, r
+        |  WHERE k <= hi AND k % 3 = 0 AND k % 5 <> 0),
+        |ins AS (SELECT k + 100000000 AS k, 'N' AS st, price
+        |  FROM b, r WHERE k <= hi AND k % 7 = 0)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS full_ok
+        |FROM (SELECT k, st, price FROM b
+        |        WHERE k NOT IN (SELECT k FROM upd)
+        |          AND k NOT IN (SELECT k FROM del)
+        |      UNION ALL SELECT k, st, price FROM upd
+        |      UNION ALL SELECT k, st, price FROM ins)""".stripMargin,
     // merge-on-read delete: both generations (tombstone anti-join, then
     // compacted materialization) must hash to the same surviving rows;
     // zero-rewrite + tombstone accounting travels as a boolean

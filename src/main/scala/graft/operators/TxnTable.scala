@@ -92,9 +92,19 @@ object TxnTable {
     * MULTI-dimensional skipping: with a z-ordered layout every file has
     * a tight bounding box in each indexed dimension, so a box predicate
     * prunes on all of them at once; null counts let IS NULL predicates
-    * prune too (the Iceberg/Delta stat triple). */
+    * prune too (the Iceberg/Delta stat triple).
+    *
+    * `seq` is the DATA SEQUENCE NUMBER: the commit sequence under which
+    * this file was first added (carried verbatim ever after; on a
+    * table's own timeline it equals the version number — a shallow
+    * clone's later commits continue above the source's). Merge-on-read
+    * tombstones carry their own commit seq and apply ONLY to entries
+    * with a SMALLER one — the Iceberg-v2 rule that lets appends, merges
+    * and deletes commit on top of pending tombstones: a row (re)written
+    * after the tombstone was committed is newer than the delete and
+    * must not be re-deleted by it. */
   case class Entry(path: String, stats: Seq[ColStat],
-      strStats: Seq[StrStat] = Nil) {
+      strStats: Seq[StrStat] = Nil, seq: Long = 0L) {
     def statFor(c: String): Option[(Long, Long)] =
       stats.collectFirst { case ColStat(`c`, lo, hi, _) => (lo, hi) }
     def nullsFor(c: String): Option[Long] =
@@ -123,7 +133,7 @@ object TxnTable {
     * (on an object store every open is a GET). */
   case class Manifest(op: String,
       schema: Option[org.apache.spark.sql.types.StructType],
-      deletes: Seq[(String, String)], entries: Seq[Entry],
+      deletes: Seq[(String, String, Long)], entries: Seq[Entry],
       hdrIdx: Option[Seq[String]] = None,
       hdrStrIdx: Option[Seq[String]] = None) {
     def liveFiles: Seq[String] = entries.map(_.path)
@@ -143,14 +153,18 @@ object TxnTable {
     * followed by zero or more `<TAB>col<TAB>min<TAB>max<TAB>nulls` stat
     * groups (written by [[stageIndexed]]). */
   /** Current manifest format version, written as a `#format=` header.
-    * v2 = 4-field stat groups (col, min, max, nulls; `~s`-suffixed string
-    * groups base64-encoded). A manifest WITHOUT the header is parsed as
-    * the legacy v1 format — 3-field integral-only (col, min, max) groups,
-    * read with nulls UNKNOWN (−1), which every consumer treats
-    * conservatively — so pre-header tables stay readable instead of
-    * failing a line-level parse. Anything else fails with a clear
-    * unsupported-format error, never a cryptic field-count require. */
-  private val ManifestFormat = 2L
+    * v3 = entry lines carry a data sequence number after the path
+    * (`path TAB seq TAB groups…`), tombstone headers carry their commit
+    * seq (`#delete=path TAB col TAB seq`). v2 = 4-field stat groups
+    * without seqs (read as seq 0 / tombstones apply-to-all — exactly the
+    * pre-seq behavior those manifests were written under). A manifest
+    * WITHOUT the header is parsed as the legacy v1 format — 3-field
+    * integral-only (col, min, max) groups, read with nulls UNKNOWN (−1),
+    * which every consumer treats conservatively — so pre-header tables
+    * stay readable instead of failing a line-level parse. A NEWER format
+    * fails with a clear unsupported-format error, never a cryptic
+    * field-count require. */
+  private val ManifestFormat = 3L
 
   def manifest(s: SparkSession, table: String, v: Long): Manifest = {
     val lines = manifestText(s, table, v).linesIterator.toSeq
@@ -165,18 +179,26 @@ object TxnTable {
       org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema="))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     val deletes = lines.filter(_.startsWith("#delete=")).map { l =>
-      val Array(p, c) = l.stripPrefix("#delete=").split('\t')
-      (p, c)
+      l.stripPrefix("#delete=").split('\t') match {
+        case Array(p, c, sq) => (p, c, sq.toLong)
+        // pre-seq tombstone: applies to every entry (they all read seq 0)
+        case Array(p, c) => (p, c, Long.MaxValue)
+        case other => throw new IllegalArgumentException(
+          s"bad tombstone line: ${other.mkString("\t")}")
+      }
     }
     def idxHdr(prefix: String): Option[Seq[String]] =
       lines.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
         .map(v => if (v.isEmpty) Seq.empty else v.split(',').toSeq)
     val groupLen = if (fmt >= 2) 4 else 3
+    val seqField = if (fmt >= 3) 1 else 0 // v3: `path TAB seq` lead fields
     val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val parts = line.split('\t')
-        require(parts.length % groupLen == 1, s"bad manifest line: $line")
-        val groups = parts.drop(1).grouped(groupLen).toSeq
+        require(parts.length % groupLen == 1 + seqField,
+          s"bad manifest line: $line")
+        val seq = if (seqField == 1) parts(1).toLong else 0L
+        val groups = parts.drop(1 + seqField).grouped(groupLen).toSeq
         val stats = groups.collect {
           case Array(c, lo, hi, n) if !c.endsWith("~s") =>
             ColStat(c, lo.toLong, hi.toLong, n.toLong)
@@ -187,7 +209,7 @@ object TxnTable {
           case Array(c, lo, hi, n) if c.endsWith("~s") =>
             StrStat(c.stripSuffix("~s"), b64dec(lo), b64dec(hi), n.toLong)
         }
-        Entry(parts.head, stats, strs)
+        Entry(parts.head, stats, strs, seq)
       }
     Manifest(op, schema, deletes, entries,
       idxHdr("#index="), idxHdr("#strindex="))
@@ -332,7 +354,7 @@ object TxnTable {
   def commit(s: SparkSession, table: String, relFiles: Seq[String],
              expected: Long, op: String = "write",
              schemaJson: String = null,
-             deleteLines: Seq[(String, String)] = Nil,
+             deleteLines: Seq[(String, String, Long)] = Nil,
              idxCols: Seq[String] = Nil,
              strIdxCols: Seq[String] = Nil): Long = {
     val ld = logDir(table)
@@ -356,8 +378,22 @@ object TxnTable {
     // zero-row sentinel) — without the header the next writer would
     // silently stop indexing.
     val schemaLine = Option(schemaJson).map(j => s"#schema=$j\n").getOrElse("")
+    // THE commit's sequence number: one past the largest seq this
+    // manifest carries (entries or tombstones). On a table's own
+    // timeline that equals the version number; a shallow CLONE's
+    // referenced entries keep the SOURCE's seqs, and continuing above
+    // them keeps the tombstone ordering (t.seq > e.seq ⇔ t committed
+    // after e) sound across the graft point
+    val carriedSeqs = relFiles.flatMap { line =>
+      val parts = line.split('\t')
+      if (parts.length % 4 == 2) Some(parts(1).toLong) else None
+    } ++ deleteLines.collect { case (_, _, sq) if sq >= 0 => sq }
+    val newSeq = (carriedSeqs :+ (next - 1)).max + 1
+    // a NEW tombstone (seq < 0, assigned here) gets this commit's seq;
+    // carried tombstones keep theirs verbatim
     val delLines = deleteLines
-      .map { case (p, c) => s"#delete=$p\t$c\n" }.mkString
+      .map { case (p, c, sq) =>
+        s"#delete=$p\t$c\t${if (sq < 0) newSeq else sq}\n" }.mkString
     def idxLine(prefix: String, cols: Seq[String]): String =
       if (cols.isEmpty) ""
       else {
@@ -365,10 +401,20 @@ object TxnTable {
           s"index column name '$c' would corrupt the $prefix header"))
         prefix + cols.mkString(",") + "\n"
       }
+    // entry lines arrive in two shapes: CARRIED lines rendered from a
+    // prior manifest already hold their data seq after the path
+    // (fields % 4 == 2), FRESH lines from stage/stageIndexed don't
+    // (fields % 4 == 1) and are assigned THIS commit's seq — the
+    // "added at" stamp tombstone application compares against
+    val stamped = relFiles.map { line =>
+      val parts = line.split('\t')
+      if (parts.length % 4 == 2) line
+      else (parts.head +: newSeq.toString +: parts.tail).mkString("\t")
+    }
     try out.write(
       (s"#format=$ManifestFormat\n#op=$op\n" + schemaLine + delLines +
         idxLine("#index=", idxCols) + idxLine("#strindex=", strIdxCols) +
-        relFiles.sorted.mkString("\n") + "\n").getBytes(UTF_8))
+        stamped.sorted.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
     val dst = manifestPath(table, next)
     // HDFS rename refuses an existing destination atomically; the LOCAL
@@ -416,7 +462,6 @@ object TxnTable {
   def append(s: SparkSession, table: String, df: DataFrame): Long = {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur) // ONE log read for all facets below
-    requireNoTombstones(m.deletes, table, "append")
     // the committed schema answers the drift check without touching any
     // data file; only a pre-#schema table falls back to a footer read
     val have = m.schema.getOrElse(snapshot(s, table, cur).schema)
@@ -434,17 +479,28 @@ object TxnTable {
       if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
         stageIndexed(s, table, df, m.idxCols, m.strIdxCols)
       else stage(s, table, df)
+    // pending tombstones CARRY (they keep applying to older entries);
+    // the appended files' seq = this commit's version > every pending
+    // tombstone's seq, so appended rows — even re-inserted tombstoned
+    // keys — stay visible
     commit(s, table, m.entries.map(render) ++ fresh, cur, op = "append",
-      schemaJson = df.schema.json,
+      schemaJson = df.schema.json, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols)
   }
 
   private def render(e: Entry): String =
-    (e.path +:
-      (e.stats.map { case ColStat(c, lo, hi, n) => s"$c\t$lo\t$hi\t$n" } ++
-        e.strStats.map { case StrStat(c, lo, hi, n) =>
-          s"$c~s\t${b64enc(lo)}\t${b64enc(hi)}\t$n" }))
-      .mkString("\t")
+    (e.path +: e.seq.toString +: renderGroups(e)).mkString("\t")
+
+  /** Render a FRESHLY-STAGED entry WITHOUT a seq field (fields % 4 == 1):
+    * the data sequence number is this-commit state, so [[commit]] stamps
+    * it — staging must not bake in a stale one. */
+  private def renderFresh(e: Entry): String =
+    (e.path +: renderGroups(e)).mkString("\t")
+
+  private def renderGroups(e: Entry): Seq[String] =
+    e.stats.map { case ColStat(c, lo, hi, n) => s"$c\t$lo\t$hi\t$n" } ++
+      e.strStats.map { case StrStat(c, lo, hi, n) =>
+        s"$c~s\t${b64enc(lo)}\t${b64enc(hi)}\t$n" }
 
   /** Stage with per-file column statistics: like [[stage]], but each
     * manifest line carries (col, min, max) for every index column,
@@ -506,7 +562,7 @@ object TxnTable {
       // a zero-row staged file has no stats row — keep it conservatively
       val (ints, strs) =
         stats.getOrElse(rel.split('/').last, (Seq.empty, Seq.empty))
-      render(Entry(rel, ints, strs))
+      renderFresh(Entry(rel, ints, strs))
     }
   }
 
@@ -616,7 +672,6 @@ object TxnTable {
                   lo: Long, hi: Long): DeleteResult = {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur) // ONE log read for all facets below
-    requireNoTombstones(m.deletes, table, "deleteRange")
     val entries = m.entries
     val idxCols = m.idxCols
     def side(e: Entry): Char = e.statFor(key) match {
@@ -637,8 +692,10 @@ object TxnTable {
     val fresh =
       if (rewrite.isEmpty) Seq.empty
       else {
-        val prev = schemaReader(s, m)
-          .parquet(rewrite.map(e => s"$table/${e.path}"): _*)
+        // rewritten files read through readEntries: pending sequenced
+        // tombstones are APPLIED during the rewrite, and the fresh
+        // files' seq (this commit) then escapes those tombstones
+        val prev = readEntries(s, table, m, rewrite)
         // residual: keep rows OUTSIDE [lo,hi]; null keys are never
         // deleted by a range predicate (SQL three-valued logic)
         val survivors = prev.filter(col(key).isNull ||
@@ -660,7 +717,7 @@ object TxnTable {
       if (lines.nonEmpty) lines
       else stage(s, table, snapshot(s, table, cur).limit(0))
     val v = commit(s, table, finalLines, cur, op = "delete",
-      schemaJson = m.schema.map(_.json).orNull,
+      schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
   }
@@ -693,10 +750,34 @@ object TxnTable {
     * the caller owns that policy, e.g. max(src) — and must match the
     * table's schema). */
   def merge(s: SparkSession, table: String, batch: DataFrame,
-            key: String): MergeResult = {
+            key: String): MergeResult =
+    mergeCore(s, table, batch.select(col(key)), batch, key)
+
+  /** Full-semantics MERGE: apply a CHANGE SET carrying an op column —
+    * the canonical "apply CDC into a table" form every production MERGE
+    * statement compiles down to. Per change row, keyed on `key`:
+    *
+    *   - op 'U', key matched      → WHEN MATCHED UPDATE (row replaced)
+    *   - op 'D', key matched      → WHEN MATCHED DELETE
+    *   - op 'U', key not matched  → WHEN NOT MATCHED INSERT
+    *   - op 'D', key not matched  → no-op (nothing to delete)
+    *
+    * File-pruned exactly like [[merge]]: only files whose manifest key
+    * range can contain a change key (update OR delete) are rewritten;
+    * everything else carries verbatim. `changes` must be key-unique and
+    * match the table schema plus the op column. */
+  def applyChanges(s: SparkSession, table: String, changes: DataFrame,
+                   key: String, opCol: String = "op"): MergeResult =
+    mergeCore(s, table, changes.select(col(key)),
+      changes.filter(col(opCol) =!= "D").drop(opCol), key)
+
+  /** Shared file-pruned copy-on-write merge machinery: `keys` = every
+    * key the change set touches (decides which files rewrite), `adds` =
+    * the rows that replace/insert (already op-filtered). */
+  private def mergeCore(s: SparkSession, table: String, keys: DataFrame,
+                        adds: DataFrame, key: String): MergeResult = {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur) // ONE log read for all facets below
-    requireNoTombstones(m.deletes, table, "merge")
     val entries = m.entries
     val ranged = entries.zipWithIndex.flatMap { case (e, i) =>
       e.statFor(key).map { case (lo, hi) => (i, lo, hi) }
@@ -706,27 +787,28 @@ object TxnTable {
     val touchedIdx: Set[Int] = (if (ranged.isEmpty) Seq.empty[Int] else {
       import s.implicits._
       val ranges = broadcast(ranged.toDF("_fid", "_lo", "_hi"))
-      batch.select(col(key).cast("long").as("_k"))
+      keys.select(col(key).cast("long").as("_k"))
         .join(ranges, col("_k") >= col("_lo") && col("_k") <= col("_hi"))
         .select("_fid").distinct().as[Int].collect().toSeq
     }).toSet ++ statless
     val (touched, kept) = entries.zipWithIndex.partition { case (_, i) =>
       touchedIdx.contains(i)
     } match { case (t, k) => (t.map(_._1), k.map(_._1)) }
-    // touched files are read with the COMMITTED schema (like snapshot):
-    // after an appendEvolve, footer inference could pick a pre-evolution
-    // file's schema and silently drop the new column from the rewrite
-    val reader = schemaReader(s, m)
     val merged =
-      if (touched.isEmpty) batch
+      if (touched.isEmpty) adds
       else {
-        val prev = reader.parquet(touched.map(e => s"$table/${e.path}"): _*)
+        // touched files read through readEntries: the COMMITTED schema
+        // (after an appendEvolve, footer inference could pick a
+        // pre-evolution file's schema and silently drop the new column)
+        // AND pending sequenced tombstones applied during the rewrite —
+        // the fresh files' seq then escapes those tombstones
+        val prev = readEntries(s, table, m, touched)
         // anti-join on the key is the MERGE itself: surviving old rows +
-        // the batch. Co-partitioned hash join over touched data only.
+        // the adds. Co-partitioned hash join over touched data only.
         // NULL keys never match a key equality (SQL semantics), so
         // null-key rows always survive the anti-join / always insert.
-        prev.join(batch.select(col(key)).distinct(), Seq(key), "left_anti")
-          .unionByName(batch)
+        prev.join(keys.distinct(), Seq(key), "left_anti")
+          .unionByName(adds)
       }
     val idxCols = m.idxCols
     val parts = math.max(touched.size, 1)
@@ -770,9 +852,49 @@ object TxnTable {
       case None => clusterStage(merged)
     }
     val v = commit(s, table, kept.map(render) ++ fresh, cur, op = "merge",
-      schemaJson = batch.schema.json,
+      schemaJson = adds.schema.json, deleteLines = m.deletes,
       idxCols = idxCols, strIdxCols = m.strIdxCols)
     MergeResult(v, touched.size, kept.size)
+  }
+
+  /** RESTORE TABLE ... TO VERSION AS OF `v`: commit a NEW version whose
+    * manifest is version v's content verbatim — entries (with their
+    * original data seqs), tombstones, schema, and index columns. Nothing
+    * is copied and nothing is erased: the restore is one manifest write
+    * that rolls the table's CONTENT back while the log keeps rolling
+    * forward, so the bad versions stay auditable (and vacuumable) and
+    * pinned readers of them stay valid — the public time-travel-repair
+    * shape (Delta RESTORE / Iceberg rollback). The restored version's
+    * files are re-referenced, which also shields them from a vacuum
+    * whose retention window has dropped `v` itself. */
+  def restore(s: SparkSession, table: String, v: Long): Long = {
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, v)
+    commit(s, table, m.entries.map(render), cur, op = "restore",
+      schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols)
+  }
+
+  /** Zero-copy SHALLOW CLONE: create `dst` at version 0 referencing the
+    * SOURCE table's current live files by absolute path — no data moves;
+    * the clone costs one manifest write at any table size (the Delta
+    * SHALLOW CLONE / Iceberg snapshot-ref shape: dev/test forks of a
+    * production table). From then on the tables diverge independently:
+    * commits against the clone stage under the clone's own data dir,
+    * and vacuuming the clone only ever deletes files there — absolute
+    * source references are outside its data listing by construction.
+    * The honest public caveat applies equally here: vacuuming the
+    * SOURCE can orphan a clone's references (Delta documents the same),
+    * so clones pin the source's retention. */
+  def shallowClone(s: SparkSession, src: String, dst: String): Long = {
+    require(new Path(src).isAbsolute, s"clone source must be absolute: $src")
+    val cur = currentVersion(s, src)
+    val m = manifest(s, src, cur)
+    val abs = m.entries.map(e => e.copy(path = s"$src/${e.path}"))
+    val absDels = m.deletes.map { case (p, c, sq) => (s"$src/$p", c, sq) }
+    commit(s, dst, abs.map(render), expected = -1L, op = "clone",
+      schemaJson = m.schema.map(_.json).orNull, deleteLines = absDels,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols)
   }
 
   /** Overwrite-commit: next version lists ONLY the newly staged files
@@ -831,10 +953,11 @@ object TxnTable {
     * returned plan keeps reading this version's files no matter what is
     * committed (or staged, or orphaned) afterwards. */
   /** The merge-on-read tombstone files of version `v`: (table-relative
-    * path, key column). Rows whose key appears in a tombstone file are
-    * DELETED as of this version — readers anti-join them at scan time. */
+    * path, key column, commit seq). Rows whose key appears in a tombstone
+    * file are DELETED as of this version FROM entries whose data seq is
+    * older than the tombstone's — readers anti-join them at scan time. */
   def deleteFiles(s: SparkSession, table: String, v: Long)
-      : Seq[(String, String)] = manifest(s, table, v).deletes
+      : Seq[(String, String, Long)] = manifest(s, table, v).deletes
 
   /** Merge-on-read DELETE by key set: stages ONE tombstone file (the
     * distinct keys to drop) and commits it as manifest metadata — every
@@ -847,11 +970,15 @@ object TxnTable {
     * clean version. Readers pay the anti-join until then — the classic
     * read/write amplification trade, chosen per delete.
     *
-    * Tombstones are equality deletes on CURRENT rows; writers that could
-    * change what "current" means file-by-file (append/merge/deleteRange)
-    * refuse while tombstones are pending (no per-file sequence numbers
-    * in this minimal log — public formats add them to lift exactly this
-    * restriction). Apply via compact() first. */
+    * Tombstones are SEQUENCED equality deletes (the Iceberg-v2 rule):
+    * the tombstone records its commit version, and readers apply it only
+    * to entries whose data seq is OLDER. That is what lets every writer
+    * keep committing on top of pending tombstones — an appended or
+    * merged row with a tombstoned key is NEWER than the delete and stays
+    * visible; rewritten regions drop the deleted rows at rewrite time
+    * and their fresh files (seq = the rewrite's version) escape the
+    * tombstone. compact() still materializes everything into a clean
+    * tombstone-free version. */
   def deleteKeysMor(s: SparkSession, table: String, keys: DataFrame,
                     key: String): Long = {
     val cur = currentVersion(s, table)
@@ -863,22 +990,16 @@ object TxnTable {
     require(cols.contains(key),
       s"tombstone key '$key' is not a column of $table (has: $cols)")
     val keySet = keys.select(col(key)).distinct().coalesce(1)
-    // an empty delete must be a NO-OP: committing an empty tombstone
-    // would lock out writers until a full-table compaction for nothing
+    // an empty delete is a NO-OP: an empty tombstone file would tax
+    // every future read's anti-join for nothing
     if (keySet.isEmpty) return cur
     val staged = stage(s, table, keySet)
-    val dels = m.deletes ++ staged.map((_, key))
+    val dels = m.deletes ++ staged.map((_, key, -1L)) // -1 → commit seq
     commit(s, table, m.entries.map(render), cur, op = "delete_mor",
       schemaJson = m.schema.map(_.json).orNull,
       deleteLines = dels,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols)
   }
-
-  private def requireNoTombstones(deletes: Seq[(String, String)],
-                                  table: String, op: String): Unit =
-    require(deletes.isEmpty,
-      s"$op on $table requires no pending merge-on-read tombstones — " +
-        "compact() applies them first")
 
   /** The schema version `v` was committed with, if the commit recorded
     * one (`#schema=` manifest line — schema-in-the-log, the way every
@@ -887,20 +1008,37 @@ object TxnTable {
       : Option[org.apache.spark.sql.types.StructType] =
     manifest(s, table, v).schema
 
-  /** Anti-join merge-on-read tombstones (if any) into a scan of a
-    * version's data files. Tombstone sets are small (one file of keys
-    * per delete) — AQE broadcasts the build side, so the read pays a
-    * map-only filter, not a shuffle. */
-  private def applyTombstones(s: SparkSession, table: String,
-                              deletes: Seq[(String, String)],
-                              df: DataFrame): DataFrame =
-    deletes.groupBy(_._2).foldLeft(df) {
-      case (acc, (kc, fls)) =>
-        acc.join(
-          s.read.parquet(fls.map(f => s"$table/${f._1}"): _*)
-            .select(col(kc)).distinct(),
-          Seq(kc), "left_anti")
-    }
+  /** Resolve a manifest path: table-relative normally; a SHALLOW CLONE's
+    * entries reference the source table's files by absolute path (zero
+    * data copied), which pass through untouched. */
+  private def pathFor(table: String, rel: String): String =
+    if (rel.startsWith("/")) rel else s"$table/$rel"
+
+  /** Scan a set of manifest entries with merge-on-read tombstones
+    * applied PER SEQUENCE: a tombstone deletes only from entries whose
+    * data seq is older than its commit seq (rows written after the
+    * delete are newer and stay). Entries are grouped by their applicable
+    * tombstone set — in practice a handful of groups (one per distinct
+    * entry seq between tombstone commits), each scanned once and
+    * anti-joined against its tombstones, then unioned. Tombstone sets
+    * are small (one file of keys per delete): AQE broadcasts the build
+    * side, so each group pays a map-only filter, not a shuffle. */
+  private def readEntries(s: SparkSession, table: String, m: Manifest,
+                          entries: Seq[Entry]): DataFrame = {
+    require(entries.nonEmpty, s"$table: readEntries over zero entries")
+    val groups = entries.groupBy(e => m.deletes.filter(_._3 > e.seq))
+    groups.map { case (dels, es) =>
+      val df = schemaReader(s, m)
+        .parquet(es.map(e => pathFor(table, e.path)): _*)
+      dels.groupBy(_._2).foldLeft(df) {
+        case (acc, (kc, fls)) =>
+          acc.join(
+            s.read.parquet(fls.map(f => pathFor(table, f._1)): _*)
+              .select(col(kc)).distinct(),
+            Seq(kc), "left_anti")
+      }
+    }.reduce(_ unionByName _)
+  }
 
   private def schemaReader(s: SparkSession, m: Manifest) = m.schema match {
     case Some(sch) => s.read.schema(sch)
@@ -916,11 +1054,9 @@ object TxnTable {
                          kept: Seq[Entry], residual: Column)
       : (DataFrame, Int, Int) = {
     require(m.entries.nonEmpty, s"$table version lists no files")
-    val paths = (if (kept.nonEmpty) kept else m.entries.take(1))
-      .map(e => s"$table/${e.path}")
-    val df = applyTombstones(s, table, m.deletes,
-      schemaReader(s, m).parquet(paths: _*)
-        .filter(if (kept.nonEmpty) lit(true) else lit(false)))
+    val es = if (kept.nonEmpty) kept else m.entries.take(1)
+    val df = readEntries(s, table, m, es)
+      .filter(if (kept.nonEmpty) lit(true) else lit(false))
       .filter(residual)
     (df, kept.size, m.entries.size)
   }
@@ -928,14 +1064,13 @@ object TxnTable {
   def snapshot(s: SparkSession, table: String, v: Long = -1L): DataFrame = {
     val ver = if (v < 0) currentVersion(s, table) else v
     val m = manifest(s, table, ver)
-    val files = m.liveFiles.map(rel => s"$table/$rel")
     // same guard as snapshotBox: a zero-file version (an overwrite that
-    // staged nothing) must fail loudly, not as a schema-inference error
-    require(files.nonEmpty, s"$table version $ver lists no files")
-    // a committed schema wins over file-footer inference: files older
-    // than an added column read it as NULL (by-name parquet resolution)
-    applyTombstones(s, table, m.deletes,
-      schemaReader(s, m).parquet(files: _*))
+    // staged nothing) must fail loudly, not as a schema-inference error.
+    // readEntries applies sequenced tombstones and reads with the
+    // COMMITTED schema — files older than an added column read it as
+    // NULL (by-name parquet resolution); footers never decide
+    require(m.entries.nonEmpty, s"$table version $ver lists no files")
+    readEntries(s, table, m, m.entries)
   }
 
   /** Schema-evolving append: `df` may carry NEW columns beyond the
@@ -949,7 +1084,6 @@ object TxnTable {
   def appendEvolve(s: SparkSession, table: String, df: DataFrame): Long = {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur) // ONE log read for all facets below
-    requireNoTombstones(m.deletes, table, "appendEvolve")
     val have = m.schema.getOrElse(snapshot(s, table, cur).schema)
       .map(f => (f.name, f.dataType)).toSeq
     val got = df.schema.map(f => (f.name, f.dataType)).toSeq
@@ -960,7 +1094,7 @@ object TxnTable {
         stageIndexed(s, table, df, m.idxCols, m.strIdxCols)
       else stage(s, table, df)
     commit(s, table, m.entries.map(render) ++ fresh, cur, op = "evolve",
-      schemaJson = df.schema.json,
+      schemaJson = df.schema.json, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols)
   }
 
@@ -981,7 +1115,7 @@ object TxnTable {
 
   private def liveBytes(s: SparkSession, table: String, v: Long): Long =
     liveFiles(s, table, v).map { rel =>
-      val p = new Path(s"$table/$rel")
+      val p = new Path(pathFor(table, rel))
       fs(s, p).getFileStatus(p).getLen
     }.sum
 
@@ -1037,7 +1171,11 @@ object TxnTable {
     f.listStatus(logDir(table)).toSeq.map(_.getPath)
       .filter(_.getName.startsWith(".tmp-"))
       .foreach(p => f.delete(p, false))
-    // every staged file on disk, table-relative
+    // every staged file on disk, table-relative. A shallow CLONE that
+    // never staged locally has no data dir yet — and its absolute
+    // source-table references are never in this listing, so vacuuming a
+    // clone can never delete the source's files
+    if (!f.exists(dataDir)) return
     val onDisk = f.listStatus(dataDir).toSeq.filter(_.isDirectory).flatMap { d =>
       f.listStatus(d.getPath).toSeq.map(st =>
         s"data/${d.getPath.getName}/${st.getPath.getName}")
@@ -1614,5 +1752,152 @@ object TxnTable {
       .select(col("o_orderkey"), explode(col("ch")).as("c"))
       .select(col("o_orderkey"), col("c.op").as("op"),
         col("c.st").as("o_orderstatus"), col("c.pr").as("price"))
+  }
+
+  /** op_txn_restore: time-travel REPAIR as a checked query — a bad
+    * overwrite lands at v1, and [[restore]] rolls the table's CONTENT
+    * back to v0 as a NEW commit (v2): one manifest write, zero data
+    * copied, the bad version still auditable in the trail. Hashed
+    * output = the base content (the restore must be exact);
+    * `restore_ok` asserts v2's manifest lines are v0's VERBATIM and the
+    * trail reads create → overwrite → restore. */
+  def txnRestore(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("restore_orders")
+    val base = ordersSlice(s, d)
+    create(s, t, base.repartition(4))
+    // the "bad" commit: a deterministic change set lands at v1
+    overwrite(s, t, applyOrderChanges(snapshot(s, t, 0).withColumn("price",
+      col("price").cast(D14)), 50, 100, 61, 97, 100000000L, "N"))
+    val v0Lines = liveEntries(s, t, 0).map(render)
+    val v2 = restore(s, t, 0)
+    val sameFiles = liveEntries(s, t, v2).map(render) == v0Lines
+    val trail = history(s, t).map(h => (h._1, h._2))
+    val ok = sameFiles && v2 == 2L &&
+      trail == Seq((0L, "create"), (1L, "overwrite"), (2L, "restore"))
+    statusAgg(snapshot(s, t), "restored")
+      .withColumn("restore_ok", lit(ok))
+  }
+
+  /** op_txn_clone: zero-copy shallow clone as a checked query. The
+    * indexed source is cloned (one manifest write referencing the
+    * source's files absolutely — nothing copied: no local data dir
+    * exists after the clone), then the tables DIVERGE: a keyspace-
+    * shifted delta appends to the clone only. Hashed output = both
+    * tables' aggregates; `clone_ok` asserts the zero-copy mechanics
+    * (absolute refs, no local files at clone time, source still at v0)
+    * and that manifest range pruning keeps working through absolute
+    * references. */
+  def txnClone(s: SparkSession, d: String): DataFrame = {
+    val src = freshDir("clone_src")
+    val dst = freshDir("clone_dst")
+    val base = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    commit(s, src, stageIndexed(s, src,
+      base.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = base.schema.json)
+    shallowClone(s, src, dst)
+    val refsOk = liveEntries(s, dst, 0).nonEmpty &&
+      liveEntries(s, dst, 0).forall(_.path.startsWith(src + "/"))
+    val noLocal = !new java.io.File(dst, "data").exists()
+    val delta = base.filter(pmod(k, lit(97)) === 0)
+      .select((k + 100000000L).as("o_orderkey"),
+        lit("C").as("o_orderstatus"), col("price"))
+    append(s, dst, delta)
+    val srcOk = currentVersion(s, src) == 0L
+    val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
+    val (_, scanned, total) =
+      snapshotRange(s, dst, "o_orderkey", kmin, kmin + (kmax - kmin) / 8)
+    val ok = refsOk && noLocal && srcOk && scanned >= 1 && scanned < total
+    statusAgg(snapshot(s, src), "src")
+      .unionByName(statusAgg(snapshot(s, dst), "clone"))
+      .withColumn("clone_ok", lit(ok))
+  }
+
+  /** op_mor_seq: SEQUENCED merge-on-read tombstones as a checked query —
+    * the Iceberg-v2 rule that lets every writer commit on top of pending
+    * tombstones. v1 MoR-deletes keys %7 (tombstone only, zero rewrite);
+    * v2 APPENDS re-inserted rows for keys %14 — the same key values just
+    * deleted, which must stay VISIBLE because the appended files' seq is
+    * newer than the tombstone's; v3 MERGES price updates into the lowest
+    * eighth of the keyspace — rewritten files drop the tombstoned rows
+    * at rewrite time while untouched files keep paying the anti-join.
+    * No compaction anywhere. Hashed output = the final content (all
+    * three change sets replayed); `seq_ok` asserts the tombstone is
+    * STILL pending at v3, the per-version row counts, and that the merge
+    * carried untouched entries verbatim. */
+  def morSeq(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("morseq_orders")
+    val base = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    commit(s, t, stageIndexed(s, t,
+      base.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = base.schema.json)
+    val nBase = base.count()
+    val nDel = base.filter(pmod(k, lit(7)) === 0).count()
+    val nRe = base.filter(pmod(k, lit(14)) === 0).count()
+    deleteKeysMor(s, t, base.filter(pmod(k, lit(7)) === 0).select(k),
+      "o_orderkey")                                              // v1
+    val reinserted = base.filter(pmod(k, lit(14)) === 0)
+      .select(k, lit("R").as("o_orderstatus"), col("price"))
+    append(s, t, reinserted)                                     // v2
+    val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    val hi = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 8
+    val batch = base.filter(k <= hi && pmod(k, lit(5)) === 0)
+      .select(k, lit("U").as("o_orderstatus"),
+        (col("price") + lit(100).cast(D12)).cast(D12).as("price"))
+    val before = liveEntries(s, t, 2).map(render)
+    val res = merge(s, t, batch, "o_orderkey")                   // v3
+    val after = liveEntries(s, t, res.version).map(render).toSet
+    val verbatim = before.count(after.contains) == res.untouched
+    val ok = deleteFiles(s, t, res.version).size == 1 &&
+      snapshot(s, t, 1).count() == nBase - nDel &&
+      snapshot(s, t, 2).count() == nBase - nDel + nRe &&
+      res.untouched >= 1 && verbatim
+    snapshot(s, t)
+      .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
+      .withColumn("seq_ok", lit(ok))
+  }
+
+  /** op_merge_full: FULL MERGE semantics as a checked query — one
+    * [[applyChanges]] call carrying all four clause shapes at once:
+    * WHEN MATCHED UPDATE (low-eighth keys %5: price+100), WHEN MATCHED
+    * DELETE (keys %3 unless updated), WHEN NOT MATCHED INSERT
+    * (keyspace-shifted +1e8 rows), and not-matched DELETEs (ghost keys
+    * +3e8) that must no-op. File-pruned like op_merge_pruned: the hashed
+    * output is the merged content (oracle replays all four clauses);
+    * `full_ok` asserts ≥ half the files untouched with verbatim
+    * manifest carry-over. */
+  def mergeFull(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("mergefull_orders")
+    val base = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    commit(s, t, stageIndexed(s, t,
+      base.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = base.schema.json)
+    val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    val hi = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 8
+    val low = base.filter(k <= hi)
+    val upd = low.filter(pmod(k, lit(5)) === 0)
+      .select(k, lit("U").as("o_orderstatus"),
+        (col("price") + lit(100).cast(D12)).cast(D12).as("price"),
+        lit("U").as("op"))
+    val dels = low.filter(pmod(k, lit(3)) === 0 && pmod(k, lit(5)) =!= 0)
+      .select(k, col("o_orderstatus"), col("price"), lit("D").as("op"))
+    val ins = low.filter(pmod(k, lit(7)) === 0)
+      .select((k + 100000000L).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("price"), lit("U").as("op"))
+    val ghosts = low.filter(pmod(k, lit(11)) === 0)
+      .select((k + 300000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("price"), lit("D").as("op"))
+    val changes = upd.unionByName(dels).unionByName(ins).unionByName(ghosts)
+    val before = liveEntries(s, t, 0).map(render)
+    val res = applyChanges(s, t, changes, "o_orderkey")
+    val after = liveEntries(s, t, res.version).map(render).toSet
+    val verbatim = before.count(after.contains) == res.untouched
+    val ok = res.touched >= 1 && res.untouched * 2 >= res.total && verbatim
+    snapshot(s, t)
+      .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
+      .withColumn("full_ok", lit(ok))
   }
 }

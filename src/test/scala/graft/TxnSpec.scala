@@ -576,25 +576,28 @@ class TxnSpec extends SparkSpec {
     val (boxDf, _, _) = TxnTable.snapshotRange(spark, t, "k", 0L, 20L)
     assert(boxDf.select("k").as[Long].collect().toSet
       === (0L to 20L).filterNot(_ % 7 == 0).toSet)
-    // writers that can't see through tombstones refuse until compaction
-    intercept[IllegalArgumentException] {
-      TxnTable.append(spark, t, baseDf(2))
-    }
-    intercept[IllegalArgumentException] {
-      TxnTable.merge(spark, t, Seq((1L, "x")).toDF("k", "v"), "k")
-    }
+    // writers commit ON TOP of pending tombstones (sequenced deletes —
+    // r9): an appended row is newer than the tombstone and stays
+    // visible even when it re-inserts a tombstoned key; a merge's
+    // rewritten rows likewise escape the delete
+    TxnTable.append(spark, t, Seq((7L, "resurrected")).toDF("k", "v"))
+    assert(TxnTable.snapshot(spark, t).filter(col("k") === 7L).count() === 1,
+      "append on top of a tombstone lost the newer row")
+    TxnTable.merge(spark, t, Seq((1L, "merged")).toDF("k", "v"), "k")
+    assert(TxnTable.snapshot(spark, t).select("k").as[Long].collect().toSet
+      === expect + 7L,
+      "merge through a pending tombstone corrupted the content")
     // vacuum keeps the tombstone while its version is retained
     TxnTable.vacuum(spark, t, retain = 2)
-    assert(TxnTable.snapshot(spark, t).count() === expect.size)
-    // compact applies tombstones: clean version, same content, and the
-    // table is writable again
+    assert(TxnTable.snapshot(spark, t).count() === expect.size + 1)
+    // compact applies tombstones: clean version, same content
     val v2 = TxnTable.compact(spark, t)
     assert(TxnTable.deleteFiles(spark, t, v2).isEmpty)
     assert(TxnTable.snapshot(spark, t).select("k").as[Long].collect().toSet
-      === expect)
+      === expect + 7L)
     TxnTable.append(spark, t,
       Seq((200L, "new")).toDF("k", "v"))
-    assert(TxnTable.snapshot(spark, t).count() === expect.size + 1)
+    assert(TxnTable.snapshot(spark, t).count() === expect.size + 2)
   }
 
   test("tombstone anti-join broadcasts the key set — no shuffle on the scan side") {
@@ -758,6 +761,109 @@ class TxnSpec extends SparkSpec {
       .filter(col("op") =!= "same")
       .as[(Long, String)].collect().toSet
     assert(feed === Set((2L, "update"), (5L, "delete"), (100L, "insert")))
+  }
+
+  test("sequenced tombstones: writers commit on top of pending deletes") {
+    val t = freshTable("seq_tombstones")
+    val s = spark
+    import s.implicits._
+    val base = (0 until 140).map(i => (i.toLong, "B", i * 10L))
+      .toDF("k", "st", "p")
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t,
+      base.repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      "k"), expected = -1L, op = "create", schemaJson = base.schema.json)
+    TxnTable.deleteKeysMor(spark, t,
+      base.filter(pmod(col("k"), lit(7)) === 0).select("k"), "k") // v1
+    assert(TxnTable.snapshot(spark, t, 1).count() === 120)
+    // RESURRECTION: an append re-inserting tombstoned keys is NEWER than
+    // the tombstone (higher data seq) and must stay visible
+    TxnTable.append(spark, t, base.filter(pmod(col("k"), lit(14)) === 0)
+      .select(col("k"), lit("R").as("st"), col("p")))          // v2
+    assert(TxnTable.snapshot(spark, t, 2).count() === 130)
+    assert(TxnTable.snapshot(spark, t, 2)
+      .filter(col("st") === "R").count() === 10)
+    // the pinned pre-append version still hides them
+    assert(TxnTable.snapshot(spark, t, 1).count() === 120)
+    // a MERGE through the pending tombstone: rewritten files drop the
+    // tombstoned rows at rewrite time; untouched files keep anti-joining
+    val res = TxnTable.merge(spark, t,
+      Seq((5L, "U", 999L), (200L, "U", 999L)).toDF("k", "st", "p"), "k")
+    assert(TxnTable.deleteFiles(spark, t, res.version).size === 1,
+      "tombstone must still be pending after the merge")
+    val v3 = TxnTable.snapshot(spark, t)
+    assert(v3.count() === 131) // 130 + the new key 200
+    assert(v3.filter(col("st") === "R").count() === 10)
+    assert(v3.filter(col("k") === 7L).count() === 0,
+      "rewritten region resurrected a tombstoned key")
+    // a deleteRange through the pending tombstone behaves too
+    val dr = TxnTable.deleteRange(spark, t, "k", 100L, 300L)
+    val v4 = TxnTable.snapshot(spark, t)
+    assert(v4.filter(col("k") >= 100L).count() === 0)
+    assert(v4.filter(col("st") === "R").count() ===
+      v3.filter(col("st") === "R" && col("k") < 100L).count())
+    // compaction still materializes a clean tombstone-free version
+    val v5 = TxnTable.compact(spark, t)
+    assert(TxnTable.deleteFiles(spark, t, v5).isEmpty)
+    assert(TxnTable.snapshot(spark, t, v5).count() === v4.count())
+  }
+
+  test("restore rolls content back as a forward commit") {
+    val t = freshTable("restore")
+    TxnTable.create(spark, t, baseDf(100))
+    TxnTable.overwrite(spark, t, baseDf(7))
+    val v2 = TxnTable.restore(spark, t, 0)
+    assert(v2 === 2L)
+    assert(TxnTable.snapshot(spark, t).count() === 100)
+    // the bad version stays auditable and readable (until vacuum)
+    assert(TxnTable.snapshot(spark, t, 1).count() === 7)
+    assert(TxnTable.history(spark, t).map(_._2) ===
+      Seq("create", "overwrite", "restore"))
+    // restore re-references v0's files — vacuum keeping only the restored
+    // version must NOT delete them
+    TxnTable.vacuum(spark, t, retain = 1)
+    assert(TxnTable.snapshot(spark, t).count() === 100)
+  }
+
+  test("shallow clone diverges without copying; clone vacuum spares src") {
+    val t = freshTable("clone_src_spec")
+    val c = freshTable("clone_dst_spec")
+    TxnTable.create(spark, t, baseDf(100))
+    TxnTable.shallowClone(spark, t, c)
+    assert(TxnTable.snapshot(spark, c).count() === 100)
+    assert(!new java.io.File(c, "data").exists(), "clone copied data")
+    // diverge both ways: append to clone, overwrite src
+    TxnTable.append(spark, c, baseDf(10))
+    TxnTable.overwrite(spark, t, baseDf(3))
+    assert(TxnTable.snapshot(spark, c).count() === 110,
+      "clone must not see source commits")
+    assert(TxnTable.snapshot(spark, t).count() === 3)
+    // compact + vacuum the clone: all files become local, src untouched
+    TxnTable.compact(spark, c)
+    TxnTable.vacuum(spark, c, retain = 1)
+    assert(TxnTable.snapshot(spark, c).count() === 110)
+    assert(TxnTable.snapshot(spark, t, 0).count() === 100,
+      "clone vacuum deleted source files")
+  }
+
+  test("full merge: matched update+delete, not-matched insert, ghost delete no-op") {
+    val t = freshTable("apply_changes")
+    val s = spark
+    import s.implicits._
+    val base = (0 until 50).map(i => (i.toLong, i * 10L)).toDF("k", "p")
+    TxnTable.create(spark, t, base)
+    val changes = Seq(
+      (5L, 555L, "U"),   // matched update
+      (7L, 0L, "D"),     // matched delete
+      (100L, 1000L, "U"), // not-matched insert
+      (200L, 0L, "D")    // not-matched delete: must no-op
+    ).toDF("k", "p", "op")
+    TxnTable.applyChanges(spark, t, changes, "k")
+    val out = TxnTable.snapshot(spark, t).as[(Long, Long)].collect().toMap
+    assert(out.size === 50) // 50 - 1 delete + 1 insert
+    assert(out(5L) === 555L)
+    assert(!out.contains(7L))
+    assert(out(100L) === 1000L)
+    assert(!out.contains(200L))
   }
 
   test("truncUpper falls back when the cut lands after a LOW surrogate") {
