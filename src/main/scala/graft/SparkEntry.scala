@@ -75,6 +75,7 @@ object SparkEntry {
     "op_delete_pruned"        -> (TxnTable.deletePruned _),
     "op_delete_mor"           -> (TxnTable.deleteMor _),
     "op_txn_restore"          -> (TxnTable.txnRestore _),
+    "op_bloom_skip"           -> (TxnTable.bloomSkip _),
     "op_txn_clone"            -> (TxnTable.txnClone _),
     "op_mor_seq"              -> (TxnTable.morSeq _),
     "op_merge_full"           -> (TxnTable.mergeFull _),
@@ -1032,6 +1033,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
         |  TRUE AS skip_ok
         |FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    // bloom-sidecar point lookup: the probed minimum key's rows are
+    // trivially replayed; the bloom prune (and the coexisting day-range
+    // prune) travel as a boolean
+    "op_bloom_skip" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total,
+        |  TRUE AS skip_ok
+        |FROM b WHERE k = (SELECT MIN(k) FROM b)""".stripMargin,
     // RESTORE to v0 after a bad overwrite: the restored content is
     // exactly the base slice; the verbatim-manifest + audit-trail
     // mechanics travel as a boolean

@@ -131,11 +131,22 @@ object TxnTable {
     * write reads and parses the log file ONCE and threads this struct
     * through, instead of re-opening the same manifest for each facet
     * (on an object store every open is a GET). */
+  /** A committed per-file bloom-filter sidecar: `dir` holds a parquet of
+    * (f: file name, w: word index, b: 64 bits) rows — the split-into-
+    * words bit set of a bloom over column `col`, `m` bits and `k`
+    * hashes per file. Sidecar files, not manifest lines: blooms are
+    * data-sized metadata (Iceberg stores them in Puffin files for the
+    * same reason), so they are BUILT in one distributed pass and stored
+    * as ordinary parquet, while the manifest carries only this O(1)
+    * reference. */
+  case class BloomRef(dir: String, col: String, m: Long, k: Int)
+
   case class Manifest(op: String,
       schema: Option[org.apache.spark.sql.types.StructType],
       deletes: Seq[(String, String, Long)], entries: Seq[Entry],
       hdrIdx: Option[Seq[String]] = None,
-      hdrStrIdx: Option[Seq[String]] = None) {
+      hdrStrIdx: Option[Seq[String]] = None,
+      blooms: Seq[BloomRef] = Nil) {
     def liveFiles: Seq[String] = entries.map(_.path)
     // the index column set prefers the `#index=` header: deriving it from
     // entry stats alone loses the index whenever a version legitimately
@@ -190,6 +201,10 @@ object TxnTable {
     def idxHdr(prefix: String): Option[Seq[String]] =
       lines.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
         .map(v => if (v.isEmpty) Seq.empty else v.split(',').toSeq)
+    val blooms = lines.filter(_.startsWith("#bloom=")).map { l =>
+      val Array(dir, c, m, k) = l.stripPrefix("#bloom=").split('\t')
+      BloomRef(dir, c, m.toLong, k.toInt)
+    }
     val groupLen = if (fmt >= 2) 4 else 3
     val seqField = if (fmt >= 3) 1 else 0 // v3: `path TAB seq` lead fields
     val entries = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
@@ -212,7 +227,7 @@ object TxnTable {
         Entry(parts.head, stats, strs, seq)
       }
     Manifest(op, schema, deletes, entries,
-      idxHdr("#index="), idxHdr("#strindex="))
+      idxHdr("#index="), idxHdr("#strindex="), blooms)
   }
 
   private def b64enc(v: String): String =
@@ -356,7 +371,8 @@ object TxnTable {
              schemaJson: String = null,
              deleteLines: Seq[(String, String, Long)] = Nil,
              idxCols: Seq[String] = Nil,
-             strIdxCols: Seq[String] = Nil): Long = {
+             strIdxCols: Seq[String] = Nil,
+             blooms: Seq[BloomRef] = Nil): Long = {
     val ld = logDir(table)
     val f = fs(s, ld)
     f.mkdirs(ld)
@@ -401,6 +417,12 @@ object TxnTable {
           s"index column name '$c' would corrupt the $prefix header"))
         prefix + cols.mkString(",") + "\n"
       }
+    val bloomLines = blooms.map { b =>
+      require(!b.dir.exists("\t\n".contains(_)) &&
+        !b.col.exists("\t\n".contains(_)),
+        s"bloom ref (${b.dir}, ${b.col}) would corrupt the manifest format")
+      s"#bloom=${b.dir}\t${b.col}\t${b.m}\t${b.k}\n"
+    }.mkString
     // entry lines arrive in two shapes: CARRIED lines rendered from a
     // prior manifest already hold their data seq after the path
     // (fields % 4 == 2), FRESH lines from stage/stageIndexed don't
@@ -414,7 +436,7 @@ object TxnTable {
     try out.write(
       (s"#format=$ManifestFormat\n#op=$op\n" + schemaLine + delLines +
         idxLine("#index=", idxCols) + idxLine("#strindex=", strIdxCols) +
-        stamped.sorted.mkString("\n") + "\n").getBytes(UTF_8))
+        bloomLines + stamped.sorted.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
     val dst = manifestPath(table, next)
     // HDFS rename refuses an existing destination atomically; the LOCAL
@@ -485,7 +507,7 @@ object TxnTable {
     // keys — stay visible
     commit(s, table, m.entries.map(render) ++ fresh, cur, op = "append",
       schemaJson = df.schema.json, deleteLines = m.deletes,
-      idxCols = m.idxCols, strIdxCols = m.strIdxCols)
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
   }
 
   private def render(e: Entry): String =
@@ -624,6 +646,97 @@ object TxnTable {
     prunedRead(s, table, m, kept, col(c) >= lo && col(c) <= hi)
   }
 
+  /** Build a per-file BLOOM FILTER sidecar over column `c` for the given
+    * staged files — the stat kind for POINT lookups on a column the
+    * layout is NOT clustered by (a time-partitioned table probed by id:
+    * every file's id [min,max] spans the whole keyspace, so range stats
+    * prune nothing, but each file holds only its own ids). The bloom is
+    * built in ONE distributed aggregation (k probe positions per row →
+    * per-(file, word) bit_or) and stored as an ordinary parquet sidecar
+    * — never collected to the driver: at 100 TB blooms are data-sized
+    * metadata, which is exactly why Iceberg keeps them in Puffin files
+    * beside the data rather than in the manifest. The manifest carries
+    * only the O(1) `#bloom=` reference.
+    *
+    * Sizing: ~`bitsPerRow` bits per row at the MEASURED mean file size
+    * with `k` double-hashed probes (h1 + i·h2, the standard
+    * Kirsch–Mitzenmacher construction over two xxhash64 seeds) — false-
+    * positive rate ≈ 1% at 16/4, independent of scale because m grows
+    * with the rows. */
+  def buildBloom(s: SparkSession, table: String, rels: Seq[String],
+                 c: String, bitsPerRow: Long = 16L, k: Int = 4): BloomRef = {
+    require(rels.nonEmpty, "buildBloom over zero files")
+    val paths = rels.map(r => pathFor(table, r))
+    val df = s.read.parquet(paths: _*)
+    val rowsPerFile = math.max(1L, df.count() / rels.size)
+    val m = ((bitsPerRow * rowsPerFile + 63L) / 64L) * 64L
+    // combine in mod-space: (h1 + i*h2) mod m == (h1 mod m + i*(h2 mod m))
+    // mod m, and the reduced operands can't overflow a long under ANSI
+    // arithmetic (i < k, operands < m)
+    val h1 = pmod(xxhash64(col(c)), lit(m))
+    val h2 = pmod(xxhash64(lit("graftbloom"), col(c)), lit(m))
+    val positions = array((0 until k).map(i =>
+      pmod(h1 + lit(i.toLong) * h2, lit(m))): _*)
+    val words = df
+      .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("f"),
+        explode(positions).as("p"))
+      .select(col("f"), (col("p") / 64).cast("long").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))").as("b"))
+      .groupBy(col("f"), col("w")).agg(expr("bit_or(b)").as("b"))
+    val sub = s"data/bloom-${java.util.UUID.randomUUID()}"
+    words.write.parquet(s"$table/$sub")
+    BloomRef(sub, c, m, k)
+  }
+
+  /** Resolve a snapshot pruned by an EQUALITY predicate on a
+    * bloom-indexed column: probe the committed sidecar for the k bit
+    * positions of `v` and skip every file whose bloom proves absence.
+    * The membership test is one SMALL job over the sidecar (data-sized
+    * metadata, but ≪ the data itself) returning the qualifying file
+    * names — O(#files) driver state, same as the manifest. Files the
+    * sidecar does not cover (added after the bloom was built) are
+    * conservatively scanned; a false positive costs one extra file scan,
+    * never a wrong result (the residual filter still applies). */
+  def snapshotBloomEq(s: SparkSession, table: String, c: String, v: Long,
+                      ver: Long = -1L): (DataFrame, Int, Int) = {
+    import s.implicits._
+    val version = if (ver < 0) currentVersion(s, table) else ver
+    val m = manifest(s, table, version)
+    m.blooms.find(_.col == c) match {
+      case None => // no bloom committed for this column: full scan
+        prunedRead(s, table, m, m.entries, col(c) === v)
+      case Some(b) =>
+        // replay the EXACT build-side hash (same xxhash64 expressions,
+        // evaluated over one literal row) — a driver-side reimplementation
+        // could drift from Spark's hash of the typed column
+        val probe = s.range(1).select(
+          xxhash64(lit(v)).as("h1"),
+          xxhash64(lit("graftbloom"), lit(v)).as("h2")).collect()(0)
+        val (p1, p2) = (Math.floorMod(probe.getLong(0), b.m),
+          Math.floorMod(probe.getLong(1), b.m))
+        val need = (0 until b.k)
+          .map(i => Math.floorMod(p1 + i * p2, b.m))
+          .map(p => (p / 64, 1L << (p % 64).toInt))
+          .groupBy(_._1).map { case (w, ps) =>
+            (w, ps.map(_._2).reduce(_ | _)) }.toSeq
+        val sidecar = s.read.parquet(s"$table/${b.dir}")
+        val needDf = broadcast(need.toDF("w", "need"))
+        val hits = sidecar.join(needDf, "w")
+          .groupBy(col("f"))
+          .agg(sum(when(col("b").bitwiseAND(col("need")) === col("need"), 1)
+            .otherwise(0)).as("hit"))
+          .filter(col("hit") === need.size)
+          .select("f").as[String].collect().toSet
+        val covered = sidecar.select("f").distinct().as[String]
+          .collect().toSet
+        val kept = m.entries.filter { e =>
+          val name = e.path.split('/').last
+          !covered(name) || hits(name)
+        }
+        prunedRead(s, table, m, kept, col(c) === v)
+    }
+  }
+
   /** Resolve a snapshot pruned by an IS NULL predicate on `c`: manifest
     * entries whose per-file null COUNT for `c` is zero are skipped —
     * value ranges can't answer IS NULL (min/max ignore nulls), which is
@@ -718,7 +831,7 @@ object TxnTable {
       else stage(s, table, snapshot(s, table, cur).limit(0))
     val v = commit(s, table, finalLines, cur, op = "delete",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
-      idxCols = m.idxCols, strIdxCols = m.strIdxCols)
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
   }
 
@@ -853,7 +966,7 @@ object TxnTable {
     }
     val v = commit(s, table, kept.map(render) ++ fresh, cur, op = "merge",
       schemaJson = adds.schema.json, deleteLines = m.deletes,
-      idxCols = idxCols, strIdxCols = m.strIdxCols)
+      idxCols = idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
     MergeResult(v, touched.size, kept.size)
   }
 
@@ -872,7 +985,7 @@ object TxnTable {
     val m = manifest(s, table, v)
     commit(s, table, m.entries.map(render), cur, op = "restore",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
-      idxCols = m.idxCols, strIdxCols = m.strIdxCols)
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
   }
 
   /** Zero-copy SHALLOW CLONE: create `dst` at version 0 referencing the
@@ -894,7 +1007,8 @@ object TxnTable {
     val absDels = m.deletes.map { case (p, c, sq) => (s"$src/$p", c, sq) }
     commit(s, dst, abs.map(render), expected = -1L, op = "clone",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = absDels,
-      idxCols = m.idxCols, strIdxCols = m.strIdxCols)
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols,
+      blooms = m.blooms.map(b => b.copy(dir = s"$src/${b.dir}")))
   }
 
   /** Overwrite-commit: next version lists ONLY the newly staged files
@@ -998,7 +1112,7 @@ object TxnTable {
     commit(s, table, m.entries.map(render), cur, op = "delete_mor",
       schemaJson = m.schema.map(_.json).orNull,
       deleteLines = dels,
-      idxCols = m.idxCols, strIdxCols = m.strIdxCols)
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
   }
 
   /** The schema version `v` was committed with, if the commit recorded
@@ -1095,7 +1209,7 @@ object TxnTable {
       else stage(s, table, df)
     commit(s, table, m.entries.map(render) ++ fresh, cur, op = "evolve",
       schemaJson = df.schema.json, deleteLines = m.deletes,
-      idxCols = m.idxCols, strIdxCols = m.strIdxCols)
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
   }
 
   /** Compaction THROUGH the log: stage the current snapshot rewritten at a
@@ -1156,8 +1270,12 @@ object TxnTable {
     // they live under data/ like any staged file, and deleting one would
     // silently resurrect deleted rows. (One parsed manifest per retained
     // version covers both facets.)
-    val keep = live.map(manifest(s, table, _))
+    val retained = live.map(manifest(s, table, _))
+    val keep = retained
       .flatMap(m => m.liveFiles ++ m.deletes.map(_._1)).toSet
+    // bloom sidecars are whole directories of parquet — keep every file
+    // under a retained version's referenced bloom dir
+    val keepDirs = retained.flatMap(_.blooms.map(_.dir)).toSet
     val dataDir = new Path(table, "data")
     val f = fs(s, dataDir)
     // dead manifests go FIRST: if the vacuum crashes mid-way, a vacuumed
@@ -1180,7 +1298,9 @@ object TxnTable {
       f.listStatus(d.getPath).toSeq.map(st =>
         s"data/${d.getPath.getName}/${st.getPath.getName}")
     }
-    onDisk.filterNot(keep).foreach(rel => f.delete(new Path(s"$table/$rel"), false))
+    onDisk.filterNot(rel => keep(rel) ||
+        keepDirs.exists(d => rel.startsWith(d + "/")))
+      .foreach(rel => f.delete(new Path(s"$table/$rel"), false))
     // drop now-empty uuid dirs
     f.listStatus(dataDir).toSeq.filter(_.isDirectory)
       .filter(d => f.listStatus(d.getPath).isEmpty)
@@ -1752,6 +1872,43 @@ object TxnTable {
       .select(col("o_orderkey"), explode(col("ch")).as("c"))
       .select(col("o_orderkey"), col("c.op").as("op"),
         col("c.st").as("o_orderstatus"), col("c.pr").as("price"))
+  }
+
+  /** op_bloom_skip: bloom-sidecar point-lookup pruning as a checked
+    * query — the production "time-partitioned table probed by id" shape
+    * where range stats are useless: orders are clustered by ORDER DAY
+    * (so every file's o_orderkey range spans ~the whole keyspace) and a
+    * per-file bloom over o_orderkey is committed as a parquet sidecar
+    * with its `#bloom=` manifest reference. A point lookup of the
+    * minimum key (deterministic, oracle-replayable) then prunes files
+    * via the bloom alone: the key's order lives on one day, so one file
+    * (± the ~1% false-positive tax) survives out of 8. Hashed output =
+    * that key's rows; `skip_ok` asserts the bloom actually pruned AND
+    * that a day-range read on the SAME table still prunes via the
+    * ordinary range stats — the two stat kinds answer different
+    * predicates side by side. */
+  def bloomSkip(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("bloom_orders")
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01")).as("od"),
+      col("o_totalprice").cast(D12).as("price"))
+    val clustered = base.repartitionByRange(8, col("od"))
+      .sortWithinPartitions(col("od"))
+    val lines = stageIndexed(s, t, clustered, "od")
+    val rels = lines.map(_.split('\t').head)
+    val bloom = buildBloom(s, t, rels, "o_orderkey")
+    commit(s, t, lines, expected = -1L, op = "create",
+      schemaJson = base.schema.json, blooms = Seq(bloom))
+    val kv = base.agg(min("o_orderkey")).collect()(0).getLong(0)
+    val (snap, scanned, total) = snapshotBloomEq(s, t, "o_orderkey", kv)
+    val Seq(dmin, dmax) = base.agg(min("od"), max("od")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Number].longValue)
+    val (_, dScanned, dTotal) =
+      snapshotRange(s, t, "od", dmin, dmin + (dmax - dmin) / 8)
+    snap.agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total"))
+      .withColumn("skip_ok", lit(scanned >= 1 && scanned < total &&
+        dScanned >= 1 && dScanned < dTotal))
   }
 
   /** op_txn_restore: time-travel REPAIR as a checked query — a bad

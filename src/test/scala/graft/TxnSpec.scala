@@ -866,6 +866,54 @@ class TxnSpec extends SparkSpec {
     assert(!out.contains(200L))
   }
 
+  test("bloom sidecar prunes point lookups; uncovered files stay scanned") {
+    val t = freshTable("bloom")
+    val s = spark
+    import s.implicits._
+    // "time"-clustered layout: file = k/25 bucket, but probe column is
+    // id*37 mod 1000 — scattered, so ranges on it are useless
+    val base = (0 until 100).map(i => (i.toLong, (i * 37L) % 1000L))
+      .toDF("t", "id")
+    val clustered = base.repartitionByRange(4, col("t"))
+      .sortWithinPartitions(col("t"))
+    val lines = TxnTable.stageIndexed(spark, t, clustered, "t")
+    val rels = lines.map(_.split('\t').head)
+    val bloom = TxnTable.buildBloom(spark, t, rels, "id")
+    TxnTable.commit(spark, t, lines, expected = -1L, op = "create",
+      schemaJson = base.schema.json, blooms = Seq(bloom))
+    // a present value: exactly its file(s) survive; content correct and
+    // pruned files never opened
+    val probe = 37L // id of t=1, lives in the first file
+    val (snap, scanned, total) =
+      TxnTable.snapshotBloomEq(spark, t, "id", probe)
+    assert(scanned < total, s"bloom did not prune ($scanned of $total)")
+    assert(snap.select("t").as[Long].collect().toSeq === Seq(1L))
+    val keptPaths = TxnTable.liveEntries(spark, t, 0)
+      .map(e => s"$t/${e.path}").toSet
+    assert(snap.inputFiles.map(_.replaceFirst("^file:/+", "/")).toSet
+      .subsetOf(keptPaths))
+    // an absent value: everything pruned (up to false positives), no crash
+    val (snapNone, scNone, _) =
+      TxnTable.snapshotBloomEq(spark, t, "id", 999999L)
+    assert(snapNone.count() === 0)
+    assert(scNone <= 1, "absent probe scanned more than the fp budget")
+    // an appended file is NOT covered by the sidecar: conservatively
+    // scanned, and its rows still found
+    TxnTable.append(spark, t, Seq((200L, 999999L)).toDF("t", "id"))
+    val (snap2, sc2, tot2) =
+      TxnTable.snapshotBloomEq(spark, t, "id", 999999L)
+    assert(snap2.select("t").as[Long].collect().toSeq === Seq(200L),
+      "uncovered file was wrongly bloom-pruned")
+    assert(sc2 < tot2, "covered files stopped pruning after append")
+    // the sidecar survives vacuum while its version is retained
+    TxnTable.compact(spark, t)
+    TxnTable.vacuum(spark, t, retain = 2)
+    val (snap3, _, _) = TxnTable.snapshotBloomEq(spark, t, "id", probe,
+      ver = 1L)
+    assert(snap3.select("t").as[Long].collect().toSeq === Seq(1L),
+      "vacuum deleted a retained version's bloom sidecar")
+  }
+
   test("truncUpper falls back when the cut lands after a LOW surrogate") {
     // U+103FF = 𐏿: the 16-char cut puts the pair's LOW half
     // last. Its bump () is innocently non-surrogate, but keeping
