@@ -101,6 +101,8 @@ object SparkEntry {
     "mr_secondary_sort"       -> (MapReduceJobs.secondarySort _),
     "mr_pagerank"             -> (MapReduceJobs.pagerank _),
     "dd_exact"                -> (Dedup.exact _),
+    "dd_paragraph"            -> (Dedup.paragraphDedup _),
+    "ta_gopher_rules"         -> (TextAnalysis.gopherRules _),
     "dd_minhash_lsh"          -> (Dedup.minhashLsh _),
     "dd_simhash"              -> (Dedup.simhash _),
     "dd_ngram_jaccard"        -> (Dedup.ngramJaccard _),
@@ -809,6 +811,60 @@ object SparkEntry {
         |  CAST(stop_n AS DOUBLE) / n_tok AS stop_ratio,
         |  LEAST(1.0, n_tok / 100.0) * (1.0 - CAST(stop_n AS DOUBLE) / n_tok) AS score
         |FROM t""".stripMargin,
+    // the Gopher-style rule battery: every counter and ratio replayed
+    // with the identical IEEE expression tree, flags and the conjunctive
+    // keep bit compared bit-for-bit
+    "ta_gopher_rules" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS tok FROM documents),
+        |per AS (SELECT doc_id, COUNT(*) AS n_words, SUM(len(tok)) AS nc,
+        |    SUM(CASE WHEN regexp_matches(tok, '[A-Za-z]')
+        |      THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN tok IN ('the','a','of','and','to','in','is','it')
+        |      THEN 1 ELSE 0 END) AS ns,
+        |    SUM(CASE WHEN regexp_matches(tok, '^[0-9]+$')
+        |      THEN 1 ELSE 0 END) AS nn
+        |  FROM tok GROUP BY doc_id)
+        |SELECT doc_id, n_words, CAST(nc AS DOUBLE) / n_words AS mean_wlen,
+        |  n_words >= 20 AND n_words <= 100000 AS ok_len,
+        |  CAST(nc AS DOUBLE) / n_words >= 3.0
+        |    AND CAST(nc AS DOUBLE) / n_words <= 10.0 AS ok_wlen,
+        |  CAST(na AS DOUBLE) / n_words >= 0.8 AS ok_alpha,
+        |  ns >= 2 AS ok_stop,
+        |  CAST(nn AS DOUBLE) / n_words <= 0.2 AS ok_num,
+        |  (n_words >= 20 AND n_words <= 100000)
+        |    AND (CAST(nc AS DOUBLE) / n_words >= 3.0
+        |      AND CAST(nc AS DOUBLE) / n_words <= 10.0)
+        |    AND (CAST(na AS DOUBLE) / n_words >= 0.8)
+        |    AND (ns >= 2)
+        |    AND (CAST(nn AS DOUBLE) / n_words <= 0.2) AS keep
+        |FROM per""".stripMargin,
+    // paragraph (16-token chunk) dedup: chunking, global first-occurrence
+    // keep, and ordered reassembly all replayed; new_fp hash-checks the
+    // reassembled text itself
+    "dd_paragraph" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS toks FROM documents),
+        |ix AS (SELECT doc_id, toks,
+        |    CAST(unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT)))
+        |      AS BIGINT) AS ci FROM d),
+        |c AS (SELECT doc_id, ci,
+        |    array_to_string(
+        |      toks[(CAST(ci AS INT)*16+1):(CAST(ci AS INT)*16+16)],
+        |      ' ') AS chunk
+        |  FROM ix),
+        |f AS (SELECT doc_id, ci, chunk, md5(chunk) AS fp,
+        |    doc_id * 100000 + ci AS rk FROM c),
+        |m AS (SELECT fp, MIN(rk) AS mrk FROM f GROUP BY fp)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rk = mrk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  md5(COALESCE(string_agg(CASE WHEN rk = mrk THEN chunk END,
+        |    ' ' ORDER BY ci), '')) AS new_fp
+        |FROM f JOIN m USING (fp)
+        |GROUP BY doc_id""".stripMargin,
     "ta_repetition" ->
       """WITH tc AS (
         |  SELECT doc_id, tok, COUNT(*) AS n FROM (

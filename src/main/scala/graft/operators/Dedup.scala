@@ -21,6 +21,55 @@ import org.apache.spark.sql.expressions.Window
   */
 object Dedup {
 
+  /** Tokens per pseudo-paragraph chunk in [[paragraphDedup]]. */
+  val ParagraphTokens = 16
+
+  /** dd_paragraph: SUB-document dedup — the C4/CCNet "line-level" pass
+    * that document-level fingerprints can't do: boilerplate paragraphs
+    * (navigation, license blocks, templated headers) repeat across
+    * MILLIONS of otherwise-distinct pages, so the pipeline deduplicates
+    * at paragraph granularity and keeps only each paragraph's first
+    * occurrence, REASSEMBLING every document from its surviving
+    * paragraphs. This corpus has no newlines, so a "paragraph" is a
+    * fixed [[ParagraphTokens]]-token chunk (the mechanics — global
+    * first-occurrence keep + ordered reassembly — are exactly the
+    * line-level algorithm). First occurrence is the (doc_id, chunk_idx)
+    * lexicographic minimum per chunk fingerprint, one window over the
+    * fingerprint shuffle; reassembly is one groupBy(doc) — two shuffles
+    * total at any corpus size, never a pair join. Output per doc:
+    * chunk counts and the md5 of the reassembled text (hash-checked, so
+    * the oracle replays chunking, keep decisions, AND reassembly
+    * order). */
+  def paragraphDedup(s: SparkSession, d: String): DataFrame = {
+    val n = ParagraphTokens
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("ci", (col("pos") / n).cast("long"))
+      .groupBy(col("doc_id"), col("ci"))
+      // order within the ≤16-element chunk via array_sort on (pos, tok)
+      // structs — tiny row-local arrays, deterministic at any parallelism
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("chunk"))
+    // rank key: (doc_id, chunk_idx) flattened — chunk_idx is bounded by
+    // tokens/16 ≪ 1e5, so the packing is collision-free far past any SF
+    val flagged = chunks
+      .withColumn("fp", md5(col("chunk")))
+      .withColumn("rk", col("doc_id") * 100000L + col("ci"))
+      .withColumn("keep",
+        col("rk") === min(col("rk")).over(Window.partitionBy(col("fp"))))
+    flagged.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      // reassemble surviving chunks in document order; a fully-duplicate
+      // doc reassembles to the empty string (md5('') — still a row)
+      md5(array_join(transform(
+        array_sort(collect_list(when(col("keep"),
+          struct(col("ci"), col("chunk"))))),
+        x => x.getField("chunk")), " ")).as("new_fp"))
+  }
+
   /** dd_exact: exact dedup on the md5 of normalized text. Emits every doc
     * with its fingerprint and whether it is the kept representative
     * (minimum doc_id in its group) — one shuffle on the fingerprint. */

@@ -63,6 +63,38 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("dim"))
       .agg(count(lit(1)).as("tf"))
 
+  /** ta_gopher_rules: the multi-rule document-quality battery every
+    * public web-corpus pipeline runs (the Gopher/MassiveText repetition
+    * and format rules, re-expressed over this corpus): per doc —
+    * word-count bounds, mean-word-length bounds, alphabetic-word
+    * fraction, minimum stopword evidence, numeric-word fraction — each
+    * as its OWN flag plus the conjunctive keep bit, because a real
+    * pipeline tunes and audits rules individually before composing
+    * them. One explode + one map-side-combined groupBy (token counters
+    * are algebraic), so the battery costs a single corpus pass at any
+    * scale; every ratio is the same IEEE double expression tree on both
+    * engines, so the flags are bit-identical. */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+    val per = tok.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_words"),
+      sum(length(col("tok"))).as("nc"),
+      sum(when(col("tok").rlike("[A-Za-z]"), 1L).otherwise(0L)).as("na"),
+      sum(when(col("tok").isin(Stopwords: _*), 1L).otherwise(0L)).as("ns"),
+      sum(when(col("tok").rlike("^[0-9]+$"), 1L).otherwise(0L)).as("nn"))
+    val meanW = col("nc").cast("double") / col("n_words")
+    val okLen = col("n_words") >= 20L && col("n_words") <= 100000L
+    val okWlen = meanW >= 3.0 && meanW <= 10.0
+    val okAlpha = col("na").cast("double") / col("n_words") >= 0.8
+    val okStop = col("ns") >= 2L
+    val okNum = col("nn").cast("double") / col("n_words") <= 0.2
+    per.select(col("doc_id"), col("n_words"), meanW.as("mean_wlen"),
+      okLen.as("ok_len"), okWlen.as("ok_wlen"), okAlpha.as("ok_alpha"),
+      okStop.as("ok_stop"), okNum.as("ok_num"),
+      (okLen && okWlen && okAlpha && okStop && okNum).as("keep"))
+  }
+
   /** ta_quality_score: length/stopword-ratio quality heuristic. The exact
     * double expression tree is mirrored in the oracle SQL so the score is
     * bit-identical. */
