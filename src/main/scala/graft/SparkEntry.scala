@@ -856,7 +856,7 @@ object SparkEntry {
         |      ' ') AS chunk
         |  FROM ix),
         |f AS (SELECT doc_id, ci, chunk, md5(chunk) AS fp,
-        |    doc_id * 100000 + ci AS rk FROM c),
+        |    doc_id * 1000000000 + ci AS rk FROM c),
         |m AS (SELECT fp, MIN(rk) AS mrk FROM f GROUP BY fp)
         |SELECT doc_id, COUNT(*) AS n_chunks,
         |  CAST(SUM(CASE WHEN rk = mrk THEN 1 ELSE 0 END) AS BIGINT)

@@ -52,11 +52,14 @@ object Dedup {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("tok")))),
         x => x.getField("tok")), " ").as("chunk"))
-    // rank key: (doc_id, chunk_idx) flattened — chunk_idx is bounded by
-    // tokens/16 ≪ 1e5, so the packing is collision-free far past any SF
+    // rank key: (doc_id, chunk_idx) flattened into one long. The 1e9
+    // stride means collision-freedom needs only chunk_idx < 1e9 (a
+    // 16-billion-character document) while doc_id keeps 9.2e9 of
+    // headroom — both bounds are unreachable at any real scale, unlike
+    // a tighter stride that a mega-document could overflow into
     val flagged = chunks
       .withColumn("fp", md5(col("chunk")))
-      .withColumn("rk", col("doc_id") * 100000L + col("ci"))
+      .withColumn("rk", col("doc_id") * 1000000000L + col("ci"))
       .withColumn("keep",
         col("rk") === min(col("rk")).over(Window.partitionBy(col("fp"))))
     flagged.groupBy(col("doc_id")).agg(

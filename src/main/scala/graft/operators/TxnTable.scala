@@ -167,12 +167,16 @@ object TxnTable {
     * v3 = entry lines carry a data sequence number after the path
     * (`path TAB seq TAB groups…`), tombstone headers carry their commit
     * seq (`#delete=path TAB col TAB seq`). v2 = 4-field stat groups
-    * without seqs (read as seq 0 / tombstones apply-to-all — exactly the
-    * pre-seq behavior those manifests were written under). A manifest
-    * WITHOUT the header is parsed as the legacy v1 format — 3-field
-    * integral-only (col, min, max) groups, read with nulls UNKNOWN (−1),
-    * which every consumer treats conservatively — so pre-header tables
-    * stay readable instead of failing a line-level parse. A NEWER format
+    * without seqs (read as seq 0; pre-seq tombstones apply to all of
+    * them — exactly the behavior those manifests were written under).
+    * A manifest WITHOUT the header is parsed as the OLDEST format, v1 —
+    * 3-field integral-only (col, min, max) groups, read with nulls
+    * UNKNOWN (−1), which every consumer treats conservatively — so
+    * pre-header tables stay readable instead of failing a line-level
+    * parse. (4-field manifests from the short headerless span before
+    * `#format=` existed are indistinguishable from v1 and out of scope:
+    * every table here is per-run scratch, and a production format would
+    * have carried its version header from day one.) A NEWER format
     * fails with a clear unsupported-format error, never a cryptic
     * field-count require. */
   private val ManifestFormat = 3L
@@ -192,8 +196,11 @@ object TxnTable {
     val deletes = lines.filter(_.startsWith("#delete=")).map { l =>
       l.stripPrefix("#delete=").split('\t') match {
         case Array(p, c, sq) => (p, c, sq.toLong)
-        // pre-seq tombstone: applies to every entry (they all read seq 0)
-        case Array(p, c) => (p, c, Long.MaxValue)
+        // pre-seq tombstone: seq 1 — above every legacy entry (they all
+        // read seq 0, and r8 writers refused to add entries past a
+        // pending tombstone) but SMALL, so commit's newSeq = max+1 can
+        // never overflow the way a MaxValue sentinel would
+        case Array(p, c) => (p, c, 1L)
         case other => throw new IllegalArgumentException(
           s"bad tombstone line: ${other.mkString("\t")}")
       }
@@ -673,8 +680,12 @@ object TxnTable {
     // combine in mod-space: (h1 + i*h2) mod m == (h1 mod m + i*(h2 mod m))
     // mod m, and the reduced operands can't overflow a long under ANSI
     // arithmetic (i < k, operands < m)
-    val h1 = pmod(xxhash64(col(c)), lit(m))
-    val h2 = pmod(xxhash64(lit("graftbloom"), col(c)), lit(m))
+    // hash the column AS LONG: xxhash64 is type-sensitive, and the probe
+    // side hashes a long literal — an int-typed column hashed in its
+    // stored width would systematically miss on every probe (wrong EMPTY
+    // results, not just a missed prune)
+    val h1 = pmod(xxhash64(col(c).cast("long")), lit(m))
+    val h2 = pmod(xxhash64(lit("graftbloom"), col(c).cast("long")), lit(m))
     val positions = array((0 until k).map(i =>
       pmod(h1 + lit(i.toLong) * h2, lit(m))): _*)
     val words = df
@@ -719,16 +730,21 @@ object TxnTable {
           .map(p => (p / 64, 1L << (p % 64).toInt))
           .groupBy(_._1).map { case (w, ps) =>
             (w, ps.map(_._2).reduce(_ | _)) }.toSeq
-        val sidecar = s.read.parquet(s"$table/${b.dir}")
+        // ONE pass over the sidecar (pathFor: a clone's bloom ref is
+        // absolute): the left join keeps every covered file in the
+        // grouping, so coverage and the membership verdict come out of
+        // the same O(#files) collect
+        val sidecar = s.read.parquet(pathFor(table, b.dir))
         val needDf = broadcast(need.toDF("w", "need"))
-        val hits = sidecar.join(needDf, "w")
+        val perFile = sidecar.join(needDf, Seq("w"), "left")
           .groupBy(col("f"))
-          .agg(sum(when(col("b").bitwiseAND(col("need")) === col("need"), 1)
+          .agg(sum(when(col("need").isNotNull &&
+              col("b").bitwiseAND(col("need")) === col("need"), 1)
             .otherwise(0)).as("hit"))
-          .filter(col("hit") === need.size)
-          .select("f").as[String].collect().toSet
-        val covered = sidecar.select("f").distinct().as[String]
-          .collect().toSet
+          .select(col("f"), (col("hit") === need.size).as("ok"))
+          .as[(String, Boolean)].collect()
+        val covered = perFile.map(_._1).toSet
+        val hits = perFile.filter(_._2).map(_._1).toSet
         val kept = m.entries.filter { e =>
           val name = e.path.split('/').last
           !covered(name) || hits(name)
@@ -964,7 +980,13 @@ object TxnTable {
         finally merged.unpersist(blocking = false)
       case None => clusterStage(merged)
     }
-    val v = commit(s, table, kept.map(render) ++ fresh, cur, op = "merge",
+    val lines = kept.map(render) ++ fresh
+    // a change set that deletes every row (all-'D' applyChanges over a
+    // fully-touched table) must not commit a ZERO-file version — stage
+    // the empty sentinel carrying the schema, same guard as deleteRange
+    val finalLines =
+      if (lines.nonEmpty) lines else stage(s, table, adds.limit(0))
+    val v = commit(s, table, finalLines, cur, op = "merge",
       schemaJson = adds.schema.json, deleteLines = m.deletes,
       idxCols = idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
     MergeResult(v, touched.size, kept.size)
@@ -1003,12 +1025,15 @@ object TxnTable {
     require(new Path(src).isAbsolute, s"clone source must be absolute: $src")
     val cur = currentVersion(s, src)
     val m = manifest(s, src, cur)
-    val abs = m.entries.map(e => e.copy(path = s"$src/${e.path}"))
-    val absDels = m.deletes.map { case (p, c, sq) => (s"$src/$p", c, sq) }
+    // a clone-of-a-clone's entries may ALREADY be absolute (pointing at
+    // the original source) — prefixing those again would corrupt them
+    def absPath(p: String) = if (p.startsWith("/")) p else s"$src/$p"
+    val abs = m.entries.map(e => e.copy(path = absPath(e.path)))
+    val absDels = m.deletes.map { case (p, c, sq) => (absPath(p), c, sq) }
     commit(s, dst, abs.map(render), expected = -1L, op = "clone",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = absDels,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols,
-      blooms = m.blooms.map(b => b.copy(dir = s"$src/${b.dir}")))
+      blooms = m.blooms.map(b => b.copy(dir = absPath(b.dir))))
   }
 
   /** Overwrite-commit: next version lists ONLY the newly staged files

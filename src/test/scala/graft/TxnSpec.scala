@@ -845,6 +845,35 @@ class TxnSpec extends SparkSpec {
       "clone vacuum deleted source files")
   }
 
+  test("clone of a clone keeps original absolute refs readable") {
+    val a = freshTable("clone_a")
+    val b = freshTable("clone_b")
+    val c = freshTable("clone_c")
+    TxnTable.create(spark, a, baseDf(50))
+    TxnTable.shallowClone(spark, a, b)
+    TxnTable.shallowClone(spark, b, c) // b's entries are already absolute
+    assert(TxnTable.snapshot(spark, c).count() === 50)
+    TxnTable.append(spark, c, baseDf(5))
+    assert(TxnTable.snapshot(spark, c).count() === 55)
+    assert(TxnTable.snapshot(spark, a).count() === 50)
+  }
+
+  test("an all-delete change set leaves an empty but readable table") {
+    val t = freshTable("apply_changes_empty")
+    val s = spark
+    import s.implicits._
+    val base = (0 until 20).map(i => (i.toLong, i * 10L)).toDF("k", "p")
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t,
+      base.repartitionByRange(2, col("k")).sortWithinPartitions(col("k")),
+      "k"), expected = -1L, op = "create", schemaJson = base.schema.json)
+    val allDel = base.select(col("k"), col("p"), lit("D").as("op"))
+    TxnTable.applyChanges(spark, t, allDel, "k")
+    assert(TxnTable.snapshot(spark, t).count() === 0,
+      "empty table must stay readable (schema-carrying sentinel)")
+    TxnTable.append(spark, t, base.limit(3))
+    assert(TxnTable.snapshot(spark, t).count() === 3)
+  }
+
   test("full merge: matched update+delete, not-matched insert, ghost delete no-op") {
     val t = freshTable("apply_changes")
     val s = spark
