@@ -102,6 +102,8 @@ object SparkEntry {
     "mr_pagerank"             -> (MapReduceJobs.pagerank _),
     "dd_exact"                -> (Dedup.exact _),
     "dd_paragraph"            -> (Dedup.paragraphDedup _),
+    "dd_incremental"          -> (Dedup.incremental _),
+    "dd_url"                  -> (Dedup.urlDedup _),
     "ta_gopher_rules"         -> (TextAnalysis.gopherRules _),
     "dd_minhash_lsh"          -> (Dedup.minhashLsh _),
     "dd_simhash"              -> (Dedup.simhash _),
@@ -154,6 +156,7 @@ object SparkEntry {
     "sql_text_agg"            -> (SqlSurface.textAgg _),
     "sql_text_rolling"        -> (SqlSurface.textRolling _),
     "sql_text_knn"            -> (SqlSurface.textKnn _),
+    "sql_recursive_cte"       -> (SqlSurface.recursiveCte _),
     "sql_text_minhash"        -> (SqlSurface.textMinhash _),
   )
 
@@ -865,6 +868,53 @@ object SparkEntry {
         |    ' ' ORDER BY ci), '')) AS new_fp
         |FROM f JOIN m USING (fp)
         |GROUP BY doc_id""".stripMargin,
+    "dd_incremental" ->
+      """WITH fps AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |store AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 0),
+        |batch AS (SELECT doc_id, fp,
+        |    doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS batch_rep
+        |  FROM fps WHERE doc_id % 3 = 0)
+        |SELECT b.doc_id, b.fp, b.batch_rep,
+        |  s.fp IS NULL AS novel,
+        |  (b.batch_rep AND s.fp IS NULL) AS keep,
+        |  TRUE AS inc_ok
+        |FROM batch b LEFT JOIN store s USING (fp)""".stripMargin,
+    "dd_url" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END)
+        |    || '://' ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN upper(source || '.example.org')
+        |          ELSE source || '.example.org' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |    '/p/' || CAST(doc_id % 10 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) || '?' ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |          THEN 'z=9&utm_campaign=x&id=' || CAST(doc_id % 5 AS VARCHAR)
+        |          ELSE 'id=' || CAST(doc_id % 5 AS VARCHAR) || '&z=9' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |n1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf
+        |  FROM u),
+        |n2 AS (SELECT *, regexp_replace(nf, '^[^:]+://', '') AS rest
+        |  FROM n1),
+        |n3 AS (SELECT *, regexp_replace(rest, '^[^/?]+', '') AS pathq
+        |  FROM n2),
+        |n4 AS (SELECT *, array_to_string(list_sort(list_filter(
+        |    string_split(regexp_extract(pathq, '[?](.*)$', 1), '&'),
+        |    p -> NOT regexp_matches(p, '^utm_') AND p <> '')), '&') AS cq
+        |  FROM n3),
+        |n5 AS (SELECT doc_id, url,
+        |    lower(regexp_extract(nf, '^([^:]+)://', 1)) || '://' ||
+        |    lower(regexp_replace(regexp_extract(rest, '^([^/?]+)', 1),
+        |      ':(443|80)$', '')) ||
+        |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/$', '')
+        |    || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canon
+        |  FROM n4)
+        |SELECT doc_id, url, canon,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY canon) AS keep
+        |FROM n5""".stripMargin,
     "ta_repetition" ->
       """WITH tc AS (
         |  SELECT doc_id, tok, COUNT(*) AS n FROM (
@@ -913,6 +963,20 @@ object SparkEntry {
     "sql_text_agg" -> graft.operators.SqlSurface.TextAggSql,
     "sql_text_rolling" -> rollingHashOracle,
     "sql_text_knn" -> knnBruteOracle,
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE tree AS (
+        |  SELECT c_custkey AS k, c_custkey AS root, 0 AS depth,
+        |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.root, t.depth + 1,
+        |         CAST(c.c_acctbal AS DECIMAL(12,2))
+        |  FROM customer c JOIN tree t ON c.c_custkey // 10 = t.k
+        |  WHERE c.c_custkey >= 10
+        |)
+        |SELECT root, depth, COUNT(*) AS n_members,
+        |       CAST(SUM(bal) AS DOUBLE) AS sum_bal, MAX(k) AS max_key
+        |FROM tree GROUP BY root, depth""".stripMargin,
     "sql_text_minhash" -> graft.operators.Dedup.minhashProbeOracle,
     "ta_split" ->
       s"""SELECT ${splitBucketSql("doc_id")} AS split,

@@ -557,4 +557,96 @@ object Dedup {
        |JOIN e e1 ON e1.vec_id = v1
        |JOIN e e2 ON e2.vec_id = v2
        |WHERE list_cosine_similarity(e1.v, e2.v) >= $EmbedTau""".stripMargin
+
+  /** dd_incremental: dedup of an ARRIVING batch against the fingerprint
+    * store of an already-deduped corpus — the shape a production crawl
+    * runs daily. The 100 TB invariant: the deduped corpus is NEVER
+    * rescanned; its distinct fingerprints live in a TxnTable "store"
+    * (here built once from the docs with doc_id % 3 != 0), and each
+    * arriving batch (doc_id % 3 == 0) is (a) internally deduped with the
+    * one-shuffle keep-min, (b) anti-joined against the store — the batch
+    * is the SMALL side, so AQE broadcasts it against the store scan —
+    * and (c) the novel fingerprints are APPENDED to the store through
+    * the snapshot log (atomic: a concurrent reader sees the old or the
+    * new store, never a torn one). Output: every batch doc with its
+    * in-batch representative flag, novelty verdict, and final keep
+    * decision; `inc_ok` asserts the store mechanics (version advanced
+    * once, row count grew by exactly the distinct-novel count). */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val store = {
+      val dir = graft.Fs.scratch("graft_txn", "dd_store")
+      graft.Fs.deleteRecursively(dir)
+      dir
+    }
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val corpusFps = fps.filter(col("doc_id") % 3 =!= 0)
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
+    TxnTable.create(s, store, corpusFps)
+    val v0Rows = TxnTable.snapshot(s, store).count()
+    val batch = fps.filter(col("doc_id") % 3 === 0)
+      .withColumn("batch_rep",
+        col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("fp"))))
+    val storeFps = TxnTable.snapshot(s, store).select(col("fp"))
+    val verdicts = batch
+      .join(storeFps.withColumn("present", lit(true)), Seq("fp"), "left")
+      .withColumn("novel", col("present").isNull)
+      .withColumn("keep", col("batch_rep") && col("novel"))
+      .select(col("doc_id"), col("fp"), col("batch_rep"), col("novel"),
+        col("keep"))
+    val novelFps = verdicts.filter(col("keep"))
+      .select(col("fp"), col("doc_id").as("owner"))
+    val v1 = TxnTable.append(s, store, novelFps)
+    val v1Rows = TxnTable.snapshot(s, store).count()
+    val nNovel = novelFps.count()
+    val ok = v1 == 1L && v1Rows == v0Rows + nNovel
+    verdicts.withColumn("inc_ok", lit(ok))
+  }
+
+  /** dd_url: URL-canonicalization dedup (the C4 crawl-frontier pass —
+    * the same page fetched as `HTTPS://WWW...:443/p/1/?utm_source=...`
+    * and `https://www.../p/1?id=...` must collapse). The corpus carries
+    * no URLs, so deterministic synthetic URLs are derived from
+    * (doc_id, source) on BOTH engines — the ta_pii_scrub precedent —
+    * with case, default-port, trailing-slash, param-order, utm_* and
+    * fragment noise injected by doc_id residue. Canonicalization parses
+    * the URL GENERICALLY (regex, not by construction knowledge):
+    * lowercase scheme+host, strip :443/:80, drop fragment, drop utm_*
+    * params, sort surviving params, strip the trailing slash. Row-local
+    * (zero shuffle) until the one keep-min shuffle on the canonical
+    * key. */
+  def urlDedup(s: SparkSession, d: String): DataFrame = {
+    val k = col("doc_id")
+    val host0 = concat(col("source"), lit(".example.org"))
+    val url = concat(
+      when(k % 5 === 0, lit("HTTPS")).otherwise(lit("https")), lit("://"),
+      when(k % 4 === 0, upper(host0)).otherwise(host0),
+      when(k % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), (k % 10).cast("string"),
+      when(k % 6 === 0, lit("/")).otherwise(lit("")),
+      lit("?"),
+      when(k % 2 === 0,
+        concat(lit("z=9&utm_campaign=x&id="), (k % 5).cast("string")))
+        .otherwise(concat(lit("id="), (k % 5).cast("string"), lit("&z=9"))),
+      when(k % 3 === 0, lit("#sec")).otherwise(lit("")))
+    val withUrl = Tables.documents(s, d).select(k, url.as("url"))
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([^:]+)://", 1))
+    val rest = regexp_replace(noFrag, "^[^:]+://", "")
+    val host = lower(regexp_replace(
+      regexp_extract(rest, "^([^/?]+)", 1), ":(443|80)$", ""))
+    val pathQ = regexp_replace(rest, "^[^/?]+", "")
+    val path = regexp_replace(regexp_extract(pathQ, "^([^?]*)", 1), "/$", "")
+    val query = regexp_extract(pathQ, "[?](.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => !p.startsWith("utm_") && p =!= "")
+    val canonQ = array_join(array_sort(params), "&")
+    val canon = concat(scheme, lit("://"), host, path,
+      when(canonQ =!= "", concat(lit("?"), canonQ)).otherwise(lit("")))
+    withUrl.withColumn("canon", canon)
+      .withColumn("keep",
+        col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("canon"))))
+  }
 }

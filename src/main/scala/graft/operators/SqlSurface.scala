@@ -77,4 +77,33 @@ object SqlSurface {
         |  WHERE q.vec_id < 10) t
         |WHERE rank <= 5""".stripMargin)
   }
+
+  /** sql_recursive_cte: WITH RECURSIVE through Spark 4's UnionLoop — the
+    * iterative-closure surface (org charts, BOM explosions, graph
+    * reachability) that until 4.0 required a driver-side loop. The
+    * hierarchy is a deterministic digit-tree over customer keys
+    * (parent(k) = k DIV 10, roots are the single-digit keys), so every
+    * customer resolves to a root and a depth in ⌈log10(N)⌉ recursive
+    * steps — each step one key-equi join, so the whole closure is
+    * O(depth) shuffles, never a driver loop, and depth grows only
+    * logarithmically at 100 TB. Balances aggregate in DECIMAL (exact,
+    * order-free); DuckDB replays the identical recursion with `//`
+    * integer division. */
+  def recursiveCte(s: SparkSession, d: String): DataFrame = {
+    view(s, d, "customer")
+    s.sql(
+      """WITH RECURSIVE tree AS (
+        |  SELECT c_custkey AS k, c_custkey AS root, 0 AS depth,
+        |         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.root, t.depth + 1,
+        |         CAST(c.c_acctbal AS DECIMAL(12,2))
+        |  FROM customer c JOIN tree t ON c.c_custkey DIV 10 = t.k
+        |  WHERE c.c_custkey >= 10  -- root 0 would otherwise self-loop
+        |)
+        |SELECT root, depth, COUNT(*) AS n_members,
+        |       CAST(SUM(bal) AS DOUBLE) AS sum_bal, MAX(k) AS max_key
+        |FROM tree GROUP BY root, depth""".stripMargin)
+  }
 }
