@@ -121,6 +121,8 @@ object SparkEntry {
     "ta_pack_sequences"       -> (TextAnalysis.packSequences _),
     "ta_tfidf"                -> (TextAnalysis.tfidf _),
     "ta_feature_hash"         -> (TextAnalysis.featureHash _),
+    "ta_cdc_chunk"            -> (TextAnalysis.cdcChunk _),
+    "ta_dsir"                 -> (TextAnalysis.dsir _),
     "ta_entropy"              -> (TextAnalysis.entropy _),
     "ta_bpe_train"            -> (TextAnalysis.bpeTrainQuery _),
     "ta_bpe_tokenize"         -> (TextAnalysis.bpeTokenize _),
@@ -957,6 +959,92 @@ object SparkEntry {
         |    % ${graft.operators.TextAnalysis.FeatureDims} AS dim
         |  FROM tok)
         |SELECT doc_id, dim, COUNT(*) AS tf FROM h GROUP BY doc_id, dim""".stripMargin,
+    "ta_cdc_chunk" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, 'o' AS var, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'm', 'zz qq ' || text FROM documents),
+        |w AS (SELECT doc_id, var,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM docs2),
+        |p AS (SELECT doc_id, var, ws,
+        |    CAST(unnest(range(0, len(ws))) AS BIGINT) AS pos FROM w),
+        |t AS (SELECT doc_id, var, pos,
+        |    ws[CAST(pos AS INT) + 1] AS tok,
+        |    CASE WHEN pos >= 2 THEN
+        |      ws[CAST(pos AS INT) - 1] || ' ' || ws[CAST(pos AS INT)] ||
+        |      ' ' || ws[CAST(pos AS INT) + 1] END AS win
+        |  FROM p),
+        |f AS (SELECT doc_id, var, pos, tok,
+        |    (pos >= 2 AND list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(string_split_regex(win, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 2147483647) % 16 = 0) AS bnd
+        |  FROM t),
+        |r AS (SELECT doc_id, var, pos, tok,
+        |    COALESCE(SUM(CASE WHEN bnd THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id, var ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci,
+        |    pos // 16 AS cif
+        |  FROM f),
+        |cc AS (SELECT doc_id, var, ci,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+        |  FROM r GROUP BY doc_id, var, ci),
+        |cf AS (SELECT doc_id, var, cif,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+        |  FROM r GROUP BY doc_id, var, cif),
+        |ncc AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN var = 'o' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cdc_o,
+        |    CAST(SUM(CASE WHEN var = 'm' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cdc_m
+        |  FROM cc GROUP BY doc_id),
+        |ncf AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN var = 'o' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_fix_o,
+        |    CAST(SUM(CASE WHEN var = 'm' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_fix_m
+        |  FROM cf GROUP BY doc_id),
+        |shc AS (SELECT doc_id, COUNT(*) AS shared_cdc FROM
+        |    (SELECT DISTINCT doc_id, fp FROM cc WHERE var = 'o') a
+        |    JOIN (SELECT DISTINCT doc_id, fp FROM cc WHERE var = 'm') b
+        |      USING (doc_id, fp)
+        |  GROUP BY doc_id),
+        |shf AS (SELECT doc_id, COUNT(*) AS shared_fix FROM
+        |    (SELECT DISTINCT doc_id, fp FROM cf WHERE var = 'o') a
+        |    JOIN (SELECT DISTINCT doc_id, fp FROM cf WHERE var = 'm') b
+        |      USING (doc_id, fp)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_cdc_o, n_cdc_m,
+        |  COALESCE(shared_cdc, 0) AS shared_cdc,
+        |  n_fix_o, n_fix_m, COALESCE(shared_fix, 0) AS shared_fix
+        |FROM ncc JOIN ncf USING (doc_id)
+        |LEFT JOIN shc USING (doc_id) LEFT JOIN shf USING (doc_id)""".stripMargin,
+    "ta_dsir" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+        |      AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, lang, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split_regex(tok, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 2147483647)
+        |    % ${graft.operators.TextAnalysis.FeatureDims} AS dim
+        |  FROM tok),
+        |raw AS (SELECT dim,
+        |    CAST(floor(ln(COUNT(*) + 1) * 1e2 + 0.5) AS BIGINT) AS qr
+        |  FROM h GROUP BY dim),
+        |tgt AS (SELECT dim,
+        |    CAST(floor(ln(COUNT(*) + 1) * 1e2 + 0.5) AS BIGINT) AS qt
+        |  FROM h WHERE lang = 'en' GROUP BY dim)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  CAST(SUM(COALESCE(qt, 0) - qr) AS BIGINT) AS w_cu,
+        |  CAST(SUM(COALESCE(qt, 0) - qr) AS BIGINT) * 10 >=
+        |    ${graft.operators.TextAnalysis.DsirAvgMilli} * COUNT(*) AS selected
+        |FROM h JOIN raw USING (dim) LEFT JOIN tgt USING (dim)
+        |GROUP BY doc_id""".stripMargin,
     // SQL-text front-end twins: held to the same oracles as the DataFrame
     // formulations they mirror (sql_text_agg's statement is itself the
     // engine-portable ANSI subset, so the SAME string is the oracle)

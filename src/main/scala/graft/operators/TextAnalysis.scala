@@ -607,4 +607,106 @@ object TextAnalysis {
           Window.unboundedPreceding, Window.currentRow)))
       .select(col("event_id"), col("user_id"), col("session_num"))
   }
+
+  /** ta_cdc_chunk: CONTENT-DEFINED chunking — boundaries chosen by a
+    * rolling hash of the trailing 3-token window (boundary where
+    * hash % 16 == 0), the FastCDC/rsync trick that makes chunk
+    * boundaries survive insertions: a fixed-width chunker shifts EVERY
+    * boundary after an edit, so storage/transfer dedup finds nothing,
+    * while content-defined boundaries resynchronize right after the
+    * edit point. Demonstrated in-query: each doc is chunked twice —
+    * original and a 2-token-prepended mutant — under BOTH chunkers, and
+    * the per-doc shared-chunk counts travel in the output (CDC shares
+    * nearly everything, fixed-16 shares almost nothing); no threshold
+    * is asserted, the counts themselves are hash-checked. One token
+    * shuffle per (doc, variant) window; boundary flag, running chunk id
+    * (count of boundaries strictly before pos), chunk reassembly, and
+    * the intersection counts are all replayed by the oracle. */
+  def cdcChunk(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val both = docs.select(col("doc_id"), lit("o").as("var"), col("text"))
+      .unionByName(docs.select(col("doc_id"), lit("m").as("var"),
+        concat(lit("zz qq "), col("text")).as("text")))
+    val toks = both.select(col("doc_id"), col("var"),
+      posexplode(wsTokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id"), col("var")).orderBy(col("pos"))
+    // trailing 3-token window hash: the SAME RollingHash kernel as
+    // fingerprinting, over "t[p-2] t[p-1] t[p]"
+    val wh = graft.functions.RollingHash(concat_ws(" ",
+      lag(col("tok"), 2).over(w), lag(col("tok"), 1).over(w), col("tok")))
+    val flagged = toks
+      .withColumn("bnd", col("pos") >= 2 && pmod(wh, lit(16L)) === 0)
+      // chunk id = boundaries strictly BEFORE pos (a boundary at p closes
+      // the chunk containing p); same window partitioning — no 2nd shuffle
+      .withColumn("ci", coalesce(
+        sum(when(col("bnd"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cif", (col("pos") / 16).cast("long"))
+    def chunkFps(cid: String): DataFrame = flagged
+      .groupBy(col("doc_id"), col("var"), col(cid))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ")).as("fp"))
+    def stats(cid: String, pfx: String): DataFrame = {
+      val fps = chunkFps(cid)
+      val counts = fps.groupBy(col("doc_id")).agg(
+        sum(when(col("var") === "o", 1L).otherwise(0L)).as(s"n_${pfx}_o"),
+        sum(when(col("var") === "m", 1L).otherwise(0L)).as(s"n_${pfx}_m"))
+      val shared = fps.filter(col("var") === "o")
+        .select(col("doc_id"), col("fp")).distinct()
+        .join(fps.filter(col("var") === "m")
+          .select(col("doc_id"), col("fp")).distinct(), Seq("doc_id", "fp"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as(s"shared_$pfx"))
+      counts.join(shared, Seq("doc_id"), "left")
+        .withColumn(s"shared_$pfx", coalesce(col(s"shared_$pfx"), lit(0L)))
+    }
+    stats("ci", "cdc").join(stats("cif", "fix"), Seq("doc_id"))
+  }
+
+  /** DSIR selection threshold: mean per-token log importance ratio in
+    * 1e-3 ln units. The corpus shares one vocabulary across languages
+    * (only frequencies differ), so every doc's mean sits near ln of the
+    * target's global token share (≈ −0.99); −0.991 is the fixed cut
+    * that keeps the target-leaning half. */
+  val DsirAvgMilli = -991L
+
+  /** ta_dsir: DSIR-style importance weighting for data selection (Xie
+    * et al.: select raw data that looks like a small TARGET set under
+    * cheap hashed n-gram LMs — the published recipe behind most
+    * "quality-matched" pretraining mixes). Target = the lang='en' slice;
+    * features = hashed unigrams into [[FeatureDims]] dims (no vocabulary,
+    * the ta_feature_hash kernel). Per-doc log importance weight
+    * w = Σ_tokens [qln(cnt_target(dim)+1) − qln(cnt_raw(dim)+1)] with
+    * qln = round(ln·100) — the integer micro-unit discipline, so the sum
+    * is order-free and engine-exact. Both count tables are
+    * [[FeatureDims]]-sized (broadcast back onto the token stream), so
+    * selection over 100 TB is: two 1024-row aggregates + one map-side
+    * join + one per-doc sum — zero corpus-sized shuffles beyond the
+    * doc-id combine. `selected` applies the fixed mean-per-token
+    * threshold as a pure integer comparison (no division — Spark DIV
+    * truncates, DuckDB // floors; a quotient would diverge on negative
+    * weights). */
+  def dsir(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(wsTokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        pmod(graft.functions.RollingHash(col("tok")),
+          lit(FeatureDims.toLong)).as("dim"))
+    def qln(c: org.apache.spark.sql.Column) =
+      floor(log(c + 1) * 1e2 + 0.5).cast("long")
+    val rawCnt = toks.groupBy(col("dim"))
+      .agg(count(lit(1)).as("cr")).select(col("dim"), qln(col("cr")).as("qr"))
+    val tgtCnt = toks.filter(col("lang") === "en").groupBy(col("dim"))
+      .agg(count(lit(1)).as("ct")).select(col("dim"), qln(col("ct")).as("qt"))
+    toks
+      .join(broadcast(rawCnt), Seq("dim"))
+      .join(broadcast(tgtCnt), Seq("dim"), "left")
+      .withColumn("qt", coalesce(col("qt"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("qt") - col("qr")).as("w_cu"))
+      .withColumn("selected",
+        col("w_cu") * 10L >= lit(DsirAvgMilli) * col("n_tok"))
+  }
 }
