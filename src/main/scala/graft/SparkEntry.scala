@@ -78,6 +78,7 @@ object SparkEntry {
     "op_bloom_skip"           -> (TxnTable.bloomSkip _),
     "op_txn_clone"            -> (TxnTable.txnClone _),
     "op_mor_seq"              -> (TxnTable.morSeq _),
+    "op_txn_wap"              -> (TxnTable.txnWap _),
     "op_merge_full"           -> (TxnTable.mergeFull _),
     "op_str_skip"             -> (TxnTable.strSkip _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "sim_ann_lsh"             -> (Similarity.annLsh _),
     "sim_ann_ivf"             -> (Similarity.annIvf _),
     "sim_ann_pq"              -> (Similarity.annPq _),
+    "sim_sq8"                 -> (Similarity.annSq8 _),
     "sim_kmeans"              -> (Similarity.kmeans _),
     "op_asof_join"            -> (AsOf.purchaseToClick _),
     "op_range_join"           -> (AsOf.errorClickWindow _),
@@ -147,6 +149,7 @@ object SparkEntry {
     "st_stream_file_sink"     -> (Streams.streamFileSink _),
     "st_stream_upsert"        -> (Streams.streamUpsert _),
     "st_stream_session_window" -> (Streams.streamSessionWindow _),
+    "st_stream_backfill"      -> (Streams.streamBackfill _),
     "st_stream_cdc"           -> (Streams.streamCdc _),
     "mr_triangle_count"       -> (MapReduceJobs.triangleCount _),
     "ta_ngram_lm"             -> (TextAnalysis.ngramLm _),
@@ -1253,6 +1256,20 @@ object SparkEntry {
     // RESTORE to v0 after a bad overwrite: the restored content is
     // exactly the base slice; the verbatim-manifest + audit-trail
     // mechanics travel as a boolean
+    "op_txn_wap" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |pub AS (SELECT * FROM base
+        |  UNION ALL SELECT o_orderkey + 200000000, o_orderstatus, price
+        |  FROM base WHERE o_orderkey % 89 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total,
+        |  'pre_publish' AS src, TRUE AS wap_ok
+        |FROM base GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT o_orderstatus, COUNT(*), CAST(SUM(price) AS DOUBLE),
+        |  'published', TRUE
+        |FROM pub GROUP BY o_orderstatus""".stripMargin,
     "op_txn_restore" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
@@ -1568,6 +1585,7 @@ object SparkEntry {
     "sim_ann_ivf" -> graft.operators.Similarity.ivfOracle,
     // full replay of PQ: codebook training, encoding, ADC, re-rank
     "sim_ann_pq" -> graft.operators.Similarity.pqOracle,
+    "sim_sq8" -> graft.operators.Similarity.sq8Oracle,
     "op_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(c.ts) AS click_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -1594,6 +1612,13 @@ object SparkEntry {
     "st_stream_file_sink" ->
       """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS day, value
         |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    // rate-limited backfill must land the same content as one big batch;
+    // the batching/exactly-once mechanics travel as backfill_ok
+    "st_stream_backfill" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  TRUE AS backfill_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     // same change-set + latest-wins contract as op_upsert, replayed from
     // parquet — the streamed foreachBatch merge must land the same table
     "st_stream_upsert" ->

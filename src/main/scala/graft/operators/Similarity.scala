@@ -579,4 +579,80 @@ object Similarity {
         cosine(col("qv"), col("v")).as("cos"))
     topKPerQuery(scored)
   }
+
+  /** sim_sq8: SCALAR quantization (the FAISS SQ8 / Lucene int8 path —
+    * the simplest memory-bound ANN compression): each of the [[Dim]]
+    * dimensions is linearly mapped to an int8 bucket against per-dim
+    * corpus [min,max] ranges, shrinking a 512-byte float64 row to 64
+    * bytes with NO training loop — the practical default when PQ's
+    * codebooks are overkill. Ranges are a 64-row aggregate collected to
+    * driver literals (the centroid discipline: bounded k×dim state);
+    * encode + midpoint reconstruction are map-only array transforms, so
+    * compressing 100 TB is one scan with zero shuffles. Queries stay
+    * EXACT (asymmetric scoring): each corpus row is ranked by
+    * cosine(exact query, reconstructed neighbor), the top [[PqRerank]]
+    * re-ranked with exact cosine. Every stage — ranges, codes, midpoint
+    * reconstruction, both rankings — is the same IEEE double tree the
+    * oracle replays, so the whole approximate path is hash-checked. */
+  def annSq8(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val stats = all.select(posexplode(col("v")).as(Seq("k", "x")))
+      .groupBy(col("k")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("k")).collect()
+    val mnL = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val mxL = typedLit(stats.map(_.getDouble(2)).toSeq)
+    def mnAt(i: Column) = element_at(mnL, i + 1)
+    def mxAt(i: Column) = element_at(mxL, i + 1)
+    val codes = transform(col("v"), (x, i) =>
+      when(mxAt(i) === mnAt(i), lit(0)).otherwise(
+        least(greatest(floor((x - mnAt(i)) * 255.0 / (mxAt(i) - mnAt(i)))
+          .cast("int"), lit(0)), lit(255))))
+    val rec = transform(col("code"), (c, i) =>
+      mnAt(i) + (c.cast("double") + 0.5) * (mxAt(i) - mnAt(i)) / 256.0)
+    val encoded = all.select(col("vec_id"), codes.as("code"))
+      .select(col("vec_id"), rec.as("r"))
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val approx = encoded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("qv"), col("r")).as("sq8"))
+    val cands = topKPerQuery(approx, PqRerank, "sq8")
+      .select(col("q_id"), col("n_id"))
+    val rescored = cands
+      .join(all.select(col("vec_id").as("n_id"), col("v")), "n_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("v")).as("cos"))
+    topKPerQuery(rescored)
+  }
+
+  /** DuckDB replay of [[annSq8]]: per-dim ranges, int8 codes, midpoint
+    * reconstruction, the asymmetric cosine ranking, candidate cut, and
+    * exact re-rank — identical IEEE trees, full hash parity. */
+  private[graft] def sq8Oracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |ks AS (SELECT unnest(generate_series(1, $Dim)) AS k),
+       |st AS (SELECT ks.k, MIN(v[ks.k]) AS mn, MAX(v[ks.k]) AS mx
+       |  FROM e CROSS JOIN ks GROUP BY ks.k),
+       |rec AS (SELECT vec_id, list(
+       |    mn + (CAST(CASE WHEN mx = mn THEN 0 ELSE
+       |      LEAST(GREATEST(CAST(floor((v[k] - mn) * 255.0 / (mx - mn))
+       |        AS INT), 0), 255) END AS DOUBLE) + 0.5) * (mx - mn) / 256.0
+       |    ORDER BY k) AS r
+       |  FROM e CROSS JOIN st GROUP BY vec_id),
+       |approx AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |    list_cosine_similarity(q.v, rec.r) AS sq8
+       |  FROM e q JOIN rec ON rec.vec_id <> q.vec_id
+       |  JOIN e n ON n.vec_id = rec.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |cands AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY sq8 DESC, n_id) AS rn FROM approx) t
+       |  WHERE rn <= $PqRerank)
+       |SELECT q_id, n_id, rank FROM (
+       |  SELECT c.q_id, c.n_id, ROW_NUMBER() OVER (PARTITION BY c.q_id
+       |    ORDER BY list_cosine_similarity(q.v, n.v) DESC, c.n_id) AS rank
+       |  FROM cands c JOIN e q ON q.vec_id = c.q_id
+       |  JOIN e n ON n.vec_id = c.n_id) t
+       |WHERE rank <= $K""".stripMargin
 }

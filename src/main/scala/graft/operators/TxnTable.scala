@@ -488,7 +488,8 @@ object TxnTable {
     * error — the table format's job is to turn that into an immediate
     * commit-time error. (Overwrite-commits MAY change the schema: that
     * is how a table evolves.) */
-  def append(s: SparkSession, table: String, df: DataFrame): Long = {
+  def append(s: SparkSession, table: String, df: DataFrame,
+             op: String = "append"): Long = {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur) // ONE log read for all facets below
     // the committed schema answers the drift check without touching any
@@ -512,7 +513,7 @@ object TxnTable {
     // the appended files' seq = this commit's version > every pending
     // tombstone's seq, so appended rows — even re-inserted tombstoned
     // keys — stay visible
-    commit(s, table, m.entries.map(render) ++ fresh, cur, op = "append",
+    commit(s, table, m.entries.map(render) ++ fresh, cur, op = op,
       schemaJson = df.schema.json, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
   }
@@ -1034,6 +1035,35 @@ object TxnTable {
       schemaJson = m.schema.map(_.json).orNull, deleteLines = absDels,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols,
       blooms = m.blooms.map(b => b.copy(dir = absPath(b.dir))))
+  }
+
+  /** Zero-copy PUBLISH of a branch's ADDITIONS onto `dst` — the second
+    * half of write-audit-publish (the Iceberg WAP cherry-pick): every
+    * `src` entry not already live on `dst` is committed onto `dst` by
+    * ABSOLUTE reference (one manifest write; no data moves — the same
+    * zero-copy mechanics as [[shallowClone]], pointed the other way).
+    * Additive by design: entries the branch deleted or rewrote are NOT
+    * propagated — WAP stages an append, audits it, and publishes it;
+    * divergent rewrites are a merge problem, not a publish. The carried
+    * branch seqs continue above `dst`'s (commit's newSeq = max+1), so
+    * tombstone ordering stays sound after the graft, and vacuuming `dst`
+    * can never touch the branch's files (absolute refs are outside its
+    * data listing by construction). */
+  def publish(s: SparkSession, src: String, dst: String): Long = {
+    require(new Path(src).isAbsolute, s"publish source must be absolute: $src")
+    def abs(table: String)(p: String) =
+      if (p.startsWith("/")) p else s"$table/$p"
+    val ms = manifest(s, src, currentVersion(s, src))
+    val curDst = currentVersion(s, dst)
+    val md = manifest(s, dst, curDst)
+    val dstLive = md.entries.map(e => abs(dst)(e.path)).toSet
+    val adds = ms.entries
+      .map(e => e.copy(path = abs(src)(e.path)))
+      .filter(e => !dstLive.contains(e.path))
+    commit(s, dst, md.entries.map(render) ++ adds.map(render), curDst,
+      op = "publish", schemaJson = md.schema.map(_.json).orNull,
+      deleteLines = md.deletes, idxCols = md.idxCols,
+      strIdxCols = md.strIdxCols, blooms = md.blooms)
   }
 
   /** Overwrite-commit: next version lists ONLY the newly staged files
@@ -2081,5 +2111,57 @@ object TxnTable {
     snapshot(s, t)
       .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
       .withColumn("full_ok", lit(ok))
+  }
+
+  /** op_txn_wap: WRITE–AUDIT–PUBLISH as a checked query — the pattern
+    * production lakehouses use to keep unvalidated data out of consumer
+    * view: the arriving batch (with a deterministically-injected
+    * violation: a negative-price slice) is staged on a zero-copy BRANCH
+    * ([[shallowClone]] + append — main's timeline never moves), the
+    * audit query runs against the branch and catches the violation, the
+    * FIX deletes the violating keyspace on the branch (file-pruned range
+    * delete), and [[publish]] cherry-picks the branch's additions onto
+    * main as ONE metadata commit — every published entry an absolute
+    * reference into the branch's data, nothing copied. Hashed output =
+    * main's pre-publish (base) and published (base + clean batch)
+    * aggregates; `wap_ok` asserts the mechanics: the audit fired, main
+    * stayed at v0 throughout audit+fix, the re-audit is clean, publish
+    * advanced main exactly once, and every new main entry points into
+    * the branch directory. */
+  def txnWap(s: SparkSession, d: String): DataFrame = {
+    val main = freshDir("wap_main")
+    val branch = freshDir("wap_branch")
+    val base = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    commit(s, main, stageIndexed(s, main,
+      base.repartitionByRange(4, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = base.schema.json)
+    val good = base.filter(pmod(k, lit(89)) === 0)
+      .select((k + 200000000L).as("o_orderkey"), col("o_orderstatus"),
+        col("price"))
+    val bad = base.filter(pmod(k, lit(181)) === 0)
+      .select((k + 300000000L).as("o_orderkey"), col("o_orderstatus"),
+        (col("price") * -1).cast(D12).as("price"))
+    val batch = good.unionByName(bad)
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+    shallowClone(s, main, branch)
+    append(s, branch, batch)
+    // AUDIT — on the branch; consumers of main can never see this data
+    val nBad = snapshot(s, branch).filter(col("price") < 0).count()
+    val mainStill0 = currentVersion(s, main) == 0L
+    // FIX — drop the violating keyspace on the branch (range delete,
+    // file-pruned through the batch's key-clustered stats)
+    deleteRange(s, branch, "o_orderkey", 300000000L, Long.MaxValue)
+    val nBadAfter = snapshot(s, branch).filter(col("price") < 0).count()
+    // PUBLISH — one metadata commit grafting the audited additions
+    val vPub = publish(s, branch, main)
+    val newRefs = liveEntries(s, main, vPub).map(_.path)
+      .filter(_.startsWith("/"))
+    val ok = nBad > 0 && mainStill0 && nBadAfter == 0 && vPub == 1L &&
+      newRefs.nonEmpty && newRefs.forall(_.startsWith(branch + "/"))
+    statusAgg(snapshot(s, main, 0), "pre_publish")
+      .unionByName(statusAgg(snapshot(s, main), "published"))
+      .withColumn("wap_ok", lit(ok))
   }
 }

@@ -432,4 +432,65 @@ object Streams {
             state, expire)
       }
   }
+
+  /** st_stream_backfill: RATE-LIMITED backfill of a file history through
+    * the transactional sink — the production recipe for replaying a large
+    * static archive without one giant batch: `maxFilesPerTrigger` bounds
+    * each micro-batch (at 100 TB this is what keeps executor memory and
+    * shuffle size flat — batch size is a CONFIG, not the archive size),
+    * `Trigger.AvailableNow` drains the whole backlog then stops, and
+    * every micro-batch lands as ONE atomic TxnTable commit whose op
+    * records the batch id — the exactly-once recipe for foreachBatch
+    * sinks (a retried batch finds its id already committed and SKIPS, so
+    * replays can't double-append; the guard is exercised by re-invoking
+    * the last batch's writer by hand). Hashed output = the final table's
+    * per-type aggregate (identical to one big batch — rate limiting must
+    * not change content); `backfill_ok` asserts the mechanics: the
+    * backlog drained in ≥2 rate-limited batches, versions advanced one
+    * per batch with distinct recorded ids, and the manual replay was a
+    * no-op. */
+  def streamBackfill(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = graft.Fs.scratch("graft_backfill", "")
+    graft.Fs.deleteRecursively(base)
+    // the "archive": the events table laid out as 8 files
+    graft.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(8).write.parquet(s"$base/src")
+    val table = s"$base/table"
+    def commitBatch(df: DataFrame, id: Long): Boolean = {
+      val done = TxnTable.versions(s, table).nonEmpty &&
+        TxnTable.history(s, table).exists(_._2 == s"backfill-$id")
+      if (done) false
+      else {
+        if (TxnTable.versions(s, table).isEmpty)
+          TxnTable.commit(s, table, TxnTable.stage(s, table, df), -1L,
+            op = s"backfill-$id", schemaJson = df.schema.json)
+        else TxnTable.append(s, table, df, op = s"backfill-$id")
+        true
+      }
+    }
+    val src = s.readStream
+      .schema("event_id LONG, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "2").parquet(s"$base/src")
+    val q = src.writeStream
+      .foreachBatch((df: DataFrame, id: Long) => { commitBatch(df, id); () })
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val vs = TxnTable.versions(s, table)
+    val ops = TxnTable.history(s, table).map(_._2)
+    // exactly-once guard, exercised: replaying the LAST batch must no-op
+    val lastId = ops.last.stripPrefix("backfill-").toLong
+    val replayRan = commitBatch(
+      s.read.parquet(s"$base/src"), lastId)
+    val ok = vs.size >= 2 && vs == (0L until vs.size.toLong) &&
+      ops.distinct.size == ops.size && !replayRan &&
+      TxnTable.versions(s, table).size == vs.size
+    TxnTable.snapshot(s, table)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total"))
+      .withColumn("backfill_ok", lit(ok))
+  }
 }
