@@ -878,9 +878,15 @@ object SparkEntry {
         |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |  FROM documents),
         |store AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 0),
+        |raw AS (
+        |  SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 100000, fp FROM fps
+        |    WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
+        |  UNION ALL SELECT doc_id + 200000, fp FROM fps
+        |    WHERE doc_id % 15 = 0),
         |batch AS (SELECT doc_id, fp,
         |    doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS batch_rep
-        |  FROM fps WHERE doc_id % 3 = 0)
+        |  FROM raw)
         |SELECT b.doc_id, b.fp, b.batch_rep,
         |  s.fp IS NULL AS novel,
         |  (b.batch_rep AND s.fp IS NULL) AS keep,
@@ -1041,13 +1047,16 @@ object SparkEntry {
         |  FROM h GROUP BY dim),
         |tgt AS (SELECT dim,
         |    CAST(floor(ln(COUNT(*) + 1) * 1e2 + 0.5) AS BIGINT) AS qt
-        |  FROM h WHERE lang = 'en' GROUP BY dim)
-        |SELECT doc_id, COUNT(*) AS n_tok,
-        |  CAST(SUM(COALESCE(qt, 0) - qr) AS BIGINT) AS w_cu,
-        |  CAST(SUM(COALESCE(qt, 0) - qr) AS BIGINT) * 10 >=
-        |    ${graft.operators.TextAnalysis.DsirAvgMilli} * COUNT(*) AS selected
-        |FROM h JOIN raw USING (dim) LEFT JOIN tgt USING (dim)
-        |GROUP BY doc_id""".stripMargin,
+        |  FROM h WHERE lang = 'en' GROUP BY dim),
+        |doc AS (SELECT doc_id, COUNT(*) AS n_tok,
+        |    CAST(SUM(COALESCE(qt, 0) - qr) AS BIGINT) AS w_cu
+        |  FROM h JOIN raw USING (dim) LEFT JOIN tgt USING (dim)
+        |  GROUP BY doc_id),
+        |tot AS (SELECT CAST(SUM(w_cu) AS BIGINT) AS tw,
+        |    CAST(SUM(n_tok) AS BIGINT) AS tn FROM doc)
+        |SELECT doc_id, n_tok, w_cu,
+        |  w_cu * tn >= tw * n_tok AS selected
+        |FROM doc CROSS JOIN tot""".stripMargin,
     // SQL-text front-end twins: held to the same oracles as the DataFrame
     // formulations they mirror (sql_text_agg's statement is itself the
     // engine-portable ANSI subset, so the SAME string is the oracle)

@@ -584,7 +584,18 @@ object Dedup {
       .groupBy(col("fp")).agg(min(col("doc_id")).as("owner"))
     TxnTable.create(s, store, corpusFps)
     val v0Rows = TxnTable.snapshot(s, store).count()
+    // the arriving batch: genuinely-new docs (the %3==0 slice — this
+    // corpus has no cross-doc exact dups, so their fps are absent from
+    // the store) PLUS two deterministic re-crawl slices, because a real
+    // crawl batch contains both kinds of duplicate: docs the store has
+    // already seen (re-fetched under a new id) and docs fetched twice
+    // within the batch itself
     val batch = fps.filter(col("doc_id") % 3 === 0)
+      .unionByName(fps
+        .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("fp")))
+      .unionByName(fps.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("fp")))
       .withColumn("batch_rep",
         col("doc_id") === min(col("doc_id"))
           .over(Window.partitionBy(col("fp"))))

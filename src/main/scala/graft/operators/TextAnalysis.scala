@@ -663,12 +663,6 @@ object TextAnalysis {
     stats("ci", "cdc").join(stats("cif", "fix"), Seq("doc_id"))
   }
 
-  /** DSIR selection threshold: mean per-token log importance ratio in
-    * 1e-3 ln units. The corpus shares one vocabulary across languages
-    * (only frequencies differ), so every doc's mean sits near ln of the
-    * target's global token share (≈ −0.99); −0.991 is the fixed cut
-    * that keeps the target-leaning half. */
-  val DsirAvgMilli = -991L
 
   /** ta_dsir: DSIR-style importance weighting for data selection (Xie
     * et al.: select raw data that looks like a small TARGET set under
@@ -682,10 +676,14 @@ object TextAnalysis {
     * [[FeatureDims]]-sized (broadcast back onto the token stream), so
     * selection over 100 TB is: two 1024-row aggregates + one map-side
     * join + one per-doc sum — zero corpus-sized shuffles beyond the
-    * doc-id combine. `selected` applies the fixed mean-per-token
-    * threshold as a pure integer comparison (no division — Spark DIV
-    * truncates, DuckDB // floors; a quotient would diverge on negative
-    * weights). */
+    * doc-id combine. `selected` keeps docs whose mean per-token weight
+    * beats the CORPUS mean (DSIR's "looks more target-like than
+    * average") — a relative cut, so it discriminates at every SF where
+    * a fixed constant silently saturates. Both means are compared by
+    * integer cross-multiplication (no division — Spark DIV truncates,
+    * DuckDB // floors; a quotient would diverge on these negative
+    * weights): w·T_n ≥ T_w·n fits a long up to ~10^13 corpus tokens
+    * per ~10^5-unit doc weight. */
   def dsir(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -699,14 +697,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cr")).select(col("dim"), qln(col("cr")).as("qr"))
     val tgtCnt = toks.filter(col("lang") === "en").groupBy(col("dim"))
       .agg(count(lit(1)).as("ct")).select(col("dim"), qln(col("ct")).as("qt"))
-    toks
+    val perDoc = toks
       .join(broadcast(rawCnt), Seq("dim"))
       .join(broadcast(tgtCnt), Seq("dim"), "left")
       .withColumn("qt", coalesce(col("qt"), lit(0L)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         sum(col("qt") - col("qr")).as("w_cu"))
-      .withColumn("selected",
-        col("w_cu") * 10L >= lit(DsirAvgMilli) * col("n_tok"))
+    val t = perDoc.agg(sum(col("w_cu")), sum(col("n_tok"))).collect()(0)
+    val (totW, totN) = (t.getLong(0), t.getLong(1))
+    perDoc.withColumn("selected",
+      col("w_cu") * totN >= lit(totW) * col("n_tok"))
   }
 }

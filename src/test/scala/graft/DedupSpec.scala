@@ -205,4 +205,57 @@ class DedupSpec extends SparkSpec {
     assert(sim.intersect(exact).nonEmpty,
       "simhash buckets found none of the exact near-dups")
   }
+
+  test("url canonicalization collapses noise and keeps real params") {
+    val out = Dedup.urlDedup(spark, sf01).cache()
+    try {
+      val canons = out.select("canon").as[String](
+        org.apache.spark.sql.Encoders.STRING).collect()
+      assert(canons.nonEmpty)
+      // every canonical form: lowercase scheme+host, no fragment, no utm,
+      // no default port, no trailing slash, but the real params survive
+      canons.foreach { c =>
+        assert(c.startsWith("https://src"), c)
+        assert(!c.contains("#") && !c.contains("utm_") &&
+          !c.contains(":443"), c)
+        assert(!c.split('?').head.endsWith("/"), c)
+        assert(c.contains("id=") && c.contains("z=9"), c)
+      }
+      // the variants actually collapse: fewer canonical forms than urls,
+      // and exactly one kept representative per canonical group
+      val s2 = spark
+      import s2.implicits._
+      val perCanon = out.groupBy("canon")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when($"keep", 1L).otherwise(0L))
+          .as("kept"))
+        .select("kept").as[Long].collect()
+      assert(perCanon.forall(_ == 1L), "each canonical group keeps one rep")
+      assert(out.select("url").distinct().count() >
+        out.select("canon").distinct().count(),
+        "no URL variants collapsed — noise injection broken?")
+    } finally out.unpersist()
+  }
+
+  test("incremental dedup: keep <=> novel batch representative") {
+    val s2 = spark
+    import s2.implicits._
+    val out = Dedup.incremental(spark, sf01).cache()
+    try {
+      // replay novelty directly from the corpus split
+      val fps = graft.Tables.documents(spark, sf01)
+        .select($"doc_id", graft.functions.TextFunctions
+          .fingerprint($"text").as("fp"))
+      val corpusFps = fps.filter($"doc_id" % 3 =!= 0)
+        .select("fp").distinct().as[String].collect().toSet
+      val rows = out.select("doc_id", "fp", "batch_rep", "novel", "keep")
+        .as[(Long, String, Boolean, Boolean, Boolean)].collect()
+      assert(rows.nonEmpty && rows.exists(!_._4),
+        "batch contained no duplicates of the corpus — no dedup exercised")
+      rows.foreach { case (id, fp, rep, novel, keep) =>
+        assert(novel === !corpusFps.contains(fp), s"novelty wrong for $id")
+        assert(keep === (rep && novel), s"keep rule wrong for $id")
+      }
+    } finally out.unpersist()
+  }
 }

@@ -114,4 +114,17 @@ class SimilaritySpec extends SparkSpec {
       .select("q_id", "n_id").as[(Long, Long)].collect()
     assert(ivf.length == 50, s"expected 10 queries x k=5, got ${ivf.length}")
   }
+
+  test("sq8 top-k recall >= 0.8 vs exact brute force") {
+    val s = spark
+    import s.implicits._
+    val exact = Similarity.knnBrute(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.annSq8(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(sq8.size == exact.size)
+    val recall = sq8.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"sq8 recall $recall below 0.8 — int8 " +
+      "quantization + exact re-rank should be near-lossless at k=5")
+  }
 }

@@ -121,4 +121,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(enRate < otherRate,
       s"en rate $enRate should be below non-en rate $otherRate")
   }
+
+  test("cdc chunk boundaries resynchronize after a prepend; fixed don't") {
+    val s2 = spark
+    import s2.implicits._
+    val out = graft.operators.TextAnalysis.cdcChunk(spark, "/root/testdata/sf0.01")
+      .select("n_cdc_o", "shared_cdc", "n_fix_o", "shared_fix")
+      .as[(Long, Long, Long, Long)].collect()
+    val nCdc = out.map(_._1).sum
+    val shCdc = out.map(_._2).sum
+    val nFix = out.map(_._3).sum
+    val shFix = out.map(_._4).sum
+    // CDC keeps most chunks across the edit; fixed-width loses nearly all
+    assert(shCdc * 2 > nCdc,
+      s"CDC resync too weak: $shCdc of $nCdc chunks survived")
+    assert(shFix * 10 < nFix,
+      s"fixed chunking unexpectedly robust: $shFix of $nFix survived")
+  }
+
+  test("dsir selection enriches the target language") {
+    val s2 = spark
+    import s2.implicits._
+    val sel = graft.operators.TextAnalysis.dsir(spark, "/root/testdata/sf0.01")
+      .join(graft.Tables.documents(spark, "/root/testdata/sf0.01")
+        .select("doc_id", "lang"), "doc_id")
+      .groupBy($"lang" === "en")
+      .agg(org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.when($"selected", 1.0).otherwise(0.0))
+        .as("rate"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(sel(true) > sel(false),
+      s"en selection rate ${sel(true)} not above other ${sel(false)}")
+  }
 }

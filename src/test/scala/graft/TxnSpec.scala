@@ -1013,4 +1013,44 @@ class TxnSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("manifest format 99"))
   }
+
+  test("publish grafts branch additions only; audit fix stays on branch") {
+    val m = freshTable("wap_main_spec")
+    val b = freshTable("wap_branch_spec")
+    val s = spark
+    import s.implicits._
+    val base = (0 until 100).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    // indexed create: the clone inherits the index, so the branch's audit
+    // fix prunes to branch-LOCAL files and never rewrites a clone ref
+    // (a rewritten clone ref would re-enter via publish as a duplicate —
+    // the documented divergent-rewrite-is-a-merge-problem boundary)
+    TxnTable.commit(spark, m, TxnTable.stageIndexed(spark, m,
+      base.repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      "k"), -1L, op = "create", schemaJson = base.schema.json)
+    TxnTable.shallowClone(spark, m, b)
+    TxnTable.append(spark, b,
+      (100 until 120).map(i => (i.toLong, s"new$i")).toDF("k", "v"))
+    // the audit fix: drop part of the APPENDED keyspace on the branch
+    TxnTable.deleteRange(spark, b, "k", 115L, Long.MaxValue)
+    val vPub = TxnTable.publish(spark, b, m)
+    val keys = TxnTable.snapshot(spark, m).select("k").as[Long].collect()
+    assert(keys.length === keys.distinct.length, "publish duplicated rows")
+    assert(keys.toSet === (0L until 115L).toSet,
+      "published content != base + audited additions")
+    // zero-copy: every new main entry is an absolute ref into the branch
+    val newRefs = TxnTable.liveEntries(spark, m, vPub).map(_.path)
+      .filter(_.startsWith("/"))
+    assert(newRefs.nonEmpty && newRefs.forall(_.startsWith(b + "/")))
+    // re-publish is content-idempotent (already-live entries filtered)
+    TxnTable.publish(spark, b, m)
+    assert(TxnTable.snapshot(spark, m).count() === 115)
+    // vacuuming main (latest retained version references the branch's
+    // files absolutely) can never reach them — they are outside main's
+    // data listing by construction
+    TxnTable.vacuum(spark, m, retain = 1)
+    assert(TxnTable.snapshot(spark, m).count() === 115,
+      "main vacuum destroyed published branch files")
+    assert(TxnTable.snapshot(spark, b).count() === 115,
+      "main vacuum reached into the branch")
+  }
 }
