@@ -105,6 +105,8 @@ object SparkEntry {
     "dd_paragraph"            -> (Dedup.paragraphDedup _),
     "dd_incremental"          -> (Dedup.incremental _),
     "dd_url"                  -> (Dedup.urlDedup _),
+    "dd_semantic"             -> (Dedup.semantic _),
+    "ta_domain_mix"           -> (TextAnalysis.domainMix _),
     "ta_gopher_rules"         -> (TextAnalysis.gopherRules _),
     "dd_minhash_lsh"          -> (Dedup.minhashLsh _),
     "dd_simhash"              -> (Dedup.simhash _),
@@ -892,6 +894,23 @@ object SparkEntry {
         |  (b.batch_rep AND s.fp IS NULL) AS keep,
         |  TRUE AS inc_ok
         |FROM batch b LEFT JOIN store s USING (fp)""".stripMargin,
+    "dd_semantic" -> Dedup.semanticOracle,
+    "ta_domain_mix" ->
+      """WITH dt AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |dom AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_d,
+        |    CAST(floor(sqrt(CAST(SUM(n_tok) AS DOUBLE)) * 1000000 + 0.5)
+        |      AS BIGINT) AS s_d
+        |  FROM dt GROUP BY source),
+        |tot AS (SELECT CAST(SUM(s_d) AS BIGINT) AS s_tot,
+        |    CAST(SUM(n_d) AS BIGINT) AS n_tot FROM dom)
+        |SELECT dt.doc_id, dt.source, dt.n_tok,
+        |  CAST(CAST('0x' || substr(md5('mix:' || CAST(dt.doc_id AS VARCHAR)),
+        |      1, 6) AS BIGINT) AS HUGEINT) * s_tot * n_d
+        |    < CAST(s_d AS HUGEINT) * (n_tot // 2) * 16777216 AS kept
+        |FROM dt JOIN dom USING (source) CROSS JOIN tot""".stripMargin,
     "dd_url" ->
       """WITH u AS (SELECT doc_id,
         |    (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END)

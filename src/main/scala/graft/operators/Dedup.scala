@@ -660,4 +660,53 @@ object Dedup {
         col("doc_id") === min(col("doc_id"))
           .over(Window.partitionBy(col("canon"))))
   }
+
+  /** dd_semantic: SemDeDup-style semantic dedup (Abbas et al. 2023) — the
+    * embedding-space pass that catches paraphrases exact and fuzzy TEXT
+    * dedup can't: k-means-cluster the embeddings, then search for
+    * near-duplicates ONLY within each cluster. The cluster id is the
+    * blocking key, which is what makes this the 100 TB shape: the pair
+    * join is co-partitioned on `cluster`, so candidate sets are bounded
+    * by cluster size (k grows with the corpus — SemDeDup runs k≈11k on
+    * LAION — keeping clusters near-constant), and NOTHING all-pairs ever
+    * runs. Training reuses the deterministic integer-micro-unit Lloyd
+    * loop shared with sim_kmeans ([[Similarity.assignedVecs]]), so the
+    * ENTIRE pipeline — training, assignment, in-cluster pairing, the
+    * cosine threshold, and the keep verdicts — is replayed by the oracle
+    * and hash-checked. Keep rule: a vector is dropped iff some
+    * smaller-id vector in the SAME cluster has cosine ≥ [[EmbedTau]]
+    * (first-occurrence-survives, matching every other dedup op here;
+    * cross-cluster near-dups are out of scope BY DESIGN — that recall
+    * trade is the algorithm, measured in DedupSpec against the exact
+    * all-pairs baseline). */
+  def semantic(s: SparkSession, d: String): DataFrame = {
+    val assigned = Similarity.assignedVecs(s, d)
+    val a = assigned.select(col("cluster"), col("vec_id").as("v1"),
+      col("v").as("va"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("v2"),
+      col("v").as("vb"))
+    // verify inside the co-located cluster join (embedCosine's shape):
+    // vectors ride the cluster shuffle once, survivors are tiny.
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("v1") < col("v2") &&
+        cosine(col("va"), col("vb")) >= EmbedTau)
+      .select(col("v2").as("dup_id")).distinct()
+    assigned.join(dropped, col("vec_id") === col("dup_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_id").isNull.as("kept"))
+  }
+
+  /** DuckDB replay of [[semantic]]: the shared Lloyd-training CTE chain
+    * ([[Similarity.kmeansAssignCtes]]) plus in-cluster pairing and the
+    * exact cosine threshold — training included in the hash check. */
+  private[graft] def semanticOracle: String =
+    s"""WITH ${Similarity.kmeansAssignCtes},
+       |dup AS (SELECT DISTINCT b.vec_id AS dup_id
+       |  FROM assign a JOIN assign b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN e e1 ON e1.vec_id = a.vec_id
+       |  JOIN e e2 ON e2.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(e1.v, e2.v) >= $EmbedTau)
+       |SELECT a.vec_id, a.cluster, (d.dup_id IS NULL) AS kept
+       |FROM assign a LEFT JOIN dup d ON a.vec_id = d.dup_id""".stripMargin
 }

@@ -283,40 +283,55 @@ object Similarity {
        |${n}l AS (SELECT cid, list(val ORDER BY k) AS cv FROM $n GROUP BY cid)""".stripMargin
   }
 
-  /** DuckDB replay of [[kmeans]]: seeds from the first [[KmeansK]]
-    * vectors, [[KmeansIters]] unrolled Lloyd rounds (each bit-identical to
-    * the engine's integer-micro-unit update, see [[trainCentroids]]), and
-    * the final argmax-cosine assignment. The training loop itself is
-    * hash-checked, not just the output shape. */
-  private[graft] def kmeansOracle: String = {
+  /** Shared oracle CTE chain replaying [[kmeans]]' training + assignment:
+    * seeds from the first [[KmeansK]] vectors, [[KmeansIters]] unrolled
+    * Lloyd rounds (each bit-identical to the engine's integer-micro-unit
+    * update, see [[trainCentroids]]), ending in `assign(vec_id, cluster)`.
+    * MATERIALIZED because consumers (dd_semantic) reference `assign` three
+    * times — DuckDB would otherwise inline the whole Lloyd chain per
+    * reference. */
+  private[graft] def kmeansAssignCtes: String = {
     val rounds = (0 until KmeansIters).map(lloydRoundSql(_)).mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |ks AS (SELECT unnest(generate_series(1, $Dim)) AS k),
        |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
        |    AS cid, v
        |  FROM e WHERE vec_id < $KmeansK),
        |c0 AS (SELECT cid, ks.k, v[ks.k] AS val FROM seeds CROSS JOIN ks),
        |c0l AS (SELECT cid, list(val ORDER BY k) AS cv FROM c0 GROUP BY cid),
-       |$rounds
-       |SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
-       |  SELECT e.vec_id, c.cid,
-       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
-       |  FROM e CROSS JOIN c${KmeansIters}l c) t WHERE rn = 1""".stripMargin
+       |$rounds,
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, CAST(cid AS INT) AS cluster FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN c${KmeansIters}l c) t WHERE rn = 1)""".stripMargin
   }
 
-  /** sim_kmeans: spherical k-means (cosine assignment, mean + renormalize
-    * update). Rows-oracle (float summation order varies with partitioning;
-    * cluster structure, asserted in specs, does not). */
-  def kmeans(s: SparkSession, d: String): DataFrame = {
+  /** DuckDB replay of [[kmeans]] — the training loop itself is
+    * hash-checked, not just the output shape. */
+  private[graft] def kmeansOracle: String =
+    s"""WITH $kmeansAssignCtes
+       |SELECT vec_id, cluster FROM assign""".stripMargin
+
+  /** Cluster-assigned vectors `(vec_id, v, cluster)` — k-means training +
+    * argmax-cosine assignment, shared by sim_kmeans and dd_semantic. The
+    * training collect is k×dim driver-held sums (constant at any corpus
+    * size); assignment is a map-only codegen'd projection. */
+  private[graft] def assignedVecs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val all = vecs(s, d)
     val seeds: Seq[Seq[Double]] = all.filter(col("vec_id") < KmeansK)
       .orderBy("vec_id").select("v").as[Seq[Double]].collect().toSeq
     val cents = trainCentroids(all, seeds, KmeansIters)
     all.withColumn("cluster", bestCentroid(cents))
-      .select(col("vec_id"), col("cluster"))
   }
+
+  /** sim_kmeans: spherical k-means (cosine assignment, mean + renormalize
+    * update); integer-micro-unit training makes the whole loop
+    * SQL-replayable (kmeansOracle). */
+  def kmeans(s: SparkSession, d: String): DataFrame =
+    assignedVecs(s, d).select(col("vec_id"), col("cluster"))
 
   // ---- Product quantization (PQ / ADC) ------------------------------------
 

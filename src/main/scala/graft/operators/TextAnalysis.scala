@@ -709,4 +709,44 @@ object TextAnalysis {
     perDoc.withColumn("selected",
       col("w_cu") * totN >= lit(totW) * col("n_tok"))
   }
+
+  /** ta_domain_mix: temperature-weighted domain mixture sampling — the
+    * corpus-mixing move of multilingual/multi-domain pretraining (the
+    * α-smoothed sampling of XLM/mBERT, T5's mixing rates): domain d with
+    * n_d tokens gets mixture weight w_d ∝ n_d^α with α = 1/2, which
+    * UP-samples small domains and down-samples dominant ones relative to
+    * natural frequency. The target budget is half the corpus' tokens;
+    * each doc then keeps independently with probability
+    * r_d = w_d·T / n_d via the house md5-threshold test — no RNG, no
+    * window, reproducible on any engine/partitioning.
+    *
+    * Exactness discipline: α = 1/2 because IEEE sqrt IS correctly
+    * rounded (unlike ln/pow) — sqrt(n_d) is bit-identical on both
+    * engines, quantized to integer micro-units (s_d) BEFORE the
+    * cross-domain sum so ΣS is an order-free integer. The keep test is
+    * pure integer cross-multiplication — h·S·n_d < s_d·T·2²⁴ in
+    * decimal(38,0)/HUGEINT — so there is NO division to round
+    * differently and the whole op hashes bit-for-bit.
+    *
+    * Scale shape: the domain table is a tiny aggregate (|domains| rows)
+    * broadcast onto ONE corpus pass — the corpus itself never
+    * shuffles. */
+  def domainMix(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(wsTokens(col("text"))).cast("long").as("n_tok"))
+    val dom = docs.groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("n_d"))
+      .withColumn("s_d",
+        floor(sqrt(col("n_d").cast("double")) * 1e6 + 0.5).cast("long"))
+    val tot = dom.agg(sum(col("s_d")).as("s_tot"), sum(col("n_d")).as("n_tot"))
+    val h = conv(substring(
+      md5(concat(lit("mix:"), col("doc_id").cast("string")).cast("binary")),
+      1, 6), 16, 10).cast("long")
+    docs.join(broadcast(dom), "source").crossJoin(broadcast(tot))
+      .withColumn("kept",
+        h.cast("decimal(38,0)") * col("s_tot") * col("n_d") <
+          col("s_d").cast("decimal(38,0)") *
+            expr("n_tot DIV 2") * lit(16777216L))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("kept"))
+  }
 }

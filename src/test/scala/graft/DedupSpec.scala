@@ -258,4 +258,36 @@ class DedupSpec extends SparkSpec {
       }
     } finally out.unpersist()
   }
+
+  test("semantic dedup: dropped <=> co-clustered exact near-dup with smaller id") {
+    val s2 = spark
+    import s2.implicits._
+    val out = Dedup.semantic(spark, sf01)
+      .select("vec_id", "cluster", "kept")
+      .as[(Long, Int, Boolean)].collect()
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    val exact = Dedup.embedCosineExact(spark, sf01)
+      .as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "no exact cosine pairs at sf0.01")
+    // a vector is dropped iff an exact pair links it to a SMALLER id in
+    // the SAME cluster — within-cluster-only recall is SemDeDup's design
+    val expectedDropped = exact.collect {
+      case (v1, v2) if cluster(v1) == cluster(v2) => math.max(v1, v2)
+    }
+    val dropped = out.collect { case (id, _, false) => id }.toSet
+    assert(dropped == expectedDropped,
+      s"verdicts diverge: ${(dropped diff expectedDropped).take(3)} / " +
+        s"${(expectedDropped diff dropped).take(3)}")
+    assert(dropped.nonEmpty, "no co-clustered near-dups — dedup unexercised")
+  }
+
+  test("semantic dedup clusters match sim_kmeans assignments") {
+    val s2 = spark
+    import s2.implicits._
+    val sem = Dedup.semantic(spark, sf01)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val km = operators.Similarity.kmeans(spark, sf01)
+      .as[(Long, Int)].collect().toMap
+    assert(sem == km, "dd_semantic and sim_kmeans disagree on clustering")
+  }
 }

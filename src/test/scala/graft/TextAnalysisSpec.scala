@@ -153,4 +153,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(sel(true) > sel(false),
       s"en selection rate ${sel(true)} not above other ${sel(false)}")
   }
+
+  test("domain mix: sqrt-temperature upsamples small domains, budget ~half") {
+    val s2 = spark
+    import s2.implicits._
+    val out = graft.operators.TextAnalysis.domainMix(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "source", "n_tok", "kept")
+      .as[(Long, String, Long, Boolean)].collect()
+    val kept = out.count(_._4).toDouble / out.length
+    assert(kept > 0.25 && kept < 0.75, s"kept fraction $kept far from budget")
+    // replay the per-domain target rate r_d ∝ s_d·T/n_d in exact integers:
+    // rates must be monotone DECREASING in domain size (α=1/2 upsampling)
+    val nD = out.groupBy(_._2).map { case (src, rs) =>
+      src -> rs.map(_._3).sum
+    }
+    val sD = nD.map { case (src, n) =>
+      src -> math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong
+    }
+    // r_d = s_d·T / (S·n_d); compare adjacent domains cross-multiplied
+    val bySize = nD.toSeq.sortBy(_._2)
+    for (Seq((aSrc, aN), (bSrc, bN)) <- bySize.sliding(2)) {
+      if (aN < bN) {
+        // r_a >= r_b  <=>  s_a·n_b >= s_b·n_a (T and S cancel)
+        assert(BigInt(sD(aSrc)) * bN >= BigInt(sD(bSrc)) * aN,
+          s"smaller domain $aSrc ($aN tok) not upsampled vs $bSrc ($bN)")
+      }
+    }
+  }
 }
