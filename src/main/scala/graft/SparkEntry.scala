@@ -1074,7 +1074,8 @@ object SparkEntry {
         |tot AS (SELECT CAST(SUM(w_cu) AS BIGINT) AS tw,
         |    CAST(SUM(n_tok) AS BIGINT) AS tn FROM doc)
         |SELECT doc_id, n_tok, w_cu,
-        |  w_cu * tn >= tw * n_tok AS selected
+        |  CAST(w_cu AS HUGEINT) * tn >= CAST(tw AS HUGEINT) * n_tok
+        |    AS selected
         |FROM doc CROSS JOIN tot""".stripMargin,
     // SQL-text front-end twins: held to the same oracles as the DataFrame
     // formulations they mirror (sql_text_agg's statement is itself the
@@ -1287,9 +1288,10 @@ object SparkEntry {
     "op_txn_wap" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus,
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |mx AS (SELECT MAX(o_orderkey) AS m FROM base),
         |pub AS (SELECT * FROM base
-        |  UNION ALL SELECT o_orderkey + 200000000, o_orderstatus, price
-        |  FROM base WHERE o_orderkey % 89 = 0)
+        |  UNION ALL SELECT o_orderkey + m + 1, o_orderstatus, price
+        |  FROM base, mx WHERE o_orderkey % 89 = 0)
         |SELECT o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(price) AS DOUBLE) AS total,
         |  'pre_publish' AS src, TRUE AS wap_ok
@@ -1343,13 +1345,14 @@ object SparkEntry {
     "op_merge_full" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
-        |r AS (SELECT MIN(k) + (MAX(k) - MIN(k)) // 8 AS hi FROM b),
+        |r AS (SELECT MIN(k) + (MAX(k) - MIN(k)) // 8 AS hi,
+        |    MAX(k) AS mx FROM b),
         |upd AS (SELECT k, 'U' AS st,
         |    CAST(price + 100 AS DECIMAL(12,2)) AS price
         |  FROM b, r WHERE k <= hi AND k % 5 = 0),
         |del AS (SELECT k FROM b, r
         |  WHERE k <= hi AND k % 3 = 0 AND k % 5 <> 0),
-        |ins AS (SELECT k + 100000000 AS k, 'N' AS st, price
+        |ins AS (SELECT k + mx + 1 AS k, 'N' AS st, price
         |  FROM b, r WHERE k <= hi AND k % 7 = 0)
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS full_ok

@@ -564,14 +564,19 @@ object Dedup {
     * rescanned; its distinct fingerprints live in a TxnTable "store"
     * (here built once from the docs with doc_id % 3 != 0), and each
     * arriving batch (doc_id % 3 == 0) is (a) internally deduped with the
-    * one-shuffle keep-min, (b) anti-joined against the store — the batch
-    * is the SMALL side, so AQE broadcasts it against the store scan —
-    * and (c) the novel fingerprints are APPENDED to the store through
-    * the snapshot log (atomic: a concurrent reader sees the old or the
-    * new store, never a torn one). Output: every batch doc with its
-    * in-batch representative flag, novelty verdict, and final keep
-    * decision; `inc_ok` asserts the store mechanics (version advanced
-    * once, row count grew by exactly the distinct-novel count). */
+    * one-shuffle keep-min, (b) checked against the store with the batch
+    * as the BROADCAST side both times: a left-semi probe of the store
+    * against the broadcast batch fingerprints finds the hits (the store
+    * is scanned map-side, never shuffled — a left-outer with the batch
+    * on the left could only broadcast the STORE, the wrong side at
+    * 100 TB), and the tiny hit set broadcasts back onto the batch for
+    * the per-doc verdicts — and (c) the novel fingerprints are APPENDED
+    * to the store through the snapshot log (atomic: a concurrent reader
+    * sees the old or the new store, never a torn one). Output: every
+    * batch doc with its in-batch representative flag, novelty verdict,
+    * and final keep decision; `inc_ok` asserts the store mechanics
+    * (version advanced once, row count grew by exactly the
+    * distinct-novel count). */
   def incremental(s: SparkSession, d: String): DataFrame = {
     val store = {
       val dir = graft.Fs.scratch("graft_txn", "dd_store")
@@ -600,12 +605,22 @@ object Dedup {
         col("doc_id") === min(col("doc_id"))
           .over(Window.partitionBy(col("fp"))))
     val storeFps = TxnTable.snapshot(s, store).select(col("fp"))
+    // store-side left-semi against the BROADCAST batch: the store never
+    // shuffles; the hit set (≤ |batch| rows) broadcasts back
+    val hits = storeFps
+      .join(broadcast(batch.select(col("fp")).distinct()), Seq("fp"),
+        "left_semi")
+      .withColumn("present", lit(true))
     val verdicts = batch
-      .join(storeFps.withColumn("present", lit(true)), Seq("fp"), "left")
+      .join(broadcast(hits), Seq("fp"), "left")
       .withColumn("novel", col("present").isNull)
       .withColumn("keep", col("batch_rep") && col("novel"))
       .select(col("doc_id"), col("fp"), col("batch_rep"), col("novel"),
         col("keep"))
+      // verdicts feed three consumers (append staging, the novel count,
+      // the returned frame) — cache so the doc scan + window + probe run
+      // once, not three times
+      .cache()
     val novelFps = verdicts.filter(col("keep"))
       .select(col("fp"), col("doc_id").as("owner"))
     val v1 = TxnTable.append(s, store, novelFps)

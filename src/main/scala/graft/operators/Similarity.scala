@@ -655,10 +655,9 @@ object Similarity {
        |        AS INT), 0), 255) END AS DOUBLE) + 0.5) * (mx - mn) / 256.0
        |    ORDER BY k) AS r
        |  FROM e CROSS JOIN st GROUP BY vec_id),
-       |approx AS (SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |approx AS (SELECT q.vec_id AS q_id, rec.vec_id AS n_id,
        |    list_cosine_similarity(q.v, rec.r) AS sq8
        |  FROM e q JOIN rec ON rec.vec_id <> q.vec_id
-       |  JOIN e n ON n.vec_id = rec.vec_id
        |  WHERE q.vec_id < $NumQueries),
        |cands AS (SELECT q_id, n_id FROM (
        |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id

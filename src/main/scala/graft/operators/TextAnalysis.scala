@@ -642,13 +642,16 @@ object TextAnalysis {
         sum(when(col("bnd"), 1L).otherwise(0L))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("cif", (col("pos") / 16).cast("long"))
+      // four consumers downstream (counts + shared join, × two chunkers):
+      // cache so the doubled-corpus explode + two window passes run once
+      .cache()
     def chunkFps(cid: String): DataFrame = flagged
       .groupBy(col("doc_id"), col("var"), col(cid))
       .agg(md5(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("tok")))),
         x => x.getField("tok")), " ")).as("fp"))
     def stats(cid: String, pfx: String): DataFrame = {
-      val fps = chunkFps(cid)
+      val fps = chunkFps(cid).cache() // counts + shared each re-read it
       val counts = fps.groupBy(col("doc_id")).agg(
         sum(when(col("var") === "o", 1L).otherwise(0L)).as(s"n_${pfx}_o"),
         sum(when(col("var") === "m", 1L).otherwise(0L)).as(s"n_${pfx}_m"))
@@ -682,8 +685,8 @@ object TextAnalysis {
     * a fixed constant silently saturates. Both means are compared by
     * integer cross-multiplication (no division — Spark DIV truncates,
     * DuckDB // floors; a quotient would diverge on these negative
-    * weights): w·T_n ≥ T_w·n fits a long up to ~10^13 corpus tokens
-    * per ~10^5-unit doc weight. */
+    * weights), widened to decimal(38,0)/HUGEINT so the products can't
+    * wrap at corpus scale (a long caps out near 10^13 tokens). */
   def dsir(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
@@ -706,8 +709,12 @@ object TextAnalysis {
         sum(col("qt") - col("qr")).as("w_cu"))
     val t = perDoc.agg(sum(col("w_cu")), sum(col("n_tok"))).collect()(0)
     val (totW, totN) = (t.getLong(0), t.getLong(1))
+    // decimal(38,0)/HUGEINT cross-multiply (domainMix's discipline): at
+    // corpus scale w_cu·totN overflows a long — Spark would wrap silently
+    // while the oracle's BIGINT product errors, a divergence cliff
     perDoc.withColumn("selected",
-      col("w_cu") * totN >= lit(totW) * col("n_tok"))
+      col("w_cu").cast("decimal(38,0)") * totN >=
+        lit(totW).cast("decimal(38,0)") * col("n_tok"))
   }
 
   /** ta_domain_mix: temperature-weighted domain mixture sampling — the

@@ -1044,11 +1044,17 @@ object TxnTable {
     * zero-copy mechanics as [[shallowClone]], pointed the other way).
     * Additive by design: entries the branch deleted or rewrote are NOT
     * propagated — WAP stages an append, audits it, and publishes it;
-    * divergent rewrites are a merge problem, not a publish. The carried
-    * branch seqs continue above `dst`'s (commit's newSeq = max+1), so
-    * tombstone ordering stays sound after the graft, and vacuuming `dst`
-    * can never touch the branch's files (absolute refs are outside its
-    * data listing by construction). */
+    * divergent rewrites are a merge problem, not a publish — and a branch
+    * carrying merge-on-read tombstones the destination doesn't know is
+    * REFUSED loudly (grafting its entries verbatim would resurrect the
+    * tombstoned rows; compacting the branch applies the tombstones and
+    * makes it publishable). Grafted entries are stamped with the PUBLISH
+    * commit's sequence number, not their branch seqs: the graft is when
+    * the rows appear on `dst`'s timeline, so tombstones `dst` committed
+    * while the branch was open (t.seq ≤ publish seq, > branch seqs) can
+    * never mask freshly published rows. Vacuuming `dst` can never touch
+    * the branch's files (absolute refs are outside its data listing by
+    * construction). */
   def publish(s: SparkSession, src: String, dst: String): Long = {
     require(new Path(src).isAbsolute, s"publish source must be absolute: $src")
     def abs(table: String)(p: String) =
@@ -1056,11 +1062,22 @@ object TxnTable {
     val ms = manifest(s, src, currentVersion(s, src))
     val curDst = currentVersion(s, dst)
     val md = manifest(s, dst, curDst)
+    val dstDels = md.deletes
+      .map { case (p, c, sq) => (abs(dst)(p), c, sq) }.toSet
+    val branchOnly = ms.deletes
+      .map { case (p, c, sq) => (abs(src)(p), c, sq) }
+      .filterNot(dstDels.contains)
+    require(branchOnly.isEmpty,
+      s"publish: branch carries ${branchOnly.size} merge-on-read " +
+        "tombstone(s) the destination doesn't know; publish grafts " +
+        "additions only — compact the branch (compaction applies its " +
+        "tombstones) and re-publish")
     val dstLive = md.entries.map(e => abs(dst)(e.path)).toSet
     val adds = ms.entries
       .map(e => e.copy(path = abs(src)(e.path)))
       .filter(e => !dstLive.contains(e.path))
-    commit(s, dst, md.entries.map(render) ++ adds.map(render), curDst,
+    // renderFresh: grafted entries take the publish commit's seq
+    commit(s, dst, md.entries.map(render) ++ adds.map(renderFresh), curDst,
       op = "publish", schemaJson = md.schema.map(_.json).orNull,
       deleteLines = md.deletes, idxCols = md.idxCols,
       strIdxCols = md.strIdxCols, blooms = md.blooms)
@@ -2088,7 +2105,8 @@ object TxnTable {
       base.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
       expected = -1L, op = "create", schemaJson = base.schema.json)
     val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
-    val hi = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 8
+    val maxK = bounds.getLong(1)
+    val hi = bounds.getLong(0) + (maxK - bounds.getLong(0)) / 8
     val low = base.filter(k <= hi)
     val upd = low.filter(pmod(k, lit(5)) === 0)
       .select(k, lit("U").as("o_orderstatus"),
@@ -2096,11 +2114,15 @@ object TxnTable {
         lit("U").as("op"))
     val dels = low.filter(pmod(k, lit(3)) === 0 && pmod(k, lit(5)) =!= 0)
       .select(k, col("o_orderstatus"), col("price"), lit("D").as("op"))
+    // shifted keyspaces are derived from max(o_orderkey) — a 1-row driver
+    // pull — not hard-coded offsets a bigger SF's keys would collide with
+    // (a collision turns "not matched" into "matched" and breaks the
+    // clause semantics; the oracle derives the same bound)
     val ins = low.filter(pmod(k, lit(7)) === 0)
-      .select((k + 100000000L).as("o_orderkey"),
+      .select((k + (maxK + 1)).as("o_orderkey"),
         lit("N").as("o_orderstatus"), col("price"), lit("U").as("op"))
     val ghosts = low.filter(pmod(k, lit(11)) === 0)
-      .select((k + 300000000L).as("o_orderkey"),
+      .select((k + (4L * maxK + 4)).as("o_orderkey"),
         col("o_orderstatus"), col("price"), lit("D").as("op"))
     val changes = upd.unionByName(dels).unionByName(ins).unionByName(ghosts)
     val before = liveEntries(s, t, 0).map(render)
@@ -2136,11 +2158,16 @@ object TxnTable {
     commit(s, main, stageIndexed(s, main,
       base.repartitionByRange(4, k).sortWithinPartitions(k), "o_orderkey"),
       expected = -1L, op = "create", schemaJson = base.schema.json)
+    // batch keyspaces derive from max(o_orderkey) (1-row driver pull):
+    // good keys land in (maxK, 2·maxK+1], bad keys above 2·maxK+1 — no
+    // SF can collide them with base keys or each other, and the fix's
+    // range delete below removes exactly the bad slice
+    val maxK = base.agg(max(k).cast("long")).head.getLong(0)
     val good = base.filter(pmod(k, lit(89)) === 0)
-      .select((k + 200000000L).as("o_orderkey"), col("o_orderstatus"),
+      .select((k + (maxK + 1)).as("o_orderkey"), col("o_orderstatus"),
         col("price"))
     val bad = base.filter(pmod(k, lit(181)) === 0)
-      .select((k + 300000000L).as("o_orderkey"), col("o_orderstatus"),
+      .select((k + (2 * maxK + 2)).as("o_orderkey"), col("o_orderstatus"),
         (col("price") * -1).cast(D12).as("price"))
     val batch = good.unionByName(bad)
       .repartitionByRange(4, col("o_orderkey"))
@@ -2152,7 +2179,7 @@ object TxnTable {
     val mainStill0 = currentVersion(s, main) == 0L
     // FIX — drop the violating keyspace on the branch (range delete,
     // file-pruned through the batch's key-clustered stats)
-    deleteRange(s, branch, "o_orderkey", 300000000L, Long.MaxValue)
+    deleteRange(s, branch, "o_orderkey", 2 * maxK + 2, Long.MaxValue)
     val nBadAfter = snapshot(s, branch).filter(col("price") < 0).count()
     // PUBLISH — one metadata commit grafting the audited additions
     val vPub = publish(s, branch, main)

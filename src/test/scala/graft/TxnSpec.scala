@@ -1053,4 +1053,58 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.snapshot(spark, b).count() === 115,
       "main vacuum reached into the branch")
   }
+
+  test("publish refuses a branch carrying MoR tombstones; compaction unblocks") {
+    val m = freshTable("wap_mor_main")
+    val b = freshTable("wap_mor_branch")
+    val s = spark
+    import s.implicits._
+    val base = (0 until 50).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    TxnTable.create(spark, m, base)
+    TxnTable.shallowClone(spark, m, b)
+    TxnTable.append(spark, b,
+      (50 until 60).map(i => (i.toLong, s"new$i")).toDF("k", "v"))
+    // the audit fix uses the merge-on-read delete path: a tombstone only
+    TxnTable.deleteKeysMor(spark, b,
+      Seq(55L, 56L).toDF("k"), "k")
+    // grafting entries verbatim would resurrect 55/56 on main — refuse
+    val ex = intercept[IllegalArgumentException] {
+      TxnTable.publish(spark, b, m)
+    }
+    assert(ex.getMessage.contains("tombstone"),
+      s"refusal should name the tombstones: ${ex.getMessage}")
+    // compaction applies + drops the tombstones; publish then succeeds
+    TxnTable.compact(spark, b)
+    TxnTable.publish(spark, b, m)
+    val keys = TxnTable.snapshot(spark, m).select("k").as[Long].collect()
+    assert(keys.toSet === ((0L until 55L).toSet ++ Set(57L, 58L, 59L)),
+      "published content must respect the branch's MoR fix")
+  }
+
+  test("dst tombstones committed while a branch was open can't mask published rows") {
+    val m = freshTable("wap_seq_main")
+    val b = freshTable("wap_seq_branch")
+    val s = spark
+    import s.implicits._
+    val base = (0 until 40).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    TxnTable.create(spark, m, base)
+    TxnTable.shallowClone(spark, m, b)
+    // branch appends (branch entry seqs are LOW — the branch's own line)
+    TxnTable.append(spark, b,
+      (100 until 110).map(i => (i.toLong, s"new$i")).toDF("k", "v"))
+    // meanwhile main advances: an append and then a MoR tombstone whose
+    // seq is ABOVE everything the branch has staged
+    TxnTable.append(spark, m,
+      (40 until 45).map(i => (i.toLong, s"late$i")).toDF("k", "v"))
+    TxnTable.deleteKeysMor(spark, m, Seq(41L, 105L).toDF("k"), "k")
+    // publish restamps grafted entries with the publish commit's seq, so
+    // main's tombstone (older) must NOT swallow the published 105
+    TxnTable.publish(spark, b, m)
+    val keys = TxnTable.snapshot(spark, m).select("k").as[Long]
+      .collect().toSet
+    assert(keys.contains(105L),
+      "dst tombstone committed before publish masked a published row")
+    assert(!keys.contains(41L), "main's own MoR delete must still hold")
+    assert(keys === ((0L until 45L).toSet - 41L) ++ (100L until 110L).toSet)
+  }
 }
