@@ -25,16 +25,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long (legacy conf) and convert to a µs
-    * timestamp in the projection — the data is µs-aligned, so no precision
-    * is lost. The conversion is a per-row scalar; pushdown on other columns
-    * is unaffected. */
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (rejected by Spark's vectorized reader —
+    * read as long under the legacy conf and divided down) or plain
+    * TIMESTAMP(MICROS) (read natively, as NTZ when the footer says
+    * isAdjustedToUTC=false). Normalize both to a session-zone TimestampType
+    * column; the session runs UTC so the NTZ cast is instant-preserving and
+    * both layouts yield identical values. The conversion is a per-row
+    * scalar; pushdown on other columns is unaffected. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    // integer division — ns epochs exceed 2^53, double math would lose µs
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      // integer division — ns epochs exceed 2^53, double math would lose µs
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

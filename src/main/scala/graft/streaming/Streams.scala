@@ -15,10 +15,26 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Streams {
 
-  /** Streaming-source schema for events.parquet: ts is TIMESTAMP(NANOS) on
-    * disk, read as long under the nanosAsLong legacy conf. */
-  private val eventsDdl =
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+  /** Streaming source over events.parquet with `ts` normalized to a
+    * session-zone timestamp. The file source needs an explicit schema, and
+    * the on-disk `ts` type has varied across testdata generations
+    * (TIMESTAMP(NANOS) → long under the legacy conf, vs plain
+    * TIMESTAMP(MICROS) → NTZ), so probe the footer with a driver-side batch
+    * read once and pick the matching DDL + normalization — the same rule as
+    * [[graft.Tables.events]]. */
+  private def eventsSource(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsIsLong = s.read.parquet(s"$d/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsDdl = if (tsIsLong) "ts LONG" else "ts TIMESTAMP_NTZ"
+    val raw = s.readStream
+      .schema(s"event_id LONG, $tsDdl, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    // integer division — ns epochs exceed 2^53, double math would lose µs
+    if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
+  }
 
   /** st_stream_window: readStream → tumbling day window agg → memory sink,
     * drained with AvailableNow so the result is batch-equivalent and
@@ -28,9 +44,7 @@ object Streams {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source lists a directory; single-file tables are
     // selected with a glob filter over the parent dir
-    val src = s.readStream.schema(eventsDdl)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsSource(s, d)
     val agg = src
       .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -55,9 +69,7 @@ object Streams {
     * doesn't grow forever on an unbounded stream. */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream.schema(eventsDdl)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsSource(s, d)
     val doubled = src
       .withColumn("_copy", explode(array(lit(1), lit(2))))
       .drop("_copy")
@@ -82,8 +94,7 @@ object Streams {
     * this is the shape that runs forever on an unbounded source. */
   def streamEnrich(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream.schema(eventsDdl)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val src = eventsSource(s, d)
     val dim = broadcast(graft.Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment")))
     val enriched = src
@@ -121,9 +132,7 @@ object Streams {
   }
 
   private def streamJoinInner(s: SparkSession, d: String): DataFrame = {
-    def src = s.readStream.schema(eventsDdl)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = eventsSource(s, d)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
@@ -161,9 +170,7 @@ object Streams {
     // wipe the per-process sink + checkpoint so re-verification starts
     // from a clean transaction log (append-only otherwise)
     graft.Fs.deleteRecursively(base)
-    val src = s.readStream.schema(eventsDdl)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsSource(s, d)
     val out = src.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
@@ -189,9 +196,7 @@ object Streams {
     * the oracle's replay. */
   def streamSessionWindow(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = s.readStream.schema(eventsDdl)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventsSource(s, d)
     val agg = src
       .groupBy(session_window(col("ts"), "30 minutes").as("win"),
         col("user_id"))
