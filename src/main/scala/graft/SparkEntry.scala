@@ -1261,8 +1261,10 @@ object SparkEntry {
     "op_delete_pruned" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
-        |r AS (SELECT MIN(k) + (MAX(k) - MIN(k)) // 4 AS lo,
-        |             MIN(k) + (MAX(k) - MIN(k)) // 2 AS hi FROM b)
+        |m AS (SELECT MIN(k) AS kmin, MAX(k) - MIN(k) AS span FROM b),
+        |r AS (SELECT
+        |    (2*kmin + 2*(span+1)//8 + 3*(span+1)//8) // 2 AS lo,
+        |    (2*kmin + 4*(span+1)//8 + 5*(span+1)//8) // 2 AS hi FROM m)
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS delete_ok
         |FROM b, r WHERE k < lo OR k > hi""".stripMargin,

@@ -1806,33 +1806,74 @@ object TxnTable {
   /** op_delete_pruned: the file-pruned DELETE as a checked query — the
     * third leg of the DML triangle (append / merge / delete), and the
     * only one with a METADATA-ONLY fast path. The orders slice is
-    * range-clustered on o_orderkey into 8 indexed files; deleting the
-    * second quarter of the keyspace must DROP the fully-covered interior
-    * file(s) from the manifest without reading them, rewrite at most the
-    * two boundary-straddling files, and carry everything else verbatim.
-    * Hashed output = the surviving rows (the range is oracle-replayable);
-    * `delete_ok` asserts the three-way file accounting. */
-  def deletePruned(s: SparkSession, d: String): DataFrame = {
+    * range-clustered on o_orderkey into 8 indexed files at EXPLICIT
+    * computed bucket bounds (not `repartitionByRange`, whose bounds come
+    * from RDD-id-seeded sampling — file layout would shift with session
+    * history, which is exactly the r9 flake: the accounting assertion
+    * held in isolation and failed mid-suite). The delete window spans
+    * bucket 3 fully and ends mid-bucket on both sides, so by
+    * construction — on every run, whatever ran before — bucket 3 DROPS
+    * as pure metadata without being read, buckets 2 and 4 straddle and
+    * are rewritten with the residual filter, and the rest carry
+    * verbatim. Hashed output = the surviving rows (the range is
+    * oracle-replayable); `delete_ok` asserts the three-way accounting. */
+  def deletePruned(s: SparkSession, d: String): DataFrame =
+    deletePrunedChecked(s, d)._1
+
+  /** Cluster `df` into exactly `n` partitions at EXPLICIT computed
+    * bucket bounds: partition i holds the rows with
+    * floor((key − kmin)·n / (span+1)) == i — a pure function of the
+    * data. `repartitionByRange` derives its bounds from RDD-id-seeded
+    * SAMPLING, so the produced file layout shifts with session history;
+    * scenarios whose assertions depend on which keys share a file must
+    * cluster through this exact partitioner instead. Null keys are not
+    * expected (the scenario keys are non-null primary keys). */
+  private[graft] def clusterExact(s: SparkSession, df: DataFrame,
+      key: String, kmin: Long, span: Long, n: Int): DataFrame = {
+    val schema = df.schema
+    val ki = schema.fieldIndex(key)
+    val rdd = df.rdd.keyBy(_.getLong(ki))
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = n
+        def getPartition(k: Any): Int = {
+          val i = (k.asInstanceOf[Long] - kmin) * n / (span + 1)
+          math.min(math.max(i, 0L), (n - 1).toLong).toInt
+        }
+      })
+      .map(_._2)
+    s.createDataFrame(rdd, schema)
+  }
+
+  /** The op_delete_pruned scenario with its [[DeleteResult]] exposed, so
+    * TxnSpec can assert the accounting is IDENTICAL across runs in one
+    * session (the r9 flake regression test). */
+  private[graft] def deletePrunedChecked(s: SparkSession, d: String)
+      : (DataFrame, DeleteResult) = {
     val t = freshDir("delete_orders")
     val base = ordersSlice(s, d)
     val k = col("o_orderkey")
-    commit(s, t, stageIndexed(s, t,
-      base.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
-      expected = -1L, op = "create")
     val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
     val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
     val span = kmax - kmin
-    val (lo, hi) = (kmin + span / 4, kmin + span / 2)
+    // bucket i covers [cuts(i), cuts(i+1)) — one parquet file per
+    // non-empty bucket, layout a pure function of the data
+    val cuts = (0L to 8L).map(i => kmin + i * (span + 1) / 8)
+    val clustered = clusterExact(s, base, "o_orderkey", kmin, span, 8)
+      .sortWithinPartitions(k)
+    commit(s, t, stageIndexed(s, t, clustered, "o_orderkey"),
+      expected = -1L, op = "create")
+    val (lo, hi) = ((cuts(2) + cuts(3)) / 2, (cuts(4) + cuts(5)) / 2)
     val before = liveEntries(s, t, 0).map(render).toSet
     val res = deleteRange(s, t, "o_orderkey", lo, hi)
     val after = liveEntries(s, t, res.version).map(render).toSet
     val verbatim = before.count(after.contains) == res.kept
-    // a contiguous range can straddle at most two boundary files
+    // mid-bucket window edges: exactly one fully-covered bucket drops,
+    // at most the two edge buckets rewrite
     val ok = res.dropped >= 1 && res.kept >= 1 && res.rewritten <= 2 &&
       verbatim
-    snapshot(s, t)
+    (snapshot(s, t)
       .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
-      .withColumn("delete_ok", lit(ok))
+      .withColumn("delete_ok", lit(ok)), res)
   }
 
   /** op_str_skip: STRING manifest stats — the stat kind integral ranges

@@ -22,18 +22,34 @@ object Streams {
     * TIMESTAMP(MICROS) → NTZ), so probe the footer with a driver-side batch
     * read once and pick the matching DDL + normalization — the same rule as
     * [[graft.Tables.events]]. */
+  /** Probed `ts` DDL per data dir, memoized: the probe is a driver-side
+    * batch schema resolution — once per (dir), not once per query call. */
+  private val tsDdlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def eventsSource(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsLong = s.read.parquet(s"$d/events.parquet")
-      .schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val tsDdl = if (tsIsLong) "ts LONG" else "ts TIMESTAMP_NTZ"
+    // mirror Tables.events' THREE-way dispatch: a TIMESTAMP(MICROS)
+    // isAdjustedToUTC=true column probes as TimestampType, and declaring
+    // it TIMESTAMP_NTZ would make the vectorized reader reject the file
+    // at runtime — the stream schema must match the probed kind
+    val tsDdl = tsDdlCache.computeIfAbsent(d, dir =>
+      s.read.parquet(s"$dir/events.parquet").schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => "ts LONG"
+        case org.apache.spark.sql.types.TimestampType => "ts TIMESTAMP"
+        case _ => "ts TIMESTAMP_NTZ"
+      })
     val raw = s.readStream
       .schema(s"event_id LONG, $tsDdl, user_id LONG, event_type STRING, " +
         "value DOUBLE, props STRING")
       .option("pathGlobFilter", "events.parquet").parquet(d)
     // integer division — ns epochs exceed 2^53, double math would lose µs
-    if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw.withColumn("ts", col("ts").cast("timestamp"))
+    tsDdl match {
+      case "ts LONG" =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "ts TIMESTAMP" => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** st_stream_window: readStream → tumbling day window agg → memory sink,
@@ -132,7 +148,7 @@ object Streams {
   }
 
   private def streamJoinInner(s: SparkSession, d: String): DataFrame = {
-    def src = eventsSource(s, d)
+    val src = eventsSource(s, d)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))

@@ -1107,4 +1107,24 @@ class TxnSpec extends SparkSpec {
     assert(!keys.contains(41L), "main's own MoR delete must still hold")
     assert(keys === ((0L until 45L).toSet - 41L) ++ (100L until 110L).toSet)
   }
+
+  test("op_delete_pruned accounting is identical across session history") {
+    // the r9 flake: sampled repartitionByRange bounds shifted with how
+    // many jobs had already run, and the dropped/rewritten/kept
+    // accounting shifted with them. With explicit computed cuts the
+    // accounting must be IDENTICAL run to run — so run the scenario,
+    // shift the session's RDD-id counter with unrelated jobs, run it
+    // again, and demand the same numbers
+    val (df1, res1) = TxnTable.deletePrunedChecked(spark, sf)
+    val rows1 = df1.count()
+    assert(df1.filter(!col("delete_ok")).isEmpty, "first run accounting red")
+    (0 until 5).foreach(i => spark.range(1000 + i).repartition(4).count())
+    val (df2, res2) = TxnTable.deletePrunedChecked(spark, sf)
+    assert(df2.filter(!col("delete_ok")).isEmpty, "second run accounting red")
+    assert((res2.dropped, res2.rewritten, res2.kept) ===
+      ((res1.dropped, res1.rewritten, res1.kept)),
+      "file accounting shifted with session history")
+    assert(df2.count() === rows1)
+    assert(res1.dropped >= 1 && res1.rewritten <= 2)
+  }
 }
