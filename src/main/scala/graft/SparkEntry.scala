@@ -61,6 +61,9 @@ object SparkEntry {
     "q48_set_ops_all"         -> (Relational.q48SetOpsAll _),
     "q49_null_semantics"      -> (Relational.q49NullSemantics _),
     "op_txn_commit"           -> (TxnTable.txnCommit _),
+    "op_txn_asof"             -> (TxnTable.txnAsOf _),
+    "sql_txn_timetravel"      -> (SqlSurface.txnTimeTravel _),
+    "sql_txn_delete"          -> (SqlSurface.txnDelete _),
     "op_vacuum"               -> (TxnTable.vacuumTable _),
     "op_cdc_read"             -> (TxnTable.cdcRead _),
     "op_manifest_skip"        -> (TxnTable.manifestSkip _),
@@ -68,6 +71,7 @@ object SparkEntry {
     "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
     "op_table_history"        -> (TxnTable.tableHistory _),
     "op_txn_race"             -> (TxnTable.txnRace _),
+    "op_txn_race2"            -> (TxnTable.txnRace2 _),
     "op_merge_pruned"         -> (TxnTable.mergePruned _),
     "op_txn_schema_evolve"    -> (TxnTable.schemaEvolve _),
     "op_txn_checkpoint"       -> (TxnTable.txnCheckpoint _),
@@ -1098,6 +1102,37 @@ object SparkEntry {
         |       CAST(SUM(bal) AS DOUBLE) AS sum_bal, MAX(k) AS max_key
         |FROM tree GROUP BY root, depth""".stripMargin,
     "sql_text_minhash" -> graft.operators.Dedup.minhashProbeOracle,
+    // TIMESTAMP time travel: wall-clock isn't replayable, so resolution
+    // mechanics travel as booleans; the hashed content is the AS OF
+    // snapshot — exactly base + first delta
+    "op_txn_asof" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |u AS (SELECT * FROM b
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'A', price FROM b
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price,
+        |  TRUE AS asof_ok FROM u""".stripMargin,
+    // SQL-addressed snapshot log: VERSION AS OF 1 is exactly the base
+    // slice (the second insert's shifted keys invisible); the
+    // TIMESTAMP AS OF agreement travels as a boolean
+    "sql_txn_timetravel" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |  TRUE AS tt_ok FROM orders""".stripMargin,
+    // SQL DELETE through the catalog: survivors replayed from the
+    // quarter-cut rule; the metadata-only file accounting travels as a
+    // boolean
+    "sql_txn_delete" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |m AS (SELECT MIN(k) AS kmin, MAX(k) - MIN(k) AS span FROM b),
+        |r AS (SELECT kmin + (span+1)//4 AS lo,
+        |             kmin + 2*(span+1)//4 AS hi FROM m)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS del_ok
+        |FROM b, r WHERE k < lo OR k >= hi""".stripMargin,
     "ta_split" ->
       s"""SELECT ${splitBucketSql("doc_id")} AS split,
         |       COUNT(*) AS n
@@ -1196,6 +1231,24 @@ object SparkEntry {
         |  TRUE AS race_ok
         |FROM (VALUES (0, 280), (1, 280), (2, 280), (3, 280), (4, 280))
         |  AS t(grp, n)""".stripMargin,
+    // file-level OCC: the final content composes every writer's rule —
+    // synthetic data, a pure literal at any SF; the retry accounting
+    // (zero recomputes for disjoint writers, exactly one for the true
+    // overlap) travels as a boolean
+    "op_txn_race2" ->
+      """WITH keep AS (SELECT range AS k, range % 1000 AS v
+        |  FROM range(0, 4000)
+        |  WHERE NOT (range < 1000 AND range % 3 = 0)
+        |    AND NOT (range >= 2000 AND range <= 2999 AND range % 5 = 0)
+        |    AND NOT (range >= 3000 AND range <= 3499
+        |             AND (range % 7 = 0 OR range % 11 = 0))),
+        |app AS (SELECT 10000 + range AS k, range % 1000 AS v
+        |    FROM range(0, 100)
+        |  UNION ALL
+        |  SELECT 20000 + range, range % 1000 FROM range(0, 100))
+        |SELECT k, v, TRUE AS race2_ok FROM keep
+        |UNION ALL
+        |SELECT k, v, TRUE AS race2_ok FROM app""".stripMargin,
     // the audit trail read back from the manifests; the scenario's data
     // is synthetic and fixed, so the trail is literal at any SF
     "op_table_history" ->

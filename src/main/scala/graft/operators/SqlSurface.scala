@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.Tables
+import graft.sources.GraftCatalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 /** SQL-text front-end (SURVEY.md §2C): the engine's capabilities exercised
   * through `spark.sql("...")` strings instead of the DataFrame API —
@@ -105,5 +107,95 @@ object SqlSurface {
         |SELECT root, depth, COUNT(*) AS n_members,
         |       CAST(SUM(bal) AS DOUBLE) AS sum_bal, MAX(k) AS max_key
         |FROM tree GROUP BY root, depth""".stripMargin)
+  }
+
+  /** Stand up a fresh catalog-addressed TxnTable `graft.q.<name>` —
+    * shared scaffolding for the sql_txn_* scenarios. Registration is
+    * idempotent; the warehouse is process-stable (catalog instances are
+    * cached per session after first use). */
+  private def freshSqlTable(s: SparkSession, name: String): String = {
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q")
+    s.sql(s"DROP TABLE IF EXISTS graft.q.$name")
+    s"${GraftCatalog.defaultWarehouse}/q/$name"
+  }
+
+  /** sql_txn_timetravel: the snapshot log addressed by PURE SQL TEXT
+    * through the DataSourceV2 catalog (graft.sources.GraftCatalog) —
+    * CREATE TABLE / INSERT INTO (append commit) / `VERSION AS OF` /
+    * `TIMESTAMP AS OF`. Two inserts land versions 1 and 2; the hashed
+    * output is `VERSION AS OF 1` (exactly the base slice — the second
+    * insert's keyspace-shifted rows must be invisible), and `tt_ok`
+    * carries the resolution mechanics: TIMESTAMP AS OF v1's recorded
+    * commit time returns v1's count, the instant before returns v0's
+    * (the empty created table), and the latest read sees both inserts.
+    * Wall-clock isn't replayable, so timestamps travel only as these
+    * booleans — the content hash is the time-travel read itself. */
+  def txnTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "tt_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.tt_orders (
+      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    s.sql("""INSERT INTO graft.q.tt_orders
+      SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders""")
+    s.sql("""INSERT INTO graft.q.tt_orders
+      SELECT o_orderkey + 100000000, 'T', CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey % 97 = 0""")
+    def cnt(q: String): Long = s.sql(q).collect()(0).getLong(0)
+    val ts1 = TxnTable.manifest(s, loc, 1L).ts
+    val nV1 = cnt("SELECT COUNT(*) AS n FROM graft.q.tt_orders VERSION AS OF 1")
+    val nBase = cnt("SELECT COUNT(*) AS n FROM orders")
+    val nDelta = cnt("SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 97 = 0")
+    val ok = nV1 == nBase &&
+      cnt("SELECT COUNT(*) AS n FROM graft.q.tt_orders VERSION AS OF 0") == 0L &&
+      cnt(s"SELECT COUNT(*) AS n FROM graft.q.tt_orders " +
+        s"TIMESTAMP AS OF timestamp_millis($ts1)") == nBase &&
+      cnt(s"SELECT COUNT(*) AS n FROM graft.q.tt_orders " +
+        s"TIMESTAMP AS OF timestamp_millis(${ts1 - 1})") == 0L &&
+      cnt("SELECT COUNT(*) AS n FROM graft.q.tt_orders") == nBase + nDelta
+    s.sql("""SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+      FROM graft.q.tt_orders VERSION AS OF 1""")
+      .withColumn("tt_ok", lit(ok))
+  }
+
+  /** sql_txn_delete: file-pruned DELETE as PURE SQL TEXT — `DELETE FROM
+    * graft.q.del_orders WHERE k BETWEEN …` routed through the catalog to
+    * [[TxnTable.deleteRange]]. Four quarter-slice single-file inserts
+    * give every file a tight key range; deleting exactly the second
+    * quarter must DROP that file from the manifest without reading it
+    * (≤1 rewrite: the zero-row create sentinel carries no stats and
+    * rewrites conservatively, disappearing in the process). Hashed
+    * output = the survivors (the quarter rule is oracle-replayable);
+    * `del_ok` asserts the accounting and the audit trail. */
+  def txnDelete(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "del_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.del_orders (
+      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    val b = s.sql("SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi " +
+      "FROM orders").collect()(0)
+    val (kmin, kmax) = (b.getLong(0), b.getLong(1))
+    val span = kmax - kmin
+    // quarter cuts, same arithmetic the oracle replays
+    val qc = (0L to 4L).map(i => kmin + i * (span + 1) / 4)
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO graft.q.del_orders
+        SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders
+        WHERE o_orderkey >= ${qc(i)} AND o_orderkey < ${qc(i + 1)}""")
+    }
+    s.sql("DELETE FROM graft.q.del_orders " +
+      s"WHERE o_orderkey >= ${qc(1)} AND o_orderkey <= ${qc(2) - 1}")
+    val res = GraftCatalog.lastDeleteResult.get
+    val trail = TxnTable.history(s, loc).map(_._2)
+    val ok = res.dropped == 1 && res.rewritten <= 1 && res.kept == 3 &&
+      trail == Seq("create", "append", "append", "append", "append", "delete")
+    s.sql("""SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+      FROM graft.q.del_orders""")
+      .withColumn("del_ok", lit(ok))
   }
 }

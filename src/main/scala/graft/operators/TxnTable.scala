@@ -146,7 +146,8 @@ object TxnTable {
       deletes: Seq[(String, String, Long)], entries: Seq[Entry],
       hdrIdx: Option[Seq[String]] = None,
       hdrStrIdx: Option[Seq[String]] = None,
-      blooms: Seq[BloomRef] = Nil) {
+      blooms: Seq[BloomRef] = Nil,
+      ts: Long = -1L) {
     def liveFiles: Seq[String] = entries.map(_.path)
     // the index column set prefers the `#index=` header: deriving it from
     // entry stats alone loses the index whenever a version legitimately
@@ -233,8 +234,10 @@ object TxnTable {
         }
         Entry(parts.head, stats, strs, seq)
       }
+    val ts = lines.find(_.startsWith("#ts="))
+      .map(_.stripPrefix("#ts=").toLong).getOrElse(-1L)
     Manifest(op, schema, deletes, entries,
-      idxHdr("#index="), idxHdr("#strindex="), blooms)
+      idxHdr("#index="), idxHdr("#strindex="), blooms, ts)
   }
 
   private def b64enc(v: String): String =
@@ -388,6 +391,14 @@ object TxnTable {
       throw new ConcurrentModificationException(
         s"$table moved to version $cur while writer expected $expected")
     val next = cur + 1
+    // the commit TIMESTAMP, monotonized against the previous commit's
+    // (`max(now, prev+1)` — Delta's in-commit-timestamp rule): AS OF
+    // <timestamp> resolution can then scan newest-first and stop at the
+    // first commit at-or-before the target, and two commits can never
+    // tie. Wall-clock is inherently non-replayable, so timestamps are
+    // header-only metadata — never part of a hashed query output
+    val prevTs = if (cur < 0) -1L else manifest(s, table, cur).ts
+    val ts = math.max(System.currentTimeMillis(), prevTs + 1)
     val tmpP = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmpP, false)
     // the committed schema travels IN the log (one JSON line): readers
@@ -441,7 +452,7 @@ object TxnTable {
       else (parts.head +: newSeq.toString +: parts.tail).mkString("\t")
     }
     try out.write(
-      (s"#format=$ManifestFormat\n#op=$op\n" + schemaLine + delLines +
+      (s"#format=$ManifestFormat\n#op=$op\n#ts=$ts\n" + schemaLine + delLines +
         idxLine("#index=", idxCols) + idxLine("#strindex=", strIdxCols) +
         bloomLines + stamped.sorted.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
@@ -462,6 +473,83 @@ object TxnTable {
   }
 
   private val commitLock = new Object
+
+  /** One writer's intended change for [[commitResolving]]: freshly-staged
+    * manifest lines to add (rendered WITHOUT seqs — [[commit]] stamps
+    * them), the paths it removes (rewrites/drops), and the paths whose
+    * CONTENT its outputs were derived from (the read set — for a rewrite
+    * that is the removed files themselves; an append reads nothing). */
+  case class Change(added: Seq[String], removed: Set[String],
+      readSet: Set[String], op: String = "write")
+
+  /** Outcome of a resolved commit: the landed version plus how the
+    * conflicts were handled — `rebases` = CAS losses resolved as pure
+    * metadata (the change re-applied onto the winner's manifest, no data
+    * re-read or re-written), `recomputes` = true conflicts where the
+    * work had to re-run against the new base. */
+  case class CommitOutcome(version: Long, rebases: Int, recomputes: Int)
+
+  /** Commit with FILE-LEVEL optimistic-conflict resolution — the fix for
+    * whole-table OCC serialization at high write concurrency. A plain
+    * [[commit]] loser must re-do its work on ANY interleaved commit;
+    * here the loser first checks whether the interleaved winners
+    * actually touched the files it cares about:
+    *
+    *   conflict ⇔ some winner REMOVED a file the loser also removes
+    *              (both rewrote it) or a file in the loser's READ SET
+    *              (the loser's outputs are stale), or a winner added
+    *              new merge-on-read tombstones while the loser rewrote
+    *              or read data (rewritten rows would escape them).
+    *
+    * Disjoint writers — appends, or rewrites of non-overlapping file
+    * sets — REBASE: the same staged files re-commit onto the winner's
+    * manifest as one more metadata round-trip, with zero data re-read,
+    * re-filtered, or re-written. That is the conflict-set validation
+    * public formats run (Iceberg's validation history, Delta's
+    * conflict checker), and the difference between "1000 executors can
+    * append concurrently" and "every commit serializes through data
+    * recomputation". `work` receives the base version it must compute
+    * against and stages against it; it re-runs ONLY on a true overlap. */
+  def commitResolving(s: SparkSession, table: String)
+      (work: Long => Change): CommitOutcome = {
+    var rebases = 0
+    var recomputes = 0
+    var base = currentVersion(s, table)
+    var m = manifest(s, table, base)
+    var ch = work(base)
+    while (true) {
+      ch.removed.foreach(p => require(m.entries.exists(_.path == p),
+        s"$table: change removes $p which version $base does not list"))
+      val lines = m.entries.filterNot(e => ch.removed(e.path)).map(render) ++
+        ch.added
+      try {
+        val v = commit(s, table, lines, base, op = ch.op,
+          schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
+          idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
+        return CommitOutcome(v, rebases, recomputes)
+      } catch {
+        case _: ConcurrentModificationException =>
+          val newCur = currentVersion(s, table)
+          // winners = every version that landed since our base; each is
+          // judged against ITS parent so a chain of winners accumulates
+          val conflict = (base + 1 to newCur).exists { wv =>
+            val wm = manifest(s, table, wv)
+            val pm = manifest(s, table, wv - 1)
+            val wRemoved =
+              pm.entries.map(_.path).toSet -- wm.entries.map(_.path).toSet
+            val newTombs = wm.deletes.toSet -- pm.deletes.toSet
+            wRemoved.exists(p => ch.removed(p) || ch.readSet(p)) ||
+              (newTombs.nonEmpty &&
+                (ch.removed.nonEmpty || ch.readSet.nonEmpty))
+          }
+          base = newCur
+          m = manifest(s, table, newCur)
+          if (conflict) { recomputes += 1; ch = work(base) }
+          else rebases += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Stage a DataFrame as new immutable parquet files under a fresh uuid
     * dir; returns their table-relative paths. Staged files are invisible
@@ -1197,7 +1285,7 @@ object TxnTable {
   /** Resolve a manifest path: table-relative normally; a SHALLOW CLONE's
     * entries reference the source table's files by absolute path (zero
     * data copied), which pass through untouched. */
-  private def pathFor(table: String, rel: String): String =
+  private[graft] def pathFor(table: String, rel: String): String =
     if (rel.startsWith("/")) rel else s"$table/$rel"
 
   /** Scan a set of manifest entries with merge-on-read tombstones
@@ -1258,6 +1346,28 @@ object TxnTable {
     require(m.entries.nonEmpty, s"$table version $ver lists no files")
     readEntries(s, table, m, m.entries)
   }
+
+  /** Resolve `AS OF <timestamp>` to a version: the NEWEST version whose
+    * commit timestamp is ≤ `tsMillis`. Commit timestamps are monotonized
+    * at commit time (see [[commit]]), so the scan walks newest-first and
+    * stops at the first qualifying manifest — O(versions-after-target)
+    * log reads, not O(all). A target before the table's first commit is
+    * an error (the table did not exist yet), matching every public
+    * format's AS OF contract. Pre-timestamp manifests (no `#ts=` header)
+    * read as ts −1: they qualify for any target, keeping old tables
+    * resolvable. */
+  def versionAt(s: SparkSession, table: String, tsMillis: Long): Long = {
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"$table has no committed version")
+    vs.reverse.find(v => manifest(s, table, v).ts <= tsMillis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table: no version committed at or before ts=$tsMillis " +
+          s"(first commit was later)"))
+  }
+
+  /** Snapshot at `AS OF <timestamp>` — [[versionAt]] + [[snapshot]]. */
+  def snapshotAt(s: SparkSession, table: String, tsMillis: Long): DataFrame =
+    snapshot(s, table, versionAt(s, table, tsMillis))
 
   /** Schema-evolving append: `df` may carry NEW columns beyond the
     * table's current schema (add-column evolution — common columns must
@@ -1545,6 +1655,84 @@ object TxnTable {
     snapshot(s, t).groupBy(col("grp"))
       .agg(count(lit(1)).as("n"))
       .withColumn("race_ok", lit(ok))
+  }
+
+  /** op_txn_race2: FILE-LEVEL conflict resolution as a checked query —
+    * [[commitResolving]]'s accounting under real thread races, the
+    * concurrency model a 1000-writer table needs (op_txn_race proves
+    * the raw CAS; this proves losers don't REDO WORK unless files truly
+    * overlap). Phase 1: four writers race from the same base version —
+    * two appends (disjoint keyspaces) and two rewrites of
+    * NON-overlapping file sets (drop k%3 over [0,1000), drop k%5 over
+    * [2000,3000)); a barrier aligns all four on one base so every CAS
+    * loss is real. None touches another's files ⇒ every loss resolves
+    * as a REBASE: zero recomputes, no data re-read or re-written.
+    * Phase 2: two writers rewrite the SAME file (drop k%7 vs k%11 over
+    * [3000,3500)), aligned the same way; the loser must detect the
+    * true overlap and RECOMPUTE against the winner's output, composing
+    * both filters — exactly one recompute. Hashed output = the final
+    * table (all rules composed — synthetic data, a pure literal at any
+    * SF); `race2_ok` asserts the retry accounting and the audit trail. */
+  def txnRace2(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("race2_table")
+    val base = s.range(4000).select(col("id").as("k"),
+      pmod(col("id"), lit(1000)).cast("long").as("v"))
+    commit(s, t, stageIndexed(s, t,
+      clusterExact(s, base, "k", 0L, 3999L, 8)
+        .sortWithinPartitions(col("k")), "k"),
+      expected = -1L, op = "create", schemaJson = base.schema.json)
+
+    def run(writers: Seq[Long => Change]): Seq[CommitOutcome] = {
+      // the barrier aligns every writer's FIRST work() on the same base
+      // version, so each CAS loss in the round is a real race, not
+      // accidental serialization; recompute calls skip it
+      val barrier = new java.util.concurrent.CyclicBarrier(writers.size)
+      val out = new Array[CommitOutcome](writers.size)
+      val threads = writers.zipWithIndex.map { case (w, i) =>
+        new Thread(() => {
+          var first = true
+          out(i) = commitResolving(s, t) { b =>
+            if (first) { barrier.await(); first = false }
+            w(b)
+          }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      out.toSeq
+    }
+    def appender(offset: Long): Long => Change = _ =>
+      Change(stageIndexed(s, t, s.range(100)
+          .select((col("id") + offset).as("k"),
+            pmod(col("id"), lit(1000)).cast("long").as("v"))
+          .repartition(1).sortWithinPartitions(col("k")), "k")
+          .filter(_.contains('\t')),
+        Set.empty, Set.empty, op = "append")
+    def rewriter(lo: Long, hi: Long, mod: Int): Long => Change = b => {
+      val m = manifest(s, t, b)
+      val touched = m.entries.filter(_.statFor("k").exists {
+        case (fLo, fHi) => fLo <= fHi && fHi >= lo && fLo <= hi })
+      val kept = readEntries(s, t, m, touched)
+        .filter(!(pmod(col("k"), lit(mod)) === 0 &&
+          col("k") >= lo && col("k") <= hi))
+      Change(stageIndexed(s, t,
+          kept.repartition(1).sortWithinPartitions(col("k")), "k")
+          .filter(_.contains('\t')),
+        removed = touched.map(_.path).toSet,
+        readSet = touched.map(_.path).toSet, op = "rewrite")
+    }
+    val p1 = run(Seq(appender(10000L), appender(20000L),
+      rewriter(0L, 999L, 3), rewriter(2000L, 2999L, 5)))
+    val p2 = run(Seq(rewriter(3000L, 3499L, 7), rewriter(3000L, 3499L, 11)))
+    val trailOps = history(s, t).map(_._2)
+    val ok = p1.map(_.recomputes).sum == 0 &&
+      p1.map(_.rebases).sum >= 3 && // 4 writers, one base: ≥3 CAS losses
+      p2.map(_.recomputes).sum == 1 &&
+      versions(s, t) == (0L to 6L) &&
+      trailOps.head == "create" &&
+      trailOps.count(_ == "append") == 2 && trailOps.count(_ == "rewrite") == 4
+    snapshot(s, t).select(col("k"), col("v"))
+      .withColumn("race2_ok", lit(ok))
   }
 
   /** Signed change rows between two committed versions: weight +1 for
@@ -2046,6 +2234,47 @@ object TxnTable {
       trail == Seq((0L, "create"), (1L, "overwrite"), (2L, "restore"))
     statusAgg(snapshot(s, t), "restored")
       .withColumn("restore_ok", lit(ok))
+  }
+
+  /** op_txn_asof: TIMESTAMP time travel as a checked query — `AS OF
+    * <timestamp>` resolves to the newest commit at or before the
+    * target (commit timestamps are written monotonized into every
+    * manifest header: see [[commit]]; [[versionAt]] resolves). The
+    * scenario lands create → append → append, reads the three recorded
+    * timestamps back, and proves the resolver: each commit's own
+    * timestamp resolves to itself, the instant just before a commit
+    * resolves to its PREDECESSOR, the far future resolves to the
+    * latest version, and a target before the first commit fails loudly
+    * (the table did not exist yet). Wall-clock is not replayable, so
+    * timestamps travel only as these oracle-asserted BOOLEANS; the
+    * hashed content is the `AS OF ts(1)` snapshot — exactly base +
+    * first delta, which the oracle replays arithmetically. */
+  def txnAsOf(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("asof_orders")
+    val base = ordersSlice(s, d)
+    create(s, t, base.repartition(4))
+    val k = col("o_orderkey")
+    val d1 = base.filter(pmod(k, lit(97)) === 0)
+      .select((k + 100000000L).as("o_orderkey"),
+        lit("A").as("o_orderstatus"), col("price"))
+    append(s, t, d1)
+    val d2 = base.filter(pmod(k, lit(89)) === 0)
+      .select((k + 200000000L).as("o_orderkey"),
+        lit("B").as("o_orderstatus"), col("price"))
+    append(s, t, d2)
+    val ts = versions(s, t).map(v => manifest(s, t, v).ts)
+    val monotone = ts == ts.sorted && ts.distinct == ts && ts.forall(_ > 0)
+    val resolves = versionAt(s, t, ts(0)) == 0L &&
+      versionAt(s, t, ts(1)) == 1L &&
+      versionAt(s, t, ts(2)) == 2L &&
+      versionAt(s, t, ts(1) - 1) == 0L &&
+      versionAt(s, t, ts(2) - 1) == 1L &&
+      versionAt(s, t, ts(2) + 3600000L) == 2L
+    val preBirth = scala.util.Try(versionAt(s, t, ts(0) - 1)).isFailure
+    val ok = monotone && resolves && preBirth
+    snapshotAt(s, t, ts(1))
+      .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
+      .withColumn("asof_ok", lit(ok))
   }
 
   /** op_txn_clone: zero-copy shallow clone as a checked query. The

@@ -1,0 +1,369 @@
+package graft.sources
+
+import java.util
+
+import graft.operators.TxnTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{And, Predicate}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 catalog over [[TxnTable]] — the piece that makes the
+  * snapshot log SQL-ADDRESSABLE. Register it and every table-format
+  * operation is plain SQL text:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *
+  *   CREATE TABLE graft.ns.t (k BIGINT, v STRING)
+  *     TBLPROPERTIES ('index' = 'k')            -- manifest key stats
+  *   INSERT INTO graft.ns.t SELECT ...          -- append commit
+  *   INSERT OVERWRITE graft.ns.t SELECT ...     -- overwrite commit
+  *   SELECT * FROM graft.ns.t                   -- latest snapshot
+  *   SELECT * FROM graft.ns.t VERSION AS OF 2   -- pinned snapshot
+  *   SELECT * FROM graft.ns.t TIMESTAMP AS OF … -- newest commit ≤ ts
+  *   DELETE FROM graft.ns.t WHERE k >= a AND k <= b  -- file-pruned
+  * }}}
+  *
+  * A table is a directory `<warehouse>/<ns…>/<name>` whose `_log/` holds
+  * the manifest chain; existence checks, listing, create, drop and
+  * rename are all O(metadata) filesystem operations — the catalog holds
+  * NO state of its own, exactly like a path-based Delta/Iceberg catalog.
+  * Reads plan through Spark's own parquet DSv2 scan over an explicit
+  * [[InMemoryFileIndex]] of the manifest-resolved live files, so filter
+  * pushdown, column pruning and vectorized reading all apply unchanged;
+  * the manifest replaces the directory listing, never the scan.
+  *
+  * DELETE routes through [[TxnTable.deleteRange]] when the WHERE clause
+  * is a range/equality conjunction over ONE integral column (the shape
+  * manifest stats can prune); `DELETE FROM t` with no WHERE truncates
+  * via an empty overwrite commit. Anything else reports unsupported at
+  * analysis time — loud, never silently wrong.
+  *
+  * Honest bound: a snapshot with PENDING merge-on-read tombstones
+  * refuses the DSv2 scan (apply them via `TxnTable.compact` or read
+  * through `TxnTable.snapshot`, which anti-joins them) — a plain
+  * parquet scan of the live files would resurrect tombstoned rows.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse"))
+      .getOrElse(GraftCatalog.defaultWarehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def isTable(path: String): Boolean = {
+    val log = new Path(path, "_log")
+    fs(log).exists(log)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tablePath(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(dir)
+    if (!f.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => isTable((warehouse +: namespace.toSeq :+ n).mkString("/")))
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, -1L)
+
+  /** `VERSION AS OF <v>` — pin the snapshot at an explicit version. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"$catalogName version must be a commit number, got '$version'")
+    })
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands the target as MICROSECONDS
+    * since epoch; resolve to the newest commit at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    loadAt(ident, TxnTable.versionAt(spark, path, timestamp / 1000L))
+  }
+
+  private def loadAt(ident: Identifier, version: Long): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val v = if (version < 0) TxnTable.currentVersion(spark, path) else version
+    new GraftTable(s"$catalogName.${ident.toString}", path, v)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      s"$catalogName tables cluster via manifest stats ('index' table " +
+        "property), not hive partition transforms")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val path = tablePath(ident)
+    val idx = Option(properties.get("index")).map(_.split(',').toSeq)
+      .getOrElse(Nil)
+    val strIdx = Option(properties.get("strindex")).map(_.split(',').toSeq)
+      .getOrElse(Nil)
+    // one zero-row staged file carries the schema: version 0 is an empty
+    // but readable (and appendable) table; the index column set persists
+    // in the manifest header from day one
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+      schema)
+    TxnTable.commit(spark, path, TxnTable.stage(spark, path, empty),
+      expected = -1L, op = "create", schemaJson = schema.json,
+      idxCols = idx, strIdxCols = strIdx)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName: ALTER TABLE not supported; schema evolves through " +
+        "appendEvolve commits")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = new Path(tablePath(ident))
+    isTable(tablePath(ident)) && fs(path).delete(path, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    val f = fs(new Path(warehouse))
+    require(f.rename(new Path(tablePath(from)), new Path(tablePath(to))),
+      s"rename ${from.toString} -> ${to.toString} failed")
+  }
+
+  // ---- SupportsNamespaces: a namespace is a directory level ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(n => isTable(s"$warehouse/$n")).map(Array(_))
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    loadNamespaceMetadata(namespace) // throws if missing
+    Array.empty
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    if (namespace.nonEmpty && !fs(dir).exists(dir))
+      throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    fs(dir).mkdirs(dir)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(dir)
+    if (!f.exists(dir)) return false
+    if (!cascade && f.listStatus(dir).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty")
+    f.delete(dir, true)
+  }
+}
+
+object GraftCatalog {
+  /** Stable per-process warehouse default: catalog instances are cached
+    * per session after first use, so the location must not vary between
+    * the queries of one run. */
+  def defaultWarehouse: String = graft.Fs.scratch("graft_catalog", "warehouse")
+
+  /** Register the catalog on a session (idempotent — the conf keys are
+    * only read at first catalog use). */
+  def register(s: SparkSession, name: String = "graft"): Unit = {
+    s.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$name.warehouse", defaultWarehouse)
+  }
+
+  /** The last DELETE's three-way file accounting, for scenario
+    * assertions (SQL loses [[TxnTable.DeleteResult]] on the way out). */
+  @volatile private[sources] var lastDelete: Option[TxnTable.DeleteResult] =
+    None
+  def lastDeleteResult: Option[TxnTable.DeleteResult] = lastDelete
+}
+
+/** One resolved snapshot of a TxnTable, pinned at `version`: reads plan
+  * Spark's parquet DSv2 scan over the manifest-resolved file list;
+  * writes commit through the log (append / overwrite); DELETE routes to
+  * the file-pruned [[TxnTable.deleteRange]]. */
+class GraftTable(ident: String, location: String, version: Long)
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+
+  private def spark: SparkSession = SparkSession.active
+  private lazy val m = TxnTable.manifest(spark, location, version)
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    m.schema.getOrElse {
+      // pre-#schema manifests: one footer read of the first live file
+      spark.read.parquet(
+        TxnTable.pathFor(location, m.entries.head.path)).schema
+    }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    require(m.deletes.isEmpty,
+      s"$ident version $version has pending merge-on-read tombstones; " +
+        "compact() to apply them, or read via TxnTable.snapshot " +
+        "(which anti-joins them) — a plain file scan would resurrect " +
+        "deleted rows")
+    val paths = m.entries.map(e =>
+      new Path(TxnTable.pathFor(location, e.path)))
+    val index = new InMemoryFileIndex(spark, paths,
+      Map.empty[String, String], Some(schema()))
+    ParquetScanBuilder(spark, index, schema(), schema(), options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean)
+                : Unit = {
+              val s = data.sparkSession
+              if (overwriteAll) TxnTable.overwrite(s, location, data)
+              else TxnTable.append(s, location, data)
+            }
+          }
+      }
+    }
+
+  // ---- DELETE FROM: range/equality conjunctions over one integral
+  // column route to the file-pruned deleteRange; no WHERE truncates ----
+
+  /** Fold the predicate conjunction into (column, lo, hi) bounds, or
+    * None when any conjunct falls outside the supported shape. An empty
+    * column with `true` result = tautology (DELETE without WHERE). */
+  private def bounds(predicates: Array[Predicate])
+      : Option[Option[(String, Long, Long)]] = {
+    var column: Option[String] = None
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def ref(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    def lim(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Long] = e match {
+      case l: Literal[_] => l.value match {
+        case v: java.lang.Long if l.dataType == LongType => Some(v.longValue)
+        case v: java.lang.Integer => Some(v.longValue)
+        case v: java.lang.Short => Some(v.longValue)
+        case _ => None
+      }
+      case _ => None
+    }
+    def narrow(c: String, op: String, v: Long): Boolean = {
+      if (column.exists(_ != c)) return false // two columns: unsupported
+      column = Some(c)
+      op match {
+        case "=" => lo = math.max(lo, v); hi = math.min(hi, v); true
+        case "<" => if (v == Long.MinValue) false
+          else { hi = math.min(hi, v - 1); true }
+        case "<=" => hi = math.min(hi, v); true
+        case ">" => if (v == Long.MaxValue) false
+          else { lo = math.max(lo, v + 1); true }
+        case ">=" => lo = math.max(lo, v); true
+        case _ => false
+      }
+    }
+    def visit(p: Predicate): Boolean = p.name() match {
+      case "ALWAYS_TRUE" => true
+      case "AND" =>
+        val a = p.asInstanceOf[And]
+        visit(a.left()) && visit(a.right())
+      case op @ ("=" | "<" | "<=" | ">" | ">=") =>
+        val ch = p.children()
+        if (ch.length != 2) false
+        else (ref(ch(0)), lim(ch(1)), ref(ch(1)), lim(ch(0))) match {
+          case (Some(c), Some(v), _, _) => narrow(c, op, v)
+          case (_, _, Some(c), Some(v)) => // literal on the left: flip
+            val flipped = op match {
+              case "<" => ">" case "<=" => ">="
+              case ">" => "<" case ">=" => "<=" case o => o
+            }
+            narrow(c, flipped, v)
+          case _ => false
+        }
+      case _ => false
+    }
+    if (!predicates.forall(visit)) None
+    else Some(column.map(c => (c, lo, hi)))
+  }
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    bounds(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit =
+    bounds(predicates) match {
+      case Some(Some((c, lo, hi))) =>
+        GraftCatalog.lastDelete =
+          Some(TxnTable.deleteRange(spark, location, c, lo, hi))
+      case Some(None) => // tautology: truncate via empty overwrite
+        val s = spark
+        TxnTable.overwrite(s, location,
+          TxnTable.snapshot(s, location).limit(0))
+        GraftCatalog.lastDelete = None
+      case None => throw new UnsupportedOperationException(
+        s"$ident: DELETE supports range/equality conjunctions over one " +
+          "integral column (the shape manifest stats can prune)")
+    }
+}

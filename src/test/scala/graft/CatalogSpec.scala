@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.TxnTable
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.functions._
+
+/** The DataSourceV2 catalog contract: every table-format operation as
+  * pure SQL text — CREATE / INSERT / SELECT / VERSION AS OF /
+  * TIMESTAMP AS OF / DELETE / DROP — routed through the snapshot log. */
+class CatalogSpec extends SparkSpec {
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def fresh(name: String): String = {
+    GraftCatalog.register(spark)
+    sql(s"CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    sql(s"DROP TABLE IF EXISTS graft.spec.$name")
+    name
+  }
+
+  test("CREATE / INSERT / SELECT round-trip through pure SQL") {
+    val t = fresh("roundtrip")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    assert(sql(s"SELECT * FROM graft.spec.$t").count() === 0)
+    sql(s"INSERT INTO graft.spec.$t SELECT id, CONCAT('r', id) " +
+      "FROM RANGE(100)")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 100)
+    // predicate pushdown reaches the parquet scan through the catalog
+    val plan = sql(s"SELECT v FROM graft.spec.$t WHERE k = 7")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,7"),
+      s"filter not pushed through the DSv2 scan:\n$plan")
+    // second INSERT is an append commit: two versions now exist
+    sql(s"INSERT INTO graft.spec.$t SELECT id + 100, CONCAT('r', id + 100) " +
+      "FROM RANGE(50)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    assert(TxnTable.versions(spark, loc) === Seq(0L, 1L, 2L))
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 150)
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF pin snapshots via SQL") {
+    val t = fresh("timetravel")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING)")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, 'a' FROM RANGE(10)")
+    sql(s"INSERT INTO graft.spec.$t SELECT id + 10, 'b' FROM RANGE(5)")
+    assert(sql(s"SELECT * FROM graft.spec.$t VERSION AS OF 0").count() === 0)
+    assert(sql(s"SELECT * FROM graft.spec.$t VERSION AS OF 1").count() === 10)
+    assert(sql(s"SELECT * FROM graft.spec.$t VERSION AS OF 2").count() === 15)
+    assert(sql(s"SELECT * FROM graft.spec.$t").count() === 15)
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    val ts1 = TxnTable.manifest(spark, loc, 1L).ts
+    assert(sql(s"SELECT * FROM graft.spec.$t TIMESTAMP AS OF " +
+      s"timestamp_millis(${ts1})").count() === 10)
+    assert(sql(s"SELECT * FROM graft.spec.$t TIMESTAMP AS OF " +
+      s"timestamp_millis(${ts1 - 1})").count() === 0)
+    // a target before the table existed fails loudly
+    val before = TxnTable.manifest(spark, loc, 0L).ts - 1
+    intercept[Exception] {
+      sql(s"SELECT * FROM graft.spec.$t TIMESTAMP AS OF " +
+        s"timestamp_millis($before)").count()
+    }
+  }
+
+  test("DELETE FROM prunes files through the manifest; truncate works") {
+    val t = fresh("sqldelete")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    // 4 single-file appends so each file has a tight key range (the
+    // zero-row create sentinel carries no stats and conservatively
+    // rewrites on the first delete)
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 100}, 'x' FROM RANGE(100)")
+    }
+    sql(s"DELETE FROM graft.spec.$t WHERE k >= 100 AND k <= 299")
+    val res = GraftCatalog.lastDeleteResult.get
+    assert(res.dropped === 2 && res.rewritten <= 1,
+      s"whole-file delete should be metadata-only, got $res")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 200)
+    // boundary-straddling delete rewrites, residual filter applies
+    sql(s"DELETE FROM graft.spec.$t WHERE k > 350")
+    assert(sql(s"SELECT MAX(k) AS m FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 350)
+    // unsupported predicate shape fails loudly, never silently wrong
+    intercept[Exception] {
+      sql(s"DELETE FROM graft.spec.$t WHERE v = 'x'")
+    }
+    // DELETE without WHERE truncates; table stays readable + appendable
+    sql(s"DELETE FROM graft.spec.$t")
+    assert(sql(s"SELECT * FROM graft.spec.$t").count() === 0)
+    sql(s"INSERT INTO graft.spec.$t SELECT id, 'y' FROM RANGE(3)")
+    assert(sql(s"SELECT * FROM graft.spec.$t").count() === 3)
+  }
+
+  test("INSERT OVERWRITE replaces content as one commit") {
+    val t = fresh("sqloverwrite")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING)")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, 'a' FROM RANGE(10)")
+    sql(s"INSERT OVERWRITE graft.spec.$t SELECT id, 'b' FROM RANGE(4)")
+    val rows = sql(s"SELECT k, v FROM graft.spec.$t").collect()
+    assert(rows.length === 4 && rows.forall(_.getString(1) == "b"))
+    // the overwritten version is still pinned-readable
+    assert(sql(s"SELECT * FROM graft.spec.$t VERSION AS OF 1").count() === 10)
+  }
+
+  test("pending MoR tombstones refuse the DSv2 scan loudly") {
+    val t = fresh("sqlmor")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING)")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, 'a' FROM RANGE(10)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    val s2 = spark
+    import s2.implicits._
+    TxnTable.deleteKeysMor(spark, loc, Seq(3L).toDF("k"), "k")
+    val e = intercept[Exception] {
+      sql(s"SELECT * FROM graft.spec.$t").count()
+    }
+    assert(e.getMessage.contains("tombstones"), e.getMessage)
+    // compaction applies them; the SQL read then works again
+    TxnTable.compact(spark, loc)
+    assert(sql(s"SELECT * FROM graft.spec.$t").count() === 9)
+  }
+
+  test("DROP and re-CREATE; listTables sees only tables") {
+    val t = fresh("droppable")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
+    assert(sql("SHOW TABLES IN graft.spec").collect()
+      .exists(_.getString(1) == t))
+    sql(s"DROP TABLE graft.spec.$t")
+    assert(!sql("SHOW TABLES IN graft.spec").collect()
+      .exists(_.getString(1) == t))
+  }
+}

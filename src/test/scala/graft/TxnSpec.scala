@@ -1108,6 +1108,63 @@ class TxnSpec extends SparkSpec {
     assert(keys === ((0L until 45L).toSet - 41L) ++ (100L until 110L).toSet)
   }
 
+  test("commitResolving: disjoint rebases, overlap recomputes, tombstones conflict") {
+    val t = freshTable("occ_resolve")
+    TxnTable.create(spark, t, baseDf(100).repartition(2))
+    val paths = TxnTable.liveFiles(spark, t, 0)
+    // a SEQUENTIAL interleave: writer A commits between B's work and
+    // B's commit — simulated by staging B's change against v0 and
+    // committing after A landed
+    def appendChange(tag: String) = TxnTable.Change(
+      TxnTable.stage(spark, t, baseDf(5).withColumn("v",
+        concat(col("v"), lit(tag)))), Set.empty, Set.empty, "append")
+    var bWorkRuns = 0
+    val a = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val out = TxnTable.commitResolving(spark, t) { base =>
+      bWorkRuns += 1
+      if (!a.getAndSet(true)) // first pass only: A lands AFTER B stages
+        TxnTable.append(spark, t, baseDf(3))
+      appendChange("b")
+    }
+    // append vs append: B's CAS loss resolves as a rebase, work ran once
+    assert(out === TxnTable.CommitOutcome(2L, 1, 0))
+    assert(bWorkRuns === 1)
+    assert(TxnTable.snapshot(spark, t).count() === 108)
+    // overlap: the interleaved writer REMOVES a file the loser reads
+    val cur = TxnTable.currentVersion(spark, t)
+    val victim = paths.head
+    var runs = 0
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val out2 = TxnTable.commitResolving(spark, t) { base =>
+      runs += 1
+      if (!done.getAndSet(true)) TxnTable.compact(spark, t) // removes victim
+      TxnTable.Change(TxnTable.stage(spark, t, baseDf(1)),
+        Set.empty, Set(victim), "append-derived")
+    }
+    assert(out2.recomputes === 1 && runs === 2,
+      s"stale read set must force a recompute, got $out2 after $runs runs")
+    // new tombstones while rewriting: conflict too
+    val s2 = spark
+    import s2.implicits._
+    var runs3 = 0
+    val done3 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val out3 = TxnTable.commitResolving(spark, t) { base =>
+      runs3 += 1
+      val m = TxnTable.manifest(spark, t, base)
+      if (!done3.getAndSet(true))
+        TxnTable.deleteKeysMor(spark, t, Seq(1L).toDF("k"), "k")
+      TxnTable.Change(TxnTable.stage(spark, t, baseDf(1)),
+        Set.empty, Set(m.entries.head.path), "append-derived")
+    }
+    assert(out3.recomputes === 1 && runs3 === 2,
+      s"new tombstones must conflict with a data-deriving writer, got $out3")
+    // removing a path the base doesn't list fails loudly
+    intercept[IllegalArgumentException] {
+      TxnTable.commitResolving(spark, t)(_ =>
+        TxnTable.Change(Nil, Set("data/nope/part-0.parquet"), Set.empty))
+    }
+  }
+
   test("op_delete_pruned accounting is identical across session history") {
     // the r9 flake: sampled repartitionByRange bounds shifted with how
     // many jobs had already run, and the dropped/rewritten/kept
