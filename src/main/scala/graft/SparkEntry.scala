@@ -62,6 +62,8 @@ object SparkEntry {
     "q49_null_semantics"      -> (Relational.q49NullSemantics _),
     "op_txn_commit"           -> (TxnTable.txnCommit _),
     "op_txn_asof"             -> (TxnTable.txnAsOf _),
+    "op_ndv_broadcast"        -> (TxnTable.ndvBroadcast _),
+    "op_txn_recluster"        -> (TxnTable.txnRecluster _),
     "sql_txn_timetravel"      -> (SqlSurface.txnTimeTravel _),
     "sql_txn_delete"          -> (SqlSurface.txnDelete _),
     "op_vacuum"               -> (TxnTable.vacuumTable _),
@@ -1114,6 +1116,28 @@ object SparkEntry {
         |  WHERE o_orderkey % 97 = 0)
         |SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price,
         |  TRUE AS asof_ok FROM u""".stripMargin,
+    // clustering evolution: the od slice is replayable (od = key % 32,
+    // delta shift 1e8 ≡ 0 mod 32); the cross-generation prune
+    // accounting travels as a boolean
+    "op_txn_recluster" ->
+      """WITH b AS (SELECT o_orderkey, o_orderkey % 32 AS od,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |u AS (SELECT * FROM b
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, od, price FROM b
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderkey, od, CAST(price AS DOUBLE) AS price,
+        |  TRUE AS recluster_ok
+        |FROM u WHERE od >= 3 AND od <= 4""".stripMargin,
+    // manifest-stats join planning: the aggregate is trivially
+    // replayable; the paired-plan broadcast flip and the NDV/row-count
+    // accuracy travel as a boolean
+    "op_ndv_broadcast" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        |  TRUE AS ndv_ok
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
     // SQL-addressed snapshot log: VERSION AS OF 1 is exactly the base
     // slice (the second insert's shifted keys invisible); the
     // TIMESTAMP AS OF agreement travels as a boolean

@@ -86,6 +86,18 @@ object TxnTable {
     * or newlines in data can never corrupt the line format. */
   case class StrStat(col: String, lo: String, hi: String, nulls: Long)
 
+  /** Per-file mergeable NDV sketch: a base64 Apache DataSketches HLL
+    * over an indexed column's values, written at stage time. Unlike a
+    * scalar distinct-count estimate, sketches UNION losslessly — the
+    * table-level NDV of any file subset is one driver-side merge of
+    * O(#files) kilobyte sketches, never a data scan — which is what lets
+    * snapshot-read joins make stats-driven broadcast decisions without
+    * an ANALYZE pass (see [[ndv]] / [[snapshotJoinNdv]]). lgK=8 (256
+    * buckets, ~±6% error) keeps the manifest line compact. `rows` is
+    * the file's exact row count, measured by the same pass — the
+    * cardinality stat every production manifest carries. */
+  case class HllStat(col: String, sketch: String, rows: Long)
+
   /** One manifest entry: a live file plus per-file column stats — zero or
     * more (column, min, max, nulls) groups, integral or string — for
     * manifest-level data skipping. Multiple columns give
@@ -104,13 +116,16 @@ object TxnTable {
     * after the tombstone was committed is newer than the delete and
     * must not be re-deleted by it. */
   case class Entry(path: String, stats: Seq[ColStat],
-      strStats: Seq[StrStat] = Nil, seq: Long = 0L) {
+      strStats: Seq[StrStat] = Nil, seq: Long = 0L,
+      hlls: Seq[HllStat] = Nil) {
     def statFor(c: String): Option[(Long, Long)] =
       stats.collectFirst { case ColStat(`c`, lo, hi, _) => (lo, hi) }
     def nullsFor(c: String): Option[Long] =
       stats.collectFirst { case ColStat(`c`, _, _, n) => n }
     def strStatFor(c: String): Option[(String, String)] =
       strStats.collectFirst { case StrStat(`c`, lo, hi, _) => (lo, hi) }
+    def hllFor(c: String): Option[String] =
+      hlls.collectFirst { case HllStat(`c`, sk, _) => sk }
   }
 
   /** Log-file reads since process start — instrumentation for the
@@ -165,7 +180,11 @@ object TxnTable {
     * followed by zero or more `<TAB>col<TAB>min<TAB>max<TAB>nulls` stat
     * groups (written by [[stageIndexed]]). */
   /** Current manifest format version, written as a `#format=` header.
-    * v3 = entry lines carry a data sequence number after the path
+    * v4 = entry lines may carry NDV-sketch groups (`col~h TAB b64 TAB 0
+    * TAB 0` — still 4 fields, so the carried-line field-count invariant
+    * holds) alongside stat groups; a v3 reader would mis-parse the
+    * base64 as a bound, hence the bump. v3 = entry lines carry a data
+    * sequence number after the path
     * (`path TAB seq TAB groups…`), tombstone headers carry their commit
     * seq (`#delete=path TAB col TAB seq`). v2 = 4-field stat groups
     * without seqs (read as seq 0; pre-seq tombstones apply to all of
@@ -180,7 +199,7 @@ object TxnTable {
     * have carried its version header from day one.) A NEWER format
     * fails with a clear unsupported-format error, never a cryptic
     * field-count require. */
-  private val ManifestFormat = 3L
+  private val ManifestFormat = 4L
 
   def manifest(s: SparkSession, table: String, v: Long): Manifest = {
     val lines = manifestText(s, table, v).linesIterator.toSeq
@@ -223,7 +242,7 @@ object TxnTable {
         val seq = if (seqField == 1) parts(1).toLong else 0L
         val groups = parts.drop(1 + seqField).grouped(groupLen).toSeq
         val stats = groups.collect {
-          case Array(c, lo, hi, n) if !c.endsWith("~s") =>
+          case Array(c, lo, hi, n) if !c.endsWith("~s") && !c.endsWith("~h") =>
             ColStat(c, lo.toLong, hi.toLong, n.toLong)
           case Array(c, lo, hi) => // legacy v1: null count unknown
             ColStat(c, lo.toLong, hi.toLong, -1L)
@@ -232,7 +251,11 @@ object TxnTable {
           case Array(c, lo, hi, n) if c.endsWith("~s") =>
             StrStat(c.stripSuffix("~s"), b64dec(lo), b64dec(hi), n.toLong)
         }
-        Entry(parts.head, stats, strs, seq)
+        val hlls = groups.collect {
+          case Array(c, sk, n, _) if c.endsWith("~h") =>
+            HllStat(c.stripSuffix("~h"), sk, n.toLong)
+        }
+        Entry(parts.head, stats, strs, seq, hlls)
       }
     val ts = lines.find(_.startsWith("#ts="))
       .map(_.stripPrefix("#ts=").toLong).getOrElse(-1L)
@@ -618,7 +641,8 @@ object TxnTable {
   private def renderGroups(e: Entry): Seq[String] =
     e.stats.map { case ColStat(c, lo, hi, n) => s"$c\t$lo\t$hi\t$n" } ++
       e.strStats.map { case StrStat(c, lo, hi, n) =>
-        s"$c~s\t${b64enc(lo)}\t${b64enc(hi)}\t$n" }
+        s"$c~s\t${b64enc(lo)}\t${b64enc(hi)}\t$n" } ++
+      e.hlls.map { case HllStat(c, sk, n) => s"$c~h\t$sk\t$n\t0" }
 
   /** Stage with per-file column statistics: like [[stage]], but each
     * manifest line carries (col, min, max) for every index column,
@@ -635,7 +659,8 @@ object TxnTable {
     // list — a column name using any of them would corrupt every future
     // parse of the committed line
     (indexCols ++ strCols).foreach(c =>
-      require(!c.endsWith("~s") && !c.exists("\t\n,".contains(_)),
+      require(!c.endsWith("~s") && !c.endsWith("~h") &&
+        !c.exists("\t\n,".contains(_)),
         s"index column name '$c' would corrupt the manifest format"))
     val rels = stage(s, table, df)
     if (rels.isEmpty) return rels
@@ -643,7 +668,11 @@ object TxnTable {
     val aggs = indexCols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"lo_$c"),
       max(col(c)).cast("long").as(s"hi_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"))) ++
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      // the per-file NDV sketch rides the SAME stats pass — no extra
+      // scan; sketches union losslessly at read time ([[ndv]])
+      hll_sketch_agg(col(c), 8).as(s"hs_$c"),
+      count(lit(1)).as(s"cnt_$c"))) ++
       strCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"slo_$c"),
         max(col(c)).cast("string").as(s"shi_$c"),
@@ -661,6 +690,12 @@ object TxnTable {
         else ColStat(c, r.getAs[Long](s"lo_$c"), r.getAs[Long](s"hi_$c"),
           r.getAs[Long](s"nn_$c"))
       },
+        indexCols.flatMap { c =>
+          Option(r.getAs[Array[Byte]](s"hs_$c"))
+            .map(b => HllStat(c,
+              java.util.Base64.getEncoder.encodeToString(b),
+              r.getAs[Long](s"cnt_$c")))
+        },
         strCols.map { c =>
           // an all-null STRING column records the EMPTY range (lo > hi
           // in UTF-8 order), mirroring the integral convention: the
@@ -678,9 +713,9 @@ object TxnTable {
       .toMap
     rels.map { rel =>
       // a zero-row staged file has no stats row — keep it conservatively
-      val (ints, strs) =
-        stats.getOrElse(rel.split('/').last, (Seq.empty, Seq.empty))
-      renderFresh(Entry(rel, ints, strs))
+      val (ints, hlls, strs) =
+        stats.getOrElse(rel.split('/').last, (Seq.empty, Seq.empty, Seq.empty))
+      renderFresh(Entry(rel, ints, strs, hlls = hlls))
     }
   }
 
@@ -859,6 +894,68 @@ object TxnTable {
         case StrStat(`c`, _, _, n) => n
       }).forall(_ != 0))
     prunedRead(s, table, m, kept, col(c).isNull)
+  }
+
+  /** Table-level NDV of column `c` at version `v`, from MANIFEST
+    * METADATA ALONE: one driver-side union of the per-file HLL sketches
+    * [[stageIndexed]] wrote (kilobytes per file — the same O(#files)
+    * driver cost as reading the manifest itself; a 100 TB table answers
+    * in milliseconds with zero data I/O). Sketches union losslessly, so
+    * the estimate over any live-file subset is as good as a fresh
+    * single-pass sketch. None when no live entry carries a sketch for
+    * `c` (pre-v4 manifests, or an unindexed column) — callers must fall
+    * back to conservative behavior, never guess. */
+  def ndv(s: SparkSession, table: String, c: String, v: Long = -1L)
+      : Option[Long] = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    val ver = if (v < 0) currentVersion(s, table) else v
+    val sketches = manifest(s, table, ver).entries.flatMap(_.hllFor(c))
+    if (sketches.isEmpty) None
+    else {
+      val u = new Union(12)
+      sketches.foreach(b => u.update(
+        HllSketch.heapify(java.util.Base64.getDecoder.decode(b))))
+      Some(math.round(u.getEstimate))
+    }
+  }
+
+  /** Exact row count of version `v` from MANIFEST METADATA ALONE: the
+    * per-file counts the v4 stats pass records, summed driver-side.
+    * None when any non-empty entry predates the counts (pre-v4) or the
+    * table is unindexed — callers fall back, never guess. (A group-less
+    * entry in an INDEXED table is the zero-row sentinel: counts 0.) */
+  def tableRows(s: SparkSession, table: String, v: Long = -1L)
+      : Option[Long] = {
+    val ver = if (v < 0) currentVersion(s, table) else v
+    val m = manifest(s, table, ver)
+    if (m.idxCols.isEmpty) return None
+    val per = m.entries.map { e =>
+      if (e.hlls.nonEmpty) Some(e.hlls.head.rows)
+      else if (e.stats.isEmpty && e.strStats.isEmpty) Some(0L)
+      else None
+    }
+    if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+  }
+
+  /** Join two snapshot tables with the broadcast side chosen from
+    * MANIFEST STATS — the decision q47 gets from ANALYZE TABLE, here
+    * answered by the log itself (no catalog, no stats job, no footer
+    * reads): the side with fewer rows ([[tableRows]], exact) builds the
+    * broadcast hash table. When either side predates the stats the
+    * decision falls back to Spark's own size-based planning (no hint).
+    * Returns the joined frame plus which side was broadcast
+    * (Some(true)=right, Some(false)=left, None=no stats decision). */
+  def snapshotJoinStats(s: SparkSession, left: String, leftKey: String,
+      right: String, rightKey: String): (DataFrame, Option[Boolean]) = {
+    val l = snapshot(s, left)
+    val r = snapshot(s, right)
+    val cond = l(leftKey) === r(rightKey)
+    (tableRows(s, left), tableRows(s, right)) match {
+      case (Some(ln), Some(rn)) if rn <= ln =>
+        (l.join(broadcast(r), cond), Some(true))
+      case (Some(_), Some(_)) => (broadcast(l).join(r, cond), Some(false))
+      case _ => (l.join(r, cond), None)
+    }
   }
 
   /** Outcome of a file-pruned [[merge]]: the committed version plus the
@@ -2275,6 +2372,150 @@ object TxnTable {
     snapshotAt(s, t, ts(1))
       .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
       .withColumn("asof_ok", lit(ok))
+  }
+
+  /** CLUSTERING-SPEC EVOLUTION: commit a new version whose `#index=`
+    * header names different clustering columns — entries carry VERBATIM
+    * with their OLD stat groups (changing how a 100 TB table clusters
+    * must cost one manifest write, not a rewrite). From this commit on,
+    * appends stage stats on the NEW columns and [[compact]] re-clusters
+    * to the new spec; reads stay correct across the generation boundary
+    * for free, because skipping is per-entry and conservative — an old
+    * file without stats on a new column is always scanned, an old
+    * file's old-column stats keep pruning old-column reads. The
+    * public-format "partition spec evolution" semantics, expressed as
+    * pure metadata. */
+  def recluster(s: SparkSession, table: String, idxCols: Seq[String],
+      strIdxCols: Seq[String] = Nil): Long = {
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    commit(s, table, m.entries.map(render), cur, op = "recluster",
+      schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
+      idxCols = idxCols, strIdxCols = strIdxCols, blooms = m.blooms)
+  }
+
+  /** op_txn_recluster: clustering evolution as a checked query. v0
+    * clusters orders by o_orderkey (8 exact files, key stats);
+    * [[recluster]] flips the spec to the derived day column `od` as one
+    * metadata commit (v1 — entries verbatim, old stats intact); an
+    * append then lands od-clustered files with od stats (v2); finally a
+    * full od-clustered rewrite (v3) represents the table after
+    * maintenance adopts the new spec. The three reads prove the
+    * cross-generation contract: an od box read prunes NEW-generation
+    * files while conservatively scanning every old file (no false
+    * prune, ever); an o_orderkey range read still prunes OLD files via
+    * their retained stats while scanning every new file; after the
+    * rewrite the od read prunes tablewide. Hashed output = the od box
+    * slice (od = key % 32 — oracle-replayable); layout mechanics travel
+    * as `recluster_ok`. */
+  def txnRecluster(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("recluster_orders")
+    val base = ordersSlice(s, d)
+      .withColumn("od", pmod(col("o_orderkey"), lit(32)))
+      .select(col("o_orderkey"), col("od"), col("price"))
+    val k = col("o_orderkey")
+    val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
+    commit(s, t, stageIndexed(s, t,
+      clusterExact(s, base, "o_orderkey", kmin, kmax - kmin, 8)
+        .sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = base.schema.json)
+    val v0Lines = liveEntries(s, t, 0).map(render)
+    recluster(s, t, Seq("od"))
+    val verbatim = liveEntries(s, t, 1).map(render) == v0Lines
+    // the delta shifts keys by 1e8 (≡ 0 mod 32: od is key-stable) and
+    // clusters by the NEW spec — stats land on od because the header
+    // now says so
+    val delta = base.filter(pmod(k, lit(97)) === 0)
+      .select((k + 100000000L).as("o_orderkey"), col("od"), col("price"))
+    append(s, t, clusterExact(s, delta, "od", 0L, 31L, 4)
+      .sortWithinPartitions(col("od"), k))
+    val newGen = liveEntries(s, t, 2).map(render).toSet -- v0Lines.toSet
+    val deltaOdIndexed = newGen.nonEmpty &&
+      liveEntries(s, t, 2).filter(e => newGen(render(e)))
+        .forall(e => e.statFor("od").isDefined &&
+          e.statFor("o_orderkey").isEmpty)
+    val (_, scanA, totA) = snapshotBox(s, t, Seq(("od", 3L, 4L)), 2)
+    val (_, scanB, totB) =
+      snapshotRange(s, t, "o_orderkey", kmin, kmin + (kmax - kmin) / 4, 2)
+    // maintenance rewrite adopts the new spec tablewide
+    val snap2 = snapshot(s, t)
+    commit(s, t, stageIndexed(s, t,
+      clusterExact(s, snap2, "od", 0L, 31L, 4)
+        .sortWithinPartitions(col("od"), k), "od"),
+      expected = 2L, op = "rewrite", schemaJson = base.schema.json,
+      idxCols = Seq("od"))
+    val (odRead, scanC, totC) = snapshotBox(s, t, Seq(("od", 3L, 4L)))
+    val oldFiles = v0Lines.size
+    val ok = verbatim && deltaOdIndexed &&
+      // old generation: conservatively scanned on od, pruned on key
+      scanA >= oldFiles && scanA < totA &&
+      scanB >= (totB - oldFiles) && scanB < totB &&
+      scanC >= 1 && scanC < totC &&
+      history(s, t).map(_._2) ==
+        Seq("create", "recluster", "append", "rewrite")
+    odRead.select(k, col("od"), col("price").cast("double").as("price"))
+      .withColumn("recluster_ok", lit(ok))
+  }
+
+  /** op_ndv_broadcast: manifest-stats-driven JOIN PLANNING as a checked
+    * query — closing r9's "manifests carry no NDV" gap. The v4 stats
+    * pass records, per file and indexed column, an HLL NDV sketch plus
+    * the exact row count; [[tableRows]]/[[ndv]] answer table-level
+    * cardinality and distinctness from ONE driver-side merge of
+    * manifest metadata — zero data I/O, no ANALYZE job, at any scale.
+    * The scenario commits a fact table (orders) and a 10×-smaller
+    * dimension (customer), kills size-based broadcasting
+    * (autoBroadcastJoinThreshold=-1, AQE off), and pairs the plans:
+    * the plain join must SortMergeJoin, while [[snapshotJoinStats]] —
+    * deciding from the log alone — must BroadcastHashJoin with the
+    * dimension on the build side. `ndv_ok` also pins [[tableRows]] to
+    * the exact counts and both key NDV estimates within 15% of truth
+    * (lgK=8 ⇒ ~±6%; the sketch is deterministic, no RNG). Hashed
+    * output = the per-segment join aggregate (trivially replayable). */
+  def ndvBroadcast(s: SparkSession, d: String): DataFrame = {
+    val fact = freshDir("ndv_fact")
+    val dim = freshDir("ndv_dim")
+    val fbase = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice").cast(D12).as("price"))
+    commit(s, fact, stageIndexed(s, fact, fbase.repartition(8),
+      Seq("o_orderkey", "o_custkey")), expected = -1L, op = "create",
+      schemaJson = fbase.schema.json)
+    val dbase = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    commit(s, dim, stageIndexed(s, dim, dbase.repartition(4),
+      Seq("c_custkey")), expected = -1L, op = "create",
+      schemaJson = dbase.schema.json)
+    val rowsF = tableRows(s, fact).get
+    val rowsD = tableRows(s, dim).get
+    val ndvF = ndv(s, fact, "o_orderkey").get
+    val ndvD = ndv(s, dim, "c_custkey").get
+    val trueF = fbase.count()
+    val trueD = dbase.count()
+    def close(est: Long, truth: Long): Boolean =
+      math.abs(est - truth) <= math.max(truth * 0.15, 8.0).toLong
+    val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val (auto, side) =
+        snapshotJoinStats(s, fact, "o_custkey", dim, "c_custkey")
+      val plain = snapshot(s, fact).join(snapshot(s, dim),
+        col("o_custkey") === col("c_custkey"))
+      def bhj(df: DataFrame) = df.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin")
+      val ok = side.contains(true) && bhj(auto) && !bhj(plain) &&
+        rowsF == trueF && rowsD == trueD && rowsD < rowsF &&
+        close(ndvF, trueF) && close(ndvD, trueD)
+      auto.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("total"))
+        .withColumn("ndv_ok", lit(ok))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** op_txn_clone: zero-copy shallow clone as a checked query. The

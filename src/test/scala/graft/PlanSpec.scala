@@ -253,4 +253,14 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"quadratic join shape in plan: ${p.take(1200)}")
   }
+
+  test("manifest stats flip the broadcast decision for snapshot joins") {
+    // r10: per-file HLL + row-count stats in the manifest must drive the
+    // build-side pick with size-based planning OFF — the decision comes
+    // from the log, nowhere else (op_ndv_broadcast pairs the full plans;
+    // this pins the flip itself)
+    val df = graft.operators.TxnTable.ndvBroadcast(spark, sf)
+    assert(df.select("ndv_ok").collect().forall(_.getBoolean(0)),
+      "manifest-stats broadcast pairing red")
+  }
 }

@@ -1108,6 +1108,67 @@ class TxnSpec extends SparkSpec {
     assert(keys === ((0L until 45L).toSet - 41L) ++ (100L until 110L).toSet)
   }
 
+  test("recluster: reads stay exact across clustering generations") {
+    val t = freshTable("recluster_gen")
+    val s2 = spark
+    import s2.implicits._
+    val gen1 = (0 until 400).map(i => (i.toLong, (i % 16).toLong))
+      .toDF("k", "g")
+    TxnTable.commit(spark, t,
+      TxnTable.stageIndexed(spark, t,
+        TxnTable.clusterExact(spark, gen1, "k", 0L, 399L, 4)
+          .sortWithinPartitions(col("k")), "k"),
+      expected = -1L, op = "create", schemaJson = gen1.schema.json)
+    TxnTable.recluster(spark, t, Seq("g"))
+    val gen2 = (400 until 600).map(i => (i.toLong, (i % 16).toLong))
+      .toDF("k", "g")
+    TxnTable.append(spark, t,
+      TxnTable.clusterExact(spark, gen2, "g", 0L, 15L, 4)
+        .sortWithinPartitions(col("g"), col("k")))
+    // a g box read: every row with g in [4,7] from BOTH generations —
+    // old files lack g stats and must all be scanned, never pruned
+    val (df, scanned, total) = TxnTable.snapshotBox(spark, t,
+      Seq(("g", 4L, 7L)))
+    val expect = (0 until 600).filter(i => i % 16 >= 4 && i % 16 <= 7)
+    assert(df.select("k").as[Long].collect().sorted ===
+      expect.map(_.toLong).toArray, "false prune across generations")
+    assert(scanned >= 4 && scanned < total,
+      s"old gen must scan, new gen must prune: $scanned/$total")
+    // the OLD column still prunes old-generation files
+    val (df2, scanned2, total2) = TxnTable.snapshotRange(spark, t,
+      "k", 0L, 99L)
+    assert(df2.count() === 100)
+    assert(scanned2 < total2, "old-column stats lost after recluster")
+  }
+
+  test("manifest NDV sketches and row counts merge across files and appends") {
+    val t = freshTable("ndv_stats")
+    val s2 = spark
+    import s2.implicits._
+    // 1000 rows, key unique, grp 250-distinct, spread over 4 files
+    val df = (0 until 1000).map(i => (i.toLong, (i % 250).toLong))
+      .toDF("k", "grp")
+    TxnTable.commit(spark, t,
+      TxnTable.stageIndexed(spark, t, df.repartition(4), Seq("k", "grp")),
+      expected = -1L, op = "create", schemaJson = df.schema.json)
+    assert(TxnTable.tableRows(spark, t, 0L) === Some(1000L))
+    val ndvK = TxnTable.ndv(spark, t, "k").get
+    val ndvG = TxnTable.ndv(spark, t, "grp").get
+    assert(math.abs(ndvK - 1000) <= 150, s"ndv(k)=$ndvK")
+    // grp repeats across all 4 files: a naive per-file-estimate SUM
+    // would read ~1000 — the sketch union must not double count
+    assert(math.abs(ndvG - 250) <= 40, s"ndv(grp)=$ndvG not deduplicated")
+    // appends extend both stats
+    TxnTable.append(spark, t,
+      (1000 until 1200).map(i => (i.toLong, (i % 250).toLong))
+        .toDF("k", "grp"))
+    assert(TxnTable.tableRows(spark, t) === Some(1200L))
+    val ndvK2 = TxnTable.ndv(spark, t, "k").get
+    assert(ndvK2 > ndvK, s"append did not extend ndv: $ndvK -> $ndvK2")
+    // unindexed column: no sketch, honest None
+    assert(TxnTable.ndv(spark, t, "nope").isEmpty)
+  }
+
   test("commitResolving: disjoint rebases, overlap recomputes, tombstones conflict") {
     val t = freshTable("occ_resolve")
     TxnTable.create(spark, t, baseDf(100).repartition(2))
