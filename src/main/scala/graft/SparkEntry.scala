@@ -143,6 +143,7 @@ object SparkEntry {
     "sim_knn_brute"           -> (Similarity.knnBrute _),
     "sim_ann_lsh"             -> (Similarity.annLsh _),
     "sim_ann_ivf"             -> (Similarity.annIvf _),
+    "sim_ann_graph"           -> (Similarity.annGraph _),
     "sim_ann_pq"              -> (Similarity.annPq _),
     "sim_sq8"                 -> (Similarity.annSq8 _),
     "sim_kmeans"              -> (Similarity.kmeans _),
@@ -1696,6 +1697,7 @@ object SparkEntry {
     // full replay of PQ: codebook training, encoding, ADC, re-rank
     "sim_ann_pq" -> graft.operators.Similarity.pqOracle,
     "sim_sq8" -> graft.operators.Similarity.sq8Oracle,
+    "sim_ann_graph" -> graft.operators.Similarity.graphOracle,
     "op_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(c.ts) AS click_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -640,6 +640,151 @@ object Similarity {
     topKPerQuery(rescored)
   }
 
+  // ---- Graph ANN (bounded small-world over LSH buckets) -------------------
+
+  private val GraphDegree = 8 // out-degree per node
+  private val GraphBeam = 8 // frontier width per expansion round
+  private val GraphRounds = 3 // fixed expansion rounds (unrolled, replayable)
+  private val GraphEntries = 4 // fixed entry points (smallest non-query ids)
+
+  /** sim_ann_graph: graph-based ANN — the HNSW/DiskANN family's
+    * high-recall regime, expressed as a DETERMINISTIC bounded variant so
+    * the whole path stays oracle-replayable (an iterative stochastic
+    * graph build is hostile to hash checking; a fixed-degree graph +
+    * fixed-round beam search is not). Construction: candidate pairs =
+    * vectors sharing any LSH (table, bucket) — the existing literal
+    * hyperplanes, a bucket join, never all-pairs — each node keeping its
+    * [[GraphDegree]] best neighbors by exact cosine (ties by id): a
+    * navigable small-world layer whose edges follow the data. Search:
+    * from [[GraphEntries]] fixed entry points, [[GraphRounds]] rounds of
+    * best-first expansion — each round expands the [[GraphBeam]] best
+    * NEWLY-discovered nodes (by cosine to the query) through the edge
+    * list, accumulating a visited set — then exact top-k over everything
+    * visited. Scale: the graph build is bucket-bounded and one-off
+    * (write-time, like every index here); per-query state is
+    * beam×degree-bounded and rounds are fixed, so search cost is
+    * O(R·B·D) cosines per query, independent of corpus size — the
+    * property that makes graph ANN the high-recall default. Recall ≥
+    * IVF's on the same queries (SimilaritySpec). Hash-checked: every
+    * stage (pairs, degree cut, beams, final rank) replays in DuckDB. */
+  def annGraph(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val tabs = lshTables(all)
+    val pairs = tabs.select(col("t"), col("bucket"), col("vec_id").as("u"))
+      .join(tabs.select(col("t"), col("bucket"), col("vec_id").as("w")),
+        Seq("t", "bucket"))
+      .filter(col("u") =!= col("w"))
+      .select(col("u"), col("w")).distinct()
+    val uv = all.select(col("vec_id").as("u"), col("v").as("uvec"))
+    val wv = all.select(col("vec_id").as("w"), col("v").as("wvec"))
+    val wE = Window.partitionBy(col("u")).orderBy(col("cos").desc, col("w"))
+    // localCheckpoint: the edge list is read once per expansion round —
+    // recomputing the bucket join per round would cube the build cost
+    val edges = pairs.join(uv, "u").join(wv, "w")
+      .select(col("u"), col("w"),
+        cosine(col("uvec"), col("wvec")).as("cos"))
+      .withColumn("rn", row_number().over(wE))
+      .filter(col("rn") <= GraphDegree).select(col("u"), col("w"))
+      .localCheckpoint()
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val entries = all.filter(col("vec_id") >= NumQueries)
+      .orderBy(col("vec_id")).limit(GraphEntries)
+      .select(col("vec_id").as("n_id"))
+    val nv = all.select(col("vec_id").as("n_id"), col("v").as("nvec"))
+    def scoreOf(df: DataFrame): DataFrame =
+      df.join(nv, "n_id").join(broadcast(q), "q_id")
+        .select(col("q_id"), col("n_id"),
+          cosine(col("qv"), col("nvec")).as("cos"))
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    // per-query SEEDS: the query's best LSH bucket mates — entering the
+    // graph near the query is what makes a small-world walk converge
+    // (the HNSW upper-layer role); the fixed global entries ride along
+    // so a query with an empty bucket still searches
+    val qTabs = tabs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
+    val seeds = scoreOf(tabs.join(broadcast(qTabs), Seq("t", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id")).distinct())
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= GraphEntries).select(col("q_id"), col("n_id"))
+    // per-query search state: (q_id, n_id) rows, beam×degree-bounded
+    var visited = seeds
+      .union(q.select(col("q_id")).crossJoin(broadcast(entries)))
+      .distinct().localCheckpoint()
+    var frontier = visited
+    for (_ <- 1 to GraphRounds) {
+      val discovered = frontier
+        .join(edges, frontier("n_id") === edges("u"))
+        .select(col("q_id"), col("w").as("n_id")).distinct()
+        .join(visited, Seq("q_id", "n_id"), "left_anti")
+        .localCheckpoint()
+      frontier = scoreOf(discovered)
+        .withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= GraphBeam).select(col("q_id"), col("n_id"))
+        .localCheckpoint()
+      visited = visited.union(discovered).localCheckpoint()
+    }
+    topKPerQuery(scoreOf(visited).filter(col("n_id") =!= col("q_id")))
+  }
+
+  /** DuckDB replay of [[annGraph]]: LSH pair candidates, the per-node
+    * degree cut, the three unrolled beam rounds (discover → anti-join
+    * visited → beam by cosine), and the final exact rank — identical
+    * IEEE trees, full hash parity. */
+  private[graft] def graphOracle: String = {
+    def round(i: Int): String = {
+      val (pv, pf) = (s"v${i - 1}", s"f${i - 1}")
+      s"""n$i AS (SELECT DISTINCT f.q_id, ed.w AS n_id
+         |  FROM $pf f JOIN edges ed ON ed.u = f.n_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM $pv x
+         |    WHERE x.q_id = f.q_id AND x.n_id = ed.w)),
+         |f$i AS (SELECT q_id, n_id FROM (
+         |  SELECT n.q_id, n.n_id, ROW_NUMBER() OVER (PARTITION BY n.q_id
+         |    ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, n.n_id) AS rn
+         |  FROM n$i n JOIN e qe ON qe.vec_id = n.q_id
+         |            JOIN e ne ON ne.vec_id = n.n_id) t
+         |  WHERE rn <= $GraphBeam),
+         |v$i AS (SELECT * FROM $pv UNION ALL SELECT * FROM n$i)"""
+        .stripMargin
+    }
+    s"""WITH $lshBucketCtes,
+       |pairs AS (SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
+       |  FROM tb a JOIN tb b ON a.t = b.t AND a.bucket = b.bucket
+       |  WHERE a.vec_id <> b.vec_id),
+       |edges AS (SELECT u, w FROM (
+       |  SELECT p.u, p.w, ROW_NUMBER() OVER (PARTITION BY p.u
+       |    ORDER BY list_cosine_similarity(ue.v, we.v) DESC, p.w) AS rn
+       |  FROM pairs p JOIN e ue ON ue.vec_id = p.u
+       |              JOIN e we ON we.vec_id = p.w) t
+       |  WHERE rn <= $GraphDegree),
+       |ent AS (SELECT vec_id AS n_id FROM e WHERE vec_id >= $NumQueries
+       |  ORDER BY vec_id LIMIT $GraphEntries),
+       |seedc AS (SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
+       |  FROM tb qb JOIN tb cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+       |  WHERE qb.vec_id < $NumQueries AND cb.vec_id <> qb.vec_id),
+       |seeds AS (SELECT q_id, n_id FROM (
+       |  SELECT sc.q_id, sc.n_id, ROW_NUMBER() OVER (PARTITION BY sc.q_id
+       |    ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, sc.n_id) AS rn
+       |  FROM seedc sc JOIN e qe ON qe.vec_id = sc.q_id
+       |               JOIN e ne ON ne.vec_id = sc.n_id) t
+       |  WHERE rn <= $GraphEntries),
+       |v0 AS (SELECT DISTINCT q_id, n_id FROM (
+       |  SELECT q.vec_id AS q_id, ent.n_id
+       |    FROM e q CROSS JOIN ent WHERE q.vec_id < $NumQueries
+       |  UNION ALL SELECT q_id, n_id FROM seeds) u),
+       |f0 AS (SELECT * FROM v0),
+       |${(1 to GraphRounds).map(round).mkString(",\n")}
+       |SELECT q_id, n_id, rank FROM (
+       |  SELECT v.q_id, v.n_id, ROW_NUMBER() OVER (PARTITION BY v.q_id
+       |    ORDER BY list_cosine_similarity(qe.v, ne.v) DESC, v.n_id) AS rank
+       |  FROM v$GraphRounds v JOIN e qe ON qe.vec_id = v.q_id
+       |    JOIN e ne ON ne.vec_id = v.n_id
+       |  WHERE v.n_id <> v.q_id) t
+       |WHERE rank <= $K""".stripMargin
+  }
+
   /** DuckDB replay of [[annSq8]]: per-dim ranges, int8 codes, midpoint
     * reconstruction, the asymmetric cosine ranking, candidate cut, and
     * exact re-rank — identical IEEE trees, full hash parity. */

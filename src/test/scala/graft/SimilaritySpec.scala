@@ -73,6 +73,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.75, s"IVF recall $recall")
   }
 
+  test("graph ANN recall >= IVF's vs exact top-k at sf0.01") {
+    val s = spark
+    import s.implicits._
+    val brute = Similarity.knnBrute(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val graph = Similarity.annGraph(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val gRecall = graph.intersect(brute).size.toDouble / brute.size
+    val iRecall = ivf.intersect(brute).size.toDouble / brute.size
+    // the high-recall family must earn its place over the partition one
+    assert(gRecall >= iRecall, s"graph $gRecall < ivf $iRecall")
+    assert(gRecall >= 0.75, s"graph recall $gRecall")
+  }
+
   test("PQ ANN recall >= 0.6 vs exact top-k at sf0.01") {
     val s = spark
     import s.implicits._
