@@ -40,5 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("shingle_hashes",
       classOf[graft.functions.ShingleHashes],
       graft.functions.ShingleHashes(_)))
+    // SQL MERGE INTO / UPDATE over GraftCatalog tables → the file-pruned
+    // TxnTable change machinery (graft.sources.GraftDmlRule)
+    ext.injectResolutionRule(graft.sources.GraftDmlRule)
   }
 }

@@ -66,6 +66,7 @@ object SparkEntry {
     "op_txn_recluster"        -> (TxnTable.txnRecluster _),
     "sql_txn_timetravel"      -> (SqlSurface.txnTimeTravel _),
     "sql_txn_delete"          -> (SqlSurface.txnDelete _),
+    "sql_txn_merge"           -> (SqlSurface.txnMerge _),
     "op_vacuum"               -> (TxnTable.vacuumTable _),
     "op_cdc_read"             -> (TxnTable.cdcRead _),
     "op_manifest_skip"        -> (TxnTable.manifestSkip _),
@@ -1146,6 +1147,23 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
         |  TRUE AS tt_ok FROM orders""".stripMargin,
+    // SQL MERGE INTO through the catalog: the CDC rules are replayed
+    // arithmetically (update %5 outside %7, delete %7, insert shifted
+    // %11); trail + pinning travel as a boolean
+    "sql_txn_merge" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |merged AS (
+        |  SELECT k,
+        |    CASE WHEN k % 5 = 0 AND k % 7 <> 0 THEN 'U' ELSE st END AS st,
+        |    CASE WHEN k % 5 = 0 AND k % 7 <> 0
+        |      THEN CAST(price + 100 AS DECIMAL(12,2)) ELSE price END AS price
+        |  FROM b WHERE k % 7 <> 0
+        |  UNION ALL
+        |  SELECT k + 100000000, 'N', price FROM b WHERE k % 11 = 0)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS merge_ok
+        |FROM merged""".stripMargin,
     // SQL DELETE through the catalog: survivors replayed from the
     // quarter-cut rule; the metadata-only file accounting travels as a
     // boolean

@@ -160,6 +160,55 @@ object SqlSurface {
       .withColumn("tt_ok", lit(ok))
   }
 
+  /** sql_txn_merge: MERGE INTO as PURE SQL TEXT — the full CDC
+    * statement (conditional DELETE + UPDATE SET * + INSERT *) resolved
+    * by the analyzer, swapped by GraftDmlRule for the eager command
+    * that compiles the actions into a keyed change set, and applied
+    * through the FILE-PRUNED [[TxnTable.applyChanges]] — a SQL MERGE
+    * touching one key region rewrites that region's files, exactly like
+    * the library call. The change rules are deterministic arithmetic
+    * (update keys %5 outside %7, delete keys %7, insert keyspace-shifted
+    * %11), so the merged content is fully oracle-replayable; `merge_ok`
+    * asserts the audit trail and copy-on-write pinning. */
+  def txnMerge(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "m_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.m_orders (
+      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    s.sql("""INSERT INTO graft.q.m_orders
+      SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders""")
+    s.sql("""CREATE OR REPLACE TEMP VIEW merge_src AS
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100 AS DECIMAL(12,2))
+          AS price, 'D' AS is_del
+      FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)), 'Y'
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N',
+        CAST(o_totalprice AS DECIMAL(12,2)), 'D'
+      FROM orders WHERE o_orderkey % 11 = 0""")
+    s.sql("""MERGE INTO graft.q.m_orders t USING merge_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.is_del = 'Y' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val nBase = s.sql("SELECT COUNT(*) AS n FROM orders")
+      .collect()(0).getLong(0)
+    val pinned = s.sql(
+      "SELECT COUNT(*) AS n FROM graft.q.m_orders VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    val ok = pinned == nBase &&
+      TxnTable.history(s, loc).map(_._2) == Seq("create", "append", "merge")
+    s.sql("""SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+      FROM graft.q.m_orders""")
+      .withColumn("merge_ok", lit(ok))
+  }
+
   /** sql_txn_delete: file-pruned DELETE as PURE SQL TEXT — `DELETE FROM
     * graft.q.del_orders WHERE k BETWEEN …` routed through the catalog to
     * [[TxnTable.deleteRange]]. Four quarter-slice single-file inserts

@@ -234,7 +234,8 @@ object GraftCatalog {
   * Spark's parquet DSv2 scan over the manifest-resolved file list;
   * writes commit through the log (append / overwrite); DELETE routes to
   * the file-pruned [[TxnTable.deleteRange]]. */
-class GraftTable(ident: String, location: String, version: Long)
+class GraftTable(ident: String, private[sources] val location: String,
+    version: Long)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
 
   private def spark: SparkSession = SparkSession.active

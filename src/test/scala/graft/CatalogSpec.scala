@@ -125,6 +125,48 @@ class CatalogSpec extends SparkSpec {
     assert(sql(s"SELECT * FROM graft.spec.$t").count() === 9)
   }
 
+  test("MERGE INTO applies conditional CDC through pure SQL") {
+    val t = fresh("sqlmerge")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING, p BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "id, 'a', id * 10 FROM RANGE(100)")
+    sql("""CREATE OR REPLACE TEMP VIEW m_src AS
+      SELECT id AS k, 'u' AS v, id * 10 + 1 AS p, 'U' AS act FROM RANGE(10)
+      UNION ALL SELECT id + 90, 'x', 0, 'D' FROM RANGE(5)
+      UNION ALL SELECT id + 200, 'n', id, 'I' FROM RANGE(5)""")
+    sql(s"""MERGE INTO graft.spec.$t t USING m_src s ON t.k = s.k
+      WHEN MATCHED AND s.act = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val rows = sql(s"SELECT k, v, p FROM graft.spec.$t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.size === 100) // 100 - 5 deleted + 5 inserted
+    assert(rows.contains((3L, "u", 31L)), "matched UPDATE missed")
+    assert(rows.contains((42L, "a", 420L)), "untouched row changed")
+    assert(!rows.exists(_._1 == 92L), "matched DELETE missed")
+    assert(rows.contains((203L, "n", 3L)), "unmatched INSERT missed")
+    // unsupported shapes fail loudly at execution, not silently
+    intercept[Exception] {
+      sql(s"""MERGE INTO graft.spec.$t t USING m_src s ON t.k < s.k
+        WHEN MATCHED THEN DELETE""")
+    }
+  }
+
+  test("UPDATE routes through the file-pruned keyed merge") {
+    val t = fresh("sqlupdate")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, 'a' FROM RANGE(100)")
+    sql(s"UPDATE graft.spec.$t SET v = CONCAT(v, 'z') WHERE k >= 95")
+    val got = sql(s"SELECT v, COUNT(*) AS n FROM graft.spec.$t GROUP BY v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === Map("a" -> 95L, "az" -> 5L))
+    // prior version still pinned-readable (copy-on-write through the log)
+    assert(sql(s"SELECT * FROM graft.spec.$t VERSION AS OF 1 " +
+      "WHERE v = 'a'").count() === 100)
+  }
+
   test("DROP and re-CREATE; listTables sees only tables") {
     val t = fresh("droppable")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
