@@ -110,6 +110,7 @@ object SparkEntry {
     "mr_pagerank"             -> (MapReduceJobs.pagerank _),
     "dd_exact"                -> (Dedup.exact _),
     "dd_paragraph"            -> (Dedup.paragraphDedup _),
+    "dd_substring"            -> (Dedup.substringDedup _),
     "dd_incremental"          -> (Dedup.incremental _),
     "dd_url"                  -> (Dedup.urlDedup _),
     "dd_semantic"             -> (Dedup.semantic _),
@@ -976,6 +977,38 @@ object SparkEntry {
         |  FROM w)
         |SELECT bigram, COUNT(*) AS n FROM bg
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    // substring-span dedup: grams, the 16-hex md5-prefix duplicate key,
+    // windowed coverage, and ordered reassembly all replay exactly
+    "dd_substring" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '')
+        |      AS ws FROM documents),
+        |gx AS (SELECT doc_id, ws,
+        |    CAST(unnest(range(0, len(ws) - 7)) AS BIGINT) AS gpos
+        |  FROM d WHERE len(ws) >= 8),
+        |g AS (SELECT doc_id, gpos,
+        |    substr(md5(array_to_string(
+        |      ws[(CAST(gpos AS INT)+1):(CAST(gpos AS INT)+8)], ' ')),
+        |      1, 16) AS gk
+        |  FROM gx),
+        |dup AS (SELECT gk FROM g GROUP BY gk HAVING COUNT(*) > 1),
+        |st AS (SELECT doc_id, gpos FROM g JOIN dup USING (gk)),
+        |tx AS (SELECT doc_id, ws,
+        |    CAST(unnest(range(0, len(ws))) AS BIGINT) AS pos FROM d),
+        |tk AS (SELECT t.doc_id, t.pos,
+        |    t.ws[CAST(t.pos AS INT)+1] AS tok,
+        |    CASE WHEN st.gpos IS NOT NULL THEN 1 ELSE 0 END AS s
+        |  FROM tx t LEFT JOIN st
+        |    ON st.doc_id = t.doc_id AND st.gpos = t.pos),
+        |cv AS (SELECT doc_id, pos, tok,
+        |    MAX(s) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered
+        |  FROM tk)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(covered) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END,
+        |    ' ' ORDER BY pos), '')) AS new_fp
+        |FROM cv GROUP BY doc_id""".stripMargin,
     "ta_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

@@ -73,6 +73,72 @@ object Dedup {
         x => x.getField("chunk")), " ")).as("new_fp"))
   }
 
+  /** Tokens per duplicated span in [[substringDedup]]. */
+  val SubstringGram = 8
+
+  /** dd_substring: EXACT SUBSTRING-SPAN dedup — the "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al. 2022)
+    * pass: any [[SubstringGram]]-token gram occurring MORE THAN ONCE in
+    * the corpus — across documents or within one — marks every token
+    * position it covers, covered tokens are REMOVED, and each document
+    * is reassembled from the survivors. This is the span-level
+    * complement of [[paragraphDedup]]: boilerplate that never aligns to
+    * a paragraph boundary (injected sentences, templated lead-ins,
+    * repeated quotes) still gets cut, at exactly the duplicated span.
+    *
+    * Scale mechanics (the Spark re-expression of the suffix-array
+    * pass): grams are row-local array slices; the duplicate test is one
+    * groupBy on the gram's 16-hex-char md5 prefix — the shuffle carries
+    * a fixed-width key, never L tokens (a prefix collision could only
+    * over-delete one gram pair, identically on both engine and oracle);
+    * coverage is ONE windowed max over the last L positions per
+    * document — never a position-range join; reassembly one groupBy.
+    * Bounded shuffles at any corpus size, nothing quadratic. Output per
+    * doc: token counts and the md5 of the reassembled text —
+    * hash-checked, so chunking, the duplicate verdicts, coverage, and
+    * reassembly order all replay in the oracle. */
+  def substringDedup(s: SparkSession, d: String): DataFrame =
+    substringCore(Tables.documents(s, d))
+
+  private[graft] def substringCore(documents: DataFrame): DataFrame = {
+    val L = SubstringGram
+    val docs = documents
+      .select(col("doc_id"), wsTokens(col("text")).as("ws"))
+    val starts = when(size(col("ws")) >= L,
+      sequence(lit(0), size(col("ws")) - L)).otherwise(array())
+    val grams = docs.select(col("doc_id"),
+      posexplode(transform(starts, i =>
+        substring(md5(array_join(slice(col("ws"), i + 1, lit(L)), " ")),
+          1, 16)))
+        .as(Seq("gpos", "g")))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("g"))
+    val dupStarts = grams.join(dup, "g")
+      .select(col("doc_id"), col("gpos").cast("long").as("gpos"))
+    val toks = docs.select(col("doc_id"),
+        posexplode(col("ws")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+    val flagged = toks.join(dupStarts,
+        toks("doc_id") === dupStarts("doc_id") &&
+          toks("pos") === dupStarts("gpos"), "left")
+      .select(toks("doc_id"), col("pos"), col("tok"),
+        when(col("gpos").isNotNull, 1).otherwise(0).as("st"))
+    // a token is covered iff ANY duplicated gram starts within the
+    // preceding L−1 positions (or at it): one ROWS window, no range join
+    val cov = max(col("st")).over(Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos")).rowsBetween(-(L - 1), 0))
+    flagged.withColumn("covered", cov)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("covered")).cast("long").as("n_removed"),
+        // reassemble survivors in document order; a fully-duplicated doc
+        // reassembles to the empty string (md5('') — still a row)
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("covered") === 0,
+            struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ")).as("new_fp"))
+  }
+
   /** dd_exact: exact dedup on the md5 of normalized text. Emits every doc
     * with its fingerprint and whether it is the kept representative
     * (minimum doc_id in its group) — one shuffle on the fingerprint. */

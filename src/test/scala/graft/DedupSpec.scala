@@ -290,4 +290,36 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(sem == km, "dd_semantic and sim_kmeans disagree on clustering")
   }
+
+  test("substring dedup cuts exactly the duplicated span, keeps unique text") {
+    val s = spark
+    import s.implicits._
+    // an 8-token boilerplate span injected mid-document into two
+    // otherwise-unique documents; a third document shares nothing
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    def uniq(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("x", 5)} $boiler ${uniq("y", 5)}"),
+      (2L, s"${uniq("p", 6)} $boiler ${uniq("q", 4)}"),
+      (3L, uniq("z", 12))).toDF("doc_id", "text")
+    val out = Dedup.substringCore(docs)
+      .select("doc_id", "n_tokens", "n_removed", "new_fp")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // both copies of the span are removed — every token of the
+    // duplicated 8-gram, and nothing else
+    assert(out(1L)._1 === 18L && out(1L)._2 === 8L)
+    assert(out(2L)._1 === 18L && out(2L)._2 === 8L)
+    assert(out(3L)._2 === 0L, "unique doc lost tokens")
+    val exp1 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${uniq("x", 5)} ${uniq("y", 5)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(1L)._3 === exp1, "survivors not reassembled in order")
+    // a doc that is ONE long duplicated span reassembles to md5('')
+    val dup2 = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val gone = Dedup.substringCore(dup2)
+      .select("new_fp").as[String].collect().toSet
+    assert(gone === Set("d41d8cd98f00b204e9800998ecf8427e"))
+  }
 }
