@@ -629,6 +629,32 @@ object TxnTable {
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
   }
 
+  /** Append that never loses to a concurrent writer: same schema check
+    * and indexed staging as [[append]], but the commit goes through
+    * [[commitResolving]] — an append removes and reads nothing, so a
+    * CAS loss ALWAYS rebases (the staged files re-commit onto the
+    * winner's manifest as one more metadata round-trip, zero data
+    * re-written). This is what the SQL catalog's INSERT INTO rides:
+    * 1000 concurrent inserters serialize only through manifest writes,
+    * exactly like every public table format's append path. */
+  def appendResolving(s: SparkSession, table: String, df: DataFrame)
+      : CommitOutcome = {
+    val m0 = manifest(s, table, currentVersion(s, table))
+    val have = m0.schema.getOrElse(snapshot(s, table).schema)
+      .map(f => (f.name, f.dataType)).toSeq
+    val got = df.schema.map(f => (f.name, f.dataType)).toSeq
+    require(got == have,
+      s"append schema $got does not match table schema $have")
+    // stage ONCE, up front: the staged files are base-independent (an
+    // append derives from nothing), so rebases reuse them verbatim
+    val fresh =
+      if (m0.idxCols.nonEmpty || m0.strIdxCols.nonEmpty)
+        stageIndexed(s, table, df, m0.idxCols, m0.strIdxCols)
+      else stage(s, table, df)
+    commitResolving(s, table)(_ =>
+      Change(fresh, Set.empty, Set.empty, op = "append"))
+  }
+
   private def render(e: Entry): String =
     (e.path +: e.seq.toString +: renderGroups(e)).mkString("\t")
 

@@ -279,7 +279,9 @@ class GraftTable(ident: String, private[sources] val location: String,
                 : Unit = {
               val s = data.sparkSession
               if (overwriteAll) TxnTable.overwrite(s, location, data)
-              else TxnTable.append(s, location, data)
+              // appendResolving: concurrent INSERT INTO rebases through
+              // file-level OCC instead of surfacing a commit conflict
+              else TxnTable.appendResolving(s, location, data)
             }
           }
       }

@@ -167,6 +167,27 @@ class CatalogSpec extends SparkSpec {
       "WHERE v = 'a'").count() === 100)
   }
 
+  test("concurrent SQL INSERTs all land via file-level OCC rebase") {
+    val t = fresh("sqlconcur")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        try sql(s"INSERT INTO graft.spec.$t SELECT id + ${i * 1000}, " +
+          s"'w$i' FROM RANGE(50)")
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent INSERT surfaced: ${errs.peek()}")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 200)
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    assert(TxnTable.versions(spark, loc) === (0L to 4L))
+  }
+
   test("DROP and re-CREATE; listTables sees only tables") {
     val t = fresh("droppable")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
