@@ -116,6 +116,7 @@ object SparkEntry {
     "dd_semantic"             -> (Dedup.semantic _),
     "ta_domain_mix"           -> (TextAnalysis.domainMix _),
     "ta_gopher_rules"         -> (TextAnalysis.gopherRules _),
+    "ta_quality_classifier"   -> (TextAnalysis.qualityClassifier _),
     "dd_minhash_lsh"          -> (Dedup.minhashLsh _),
     "dd_simhash"              -> (Dedup.simhash _),
     "dd_ngram_jaccard"        -> (Dedup.ngramJaccard _),
@@ -1015,6 +1016,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "ta_rolling_fingerprint" -> rollingHashOracle,
     // per-token rolling-hash replay, bucketed to the fixed feature space
+    "ta_quality_classifier" ->
+      graft.operators.TextAnalysis.qualityClassifierOracle,
     "ta_feature_hash" ->
       s"""WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))

@@ -63,6 +63,153 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("dim"))
       .agg(count(lit(1)).as("tf"))
 
+  // ---- trainable quality classifier (the fastText-style filter stage) ---
+
+  private[graft] val ClfDims = 16 // hashed feature dims (+1 bias)
+  private[graft] val ClfRounds = 64 // full-batch GD rounds
+  private[graft] val ClfLr = 32.0
+
+  /** Per-doc classifier features: y = the deterministic quality label
+    * (stopword evidence, the Gopher rule a pipeline would bootstrap
+    * from), x_j = hashed-unigram frequency in dim j (RollingHash mod
+    * [[ClfDims]], normalized by doc length) plus a bounded
+    * length feature x_D = min(n_words, 256)/256 — the same feature mix
+    * a fastText-style quality model ships with (pure frequencies can't
+    * see length, and the bootstrap rule partly encodes it). One explode
+    * + one map-side-combined groupBy — a single corpus pass. */
+  private[graft] def classifierFeatures(documents: DataFrame): DataFrame = {
+    val hashed = documents
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
+      .withColumn("dim",
+        pmod(graft.functions.RollingHash(col("tok")), lit(ClfDims.toLong)))
+    val aggs = Seq(count(lit(1)).as("n_words"),
+      sum(when(col("tok").isin(Stopwords: _*), 1L).otherwise(0L)).as("ns")) ++
+      (0 until ClfDims).map(j =>
+        sum(when(col("dim") === j, 1L).otherwise(0L)).as(s"c$j"))
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_words") > 0)
+      .select((col("doc_id") +:
+        (col("ns") >= 2).cast("double").as("y") +:
+        (0 until ClfDims).map(j => (col(s"c$j").cast("double") /
+          col("n_words").cast("double")).as(s"x$j"))) :+
+        (least(col("n_words"), lit(256L)).cast("double") / lit(256.0))
+          .as(s"x$ClfDims"): _*)
+  }
+
+  /** Feature count incl. the length feature (bias rides at index F). */
+  private[graft] def ClfF: Int = ClfDims + 1
+
+  /** ta_quality_classifier: a TRAINED document-quality classifier — the
+    * fastText-style learned filter every production pipeline runs after
+    * its hand rules (hashed bag-of-words features → linear model →
+    * score), trained from scratch IN the engine by full-batch gradient
+    * descent. Determinism is absolute, so the whole training run is
+    * hash-checked, not just bounded: the link function is the RATIONAL
+    * sigmoid σ(z) = ½(1 + z/(1+|z|)) (no exp — pure IEEE arithmetic
+    * both engines agree on bit-for-bit), per-row gradient contributions
+    * quantize to integer micro-units before the exact long sum (the
+    * k-means discipline — float summation order can never matter), and
+    * weights re-quantize to 6 decimals each round, so engine and oracle
+    * walk the identical weight trajectory. Scale: each round is ONE
+    * map-side-combined aggregate over the feature frame (9 longs to the
+    * driver — constant state); rounds are fixed; scoring is map-only.
+    * Training a 100 TB corpus costs [[ClfRounds]] passes, shuffling
+    * nothing but per-partition partial sums. Output: per-doc score,
+    * label, prediction — fully oracle-replayed including training. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val feats = classifierFeatures(Tables.documents(s, d)).localCheckpoint()
+    val n = feats.count().toDouble
+    def zOf(w: Seq[Double]) =
+      ((0 until ClfF).map(j => lit(w(j)) * col(s"x$j")) :+
+        lit(w(ClfF))).reduceLeft(_ + _)
+    def pOf(w: Seq[Double]) = {
+      val z = zOf(w)
+      lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+    }
+    var w: Seq[Double] = Seq.fill(ClfF + 1)(0.0)
+    for (_ <- 1 to ClfRounds) {
+      val err = pOf(w) - col("y")
+      val gs = (0 until ClfF).map(j =>
+        sum(floor(err * col(s"x$j") * lit(1000000.0) + lit(0.5)))
+          .as(s"g$j")) :+
+        sum(floor(err * lit(1000000.0) + lit(0.5))).as(s"g$ClfF")
+      val r = feats.agg(gs.head, gs.tail: _*).collect()(0)
+      w = w.indices.map { j =>
+        val g = r.getLong(j).toDouble
+        math.floor((w(j) - ClfLr * (g / 1000000.0 / n)) * 1000000.0 + 0.5) /
+          1000000.0
+      }
+    }
+    val p = pOf(w)
+    feats.select(col("doc_id"), col("y").cast("long").as("y"),
+      p.as("score"), (p >= 0.5).as("pred"))
+  }
+
+  /** DuckDB replay of [[qualityClassifier]] — features, every gradient
+    * round (micro-unit quantization, exact long sums, 6-decimal weight
+    * requantization), and the final scoring walk the identical
+    * arithmetic, so the trained model itself is hash-checked. */
+  private[graft] def qualityClassifierOracle: String = {
+    val D = ClfDims
+    val F = ClfF
+    val sw = Stopwords.map(w => s"'$w'").mkString(", ")
+    val csums = (0 until D).map(j =>
+      s"SUM(CASE WHEN dim = $j THEN 1 ELSE 0 END) AS c$j").mkString(",\n    ")
+    val xcols = ((0 until D).map(j =>
+      s"CAST(c$j AS DOUBLE) / CAST(n_words AS DOUBLE) AS x$j") :+
+      s"CAST(LEAST(n_words, 256) AS DOUBLE) / 256.0 AS x$D")
+      .mkString(",\n    ")
+    def zExpr = (0 until F).map(j => s"w.w$j * f.x$j").mkString(" + ") +
+      s" + w.w$F"
+    val w0 = (0 to F).map(j => s"0.0 AS w$j").mkString(", ")
+    def round(i: Int): String = {
+      val gsums = ((0 until F).map(j =>
+        s"SUM(CAST(FLOOR((p - y) * x$j * 1000000.0 + 0.5) AS BIGINT)) AS g$j") :+
+        s"SUM(CAST(FLOOR((p - y) * 1000000.0 + 0.5) AS BIGINT)) AS g$F")
+        .mkString(",\n    ")
+      val wupd = (0 to F).map(j =>
+        s"FLOOR((w.w$j - $ClfLr * (CAST(r.g$j AS DOUBLE) / 1000000.0 / " +
+          s"n.n)) * 1000000.0 + 0.5) / 1000000.0 AS w$j").mkString(",\n    ")
+      // MATERIALIZED: DuckDB inlines plain CTEs, so 64 rounds would
+      // re-expand (and re-scan) the whole feature pipeline per round —
+      // materialization pins each stage to one evaluation
+      s"""s$i AS MATERIALIZED (SELECT f.*, 0.5 * (1.0 + z / (1.0 + abs(z))) AS p FROM (
+         |  SELECT f.*, ($zExpr) AS z FROM feats f, w${i - 1} w) f),
+         |g$i AS MATERIALIZED (SELECT
+         |    $gsums
+         |  FROM s$i),
+         |w$i AS MATERIALIZED (SELECT
+         |    $wupd
+         |  FROM w${i - 1} w, g$i r, nn n)""".stripMargin
+    }
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+       |      AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, tok, list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(string_split_regex(tok, ''),
+       |        c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % 2147483647) % $D AS dim
+       |  FROM tok),
+       |per AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_words,
+       |    SUM(CASE WHEN tok IN ($sw) THEN 1 ELSE 0 END) AS ns,
+       |    $csums
+       |  FROM h GROUP BY doc_id),
+       |feats AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN ns >= 2 THEN 1.0 ELSE 0.0 END AS y,
+       |    $xcols
+       |  FROM per WHERE n_words > 0),
+       |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM feats),
+       |w0 AS MATERIALIZED (SELECT $w0),
+       |${(1 to ClfRounds).map(round).mkString(",\n")}
+       |SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
+       |  0.5 * (1.0 + z / (1.0 + abs(z))) AS score,
+       |  0.5 * (1.0 + z / (1.0 + abs(z))) >= 0.5 AS pred
+       |FROM (SELECT f.*, ($zExpr) AS z FROM feats f, w$ClfRounds w) f"""
+      .stripMargin
+  }
+
   /** ta_gopher_rules: the multi-rule document-quality battery every
     * public web-corpus pipeline runs (the Gopher/MassiveText repetition
     * and format rules, re-expressed over this corpus): per doc —

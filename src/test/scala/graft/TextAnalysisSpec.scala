@@ -180,4 +180,20 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("quality classifier learns: beats the majority-class baseline") {
+    val s = spark
+    import s.implicits._
+    val out = operators.TextAnalysis.qualityClassifier(s, sf)
+      .select(col("y"), col("pred").cast("long").as("p"))
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    val acc = out.count { case (y, p) => y == p }.toDouble / out.length
+    val pos = out.count(_._1 == 1L).toDouble / out.length
+    val majority = math.max(pos, 1 - pos)
+    assert(pos > 0.02 && pos < 0.98,
+      s"degenerate label split $pos — the test proves nothing")
+    assert(acc > majority,
+      s"trained accuracy $acc does not beat majority baseline $majority")
+  }
 }
