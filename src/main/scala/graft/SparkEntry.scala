@@ -67,6 +67,7 @@ object SparkEntry {
     "sql_txn_timetravel"      -> (SqlSurface.txnTimeTravel _),
     "sql_txn_delete"          -> (SqlSurface.txnDelete _),
     "sql_txn_merge"           -> (SqlSurface.txnMerge _),
+    "sql_txn_update"          -> (SqlSurface.txnUpdate _),
     "op_vacuum"               -> (TxnTable.vacuumTable _),
     "op_cdc_read"             -> (TxnTable.cdcRead _),
     "op_manifest_skip"        -> (TxnTable.manifestSkip _),
@@ -1183,6 +1184,19 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
         |  TRUE AS tt_ok FROM orders""".stripMargin,
+    // SQL UPDATE through the catalog: assignment + predicate replayed
+    // arithmetically; trail + pinning travel as a boolean
+    "sql_txn_update" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN 'R'
+        |       ELSE o_orderstatus END AS o_orderstatus,
+        |  CAST(CASE WHEN o_orderkey % 13 = 0
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 50
+        |      AS DECIMAL(12,2))
+        |    ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS DOUBLE)
+        |    AS price,
+        |  TRUE AS upd_ok
+        |FROM orders""".stripMargin,
     // SQL MERGE INTO through the catalog: the CDC rules are replayed
     // arithmetically (update %5 outside %7, delete %7, insert shifted
     // %11); trail + pinning travel as a boolean

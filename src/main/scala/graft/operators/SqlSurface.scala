@@ -209,6 +209,39 @@ object SqlSurface {
       .withColumn("merge_ok", lit(ok))
   }
 
+  /** sql_txn_update: UPDATE as PURE SQL TEXT — the statement routes
+    * through GraftDmlRule to a keyed 'U' change set applied by the
+    * file-pruned merge (key = the table's index column), so an UPDATE
+    * touching one key region rewrites that region's files. The
+    * assignment and predicate are deterministic arithmetic; `upd_ok`
+    * asserts the audit trail and that the pre-update version stays
+    * pinned-readable (copy-on-write through the log). */
+  def txnUpdate(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "u_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.u_orders (
+      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    s.sql("""INSERT INTO graft.q.u_orders
+      SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders""")
+    s.sql("""UPDATE graft.q.u_orders
+      SET o_orderstatus = 'R', price = CAST(price + 50 AS DECIMAL(12,2))
+      WHERE o_orderkey % 13 = 0""")
+    val nBase = s.sql("SELECT COUNT(*) AS n FROM orders")
+      .collect()(0).getLong(0)
+    val pinnedUntouched = s.sql(
+      "SELECT COUNT(*) AS n FROM graft.q.u_orders VERSION AS OF 1 " +
+        "WHERE o_orderstatus = 'R'").collect()(0).getLong(0)
+    val ok = pinnedUntouched == 0L &&
+      s.sql("SELECT COUNT(*) AS n FROM graft.q.u_orders")
+        .collect()(0).getLong(0) == nBase &&
+      TxnTable.history(s, loc).map(_._2) == Seq("create", "append", "merge")
+    s.sql("""SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+      FROM graft.q.u_orders""")
+      .withColumn("upd_ok", lit(ok))
+  }
+
   /** sql_txn_delete: file-pruned DELETE as PURE SQL TEXT — `DELETE FROM
     * graft.q.del_orders WHERE k BETWEEN …` routed through the catalog to
     * [[TxnTable.deleteRange]]. Four quarter-slice single-file inserts
