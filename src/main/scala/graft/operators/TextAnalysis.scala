@@ -66,7 +66,7 @@ object TextAnalysis {
   // ---- trainable quality classifier (the fastText-style filter stage) ---
 
   private[graft] val ClfDims = 16 // hashed feature dims (+1 bias)
-  private[graft] val ClfRounds = 64 // full-batch GD rounds
+  private[graft] val ClfRounds = 32 // full-batch GD rounds
   private[graft] val ClfLr = 32.0
 
   /** Per-doc classifier features: y = the deterministic quality label
