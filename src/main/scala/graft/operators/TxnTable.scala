@@ -142,6 +142,32 @@ object TxnTable {
     try new String(in.readAllBytes(), UTF_8) finally in.close()
   }
 
+  /** Read ONLY the `#ts=` header of version `v`'s manifest — commit
+    * needs just the previous timestamp to monotonize its own, and
+    * re-reading + fully parsing the whole previous manifest (every entry
+    * line) per commit would roughly double manifest I/O on large tables.
+    * Headers lead the file (#format, #op, #ts come first), so this stops
+    * after a handful of lines; −1 for pre-timestamp manifests. */
+  private def manifestHeaderTs(s: SparkSession, table: String, v: Long)
+      : Long = {
+    val mp = manifestPath(table, v)
+    val f = fs(s, mp)
+    require(f.exists(mp),
+      s"$table version $v not found (vacuumed or never committed)")
+    logReads.incrementAndGet()
+    val in = f.open(mp)
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, UTF_8))
+      var line = br.readLine()
+      while (line != null && line.startsWith("#") &&
+        !line.startsWith("#ts=")) line = br.readLine()
+      if (line != null && line.startsWith("#ts="))
+        line.stripPrefix("#ts=").toLong
+      else -1L
+    } finally in.close()
+  }
+
   /** One fully-parsed manifest — a snapshot resolution or a guarded
     * write reads and parses the log file ONCE and threads this struct
     * through, instead of re-opening the same manifest for each facet
@@ -420,7 +446,7 @@ object TxnTable {
     // first commit at-or-before the target, and two commits can never
     // tie. Wall-clock is inherently non-replayable, so timestamps are
     // header-only metadata — never part of a hashed query output
-    val prevTs = if (cur < 0) -1L else manifest(s, table, cur).ts
+    val prevTs = if (cur < 0) -1L else manifestHeaderTs(s, table, cur)
     val ts = math.max(System.currentTimeMillis(), prevTs + 1)
     val tmpP = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmpP, false)

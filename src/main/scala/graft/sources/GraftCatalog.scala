@@ -97,12 +97,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     loadAt(ident, -1L)
 
-  /** `VERSION AS OF <v>` — pin the snapshot at an explicit version. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    loadAt(ident, try version.toLong catch {
+  /** `VERSION AS OF <v>` — pin the snapshot at an explicit version. A
+    * negative or not-yet-committed version fails loudly (a silent
+    * fall-back to "latest" would be a wrong answer wearing a valid
+    * syntax). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"$catalogName version must be a commit number, got '$version'")
-    })
+    }
+    require(v >= 0,
+      s"$catalogName version must be >= 0, got $v")
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val cur = TxnTable.currentVersion(spark, path)
+    require(v <= cur,
+      s"$catalogName.${ident.toString}: version $v not committed yet " +
+        s"(current is $cur)")
+    loadAt(ident, v)
+  }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands the target as MICROSECONDS
     * since epoch; resolve to the newest commit at or before it. */

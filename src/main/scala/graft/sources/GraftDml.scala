@@ -19,11 +19,18 @@ import org.apache.spark.sql.functions._
   * .merge]] — so a SQL MERGE touching one key region rewrites that
   * region's files, exactly like the library call (the pre-row-level-API
   * Delta shape). Supported MERGE form (the standard CDC statement):
-  * single-column equality condition, at most one UPDATE action + any
-  * DELETE actions (each optionally conditional, first-match-wins), at
-  * most one INSERT action; matched-ness is resolved with one semi-probe
-  * of the target's key column so conditional deletes and inserts keep
-  * exact MERGE semantics. Anything else fails loudly at analysis —
+  * single-column equality condition over a KEY-UNIQUE target (the
+  * table's indexed merge key — duplicate target keys would collapse
+  * under keyed replacement), at most one UPDATE action + any DELETE
+  * actions (each optionally conditional, first-match-wins), at most one
+  * INSERT action. Matched-ness AND the target's current column values
+  * are resolved with ONE left join of the source against the target
+  * snapshot — so a PARTIAL `UPDATE SET` keeps the target's existing
+  * values for unassigned columns (standard MERGE semantics), and
+  * matched-action conditions / UPDATE expressions may reference target
+  * columns. The planner chooses the join strategy (broadcast only when
+  * a side is actually small — a 100 TB target must shuffle, not
+  * broadcast its key set). Anything else fails loudly at analysis —
   * never a silent wrong answer. */
 case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -94,20 +101,35 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
     if (inserts.size > 1) unsupported("more than one INSERT action")
     if (merge.notMatchedBySourceActions.nonEmpty)
       unsupported("NOT MATCHED BY SOURCE")
-    merge.matchedActions.flatMap(_.condition)
-      .foreach(c => require(c.references.subsetOf(srcOut),
-        s"matched-action conditions may reference only the source, got $c"))
+    // INSERT actions fire on UNMATCHED rows: a target reference there
+    // has no row to read — standard MERGE forbids it, so do we (loudly)
+    (inserts.flatMap(_.condition) ++
+      inserts.flatMap(_.assignments.map(_.value)))
+      .foreach(e => require(e.references.subsetOf(srcOut),
+        s"INSERT expressions may reference only the source, got $e"))
 
     val src = df(session, merge.sourceTable)
-    // ONE semi-probe of the target's key column resolves matched-ness,
-    // so conditional DELETEs and INSERTs keep exact MERGE semantics
-    // (an op column alone cannot: a source row can be a matched delete
-    // or an unmatched insert depending on what the table holds)
-    val keys = TxnTable.snapshot(session, location)
-      .select(col(tKey.name).as("__tk")).distinct()
-    val withM = src.join(broadcast(keys), exprCol(sKey) === col("__tk"),
-        "left")
+    val tableCols = merge.targetTable.output.map(_.name)
+    // ONE left join of the source against the target snapshot resolves
+    // BOTH matched-ness and the target's current values — so partial
+    // UPDATE SET keeps unassigned columns (standard MERGE semantics; a
+    // change-set row replaces the whole row, so it must carry them) and
+    // matched conditions / UPDATE expressions may read target columns.
+    // No broadcast hint: the target is the BIG side at scale — the
+    // planner (armed with AQE) picks the join strategy.
+    val snap = TxnTable.snapshot(session, location)
+    val tgt = snap.select(
+      snap(tKey.name).as("__tk") +:
+        tableCols.map(c => snap(c).as(s"__t_$c")): _*)
+    val withM = src.join(tgt, exprCol(sKey) === col("__tk"), "left")
       .withColumn("__matched", col("__tk").isNotNull).drop("__tk")
+    // rebind TARGET attribute references in matched-side expressions to
+    // the joined __t_ columns (by NAME — the resolved refs carry the
+    // DSv2 relation's attribute ids, which the join output doesn't)
+    def rebind(e: Expression): Column = exprCol(e.transform {
+      case a: AttributeReference if tgtOut.contains(a) =>
+        org.apache.spark.sql.GraftSqlBridge.expression(col(s"__t_${a.name}"))
+    })
     // first matching action in declaration order decides the op;
     // a matched row matching no action, or an unmatched row failing the
     // insert condition, is NO change (filtered out)
@@ -117,31 +139,29 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
           case _: UpdateAction => lit("U")
           case _: DeleteAction => lit("D")
         }
-        a.condition.map(c => when(exprCol(c), op).otherwise(rest))
+        a.condition.map(c => when(rebind(c), op).otherwise(rest))
           .getOrElse(op)
     }
     val insertOp = inserts.headOption.map { i =>
       i.condition.map(c => when(exprCol(c), lit("U"))
         .otherwise(lit(null))).getOrElse(lit("U"))
     }.getOrElse(lit(null))
-    // change-row values: UPDATE assignments when matched, INSERT
-    // assignments when not — per table column, in table order
+    // change-row values, per table column in table order: when MATCHED,
+    // the UPDATE assignment or (unassigned) the target's CURRENT value;
+    // when not matched, the INSERT assignment or (unassigned) NULL
     def assigned(as: Seq[Assignment], colName: String): Option[Expression] =
       as.collectFirst {
         case Assignment(k: AttributeReference, v) if k.name == colName => v
       }
-    val tableCols = merge.targetTable.output.map(_.name)
-    val valueCols = tableCols.map { c =>
-      val up = updates.headOption.flatMap(u => assigned(u.assignments, c))
-      val in = inserts.headOption.flatMap(i => assigned(i.assignments, c))
-      (up, in) match {
-        case (Some(u), Some(i)) =>
-          when(col("__matched"), exprCol(u))
-            .otherwise(exprCol(i)).as(c)
-        case (Some(u), None) => exprCol(u).as(c)
-        case (None, Some(i)) => exprCol(i).as(c)
-        case (None, None) => unsupported(s"no assignment for column $c")
-      }
+    val valueCols = merge.targetTable.output.map { attr =>
+      val c = attr.name
+      val matchedVal = updates.headOption
+        .flatMap(u => assigned(u.assignments, c))
+        .map(rebind).getOrElse(col(s"__t_$c"))
+      val insertVal = inserts.headOption
+        .flatMap(i => assigned(i.assignments, c))
+        .map(exprCol).getOrElse(lit(null).cast(attr.dataType))
+      when(col("__matched"), matchedVal).otherwise(insertVal).as(c)
     }
     val changes = withM
       .withColumn("op", when(col("__matched"), matchedOp)
@@ -154,10 +174,16 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
 }
 
 /** Eager `UPDATE` — the assigned rows become a keyed 'U' change set
-  * (key = the table's first index column, required unique), applied
-  * through the file-pruned merge: an UPDATE touching one key region
-  * rewrites that region's files, not the table. The row lookup itself
-  * is a manifest-resolved scan with the condition pushed to parquet. */
+  * (key = the table's first index column, which must be UNIQUE — the
+  * change set replaces whole rows by key, so a duplicated key would
+  * collapse its rows; the 'index' table property is the declaration of
+  * that contract), applied through the file-pruned merge: an UPDATE
+  * touching one key region rewrites that region's files, not the table.
+  * Assigning the KEY column itself is rejected loudly — the change rows
+  * would carry the new key while the old-key rows survive the keyed
+  * anti-join, silently duplicating every updated row. The row lookup
+  * itself is a manifest-resolved scan with the condition pushed to
+  * parquet. */
 case class GraftUpdateCommand(location: String, update: UpdateTable)
     extends LeafRunnableCommand {
   import GraftDml._
@@ -167,6 +193,14 @@ case class GraftUpdateCommand(location: String, update: UpdateTable)
         TxnTable.currentVersion(session, location))
       .idxCols.headOption.getOrElse(unsupported(
         "UPDATE needs an indexed key column ('index' table property)"))
+    update.assignments.foreach {
+      case Assignment(k: AttributeReference, _) =>
+        if (k.name == key) unsupported(
+          s"UPDATE must not assign the key column '$key' — the keyed " +
+            "change set would insert the new key while the old-key row " +
+            "survives (use DELETE + INSERT to re-key rows)")
+      case _ => ()
+    }
     val snap = TxnTable.snapshot(session, location)
     // rebind target attributes to the snapshot's columns by NAME: the
     // resolved condition/assignments reference the DSv2 relation's

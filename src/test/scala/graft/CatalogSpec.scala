@@ -153,6 +153,65 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("MERGE with partial UPDATE SET keeps unassigned target columns") {
+    val t = fresh("sqlmergepartial")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING, p BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, CONCAT('a', id), id * 10 " +
+      "FROM RANGE(20)")
+    sql("""CREATE OR REPLACE TEMP VIEW mp_src AS
+      SELECT id AS k, id + 1000 AS np FROM RANGE(25)""")
+    // UPDATE assigns only p; v must KEEP its current value on matched
+    // rows (the r10 bug wrote the INSERT expression into v); the INSERT
+    // covers all columns for unmatched keys 20..24
+    sql(s"""MERGE INTO graft.spec.$t t USING mp_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET p = s.np
+      WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, 'new', s.np)""")
+    val rows = sql(s"SELECT k, v, p FROM graft.spec.$t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.size === 25)
+    assert(rows.contains((3L, "a3", 1003L)),
+      "matched row lost its unassigned column value")
+    assert(rows.contains((22L, "new", 1022L)), "unmatched INSERT missed")
+    // UPDATE expressions may reference target columns too
+    sql(s"""MERGE INTO graft.spec.$t t USING mp_src s ON t.k = s.k
+      WHEN MATCHED AND t.p < 1005 THEN UPDATE SET v = CONCAT(t.v, '!')""")
+    val v3 = sql(s"SELECT v FROM graft.spec.$t WHERE k = 3")
+      .collect()(0).getString(0)
+    assert(v3 === "a3!", s"target-referencing condition/value broke: $v3")
+    val v9 = sql(s"SELECT v FROM graft.spec.$t WHERE k = 9")
+      .collect()(0).getString(0)
+    assert(v9 === "a9", "condition false branch must leave the row alone")
+  }
+
+  test("UPDATE assigning the key column is rejected loudly") {
+    val t = fresh("sqlrekey")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, 'a' FROM RANGE(10)")
+    val e = intercept[Exception] {
+      sql(s"UPDATE graft.spec.$t SET k = k + 1 WHERE k < 5")
+    }
+    assert(e.getMessage.contains("key column"), e.getMessage)
+    // nothing was committed
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 10)
+  }
+
+  test("negative or future VERSION AS OF fails loudly, never reads latest") {
+    val t = fresh("sqlbadversion")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
+    sql(s"INSERT INTO graft.spec.$t SELECT id FROM RANGE(5)")
+    val neg = intercept[Exception] {
+      sql(s"SELECT * FROM graft.spec.$t VERSION AS OF '-3'").count()
+    }
+    assert(neg.getMessage.contains(">= 0"), neg.getMessage)
+    val fut = intercept[Exception] {
+      sql(s"SELECT * FROM graft.spec.$t VERSION AS OF 99").count()
+    }
+    assert(fut.getMessage.contains("not committed"), fut.getMessage)
+  }
+
   test("UPDATE routes through the file-pruned keyed merge") {
     val t = fresh("sqlupdate")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
