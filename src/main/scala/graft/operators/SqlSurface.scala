@@ -272,9 +272,12 @@ object SqlSurface {
     }
     s.sql("DELETE FROM graft.q.del_orders " +
       s"WHERE o_orderkey >= ${qc(1)} AND o_orderkey <= ${qc(2) - 1}")
-    val res = GraftCatalog.lastDeleteResult.get
+    // the accounting comes from the DELETE commit's own #metrics=
+    // header — in the log, not a session global
+    val res = TxnTable.commitMetrics(s, loc)
     val trail = TxnTable.history(s, loc).map(_._2)
-    val ok = res.dropped == 1 && res.rewritten <= 1 && res.kept == 3 &&
+    val ok = res("dropped") == 1 && res("rewritten") <= 1 &&
+      res("kept") == 3 &&
       trail == Seq("create", "append", "append", "append", "append", "delete")
     s.sql("""SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
       FROM graft.q.del_orders""")

@@ -188,7 +188,8 @@ object TxnTable {
       hdrIdx: Option[Seq[String]] = None,
       hdrStrIdx: Option[Seq[String]] = None,
       blooms: Seq[BloomRef] = Nil,
-      ts: Long = -1L) {
+      ts: Long = -1L,
+      metrics: Map[String, Long] = Map.empty) {
     def liveFiles: Seq[String] = entries.map(_.path)
     // the index column set prefers the `#index=` header: deriving it from
     // entry stats alone loses the index whenever a version legitimately
@@ -285,8 +286,29 @@ object TxnTable {
       }
     val ts = lines.find(_.startsWith("#ts="))
       .map(_.stripPrefix("#ts=").toLong).getOrElse(-1L)
+    // `#metrics=k:v,...` — the commit's operation metrics (file-level
+    // accounting a DML commit records; Delta's commitInfo shape)
+    val metrics = lines.find(_.startsWith("#metrics="))
+      .map(_.stripPrefix("#metrics=").split(',').toSeq
+        .filter(_.nonEmpty)
+        .map { kv =>
+          val Array(k, v) = kv.split(':')
+          (k, v.toLong)
+        }.toMap).getOrElse(Map.empty[String, Long])
     Manifest(op, schema, deletes, entries,
-      idxHdr("#index="), idxHdr("#strindex="), blooms, ts)
+      idxHdr("#index="), idxHdr("#strindex="), blooms, ts, metrics)
+  }
+
+  /** The operation metrics version `v`'s commit recorded in its
+    * `#metrics=` header (empty for commits that record none) — the
+    * in-log answer to "what did that DELETE/MERGE actually touch",
+    * readable by anyone with the log, surviving the session that ran
+    * the statement. This is how SQL DML accounting reaches scenario
+    * assertions: from the manifest, not a smuggled global. */
+  def commitMetrics(s: SparkSession, table: String, v: Long = -1L)
+      : Map[String, Long] = {
+    val ver = if (v < 0) currentVersion(s, table) else v
+    manifest(s, table, ver).metrics
   }
 
   private def b64enc(v: String): String =
@@ -431,7 +453,8 @@ object TxnTable {
              deleteLines: Seq[(String, String, Long)] = Nil,
              idxCols: Seq[String] = Nil,
              strIdxCols: Seq[String] = Nil,
-             blooms: Seq[BloomRef] = Nil): Long = {
+             blooms: Seq[BloomRef] = Nil,
+             metrics: Seq[(String, Long)] = Nil): Long = {
     val ld = logDir(table)
     val f = fs(s, ld)
     f.mkdirs(ld)
@@ -484,6 +507,17 @@ object TxnTable {
           s"index column name '$c' would corrupt the $prefix header"))
         prefix + cols.mkString(",") + "\n"
       }
+    // operation metrics travel IN the commit (`#metrics=` header) — the
+    // file-level accounting of a DML commit is log metadata like the op
+    // name itself, so any later reader (or a scenario assertion) gets it
+    // from the manifest instead of a session-scoped side channel
+    val metricsLine =
+      if (metrics.isEmpty) ""
+      else {
+        metrics.foreach { case (k, _) => require(!k.exists(":,\t\n".contains(_)),
+          s"metric name '$k' would corrupt the #metrics header") }
+        "#metrics=" + metrics.map { case (k, v) => s"$k:$v" }.mkString(",") + "\n"
+      }
     val bloomLines = blooms.map { b =>
       require(!b.dir.exists("\t\n".contains(_)) &&
         !b.col.exists("\t\n".contains(_)),
@@ -501,7 +535,8 @@ object TxnTable {
       else (parts.head +: newSeq.toString +: parts.tail).mkString("\t")
     }
     try out.write(
-      (s"#format=$ManifestFormat\n#op=$op\n#ts=$ts\n" + schemaLine + delLines +
+      (s"#format=$ManifestFormat\n#op=$op\n#ts=$ts\n" + metricsLine +
+        schemaLine + delLines +
         idxLine("#index=", idxCols) + idxLine("#strindex=", strIdxCols) +
         bloomLines + stamped.sorted.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
@@ -1085,7 +1120,9 @@ object TxnTable {
       else stage(s, table, snapshot(s, table, cur).limit(0))
     val v = commit(s, table, finalLines, cur, op = "delete",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
-      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      metrics = Seq("dropped" -> dropped.size.toLong,
+        "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong))
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
   }
 
@@ -1226,7 +1263,9 @@ object TxnTable {
       if (lines.nonEmpty) lines else stage(s, table, adds.limit(0))
     val v = commit(s, table, finalLines, cur, op = "merge",
       schemaJson = adds.schema.json, deleteLines = m.deletes,
-      idxCols = idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
+      idxCols = idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      metrics = Seq("touched" -> touched.size.toLong,
+        "untouched" -> kept.size.toLong))
     MergeResult(v, touched.size, kept.size)
   }
 

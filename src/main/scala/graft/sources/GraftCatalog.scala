@@ -236,11 +236,6 @@ object GraftCatalog {
     s.conf.set(s"spark.sql.catalog.$name.warehouse", defaultWarehouse)
   }
 
-  /** The last DELETE's three-way file accounting, for scenario
-    * assertions (SQL loses [[TxnTable.DeleteResult]] on the way out). */
-  @volatile private[sources] var lastDelete: Option[TxnTable.DeleteResult] =
-    None
-  def lastDeleteResult: Option[TxnTable.DeleteResult] = lastDelete
 }
 
 /** One resolved snapshot of a TxnTable, pinned at `version`: reads plan
@@ -371,13 +366,13 @@ class GraftTable(ident: String, private[sources] val location: String,
   override def deleteWhere(predicates: Array[Predicate]): Unit =
     bounds(predicates) match {
       case Some(Some((c, lo, hi))) =>
-        GraftCatalog.lastDelete =
-          Some(TxnTable.deleteRange(spark, location, c, lo, hi))
+        // the DELETE's file accounting lands in the commit's #metrics=
+        // header — read it back via TxnTable.commitMetrics
+        TxnTable.deleteRange(spark, location, c, lo, hi)
       case Some(None) => // tautology: truncate via empty overwrite
         val s = spark
         TxnTable.overwrite(s, location,
           TxnTable.snapshot(s, location).limit(0))
-        GraftCatalog.lastDelete = None
       case None => throw new UnsupportedOperationException(
         s"$ident: DELETE supports range/equality conjunctions over one " +
           "integral column (the shape manifest stats can prune)")

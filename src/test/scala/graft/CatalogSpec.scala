@@ -77,8 +77,9 @@ class CatalogSpec extends SparkSpec {
         s"id + ${i * 100}, 'x' FROM RANGE(100)")
     }
     sql(s"DELETE FROM graft.spec.$t WHERE k >= 100 AND k <= 299")
-    val res = GraftCatalog.lastDeleteResult.get
-    assert(res.dropped === 2 && res.rewritten <= 1,
+    // accounting travels in the DELETE commit's #metrics= header
+    val res = TxnTable.commitMetrics(spark, loc)
+    assert(res("dropped") === 2 && res("rewritten") <= 1,
       s"whole-file delete should be metadata-only, got $res")
     assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
       .collect()(0).getLong(0) === 200)
