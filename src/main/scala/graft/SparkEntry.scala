@@ -65,6 +65,7 @@ object SparkEntry {
     "op_ndv_broadcast"        -> (TxnTable.ndvBroadcast _),
     "op_txn_recluster"        -> (TxnTable.txnRecluster _),
     "sql_txn_timetravel"      -> (SqlSurface.txnTimeTravel _),
+    "sql_txn_skip"            -> (SqlSurface.txnSkip _),
     "sql_txn_delete"          -> (SqlSurface.txnDelete _),
     "sql_txn_merge"           -> (SqlSurface.txnMerge _),
     "sql_txn_update"          -> (SqlSurface.txnUpdate _),
@@ -1214,6 +1215,18 @@ object SparkEntry {
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS merge_ok
         |FROM merged""".stripMargin,
+    // Manifest-stat file skipping on the SQL read path: the second
+    // quarter's rows replayed from the cut arithmetic; the measured
+    // kept/total file accounting travels as a boolean
+    "sql_txn_skip" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |m AS (SELECT MIN(k) AS kmin, MAX(k) - MIN(k) AS span FROM b),
+        |r AS (SELECT kmin + (span+1)//4 AS lo,
+        |             kmin + 2*(span+1)//4 AS hi FROM m)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS skip_ok
+        |FROM b, r WHERE k >= lo AND k < hi""".stripMargin,
     // SQL DELETE through the catalog: survivors replayed from the
     // quarter-cut rule; the metadata-only file accounting travels as a
     // boolean

@@ -160,6 +160,51 @@ object SqlSurface {
       .withColumn("tt_ok", lit(ok))
   }
 
+  /** sql_txn_skip: manifest-stat FILE SKIPPING on the pure-SQL read
+    * path — the catalog's scan builder intercepts the pushed WHERE
+    * conjuncts and shrinks the live-file list from per-file manifest
+    * stats BEFORE Spark's parquet scan ever lists or opens a file, the
+    * same planning the library's `prunedRead` does (op_manifest_skip).
+    * Four quarter-slice single-file inserts give every file a tight key
+    * range; the selective SELECT over the second quarter must plan a
+    * scan over exactly 2 of the 5 live files (the quarter's file plus
+    * the stat-less create sentinel, kept conservatively). Hashed output
+    * = the quarter's rows (oracle replays the cut arithmetic); `skip_ok`
+    * carries the measured kept/total file accounting from the scan
+    * instrumentation. At 100 TB this is the difference between O(#files)
+    * footer opens and touching only the files the predicate can reach. */
+  def txnSkip(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "sk_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.sk_orders (
+      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    val b = s.sql("SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi " +
+      "FROM orders").collect()(0)
+    val (kmin, kmax) = (b.getLong(0), b.getLong(1))
+    val span = kmax - kmin
+    val qc = (0L to 4L).map(i => kmin + i * (span + 1) / 4)
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO graft.q.sk_orders
+        SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders
+        WHERE o_orderkey >= ${qc(i)} AND o_orderkey < ${qc(i + 1)}""")
+    }
+    val sel = "SELECT o_orderkey, o_orderstatus, " +
+      "CAST(price AS DOUBLE) AS price FROM graft.q.sk_orders " +
+      s"WHERE o_orderkey >= ${qc(1)} AND o_orderkey <= ${qc(2) - 1}"
+    val (k0, t0) = (GraftCatalog.scanKept.get, GraftCatalog.scanTotal.get)
+    val n = s.sql(sel).count() // one planned scan: counters move once
+    val (kept, total) = (GraftCatalog.scanKept.get - k0,
+      GraftCatalog.scanTotal.get - t0)
+    // 5 live files (4 quarters + sentinel); the prune must keep exactly
+    // the quarter file + the conservative sentinel — and return rows
+    val ok = kept == 2L && total == 5L && n > 0L &&
+      TxnTable.versions(s, loc).size == 5
+    s.sql(sel).withColumn("skip_ok", lit(ok))
+  }
+
   /** sql_txn_merge: MERGE INTO as PURE SQL TEXT — the full CDC
     * statement (conditional DELETE + UPDATE SET * + INSERT *) resolved
     * by the analyzer, swapped by GraftDmlRule for the eager command

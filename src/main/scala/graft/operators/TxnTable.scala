@@ -321,7 +321,7 @@ object TxnTable {
     * disagrees with it for supplementary characters vs [U+E000,U+FFFF],
     * so manifest-side pruning must compare the encoded bytes, not the
     * UTF-16 units. */
-  private def u8cmp(a: String, b: String): Int =
+  private[graft] def u8cmp(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(a.getBytes(UTF_8), b.getBytes(UTF_8))
 
   /** Iceberg-style conservative bound truncation at 16 chars: the lower

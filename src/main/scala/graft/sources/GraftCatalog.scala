@@ -236,6 +236,13 @@ object GraftCatalog {
     s.conf.set(s"spark.sql.catalog.$name.warehouse", defaultWarehouse)
   }
 
+  /** Manifest-prune accounting for DSv2 scans, cumulative since process
+    * start (instrumentation, the [[TxnTable.logReads]] pattern): how
+    * many live files each pruned catalog scan kept vs had. Scenario
+    * assertions take deltas around one planned query. */
+  val scanKept = new java.util.concurrent.atomic.AtomicLong
+  val scanTotal = new java.util.concurrent.atomic.AtomicLong
+
 }
 
 /** One resolved snapshot of a TxnTable, pinned at `version`: reads plan
@@ -269,11 +276,23 @@ class GraftTable(ident: String, private[sources] val location: String,
         "compact() to apply them, or read via TxnTable.snapshot " +
         "(which anti-joins them) — a plain file scan would resurrect " +
         "deleted rows")
-    val paths = m.entries.map(e =>
-      new Path(TxnTable.pathFor(location, e.path)))
-    val index = new InMemoryFileIndex(spark, paths,
-      Map.empty[String, String], Some(schema()))
-    ParquetScanBuilder(spark, index, schema(), schema(), options)
+    def pathOf(e: TxnTable.Entry) =
+      new Path(TxnTable.pathFor(location, e.path))
+    val s = spark
+    // pushed filters shrink the MANIFEST entry list before the file
+    // index is built: a selective SQL WHERE skips files exactly like the
+    // library's prunedRead — no listing, no footer open, no scan for
+    // files the stats prove empty. Conservative entries (no stats on a
+    // predicate column) always survive; the parquet scan re-applies the
+    // full predicate inside surviving files.
+    new org.apache.spark.sql.graftbridge.PruningScanBuilder(
+      s, schema(), options, m.entries.map(pathOf),
+      filters => {
+        val kept = ManifestPrune.keep(m.entries, filters)
+        GraftCatalog.scanKept.addAndGet(kept.size.toLong)
+        GraftCatalog.scanTotal.addAndGet(m.entries.size.toLong)
+        kept.map(pathOf)
+      })
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -1,0 +1,192 @@
+package graft.sources
+
+import graft.operators.TxnTable
+import graft.operators.TxnTable.Entry
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Manifest-level FILE SKIPPING for the DSv2 SQL read path: evaluate the
+  * pushed-down filter conjuncts against each live entry's per-file stats
+  * (integral [lo,hi]+nulls, truncated string bounds, the same triples
+  * the library's `snapshotBox`/`snapshotStrRange`/`snapshotNulls` prune
+  * from) and keep only the entries that MAY hold a matching row. At
+  * 100 TB this is the difference between O(#files) parquet footer opens
+  * and touching only the files a selective `WHERE` can reach — planning
+  * from driver-side manifest metadata, before any storage I/O.
+  *
+  * Sound by construction: a conjunct whose shape the stats cannot answer
+  * (unsupported operator, non-indexed column, non-integral/non-string
+  * literal) keeps every file — pruning only ever REMOVES files the stats
+  * PROVE empty for the predicate, and the residual per-row filter still
+  * runs inside the surviving files (file sources always re-apply pushed
+  * filters). String comparisons are UTF-8 binary (Spark's own string
+  * order) against the Iceberg-style truncation-conservative bounds. */
+object ManifestPrune {
+
+  /** Entries that may satisfy EVERY conjunct (logical AND). */
+  def keep(entries: Seq[Entry], conjuncts: Seq[Expression]): Seq[Entry] = {
+    val flat = conjuncts.flatMap(split)
+    entries.filter(e => flat.forall(c => mayHold(e, c)))
+  }
+
+  private def split(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => split(l) ++ split(r)
+    case other => Seq(other)
+  }
+
+  /** Unwrap the column side: a bare attribute, or a widening integral
+    * cast of one (an INT column compared to a BIGINT literal arrives as
+    * `CAST(c AS BIGINT)` — the manifest records longs, so the cast is
+    * stat-transparent). */
+  private def attrOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case Cast(a: AttributeReference, t, _, _)
+        if intLike(a.dataType) && intLike(t) => Some(a.name)
+    case _ => None
+  }
+
+  private def intLike(t: org.apache.spark.sql.types.DataType): Boolean =
+    t == ByteType || t == ShortType || t == IntegerType || t == LongType
+
+  private def longLit(e: Expression): Option[Long] = e match {
+    case Literal(v, t) if intLike(t) && v != null =>
+      Some(v.asInstanceOf[Number].longValue)
+    case _ => None
+  }
+
+  private def strLit(e: Expression): Option[String] = e match {
+    case Literal(v: UTF8String, StringType) if v != null => Some(v.toString)
+    case _ => None
+  }
+
+  private def cmp = TxnTable.u8cmp _
+
+  /** May entry `e` hold a row satisfying `p`? Conservative: unknown
+    * shapes and missing stats answer true. */
+  private def mayHold(e: Entry, p: Expression): Boolean = p match {
+    case EqualTo(l, r) => binInt(e, l, r, "=") && binStr(e, l, r, "=")
+    case EqualNullSafe(l, r) if longLit(l).isDefined || longLit(r).isDefined ||
+        strLit(l).isDefined || strLit(r).isDefined =>
+      // <=> a non-null literal matches exactly what = matches
+      binInt(e, l, r, "=") && binStr(e, l, r, "=")
+    case LessThan(l, r) => binInt(e, l, r, "<") && binStr(e, l, r, "<")
+    case LessThanOrEqual(l, r) => binInt(e, l, r, "<=") && binStr(e, l, r, "<=")
+    case GreaterThan(l, r) => binInt(e, l, r, ">") && binStr(e, l, r, ">")
+    case GreaterThanOrEqual(l, r) =>
+      binInt(e, l, r, ">=") && binStr(e, l, r, ">=")
+    case In(a, vs) => inMay(e, a, vs)
+    case InSet(a, vs) =>
+      attrOf(a).forall { c =>
+        intMay(e, c) { case (lo, hi) =>
+          vs.exists {
+            case n: Number => n.longValue >= lo && n.longValue <= hi
+            case _ => true
+          }
+        } && strMay(e, c) { case (fLo, fHi) =>
+          vs.exists {
+            case u: UTF8String =>
+              cmp(u.toString, fLo) >= 0 && cmp(u.toString, fHi) <= 0
+            case _ => true
+          }
+        }
+      }
+    case IsNull(a) => attrOf(a).forall { c =>
+      // prune files the stats PROVE null-free; unknown counts (−1) keep
+      e.nullsFor(c).orElse(e.strStats.collectFirst {
+        case TxnTable.StrStat(`c`, _, _, n) => n
+      }).forall(_ != 0L)
+    }
+    case IsNotNull(a) => attrOf(a).forall { c =>
+      // an EMPTY recorded integral range (lo > hi) means the file is
+      // all-null in c — IS NOT NULL can skip it. (String stats cannot
+      // answer this: an all-"" file records the same ("","") bounds.)
+      e.statFor(c).forall { case (lo, hi) => lo <= hi }
+    }
+    case StartsWith(a, pre) => (attrOf(a), strLit(pre)) match {
+      case (Some(c), Some(prefix)) => strMay(e, c) { case (fLo, fHi) =>
+        // keep if [fLo,fHi] intersects [prefix, prefix·∞): the upper
+        // bound must reach the prefix, and the lower bound must not
+        // already be past every prefixed string
+        cmp(fHi, prefix) >= 0 &&
+          (cmp(fLo, prefix) <= 0 || fLo.startsWith(prefix))
+      }
+      case _ => true
+    }
+    case _ => true
+  }
+
+  private def inMay(e: Entry, a: Expression, vs: Seq[Expression]): Boolean =
+    attrOf(a).forall { c =>
+      val longs = vs.map(longLit)
+      val strs = vs.map(strLit)
+      val intOk =
+        if (longs.forall(_.isDefined))
+          intMay(e, c) { case (lo, hi) =>
+            longs.flatten.exists(v => v >= lo && v <= hi)
+          }
+        else true
+      val strOk =
+        if (strs.forall(_.isDefined))
+          strMay(e, c) { case (fLo, fHi) =>
+            strs.flatten.exists(v => cmp(v, fLo) >= 0 && cmp(v, fHi) <= 0)
+          }
+        else true
+      intOk && strOk
+    }
+
+  /** Evaluate an integral comparison `col op lit` (either side) against
+    * the entry's [lo,hi]; true when no integral stat can answer. */
+  private def binInt(e: Entry, l: Expression, r: Expression, op: String)
+      : Boolean =
+    (attrOf(l), longLit(r), attrOf(r), longLit(l)) match {
+      case (Some(c), Some(v), _, _) => intOp(e, c, op, v)
+      case (_, _, Some(c), Some(v)) => intOp(e, c, flip(op), v)
+      case _ => true
+    }
+
+  private def binStr(e: Entry, l: Expression, r: Expression, op: String)
+      : Boolean =
+    (attrOf(l), strLit(r), attrOf(r), strLit(l)) match {
+      case (Some(c), Some(v), _, _) => strOp(e, c, op, v)
+      case (_, _, Some(c), Some(v)) => strOp(e, c, flip(op), v)
+      case _ => true
+    }
+
+  private def flip(op: String): String = op match {
+    case "<" => ">" case "<=" => ">="
+    case ">" => "<" case ">=" => "<=" case o => o
+  }
+
+  private def intMay(e: Entry, c: String)(f: ((Long, Long)) => Boolean)
+      : Boolean = e.statFor(c).forall { case (lo, hi) =>
+      lo <= hi && f((lo, hi)) // empty range (all-null) matches no value
+    }
+
+  private def strMay(e: Entry, c: String)(f: ((String, String)) => Boolean)
+      : Boolean = e.strStatFor(c).forall { case (fLo, fHi) => f((fLo, fHi)) }
+
+  private def intOp(e: Entry, c: String, op: String, v: Long): Boolean =
+    intMay(e, c) { case (lo, hi) =>
+      op match {
+        case "=" => v >= lo && v <= hi
+        case "<" => lo < v
+        case "<=" => lo <= v
+        case ">" => hi > v
+        case ">=" => hi >= v
+        case _ => true
+      }
+    }
+
+  private def strOp(e: Entry, c: String, op: String, v: String): Boolean =
+    strMay(e, c) { case (fLo, fHi) =>
+      op match {
+        case "=" => cmp(v, fLo) >= 0 && cmp(v, fHi) <= 0
+        case "<" => cmp(fLo, v) < 0
+        case "<=" => cmp(fLo, v) <= 0
+        case ">" => cmp(fHi, v) > 0
+        case ">=" => cmp(fHi, v) >= 0
+        case _ => true
+      }
+    }
+}

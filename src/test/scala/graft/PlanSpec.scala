@@ -254,6 +254,48 @@ class PlanSpec extends SparkSpec {
       s"quadratic join shape in plan: ${p.take(1200)}")
   }
 
+  test("DSv2 catalog scan plans over only the manifest-surviving files") {
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.planskip")
+    spark.sql("CREATE TABLE graft.spec.planskip (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    (0 until 4).foreach { i =>
+      spark.sql("INSERT INTO graft.spec.planskip SELECT " +
+        s"/*+ REPARTITION(1) */ id + ${i * 100}, 'x' FROM RANGE(100)")
+    }
+    // 5 live files: 4 tight-ranged quarters + the stat-less sentinel.
+    // A one-quarter WHERE must seed the parquet scan's file index with
+    // exactly 2 files (quarter + conservative sentinel) — the pruning
+    // happened at PLAN time, inside the scan builder, not at execution
+    val df = spark.sql(
+      "SELECT v FROM graft.spec.planskip WHERE k >= 100 AND k <= 199")
+    val files = df.queryExecution.executedPlan.collectLeaves().flatMap {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case p: org.apache.spark.sql.execution.datasources.v2.parquet
+            .ParquetScan => Some(p.fileIndex.inputFiles.length)
+          case _ => None
+        }
+      case _ => None
+    }
+    assert(files === Seq(2), s"scan should plan 2 of 5 files, got $files")
+    assert(df.count() === 100)
+    // no predicate: every live file stays in the index
+    val all = spark.sql("SELECT v FROM graft.spec.planskip")
+    val allFiles = all.queryExecution.executedPlan.collectLeaves().flatMap {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case p: org.apache.spark.sql.execution.datasources.v2.parquet
+            .ParquetScan => Some(p.fileIndex.inputFiles.length)
+          case _ => None
+        }
+      case _ => None
+    }
+    assert(allFiles === Seq(5), s"unfiltered scan lost files: $allFiles")
+  }
+
   test("manifest stats flip the broadcast decision for snapshot joins") {
     // r10: per-file HLL + row-count stats in the manifest must drive the
     // build-side pick with size-based planning OFF — the decision comes
