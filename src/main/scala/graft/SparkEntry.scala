@@ -66,6 +66,7 @@ object SparkEntry {
     "op_txn_recluster"        -> (TxnTable.txnRecluster _),
     "sql_txn_timetravel"      -> (SqlSurface.txnTimeTravel _),
     "sql_txn_skip"            -> (SqlSurface.txnSkip _),
+    "sql_txn_evolve"          -> (SqlSurface.txnEvolve _),
     "sql_txn_delete"          -> (SqlSurface.txnDelete _),
     "sql_txn_merge"           -> (SqlSurface.txnMerge _),
     "sql_txn_update"          -> (SqlSurface.txnUpdate _),
@@ -1227,6 +1228,17 @@ object SparkEntry {
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS skip_ok
         |FROM b, r WHERE k >= lo AND k < hi""".stripMargin,
+    // ALTER TABLE ADD COLUMN through the catalog: old rows read the new
+    // column as NULL, the post-evolution insert computes it; the
+    // metadata-only property travels as a boolean
+    "sql_txn_evolve" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT k AS o_orderkey, CAST(price AS DOUBLE) AS price,
+        |  CAST(NULL AS DOUBLE) AS bonus, TRUE AS evolve_ok FROM b
+        |UNION ALL
+        |SELECT k + 100000000, CAST(price AS DOUBLE),
+        |  CAST(k % 100 AS DOUBLE), TRUE FROM b WHERE k % 13 = 0""".stripMargin,
     // SQL DELETE through the catalog: survivors replayed from the
     // quarter-cut rule; the metadata-only file accounting travels as a
     // boolean

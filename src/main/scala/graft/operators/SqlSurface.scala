@@ -205,6 +205,46 @@ object SqlSurface {
     s.sql(sel).withColumn("skip_ok", lit(ok))
   }
 
+  /** sql_txn_evolve: ADD-COLUMN schema evolution as PURE SQL TEXT —
+    * `ALTER TABLE … ADD COLUMN` routed to the metadata-only evolve
+    * commit: ONE manifest write records the widened schema, every data
+    * file carries verbatim (asserted: the evolve commit's entry paths
+    * are byte-identical to the previous version's), old files read the
+    * new column as NULL from the committed schema. A post-evolution
+    * INSERT then lands rows WITH the column. Hashed output = the full
+    * table (old rows NULL bonus, new rows computed bonus — replayable
+    * arithmetic); `evolve_ok` asserts the pre-evolution version keeps
+    * its 2-column schema, the audit trail, and the zero-rewrite
+    * property. At 100 TB: adding a column costs O(metadata). */
+  def txnEvolve(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "ev_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.ev_orders (
+      o_orderkey BIGINT, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    s.sql("""INSERT INTO graft.q.ev_orders
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    s.sql("ALTER TABLE graft.q.ev_orders ADD COLUMN bonus DOUBLE")
+    s.sql("""INSERT INTO graft.q.ev_orders
+      SELECT o_orderkey + 100000000, CAST(o_totalprice AS DECIMAL(12,2)),
+        CAST(o_orderkey % 100 AS DOUBLE)
+      FROM orders WHERE o_orderkey % 13 = 0""")
+    val preCols = s.sql(
+      "SELECT * FROM graft.q.ev_orders VERSION AS OF 1").schema.fieldNames
+    val nowCols = s.sql("SELECT * FROM graft.q.ev_orders").schema.fieldNames
+    // the evolve commit rewrote NOTHING: same entry paths as version 1
+    val zeroRewrite = TxnTable.manifest(s, loc, 2L).entries.map(_.path) ==
+      TxnTable.manifest(s, loc, 1L).entries.map(_.path)
+    val ok = preCols.toSeq == Seq("o_orderkey", "price") &&
+      nowCols.toSeq == Seq("o_orderkey", "price", "bonus") &&
+      zeroRewrite &&
+      TxnTable.history(s, loc).map(_._2) ==
+        Seq("create", "append", "evolve", "append")
+    s.sql("""SELECT o_orderkey, CAST(price AS DOUBLE) AS price, bonus
+      FROM graft.q.ev_orders""")
+      .withColumn("evolve_ok", lit(ok))
+  }
+
   /** sql_txn_merge: MERGE INTO as PURE SQL TEXT — the full CDC
     * statement (conditional DELETE + UPDATE SET * + INSERT *) resolved
     * by the analyzer, swapped by GraftDmlRule for the eager command

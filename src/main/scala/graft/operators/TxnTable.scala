@@ -1582,6 +1582,35 @@ object TxnTable {
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
   }
 
+  /** ADD-COLUMN schema evolution as PURE METADATA: commit a new version
+    * whose manifest carries the widened schema and every prior entry
+    * VERBATIM — zero files touched, zero data moved. On a 100 TB table
+    * adding a column costs one manifest write; prior files read NULL for
+    * the new columns from then on (readers plan from the committed
+    * schema — parquet resolves requested-but-absent columns by name).
+    * This is [[appendEvolve]] minus the appended batch — the shape
+    * `ALTER TABLE ADD COLUMN` compiles to. New columns must be nullable
+    * (the existing rows have no value to give a NOT NULL column) and
+    * must not collide with existing names. */
+  def addColumns(s: SparkSession, table: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    val have = m.schema.getOrElse(snapshot(s, table, cur).schema)
+    cols.foreach { f =>
+      require(f.nullable,
+        s"added column '${f.name}' must be nullable: existing rows read " +
+          "it as NULL")
+      require(!have.fieldNames.contains(f.name),
+        s"column '${f.name}' already exists in $table")
+    }
+    commit(s, table, m.entries.map(render), cur, op = "evolve",
+      schemaJson = org.apache.spark.sql.types.StructType(
+        have.fields ++ cols).json,
+      deleteLines = m.deletes, idxCols = m.idxCols,
+      strIdxCols = m.strIdxCols, blooms = m.blooms)
+  }
+
   /** Compaction THROUGH the log: stage the current snapshot rewritten at a
     * byte-derived target file count (128 MiB target, same recipe as
     * q44_compaction), overwrite-commit. Content-invariant by construction;

@@ -156,11 +156,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** `ALTER TABLE ADD COLUMN(S)` — routed to the metadata-only evolve
+    * commit ([[TxnTable.addColumns]]): one manifest write records the
+    * widened schema, every data file carries verbatim, old files read
+    * the new columns as NULL. Only top-level trailing nullable columns
+    * are supported (the only shape that IS pure metadata); every other
+    * TableChange fails loudly. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: ALTER TABLE not supported; schema evolves through " +
-        "appendEvolve commits")
+      changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"$catalogName: nested ADD COLUMN ${a.fieldNames.mkString(".")} " +
+            "not supported")
+        require(a.position == null,
+          s"$catalogName: ADD COLUMN supports appending at the end only " +
+            "(FIRST/AFTER would re-order files' columns)")
+        require(a.isNullable,
+          s"$catalogName: added column '${a.fieldNames.head}' must be " +
+            "nullable — existing rows read it as NULL")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName: unsupported ALTER TABLE change $other (only " +
+          "ADD COLUMN evolves a table's schema in the log)")
+    }
+    TxnTable.addColumns(spark, path, adds)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = new Path(tablePath(ident))

@@ -248,6 +248,38 @@ class CatalogSpec extends SparkSpec {
     assert(TxnTable.versions(spark, loc) === (0L to 4L))
   }
 
+  test("ALTER TABLE ADD COLUMN evolves as pure metadata") {
+    val t = fresh("sqlevolve")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, 'a' FROM RANGE(10)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    sql(s"ALTER TABLE graft.spec.$t ADD COLUMN w DOUBLE")
+    // the evolve commit rewrote nothing
+    assert(TxnTable.manifest(spark, loc, 2L).entries.map(_.path) ===
+      TxnTable.manifest(spark, loc, 1L).entries.map(_.path))
+    // old files read NULL; new inserts carry the column
+    sql(s"INSERT INTO graft.spec.$t SELECT id + 10, 'b', CAST(id AS DOUBLE) " +
+      "FROM RANGE(5)")
+    val got = sql(s"SELECT k, w FROM graft.spec.$t").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1)))
+      .toMap
+    assert(got(3L) === -1.0 && got(12L) === 2.0)
+    // pre-evolution version keeps its 2-column schema
+    assert(sql(s"SELECT * FROM graft.spec.$t VERSION AS OF 1")
+      .schema.fieldNames.toSeq === Seq("k", "v"))
+    // library reads see the evolution identically
+    assert(TxnTable.snapshot(spark, loc).schema.fieldNames.toSeq ===
+      Seq("k", "v", "w"))
+    // unsupported shapes fail loudly
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.spec.$t DROP COLUMN v")
+    }
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.spec.$t ADD COLUMN z DOUBLE FIRST")
+    }
+  }
+
   test("DROP and re-CREATE; listTables sees only tables") {
     val t = fresh("droppable")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
