@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL MERGE INTO / UPDATE over GraftCatalog tables → the file-pruned
     // TxnTable change machinery (graft.sources.GraftDmlRule)
     ext.injectResolutionRule(graft.sources.GraftDmlRule)
+    // SQL READS of merge-on-read snapshots → the tombstone anti-join
+    // plan (graft.sources.GraftMorReadRule); DML targets keep their
+    // relation for the rule above
+    ext.injectResolutionRule(graft.sources.GraftMorReadRule)
   }
 }

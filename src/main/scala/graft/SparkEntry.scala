@@ -67,6 +67,7 @@ object SparkEntry {
     "sql_txn_timetravel"      -> (SqlSurface.txnTimeTravel _),
     "sql_txn_skip"            -> (SqlSurface.txnSkip _),
     "sql_txn_evolve"          -> (SqlSurface.txnEvolve _),
+    "sql_txn_mor"             -> (SqlSurface.txnMor _),
     "sql_txn_delete"          -> (SqlSurface.txnDelete _),
     "sql_txn_merge"           -> (SqlSurface.txnMerge _),
     "sql_txn_update"          -> (SqlSurface.txnUpdate _),
@@ -1239,6 +1240,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT k + 100000000, CAST(price AS DOUBLE),
         |  CAST(k % 100 AS DOUBLE), TRUE FROM b WHERE k % 13 = 0""".stripMargin,
+    // Merge-on-read delete visible to pure SQL reads: survivors are the
+    // non-%9 keys; SQL/library parity, pinning and the zero-rewrite
+    // property travel as a boolean
+    "sql_txn_mor" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |  TRUE AS mor_ok
+        |FROM orders WHERE o_orderkey % 9 <> 0""".stripMargin,
     // SQL DELETE through the catalog: survivors replayed from the
     // quarter-cut rule; the metadata-only file accounting travels as a
     // boolean

@@ -245,6 +245,49 @@ object SqlSurface {
       .withColumn("evolve_ok", lit(ok))
   }
 
+  /** sql_txn_mor: merge-on-read DELETE visible to PURE SQL READS — the
+    * GDPR-shape delete ([[TxnTable.deleteKeysMor]]: one tombstone file
+    * committed as manifest metadata, ZERO data rewritten — asserted:
+    * the delete commit's entry paths are byte-identical to the previous
+    * version's) followed by a plain `SELECT … FROM graft.q.t`: the
+    * analyzer swaps the tombstoned relation for the snapshot anti-join
+    * plan, so SQL readers see through tombstones exactly like library
+    * readers — no refusal, no resurrected rows. Hashed output = the
+    * surviving rows (the %9 rule is oracle-replayable); `mor_ok`
+    * asserts SQL/library parity, the pinned pre-delete version still
+    * seeing every row through SQL, the zero-rewrite property, and the
+    * audit trail. */
+  def txnMor(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mor_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mor_orders (
+      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    s.sql("""INSERT INTO graft.q.mor_orders
+      SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders""")
+    TxnTable.deleteKeysMor(s, loc,
+      s.sql("SELECT o_orderkey FROM orders WHERE o_orderkey % 9 = 0"),
+      "o_orderkey")
+    def cnt(q: String): Long = s.sql(q).collect()(0).getLong(0)
+    val nBase = cnt("SELECT COUNT(*) AS n FROM orders")
+    val nDead = cnt(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 9 = 0")
+    val zeroRewrite = TxnTable.manifest(s, loc, 2L).entries.map(_.path) ==
+      TxnTable.manifest(s, loc, 1L).entries.map(_.path)
+    val ok = cnt("SELECT COUNT(*) AS n FROM graft.q.mor_orders") ==
+        nBase - nDead &&
+      TxnTable.snapshot(s, loc).count() == nBase - nDead &&
+      cnt("SELECT COUNT(*) AS n FROM graft.q.mor_orders VERSION AS OF 1") ==
+        nBase &&
+      zeroRewrite &&
+      TxnTable.history(s, loc).map(_._2) ==
+        Seq("create", "append", "delete_mor")
+    s.sql("""SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+      FROM graft.q.mor_orders""")
+      .withColumn("mor_ok", lit(ok))
+  }
+
   /** sql_txn_merge: MERGE INTO as PURE SQL TEXT — the full CDC
     * statement (conditional DELETE + UPDATE SET * + INSERT *) resolved
     * by the analyzer, swapped by GraftDmlRule for the eager command

@@ -281,6 +281,15 @@ class GraftTable(ident: String, private[sources] val location: String,
   private def spark: SparkSession = SparkSession.active
   private lazy val m = TxnTable.manifest(spark, location, version)
 
+  /** The pinned snapshot version this relation resolves (for the
+    * merge-on-read READ swap — [[GraftMorReadRule]]). */
+  private[sources] def pinnedVersion: Long = version
+
+  /** Whether this snapshot carries pending merge-on-read tombstones —
+    * a plain live-file scan would resurrect deleted rows, so SQL reads
+    * must go through the snapshot anti-join plan instead. */
+  private[sources] def hasTombstones: Boolean = m.deletes.nonEmpty
+
   override def name(): String = ident
 
   override def schema(): StructType =

@@ -56,6 +56,46 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+/** Merge-on-read SQL READS: a [[GraftTable]] snapshot carrying pending
+  * sequenced tombstones cannot be served by a plain parquet scan of its
+  * live files — the scan would resurrect the tombstoned rows. This rule
+  * swaps such a relation (READ positions only — DML targets keep their
+  * relation so the DML rules above and the delete path still see the
+  * table) for the exact plan the library read builds:
+  * [[TxnTable.snapshot]]'s per-sequence-group scan with the tombstone
+  * anti-joins, projected back onto the relation's output attribute ids.
+  * SQL readers — current or pinned via `VERSION AS OF` — then see
+  * through tombstones precisely like library readers; filter pushdown
+  * and column pruning still apply to the underlying parquet relations
+  * through Catalyst. The scan-builder refusal remains as the loud
+  * backstop for paths that bypass analysis. */
+case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Alias
+
+  override def apply(plan: LogicalPlan): LogicalPlan = swap(plan)
+
+  private def swap(plan: LogicalPlan): LogicalPlan = plan match {
+    // DML targets are compiled by GraftDmlRule / SupportsDeleteV2 and
+    // resolve tombstones inside the TxnTable machinery — only the MERGE
+    // source position is a read
+    case m: MergeIntoTable => m.copy(sourceTable = swap(m.sourceTable))
+    case u: UpdateTable => u
+    case d: DeleteFromTable => d
+    case r: DataSourceV2Relation => r.table match {
+      case g: GraftTable if g.hasTombstones =>
+        val snap = TxnTable.snapshot(session, g.location, g.pinnedVersion)
+        val child = snap.queryExecution.analyzed
+        val byName = child.output.map(a => a.name -> a).toMap
+        // preserve the relation's attribute ids: downstream operators
+        // were resolved against them
+        Project(r.output.map(a =>
+          Alias(byName(a.name), a.name)(exprId = a.exprId)), child)
+      case _ => r
+    }
+    case other => other.mapChildren(swap)
+  }
+}
+
 /** Shared compile helpers for the eager DML commands. */
 private[sources] object GraftDml {
   def df(session: SparkSession, plan: LogicalPlan): DataFrame =

@@ -109,19 +109,31 @@ class CatalogSpec extends SparkSpec {
     assert(sql(s"SELECT * FROM graft.spec.$t VERSION AS OF 1").count() === 10)
   }
 
-  test("pending MoR tombstones refuse the DSv2 scan loudly") {
+  test("SQL reads see through pending MoR tombstones like library reads") {
     val t = fresh("sqlmor")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING)")
     sql(s"INSERT INTO graft.spec.$t SELECT id, 'a' FROM RANGE(10)")
     val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
     val s2 = spark
     import s2.implicits._
-    TxnTable.deleteKeysMor(spark, loc, Seq(3L).toDF("k"), "k")
-    val e = intercept[Exception] {
-      sql(s"SELECT * FROM graft.spec.$t").count()
-    }
-    assert(e.getMessage.contains("tombstones"), e.getMessage)
-    // compaction applies them; the SQL read then works again
+    TxnTable.deleteKeysMor(spark, loc, Seq(3L, 7L).toDF("k"), "k")
+    // the read swaps to the snapshot anti-join plan: tombstoned rows
+    // invisible, everything else intact — no refusal, no resurrection
+    val keys = sql(s"SELECT k FROM graft.spec.$t").collect()
+      .map(_.getLong(0)).toSet
+    assert(keys === (0L until 10L).toSet -- Set(3L, 7L))
+    // filters and projections compose over the swapped plan
+    assert(sql(s"SELECT v FROM graft.spec.$t WHERE k >= 5").count() === 4)
+    // a pinned PRE-delete version still sees every row through SQL
+    assert(sql(s"SELECT * FROM graft.spec.$t VERSION AS OF 1").count() === 10)
+    // library parity at the tombstoned version
+    assert(TxnTable.snapshot(spark, loc).count() ===
+      sql(s"SELECT * FROM graft.spec.$t").count())
+    // a re-inserted tombstoned key is NEWER than the delete: visible
+    sql(s"INSERT INTO graft.spec.$t SELECT 3, 'back' FROM RANGE(1)")
+    assert(sql(s"SELECT v FROM graft.spec.$t WHERE k = 3").collect()
+      .map(_.getString(0)).toSeq === Seq("back"))
+    // compaction applies tombstones; the plain scan path serves again
     TxnTable.compact(spark, loc)
     assert(sql(s"SELECT * FROM graft.spec.$t").count() === 9)
   }
