@@ -68,6 +68,7 @@ object SparkEntry {
     "sql_txn_skip"            -> (SqlSurface.txnSkip _),
     "sql_txn_evolve"          -> (SqlSurface.txnEvolve _),
     "sql_txn_mor"             -> (SqlSurface.txnMor _),
+    "sql_txn_history"         -> (SqlSurface.txnHistory _),
     "sql_txn_delete"          -> (SqlSurface.txnDelete _),
     "sql_txn_merge"           -> (SqlSurface.txnMerge _),
     "sql_txn_update"          -> (SqlSurface.txnUpdate _),
@@ -1240,6 +1241,17 @@ object SparkEntry {
         |UNION ALL
         |SELECT k + 100000000, CAST(price AS DOUBLE),
         |  CAST(k % 100 AS DOUBLE), TRUE FROM b WHERE k % 13 = 0""".stripMargin,
+    // Maintenance as SQL: the audit trail read back through the
+    // `.history` metadata table after compact/checkpoint/restore/vacuum
+    // procedures — literal at any SF (single-file inserts); the
+    // lifecycle assertions travel as a boolean
+    "sql_txn_history" ->
+      """SELECT CAST(version AS BIGINT) AS version, operation,
+        |  CAST(live_files AS BIGINT) AS live_files, TRUE AS maint_ok
+        |FROM (VALUES (0, 'create', 1), (1, 'append', 2),
+        |  (2, 'append', 3), (3, 'compact', 1),
+        |  (4, 'append', 2), (5, 'restore', 1))
+        |  AS t(version, operation, live_files)""".stripMargin,
     // Merge-on-read delete visible to pure SQL reads: survivors are the
     // non-%9 keys; SQL/library parity, pinning and the zero-rewrite
     // property travel as a boolean

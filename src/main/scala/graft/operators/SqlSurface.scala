@@ -288,6 +288,65 @@ object SqlSurface {
       .withColumn("mor_ok", lit(ok))
   }
 
+  /** sql_txn_history: table MAINTENANCE as PURE SQL — the audit trail
+    * as a metadata TABLE (`SELECT … FROM graft.q.t.history`, the
+    * Delta/Iceberg shape, planned as a LocalScan over the log: no jobs,
+    * no data I/O) and the maintenance operations as PROCEDURES
+    * (`CALL graft.system.compact/checkpoint/restore/vacuum`). The
+    * scenario runs the production lifecycle — append, append, OPTIMIZE-
+    * equivalent compact, checkpoint, append, rollback via restore,
+    * checkpoint again, VACUUM retain 1 — and hashes the trail read back
+    * through pure SQL. `maint_ok` asserts: compaction preserved count;
+    * restore rolled content back to the compacted version (the
+    * post-compact append's rows gone); the checkpointed history read
+    * costs ONE log read even after vacuum erased five manifests (audit
+    * outlives retention); the current read still serves; and a vacuumed
+    * version fails loudly instead of resolving. */
+  def txnHistory(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "h_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.h_orders (
+      o_orderkey BIGINT, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    def cnt(q: String): Long = s.sql(q).collect()(0).getLong(0)
+    val mid = cnt("SELECT (MIN(o_orderkey) + MAX(o_orderkey)) DIV 2 AS m " +
+      "FROM orders")
+    s.sql(s"""INSERT INTO graft.q.h_orders
+      SELECT /*+ REPARTITION(1) */ o_orderkey,
+        CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey < $mid""")
+    s.sql(s"""INSERT INTO graft.q.h_orders
+      SELECT /*+ REPARTITION(1) */ o_orderkey,
+        CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey >= $mid""")
+    val nBase = cnt("SELECT COUNT(*) AS n FROM orders")
+    s.sql("CALL graft.system.compact('q.h_orders')")
+    val afterCompact = cnt("SELECT COUNT(*) AS n FROM graft.q.h_orders")
+    s.sql("CALL graft.system.checkpoint('q.h_orders')")
+    s.sql("""INSERT INTO graft.q.h_orders
+      SELECT /*+ REPARTITION(1) */ o_orderkey + 100000000,
+        CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey % 7 = 0""")
+    s.sql("CALL graft.system.restore('q.h_orders', 3)")
+    val afterRestore = cnt("SELECT COUNT(*) AS n FROM graft.q.h_orders")
+    // checkpoint THEN vacuum — the production discipline that keeps the
+    // audit complete once retention erases the old manifests
+    s.sql("CALL graft.system.checkpoint('q.h_orders')")
+    s.sql("CALL graft.system.vacuum('q.h_orders', 1)")
+    val r0 = TxnTable.logReads.get()
+    val trail = TxnTable.history(s, loc)
+    val historyReads = TxnTable.logReads.get() - r0
+    val vacuumedGone = scala.util.Try(
+      s.sql("SELECT COUNT(*) AS n FROM graft.q.h_orders VERSION AS OF 1")
+        .collect()).isFailure
+    val ok = afterCompact == nBase && afterRestore == nBase &&
+      cnt("SELECT COUNT(*) AS n FROM graft.q.h_orders") == nBase &&
+      historyReads == 1L && trail.size == 6 && vacuumedGone
+    s.sql("""SELECT version, operation, live_files
+      FROM graft.q.h_orders.history""")
+      .withColumn("maint_ok", lit(ok))
+  }
+
   /** sql_txn_merge: MERGE INTO as PURE SQL TEXT — the full CDC
     * statement (conditional DELETE + UPDATE SET * + INSERT *) resolved
     * by the analyzer, swapped by GraftDmlRule for the eager command

@@ -55,7 +55,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * through `TxnTable.snapshot`, which anti-joins them) — a plain
   * parquet scan of the live files would resurrect tombstoned rows.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -94,8 +95,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(Identifier.of(namespace, _))
   }
 
-  override def loadTable(ident: Identifier): Table =
+  override def loadTable(ident: Identifier): Table = {
+    // METADATA TABLES (the Delta/Iceberg `t.history` shape): when
+    // `graft.ns.t.history` / `.files` names no real table but its
+    // PARENT is one, serve the driver-computed log view
+    if (!isTable(tablePath(ident)) && ident.namespace().nonEmpty &&
+        GraftCatalog.metaTables.contains(ident.name())) {
+      val parent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      val parentPath = tablePath(parent)
+      if (isTable(parentPath)) {
+        val full = s"$catalogName.${ident.toString}"
+        return ident.name() match {
+          case "history" => GraftMaintenance.historyTable(full, parentPath)
+          case "files"   => GraftMaintenance.filesTable(full, parentPath)
+        }
+      }
+    }
     loadAt(ident, -1L)
+  }
+
+  // ---- ProcedureCatalog: CALL graft.system.<proc>(...) ----
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"$catalogName procedures live in the 'system' namespace, got " +
+        ident.toString)
+    GraftMaintenance.load(this, warehouse, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftMaintenance.procedures
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   /** `VERSION AS OF <v>` — pin the snapshot at an explicit version. A
     * negative or not-yet-committed version fails loudly (a silent
@@ -260,6 +293,9 @@ object GraftCatalog {
     s.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$name.warehouse", defaultWarehouse)
   }
+
+  /** The reserved metadata-table suffixes (`graft.ns.t.history`…). */
+  private[sources] val metaTables = Set("history", "files")
 
   /** Manifest-prune accounting for DSv2 scans, cumulative since process
     * start (instrumentation, the [[TxnTable.logReads]] pattern): how

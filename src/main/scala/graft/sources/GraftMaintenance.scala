@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.util
+
+import graft.operators.TxnTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maintenance surfaced as SQL — the two public shapes side by side:
+  *
+  *   - METADATA TABLES (the Delta `DESCRIBE HISTORY` / Iceberg
+  *     `t.history` shape): `SELECT * FROM graft.ns.t.history` and
+  *     `graft.ns.t.files` resolve to driver-computed [[LocalScan]]s
+  *     over the log — the audit trail (via [[TxnTable.history]], one
+  *     checkpoint read + tail when checkpointed) and the live-file
+  *     manifest entries with their stat spans. O(metadata) at any
+  *     table size; never touches data.
+  *
+  *   - PROCEDURES (the Iceberg `CALL cat.system.*` shape, Spark 4's
+  *     ProcedureCatalog): `CALL graft.system.compact('ns.t')`,
+  *     `vacuum('ns.t', retain)`, `checkpoint('ns.t')`,
+  *     `restore('ns.t', version)`, `recluster('ns.t', 'c1,c2')` —
+  *     each routes to the library operation and returns its result
+  *     version as a one-row result set.
+  */
+private[sources] object GraftMaintenance {
+
+  def historyTable(ident: String, location: String): Table =
+    new GraftMetaTable(ident,
+      StructType(Seq(StructField("version", LongType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("live_files", LongType, nullable = false))),
+      s => TxnTable.history(s, location).map { case (v, op, n) =>
+        new GenericInternalRow(
+          Array[Any](v, UTF8String.fromString(op), n)): InternalRow
+      }.toArray)
+
+  def filesTable(ident: String, location: String): Table =
+    new GraftMetaTable(ident,
+      StructType(Seq(StructField("path", StringType, nullable = false),
+        StructField("seq", LongType, nullable = false),
+        StructField("rows", LongType, nullable = true),
+        StructField("stat_cols", StringType, nullable = false))),
+      s => {
+        val m = TxnTable.manifest(s, location,
+          TxnTable.currentVersion(s, location))
+        m.entries.map { e =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(e.path), e.seq,
+            e.hlls.headOption.map(h => h.rows: Any).orNull,
+            UTF8String.fromString(
+              (e.stats.map(_.col) ++ e.strStats.map(_.col + "~s"))
+                .mkString(",")))): InternalRow
+        }.toArray
+      })
+
+  /** Resolve `'ns.t'` (catalog-relative) to the table's filesystem
+    * location, failing loudly when it doesn't exist. */
+  def resolveTable(warehouse: String, ref: String): String = {
+    val parts = ref.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"procedure table argument must be 'namespace.table', got '$ref'")
+    (warehouse +: parts).mkString("/")
+  }
+
+  def procedures: Seq[String] =
+    Seq("compact", "vacuum", "checkpoint", "restore", "recluster")
+
+  def load(catalog: GraftCatalog, warehouse: String, name: String)
+      : UnboundProcedure = {
+    def p(n: String, params: Seq[ProcedureParameter])(
+        run: (SparkSession, InternalRow) => Long): UnboundProcedure =
+      new GraftProcedure(n, params.toArray, run)
+    def tbl(s: SparkSession, input: InternalRow): String = {
+      val loc = resolveTable(warehouse, input.getUTF8String(0).toString)
+      require(TxnTable.versions(s, loc).nonEmpty,
+        s"graft procedure: '$loc' is not a committed table")
+      loc
+    }
+    val tableParam = ProcedureParameter.in("table", StringType).build()
+    name match {
+      case "compact" => p("compact", Seq(tableParam)) { (s, in) =>
+        TxnTable.compact(s, tbl(s, in))
+      }
+      case "vacuum" => p("vacuum", Seq(tableParam,
+        ProcedureParameter.in("retain", IntegerType)
+          .defaultValue("1").build())) { (s, in) =>
+        val loc = tbl(s, in)
+        TxnTable.vacuum(s, loc, in.getInt(1))
+        TxnTable.currentVersion(s, loc)
+      }
+      case "checkpoint" => p("checkpoint", Seq(tableParam)) { (s, in) =>
+        TxnTable.checkpoint(s, tbl(s, in))
+      }
+      case "restore" => p("restore", Seq(tableParam,
+        ProcedureParameter.in("version", LongType).build())) { (s, in) =>
+        TxnTable.restore(s, tbl(s, in), in.getLong(1))
+      }
+      case "recluster" => p("recluster", Seq(tableParam,
+        ProcedureParameter.in("index_cols", StringType).build(),
+        ProcedureParameter.in("str_index_cols", StringType)
+          .defaultValue("''").build())) { (s, in) =>
+        def cols(i: Int): Seq[String] = {
+          val v = in.getUTF8String(i).toString
+          if (v.isEmpty) Nil else v.split(',').toSeq
+        }
+        TxnTable.recluster(s, tbl(s, in), cols(1), cols(2))
+      }
+      case other => throw new UnsupportedOperationException(
+        s"graft.system has no procedure '$other' " +
+          s"(has: ${procedures.mkString(", ")})")
+    }
+  }
+}
+
+/** A driver-computed metadata table: BATCH_READ through a [[LocalScan]]
+  * whose rows are produced from the log at scan-build time. The row
+  * count is O(#versions) or O(#files) — driver-scale metadata, which is
+  * what makes LocalScan (→ LocalTableScanExec) the right plan: no jobs,
+  * no shuffles, filters/projections applied on top by Catalyst. */
+private[sources] class GraftMetaTable(ident: String, tableSchema: StructType,
+    rows: SparkSession => Array[InternalRow])
+    extends Table with SupportsRead {
+
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new LocalScan {
+      override def readSchema(): StructType = tableSchema
+      override def rows(): Array[InternalRow] =
+        GraftMetaTable.this.rows(SparkSession.active)
+    }
+  }
+}
+
+/** One maintenance procedure: unbound = bound (the parameter list is
+  * static); `call` runs the library operation and returns its result
+  * version as a one-row LocalScan — the CALL statement's result set. */
+private[sources] class GraftProcedure(procName: String,
+    params: Array[ProcedureParameter],
+    run: (SparkSession, InternalRow) => Long)
+    extends UnboundProcedure with BoundProcedure {
+
+  override def name(): String = procName
+  override def description(): String =
+    s"graft table maintenance: $procName"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def parameters(): Array[ProcedureParameter] = params
+  override def isDeterministic: Boolean = false
+
+  override def call(input: InternalRow): util.Iterator[Scan] = {
+    val version = run(SparkSession.active, input)
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType =
+        StructType(Seq(StructField("version", LongType, nullable = false)))
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(Array[Any](version)))
+    }
+    util.Collections.singletonList(scan).iterator()
+  }
+}

@@ -292,6 +292,58 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("maintenance procedures and metadata tables cover the lifecycle") {
+    val t = fresh("sqlmaint")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    (0 until 3).foreach { i =>
+      sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 100}, 'x' FROM RANGE(100)")
+    }
+    // OPTIMIZE-equivalent: CALL compact preserves content, one commit
+    val v = sql(s"CALL graft.system.compact('spec.$t')")
+      .collect()(0).getLong(0)
+    assert(v === 4L)
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 300)
+    // the files metadata table reflects the compacted layout
+    assert(sql(s"SELECT * FROM graft.spec.$t.files").count() === 1)
+    // history metadata table = the full audit trail
+    val ops = sql(s"SELECT operation FROM graft.spec.$t.history ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+    assert(ops === Seq("create", "append", "append", "append", "compact"))
+    // restore rolls content back as one commit; trail keeps rolling
+    sql(s"CALL graft.system.restore('spec.$t', 3)")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 300)
+    // VACUUM-equivalent, with the op_vacuum safety contract: checkpoint
+    // first (audit outlives retention), then vacuum retain 1 — old
+    // versions fail loudly, the current read is untouched, and the
+    // pre-compaction files are actually gone from disk
+    sql(s"CALL graft.system.checkpoint('spec.$t')")
+    val before = TxnTable.liveFiles(spark, loc, 1L).toSet
+    sql(s"CALL graft.system.vacuum('spec.$t', 1)")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 300)
+    intercept[Exception] {
+      sql(s"SELECT * FROM graft.spec.$t VERSION AS OF 1").count()
+    }
+    val fs = new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val kept = TxnTable.liveFiles(spark, loc,
+      TxnTable.currentVersion(spark, loc)).toSet
+    before.diff(kept).foreach { rel =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$loc/$rel")),
+        s"vacuum left dead file $rel")
+    }
+    // checkpointed history survives the vacuumed manifests
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t.history")
+      .collect()(0).getLong(0) === 6)
+    // unknown procedure fails loudly
+    intercept[Exception] { sql(s"CALL graft.system.nonsense('spec.$t')") }
+  }
+
   test("DROP and re-CREATE; listTables sees only tables") {
     val t = fresh("droppable")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
