@@ -77,6 +77,14 @@ object Probe {
           .as[(Long, Long)].collect().toSet
         val missed = brute -- cands
         println(s"EMBEDCOVER true=${brute.size} cands=${cands.size} missed=${missed.size} $missed")
+      case other if SparkEntry.queries.contains(other) =>
+        // run any registered query by name and surface its *_ok flags
+        val df = SparkEntry.queries(other)(spark, d)
+        val okCols = df.schema.fieldNames.filter(_.endsWith("_ok"))
+        println(s"ROWS=${df.count()}")
+        if (okCols.nonEmpty)
+          df.select(okCols.map(col): _*).distinct().show(5, false)
+        else df.show(5, false)
       case other => println(s"unknown probe: $other")
     }
     spark.stop()

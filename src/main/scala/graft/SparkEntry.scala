@@ -70,6 +70,8 @@ object SparkEntry {
     "sql_txn_mor"             -> (SqlSurface.txnMor _),
     "sql_txn_history"         -> (SqlSurface.txnHistory _),
     "sql_txn_delete"          -> (SqlSurface.txnDelete _),
+    "sql_txn_delete_str"      -> (SqlSurface.txnDeleteStr _),
+    "sql_txn_delete_multi"    -> (SqlSurface.txnDeleteMulti _),
     "sql_txn_merge"           -> (SqlSurface.txnMerge _),
     "sql_txn_update"          -> (SqlSurface.txnUpdate _),
     "op_vacuum"               -> (TxnTable.vacuumTable _),
@@ -1272,6 +1274,26 @@ object SparkEntry {
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS del_ok
         |FROM b, r WHERE k < lo OR k >= hi""".stripMargin,
+    // String-keyed SQL DELETE: survivors are every status except the
+    // lexicographically smallest; the metadata-only drop accounting
+    // travels as a boolean
+    "sql_txn_delete_str" ->
+      """SELECT o_orderkey, o_orderstatus AS st,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |  TRUE AS dstr_ok
+        |FROM orders
+        |WHERE o_orderstatus <> (SELECT MIN(o_orderstatus) FROM orders)""".stripMargin,
+    // Multi-column SQL DELETE conjunction: key range pruned from the
+    // manifest, status as residual; survivors replayed from both rules
+    "sql_txn_delete_multi" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |m AS (SELECT MIN(k) AS kmin, MAX(k) - MIN(k) AS span FROM b),
+        |r AS (SELECT kmin + (span+1)//4 AS lo,
+        |             kmin + 2*(span+1)//4 AS hi FROM m)
+        |SELECT k AS o_orderkey, st, CAST(price AS DOUBLE) AS price,
+        |  TRUE AS dmulti_ok
+        |FROM b, r WHERE NOT (k >= lo AND k < hi AND st = 'O')""".stripMargin,
     "ta_split" ->
       s"""SELECT ${splitBucketSql("doc_id")} AS split,
         |       COUNT(*) AS n

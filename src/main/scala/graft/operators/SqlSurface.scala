@@ -470,4 +470,92 @@ object SqlSurface {
       FROM graft.q.del_orders""")
       .withColumn("del_ok", lit(ok))
   }
+
+  /** sql_txn_delete_str: file-pruned DELETE keyed on a STRING column —
+    * `DELETE FROM graft.q.t WHERE st = '…'` routed through the catalog
+    * to [[TxnTable.deleteWhere]]'s string bounds, pruning from the
+    * manifest's TRUNCATED string stats (conservative by construction:
+    * recorded lo ≤ true min, recorded hi ≥ true max, so a metadata-only
+    * drop under truncation is still exact). Per-status single-file
+    * inserts give each file a single-value [st, st] range; deleting one
+    * status must DROP exactly that file without reading it (≤1 rewrite:
+    * the stat-less create sentinel), keep the others verbatim. Hashed
+    * output = the survivors (the status rule is oracle-replayable);
+    * `dstr_ok` asserts the accounting and the audit trail. */
+  def txnDeleteStr(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "ds_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.ds_orders (
+      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('strindex' = 'st')""")
+    // one single-file insert per status: each file's string range is the
+    // single value [status, status] — the layout string stats can prune
+    val statuses = s.sql(
+      "SELECT DISTINCT o_orderstatus AS st FROM orders ORDER BY st")
+      .collect().map(_.getString(0)).toSeq
+    statuses.foreach { st =>
+      s.sql(s"""INSERT INTO graft.q.ds_orders
+        SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderstatus = '$st'""")
+    }
+    val victim = statuses.head // replayable: lexicographic min status
+    s.sql(s"DELETE FROM graft.q.ds_orders WHERE st = '$victim'")
+    val res = TxnTable.commitMetrics(s, loc)
+    val trail = TxnTable.history(s, loc).map(_._2)
+    val ok = res("dropped") == 1 && res("rewritten") <= 1 &&
+      res("kept") == statuses.size - 1 &&
+      trail == Seq("create") ++ statuses.map(_ => "append") :+ "delete"
+    s.sql("""SELECT o_orderkey, st, CAST(price AS DOUBLE) AS price
+      FROM graft.q.ds_orders""")
+      .withColumn("dstr_ok", lit(ok))
+  }
+
+  /** sql_txn_delete_multi: MULTI-COLUMN DELETE conjunction — `WHERE k
+    * BETWEEN a AND b AND st = '…'` where only `k` is indexed: the key
+    * bounds PRUNE files from manifest stats (quarters outside the range
+    * keep their lines verbatim, never listed or opened), and the status
+    * conjunct — no stats — rides into the surviving files' rewrite as a
+    * RESIDUAL filter. Nothing can be dropped metadata-only (the stats
+    * can't prove every row of the quarter file matches the status), so
+    * the accounting must read dropped=0 / kept=3 / rewritten≤2 (the
+    * quarter file + the stat-less sentinel). Hashed output = the
+    * survivors (quarter-cut + status rules are oracle-replayable);
+    * `dmulti_ok` asserts accounting, trail, and the survivor count. */
+  def txnDeleteMulti(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "dm_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.dm_orders (
+      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    val b = s.sql("SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi " +
+      "FROM orders").collect()(0)
+    val (kmin, kmax) = (b.getLong(0), b.getLong(1))
+    val span = kmax - kmin
+    val qc = (0L to 4L).map(i => kmin + i * (span + 1) / 4)
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO graft.q.dm_orders
+        SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders
+        WHERE o_orderkey >= ${qc(i)} AND o_orderkey < ${qc(i + 1)}""")
+    }
+    def cnt(q: String): Long = s.sql(q).collect()(0).getLong(0)
+    val nBase = cnt("SELECT COUNT(*) AS n FROM orders")
+    val nDead = cnt("SELECT COUNT(*) AS n FROM orders WHERE " +
+      s"o_orderkey >= ${qc(1)} AND o_orderkey <= ${qc(2) - 1} " +
+      "AND o_orderstatus = 'O'")
+    s.sql("DELETE FROM graft.q.dm_orders " +
+      s"WHERE o_orderkey >= ${qc(1)} AND o_orderkey <= ${qc(2) - 1} " +
+      "AND st = 'O'")
+    val res = TxnTable.commitMetrics(s, loc)
+    val trail = TxnTable.history(s, loc).map(_._2)
+    val ok = res("dropped") == 0 && res("rewritten") <= 2 &&
+      res("kept") == 3 &&
+      cnt("SELECT COUNT(*) AS n FROM graft.q.dm_orders") == nBase - nDead &&
+      trail == Seq("create", "append", "append", "append", "append", "delete")
+    s.sql("""SELECT o_orderkey, st, CAST(price AS DOUBLE) AS price
+      FROM graft.q.dm_orders""")
+      .withColumn("dmulti_ok", lit(ok))
+  }
 }

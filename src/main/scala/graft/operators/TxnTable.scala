@@ -117,7 +117,7 @@ object TxnTable {
     * must not be re-deleted by it. */
   case class Entry(path: String, stats: Seq[ColStat],
       strStats: Seq[StrStat] = Nil, seq: Long = 0L,
-      hlls: Seq[HllStat] = Nil) {
+      hlls: Seq[HllStat] = Nil, bytes: Long = -1L) {
     def statFor(c: String): Option[(Long, Long)] =
       stats.collectFirst { case ColStat(`c`, lo, hi, _) => (lo, hi) }
     def nullsFor(c: String): Option[Long] =
@@ -207,7 +207,15 @@ object TxnTable {
     * followed by zero or more `<TAB>col<TAB>min<TAB>max<TAB>nulls` stat
     * groups (written by [[stageIndexed]]). */
   /** Current manifest format version, written as a `#format=` header.
-    * v4 = entry lines may carry NDV-sketch groups (`col~h TAB b64 TAB 0
+    * v5 = entry lines may carry ONE per-file byte-size group
+    * (`~b TAB bytes TAB 0 TAB 0` — the reserved `~b` name can never
+    * collide with a column: stageIndexed rejects names ending in a
+    * stat-kind suffix) alongside the others; a v4 reader would collect
+    * `~b` as a value stat on a phantom column, hence the bump. Sizes
+    * make the table's total byte weight manifest metadata — the input
+    * to broadcast-side planning ([[tableBytes]]), where bytes beat row
+    * counts whenever row width is skewed. v4 = entry lines may carry
+    * NDV-sketch groups (`col~h TAB b64 TAB 0
     * TAB 0` — still 4 fields, so the carried-line field-count invariant
     * holds) alongside stat groups; a v3 reader would mis-parse the
     * base64 as a bound, hence the bump. v3 = entry lines carry a data
@@ -226,7 +234,7 @@ object TxnTable {
     * have carried its version header from day one.) A NEWER format
     * fails with a clear unsupported-format error, never a cryptic
     * field-count require. */
-  private val ManifestFormat = 4L
+  private val ManifestFormat = 5L
 
   def manifest(s: SparkSession, table: String, v: Long): Manifest = {
     val lines = manifestText(s, table, v).linesIterator.toSeq
@@ -269,11 +277,15 @@ object TxnTable {
         val seq = if (seqField == 1) parts(1).toLong else 0L
         val groups = parts.drop(1 + seqField).grouped(groupLen).toSeq
         val stats = groups.collect {
-          case Array(c, lo, hi, n) if !c.endsWith("~s") && !c.endsWith("~h") =>
+          case Array(c, lo, hi, n) if !c.endsWith("~s") && !c.endsWith("~h") &&
+              c != "~b" =>
             ColStat(c, lo.toLong, hi.toLong, n.toLong)
           case Array(c, lo, hi) => // legacy v1: null count unknown
             ColStat(c, lo.toLong, hi.toLong, -1L)
         }
+        val bytes = groups.collectFirst {
+          case Array("~b", b, _, _) => b.toLong
+        }.getOrElse(-1L)
         val strs = groups.collect {
           case Array(c, lo, hi, n) if c.endsWith("~s") =>
             StrStat(c.stripSuffix("~s"), b64dec(lo), b64dec(hi), n.toLong)
@@ -282,7 +294,7 @@ object TxnTable {
           case Array(c, sk, n, _) if c.endsWith("~h") =>
             HllStat(c.stripSuffix("~h"), sk, n.toLong)
         }
-        Entry(parts.head, stats, strs, seq, hlls)
+        Entry(parts.head, stats, strs, seq, hlls, bytes)
       }
     val ts = lines.find(_.startsWith("#ts="))
       .map(_.stripPrefix("#ts=").toLong).getOrElse(-1L)
@@ -564,7 +576,8 @@ object TxnTable {
     * CONTENT its outputs were derived from (the read set — for a rewrite
     * that is the removed files themselves; an append reads nothing). */
   case class Change(added: Seq[String], removed: Set[String],
-      readSet: Set[String], op: String = "write")
+      readSet: Set[String], op: String = "write",
+      metrics: Seq[(String, Long)] = Nil)
 
   /** Outcome of a resolved commit: the landed version plus how the
     * conflicts were handled — `rebases` = CAS losses resolved as pure
@@ -609,7 +622,8 @@ object TxnTable {
       try {
         val v = commit(s, table, lines, base, op = ch.op,
           schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
-          idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
+          idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+          metrics = ch.metrics)
         return CommitOutcome(v, rebases, recomputes)
       } catch {
         case _: ConcurrentModificationException =>
@@ -729,7 +743,10 @@ object TxnTable {
     e.stats.map { case ColStat(c, lo, hi, n) => s"$c\t$lo\t$hi\t$n" } ++
       e.strStats.map { case StrStat(c, lo, hi, n) =>
         s"$c~s\t${b64enc(lo)}\t${b64enc(hi)}\t$n" } ++
-      e.hlls.map { case HllStat(c, sk, n) => s"$c~h\t$sk\t$n\t0" }
+      e.hlls.map { case HllStat(c, sk, n) => s"$c~h\t$sk\t$n\t0" } ++
+      // the per-file byte size rides as one more 4-field group, so the
+      // carried-line field-count invariant (%4) holds unchanged
+      (if (e.bytes >= 0) Seq(s"~b\t${e.bytes}\t0\t0") else Nil)
 
   /** Stage with per-file column statistics: like [[stage]], but each
     * manifest line carries (col, min, max) for every index column,
@@ -740,18 +757,30 @@ object TxnTable {
     * selective read). */
   def stageIndexed(s: SparkSession, table: String, df: DataFrame,
                    indexCols: Seq[String],
-                   strCols: Seq[String] = Nil): Seq[String] = {
+                   strCols: Seq[String] = Nil): Seq[String] =
+    indexStagedRels(s, table, stage(s, table, df), indexCols, strCols)
+
+  /** The stats pass of [[stageIndexed]] over ALREADY-STAGED files (all
+    * in one staging subdirectory): one scan of the staged files measures
+    * per-file (min, max, nulls) + NDV sketch + row count per index
+    * column, plus the on-disk byte size — callers that write files
+    * through a channel other than [[stage]] (the streaming sink's
+    * executor-side writers) index them here before committing. */
+  def indexStagedRels(s: SparkSession, table: String, rels: Seq[String],
+                      indexCols: Seq[String],
+                      strCols: Seq[String] = Nil): Seq[String] = {
     // the '~s' suffix discriminates stat kinds in the manifest, TAB
     // separates fields, and ',' separates the `#index=` header's column
     // list — a column name using any of them would corrupt every future
     // parse of the committed line
     (indexCols ++ strCols).foreach(c =>
-      require(!c.endsWith("~s") && !c.endsWith("~h") &&
+      require(!c.endsWith("~s") && !c.endsWith("~h") && c != "~b" &&
         !c.exists("\t\n,".contains(_)),
         s"index column name '$c' would corrupt the manifest format"))
-    val rels = stage(s, table, df)
-    if (rels.isEmpty) return rels
+    if (rels.isEmpty || (indexCols.isEmpty && strCols.isEmpty)) return rels
     val dir = rels.head.split('/').dropRight(1).mkString("/")
+    require(rels.forall(_.startsWith(dir + "/")),
+      "indexStagedRels expects one staging subdirectory")
     val aggs = indexCols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"lo_$c"),
       max(col(c)).cast("long").as(s"hi_$c"),
@@ -798,11 +827,21 @@ object TxnTable {
             r.getAs[Long](s"snn_$c"))
         })))
       .toMap
+    // per-file byte sizes from ONE directory listing of the staged dir —
+    // write-time metadata like the stats themselves; they feed the
+    // byte-weighted broadcast decision ([[tableBytes]])
+    val dirP = new Path(s"$table/$dir")
+    val sizes = fs(s, dirP).listStatus(dirP)
+      .map(st => (st.getPath.getName, st.getLen)).toMap
     rels.map { rel =>
       // a zero-row staged file has no stats row — keep it conservatively
+      // (and PATH-ONLY: downstream zero-row filters key on "no TAB")
+      val name = rel.split('/').last
       val (ints, hlls, strs) =
-        stats.getOrElse(rel.split('/').last, (Seq.empty, Seq.empty, Seq.empty))
-      renderFresh(Entry(rel, ints, strs, hlls = hlls))
+        stats.getOrElse(name, (Seq.empty, Seq.empty, Seq.empty))
+      val sz = if (ints.isEmpty && strs.isEmpty) -1L
+        else sizes.getOrElse(name, -1L)
+      renderFresh(Entry(rel, ints, strs, hlls = hlls, bytes = sz))
     }
   }
 
@@ -1024,24 +1063,54 @@ object TxnTable {
     if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
   }
 
+  /** Exact on-disk byte size of version `v` from MANIFEST METADATA
+    * ALONE: the per-file sizes the v5 stats pass records
+    * ([[stageIndexed]]), summed driver-side. None when any entry WITH
+    * stat groups predates the sizes (pre-v5) or the table is unindexed —
+    * callers fall back, never guess. A group-less entry in an indexed
+    * table is the zero-row sentinel: a few hundred bytes of parquet
+    * scaffolding, counted as 0 (it can never flip a broadcast-side
+    * decision). */
+  def tableBytes(s: SparkSession, table: String, v: Long = -1L)
+      : Option[Long] = {
+    val ver = if (v < 0) currentVersion(s, table) else v
+    val m = manifest(s, table, ver)
+    if (m.idxCols.isEmpty && m.strIdxCols.isEmpty) return None
+    val per = m.entries.map { e =>
+      if (e.bytes >= 0) Some(e.bytes)
+      else if (e.stats.isEmpty && e.strStats.isEmpty) Some(0L)
+      else None
+    }
+    if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+  }
+
   /** Join two snapshot tables with the broadcast side chosen from
     * MANIFEST STATS — the decision q47 gets from ANALYZE TABLE, here
     * answered by the log itself (no catalog, no stats job, no footer
-    * reads): the side with fewer rows ([[tableRows]], exact) builds the
-    * broadcast hash table. When either side predates the stats the
-    * decision falls back to Spark's own size-based planning (no hint).
-    * Returns the joined frame plus which side was broadcast
-    * (Some(true)=right, Some(false)=left, None=no stats decision). */
+    * reads). The build side is the one with fewer BYTES ([[tableBytes]],
+    * exact file sizes — what actually bounds the broadcast hash table's
+    * memory; a 10×-fewer-rows table of 100×-wider rows is the WRONG side
+    * by row count). Only when either side predates the byte sizes does
+    * the decision fall back to exact row counts ([[tableRows]]), then to
+    * Spark's own size-based planning (no hint). Returns the joined frame
+    * plus which side was broadcast (Some(true)=right, Some(false)=left,
+    * None=no stats decision). */
   def snapshotJoinStats(s: SparkSession, left: String, leftKey: String,
       right: String, rightKey: String): (DataFrame, Option[Boolean]) = {
     val l = snapshot(s, left)
     val r = snapshot(s, right)
     val cond = l(leftKey) === r(rightKey)
-    (tableRows(s, left), tableRows(s, right)) match {
-      case (Some(ln), Some(rn)) if rn <= ln =>
-        (l.join(broadcast(r), cond), Some(true))
-      case (Some(_), Some(_)) => (broadcast(l).join(r, cond), Some(false))
-      case _ => (l.join(r, cond), None)
+    val weights = (tableBytes(s, left), tableBytes(s, right)) match {
+      case (Some(lb), Some(rb)) => Some((lb, rb))
+      case _ => (tableRows(s, left), tableRows(s, right)) match {
+        case (Some(ln), Some(rn)) => Some((ln, rn))
+        case _ => None
+      }
+    }
+    weights match {
+      case Some((lw, rw)) if rw <= lw => (l.join(broadcast(r), cond), Some(true))
+      case Some(_) => (broadcast(l).join(r, cond), Some(false))
+      case None => (l.join(r, cond), None)
     }
   }
 
@@ -1061,30 +1130,98 @@ object TxnTable {
     def total: Int = dropped + rewritten + kept
   }
 
-  /** File-pruned DELETE of the key range [lo, hi]: the manifest's
-    * per-file key stats split the live set three ways — files fully
-    * INSIDE the range are dropped as pure metadata (never listed, opened,
-    * or read: deleting an aligned partition of a 100 TB table costs one
-    * manifest write), files straddling a range boundary are rewritten
-    * with the residual filter, and files fully OUTSIDE keep their
-    * manifest lines verbatim. Entries without stats on `key` are
-    * conservatively rewritten. Copy-on-write as always: pinned readers
-    * of older versions still see the deleted rows until vacuum. */
+  /** One-sided string bound: (value, inclusive). */
+  type StrBound = Option[(String, Boolean)]
+
+  /** File-pruned DELETE of the key range [lo, hi] — the single-integral-
+    * column shape, delegating to the general [[deleteWhere]]. */
   def deleteRange(s: SparkSession, table: String, key: String,
-                  lo: Long, hi: Long): DeleteResult = {
+                  lo: Long, hi: Long): DeleteResult =
+    deleteWhere(s, table, Seq((key, lo, hi)), Nil)
+
+  /** File-pruned DELETE of an arbitrary RANGE/EQUALITY CONJUNCTION over
+    * integral and string columns: per dimension, the manifest's per-file
+    * stats give a verdict — provably DISJOINT ('k'), provably FULLY
+    * COVERED with zero nulls ('d'), or unknown ('u') — and the verdicts
+    * compose across dimensions: any disjoint dimension keeps the file
+    * VERBATIM (never listed, opened, or read), all-covered drops it as
+    * pure metadata, anything else rewrites it with the FULL predicate as
+    * residual filter. Bounds on columns the manifest does not index
+    * yield 'u' everywhere — they never prune, but the indexed columns in
+    * the same conjunction still do, so `WHERE k BETWEEN a AND b AND
+    * status = 'X'` touches only the files k's stats can reach. String
+    * bounds carry per-side inclusivity and are tested against the
+    * TRUNCATED manifest bounds, which are conservative by construction
+    * (recorded lo ≤ true min, recorded hi ≥ true max — see [[StrStat]]):
+    * a drop decision under truncated stats is still exact. Copy-on-write
+    * as always: pinned readers of older versions still see the deleted
+    * rows until vacuum. */
+  def deleteWhere(s: SparkSession, table: String,
+      intBounds: Seq[(String, Long, Long)],
+      strBounds: Seq[(String, StrBound, StrBound)]): DeleteResult = {
+    require(intBounds.nonEmpty || strBounds.nonEmpty,
+      "deleteWhere needs at least one column bound (no-WHERE truncation " +
+        "is the caller's empty-overwrite path)")
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur) // ONE log read for all facets below
     val entries = m.entries
     val idxCols = m.idxCols
-    def side(e: Entry): Char = e.statFor(key) match {
-      // an empty recorded range (all-null file) holds no key VALUES the
-      // range predicate could delete — keep it verbatim
-      case Some((fLo, fHi)) if fLo > fHi => 'k'
-      case Some((fLo, fHi)) if fLo >= lo && fHi <= hi &&
-        e.nullsFor(key).forall(_ == 0L) => 'd' // fully inside, no nulls
-      case Some((fLo, fHi)) if fHi < lo || fLo > hi => 'k' // fully outside
-      case _ => 'r'
-    }
+    // a provably-EMPTY integral bound (conflicting equalities) matches
+    // no row anywhere: every file keeps verbatim
+    val emptyBound = intBounds.exists { case (_, lo, hi) => lo > hi }
+    def intSide(e: Entry, c: String, lo: Long, hi: Long): Char =
+      e.statFor(c) match {
+        // an empty recorded range (all-null file) holds no VALUES a
+        // value predicate could match — keep it verbatim
+        case Some((fLo, fHi)) if fLo > fHi => 'k'
+        case Some((fLo, fHi)) if fHi < lo || fLo > hi => 'k'
+        case Some((fLo, fHi)) if fLo >= lo && fHi <= hi &&
+          e.nullsFor(c).forall(_ == 0L) => 'd'
+        case _ => 'u'
+      }
+    def strSide(e: Entry, c: String, lo: StrBound, hi: StrBound): Char =
+      e.strStats.collectFirst { case st @ StrStat(`c`, _, _, _) => st } match {
+        case Some(StrStat(_, fLo, fHi, nulls)) =>
+          // disjoint: the file's whole (true) range falls strictly on one
+          // side of the query range — conservative under truncation
+          // because fLo ≤ trueMin and fHi ≥ trueMax
+          val below = lo.exists { case (v, inc) =>
+            val cmp = u8cmp(fHi, v); if (inc) cmp < 0 else cmp <= 0 }
+          val above = hi.exists { case (v, inc) =>
+            val cmp = u8cmp(fLo, v); if (inc) cmp > 0 else cmp >= 0 }
+          if (u8cmp(fLo, fHi) > 0 || below || above) 'k'
+          else {
+            val inLo = lo.forall { case (v, inc) =>
+              val cmp = u8cmp(fLo, v); if (inc) cmp >= 0 else cmp > 0 }
+            val inHi = hi.forall { case (v, inc) =>
+              val cmp = u8cmp(fHi, v); if (inc) cmp <= 0 else cmp < 0 }
+            if (inLo && inHi && nulls == 0L) 'd' else 'u'
+          }
+        case None => 'u'
+      }
+    def side(e: Entry): Char =
+      if (emptyBound) 'k'
+      else {
+        val dims = intBounds.map { case (c, lo, hi) => intSide(e, c, lo, hi) } ++
+          strBounds.map { case (c, lo, hi) => strSide(e, c, lo, hi) }
+        if (dims.contains('k')) 'k'
+        else if (dims.forall(_ == 'd')) 'd'
+        else 'r'
+      }
+    // the FULL predicate, rebuilt from the parsed bounds (the rebuild is
+    // lossless: the caller normalized the conjunction into exactly these
+    // bounds) — the rewrite keeps rows where it is FALSE or NULL
+    val pred = (intBounds.map { case (c, lo, hi) =>
+        (if (lo == Long.MinValue) lit(true) else col(c) >= lo) &&
+          (if (hi == Long.MaxValue) lit(true) else col(c) <= hi)
+      } ++ strBounds.map { case (c, lo, hi) =>
+        lo.map { case (v, inc) => if (inc) col(c) >= v else col(c) > v }
+          .getOrElse(lit(true)) &&
+          hi.map { case (v, inc) => if (inc) col(c) <= v else col(c) < v }
+            .getOrElse(lit(true))
+      }).reduce(_ && _)
+    val primary = intBounds.headOption.map(_._1)
+      .getOrElse(strBounds.head._1)
     val dropped = entries.filter(side(_) == 'd')
     val kept = entries.filter(side(_) == 'k')
     val rewrite = entries.filter(side(_) == 'r')
@@ -1098,13 +1235,12 @@ object TxnTable {
         // tombstones are APPLIED during the rewrite, and the fresh
         // files' seq (this commit) then escapes those tombstones
         val prev = readEntries(s, table, m, rewrite)
-        // residual: keep rows OUTSIDE [lo,hi]; null keys are never
-        // deleted by a range predicate (SQL three-valued logic)
-        val survivors = prev.filter(col(key).isNull ||
-          col(key) < lo || col(key) > hi)
+        // survivors: rows where the predicate is FALSE or NULL (SQL
+        // three-valued logic — a null key is never deleted)
+        val survivors = prev.filter(!coalesce(pred, lit(false)))
         val c = survivors
-          .repartitionByRange(math.max(rewrite.size, 1), col(key))
-          .sortWithinPartitions(col(key))
+          .repartitionByRange(math.max(rewrite.size, 1), col(primary))
+          .sortWithinPartitions(col(primary))
         if (idxCols.nonEmpty || m.strIdxCols.nonEmpty)
           stageIndexed(s, table, c, idxCols, m.strIdxCols)
             .filter(_.contains('\t'))
@@ -2591,8 +2727,12 @@ object TxnTable {
     * deciding from the log alone — must BroadcastHashJoin with the
     * dimension on the build side. `ndv_ok` also pins [[tableRows]] to
     * the exact counts and both key NDV estimates within 15% of truth
-    * (lgK=8 ⇒ ~±6%; the sketch is deterministic, no RNG). Hashed
-    * output = the per-segment join aggregate (trivially replayable). */
+    * (lgK=8 ⇒ ~±6%; the sketch is deterministic, no RNG), and proves
+    * the BYTE-SIZE decision ([[tableBytes]], v5 manifests) beats row
+    * counts where they disagree: a 20×-fewer-rows table of ~100×-wider
+    * incompressible rows joins a narrow one-column table, and the
+    * narrow side — more rows, fewer bytes — must build the broadcast.
+    * Hashed output = the per-segment join aggregate (replayable). */
   def ndvBroadcast(s: SparkSession, d: String): DataFrame = {
     val fact = freshDir("ndv_fact")
     val dim = freshDir("ndv_dim")
@@ -2625,9 +2765,31 @@ object TxnTable {
         col("o_custkey") === col("c_custkey"))
       def bhj(df: DataFrame) = df.queryExecution.executedPlan.toString
         .contains("BroadcastHashJoin")
+      // WIDE-ROW disagreement: a table of 20×-fewer rows but ~100×-wider
+      // (high-entropy, compression-resistant) rows vs a narrow one-column
+      // table. Row count nominates the wide side; byte size — what
+      // actually bounds the broadcast hash table's memory — nominates the
+      // narrow side. The manifest's per-file sizes must win: the join
+      // broadcasts NARROW (side=right) even though it has MORE rows.
+      val wide = freshDir("ndv_wide")
+      val narrow = freshDir("ndv_narrow")
+      val keys = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val wbase = keys.filter(col("k") % 20 === 0)
+        .withColumn("pad", concat((0 until 32).map(i =>
+          md5(concat(col("k").cast("string"), lit(s"_$i")))): _*))
+      commit(s, wide, stageIndexed(s, wide, wbase.repartition(4), Seq("k")),
+        expected = -1L, op = "create", schemaJson = wbase.schema.json)
+      val nbase = keys.select(col("k").as("nk"))
+      commit(s, narrow,
+        stageIndexed(s, narrow, nbase.repartition(4), Seq("nk")),
+        expected = -1L, op = "create", schemaJson = nbase.schema.json)
+      val (wJoin, wSide) = snapshotJoinStats(s, wide, "k", narrow, "nk")
+      val wideOk = wSide.contains(true) && bhj(wJoin) &&
+        tableRows(s, wide).get < tableRows(s, narrow).get &&
+        tableBytes(s, wide).get > tableBytes(s, narrow).get
       val ok = side.contains(true) && bhj(auto) && !bhj(plain) &&
         rowsF == trueF && rowsD == trueD && rowsD < rowsF &&
-        close(ndvF, trueF) && close(ndvD, trueD)
+        close(ndvF, trueF) && close(ndvD, trueD) && wideOk
       auto.groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           sum(col("price")).cast("double").as("total"))

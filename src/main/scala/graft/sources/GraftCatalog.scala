@@ -44,11 +44,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pushdown, column pruning and vectorized reading all apply unchanged;
   * the manifest replaces the directory listing, never the scan.
   *
-  * DELETE routes through [[TxnTable.deleteRange]] when the WHERE clause
-  * is a range/equality conjunction over ONE integral column (the shape
-  * manifest stats can prune); `DELETE FROM t` with no WHERE truncates
-  * via an empty overwrite commit. Anything else reports unsupported at
-  * analysis time — loud, never silently wrong.
+  * DELETE routes through [[TxnTable.deleteWhere]] when the WHERE clause
+  * is a range/equality conjunction over integral and string columns:
+  * indexed columns prune files from manifest stats, the remaining
+  * conjuncts residual-filter inside the surviving files; `DELETE FROM t`
+  * with no WHERE truncates via an empty overwrite commit. Anything else
+  * reports unsupported at analysis time — loud, never silently wrong.
   *
   * Honest bound: a snapshot with PENDING merge-on-read tombstones
   * refuses the DSv2 scan (apply them via `TxnTable.compact` or read
@@ -384,17 +385,28 @@ class GraftTable(ident: String, private[sources] val location: String,
       }
     }
 
-  // ---- DELETE FROM: range/equality conjunctions over one integral
-  // column route to the file-pruned deleteRange; no WHERE truncates ----
+  // ---- DELETE FROM: range/equality conjunctions over integral AND
+  // string columns route to the file-pruned TxnTable.deleteWhere —
+  // indexed columns prune files, the rest residual-filter inside the
+  // survivors; no WHERE truncates ----
 
-  /** Fold the predicate conjunction into (column, lo, hi) bounds, or
-    * None when any conjunct falls outside the supported shape. An empty
-    * column with `true` result = tautology (DELETE without WHERE). */
+  /** Per-column bounds folded from the predicate conjunction: integral
+    * columns narrow to inclusive [lo, hi], string columns to per-side
+    * (value, inclusive) bounds. Empty = tautology (DELETE without
+    * WHERE). */
+  private case class ParsedDelete(
+      ints: Map[String, (Long, Long)],
+      strs: Map[String, (TxnTable.StrBound, TxnTable.StrBound)]) {
+    def isTautology: Boolean = ints.isEmpty && strs.isEmpty
+  }
+
+  /** Fold the predicate conjunction into per-column bounds, or None when
+    * any conjunct falls outside the supported shape (a comparison of one
+    * column against one integral or string literal). */
   private def bounds(predicates: Array[Predicate])
-      : Option[Option[(String, Long, Long)]] = {
-    var column: Option[String] = None
-    var lo = Long.MinValue
-    var hi = Long.MaxValue
+      : Option[ParsedDelete] = {
+    var ints = Map.empty[String, (Long, Long)]
+    var strs = Map.empty[String, (TxnTable.StrBound, TxnTable.StrBound)]
     def ref(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -402,34 +414,83 @@ class GraftTable(ident: String, private[sources] val location: String,
       case _ => None
     }
     def lim(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[Long] = e match {
+        : Option[Either[Long, String]] = e match {
       case l: Literal[_] => l.value match {
-        case v: java.lang.Long if l.dataType == LongType => Some(v.longValue)
-        case v: java.lang.Integer => Some(v.longValue)
-        case v: java.lang.Short => Some(v.longValue)
+        case v: java.lang.Long if l.dataType == LongType =>
+          Some(Left(v.longValue))
+        case v: java.lang.Integer => Some(Left(v.longValue))
+        case v: java.lang.Short => Some(Left(v.longValue))
+        case v: org.apache.spark.unsafe.types.UTF8String =>
+          Some(Right(v.toString))
         case _ => None
       }
       case _ => None
     }
-    def narrow(c: String, op: String, v: Long): Boolean = {
-      if (column.exists(_ != c)) return false // two columns: unsupported
-      column = Some(c)
-      op match {
-        case "=" => lo = math.max(lo, v); hi = math.min(hi, v); true
-        case "<" => if (v == Long.MinValue) false
-          else { hi = math.min(hi, v - 1); true }
-        case "<=" => hi = math.min(hi, v); true
-        case ">" => if (v == Long.MaxValue) false
-          else { lo = math.max(lo, v + 1); true }
-        case ">=" => lo = math.max(lo, v); true
-        case _ => false
+    def narrowInt(c: String, op: String, v: Long): Boolean = {
+      val (lo, hi) = ints.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      val next = op match {
+        case "=" => Some((math.max(lo, v), math.min(hi, v)))
+        case "<" => if (v == Long.MinValue) None
+          else Some((lo, math.min(hi, v - 1)))
+        case "<=" => Some((lo, math.min(hi, v)))
+        case ">" => if (v == Long.MaxValue) None
+          else Some((math.max(lo, v + 1), hi))
+        case ">=" => Some((math.max(lo, v), hi))
+        case _ => None
       }
+      next.foreach(b => ints = ints.updated(c, b))
+      next.isDefined
     }
+    def narrowStr(c: String, op: String, v: String): Boolean = {
+      val (lo, hi) = strs.getOrElse(c,
+        (None: TxnTable.StrBound, None: TxnTable.StrBound))
+      // stricter-wins: a larger value (or equal-but-exclusive) tightens
+      // a lower bound; smaller tightens an upper bound
+      def tightLo(b: TxnTable.StrBound, nv: String, inc: Boolean)
+          : TxnTable.StrBound = b match {
+        case Some((ov, _)) =>
+          val cmp = TxnTable.u8cmp(nv, ov)
+          if (cmp > 0 || (cmp == 0 && !inc)) Some((nv, inc)) else b
+        case None => Some((nv, inc))
+      }
+      def tightHi(b: TxnTable.StrBound, nv: String, inc: Boolean)
+          : TxnTable.StrBound = b match {
+        case Some((ov, _)) =>
+          val cmp = TxnTable.u8cmp(nv, ov)
+          if (cmp < 0 || (cmp == 0 && !inc)) Some((nv, inc)) else b
+        case None => Some((nv, inc))
+      }
+      val next = op match {
+        case "=" => Some((tightLo(lo, v, inc = true), tightHi(hi, v, inc = true)))
+        case "<" => Some((lo, tightHi(hi, v, inc = false)))
+        case "<=" => Some((lo, tightHi(hi, v, inc = true)))
+        case ">" => Some((tightLo(lo, v, inc = false), hi))
+        case ">=" => Some((tightLo(lo, v, inc = true), hi))
+        case _ => None
+      }
+      next.foreach(b => strs = strs.updated(c, b))
+      next.isDefined
+    }
+    def narrow(c: String, op: String, v: Either[Long, String]): Boolean =
+      v match {
+        case Left(l) => !strs.contains(c) && narrowInt(c, op, l)
+        case Right(sv) => !ints.contains(c) && narrowStr(c, op, sv)
+      }
+    var notNullCols = Set.empty[String]
     def visit(p: Predicate): Boolean = p.name() match {
       case "ALWAYS_TRUE" => true
       case "AND" =>
         val a = p.asInstanceOf[And]
         visit(a.left()) && visit(a.right())
+      case "IS_NOT_NULL" =>
+        // acceptable ONLY as a redundant guard beside a value bound on
+        // the same column (value predicates never match nulls anyway);
+        // checked after the full parse — alone it is a real constraint
+        // this shape can't express
+        ref(p.children()(0)) match {
+          case Some(c) => notNullCols += c; true
+          case None => false
+        }
       case op @ ("=" | "<" | "<=" | ">" | ">=") =>
         val ch = p.children()
         if (ch.length != 2) false
@@ -446,7 +507,8 @@ class GraftTable(ident: String, private[sources] val location: String,
       case _ => false
     }
     if (!predicates.forall(visit)) None
-    else Some(column.map(c => (c, lo, hi)))
+    else if (!notNullCols.subsetOf(ints.keySet ++ strs.keySet)) None
+    else Some(ParsedDelete(ints, strs))
   }
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
@@ -454,16 +516,19 @@ class GraftTable(ident: String, private[sources] val location: String,
 
   override def deleteWhere(predicates: Array[Predicate]): Unit =
     bounds(predicates) match {
-      case Some(Some((c, lo, hi))) =>
-        // the DELETE's file accounting lands in the commit's #metrics=
-        // header — read it back via TxnTable.commitMetrics
-        TxnTable.deleteRange(spark, location, c, lo, hi)
-      case Some(None) => // tautology: truncate via empty overwrite
+      case Some(p) if p.isTautology => // truncate via empty overwrite
         val s = spark
         TxnTable.overwrite(s, location,
           TxnTable.snapshot(s, location).limit(0))
+      case Some(p) =>
+        // the DELETE's file accounting lands in the commit's #metrics=
+        // header — read it back via TxnTable.commitMetrics
+        TxnTable.deleteWhere(spark, location,
+          p.ints.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
+          p.strs.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
       case None => throw new UnsupportedOperationException(
-        s"$ident: DELETE supports range/equality conjunctions over one " +
-          "integral column (the shape manifest stats can prune)")
+        s"$ident: DELETE supports range/equality conjunctions over " +
+          "integral and string columns (the shapes manifest stats can " +
+          "prune or residual-filter)")
     }
 }

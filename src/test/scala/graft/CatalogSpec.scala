@@ -87,15 +87,104 @@ class CatalogSpec extends SparkSpec {
     sql(s"DELETE FROM graft.spec.$t WHERE k > 350")
     assert(sql(s"SELECT MAX(k) AS m FROM graft.spec.$t")
       .collect()(0).getLong(0) === 350)
-    // unsupported predicate shape fails loudly, never silently wrong
+    // unsupported predicate shapes fail loudly, never silently wrong
     intercept[Exception] {
-      sql(s"DELETE FROM graft.spec.$t WHERE v = 'x'")
+      sql(s"DELETE FROM graft.spec.$t WHERE v LIKE 'x%'")
+    }
+    intercept[Exception] {
+      sql(s"DELETE FROM graft.spec.$t WHERE k = 1 OR v = 'x'")
+    }
+    intercept[Exception] { // bare IS NOT NULL is a real constraint
+      sql(s"DELETE FROM graft.spec.$t WHERE v IS NOT NULL")
     }
     // DELETE without WHERE truncates; table stays readable + appendable
     sql(s"DELETE FROM graft.spec.$t")
     assert(sql(s"SELECT * FROM graft.spec.$t").count() === 0)
     sql(s"INSERT INTO graft.spec.$t SELECT id, 'y' FROM RANGE(3)")
     assert(sql(s"SELECT * FROM graft.spec.$t").count() === 3)
+  }
+
+  test("DELETE keyed on a STRING column prunes from truncated string stats") {
+    val t = fresh("sqldelstr")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, grp STRING) " +
+      "TBLPROPERTIES ('strindex' = 'grp')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    // three single-group files: each file's string range is one value
+    Seq("alpha", "beta", "gamma").foreach { g =>
+      sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+        s"id, '$g' FROM RANGE(50)")
+    }
+    sql(s"DELETE FROM graft.spec.$t WHERE grp = 'beta'")
+    val res = TxnTable.commitMetrics(spark, loc)
+    assert(res("dropped") === 1 && res("rewritten") <= 1,
+      s"single-value file should drop metadata-only, got $res")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 100)
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "WHERE grp = 'beta'").collect()(0).getLong(0) === 0)
+    // string RANGE delete: alpha < gamma bounds prune to one file
+    sql(s"DELETE FROM graft.spec.$t WHERE grp >= 'a' AND grp < 'b'")
+    val res2 = TxnTable.commitMetrics(spark, loc)
+    assert(res2("dropped") === 1 && res2("kept") >= 1,
+      s"string range should drop alpha's file, got $res2")
+    assert(sql(s"SELECT DISTINCT grp FROM graft.spec.$t")
+      .collect().map(_.getString(0)).toSeq === Seq("gamma"))
+    // values LONGER than the 16-char stat truncation still delete
+    // exactly (truncated bounds are conservative: rewrite, never drop
+    // unless provably covered)
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "id, CONCAT('longprefix0123456789-', id % 2) FROM RANGE(40)")
+    sql(s"DELETE FROM graft.spec.$t WHERE grp = 'longprefix0123456789-0'")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "WHERE grp LIKE 'longprefix%'").collect()(0).getLong(0) === 20)
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 70)
+  }
+
+  test("DELETE multi-column conjunction: indexed bounds prune, rest residual") {
+    val t = fresh("sqldelmulti")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, grp STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 100}, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END " +
+        "FROM RANGE(100)")
+    }
+    // k prunes to ONE file; grp (unindexed) residual-filters inside it
+    sql(s"DELETE FROM graft.spec.$t WHERE k >= 100 AND k <= 199 " +
+      "AND grp = 'odd'")
+    val res = TxnTable.commitMetrics(spark, loc)
+    assert(res("dropped") === 0 && res("kept") === 3 && res("rewritten") <= 2,
+      s"multi-column delete should prune on k and rewrite one file, got $res")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 350)
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "WHERE k BETWEEN 100 AND 199").collect()(0).getLong(0) === 50)
+    // conjunction where BOTH dims are indexed int columns still works
+    val t2 = fresh("sqldelmulti2")
+    sql(s"CREATE TABLE graft.spec.$t2 (k BIGINT, b BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k,b')")
+    sql(s"INSERT INTO graft.spec.$t2 SELECT /*+ REPARTITION(1) */ " +
+      "id, id DIV 50 FROM RANGE(100)")
+    sql(s"INSERT INTO graft.spec.$t2 SELECT /*+ REPARTITION(1) */ " +
+      "id + 100, 9 FROM RANGE(100)")
+    // b=9 excludes file 1 (b in [0,1]); k<=150 intersects file 2
+    sql(s"DELETE FROM graft.spec.$t2 WHERE b = 9 AND k <= 150")
+    val loc2 = s"${GraftCatalog.defaultWarehouse}/spec/$t2"
+    val res2 = TxnTable.commitMetrics(spark, loc2)
+    assert(res2("kept") >= 1, s"b-stats must keep file 1 verbatim: $res2")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t2")
+      .collect()(0).getLong(0) === 149)
+    // null semantics: a NULL in a bound column is never deleted
+    val t3 = fresh("sqldelnull")
+    sql(s"CREATE TABLE graft.spec.$t3 (k BIGINT, grp STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t3 VALUES (1, 'a'), (2, NULL), (3, 'b')")
+    sql(s"DELETE FROM graft.spec.$t3 WHERE k >= 1 AND k <= 3 AND grp <= 'b'")
+    val left = sql(s"SELECT k FROM graft.spec.$t3").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(left === Seq(2L), s"NULL grp row must survive, got $left")
   }
 
   test("INSERT OVERWRITE replaces content as one commit") {

@@ -1169,6 +1169,59 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.ndv(spark, t, "nope").isEmpty)
   }
 
+  test("manifest byte sizes: tableBytes exact; bytes beat rows for broadcast side") {
+    val s2 = spark
+    import s2.implicits._
+    // WIDE: 50 rows of ~1KB incompressible payload; NARROW: 2000 longs.
+    // Rows nominate wide for broadcast, bytes nominate narrow.
+    val wide = freshTable("bytes_wide")
+    val wdf = (0 until 50).map(i => (i.toLong,
+      (0 until 32).map(j => s"$i-$j".hashCode.toHexString).mkString * 4))
+      .toDF("k", "pad")
+    TxnTable.commit(spark, wide,
+      TxnTable.stageIndexed(spark, wide, wdf.repartition(2), Seq("k")),
+      expected = -1L, op = "create", schemaJson = wdf.schema.json)
+    val narrow = freshTable("bytes_narrow")
+    val ndf = (0 until 2000).map(_.toLong).toDF("nk")
+    TxnTable.commit(spark, narrow,
+      TxnTable.stageIndexed(spark, narrow, ndf.repartition(2), Seq("nk")),
+      expected = -1L, op = "create", schemaJson = ndf.schema.json)
+    // tableBytes must equal the ACTUAL on-disk sizes of the live files
+    def realBytes(t: String): Long = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      TxnTable.liveFiles(spark, t, 0).map { rel =>
+        val p = new org.apache.hadoop.fs.Path(TxnTable.pathFor(t, rel))
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    }
+    assert(TxnTable.tableBytes(spark, wide) === Some(realBytes(wide)))
+    assert(TxnTable.tableBytes(spark, narrow) === Some(realBytes(narrow)))
+    // the disagreement: fewer rows but more bytes on the wide side
+    assert(TxnTable.tableRows(spark, wide).get <
+      TxnTable.tableRows(spark, narrow).get)
+    assert(TxnTable.tableBytes(spark, wide).get >
+      TxnTable.tableBytes(spark, narrow).get)
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (joined, side) =
+        TxnTable.snapshotJoinStats(spark, wide, "k", narrow, "nk")
+      assert(side === Some(true), "byte decision must broadcast narrow")
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(joined.count() === 50)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    // appends extend the byte total
+    val before = TxnTable.tableBytes(spark, narrow).get
+    TxnTable.append(spark, narrow, (2000 until 2100).map(_.toLong).toDF("nk"))
+    assert(TxnTable.tableBytes(spark, narrow).get > before)
+  }
+
   test("commitResolving: disjoint rebases, overlap recomputes, tombstones conflict") {
     val t = freshTable("occ_resolve")
     TxnTable.create(spark, t, baseDf(100).repartition(2))
