@@ -169,6 +169,7 @@ object SparkEntry {
     "st_stream_upsert"        -> (Streams.streamUpsert _),
     "st_stream_session_window" -> (Streams.streamSessionWindow _),
     "st_stream_backfill"      -> (Streams.streamBackfill _),
+    "st_stream_catalog"       -> (Streams.streamCatalog _),
     "st_stream_cdc"           -> (Streams.streamCdc _),
     "mr_triangle_count"       -> (MapReduceJobs.triangleCount _),
     "ta_ngram_lm"             -> (TextAnalysis.ngramLm _),
@@ -1867,6 +1868,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total,
         |  TRUE AS backfill_ok
         |FROM events GROUP BY event_type""".stripMargin,
+    // streaming through the catalog: the streamed destination must hold
+    // exactly the source's content — the four quarter commits plus the
+    // %13 keyspace-shifted delta; batch/epoch/replay accounting travels
+    // as a boolean
+    "st_stream_catalog" ->
+      """SELECT o_orderkey, o_orderstatus AS st,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |  TRUE AS cstream_ok
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 200000000, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), TRUE
+        |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin,
     // same change-set + latest-wins contract as op_upsert, replayed from
     // parquet — the streamed foreachBatch merge must land the same table
     "st_stream_upsert" ->

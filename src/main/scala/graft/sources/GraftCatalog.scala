@@ -338,7 +338,8 @@ class GraftTable(ident: String, private[sources] val location: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
@@ -363,7 +364,18 @@ class GraftTable(ident: String, private[sources] val location: String,
         GraftCatalog.scanKept.addAndGet(kept.size.toLong)
         GraftCatalog.scanTotal.addAndGet(m.entries.size.toLong)
         kept.map(pathOf)
-      })
+      }) {
+      // micro-batch capability rides ON the batch scan: batch reads
+      // delegate untouched, readStream.table tails the commit log at
+      // the scan's (column-pruned) read schema
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val maxVersions = Option(options.get("maxVersionsPerTrigger"))
+          .map(_.toLong)
+        new GraftStreaming.StreamableScan(super.build(),
+          readSchema => new GraftMicroBatchStream(ident, location,
+            readSchema, maxVersions))
+      }
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -382,6 +394,18 @@ class GraftTable(ident: String, private[sources] val location: String,
               else TxnTable.appendResolving(s, location, data)
             }
           }
+        // writeStream.toTable: each epoch commits once through the
+        // OCC-resolving append; Complete mode (truncate) overwrites
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          val have = schema().map(f => (f.name, f.dataType)).toSeq
+          val got = info.schema().map(f => (f.name, f.dataType)).toSeq
+          require(got == have,
+            s"$ident: streamed schema $got does not match table schema " +
+              s"$have")
+          new GraftStreamingWrite(ident, location, info.schema(),
+            info.queryId(), overwriteAll)
+        }
       }
     }
 

@@ -1,0 +1,279 @@
+package graft.sources
+
+import graft.operators.TxnTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.OutputWriter
+import org.apache.spark.sql.graftbridge.StreamBridge
+import org.apache.spark.sql.types.StructType
+
+/** STRUCTURED STREAMING through the catalog: `readStream.table(
+  * "graft.ns.t")` tails the commit log (one offset = one committed
+  * version; each micro-batch reads exactly the files that version's
+  * commit ADDED), and `writeStream.toTable("graft.ns.t")` lands each
+  * epoch as ONE atomic manifest commit whose `#metrics=` header records
+  * the epoch — the two halves of the exactly-once contract:
+  *
+  *  - SOURCE: offsets are commit versions, durable in the stream's own
+  *    checkpoint. A replayed batch (start, end] re-reads the identical
+  *    file set — the log is immutable — so reprocessing is
+  *    deterministic. Append-only by design: a commit that REMOVES live
+  *    files (compact, overwrite, delete) or adds merge-on-read
+  *    tombstones fails the stream loudly rather than silently
+  *    re-emitting or missing rows (the Delta/Iceberg streaming-source
+  *    rule); metadata-only commits (evolve, recluster, checkpoint) pass
+  *    through as empty batches.
+  *  - SINK: executors write real parquet through Spark's own prepared
+  *    writer factory ([[StreamBridge.writerRecipe]]), the driver indexes
+  *    the staged files (same stats pass as every other commit) and lands
+  *    them via the OCC-resolving append. The commit carries
+  *    (`epoch`, `qtag`) in its metrics header; a REPLAYED epoch — the
+  *    restart path of every foreachBatch recipe, here native — finds
+  *    its epoch already at-or-below the newest committed one and skips,
+  *    deleting the orphaned stage. Idempotence lives in the LOG, not in
+  *    session state, so it survives driver restarts.
+  *
+  * At 100 TB: the source's per-batch work is O(files added by that
+  * commit) — tailing a minutely-committed table costs the minute's
+  * delta, never a table scan; the sink's per-epoch work is one stats
+  * pass over the epoch's files plus one manifest CAS. */
+object GraftStreaming {
+
+  /** Offset = committed version number. */
+  case class VersionOffset(v: Long) extends Offset {
+    override def json: String = v.toString
+  }
+
+  /** Wrap a batch parquet scan with micro-batch capability: batch reads
+    * delegate untouched; `toMicroBatchStream` tails the log at the
+    * scan's (column-pruned) read schema. Pushed data filters are safe to
+    * ignore stream-side: FileScanBuilder reports every data filter back
+    * to Spark as post-scan, so the Filter node above the streaming scan
+    * re-applies the full predicate. */
+  class StreamableScan(val inner: Scan, mk: StructType => MicroBatchStream)
+      extends Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    override def readSchema(): StructType = inner.readSchema()
+    override def description(): String = inner.description()
+    override def toBatch: Batch = inner.toBatch
+    override def toMicroBatchStream(checkpointLocation: String)
+        : MicroBatchStream = mk(inner.readSchema())
+    override def supportedCustomMetrics(): Array[CustomMetric] =
+      inner.supportedCustomMetrics()
+    override def reportDriverMetrics(): Array[CustomTaskMetric] =
+      inner.reportDriverMetrics()
+    override def columnarSupportMode(): Scan.ColumnarSupportMode =
+      inner.columnarSupportMode()
+    // size estimation must survive the wrap: planner broadcast decisions
+    // read the scan's reported statistics
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics = inner match {
+      case r: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        r.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    }
+  }
+}
+
+/** The commit-log tail as a DSv2 micro-batch stream. `maxVersions`
+  * bounds versions per trigger (rate limiting — batch size is a config,
+  * not the backlog size); Trigger.AvailableNow pins the target version
+  * at prepare time and drains up to it in rate-limited batches. */
+class GraftMicroBatchStream(ident: String, location: String,
+    schema: StructType, maxVersions: Option[Long])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def spark: SparkSession = SparkSession.active
+  @volatile private var availableTarget: Option[Long] = None
+  // the batch most recently planned: planInputPartitions and
+  // createReaderFactory are called per micro-batch execution
+  @volatile private var lastFactory: Option[PartitionReaderFactory] = None
+
+  override def initialOffset(): Offset = GraftStreaming.VersionOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreaming.VersionOffset(json.toLong)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(TxnTable.currentVersion(spark, location))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) drives this admission-controlled source")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[GraftStreaming.VersionOffset].v
+    val cur = TxnTable.currentVersion(spark, location)
+    val capped = availableTarget.fold(cur)(math.min(cur, _))
+    val end = maxVersions.fold(capped)(m => math.min(capped, s0 + m))
+    GraftStreaming.VersionOffset(math.max(s0, end))
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftStreaming.VersionOffset(TxnTable.currentVersion(spark, location))
+
+  /** Files ADDED by each version in (start, end] — the batch's exact
+    * input. Fails loudly on non-append data changes. */
+  private def addedFiles(s: SparkSession, start: Long, end: Long)
+      : Seq[Path] = {
+    (start + 1 to end).flatMap { v =>
+      val prev = TxnTable.manifest(s, location, v - 1)
+      val cur = TxnTable.manifest(s, location, v)
+      val prevPaths = prev.entries.map(_.path).toSet
+      val removed = prevPaths -- cur.entries.map(_.path).toSet
+      require(removed.isEmpty,
+        s"$ident: version $v (op=${cur.op}) removed ${removed.size} live " +
+          "file(s); the streaming source is append-only — restart the " +
+          "stream from a fresh checkpoint past the rewrite")
+      require(cur.deletes.toSet == prev.deletes.toSet,
+        s"$ident: version $v added merge-on-read tombstones; a streamed " +
+          "append-only tail cannot retract already-emitted rows")
+      cur.entries.filterNot(e => prevPaths(e.path))
+        .map(e => new Path(TxnTable.pathFor(location, e.path)))
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = spark
+    val s0 = start.asInstanceOf[GraftStreaming.VersionOffset].v
+    val e0 = end.asInstanceOf[GraftStreaming.VersionOffset].v
+    val (parts, factory) =
+      StreamBridge.batchFor(s, schema, addedFiles(s, s0, e0))
+    lastFactory = Some(factory)
+    parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    lastFactory.getOrElse(StreamBridge.readerFactory(spark, schema))
+
+  override def commit(end: Offset): Unit = () // the log retains history
+
+  override def stop(): Unit = ()
+}
+
+/** One staged file (relative path), or null for an empty partition. */
+private[graft] case class GraftStagedFile(rel: String, rows: Long)
+    extends WriterCommitMessage
+
+/** The per-epoch executor recipe: each task writes (at most) one parquet
+  * file into the epoch's staging subdirectory through Spark's own
+  * prepared writer factory. */
+private class GraftStreamWriterFactory(tableLoc: String, sub: String,
+    recipe: StreamBridge.WriterRecipe) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val rel = s"$sub/part-$epochId-$partitionId-$taskId.parquet"
+    private val abs = s"$tableLoc/$rel"
+    private var writer: OutputWriter = _
+    private var rows = 0L
+    override def write(r: InternalRow): Unit = {
+      // open lazily: an empty partition stages NO file (the zero-row
+      // convention every other commit path keeps)
+      if (writer == null) writer = recipe.open(abs, partitionId, taskId)
+      writer.write(r)
+      rows += 1
+    }
+    override def commit(): WriterCommitMessage = {
+      if (writer != null) writer.close()
+      GraftStagedFile(if (writer == null) null else rel, rows)
+    }
+    override def abort(): Unit = {
+      if (writer != null) {
+        writer.close()
+        val p = new Path(abs)
+        p.getFileSystem(recipe.conf.value).delete(p, false)
+      }
+    }
+    override def close(): Unit = ()
+  }
+}
+
+/** The streaming sink: every epoch is ONE manifest commit through the
+  * OCC-resolving append, carrying (`epoch`, `qtag`) metrics for replay
+  * idempotence. `truncate` = Complete-mode epochs overwrite instead of
+  * append. */
+class GraftStreamingWrite(ident: String, location: String,
+    schema: StructType, queryId: String, truncate: Boolean)
+    extends StreamingWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private val qtag: Long = queryId.hashCode.toLong & 0xffffffffL
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = {
+    val sub = s"data/stream-${java.util.UUID.randomUUID()}"
+    new GraftStreamWriterFactory(location, sub,
+      StreamBridge.writerRecipe(spark, schema))
+  }
+
+  /** The newest committed epoch for THIS query, from the log alone —
+    * walk versions newest-first to the most recent `stream_write` commit
+    * carrying our qtag (a restarted driver has no session state; the
+    * log IS the idempotence ledger). */
+  private def lastCommittedEpoch(s: SparkSession): Option[Long] = {
+    val versions = TxnTable.versions(s, location).reverse
+    versions.iterator.map(v => TxnTable.manifest(s, location, v))
+      .collectFirst {
+        case m if m.metrics.get("qtag").contains(qtag) => m.metrics("epoch")
+      }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage])
+      : Unit = {
+    val s = spark
+    val rels = messages.collect {
+      case GraftStagedFile(rel, _) if rel != null => rel }
+    def dropStage(): Unit = rels.foreach { rel =>
+      val p = new Path(TxnTable.pathFor(location, rel))
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, false)
+    }
+    // REPLAY: this epoch (or a later one) already committed — the
+    // restarted stream re-ran the batch; drop the orphaned stage, change
+    // nothing. Epochs are monotonic per checkpoint, so `>=` is exact.
+    if (lastCommittedEpoch(s).exists(_ >= epochId)) { dropStage(); return }
+    val m0 = TxnTable.manifest(s, location,
+      TxnTable.currentVersion(s, location))
+    val lines = TxnTable.indexStagedRels(s, location, rels,
+      m0.idxCols, m0.strIdxCols).filter(l => l.contains('\t') ||
+        m0.idxCols.isEmpty && m0.strIdxCols.isEmpty)
+    // empty batch: no commit (a zero-file version would be unreadable
+    // by design; an empty Complete-mode epoch keeps the previous result)
+    if (lines.isEmpty) return
+    val metrics = Seq("epoch" -> epochId, "qtag" -> qtag,
+      "files" -> lines.size.toLong)
+    if (truncate)
+      TxnTable.commitResolving(s, location)(base =>
+        TxnTable.Change(lines,
+          TxnTable.manifest(s, location, base).entries.map(_.path).toSet,
+          Set.empty, op = "stream_write", metrics = metrics))
+    else
+      TxnTable.commitResolving(s, location)(_ =>
+        TxnTable.Change(lines, Set.empty, Set.empty,
+          op = "stream_write", metrics = metrics))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage])
+      : Unit = {
+    val s = spark
+    messages.foreach {
+      case GraftStagedFile(rel, _) if rel != null =>
+        val p = new Path(TxnTable.pathFor(location, rel))
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, false)
+      case _ => ()
+    }
+  }
+}

@@ -514,4 +514,96 @@ object Streams {
         sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total"))
       .withColumn("backfill_ok", lit(ok))
   }
+
+  /** st_stream_catalog: STRUCTURED STREAMING THROUGH THE CATALOG — the
+    * commit log as a first-class streaming source AND sink behind table
+    * identifiers, no paths:
+    * `readStream.option("maxVersionsPerTrigger",1).table("graft.q.src")`
+    * tails the source's commits ONE VERSION PER MICRO-BATCH (offsets are
+    * commit versions, durable in the checkpoint; each batch reads
+    * exactly the files its version added), and
+    * `writeStream.toTable("graft.q.dst")` lands every epoch as ONE
+    * atomic manifest commit through the OCC-resolving append, its
+    * `#metrics=` header carrying (epoch, qtag) — the exactly-once ledger
+    * IN the log, surviving driver restarts. The scenario drains 4
+    * single-file source commits (4 batches → 4 dst commits, distinct
+    * epochs), re-runs the drained stream against the same checkpoint
+    * (zero new commits — offset-level replay), appends a 5th source
+    * commit and re-runs (EXACTLY one more dst commit — incremental
+    * tailing, the corpus never rescanned). Hashed output = the final dst
+    * content (quarter cuts + the %13 shifted delta, oracle-replayable);
+    * `cstream_ok` carries the batch/epoch/replay accounting. At 100 TB:
+    * per-batch cost follows the commit's delta, per-epoch cost is one
+    * stats pass + one manifest CAS. */
+  def streamCatalog(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q")
+    s.sql("DROP TABLE IF EXISTS graft.q.cs_src")
+    s.sql("DROP TABLE IF EXISTS graft.q.cs_dst")
+    val srcLoc = s"${GraftCatalog.defaultWarehouse}/q/cs_src"
+    val dstLoc = s"${GraftCatalog.defaultWarehouse}/q/cs_dst"
+    graft.Tables.table(s, d, "orders").createOrReplaceTempView("orders")
+    s.sql("""CREATE TABLE graft.q.cs_src (
+      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    s.sql("""CREATE TABLE graft.q.cs_dst (
+      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    val b = s.sql("SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi " +
+      "FROM orders").collect()(0)
+    val (kmin, kmax) = (b.getLong(0), b.getLong(1))
+    val span = kmax - kmin
+    val qc = (0L to 4L).map(i => kmin + i * (span + 1) / 4)
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO graft.q.cs_src
+        SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders
+        WHERE o_orderkey >= ${qc(i)} AND o_orderkey < ${qc(i + 1)}""")
+    }
+    val ckpt = graft.Fs.scratch("graft_cstream", "ckpt")
+    graft.Fs.deleteRecursively(ckpt)
+    def drain(): Unit = {
+      val q = s.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table("graft.q.cs_src")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft.q.cs_dst")
+      q.awaitTermination()
+    }
+    drain()
+    def streamCommits: Seq[Long] =
+      TxnTable.history(s, dstLoc).collect {
+        case (v, "stream_write", _) => v }
+    val afterFirst = streamCommits
+    val epochs = afterFirst.map(v =>
+      TxnTable.commitMetrics(s, dstLoc, v)("epoch"))
+    val countAfterFirst = TxnTable.snapshot(s, dstLoc).count()
+    // offset-level replay: the drained stream re-run against the same
+    // checkpoint must land ZERO new commits
+    drain()
+    val afterReplay = streamCommits
+    // incremental tail: one more source commit → EXACTLY one more batch
+    s.sql("""INSERT INTO graft.q.cs_src
+      SELECT /*+ REPARTITION(1) */ o_orderkey + 200000000, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey % 13 = 0""")
+    drain()
+    val afterDelta = streamCommits
+    val srcCount = TxnTable.snapshot(s, srcLoc).count()
+    val ok = afterFirst.size == 4 &&
+      epochs.distinct.size == 4 &&
+      afterReplay == afterFirst &&
+      afterDelta.size == 5 &&
+      countAfterFirst + s.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 13 = 0")
+        .collect()(0).getLong(0) == srcCount &&
+      TxnTable.snapshot(s, dstLoc).count() == srcCount
+    s.sql("""SELECT o_orderkey, st, CAST(price AS DOUBLE) AS price
+      FROM graft.q.cs_dst""")
+      .withColumn("cstream_ok", lit(ok))
+  }
 }

@@ -433,6 +433,75 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] { sql(s"CALL graft.system.nonsense('spec.$t')") }
   }
 
+  test("streaming sink commits once per epoch; a replayed epoch skips and drops its stage") {
+    import graft.sources.{GraftStagedFile, GraftStreamingWrite}
+    val t = fresh("streamsink")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    val schema = sql(s"SELECT * FROM graft.spec.$t").schema
+    val w = new GraftStreamingWrite(s"graft.spec.$t", loc, schema,
+      "spec-query-1", truncate = false)
+    def stageOne(tag: String, lo: Int): String = {
+      val sub = s"data/spec-$tag"
+      spark.range(lo, lo + 5).selectExpr("id AS k", s"'$tag' AS v")
+        .coalesce(1).write.parquet(s"$loc/$sub")
+      val dir = new org.apache.hadoop.fs.Path(s"$loc/$sub")
+      val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val name = f.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).head
+      s"$sub/$name"
+    }
+    w.commit(0L, Array(GraftStagedFile(stageOne("e0", 0), 5)))
+    assert(TxnTable.currentVersion(spark, loc) === 1L)
+    assert(TxnTable.commitMetrics(spark, loc) ===
+      Map("epoch" -> 0L, "qtag" -> "spec-query-1".hashCode.toLong
+        .&(0xffffffffL), "files" -> 1L))
+    // REPLAY of epoch 0 (the restart path): no new version, and the
+    // orphaned stage is deleted
+    val orphan = stageOne("e0b", 100)
+    w.commit(0L, Array(GraftStagedFile(orphan, 5)))
+    assert(TxnTable.currentVersion(spark, loc) === 1L, "replay committed!")
+    val op = new org.apache.hadoop.fs.Path(TxnTable.pathFor(loc, orphan))
+    assert(!op.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(op), "replayed epoch's stage not cleaned up")
+    // the NEXT epoch lands
+    w.commit(1L, Array(GraftStagedFile(stageOne("e1", 5), 5)))
+    assert(TxnTable.currentVersion(spark, loc) === 2L)
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 10)
+    // a DIFFERENT query's epoch 0 is not a replay of ours
+    val w2 = new GraftStreamingWrite(s"graft.spec.$t", loc, schema,
+      "spec-query-2", truncate = false)
+    w2.commit(0L, Array(GraftStagedFile(stageOne("q2e0", 200), 5)))
+    assert(TxnTable.currentVersion(spark, loc) === 3L)
+  }
+
+  test("streaming source is append-only: a file-removing commit fails the tail loudly") {
+    val t = fresh("streamsrc")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id, 'a' " +
+      "FROM RANGE(100)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id + 100, " +
+      "'b' FROM RANGE(100)")
+    val schema = sql(s"SELECT * FROM graft.spec.$t").schema
+    val stream = new graft.sources.GraftMicroBatchStream(
+      s"graft.spec.$t", loc, schema, None)
+    import graft.sources.GraftStreaming.VersionOffset
+    // appends stream fine: versions (0, 2] = both inserts' files
+    assert(stream.planInputPartitions(
+      VersionOffset(0), VersionOffset(2)).length === 2)
+    // compact REMOVES live files: the tail across it must fail loudly
+    TxnTable.compact(spark, loc)
+    val v = TxnTable.currentVersion(spark, loc)
+    val e = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(VersionOffset(v - 1), VersionOffset(v))
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("DROP and re-CREATE; listTables sees only tables") {
     val t = fresh("droppable")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")

@@ -271,28 +271,27 @@ class PlanSpec extends SparkSpec {
     // happened at PLAN time, inside the scan builder, not at execution
     val df = spark.sql(
       "SELECT v FROM graft.spec.planskip WHERE k >= 100 AND k <= 199")
-    val files = df.queryExecution.executedPlan.collectLeaves().flatMap {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
-          case p: org.apache.spark.sql.execution.datasources.v2.parquet
-            .ParquetScan => Some(p.fileIndex.inputFiles.length)
-          case _ => None
-        }
-      case _ => None
-    }
+    def plannedFiles(d: org.apache.spark.sql.DataFrame): Seq[Int] =
+      d.queryExecution.executedPlan.collectLeaves().flatMap {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          // unwrap the streaming-capable wrapper to the parquet scan
+          val scan = b.scan match {
+            case w: graft.sources.GraftStreaming.StreamableScan => w.inner
+            case s => s
+          }
+          scan match {
+            case p: org.apache.spark.sql.execution.datasources.v2.parquet
+              .ParquetScan => Some(p.fileIndex.inputFiles.length)
+            case _ => None
+          }
+        case _ => None
+      }.toSeq
+    val files = plannedFiles(df)
     assert(files === Seq(2), s"scan should plan 2 of 5 files, got $files")
     assert(df.count() === 100)
     // no predicate: every live file stays in the index
     val all = spark.sql("SELECT v FROM graft.spec.planskip")
-    val allFiles = all.queryExecution.executedPlan.collectLeaves().flatMap {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan match {
-          case p: org.apache.spark.sql.execution.datasources.v2.parquet
-            .ParquetScan => Some(p.fileIndex.inputFiles.length)
-          case _ => None
-        }
-      case _ => None
-    }
+    val allFiles = plannedFiles(all)
     assert(allFiles === Seq(5), s"unfiltered scan lost files: $allFiles")
   }
 
