@@ -73,6 +73,7 @@ object SparkEntry {
     "sql_txn_delete_str"      -> (SqlSurface.txnDeleteStr _),
     "sql_txn_delete_multi"    -> (SqlSurface.txnDeleteMulti _),
     "sql_txn_merge"           -> (SqlSurface.txnMerge _),
+    "sql_txn_merge_sync"      -> (SqlSurface.txnMergeSync _),
     "sql_txn_update"          -> (SqlSurface.txnUpdate _),
     "op_vacuum"               -> (TxnTable.vacuumTable _),
     "op_cdc_read"             -> (TxnTable.cdcRead _),
@@ -1220,6 +1221,23 @@ object SparkEntry {
         |  SELECT k + 100000000, 'N', price FROM b WHERE k % 11 = 0)
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS merge_ok
+        |FROM merged""".stripMargin,
+    // Full-sync MERGE (NOT MATCHED BY SOURCE): matched keys update
+    // (%3=0 repriced), absent keys (%3=2) age to 'X' when price>1000
+    // else delete, shifted %17 keys insert — all replayable arithmetic
+    "sql_txn_merge_sync" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |merged AS (
+        |  SELECT k,
+        |    CASE WHEN k % 3 = 2 THEN 'X' ELSE st END AS st,
+        |    CASE WHEN k % 3 = 0 THEN CAST(price + 50 AS DECIMAL(12,2))
+        |      ELSE price END AS price
+        |  FROM b WHERE k % 3 < 2 OR (k % 3 = 2 AND price > 1000)
+        |  UNION ALL
+        |  SELECT k + 300000000, 'S', price FROM b WHERE k % 17 = 0)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS sync_ok
         |FROM merged""".stripMargin,
     // Manifest-stat file skipping on the SQL read path: the second
     // quarter's rows replayed from the cut arithmetic; the measured

@@ -396,6 +396,56 @@ object SqlSurface {
       .withColumn("merge_ok", lit(ok))
   }
 
+  /** sql_txn_merge_sync: MERGE with `WHEN NOT MATCHED BY SOURCE` — the
+    * FULL-SYNC/replication statement (mirror a target to its source in
+    * one MERGE): matched keys update, unmatched-by-target keys insert,
+    * and keys the source NO LONGER CARRIES — resolved by anti-joining
+    * the target snapshot against the source's key set, never a full
+    * compare — either DELETE or age out via a conditional target-only
+    * UPDATE, first-match-wins. Source = a deterministic reshape of
+    * orders (keys %3 ∈ {0,1} kept, %3=0 repriced, +shifted %17 keys);
+    * the absentees (%3=2) split on a target-only condition: high-price
+    * rows age to status 'X', the rest delete. Everything is replayable
+    * arithmetic → the merged table is fully hash-checked; `sync_ok`
+    * asserts trail + copy-on-write pinning. */
+  def txnMergeSync(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "ms_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.ms_orders (
+      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    s.sql("""INSERT INTO graft.q.ms_orders
+      SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders""")
+    s.sql("""CREATE OR REPLACE TEMP VIEW sync_src AS
+      SELECT o_orderkey, o_orderstatus,
+        CASE WHEN o_orderkey % 3 = 0
+          THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 50 AS DECIMAL(12,2))
+          ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS price
+      FROM orders WHERE o_orderkey % 3 < 2
+      UNION ALL
+      SELECT o_orderkey + 300000000, 'S',
+        CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey % 17 = 0""")
+    s.sql("""MERGE INTO graft.q.ms_orders t USING sync_src s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.price > 1000 THEN
+        UPDATE SET o_orderstatus = 'X'
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val nBase = s.sql("SELECT COUNT(*) AS n FROM orders")
+      .collect()(0).getLong(0)
+    val pinned = s.sql(
+      "SELECT COUNT(*) AS n FROM graft.q.ms_orders VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    val ok = pinned == nBase &&
+      TxnTable.history(s, loc).map(_._2) == Seq("create", "append", "merge")
+    s.sql("""SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+      FROM graft.q.ms_orders""")
+      .withColumn("sync_ok", lit(ok))
+  }
+
   /** sql_txn_update: UPDATE as PURE SQL TEXT — the statement routes
     * through GraftDmlRule to a keyed 'U' change set applied by the
     * file-pruned merge (key = the table's index column), so an UPDATE

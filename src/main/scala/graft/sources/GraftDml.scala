@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   * table's indexed merge key — duplicate target keys would collapse
   * under keyed replacement), at most one UPDATE action + any DELETE
   * actions (each optionally conditional, first-match-wins), at most one
-  * INSERT action. Matched-ness AND the target's current column values
+  * INSERT action, and NOT MATCHED BY SOURCE UPDATE/DELETE actions (the
+  * full-sync clause — target keys the source no longer carries age out
+  * or delete; expressions there reference only the target). Matched-ness AND the target's current column values
   * are resolved with ONE left join of the source against the target
   * snapshot — so a PARTIAL `UPDATE SET` keeps the target's existing
   * values for unassigned columns (standard MERGE semantics), and
@@ -139,8 +141,30 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
       case a => unsupported(s"not-matched action $a")
     }
     if (inserts.size > 1) unsupported("more than one INSERT action")
-    if (merge.notMatchedBySourceActions.nonEmpty)
-      unsupported("NOT MATCHED BY SOURCE")
+    // NOT MATCHED BY SOURCE (the full-sync/replication clause): target
+    // rows whose key is ABSENT from the source — standard SQL allows
+    // only UPDATE/DELETE here, and their expressions may reference only
+    // the target (there is no source row to read)
+    merge.notMatchedBySourceActions.foreach {
+      case u: UpdateAction =>
+        (u.condition.toSeq ++ u.assignments.map(_.value))
+          .foreach(e => require(e.references.subsetOf(tgtOut),
+            "NOT MATCHED BY SOURCE expressions may reference only the " +
+              s"target, got $e"))
+        u.assignments.foreach {
+          case Assignment(k: AttributeReference, _) if k.name == tKey.name =>
+            unsupported("NOT MATCHED BY SOURCE must not assign the merge " +
+              s"key '${tKey.name}' — the keyed change set would insert " +
+              "the new key while the old-key row survives")
+          case _ => ()
+        }
+      case _: DeleteAction => ()
+      case a => unsupported(s"not-matched-by-source action $a")
+    }
+    val nmbsUpdates = merge.notMatchedBySourceActions
+      .collect { case u: UpdateAction => u }
+    if (nmbsUpdates.size > 1)
+      unsupported("more than one NOT MATCHED BY SOURCE UPDATE action")
     // INSERT actions fire on UNMATCHED rows: a target reference there
     // has no row to read — standard MERGE forbids it, so do we (loudly)
     (inserts.flatMap(_.condition) ++
@@ -208,7 +232,45 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
         .otherwise(insertOp))
       .filter(col("op").isNotNull)
       .select(valueCols :+ col("op"): _*)
-    TxnTable.applyChanges(session, location, changes, tKey.name)
+    // NOT MATCHED BY SOURCE rows come from the TARGET side: anti-join
+    // the snapshot against the source's key values (a key can never be
+    // in both change sets — matched ⇔ present in the source), apply the
+    // first matching action. Deleting/aging every key the source no
+    // longer carries is inherently a wide touch; the change set still
+    // routes through the same file-pruned machinery, so a source
+    // covering most keys rewrites only the files holding the absentees.
+    val allChanges =
+      if (merge.notMatchedBySourceActions.isEmpty) changes
+      else {
+        val srcKeys = src.select(exprCol(sKey).as("__sk")).distinct()
+        val unmatched = snap.join(srcKeys,
+          snap(tKey.name) === col("__sk"), "left_anti")
+        def rebindT(e: Expression): Column = exprCol(e.transform {
+          case a: AttributeReference if tgtOut.contains(a) =>
+            org.apache.spark.sql.GraftSqlBridge.expression(snap.col(a.name))
+        })
+        val nmbsOp = merge.notMatchedBySourceActions
+          .foldRight(lit(null)) { (a, rest) =>
+            val op = a match {
+              case _: UpdateAction => lit("U")
+              case _: DeleteAction => lit("D")
+            }
+            a.condition.map(c => when(rebindT(c), op).otherwise(rest))
+              .getOrElse(op)
+          }
+        val nmbsVals = merge.targetTable.output.map { attr =>
+          val c = attr.name
+          nmbsUpdates.headOption
+            .flatMap(u => assigned(u.assignments, c))
+            .map(e => rebindT(e).cast(attr.dataType))
+            .getOrElse(snap.col(c)).as(c)
+        }
+        changes.unionByName(unmatched
+          .withColumn("op", nmbsOp)
+          .filter(col("op").isNotNull)
+          .select(nmbsVals :+ col("op"): _*))
+      }
+    TxnTable.applyChanges(session, location, allChanges, tKey.name)
     Seq.empty
   }
 }

@@ -286,6 +286,43 @@ class CatalogSpec extends SparkSpec {
     assert(v9 === "a9", "condition false branch must leave the row alone")
   }
 
+  test("MERGE NOT MATCHED BY SOURCE ages or deletes absent keys") {
+    val t = fresh("mergesync")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, st STRING, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, 'live', id * 10 " +
+      "FROM RANGE(100)")
+    // source keeps keys < 60; absent keys split on a target-only
+    // condition: v >= 800 ages to 'gone', the rest delete
+    sql("""CREATE OR REPLACE TEMP VIEW sync_spec_src AS
+      SELECT id AS k, 'fresh' AS st, id * 10 + 1 AS v FROM RANGE(60)""")
+    sql(s"""MERGE INTO graft.spec.$t t USING sync_spec_src s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.v >= 800 THEN UPDATE SET st = 'gone'
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val rows = sql(s"SELECT k, st, v FROM graft.spec.$t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // matched: updated from source
+    assert(rows.count(_._2 == "fresh") === 60)
+    assert(rows.filter(_._2 == "fresh").forall(r => r._3 == r._1 * 10 + 1))
+    // absent with v >= 800 (keys 80..99): aged, values kept
+    assert(rows.filter(_._2 == "gone").map(_._1).sorted.toSeq ===
+      (80L until 100L))
+    assert(rows.filter(_._2 == "gone").forall(r => r._3 == r._1 * 10))
+    // absent with v < 800 (keys 60..79): deleted
+    assert(rows.length === 80)
+    // NMBS UPDATE assigning the merge key is rejected loudly
+    val e = intercept[Exception] {
+      sql(s"""MERGE INTO graft.spec.$t t USING sync_spec_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = t.k + 1""")
+    }
+    assert(e.getMessage.contains("merge key"))
+  }
+
   test("UPDATE assigning the key column is rejected loudly") {
     val t = fresh("sqlrekey")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
