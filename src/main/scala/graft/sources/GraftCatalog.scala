@@ -371,9 +371,10 @@ class GraftTable(ident: String, private[sources] val location: String,
       override def build(): org.apache.spark.sql.connector.read.Scan = {
         val maxVersions = Option(options.get("maxVersionsPerTrigger"))
           .map(_.toLong)
+        val startingVersion = Option(options.get("startingVersion"))
         new GraftStreaming.StreamableScan(super.build(),
           readSchema => new GraftMicroBatchStream(ident, location,
-            readSchema, maxVersions))
+            readSchema, maxVersions, startingVersion))
       }
     }
   }

@@ -89,9 +89,14 @@ object GraftStreaming {
 /** The commit-log tail as a DSv2 micro-batch stream. `maxVersions`
   * bounds versions per trigger (rate limiting — batch size is a config,
   * not the backlog size); Trigger.AvailableNow pins the target version
-  * at prepare time and drains up to it in rate-limited batches. */
+  * at prepare time and drains up to it in rate-limited batches.
+  * `startingVersion` picks where a FRESH checkpoint begins: absent =
+  * version 0 (the whole table), `"latest"` = only commits after stream
+  * start (the tail-only production default for large tables — no
+  * backlog replay), `"<n>"` = commits from version n onward. */
 class GraftMicroBatchStream(ident: String, location: String,
-    schema: StructType, maxVersions: Option[Long])
+    schema: StructType, maxVersions: Option[Long],
+    startingVersion: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
@@ -100,7 +105,22 @@ class GraftMicroBatchStream(ident: String, location: String,
   // createReaderFactory are called per micro-batch execution
   @volatile private var lastFactory: Option[PartitionReaderFactory] = None
 
-  override def initialOffset(): Offset = GraftStreaming.VersionOffset(0L)
+  override def initialOffset(): Offset = GraftStreaming.VersionOffset(
+    startingVersion match {
+      case None => 0L
+      case Some("latest") => TxnTable.currentVersion(spark, location)
+      case Some(n) =>
+        val v = try n.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$ident: startingVersion must be a commit number or " +
+              s"'latest', got '$n'")
+        }
+        require(v >= 0, s"$ident: startingVersion must be >= 0, got $v")
+        // offset = last consumed version; v itself streams. Version 0 is
+        // the create commit (zero-row sentinel), so 0 and 1 both begin
+        // at the first append — max keeps the offset walk in range.
+        math.max(0L, v - 1)
+    })
 
   override def deserializeOffset(json: String): Offset =
     GraftStreaming.VersionOffset(json.toLong)

@@ -539,6 +539,49 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("streaming source startingVersion picks where a fresh checkpoint begins") {
+    import graft.sources.GraftStreaming.VersionOffset
+    val t = fresh("streamstart")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    (0 until 3).foreach { i =>
+      sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 10}, 'b$i' FROM RANGE(10)")
+    }
+    val schema = sql(s"SELECT * FROM graft.spec.$t").schema
+    def stream(sv: Option[String]) = new graft.sources.GraftMicroBatchStream(
+      s"graft.spec.$t", loc, schema, None, sv)
+    assert(stream(None).initialOffset() === VersionOffset(0))
+    assert(stream(Some("latest")).initialOffset() === VersionOffset(3))
+    assert(stream(Some("2")).initialOffset() === VersionOffset(1))
+    assert(stream(Some("0")).initialOffset() === VersionOffset(0))
+    intercept[IllegalArgumentException] {
+      stream(Some("-4")).initialOffset() }
+    intercept[IllegalArgumentException] {
+      stream(Some("bogus")).initialOffset() }
+    // end-to-end: a fresh checkpoint starting at version 3 drains ONLY
+    // the third insert into the destination
+    val d = fresh("streamstartdst")
+    sql(s"CREATE TABLE graft.spec.$d (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val ckpt = graft.Fs.scratch("graft_sstart", "ckpt")
+    graft.Fs.deleteRecursively(ckpt)
+    val q = spark.readStream
+      .option("startingVersion", "3")
+      .table(s"graft.spec.$t")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"graft.spec.$d")
+    q.awaitTermination()
+    val rows = sql(s"SELECT k, v FROM graft.spec.$d").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length === 10 && rows.forall(_._2 == "b2"),
+      s"startingVersion=3 must stream only the third insert, got " +
+        s"${rows.take(5).toSeq}")
+  }
+
   test("DROP and re-CREATE; listTables sees only tables") {
     val t = fresh("droppable")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
