@@ -74,6 +74,7 @@ object SparkEntry {
     "sql_txn_delete_multi"    -> (SqlSurface.txnDeleteMulti _),
     "sql_txn_merge"           -> (SqlSurface.txnMerge _),
     "sql_txn_merge_sync"      -> (SqlSurface.txnMergeSync _),
+    "sql_txn_merge_multi"     -> (SqlSurface.txnMergeMulti _),
     "sql_txn_update"          -> (SqlSurface.txnUpdate _),
     "op_vacuum"               -> (TxnTable.vacuumTable _),
     "op_cdc_read"             -> (TxnTable.cdcRead _),
@@ -1238,6 +1239,24 @@ object SparkEntry {
         |  SELECT k + 300000000, 'S', price FROM b WHERE k % 17 = 0)
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS sync_ok
+        |FROM merged""".stripMargin,
+    // Composite-key MERGE: one custkey quarter updated (+10, ok%5<>0) /
+    // deleted (ok%5=0), keyspace-shifted inserts (ok%11) — replayable
+    "sql_txn_merge_multi" ->
+      """WITH b AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |m AS (SELECT MIN(ck) AS cmin, MAX(ck) - MIN(ck) AS span FROM b),
+        |r AS (SELECT cmin + (span+1)//4 AS lo,
+        |             cmin + 2*(span+1)//4 AS hi FROM m),
+        |merged AS (
+        |  SELECT ck, ok,
+        |    CASE WHEN ck >= lo AND ck < hi AND ok % 5 <> 0
+        |      THEN CAST(price + 10 AS DECIMAL(12,2)) ELSE price END AS price
+        |  FROM b, r WHERE NOT (ck >= lo AND ck < hi AND ok % 5 = 0)
+        |  UNION ALL
+        |  SELECT ck, ok + 500000000, price
+        |  FROM b, r WHERE ck >= lo AND ck < hi AND ok % 11 = 0)
+        |SELECT ck, ok, CAST(price AS DOUBLE) AS price, TRUE AS cmulti_ok
         |FROM merged""".stripMargin,
     // Manifest-stat file skipping on the SQL read path: the second
     // quarter's rows replayed from the cut arithmetic; the measured

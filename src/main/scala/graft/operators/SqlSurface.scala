@@ -446,6 +446,62 @@ object SqlSurface {
       .withColumn("sync_ok", lit(ok))
   }
 
+  /** sql_txn_merge_multi: COMPOSITE-KEY MERGE — `ON t.ck = s.ck AND
+    * t.ok = s.ok`: the key tuple (custkey, orderkey) is unique, and
+    * file pruning INTERSECTS the per-dimension manifest boxes — a file
+    * rewrites only when some change key falls inside its box in EVERY
+    * key dimension. Four single-file inserts clustered by `ck` give
+    * tight ck boxes (ok spans everywhere), and the change set touches
+    * one ck quarter only, so exactly that quarter's file (+ the
+    * stat-less sentinel) rewrites — asserted from the merge commit's
+    * touched/untouched metrics. The keyspace-shifted inserts
+    * (ok + 5e8) fall outside every file's ok box and prune on THAT
+    * dimension instead. All rules replayable; survivors hash-checked;
+    * `cmulti_ok` carries accounting + trail. */
+  def txnMergeMulti(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "cm_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.cm_orders (
+      ck BIGINT, ok BIGINT, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'ck,ok')""")
+    val b = s.sql("SELECT MIN(o_custkey) AS lo, MAX(o_custkey) AS hi " +
+      "FROM orders").collect()(0)
+    val (cmin, cmax) = (b.getLong(0), b.getLong(1))
+    val span = cmax - cmin
+    val qc = (0L to 4L).map(i => cmin + i * (span + 1) / 4)
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO graft.q.cm_orders
+        SELECT /*+ REPARTITION(1) */ o_custkey, o_orderkey,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders
+        WHERE o_custkey >= ${qc(i)} AND o_custkey < ${qc(i + 1)}""")
+    }
+    s.sql(s"""CREATE OR REPLACE TEMP VIEW cm_src AS
+      SELECT o_custkey AS ck, o_orderkey AS ok,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DECIMAL(12,2))
+          AS price,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS act
+      FROM orders WHERE o_custkey >= ${qc(1)} AND o_custkey < ${qc(2)}
+      UNION ALL
+      SELECT o_custkey, o_orderkey + 500000000,
+        CAST(o_totalprice AS DECIMAL(12,2)), 'I'
+      FROM orders WHERE o_custkey >= ${qc(1)} AND o_custkey < ${qc(2)}
+        AND o_orderkey % 11 = 0""")
+    s.sql("""MERGE INTO graft.q.cm_orders t USING cm_src s
+      ON t.ck = s.ck AND t.ok = s.ok
+      WHEN MATCHED AND s.act = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET price = s.price
+      WHEN NOT MATCHED THEN INSERT (ck, ok, price)
+        VALUES (s.ck, s.ok, s.price)""")
+    val res = TxnTable.commitMetrics(s, loc)
+    val ok = res("touched") <= 2 && res("untouched") >= 3 &&
+      TxnTable.history(s, loc).map(_._2) == Seq("create", "append",
+        "append", "append", "append", "merge")
+    s.sql("""SELECT ck, ok, CAST(price AS DOUBLE) AS price
+      FROM graft.q.cm_orders""")
+      .withColumn("cmulti_ok", lit(ok))
+  }
+
   /** sql_txn_update: UPDATE as PURE SQL TEXT — the statement routes
     * through GraftDmlRule to a keyed 'U' change set applied by the
     * file-pruned merge (key = the table's index column), so an UPDATE

@@ -5,7 +5,7 @@ import java.util.ConcurrentModificationException
 
 import graft.Tables
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -1291,7 +1291,7 @@ object TxnTable {
     * table's schema). */
   def merge(s: SparkSession, table: String, batch: DataFrame,
             key: String): MergeResult =
-    mergeCore(s, table, batch.select(col(key)), batch, key)
+    mergeCore(s, table, batch.select(col(key)), batch, Seq(key))
 
   /** Full-semantics MERGE: apply a CHANGE SET carrying an op column —
     * the canonical "apply CDC into a table" form every production MERGE
@@ -1308,27 +1308,64 @@ object TxnTable {
     * match the table schema plus the op column. */
   def applyChanges(s: SparkSession, table: String, changes: DataFrame,
                    key: String, opCol: String = "op"): MergeResult =
-    mergeCore(s, table, changes.select(col(key)),
-      changes.filter(col(opCol) =!= "D").drop(opCol), key)
+    applyChangesMulti(s, table, changes, Seq(key), opCol)
+
+  /** [[applyChanges]] keyed on a COMPOSITE key: the change set replaces
+    * whole rows by the key TUPLE (which must be unique in the target).
+    * File pruning intersects per-dimension manifest boxes — a file
+    * rewrites only when some change key falls inside its bounding box
+    * in EVERY key dimension (dimensions without stats are unbounded,
+    * conservatively). All key columns must be integral. */
+  def applyChangesMulti(s: SparkSession, table: String, changes: DataFrame,
+                        keys: Seq[String], opCol: String = "op")
+      : MergeResult =
+    mergeCore(s, table, changes.select(keys.map(col): _*),
+      changes.filter(col(opCol) =!= "D").drop(opCol), keys)
 
   /** Shared file-pruned copy-on-write merge machinery: `keys` = every
-    * key the change set touches (decides which files rewrite), `adds` =
-    * the rows that replace/insert (already op-filtered). */
+    * key tuple the change set touches (decides which files rewrite),
+    * `adds` = the rows that replace/insert (already op-filtered). */
   private def mergeCore(s: SparkSession, table: String, keys: DataFrame,
-                        adds: DataFrame, key: String): MergeResult = {
+                        adds: DataFrame, keyCols: Seq[String]): MergeResult = {
+    require(keyCols.nonEmpty, "mergeCore needs at least one key column")
+    val key = keyCols.head // the primary clustering dimension
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur) // ONE log read for all facets below
     val entries = m.entries
+    // per-file BOX over the key dimensions: a missing stat leaves that
+    // dimension unbounded (conservative); a file with stats on NO key
+    // dimension is unconditionally touched (the legacy statless rule —
+    // it must rewrite even for an empty change set, which is how the
+    // zero-row sentinel gets absorbed by the first merge)
     val ranged = entries.zipWithIndex.flatMap { case (e, i) =>
-      e.statFor(key).map { case (lo, hi) => (i, lo, hi) }
+      val box = keyCols.map(e.statFor)
+      if (box.forall(_.isEmpty)) None
+      else Some((i, box.map(_.getOrElse((Long.MinValue, Long.MaxValue)))))
     }
     val statless = entries.zipWithIndex
-      .collect { case (e, i) if e.statFor(key).isEmpty => i }
+      .collect { case (e, i) if keyCols.forall(c => e.statFor(c).isEmpty) => i }
     val touchedIdx: Set[Int] = (if (ranged.isEmpty) Seq.empty[Int] else {
       import s.implicits._
-      val ranges = broadcast(ranged.toDF("_fid", "_lo", "_hi"))
-      keys.select(col(key).cast("long").as("_k"))
-        .join(ranges, col("_k") >= col("_lo") && col("_k") <= col("_hi"))
+      val rangeRows = ranged.map { case (i, box) =>
+        Row.fromSeq(i +: box.flatMap { case (lo, hi) => Seq(lo, hi) })
+      }
+      val rangeSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("_fid",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+          keyCols.zipWithIndex.flatMap { case (_, j) => Seq(
+            org.apache.spark.sql.types.StructField(s"_lo$j",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField(s"_hi$j",
+              org.apache.spark.sql.types.LongType, nullable = false))
+          })
+      val ranges = broadcast(s.createDataFrame(
+        s.sparkContext.parallelize(rangeRows, 1), rangeSchema))
+      val probe = keys.select(keyCols.zipWithIndex.map { case (c, j) =>
+        col(c).cast("long").as(s"_k$j") }: _*)
+      val cond = keyCols.indices.map(j =>
+        col(s"_k$j") >= col(s"_lo$j") && col(s"_k$j") <= col(s"_hi$j"))
+        .reduce(_ && _)
+      probe.join(ranges, cond)
         .select("_fid").distinct().as[Int].collect().toSeq
     }).toSet ++ statless
     val (touched, kept) = entries.zipWithIndex.partition { case (_, i) =>
@@ -1347,14 +1384,14 @@ object TxnTable {
         // the adds. Co-partitioned hash join over touched data only.
         // NULL keys never match a key equality (SQL semantics), so
         // null-key rows always survive the anti-join / always insert.
-        prev.join(keys.distinct(), Seq(key), "left_anti")
+        prev.join(keys.distinct(), keyCols, "left_anti")
           .unionByName(adds)
       }
     val idxCols = m.idxCols
     val parts = math.max(touched.size, 1)
     def clusterStage(df: DataFrame): Seq[String] = {
-      val c = df.repartitionByRange(parts, col(key))
-        .sortWithinPartitions(col(key))
+      val c = df.repartitionByRange(parts, keyCols.map(col): _*)
+        .sortWithinPartitions(keyCols.map(col): _*)
       if (idxCols.nonEmpty || m.strIdxCols.nonEmpty)
         // Spark's writer emits one ZERO-ROW file for an empty side
         // (partition 0 always writes, to preserve schema). A zero-row

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * .merge]] — so a SQL MERGE touching one key region rewrites that
   * region's files, exactly like the library call (the pre-row-level-API
   * Delta shape). Supported MERGE form (the standard CDC statement):
-  * single-column equality condition over a KEY-UNIQUE target (the
-  * table's indexed merge key — duplicate target keys would collapse
-  * under keyed replacement), at most one UPDATE action + any DELETE
+  * a conjunction of integral target-column equalities over a KEY-UNIQUE
+  * target (single or COMPOSITE merge key — the key tuple must be
+  * unique, or rows collapse under keyed replacement; per-dimension
+  * manifest boxes intersect to prune the rewrite), at most one UPDATE
+  * action + any DELETE
   * actions (each optionally conditional, first-match-wins), at most one
   * INSERT action, and NOT MATCHED BY SOURCE UPDATE/DELETE actions (the
   * full-sync clause — target keys the source no longer carries age out
@@ -121,15 +123,33 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
   override def run(session: SparkSession): Seq[Row] = {
     val tgtOut = AttributeSet(merge.targetTable.output)
     val srcOut = AttributeSet(merge.sourceTable.output)
-    // the merge key: one target column = one source-side expression
-    val (tKey, sKey) = merge.mergeCondition match {
-      case EqualTo(a: AttributeReference, b)
-          if tgtOut.contains(a) && b.references.subsetOf(srcOut) => (a, b)
-      case EqualTo(b, a: AttributeReference)
-          if tgtOut.contains(a) && b.references.subsetOf(srcOut) => (a, b)
-      case other => unsupported(
-        s"ON must be a single target-column equality, got $other")
+    // the merge key: a CONJUNCTION of target-column = source-expression
+    // equalities (composite keys supported — the key TUPLE must be
+    // unique in the target, and every key column integral so manifest
+    // boxes can prune the rewrite)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
     }
+    val keyPairs: Seq[(AttributeReference, Expression)] =
+      conjuncts(merge.mergeCondition).map {
+        case EqualTo(a: AttributeReference, b)
+            if tgtOut.contains(a) && b.references.subsetOf(srcOut) => (a, b)
+        case EqualTo(b, a: AttributeReference)
+            if tgtOut.contains(a) && b.references.subsetOf(srcOut) => (a, b)
+        case other => unsupported(
+          s"ON must be a conjunction of target-column equalities, got $other")
+      }
+    require(keyPairs.map(_._1.name).distinct.size == keyPairs.size,
+      "ON must not repeat a target column")
+    keyPairs.foreach { case (a, _) =>
+      require(Seq("long", "integer", "short").contains(
+        a.dataType.typeName),
+        s"merge key column '${a.name}' must be integral (manifest box " +
+          s"pruning), got ${a.dataType.typeName}")
+    }
+    val tKey = keyPairs.head._1
     merge.matchedActions.foreach {
       case _: UpdateAction | _: DeleteAction => ()
       case a => unsupported(s"matched action $a")
@@ -152,9 +172,10 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
             "NOT MATCHED BY SOURCE expressions may reference only the " +
               s"target, got $e"))
         u.assignments.foreach {
-          case Assignment(k: AttributeReference, _) if k.name == tKey.name =>
+          case Assignment(k: AttributeReference, _)
+              if keyPairs.exists(_._1.name == k.name) =>
             unsupported("NOT MATCHED BY SOURCE must not assign the merge " +
-              s"key '${tKey.name}' — the keyed change set would insert " +
+              s"key '${k.name}' — the keyed change set would insert " +
               "the new key while the old-key row survives")
           case _ => ()
         }
@@ -183,10 +204,13 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
     // planner (armed with AQE) picks the join strategy.
     val snap = TxnTable.snapshot(session, location)
     val tgt = snap.select(
-      snap(tKey.name).as("__tk") +:
+      keyPairs.map { case (a, _) => snap(a.name).as(s"__tk_${a.name}") } ++
         tableCols.map(c => snap(c).as(s"__t_$c")): _*)
-    val withM = src.join(tgt, exprCol(sKey) === col("__tk"), "left")
-      .withColumn("__matched", col("__tk").isNotNull).drop("__tk")
+    val joinCond = keyPairs.map { case (a, b) =>
+      exprCol(b) === col(s"__tk_${a.name}") }.reduce(_ && _)
+    val withM = src.join(tgt, joinCond, "left")
+      .withColumn("__matched", col(s"__tk_${tKey.name}").isNotNull)
+      .drop(keyPairs.map(p => s"__tk_${p._1.name}"): _*)
     // rebind TARGET attribute references in matched-side expressions to
     // the joined __t_ columns (by NAME — the resolved refs carry the
     // DSv2 relation's attribute ids, which the join output doesn't)
@@ -225,7 +249,12 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
       val insertVal = inserts.headOption
         .flatMap(i => assigned(i.assignments, c))
         .map(exprCol).getOrElse(lit(null).cast(attr.dataType))
-      when(col("__matched"), matchedVal).otherwise(insertVal).as(c)
+      // cast to the TARGET's type: a narrower source expression (an INT
+      // literal into a BIGINT column) must not narrow the change set —
+      // the merge commit records the change frame's schema as the
+      // table's
+      when(col("__matched"), matchedVal).otherwise(insertVal)
+        .cast(attr.dataType).as(c)
     }
     val changes = withM
       .withColumn("op", when(col("__matched"), matchedOp)
@@ -242,9 +271,12 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
     val allChanges =
       if (merge.notMatchedBySourceActions.isEmpty) changes
       else {
-        val srcKeys = src.select(exprCol(sKey).as("__sk")).distinct()
+        val srcKeys = src.select(keyPairs.map { case (a, b) =>
+          exprCol(b).as(s"__sk_${a.name}") }: _*).distinct()
         val unmatched = snap.join(srcKeys,
-          snap(tKey.name) === col("__sk"), "left_anti")
+          keyPairs.map { case (a, _) =>
+            snap(a.name) === col(s"__sk_${a.name}") }.reduce(_ && _),
+          "left_anti")
         def rebindT(e: Expression): Column = exprCol(e.transform {
           case a: AttributeReference if tgtOut.contains(a) =>
             org.apache.spark.sql.GraftSqlBridge.expression(snap.col(a.name))
@@ -270,7 +302,8 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
           .filter(col("op").isNotNull)
           .select(nmbsVals :+ col("op"): _*))
       }
-    TxnTable.applyChanges(session, location, allChanges, tKey.name)
+    TxnTable.applyChangesMulti(session, location, allChanges,
+      keyPairs.map(_._1.name))
     Seq.empty
   }
 }

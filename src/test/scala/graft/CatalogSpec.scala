@@ -323,6 +323,58 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("merge key"))
   }
 
+  test("composite-key MERGE prunes by intersecting per-dimension boxes") {
+    val t = fresh("mergemulti")
+    sql(s"CREATE TABLE graft.spec.$t (a BIGINT, b BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'a,b')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    // two files split by `a`; `b` spans [0,99] in both
+    (0 until 2).foreach { i =>
+      sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+        s"${i * 1000} + id, id, id FROM RANGE(100)")
+    }
+    // change keys live in a∈[0,99] only: file 2 (a∈[1000,1099]) must
+    // carry verbatim even though its b box contains every change b
+    sql("""CREATE OR REPLACE TEMP VIEW mm_src AS
+      SELECT id AS a, id AS b, id * 2 AS v FROM RANGE(50)""")
+    sql(s"""MERGE INTO graft.spec.$t t USING mm_src s
+      ON t.a = s.a AND t.b = s.b
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    val res = TxnTable.commitMetrics(spark, loc)
+    assert(res("untouched") >= 1,
+      s"file 2's a-box must prune the composite merge: $res")
+    val rows = sql(s"SELECT a, v FROM graft.spec.$t WHERE a < 50")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 50 && rows.forall(r => r._2 == r._1 * 2))
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 200)
+    // a key tuple matching NO row inserts (composite not-matched)
+    sql(s"""MERGE INTO graft.spec.$t t
+      USING (SELECT 5 AS a, 77 AS b, 999 AS v) s
+      ON t.a = s.a AND t.b = s.b
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(sql(s"SELECT v FROM graft.spec.$t WHERE a = 5 AND b = 77")
+      .collect().map(_.getLong(0)).toSeq === Seq(999L))
+    // non-integral key column fails loudly
+    val t2 = fresh("mergemultistr")
+    sql(s"CREATE TABLE graft.spec.$t2 (k STRING, v BIGINT)")
+    sql(s"INSERT INTO graft.spec.$t2 VALUES ('x', 1)")
+    val e = intercept[Exception] {
+      sql(s"""MERGE INTO graft.spec.$t2 t
+        USING (SELECT 'x' AS k, 2 AS v) s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    assert(e.getMessage.contains("integral"))
+    // a disjunctive ON fails loudly
+    intercept[Exception] {
+      sql(s"""MERGE INTO graft.spec.$t t USING mm_src s
+        ON t.a = s.a OR t.b = s.b
+        WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+  }
+
   test("UPDATE assigning the key column is rejected loudly") {
     val t = fresh("sqlrekey")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
