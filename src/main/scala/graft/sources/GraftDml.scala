@@ -309,10 +309,11 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
 }
 
 /** Eager `UPDATE` — the assigned rows become a keyed 'U' change set
-  * (key = the table's first index column, which must be UNIQUE — the
-  * change set replaces whole rows by key, so a duplicated key would
-  * collapse its rows; the 'index' table property is the declaration of
-  * that contract), applied through the file-pruned merge: an UPDATE
+  * (key = the table's FULL index tuple, which must be UNIQUE as a
+  * tuple — the change set replaces whole rows by key, so a duplicated
+  * tuple would collapse its rows; the 'index' table property is the
+  * declaration of that contract), applied through the file-pruned
+  * merge: an UPDATE
   * touching one key region rewrites that region's files, not the table.
   * Assigning the KEY column itself is rejected loudly — the change rows
   * would carry the new key while the old-key rows survive the keyed
@@ -324,16 +325,20 @@ case class GraftUpdateCommand(location: String, update: UpdateTable)
   import GraftDml._
 
   override def run(session: SparkSession): Seq[Row] = {
-    val key = TxnTable.manifest(session, location,
-        TxnTable.currentVersion(session, location))
-      .idxCols.headOption.getOrElse(unsupported(
-        "UPDATE needs an indexed key column ('index' table property)"))
+    // key = the FULL index tuple: the change set replaces rows by the
+    // tuple, so uniqueness is required of the tuple — a strictly weaker
+    // contract than any single column's (an ('index'='a,b') table may
+    // repeat values of both a and b)
+    val keys = TxnTable.manifest(session, location,
+        TxnTable.currentVersion(session, location)).idxCols
+    if (keys.isEmpty) unsupported(
+      "UPDATE needs an indexed key column ('index' table property)")
     update.assignments.foreach {
       case Assignment(k: AttributeReference, _) =>
-        if (k.name == key) unsupported(
-          s"UPDATE must not assign the key column '$key' — the keyed " +
-            "change set would insert the new key while the old-key row " +
-            "survives (use DELETE + INSERT to re-key rows)")
+        if (keys.contains(k.name)) unsupported(
+          s"UPDATE must not assign the key column '${k.name}' — the " +
+            "keyed change set would insert the new key while the " +
+            "old-key row survives (use DELETE + INSERT to re-key rows)")
       case _ => ()
     }
     val snap = TxnTable.snapshot(session, location)
@@ -353,7 +358,7 @@ case class GraftUpdateCommand(location: String, update: UpdateTable)
     }
     val changes = snap.filter(cond).select(valueCols: _*)
       .withColumn("op", lit("U"))
-    TxnTable.applyChanges(session, location, changes, key)
+    TxnTable.applyChangesMulti(session, location, changes, keys)
     Seq.empty
   }
 }
