@@ -75,6 +75,7 @@ object SparkEntry {
     "sql_txn_merge"           -> (SqlSurface.txnMerge _),
     "sql_txn_merge_sync"      -> (SqlSurface.txnMergeSync _),
     "sql_txn_merge_multi"     -> (SqlSurface.txnMergeMulti _),
+    "sql_txn_changes"         -> (SqlSurface.txnChanges _),
     "sql_txn_update"          -> (SqlSurface.txnUpdate _),
     "op_vacuum"               -> (TxnTable.vacuumTable _),
     "op_cdc_read"             -> (TxnTable.cdcRead _),
@@ -1240,6 +1241,49 @@ object SparkEntry {
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS sync_ok
         |FROM merged""".stripMargin,
+    // The change feed as a metadata table: both signed diffs replayed —
+    // v1→v2 under (upd %50 +100 / del %61 / ins %97 shift 1e8 'N'),
+    // v2→v3 under (upd %30 +50 / del %77 / ins %89 shift 2e8 'M');
+    // a changed row emits (-1 old, +1 new), absent→present +1 only,
+    // present→absent -1 only, unchanged rows never appear
+    "sql_txn_changes" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(14,2)) AS price FROM orders),
+        |v1 AS (SELECT k, st,
+        |    CAST(CASE WHEN k % 50 = 0 THEN price + 100 ELSE price END
+        |      AS DECIMAL(14,2)) AS price
+        |  FROM b WHERE NOT (k % 61 = 0 AND k % 50 <> 0)
+        |  UNION ALL SELECT k + 100000000, 'N', price FROM b WHERE k % 97 = 0),
+        |v2 AS (SELECT k, st,
+        |    CAST(CASE WHEN k % 30 = 0 THEN price + 50 ELSE price END
+        |      AS DECIMAL(14,2)) AS price
+        |  FROM v1 WHERE NOT (k % 77 = 0 AND k % 30 <> 0)
+        |  UNION ALL SELECT k + 200000000, 'M', price FROM v1 WHERE k % 89 = 0),
+        |d1 AS (SELECT COALESCE(a.k, c.k) AS k,
+        |    a.k IS NOT NULL AS ina, c.k IS NOT NULL AS inb,
+        |    a.st AS ast, a.price AS apr, c.st AS bst, c.price AS bpr
+        |  FROM b a FULL OUTER JOIN v1 c ON a.k = c.k),
+        |f1 AS (SELECT k, -1 AS w, ast AS st, apr AS price FROM d1
+        |    WHERE ina AND (NOT inb OR ast IS DISTINCT FROM bst
+        |      OR apr IS DISTINCT FROM bpr)
+        |  UNION ALL
+        |  SELECT k, 1, bst, bpr FROM d1
+        |    WHERE inb AND (NOT ina OR ast IS DISTINCT FROM bst
+        |      OR apr IS DISTINCT FROM bpr)),
+        |d2 AS (SELECT COALESCE(a.k, c.k) AS k,
+        |    a.k IS NOT NULL AS ina, c.k IS NOT NULL AS inb,
+        |    a.st AS ast, a.price AS apr, c.st AS bst, c.price AS bpr
+        |  FROM v1 a FULL OUTER JOIN v2 c ON a.k = c.k),
+        |f2 AS (SELECT k, -1 AS w, ast AS st, apr AS price FROM d2
+        |    WHERE ina AND (NOT inb OR ast IS DISTINCT FROM bst
+        |      OR apr IS DISTINCT FROM bpr)
+        |  UNION ALL
+        |  SELECT k, 1, bst, bpr FROM d2
+        |    WHERE inb AND (NOT ina OR ast IS DISTINCT FROM bst
+        |      OR apr IS DISTINCT FROM bpr))
+        |SELECT k AS o_orderkey, w, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS ch_ok
+        |FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2)""".stripMargin,
     // Composite-key MERGE: one custkey quarter updated (+10, ok%5<>0) /
     // deleted (ok%5=0), keyspace-shifted inserts (ok%11) — replayable
     "sql_txn_merge_multi" ->

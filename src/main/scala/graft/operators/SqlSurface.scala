@@ -446,6 +446,72 @@ object SqlSurface {
       .withColumn("sync_ok", lit(ok))
   }
 
+  /** sql_txn_changes: the CHANGE FEED as a metadata TABLE —
+    * `graft.q.t.changes` (the Delta CDF / `table_changes` shape) serves
+    * the `_cdc/` files [[TxnTable.overwriteCdc]] publishes, through
+    * Spark's own parquet scan: BATCH (`SELECT … FROM
+    * graft.q.t.changes` — the whole committed feed, data-sized and
+    * distributed, never a LocalScan) and STREAMING
+    * (`readStream.table("graft.q.t.changes")` — offsets are the parent
+    * table's commit versions, one commit per micro-batch under the rate
+    * limit; commits that published no feed pass as empty batches). The
+    * scenario publishes two deterministic change sets, reads the feed
+    * both ways, and proves the incremental contract: v1-snapshot + the
+    * STREAMED signed deltas ≡ a direct recompute of the latest version,
+    * group for group. Hashed output = the batch feed (both diffs are
+    * replayable arithmetic); `ch_ok` carries the fold equality and the
+    * commit trail. At 100 TB the feed is the product: downstream
+    * consumers fold deltas instead of rescanning the table. */
+  def txnChanges(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "ch_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.ch_orders (
+      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(14,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    TxnTable.append(s, loc, TxnTable.ordersSlice14(s, d).repartition(4))
+    TxnTable.overwriteCdc(s, loc, TxnTable.applyOrderChanges(
+      TxnTable.snapshot(s, loc, 1), 50, 100, 61, 97, 100000000L, "N"),
+      "o_orderkey")
+    TxnTable.overwriteCdc(s, loc, TxnTable.applyOrderChanges(
+      TxnTable.snapshot(s, loc, 2), 30, 50, 77, 89, 200000000L, "M"),
+      "o_orderkey")
+    // STREAM the feed behind the identifier; fold v1 + signed deltas
+    import org.apache.spark.sql.functions.{count, sum}
+    val q = s.readStream
+      .option("maxVersionsPerTrigger", "1")
+      .table("graft.q.ch_orders.changes")
+      .groupBy(org.apache.spark.sql.functions.col("o_orderstatus"))
+      .agg(sum(org.apache.spark.sql.functions.col("w")).as("n"),
+        sum(org.apache.spark.sql.functions.col("w") *
+          org.apache.spark.sql.functions.col("price")).as("total"))
+      .writeStream.format("memory").queryName("sql_txn_changes_delta")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val c = org.apache.spark.sql.functions.col _
+    def groups(df: org.apache.spark.sql.DataFrame): Map[String, (Long, BigDecimal)] =
+      df.collect().map(r => (r.getString(0),
+        (r.getLong(1), BigDecimal(r.getDecimal(2))))).toMap
+    val fold = groups(
+      TxnTable.snapshot(s, loc, 1).groupBy(c("o_orderstatus"))
+        .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          sum(c("price")).as("total"))
+        .unionByName(s.table("sql_txn_changes_delta"))
+        .groupBy(c("o_orderstatus"))
+        .agg(sum(c("n")).as("n"), sum(c("total")).as("total"))
+        .filter(c("n") =!= 0))
+    val direct = groups(
+      TxnTable.snapshot(s, loc).groupBy(c("o_orderstatus"))
+        .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          sum(c("price")).as("total")))
+    val ok = fold == direct && fold.nonEmpty &&
+      TxnTable.versions(s, loc) == Seq(0L, 1L, 2L, 3L)
+    s.sql("""SELECT o_orderkey, w, o_orderstatus,
+      CAST(price AS DOUBLE) AS price FROM graft.q.ch_orders.changes""")
+      .withColumn("ch_ok", lit(ok))
+  }
+
   /** sql_txn_merge_multi: COMPOSITE-KEY MERGE — `ON t.ck = s.ck AND
     * t.ok = s.ok`: the key tuple (custkey, orderkey) is unique, and
     * file pruning INTERSECTS the per-dimension manifest boxes — a file

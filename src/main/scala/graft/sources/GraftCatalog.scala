@@ -110,6 +110,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         return ident.name() match {
           case "history" => GraftMaintenance.historyTable(full, parentPath)
           case "files"   => GraftMaintenance.filesTable(full, parentPath)
+          // data-sized, distributed — a real parquet-backed table over
+          // the committed change feed, batch AND streaming
+          case "changes" => new GraftChangesTable(full, parentPath)
         }
       }
     }
@@ -296,7 +299,7 @@ object GraftCatalog {
   }
 
   /** The reserved metadata-table suffixes (`graft.ns.t.history`…). */
-  private[sources] val metaTables = Set("history", "files")
+  private[sources] val metaTables = Set("history", "files", "changes")
 
   /** Manifest-prune accounting for DSv2 scans, cumulative since process
     * start (instrumentation, the [[TxnTable.logReads]] pattern): how

@@ -4,6 +4,7 @@ import graft.operators.TxnTable
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
@@ -181,6 +182,139 @@ class GraftMicroBatchStream(ident: String, location: String,
     lastFactory.getOrElse(StreamBridge.readerFactory(spark, schema))
 
   override def commit(end: Offset): Unit = () // the log retains history
+
+  override def stop(): Unit = ()
+}
+
+/** `graft.ns.t.changes` — the committed CHANGE FEED as a metadata
+  * table (the Delta `table_changes` / CDF shape): [[TxnTable
+  * .overwriteCdc]] publishes each commit's signed diff under
+  * `table/_cdc/` as version-prefixed parquet, and this table serves
+  * those files through Spark's own parquet scan — batch (`SELECT …
+  * FROM graft.ns.t.changes`, every change ever committed, the feed an
+  * incremental consumer folds from a snapshot) and STREAMING
+  * (`readStream.table("graft.ns.t.changes")`: offsets are the parent
+  * table's commit versions, each micro-batch reads exactly the change
+  * files its versions published — commits without a feed pass as empty
+  * batches). Unlike the live-data tail ([[GraftMicroBatchStream]]),
+  * compactions and rewrites never disturb this stream: the feed is
+  * immutable, append-only by construction. Data-sized, distributed —
+  * never a LocalScan. */
+class GraftChangesTable(ident: String,
+    private[sources] val location: String)
+    extends Table with SupportsRead {
+
+  private def spark: SparkSession = SparkSession.active
+  private def cdcDir: String = s"$location/_cdc"
+
+  private def cdcFiles(s: SparkSession): Seq[Path] = {
+    val p = new Path(cdcDir)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+  }
+
+  override def name(): String = ident
+
+  override def schema(): StructType = {
+    val fs = cdcFiles(spark)
+    require(fs.nonEmpty,
+      s"$ident: no change feed committed yet (writers publish one via " +
+        "TxnTable.overwriteCdc)")
+    spark.read.parquet(fs.head.toString).schema
+  }
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val s = spark
+    val paths = cdcFiles(s)
+    // change files carry no manifest stats: the prune is identity, but
+    // parquet footer/row-group pruning and column pruning still apply
+    new org.apache.spark.sql.graftbridge.PruningScanBuilder(
+      s, schema(), options, paths, _ => paths) {
+      override def build(): Scan = {
+        val maxVersions = Option(options.get("maxVersionsPerTrigger"))
+          .map(_.toLong)
+        new GraftStreaming.StreamableScan(super.build(),
+          readSchema => new GraftCdcMicroBatchStream(ident, location,
+            readSchema, maxVersions))
+      }
+    }
+  }
+}
+
+/** The change feed as a micro-batch stream: offsets are the PARENT
+  * table's commit versions (the log is the clock), each batch reads
+  * the `_cdc/v%08d-*.parquet` files its versions published. */
+class GraftCdcMicroBatchStream(ident: String, location: String,
+    schema: StructType, maxVersions: Option[Long])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def spark: SparkSession = SparkSession.active
+  @volatile private var availableTarget: Option[Long] = None
+  @volatile private var lastFactory: Option[PartitionReaderFactory] = None
+
+  override def initialOffset(): Offset = GraftStreaming.VersionOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreaming.VersionOffset(json.toLong)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(TxnTable.currentVersion(spark, location))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) drives this admission-controlled source")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[GraftStreaming.VersionOffset].v
+    val cur = TxnTable.currentVersion(spark, location)
+    val capped = availableTarget.fold(cur)(math.min(cur, _))
+    val end = maxVersions.fold(capped)(m => math.min(capped, s0 + m))
+    GraftStreaming.VersionOffset(math.max(s0, end))
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftStreaming.VersionOffset(TxnTable.currentVersion(spark, location))
+
+  private def filesIn(s: SparkSession, start: Long, end: Long): Seq[Path] = {
+    val p = new Path(s"$location/_cdc")
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath)
+      .filter { q =>
+        val n = q.getName
+        n.startsWith("v") && n.endsWith(".parquet") && {
+          val v = n.drop(1).takeWhile(_.isDigit)
+          v.nonEmpty && v.toLong > start && v.toLong <= end
+        }
+      }.sortBy(_.getName)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = spark
+    val s0 = start.asInstanceOf[GraftStreaming.VersionOffset].v
+    val e0 = end.asInstanceOf[GraftStreaming.VersionOffset].v
+    val (parts, factory) =
+      StreamBridge.batchFor(s, schema, filesIn(s, s0, e0))
+    lastFactory = Some(factory)
+    parts
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    lastFactory.getOrElse(StreamBridge.readerFactory(spark, schema))
+
+  override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 }

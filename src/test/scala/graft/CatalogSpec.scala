@@ -634,6 +634,52 @@ class CatalogSpec extends SparkSpec {
         s"${rows.take(5).toSeq}")
   }
 
+  test("t.changes serves the committed feed, batch and streaming") {
+    val s2 = spark
+    import s2.implicits._
+    val t = fresh("changes")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    // before any feed is published: loud failure, never empty-success
+    val e = intercept[Exception] {
+      sql(s"SELECT * FROM graft.spec.$t.changes").collect() }
+    assert(e.getMessage.contains("no change feed"))
+    TxnTable.append(spark, loc, (0L until 100L).map(i => (i, i)).toDF("k", "v"))
+    // two publishing overwrites: +1 to v for even keys, then drop k>=90
+    TxnTable.overwriteCdc(spark, loc,
+      TxnTable.snapshot(spark, loc).withColumn("v",
+        when(col("k") % 2 === 0, col("v") + 1).otherwise(col("v"))), "k")
+    TxnTable.overwriteCdc(spark, loc,
+      TxnTable.snapshot(spark, loc).filter(col("k") < 90), "k")
+    // batch: the whole feed = the union of both signed diffs
+    val batch = sql(s"SELECT k, w, v FROM graft.spec.$t.changes")
+      .as[(Long, Int, Long)].collect().toSet
+    val expected =
+      TxnTable.cdcSigned(spark, loc, 1, 2, "k").select("k", "w", "v")
+        .unionByName(
+          TxnTable.cdcSigned(spark, loc, 2, 3, "k").select("k", "w", "v"))
+        .as[(Long, Int, Long)].collect().toSet
+    assert(batch === expected && batch.nonEmpty)
+    // streaming: one commit per micro-batch; the folded deltas match
+    val q = spark.readStream.option("maxVersionsPerTrigger", "1")
+      .table(s"graft.spec.$t.changes")
+      .groupBy(col("k") % 10).agg(sum(col("w") * col("v")).as("d"))
+      .writeStream.format("memory").queryName("spec_changes_delta")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val deltaSum = spark.table("spec_changes_delta")
+      .agg(sum(col("d"))).collect()(0).getLong(0)
+    val v1Sum = TxnTable.snapshot(spark, loc, 1)
+      .agg(sum(col("v"))).collect()(0).getLong(0)
+    val curSum = TxnTable.snapshot(spark, loc)
+      .agg(sum(col("v"))).collect()(0).getLong(0)
+    assert(v1Sum + deltaSum === curSum,
+      "streamed deltas must fold v1 to the current content")
+  }
+
   test("DROP and re-CREATE; listTables sees only tables") {
     val t = fresh("droppable")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
