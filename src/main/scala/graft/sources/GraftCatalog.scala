@@ -33,6 +33,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   SELECT * FROM graft.ns.t VERSION AS OF 2   -- pinned snapshot
   *   SELECT * FROM graft.ns.t TIMESTAMP AS OF … -- newest commit ≤ ts
   *   DELETE FROM graft.ns.t WHERE k >= a AND k <= b  -- file-pruned
+  *   CREATE TABLE graft.ns.t2 TBLPROPERTIES ('index'='k') AS SELECT …
+  *   TRUNCATE TABLE graft.ns.t                  -- empty overwrite commit
+  *   SELECT * FROM graft.ns.t.history           -- audit trail
+  *   SELECT * FROM graft.ns.t.changes           -- committed CDC feed
+  *   CALL graft.system.compact('ns.t')          -- maintenance
+  *   spark.readStream.table("graft.ns.t")       -- commit-log tail
+  *   df.writeStream.toTable("graft.ns.t")       -- exactly-once epochs
   * }}}
   *
   * A table is a directory `<warehouse>/<ns…>/<name>` whose `_log/` holds
@@ -316,7 +323,8 @@ object GraftCatalog {
   * the file-pruned [[TxnTable.deleteRange]]. */
 class GraftTable(ident: String, private[sources] val location: String,
     version: Long)
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with TruncatableTable {
 
   private def spark: SparkSession = SparkSession.active
   private lazy val m = TxnTable.manifest(spark, location, version)
@@ -331,6 +339,27 @@ class GraftTable(ident: String, private[sources] val location: String,
   private[sources] def hasTombstones: Boolean = m.deletes.nonEmpty
 
   override def name(): String = ident
+
+  /** Surfaced to `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`: the
+    * table's clustering declaration and pinned version, read from the
+    * manifest header — the catalog itself stores nothing. */
+  override def properties(): util.Map[String, String] = {
+    val p = new util.HashMap[String, String]()
+    if (m.idxCols.nonEmpty) p.put("index", m.idxCols.mkString(","))
+    if (m.strIdxCols.nonEmpty) p.put("strindex", m.strIdxCols.mkString(","))
+    p.put("version", version.toString)
+    p.put("location", location)
+    p
+  }
+
+  /** `TRUNCATE TABLE` — one empty overwrite commit; the truncated
+    * version stays pinned-readable until vacuum, like every other
+    * copy-on-write operation. */
+  override def truncateTable(): Boolean = {
+    val s = spark
+    TxnTable.overwrite(s, location, TxnTable.snapshot(s, location).limit(0))
+    true
+  }
 
   override def schema(): StructType =
     m.schema.getOrElse {

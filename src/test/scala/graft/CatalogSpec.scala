@@ -680,6 +680,32 @@ class CatalogSpec extends SparkSpec {
       "streamed deltas must fold v1 to the current content")
   }
 
+  test("CTAS, TRUNCATE TABLE, and SHOW TBLPROPERTIES round out the SQL surface") {
+    val t = fresh("ctas")
+    // CREATE TABLE AS SELECT carries the schema AND the index property
+    sql(s"CREATE TABLE graft.spec.$t TBLPROPERTIES ('index' = 'k') AS " +
+      "SELECT id AS k, CONCAT('r', id) AS v FROM RANGE(200)")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 200)
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    // the CTAS data landed INDEXED (stats in the manifest)
+    val m = TxnTable.manifest(spark, loc, TxnTable.currentVersion(spark, loc))
+    assert(m.idxCols === Seq("k"))
+    assert(m.entries.exists(_.statFor("k").isDefined),
+      "CTAS rows must stage with manifest stats")
+    // properties surface through SQL
+    val props = sql(s"SHOW TBLPROPERTIES graft.spec.$t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(props.get("index") === Some("k"))
+    // TRUNCATE is one empty overwrite commit; history survives
+    sql(s"TRUNCATE TABLE graft.spec.$t")
+    assert(sql(s"SELECT * FROM graft.spec.$t").count() === 0)
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t VERSION AS OF 1")
+      .collect()(0).getLong(0) === 200, "truncated version must stay pinned")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, 'y' FROM RANGE(7)")
+    assert(sql(s"SELECT * FROM graft.spec.$t").count() === 7)
+  }
+
   test("DROP and re-CREATE; listTables sees only tables") {
     val t = fresh("droppable")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
