@@ -156,6 +156,21 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
     }
     val updates = merge.matchedActions.collect { case u: UpdateAction => u }
     if (updates.size > 1) unsupported("more than one UPDATE action")
+    // a matched UPDATE must not RE-KEY rows: the change set replaces
+    // rows by key, so an assignment moving the key would leave the
+    // old-key row alive AND insert the new key — silent duplication.
+    // Assigning the key to itself (what `UPDATE SET *` expands to:
+    // k = s.k, equal to t.k by the ON condition) is the identity and
+    // stays legal.
+    updates.foreach(_.assignments.foreach {
+      case Assignment(k: AttributeReference, v) =>
+        keyPairs.find(_._1.name == k.name).foreach { case (a, b) =>
+          require(v.semanticEquals(b) || v.semanticEquals(a),
+            s"MERGE must not re-key matched rows: UPDATE SET ${k.name} " +
+              s"= $v moves the merge key (use DELETE + INSERT to re-key)")
+        }
+      case _ => ()
+    })
     val inserts = merge.notMatchedActions.map {
       case i: InsertAction => i
       case a => unsupported(s"not-matched action $a")
@@ -302,8 +317,27 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
           .filter(col("op").isNotNull)
           .select(nmbsVals :+ col("op"): _*))
       }
-    TxnTable.applyChangesMulti(session, location, allChanges,
-      keyPairs.map(_._1.name))
+    val keyNames = keyPairs.map(_._1.name)
+    // the change plan (src ⋈ target snapshot) is read several times —
+    // the cardinality check below, then applyChanges' key probe and row
+    // union — so compute it once
+    allChanges.persist()
+    try {
+      // standard MERGE raises when multiple source rows match one target
+      // row; here EVERY change row is keyed, so any duplicated non-null
+      // key tuple (two matches, or two inserts of one key) would
+      // silently collapse or duplicate under keyed replacement. One
+      // aggregate over the CHANGE SET (change-set-sized, never the
+      // table) turns that into a loud error.
+      val dup = allChanges
+        .filter(keyNames.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keyNames.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).count() > 0
+      if (dup) unsupported(
+        "multiple source rows produce the same merge key tuple " +
+          "(standard MERGE cardinality violation)")
+      TxnTable.applyChangesMulti(session, location, allChanges, keyNames)
+    } finally allChanges.unpersist(blocking = false)
     Seq.empty
   }
 }

@@ -51,6 +51,28 @@ object GraftStreaming {
     override def json: String = v.toString
   }
 
+  /** Resolve a `startingVersion` option to the initial offset (= last
+    * consumed version): absent → 0 (everything), `"latest"` → current,
+    * `"<n>"` → n−1 so n itself streams. n−1's manifest must still be
+    * retained (the added-file diff needs it) — a vacuumed start fails
+    * loudly at the first batch, never silently skips. */
+  private[sources] def resolveStart(ident: String, location: String,
+      startingVersion: Option[String], s: SparkSession): Long =
+    startingVersion match {
+      case None => 0L
+      case Some("latest") => TxnTable.currentVersion(s, location)
+      case Some(n) =>
+        val v = try n.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$ident: startingVersion must be a commit number or " +
+              s"'latest', got '$n'")
+        }
+        require(v >= 0, s"$ident: startingVersion must be >= 0, got $v")
+        // version 0 is the create commit (zero-row sentinel), so 0 and 1
+        // both begin at the first append — max keeps the walk in range
+        math.max(0L, v - 1)
+    }
+
   /** Wrap a batch parquet scan with micro-batch capability: batch reads
     * delegate untouched; `toMicroBatchStream` tails the log at the
     * scan's (column-pruned) read schema. Pushed data filters are safe to
@@ -107,21 +129,7 @@ class GraftMicroBatchStream(ident: String, location: String,
   @volatile private var lastFactory: Option[PartitionReaderFactory] = None
 
   override def initialOffset(): Offset = GraftStreaming.VersionOffset(
-    startingVersion match {
-      case None => 0L
-      case Some("latest") => TxnTable.currentVersion(spark, location)
-      case Some(n) =>
-        val v = try n.toLong catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"$ident: startingVersion must be a commit number or " +
-              s"'latest', got '$n'")
-        }
-        require(v >= 0, s"$ident: startingVersion must be >= 0, got $v")
-        // offset = last consumed version; v itself streams. Version 0 is
-        // the create commit (zero-row sentinel), so 0 and 1 both begin
-        // at the first append — max keeps the offset walk in range.
-        math.max(0L, v - 1)
-    })
+    GraftStreaming.resolveStart(ident, location, startingVersion, spark))
 
   override def deserializeOffset(json: String): Offset =
     GraftStreaming.VersionOffset(json.toLong)
@@ -150,8 +158,11 @@ class GraftMicroBatchStream(ident: String, location: String,
     * input. Fails loudly on non-append data changes. */
   private def addedFiles(s: SparkSession, start: Long, end: Long)
       : Seq[Path] = {
+    if (start >= end) return Seq.empty
+    // thread the previous manifest through the walk: a catch-up batch
+    // over N versions costs N+1 manifest reads, not 2N
+    var prev = TxnTable.manifest(s, location, start)
     (start + 1 to end).flatMap { v =>
-      val prev = TxnTable.manifest(s, location, v - 1)
       val cur = TxnTable.manifest(s, location, v)
       val prevPaths = prev.entries.map(_.path).toSet
       val removed = prevPaths -- cur.entries.map(_.path).toSet
@@ -162,8 +173,10 @@ class GraftMicroBatchStream(ident: String, location: String,
       require(cur.deletes.toSet == prev.deletes.toSet,
         s"$ident: version $v added merge-on-read tombstones; a streamed " +
           "append-only tail cannot retract already-emitted rows")
-      cur.entries.filterNot(e => prevPaths(e.path))
+      val out = cur.entries.filterNot(e => prevPaths(e.path))
         .map(e => new Path(TxnTable.pathFor(location, e.path)))
+      prev = cur
+      out
     }
   }
 
@@ -242,9 +255,10 @@ class GraftChangesTable(ident: String,
       override def build(): Scan = {
         val maxVersions = Option(options.get("maxVersionsPerTrigger"))
           .map(_.toLong)
+        val startingVersion = Option(options.get("startingVersion"))
         new GraftStreaming.StreamableScan(super.build(),
           readSchema => new GraftCdcMicroBatchStream(ident, location,
-            readSchema, maxVersions))
+            readSchema, maxVersions, startingVersion))
       }
     }
   }
@@ -254,14 +268,16 @@ class GraftChangesTable(ident: String,
   * table's commit versions (the log is the clock), each batch reads
   * the `_cdc/v%08d-*.parquet` files its versions published. */
 class GraftCdcMicroBatchStream(ident: String, location: String,
-    schema: StructType, maxVersions: Option[Long])
+    schema: StructType, maxVersions: Option[Long],
+    startingVersion: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
   @volatile private var availableTarget: Option[Long] = None
   @volatile private var lastFactory: Option[PartitionReaderFactory] = None
 
-  override def initialOffset(): Offset = GraftStreaming.VersionOffset(0L)
+  override def initialOffset(): Offset = GraftStreaming.VersionOffset(
+    GraftStreaming.resolveStart(ident, location, startingVersion, spark))
 
   override def deserializeOffset(json: String): Offset =
     GraftStreaming.VersionOffset(json.toLong)
@@ -365,7 +381,20 @@ class GraftStreamingWrite(ident: String, location: String,
     extends StreamingWrite {
 
   private def spark: SparkSession = SparkSession.active
-  private val qtag: Long = queryId.hashCode.toLong & 0xffffffffL
+  // the replay-ledger tag: the full 128 bits of the query id (streaming
+  // query ids are UUIDs) as two long metrics — a 32-bit hash could
+  // collide across queries and silently skip a batch as a "replay"
+  private val (qtag, qtag2): (Long, Long) =
+    try {
+      val u = java.util.UUID.fromString(queryId)
+      (u.getMostSignificantBits, u.getLeastSignificantBits)
+    } catch { case _: IllegalArgumentException =>
+      (queryId.hashCode.toLong, queryId.reverse.hashCode.toLong)
+    }
+  // newest epoch this INSTANCE committed — commit() runs sequentially
+  // per query on the driver, so after the first log resolution the
+  // ledger walk is one volatile read per epoch, not O(versions)
+  @volatile private var lastSeen: Option[Long] = None
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
@@ -382,7 +411,8 @@ class GraftStreamingWrite(ident: String, location: String,
     val versions = TxnTable.versions(s, location).reverse
     versions.iterator.map(v => TxnTable.manifest(s, location, v))
       .collectFirst {
-        case m if m.metrics.get("qtag").contains(qtag) => m.metrics("epoch")
+        case m if m.metrics.get("qtag").contains(qtag) &&
+            m.metrics.get("qtag2").forall(_ == qtag2) => m.metrics("epoch")
       }
   }
 
@@ -398,17 +428,33 @@ class GraftStreamingWrite(ident: String, location: String,
     // REPLAY: this epoch (or a later one) already committed — the
     // restarted stream re-ran the batch; drop the orphaned stage, change
     // nothing. Epochs are monotonic per checkpoint, so `>=` is exact.
-    if (lastCommittedEpoch(s).exists(_ >= epochId)) { dropStage(); return }
+    // The ledger is resolved from the LOG once per instance (restart
+    // safety), then tracked in-instance.
+    val last = lastSeen.orElse {
+      lastSeen = lastCommittedEpoch(s).orElse(Some(Long.MinValue))
+      lastSeen
+    }
+    if (last.exists(_ >= epochId) && last.get != Long.MinValue) {
+      dropStage(); return
+    }
     val m0 = TxnTable.manifest(s, location,
       TxnTable.currentVersion(s, location))
-    val lines = TxnTable.indexStagedRels(s, location, rels,
+    val staged = TxnTable.indexStagedRels(s, location, rels,
       m0.idxCols, m0.strIdxCols).filter(l => l.contains('\t') ||
         m0.idxCols.isEmpty && m0.strIdxCols.isEmpty)
-    // empty batch: no commit (a zero-file version would be unreadable
-    // by design; an empty Complete-mode epoch keeps the previous result)
-    if (lines.isEmpty) return
+    // an empty APPEND epoch commits nothing (a zero-file version would
+    // be unreadable by design); an empty COMPLETE epoch must still
+    // overwrite — the new result IS empty, and keeping the previous
+    // rows would serve stale data — so it stages the empty sentinel
+    // carrying the schema, the same guard deleteRange uses
+    if (staged.isEmpty && !truncate) { lastSeen = Some(epochId); return }
+    val lines =
+      if (staged.nonEmpty) staged
+      else TxnTable.stage(s, location, s.createDataFrame(
+        s.sparkContext.parallelize(
+          Seq.empty[org.apache.spark.sql.Row], 1), schema))
     val metrics = Seq("epoch" -> epochId, "qtag" -> qtag,
-      "files" -> lines.size.toLong)
+      "qtag2" -> qtag2, "files" -> staged.size.toLong)
     if (truncate)
       TxnTable.commitResolving(s, location)(base =>
         TxnTable.Change(lines,
@@ -418,6 +464,7 @@ class GraftStreamingWrite(ident: String, location: String,
       TxnTable.commitResolving(s, location)(_ =>
         TxnTable.Change(lines, Set.empty, Set.empty,
           op = "stream_write", metrics = metrics))
+    lastSeen = Some(epochId)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage])

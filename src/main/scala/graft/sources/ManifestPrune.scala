@@ -35,19 +35,34 @@ object ManifestPrune {
     case other => Seq(other)
   }
 
-  /** Unwrap the column side: a bare attribute, or a widening integral
+  /** Unwrap the column side: a bare attribute, or a WIDENING integral
     * cast of one (an INT column compared to a BIGINT literal arrives as
-    * `CAST(c AS BIGINT)` — the manifest records longs, so the cast is
-    * stat-transparent). */
+    * `CAST(c AS BIGINT)` — the manifest records longs, so a widening
+    * cast is stat-transparent). A NARROWING cast is NOT: `CAST(bigintCol
+    * AS INT) = 5` can match rows whose untruncated value lies far
+    * outside [5, 5] (non-ANSI wrap-around), so evaluating it against the
+    * untruncated bounds would prune files that hold matching rows —
+    * silently wrong results. Narrowing casts answer `None` and keep
+    * every file. */
   private def attrOf(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case Cast(a: AttributeReference, t, _, _)
-        if intLike(a.dataType) && intLike(t) => Some(a.name)
+        if intWidth(a.dataType) > 0 && intWidth(t) >= intWidth(a.dataType) =>
+      Some(a.name)
     case _ => None
   }
 
+  private def intWidth(t: org.apache.spark.sql.types.DataType): Int =
+    t match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 4
+      case LongType => 8
+      case _ => 0
+    }
+
   private def intLike(t: org.apache.spark.sql.types.DataType): Boolean =
-    t == ByteType || t == ShortType || t == IntegerType || t == LongType
+    intWidth(t) > 0
 
   private def longLit(e: Expression): Option[Long] = e match {
     case Literal(v, t) if intLike(t) && v != null =>

@@ -5,7 +5,6 @@ import org.apache.hadoop.fs.Path
 import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -79,7 +78,4 @@ object StreamBridge {
     WriterRecipe(factory, conf, schema, ext)
   }
 
-  /** EXECUTOR-SIDE: copy an unsafe row (writers buffer rows; iterator
-    * rows are reused). */
-  def copyRow(r: InternalRow): InternalRow = r.copy()
 }

@@ -543,9 +543,10 @@ class CatalogSpec extends SparkSpec {
     }
     w.commit(0L, Array(GraftStagedFile(stageOne("e0", 0), 5)))
     assert(TxnTable.currentVersion(spark, loc) === 1L)
-    assert(TxnTable.commitMetrics(spark, loc) ===
-      Map("epoch" -> 0L, "qtag" -> "spec-query-1".hashCode.toLong
-        .&(0xffffffffL), "files" -> 1L))
+    val metrics = TxnTable.commitMetrics(spark, loc)
+    assert(metrics("epoch") === 0L && metrics("files") === 1L &&
+      metrics.contains("qtag") && metrics.contains("qtag2"),
+      s"stream commit must record its epoch ledger, got $metrics")
     // REPLAY of epoch 0 (the restart path): no new version, and the
     // orphaned stage is deleted
     val orphan = stageOne("e0b", 100)
@@ -564,6 +565,86 @@ class CatalogSpec extends SparkSpec {
       "spec-query-2", truncate = false)
     w2.commit(0L, Array(GraftStagedFile(stageOne("q2e0", 200), 5)))
     assert(TxnTable.currentVersion(spark, loc) === 3L)
+    // driver-restart path: a FRESH instance with the same query id
+    // resolves the ledger from the LOG (not session state) and skips
+    val w3 = new GraftStreamingWrite(s"graft.spec.$t", loc, schema,
+      "spec-query-1", truncate = false)
+    val orphan2 = stageOne("e1b", 300)
+    w3.commit(1L, Array(GraftStagedFile(orphan2, 5)))
+    assert(TxnTable.currentVersion(spark, loc) === 3L,
+      "restarted query replayed an already-committed epoch")
+    val op2 = new org.apache.hadoop.fs.Path(TxnTable.pathFor(loc, orphan2))
+    assert(!op2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(op2))
+  }
+
+  test("MERGE rejects re-keying and duplicate source keys loudly") {
+    val t = fresh("mergeguards")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, id FROM RANGE(100)")
+    // matched UPDATE moving the merge key would silently duplicate rows
+    val e1 = intercept[Exception] {
+      sql(s"""MERGE INTO graft.spec.$t t
+        USING (SELECT id AS k, id AS v FROM RANGE(10)) s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET k = t.k + 1000""")
+    }
+    assert(e1.getMessage.contains("re-key"))
+    // UPDATE SET * (key assigned to ITSELF via the ON equality) is legal
+    sql(s"""MERGE INTO graft.spec.$t t
+      USING (SELECT id AS k, id * 2 AS v FROM RANGE(10)) s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *""")
+    assert(sql(s"SELECT SUM(v) AS s FROM graft.spec.$t WHERE k < 10")
+      .collect()(0).getLong(0) === 90)
+    // duplicate source keys = standard MERGE cardinality violation
+    val e2 = intercept[Exception] {
+      sql(s"""MERGE INTO graft.spec.$t t
+        USING (SELECT 7 AS k, 1 AS v UNION ALL SELECT 7, 2) s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    assert(e2.getMessage.contains("cardinality"))
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t WHERE k = 7")
+      .collect()(0).getLong(0) === 1, "failed merge must not have landed")
+  }
+
+  test("narrowing casts never prune from untruncated manifest bounds") {
+    val t = fresh("castprune")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    // one file far above INT range: CAST(k AS INT) wraps its values
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "4294967296 + id, id FROM RANGE(10)") // 2^32 + id casts to id
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "id + 100, id FROM RANGE(10)")
+    // ANSI: CAST(2^32+5 AS INT) overflows at RUNTIME — pruning the
+    // big-key file from its untruncated [2^32, 2^32+9] bounds would
+    // silently SUPPRESS that error (and under non-ANSI would lose the
+    // wrapped match). The file must stay in the scan and the error
+    // must surface.
+    val (k0, t0) = (GraftCatalog.scanKept.get, GraftCatalog.scanTotal.get)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT k FROM graft.spec.$t WHERE CAST(k AS INT) = 5")
+        .collect()
+    }
+    assert(e.getMessage.contains("CAST_OVERFLOW"),
+      s"expected the overflow to surface, got: ${e.getMessage.take(120)}")
+    val (kept, total) = (GraftCatalog.scanKept.get - k0,
+      GraftCatalog.scanTotal.get - t0)
+    assert(kept === total,
+      s"narrowing cast must not prune ($kept of $total kept)")
+    // try_cast (overflow → NULL): the wrapped key must NOT match, but
+    // the big file still can't be pruned by untruncated bounds
+    val hits = spark.sql(
+      s"SELECT k FROM graft.spec.$t WHERE TRY_CAST(k AS INT) = 105")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits === Seq(105L), s"try_cast narrowed wrong: $hits")
+    // a WIDENING cast still prunes: only the low file can hold 105
+    val (k1, t1) = (GraftCatalog.scanKept.get, GraftCatalog.scanTotal.get)
+    assert(spark.sql(
+      s"SELECT k FROM graft.spec.$t WHERE CAST(k AS BIGINT) = 105")
+      .count() === 1)
+    assert(GraftCatalog.scanKept.get - k1 < GraftCatalog.scanTotal.get - t1,
+      "widening cast should stay stat-transparent and prune")
   }
 
   test("streaming source is append-only: a file-removing commit fails the tail loudly") {
