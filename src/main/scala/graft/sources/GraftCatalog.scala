@@ -64,7 +64,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * parquet scan of the live files would resurrect tombstoned rows.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -230,6 +230,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     TxnTable.addColumns(spark, path, adds)
     loadTable(ident)
   }
+
+  // ---- StagingTableCatalog: ATOMIC CTAS / RTAS ----
+  //
+  // `CREATE TABLE … AS SELECT` / `[CREATE OR] REPLACE TABLE … AS
+  // SELECT` stage their data files first and publish with ONE manifest
+  // commit at the end — readers never see a half-written table (plain
+  // TableCatalog CTAS creates an EMPTY visible table, then appends: a
+  // concurrent reader observes the intermediate state, and a failed
+  // write leaves the empty husk behind). A failed staged write aborts
+  // by deleting its files; for CREATE the table never becomes visible
+  // at all (visibility IS the `_log/` directory, written only by the
+  // final commit), and for REPLACE the previous version keeps serving.
+
+  private def stagedFor(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean, mustExist: Boolean): StagedTable = {
+    require(partitions.isEmpty,
+      s"$catalogName tables cluster via manifest stats ('index' table " +
+        "property), not hive partition transforms")
+    val path = tablePath(ident)
+    if (!replace && isTable(path)) throw new TableAlreadyExistsException(ident)
+    if (mustExist && !isTable(path)) throw new NoSuchTableException(ident)
+    val idx = Option(properties.get("index")).map(_.split(',').toSeq)
+      .getOrElse(Nil)
+    val strIdx = Option(properties.get("strindex")).map(_.split(',').toSeq)
+      .getOrElse(Nil)
+    new StagedGraftTable(s"$catalogName.${ident.toString}", path, schema,
+      idx, strIdx, replace)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stagedFor(ident, schema, partitions, properties,
+      replace = false, mustExist = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stagedFor(ident, schema, partitions, properties,
+      replace = true, mustExist = true)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stagedFor(ident, schema, partitions, properties,
+      replace = true, mustExist = false)
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = new Path(tablePath(ident))
@@ -588,4 +635,75 @@ class GraftTable(ident: String, private[sources] val location: String,
           "integral and string columns (the shapes manifest stats can " +
           "prune or residual-filter)")
     }
+}
+
+/** The in-flight side of an atomic CTAS / RTAS: `insert` STAGES data
+  * files under the table path without touching the log, so nothing is
+  * visible (a table IS its `_log/`); `commitStagedChanges` publishes
+  * everything as one manifest commit — create, or a REPLACE overwrite
+  * whose previous versions stay pinned-readable; `abortStagedChanges`
+  * deletes the staged files and leaves the world exactly as it was. */
+class StagedGraftTable(ident: String, location: String,
+    writeSchema: StructType, idx: Seq[String], strIdx: Seq[String],
+    replace: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  @volatile private var staged: Seq[String] = Nil
+
+  override def name(): String = ident
+  override def schema(): StructType = writeSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // CTAS/RTAS arrive as truncate+insert; staging makes that moot
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean)
+                : Unit = {
+              val s = data.sparkSession
+              // stage ONLY — the log is untouched until commit
+              staged =
+                if (idx.nonEmpty || strIdx.nonEmpty)
+                  TxnTable.stageIndexed(s, location, data, idx, strIdx)
+                else TxnTable.stage(s, location, data)
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val s = spark
+    // a zero-row CTAS still needs one schema-carrying sentinel file
+    val lines =
+      if (staged.nonEmpty) staged
+      else TxnTable.stage(s, location, s.createDataFrame(
+        s.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+        writeSchema))
+    val log = new Path(location, "_log")
+    val exists = log.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(log)
+    if (exists) {
+      require(replace, s"$ident was created concurrently")
+      val cur = TxnTable.currentVersion(s, location)
+      TxnTable.commit(s, location, lines, cur, op = "replace",
+        schemaJson = writeSchema.json, idxCols = idx, strIdxCols = strIdx)
+    } else {
+      TxnTable.commit(s, location, lines, expected = -1L, op = "create",
+        schemaJson = writeSchema.json, idxCols = idx, strIdxCols = strIdx)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val s = spark
+    staged.map(_.split('\t').head).foreach { rel =>
+      val p = new Path(TxnTable.pathFor(location, rel))
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, false)
+    }
+  }
 }

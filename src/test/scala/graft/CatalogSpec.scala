@@ -763,12 +763,19 @@ class CatalogSpec extends SparkSpec {
 
   test("CTAS, TRUNCATE TABLE, and SHOW TBLPROPERTIES round out the SQL surface") {
     val t = fresh("ctas")
-    // CREATE TABLE AS SELECT carries the schema AND the index property
+    // CREATE TABLE AS SELECT carries the schema AND the index property,
+    // and lands ATOMICALLY: the staged path publishes data + schema as
+    // ONE create commit (version 0 already holds the rows — no visible
+    // empty intermediate table)
     sql(s"CREATE TABLE graft.spec.$t TBLPROPERTIES ('index' = 'k') AS " +
       "SELECT id AS k, CONCAT('r', id) AS v FROM RANGE(200)")
     assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
       .collect()(0).getLong(0) === 200)
     val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    assert(TxnTable.versions(spark, loc) === Seq(0L),
+      "CTAS must publish as one atomic create commit")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t VERSION AS OF 0")
+      .collect()(0).getLong(0) === 200)
     // the CTAS data landed INDEXED (stats in the manifest)
     val m = TxnTable.manifest(spark, loc, TxnTable.currentVersion(spark, loc))
     assert(m.idxCols === Seq("k"))
@@ -781,10 +788,40 @@ class CatalogSpec extends SparkSpec {
     // TRUNCATE is one empty overwrite commit; history survives
     sql(s"TRUNCATE TABLE graft.spec.$t")
     assert(sql(s"SELECT * FROM graft.spec.$t").count() === 0)
-    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t VERSION AS OF 1")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t VERSION AS OF 0")
       .collect()(0).getLong(0) === 200, "truncated version must stay pinned")
     sql(s"INSERT INTO graft.spec.$t SELECT id, 'y' FROM RANGE(7)")
     assert(sql(s"SELECT * FROM graft.spec.$t").count() === 7)
+  }
+
+  test("REPLACE TABLE AS SELECT swaps atomically; failures leave the old table") {
+    val t = fresh("rtas")
+    sql(s"CREATE TABLE graft.spec.$t TBLPROPERTIES ('index' = 'k') AS " +
+      "SELECT id AS k, 'old' AS v FROM RANGE(100)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    // REPLACE: new content AND new schema, one commit, old version pinned
+    sql(s"CREATE OR REPLACE TABLE graft.spec.$t " +
+      "TBLPROPERTIES ('index' = 'k') AS " +
+      "SELECT id AS k, 'new' AS v, id * 2 AS extra FROM RANGE(50)")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 50)
+    assert(sql(s"SELECT * FROM graft.spec.$t").schema.fieldNames.toSeq ===
+      Seq("k", "v", "extra"))
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t VERSION AS OF 0")
+      .collect()(0).getLong(0) === 100, "replaced version must stay pinned")
+    assert(TxnTable.history(spark, loc).map(_._2) === Seq("create", "replace"))
+    // a FAILING replace aborts: the table keeps serving the old content
+    intercept[Exception] {
+      sql(s"CREATE OR REPLACE TABLE graft.spec.$t AS " +
+        "SELECT id AS k, CAST(assert_true(id < 10) AS STRING) AS v " +
+        "FROM RANGE(50)")
+    }
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 50, "failed replace must change nothing")
+    // plain REPLACE of a MISSING table fails at analysis
+    intercept[Exception] {
+      sql(s"REPLACE TABLE graft.spec.missing_$t AS SELECT 1 AS x")
+    }
   }
 
   test("DROP and re-CREATE; listTables sees only tables") {
