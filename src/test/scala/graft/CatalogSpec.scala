@@ -647,6 +647,38 @@ class CatalogSpec extends SparkSpec {
       "widening cast should stay stat-transparent and prune")
   }
 
+  test("streaming sink epochs rebase through OCC when batch INSERTs interleave") {
+    import graft.sources.{GraftStagedFile, GraftStreamingWrite}
+    val t = fresh("streamrace")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    val schema = sql(s"SELECT * FROM graft.spec.$t").schema
+    val w = new GraftStreamingWrite(s"graft.spec.$t", loc, schema,
+      "race-query", truncate = false)
+    def stageOne(tag: String, lo: Int): String = {
+      val sub = s"data/race-$tag"
+      spark.range(lo, lo + 10).selectExpr("id AS k", s"'$tag' AS v")
+        .coalesce(1).write.parquet(s"$loc/$sub")
+      val dir = new org.apache.hadoop.fs.Path(s"$loc/$sub")
+      val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      s"$sub/" + f.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).head
+    }
+    // interleave: epoch 0 lands, a BATCH insert lands, epoch 1 lands —
+    // the sink's appendResolving must rebase over the insert (appends
+    // never conflict), losing nothing
+    w.commit(0L, Array(GraftStagedFile(stageOne("e0", 0), 10)))
+    sql(s"INSERT INTO graft.spec.$t SELECT id + 1000, 'batch' FROM RANGE(10)")
+    w.commit(1L, Array(GraftStagedFile(stageOne("e1", 100), 10)))
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 30)
+    assert(sql(s"SELECT COUNT(DISTINCT v) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 3, "a writer's rows were lost")
+    assert(TxnTable.history(spark, loc).map(_._2) ===
+      Seq("create", "stream_write", "append", "stream_write"))
+  }
+
   test("streaming source is append-only: a file-removing commit fails the tail loudly") {
     val t = fresh("streamsrc")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
