@@ -661,6 +661,25 @@ object TxnTable {
       .filter(_.endsWith(".parquet")).sorted.map(n => s"$sub/$n")
   }
 
+  /** Stage ONE zero-row schema-carrying sentinel file — the guard every
+    * commit path uses when its content is empty (a zero-file version
+    * would be unreadable by design: snapshot resolution needs at least
+    * one schema-carrying file). */
+  def stageEmpty(s: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    stage(s, table, s.createDataFrame(
+      s.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+      schema))
+
+  /** Delete staged-but-uncommitted files (abort paths): `rels` may be
+    * bare relative paths or full manifest LINES (path is the first
+    * field) — the manifest-line format stays TxnTable's knowledge. */
+  def dropStaged(s: SparkSession, table: String, rels: Seq[String]): Unit =
+    rels.foreach { rel =>
+      val p = new Path(pathFor(table, rel.split('\t').head))
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, false)
+    }
+
   /** Create the table at version 0. */
   def create(s: SparkSession, table: String, df: DataFrame): Long =
     commit(s, table, stage(s, table, df), expected = -1L, op = "create",

@@ -191,10 +191,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // one zero-row staged file carries the schema: version 0 is an empty
     // but readable (and appendable) table; the index column set persists
     // in the manifest header from day one
-    val empty = spark.createDataFrame(
-      spark.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
-      schema)
-    TxnTable.commit(spark, path, TxnTable.stage(spark, path, empty),
+    TxnTable.commit(spark, path, TxnTable.stageEmpty(spark, path, schema),
       expected = -1L, op = "create", schemaJson = schema.json,
       idxCols = idx, strIdxCols = strIdx)
     loadTable(ident)
@@ -257,7 +254,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val strIdx = Option(properties.get("strindex")).map(_.split(',').toSeq)
       .getOrElse(Nil)
     new StagedGraftTable(s"$catalogName.${ident.toString}", path, schema,
-      idx, strIdx, replace)
+      idx, strIdx, replace, mustExist)
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -645,7 +642,7 @@ class GraftTable(ident: String, private[sources] val location: String,
   * deletes the staged files and leaves the world exactly as it was. */
 class StagedGraftTable(ident: String, location: String,
     writeSchema: StructType, idx: Seq[String], strIdx: Seq[String],
-    replace: Boolean)
+    replace: Boolean, mustExist: Boolean)
     extends StagedTable with SupportsWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -682,9 +679,7 @@ class StagedGraftTable(ident: String, location: String,
     // a zero-row CTAS still needs one schema-carrying sentinel file
     val lines =
       if (staged.nonEmpty) staged
-      else TxnTable.stage(s, location, s.createDataFrame(
-        s.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
-        writeSchema))
+      else TxnTable.stageEmpty(s, location, writeSchema)
     val log = new Path(location, "_log")
     val exists = log.getFileSystem(s.sparkContext.hadoopConfiguration)
       .exists(log)
@@ -694,16 +689,20 @@ class StagedGraftTable(ident: String, location: String,
       TxnTable.commit(s, location, lines, cur, op = "replace",
         schemaJson = writeSchema.json, idxCols = idx, strIdxCols = strIdx)
     } else {
+      // a plain REPLACE whose target vanished mid-write (concurrent
+      // DROP) must FAIL, not quietly become a create — only CREATE [OR
+      // REPLACE] may mint the table
+      if (mustExist) {
+        TxnTable.dropStaged(s, location, staged)
+        throw new IllegalStateException(
+          s"$ident was dropped while REPLACE TABLE was staging — " +
+            "nothing committed (use CREATE OR REPLACE to re-create)")
+      }
       TxnTable.commit(s, location, lines, expected = -1L, op = "create",
         schemaJson = writeSchema.json, idxCols = idx, strIdxCols = strIdx)
     }
   }
 
-  override def abortStagedChanges(): Unit = {
-    val s = spark
-    staged.map(_.split('\t').head).foreach { rel =>
-      val p = new Path(TxnTable.pathFor(location, rel))
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, false)
-    }
-  }
+  override def abortStagedChanges(): Unit =
+    TxnTable.dropStaged(spark, location, staged)
 }

@@ -150,6 +150,18 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
           s"pruning), got ${a.dataType.typeName}")
     }
     val tKey = keyPairs.head._1
+    // "assigns the key to itself" must tolerate the analyzer's type
+    // coercion: the ON condition may carry CAST(srcExpr AS cmpType)
+    // while the assignment holds the bare srcExpr (both end up cast to
+    // the target column's type, so equal BASES mean equal key values)
+    def stripCast(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        stripCast(c.child)
+      case x => x
+    }
+    def keyIdentity(v: Expression, a: AttributeReference,
+        b: Expression): Boolean =
+      stripCast(v).semanticEquals(stripCast(b)) || v.semanticEquals(a)
     merge.matchedActions.foreach {
       case _: UpdateAction | _: DeleteAction => ()
       case a => unsupported(s"matched action $a")
@@ -165,7 +177,7 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
     updates.foreach(_.assignments.foreach {
       case Assignment(k: AttributeReference, v) =>
         keyPairs.find(_._1.name == k.name).foreach { case (a, b) =>
-          require(v.semanticEquals(b) || v.semanticEquals(a),
+          require(keyIdentity(v, a, b),
             s"MERGE must not re-key matched rows: UPDATE SET ${k.name} " +
               s"= $v moves the merge key (use DELETE + INSERT to re-key)")
         }
@@ -207,6 +219,21 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
       inserts.flatMap(_.assignments.map(_.value)))
       .foreach(e => require(e.references.subsetOf(srcOut),
         s"INSERT expressions may reference only the source, got $e"))
+    // ...and must insert AT the source key (what `INSERT *` expands to):
+    // an INSERT assigning a key column to anything else mints a change
+    // row whose key can collide with an EXISTING target row, which
+    // keyed replacement would then silently overwrite — standard MERGE
+    // would have inserted a duplicate instead, never destroyed data
+    inserts.foreach(_.assignments.foreach {
+      case Assignment(k: AttributeReference, v) =>
+        keyPairs.find(_._1.name == k.name).foreach { case (a, b) =>
+          require(stripCast(v).semanticEquals(stripCast(b)),
+            s"MERGE INSERT must set the merge key '${k.name}' to the ON " +
+              s"clause's source expression, got $v — anything else could " +
+              "collide with an existing target row and silently replace it")
+        }
+      case _ => ()
+    })
 
     val src = df(session, merge.sourceTable)
     val tableCols = merge.targetTable.output.map(_.name)
@@ -332,7 +359,10 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
       val dup = allChanges
         .filter(keyNames.map(col(_).isNotNull).reduce(_ && _))
         .groupBy(keyNames.map(col): _*)
-        .count().filter(col("count") > 1).limit(1).count() > 0
+        // reserved alias: a key column legally named "count" must not
+        // collide with the aggregate
+        .agg(count(lit(1)).as("__graft_cnt"))
+        .filter(col("__graft_cnt") > 1).limit(1).count() > 0
       if (dup) unsupported(
         "multiple source rows produce the same merge key tuple " +
           "(standard MERGE cardinality violation)")

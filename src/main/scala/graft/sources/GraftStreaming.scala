@@ -391,10 +391,16 @@ class GraftStreamingWrite(ident: String, location: String,
     } catch { case _: IllegalArgumentException =>
       (queryId.hashCode.toLong, queryId.reverse.hashCode.toLong)
     }
-  // newest epoch this INSTANCE committed — commit() runs sequentially
-  // per query on the driver, so after the first log resolution the
-  // ledger walk is one volatile read per epoch, not O(versions)
+  // the replay ledger, maintained INCREMENTALLY: `lastSeen` = newest
+  // epoch known committed for this query, `checkedThrough` = newest log
+  // version already examined. Every commit() re-reads only the versions
+  // that landed since the last check — O(new commits), usually one —
+  // so a SECOND live writer instance for the same query (zombie driver
+  // during a cluster-mode restart) is detected: its commits are newer
+  // than our checkedThrough and surface before we commit. The first
+  // call pays one full walk (restart resolution from the log alone).
   @volatile private var lastSeen: Option[Long] = None
+  @volatile private var checkedThrough: Long = -1L
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory = {
@@ -403,17 +409,21 @@ class GraftStreamingWrite(ident: String, location: String,
       StreamBridge.writerRecipe(spark, schema))
   }
 
-  /** The newest committed epoch for THIS query, from the log alone —
-    * walk versions newest-first to the most recent `stream_write` commit
-    * carrying our qtag (a restarted driver has no session state; the
-    * log IS the idempotence ledger). */
-  private def lastCommittedEpoch(s: SparkSession): Option[Long] = {
-    val versions = TxnTable.versions(s, location).reverse
-    versions.iterator.map(v => TxnTable.manifest(s, location, v))
+  /** Advance the ledger: examine log versions newer than
+    * `checkedThrough` (newest-first) for this query's commits and fold
+    * the newest epoch into `lastSeen`. The log IS the idempotence
+    * ledger — a restarted driver has no session state. */
+  private def refreshLedger(s: SparkSession): Unit = {
+    val versions = TxnTable.versions(s, location)
+    val fresh = versions.filter(_ > checkedThrough).sorted.reverse
+    val found = fresh.iterator.map(v => TxnTable.manifest(s, location, v))
       .collectFirst {
         case m if m.metrics.get("qtag").contains(qtag) &&
             m.metrics.get("qtag2").forall(_ == qtag2) => m.metrics("epoch")
       }
+    found.foreach(e => lastSeen = Some(math.max(lastSeen.getOrElse(e), e)))
+    versions.lastOption.foreach(v =>
+      checkedThrough = math.max(checkedThrough, v))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage])
@@ -421,21 +431,13 @@ class GraftStreamingWrite(ident: String, location: String,
     val s = spark
     val rels = messages.collect {
       case GraftStagedFile(rel, _) if rel != null => rel }
-    def dropStage(): Unit = rels.foreach { rel =>
-      val p = new Path(TxnTable.pathFor(location, rel))
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, false)
-    }
     // REPLAY: this epoch (or a later one) already committed — the
-    // restarted stream re-ran the batch; drop the orphaned stage, change
-    // nothing. Epochs are monotonic per checkpoint, so `>=` is exact.
-    // The ledger is resolved from the LOG once per instance (restart
-    // safety), then tracked in-instance.
-    val last = lastSeen.orElse {
-      lastSeen = lastCommittedEpoch(s).orElse(Some(Long.MinValue))
-      lastSeen
-    }
-    if (last.exists(_ >= epochId) && last.get != Long.MinValue) {
-      dropStage(); return
+    // restarted stream re-ran the batch, or a parallel zombie instance
+    // got there first; drop the orphaned stage, change nothing. Epochs
+    // are monotonic per checkpoint, so `>=` is exact.
+    refreshLedger(s)
+    if (lastSeen.exists(_ >= epochId)) {
+      TxnTable.dropStaged(s, location, rels); return
     }
     val m0 = TxnTable.manifest(s, location,
       TxnTable.currentVersion(s, location))
@@ -450,9 +452,7 @@ class GraftStreamingWrite(ident: String, location: String,
     if (staged.isEmpty && !truncate) { lastSeen = Some(epochId); return }
     val lines =
       if (staged.nonEmpty) staged
-      else TxnTable.stage(s, location, s.createDataFrame(
-        s.sparkContext.parallelize(
-          Seq.empty[org.apache.spark.sql.Row], 1), schema))
+      else TxnTable.stageEmpty(s, location, schema)
     val metrics = Seq("epoch" -> epochId, "qtag" -> qtag,
       "qtag2" -> qtag2, "files" -> staged.size.toLong)
     if (truncate)
@@ -468,13 +468,7 @@ class GraftStreamingWrite(ident: String, location: String,
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage])
-      : Unit = {
-    val s = spark
-    messages.foreach {
-      case GraftStagedFile(rel, _) if rel != null =>
-        val p = new Path(TxnTable.pathFor(location, rel))
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, false)
-      case _ => ()
-    }
-  }
+      : Unit =
+    TxnTable.dropStaged(spark, location, messages.collect {
+      case GraftStagedFile(rel, _) if rel != null => rel })
 }

@@ -596,6 +596,20 @@ class CatalogSpec extends SparkSpec {
       WHEN MATCHED THEN UPDATE SET *""")
     assert(sql(s"SELECT SUM(v) AS s FROM graft.spec.$t WHERE k < 10")
       .collect()(0).getLong(0) === 90)
+    // INSERT must land AT the source key: an arbitrary key expression
+    // could collide with an existing row and silently replace it
+    val e3 = intercept[Exception] {
+      sql(s"""MERGE INTO graft.spec.$t t
+        USING (SELECT 500 AS k, 9 AS v) s ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (50, s.v)""")
+    }
+    assert(e3.getMessage.contains("INSERT must set the merge key"))
+    // ...while INSERT * / INSERT (k,v) VALUES (s.k, s.v) stays legal
+    sql(s"""MERGE INTO graft.spec.$t t
+      USING (SELECT 500 AS k, 9 AS v) s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(sql(s"SELECT v FROM graft.spec.$t WHERE k = 500")
+      .collect().map(_.getLong(0)).toSeq === Seq(9L))
     // duplicate source keys = standard MERGE cardinality violation
     val e2 = intercept[Exception] {
       sql(s"""MERGE INTO graft.spec.$t t
