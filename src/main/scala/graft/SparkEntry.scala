@@ -75,6 +75,7 @@ object SparkEntry {
     "sql_txn_merge"           -> (SqlSurface.txnMerge _),
     "sql_txn_merge_sync"      -> (SqlSurface.txnMergeSync _),
     "sql_txn_merge_multi"     -> (SqlSurface.txnMergeMulti _),
+    "sql_txn_merge_str"       -> (SqlSurface.txnMergeStr _),
     "sql_txn_changes"         -> (SqlSurface.txnChanges _),
     "sql_txn_update"          -> (SqlSurface.txnUpdate _),
     "op_vacuum"               -> (TxnTable.vacuumTable _),
@@ -1301,6 +1302,23 @@ object SparkEntry {
         |  SELECT ck, ok + 500000000, price
         |  FROM b, r WHERE ck >= lo AND ck < hi AND ok % 11 = 0)
         |SELECT ck, ok, CAST(price AS DOUBLE) AS price, TRUE AS cmulti_ok
+        |FROM merged""".stripMargin,
+    // String-keyed MERGE: one status prefix region updated (+10,
+    // k%5<>0) / deleted (k%5=0), '~'-suffixed inserts (k%11) — all
+    // replayable; DuckDB replays the sid construction with lpad
+    "sql_txn_merge_str" ->
+      """WITH b AS (SELECT o_orderstatus AS st, o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |v AS (SELECT MIN(o_orderstatus) AS vs FROM orders),
+        |merged AS (
+        |  SELECT st || '-' || lpad(CAST(k AS VARCHAR), 10, '0') AS sid,
+        |    CASE WHEN st = vs AND k % 5 <> 0
+        |      THEN CAST(price + 10 AS DECIMAL(12,2)) ELSE price END AS price
+        |  FROM b, v WHERE NOT (st = vs AND k % 5 = 0)
+        |  UNION ALL
+        |  SELECT st || '~' || lpad(CAST(k AS VARCHAR), 10, '0'), price
+        |  FROM b, v WHERE st = vs AND k % 11 = 0)
+        |SELECT sid, CAST(price AS DOUBLE) AS price, TRUE AS smstr_ok
         |FROM merged""".stripMargin,
     // Manifest-stat file skipping on the SQL read path: the second
     // quarter's rows replayed from the cut arithmetic; the measured

@@ -683,6 +683,65 @@ object SqlSurface {
       .withColumn("dstr_ok", lit(ok))
   }
 
+  /** sql_txn_merge_str: MERGE keyed on a STRING column — the CDC
+    * statement every real pipeline runs (string ids: uuids, emails,
+    * SKUs) over a string-clustered table. The merge key routes through
+    * the manifest's TRUNCATED string stats (the sql_txn_delete_str
+    * machinery): per-status single-file inserts of `sid = status || '-'
+    * || zero-padded key` give each file a tight prefix region, and a
+    * change set confined to ONE status prefix must rewrite exactly that
+    * file (+ the stat-less create sentinel) — asserted from the merge
+    * commit's touched/untouched metrics. Truncated bounds are
+    * conservative by construction (recorded lo ≤ true min, hi ≥ true
+    * max), so pruning under truncation can only over-touch, never lose
+    * a change. Inserts mint `status || '~'` ids — '~' sorts above every
+    * digit, so they fall OUTSIDE every file's box and stage as their
+    * own cluster. All rules replayable; survivors fully hash-checked;
+    * `smstr_ok` carries the accounting + trail. */
+  def txnMergeStr(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "sm_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.sm_orders (
+      sid STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('strindex' = 'sid')""")
+    val statuses = s.sql(
+      "SELECT DISTINCT o_orderstatus AS st FROM orders ORDER BY st")
+      .collect().map(_.getString(0)).toSeq
+    statuses.foreach { st =>
+      s.sql(s"""INSERT INTO graft.q.sm_orders
+        SELECT /*+ REPARTITION(1) */
+          o_orderstatus || '-' || lpad(CAST(o_orderkey AS STRING), 10, '0'),
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderstatus = '$st'""")
+    }
+    val victim = statuses.head // replayable: lexicographic min status
+    s.sql(s"""CREATE OR REPLACE TEMP VIEW sm_src AS
+      SELECT o_orderstatus || '-'
+          || lpad(CAST(o_orderkey AS STRING), 10, '0') AS sid,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 10 AS DECIMAL(12,2))
+          AS price,
+        CASE WHEN o_orderkey % 5 = 0 THEN 'D' ELSE 'U' END AS act
+      FROM orders WHERE o_orderstatus = '$victim'
+      UNION ALL
+      SELECT o_orderstatus || '~'
+          || lpad(CAST(o_orderkey AS STRING), 10, '0'),
+        CAST(o_totalprice AS DECIMAL(12,2)), 'I'
+      FROM orders WHERE o_orderstatus = '$victim' AND o_orderkey % 11 = 0""")
+    s.sql("""MERGE INTO graft.q.sm_orders t USING sm_src s
+      ON t.sid = s.sid
+      WHEN MATCHED AND s.act = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET price = s.price
+      WHEN NOT MATCHED THEN INSERT (sid, price) VALUES (s.sid, s.price)""")
+    val res = TxnTable.commitMetrics(s, loc)
+    val ok = res("touched") <= 2 &&
+      res("untouched") == statuses.size - 1 &&
+      TxnTable.history(s, loc).map(_._2) ==
+        Seq("create") ++ statuses.map(_ => "append") :+ "merge"
+    s.sql("""SELECT sid, CAST(price AS DOUBLE) AS price
+      FROM graft.q.sm_orders""")
+      .withColumn("smstr_ok", lit(ok))
+  }
+
   /** sql_txn_delete_multi: MULTI-COLUMN DELETE conjunction — `WHERE k
     * BETWEEN a AND b AND st = '…'` where only `k` is indexed: the key
     * bounds PRUNE files from manifest stats (quarters outside the range

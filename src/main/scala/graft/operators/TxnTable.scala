@@ -606,8 +606,18 @@ object TxnTable {
     * conflict checker), and the difference between "1000 executors can
     * append concurrently" and "every commit serializes through data
     * recomputation". `work` receives the base version it must compute
-    * against and stages against it; it re-runs ONLY on a true overlap. */
-  def commitResolving(s: SparkSession, table: String)
+    * against and stages against it; it re-runs ONLY on a true overlap.
+    *
+    * `recheck` runs with the base version before EVERY commit attempt —
+    * including pure-metadata rebases, where `work` is deliberately NOT
+    * re-invoked — so a caller whose commit-or-skip decision depends on
+    * what the interleaved winners contained (the streaming sink's
+    * replay ledger) can re-validate atomically with the CAS loop: any
+    * competing commit that lands before our rename forces a CAS loss,
+    * and the next `recheck` sees it. Throwing from `recheck` abandons
+    * the commit (the caller owns cleanup of its staged files). */
+  def commitResolving(s: SparkSession, table: String,
+      recheck: Long => Unit = _ => ())
       (work: Long => Change): CommitOutcome = {
     var rebases = 0
     var recomputes = 0
@@ -615,6 +625,7 @@ object TxnTable {
     var m = manifest(s, table, base)
     var ch = work(base)
     while (true) {
+      recheck(base)
       ch.removed.foreach(p => require(m.entries.exists(_.path == p),
         s"$table: change removes $p which version $base does not list"))
       val lines = m.entries.filterNot(e => ch.removed(e.path)).map(render) ++
@@ -670,6 +681,14 @@ object TxnTable {
     stage(s, table, s.createDataFrame(
       s.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
       schema))
+
+  /** Whether a freshly-staged manifest LINE carries at least one stat
+    * group — i.e. the staged file has rows: [[indexStagedRels]] /
+    * [[stageIndexed]] emit the bare path for a zero-row file (nothing
+    * to stat), so "has a field separator" ⇔ "has stats". Named here so
+    * callers filtering out empty-partition files say what they mean
+    * instead of testing for a magic character. */
+  def hasStats(line: String): Boolean = line.contains('\t')
 
   /** Delete staged-but-uncommitted files (abort paths): `rels` may be
     * bare relative paths or full manifest LINES (path is the first
@@ -1334,7 +1353,11 @@ object TxnTable {
     * File pruning intersects per-dimension manifest boxes — a file
     * rewrites only when some change key falls inside its bounding box
     * in EVERY key dimension (dimensions without stats are unbounded,
-    * conservatively). All key columns must be integral. */
+    * conservatively). Key columns may be integral (manifest value
+    * boxes) or string (TRUNCATED string stats — conservative by
+    * construction, so the box is a superset of the file's true range
+    * and pruning stays exact); anything else has no sound manifest
+    * stats and the caller must reject it. */
   def applyChangesMulti(s: SparkSession, table: String, changes: DataFrame,
                         keys: Seq[String], opCol: String = "op")
       : MergeResult =
@@ -1348,6 +1371,12 @@ object TxnTable {
                         adds: DataFrame, keyCols: Seq[String]): MergeResult = {
     require(keyCols.nonEmpty, "mergeCore needs at least one key column")
     val key = keyCols.head // the primary clustering dimension
+    // key dimensions are typed by the CHANGE frame (already cast to the
+    // table's column types by every caller): string dims prune via the
+    // truncated string stats, everything else via integral value boxes
+    val isStr: Map[String, Boolean] = keyCols.map(c =>
+      c -> (keys.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType)).toMap
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur) // ONE log read for all facets below
     val entries = m.entries
@@ -1355,35 +1384,68 @@ object TxnTable {
     // dimension unbounded (conservative); a file with stats on NO key
     // dimension is unconditionally touched (the legacy statless rule —
     // it must rewrite even for an empty change set, which is how the
-    // zero-row sentinel gets absorbed by the first merge)
+    // zero-row sentinel gets absorbed by the first merge). String boxes
+    // are the TRUNCATED manifest bounds — recorded lo ≤ true min,
+    // recorded hi ≥ true max — so the probe below can only over-touch,
+    // never miss a file a change key lands in.
+    def boxOf(e: Entry, c: String)
+        : Option[Either[(Long, Long), (String, String)]] =
+      if (isStr(c)) e.strStatFor(c).map(Right(_))
+      else e.statFor(c).map(Left(_))
     val ranged = entries.zipWithIndex.flatMap { case (e, i) =>
-      val box = keyCols.map(e.statFor)
-      if (box.forall(_.isEmpty)) None
-      else Some((i, box.map(_.getOrElse((Long.MinValue, Long.MaxValue)))))
+      val box = keyCols.map(boxOf(e, _))
+      if (box.forall(_.isEmpty)) None else Some((i, box))
     }
     val statless = entries.zipWithIndex
-      .collect { case (e, i) if keyCols.forall(c => e.statFor(c).isEmpty) => i }
+      .collect { case (e, i) if keyCols.forall(c => boxOf(e, c).isEmpty) => i }
     val touchedIdx: Set[Int] = (if (ranged.isEmpty) Seq.empty[Int] else {
       import s.implicits._
+      // unbounded dims: integral → (MinValue, MaxValue); string → NULL
+      // bounds (tested with explicit IS NULL in the join condition —
+      // strings have no total-order sentinels)
       val rangeRows = ranged.map { case (i, box) =>
-        Row.fromSeq(i +: box.flatMap { case (lo, hi) => Seq(lo, hi) })
+        Row.fromSeq(i +: keyCols.zip(box).flatMap {
+          case (c, b) if isStr(c) =>
+            b.map(_.toOption.get) match {
+              case Some((lo, hi)) => Seq(lo, hi)
+              case None => Seq(null, null)
+            }
+          case (_, b) =>
+            val (lo, hi) = b.map(_.swap.toOption.get)
+              .getOrElse((Long.MinValue, Long.MaxValue))
+            Seq(lo, hi)
+        })
       }
       val rangeSchema = org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField("_fid",
           org.apache.spark.sql.types.IntegerType, nullable = false) +:
-          keyCols.zipWithIndex.flatMap { case (_, j) => Seq(
-            org.apache.spark.sql.types.StructField(s"_lo$j",
-              org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField(s"_hi$j",
-              org.apache.spark.sql.types.LongType, nullable = false))
+          keyCols.zipWithIndex.flatMap { case (c, j) =>
+            val dt: org.apache.spark.sql.types.DataType =
+              if (isStr(c)) org.apache.spark.sql.types.StringType
+              else org.apache.spark.sql.types.LongType
+            Seq(
+              org.apache.spark.sql.types.StructField(s"_lo$j", dt,
+                nullable = isStr(c)),
+              org.apache.spark.sql.types.StructField(s"_hi$j", dt,
+                nullable = isStr(c)))
           })
       val ranges = broadcast(s.createDataFrame(
         s.sparkContext.parallelize(rangeRows, 1), rangeSchema))
       val probe = keys.select(keyCols.zipWithIndex.map { case (c, j) =>
-        col(c).cast("long").as(s"_k$j") }: _*)
-      val cond = keyCols.indices.map(j =>
-        col(s"_k$j") >= col(s"_lo$j") && col(s"_k$j") <= col(s"_hi$j"))
-        .reduce(_ && _)
+        col(c).cast(if (isStr(c)) "string" else "long").as(s"_k$j") }: _*)
+      // Spark's string comparison is UTF8String binary order — the SAME
+      // order u8cmp and the manifest bounds use, so <=/>= here agree
+      // with the stats pass. A NULL key matches no equality (and so
+      // touches no file): nulls fail the integral comparisons natively
+      // and the explicit isNotNull below for strings.
+      val cond = keyCols.zipWithIndex.map { case (c, j) =>
+        if (isStr(c))
+          col(s"_k$j").isNotNull &&
+            (col(s"_lo$j").isNull || col(s"_k$j") >= col(s"_lo$j")) &&
+            (col(s"_hi$j").isNull || col(s"_k$j") <= col(s"_hi$j"))
+        else
+          col(s"_k$j") >= col(s"_lo$j") && col(s"_k$j") <= col(s"_hi$j")
+      }.reduce(_ && _)
       probe.join(ranges, cond)
         .select("_fid").distinct().as[Int].collect().toSeq
     }).toSet ++ statless
@@ -1428,11 +1490,23 @@ object TxnTable {
     // reads can never prune. Two tight clusters keep every new file's
     // range honest. (Empty sides write no files — RangePartitioner only
     // materializes non-empty partitions.)
-    val touchedBounds = {
-      val bs = touched.flatMap(_.statFor(key))
-      if (bs.isEmpty || bs.size < touched.size) None
-      else Some((bs.map(_._1).min, bs.map(_._2).max))
-    }
+    // the touched region's bounds on the primary dimension — integral
+    // value box, or the truncated string box (a SUPERSET of the true
+    // range; using it for the split only widens the in-range cluster,
+    // every file's own stats are still measured fresh at stage time)
+    val touchedBounds: Option[(Column, Column)] =
+      if (isStr(key)) {
+        val bs = touched.flatMap(_.strStatFor(key))
+        if (bs.isEmpty || bs.size < touched.size) None
+        else {
+          val u8 = Ordering.fromLessThan[String](u8cmp(_, _) < 0)
+          Some((lit(bs.map(_._1).min(u8)), lit(bs.map(_._2).max(u8))))
+        }
+      } else {
+        val bs = touched.flatMap(_.statFor(key))
+        if (bs.isEmpty || bs.size < touched.size) None
+        else Some((lit(bs.map(_._1).min), lit(bs.map(_._2).max)))
+      }
     val fresh = touchedBounds match {
       case Some((tlo, thi)) =>
         // the split writes scan `merged` twice — persist so the touched

@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   * .merge]] — so a SQL MERGE touching one key region rewrites that
   * region's files, exactly like the library call (the pre-row-level-API
   * Delta shape). Supported MERGE form (the standard CDC statement):
-  * a conjunction of integral target-column equalities over a KEY-UNIQUE
-  * target (single or COMPOSITE merge key — the key tuple must be
-  * unique, or rows collapse under keyed replacement; per-dimension
-  * manifest boxes intersect to prune the rewrite), at most one UPDATE
+  * a conjunction of integral or STRING target-column equalities over a
+  * KEY-UNIQUE target (single or COMPOSITE merge key — the key tuple
+  * must be unique, or rows collapse under keyed replacement;
+  * per-dimension manifest boxes — value ranges for integral keys,
+  * truncated string bounds for string keys — intersect to prune the
+  * rewrite), at most one UPDATE
   * action + any DELETE
   * actions (each optionally conditional, first-match-wins), at most one
   * INSERT action, and NOT MATCHED BY SOURCE UPDATE/DELETE actions (the
@@ -143,11 +145,16 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
       }
     require(keyPairs.map(_._1.name).distinct.size == keyPairs.size,
       "ON must not repeat a target column")
+    // integral keys prune via manifest value boxes, string keys via the
+    // truncated string stats (conservative by construction — the same
+    // machinery sql_txn_delete_str uses); float/decimal keys have no
+    // sound manifest stats AND make key equality itself treacherous —
+    // loud, never silently unpruned or wrong
     keyPairs.foreach { case (a, _) =>
-      require(Seq("long", "integer", "short").contains(
+      require(Seq("long", "integer", "short", "string").contains(
         a.dataType.typeName),
-        s"merge key column '${a.name}' must be integral (manifest box " +
-          s"pruning), got ${a.dataType.typeName}")
+        s"merge key column '${a.name}' must be integral or string " +
+          s"(manifest box / string-stat pruning), got ${a.dataType.typeName}")
     }
     val tKey = keyPairs.head._1
     // "assigns the key to itself" must tolerate the analyzer's type
@@ -323,11 +330,15 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
           case a: AttributeReference if tgtOut.contains(a) =>
             org.apache.spark.sql.GraftSqlBridge.expression(snap.col(a.name))
         })
+        // lower-case op markers tag NMBS rows through the union so the
+        // persisted change set can be audited for NULL-key absentees
+        // (below) without a second scan of the target; normalized to
+        // U/D right before applyChangesMulti
         val nmbsOp = merge.notMatchedBySourceActions
           .foldRight(lit(null)) { (a, rest) =>
             val op = a match {
-              case _: UpdateAction => lit("U")
-              case _: DeleteAction => lit("D")
+              case _: UpdateAction => lit("u")
+              case _: DeleteAction => lit("d")
             }
             a.condition.map(c => when(rebindT(c), op).otherwise(rest))
               .getOrElse(op)
@@ -366,7 +377,24 @@ case class GraftMergeCommand(location: String, merge: MergeIntoTable)
       if (dup) unsupported(
         "multiple source rows produce the same merge key tuple " +
           "(standard MERGE cardinality violation)")
-      TxnTable.applyChangesMulti(session, location, allChanges, keyNames)
+      // a target row with a NULL merge key never matches any source row,
+      // so standard SQL routes it to NOT MATCHED BY SOURCE — but the
+      // KEYED change set cannot address it (NULL matches no key
+      // equality): a silent pass-through would leave an NMBS DELETE
+      // alive and DUPLICATE an NMBS UPDATE (old row survives the
+      // anti-join while the updated copy unions in). Loud, never wrong.
+      if (merge.notMatchedBySourceActions.nonEmpty) {
+        val nmbsNullKey = allChanges
+          .filter(col("op").isin("u", "d") &&
+            keyNames.map(col(_).isNull).reduce(_ || _))
+          .limit(1).count() > 0
+        if (nmbsNullKey) unsupported(
+          "NOT MATCHED BY SOURCE cannot act on target rows whose merge " +
+            "key is NULL — the keyed change set cannot address them " +
+            "(delete or re-key the NULL-key rows first)")
+      }
+      TxnTable.applyChangesMulti(session, location,
+        allChanges.withColumn("op", upper(col("op"))), keyNames)
     } finally allChanges.unpersist(blocking = false)
     Seq.empty
   }
@@ -389,14 +417,17 @@ case class GraftUpdateCommand(location: String, update: UpdateTable)
   import GraftDml._
 
   override def run(session: SparkSession): Seq[Row] = {
-    // key = the FULL index tuple: the change set replaces rows by the
-    // tuple, so uniqueness is required of the tuple — a strictly weaker
-    // contract than any single column's (an ('index'='a,b') table may
-    // repeat values of both a and b)
-    val keys = TxnTable.manifest(session, location,
-        TxnTable.currentVersion(session, location)).idxCols
+    // key = the FULL index tuple (integral AND string index columns):
+    // the change set replaces rows by the tuple, so uniqueness is
+    // required of the tuple — a strictly weaker contract than any
+    // single column's (an ('index'='a,b') table may repeat values of
+    // both a and b)
+    val m0 = TxnTable.manifest(session, location,
+        TxnTable.currentVersion(session, location))
+    val keys = m0.idxCols ++ m0.strIdxCols
     if (keys.isEmpty) unsupported(
-      "UPDATE needs an indexed key column ('index' table property)")
+      "UPDATE needs an indexed key column ('index' or 'strindex' table " +
+        "property)")
     update.assignments.foreach {
       case Assignment(k: AttributeReference, _) =>
         if (keys.contains(k.name)) unsupported(

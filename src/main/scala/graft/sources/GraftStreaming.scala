@@ -52,14 +52,18 @@ object GraftStreaming {
   }
 
   /** Resolve a `startingVersion` option to the initial offset (= last
-    * consumed version): absent → 0 (everything), `"latest"` → current,
-    * `"<n>"` → n−1 so n itself streams. n−1's manifest must still be
-    * retained (the added-file diff needs it) — a vacuumed start fails
-    * loudly at the first batch, never silently skips. */
+    * consumed version): absent → −1 (everything, INCLUDING version 0 —
+    * a CTAS or `TxnTable.create(df)` table carries its full content at
+    * v0, so "absent = the whole table" must emit v0's files, not walk
+    * (0, end]; the walk treats −1 as an empty synthetic parent),
+    * `"latest"` → current, `"<n>"` → n−1 so n itself streams. For n ≥ 1,
+    * n−1's manifest must still be retained (the added-file diff needs
+    * it) — a vacuumed start fails loudly at the first batch, never
+    * silently skips. */
   private[sources] def resolveStart(ident: String, location: String,
       startingVersion: Option[String], s: SparkSession): Long =
     startingVersion match {
-      case None => 0L
+      case None => -1L
       case Some("latest") => TxnTable.currentVersion(s, location)
       case Some(n) =>
         val v = try n.toLong catch {
@@ -68,9 +72,7 @@ object GraftStreaming {
               s"'latest', got '$n'")
         }
         require(v >= 0, s"$ident: startingVersion must be >= 0, got $v")
-        // version 0 is the create commit (zero-row sentinel), so 0 and 1
-        // both begin at the first append — max keeps the walk in range
-        math.max(0L, v - 1)
+        v - 1
     }
 
   /** Wrap a batch parquet scan with micro-batch capability: batch reads
@@ -155,13 +157,18 @@ class GraftMicroBatchStream(ident: String, location: String,
     GraftStreaming.VersionOffset(TxnTable.currentVersion(spark, location))
 
   /** Files ADDED by each version in (start, end] — the batch's exact
-    * input. Fails loudly on non-append data changes. */
+    * input. A start of −1 (the from-the-beginning offset) walks from an
+    * EMPTY synthetic parent, so version 0's own files are emitted —
+    * CTAS / `create(df)` tables carry their content at v0. Fails loudly
+    * on non-append data changes. */
   private def addedFiles(s: SparkSession, start: Long, end: Long)
       : Seq[Path] = {
     if (start >= end) return Seq.empty
     // thread the previous manifest through the walk: a catch-up batch
     // over N versions costs N+1 manifest reads, not 2N
-    var prev = TxnTable.manifest(s, location, start)
+    var prev =
+      if (start < 0) TxnTable.Manifest("none", None, Nil, Nil)
+      else TxnTable.manifest(s, location, start)
     (start + 1 to end).flatMap { v =>
       val cur = TxnTable.manifest(s, location, v)
       val prevPaths = prev.entries.map(_.path).toSet
@@ -230,13 +237,18 @@ class GraftChangesTable(ident: String,
 
   override def name(): String = ident
 
-  override def schema(): StructType = {
+  // one footer read per table INSTANCE (instances resolve per query):
+  // schema() is called repeatedly during analysis, and the feed's
+  // schema cannot change under a resolved plan anyway
+  private lazy val feedSchema: StructType = {
     val fs = cdcFiles(spark)
     require(fs.nonEmpty,
       s"$ident: no change feed committed yet (writers publish one via " +
         "TxnTable.overwriteCdc)")
     spark.read.parquet(fs.head.toString).schema
   }
+
+  override def schema(): StructType = feedSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -377,7 +389,11 @@ private class GraftStreamWriterFactory(tableLoc: String, sub: String,
   * idempotence. `truncate` = Complete-mode epochs overwrite instead of
   * append. */
 class GraftStreamingWrite(ident: String, location: String,
-    schema: StructType, queryId: String, truncate: Boolean)
+    schema: StructType, queryId: String, truncate: Boolean,
+    // race-injection seam for spec determinism ONLY: invoked at the top
+    // of every ledger recheck, i.e. exactly inside the refresh↔CAS
+    // window a zombie writer could race — production passes a no-op
+    private[sources] val beforeAttempt: () => Unit = () => ())
     extends StreamingWrite {
 
   private def spark: SparkSession = SparkSession.active
@@ -426,6 +442,11 @@ class GraftStreamingWrite(ident: String, location: String,
       checkedThrough = math.max(checkedThrough, v))
   }
 
+  /** Thrown (and caught locally) when the recheck inside the CAS loop
+    * finds this epoch already committed — abandons the commit so the
+    * orphaned stage can be dropped. */
+  private class EpochReplayed extends RuntimeException
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage])
       : Unit = {
     val s = spark
@@ -434,7 +455,12 @@ class GraftStreamingWrite(ident: String, location: String,
     // REPLAY: this epoch (or a later one) already committed — the
     // restarted stream re-ran the batch, or a parallel zombie instance
     // got there first; drop the orphaned stage, change nothing. Epochs
-    // are monotonic per checkpoint, so `>=` is exact.
+    // are monotonic per checkpoint, so `>=` is exact. This early check
+    // is the cheap fast path; the AUTHORITATIVE check is the recheck
+    // inside the CAS loop below, which re-runs before every commit
+    // attempt — a zombie committing the same epoch between here and our
+    // rename forces a CAS loss, and the next recheck sees its commit
+    // (no refresh↔CAS window a duplicate can slip through).
     refreshLedger(s)
     if (lastSeen.exists(_ >= epochId)) {
       TxnTable.dropStaged(s, location, rels); return
@@ -442,7 +468,7 @@ class GraftStreamingWrite(ident: String, location: String,
     val m0 = TxnTable.manifest(s, location,
       TxnTable.currentVersion(s, location))
     val staged = TxnTable.indexStagedRels(s, location, rels,
-      m0.idxCols, m0.strIdxCols).filter(l => l.contains('\t') ||
+      m0.idxCols, m0.strIdxCols).filter(l => TxnTable.hasStats(l) ||
         m0.idxCols.isEmpty && m0.strIdxCols.isEmpty)
     // an empty APPEND epoch commits nothing (a zero-file version would
     // be unreadable by design); an empty COMPLETE epoch must still
@@ -455,16 +481,27 @@ class GraftStreamingWrite(ident: String, location: String,
       else TxnTable.stageEmpty(s, location, schema)
     val metrics = Seq("epoch" -> epochId, "qtag" -> qtag,
       "qtag2" -> qtag2, "files" -> staged.size.toLong)
-    if (truncate)
-      TxnTable.commitResolving(s, location)(base =>
-        TxnTable.Change(lines,
-          TxnTable.manifest(s, location, base).entries.map(_.path).toSet,
-          Set.empty, op = "stream_write", metrics = metrics))
-    else
-      TxnTable.commitResolving(s, location)(_ =>
-        TxnTable.Change(lines, Set.empty, Set.empty,
-          op = "stream_write", metrics = metrics))
-    lastSeen = Some(epochId)
+    val recheck: Long => Unit = _ => {
+      beforeAttempt()
+      refreshLedger(s)
+      if (lastSeen.exists(_ >= epochId)) throw new EpochReplayed
+    }
+    try {
+      if (truncate)
+        TxnTable.commitResolving(s, location, recheck)(base =>
+          TxnTable.Change(lines,
+            TxnTable.manifest(s, location, base).entries.map(_.path).toSet,
+            Set.empty, op = "stream_write", metrics = metrics))
+      else
+        TxnTable.commitResolving(s, location, recheck)(_ =>
+          TxnTable.Change(lines, Set.empty, Set.empty,
+            op = "stream_write", metrics = metrics))
+      lastSeen = Some(epochId)
+    } catch {
+      case _: EpochReplayed =>
+        // the zombie's commit IS this epoch: ours becomes the orphan
+        TxnTable.dropStaged(s, location, lines)
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage])

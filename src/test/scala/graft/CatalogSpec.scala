@@ -357,16 +357,18 @@ class CatalogSpec extends SparkSpec {
       WHEN NOT MATCHED THEN INSERT *""")
     assert(sql(s"SELECT v FROM graft.spec.$t WHERE a = 5 AND b = 77")
       .collect().map(_.getLong(0)).toSeq === Seq(999L))
-    // non-integral key column fails loudly
+    // a STRING key column is supported since r12 — on an unindexed
+    // table it degrades to the conservative full rewrite, never a
+    // refusal and never wrong content (pruning coverage lives in
+    // "string-keyed MERGE prunes via truncated stats")
     val t2 = fresh("mergemultistr")
     sql(s"CREATE TABLE graft.spec.$t2 (k STRING, v BIGINT)")
     sql(s"INSERT INTO graft.spec.$t2 VALUES ('x', 1)")
-    val e = intercept[Exception] {
-      sql(s"""MERGE INTO graft.spec.$t2 t
-        USING (SELECT 'x' AS k, 2 AS v) s ON t.k = s.k
-        WHEN MATCHED THEN UPDATE SET v = s.v""")
-    }
-    assert(e.getMessage.contains("integral"))
+    sql(s"""MERGE INTO graft.spec.$t2 t
+      USING (SELECT 'x' AS k, 2 AS v) s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(sql(s"SELECT v FROM graft.spec.$t2").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
     // a disjunctive ON fails loudly
     intercept[Exception] {
       sql(s"""MERGE INTO graft.spec.$t t USING mm_src s
@@ -731,10 +733,12 @@ class CatalogSpec extends SparkSpec {
     val schema = sql(s"SELECT * FROM graft.spec.$t").schema
     def stream(sv: Option[String]) = new graft.sources.GraftMicroBatchStream(
       s"graft.spec.$t", loc, schema, None, sv)
-    assert(stream(None).initialOffset() === VersionOffset(0))
+    // absent / "0" = the WHOLE table including version 0 (a CTAS table
+    // carries content there), encoded as the −1 synthetic-parent offset
+    assert(stream(None).initialOffset() === VersionOffset(-1))
     assert(stream(Some("latest")).initialOffset() === VersionOffset(3))
     assert(stream(Some("2")).initialOffset() === VersionOffset(1))
-    assert(stream(Some("0")).initialOffset() === VersionOffset(0))
+    assert(stream(Some("0")).initialOffset() === VersionOffset(-1))
     intercept[IllegalArgumentException] {
       stream(Some("-4")).initialOffset() }
     intercept[IllegalArgumentException] {
@@ -878,5 +882,179 @@ class CatalogSpec extends SparkSpec {
     sql(s"DROP TABLE graft.spec.$t")
     assert(!sql("SHOW TABLES IN graft.spec").collect()
       .exists(_.getString(1) == t))
+  }
+
+  test("sink replay detection is atomic with the CAS loop (zombie same-epoch race)") {
+    import graft.sources.{GraftStagedFile, GraftStreamingWrite}
+    val t = fresh("streamzombie")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    val schema = sql(s"SELECT * FROM graft.spec.$t").schema
+    def stageOne(tag: String, lo: Int): String = {
+      val sub = s"data/zombie-$tag"
+      spark.range(lo, lo + 5).selectExpr("id AS k", s"'$tag' AS v")
+        .coalesce(1).write.parquet(s"$loc/$sub")
+      val dir = new org.apache.hadoop.fs.Path(s"$loc/$sub")
+      val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      s"$sub/" + f.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).head
+    }
+    // the zombie: a second live writer instance of the SAME query (the
+    // cluster-mode restart where the old driver lingers)
+    val zombie = new GraftStreamingWrite(s"graft.spec.$t", loc, schema,
+      "toctou-query", truncate = false)
+    // the victim's seam fires exactly inside the refresh↔CAS window:
+    // on the armed attempt the zombie lands THE SAME epoch first
+    var armed = false
+    var fired = false
+    val w = new GraftStreamingWrite(s"graft.spec.$t", loc, schema,
+      "toctou-query", truncate = false, () => {
+        if (armed && !fired) {
+          fired = true
+          zombie.commit(1L, Array(GraftStagedFile(stageOne("z1", 50), 5)))
+        }
+      })
+    w.commit(0L, Array(GraftStagedFile(stageOne("e0", 0), 5)))
+    assert(TxnTable.currentVersion(spark, loc) === 1L)
+    armed = true
+    w.commit(1L, Array(GraftStagedFile(stageOne("e1", 100), 5)))
+    // exactly ONE epoch-1 commit landed (the zombie's); the victim's
+    // duplicate was detected by the in-loop recheck and dropped
+    assert(TxnTable.currentVersion(spark, loc) === 2L,
+      "epoch 1 committed twice — replay detection raced")
+    assert(fired, "seam never fired; the race was not exercised")
+    val vs = sql(s"SELECT v, COUNT(*) AS n FROM graft.spec.$t GROUP BY v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vs === Map("e0" -> 5L, "z1" -> 5L),
+      s"duplicate or missing epoch rows: $vs")
+    assert(TxnTable.commitMetrics(spark, loc)("epoch") === 1L)
+  }
+
+  test("streaming tail emits version 0's content for CTAS tables") {
+    // v0 is NOT always the zero-row create sentinel: CTAS (and
+    // TxnTable.create(df)) tables carry their full content at v0 — the
+    // from-the-beginning tail must emit it, not start the walk at (0, n]
+    val t = fresh("streamv0")
+    sql(s"CREATE TABLE graft.spec.$t TBLPROPERTIES ('index' = 'k') " +
+      "AS SELECT id AS k, 'seed' AS v FROM RANGE(50)")
+    sql(s"INSERT INTO graft.spec.$t SELECT id + 100, 'delta' FROM RANGE(10)")
+    val qn = s"${t}_sink"
+    val q = spark.readStream.table(s"graft.spec.$t")
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(qn).groupBy("v").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("seed" -> 50L, "delta" -> 10L),
+      s"v0 content missing or duplicated in the tail: $got")
+    // an explicit startingVersion=0 means the same thing
+    val qn2 = s"${t}_sink2"
+    val q2 = spark.readStream.option("startingVersion", "0")
+      .table(s"graft.spec.$t")
+      .writeStream.format("memory").queryName(qn2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.table(qn2).count() === 60)
+  }
+
+  test("string-keyed MERGE prunes via truncated stats; float keys stay loud") {
+    val t = fresh("strmerge")
+    sql(s"CREATE TABLE graft.spec.$t (sid STRING, v BIGINT) " +
+      "TBLPROPERTIES ('strindex' = 'sid')")
+    // two prefix-clustered single-file regions, keys LONGER than the
+    // 16-char truncation width and sharing a prefix within each region:
+    // the manifest records truncated bounds, which must stay
+    // conservative (over-touch allowed, lost changes never)
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "'alpha-' || lpad(CAST(id AS STRING), 14, '0'), id FROM RANGE(50)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "'omega-' || lpad(CAST(id AS STRING), 14, '0'), id FROM RANGE(50)")
+    // a change set confined to the alpha region: updates + an insert
+    sql(s"""MERGE INTO graft.spec.$t t
+      USING (SELECT 'alpha-' || lpad(CAST(id AS STRING), 14, '0') AS sid,
+               id * 10 AS v FROM RANGE(60)) s
+      ON t.sid = s.sid
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (sid, v) VALUES (s.sid, s.v)""")
+    val m = TxnTable.commitMetrics(spark,
+      s"${GraftCatalog.defaultWarehouse}/spec/$t")
+    // alpha file + stat-less create sentinel touched; omega verbatim
+    assert(m("touched") <= 2 && m("untouched") >= 1,
+      s"string-key prune failed: $m")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 110)
+    assert(sql(s"SELECT SUM(v) AS sv FROM graft.spec.$t " +
+      "WHERE sid LIKE 'alpha%'").collect()(0).getLong(0) ===
+      (0 until 60).map(_ * 10L).sum)
+    assert(sql(s"SELECT SUM(v) AS sv FROM graft.spec.$t " +
+      "WHERE sid LIKE 'omega%'").collect()(0).getLong(0) ===
+      (0 until 50).map(_.toLong).sum, "untouched region changed")
+    // a float/decimal merge key has no sound manifest stats: loud
+    val tf = fresh("floatmerge")
+    sql(s"CREATE TABLE graft.spec.$tf (k DOUBLE, v BIGINT)")
+    sql(s"INSERT INTO graft.spec.$tf SELECT CAST(id AS DOUBLE), id " +
+      "FROM RANGE(10)")
+    val e = intercept[Exception] {
+      sql(s"""MERGE INTO graft.spec.$tf t
+        USING (SELECT CAST(1.0 AS DOUBLE) AS k, 5 AS v) s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    assert(e.getMessage.contains("integral or string"), e.getMessage.take(160))
+  }
+
+  test("string-keyed UPDATE routes through the strindex tuple") {
+    val t = fresh("strupdate")
+    sql(s"CREATE TABLE graft.spec.$t (sid STRING, v BIGINT) " +
+      "TBLPROPERTIES ('strindex' = 'sid')")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "'a-' || lpad(CAST(id AS STRING), 6, '0'), id FROM RANGE(50)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "'b-' || lpad(CAST(id AS STRING), 6, '0'), id FROM RANGE(50)")
+    sql(s"UPDATE graft.spec.$t SET v = v + 1000 WHERE sid < 'b'")
+    val m = TxnTable.commitMetrics(spark,
+      s"${GraftCatalog.defaultWarehouse}/spec/$t")
+    assert(m("touched") <= 2 && m("untouched") >= 1,
+      s"string-key UPDATE did not prune: $m")
+    assert(sql(s"SELECT SUM(v) AS sv FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 2 * (0 until 50).map(_.toLong).sum + 50000)
+  }
+
+  test("NOT MATCHED BY SOURCE rejects NULL-key target rows loudly") {
+    val t = fresh("nmbsnull")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, id FROM RANGE(20)")
+    sql(s"INSERT INTO graft.spec.$t VALUES (NULL, 999)")
+    // a NULL-key target row matches no source row, so standard SQL
+    // routes it to NMBS — but a keyed change set cannot address it: a
+    // silent pass-through would leave an NMBS DELETE alive (and
+    // duplicate an NMBS UPDATE), so the statement must fail loudly
+    val e = intercept[Exception] {
+      sql(s"""MERGE INTO graft.spec.$t t
+        USING (SELECT id AS k, id * 2 AS v FROM RANGE(10)) s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage.take(200))
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 21, "failed merge must not have landed")
+    // without NMBS actions the same table merges fine (NULL keys insert
+    // or survive — SQL key-equality semantics)
+    sql(s"""MERGE INTO graft.spec.$t t
+      USING (SELECT id AS k, id * 2 AS v FROM RANGE(10)) s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *""")
+    assert(sql(s"SELECT v FROM graft.spec.$t WHERE k IS NULL")
+      .collect().map(_.getLong(0)).toSeq === Seq(999L))
+    // and NMBS on a NULL-free target still works
+    sql(s"DELETE FROM graft.spec.$t WHERE v = 999")
+    sql(s"""MERGE INTO graft.spec.$t t
+      USING (SELECT id AS k, id * 3 AS v FROM RANGE(5)) s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(sql(s"SELECT COUNT(*) AS n, SUM(v) AS sv FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 5)
   }
 }

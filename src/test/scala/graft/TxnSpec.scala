@@ -1298,4 +1298,38 @@ class TxnSpec extends SparkSpec {
     assert(df2.count() === rows1)
     assert(res1.dropped >= 1 && res1.rewritten <= 2)
   }
+
+  test("commitResolving re-runs recheck before every attempt, including rebases") {
+    // the streaming sink's replay ledger depends on this: a competing
+    // commit landing between a recheck and our CAS must force a CAS
+    // loss, and the NEXT recheck (not a re-run of `work` — a pure
+    // rebase deliberately skips that) must observe it before we retry
+    val t = freshTable("recheck")
+    TxnTable.create(spark, t, baseDf(10))
+    val staged = TxnTable.stage(spark, t, baseDf(5))
+    var calls = 0
+    var basesSeen = Seq.empty[Long]
+    val out = TxnTable.commitResolving(spark, t, base => {
+      calls += 1
+      basesSeen :+= base
+      // first attempt: land a competing append so the CAS loses and the
+      // loop rebases — the second recheck must then see the new base
+      if (calls == 1) TxnTable.append(spark, t, baseDf(3))
+    })(_ => TxnTable.Change(staged, Set.empty, Set.empty))
+    assert(calls === 2, s"recheck must run before every attempt, ran $calls")
+    assert(basesSeen === Seq(0L, 1L),
+      s"recheck must observe the rebased-onto version, saw $basesSeen")
+    assert(out.rebases === 1 && out.recomputes === 0)
+    assert(TxnTable.snapshot(spark, t).count() === 18)
+    // a throwing recheck abandons the commit before anything lands
+    val staged2 = TxnTable.stage(spark, t, baseDf(5))
+    val cur = TxnTable.currentVersion(spark, t)
+    intercept[IllegalStateException] {
+      TxnTable.commitResolving(spark, t,
+        _ => throw new IllegalStateException("abandon"))(_ =>
+        TxnTable.Change(staged2, Set.empty, Set.empty))
+    }
+    assert(TxnTable.currentVersion(spark, t) === cur,
+      "a throwing recheck must not commit")
+  }
 }
