@@ -189,7 +189,8 @@ object TxnTable {
       hdrStrIdx: Option[Seq[String]] = None,
       blooms: Seq[BloomRef] = Nil,
       ts: Long = -1L,
-      metrics: Map[String, Long] = Map.empty) {
+      metrics: Map[String, Long] = Map.empty,
+      cdcRefs: Seq[String] = Nil) {
     def liveFiles: Seq[String] = entries.map(_.path)
     // the index column set prefers the `#index=` header: deriving it from
     // entry stats alone loses the index whenever a version legitimately
@@ -307,8 +308,14 @@ object TxnTable {
           val Array(k, v) = kv.split(':')
           (k, v.toLong)
         }.toMap).getOrElse(Map.empty[String, Long])
+    // `#cdc=<rel>` — THE commit's published change-feed files (per
+    // version, not cumulative): readers resolve the feed from manifests
+    // alone, O(new commits) per tail trigger, never a directory listing
+    // that grows with total feed history
+    val cdcRefs = lines.filter(_.startsWith("#cdc="))
+      .map(_.stripPrefix("#cdc="))
     Manifest(op, schema, deletes, entries,
-      idxHdr("#index="), idxHdr("#strindex="), blooms, ts, metrics)
+      idxHdr("#index="), idxHdr("#strindex="), blooms, ts, metrics, cdcRefs)
   }
 
   /** The operation metrics version `v`'s commit recorded in its
@@ -466,7 +473,8 @@ object TxnTable {
              idxCols: Seq[String] = Nil,
              strIdxCols: Seq[String] = Nil,
              blooms: Seq[BloomRef] = Nil,
-             metrics: Seq[(String, Long)] = Nil): Long = {
+             metrics: Seq[(String, Long)] = Nil,
+             cdcFiles: Seq[String] = Nil): Long = {
     val ld = logDir(table)
     val f = fs(s, ld)
     f.mkdirs(ld)
@@ -536,6 +544,14 @@ object TxnTable {
         s"bloom ref (${b.dir}, ${b.col}) would corrupt the manifest format")
       s"#bloom=${b.dir}\t${b.col}\t${b.m}\t${b.k}\n"
     }.mkString
+    // THIS commit's published change-feed files (per-version metadata,
+    // unlike the cumulative entry/tombstone state — commitResolving
+    // deliberately does not carry them across rebases)
+    val cdcLines = cdcFiles.map { r =>
+      require(!r.exists("\t\n".contains(_)),
+        s"cdc ref '$r' would corrupt the manifest format")
+      s"#cdc=$r\n"
+    }.mkString
     // entry lines arrive in two shapes: CARRIED lines rendered from a
     // prior manifest already hold their data seq after the path
     // (fields % 4 == 2), FRESH lines from stage/stageIndexed don't
@@ -550,7 +566,8 @@ object TxnTable {
       (s"#format=$ManifestFormat\n#op=$op\n#ts=$ts\n" + metricsLine +
         schemaLine + delLines +
         idxLine("#index=", idxCols) + idxLine("#strindex=", strIdxCols) +
-        bloomLines + stamped.sorted.mkString("\n") + "\n").getBytes(UTF_8))
+        bloomLines + cdcLines + stamped.sorted.mkString("\n") + "\n")
+        .getBytes(UTF_8))
     finally out.close()
     val dst = manifestPath(table, next)
     // HDFS rename refuses an existing destination atomically; the LOCAL
@@ -1634,46 +1651,59 @@ object TxnTable {
       schemaJson = df.schema.json)
   }
 
-  /** Overwrite-commit that also PERSISTS the signed change feed: after
-    * the commit wins, the [[cdcSigned]] diff against the previous version
-    * is written under `table/_cdc/` as flat, version-prefixed parquet
-    * files (staged to a tmp dir, then renamed in — a tailing file-stream
-    * reader never sees a half-written file). This is what turns CDC from
-    * a batch diff into a STREAMING source: each commit's change files
-    * arrive as new files under one directory, and any number of
-    * downstream `readStream` consumers tail it incrementally — no
-    * re-diffing, no re-reading the table. The feed is computed from the
-    * two manifest-resolved snapshots once, at write time, where the
-    * copy-on-write diff is cheapest. */
+  /** Overwrite-commit that also PERSISTS the signed change feed — and
+    * records the change file(s) in the SAME manifest write (`#cdc=`
+    * header): the new content is staged, the [[signedDiff]] against the
+    * current snapshot is computed from those staged files (so the feed
+    * can never diverge from the committed data, even for a
+    * nondeterministic `df`) and staged under `table/_cdc/` with
+    * collision-free uuid names, and ONE commit publishes data + feed
+    * refs atomically. Readers resolve each version's change files from
+    * its manifest — O(new commits) per streaming trigger at any table
+    * age, never a `_cdc/` directory listing that grows with total feed
+    * history — and an orphaned stage from a failed commit is invisible
+    * (no manifest references it; vacuum collects it). This is what
+    * turns CDC from a batch diff into a STREAMING source: any number of
+    * downstream consumers tail the feed incrementally — no re-diffing,
+    * no re-reading the table. */
   def overwriteCdc(s: SparkSession, table: String, df: DataFrame,
                    key: String): Long = {
     val cur = currentVersion(s, table)
-    val v = overwrite(s, table, df)
-    val feed = cdcSigned(s, table, cur, v, key)
+    val staged = stage(s, table, df)
+    // the feed diffs the CURRENT snapshot against the staged bytes —
+    // one read-back instead of re-evaluating df's plan a second time
+    val newDf = s.read.schema(df.schema)
+      .parquet(staged.map(r => pathFor(table, r)): _*)
+    val feed = signedDiff(snapshot(s, table, cur), newDf, key)
     val tmp = new Path(s"$table/_cdc/.tmp-${java.util.UUID.randomUUID()}")
     val f = fs(s, tmp)
     // one file per commit: a change set is one append to the feed (a
-    // huge change set would shard — then the per-file rename below keeps
-    // each file's arrival atomic for the tailing reader)
+    // huge change set would shard — each file still arrives whole via
+    // its rename)
     feed.coalesce(1).write.parquet(tmp.toString)
-    f.listStatus(tmp).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).zipWithIndex
-      .foreach { case (p, i) =>
-        val dst = new Path(s"$table/_cdc/" + f"v$v%08d-$i.parquet")
-        // losing the rename to an existing dst is fine ONLY because the
-        // feed is deterministic (a crashed earlier publish of the same
-        // version wrote identical content); anything else must surface
-        require(f.rename(p, dst) || f.exists(dst),
-          s"cdc publish failed for $dst")
+    // names carry the TARGET version (known before the commit — a plain
+    // CAS commit lands cur+1 or throws) so name-sorted directory tails
+    // (the file-source consumer pattern) see commit order, plus a uuid
+    // tag so a crashed earlier attempt at the same version can never
+    // collide; the manifest ref, not the name, is what readers resolve
+    val tag = java.util.UUID.randomUUID()
+    val refs = f.listStatus(tmp).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+      .map { case (p, i) =>
+        val rel = f"_cdc/v${cur + 1}%08d-$tag-$i.parquet"
+        require(f.rename(p, new Path(s"$table/$rel")),
+          s"cdc stage failed for $rel")
+        rel
       }
     f.delete(tmp, true)
-    // crash window: a failure between the overwrite() above and this
-    // point commits version v with no change file. Single-writer
-    // recovery: re-running overwriteCdc's publish (or regenerating via
-    // cdcSigned(v-1, v) — the feed is a pure function of two committed
-    // versions) closes the gap; a production commit would stage the
-    // change files INSIDE the manifest transaction instead.
-    v
+    try commit(s, table, staged, cur, op = "overwrite",
+      schemaJson = df.schema.json, cdcFiles = refs)
+    catch { case e: Throwable =>
+      // nothing committed: drop both stages, leave the table untouched
+      dropStaged(s, table, staged)
+      refs.foreach(r => f.delete(new Path(s"$table/$r"), false))
+      throw e
+    }
   }
 
   /** Resolve a snapshot: read version `v`'s manifest (latest if -1) and
@@ -1970,6 +2000,19 @@ object TxnTable {
     f.listStatus(dataDir).toSeq.filter(_.isDirectory)
       .filter(d => f.listStatus(d.getPath).isEmpty)
       .foreach(d => f.delete(d.getPath, false))
+    // change-feed files are manifest-referenced (`#cdc=`) like data
+    // files: a vacuumed version's feed goes with its manifest (retention
+    // bounds the feed exactly as it bounds time travel), and the orphan
+    // from a crashed overwriteCdc commit is collected here too
+    val cdcDir = new Path(table, "_cdc")
+    if (f.exists(cdcDir)) {
+      val keepCdc = retained.flatMap(_.cdcRefs).toSet
+      f.listStatus(cdcDir).toSeq.map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") ||
+          p.getName.startsWith(".tmp-"))
+        .filterNot(p => keepCdc(s"_cdc/${p.getName}"))
+        .foreach(p => f.delete(p, true))
+    }
   }
 
   private def freshDir(name: String): String = {
@@ -2226,10 +2269,16 @@ object TxnTable {
     * One co-partitioned full-outer key join; payloads compared null-safe
     * as a struct. */
   def cdcSigned(s: SparkSession, table: String, vA: Long, vB: Long,
-                key: String): DataFrame = {
-    val a = snapshot(s, table, vA)
+                key: String): DataFrame =
+    signedDiff(snapshot(s, table, vA), snapshot(s, table, vB), key)
+
+  /** The signed diff of two arbitrary keyed frames — [[cdcSigned]]'s
+    * core, also run by [[overwriteCdc]] BEFORE its commit (old = the
+    * current snapshot, new = the just-staged files) so the feed can be
+    * referenced from the same manifest write that publishes the data. */
+  private def signedDiff(a: DataFrame, b: DataFrame, key: String)
+      : DataFrame = {
     val cols = a.columns.filterNot(_ == key).toSeq
-    val b = snapshot(s, table, vB)
     def pay(side: String) = struct(cols.map(c => col(s"$side.$c")): _*)
     // ONE pass over ONE join: each row becomes an array of signed change
     // structs and explodes. Unchanged rows fall through the when-chain to

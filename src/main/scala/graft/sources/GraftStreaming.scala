@@ -209,31 +209,37 @@ class GraftMicroBatchStream(ident: String, location: String,
 /** `graft.ns.t.changes` — the committed CHANGE FEED as a metadata
   * table (the Delta `table_changes` / CDF shape): [[TxnTable
   * .overwriteCdc]] publishes each commit's signed diff under
-  * `table/_cdc/` as version-prefixed parquet, and this table serves
-  * those files through Spark's own parquet scan — batch (`SELECT …
-  * FROM graft.ns.t.changes`, every change ever committed, the feed an
-  * incremental consumer folds from a snapshot) and STREAMING
-  * (`readStream.table("graft.ns.t.changes")`: offsets are the parent
-  * table's commit versions, each micro-batch reads exactly the change
-  * files its versions published — commits without a feed pass as empty
-  * batches). Unlike the live-data tail ([[GraftMicroBatchStream]]),
-  * compactions and rewrites never disturb this stream: the feed is
-  * immutable, append-only by construction. Data-sized, distributed —
-  * never a LocalScan. */
+  * `table/_cdc/` and records the file refs in THAT commit's manifest
+  * (`#cdc=` header), and this table serves those files through Spark's
+  * own parquet scan — batch (`SELECT … FROM graft.ns.t.changes`: the
+  * retained feed, optionally bounded by `startingVersion` /
+  * `endingVersion` read options, both inclusive — the one-shot
+  * catch-up an incremental consumer runs between streaming sessions)
+  * and STREAMING (`readStream.table("graft.ns.t.changes")`: offsets
+  * are the parent table's commit versions, each micro-batch reads
+  * exactly the change files its versions' MANIFESTS reference —
+  * commits without a feed pass as empty batches). Change files resolve
+  * from manifests, NEVER a `_cdc/` directory listing: a year-old
+  * minutely-committed table costs a tail trigger O(new commits), not a
+  * paginated LIST of 500k historical feed files. Retention bounds the
+  * feed exactly as it bounds time travel — a vacuumed version's feed
+  * went with its manifest; explicit bounds naming one fail loudly.
+  * Unlike the live-data tail ([[GraftMicroBatchStream]]), compactions
+  * and rewrites never disturb this stream: the feed is immutable,
+  * append-only by construction. Data-sized, distributed — never a
+  * LocalScan. */
 class GraftChangesTable(ident: String,
     private[sources] val location: String)
     extends Table with SupportsRead {
 
   private def spark: SparkSession = SparkSession.active
-  private def cdcDir: String = s"$location/_cdc"
 
-  private def cdcFiles(s: SparkSession): Seq[Path] = {
-    val p = new Path(cdcDir)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-  }
+  /** Change files of the RETAINED versions in [lo, hi], resolved from
+    * their manifests' `#cdc=` refs in version order. */
+  private def cdcFilesIn(s: SparkSession, lo: Long, hi: Long): Seq[Path] =
+    TxnTable.versions(s, location).filter(v => v >= lo && v <= hi)
+      .flatMap(v => TxnTable.manifest(s, location, v).cdcRefs)
+      .map(r => new Path(TxnTable.pathFor(location, r)))
 
   override def name(): String = ident
 
@@ -241,11 +247,12 @@ class GraftChangesTable(ident: String,
   // schema() is called repeatedly during analysis, and the feed's
   // schema cannot change under a resolved plan anyway
   private lazy val feedSchema: StructType = {
-    val fs = cdcFiles(spark)
+    val s = spark
+    val fs = cdcFilesIn(s, 0L, Long.MaxValue)
     require(fs.nonEmpty,
       s"$ident: no change feed committed yet (writers publish one via " +
         "TxnTable.overwriteCdc)")
-    spark.read.parquet(fs.head.toString).schema
+    s.read.parquet(fs.head.toString).schema
   }
 
   override def schema(): StructType = feedSchema
@@ -259,7 +266,36 @@ class GraftChangesTable(ident: String,
       options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder = {
     val s = spark
-    val paths = cdcFiles(s)
+    // batch bounds: inclusive [startingVersion, endingVersion], default
+    // the whole retained feed. Bounds must name retained versions —
+    // silently serving a partial range for a vacuumed bound would read
+    // as "caught up" when it isn't.
+    val retained = TxnTable.versions(s, location)
+    def bound(name: String): Option[Long] =
+      Option(options.get(name))
+        // "latest" is the STREAMING tail-only start; it bounds nothing
+        // on the batch path (resolveStart validates it stream-side)
+        .filterNot(_ == "latest")
+        .map { raw =>
+        val v = try raw.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$ident: $name must be a commit number, got '$raw'")
+        }
+        require(retained.contains(v),
+          s"$ident: $name $v is not a retained version (vacuumed or " +
+            s"never committed; retained ${retained.headOption.getOrElse(-1L)}" +
+            s"..${retained.lastOption.getOrElse(-1L)})")
+        v
+      }
+    val sv = bound("startingVersion")
+    val ev = bound("endingVersion")
+    (sv, ev) match {
+      case (Some(a), Some(b)) => require(a <= b,
+        s"$ident: startingVersion $a > endingVersion $b")
+      case _ => ()
+    }
+    val paths = cdcFilesIn(s, sv.getOrElse(0L), ev.getOrElse(Long.MaxValue))
     // change files carry no manifest stats: the prune is identity, but
     // parquet footer/row-group pruning and column pruning still apply
     new org.apache.spark.sql.graftbridge.PruningScanBuilder(
@@ -270,7 +306,7 @@ class GraftChangesTable(ident: String,
         val startingVersion = Option(options.get("startingVersion"))
         new GraftStreaming.StreamableScan(super.build(),
           readSchema => new GraftCdcMicroBatchStream(ident, location,
-            readSchema, maxVersions, startingVersion))
+            readSchema, maxVersions, startingVersion, ev))
       }
     }
   }
@@ -278,10 +314,14 @@ class GraftChangesTable(ident: String,
 
 /** The change feed as a micro-batch stream: offsets are the PARENT
   * table's commit versions (the log is the clock), each batch reads
-  * the `_cdc/v%08d-*.parquet` files its versions published. */
+  * the change files its versions' manifests reference (`#cdc=`) —
+  * O(versions in the batch) manifest reads per trigger, never a
+  * directory listing. `endingVersion` (inclusive) stops the tail at a
+  * pinned version — the bounded replay a backfill runs. */
 class GraftCdcMicroBatchStream(ident: String, location: String,
     schema: StructType, maxVersions: Option[Long],
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    endingVersion: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
@@ -306,7 +346,8 @@ class GraftCdcMicroBatchStream(ident: String, location: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s0 = start.asInstanceOf[GraftStreaming.VersionOffset].v
     val cur = TxnTable.currentVersion(spark, location)
-    val capped = availableTarget.fold(cur)(math.min(cur, _))
+    val pinned = endingVersion.fold(cur)(math.min(cur, _))
+    val capped = availableTarget.fold(pinned)(math.min(pinned, _))
     val end = maxVersions.fold(capped)(m => math.min(capped, s0 + m))
     GraftStreaming.VersionOffset(math.max(s0, end))
   }
@@ -314,18 +355,15 @@ class GraftCdcMicroBatchStream(ident: String, location: String,
   override def reportLatestOffset(): Offset =
     GraftStreaming.VersionOffset(TxnTable.currentVersion(spark, location))
 
+  /** The change files versions (start, end] published, from their
+    * manifests' `#cdc=` refs. A vacuumed version in the walk fails
+    * loudly at manifest resolution — a checkpoint resumed past
+    * retention must not silently skip feed history. */
   private def filesIn(s: SparkSession, start: Long, end: Long): Seq[Path] = {
-    val p = new Path(s"$location/_cdc")
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq.map(_.getPath)
-      .filter { q =>
-        val n = q.getName
-        n.startsWith("v") && n.endsWith(".parquet") && {
-          val v = n.drop(1).takeWhile(_.isDigit)
-          v.nonEmpty && v.toLong > start && v.toLong <= end
-        }
-      }.sortBy(_.getName)
+    if (start >= end) return Seq.empty
+    (math.max(start + 1, 0L) to end).flatMap(v =>
+      TxnTable.manifest(s, location, v).cdcRefs
+        .map(r => new Path(TxnTable.pathFor(location, r))))
   }
 
   override def planInputPartitions(start: Offset, end: Offset)

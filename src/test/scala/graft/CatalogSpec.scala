@@ -884,6 +884,71 @@ class CatalogSpec extends SparkSpec {
       .exists(_.getString(1) == t))
   }
 
+  test("t.changes resolves from manifests with version bounds; listings are dead") {
+    val s2 = spark
+    import s2.implicits._
+    val t = fresh("changesbounds")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    TxnTable.append(spark, loc, (0L until 100L).map(i => (i, i)).toDF("k", "v"))
+    // three publishing overwrites → versions 2, 3, 4 carry feeds
+    TxnTable.overwriteCdc(spark, loc, TxnTable.snapshot(spark, loc)
+      .withColumn("v", when(col("k") % 2 === 0, col("v") + 1)
+        .otherwise(col("v"))), "k")
+    TxnTable.overwriteCdc(spark, loc,
+      TxnTable.snapshot(spark, loc).filter(col("k") < 90), "k")
+    TxnTable.overwriteCdc(spark, loc, TxnTable.snapshot(spark, loc)
+      .withColumn("v", when(col("k") < 5, col("v") * 2)
+        .otherwise(col("v"))), "k")
+    // each publishing commit records its change file in ITS manifest
+    assert(TxnTable.manifest(spark, loc, 2L).cdcRefs.size === 1)
+    assert(TxnTable.manifest(spark, loc, 1L).cdcRefs.isEmpty)
+    // GARBAGE lands in _cdc/ (a crashed writer's stage, a stray file):
+    // a listing reader would serve it; the manifest-resolving reader
+    // must not — this is the "no directory listing" proof
+    (900L to 902L).map(i => (i, 7, i)).toDF("k", "w", "v")
+      .coalesce(1).write.parquet(s"$loc/_cdc_garbage_stage")
+    val gdir = new org.apache.hadoop.fs.Path(s"$loc/_cdc_garbage_stage")
+    val gfs = gdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gsrc = gfs.listStatus(gdir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(gfs.rename(gsrc,
+      new org.apache.hadoop.fs.Path(s"$loc/_cdc/v00000099-garbage-0.parquet")))
+    def diff(a: Long, b: Long): Set[(Long, Int, Long)] =
+      TxnTable.cdcSigned(spark, loc, a, b, "k").select("k", "w", "v")
+        .as[(Long, Int, Long)].collect().toSet
+    def feed(opts: (String, String)*): Set[(Long, Int, Long)] = {
+      var r = spark.read
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.table(s"graft.spec.$t.changes").select("k", "w", "v")
+        .as[(Long, Int, Long)].collect().toSet
+    }
+    assert(feed() === diff(1, 2) ++ diff(2, 3) ++ diff(3, 4),
+      "unbounded batch must serve exactly the manifest-referenced feed")
+    // inclusive bounds slice by PUBLISHING version
+    assert(feed("startingVersion" -> "2", "endingVersion" -> "3") ===
+      diff(1, 2) ++ diff(2, 3))
+    assert(feed("endingVersion" -> "2") === diff(1, 2))
+    assert(feed("startingVersion" -> "4") === diff(3, 4))
+    // bad bounds are loud: not-committed, inverted, non-numeric
+    intercept[Exception] { feed("startingVersion" -> "9") }
+    intercept[Exception] {
+      feed("startingVersion" -> "3", "endingVersion" -> "2") }
+    intercept[Exception] { feed("startingVersion" -> "bogus") }
+    // the STREAM also resolves from manifests: the garbage file must
+    // not surface there either, and endingVersion pins the tail
+    val qn = s"${t}_cdcsink"
+    val q = spark.readStream.option("endingVersion", "3")
+      .table(s"graft.spec.$t.changes")
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(qn).select("k", "w", "v")
+      .as[(Long, Int, Long)].collect().toSet === diff(1, 2) ++ diff(2, 3))
+  }
+
   test("sink replay detection is atomic with the CAS loop (zombie same-epoch race)") {
     import graft.sources.{GraftStagedFile, GraftStreamingWrite}
     val t = fresh("streamzombie")

@@ -1299,6 +1299,33 @@ class TxnSpec extends SparkSpec {
     assert(res1.dropped >= 1 && res1.rewritten <= 2)
   }
 
+  test("vacuum collects unreferenced change-feed files; retained refs survive") {
+    val t = freshTable("cdc_vacuum")
+    val s = spark
+    import s.implicits._
+    TxnTable.create(spark, t, (0L until 50L).map(i => (i, i)).toDF("k", "v"))
+    TxnTable.overwriteCdc(spark, t, TxnTable.snapshot(spark, t)
+      .withColumn("v", col("v") + 1), "k")
+    TxnTable.overwriteCdc(spark, t,
+      TxnTable.snapshot(spark, t).filter(col("k") < 40), "k")
+    val v1Ref = TxnTable.manifest(spark, t, 1L).cdcRefs.head
+    val v2Ref = TxnTable.manifest(spark, t, 2L).cdcRefs.head
+    // an ORPHAN (crashed overwriteCdc: staged feed, commit never landed)
+    (0L to 2L).map(i => (i, 1, i)).toDF("k", "w", "v")
+      .coalesce(1).write.parquet(s"$t/_cdc_orphan")
+    val of = new java.io.File(s"$t/_cdc_orphan").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(s"$t/_cdc/v00000099-orphan-0.parquet")
+    assert(of.renameTo(orphan))
+    TxnTable.vacuum(spark, t, retain = 1)
+    // version 2 survives → its feed ref survives; version 1's feed and
+    // the orphan went with retention (the feed is manifest-referenced
+    // metadata, bounded by retention exactly like time travel)
+    assert(new java.io.File(s"$t/$v2Ref").exists(), "retained feed deleted")
+    assert(!new java.io.File(s"$t/$v1Ref").exists(), "vacuumed feed kept")
+    assert(!orphan.exists(), "orphaned feed stage kept")
+  }
+
   test("commitResolving re-runs recheck before every attempt, including rebases") {
     // the streaming sink's replay ledger depends on this: a competing
     // commit landing between a recheck and our CAS must force a CAS
