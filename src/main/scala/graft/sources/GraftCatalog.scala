@@ -448,9 +448,11 @@ class GraftTable(ident: String, private[sources] val location: String,
         val maxVersions = Option(options.get("maxVersionsPerTrigger"))
           .map(_.toLong)
         val startingVersion = Option(options.get("startingVersion"))
+        val skipChange = Option(options.get("skipChangeCommits"))
+          .exists(_.toBoolean)
         new GraftStreaming.StreamableScan(super.build(),
           readSchema => new GraftMicroBatchStream(ident, location,
-            readSchema, maxVersions, startingVersion))
+            readSchema, maxVersions, startingVersion, skipChange))
       }
     }
   }

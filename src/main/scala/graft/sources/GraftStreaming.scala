@@ -121,7 +121,8 @@ object GraftStreaming {
   * backlog replay), `"<n>"` = commits from version n onward. */
 class GraftMicroBatchStream(ident: String, location: String,
     schema: StructType, maxVersions: Option[Long],
-    startingVersion: Option[String] = None)
+    startingVersion: Option[String] = None,
+    skipChangeCommits: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
@@ -173,15 +174,35 @@ class GraftMicroBatchStream(ident: String, location: String,
       val cur = TxnTable.manifest(s, location, v)
       val prevPaths = prev.entries.map(_.path).toSet
       val removed = prevPaths -- cur.entries.map(_.path).toSet
-      require(removed.isEmpty,
-        s"$ident: version $v (op=${cur.op}) removed ${removed.size} live " +
-          "file(s); the streaming source is append-only — restart the " +
-          "stream from a fresh checkpoint past the rewrite")
-      require(cur.deletes.toSet == prev.deletes.toSet,
-        s"$ident: version $v added merge-on-read tombstones; a streamed " +
-          "append-only tail cannot retract already-emitted rows")
-      val out = cur.entries.filterNot(e => prevPaths(e.path))
-        .map(e => new Path(TxnTable.pathFor(location, e.path)))
+      val sameTombs = cur.deletes.toSet == prev.deletes.toSet
+      val out =
+        if (removed.nonEmpty && skipChangeCommits &&
+            cur.op == "compact" && sameTombs) {
+          // skipChangeCommits opt-in: a COMPACTION rewrites files but
+          // preserves content (its rows were already emitted by the
+          // appends it compacted), so it passes as an EMPTY batch — a
+          // production table can run OPTIMIZE while being tailed. The
+          // op-name + unchanged-tombstone guard keeps this narrower
+          // (and safer) than Delta's flag: ops that genuinely retract
+          // data — overwrite, delete, merge rewrites, a compact that
+          // APPLIED pending tombstones — stay loud even with the
+          // option. Its own adds are NOT emitted, and the next
+          // version diffs against the post-compact manifest.
+          Seq.empty
+        } else {
+          require(removed.isEmpty,
+            s"$ident: version $v (op=${cur.op}) removed ${removed.size} " +
+              "live file(s); the streaming source is append-only — " +
+              "restart the stream from a fresh checkpoint past the " +
+              "rewrite, or set skipChangeCommits=true to pass " +
+              "content-preserving compactions as empty batches")
+          require(sameTombs,
+            s"$ident: version $v changed merge-on-read tombstones; a " +
+              "streamed append-only tail cannot retract already-emitted " +
+              "rows")
+          cur.entries.filterNot(e => prevPaths(e.path))
+            .map(e => new Path(TxnTable.pathFor(location, e.path)))
+        }
       prev = cur
       out
     }

@@ -884,6 +884,51 @@ class CatalogSpec extends SparkSpec {
       .exists(_.getString(1) == t))
   }
 
+  test("skipChangeCommits: the tail survives compaction; retracting ops stay loud") {
+    val t = fresh("streamskipcc")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val d = fresh("streamskipccdst")
+    sql(s"CREATE TABLE graft.spec.$d (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val ckpt = graft.Fs.scratch("graft_skipcc", "ckpt")
+    graft.Fs.deleteRecursively(ckpt)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("skipChangeCommits", "true")
+        .table(s"graft.spec.$t")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft.spec.$d")
+      q.awaitTermination()
+    }
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id, 'a' " +
+      "FROM RANGE(100)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id + 100, " +
+      "'b' FROM RANGE(100)")
+    drain()
+    // OPTIMIZE mid-stream: the next drain must pass the compact version
+    // as an EMPTY batch — zero duplicate, zero missing
+    sql(s"CALL graft.system.compact('spec.$t')")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id + 200, " +
+      "'c' FROM RANGE(100)")
+    drain()
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$d")
+      .collect()(0).getLong(0) === 300, "compaction duplicated/lost rows")
+    assert(sql(s"SELECT COUNT(DISTINCT k) AS n FROM graft.spec.$d")
+      .collect()(0).getLong(0) === 300)
+    // a genuinely RETRACTING op (file-pruned DELETE) stays loud even
+    // with the option — skipChangeCommits passes compactions only
+    sql(s"DELETE FROM graft.spec.$t WHERE k >= 200 AND k <= 250")
+    val e = intercept[Exception] { drain() }
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e).exists(_.contains("append-only")),
+      s"expected the loud append-only failure, got: ${messages(e).take(3)}")
+  }
+
   test("t.changes resolves from manifests with version bounds; listings are dead") {
     val s2 = spark
     import s2.implicits._
