@@ -69,6 +69,7 @@ object SparkEntry {
     "sql_txn_evolve"          -> (SqlSurface.txnEvolve _),
     "sql_txn_mor"             -> (SqlSurface.txnMor _),
     "sql_txn_history"         -> (SqlSurface.txnHistory _),
+    "sql_txn_detail"          -> (SqlSurface.txnDetail _),
     "sql_txn_delete"          -> (SqlSurface.txnDelete _),
     "sql_txn_delete_str"      -> (SqlSurface.txnDeleteStr _),
     "sql_txn_delete_multi"    -> (SqlSurface.txnDeleteMulti _),
@@ -1354,6 +1355,17 @@ object SparkEntry {
         |  (2, 'append', 3), (3, 'compact', 1),
         |  (4, 'append', 2), (5, 'restore', 1))
         |  AS t(version, operation, live_files)""".stripMargin,
+    // DESCRIBE DETAIL as a metadata table: the replayable operational
+    // columns are literal at any SF (single-file inserts); wall-clock
+    // ts and parquet byte sizes are asserted in-scenario → boolean
+    "sql_txn_detail" ->
+      """SELECT CAST(5 AS BIGINT) AS format, CAST(2 AS BIGINT) AS version,
+        |  'append' AS operation, CAST(3 AS BIGINT) AS num_files,
+        |  'o_orderkey' AS index_cols, '' AS str_index_cols,
+        |  CAST(0 AS BIGINT) AS num_tombstones,
+        |  CAST(0 AS BIGINT) AS num_cdc_files,
+        |  CAST(2 AS BIGINT) AS checkpoint_version,
+        |  TRUE AS detail_ok""".stripMargin,
     // Merge-on-read delete visible to pure SQL reads: survivors are the
     // non-%9 keys; SQL/library parity, pinning and the zero-rewrite
     // property travel as a boolean

@@ -347,6 +347,53 @@ object SqlSurface {
       .withColumn("maint_ok", lit(ok))
   }
 
+  /** sql_txn_detail: the DESCRIBE-DETAIL-equivalent one-row operational
+    * summary as a metadata table — `SELECT * FROM graft.q.t.detail`
+    * (the Delta shape): manifest format version, current version with
+    * its op + commit timestamp, live file count, live BYTES from the
+    * manifest v5 per-file sizes, clustering declaration, pending
+    * tombstones, change-feed refs, newest checkpoint — the at-a-glance
+    * surface an operator reads before touching a 100 TB table, all
+    * from the LOG (LocalScan: no jobs, no data I/O — asserted from the
+    * physical plan). Hashed output = the replayable columns (literal
+    * at any SF: single-file inserts); the non-replayable ones
+    * (wall-clock ts, parquet byte sizes) are asserted against
+    * TxnTable state and travel as `detail_ok`. */
+  def txnDetail(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "dt_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.dt_orders (
+      o_orderkey BIGINT, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    val mid = s.sql("SELECT (MIN(o_orderkey) + MAX(o_orderkey)) DIV 2 AS m " +
+      "FROM orders").collect()(0).getLong(0)
+    s.sql(s"""INSERT INTO graft.q.dt_orders
+      SELECT /*+ REPARTITION(1) */ o_orderkey,
+        CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey < $mid""")
+    s.sql(s"""INSERT INTO graft.q.dt_orders
+      SELECT /*+ REPARTITION(1) */ o_orderkey,
+        CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey >= $mid""")
+    s.sql("CALL graft.system.checkpoint('q.dt_orders')")
+    val detail = s.sql("SELECT * FROM graft.q.dt_orders.detail")
+    // the operational surface must cost NO jobs: a driver-computed
+    // LocalScan over the log, never a distributed read
+    val localScan = detail.queryExecution.executedPlan.toString
+      .contains("LocalTableScan")
+    val row = detail.collect()(0)
+    val m = TxnTable.manifest(s, loc, 2L)
+    val ok = localScan &&
+      row.getLong(row.fieldIndex("committed_ts")) == m.ts &&
+      TxnTable.tableBytes(s, loc, 2L)
+        .contains(row.getLong(row.fieldIndex("total_bytes"))) &&
+      row.getLong(row.fieldIndex("total_bytes")) > 0L
+    s.sql("""SELECT format, version, operation, num_files, index_cols,
+      str_index_cols, num_tombstones, num_cdc_files, checkpoint_version
+      FROM graft.q.dt_orders.detail""")
+      .withColumn("detail_ok", lit(ok))
+  }
+
   /** sql_txn_merge: MERGE INTO as PURE SQL TEXT — the full CDC
     * statement (conditional DELETE + UPDATE SET * + INSERT *) resolved
     * by the analyzer, swapped by GraftDmlRule for the eager command

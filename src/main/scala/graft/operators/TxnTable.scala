@@ -190,7 +190,8 @@ object TxnTable {
       blooms: Seq[BloomRef] = Nil,
       ts: Long = -1L,
       metrics: Map[String, Long] = Map.empty,
-      cdcRefs: Seq[String] = Nil) {
+      cdcRefs: Seq[String] = Nil,
+      fmt: Long = ManifestFormat) {
     def liveFiles: Seq[String] = entries.map(_.path)
     // the index column set prefers the `#index=` header: deriving it from
     // entry stats alone loses the index whenever a version legitimately
@@ -315,7 +316,8 @@ object TxnTable {
     val cdcRefs = lines.filter(_.startsWith("#cdc="))
       .map(_.stripPrefix("#cdc="))
     Manifest(op, schema, deletes, entries,
-      idxHdr("#index="), idxHdr("#strindex="), blooms, ts, metrics, cdcRefs)
+      idxHdr("#index="), idxHdr("#strindex="), blooms, ts, metrics, cdcRefs,
+      fmt)
   }
 
   /** The operation metrics version `v`'s commit recorded in its

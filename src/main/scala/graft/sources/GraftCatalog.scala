@@ -117,6 +117,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         return ident.name() match {
           case "history" => GraftMaintenance.historyTable(full, parentPath)
           case "files"   => GraftMaintenance.filesTable(full, parentPath)
+          case "detail"  => GraftMaintenance.detailTable(full, parentPath)
           // data-sized, distributed — a real parquet-backed table over
           // the committed change feed, batch AND streaming
           case "changes" => new GraftChangesTable(full, parentPath)
@@ -350,7 +351,8 @@ object GraftCatalog {
   }
 
   /** The reserved metadata-table suffixes (`graft.ns.t.history`…). */
-  private[sources] val metaTables = Set("history", "files", "changes")
+  private[sources] val metaTables =
+    Set("history", "files", "changes", "detail")
 
   /** Manifest-prune accounting for DSv2 scans, cumulative since process
     * start (instrumentation, the [[TxnTable.logReads]] pattern): how

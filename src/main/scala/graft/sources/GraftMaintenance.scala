@@ -42,6 +42,43 @@ private[sources] object GraftMaintenance {
           Array[Any](v, UTF8String.fromString(op), n)): InternalRow
       }.toArray)
 
+  /** `graft.ns.t.detail` — the DESCRIBE-DETAIL-equivalent one-row
+    * operational summary (the Delta shape): format version, current
+    * version + its op/timestamp, live file count, live bytes from the
+    * manifest v5 per-file sizes (NULL when any pre-v5 entry predates
+    * them), clustering declaration, pending tombstones, change-feed
+    * files, newest checkpoint. Everything reads from the LOG — a
+    * LocalScan, no jobs, O(metadata) at any table size. */
+  def detailTable(ident: String, location: String): Table =
+    new GraftMetaTable(ident,
+      StructType(Seq(
+        StructField("format", LongType, nullable = false),
+        StructField("version", LongType, nullable = false),
+        StructField("operation", StringType, nullable = false),
+        StructField("committed_ts", LongType, nullable = false),
+        StructField("num_files", LongType, nullable = false),
+        StructField("total_bytes", LongType, nullable = true),
+        StructField("index_cols", StringType, nullable = false),
+        StructField("str_index_cols", StringType, nullable = false),
+        StructField("num_tombstones", LongType, nullable = false),
+        StructField("num_cdc_files", LongType, nullable = false),
+        StructField("checkpoint_version", LongType, nullable = true))),
+      s => {
+        val v = TxnTable.currentVersion(s, location)
+        val m = TxnTable.manifest(s, location, v)
+        val bytes = TxnTable.tableBytes(s, location, v)
+        Array(new GenericInternalRow(Array[Any](
+          m.fmt, v, UTF8String.fromString(m.op), m.ts,
+          m.entries.size.toLong,
+          bytes.map(b => b: Any).orNull,
+          UTF8String.fromString(m.idxCols.mkString(",")),
+          UTF8String.fromString(m.strIdxCols.mkString(",")),
+          m.deletes.size.toLong,
+          m.cdcRefs.size.toLong,
+          TxnTable.checkpointVersions(s, location).lastOption
+            .map(c => c: Any).orNull)): InternalRow)
+      })
+
   def filesTable(ident: String, location: String): Table =
     new GraftMetaTable(ident,
       StructType(Seq(StructField("path", StringType, nullable = false),

@@ -884,6 +884,50 @@ class CatalogSpec extends SparkSpec {
       .exists(_.getString(1) == t))
   }
 
+  test("t.detail is a one-row LocalScan tracking the table's operational state") {
+    val s2 = spark
+    import s2.implicits._
+    val t = fresh("detail")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id, id " +
+      "FROM RANGE(100)")
+    def detail(): org.apache.spark.sql.Row = {
+      val df = sql(s"SELECT * FROM graft.spec.$t.detail")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"), "detail must plan as a LocalScan")
+      df.collect()(0)
+    }
+    val r1 = detail()
+    assert(r1.getLong(r1.fieldIndex("version")) === 1L)
+    assert(r1.getString(r1.fieldIndex("operation")) === "append")
+    assert(r1.getLong(r1.fieldIndex("num_files")) === 2L) // sentinel + 1
+    assert(r1.getString(r1.fieldIndex("index_cols")) === "k")
+    assert(r1.getLong(r1.fieldIndex("num_tombstones")) === 0L)
+    assert(r1.isNullAt(r1.fieldIndex("checkpoint_version")))
+    assert(TxnTable.tableBytes(spark, loc)
+      .contains(r1.getLong(r1.fieldIndex("total_bytes"))))
+    // the row TRACKS state: tombstone commit, cdc publish, checkpoint
+    TxnTable.deleteKeysMor(spark, loc,
+      Seq(1L, 2L).toDF("k"), "k")
+    TxnTable.overwriteCdc(spark, loc,
+      TxnTable.snapshot(spark, loc).filter(col("k") < 50), "k")
+    sql(s"CALL graft.system.checkpoint('spec.$t')")
+    val r2 = detail()
+    assert(r2.getLong(r2.fieldIndex("version")) === 3L)
+    assert(r2.getString(r2.fieldIndex("operation")) === "overwrite")
+    assert(r2.getLong(r2.fieldIndex("num_tombstones")) === 0L,
+      "the cdc overwrite replaced the tombstoned snapshot")
+    assert(r2.getLong(r2.fieldIndex("num_cdc_files")) === 1L)
+    assert(r2.getLong(r2.fieldIndex("checkpoint_version")) === 3L)
+    assert(r2.getLong(r2.fieldIndex("committed_ts")) >
+      r1.getLong(r1.fieldIndex("committed_ts")))
+    // ... and the tombstoned INTERMEDIATE version shows its tombstone
+    // through the pinned manifest (the detail row reads CURRENT state)
+    assert(TxnTable.manifest(spark, loc, 2L).deletes.size === 1)
+  }
+
   test("skipChangeCommits: the tail survives compaction; retracting ops stay loud") {
     val t = fresh("streamskipcc")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
