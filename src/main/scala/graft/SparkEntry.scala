@@ -70,6 +70,7 @@ object SparkEntry {
     "sql_txn_mor"             -> (SqlSurface.txnMor _),
     "sql_txn_history"         -> (SqlSurface.txnHistory _),
     "sql_txn_detail"          -> (SqlSurface.txnDetail _),
+    "sql_txn_rename"          -> (SqlSurface.txnRename _),
     "sql_txn_delete"          -> (SqlSurface.txnDelete _),
     "sql_txn_delete_str"      -> (SqlSurface.txnDeleteStr _),
     "sql_txn_delete_multi"    -> (SqlSurface.txnDeleteMulti _),
@@ -1355,6 +1356,21 @@ object SparkEntry {
         |  (2, 'append', 3), (3, 'compact', 1),
         |  (4, 'append', 2), (5, 'restore', 1))
         |  AS t(version, operation, live_files)""".stripMargin,
+    // RENAME/DROP/re-ADD COLUMN via column mapping: base rows read their
+    // old price bytes under the new 'amount' name with the re-added note
+    // NULL; %13 keyspace-shifted rows likewise; %17 rows carry 'R' —
+    // all replayable arithmetic, mapping mechanics travel as a boolean
+    "sql_txn_rename" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT k AS o_orderkey, CAST(price AS DOUBLE) AS amount,
+        |  CAST(NULL AS VARCHAR) AS note, TRUE AS rn_ok FROM b
+        |UNION ALL
+        |SELECT k + 100000000, CAST(price AS DOUBLE),
+        |  CAST(NULL AS VARCHAR), TRUE FROM b WHERE k % 13 = 0
+        |UNION ALL
+        |SELECT k + 200000000, CAST(price AS DOUBLE), 'R', TRUE
+        |FROM b WHERE k % 17 = 0""".stripMargin,
     // DESCRIBE DETAIL as a metadata table: the replayable operational
     // columns are literal at any SF (single-file inserts); wall-clock
     // ts and parquet byte sizes are asserted in-scenario → boolean

@@ -347,6 +347,76 @@ object SqlSurface {
       .withColumn("maint_ok", lit(ok))
   }
 
+  /** sql_txn_rename: RENAME and DROP COLUMN as pure metadata — COLUMN
+    * MAPPING through the log (the Delta 'name'-mode / Iceberg field-id
+    * shape): every column's PHYSICAL name is frozen at birth in the
+    * committed schema's field metadata, so `ALTER TABLE … RENAME
+    * COLUMN` is ONE manifest write with every data file carried
+    * verbatim (asserted: entry paths byte-identical) — old files
+    * resolve under the NEW name because reads request physical names
+    * and project to logical — and a pinned pre-rename `VERSION AS OF`
+    * keeps the OLD name by construction (it reads its own committed
+    * schema). DROP COLUMN retires the physical name in the log; a
+    * later ADD COLUMN of the same name mints a FRESH physical, so the
+    * dropped column's old values can never resurrect through by-name
+    * parquet resolution (asserted: re-added column reads NULL for
+    * every pre-drop row). Post-rename INSERTs write physical names;
+    * the lifecycle ends with three generations of files under one
+    * logical schema, fully hash-checked; `rn_ok` carries the
+    * zero-rewrite, pinning, mapping-metadata, and trail assertions.
+    * At 100 TB: renaming or dropping a column costs O(metadata). */
+  def txnRename(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "rn_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.rn_orders (
+      o_orderkey BIGINT, price DECIMAL(12,2), note STRING)
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    s.sql("""INSERT INTO graft.q.rn_orders
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)), o_orderstatus
+      FROM orders""")
+    s.sql("ALTER TABLE graft.q.rn_orders RENAME COLUMN price TO amount")
+    s.sql("""INSERT INTO graft.q.rn_orders
+      SELECT o_orderkey + 100000000, CAST(o_totalprice AS DECIMAL(12,2)),
+        CAST(NULL AS STRING)
+      FROM orders WHERE o_orderkey % 13 = 0""")
+    s.sql("ALTER TABLE graft.q.rn_orders DROP COLUMN note")
+    s.sql("ALTER TABLE graft.q.rn_orders ADD COLUMN note STRING")
+    s.sql("""INSERT INTO graft.q.rn_orders
+      SELECT o_orderkey + 200000000, CAST(o_totalprice AS DECIMAL(12,2)), 'R'
+      FROM orders WHERE o_orderkey % 17 = 0""")
+    def cnt(q: String): Long = s.sql(q).collect()(0).getLong(0)
+    val nBase = cnt("SELECT COUNT(*) AS n FROM orders")
+    // rename (v1→v2), drop (v3→v4), re-add (v4→v5): all metadata-only
+    def samePaths(a: Long, b: Long): Boolean =
+      TxnTable.manifest(s, loc, a).entries.map(_.path) ==
+        TxnTable.manifest(s, loc, b).entries.map(_.path)
+    val pinned = s.sql("SELECT * FROM graft.q.rn_orders VERSION AS OF 1")
+    val sch = TxnTable.manifest(s, loc, 6L).schema.get
+    val ok = samePaths(1L, 2L) && samePaths(3L, 4L) && samePaths(4L, 5L) &&
+      // the pinned pre-rename version keeps the OLD names and the OLD
+      // note values
+      pinned.schema.fieldNames.toSeq ==
+        Seq("o_orderkey", "price", "note") &&
+      pinned.filter("note IS NOT NULL").count() == nBase &&
+      // the current version resolves old files' price bytes under the
+      // NEW logical name, and the re-added note reads NULL everywhere
+      // except the post-re-add insert
+      s.sql("SELECT * FROM graft.q.rn_orders").schema.fieldNames.toSeq ==
+        Seq("o_orderkey", "amount", "note") &&
+      cnt("SELECT COUNT(*) AS n FROM graft.q.rn_orders " +
+        "WHERE note IS NOT NULL") ==
+        cnt("SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 17 = 0") &&
+      // the mapping itself: amount's physical is its birth name, the
+      // re-added note minted a FRESH physical (never the retired one)
+      sch("amount").metadata.getString("gphys") == "price" &&
+      sch("note").metadata.getString("gphys") != "note" &&
+      TxnTable.history(s, loc).map(_._2) == Seq("create", "append",
+        "rename", "append", "drop", "evolve", "append")
+    s.sql("""SELECT o_orderkey, CAST(amount AS DOUBLE) AS amount, note
+      FROM graft.q.rn_orders""")
+      .withColumn("rn_ok", lit(ok))
+  }
+
   /** sql_txn_detail: the DESCRIBE-DETAIL-equivalent one-row operational
     * summary as a metadata table — `SELECT * FROM graft.q.t.detail`
     * (the Delta shape): manifest format version, current version with

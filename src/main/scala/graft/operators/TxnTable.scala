@@ -191,7 +191,8 @@ object TxnTable {
       ts: Long = -1L,
       metrics: Map[String, Long] = Map.empty,
       cdcRefs: Seq[String] = Nil,
-      fmt: Long = ManifestFormat) {
+      fmt: Long = ManifestFormat,
+      retired: Seq[(Long, String)] = Nil) {
     def liveFiles: Seq[String] = entries.map(_.path)
     // the index column set prefers the `#index=` header: deriving it from
     // entry stats alone loses the index whenever a version legitimately
@@ -315,9 +316,19 @@ object TxnTable {
     // that grows with total feed history
     val cdcRefs = lines.filter(_.startsWith("#cdc="))
       .map(_.stripPrefix("#cdc="))
+    // `#retired=gid:b64(phys),...` — physical names of DROPPED columns,
+    // cumulative: an ADD COLUMN reusing one mints a fresh physical name
+    // (by-name parquet resolution would otherwise resurrect the dropped
+    // column's values from old files)
+    val retired = lines.find(_.startsWith("#retired="))
+      .map(_.stripPrefix("#retired=").split(',').toSeq.filter(_.nonEmpty)
+        .map { kv =>
+          val Array(id, p) = kv.split(':')
+          (id.toLong, b64dec(p))
+        }).getOrElse(Nil)
     Manifest(op, schema, deletes, entries,
       idxHdr("#index="), idxHdr("#strindex="), blooms, ts, metrics, cdcRefs,
-      fmt)
+      fmt, retired)
   }
 
   /** The operation metrics version `v`'s commit recorded in its
@@ -476,7 +487,8 @@ object TxnTable {
              strIdxCols: Seq[String] = Nil,
              blooms: Seq[BloomRef] = Nil,
              metrics: Seq[(String, Long)] = Nil,
-             cdcFiles: Seq[String] = Nil): Long = {
+             cdcFiles: Seq[String] = Nil,
+             retired: Seq[(Long, String)] = Nil): Long = {
     val ld = logDir(table)
     val f = fs(s, ld)
     f.mkdirs(ld)
@@ -554,6 +566,12 @@ object TxnTable {
         s"cdc ref '$r' would corrupt the manifest format")
       s"#cdc=$r\n"
     }.mkString
+    // retired physical column names carry cumulatively, like the index
+    // headers — schema-preserving commit paths thread them through
+    val retiredLine =
+      if (retired.isEmpty) ""
+      else "#retired=" + retired.map { case (id, p) =>
+        s"$id:${b64enc(p)}" }.mkString(",") + "\n"
     // entry lines arrive in two shapes: CARRIED lines rendered from a
     // prior manifest already hold their data seq after the path
     // (fields % 4 == 2), FRESH lines from stage/stageIndexed don't
@@ -568,7 +586,8 @@ object TxnTable {
       (s"#format=$ManifestFormat\n#op=$op\n#ts=$ts\n" + metricsLine +
         schemaLine + delLines +
         idxLine("#index=", idxCols) + idxLine("#strindex=", strIdxCols) +
-        bloomLines + cdcLines + stamped.sorted.mkString("\n") + "\n")
+        bloomLines + cdcLines + retiredLine +
+        stamped.sorted.mkString("\n") + "\n")
         .getBytes(UTF_8))
     finally out.close()
     val dst = manifestPath(table, next)
@@ -653,7 +672,7 @@ object TxnTable {
         val v = commit(s, table, lines, base, op = ch.op,
           schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
           idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
-          metrics = ch.metrics)
+          metrics = ch.metrics, retired = m.retired)
         return CommitOutcome(v, rebases, recomputes)
       } catch {
         case _: ConcurrentModificationException =>
@@ -748,17 +767,20 @@ object TxnTable {
     // stats: a zero-row staged file legitimately has none, and one such
     // entry must not silently downgrade the whole table (skipping keeps
     // stat-less entries conservatively anyway)
+    // staging writes PHYSICAL names (identity on unmapped tables); the
+    // index headers already speak physical, so stats line up
     val fresh =
       if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
-        stageIndexed(s, table, df, m.idxCols, m.strIdxCols)
-      else stage(s, table, df)
+        stageIndexed(s, table, toPhysical(df, m), m.idxCols, m.strIdxCols)
+      else stage(s, table, toPhysical(df, m))
     // pending tombstones CARRY (they keep applying to older entries);
     // the appended files' seq = this commit's version > every pending
     // tombstone's seq, so appended rows — even re-inserted tombstoned
     // keys — stay visible
     commit(s, table, m.entries.map(render) ++ fresh, cur, op = op,
-      schemaJson = df.schema.json, deleteLines = m.deletes,
-      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
+      schemaJson = withMapping(m, df.schema).json, deleteLines = m.deletes,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      retired = m.retired)
   }
 
   /** Append that never loses to a concurrent writer: same schema check
@@ -781,8 +803,8 @@ object TxnTable {
     // append derives from nothing), so rebases reuse them verbatim
     val fresh =
       if (m0.idxCols.nonEmpty || m0.strIdxCols.nonEmpty)
-        stageIndexed(s, table, df, m0.idxCols, m0.strIdxCols)
-      else stage(s, table, df)
+        stageIndexed(s, table, toPhysical(df, m0), m0.idxCols, m0.strIdxCols)
+      else stage(s, table, toPhysical(df, m0))
     commitResolving(s, table)(_ =>
       Change(fresh, Set.empty, Set.empty, op = "append"))
   }
@@ -920,11 +942,12 @@ object TxnTable {
     require(box.nonEmpty, "snapshotBox needs at least one (col, lo, hi)")
     val ver = if (v < 0) currentVersion(s, table) else v
     val m = manifest(s, table, ver)
+    val pm = physMap(m) // stat groups speak physical; predicates logical
     val kept = m.entries.filter { e =>
       box.forall { case (c, lo, hi) =>
         // an EMPTY recorded range (fLo > fHi: the file is all-null in c)
         // intersects no value box; a missing stat keeps the file
-        e.statFor(c).forall { case (fLo, fHi) =>
+        e.statFor(pm.getOrElse(c, c)).forall { case (fLo, fHi) =>
           fLo <= fHi && fHi >= lo && fLo <= hi }
       }
     }
@@ -950,10 +973,11 @@ object TxnTable {
       : (DataFrame, Int, Int) = {
     val ver = if (v < 0) currentVersion(s, table) else v
     val m = manifest(s, table, ver)
+    val pc = physMap(m).getOrElse(c, c)
     // UTF-8 byte-order comparisons (u8cmp) — Spark's own string order;
     // the empty recorded range (fLo > fHi: all-null file) intersects no
     // value range, exactly like the integral convention
-    val kept = m.entries.filter(_.strStatFor(c).forall {
+    val kept = m.entries.filter(_.strStatFor(pc).forall {
       case (fLo, fHi) => u8cmp(fLo, fHi) <= 0 &&
         u8cmp(fHi, lo) >= 0 && u8cmp(fLo, hi) <= 0
     })
@@ -1070,11 +1094,12 @@ object TxnTable {
                     v: Long = -1L): (DataFrame, Int, Int) = {
     val ver = if (v < 0) currentVersion(s, table) else v
     val m = manifest(s, table, ver)
+    val pc = physMap(m).getOrElse(c, c)
     // a string-indexed column counts nulls too — either stat kind
     // answers; a legacy-manifest UNKNOWN count (−1) keeps the file
     val kept = m.entries.filter(e =>
-      e.nullsFor(c).orElse(e.strStats.collectFirst {
-        case StrStat(`c`, _, _, n) => n
+      e.nullsFor(pc).orElse(e.strStats.collectFirst {
+        case StrStat(`pc`, _, _, n) => n
       }).forall(_ != 0))
     prunedRead(s, table, m, kept, col(c).isNull)
   }
@@ -1223,10 +1248,13 @@ object TxnTable {
     val m = manifest(s, table, cur) // ONE log read for all facets below
     val entries = m.entries
     val idxCols = m.idxCols
+    // stat groups speak PHYSICAL names; predicate columns arrive logical
+    val pm = physMap(m)
     // a provably-EMPTY integral bound (conflicting equalities) matches
     // no row anywhere: every file keeps verbatim
     val emptyBound = intBounds.exists { case (_, lo, hi) => lo > hi }
-    def intSide(e: Entry, c: String, lo: Long, hi: Long): Char =
+    def intSide(e: Entry, lc: String, lo: Long, hi: Long): Char = {
+      val c = pm.getOrElse(lc, lc)
       e.statFor(c) match {
         // an empty recorded range (all-null file) holds no VALUES a
         // value predicate could match — keep it verbatim
@@ -1236,7 +1264,9 @@ object TxnTable {
           e.nullsFor(c).forall(_ == 0L) => 'd'
         case _ => 'u'
       }
-    def strSide(e: Entry, c: String, lo: StrBound, hi: StrBound): Char =
+    }
+    def strSide(e: Entry, lc: String, lo: StrBound, hi: StrBound): Char = {
+      val c = pm.getOrElse(lc, lc)
       e.strStats.collectFirst { case st @ StrStat(`c`, _, _, _) => st } match {
         case Some(StrStat(_, fLo, fHi, nulls)) =>
           // disjoint: the file's whole (true) range falls strictly on one
@@ -1256,6 +1286,7 @@ object TxnTable {
           }
         case None => 'u'
       }
+    }
     def side(e: Entry): Char =
       if (emptyBound) 'k'
       else {
@@ -1299,9 +1330,9 @@ object TxnTable {
           .repartitionByRange(math.max(rewrite.size, 1), col(primary))
           .sortWithinPartitions(col(primary))
         if (idxCols.nonEmpty || m.strIdxCols.nonEmpty)
-          stageIndexed(s, table, c, idxCols, m.strIdxCols)
-            .filter(_.contains('\t'))
-        else stage(s, table, c)
+          stageIndexed(s, table, toPhysical(c, m), idxCols, m.strIdxCols)
+            .filter(hasStats)
+        else stage(s, table, toPhysical(c, m))
       }
     val lines = kept.map(render) ++ fresh
     // a delete that empties the table must not commit a ZERO-file
@@ -1315,7 +1346,8 @@ object TxnTable {
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("dropped" -> dropped.size.toLong,
-        "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong))
+        "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong),
+      retired = m.retired)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
   }
 
@@ -1399,6 +1431,8 @@ object TxnTable {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur) // ONE log read for all facets below
     val entries = m.entries
+    // stat groups speak PHYSICAL names; key columns arrive logical
+    val pm = physMap(m)
     // per-file BOX over the key dimensions: a missing stat leaves that
     // dimension unbounded (conservative); a file with stats on NO key
     // dimension is unconditionally touched (the legacy statless rule —
@@ -1409,8 +1443,8 @@ object TxnTable {
     // never miss a file a change key lands in.
     def boxOf(e: Entry, c: String)
         : Option[Either[(Long, Long), (String, String)]] =
-      if (isStr(c)) e.strStatFor(c).map(Right(_))
-      else e.statFor(c).map(Left(_))
+      if (isStr(c)) e.strStatFor(pm.getOrElse(c, c)).map(Right(_))
+      else e.statFor(pm.getOrElse(c, c)).map(Left(_))
     val ranged = entries.zipWithIndex.flatMap { case (e, i) =>
       val box = keyCols.map(boxOf(e, _))
       if (box.forall(_.isEmpty)) None else Some((i, box))
@@ -1498,9 +1532,9 @@ object TxnTable {
         // entry has no stats line, i.e. would be conservatively touched
         // by every future merge — drop it instead (the unreferenced file
         // is staging garbage; vacuum collects it)
-        stageIndexed(s, table, c, idxCols, m.strIdxCols)
-          .filter(_.contains('\t'))
-      else stage(s, table, c)
+        stageIndexed(s, table, toPhysical(c, m), idxCols, m.strIdxCols)
+          .filter(hasStats)
+      else stage(s, table, toPhysical(c, m))
     }
     // stage the rewritten region and out-of-range inserts SEPARATELY:
     // packing an insert far outside the touched key region (a new
@@ -1515,14 +1549,14 @@ object TxnTable {
     // every file's own stats are still measured fresh at stage time)
     val touchedBounds: Option[(Column, Column)] =
       if (isStr(key)) {
-        val bs = touched.flatMap(_.strStatFor(key))
+        val bs = touched.flatMap(_.strStatFor(pm.getOrElse(key, key)))
         if (bs.isEmpty || bs.size < touched.size) None
         else {
           val u8 = Ordering.fromLessThan[String](u8cmp(_, _) < 0)
           Some((lit(bs.map(_._1).min(u8)), lit(bs.map(_._2).max(u8))))
         }
       } else {
-        val bs = touched.flatMap(_.statFor(key))
+        val bs = touched.flatMap(_.statFor(pm.getOrElse(key, key)))
         if (bs.isEmpty || bs.size < touched.size) None
         else Some((lit(bs.map(_._1).min), lit(bs.map(_._2).max)))
       }
@@ -1547,10 +1581,10 @@ object TxnTable {
     val finalLines =
       if (lines.nonEmpty) lines else stage(s, table, adds.limit(0))
     val v = commit(s, table, finalLines, cur, op = "merge",
-      schemaJson = adds.schema.json, deleteLines = m.deletes,
+      schemaJson = withMapping(m, adds.schema).json, deleteLines = m.deletes,
       idxCols = idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("touched" -> touched.size.toLong,
-        "untouched" -> kept.size.toLong))
+        "untouched" -> kept.size.toLong), retired = m.retired)
     MergeResult(v, touched.size, kept.size)
   }
 
@@ -1569,7 +1603,8 @@ object TxnTable {
     val m = manifest(s, table, v)
     commit(s, table, m.entries.map(render), cur, op = "restore",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
-      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      retired = m.retired)
   }
 
   /** Zero-copy SHALLOW CLONE: create `dst` at version 0 referencing the
@@ -1595,7 +1630,8 @@ object TxnTable {
     commit(s, dst, abs.map(render), expected = -1L, op = "clone",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = absDels,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols,
-      blooms = m.blooms.map(b => b.copy(dir = absPath(b.dir))))
+      blooms = m.blooms.map(b => b.copy(dir = absPath(b.dir))),
+      retired = m.retired)
   }
 
   /** Zero-copy PUBLISH of a branch's ADDITIONS onto `dst` — the second
@@ -1641,7 +1677,7 @@ object TxnTable {
     commit(s, dst, md.entries.map(render) ++ adds.map(renderFresh), curDst,
       op = "publish", schemaJson = md.schema.map(_.json).orNull,
       deleteLines = md.deletes, idxCols = md.idxCols,
-      strIdxCols = md.strIdxCols, blooms = md.blooms)
+      strIdxCols = md.strIdxCols, blooms = md.blooms, retired = md.retired)
   }
 
   /** Overwrite-commit: next version lists ONLY the newly staged files
@@ -1758,7 +1794,8 @@ object TxnTable {
     commit(s, table, m.entries.map(render), cur, op = "delete_mor",
       schemaJson = m.schema.map(_.json).orNull,
       deleteLines = dels,
-      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      retired = m.retired)
   }
 
   /** The schema version `v` was committed with, if the commit recorded
@@ -1774,6 +1811,208 @@ object TxnTable {
   private[graft] def pathFor(table: String, rel: String): String =
     if (rel.startsWith("/")) rel else s"$table/$rel"
 
+  // ---- COLUMN MAPPING: RENAME/DROP COLUMN as pure metadata ----
+  //
+  // The public column-mapping design (Delta 'name' mode / the moral
+  // equivalent of Iceberg field-ids): every column's PHYSICAL name —
+  // what data files carry — is FROZEN at column birth; the committed
+  // schema's field metadata records a stable field id (`gid`) and, once
+  // a column has been renamed, its physical name (`gphys`). A RENAME
+  // changes only the logical name (one manifest write, zero files
+  // touched; old files resolve under the new name because reads request
+  // PHYSICAL names and project to logical); a DROP removes the field and
+  // RETIRES its physical name in the `#retired=` header, so a later ADD
+  // of the same name mints a fresh physical — by-name parquet resolution
+  // can never resurrect dropped values. Pinned pre-rename versions keep
+  // their own committed schema — the old names — by construction.
+
+  private val FieldId = "gid"
+  private val FieldPhys = "gphys"
+
+  /** The physical column name of one schema field (= logical until the
+    * column's first rename). */
+  private[graft] def physName(f: org.apache.spark.sql.types.StructField)
+      : String =
+    if (f.metadata.contains(FieldPhys)) f.metadata.getString(FieldPhys)
+    else f.name
+
+  /** Whether the committed schema carries any non-identity mapping. */
+  private[graft] def hasMappedSchema(
+      sch: Option[org.apache.spark.sql.types.StructType]): Boolean =
+    sch.exists(_.fields.exists(_.metadata.contains(FieldPhys)))
+
+  /** logical → physical name map of a manifest's committed schema
+    * (identity, i.e. empty-delta, for unmapped tables). */
+  private def physMap(m: Manifest): Map[String, String] =
+    m.schema.fold(Map.empty[String, String])(
+      _.fields.iterator.map(f => f.name -> physName(f))
+        .filter { case (l, p) => l != p }.toMap)
+
+  /** The committed schema with PHYSICAL field names — what parquet
+    * readers must request of the data files. */
+  private[graft] def physicalSchema(
+      sch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      sch.fields.map(f => f.copy(name = physName(f))))
+
+  /** Rename an arbitrary (column-pruned) LOGICAL schema to physical
+    * names using the committed schema's mapping — the streaming read
+    * and sink paths scan/write files by name but hand rows around
+    * POSITIONALLY, so swapping names (same order, same types) is all
+    * column mapping needs there. */
+  private[graft] def toPhysicalSchema(
+      tableSchema: Option[org.apache.spark.sql.types.StructType],
+      sch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val pm = tableSchema.fold(Map.empty[String, String])(
+      _.fields.iterator.map(f => f.name -> physName(f)).toMap)
+    org.apache.spark.sql.types.StructType(
+      sch.fields.map(f => f.copy(name = pm.getOrElse(f.name, f.name))))
+  }
+
+  /** Rename a LOGICAL-named frame to physical names for staging —
+    * identity (the frame itself) on unmapped tables; columns beyond the
+    * committed schema (an evolving append's additions) keep their
+    * names. */
+  private def toPhysical(df: DataFrame, m: Manifest): DataFrame = {
+    val pm = physMap(m)
+    if (pm.isEmpty) df
+    else df.select(df.columns.map(c =>
+      col(c).as(pm.getOrElse(c, c))).toSeq: _*)
+  }
+
+  /** Carry the table's field metadata (ids + physical names) onto a
+    * same-named schema a commit is about to record — change frames and
+    * snapshot-derived schemas arrive metadata-stripped, and committing
+    * them raw would silently erase the mapping. */
+  private def withMapping(m: Manifest,
+      sch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    m.schema.fold(sch) { tsch =>
+      org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+        tsch.fields.find(_.name == f.name)
+          .fold(f)(tf => f.copy(metadata = tf.metadata))))
+    }
+
+  /** The manifest's index headers mapped back to LOGICAL names (headers
+    * and stat groups always speak physical — they describe the files). */
+  private[graft] def logicalIndexCols(m: Manifest)
+      : (Seq[String], Seq[String]) = {
+    val back = m.schema.fold(Map.empty[String, String])(
+      _.fields.iterator.map(f => physName(f) -> f.name).toMap)
+    (m.idxCols.map(c => back.getOrElse(c, c)),
+      m.strIdxCols.map(c => back.getOrElse(c, c)))
+  }
+
+  /** Assign stable field ids to any field that lacks one: ids start
+    * above every id already in use — current fields AND retired ones —
+    * and are never reused. */
+  private def ensureIds(sch: org.apache.spark.sql.types.StructType,
+      retired: Seq[(Long, String)])
+      : org.apache.spark.sql.types.StructType = {
+    var next = (sch.fields.toSeq.collect {
+      case f if f.metadata.contains(FieldId) => f.metadata.getLong(FieldId)
+    } ++ retired.map(_._1) :+ 0L).max
+    org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+      if (f.metadata.contains(FieldId)) f
+      else {
+        next += 1
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong(FieldId, next).build())
+      }
+    })
+  }
+
+  private def mappedSchemaOf(s: SparkSession, table: String, m: Manifest)
+      : org.apache.spark.sql.types.StructType =
+    m.schema.getOrElse(throw new IllegalArgumentException(
+      s"$table has no committed schema (pre-#schema= manifest) — column " +
+        "mapping needs schema-in-the-log"))
+
+  /** `ALTER TABLE RENAME COLUMN` — ONE manifest write, entries carried
+    * verbatim: the field keeps its id and (from its first rename on)
+    * its frozen physical name; only the logical name changes. Refused
+    * while merge-on-read tombstones are pending — their key files are
+    * bound to the current names; compact() applies them first. */
+  def renameColumn(s: SparkSession, table: String, from: String,
+      to: String): Long = {
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    val sch = mappedSchemaOf(s, table, m)
+    require(m.deletes.isEmpty,
+      s"$table has pending merge-on-read tombstones; compact() before " +
+        "renaming columns (tombstone key files are bound to current names)")
+    require(sch.fieldNames.contains(from), s"no column '$from' in $table")
+    require(!sch.fieldNames.contains(to),
+      s"column '$to' already exists in $table")
+    require(to.nonEmpty && !to.endsWith("~s") && !to.endsWith("~h") &&
+      to != "~b" && !to.exists("\t\n,".contains(_)),
+      s"column name '$to' would corrupt the manifest format")
+    val withIds = ensureIds(sch, m.retired)
+    val renamed = org.apache.spark.sql.types.StructType(
+      withIds.fields.map { f =>
+        if (f.name != from) f
+        else {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          if (!f.metadata.contains(FieldPhys)) mb.putString(FieldPhys, from)
+          f.copy(name = to, metadata = mb.build())
+        }
+      })
+    commit(s, table, m.entries.map(render), cur, op = "rename",
+      schemaJson = renamed.json, deleteLines = m.deletes,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      retired = m.retired)
+  }
+
+  /** `ALTER TABLE DROP COLUMN` — ONE manifest write, entries carried
+    * verbatim: the field leaves the logical schema and its physical
+    * name RETIRES in the `#retired=` header (see [[addColumns]] for why
+    * that matters). The column's bytes stay in old files until rewrites
+    * age them out — exactly the public formats' drop semantics. Its
+    * physical name also leaves the index headers and bloom refs, so
+    * later staging never stats a column new frames don't carry. */
+  def dropColumn(s: SparkSession, table: String, name: String): Long = {
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    val sch = mappedSchemaOf(s, table, m)
+    require(m.deletes.isEmpty,
+      s"$table has pending merge-on-read tombstones; compact() before " +
+        "dropping columns")
+    require(sch.fieldNames.contains(name), s"no column '$name' in $table")
+    require(sch.fields.length > 1,
+      s"cannot drop the last column of $table")
+    val withIds = ensureIds(sch, m.retired)
+    val victim = withIds.fields.find(_.name == name).get
+    val phys = physName(victim)
+    val remaining = org.apache.spark.sql.types.StructType(
+      withIds.fields.filterNot(_.name == name))
+    commit(s, table, m.entries.map(render), cur, op = "drop",
+      schemaJson = remaining.json, deleteLines = m.deletes,
+      idxCols = m.idxCols.filterNot(_ == phys),
+      strIdxCols = m.strIdxCols.filterNot(_ == phys),
+      blooms = m.blooms.filterNot(_.col == phys),
+      retired = m.retired :+ (victim.metadata.getLong(FieldId), phys))
+  }
+
+  /** New columns whose name collides with a RETIRED physical name (a
+    * dropped column re-added) or with a LIVE field's physical name (a
+    * renamed column's birth name) mint a generated physical name — old
+    * files must read the re-added column as NULL, never as the ghost of
+    * the data that used to live under that name. */
+  private def guardNewField(f: org.apache.spark.sql.types.StructField,
+      m: Manifest, nextVersion: Long)
+      : org.apache.spark.sql.types.StructField = {
+    val live = m.schema.toSeq.flatMap(_.fields)
+    val collides = m.retired.exists(_._2 == f.name) ||
+      live.exists(g => g.name != f.name && physName(g) == f.name)
+    if (!collides) f
+    else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putString(FieldPhys, s"${f.name}_g$nextVersion").build())
+  }
+
   /** Scan a set of manifest entries with merge-on-read tombstones
     * applied PER SEQUENCE: a tombstone deletes only from entries whose
     * data seq is older than its commit seq (rows written after the
@@ -1788,8 +2027,20 @@ object TxnTable {
     require(entries.nonEmpty, s"$table: readEntries over zero entries")
     val groups = entries.groupBy(e => m.deletes.filter(_._3 > e.seq))
     groups.map { case (dels, es) =>
-      val df = schemaReader(s, m)
+      val raw = schemaReader(s, m)
         .parquet(es.map(e => pathFor(table, e.path)): _*)
+      // mapped tables read PHYSICAL names from the files and project to
+      // the logical schema here — the single choke point every library
+      // read, rewrite, and compaction funnels through
+      val df = m.schema match {
+        case Some(sch) if hasMappedSchema(m.schema) =>
+          raw.select(sch.fields.map(f =>
+            col(physName(f)).as(f.name)).toSeq: _*)
+        case _ => raw
+      }
+      // tombstone key files carry the LOGICAL name current at delete
+      // time, which rename/drop keep current by refusing while
+      // tombstones are pending — so `kc` always resolves here
       dels.groupBy(_._2).foldLeft(df) {
         case (acc, (kc, fls)) =>
           acc.join(
@@ -1801,7 +2052,7 @@ object TxnTable {
   }
 
   private def schemaReader(s: SparkSession, m: Manifest) = m.schema match {
-    case Some(sch) => s.read.schema(sch)
+    case Some(sch) => s.read.schema(physicalSchema(sch))
     case None      => s.read
   }
 
@@ -1871,13 +2122,23 @@ object TxnTable {
     val got = df.schema.map(f => (f.name, f.dataType)).toSeq
     require(got.take(have.size) == have,
       s"evolved schema $got must extend table schema $have (common columns first, unchanged)")
+    // the widened schema: existing fields keep their mapping metadata,
+    // additions whose name collides with a retired or live PHYSICAL
+    // name mint a fresh physical (see guardNewField)
+    val evolved = org.apache.spark.sql.types.StructType(
+      withMapping(m, org.apache.spark.sql.types.StructType(
+        df.schema.fields.take(have.size))).fields ++
+        df.schema.fields.drop(have.size).map(guardNewField(_, m, cur + 1)))
+    val mStage = m.copy(schema = Some(evolved))
     val fresh =
       if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
-        stageIndexed(s, table, df, m.idxCols, m.strIdxCols)
-      else stage(s, table, df)
+        stageIndexed(s, table, toPhysical(df, mStage),
+          m.idxCols, m.strIdxCols)
+      else stage(s, table, toPhysical(df, mStage))
     commit(s, table, m.entries.map(render) ++ fresh, cur, op = "evolve",
-      schemaJson = df.schema.json, deleteLines = m.deletes,
-      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms)
+      schemaJson = evolved.json, deleteLines = m.deletes,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      retired = m.retired)
   }
 
   /** ADD-COLUMN schema evolution as PURE METADATA: commit a new version
@@ -1904,9 +2165,9 @@ object TxnTable {
     }
     commit(s, table, m.entries.map(render), cur, op = "evolve",
       schemaJson = org.apache.spark.sql.types.StructType(
-        have.fields ++ cols).json,
+        have.fields ++ cols.map(guardNewField(_, m, cur + 1))).json,
       deleteLines = m.deletes, idxCols = m.idxCols,
-      strIdxCols = m.strIdxCols, blooms = m.blooms)
+      strIdxCols = m.strIdxCols, blooms = m.blooms, retired = m.retired)
   }
 
   /** Compaction THROUGH the log: stage the current snapshot rewritten at a
@@ -1936,24 +2197,27 @@ object TxnTable {
     val target = compactionTarget(liveBytes(s, table, cur))
     val snap = snapshot(s, table, cur)
     val idxCols = m.idxCols
+    // the snapshot carries LOGICAL names; index headers speak physical —
+    // cluster on the logical twins, stage back under physical names
+    val (logIdx, logStrIdx) = logicalIndexCols(m)
     // re-cluster on the integral index columns (string stats re-measure
     // from the new layout regardless — compaction must never downgrade
     // EITHER kind of manifest-skipping ability)
     val lines =
       if (idxCols.nonEmpty)
         stageIndexed(s, table,
-          snap.repartitionByRange(target, idxCols.map(col): _*)
-            .sortWithinPartitions(idxCols.map(col): _*),
+          toPhysical(snap.repartitionByRange(target, logIdx.map(col): _*)
+            .sortWithinPartitions(logIdx.map(col): _*), m),
           idxCols, m.strIdxCols)
       else if (m.strIdxCols.nonEmpty)
         stageIndexed(s, table,
-          snap.repartitionByRange(target, m.strIdxCols.map(col): _*)
-            .sortWithinPartitions(m.strIdxCols.map(col): _*),
+          toPhysical(snap.repartitionByRange(target, logStrIdx.map(col): _*)
+            .sortWithinPartitions(logStrIdx.map(col): _*), m),
           Nil, m.strIdxCols)
-      else stage(s, table, snap.repartition(target))
+      else stage(s, table, toPhysical(snap.repartition(target), m))
     commit(s, table, lines, cur, op = "compact",
-      schemaJson = snap.schema.json,
-      idxCols = idxCols, strIdxCols = m.strIdxCols)
+      schemaJson = withMapping(m, snap.schema).json,
+      idxCols = idxCols, strIdxCols = m.strIdxCols, retired = m.retired)
   }
 
   /** Retention: keep the newest `retain` versions; delete every data file
@@ -2828,7 +3092,8 @@ object TxnTable {
     val m = manifest(s, table, cur)
     commit(s, table, m.entries.map(render), cur, op = "recluster",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
-      idxCols = idxCols, strIdxCols = strIdxCols, blooms = m.blooms)
+      idxCols = idxCols, strIdxCols = strIdxCols, blooms = m.blooms,
+      retired = m.retired)
   }
 
   /** op_txn_recluster: clustering evolution as a checked query. v0

@@ -198,34 +198,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** `ALTER TABLE ADD COLUMN(S)` — routed to the metadata-only evolve
-    * commit ([[TxnTable.addColumns]]): one manifest write records the
-    * widened schema, every data file carries verbatim, old files read
-    * the new columns as NULL. Only top-level trailing nullable columns
-    * are supported (the only shape that IS pure metadata); every other
-    * TableChange fails loudly. */
+  /** `ALTER TABLE ADD / RENAME / DROP COLUMN` — each a METADATA-ONLY
+    * commit, every data file carried verbatim:
+    *
+    *   - ADD COLUMN ([[TxnTable.addColumns]]): the widened schema lands
+    *     in one manifest write; old files read the new columns as NULL.
+    *     Only top-level trailing nullable columns (the only shape that
+    *     IS pure metadata). A name matching a previously-dropped
+    *     column's physical name mints a fresh physical — old values
+    *     never resurrect.
+    *   - RENAME COLUMN ([[TxnTable.renameColumn]]): column mapping —
+    *     the field keeps its stable id and frozen PHYSICAL name, only
+    *     the logical name changes; old files resolve under the new name
+    *     because reads request physical names; pinned pre-rename
+    *     versions keep the old name by construction.
+    *   - DROP COLUMN ([[TxnTable.dropColumn]]): the field leaves the
+    *     logical schema, its physical name retires in the log.
+    *
+    * Every other TableChange fails loudly. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val path = tablePath(ident)
     if (!isTable(path)) throw new NoSuchTableException(ident)
-    val adds = changes.map {
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"$catalogName: nested $what ${fieldNames.mkString(".")} " +
+          "not supported")
+      fieldNames.head
+    }
+    changes.foreach {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          s"$catalogName: nested ADD COLUMN ${a.fieldNames.mkString(".")} " +
-            "not supported")
+        val name = topLevel(a.fieldNames, "ADD COLUMN")
         require(a.position == null,
           s"$catalogName: ADD COLUMN supports appending at the end only " +
             "(FIRST/AFTER would re-order files' columns)")
         require(a.isNullable,
-          s"$catalogName: added column '${a.fieldNames.head}' must be " +
+          s"$catalogName: added column '$name' must be " +
             "nullable — existing rows read it as NULL")
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames.head, a.dataType, nullable = true)
+        TxnTable.addColumns(spark, path, Seq(
+          org.apache.spark.sql.types.StructField(
+            name, a.dataType, nullable = true)))
+      case r: TableChange.RenameColumn =>
+        TxnTable.renameColumn(spark, path,
+          topLevel(r.fieldNames, "RENAME COLUMN"), r.newName())
+      case d: TableChange.DeleteColumn =>
+        TxnTable.dropColumn(spark, path,
+          topLevel(d.fieldNames, "DROP COLUMN"))
       case other => throw new UnsupportedOperationException(
-        s"$catalogName: unsupported ALTER TABLE change $other (only " +
-          "ADD COLUMN evolves a table's schema in the log)")
+        s"$catalogName: unsupported ALTER TABLE change $other (ADD / " +
+          "RENAME / DROP COLUMN evolve a table's schema in the log)")
     }
-    TxnTable.addColumns(spark, path, adds)
     loadTable(ident)
   }
 
@@ -384,6 +406,14 @@ class GraftTable(ident: String, private[sources] val location: String,
     * must go through the snapshot anti-join plan instead. */
   private[sources] def hasTombstones: Boolean = m.deletes.nonEmpty
 
+  /** Whether this snapshot's schema carries COLUMN MAPPING (a column
+    * was renamed or re-added after a drop): data files speak physical
+    * names, so SQL reads must go through the snapshot plan — a direct
+    * parquet scan requesting logical names would resolve every mapped
+    * column as NULL. */
+  private[sources] def hasColumnMapping: Boolean =
+    TxnTable.hasMappedSchema(m.schema)
+
   override def name(): String = ident
 
   /** Surfaced to `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`: the
@@ -452,9 +482,34 @@ class GraftTable(ident: String, private[sources] val location: String,
         val startingVersion = Option(options.get("startingVersion"))
         val skipChange = Option(options.get("skipChangeCommits"))
           .exists(_.toBoolean)
-        new GraftStreaming.StreamableScan(super.build(),
+        val scan = new GraftStreaming.StreamableScan(super.build(),
           readSchema => new GraftMicroBatchStream(ident, location,
             readSchema, maxVersions, startingVersion, skipChange))
+        // mapped tables (renamed/re-added columns) read through the
+        // snapshot plan the analyzer swaps in (GraftMorReadRule) — so
+        // EXECUTING a direct BATCH scan means some path bypassed
+        // analysis, where requesting logical names from physical files
+        // would silently read NULLs. The refusal lives at toBatch, not
+        // at scan build: DELETE planning builds (but never executes) a
+        // scan during its pushdown bookkeeping, and the file-pruned
+        // delete itself maps names internally. The MICRO-BATCH stream
+        // stays available — it maps its read schema to physical names
+        // itself (GraftMicroBatchStream.physReadSchema).
+        if (!hasColumnMapping) scan
+        else new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = scan.readSchema()
+          override def description(): String = scan.description()
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new IllegalArgumentException(
+              s"$ident: table has column mapping (renamed/re-added " +
+                "columns); read through SQL (the analyzer serves the " +
+                "mapped snapshot plan) or TxnTable.snapshot — a direct " +
+                "file scan would resolve mapped columns as NULL")
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming
+                .MicroBatchStream = scan.toMicroBatchStream(
+            checkpointLocation)
+        }
       }
     }
   }
@@ -484,7 +539,11 @@ class GraftTable(ident: String, private[sources] val location: String,
           require(got == have,
             s"$ident: streamed schema $got does not match table schema " +
               s"$have")
-          new GraftStreamingWrite(ident, location, info.schema(),
+          // the sink writes files under the table's PHYSICAL names
+          // (identity on unmapped tables): epoch rows travel
+          // positionally, so only the written column names change
+          new GraftStreamingWrite(ident, location,
+            TxnTable.toPhysicalSchema(Some(schema()), info.schema()),
             info.queryId(), overwriteAll)
         }
       }

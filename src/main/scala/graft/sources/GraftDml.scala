@@ -88,7 +88,10 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     case u: UpdateTable => u
     case d: DeleteFromTable => d
     case r: DataSourceV2Relation => r.table match {
-      case g: GraftTable if g.hasTombstones =>
+      // tombstoned AND column-mapped snapshots both need the library
+      // read plan: the former to anti-join deletes, the latter to
+      // request PHYSICAL file columns and project to logical names
+      case g: GraftTable if g.hasTombstones || g.hasColumnMapping =>
         val snap = TxnTable.snapshot(session, g.location, g.pinnedVersion)
         val child = snap.queryExecution.analyzed
         val byName = child.output.map(a => a.name -> a).toMap
@@ -424,7 +427,10 @@ case class GraftUpdateCommand(location: String, update: UpdateTable)
     // both a and b)
     val m0 = TxnTable.manifest(session, location,
         TxnTable.currentVersion(session, location))
-    val keys = m0.idxCols ++ m0.strIdxCols
+    // index headers speak PHYSICAL names; the statement (and the change
+    // set it compiles to) speaks logical — map back
+    val (logIdx, logStrIdx) = TxnTable.logicalIndexCols(m0)
+    val keys = logIdx ++ logStrIdx
     if (keys.isEmpty) unsupported(
       "UPDATE needs an indexed key column ('index' or 'strindex' table " +
         "property)")

@@ -126,6 +126,30 @@ class GraftMicroBatchStream(ident: String, location: String,
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** The (column-pruned) read schema under the table's PHYSICAL names:
+    * data files of a mapped table carry physical column names, and the
+    * micro-batch scan resolves parquet columns by name — while the rows
+    * it produces are positional, so downstream still sees the logical
+    * schema's order and types unchanged. Resolved per batch from the
+    * CURRENT manifest: physical names are frozen at column birth, so
+    * one current mapping is correct for every version's files. */
+  private def physReadSchema(s: SparkSession): StructType = {
+    val tsch = TxnTable.manifest(s, location,
+      TxnTable.currentVersion(s, location)).schema
+    // a mid-stream RENAME of a streamed column would make this lookup
+    // miss and silently read NULLs — fail loudly instead (restart the
+    // stream to pick up the new logical names)
+    tsch.foreach { t =>
+      val have = t.fieldNames.toSet
+      val missing = schema.fieldNames.filterNot(have)
+      require(missing.isEmpty,
+        s"$ident: streamed column(s) ${missing.mkString(", ")} no longer " +
+          "exist under these names (renamed or dropped mid-stream) — " +
+          "restart the stream from the current schema")
+    }
+    TxnTable.toPhysicalSchema(tsch, schema)
+  }
   @volatile private var availableTarget: Option[Long] = None
   // the batch most recently planned: planInputPartitions and
   // createReaderFactory are called per micro-batch execution
@@ -214,13 +238,14 @@ class GraftMicroBatchStream(ident: String, location: String,
     val s0 = start.asInstanceOf[GraftStreaming.VersionOffset].v
     val e0 = end.asInstanceOf[GraftStreaming.VersionOffset].v
     val (parts, factory) =
-      StreamBridge.batchFor(s, schema, addedFiles(s, s0, e0))
+      StreamBridge.batchFor(s, physReadSchema(s), addedFiles(s, s0, e0))
     lastFactory = Some(factory)
     parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    lastFactory.getOrElse(StreamBridge.readerFactory(spark, schema))
+    lastFactory.getOrElse(
+      StreamBridge.readerFactory(spark, physReadSchema(spark)))
 
   override def commit(end: Offset): Unit = () // the log retains history
 

@@ -463,10 +463,16 @@ class CatalogSpec extends SparkSpec {
     // library reads see the evolution identically
     assert(TxnTable.snapshot(spark, loc).schema.fieldNames.toSeq ===
       Seq("k", "v", "w"))
-    // unsupported shapes fail loudly
-    intercept[Exception] {
-      sql(s"ALTER TABLE graft.spec.$t DROP COLUMN v")
-    }
+    // DROP COLUMN is supported since r12 — metadata-only, entries
+    // verbatim (full coverage in "DROP then re-ADD COLUMN never
+    // resurrects old values")
+    sql(s"ALTER TABLE graft.spec.$t DROP COLUMN v")
+    assert(sql(s"SELECT * FROM graft.spec.$t").schema.fieldNames.toSeq ===
+      Seq("k", "w"))
+    val vDrop = TxnTable.currentVersion(spark, loc)
+    assert(TxnTable.manifest(spark, loc, vDrop).entries.map(_.path) ===
+      TxnTable.manifest(spark, loc, vDrop - 1).entries.map(_.path))
+    // unsupported shapes still fail loudly
     intercept[Exception] {
       sql(s"ALTER TABLE graft.spec.$t ADD COLUMN z DOUBLE FIRST")
     }
@@ -882,6 +888,118 @@ class CatalogSpec extends SparkSpec {
     sql(s"DROP TABLE graft.spec.$t")
     assert(!sql("SHOW TABLES IN graft.spec").collect()
       .exists(_.getString(1) == t))
+  }
+
+  test("DML keeps working after RENAME COLUMN: pruning maps to physical stats") {
+    val t = fresh("renamedml")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, st STRING, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    // four quarter-clustered single-file inserts → tight k ranges
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 100}, 'q$i', id FROM RANGE(100)")
+    }
+    sql(s"ALTER TABLE graft.spec.$t RENAME COLUMN k TO id")
+    // the renamed key column still PRUNES: stats live under the
+    // physical name 'k', the DELETE names logical 'id'
+    sql(s"DELETE FROM graft.spec.$t WHERE id >= 100 AND id <= 199")
+    val res = TxnTable.commitMetrics(spark, loc)
+    assert(res("dropped") === 1 && res("kept") >= 2,
+      s"renamed-column DELETE must still prune from physical stats: $res")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 300)
+    // UPDATE keys on the renamed index tuple
+    sql(s"UPDATE graft.spec.$t SET v = v + 1000 WHERE id < 100")
+    assert(sql(s"SELECT SUM(v) AS sv FROM graft.spec.$t WHERE id < 100")
+      .collect()(0).getLong(0) === (0 until 100).map(_ + 1000L).sum)
+    // MERGE on the renamed key, pruned to the touched quarter
+    sql(s"""MERGE INTO graft.spec.$t t
+      USING (SELECT id + 300 AS id, 'q3' AS st, id * 2 AS v
+             FROM RANGE(100)) s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v""")
+    val mres = TxnTable.commitMetrics(spark, loc)
+    assert(mres("untouched") >= 1,
+      s"renamed-key MERGE must prune untouched quarters: $mres")
+    assert(sql(s"SELECT SUM(v) AS sv FROM graft.spec.$t WHERE id >= 300")
+      .collect()(0).getLong(0) === (0 until 100).map(_ * 2L).sum)
+    // INSERT post-rename writes physical names; a fresh read round-trips
+    sql(s"INSERT INTO graft.spec.$t SELECT id + 1000, 'q9', id FROM RANGE(10)")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 310)
+    // compact preserves content across the mapping
+    sql(s"CALL graft.system.compact('spec.$t')")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 310)
+  }
+
+  test("streaming reads and writes map to physical names on renamed tables") {
+    val t = fresh("mappedstream")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id, id " +
+      "FROM RANGE(50)")
+    sql(s"ALTER TABLE graft.spec.$t RENAME COLUMN v TO w")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "id + 100, id * 2 FROM RANGE(50)")
+    // SOURCE: tail from the beginning — the pre-rename generation's
+    // physical 'v' bytes and the post-rename generation's (also
+    // physical 'v') both resolve under logical 'w'
+    val qn = s"${t}_tail"
+    val q = spark.readStream.table(s"graft.spec.$t")
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(qn)
+    assert(out.schema.fieldNames.toSeq === Seq("k", "w"))
+    assert(out.count() === 100)
+    assert(out.filter("k < 50").agg(org.apache.spark.sql.functions
+      .sum("w")).collect()(0).getLong(0) === (0 until 50).map(_.toLong).sum)
+    assert(out.filter("k >= 100").agg(org.apache.spark.sql.functions
+      .sum("w")).collect()(0).getLong(0) === (0 until 50).map(_ * 2L).sum)
+    // SINK: stream INTO the mapped table — epochs land under the
+    // frozen physical names, and batch SQL reads them back
+    val src = fresh("mappedstreamsrc")
+    sql(s"CREATE TABLE graft.spec.$src (k BIGINT, w BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$src SELECT id + 500, id + 7 FROM RANGE(10)")
+    val ckpt = graft.Fs.scratch("graft_mappedsink", "ckpt")
+    graft.Fs.deleteRecursively(ckpt)
+    val q2 = spark.readStream.table(s"graft.spec.$src")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"graft.spec.$t")
+    q2.awaitTermination()
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 110)
+    assert(sql(s"SELECT SUM(w) AS sw FROM graft.spec.$t WHERE k >= 500")
+      .collect()(0).getLong(0) === (0 until 10).map(_ + 7L).sum)
+  }
+
+  test("DROP then re-ADD COLUMN never resurrects old values") {
+    val t = fresh("dropreadd")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, secret STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, 'classified' FROM RANGE(50)")
+    sql(s"ALTER TABLE graft.spec.$t DROP COLUMN secret")
+    assert(sql(s"SELECT * FROM graft.spec.$t").schema.fieldNames.toSeq ===
+      Seq("k"))
+    sql(s"ALTER TABLE graft.spec.$t ADD COLUMN secret STRING")
+    // by-name parquet resolution would read 'classified' back from the
+    // old files — the fresh physical name must prevent exactly that
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "WHERE secret IS NOT NULL").collect()(0).getLong(0) === 0,
+      "dropped column's values resurrected after re-add")
+    sql(s"INSERT INTO graft.spec.$t SELECT id + 100, 'fresh' FROM RANGE(5)")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "WHERE secret = 'fresh'").collect()(0).getLong(0) === 5)
+    // dropping the LAST column is refused
+    val t2 = fresh("droplast")
+    sql(s"CREATE TABLE graft.spec.$t2 (k BIGINT)")
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.spec.$t2 DROP COLUMN k") }
   }
 
   test("t.detail is a one-row LocalScan tracking the table's operational state") {
