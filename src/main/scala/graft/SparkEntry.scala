@@ -71,6 +71,7 @@ object SparkEntry {
     "sql_txn_history"         -> (SqlSurface.txnHistory _),
     "sql_txn_detail"          -> (SqlSurface.txnDetail _),
     "sql_txn_rename"          -> (SqlSurface.txnRename _),
+    "sql_txn_tag"             -> (SqlSurface.txnTag _),
     "sql_txn_delete"          -> (SqlSurface.txnDelete _),
     "sql_txn_delete_str"      -> (SqlSurface.txnDeleteStr _),
     "sql_txn_delete_multi"    -> (SqlSurface.txnDeleteMulti _),
@@ -1356,6 +1357,17 @@ object SparkEntry {
         |  (2, 'append', 3), (3, 'compact', 1),
         |  (4, 'append', 2), (5, 'restore', 1))
         |  AS t(version, operation, live_files)""".stripMargin,
+    // Named vacuum-shielded tags: the final content after the
+    // overwrite (%13 shift) + append (%17 shift) — replayable; the
+    // pin/shield/immutability/release mechanics travel as a boolean
+    "sql_txn_tag" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT k + 100000000 AS o_orderkey, CAST(price AS DOUBLE) AS price,
+        |  TRUE AS tag_ok FROM b WHERE k % 13 = 0
+        |UNION ALL
+        |SELECT k + 200000000, CAST(price AS DOUBLE), TRUE
+        |FROM b WHERE k % 17 = 0""".stripMargin,
     // RENAME/DROP/re-ADD COLUMN via column mapping: base rows read their
     // old price bytes under the new 'amount' name with the re-added note
     // NULL; %13 keyspace-shifted rows likewise; %17 rows carry 'R' —

@@ -347,6 +347,67 @@ object SqlSurface {
       .withColumn("maint_ok", lit(ok))
   }
 
+  /** sql_txn_tag: NAMED TAGS — durable, vacuum-shielded version pins
+    * (the Iceberg tag shape): `CALL graft.system.tag('q.t', 'baseline',
+    * 1)` pins version 1 by name; `SELECT … VERSION AS OF 'baseline'`
+    * resolves it; and VACUUM keeps the tagged version's manifest AND
+    * files however far retention advances — load-bearing here because
+    * the tagged version was OVERWRITTEN (its files are referenced by no
+    * newer version: without the tag, retention would have deleted
+    * them). Tags are immutable (re-tagging refused — a silently moved
+    * tag would un-pin what someone depends on); `drop_tag` releases the
+    * pin and the next vacuum ages the version out like any other.
+    * Hashed output = the final content (replayable slices); the pin /
+    * shield / immutability / release mechanics travel as `tag_ok`. */
+  def txnTag(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "tg_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.tg_orders (
+      o_orderkey BIGINT, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    s.sql("""INSERT INTO graft.q.tg_orders
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    s.sql("CALL graft.system.tag('q.tg_orders', 'baseline', 1)")
+    // OVERWRITE: v1's files are now referenced by NOTHING newer — only
+    // the tag keeps them alive past retention
+    s.sql("""INSERT OVERWRITE graft.q.tg_orders
+      SELECT o_orderkey + 100000000, CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey % 13 = 0""")
+    s.sql("""INSERT INTO graft.q.tg_orders
+      SELECT o_orderkey + 200000000, CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey % 17 = 0""")
+    s.sql("CALL graft.system.vacuum('q.tg_orders', 1)")
+    def cnt(q: String): Long = s.sql(q).collect()(0).getLong(0)
+    val nBase = cnt("SELECT COUNT(*) AS n FROM orders")
+    val n13 = cnt("SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 13 = 0")
+    val n17 = cnt("SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 17 = 0")
+    val baselineAlive = cnt("SELECT COUNT(*) AS n FROM graft.q.tg_orders " +
+      "VERSION AS OF 'baseline'") == nBase &&
+      cnt("SELECT COUNT(*) AS n FROM graft.q.tg_orders VERSION AS OF 1") ==
+        nBase
+    val untaggedGone = scala.util.Try(s.sql(
+      "SELECT COUNT(*) AS n FROM graft.q.tg_orders VERSION AS OF 2")
+      .collect()).isFailure
+    val immutable = scala.util.Try(s.sql(
+      "CALL graft.system.tag('q.tg_orders', 'baseline', 3)")
+      .collect()).isFailure
+    val unknownLoud = scala.util.Try(s.sql(
+      "SELECT COUNT(*) AS n FROM graft.q.tg_orders VERSION AS OF 'nope'")
+      .collect()).isFailure
+    // release the pin: the next vacuum ages v1 out like any version
+    s.sql("CALL graft.system.drop_tag('q.tg_orders', 'baseline')")
+    s.sql("CALL graft.system.vacuum('q.tg_orders', 1)")
+    val released = scala.util.Try(s.sql(
+      "SELECT COUNT(*) AS n FROM graft.q.tg_orders VERSION AS OF 1")
+      .collect()).isFailure
+    val ok = baselineAlive && untaggedGone && immutable && unknownLoud &&
+      released &&
+      cnt("SELECT COUNT(*) AS n FROM graft.q.tg_orders") == n13 + n17
+    s.sql("""SELECT o_orderkey, CAST(price AS DOUBLE) AS price
+      FROM graft.q.tg_orders""")
+      .withColumn("tag_ok", lit(ok))
+  }
+
   /** sql_txn_rename: RENAME and DROP COLUMN as pure metadata — COLUMN
     * MAPPING through the log (the Delta 'name'-mode / Iceberg field-id
     * shape): every column's PHYSICAL name is frozen at birth in the

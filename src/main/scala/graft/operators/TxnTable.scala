@@ -394,6 +394,75 @@ object TxnTable {
   private def checkpointPath(table: String, v: Long): Path =
     new Path(logDir(table), f"$v%08d.checkpoint")
 
+  // ---- NAMED TAGS: durable version pins (the Iceberg tag shape) ----
+
+  private def refsDir(table: String): Path = new Path(logDir(table), "refs")
+
+  /** Create an immutable TAG `name` → committed version `v`: one tiny
+    * ref file under `_log/refs/`. `VERSION AS OF '<name>'` resolves it
+    * by name, and [[vacuum]] KEEPS a tagged version's manifest and
+    * files however far retention advances — a tag is the durable
+    * audit/repro pin (the dataset release, the model-training
+    * snapshot) that plain retention can't provide. Tags are immutable:
+    * re-tagging a name is refused ([[deleteTag]] first — a silently
+    * moved tag would un-pin what someone is depending on). */
+  def tag(s: SparkSession, table: String, name: String, v: Long): Unit = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"tag name '$name' must be [A-Za-z0-9._-]+")
+    require(name.toLongOption.isEmpty,
+      s"tag name '$name' would shadow a version number")
+    require(versions(s, table).contains(v),
+      s"$table: cannot tag version $v (vacuumed or never committed)")
+    val rd = refsDir(table)
+    val f = fs(s, rd)
+    f.mkdirs(rd)
+    val dst = new Path(rd, name)
+    require(!f.exists(dst),
+      s"$table: tag '$name' already exists (tags are immutable — " +
+        "deleteTag first)")
+    val tmp = new Path(rd, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(s"$v\n".getBytes(UTF_8)) finally out.close()
+    // same exists+rename CAS as manifests: two racers, one winner
+    val won = commitLock.synchronized { !f.exists(dst) && f.rename(tmp, dst) }
+    if (!won) {
+      f.delete(tmp, false)
+      throw new ConcurrentModificationException(
+        s"$table: tag '$name' was created concurrently")
+    }
+  }
+
+  /** All tags, (name, version), name-sorted. */
+  def tags(s: SparkSession, table: String): Seq[(String, Long)] = {
+    val rd = refsDir(table)
+    val f = fs(s, rd)
+    if (!f.exists(rd)) Seq.empty
+    else f.listStatus(rd).toSeq.map(_.getPath)
+      .filterNot(_.getName.startsWith(".tmp-"))
+      .map { p =>
+        val in = f.open(p)
+        val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+        (p.getName, txt.trim.toLong)
+      }.sortBy(_._1)
+  }
+
+  /** Remove tag `name` (false if absent). The version it pinned joins
+    * ordinary retention at the next vacuum. */
+  def deleteTag(s: SparkSession, table: String, name: String): Boolean = {
+    val p = new Path(refsDir(table), name)
+    val f = fs(s, p)
+    f.exists(p) && f.delete(p, false)
+  }
+
+  /** Resolve a version REFERENCE: a number, or a tag name. */
+  def resolveVersion(s: SparkSession, table: String, ref: String): Long =
+    ref.toLongOption.getOrElse(
+      tags(s, table).collectFirst { case (`ref`, v) => v }
+        .getOrElse(throw new IllegalArgumentException(
+          s"$table: no tag named '$ref' (tags: " +
+            s"${tags(s, table).map(_._1).mkString(", ")})")))
+
   /** Committed checkpoint versions, ascending. */
   def checkpointVersions(s: SparkSession, table: String): Seq[Long] = {
     val ld = logDir(table)
@@ -2226,7 +2295,13 @@ object TxnTable {
     * pinned reader must respect: versions below the cutoff are GONE. */
   def vacuum(s: SparkSession, table: String, retain: Int = 1): Unit = {
     val vs = versions(s, table)
-    val (dead, live) = vs.splitAt(math.max(0, vs.size - retain))
+    // TAGGED versions are pinned OUT of retention entirely: their
+    // manifests and files survive however far the window advances —
+    // that durability is what a tag is for
+    val tagged = tags(s, table).map(_._2).toSet
+    val (deadCand, newest) = vs.splitAt(math.max(0, vs.size - retain))
+    val dead = deadCand.filterNot(tagged)
+    val live = deadCand.filter(tagged) ++ newest
     // a retained version's files include its merge-on-read TOMBSTONES:
     // they live under data/ like any staged file, and deleting one would
     // silently resurrect deleted rows. (One parsed manifest per retained

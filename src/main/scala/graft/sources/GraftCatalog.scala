@@ -142,19 +142,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
 
-  /** `VERSION AS OF <v>` — pin the snapshot at an explicit version. A
-    * negative or not-yet-committed version fails loudly (a silent
-    * fall-back to "latest" would be a wrong answer wearing a valid
-    * syntax). */
+  /** `VERSION AS OF <v | 'tag'>` — pin the snapshot at an explicit
+    * version number, or resolve a NAMED TAG ([[TxnTable.tag]] — the
+    * durable, vacuum-shielded pin). A negative, not-yet-committed, or
+    * unknown reference fails loudly (a silent fall-back to "latest"
+    * would be a wrong answer wearing a valid syntax). */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"$catalogName version must be a commit number, got '$version'")
-    }
-    require(v >= 0,
-      s"$catalogName version must be >= 0, got $v")
     val path = tablePath(ident)
     if (!isTable(path)) throw new NoSuchTableException(ident)
+    val v = TxnTable.resolveVersion(spark, path, version)
+    require(v >= 0,
+      s"$catalogName version must be >= 0, got $v")
     val cur = TxnTable.currentVersion(spark, path)
     require(v <= cur,
       s"$catalogName.${ident.toString}: version $v not committed yet " +

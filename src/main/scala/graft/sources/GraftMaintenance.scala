@@ -108,7 +108,8 @@ private[sources] object GraftMaintenance {
   }
 
   def procedures: Seq[String] =
-    Seq("compact", "vacuum", "checkpoint", "restore", "recluster")
+    Seq("compact", "vacuum", "checkpoint", "restore", "recluster",
+      "tag", "drop_tag", "clone", "publish")
 
   def load(catalog: GraftCatalog, warehouse: String, name: String)
       : UnboundProcedure = {
@@ -149,6 +150,43 @@ private[sources] object GraftMaintenance {
           if (v.isEmpty) Nil else v.split(',').toSeq
         }
         TxnTable.recluster(s, tbl(s, in), cols(1), cols(2))
+      }
+      // named, vacuum-shielded version pins (the Iceberg tag shape):
+      // CALL graft.system.tag('ns.t', 'release-1', 3) then
+      // SELECT … VERSION AS OF 'release-1'
+      case "tag" => p("tag", Seq(tableParam,
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("version", LongType).build())) { (s, in) =>
+        val loc = tbl(s, in)
+        val v = in.getLong(2)
+        TxnTable.tag(s, loc, in.getUTF8String(1).toString, v)
+        v
+      }
+      case "drop_tag" => p("drop_tag", Seq(tableParam,
+        ProcedureParameter.in("name", StringType).build())) { (s, in) =>
+        val loc = tbl(s, in)
+        require(TxnTable.deleteTag(s, loc, in.getUTF8String(1).toString),
+          s"graft procedure: no tag '${in.getUTF8String(1)}' on '$loc'")
+        TxnTable.currentVersion(s, loc)
+      }
+      // zero-copy table forks as SQL: CALL graft.system.clone('ns.src',
+      // 'ns.dst') / publish('ns.branch', 'ns.main') — the library
+      // shallowClone / WAP-publish behind catalog-relative names
+      case "clone" => p("clone", Seq(tableParam,
+        ProcedureParameter.in("target", StringType).build())) { (s, in) =>
+        val src = tbl(s, in)
+        val dst = resolveTable(warehouse, in.getUTF8String(1).toString)
+        require(TxnTable.versions(s, dst).isEmpty,
+          s"graft procedure: clone target '$dst' already exists")
+        TxnTable.shallowClone(s, src, dst)
+      }
+      case "publish" => p("publish", Seq(tableParam,
+        ProcedureParameter.in("target", StringType).build())) { (s, in) =>
+        val src = tbl(s, in)
+        val dst = resolveTable(warehouse, in.getUTF8String(1).toString)
+        require(TxnTable.versions(s, dst).nonEmpty,
+          s"graft procedure: publish target '$dst' is not a committed table")
+        TxnTable.publish(s, src, dst)
       }
       case other => throw new UnsupportedOperationException(
         s"graft.system has no procedure '$other' " +

@@ -890,6 +890,43 @@ class CatalogSpec extends SparkSpec {
       .exists(_.getString(1) == t))
   }
 
+  test("CALL clone/publish run the branch lifecycle; tags list and pin") {
+    val src = fresh("cpsrc")
+    sql(s"CREATE TABLE graft.spec.$src (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$src SELECT /*+ REPARTITION(1) */ id, id " +
+      "FROM RANGE(100)")
+    val br = fresh("cpbranch")
+    // zero-copy branch via CALL: no data dir is even created
+    sql(s"CALL graft.system.clone('spec.$src', 'spec.$br')")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$br")
+      .collect()(0).getLong(0) === 100)
+    // stage on the branch only; main never moves
+    sql(s"INSERT INTO graft.spec.$br SELECT /*+ REPARTITION(1) */ " +
+      "id + 1000, id FROM RANGE(20)")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$src")
+      .collect()(0).getLong(0) === 100)
+    // publish the branch's additions onto main as one metadata commit
+    sql(s"CALL graft.system.publish('spec.$br', 'spec.$src')")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$src")
+      .collect()(0).getLong(0) === 120)
+    // clone onto an existing table is refused; publish onto a missing
+    // one likewise
+    intercept[Exception] {
+      sql(s"CALL graft.system.clone('spec.$src', 'spec.$br')") }
+    intercept[Exception] {
+      sql(s"CALL graft.system.publish('spec.$br', 'spec.missing_zzz')") }
+    // tags: create two, list, numeric names refused
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$src"
+    sql(s"CALL graft.system.tag('spec.$src', 'a-1', 1)")
+    sql(s"CALL graft.system.tag('spec.$src', 'b.2', 2)")
+    assert(TxnTable.tags(spark, loc) === Seq(("a-1", 1L), ("b.2", 2L)))
+    intercept[Exception] { TxnTable.tag(spark, loc, "7", 1L) }
+    intercept[Exception] { TxnTable.tag(spark, loc, "a/b", 1L) }
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$src " +
+      "VERSION AS OF 'a-1'").collect()(0).getLong(0) === 100)
+  }
+
   test("DML keeps working after RENAME COLUMN: pruning maps to physical stats") {
     val t = fresh("renamedml")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT, st STRING, v BIGINT) " +
