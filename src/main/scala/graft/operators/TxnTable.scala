@@ -2289,6 +2289,53 @@ object TxnTable {
       idxCols = idxCols, strIdxCols = m.strIdxCols, retired = m.retired)
   }
 
+  /** OPTIMIZE-ZORDER through the log: rewrite the current snapshot
+    * Z-ORDERED on `cols` (≥2 integral dimensions; the bit-interleaved
+    * z-value of q45/op_zorder_manifest) at the byte-derived compaction
+    * file count, committed as ONE version whose manifest carries tight
+    * per-file bounding boxes in EVERY z dimension — the layout that
+    * makes multi-column manifest skipping bite. Adopts `cols` as the
+    * table's integral index header (clustering-spec evolution + the
+    * rewrite that realizes it, in one op); pending tombstones are
+    * APPLIED by the rewrite (it reads through snapshot), so the new
+    * version is clean. Cols are LOGICAL names; staging and stats land
+    * under the physical twins on mapped tables. */
+  def zorder(s: SparkSession, table: String, cols: Seq[String],
+      files: Int = 0): Long = {
+    require(cols.size >= 2,
+      "z-order needs >= 2 dimensions (one dimension is plain " +
+        "recluster + compact)")
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    val snap = snapshot(s, table, cur)
+    // byte-derived file count by default (the 128 MiB compaction
+    // target); an explicit `files` overrides — layout tuning, and the
+    // only way a small test table gets a multi-file z-layout
+    val target =
+      if (files > 0) files else compactionTarget(liveBytes(s, table, cur))
+    val b = snap.agg(
+      cols.flatMap(c => Seq(min(col(c)).cast("long"),
+        max(col(c)).cast("long"))).head,
+      cols.flatMap(c => Seq(min(col(c)).cast("long"),
+        max(col(c)).cast("long"))).tail: _*).collect()(0)
+    val dims = cols.zipWithIndex.map { case (c, i) =>
+      require(!b.isNullAt(2 * i) && !b.isNullAt(2 * i + 1),
+        s"z-order dimension '$c' is all-NULL — nothing to interleave")
+      (col(c), b.getLong(2 * i), b.getLong(2 * i + 1))
+    }
+    val clustered = snap.withColumn("__z", ZOrder.zValue(dims))
+      .repartitionByRange(target, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val pm = physMap(m)
+    val physCols = cols.map(c => pm.getOrElse(c, c))
+    val lines = stageIndexed(s, table, toPhysical(clustered, m),
+      physCols, m.strIdxCols)
+    commit(s, table, lines, cur, op = "zorder",
+      schemaJson = withMapping(m, snap.schema).json,
+      idxCols = physCols, strIdxCols = m.strIdxCols, retired = m.retired)
+  }
+
   /** Retention: keep the newest `retain` versions; delete every data file
     * referenced ONLY by older versions, then the old manifests themselves.
     * Orphaned staging dirs (crashed writers) die here too. The barrier any

@@ -109,7 +109,7 @@ private[sources] object GraftMaintenance {
 
   def procedures: Seq[String] =
     Seq("compact", "vacuum", "checkpoint", "restore", "recluster",
-      "tag", "drop_tag", "clone", "publish")
+      "zorder", "tag", "drop_tag", "clone", "publish")
 
   def load(catalog: GraftCatalog, warehouse: String, name: String)
       : UnboundProcedure = {
@@ -150,6 +150,16 @@ private[sources] object GraftMaintenance {
           if (v.isEmpty) Nil else v.split(',').toSeq
         }
         TxnTable.recluster(s, tbl(s, in), cols(1), cols(2))
+      }
+      // OPTIMIZE ZORDER BY as a procedure: CALL graft.system.zorder(
+      // 'ns.t', 'a,b') rewrites the snapshot z-ordered on the named
+      // integral dimensions and adopts them as the index spec
+      case "zorder" => p("zorder", Seq(tableParam,
+        ProcedureParameter.in("cols", StringType).build(),
+        ProcedureParameter.in("files", IntegerType)
+          .defaultValue("0").build())) { (s, in) =>
+        TxnTable.zorder(s, tbl(s, in),
+          in.getUTF8String(1).toString.split(',').toSeq, in.getInt(2))
       }
       // named, vacuum-shielded version pins (the Iceberg tag shape):
       // CALL graft.system.tag('ns.t', 'release-1', 3) then

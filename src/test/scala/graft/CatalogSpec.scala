@@ -890,6 +890,35 @@ class CatalogSpec extends SparkSpec {
       .exists(_.getString(1) == t))
   }
 
+  test("CALL zorder rewrites the layout so two-dimensional boxes prune") {
+    val t = fresh("zorderproc")
+    sql(s"CREATE TABLE graft.spec.$t (a BIGINT, b BIGINT, v BIGINT)")
+    // round-robin layout: every file spans the full range of BOTH dims,
+    // so nothing can prune before the rewrite
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(8) */ " +
+      "id % 100, id DIV 100, id FROM RANGE(10000)")
+    val before = sql(s"SELECT SUM(v) AS sv FROM graft.spec.$t")
+      .collect()(0).getLong(0)
+    sql(s"CALL graft.system.zorder('spec.$t', 'a,b', 8)")
+    // content invariant; the z spec adopted as the table's index
+    assert(sql(s"SELECT SUM(v) AS sv FROM graft.spec.$t")
+      .collect()(0).getLong(0) === before)
+    val d = sql(s"SELECT index_cols FROM graft.spec.$t.detail").collect()(0)
+    assert(d.getString(0) === "a,b")
+    // a quarter box in both dims prunes files from the manifest alone
+    val (k0, t0) = (GraftCatalog.scanKept.get, GraftCatalog.scanTotal.get)
+    val boxSum = sql(s"SELECT SUM(v) AS sv FROM graft.spec.$t " +
+      "WHERE a >= 0 AND a <= 24 AND b >= 0 AND b <= 24")
+      .collect()(0).getLong(0)
+    val (kept, total) = (GraftCatalog.scanKept.get - k0,
+      GraftCatalog.scanTotal.get - t0)
+    assert(total >= 8 && kept < total,
+      s"z-layout box must prune from the manifest ($kept of $total kept)")
+    assert(boxSum === (0 until 2500).filter(_ % 100 <= 24).map(_.toLong).sum)
+    assert(TxnTable.history(spark,
+      s"${GraftCatalog.defaultWarehouse}/spec/$t").map(_._2).last === "zorder")
+  }
+
   test("CALL clone/publish run the branch lifecycle; tags list and pin") {
     val src = fresh("cpsrc")
     sql(s"CREATE TABLE graft.spec.$src (k BIGINT, v BIGINT) " +
