@@ -2065,6 +2065,43 @@ object TxnTable {
       retired = m.retired :+ (victim.metadata.getLong(FieldId), phys))
   }
 
+  /** `ALTER TABLE ALTER COLUMN … TYPE` — WIDENING type evolution as
+    * pure metadata: ONE manifest write records the wider type, every
+    * data file carries verbatim, and old files read through the
+    * parquet reader's widening promotions (int8/16/32 → wider
+    * integrals, float → double — the Spark 4 capability that makes
+    * this shape pure metadata at all; new appends land wide). Only
+    * provably-lossless widenings pass; narrowing or cross-family
+    * retypes fail loudly — that is overwrite territory. Manifest value
+    * stats are stored as LONGS at stage time regardless of the stored
+    * width, so pruning on a widened column stays sound unchanged (the
+    * indexed-column case is spec-asserted). */
+  def widenColumn(s: SparkSession, table: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.types._
+    val wider: Map[DataType, Set[DataType]] = Map(
+      ByteType -> Set(ShortType, IntegerType, LongType),
+      ShortType -> Set(IntegerType, LongType),
+      IntegerType -> Set(LongType),
+      FloatType -> Set(DoubleType))
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    val sch = mappedSchemaOf(s, table, m)
+    val f = sch.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column '$name' in $table"))
+    require(wider.get(f.dataType).exists(_.contains(to)),
+      s"$table: cannot retype '$name' ${f.dataType.sql} -> ${to.sql} — " +
+        "only lossless widenings (tinyint/smallint/int -> wider " +
+        "integrals, float -> double) are pure metadata; anything else " +
+        "needs an overwrite")
+    val widened = StructType(sch.fields.map(g =>
+      if (g.name == name) g.copy(dataType = to) else g))
+    commit(s, table, m.entries.map(render), cur, op = "widen",
+      schemaJson = widened.json, deleteLines = m.deletes,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      retired = m.retired)
+  }
+
   /** New columns whose name collides with a RETIRED physical name (a
     * dropped column re-added) or with a LIVE field's physical name (a
     * renamed column's birth name) mint a generated physical name — old

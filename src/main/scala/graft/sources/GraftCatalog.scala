@@ -212,6 +212,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     *     versions keep the old name by construction.
     *   - DROP COLUMN ([[TxnTable.dropColumn]]): the field leaves the
     *     logical schema, its physical name retires in the log.
+    *   - ALTER COLUMN TYPE ([[TxnTable.widenColumn]]): lossless
+    *     WIDENING only (narrow integrals → wider, float → double) —
+    *     old files read through the parquet reader's widening
+    *     promotions; narrowing fails loudly.
     *
     * Every other TableChange fails loudly. */
   override def alterTable(ident: Identifier,
@@ -239,6 +243,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RenameColumn =>
         TxnTable.renameColumn(spark, path,
           topLevel(r.fieldNames, "RENAME COLUMN"), r.newName())
+      case u: TableChange.UpdateColumnType =>
+        TxnTable.widenColumn(spark, path,
+          topLevel(u.fieldNames, "ALTER COLUMN TYPE"), u.newDataType())
       case d: TableChange.DeleteColumn =>
         TxnTable.dropColumn(spark, path,
           topLevel(d.fieldNames, "DROP COLUMN"))

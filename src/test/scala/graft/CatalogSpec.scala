@@ -890,6 +890,55 @@ class CatalogSpec extends SparkSpec {
       .exists(_.getString(1) == t))
   }
 
+  test("ALTER COLUMN TYPE widens as pure metadata; narrowing stays loud") {
+    val t = fresh("widen")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, n INT, x FLOAT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id, " +
+      "CAST(id * 3 AS INT), CAST(id AS FLOAT) / 4 FROM RANGE(100)")
+    sql(s"ALTER TABLE graft.spec.$t ALTER COLUMN n TYPE BIGINT")
+    sql(s"ALTER TABLE graft.spec.$t ALTER COLUMN x TYPE DOUBLE")
+    // both widenings were ONE manifest write each: entries verbatim
+    val v = TxnTable.currentVersion(spark, loc)
+    assert(TxnTable.manifest(spark, loc, v).entries.map(_.path) ===
+      TxnTable.manifest(spark, loc, v - 2).entries.map(_.path))
+    // old int32/float files read through the widened schema (Spark 4's
+    // parquet widening promotions), and new appends land wide
+    assert(sql(s"SELECT * FROM graft.spec.$t").schema.map(_.dataType.sql)
+      .toSeq === Seq("BIGINT", "BIGINT", "DOUBLE"))
+    sql(s"INSERT INTO graft.spec.$t VALUES (100, 5000000000, 0.5)")
+    assert(sql(s"SELECT SUM(n) AS sn FROM graft.spec.$t")
+      .collect()(0).getLong(0) === (0 until 100).map(_ * 3L).sum + 5000000000L)
+    assert(sql(s"SELECT SUM(x) AS sx FROM graft.spec.$t WHERE k < 4")
+      .collect()(0).getDouble(0) === (0 + 0.25 + 0.5 + 0.75))
+    // the pinned pre-widening version keeps its narrow schema
+    assert(sql(s"SELECT * FROM graft.spec.$t VERSION AS OF 1")
+      .schema.map(_.dataType.sql).toSeq === Seq("BIGINT", "INT", "FLOAT"))
+    // narrowing / unrelated retypes are refused loudly
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.spec.$t ALTER COLUMN n TYPE INT") }
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.spec.$t ALTER COLUMN k TYPE STRING") }
+    // widening an INDEXED column keeps pruning sound (stats were
+    // recorded as longs regardless of the stored width)
+    val t2 = fresh("widenidx")
+    sql(s"CREATE TABLE graft.spec.$t2 (k INT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    (0 until 4).foreach { i =>
+      sql(s"INSERT INTO graft.spec.$t2 SELECT /*+ REPARTITION(1) */ " +
+        s"CAST(id + ${i * 100} AS INT), id FROM RANGE(100)")
+    }
+    sql(s"ALTER TABLE graft.spec.$t2 ALTER COLUMN k TYPE BIGINT")
+    sql(s"DELETE FROM graft.spec.$t2 WHERE k >= 100 AND k <= 199")
+    val res = TxnTable.commitMetrics(spark,
+      s"${GraftCatalog.defaultWarehouse}/spec/$t2")
+    assert(res("dropped") === 1 && res("kept") >= 2,
+      s"widened key must still prune: $res")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t2")
+      .collect()(0).getLong(0) === 300)
+  }
+
   test("CALL zorder rewrites the layout so two-dimensional boxes prune") {
     val t = fresh("zorderproc")
     sql(s"CREATE TABLE graft.spec.$t (a BIGINT, b BIGINT, v BIGINT)")
