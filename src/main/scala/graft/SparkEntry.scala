@@ -72,6 +72,7 @@ object SparkEntry {
     "sql_txn_detail"          -> (SqlSurface.txnDetail _),
     "sql_txn_rename"          -> (SqlSurface.txnRename _),
     "sql_txn_tag"             -> (SqlSurface.txnTag _),
+    "sql_txn_check"           -> (SqlSurface.txnCheck _),
     "sql_txn_delete"          -> (SqlSurface.txnDelete _),
     "sql_txn_delete_str"      -> (SqlSurface.txnDeleteStr _),
     "sql_txn_delete_multi"    -> (SqlSurface.txnDeleteMulti _),
@@ -1357,6 +1358,19 @@ object SparkEntry {
         |  (2, 'append', 3), (3, 'compact', 1),
         |  (4, 'append', 2), (5, 'restore', 1))
         |  AS t(version, operation, live_files)""".stripMargin,
+    // CHECK constraints: rejected writes leave no trace, so the final
+    // content is just the valid operations — %19 repriced (+5), %23
+    // keyspace-shifted inserts after the keyspace check was dropped
+    "sql_txn_check" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT k AS o_orderkey,
+        |  CAST(CASE WHEN k % 19 = 0 THEN price + 5 ELSE price END
+        |    AS DOUBLE) AS price,
+        |  TRUE AS check_ok FROM b
+        |UNION ALL
+        |SELECT k + 500000000, CAST(price AS DOUBLE), TRUE
+        |FROM b WHERE k % 23 = 0""".stripMargin,
     // Named vacuum-shielded tags: the final content after the
     // overwrite (%13 shift) + append (%17 shift) — replayable; the
     // pin/shield/immutability/release mechanics travel as a boolean

@@ -347,6 +347,82 @@ object SqlSurface {
       .withColumn("maint_ok", lit(ok))
   }
 
+  /** sql_txn_check: WRITE-TIME CHECK CONSTRAINTS in the log (the Delta
+    * ADD CONSTRAINT shape, spelled as `check.<name>` table
+    * properties): declared at CREATE or added via `ALTER TABLE … SET
+    * TBLPROPERTIES ('check.n'='<boolean sql>')` — adding validates the
+    * EXISTING rows first (one scan, loud) — and from then on EVERY
+    * batch write path (INSERT/append, INSERT OVERWRITE, MERGE change
+    * sets, CTAS) enforces at CHANGE-SET cost before committing: a
+    * violating write fails loudly with the constraint named and
+    * nothing lands (NULL passes — SQL CHECK three-valued semantics).
+    * `UNSET TBLPROPERTIES` drops a constraint; un-enforcement is
+    * always explicit (overwrites carry constraints; streaming sinks
+    * refuse constrained tables rather than bypass). Scenario: a
+    * positive-price check from birth, a keyspace check added then
+    * dropped, violating INSERT + MERGE rejected with content proven
+    * unchanged, an impossible constraint refused by existing data,
+    * valid writes flowing throughout. Final content fully
+    * hash-checked; the rejection/validation mechanics travel as
+    * `check_ok`. At 100 TB: enforcement cost follows the CHANGE SET,
+    * never the table — the invariant the whole write path keeps. */
+  def txnCheck(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "ck_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.ck_orders (
+      o_orderkey BIGINT, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey',
+        'check.positive' = 'price >= 0')""")
+    s.sql("""INSERT INTO graft.q.ck_orders
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    def cnt(q: String): Long = s.sql(q).collect()(0).getLong(0)
+    val nBase = cnt("SELECT COUNT(*) AS n FROM orders")
+    // a violating INSERT fails loudly and lands NOTHING
+    val insRejected = scala.util.Try(s.sql(
+      """INSERT INTO graft.q.ck_orders
+        SELECT o_orderkey + 900000000,
+          CAST(-CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(12,2))
+        FROM orders""")).isFailure
+    val nAfterIns = cnt("SELECT COUNT(*) AS n FROM graft.q.ck_orders")
+    // ADD CONSTRAINT validates existing rows: an impossible one refuses
+    val impossibleRefused = scala.util.Try(s.sql(
+      """ALTER TABLE graft.q.ck_orders SET TBLPROPERTIES
+        ('check.impossible' = 'o_orderkey < 0')""")).isFailure
+    // ... a satisfiable one lands as ONE metadata commit
+    s.sql("""ALTER TABLE graft.q.ck_orders SET TBLPROPERTIES
+      ('check.keyspace' = 'o_orderkey < 400000000')""")
+    // a violating MERGE change set fails loudly, content unchanged
+    val mergeRejected = scala.util.Try(s.sql(
+      """MERGE INTO graft.q.ck_orders t
+        USING (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0) s
+        ON t.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN UPDATE SET price = CAST(-1 AS DECIMAL(12,2))""")
+      ).isFailure
+    val negAfterMerge = cnt(
+      "SELECT COUNT(*) AS n FROM graft.q.ck_orders WHERE price < 0")
+    // valid writes flow: a repricing merge under both constraints
+    s.sql("""MERGE INTO graft.q.ck_orders t
+      USING (SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 5
+                 AS DECIMAL(12,2)) AS price
+             FROM orders WHERE o_orderkey % 19 = 0) s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET price = s.price""")
+    // dropping the keyspace check re-opens the shifted keyspace
+    s.sql("ALTER TABLE graft.q.ck_orders UNSET TBLPROPERTIES " +
+      "('check.keyspace')")
+    s.sql("""INSERT INTO graft.q.ck_orders
+      SELECT o_orderkey + 500000000, CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey % 23 = 0""")
+    val ok = insRejected && nAfterIns == nBase && impossibleRefused &&
+      mergeRejected && negAfterMerge == 0L &&
+      TxnTable.manifest(s, loc, TxnTable.currentVersion(s, loc))
+        .checks.map(_._1) == Seq("positive")
+    s.sql("""SELECT o_orderkey, CAST(price AS DOUBLE) AS price
+      FROM graft.q.ck_orders""")
+      .withColumn("check_ok", lit(ok))
+  }
+
   /** sql_txn_tag: NAMED TAGS — durable, vacuum-shielded version pins
     * (the Iceberg tag shape): `CALL graft.system.tag('q.t', 'baseline',
     * 1)` pins version 1 by name; `SELECT … VERSION AS OF 'baseline'`

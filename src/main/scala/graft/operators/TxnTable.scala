@@ -192,7 +192,8 @@ object TxnTable {
       metrics: Map[String, Long] = Map.empty,
       cdcRefs: Seq[String] = Nil,
       fmt: Long = ManifestFormat,
-      retired: Seq[(Long, String)] = Nil) {
+      retired: Seq[(Long, String)] = Nil,
+      checks: Seq[(String, String)] = Nil) {
     def liveFiles: Seq[String] = entries.map(_.path)
     // the index column set prefers the `#index=` header: deriving it from
     // entry stats alone loses the index whenever a version legitimately
@@ -326,9 +327,15 @@ object TxnTable {
           val Array(id, p) = kv.split(':')
           (id.toLong, b64dec(p))
         }).getOrElse(Nil)
+    // `#check=name TAB b64(sql)` — write-time CHECK constraints,
+    // cumulative table metadata like the index headers
+    val checks = lines.filter(_.startsWith("#check=")).map { l =>
+      val Array(n, e) = l.stripPrefix("#check=").split('\t')
+      (n, b64dec(e))
+    }
     Manifest(op, schema, deletes, entries,
       idxHdr("#index="), idxHdr("#strindex="), blooms, ts, metrics, cdcRefs,
-      fmt, retired)
+      fmt, retired, checks)
   }
 
   /** The operation metrics version `v`'s commit recorded in its
@@ -557,7 +564,8 @@ object TxnTable {
              blooms: Seq[BloomRef] = Nil,
              metrics: Seq[(String, Long)] = Nil,
              cdcFiles: Seq[String] = Nil,
-             retired: Seq[(Long, String)] = Nil): Long = {
+             retired: Seq[(Long, String)] = Nil,
+             checks: Seq[(String, String)] = Nil): Long = {
     val ld = logDir(table)
     val f = fs(s, ld)
     f.mkdirs(ld)
@@ -641,6 +649,11 @@ object TxnTable {
       if (retired.isEmpty) ""
       else "#retired=" + retired.map { case (id, p) =>
         s"$id:${b64enc(p)}" }.mkString(",") + "\n"
+    val checkLines = checks.map { case (n, e) =>
+      require(n.nonEmpty && !n.exists("\t\n=".contains(_)),
+        s"check constraint name '$n' would corrupt the manifest format")
+      s"#check=$n\t${b64enc(e)}\n"
+    }.mkString
     // entry lines arrive in two shapes: CARRIED lines rendered from a
     // prior manifest already hold their data seq after the path
     // (fields % 4 == 2), FRESH lines from stage/stageIndexed don't
@@ -655,7 +668,7 @@ object TxnTable {
       (s"#format=$ManifestFormat\n#op=$op\n#ts=$ts\n" + metricsLine +
         schemaLine + delLines +
         idxLine("#index=", idxCols) + idxLine("#strindex=", strIdxCols) +
-        bloomLines + cdcLines + retiredLine +
+        bloomLines + cdcLines + retiredLine + checkLines +
         stamped.sorted.mkString("\n") + "\n")
         .getBytes(UTF_8))
     finally out.close()
@@ -741,7 +754,7 @@ object TxnTable {
         val v = commit(s, table, lines, base, op = ch.op,
           schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
           idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
-          metrics = ch.metrics, retired = m.retired)
+          metrics = ch.metrics, retired = m.retired, checks = m.checks)
         return CommitOutcome(v, rebases, recomputes)
       } catch {
         case _: ConcurrentModificationException =>
@@ -830,6 +843,7 @@ object TxnTable {
     val got = df.schema.map(f => (f.name, f.dataType)).toSeq
     require(got == have,
       s"append schema $got does not match table schema $have")
+    enforceChecks(s, m.checks, df, s"$table: append")
     // appending stat-less files to an INDEXED table would degrade pruning
     // and make the next compact() drop the index — stage with stats on
     // the table's index columns instead. Indexed = ANY entry carries
@@ -849,7 +863,7 @@ object TxnTable {
     commit(s, table, m.entries.map(render) ++ fresh, cur, op = op,
       schemaJson = withMapping(m, df.schema).json, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
-      retired = m.retired)
+      retired = m.retired, checks = m.checks)
   }
 
   /** Append that never loses to a concurrent writer: same schema check
@@ -868,6 +882,7 @@ object TxnTable {
     val got = df.schema.map(f => (f.name, f.dataType)).toSeq
     require(got == have,
       s"append schema $got does not match table schema $have")
+    enforceChecks(s, m0.checks, df, s"$table: append")
     // stage ONCE, up front: the staged files are base-independent (an
     // append derives from nothing), so rebases reuse them verbatim
     val fresh =
@@ -1416,7 +1431,7 @@ object TxnTable {
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("dropped" -> dropped.size.toLong,
         "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong),
-      retired = m.retired)
+      retired = m.retired, checks = m.checks)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
   }
 
@@ -1499,6 +1514,9 @@ object TxnTable {
         org.apache.spark.sql.types.StringType)).toMap
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur) // ONE log read for all facets below
+    // constraints check the CHANGE rows, never the table — surviving
+    // rows already passed at their own write time
+    enforceChecks(s, m.checks, adds, s"$table: merge change set")
     val entries = m.entries
     // stat groups speak PHYSICAL names; key columns arrive logical
     val pm = physMap(m)
@@ -1653,7 +1671,8 @@ object TxnTable {
       schemaJson = withMapping(m, adds.schema).json, deleteLines = m.deletes,
       idxCols = idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("touched" -> touched.size.toLong,
-        "untouched" -> kept.size.toLong), retired = m.retired)
+        "untouched" -> kept.size.toLong), retired = m.retired,
+      checks = m.checks)
     MergeResult(v, touched.size, kept.size)
   }
 
@@ -1673,7 +1692,7 @@ object TxnTable {
     commit(s, table, m.entries.map(render), cur, op = "restore",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
-      retired = m.retired)
+      retired = m.retired, checks = m.checks)
   }
 
   /** Zero-copy SHALLOW CLONE: create `dst` at version 0 referencing the
@@ -1700,7 +1719,7 @@ object TxnTable {
       schemaJson = m.schema.map(_.json).orNull, deleteLines = absDels,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols,
       blooms = m.blooms.map(b => b.copy(dir = absPath(b.dir))),
-      retired = m.retired)
+      retired = m.retired, checks = m.checks)
   }
 
   /** Zero-copy PUBLISH of a branch's ADDITIONS onto `dst` — the second
@@ -1746,7 +1765,8 @@ object TxnTable {
     commit(s, dst, md.entries.map(render) ++ adds.map(renderFresh), curDst,
       op = "publish", schemaJson = md.schema.map(_.json).orNull,
       deleteLines = md.deletes, idxCols = md.idxCols,
-      strIdxCols = md.strIdxCols, blooms = md.blooms, retired = md.retired)
+      strIdxCols = md.strIdxCols, blooms = md.blooms, retired = md.retired,
+      checks = md.checks)
   }
 
   /** Overwrite-commit: next version lists ONLY the newly staged files
@@ -1754,8 +1774,14 @@ object TxnTable {
     * readers until vacuum). */
   def overwrite(s: SparkSession, table: String, df: DataFrame): Long = {
     val cur = currentVersion(s, table)
+    // constraints SURVIVE an overwrite (replacing the data must not
+    // silently un-enforce an invariant — if the new shape can't satisfy
+    // or even reference it, that surfaces loudly here and the check
+    // must be dropped explicitly first)
+    val checks = manifest(s, table, cur).checks
+    enforceChecks(s, checks, df, s"$table: overwrite")
     commit(s, table, stage(s, table, df), cur, op = "overwrite",
-      schemaJson = df.schema.json)
+      schemaJson = df.schema.json, checks = checks)
   }
 
   /** Overwrite-commit that also PERSISTS the signed change feed — and
@@ -1776,6 +1802,8 @@ object TxnTable {
   def overwriteCdc(s: SparkSession, table: String, df: DataFrame,
                    key: String): Long = {
     val cur = currentVersion(s, table)
+    val cks = manifest(s, table, cur).checks
+    enforceChecks(s, cks, df, s"$table: overwrite")
     val staged = stage(s, table, df)
     // the feed diffs the CURRENT snapshot against the staged bytes —
     // one read-back instead of re-evaluating df's plan a second time
@@ -1804,7 +1832,7 @@ object TxnTable {
       }
     f.delete(tmp, true)
     try commit(s, table, staged, cur, op = "overwrite",
-      schemaJson = df.schema.json, cdcFiles = refs)
+      schemaJson = df.schema.json, cdcFiles = refs, checks = cks)
     catch { case e: Throwable =>
       // nothing committed: drop both stages, leave the table untouched
       dropStaged(s, table, staged)
@@ -1864,7 +1892,7 @@ object TxnTable {
       schemaJson = m.schema.map(_.json).orNull,
       deleteLines = dels,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
-      retired = m.retired)
+      retired = m.retired, checks = m.checks)
   }
 
   /** The schema version `v` was committed with, if the commit recorded
@@ -1993,6 +2021,27 @@ object TxnTable {
     })
   }
 
+  /** The top-level column names a CHECK constraint's expression
+    * references (parsed, not text-matched). */
+  private def checkReferences(sqlText: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sqlText).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }.toSet
+
+  /** Loud guard: a rename/drop of a column a CHECK constraint
+    * references would break the constraint's expression at the next
+    * write — the constraint must be dropped (and re-added against the
+    * new name) explicitly, exactly Delta's rule. */
+  private def guardConstrained(table: String, m: Manifest,
+      col: String, what: String): Unit =
+    m.checks.foreach { case (n, t) =>
+      require(!checkReferences(t).exists(_.equalsIgnoreCase(col)),
+        s"$table: cannot $what column '$col' — CHECK constraint '$n' " +
+          s"($t) references it; drop the constraint first")
+    }
+
   private def mappedSchemaOf(s: SparkSession, table: String, m: Manifest)
       : org.apache.spark.sql.types.StructType =
     m.schema.getOrElse(throw new IllegalArgumentException(
@@ -2018,6 +2067,7 @@ object TxnTable {
     require(to.nonEmpty && !to.endsWith("~s") && !to.endsWith("~h") &&
       to != "~b" && !to.exists("\t\n,".contains(_)),
       s"column name '$to' would corrupt the manifest format")
+    guardConstrained(table, m, from, "rename")
     val withIds = ensureIds(sch, m.retired)
     val renamed = org.apache.spark.sql.types.StructType(
       withIds.fields.map { f =>
@@ -2032,7 +2082,7 @@ object TxnTable {
     commit(s, table, m.entries.map(render), cur, op = "rename",
       schemaJson = renamed.json, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
-      retired = m.retired)
+      retired = m.retired, checks = m.checks)
   }
 
   /** `ALTER TABLE DROP COLUMN` — ONE manifest write, entries carried
@@ -2052,6 +2102,7 @@ object TxnTable {
     require(sch.fieldNames.contains(name), s"no column '$name' in $table")
     require(sch.fields.length > 1,
       s"cannot drop the last column of $table")
+    guardConstrained(table, m, name, "drop")
     val withIds = ensureIds(sch, m.retired)
     val victim = withIds.fields.find(_.name == name).get
     val phys = physName(victim)
@@ -2099,7 +2150,76 @@ object TxnTable {
     commit(s, table, m.entries.map(render), cur, op = "widen",
       schemaJson = widened.json, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
-      retired = m.retired)
+      retired = m.retired, checks = m.checks)
+  }
+
+  // ---- CHECK CONSTRAINTS: write-time row invariants in the log ----
+
+  /** Fail LOUDLY if `df` violates any committed CHECK constraint —
+    * one combined pass over the frame being written (change-set-sized:
+    * an append checks the appended batch, a merge checks its change
+    * rows — never the table), then a per-check readout of the single
+    * offending row for the error message. SQL CHECK three-valued
+    * semantics: NULL passes, only FALSE violates. Constraints
+    * reference LOGICAL column names; enforcement runs before the
+    * physical-name staging rename. */
+  private def enforceChecks(s: SparkSession,
+      checks: Seq[(String, String)], df: DataFrame, what: String): Unit = {
+    if (checks.isEmpty) return
+    val flagged = df.select(checks.map { case (n, sql) =>
+      (!coalesce(expr(sql), lit(true))).as(n) }: _*)
+    val bad = flagged.filter(flagged.columns.map(c =>
+      coalesce(col(s"`$c`"), lit(false))).reduce(_ || _))
+      .limit(1).collect().headOption
+    bad.foreach { r =>
+      val names = checks.map(_._1).zipWithIndex.collect {
+        case (n, i) if !r.isNullAt(i) && r.getBoolean(i) => n }
+      throw new IllegalArgumentException(
+        s"$what violates CHECK constraint(s) ${names.mkString(", ")} (" +
+          names.map(n => s"$n: ${checks.find(_._1 == n).get._2}")
+            .mkString("; ") + ") — nothing committed")
+    }
+  }
+
+  /** [[enforceChecks]] for the catalog's staged-CTAS path (the one
+    * writer that validates BEFORE a table exists). */
+  private[graft] def enforceChecksPublic(s: SparkSession,
+      checks: Seq[(String, String)], df: DataFrame, what: String): Unit =
+    enforceChecks(s, checks, df, what)
+
+  /** ADD a CHECK constraint (the Delta `ALTER TABLE ADD CONSTRAINT`
+    * shape, here spelled `ALTER TABLE … SET TBLPROPERTIES
+    * ('check.<name>' = '<boolean sql>')`): validates the EXISTING
+    * table first — one scan, loud on any violating row — then commits
+    * the constraint as one `#check=` manifest header. From then on
+    * every batch write path (append, overwrite, CTAS/RTAS, merge
+    * change sets) enforces it at change-set cost before committing. */
+  def addCheck(s: SparkSession, table: String, name: String,
+      sqlText: String): Long = {
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    require(!m.checks.exists(_._1 == name),
+      s"$table: check constraint '$name' already exists (UNSET it first)")
+    // the ADD CONSTRAINT contract: current rows must already satisfy it
+    enforceChecks(s, Seq((name, sqlText)), snapshot(s, table, cur),
+      s"$table: existing rows")
+    commit(s, table, m.entries.map(render), cur, op = "constraint",
+      schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      retired = m.retired, checks = m.checks :+ (name, sqlText))
+  }
+
+  /** DROP a CHECK constraint — one manifest write; loud if absent. */
+  def dropCheck(s: SparkSession, table: String, name: String): Long = {
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    require(m.checks.exists(_._1 == name),
+      s"$table: no check constraint '$name' " +
+        s"(has: ${m.checks.map(_._1).mkString(", ")})")
+    commit(s, table, m.entries.map(render), cur, op = "constraint",
+      schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      retired = m.retired, checks = m.checks.filterNot(_._1 == name))
   }
 
   /** New columns whose name collides with a RETIRED physical name (a
@@ -2228,6 +2348,7 @@ object TxnTable {
     val got = df.schema.map(f => (f.name, f.dataType)).toSeq
     require(got.take(have.size) == have,
       s"evolved schema $got must extend table schema $have (common columns first, unchanged)")
+    enforceChecks(s, m.checks, df, s"$table: append")
     // the widened schema: existing fields keep their mapping metadata,
     // additions whose name collides with a retired or live PHYSICAL
     // name mint a fresh physical (see guardNewField)
@@ -2244,7 +2365,7 @@ object TxnTable {
     commit(s, table, m.entries.map(render) ++ fresh, cur, op = "evolve",
       schemaJson = evolved.json, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
-      retired = m.retired)
+      retired = m.retired, checks = m.checks)
   }
 
   /** ADD-COLUMN schema evolution as PURE METADATA: commit a new version
@@ -2273,7 +2394,7 @@ object TxnTable {
       schemaJson = org.apache.spark.sql.types.StructType(
         have.fields ++ cols.map(guardNewField(_, m, cur + 1))).json,
       deleteLines = m.deletes, idxCols = m.idxCols,
-      strIdxCols = m.strIdxCols, blooms = m.blooms, retired = m.retired)
+      strIdxCols = m.strIdxCols, blooms = m.blooms, retired = m.retired, checks = m.checks)
   }
 
   /** Compaction THROUGH the log: stage the current snapshot rewritten at a
@@ -2323,7 +2444,7 @@ object TxnTable {
       else stage(s, table, toPhysical(snap.repartition(target), m))
     commit(s, table, lines, cur, op = "compact",
       schemaJson = withMapping(m, snap.schema).json,
-      idxCols = idxCols, strIdxCols = m.strIdxCols, retired = m.retired)
+      idxCols = idxCols, strIdxCols = m.strIdxCols, retired = m.retired, checks = m.checks)
   }
 
   /** OPTIMIZE-ZORDER through the log: rewrite the current snapshot
@@ -2370,7 +2491,7 @@ object TxnTable {
       physCols, m.strIdxCols)
     commit(s, table, lines, cur, op = "zorder",
       schemaJson = withMapping(m, snap.schema).json,
-      idxCols = physCols, strIdxCols = m.strIdxCols, retired = m.retired)
+      idxCols = physCols, strIdxCols = m.strIdxCols, retired = m.retired, checks = m.checks)
   }
 
   /** Retention: keep the newest `retain` versions; delete every data file
@@ -3252,7 +3373,7 @@ object TxnTable {
     commit(s, table, m.entries.map(render), cur, op = "recluster",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
       idxCols = idxCols, strIdxCols = strIdxCols, blooms = m.blooms,
-      retired = m.retired)
+      retired = m.retired, checks = m.checks)
   }
 
   /** op_txn_recluster: clustering evolution as a checked query. v0

@@ -118,6 +118,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "history" => GraftMaintenance.historyTable(full, parentPath)
           case "files"   => GraftMaintenance.filesTable(full, parentPath)
           case "detail"  => GraftMaintenance.detailTable(full, parentPath)
+          case "tags"    => GraftMaintenance.tagsTable(full, parentPath)
           // data-sized, distributed — a real parquet-backed table over
           // the committed change feed, batch AND streaming
           case "changes" => new GraftChangesTable(full, parentPath)
@@ -189,10 +190,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(Nil)
     // one zero-row staged file carries the schema: version 0 is an empty
     // but readable (and appendable) table; the index column set persists
-    // in the manifest header from day one
+    // in the manifest header from day one — as do any `check.<name>`
+    // CHECK constraints declared at create time
     TxnTable.commit(spark, path, TxnTable.stageEmpty(spark, path, schema),
       expected = -1L, op = "create", schemaJson = schema.json,
-      idxCols = idx, strIdxCols = strIdx)
+      idxCols = idx, strIdxCols = strIdx,
+      checks = GraftCatalog.checkProps(properties))
     loadTable(ident)
   }
 
@@ -246,6 +249,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case u: TableChange.UpdateColumnType =>
         TxnTable.widenColumn(spark, path,
           topLevel(u.fieldNames, "ALTER COLUMN TYPE"), u.newDataType())
+      // CHECK constraints arrive as table properties — the ADD
+      // CONSTRAINT / DROP CONSTRAINT surface: `ALTER TABLE t SET
+      // TBLPROPERTIES ('check.positive' = 'price >= 0')` validates the
+      // EXISTING rows (one scan, loud) then commits the `#check=`
+      // header; UNSET drops it
+      case sp: TableChange.SetProperty
+          if sp.property.startsWith("check.") =>
+        TxnTable.addCheck(spark, path,
+          sp.property.stripPrefix("check."), sp.value)
+      case rp: TableChange.RemoveProperty
+          if rp.property.startsWith("check.") =>
+        TxnTable.dropCheck(spark, path, rp.property.stripPrefix("check."))
       case d: TableChange.DeleteColumn =>
         TxnTable.dropColumn(spark, path,
           topLevel(d.fieldNames, "DROP COLUMN"))
@@ -282,7 +297,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val strIdx = Option(properties.get("strindex")).map(_.split(',').toSeq)
       .getOrElse(Nil)
     new StagedGraftTable(s"$catalogName.${ident.toString}", path, schema,
-      idx, strIdx, replace, mustExist)
+      idx, strIdx, GraftCatalog.checkProps(properties), replace, mustExist)
   }
 
   override def stageCreate(ident: Identifier, schema: StructType,
@@ -379,7 +394,16 @@ object GraftCatalog {
 
   /** The reserved metadata-table suffixes (`graft.ns.t.history`…). */
   private[sources] val metaTables =
-    Set("history", "files", "changes", "detail")
+    Set("history", "files", "changes", "detail", "tags")
+
+  /** The `check.<name>` CHECK-constraint entries of a property map. */
+  private[sources] def checkProps(
+      properties: util.Map[String, String]): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toSeq.collect {
+      case (k, v) if k.startsWith("check.") => (k.stripPrefix("check."), v)
+    }.sortBy(_._1)
+  }
 
   /** Manifest-prune accounting for DSv2 scans, cumulative since process
     * start (instrumentation, the [[TxnTable.logReads]] pattern): how
@@ -428,6 +452,7 @@ class GraftTable(ident: String, private[sources] val location: String,
     val p = new util.HashMap[String, String]()
     if (m.idxCols.nonEmpty) p.put("index", m.idxCols.mkString(","))
     if (m.strIdxCols.nonEmpty) p.put("strindex", m.strIdxCols.mkString(","))
+    m.checks.foreach { case (n, e) => p.put(s"check.$n", e) }
     p.put("version", version.toString)
     p.put("location", location)
     p
@@ -539,6 +564,14 @@ class GraftTable(ident: String, private[sources] val location: String,
         // OCC-resolving append; Complete mode (truncate) overwrites
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          // the sink commits executor-written files without a driver
+          // pass over the rows — it cannot enforce CHECK constraints
+          // at change-set cost, so a constrained table refuses the
+          // stream loudly rather than silently un-enforcing
+          require(m.checks.isEmpty,
+            s"$ident: streaming writes cannot enforce CHECK " +
+              s"constraint(s) ${m.checks.map(_._1).mkString(", ")} — " +
+              "drop them or land the stream via foreachBatch + MERGE")
           val have = schema().map(f => (f.name, f.dataType)).toSeq
           val got = info.schema().map(f => (f.name, f.dataType)).toSeq
           require(got == have,
@@ -710,6 +743,7 @@ class GraftTable(ident: String, private[sources] val location: String,
   * deletes the staged files and leaves the world exactly as it was. */
 class StagedGraftTable(ident: String, location: String,
     writeSchema: StructType, idx: Seq[String], strIdx: Seq[String],
+    checks: Seq[(String, String)],
     replace: Boolean, mustExist: Boolean)
     extends StagedTable with SupportsWrite {
 
@@ -732,6 +766,10 @@ class StagedGraftTable(ident: String, location: String,
             override def insert(data: DataFrame, overwrite: Boolean)
                 : Unit = {
               val s = data.sparkSession
+              // declared CHECK constraints gate the CTAS data too —
+              // a table can't be born violating its own invariants
+              TxnTable.enforceChecksPublic(s, checks, data,
+                s"$ident: CREATE TABLE AS SELECT")
               // stage ONLY — the log is untouched until commit
               staged =
                 if (idx.nonEmpty || strIdx.nonEmpty)
@@ -755,7 +793,8 @@ class StagedGraftTable(ident: String, location: String,
       require(replace, s"$ident was created concurrently")
       val cur = TxnTable.currentVersion(s, location)
       TxnTable.commit(s, location, lines, cur, op = "replace",
-        schemaJson = writeSchema.json, idxCols = idx, strIdxCols = strIdx)
+        schemaJson = writeSchema.json, idxCols = idx, strIdxCols = strIdx,
+        checks = checks)
     } else {
       // a plain REPLACE whose target vanished mid-write (concurrent
       // DROP) must FAIL, not quietly become a create — only CREATE [OR
@@ -767,7 +806,8 @@ class StagedGraftTable(ident: String, location: String,
             "nothing committed (use CREATE OR REPLACE to re-create)")
       }
       TxnTable.commit(s, location, lines, expected = -1L, op = "create",
-        schemaJson = writeSchema.json, idxCols = idx, strIdxCols = strIdx)
+        schemaJson = writeSchema.json, idxCols = idx, strIdxCols = strIdx,
+        checks = checks)
     }
   }
 

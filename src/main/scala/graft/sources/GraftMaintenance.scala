@@ -79,6 +79,17 @@ private[sources] object GraftMaintenance {
             .map(c => c: Any).orNull)): InternalRow)
       })
 
+  /** `graft.ns.t.tags` — the named version pins as a metadata table:
+    * (name, version), name-sorted, LocalScan over the refs dir. */
+  def tagsTable(ident: String, location: String): Table =
+    new GraftMetaTable(ident,
+      StructType(Seq(StructField("name", StringType, nullable = false),
+        StructField("version", LongType, nullable = false))),
+      s => TxnTable.tags(s, location).map { case (n, v) =>
+        new GenericInternalRow(
+          Array[Any](UTF8String.fromString(n), v)): InternalRow
+      }.toArray)
+
   def filesTable(ident: String, location: String): Table =
     new GraftMetaTable(ident,
       StructType(Seq(StructField("path", StringType, nullable = false),

@@ -890,6 +890,66 @@ class CatalogSpec extends SparkSpec {
       .exists(_.getString(1) == t))
   }
 
+  test("CHECK constraints gate CTAS, block renames, and refuse the sink") {
+    // CTAS: a table can't be born violating its declared invariant
+    val t = fresh("checkctas")
+    intercept[Exception] {
+      sql(s"""CREATE TABLE graft.spec.$t
+        TBLPROPERTIES ('check.pos' = 'v >= 0')
+        AS SELECT id AS k, id - 50 AS v FROM RANGE(100)""")
+    }
+    assert(!sql("SHOW TABLES IN graft.spec").collect()
+      .exists(_.getString(1) == t), "violating CTAS left a table behind")
+    sql(s"""CREATE TABLE graft.spec.$t
+      TBLPROPERTIES ('check.pos' = 'v >= 0')
+      AS SELECT id AS k, id AS v FROM RANGE(100)""")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 100)
+    // the constraint landed in the log and surfaces via properties
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    assert(TxnTable.manifest(spark, loc,
+      TxnTable.currentVersion(spark, loc)).checks === Seq(("pos", "v >= 0")))
+    assert(sql(s"SHOW TBLPROPERTIES graft.spec.$t").collect()
+      .exists(r => r.getString(0) == "check.pos" &&
+        r.getString(1) == "v >= 0"))
+    // NULL passes (three-valued CHECK semantics); FALSE is loud
+    sql(s"INSERT INTO graft.spec.$t VALUES (200, NULL)")
+    intercept[Exception] {
+      sql(s"INSERT INTO graft.spec.$t VALUES (201, -1)") }
+    // renaming/dropping the referenced column is blocked
+    val e = intercept[Exception] {
+      sql(s"ALTER TABLE graft.spec.$t RENAME COLUMN v TO w") }
+    assert(e.getMessage.contains("check"), e.getMessage.take(160))
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.spec.$t DROP COLUMN v") }
+    // ... but an unreferenced column renames fine
+    sql(s"ALTER TABLE graft.spec.$t RENAME COLUMN k TO id")
+    // the streaming sink refuses a constrained table loudly
+    val src = fresh("checksrc")
+    sql(s"CREATE TABLE graft.spec.$src (id BIGINT, v BIGINT)")
+    sql(s"INSERT INTO graft.spec.$src VALUES (1, 1)")
+    val ckpt = graft.Fs.scratch("graft_checksink", "ckpt")
+    graft.Fs.deleteRecursively(ckpt)
+    val e2 = intercept[Exception] {
+      val q = spark.readStream.table(s"graft.spec.$src")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft.spec.$t")
+      q.awaitTermination()
+    }
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e2).exists(_.contains("CHECK")),
+      s"sink must refuse constrained tables: ${messages(e2).take(3)}")
+    // dropping the constraint re-opens both paths
+    sql(s"ALTER TABLE graft.spec.$t UNSET TBLPROPERTIES ('check.pos')")
+    sql(s"INSERT INTO graft.spec.$t VALUES (201, -1)")
+    sql(s"ALTER TABLE graft.spec.$t RENAME COLUMN v TO w")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t WHERE w < 0")
+      .collect()(0).getLong(0) === 1)
+  }
+
   test("ALTER COLUMN TYPE widens as pure metadata; narrowing stays loud") {
     val t = fresh("widen")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT, n INT, x FLOAT) " +
@@ -1003,6 +1063,13 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] { TxnTable.tag(spark, loc, "a/b", 1L) }
     assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$src " +
       "VERSION AS OF 'a-1'").collect()(0).getLong(0) === 100)
+    // ... and the pins read back as a metadata table (LocalScan)
+    val tagsDf = sql(s"SELECT name, version FROM graft.spec.$src.tags " +
+      "ORDER BY name")
+    assert(tagsDf.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(tagsDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("a-1", 1L), ("b.2", 2L)))
   }
 
   test("DML keeps working after RENAME COLUMN: pruning maps to physical stats") {
