@@ -1360,17 +1360,20 @@ object SparkEntry {
         |  AS t(version, operation, live_files)""".stripMargin,
     // CHECK constraints: rejected writes leave no trace, so the final
     // content is just the valid operations — %19 repriced (+5), %23
-    // keyspace-shifted inserts after the keyspace check was dropped
+    // inserts shifted by the derived keyspace cut (max key + 1, the
+    // same at-any-SF arithmetic the scenario computes) after the
+    // keyspace check was dropped
     "sql_txn_check" ->
       """WITH b AS (SELECT o_orderkey AS k,
-        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |m AS (SELECT MAX(o_orderkey) + 1 AS bound FROM orders)
         |SELECT k AS o_orderkey,
         |  CAST(CASE WHEN k % 19 = 0 THEN price + 5 ELSE price END
         |    AS DOUBLE) AS price,
         |  TRUE AS check_ok FROM b
         |UNION ALL
-        |SELECT k + 500000000, CAST(price AS DOUBLE), TRUE
-        |FROM b WHERE k % 23 = 0""".stripMargin,
+        |SELECT k + bound, CAST(price AS DOUBLE), TRUE
+        |FROM b, m WHERE k % 23 = 0""".stripMargin,
     // Named vacuum-shielded tags: the final content after the
     // overwrite (%13 shift) + append (%17 shift) — replayable; the
     // pin/shield/immutability/release mechanics travel as a boolean

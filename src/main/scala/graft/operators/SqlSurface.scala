@@ -377,10 +377,13 @@ object SqlSurface {
       SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
     def cnt(q: String): Long = s.sql(q).collect()(0).getLong(0)
     val nBase = cnt("SELECT COUNT(*) AS n FROM orders")
+    // the keyspace cut is DERIVED (max key + 1), so the constraint is
+    // satisfiable — and the shifted inserts violate it — at ANY SF
+    val bound = cnt("SELECT MAX(o_orderkey) + 1 AS b FROM orders")
     // a violating INSERT fails loudly and lands NOTHING
     val insRejected = scala.util.Try(s.sql(
-      """INSERT INTO graft.q.ck_orders
-        SELECT o_orderkey + 900000000,
+      s"""INSERT INTO graft.q.ck_orders
+        SELECT o_orderkey + $bound,
           CAST(-CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(12,2))
         FROM orders""")).isFailure
     val nAfterIns = cnt("SELECT COUNT(*) AS n FROM graft.q.ck_orders")
@@ -389,8 +392,8 @@ object SqlSurface {
       """ALTER TABLE graft.q.ck_orders SET TBLPROPERTIES
         ('check.impossible' = 'o_orderkey < 0')""")).isFailure
     // ... a satisfiable one lands as ONE metadata commit
-    s.sql("""ALTER TABLE graft.q.ck_orders SET TBLPROPERTIES
-      ('check.keyspace' = 'o_orderkey < 400000000')""")
+    s.sql(s"""ALTER TABLE graft.q.ck_orders SET TBLPROPERTIES
+      ('check.keyspace' = 'o_orderkey < $bound')""")
     // a violating MERGE change set fails loudly, content unchanged
     val mergeRejected = scala.util.Try(s.sql(
       """MERGE INTO graft.q.ck_orders t
@@ -411,8 +414,8 @@ object SqlSurface {
     // dropping the keyspace check re-opens the shifted keyspace
     s.sql("ALTER TABLE graft.q.ck_orders UNSET TBLPROPERTIES " +
       "('check.keyspace')")
-    s.sql("""INSERT INTO graft.q.ck_orders
-      SELECT o_orderkey + 500000000, CAST(o_totalprice AS DECIMAL(12,2))
+    s.sql(s"""INSERT INTO graft.q.ck_orders
+      SELECT o_orderkey + $bound, CAST(o_totalprice AS DECIMAL(12,2))
       FROM orders WHERE o_orderkey % 23 = 0""")
     val ok = insRejected && nAfterIns == nBase && impossibleRefused &&
       mergeRejected && negAfterMerge == 0L &&

@@ -876,7 +876,8 @@ object TxnTable {
     * exactly like every public table format's append path. */
   def appendResolving(s: SparkSession, table: String, df: DataFrame)
       : CommitOutcome = {
-    val m0 = manifest(s, table, currentVersion(s, table))
+    val v0 = currentVersion(s, table)
+    val m0 = manifest(s, table, v0)
     val have = m0.schema.getOrElse(snapshot(s, table).schema)
       .map(f => (f.name, f.dataType)).toSeq
     val got = df.schema.map(f => (f.name, f.dataType)).toSeq
@@ -889,8 +890,22 @@ object TxnTable {
       if (m0.idxCols.nonEmpty || m0.strIdxCols.nonEmpty)
         stageIndexed(s, table, toPhysical(df, m0), m0.idxCols, m0.strIdxCols)
       else stage(s, table, toPhysical(df, m0))
-    commitResolving(s, table)(_ =>
-      Change(fresh, Set.empty, Set.empty, op = "append"))
+    // a CAS loss rebases without re-running work — but an interleaved
+    // ADD CONSTRAINT commit changes what this append must satisfy, and
+    // rebasing past it would land unvalidated rows under a constraint
+    // addCheck just verified. The recheck re-enforces against any base
+    // whose check set moved (one change-set pass, only on that race).
+    try commitResolving(s, table, base => {
+      // no-race fast path: the base we already validated against costs
+      // no extra log read
+      if (base != v0) {
+        val cks = manifest(s, table, base).checks
+        if (cks != m0.checks)
+          enforceChecks(s, cks, df, s"$table: append (constraint added " +
+            "concurrently)")
+      }
+    })(_ => Change(fresh, Set.empty, Set.empty, op = "append"))
+    catch { case e: Throwable => dropStaged(s, table, fresh); throw e }
   }
 
   private def render(e: Entry): String =
@@ -2549,13 +2564,24 @@ object TxnTable {
     // change-feed files are manifest-referenced (`#cdc=`) like data
     // files: a vacuumed version's feed goes with its manifest (retention
     // bounds the feed exactly as it bounds time travel), and the orphan
-    // from a crashed overwriteCdc commit is collected here too
+    // from a crashed overwriteCdc commit is collected here too. The
+    // sweep deletes only what is PROVABLY dead: unreferenced files whose
+    // version prefix names a vacuumed (or never-committed) version, and
+    // crashed tmp stages. An unreferenced file of a RETAINED version —
+    // a feed published before `#cdc=` headers existed — is KEPT: the
+    // conservative direction, never destroy committed data on upgrade.
     val cdcDir = new Path(table, "_cdc")
     if (f.exists(cdcDir)) {
       val keepCdc = retained.flatMap(_.cdcRefs).toSet
+      val liveVs = live.toSet
+      def deadVersionFile(name: String): Boolean =
+        name.startsWith("v") && name.endsWith(".parquet") && {
+          val v = name.drop(1).takeWhile(_.isDigit)
+          v.nonEmpty && !liveVs.contains(v.toLong)
+        }
       f.listStatus(cdcDir).toSeq.map(_.getPath)
-        .filter(p => p.getName.endsWith(".parquet") ||
-          p.getName.startsWith(".tmp-"))
+        .filter(p => p.getName.startsWith(".tmp-") ||
+          deadVersionFile(p.getName))
         .filterNot(p => keepCdc(s"_cdc/${p.getName}"))
         .foreach(p => f.delete(p, true))
     }

@@ -231,6 +231,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "not supported")
       fieldNames.head
     }
+    // VALIDATE every change's static shape BEFORE applying any — a
+    // multi-change statement whose later change is malformed must not
+    // leave the table half-altered. (Data-dependent failures — an
+    // unsatisfiable new constraint — still abort at their own change;
+    // each change is one commit, and ADD COLUMNS batches into one.)
     changes.foreach {
       case a: TableChange.AddColumn =>
         val name = topLevel(a.fieldNames, "ADD COLUMN")
@@ -240,33 +245,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(a.isNullable,
           s"$catalogName: added column '$name' must be " +
             "nullable — existing rows read it as NULL")
-        TxnTable.addColumns(spark, path, Seq(
-          org.apache.spark.sql.types.StructField(
-            name, a.dataType, nullable = true)))
       case r: TableChange.RenameColumn =>
-        TxnTable.renameColumn(spark, path,
-          topLevel(r.fieldNames, "RENAME COLUMN"), r.newName())
+        topLevel(r.fieldNames, "RENAME COLUMN")
       case u: TableChange.UpdateColumnType =>
-        TxnTable.widenColumn(spark, path,
-          topLevel(u.fieldNames, "ALTER COLUMN TYPE"), u.newDataType())
+        topLevel(u.fieldNames, "ALTER COLUMN TYPE")
+      case d: TableChange.DeleteColumn =>
+        topLevel(d.fieldNames, "DROP COLUMN")
+      case sp: TableChange.SetProperty
+          if sp.property.startsWith("check.") => ()
+      case rp: TableChange.RemoveProperty
+          if rp.property.startsWith("check.") => ()
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName: unsupported ALTER TABLE change $other (ADD / " +
+          "RENAME / DROP COLUMN, ALTER COLUMN TYPE widening, and " +
+          "check.* TBLPROPERTIES evolve a table in the log)")
+    }
+    // ADD COLUMNS (plural) lands as ONE evolve commit
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, nullable = true) }
+    if (adds.nonEmpty) TxnTable.addColumns(spark, path, adds)
+    changes.foreach {
+      case _: TableChange.AddColumn => () // batched above
+      case r: TableChange.RenameColumn =>
+        TxnTable.renameColumn(spark, path, r.fieldNames.head, r.newName())
+      case u: TableChange.UpdateColumnType =>
+        TxnTable.widenColumn(spark, path, u.fieldNames.head,
+          u.newDataType())
+      case d: TableChange.DeleteColumn =>
+        TxnTable.dropColumn(spark, path, d.fieldNames.head)
       // CHECK constraints arrive as table properties — the ADD
       // CONSTRAINT / DROP CONSTRAINT surface: `ALTER TABLE t SET
       // TBLPROPERTIES ('check.positive' = 'price >= 0')` validates the
       // EXISTING rows (one scan, loud) then commits the `#check=`
       // header; UNSET drops it
-      case sp: TableChange.SetProperty
-          if sp.property.startsWith("check.") =>
+      case sp: TableChange.SetProperty =>
         TxnTable.addCheck(spark, path,
           sp.property.stripPrefix("check."), sp.value)
-      case rp: TableChange.RemoveProperty
-          if rp.property.startsWith("check.") =>
+      case rp: TableChange.RemoveProperty =>
         TxnTable.dropCheck(spark, path, rp.property.stripPrefix("check."))
-      case d: TableChange.DeleteColumn =>
-        TxnTable.dropColumn(spark, path,
-          topLevel(d.fieldNames, "DROP COLUMN"))
-      case other => throw new UnsupportedOperationException(
-        s"$catalogName: unsupported ALTER TABLE change $other (ADD / " +
-          "RENAME / DROP COLUMN evolve a table's schema in the log)")
+      case _ => ()
     }
     loadTable(ident)
   }

@@ -201,12 +201,13 @@ class GraftMicroBatchStream(ident: String, location: String,
       val sameTombs = cur.deletes.toSet == prev.deletes.toSet
       val out =
         if (removed.nonEmpty && skipChangeCommits &&
-            cur.op == "compact" && sameTombs) {
-          // skipChangeCommits opt-in: a COMPACTION rewrites files but
-          // preserves content (its rows were already emitted by the
-          // appends it compacted), so it passes as an EMPTY batch — a
-          // production table can run OPTIMIZE while being tailed. The
-          // op-name + unchanged-tombstone guard keeps this narrower
+            Set("compact", "zorder").contains(cur.op) && sameTombs) {
+          // skipChangeCommits opt-in: a COMPACTION or ZORDER rewrite
+          // replaces files but preserves content (its rows were
+          // already emitted by the appends it rewrote), so it passes
+          // as an EMPTY batch — a production table can run OPTIMIZE
+          // [ZORDER] while being tailed. The op-name +
+          // unchanged-tombstone guard keeps this narrower
           // (and safer) than Delta's flag: ops that genuinely retract
           // data — overwrite, delete, merge rewrites, a compact that
           // APPLIED pending tombstones — stay loud even with the
@@ -294,11 +295,15 @@ class GraftChangesTable(ident: String,
   // schema cannot change under a resolved plan anyway
   private lazy val feedSchema: StructType = {
     val s = spark
-    val fs = cdcFilesIn(s, 0L, Long.MaxValue)
-    require(fs.nonEmpty,
+    // one lazy walk that STOPS at the first version with a feed — the
+    // schema probe must not cost a full manifest sweep on old tables
+    val first = TxnTable.versions(s, location).iterator
+      .map(v => TxnTable.manifest(s, location, v).cdcRefs)
+      .collectFirst { case refs if refs.nonEmpty => refs.head }
+    require(first.nonEmpty,
       s"$ident: no change feed committed yet (writers publish one via " +
         "TxnTable.overwriteCdc)")
-    s.read.parquet(fs.head.toString).schema
+    s.read.parquet(TxnTable.pathFor(location, first.get)).schema
   }
 
   override def schema(): StructType = feedSchema
@@ -328,9 +333,14 @@ class GraftChangesTable(ident: String,
             throw new IllegalArgumentException(
               s"$ident: $name must be a commit number, got '$raw'")
         }
-        require(retained.contains(v),
-          s"$ident: $name $v is not a retained version (vacuumed or " +
-            s"never committed; retained ${retained.headOption.getOrElse(-1L)}" +
+        // a FUTURE version is legal: the streaming tail waits for it,
+        // and a batch slice of it is simply empty ("no changes in that
+        // range yet"). What must stay loud is naming a VACUUMED
+        // version — that read would silently serve a truncated feed.
+        require(retained.contains(v) ||
+          v > retained.lastOption.getOrElse(-1L),
+          s"$ident: $name $v names a vacuumed version (retained " +
+            s"${retained.headOption.getOrElse(-1L)}" +
             s"..${retained.lastOption.getOrElse(-1L)})")
         v
       }
@@ -549,8 +559,31 @@ class GraftStreamingWrite(ident: String, location: String,
     if (lastSeen.exists(_ >= epochId)) {
       TxnTable.dropStaged(s, location, rels); return
     }
-    val m0 = TxnTable.manifest(s, location,
-      TxnTable.currentVersion(s, location))
+    val v0 = TxnTable.currentVersion(s, location)
+    val m0 = TxnTable.manifest(s, location, v0)
+    // table metadata can move UNDER a running stream — revalidate per
+    // epoch, loudly (this sink commits executor-written files without
+    // a driver row pass, so it can neither enforce a constraint added
+    // mid-stream nor rewrite files for a schema that drifted):
+    //  - a CHECK constraint added after stream start refuses the epoch
+    //  - the epoch files' physical column names must still PREFIX the
+    //    committed physical schema (rename keeps physical names, ADD
+    //    COLUMN appends — both pass; a mid-stream DROP+re-ADD would
+    //    make these files' column invisible to readers — loud instead)
+    require(m0.checks.isEmpty,
+      s"$ident: CHECK constraint(s) ${m0.checks.map(_._1).mkString(", ")} " +
+        "were added while this stream was running — the sink cannot " +
+        "enforce them on already-written epoch files; restart the " +
+        "stream (or drop the constraints)")
+    m0.schema.foreach { tsch =>
+      val physNow = TxnTable.physicalSchema(tsch).fieldNames.toSeq
+      require(physNow.take(schema.fields.length) ==
+        schema.fieldNames.toSeq,
+        s"$ident: the table's physical schema moved under this stream " +
+          s"(now $physNow, epoch files carry " +
+          s"${schema.fieldNames.toSeq}) — restart the stream from the " +
+          "current schema")
+    }
     val staged = TxnTable.indexStagedRels(s, location, rels,
       m0.idxCols, m0.strIdxCols).filter(l => TxnTable.hasStats(l) ||
         m0.idxCols.isEmpty && m0.strIdxCols.isEmpty)
@@ -565,10 +598,19 @@ class GraftStreamingWrite(ident: String, location: String,
       else TxnTable.stageEmpty(s, location, schema)
     val metrics = Seq("epoch" -> epochId, "qtag" -> qtag,
       "qtag2" -> qtag2, "files" -> staged.size.toLong)
-    val recheck: Long => Unit = _ => {
+    val recheck: Long => Unit = base => {
       beforeAttempt()
       refreshLedger(s)
       if (lastSeen.exists(_ >= epochId)) throw new EpochReplayed
+      // a constraint added between the epoch-start validation and our
+      // CAS must not be rebased past (same rule as appendResolving)
+      if (base != v0) {
+        val cks = TxnTable.manifest(s, location, base).checks
+        require(cks.isEmpty,
+          s"$ident: CHECK constraint(s) ${cks.map(_._1).mkString(", ")} " +
+            "were committed concurrently with this epoch — the sink " +
+            "cannot enforce them; restart the stream")
+      }
     }
     try {
       if (truncate)
@@ -585,6 +627,11 @@ class GraftStreamingWrite(ident: String, location: String,
       case _: EpochReplayed =>
         // the zombie's commit IS this epoch: ours becomes the orphan
         TxnTable.dropStaged(s, location, lines)
+      case e: Throwable =>
+        // an abandoned commit (e.g. the concurrent-constraint guard)
+        // must not leak its stage
+        TxnTable.dropStaged(s, location, lines)
+        throw e
     }
   }
 

@@ -1230,10 +1230,10 @@ class CatalogSpec extends SparkSpec {
 
   test("skipChangeCommits: the tail survives compaction; retracting ops stay loud") {
     val t = fresh("streamskipcc")
-    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, a BIGINT, v STRING) " +
       "TBLPROPERTIES ('index' = 'k')")
     val d = fresh("streamskipccdst")
-    sql(s"CREATE TABLE graft.spec.$d (k BIGINT, v STRING) " +
+    sql(s"CREATE TABLE graft.spec.$d (k BIGINT, a BIGINT, v STRING) " +
       "TBLPROPERTIES ('index' = 'k')")
     val ckpt = graft.Fs.scratch("graft_skipcc", "ckpt")
     graft.Fs.deleteRecursively(ckpt)
@@ -1247,21 +1247,29 @@ class CatalogSpec extends SparkSpec {
         .toTable(s"graft.spec.$d")
       q.awaitTermination()
     }
-    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id, 'a' " +
-      "FROM RANGE(100)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id, " +
+      "id % 7, 'a' FROM RANGE(100)")
     sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id + 100, " +
-      "'b' FROM RANGE(100)")
+      "id % 7, 'b' FROM RANGE(100)")
     drain()
     // OPTIMIZE mid-stream: the next drain must pass the compact version
     // as an EMPTY batch — zero duplicate, zero missing
     sql(s"CALL graft.system.compact('spec.$t')")
     sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id + 200, " +
-      "'c' FROM RANGE(100)")
+      "id % 7, 'c' FROM RANGE(100)")
     drain()
     assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$d")
       .collect()(0).getLong(0) === 300, "compaction duplicated/lost rows")
     assert(sql(s"SELECT COUNT(DISTINCT k) AS n FROM graft.spec.$d")
       .collect()(0).getLong(0) === 300)
+    // OPTIMIZE ZORDER is equally content-preserving — the tail passes
+    // it as an empty batch too
+    sql(s"CALL graft.system.zorder('spec.$t', 'k,a', 4)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id + 300, " +
+      "id % 7, 'z' FROM RANGE(100)")
+    drain()
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$d")
+      .collect()(0).getLong(0) === 400, "zorder duplicated/lost rows")
     // a genuinely RETRACTING op (file-pruned DELETE) stays loud even
     // with the option — skipChangeCommits passes compactions only
     sql(s"DELETE FROM graft.spec.$t WHERE k >= 200 AND k <= 250")
@@ -1320,8 +1328,10 @@ class CatalogSpec extends SparkSpec {
       diff(1, 2) ++ diff(2, 3))
     assert(feed("endingVersion" -> "2") === diff(1, 2))
     assert(feed("startingVersion" -> "4") === diff(3, 4))
-    // bad bounds are loud: not-committed, inverted, non-numeric
-    intercept[Exception] { feed("startingVersion" -> "9") }
+    // a FUTURE startingVersion is a legal batch slice (empty — no
+    // changes in that range yet) and what a tail-only stream starts
+    // from; vacuumed, inverted, and non-numeric bounds stay loud
+    assert(feed("startingVersion" -> "9") === Set.empty)
     intercept[Exception] {
       feed("startingVersion" -> "3", "endingVersion" -> "2") }
     intercept[Exception] { feed("startingVersion" -> "bogus") }
@@ -1336,6 +1346,11 @@ class CatalogSpec extends SparkSpec {
     q.awaitTermination()
     assert(spark.table(qn).select("k", "w", "v")
       .as[(Long, Int, Long)].collect().toSet === diff(1, 2) ++ diff(2, 3))
+    // a bound naming a VACUUMED version stays loud — that read would
+    // silently serve a truncated feed
+    TxnTable.checkpoint(spark, loc)
+    TxnTable.vacuum(spark, loc, retain = 2)
+    intercept[Exception] { feed("startingVersion" -> "1") }
   }
 
   test("sink replay detection is atomic with the CAS loop (zombie same-epoch race)") {
