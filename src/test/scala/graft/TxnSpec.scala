@@ -1326,6 +1326,41 @@ class TxnSpec extends SparkSpec {
     assert(!orphan.exists(), "orphaned feed stage kept")
   }
 
+  test("CHECK constraints round-trip the log and validate at add time") {
+    val t = freshTable("checks_lib")
+    val s = spark
+    import s.implicits._
+    TxnTable.create(spark, t, (0L until 50L).map(i => (i, s"r$i")).toDF("k", "v"))
+    // the expression text is b64-armored in the header: a string
+    // literal carrying a TAB or '=' must survive the line format
+    val expr = "k >= 0 AND v <> 'a\tb=c'"
+    TxnTable.addCheck(spark, t, "fmt", expr)
+    val m = TxnTable.manifest(spark, t, TxnTable.currentVersion(spark, t))
+    assert(m.checks === Seq(("fmt", expr)), s"header corrupted: ${m.checks}")
+    // enforcement reads the round-tripped text
+    intercept[IllegalArgumentException] {
+      TxnTable.append(spark, t, Seq((-5L, "x")).toDF("k", "v"))
+    }
+    assert(TxnTable.snapshot(spark, t).count() === 50)
+    TxnTable.append(spark, t, Seq((100L, "y")).toDF("k", "v"))
+    assert(TxnTable.snapshot(spark, t).count() === 51)
+    // add-time validation: existing rows already violate → refused,
+    // and the constraint is NOT recorded
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.addCheck(spark, t, "small", "k < 10")
+    }
+    assert(e.getMessage.contains("small"))
+    assert(TxnTable.manifest(spark, t,
+      TxnTable.currentVersion(spark, t)).checks.map(_._1) === Seq("fmt"))
+    // constraints survive library-level merge: a violating change set
+    // is refused with the table untouched
+    intercept[IllegalArgumentException] {
+      TxnTable.merge(spark, t,
+        Seq((-1L, "bad")).toDF("k", "v"), "k")
+    }
+    assert(TxnTable.snapshot(spark, t).count() === 51)
+  }
+
   test("commitResolving re-runs recheck before every attempt, including rebases") {
     // the streaming sink's replay ledger depends on this: a competing
     // commit landing between a recheck and our CAS must force a CAS
