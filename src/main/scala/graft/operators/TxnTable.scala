@@ -1789,14 +1789,41 @@ object TxnTable {
     * readers until vacuum). */
   def overwrite(s: SparkSession, table: String, df: DataFrame): Long = {
     val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
     // constraints SURVIVE an overwrite (replacing the data must not
     // silently un-enforce an invariant — if the new shape can't satisfy
     // or even reference it, that surfaces loudly here and the check
     // must be dropped explicitly first)
-    val checks = manifest(s, table, cur).checks
-    enforceChecks(s, checks, df, s"$table: overwrite")
-    commit(s, table, stage(s, table, df), cur, op = "overwrite",
-      schemaJson = df.schema.json, checks = checks)
+    enforceChecks(s, m.checks, df, s"$table: overwrite")
+    val sch = overwriteSchema(m, df, cur)
+    commit(s, table, stage(s, table, toPhysicalFor(df, sch)), cur,
+      op = "overwrite", schemaJson = sch.json, retired = m.retired,
+      checks = m.checks)
+  }
+
+  /** The schema an overwrite commits on a column-mapped table: field
+    * ids and frozen physical names CARRY for same-named columns (an
+    * overwrite replaces the DATA, not the governance metadata — the
+    * retired-name ledger and mapping survive like checks do), and a
+    * genuinely new column whose name collides with a retired or live
+    * physical name mints a generated physical name exactly as
+    * [[addColumns]] does. */
+  private def overwriteSchema(m: Manifest, df: DataFrame, cur: Long)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      withMapping(m, df.schema).fields.map(f =>
+        if (f.metadata.contains(FieldPhys)) f
+        else guardNewField(f, m, cur + 1)))
+
+  /** Rename a logical frame to the PHYSICAL names of the exact schema
+    * a commit is about to record (identity on unmapped tables). */
+  private def toPhysicalFor(df: DataFrame,
+      sch: org.apache.spark.sql.types.StructType): DataFrame = {
+    val pm = sch.fields.iterator.map(f => f.name -> physName(f))
+      .filter { case (l, p) => l != p }.toMap
+    if (pm.isEmpty) df
+    else df.select(df.columns.map(c =>
+      col(c).as(pm.getOrElse(c, c))).toSeq: _*)
   }
 
   /** Overwrite-commit that also PERSISTS the signed change feed — and
@@ -1817,13 +1844,18 @@ object TxnTable {
   def overwriteCdc(s: SparkSession, table: String, df: DataFrame,
                    key: String): Long = {
     val cur = currentVersion(s, table)
-    val cks = manifest(s, table, cur).checks
+    val m = manifest(s, table, cur)
+    val cks = m.checks
     enforceChecks(s, cks, df, s"$table: overwrite")
-    val staged = stage(s, table, df)
+    val sch = overwriteSchema(m, df, cur)
+    val staged = stage(s, table, toPhysicalFor(df, sch))
     // the feed diffs the CURRENT snapshot against the staged bytes —
     // one read-back instead of re-evaluating df's plan a second time
-    val newDf = s.read.schema(df.schema)
+    // (read by PHYSICAL name, diff under LOGICAL names — positional
+    // rename, same order and types)
+    val newDf = s.read.schema(physicalSchema(sch))
       .parquet(staged.map(r => pathFor(table, r)): _*)
+      .toDF(df.schema.fieldNames.toSeq: _*)
     val feed = signedDiff(snapshot(s, table, cur), newDf, key)
     val tmp = new Path(s"$table/_cdc/.tmp-${java.util.UUID.randomUUID()}")
     val f = fs(s, tmp)
@@ -1847,7 +1879,8 @@ object TxnTable {
       }
     f.delete(tmp, true)
     try commit(s, table, staged, cur, op = "overwrite",
-      schemaJson = df.schema.json, cdcFiles = refs, checks = cks)
+      schemaJson = sch.json, cdcFiles = refs, retired = m.retired,
+      checks = cks)
     catch { case e: Throwable =>
       // nothing committed: drop both stages, leave the table untouched
       dropStaged(s, table, staged)
@@ -2123,12 +2156,16 @@ object TxnTable {
     val phys = physName(victim)
     val remaining = org.apache.spark.sql.types.StructType(
       withIds.fields.filterNot(_.name == name))
+    // checks CARRY: guardConstrained only refuses dropping a column a
+    // constraint references — dropping any OTHER column must not
+    // silently un-enforce the table's invariants
     commit(s, table, m.entries.map(render), cur, op = "drop",
       schemaJson = remaining.json, deleteLines = m.deletes,
       idxCols = m.idxCols.filterNot(_ == phys),
       strIdxCols = m.strIdxCols.filterNot(_ == phys),
       blooms = m.blooms.filterNot(_.col == phys),
-      retired = m.retired :+ (victim.metadata.getLong(FieldId), phys))
+      retired = m.retired :+ (victim.metadata.getLong(FieldId), phys),
+      checks = m.checks)
   }
 
   /** `ALTER TABLE ALTER COLUMN … TYPE` — WIDENING type evolution as
@@ -2850,6 +2887,12 @@ object TxnTable {
     * referenced from the same manifest write that publishes the data. */
   private def signedDiff(a: DataFrame, b: DataFrame, key: String)
       : DataFrame = {
+    // the feed's sign column is named `w` — a data column with that
+    // name would make the feed schema ambiguous; refuse loudly rather
+    // than publish an unreadable feed
+    require(!a.columns.contains("w") || key == "w",
+      "change feed cannot be published for a table with a column " +
+        "named 'w' (reserved for the feed's sign column)")
     val cols = a.columns.filterNot(_ == key).toSeq
     def pay(side: String) = struct(cols.map(c => col(s"$side.$c")): _*)
     // ONE pass over ONE join: each row becomes an array of signed change

@@ -351,7 +351,26 @@ class GraftChangesTable(ident: String,
         s"$ident: startingVersion $a > endingVersion $b")
       case _ => ()
     }
-    val paths = cdcFilesIn(s, sv.getOrElse(0L), ev.getOrElse(Long.MaxValue))
+    // endpoint retention alone is not enough: tag-shielded vacuum
+    // (live = tagged ++ newest) can leave INTERIOR holes, and silently
+    // omitting the vacuumed middle versions' change files is exactly
+    // the truncated-feed read the endpoint check keeps loud. Require
+    // the retained versions inside the resolved range to be contiguous
+    // — mirroring the streaming walk, which reads version-by-version
+    // and fails on the first missing manifest.
+    val lo = sv.getOrElse(0L)
+    val hi = ev.getOrElse(Long.MaxValue)
+    retained.filter(v => v >= lo && v <= hi).sliding(2).foreach {
+      case Seq(a, b) if b != a + 1 =>
+        throw new IllegalArgumentException(
+          s"$ident: change feed range [$lo, " +
+            s"${ev.fold("latest")(_.toString)}] has a vacuumed hole — " +
+            s"versions ${a + 1}..${b - 1} between retained $a and $b " +
+            "are gone (tag-shielded vacuum keeps tagged + newest); " +
+            "read bounded slices on either side of the hole instead")
+      case _ => ()
+    }
+    val paths = cdcFilesIn(s, lo, hi)
     // change files carry no manifest stats: the prune is identity, but
     // parquet footer/row-group pruning and column pruning still apply
     new org.apache.spark.sql.graftbridge.PruningScanBuilder(

@@ -1526,4 +1526,58 @@ class CatalogSpec extends SparkSpec {
     assert(sql(s"SELECT COUNT(*) AS n, SUM(v) AS sv FROM graft.spec.$t")
       .collect()(0).getLong(0) === 5)
   }
+
+  test("DROP COLUMN of an unreferenced column carries CHECK constraints") {
+    val t = fresh("dropcheck")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT, z STRING) " +
+      "TBLPROPERTIES ('check.pos' = 'v >= 0')")
+    sql(s"INSERT INTO graft.spec.$t VALUES (1, 1, 'a')")
+    // z is unreferenced by the constraint — the drop is legal, but the
+    // constraint must SURVIVE it (un-enforcement is always explicit)
+    sql(s"ALTER TABLE graft.spec.$t DROP COLUMN z")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    assert(TxnTable.manifest(spark, loc,
+      TxnTable.currentVersion(spark, loc)).checks === Seq(("pos", "v >= 0")),
+      "DROP COLUMN erased the table's CHECK constraints")
+    intercept[Exception] {
+      sql(s"INSERT INTO graft.spec.$t VALUES (2, -1)") }
+    sql(s"INSERT INTO graft.spec.$t VALUES (2, 2)")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 2)
+  }
+
+  test("batch change feed refuses an interior vacuum hole loudly") {
+    val s = spark
+    import s.implicits._
+    val t = fresh("cdchole")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    TxnTable.append(spark, loc,
+      (0L until 20L).map(i => (i, i)).toDF("k", "v"))
+    // publishing overwrites at versions 2, 3, 4, 5
+    (1 to 4).foreach { i =>
+      TxnTable.overwriteCdc(spark, loc, TxnTable.snapshot(spark, loc)
+        .withColumn("v", col("v") + i), "k")
+    }
+    def feed(opts: (String, String)*): Long = {
+      var r = spark.read
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.table(s"graft.spec.$t.changes").count()
+    }
+    // tag-shielded vacuum leaves an INTERIOR hole: retained = {2, 5}
+    TxnTable.tag(spark, loc, "keep2", 2L)
+    TxnTable.checkpoint(spark, loc)
+    TxnTable.vacuum(spark, loc, retain = 1)
+    assert(TxnTable.versions(spark, loc) === Seq(2L, 5L))
+    // endpoint-valid ranges spanning the hole are loud — serving only
+    // the surviving endpoints would read as "caught up" when versions
+    // 3 and 4 are gone
+    val e = intercept[Exception] {
+      feed("startingVersion" -> "2", "endingVersion" -> "5") }
+    assert(e.getMessage.contains("hole"), e.getMessage.take(200))
+    intercept[Exception] { feed() }
+    // bounded slices on either side of the hole still serve
+    assert(feed("startingVersion" -> "2", "endingVersion" -> "2") > 0)
+    assert(feed("startingVersion" -> "5") > 0)
+  }
 }

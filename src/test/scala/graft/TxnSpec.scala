@@ -1394,4 +1394,56 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.currentVersion(spark, t) === cur,
       "a throwing recheck must not commit")
   }
+
+  test("overwrite on a column-mapped table carries mapping + retired ledger") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable("ow_mapped")
+    TxnTable.create(spark, t,
+      (0L until 10L).map(i => (i, s"r$i", i * 2)).toDF("k", "v", "z"))
+    TxnTable.renameColumn(spark, t, "v", "u") // u frozen to physical 'v'
+    TxnTable.dropColumn(spark, t, "z")        // 'z' retires
+    val before = TxnTable.manifest(spark, t,
+      TxnTable.currentVersion(spark, t))
+    assert(before.retired.map(_._2) === Seq("z"))
+    // an overwrite replaces the DATA, not the governance metadata
+    TxnTable.overwrite(spark, t,
+      (0L until 5L).map(i => (i, s"n$i")).toDF("k", "u"))
+    val m = TxnTable.manifest(spark, t, TxnTable.currentVersion(spark, t))
+    val sch = m.schema.get
+    assert(sch.fieldNames.toSeq === Seq("k", "u"))
+    assert(TxnTable.physName(sch.fields.find(_.name == "u").get) === "v",
+      "overwrite reset the frozen physical name")
+    assert(m.retired === before.retired,
+      "overwrite dropped the retired-name ledger")
+    // the staged files really carry PHYSICAL names (a later rename of
+    // 'u' must keep resolving these files)
+    val raw = spark.read.parquet(
+      TxnTable.liveFiles(spark, t,
+        TxnTable.currentVersion(spark, t)).map(r => s"$t/$r"): _*)
+    assert(raw.columns.toSeq.sorted === Seq("k", "v"))
+    assert(TxnTable.snapshot(spark, t).select("u").as[String]
+      .collect().sorted.toSeq === (0 until 5).map(i => s"n$i"))
+    // re-adding a column under the RETIRED name mints a generated
+    // physical name — old files must never ghost-read as the new column
+    TxnTable.overwrite(spark, t,
+      (0L until 3L).map(i => (i, s"m$i", i + 100)).toDF("k", "u", "z"))
+    val sch2 = TxnTable.manifest(spark, t,
+      TxnTable.currentVersion(spark, t)).schema.get
+    val z2 = sch2.fields.find(_.name == "z").get
+    assert(TxnTable.physName(z2) !== "z",
+      "re-added column reused the retired physical name")
+    assert(TxnTable.snapshot(spark, t).select("z").as[Long]
+      .collect().sorted.toSeq === Seq(100L, 101L, 102L))
+    // overwriteCdc threads the same mapping: feed speaks LOGICAL names
+    TxnTable.overwriteCdc(spark, t,
+      (0L until 3L).map(i => (i, s"c$i", i + 200)).toDF("k", "u", "z"), "k")
+    val v = TxnTable.currentVersion(spark, t)
+    val feed = TxnTable.cdcSigned(spark, t, v - 1, v, "k")
+    assert(feed.columns.contains("u") && feed.columns.contains("z"))
+    assert(TxnTable.snapshot(spark, t).select("u").as[String]
+      .collect().sorted.toSeq === Seq("c0", "c1", "c2"))
+    val schCdc = TxnTable.manifest(spark, t, v).schema.get
+    assert(TxnTable.physName(schCdc.fields.find(_.name == "u").get) === "v")
+  }
 }
