@@ -1362,7 +1362,8 @@ object SparkEntry {
     // content is just the valid operations — %19 repriced (+5), %23
     // inserts shifted by the derived keyspace cut (max key + 1, the
     // same at-any-SF arithmetic the scenario computes) after the
-    // keyspace check was dropped
+    // keyspace check was dropped, and the %29 rows the CLEAN streamed
+    // epoch appended (the violating epoch landed nothing)
     "sql_txn_check" ->
       """WITH b AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
@@ -1373,7 +1374,10 @@ object SparkEntry {
         |  TRUE AS check_ok FROM b
         |UNION ALL
         |SELECT k + bound, CAST(price AS DOUBLE), TRUE
-        |FROM b, m WHERE k % 23 = 0""".stripMargin,
+        |FROM b, m WHERE k % 23 = 0
+        |UNION ALL
+        |SELECT k + 2 * bound, CAST(price AS DOUBLE), TRUE
+        |FROM b, m WHERE k % 29 = 0""".stripMargin,
     // Named vacuum-shielded tags: the final content after the
     // overwrite (%13 shift) + append (%17 shift) — replayable; the
     // pin/shield/immutability/release mechanics travel as a boolean

@@ -417,10 +417,43 @@ object SqlSurface {
     s.sql(s"""INSERT INTO graft.q.ck_orders
       SELECT o_orderkey + $bound, CAST(o_totalprice AS DECIMAL(12,2))
       FROM orders WHERE o_orderkey % 23 = 0""")
+    // the STREAMING sink enforces the same constraints per epoch: one
+    // change-set-sized read of the epoch's staged files before the
+    // manifest CAS — a clean epoch commits, a violating epoch drops
+    // its stage and lands nothing
+    freshSqlTable(s, "ck_src")
+    s.sql("""CREATE TABLE graft.q.ck_src (
+      o_orderkey BIGINT, price DECIMAL(12,2))""")
+    s.sql(s"""INSERT INTO graft.q.ck_src
+      SELECT o_orderkey + ${2 * bound}, CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey % 29 = 0""")
+    val ckpt = graft.Fs.scratch("graft_sqlcheck", "ckpt")
+    graft.Fs.deleteRecursively(ckpt)
+    def drain(): Unit = {
+      val q = s.readStream.table("graft.q.ck_src")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.q.ck_orders")
+      q.awaitTermination()
+    }
+    drain() // the clean epoch commits under 'positive'
+    val nAfterStream = cnt("SELECT COUNT(*) AS n FROM graft.q.ck_orders")
+    s.sql(s"""INSERT INTO graft.q.ck_src
+      SELECT o_orderkey + ${3 * bound},
+        CAST(-CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey % 31 = 0""")
+    val streamRejected = scala.util.Try(drain()).isFailure
+    val nAfterReject = cnt("SELECT COUNT(*) AS n FROM graft.q.ck_orders")
     val ok = insRejected && nAfterIns == nBase && impossibleRefused &&
       mergeRejected && negAfterMerge == 0L &&
+      streamRejected && nAfterReject == nAfterStream &&
       TxnTable.manifest(s, loc, TxnTable.currentVersion(s, loc))
-        .checks.map(_._1) == Seq("positive")
+        .checks.map(_._1) == Seq("positive") &&
+      // write-attempt accounting: rejected writes leave NO version —
+      // create, base insert, keyspace add, merge, keyspace unset,
+      // %23 insert, streamed epoch. Growing this scenario means
+      // updating this pin deliberately.
+      TxnTable.versions(s, loc).size == 7
     s.sql("""SELECT o_orderkey, CAST(price AS DOUBLE) AS price
       FROM graft.q.ck_orders""")
       .withColumn("check_ok", lit(ok))

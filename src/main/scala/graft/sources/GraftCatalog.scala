@@ -582,14 +582,10 @@ class GraftTable(ident: String, private[sources] val location: String,
         // OCC-resolving append; Complete mode (truncate) overwrites
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-          // the sink commits executor-written files without a driver
-          // pass over the rows — it cannot enforce CHECK constraints
-          // at change-set cost, so a constrained table refuses the
-          // stream loudly rather than silently un-enforcing
-          require(m.checks.isEmpty,
-            s"$ident: streaming writes cannot enforce CHECK " +
-              s"constraint(s) ${m.checks.map(_._1).mkString(", ")} — " +
-              "drop them or land the stream via foreachBatch + MERGE")
+          // CHECK constraints are enforced PER EPOCH by the sink: one
+          // change-set-sized read of the epoch's staged files before
+          // the manifest CAS, violating epochs drop their stage and
+          // nothing lands (see GraftStreamingWrite.validateChecks)
           val have = schema().map(f => (f.name, f.dataType)).toSeq
           val got = info.schema().map(f => (f.name, f.dataType)).toSeq
           require(got == have,

@@ -560,6 +560,27 @@ class GraftStreamingWrite(ident: String, location: String,
     * orphaned stage can be dropped. */
   private class EpochReplayed extends RuntimeException
 
+  /** CHECK enforcement over THIS epoch's staged files — the same
+    * change-set-sized pass every batch write path runs, here as one
+    * read of the files the executors just wrote (never the table).
+    * Staged files carry PHYSICAL names and constraints reference
+    * LOGICAL ones, so the read requests the committed physical schema
+    * (columns added after stream start fill NULL — which PASSES, SQL
+    * three-valued CHECK semantics) and renames positionally back. */
+  private def validateChecks(s: SparkSession,
+      checks: Seq[(String, String)], rels: Seq[String],
+      tsch: Option[StructType], epochId: Long): Unit = {
+    if (checks.isEmpty || rels.isEmpty) return
+    val readSch = tsch.map(TxnTable.physicalSchema).getOrElse(schema)
+    val logical = tsch.map(_.fieldNames.toSeq)
+      .getOrElse(schema.fieldNames.toSeq)
+    val df = s.read.schema(readSch)
+      .parquet(rels.map(r => s"$location/$r"): _*)
+      .toDF(logical: _*)
+    TxnTable.enforceChecksPublic(s, checks, df,
+      s"$ident: streamed epoch $epochId")
+  }
+
   override def commit(epochId: Long, messages: Array[WriterCommitMessage])
       : Unit = {
     val s = spark
@@ -581,19 +602,20 @@ class GraftStreamingWrite(ident: String, location: String,
     val v0 = TxnTable.currentVersion(s, location)
     val m0 = TxnTable.manifest(s, location, v0)
     // table metadata can move UNDER a running stream — revalidate per
-    // epoch, loudly (this sink commits executor-written files without
-    // a driver row pass, so it can neither enforce a constraint added
-    // mid-stream nor rewrite files for a schema that drifted):
-    //  - a CHECK constraint added after stream start refuses the epoch
+    // epoch, loudly:
+    //  - CHECK constraints are enforced over THIS epoch's staged files
+    //    (a change-set-sized read — the epoch's files are already
+    //    listed in `rels`) BEFORE the manifest CAS; a violating epoch
+    //    drops its stage and nothing lands
     //  - the epoch files' physical column names must still PREFIX the
     //    committed physical schema (rename keeps physical names, ADD
     //    COLUMN appends — both pass; a mid-stream DROP+re-ADD would
     //    make these files' column invisible to readers — loud instead)
-    require(m0.checks.isEmpty,
-      s"$ident: CHECK constraint(s) ${m0.checks.map(_._1).mkString(", ")} " +
-        "were added while this stream was running — the sink cannot " +
-        "enforce them on already-written epoch files; restart the " +
-        "stream (or drop the constraints)")
+    try validateChecks(s, m0.checks, rels, m0.schema, epochId)
+    catch { case e: Throwable =>
+      TxnTable.dropStaged(s, location, rels); throw e
+    }
+    var validated = m0.checks
     m0.schema.foreach { tsch =>
       val physNow = TxnTable.physicalSchema(tsch).fieldNames.toSeq
       require(physNow.take(schema.fields.length) ==
@@ -622,13 +644,17 @@ class GraftStreamingWrite(ident: String, location: String,
       refreshLedger(s)
       if (lastSeen.exists(_ >= epochId)) throw new EpochReplayed
       // a constraint added between the epoch-start validation and our
-      // CAS must not be rebased past (same rule as appendResolving)
+      // CAS must not be rebased past (same rule as appendResolving):
+      // re-enforce against the moved base's check set — one more
+      // change-set pass, only on that race. A violation aborts the
+      // commit (the outer catch drops the stage), keeping the loud
+      // path when the validation read races the ALTER.
       if (base != v0) {
-        val cks = TxnTable.manifest(s, location, base).checks
-        require(cks.isEmpty,
-          s"$ident: CHECK constraint(s) ${cks.map(_._1).mkString(", ")} " +
-            "were committed concurrently with this epoch — the sink " +
-            "cannot enforce them; restart the stream")
+        val mb = TxnTable.manifest(s, location, base)
+        if (mb.checks != validated) {
+          validateChecks(s, mb.checks, rels, mb.schema, epochId)
+          validated = mb.checks
+        }
       }
     }
     try {

@@ -924,25 +924,59 @@ class CatalogSpec extends SparkSpec {
       sql(s"ALTER TABLE graft.spec.$t DROP COLUMN v") }
     // ... but an unreferenced column renames fine
     sql(s"ALTER TABLE graft.spec.$t RENAME COLUMN k TO id")
-    // the streaming sink refuses a constrained table loudly
+    // the streaming sink ENFORCES the constraint per epoch: a clean
+    // epoch commits; a violating epoch drops its stage, nothing lands
     val src = fresh("checksrc")
     sql(s"CREATE TABLE graft.spec.$src (id BIGINT, v BIGINT)")
-    sql(s"INSERT INTO graft.spec.$src VALUES (1, 1)")
+    val srcLoc = s"${GraftCatalog.defaultWarehouse}/spec/$src"
+    sql(s"INSERT INTO graft.spec.$src VALUES (500, 1)")
     val ckpt = graft.Fs.scratch("graft_checksink", "ckpt")
     graft.Fs.deleteRecursively(ckpt)
-    val e2 = intercept[Exception] {
-      val q = spark.readStream.table(s"graft.spec.$src")
-        .writeStream.option("checkpointLocation", ckpt)
+    def drain(ck: String, opts: (String, String)*): Unit = {
+      var r = spark.readStream
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.table(s"graft.spec.$src")
+        .writeStream.option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .toTable(s"graft.spec.$t")
       q.awaitTermination()
     }
+    drain(ckpt)
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t WHERE id = 500")
+      .collect()(0).getLong(0) === 1, "clean epoch must commit")
+    val preV = TxnTable.currentVersion(spark, loc)
+    val preRows = sql(s"SELECT * FROM graft.spec.$t").collect().toSet
+    sql(s"INSERT INTO graft.spec.$src VALUES (501, -5)")
+    val e2 = intercept[Exception] { drain(ckpt) }
     def messages(x: Throwable): Seq[String] =
       if (x == null) Nil
       else Option(x.getMessage).toSeq ++ messages(x.getCause)
     assert(messages(e2).exists(_.contains("CHECK")),
-      s"sink must refuse constrained tables: ${messages(e2).take(3)}")
-    // dropping the constraint re-opens both paths
+      s"sink must reject the violating epoch: ${messages(e2).take(3)}")
+    // nothing landed: version unchanged, content bit-identical
+    assert(TxnTable.currentVersion(spark, loc) === preV)
+    assert(sql(s"SELECT * FROM graft.spec.$t").collect().toSet === preRows)
+    // ... and the violating epoch's staged files were dropped: every
+    // parquet file on disk is referenced by some retained manifest
+    val referenced = TxnTable.versions(spark, loc).flatMap(v =>
+      TxnTable.manifest(spark, loc, v).liveFiles).toSet
+    val dataP = new org.apache.hadoop.fs.Path(s"$loc/data")
+    val dfs = dataP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = dfs.listStatus(dataP).filter(_.isDirectory).flatMap(d =>
+      dfs.listStatus(d.getPath).map(st =>
+        s"data/${d.getPath.getName}/${st.getPath.getName}"))
+      .filter(_.endsWith(".parquet")).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"violating epoch leaked its stage: ${onDisk.diff(referenced)}")
+    // a later clean epoch on the same constrained table commits
+    val vs0 = TxnTable.currentVersion(spark, srcLoc)
+    sql(s"INSERT INTO graft.spec.$src VALUES (502, 2)")
+    val ckpt2 = graft.Fs.scratch("graft_checksink", "ckpt2")
+    graft.Fs.deleteRecursively(ckpt2)
+    drain(ckpt2, "startingVersion" -> (vs0 + 1).toString)
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t WHERE id = 502")
+      .collect()(0).getLong(0) === 1, "later clean epoch must commit")
+    // dropping the constraint re-opens the batch paths
     sql(s"ALTER TABLE graft.spec.$t UNSET TBLPROPERTIES ('check.pos')")
     sql(s"INSERT INTO graft.spec.$t VALUES (201, -1)")
     sql(s"ALTER TABLE graft.spec.$t RENAME COLUMN v TO w")
@@ -1398,6 +1432,63 @@ class CatalogSpec extends SparkSpec {
     assert(vs === Map("e0" -> 5L, "z1" -> 5L),
       s"duplicate or missing epoch rows: $vs")
     assert(TxnTable.commitMetrics(spark, loc)("epoch") === 1L)
+  }
+
+  test("a constraint added inside the epoch's CAS window is re-enforced") {
+    import graft.sources.{GraftStagedFile, GraftStreamingWrite}
+    val t = fresh("streamcheckrace")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    val schema = sql(s"SELECT * FROM graft.spec.$t").schema
+    def stageOne(tag: String, lo: Int, vExpr: String): String = {
+      val sub = s"data/race-$tag"
+      spark.range(lo, lo + 5).selectExpr("id AS k", s"$vExpr AS v")
+        .coalesce(1).write.parquet(s"$loc/$sub")
+      val dir = new org.apache.hadoop.fs.Path(s"$loc/$sub")
+      val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      s"$sub/" + f.listStatus(dir).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).head
+    }
+    // the ALTER lands exactly inside the refresh↔CAS window: rebasing
+    // past it without re-validating would commit unchecked rows under
+    // a constraint addCheck just verified
+    var armed = false
+    var fired = false
+    val w = new GraftStreamingWrite(s"graft.spec.$t", loc, schema,
+      "checkrace-query", truncate = false, () => {
+        if (armed && !fired) {
+          fired = true
+          TxnTable.addCheck(spark, loc, "pos", "v >= 0")
+        }
+      })
+    w.commit(0L, Array(GraftStagedFile(stageOne("e0", 0, "id"), 5)))
+    armed = true
+    val e = intercept[Exception] {
+      w.commit(1L, Array(GraftStagedFile(stageOne("bad", 50, "-id"), 5)))
+    }
+    assert(e.getMessage.contains("CHECK"), e.getMessage.take(200))
+    assert(fired, "seam never fired; the race was not exercised")
+    // the constraint's commit is the newest version; the violating
+    // epoch landed nothing and dropped its stage
+    assert(TxnTable.manifest(spark, loc,
+      TxnTable.currentVersion(spark, loc)).checks.map(_._1) === Seq("pos"))
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t WHERE v < 0")
+      .collect()(0).getLong(0) === 0, "violating epoch rows landed")
+    val referenced = TxnTable.versions(spark, loc).flatMap(v =>
+      TxnTable.manifest(spark, loc, v).liveFiles).toSet
+    val dataP = new org.apache.hadoop.fs.Path(s"$loc/data")
+    val dfs = dataP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = dfs.listStatus(dataP).filter(_.isDirectory).flatMap(d =>
+      dfs.listStatus(d.getPath).map(st =>
+        s"data/${d.getPath.getName}/${st.getPath.getName}"))
+      .filter(_.endsWith(".parquet")).toSet
+    assert(onDisk.subsetOf(referenced),
+      s"aborted epoch leaked its stage: ${onDisk.diff(referenced)}")
+    // the SAME epoch retried with clean rows now validates against the
+    // new constraint and commits
+    w.commit(1L, Array(GraftStagedFile(stageOne("good", 50, "id"), 5)))
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 10)
   }
 
   test("streaming tail emits version 0's content for CTAS tables") {
