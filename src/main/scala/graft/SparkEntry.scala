@@ -102,6 +102,7 @@ object SparkEntry {
     "op_mor_seq"              -> (TxnTable.morSeq _),
     "op_txn_wap"              -> (TxnTable.txnWap _),
     "op_merge_full"           -> (TxnTable.mergeFull _),
+    "op_merge_mor"            -> (TxnTable.mergeMor _),
     "op_str_skip"             -> (TxnTable.strSkip _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
@@ -1733,6 +1734,27 @@ object SparkEntry {
         |  FROM b, r WHERE k <= hi AND k % 7 = 0)
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS full_ok
+        |FROM (SELECT k, st, price FROM b
+        |        WHERE k NOT IN (SELECT k FROM upd)
+        |          AND k NOT IN (SELECT k FROM del)
+        |      UNION ALL SELECT k, st, price FROM upd
+        |      UNION ALL SELECT k, st, price FROM ins)""".stripMargin,
+    // merge-on-read MERGE: same change-set algebra as op_merge_full
+    // but over the WHOLE keyspace (scattered keys) — final content is
+    // replayable; the zero-rewrite/tombstone/compaction mechanics
+    // travel as mor_ok
+    "op_merge_mor" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |r AS (SELECT MAX(k) AS mx FROM b),
+        |upd AS (SELECT k, 'U' AS st,
+        |    CAST(price + 100 AS DECIMAL(12,2)) AS price
+        |  FROM b WHERE k % 5 = 0),
+        |del AS (SELECT k FROM b WHERE k % 3 = 0 AND k % 5 <> 0),
+        |ins AS (SELECT k + mx + 1 AS k, 'N' AS st, price
+        |  FROM b, r WHERE k % 7 = 0)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS mor_ok
         |FROM (SELECT k, st, price FROM b
         |        WHERE k NOT IN (SELECT k FROM upd)
         |          AND k NOT IN (SELECT k FROM del)

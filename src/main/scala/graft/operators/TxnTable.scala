@@ -1514,6 +1514,64 @@ object TxnTable {
     mergeCore(s, table, changes.select(keys.map(col): _*),
       changes.filter(col(opCol) =!= "D").drop(opCol), keys)
 
+  /** MERGE-ON-READ [[applyChanges]]: apply the same 'U'/'D' change set
+    * with ZERO data files rewritten. ONE commit carries (a) an equality
+    * tombstone file listing the change set's keys — written without
+    * reading the table at all, the Iceberg-v2 equality-delete shape —
+    * and (b) the 'U' rows appended as fresh entries at the commit's OWN
+    * sequence. The sequenced-tombstone rule ([[deleteKeysMor]]: a
+    * tombstone deletes only from entries whose data seq is OLDER) makes
+    * this correct in one atomic step: every pre-merge entry carries
+    * verbatim and loses its matched rows to the anti-join, while the
+    * re-inserted rows — same seq as the tombstone, not older — stay
+    * visible. Tombstoning an unmatched key is a semantic no-op, so the
+    * writer never pays a find-matched read; per-batch write cost is
+    * O(change set), the heavy-churn CDC shape copy-on-write can't
+    * serve (readers pay the anti-join until [[compact]] applies the
+    * tombstones and both generations converge). */
+  def applyChangesMor(s: SparkSession, table: String, changes: DataFrame,
+                      key: String, opCol: String = "op"): Long = {
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    val adds = changes.filter(col(opCol) =!= "D").drop(opCol)
+    val have = m.schema.getOrElse(snapshot(s, table, cur).schema)
+      .map(f => (f.name, f.dataType)).toSeq
+    require(adds.schema.map(f => (f.name, f.dataType)).toSeq == have,
+      s"merge change set schema does not match table schema $have")
+    require(have.exists(_._1 == key),
+      s"merge key '$key' is not a column of $table")
+    enforceChecks(s, m.checks, adds, s"$table: merge change set")
+    // NULL keys match no equality: a NULL-keyed tombstone row would
+    // delete nothing — keep the tombstone file clean of them (NULL-key
+    // 'U' rows still ride in `adds`, the applyChanges insert semantics)
+    val keySet = changes.select(col(key)).filter(col(key).isNotNull)
+      .distinct().coalesce(1)
+    val hasKeys = !keySet.isEmpty
+    // an all-ghost or empty change set commits nothing (an empty
+    // tombstone file would tax every future read's anti-join for
+    // nothing — deleteKeysMor's rule)
+    val tomb = if (hasKeys) stage(s, table, keySet) else Nil
+    val addLines =
+      if (adds.isEmpty) Nil
+      else if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
+        stageIndexed(s, table, toPhysical(adds, m), m.idxCols,
+          m.strIdxCols).filter(hasStats)
+      else stage(s, table, toPhysical(adds, m))
+    if (!hasKeys && addLines.isEmpty) return cur
+    // ONE commit: carried entries verbatim + fresh adds + the new
+    // tombstone (seq = -1 → stamped with this commit's seq, same as
+    // the fresh add entries — which therefore escape it)
+    commit(s, table, m.entries.map(render) ++ addLines, cur,
+      op = "merge_mor",
+      schemaJson = withMapping(m, adds.schema).json,
+      deleteLines = m.deletes ++ tomb.map((_, key, -1L)),
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      metrics = Seq("touched" -> 0L,
+        "untouched" -> m.entries.size.toLong,
+        "appended" -> addLines.size.toLong),
+      retired = m.retired, checks = m.checks)
+  }
+
   /** Shared file-pruned copy-on-write merge machinery: `keys` = every
     * key tuple the change set touches (decides which files rewrite),
     * `adds` = the rows that replace/insert (already op-filtered). */
@@ -3721,6 +3779,67 @@ object TxnTable {
     snapshot(s, t)
       .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
       .withColumn("full_ok", lit(ok))
+  }
+
+  /** op_merge_mor: merge-on-read MERGE — the same 'U'/'D' change-set
+    * semantics as op_merge_full, with keys SCATTERED across the whole
+    * keyspace (the heavy-churn CDC shape where copy-on-write would
+    * rewrite every file). [[applyChangesMor]] lands ONE commit: every
+    * pre-merge entry carries byte-identical (asserted on rendered
+    * manifest lines), exactly one new tombstone file, the 'U' rows
+    * appended at the commit's own seq. mor_ok also proves: content
+    * hash-equal to the copy-on-write [[applyChanges]] of the SAME
+    * change set on a twin table (symmetric exceptAll, multiset
+    * semantics), the pinned pre-merge version intact, and [[compact]]
+    * converging both generations to tombstone-free equal content. */
+  def mergeMor(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("mergemor_orders")
+    val t2 = freshDir("mergemor_cow")
+    val base = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    Seq(t, t2).foreach(dir =>
+      commit(s, dir, stageIndexed(s, dir,
+        base.repartitionByRange(8, k).sortWithinPartitions(k),
+        "o_orderkey"),
+        expected = -1L, op = "create", schemaJson = base.schema.json))
+    val maxK = base.agg(max("o_orderkey")).collect()(0).getLong(0)
+    // scattered: every file's key range contains %-selected keys
+    val upd = base.filter(pmod(k, lit(5)) === 0)
+      .select(k, lit("U").as("o_orderstatus"),
+        (col("price") + lit(100).cast(D12)).cast(D12).as("price"),
+        lit("U").as("op"))
+    val dels = base.filter(pmod(k, lit(3)) === 0 && pmod(k, lit(5)) =!= 0)
+      .select(k, col("o_orderstatus"), col("price"), lit("D").as("op"))
+    val ins = base.filter(pmod(k, lit(7)) === 0)
+      .select((k + (maxK + 1)).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("price"), lit("U").as("op"))
+    val ghosts = base.filter(pmod(k, lit(11)) === 0)
+      .select((k + (4L * maxK + 4)).as("o_orderkey"),
+        col("o_orderstatus"), col("price"), lit("D").as("op"))
+    val changes = upd.unionByName(dels).unionByName(ins).unionByName(ghosts)
+    val nBase = base.count()
+    val before = liveEntries(s, t, 0).map(render)
+    val v = applyChangesMor(s, t, changes, "o_orderkey")         // v1
+    val after = liveEntries(s, t, v).map(render)
+    // zero data files rewritten: every pre-merge entry line carries
+    // VERBATIM (path, seq, stats — byte-identical), plus the appends
+    val carried = before.forall(after.toSet.contains)
+    val oneTomb = deleteFiles(s, t, v).size == 1
+    val pinned = snapshot(s, t, 0).count() == nBase
+    // the copy-on-write twin applies the SAME change set
+    applyChangesMulti(s, t2, changes, Seq("o_orderkey"))
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val cowEqual = eq(snapshot(s, t), snapshot(s, t2))
+    // compaction applies the tombstones: both generations converge to
+    // the same tombstone-free content
+    val vc = compact(s, t)
+    val converged = deleteFiles(s, t, vc).isEmpty &&
+      eq(snapshot(s, t), snapshot(s, t2))
+    val ok = carried && oneTomb && pinned && cowEqual && converged
+    snapshot(s, t)
+      .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
+      .withColumn("mor_ok", lit(ok))
   }
 
   /** op_txn_wap: WRITE–AUDIT–PUBLISH as a checked query — the pattern

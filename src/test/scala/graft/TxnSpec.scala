@@ -1395,6 +1395,46 @@ class TxnSpec extends SparkSpec {
       "a throwing recheck must not commit")
   }
 
+  test("applyChangesMor: one commit, zero rewrites, sequenced semantics") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable("mor_merge")
+    TxnTable.create(spark, t, baseDf(20)) // k 0..19
+    val v0Files = TxnTable.liveFiles(spark, t, 0).toSet
+    val changes = Seq(
+      (5L, "UPD5", "U"),   // matched update
+      (6L, "GONE", "D"),   // matched delete
+      (100L, "NEW", "U"),  // unmatched insert
+      (999L, "GHOST", "D") // unmatched delete: no-op
+    ).toDF("k", "v", "op")
+    val v1 = TxnTable.applyChangesMor(spark, t, changes, "k")
+    assert(v1 === 1L, "MoR merge must be ONE commit")
+    // every pre-merge file carried verbatim + the appended adds
+    assert(v0Files.subsetOf(TxnTable.liveFiles(spark, t, v1).toSet),
+      "MoR merge rewrote data files")
+    assert(TxnTable.deleteFiles(spark, t, v1).size === 1)
+    val snap = TxnTable.snapshot(spark, t)
+    assert(snap.count() === 20) // -1 delete, +1 insert
+    assert(snap.filter(col("k") === 5).select("v").as[String]
+      .collect().toSeq === Seq("UPD5"))
+    assert(snap.filter(col("k") === 6).count() === 0)
+    assert(snap.filter(col("k") === 100).count() === 1)
+    // the pinned pre-merge version is intact
+    assert(TxnTable.snapshot(spark, t, 0).count() === 20)
+    // a LATER append of a tombstoned key escapes the tombstone
+    // (sequenced equality deletes: newer data seq wins)
+    TxnTable.append(spark, t, Seq((6L, "BACK")).toDF("k", "v"))
+    assert(TxnTable.snapshot(spark, t).filter(col("k") === 6)
+      .select("v").as[String].collect().toSeq === Seq("BACK"))
+    // compact applies the tombstone and converges
+    val vc = TxnTable.compact(spark, t)
+    assert(TxnTable.deleteFiles(spark, t, vc).isEmpty)
+    val after = TxnTable.snapshot(spark, t)
+    assert(after.count() === 21 &&
+      after.filter(col("k") === 6).select("v").as[String]
+        .collect().toSeq === Seq("BACK"))
+  }
+
   test("overwrite on a column-mapped table carries mapping + retired ledger") {
     val s = spark
     import s.implicits._
