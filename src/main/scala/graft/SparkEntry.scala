@@ -72,6 +72,7 @@ object SparkEntry {
     "sql_txn_detail"          -> (SqlSurface.txnDetail _),
     "sql_txn_rename"          -> (SqlSurface.txnRename _),
     "sql_txn_tag"             -> (SqlSurface.txnTag _),
+    "sql_txn_branch"          -> (SqlSurface.txnBranch _),
     "sql_txn_check"           -> (SqlSurface.txnCheck _),
     "sql_txn_delete"          -> (SqlSurface.txnDelete _),
     "sql_txn_delete_str"      -> (SqlSurface.txnDeleteStr _),
@@ -1382,6 +1383,27 @@ object SparkEntry {
     // Named vacuum-shielded tags: the final content after the
     // overwrite (%13 shift) + append (%17 shift) — replayable; the
     // pin/shield/immutability/release mechanics travel as a boolean
+    // Named writable branches: final main content after two
+    // fast-forwards (%13, %17, %19 branch inserts) plus main's own
+    // %23 insert — replayable; the pin/ff-once/non-ff-refusal
+    // mechanics travel as a boolean
+    "sql_txn_branch" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT k AS o_orderkey, CAST(price AS DOUBLE) AS price,
+        |  TRUE AS br_ok FROM b
+        |UNION ALL
+        |SELECT k + 100000000, CAST(price AS DOUBLE), TRUE
+        |FROM b WHERE k % 13 = 0
+        |UNION ALL
+        |SELECT k + 200000000, CAST(price AS DOUBLE), TRUE
+        |FROM b WHERE k % 17 = 0
+        |UNION ALL
+        |SELECT k + 300000000, CAST(price AS DOUBLE), TRUE
+        |FROM b WHERE k % 19 = 0
+        |UNION ALL
+        |SELECT k + 400000000, CAST(price AS DOUBLE), TRUE
+        |FROM b WHERE k % 23 = 0""".stripMargin,
     "sql_txn_tag" ->
       """WITH b AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)

@@ -520,6 +520,79 @@ object SqlSurface {
       .withColumn("tag_ok", lit(ok))
   }
 
+  /** sql_txn_branch: named WRITABLE BRANCHES as pure SQL — the staging
+    * lifecycle first-class instead of the clone+publish namespace
+    * convention. `CALL graft.system.branch('q.t', 'dev')` forks a
+    * writable lineage at the current version (one manifest write, zero
+    * data moved); writes address the branch BY NAME through the
+    * catalog (`INSERT INTO graft.q.t.branch_dev` — the Iceberg
+    * `t.branch_<name>` shape) and advance only the branch's version
+    * counter; reads come back via the same identifier or `VERSION AS
+    * OF 'dev'`; `CALL graft.system.fastforward` publishes the branch
+    * head onto main as ONE commit (the ref base advances, so continued
+    * branch work fast-forwards again); a fast-forward after main moved
+    * independently is REFUSED loudly (that is publish/merge
+    * territory). br_ok carries: main pinned (content AND version
+    * count) through two branch writes, branch readable both ways,
+    * each fast-forward advancing main exactly once, and the non-FF
+    * refusal. Final content is replayable arithmetic. */
+  def txnBranch(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "br_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.br_orders (
+      o_orderkey BIGINT, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    s.sql("""INSERT INTO graft.q.br_orders
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    def cnt(q: String): Long = s.sql(q).collect()(0).getLong(0)
+    def modCnt(m: Int): Long =
+      cnt(s"SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % $m = 0")
+    val nBase = cnt("SELECT COUNT(*) AS n FROM orders")
+    val (n13, n17, n19, n23) = (modCnt(13), modCnt(17), modCnt(19), modCnt(23))
+    s.sql("CALL graft.system.branch('q.br_orders', 'dev')")
+    def insBranch(shift: Long, m: Int): Unit =
+      s.sql(s"""INSERT INTO graft.q.br_orders.branch_dev
+        SELECT o_orderkey + $shift, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE o_orderkey % $m = 0""")
+    insBranch(100000000L, 13)
+    insBranch(200000000L, 17)
+    // two branch commits later: main's content AND version count pinned
+    val mainPinned =
+      cnt("SELECT COUNT(*) AS n FROM graft.q.br_orders") == nBase &&
+        TxnTable.versions(s, loc) == Seq(0L, 1L)
+    val branchRead =
+      cnt("SELECT COUNT(*) AS n FROM graft.q.br_orders.branch_dev") ==
+        nBase + n13 + n17 &&
+        cnt("SELECT COUNT(*) AS n FROM graft.q.br_orders " +
+          "VERSION AS OF 'dev'") == nBase + n13 + n17
+    s.sql("CALL graft.system.fastforward('q.br_orders', 'dev')")
+    val ff1 = TxnTable.versions(s, loc) == Seq(0L, 1L, 2L) &&
+      cnt("SELECT COUNT(*) AS n FROM graft.q.br_orders") ==
+        nBase + n13 + n17
+    // the ref base advanced with the fast-forward: continued branch
+    // work fast-forwards again
+    insBranch(300000000L, 19)
+    s.sql("CALL graft.system.fastforward('q.br_orders', 'dev')")
+    val ff2 = TxnTable.versions(s, loc) == Seq(0L, 1L, 2L, 3L) &&
+      cnt("SELECT COUNT(*) AS n FROM graft.q.br_orders") ==
+        nBase + n13 + n17 + n19
+    // main moves INDEPENDENTLY → the next fast-forward is refused
+    // (the branch's %29 rows never land; publish/merge territory)
+    s.sql(s"""INSERT INTO graft.q.br_orders
+      SELECT o_orderkey + 400000000, CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey % 23 = 0""")
+    insBranch(500000000L, 29)
+    val nonFfLoud = scala.util.Try(s.sql(
+      "CALL graft.system.fastforward('q.br_orders', 'dev')")
+      .collect()).isFailure
+    val ok = mainPinned && branchRead && ff1 && ff2 && nonFfLoud &&
+      cnt("SELECT COUNT(*) AS n FROM graft.q.br_orders") ==
+        nBase + n13 + n17 + n19 + n23
+    s.sql("""SELECT o_orderkey, CAST(price AS DOUBLE) AS price
+      FROM graft.q.br_orders""")
+      .withColumn("br_ok", lit(ok))
+  }
+
   /** sql_txn_rename: RENAME and DROP COLUMN as pure metadata — COLUMN
     * MAPPING through the log (the Delta 'name'-mode / Iceberg field-id
     * shape): every column's PHYSICAL name is frozen at birth in the

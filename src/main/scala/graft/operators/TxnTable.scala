@@ -462,6 +462,128 @@ object TxnTable {
     f.exists(p) && f.delete(p, false)
   }
 
+  // ---- NAMED WRITABLE BRANCHES: `_log/refs-branch/` heads ----
+
+  private def branchRefsDir(table: String): Path =
+    new Path(logDir(table), "refs-branch")
+
+  /** The directory a branch's own log + staged data live under —
+    * INSIDE the parent table's directory, so the branch travels with
+    * the table, but outside `data/` so the parent's vacuum listing
+    * never sees branch files. */
+  def branchDir(table: String, name: String): String =
+    s"$table/_branches/$name"
+
+  /** Create a named WRITABLE BRANCH at the table's current version —
+    * the Iceberg branch-ref shape, built on the shallow-clone
+    * machinery: the branch is its own manifest lineage (under
+    * [[branchDir]]) whose version 0 references the parent's current
+    * live files by absolute path (one manifest write, zero data
+    * moved). Commits addressed to the branch advance the BRANCH's
+    * version counter — the parent's timeline does not move — and
+    * [[fastForward]] publishes the branch head back onto the parent as
+    * one commit. The ref file records the parent version the branch
+    * lineage is based on (the fast-forward precondition). Unlike a tag
+    * (an immutable pin) a branch is a divergent writable lineage;
+    * like a tag, [[vacuum]] shields every parent file a branch still
+    * references. */
+  def branch(s: SparkSession, table: String, name: String): Long = {
+    require(name.nonEmpty &&
+      name.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"branch name '$name' must be [A-Za-z0-9._-]+")
+    require(name.toLongOption.isEmpty,
+      s"branch name '$name' would shadow a version number")
+    val base = currentVersion(s, table)
+    writeBranchRef(s, table, name, base, expectNew = true)
+    try shallowClone(s, table, branchDir(table, name))
+    catch { case e: Throwable => deleteBranch(s, table, name); throw e }
+  }
+
+  /** All branches, (name, base version the ref records), name-sorted. */
+  def branches(s: SparkSession, table: String): Seq[(String, Long)] = {
+    val rd = branchRefsDir(table)
+    val f = fs(s, rd)
+    if (!f.exists(rd)) Seq.empty
+    else f.listStatus(rd).toSeq.map(_.getPath)
+      .filterNot(_.getName.startsWith(".tmp-"))
+      .map { p =>
+        val in = f.open(p)
+        val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+        (p.getName, txt.trim.toLong)
+      }.sortBy(_._1)
+  }
+
+  /** CAS-create (or, for a fast-forward's advance, replace) the branch
+    * ref file — same exists+rename discipline as [[tag]]. */
+  private def writeBranchRef(s: SparkSession, table: String, name: String,
+      base: Long, expectNew: Boolean): Unit = {
+    val rd = branchRefsDir(table)
+    val f = fs(s, rd)
+    f.mkdirs(rd)
+    val dst = new Path(rd, name)
+    val tmp = new Path(rd, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(s"$base\n".getBytes(UTF_8)) finally out.close()
+    val won = commitLock.synchronized {
+      if (expectNew && f.exists(dst)) false
+      else {
+        if (!expectNew && f.exists(dst)) f.delete(dst, false)
+        f.rename(tmp, dst)
+      }
+    }
+    if (!won) {
+      f.delete(tmp, false)
+      throw new ConcurrentModificationException(
+        s"$table: branch '$name' already exists")
+    }
+  }
+
+  /** Drop a branch ref (false if absent). The branch's own directory
+    * (its log + any files it staged) stays on disk for pinned readers;
+    * the next parent [[vacuum]] stops shielding the parent files it
+    * referenced. */
+  def deleteBranch(s: SparkSession, table: String, name: String): Boolean = {
+    val p = new Path(branchRefsDir(table), name)
+    val f = fs(s, p)
+    f.exists(p) && f.delete(p, false)
+  }
+
+  /** FAST-FORWARD publish: make the parent's content EXACTLY the
+    * branch head, as one commit — legal only while the parent still
+    * sits at the version the branch is based on (the git fast-forward
+    * rule; ref bases advance with each fast-forward so a continued
+    * branch can fast-forward again). A parent that moved needs
+    * [[publish]] (the WAP cherry-pick of additions) or a real merge —
+    * refusing here keeps "publish advances main once" exact. Unlike
+    * publish, a fast-forward CAN carry the branch's merge-on-read
+    * tombstones: the parent's entries are (a subset of) the branch's
+    * carried entries with their original seqs, so the sequencing
+    * stays sound wholesale. */
+  def fastForward(s: SparkSession, table: String, name: String): Long = {
+    val bd = branchDir(table, name)
+    val base = branches(s, table).collectFirst { case (`name`, b) => b }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table: no branch named '$name' (branches: " +
+          s"${branches(s, table).map(_._1).mkString(", ")})"))
+    val cur = currentVersion(s, table)
+    require(cur == base,
+      s"$table: not a fast-forward — the table moved from $base to " +
+        s"$cur while branch '$name' was open; publish() grafts the " +
+        "branch's additions instead, or re-branch and replay")
+    def absPath(p: String) = if (p.startsWith("/")) p else s"$bd/$p"
+    val ms = manifest(s, bd, currentVersion(s, bd))
+    val v = commit(s, table,
+      ms.entries.map(e => render(e.copy(path = absPath(e.path)))), cur,
+      op = "fastforward",
+      schemaJson = ms.schema.map(_.json).orNull,
+      deleteLines = ms.deletes.map { case (p, c, sq) => (absPath(p), c, sq) },
+      idxCols = ms.idxCols, strIdxCols = ms.strIdxCols,
+      blooms = ms.blooms.map(b => b.copy(dir = absPath(b.dir))),
+      retired = ms.retired, checks = ms.checks)
+    writeBranchRef(s, table, name, v, expectNew = false)
+    v
+  }
+
   /** Resolve a version REFERENCE: a number, or a tag name. */
   def resolveVersion(s: SparkSession, table: String, ref: String): Long =
     ref.toLongOption.getOrElse(
@@ -2622,11 +2744,27 @@ object TxnTable {
     // silently resurrect deleted rows. (One parsed manifest per retained
     // version covers both facets.)
     val retained = live.map(manifest(s, table, _))
-    val keep = retained
-      .flatMap(m => m.liveFiles ++ m.deletes.map(_._1)).toSet
+    // BRANCHES shield like tags do: a live branch's manifests reference
+    // parent files by absolute path, and the parent's retention window
+    // advancing must never pull data out from under an open branch.
+    // Strip the table prefix back to the relative form the keep-set
+    // speaks; refs into the branch's OWN dir are outside the parent's
+    // data listing anyway.
+    val branchRefs = branches(s, table).map(_._1).flatMap { b =>
+      val bd = branchDir(table, b)
+      versions(s, bd).map(manifest(s, bd, _))
+    }
+    def rel(p: String): Option[String] =
+      if (p.startsWith(s"$table/data/")) Some(p.drop(table.length + 1))
+      else None
+    val keep = (retained
+      .flatMap(m => m.liveFiles ++ m.deletes.map(_._1)) ++
+      branchRefs.flatMap(m =>
+        (m.liveFiles ++ m.deletes.map(_._1)).flatMap(rel))).toSet
     // bloom sidecars are whole directories of parquet — keep every file
     // under a retained version's referenced bloom dir
-    val keepDirs = retained.flatMap(_.blooms.map(_.dir)).toSet
+    val keepDirs = (retained.flatMap(_.blooms.map(_.dir)) ++
+      branchRefs.flatMap(_.blooms.map(b => rel(b.dir)).flatten)).toSet
     val dataDir = new Path(table, "data")
     val f = fs(s, dataDir)
     // dead manifests go FIRST: if the vacuum crashes mid-way, a vacuumed

@@ -125,6 +125,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       }
     }
+    // BRANCH TABLES (the Iceberg `t.branch_<name>` shape): a branch is
+    // a full read/write table — INSERT/MERGE/SELECT against it advance
+    // or read the BRANCH lineage, the parent's timeline never moves
+    if (!isTable(tablePath(ident)) && ident.namespace().nonEmpty &&
+        ident.name().startsWith("branch_")) {
+      val parent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      val parentPath = tablePath(parent)
+      val bname = ident.name().stripPrefix("branch_")
+      if (isTable(parentPath) &&
+          TxnTable.branches(spark, parentPath).exists(_._1 == bname)) {
+        val bd = TxnTable.branchDir(parentPath, bname)
+        return new GraftTable(s"$catalogName.${ident.toString}", bd,
+          TxnTable.currentVersion(spark, bd))
+      }
+    }
     loadAt(ident, -1L)
   }
 
@@ -151,6 +167,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = tablePath(ident)
     if (!isTable(path)) throw new NoSuchTableException(ident)
+    // `VERSION AS OF '<branch>'` reads the branch HEAD — branches are
+    // refs like tags, but they resolve to their own lineage's current
+    // version rather than a pinned parent version
+    if (version.toLongOption.isEmpty &&
+        TxnTable.branches(spark, path).exists(_._1 == version)) {
+      val bd = TxnTable.branchDir(path, version)
+      return new GraftTable(s"$catalogName.${ident.toString}", bd,
+        TxnTable.currentVersion(spark, bd))
+    }
     val v = TxnTable.resolveVersion(spark, path, version)
     require(v >= 0,
       s"$catalogName version must be >= 0, got $v")

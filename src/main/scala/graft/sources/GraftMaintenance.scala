@@ -120,7 +120,8 @@ private[sources] object GraftMaintenance {
 
   def procedures: Seq[String] =
     Seq("compact", "vacuum", "checkpoint", "restore", "recluster",
-      "zorder", "tag", "drop_tag", "clone", "publish")
+      "zorder", "tag", "drop_tag", "clone", "publish", "branch",
+      "fastforward", "drop_branch")
 
   def load(catalog: GraftCatalog, warehouse: String, name: String)
       : UnboundProcedure = {
@@ -208,6 +209,27 @@ private[sources] object GraftMaintenance {
         require(TxnTable.versions(s, dst).nonEmpty,
           s"graft procedure: publish target '$dst' is not a committed table")
         TxnTable.publish(s, src, dst)
+      }
+      // named WRITABLE branches: CALL graft.system.branch('ns.t',
+      // 'dev') forks a writable lineage at the current version —
+      // write through graft.ns.t.branch_dev, read the same (or
+      // VERSION AS OF 'dev'), then CALL graft.system.fastforward(
+      // 'ns.t', 'dev') publishes the branch head back as ONE commit
+      case "branch" => p("branch", Seq(tableParam,
+        ProcedureParameter.in("name", StringType).build())) { (s, in) =>
+        TxnTable.branch(s, tbl(s, in), in.getUTF8String(1).toString)
+      }
+      case "fastforward" => p("fastforward", Seq(tableParam,
+        ProcedureParameter.in("name", StringType).build())) { (s, in) =>
+        TxnTable.fastForward(s, tbl(s, in), in.getUTF8String(1).toString)
+      }
+      case "drop_branch" => p("drop_branch", Seq(tableParam,
+        ProcedureParameter.in("name", StringType).build())) { (s, in) =>
+        val loc = tbl(s, in)
+        require(TxnTable.deleteBranch(s, loc,
+          in.getUTF8String(1).toString),
+          s"graft procedure: no branch '${in.getUTF8String(1)}' on '$loc'")
+        TxnTable.currentVersion(s, loc)
       }
       case other => throw new UnsupportedOperationException(
         s"graft.system has no procedure '$other' " +

@@ -1618,6 +1618,48 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) === 5)
   }
 
+  test("branches: writable lineage; vacuum shields branch-referenced files") {
+    val t = fresh("branchvac")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(2) */ id, id " +
+      "FROM RANGE(100)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    sql(s"CALL graft.system.branch('spec.$t', 'dev')")
+    sql(s"INSERT INTO graft.spec.$t.branch_dev SELECT id + 1000, id " +
+      "FROM RANGE(50)")
+    def cnt(q: String): Long = sql(q).collect()(0).getLong(0)
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t") === 100)
+    assert(TxnTable.versions(spark, loc) === Seq(0L, 1L),
+      "branch write moved the parent's timeline")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t.branch_dev")
+      === 150)
+    // main moves independently; retention advances past the version
+    // the branch references — its files must survive the vacuum
+    sql(s"INSERT OVERWRITE graft.spec.$t SELECT id + 5000, id " +
+      "FROM RANGE(10)")
+    sql(s"CALL graft.system.vacuum('spec.$t', 1)")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t") === 10)
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t.branch_dev")
+      === 150, "vacuum deleted files an open branch references")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "VERSION AS OF 'dev'") === 150)
+    // main moved → fast-forward refuses; duplicate branch refuses
+    val e = intercept[Exception] {
+      sql(s"CALL graft.system.fastforward('spec.$t', 'dev')").collect() }
+    assert(e.getMessage.contains("fast-forward"), e.getMessage.take(160))
+    intercept[Exception] {
+      sql(s"CALL graft.system.branch('spec.$t', 'dev')").collect() }
+    // dropping the branch releases the shield: the next vacuum ages
+    // the referenced files out, and the branch identifier unresolves
+    sql(s"CALL graft.system.drop_branch('spec.$t', 'dev')")
+    intercept[Exception] {
+      sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t.branch_dev")
+        .collect() }
+    sql(s"CALL graft.system.vacuum('spec.$t', 1)")
+    intercept[Exception] {
+      TxnTable.snapshot(spark, TxnTable.branchDir(loc, "dev")).count() }
+  }
+
   test("DROP COLUMN of an unreferenced column carries CHECK constraints") {
     val t = fresh("dropcheck")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT, z STRING) " +
