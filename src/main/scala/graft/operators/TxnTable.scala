@@ -421,6 +421,12 @@ object TxnTable {
       s"tag name '$name' would shadow a version number")
     require(versions(s, table).contains(v),
       s"$table: cannot tag version $v (vacuumed or never committed)")
+    // tags and branches share the `VERSION AS OF '<name>'` namespace:
+    // a tag shadowed by a same-named branch would silently turn an
+    // immutable pin into a mutable head — refuse the collision here
+    require(!branches(s, table).exists(_._1 == name),
+      s"$table: a branch named '$name' exists — tags and branches " +
+        "share the VERSION AS OF namespace (drop_branch first)")
     val rd = refsDir(table)
     val f = fs(s, rd)
     f.mkdirs(rd)
@@ -467,12 +473,42 @@ object TxnTable {
   private def branchRefsDir(table: String): Path =
     new Path(logDir(table), "refs-branch")
 
-  /** The directory a branch's own log + staged data live under —
-    * INSIDE the parent table's directory, so the branch travels with
-    * the table, but outside `data/` so the parent's vacuum listing
-    * never sees branch files. */
+  /** The DEFAULT directory a branch's own log + staged data live
+    * under — INSIDE the parent table's directory, so the branch
+    * travels with the table, but outside `data/` so the parent's
+    * vacuum listing never sees branch files. The ref file records the
+    * branch's ACTUAL dir leaf (see [[branchDir(s,table,name)*]]): a
+    * name whose default dir is occupied by a dropped branch's remains
+    * gets a fresh uuid-suffixed leaf instead. */
   def branchDir(table: String, name: String): String =
     s"$table/_branches/$name"
+
+  /** The branch's ACTUAL directory: the dir leaf its ref file records.
+    * A dropped branch's directory is never deleted or reused — a
+    * pre-drop [[fastForward]] may have published absolute references
+    * into it — so re-creating the name allocates a fresh leaf, and
+    * every reader must resolve through the ref rather than assume the
+    * default layout. Legacy refs (no recorded leaf) resolve to the
+    * default. */
+  def branchDir(s: SparkSession, table: String, name: String): String =
+    branchInfo(s, table, name) match {
+      case Some((_, leaf)) => s"$table/_branches/$leaf"
+      case None => branchDir(table, name)
+    }
+
+  /** (base version, dir leaf) recorded in branch `name`'s ref file. */
+  def branchInfo(s: SparkSession, table: String, name: String)
+      : Option[(Long, String)] = {
+    val p = new Path(branchRefsDir(table), name)
+    val f = fs(s, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      val parts = txt.trim.split('\t')
+      Some((parts(0).toLong, if (parts.length > 1) parts(1) else name))
+    }
+  }
 
   /** Create a named WRITABLE BRANCH at the table's current version —
     * the Iceberg branch-ref shape, built on the shallow-clone
@@ -493,9 +529,25 @@ object TxnTable {
       s"branch name '$name' must be [A-Za-z0-9._-]+")
     require(name.toLongOption.isEmpty,
       s"branch name '$name' would shadow a version number")
+    // the mirror of tag()'s guard: a branch created under a live tag's
+    // name would repoint `VERSION AS OF '<name>'` from an immutable,
+    // vacuum-shielded pin to a mutable head (branches resolve first)
+    require(!tags(s, table).exists(_._1 == name),
+      s"$table: a tag named '$name' exists — tags and branches share " +
+        "the VERSION AS OF namespace (deleteTag first)")
     val base = currentVersion(s, table)
-    writeBranchRef(s, table, name, base, expectNew = true)
-    try shallowClone(s, table, branchDir(table, name))
+    // A previously dropped branch's directory is NEVER reused: a
+    // pre-drop fastforward may have published absolute references into
+    // it (parent manifests point at `_branches/<leaf>/data/...`), so
+    // deleting or renaming it would destroy live parent data. A fresh
+    // uuid-suffixed leaf goes in the ref file instead; readers resolve
+    // through branchDir(s, ...).
+    val defaultDir = new Path(branchDir(table, name))
+    val leaf =
+      if (!fs(s, defaultDir).exists(defaultDir)) name
+      else s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
+    writeBranchRef(s, table, name, base, leaf, expectNew = true)
+    try shallowClone(s, table, s"$table/_branches/$leaf")
     catch { case e: Throwable => deleteBranch(s, table, name); throw e }
   }
 
@@ -509,21 +561,22 @@ object TxnTable {
       .map { p =>
         val in = f.open(p)
         val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
-        (p.getName, txt.trim.toLong)
+        (p.getName, txt.trim.split('\t')(0).toLong)
       }.sortBy(_._1)
   }
 
   /** CAS-create (or, for a fast-forward's advance, replace) the branch
-    * ref file — same exists+rename discipline as [[tag]]. */
+    * ref file — same exists+rename discipline as [[tag]]. The ref
+    * carries `base<TAB>dirLeaf`. */
   private def writeBranchRef(s: SparkSession, table: String, name: String,
-      base: Long, expectNew: Boolean): Unit = {
+      base: Long, leaf: String, expectNew: Boolean): Unit = {
     val rd = branchRefsDir(table)
     val f = fs(s, rd)
     f.mkdirs(rd)
     val dst = new Path(rd, name)
     val tmp = new Path(rd, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(s"$base\n".getBytes(UTF_8)) finally out.close()
+    try out.write(s"$base\t$leaf\n".getBytes(UTF_8)) finally out.close()
     val won = commitLock.synchronized {
       if (expectNew && f.exists(dst)) false
       else {
@@ -539,9 +592,11 @@ object TxnTable {
   }
 
   /** Drop a branch ref (false if absent). The branch's own directory
-    * (its log + any files it staged) stays on disk for pinned readers;
-    * the next parent [[vacuum]] stops shielding the parent files it
-    * referenced. */
+    * (its log + any files it staged) stays on disk for pinned readers
+    * AND for parent manifests a pre-drop fastforward published into
+    * it — re-creating the name allocates a fresh dir leaf, never
+    * reusing or cleaning this one; the next parent [[vacuum]] stops
+    * shielding the parent files it referenced. */
   def deleteBranch(s: SparkSession, table: String, name: String): Boolean = {
     val p = new Path(branchRefsDir(table), name)
     val f = fs(s, p)
@@ -560,17 +615,28 @@ object TxnTable {
     * carried entries with their original seqs, so the sequencing
     * stays sound wholesale. */
   def fastForward(s: SparkSession, table: String, name: String): Long = {
-    val bd = branchDir(table, name)
-    val base = branches(s, table).collectFirst { case (`name`, b) => b }
+    val (base, leaf) = branchInfo(s, table, name)
       .getOrElse(throw new IllegalArgumentException(
         s"$table: no branch named '$name' (branches: " +
           s"${branches(s, table).map(_._1).mkString(", ")})"))
+    val bd = s"$table/_branches/$leaf"
     val cur = currentVersion(s, table)
     require(cur == base,
       s"$table: not a fast-forward — the table moved from $base to " +
         s"$cur while branch '$name' was open; publish() grafts the " +
         "branch's additions instead, or re-branch and replay")
-    def absPath(p: String) = if (p.startsWith("/")) p else s"$bd/$p"
+    // Path algebra for the published manifest: branch-staged files
+    // (relative in the branch's manifest) become absolute under the
+    // branch dir; the parent's OWN files — absolute self-references
+    // inherited from the shallow clone — fold BACK to table-relative,
+    // so the parent's vacuum keep-set (which compares relative
+    // `data/...` names against the on-disk listing) keeps shielding
+    // them after the branch ref is dropped. Foreign absolute paths
+    // (a clone source) pass through untouched.
+    def absPath(p: String) =
+      if (p.startsWith(s"$table/data/")) p.drop(table.length + 1)
+      else if (p.startsWith("/")) p
+      else s"$bd/$p"
     val ms = manifest(s, bd, currentVersion(s, bd))
     val v = commit(s, table,
       ms.entries.map(e => render(e.copy(path = absPath(e.path)))), cur,
@@ -580,7 +646,7 @@ object TxnTable {
       idxCols = ms.idxCols, strIdxCols = ms.strIdxCols,
       blooms = ms.blooms.map(b => b.copy(dir = absPath(b.dir))),
       retired = ms.retired, checks = ms.checks)
-    writeBranchRef(s, table, name, v, expectNew = false)
+    writeBranchRef(s, table, name, v, leaf, expectNew = false)
     v
   }
 
@@ -2751,19 +2817,24 @@ object TxnTable {
     // speaks; refs into the branch's OWN dir are outside the parent's
     // data listing anyway.
     val branchRefs = branches(s, table).map(_._1).flatMap { b =>
-      val bd = branchDir(table, b)
+      val bd = branchDir(s, table, b)
       versions(s, bd).map(manifest(s, bd, _))
     }
     def rel(p: String): Option[String] =
       if (p.startsWith(s"$table/data/")) Some(p.drop(table.length + 1))
       else None
+    // Absolute SELF-references (a pre-fix fastforward manifest, or a
+    // restore that propagated one) fold back to the relative form the
+    // on-disk sweep speaks — without this, the parent's own retained
+    // files would never match the listing and be swept as orphans.
+    def relOrSelf(p: String): String = rel(p).getOrElse(p)
     val keep = (retained
-      .flatMap(m => m.liveFiles ++ m.deletes.map(_._1)) ++
+      .flatMap(m => (m.liveFiles ++ m.deletes.map(_._1)).map(relOrSelf)) ++
       branchRefs.flatMap(m =>
         (m.liveFiles ++ m.deletes.map(_._1)).flatMap(rel))).toSet
     // bloom sidecars are whole directories of parquet — keep every file
     // under a retained version's referenced bloom dir
-    val keepDirs = (retained.flatMap(_.blooms.map(_.dir)) ++
+    val keepDirs = (retained.flatMap(_.blooms.map(b => relOrSelf(b.dir))) ++
       branchRefs.flatMap(_.blooms.map(b => rel(b.dir)).flatten)).toSet
     val dataDir = new Path(table, "data")
     val f = fs(s, dataDir)
@@ -3083,10 +3154,11 @@ object TxnTable {
     * referenced from the same manifest write that publishes the data. */
   private def signedDiff(a: DataFrame, b: DataFrame, key: String)
       : DataFrame = {
-    // the feed's sign column is named `w` — a data column with that
-    // name would make the feed schema ambiguous; refuse loudly rather
-    // than publish an unreadable feed
-    require(!a.columns.contains("w") || key == "w",
+    // the feed's sign column is named `w` — ANY input column with that
+    // name (key or payload alike: a `w` key would emit two `w` columns
+    // in the final select) makes the feed schema ambiguous; refuse
+    // loudly rather than publish an unreadable feed
+    require(!a.columns.contains("w"),
       "change feed cannot be published for a table with a column " +
         "named 'w' (reserved for the feed's sign column)")
     val cols = a.columns.filterNot(_ == key).toSeq

@@ -136,7 +136,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val bname = ident.name().stripPrefix("branch_")
       if (isTable(parentPath) &&
           TxnTable.branches(spark, parentPath).exists(_._1 == bname)) {
-        val bd = TxnTable.branchDir(parentPath, bname)
+        val bd = TxnTable.branchDir(spark, parentPath, bname)
         return new GraftTable(s"$catalogName.${ident.toString}", bd,
           TxnTable.currentVersion(spark, bd))
       }
@@ -172,7 +172,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // version rather than a pinned parent version
     if (version.toLongOption.isEmpty &&
         TxnTable.branches(spark, path).exists(_._1 == version)) {
-      val bd = TxnTable.branchDir(path, version)
+      val bd = TxnTable.branchDir(spark, path, version)
       return new GraftTable(s"$catalogName.${ident.toString}", bd,
         TxnTable.currentVersion(spark, bd))
     }

@@ -1660,6 +1660,82 @@ class CatalogSpec extends SparkSpec {
       TxnTable.snapshot(spark, TxnTable.branchDir(loc, "dev")).count() }
   }
 
+  test("fastforward + drop_branch + vacuum keeps the parent's data; " +
+      "a dropped branch name is reusable") {
+    val t = fresh("ffvac")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(3) */ id, id " +
+      "FROM RANGE(100)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    def cnt(q: String): Long = sql(q).collect()(0).getLong(0)
+    def sums(): (Long, Long) = {
+      val r = sql(s"SELECT COUNT(*) AS n, SUM(v) AS sv FROM graft.spec.$t")
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // branch, stage on the branch, fast-forward back onto main
+    sql(s"CALL graft.system.branch('spec.$t', 'dev')")
+    sql(s"INSERT INTO graft.spec.$t.branch_dev SELECT id + 1000, id + 7 " +
+      "FROM RANGE(50)")
+    sql(s"CALL graft.system.fastforward('spec.$t', 'dev')")
+    val want = sums()
+    assert(want._1 === 150)
+    // the published manifest must reference the parent's own files
+    // RELATIVELY — an absolute self-reference would fall out of
+    // vacuum's keep-set the moment the branch shield drops
+    val m = TxnTable.manifest(spark, loc,
+      TxnTable.currentVersion(spark, loc))
+    assert(m.entries.exists(_.path.startsWith("data/")),
+      "fastforward lost the parent's relative self-references:\n" +
+        m.entries.map(_.path).mkString("\n"))
+    assert(!m.entries.exists(_.path.startsWith(s"$loc/data/")),
+      "fastforward published absolute self-references:\n" +
+        m.entries.map(_.path).mkString("\n"))
+    // the bug: drop the branch (shield gone), vacuum to retain=1 —
+    // the parent's live files must survive on the parent's OWN merits
+    sql(s"CALL graft.system.drop_branch('spec.$t', 'dev')")
+    sql(s"CALL graft.system.vacuum('spec.$t', 1)")
+    assert(sums() === want,
+      "vacuum after fastforward + drop_branch destroyed live parent data")
+    // re-creating a branch under the dropped name must work (fresh
+    // uuid-suffixed dir; the old dir with its published files is never
+    // reused or touched)
+    sql(s"CALL graft.system.branch('spec.$t', 'dev')")
+    sql(s"INSERT INTO graft.spec.$t.branch_dev SELECT id + 9000, id " +
+      "FROM RANGE(10)")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t.branch_dev")
+      === 160)
+    assert(sums() === want, "recreated branch moved the parent")
+    // a second fastforward from the recreated branch also lands clean
+    sql(s"CALL graft.system.fastforward('spec.$t', 'dev')")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t") === 160)
+    sql(s"CALL graft.system.drop_branch('spec.$t', 'dev')")
+    sql(s"CALL graft.system.vacuum('spec.$t', 1)")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t") === 160,
+      "second ff + vacuum cycle destroyed data")
+  }
+
+  test("tags and branches refuse to shadow each other's names") {
+    val t = fresh("refns")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
+    sql(s"INSERT INTO graft.spec.$t SELECT id FROM RANGE(10)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    TxnTable.tag(spark, loc, "pin", 1L)
+    // a branch named like the live tag would repoint VERSION AS OF
+    // 'pin' from the immutable pin to a mutable head — refused
+    val e1 = intercept[IllegalArgumentException] {
+      TxnTable.branch(spark, loc, "pin") }
+    assert(e1.getMessage.contains("tag"), e1.getMessage.take(160))
+    TxnTable.branch(spark, loc, "dev")
+    val e2 = intercept[IllegalArgumentException] {
+      TxnTable.tag(spark, loc, "dev", 1L) }
+    assert(e2.getMessage.contains("branch"), e2.getMessage.take(160))
+    // the refusals left both existing refs intact
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "VERSION AS OF 'pin'").collect()(0).getLong(0) === 10)
+    assert(TxnTable.branches(spark, loc).map(_._1) === Seq("dev"))
+  }
+
   test("DROP COLUMN of an unreferenced column carries CHECK constraints") {
     val t = fresh("dropcheck")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT, z STRING) " +

@@ -694,6 +694,21 @@ class TxnSpec extends SparkSpec {
       s"null-unsafe payload compare: $feed")
   }
 
+  test("a signed feed over a table with a column named 'w' is refused — " +
+      "even when 'w' is the KEY") {
+    val t = freshTable("cdc_wcol")
+    val s = spark
+    import s.implicits._
+    // 'w' as the key column: the old escape hatch emitted TWO columns
+    // named w (the key + the sign) — an ambiguous, unwritable feed
+    TxnTable.create(spark, t, Seq((1L, "a"), (2L, "b")).toDF("w", "v"))
+    TxnTable.overwrite(spark, t, Seq((1L, "a"), (2L, "c")).toDF("w", "v"))
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.cdcSigned(spark, t, 0, 1, "w")
+    }
+    assert(e.getMessage.contains("'w'"), e.getMessage.take(160))
+  }
+
   test("overwriteCdc persists one change file per commit; a tailing stream " +
       "consumes one commit per micro-batch") {
     val t = freshTable("cdc_stream")
