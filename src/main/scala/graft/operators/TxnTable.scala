@@ -211,6 +211,12 @@ object TxnTable {
     * followed by zero or more `<TAB>col<TAB>min<TAB>max<TAB>nulls` stat
     * groups (written by [[stageIndexed]]). */
   /** Current manifest format version, written as a `#format=` header.
+    * v6 = `#delete=` tombstone headers record the key column's
+    * PHYSICAL name (stable across RENAME/DROP COLUMN — what lets
+    * column mapping proceed while tombstones are pending); v5 lines
+    * recorded the logical-at-delete-time name, which ≤5 writers kept
+    * current by refusing renames/drops, so the parse boundary maps
+    * them forward through the manifest's own schema.
     * v5 = entry lines may carry ONE per-file byte-size group
     * (`~b TAB bytes TAB 0 TAB 0` — the reserved `~b` name can never
     * collide with a column: stageIndexed rejects names ending in a
@@ -238,7 +244,7 @@ object TxnTable {
     * have carried its version header from day one.) A NEWER format
     * fails with a clear unsupported-format error, never a cryptic
     * field-count require. */
-  private val ManifestFormat = 5L
+  private val ManifestFormat = 6L
 
   def manifest(s: SparkSession, table: String, v: Long): Manifest = {
     val lines = manifestText(s, table, v).linesIterator.toSeq
@@ -252,7 +258,7 @@ object TxnTable {
     val schema = lines.find(_.startsWith("#schema=")).map(l =>
       org.apache.spark.sql.types.DataType.fromJson(l.stripPrefix("#schema="))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-    val deletes = lines.filter(_.startsWith("#delete=")).map { l =>
+    val deletes0 = lines.filter(_.startsWith("#delete=")).map { l =>
       l.stripPrefix("#delete=").split('\t') match {
         case Array(p, c, sq) => (p, c, sq.toLong)
         // pre-seq tombstone: seq 1 — above every legacy entry (they all
@@ -264,6 +270,19 @@ object TxnTable {
           s"bad tombstone line: ${other.mkString("\t")}")
       }
     }
+    // In-memory invariant: tombstone key names are PHYSICAL. Format ≥6
+    // records them physical on disk; ≤5 recorded the key's LOGICAL
+    // name — and ≤5 writers refused rename/drop while tombstones were
+    // pending, so THIS manifest's own schema maps it to the stable
+    // physical name at the parse boundary.
+    val deletes =
+      if (fmt >= 6 || deletes0.isEmpty) deletes0
+      else {
+        val pm = schema.fold(Map.empty[String, String])(
+          _.fields.iterator.map(f => f.name -> physName(f))
+            .filter { case (l, p) => l != p }.toMap)
+        deletes0.map { case (p, c, sq) => (p, pm.getOrElse(c, c), sq) }
+      }
     def idxHdr(prefix: String): Option[Seq[String]] =
       lines.find(_.startsWith(prefix)).map(_.stripPrefix(prefix))
         .map(v => if (v.isEmpty) Seq.empty else v.split(',').toSeq)
@@ -1752,7 +1771,8 @@ object TxnTable {
     commit(s, table, m.entries.map(render) ++ addLines, cur,
       op = "merge_mor",
       schemaJson = withMapping(m, adds.schema).json,
-      deleteLines = m.deletes ++ tomb.map((_, key, -1L)),
+      deleteLines = m.deletes ++
+        tomb.map((_, physMap(m).getOrElse(key, key), -1L)),
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("touched" -> 0L,
         "untouched" -> m.entries.size.toLong,
@@ -2181,7 +2201,10 @@ object TxnTable {
     // every future read's anti-join for nothing
     if (keySet.isEmpty) return cur
     val staged = stage(s, table, keySet)
-    val dels = m.deletes ++ staged.map((_, key, -1L)) // -1 → commit seq
+    // the manifest line records the key's PHYSICAL name — stable across
+    // later renames/drops, the invariant the anti-join reads by
+    val dels = m.deletes ++
+      staged.map((_, physMap(m).getOrElse(key, key), -1L)) // -1 → commit seq
     commit(s, table, m.entries.map(render), cur, op = "delete_mor",
       schemaJson = m.schema.map(_.json).orNull,
       deleteLines = dels,
@@ -2344,17 +2367,16 @@ object TxnTable {
 
   /** `ALTER TABLE RENAME COLUMN` — ONE manifest write, entries carried
     * verbatim: the field keeps its id and (from its first rename on)
-    * its frozen physical name; only the logical name changes. Refused
-    * while merge-on-read tombstones are pending — their key files are
-    * bound to the current names; compact() applies them first. */
+    * its frozen physical name; only the logical name changes. Pending
+    * merge-on-read tombstones CARRY: their manifest lines record the
+    * key's physical name, which a rename never moves, so reads keep
+    * hiding dead keys under the new logical name and later MoR merges
+    * keep committing — no forced compaction on a heavy-churn table. */
   def renameColumn(s: SparkSession, table: String, from: String,
       to: String): Long = {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur)
     val sch = mappedSchemaOf(s, table, m)
-    require(m.deletes.isEmpty,
-      s"$table has pending merge-on-read tombstones; compact() before " +
-        "renaming columns (tombstone key files are bound to current names)")
     require(sch.fieldNames.contains(from), s"no column '$from' in $table")
     require(!sch.fieldNames.contains(to),
       s"column '$to' already exists in $table")
@@ -2390,9 +2412,6 @@ object TxnTable {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur)
     val sch = mappedSchemaOf(s, table, m)
-    require(m.deletes.isEmpty,
-      s"$table has pending merge-on-read tombstones; compact() before " +
-        "dropping columns")
     require(sch.fieldNames.contains(name), s"no column '$name' in $table")
     require(sch.fields.length > 1,
       s"cannot drop the last column of $table")
@@ -2551,26 +2570,47 @@ object TxnTable {
     require(entries.nonEmpty, s"$table: readEntries over zero entries")
     val groups = entries.groupBy(e => m.deletes.filter(_._3 > e.seq))
     groups.map { case (dels, es) =>
-      val raw = schemaReader(s, m)
-        .parquet(es.map(e => pathFor(table, e.path)): _*)
-      // mapped tables read PHYSICAL names from the files and project to
-      // the logical schema here — the single choke point every library
-      // read, rewrite, and compaction funnels through
-      val df = m.schema match {
-        case Some(sch) if hasMappedSchema(m.schema) =>
-          raw.select(sch.fields.map(f =>
-            col(physName(f)).as(f.name)).toSeq: _*)
-        case _ => raw
+      // Tombstone keys are PHYSICAL names (stable across RENAME/DROP —
+      // the manifest parse boundary guarantees it), so the anti-join
+      // runs on the RAW physical frame BEFORE the logical projection:
+      // a rename never detaches pending tombstones from their column.
+      // A key whose column was DROPPED still applies to older files —
+      // its retired physical column rides along in the read schema
+      // (type recovered from the tombstone file's own footer) and the
+      // projection below discards it.
+      val deadKeys = dels.map(_._2).distinct.filterNot(pk =>
+        m.schema.forall(_.fields.exists(f => physName(f) == pk)))
+      val reader = m.schema match {
+        case Some(sch) =>
+          val extra = deadKeys.map { pk =>
+            val tf = dels.find(_._2 == pk).get._1
+            val kdt = s.read.parquet(pathFor(table, tf))
+              .schema.fields(0).dataType
+            org.apache.spark.sql.types.StructField(pk, kdt)
+          }
+          s.read.schema(org.apache.spark.sql.types.StructType(
+            physicalSchema(sch).fields ++ extra))
+        case None => s.read
       }
-      // tombstone key files carry the LOGICAL name current at delete
-      // time, which rename/drop keep current by refusing while
-      // tombstones are pending — so `kc` always resolves here
-      dels.groupBy(_._2).foldLeft(df) {
+      val raw = reader.parquet(es.map(e => pathFor(table, e.path)): _*)
+      // tombstone key FILES are single-column but may carry the
+      // logical-at-delete-time name — read positionally, join physical
+      val cleaned = dels.groupBy(_._2).foldLeft(raw) {
         case (acc, (kc, fls)) =>
-          acc.join(
-            s.read.parquet(fls.map(f => pathFor(table, f._1)): _*)
-              .select(col(kc)).distinct(),
-            Seq(kc), "left_anti")
+          val keys = fls.map { f =>
+            val kdf = s.read.parquet(pathFor(table, f._1))
+            kdf.select(col(kdf.columns.head).as(kc))
+          }.reduce(_ unionByName _).distinct()
+          acc.join(keys, Seq(kc), "left_anti")
+      }
+      // mapped tables project physical → the committed LOGICAL schema
+      // here — the single choke point every library read, rewrite, and
+      // compaction funnels through (also drops dead tombstone columns)
+      m.schema match {
+        case Some(sch) if hasMappedSchema(m.schema) || deadKeys.nonEmpty =>
+          cleaned.select(sch.fields.map(f =>
+            col(physName(f)).as(f.name)).toSeq: _*)
+        case _ => cleaned
       }
     }.reduce(_ unionByName _)
   }

@@ -1450,6 +1450,83 @@ class TxnSpec extends SparkSpec {
         .collect().toSeq === Seq("BACK"))
   }
 
+  test("rename/drop proceed over pending MoR tombstones: the anti-join " +
+      "is keyed by frozen physical names") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable("mor_mapped")
+    TxnTable.create(spark, t,
+      (0L until 20L).map(i => (i, s"r$i", i * 2)).toDF("k", "v", "z"))
+    TxnTable.applyChangesMor(spark, t, Seq(
+      (3L, "", 0L, "D"), (5L, "UPD5", 10L, "U"), (100L, "NEW", 200L, "U"))
+      .toDF("k", "v", "z", "op"), "k")
+    assert(TxnTable.deleteFiles(spark, t,
+      TxnTable.currentVersion(spark, t)).size === 1)
+    // RENAME of the tombstone KEY column while the tombstone is pending
+    // (previously refused) — one metadata commit, entries verbatim
+    val mBefore = TxnTable.manifest(spark, t,
+      TxnTable.currentVersion(spark, t))
+    TxnTable.renameColumn(spark, t, "k", "id")
+    val mAfter = TxnTable.manifest(spark, t,
+      TxnTable.currentVersion(spark, t))
+    assert(mAfter.entries === mBefore.entries,
+      "rename with pending tombstones touched data entries")
+    assert(mAfter.deletes === mBefore.deletes,
+      "rename moved the tombstone lines")
+    assert(mAfter.deletes.forall(_._2 == "k"),
+      s"tombstone key must stay the frozen PHYSICAL name: ${mAfter.deletes}")
+    // reads hide the dead key under the NEW name
+    val snap = TxnTable.snapshot(spark, t)
+    assert(snap.columns.toSeq === Seq("id", "v", "z"))
+    assert(snap.count() === 20 &&
+      snap.filter(col("id") === 3).count() === 0)
+    assert(snap.filter(col("id") === 5).select("v").as[String]
+      .collect().toSeq === Seq("UPD5"))
+    // a POST-rename MoR merge still commits (key under its new name)
+    TxnTable.applyChangesMor(spark, t, Seq((7L, "", 0L, "D"))
+      .toDF("id", "v", "z", "op"), "id")
+    val m2 = TxnTable.manifest(spark, t, TxnTable.currentVersion(spark, t))
+    assert(m2.deletes.size === 2 && m2.deletes.forall(_._2 == "k"),
+      s"post-rename tombstone must record the physical key: ${m2.deletes}")
+    assert(TxnTable.snapshot(spark, t).filter(col("id").isin(3, 7))
+      .count() === 0)
+    // DROP of a NON-key column with tombstones pending (also previously
+    // refused): reads keep hiding dead keys
+    TxnTable.dropColumn(spark, t, "z")
+    val snap2 = TxnTable.snapshot(spark, t)
+    assert(snap2.columns.toSeq === Seq("id", "v") && snap2.count() === 19)
+    // compact applies everything and converges
+    val expect = snap2.collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    val vc = TxnTable.compact(spark, t)
+    assert(TxnTable.deleteFiles(spark, t, vc).isEmpty)
+    assert(TxnTable.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === expect, "compact diverged from the MoR read")
+  }
+
+  test("dropping the tombstone KEY column keeps dead keys hidden " +
+      "(retired physical rides the read)") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable("mor_dropkey")
+    TxnTable.create(spark, t,
+      (0L until 10L).map(i => (i, s"r$i")).toDF("k", "v"))
+    TxnTable.applyChangesMor(spark, t,
+      Seq((3L, "", "D"), (4L, "", "D")).toDF("k", "v", "op"), "k")
+    TxnTable.dropColumn(spark, t, "k")
+    val snap = TxnTable.snapshot(spark, t)
+    assert(snap.columns.toSeq === Seq("v"))
+    assert(snap.as[String].collect().sorted.toSeq ===
+      (0 until 10).filterNot(i => i == 3 || i == 4).map(i => s"r$i"),
+      "dropping the key column resurrected tombstoned rows")
+    // compact still converges to a clean, tombstone-free version
+    val vc = TxnTable.compact(spark, t)
+    assert(TxnTable.deleteFiles(spark, t, vc).isEmpty)
+    assert(TxnTable.snapshot(spark, t).as[String].collect().sorted.length
+      === 8)
+  }
+
   test("overwrite on a column-mapped table carries mapping + retired ledger") {
     val s = spark
     import s.implicits._
