@@ -1403,7 +1403,10 @@ object SparkEntry {
         |FROM b WHERE k % 19 = 0
         |UNION ALL
         |SELECT k + 400000000, CAST(price AS DOUBLE), TRUE
-        |FROM b WHERE k % 23 = 0""".stripMargin,
+        |FROM b WHERE k % 23 = 0
+        |UNION ALL
+        |SELECT k + 500000000, CAST(price AS DOUBLE), TRUE
+        |FROM b WHERE k % 29 = 0""".stripMargin,
     "sql_txn_tag" ->
       """WITH b AS (SELECT o_orderkey AS k,
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)

@@ -585,9 +585,23 @@ object SqlSurface {
     val nonFfLoud = scala.util.Try(s.sql(
       "CALL graft.system.fastforward('q.br_orders', 'dev')")
       .collect()).isFailure
+    // REBASE replays the branch's pending change onto main's moved
+    // head: two disjoint appends → pure metadata (zero data files
+    // read or moved — asserted from op metrics), the ref base
+    // advances, and the fast-forward that was just refused lands BOTH
+    val n29 = modCnt(29)
+    s.sql("CALL graft.system.rebase('q.br_orders', 'dev')")
+    val wantAll = nBase + n13 + n17 + n19 + n23 + n29
+    val bdv = TxnTable.branchDir(s, loc, "dev")
+    val metadataOnly = TxnTable.manifest(s, bdv,
+      TxnTable.currentVersion(s, bdv)).metrics.get("recomputed").isEmpty
+    val rebased = metadataOnly &&
+      cnt("SELECT COUNT(*) AS n FROM graft.q.br_orders.branch_dev") ==
+        wantAll
+    s.sql("CALL graft.system.fastforward('q.br_orders', 'dev')")
     val ok = mainPinned && branchRead && ff1 && ff2 && nonFfLoud &&
-      cnt("SELECT COUNT(*) AS n FROM graft.q.br_orders") ==
-        nBase + n13 + n17 + n19 + n23
+      rebased &&
+      cnt("SELECT COUNT(*) AS n FROM graft.q.br_orders") == wantAll
     s.sql("""SELECT o_orderkey, CAST(price AS DOUBLE) AS price
       FROM graft.q.br_orders""")
       .withColumn("br_ok", lit(ok))

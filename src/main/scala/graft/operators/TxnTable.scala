@@ -511,13 +511,21 @@ object TxnTable {
     * default. */
   def branchDir(s: SparkSession, table: String, name: String): String =
     branchInfo(s, table, name) match {
-      case Some((_, leaf)) => s"$table/_branches/$leaf"
+      case Some(r) => s"$table/_branches/${r.leaf}"
       case None => branchDir(table, name)
     }
 
-  /** (base version, dir leaf) recorded in branch `name`'s ref file. */
+  /** A branch ref's recorded state: the PARENT version the branch is
+    * based on (the fast-forward precondition), the branch's dir leaf,
+    * and `localBase` — the BRANCH-lineage version whose content is
+    * identical to parent@base (what [[rebase]] diffs and three-way-
+    * merges against; parent@base's own manifest may be vacuumed, the
+    * branch's copy is shielded). */
+  case class BranchRef(base: Long, leaf: String, localBase: Long)
+
+  /** The ref recorded for branch `name`, if it exists. */
   def branchInfo(s: SparkSession, table: String, name: String)
-      : Option[(Long, String)] = {
+      : Option[BranchRef] = {
     val p = new Path(branchRefsDir(table), name)
     val f = fs(s, p)
     if (!f.exists(p)) None
@@ -525,7 +533,9 @@ object TxnTable {
       val in = f.open(p)
       val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
       val parts = txt.trim.split('\t')
-      Some((parts(0).toLong, if (parts.length > 1) parts(1) else name))
+      Some(BranchRef(parts(0).toLong,
+        if (parts.length > 1) parts(1) else name,
+        if (parts.length > 2) parts(2).toLong else 0L))
     }
   }
 
@@ -565,7 +575,8 @@ object TxnTable {
     val leaf =
       if (!fs(s, defaultDir).exists(defaultDir)) name
       else s"$name-${java.util.UUID.randomUUID().toString.take(8)}"
-    writeBranchRef(s, table, name, base, leaf, expectNew = true)
+    writeBranchRef(s, table, name, base, leaf, localBase = 0L,
+      expectNew = true)
     try shallowClone(s, table, s"$table/_branches/$leaf")
     catch { case e: Throwable => deleteBranch(s, table, name); throw e }
   }
@@ -584,18 +595,20 @@ object TxnTable {
       }.sortBy(_._1)
   }
 
-  /** CAS-create (or, for a fast-forward's advance, replace) the branch
-    * ref file — same exists+rename discipline as [[tag]]. The ref
-    * carries `base<TAB>dirLeaf`. */
+  /** CAS-create (or, for a fast-forward's/rebase's advance, replace)
+    * the branch ref file — same exists+rename discipline as [[tag]].
+    * The ref carries `base<TAB>dirLeaf<TAB>localBase`. */
   private def writeBranchRef(s: SparkSession, table: String, name: String,
-      base: Long, leaf: String, expectNew: Boolean): Unit = {
+      base: Long, leaf: String, localBase: Long,
+      expectNew: Boolean): Unit = {
     val rd = branchRefsDir(table)
     val f = fs(s, rd)
     f.mkdirs(rd)
     val dst = new Path(rd, name)
     val tmp = new Path(rd, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(s"$base\t$leaf\n".getBytes(UTF_8)) finally out.close()
+    try out.write(s"$base\t$leaf\t$localBase\n".getBytes(UTF_8))
+    finally out.close()
     val won = commitLock.synchronized {
       if (expectNew && f.exists(dst)) false
       else {
@@ -634,7 +647,7 @@ object TxnTable {
     * carried entries with their original seqs, so the sequencing
     * stays sound wholesale. */
   def fastForward(s: SparkSession, table: String, name: String): Long = {
-    val (base, leaf) = branchInfo(s, table, name)
+    val BranchRef(base, leaf, _) = branchInfo(s, table, name)
       .getOrElse(throw new IllegalArgumentException(
         s"$table: no branch named '$name' (branches: " +
           s"${branches(s, table).map(_._1).mkString(", ")})"))
@@ -656,7 +669,8 @@ object TxnTable {
       if (p.startsWith(s"$table/data/")) p.drop(table.length + 1)
       else if (p.startsWith("/")) p
       else s"$bd/$p"
-    val ms = manifest(s, bd, currentVersion(s, bd))
+    val bHead = currentVersion(s, bd)
+    val ms = manifest(s, bd, bHead)
     val v = commit(s, table,
       ms.entries.map(e => render(e.copy(path = absPath(e.path)))), cur,
       op = "fastforward",
@@ -665,8 +679,172 @@ object TxnTable {
       idxCols = ms.idxCols, strIdxCols = ms.strIdxCols,
       blooms = ms.blooms.map(b => b.copy(dir = absPath(b.dir))),
       retired = ms.retired, checks = ms.checks)
-    writeBranchRef(s, table, name, v, leaf, expectNew = false)
+    // localBase = the branch head just published: from here on, the
+    // branch's content at bHead ≡ parent@v — the next rebase diffs
+    // against THIS point, not the branch's birth
+    writeBranchRef(s, table, name, v, leaf, localBase = bHead,
+      expectNew = false)
     v
+  }
+
+  /** REBASE branch `name` onto the parent's CURRENT head — the
+    * moved-main case [[fastForward]] refuses. The branch's per-commit
+    * changes replay IN ORDER on top of main@head through the same
+    * file-level conflict-set validation [[commitResolving]] runs:
+    *
+    *   - CLEAN (no interim main commit removed a file the branch also
+    *     rewrote, and no interim main tombstones landed against a
+    *     branch rewrite): pure metadata — one commit re-points the
+    *     branch at main's entries, then one commit per branch change
+    *     replays its adds (re-stamped at the replay commit's fresh
+    *     seq) and tombstones (ditto), zero data read or moved. Fresh
+    *     seqs keep BOTH orderings sound: main's rows predate every
+    *     replayed branch change, and intra-branch tombstone-vs-add
+    *     order is preserved commit by commit.
+    *   - TRUE OVERLAP: recompute at row granularity — the branch's
+    *     net content delta vs its old base three-way-merges onto
+    *     main's head content (multiset EXCEPT/UNION, deterministic
+    *     and order-free) and stages as fresh branch files, one
+    *     commit, tombstones materialized away.
+    *
+    * Either way the ref base advances to main's head, so the branch
+    * can [[fastForward]] afterwards. The read-set approximation is
+    * the manifest-visible one (a rewrite read what it removed); a
+    * branch commit that read parent data without rewriting it cannot
+    * be seen from metadata — same contract as the public formats'
+    * conflict checkers. Both sides evolving the same governance facet
+    * (schema, checks, retired ledger, index set) refuses loudly. */
+  def rebase(s: SparkSession, table: String, name: String): Long = {
+    val BranchRef(base, leaf, localBase) = branchInfo(s, table, name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table: no branch named '$name' (branches: " +
+          s"${branches(s, table).map(_._1).mkString(", ")})"))
+    val bd = s"$table/_branches/$leaf"
+    val cur = currentVersion(s, table)
+    val bHead = currentVersion(s, bd)
+    if (cur == base) return bHead // already based on main's head
+    // branch@localBase ≡ parent@base (the branch point / last publish
+    // point — parent@base's own manifest may already be vacuumed, the
+    // branch's copy is shielded); only commits AFTER it replay
+    val bms = (localBase to bHead).map(v => manifest(s, bd, v))
+    val b0 = bms.head
+    val bLast = bms.last
+    val mCur = manifest(s, table, cur)
+    // both lineages reference files relative to their OWN dir or
+    // absolutely — normalize to fully absolute for cross-lineage
+    // comparison (parent-relative vs branch-relative `data/...` forms
+    // must never string-collide)
+    def normP(p: String): String = if (p.startsWith("/")) p else s"$table/$p"
+    def normB(p: String): String = if (p.startsWith("/")) p else s"$bd/$p"
+    // main's NET interim delta since the branch point
+    val mainRemoved =
+      b0.entries.map(e => normB(e.path)).toSet --
+        mCur.entries.map(e => normP(e.path)).toSet
+    val mainNewTombs =
+      mCur.deletes.map { case (p, c, sq) => (normP(p), c, sq) }.toSet --
+        b0.deletes.map { case (p, c, sq) => (normB(p), c, sq) }.toSet
+    // the branch's per-commit deltas since the branch point
+    case class BDelta(added: Seq[Entry], removed: Set[String],
+        tombs: Seq[(String, String, Long)], addedBlooms: Seq[BloomRef],
+        op: String)
+    val deltas = bms.indices.drop(1).map { i =>
+      val a = bms(i); val p = bms(i - 1)
+      val prevPaths = p.entries.map(e => normB(e.path)).toSet
+      BDelta(
+        a.entries.filterNot(e => prevPaths(normB(e.path))),
+        prevPaths -- a.entries.map(e => normB(e.path)).toSet,
+        a.deletes.filterNot(p.deletes.toSet),
+        a.blooms.filterNot(p.blooms.toSet),
+        a.op)
+    }
+    val branchRemoved = deltas.flatMap(_.removed).toSet // already normB'd
+    val conflict = mainRemoved.exists(branchRemoved) ||
+      (mainNewTombs.nonEmpty && branchRemoved.nonEmpty)
+    // governance facets merge only when at most ONE side moved them
+    def pick[A](curV: A, baseV: A, brV: A, what: String): A =
+      if (curV == baseV || curV == brV) brV
+      else if (brV == baseV) curV
+      else throw new IllegalStateException(
+        s"$table: rebase of '$name' cannot merge $what — both main " +
+          "and the branch changed it since the branch point")
+    val schemaJson = pick(mCur.schema.map(_.json),
+      b0.schema.map(_.json), bLast.schema.map(_.json), "the schema").orNull
+    val idx = pick(mCur.idxCols, b0.idxCols, bLast.idxCols, "the index set")
+    val strIdx = pick(mCur.strIdxCols, b0.strIdxCols, bLast.strIdxCols,
+      "the string index set")
+    val retired = pick(mCur.retired, b0.retired, bLast.retired,
+      "the retired-column ledger")
+    val checks = pick(mCur.checks, b0.checks, bLast.checks,
+      "the CHECK constraints")
+    // the RE-POINT commit both paths start from: branch content :=
+    // main@cur, every path made absolute so it resolves from the
+    // branch dir — one manifest write, zero data moved. It is also the
+    // branch's NEW localBase: content-identical to parent@cur.
+    def repoint(expected: Long): Long = commit(s, bd,
+      mCur.entries.map(e => render(e.copy(path = normP(e.path)))),
+      expected, op = "rebase",
+      schemaJson = schemaJson,
+      deleteLines = mCur.deletes.map { case (p, c, sq) =>
+        (normP(p), c, sq) },
+      idxCols = idx, strIdxCols = strIdx,
+      blooms = mCur.blooms.map(b => b.copy(dir = normP(b.dir))),
+      retired = retired, checks = checks)
+    val newLocalBase = repoint(bHead)
+    val newVer =
+      if (!conflict) {
+        // ---- pure-metadata replay, one commit per branch change ----
+        var v = newLocalBase
+        deltas.foreach { d =>
+          val mNow = manifest(s, bd, v)
+          d.removed.foreach(p =>
+            require(mNow.entries.exists(e => normB(e.path) == p),
+              s"$bd: rebase replay removes $p which the rebased state " +
+                "does not list"))
+          v = commit(s, bd,
+            mNow.entries.filterNot(e => d.removed(normB(e.path)))
+              .map(render) ++
+              d.added.map(renderFresh), // re-stamped at THIS commit's seq
+            v, op = "rebase",
+            schemaJson = schemaJson,
+            deleteLines = mNow.deletes ++
+              d.tombs.map { case (p, c, _) => (normB(p), c, -1L) },
+            idxCols = idx, strIdxCols = strIdx,
+            blooms = mNow.blooms ++ d.addedBlooms,
+            retired = retired, checks = checks)
+        }
+        v
+      } else {
+        // ---- row-level recompute: three-way multiset merge of the
+        // branch's net content delta onto main's head content ----
+        val mainC = snapshot(s, table, cur)
+        val baseC = snapshot(s, bd, localBase)
+        val brC = snapshot(s, bd, bHead)
+        require(mainC.columns.toSeq == brC.columns.toSeq,
+          s"$table: conflicting rebase of '$name' needs matching " +
+            s"schemas (main: ${mainC.columns.toSeq}, branch: " +
+            s"${brC.columns.toSeq})")
+        val merged = mainC
+          .exceptAll(baseC.exceptAll(brC))     // rows the branch removed
+          .unionAll(brC.exceptAll(baseC))      // rows the branch added
+        val mStage = bLast.copy(schema =
+          Option(schemaJson).map(j =>
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        val lines =
+          if (idx.nonEmpty || strIdx.nonEmpty)
+            stageIndexed(s, bd, toPhysical(merged, mStage), idx, strIdx)
+              .filter(hasStats)
+          else stage(s, bd, toPhysical(merged, mStage))
+        val lines2 = if (lines.nonEmpty) lines
+          else stageEmpty(s, bd, toPhysical(merged, mStage).schema)
+        commit(s, bd, lines2, newLocalBase, op = "rebase",
+          schemaJson = schemaJson, idxCols = idx, strIdxCols = strIdx,
+          retired = retired, checks = checks,
+          metrics = Seq("recomputed" -> 1L))
+      }
+    writeBranchRef(s, table, name, cur, leaf,
+      localBase = newLocalBase, expectNew = false)
+    newVer
   }
 
   /** Resolve a version REFERENCE: a number, or a tag name. */

@@ -121,7 +121,7 @@ private[sources] object GraftMaintenance {
   def procedures: Seq[String] =
     Seq("compact", "vacuum", "checkpoint", "restore", "recluster",
       "zorder", "tag", "drop_tag", "clone", "publish", "branch",
-      "fastforward", "drop_branch")
+      "fastforward", "rebase", "drop_branch")
 
   def load(catalog: GraftCatalog, warehouse: String, name: String)
       : UnboundProcedure = {
@@ -222,6 +222,14 @@ private[sources] object GraftMaintenance {
       case "fastforward" => p("fastforward", Seq(tableParam,
         ProcedureParameter.in("name", StringType).build())) { (s, in) =>
         TxnTable.fastForward(s, tbl(s, in), in.getUTF8String(1).toString)
+      }
+      // the moved-main complement: CALL graft.system.rebase('ns.t',
+      // 'dev') replays the branch's changes onto main's head (pure
+      // metadata when disjoint, row-level recompute on true overlap)
+      // and advances the ref base so fastforward works afterwards
+      case "rebase" => p("rebase", Seq(tableParam,
+        ProcedureParameter.in("name", StringType).build())) { (s, in) =>
+        TxnTable.rebase(s, tbl(s, in), in.getUTF8String(1).toString)
       }
       case "drop_branch" => p("drop_branch", Seq(tableParam,
         ProcedureParameter.in("name", StringType).build())) { (s, in) =>

@@ -1715,6 +1715,56 @@ class CatalogSpec extends SparkSpec {
       "second ff + vacuum cycle destroyed data")
   }
 
+  test("rebase: clean replay is pure metadata; a conflicting rewrite " +
+      "recomputes at row level") {
+    val t = fresh("rebase")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id, id " +
+      "FROM RANGE(100)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    def cnt(q: String): Long = sql(q).collect()(0).getLong(0)
+    // ---- clean case: disjoint appends on branch and main ----
+    sql(s"CALL graft.system.branch('spec.$t', 'dev')")
+    sql(s"INSERT INTO graft.spec.$t.branch_dev SELECT id + 1000, id " +
+      "FROM RANGE(10)")
+    sql(s"INSERT INTO graft.spec.$t SELECT id + 2000, id FROM RANGE(5)")
+    intercept[Exception] { // moved main: ff refuses
+      sql(s"CALL graft.system.fastforward('spec.$t', 'dev')").collect() }
+    sql(s"CALL graft.system.rebase('spec.$t', 'dev')")
+    val bdv = TxnTable.branchDir(spark, loc, "dev")
+    val mClean = TxnTable.manifest(spark, bdv,
+      TxnTable.currentVersion(spark, bdv))
+    assert(mClean.metrics.get("recomputed").isEmpty,
+      "disjoint appends must rebase as pure metadata, not recompute")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t.branch_dev")
+      === 115)
+    sql(s"CALL graft.system.fastforward('spec.$t', 'dev')")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t") === 115,
+      "post-rebase fastforward must land both lineages' writes")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "WHERE k >= 2000") === 5, "rebase lost main's interim rows")
+    // ---- conflict case: both sides rewrite the same file ----
+    sql(s"DELETE FROM graft.spec.$t.branch_dev WHERE k < 10")
+    sql(s"DELETE FROM graft.spec.$t WHERE k >= 90 AND k < 100")
+    intercept[Exception] {
+      sql(s"CALL graft.system.fastforward('spec.$t', 'dev')").collect() }
+    sql(s"CALL graft.system.rebase('spec.$t', 'dev')")
+    val mConf = TxnTable.manifest(spark, bdv,
+      TxnTable.currentVersion(spark, bdv))
+    assert(mConf.metrics.get("recomputed") === Some(1L),
+      s"overlapping rewrites must force a recompute: ${mConf.metrics}")
+    sql(s"CALL graft.system.fastforward('spec.$t', 'dev')")
+    // three-way merge: base 0..99(+appends), branch removed 0..9,
+    // main removed 90..99 — both removals land
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t") === 95)
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "WHERE k < 10 OR (k >= 90 AND k < 100)") === 0,
+      "conflicting rebase lost one side's delete")
+    assert(cnt(s"SELECT SUM(k) AS sk FROM graft.spec.$t") ===
+      (10L until 90L).sum + (0L until 10L).map(_ + 1000).sum +
+        (0L until 5L).map(_ + 2000).sum)
+  }
+
   test("tags and branches refuse to shadow each other's names") {
     val t = fresh("refns")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
