@@ -235,11 +235,23 @@ object SqlSurface {
     // the evolve commit rewrote NOTHING: same entry paths as version 1
     val zeroRewrite = TxnTable.manifest(s, loc, 2L).entries.map(_.path) ==
       TxnTable.manifest(s, loc, 1L).entries.map(_.path)
+    // (r14) DECIMAL precision widening rides the same metadata-only
+    // lane: (12,2) -> (18,2) is one manifest write, entries verbatim,
+    // old files read through Spark 4's parquet decimal promotion, and
+    // the pinned pre-widening version keeps the narrow type
+    s.sql("ALTER TABLE graft.q.ev_orders ALTER COLUMN price " +
+      "TYPE DECIMAL(18,2)")
+    val widenVerbatim = TxnTable.manifest(s, loc, 4L).entries ==
+      TxnTable.manifest(s, loc, 3L).entries
+    val widened = s.sql("SELECT * FROM graft.q.ev_orders")
+      .schema.apply("price").dataType.sql == "DECIMAL(18,2)" &&
+      s.sql("SELECT * FROM graft.q.ev_orders VERSION AS OF 3")
+        .schema.apply("price").dataType.sql == "DECIMAL(12,2)"
     val ok = preCols.toSeq == Seq("o_orderkey", "price") &&
       nowCols.toSeq == Seq("o_orderkey", "price", "bonus") &&
-      zeroRewrite &&
+      zeroRewrite && widenVerbatim && widened &&
       TxnTable.history(s, loc).map(_._2) ==
-        Seq("create", "append", "evolve", "append")
+        Seq("create", "append", "evolve", "append", "widen")
     s.sql("""SELECT o_orderkey, CAST(price AS DOUBLE) AS price, bonus
       FROM graft.q.ev_orders""")
       .withColumn("evolve_ok", lit(ok))

@@ -2630,15 +2630,29 @@ object TxnTable {
       ShortType -> Set(IntegerType, LongType),
       IntegerType -> Set(LongType),
       FloatType -> Set(DoubleType))
+    // beyond the integral/float ladder, two more provably-lossless
+    // promotions the Spark 4 parquet readers support: DECIMAL gains
+    // integral digits at the SAME scale (every stored unscaled value
+    // embeds exactly; a scale change would rescale stored values =
+    // not metadata; a precision loss truncates = refused), and DATE →
+    // TIMESTAMP_NTZ (midnight of the stored day, no zone reinterpret)
+    def lossless(from: DataType, t: DataType): Boolean = (from, t) match {
+      case (f, w) if wider.get(f).exists(_.contains(w)) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale == d1.scale && d2.precision > d1.precision
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur)
     val sch = mappedSchemaOf(s, table, m)
     val f = sch.fields.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"no column '$name' in $table"))
-    require(wider.get(f.dataType).exists(_.contains(to)),
+    require(lossless(f.dataType, to),
       s"$table: cannot retype '$name' ${f.dataType.sql} -> ${to.sql} — " +
         "only lossless widenings (tinyint/smallint/int -> wider " +
-        "integrals, float -> double) are pure metadata; anything else " +
+        "integrals, float -> double, decimal(p,s) -> decimal(p+k,s), " +
+        "date -> timestamp_ntz) are pure metadata; anything else " +
         "needs an overwrite")
     val widened = StructType(sch.fields.map(g =>
       if (g.name == name) g.copy(dataType = to) else g))

@@ -1033,6 +1033,62 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) === 300)
   }
 
+  test("DECIMAL precision widening and DATE -> TIMESTAMP_NTZ are pure " +
+      "metadata; scale changes and narrowings stay loud") {
+    val t = fresh("widendec")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, amt DECIMAL(10,2), " +
+      "big DECIMAL(20,4), d DATE)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id, " +
+      "CAST(id / 4 + 9999999 AS DECIMAL(10,2)), " +
+      "CAST(id * 1e12 + 0.0001 AS DECIMAL(20,4)), " +
+      "DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) FROM RANGE(50)")
+    val sumNarrow = sql(s"SELECT CAST(SUM(amt) AS STRING) AS s, " +
+      s"CAST(SUM(big) AS STRING) AS b FROM graft.spec.$t").collect()(0)
+    // int64-backed (10,2)->(14,2), binary-backed boundary (10,2) stays
+    // checked by the big column's (20,4)->(28,4) promotion
+    sql(s"ALTER TABLE graft.spec.$t ALTER COLUMN amt TYPE DECIMAL(14,2)")
+    sql(s"ALTER TABLE graft.spec.$t ALTER COLUMN big TYPE DECIMAL(28,4)")
+    sql(s"ALTER TABLE graft.spec.$t ALTER COLUMN d TYPE TIMESTAMP_NTZ")
+    // three widenings = three manifest writes, entries verbatim
+    val v = TxnTable.currentVersion(spark, loc)
+    assert(TxnTable.manifest(spark, loc, v).entries ===
+      TxnTable.manifest(spark, loc, v - 3).entries,
+      "widening touched data entries")
+    assert(sql(s"SELECT * FROM graft.spec.$t").schema.map(_.dataType.sql)
+      .toSeq === Seq("BIGINT", "DECIMAL(14,2)", "DECIMAL(28,4)",
+        "TIMESTAMP_NTZ"))
+    // old narrow files read exactly through the widened schema
+    val sumWide = sql(s"SELECT CAST(SUM(amt) AS STRING) AS s, " +
+      s"CAST(SUM(big) AS STRING) AS b FROM graft.spec.$t").collect()(0)
+    assert(sumWide.getString(0) === sumNarrow.getString(0) &&
+      sumWide.getString(1) === sumNarrow.getString(1),
+      s"widened read changed values: $sumWide vs $sumNarrow")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "WHERE d = TIMESTAMP_NTZ'2024-01-03 00:00:00'")
+      .collect()(0).getLong(0) === 1,
+      "date must read as midnight TIMESTAMP_NTZ of the stored day")
+    // a post-widening append lands wide and aggregates with old files
+    sql(s"INSERT INTO graft.spec.$t VALUES (50, 999999999999.25, " +
+      "1234567890123456789012.9999, TIMESTAMP_NTZ'2030-06-15 12:30:00')")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "WHERE amt >= 9999999").collect()(0).getLong(0) === 51)
+    // the pinned pre-widening version keeps the narrow schema
+    assert(sql(s"SELECT * FROM graft.spec.$t VERSION AS OF 1")
+      .schema.map(_.dataType.sql).toSeq ===
+      Seq("BIGINT", "DECIMAL(10,2)", "DECIMAL(20,4)", "DATE"))
+    // loud refusals: scale change (rescales stored values), precision
+    // narrowing, decimal -> double cross-family
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.spec.$t ALTER COLUMN amt TYPE DECIMAL(16,4)") }
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.spec.$t ALTER COLUMN amt TYPE DECIMAL(12,2)") }
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.spec.$t ALTER COLUMN amt TYPE DOUBLE") }
+    intercept[Exception] { // timestamp_ntz -> date would truncate
+      sql(s"ALTER TABLE graft.spec.$t ALTER COLUMN d TYPE DATE") }
+  }
+
   test("CALL zorder rewrites the layout so two-dimensional boxes prune") {
     val t = fresh("zorderproc")
     sql(s"CREATE TABLE graft.spec.$t (a BIGINT, b BIGINT, v BIGINT)")
