@@ -1611,6 +1611,62 @@ object TxnTable {
     }
   }
 
+  /** (bytes, rows) of an arbitrary ENTRY SUBSET from manifest metadata
+    * alone — the per-scan variant of [[tableBytes]]/[[tableRows]]: what
+    * the DSv2 scan reports to the SQL planner AFTER file pruning, so a
+    * pure-SQL join of two graft tables gets the stats-driven broadcast
+    * decision without ANALYZE. None per facet when any non-empty entry
+    * predates the recording formats — callers fall back, never guess. */
+  def entriesBytesRows(entries: Seq[Entry])
+      : (Option[Long], Option[Long]) = {
+    val bytes = entries.map { e =>
+      if (e.bytes >= 0) Some(e.bytes)
+      else if (e.stats.isEmpty && e.strStats.isEmpty) Some(0L)
+      else None
+    }
+    val rows = entries.map { e =>
+      if (e.hlls.nonEmpty) Some(e.hlls.head.rows)
+      else if (e.stats.isEmpty && e.strStats.isEmpty) Some(0L)
+      else None
+    }
+    (if (bytes.forall(_.isDefined)) Some(bytes.flatten.sum) else None,
+      if (rows.forall(_.isDefined)) Some(rows.flatten.sum) else None)
+  }
+
+  /** Merged-HLL NDV of PHYSICAL column `c` over an entry subset; None
+    * unless every non-empty entry carries a sketch for it. */
+  def entriesNdv(entries: Seq[Entry], c: String): Option[Long] = {
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    val per = entries.map { e =>
+      val sk = e.hllFor(c)
+      if (sk.isDefined) sk
+      else if (e.stats.isEmpty && e.strStats.isEmpty) Some("")
+      else None
+    }
+    if (!per.forall(_.isDefined)) None
+    else {
+      val sketches = per.flatten.filter(_.nonEmpty)
+      if (sketches.isEmpty) return Some(0L)
+      val u = new Union(12)
+      sketches.foreach(b => u.update(
+        HllSketch.heapify(java.util.Base64.getDecoder.decode(b))))
+      Some(math.round(u.getEstimate))
+    }
+  }
+
+  /** Null count of PHYSICAL column `c` over an entry subset, from the
+    * per-file value/string stat groups; None when unrecorded. */
+  def entriesNulls(entries: Seq[Entry], c: String): Option[Long] = {
+    val per = entries.map { e =>
+      val n = e.stats.find(_.col == c).map(_.nulls)
+        .orElse(e.strStats.find(_.col == c).map(_.nulls))
+      if (n.exists(_ >= 0)) n
+      else if (e.stats.isEmpty && e.strStats.isEmpty) Some(0L)
+      else None
+    }
+    if (per.forall(_.isDefined)) Some(per.flatten.sum) else None
+  }
+
   /** Exact row count of version `v` from MANIFEST METADATA ALONE: the
     * per-file counts the v4 stats pass records, summed driver-side.
     * None when any non-empty entry predates the counts (pre-v4) or the

@@ -538,10 +538,17 @@ class GraftTable(ident: String, private[sources] val location: String,
     // files the stats prove empty. Conservative entries (no stats on a
     // predicate column) always survive; the parquet scan re-applies the
     // full predicate inside surviving files.
+    // the PRUNED entry set also feeds the scan's reported statistics:
+    // the planner's broadcast/CBO decisions read exact post-prune
+    // bytes, row counts, and per-column NDV/null sketches straight
+    // from the manifest — no ANALYZE, no footer reads
+    val keptEntries = new java.util.concurrent.atomic.AtomicReference[
+      Seq[TxnTable.Entry]](m.entries)
     new org.apache.spark.sql.graftbridge.PruningScanBuilder(
       s, schema(), options, m.entries.map(pathOf),
       filters => {
         val kept = ManifestPrune.keep(m.entries, filters)
+        keptEntries.set(kept)
         GraftCatalog.scanKept.addAndGet(kept.size.toLong)
         GraftCatalog.scanTotal.addAndGet(m.entries.size.toLong)
         kept.map(pathOf)
@@ -557,7 +564,8 @@ class GraftTable(ident: String, private[sources] val location: String,
           .exists(_.toBoolean)
         val scan = new GraftStreaming.StreamableScan(super.build(),
           readSchema => new GraftMicroBatchStream(ident, location,
-            readSchema, maxVersions, startingVersion, skipChange))
+            readSchema, maxVersions, startingVersion, skipChange),
+          () => GraftTable.manifestStatistics(m, keptEntries.get()))
         // mapped tables (renamed/re-added columns) read through the
         // snapshot plan the analyzer swaps in (GraftMorReadRule) — so
         // EXECUTING a direct BATCH scan means some path bypassed
@@ -772,6 +780,54 @@ class GraftTable(ident: String, private[sources] val location: String,
           "integral and string columns (the shapes manifest stats can " +
           "prune or residual-filter)")
     }
+}
+
+object GraftTable {
+  import org.apache.spark.sql.connector.read.{Statistics => V2Stats}
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  /** DSv2 [[V2Stats]] for a PRUNED entry set, from manifest metadata
+    * alone: exact byte size (what bounds a broadcast hash table — the
+    * op_ndv_broadcast wide-row lesson), exact row count, and per-column
+    * NDV + null counts from the per-file HLL/stat sketches, reported
+    * under LOGICAL names. None when the table predates the size
+    * recording (callers fall back to the parquet scan's listing-based
+    * estimate). min/max are deliberately NOT reported: manifest bounds
+    * are stored as longs regardless of column type, and a mistyped
+    * bound would silently skew CBO estimates — the planner handles
+    * absent bounds, not wrong ones. */
+  private[sources] def manifestStatistics(m: TxnTable.Manifest,
+      kept: Seq[TxnTable.Entry]): Option[V2Stats] = {
+    val (bytes, rows) = TxnTable.entriesBytesRows(kept)
+    if (bytes.isEmpty) return None
+    val physToLog: Map[String, String] = m.schema
+      .fold(Map.empty[String, String])(_.fields.iterator
+        .map(f => TxnTable.physName(f) -> f.name).toMap)
+    val colStats = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    (m.idxCols ++ m.strIdxCols).distinct.foreach { phys =>
+      val ndv = TxnTable.entriesNdv(kept, phys)
+      val nulls = TxnTable.entriesNulls(kept, phys)
+      if (ndv.isDefined || nulls.isDefined)
+        colStats.put(Expressions.column(physToLog.getOrElse(phys, phys)),
+          new ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              ndv.fold(java.util.OptionalLong.empty())(
+                java.util.OptionalLong.of)
+            override def nullCount(): java.util.OptionalLong =
+              nulls.fold(java.util.OptionalLong.empty())(
+                java.util.OptionalLong.of)
+          })
+    }
+    Some(new V2Stats {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes.get)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def columnStats()
+          : java.util.Map[NamedReference, ColumnStatistics] = colStats
+    })
+  }
 }
 
 /** The in-flight side of an atomic CTAS / RTAS: `insert` STAGES data

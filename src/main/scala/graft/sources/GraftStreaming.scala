@@ -81,7 +81,9 @@ object GraftStreaming {
     * ignore stream-side: FileScanBuilder reports every data filter back
     * to Spark as post-scan, so the Filter node above the streaming scan
     * re-applies the full predicate. */
-  class StreamableScan(val inner: Scan, mk: StructType => MicroBatchStream)
+  class StreamableScan(val inner: Scan, mk: StructType => MicroBatchStream,
+      manifestStats: () =>
+        Option[org.apache.spark.sql.connector.read.Statistics] = () => None)
       extends Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = inner.readSchema()
@@ -96,18 +98,22 @@ object GraftStreaming {
     override def columnarSupportMode(): Scan.ColumnarSupportMode =
       inner.columnarSupportMode()
     // size estimation must survive the wrap: planner broadcast decisions
-    // read the scan's reported statistics
+    // read the scan's reported statistics. MANIFEST stats win when
+    // available — exact post-prune bytes + row count + per-column
+    // NDV/null sketches from the log, no ANALYZE, no footer reads;
+    // the inner parquet scan's listing-based size is the fallback.
     override def estimateStatistics()
-        : org.apache.spark.sql.connector.read.Statistics = inner match {
-      case r: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-        r.estimateStatistics()
-      case _ => new org.apache.spark.sql.connector.read.Statistics {
-        override def sizeInBytes(): java.util.OptionalLong =
-          java.util.OptionalLong.empty()
-        override def numRows(): java.util.OptionalLong =
-          java.util.OptionalLong.empty()
-      }
-    }
+        : org.apache.spark.sql.connector.read.Statistics =
+      manifestStats().getOrElse(inner match {
+        case r: org.apache.spark.sql.connector.read
+            .SupportsReportStatistics => r.estimateStatistics()
+        case _ => new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+        }
+      })
   }
 }
 

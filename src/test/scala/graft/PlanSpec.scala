@@ -51,6 +51,92 @@ class PlanSpec extends SparkSpec {
       "catalog stats did not flip the broadcast decision")
   }
 
+  test("graft SQL scans report MANIFEST stats: rowCount + NDV, and the " +
+      "broadcast flip needs no ANALYZE (AQE off)") {
+    val s = spark
+    import graft.operators.TxnTable
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.plan")
+    Seq("fact", "dim").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft.plan.$t"))
+    s.sql("CREATE TABLE graft.plan.fact (k BIGINT, pad STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    (0 until 4).foreach(i =>
+      s.sql("INSERT INTO graft.plan.fact SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 5000}, repeat('x', 64) FROM RANGE(5000)"))
+    s.sql("CREATE TABLE graft.plan.dim (dk BIGINT, name STRING) " +
+      "TBLPROPERTIES ('index' = 'dk')")
+    s.sql("INSERT INTO graft.plan.dim SELECT /*+ REPARTITION(1) */ id, " +
+      "CONCAT('n', id) FROM RANGE(500)")
+    val locF = s"${GraftCatalog.defaultWarehouse}/plan/fact"
+    val locD = s"${GraftCatalog.defaultWarehouse}/plan/dim"
+    val (fb, db) = (TxnTable.tableBytes(s, locF).get,
+      TxnTable.tableBytes(s, locD).get)
+    assert(db < fb, s"test setup: dim ($db B) must be under fact ($fb B)")
+    val prev = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> s.conf.get(k))
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      def joined = s.sql("SELECT * FROM graft.plan.fact f " +
+        "JOIN graft.plan.dim d ON f.k = d.dk")
+      // threshold strictly between the two MANIFEST byte sizes → the
+      // dim side broadcasts, purely from the scan's reported stats
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((db + fb) / 2).toString)
+      assert(plan(joined).contains("BroadcastHashJoin"),
+        s"manifest sizes ($db vs $fb) did not flip the broadcast:\n" +
+          plan(joined).take(600))
+      // threshold below BOTH sizes → no broadcast (the decision really
+      // reads the reported estimates, not a default)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (db / 2).toString)
+      assert(!plan(joined).contains("BroadcastHashJoin"),
+        "join broadcast despite both sides over the threshold")
+      // exact manifest row counts surface in the logical plan's stats —
+      // no ANALYZE ever ran on these tables
+      val rels = joined.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.name -> r.stats
+      }.toMap
+      assert(rels.size === 2, s"expected 2 v2 scans, got ${rels.keys}")
+      val rows = rels.map { case (n, st) => st.rowCount.map(_.toLong) }
+      assert(rows.toSet === Set(Some(20000L), Some(500L)),
+        s"manifest row counts must reach plan stats: $rows")
+      // per-column NDV from the merged per-file HLL sketches rides the
+      // scan's DSv2 column statistics
+      val scans = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.scan
+      }
+      val ndvs = scans.collect {
+        case r: org.apache.spark.sql.connector.read
+            .SupportsReportStatistics =>
+          import scala.jdk.CollectionConverters._
+          r.estimateStatistics().columnStats().asScala.collect {
+            case (ref, cs) if cs.distinctCount().isPresent =>
+              ref.toString -> cs.distinctCount().getAsLong
+          }.toMap
+      }.reduce(_ ++ _)
+      def close(est: Long, truth: Long): Boolean =
+        math.abs(est - truth) <= math.max(truth * 0.15, 8.0).toLong
+      assert(ndvs.contains("k") && ndvs.contains("dk") &&
+        close(ndvs("k"), 20000L) && close(ndvs("dk"), 500L),
+        s"manifest NDV sketches must reach the scan stats: $ndvs")
+      // a pruned scan reports the PRUNED subset's stats: a selective
+      // filter on the indexed key shrinks rowCount with the file set
+      val prunedStats = s.sql(
+        "SELECT * FROM graft.plan.fact WHERE k < 5000")
+        .queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.stats
+        }.head
+      assert(prunedStats.rowCount.exists(_.toLong == 5000L),
+        s"post-prune stats must cover kept files only: " +
+          s"${prunedStats.rowCount}")
+    } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("catalog stats drive join REORDER (CostBasedJoinReorder)") {
     // the other half of the CBO story next to q47's broadcast flip: a
     // 3-table join written in a deliberately bad syntactic order
