@@ -104,6 +104,7 @@ object SparkEntry {
     "op_txn_wap"              -> (TxnTable.txnWap _),
     "op_merge_full"           -> (TxnTable.mergeFull _),
     "op_merge_mor"            -> (TxnTable.mergeMor _),
+    "op_tomb_rewrite"         -> (TxnTable.tombRewrite _),
     "op_str_skip"             -> (TxnTable.strSkip _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
@@ -1785,6 +1786,23 @@ object SparkEntry {
         |          AND k NOT IN (SELECT k FROM del)
         |      UNION ALL SELECT k, st, price FROM upd
         |      UNION ALL SELECT k, st, price FROM ins)""".stripMargin,
+    // tombstone-file maintenance: five MoR batches collapse to one
+    // bounded (key, L) tombstone, content-invariant — the oracle
+    // replays the sequential change algebra
+    "op_tomb_rewrite" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |r AS (SELECT MAX(k) AS mx FROM b)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS rewrite_ok
+        |FROM (SELECT k, st, price FROM b
+        |        WHERE k % 3 <> 0 AND k % 5 <> 0 AND k % 7 <> 0
+        |      UNION ALL
+        |      SELECT k, 'U2', CAST(price + 100 AS DECIMAL(12,2))
+        |      FROM b WHERE k % 5 = 0 AND k % 3 <> 0 AND k % 10 <> 0
+        |      UNION ALL
+        |      SELECT k + mx + 1, 'N', price FROM b, r
+        |      WHERE k % 11 = 0)""".stripMargin,
     // merge-on-read delete: both generations (tombstone anti-join, then
     // compacted materialization) must hash to the same surviving rows;
     // zero-rewrite + tombstone accounting travels as a boolean

@@ -2446,6 +2446,60 @@ object TxnTable {
       retired = m.retired, checks = m.checks)
   }
 
+  /** TOMBSTONE-FILE MAINTENANCE: collapse every pending equality
+    * tombstone into ONE file per key column WITHOUT touching any data
+    * file — the between-compactions maintenance a merge-per-batch
+    * stream needs, where [[applyChangesMor]] accretes one tombstone
+    * file per commit and every read pays one entry-group per
+    * accumulated seq.
+    *
+    * The key identity: a key k's cumulative kill effect over any
+    * number of tombstones is exactly "delete k from entries whose seq
+    * is OLDER than L(k)", where L(k) = the max commit seq of the
+    * tombstones containing k (the newest delete dominates — every
+    * older tombstone's kill set for k is a subset of its). So the
+    * whole pending state rewrites, losslessly and from the tombstone
+    * files alone (never the table), into one BOUNDED tombstone file of
+    * (key, L) pairs per key column, recorded with a `~L`-suffixed key
+    * name; the read-side anti-join compares each row's ENTRY seq
+    * against its matched bound (one broadcast join total, flat however
+    * many merges accumulated). The manifest line's seq is max L, so
+    * whole entry-groups newer than every bound skip the join entirely.
+    * Entries carry VERBATIM; content is invariant by construction. */
+  def rewriteTombstones(s: SparkSession, table: String): Long = {
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    if (m.deletes.size <= 1) return cur // nothing to collapse
+    val byCol = m.deletes.groupBy(_._2.stripSuffix("~L"))
+    val rewritten = byCol.toSeq.sortBy(_._1).map { case (kc, fls) =>
+      // (key, bound) per file: a plain tombstone's bound is its line
+      // seq; an already-bounded file carries per-row bounds
+      val pairs = fls.map { case (p, rec, sq) =>
+        val kdf = s.read.parquet(pathFor(table, p))
+        if (rec.endsWith("~L"))
+          kdf.select(col(kdf.columns.head).as(kc),
+            col(kdf.columns(1)).cast("long").as("__tl"))
+        else
+          kdf.select(col(kdf.columns.head).as(kc),
+            lit(sq).cast("long").as("__tl"))
+      }.reduce(_ unionByName _)
+        .groupBy(col(kc)).agg(max(col("__tl")).as("__tl"))
+        .coalesce(1)
+      val staged = stage(s, table, pairs)
+      require(staged.size == 1,
+        s"$table: bounded tombstone for '$kc' staged ${staged.size} files")
+      val maxL = fls.map { case (_, _, sq) => sq }.max
+      (staged.head, s"$kc~L", maxL)
+    }
+    commit(s, table, m.entries.map(render), cur, op = "rewrite_tombstones",
+      schemaJson = m.schema.map(_.json).orNull,
+      deleteLines = rewritten,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      metrics = Seq("collapsed" -> m.deletes.size.toLong,
+        "tombstones" -> rewritten.size.toLong),
+      retired = m.retired, checks = m.checks)
+  }
+
   /** The schema version `v` was committed with, if the commit recorded
     * one (`#schema=` manifest line — schema-in-the-log, the way every
     * public table format evolves: the file footers never decide). */
@@ -2826,12 +2880,16 @@ object TxnTable {
       // its retired physical column rides along in the read schema
       // (type recovered from the tombstone file's own footer) and the
       // projection below discards it.
-      val deadKeys = dels.map(_._2).distinct.filterNot(pk =>
+      // a `~L`-suffixed key marks a BOUNDED tombstone file of
+      // (key, L) pairs — [[rewriteTombstones]]' collapsed form, whose
+      // kill rule compares each row's ENTRY seq against its bound
+      def joinCol(rec: String): String = rec.stripSuffix("~L")
+      val deadKeys = dels.map(d => joinCol(d._2)).distinct.filterNot(pk =>
         m.schema.forall(_.fields.exists(f => physName(f) == pk)))
       val reader = m.schema match {
         case Some(sch) =>
           val extra = deadKeys.map { pk =>
-            val tf = dels.find(_._2 == pk).get._1
+            val tf = dels.find(d => joinCol(d._2) == pk).get._1
             val kdt = s.read.parquet(pathFor(table, tf))
               .schema.fields(0).dataType
             org.apache.spark.sql.types.StructField(pk, kdt)
@@ -2841,9 +2899,36 @@ object TxnTable {
         case None => s.read
       }
       val raw = reader.parquet(es.map(e => pathFor(table, e.path)): _*)
-      // tombstone key FILES are single-column but may carry the
-      // logical-at-delete-time name — read positionally, join physical
-      val cleaned = dels.groupBy(_._2).foldLeft(raw) {
+      val hasBounded = dels.exists(_._2.endsWith("~L"))
+      // bounded kills need the row's entry seq: a map-literal lookup on
+      // the file path keeps it inside whole-stage codegen (no UDF); the
+      // raise_error guard turns a failed lookup into a loud error, not
+      // a silent resurrect/over-delete
+      val withSeq =
+        if (!hasBounded) raw
+        else {
+          val pathSeq = es.map(e => pathFor(table, e.path) -> e.seq).toMap
+          val looked = element_at(typedLit(pathSeq),
+            regexp_replace(input_file_name(), "^file:/+", "/"))
+          raw.withColumn("__gseq",
+            when(looked.isNull, raise_error(concat(
+              lit(s"$table: unmapped scan file for bounded tombstone: "),
+              input_file_name()))).otherwise(looked))
+        }
+      // tombstone key FILES may carry the logical-at-delete-time name —
+      // read positionally, join physical
+      val cleaned = dels.groupBy(_._2).foldLeft(withSeq) {
+        case (acc, (rec, fls)) if rec.endsWith("~L") =>
+          val kc = joinCol(rec)
+          val keys = fls.map { f =>
+            val kdf = s.read.parquet(pathFor(table, f._1))
+            kdf.select(col(kdf.columns.head).as(s"__tk"),
+              col(kdf.columns(1)).cast("long").as("__tl"))
+          }.reduce(_ unionByName _)
+            .groupBy(col("__tk")).agg(max(col("__tl")).as("__tl"))
+          acc.join(keys,
+            acc(kc) === keys("__tk") && acc("__gseq") < keys("__tl"),
+            "left_anti")
         case (acc, (kc, fls)) =>
           val keys = fls.map { f =>
             val kdf = s.read.parquet(pathFor(table, f._1))
@@ -2853,12 +2938,14 @@ object TxnTable {
       }
       // mapped tables project physical → the committed LOGICAL schema
       // here — the single choke point every library read, rewrite, and
-      // compaction funnels through (also drops dead tombstone columns)
+      // compaction funnels through (also drops dead tombstone columns
+      // and the bounded-kill seq column)
       m.schema match {
-        case Some(sch) if hasMappedSchema(m.schema) || deadKeys.nonEmpty =>
+        case Some(sch) if hasMappedSchema(m.schema) || deadKeys.nonEmpty ||
+            hasBounded =>
           cleaned.select(sch.fields.map(f =>
             col(physName(f)).as(f.name)).toSeq: _*)
-        case _ => cleaned
+        case _ => cleaned.drop("__gseq")
       }
     }.reduce(_ unionByName _)
   }
@@ -4338,6 +4425,69 @@ object TxnTable {
     snapshot(s, t)
       .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
       .withColumn("mor_ok", lit(ok))
+  }
+
+  /** op_tomb_rewrite: [[rewriteTombstones]] as a checked query — the
+    * between-compactions maintenance of a merge-per-batch stream. Five
+    * MoR batches land on the orders slice (scattered deletes, updates,
+    * a RE-DELETE of previously-updated keys, inserts), accreting five
+    * equality tombstone files; the rewrite collapses them into ONE
+    * bounded (key, L) file per key column from the tombstone files
+    * alone — zero data files read or touched, entries byte-identical —
+    * and the read-side anti-join state stays flat from then on.
+    * `rewrite_ok` asserts: five tombstones before / one `~L` after,
+    * every entry line carried verbatim, content hash-invariant across
+    * the rewrite (both directions), the pinned pre-rewrite version
+    * intact, and compact() converging to the same content clean. The
+    * hashed output replays the change algebra in the oracle. */
+  def tombRewrite(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("tombrw_orders")
+    val base = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    commit(s, t, stageIndexed(s, t,
+      base.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = base.schema.json)
+    val maxK = base.agg(max("o_orderkey")).collect()(0).getLong(0)
+    def ch(df: DataFrame): Long = applyChangesMor(s, t, df, "o_orderkey")
+    // b1: scattered deletes
+    ch(base.filter(pmod(k, lit(3)) === 0)
+      .select(k, col("o_orderstatus"), col("price"), lit("D").as("op")))
+    // b2: updates (delete + re-insert at one seq)
+    ch(base.filter(pmod(k, lit(5)) === 0 && pmod(k, lit(3)) =!= 0)
+      .select(k, lit("U2").as("o_orderstatus"),
+        (col("price") + lit(100).cast(D12)).cast(D12).as("price"),
+        lit("U").as("op")))
+    // b3: RE-DELETE half the updated keys — newest delete must win
+    ch(base.filter(pmod(k, lit(10)) === 0 && pmod(k, lit(3)) =!= 0)
+      .select(k, col("o_orderstatus"), col("price"), lit("D").as("op")))
+    // b4: inserts above the keyspace
+    ch(base.filter(pmod(k, lit(11)) === 0)
+      .select((k + (maxK + 1)).as("o_orderkey"),
+        lit("N").as("o_orderstatus"), col("price"), lit("U").as("op")))
+    // b5: more scattered deletes on an untouched class
+    ch(base.filter(pmod(k, lit(7)) === 0 && pmod(k, lit(3)) =!= 0 &&
+        pmod(k, lit(5)) =!= 0)
+      .select(k, col("o_orderstatus"), col("price"), lit("D").as("op")))
+    val cur = currentVersion(s, t)
+    val mBefore = manifest(s, t, cur)
+    val before = snapshot(s, t)
+    def eq(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    val beforeRows = before.count()
+    val v = rewriteTombstones(s, t)
+    val mAfter = manifest(s, t, v)
+    val collapsed = mBefore.deletes.size == 5 &&
+      mAfter.deletes.size == 1 && mAfter.deletes.head._2 == "o_orderkey~L"
+    val verbatim = mAfter.entries == mBefore.entries
+    val invariant = snapshot(s, t).count() == beforeRows &&
+      eq(snapshot(s, t), snapshot(s, t, cur))
+    val vc = compact(s, t)
+    val converged = deleteFiles(s, t, vc).isEmpty &&
+      snapshot(s, t).count() == beforeRows
+    val ok = collapsed && verbatim && invariant && converged
+    snapshot(s, t)
+      .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
+      .withColumn("rewrite_ok", lit(ok))
   }
 
   /** op_txn_wap: WRITE–AUDIT–PUBLISH as a checked query — the pattern

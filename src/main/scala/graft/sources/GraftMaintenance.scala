@@ -121,7 +121,7 @@ private[sources] object GraftMaintenance {
   def procedures: Seq[String] =
     Seq("compact", "vacuum", "checkpoint", "restore", "recluster",
       "zorder", "tag", "drop_tag", "clone", "publish", "branch",
-      "fastforward", "rebase", "drop_branch")
+      "fastforward", "rebase", "drop_branch", "rewrite_tombstones")
 
   def load(catalog: GraftCatalog, warehouse: String, name: String)
       : UnboundProcedure = {
@@ -230,6 +230,13 @@ private[sources] object GraftMaintenance {
       case "rebase" => p("rebase", Seq(tableParam,
         ProcedureParameter.in("name", StringType).build())) { (s, in) =>
         TxnTable.rebase(s, tbl(s, in), in.getUTF8String(1).toString)
+      }
+      // collapse accumulated equality tombstones into one bounded file
+      // per key column — zero data files touched (the between-
+      // compactions maintenance for merge-per-batch streams)
+      case "rewrite_tombstones" => p("rewrite_tombstones",
+        Seq(tableParam)) { (s, in) =>
+        TxnTable.rewriteTombstones(s, tbl(s, in))
       }
       case "drop_branch" => p("drop_branch", Seq(tableParam,
         ProcedureParameter.in("name", StringType).build())) { (s, in) =>

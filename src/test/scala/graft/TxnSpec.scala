@@ -1527,6 +1527,65 @@ class TxnSpec extends SparkSpec {
       === 8)
   }
 
+  test("rewriteTombstones collapses K equality-delete files into one " +
+      "bounded file, content-invariant, entries verbatim") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable("mor_rewrite")
+    TxnTable.create(spark, t,
+      (0L until 40L).map(i => (i, s"r$i")).toDF("k", "v"))
+    // five MoR merges: deletes, updates (delete + re-insert at the
+    // same seq), inserts, and a RE-DELETE of a previously updated key
+    // — the per-key "newest delete wins" boundary must survive
+    TxnTable.applyChangesMor(spark, t,
+      Seq((1L, "", "D"), (2L, "u2a", "U")).toDF("k", "v", "op"), "k")
+    TxnTable.applyChangesMor(spark, t,
+      Seq((3L, "", "D"), (2L, "u2b", "U")).toDF("k", "v", "op"), "k")
+    TxnTable.applyChangesMor(spark, t,
+      Seq((5L, "", "D"), (100L, "new", "U")).toDF("k", "v", "op"), "k")
+    TxnTable.applyChangesMor(spark, t,
+      Seq((2L, "", "D")).toDF("k", "v", "op"), "k") // kill the update
+    TxnTable.applyChangesMor(spark, t,
+      Seq((7L, "", "D"), (5L, "back5", "U")).toDF("k", "v", "op"), "k")
+    val cur = TxnTable.currentVersion(spark, t)
+    assert(TxnTable.deleteFiles(spark, t, cur).size === 5)
+    val before = TxnTable.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // sanity on the scenario itself: 1,2,3,7 dead; 5 resurrected; 100 in
+    assert(!before.exists(p => Set(1L, 2L, 3L, 7L)(p._1)))
+    assert(before.contains((5L, "back5")) && before.contains((100L, "new")))
+    val mBefore = TxnTable.manifest(spark, t, cur)
+    val v = TxnTable.rewriteTombstones(spark, t)
+    val mAfter = TxnTable.manifest(spark, t, v)
+    assert(mAfter.entries === mBefore.entries,
+      "tombstone rewrite touched data entries")
+    assert(mAfter.deletes.size === 1 &&
+      mAfter.deletes.head._2 === "k~L",
+      s"expected ONE bounded tombstone, got ${mAfter.deletes}")
+    assert(mAfter.metrics === Map("collapsed" -> 5L, "tombstones" -> 1L))
+    val after = TxnTable.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(after === before, "tombstone rewrite changed table content")
+    // a pinned pre-rewrite version still reads through the old files
+    assert(TxnTable.snapshot(spark, t, cur).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === before)
+    // later MoR merges keep landing on top of the bounded file, and a
+    // second rewrite folds plain + bounded back into one
+    TxnTable.applyChangesMor(spark, t,
+      Seq((9L, "", "D")).toDF("k", "v", "op"), "k")
+    val v2 = TxnTable.rewriteTombstones(spark, t)
+    assert(TxnTable.deleteFiles(spark, t, v2).size === 1)
+    assert(!TxnTable.snapshot(spark, t).as[(Long, String)].collect()
+      .exists(_._1 == 9L))
+    // compact still converges to a clean tombstone-free version
+    val vc = TxnTable.compact(spark, t)
+    assert(TxnTable.deleteFiles(spark, t, vc).isEmpty)
+    assert(TxnTable.snapshot(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === before.filterNot(_._1 == 9L))
+  }
+
   test("overwrite on a column-mapped table carries mapping + retired ledger") {
     val s = spark
     import s.implicits._
