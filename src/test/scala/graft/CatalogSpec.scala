@@ -323,6 +323,57 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("merge key"))
   }
 
+  test("MIXED composite MERGE key (string + integral) prunes on both " +
+      "dimensions' stats") {
+    val t = fresh("mergemixed")
+    sql(s"CREATE TABLE graft.spec.$t (sid STRING, ok BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'ok', 'strindex' = 'sid')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    // four files = the cross of two sid prefixes × two ok ranges; the
+    // change set hits ONE cell, so each pruning dimension alone spares
+    // one file and only their INTERSECTION spares the diagonal
+    for (p <- Seq("a", "b"); lo <- Seq(0, 1000)) {
+      sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+        s"CONCAT('$p', LPAD(CAST(id AS STRING), 3, '0')), $lo + id, id " +
+        "FROM RANGE(100)")
+    }
+    // change keys: sid 'a…' AND ok < 50 → only the (a, low) file
+    sql("""CREATE OR REPLACE TEMP VIEW mx_src AS
+      SELECT CONCAT('a', LPAD(CAST(id AS STRING), 3, '0')) AS sid,
+        id AS ok, id * 2 AS v FROM RANGE(50)""")
+    sql(s"""MERGE INTO graft.spec.$t t USING mx_src s
+      ON t.sid = s.sid AND t.ok = s.ok
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    val res = TxnTable.commitMetrics(spark, loc)
+    // (b, low) pruned by the sid string-box, (a, high) by the ok box,
+    // (b, high) by both — 3 of 4 data files carry verbatim (the
+    // stat-less CREATE sentinel conservatively rides with the touched)
+    assert(res("untouched") >= 3,
+      s"mixed-key merge must prune on both dimensions: $res")
+    assert(res("touched") <= 2,
+      s"only the (a, low) file (+ sentinel) should rewrite: $res")
+    val rows = sql(s"SELECT ok, v FROM graft.spec.$t " +
+      "WHERE sid LIKE 'a%' AND ok < 50")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 50 && rows.forall(r => r._2 == r._1 * 2),
+      "matched updates must land")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 400, "no phantom inserts")
+    // untouched cells' content is intact
+    assert(sql(s"SELECT SUM(v) AS sv FROM graft.spec.$t " +
+      "WHERE sid LIKE 'b%' OR ok >= 1000").collect()(0).getLong(0)
+      === 3L * (0L until 100L).sum)
+    // a mixed tuple matching NO row inserts
+    sql(s"""MERGE INTO graft.spec.$t t
+      USING (SELECT 'zz' AS sid, 7 AS ok, 999 AS v) s
+      ON t.sid = s.sid AND t.ok = s.ok
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(sql(s"SELECT v FROM graft.spec.$t WHERE sid = 'zz'")
+      .collect().map(_.getLong(0)).toSeq === Seq(999L))
+  }
+
   test("composite-key MERGE prunes by intersecting per-dimension boxes") {
     val t = fresh("mergemulti")
     sql(s"CREATE TABLE graft.spec.$t (a BIGINT, b BIGINT, v BIGINT) " +
