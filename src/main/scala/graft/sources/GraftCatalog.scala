@@ -524,11 +524,6 @@ class GraftTable(ident: String, private[sources] val location: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
-    require(m.deletes.isEmpty,
-      s"$ident version $version has pending merge-on-read tombstones; " +
-        "compact() to apply them, or read via TxnTable.snapshot " +
-        "(which anti-joins them) — a plain file scan would resurrect " +
-        "deleted rows")
     def pathOf(e: TxnTable.Entry) =
       new Path(TxnTable.pathFor(location, e.path))
     val s = spark
@@ -566,26 +561,37 @@ class GraftTable(ident: String, private[sources] val location: String,
           readSchema => new GraftMicroBatchStream(ident, location,
             readSchema, maxVersions, startingVersion, skipChange),
           () => GraftTable.manifestStatistics(m, keptEntries.get()))
-        // mapped tables (renamed/re-added columns) read through the
-        // snapshot plan the analyzer swaps in (GraftMorReadRule) — so
-        // EXECUTING a direct BATCH scan means some path bypassed
-        // analysis, where requesting logical names from physical files
-        // would silently read NULLs. The refusal lives at toBatch, not
-        // at scan build: DELETE planning builds (but never executes) a
-        // scan during its pushdown bookkeeping, and the file-pruned
-        // delete itself maps names internally. The MICRO-BATCH stream
-        // stays available — it maps its read schema to physical names
-        // itself (GraftMicroBatchStream.physReadSchema).
-        if (!hasColumnMapping) scan
+        // mapped AND tombstoned tables read through the snapshot plan
+        // the analyzer swaps in (GraftMorReadRule) — so EXECUTING a
+        // direct BATCH scan means some path bypassed analysis, where
+        // logical names would read NULLs (mapping) or deleted rows
+        // would resurrect (tombstones). The refusal lives at toBatch,
+        // not at scan build: DELETE planning builds (but never
+        // executes) a scan during its pushdown bookkeeping, and the
+        // file-pruned delete itself maps names internally. The
+        // MICRO-BATCH stream stays available on BOTH: it maps its read
+        // schema to physical names itself
+        // (GraftMicroBatchStream.physReadSchema), and its per-version
+        // walk refuses any commit that CHANGES tombstones — a tail
+        // started past pending tombstones only ever emits files newer
+        // than them (sequenced rule: the tombstones don't apply).
+        if (!hasColumnMapping && !hasTombstones) scan
         else new org.apache.spark.sql.connector.read.Scan {
           override def readSchema(): StructType = scan.readSchema()
           override def description(): String = scan.description()
           override def toBatch: org.apache.spark.sql.connector.read.Batch =
             throw new IllegalArgumentException(
-              s"$ident: table has column mapping (renamed/re-added " +
-                "columns); read through SQL (the analyzer serves the " +
-                "mapped snapshot plan) or TxnTable.snapshot — a direct " +
-                "file scan would resolve mapped columns as NULL")
+              if (hasColumnMapping)
+                s"$ident: table has column mapping (renamed/re-added " +
+                  "columns); read through SQL (the analyzer serves the " +
+                  "mapped snapshot plan) or TxnTable.snapshot — a " +
+                  "direct file scan would resolve mapped columns as NULL"
+              else
+                s"$ident version $version has pending merge-on-read " +
+                  "tombstones; read through SQL (the analyzer serves " +
+                  "the anti-join snapshot plan) or TxnTable.snapshot, " +
+                  "or compact() — a plain file scan would resurrect " +
+                  "deleted rows")
           override def toMicroBatchStream(checkpointLocation: String)
               : org.apache.spark.sql.connector.read.streaming
                 .MicroBatchStream = scan.toMicroBatchStream(

@@ -206,7 +206,15 @@ class GraftMicroBatchStream(ident: String, location: String,
       val removed = prevPaths -- cur.entries.map(_.path).toSet
       val sameTombs = cur.deletes.toSet == prev.deletes.toSet
       val out =
-        if (removed.nonEmpty && skipChangeCommits &&
+        if (cur.op == "rewrite_tombstones" && removed.isEmpty &&
+            cur.entries.map(_.path).toSet == prevPaths) {
+          // tombstone-file maintenance is content-invariant BY
+          // CONSTRUCTION (entries verbatim, the bounded tombstone is
+          // algebra-equivalent to the files it collapsed) — it passes
+          // as an empty batch unconditionally, no opt-in needed; the
+          // entry-set equality check keeps the bypass exact
+          Seq.empty
+        } else if (removed.nonEmpty && skipChangeCommits &&
             Set("compact", "zorder").contains(cur.op) && sameTombs) {
           // skipChangeCommits opt-in: a COMPACTION or ZORDER rewrite
           // replaces files but preserves content (its rows were

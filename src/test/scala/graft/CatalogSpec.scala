@@ -1301,6 +1301,45 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) === (0 until 10).map(_ + 7L).sum)
   }
 
+  test("a tailing stream passes rewrite_tombstones as an empty batch") {
+    val t = fresh("streamtombrw")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id, id " +
+      "FROM RANGE(50)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    // two MoR merges accrete tombstones (a tail across THOSE stays
+    // loud — they retract rows); maintenance then collapses them
+    val s2 = spark
+    import s2.implicits._
+    TxnTable.applyChangesMor(spark, loc,
+      Seq((1L, 0L, "D"), (100L, 100L, "U")).toDF("k", "v", "op"), "k")
+    TxnTable.applyChangesMor(spark, loc,
+      Seq((2L, 0L, "D")).toDF("k", "v", "op"), "k")
+    val preRewrite = TxnTable.currentVersion(spark, loc) // = 3
+    TxnTable.rewriteTombstones(spark, loc)
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "id + 1000, id FROM RANGE(3)")
+    // a tail starting AFTER the merges crosses the rewrite commit: the
+    // tombstone SET changed but the content did not — it must pass as
+    // an EMPTY batch (not fail the tombstone guard) and then emit the
+    // later append
+    val ckpt = graft.Fs.scratch("graft_streamtombrw", "ckpt")
+    graft.Fs.deleteRecursively(ckpt)
+    val qn = s"${t}_tail"
+    val q = spark.readStream
+      .option("startingVersion", (preRewrite + 1).toString)
+      .table(s"graft.spec.$t")
+      .writeStream.format("memory").queryName(qn)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(qn).collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(1000L, 1001L, 1002L),
+      s"stream must skip the rewrite commit and emit the append: $out")
+  }
+
   test("DROP then re-ADD COLUMN never resurrects old values") {
     val t = fresh("dropreadd")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT, secret STRING) " +
@@ -1870,6 +1909,44 @@ class CatalogSpec extends SparkSpec {
     assert(cnt(s"SELECT SUM(k) AS sk FROM graft.spec.$t") ===
       (10L until 90L).sum + (0L until 10L).map(_ + 1000).sum +
         (0L until 5L).map(_ + 2000).sum)
+  }
+
+  test("rebase routes a branch with BOUNDED tombstones to the row-level " +
+      "recompute (old-seq-space bounds never replay as metadata)") {
+    val t = fresh("rebasetomb")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id, id " +
+      "FROM RANGE(100)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    val s2 = spark
+    import s2.implicits._
+    sql(s"CALL graft.system.branch('spec.$t', 'dev')")
+    val bd = TxnTable.branchDir(spark, loc, "dev")
+    // two MoR merges on the BRANCH, collapsed by maintenance — the
+    // bounded file's row bounds speak the branch's seq space
+    TxnTable.applyChangesMor(spark, bd,
+      Seq((3L, 0L, "D")).toDF("k", "v", "op"), "k")
+    TxnTable.applyChangesMor(spark, bd,
+      Seq((4L, 0L, "D"), (3L, 33L, "U")).toDF("k", "v", "op"), "k")
+    TxnTable.rewriteTombstones(spark, bd)
+    // main moves with a DISJOINT append — metadata-clean by the file
+    // rule, but the bounded tombstone must still force the recompute
+    sql(s"INSERT INTO graft.spec.$t SELECT id + 5000, id FROM RANGE(5)")
+    sql(s"CALL graft.system.rebase('spec.$t', 'dev')")
+    val mReb = TxnTable.manifest(spark, bd,
+      TxnTable.currentVersion(spark, bd))
+    assert(mReb.metrics.get("recomputed") === Some(1L),
+      s"bounded tombstones must force the recompute path: ${mReb.metrics}")
+    sql(s"CALL graft.system.fastforward('spec.$t', 'dev')")
+    def cnt(q: String): Long = sql(q).collect()(0).getLong(0)
+    // 100 base − k=4 (deleted) + k=3 updated + 5 main appends
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t") === 104)
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t WHERE k = 4")
+      === 0, "branch delete lost in rebase")
+    assert(sql(s"SELECT v FROM graft.spec.$t WHERE k = 3").collect()
+      .map(_.getLong(0)).toSeq === Seq(33L), "branch update lost")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t WHERE k >= 5000")
+      === 5, "main's interim append lost")
   }
 
   test("tags and branches refuse to shadow each other's names") {
