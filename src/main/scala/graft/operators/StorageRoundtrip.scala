@@ -132,8 +132,12 @@ object StorageRoundtrip {
     * zero-Exchange plan). The oracle is the plain join — bucketing must
     * be invisible in results. */
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val (liT, ordT) = bucketedFor.getOrElseUpdate(d, {
-      val suffix = math.abs(d.hashCode).toString
+    // the cache outlives a SparkSession: a fresh session's in-memory
+    // catalog has never seen the tables, so validate before reuse
+    val cached = bucketedFor.get(d).filter { case (li, ord) =>
+      s.catalog.tableExists(li) && s.catalog.tableExists(ord) }
+    val (liT, ordT) = cached.getOrElse {
+      val suffix = (d.hashCode & 0x7fffffff).toString
       val (li, ord) = (s"graft_li_bkt_$suffix", s"graft_ord_bkt_$suffix")
       Seq(li, ord).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
@@ -153,8 +157,9 @@ object StorageRoundtrip {
         .select(col("o_orderkey"), col("o_orderstatus"))
         .write.mode("overwrite").bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey").saveAsTable(ord)
+      bucketedFor(d) = (li, ord)
       (li, ord)
-    })
+    }
     s.table(liT)
       .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))

@@ -533,9 +533,13 @@ object TxnTable {
       val in = f.open(p)
       val txt = try new String(in.readAllBytes(), UTF_8) finally in.close()
       val parts = txt.trim.split('\t')
+      // a ref without a recorded localBase predates rebase support: 0
+      // is only correct for a never-fast-forwarded branch, and an old
+      // fast-forward cannot be distinguished from none — record the
+      // UNKNOWN sentinel and let rebase refuse it loudly
       Some(BranchRef(parts(0).toLong,
         if (parts.length > 1) parts(1) else name,
-        if (parts.length > 2) parts(2).toLong else 0L))
+        if (parts.length > 2) parts(2).toLong else -1L))
     }
   }
 
@@ -723,6 +727,10 @@ object TxnTable {
     val cur = currentVersion(s, table)
     val bHead = currentVersion(s, bd)
     if (cur == base) return bHead // already based on main's head
+    require(localBase >= 0,
+      s"$table: branch '$name' predates rebase support (its ref " +
+        "records no branch point) — re-branch from the current head " +
+        "and replay, or fastForward/publish instead")
     // branch@localBase ≡ parent@base (the branch point / last publish
     // point — parent@base's own manifest may already be vacuumed, the
     // branch's copy is shielded); only commits AFTER it replay
@@ -1986,6 +1994,9 @@ object TxnTable {
       s"merge change set schema does not match table schema $have")
     require(have.exists(_._1 == key),
       s"merge key '$key' is not a column of $table")
+    require(!physMap(m).getOrElse(key, key).endsWith("~L"),
+      s"merge key '$key' ends in the reserved '~L' suffix " +
+        "(bounded-tombstone marker)")
     enforceChecks(s, m.checks, adds, s"$table: merge change set")
     // NULL keys match no equality: a NULL-keyed tombstone row would
     // delete nothing — keep the tombstone file clean of them (NULL-key
@@ -2435,6 +2446,11 @@ object TxnTable {
       .getOrElse(snapshot(s, table, cur).columns.toSeq)
     require(cols.contains(key),
       s"tombstone key '$key' is not a column of $table (has: $cols)")
+    // `~L` marks BOUNDED tombstone lines in the manifest
+    // ([[rewriteTombstones]]) — a key whose physical name ends in it
+    // would make every later read mis-parse the tombstone file
+    require(!physMap(m).getOrElse(key, key).endsWith("~L"),
+      s"tombstone key '$key' ends in the reserved '~L' suffix")
     val keySet = keys.select(col(key)).distinct().coalesce(1)
     // an empty delete is a NO-OP: an empty tombstone file would tax
     // every future read's anti-join for nothing
@@ -2477,19 +2493,7 @@ object TxnTable {
     if (m.deletes.size <= 1) return cur // nothing to collapse
     val byCol = m.deletes.groupBy(_._2.stripSuffix("~L"))
     val rewritten = byCol.toSeq.sortBy(_._1).map { case (kc, fls) =>
-      // (key, bound) per file: a plain tombstone's bound is its line
-      // seq; an already-bounded file carries per-row bounds
-      val pairs = fls.map { case (p, rec, sq) =>
-        val kdf = s.read.parquet(pathFor(table, p))
-        if (rec.endsWith("~L"))
-          kdf.select(col(kdf.columns.head).as(kc),
-            col(kdf.columns(1)).cast("long").as("__tl"))
-        else
-          kdf.select(col(kdf.columns.head).as(kc),
-            lit(sq).cast("long").as("__tl"))
-      }.reduce(_ unionByName _)
-        .groupBy(col(kc)).agg(max(col("__tl")).as("__tl"))
-        .coalesce(1)
+      val pairs = tombstonePairs(s, table, kc, fls).coalesce(1)
       val staged = stage(s, table, pairs)
       require(staged.size == 1,
         s"$table: bounded tombstone for '$kc' staged ${staged.size} files")
@@ -2504,6 +2508,26 @@ object TxnTable {
         "tombstones" -> rewritten.size.toLong),
       retired = m.retired, checks = m.checks)
   }
+
+  /** (key, `__tl` bound) pairs of a set of tombstone lines for ONE key
+    * column, reduced to the per-key MAX bound (the newest delete
+    * dominates): plain single-column files bound at their line seq,
+    * bounded `~L` files at their per-row L. The single source of the
+    * bounded-kill algebra — both [[rewriteTombstones]] and the
+    * read-side join in readEntries speak through it, so the two can
+    * never disagree. */
+  private def tombstonePairs(s: SparkSession, table: String, kc: String,
+      fls: Seq[(String, String, Long)]): DataFrame =
+    fls.map { case (p, rec, sq) =>
+      val kdf = s.read.parquet(pathFor(table, p))
+      if (rec.endsWith("~L"))
+        kdf.select(col(kdf.columns.head).as(kc),
+          col(kdf.columns(1)).cast("long").as("__tl"))
+      else
+        kdf.select(col(kdf.columns.head).as(kc),
+          lit(sq).cast("long").as("__tl"))
+    }.reduce(_ unionByName _)
+      .groupBy(col(kc)).agg(max(col("__tl")).as("__tl"))
 
   /** The schema version `v` was committed with, if the commit recorded
     * one (`#schema=` manifest line — schema-in-the-log, the way every
@@ -2674,7 +2698,7 @@ object TxnTable {
     require(!sch.fieldNames.contains(to),
       s"column '$to' already exists in $table")
     require(to.nonEmpty && !to.endsWith("~s") && !to.endsWith("~h") &&
-      to != "~b" && !to.exists("\t\n,".contains(_)),
+      !to.endsWith("~L") && to != "~b" && !to.exists("\t\n,".contains(_)),
       s"column name '$to' would corrupt the manifest format")
     guardConstrained(table, m, from, "rename")
     val withIds = ensureIds(sch, m.retired)
@@ -2908,13 +2932,22 @@ object TxnTable {
       // bounded kills need the row's entry seq: a map-literal lookup on
       // the file path keeps it inside whole-stage codegen (no UDF); the
       // raise_error guard turns a failed lookup into a loud error, not
-      // a silent resurrect/over-delete
+      // a silent resurrect/over-delete. input_file_name() yields a
+      // URI-escaped `file:` form whose exact shape varies — the map
+      // carries every raw/escaped/scheme variant of each path, so a
+      // table dir with spaces (or other escaped characters) still
+      // resolves after a tombstone rewrite.
       val withSeq =
         if (!hasBounded) raw
         else {
-          val pathSeq = es.map(e => pathFor(table, e.path) -> e.seq).toMap
-          val looked = element_at(typedLit(pathSeq),
-            regexp_replace(input_file_name(), "^file:/+", "/"))
+          def variants(abs: String): Seq[String] = {
+            val esc = new java.net.URI("file", null, abs, null).getRawPath
+            Seq(abs, s"file:$abs", s"file://$abs",
+              esc, s"file:$esc", s"file://$esc").distinct
+          }
+          val pathSeq = es.flatMap(e =>
+            variants(pathFor(table, e.path)).map(_ -> e.seq)).toMap
+          val looked = element_at(typedLit(pathSeq), input_file_name())
           raw.withColumn("__gseq",
             when(looked.isNull, raise_error(concat(
               lit(s"$table: unmapped scan file for bounded tombstone: "),
@@ -2925,12 +2958,7 @@ object TxnTable {
       val cleaned = dels.groupBy(_._2).foldLeft(withSeq) {
         case (acc, (rec, fls)) if rec.endsWith("~L") =>
           val kc = joinCol(rec)
-          val keys = fls.map { f =>
-            val kdf = s.read.parquet(pathFor(table, f._1))
-            kdf.select(col(kdf.columns.head).as(s"__tk"),
-              col(kdf.columns(1)).cast("long").as("__tl"))
-          }.reduce(_ unionByName _)
-            .groupBy(col("__tk")).agg(max(col("__tl")).as("__tl"))
+          val keys = tombstonePairs(s, table, "__tk", fls)
           acc.join(keys,
             acc(kc) === keys("__tk") && acc("__gseq") < keys("__tl"),
             "left_anti")

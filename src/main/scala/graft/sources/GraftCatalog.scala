@@ -805,6 +805,12 @@ object GraftTable {
     * absent bounds, not wrong ones. */
   private[sources] def manifestStatistics(m: TxnTable.Manifest,
       kept: Seq[TxnTable.Entry]): Option[V2Stats] = {
+    // UNINDEXED tables record no stat groups at all — their path-only
+    // entries are indistinguishable from zero-row sentinels, so the
+    // "group-less = 0 bytes/rows" reading would report a 100 GB table
+    // as empty and broadcast it. Same guard as tableBytes/tableRows:
+    // no index headers → no manifest stats → listing-based fallback.
+    if (m.idxCols.isEmpty && m.strIdxCols.isEmpty) return None
     val (bytes, rows) = TxnTable.entriesBytesRows(kept)
     if (bytes.isEmpty) return None
     val physToLog: Map[String, String] = m.schema

@@ -1525,6 +1525,20 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.deleteFiles(spark, t, vc).isEmpty)
     assert(TxnTable.snapshot(spark, t).as[String].collect().sorted.length
       === 8)
+    // the '~L' suffix is reserved for bounded tombstone lines: a key
+    // column named with it would mis-parse every later read
+    val t2 = freshTable("mor_reserved")
+    TxnTable.create(spark, t2,
+      Seq((1L, "a"), (2L, "b")).toDF("k~L", "v"))
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.deleteKeysMor(spark, t2,
+        Seq(1L).toDF("k~L"), "k~L")
+    }
+    assert(e.getMessage.contains("~L"), e.getMessage.take(160))
+    intercept[IllegalArgumentException] {
+      TxnTable.applyChangesMor(spark, t2,
+        Seq((1L, "x", "D")).toDF("k~L", "v", "op"), "k~L")
+    }
   }
 
   test("rewriteTombstones collapses K equality-delete files into one " +
