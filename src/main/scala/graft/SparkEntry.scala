@@ -178,6 +178,7 @@ object SparkEntry {
     "st_stream_join"          -> (Streams.streamJoin _),
     "st_stream_file_sink"     -> (Streams.streamFileSink _),
     "st_stream_upsert"        -> (Streams.streamUpsert _),
+    "st_stream_mor"           -> (Streams.streamMorApply _),
     "st_stream_session_window" -> (Streams.streamSessionWindow _),
     "st_stream_backfill"      -> (Streams.streamBackfill _),
     "st_stream_catalog"       -> (Streams.streamCatalog _),
@@ -1435,7 +1436,7 @@ object SparkEntry {
     // columns are literal at any SF (single-file inserts); wall-clock
     // ts and parquet byte sizes are asserted in-scenario → boolean
     "sql_txn_detail" ->
-      """SELECT CAST(5 AS BIGINT) AS format, CAST(2 AS BIGINT) AS version,
+      """SELECT CAST(6 AS BIGINT) AS format, CAST(2 AS BIGINT) AS version,
         |  'append' AS operation, CAST(3 AS BIGINT) AS num_files,
         |  'o_orderkey' AS index_cols, '' AS str_index_cols,
         |  CAST(0 AS BIGINT) AS num_tombstones,
@@ -2126,6 +2127,21 @@ object SparkEntry {
         |        UNION ALL SELECT * FROM inserts))
         |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM merged WHERE rn = 1""".stripMargin,
+    // merge-on-read CDC apply: per-batch merge_mor + tombstone
+    // maintenance must land the sequentially-replayed change algebra
+    "st_stream_mor" ->
+      """WITH b AS (SELECT o_orderkey AS key, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DOUBLE) AS p FROM orders)
+        |SELECT key AS o_orderkey, st AS o_orderstatus,
+        |  p AS o_totalprice, TRUE AS morstream_ok
+        |FROM (SELECT key, st, p FROM b
+        |        WHERE key % 9 <> 0 AND key % 10 <> 0
+        |      UNION ALL
+        |      SELECT key, 'U', p + 1000.0 FROM b
+        |      WHERE key % 10 = 0 AND key % 9 <> 0
+        |      UNION ALL
+        |      SELECT key + 100000000, 'N', p FROM b
+        |      WHERE key % 97 = 0)""".stripMargin,
     "st_stream_enrich" ->
       """SELECT event_id, user_id, event_type, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,

@@ -2940,10 +2940,15 @@ object TxnTable {
       val withSeq =
         if (!hasBounded) raw
         else {
-          def variants(abs: String): Seq[String] = {
-            val esc = new java.net.URI("file", null, abs, null).getRawPath
-            Seq(abs, s"file:$abs", s"file://$abs",
-              esc, s"file:$esc", s"file://$esc").distinct
+          def variants(abs0: String): Seq[String] = {
+            // input_file_name() reports the fs-normalized URI — cover
+            // raw, slash-collapsed, and URI-escaped forms of each path
+            val norm = abs0.replaceAll("/{2,}", "/")
+            Seq(abs0, norm).flatMap { abs =>
+              val esc = new java.net.URI("file", null, abs, null).getRawPath
+              Seq(abs, s"file:$abs", s"file://$abs",
+                esc, s"file:$esc", s"file://$esc")
+            }.distinct
           }
           val pathSeq = es.flatMap(e =>
             variants(pathFor(table, e.path)).map(_ -> e.seq)).toMap

@@ -302,6 +302,89 @@ object Streams {
         col("o_totalprice"), col("o_orderpriority"))
   }
 
+  /** st_stream_mor: the MERGE-ON-READ CDC APPLY pipeline — the
+    * steady-state shape [[TxnTable.applyChangesMor]] and
+    * [[TxnTable.rewriteTombstones]] exist for, run end to end as a
+    * stream. The change set (scattered deletes %9, updates %10,
+    * inserts %97 — every key appears ONCE, so batch boundaries cannot
+    * change the outcome) is staged as FOUR key-ranged parquet files
+    * and tailed with maxFilesPerTrigger=1: four deterministic
+    * micro-batches, each applied as ONE merge_mor commit — an
+    * equality tombstone plus the batch's 'U' rows, ZERO data files
+    * rewritten per batch — with [[TxnTable.rewriteTombstones]] firing
+    * whenever three tombstone files have accreted (the maintenance
+    * cadence that keeps the read-side anti-join flat between
+    * compactions, also content-invariant and also zero data files).
+    *
+    * `morstream_ok` asserts the whole claim: every file of the BASE
+    * table is still live — byte-identical manifest lines — at the
+    * stream's end (the entire CDC stream never rewrote a data file),
+    * the final tombstone state is ONE bounded file (after the closing
+    * collapse), and the audit trail contains only create / merge_mor /
+    * rewrite_tombstones ops. At 100 TB this is the difference between
+    * a CDC consumer that rewrites the touched region every batch and
+    * one whose per-batch write cost is O(change set) with reads
+    * converged by ONE bounded anti-join. The oracle replays the change
+    * algebra directly. */
+  def streamMorApply(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Fs.scratch("graft_stream_mor", "run")
+    graft.Fs.deleteRecursively(base)
+    val table = s"$base/table"
+    val k = col("o_orderkey")
+    val sel = s.read.parquet(s"$d/orders.parquet")
+      .select(k, col("o_orderstatus"), col("o_totalprice"))
+    TxnTable.commit(s, table, TxnTable.stageIndexed(s, table,
+      sel.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = sel.schema.json)
+    val v0Lines = TxnTable.liveEntries(s, table, 0).toSet
+    // the change set, staged as 4 key-ranged files = 4 micro-batches
+    val changes = sel.filter(pmod(k, lit(9)) === 0)
+      .select(k, col("o_orderstatus"), col("o_totalprice"),
+        lit("D").as("op"))
+      .unionByName(sel.filter(pmod(k, lit(10)) === 0 &&
+          pmod(k, lit(9)) =!= 0)
+        .select(k, lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit("U").as("op")))
+      .unionByName(sel.filter(pmod(k, lit(97)) === 0)
+        .select((k + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          lit("U").as("op")))
+    changes.repartitionByRange(4, k).write.parquet(s"$base/feed")
+    val feedDdl = "o_orderkey LONG, o_orderstatus STRING, " +
+      "o_totalprice DOUBLE, op STRING"
+    val q = s.readStream.schema(feedDdl)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$base/feed")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TxnTable.applyChangesMor(s, table, batch, "o_orderkey")
+        // maintenance cadence: collapse once three tombstones accrete
+        if (TxnTable.deleteFiles(s, table,
+            TxnTable.currentVersion(s, table)).size >= 3)
+          TxnTable.rewriteTombstones(s, table)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    TxnTable.rewriteTombstones(s, table) // closing collapse
+    val cur = TxnTable.currentVersion(s, table)
+    val m = TxnTable.manifest(s, table, cur)
+    val headLines = TxnTable.liveEntries(s, table, cur).toSet
+    val zeroRewrites = v0Lines.subsetOf(headLines)
+    val oneBounded = m.deletes.size == 1 &&
+      m.deletes.head._2.endsWith("~L")
+    val opsClean = TxnTable.history(s, table).map(_._2).toSet
+      .subsetOf(Set("create", "merge_mor", "rewrite_tombstones"))
+    val ok = zeroRewrites && oneBounded && opsClean
+    TxnTable.snapshot(s, table)
+      .select(k, col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("morstream_ok", lit(ok))
+  }
+
   /** st_stream_cdc: the change feed as a STREAMING source — the
     * composition the txn log + CDC pieces exist for. The table takes two
     * [[TxnTable.overwriteCdc]] commits (the op_incremental_agg change
