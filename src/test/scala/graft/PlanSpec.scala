@@ -137,6 +137,57 @@ class PlanSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
   }
 
+  test("CBO join REORDER works on graft tables from manifest stats " +
+      "alone (no ANALYZE)") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    import org.apache.spark.sql.functions._
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.plan")
+    Seq("rcust", "rord", "rli").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft.plan.$t"))
+    // the same deliberately-bad syntactic order as the ANALYZE-based
+    // reorder test, but over graft DSv2 tables whose ONLY statistics
+    // are the manifest sketches the scan reports
+    s.sql("CREATE TABLE graft.plan.rcust (c_custkey BIGINT, nm STRING) " +
+      "TBLPROPERTIES ('index' = 'c_custkey')")
+    s.sql("INSERT INTO graft.plan.rcust SELECT id, CONCAT('c', id) " +
+      "FROM RANGE(1500)")
+    s.sql("CREATE TABLE graft.plan.rord (o_orderkey BIGINT, " +
+      "o_custkey BIGINT) TBLPROPERTIES ('index' = 'o_orderkey,o_custkey')")
+    s.sql("INSERT INTO graft.plan.rord SELECT id, id % 1500 " +
+      "FROM RANGE(15000)")
+    s.sql("CREATE TABLE graft.plan.rli (l_orderkey BIGINT, qty BIGINT) " +
+      "TBLPROPERTIES ('index' = 'l_orderkey,qty')")
+    s.sql("INSERT INTO graft.plan.rli SELECT id % 15000, id % 50 " +
+      "FROM RANGE(60000)")
+    val prev = Seq("spark.sql.cbo.enabled",
+      "spark.sql.cbo.joinReorder.enabled").map(k => k -> s.conf.get(k))
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      def innermostLeaves(reorder: Boolean): String = {
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", reorder.toString)
+        val df = s.table("graft.plan.rcust")
+          .join(s.table("graft.plan.rord"),
+            col("c_custkey") === col("o_custkey"))
+          .join(s.table("graft.plan.rli").filter(col("qty") > 48),
+            col("o_orderkey") === col("l_orderkey"))
+          .agg(count(lit(1)).as("n"))
+        val joins = df.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }
+        joins.last.collectLeaves().mkString("\n")
+      }
+      val syntactic = innermostLeaves(reorder = false)
+      assert(syntactic.contains("rcust") && syntactic.contains("rord"),
+        s"without reorder the syntactic pair joins first:\n$syntactic")
+      val reordered = innermostLeaves(reorder = true)
+      assert(reordered.contains("rli") && !reordered.contains("rcust"),
+        "manifest-stat-fed reorder should join the filtered lineitem " +
+          s"first:\n$reordered")
+    } finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("catalog stats drive join REORDER (CostBasedJoinReorder)") {
     // the other half of the CBO story next to q47's broadcast flip: a
     // 3-table join written in a deliberately bad syntactic order
