@@ -105,6 +105,7 @@ object SparkEntry {
     "op_merge_full"           -> (TxnTable.mergeFull _),
     "op_merge_mor"            -> (TxnTable.mergeMor _),
     "op_tomb_rewrite"         -> (TxnTable.tombRewrite _),
+    "op_mor_cdc"              -> (TxnTable.morCdc _),
     "op_str_skip"             -> (TxnTable.strSkip _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
@@ -1787,6 +1788,27 @@ object SparkEntry {
         |          AND k NOT IN (SELECT k FROM del)
         |      UNION ALL SELECT k, st, price FROM upd
         |      UNION ALL SELECT k, st, price FROM ins)""".stripMargin,
+    // merge-on-read CDC: v0's aggregate + two commits' signed feeds
+    // telescoped must equal the DIRECT replay of the final content
+    "op_mor_cdc" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |fin AS (
+        |  SELECT st, price FROM b
+        |  WHERE k % 9 <> 0 AND k % 10 <> 0 AND k % 11 <> 0 AND k % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'U', CAST(price + 100 AS DECIMAL(12,2)) FROM b
+        |  WHERE k % 10 = 0 AND k % 9 <> 0
+        |  UNION ALL
+        |  SELECT 'V', CAST(price + 200 AS DECIMAL(12,2)) FROM b
+        |  WHERE k % 13 = 0 AND k % 9 <> 0 AND k % 10 <> 0 AND k % 11 <> 0
+        |  UNION ALL
+        |  SELECT 'N', price FROM b WHERE k % 97 = 0
+        |  UNION ALL
+        |  SELECT 'M', price FROM b WHERE k % 89 = 0)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total, TRUE AS mor_cdc_ok
+        |FROM fin GROUP BY st""".stripMargin,
     // tombstone-file maintenance: five MoR batches collapse to one
     // bounded (key, L) tombstone, content-invariant — the oracle
     // replays the sequential change algebra

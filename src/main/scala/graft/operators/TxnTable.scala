@@ -1984,7 +1984,8 @@ object TxnTable {
     * serve (readers pay the anti-join until [[compact]] applies the
     * tombstones and both generations converge). */
   def applyChangesMor(s: SparkSession, table: String, changes: DataFrame,
-                      key: String, opCol: String = "op"): Long = {
+                      key: String, opCol: String = "op",
+                      cdc: Boolean = false): Long = {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur)
     val adds = changes.filter(col(opCol) =!= "D").drop(opCol)
@@ -2015,10 +2016,49 @@ object TxnTable {
           m.strIdxCols).filter(hasStats)
       else stage(s, table, toPhysical(adds, m))
     if (!hasKeys && addLines.isEmpty) return cur
+    // optional SAME-COMMIT change feed (`cdc = true`): signedDiff over
+    // the TOUCHED keys only — `a` is a broadcast key-set semi-join of
+    // the current snapshot (change-set-sized output, never a
+    // full-table diff like overwriteCdc's), `b` is a read-back of the
+    // just-staged adds (physical names, positional rename — never a
+    // second evaluation of the caller's plan). The full-outer algebra
+    // telescopes exactly: deletes −1 with OLD values, inserts +1,
+    // updates −1/+1, ghost deletes and no-op updates vanish.
+    val refs =
+      if (!cdc) Nil
+      else {
+        val newDf =
+          if (addLines.isEmpty)
+            s.createDataFrame(s.sparkContext
+              .parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+              adds.schema)
+          else s.read.schema(physicalSchema(withMapping(m, adds.schema)))
+            .parquet(addLines.map(l =>
+              pathFor(table, l.split('\t').head)): _*)
+            .toDF(adds.schema.fieldNames.toSeq: _*)
+        val old = snapshot(s, table, cur).join(
+          broadcast(changes.select(col(key)).filter(col(key).isNotNull)
+            .distinct()), Seq(key), "left_semi")
+        val feed = signedDiff(old, newDf, key)
+        val tmp = new Path(s"$table/_cdc/.tmp-${java.util.UUID.randomUUID()}")
+        val f = fs(s, tmp)
+        feed.coalesce(1).write.parquet(tmp.toString)
+        val tag = java.util.UUID.randomUUID()
+        val out = f.listStatus(tmp).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.map { case (p, i) =>
+            val rel = f"_cdc/v${cur + 1}%08d-$tag-$i.parquet"
+            require(f.rename(p, new Path(s"$table/$rel")),
+              s"cdc stage failed for $rel")
+            rel
+          }
+        f.delete(tmp, true)
+        out
+      }
     // ONE commit: carried entries verbatim + fresh adds + the new
     // tombstone (seq = -1 → stamped with this commit's seq, same as
     // the fresh add entries — which therefore escape it)
-    commit(s, table, m.entries.map(render) ++ addLines, cur,
+    try commit(s, table, m.entries.map(render) ++ addLines, cur,
       op = "merge_mor",
       schemaJson = withMapping(m, adds.schema).json,
       deleteLines = m.deletes ++
@@ -2027,7 +2067,14 @@ object TxnTable {
       metrics = Seq("touched" -> 0L,
         "untouched" -> m.entries.size.toLong,
         "appended" -> addLines.size.toLong),
+      cdcFiles = refs,
       retired = m.retired, checks = m.checks)
+    catch { case e: Throwable =>
+      dropStaged(s, table, addLines ++ tomb)
+      refs.foreach(r =>
+        fs(s, new Path(table)).delete(new Path(s"$table/$r"), false))
+      throw e
+    }
   }
 
   /** Shared file-pruned copy-on-write merge machinery: `keys` = every
@@ -4463,6 +4510,73 @@ object TxnTable {
     snapshot(s, t)
       .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
       .withColumn("mor_ok", lit(ok))
+  }
+
+  /** op_mor_cdc: the MERGE-ON-READ change feed — [[applyChangesMor]]
+    * with `cdc = true` publishes the commit's SIGNED feed from the
+    * same manifest write, and the feed's cost FOLLOWS THE CHANGE: the
+    * pre-image side is a broadcast key-set semi-join of the snapshot
+    * (change-set-sized output), never overwriteCdc's full-table diff —
+    * on a 100 TB table taking minutely CDC batches that is the
+    * difference between a feed costing O(change set) and one costing a
+    * table scan per commit. Two MoR change batches land (scattered
+    * deletes, updates, inserts; zero data files rewritten, tombstones
+    * pending throughout); the OUTPUT is the incremental-view fold —
+    * v0's aggregate plus both commits' signed feeds telescoped — which
+    * the oracle checks against a DIRECT replay of the final content:
+    * continuous incremental maintenance ≡ recompute, through MoR
+    * commits. `mor_cdc_ok` asserts the mechanics: every v0 entry line
+    * carried verbatim through both commits, one manifest-referenced
+    * feed file per commit, two tombstones pending. */
+  def morCdc(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("morcdc_orders")
+    val base = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    commit(s, t, stageIndexed(s, t,
+      base.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = base.schema.json)
+    val v0Lines = liveEntries(s, t, 0).map(render).toSet
+    def del(df: DataFrame) = df.select(k, col("o_orderstatus"),
+      col("price"), lit("D").as("op"))
+    def upd(df: DataFrame, st: String, bump: Int) = df.select(k,
+      lit(st).as("o_orderstatus"),
+      (col("price") + lit(bump).cast(D12)).cast(D12).as("price"),
+      lit("U").as("op"))
+    def ins(df: DataFrame, st: String, shift: Long) = df.select(
+      (k + shift).as("o_orderkey"), lit(st).as("o_orderstatus"),
+      col("price"), lit("U").as("op"))
+    val ch1 = del(base.filter(pmod(k, lit(9)) === 0))
+      .unionByName(upd(base.filter(pmod(k, lit(10)) === 0 &&
+        pmod(k, lit(9)) =!= 0), "U", 100))
+      .unionByName(ins(base.filter(pmod(k, lit(97)) === 0),
+        "N", 100000000L))
+    val v1 = applyChangesMor(s, t, ch1, "o_orderkey", cdc = true)
+    val untouched = pmod(k, lit(9)) =!= 0 && pmod(k, lit(10)) =!= 0
+    val ch2 = del(base.filter(pmod(k, lit(11)) === 0 && untouched))
+      .unionByName(upd(base.filter(pmod(k, lit(13)) === 0 && untouched &&
+        pmod(k, lit(11)) =!= 0), "V", 200))
+      .unionByName(ins(base.filter(pmod(k, lit(89)) === 0),
+        "M", 200000000L))
+    val v2 = applyChangesMor(s, t, ch2, "o_orderkey", cdc = true)
+    def feedOf(v: Long): DataFrame = {
+      val refs = manifest(s, t, v).cdcRefs
+      s.read.parquet(refs.map(r => s"$t/$r"): _*)
+    }
+    val headLines = liveEntries(s, t, v2).map(render).toSet
+    val ok = v0Lines.subsetOf(headLines) &&
+      manifest(s, t, v1).cdcRefs.size == 1 &&
+      manifest(s, t, v2).cdcRefs.size == 1 &&
+      deleteFiles(s, t, v2).size == 2
+    val pick = (df: DataFrame) =>
+      df.select(col("o_orderstatus"), col("w"), col("price"))
+    pick(snapshot(s, t, 0).withColumn("w", lit(1)))
+      .unionByName(pick(feedOf(v1)))
+      .unionByName(pick(feedOf(v2)))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(col("w")).as("n"),
+        sum(col("w") * col("price")).cast("double").as("total"))
+      .filter(col("n") =!= 0)
+      .withColumn("mor_cdc_ok", lit(ok))
   }
 
   /** op_tomb_rewrite: [[rewriteTombstones]] as a checked query — the

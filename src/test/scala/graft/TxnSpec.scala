@@ -1541,6 +1541,37 @@ class TxnSpec extends SparkSpec {
     }
   }
 
+  test("applyChangesMor(cdc=true) publishes an exact signed feed: " +
+      "ghost deletes and no-op updates vanish, pre-images are OLD values") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable("mor_cdc_feed")
+    TxnTable.create(spark, t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    val v1 = TxnTable.applyChangesMor(spark, t, Seq(
+      (1L, "", "D"),      // delete: -1 with OLD value
+      (2L, "b2", "U"),    // update: -1 old, +1 new
+      (3L, "c", "U"),     // NO-OP update: must not appear
+      (9L, "", "D"),      // ghost delete: must not appear
+      (5L, "e", "U")      // insert: +1
+    ).toDF("k", "v", "op"), "k", cdc = true)
+    val refs = TxnTable.manifest(spark, t, v1).cdcRefs
+    assert(refs.size === 1, s"one feed file per commit: $refs")
+    val feed = spark.read.parquet(refs.map(r => s"$t/$r"): _*)
+      .select("k", "w", "v").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(feed === Seq((1L, -1, "a"), (2L, -1, "b"), (2L, 1, "b2"),
+      (5L, 1, "e")), s"feed rows: $feed")
+    // the feed telescopes: v0 + signed feed == v1 content
+    val folded = TxnTable.snapshot(spark, t, 0).withColumn("w", lit(1))
+      .select("k", "v", "w")
+      .unionByName(spark.read.parquet(refs.map(r => s"$t/$r"): _*)
+        .select("k", "v", "w"))
+      .groupBy("k", "v").agg(sum("w").as("w")).filter(col("w") =!= 0)
+      .select("k", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(folded === TxnTable.snapshot(spark, t, v1)
+      .as[(Long, String)].collect().sorted.toSeq)
+  }
+
   test("rewriteTombstones collapses K equality-delete files into one " +
       "bounded file, content-invariant, entries verbatim") {
     val s = spark
