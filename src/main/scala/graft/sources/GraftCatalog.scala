@@ -91,8 +91,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     fs(log).exists(log)
   }
 
+  /** `ns.t.branch_<name>` resolved to its parent's live branch, if the
+    * ident names one (and no literal table shadows it). */
+  private def branchOf(ident: Identifier): Option[String] =
+    if (isTable(tablePath(ident)) || ident.namespace().isEmpty ||
+        !ident.name().startsWith("branch_")) None
+    else {
+      val parent = tablePath(Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last))
+      val bname = ident.name().stripPrefix("branch_")
+      if (isTable(parent) &&
+          TxnTable.branches(spark, parent).exists(_._1 == bname))
+        Some(TxnTable.branchDir(spark, parent, bname))
+      else None
+    }
+
+  /** Branch idents EXIST as tables: without this, a `writeStream
+    * .toTable("cat.ns.t.branch_dev")` (or any CTAS-ish path that
+    * checks existence first) would silently CREATE a literal table at
+    * `ns/t/branch_dev` shadowing the branch. */
   override def tableExists(ident: Identifier): Boolean =
-    isTable(tablePath(ident))
+    isTable(tablePath(ident)) || branchOf(ident).isDefined
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new Path((warehouse +: namespace.toSeq).mkString("/"))
@@ -128,18 +147,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // BRANCH TABLES (the Iceberg `t.branch_<name>` shape): a branch is
     // a full read/write table — INSERT/MERGE/SELECT against it advance
     // or read the BRANCH lineage, the parent's timeline never moves
-    if (!isTable(tablePath(ident)) && ident.namespace().nonEmpty &&
-        ident.name().startsWith("branch_")) {
-      val parent = Identifier.of(ident.namespace().dropRight(1),
-        ident.namespace().last)
-      val parentPath = tablePath(parent)
-      val bname = ident.name().stripPrefix("branch_")
-      if (isTable(parentPath) &&
-          TxnTable.branches(spark, parentPath).exists(_._1 == bname)) {
-        val bd = TxnTable.branchDir(spark, parentPath, bname)
-        return new GraftTable(s"$catalogName.${ident.toString}", bd,
-          TxnTable.currentVersion(spark, bd))
-      }
+    branchOf(ident).foreach { bd =>
+      return new GraftTable(s"$catalogName.${ident.toString}", bd,
+        TxnTable.currentVersion(spark, bd))
     }
     loadAt(ident, -1L)
   }
@@ -208,6 +218,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"$catalogName tables cluster via manifest stats ('index' table " +
         "property), not hive partition transforms")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // `branch_*` under a live table is RESERVED branch addressing —
+    // creating a literal table there would shadow every later branch
+    require(!(ident.name().startsWith("branch_") &&
+        ident.namespace().nonEmpty &&
+        isTable(tablePath(Identifier.of(ident.namespace().dropRight(1),
+          ident.namespace().last)))),
+      s"$catalogName.${ident.toString}: 'branch_*' names under a table " +
+        "are branch references — CALL graft.system.branch(...) creates " +
+        "branches")
     val path = tablePath(ident)
     val idx = Option(properties.get("index")).map(_.split(',').toSeq)
       .getOrElse(Nil)

@@ -129,10 +129,28 @@ private[sources] object GraftMaintenance {
         run: (SparkSession, InternalRow) => Long): UnboundProcedure =
       new GraftProcedure(n, params.toArray, run)
     def tbl(s: SparkSession, input: InternalRow): String = {
-      val loc = resolveTable(warehouse, input.getUTF8String(0).toString)
-      require(TxnTable.versions(s, loc).nonEmpty,
-        s"graft procedure: '$loc' is not a committed table")
-      loc
+      val ref = input.getUTF8String(0).toString
+      val loc = resolveTable(warehouse, ref)
+      if (TxnTable.versions(s, loc).nonEmpty) loc
+      else {
+        // BRANCH addressing: 'ns.t.branch_<name>' resolves through the
+        // parent's ref file to the branch's actual dir leaf, so
+        // maintenance (compact / rewrite_tombstones / checkpoint / …)
+        // runs against the branch lineage like any other table
+        val parts = ref.split('.')
+        val viaBranch =
+          if (parts.length >= 2 && parts.last.startsWith("branch_")) {
+            val parent = resolveTable(warehouse,
+              parts.dropRight(1).mkString("."))
+            val bname = parts.last.stripPrefix("branch_")
+            if (TxnTable.versions(s, parent).nonEmpty &&
+                TxnTable.branches(s, parent).exists(_._1 == bname))
+              Some(TxnTable.branchDir(s, parent, bname))
+            else None
+          } else None
+        viaBranch.getOrElse(throw new IllegalArgumentException(
+          s"graft procedure: '$loc' is not a committed table"))
+      }
     }
     val tableParam = ProcedureParameter.in("table", StringType).build()
     name match {

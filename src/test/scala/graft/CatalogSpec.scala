@@ -1949,6 +1949,49 @@ class CatalogSpec extends SparkSpec {
       === 5, "main's interim append lost")
   }
 
+  test("streaming WAP: a stream lands on a branch, branch maintenance " +
+      "runs by name, fastforward publishes") {
+    val t = fresh("brstream")
+    val src = fresh("brstreamsrc")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(2) */ id, id " +
+      "FROM RANGE(50)")
+    sql(s"CREATE TABLE graft.spec.$src (k BIGINT, v BIGINT)")
+    sql(s"INSERT INTO graft.spec.$src SELECT id + 1000, id FROM RANGE(20)")
+    sql(s"CALL graft.system.branch('spec.$t', 'stage')")
+    // the arriving stream writes to the BRANCH table by name — main's
+    // timeline must not move while the staged data streams in
+    val ckpt = graft.Fs.scratch("graft_brstream", "ckpt")
+    graft.Fs.deleteRecursively(ckpt)
+    val q = spark.readStream.table(s"graft.spec.$src")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"graft.spec.$t.branch_stage")
+    q.awaitTermination()
+    def cnt(q: String): Long = sql(q).collect()(0).getLong(0)
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t") === 50,
+      "streaming into the branch moved main")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t.branch_stage")
+      === 70)
+    // branch MAINTENANCE by its catalog name: compaction of the staged
+    // lineage before publishing
+    sql(s"CALL graft.system.compact('spec.$t.branch_stage')")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t.branch_stage")
+      === 70, "branch compaction changed content")
+    // a literal CREATE under the reserved branch namespace refuses
+    intercept[Exception] {
+      sql(s"CREATE TABLE graft.spec.$t.branch_other (k BIGINT)") }
+    sql(s"CALL graft.system.fastforward('spec.$t', 'stage')")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t") === 70)
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "WHERE k >= 1000") === 20, "published stream rows missing")
+    // a non-branch unknown ref still refuses loudly
+    intercept[Exception] {
+      sql(s"CALL graft.system.compact('spec.$t.branch_nosuch')")
+        .collect() }
+  }
+
   test("tags and branches refuse to shadow each other's names") {
     val t = fresh("refns")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
