@@ -138,6 +138,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "files"   => GraftMaintenance.filesTable(full, parentPath)
           case "detail"  => GraftMaintenance.detailTable(full, parentPath)
           case "tags"    => GraftMaintenance.tagsTable(full, parentPath)
+          case "branches" => GraftMaintenance.branchesTable(full, parentPath)
           // data-sized, distributed — a real parquet-backed table over
           // the committed change feed, batch AND streaming
           case "changes" => new GraftChangesTable(full, parentPath)
@@ -456,7 +457,7 @@ object GraftCatalog {
 
   /** The reserved metadata-table suffixes (`graft.ns.t.history`…). */
   private[sources] val metaTables =
-    Set("history", "files", "changes", "detail", "tags")
+    Set("history", "files", "changes", "detail", "tags", "branches")
 
   /** The `check.<name>` CHECK-constraint entries of a property map. */
   private[sources] def checkProps(

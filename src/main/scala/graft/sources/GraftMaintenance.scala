@@ -90,6 +90,24 @@ private[sources] object GraftMaintenance {
           Array[Any](UTF8String.fromString(n), v)): InternalRow
       }.toArray)
 
+  /** `graft.ns.t.branches` — the writable lineages as a metadata
+    * table: (name, base parent version, head version of the branch's
+    * own lineage, dir leaf). LocalScan over the branch refs. */
+  def branchesTable(ident: String, location: String): Table =
+    new GraftMetaTable(ident,
+      StructType(Seq(StructField("name", StringType, nullable = false),
+        StructField("base_version", LongType, nullable = false),
+        StructField("head_version", LongType, nullable = false),
+        StructField("dir", StringType, nullable = false))),
+      s => TxnTable.branches(s, location).map { case (n, _) =>
+        val r = TxnTable.branchInfo(s, location, n).get
+        val bd = s"$location/_branches/${r.leaf}"
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(n), r.base,
+          TxnTable.currentVersion(s, bd),
+          UTF8String.fromString(s"_branches/${r.leaf}"))): InternalRow
+      }.toArray)
+
   def filesTable(ident: String, location: String): Table =
     new GraftMetaTable(ident,
       StructType(Seq(StructField("path", StringType, nullable = false),

@@ -866,6 +866,21 @@ class CatalogSpec extends SparkSpec {
       .agg(sum(col("v"))).collect()(0).getLong(0)
     assert(v1Sum + deltaSum === curSum,
       "streamed deltas must fold v1 to the current content")
+    // a MERGE-ON-READ cdc commit's feed flows into the SAME .changes
+    // surface: zero data files rewritten, the feed still arrives
+    val preFeed = sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t.changes")
+      .collect()(0).getLong(0)
+    TxnTable.applyChangesMor(spark, loc, Seq(
+      (5L, 0L, "D"), (7L, 777L, "U")).toDF("k", "v", "op"), "k",
+      cdc = true)
+    val morFeed = sql(s"SELECT k, w, v FROM graft.spec.$t.changes")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(morFeed.size.toLong > preFeed &&
+      morFeed.contains((5L, -1, 5L)) &&       // deleted key's OLD value
+      morFeed.exists(r => r._1 == 7L && r._2 == -1) &&
+      morFeed.contains((7L, 1, 777L)),
+      s"MoR feed rows missing from .changes: ${morFeed.filter(r =>
+        r._1 == 5L || r._1 == 7L)}")
   }
 
   test("CTAS, TRUNCATE TABLE, and SHOW TBLPROPERTIES round out the SQL surface") {
@@ -1979,6 +1994,19 @@ class CatalogSpec extends SparkSpec {
     sql(s"CALL graft.system.compact('spec.$t.branch_stage')")
     assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t.branch_stage")
       === 70, "branch compaction changed content")
+    // vacuum of the BRANCH lineage by name: the pre-compact branch
+    // versions age out, content survives, parent untouched (the
+    // parent's files are absolute refs outside the branch's data dir)
+    sql(s"CALL graft.system.vacuum('spec.$t.branch_stage', 1)")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t.branch_stage")
+      === 70, "branch vacuum destroyed content")
+    assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t") === 50,
+      "branch vacuum touched the parent")
+    // the .branches metadata table reports the lineage
+    val br = sql(s"SELECT name, base_version, head_version, dir " +
+      s"FROM graft.spec.$t.branches").collect()
+    assert(br.length === 1 && br(0).getString(0) === "stage" &&
+      br(0).getString(3) === "_branches/stage", br.mkString(","))
     // a literal CREATE under the reserved branch namespace refuses
     intercept[Exception] {
       sql(s"CREATE TABLE graft.spec.$t.branch_other (k BIGINT)") }
