@@ -731,10 +731,22 @@ object TxnTable {
       s"$table: branch '$name' predates rebase support (its ref " +
         "records no branch point) — re-branch from the current head " +
         "and replay, or fastForward/publish instead")
+    require(versions(s, bd).contains(localBase),
+      s"$table: branch '$name' lost its branch-point manifest " +
+        s"(version $localBase was vacuumed from the branch lineage) — " +
+        "re-branch from main's head, or fastForward if main has not " +
+        "moved")
     // branch@localBase ≡ parent@base (the branch point / last publish
     // point — parent@base's own manifest may already be vacuumed, the
-    // branch's copy is shielded); only commits AFTER it replay
-    val bms = (localBase to bHead).map(v => manifest(s, bd, v))
+    // branch's copy is pinned by the branch-aware vacuum); only
+    // commits AFTER it replay. A branch whose INTERIOR versions were
+    // vacuumed can't reconstruct per-commit deltas — it routes to the
+    // row-level recompute, which needs only the endpoints.
+    val haveVs = versions(s, bd).toSet
+    val contiguous = (localBase to bHead).forall(haveVs)
+    val bms =
+      if (contiguous) (localBase to bHead).map(v => manifest(s, bd, v))
+      else Seq(manifest(s, bd, localBase), manifest(s, bd, bHead))
     val b0 = bms.head
     val bLast = bms.last
     val mCur = manifest(s, table, cur)
@@ -755,22 +767,26 @@ object TxnTable {
     case class BDelta(added: Seq[Entry], removed: Set[String],
         tombs: Seq[(String, String, Long)], addedBlooms: Seq[BloomRef],
         op: String)
-    val deltas = bms.indices.drop(1).map { i =>
-      val a = bms(i); val p = bms(i - 1)
-      val prevPaths = p.entries.map(e => normB(e.path)).toSet
-      BDelta(
-        a.entries.filterNot(e => prevPaths(normB(e.path))),
-        prevPaths -- a.entries.map(e => normB(e.path)).toSet,
-        a.deletes.filterNot(p.deletes.toSet),
-        a.blooms.filterNot(p.blooms.toSet),
-        a.op)
-    }
+    val deltas =
+      if (!contiguous) Seq.empty
+      else bms.indices.drop(1).map { i =>
+        val a = bms(i); val p = bms(i - 1)
+        val prevPaths = p.entries.map(e => normB(e.path)).toSet
+        BDelta(
+          a.entries.filterNot(e => prevPaths(normB(e.path))),
+          prevPaths -- a.entries.map(e => normB(e.path)).toSet,
+          a.deletes.filterNot(p.deletes.toSet),
+          a.blooms.filterNot(p.blooms.toSet),
+          a.op)
+      }
     val branchRemoved = deltas.flatMap(_.removed).toSet // already normB'd
     // a BOUNDED tombstone added on the branch cannot replay as pure
     // metadata: its per-row L bounds speak the branch's OLD seq space,
     // and re-stamping the manifest line does not re-map the file's row
     // bounds — the row-level recompute is always sound, so route there
-    val conflict = mainRemoved.exists(branchRemoved) ||
+    // (same for a vacuumed-interior lineage, whose deltas are unknown)
+    val conflict = !contiguous ||
+      mainRemoved.exists(branchRemoved) ||
       (mainNewTombs.nonEmpty && branchRemoved.nonEmpty) ||
       deltas.exists(_.tombs.exists(_._2.endsWith("~L")))
     // governance facets merge only when at most ONE side moved them
@@ -2017,13 +2033,15 @@ object TxnTable {
       else stage(s, table, toPhysical(adds, m))
     if (!hasKeys && addLines.isEmpty) return cur
     // optional SAME-COMMIT change feed (`cdc = true`): signedDiff over
-    // the TOUCHED keys only — `a` is a broadcast key-set semi-join of
-    // the current snapshot (change-set-sized output, never a
-    // full-table diff like overwriteCdc's), `b` is a read-back of the
-    // just-staged adds (physical names, positional rename — never a
-    // second evaluation of the caller's plan). The full-outer algebra
-    // telescopes exactly: deletes −1 with OLD values, inserts +1,
-    // updates −1/+1, ghost deletes and no-op updates vanish.
+    // the TOUCHED keys only — `a` is a semi-join of the current
+    // snapshot against the STAGED tombstone file's keys (change-set-
+    // sized output, never a full-table diff like overwriteCdc's — and
+    // the exact key set the commit tombstones, never a re-evaluation
+    // of the caller's possibly-non-deterministic plan), `b` is a
+    // read-back of the just-staged adds (physical names, positional
+    // rename — same rule). The full-outer algebra telescopes exactly:
+    // deletes −1 with OLD values, inserts +1, updates −1/+1, ghost
+    // deletes and no-op updates vanish.
     val refs =
       if (!cdc) Nil
       else {
@@ -2036,24 +2054,19 @@ object TxnTable {
             .parquet(addLines.map(l =>
               pathFor(table, l.split('\t').head)): _*)
             .toDF(adds.schema.fieldNames.toSeq: _*)
-        val old = snapshot(s, table, cur).join(
-          broadcast(changes.select(col(key)).filter(col(key).isNotNull)
-            .distinct()), Seq(key), "left_semi")
-        val feed = signedDiff(old, newDf, key)
-        val tmp = new Path(s"$table/_cdc/.tmp-${java.util.UUID.randomUUID()}")
-        val f = fs(s, tmp)
-        feed.coalesce(1).write.parquet(tmp.toString)
-        val tag = java.util.UUID.randomUUID()
-        val out = f.listStatus(tmp).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          .zipWithIndex.map { case (p, i) =>
-            val rel = f"_cdc/v${cur + 1}%08d-$tag-$i.parquet"
-            require(f.rename(p, new Path(s"$table/$rel")),
-              s"cdc stage failed for $rel")
-            rel
+        val keyDf =
+          if (tomb.isEmpty)
+            s.createDataFrame(s.sparkContext
+              .parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+              org.apache.spark.sql.types.StructType(Seq(
+                adds.schema(key))))
+          else {
+            val kdf = s.read.parquet(pathFor(table, tomb.head))
+            kdf.select(col(kdf.columns.head).as(key))
           }
-        f.delete(tmp, true)
-        out
+        val old = snapshot(s, table, cur)
+          .join(broadcast(keyDf), Seq(key), "left_semi")
+        stageCdcFeed(s, table, signedDiff(old, newDf, key), cur + 1)
       }
     // ONE commit: carried entries verbatim + fresh adds + the new
     // tombstone (seq = -1 → stamped with this commit's seq, same as
@@ -2404,6 +2417,33 @@ object TxnTable {
     * turns CDC from a batch diff into a STREAMING source: any number of
     * downstream consumers tail the feed incrementally — no re-diffing,
     * no re-reading the table. */
+  /** Stage a signed change feed under `_cdc/` for the commit that will
+    * land at `targetVersion` — ONE staging contract for every feed
+    * writer ([[overwriteCdc]], [[applyChangesMor]]'s cdc mode): one
+    * file per commit (a huge change set would shard — each file still
+    * arrives whole via its rename), names carrying the TARGET version
+    * (so name-sorted directory tails see commit order) plus a uuid tag
+    * (a crashed earlier attempt at the same version can never
+    * collide). The manifest `#cdc=` ref, not the name, is what readers
+    * resolve — and vacuum's `_cdc` sweep parses exactly this naming. */
+  private def stageCdcFeed(s: SparkSession, table: String,
+      feed: DataFrame, targetVersion: Long): Seq[String] = {
+    val tmp = new Path(s"$table/_cdc/.tmp-${java.util.UUID.randomUUID()}")
+    val f = fs(s, tmp)
+    feed.coalesce(1).write.parquet(tmp.toString)
+    val tag = java.util.UUID.randomUUID()
+    val refs = f.listStatus(tmp).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+      .map { case (p, i) =>
+        val rel = f"_cdc/v$targetVersion%08d-$tag-$i.parquet"
+        require(f.rename(p, new Path(s"$table/$rel")),
+          s"cdc stage failed for $rel")
+        rel
+      }
+    f.delete(tmp, true)
+    refs
+  }
+
   def overwriteCdc(s: SparkSession, table: String, df: DataFrame,
                    key: String): Long = {
     val cur = currentVersion(s, table)
@@ -2420,34 +2460,15 @@ object TxnTable {
       .parquet(staged.map(r => pathFor(table, r)): _*)
       .toDF(df.schema.fieldNames.toSeq: _*)
     val feed = signedDiff(snapshot(s, table, cur), newDf, key)
-    val tmp = new Path(s"$table/_cdc/.tmp-${java.util.UUID.randomUUID()}")
-    val f = fs(s, tmp)
-    // one file per commit: a change set is one append to the feed (a
-    // huge change set would shard — each file still arrives whole via
-    // its rename)
-    feed.coalesce(1).write.parquet(tmp.toString)
-    // names carry the TARGET version (known before the commit — a plain
-    // CAS commit lands cur+1 or throws) so name-sorted directory tails
-    // (the file-source consumer pattern) see commit order, plus a uuid
-    // tag so a crashed earlier attempt at the same version can never
-    // collide; the manifest ref, not the name, is what readers resolve
-    val tag = java.util.UUID.randomUUID()
-    val refs = f.listStatus(tmp).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
-      .map { case (p, i) =>
-        val rel = f"_cdc/v${cur + 1}%08d-$tag-$i.parquet"
-        require(f.rename(p, new Path(s"$table/$rel")),
-          s"cdc stage failed for $rel")
-        rel
-      }
-    f.delete(tmp, true)
+    val refs = stageCdcFeed(s, table, feed, cur + 1)
     try commit(s, table, staged, cur, op = "overwrite",
       schemaJson = sch.json, cdcFiles = refs, retired = m.retired,
       checks = cks)
     catch { case e: Throwable =>
       // nothing committed: drop both stages, leave the table untouched
       dropStaged(s, table, staged)
-      refs.foreach(r => f.delete(new Path(s"$table/$r"), false))
+      refs.foreach(r =>
+        fs(s, new Path(table)).delete(new Path(s"$table/$r"), false))
       throw e
     }
   }
@@ -2989,12 +3010,19 @@ object TxnTable {
         else {
           def variants(abs0: String): Seq[String] = {
             // input_file_name() reports the fs-normalized URI — cover
-            // raw, slash-collapsed, and URI-escaped forms of each path
-            val norm = abs0.replaceAll("/{2,}", "/")
+            // raw, slash-collapsed, and URI-escaped forms of each path.
+            // Paths that already carry a scheme (hdfs://, s3a://…) pass
+            // through raw: they match input_file_name verbatim, and the
+            // file-URI constructor would reject them.
+            val norm = abs0.replaceAll("(?<!:)/{2,}", "/")
             Seq(abs0, norm).flatMap { abs =>
-              val esc = new java.net.URI("file", null, abs, null).getRawPath
-              Seq(abs, s"file:$abs", s"file://$abs",
-                esc, s"file:$esc", s"file://$esc")
+              if (!abs.startsWith("/")) Seq(abs)
+              else {
+                val esc =
+                  new java.net.URI("file", null, abs, null).getRawPath
+                Seq(abs, s"file:$abs", s"file://$abs",
+                  esc, s"file:$esc", s"file://$esc")
+              }
             }.distinct
           }
           val pathSeq = es.flatMap(e =>
@@ -3256,12 +3284,15 @@ object TxnTable {
     * referenced ONLY by older versions, then the old manifests themselves.
     * Orphaned staging dirs (crashed writers) die here too. The barrier any
     * pinned reader must respect: versions below the cutoff are GONE. */
-  def vacuum(s: SparkSession, table: String, retain: Int = 1): Unit = {
+  def vacuum(s: SparkSession, table: String, retain: Int = 1,
+      pinned: Set[Long] = Set.empty): Unit = {
     val vs = versions(s, table)
     // TAGGED versions are pinned OUT of retention entirely: their
     // manifests and files survive however far the window advances —
-    // that durability is what a tag is for
-    val tagged = tags(s, table).map(_._2).toSet
+    // that durability is what a tag is for. `pinned` joins them for
+    // caller-supplied pins (a branch lineage's branch-point version,
+    // which rebase must always be able to diff against).
+    val tagged = tags(s, table).map(_._2).toSet ++ pinned
     val (deadCand, newest) = vs.splitAt(math.max(0, vs.size - retain))
     val dead = deadCand.filterNot(tagged)
     val live = deadCand.filter(tagged) ++ newest

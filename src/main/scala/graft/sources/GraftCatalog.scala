@@ -219,15 +219,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"$catalogName tables cluster via manifest stats ('index' table " +
         "property), not hive partition transforms")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // `branch_*` under a live table is RESERVED branch addressing —
-    // creating a literal table there would shadow every later branch
-    require(!(ident.name().startsWith("branch_") &&
-        ident.namespace().nonEmpty &&
-        isTable(tablePath(Identifier.of(ident.namespace().dropRight(1),
-          ident.namespace().last)))),
-      s"$catalogName.${ident.toString}: 'branch_*' names under a table " +
-        "are branch references — CALL graft.system.branch(...) creates " +
-        "branches")
+    guardBranchNs(ident)
     val path = tablePath(ident)
     val idx = Option(properties.get("index")).map(_.split(',').toSeq)
       .getOrElse(Nil)
@@ -346,12 +338,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // at all (visibility IS the `_log/` directory, written only by the
   // final commit), and for REPLACE the previous version keeps serving.
 
+  /** Refuse creating/renaming a LITERAL table into the reserved
+    * `branch_*` namespace of a live table — it would shadow every
+    * branch reference from then on (branchOf checks isTable first). */
+  private def guardBranchNs(ident: Identifier): Unit =
+    require(!(ident.name().startsWith("branch_") &&
+        ident.namespace().nonEmpty &&
+        isTable(tablePath(Identifier.of(ident.namespace().dropRight(1),
+          ident.namespace().last)))),
+      s"$catalogName.${ident.toString}: 'branch_*' names under a table " +
+        "are branch references — CALL graft.system.branch(...) creates " +
+        "branches")
+
   private def stagedFor(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String],
       replace: Boolean, mustExist: Boolean): StagedTable = {
     require(partitions.isEmpty,
       s"$catalogName tables cluster via manifest stats ('index' table " +
         "property), not hive partition transforms")
+    guardBranchNs(ident)
     val path = tablePath(ident)
     if (!replace && isTable(path)) throw new TableAlreadyExistsException(ident)
     if (mustExist && !isTable(path)) throw new NoSuchTableException(ident)
@@ -383,12 +388,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = new Path(tablePath(ident))
-    isTable(tablePath(ident)) && fs(path).delete(path, true)
+    if (isTable(tablePath(ident))) fs(path).delete(path, true)
+    else branchOf(ident) match {
+      // DROP TABLE t.branch_x == drop_branch: tableExists answers true
+      // for branches, and Spark's DropTableExec DISCARDS this boolean —
+      // without the routing the statement would silently no-op while
+      // the branch stayed live (still shielding parent files)
+      case Some(_) =>
+        val parent = tablePath(Identifier.of(
+          ident.namespace().dropRight(1), ident.namespace().last))
+        TxnTable.deleteBranch(spark, parent,
+          ident.name().stripPrefix("branch_"))
+      case None => false
+    }
   }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    guardBranchNs(to)
+    require(branchOf(from).isEmpty,
+      s"$catalogName.${from.toString}: a branch cannot be renamed — " +
+        "drop and re-branch, or fastForward first")
     val f = fs(new Path(warehouse))
     require(f.rename(new Path(tablePath(from)), new Path(tablePath(to))),
       s"rename ${from.toString} -> ${to.toString} failed")

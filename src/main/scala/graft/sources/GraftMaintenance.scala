@@ -99,13 +99,16 @@ private[sources] object GraftMaintenance {
         StructField("base_version", LongType, nullable = false),
         StructField("head_version", LongType, nullable = false),
         StructField("dir", StringType, nullable = false))),
-      s => TxnTable.branches(s, location).map { case (n, _) =>
-        val r = TxnTable.branchInfo(s, location, n).get
-        val bd = s"$location/_branches/${r.leaf}"
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(n), r.base,
-          TxnTable.currentVersion(s, bd),
-          UTF8String.fromString(s"_branches/${r.leaf}"))): InternalRow
+      s => TxnTable.branches(s, location).flatMap { case (n, _) =>
+        // flatMap over the re-read: a branch dropped between the
+        // listing and here is simply absent, never a crash
+        TxnTable.branchInfo(s, location, n).map { r =>
+          val bd = s"$location/_branches/${r.leaf}"
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(n), r.base,
+            TxnTable.currentVersion(s, bd),
+            UTF8String.fromString(s"_branches/${r.leaf}"))): InternalRow
+        }
       }.toArray)
 
   def filesTable(ident: String, location: String): Table =
@@ -178,8 +181,25 @@ private[sources] object GraftMaintenance {
       case "vacuum" => p("vacuum", Seq(tableParam,
         ProcedureParameter.in("retain", IntegerType)
           .defaultValue("1").build())) { (s, in) =>
+        val ref = in.getUTF8String(0).toString
         val loc = tbl(s, in)
-        TxnTable.vacuum(s, loc, in.getInt(1))
+        // a BRANCH lineage must keep its branch-point version: rebase
+        // diffs and three-way-merges against branch@localBase, so that
+        // one version is PINNED out of retention (like a tag) — the
+        // window still reclaims everything else. Without this,
+        // vacuuming a branch to retain=1 would make every later rebase
+        // permanently impossible.
+        val parts = ref.split('.')
+        val pinned =
+          if (parts.length >= 2 && parts.last.startsWith("branch_")) {
+            val parent = resolveTable(warehouse,
+              parts.dropRight(1).mkString("."))
+            val bname = parts.last.stripPrefix("branch_")
+            TxnTable.branchInfo(s, parent, bname)
+              .map(r => Set(math.max(r.localBase, 0L)))
+              .getOrElse(Set.empty[Long])
+          } else Set.empty[Long]
+        TxnTable.vacuum(s, loc, in.getInt(1), pinned)
         TxnTable.currentVersion(s, loc)
       }
       case "checkpoint" => p("checkpoint", Seq(tableParam)) { (s, in) =>

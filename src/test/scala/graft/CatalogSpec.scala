@@ -2007,9 +2007,6 @@ class CatalogSpec extends SparkSpec {
       s"FROM graft.spec.$t.branches").collect()
     assert(br.length === 1 && br(0).getString(0) === "stage" &&
       br(0).getString(3) === "_branches/stage", br.mkString(","))
-    // a literal CREATE under the reserved branch namespace refuses
-    intercept[Exception] {
-      sql(s"CREATE TABLE graft.spec.$t.branch_other (k BIGINT)") }
     sql(s"CALL graft.system.fastforward('spec.$t', 'stage')")
     assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t") === 70)
     assert(cnt(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
@@ -2018,6 +2015,22 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] {
       sql(s"CALL graft.system.compact('spec.$t.branch_nosuch')")
         .collect() }
+    // a literal CREATE under the reserved branch namespace refuses —
+    // plain, CTAS, and RENAME TO all take the same guard
+    intercept[Exception] {
+      sql(s"CREATE TABLE graft.spec.$t.branch_other (k BIGINT)") }
+    intercept[Exception] {
+      sql(s"CREATE TABLE graft.spec.$t.branch_ctas AS SELECT 1 AS k") }
+    val tmpT = fresh("brren")
+    sql(s"CREATE TABLE graft.spec.$tmpT (k BIGINT)")
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.spec.$tmpT RENAME TO spec.$t.branch_ren") }
+    // DROP TABLE on the branch ident routes to drop_branch (Spark
+    // discards dropTable's boolean — a no-op would be silent)
+    sql(s"DROP TABLE graft.spec.$t.branch_stage")
+    assert(TxnTable.branches(spark,
+      s"${GraftCatalog.defaultWarehouse}/spec/$t").isEmpty,
+      "DROP TABLE on a branch ident must drop the branch ref")
   }
 
   test("tags and branches refuse to shadow each other's names") {
