@@ -105,6 +105,7 @@ object SparkEntry {
     "op_merge_full"           -> (TxnTable.mergeFull _),
     "op_merge_mor"            -> (TxnTable.mergeMor _),
     "op_tomb_rewrite"         -> (TxnTable.tombRewrite _),
+    "op_compact_range"        -> (TxnTable.compactRangeQ _),
     "op_mor_cdc"              -> (TxnTable.morCdc _),
     "op_str_skip"             -> (TxnTable.strSkip _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
@@ -1788,6 +1789,18 @@ object SparkEntry {
         |          AND k NOT IN (SELECT k FROM del)
         |      UNION ALL SELECT k, st, price FROM upd
         |      UNION ALL SELECT k, st, price FROM ins)""".stripMargin,
+    // partial compaction: content-invariant — base plus the four
+    // hot-region appends, however the files were merged
+    "op_compact_range" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |r AS (SELECT MIN(k) + (MAX(k) - MIN(k)) // 4 AS hi FROM b)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS cr_ok
+        |FROM (SELECT k, st, price FROM b
+        |      UNION ALL
+        |      SELECT k, 'H' || CAST(k % 4 AS VARCHAR), price
+        |      FROM b, r WHERE k <= hi)""".stripMargin,
     // merge-on-read CDC: v0's aggregate + two commits' signed feeds
     // telescoped must equal the DIRECT replay of the final content
     "op_mor_cdc" ->

@@ -3280,6 +3280,52 @@ object TxnTable {
       idxCols = physCols, strIdxCols = m.strIdxCols, retired = m.retired, checks = m.checks)
   }
 
+  /** PARTIAL compaction — `OPTIMIZE … WHERE` for the hot region: merge
+    * only the files whose manifest key box on `c` intersects
+    * [lo, hi], carrying every other entry line VERBATIM. On a 100 TB
+    * table where a merge-per-batch stream fragments one key region,
+    * full [[compact]] rewrites the cold 99% for nothing; this rewrites
+    * O(hot region) and leaves the rest untouched — the Delta/Iceberg
+    * `OPTIMIZE WHERE` shape. Selection is stat-driven and
+    * CONSERVATIVE in the cheap direction: a file without stats on `c`
+    * is never compacted (compaction is an optimization; correctness
+    * never depends on it). Pending merge-on-read tombstones compose:
+    * the rewrite reads its files THROUGH the anti-join (dead keys drop
+    * out) and the fresh files' seq escapes the tombstones, while kept
+    * files keep paying the anti-join until their own rewrite — the
+    * standard sequenced-delete contract. */
+  def compactRange(s: SparkSession, table: String, c: String,
+      lo: Long, hi: Long): Long = {
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    val pc = physMap(m).getOrElse(c, c)
+    val (touch, keep) = m.entries.partition(e =>
+      e.stats.find(_.col == pc).exists(st => st.lo <= hi && st.hi >= lo))
+    if (touch.size <= 1) return cur // nothing to merge
+    val df = readEntries(s, table, m, touch)
+    val target = compactionTarget(touch.map(e => math.max(e.bytes, 0L)).sum)
+    val clustered = df.repartitionByRange(target, col(c))
+      .sortWithinPartitions(col(c))
+    val lines =
+      if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
+        stageIndexed(s, table, toPhysical(clustered, m), m.idxCols,
+          m.strIdxCols).filter(hasStats)
+      else stage(s, table, toPhysical(clustered, m))
+    // a fully-tombstoned region + empty keep set must still commit a
+    // readable (schema-carrying) version
+    val lines2 =
+      if (lines.nonEmpty || keep.nonEmpty) lines
+      else stageEmpty(s, table, toPhysical(df, m).schema)
+    commit(s, table, keep.map(render) ++ lines2, cur, op = "compact_range",
+      schemaJson = m.schema.map(_.json).orNull,
+      deleteLines = m.deletes,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      metrics = Seq("touched" -> touch.size.toLong,
+        "untouched" -> keep.size.toLong,
+        "rewritten" -> lines2.size.toLong),
+      retired = m.retired, checks = m.checks)
+  }
+
   /** Retention: keep the newest `retain` versions; delete every data file
     * referenced ONLY by older versions, then the old manifests themselves.
     * Orphaned staging dirs (crashed writers) die here too. The barrier any
@@ -4541,6 +4587,55 @@ object TxnTable {
     snapshot(s, t)
       .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
       .withColumn("mor_ok", lit(ok))
+  }
+
+  /** op_compact_range: PARTIAL compaction ([[compactRange]]) as a
+    * checked query — the `OPTIMIZE … WHERE` move that keeps a 100 TB
+    * table healthy without rewriting its cold bulk. The orders slice
+    * is range-clustered into 8 key-ranged files, the lowest QUARTER of
+    * the keyspace is then fragmented by four small scattered appends
+    * (the merge-per-batch hot-region shape), and compactRange merges
+    * exactly the hot region: `cr_ok` asserts every COLD entry line
+    * carried byte-identical (the untouched 3/4 were never read or
+    * rewritten — from commit metrics AND entry-line equality), the hot
+    * region's file count dropped, and post-compaction manifest pruning
+    * still skips files on the same key ranges. The hashed output is
+    * the full content — compaction must be invisible. */
+  def compactRangeQ(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("cr_orders")
+    val base = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    commit(s, t, stageIndexed(s, t,
+      base.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = base.schema.json)
+    val b = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    val (kmin, kmax) = (b.getLong(0), b.getLong(1))
+    val hi = kmin + (kmax - kmin) / 4
+    // fragment the HOT quarter: four scattered small appends
+    (0 until 4).foreach { i =>
+      append(s, t, base.filter(k <= hi && pmod(k, lit(4)) === i)
+        .select(k, lit(s"H$i").as("o_orderstatus"),
+          col("price")).repartition(2))
+    }
+    val mBefore = manifest(s, t, currentVersion(s, t))
+    val pc = "o_orderkey"
+    def inHot(e: Entry): Boolean =
+      e.stats.find(_.col == pc).exists(st => st.lo <= hi)
+    val hotBefore = mBefore.entries.count(inHot)
+    val coldLines = mBefore.entries.filterNot(inHot).map(render).toSet
+    val v = compactRange(s, t, "o_orderkey", kmin, hi)
+    val mAfter = manifest(s, t, v)
+    val coldAfter = mAfter.entries.filterNot(inHot).map(render).toSet
+    val hotAfter = mAfter.entries.count(inHot)
+    // pruning still works on the compacted layout
+    val (_, scanned, total) = snapshotRange(s, t, "o_orderkey", kmin, hi)
+    val ok = coldLines.subsetOf(coldAfter) &&
+      mAfter.metrics("untouched") == coldLines.size.toLong &&
+      hotAfter < hotBefore && hotBefore >= 5 &&
+      scanned < total
+    snapshot(s, t)
+      .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
+      .withColumn("cr_ok", lit(ok))
   }
 
   /** op_mor_cdc: the MERGE-ON-READ change feed — [[applyChangesMor]]

@@ -140,7 +140,7 @@ private[sources] object GraftMaintenance {
   }
 
   def procedures: Seq[String] =
-    Seq("compact", "vacuum", "checkpoint", "restore", "recluster",
+    Seq("compact", "compact_range", "vacuum", "checkpoint", "restore", "recluster",
       "zorder", "tag", "drop_tag", "clone", "publish", "branch",
       "fastforward", "rebase", "drop_branch", "rewrite_tombstones")
 
@@ -177,6 +177,15 @@ private[sources] object GraftMaintenance {
     name match {
       case "compact" => p("compact", Seq(tableParam)) { (s, in) =>
         TxnTable.compact(s, tbl(s, in))
+      }
+      // OPTIMIZE WHERE: merge only the files whose key box intersects
+      // [lo, hi] — the cold bulk carries verbatim
+      case "compact_range" => p("compact_range", Seq(tableParam,
+        ProcedureParameter.in("column", StringType).build(),
+        ProcedureParameter.in("lo", LongType).build(),
+        ProcedureParameter.in("hi", LongType).build())) { (s, in) =>
+        TxnTable.compactRange(s, tbl(s, in),
+          in.getUTF8String(1).toString, in.getLong(2), in.getLong(3))
       }
       case "vacuum" => p("vacuum", Seq(tableParam,
         ProcedureParameter.in("retain", IntegerType)

@@ -1541,6 +1541,52 @@ class TxnSpec extends SparkSpec {
     }
   }
 
+  test("compactRange composes with pending MoR tombstones: the hot " +
+      "region materializes its deletes, the cold bulk carries verbatim") {
+    val s = spark
+    import s.implicits._
+    val t = freshTable("cr_mor")
+    // 4 key-ranged files, then a second HOT file via append (two files
+    // intersect the hot quarter — something to merge)
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t,
+      (0L until 100L).filterNot(i => i >= 10 && i < 20)
+        .map(i => (i, s"r$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      "k"), expected = -1L, op = "create",
+      schemaJson = new org.apache.spark.sql.types.StructType()
+        .add("k", "long", nullable = false)
+        .add("v", "string", nullable = true).json)
+    TxnTable.append(spark, t,
+      (10L until 20L).map(i => (i, s"r$i")).toDF("k", "v").repartition(1))
+    // tombstone scattered across HOT (k<25) and COLD regions
+    TxnTable.deleteKeysMor(spark, t,
+      Seq(3L, 7L, 50L, 90L).toDF("k"), "k")
+    val mBefore = TxnTable.manifest(spark, t,
+      TxnTable.currentVersion(spark, t))
+    val v = TxnTable.compactRange(spark, t, "k", 0L, 24L)
+    val mAfter = TxnTable.manifest(spark, t, v)
+    // cold lines byte-identical; tombstone still pending (it must keep
+    // applying to the UNTOUCHED cold files)
+    def cold(m: TxnTable.Manifest) = m.entries.filter(e =>
+      e.stats.exists(st => st.col == "k" && st.lo >= 25))
+    assert(cold(mAfter) === cold(mBefore),
+      "compactRange touched cold entries")
+    assert(mAfter.deletes === mBefore.deletes,
+      "compactRange must carry pending tombstones for the cold bulk")
+    assert(mAfter.metrics("untouched") >= 3)
+    // content: all four deletes visible — hot ones materialized into
+    // the rewritten files, cold ones via the carried tombstone
+    val got = TxnTable.snapshot(spark, t).as[(Long, String)]
+      .collect().map(_._1).sorted.toSeq
+    assert(got === (0L until 100L).filterNot(Set(3L, 7L, 50L, 90L)),
+      s"wrong content after ranged compaction")
+    // the rewritten hot files escaped the tombstone (fresh seq): a
+    // full compact converges with no content change
+    val vc = TxnTable.compact(spark, t)
+    assert(TxnTable.deleteFiles(spark, t, vc).isEmpty)
+    assert(TxnTable.snapshot(spark, t).count() === 96)
+  }
+
   test("applyChangesMor(cdc=true) publishes an exact signed feed: " +
       "ghost deletes and no-op updates vanish, pre-images are OLD values") {
     val s = spark
