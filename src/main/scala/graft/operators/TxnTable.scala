@@ -3326,6 +3326,21 @@ object TxnTable {
       retired = m.retired, checks = m.checks)
   }
 
+  /** AGE-based retention (the Iceberg `expire_snapshots` shape):
+    * vacuum every version whose commit timestamp is older than
+    * `cutoffMillis`, always keeping the newest version — and, via the
+    * underlying [[vacuum]] rules, every tagged / branch-pinned one.
+    * Count-based vacuum stays the one primitive: the cutoff resolves
+    * to the smallest retain window covering every newer-than-cutoff
+    * version (commit timestamps are monotonized, so the newest-N
+    * window and the newer-than-cutoff set coincide). */
+  def expireSnapshots(s: SparkSession, table: String, cutoffMillis: Long,
+      pinned: Set[Long] = Set.empty): Unit = {
+    val newer = versions(s, table)
+      .count(v => manifestHeaderTs(s, table, v) > cutoffMillis)
+    vacuum(s, table, math.max(1, newer), pinned)
+  }
+
   /** Retention: keep the newest `retain` versions; delete every data file
     * referenced ONLY by older versions, then the old manifests themselves.
     * Orphaned staging dirs (crashed writers) die here too. The barrier any

@@ -140,7 +140,8 @@ private[sources] object GraftMaintenance {
   }
 
   def procedures: Seq[String] =
-    Seq("compact", "compact_range", "vacuum", "checkpoint", "restore", "recluster",
+    Seq("compact", "compact_range", "vacuum", "expire_snapshots",
+      "checkpoint", "restore", "recluster",
       "zorder", "tag", "drop_tag", "clone", "publish", "branch",
       "fastforward", "rebase", "drop_branch", "rewrite_tombstones")
 
@@ -174,6 +175,22 @@ private[sources] object GraftMaintenance {
       }
     }
     val tableParam = ProcedureParameter.in("table", StringType).build()
+    // a BRANCH lineage must keep its branch-point version: rebase
+    // diffs and three-way-merges against branch@localBase, so that one
+    // version is PINNED out of retention (like a tag) — the window
+    // still reclaims everything else. Without this, vacuuming a branch
+    // to retain=1 would make every later rebase permanently impossible.
+    def branchPin(s: SparkSession, ref: String): Set[Long] = {
+      val parts = ref.split('.')
+      if (parts.length >= 2 && parts.last.startsWith("branch_")) {
+        val parent = resolveTable(warehouse,
+          parts.dropRight(1).mkString("."))
+        val bname = parts.last.stripPrefix("branch_")
+        TxnTable.branchInfo(s, parent, bname)
+          .map(r => Set(math.max(r.localBase, 0L)))
+          .getOrElse(Set.empty[Long])
+      } else Set.empty[Long]
+    }
     name match {
       case "compact" => p("compact", Seq(tableParam)) { (s, in) =>
         TxnTable.compact(s, tbl(s, in))
@@ -192,23 +209,20 @@ private[sources] object GraftMaintenance {
           .defaultValue("1").build())) { (s, in) =>
         val ref = in.getUTF8String(0).toString
         val loc = tbl(s, in)
-        // a BRANCH lineage must keep its branch-point version: rebase
-        // diffs and three-way-merges against branch@localBase, so that
-        // one version is PINNED out of retention (like a tag) — the
-        // window still reclaims everything else. Without this,
-        // vacuuming a branch to retain=1 would make every later rebase
-        // permanently impossible.
-        val parts = ref.split('.')
-        val pinned =
-          if (parts.length >= 2 && parts.last.startsWith("branch_")) {
-            val parent = resolveTable(warehouse,
-              parts.dropRight(1).mkString("."))
-            val bname = parts.last.stripPrefix("branch_")
-            TxnTable.branchInfo(s, parent, bname)
-              .map(r => Set(math.max(r.localBase, 0L)))
-              .getOrElse(Set.empty[Long])
-          } else Set.empty[Long]
-        TxnTable.vacuum(s, loc, in.getInt(1), pinned)
+        TxnTable.vacuum(s, loc, in.getInt(1), branchPin(s, ref))
+        TxnTable.currentVersion(s, loc)
+      }
+      // AGE-based retention (the Iceberg expire_snapshots shape):
+      // every version older than `older_than_hours` ago is vacuumed,
+      // keeping the newest + every tag/branch-pinned one
+      case "expire_snapshots" => p("expire_snapshots", Seq(tableParam,
+        ProcedureParameter.in("older_than_hours", DoubleType)
+          .build())) { (s, in) =>
+        val ref = in.getUTF8String(0).toString
+        val loc = tbl(s, in)
+        val cutoff = System.currentTimeMillis() -
+          (in.getDouble(1) * 3600 * 1000).toLong
+        TxnTable.expireSnapshots(s, loc, cutoff, branchPin(s, ref))
         TxnTable.currentVersion(s, loc)
       }
       case "checkpoint" => p("checkpoint", Seq(tableParam)) { (s, in) =>

@@ -2033,6 +2033,30 @@ class CatalogSpec extends SparkSpec {
       "DROP TABLE on a branch ident must drop the branch ref")
   }
 
+  test("expire_snapshots: age-based retention keeps the newest and " +
+      "every pinned version") {
+    val t = fresh("expire")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
+    sql(s"INSERT INTO graft.spec.$t SELECT id FROM RANGE(10)")
+    sql(s"INSERT INTO graft.spec.$t SELECT id + 10 FROM RANGE(10)")
+    sql(s"INSERT INTO graft.spec.$t SELECT id + 20 FROM RANGE(10)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    TxnTable.tag(spark, loc, "keepme", 1L)
+    // a cutoff in the distant past expires nothing
+    sql(s"CALL graft.system.expire_snapshots('spec.$t', 10000.0)")
+    assert(TxnTable.versions(spark, loc) === Seq(0L, 1L, 2L, 3L))
+    // cutoff = now: everything older than this instant goes — except
+    // the newest version and the tagged pin
+    sql(s"CALL graft.system.expire_snapshots('spec.$t', 0.0)")
+    assert(TxnTable.versions(spark, loc) === Seq(1L, 3L),
+      s"expected newest + tagged pin: ${TxnTable.versions(spark, loc)}")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 30, "expiration destroyed content")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "VERSION AS OF 'keepme'").collect()(0).getLong(0) === 10,
+      "expiration destroyed the tagged pin")
+  }
+
   test("tags and branches refuse to shadow each other's names") {
     val t = fresh("refns")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT)")
