@@ -3299,8 +3299,11 @@ object TxnTable {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur)
     val pc = physMap(m).getOrElse(c, c)
+    // the empty-range sentinel (an all-NULL file records lo > hi)
+    // never intersects a value box — same guard as snapshotBox
     val (touch, keep) = m.entries.partition(e =>
-      e.stats.find(_.col == pc).exists(st => st.lo <= hi && st.hi >= lo))
+      e.stats.find(_.col == pc).exists(st =>
+        st.lo <= st.hi && st.lo <= hi && st.hi >= lo))
     if (touch.size <= 1) return cur // nothing to merge
     val df = readEntries(s, table, m, touch)
     val target = compactionTarget(touch.map(e => math.max(e.bytes, 0L)).sum)
@@ -3336,8 +3339,18 @@ object TxnTable {
     * window and the newer-than-cutoff set coincide). */
   def expireSnapshots(s: SparkSession, table: String, cutoffMillis: Long,
       pinned: Set[Long] = Set.empty): Unit = {
-    val newer = versions(s, table)
-      .count(v => manifestHeaderTs(s, table, v) > cutoffMillis)
+    // newest-first with early stop (versionAt's walk): timestamps are
+    // monotonized per commit order, so the first version with a REAL
+    // ts at-or-before the cutoff proves everything below it older too
+    // — including pre-#ts legacy manifests (ts −1), which were
+    // committed earlier by construction. A −1 encountered BEFORE any
+    // provably-old version counts as "newer" — the conservative
+    // direction: a table whose history can't prove its age expires
+    // NOTHING. Work is O(retained suffix), not O(all versions).
+    val newer = versions(s, table).reverse.iterator
+      .map(v => manifestHeaderTs(s, table, v))
+      .takeWhile(ts => ts > cutoffMillis || ts < 0)
+      .size
     vacuum(s, table, math.max(1, newer), pinned)
   }
 
