@@ -152,6 +152,7 @@ object SparkEntry {
     "ta_sample_stratified"    -> (TextAnalysis.sampleStratified _),
     "ta_pack_sequences"       -> (TextAnalysis.packSequences _),
     "ta_tfidf"                -> (TextAnalysis.tfidf _),
+    "ta_bm25"                 -> (TextAnalysis.bm25 _),
     "ta_feature_hash"         -> (TextAnalysis.featureHash _),
     "ta_cdc_chunk"            -> (TextAnalysis.cdcChunk _),
     "ta_dsir"                 -> (TextAnalysis.dsir _),
@@ -1960,6 +1961,29 @@ object SparkEntry {
         |  ROUND(t.tf * ln((SELECT COUNT(*) FROM documents) * 1.0 / d.df), 4)
         |    AS tfidf
         |FROM tf t JOIN df d USING (tok)""".stripMargin,
+    // Same double tree as the engine (K1+1 as its own 2.2 literal, 1-b
+    // pre-folded to 0.25, avgdl = SUM*1.0/COUNT); ln parity via the 4dp
+    // round, ranks computed AFTER rounding so both engines order the
+    // same values (doc_id tie-break).
+    "ta_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |qt AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 16),
+        |scored AS (SELECT t.tok, t.doc_id, t.tf, q.df,
+        |    ROUND(ln(((SELECT COUNT(*) FROM documents) - q.df + 0.5)
+        |        / (q.df + 0.5) + 1.0)
+        |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl /
+        |        ((SELECT SUM(dl) FROM dl) * 1.0
+        |          / (SELECT COUNT(*) FROM documents)))), 4) AS bm25
+        |  FROM tf t JOIN qt q USING (tok) JOIN dl l USING (doc_id))
+        |SELECT tok, doc_id, tf, df, bm25, rank FROM (
+        |  SELECT tok, doc_id, tf, df, bm25, ROW_NUMBER() OVER (
+        |    PARTITION BY tok ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM scored) r WHERE rank <= 10""".stripMargin,
     // The corpus has no PII, so both sides inject identical deterministic
     // contact lines keyed on doc_id; patterns are the RE2/Java-regex common
     // subset, so the scrub + counts replay bit-exactly.

@@ -531,6 +531,70 @@ object TextAnalysis {
         round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
   }
 
+  /** BM25 constants — the standard Robertson/Okapi defaults. Written as
+    * the exact double literals the oracle SQL repeats (1.2+1 may differ
+    * from the literal 2.2 in the last ulp, so K1PLUS1 is its own literal). */
+  private val Bm25K1 = 1.2
+  private val Bm25K1Plus1 = 2.2
+  private val Bm25OneMinusB = 0.25 // 1 - b, b = 0.75
+  private val Bm25B = 0.75
+  val Bm25Queries = 16 // top-df tokens used as the query term set
+  val Bm25TopK = 10
+  private val Bm25Salts = 32
+
+  /** ta_bm25: BM25 term-weighted retrieval ranking — the lexical scoring
+    * standard (Robertson et al.) that TF-IDF approximates; the lexical
+    * half of every hybrid retrieval stack. Same aggregate skeleton as
+    * [[tfidf]] (tf, dl, df are all map-side-combined; df is
+    * vocabulary-sized), the query term set is the top-[[Bm25Queries]]
+    * document-frequency tokens (a 16-row driver collect — deterministic:
+    * df desc, tok asc), and scoring touches only the inverted-index
+    * slice of the corpus holding those terms. Corpus length stats
+    * (N, total tokens) are one bounded aggregate turned into plan
+    * literals. The per-term ranking avoids a 16-partition window funnel
+    * with a salted two-phase top-k (identical results, per-partition
+    * work bounded at any corpus size). Score rounded 4dp for
+    * cross-engine ln parity (the [[tfidf]] precedent); ranks computed
+    * AFTER rounding so both engines rank identical values, ties broken
+    * by doc_id. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val tok = docs.select(col("doc_id"),
+      explode(wsTokens(col("text"))).as("tok"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totTok = dl.agg(sum(col("dl"))).collect()(0).getLong(0)
+    val avgdl = totTok.toDouble / n
+    val tf = tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val qts: Seq[String] = df.orderBy(col("df").desc, col("tok"))
+      .limit(Bm25Queries).select("tok").as[String].collect().toSeq
+    val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val scored = tf.filter(col("tok").isin(qts: _*))
+      .join(dl, "doc_id")
+      .join(broadcast(df.filter(col("tok").isin(qts: _*))), "tok")
+      .select(col("tok"), col("doc_id"), col("tf"), col("df"),
+        round(idf * (col("tf") * lit(Bm25K1Plus1)) /
+          (col("tf") + lit(Bm25K1) * (lit(Bm25OneMinusB) +
+            lit(Bm25B) * col("dl") / lit(avgdl))), 4).as("bm25"))
+    // salted two-phase top-k per term (16 windows over the whole corpus
+    // would funnel; the pre-rank bounds every partition)
+    val w1 = Window.partitionBy(col("tok"), pmod(col("doc_id"), lit(Bm25Salts)))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("tok"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("prerank", row_number().over(w1))
+      .filter(col("prerank") <= Bm25TopK)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("tok"), col("doc_id"), col("tf"), col("df"),
+        col("bm25"), col("rank"))
+  }
+
   /** Number of BPE merges learned; the oracle unrolls this many rounds.
     * 64 is a realistic small-tokenizer scale — and demonstrates the
     * training loop stays vocabulary-bounded as rounds grow (each round

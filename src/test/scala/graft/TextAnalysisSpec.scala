@@ -196,4 +196,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(acc > majority,
       s"trained accuracy $acc does not beat majority baseline $majority")
   }
+
+  test("ta_bm25 matches a driver-side reference computation") {
+    val got = operators.TextAnalysis.bm25(spark, sf).collect()
+    assert(got.nonEmpty)
+    // ranks contiguous from 1, scores non-increasing within a term
+    got.groupBy(_.getAs[String]("tok")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+      assert(rows.length <= operators.TextAnalysis.Bm25TopK)
+      val scores = sorted.map(_.getAs[Double]("bm25"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // plain-Scala BM25 over the raw corpus (same literals, same tree)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.get(0).toString.toLong -> r.getString(1)).toMap
+    val toks = docs.view.mapValues(
+      _.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val n = docs.size
+    val dl = toks.view.mapValues(_.size).toMap
+    val avgdl = dl.values.map(_.toLong).sum.toDouble / n
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val topTerms = df.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(operators.TextAnalysis.Bm25Queries).map(_._1).toSet
+    assert(got.map(_.getAs[String]("tok")).toSet == topTerms)
+    got.foreach { r =>
+      val (t, d) = (r.getAs[String]("tok"), r.getAs[Long]("doc_id"))
+      val tf = toks(d).count(_ == t)
+      assert(r.getAs[Long]("tf") == tf)
+      assert(r.getAs[Long]("df") == df(t))
+      val idf = math.log((n.toDouble - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+      val ref = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl(d) / avgdl))
+      assert(math.abs(r.getAs[Double]("bm25") - ref) < 2e-4,
+        s"bm25($t, $d) = ${r.getAs[Double]("bm25")}, reference $ref")
+    }
+  }
 }
