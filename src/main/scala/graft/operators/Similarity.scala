@@ -814,4 +814,126 @@ object Similarity {
        |  FROM cands c JOIN e q ON q.vec_id = c.q_id
        |  JOIN e n ON n.vec_id = c.n_id) t
        |WHERE rank <= $K""".stripMargin
+
+  // ---- Hybrid retrieval (BM25 ⊕ cosine, reciprocal-rank fusion) -----------
+
+  private val RrfC = 60        // the standard RRF constant (Cormack et al.)
+  private val FuseDepth = 20   // per-modality candidate depth fed to fusion
+  private val HybridK = 5
+  private val LexQuantum = 1e4 // per-term BM25 micro-units → exact int sum
+
+  /** sim_hybrid_rrf: hybrid lexical+semantic retrieval — the
+    * production RAG-retrieval shape: a BM25 arm over the document text
+    * and a vector arm over the embeddings, fused by reciprocal-rank
+    * fusion (1/(C+rank), C=60). The semantic arm here is the exact
+    * cosine baseline (knnBrute's broadcast shape — any of the ANN arms
+    * slots in unchanged, since fusion only consumes ranks); the lexical
+    * arm scores each query document's DISTINCT terms against the
+    * corpus through the inverted index (tf join bounded by the query
+    * term sets — never a corpus×corpus product), with each per-term
+    * BM25 contribution quantized to [[LexQuantum]] micro-units so the
+    * per-document sum is an exact integer in any aggregation order or
+    * engine (the ta_entropy discipline). Ranks use salted two-phase
+    * top-[[FuseDepth]]; fusion then touches ≤ 2×[[FuseDepth]] rows per
+    * query — RRF scores are two-term IEEE sums of exact reciprocals,
+    * identical across engines, so the entire hybrid path hash-checks. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
+    // semantic arm: exact cosine top-FuseDepth per query
+    val all = vecs(s, d)
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val sem = topKPerQuery(
+      all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cosine(col("qv"), col("v")).as("cos")), FuseDepth)
+      .select(col("q_id"), col("n_id"), col("rank").as("rank_s"))
+    // lexical arm: BM25 of each query doc's distinct terms vs the corpus
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val tok = docs.select(col("doc_id"),
+      explode(wsTokens(col("text"))).as("tok"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val avgdl = dl.agg(sum(col("dl"))).collect()(0).getLong(0).toDouble / n
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val qtok = tok.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("q_id"), col("tok")).distinct()
+    val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val term = tf.join(qtok, "tok").filter(col("doc_id") =!= col("q_id"))
+      .join(dl, "doc_id").join(df, "tok")
+      .select(col("q_id"), col("doc_id"),
+        floor(idf * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") / lit(avgdl))) * lit(LexQuantum) +
+          lit(0.5)).as("u"))
+    val lex = topKPerQuery(
+      term.groupBy(col("q_id"), col("doc_id")).agg(sum(col("u")).as("lexu"))
+        .select(col("q_id"), col("doc_id").as("n_id"), col("lexu")),
+      FuseDepth, "lexu")
+      .select(col("q_id"), col("n_id"), col("rank").as("rank_l"))
+    // fuse: a doc missing from one arm contributes that arm's term as 0
+    val fused = sem.join(lex, Seq("q_id", "n_id"), "full_outer")
+      .select(col("q_id"), col("n_id"), col("rank_s"), col("rank_l"),
+        (coalesce(lit(1.0) / (lit(RrfC) + col("rank_s")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("rank_l")), lit(0.0)))
+          .as("rrf"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("n_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HybridK)
+  }
+
+  /** DuckDB replay of [[hybridRrf]]: both arms, the micro-unit lexical
+    * sum, the rank cuts, and the two-term RRF fuse — identical trees. */
+  private[graft] def hybridOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |sem AS (SELECT q_id, n_id, rank AS rank_s FROM (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id)
+       |      AS rank
+       |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries) t WHERE rank <= $FuseDepth),
+       |tok AS (SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'),
+       |      x -> x <> '')) AS tok
+       |  FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+       |qtok AS (SELECT DISTINCT doc_id AS q_id, tok FROM tok
+       |  WHERE doc_id < $NumQueries),
+       |term AS (SELECT qt.q_id, t.doc_id,
+       |    CAST(floor(ln(((SELECT COUNT(*) FROM documents) - d.df + 0.5)
+       |        / (d.df + 0.5) + 1.0)
+       |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl /
+       |        ((SELECT SUM(dl) FROM dl) * 1.0
+       |          / (SELECT COUNT(*) FROM documents))))
+       |      * 10000.0 + 0.5) AS BIGINT) AS u
+       |  FROM tf t JOIN qtok qt USING (tok)
+       |       JOIN dl l ON l.doc_id = t.doc_id
+       |       JOIN df d ON d.tok = t.tok
+       |  WHERE t.doc_id <> qt.q_id),
+       |lexsum AS (SELECT q_id, doc_id AS n_id, SUM(u) AS lexu
+       |  FROM term GROUP BY 1, 2),
+       |lex AS (SELECT q_id, n_id, rank AS rank_l FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY lexu DESC, n_id) AS rank FROM lexsum) t
+       |  WHERE rank <= $FuseDepth),
+       |fused AS (SELECT COALESCE(s.q_id, l.q_id) AS q_id,
+       |    COALESCE(s.n_id, l.n_id) AS n_id, s.rank_s, l.rank_l,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / ($RrfC + s.rank_s),
+       |      CAST(0.0 AS DOUBLE)) +
+       |    COALESCE(CAST(1.0 AS DOUBLE) / ($RrfC + l.rank_l),
+       |      CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM sem s FULL JOIN lex l
+       |    ON s.q_id = l.q_id AND s.n_id = l.n_id)
+       |SELECT q_id, n_id, rank_s, rank_l, rrf, rank FROM (
+       |  SELECT q_id, n_id, rank_s, rank_l, rrf, ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rank
+       |  FROM fused) t
+       |WHERE rank <= $HybridK""".stripMargin
 }

@@ -143,4 +143,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"sq8 recall $recall below 0.8 — int8 " +
       "quantization + exact re-rank should be near-lossless at k=5")
   }
+
+  test("sim_hybrid_rrf fuses both arms with exact reciprocal-rank scores") {
+    val got = Similarity.hybridRrf(spark, sf01).collect()
+    assert(got.nonEmpty)
+    // fused ranks contiguous from 1 per query
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rows.length))
+    }
+    // the semantic arm's ranks agree with the exact kNN baseline
+    val brute = Similarity.knnBrute(spark, sf01).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("n_id")).toMap
+    var semSeen = 0
+    var lexSeen = 0
+    got.foreach { r =>
+      val iS = r.fieldIndex("rank_s")
+      val iL = r.fieldIndex("rank_l")
+      val rs = if (r.isNullAt(iS)) None else Some(r.getInt(iS))
+      val rl = if (r.isNullAt(iL)) None else Some(r.getInt(iL))
+      assert(rs.isDefined || rl.isDefined,
+        "a fused row must come from at least one arm")
+      // rrf is exactly the two-term reciprocal sum of its own ranks
+      val expect = rs.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rl.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == expect)
+      semSeen += rs.size
+      lexSeen += rl.size
+      rs.filter(_ <= Similarity.K).foreach { x =>
+        assert(brute((r.getAs[Long]("q_id"), x)) == r.getAs[Long]("n_id"),
+          "semantic arm rank disagrees with the exact kNN baseline")
+      }
+    }
+    assert(semSeen > 0, "no fused row carried a semantic rank")
+    assert(lexSeen > 0, "no fused row carried a lexical rank")
+  }
 }
