@@ -171,6 +171,7 @@ object SparkEntry {
     "sim_ann_pq"              -> (Similarity.annPq _),
     "sim_sq8"                 -> (Similarity.annSq8 _),
     "sim_hybrid_rrf"          -> (Similarity.hybridRrf _),
+    "sim_ann_ivfpq"           -> (Similarity.annIvfPq _),
     "sim_kmeans"              -> (Similarity.kmeans _),
     "op_asof_join"            -> (AsOf.purchaseToClick _),
     "op_range_join"           -> (AsOf.errorClickWindow _),
@@ -2121,6 +2122,7 @@ object SparkEntry {
     "sim_ann_pq" -> graft.operators.Similarity.pqOracle,
     "sim_sq8" -> graft.operators.Similarity.sq8Oracle,
     "sim_hybrid_rrf" -> graft.operators.Similarity.hybridOracle,
+    "sim_ann_ivfpq" -> graft.operators.Similarity.ivfPqOracle,
     "sim_ann_graph" -> graft.operators.Similarity.graphOracle,
     "op_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(c.ts) AS click_us

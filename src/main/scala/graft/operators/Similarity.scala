@@ -936,4 +936,154 @@ object Similarity {
        |    PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rank
        |  FROM fused) t
        |WHERE rank <= $HybridK""".stripMargin
+
+  // ---- IVF-PQ (the billion-scale composition) -----------------------------
+
+  /** sim_ann_ivfpq: IVF coarse cells × PQ codes — the composition every
+    * billion-vector index actually ships (FAISS IVFPQ, ScaNN, Milvus):
+    * IVF bounds WHICH rows a query touches (only its [[NProbe]] probed
+    * cells), PQ bounds WHAT each touched row costs (8 table lookups on a
+    * 4-bit code, no float vector until re-rank). Both codebooks train on
+    * the same fixed-size deterministic sample (corpus-size-independent);
+    * corpus encoding is ONE map-only pass emitting (cell, code) per row —
+    * at 100 TB that pass is the whole index build, and per-query cost is
+    * |corpus|/|cells|·NProbe ADC lookups instead of a scan. Candidates
+    * (top-[[PqRerank]] by ADC within probed cells) re-rank with exact
+    * cosine. Fully hash-checked: the oracle replays coarse Lloyd rounds,
+    * PQ codebook training, cell assignment, probe lists, the ADC fold
+    * restricted to probed cells, and the exact re-rank. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val cents = ivfCentroids(s, all)
+    val stride = math.max(1L, all.count() / TrainTarget)
+    val books = trainCodebooks(
+      all.filter(pmod(col("vec_id"), lit(stride)) === 0))
+    val codeArr = array((0 until PqM).map(m =>
+      bestCentroidOn(books(m),
+        slice(col("v"), m * PqSubDim + 1, PqSubDim))): _*)
+    // the index: one map-only pass → (vec_id, cell, 8×4-bit code)
+    val encoded = all.select(col("vec_id"), bestCentroid(cents).as("c_id"),
+      codeArr.as("code"))
+    val centArr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-graft.functions.CosineSimilarity(col("v"), typedLit(c)))
+        .as("negcos"), lit(i).as("cid"))
+    }: _*)
+    val qtab = array((0 until PqM).map { m =>
+      array(books(m).map(c => dot(
+        slice(col("v"), m * PqSubDim + 1, PqSubDim), typedLit(c))): _*)
+    }: _*)
+    // per-(query, probed-cell) rows, each carrying the query's ADC table
+    val probes = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), qtab.as("qtab"),
+        explode(slice(sort_array(centArr), 1, NProbe)).as("p"))
+      .select(col("q_id"), col("qtab"), col("p.cid").as("c_id"))
+    // each corpus row lives in exactly one cell → ≤1 probe match per (q,n)
+    val adc = encoded.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (0 until PqM).map(m => element_at(element_at(col("qtab"), m + 1),
+          element_at(col("code"), m + 1) + 1)).reduce(_ + _).as("pqscore"))
+    val cands = topKPerQuery(adc, PqRerank, "pqscore")
+      .select(col("q_id"), col("n_id"))
+    val q = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val rescored = cands
+      .join(all.select(col("vec_id").as("n_id"), col("v")), "n_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("n_id"), cosine(col("qv"), col("v")).as("cos"))
+    topKPerQuery(rescored)
+  }
+
+  /** DuckDB replay of [[annIvfPq]]: the [[ivfOracle]] coarse chain
+    * (stride seeds, [[IvfIters]] Lloyd rounds, assignment, probe lists)
+    * and the [[pqOracle]] codebook chain (seeds, one integer-micro-unit
+    * round per subspace, corpus codes, per-query dot tables), joined at
+    * the ADC step: a row is scored iff its cell is probed by the query.
+    * Every double tree matches the engine's fold order. */
+  private[graft] def ivfPqOracle: String = {
+    val rounds = (0 until IvfIters).map(lloydRoundSql(_, "ts")).mkString(",\n")
+    val dotExpr = (1 to PqSubDim)
+      .map(k => s"s.sv[$k] * b.cv[$k]").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ks AS (SELECT unnest(generate_series(1, $Dim)) AS k),
+       |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |pks AS (SELECT unnest(generate_series(1, $PqSubDim)) AS k),
+       |ts AS (SELECT vec_id, v FROM e
+       |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // $TrainTarget) FROM e) = 0),
+       |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS cid, v
+       |  FROM e WHERE vec_id % $CentroidStride = 0
+       |  ORDER BY vec_id LIMIT $NumCentroids),
+       |c0 AS (SELECT cid, ks.k, v[ks.k] AS val FROM seeds CROSS JOIN ks),
+       |c0l AS (SELECT cid, list(val ORDER BY k) AS cv FROM c0 GROUP BY cid),
+       |$rounds,
+       |assigned AS (SELECT vec_id, cid AS c_id FROM (
+       |  SELECT e.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN c${IvfIters}l c) t WHERE rn = 1),
+       |probes AS (SELECT q_id, cid AS c_id FROM (
+       |  SELECT e.vec_id AS q_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN c${IvfIters}l c WHERE e.vec_id < $NumQueries) t
+       |  WHERE rn <= $NProbe),
+       |pseeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
+       |    AS cid, v
+       |  FROM ts ORDER BY vec_id LIMIT $PqK),
+       |b0 AS (SELECT ms.m, s.cid, pks.k, s.v[ms.m * $PqSubDim + pks.k] AS val
+       |  FROM pseeds s CROSS JOIN ms CROSS JOIN pks),
+       |b0l AS (SELECT m, cid, list(val ORDER BY k) AS cv FROM b0 GROUP BY m, cid),
+       |sub AS (SELECT vec_id, ms.m,
+       |    list_slice(v, ms.m * $PqSubDim + 1, ms.m * $PqSubDim + $PqSubDim) AS sv
+       |  FROM ts CROSS JOIN ms),
+       |pa0 AS (SELECT vec_id, m, sv, cid FROM (
+       |  SELECT s.vec_id, s.m, s.sv, b.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY list_cosine_similarity(s.sv, b.cv) DESC, b.cid) AS rn
+       |  FROM sub s JOIN b0l b ON s.m = b.m) t WHERE rn = 1),
+       |pu0 AS (SELECT m, cid, pks.k,
+       |    SUM(CAST(floor(sv[pks.k] * 1000000 + 0.5) AS BIGINT)) AS s
+       |  FROM pa0 CROSS JOIN pks GROUP BY m, cid, pks.k),
+       |pn0 AS (SELECT m, cid, CAST(SUM(CAST(s AS HUGEINT) * s) AS DOUBLE) AS nsq
+       |  FROM pu0 GROUP BY m, cid),
+       |b1 AS (SELECT p.m, p.cid, p.k,
+       |    COALESCE(CASE WHEN nn.nsq = 0 THEN 0.0
+       |      ELSE floor(CAST(u.s AS DOUBLE) / sqrt(nn.nsq) * 1000000 + 0.5)
+       |           / 1000000 END, p.val) AS val
+       |  FROM b0 p LEFT JOIN pu0 u ON p.m = u.m AND p.cid = u.cid AND p.k = u.k
+       |            LEFT JOIN pn0 nn ON p.m = nn.m AND p.cid = nn.cid),
+       |b1l AS (SELECT m, cid, list(val ORDER BY k) AS cv FROM b1 GROUP BY m, cid),
+       |esub AS (SELECT vec_id, ms.m,
+       |    list_slice(v, ms.m * $PqSubDim + 1, ms.m * $PqSubDim + $PqSubDim) AS sv
+       |  FROM e CROSS JOIN ms),
+       |code AS (SELECT vec_id, m, cid FROM (
+       |  SELECT s.vec_id, s.m, b.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY list_cosine_similarity(s.sv, b.cv) DESC, b.cid) AS rn
+       |  FROM esub s JOIN b1l b ON s.m = b.m) t WHERE rn = 1),
+       |qt AS (SELECT s.vec_id AS q_id, s.m, b.cid, $dotExpr AS tv
+       |  FROM esub s JOIN b1l b ON s.m = b.m WHERE s.vec_id < $NumQueries),
+       |adc AS (SELECT q_id, n_id,
+       |    list_reduce(list_prepend(0.0, list(tv ORDER BY m)),
+       |      (a, b) -> a + b) AS pqscore
+       |  FROM (SELECT qt.q_id, c.vec_id AS n_id, qt.m, qt.tv
+       |    FROM code c
+       |    JOIN assigned a ON a.vec_id = c.vec_id
+       |    JOIN probes p ON p.c_id = a.c_id
+       |    JOIN qt ON qt.m = c.m AND qt.cid = c.cid AND qt.q_id = p.q_id
+       |    WHERE c.vec_id <> qt.q_id) t GROUP BY q_id, n_id),
+       |cand AS (SELECT q_id, n_id FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY pqscore DESC, n_id) AS rn FROM adc) t
+       |  WHERE rn <= $PqRerank),
+       |scored AS (SELECT cand.q_id, cand.n_id,
+       |    list_cosine_similarity(qe.v, ce.v) AS cos
+       |  FROM cand JOIN e ce ON ce.vec_id = cand.n_id
+       |            JOIN e qe ON qe.vec_id = cand.q_id)
+       |SELECT q_id, n_id, rank FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id) AS rank FROM scored) t
+       |WHERE rank <= $K""".stripMargin
+  }
 }

@@ -144,6 +144,25 @@ class SimilaritySpec extends SparkSpec {
       "quantization + exact re-rank should be near-lossless at k=5")
   }
 
+  test("ivfpq top-k recall is within reach of its own coarse layer") {
+    val s = spark
+    import s.implicits._
+    val exact = Similarity.knnBrute(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.annIvf(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.annIvfPq(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val rIvf = ivf.intersect(exact).size.toDouble / exact.size
+    val rPq = ivfpq.intersect(exact).size.toDouble / exact.size
+    // PQ can only lose recall vs its own coarse layer (same probes,
+    // quantized scores) — but the 32-deep exact re-rank should keep it
+    // close; 0.15 absolute headroom is generous
+    assert(rPq >= rIvf - 0.15,
+      s"ivfpq recall $rPq fell too far below ivf's $rIvf")
+    assert(rPq >= 0.5, s"ivfpq recall $rPq below 0.5")
+  }
+
   test("sim_hybrid_rrf fuses both arms with exact reciprocal-rank scores") {
     val got = Similarity.hybridRrf(spark, sf01).collect()
     assert(got.nonEmpty)
