@@ -2997,14 +2997,18 @@ object TxnTable {
       }
       val raw = reader.parquet(es.map(e => pathFor(table, e.path)): _*)
       val hasBounded = dels.exists(_._2.endsWith("~L"))
-      // bounded kills need the row's entry seq: a map-literal lookup on
-      // the file path keeps it inside whole-stage codegen (no UDF); the
-      // raise_error guard turns a failed lookup into a loud error, not
-      // a silent resurrect/over-delete. input_file_name() yields a
-      // URI-escaped `file:` form whose exact shape varies — the map
-      // carries every raw/escaped/scheme variant of each path, so a
-      // table dir with spaces (or other escaped characters) still
-      // resolves after a tombstone rewrite.
+      // bounded kills need the row's entry seq: a broadcast-joined
+      // (path, seq) frame resolves it from input_file_name() — the
+      // mapping ships ONCE per executor as a broadcast relation, never
+      // as an O(#files) literal serialized into every task's expression
+      // tree, so a million-file table with a pending bounded tombstone
+      // still plans in O(1) plan bytes. The post-join null guard turns
+      // a failed lookup into a loud error, not a silent
+      // resurrect/over-delete. input_file_name() yields a URI-escaped
+      // `file:` form whose exact shape varies — the frame carries every
+      // raw/escaped/scheme variant of each path, so a table dir with
+      // spaces (or other escaped characters) still resolves after a
+      // tombstone rewrite.
       val withSeq =
         if (!hasBounded) raw
         else {
@@ -3025,13 +3029,26 @@ object TxnTable {
               }
             }.distinct
           }
-          val pathSeq = es.flatMap(e =>
-            variants(pathFor(table, e.path)).map(_ -> e.seq)).toMap
-          val looked = element_at(typedLit(pathSeq), input_file_name())
-          raw.withColumn("__gseq",
-            when(looked.isNull, raise_error(concat(
-              lit(s"$table: unmapped scan file for bounded tombstone: "),
-              input_file_name()))).otherwise(looked))
+          val pathSeqRows = es.flatMap(e =>
+            variants(pathFor(table, e.path)).map(v => Row(v, e.seq)))
+          // parallelize (not a LocalRelation literal): the rows ride the
+          // RDD's serialized partitions, sliced so no single task drags
+          // the whole mapping through its closure
+          val slices = math.max(1, pathSeqRows.size / 65536)
+          val pathSeqDf = s.createDataFrame(
+            s.sparkContext.parallelize(pathSeqRows, slices),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__gpath",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("__gseq",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+          raw.withColumn("__gpath", input_file_name())
+            .join(broadcast(pathSeqDf), Seq("__gpath"), "left")
+            .withColumn("__gseq",
+              when(col("__gseq").isNull, raise_error(concat(
+                lit(s"$table: unmapped scan file for bounded tombstone: "),
+                col("__gpath")))).otherwise(col("__gseq")))
+            .drop("__gpath")
         }
       // tombstone key FILES may carry the logical-at-delete-time name —
       // read positionally, join physical

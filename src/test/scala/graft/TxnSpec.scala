@@ -1657,6 +1657,22 @@ class TxnSpec extends SparkSpec {
     val after = TxnTable.snapshot(spark, t).collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
     assert(after === before, "tombstone rewrite changed table content")
+    // SCALE: the bounded-kill seq lookup must ride a broadcast relation,
+    // never an O(#files) map literal baked into the plan's expression
+    // tree — on a million-file table that literal serializes multi-MB
+    // into EVERY task. Assert the read plan of the bounded-tombstone
+    // table carries no MapType literal anywhere.
+    val boundedPlan =
+      TxnTable.snapshot(spark, t).queryExecution.optimizedPlan
+    val mapLits = boundedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType.isInstanceOf[
+              org.apache.spark.sql.types.MapType] => l
+      })
+    }.flatten
+    assert(mapLits.isEmpty,
+      s"bounded-tombstone read plan embeds ${mapLits.size} map literal(s)")
     // a pinned pre-rewrite version still reads through the old files
     assert(TxnTable.snapshot(spark, t, cur).collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
