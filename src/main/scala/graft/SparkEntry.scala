@@ -132,6 +132,7 @@ object SparkEntry {
     "dd_paragraph"            -> (Dedup.paragraphDedup _),
     "dd_substring"            -> (Dedup.substringDedup _),
     "dd_incremental"          -> (Dedup.incremental _),
+    "dd_incremental_lsh"      -> (Dedup.incrementalLsh _),
     "dd_url"                  -> (Dedup.urlDedup _),
     "dd_semantic"             -> (Dedup.semantic _),
     "ta_domain_mix"           -> (TextAnalysis.domainMix _),
@@ -559,6 +560,7 @@ object SparkEntry {
     // full replay of MinHash+LSH: modular shingle hashes, 128 permutation
     // minima, raw-minima band buckets, anchored+chained pairs, Jaccard
     "dd_minhash_lsh" -> graft.operators.Dedup.minhashOracle,
+    "dd_incremental_lsh" -> graft.operators.Dedup.incrementalLshOracle,
     "q36_orc_roundtrip" ->
       """SELECT l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

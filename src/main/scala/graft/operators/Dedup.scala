@@ -790,4 +790,218 @@ object Dedup {
        |  WHERE list_cosine_similarity(e1.v, e2.v) >= $EmbedTau)
        |SELECT a.vec_id, a.cluster, (d.dup_id IS NULL) AS kept
        |FROM assign a LEFT JOIN dup d ON a.vec_id = d.dup_id""".stripMargin
+
+  // ---- Incremental NEAR-dup vs a persisted LSH band store ------------------
+
+  /** Verified-match threshold for the incremental path: a batch/corpus
+    * pair is a near-duplicate when ≥ this many of the 128 MinHash minima
+    * agree — the standard unbiased Jaccard estimator (E[matches]/128 = J),
+    * here at J ≈ 0.70. Expressed as an INTEGER count so the engine and
+    * the DuckDB oracle compare exactly (never a float threshold). */
+  val IncLshMinMatch: Int = math.ceil(NumPerms * 0.70).toInt // 90
+
+  /** Flatten docs into MinHash band rows (doc_id, band, k1..k4) — the
+    * persisted form of [[minhashLshDocs]]' banding. One map-only pass:
+    * the native MinHashSignature expression computes all 128 minima
+    * per doc, the 32 bands explode row-locally. A doc too short to
+    * shingle (< 3 tokens) emits no rows on EITHER engine. */
+  private[graft] def lshBandRows(docs: DataFrame): DataFrame = {
+    val sig = docs.select(col("doc_id"),
+      graft.functions.MinHashSignature(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandStructs = array((0 until NumBands).map { bnd =>
+      val ks = (0 until 4).map(r => element_at(col("sig"), bnd * 4 + r + 1))
+      struct(lit(bnd).as("band"), ks(0).as("k1"), ks(1).as("k2"),
+        ks(2).as("k3"), ks(3).as("k4"))
+    }: _*)
+    sig.select(col("doc_id"), explode(bandStructs).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.k1").as("k1"),
+        col("b.k2").as("k2"), col("b.k3").as("k3"), col("b.k4").as("k4"))
+  }
+
+  /** Probe a persisted band store with an arriving batch's band rows —
+    * the phase whose 100 TB invariant is that the CORPUS IS NEVER READ:
+    * every input is either the store (the O(#docs × 32-row) index, NOT
+    * the corpus text) or the batch. Two store passes, both map-side:
+    *
+    *   1. candidates — store band rows joined against the BROADCAST
+    *      batch band keys on (band, k1..k4): the store never shuffles,
+    *      hits are ≤ |batch candidates| pairs;
+    *   2. verification — store rows left-semi'd to the broadcast
+    *      candidate-owner id set (their full 32-band signatures), joined
+    *      per band with the broadcast batch bands, and the per-pair
+    *      count of agreeing minima (4 positions × 32 bands = the whole
+    *      128-wide signature, reconstructed from the banding) compared
+    *      against [[IncLshMinMatch]] — the MinHash Jaccard estimate, so
+    *      verification needs NO document text at all.
+    *
+    * DedupSpec asserts the plan property directly: every file scanned
+    * by this frame lives under the store path. Returns per-batch-doc
+    * verdicts (batch_rep, n_near, novel, keep). */
+  private[graft] def probeLshStore(s: SparkSession, store: String,
+      bBands: DataFrame, bFps: DataFrame): DataFrame = {
+    val storeBands = TxnTable.snapshot(s, store)
+    val cands = storeBands
+      .join(broadcast(bBands.withColumnRenamed("doc_id", "b_doc")),
+        Seq("band", "k1", "k2", "k3", "k4"))
+      .select(col("doc_id").as("owner"), col("b_doc")).distinct()
+      // tiny (verified-candidate-sized); checkpoint so the verification
+      // pass below re-reads the STORE, not the candidate join's lineage
+      .localCheckpoint(true)
+    val owners = cands.select(col("owner")).distinct()
+    val ownerBands = storeBands
+      .join(broadcast(owners), storeBands("doc_id") === owners("owner"),
+        "left_semi")
+      .select(col("doc_id").as("owner"), col("band"), col("k1").as("c1"),
+        col("k2").as("c2"), col("k3").as("c3"), col("k4").as("c4"))
+    val bb = bBands.select(col("doc_id").as("b_doc"), col("band"),
+      col("k1").as("b1"), col("k2").as("b2"), col("k3").as("b3"),
+      col("k4").as("b4"))
+    val hits = ownerBands
+      .join(broadcast(cands), Seq("owner"))
+      .join(broadcast(bb), Seq("b_doc", "band"))
+      .groupBy(col("owner"), col("b_doc"))
+      .agg(sum((col("c1") === col("b1")).cast("long") +
+        (col("c2") === col("b2")).cast("long") +
+        (col("c3") === col("b3")).cast("long") +
+        (col("c4") === col("b4")).cast("long")).as("matches"))
+      .filter(col("matches") >= IncLshMinMatch)
+      .groupBy(col("b_doc").as("doc_id")).agg(count(lit(1)).as("n_near"))
+    bFps
+      .withColumn("batch_rep", col("doc_id") === min(col("doc_id"))
+        .over(Window.partitionBy(col("fp"))))
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .withColumn("n_near", coalesce(col("n_near"), lit(0L)))
+      .withColumn("novel", col("n_near") === 0L)
+      .withColumn("keep", col("batch_rep") && col("novel"))
+      .select(col("doc_id"), col("batch_rep"), col("n_near"), col("novel"),
+        col("keep"))
+  }
+
+  /** dd_incremental_lsh: NEAR-duplicate dedup of an arriving batch
+    * against the persisted MinHash band store of an already-deduped
+    * corpus — [[incremental]]'s exact-fingerprint shape upgraded to the
+    * near-dup case a daily crawl actually needs (a re-fetched page is
+    * RARELY byte-identical: boilerplate rotates, timestamps move). The
+    * corpus' band rows live in a TxnTable; the arriving batch (the
+    * %3==0 slice + a near-dup re-crawl slice — corpus docs re-fetched
+    * with one appended token — + an in-batch exact-dup slice) computes
+    * its own signatures map-only, probes the store ([[probeLshStore]]:
+    * candidates from shared band buckets, verification by signature
+    * agreement — the corpus TEXT is never read), and APPENDS the kept
+    * docs' band rows atomically through [[TxnTable.appendResolving]],
+    * so a concurrent batch's append rebases instead of clobbering.
+    * `lshinc_ok` asserts the store mechanics: version advanced once,
+    * band-row count grew by exactly the kept docs' band count. */
+  def incrementalLsh(s: SparkSession, d: String): DataFrame = {
+    val store = {
+      val dir = graft.Fs.scratch("graft_txn", "dd_lsh_store")
+      graft.Fs.deleteRecursively(dir)
+      dir
+    }
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    TxnTable.create(s, store, lshBandRows(corpus))
+    val v0Rows = TxnTable.snapshot(s, store).count()
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .unionByName(corpus.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" the")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    // batch-sized and consumed twice (probe + append) — checkpoint so
+    // the probe plan provably scans ONLY the store (DedupSpec pins it)
+    val bBands = lshBandRows(batch).localCheckpoint(true)
+    val bFps = batch.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .localCheckpoint(true)
+    val verdicts = probeLshStore(s, store, bBands, bFps).cache()
+    val kept = verdicts.filter(col("keep")).select(col("doc_id"))
+    val newBands = bBands.join(broadcast(kept), Seq("doc_id"))
+      .localCheckpoint(true)
+    val nAdded = newBands.count()
+    val out = TxnTable.appendResolving(s, store, newBands)
+    val v1Rows = TxnTable.snapshot(s, store).count()
+    val ok = out.version == 1L && v1Rows == v0Rows + nAdded
+    verdicts.withColumn("lshinc_ok", lit(ok))
+  }
+
+  /** [[shingleHashCtes]] parameterized over the source docs CTE — the
+    * incremental oracle needs the signature machinery TWICE (corpus and
+    * batch sides), each over a derived doc set. */
+  private def shingleHashCtesFor(src: String, p: String): String =
+    s"""${p}w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+       |  FROM $src),
+       |${p}sh AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(ws) - 2),
+       |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+       |  FROM ${p}w),
+       |${p}hp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split_regex(shingle, ''),
+       |      c -> CAST(ascii(c) AS BIGINT))),
+       |    (h, c) -> (h * 31 + c) % $MersenneP) AS hp
+       |  FROM ${p}sh)""".stripMargin
+
+  /** DuckDB replay of [[incrementalLsh]] — both sides' 128-minima
+    * signatures from scratch, the 32-band keys, the shared-bucket
+    * candidate pairs, the position-agreement verification at the same
+    * integer threshold, and the per-doc verdicts. */
+  private[graft] def incrementalLshOracle: String = {
+    val minExprs = (0 until NumPerms).map(i => s"${minExpr(i)} AS m$i")
+      .mkString(",\n    ")
+    val bandStructs = (0 until NumBands).map { bnd =>
+      val ks = (0 until 4).map(r => s"k${r + 1} := m${bnd * 4 + r}")
+        .mkString(", ")
+      s"struct_pack(band := $bnd, $ks)"
+    }.mkString(",\n      ")
+    def bandCtes(p: String): String =
+      s"""${p}sig AS (SELECT doc_id,
+         |    $minExprs
+         |  FROM ${p}hp GROUP BY doc_id),
+         |${p}bl AS (SELECT doc_id, unnest([
+         |      $bandStructs]) AS u
+         |  FROM ${p}sig),
+         |${p}bands AS (SELECT doc_id, u.band AS band,
+         |    u.k1 AS k1, u.k2 AS k2, u.k3 AS k3, u.k4 AS k4
+         |  FROM ${p}bl)""".stripMargin
+    // a flat list literal, not a 128-deep `+` chain: DuckDB's binder
+    // caps expression recursion at 128, which a left-deep sum trips
+    val matchSum = "len(list_filter([\n    " +
+      (0 until NumPerms).map(i => s"c.m$i = b.m$i").mkString(",\n    ") +
+      "], x -> x))"
+    s"""WITH corpus0 AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 <> 0),
+       |batch0 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id + 100000, text || ' the' FROM documents
+       |    WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
+       |  UNION ALL SELECT doc_id + 200000, text FROM documents
+       |    WHERE doc_id % 15 = 0),
+       |${shingleHashCtesFor("corpus0", "c")},
+       |${shingleHashCtesFor("batch0", "b")},
+       |${bandCtes("c")},
+       |${bandCtes("b")},
+       |cands AS (SELECT DISTINCT c.doc_id AS owner, b.doc_id AS b_doc
+       |  FROM cbands c JOIN bbands b
+       |    ON c.band = b.band AND c.k1 = b.k1 AND c.k2 = b.k2
+       |   AND c.k3 = b.k3 AND c.k4 = b.k4),
+       |est AS (SELECT cd.owner, cd.b_doc,
+       |    $matchSum AS matches
+       |  FROM cands cd JOIN csig c ON c.doc_id = cd.owner
+       |                JOIN bsig b ON b.doc_id = cd.b_doc),
+       |hits AS (SELECT b_doc AS doc_id, COUNT(*) AS n_near FROM est
+       |  WHERE matches >= $IncLshMinMatch GROUP BY b_doc),
+       |bfp AS (SELECT doc_id,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM batch0),
+       |brep AS (SELECT doc_id,
+       |    doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS batch_rep
+       |  FROM bfp)
+       |SELECT r.doc_id, r.batch_rep,
+       |  COALESCE(h.n_near, CAST(0 AS BIGINT)) AS n_near,
+       |  h.doc_id IS NULL AS novel,
+       |  (r.batch_rep AND h.doc_id IS NULL) AS keep,
+       |  TRUE AS lshinc_ok
+       |FROM brep r LEFT JOIN hits h ON r.doc_id = h.doc_id""".stripMargin
+  }
 }

@@ -259,6 +259,69 @@ class DedupSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("incremental LSH dedup: verdict algebra holds, re-crawled " +
+      "near-dups are caught, in-batch copies lose batch_rep") {
+    val s2 = spark
+    import s2.implicits._
+    val out = Dedup.incrementalLsh(spark, sf01).cache()
+    try {
+      val rows = out
+        .select("doc_id", "batch_rep", "n_near", "novel", "keep", "lshinc_ok")
+        .as[(Long, Boolean, Long, Boolean, Boolean, Boolean)].collect()
+      assert(rows.nonEmpty && rows.forall(_._6),
+        "store mechanics (lshinc_ok) failed")
+      rows.foreach { case (id, rep, n, novel, keep, _) =>
+        assert(novel === (n == 0L), s"novel<->n_near mismatch for $id")
+        assert(keep === (rep && novel), s"keep rule wrong for $id")
+      }
+      // the re-crawl slice (+100000: corpus docs with one appended token)
+      // is NEAR-duplicate, never exact — the LSH store must catch it
+      val recrawl = rows.filter(r => r._1 >= 100000L && r._1 < 200000L)
+      assert(recrawl.nonEmpty)
+      val caught = recrawl.count(!_._4).toDouble / recrawl.size
+      assert(caught >= 0.8,
+        f"only ${caught}%.2f of re-crawled near-dups caught by the store")
+      // the +200000 slice duplicates in-batch docs byte-identically:
+      // every copy must lose batch_rep to its original
+      val copies = rows.filter(_._1 >= 200000L)
+      assert(copies.nonEmpty && copies.forall(!_._2),
+        "an in-batch exact copy kept batch_rep")
+    } finally out.unpersist()
+  }
+
+  test("incremental LSH probe scans NO file outside the band store " +
+      "(the corpus is never rescanned)") {
+    val s2 = spark
+    import s2.implicits._
+    val docs = graft.Tables.documents(spark, sf).select($"doc_id", $"text")
+    val store = graft.Fs.scratch("graft_txn", "dd_lsh_probe_spec")
+    graft.Fs.deleteRecursively(store)
+    graft.operators.TxnTable.create(spark, store,
+      Dedup.lshBandRows(docs.filter($"doc_id" % 2 === 0)))
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val bBands = Dedup.lshBandRows(batch).localCheckpoint(true)
+    val bFps = batch.select($"doc_id",
+      graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+      .localCheckpoint(true)
+    val verdicts = Dedup.probeLshStore(spark, store, bBands, bFps)
+    val scans = verdicts.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(scans.nonEmpty, "expected at least the store scan")
+    scans.foreach { p =>
+      val norm = p.stripPrefix("file:")
+      assert(norm.startsWith(store),
+        s"probe plan scans a file outside the store: $p")
+    }
+    // and the probe still works end to end on this store
+    assert(verdicts.count() === batch.count())
+  }
+
   test("semantic dedup: dropped <=> co-clustered exact near-dup with smaller id") {
     val s2 = spark
     import s2.implicits._
