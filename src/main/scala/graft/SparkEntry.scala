@@ -168,6 +168,7 @@ object SparkEntry {
     "sim_knn_brute"           -> (Similarity.knnBrute _),
     "sim_ann_lsh"             -> (Similarity.annLsh _),
     "sim_ann_ivf"             -> (Similarity.annIvf _),
+    "sim_ann_filtered"        -> (Similarity.annFiltered _),
     "sim_ann_graph"           -> (Similarity.annGraph _),
     "sim_ann_pq"              -> (Similarity.annPq _),
     "sim_sq8"                 -> (Similarity.annSq8 _),
@@ -2120,6 +2121,7 @@ object SparkEntry {
     "sim_kmeans" -> graft.operators.Similarity.kmeansOracle,
     // full replay of IVF: training, cell assignment, probes, and ranking
     "sim_ann_ivf" -> graft.operators.Similarity.ivfOracle,
+    "sim_ann_filtered" -> graft.operators.Similarity.ivfFilteredOracle,
     // full replay of PQ: codebook training, encoding, ADC, re-rank
     "sim_ann_pq" -> graft.operators.Similarity.pqOracle,
     "sim_sq8" -> graft.operators.Similarity.sq8Oracle,

@@ -502,7 +502,16 @@ object Similarity {
     * to [[trainCentroids]]), full-corpus cell assignment, per-query
     * [[NProbe]]-nearest probe lists, and the exact cosine top-k over
     * probed cells — the entire approximate path hash-checked. */
-  private[graft] def ivfOracle: String = {
+  private[graft] def ivfOracle: String = ivfOracleBody("", "")
+
+  /** [[ivfOracle]] with the metadata predicate injected into `scored` —
+    * the DuckDB twin of [[annFiltered]] (the file-prune is an engine
+    * access-path optimization; its SEMANTICS are exactly this
+    * predicate). */
+  private[graft] def ivfFilteredOracle: String = ivfOracleBody(
+    s"\n   AND a.vec_id % $FilterMod = $FilterVal", ", TRUE AS filt_ok")
+
+  private def ivfOracleBody(extraPred: String, extraSel: String): String = {
     val rounds = (0 until IvfIters).map(lloydRoundSql(_, "ts")).mkString(",\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |ks AS (SELECT unnest(generate_series(1, $Dim)) AS k),
@@ -529,8 +538,8 @@ object Similarity {
        |scored AS (SELECT p.q_id, a.vec_id AS n_id,
        |    list_cosine_similarity(p.qv, a.v) AS cos
        |  FROM assigned a JOIN probes p ON a.c_id = p.c_id
-       |  WHERE a.vec_id <> p.q_id)
-       |SELECT q_id, n_id, rank FROM (
+       |  WHERE a.vec_id <> p.q_id$extraPred)
+       |SELECT q_id, n_id, rank$extraSel FROM (
        |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
        |    ORDER BY cos DESC, n_id) AS rank FROM scored) t
        |WHERE rank <= $K""".stripMargin
@@ -573,13 +582,17 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("p.cid").as("c_id"))
   }
 
-  def annIvf(s: SparkSession, d: String): DataFrame = {
+  /** The IVF index parts shared by [[annIvf]], [[annFiltered]], and the
+    * filtered-ANN spec: `assigned` = every vector with its ONE best
+    * coarse cell (map-only argmax against literal centroids), `probes` =
+    * each query's [[NProbe]] nearest cells (the per-query probe list:
+    * sort the (-cos, cid) struct array ascending → first NProbe entries;
+    * 10 query rows, so even an interpreted array sort is nothing). */
+  private[graft] def ivfParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val all = vecs(s, d)
     val cents = ivfCentroids(s, all)
     val assigned = all.withColumn("c_id", bestCentroid(cents))
-    // per-query probe list: sort the (‑cos, cid) struct array ascending →
-    // the first NProbe entries are the nearest cells; 10 query rows, so
-    // even an interpreted array sort is nothing
     val centArr = array(cents.zipWithIndex.map { case (c, i) =>
       struct((-graft.functions.CosineSimilarity(col("v"), typedLit(c)))
         .as("negcos"), lit(i).as("cid"))
@@ -588,11 +601,96 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         explode(slice(sort_array(centArr), 1, NProbe)).as("p"))
       .select(col("q_id"), col("qv"), col("p.cid").as("c_id"))
+    (assigned, probes)
+  }
+
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val (assigned, probes) = ivfParts(s, d)
     val scored = assigned.join(broadcast(probes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("qv"), col("v")).as("cos"))
     topKPerQuery(scored)
+  }
+
+  // ---- Filtered ANN (predicate-pushed) -------------------------------------
+
+  /** Synthetic metadata column for [[annFiltered]]: lic = vec_id % 4
+    * (a license / language / date-bucket stand-in), predicate lic = 1 —
+    * deterministic, so the oracle replays it. */
+  private val FilterMod = 4L
+  private val FilterVal = 1L
+
+  /** sim_ann_filtered: the production RAG query — top-k cosine WITH a
+    * metadata predicate, where the predicate prunes FILES before any
+    * vector is scored, not rows after. Every §E sibling ranks the whole
+    * probed slice; this one composes the IVF probe lists with MANIFEST
+    * file pruning on the filter column:
+    *
+    *   - index build (once): vectors get their coarse cell (map-only
+    *     argmax) and the metadata column; files are laid out by the
+    *     composite (c_id, lic) key via [[TxnTable.clusterExact]] — two
+    *     combos per file, deterministically aligned so BOTH columns'
+    *     per-file [min,max] boxes are tight — and committed with stats
+    *     on both columns;
+    *   - query: each distinct probed cell issues ONE
+    *     [[TxnTable.snapshotBox]] read with the two-sided box
+    *     (c_id = cell ∧ lic = [[FilterVal]]): files failing EITHER side
+    *     are pruned from the manifest alone — never listed, opened, or
+    *     footer-read. A cell's wrong-lic file is dropped even though its
+    *     c_id matches: that is the predicate pushdown this query exists
+    *     to prove. Survivors carry the residual row filter, score
+    *     exactly, and feed the salted top-k.
+    *
+    * At 100 TB the win compounds: NProbe/NumCentroids of the corpus via
+    * IVF × selectivity of the predicate via stats, and the scoring join
+    * touches only rows satisfying both. `filt_ok` asserts the
+    * accounting: every probe read kept at most ONE stats-bearing file
+    * (+ zero-row path-only files, which box pruning conservatively
+    * keeps) and strictly fewer files than the table holds. Full
+    * oracle: DuckDB replays training, assignment, probes, the
+    * predicate, and the top-k. */
+  def annFiltered(s: SparkSession, d: String): DataFrame = {
+    val (assigned, probes0) = ivfParts(s, d)
+    val t = {
+      val dir = graft.Fs.scratch("graft_txn", "sim_filtered_idx")
+      graft.Fs.deleteRecursively(dir)
+      dir
+    }
+    val withKey = assigned
+      .withColumn("lic", pmod(col("vec_id"), lit(FilterMod)))
+      .withColumn("ck", col("c_id").cast("long") * FilterMod + col("lic"))
+    val span = NumCentroids * FilterMod // 64 combos
+    val nFiles = (span / 2).toInt // two combos per file, aligned
+    val clustered = TxnTable
+      .clusterExact(s, withKey, "ck", 0L, span - 1, nFiles).drop("ck")
+    TxnTable.commit(s, t,
+      TxnTable.stageIndexed(s, t, clustered, Seq("c_id", "lic")),
+      expected = -1L, op = "create")
+    // zero-row path-only files carry no stats and are conservatively
+    // kept by every box read — exclude them from the prune accounting
+    val m = TxnTable.manifest(s, t, TxnTable.currentVersion(s, t))
+    val zRows = m.entries.count(_.stats.isEmpty)
+    val probes = probes0.localCheckpoint(true)
+    val cells = probes.select("c_id").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val reads = cells.map { cid =>
+      TxnTable.snapshotBox(s, t, Seq(
+        ("c_id", cid.toLong, cid.toLong), ("lic", FilterVal, FilterVal)))
+    }
+    val survivors = reads.map(_._1).reduce(_ unionByName _)
+    // ≤ nFiles files total (an empty (c_id, lic) partition writes no
+    // file at all), and every probe read kept at most ONE stats-bearing
+    // file (+ the zero-row path-only files box pruning conservatively
+    // keeps) while actually dropping files — the predicate pushdown bit
+    val ok = reads.nonEmpty && m.entries.size <= nFiles &&
+      reads.forall { case (_, scanned, total) =>
+        total == m.entries.size && scanned <= 1 + zRows && scanned < total }
+    val scored = survivors.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    topKPerQuery(scored).withColumn("filt_ok", lit(ok))
   }
 
   /** sim_sq8: SCALAR quantization (the FAISS SQ8 / Lucene int8 path —

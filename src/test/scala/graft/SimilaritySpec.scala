@@ -62,6 +62,42 @@ class SimilaritySpec extends SparkSpec {
       s"clusters: $clusters")
   }
 
+  test("filtered ANN: every hit satisfies the predicate, equals the " +
+      "filter-then-rank reference over probed cells, files pruned") {
+    val s = spark
+    import s.implicits._
+    val out = Similarity.annFiltered(s, sf01)
+      .select("q_id", "n_id", "rank", "filt_ok")
+      .as[(Long, Long, Int, Boolean)].collect()
+    assert(out.nonEmpty)
+    // the prune accounting bit: ≤ 1 stats-bearing file per probe read,
+    // strictly fewer than the table's total — pruned files never opened
+    assert(out.forall(_._4), "filt_ok false: a probe read kept too much")
+    // the predicate actually holds on every returned neighbor
+    assert(out.forall(_._2 % 4 == 1), "a hit violates the lic predicate")
+    // ranks are contiguous from 1 per query
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length),
+        s"ranks not contiguous for query $q")
+    }
+    // reference: score probed cells brute-force, filter, rank — the
+    // file prune must be invisible to the RESULT
+    val (assigned, probes) = Similarity.ivfParts(s, sf01)
+    val expected = assigned
+      .join(probes, Seq("c_id"))
+      .filter($"vec_id" =!= $"q_id" && $"vec_id" % 4 === 1)
+      .select($"q_id", $"vec_id".as("n_id"),
+        graft.functions.VectorFunctions.cosine($"qv", $"v").as("cos"))
+    // rank in-memory (tiny): top-5 by (cos desc, n_id)
+    val exp = expected.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (qid, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case (r, i) => (qid, r._2, i + 1) }.toSeq
+      }.toSet
+    assert(out.map(r => (r._1, r._2, r._3)).toSet === exp,
+      "filtered ANN result differs from the filter-then-rank reference")
+  }
+
   test("IVF ANN recall >= 0.75 vs exact top-k at sf0.01") {
     val s = spark
     import s.implicits._
