@@ -169,6 +169,7 @@ object SparkEntry {
     "sim_ann_lsh"             -> (Similarity.annLsh _),
     "sim_ann_ivf"             -> (Similarity.annIvf _),
     "sim_ann_filtered"        -> (Similarity.annFiltered _),
+    "sim_hybrid_ivfpq"        -> (Similarity.hybridIvfPq _),
     "sim_ann_graph"           -> (Similarity.annGraph _),
     "sim_ann_pq"              -> (Similarity.annPq _),
     "sim_sq8"                 -> (Similarity.annSq8 _),
@@ -2122,6 +2123,7 @@ object SparkEntry {
     // full replay of IVF: training, cell assignment, probes, and ranking
     "sim_ann_ivf" -> graft.operators.Similarity.ivfOracle,
     "sim_ann_filtered" -> graft.operators.Similarity.ivfFilteredOracle,
+    "sim_hybrid_ivfpq" -> graft.operators.Similarity.hybridIvfPqOracle,
     // full replay of PQ: codebook training, encoding, ADC, re-rank
     "sim_ann_pq" -> graft.operators.Similarity.pqOracle,
     "sim_sq8" -> graft.operators.Similarity.sq8Oracle,

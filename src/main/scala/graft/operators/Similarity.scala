@@ -936,7 +936,6 @@ object Similarity {
     * query — RRF scores are two-term IEEE sums of exact reciprocals,
     * identical across engines, so the entire hybrid path hash-checks. */
   def hybridRrf(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions.wsTokens
     // semantic arm: exact cosine top-FuseDepth per query
     val all = vecs(s, d)
     val q = all.filter(col("vec_id") < NumQueries)
@@ -946,7 +945,17 @@ object Similarity {
         .select(col("q_id"), col("vec_id").as("n_id"),
           cosine(col("qv"), col("v")).as("cos")), FuseDepth)
       .select(col("q_id"), col("n_id"), col("rank").as("rank_s"))
-    // lexical arm: BM25 of each query doc's distinct terms vs the corpus
+    rrfFuse(sem, lexArmRanked(s, d))
+  }
+
+  /** The BM25 lexical arm of hybrid retrieval, ranked to [[FuseDepth]]:
+    * each query doc's DISTINCT terms scored against the corpus through
+    * the inverted index (bounded by the query term sets), per-term
+    * contributions quantized to [[LexQuantum]] micro-units so the sum
+    * is an exact integer in any order or engine. Shared by
+    * [[hybridRrf]] and [[hybridIvfPq]]. */
+  private def lexArmRanked(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.wsTokens
     val docs = Tables.documents(s, d)
     val n = docs.count()
     val tok = docs.select(col("doc_id"),
@@ -966,12 +975,17 @@ object Similarity {
           (col("tf") + lit(1.2) * (lit(0.25) +
             lit(0.75) * col("dl") / lit(avgdl))) * lit(LexQuantum) +
           lit(0.5)).as("u"))
-    val lex = topKPerQuery(
+    topKPerQuery(
       term.groupBy(col("q_id"), col("doc_id")).agg(sum(col("u")).as("lexu"))
         .select(col("q_id"), col("doc_id").as("n_id"), col("lexu")),
       FuseDepth, "lexu")
       .select(col("q_id"), col("n_id"), col("rank").as("rank_l"))
-    // fuse: a doc missing from one arm contributes that arm's term as 0
+  }
+
+  /** Reciprocal-rank fusion of the two arms: a doc missing from one arm
+    * contributes that arm's term as 0; RRF scores are two-term IEEE
+    * sums of exact reciprocals, identical across engines. */
+  private def rrfFuse(sem: DataFrame, lex: DataFrame): DataFrame = {
     val fused = sem.join(lex, Seq("q_id", "n_id"), "full_outer")
       .select(col("q_id"), col("n_id"), col("rank_s"), col("rank_l"),
         (coalesce(lit(1.0) / (lit(RrfC) + col("rank_s")), lit(0.0)) +
@@ -983,19 +997,29 @@ object Similarity {
       .filter(col("rank") <= HybridK)
   }
 
-  /** DuckDB replay of [[hybridRrf]]: both arms, the micro-unit lexical
-    * sum, the rank cuts, and the two-term RRF fuse — identical trees. */
-  private[graft] def hybridOracle: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |  FROM embeddings),
-       |sem AS (SELECT q_id, n_id, rank AS rank_s FROM (
-       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id)
-       |      AS rank
-       |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
-       |  WHERE q.vec_id < $NumQueries) t WHERE rank <= $FuseDepth),
-       |tok AS (SELECT doc_id,
+  /** sim_hybrid_ivfpq: [[hybridRrf]] with the semantic arm swapped from
+    * the exact-cosine baseline to the BOUNDED-cost [[annIvfPq]] pipeline
+    * — the proof that fusion composes with the billion-vector scale path
+    * end to end. Fusion consumes only RANKS, so the swap is exactly the
+    * re-ranked IVF-PQ candidate list cut at [[FuseDepth]] instead of
+    * [[K]]: per-query semantic cost stays |corpus|/|cells|·NProbe ADC
+    * lookups + a [[PqRerank]]-deep exact re-rank, corpus-independent,
+    * while the BM25 arm stays bounded by the query term sets. Full hash
+    * check: the oracle replays BOTH codebook trainings, the probed-cell
+    * ADC, the re-rank, the micro-unit BM25 sum, and the two-term RRF
+    * fuse. */
+  def hybridIvfPq(s: SparkSession, d: String): DataFrame = {
+    val sem = topKPerQuery(ivfPqScored(s, d), FuseDepth)
+      .select(col("q_id"), col("n_id"), col("rank").as("rank_s"))
+    rrfFuse(sem, lexArmRanked(s, d))
+  }
+
+  /** The lexical-arm CTE block shared by [[hybridOracle]] and
+    * [[hybridIvfPqOracle]] (tok → tf/dl/df → query-term join →
+    * micro-unit sum → rank cut). Uses no `e` — composes with any
+    * semantic-arm CTE chain. */
+  private def lexArmCtes: String =
+    s"""tok AS (SELECT doc_id,
        |    unnest(list_filter(string_split_regex(text, '\\s+'),
        |      x -> x <> '')) AS tok
        |  FROM documents),
@@ -1020,8 +1044,12 @@ object Similarity {
        |lex AS (SELECT q_id, n_id, rank AS rank_l FROM (
        |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
        |    ORDER BY lexu DESC, n_id) AS rank FROM lexsum) t
-       |  WHERE rank <= $FuseDepth),
-       |fused AS (SELECT COALESCE(s.q_id, l.q_id) AS q_id,
+       |  WHERE rank <= $FuseDepth)""".stripMargin
+
+  /** The RRF fusion tail (fused CTE + final select) shared by both
+    * hybrid oracles — expects `sem` (q_id, n_id, rank_s) and `lex`. */
+  private def rrfFusedSql: String =
+    s"""fused AS (SELECT COALESCE(s.q_id, l.q_id) AS q_id,
        |    COALESCE(s.n_id, l.n_id) AS n_id, s.rank_s, l.rank_l,
        |    COALESCE(CAST(1.0 AS DOUBLE) / ($RrfC + s.rank_s),
        |      CAST(0.0 AS DOUBLE)) +
@@ -1034,6 +1062,34 @@ object Similarity {
        |    PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rank
        |  FROM fused) t
        |WHERE rank <= $HybridK""".stripMargin
+
+  /** DuckDB replay of [[hybridRrf]]: both arms, the micro-unit lexical
+    * sum, the rank cuts, and the two-term RRF fuse — identical trees. */
+  private[graft] def hybridOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |sem AS (SELECT q_id, n_id, rank AS rank_s FROM (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.v, n.v) DESC, n.vec_id)
+       |      AS rank
+       |  FROM e q JOIN e n ON n.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries) t WHERE rank <= $FuseDepth),
+       |$lexArmCtes,
+       |$rrfFusedSql""".stripMargin
+
+  /** DuckDB replay of [[hybridIvfPq]]: the full [[ivfPqOracle]] chain
+    * (both codebook trainings, probed-cell ADC, exact re-rank) cut at
+    * [[FuseDepth]] as the semantic arm, the shared BM25 arm, and the
+    * shared RRF tail. */
+  private[graft] def hybridIvfPqOracle: String =
+    s"""WITH $ivfPqScoredCtes,
+       |sem AS (SELECT q_id, n_id, rank AS rank_s FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id) AS rank FROM scored) t
+       |  WHERE rank <= $FuseDepth),
+       |$lexArmCtes,
+       |$rrfFusedSql""".stripMargin
 
   // ---- IVF-PQ (the billion-scale composition) -----------------------------
 
@@ -1050,7 +1106,14 @@ object Similarity {
     * cosine. Fully hash-checked: the oracle replays coarse Lloyd rounds,
     * PQ codebook training, cell assignment, probe lists, the ADC fold
     * restricted to probed cells, and the exact re-rank. */
-  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+  def annIvfPq(s: SparkSession, d: String): DataFrame =
+    topKPerQuery(ivfPqScored(s, d))
+
+  /** The IVF-PQ pipeline through the exact re-rank, returning the
+    * re-scored candidate rows (q_id, n_id, cos) — [[PqRerank]] deep per
+    * query. [[annIvfPq]] cuts it at [[K]]; [[hybridIvfPq]]'s semantic
+    * arm cuts it at [[FuseDepth]]. */
+  private def ivfPqScored(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
     val cents = ivfCentroids(s, all)
     val stride = math.max(1L, all.count() / TrainTarget)
@@ -1085,11 +1148,10 @@ object Similarity {
       .select(col("q_id"), col("n_id"))
     val q = all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val rescored = cands
+    cands
       .join(all.select(col("vec_id").as("n_id"), col("v")), "n_id")
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("n_id"), cosine(col("qv"), col("v")).as("cos"))
-    topKPerQuery(rescored)
   }
 
   /** DuckDB replay of [[annIvfPq]]: the [[ivfOracle]] coarse chain
@@ -1098,11 +1160,21 @@ object Similarity {
     * round per subspace, corpus codes, per-query dot tables), joined at
     * the ADC step: a row is scored iff its cell is probed by the query.
     * Every double tree matches the engine's fold order. */
-  private[graft] def ivfPqOracle: String = {
+  private[graft] def ivfPqOracle: String =
+    s"""WITH $ivfPqScoredCtes
+       |SELECT q_id, n_id, rank FROM (
+       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id) AS rank FROM scored) t
+       |WHERE rank <= $K""".stripMargin
+
+  /** The IVF-PQ CTE chain through the exact re-rank (`scored`:
+    * q_id, n_id, cos) — shared by [[ivfPqOracle]] and
+    * [[hybridIvfPqOracle]], mirroring [[ivfPqScored]]. */
+  private def ivfPqScoredCtes: String = {
     val rounds = (0 until IvfIters).map(lloydRoundSql(_, "ts")).mkString(",\n")
     val dotExpr = (1 to PqSubDim)
       .map(k => s"s.sv[$k] * b.cv[$k]").mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |ks AS (SELECT unnest(generate_series(1, $Dim)) AS k),
        |ms AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
        |pks AS (SELECT unnest(generate_series(1, $PqSubDim)) AS k),
@@ -1178,10 +1250,6 @@ object Similarity {
        |scored AS (SELECT cand.q_id, cand.n_id,
        |    list_cosine_similarity(qe.v, ce.v) AS cos
        |  FROM cand JOIN e ce ON ce.vec_id = cand.n_id
-       |            JOIN e qe ON qe.vec_id = cand.q_id)
-       |SELECT q_id, n_id, rank FROM (
-       |  SELECT q_id, n_id, ROW_NUMBER() OVER (PARTITION BY q_id
-       |    ORDER BY cos DESC, n_id) AS rank FROM scored) t
-       |WHERE rank <= $K""".stripMargin
+       |            JOIN e qe ON qe.vec_id = cand.q_id)""".stripMargin
   }
 }

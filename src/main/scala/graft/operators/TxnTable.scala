@@ -1109,9 +1109,22 @@ object TxnTable {
     * them), the paths it removes (rewrites/drops), and the paths whose
     * CONTENT its outputs were derived from (the read set — for a rewrite
     * that is the removed files themselves; an append reads nothing). */
+  /** `deletes` = Some(replacement) REPLACES the base's tombstone lines
+    * (maintenance: compact/zorder apply-and-clear them, rewriteTombstones
+    * collapses them) — any interleaved change to the delete SET then
+    * conflicts, because the replacement was derived from the old one.
+    * None inherits the (refreshed) base's tombstones verbatim.
+    * `idxCols` = Some(cols) adopts a new integral index header (zorder's
+    * clustering-spec evolution); None carries the base's. `schemaFallback`
+    * records a schema ONLY when the base has none (a pre-#schema table) —
+    * never overriding the refreshed base's, so a rebase past a concurrent
+    * schema evolution keeps the winner's schema. */
   case class Change(added: Seq[String], removed: Set[String],
       readSet: Set[String], op: String = "write",
-      metrics: Seq[(String, Long)] = Nil)
+      metrics: Seq[(String, Long)] = Nil,
+      deletes: Option[Seq[(String, String, Long)]] = None,
+      idxCols: Option[Seq[String]] = None,
+      schemaFallback: Option[String] = None)
 
   /** Outcome of a resolved commit: the landed version plus how the
     * conflicts were handled — `rebases` = CAS losses resolved as pure
@@ -1166,8 +1179,11 @@ object TxnTable {
         ch.added
       try {
         val v = commit(s, table, lines, base, op = ch.op,
-          schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
-          idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+          schemaJson = m.schema.map(_.json)
+            .orElse(ch.schemaFallback).orNull,
+          deleteLines = ch.deletes.getOrElse(m.deletes),
+          idxCols = ch.idxCols.getOrElse(m.idxCols),
+          strIdxCols = m.strIdxCols, blooms = m.blooms,
           metrics = ch.metrics, retired = m.retired, checks = m.checks)
         return CommitOutcome(v, rebases, recomputes)
       } catch {
@@ -1183,7 +1199,12 @@ object TxnTable {
             val newTombs = wm.deletes.toSet -- pm.deletes.toSet
             wRemoved.exists(p => ch.removed(p) || ch.readSet(p)) ||
               (newTombs.nonEmpty &&
-                (ch.removed.nonEmpty || ch.readSet.nonEmpty))
+                (ch.removed.nonEmpty || ch.readSet.nonEmpty)) ||
+              // a delete-set REPLACEMENT was derived from the base's
+              // tombstones: ANY interleaved change to them (new MoR
+              // tombstones, another collapse, a clearing compact)
+              // invalidates the derivation
+              (ch.deletes.isDefined && wm.deletes != pm.deletes)
           }
           base = newCur
           m = manifest(s, table, newCur)
@@ -2555,26 +2576,41 @@ object TxnTable {
     * many merges accumulated). The manifest line's seq is max L, so
     * whole entry-groups newer than every bound skip the join entirely.
     * Entries carry VERBATIM; content is invariant by construction. */
-  def rewriteTombstones(s: SparkSession, table: String): Long = {
-    val cur = currentVersion(s, table)
-    val m = manifest(s, table, cur)
-    if (m.deletes.size <= 1) return cur // nothing to collapse
-    val byCol = m.deletes.groupBy(_._2.stripSuffix("~L"))
-    val rewritten = byCol.toSeq.sortBy(_._1).map { case (kc, fls) =>
-      val pairs = tombstonePairs(s, table, kc, fls).coalesce(1)
-      val staged = stage(s, table, pairs)
-      require(staged.size == 1,
-        s"$table: bounded tombstone for '$kc' staged ${staged.size} files")
-      val maxL = fls.map { case (_, _, sq) => sq }.max
-      (staged.head, s"$kc~L", maxL)
+  def rewriteTombstones(s: SparkSession, table: String): Long =
+    rewriteTombstonesResolving(s, table).version
+
+  /** [[rewriteTombstones]] through [[commitResolving]]: the collapse
+    * reads and removes NO data file — its derivation input is the
+    * tombstone SET, so an interleaved append (or any entry-only commit)
+    * rebases for free, while any change to the delete set itself (a new
+    * MoR tombstone, a clearing compact, another collapse) re-derives
+    * against the new base ([[Change.deletes]]' conflict rule). */
+  private[graft] def rewriteTombstonesResolving(s: SparkSession,
+      table: String, onWork: Long => Unit = _ => ()): CommitOutcome = {
+    var lastStaged: Seq[String] = Nil
+    try commitResolving(s, table) { base =>
+      dropStaged(s, table, lastStaged)
+      onWork(base)
+      val m = manifest(s, table, base)
+      if (m.deletes.size <= 1) throw NothingToDo // nothing to collapse
+      val byCol = m.deletes.groupBy(_._2.stripSuffix("~L"))
+      val rewritten = byCol.toSeq.sortBy(_._1).map { case (kc, fls) =>
+        val pairs = tombstonePairs(s, table, kc, fls).coalesce(1)
+        val staged = stage(s, table, pairs)
+        require(staged.size == 1,
+          s"$table: bounded tombstone for '$kc' staged ${staged.size} files")
+        val maxL = fls.map { case (_, _, sq) => sq }.max
+        (staged.head, s"$kc~L", maxL)
+      }
+      lastStaged = rewritten.map(_._1)
+      Change(Nil, Set.empty, Set.empty, op = "rewrite_tombstones",
+        metrics = Seq("collapsed" -> m.deletes.size.toLong,
+          "tombstones" -> rewritten.size.toLong),
+        deletes = Some(rewritten))
+    } catch {
+      case NothingToDo =>
+        CommitOutcome(currentVersion(s, table), 0, 0)
     }
-    commit(s, table, m.entries.map(render), cur, op = "rewrite_tombstones",
-      schemaJson = m.schema.map(_.json).orNull,
-      deleteLines = rewritten,
-      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
-      metrics = Seq("collapsed" -> m.deletes.size.toLong,
-        "tombstones" -> rewritten.size.toLong),
-      retired = m.retired, checks = m.checks)
   }
 
   /** (key, `__tl` bound) pairs of a set of tombstone lines for ONE key
@@ -3221,33 +3257,55 @@ object TxnTable {
       fs(s, p).getFileStatus(p).getLen
     }.sum
 
-  def compact(s: SparkSession, table: String): Long = {
-    val cur = currentVersion(s, table)
-    val m = manifest(s, table, cur)
-    val target = compactionTarget(liveBytes(s, table, cur))
-    val snap = snapshot(s, table, cur)
-    val idxCols = m.idxCols
-    // the snapshot carries LOGICAL names; index headers speak physical —
-    // cluster on the logical twins, stage back under physical names
-    val (logIdx, logStrIdx) = logicalIndexCols(m)
-    // re-cluster on the integral index columns (string stats re-measure
-    // from the new layout regardless — compaction must never downgrade
-    // EITHER kind of manifest-skipping ability)
-    val lines =
-      if (idxCols.nonEmpty)
-        stageIndexed(s, table,
-          toPhysical(snap.repartitionByRange(target, logIdx.map(col): _*)
-            .sortWithinPartitions(logIdx.map(col): _*), m),
-          idxCols, m.strIdxCols)
-      else if (m.strIdxCols.nonEmpty)
-        stageIndexed(s, table,
-          toPhysical(snap.repartitionByRange(target, logStrIdx.map(col): _*)
-            .sortWithinPartitions(logStrIdx.map(col): _*), m),
-          Nil, m.strIdxCols)
-      else stage(s, table, toPhysical(snap.repartition(target), m))
-    commit(s, table, lines, cur, op = "compact",
-      schemaJson = withMapping(m, snap.schema).json,
-      idxCols = idxCols, strIdxCols = m.strIdxCols, retired = m.retired, checks = m.checks)
+  def compact(s: SparkSession, table: String): Long =
+    compactResolving(s, table).version
+
+  /** [[compact]] through [[commitResolving]]: the rewrite's read/remove
+    * set is the base's ENTIRE entry list, so an interleaved append —
+    * disjoint by construction — REBASES (the appended files ride the
+    * refreshed manifest uncompacted, zero recompute), while any writer
+    * that removed a base file or added tombstones forces the one honest
+    * recompute. On a live 100 TB table this is the difference between
+    * "OPTIMIZE coexists with ingest" and "OPTIMIZE never wins the CAS".
+    * `onWork` is the spec's interleave hook. */
+  private[graft] def compactResolving(s: SparkSession, table: String,
+      onWork: Long => Unit = _ => ()): CommitOutcome = {
+    var lastStaged: Seq[String] = Nil
+    commitResolving(s, table) { base =>
+      // a RECOMPUTE abandons the previous attempt's staged files —
+      // drop them now instead of leaving vacuum garbage
+      dropStaged(s, table, lastStaged)
+      onWork(base)
+      val m = manifest(s, table, base)
+      val target = compactionTarget(liveBytes(s, table, base))
+      val snap = snapshot(s, table, base)
+      val idxCols = m.idxCols
+      // the snapshot carries LOGICAL names; index headers speak
+      // physical — cluster on the logical twins, stage back physical
+      val (logIdx, logStrIdx) = logicalIndexCols(m)
+      // re-cluster on the integral index columns (string stats
+      // re-measure from the new layout regardless — compaction must
+      // never downgrade EITHER kind of manifest-skipping ability)
+      val lines =
+        if (idxCols.nonEmpty)
+          stageIndexed(s, table,
+            toPhysical(snap.repartitionByRange(target, logIdx.map(col): _*)
+              .sortWithinPartitions(logIdx.map(col): _*), m),
+            idxCols, m.strIdxCols)
+        else if (m.strIdxCols.nonEmpty)
+          stageIndexed(s, table,
+            toPhysical(snap.repartitionByRange(target,
+              logStrIdx.map(col): _*)
+              .sortWithinPartitions(logStrIdx.map(col): _*), m),
+            Nil, m.strIdxCols)
+        else stage(s, table, toPhysical(snap.repartition(target), m))
+      lastStaged = lines
+      val paths = m.entries.map(_.path).toSet
+      // the rewrite READ the base through its tombstones and applied
+      // them — the new version clears them (deletes = Some(Nil))
+      Change(lines, paths, paths, op = "compact", deletes = Some(Nil),
+        schemaFallback = Some(withMapping(m, snap.schema).json))
+    }
   }
 
   /** OPTIMIZE-ZORDER through the log: rewrite the current snapshot
@@ -3262,39 +3320,55 @@ object TxnTable {
     * version is clean. Cols are LOGICAL names; staging and stats land
     * under the physical twins on mapped tables. */
   def zorder(s: SparkSession, table: String, cols: Seq[String],
-      files: Int = 0): Long = {
+      files: Int = 0): Long =
+    zorderResolving(s, table, cols, files).version
+
+  /** [[zorder]] through [[commitResolving]] — same conflict algebra as
+    * [[compactResolving]] (read/remove set = every base entry, so
+    * interleaved appends rebase for free; the appended files simply miss
+    * this z-layout round and carry whatever stats they were staged
+    * with — conservative for the new index header, never wrong). */
+  private[graft] def zorderResolving(s: SparkSession, table: String,
+      cols: Seq[String], files: Int = 0,
+      onWork: Long => Unit = _ => ()): CommitOutcome = {
     require(cols.size >= 2,
       "z-order needs >= 2 dimensions (one dimension is plain " +
         "recluster + compact)")
-    val cur = currentVersion(s, table)
-    val m = manifest(s, table, cur)
-    val snap = snapshot(s, table, cur)
-    // byte-derived file count by default (the 128 MiB compaction
-    // target); an explicit `files` overrides — layout tuning, and the
-    // only way a small test table gets a multi-file z-layout
-    val target =
-      if (files > 0) files else compactionTarget(liveBytes(s, table, cur))
-    val b = snap.agg(
-      cols.flatMap(c => Seq(min(col(c)).cast("long"),
-        max(col(c)).cast("long"))).head,
-      cols.flatMap(c => Seq(min(col(c)).cast("long"),
-        max(col(c)).cast("long"))).tail: _*).collect()(0)
-    val dims = cols.zipWithIndex.map { case (c, i) =>
-      require(!b.isNullAt(2 * i) && !b.isNullAt(2 * i + 1),
-        s"z-order dimension '$c' is all-NULL — nothing to interleave")
-      (col(c), b.getLong(2 * i), b.getLong(2 * i + 1))
+    var lastStaged: Seq[String] = Nil
+    commitResolving(s, table) { base =>
+      dropStaged(s, table, lastStaged)
+      onWork(base)
+      val m = manifest(s, table, base)
+      val snap = snapshot(s, table, base)
+      // byte-derived file count by default (the 128 MiB compaction
+      // target); an explicit `files` overrides — layout tuning, and the
+      // only way a small test table gets a multi-file z-layout
+      val target =
+        if (files > 0) files else compactionTarget(liveBytes(s, table, base))
+      val b = snap.agg(
+        cols.flatMap(c => Seq(min(col(c)).cast("long"),
+          max(col(c)).cast("long"))).head,
+        cols.flatMap(c => Seq(min(col(c)).cast("long"),
+          max(col(c)).cast("long"))).tail: _*).collect()(0)
+      val dims = cols.zipWithIndex.map { case (c, i) =>
+        require(!b.isNullAt(2 * i) && !b.isNullAt(2 * i + 1),
+          s"z-order dimension '$c' is all-NULL — nothing to interleave")
+        (col(c), b.getLong(2 * i), b.getLong(2 * i + 1))
+      }
+      val clustered = snap.withColumn("__z", ZOrder.zValue(dims))
+        .repartitionByRange(target, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+      val pm = physMap(m)
+      val physCols = cols.map(c => pm.getOrElse(c, c))
+      val lines = stageIndexed(s, table, toPhysical(clustered, m),
+        physCols, m.strIdxCols)
+      lastStaged = lines
+      val paths = m.entries.map(_.path).toSet
+      Change(lines, paths, paths, op = "zorder", deletes = Some(Nil),
+        idxCols = Some(physCols),
+        schemaFallback = Some(withMapping(m, snap.schema).json))
     }
-    val clustered = snap.withColumn("__z", ZOrder.zValue(dims))
-      .repartitionByRange(target, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-    val pm = physMap(m)
-    val physCols = cols.map(c => pm.getOrElse(c, c))
-    val lines = stageIndexed(s, table, toPhysical(clustered, m),
-      physCols, m.strIdxCols)
-    commit(s, table, lines, cur, op = "zorder",
-      schemaJson = withMapping(m, snap.schema).json,
-      idxCols = physCols, strIdxCols = m.strIdxCols, retired = m.retired, checks = m.checks)
   }
 
   /** PARTIAL compaction — `OPTIMIZE … WHERE` for the hot region: merge
@@ -3312,38 +3386,62 @@ object TxnTable {
     * files keep paying the anti-join until their own rewrite — the
     * standard sequenced-delete contract. */
   def compactRange(s: SparkSession, table: String, c: String,
-      lo: Long, hi: Long): Long = {
-    val cur = currentVersion(s, table)
-    val m = manifest(s, table, cur)
-    val pc = physMap(m).getOrElse(c, c)
-    // the empty-range sentinel (an all-NULL file records lo > hi)
-    // never intersects a value box — same guard as snapshotBox
-    val (touch, keep) = m.entries.partition(e =>
-      e.stats.find(_.col == pc).exists(st =>
-        st.lo <= st.hi && st.lo <= hi && st.hi >= lo))
-    if (touch.size <= 1) return cur // nothing to merge
-    val df = readEntries(s, table, m, touch)
-    val target = compactionTarget(touch.map(e => math.max(e.bytes, 0L)).sum)
-    val clustered = df.repartitionByRange(target, col(c))
-      .sortWithinPartitions(col(c))
-    val lines =
-      if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
-        stageIndexed(s, table, toPhysical(clustered, m), m.idxCols,
-          m.strIdxCols).filter(hasStats)
-      else stage(s, table, toPhysical(clustered, m))
-    // a fully-tombstoned region + empty keep set must still commit a
-    // readable (schema-carrying) version
-    val lines2 =
-      if (lines.nonEmpty || keep.nonEmpty) lines
-      else stageEmpty(s, table, toPhysical(df, m).schema)
-    commit(s, table, keep.map(render) ++ lines2, cur, op = "compact_range",
-      schemaJson = m.schema.map(_.json).orNull,
-      deleteLines = m.deletes,
-      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
-      metrics = Seq("touched" -> touch.size.toLong,
-        "untouched" -> keep.size.toLong,
-        "rewritten" -> lines2.size.toLong),
-      retired = m.retired, checks = m.checks)
+      lo: Long, hi: Long): Long =
+    compactRangeResolving(s, table, c, lo, hi).version
+
+  /** The no-op outcome of a maintenance call that found nothing to do
+    * (≤1 file in range, ≤1 tombstone): the current version, zero
+    * conflict traffic. */
+  private object NothingToDo extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** [[compactRange]] through [[commitResolving]]: the read/remove set
+    * is exactly the in-range `touch` files, so EVERYTHING else —
+    * appends, and even rewrites of out-of-range files — rebases with
+    * zero recompute; only a writer that removed a touched file or added
+    * tombstones (rewritten rows would escape them) re-runs the rewrite
+    * against the new base. */
+  private[graft] def compactRangeResolving(s: SparkSession, table: String,
+      c: String, lo: Long, hi: Long,
+      onWork: Long => Unit = _ => ()): CommitOutcome = {
+    var lastStaged: Seq[String] = Nil
+    try commitResolving(s, table) { base =>
+      dropStaged(s, table, lastStaged)
+      onWork(base)
+      val m = manifest(s, table, base)
+      val pc = physMap(m).getOrElse(c, c)
+      // the empty-range sentinel (an all-NULL file records lo > hi)
+      // never intersects a value box — same guard as snapshotBox
+      val (touch, keep) = m.entries.partition(e =>
+        e.stats.find(_.col == pc).exists(st =>
+          st.lo <= st.hi && st.lo <= hi && st.hi >= lo))
+      if (touch.size <= 1) throw NothingToDo // nothing to merge
+      val df = readEntries(s, table, m, touch)
+      val target =
+        compactionTarget(touch.map(e => math.max(e.bytes, 0L)).sum)
+      val clustered = df.repartitionByRange(target, col(c))
+        .sortWithinPartitions(col(c))
+      val lines =
+        if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
+          stageIndexed(s, table, toPhysical(clustered, m), m.idxCols,
+            m.strIdxCols).filter(hasStats)
+        else stage(s, table, toPhysical(clustered, m))
+      // a fully-tombstoned region + empty keep set must still commit a
+      // readable (schema-carrying) version
+      val lines2 =
+        if (lines.nonEmpty || keep.nonEmpty) lines
+        else stageEmpty(s, table, toPhysical(df, m).schema)
+      lastStaged = lines2
+      val paths = touch.map(_.path).toSet
+      Change(lines2, paths, paths, op = "compact_range",
+        metrics = Seq("touched" -> touch.size.toLong,
+          "untouched" -> keep.size.toLong,
+          "rewritten" -> lines2.size.toLong))
+    } catch {
+      case NothingToDo =>
+        CommitOutcome(currentVersion(s, table), 0, 0)
+    }
   }
 
   /** AGE-based retention (the Iceberg `expire_snapshots` shape):

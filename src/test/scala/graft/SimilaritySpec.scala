@@ -98,6 +98,22 @@ class SimilaritySpec extends SparkSpec {
       "filtered ANN result differs from the filter-then-rank reference")
   }
 
+  test("hybrid over the IVF-PQ arm overlaps the brute-arm hybrid >= 0.5") {
+    val s = spark
+    import s.implicits._
+    def tops(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val brute = tops(Similarity.hybridRrf(s, sf01))
+    val ivfpq = tops(Similarity.hybridIvfPq(s, sf01))
+    assert(brute.nonEmpty && ivfpq.keySet === brute.keySet)
+    val overlap = brute.keys.toSeq.map(q =>
+      ivfpq(q).intersect(brute(q)).size.toDouble / brute(q).size).sum /
+      brute.size
+    assert(overlap >= 0.5,
+      f"IVF-PQ-arm hybrid overlaps brute-arm hybrid only $overlap%.2f")
+  }
+
   test("IVF ANN recall >= 0.75 vs exact top-k at sf0.01") {
     val s = spark
     import s.implicits._

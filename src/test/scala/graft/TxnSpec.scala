@@ -1693,6 +1693,94 @@ class TxnSpec extends SparkSpec {
       === before.filterNot(_._1 == 9L))
   }
 
+  test("maintenance rides commitResolving: interleaved appends rebase " +
+      "with ZERO recompute, true overlap recomputes") {
+    val s2 = spark
+    import s2.implicits._
+    def kv(r: Range, tag: String) =
+      r.map(i => (i.toLong, s"$tag$i")).toDF("k", "v")
+    val t = freshTable("maint_occ")
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t,
+      kv(0 until 400, "r").repartitionByRange(8, col("k"))
+        .sortWithinPartitions(col("k")), "k"), -1L, op = "create")
+
+    // compactRange vs interleaved append: DISJOINT — pure rebase
+    val o1 = TxnTable.compactRangeResolving(spark, t, "k", 0L, 99L,
+      onWork = _ => if (TxnTable.currentVersion(spark, t) == 0L)
+        TxnTable.append(spark, t, kv(400 until 420, "a")))
+    assert(o1.rebases === 1 && o1.recomputes === 0,
+      s"append must rebase a range compaction: $o1")
+    assert(TxnTable.snapshot(spark, t).count() === 420)
+
+    // full compact vs interleaved append: rebase; the appended files
+    // ride the new manifest uncompacted
+    val vPre = TxnTable.currentVersion(spark, t)
+    val o2 = TxnTable.compactResolving(spark, t,
+      onWork = _ => if (TxnTable.currentVersion(spark, t) == vPre)
+        TxnTable.append(spark, t, kv(420 until 440, "b")))
+    assert(o2.rebases === 1 && o2.recomputes === 0,
+      s"append must rebase a full compaction: $o2")
+    assert(TxnTable.snapshot(spark, t).count() === 440)
+
+    // zorder vs interleaved append: rebase; the new index header lands
+    val t2 = freshTable("maint_occ_z")
+    TxnTable.create(spark, t2, (0 until 400)
+      .map(i => (i.toLong, (i * 7 % 400).toLong)).toDF("k", "j")
+      .repartition(4))
+    val o3 = TxnTable.zorderResolving(spark, t2, Seq("k", "j"), files = 4,
+      onWork = _ => if (TxnTable.currentVersion(spark, t2) == 0L)
+        TxnTable.append(spark, t2, Seq((1000L, 1000L)).toDF("k", "j")))
+    assert(o3.rebases === 1 && o3.recomputes === 0,
+      s"append must rebase a zorder rewrite: $o3")
+    assert(TxnTable.snapshot(spark, t2).count() === 401)
+    assert(TxnTable.manifest(spark, t2, o3.version).idxCols
+      === Seq("k", "j"))
+
+    // compactRange vs interleaved MoR delete: TRUE overlap — the
+    // rewritten rows would escape the new tombstone; must recompute,
+    // and the recomputed rewrite reads THROUGH it. The range spans
+    // both live files (the compacted [0,419] box and the rebased "b"
+    // append) so the rewrite genuinely merges
+    val done4 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val o4 = TxnTable.compactRangeResolving(spark, t, "k", 100L, 439L,
+      onWork = _ => if (!done4.getAndSet(true))
+        TxnTable.deleteKeysMor(spark, t, Seq(150L).toDF("k"), "k"))
+    assert(o4.recomputes === 1,
+      s"a new tombstone must recompute a range compaction: $o4")
+    assert(TxnTable.snapshot(spark, t)
+      .filter(col("k") === 150L).count() === 0)
+    assert(TxnTable.snapshot(spark, t).count() === 439)
+
+    // rewriteTombstones vs interleaved append: the collapse derives
+    // from the delete set only — entry-only commits rebase
+    TxnTable.deleteKeysMor(spark, t, Seq(10L).toDF("k"), "k")
+    TxnTable.deleteKeysMor(spark, t, Seq(20L).toDF("k"), "k")
+    val vR = TxnTable.currentVersion(spark, t)
+    val o5 = TxnTable.rewriteTombstonesResolving(spark, t,
+      onWork = _ => if (TxnTable.currentVersion(spark, t) == vR)
+        TxnTable.append(spark, t, kv(440 until 450, "c")))
+    assert(o5.rebases === 1 && o5.recomputes === 0,
+      s"append must rebase a tombstone collapse: $o5")
+    assert(TxnTable.deleteFiles(spark, t, o5.version).size === 1)
+    val snap5 = TxnTable.snapshot(spark, t)
+    assert(snap5.filter(col("k").isin(10L, 20L, 150L)).count() === 0)
+    assert(snap5.count() === 447)
+
+    // rewriteTombstones vs interleaved MoR delete: the derivation input
+    // itself moved — recompute, and the NEW tombstone folds in
+    TxnTable.deleteKeysMor(spark, t, Seq(30L).toDF("k"), "k")
+    val done6 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val o6 = TxnTable.rewriteTombstonesResolving(spark, t,
+      onWork = _ => if (!done6.getAndSet(true))
+        TxnTable.deleteKeysMor(spark, t, Seq(40L).toDF("k"), "k"))
+    assert(o6.recomputes === 1,
+      s"a concurrent delete must recompute a tombstone collapse: $o6")
+    assert(TxnTable.deleteFiles(spark, t, o6.version).size === 1)
+    val snap6 = TxnTable.snapshot(spark, t)
+    assert(snap6.filter(col("k").isin(30L, 40L)).count() === 0)
+    assert(snap6.count() === 445)
+  }
+
   test("overwrite on a column-mapped table carries mapping + retired ledger") {
     val s = spark
     import s.implicits._
