@@ -66,6 +66,7 @@ object SparkEntry {
     "op_txn_recluster"        -> (TxnTable.txnRecluster _),
     "sql_txn_timetravel"      -> (SqlSurface.txnTimeTravel _),
     "sql_txn_skip"            -> (SqlSurface.txnSkip _),
+    "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
     "sql_txn_evolve"          -> (SqlSurface.txnEvolve _),
     "sql_txn_mor"             -> (SqlSurface.txnMor _),
     "sql_txn_history"         -> (SqlSurface.txnHistory _),
@@ -86,6 +87,7 @@ object SparkEntry {
     "op_vacuum"               -> (TxnTable.vacuumTable _),
     "op_cdc_read"             -> (TxnTable.cdcRead _),
     "op_manifest_skip"        -> (TxnTable.manifestSkip _),
+    "op_txn_days"             -> (TxnTable.txnDays _),
     "op_zorder_manifest"      -> (TxnTable.zorderManifest _),
     "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
     "op_table_history"        -> (TxnTable.tableHistory _),
@@ -1340,6 +1342,19 @@ object SparkEntry {
     // Manifest-stat file skipping on the SQL read path: the second
     // quarter's rows replayed from the cut arithmetic; the measured
     // kept/total file accounting travels as a boolean
+    // days(ts) transform through SQL: the first day-quarter rows,
+    // value rounded through the table's DECIMAL(12,2) column
+    "sql_txn_days" ->
+      """WITH b AS (SELECT epoch_us(MIN(ts)) // 86400000000 AS dmin,
+        |    epoch_us(MAX(ts)) // 86400000000 AS dmax FROM events),
+        |r AS (SELECT dmin,
+        |    dmin + ((dmax - dmin) + 1) // 4 AS d1 FROM b)
+        |SELECT event_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value,
+        |  TRUE AS days_ok
+        |FROM events, r
+        |WHERE epoch_us(ts) >= dmin * 86400000000
+        |  AND epoch_us(ts) < d1 * 86400000000""".stripMargin,
     "sql_txn_skip" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
@@ -1658,6 +1673,20 @@ object SparkEntry {
         |FROM d, b WHERE o_custkey <= cq AND od <= dq""".stripMargin,
     // the pruned range read must return exactly the full filter's
     // content; manifest-level file skipping travels as a boolean
+    // days(ts) partition transform: content replayed by the same
+    // day-quarter arithmetic (epoch_us floor-div one day); the
+    // metadata-only file prune travels as a boolean
+    "op_txn_days" ->
+      """WITH b AS (SELECT epoch_us(MIN(ts)) // 86400000000 AS dmin,
+        |    epoch_us(MAX(ts)) // 86400000000 AS dmax FROM events),
+        |r AS (SELECT dmin, dmin + (dmax - dmin) // 4 AS dcut FROM b)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  TRUE AS days_ok
+        |FROM events, r
+        |WHERE epoch_us(ts) >= dmin * 86400000000
+        |  AND epoch_us(ts) < (dcut + 1) * 86400000000
+        |GROUP BY event_type""".stripMargin,
     "op_manifest_skip" ->
       """WITH b AS (SELECT o_orderkey,
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),

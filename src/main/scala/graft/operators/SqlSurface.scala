@@ -205,6 +205,50 @@ object SqlSurface {
     s.sql(sel).withColumn("skip_ok", lit(ok))
   }
 
+  /** sql_txn_days: the `days(ts)` PARTITION TRANSFORM through pure SQL
+    * text — `CREATE TABLE … TBLPROPERTIES ('index' = 'days(ts)')`
+    * (hidden partitioning: the day column never exists in the schema),
+    * day-quartered INSERTs whose files carry tight per-file day stats,
+    * and a timestamp-range SELECT whose pushed predicate the DSv2 scan
+    * maps to DAY granularity (ManifestPrune's days(c) rule) and prunes
+    * files from the manifest alone. Range bounds ride
+    * `timestamp_micros(<literal>)` so no session-timezone parsing is
+    * involved on either side. `days_ok` asserts the accounting: of the
+    * 5 live files (4 day-quarters + the create sentinel) the scan keeps
+    * exactly the matching quarter + the stat-less sentinel. */
+  def txnDaysSql(s: SparkSession, d: String): DataFrame = {
+    freshSqlTable(s, "days_events")
+    Tables.events(s, d).createOrReplaceTempView("events")
+    s.sql("""CREATE TABLE graft.q.days_events (
+      event_id BIGINT, event_type STRING, ts TIMESTAMP,
+      value DECIMAL(12,2)) TBLPROPERTIES ('index' = 'days(ts)')""")
+    val b = s.sql("SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events")
+      .collect()(0)
+    val dMin = TxnTable.epochDayMs(b.getTimestamp(0).getTime)
+    val dMax = TxnTable.epochDayMs(b.getTimestamp(1).getTime)
+    val span = dMax - dMin
+    val qc = (0L to 4L).map(i => dMin + i * (span + 1) / 4)
+    def us(day: Long): Long = day * 86400000000L
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO graft.q.days_events
+        SELECT /*+ REPARTITION(1) */ event_id, event_type, ts,
+          CAST(value AS DECIMAL(12,2))
+        FROM events
+        WHERE ts >= timestamp_micros(${us(qc(i))})
+          AND ts < timestamp_micros(${us(qc(i + 1))})""")
+    }
+    val sel = "SELECT event_id, event_type, CAST(value AS DOUBLE) AS value " +
+      "FROM graft.q.days_events " +
+      s"WHERE ts >= timestamp_micros(${us(qc(0))}) " +
+      s"AND ts < timestamp_micros(${us(qc(1))})"
+    val (k0, t0) = (GraftCatalog.scanKept.get, GraftCatalog.scanTotal.get)
+    val n = s.sql(sel).count() // one planned scan: counters move once
+    val (kept, total) = (GraftCatalog.scanKept.get - k0,
+      GraftCatalog.scanTotal.get - t0)
+    val ok = kept == 2L && total == 5L && n > 0L
+    s.sql(sel).withColumn("days_ok", lit(ok))
+  }
+
   /** sql_txn_evolve: ADD-COLUMN schema evolution as PURE SQL TEXT —
     * `ALTER TABLE … ADD COLUMN` routed to the metadata-only evolve
     * commit: ONE manifest write records the widened schema, every data

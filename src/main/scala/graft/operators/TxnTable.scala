@@ -1379,6 +1379,35 @@ object TxnTable {
     * column, plus the on-disk byte size — callers that write files
     * through a channel other than [[stage]] (the streaming sink's
     * executor-side writers) index them here before committing. */
+  /** PARTITION-TRANSFORM index spec (Iceberg hidden partitioning): an
+    * integral index column may be spelled `days(c)` — per-file stats are
+    * then computed on the DERIVED value (days since epoch of timestamp
+    * `c`), recorded in the manifest under the spec string itself, and
+    * timestamp-range predicates on the BASE column map to day ranges at
+    * every prune site ([[snapshotTimeRange]], the DSv2 ManifestPrune).
+    * The table never materializes a day column — the transform lives in
+    * metadata only, so event tables get time-pruning for free. */
+  private[graft] val DaysSpec = """^days\((.+)\)$""".r
+
+  /** The Column a (possibly transform) index spec measures: identity for
+    * a plain column name; for `days(c)` the epoch-day of timestamp `c` —
+    * floor division so pre-1970 values land on the correct day. The
+    * numeric mapping (floorDiv of epoch time by one day) is THE single
+    * convention: [[snapshotTimeRange]] and the SQL-path ManifestPrune
+    * map predicate literals with the same floorDiv. */
+  private[graft] def idxExpr(spec: String): Column = spec match {
+    case DaysSpec(c) =>
+      // timestamp → epoch seconds (double) → whole days; epoch seconds
+      // ≈ 2e9 stay far inside double's 2^52 integer range
+      floor(col(c).cast("double") / 86400.0).cast("long")
+    case c => col(c)
+  }
+
+  /** Epoch-day of a millisecond timestamp — the literal-side twin of
+    * [[idxExpr]]'s days() mapping. */
+  private[graft] def epochDayMs(ms: Long): Long =
+    Math.floorDiv(ms, 86400000L)
+
   def indexStagedRels(s: SparkSession, table: String, rels: Seq[String],
                       indexCols: Seq[String],
                       strCols: Seq[String] = Nil): Seq[String] = {
@@ -1395,12 +1424,12 @@ object TxnTable {
     require(rels.forall(_.startsWith(dir + "/")),
       "indexStagedRels expects one staging subdirectory")
     val aggs = indexCols.flatMap(c => Seq(
-      min(col(c)).cast("long").as(s"lo_$c"),
-      max(col(c)).cast("long").as(s"hi_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      min(idxExpr(c)).cast("long").as(s"lo_$c"),
+      max(idxExpr(c)).cast("long").as(s"hi_$c"),
+      sum(when(idxExpr(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
       // the per-file NDV sketch rides the SAME stats pass — no extra
       // scan; sketches union losslessly at read time ([[ndv]])
-      hll_sketch_agg(col(c), 8).as(s"hs_$c"),
+      hll_sketch_agg(idxExpr(c), 8).as(s"hs_$c"),
       count(lit(1)).as(s"cnt_$c"))) ++
       strCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"slo_$c"),
@@ -1493,6 +1522,32 @@ object TxnTable {
   def snapshotRange(s: SparkSession, table: String, indexCol: String,
                     lo: Long, hi: Long, v: Long = -1L): (DataFrame, Int, Int) =
     snapshotBox(s, table, Seq((indexCol, lo, hi)), v)
+
+  /** Resolve a snapshot pruned by a TIMESTAMP range on base column `c`
+    * of a table whose manifest stats were recorded under the `days(c)`
+    * PARTITION TRANSFORM ([[idxExpr]]): the predicate on the base
+    * column maps to a day range ([lo, until) → [day(lo),
+    * day(until − 1ms)]) and prunes files from the manifest alone — the
+    * Iceberg hidden-partitioning read, with no materialized day column
+    * anywhere. The residual per-row timestamp filter still applies
+    * inside the surviving files. `until` is EXCLUSIVE (the natural
+    * time-range shape; an inclusive end at day granularity would leak
+    * the next day's first instant). */
+  def snapshotTimeRange(s: SparkSession, table: String, c: String,
+      from: java.sql.Timestamp, until: java.sql.Timestamp, v: Long = -1L)
+      : (DataFrame, Int, Int) = {
+    val ver = if (v < 0) currentVersion(s, table) else v
+    val m = manifest(s, table, ver)
+    val spec = s"days(${physMap(m).getOrElse(c, c)})"
+    require(m.idxCols.contains(spec),
+      s"$table carries no $spec transform stats (index: ${m.idxCols})")
+    val dLo = epochDayMs(from.getTime)
+    val dHi = epochDayMs(until.getTime - 1L)
+    val kept = m.entries.filter(_.statFor(spec).forall {
+      case (fLo, fHi) => fLo <= fHi && fHi >= dLo && fLo <= dHi })
+    prunedRead(s, table, m, kept,
+      col(c) >= lit(from) && col(c) < lit(until))
+  }
 
   /** Resolve a snapshot pruned by a STRING range predicate on `c` from
     * the manifest's string stats: entries whose truncated [lo, hi]
@@ -2736,8 +2791,12 @@ object TxnTable {
       : (Seq[String], Seq[String]) = {
     val back = m.schema.fold(Map.empty[String, String])(
       _.fields.iterator.map(f => physName(f) -> f.name).toMap)
-    (m.idxCols.map(c => back.getOrElse(c, c)),
-      m.strIdxCols.map(c => back.getOrElse(c, c)))
+    def tr(c: String): String = c match {
+      // a transform spec translates its INNER column name
+      case DaysSpec(inner) => s"days(${back.getOrElse(inner, inner)})"
+      case _ => back.getOrElse(c, c)
+    }
+    (m.idxCols.map(tr), m.strIdxCols.map(tr))
   }
 
   /** Assign stable field ids to any field that lacks one: ids start
@@ -3289,8 +3348,9 @@ object TxnTable {
       val lines =
         if (idxCols.nonEmpty)
           stageIndexed(s, table,
-            toPhysical(snap.repartitionByRange(target, logIdx.map(col): _*)
-              .sortWithinPartitions(logIdx.map(col): _*), m),
+            toPhysical(
+              snap.repartitionByRange(target, logIdx.map(idxExpr): _*)
+                .sortWithinPartitions(logIdx.map(idxExpr): _*), m),
             idxCols, m.strIdxCols)
         else if (m.strIdxCols.nonEmpty)
           stageIndexed(s, table,
@@ -3939,6 +3999,41 @@ object TxnTable {
     snap.agg(count(lit(1)).as("n"),
         sum(col("price")).cast("double").as("total"))
       .withColumn("skip_ok", lit(scanned >= 1 && scanned < total))
+  }
+
+  /** op_txn_days: PARTITION TRANSFORMS (Iceberg hidden partitioning) as
+    * a checked query. The events slice is clustered BY the `days(ts)`
+    * transform ([[idxExpr]]) — no day column is ever materialized — and
+    * committed with per-file day stats under the `#index=days(ts)`
+    * header; a TIMESTAMP-range read ([[snapshotTimeRange]]) then maps
+    * its bounds to day ranges and prunes files from the MANIFEST alone.
+    * Without the transform, an event table must pre-materialize a day
+    * column to get time pruning; with it, the predicate stays on the
+    * base column and the layout knowledge lives in metadata — at 100 TB
+    * the difference between "every time-bounded query scans everything"
+    * and O(days touched). Range bounds derive from data min/max so the
+    * oracle replays them (day arithmetic is integral on both engines);
+    * `days_ok` asserts the prune actually dropped files. */
+  def txnDays(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("days_events")
+    val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      col("ts"), col("value").cast(D12).as("value"))
+    val b = ev.agg(min("ts"), max("ts")).collect()(0)
+    val dMin = epochDayMs(b.getTimestamp(0).getTime)
+    val dMax = epochDayMs(b.getTimestamp(1).getTime)
+    val clustered = ev.repartitionByRange(8, idxExpr("days(ts)"))
+      .sortWithinPartitions(idxExpr("days(ts)"))
+    commit(s, t, stageIndexed(s, t, clustered, Seq("days(ts)")),
+      expected = -1L, op = "create", schemaJson = ev.schema.json)
+    // the first quarter of the day span, [from, until) at day boundaries
+    val dCut = dMin + (dMax - dMin) / 4
+    val from = new java.sql.Timestamp(dMin * 86400000L)
+    val until = new java.sql.Timestamp((dCut + 1L) * 86400000L)
+    val (snap, scanned, total) = snapshotTimeRange(s, t, "ts", from, until)
+    snap.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).cast("double").as("sum_value"))
+      .withColumn("days_ok", lit(scanned >= 1 && scanned < total))
   }
 
   /** op_zorder_manifest: z-order clustering MARRIED to the manifest — the

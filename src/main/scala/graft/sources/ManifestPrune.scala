@@ -3,7 +3,7 @@ package graft.sources
 import graft.operators.TxnTable
 import graft.operators.TxnTable.Entry
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Manifest-level FILE SKIPPING for the DSv2 SQL read path: evaluate the
@@ -80,16 +80,21 @@ object ManifestPrune {
   /** May entry `e` hold a row satisfying `p`? Conservative: unknown
     * shapes and missing stats answer true. */
   private def mayHold(e: Entry, p: Expression): Boolean = p match {
-    case EqualTo(l, r) => binInt(e, l, r, "=") && binStr(e, l, r, "=")
+    case EqualTo(l, r) => binInt(e, l, r, "=") && binStr(e, l, r, "=") &&
+      binDay(e, l, r, "=")
     case EqualNullSafe(l, r) if longLit(l).isDefined || longLit(r).isDefined ||
         strLit(l).isDefined || strLit(r).isDefined =>
       // <=> a non-null literal matches exactly what = matches
       binInt(e, l, r, "=") && binStr(e, l, r, "=")
-    case LessThan(l, r) => binInt(e, l, r, "<") && binStr(e, l, r, "<")
-    case LessThanOrEqual(l, r) => binInt(e, l, r, "<=") && binStr(e, l, r, "<=")
-    case GreaterThan(l, r) => binInt(e, l, r, ">") && binStr(e, l, r, ">")
+    case LessThan(l, r) => binInt(e, l, r, "<") && binStr(e, l, r, "<") &&
+      binDay(e, l, r, "<")
+    case LessThanOrEqual(l, r) => binInt(e, l, r, "<=") &&
+      binStr(e, l, r, "<=") && binDay(e, l, r, "<=")
+    case GreaterThan(l, r) => binInt(e, l, r, ">") && binStr(e, l, r, ">") &&
+      binDay(e, l, r, ">")
     case GreaterThanOrEqual(l, r) =>
-      binInt(e, l, r, ">=") && binStr(e, l, r, ">=")
+      binInt(e, l, r, ">=") && binStr(e, l, r, ">=") &&
+        binDay(e, l, r, ">=")
     case In(a, vs) => inMay(e, a, vs)
     case InSet(a, vs) =>
       attrOf(a).forall { c =>
@@ -166,6 +171,59 @@ object ManifestPrune {
       case (Some(c), Some(v), _, _) => strOp(e, c, op, v)
       case (_, _, Some(c), Some(v)) => strOp(e, c, flip(op), v)
       case _ => true
+    }
+
+  // ---- days(c) PARTITION-TRANSFORM stats (hidden partitioning) -------------
+
+  /** A bare timestamp attribute — the base column of a possible
+    * `days(c)` transform index. No cast unwrapping: a cast of a
+    * timestamp changes the day mapping. */
+  private def tsAttrOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference
+        if a.dataType == TimestampType || a.dataType == TimestampNTZType =>
+      Some(a.name)
+    case _ => None
+  }
+
+  /** Epoch-day of a timestamp literal (Catalyst carries MICROSECONDS) —
+    * the same floorDiv mapping as TxnTable.idxExpr / epochDayMs — plus
+    * whether the literal sits EXACTLY on the day boundary (the common
+    * time-range-query shape, where `ts < day-start` excludes the whole
+    * day). */
+  private def dayLit(e: Expression): Option[(Long, Boolean)] = e match {
+    case Literal(v: Long, TimestampType) =>
+      Some((Math.floorDiv(v, 86400000000L), Math.floorMod(v, 86400000000L) == 0L))
+    case Literal(v: Long, TimestampNTZType) =>
+      Some((Math.floorDiv(v, 86400000000L), Math.floorMod(v, 86400000000L) == 0L))
+    case _ => None
+  }
+
+  /** A timestamp comparison answered from the `days(c)` transform stats:
+    * the predicate maps to DAY granularity, so the bounds tests are the
+    * coarsened (conservative) forms — `ts < v` may hold iff the file's
+    * min day ≤ day(v) (strictly < when v sits exactly on the boundary:
+    * no row of day(v) precedes the day's first instant); `ts > v` iff
+    * its max day ≥ day(v). True when the entry carries no days(c)
+    * stat. */
+  private def binDay(e: Entry, l: Expression, r: Expression, op: String)
+      : Boolean =
+    (tsAttrOf(l), dayLit(r), tsAttrOf(r), dayLit(l)) match {
+      case (Some(c), Some(d), _, _) => dayOp(e, s"days($c)", op, d)
+      case (_, _, Some(c), Some(d)) => dayOp(e, s"days($c)", flip(op), d)
+      case _ => true
+    }
+
+  private def dayOp(e: Entry, spec: String, op: String,
+      d: (Long, Boolean)): Boolean =
+    intMay(e, spec) { case (lo, hi) =>
+      val (day, atBoundary) = d
+      op match {
+        case "=" => day >= lo && day <= hi
+        case "<" => if (atBoundary) lo < day else lo <= day
+        case "<=" => lo <= day
+        case ">" | ">=" => hi >= day
+        case _ => true
+      }
     }
 
   private def flip(op: String): String = op match {
