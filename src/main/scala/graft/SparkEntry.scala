@@ -88,6 +88,7 @@ object SparkEntry {
     "op_cdc_read"             -> (TxnTable.cdcRead _),
     "op_manifest_skip"        -> (TxnTable.manifestSkip _),
     "op_txn_days"             -> (TxnTable.txnDays _),
+    "op_branch_merge"         -> (TxnTable.branchMerge _),
     "op_zorder_manifest"      -> (TxnTable.zorderManifest _),
     "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
     "op_table_history"        -> (TxnTable.tableHistory _),
@@ -1673,6 +1674,22 @@ object SparkEntry {
         |FROM d, b WHERE o_custkey <= cq AND od <= dq""".stripMargin,
     // the pruned range read must return exactly the full filter's
     // content; manifest-level file skipping travels as a boolean
+    // branch<->branch merge: dev's merged head = parent - exp's deleted
+    // range + dev's %7 slice + exp's %11 slice; the pure-metadata
+    // replay mechanics travel as a boolean
+    "op_branch_merge" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |m AS (SELECT MIN(k) AS kmin, MAX(k) - MIN(k) AS span FROM b),
+        |r AS (SELECT kmin + 3*(span+1)//8 AS lo,
+        |             kmin + 5*(span+1)//8 - 1 AS hi FROM m)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS merge_ok
+        |FROM b, r WHERE k < lo OR k > hi
+        |UNION ALL SELECT k + 100000000, st, CAST(price AS DOUBLE), TRUE
+        |FROM b WHERE k % 7 = 0
+        |UNION ALL SELECT k + 200000000, st, CAST(price AS DOUBLE), TRUE
+        |FROM b WHERE k % 11 = 0""".stripMargin,
     // days(ts) partition transform: content replayed by the same
     // day-quarter arithmetic (epoch_us floor-div one day); the
     // metadata-only file prune travels as a boolean

@@ -876,6 +876,155 @@ object TxnTable {
     newVer
   }
 
+  /** MERGE branch `from` INTO branch `into` — the two-diverged-branches
+    * case [[rebase]] (branch→moved-main) and [[fastForward]] don't
+    * cover. `into` gains `from`'s changes since ITS branch point (its
+    * ref-recorded localBase — the last publish point, or birth), by the
+    * same two-path rule as rebase:
+    *
+    *   - CLEAN (into still lists every file `from` removed; no into-side
+    *     interim tombstones against a from-side rewrite; no bounded
+    *     tombstones or vacuumed interior in from's lineage): one commit
+    *     per from-change replays onto into's head — from-staged files
+    *     referenced ABSOLUTELY under from's branch dir (the shallow-
+    *     clone contract: from's dir outlives its ref, so the references
+    *     stay live), adds re-stamped at the replay commit's fresh seq,
+    *     zero data read or moved.
+    *   - TRUE OVERLAP: row-level three-way multiset merge — into@head
+    *     EXCEPT (from@base EXCEPT from@head) UNION (from@head EXCEPT
+    *     from@base) — staged as fresh into-files, one commit.
+    *
+    * `from` itself is untouched (the git merge contract: merging does
+    * not move the source branch); both refs keep their parent bases, so
+    * publish/fastForward semantics vs the parent are unchanged. Both
+    * sides moving the same governance facet (schema, checks, retired
+    * ledger, index set) since from's branch point refuses loudly —
+    * exactly rebase's rule. Returns into's new head version. */
+  def mergeBranch(s: SparkSession, table: String, from: String,
+      into: String): Long = {
+    require(from != into,
+      s"$table: cannot merge branch '$from' into itself")
+    def info(n: String) = branchInfo(s, table, n).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table: no branch named '$n' (branches: " +
+          s"${branches(s, table).map(_._1).mkString(", ")})"))
+    val BranchRef(_, fLeaf, fBase) = info(from)
+    val BranchRef(_, iLeaf, _) = info(into)
+    val fd = s"$table/_branches/$fLeaf"
+    val id = s"$table/_branches/$iLeaf"
+    val fHead = currentVersion(s, fd)
+    val iHead = currentVersion(s, id)
+    require(fBase >= 0,
+      s"$table: branch '$from' predates rebase support (its ref " +
+        "records no branch point) — re-branch and replay instead")
+    require(versions(s, fd).contains(fBase),
+      s"$table: branch '$from' lost its branch-point manifest " +
+        s"(version $fBase was vacuumed from the branch lineage)")
+    if (fHead == fBase) return iHead // nothing to merge
+    val haveVs = versions(s, fd).toSet
+    val contiguous = (fBase to fHead).forall(haveVs)
+    val bms =
+      if (contiguous) (fBase to fHead).map(v => manifest(s, fd, v))
+      else Seq(manifest(s, fd, fBase), manifest(s, fd, fHead))
+    val b0 = bms.head
+    val bLast = bms.last
+    val mCur = manifest(s, id, iHead)
+    def normI(p: String): String = if (p.startsWith("/")) p else s"$id/$p"
+    def normF(p: String): String = if (p.startsWith("/")) p else s"$fd/$p"
+    // into's NET interim delta since from's branch point (the same
+    // manifest-visible read-set approximation rebase uses)
+    val intoRemoved =
+      b0.entries.map(e => normF(e.path)).toSet --
+        mCur.entries.map(e => normI(e.path)).toSet
+    val intoNewTombs =
+      mCur.deletes.map { case (p, c, sq) => (normI(p), c, sq) }.toSet --
+        b0.deletes.map { case (p, c, sq) => (normF(p), c, sq) }.toSet
+    case class FDelta(added: Seq[Entry], removed: Set[String],
+        tombs: Seq[(String, String, Long)], addedBlooms: Seq[BloomRef])
+    val deltas =
+      if (!contiguous) Seq.empty
+      else bms.indices.drop(1).map { i =>
+        val a = bms(i); val p = bms(i - 1)
+        val prevPaths = p.entries.map(e => normF(e.path)).toSet
+        FDelta(
+          a.entries.filterNot(e => prevPaths(normF(e.path))),
+          prevPaths -- a.entries.map(e => normF(e.path)).toSet,
+          a.deletes.filterNot(p.deletes.toSet),
+          a.blooms.filterNot(p.blooms.toSet))
+      }
+    val fromRemoved = deltas.flatMap(_.removed).toSet
+    val conflict = !contiguous ||
+      intoRemoved.exists(fromRemoved) ||
+      (intoNewTombs.nonEmpty && fromRemoved.nonEmpty) ||
+      deltas.exists(_.tombs.exists(_._2.endsWith("~L")))
+    def pick[A](curV: A, baseV: A, brV: A, what: String): A =
+      if (curV == baseV || curV == brV) brV
+      else if (brV == baseV) curV
+      else throw new IllegalStateException(
+        s"$table: merge of '$from' into '$into' cannot merge $what — " +
+          "both branches changed it since the branch point")
+    val schemaJson = pick(mCur.schema.map(_.json),
+      b0.schema.map(_.json), bLast.schema.map(_.json), "the schema").orNull
+    val idx = pick(mCur.idxCols, b0.idxCols, bLast.idxCols, "the index set")
+    val strIdx = pick(mCur.strIdxCols, b0.strIdxCols, bLast.strIdxCols,
+      "the string index set")
+    val retired = pick(mCur.retired, b0.retired, bLast.retired,
+      "the retired-column ledger")
+    val checks = pick(mCur.checks, b0.checks, bLast.checks,
+      "the CHECK constraints")
+    if (!conflict) {
+      // ---- pure-metadata replay, one commit per from-change ----
+      var v = iHead
+      deltas.foreach { d =>
+        val mNow = manifest(s, id, v)
+        d.removed.foreach(p =>
+          require(mNow.entries.exists(e => normI(e.path) == p),
+            s"$id: merge replay removes $p which the target state " +
+              "does not list"))
+        v = commit(s, id,
+          mNow.entries.filterNot(e => d.removed(normI(e.path)))
+            .map(render) ++
+            d.added.map(e => renderFresh(e.copy(path = normF(e.path)))),
+          v, op = "merge",
+          schemaJson = schemaJson,
+          deleteLines = mNow.deletes ++
+            d.tombs.map { case (p, c, _) => (normF(p), c, -1L) },
+          idxCols = idx, strIdxCols = strIdx,
+          blooms = mNow.blooms ++
+            d.addedBlooms.map(b => b.copy(dir = normF(b.dir))),
+          retired = retired, checks = checks)
+      }
+      v
+    } else {
+      // ---- row-level three-way multiset merge ----
+      val intoC = snapshot(s, id, iHead)
+      val baseC = snapshot(s, fd, fBase)
+      val frC = snapshot(s, fd, fHead)
+      require(intoC.columns.toSeq == frC.columns.toSeq,
+        s"$table: conflicting merge of '$from' into '$into' needs " +
+          s"matching schemas (into: ${intoC.columns.toSeq}, from: " +
+          s"${frC.columns.toSeq})")
+      val merged = intoC
+        .exceptAll(baseC.exceptAll(frC))   // rows `from` removed
+        .unionAll(frC.exceptAll(baseC))    // rows `from` added
+      val mStage = bLast.copy(schema =
+        Option(schemaJson).map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+      val lines =
+        if (idx.nonEmpty || strIdx.nonEmpty)
+          stageIndexed(s, id, toPhysical(merged, mStage), idx, strIdx)
+            .filter(hasStats)
+        else stage(s, id, toPhysical(merged, mStage))
+      val lines2 = if (lines.nonEmpty) lines
+        else stageEmpty(s, id, toPhysical(merged, mStage).schema)
+      commit(s, id, lines2, iHead, op = "merge",
+        schemaJson = schemaJson, idxCols = idx, strIdxCols = strIdx,
+        retired = retired, checks = checks,
+        metrics = Seq("recomputed" -> 1L))
+    }
+  }
+
   /** Resolve a version REFERENCE: a number, or a tag name. */
   def resolveVersion(s: SparkSession, table: String, ref: String): Long =
     ref.toLongOption.getOrElse(
@@ -3999,6 +4148,55 @@ object TxnTable {
     snap.agg(count(lit(1)).as("n"),
         sum(col("price")).cast("double").as("total"))
       .withColumn("skip_ok", lit(scanned >= 1 && scanned < total))
+  }
+
+  /** op_branch_merge: BRANCH↔BRANCH MERGE ([[mergeBranch]]) as a checked
+    * query — the two-diverged-branches case rebase/fastForward refuse.
+    * From one clustered parent, branch `dev` appends a %7-shifted slice
+    * while branch `exp` file-prunes a DELETE of the middle key range
+    * and appends a %11-shifted slice; merging exp INTO dev replays
+    * exp's two changes as pure metadata (disjoint file sets: dev only
+    * appended), so dev's head = parent − deleted range + both slices
+    * with ZERO data read or rewritten. Hashed output = dev's full
+    * merged content (every term derived from data min/max, oracle-
+    * replayed); `merge_ok` asserts the mechanics: the clean path ran
+    * (no `recomputed` metric), one replay commit per exp change, and
+    * NEITHER the parent nor exp moved. */
+  def branchMerge(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("merge_orders")
+    val base = ordersSlice(s, d)
+    val clustered = base.repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+    commit(s, t, stageIndexed(s, t, clustered, "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = base.schema.json)
+    branch(s, t, "dev")
+    branch(s, t, "exp")
+    val devDir = s"$t/_branches/${branchInfo(s, t, "dev").get.leaf}"
+    val expDir = s"$t/_branches/${branchInfo(s, t, "exp").get.leaf}"
+    val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
+    val span = kmax - kmin
+    val (lo, hi) =
+      (kmin + 3 * (span + 1) / 8, kmin + 5 * (span + 1) / 8 - 1)
+    append(s, devDir, base.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("price")))
+    deleteRange(s, expDir, "o_orderkey", lo, hi)
+    append(s, expDir, base.filter(col("o_orderkey") % 11 === 0)
+      .select((col("o_orderkey") + 200000000L).as("o_orderkey"),
+        col("o_orderstatus"), col("price")))
+    val expHead = currentVersion(s, expDir)
+    val devHead = currentVersion(s, devDir)
+    val v = mergeBranch(s, t, "exp", "dev")
+    val merged = snapshot(s, devDir, v)
+    val ok = v == devHead + 2 && // one replay commit per exp change
+      !manifest(s, devDir, v).metrics.contains("recomputed") &&
+      (devHead + 1 to v).forall(x => manifest(s, devDir, x).op == "merge") &&
+      currentVersion(s, expDir) == expHead && // merge never moves `from`
+      currentVersion(s, t) == 0L // nor the parent
+    merged.select(col("o_orderkey"), col("o_orderstatus"),
+        col("price").cast("double").as("price"))
+      .withColumn("merge_ok", lit(ok))
   }
 
   /** op_txn_days: PARTITION TRANSFORMS (Iceberg hidden partitioning) as

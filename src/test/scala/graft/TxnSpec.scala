@@ -1693,6 +1693,57 @@ class TxnSpec extends SparkSpec {
       === before.filterNot(_._1 == 9L))
   }
 
+  test("branch merge: disjoint replays as metadata, true overlap " +
+      "recomputes row-level, both-moved governance refuses, " +
+      "from-branch and parent untouched") {
+    val s2 = spark
+    import s2.implicits._
+    val t = freshTable("merge_conflict")
+    TxnTable.create(spark, t, baseDf(100).repartition(2))
+    TxnTable.branch(spark, t, "a")
+    TxnTable.branch(spark, t, "b")
+    val ad = s"$t/_branches/${TxnTable.branchInfo(spark, t, "a").get.leaf}"
+    val bd = s"$t/_branches/${TxnTable.branchInfo(spark, t, "b").get.leaf}"
+    // a: copy-on-write overwrite (drops k < 10) — removes every base
+    // file; b: append + compact — ALSO removes every base file. The
+    // two rewrote the same files: a metadata replay would be wrong,
+    // so the merge must recompute at row level.
+    TxnTable.overwrite(spark, ad,
+      TxnTable.snapshot(spark, ad).filter(col("k") >= 10))
+    TxnTable.append(spark, bd,
+      (1000 until 1020).map(i => (i.toLong, s"new$i")).toDF("k", "v"))
+    TxnTable.compact(spark, bd)
+    val aHead = TxnTable.currentVersion(spark, ad)
+    val v = TxnTable.mergeBranch(spark, t, "a", "b")
+    assert(TxnTable.manifest(spark, bd, v).metrics.get("recomputed")
+      === Some(1L), "overlapping merge did not recompute")
+    val got = TxnTable.snapshot(spark, bd, v).select("k")
+      .as[Long].collect().sorted.toSeq
+    assert(got === ((10L until 100L) ++ (1000L until 1020L)).sorted.toSeq,
+      "three-way merged content wrong")
+    // the source branch and the parent never move
+    assert(TxnTable.currentVersion(spark, ad) === aHead)
+    assert(TxnTable.currentVersion(spark, t) === 0L)
+    assert(TxnTable.snapshot(spark, ad).count() === 90L)
+    // both branches moving the same governance facet refuses loudly
+    val t2 = freshTable("merge_gov")
+    TxnTable.create(spark, t2, baseDf(10))
+    TxnTable.branch(spark, t2, "c")
+    TxnTable.branch(spark, t2, "e")
+    val cd = s"$t2/_branches/${TxnTable.branchInfo(spark, t2, "c").get.leaf}"
+    val ed = s"$t2/_branches/${TxnTable.branchInfo(spark, t2, "e").get.leaf}"
+    TxnTable.addCheck(spark, cd, "pos", "k >= 0")
+    TxnTable.addCheck(spark, ed, "small", "k < 1000000")
+    val ex = intercept[IllegalStateException] {
+      TxnTable.mergeBranch(spark, t2, "c", "e")
+    }
+    assert(ex.getMessage.contains("CHECK constraints"))
+    // a merge with nothing to merge is a no-op at the target's head
+    TxnTable.branch(spark, t2, "idle")
+    assert(TxnTable.mergeBranch(spark, t2, "idle", "e")
+      === TxnTable.currentVersion(spark, ed))
+  }
+
   test("days(ts) transform: stats survive append and compact, " +
       "time-range reads prune metadata-only, content exact") {
     val t = freshTable("days_tx")
