@@ -33,6 +33,16 @@ object Sweep {
       println(f"SWEEP $n%-24s $s%8.3f s  ($r rows)")
     }
     println(f"SWEEP TOTAL ${results.map(_._2).sum}%.3f s over ${results.size} queries")
+    println(s"SWEEP COVERAGE ${results.size}/${names.size}")
     spark.stop()
+    // COMPLETENESS GUARD: an unfiltered sweep that measured fewer
+    // queries than are registered exits nonzero — a silently-missing
+    // row is exactly the surprise outlier the sweep exists to catch
+    // (r13 shipped 176/179 measured, r14 180/186; never again).
+    if (only.isEmpty && results.size != names.size) {
+      System.err.println(s"[sweep] INCOMPLETE: measured ${results.size} " +
+        s"of ${names.size} registered queries — failing the sweep")
+      sys.exit(1)
+    }
   }
 }
