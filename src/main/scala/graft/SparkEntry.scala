@@ -113,6 +113,7 @@ object SparkEntry {
     "op_str_skip"             -> (TxnTable.strSkip _),
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
+    "mm_payload_dedup"        -> (Multimodal.payloadDedup _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
     "q36_orc_roundtrip"       -> (StorageRoundtrip.orcRoundtrip _),
     "op_salted_join"          -> (SkewJoin.saltedOrdersBySegment _),
@@ -1996,6 +1997,28 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice, o_orderstatus
         |  FROM orders WHERE o_orderkey % 2 = 1)""".stripMargin,
+    // multimodal dedup: exact payload-hash keep-min + strided-frame
+    // containment stats, both pure bytes->md5 arithmetic
+    "mm_payload_dedup" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS phash FROM documents),
+        |k AS (SELECT doc_id, phash,
+        |    doc_id = MIN(doc_id) OVER (PARTITION BY phash) AS keep
+        |  FROM h),
+        |f AS (SELECT doc_id,
+        |    md5(substr(text, CAST(frame_idx*256+1 AS INT), 256))
+        |      AS frame_md5
+        |  FROM (SELECT doc_id, text,
+        |    unnest(range(0, greatest(1,
+        |      CAST(ceil(length(text)/256.0) AS BIGINT)))) AS frame_idx
+        |  FROM documents) t WHERE frame_idx % 4 = 0),
+        |dpf AS (SELECT frame_md5, COUNT(DISTINCT doc_id) AS nd
+        |  FROM f GROUP BY 1),
+        |fs AS (SELECT doc_id, COUNT(*) AS n_frames,
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_shared
+        |  FROM f JOIN dpf USING (frame_md5) GROUP BY doc_id)
+        |SELECT k.doc_id, k.phash, k.keep, fs.n_frames, fs.n_shared
+        |FROM k JOIN fs ON k.doc_id = fs.doc_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id, text,
         |    unnest(range(0, greatest(1, CAST(ceil(length(text)/256.0) AS BIGINT)))) AS frame_idx

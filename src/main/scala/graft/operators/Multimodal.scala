@@ -83,6 +83,45 @@ object Multimodal {
           .cast("binary")).as("frame_md5"))
   }
 
+  /** mm_payload_dedup: MULTIMODAL DEDUP over opaque binary payloads —
+    * the two passes a media pipeline runs before any expensive decode:
+    *
+    *   1. EXACT: content-hash the raw bytes (md5 of the payload — what
+    *      a CDN/crawler stores as the object key) and keep the minimum
+    *      doc_id per hash — one window over the hash shuffle, the
+    *      dd_exact shape on bytes instead of normalized text;
+    *   2. FRAME CONTAINMENT: the strided frame fingerprints of
+    *      [[frameSample]] double as a perceptual-hash stand-in (a real
+    *      pipeline uses pHash/chromaprints — same join shape): a
+    *      payload whose sampled frames also occur in OTHER payloads is
+    *      a re-encode/clip suspect. Per doc: sampled frame count and
+    *      how many of those frames appear in ≥1 other doc — one
+    *      distinct-count aggregation over the frame-hash shuffle, never
+    *      a pair join, so the pass is linear in total frames at any
+    *      corpus size.
+    *
+    * Everything is deterministic bytes→md5 arithmetic, so the oracle
+    * replays both passes exactly. */
+  def payloadDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("phash", md5(col("payload")))
+      .withColumn("keep", col("doc_id") ===
+        min(col("doc_id")).over(Window.partitionBy(col("phash"))))
+      .select(col("doc_id"), col("phash"), col("keep"))
+    val f = frameSample(s, d).select(col("doc_id"), col("frame_md5"))
+    val docsPerFrame = f.groupBy(col("frame_md5"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val frameStats = f.join(docsPerFrame, "frame_md5")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+    hashed.join(frameStats, Seq("doc_id"))
+      .select(col("doc_id"), col("phash"), col("keep"),
+        col("n_frames"), col("n_shared"))
+  }
+
   /** Resize to fit a max edge, preserving aspect ratio — the arithmetic a
     * real resize kernel uses to pick its output buffer. */
   private def resizeDims(w: Int, h: Int, maxEdge: Int): (Int, Int) = {
