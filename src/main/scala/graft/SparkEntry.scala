@@ -191,6 +191,7 @@ object SparkEntry {
     "st_stream_file_sink"     -> (Streams.streamFileSink _),
     "st_stream_upsert"        -> (Streams.streamUpsert _),
     "st_stream_mor"           -> (Streams.streamMorApply _),
+    "st_stream_dedup_lsh"     -> (graft.streaming.Streams.streamDedupLsh _),
     "st_stream_session_window" -> (Streams.streamSessionWindow _),
     "st_stream_backfill"      -> (Streams.streamBackfill _),
     "st_stream_catalog"       -> (Streams.streamCatalog _),
@@ -567,6 +568,7 @@ object SparkEntry {
     // minima, raw-minima band buckets, anchored+chained pairs, Jaccard
     "dd_minhash_lsh" -> graft.operators.Dedup.minhashOracle,
     "dd_incremental_lsh" -> graft.operators.Dedup.incrementalLshOracle,
+    "st_stream_dedup_lsh" -> graft.operators.Dedup.streamDedupLshOracle,
     "q36_orc_roundtrip" ->
       """SELECT l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

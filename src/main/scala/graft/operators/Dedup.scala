@@ -946,7 +946,10 @@ object Dedup {
     * signatures from scratch, the 32-band keys, the shared-bucket
     * candidate pairs, the position-agreement verification at the same
     * integer threshold, and the per-doc verdicts. */
-  private[graft] def incrementalLshOracle: String = {
+  /** The per-side signature + band-key CTE block (sig/bl/bands under
+    * prefix `p`, from the `${p}hp` shingle-hash CTE) — shared by the
+    * incremental and streaming LSH oracles. */
+  private def lshBandCtesFor(p: String): String = {
     val minExprs = (0 until NumPerms).map(i => s"${minExpr(i)} AS m$i")
       .mkString(",\n    ")
     val bandStructs = (0 until NumBands).map { bnd =>
@@ -954,21 +957,29 @@ object Dedup {
         .mkString(", ")
       s"struct_pack(band := $bnd, $ks)"
     }.mkString(",\n      ")
-    def bandCtes(p: String): String =
-      s"""${p}sig AS (SELECT doc_id,
-         |    $minExprs
-         |  FROM ${p}hp GROUP BY doc_id),
-         |${p}bl AS (SELECT doc_id, unnest([
-         |      $bandStructs]) AS u
-         |  FROM ${p}sig),
-         |${p}bands AS (SELECT doc_id, u.band AS band,
-         |    u.k1 AS k1, u.k2 AS k2, u.k3 AS k3, u.k4 AS k4
-         |  FROM ${p}bl)""".stripMargin
-    // a flat list literal, not a 128-deep `+` chain: DuckDB's binder
-    // caps expression recursion at 128, which a left-deep sum trips
-    val matchSum = "len(list_filter([\n    " +
+    s"""${p}sig AS (SELECT doc_id,
+       |    $minExprs
+       |  FROM ${p}hp GROUP BY doc_id),
+       |${p}bl AS (SELECT doc_id, unnest([
+       |      $bandStructs]) AS u
+       |  FROM ${p}sig),
+       |${p}bands AS (SELECT doc_id, u.band AS band,
+       |    u.k1 AS k1, u.k2 AS k2, u.k3 AS k3, u.k4 AS k4
+       |  FROM ${p}bl)""".stripMargin
+  }
+
+  /** The 128-position signature-agreement count between sig rows `c`
+    * and `b` — a flat list literal, not a 128-deep `+` chain: DuckDB's
+    * binder caps expression recursion at 128, which a left-deep sum
+    * trips. */
+  private def lshMatchSum: String =
+    "len(list_filter([\n    " +
       (0 until NumPerms).map(i => s"c.m$i = b.m$i").mkString(",\n    ") +
       "], x -> x))"
+
+  private[graft] def incrementalLshOracle: String = {
+    def bandCtes(p: String): String = lshBandCtesFor(p)
+    val matchSum = lshMatchSum
     s"""WITH corpus0 AS (SELECT doc_id, text FROM documents
        |  WHERE doc_id % 3 <> 0),
        |batch0 AS (
@@ -1003,5 +1014,78 @@ object Dedup {
        |  (r.batch_rep AND h.doc_id IS NULL) AS keep,
        |  TRUE AS lshinc_ok
        |FROM brep r LEFT JOIN hits h ON r.doc_id = h.doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.streaming.Streams.streamDedupLsh]]: the
+    * THREE-WAVE sequential fold — wave w's novelty is judged against
+    * corpus ∪ (kept docs of waves < w), the store-accretion semantics
+    * the stream actually runs — unrolled as a CTE cascade (near1/kept1/
+    * st1 → near2/kept2/st2 → near3). Signatures, band keys, candidate
+    * buckets, and the integer agreement threshold are the
+    * [[incrementalLshOracle]] machinery verbatim (shared builders). */
+  private[graft] def streamDedupLshOracle: String = {
+    val matchSum = lshMatchSum
+    s"""WITH corpus0 AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 <> 0),
+       |batch0 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id + 100000, text || ' the' FROM documents
+       |    WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
+       |  UNION ALL SELECT doc_id + 200000, text FROM documents
+       |    WHERE doc_id % 15 = 0),
+       |${shingleHashCtesFor("corpus0", "c")},
+       |${shingleHashCtesFor("batch0", "b")},
+       |${lshBandCtesFor("c")},
+       |${lshBandCtesFor("b")},
+       |allbands AS (SELECT doc_id, band, k1, k2, k3, k4 FROM cbands
+       |  UNION ALL SELECT doc_id, band, k1, k2, k3, k4 FROM bbands),
+       |cand AS (SELECT DISTINCT a.doc_id AS owner, b.doc_id AS b_doc
+       |  FROM allbands a JOIN bbands b
+       |    ON a.band = b.band AND a.k1 = b.k1 AND a.k2 = b.k2
+       |   AND a.k3 = b.k3 AND a.k4 = b.k4
+       |  WHERE a.doc_id <> b.doc_id),
+       |allsig AS (SELECT * FROM csig UNION ALL SELECT * FROM bsig),
+       |est AS (SELECT cd.owner, cd.b_doc,
+       |    $matchSum AS matches
+       |  FROM cand cd JOIN allsig c ON c.doc_id = cd.owner
+       |               JOIN bsig b ON b.doc_id = cd.b_doc),
+       |good AS (SELECT owner, b_doc FROM est
+       |  WHERE matches >= $IncLshMinMatch),
+       |bfp AS (SELECT doc_id,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       |    CASE WHEN doc_id >= 200000 THEN 3
+       |         WHEN doc_id >= 100000 THEN 2 ELSE 1 END AS bt
+       |  FROM batch0),
+       |brep AS (SELECT doc_id, bt,
+       |    doc_id = MIN(doc_id) OVER (PARTITION BY bt, fp) AS batch_rep
+       |  FROM bfp),
+       |near1 AS (SELECT b_doc AS doc_id, COUNT(*) AS n_near FROM good
+       |  WHERE b_doc < 100000 AND owner IN (SELECT doc_id FROM corpus0)
+       |  GROUP BY b_doc),
+       |kept1 AS (SELECT r.doc_id FROM brep r
+       |  LEFT JOIN near1 n ON r.doc_id = n.doc_id
+       |  WHERE r.bt = 1 AND n.doc_id IS NULL AND r.batch_rep),
+       |st1 AS (SELECT doc_id FROM corpus0
+       |  UNION ALL SELECT doc_id FROM kept1),
+       |near2 AS (SELECT b_doc AS doc_id, COUNT(*) AS n_near FROM good
+       |  WHERE b_doc >= 100000 AND b_doc < 200000
+       |    AND owner IN (SELECT doc_id FROM st1)
+       |  GROUP BY b_doc),
+       |kept2 AS (SELECT r.doc_id FROM brep r
+       |  LEFT JOIN near2 n ON r.doc_id = n.doc_id
+       |  WHERE r.bt = 2 AND n.doc_id IS NULL AND r.batch_rep),
+       |st2 AS (SELECT doc_id FROM st1
+       |  UNION ALL SELECT doc_id FROM kept2),
+       |near3 AS (SELECT b_doc AS doc_id, COUNT(*) AS n_near FROM good
+       |  WHERE b_doc >= 200000 AND owner IN (SELECT doc_id FROM st2)
+       |  GROUP BY b_doc),
+       |nears AS (SELECT * FROM near1 UNION ALL SELECT * FROM near2
+       |  UNION ALL SELECT * FROM near3)
+       |SELECT r.doc_id, r.batch_rep,
+       |  COALESCE(n.n_near, CAST(0 AS BIGINT)) AS n_near,
+       |  n.doc_id IS NULL AS novel,
+       |  (r.batch_rep AND n.doc_id IS NULL) AS keep,
+       |  TRUE AS lshstream_ok
+       |FROM brep r LEFT JOIN nears n ON r.doc_id = n.doc_id""".stripMargin
   }
 }

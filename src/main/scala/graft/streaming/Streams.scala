@@ -385,6 +385,96 @@ object Streams {
       .withColumn("morstream_ok", lit(ok))
   }
 
+  /** st_stream_dedup_lsh: INCREMENTAL NEAR-DUP DEDUP AS A STREAM — the
+    * continuous form of dd_incremental_lsh, the shape a live crawl
+    * actually runs: each micro-batch of arriving documents probes the
+    * persisted MinHash band store ([[graft.operators.Dedup
+    * .probeLshStore]]: candidates from shared buckets, verification by
+    * signature agreement — the corpus text is never read), appends its
+    * kept docs' band rows atomically through
+    * [[TxnTable.appendResolving]], and emits per-doc verdicts. The
+    * STORE ACCRETES ACROSS BATCHES: wave 3's byte-identical copies of
+    * wave-1 docs are caught as near-dups of the store rows wave 1
+    * appended — the cross-batch dependency no per-batch dedup has.
+    *
+    * Three deterministic waves (the dd_incremental_lsh batch split by
+    * id range: new docs / near-dup re-crawls / exact copies), staged as
+    * three files with ascending modification times and tailed with
+    * maxFilesPerTrigger=1, so the micro-batch sequence is replayable —
+    * the oracle unrolls the three-wave novelty cascade exactly.
+    * `lshstream_ok` asserts the store mechanics: final band-row count
+    * == corpus bands + exactly the kept docs' bands. */
+  def streamDedupLsh(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Fs.scratch("graft_stream_lsh", "run")
+    graft.Fs.deleteRecursively(base)
+    val store = s"$base/store"
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    TxnTable.create(s, store, graft.operators.Dedup.lshBandRows(corpus))
+    val v0Rows = TxnTable.snapshot(s, store).count()
+    val waves = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      corpus.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" the")).as("text")),
+      docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    val feed = s"$base/feed"
+    val fsys = new org.apache.hadoop.fs.Path(feed)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(feed))
+    waves.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$base/w$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new org.apache.hadoop.fs.Path(feed, f"wave-$i%03d.parquet")
+      fsys.rename(part, dst)
+      // ascending mtimes pin the file source's batch ORDER — the
+      // store-accretion semantics depend on arrival order
+      fsys.setTimes(dst, 1000000000L + i * 60000L, -1L)
+    }
+    val results = s"$base/results"
+    val q = s.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(feed)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // probe bands/fps are batch-sized, computed map-only; the probe
+        // itself scans ONLY the store (DedupSpec pins that plan shape)
+        val bBands = graft.operators.Dedup.lshBandRows(batch)
+          .localCheckpoint(true)
+        val bFps = batch.select(col("doc_id"),
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+          .localCheckpoint(true)
+        val verdicts = graft.operators.Dedup
+          .probeLshStore(s, store, bBands, bFps).localCheckpoint(true)
+        val kept = verdicts.filter(col("keep")).select(col("doc_id"))
+        val newBands = bBands.join(broadcast(kept), Seq("doc_id"))
+          .localCheckpoint(true)
+        // append through the resolver: a concurrent batch rebases, never
+        // clobbers; an all-dup batch appends nothing
+        if (newBands.limit(1).count() > 0)
+          TxnTable.appendResolving(s, store, newBands)
+        verdicts.write.mode("append").parquet(results)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.read.parquet(results)
+    val keptIds = out.filter(col("keep")).select("doc_id")
+    val nKeptBands = graft.operators.Dedup
+      .lshBandRows(s.read.parquet(feed).join(keptIds, "doc_id")).count()
+    val ok = TxnTable.snapshot(s, store).count() == v0Rows + nKeptBands
+    out.select(col("doc_id"), col("batch_rep"), col("n_near"),
+        col("novel"), col("keep"))
+      .withColumn("lshstream_ok", lit(ok))
+  }
+
   /** st_stream_cdc: the change feed as a STREAMING source — the
     * composition the txn log + CDC pieces exist for. The table takes two
     * [[TxnTable.overwriteCdc]] commits (the op_incremental_agg change

@@ -289,6 +289,26 @@ class DedupSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("streaming LSH dedup: wave-3 exact copies are caught THROUGH " +
+      "the accreted store, not by in-batch dedup") {
+    val s2 = spark
+    import s2.implicits._
+    val out = graft.streaming.Streams.streamDedupLsh(spark, sf01)
+      .select("doc_id", "batch_rep", "novel", "keep", "lshstream_ok")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(out.nonEmpty && out.forall(_._5),
+      "store mechanics (lshstream_ok) failed")
+    // wave 3's docs are byte-identical COPIES of wave-1 docs: within
+    // their own batch they are unique (batch_rep = true for all), so
+    // only the store — accreted by wave 1 — can catch them
+    val copies = out.filter(_._1 >= 200000L)
+    assert(copies.nonEmpty && copies.forall(_._2),
+      "a wave-3 copy was not its own batch representative")
+    val caught = copies.count(!_._3).toDouble / copies.size
+    assert(caught >= 0.9,
+      f"only $caught%.2f of wave-3 copies caught through the store")
+  }
+
   test("incremental LSH probe scans NO file outside the band store " +
       "(the corpus is never rescanned)") {
     val s2 = spark
