@@ -88,6 +88,7 @@ object SparkEntry {
     "op_cdc_read"             -> (TxnTable.cdcRead _),
     "op_manifest_skip"        -> (TxnTable.manifestSkip _),
     "op_txn_days"             -> (TxnTable.txnDays _),
+    "op_txn_bucket"           -> (TxnTable.txnBucket _),
     "op_branch_merge"         -> (TxnTable.branchMerge _),
     "op_zorder_manifest"      -> (TxnTable.zorderManifest _),
     "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
@@ -1693,6 +1694,15 @@ object SparkEntry {
         |FROM b WHERE k % 7 = 0
         |UNION ALL SELECT k + 200000000, st, CAST(price AS DOUBLE), TRUE
         |FROM b WHERE k % 11 = 0""".stripMargin,
+    // bucket16 transform: the two point lookups replayed directly;
+    // the bucket-stat file prune travels as a boolean
+    "op_txn_bucket" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |m AS (SELECT MIN(k) AS kmin, MAX(k) AS kmax FROM b)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS bucket_ok
+        |FROM b, m WHERE k = kmin OR k = kmax""".stripMargin,
     // days(ts) partition transform: content replayed by the same
     // day-quarter arithmetic (epoch_us floor-div one day); the
     // metadata-only file prune travels as a boolean

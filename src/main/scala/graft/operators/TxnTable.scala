@@ -1538,17 +1538,33 @@ object TxnTable {
     * metadata only, so event tables get time-pruning for free. */
   private[graft] val DaysSpec = """^days\((.+)\)$""".r
 
+  /** The other Iceberg transform: `bucketN(c)` — a multiplicative hash
+    * of integral column `c` into N buckets. All arithmetic stays inside
+    * the Mersenne field (2^31−1) so no intermediate overflows a long
+    * under ANSI and a SQL oracle replays it with plain `%`. */
+  private[graft] val BucketSpec = """^bucket(\d+)\((.+)\)$""".r
+  private val BucketP = 2147483647L // 2^31 − 1
+  private val BucketM = 2654435761L % BucketP // Knuth's multiplier, mod P
+
+  /** Literal-side twin of the bucket mapping. */
+  private[graft] def bucketOf(v: Long, n: Int): Long =
+    Math.floorMod(Math.floorMod(v, BucketP) * BucketM, BucketP) % n
+
   /** The Column a (possibly transform) index spec measures: identity for
     * a plain column name; for `days(c)` the epoch-day of timestamp `c` —
-    * floor division so pre-1970 values land on the correct day. The
-    * numeric mapping (floorDiv of epoch time by one day) is THE single
-    * convention: [[snapshotTimeRange]] and the SQL-path ManifestPrune
-    * map predicate literals with the same floorDiv. */
+    * floor division so pre-1970 values land on the correct day; for
+    * `bucketN(c)` the N-ary multiplicative hash bucket of integral `c`.
+    * The numeric mappings are THE single convention: [[snapshotTimeRange]]
+    * / [[snapshotBucketEq]] and the SQL-path ManifestPrune map predicate
+    * literals with [[epochDayMs]] / [[bucketOf]] to match. */
   private[graft] def idxExpr(spec: String): Column = spec match {
     case DaysSpec(c) =>
       // timestamp → epoch seconds (double) → whole days; epoch seconds
       // ≈ 2e9 stay far inside double's 2^52 integer range
       floor(col(c).cast("double") / 86400.0).cast("long")
+    case BucketSpec(n, c) =>
+      pmod(pmod(col(c).cast("long"), lit(BucketP)) * lit(BucketM),
+        lit(BucketP)) % n.toInt
     case c => col(c)
   }
 
@@ -1682,6 +1698,29 @@ object TxnTable {
     * inside the surviving files. `until` is EXCLUSIVE (the natural
     * time-range shape; an inclusive end at day granularity would leak
     * the next day's first instant). */
+  /** Resolve a snapshot pruned by a POINT predicate on integral base
+    * column `c` of a table whose stats were recorded under a
+    * `bucketN(c)` transform: the literal maps to its bucket
+    * ([[bucketOf]]) and files whose bucket box excludes it are pruned
+    * from the manifest alone — point-lookup skipping on a column the
+    * table is NOT range-clustered by, with no bloom sidecar. */
+  def snapshotBucketEq(s: SparkSession, table: String, c: String,
+      v: Long, ver: Long = -1L): (DataFrame, Int, Int) = {
+    val version = if (ver < 0) currentVersion(s, table) else ver
+    val m = manifest(s, table, version)
+    val pc = physMap(m).getOrElse(c, c)
+    val spec = m.idxCols.collectFirst {
+      case sp @ BucketSpec(n, `pc`) => (sp, n.toInt) }
+    require(spec.isDefined,
+      s"$table carries no bucketN($pc) transform stats " +
+        s"(index: ${m.idxCols})")
+    val (sp, n) = spec.get
+    val b = bucketOf(v, n)
+    val kept = m.entries.filter(_.statFor(sp).forall {
+      case (fLo, fHi) => fLo <= fHi && b >= fLo && b <= fHi })
+    prunedRead(s, table, m, kept, col(c) === v)
+  }
+
   def snapshotTimeRange(s: SparkSession, table: String, c: String,
       from: java.sql.Timestamp, until: java.sql.Timestamp, v: Long = -1L)
       : (DataFrame, Int, Int) = {
@@ -2943,6 +2982,8 @@ object TxnTable {
     def tr(c: String): String = c match {
       // a transform spec translates its INNER column name
       case DaysSpec(inner) => s"days(${back.getOrElse(inner, inner)})"
+      case BucketSpec(n, inner) =>
+        s"bucket$n(${back.getOrElse(inner, inner)})"
       case _ => back.getOrElse(c, c)
     }
     (m.idxCols.map(tr), m.strIdxCols.map(tr))
@@ -4197,6 +4238,38 @@ object TxnTable {
     merged.select(col("o_orderkey"), col("o_orderstatus"),
         col("price").cast("double").as("price"))
       .withColumn("merge_ok", lit(ok))
+  }
+
+  /** op_txn_bucket: the `bucketN(c)` PARTITION TRANSFORM as a checked
+    * query — point-lookup file skipping on a column the table is NOT
+    * range-clustered by, with no bloom sidecar: orders are laid out by
+    * the 16-ary multiplicative hash bucket of o_orderkey (two buckets
+    * per file via [[clusterExact]] — every file's bucket box is tight
+    * while its raw KEY box spans the whole keyspace, exactly the
+    * situation where range stats prune nothing), committed with stats
+    * on the transform, and a point lookup maps its literal to a bucket
+    * ([[bucketOf]]) and prunes files from the manifest alone
+    * ([[snapshotBucketEq]]; the DSv2 path answers the same equality
+    * from ManifestPrune's bucket rule, TxnSpec-pinned). Lookup keys
+    * derive from data min/max so the oracle replays them; `bucket_ok`
+    * asserts the prune dropped files. */
+  def txnBucket(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("bucket_orders")
+    val base = ordersSlice(s, d)
+    val spec = "bucket16(o_orderkey)"
+    val withB = base.withColumn("__b", idxExpr(spec))
+    val clustered = clusterExact(s, withB, "__b", 0L, 15L, 8).drop("__b")
+    commit(s, t, stageIndexed(s, t, clustered, Seq(spec)),
+      expected = -1L, op = "create", schemaJson = base.schema.json)
+    val bounds = base.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
+    val (s1, sc1, tot1) = snapshotBucketEq(s, t, "o_orderkey", kmin)
+    val (s2, sc2, tot2) = snapshotBucketEq(s, t, "o_orderkey", kmax)
+    val ok = sc1 >= 1 && sc1 < tot1 && sc2 >= 1 && sc2 < tot2
+    s1.unionByName(s2)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("price").cast("double").as("price"))
+      .withColumn("bucket_ok", lit(ok))
   }
 
   /** op_txn_days: PARTITION TRANSFORMS (Iceberg hidden partitioning) as

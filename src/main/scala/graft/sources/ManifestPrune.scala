@@ -81,7 +81,7 @@ object ManifestPrune {
     * shapes and missing stats answer true. */
   private def mayHold(e: Entry, p: Expression): Boolean = p match {
     case EqualTo(l, r) => binInt(e, l, r, "=") && binStr(e, l, r, "=") &&
-      binDay(e, l, r, "=")
+      binDay(e, l, r, "=") && binBucket(e, l, r)
     case EqualNullSafe(l, r) if longLit(l).isDefined || longLit(r).isDefined ||
         strLit(l).isDefined || strLit(r).isDefined =>
       // <=> a non-null literal matches exactly what = matches
@@ -224,6 +224,31 @@ object ManifestPrune {
         case ">" | ">=" => hi >= day
         case _ => true
       }
+    }
+
+  /** An integral EQUALITY answered from `bucketN(c)` transform stats:
+    * the literal maps to its bucket (TxnTable.bucketOf — the same
+    * Mersenne-field multiplicative hash the stats were computed with)
+    * and the file is prunable when its bucket box excludes it. Only
+    * equality — a range predicate says nothing about hash buckets. */
+  private def binBucket(e: Entry, l: Expression, r: Expression): Boolean =
+    ((attrOf(l), longLit(r)) match {
+      case (Some(c), Some(v)) => Some((c, v))
+      case _ => (attrOf(r), longLit(l)) match {
+        case (Some(c), Some(v)) => Some((c, v))
+        case _ => None
+      }
+    }) match {
+      case None => true
+      case Some((c, v)) =>
+        e.stats.forall { st =>
+          st.col match {
+            case TxnTable.BucketSpec(n, `c`) =>
+              val b = TxnTable.bucketOf(v, n.toInt)
+              st.lo <= st.hi && b >= st.lo && b <= st.hi
+            case _ => true
+          }
+        }
     }
 
   private def flip(op: String): String = op match {

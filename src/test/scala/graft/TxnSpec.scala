@@ -1744,6 +1744,43 @@ class TxnSpec extends SparkSpec {
       === TxnTable.currentVersion(spark, ed))
   }
 
+  test("bucket16 transform: point equality prunes via bucket stats on " +
+      "BOTH read paths; range stats would prune nothing") {
+    val s2 = spark
+    import s2.implicits._
+    val t = freshTable("bucket_tx")
+    val df = (0L until 320L).map(i => (i, s"v$i")).toDF("k", "v")
+    val spec = "bucket16(k)"
+    val withB = df.withColumn("__b", TxnTable.idxExpr(spec))
+    val clustered = TxnTable
+      .clusterExact(spark, withB, "__b", 0L, 15L, 8).drop("__b")
+    TxnTable.commit(spark, t,
+      TxnTable.stageIndexed(spark, t, clustered, Seq(spec)),
+      -1L, op = "create", schemaJson = df.schema.json)
+    val m = TxnTable.manifest(spark, t, 0L)
+    // bucket-clustered files span the whole RAW keyspace — the layout
+    // where range stats are useless and bucket stats are the only prune
+    val (snap, scanned, total) =
+      TxnTable.snapshotBucketEq(spark, t, "k", 137L)
+    assert(total === 8 && scanned >= 1 && scanned < total,
+      s"bucket prune did not bite: $scanned/$total")
+    assert(snap.select("v").as[String].collect().toSeq === Seq("v137"))
+    // the DSv2 path answers the same equality from ManifestPrune
+    val attr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference("k", org.apache.spark.sql.types.LongType)()
+    val eq = org.apache.spark.sql.catalyst.expressions.EqualTo(attr,
+      org.apache.spark.sql.catalyst.expressions.Literal(137L))
+    val kept = graft.sources.ManifestPrune.keep(m.entries, Seq(eq))
+    assert(kept.size === scanned,
+      "ManifestPrune's bucket rule disagrees with snapshotBucketEq")
+    // every key resolves through its bucket (no false prune anywhere)
+    (0L until 320L by 37L).foreach { k =>
+      val (sk, _, _) = TxnTable.snapshotBucketEq(spark, t, "k", k)
+      assert(sk.select("v").as[String].collect().toSeq === Seq(s"v$k"),
+        s"bucket lookup lost key $k")
+    }
+  }
+
   test("days(ts) transform: stats survive append and compact, " +
       "time-range reads prune metadata-only, content exact") {
     val t = freshTable("days_tx")
