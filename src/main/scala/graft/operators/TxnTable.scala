@@ -896,10 +896,14 @@ object TxnTable {
     *
     * `from` itself is untouched (the git merge contract: merging does
     * not move the source branch); both refs keep their parent bases, so
-    * publish/fastForward semantics vs the parent are unchanged. Both
-    * sides moving the same governance facet (schema, checks, retired
-    * ledger, index set) since from's branch point refuses loudly —
-    * exactly rebase's rule. Returns into's new head version. */
+    * publish/fastForward semantics vs the parent are unchanged. A
+    * per-(into, from) MERGE MARKER records how far `into` has already
+    * carried `from`, so a repeated merge is a no-op and a merge after
+    * `from` advances carries ONLY the new delta — never a duplicate
+    * replay. Both sides moving the same governance facet (schema,
+    * checks, retired ledger, index set) since the merge base refuses
+    * loudly — exactly rebase's rule. Returns into's new head
+    * version. */
   def mergeBranch(s: SparkSession, table: String, from: String,
       into: String): Long = {
     require(from != into,
@@ -917,15 +921,22 @@ object TxnTable {
     require(fBase >= 0,
       s"$table: branch '$from' predates rebase support (its ref " +
         "records no branch point) — re-branch and replay instead")
-    require(versions(s, fd).contains(fBase),
-      s"$table: branch '$from' lost its branch-point manifest " +
-        s"(version $fBase was vacuumed from the branch lineage)")
-    if (fHead == fBase) return iHead // nothing to merge
+    // the MERGE BASE: from's branch point, advanced past everything a
+    // PREVIOUS merge of this (from → into) pair already carried over —
+    // without the marker a repeated merge would replay the same deltas
+    // and silently double every already-merged file in into's manifest.
+    // Keyed by dir LEAVES, so a dropped-and-recreated branch (fresh
+    // uuid leaf) starts a fresh baseline.
+    val mBase = math.max(fBase, readMergeMark(s, table, iLeaf, fLeaf))
+    require(versions(s, fd).contains(mBase),
+      s"$table: branch '$from' lost its merge-base manifest " +
+        s"(version $mBase was vacuumed from the branch lineage)")
+    if (fHead == mBase) return iHead // nothing to merge
     val haveVs = versions(s, fd).toSet
-    val contiguous = (fBase to fHead).forall(haveVs)
+    val contiguous = (mBase to fHead).forall(haveVs)
     val bms =
-      if (contiguous) (fBase to fHead).map(v => manifest(s, fd, v))
-      else Seq(manifest(s, fd, fBase), manifest(s, fd, fHead))
+      if (contiguous) (mBase to fHead).map(v => manifest(s, fd, v))
+      else Seq(manifest(s, fd, mBase), manifest(s, fd, fHead))
     val b0 = bms.head
     val bLast = bms.last
     val mCur = manifest(s, id, iHead)
@@ -972,7 +983,7 @@ object TxnTable {
       "the retired-column ledger")
     val checks = pick(mCur.checks, b0.checks, bLast.checks,
       "the CHECK constraints")
-    if (!conflict) {
+    val newVer = if (!conflict) {
       // ---- pure-metadata replay, one commit per from-change ----
       var v = iHead
       deltas.foreach { d =>
@@ -998,7 +1009,7 @@ object TxnTable {
     } else {
       // ---- row-level three-way multiset merge ----
       val intoC = snapshot(s, id, iHead)
-      val baseC = snapshot(s, fd, fBase)
+      val baseC = snapshot(s, fd, mBase)
       val frC = snapshot(s, fd, fHead)
       require(intoC.columns.toSeq == frC.columns.toSeq,
         s"$table: conflicting merge of '$from' into '$into' needs " +
@@ -1023,6 +1034,43 @@ object TxnTable {
         retired = retired, checks = checks,
         metrics = Seq("recomputed" -> 1L))
     }
+    writeMergeMark(s, table, iLeaf, fLeaf, fHead)
+    newVer
+  }
+
+  /** The (into, from) merge-base marker: the `from`-lineage version a
+    * previous [[mergeBranch]] of this pair carried `into` up to. Lives
+    * beside the branch refs, keyed by dir leaves. */
+  private def mergeMarkPath(table: String, intoLeaf: String,
+      fromLeaf: String): Path =
+    new Path(s"$table/_branches/.merges", s"$intoLeaf--$fromLeaf")
+
+  private def readMergeMark(s: SparkSession, table: String,
+      intoLeaf: String, fromLeaf: String): Long = {
+    val p = mergeMarkPath(table, intoLeaf, fromLeaf)
+    val f = fs(s, p)
+    if (!f.exists(p)) -1L
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeMergeMark(s: SparkSession, table: String,
+      intoLeaf: String, fromLeaf: String, v: Long): Unit = {
+    val dst = mergeMarkPath(table, intoLeaf, fromLeaf)
+    val f = fs(s, dst)
+    f.mkdirs(dst.getParent)
+    val tmp = new Path(dst.getParent, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(s"$v\n".getBytes(UTF_8)) finally out.close()
+    // no CAS needed: concurrent merges of the same pair serialize
+    // through `into`'s commit CAS (the loser's replay commit throws
+    // before reaching this write), so the marker only ever moves
+    // forward for a given pair
+    f.delete(dst, false)
+    f.rename(tmp, dst)
   }
 
   /** Resolve a version REFERENCE: a number, or a tag name. */
@@ -1257,23 +1305,28 @@ object TxnTable {
     * manifest lines to add (rendered WITHOUT seqs — [[commit]] stamps
     * them), the paths it removes (rewrites/drops), and the paths whose
     * CONTENT its outputs were derived from (the read set — for a rewrite
-    * that is the removed files themselves; an append reads nothing). */
-  /** `deletes` = Some(replacement) REPLACES the base's tombstone lines
-    * (maintenance: compact/zorder apply-and-clear them, rewriteTombstones
-    * collapses them) — any interleaved change to the delete SET then
-    * conflicts, because the replacement was derived from the old one.
-    * None inherits the (refreshed) base's tombstones verbatim.
-    * `idxCols` = Some(cols) adopts a new integral index header (zorder's
-    * clustering-spec evolution); None carries the base's. `schemaFallback`
-    * records a schema ONLY when the base has none (a pre-#schema table) —
-    * never overriding the refreshed base's, so a rebase past a concurrent
-    * schema evolution keeps the winner's schema. */
+    * that is the removed files themselves; an append reads nothing).
+    *
+    * The maintenance override fields (all None for plain writers):
+    * `deletes` = Some(replacement) REPLACES the base's tombstone lines
+    * (compact/zorder apply-and-clear them, rewriteTombstones collapses
+    * them) — any interleaved change to the delete SET then conflicts,
+    * because the replacement was derived from the old one; None inherits
+    * the (refreshed) base's tombstones verbatim. `idxCols` = Some(cols)
+    * adopts a new integral index header (zorder's clustering-spec
+    * evolution). `schemaFallback` records a schema ONLY when the base
+    * has none (a pre-#schema table) — never overriding the refreshed
+    * base's, so a rebase past a concurrent schema evolution keeps the
+    * winner's schema. `blooms` = Some(refs) replaces the base's bloom
+    * sidecar refs (a full rewrite drops them: every covered file is
+    * gone). */
   case class Change(added: Seq[String], removed: Set[String],
       readSet: Set[String], op: String = "write",
       metrics: Seq[(String, Long)] = Nil,
       deletes: Option[Seq[(String, String, Long)]] = None,
       idxCols: Option[Seq[String]] = None,
-      schemaFallback: Option[String] = None)
+      schemaFallback: Option[String] = None,
+      blooms: Option[Seq[BloomRef]] = None)
 
   /** Outcome of a resolved commit: the landed version plus how the
     * conflicts were handled — `rebases` = CAS losses resolved as pure
@@ -1332,7 +1385,8 @@ object TxnTable {
             .orElse(ch.schemaFallback).orNull,
           deleteLines = ch.deletes.getOrElse(m.deletes),
           idxCols = ch.idxCols.getOrElse(m.idxCols),
-          strIdxCols = m.strIdxCols, blooms = m.blooms,
+          strIdxCols = m.strIdxCols,
+          blooms = ch.blooms.getOrElse(m.blooms),
           metrics = ch.metrics, retired = m.retired, checks = m.checks)
         return CommitOutcome(v, rebases, recomputes)
       } catch {
@@ -1559,9 +1613,14 @@ object TxnTable {
     * literals with [[epochDayMs]] / [[bucketOf]] to match. */
   private[graft] def idxExpr(spec: String): Column = spec match {
     case DaysSpec(c) =>
-      // timestamp → epoch seconds (double) → whole days; epoch seconds
-      // ≈ 2e9 stay far inside double's 2^52 integer range
-      floor(col(c).cast("double") / 86400.0).cast("long")
+      // EXACT integer floorDiv of epoch micros — `div` keeps the whole
+      // computation in longs (pmod makes it a floor, not a truncation),
+      // so the write-side day can never diverge from the read-side
+      // floorDiv twins ([[epochDayUs]], ManifestPrune.dayLit) the way a
+      // double round-trip could at the edges of the timestamp range
+      val q = c.replace("`", "``")
+      expr(s"(unix_micros(`$q`) - pmod(unix_micros(`$q`), " +
+        "86400000000)) div 86400000000")
     case BucketSpec(n, c) =>
       pmod(pmod(col(c).cast("long"), lit(BucketP)) * lit(BucketM),
         lit(BucketP)) % n.toInt
@@ -1572,6 +1631,7 @@ object TxnTable {
     * [[idxExpr]]'s days() mapping. */
   private[graft] def epochDayMs(ms: Long): Long =
     Math.floorDiv(ms, 86400000L)
+
 
   def indexStagedRels(s: SparkSession, table: String, rels: Seq[String],
                       indexCols: Seq[String],
@@ -1688,16 +1748,6 @@ object TxnTable {
                     lo: Long, hi: Long, v: Long = -1L): (DataFrame, Int, Int) =
     snapshotBox(s, table, Seq((indexCol, lo, hi)), v)
 
-  /** Resolve a snapshot pruned by a TIMESTAMP range on base column `c`
-    * of a table whose manifest stats were recorded under the `days(c)`
-    * PARTITION TRANSFORM ([[idxExpr]]): the predicate on the base
-    * column maps to a day range ([lo, until) → [day(lo),
-    * day(until − 1ms)]) and prunes files from the manifest alone — the
-    * Iceberg hidden-partitioning read, with no materialized day column
-    * anywhere. The residual per-row timestamp filter still applies
-    * inside the surviving files. `until` is EXCLUSIVE (the natural
-    * time-range shape; an inclusive end at day granularity would leak
-    * the next day's first instant). */
   /** Resolve a snapshot pruned by a POINT predicate on integral base
     * column `c` of a table whose stats were recorded under a
     * `bucketN(c)` transform: the literal maps to its bucket
@@ -1721,6 +1771,16 @@ object TxnTable {
     prunedRead(s, table, m, kept, col(c) === v)
   }
 
+  /** Resolve a snapshot pruned by a TIMESTAMP range on base column `c`
+    * of a table whose manifest stats were recorded under the `days(c)`
+    * PARTITION TRANSFORM ([[idxExpr]]): the predicate on the base
+    * column maps to a day range ([from, until) → [day(from),
+    * day(until − 1µs)]) and prunes files from the manifest alone — the
+    * Iceberg hidden-partitioning read, with no materialized day column
+    * anywhere. The residual per-row timestamp filter still applies
+    * inside the surviving files. `until` is EXCLUSIVE (the natural
+    * time-range shape; an inclusive end at day granularity would leak
+    * the next day's first instant). */
   def snapshotTimeRange(s: SparkSession, table: String, c: String,
       from: java.sql.Timestamp, until: java.sql.Timestamp, v: Long = -1L)
       : (DataFrame, Int, Int) = {
@@ -1729,8 +1789,13 @@ object TxnTable {
     val spec = s"days(${physMap(m).getOrElse(c, c)})"
     require(m.idxCols.contains(spec),
       s"$table carries no $spec transform stats (index: ${m.idxCols})")
-    val dLo = epochDayMs(from.getTime)
-    val dHi = epochDayMs(until.getTime - 1L)
+    // microsecond-exact bounds: a sub-millisecond `until` must still
+    // keep its last day's files (ms arithmetic would false-prune them)
+    def us(t: java.sql.Timestamp): Long = Math.addExact(
+      Math.multiplyExact(t.toInstant.getEpochSecond, 1000000L),
+      t.toInstant.getNano / 1000L)
+    val dLo = Math.floorDiv(us(from), 86400000000L)
+    val dHi = Math.floorDiv(us(until) - 1L, 86400000000L)
     val kept = m.entries.filter(_.statFor(spec).forall {
       case (fLo, fHi) => fLo <= fHi && fHi >= dLo && fLo <= dHi })
     prunedRead(s, table, m, kept,
@@ -3552,9 +3617,13 @@ object TxnTable {
       lastStaged = lines
       val paths = m.entries.map(_.path).toSet
       // the rewrite READ the base through its tombstones and applied
-      // them — the new version clears them (deletes = Some(Nil))
+      // them — the new version clears them (deletes = Some(Nil)); bloom
+      // sidecars covered only the rewritten files, so they drop too
+      // (carrying a fully-stale ref would advertise a bloom that prunes
+      // nothing while pinning dead sidecar dirs against vacuum forever)
       Change(lines, paths, paths, op = "compact", deletes = Some(Nil),
-        schemaFallback = Some(withMapping(m, snap.schema).json))
+        schemaFallback = Some(withMapping(m, snap.schema).json),
+        blooms = Some(Nil))
     }
   }
 
@@ -3617,7 +3686,8 @@ object TxnTable {
       val paths = m.entries.map(_.path).toSet
       Change(lines, paths, paths, op = "zorder", deletes = Some(Nil),
         idxCols = Some(physCols),
-        schemaFallback = Some(withMapping(m, snap.schema).json))
+        schemaFallback = Some(withMapping(m, snap.schema).json),
+        blooms = Some(Nil)) // every covered file was rewritten
     }
   }
 

@@ -858,7 +858,15 @@ object GraftTable {
       .fold(Map.empty[String, String])(_.fields.iterator
         .map(f => TxnTable.physName(f) -> f.name).toMap)
     val colStats = new java.util.HashMap[NamedReference, ColumnStatistics]()
-    (m.idxCols ++ m.strIdxCols).distinct.foreach { phys =>
+    // transform specs (days(ts)/bucketN(k)) measure a DERIVED value:
+    // their NDV/null sketches describe no schema column, so reporting
+    // them would attribute stats to a phantom name the planner can
+    // never resolve — they serve pruning only, never CBO
+    val plain = (m.idxCols ++ m.strIdxCols).distinct.filter {
+      case TxnTable.DaysSpec(_) | TxnTable.BucketSpec(_, _) => false
+      case _ => true
+    }
+    plain.foreach { phys =>
       val ndv = TxnTable.entriesNdv(kept, phys)
       val nulls = TxnTable.entriesNulls(kept, phys)
       if (ndv.isDefined || nulls.isDefined)

@@ -430,10 +430,18 @@ case class GraftUpdateCommand(location: String, update: UpdateTable)
     // index headers speak PHYSICAL names; the statement (and the change
     // set it compiles to) speaks logical — map back
     val (logIdx, logStrIdx) = TxnTable.logicalIndexCols(m0)
-    val keys = logIdx ++ logStrIdx
+    // transform specs (days(ts)/bucketN(k)) are PRUNING metadata, not
+    // row-identity: a derived day/bucket is never unique per row, and
+    // selecting the spec string as a column would only fail later with
+    // an unresolved-column error — refuse cleanly here instead
+    val keys = (logIdx ++ logStrIdx).filter {
+      case TxnTable.DaysSpec(_) | TxnTable.BucketSpec(_, _) => false
+      case _ => true
+    }
     if (keys.isEmpty) unsupported(
-      "UPDATE needs an indexed key column ('index' or 'strindex' table " +
-        "property)")
+      "UPDATE needs a PLAIN indexed key column ('index' or 'strindex' " +
+        "table property; partition-transform specs like days(ts) are " +
+        "pruning metadata, not a row key)")
     update.assignments.foreach {
       case Assignment(k: AttributeReference, _) =>
         if (keys.contains(k.name)) unsupported(

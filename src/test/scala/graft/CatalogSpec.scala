@@ -41,6 +41,22 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) === 150)
   }
 
+  test("UPDATE on a transform-only-indexed table refuses cleanly") {
+    val t = fresh("txupd")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, ts TIMESTAMP, v STRING) " +
+      "TBLPROPERTIES ('index' = 'days(ts)')")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, " +
+      "timestamp_micros(id * 86400000000), CONCAT('r', id) FROM RANGE(5)")
+    // a derived day is pruning metadata, not a row key — the UPDATE
+    // must refuse with the contract message, not die resolving the
+    // spec string as a column
+    val e = intercept[Exception] {
+      sql(s"UPDATE graft.spec.$t SET v = 'x' WHERE k = 1")
+    }
+    assert(e.getMessage.contains("partition-transform"),
+      s"wrong refusal: ${e.getMessage}")
+  }
+
   test("VERSION AS OF and TIMESTAMP AS OF pin snapshots via SQL") {
     val t = fresh("timetravel")
     sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING)")

@@ -1725,6 +1725,19 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.currentVersion(spark, ad) === aHead)
     assert(TxnTable.currentVersion(spark, t) === 0L)
     assert(TxnTable.snapshot(spark, ad).count() === 90L)
+    // a REPEATED merge is a no-op (the merge marker remembers how far
+    // `into` already carried `from` — no duplicate replay, ever)
+    assert(TxnTable.mergeBranch(spark, t, "a", "b") === v)
+    assert(TxnTable.snapshot(spark, bd, v).count() === 110L)
+    // and a merge after `from` ADVANCES carries only the new delta
+    TxnTable.append(spark, ad,
+      (2000 until 2010).map(i => (i.toLong, s"late$i")).toDF("k", "v"))
+    val v2 = TxnTable.mergeBranch(spark, t, "a", "b")
+    val got2 = TxnTable.snapshot(spark, bd, v2).select("k")
+      .as[Long].collect().sorted.toSeq
+    assert(got2 === ((10L until 100L) ++ (1000L until 1020L) ++
+      (2000L until 2010L)).sorted.toSeq,
+      "incremental re-merge duplicated or lost rows")
     // both branches moving the same governance facet refuses loudly
     val t2 = freshTable("merge_gov")
     TxnTable.create(spark, t2, baseDf(10))
