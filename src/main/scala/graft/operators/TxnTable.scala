@@ -926,8 +926,15 @@ object TxnTable {
     // without the marker a repeated merge would replay the same deltas
     // and silently double every already-merged file in into's manifest.
     // Keyed by dir LEAVES, so a dropped-and-recreated branch (fresh
-    // uuid leaf) starts a fresh baseline.
-    val mBase = math.max(fBase, readMergeMark(s, table, iLeaf, fLeaf))
+    // uuid leaf) starts a fresh baseline. The marker file is advanced
+    // PER replay commit, and each merge commit additionally records its
+    // from-version as a `merged_<fromLeaf>` metric — atomic with the
+    // commit — so a merge interrupted between a commit and its marker
+    // write still resumes where it stopped when into's head IS that
+    // commit.
+    val mCur = manifest(s, id, iHead)
+    val mBase = Seq(fBase, readMergeMark(s, table, iLeaf, fLeaf),
+      mCur.metrics.getOrElse(s"merged_$fLeaf", -1L)).max
     require(versions(s, fd).contains(mBase),
       s"$table: branch '$from' lost its merge-base manifest " +
         s"(version $mBase was vacuumed from the branch lineage)")
@@ -939,35 +946,46 @@ object TxnTable {
       else Seq(manifest(s, fd, mBase), manifest(s, fd, fHead))
     val b0 = bms.head
     val bLast = bms.last
-    val mCur = manifest(s, id, iHead)
     def normI(p: String): String = if (p.startsWith("/")) p else s"$id/$p"
     def normF(p: String): String = if (p.startsWith("/")) p else s"$fd/$p"
-    // into's NET interim delta since from's branch point (the same
+    // into's NET interim delta since the merge base (the same
     // manifest-visible read-set approximation rebase uses)
     val intoRemoved =
       b0.entries.map(e => normF(e.path)).toSet --
         mCur.entries.map(e => normI(e.path)).toSet
+    val intoAdded =
+      mCur.entries.map(e => normI(e.path)).toSet --
+        b0.entries.map(e => normF(e.path)).toSet
+    // compare tombstones by (file, key column) ONLY: a previous clean
+    // merge re-stamped carried tombstone seqs, so a seq-sensitive
+    // difference would flag every carried tombstone as "new" forever
+    // and route incremental re-merges to the recompute path
     val intoNewTombs =
-      mCur.deletes.map { case (p, c, sq) => (normI(p), c, sq) }.toSet --
-        b0.deletes.map { case (p, c, sq) => (normF(p), c, sq) }.toSet
-    case class FDelta(added: Seq[Entry], removed: Set[String],
+      mCur.deletes.map { case (p, c, _) => (normI(p), c) }.toSet --
+        b0.deletes.map { case (p, c, _) => (normF(p), c) }.toSet
+    case class FDelta(fromV: Long, added: Seq[Entry], removed: Set[String],
         tombs: Seq[(String, String, Long)], addedBlooms: Seq[BloomRef])
     val deltas =
       if (!contiguous) Seq.empty
       else bms.indices.drop(1).map { i =>
         val a = bms(i); val p = bms(i - 1)
         val prevPaths = p.entries.map(e => normF(e.path)).toSet
-        FDelta(
+        FDelta(mBase + i,
           a.entries.filterNot(e => prevPaths(normF(e.path))),
           prevPaths -- a.entries.map(e => normF(e.path)).toSet,
           a.deletes.filterNot(p.deletes.toSet),
           a.blooms.filterNot(p.blooms.toSet))
       }
     val fromRemoved = deltas.flatMap(_.removed).toSet
+    val fromTombs = deltas.exists(_.tombs.nonEmpty)
     val conflict = !contiguous ||
       intoRemoved.exists(fromRemoved) ||
       (intoNewTombs.nonEmpty && fromRemoved.nonEmpty) ||
-      deltas.exists(_.tombs.exists(_._2.endsWith("~L")))
+      deltas.exists(_.tombs.exists(_._2.endsWith("~L"))) ||
+      // replayed tombstones are re-stamped at fresh seqs and would kill
+      // same-key rows `into` added since the merge base — rows the
+      // row-level three-way (the ground truth) preserves. Route there.
+      (fromTombs && intoAdded.nonEmpty)
     def pick[A](curV: A, baseV: A, brV: A, what: String): A =
       if (curV == baseV || curV == brV) brV
       else if (brV == baseV) curV
@@ -988,22 +1006,36 @@ object TxnTable {
       var v = iHead
       deltas.foreach { d =>
         val mNow = manifest(s, id, v)
-        d.removed.foreach(p =>
-          require(mNow.entries.exists(e => normI(e.path) == p),
-            s"$id: merge replay removes $p which the target state " +
-              "does not list"))
-        v = commit(s, id,
-          mNow.entries.filterNot(e => d.removed(normI(e.path)))
-            .map(render) ++
-            d.added.map(e => renderFresh(e.copy(path = normF(e.path)))),
-          v, op = "merge",
-          schemaJson = schemaJson,
-          deleteLines = mNow.deletes ++
-            d.tombs.map { case (p, c, _) => (normF(p), c, -1L) },
-          idxCols = idx, strIdxCols = strIdx,
-          blooms = mNow.blooms ++
-            d.addedBlooms.map(b => b.copy(dir = normF(b.dir))),
-          retired = retired, checks = checks)
+        val have = mNow.entries.map(e => normI(e.path)).toSet
+        // an interrupted previous merge may have committed this delta
+        // without advancing the marker: its freshly-staged adds already
+        // being listed proves the delta landed (staged paths are
+        // globally unique) — re-mark instead of double-replaying
+        if (d.added.nonEmpty && d.added.forall(e => have(normF(e.path))))
+          writeMergeMark(s, table, iLeaf, fLeaf, d.fromV)
+        else {
+          d.removed.foreach(p =>
+            require(mNow.entries.exists(e => normI(e.path) == p),
+              s"$id: merge replay removes $p which the target state " +
+                "does not list"))
+          v = commit(s, id,
+            mNow.entries.filterNot(e => d.removed(normI(e.path)))
+              .map(render) ++
+              d.added.map(e => renderFresh(e.copy(path = normF(e.path)))),
+            v, op = "merge",
+            schemaJson = schemaJson,
+            deleteLines = mNow.deletes ++
+              d.tombs.map { case (p, c, _) => (normF(p), c, -1L) },
+            idxCols = idx, strIdxCols = strIdx,
+            blooms = mNow.blooms ++
+              d.addedBlooms.map(b => b.copy(dir = normF(b.dir))),
+            retired = retired, checks = checks,
+            // the from-version this commit carries `into` up to —
+            // atomic with the commit, so an interrupted merge resumes
+            // here even if the marker write below never ran
+            metrics = Seq(s"merged_$fLeaf" -> d.fromV))
+          writeMergeMark(s, table, iLeaf, fLeaf, d.fromV)
+        }
       }
       v
     } else {
@@ -1032,7 +1064,7 @@ object TxnTable {
       commit(s, id, lines2, iHead, op = "merge",
         schemaJson = schemaJson, idxCols = idx, strIdxCols = strIdx,
         retired = retired, checks = checks,
-        metrics = Seq("recomputed" -> 1L))
+        metrics = Seq("recomputed" -> 1L, s"merged_$fLeaf" -> fHead))
     }
     writeMergeMark(s, table, iLeaf, fLeaf, fHead)
     newVer
@@ -1040,10 +1072,13 @@ object TxnTable {
 
   /** The (into, from) merge-base marker: the `from`-lineage version a
     * previous [[mergeBranch]] of this pair carried `into` up to. Lives
-    * beside the branch refs, keyed by dir leaves. */
+    * beside the branch dirs as `.merges/<intoLeaf>/<fromLeaf>` — a
+    * SUBDIRECTORY per into-leaf, never a joined filename: leaf names
+    * may contain any separator character ('-', '.', '_'), so a flat
+    * `a--b` encoding would collide distinct pairs. */
   private def mergeMarkPath(table: String, intoLeaf: String,
       fromLeaf: String): Path =
-    new Path(s"$table/_branches/.merges", s"$intoLeaf--$fromLeaf")
+    new Path(s"$table/_branches/.merges/$intoLeaf", fromLeaf)
 
   private def readMergeMark(s: SparkSession, table: String,
       intoLeaf: String, fromLeaf: String): Long = {
@@ -1057,21 +1092,27 @@ object TxnTable {
     }
   }
 
+  /** Advance the marker MONOTONICALLY: synchronized (like the branch
+    * refs), and never backwards — a slow merge that finishes after a
+    * faster one must not rewind the pair's progress. The delete+rename
+    * window a concurrent READER could hit is closed by the commit-side
+    * `merged_<leaf>` metric (authoritative when into's head is a merge
+    * commit) and by the skip-already-applied replay guard. */
   private def writeMergeMark(s: SparkSession, table: String,
-      intoLeaf: String, fromLeaf: String, v: Long): Unit = {
-    val dst = mergeMarkPath(table, intoLeaf, fromLeaf)
-    val f = fs(s, dst)
-    f.mkdirs(dst.getParent)
-    val tmp = new Path(dst.getParent, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(s"$v\n".getBytes(UTF_8)) finally out.close()
-    // no CAS needed: concurrent merges of the same pair serialize
-    // through `into`'s commit CAS (the loser's replay commit throws
-    // before reaching this write), so the marker only ever moves
-    // forward for a given pair
-    f.delete(dst, false)
-    f.rename(tmp, dst)
-  }
+      intoLeaf: String, fromLeaf: String, v: Long): Unit =
+    commitLock.synchronized {
+      if (v > readMergeMark(s, table, intoLeaf, fromLeaf)) {
+        val dst = mergeMarkPath(table, intoLeaf, fromLeaf)
+        val f = fs(s, dst)
+        f.mkdirs(dst.getParent)
+        val tmp = new Path(dst.getParent,
+          s".tmp-${java.util.UUID.randomUUID()}")
+        val out = f.create(tmp, false)
+        try out.write(s"$v\n".getBytes(UTF_8)) finally out.close()
+        f.delete(dst, false)
+        f.rename(tmp, dst)
+      }
+    }
 
   /** Resolve a version REFERENCE: a number, or a tag name. */
   def resolveVersion(s: SparkSession, table: String, ref: String): Long =
@@ -1407,7 +1448,11 @@ object TxnTable {
               // tombstones: ANY interleaved change to them (new MoR
               // tombstones, another collapse, a clearing compact)
               // invalidates the derivation
-              (ch.deletes.isDefined && wm.deletes != pm.deletes)
+              (ch.deletes.isDefined && wm.deletes != pm.deletes) ||
+              // same rule for a bloom-ref replacement: a winner that
+              // added a bloom for a file this rewrite did NOT touch
+              // must not have it silently dropped by the rebase
+              (ch.blooms.isDefined && wm.blooms != pm.blooms)
           }
           base = newCur
           m = manifest(s, table, newCur)
@@ -1632,6 +1677,19 @@ object TxnTable {
   private[graft] def epochDayMs(ms: Long): Long =
     Math.floorDiv(ms, 86400000L)
 
+  /** Epoch MICROSECONDS of a java.sql.Timestamp — getTime alone drops
+    * the sub-millisecond part the nanos field carries. */
+  private[graft] def tsMicros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+      i.getNano / 1000L)
+  }
+
+  /** Microsecond-exact epoch-day of a timestamp — the named twin the
+    * day-transform prune sites share. */
+  private[graft] def epochDayUs(t: java.sql.Timestamp): Long =
+    Math.floorDiv(tsMicros(t), 86400000000L)
+
 
   def indexStagedRels(s: SparkSession, table: String, rels: Seq[String],
                       indexCols: Seq[String],
@@ -1791,11 +1849,8 @@ object TxnTable {
       s"$table carries no $spec transform stats (index: ${m.idxCols})")
     // microsecond-exact bounds: a sub-millisecond `until` must still
     // keep its last day's files (ms arithmetic would false-prune them)
-    def us(t: java.sql.Timestamp): Long = Math.addExact(
-      Math.multiplyExact(t.toInstant.getEpochSecond, 1000000L),
-      t.toInstant.getNano / 1000L)
-    val dLo = Math.floorDiv(us(from), 86400000000L)
-    val dHi = Math.floorDiv(us(until) - 1L, 86400000000L)
+    val dLo = epochDayUs(from)
+    val dHi = Math.floorDiv(tsMicros(until) - 1L, 86400000000L)
     val kept = m.entries.filter(_.statFor(spec).forall {
       case (fLo, fHi) => fLo <= fHi && fHi >= dLo && fLo <= dHi })
     prunedRead(s, table, m, kept,

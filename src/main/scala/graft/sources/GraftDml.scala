@@ -430,18 +430,25 @@ case class GraftUpdateCommand(location: String, update: UpdateTable)
     // index headers speak PHYSICAL names; the statement (and the change
     // set it compiles to) speaks logical — map back
     val (logIdx, logStrIdx) = TxnTable.logicalIndexCols(m0)
+    val keys = logIdx ++ logStrIdx
     // transform specs (days(ts)/bucketN(k)) are PRUNING metadata, not
-    // row-identity: a derived day/bucket is never unique per row, and
-    // selecting the spec string as a column would only fail later with
-    // an unresolved-column error — refuse cleanly here instead
-    val keys = (logIdx ++ logStrIdx).filter {
-      case TxnTable.DaysSpec(_) | TxnTable.BucketSpec(_, _) => false
-      case _ => true
-    }
+    // row identity: the keyed-change contract requires the FULL index
+    // tuple to be unique per row, and a derived day/bucket can never be
+    // part of that tuple — refuse cleanly. Silently DROPPING the spec
+    // from the tuple would be worse than the unresolved-column error it
+    // replaces: a narrowed key collapses rows that are distinct only in
+    // the dropped dimension.
+    if (keys.exists {
+      case TxnTable.DaysSpec(_) | TxnTable.BucketSpec(_, _) => true
+      case _ => false
+    }) unsupported(
+      "UPDATE on a table whose index declares partition-transform " +
+        "specs (days(ts)/bucketN(k)): the keyed change set needs the " +
+        "full index tuple as row identity, and a derived day/bucket " +
+        "is pruning metadata, not a key column")
     if (keys.isEmpty) unsupported(
-      "UPDATE needs a PLAIN indexed key column ('index' or 'strindex' " +
-        "table property; partition-transform specs like days(ts) are " +
-        "pruning metadata, not a row key)")
+      "UPDATE needs an indexed key column ('index' or 'strindex' table " +
+        "property)")
     update.assignments.foreach {
       case Assignment(k: AttributeReference, _) =>
         if (keys.contains(k.name)) unsupported(
