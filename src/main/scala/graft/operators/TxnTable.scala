@@ -560,6 +560,13 @@ object TxnTable {
     require(name.nonEmpty &&
       name.forall(c => c.isLetterOrDigit || "._-".contains(c)),
       s"branch name '$name' must be [A-Za-z0-9._-]+")
+    // dot-prefixed leaves are RESERVED for internal state beside the
+    // branch dirs (`.merges/` merge-base markers, `.tmp-*` staging):
+    // a branch literally named '.merges' would claim the marker dir as
+    // its live directory and a later vacuum of it would sweep every
+    // pair's merge-base marker as orphans
+    require(!name.startsWith("."),
+      s"branch name '$name' is reserved (names must not start with '.')")
     require(name.toLongOption.isEmpty,
       s"branch name '$name' would shadow a version number")
     // the mirror of tag()'s guard: a branch created under a live tag's
@@ -933,8 +940,21 @@ object TxnTable {
     // write still resumes where it stopped when into's head IS that
     // commit.
     val mCur = manifest(s, id, iHead)
+    // The head's metric alone is NOT a sufficient resume record: any
+    // ordinary append/compact after an interrupted merge buries it, and
+    // a compaction can also rewrite the very files whose presence the
+    // in-loop skip guard would otherwise use as landing proof — the
+    // repeated merge would then silently re-add already-carried rows.
+    // The metric is monotone per (into, from) pair, so a newest-first
+    // scan of into's surviving lineage stops at the first hit; cost is
+    // O(commits since the last merge of this pair) small header reads,
+    // and expireSnapshots bounds the history length.
+    val metricBase = versions(s, id).reverseIterator
+      .map(v => (if (v == iHead) mCur else manifest(s, id, v))
+        .metrics.getOrElse(s"merged_$fLeaf", -1L))
+      .find(_ >= 0).getOrElse(-1L)
     val mBase = Seq(fBase, readMergeMark(s, table, iLeaf, fLeaf),
-      mCur.metrics.getOrElse(s"merged_$fLeaf", -1L)).max
+      metricBase).max
     require(versions(s, fd).contains(mBase),
       s"$table: branch '$from' lost its merge-base manifest " +
         s"(version $mBase was vacuumed from the branch lineage)")
@@ -1080,8 +1100,14 @@ object TxnTable {
       fromLeaf: String): Path =
     new Path(s"$table/_branches/.merges/$intoLeaf", fromLeaf)
 
+  /** Synchronized with [[writeMergeMark]] (same lock): a reader racing
+    * the writer's delete+rename window would otherwise observe the file
+    * momentarily absent and report -1, regressing the pair's merge base
+    * for that caller. Cross-process the marker is only a secondary
+    * record anyway — mergeBranch max-es it with the in-lineage
+    * `merged_<leaf>` metric scan, which a transient -1 cannot rewind. */
   private def readMergeMark(s: SparkSession, table: String,
-      intoLeaf: String, fromLeaf: String): Long = {
+      intoLeaf: String, fromLeaf: String): Long = commitLock.synchronized {
     val p = mergeMarkPath(table, intoLeaf, fromLeaf)
     val f = fs(s, p)
     if (!f.exists(p)) -1L
@@ -1094,10 +1120,11 @@ object TxnTable {
 
   /** Advance the marker MONOTONICALLY: synchronized (like the branch
     * refs), and never backwards — a slow merge that finishes after a
-    * faster one must not rewind the pair's progress. The delete+rename
-    * window a concurrent READER could hit is closed by the commit-side
-    * `merged_<leaf>` metric (authoritative when into's head is a merge
-    * commit) and by the skip-already-applied replay guard. */
+    * faster one must not rewind the pair's progress. The marker's value
+    * over the commit-side `merged_<leaf>` metric is that it survives
+    * snapshot EXPIRY of the merge commit itself; within a surviving
+    * lineage the metric scan is authoritative, so a lost rename here is
+    * harmless — but never leak the tmp file. */
   private def writeMergeMark(s: SparkSession, table: String,
       intoLeaf: String, fromLeaf: String, v: Long): Unit =
     commitLock.synchronized {
@@ -1110,7 +1137,7 @@ object TxnTable {
         val out = f.create(tmp, false)
         try out.write(s"$v\n".getBytes(UTF_8)) finally out.close()
         f.delete(dst, false)
-        f.rename(tmp, dst)
+        if (!f.rename(tmp, dst)) f.delete(tmp, false)
       }
     }
 

@@ -1757,6 +1757,79 @@ class TxnSpec extends SparkSpec {
       === TxnTable.currentVersion(spark, ed))
   }
 
+  test("branch merge resumes from the lineage metric when the marker is " +
+      "lost AND later commits buried the merge commit: no duplicate " +
+      "replay, no removal-only wedge") {
+    val s2 = spark
+    import s2.implicits._
+    val t = freshTable("merge_resume")
+    TxnTable.create(spark, t, baseDf(40).repartition(2))
+    TxnTable.branch(spark, t, "a")
+    TxnTable.branch(spark, t, "b")
+    val aLeaf = TxnTable.branchInfo(spark, t, "a").get.leaf
+    val bLeaf = TxnTable.branchInfo(spark, t, "b").get.leaf
+    val ad = s"$t/_branches/$aLeaf"
+    val bd = s"$t/_branches/$bLeaf"
+    val marker = java.nio.file.Paths.get(
+      s"$t/_branches/.merges/$bLeaf", aLeaf)
+    // --- add-delta duplication scenario ---
+    TxnTable.append(spark, ad,
+      (5000 until 5010).map(i => (i.toLong, s"x$i")).toDF("k", "v")
+        .coalesce(1))
+    TxnTable.mergeBranch(spark, t, "a", "b")
+    val afterMerge = TxnTable.snapshot(spark, bd).count()
+    // simulate a crash between the merge commit and its marker write,
+    // then a compaction that BURIES the head metric and rewrites the
+    // very files the in-loop skip guard would look for
+    java.nio.file.Files.deleteIfExists(marker)
+    TxnTable.compact(spark, bd)
+    val vAfterCompact = TxnTable.currentVersion(spark, bd)
+    assert(TxnTable.mergeBranch(spark, t, "a", "b") === vAfterCompact,
+      "resumed merge was not a no-op after metric burial")
+    assert(TxnTable.snapshot(spark, bd).count() === afterMerge,
+      "resumed merge duplicated already-carried rows")
+    // --- removal-only-delta wedge scenario (pure replay path) ---
+    // an indexed 2-file table with exact k-range file boundaries, so a
+    // bounded delete drops one whole file with NO re-staged survivors:
+    // the from-delta is then removal-only and the in-loop skip guard
+    // has no added files to use as a landing proof
+    val t2 = freshTable("merge_wedge")
+    val df2 = (0 until 40).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    TxnTable.commit(spark, t2,
+      TxnTable.stageIndexed(spark, t2,
+        TxnTable.clusterExact(spark, df2, "k", 0L, 39L, 2), Seq("k")),
+      -1L, op = "create", schemaJson = df2.schema.json,
+      idxCols = Seq("k"))
+    TxnTable.branch(spark, t2, "a")
+    TxnTable.branch(spark, t2, "b")
+    val aL2 = TxnTable.branchInfo(spark, t2, "a").get.leaf
+    val bL2 = TxnTable.branchInfo(spark, t2, "b").get.leaf
+    val ad2 = s"$t2/_branches/$aL2"
+    val bd2 = s"$t2/_branches/$bL2"
+    TxnTable.deleteWhere(spark, ad2,
+      Seq(("k", 20L, Long.MaxValue)), Nil)
+    assert(TxnTable.liveFiles(spark, ad2,
+      TxnTable.currentVersion(spark, ad2)).size === 1,
+      "delete did not produce a removal-only delta (whole-file drop)")
+    TxnTable.mergeBranch(spark, t2, "a", "b")
+    assert(TxnTable.snapshot(spark, bd2).count() === 20L)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      s"$t2/_branches/.merges/$bL2", aL2))
+    TxnTable.append(spark, bd2, Seq((9000L, "bury")).toDF("k", "v"))
+    val vB2 = TxnTable.currentVersion(spark, bd2)
+    // without the lineage metric scan this re-merge re-derives the
+    // removal delta and wedges on "replay removes X which the target
+    // state does not list" — permanently
+    assert(TxnTable.mergeBranch(spark, t2, "a", "b") === vB2,
+      "resumed removal-only merge was not a no-op (wedge or re-replay)")
+    assert(TxnTable.snapshot(spark, bd2).count() === 21L)
+    // reserved namespace: a branch cannot claim the marker directory
+    val exR = intercept[IllegalArgumentException] {
+      TxnTable.branch(spark, t, ".merges")
+    }
+    assert(exR.getMessage.contains("reserved"))
+  }
+
   test("bucket16 transform: point equality prunes via bucket stats on " +
       "BOTH read paths; range stats would prune nothing") {
     val s2 = spark
