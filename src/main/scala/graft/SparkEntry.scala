@@ -67,6 +67,7 @@ object SparkEntry {
     "sql_txn_timetravel"      -> (SqlSurface.txnTimeTravel _),
     "sql_txn_skip"            -> (SqlSurface.txnSkip _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
+    "sql_txn_agg_push"        -> (SqlSurface.txnAggPush _),
     "sql_txn_evolve"          -> (SqlSurface.txnEvolve _),
     "sql_txn_mor"             -> (SqlSurface.txnMor _),
     "sql_txn_history"         -> (SqlSurface.txnHistory _),
@@ -101,6 +102,7 @@ object SparkEntry {
     "op_null_skip"            -> (TxnTable.nullSkip _),
     "op_delete_pruned"        -> (TxnTable.deletePruned _),
     "op_delete_mor"           -> (TxnTable.deleteMor _),
+    "op_dedup_mor"            -> (TxnTable.dedupMorScenario _),
     "op_txn_restore"          -> (TxnTable.txnRestore _),
     "op_bloom_skip"           -> (TxnTable.bloomSkip _),
     "op_txn_clone"            -> (TxnTable.txnClone _),
@@ -1360,6 +1362,16 @@ object SparkEntry {
         |FROM events, r
         |WHERE epoch_us(ts) >= dmin * 86400000000
         |  AND epoch_us(ts) < d1 * 86400000000""".stripMargin,
+    // Metadata-only aggregates: the whole-table count/min/max row the
+    // manifest answers without opening a file, recomputed by the
+    // oracle over the same source slice; the instrumentation
+    // (metadata path taken, no file index built, filtered/tombstoned
+    // refusals, scan parity) travels as a boolean
+    "sql_txn_agg_push" ->
+      """SELECT count(*) AS cnt, count(o_orderkey) AS cnt_k,
+        |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
+        |  TRUE AS agg_ok
+        |FROM orders""".stripMargin,
     "sql_txn_skip" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
@@ -1918,6 +1930,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT st, COUNT(*), CAST(SUM(price) AS DOUBLE), 'compacted', TRUE
         |FROM f GROUP BY st""".stripMargin,
+    // Positional deletion-vector dedup: exact copies killed by (file,
+    // position) coordinate, keeper per group survives — dedup of
+    // slice ∪ (%7 subset) replays as the slice itself, hashed from the
+    // MoR read and again from the compacted materialization; the
+    // zero-rewrite + vector accounting travels as a boolean
+    "op_dedup_mor" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total, 'dv' AS src, TRUE AS dv_ok
+        |FROM b GROUP BY st
+        |UNION ALL
+        |SELECT st, COUNT(*), CAST(SUM(price) AS DOUBLE), 'compacted', TRUE
+        |FROM b GROUP BY st""".stripMargin,
     // IS NULL pruning via null-count manifest stats: the null rows are
     // exactly the lowest-eighth keys (oracle-replayed); the metadata
     // prune travels as a boolean

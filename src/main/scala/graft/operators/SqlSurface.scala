@@ -344,6 +344,75 @@ object SqlSurface {
       .withColumn("mor_ok", lit(ok))
   }
 
+  /** sql_txn_agg_push: METADATA-ONLY AGGREGATES — a whole-table
+    * `SELECT count(*), count(k), min(k), max(k)` answered ENTIRELY
+    * from the manifest's per-file stat groups: the DSv2 scan builder
+    * serves the pushed [[org.apache.spark.sql.connector.expressions.aggregate.Aggregation]]
+    * as a driver-side LocalScan holding the one result row, and the
+    * lazy parquet builder is never constructed — not one data file is
+    * listed, opened or scanned ([[GraftTable.manifestAggregate]]). On
+    * 100 TB this is the difference between a full-table scan and one
+    * manifest read — the public-format "metadata-only query". Hashed
+    * output = the aggregate row itself (the DuckDB oracle computes the
+    * same aggregates over the same source slice); `agg_ok` certifies
+    * the MECHANICS:
+    *   - the unfiltered aggregate took the metadata path (instrumented
+    *     counter) without building a file index (scan accounting
+    *     untouched),
+    *   - a FILTERED aggregate refuses the path (per-file min/max
+    *     cannot answer it exactly), scans, and agrees,
+    *   - a table with pending MoR tombstones never takes the path and
+    *     counts only VISIBLE rows (visible rows ≠ file rows — the
+    *     wrong-answer case the refusal list exists for). */
+  def txnAggPush(s: SparkSession, d: String): DataFrame = {
+    freshSqlTable(s, "ap_orders")
+    val morLoc = freshSqlTable(s, "ap_mor")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.ap_orders (
+      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    val b = s.sql(
+      "SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders")
+      .collect()(0)
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    Seq(s"o_orderkey <= $mid", s"o_orderkey > $mid").foreach(w =>
+      s.sql(s"""INSERT INTO graft.q.ap_orders
+        SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders WHERE $w"""))
+    val agg = """SELECT count(*) AS cnt, count(o_orderkey) AS cnt_k,
+      min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
+      FROM graft.q.ap_orders"""
+    val (hits0, scans0) =
+      (GraftCatalog.aggAnswered.get(), GraftCatalog.scanTotal.get())
+    val metaRow = s.sql(agg).collect()(0)
+    val hits = GraftCatalog.aggAnswered.get() - hits0
+    val scans = GraftCatalog.scanTotal.get() - scans0
+    // the same aggregate WITH a (vacuously true) filter must refuse
+    // the metadata path, really scan, and agree on every value
+    val hits1 = GraftCatalog.aggAnswered.get()
+    val scanRow = s.sql(
+      agg + s" WHERE o_orderkey >= ${b.getLong(0)}").collect()(0)
+    val filteredRefused = GraftCatalog.aggAnswered.get() == hits1
+    // pending tombstones: visible rows ≠ file rows — the count must
+    // come from the anti-join snapshot plan, never the manifest
+    s.sql("""CREATE TABLE graft.q.ap_mor (k BIGINT, v STRING)
+      TBLPROPERTIES ('index' = 'k')""")
+    s.sql("INSERT INTO graft.q.ap_mor SELECT id, CAST(id AS STRING) " +
+      "FROM range(100)")
+    val s2 = s; import s2.implicits._
+    TxnTable.deleteKeysMor(s, morLoc,
+      Seq(7L, 13L, 42L).toDF("k"), "k")
+    val hits2 = GraftCatalog.aggAnswered.get()
+    val morCnt = s.sql("SELECT count(*) AS n FROM graft.q.ap_mor")
+      .collect()(0).getLong(0)
+    val morRefused = GraftCatalog.aggAnswered.get() == hits2
+    val ok = hits == 1L && scans == 0L &&
+      (0 until 4).forall(i => metaRow.getLong(i) == scanRow.getLong(i)) &&
+      filteredRefused && morCnt == 97L && morRefused
+    s.sql(agg).withColumn("agg_ok", lit(ok))
+  }
+
   /** sql_txn_history: table MAINTENANCE as PURE SQL — the audit trail
     * as a metadata TABLE (`SELECT … FROM graft.q.t.history`, the
     * Delta/Iceberg shape, planned as a LocalScan over the log: no jobs,

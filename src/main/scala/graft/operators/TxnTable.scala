@@ -795,7 +795,11 @@ object TxnTable {
     val conflict = !contiguous ||
       mainRemoved.exists(branchRemoved) ||
       (mainNewTombs.nonEmpty && branchRemoved.nonEmpty) ||
-      deltas.exists(_.tombs.exists(_._2.endsWith("~L")))
+      // bounded (~L) bounds speak the branch's old seq space and
+      // positional (~pos) vectors name exact files — both route to the
+      // always-sound row-level recompute rather than a metadata replay
+      deltas.exists(_.tombs.exists(t =>
+        t._2.endsWith("~L") || t._2 == "~pos"))
     // governance facets merge only when at most ONE side moved them
     def pick[A](curV: A, baseV: A, brV: A, what: String): A =
       if (curV == baseV || curV == brV) brV
@@ -1001,7 +1005,11 @@ object TxnTable {
     val conflict = !contiguous ||
       intoRemoved.exists(fromRemoved) ||
       (intoNewTombs.nonEmpty && fromRemoved.nonEmpty) ||
-      deltas.exists(_.tombs.exists(_._2.endsWith("~L"))) ||
+      // bounded and positional tombstones never metadata-replay (the
+      // rebase rule: seq-space / file-coordinate semantics don't
+      // survive re-stamping) — row-level recompute is always sound
+      deltas.exists(_.tombs.exists(t =>
+        t._2.endsWith("~L") || t._2 == "~pos")) ||
       // replayed tombstones are re-stamped at fresh seqs and would kill
       // same-key rows `into` added since the merge base — rows the
       // row-level three-way (the ground truth) preserves. Route there.
@@ -1733,52 +1741,8 @@ object TxnTable {
     val dir = rels.head.split('/').dropRight(1).mkString("/")
     require(rels.forall(_.startsWith(dir + "/")),
       "indexStagedRels expects one staging subdirectory")
-    val aggs = indexCols.flatMap(c => Seq(
-      min(idxExpr(c)).cast("long").as(s"lo_$c"),
-      max(idxExpr(c)).cast("long").as(s"hi_$c"),
-      sum(when(idxExpr(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-      // the per-file NDV sketch rides the SAME stats pass — no extra
-      // scan; sketches union losslessly at read time ([[ndv]])
-      hll_sketch_agg(idxExpr(c), 8).as(s"hs_$c"),
-      count(lit(1)).as(s"cnt_$c"))) ++
-      strCols.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"slo_$c"),
-        max(col(c)).cast("string").as(s"shi_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"snn_$c")))
-    val rows = s.read.parquet(s"$table/$dir")
-      .groupBy(input_file_name().as("f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val stats = rows.map(r => (r.getString(0).split('/').last,
-      (indexCols.map { c =>
-        // an ALL-NULL file has no min/max: record the empty range
-        // (lo > hi) — unmatchable by any value box, kept by IS NULL
-        if (r.isNullAt(r.fieldIndex(s"lo_$c")))
-          ColStat(c, 0L, -1L, r.getAs[Long](s"nn_$c"))
-        else ColStat(c, r.getAs[Long](s"lo_$c"), r.getAs[Long](s"hi_$c"),
-          r.getAs[Long](s"nn_$c"))
-      },
-        indexCols.flatMap { c =>
-          Option(r.getAs[Array[Byte]](s"hs_$c"))
-            .map(b => HllStat(c,
-              java.util.Base64.getEncoder.encodeToString(b),
-              r.getAs[Long](s"cnt_$c")))
-        },
-        strCols.map { c =>
-          // an all-null STRING column records the EMPTY range (lo > hi
-          // in UTF-8 order), mirroring the integral convention: the
-          // group must still be EMITTED — omitting it would render a
-          // path-only line that the zero-row-file filter in merge/
-          // deleteRange (no TAB ⇒ zero rows) would silently drop,
-          // losing live rows
-          if (r.isNullAt(r.fieldIndex(s"slo_$c")))
-            StrStat(c, "", "", r.getAs[Long](s"snn_$c"))
-          else StrStat(c,
-            truncLower(r.getAs[String](s"slo_$c")),
-            truncUpper(r.getAs[String](s"shi_$c")),
-            r.getAs[Long](s"snn_$c"))
-        })))
-      .toMap
+    val stats = statGroupsByFile(s.read.parquet(s"$table/$dir"),
+      indexCols, strCols).map { case (f, v) => (f.split('/').last, v) }
     // per-file byte sizes from ONE directory listing of the staged dir —
     // write-time metadata like the stats themselves; they feed the
     // byte-weighted broadcast decision ([[tableBytes]])
@@ -1800,6 +1764,62 @@ object TxnTable {
   def stageIndexed(s: SparkSession, table: String, df: DataFrame,
                    indexCol: String): Seq[String] =
     stageIndexed(s, table, df, Seq(indexCol))
+
+  /** One stats-measuring scan over `df`, per input file: the (min, max,
+    * nulls) group, NDV sketch and row count for every index spec, plus
+    * the string-bound groups — keyed by the RAW `input_file_name`.
+    * Shared by [[indexStagedRels]] (freshly staged files, keyed by leaf
+    * name within one staging dir) and [[reindex]] (stats backfill over
+    * live files spanning many dirs, keyed by normalized path). */
+  private def statGroupsByFile(df: DataFrame, indexCols: Seq[String],
+      strCols: Seq[String])
+      : Map[String, (Seq[ColStat], Seq[HllStat], Seq[StrStat])] = {
+    val aggs = indexCols.flatMap(c => Seq(
+      min(idxExpr(c)).cast("long").as(s"lo_$c"),
+      max(idxExpr(c)).cast("long").as(s"hi_$c"),
+      sum(when(idxExpr(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      // the per-file NDV sketch rides the SAME stats pass — no extra
+      // scan; sketches union losslessly at read time ([[ndv]])
+      hll_sketch_agg(idxExpr(c), 8).as(s"hs_$c"),
+      count(lit(1)).as(s"cnt_$c"))) ++
+      strCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"slo_$c"),
+        max(col(c)).cast("string").as(s"shi_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"snn_$c")))
+    df.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getString(0),
+        (indexCols.map { c =>
+          // an ALL-NULL file has no min/max: record the empty range
+          // (lo > hi) — unmatchable by any value box, kept by IS NULL
+          if (r.isNullAt(r.fieldIndex(s"lo_$c")))
+            ColStat(c, 0L, -1L, r.getAs[Long](s"nn_$c"))
+          else ColStat(c, r.getAs[Long](s"lo_$c"),
+            r.getAs[Long](s"hi_$c"), r.getAs[Long](s"nn_$c"))
+        },
+          indexCols.flatMap { c =>
+            Option(r.getAs[Array[Byte]](s"hs_$c"))
+              .map(b => HllStat(c,
+                java.util.Base64.getEncoder.encodeToString(b),
+                r.getAs[Long](s"cnt_$c")))
+          },
+          strCols.map { c =>
+            // an all-null STRING column records the EMPTY range (lo > hi
+            // in UTF-8 order), mirroring the integral convention: the
+            // group must still be EMITTED — omitting it would render a
+            // path-only line that the zero-row-file filter in merge/
+            // deleteRange (no TAB ⇒ zero rows) would silently drop,
+            // losing live rows
+            if (r.isNullAt(r.fieldIndex(s"slo_$c")))
+              StrStat(c, "", "", r.getAs[Long](s"snn_$c"))
+            else StrStat(c,
+              truncLower(r.getAs[String](s"slo_$c")),
+              truncUpper(r.getAs[String](s"shi_$c")),
+              r.getAs[Long](s"snn_$c"))
+          })))
+      .toMap
+  }
 
   /** Resolve a snapshot pruned by a BOX predicate — one [lo,hi] range per
     * indexed column: manifest entries whose bounding box cannot intersect
@@ -2926,10 +2946,12 @@ object TxnTable {
     require(cols.contains(key),
       s"tombstone key '$key' is not a column of $table (has: $cols)")
     // `~L` marks BOUNDED tombstone lines in the manifest
-    // ([[rewriteTombstones]]) — a key whose physical name ends in it
-    // would make every later read mis-parse the tombstone file
-    require(!physMap(m).getOrElse(key, key).endsWith("~L"),
-      s"tombstone key '$key' ends in the reserved '~L' suffix")
+    // ([[rewriteTombstones]]) and `~pos` marks POSITIONAL ones
+    // ([[dedupMor]]) — a key under either reserved name would make
+    // every later read mis-parse the tombstone file
+    require(!physMap(m).getOrElse(key, key).endsWith("~L") &&
+      physMap(m).getOrElse(key, key) != "~pos",
+      s"tombstone key '$key' collides with a reserved tombstone kind")
     val keySet = keys.select(col(key)).distinct().coalesce(1)
     // an empty delete is a NO-OP: an empty tombstone file would tax
     // every future read's anti-join for nothing
@@ -2942,6 +2964,59 @@ object TxnTable {
     commit(s, table, m.entries.map(render), cur, op = "delete_mor",
       schemaJson = m.schema.map(_.json).orNull,
       deleteLines = dels,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      retired = m.retired, checks = m.checks)
+  }
+
+  /** POSITIONAL MERGE-ON-READ DEDUP — exact deduplication as a TABLE
+    * FORMAT operation, zero data rewritten: keep the FIRST copy of
+    * every `keyCols` group (first in (file, position) order — a
+    * deterministic, replayable tie-break) and tombstone the rest BY
+    * COORDINATE. Equality tombstones fundamentally cannot express
+    * this: all copies share the key, so a key-file would kill the
+    * keeper too. The positional tombstone is the public formats'
+    * "deletion vector" shape — a parquet file of (f = canonical
+    * absolute file path, p = row ordinal) pairs committed as one
+    * `#delete=<file> TAB ~pos` manifest line; [[readEntriesPos]]
+    * anti-joins every read on the row's own coordinates
+    * (`_metadata.row_index` + the broadcast path map), so the kill
+    * needs no key column at all and survives RENAME/DROP untouched.
+    *
+    * Sequencing is the standard MoR rule and positional targeting
+    * makes it self-enforcing: a row (re)inserted AFTER the dedup lands
+    * in a fresh file the coordinates can never name — duplicates
+    * re-introduced later stay visible until the next dedupMor, exactly
+    * the semantics an incremental pipeline wants. NULL keys group
+    * together (SQL GROUP BY semantics): null-keyed copies dedup among
+    * themselves. Scale shape: one shuffle on `keyCols` (the dd_exact
+    * shape) + one map-side window; the tombstone is |duplicates|-sized,
+    * never |table|-sized. [[compact]] folds the vector away. */
+  def dedupMor(s: SparkSession, table: String,
+               keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "dedupMor needs at least one key column")
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    val cols = m.schema.map(_.fieldNames.toSeq)
+      .getOrElse(snapshot(s, table, cur).columns.toSeq)
+    keyCols.foreach(k => require(cols.contains(k),
+      s"dedup key '$k' is not a column of $table (has: $cols)"))
+    // coordinates come from the tombstone-applied read: a row an older
+    // delete already killed is invisible and can never be a keeper OR
+    // a victim — the vector stays minimal
+    val withPos = readEntriesPos(s, table, m, m.entries, keepPos = true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__gcanon"), col("__gpos"))
+    val victims = withPos
+      .withColumn("__grn", row_number().over(w))
+      .filter(col("__grn") > 1)
+      .select(col("__gcanon").as("f"), col("__gpos").as("p"))
+    // no duplicates → no commit (an empty vector would tax every read)
+    if (victims.isEmpty) return cur
+    val staged = stage(s, table, victims.coalesce(1))
+    commit(s, table, m.entries.map(render), cur, op = "dedup_mor",
+      schemaJson = m.schema.map(_.json).orNull,
+      deleteLines = m.deletes ++ staged.map((_, "~pos", -1L)),
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       retired = m.retired, checks = m.checks)
   }
@@ -2982,8 +3057,17 @@ object TxnTable {
       dropStaged(s, table, lastStaged)
       onWork(base)
       val m = manifest(s, table, base)
-      if (m.deletes.size <= 1) throw NothingToDo // nothing to collapse
-      val byCol = m.deletes.groupBy(_._2.stripSuffix("~L"))
+      // POSITIONAL lines collapse by UNION, not by the per-key max-L
+      // identity (that is equality-tombstone algebra — coordinates have
+      // no key to bound): the union of (f, p) sets at the lines' max
+      // seq kills exactly the same rows, because every named file's
+      // entry seq is below its own vector's seq ≤ the max, and exact
+      // coordinates can never over-kill. A dedup-per-batch stream
+      // accretes one vector per commit — this is its maintenance.
+      val (posLines, eqLines) = m.deletes.partition(_._2 == "~pos")
+      if (eqLines.size <= 1 && posLines.size <= 1)
+        throw NothingToDo // nothing to collapse
+      val byCol = eqLines.groupBy(_._2.stripSuffix("~L"))
       val rewritten = byCol.toSeq.sortBy(_._1).map { case (kc, fls) =>
         val pairs = tombstonePairs(s, table, kc, fls).coalesce(1)
         val staged = stage(s, table, pairs)
@@ -2992,11 +3076,24 @@ object TxnTable {
         val maxL = fls.map { case (_, _, sq) => sq }.max
         (staged.head, s"$kc~L", maxL)
       }
-      lastStaged = rewritten.map(_._1)
+      val posOut =
+        if (posLines.size <= 1) posLines
+        else {
+          val union = posLines.map(f =>
+            s.read.parquet(pathFor(table, f._1)))
+            .reduce(_ unionByName _).distinct().coalesce(1)
+          val staged = stage(s, table, union)
+          require(staged.size == 1,
+            s"$table: vector union staged ${staged.size} files")
+          Seq((staged.head, "~pos", posLines.map(_._3).max))
+        }
+      lastStaged = rewritten.map(_._1) ++
+        (if (posLines.size <= 1) Nil else posOut.map(_._1))
       Change(Nil, Set.empty, Set.empty, op = "rewrite_tombstones",
-        metrics = Seq("collapsed" -> m.deletes.size.toLong,
-          "tombstones" -> rewritten.size.toLong),
-        deletes = Some(rewritten))
+        metrics = Seq(
+          "collapsed" -> (eqLines.size + posLines.size).toLong,
+          "tombstones" -> (rewritten.size + posOut.size).toLong),
+        deletes = Some(rewritten ++ posOut))
     } catch {
       case NothingToDo =>
         CommitOutcome(currentVersion(s, table), 0, 0)
@@ -3397,7 +3494,17 @@ object TxnTable {
     * are small (one file of keys per delete): AQE broadcasts the build
     * side, so each group pays a map-only filter, not a shuffle. */
   private def readEntries(s: SparkSession, table: String, m: Manifest,
-                          entries: Seq[Entry]): DataFrame = {
+                          entries: Seq[Entry]): DataFrame =
+    readEntriesPos(s, table, m, entries, keepPos = false)
+
+  /** [[readEntries]] with the per-row provenance EXPOSED: `keepPos =
+    * true` returns the frame with two extra columns — `__gcanon` (the
+    * row's canonical absolute file path) and `__gpos` (its ordinal
+    * within that file, parquet `_metadata.row_index`) — the coordinates
+    * POSITIONAL tombstones speak ([[dedupMor]]). */
+  private def readEntriesPos(s: SparkSession, table: String, m: Manifest,
+                             entries: Seq[Entry],
+                             keepPos: Boolean): DataFrame = {
     require(entries.nonEmpty, s"$table: readEntries over zero entries")
     val groups = entries.groupBy(e => m.deletes.filter(_._3 > e.seq))
     groups.map { case (dels, es) =>
@@ -3411,14 +3518,18 @@ object TxnTable {
       // projection below discards it.
       // a `~L`-suffixed key marks a BOUNDED tombstone file of
       // (key, L) pairs — [[rewriteTombstones]]' collapsed form, whose
-      // kill rule compares each row's ENTRY seq against its bound
+      // kill rule compares each row's ENTRY seq against its bound.
+      // the reserved `~pos` key marks a POSITIONAL tombstone file of
+      // (f, p) coordinates — no schema column is involved at all
       def joinCol(rec: String): String = rec.stripSuffix("~L")
-      val deadKeys = dels.map(d => joinCol(d._2)).distinct.filterNot(pk =>
-        m.schema.forall(_.fields.exists(f => physName(f) == pk)))
+      val (posDels, keyDels) = dels.partition(_._2 == "~pos")
+      val deadKeys = keyDels.map(d => joinCol(d._2)).distinct
+        .filterNot(pk =>
+          m.schema.forall(_.fields.exists(f => physName(f) == pk)))
       val reader = m.schema match {
         case Some(sch) =>
           val extra = deadKeys.map { pk =>
-            val tf = dels.find(d => joinCol(d._2) == pk).get._1
+            val tf = keyDels.find(d => joinCol(d._2) == pk).get._1
             val kdt = s.read.parquet(pathFor(table, tf))
               .schema.fields(0).dataType
             org.apache.spark.sql.types.StructField(pk, kdt)
@@ -3427,7 +3538,13 @@ object TxnTable {
             physicalSchema(sch).fields ++ extra))
         case None => s.read
       }
-      val raw = reader.parquet(es.map(e => pathFor(table, e.path)): _*)
+      val hasPos = keepPos || posDels.nonEmpty
+      val raw0 = reader.parquet(es.map(e => pathFor(table, e.path)): _*)
+      // the row's file ordinal must come straight off the file-source
+      // relation (a join would detach the metadata column)
+      val raw = if (hasPos)
+        raw0.withColumn("__gpos", col("_metadata.row_index"))
+      else raw0
       val hasBounded = dels.exists(_._2.endsWith("~L"))
       // bounded kills need the row's entry seq: a broadcast-joined
       // (path, seq) frame resolves it from input_file_name() — the
@@ -3442,7 +3559,7 @@ object TxnTable {
       // spaces (or other escaped characters) still resolves after a
       // tombstone rewrite.
       val withSeq =
-        if (!hasBounded) raw
+        if (!hasBounded && !hasPos) raw
         else {
           def variants(abs0: String): Seq[String] = {
             // input_file_name() reports the fs-normalized URI — cover
@@ -3461,8 +3578,14 @@ object TxnTable {
               }
             }.distinct
           }
+          // each variant maps to the entry's (seq, canonical absolute
+          // path): seq feeds bounded kills, the canonical path is the
+          // file coordinate positional tombstones record — stable
+          // across clones (absolute paths pass through [[pathFor]]
+          // verbatim on both sides)
           val pathSeqRows = es.flatMap(e =>
-            variants(pathFor(table, e.path)).map(v => Row(v, e.seq)))
+            variants(pathFor(table, e.path)).map(v =>
+              Row(v, e.seq, pathFor(table, e.path))))
           // parallelize (not a LocalRelation literal): the rows ride the
           // RDD's serialized partitions, sliced so no single task drags
           // the whole mapping through its closure
@@ -3473,7 +3596,9 @@ object TxnTable {
               org.apache.spark.sql.types.StructField("__gpath",
                 org.apache.spark.sql.types.StringType, nullable = false),
               org.apache.spark.sql.types.StructField("__gseq",
-                org.apache.spark.sql.types.LongType, nullable = false))))
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("__gcanon",
+                org.apache.spark.sql.types.StringType, nullable = false))))
           raw.withColumn("__gpath", input_file_name())
             .join(broadcast(pathSeqDf), Seq("__gpath"), "left")
             .withColumn("__gseq",
@@ -3485,6 +3610,20 @@ object TxnTable {
       // tombstone key FILES may carry the logical-at-delete-time name —
       // read positionally, join physical
       val cleaned = dels.groupBy(_._2).foldLeft(withSeq) {
+        case (acc, ("~pos", fls)) =>
+          // POSITIONAL tombstones: (f = canonical absolute path,
+          // p = row ordinal) pairs — an anti-join on the row's own
+          // coordinates, no schema column involved. Path-targeting
+          // makes the seq rule self-enforcing (paths are never
+          // reused), but the entry grouping scopes it anyway.
+          val dv = fls.map(f => s.read.parquet(pathFor(table, f._1)))
+            .reduce(_ unionByName _)
+            .select(col("f").as("__gdf"), col("p").as("__gdp"))
+            .distinct()
+          acc.join(dv,
+            acc("__gcanon") === dv("__gdf") &&
+              acc("__gpos") === dv("__gdp"),
+            "left_anti")
         case (acc, (rec, fls)) if rec.endsWith("~L") =>
           val kc = joinCol(rec)
           val keys = tombstonePairs(s, table, "__tk", fls)
@@ -3501,13 +3640,17 @@ object TxnTable {
       // mapped tables project physical → the committed LOGICAL schema
       // here — the single choke point every library read, rewrite, and
       // compaction funnels through (also drops dead tombstone columns
-      // and the bounded-kill seq column)
+      // and the bounded-kill/positional bookkeeping columns)
+      val posCols: Seq[Column] =
+        if (keepPos) Seq(col("__gcanon"), col("__gpos")) else Nil
       m.schema match {
         case Some(sch) if hasMappedSchema(m.schema) || deadKeys.nonEmpty ||
-            hasBounded =>
+            hasBounded || hasPos =>
           cleaned.select(sch.fields.map(f =>
-            col(physName(f)).as(f.name)).toSeq: _*)
-        case _ => cleaned.drop("__gseq")
+            col(physName(f)).as(f.name)).toSeq ++ posCols: _*)
+        case _ =>
+          if (keepPos) cleaned.drop("__gseq")
+          else cleaned.drop("__gseq", "__gcanon", "__gpos")
       }
     }.reduce(_ unionByName _)
   }
@@ -4733,6 +4876,43 @@ object TxnTable {
       .withColumn("mor_ok", lit(ok))
   }
 
+  /** op_dedup_mor: POSITIONAL deletion-vector dedup as a checked query
+    * ([[dedupMor]]) — the case equality tombstones fundamentally cannot
+    * express: EXACT COPIES share every column value, so any key-file
+    * delete would kill the keeper with the victims. The slice is
+    * duplicated on the %7 subset (copies scattered across files by the
+    * repartition), then dedupMor(all columns) commits ONE (f, p)
+    * coordinate vector as pure manifest metadata — every data entry
+    * carries VERBATIM, zero bytes rewritten, at ANY table size the cost
+    * is one keyed shuffle + a |duplicates|-sized vector. Generation
+    * 'dv' hashes the coordinate-anti-joined read; compact() then folds
+    * the vector in and 'compacted' must hash identically from a clean
+    * version. `dv_ok` asserts the mechanics: entry lines byte-verbatim
+    * across the dedup commit, exactly one `~pos` tombstone, none after
+    * compaction, and the pinned pre-dedup version still reads every
+    * copy. The oracle replays trivially: dedup of slice ∪ (%7 subset)
+    * is the slice itself. */
+  def dedupMorScenario(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("dv_orders")
+    val base = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    val dupd = base.unionAll(base.filter(pmod(k, lit(7)) === 0))
+    create(s, t, dupd.repartition(8))
+    val before = liveEntries(s, t, 0).map(render)
+    val nAll = snapshot(s, t, 0).count()
+    val v1 = dedupMor(s, t, Seq("o_orderkey", "o_orderstatus", "price"))
+    val verbatim = liveEntries(s, t, v1).map(render) == before
+    val vector = manifest(s, t, v1).deletes
+    val dvAgg = statusAgg(snapshot(s, t, v1), "dv")
+    val v2 = compact(s, t)
+    val ok = verbatim && vector.map(_._2) == Seq("~pos") &&
+      deleteFiles(s, t, v2).isEmpty &&
+      snapshot(s, t, 0).count() == nAll &&
+      snapshot(s, t, v2).count() == base.count()
+    dvAgg.unionByName(statusAgg(snapshot(s, t, v2), "compacted"))
+      .withColumn("dv_ok", lit(ok))
+  }
+
   /** op_cdc_read: the change feed between two committed versions — what
     * incremental downstream pipelines consume instead of re-reading 100 TB.
     * v0 = the base slice; v1 = copy-on-write overwrite applying a
@@ -4905,10 +5085,89 @@ object TxnTable {
       strIdxCols: Seq[String] = Nil): Long = {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur)
+    // GAINING a first index over live stat-less files must not be a
+    // header-only write: everywhere in the engine a group-less entry
+    // line in an INDEXED table means "zero-row sentinel" (CBO byte/row
+    // reporting, metadata-only aggregates, zero-row file filters), so
+    // indexing a previously-unindexed table whose files carry no
+    // groups would silently read every one of them as EMPTY — wrong
+    // plans at best, wrong metadata-aggregate ANSWERS at worst.
+    // Changing WHICH columns cluster remains one manifest write; the
+    // unindexed→indexed transition goes through [[reindex]]'s one
+    // read-only stats scan instead.
+    require(!(m.idxCols.isEmpty && m.strIdxCols.isEmpty &&
+        (idxCols.nonEmpty || strIdxCols.nonEmpty) &&
+        m.entries.exists(e => e.stats.isEmpty && e.strStats.isEmpty)),
+      s"$table: recluster would index a table whose live files carry " +
+        "no stat groups — they would read as zero-row sentinels " +
+        "everywhere; use reindex() (one read-only stats scan) instead")
     commit(s, table, m.entries.map(render), cur, op = "recluster",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
       idxCols = idxCols, strIdxCols = strIdxCols, blooms = m.blooms,
       retired = m.retired, checks = m.checks)
+  }
+
+  /** Stats BACKFILL: the unindexed→indexed transition [[recluster]]
+    * refuses. ONE read-only scan of the live files measures the full
+    * stat group set (min/max/nulls, NDV sketch + row count, string
+    * bounds, byte sizes) for every index spec, and one commit
+    * re-annotates every entry IN PLACE — data seqs preserved, no file
+    * rewritten or moved. From this commit on the manifest-stats channel
+    * (file skipping, CBO rows/bytes/NDV, metadata-only aggregates) is
+    * live for the table. Cost is what correct stats fundamentally cost
+    * (you cannot know a file's bounds without reading it once) — the
+    * scan parallelizes over files and happens exactly once. */
+  def reindex(s: SparkSession, table: String, indexCols: Seq[String],
+      strCols: Seq[String] = Nil): Long = {
+    require(indexCols.nonEmpty || strCols.nonEmpty,
+      "reindex needs at least one index column")
+    (indexCols ++ strCols).foreach(c =>
+      require(!c.endsWith("~s") && !c.endsWith("~h") && c != "~b" &&
+        !c.exists("\t\n,".contains(_)),
+        s"index column name '$c' would corrupt the manifest format"))
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    require(m.deletes.isEmpty,
+      s"$table: reindex with pending merge-on-read tombstones would " +
+        "record stats covering rows a reader never sees — compact() " +
+        "applies the tombstones first")
+    require(m.schema.forall(_.fields.forall(f => physName(f) == f.name)),
+      s"$table: reindex on a column-mapped table is not supported " +
+        "(stat groups speak physical names) — compact() restages with " +
+        "stats under the live index instead")
+    val sch = m.schema.getOrElse(snapshot(s, table, cur).schema)
+    def abs(e: Entry): String = pathFor(table, e.path)
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val byFile =
+      if (m.entries.isEmpty) Map.empty[String,
+        (Seq[ColStat], Seq[HllStat], Seq[StrStat])]
+      else statGroupsByFile(
+        s.read.schema(sch).parquet(m.entries.map(abs): _*),
+        indexCols, strCols).map { case (f, v) => (norm(f), v) }
+    // byte sizes from one listing per distinct parent directory
+    val sizes = m.entries.map(e => new Path(abs(e)).getParent).distinct
+      .flatMap { d =>
+        val f = fs(s, d)
+        if (f.exists(d))
+          f.listStatus(d).toSeq.map(st =>
+            (norm(st.getPath.toString), st.getLen))
+        else Nil
+      }.toMap
+    val lines = m.entries.map { e =>
+      byFile.get(norm(abs(e))) match {
+        case Some((ints, hlls, strs)) =>
+          render(e.copy(stats = ints, strStats = strs, hlls = hlls,
+            bytes = sizes.getOrElse(norm(abs(e)), e.bytes)))
+        // no stats row ⇒ the scan saw zero rows in it: a true zero-row
+        // sentinel — stays PATH-ONLY (the convention downstream)
+        case None => render(e.copy(stats = Nil, strStats = Nil,
+          hlls = Nil, bytes = -1L))
+      }
+    }
+    commit(s, table, lines, cur, op = "reindex",
+      schemaJson = m.schema.map(_.json).orNull,
+      idxCols = indexCols, strIdxCols = strCols,
+      blooms = m.blooms, retired = m.retired, checks = m.checks)
   }
 
   /** op_txn_recluster: clustering evolution as a checked query. v0

@@ -496,6 +496,10 @@ object GraftCatalog {
   val scanKept = new java.util.concurrent.atomic.AtomicLong
   val scanTotal = new java.util.concurrent.atomic.AtomicLong
 
+  /** Aggregations answered ENTIRELY from manifest metadata (no file
+    * listed, opened or scanned), cumulative since process start. */
+  val aggAnswered = new java.util.concurrent.atomic.AtomicLong
+
 }
 
 /** One resolved snapshot of a TxnTable, pinned at `version`: reads plan
@@ -588,17 +592,42 @@ class GraftTable(ident: String, private[sources] val location: String,
         GraftCatalog.scanKept.addAndGet(kept.size.toLong)
         GraftCatalog.scanTotal.addAndGet(m.entries.size.toLong)
         kept.map(pathOf)
+      },
+      // whole-aggregation answering from the manifest: COUNT/MIN/MAX
+      // with no filter collapse to one driver-side row — zero files
+      // listed or opened (see GraftTable.manifestAggregate for the
+      // exactness rules and every refusal)
+      (agg, pushedFilters) => {
+        val ans = GraftTable.manifestAggregate(m, agg, pushedFilters,
+          schema(), hasColumnMapping, hasTombstones)
+        if (ans.isDefined) GraftCatalog.aggAnswered.incrementAndGet()
+        ans
       }) {
       // micro-batch capability rides ON the batch scan: batch reads
       // delegate untouched, readStream.table tails the commit log at
       // the scan's (column-pruned) read schema
-      override def build(): org.apache.spark.sql.connector.read.Scan = {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        super.build() match {
+          // manifest-answered aggregate: a driver-side result row. It
+          // must surface UNWRAPPED — the strategy pattern-matches the
+          // scan's identity to plan a LocalTableScan — and it is never
+          // a streaming read (aggregate pushdown is batch-only), so the
+          // streaming wrap below does not apply. Mapped/tombstoned
+          // tables never produce one (manifestAggregate refuses), so
+          // the refusal wrapper isn't being bypassed either.
+          case l: org.apache.spark.sql.connector.read.LocalScan => l
+          case base => buildWrapped(base)
+        }
+
+      private def buildWrapped(
+          base: org.apache.spark.sql.connector.read.Scan)
+          : org.apache.spark.sql.connector.read.Scan = {
         val maxVersions = Option(options.get("maxVersionsPerTrigger"))
           .map(_.toLong)
         val startingVersion = Option(options.get("startingVersion"))
         val skipChange = Option(options.get("skipChangeCommits"))
           .exists(_.toBoolean)
-        val scan = new GraftStreaming.StreamableScan(super.build(),
+        val scan = new GraftStreaming.StreamableScan(base,
           readSchema => new GraftMicroBatchStream(ident, location,
             readSchema, maxVersions, startingVersion, skipChange),
           () => GraftTable.manifestStatistics(m, keptEntries.get()))
@@ -888,6 +917,128 @@ object GraftTable {
       override def columnStats()
           : java.util.Map[NamedReference, ColumnStatistics] = colStats
     })
+  }
+
+  /** Answer a pushed-down [[Aggregation]] ENTIRELY from manifest
+    * metadata — the 100 TB "metadata-only query": whole-table
+    * COUNT(*) / COUNT(col) / MIN / MAX collapse to one driver-side row
+    * computed from the per-file stat groups; not one data file is
+    * listed, opened or scanned, at ANY table size. Returns None (the
+    * caller falls back to a real scan — always correct, merely slower)
+    * whenever exactness is not PROVABLE from the manifest:
+    *
+    *   - any pushed data filter (per-file min/max cannot answer a
+    *     filtered aggregate exactly) or any GROUP BY;
+    *   - pending merge-on-read tombstones (visible rows ≠ file rows)
+    *     or column mapping (stats speak physical names);
+    *   - an unindexed table — there is no stats channel at all, and a
+    *     group-less entry line would be unprovable;
+    *   - a DISTINCT aggregate, or any function beyond count/min/max;
+    *   - COUNT without per-file row counts (pre-v4 manifests) or null
+    *     counts (v1 manifests record nulls as unknown) on every entry;
+    *   - MIN/MAX on a non-LONG/INT column (string bounds are stored
+    *     TRUNCATED — never exact; other types lose range in the
+    *     long-typed stat encoding), or on a column some non-sentinel
+    *     entry carries no stat group for (a file staged before that
+    *     column was indexed).
+    *
+    * Group-less entries in an INDEXED table are zero-row sentinels —
+    * the invariant [[TxnTable.recluster]]'s backfill guard protects —
+    * so they contribute 0 rows and no bounds; all-null files record
+    * the empty range (lo > hi) and contribute no bounds either (SQL
+    * MIN/MAX ignore nulls). An aggregate over only such entries is
+    * legitimately NULL. */
+  private[sources] def manifestAggregate(
+      m: TxnTable.Manifest,
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      schema: StructType,
+      mapped: Boolean,
+      tombstoned: Boolean): Option[(StructType,
+        Array[org.apache.spark.sql.catalyst.InternalRow])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    if (mapped || tombstoned || dataFilters.nonEmpty ||
+        agg.groupByExpressions.nonEmpty ||
+        (m.idxCols.isEmpty && m.strIdxCols.isEmpty) || m.entries.isEmpty)
+      return None
+    val entries = m.entries
+    def sentinel(e: TxnTable.Entry): Boolean =
+      e.stats.isEmpty && e.strStats.isEmpty
+    lazy val totalRows: Option[Long] = TxnTable.entriesBytesRows(entries)._2
+    def fieldOf(
+        expr: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = expr match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        schema.fields.find(_.name.equalsIgnoreCase(nr.fieldNames.head))
+      case _ => None
+    }
+    // per column: Some(value or NULL) when every entry either carries a
+    // bound for it, is a zero-row sentinel, or is provably all-null
+    def bound(expr: org.apache.spark.sql.connector.expressions.Expression,
+        wantMin: Boolean): Option[(StructField, Any)] =
+      fieldOf(expr).flatMap { f =>
+        if (f.dataType != LongType && f.dataType != IntegerType) None
+        else {
+          val per: Seq[Option[Option[Long]]] = entries.map { e =>
+            if (sentinel(e)) Some(None)
+            else e.statFor(f.name) match {
+              case Some((lo, hi)) =>
+                if (lo > hi) Some(None) // all-null file: no bounds
+                else Some(Some(if (wantMin) lo else hi))
+              case None => None // live file with no group for f: refuse
+            }
+          }
+          if (per.exists(_.isEmpty)) None
+          else {
+            val vals = per.flatten.flatten
+            val v: Any =
+              if (vals.isEmpty) null
+              else {
+                val l = if (wantMin) vals.min else vals.max
+                if (f.dataType == IntegerType) l.toInt else l
+              }
+            Some((f, v))
+          }
+        }
+      }
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    agg.aggregateExpressions.foreach {
+      case _: CountStar => totalRows match {
+        case Some(n) =>
+          fields += StructField("count(*)", LongType, nullable = false)
+          values += n
+        case None => return None
+      }
+      case c: Count if !c.isDistinct =>
+        (for {
+          f <- fieldOf(c.column)
+          t <- totalRows
+          nn <- TxnTable.entriesNulls(entries, f.name)
+        } yield (f, t - nn)) match {
+          case Some((f, v)) =>
+            fields += StructField(s"count(${f.name})", LongType,
+              nullable = false)
+            values += v
+          case None => return None
+        }
+      case mn: Min => bound(mn.column, wantMin = true) match {
+        case Some((f, v)) =>
+          fields += StructField(s"min(${f.name})", f.dataType)
+          values += v
+        case None => return None
+      }
+      case mx: Max => bound(mx.column, wantMin = false) match {
+        case Some((f, v)) =>
+          fields += StructField(s"max(${f.name})", f.dataType)
+          values += v
+        case None => return None
+      }
+      case _ => return None
+    }
+    Some((StructType(fields.toSeq), Array(
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.toSeq))))
   }
 }
 

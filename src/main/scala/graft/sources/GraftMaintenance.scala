@@ -141,9 +141,10 @@ private[sources] object GraftMaintenance {
 
   def procedures: Seq[String] =
     Seq("compact", "compact_range", "vacuum", "expire_snapshots",
-      "checkpoint", "restore", "recluster",
+      "checkpoint", "restore", "recluster", "reindex",
       "zorder", "tag", "drop_tag", "clone", "publish", "branch",
-      "fastforward", "rebase", "drop_branch", "rewrite_tombstones")
+      "fastforward", "rebase", "drop_branch", "rewrite_tombstones",
+      "dedup")
 
   def load(catalog: GraftCatalog, warehouse: String, name: String)
       : UnboundProcedure = {
@@ -242,6 +243,19 @@ private[sources] object GraftMaintenance {
         }
         TxnTable.recluster(s, tbl(s, in), cols(1), cols(2))
       }
+      // stats BACKFILL for the unindexed→indexed transition recluster
+      // refuses: one read-only scan annotates every live file with
+      // stat groups, no rewrite — CALL graft.system.reindex('ns.t','k')
+      case "reindex" => p("reindex", Seq(tableParam,
+        ProcedureParameter.in("index_cols", StringType).build(),
+        ProcedureParameter.in("str_index_cols", StringType)
+          .defaultValue("''").build())) { (s, in) =>
+        def cols(i: Int): Seq[String] = {
+          val v = in.getUTF8String(i).toString
+          if (v.isEmpty) Nil else v.split(',').toSeq
+        }
+        TxnTable.reindex(s, tbl(s, in), cols(1), cols(2))
+      }
       // OPTIMIZE ZORDER BY as a procedure: CALL graft.system.zorder(
       // 'ns.t', 'a,b') rewrites the snapshot z-ordered on the named
       // integral dimensions and adopts them as the index spec
@@ -313,6 +327,13 @@ private[sources] object GraftMaintenance {
       // collapse accumulated equality tombstones into one bounded file
       // per key column — zero data files touched (the between-
       // compactions maintenance for merge-per-batch streams)
+      // positional deletion-vector dedup: keep the first copy of every
+      // key group, zero rewrite — CALL graft.system.dedup('ns.t','k,v')
+      case "dedup" => p("dedup", Seq(tableParam,
+        ProcedureParameter.in("key_cols", StringType).build())) { (s, in) =>
+        TxnTable.dedupMor(s, tbl(s, in),
+          in.getUTF8String(1).toString.split(',').toSeq)
+      }
       case "rewrite_tombstones" => p("rewrite_tombstones",
         Seq(tableParam)) { (s, in) =>
         TxnTable.rewriteTombstones(s, tbl(s, in))

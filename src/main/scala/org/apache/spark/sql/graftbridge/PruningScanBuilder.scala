@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.InMemoryFileIndex
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -38,37 +38,75 @@ class PruningScanBuilder(
     schema: StructType,
     options: CaseInsensitiveStringMap,
     allPaths: Seq[Path],
-    prune: Seq[Expression] => Seq[Path])
+    prune: Seq[Expression] => Seq[Path],
+    aggAnswer: (Aggregation, Seq[Expression]) =>
+      Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])]
+      = (_, _) => None)
   extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
   private var inner: ParquetScanBuilder = _
+  private var pushedCatalyst: Seq[Expression] = Nil
+  private var pendingPaths: () => Seq[Path] = () => allPaths
+  private var answered:
+    Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] =
+    None
 
-  private def ensure(paths: => Seq[Path]): ParquetScanBuilder = {
+  /** The inner parquet builder is constructed LAZILY, at the first hook
+    * that genuinely needs a file index: a metadata-answered aggregate
+    * then never lists, opens or indexes a single file — the whole query
+    * is one manifest read. Spark's hook order (filters → aggregates →
+    * columns → build) makes this safe: by the time pruneColumns/build
+    * run, the recorded filters seed the same pruned index the eager
+    * construction produced. */
+  private def ensure(): ParquetScanBuilder = {
     if (inner == null) {
-      val index = new InMemoryFileIndex(spark, paths,
+      val index = new InMemoryFileIndex(spark, pendingPaths(),
         Map.empty[String, String], Some(schema))
       inner = ParquetScanBuilder(spark, index, schema, schema, options)
+      inner.pushFilters(pushedCatalyst)
     }
     inner
   }
 
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    ensure(prune(filters)).pushFilters(filters)
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushedCatalyst = filters
+    pendingPaths = () => prune(filters)
+    // with no partition columns every conjunct is a data filter, and
+    // parquet always re-evaluates data filters above the scan — so the
+    // post-scan set is the input set, exactly what the eager
+    // inner.pushFilters returned
+    filters
+  }
 
-  override def pushedFilters(): Array[Predicate] =
-    ensure(allPaths).pushedFilters
+  override def pushedFilters(): Array[Predicate] = ensure().pushedFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    ensure(allPaths).pruneColumns(requiredSchema)
+    ensure().pruneColumns(requiredSchema)
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    ensure(allPaths).pushAggregation(aggregation)
+    answered.isDefined || ensure().pushAggregation(aggregation)
 
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    ensure(allPaths).supportCompletePushDown(aggregation)
+  /** Spark consults this FIRST (then [[pushAggregation]]): when the
+    * caller's `aggAnswer` can serve the whole aggregation from table
+    * metadata, [[build]] returns a driver-side [[LocalScan]] holding
+    * the single result row — zero files listed, opened or scanned.
+    * Otherwise everything delegates to the parquet builder (per-footer
+    * pushdown, off by default). */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = {
+    answered = aggAnswer(aggregation, pushedCatalyst)
+    answered.isDefined || ensure().supportCompletePushDown(aggregation)
+  }
 
-  override def build(): Scan = ensure(allPaths).build()
+  override def build(): Scan = answered match {
+    case Some((aggSchema, rs)) => new LocalScan {
+      override def readSchema(): StructType = aggSchema
+      override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+        rs
+      override def description(): String = "GraftManifestAggregate"
+    }
+    case None => ensure().build()
+  }
 }

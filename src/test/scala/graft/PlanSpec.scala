@@ -432,6 +432,60 @@ class PlanSpec extends SparkSpec {
     assert(allFiles === Seq(5), s"unfiltered scan lost files: $allFiles")
   }
 
+  test("whole-table aggregates answer from the manifest: LocalScan in " +
+      "the plan, zero file-index builds, exact values incl. all-null") {
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(spark)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.spec")
+    spark.sql("DROP TABLE IF EXISTS graft.spec.aggpush")
+    spark.sql("CREATE TABLE graft.spec.aggpush (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    (0 until 3).foreach { i =>
+      spark.sql("INSERT INTO graft.spec.aggpush SELECT " +
+        s"/*+ REPARTITION(1) */ id + ${i * 100}, 'x' FROM RANGE(100)")
+    }
+    val (h0, s0) =
+      (GraftCatalog.aggAnswered.get(), GraftCatalog.scanTotal.get())
+    val agg = spark.sql("SELECT count(*) AS c, count(k) AS ck, " +
+      "min(k) AS mn, max(k) AS mx FROM graft.spec.aggpush")
+    val r = agg.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((300L, 300L, 0L, 299L)))
+    // the optimized plan's leaf is the driver-side LocalScan relation —
+    // the aggregation never became a file scan (asserted from the
+    // LOGICAL side: AQE hides physical leaves)
+    val localLeaf = agg.queryExecution.optimizedPlan.collectLeaves().exists {
+      case rel: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation =>
+        rel.scan.isInstanceOf[org.apache.spark.sql.connector.read.LocalScan]
+      case _ => false
+    }
+    assert(localLeaf, "aggregate did not plan as a manifest LocalScan")
+    assert(GraftCatalog.aggAnswered.get() - h0 >= 1L)
+    assert(GraftCatalog.scanTotal.get() === s0,
+      "metadata-only aggregate built a file index")
+    // string min/max is NEVER metadata-answered (truncated bounds)
+    val h1 = GraftCatalog.aggAnswered.get()
+    val sv = spark.sql(
+      "SELECT max(v) AS mv FROM graft.spec.aggpush").collect().head
+    assert(sv.getString(0) === "x")
+    assert(GraftCatalog.aggAnswered.get() === h1,
+      "string bounds must not be answered from truncated stats")
+    // an all-null indexed column: exact zero non-null count, NULL bounds,
+    // still answered from the manifest (the empty-range convention)
+    spark.sql("DROP TABLE IF EXISTS graft.spec.aggnull")
+    spark.sql("CREATE TABLE graft.spec.aggnull (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    spark.sql("INSERT INTO graft.spec.aggnull SELECT /*+ REPARTITION(1) */ " +
+      "CAST(NULL AS BIGINT), 'n' FROM RANGE(10)")
+    val h2 = GraftCatalog.aggAnswered.get()
+    val rn = spark.sql("SELECT count(*) AS c, count(k) AS ck, " +
+      "min(k) AS mn, max(k) AS mx FROM graft.spec.aggnull").collect().head
+    assert(rn.getLong(0) === 10L && rn.getLong(1) === 0L &&
+      rn.isNullAt(2) && rn.isNullAt(3))
+    assert(GraftCatalog.aggAnswered.get() - h2 === 1L)
+  }
+
   test("manifest stats flip the broadcast decision for snapshot joins") {
     // r10: per-file HLL + row-count stats in the manifest must drive the
     // build-side pick with size-based planning OFF — the decision comes

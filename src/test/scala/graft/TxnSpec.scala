@@ -1830,6 +1830,110 @@ class TxnSpec extends SparkSpec {
     assert(exR.getMessage.contains("reserved"))
   }
 
+  test("positional dedup (deletion vectors): keep-first among exact " +
+      "copies, zero rewrite, pinned reads intact, re-inserts survive, " +
+      "compact folds the vector away") {
+    val s2 = spark
+    import s2.implicits._
+    val t = freshTable("dedup_dv")
+    // 60 distinct rows + a second copy of a third of them, spread
+    // across files so copies straddle file boundaries
+    val base = (0 until 60).map(i => (i.toLong, s"v$i"))
+    val dups = base.filter(_._1 % 3 == 0)
+    TxnTable.create(spark, t, base.toDF("k", "v").repartition(3))
+    TxnTable.append(spark, t, dups.toDF("k", "v").repartition(2))
+    val v1 = TxnTable.currentVersion(spark, t)
+    val before = TxnTable.snapshot(spark, t).count()
+    assert(before === 80L)
+    val filesBefore = TxnTable.liveFiles(spark, t, v1)
+    val v2 = TxnTable.dedupMor(spark, t, Seq("k", "v"))
+    val m2 = TxnTable.manifest(spark, t, v2)
+    // ZERO rewrite: entry paths byte-identical, one ~pos tombstone
+    assert(m2.entries.map(_.path) === filesBefore)
+    assert(m2.deletes.map(_._2) === Seq("~pos"))
+    // content = exactly the distinct multiset (keeper per group)
+    val got = TxnTable.snapshot(spark, t).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === base.sortBy(_._1), "dedup lost or kept wrong copies")
+    // the pinned pre-dedup version still sees every copy
+    assert(TxnTable.snapshot(spark, t, v1).count() === 80L)
+    // a dedup with nothing to kill is a NO-OP commit-wise
+    assert(TxnTable.dedupMor(spark, t, Seq("k", "v")) === v2)
+    // duplicates RE-INTRODUCED after the dedup land in newer files the
+    // coordinates can never name — they stay visible (MoR sequencing)
+    TxnTable.append(spark, t, dups.take(5).toDF("k", "v"))
+    assert(TxnTable.snapshot(spark, t).count() === 65L)
+    // compact applies the vector and clears it; content preserved
+    val vc = TxnTable.compact(spark, t)
+    assert(TxnTable.deleteFiles(spark, t, vc).isEmpty)
+    assert(TxnTable.snapshot(spark, t).count() === 65L)
+    // rewriteTombstones must never collapse a positional line: a fresh
+    // vector + one equality tombstone → only the equality collapses...
+    val t3 = freshTable("dedup_dv_rw")
+    TxnTable.create(spark, t3, base.toDF("k", "v").repartition(2))
+    TxnTable.append(spark, t3, dups.toDF("k", "v"))
+    TxnTable.dedupMor(spark, t3, Seq("k", "v"))
+    TxnTable.deleteKeysMor(spark, t3, Seq(1L).toDF("k"), "k")
+    TxnTable.deleteKeysMor(spark, t3, Seq(2L).toDF("k"), "k")
+    TxnTable.rewriteTombstones(spark, t3)
+    val m3 = TxnTable.manifest(spark, t3,
+      TxnTable.currentVersion(spark, t3))
+    assert(m3.deletes.map(_._2).sorted === Seq("k~L", "~pos"),
+      s"wrong tombstone kinds after rewrite: ${m3.deletes.map(_._2)}")
+    val expect3 = (0L until 60L).filterNot(k => k == 1L || k == 2L)
+    assert(TxnTable.snapshot(spark, t3).as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq === expect3)
+    // ...and TWO vectors (a dedup-per-batch stream's accretion) UNION
+    // into one at the lines' max seq — same kill set, fewer files
+    TxnTable.append(spark, t3, dups.take(4).toDF("k", "v"))
+    TxnTable.dedupMor(spark, t3, Seq("k", "v"))
+    assert(TxnTable.manifest(spark, t3,
+      TxnTable.currentVersion(spark, t3))
+      .deletes.count(_._2 == "~pos") === 2)
+    TxnTable.rewriteTombstones(spark, t3)
+    val m4 = TxnTable.manifest(spark, t3,
+      TxnTable.currentVersion(spark, t3))
+    assert(m4.deletes.map(_._2).sorted === Seq("k~L", "~pos"),
+      s"vector union wrong: ${m4.deletes.map(_._2)}")
+    assert(TxnTable.snapshot(spark, t3).as[(Long, String)].collect()
+      .map(_._1).sorted.toSeq === expect3,
+      "vector union changed the kill set")
+  }
+
+  test("recluster refuses unindexed-to-indexed over stat-less files; " +
+      "reindex backfills exact stats with one scan and zero rewrites") {
+    val s2 = spark
+    import s2.implicits._
+    val t = freshTable("reindex")
+    TxnTable.create(spark, t,
+      (0 until 200).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+        .repartition(4))
+    // header-only indexing would make every live file read as a
+    // zero-row sentinel (CBO rows, metadata aggregates) — refused
+    val ex = intercept[IllegalArgumentException] {
+      TxnTable.recluster(spark, t, Seq("k"))
+    }
+    assert(ex.getMessage.contains("reindex"))
+    val before =
+      TxnTable.liveFiles(spark, t, TxnTable.currentVersion(spark, t))
+    val v = TxnTable.reindex(spark, t, Seq("k"))
+    val m = TxnTable.manifest(spark, t, v)
+    assert(m.idxCols === Seq("k"))
+    // the SAME files (no rewrite, seqs preserved), now fully stat-ed
+    assert(m.entries.map(_.path) === before)
+    assert(m.entries.forall(e => e.stats.nonEmpty && e.hlls.nonEmpty &&
+      e.bytes > 0))
+    val (bytes, rows) = TxnTable.entriesBytesRows(m.entries)
+    assert(rows === Some(200L), s"backfilled rows wrong: $rows")
+    assert(bytes.exists(_ > 0))
+    assert(m.entries.flatMap(_.statFor("k")).map(_._1).min === 0L)
+    assert(m.entries.flatMap(_.statFor("k")).map(_._2).max === 199L)
+    // with stats live, changing WHICH columns cluster is metadata-only
+    // again (no refusal: every entry now carries groups)
+    val v2 = TxnTable.recluster(spark, t, Seq("k"), Nil)
+    assert(TxnTable.manifest(spark, t, v2).entries.map(_.path) === before)
+  }
+
   test("bucket16 transform: point equality prunes via bucket stats on " +
       "BOTH read paths; range stats would prune nothing") {
     val s2 = spark
