@@ -103,6 +103,7 @@ object SparkEntry {
     "op_delete_pruned"        -> (TxnTable.deletePruned _),
     "op_delete_mor"           -> (TxnTable.deleteMor _),
     "op_dedup_mor"            -> (TxnTable.dedupMorScenario _),
+    "op_delete_dv"            -> (TxnTable.deleteDvScenario _),
     "op_txn_restore"          -> (TxnTable.txnRestore _),
     "op_bloom_skip"           -> (TxnTable.bloomSkip _),
     "op_txn_clone"            -> (TxnTable.txnClone _),
@@ -1944,6 +1945,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT st, COUNT(*), CAST(SUM(price) AS DOUBLE), 'compacted', TRUE
         |FROM b GROUP BY st""".stripMargin,
+    // Arbitrary-predicate deletion-vector delete: cent-value % 7
+    // victims killed by (file, position) coordinate with zero rewrite;
+    // survivors hashed from the MoR read and again from the compacted
+    // materialization; zero-rewrite + vector-kind + pinned accounting
+    // travels as a boolean
+    "op_delete_dv" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |  f AS (SELECT * FROM b WHERE CAST(price * 100 AS BIGINT) % 7 <> 0)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total, 'dv' AS src,
+        |  TRUE AS dvdel_ok
+        |FROM f GROUP BY st
+        |UNION ALL
+        |SELECT st, COUNT(*), CAST(SUM(price) AS DOUBLE), 'compacted', TRUE
+        |FROM f GROUP BY st""".stripMargin,
     // IS NULL pruning via null-count manifest stats: the null rows are
     // exactly the lowest-eighth keys (oracle-replayed); the metadata
     // prune travels as a boolean

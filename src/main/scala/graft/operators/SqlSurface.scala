@@ -383,11 +383,16 @@ object SqlSurface {
     val agg = """SELECT count(*) AS cnt, count(o_orderkey) AS cnt_k,
       min(o_orderkey) AS min_k, max(o_orderkey) AS max_k
       FROM graft.q.ap_orders"""
-    val (hits0, scans0) =
-      (GraftCatalog.aggAnswered.get(), GraftCatalog.scanTotal.get())
+    val (hits0, scans0, builds0) =
+      (GraftCatalog.aggAnswered.get(), GraftCatalog.scanTotal.get(),
+        GraftCatalog.indexBuilds.get())
     val metaRow = s.sql(agg).collect()(0)
     val hits = GraftCatalog.aggAnswered.get() - hits0
     val scans = GraftCatalog.scanTotal.get() - scans0
+    // builds counts INDEX CONSTRUCTIONS, not prune invocations: the
+    // prune callback never fires for an unfiltered query, so scans==0
+    // alone could not catch an eager-build regression here
+    val builds = GraftCatalog.indexBuilds.get() - builds0
     // the same aggregate WITH a (vacuously true) filter must refuse
     // the metadata path, really scan, and agree on every value
     val hits1 = GraftCatalog.aggAnswered.get()
@@ -407,7 +412,7 @@ object SqlSurface {
     val morCnt = s.sql("SELECT count(*) AS n FROM graft.q.ap_mor")
       .collect()(0).getLong(0)
     val morRefused = GraftCatalog.aggAnswered.get() == hits2
-    val ok = hits == 1L && scans == 0L &&
+    val ok = hits == 1L && scans == 0L && builds == 0L &&
       (0 until 4).forall(i => metaRow.getLong(i) == scanRow.getLong(i)) &&
       filteredRefused && morCnt == 97L && morRefused
     s.sql(agg).withColumn("agg_ok", lit(ok))

@@ -168,6 +168,36 @@ object TxnTable {
     } finally in.close()
   }
 
+  /** Read ONLY metric `key` from version `v`'s `#metrics=` header (−1
+    * when absent). #format/#op/#ts/#metrics lead the manifest in that
+    * fixed order, so this stops after ≤4 lines — [[mergeBranch]]'s
+    * resume scan walks a lineage with it instead of fully parsing every
+    * manifest's entry lines (O(commits) tiny reads, never
+    * O(commits × table files)). */
+  private def manifestHeaderMetric(s: SparkSession, table: String,
+      v: Long, key: String): Long = {
+    val mp = manifestPath(table, v)
+    val f = fs(s, mp)
+    require(f.exists(mp),
+      s"$table version $v not found (vacuumed or never committed)")
+    logReads.incrementAndGet()
+    val in = f.open(mp)
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, UTF_8))
+      var line = br.readLine()
+      while (line != null && (line.startsWith("#format=") ||
+        line.startsWith("#op=") || line.startsWith("#ts=")))
+        line = br.readLine()
+      if (line != null && line.startsWith("#metrics="))
+        line.stripPrefix("#metrics=").split(',')
+          .collectFirst { case kv if kv.startsWith(key + ":") =>
+            kv.stripPrefix(key + ":").toLong }
+          .getOrElse(-1L)
+      else -1L
+    } finally in.close()
+  }
+
   /** One fully-parsed manifest — a snapshot resolution or a guarded
     * write reads and parses the log file ONCE and threads this struct
     * through, instead of re-opening the same manifest for each facet
@@ -943,6 +973,11 @@ object TxnTable {
     // commit — so a merge interrupted between a commit and its marker
     // write still resumes where it stopped when into's head IS that
     // commit.
+    // nothing to merge per the marker alone → skip the lineage scan
+    // below entirely (the metric can only ADVANCE the base, and it is
+    // already at from's head)
+    val markBase = Seq(fBase, readMergeMark(s, table, iLeaf, fLeaf)).max
+    if (fHead == markBase) return iHead
     val mCur = manifest(s, id, iHead)
     // The head's metric alone is NOT a sufficient resume record: any
     // ordinary append/compact after an interrupted merge buries it, and
@@ -950,15 +985,16 @@ object TxnTable {
     // in-loop skip guard would otherwise use as landing proof — the
     // repeated merge would then silently re-add already-carried rows.
     // The metric is monotone per (into, from) pair, so a newest-first
-    // scan of into's surviving lineage stops at the first hit; cost is
-    // O(commits since the last merge of this pair) small header reads,
-    // and expireSnapshots bounds the history length.
+    // scan of into's surviving lineage stops at the first hit; each
+    // probe is a HEADER-ONLY read (#metrics leads the file) — a
+    // long-lived into branch never pays a full entry-line parse per
+    // version, and expireSnapshots bounds the history length.
     val metricBase = versions(s, id).reverseIterator
-      .map(v => (if (v == iHead) mCur else manifest(s, id, v))
-        .metrics.getOrElse(s"merged_$fLeaf", -1L))
+      .map(v => if (v == iHead)
+          mCur.metrics.getOrElse(s"merged_$fLeaf", -1L)
+        else manifestHeaderMetric(s, id, v, s"merged_$fLeaf"))
       .find(_ >= 0).getOrElse(-1L)
-    val mBase = Seq(fBase, readMergeMark(s, table, iLeaf, fLeaf),
-      metricBase).max
+    val mBase = Seq(markBase, metricBase).max
     require(versions(s, fd).contains(mBase),
       s"$table: branch '$from' lost its merge-base manifest " +
         s"(version $mBase was vacuumed from the branch lineage)")
@@ -3011,10 +3047,52 @@ object TxnTable {
       .withColumn("__grn", row_number().over(w))
       .filter(col("__grn") > 1)
       .select(col("__gcanon").as("f"), col("__gpos").as("p"))
-    // no duplicates → no commit (an empty vector would tax every read)
-    if (victims.isEmpty) return cur
+    // stage FIRST, then count the (tiny) staged parquet: the dominant
+    // cost — the keyed shuffle + window over the whole table read —
+    // executes exactly once; a victims.isEmpty pre-pass would recompute
+    // the identical uncached plan from scratch
     val staged = stage(s, table, victims.coalesce(1))
+    // no duplicates → no commit (an empty vector would tax every read);
+    // an empty partition may also have written no file at all
+    val vecRows = if (staged.isEmpty) 0L
+      else s.read.parquet(staged.map(pathFor(table, _)): _*).count()
+    if (vecRows == 0L) { dropStaged(s, table, staged); return cur }
     commit(s, table, m.entries.map(render), cur, op = "dedup_mor",
+      schemaJson = m.schema.map(_.json).orNull,
+      deleteLines = m.deletes ++ staged.map((_, "~pos", -1L)),
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      retired = m.retired, checks = m.checks)
+  }
+
+  /** ARBITRARY-PREDICATE merge-on-read DELETE via a positional deletion
+    * vector — per-row erasure with ZERO data rewritten and NO key
+    * column required: every visible row matching `pred` (over the
+    * table's LOGICAL schema) is committed by (file, position)
+    * coordinate under the reserved `~pos` tombstone kind. This is the
+    * shape neither equality tombstones (need a key column whose other
+    * rows must survive) nor copy-on-write [[deleteWhere]]/deleteRange
+    * (rewrite every touched file; need stats to prune) can give a
+    * predicate over unindexed columns. One tombstone-applied scan finds
+    * the victims — fundamental: an arbitrary predicate must be
+    * evaluated once — and the committed vector is |deleted rows|-sized:
+    * the scattered-small-delete (GDPR-by-attribute) shape. A delete of
+    * a large fraction should go copy-on-write instead, where the
+    * rewrite IS the compaction. Pinned pre-delete versions still see
+    * every row; a matching row (re)inserted later lands in a fresh file
+    * the coordinates can never name (standard MoR sequencing,
+    * self-enforcing, same as [[dedupMor]]); [[compact]] folds the
+    * vector away; no-match deletes commit nothing. */
+  def deleteWherePos(s: SparkSession, table: String, pred: Column): Long = {
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    val victims = readEntriesPos(s, table, m, m.entries, keepPos = true)
+      .filter(pred)
+      .select(col("__gcanon").as("f"), col("__gpos").as("p"))
+    val staged = stage(s, table, victims.coalesce(1))
+    val vecRows = if (staged.isEmpty) 0L
+      else s.read.parquet(staged.map(pathFor(table, _)): _*).count()
+    if (vecRows == 0L) { dropStaged(s, table, staged); return cur }
+    commit(s, table, m.entries.map(render), cur, op = "delete_dv",
       schemaJson = m.schema.map(_.json).orNull,
       deleteLines = m.deletes ++ staged.map((_, "~pos", -1L)),
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
@@ -3132,6 +3210,38 @@ object TxnTable {
     * data copied), which pass through untouched. */
   private[graft] def pathFor(table: String, rel: String): String =
     if (rel.startsWith("/")) rel else s"$table/$rel"
+
+  /** Every spelling `input_file_name()` could report for an absolute
+    * path: raw, slash-collapsed, and URI-escaped forms, each bare and
+    * under `file:`/`file://`. Paths that already carry a scheme
+    * (hdfs://, s3a://…) pass through raw — they match input_file_name
+    * verbatim, and the file-URI constructor would reject them. Shared
+    * by the bounded/positional read join ([[readEntriesPos]]) and the
+    * [[reindex]] stats-backfill lookup — any place that must resolve a
+    * scan-side file name back to its manifest entry. */
+  private def pathVariants(abs0: String): Seq[String] = {
+    val norm = abs0.replaceAll("(?<!:)/{2,}", "/")
+    Seq(abs0, norm).flatMap { abs =>
+      if (!abs.startsWith("/")) Seq(abs)
+      else {
+        val esc = new java.net.URI("file", null, abs, null).getRawPath
+        Seq(abs, s"file:$abs", s"file://$abs",
+          esc, s"file:$esc", s"file://$esc")
+      }
+    }.distinct
+  }
+
+  /** ONE canonical spelling for a row coordinate's file path — what
+    * positional (`~pos`) tombstones RECORD and what reads COMPARE, both
+    * derived here, so a respelled table location (double slash,
+    * trailing slash, `file:` prefix) can never silently split a
+    * committed vector from its rows. Hadoop Path normalization does the
+    * collapsing; scheme'd paths normalize within their scheme.
+    * (Relocating a table directory invalidates absolute references —
+    * vectors included — exactly like every other absolute ref in the
+    * format: clone entries, bloom sidecar dirs.) */
+  private def canonCoord(p: String): String =
+    new Path(p.replaceFirst("^file:(//)?(?=/)", "")).toString
 
   // ---- COLUMN MAPPING: RENAME/DROP COLUMN as pure metadata ----
   //
@@ -3561,31 +3671,17 @@ object TxnTable {
       val withSeq =
         if (!hasBounded && !hasPos) raw
         else {
-          def variants(abs0: String): Seq[String] = {
-            // input_file_name() reports the fs-normalized URI — cover
-            // raw, slash-collapsed, and URI-escaped forms of each path.
-            // Paths that already carry a scheme (hdfs://, s3a://…) pass
-            // through raw: they match input_file_name verbatim, and the
-            // file-URI constructor would reject them.
-            val norm = abs0.replaceAll("(?<!:)/{2,}", "/")
-            Seq(abs0, norm).flatMap { abs =>
-              if (!abs.startsWith("/")) Seq(abs)
-              else {
-                val esc =
-                  new java.net.URI("file", null, abs, null).getRawPath
-                Seq(abs, s"file:$abs", s"file://$abs",
-                  esc, s"file:$esc", s"file://$esc")
-              }
-            }.distinct
-          }
           // each variant maps to the entry's (seq, canonical absolute
           // path): seq feeds bounded kills, the canonical path is the
-          // file coordinate positional tombstones record — stable
-          // across clones (absolute paths pass through [[pathFor]]
-          // verbatim on both sides)
+          // file coordinate positional tombstones record. [[canonCoord]]
+          // normalizes the spelling on BOTH sides (vectors are written
+          // from this very column), so a session that respells the same
+          // table location can never silently detach a vector from its
+          // rows; clones stay covered because absolute entry paths pass
+          // through [[pathFor]] verbatim before canonicalization
           val pathSeqRows = es.flatMap(e =>
-            variants(pathFor(table, e.path)).map(v =>
-              Row(v, e.seq, pathFor(table, e.path))))
+            pathVariants(pathFor(table, e.path)).map(v =>
+              Row(v, e.seq, canonCoord(pathFor(table, e.path)))))
           // parallelize (not a LocalRelation literal): the rows ride the
           // RDD's serialized partitions, sliced so no single task drags
           // the whole mapping through its closure
@@ -4913,6 +5009,41 @@ object TxnTable {
       .withColumn("dv_ok", lit(ok))
   }
 
+  /** op_delete_dv: [[deleteWherePos]] as a checked query — scattered
+    * per-row erasure BY PREDICATE on the UNINDEXED price column
+    * (cent-value % 7, deterministic and oracle-replayable), victims in
+    * every file so copy-on-write would rewrite the whole table and no
+    * key column exists to tombstone by. The delete commits ONE
+    * |victims|-sized coordinate vector with every entry verbatim
+    * (asserted line-for-line); the pinned pre-delete version still
+    * counts every row; compact() folds the vector into a clean
+    * generation. Hashed output = the survivor aggregate from BOTH
+    * generations (MoR read and compacted materialization — they must
+    * agree); the zero-rewrite + vector-kind + pinned accounting travels
+    * as `dvdel_ok`. */
+  def deleteDvScenario(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("dvdel_orders")
+    val base = ordersSlice(s, d)
+    create(s, t, base.repartition(8))
+    val before = liveEntries(s, t, 0).map(render)
+    val nAll = snapshot(s, t, 0).count()
+    // cents % 7: decimal(12,2) × 100 is an exact integral — the
+    // arithmetic replays bit-for-bit in the oracle
+    val pred = pmod((col("price") * lit(100)).cast("long"), lit(7)) === 0
+    val v1 = deleteWherePos(s, t, pred)
+    val verbatim = liveEntries(s, t, v1).map(render) == before
+    val vector = manifest(s, t, v1).deletes
+    val survivors = snapshot(s, t, v1).count()
+    val dvAgg = statusAgg(snapshot(s, t, v1), "dv")
+    val v2 = compact(s, t)
+    val ok = verbatim && vector.map(_._2) == Seq("~pos") &&
+      deleteFiles(s, t, v2).isEmpty &&
+      snapshot(s, t, 0).count() == nAll &&
+      survivors < nAll && snapshot(s, t, v2).count() == survivors
+    dvAgg.unionByName(statusAgg(snapshot(s, t, v2), "compacted"))
+      .withColumn("dvdel_ok", lit(ok))
+  }
+
   /** op_cdc_read: the change feed between two committed versions — what
     * incremental downstream pipelines consume instead of re-reading 100 TB.
     * v0 = the base slice; v1 = copy-on-write overwrite applying a
@@ -5138,12 +5269,25 @@ object TxnTable {
     val sch = m.schema.getOrElse(snapshot(s, table, cur).schema)
     def abs(e: Entry): String = pathFor(table, e.path)
     def norm(p: String): String = new Path(p).toUri.getPath
+    // statGroupsByFile keys by RAW input_file_name() — a URI-escaped
+    // `file:` form for paths with spaces etc. that single-form
+    // normalization cannot match. Resolve each scan key through the
+    // same variant space the read join uses, and fail LOUDLY on a
+    // miss: an unmatched file silently falling into the zero-row
+    // sentinel branch would hand every stats consumer (metadata-only
+    // aggregates, the zero-row DML filters) wrong answers
+    val varIndex: Map[String, String] = m.entries.flatMap(e =>
+      pathVariants(abs(e)).map(v => (v, norm(abs(e))))).toMap
     val byFile =
       if (m.entries.isEmpty) Map.empty[String,
         (Seq[ColStat], Seq[HllStat], Seq[StrStat])]
       else statGroupsByFile(
         s.read.schema(sch).parquet(m.entries.map(abs): _*),
-        indexCols, strCols).map { case (f, v) => (norm(f), v) }
+        indexCols, strCols).map { case (f, v) =>
+        (varIndex.getOrElse(f, sys.error(
+          s"$table: reindex cannot map scanned file $f back to a " +
+            "manifest entry — path-variant resolution bug")), v)
+      }
     // byte sizes from one listing per distinct parent directory
     val sizes = m.entries.map(e => new Path(abs(e)).getParent).distinct
       .flatMap { d =>

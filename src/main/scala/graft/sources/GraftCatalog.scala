@@ -500,6 +500,12 @@ object GraftCatalog {
     * listed, opened or scanned), cumulative since process start. */
   val aggAnswered = new java.util.concurrent.atomic.AtomicLong
 
+  /** File-index CONSTRUCTIONS by DSv2 catalog scans (the lazily-built
+    * InMemoryFileIndex inside the pruning builder), cumulative since
+    * process start — the direct witness that a metadata-answered
+    * aggregate never built one, filtered or not. */
+  val indexBuilds = new java.util.concurrent.atomic.AtomicLong
+
 }
 
 /** One resolved snapshot of a TxnTable, pinned at `version`: reads plan
@@ -602,7 +608,8 @@ class GraftTable(ident: String, private[sources] val location: String,
           schema(), hasColumnMapping, hasTombstones)
         if (ans.isDefined) GraftCatalog.aggAnswered.incrementAndGet()
         ans
-      }) {
+      },
+      () => GraftCatalog.indexBuilds.incrementAndGet()) {
       // micro-batch capability rides ON the batch scan: batch reads
       // delegate untouched, readStream.table tails the commit log at
       // the scan's (column-pruned) read schema

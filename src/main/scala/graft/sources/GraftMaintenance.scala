@@ -324,9 +324,6 @@ private[sources] object GraftMaintenance {
         ProcedureParameter.in("name", StringType).build())) { (s, in) =>
         TxnTable.rebase(s, tbl(s, in), in.getUTF8String(1).toString)
       }
-      // collapse accumulated equality tombstones into one bounded file
-      // per key column — zero data files touched (the between-
-      // compactions maintenance for merge-per-batch streams)
       // positional deletion-vector dedup: keep the first copy of every
       // key group, zero rewrite — CALL graft.system.dedup('ns.t','k,v')
       case "dedup" => p("dedup", Seq(tableParam,
@@ -334,6 +331,18 @@ private[sources] object GraftMaintenance {
         TxnTable.dedupMor(s, tbl(s, in),
           in.getUTF8String(1).toString.split(',').toSeq)
       }
+      // arbitrary-predicate deletion-vector delete: per-row erasure by
+      // (file, position) coordinate, zero rewrite —
+      // CALL graft.system.delete_dv('ns.t', 'm % 7 = 0'); the predicate
+      // is SQL text over the table's logical schema
+      case "delete_dv" => p("delete_dv", Seq(tableParam,
+        ProcedureParameter.in("predicate", StringType).build())) { (s, in) =>
+        TxnTable.deleteWherePos(s, tbl(s, in),
+          org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))
+      }
+      // collapse accumulated equality tombstones into one bounded file
+      // per key column — zero data files touched (the between-
+      // compactions maintenance for merge-per-batch streams)
       case "rewrite_tombstones" => p("rewrite_tombstones",
         Seq(tableParam)) { (s, in) =>
         TxnTable.rewriteTombstones(s, tbl(s, in))

@@ -41,7 +41,8 @@ class PruningScanBuilder(
     prune: Seq[Expression] => Seq[Path],
     aggAnswer: (Aggregation, Seq[Expression]) =>
       Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])]
-      = (_, _) => None)
+      = (_, _) => None,
+    onIndexBuild: () => Unit = () => ())
   extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
@@ -63,6 +64,12 @@ class PruningScanBuilder(
     * construction produced. */
   private def ensure(): ParquetScanBuilder = {
     if (inner == null) {
+      // the construction itself is what "zero file-index builds"
+      // instrumentation must count — the prune callback only fires when
+      // a filter was pushed, so counting prune invocations alone would
+      // let an eager-build regression on unfiltered metadata-answered
+      // aggregates pass unnoticed
+      onIndexBuild()
       val index = new InMemoryFileIndex(spark, pendingPaths(),
         Map.empty[String, String], Some(schema))
       inner = ParquetScanBuilder(spark, index, schema, schema, options)

@@ -597,6 +597,35 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] { sql(s"CALL graft.system.nonsense('spec.$t')") }
   }
 
+  test("deletion-vector procedures: CALL dedup keeps one copy per key " +
+      "group, CALL delete_dv erases by SQL predicate — both zero-rewrite") {
+    val t = fresh("sqldv")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(2) */ " +
+      "id, 'x' FROM RANGE(100)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "id, 'x' FROM RANGE(100) WHERE id % 4 = 0") // 25 exact copies
+    val files0 =
+      TxnTable.liveFiles(spark, loc, TxnTable.currentVersion(spark, loc))
+    sql(s"CALL graft.system.dedup('spec.$t', 'k,v')")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 100)
+    sql(s"CALL graft.system.delete_dv('spec.$t', 'k % 10 = 7')")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 90)
+    val m = TxnTable.manifest(spark, loc,
+      TxnTable.currentVersion(spark, loc))
+    assert(m.entries.map(_.path) === files0,
+      "DV procedures rewrote data files")
+    assert(m.deletes.map(_._2) === Seq("~pos", "~pos"))
+    // SQL readers see through both vectors; compact folds them away
+    sql(s"CALL graft.system.compact('spec.$t')")
+    assert(sql(s"SELECT COUNT(*) AS n, MIN(k) AS mn FROM graft.spec.$t " +
+      "WHERE k % 10 = 7").collect()(0).getLong(0) === 0)
+  }
+
   test("streaming sink commits once per epoch; a replayed epoch skips and drops its stage") {
     import graft.sources.{GraftStagedFile, GraftStreamingWrite}
     val t = fresh("streamsink")

@@ -444,8 +444,9 @@ class PlanSpec extends SparkSpec {
       spark.sql("INSERT INTO graft.spec.aggpush SELECT " +
         s"/*+ REPARTITION(1) */ id + ${i * 100}, 'x' FROM RANGE(100)")
     }
-    val (h0, s0) =
-      (GraftCatalog.aggAnswered.get(), GraftCatalog.scanTotal.get())
+    val (h0, s0, b0) =
+      (GraftCatalog.aggAnswered.get(), GraftCatalog.scanTotal.get(),
+        GraftCatalog.indexBuilds.get())
     val agg = spark.sql("SELECT count(*) AS c, count(k) AS ck, " +
       "min(k) AS mn, max(k) AS mx FROM graft.spec.aggpush")
     val r = agg.collect().head
@@ -463,6 +464,11 @@ class PlanSpec extends SparkSpec {
     assert(localLeaf, "aggregate did not plan as a manifest LocalScan")
     assert(GraftCatalog.aggAnswered.get() - h0 >= 1L)
     assert(GraftCatalog.scanTotal.get() === s0,
+      "metadata-only aggregate ran the prune callback")
+    // the build counter is the non-vacuous witness: the prune callback
+    // only fires when a WHERE was pushed, so scanTotal alone would stay
+    // 0 even if ensure() regressed to eagerly building the index
+    assert(GraftCatalog.indexBuilds.get() === b0,
       "metadata-only aggregate built a file index")
     // string min/max is NEVER metadata-answered (truncated bounds)
     val h1 = GraftCatalog.aggAnswered.get()

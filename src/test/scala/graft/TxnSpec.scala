@@ -1900,6 +1900,50 @@ class TxnSpec extends SparkSpec {
       "vector union changed the kill set")
   }
 
+  test("predicate deletion vectors: arbitrary-predicate erasure with " +
+      "zero rewrite, respelled table paths still apply the vector, " +
+      "no-op without matches") {
+    val s2 = spark
+    import s2.implicits._
+    val t = freshTable("dvdel")
+    val base = (0 until 90).map(i => (i.toLong, i % 7, s"v$i"))
+    TxnTable.create(spark, t, base.toDF("k", "m", "v").repartition(3))
+    val v0 = TxnTable.currentVersion(spark, t)
+    val files0 = TxnTable.liveFiles(spark, t, v0)
+    // predicate over the UNINDEXED m column — victims in every file,
+    // no key column could tombstone this
+    val v1 = TxnTable.deleteWherePos(spark, t, col("m") === 3)
+    val m1 = TxnTable.manifest(spark, t, v1)
+    assert(m1.entries.map(_.path) === files0, "delete_dv rewrote data")
+    assert(m1.deletes.map(_._2) === Seq("~pos"))
+    val expect = base.filter(_._2 != 3).sortBy(_._1)
+    assert(TxnTable.snapshot(spark, t).as[(Long, Int, String)]
+      .collect().sortBy(_._1).toSeq === expect)
+    // pinned pre-delete version intact
+    assert(TxnTable.snapshot(spark, t, v0).count() === 90L)
+    // a RESPELLED location of the same table (double slash) must still
+    // apply the vector — coordinates are canonicalized on both sides,
+    // so a respelling can never silently resurrect deleted rows
+    val respelled = t.replaceFirst("/([^/]+)$", "//$1")
+    assert(respelled !== t)
+    assert(TxnTable.snapshot(spark, respelled).count()
+      === expect.size.toLong,
+      "respelled table path silently resurrected vectored rows")
+    // no matching rows → no commit, no stray staged files
+    assert(TxnTable.deleteWherePos(spark, t, col("m") === 99) === v1)
+    // re-inserted matches are VISIBLE (fresh file the vector can't
+    // name); the next predicate delete kills them too
+    TxnTable.append(spark, t, Seq((1000L, 3, "x")).toDF("k", "m", "v"))
+    assert(TxnTable.snapshot(spark, t).count() === expect.size + 1L)
+    TxnTable.deleteWherePos(spark, t, col("m") === 3)
+    assert(TxnTable.snapshot(spark, t).count() === expect.size.toLong)
+    // compact folds both vectors away; content preserved
+    val vc = TxnTable.compact(spark, t)
+    assert(TxnTable.deleteFiles(spark, t, vc).isEmpty)
+    assert(TxnTable.snapshot(spark, t).as[(Long, Int, String)]
+      .collect().sortBy(_._1).toSeq === expect)
+  }
+
   test("recluster refuses unindexed-to-indexed over stat-less files; " +
       "reindex backfills exact stats with one scan and zero rewrites") {
     val s2 = spark
