@@ -68,6 +68,7 @@ object SparkEntry {
     "sql_txn_skip"            -> (SqlSurface.txnSkip _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
     "sql_txn_agg_push"        -> (SqlSurface.txnAggPush _),
+    "sql_txn_bloom"           -> (SqlSurface.txnBloomSql _),
     "sql_txn_evolve"          -> (SqlSurface.txnEvolve _),
     "sql_txn_mor"             -> (SqlSurface.txnMor _),
     "sql_txn_history"         -> (SqlSurface.txnHistory _),
@@ -1373,6 +1374,16 @@ object SparkEntry {
         |  min(o_orderkey) AS min_k, max(o_orderkey) AS max_k,
         |  TRUE AS agg_ok
         |FROM orders""".stripMargin,
+    // Bloom-sidecar point-lookup pruning through pure SQL: the min
+    // key's aggregate (replayable); the before/after scan accounting
+    // (pre-bloom full keep, post-bloom prune, day-range stats intact)
+    // travels as a boolean
+    "sql_txn_bloom" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total,
+        |  TRUE AS bloom_ok
+        |FROM b WHERE k = (SELECT MIN(k) FROM b)""".stripMargin,
     "sql_txn_skip" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),

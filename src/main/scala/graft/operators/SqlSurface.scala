@@ -205,6 +205,70 @@ object SqlSurface {
     s.sql(sel).withColumn("skip_ok", lit(ok))
   }
 
+  /** sql_txn_bloom: BLOOM-SIDECAR point-lookup pruning on the pure-SQL
+    * read path — the production "time-partitioned table probed by id"
+    * shape where range stats are USELESS: the table is day-clustered
+    * (`'index' = 'od'`), so every file's o_orderkey range spans ~the
+    * whole keyspace and a `WHERE o_orderkey = ?` can never range-prune
+    * (the pre-bloom control SELECT proves it: all files kept). `CALL
+    * graft.system.build_bloom` then commits a per-file bloom sidecar in
+    * one metadata commit, and the SAME point lookup prunes files the
+    * bloom proves empty — the DSv2 scan probes each committed bloom
+    * once per pushed equality conjunct (one small sidecar job at
+    * planning vs opening every stat-ambiguous file; at 100 TB the
+    * difference between O(#files) footer opens and O(hits)). A day-range
+    * SELECT on the same table still prunes via the od stats — the two
+    * stat kinds answer different predicates side by side. Hashed output
+    * = the minimum key's aggregate (deterministic, oracle-replayable);
+    * the before/after scan accounting travels as `bloom_ok`. */
+  def txnBloomSql(s: SparkSession, d: String): DataFrame = {
+    freshSqlTable(s, "bl_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.bl_orders (
+      o_orderkey BIGINT, od BIGINT, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'od')""")
+    val dd = "DATEDIFF(CAST(o_orderdate AS DATE), DATE '1995-01-01')"
+    val b = s.sql(s"SELECT MIN($dd) AS lo, MAX($dd) AS hi, " +
+      "MIN(o_orderkey) AS kv FROM orders").collect()(0)
+    val (dMin, dMax) = (b.getInt(0).toLong, b.getInt(1).toLong)
+    val kv = b.getLong(2)
+    val span = dMax - dMin
+    val qc = (0L to 4L).map(i => dMin + i * (span + 1) / 4)
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO graft.q.bl_orders
+        SELECT /*+ REPARTITION(1) */ o_orderkey, CAST($dd AS BIGINT),
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders
+        WHERE $dd >= ${qc(i)} AND $dd < ${qc(i + 1)}""")
+    }
+    val sel = "SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS " +
+      s"total FROM graft.q.bl_orders WHERE o_orderkey = $kv"
+    // CONTROL: before the bloom, the point lookup can prune NOTHING —
+    // no o_orderkey stat group exists (day-clustered files)
+    val (k0, t0) = (GraftCatalog.scanKept.get, GraftCatalog.scanTotal.get)
+    s.sql(sel).collect()
+    val (kPre, tPre) = (GraftCatalog.scanKept.get - k0,
+      GraftCatalog.scanTotal.get - t0)
+    s.sql("CALL graft.system.build_bloom('q.bl_orders', 'o_orderkey')")
+    val (k1, t1) = (GraftCatalog.scanKept.get, GraftCatalog.scanTotal.get)
+    val r = s.sql(sel).collect()(0)
+    val (kPost, tPost) = (GraftCatalog.scanKept.get - k1,
+      GraftCatalog.scanTotal.get - t1)
+    // the od RANGE read still prunes via ordinary stats post-bloom
+    val (k2, t2) = (GraftCatalog.scanKept.get, GraftCatalog.scanTotal.get)
+    s.sql("SELECT COUNT(*) AS n FROM graft.q.bl_orders WHERE od >= " +
+      s"${qc(0)} AND od < ${qc(1)}").collect()
+    val (kDay, tDay) = (GraftCatalog.scanKept.get - k2,
+      GraftCatalog.scanTotal.get - t2)
+    // 5 live files (4 day-quarters + create sentinel). Pre-bloom: all
+    // kept. Post-bloom: the hit file + the uncovered zero-row sentinel
+    // (± the ~1% false-positive tax). Day range: quarter + sentinel.
+    val ok = kPre == 5L && tPre == 5L &&
+      kPost >= 2L && kPost <= 3L && tPost == 5L &&
+      kDay == 2L && tDay == 5L && r.getLong(0) > 0L
+    s.sql(sel).withColumn("bloom_ok", lit(ok))
+  }
+
   /** sql_txn_days: the `days(ts)` PARTITION TRANSFORM through pure SQL
     * text — `CREATE TABLE … TBLPROPERTIES ('index' = 'days(ts)')`
     * (hidden partitioning: the day column never exists in the schema),

@@ -2021,47 +2021,90 @@ object TxnTable {
     * never a wrong result (the residual filter still applies). */
   def snapshotBloomEq(s: SparkSession, table: String, c: String, v: Long,
                       ver: Long = -1L): (DataFrame, Int, Int) = {
-    import s.implicits._
     val version = if (ver < 0) currentVersion(s, table) else ver
     val m = manifest(s, table, version)
     m.blooms.find(_.col == c) match {
       case None => // no bloom committed for this column: full scan
         prunedRead(s, table, m, m.entries, col(c) === v)
       case Some(b) =>
-        // replay the EXACT build-side hash (same xxhash64 expressions,
-        // evaluated over one literal row) — a driver-side reimplementation
-        // could drift from Spark's hash of the typed column
-        val probe = s.range(1).select(
-          xxhash64(lit(v)).as("h1"),
-          xxhash64(lit("graftbloom"), lit(v)).as("h2")).collect()(0)
-        val (p1, p2) = (Math.floorMod(probe.getLong(0), b.m),
-          Math.floorMod(probe.getLong(1), b.m))
-        val need = (0 until b.k)
-          .map(i => Math.floorMod(p1 + i * p2, b.m))
-          .map(p => (p / 64, 1L << (p % 64).toInt))
-          .groupBy(_._1).map { case (w, ps) =>
-            (w, ps.map(_._2).reduce(_ | _)) }.toSeq
-        // ONE pass over the sidecar (pathFor: a clone's bloom ref is
-        // absolute): the left join keeps every covered file in the
-        // grouping, so coverage and the membership verdict come out of
-        // the same O(#files) collect
-        val sidecar = s.read.parquet(pathFor(table, b.dir))
-        val needDf = broadcast(need.toDF("w", "need"))
-        val perFile = sidecar.join(needDf, Seq("w"), "left")
-          .groupBy(col("f"))
-          .agg(sum(when(col("need").isNotNull &&
-              col("b").bitwiseAND(col("need")) === col("need"), 1)
-            .otherwise(0)).as("hit"))
-          .select(col("f"), (col("hit") === need.size).as("ok"))
-          .as[(String, Boolean)].collect()
-        val covered = perFile.map(_._1).toSet
-        val hits = perFile.filter(_._2).map(_._1).toSet
-        val kept = m.entries.filter { e =>
-          val name = e.path.split('/').last
-          !covered(name) || hits(name)
-        }
-        prunedRead(s, table, m, kept, col(c) === v)
+        prunedRead(s, table, m, bloomKeep(s, table, b, v, m.entries),
+          col(c) === v)
     }
+  }
+
+  /** The bloom MEMBERSHIP probe, reusable by any prune site (the
+    * library's [[snapshotBloomEq]] and the DSv2 SQL scan): of `entries`,
+    * keep those the sidecar `b` cannot prove free of value `v` — files
+    * the sidecar doesn't cover (added after the bloom was built) are
+    * conservatively kept, a false positive costs one extra file scan,
+    * never a wrong result (the residual filter still applies inside
+    * surviving files). One SMALL job over the sidecar (data-sized
+    * metadata, ≪ the data), O(#files) driver state — same order as the
+    * manifest itself. */
+  private[graft] def bloomKeep(s: SparkSession, table: String,
+      b: BloomRef, v: Long, entries: Seq[Entry]): Seq[Entry] = {
+    import s.implicits._
+    // replay the EXACT build-side hash (same xxhash64 expressions,
+    // evaluated over one literal row) — a driver-side reimplementation
+    // could drift from Spark's hash of the typed column
+    val probe = s.range(1).select(
+      xxhash64(lit(v)).as("h1"),
+      xxhash64(lit("graftbloom"), lit(v)).as("h2")).collect()(0)
+    val (p1, p2) = (Math.floorMod(probe.getLong(0), b.m),
+      Math.floorMod(probe.getLong(1), b.m))
+    val need = (0 until b.k)
+      .map(i => Math.floorMod(p1 + i * p2, b.m))
+      .map(p => (p / 64, 1L << (p % 64).toInt))
+      .groupBy(_._1).map { case (w, ps) =>
+        (w, ps.map(_._2).reduce(_ | _)) }.toSeq
+    // ONE pass over the sidecar (pathFor: a clone's bloom ref is
+    // absolute): the left join keeps every covered file in the
+    // grouping, so coverage and the membership verdict come out of
+    // the same O(#files) collect
+    val sidecar = s.read.parquet(pathFor(table, b.dir))
+    val needDf = broadcast(need.toDF("w", "need"))
+    val perFile = sidecar.join(needDf, Seq("w"), "left")
+      .groupBy(col("f"))
+      .agg(sum(when(col("need").isNotNull &&
+          col("b").bitwiseAND(col("need")) === col("need"), 1)
+        .otherwise(0)).as("hit"))
+      .select(col("f"), (col("hit") === need.size).as("ok"))
+      .as[(String, Boolean)].collect()
+    val covered = perFile.map(_._1).toSet
+    val hits = perFile.filter(_._2).map(_._1).toSet
+    entries.filter { e =>
+      val name = e.path.split('/').last
+      !covered(name) || hits(name)
+    }
+  }
+
+  /** Build a bloom sidecar over the table's CURRENT live files and
+    * commit its reference in one metadata commit (entries verbatim,
+    * zero data rewritten) — the post-hoc indexing path SQL tables use
+    * (`CALL graft.system.build_bloom`). A previous bloom on the same
+    * column is superseded (its sidecar stays on disk for pinned
+    * readers; vacuum sweeps it once unreferenced). Files appended
+    * AFTER the build are uncovered and conservatively scanned until the
+    * next build. Refused over pending MoR tombstones: a bloom must
+    * not testify for rows a reader never sees — compact() first. */
+  def buildBloomCommit(s: SparkSession, table: String, c: String): Long = {
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    require(m.deletes.isEmpty,
+      s"$table: build_bloom with pending merge-on-read tombstones would " +
+        "index rows a reader never sees — compact() applies them first")
+    require(m.schema.forall(_.fields.exists(f => f.name == c)),
+      s"$table: no column '$c' to bloom-index")
+    require(m.schema.forall(_.fields.forall(f => physName(f) == f.name)),
+      s"$table: build_bloom on a column-mapped table is not supported " +
+        "(the sidecar reads files by physical name) — compact() " +
+        "restages under the live names first")
+    val b = buildBloom(s, table, m.entries.map(_.path), c)
+    commit(s, table, m.entries.map(render), cur, op = "build_bloom",
+      schemaJson = m.schema.map(_.json).orNull,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols,
+      blooms = m.blooms.filterNot(_.col == c) :+ b,
+      retired = m.retired, checks = m.checks)
   }
 
   /** Resolve a snapshot pruned by an IS NULL predicate on `c`: manifest

@@ -593,7 +593,20 @@ class GraftTable(ident: String, private[sources] val location: String,
     new org.apache.spark.sql.graftbridge.PruningScanBuilder(
       s, schema(), options, m.entries.map(pathOf),
       filters => {
-        val kept = ManifestPrune.keep(m.entries, filters)
+        val statKept = ManifestPrune.keep(m.entries, filters)
+        // bloom sidecars answer the predicate range stats can't: a
+        // point lookup on a column whose per-file ranges all overlap
+        // (the "time-partitioned table probed by id" shape). Each
+        // committed bloom is probed once per matching equality conjunct
+        // — one small sidecar job at planning time vs opening every
+        // stat-ambiguous data file; uncovered files stay, false
+        // positives only cost one extra file scan
+        val kept = ManifestPrune.eqLongConjuncts(filters)
+          .foldLeft(statKept) { case (es, (c, v)) =>
+            m.blooms.find(_.col == c)
+              .map(b => TxnTable.bloomKeep(spark, location, b, v, es))
+              .getOrElse(es)
+          }
         keptEntries.set(kept)
         GraftCatalog.scanKept.addAndGet(kept.size.toLong)
         GraftCatalog.scanTotal.addAndGet(m.entries.size.toLong)

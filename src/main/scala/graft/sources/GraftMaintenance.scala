@@ -347,6 +347,15 @@ private[sources] object GraftMaintenance {
         Seq(tableParam)) { (s, in) =>
         TxnTable.rewriteTombstones(s, tbl(s, in))
       }
+      // build + commit a bloom sidecar over the current live files —
+      // CALL graft.system.build_bloom('ns.t', 'k'); point lookups on
+      // the column then prune files the bloom proves empty, the
+      // predicate shape range stats can't answer
+      case "build_bloom" => p("build_bloom", Seq(tableParam,
+        ProcedureParameter.in("column", StringType).build())) { (s, in) =>
+        TxnTable.buildBloomCommit(s, tbl(s, in),
+          in.getUTF8String(1).toString)
+      }
       case "drop_branch" => p("drop_branch", Seq(tableParam,
         ProcedureParameter.in("name", StringType).build())) { (s, in) =>
         val loc = tbl(s, in)

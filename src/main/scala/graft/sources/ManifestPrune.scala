@@ -35,6 +35,27 @@ object ManifestPrune {
     case other => Seq(other)
   }
 
+  /** Equality conjuncts of the shape `col = <integral literal>` (either
+    * side, through widening casts; `<=>` against a non-null literal is
+    * the same test) — what a bloom sidecar can answer beyond range
+    * stats. Only ever used to REMOVE files the bloom proves empty for
+    * the literal; anything else is not this shape and prunes nothing. */
+  def eqLongConjuncts(conjuncts: Seq[Expression]): Seq[(String, Long)] =
+    conjuncts.flatMap(split).flatMap {
+      case EqualTo(l, r) => eqPair(l, r)
+      case EqualNullSafe(l, r) => eqPair(l, r)
+      case _ => None
+    }
+
+  private def eqPair(l: Expression, r: Expression): Option[(String, Long)] =
+    (attrOf(l), longLit(r)) match {
+      case (Some(c), Some(v)) => Some((c, v))
+      case _ => (attrOf(r), longLit(l)) match {
+        case (Some(c), Some(v)) => Some((c, v))
+        case _ => None
+      }
+    }
+
   /** Unwrap the column side: a bare attribute, or a WIDENING integral
     * cast of one (an INT column compared to a BIGINT literal arrives as
     * `CAST(c AS BIGINT)` — the manifest records longs, so a widening

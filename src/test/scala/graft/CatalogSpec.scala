@@ -626,6 +626,47 @@ class CatalogSpec extends SparkSpec {
       "WHERE k % 10 = 7").collect()(0).getLong(0) === 0)
   }
 
+  test("bloom sidecar prunes SQL point lookups: pre-build full keep, " +
+      "post-build prune, uncovered appends conservative, MoR refusal") {
+    val t = fresh("sqlbloom")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    // two files with fully-OVERLAPPING k ranges (parity split): range
+    // stats can never answer a point lookup here
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "id * 2, 'x' FROM RANGE(50)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "id * 2 + 1, 'x' FROM RANGE(50)")
+    val probe = s"SELECT COUNT(*) AS n FROM graft.spec.$t WHERE k = 4"
+    def keptOf(q: String): (Long, Long) = {
+      val (k0, t0) = (GraftCatalog.scanKept.get, GraftCatalog.scanTotal.get)
+      sql(q).collect()
+      (GraftCatalog.scanKept.get - k0, GraftCatalog.scanTotal.get - t0)
+    }
+    assert(keptOf(probe) === ((3L, 3L)), "pre-bloom lookup should keep all")
+    sql(s"CALL graft.system.build_bloom('spec.$t', 'k')")
+    val (kPost, tPost) = keptOf(probe)
+    // even-parity file + uncovered zero-row sentinel (± false positive)
+    assert(tPost === 3L && kPost >= 2L && kPost <= 3L,
+      s"post-bloom lookup kept $kPost of $tPost")
+    assert(sql(probe).collect()(0).getLong(0) === 1L)
+    // files appended AFTER the build are uncovered -> conservatively
+    // scanned, and their rows are FOUND (never a wrong result)
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "id + 1000, 'y' FROM RANGE(10)")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t WHERE k = 1005")
+      .collect()(0).getLong(0) === 1L)
+    // a bloom must never testify for tombstoned rows: refusal
+    val s2 = spark; import s2.implicits._
+    TxnTable.deleteKeysMor(spark, loc, Seq(4L).toDF("k"), "k")
+    intercept[Exception] {
+      sql(s"CALL graft.system.build_bloom('spec.$t', 'k')")
+    }
+    // the committed bloom still prunes and the tombstone still kills
+    assert(sql(probe).collect()(0).getLong(0) === 0L)
+  }
+
   test("streaming sink commits once per epoch; a replayed epoch skips and drops its stage") {
     import graft.sources.{GraftStagedFile, GraftStreamingWrite}
     val t = fresh("streamsink")
