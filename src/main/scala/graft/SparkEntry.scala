@@ -177,6 +177,7 @@ object SparkEntry {
     "sim_knn_brute"           -> (Similarity.knnBrute _),
     "sim_ann_lsh"             -> (Similarity.annLsh _),
     "sim_ann_ivf"             -> (Similarity.annIvf _),
+    "sim_ann_incremental"     -> (Similarity.annIncremental _),
     "sim_ann_filtered"        -> (Similarity.annFiltered _),
     "sim_hybrid_ivfpq"        -> (Similarity.hybridIvfPq _),
     "sim_ann_graph"           -> (Similarity.annGraph _),
@@ -2257,6 +2258,8 @@ object SparkEntry {
     "sim_kmeans" -> graft.operators.Similarity.kmeansOracle,
     // full replay of IVF: training, cell assignment, probes, and ranking
     "sim_ann_ivf" -> graft.operators.Similarity.ivfOracle,
+    // frozen-centroid accretion: train on the corpus slice, assign all
+    "sim_ann_incremental" -> graft.operators.Similarity.ivfIncOracle,
     "sim_ann_filtered" -> graft.operators.Similarity.ivfFilteredOracle,
     "sim_hybrid_ivfpq" -> graft.operators.Similarity.hybridIvfPqOracle,
     // full replay of PQ: codebook training, encoding, ADC, re-rank

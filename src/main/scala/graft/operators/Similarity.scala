@@ -511,15 +511,25 @@ object Similarity {
   private[graft] def ivfFilteredOracle: String = ivfOracleBody(
     s"\n   AND a.vec_id % $FilterMod = $FilterVal", ", TRUE AS filt_ok")
 
-  private def ivfOracleBody(extraPred: String, extraSel: String): String = {
+  /** The DuckDB twin of [[annIncremental]] — identical IVF replay, but
+    * seeds/training draw from the pre-batch CORPUS slice (the frozen
+    * centroids) while assignment and probes run over corpus ∪ batch =
+    * every vector; the store accretion is an engine access-path
+    * property, the SEMANTICS are exactly this. */
+  private[graft] def ivfIncOracle: String = ivfOracleBody(
+    "", ", TRUE AS ivfinc_ok", trainSrc = "corp",
+    extraCtes = "\ncorp AS (SELECT vec_id, v FROM e WHERE vec_id % 3 <> 0),")
+
+  private def ivfOracleBody(extraPred: String, extraSel: String,
+      trainSrc: String = "e", extraCtes: String = ""): String = {
     val rounds = (0 until IvfIters).map(lloydRoundSql(_, "ts")).mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),$extraCtes
        |ks AS (SELECT unnest(generate_series(1, $Dim)) AS k),
-       |ts AS (SELECT vec_id, v FROM e
-       |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // $TrainTarget) FROM e) = 0),
+       |ts AS (SELECT vec_id, v FROM $trainSrc
+       |  WHERE vec_id % (SELECT GREATEST(1, COUNT(*) // $TrainTarget) FROM $trainSrc) = 0),
        |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT)
        |    AS cid, v
-       |  FROM e WHERE vec_id % $CentroidStride = 0
+       |  FROM $trainSrc WHERE vec_id % $CentroidStride = 0
        |  ORDER BY vec_id LIMIT $NumCentroids),
        |c0 AS (SELECT cid, ks.k, v[ks.k] AS val FROM seeds CROSS JOIN ks),
        |c0l AS (SELECT cid, list(val ORDER BY k) AS cv FROM c0 GROUP BY cid),
@@ -691,6 +701,88 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("qv"), col("v")).as("cos"))
     topKPerQuery(scored).withColumn("filt_ok", lit(ok))
+  }
+
+  /** sim_ann_incremental: the IVF index as a PERSISTED, ACCRETING
+    * store — the daily-ingest ANN pipeline, the retrieval mirror of
+    * dd_incremental. Every §E sibling rebuilds its index inside the
+    * query; a production corpus takes a batch of new embeddings per day
+    * and must index them WITHOUT rescanning or rewriting what's already
+    * indexed:
+    *
+    *   - build (once): coarse centroids train on the pre-batch corpus
+    *     and are FROZEN — the IVF contract that makes the index
+    *     accretable (FAISS's add-after-train); corpus vectors get their
+    *     cell map-only and land c_id-clustered ([[TxnTable
+    *     .clusterExact]]) so per-file cell stats are tight;
+    *   - ingest: the arriving batch is assigned with the SAME frozen
+    *     centroids (map-only — touches batch rows ONLY), clustered by
+    *     cell, and [[TxnTable.appendResolving]]'d onto the store: one
+    *     manifest CAS, corpus files carried VERBATIM (asserted) — the
+    *     cost is O(batch), never O(index);
+    *   - query: probe lists against the frozen centroids; each probed
+    *     cell is ONE [[TxnTable.snapshotBox]] read that file-prunes
+    *     BOTH generations from the manifest (corpus and batch files
+    *     carry the same c_id stats), scores exactly, salted top-k.
+    *
+    * At 100 TB: ingest cost follows the batch, query cost follows
+    * NProbe/NumCentroids of the corpus, and nothing ever re-reads the
+    * accumulated index to grow it. `ivfinc_ok` asserts the accounting:
+    * exactly one append commit, v0 entries carried verbatim, the store
+    * holds corpus+batch, and every probe read pruned files. Oracle:
+    * full replay — training on the CORPUS slice, frozen-centroid
+    * assignment of corpus ∪ batch, probes, top-k. */
+  def annIncremental(s: SparkSession, d: String): DataFrame = {
+    val store = {
+      val dir = graft.Fs.scratch("graft_txn", "sim_ivf_store")
+      graft.Fs.deleteRecursively(dir)
+      dir
+    }
+    val all = vecs(s, d)
+    val corpus = all.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val cents = ivfCentroids(s, corpus) // trained pre-batch, frozen
+    val assignedCorpus = corpus
+      .withColumn("c_id", bestCentroid(cents).cast("long"))
+    TxnTable.commit(s, store, TxnTable.stageIndexed(s, store,
+      TxnTable.clusterExact(s, assignedCorpus, "c_id",
+        0L, NumCentroids - 1L, 8), "c_id"),
+      expected = -1L, op = "create",
+      schemaJson = assignedCorpus.schema.json)
+    val files0 = TxnTable.liveFiles(s, store, 0L).toSet
+    val nCorpus = TxnTable.snapshot(s, store, 0L).count()
+    val batch = all.filter(pmod(col("vec_id"), lit(3)) === 0)
+      .withColumn("c_id", bestCentroid(cents).cast("long"))
+    val out = TxnTable.appendResolving(s, store,
+      TxnTable.clusterExact(s, batch, "c_id", 0L, NumCentroids - 1L, 4))
+    val m1 = TxnTable.manifest(s, store, out.version)
+    val centArr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-graft.functions.CosineSimilarity(col("v"), typedLit(c)))
+        .as("negcos"), lit(i).as("cid"))
+    }: _*)
+    val probes = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(slice(sort_array(centArr), 1, NProbe)).as("p"))
+      .select(col("q_id"), col("qv"), col("p.cid").cast("long").as("c_id"))
+      .localCheckpoint(true)
+    val cells = probes.select("c_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val zRows = m1.entries.count(e => e.stats.isEmpty && e.strStats.isEmpty)
+    val reads = cells.map(cid =>
+      TxnTable.snapshotBox(s, store, Seq(("c_id", cid, cid)), out.version))
+    val stored = reads.map(_._1).reduce(_ unionByName _)
+    val ok = out.version == 1L &&
+      files0.subsetOf(m1.entries.map(_.path).toSet) && // corpus verbatim
+      TxnTable.snapshot(s, store, out.version).count() == all.count() &&
+      nCorpus < all.count() &&
+      reads.forall { case (_, scanned, total) =>
+        total == m1.entries.size && scanned < total &&
+          scanned <= 3 + zRows // ≤2 corpus-gen + ≤1 batch-gen cell files
+      }
+    val scored = stored.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    topKPerQuery(scored).withColumn("ivfinc_ok", lit(ok))
   }
 
   /** sim_sq8: SCALAR quantization (the FAISS SQ8 / Lucene int8 path —

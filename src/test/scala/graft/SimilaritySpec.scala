@@ -125,6 +125,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.75, s"IVF recall $recall")
   }
 
+  test("incremental IVF recall >= 0.7 vs exact top-k at sf0.01, and " +
+      "its accounting flag holds") {
+    val s = spark
+    import s.implicits._
+    val brute = Similarity.knnBrute(s, sf01)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val inc = Similarity.annIncremental(s, sf01)
+    assert(inc.select("ivfinc_ok").distinct().collect()
+      .map(_.getBoolean(0)).toSeq === Seq(true),
+      "accretion accounting (verbatim carry / prune / row counts) failed")
+    val got = inc.select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    // centroids trained on 2/3 of the corpus: slightly below the
+    // full-train IVF bar is acceptable, garbage is not
+    assert(recall >= 0.7, s"incremental IVF recall $recall")
+  }
+
   test("graph ANN recall >= IVF's vs exact top-k at sf0.01") {
     val s = spark
     import s.implicits._
