@@ -105,6 +105,7 @@ object SparkEntry {
     "op_delete_mor"           -> (TxnTable.deleteMor _),
     "op_dedup_mor"            -> (TxnTable.dedupMorScenario _),
     "op_delete_dv"            -> (TxnTable.deleteDvScenario _),
+    "op_update_dv"            -> (TxnTable.updateDvScenario _),
     "op_txn_restore"          -> (TxnTable.txnRestore _),
     "op_bloom_skip"           -> (TxnTable.bloomSkip _),
     "op_txn_clone"            -> (TxnTable.txnClone _),
@@ -1973,6 +1974,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT st, COUNT(*), CAST(SUM(price) AS DOUBLE), 'compacted', TRUE
         |FROM f GROUP BY st""".stripMargin,
+    // Deletion-vector UPDATE: cent-value % 7 rows get price + 100 in
+    // one commit (coordinate vector + fresh updated-row files, all
+    // untouched entries verbatim); post-update aggregate hashed from
+    // both generations; the accounting travels as a boolean
+    "op_update_dv" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |  u AS (SELECT k, st,
+        |    CASE WHEN CAST(price * 100 AS BIGINT) % 7 = 0
+        |      THEN CAST(price + 100 AS DECIMAL(12,2)) ELSE price END
+        |      AS price FROM b)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total, 'dv' AS src,
+        |  TRUE AS upd_ok
+        |FROM u GROUP BY st
+        |UNION ALL
+        |SELECT st, COUNT(*), CAST(SUM(price) AS DOUBLE), 'compacted', TRUE
+        |FROM u GROUP BY st""".stripMargin,
     // IS NULL pruning via null-count manifest stats: the null rows are
     // exactly the lowest-eighth keys (oracle-replayed); the metadata
     // prune travels as a boolean

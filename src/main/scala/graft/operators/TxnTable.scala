@@ -3142,6 +3142,58 @@ object TxnTable {
       retired = m.retired, checks = m.checks)
   }
 
+  /** ARBITRARY-PREDICATE merge-on-read UPDATE via a positional deletion
+    * vector — the public-format DV-update shape, ONE atomic commit that
+    * (a) kills every matching row by (file, position) coordinate and
+    * (b) appends the updated rows as fresh files. Untouched files carry
+    * VERBATIM — zero rewrite of anything the predicate didn't hit — and
+    * the vector is |updated rows|-sized. The MoR seq rule makes the
+    * pair self-consistent BY CONSTRUCTION: the fresh files take this
+    * commit's seq, equal to the vector's, and kills apply strictly to
+    * OLDER entries — the vector can never eat the rows it just wrote.
+    * Assignments evaluate over the table's LOGICAL schema and recast to
+    * the committed column types (an arithmetic widening can't drift the
+    * schema); CHECK constraints are enforced on the updated rows before
+    * anything stages. Pinned pre-update versions see the old rows;
+    * [[compact]] folds the vector away; a no-match update commits
+    * nothing. Cost: one tombstone-applied scan (fundamental for an
+    * arbitrary predicate) + O(updated rows) staged writes. */
+  def updateWherePos(s: SparkSession, table: String, pred: Column,
+      sets: Seq[(String, Column)]): Long = {
+    require(sets.nonEmpty, "updateWherePos needs at least one assignment")
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    val sch = m.schema.getOrElse(snapshot(s, table, cur).schema)
+    sets.foreach { case (c, _) => require(sch.fieldNames.contains(c),
+      s"update target '$c' is not a column of $table " +
+        s"(has: ${sch.fieldNames.mkString(", ")})") }
+    // consumed twice (vector + updated rows) — checkpoint so the
+    // tombstone-applied scan runs ONCE
+    val matching = readEntriesPos(s, table, m, m.entries, keepPos = true)
+      .filter(pred).localCheckpoint(true)
+    val updated = sets.foldLeft(matching.drop("__gcanon", "__gpos")) {
+      case (df, (c, e)) => df.withColumn(c, e)
+    }.select(sch.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    enforceChecks(s, m.checks, updated, s"$table: update_dv")
+    val vecStaged = stage(s, table,
+      matching.select(col("__gcanon").as("f"), col("__gpos").as("p"))
+        .coalesce(1))
+    val vecRows = if (vecStaged.isEmpty) 0L
+      else s.read.parquet(vecStaged.map(pathFor(table, _)): _*).count()
+    if (vecRows == 0L) { dropStaged(s, table, vecStaged); return cur }
+    val fresh =
+      if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
+        stageIndexed(s, table, toPhysical(updated, m),
+          m.idxCols, m.strIdxCols)
+      else stage(s, table, toPhysical(updated, m))
+    commit(s, table, m.entries.map(render) ++ fresh, cur, op = "update_dv",
+      schemaJson = m.schema.map(_.json).orNull,
+      deleteLines = m.deletes ++ vecStaged.map((_, "~pos", -1L)),
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      retired = m.retired, checks = m.checks)
+  }
+
   /** TOMBSTONE-FILE MAINTENANCE: collapse every pending equality
     * tombstone into ONE file per key column WITHOUT touching any data
     * file — the between-compactions maintenance a merge-per-batch
@@ -5085,6 +5137,54 @@ object TxnTable {
       survivors < nAll && snapshot(s, t, v2).count() == survivors
     dvAgg.unionByName(statusAgg(snapshot(s, t, v2), "compacted"))
       .withColumn("dvdel_ok", lit(ok))
+  }
+
+  /** op_update_dv: [[updateWherePos]] as a checked query — scattered
+    * per-row UPDATE by predicate on the UNINDEXED price column
+    * (cent-value % 7 → price + 100, deterministic and replayable),
+    * matches in every file so copy-on-write would rewrite the whole
+    * table. ONE commit carries every pre-update entry VERBATIM
+    * (asserted line-for-line against the carried prefix), the
+    * |updated|-sized `~pos` vector, and the fresh updated-row files —
+    * whose seq equals the vector's, so the vector provably can't kill
+    * what it just wrote (the row count is invariant, asserted). The
+    * pinned pre-update version still sums the OLD prices; compact()
+    * folds the vector into a clean generation that agrees with the MoR
+    * read. Hashed output = the post-update aggregate from BOTH
+    * generations; the accounting travels as `upd_ok`. */
+  def updateDvScenario(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("dvupd_orders")
+    val base = ordersSlice(s, d)
+    create(s, t, base.repartition(8))
+    val before = liveEntries(s, t, 0).map(render)
+    val nAll = snapshot(s, t, 0).count()
+    val oldSum = snapshot(s, t, 0)
+      .agg(sum(col("price")).cast("double")).collect()(0).getDouble(0)
+    val pred = pmod((col("price") * lit(100)).cast("long"), lit(7)) === 0
+    val v1 = updateWherePos(s, t, pred,
+      Seq(("price", col("price") + lit(100).cast(D12))))
+    val m1 = manifest(s, t, v1)
+    // entry lines are SORTED in the manifest — carried lines interleave
+    // with the fresh updated-row files, so verbatim carry is a subset
+    // check on the rendered lines, not a prefix one
+    val carried = {
+      val lines1 = m1.entries.map(render).toSet
+      before.forall(lines1.contains)
+    }
+    val dvAgg = statusAgg(snapshot(s, t, v1), "dv")
+    val v2 = compact(s, t)
+    val newSum = snapshot(s, t, v2)
+      .agg(sum(col("price")).cast("double")).collect()(0).getDouble(0)
+    val ok = carried && m1.deletes.map(_._2) == Seq("~pos") &&
+      m1.entries.size > before.size &&
+      snapshot(s, t, v1).count() == nAll && // update, not delete
+      deleteFiles(s, t, v2).isEmpty &&
+      snapshot(s, t, v2).count() == nAll &&
+      newSum > oldSum && // the pinned version kept the old prices
+      snapshot(s, t, 0).agg(sum(col("price")).cast("double"))
+        .collect()(0).getDouble(0) == oldSum
+    dvAgg.unionByName(statusAgg(snapshot(s, t, v2), "compacted"))
+      .withColumn("upd_ok", lit(ok))
   }
 
   /** op_cdc_read: the change feed between two committed versions — what

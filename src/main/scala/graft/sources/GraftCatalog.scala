@@ -139,6 +139,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "detail"  => GraftMaintenance.detailTable(full, parentPath)
           case "tags"    => GraftMaintenance.tagsTable(full, parentPath)
           case "branches" => GraftMaintenance.branchesTable(full, parentPath)
+          case "tombstones" =>
+            GraftMaintenance.tombstonesTable(full, parentPath)
           // data-sized, distributed — a real parquet-backed table over
           // the committed change feed, batch AND streaming
           case "changes" => new GraftChangesTable(full, parentPath)
@@ -478,7 +480,8 @@ object GraftCatalog {
 
   /** The reserved metadata-table suffixes (`graft.ns.t.history`…). */
   private[sources] val metaTables =
-    Set("history", "files", "changes", "detail", "tags", "branches")
+    Set("history", "files", "changes", "detail", "tags", "branches",
+      "tombstones")
 
   /** The `check.<name>` CHECK-constraint entries of a property map. */
   private[sources] def checkProps(

@@ -130,6 +130,28 @@ private[sources] object GraftMaintenance {
         }.toArray
       })
 
+  /** `SELECT * FROM graft.ns.t.tombstones` — the PENDING merge-on-read
+    * state as a metadata table (a LocalScan over the manifest: no jobs,
+    * no data I/O): one row per pending tombstone file with its kind
+    * (`<col>` equality, `<col>~L` bounded, `~pos` positional
+    * deletion-vector) and commit seq — the observability a MoR table
+    * needs to answer "how much read-side debt has accumulated, is it
+    * time to compact/rewrite_tombstones". */
+  def tombstonesTable(ident: String, location: String): Table =
+    new GraftMetaTable(ident,
+      StructType(Seq(StructField("path", StringType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("seq", LongType, nullable = false))),
+      s => {
+        val m = TxnTable.manifest(s, location,
+          TxnTable.currentVersion(s, location))
+        m.deletes.map { case (p, kind, seq) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(p), UTF8String.fromString(kind),
+            seq)): InternalRow
+        }.toArray
+      })
+
   /** Resolve `'ns.t'` (catalog-relative) to the table's filesystem
     * location, failing loudly when it doesn't exist. */
   def resolveTable(warehouse: String, ref: String): String = {
@@ -144,7 +166,7 @@ private[sources] object GraftMaintenance {
       "checkpoint", "restore", "recluster", "reindex",
       "zorder", "tag", "drop_tag", "clone", "publish", "branch",
       "fastforward", "rebase", "drop_branch", "rewrite_tombstones",
-      "dedup")
+      "dedup", "delete_dv", "build_bloom")
 
   def load(catalog: GraftCatalog, warehouse: String, name: String)
       : UnboundProcedure = {

@@ -620,10 +620,21 @@ class CatalogSpec extends SparkSpec {
     assert(m.entries.map(_.path) === files0,
       "DV procedures rewrote data files")
     assert(m.deletes.map(_._2) === Seq("~pos", "~pos"))
+    // the .tombstones metadata table surfaces the pending MoR state —
+    // the "how much read-side debt" observability, no jobs, no data I/O
+    assert(sql(s"SELECT kind FROM graft.spec.$t.tombstones")
+      .collect().map(_.getString(0)).toSeq === Seq("~pos", "~pos"))
     // SQL readers see through both vectors; compact folds them away
     sql(s"CALL graft.system.compact('spec.$t')")
     assert(sql(s"SELECT COUNT(*) AS n, MIN(k) AS mn FROM graft.spec.$t " +
       "WHERE k % 10 = 7").collect()(0).getLong(0) === 0)
+    assert(sql(s"SELECT * FROM graft.spec.$t.tombstones").count() === 0L)
+    // both DV procedures are discoverable, not just loadable
+    val listed = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].listProcedures(Array("system"))
+      .map(_.name()).toSet
+    assert(Set("dedup", "delete_dv", "build_bloom").subsetOf(listed),
+      s"procedures not listed: $listed")
   }
 
   test("bloom sidecar prunes SQL point lookups: pre-build full keep, " +

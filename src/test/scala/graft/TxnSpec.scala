@@ -1944,6 +1944,56 @@ class TxnSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq === expect)
   }
 
+  test("deletion-vector update: one commit kills-and-rewrites matching " +
+      "rows only, never its own fresh files; repeated updates compose; " +
+      "unknown column and no-match refuse/no-op") {
+    val s2 = spark
+    import s2.implicits._
+    val t = freshTable("dvupd")
+    val base = (0 until 60).map(i => (i.toLong, (i % 5).toLong, s"v$i"))
+    TxnTable.create(spark, t, base.toDF("k", "m", "v").repartition(3))
+    val v0 = TxnTable.currentVersion(spark, t)
+    val files0 = TxnTable.liveFiles(spark, t, v0)
+    val v1 = TxnTable.updateWherePos(spark, t, col("m") === 2L,
+      Seq(("v", concat(col("v"), lit("!"))), ("m", col("m") + 100L)))
+    val m1 = TxnTable.manifest(spark, t, v1)
+    // untouched entries verbatim (entry lines are SORTED in the
+    // manifest, so fresh files interleave — subset, not prefix),
+    // fresh files appended, one vector
+    assert(files0.toSet.subsetOf(m1.entries.map(_.path).toSet))
+    assert(m1.entries.size > files0.size)
+    assert(m1.deletes.map(_._2) === Seq("~pos"))
+    val expect1 = base.map { case (k, m, v) =>
+      if (m == 2L) (k, m + 100L, v + "!") else (k, m, v) }.sortBy(_._1)
+    assert(TxnTable.snapshot(spark, t).as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq === expect1,
+      "update changed the wrong rows or ate its own writes")
+    assert(TxnTable.snapshot(spark, t, v0).as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq === base.sortBy(_._1),
+      "pinned pre-update version drifted")
+    // a second update hits rows the FIRST update wrote (fresh files,
+    // newer vector) — updates compose across generations
+    val v2 = TxnTable.updateWherePos(spark, t, col("m") === 102L,
+      Seq(("v", concat(col("v"), lit("?")))))
+    val expect2 = expect1.map { case (k, m, v) =>
+      if (m == 102L) (k, m, v + "?") else (k, m, v) }
+    assert(TxnTable.snapshot(spark, t).as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq === expect2)
+    assert(v2 > v1)
+    // no-match update is a NO-OP commit-wise; unknown column refuses
+    assert(TxnTable.updateWherePos(spark, t, col("m") === 999L,
+      Seq(("v", lit("x")))) === v2)
+    intercept[IllegalArgumentException] {
+      TxnTable.updateWherePos(spark, t, col("m") === 2L,
+        Seq(("nope", lit("x"))))
+    }
+    // compact folds both vectors; content preserved
+    val vc = TxnTable.compact(spark, t)
+    assert(TxnTable.deleteFiles(spark, t, vc).isEmpty)
+    assert(TxnTable.snapshot(spark, t).as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq === expect2)
+  }
+
   test("recluster refuses unindexed-to-indexed over stat-less files; " +
       "reindex backfills exact stats with one scan and zero rewrites") {
     val s2 = spark
