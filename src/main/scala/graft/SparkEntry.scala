@@ -179,6 +179,7 @@ object SparkEntry {
     "sim_ann_lsh"             -> (Similarity.annLsh _),
     "sim_ann_ivf"             -> (Similarity.annIvf _),
     "sim_ann_incremental"     -> (Similarity.annIncremental _),
+    "st_stream_ann"           -> (Similarity.annStream _),
     "sim_ann_filtered"        -> (Similarity.annFiltered _),
     "sim_hybrid_ivfpq"        -> (Similarity.hybridIvfPq _),
     "sim_ann_graph"           -> (Similarity.annGraph _),
@@ -2279,6 +2280,9 @@ object SparkEntry {
     "sim_ann_ivf" -> graft.operators.Similarity.ivfOracle,
     // frozen-centroid accretion: train on the corpus slice, assign all
     "sim_ann_incremental" -> graft.operators.Similarity.ivfIncOracle,
+    // the same accretion as a stream: append-only + frozen assignment
+    // is wave-split-invariant, so the replay is identical
+    "st_stream_ann" -> graft.operators.Similarity.ivfStreamOracle,
     "sim_ann_filtered" -> graft.operators.Similarity.ivfFilteredOracle,
     "sim_hybrid_ivfpq" -> graft.operators.Similarity.hybridIvfPqOracle,
     // full replay of PQ: codebook training, encoding, ADC, re-rank

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFunctions._
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -784,6 +785,114 @@ object Similarity {
         cosine(col("qv"), col("v")).as("cos"))
     topKPerQuery(scored).withColumn("ivfinc_ok", lit(ok))
   }
+
+  /** st_stream_ann: STREAMING INGEST into the accreting IVF store —
+    * [[annIncremental]]'s daily batch run as a real Structured
+    * Streaming pipeline. Three ordered embedding waves arrive as
+    * micro-batches (file source, maxFilesPerTrigger=1, mtime-pinned
+    * order); each foreachBatch assigns the wave with the FROZEN
+    * corpus-trained centroids (map-only over the wave) and
+    * [[TxnTable.appendResolving]]'s it onto the store — one manifest
+    * CAS per wave, O(wave) cost, the store never re-read to grow, and
+    * a concurrent writer would rebase rather than clobber. Because the
+    * index is append-only under frozen assignment, the final store
+    * state is INDEPENDENT of the wave split: corpus ∪ waves = every
+    * vector, so the post-stream probe top-k must equal the one-shot
+    * batch path's — and the oracle IS that replay. `annstream_ok`
+    * asserts the commit trail (create + one commit per wave), verbatim
+    * corpus carry, the full row count, and per-probe file-prune
+    * bounds (≤ one stats-bearing file per generation per cell). */
+  def annStream(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Fs.scratch("graft_stream_ann", "run")
+    graft.Fs.deleteRecursively(base)
+    val store = s"$base/store"
+    val all = vecs(s, d)
+    val corpus = all.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val cents = ivfCentroids(s, corpus) // trained pre-stream, frozen
+    val assignedCorpus = corpus
+      .withColumn("c_id", bestCentroid(cents).cast("long"))
+    TxnTable.commit(s, store, TxnTable.stageIndexed(s, store,
+      TxnTable.clusterExact(s, assignedCorpus, "c_id",
+        0L, NumCentroids - 1L, 8), "c_id"),
+      expected = -1L, op = "create",
+      schemaJson = assignedCorpus.schema.json)
+    val files0 = TxnTable.liveFiles(s, store, 0L).toSet
+    val batch = all.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val nWaves = 3
+    val waves = (0 until nWaves).map(w =>
+      batch.filter(pmod(expr("vec_id div 3"), lit(nWaves)) === w))
+    val feed = s"$base/feed"
+    val fsys = new Path(feed)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsys.mkdirs(new Path(feed))
+    waves.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$base/w$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fsys.listStatus(new Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new Path(feed, f"wave-$i%03d.parquet")
+      fsys.rename(part, dst)
+      // ascending mtimes pin the file source's batch ORDER
+      fsys.setTimes(dst, 1000000000L + i * 60000L, -1L)
+    }
+    val q = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(feed)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (wave: DataFrame, _: Long) =>
+        // frozen-centroid assignment touches WAVE rows only; the append
+        // is one manifest CAS — the accumulated index is never read
+        val assigned = wave
+          .withColumn("c_id", bestCentroid(cents).cast("long"))
+          .localCheckpoint(true)
+        if (assigned.limit(1).count() > 0)
+          TxnTable.appendResolving(s, store, TxnTable.clusterExact(
+            s, assigned, "c_id", 0L, NumCentroids - 1L, 2))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val vHead = TxnTable.currentVersion(s, store)
+    val m1 = TxnTable.manifest(s, store, vHead)
+    val centArr = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-graft.functions.CosineSimilarity(col("v"), typedLit(c)))
+        .as("negcos"), lit(i).as("cid"))
+    }: _*)
+    val probes = all.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(slice(sort_array(centArr), 1, NProbe)).as("p"))
+      .select(col("q_id"), col("qv"), col("p.cid").cast("long").as("c_id"))
+      .localCheckpoint(true)
+    val cells = probes.select("c_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val zRows = m1.entries.count(e => e.stats.isEmpty && e.strStats.isEmpty)
+    val reads = cells.map(cid =>
+      TxnTable.snapshotBox(s, store, Seq(("c_id", cid, cid)), vHead))
+    val stored = reads.map(_._1).reduce(_ unionByName _)
+    val ok = vHead == nWaves.toLong && // create + one commit per wave
+      files0.subsetOf(m1.entries.map(_.path).toSet) &&
+      TxnTable.snapshot(s, store, vHead).count() == all.count() &&
+      reads.forall { case (_, scanned, total) =>
+        total == m1.entries.size && scanned < total &&
+          scanned <= 1 + nWaves + zRows
+      }
+    val scored = stored.join(broadcast(probes), Seq("c_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    topKPerQuery(scored).withColumn("annstream_ok", lit(ok))
+  }
+
+  /** The DuckDB twin of [[annStream]] — semantically IDENTICAL to
+    * [[ivfIncOracle]] (append-only accretion under frozen assignment is
+    * split-invariant: corpus ∪ waves = every vector), differing only in
+    * the certification flag's name. */
+  private[graft] def ivfStreamOracle: String = ivfOracleBody(
+    "", ", TRUE AS annstream_ok", trainSrc = "corp",
+    extraCtes = "\ncorp AS (SELECT vec_id, v FROM e WHERE vec_id % 3 <> 0),")
 
   /** sim_sq8: SCALAR quantization (the FAISS SQ8 / Lucene int8 path —
     * the simplest memory-bound ANN compression): each of the [[Dim]]
