@@ -742,20 +742,48 @@ object Similarity {
     val all = vecs(s, d)
     val corpus = all.filter(pmod(col("vec_id"), lit(3)) =!= 0)
     val cents = ivfCentroids(s, corpus) // trained pre-batch, frozen
-    val assignedCorpus = corpus
-      .withColumn("c_id", bestCentroid(cents).cast("long"))
-    TxnTable.commit(s, store, TxnTable.stageIndexed(s, store,
-      TxnTable.clusterExact(s, assignedCorpus, "c_id",
-        0L, NumCentroids - 1L, 8), "c_id"),
-      expected = -1L, op = "create",
-      schemaJson = assignedCorpus.schema.json)
-    val files0 = TxnTable.liveFiles(s, store, 0L).toSet
+    val files0 = createIvfStore(s, store, cents, corpus)
     val nCorpus = TxnTable.snapshot(s, store, 0L).count()
     val batch = all.filter(pmod(col("vec_id"), lit(3)) === 0)
       .withColumn("c_id", bestCentroid(cents).cast("long"))
     val out = TxnTable.appendResolving(s, store,
       TxnTable.clusterExact(s, batch, "c_id", 0L, NumCentroids - 1L, 4))
     val m1 = TxnTable.manifest(s, store, out.version)
+    val zRows = m1.entries.count(e => e.stats.isEmpty && e.strStats.isEmpty)
+    val (topk, counts) = probeIvfStore(s, store, cents, all, out.version)
+    val ok = out.version == 1L &&
+      files0.subsetOf(m1.entries.map(_.path).toSet) && // corpus verbatim
+      TxnTable.snapshot(s, store, out.version).count() == all.count() &&
+      nCorpus < all.count() &&
+      counts.nonEmpty && counts.forall { case (scanned, total) =>
+        total == m1.entries.size && scanned < total &&
+          scanned <= 3 + zRows // ≤2 corpus-gen + ≤1 batch-gen cell files
+      }
+    topk.withColumn("ivfinc_ok", lit(ok))
+  }
+
+  /** Create the c_id-clustered IVF store over `corpus` with the frozen
+    * `cents` (shared by [[annIncremental]] and [[annStream]]); returns
+    * the created version's file set for verbatim-carry assertions. */
+  private def createIvfStore(s: SparkSession, store: String,
+      cents: Seq[Seq[Double]], corpus: DataFrame): Set[String] = {
+    val assigned = corpus
+      .withColumn("c_id", bestCentroid(cents).cast("long"))
+    TxnTable.commit(s, store, TxnTable.stageIndexed(s, store,
+      TxnTable.clusterExact(s, assigned, "c_id",
+        0L, NumCentroids - 1L, 8), "c_id"),
+      expected = -1L, op = "create", schemaJson = assigned.schema.json)
+    TxnTable.liveFiles(s, store, 0L).toSet
+  }
+
+  /** Probe the accreted IVF store at `ver` with `all`'s query vectors
+    * against the frozen `cents`: one file-pruned
+    * [[TxnTable.snapshotBox]] read per probed cell, exact scoring,
+    * salted top-k. Returns the top-k frame and the per-read
+    * (scanned, total) accounting for the callers' prune assertions. */
+  private def probeIvfStore(s: SparkSession, store: String,
+      cents: Seq[Seq[Double]], all: DataFrame, ver: Long)
+      : (DataFrame, Seq[(Int, Int)]) = {
     val centArr = array(cents.zipWithIndex.map { case (c, i) =>
       struct((-graft.functions.CosineSimilarity(col("v"), typedLit(c)))
         .as("negcos"), lit(i).as("cid"))
@@ -767,23 +795,14 @@ object Similarity {
       .localCheckpoint(true)
     val cells = probes.select("c_id").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    val zRows = m1.entries.count(e => e.stats.isEmpty && e.strStats.isEmpty)
     val reads = cells.map(cid =>
-      TxnTable.snapshotBox(s, store, Seq(("c_id", cid, cid)), out.version))
+      TxnTable.snapshotBox(s, store, Seq(("c_id", cid, cid)), ver))
     val stored = reads.map(_._1).reduce(_ unionByName _)
-    val ok = out.version == 1L &&
-      files0.subsetOf(m1.entries.map(_.path).toSet) && // corpus verbatim
-      TxnTable.snapshot(s, store, out.version).count() == all.count() &&
-      nCorpus < all.count() &&
-      reads.forall { case (_, scanned, total) =>
-        total == m1.entries.size && scanned < total &&
-          scanned <= 3 + zRows // ≤2 corpus-gen + ≤1 batch-gen cell files
-      }
     val scored = stored.join(broadcast(probes), Seq("c_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("qv"), col("v")).as("cos"))
-    topKPerQuery(scored).withColumn("ivfinc_ok", lit(ok))
+    (topKPerQuery(scored), reads.map(r => (r._2, r._3)))
   }
 
   /** st_stream_ann: STREAMING INGEST into the accreting IVF store —
@@ -809,14 +828,7 @@ object Similarity {
     val all = vecs(s, d)
     val corpus = all.filter(pmod(col("vec_id"), lit(3)) =!= 0)
     val cents = ivfCentroids(s, corpus) // trained pre-stream, frozen
-    val assignedCorpus = corpus
-      .withColumn("c_id", bestCentroid(cents).cast("long"))
-    TxnTable.commit(s, store, TxnTable.stageIndexed(s, store,
-      TxnTable.clusterExact(s, assignedCorpus, "c_id",
-        0L, NumCentroids - 1L, 8), "c_id"),
-      expected = -1L, op = "create",
-      schemaJson = assignedCorpus.schema.json)
-    val files0 = TxnTable.liveFiles(s, store, 0L).toSet
+    val files0 = createIvfStore(s, store, cents, corpus)
     val batch = all.filter(pmod(col("vec_id"), lit(3)) === 0)
     val nWaves = 3
     val waves = (0 until nWaves).map(w =>
@@ -857,33 +869,16 @@ object Similarity {
     q.awaitTermination()
     val vHead = TxnTable.currentVersion(s, store)
     val m1 = TxnTable.manifest(s, store, vHead)
-    val centArr = array(cents.zipWithIndex.map { case (c, i) =>
-      struct((-graft.functions.CosineSimilarity(col("v"), typedLit(c)))
-        .as("negcos"), lit(i).as("cid"))
-    }: _*)
-    val probes = all.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        explode(slice(sort_array(centArr), 1, NProbe)).as("p"))
-      .select(col("q_id"), col("qv"), col("p.cid").cast("long").as("c_id"))
-      .localCheckpoint(true)
-    val cells = probes.select("c_id").distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
     val zRows = m1.entries.count(e => e.stats.isEmpty && e.strStats.isEmpty)
-    val reads = cells.map(cid =>
-      TxnTable.snapshotBox(s, store, Seq(("c_id", cid, cid)), vHead))
-    val stored = reads.map(_._1).reduce(_ unionByName _)
+    val (topk, counts) = probeIvfStore(s, store, cents, all, vHead)
     val ok = vHead == nWaves.toLong && // create + one commit per wave
       files0.subsetOf(m1.entries.map(_.path).toSet) &&
       TxnTable.snapshot(s, store, vHead).count() == all.count() &&
-      reads.forall { case (_, scanned, total) =>
+      counts.nonEmpty && counts.forall { case (scanned, total) =>
         total == m1.entries.size && scanned < total &&
           scanned <= 1 + nWaves + zRows
       }
-    val scored = stored.join(broadcast(probes), Seq("c_id"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("qv"), col("v")).as("cos"))
-    topKPerQuery(scored).withColumn("annstream_ok", lit(ok))
+    topk.withColumn("annstream_ok", lit(ok))
   }
 
   /** The DuckDB twin of [[annStream]] — semantically IDENTICAL to

@@ -3167,21 +3167,27 @@ object TxnTable {
     sets.foreach { case (c, _) => require(sch.fieldNames.contains(c),
       s"update target '$c' is not a column of $table " +
         s"(has: ${sch.fieldNames.mkString(", ")})") }
+    val setMap = sets.toMap
+    require(setMap.size == sets.size,
+      s"duplicate update target in ${sets.map(_._1)}")
     // consumed twice (vector + updated rows) — checkpoint so the
     // tombstone-applied scan runs ONCE
     val matching = readEntriesPos(s, table, m, m.entries, keepPos = true)
       .filter(pred).localCheckpoint(true)
-    val updated = sets.foldLeft(matching.drop("__gcanon", "__gpos")) {
-      case (df, (c, e)) => df.withColumn(c, e)
-    }.select(sch.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    // no-match updates commit nothing; the checkpoint is materialized,
+    // so this probe costs one local count, no staging round-trip
+    if (matching.isEmpty) return cur
+    // ONE select evaluates every assignment against the PRE-update row
+    // (SQL UPDATE's simultaneous-assignment semantics: a column swap
+    // `a = b, b = a` swaps — a sequential withColumn fold would feed
+    // later assignments the earlier targets' NEW values)
+    val updated = matching.select(sch.fields.map(f =>
+      setMap.get(f.name).getOrElse(col(f.name))
+        .cast(f.dataType).as(f.name)).toSeq: _*)
     enforceChecks(s, m.checks, updated, s"$table: update_dv")
     val vecStaged = stage(s, table,
       matching.select(col("__gcanon").as("f"), col("__gpos").as("p"))
         .coalesce(1))
-    val vecRows = if (vecStaged.isEmpty) 0L
-      else s.read.parquet(vecStaged.map(pathFor(table, _)): _*).count()
-    if (vecRows == 0L) { dropStaged(s, table, vecStaged); return cur }
     val fresh =
       if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
         stageIndexed(s, table, toPhysical(updated, m),

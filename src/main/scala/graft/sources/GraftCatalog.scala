@@ -604,9 +604,12 @@ class GraftTable(ident: String, private[sources] val location: String,
         // — one small sidecar job at planning time vs opening every
         // stat-ambiguous data file; uncovered files stay, false
         // positives only cost one extra file scan
-        val kept = ManifestPrune.eqLongConjuncts(filters)
+        val kept = ManifestPrune.eqLongConjuncts(filters).distinct
           .foldLeft(statKept) { case (es, (c, v)) =>
-            m.blooms.find(_.col == c)
+            // skip the sidecar job when stats already emptied the list
+            // (or a previous bloom did) — nothing left to prune
+            if (es.isEmpty) es
+            else m.blooms.find(_.col == c)
               .map(b => TxnTable.bloomKeep(spark, location, b, v, es))
               .getOrElse(es)
           }

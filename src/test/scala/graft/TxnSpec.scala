@@ -1987,6 +1987,21 @@ class TxnSpec extends SparkSpec {
       TxnTable.updateWherePos(spark, t, col("m") === 2L,
         Seq(("nope", lit("x"))))
     }
+    intercept[IllegalArgumentException] { // duplicate target refuses
+      TxnTable.updateWherePos(spark, t, col("m") === 0L,
+        Seq(("v", lit("x")), ("v", lit("y"))))
+    }
+    // SQL UPDATE's SIMULTANEOUS assignment semantics: a column swap
+    // swaps — every RHS sees the PRE-update row, never an earlier
+    // assignment's result
+    val tSwap = freshTable("dvupd_swap")
+    TxnTable.create(spark, tSwap,
+      Seq((1L, 10L, 20L)).toDF("k", "a", "b"))
+    TxnTable.updateWherePos(spark, tSwap, col("k") === 1L,
+      Seq(("a", col("b")), ("b", col("a"))))
+    assert(TxnTable.snapshot(spark, tSwap).as[(Long, Long, Long)]
+      .collect().toSeq === Seq((1L, 20L, 10L)),
+      "assignments leaked earlier targets' new values into later RHS")
     // compact folds both vectors; content preserved
     val vc = TxnTable.compact(spark, t)
     assert(TxnTable.deleteFiles(spark, t, vc).isEmpty)
