@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -512,14 +511,18 @@ object Similarity {
   private[graft] def ivfFilteredOracle: String = ivfOracleBody(
     s"\n   AND a.vec_id % $FilterMod = $FilterVal", ", TRUE AS filt_ok")
 
-  /** The DuckDB twin of [[annIncremental]] — identical IVF replay, but
-    * seeds/training draw from the pre-batch CORPUS slice (the frozen
-    * centroids) while assignment and probes run over corpus ∪ batch =
-    * every vector; the store accretion is an engine access-path
-    * property, the SEMANTICS are exactly this. */
-  private[graft] def ivfIncOracle: String = ivfOracleBody(
-    "", ", TRUE AS ivfinc_ok", trainSrc = "corp",
+  /** The DuckDB twin of [[annIncremental]] and [[annStream]] — identical
+    * IVF replay, but seeds/training draw from the pre-batch CORPUS slice
+    * (the frozen centroids) while assignment and probes run over
+    * corpus ∪ batch = every vector; the store accretion (one-shot or
+    * streamed — append-only under frozen assignment is split-invariant)
+    * is an engine access-path property, the SEMANTICS are exactly this.
+    * ONE definition of the corpus split, parameterized by flag name. */
+  private def corpIvfOracle(flag: String): String = ivfOracleBody(
+    "", s", TRUE AS $flag", trainSrc = "corp",
     extraCtes = "\ncorp AS (SELECT vec_id, v FROM e WHERE vec_id % 3 <> 0),")
+
+  private[graft] def ivfIncOracle: String = corpIvfOracle("ivfinc_ok")
 
   private def ivfOracleBody(extraPred: String, extraSel: String,
       trainSrc: String = "e", extraCtes: String = ""): String = {
@@ -833,20 +836,7 @@ object Similarity {
     val nWaves = 3
     val waves = (0 until nWaves).map(w =>
       batch.filter(pmod(expr("vec_id div 3"), lit(nWaves)) === w))
-    val feed = s"$base/feed"
-    val fsys = new Path(feed)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fsys.mkdirs(new Path(feed))
-    waves.zipWithIndex.foreach { case (df, i) =>
-      val tmp = s"$base/w$i"
-      df.coalesce(1).write.parquet(tmp)
-      val part = fsys.listStatus(new Path(tmp))
-        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      val dst = new Path(feed, f"wave-$i%03d.parquet")
-      fsys.rename(part, dst)
-      // ascending mtimes pin the file source's batch ORDER
-      fsys.setTimes(dst, 1000000000L + i * 60000L, -1L)
-    }
+    val feed = graft.streaming.Streams.stageWaveFeed(s, base, waves)
     val q = s.readStream.schema(batch.schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "*.parquet")
@@ -881,13 +871,9 @@ object Similarity {
     topk.withColumn("annstream_ok", lit(ok))
   }
 
-  /** The DuckDB twin of [[annStream]] — semantically IDENTICAL to
-    * [[ivfIncOracle]] (append-only accretion under frozen assignment is
-    * split-invariant: corpus ∪ waves = every vector), differing only in
-    * the certification flag's name. */
-  private[graft] def ivfStreamOracle: String = ivfOracleBody(
-    "", ", TRUE AS annstream_ok", trainSrc = "corp",
-    extraCtes = "\ncorp AS (SELECT vec_id, v FROM e WHERE vec_id % 3 <> 0),")
+  /** The DuckDB twin of [[annStream]] — [[corpIvfOracle]] under the
+    * streaming flag name. */
+  private[graft] def ivfStreamOracle: String = corpIvfOracle("annstream_ok")
 
   /** sim_sq8: SCALAR quantization (the FAISS SQ8 / Lucene int8 path —
     * the simplest memory-bound ANN compression): each of the [[Dim]]

@@ -404,6 +404,30 @@ object Streams {
     * the oracle unrolls the three-wave novelty cascade exactly.
     * `lshstream_ok` asserts the store mechanics: final band-row count
     * == corpus bands + exactly the kept docs' bands. */
+  /** Stage `waves` as single-file parquet drops under `<base>/feed`
+    * with ASCENDING mtimes — what pins the file source's micro-batch
+    * ORDER for store-accretion scenarios whose semantics depend on
+    * arrival order ([[streamDedupLsh]],
+    * [[graft.operators.Similarity.annStream]]). One fragile block, one
+    * home. Returns the feed directory. */
+  private[graft] def stageWaveFeed(s: SparkSession, base: String,
+      waves: Seq[DataFrame]): String = {
+    val feed = s"$base/feed"
+    val fsys = new org.apache.hadoop.fs.Path(feed)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(feed))
+    waves.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$base/w$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      val dst = new org.apache.hadoop.fs.Path(feed, f"wave-$i%03d.parquet")
+      fsys.rename(part, dst)
+      fsys.setTimes(dst, 1000000000L + i * 60000L, -1L)
+    }
+    feed
+  }
+
   def streamDedupLsh(s: SparkSession, d: String): DataFrame = {
     val base = graft.Fs.scratch("graft_stream_lsh", "run")
     graft.Fs.deleteRecursively(base)
@@ -420,21 +444,7 @@ object Streams {
           concat(col("text"), lit(" the")).as("text")),
       docs.filter(col("doc_id") % 15 === 0)
         .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
-    val feed = s"$base/feed"
-    val fsys = new org.apache.hadoop.fs.Path(feed)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fsys.mkdirs(new org.apache.hadoop.fs.Path(feed))
-    waves.zipWithIndex.foreach { case (df, i) =>
-      val tmp = s"$base/w$i"
-      df.coalesce(1).write.parquet(tmp)
-      val part = fsys.listStatus(new org.apache.hadoop.fs.Path(tmp))
-        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-      val dst = new org.apache.hadoop.fs.Path(feed, f"wave-$i%03d.parquet")
-      fsys.rename(part, dst)
-      // ascending mtimes pin the file source's batch ORDER — the
-      // store-accretion semantics depend on arrival order
-      fsys.setTimes(dst, 1000000000L + i * 60000L, -1L)
-    }
+    val feed = Streams.stageWaveFeed(s, base, waves)
     val results = s"$base/results"
     val q = s.readStream.schema("doc_id LONG, text STRING")
       .option("maxFilesPerTrigger", "1")
