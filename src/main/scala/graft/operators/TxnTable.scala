@@ -3907,6 +3907,19 @@ object TxnTable {
   def snapshotAt(s: SparkSession, table: String, tsMillis: Long): DataFrame =
     snapshot(s, table, versionAt(s, table, tsMillis))
 
+  /** The FIRST version whose commit timestamp is ≥ `tsMillis` — the
+    * streaming "changes committed at or after" contract (the
+    * complement of [[versionAt]]'s as-of read) — or None when no
+    * retained commit qualifies (a stream then tails: every FUTURE
+    * commit qualifies, timestamps being monotonized at commit). Walks
+    * oldest-first with HEADER-ONLY `#ts=` reads (≤3 lines each) and
+    * stops at the first hit. Pre-timestamp manifests (no `#ts=`) read
+    * as −1 and never qualify: a commit that cannot prove its time is
+    * treated as before any target. */
+  def versionSince(s: SparkSession, table: String, tsMillis: Long)
+      : Option[Long] =
+    versions(s, table).find(v => manifestHeaderTs(s, table, v) >= tsMillis)
+
   /** Schema-evolving append: `df` may carry NEW columns beyond the
     * table's current schema (add-column evolution — common columns must
     * match exactly; dropping or retyping is overwrite territory). The

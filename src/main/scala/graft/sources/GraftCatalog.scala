@@ -651,11 +651,13 @@ class GraftTable(ident: String, private[sources] val location: String,
         val maxVersions = Option(options.get("maxVersionsPerTrigger"))
           .map(_.toLong)
         val startingVersion = Option(options.get("startingVersion"))
+        val startingTs = Option(options.get("startingTimestamp"))
         val skipChange = Option(options.get("skipChangeCommits"))
           .exists(_.toBoolean)
         val scan = new GraftStreaming.StreamableScan(base,
           readSchema => new GraftMicroBatchStream(ident, location,
-            readSchema, maxVersions, startingVersion, skipChange),
+            readSchema, maxVersions, startingVersion, skipChange,
+            startingTs),
           () => GraftTable.manifestStatistics(m, keptEntries.get()))
         // mapped AND tombstoned tables read through the snapshot plan
         // the analyzer swaps in (GraftMorReadRule) — so EXECUTING a

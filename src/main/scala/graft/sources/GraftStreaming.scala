@@ -51,21 +51,43 @@ object GraftStreaming {
     override def json: String = v.toString
   }
 
-  /** Resolve a `startingVersion` option to the initial offset (= last
-    * consumed version): absent → −1 (everything, INCLUDING version 0 —
-    * a CTAS or `TxnTable.create(df)` table carries its full content at
-    * v0, so "absent = the whole table" must emit v0's files, not walk
-    * (0, end]; the walk treats −1 as an empty synthetic parent),
-    * `"latest"` → current, `"<n>"` → n−1 so n itself streams. For n ≥ 1,
-    * n−1's manifest must still be retained (the added-file diff needs
-    * it) — a vacuumed start fails loudly at the first batch, never
-    * silently skips. */
+  /** Resolve the `startingVersion` / `startingTimestamp` options to the
+    * initial offset (= last consumed version): absent → −1 (everything,
+    * INCLUDING version 0 — a CTAS or `TxnTable.create(df)` table
+    * carries its full content at v0, so "absent = the whole table" must
+    * emit v0's files, not walk (0, end]; the walk treats −1 as an empty
+    * synthetic parent), `"latest"` → current, `"<n>"` → n−1 so n itself
+    * streams. For n ≥ 1, n−1's manifest must still be retained (the
+    * added-file diff needs it) — a vacuumed start fails loudly at the
+    * first batch, never silently skips.
+    *
+    * `startingTimestamp` (epoch millis or an ISO-8601 instant — no
+    * session-timezone parsing on either side) streams every commit made
+    * AT OR AFTER the target ([[TxnTable.versionSince]]); a target past
+    * every retained commit starts a pure TAIL (future commits always
+    * qualify, timestamps being monotonized). Mutually exclusive with
+    * `startingVersion`. */
   private[sources] def resolveStart(ident: String, location: String,
-      startingVersion: Option[String], s: SparkSession): Long =
-    startingVersion match {
-      case None => -1L
-      case Some("latest") => TxnTable.currentVersion(s, location)
-      case Some(n) =>
+      startingVersion: Option[String], s: SparkSession,
+      startingTimestamp: Option[String] = None): Long =
+    (startingVersion, startingTimestamp) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        s"$ident: startingVersion and startingTimestamp are mutually " +
+          "exclusive — pick one way to anchor the stream's start")
+      case (None, Some(raw)) =>
+        val ms =
+          if (raw.matches("-?\\d+")) raw.toLong
+          else try java.time.Instant.parse(raw).toEpochMilli catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"$ident: startingTimestamp must be epoch millis or an " +
+                  s"ISO-8601 instant ('2024-01-01T00:00:00Z'), got '$raw'")
+          }
+        TxnTable.versionSince(s, location, ms).map(_ - 1L)
+          .getOrElse(TxnTable.currentVersion(s, location))
+      case (None, None) => -1L
+      case (Some("latest"), None) => TxnTable.currentVersion(s, location)
+      case (Some(n), None) =>
         val v = try n.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"$ident: startingVersion must be a commit number or " +
@@ -124,11 +146,15 @@ object GraftStreaming {
   * `startingVersion` picks where a FRESH checkpoint begins: absent =
   * version 0 (the whole table), `"latest"` = only commits after stream
   * start (the tail-only production default for large tables — no
-  * backlog replay), `"<n>"` = commits from version n onward. */
+  * backlog replay), `"<n>"` = commits from version n onward;
+  * `startingTimestamp` anchors the same choice by COMMIT TIME instead
+  * (every commit at-or-after the target, [[GraftStreaming
+  * .resolveStart]]). */
 class GraftMicroBatchStream(ident: String, location: String,
     schema: StructType, maxVersions: Option[Long],
     startingVersion: Option[String] = None,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    startingTimestamp: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
@@ -162,7 +188,8 @@ class GraftMicroBatchStream(ident: String, location: String,
   @volatile private var lastFactory: Option[PartitionReaderFactory] = None
 
   override def initialOffset(): Offset = GraftStreaming.VersionOffset(
-    GraftStreaming.resolveStart(ident, location, startingVersion, spark))
+    GraftStreaming.resolveStart(ident, location, startingVersion, spark,
+      startingTimestamp))
 
   override def deserializeOffset(json: String): Offset =
     GraftStreaming.VersionOffset(json.toLong)

@@ -897,6 +897,27 @@ class CatalogSpec extends SparkSpec {
       stream(Some("-4")).initialOffset() }
     intercept[IllegalArgumentException] {
       stream(Some("bogus")).initialOffset() }
+    // startingTimestamp anchors the same choice by COMMIT TIME: every
+    // commit at-or-after the target streams; a future target tails
+    def tstream(ts: String) = new graft.sources.GraftMicroBatchStream(
+      s"graft.spec.$t", loc, schema, None, None, false, Some(ts))
+    val ts2 = TxnTable.manifest(spark, loc, 2L).ts
+    val tsLast = TxnTable.manifest(spark, loc, 3L).ts
+    assert(ts2 > 0L && tsLast > ts2) // monotonized commit stamps
+    assert(tstream(ts2.toString).initialOffset() === VersionOffset(1),
+      "startingTimestamp = v2's stamp must stream v2 onward")
+    assert(tstream("0").initialOffset() === VersionOffset(-1),
+      "epoch start = everything")
+    assert(tstream((tsLast + 1).toString).initialOffset()
+      === VersionOffset(3), "future target = pure tail")
+    assert(tstream(java.time.Instant.ofEpochMilli(ts2).toString)
+      .initialOffset() === VersionOffset(1), "ISO-8601 instant accepted")
+    intercept[IllegalArgumentException] { tstream("not-a-time")
+      .initialOffset() }
+    intercept[IllegalArgumentException] { // mutually exclusive
+      new graft.sources.GraftMicroBatchStream(s"graft.spec.$t", loc,
+        schema, None, Some("2"), false, Some("0")).initialOffset()
+    }
     // end-to-end: a fresh checkpoint starting at version 3 drains ONLY
     // the third insert into the destination
     val d = fresh("streamstartdst")
