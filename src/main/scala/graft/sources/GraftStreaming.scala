@@ -420,9 +420,10 @@ class GraftChangesTable(ident: String,
         val maxVersions = Option(options.get("maxVersionsPerTrigger"))
           .map(_.toLong)
         val startingVersion = Option(options.get("startingVersion"))
+        val startingTs = Option(options.get("startingTimestamp"))
         new GraftStreaming.StreamableScan(super.build(),
           readSchema => new GraftCdcMicroBatchStream(ident, location,
-            readSchema, maxVersions, startingVersion, ev))
+            readSchema, maxVersions, startingVersion, ev, startingTs))
       }
     }
   }
@@ -437,7 +438,8 @@ class GraftChangesTable(ident: String,
 class GraftCdcMicroBatchStream(ident: String, location: String,
     schema: StructType, maxVersions: Option[Long],
     startingVersion: Option[String] = None,
-    endingVersion: Option[Long] = None)
+    endingVersion: Option[Long] = None,
+    startingTimestamp: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
@@ -445,7 +447,8 @@ class GraftCdcMicroBatchStream(ident: String, location: String,
   @volatile private var lastFactory: Option[PartitionReaderFactory] = None
 
   override def initialOffset(): Offset = GraftStreaming.VersionOffset(
-    GraftStreaming.resolveStart(ident, location, startingVersion, spark))
+    GraftStreaming.resolveStart(ident, location, startingVersion, spark,
+      startingTimestamp))
 
   override def deserializeOffset(json: String): Offset =
     GraftStreaming.VersionOffset(json.toLong)
