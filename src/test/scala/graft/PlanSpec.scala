@@ -430,6 +430,27 @@ class PlanSpec extends SparkSpec {
     val all = spark.sql("SELECT v FROM graft.spec.planskip")
     val allFiles = plannedFiles(all)
     assert(allFiles === Seq(5), s"unfiltered scan lost files: $allFiles")
+    // BLOOM survivors reach the plan the same way: two files with
+    // fully-overlapping k ranges (parity split) make range stats
+    // useless for a point lookup; after CALL build_bloom the scan's
+    // file index must hold only the bloom's survivors — the hit file
+    // plus the uncovered zero-row sentinel — never all of them
+    spark.sql("DROP TABLE IF EXISTS graft.spec.planbloom")
+    spark.sql("CREATE TABLE graft.spec.planbloom (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    spark.sql("INSERT INTO graft.spec.planbloom SELECT " +
+      "/*+ REPARTITION(1) */ id * 2, 'x' FROM RANGE(50)")
+    spark.sql("INSERT INTO graft.spec.planbloom SELECT " +
+      "/*+ REPARTITION(1) */ id * 2 + 1, 'x' FROM RANGE(50)")
+    val point = "SELECT v FROM graft.spec.planbloom WHERE k = 4"
+    assert(plannedFiles(spark.sql(point)) === Seq(3),
+      "pre-bloom point lookup must keep all files (ranges overlap)")
+    spark.sql("CALL graft.system.build_bloom('spec.planbloom', 'k')")
+    val post = plannedFiles(spark.sql(point))
+    // even-parity file + uncovered zero-row sentinel (± false positive)
+    assert(post.length == 1 && post.head >= 2 && post.head <= 3,
+      s"post-bloom plan should hold 2-3 of 3 files, got $post")
+    assert(spark.sql(point).count() === 1)
   }
 
   test("whole-table aggregates answer from the manifest: LocalScan in " +
