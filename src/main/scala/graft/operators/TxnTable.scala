@@ -4230,6 +4230,25 @@ object TxnTable {
     * pinned reader must respect: versions below the cutoff are GONE. */
   def vacuum(s: SparkSession, table: String, retain: Int = 1,
       pinned: Set[Long] = Set.empty): Unit = {
+    vacuumImpl(s, table, retain, pinned, dry = false); ()
+  }
+
+  /** DRY-RUN vacuum — everything `vacuum(retain)` WOULD remove, with
+    * nothing touched: (dead manifest versions, dead data-dir files
+    * table-relative, dead change-feed files). Computed with the SAME
+    * keep sets as the real sweep (tags, caller pins, branch refs, MoR
+    * tombstones, bloom dirs, cdc refs), so preview-then-vacuum deletes
+    * exactly the previewed set barring concurrent commits — the
+    * blast-radius check an operator runs before advancing retention on
+    * a 100 TB table. (Crash-debris `.tmp-` stages are swept by the real
+    * vacuum but not listed here: they are never committed data.) */
+  def vacuumPreview(s: SparkSession, table: String, retain: Int = 1,
+      pinned: Set[Long] = Set.empty): (Seq[Long], Seq[String], Seq[String]) =
+    vacuumImpl(s, table, retain, pinned, dry = true)
+
+  private def vacuumImpl(s: SparkSession, table: String, retain: Int,
+      pinned: Set[Long], dry: Boolean)
+      : (Seq[Long], Seq[String], Seq[String]) = {
     val vs = versions(s, table)
     // TAGGED versions are pinned OUT of retention entirely: their
     // manifests and files survive however far the window advances —
@@ -4278,28 +4297,32 @@ object TxnTable {
     // resolve and then hit missing files mid-scan. (The reverse order
     // would leave that window open; files orphaned by a crash here are
     // collected by the next vacuum, whose keep-set excludes them.)
-    dead.foreach(v => f.delete(manifestPath(table, v), false))
-    // crashed writers' half-written manifests (vacuum implies no writer
-    // is mid-commit, same contract as every public table format)
-    f.listStatus(logDir(table)).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith(".tmp-"))
-      .foreach(p => f.delete(p, false))
+    if (!dry) {
+      dead.foreach(v => f.delete(manifestPath(table, v), false))
+      // crashed writers' half-written manifests (vacuum implies no
+      // writer is mid-commit, same contract as every public format)
+      f.listStatus(logDir(table)).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(".tmp-"))
+        .foreach(p => f.delete(p, false))
+    }
     // every staged file on disk, table-relative. A shallow CLONE that
     // never staged locally has no data dir yet — and its absolute
     // source-table references are never in this listing, so vacuuming a
     // clone can never delete the source's files
-    if (!f.exists(dataDir)) return
+    if (!f.exists(dataDir)) return (dead, Nil, Nil)
     val onDisk = f.listStatus(dataDir).toSeq.filter(_.isDirectory).flatMap { d =>
       f.listStatus(d.getPath).toSeq.map(st =>
         s"data/${d.getPath.getName}/${st.getPath.getName}")
     }
-    onDisk.filterNot(rel => keep(rel) ||
-        keepDirs.exists(d => rel.startsWith(d + "/")))
-      .foreach(rel => f.delete(new Path(s"$table/$rel"), false))
-    // drop now-empty uuid dirs
-    f.listStatus(dataDir).toSeq.filter(_.isDirectory)
-      .filter(d => f.listStatus(d.getPath).isEmpty)
-      .foreach(d => f.delete(d.getPath, false))
+    val deadFiles = onDisk.filterNot(rel => keep(rel) ||
+      keepDirs.exists(d => rel.startsWith(d + "/")))
+    if (!dry) {
+      deadFiles.foreach(rel => f.delete(new Path(s"$table/$rel"), false))
+      // drop now-empty uuid dirs
+      f.listStatus(dataDir).toSeq.filter(_.isDirectory)
+        .filter(d => f.listStatus(d.getPath).isEmpty)
+        .foreach(d => f.delete(d.getPath, false))
+    }
     // change-feed files are manifest-referenced (`#cdc=`) like data
     // files: a vacuumed version's feed goes with its manifest (retention
     // bounds the feed exactly as it bounds time travel), and the orphan
@@ -4310,20 +4333,25 @@ object TxnTable {
     // a feed published before `#cdc=` headers existed — is KEPT: the
     // conservative direction, never destroy committed data on upgrade.
     val cdcDir = new Path(table, "_cdc")
-    if (f.exists(cdcDir)) {
-      val keepCdc = retained.flatMap(_.cdcRefs).toSet
-      val liveVs = live.toSet
-      def deadVersionFile(name: String): Boolean =
-        name.startsWith("v") && name.endsWith(".parquet") && {
-          val v = name.drop(1).takeWhile(_.isDigit)
-          v.nonEmpty && !liveVs.contains(v.toLong)
-        }
-      f.listStatus(cdcDir).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith(".tmp-") ||
-          deadVersionFile(p.getName))
-        .filterNot(p => keepCdc(s"_cdc/${p.getName}"))
-        .foreach(p => f.delete(p, true))
-    }
+    val deadCdc =
+      if (!f.exists(cdcDir)) Nil
+      else {
+        val keepCdc = retained.flatMap(_.cdcRefs).toSet
+        val liveVs = live.toSet
+        def deadVersionFile(name: String): Boolean =
+          name.startsWith("v") && name.endsWith(".parquet") && {
+            val v = name.drop(1).takeWhile(_.isDigit)
+            v.nonEmpty && !liveVs.contains(v.toLong)
+          }
+        f.listStatus(cdcDir).toSeq.map(_.getPath)
+          .filter(p => p.getName.startsWith(".tmp-") ||
+            deadVersionFile(p.getName))
+          .filterNot(p => keepCdc(s"_cdc/${p.getName}"))
+      }
+    if (!dry) deadCdc.foreach(p => f.delete(p, true))
+    (dead, deadFiles,
+      deadCdc.filterNot(_.getName.startsWith(".tmp-"))
+        .map(p => s"_cdc/${p.getName}"))
   }
 
   private def freshDir(name: String): String = {

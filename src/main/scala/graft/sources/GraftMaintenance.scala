@@ -166,7 +166,7 @@ private[sources] object GraftMaintenance {
       "checkpoint", "restore", "recluster", "reindex",
       "zorder", "tag", "drop_tag", "clone", "publish", "branch",
       "fastforward", "rebase", "drop_branch", "rewrite_tombstones",
-      "dedup", "delete_dv", "build_bloom")
+      "dedup", "delete_dv", "build_bloom", "vacuum_preview")
 
   def load(catalog: GraftCatalog, warehouse: String, name: String)
       : UnboundProcedure = {
@@ -234,6 +234,20 @@ private[sources] object GraftMaintenance {
         val loc = tbl(s, in)
         TxnTable.vacuum(s, loc, in.getInt(1), branchPin(s, ref))
         TxnTable.currentVersion(s, loc)
+      }
+      // DRY-RUN vacuum: the blast radius a vacuum(retain) would have —
+      // dead manifests + dead data files + dead feed files as one
+      // count, NOTHING touched. The check an operator runs before
+      // advancing retention on a large table.
+      // CALL graft.system.vacuum_preview('ns.t', 2)
+      case "vacuum_preview" => p("vacuum_preview", Seq(tableParam,
+        ProcedureParameter.in("retain", IntegerType)
+          .defaultValue("1").build())) { (s, in) =>
+        val ref = in.getUTF8String(0).toString
+        val loc = tbl(s, in)
+        val (ms, fls, cdc) = TxnTable.vacuumPreview(s, loc,
+          in.getInt(1), branchPin(s, ref))
+        ms.size.toLong + fls.size + cdc.size
       }
       // AGE-based retention (the Iceberg expire_snapshots shape):
       // every version older than `older_than_hours` ago is vacuumed,

@@ -576,7 +576,16 @@ class CatalogSpec extends SparkSpec {
     // pre-compaction files are actually gone from disk
     sql(s"CALL graft.system.checkpoint('spec.$t')")
     val before = TxnTable.liveFiles(spark, loc, 1L).toSet
+    // dry-run first: a positive blast radius, and nothing touched
+    val blast = sql(s"CALL graft.system.vacuum_preview('spec.$t', 1)")
+      .collect()(0).getLong(0)
+    assert(blast > 0L, "vacuum preview saw nothing to sweep")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 300)
     sql(s"CALL graft.system.vacuum('spec.$t', 1)")
+    // post-sweep the blast radius is zero
+    assert(sql(s"CALL graft.system.vacuum_preview('spec.$t', 1)")
+      .collect()(0).getLong(0) === 0L)
     assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
       .collect()(0).getLong(0) === 300)
     intercept[Exception] {

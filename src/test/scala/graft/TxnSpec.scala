@@ -1900,6 +1900,49 @@ class TxnSpec extends SparkSpec {
       "vector union changed the kill set")
   }
 
+  test("vacuum preview predicts the sweep exactly and touches nothing") {
+    val s2 = spark
+    import s2.implicits._
+    val t = freshTable("vacprev")
+    TxnTable.create(spark, t, (0 until 40)
+      .map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(2))
+    TxnTable.append(spark, t, (40 until 60)
+      .map(i => (i.toLong, s"v$i")).toDF("k", "v").repartition(2))
+    TxnTable.compact(spark, t)
+    def dataFiles: Set[String] = {
+      val dd = new org.apache.hadoop.fs.Path(t, "data")
+      val f = dd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(dd)) Set.empty
+      else f.listStatus(dd).toSeq.filter(_.isDirectory).flatMap { d =>
+        f.listStatus(d.getPath).toSeq.map(st =>
+          s"data/${d.getPath.getName}/${st.getPath.getName}")
+      }.toSet
+    }
+    val d0 = dataFiles
+    val m0 = TxnTable.versions(spark, t).toSet
+    val (pm, pf, pcdc) = TxnTable.vacuumPreview(spark, t, 1)
+    // the preview changed NOTHING
+    assert(dataFiles === d0 && TxnTable.versions(spark, t).toSet === m0,
+      "vacuum preview touched the table")
+    assert(pm.toSet === Set(0L, 1L) && pf.nonEmpty && pcdc.isEmpty,
+      s"unexpected preview: $pm / ${pf.size} / $pcdc")
+    // the real sweep removes EXACTLY the previewed set
+    TxnTable.vacuum(spark, t, 1)
+    assert(TxnTable.versions(spark, t).toSet === m0 -- pm)
+    assert(dataFiles === d0 -- pf)
+    // post-sweep the blast radius is zero
+    val (pm2, pf2, pcdc2) = TxnTable.vacuumPreview(spark, t, 1)
+    assert(pm2.isEmpty && pf2.isEmpty && pcdc2.isEmpty)
+    // a TAG shields its version from the preview too (same keep sets)
+    TxnTable.append(spark, t, Seq((99L, "x")).toDF("k", "v"))
+    TxnTable.tag(spark, t, "keepme", TxnTable.currentVersion(spark, t))
+    TxnTable.append(spark, t, Seq((100L, "y")).toDF("k", "v"))
+    val tagged = TxnTable.tags(spark, t).toMap.apply("keepme")
+    val (pm3, _, _) = TxnTable.vacuumPreview(spark, t, 1)
+    assert(pm3.nonEmpty && !pm3.contains(tagged),
+      "preview would sweep a tagged version")
+  }
+
   test("predicate deletion vectors: arbitrary-predicate erasure with " +
       "zero rewrite, respelled table paths still apply the vector, " +
       "no-op without matches") {
