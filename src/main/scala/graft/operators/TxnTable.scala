@@ -4420,8 +4420,13 @@ object TxnTable {
     val v0 = create(s, t, base.repartition(16))
     val v0Files = liveFiles(s, t, v0)
     val v1 = compact(s, t)
-    vacuum(s, t, retain = 1)
+    // the DRY-RUN must predict the sweep exactly and touch nothing:
+    // the preview's dead set is precisely what the real vacuum removes
+    val (pm, pf, _) = vacuumPreview(s, t, retain = 1)
     val fsys = fs(s, new Path(t))
+    val previewInert = versions(s, t) == Seq(v0, v1) &&
+      pf.forall(rel => fsys.exists(new Path(s"$t/$rel")))
+    vacuum(s, t, retain = 1)
     val v1Files = liveFiles(s, t, v1)
     val oldGone = v0Files.filterNot(v1Files.contains)
       .forall(rel => !fsys.exists(new Path(s"$t/$rel")))
@@ -4429,8 +4434,16 @@ object TxnTable {
     val oldReadFails =
       try { snapshot(s, t, v0); false }
       catch { case _: IllegalArgumentException => true }
+    // the preview also lists swept _SUCCESS markers (unreferenced by
+    // any manifest, collected like any orphan) — the exactness check
+    // compares the DATA files
+    val previewExact = pm == Seq(v0) &&
+      pf.filter(_.endsWith(".parquet")).toSet ==
+        v0Files.filterNot(v1Files.contains).toSet &&
+      pf.forall(rel => !fsys.exists(new Path(s"$t/$rel")))
     statusAgg(snapshot(s, t), "latest")
-      .withColumn("vacuum_ok", lit(oldGone && latestIntact && oldReadFails))
+      .withColumn("vacuum_ok", lit(oldGone && latestIntact &&
+        oldReadFails && previewInert && previewExact))
   }
 
   /** op_table_history: the audit trail as a checked query — every commit
