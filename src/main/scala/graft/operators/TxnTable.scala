@@ -3907,18 +3907,42 @@ object TxnTable {
   def snapshotAt(s: SparkSession, table: String, tsMillis: Long): DataFrame =
     snapshot(s, table, versionAt(s, table, tsMillis))
 
-  /** The FIRST version whose commit timestamp is ≥ `tsMillis` — the
-    * streaming "changes committed at or after" contract (the
-    * complement of [[versionAt]]'s as-of read) — or None when no
-    * retained commit qualifies (a stream then tails: every FUTURE
-    * commit qualifies, timestamps being monotonized at commit). Walks
-    * oldest-first with HEADER-ONLY `#ts=` reads (≤3 lines each) and
-    * stops at the first hit. Pre-timestamp manifests (no `#ts=`) read
-    * as −1 and never qualify: a commit that cannot prove its time is
-    * treated as before any target. */
-  def versionSince(s: SparkSession, table: String, tsMillis: Long)
-      : Option[Long] =
-    versions(s, table).find(v => manifestHeaderTs(s, table, v) >= tsMillis)
+  /** Resolve a streaming start anchored by COMMIT TIME to the initial
+    * offset (= last consumed version): every retained commit stamped
+    * AT OR AFTER `tsMillis` streams — the complement of [[versionAt]]'s
+    * as-of read. ONE log listing decides everything (no re-list window:
+    * a commit landing after it is newer than the listed tail and
+    * streams regardless), walked NEWEST-first with HEADER-ONLY `#ts=`
+    * reads stopping at the first commit older than the target —
+    * O(commits after the target), the [[versionAt]] direction, so a
+    * year-old minutely-committed table anchoring at "yesterday" pays
+    * for yesterday, not for the year. Nothing qualifying = pure TAIL
+    * (monotonized stamps make every future commit qualify). REFUSED
+    * loudly, with the timestamp named, when the anchor's parent
+    * manifest is not retained (oldest-retained anchor on a vacuumed
+    * table, or a tag-shielded interior hole right before it): the
+    * replay would be silently incomplete — and silent is the one thing
+    * a time anchor must never be. Pre-timestamp manifests (no `#ts=`,
+    * read as −1) never qualify for ANY target: a commit that cannot
+    * prove its time is treated as before every target. */
+  def offsetSince(s: SparkSession, table: String, tsMillis: Long): Long = {
+    val vs = versions(s, table)
+    require(vs.nonEmpty, s"$table has no committed version")
+    def qualifies(v: Long): Boolean = {
+      val t = manifestHeaderTs(s, table, v)
+      t >= 0 && t >= tsMillis
+    }
+    var i = vs.size - 1
+    while (i >= 0 && qualifies(vs(i))) i -= 1
+    if (i == vs.size - 1) return vs.last // nothing qualifies: pure tail
+    val anchor = vs(i + 1)
+    require(anchor == 0L || (i >= 0 && vs(i) == anchor - 1),
+      s"$table: a stream anchored at timestamp $tsMillis must replay " +
+        s"from version ${anchor - 1}'s manifest, which retention has " +
+        "vacuumed — the feed since that time is not fully retained; " +
+        "pick a later timestamp or anchor with startingVersion")
+    anchor - 1
+  }
 
   /** Schema-evolving append: `df` may carry NEW columns beyond the
     * table's current schema (add-column evolution — common columns must

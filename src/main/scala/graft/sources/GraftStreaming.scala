@@ -63,9 +63,11 @@ object GraftStreaming {
     *
     * `startingTimestamp` (epoch millis or an ISO-8601 instant — no
     * session-timezone parsing on either side) streams every commit made
-    * AT OR AFTER the target ([[TxnTable.versionSince]]); a target past
-    * every retained commit starts a pure TAIL (future commits always
-    * qualify, timestamps being monotonized). Mutually exclusive with
+    * AT OR AFTER the target ([[TxnTable.offsetSince]]: one listing,
+    * newest-first header walk); a target past every retained commit
+    * starts a pure TAIL (future commits always qualify, timestamps
+    * being monotonized), and a target whose replay would need vacuumed
+    * manifests refuses loudly. Mutually exclusive with
     * `startingVersion`. */
   private[sources] def resolveStart(ident: String, location: String,
       startingVersion: Option[String], s: SparkSession,
@@ -75,16 +77,18 @@ object GraftStreaming {
         s"$ident: startingVersion and startingTimestamp are mutually " +
           "exclusive — pick one way to anchor the stream's start")
       case (None, Some(raw)) =>
+        def bad(): Nothing = throw new IllegalArgumentException(
+          s"$ident: startingTimestamp must be epoch millis or an " +
+            s"ISO-8601 instant ('2024-01-01T00:00:00Z'), got '$raw'")
         val ms =
-          if (raw.matches("-?\\d+")) raw.toLong
+          if (raw.matches("-?\\d+"))
+            // a 20-digit paste (nanos epoch) must get THIS message, not
+            // a raw NumberFormatException
+            try raw.toLong catch { case _: NumberFormatException => bad() }
           else try java.time.Instant.parse(raw).toEpochMilli catch {
-            case _: java.time.format.DateTimeParseException =>
-              throw new IllegalArgumentException(
-                s"$ident: startingTimestamp must be epoch millis or an " +
-                  s"ISO-8601 instant ('2024-01-01T00:00:00Z'), got '$raw'")
+            case _: java.time.format.DateTimeParseException => bad()
           }
-        TxnTable.versionSince(s, location, ms).map(_ - 1L)
-          .getOrElse(TxnTable.currentVersion(s, location))
+        TxnTable.offsetSince(s, location, ms)
       case (None, None) => -1L
       case (Some("latest"), None) => TxnTable.currentVersion(s, location)
       case (Some(n), None) =>

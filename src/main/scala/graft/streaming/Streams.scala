@@ -385,25 +385,6 @@ object Streams {
       .withColumn("morstream_ok", lit(ok))
   }
 
-  /** st_stream_dedup_lsh: INCREMENTAL NEAR-DUP DEDUP AS A STREAM — the
-    * continuous form of dd_incremental_lsh, the shape a live crawl
-    * actually runs: each micro-batch of arriving documents probes the
-    * persisted MinHash band store ([[graft.operators.Dedup
-    * .probeLshStore]]: candidates from shared buckets, verification by
-    * signature agreement — the corpus text is never read), appends its
-    * kept docs' band rows atomically through
-    * [[TxnTable.appendResolving]], and emits per-doc verdicts. The
-    * STORE ACCRETES ACROSS BATCHES: wave 3's byte-identical copies of
-    * wave-1 docs are caught as near-dups of the store rows wave 1
-    * appended — the cross-batch dependency no per-batch dedup has.
-    *
-    * Three deterministic waves (the dd_incremental_lsh batch split by
-    * id range: new docs / near-dup re-crawls / exact copies), staged as
-    * three files with ascending modification times and tailed with
-    * maxFilesPerTrigger=1, so the micro-batch sequence is replayable —
-    * the oracle unrolls the three-wave novelty cascade exactly.
-    * `lshstream_ok` asserts the store mechanics: final band-row count
-    * == corpus bands + exactly the kept docs' bands. */
   /** Stage `waves` as single-file parquet drops under `<base>/feed`
     * with ASCENDING mtimes — what pins the file source's micro-batch
     * ORDER for store-accretion scenarios whose semantics depend on
@@ -428,6 +409,25 @@ object Streams {
     feed
   }
 
+  /** st_stream_dedup_lsh: INCREMENTAL NEAR-DUP DEDUP AS A STREAM — the
+    * continuous form of dd_incremental_lsh, the shape a live crawl
+    * actually runs: each micro-batch of arriving documents probes the
+    * persisted MinHash band store ([[graft.operators.Dedup
+    * .probeLshStore]]: candidates from shared buckets, verification by
+    * signature agreement — the corpus text is never read), appends its
+    * kept docs' band rows atomically through
+    * [[TxnTable.appendResolving]], and emits per-doc verdicts. The
+    * STORE ACCRETES ACROSS BATCHES: wave 3's byte-identical copies of
+    * wave-1 docs are caught as near-dups of the store rows wave 1
+    * appended — the cross-batch dependency no per-batch dedup has.
+    *
+    * Three deterministic waves (the dd_incremental_lsh batch split by
+    * id range: new docs / near-dup re-crawls / exact copies), staged as
+    * three files with ascending modification times and tailed with
+    * maxFilesPerTrigger=1, so the micro-batch sequence is replayable —
+    * the oracle unrolls the three-wave novelty cascade exactly.
+    * `lshstream_ok` asserts the store mechanics: final band-row count
+    * == corpus bands + exactly the kept docs' bands. */
   def streamDedupLsh(s: SparkSession, d: String): DataFrame = {
     val base = graft.Fs.scratch("graft_stream_lsh", "run")
     graft.Fs.deleteRecursively(base)

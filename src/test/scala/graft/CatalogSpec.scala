@@ -923,10 +923,17 @@ class CatalogSpec extends SparkSpec {
       .initialOffset() === VersionOffset(1), "ISO-8601 instant accepted")
     intercept[IllegalArgumentException] { tstream("not-a-time")
       .initialOffset() }
+    intercept[IllegalArgumentException] { // long overflow: same message
+      tstream("99999999999999999999").initialOffset() }
     intercept[IllegalArgumentException] { // mutually exclusive
       new graft.sources.GraftMicroBatchStream(s"graft.spec.$t", loc,
         schema, None, Some("2"), false, Some("0")).initialOffset()
     }
+    // the CDC stream threads the SAME timestamp anchoring (pins the
+    // 7-arg constructor's trailing-option order)
+    assert(new graft.sources.GraftCdcMicroBatchStream(s"graft.spec.$t",
+      loc, schema, None, None, None, Some(ts2.toString)).initialOffset()
+      === VersionOffset(1))
     // end-to-end: a fresh checkpoint starting at version 3 drains ONLY
     // the third insert into the destination
     val d = fresh("streamstartdst")
@@ -947,6 +954,16 @@ class CatalogSpec extends SparkSpec {
     assert(rows.length === 10 && rows.forall(_._2 == "b2"),
       s"startingVersion=3 must stream only the third insert, got " +
         s"${rows.take(5).toSeq}")
+    // retention interplay: after vacuum(retain=2) keeps v2..v3 only, a
+    // timestamp anchored AT v2 needs v1's manifest to replay — refused
+    // LOUDLY with the timestamp named (a silently incomplete replay is
+    // the one thing a time anchor must never give); anchoring at v3
+    // still works (its parent v2 is retained)
+    TxnTable.vacuum(spark, loc, 2)
+    val eVac = intercept[IllegalArgumentException] {
+      tstream(ts2.toString).initialOffset() }
+    assert(eVac.getMessage.contains("timestamp"), eVac.getMessage)
+    assert(tstream(tsLast.toString).initialOffset() === VersionOffset(2))
   }
 
   test("t.changes serves the committed feed, batch and streaming") {
