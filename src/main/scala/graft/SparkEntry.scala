@@ -203,6 +203,7 @@ object SparkEntry {
     "st_stream_session_window" -> (Streams.streamSessionWindow _),
     "st_stream_backfill"      -> (Streams.streamBackfill _),
     "st_stream_catalog"       -> (Streams.streamCatalog _),
+    "st_stream_since"         -> (Streams.streamSince _),
     "st_stream_cdc"           -> (Streams.streamCdc _),
     "mr_triangle_count"       -> (MapReduceJobs.triangleCount _),
     "ta_ngram_lm"             -> (TextAnalysis.ngramLm _),
@@ -2337,6 +2338,18 @@ object SparkEntry {
         |SELECT o_orderkey + 200000000, o_orderstatus,
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE), TRUE
         |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin,
+    // Time-anchored stream start: a fresh checkpoint anchored at the
+    // third quarter-commit's own stamp drains exactly quarters 3..4
+    // (replayable cut arithmetic, same long integer division); the
+    // batch accounting + same-checkpoint inertness travel as a boolean
+    "st_stream_since" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |  r AS (SELECT MIN(k) AS lo, MAX(k) AS hi FROM b),
+        |  q AS (SELECT lo + (2 * (hi - lo + 1)) // 4 AS c2 FROM r)
+        |SELECT k AS o_orderkey, st, CAST(price AS DOUBLE) AS price,
+        |  TRUE AS since_ok
+        |FROM b, q WHERE k >= c2""".stripMargin,
     // same change-set + latest-wins contract as op_upsert, replayed from
     // parquet — the streamed foreachBatch merge must land the same table
     "st_stream_upsert" ->

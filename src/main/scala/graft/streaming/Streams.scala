@@ -789,4 +789,74 @@ object Streams {
       FROM graft.q.cs_dst""")
       .withColumn("cstream_ok", lit(ok))
   }
+
+  /** st_stream_since: TIME-ANCHORED STREAM START as a checked query —
+    * the "replay everything since last night's watermark" shape a
+    * recovering consumer runs when its checkpoint is gone but its
+    * downstream state carries a time high-water mark. Four
+    * quarter-slice commits land with monotonized stamps; a FRESH
+    * checkpoint anchored at the THIRD commit's own timestamp
+    * (`startingTimestamp`, at-or-after semantics) must drain EXACTLY
+    * quarters 3..4 — the anchor resolved by [[TxnTable.offsetSince]]'s
+    * one-listing newest-first header walk (O(commits after the
+    * target): anchoring a year-old table at "yesterday" pays for
+    * yesterday). A second drain on the SAME checkpoint lands nothing:
+    * the anchor binds only a fresh checkpoint, offsets rule afterwards.
+    * Hashed output = the two quarters (replayable cut arithmetic); the
+    * batch/commit accounting travels as `since_ok`. */
+  def streamSince(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q")
+    s.sql("DROP TABLE IF EXISTS graft.q.ss_src")
+    s.sql("DROP TABLE IF EXISTS graft.q.ss_dst")
+    val srcLoc = s"${GraftCatalog.defaultWarehouse}/q/ss_src"
+    val dstLoc = s"${GraftCatalog.defaultWarehouse}/q/ss_dst"
+    graft.Tables.table(s, d, "orders").createOrReplaceTempView("orders")
+    Seq("ss_src", "ss_dst").foreach(t => s.sql(s"""CREATE TABLE
+      graft.q.$t (o_orderkey BIGINT, st STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')"""))
+    val b = s.sql("SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi " +
+      "FROM orders").collect()(0)
+    val (kmin, kmax) = (b.getLong(0), b.getLong(1))
+    val span = kmax - kmin
+    val qc = (0L to 4L).map(i => kmin + i * (span + 1) / 4)
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO graft.q.ss_src
+        SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders
+        WHERE o_orderkey >= ${qc(i)} AND o_orderkey < ${qc(i + 1)}""")
+    }
+    // the third commit's OWN stamp: at-or-after must drain v3 and v4
+    val ts3 = TxnTable.manifest(s, srcLoc, 3L).ts
+    val ckpt = graft.Fs.scratch("graft_sstream", "ckpt")
+    graft.Fs.deleteRecursively(ckpt)
+    def drain(): Unit = {
+      val q = s.readStream
+        .option("startingTimestamp", ts3.toString)
+        .option("maxVersionsPerTrigger", "1")
+        .table("graft.q.ss_src")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft.q.ss_dst")
+      q.awaitTermination()
+    }
+    drain()
+    def streamCommits: Seq[Long] =
+      TxnTable.history(s, dstLoc).collect {
+        case (v, "stream_write", _) => v }
+    val afterFirst = streamCommits
+    val n1 = TxnTable.snapshot(s, dstLoc).count()
+    // the anchor binds only a FRESH checkpoint: a same-checkpoint
+    // re-run replays offsets and lands nothing
+    drain()
+    val ok = afterFirst.size == 2 && // one batch per drained commit
+      streamCommits == afterFirst &&
+      TxnTable.snapshot(s, dstLoc).count() == n1
+    s.sql("""SELECT o_orderkey, st, CAST(price AS DOUBLE) AS price
+      FROM graft.q.ss_dst""")
+      .withColumn("since_ok", lit(ok))
+  }
 }
