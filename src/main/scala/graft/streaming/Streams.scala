@@ -718,64 +718,80 @@ object Streams {
     * `cstream_ok` carries the batch/epoch/replay accounting. At 100 TB:
     * per-batch cost follows the commit's delta, per-epoch cost is one
     * stats pass + one manifest CAS. */
-  def streamCatalog(s: SparkSession, d: String): DataFrame = {
-    import graft.sources.GraftCatalog
-    GraftCatalog.register(s)
+  /** Seed the pair of catalog tables the catalog-stream scenarios tail:
+    * `graft.q.<src>` takes the FOUR quarter-slice single-file INSERTs of
+    * the orders keyspace (versions 1..4, tight key stats), `graft.q
+    * .<dst>` is created empty with the same schema. Returns the quarter
+    * cuts — ONE definition of the long-division arithmetic both
+    * scenarios' oracles replay. */
+  private def seedQuarterTables(s: SparkSession, d: String,
+      src: String, dst: String): IndexedSeq[Long] = {
+    graft.sources.GraftCatalog.register(s)
     s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q")
-    s.sql("DROP TABLE IF EXISTS graft.q.cs_src")
-    s.sql("DROP TABLE IF EXISTS graft.q.cs_dst")
-    val srcLoc = s"${GraftCatalog.defaultWarehouse}/q/cs_src"
-    val dstLoc = s"${GraftCatalog.defaultWarehouse}/q/cs_dst"
     graft.Tables.table(s, d, "orders").createOrReplaceTempView("orders")
-    s.sql("""CREATE TABLE graft.q.cs_src (
-      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))
-      TBLPROPERTIES ('index' = 'o_orderkey')""")
-    s.sql("""CREATE TABLE graft.q.cs_dst (
-      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))
-      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    Seq(src, dst).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS graft.q.$t")
+      s.sql(s"""CREATE TABLE graft.q.$t (
+        o_orderkey BIGINT, st STRING, price DECIMAL(12,2))
+        TBLPROPERTIES ('index' = 'o_orderkey')""")
+    }
     val b = s.sql("SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi " +
       "FROM orders").collect()(0)
     val (kmin, kmax) = (b.getLong(0), b.getLong(1))
     val span = kmax - kmin
     val qc = (0L to 4L).map(i => kmin + i * (span + 1) / 4)
     (0 until 4).foreach { i =>
-      s.sql(s"""INSERT INTO graft.q.cs_src
+      s.sql(s"""INSERT INTO graft.q.$src
         SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderstatus,
           CAST(o_totalprice AS DECIMAL(12,2))
         FROM orders
         WHERE o_orderkey >= ${qc(i)} AND o_orderkey < ${qc(i + 1)}""")
     }
+    qc
+  }
+
+  /** One Trigger.AvailableNow drain of `graft.q.<src>` into
+    * `graft.q.<dst>` through `ckpt`, with the given read options. */
+  private def drainTo(s: SparkSession, src: String, dst: String,
+      ckpt: String, options: Map[String, String]): Unit = {
+    val r = options.foldLeft(s.readStream) {
+      case (r, (k, v)) => r.option(k, v) }
+    r.table(s"graft.q.$src").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"graft.q.$dst")
+      .awaitTermination()
+  }
+
+  /** The destination's stream-landed commit versions. */
+  private def streamCommits(s: SparkSession, loc: String): Seq[Long] =
+    TxnTable.history(s, loc).collect { case (v, "stream_write", _) => v }
+
+  def streamCatalog(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.GraftCatalog
+    val srcLoc = s"${GraftCatalog.defaultWarehouse}/q/cs_src"
+    val dstLoc = s"${GraftCatalog.defaultWarehouse}/q/cs_dst"
+    seedQuarterTables(s, d, "cs_src", "cs_dst")
     val ckpt = graft.Fs.scratch("graft_cstream", "ckpt")
     graft.Fs.deleteRecursively(ckpt)
-    def drain(): Unit = {
-      val q = s.readStream
-        .option("maxVersionsPerTrigger", "1")
-        .table("graft.q.cs_src")
-        .writeStream
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .toTable("graft.q.cs_dst")
-      q.awaitTermination()
-    }
+    def drain(): Unit = drainTo(s, "cs_src", "cs_dst", ckpt,
+      Map("maxVersionsPerTrigger" -> "1"))
     drain()
-    def streamCommits: Seq[Long] =
-      TxnTable.history(s, dstLoc).collect {
-        case (v, "stream_write", _) => v }
-    val afterFirst = streamCommits
+    val afterFirst = streamCommits(s, dstLoc)
     val epochs = afterFirst.map(v =>
       TxnTable.commitMetrics(s, dstLoc, v)("epoch"))
     val countAfterFirst = TxnTable.snapshot(s, dstLoc).count()
     // offset-level replay: the drained stream re-run against the same
     // checkpoint must land ZERO new commits
     drain()
-    val afterReplay = streamCommits
+    val afterReplay = streamCommits(s, dstLoc)
     // incremental tail: one more source commit → EXACTLY one more batch
     s.sql("""INSERT INTO graft.q.cs_src
       SELECT /*+ REPARTITION(1) */ o_orderkey + 200000000, o_orderstatus,
         CAST(o_totalprice AS DECIMAL(12,2))
       FROM orders WHERE o_orderkey % 13 = 0""")
     drain()
-    val afterDelta = streamCommits
+    val afterDelta = streamCommits(s, dstLoc)
     val srcCount = TxnTable.snapshot(s, srcLoc).count()
     val ok = afterFirst.size == 4 &&
       epochs.distinct.size == 4 &&
@@ -806,54 +822,24 @@ object Streams {
     * batch/commit accounting travels as `since_ok`. */
   def streamSince(s: SparkSession, d: String): DataFrame = {
     import graft.sources.GraftCatalog
-    GraftCatalog.register(s)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q")
-    s.sql("DROP TABLE IF EXISTS graft.q.ss_src")
-    s.sql("DROP TABLE IF EXISTS graft.q.ss_dst")
     val srcLoc = s"${GraftCatalog.defaultWarehouse}/q/ss_src"
     val dstLoc = s"${GraftCatalog.defaultWarehouse}/q/ss_dst"
-    graft.Tables.table(s, d, "orders").createOrReplaceTempView("orders")
-    Seq("ss_src", "ss_dst").foreach(t => s.sql(s"""CREATE TABLE
-      graft.q.$t (o_orderkey BIGINT, st STRING, price DECIMAL(12,2))
-      TBLPROPERTIES ('index' = 'o_orderkey')"""))
-    val b = s.sql("SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi " +
-      "FROM orders").collect()(0)
-    val (kmin, kmax) = (b.getLong(0), b.getLong(1))
-    val span = kmax - kmin
-    val qc = (0L to 4L).map(i => kmin + i * (span + 1) / 4)
-    (0 until 4).foreach { i =>
-      s.sql(s"""INSERT INTO graft.q.ss_src
-        SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderstatus,
-          CAST(o_totalprice AS DECIMAL(12,2))
-        FROM orders
-        WHERE o_orderkey >= ${qc(i)} AND o_orderkey < ${qc(i + 1)}""")
-    }
+    seedQuarterTables(s, d, "ss_src", "ss_dst")
     // the third commit's OWN stamp: at-or-after must drain v3 and v4
     val ts3 = TxnTable.manifest(s, srcLoc, 3L).ts
     val ckpt = graft.Fs.scratch("graft_sstream", "ckpt")
     graft.Fs.deleteRecursively(ckpt)
-    def drain(): Unit = {
-      val q = s.readStream
-        .option("startingTimestamp", ts3.toString)
-        .option("maxVersionsPerTrigger", "1")
-        .table("graft.q.ss_src")
-        .writeStream
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .toTable("graft.q.ss_dst")
-      q.awaitTermination()
-    }
+    def drain(): Unit = drainTo(s, "ss_src", "ss_dst", ckpt,
+      Map("startingTimestamp" -> ts3.toString,
+        "maxVersionsPerTrigger" -> "1"))
     drain()
-    def streamCommits: Seq[Long] =
-      TxnTable.history(s, dstLoc).collect {
-        case (v, "stream_write", _) => v }
-    val afterFirst = streamCommits
+    val afterFirst = streamCommits(s, dstLoc)
     val n1 = TxnTable.snapshot(s, dstLoc).count()
     // the anchor binds only a FRESH checkpoint: a same-checkpoint
     // re-run replays offsets and lands nothing
     drain()
     val ok = afterFirst.size == 2 && // one batch per drained commit
-      streamCommits == afterFirst &&
+      streamCommits(s, dstLoc) == afterFirst &&
       TxnTable.snapshot(s, dstLoc).count() == n1
     s.sql("""SELECT o_orderkey, st, CAST(price AS DOUBLE) AS price
       FROM graft.q.ss_dst""")
