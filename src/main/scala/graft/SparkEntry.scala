@@ -66,6 +66,7 @@ object SparkEntry {
     "op_txn_recluster"        -> (TxnTable.txnRecluster _),
     "sql_txn_timetravel"      -> (SqlSurface.txnTimeTravel _),
     "sql_txn_skip"            -> (SqlSurface.txnSkip _),
+    "sql_txn_dpp"             -> (SqlSurface.txnDpp _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
     "sql_txn_agg_push"        -> (SqlSurface.txnAggPush _),
     "sql_txn_bloom"           -> (SqlSurface.txnBloomSql _),
@@ -1397,6 +1398,21 @@ object SparkEntry {
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS skip_ok
         |FROM b, r WHERE k >= lo AND k < hi""".stripMargin,
+    // runtime join-driven file pruning: the fact table's content is the
+    // four quarter inserts = the full lineitem projection, so the oracle
+    // is the plain join with the dim's selective filter replayed
+    "sql_txn_dpp" ->
+      """WITH m AS (SELECT MIN(l_orderkey) AS kmin,
+        |    MAX(l_orderkey) - MIN(l_orderkey) AS span FROM lineitem),
+        |r AS (SELECT kmin + (span+1)//4 AS lo,
+        |             kmin + 2*(span+1)//4 AS hi FROM m)
+        |SELECT f.l_orderkey, COUNT(*) AS nli,
+        |  CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS amt, TRUE AS dpp_ok
+        |FROM lineitem f JOIN orders d ON f.l_orderkey = d.o_orderkey, r
+        |WHERE d.o_orderkey >= r.lo AND d.o_orderkey < r.hi
+        |  AND d.o_orderkey % 2 = 0
+        |GROUP BY f.l_orderkey""".stripMargin,
     // ALTER TABLE ADD COLUMN through the catalog: old rows read the new
     // column as NULL, the post-evolution insert computes it; the
     // metadata-only property travels as a boolean

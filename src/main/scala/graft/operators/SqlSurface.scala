@@ -205,6 +205,66 @@ object SqlSurface {
     s.sql(sel).withColumn("skip_ok", lit(ok))
   }
 
+  /** sql_txn_dpp: RUNTIME join-driven file pruning — the DSv2 dynamic
+    * partition pruning contract (`SupportsRuntimeV2Filtering`) answered
+    * from MANIFEST stats. The star-join shape: a fact table
+    * range-clustered on its join key, a dim side carrying a selective
+    * filter; Spark's PartitionPruning rule plants a dynamic-pruning
+    * subquery on the fact scan's key (the scan advertises its indexed
+    * columns via `filterAttributes`), and at EXECUTION the broadcast
+    * build side's actual key set re-prunes the fact's manifest entries
+    * (`RuntimeFilterableScan.filter` → `PruningScanBuilder.rebuiltWith`)
+    * — only the files whose key box intersects the dim's keys are ever
+    * listed or opened. Static pushdown can't do this: the filter lives
+    * on the OTHER table. Classic DPP prunes hive partition directories;
+    * here the unit is the manifest entry, so it bites on
+    * range-clustered, z-ordered and hash-bucketed layouts alike. Four
+    * quarter-slice single-file inserts give every fact file a tight key
+    * range; the dim keeps only second-quarter even keys, so the join
+    * must plan 5 files and EXECUTE over ≤2 (quarter file + stat-less
+    * sentinel). Hashed output = the joined per-key aggregate (oracle
+    * replays the join); `dpp_ok` carries the runtime kept/total file
+    * accounting. At 100 TB: a selective dim predicate makes the fact
+    * scan cost O(matching files), not O(table) — the single biggest
+    * lever on star-schema queries. */
+  def txnDpp(s: SparkSession, d: String): DataFrame = {
+    freshSqlTable(s, "dpp_li")
+    view(s, d, "lineitem")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.dpp_li (
+      l_orderkey BIGINT, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'l_orderkey')""")
+    val b = s.sql("SELECT MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi " +
+      "FROM lineitem").collect()(0)
+    val (kmin, kmax) = (b.getLong(0), b.getLong(1))
+    val span = kmax - kmin
+    val qc = (0L to 4L).map(i => kmin + i * (span + 1) / 4)
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO graft.q.dpp_li
+        SELECT /*+ REPARTITION(1) */ l_orderkey,
+          CAST(l_extendedprice AS DECIMAL(12,2))
+        FROM lineitem
+        WHERE l_orderkey >= ${qc(i)} AND l_orderkey < ${qc(i + 1)}""")
+    }
+    // the dim filter is on ORDERS — nothing here is statically pushable
+    // to the fact scan; only the runtime key set can prune it
+    val sel = s"""SELECT f.l_orderkey, COUNT(*) AS nli,
+      CAST(SUM(f.price) AS DOUBLE) AS amt
+      FROM graft.q.dpp_li f JOIN orders d ON f.l_orderkey = d.o_orderkey
+      WHERE d.o_orderkey >= ${qc(1)} AND d.o_orderkey < ${qc(2)}
+        AND d.o_orderkey % 2 = 0
+      GROUP BY f.l_orderkey"""
+    val (k0, t0) = (GraftCatalog.runtimeKept.get, GraftCatalog.runtimeTotal.get)
+    val n = s.sql(sel).count() // one executed join: runtime prune fires once
+    val (kept, total) = (GraftCatalog.runtimeKept.get - k0,
+      GraftCatalog.runtimeTotal.get - t0)
+    // 5 live files; the runtime key set must keep only the second
+    // quarter's file plus the conservative stat-less create sentinel.
+    // total == 5 also certifies DPP actually FIRED (no re-plan = 0/0)
+    val ok = total == 5L && kept <= 2L && kept >= 1L && n > 0L
+    s.sql(sel).withColumn("dpp_ok", lit(ok))
+  }
+
   /** sql_txn_bloom: BLOOM-SIDECAR point-lookup pruning on the pure-SQL
     * read path — the production "time-partitioned table probed by id"
     * shape where range stats are USELESS: the table is day-clustered

@@ -509,6 +509,13 @@ object GraftCatalog {
     * aggregate never built one, filtered or not. */
   val indexBuilds = new java.util.concurrent.atomic.AtomicLong
 
+  /** RUNTIME (dynamic-pruning) re-plans: files kept vs live when a
+    * join's build-side key set re-pruned a catalog scan at execution
+    * time ([[GraftStreaming.RuntimeFilterableScan]]), cumulative since
+    * process start. Zero delta around a join = DPP never fired. */
+  val runtimeKept = new java.util.concurrent.atomic.AtomicLong
+  val runtimeTotal = new java.util.concurrent.atomic.AtomicLong
+
 }
 
 /** One resolved snapshot of a TxnTable, pinned at `version`: reads plan
@@ -654,11 +661,33 @@ class GraftTable(ident: String, private[sources] val location: String,
         val startingTs = Option(options.get("startingTimestamp"))
         val skipChange = Option(options.get("skipChangeCommits"))
           .exists(_.toBoolean)
-        val scan = new GraftStreaming.StreamableScan(base,
+        // runtime-filterable columns: everything the manifest can prune
+        // a per-value IN-set on — plain integral index columns, the
+        // BASE column of a bucketN transform (ManifestPrune maps each
+        // value through bucketOf), and string index columns. days(ts)
+        // transforms are excluded: a runtime key set on a raw timestamp
+        // join is not a shape the day stats answer
+        val rtAttrs: Array[
+            org.apache.spark.sql.connector.expressions.NamedReference] =
+          (m.idxCols.flatMap {
+            case TxnTable.BucketSpec(_, c) => Some(c)
+            case spec if spec.contains("(") => None
+            case plain => Some(plain)
+          } ++ m.strIdxCols).distinct.map(
+            org.apache.spark.sql.connector.expressions.Expressions.column(_)
+          ).toArray
+        val scan = new GraftStreaming.RuntimeFilterableScan(base,
           readSchema => new GraftMicroBatchStream(ident, location,
             readSchema, maxVersions, startingVersion, skipChange,
             startingTs),
-          () => GraftTable.manifestStatistics(m, keptEntries.get()))
+          () => GraftTable.manifestStatistics(m, keptEntries.get()),
+          rtAttrs,
+          extra => {
+            val rebuilt = rebuiltWith(extra)
+            GraftCatalog.runtimeKept.addAndGet(keptEntries.get().size.toLong)
+            GraftCatalog.runtimeTotal.addAndGet(m.entries.size.toLong)
+            rebuilt
+          })
         // mapped AND tombstoned tables read through the snapshot plan
         // the analyzer swaps in (GraftMorReadRule) — so EXECUTING a
         // direct BATCH scan means some path bypassed analysis, where

@@ -141,6 +141,52 @@ object GraftStreaming {
         }
       })
   }
+
+  /** [[StreamableScan]] that additionally accepts RUNTIME filters — the
+    * DSv2 dynamic-pruning contract ([[SupportsRuntimeV2Filtering]]):
+    * when this scan sits under a join whose OTHER side is broadcast,
+    * Spark's `PartitionPruning` rule plants a dynamic-pruning subquery
+    * on the join key (any column in `attrs` — the table's indexed
+    * columns), and at execution [[filter]] receives the build side's
+    * actual key set. The scan then re-prunes its MANIFEST entries with
+    * the runtime IN-set and re-plans over only the surviving files —
+    * the star-join move at 100 TB: a selective dim filter shrinks the
+    * fact scan to the files the matching keys can live in, before a
+    * single fact byte is read. Classic DPP prunes partition
+    * DIRECTORIES; here the unit is the manifest entry, so it works on
+    * range-clustered, z-ordered and hash-bucketed layouts alike.
+    *
+    * `filter` only ever SHRINKS the file list (manifest pruning is
+    * conservative and monotone in the conjunct set), and the join above
+    * the scan re-applies the real condition per row — an undecodable
+    * runtime predicate is dropped, never guessed at. */
+  class RuntimeFilterableScan(inner0: Scan,
+      mk: StructType => MicroBatchStream,
+      manifestStats: () =>
+        Option[org.apache.spark.sql.connector.read.Statistics],
+      attrs: Array[org.apache.spark.sql.connector.expressions.NamedReference],
+      rebuild: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => Scan)
+      extends StreamableScan(inner0, mk, manifestStats)
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+    @volatile private var current: Scan = inner0
+
+    // BatchScanExec calls toBatch AGAIN after filter() — the rebuilt
+    // (file-pruned) scan must answer, not the planning-time one
+    override def toBatch: Batch = current.toBatch
+
+    override def filterAttributes()
+        : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      attrs
+
+    override def filter(predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Unit = {
+      val exprs = predicates.toSeq.flatMap(ManifestPrune.fromV2)
+      if (exprs.nonEmpty) current = rebuild(exprs)
+    }
+  }
 }
 
 /** The commit-log tail as a DSv2 micro-batch stream. `maxVersions`

@@ -167,13 +167,30 @@ object ManifestPrune {
             longs.flatten.exists(v => v >= lo && v <= hi)
           }
         else true
+      // bucketN(c) transform stats answer IN like they answer equality:
+      // the file may hold the set only if SOME member's bucket lands in
+      // its bucket box — what makes runtime join pruning (DPP IN-sets)
+      // bite on hash-bucketed layouts where raw ranges prune nothing
+      val bucketOk =
+        if (longs.forall(_.isDefined))
+          e.stats.forall { st =>
+            st.col match {
+              case TxnTable.BucketSpec(n, `c`) =>
+                st.lo <= st.hi && longs.flatten.exists { v =>
+                  val b = TxnTable.bucketOf(v, n.toInt)
+                  b >= st.lo && b <= st.hi
+                }
+              case _ => true
+            }
+          }
+        else true
       val strOk =
         if (strs.forall(_.isDefined))
           strMay(e, c) { case (fLo, fHi) =>
             strs.flatten.exists(v => cmp(v, fLo) >= 0 && cmp(v, fHi) <= 0)
           }
         else true
-      intOk && strOk
+      intOk && bucketOk && strOk
     }
 
   /** Evaluate an integral comparison `col op lit` (either side) against
@@ -308,4 +325,73 @@ object ManifestPrune {
         case _ => true
       }
     }
+
+  // ---- RUNTIME (DPP) filter decoding --------------------------------------
+
+  /** Above this many IN members the per-file set test folds to its
+    * [min,max] envelope: runtime join keys can reach millions of values,
+    * and an O(#files × #values) existence scan at planning time is the
+    * wrong trade — the envelope keeps pruning O(#files) while staying
+    * sound (a superset of the set test). Range-clustered layouts lose
+    * nothing (contiguous build keys ⇒ envelope ≈ set); bucket layouts
+    * lose the per-value bucket probe only on the giant sets where it
+    * was unaffordable anyway. */
+  private val RuntimeInSetCap = 10000
+
+  /** Decode one RUNTIME V2 predicate (what [[org.apache.spark.sql.
+    * execution.datasources.v2.BatchScanExec]] passes to
+    * `SupportsRuntimeV2Filtering.filter` after a dynamic-pruning
+    * subquery resolves — an `IN` of the join build side's key values,
+    * or a degenerate equality) into the catalyst shape [[keep]] prunes
+    * with. Unknown shapes answer None: runtime filtering is an
+    * optimization, and the per-row join above the scan re-applies the
+    * real condition — dropping an undecodable predicate is always
+    * sound. */
+  def fromV2(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Expression] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    def attr(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[AttributeReference] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        // the data type rides on the literals; the attribute only needs
+        // its NAME for stat lookup (attrOf matches the bare reference)
+        Some(AttributeReference(r.fieldNames.head,
+          org.apache.spark.sql.types.NullType)())
+      case _ => None
+    }
+    def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Literal] = e match {
+      case l: V2Literal[_] => Some(Literal(l.value, l.dataType))
+      case _ => None
+    }
+    p.name() match {
+      case "IN" =>
+        val kids = p.children()
+        for {
+          a <- attr(kids.head)
+          vs <- Some(kids.tail.toSeq.map(lit)) if vs.forall(_.isDefined)
+        } yield {
+          val lits = vs.flatten
+          val withType = a.withDataType(lits.headOption.map(_.dataType)
+            .getOrElse(a.dataType))
+          val longs = lits.map(l => longLit(l))
+          if (lits.size > RuntimeInSetCap && longs.forall(_.isDefined)) {
+            val ls = longs.flatten
+            And(GreaterThanOrEqual(withType, Literal(ls.min)),
+              LessThanOrEqual(withType, Literal(ls.max)))
+          } else In(withType, lits)
+        }
+      case "=" =>
+        val kids = p.children()
+        if (kids.length != 2) None
+        else (attr(kids(0)), lit(kids(1)), attr(kids(1)), lit(kids(0))) match {
+          case (Some(a), Some(l), _, _) =>
+            Some(EqualTo(a.withDataType(l.dataType), l))
+          case (_, _, Some(a), Some(l)) =>
+            Some(EqualTo(l, a.withDataType(l.dataType)))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 }

@@ -51,6 +51,7 @@ class PruningScanBuilder(
   private var inner: ParquetScanBuilder = _
   private var pushedCatalyst: Seq[Expression] = Nil
   private var pendingPaths: () => Seq[Path] = () => allPaths
+  private var prunedSchema: Option[StructType] = None
   private var answered:
     Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] =
     None
@@ -90,8 +91,30 @@ class PruningScanBuilder(
 
   override def pushedFilters(): Array[Predicate] = ensure().pushedFilters
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    prunedSchema = Some(requiredSchema)
     ensure().pruneColumns(requiredSchema)
+  }
+
+  /** Re-plan the parquet scan with RUNTIME conjuncts appended to the
+    * pushed set: the manifest prune runs again over `pushed ++ extra`
+    * (strictly fewer surviving files — pruning is monotone in the
+    * conjunct set), a fresh file index seeds a fresh parquet builder,
+    * and the original pushdown state (filters, required columns) is
+    * replayed so the rebuilt scan is plan-identical except for its file
+    * list. This is what `SupportsRuntimeV2Filtering.filter` calls when
+    * a dynamic-pruning subquery resolves at execution time — the DSv2
+    * equivalent of dynamic partition pruning, except the unit of
+    * pruning is the manifest entry (file), not a partition directory. */
+  def rebuiltWith(extra: Seq[Expression]): Scan = {
+    onIndexBuild()
+    val index = new InMemoryFileIndex(spark, prune(pushedCatalyst ++ extra),
+      Map.empty[String, String], Some(schema))
+    val b = ParquetScanBuilder(spark, index, schema, schema, options)
+    b.pushFilters(pushedCatalyst)
+    prunedSchema.foreach(b.pruneColumns)
+    b.build()
+  }
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     answered.isDefined || ensure().pushAggregation(aggregation)

@@ -522,4 +522,89 @@ class PlanSpec extends SparkSpec {
     assert(df.select("ndv_ok").collect().forall(_.getBoolean(0)),
       "manifest-stats broadcast pairing red")
   }
+
+  test("runtime (DPP) join pruning: the build side's key set re-prunes " +
+      "the fact scan's manifest entries at execution") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.plan")
+    s.sql("DROP TABLE IF EXISTS graft.plan.dppf")
+    s.sql("CREATE TABLE graft.plan.dppf (k BIGINT, pad STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    (0 until 4).foreach(i =>
+      s.sql("INSERT INTO graft.plan.dppf SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${i * 5000}, repeat('x', 32) FROM RANGE(5000)"))
+    // the selective filter lives on a NON-join dim column — nothing is
+    // statically pushable or constraint-inferable onto the fact scan;
+    // only the runtime key set can prune it. The dim is a real table
+    // (not a local relation): DPP's broadcast-reuse path needs the
+    // build side to be a genuine scan
+    s.sql("DROP TABLE IF EXISTS graft.plan.dppd")
+    s.sql("CREATE TABLE graft.plan.dppd (dk BIGINT, tag STRING)")
+    s.sql("INSERT INTO graft.plan.dppd " +
+      "SELECT /*+ REPARTITION(1) */ id, CASE WHEN id >= 5000 AND " +
+      "id < 10000 AND id % 500 = 0 THEN 'p' ELSE 'x' END FROM RANGE(20000)")
+    val q = "SELECT f.k, f.pad FROM graft.plan.dppf f " +
+      "JOIN graft.plan.dppd d ON f.k = d.dk WHERE d.tag = 'p'"
+    val (k0, t0) = (GraftCatalog.runtimeKept.get, GraftCatalog.runtimeTotal.get)
+    val rows = s.sql(q).collect()
+    val (kept, total) = (GraftCatalog.runtimeKept.get - k0,
+      GraftCatalog.runtimeTotal.get - t0)
+    // 5 live files (4 range files + stat-less create sentinel); the
+    // 10-key runtime IN-set lives entirely in the second range file
+    assert(total === 5L && kept <= 2L && kept >= 1L,
+      s"runtime prune did not bite: kept $kept of $total")
+    assert(rows.map(_.getLong(0)).sorted.toSeq ===
+      (5000L until 10000L by 500L).toSeq, "runtime prune lost rows")
+    // the physical plan carries the dynamic-pruning subquery on the scan
+    val p = s.sql(q).queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic-pruning expression planted:\n${p.take(800)}")
+  }
+
+  test("runtime (DPP) join pruning bites on a hash-BUCKETED layout, " +
+      "where raw key ranges prune nothing") {
+    val s = spark
+    import graft.operators.TxnTable
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.plan")
+    s.sql("DROP TABLE IF EXISTS graft.plan.dppb")
+    s.sql("CREATE TABLE graft.plan.dppb (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'bucket16(k)')")
+    // eight bucket-homogeneous single-file inserts: every file's BUCKET
+    // box is tight while its raw key box spans the whole keyspace — the
+    // layout where a range envelope prunes nothing and only the
+    // per-value bucket probe can bite
+    val byBucket = (0L until 320L).groupBy(k => TxnTable.bucketOf(k, 16) / 2)
+    import s.implicits._
+    byBucket.toSeq.sortBy(_._1).foreach { case (_, ks) =>
+      ks.map(k => (k, s"v$k")).toDF("k", "v").createOrReplaceTempView("dppb_in")
+      s.sql("INSERT INTO graft.plan.dppb " +
+        "SELECT /*+ REPARTITION(1) */ k, v FROM dppb_in")
+    }
+    val probes = Seq(7L, 137L, 301L)
+    s.sql("DROP TABLE IF EXISTS graft.plan.dppbd")
+    s.sql("CREATE TABLE graft.plan.dppbd (dk BIGINT, tag STRING)")
+    s.sql("INSERT INTO graft.plan.dppbd " +
+      "SELECT /*+ REPARTITION(1) */ id, CASE WHEN id IN " +
+      s"(${probes.mkString(", ")}) THEN 'p' ELSE 'x' END FROM RANGE(320)")
+    val q = "SELECT f.k, f.v FROM graft.plan.dppb f " +
+      "JOIN graft.plan.dppbd d ON f.k = d.dk WHERE d.tag = 'p'"
+    val (k0, t0) = (GraftCatalog.runtimeKept.get, GraftCatalog.runtimeTotal.get)
+    val rows = s.sql(q).collect()
+    val (kept, total) = (GraftCatalog.runtimeKept.get - k0,
+      GraftCatalog.runtimeTotal.get - t0)
+    // 9 live files (8 bucket files + sentinel); 3 probe keys land in at
+    // most 3 bucket files — the per-value bucketOf probe, not the
+    // [7,301] envelope (which would keep every file)
+    val wantFiles = probes.map(k => TxnTable.bucketOf(k, 16) / 2).distinct.size
+    assert(total === 9L && kept >= 1L && kept <= wantFiles + 1L,
+      s"bucket runtime prune did not bite: kept $kept of $total " +
+        s"(probes span $wantFiles files + sentinel)")
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === probes.sorted.map(k => (k, s"v$k")),
+      "bucket runtime prune lost rows")
+  }
 }
