@@ -201,6 +201,7 @@ object SparkEntry {
     "st_stream_upsert"        -> (Streams.streamUpsert _),
     "st_stream_mor"           -> (Streams.streamMorApply _),
     "st_stream_dedup_lsh"     -> (graft.streaming.Streams.streamDedupLsh _),
+    "st_stream_idempotent"    -> (Streams.streamIdempotent _),
     "st_stream_session_window" -> (Streams.streamSessionWindow _),
     "st_stream_backfill"      -> (Streams.streamBackfill _),
     "st_stream_catalog"       -> (Streams.streamCatalog _),
@@ -2401,6 +2402,21 @@ object SparkEntry {
         |      UNION ALL
         |      SELECT key + 100000000, 'N', p FROM b
         |      WHERE key % 97 = 0)""".stripMargin,
+    // the three waves partition orders exactly (key mod 3), each epoch
+    // applied twice through the ledger lands once; the two labeled
+    // post-stream appends replay their slice arithmetic
+    "st_stream_idempotent" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice, TRUE AS idem_ok
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 300000000, 'P',
+        |  CAST(o_totalprice AS DOUBLE), TRUE
+        |FROM orders WHERE o_orderkey % 13 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 500000000, 'B',
+        |  CAST(o_totalprice AS DOUBLE), TRUE
+        |FROM orders WHERE o_orderkey % 17 = 0""".stripMargin,
     "st_stream_enrich" ->
       """SELECT event_id, user_id, event_type, c_mktsegment
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,

@@ -168,6 +168,36 @@ object TxnTable {
     } finally in.close()
   }
 
+  /** One header-only pass over version `v`'s manifest for what [[commit]]
+    * must CARRY from its parent: the commit timestamp (monotonization)
+    * and the cumulative `#txn=` idempotent-writer ledger. Stops at the
+    * first entry line — O(header) whatever the table's file count. */
+  private def manifestHeaderTsTxns(s: SparkSession, table: String, v: Long)
+      : (Long, Map[String, Long]) = {
+    val mp = manifestPath(table, v)
+    val f = fs(s, mp)
+    require(f.exists(mp),
+      s"$table version $v not found (vacuumed or never committed)")
+    logReads.incrementAndGet()
+    val in = f.open(mp)
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, UTF_8))
+      var ts = -1L
+      val txns = scala.collection.mutable.Map.empty[String, Long]
+      var line = br.readLine()
+      while (line != null && line.startsWith("#")) {
+        if (line.startsWith("#ts=")) ts = line.stripPrefix("#ts=").toLong
+        else if (line.startsWith("#txn=")) {
+          val Array(a, b) = line.stripPrefix("#txn=").split('\t')
+          txns.put(b64dec(a), b.toLong)
+        }
+        line = br.readLine()
+      }
+      (ts, txns.toMap)
+    } finally in.close()
+  }
+
   /** Read ONLY metric `key` from version `v`'s `#metrics=` header (−1
     * when absent). #format/#op/#ts/#metrics lead the manifest in that
     * fixed order, so this stops after ≤4 lines — [[mergeBranch]]'s
@@ -223,7 +253,8 @@ object TxnTable {
       cdcRefs: Seq[String] = Nil,
       fmt: Long = ManifestFormat,
       retired: Seq[(Long, String)] = Nil,
-      checks: Seq[(String, String)] = Nil) {
+      checks: Seq[(String, String)] = Nil,
+      txns: Map[String, Long] = Map.empty) {
     def liveFiles: Seq[String] = entries.map(_.path)
     // the index column set prefers the `#index=` header: deriving it from
     // entry stats alone loses the index whenever a version legitimately
@@ -382,9 +413,17 @@ object TxnTable {
       val Array(n, e) = l.stripPrefix("#check=").split('\t')
       (n, b64dec(e))
     }
+    // `#txn=appId TAB batchId` — the idempotent-writer ledger (Delta's
+    // txnAppId/txnVersion shape), cumulative: every commit carries the
+    // map forward, so the CURRENT manifest always answers "has (app,
+    // batch) already landed" with one header read, at any log length
+    val txns = lines.filter(_.startsWith("#txn=")).map { l =>
+      val Array(a, b) = l.stripPrefix("#txn=").split('\t')
+      (b64dec(a), b.toLong)
+    }.toMap
     Manifest(op, schema, deletes, entries,
       idxHdr("#index="), idxHdr("#strindex="), blooms, ts, metrics, cdcRefs,
-      fmt, retired, checks)
+      fmt, retired, checks, txns)
   }
 
   /** The operation metrics version `v`'s commit recorded in its
@@ -1288,7 +1327,8 @@ object TxnTable {
              metrics: Seq[(String, Long)] = Nil,
              cdcFiles: Seq[String] = Nil,
              retired: Seq[(Long, String)] = Nil,
-             checks: Seq[(String, String)] = Nil): Long = {
+             checks: Seq[(String, String)] = Nil,
+             txn: Option[(String, Long)] = None): Long = {
     val ld = logDir(table)
     val f = fs(s, ld)
     f.mkdirs(ld)
@@ -1303,8 +1343,23 @@ object TxnTable {
     // first commit at-or-before the target, and two commits can never
     // tie. Wall-clock is inherently non-replayable, so timestamps are
     // header-only metadata — never part of a hashed query output
-    val prevTs = if (cur < 0) -1L else manifestHeaderTs(s, table, cur)
+    val (prevTs, prevTxns) =
+      if (cur < 0) (-1L, Map.empty[String, Long])
+      else manifestHeaderTsTxns(s, table, cur)
     val ts = math.max(System.currentTimeMillis(), prevTs + 1)
+    // the idempotent-writer ledger carries CUMULATIVELY through every
+    // commit (append, overwrite, compact, DML alike — it is table
+    // metadata like the index headers, surviving operations that never
+    // heard of it); this commit's own (appId, batchId) merges in with
+    // newest-wins per app. Carrying inside commit() — not at call
+    // sites — is what makes the guarantee unconditional: no commit
+    // path can drop the ledger by forgetting to thread a parameter
+    val txnsOut = txn.fold(prevTxns) { case (a, b) =>
+      prevTxns + (a -> math.max(b, prevTxns.getOrElse(a, Long.MinValue)))
+    }
+    val txnLines = txnsOut.toSeq.sortBy(_._1).map { case (a, b) =>
+      s"#txn=${b64enc(a)}\t$b\n"
+    }.mkString
     val tmpP = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmpP, false)
     // the committed schema travels IN the log (one JSON line): readers
@@ -1389,7 +1444,7 @@ object TxnTable {
     }
     try out.write(
       (s"#format=$ManifestFormat\n#op=$op\n#ts=$ts\n" + metricsLine +
-        schemaLine + delLines +
+        txnLines + schemaLine + delLines +
         idxLine("#index=", idxCols) + idxLine("#strindex=", strIdxCols) +
         bloomLines + cdcLines + retiredLine + checkLines +
         stamped.sorted.mkString("\n") + "\n")
@@ -1438,7 +1493,8 @@ object TxnTable {
       deletes: Option[Seq[(String, String, Long)]] = None,
       idxCols: Option[Seq[String]] = None,
       schemaFallback: Option[String] = None,
-      blooms: Option[Seq[BloomRef]] = None)
+      blooms: Option[Seq[BloomRef]] = None,
+      txn: Option[(String, Long)] = None)
 
   /** Outcome of a resolved commit: the landed version plus how the
     * conflicts were handled — `rebases` = CAS losses resolved as pure
@@ -1499,7 +1555,8 @@ object TxnTable {
           idxCols = ch.idxCols.getOrElse(m.idxCols),
           strIdxCols = m.strIdxCols,
           blooms = ch.blooms.getOrElse(m.blooms),
-          metrics = ch.metrics, retired = m.retired, checks = m.checks)
+          metrics = ch.metrics, retired = m.retired, checks = m.checks,
+          txn = ch.txn)
         return CommitOutcome(v, rebases, recomputes)
       } catch {
         case _: ConcurrentModificationException =>
@@ -1629,9 +1686,42 @@ object TxnTable {
     * 1000 concurrent inserters serialize only through manifest writes,
     * exactly like every public table format's append path. */
   def appendResolving(s: SparkSession, table: String, df: DataFrame)
-      : CommitOutcome = {
+      : CommitOutcome =
+    appendResolvingImpl(s, table, df, None).get
+
+  /** IDEMPOTENT append keyed by (`appId`, `batchId`) — the Delta
+    * txnAppId/txnVersion contract, the missing half of exactly-once for
+    * any RETRIED writer (a foreachBatch restart, a task-level replay, a
+    * client retrying after a timeout whose first attempt actually
+    * landed): the commit records its (app, batch) pair in the
+    * manifest's cumulative `#txn=` ledger, and a second application of
+    * a batch the ledger already covers (`batchId` at-or-below the
+    * recorded one) is a clean no-op — `None`, nothing staged survives,
+    * no version lands. The ledger rides the CURRENT manifest (carried
+    * by every commit), so the check is one header read at any log
+    * length, and it is re-validated inside the commit CAS loop (the
+    * `recheck` hook): two racing retries of the same batch serialize
+    * through the manifest rename, the loser re-reads the ledger at its
+    * new base, finds its batch landed, and aborts — duplicates are
+    * impossible BY THE LOG, not by session state, so the guarantee
+    * survives driver restarts. Batch ids must be monotone per app
+    * (every replay-offset scheme — streaming epoch, CDC cursor — is). */
+  def appendIdempotent(s: SparkSession, table: String, df: DataFrame,
+      appId: String, batchId: Long): Option[CommitOutcome] =
+    appendResolvingImpl(s, table, df, Some((appId, batchId)))
+
+  /** Thrown inside the CAS loop when the recheck finds our (app, batch)
+    * already in the ledger — the retry raced us and won. */
+  private class TxnAlreadyApplied extends RuntimeException
+
+  private def appendResolvingImpl(s: SparkSession, table: String,
+      df: DataFrame, txn: Option[(String, Long)]): Option[CommitOutcome] = {
     val v0 = currentVersion(s, table)
     val m0 = manifest(s, table, v0)
+    // idempotence fast path: the batch already landed — nothing to stage
+    val applied = (t: (String, Long)) =>
+      m0.txns.get(t._1).exists(_ >= t._2)
+    if (txn.exists(applied)) return None
     val have = m0.schema.getOrElse(snapshot(s, table).schema)
       .map(f => (f.name, f.dataType)).toSeq
     val got = df.schema.map(f => (f.name, f.dataType)).toSeq
@@ -1648,18 +1738,25 @@ object TxnTable {
     // ADD CONSTRAINT commit changes what this append must satisfy, and
     // rebasing past it would land unvalidated rows under a constraint
     // addCheck just verified. The recheck re-enforces against any base
-    // whose check set moved (one change-set pass, only on that race).
-    try commitResolving(s, table, base => {
+    // whose check set moved (one change-set pass, only on that race) —
+    // and re-reads the idempotence ledger, so a racing retry of the
+    // SAME batch aborts instead of landing twice.
+    try Some(commitResolving(s, table, base => {
       // no-race fast path: the base we already validated against costs
       // no extra log read
       if (base != v0) {
-        val cks = manifest(s, table, base).checks
-        if (cks != m0.checks)
-          enforceChecks(s, cks, df, s"$table: append (constraint added " +
-            "concurrently)")
+        val bm = manifest(s, table, base)
+        if (txn.exists(t => bm.txns.get(t._1).exists(_ >= t._2)))
+          throw new TxnAlreadyApplied
+        if (bm.checks != m0.checks)
+          enforceChecks(s, bm.checks, df, s"$table: append (constraint " +
+            "added concurrently)")
       }
-    })(_ => Change(fresh, Set.empty, Set.empty, op = "append"))
-    catch { case e: Throwable => dropStaged(s, table, fresh); throw e }
+    })(_ => Change(fresh, Set.empty, Set.empty, op = "append", txn = txn)))
+    catch {
+      case _: TxnAlreadyApplied => dropStaged(s, table, fresh); None
+      case e: Throwable => dropStaged(s, table, fresh); throw e
+    }
   }
 
   private def render(e: Entry): String =

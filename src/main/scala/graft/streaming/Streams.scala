@@ -302,6 +302,88 @@ object Streams {
         col("o_totalprice"), col("o_orderpriority"))
   }
 
+  /** st_stream_idempotent: EXACTLY-ONCE foreachBatch appends via the
+    * manifest's (appId, batchId) idempotence ledger
+    * ([[TxnTable.appendIdempotent]] — the Delta txnAppId/txnVersion
+    * contract). foreachBatch is Spark's documented at-least-once
+    * escape hatch: the function can be re-invoked with the SAME batch
+    * after a failure or restart, and a plain append would double the
+    * rows — the classic silent-duplication bug of every naive
+    * streaming sink. Here every epoch lands through the ledger, and
+    * the scenario applies each batch TWICE (the retry every restart
+    * produces): the second application must return None and commit
+    * nothing. After the stream, a replay of epoch 0 (the
+    * restart-from-old-checkpoint shape) still no-ops; an unrelated
+    * PLAIN append carries the ledger forward (it is table metadata —
+    * commit() threads it unconditionally); a replay after that carry
+    * still no-ops; and a DIFFERENT appId reusing the same batch id
+    * lands — per-app isolation. `idem_ok` carries the whole
+    * accounting: 3 first-applications, 3 retry-skips, the post-stream
+    * replays skipped, the version trail exactly create + 3 epochs +
+    * plain append + app-B append, and the final ledger state read
+    * back from the manifest. Idempotence lives in the LOG, not in
+    * session state — at 100 TB with a thousand concurrent sinks, the
+    * one header read per commit is what makes retries free. Three
+    * disjoint key-mod waves staged with ascending mtimes +
+    * maxFilesPerTrigger=1 keep the epoch sequence replayable; the
+    * oracle replays the three waves plus the two labeled appends. */
+  def streamIdempotent(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Fs.scratch("graft_stream_idem", "run")
+    graft.Fs.deleteRecursively(base)
+    val table = s"$base/table"
+    val ddl = "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE"
+    val static = s.read.schema(ddl)
+      .option("pathGlobFilter", "orders.parquet").parquet(d)
+    TxnTable.commit(s, table, TxnTable.stageEmpty(s, table, static.schema),
+      expected = -1L, op = "create", schemaJson = static.schema.json)
+    val waves = (0 until 3).map(i =>
+      static.filter(pmod(col("o_orderkey"), lit(3)) === i))
+    val feed = stageWaveFeed(s, base, waves)
+    val applies = new java.util.concurrent.atomic.AtomicLong
+    val retrySkips = new java.util.concurrent.atomic.AtomicLong
+    val q = s.readStream.schema(ddl).option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        if (TxnTable.appendIdempotent(s, table, batch,
+            "sink-A", epoch).isDefined) applies.incrementAndGet()
+        // the retry every restart produces: the SAME (app, epoch)
+        // re-applied — the ledger must make it a clean no-op
+        if (TxnTable.appendIdempotent(s, table, batch,
+            "sink-A", epoch).isEmpty) retrySkips.incrementAndGet()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val vStream = TxnTable.currentVersion(s, table)
+    // restart-from-old-checkpoint: epoch 0 replays — ledger says no
+    val replay0 = TxnTable.appendIdempotent(s, table, waves(0),
+      "sink-A", 0L)
+    // an unrelated writer commits WITHOUT a txn — the ledger must carry
+    TxnTable.appendResolving(s, table,
+      static.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 300000000L).as("o_orderkey"),
+          lit("P").as("o_orderstatus"), col("o_totalprice")))
+    val replay1 = TxnTable.appendIdempotent(s, table, waves(1),
+      "sink-A", 1L)
+    // a different app reusing batch id 2 is a different writer: lands
+    val otherApp = TxnTable.appendIdempotent(s, table,
+      static.filter(col("o_orderkey") % 17 === 0)
+        .select((col("o_orderkey") + 500000000L).as("o_orderkey"),
+          lit("B").as("o_orderstatus"), col("o_totalprice")),
+      "sink-B", 2L)
+    val m = TxnTable.manifest(s, table, TxnTable.currentVersion(s, table))
+    val ok = applies.get == 3L && retrySkips.get == 3L &&
+      vStream == 3L && replay0.isEmpty && replay1.isEmpty &&
+      otherApp.isDefined &&
+      m.txns == Map("sink-A" -> 2L, "sink-B" -> 2L) &&
+      TxnTable.versions(s, table).size == 6
+    TxnTable.snapshot(s, table)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("idem_ok", lit(ok))
+  }
+
   /** st_stream_mor: the MERGE-ON-READ CDC APPLY pipeline — the
     * steady-state shape [[TxnTable.applyChangesMor]] and
     * [[TxnTable.rewriteTombstones]] exist for, run end to end as a

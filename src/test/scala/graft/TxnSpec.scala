@@ -2311,4 +2311,56 @@ class TxnSpec extends SparkSpec {
     val schCdc = TxnTable.manifest(spark, t, v).schema.get
     assert(TxnTable.physName(schCdc.fields.find(_.name == "u").get) === "v")
   }
+
+  test("idempotence ledger: racing retries of the same (app, batch) " +
+      "land exactly once; the ledger carries through unrelated commits") {
+    val t = freshTable("txn_ledger")
+    TxnTable.create(spark, t, baseDf(10))
+    // two concurrent retries of the same batch: the CAS + recheck must
+    // serialize them so exactly ONE lands (the loser re-reads the
+    // ledger at its new base and aborts as already-applied)
+    val delta = baseDf(10).withColumn("k", col("k") + 100L)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val landed = Await.result(Future.sequence((1 to 2).map(_ =>
+      Future(TxnTable.appendIdempotent(spark, t, delta, "job", 0L)))),
+      120.seconds).flatten
+    assert(landed.size === 1, s"racing retries landed ${landed.size} times")
+    assert(TxnTable.snapshot(spark, t).count() === 20L)
+    // replay after the fact: still skipped, nothing staged survives
+    assert(TxnTable.appendIdempotent(spark, t, delta, "job", 0L).isEmpty)
+    // the racing loser and the replays must leave NO orphan staged
+    // files: everything under data/ is referenced by some manifest
+    locally {
+      val dataDir = new org.apache.hadoop.fs.Path(s"$t/data")
+      val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(dataDir, true)
+      var onDisk = Set.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet"))
+          onDisk += s"data/${f.getParent.getName}/${f.getName}"
+      }
+      val referenced = TxnTable.versions(spark, t).flatMap(v =>
+        TxnTable.manifest(spark, t, v).liveFiles).toSet
+      assert(onDisk === referenced,
+        s"orphans left by skipped applications: ${onDisk -- referenced}")
+    }
+    // at-or-below rule: an OLDER batch id of the same app also skips
+    assert(TxnTable.appendIdempotent(spark, t, delta, "job", -5L).isEmpty)
+    // unrelated commits (plain append, compact) carry the ledger —
+    // commit() threads it unconditionally, no caller cooperation needed
+    TxnTable.append(spark, t, baseDf(5).withColumn("k", col("k") + 500L))
+    TxnTable.compact(spark, t)
+    assert(TxnTable.manifest(spark, t,
+      TxnTable.currentVersion(spark, t)).txns === Map("job" -> 0L))
+    assert(TxnTable.appendIdempotent(spark, t, delta, "job", 0L).isEmpty)
+    assert(TxnTable.snapshot(spark, t).count() === 25L)
+    // a NEWER batch of the same app lands, advancing the ledger
+    assert(TxnTable.appendIdempotent(spark, t,
+      baseDf(3).withColumn("k", col("k") + 900L), "job", 1L).isDefined)
+    assert(TxnTable.manifest(spark, t,
+      TxnTable.currentVersion(spark, t)).txns === Map("job" -> 1L))
+  }
 }
