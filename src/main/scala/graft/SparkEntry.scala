@@ -95,6 +95,7 @@ object SparkEntry {
     "op_branch_merge"         -> (TxnTable.branchMerge _),
     "op_zorder_manifest"      -> (TxnTable.zorderManifest _),
     "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
+    "op_matview"              -> (graft.operators.MatView.matView _),
     "op_table_history"        -> (TxnTable.tableHistory _),
     "op_txn_race"             -> (TxnTable.txnRace _),
     "op_txn_race2"            -> (TxnTable.txnRace2 _),
@@ -1691,6 +1692,23 @@ object SparkEntry {
         |  (4, 'append', 3), (5, 'overwrite', 4)) AS t(version, op, n_files)""".stripMargin,
     // the incremental fold (v0 + signed change feeds) must hash-equal the
     // DIRECT recompute of v2, whose content the oracle replays by
+    // the refreshed MV must hash-equal a DIRECT per-status recompute of
+    // the base's final content (the op_mor_cdc change algebra, summed)
+    "op_matview" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |fin AS (
+        |  SELECT st, price FROM b
+        |    WHERE k % 9 <> 0 AND k % 10 <> 0 AND k % 11 <> 0 AND k % 13 <> 0
+        |  UNION ALL SELECT 'U', CAST(price + 100 AS DECIMAL(12,2)) FROM b
+        |    WHERE k % 10 = 0 AND k % 9 <> 0
+        |  UNION ALL SELECT 'N', price FROM b WHERE k % 97 = 0
+        |  UNION ALL SELECT 'V', CAST(price + 200 AS DECIMAL(12,2)) FROM b
+        |    WHERE k % 13 = 0 AND k % 9 <> 0 AND k % 10 <> 0 AND k % 11 <> 0
+        |  UNION ALL SELECT 'M', price FROM b WHERE k % 89 = 0)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total, TRUE AS mv_ok
+        |FROM fin GROUP BY st""".stripMargin,
     // chaining both change-set rules
     "op_incremental_agg" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,

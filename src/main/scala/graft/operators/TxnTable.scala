@@ -1759,7 +1759,7 @@ object TxnTable {
     }
   }
 
-  private def render(e: Entry): String =
+  private[graft] def render(e: Entry): String =
     (e.path +: e.seq.toString +: renderGroups(e)).mkString("\t")
 
   /** Render a FRESHLY-STAGED entry WITHOUT a seq field (fields % 4 == 1):
@@ -2558,6 +2558,18 @@ object TxnTable {
             key: String): MergeResult =
     mergeCore(s, table, batch.select(col(key)), batch, Seq(key))
 
+  /** [[applyChanges]] with caller-supplied EXTRA commit metrics — for
+    * consumers whose own replay state must land atomically with the
+    * merge (the materialized-view refresh records the base version it
+    * reflects in the SAME commit that applies the delta: a crash
+    * between the two would otherwise double- or under-apply a feed). */
+  def applyChangesWithMetrics(s: SparkSession, table: String,
+      changes: DataFrame, key: String,
+      extraMetrics: Seq[(String, Long)]): MergeResult =
+    mergeCore(s, table, changes.select(col(key)),
+      changes.filter(col("op") =!= "D").drop("op"), Seq(key),
+      extraMetrics)
+
   /** Full-semantics MERGE: apply a CHANGE SET carrying an op column —
     * the canonical "apply CDC into a table" form every production MERGE
     * statement compiles down to. Per change row, keyed on `key`:
@@ -2701,7 +2713,9 @@ object TxnTable {
     * key tuple the change set touches (decides which files rewrite),
     * `adds` = the rows that replace/insert (already op-filtered). */
   private def mergeCore(s: SparkSession, table: String, keys: DataFrame,
-                        adds: DataFrame, keyCols: Seq[String]): MergeResult = {
+                        adds: DataFrame, keyCols: Seq[String],
+                        extraMetrics: Seq[(String, Long)] = Nil)
+      : MergeResult = {
     require(keyCols.nonEmpty, "mergeCore needs at least one key column")
     val key = keyCols.head // the primary clustering dimension
     // key dimensions are typed by the CHANGE frame (already cast to the
@@ -2869,7 +2883,8 @@ object TxnTable {
       schemaJson = withMapping(m, adds.schema).json, deleteLines = m.deletes,
       idxCols = idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("touched" -> touched.size.toLong,
-        "untouched" -> kept.size.toLong), retired = m.retired,
+        "untouched" -> kept.size.toLong) ++ extraMetrics,
+      retired = m.retired,
       checks = m.checks)
     MergeResult(v, touched.size, kept.size)
   }

@@ -1,0 +1,122 @@
+package graft
+
+import graft.operators.{MatView, TxnTable}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The materialized-view contract: refresh reads feeds, never the base;
+  * the cursor is atomic with the delta; refusal over feed-less content
+  * changes; group deletion when a count reaches zero. */
+class MatViewSpec extends SparkSpec {
+
+  private val D12 = DecimalType(12, 2)
+
+  private def fresh(name: String): String = {
+    val dir = Fs.scratch("graft_mvspec", name)
+    Fs.deleteRecursively(dir)
+    dir
+  }
+
+  private def baseDf(n: Int) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i.toLong, if (i % 3 == 0) "A" else "B",
+      BigDecimal(i).setScale(2))).toDF("k", "g", "v")
+      .withColumn("v", col("v").cast(D12))
+  }
+
+  private def mkBase(t: String, n: Int): Unit =
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t,
+      baseDf(n).repartitionByRange(4, col("k"))
+        .sortWithinPartitions(col("k")), "k"),
+      expected = -1L, op = "create", schemaJson = baseDf(n).schema.json)
+
+  private def change(df: org.apache.spark.sql.DataFrame, op: String) =
+    df.withColumn("op", lit(op))
+
+  test("refresh PHYSICALLY never reads a base data file: the base's " +
+      "data dir is renamed away and refresh still lands, exactly") {
+    val t = fresh("mv_nobase")
+    val mv = fresh("mv_nobase_view")
+    mkBase(t, 300)
+    MatView.create(spark, mv, t, "g", "v")
+    // two MoR change batches with in-commit feeds
+    TxnTable.applyChangesMor(spark, t,
+      change(baseDf(300).filter(col("k") % 7 === 0), "D"),
+      "k", cdc = true)
+    TxnTable.applyChangesMor(spark, t,
+      change(baseDf(300).filter(col("k") % 11 === 0 && col("k") % 7 =!= 0)
+        .withColumn("v", (col("v") + lit(100).cast(D12)).cast(D12)), "U"),
+      "k", cdc = true)
+    // make any base data read IMPOSSIBLE, not merely uncounted
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataDir = new org.apache.hadoop.fs.Path(s"$t/data")
+    val hidden = new org.apache.hadoop.fs.Path(s"$t/data_hidden")
+    val fs = dataDir.getFileSystem(conf)
+    assert(fs.rename(dataDir, hidden), "test setup: rename failed")
+    val r = try MatView.refresh(spark, mv)
+      finally fs.rename(hidden, dataDir)
+    assert(r.baseVersion === 2L && r.commitsFolded === 2)
+    // the refreshed MV equals a direct recompute of the base head
+    val direct = TxnTable.snapshot(spark, t).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(DecimalType(18, 2)))
+        .as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).toSet
+    val got = TxnTable.snapshot(spark, mv)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString)).toSet
+    assert(got === direct, "incremental refresh diverged from recompute")
+  }
+
+  test("a feed-less content change refuses refresh loudly; a " +
+      "content-invariant compact advances the cursor metadata-only") {
+    val t = fresh("mv_refuse")
+    val mv = fresh("mv_refuse_view")
+    mkBase(t, 120)
+    MatView.create(spark, mv, t, "g", "v")
+    // compact() is content-invariant: refresh must advance the cursor
+    // without touching MV entries
+    TxnTable.compact(spark, t)
+    val mvV0 = TxnTable.currentVersion(spark, mv)
+    val entries0 = TxnTable.manifest(spark, mv, mvV0).entries
+      .map(TxnTable.render).toSet
+    val r = MatView.refresh(spark, mv)
+    assert(r.baseVersion === 1L && r.mvVersion === mvV0 + 1)
+    assert(TxnTable.manifest(spark, mv, r.mvVersion).entries
+      .map(TxnTable.render).toSet === entries0,
+      "cursor advance must carry MV entries verbatim")
+    // a plain append publishes no feed — incremental refresh cannot
+    // cover it and must say so, not silently rescan the base
+    TxnTable.append(spark, t, baseDf(30)
+      .withColumn("k", col("k") + 1000L))
+    val e = intercept[IllegalArgumentException] {
+      MatView.refresh(spark, mv)
+    }
+    assert(e.getMessage.contains("without publishing a change feed"),
+      s"wrong refusal: ${e.getMessage}")
+    // the failed refresh moved nothing: cursor intact
+    assert(MatView.lastRefreshed(spark, mv) === 1L)
+  }
+
+  test("a group whose count reaches zero LEAVES the MV; an MV compact " +
+      "between refreshes does not disturb the cursor") {
+    val t = fresh("mv_del")
+    val mv = fresh("mv_del_view")
+    mkBase(t, 90)
+    MatView.create(spark, mv, t, "g", "v")
+    assert(TxnTable.snapshot(spark, mv).count() === 2L) // groups A, B
+    // delete EVERY 'A' row (k % 3 == 0)
+    TxnTable.applyChangesMor(spark, t,
+      change(baseDf(90).filter(col("g") === "A"), "D"), "k", cdc = true)
+    TxnTable.compact(spark, mv) // interleaved MV maintenance
+    val r = MatView.refresh(spark, mv)
+    assert(r.baseVersion === 1L)
+    val rows = TxnTable.snapshot(spark, mv).collect()
+    assert(rows.length === 1 && rows.head.getString(0) === "B",
+      s"emptied group must leave the MV: ${rows.mkString(", ")}")
+    // and the surviving group's fold is exact
+    val wantN = (0 until 90).count(_ % 3 != 0).toLong
+    assert(rows.head.getLong(1) === wantN)
+  }
+}
