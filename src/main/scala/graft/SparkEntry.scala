@@ -96,6 +96,7 @@ object SparkEntry {
     "op_zorder_manifest"      -> (TxnTable.zorderManifest _),
     "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
     "op_matview"              -> (graft.operators.MatView.matView _),
+    "op_txn_multi"            -> (TxnTable.txnMulti _),
     "op_table_history"        -> (TxnTable.tableHistory _),
     "op_txn_race"             -> (TxnTable.txnRace _),
     "op_txn_race2"            -> (TxnTable.txnRace2 _),
@@ -1692,6 +1693,14 @@ object SparkEntry {
         |  (4, 'append', 3), (5, 'overwrite', 4)) AS t(version, op, n_files)""".stripMargin,
     // the incremental fold (v0 + signed change feeds) must hash-equal the
     // DIRECT recompute of v2, whose content the oracle replays by
+    // the three transactional batches partition orders exactly (even
+    // keys ∪ 1-mod-4 ∪ 3-mod-4); the ledger consistency travels as the
+    // boolean — the hashed corpus is the full slice
+    "op_txn_multi" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+        |  TRUE AS multi_ok
+        |FROM orders""".stripMargin,
     // the refreshed MV must hash-equal a DIRECT per-status recompute of
     // the base's final content (the op_mor_cdc change algebra, summed)
     "op_matview" ->

@@ -55,14 +55,26 @@ object TxnTable {
     new Path(logDir(table), f"$v%08d.manifest")
 
   /** Committed versions, ascending. `.tmp-*` files (a crashed writer's
-    * half-written manifest) don't match the suffix and are invisible. */
+    * half-written manifest) don't match the suffix and are invisible.
+    * A `.pend.` manifest (a multi-table transaction's prepared slot) is
+    * visible IFF its transaction's arbiter says commit — recovery then
+    * finalizes it right here (one rename), so a transaction that
+    * crashed between its marker and its renames completes on the next
+    * read of the lagging table. In-flight and aborted pends are
+    * invisible; the no-pend common case costs no extra I/O (the names
+    * are already in the listing this method always does). */
   def versions(s: SparkSession, table: String): Seq[Long] = {
     val ld = logDir(table)
     val f = fs(s, ld)
     if (!f.exists(ld)) Seq.empty
-    else f.listStatus(ld).toSeq.map(_.getPath.getName)
-      .filter(_.endsWith(".manifest"))
-      .map(_.stripSuffix(".manifest").toLong).sorted
+    else {
+      val names = f.listStatus(ld).toSeq.map(_.getPath.getName)
+      val committed = names.filter(_.endsWith(".manifest"))
+        .map(_.stripSuffix(".manifest").toLong)
+      val recovered = names.filter(PendRe.matches)
+        .flatMap(n => resolvePend(s, table, n, abortInFlight = false))
+      (committed ++ recovered).distinct.sorted
+    }
   }
 
   def currentVersion(s: SparkSession, table: String): Long = {
@@ -1337,6 +1349,53 @@ object TxnTable {
       throw new ConcurrentModificationException(
         s"$table moved to version $cur while writer expected $expected")
     val next = cur + 1
+    val body = manifestBody(s, table, relFiles, cur, op, schemaJson,
+      deleteLines, idxCols, strIdxCols, blooms, metrics, cdcFiles,
+      retired, checks, txn)
+    val tmpP = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmpP, false)
+    try out.write(body.getBytes(UTF_8))
+    finally out.close()
+    val dst = manifestPath(table, next)
+    // HDFS rename refuses an existing destination atomically; the LOCAL
+    // filesystem overwrites (POSIX rename), so the exists+rename pair is
+    // serialized JVM-wide for same-process writers (the only kind local
+    // runs have) — cross-process writers rely on the store's primitive
+    val won = commitLock.synchronized {
+      // a multi-table transaction may hold a PENDING manifest on this
+      // slot: resolve it through the arbiter first — a plain writer
+      // never WAITS on a transaction (it aborts an undecided one); a
+      // decided-commit pend finalizes here and our CAS then loses
+      pendsIn(f, ld).filter(_._2 == next).foreach { case (n, _, _) =>
+        resolvePend(s, table, n, abortInFlight = true)
+      }
+      !f.exists(dst) && f.rename(tmpP, dst)
+    }
+    if (!won) {
+      f.delete(tmpP, false)
+      throw new ConcurrentModificationException(
+        s"$table version $next was committed concurrently")
+    }
+    next
+  }
+
+  /** Render one manifest's full text for the commit of `relFiles` on top
+    * of version `cur` — everything [[commit]] writes, minus the CAS.
+    * Factored out so a multi-table transaction can PREPARE the identical
+    * bytes as a pending manifest and publish them later by rename. */
+  private def manifestBody(s: SparkSession, table: String,
+      relFiles: Seq[String], cur: Long, op: String,
+      schemaJson: String,
+      deleteLines: Seq[(String, String, Long)],
+      idxCols: Seq[String],
+      strIdxCols: Seq[String],
+      blooms: Seq[BloomRef],
+      metrics: Seq[(String, Long)],
+      cdcFiles: Seq[String],
+      retired: Seq[(Long, String)],
+      checks: Seq[(String, String)],
+      txn: Option[(String, Long)]): String = {
+    val next = cur + 1
     // the commit TIMESTAMP, monotonized against the previous commit's
     // (`max(now, prev+1)` — Delta's in-commit-timestamp rule): AS OF
     // <timestamp> resolution can then scan newest-first and stop at the
@@ -1360,8 +1419,6 @@ object TxnTable {
     val txnLines = txnsOut.toSeq.sortBy(_._1).map { case (a, b) =>
       s"#txn=${b64enc(a)}\t$b\n"
     }.mkString
-    val tmpP = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmpP, false)
     // the committed schema travels IN the log (one JSON line): readers
     // plan from manifest metadata alone — no footer reads, and a version
     // whose file set predates an added column still reads correctly
@@ -1442,31 +1499,257 @@ object TxnTable {
       if (parts.length % 4 == 2) line
       else (parts.head +: newSeq.toString +: parts.tail).mkString("\t")
     }
-    try out.write(
-      (s"#format=$ManifestFormat\n#op=$op\n#ts=$ts\n" + metricsLine +
-        txnLines + schemaLine + delLines +
-        idxLine("#index=", idxCols) + idxLine("#strindex=", strIdxCols) +
-        bloomLines + cdcLines + retiredLine + checkLines +
-        stamped.sorted.mkString("\n") + "\n")
-        .getBytes(UTF_8))
-    finally out.close()
-    val dst = manifestPath(table, next)
-    // HDFS rename refuses an existing destination atomically; the LOCAL
-    // filesystem overwrites (POSIX rename), so the exists+rename pair is
-    // serialized JVM-wide for same-process writers (the only kind local
-    // runs have) — cross-process writers rely on the store's primitive
-    val won = commitLock.synchronized {
-      !f.exists(dst) && f.rename(tmpP, dst)
-    }
-    if (!won) {
-      f.delete(tmpP, false)
-      throw new ConcurrentModificationException(
-        s"$table version $next was committed concurrently")
-    }
-    next
+    s"#format=$ManifestFormat\n#op=$op\n#ts=$ts\n" + metricsLine +
+      txnLines + schemaLine + delLines +
+      idxLine("#index=", idxCols) + idxLine("#strindex=", strIdxCols) +
+      bloomLines + cdcLines + retiredLine + checkLines +
+      stamped.sorted.mkString("\n") + "\n"
   }
 
   private val commitLock = new Object
+
+  // ---- MULTI-TABLE ATOMIC TRANSACTIONS -----------------------------------
+  //
+  // One logical commit spanning N tables, with per-table logs and no
+  // catalog: the classic prepare / decide / finalize protocol, made
+  // crash-safe by a SINGLE-FILE ARBITER. Each table gets a fully
+  // rendered PENDING manifest at its next slot (`_log/vN.pend.<txnId>`,
+  // invisible to readers); the transaction then claims its marker file
+  // (`<coordinator>/_txn/<txnId>.done`) by atomic rename — the ONE
+  // place the commit/abort decision lives, written exactly once: a
+  // concurrent plain writer that finds an undecided pend in its way
+  // races for the same file with verdict "abort" (writers never wait on
+  // transactions), and whoever renames first decides for everyone.
+  // After a commit verdict the pends are just renames away from being
+  // ordinary manifests — the committer does them eagerly, and ANY later
+  // reader of a lagging table completes them from the log listing it
+  // already performs (recovery-on-read, `versions`). Every crash window
+  // is covered: before the marker the transaction never happened
+  // (pends invisible, aborted by the next writer on that slot); after
+  // the marker it always happens (each table independently finalizes).
+  // Same-process races serialize on the JVM locks; cross-process
+  // writers rely on the store's atomic-rename primitive — the exact
+  // caveat the single-table CAS above already carries.
+
+  private val PendRe = """^(\d{8})\.pend\.([0-9a-fA-F-]+)$""".r
+
+  private def pendPath(table: String, v: Long, txnId: String): Path =
+    new Path(logDir(table), f"$v%08d.pend.$txnId")
+
+  /** (name, slot version, txnId) of every pending manifest in the log
+    * listing. */
+  private def pendsIn(f: org.apache.hadoop.fs.FileSystem, ld: Path)
+      : Seq[(String, Long, String)] =
+    if (!f.exists(ld)) Nil
+    else f.listStatus(ld).toSeq.map(_.getPath.getName).collect {
+      case n @ PendRe(v, txnId) => (n, v.toLong, txnId)
+    }
+
+  private def readUtf8(f: org.apache.hadoop.fs.FileSystem, p: Path)
+      : String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private val txnArbiterLock = new Object
+
+  /** Race for the transaction's arbiter file with `verdict`; return the
+    * verdict that actually STANDS (ours if we won the rename, the
+    * earlier winner's otherwise). The arbiter is written exactly once —
+    * rename refuses an existing destination — so every participant
+    * (committer, aborting writer, recovering reader) converges on one
+    * answer however the calls interleave. */
+  private def decideTxn(s: SparkSession, marker: Path, verdict: String)
+      : String = {
+    val f = fs(s, marker)
+    f.mkdirs(marker.getParent)
+    val tmp = new Path(marker.getParent,
+      s".tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(verdict.getBytes(UTF_8)) finally out.close()
+    val won = txnArbiterLock.synchronized {
+      !f.exists(marker) && f.rename(tmp, marker)
+    }
+    if (!won) f.delete(tmp, false)
+    readUtf8(f, marker).trim
+  }
+
+  /** The standing verdict of `marker`, or None while undecided. */
+  private def markerVerdict(s: SparkSession, marker: Path)
+      : Option[String] = {
+    val f = fs(s, marker)
+    if (f.exists(marker)) Some(readUtf8(f, marker).trim) else None
+  }
+
+  /** The `#pendmarker=` header a pending manifest leads with — where
+    * its transaction's arbiter lives. */
+  private def pendMarkerOf(s: SparkSession, table: String, name: String)
+      : Path = {
+    val p = new Path(logDir(table), name)
+    val f = fs(s, p)
+    val in = f.open(p)
+    val first = try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, UTF_8))
+      br.readLine()
+    } finally in.close()
+    require(first != null && first.startsWith("#pendmarker="),
+      s"$table: pending manifest $name lacks its #pendmarker header")
+    new Path(first.stripPrefix("#pendmarker="))
+  }
+
+  /** Resolve one pending manifest found in `table`'s log. Committed →
+    * finalize (rename into its real slot) and return the version;
+    * aborted → delete it, None; undecided → None, and when
+    * `abortInFlight` (writer paths — they never wait) first race the
+    * arbiter with "abort". Losing the finalize rename to a concurrent
+    * recoverer is fine: the slot then holds the same bytes. */
+  private def resolvePend(s: SparkSession, table: String, name: String,
+      abortInFlight: Boolean): Option[Long] = {
+    val (v, _) = name match { case PendRe(vs, tid) => (vs.toLong, tid) }
+    val ld = logDir(table)
+    val f = fs(s, ld)
+    val src = new Path(ld, name)
+    if (!f.exists(src)) return None // raced away already
+    val marker = pendMarkerOf(s, table, name)
+    val verdict = markerVerdict(s, marker).getOrElse {
+      if (abortInFlight) decideTxn(s, marker, "abort") else return None
+    }
+    if (verdict == "commit") {
+      val dst = manifestPath(table, v)
+      txnArbiterLock.synchronized {
+        if (!f.exists(dst)) f.rename(src, dst) else f.delete(src, false)
+      }
+      Some(v)
+    } else {
+      f.delete(src, false)
+      None
+    }
+  }
+
+  /** ATOMIC MULTI-TABLE APPEND — one logical commit landing a batch in
+    * EVERY listed table or in none (the pipeline shape where a corpus
+    * table and its derived store — fingerprints, an ANN index, an
+    * audit ledger — must move together; a crash between two
+    * single-table commits leaves them silently inconsistent forever).
+    * Appends are the right transactional unit: they are
+    * base-independent, so a lost race rebases by re-rendering pends at
+    * the new bases — the staged data files are written ONCE however
+    * many attempts the commit takes. Readers of each table see the
+    * transaction's version either entirely or not at all: pends are
+    * invisible until the arbiter commits, and from then on any read of
+    * a lagging table finalizes it before resolving (`versions`).
+    * Concurrent plain writers are never blocked — they abort an
+    * undecided transaction in their way, and the transaction retries
+    * (bounded by `maxAttempts`). Returns table → landed version. */
+  def commitMultiAppend(s: SparkSession,
+      writes: Seq[(String, DataFrame)],
+      maxAttempts: Int = 8): Map[String, Long] = {
+    val staged = stageMulti(s, writes)
+    try {
+      var attempt = 0
+      while (attempt < maxAttempts) {
+        attempt += 1
+        txnAttempts.incrementAndGet()
+        prepareDecide(s, staged, finalize = true) match {
+          case Some(landed) => return landed
+          case None => // aborted or slot contention: retry at new bases
+        }
+      }
+      throw new ConcurrentModificationException(
+        s"multi-table transaction lost ${maxAttempts} straight races " +
+          s"over ${writes.map(_._1).mkString(", ")}")
+    } catch { case e: Throwable =>
+      staged.foreach { case (t, _, _, fresh) => dropStaged(s, t, fresh) }
+      throw e
+    }
+  }
+
+  /** Transaction attempts since process start (instrumentation). */
+  private[graft] val txnAttempts =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** The staging half of [[commitMultiAppend]]: validate + stage each
+    * table's batch ONCE (appends derive from nothing, so every retry
+    * reuses these files verbatim). Split out so the crash-window spec
+    * can drive [[prepareDecide]] directly. */
+  private[graft] def stageMulti(s: SparkSession,
+      writes: Seq[(String, DataFrame)])
+      : Seq[(String, DataFrame, Seq[(String, String)], Seq[String])] = {
+    require(writes.nonEmpty, "empty transaction")
+    require(writes.map(_._1).distinct.size == writes.size,
+      "a table may appear once per transaction")
+    writes.map { case (t, df) =>
+      val m0 = manifest(s, t, currentVersion(s, t))
+      val have = m0.schema.getOrElse(snapshot(s, t).schema)
+        .map(fd => (fd.name, fd.dataType)).toSeq
+      require(df.schema.map(fd => (fd.name, fd.dataType)).toSeq == have,
+        s"$t: append schema does not match table schema $have")
+      enforceChecks(s, m0.checks, df, s"$t: multi-table append")
+      val fresh =
+        if (m0.idxCols.nonEmpty || m0.strIdxCols.nonEmpty)
+          stageIndexed(s, t, toPhysical(df, m0), m0.idxCols, m0.strIdxCols)
+        else stage(s, t, toPhysical(df, m0))
+      (t, df, m0.checks, fresh)
+    }
+  }
+
+  /** One prepare → decide (→ finalize) round. `finalize = false` is the
+    * CRASH SIMULATION hook the spec uses: the transaction commits its
+    * marker and stops — recovery-on-read must complete it. Returns the
+    * landed versions, or None when this attempt aborted (its pends are
+    * cleaned here; staged data files are the caller's). */
+  private[graft] def prepareDecide(s: SparkSession,
+      staged: Seq[(String, DataFrame, Seq[(String, String)], Seq[String])],
+      finalize: Boolean,
+      onPrepared: () => Unit = () => ()): Option[Map[String, Long]] = {
+    val txnId = java.util.UUID.randomUUID().toString
+    val marker = new Path(
+      new Path(staged.head._1, "_txn"), s"$txnId.done")
+    val prepared = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long)]
+    def cleanup(): Unit = prepared.foreach { case (t, v) =>
+      fs(s, logDir(t)).delete(pendPath(t, v, txnId), false)
+    }
+    staged.foreach { case (t, df, checks0, fresh) =>
+      val cur = currentVersion(s, t)
+      val m = manifest(s, t, cur)
+      // same revalidation rule as the single-table resolving append: a
+      // constraint added since staging must be enforced before commit
+      if (m.checks != checks0)
+        enforceChecks(s, m.checks, df, s"$t: multi-table append " +
+          "(constraint added concurrently)")
+      val body = s"#pendmarker=$marker\n" + manifestBody(s, t,
+        m.entries.map(render) ++ fresh, cur, "append",
+        withMapping(m, df.schema).json, m.deletes, m.idxCols,
+        m.strIdxCols, m.blooms, Nil, Nil, m.retired, m.checks, None)
+      val ld = logDir(t)
+      val f = fs(s, ld)
+      val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(body.getBytes(UTF_8)) finally out.close()
+      val slotFree = commitLock.synchronized {
+        val taken = f.exists(manifestPath(t, cur + 1)) ||
+          pendsIn(f, ld).exists(_._2 == cur + 1)
+        !taken && f.rename(tmp, pendPath(t, cur + 1, txnId))
+      }
+      if (!slotFree) {
+        f.delete(tmp, false)
+        cleanup()
+        return None
+      }
+      prepared += ((t, cur + 1))
+    }
+    onPrepared() // spec hook: interleave work in the undecided window
+    val verdict = decideTxn(s, marker, "commit")
+    if (verdict != "commit") { cleanup(); return None }
+    if (finalize) prepared.foreach { case (t, v) =>
+      resolvePend(s, t, pendPath(t, v, txnId).getName,
+        abortInFlight = false)
+    }
+    Some(prepared.toMap)
+  }
 
   /** One writer's intended change for [[commitResolving]]: freshly-staged
     * manifest lines to add (rendered WITHOUT seqs — [[commit]] stamps
@@ -4952,6 +5235,79 @@ object TxnTable {
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("price").cast("double").as("price"))
       .withColumn("bucket_ok", lit(ok))
+  }
+
+  /** op_txn_multi: MULTI-TABLE ATOMIC TRANSACTIONS as a checked query —
+    * the pipeline shape [[commitMultiAppend]] exists for: a corpus
+    * table and its derived per-batch ledger (the dd_incremental /
+    * sim_ann_incremental store pattern) must move TOGETHER, or a crash
+    * between two single-table commits leaves "corpus has the batch,
+    * ledger doesn't" inconsistent forever. Three batches: the create,
+    * a HAPPY transaction (both tables advance in one logical commit),
+    * and a CRASHED one — prepared pends + a committed arbiter marker,
+    * finalization deliberately skipped — which the next reads complete
+    * (recovery-on-read: `versions` finalizes committed pends from the
+    * log listing it already does). `multi_ok` asserts the mechanics:
+    * both pend files raw-visible before recovery and gone after, both
+    * tables at version 2, the happy transaction's landed map, and the
+    * ledger hash-identical to a direct per-batch recompute of the
+    * corpus batches — derived-store consistency, the whole point.
+    * Hashed output = the corpus (the three batches partition orders
+    * exactly); the oracle replays it as the full slice. At 100 TB: the
+    * transaction costs one pend write + one marker + one rename per
+    * table at ANY table size — no data moves twice, readers never
+    * block, concurrent plain writers abort an undecided transaction
+    * instead of waiting. */
+  def txnMulti(s: SparkSession, d: String): DataFrame = {
+    val corpus = freshDir("multi_corpus")
+    val ledger = freshDir("multi_ledger")
+    val src = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    def batchAgg(df: DataFrame, id: Long): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast(DecimalType(18, 2)).as("total"))
+        .select(lit(id).as("batch_id"), col("o_orderstatus"),
+          col("n"), col("total"))
+    val b0 = src.filter(pmod(k, lit(2)) === 0)
+    val b1 = src.filter(pmod(k, lit(4)) === 1)
+    val b2 = src.filter(pmod(k, lit(4)) === 3)
+    commit(s, corpus, stageIndexed(s, corpus,
+      b0.repartitionByRange(4, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = src.schema.json)
+    commit(s, ledger, stage(s, ledger, batchAgg(b0, 0)), expected = -1L,
+      op = "create", schemaJson = batchAgg(b0, 0).schema.json)
+    // happy path: ONE logical commit lands batch 1 in both tables
+    val landed = commitMultiAppend(s,
+      Seq(corpus -> b1, ledger -> batchAgg(b1, 1)))
+    // crash window: marker committed, finalization never ran
+    val staged2 = stageMulti(s,
+      Seq(corpus -> b2, ledger -> batchAgg(b2, 2)))
+    val r2 = prepareDecide(s, staged2, finalize = false)
+    def rawPends(t: String): Int = {
+      val ld = new Path(t, "_log")
+      fs(s, ld).listStatus(ld).count(_.getPath.getName.contains(".pend."))
+    }
+    val pendsBefore = rawPends(corpus) + rawPends(ledger)
+    // the next reads COMPLETE the transaction (recovery-on-read)
+    val vCorpus = currentVersion(s, corpus)
+    val vLedger = currentVersion(s, ledger)
+    val pendsAfter = rawPends(corpus) + rawPends(ledger)
+    // derived-store consistency: ledger ≡ per-batch recompute of corpus
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3).toPlainString)
+    val direct = batchAgg(b0, 0).unionByName(batchAgg(b1, 1))
+      .unionByName(batchAgg(b2, 2)).collect().map(keyOf).toSet
+    val got = snapshot(s, ledger).collect().map(keyOf).toSet
+    val ok = landed == Map(corpus -> 1L, ledger -> 1L) &&
+      r2.contains(Map(corpus -> 2L, ledger -> 2L)) &&
+      pendsBefore == 2 && pendsAfter == 0 &&
+      vCorpus == 2L && vLedger == 2L && got == direct
+    snapshot(s, corpus)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("price").cast("double").as("price"))
+      .withColumn("multi_ok", lit(ok))
   }
 
   /** op_txn_days: PARTITION TRANSFORMS (Iceberg hidden partitioning) as

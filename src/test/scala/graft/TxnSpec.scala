@@ -2363,4 +2363,75 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.manifest(spark, t,
       TxnTable.currentVersion(spark, t)).txns === Map("job" -> 1L))
   }
+
+  test("multi-table transaction: a concurrent plain writer ABORTS an " +
+      "undecided transaction instead of waiting; the retry then lands " +
+      "both tables") {
+    val t1 = freshTable("multi_t1")
+    val t2 = freshTable("multi_t2")
+    TxnTable.create(spark, t1, baseDf(20))
+    TxnTable.create(spark, t2, baseDf(10))
+    val d1 = baseDf(5).withColumn("k", col("k") + 100L)
+    val d2 = baseDf(5).withColumn("k", col("k") + 200L)
+    val staged = TxnTable.stageMulti(spark, Seq(t1 -> d1, t2 -> d2))
+    // in the undecided window (pends placed, marker not yet written) a
+    // plain append races for t1's slot: it must abort the transaction
+    // through the arbiter and land — never wait, never clobber
+    val r = TxnTable.prepareDecide(spark, staged, finalize = true,
+      onPrepared = () => TxnTable.append(spark, t1,
+        baseDf(3).withColumn("k", col("k") + 900L)))
+    assert(r.isEmpty, "an aborted attempt must report no landed versions")
+    // the writer's append is v1 of t1; t2 untouched — and NO pend left
+    assert(TxnTable.versions(spark, t1) === Seq(0L, 1L))
+    assert(TxnTable.versions(spark, t2) === Seq(0L))
+    assert(TxnTable.snapshot(spark, t1).count() === 23L)
+    assert(TxnTable.snapshot(spark, t2).count() === 10L)
+    Seq(t1, t2).foreach { t =>
+      val ld = new org.apache.hadoop.fs.Path(s"$t/_log")
+      val f = ld.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!f.listStatus(ld).exists(_.getPath.getName.contains(".pend.")),
+        s"$t: aborted transaction left a pend")
+    }
+    // the retry (same staged files — appends rebase for free) lands both
+    val r2 = TxnTable.prepareDecide(spark, staged, finalize = true)
+    assert(r2.contains(Map(t1 -> 2L, t2 -> 1L)))
+    assert(TxnTable.snapshot(spark, t1).count() === 28L)
+    assert(TxnTable.snapshot(spark, t2).count() === 15L)
+    // full content exact after the dust settles
+    val got = TxnTable.snapshot(spark, t2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (baseDf(10).collect() ++ d2.collect())
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want)
+  }
+
+  test("multi-table transaction: an undecided transaction is INVISIBLE " +
+      "to readers; a committed-but-unfinalized one is completed by the " +
+      "next read of each table") {
+    val t1 = freshTable("multi_inv1")
+    val t2 = freshTable("multi_inv2")
+    TxnTable.create(spark, t1, baseDf(20))
+    TxnTable.create(spark, t2, baseDf(10))
+    val staged = TxnTable.stageMulti(spark,
+      Seq(t1 -> baseDf(4).withColumn("k", col("k") + 100L),
+        t2 -> baseDf(4).withColumn("k", col("k") + 200L)))
+    // observe visibility INSIDE the undecided window
+    var midCounts: (Long, Long) = (-1L, -1L)
+    val r = TxnTable.prepareDecide(spark, staged, finalize = false,
+      onPrepared = () => midCounts = (
+        TxnTable.snapshot(spark, t1).count(),
+        TxnTable.snapshot(spark, t2).count()))
+    assert(midCounts === ((20L, 10L)),
+      "an undecided transaction must be invisible to readers")
+    assert(r.contains(Map(t1 -> 1L, t2 -> 1L)))
+    // marker committed, finalize skipped: each table completes on read
+    assert(TxnTable.snapshot(spark, t1).count() === 24L)
+    assert(TxnTable.snapshot(spark, t2).count() === 14L)
+    Seq(t1, t2).foreach { t =>
+      val ld = new org.apache.hadoop.fs.Path(s"$t/_log")
+      val f = ld.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!f.listStatus(ld).exists(_.getPath.getName.contains(".pend.")),
+        s"$t: recovery left the pend behind")
+    }
+  }
 }
