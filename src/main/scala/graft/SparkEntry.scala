@@ -167,6 +167,7 @@ object SparkEntry {
     "ta_pack_sequences"       -> (TextAnalysis.packSequences _),
     "ta_tfidf"                -> (TextAnalysis.tfidf _),
     "ta_bm25"                 -> (TextAnalysis.bm25 _),
+    "ta_index_search"         -> (TextAnalysis.indexSearch _),
     "ta_feature_hash"         -> (TextAnalysis.featureHash _),
     "ta_cdc_chunk"            -> (TextAnalysis.cdcChunk _),
     "ta_dsir"                 -> (TextAnalysis.dsir _),
@@ -2188,6 +2189,27 @@ object SparkEntry {
         |          / (SELECT COUNT(*) FROM documents)))), 4) AS bm25
         |  FROM tf t JOIN qt q USING (tok) JOIN dl l USING (doc_id))
         |SELECT tok, doc_id, tf, df, bm25, rank FROM (
+        |  SELECT tok, doc_id, tf, df, bm25, ROW_NUMBER() OVER (
+        |    PARTITION BY tok ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM scored) r WHERE rank <= 10""".stripMargin,
+    // the persisted incremental index must answer EXACTLY what the
+    // from-scratch ta_bm25 pipeline answers — same replay, same hash
+    "ta_index_search" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |qt AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 16),
+        |scored AS (SELECT t.tok, t.doc_id, t.tf, q.df,
+        |    ROUND(ln(((SELECT COUNT(*) FROM documents) - q.df + 0.5)
+        |        / (q.df + 0.5) + 1.0)
+        |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl /
+        |        ((SELECT SUM(dl) FROM dl) * 1.0
+        |          / (SELECT COUNT(*) FROM documents)))), 4) AS bm25
+        |  FROM tf t JOIN qt q USING (tok) JOIN dl l USING (doc_id))
+        |SELECT tok, doc_id, tf, df, bm25, rank, TRUE AS idx_ok FROM (
         |  SELECT tok, doc_id, tf, df, bm25, ROW_NUMBER() OVER (
         |    PARTITION BY tok ORDER BY bm25 DESC, doc_id) AS rank
         |  FROM scored) r WHERE rank <= 10""".stripMargin,

@@ -595,6 +595,117 @@ object TextAnalysis {
         col("bm25"), col("rank"))
   }
 
+  /** ta_index_search: a PERSISTED, INCREMENTALLY-MAINTAINED inverted
+    * index — what separates "can compute BM25" (ta_bm25: one per-query
+    * pipeline over the corpus) from "can SERVE retrieval at 100 TB"
+    * (index once, query many). The posting store is a TxnTable of
+    * (tok, doc_id, tf, dl) rows RANGE-CLUSTERED BY TERM with truncated
+    * string stats, so a query term's postings live in O(1) files and
+    * the lookup prunes from the manifest alone
+    * ([[TxnTable.snapshotStrRange]] — the accounting travels in
+    * `idx_ok`). Corpus-level BM25 statistics (doc count, total tokens)
+    * ride the commit's `#metrics=` header CUMULATIVELY — N and avgdl
+    * are ONE manifest header read at query time, never a corpus or
+    * store aggregate. The corpus arrives in two batches (doc-id
+    * parity): batch 1 creates the store, batch 2 APPENDS its own
+    * postings + updated stats with every batch-1 entry carried
+    * byte-verbatim (asserted) — per-batch index cost is O(batch),
+    * never a corpus rescan, and each doc lives wholly in one batch so
+    * postings never need cross-batch merging. Query = the top-df term
+    * set scored with the exact ta_bm25 arithmetic from STORE ROWS
+    * ALONE — same contract, different physics — and the oracle is the
+    * same full-corpus replay: the index provably answers what the
+    * from-scratch pipeline answers. */
+  def indexSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val store = graft.Fs.scratch("graft_ta", "idx_store")
+    graft.Fs.deleteRecursively(store)
+    val docs = Tables.documents(s, d)
+    def postings(batch: DataFrame): DataFrame = {
+      val tok = batch.select(col("doc_id"),
+        explode(wsTokens(col("text"))).as("tok"))
+      val tf = tok.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      tf.join(dl, "doc_id")
+        .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+    }
+    def stats(batch: DataFrame): (Long, Long) = {
+      val r = batch.select(col("doc_id"),
+        explode(wsTokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("doc_id")), count(lit(1))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    def cluster(p: DataFrame): DataFrame =
+      p.repartitionByRange(8, col("tok")).sortWithinPartitions(col("tok"))
+    // batch 1 creates the store; stats land in the commit header
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val (n1, t1) = stats(b1)
+    val p1 = postings(b1)
+    TxnTable.commit(s, store, TxnTable.stageIndexed(s, store,
+      cluster(p1), Nil, Seq("tok")), expected = -1L, op = "create",
+      schemaJson = p1.schema.json, strIdxCols = Seq("tok"),
+      metrics = Seq("docs" -> n1, "toks" -> t1))
+    val v0Lines = TxnTable.manifest(s, store, 0L).entries
+      .map(TxnTable.render).toSet
+    // batch 2 appends its postings + CUMULATIVE stats — O(batch) work
+    val b2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val (n2, t2) = stats(b2)
+    val m0 = TxnTable.manifest(s, store, 0L)
+    TxnTable.commit(s, store,
+      m0.entries.map(TxnTable.render) ++ TxnTable.stageIndexed(s, store,
+        cluster(postings(b2)), Nil, Seq("tok")),
+      expected = 0L, op = "append", schemaJson = p1.schema.json,
+      strIdxCols = Seq("tok"),
+      metrics = Seq("docs" -> (n1 + n2), "toks" -> (t1 + t2)))
+    // ---- query time: store + manifest header only, no corpus read ----
+    val head = TxnTable.manifest(s, store,
+      TxnTable.currentVersion(s, store))
+    val n = head.metrics("docs")
+    val avgdl = head.metrics("toks").toDouble / n
+    val carried = v0Lines.subsetOf(head.entries.map(TxnTable.render).toSet)
+    // term selection: highest document frequency, from postings alone
+    val dfAll = TxnTable.snapshot(s, store).groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val qts: Seq[(String, Long)] = dfAll
+      .orderBy(col("df").desc, col("tok"))
+      .limit(Bm25Queries).as[(String, Long)].collect().toSeq
+    // each term's postings via the MANIFEST-PRUNED point lookup: the
+    // term-clustered layout means O(1) files per term, per generation
+    var kept = 0
+    var total = 0
+    val termFrames = qts.map { case (t, dfT) =>
+      val (rows, k, tot) = TxnTable.snapshotStrRange(s, store, "tok", t, t)
+      kept += k; total += tot
+      rows.withColumn("df", lit(dfT))
+    }
+    val hits = termFrames.reduce(_ unionByName _)
+    val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val scored = hits.select(col("tok"), col("doc_id"), col("tf"),
+      col("df"),
+      round(idf * (col("tf") * lit(Bm25K1Plus1)) /
+        (col("tf") + lit(Bm25K1) * (lit(Bm25OneMinusB) +
+          lit(Bm25B) * col("dl") / lit(avgdl))), 4).as("bm25"))
+    // point lookups must have PRUNED (each term: ≤2 of ~16 range files
+    // — one per generation) and batch-1 entries must have carried
+    val okPrune = total >= qts.size * 10 && kept <= qts.size * 2
+    val ok = okPrune && carried && n == n1 + n2 &&
+      TxnTable.versions(s, store) == Seq(0L, 1L)
+    val w1 = Window.partitionBy(col("tok"),
+        pmod(col("doc_id"), lit(Bm25Salts)))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val w2 = Window.partitionBy(col("tok"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("prerank", row_number().over(w1))
+      .filter(col("prerank") <= Bm25TopK)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("tok"), col("doc_id"), col("tf"), col("df"),
+        col("bm25"), col("rank"))
+      .withColumn("idx_ok", lit(ok))
+  }
+
   /** Number of BPE merges learned; the oracle unrolls this many rounds.
     * 64 is a realistic small-tokenizer scale — and demonstrates the
     * training loop stays vocabulary-bounded as rounds grow (each round
