@@ -205,6 +205,7 @@ object SparkEntry {
     "st_stream_mor"           -> (Streams.streamMorApply _),
     "st_stream_dedup_lsh"     -> (graft.streaming.Streams.streamDedupLsh _),
     "st_stream_idempotent"    -> (Streams.streamIdempotent _),
+    "st_stream_matview"       -> (Streams.streamMatView _),
     "st_stream_session_window" -> (Streams.streamSessionWindow _),
     "st_stream_backfill"      -> (Streams.streamBackfill _),
     "st_stream_catalog"       -> (Streams.streamCatalog _),
@@ -2451,6 +2452,19 @@ object SparkEntry {
         |      UNION ALL
         |      SELECT key + 100000000, 'N', p FROM b
         |      WHERE key % 97 = 0)""".stripMargin,
+    // the streamed MV fold must hash-equal a DIRECT per-status recompute
+    // of the base's final content (the morstream change algebra, summed
+    // in exact decimal)
+    "st_stream_matview" ->
+      """WITH b AS (SELECT o_orderkey AS key, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |fin AS (SELECT st, p FROM b WHERE key % 9 <> 0 AND key % 10 <> 0
+        |  UNION ALL SELECT 'U', CAST(p + 100 AS DECIMAL(12,2)) FROM b
+        |    WHERE key % 10 = 0 AND key % 9 <> 0
+        |  UNION ALL SELECT 'N', p FROM b WHERE key % 97 = 0)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS mvstream_ok
+        |FROM fin GROUP BY st""".stripMargin,
     // the three waves partition orders exactly (key mod 3), each epoch
     // applied twice through the ledger lands once; the two labeled
     // post-stream appends replay their slice arithmetic

@@ -302,6 +302,79 @@ object Streams {
         col("o_totalprice"), col("o_orderpriority"))
   }
 
+  /** st_stream_matview: CONTINUOUS MATERIALIZED-VIEW MAINTENANCE — the
+    * steady-state shape [[graft.operators.MatView]] exists for, run end
+    * to end as a stream: each micro-batch of CDC changes lands on the
+    * base through ONE merge-on-read commit (zero data files rewritten,
+    * feed published from the same manifest write) and the downstream MV
+    * refreshes IN THE SAME foreachBatch — reading only that commit's
+    * feed (commitsFolded == 1 every batch, asserted), never the base.
+    * This is the production topology: a 100 TB base absorbing minutely
+    * CDC, a dashboard aggregate that follows it within one batch, and
+    * neither ever paying a base scan after create. The change set
+    * (deletes %9, updates %10, inserts %97 — every key once, so batch
+    * boundaries cannot change the outcome) is staged as four key-ranged
+    * files and tailed with maxFilesPerTrigger=1. `mvstream_ok` asserts
+    * the cadence: four refreshes, each folding exactly one commit, the
+    * cursor ending at the base's head. Hashed output = the final MV,
+    * which the oracle checks against a DIRECT per-status recompute of
+    * the base's final content: continuous incremental maintenance ≡
+    * recompute, through the managed object, through a stream. */
+  def streamMatView(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Fs.scratch("graft_stream_mv", "run")
+    graft.Fs.deleteRecursively(base)
+    val table = s"$base/table"
+    val mv = s"$base/view"
+    val k = col("o_orderkey")
+    val d12 = DecimalType(12, 2)
+    val sel = s.read.parquet(s"$d/orders.parquet")
+      .select(k, col("o_orderstatus"),
+        col("o_totalprice").cast(d12).as("price"))
+    TxnTable.commit(s, table, TxnTable.stageIndexed(s, table,
+      sel.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = sel.schema.json)
+    graft.operators.MatView.create(s, mv, table, "o_orderstatus", "price")
+    val changes = sel.filter(pmod(k, lit(9)) === 0)
+      .select(k, col("o_orderstatus"), col("price"), lit("D").as("op"))
+      .unionByName(sel.filter(pmod(k, lit(10)) === 0 &&
+          pmod(k, lit(9)) =!= 0)
+        .select(k, lit("U").as("o_orderstatus"),
+          (col("price") + lit(100).cast(d12)).cast(d12).as("price"),
+          lit("U").as("op")))
+      .unionByName(sel.filter(pmod(k, lit(97)) === 0)
+        .select((k + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("price"), lit("U").as("op")))
+    changes.repartitionByRange(4, k).write.parquet(s"$base/feed")
+    val feedDdl = "o_orderkey LONG, o_orderstatus STRING, " +
+      "price DECIMAL(12,2), op STRING"
+    val folds = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]
+    val q = s.readStream.schema(feedDdl)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$base/feed")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TxnTable.applyChangesMor(s, table, batch, "o_orderkey", cdc = true)
+        val r = graft.operators.MatView.refresh(s, mv)
+        folds.add((r.commitsFolded, r.baseVersion))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val fs = folds.asScala.toSeq.sortBy(_._2)
+    val head = TxnTable.currentVersion(s, table)
+    val ok = fs.size == 4 && fs.forall(_._1 == 1) &&
+      fs.map(_._2) == (1L to 4L) &&
+      graft.operators.MatView.lastRefreshed(s, mv) == head
+    TxnTable.snapshot(s, mv)
+      .select(col("o_orderstatus"), col("n"),
+        col("total").cast("double").as("total"))
+      .withColumn("mvstream_ok", lit(ok))
+  }
+
   /** st_stream_idempotent: EXACTLY-ONCE foreachBatch appends via the
     * manifest's (appId, batchId) idempotence ledger
     * ([[TxnTable.appendIdempotent]] — the Delta txnAppId/txnVersion
