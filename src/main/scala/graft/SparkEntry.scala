@@ -183,6 +183,7 @@ object SparkEntry {
     "sim_ann_lsh"             -> (Similarity.annLsh _),
     "sim_ann_ivf"             -> (Similarity.annIvf _),
     "sim_ann_incremental"     -> (Similarity.annIncremental _),
+    "sim_ann_delete"          -> (Similarity.annDelete _),
     "st_stream_ann"           -> (Similarity.annStream _),
     "sim_ann_filtered"        -> (Similarity.annFiltered _),
     "sim_hybrid_ivfpq"        -> (Similarity.hybridIvfPq _),
@@ -2348,6 +2349,9 @@ object SparkEntry {
     "sim_ann_ivf" -> graft.operators.Similarity.ivfOracle,
     // frozen-centroid accretion: train on the corpus slice, assign all
     "sim_ann_incremental" -> graft.operators.Similarity.ivfIncOracle,
+    // retraction never retrains: training sees the full corpus, only
+    // the scored candidate set drops the deleted ids
+    "sim_ann_delete" -> graft.operators.Similarity.ivfDeleteOracle,
     // the same accretion as a stream: append-only + frozen assignment
     // is wave-split-invariant, so the replay is identical
     "st_stream_ann" -> graft.operators.Similarity.ivfStreamOracle,

@@ -765,6 +765,67 @@ object Similarity {
     topk.withColumn("ivfinc_ok", lit(ok))
   }
 
+  /** sim_ann_delete: RETRACTION from the persisted IVF store — the
+    * GDPR/unlearning shape every production vector index must serve:
+    * scattered vectors (every 17th id, hitting EVERY cell) must stop
+    * surfacing in search results, with cost proportional to the
+    * retraction, not the index. Copy-on-write would rewrite the whole
+    * c_id-clustered store (the victims live in every cell file);
+    * instead ONE merge-on-read commit ([[TxnTable.deleteKeysMor]])
+    * lands an equality tombstone on vec_id with every index entry
+    * carried byte-verbatim (asserted) — zero data files rewritten at
+    * ANY index size — and every probe read anti-joins it: the deleted
+    * vectors are gone from the top-k atomically. The quantizer stays
+    * FROZEN (deletes don't retrain centroids — the honest production
+    * semantics; the oracle scores with the same full-corpus training).
+    * A reader pinned at the pre-delete version still sees every
+    * vector (asserted); compact() folds the tombstone into a clean
+    * generation and the probe answers IDENTICALLY (top-k set compared
+    * row-for-row). `anndel_ok` carries the accounting; the oracle
+    * replays the full IVF path over the retained set. */
+  def annDelete(s: SparkSession, d: String): DataFrame = {
+    val store = {
+      val dir = graft.Fs.scratch("graft_txn", "sim_ivf_del")
+      graft.Fs.deleteRecursively(dir)
+      dir
+    }
+    val all = vecs(s, d)
+    val cents = ivfCentroids(s, all)
+    val files0 = createIvfStore(s, store, cents, all)
+    val nAll = all.count()
+    val nDel = all.filter(pmod(col("vec_id"), lit(AnnDeleteMod)) === 0)
+      .count()
+    // the retraction: one tombstone commit, no data read or rewritten
+    val v1 = TxnTable.deleteKeysMor(s, store,
+      all.filter(pmod(col("vec_id"), lit(AnnDeleteMod)) === 0)
+        .select(col("vec_id")), "vec_id")
+    val m1 = TxnTable.manifest(s, store, v1)
+    val verbatim = files0.subsetOf(m1.entries.map(_.path).toSet)
+    val (topkMor, _) = probeIvfStore(s, store, cents, all, v1)
+    val morRows = topkMor.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // pinned pre-delete version: every vector still there
+    val pinnedN = TxnTable.snapshot(s, store, 0L).count()
+    val headN = TxnTable.snapshot(s, store, v1).count()
+    // compaction folds the tombstone; the probe answers identically
+    val v2 = TxnTable.compact(s, store)
+    val (topkClean, _) = probeIvfStore(s, store, cents, all, v2)
+    val cleanRows = topkClean.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ok = verbatim && m1.deletes.size == 1 &&
+      pinnedN == nAll && headN == nAll - nDel &&
+      TxnTable.manifest(s, store, v2).deletes.isEmpty &&
+      morRows == cleanRows
+    topkMor.withColumn("anndel_ok", lit(ok))
+  }
+
+  /** Every [[AnnDeleteMod]]-th vector is retracted in [[annDelete]] —
+    * scattered across every IVF cell by construction. */
+  private val AnnDeleteMod = 17
+
+  private[graft] def ivfDeleteOracle: String = ivfOracleBody(
+    s"\n   AND a.vec_id % $AnnDeleteMod <> 0", ", TRUE AS anndel_ok")
+
   /** Create the c_id-clustered IVF store over `corpus` with the frozen
     * `cents` (shared by [[annIncremental]] and [[annStream]]); returns
     * the created version's file set for verbatim-carry assertions. */
