@@ -81,17 +81,24 @@ object MatView {
     * metrics, and must not reset the cursor. */
   def lastRefreshed(s: SparkSession, mv: String): Long =
     TxnTable.versions(s, mv).reverse.iterator
-      .map(v => TxnTable.commitMetrics(s, mv, v).get("mv_base_version"))
-      .collectFirst { case Some(b) => b }
+      // header-only metric read per step (−1 = absent; cursors are
+      // ≥ 0): the walk costs O(headers), never O(entries) manifest
+      // parses, however many maintenance commits interleave
+      .map(v => TxnTable.manifestHeaderMetric(s, mv, v, "mv_base_version"))
+      .collectFirst { case b if b >= 0 => b }
       .getOrElse(throw new IllegalArgumentException(
         s"$mv: no refresh cursor in any retained commit"))
 
-  /** Base ops with NO content change — a feed-less commit of one of
-    * these is safe to skip when folding a version range. Everything
-    * else without a feed refuses (see object doc). */
+  /** Base ops with NO row-content change — a feed-less commit of one of
+    * these is safe to skip when folding a version range; the list is
+    * the actual commit-op vocabulary (TxnTable's `op = "..."` sites),
+    * layout/stats maintenance plus metadata-only schema additions.
+    * `rename` is deliberately absent: renaming the MV's key or value
+    * column would break the definition — refuse loudly instead.
+    * Everything else without a feed refuses (see object doc). */
   private val ContentInvariantOps = Set("compact", "compact_range",
-    "recluster", "zorder", "checkpoint", "rewrite_tombstones",
-    "build_bloom", "evolve")
+    "recluster", "reindex", "zorder", "rewrite_tombstones",
+    "build_bloom", "constraint", "evolve", "widen")
 
   /** Create the MV: ONE full compute of the aggregate at the base's
     * current version — the last time the base is ever scanned. The MV

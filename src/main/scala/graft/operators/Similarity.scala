@@ -791,7 +791,11 @@ object Similarity {
     }
     val all = vecs(s, d)
     val cents = ivfCentroids(s, all)
-    val files0 = createIvfStore(s, store, cents, all)
+    createIvfStore(s, store, cents, all)
+    // BYTE-verbatim carry (rendered lines, not just paths): a delete
+    // that re-stamped seqs or touched stats would slip a path-set check
+    val lines0 = TxnTable.manifest(s, store, 0L).entries
+      .map(TxnTable.render).toSet
     val nAll = all.count()
     val nDel = all.filter(pmod(col("vec_id"), lit(AnnDeleteMod)) === 0)
       .count()
@@ -800,7 +804,7 @@ object Similarity {
       all.filter(pmod(col("vec_id"), lit(AnnDeleteMod)) === 0)
         .select(col("vec_id")), "vec_id")
     val m1 = TxnTable.manifest(s, store, v1)
-    val verbatim = files0.subsetOf(m1.entries.map(_.path).toSet)
+    val verbatim = lines0.subsetOf(m1.entries.map(TxnTable.render).toSet)
     val (topkMor, _) = probeIvfStore(s, store, cents, all, v1)
     val morRows = topkMor.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet

@@ -630,11 +630,13 @@ object TextAnalysis {
       tf.join(dl, "doc_id")
         .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
     }
+    // N counts EVERY document — including empty/whitespace-only ones
+    // that produce no postings — matching ta_bm25's docs.count() and
+    // the oracle's COUNT(*) FROM documents (a tokenized-docs count
+    // would shift every idf and avgdl on a corpus with empty docs)
     def stats(batch: DataFrame): (Long, Long) = {
-      val r = batch.select(col("doc_id"),
-        explode(wsTokens(col("text"))).as("tok"))
-        .agg(countDistinct(col("doc_id")), count(lit(1))).collect()(0)
-      (r.getLong(0), r.getLong(1))
+      val toks = batch.select(explode(wsTokens(col("text")))).count()
+      (batch.count(), toks)
     }
     def cluster(p: DataFrame): DataFrame =
       p.repartitionByRange(8, col("tok")).sortWithinPartitions(col("tok"))

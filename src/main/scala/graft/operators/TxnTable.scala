@@ -216,8 +216,8 @@ object TxnTable {
     * resume scan walks a lineage with it instead of fully parsing every
     * manifest's entry lines (O(commits) tiny reads, never
     * O(commits × table files)). */
-  private def manifestHeaderMetric(s: SparkSession, table: String,
-      v: Long, key: String): Long = {
+  private[operators] def manifestHeaderMetric(s: SparkSession,
+      table: String, v: Long, key: String): Long = {
     val mp = manifestPath(table, v)
     val f = fs(s, mp)
     require(f.exists(mp),
@@ -1531,7 +1531,9 @@ object TxnTable {
   // writers rely on the store's atomic-rename primitive — the exact
   // caveat the single-table CAS above already carries.
 
-  private val PendRe = """^(\d{8})\.pend\.([0-9a-fA-F-]+)$""".r
+  // 8+ digits: %08d renders NINE at version 100,000,000 — anchoring at
+  // exactly 8 would make such pends invisible to recovery
+  private val PendRe = """^(\d{8,})\.pend\.([0-9a-fA-F-]+)$""".r
 
   private def pendPath(table: String, v: Long, txnId: String): Path =
     new Path(logDir(table), f"$v%08d.pend.$txnId")
@@ -1619,7 +1621,19 @@ object TxnTable {
     if (verdict == "commit") {
       val dst = manifestPath(table, v)
       txnArbiterLock.synchronized {
-        if (!f.exists(dst)) f.rename(src, dst) else f.delete(src, false)
+        if (!f.exists(dst)) {
+          // finalize STRIPS the #pendmarker header: a finalized
+          // manifest is byte-identical to a plain commit's, so the log
+          // keeps ONE dialect (header-walk fast paths like
+          // manifestHeaderMetric rely on the fixed lead order)
+          val txt = readUtf8(f, src)
+          val body = txt.substring(txt.indexOf('\n') + 1)
+          val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
+          val out = f.create(tmp, false)
+          try out.write(body.getBytes(UTF_8)) finally out.close()
+          if (!f.rename(tmp, dst)) f.delete(tmp, false)
+        }
+        f.delete(src, false)
       }
       Some(v)
     } else {
@@ -1712,7 +1726,12 @@ object TxnTable {
     def cleanup(): Unit = prepared.foreach { case (t, v) =>
       fs(s, logDir(t)).delete(pendPath(t, v, txnId), false)
     }
-    staged.foreach { case (t, df, checks0, fresh) =>
+    // an exception mid-prepare (a concurrently-added constraint the
+    // batch violates, an I/O error) must not orphan this attempt's
+    // pends as immortal slot-blockers: decide ABORT first — so a racing
+    // recoverer can never finalize a half-prepared transaction — then
+    // remove them and rethrow
+    try staged.foreach { case (t, df, checks0, fresh) =>
       val cur = currentVersion(s, t)
       val m = manifest(s, t, cur)
       // same revalidation rule as the single-table resolving append: a
@@ -1730,6 +1749,14 @@ object TxnTable {
       val out = f.create(tmp, false)
       try out.write(body.getBytes(UTF_8)) finally out.close()
       val slotFree = commitLock.synchronized {
+        // a FOREIGN pend in our slot gets the same treatment plain
+        // writers give us: resolve through its arbiter — finalize a
+        // decided-commit (slot genuinely taken), abort an undecided one
+        // (a crashed or slower transaction; ours proceeds) — so a dead
+        // transaction can never block this table's transactions forever
+        pendsIn(f, ld).filter(_._2 == cur + 1).foreach { case (n, _, _) =>
+          resolvePend(s, t, n, abortInFlight = true)
+        }
         val taken = f.exists(manifestPath(t, cur + 1)) ||
           pendsIn(f, ld).exists(_._2 == cur + 1)
         !taken && f.rename(tmp, pendPath(t, cur + 1, txnId))
@@ -1740,6 +1767,14 @@ object TxnTable {
         return None
       }
       prepared += ((t, cur + 1))
+    } catch {
+      // the slot-contention `return None` above travels as a control
+      // throwable — it already cleaned up, let it through untouched
+      case e: scala.util.control.ControlThrowable => throw e
+      case e: Throwable =>
+        decideTxn(s, marker, "abort")
+        cleanup()
+        throw e
     }
     onPrepared() // spec hook: interleave work in the undecided window
     val verdict = decideTxn(s, marker, "commit")

@@ -602,7 +602,7 @@ class GraftTable(ident: String, private[sources] val location: String,
       Seq[TxnTable.Entry]](m.entries)
     new org.apache.spark.sql.graftbridge.PruningScanBuilder(
       s, schema(), options, m.entries.map(pathOf),
-      filters => {
+      (filters, isRuntime) => {
         val statKept = ManifestPrune.keep(m.entries, filters)
         // bloom sidecars answer the predicate range stats can't: a
         // point lookup on a column whose per-file ranges all overlap
@@ -621,8 +621,12 @@ class GraftTable(ident: String, private[sources] val location: String,
               .getOrElse(es)
           }
         keptEntries.set(kept)
-        GraftCatalog.scanKept.addAndGet(kept.size.toLong)
-        GraftCatalog.scanTotal.addAndGet(m.entries.size.toLong)
+        // a runtime (DPP) re-plan books under its own counters — the
+        // static-prune deltas scenarios assert on must not inflate
+        if (!isRuntime) {
+          GraftCatalog.scanKept.addAndGet(kept.size.toLong)
+          GraftCatalog.scanTotal.addAndGet(m.entries.size.toLong)
+        }
         kept.map(pathOf)
       },
       // whole-aggregation answering from the manifest: COUNT/MIN/MAX

@@ -465,7 +465,7 @@ class GraftChangesTable(ident: String,
     // change files carry no manifest stats: the prune is identity, but
     // parquet footer/row-group pruning and column pruning still apply
     new org.apache.spark.sql.graftbridge.PruningScanBuilder(
-      s, schema(), options, paths, _ => paths) {
+      s, schema(), options, paths, (_, _) => paths) {
       override def build(): Scan = {
         val maxVersions = Option(options.get("maxVersionsPerTrigger"))
           .map(_.toLong)

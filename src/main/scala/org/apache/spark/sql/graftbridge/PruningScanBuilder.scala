@@ -38,7 +38,7 @@ class PruningScanBuilder(
     schema: StructType,
     options: CaseInsensitiveStringMap,
     allPaths: Seq[Path],
-    prune: Seq[Expression] => Seq[Path],
+    prune: (Seq[Expression], Boolean) => Seq[Path],
     aggAnswer: (Aggregation, Seq[Expression]) =>
       Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])]
       = (_, _) => None,
@@ -81,7 +81,7 @@ class PruningScanBuilder(
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     pushedCatalyst = filters
-    pendingPaths = () => prune(filters)
+    pendingPaths = () => prune(filters, false)
     // with no partition columns every conjunct is a data filter, and
     // parquet always re-evaluates data filters above the scan — so the
     // post-scan set is the input set, exactly what the eager
@@ -108,7 +108,10 @@ class PruningScanBuilder(
     * pruning is the manifest entry (file), not a partition directory. */
   def rebuiltWith(extra: Seq[Expression]): Scan = {
     onIndexBuild()
-    val index = new InMemoryFileIndex(spark, prune(pushedCatalyst ++ extra),
+    // isRuntime = true: the caller's static-prune instrumentation must
+    // not double-count this re-plan (it has its own runtime counters)
+    val index = new InMemoryFileIndex(spark,
+      prune(pushedCatalyst ++ extra, true),
       Map.empty[String, String], Some(schema))
     val b = ParquetScanBuilder(spark, index, schema, schema, options)
     b.pushFilters(pushedCatalyst)

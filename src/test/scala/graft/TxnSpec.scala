@@ -2405,6 +2405,37 @@ class TxnSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("a crashed transaction's orphan pend blocks NOTHING: invisible " +
+      "to readers, aborted by the next transaction on that slot") {
+    val t1 = freshTable("multi_orphan1")
+    val t2 = freshTable("multi_orphan2")
+    TxnTable.create(spark, t1, baseDf(10))
+    TxnTable.create(spark, t2, baseDf(10))
+    // hand-plant the crash-before-marker state: an undecided pend at
+    // t1's next slot whose arbiter file was never written
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$t1/_txn/dead-0.done")
+    val pend = new org.apache.hadoop.fs.Path(
+      s"$t1/_log/00000001.pend.dead-0")
+    val f = pend.getFileSystem(conf)
+    val out = f.create(pend, false)
+    out.write(s"#pendmarker=$marker\n#op=append\n".getBytes("UTF-8"))
+    out.close()
+    // readers: the orphan is invisible
+    assert(TxnTable.versions(spark, t1) === Seq(0L))
+    assert(f.exists(pend), "a plain read must NOT abort an undecided txn")
+    // a later multi-table transaction on the same slot aborts it and
+    // lands — a dead transaction can never block the table forever
+    val landed = TxnTable.commitMultiAppend(spark,
+      Seq(t1 -> baseDf(4).withColumn("k", col("k") + 100L),
+        t2 -> baseDf(4).withColumn("k", col("k") + 200L)))
+    assert(landed === Map(t1 -> 1L, t2 -> 1L))
+    assert(!f.exists(pend), "the orphan pend must be swept by the abort")
+    assert(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+      f.open(marker)), "UTF-8").trim === "abort")
+    assert(TxnTable.snapshot(spark, t1).count() === 14L)
+  }
+
   test("multi-table transaction: an undecided transaction is INVISIBLE " +
       "to readers; a committed-but-unfinalized one is completed by the " +
       "next read of each table") {
