@@ -46,6 +46,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL READS of merge-on-read snapshots → the tombstone anti-join
     // plan (graft.sources.GraftMorReadRule); DML targets keep their
     // relation for the rule above
+    // transparent materialized-view rewriting: a plain aggregate over a
+    // base table with a registered FRESH MV is served from the MV
+    // (graft.sources.GraftMvRewriteRule); stale MVs never serve. MUST
+    // run BEFORE the merge-on-read swap below: on a tombstoned base the
+    // Mor rule would replace the relation with its snapshot plan in the
+    // same analyzer iteration, and the rewrite — which matches the
+    // relation — would never fire exactly where it matters most (the
+    // merge-heavy table whose scan is expensive)
+    ext.injectResolutionRule(graft.sources.GraftMvRewriteRule)
     ext.injectResolutionRule(graft.sources.GraftMorReadRule)
   }
 }

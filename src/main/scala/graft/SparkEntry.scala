@@ -67,6 +67,7 @@ object SparkEntry {
     "sql_txn_timetravel"      -> (SqlSurface.txnTimeTravel _),
     "sql_txn_skip"            -> (SqlSurface.txnSkip _),
     "sql_txn_dpp"             -> (SqlSurface.txnDpp _),
+    "sql_mv_rewrite"          -> (SqlSurface.mvRewrite _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
     "sql_txn_agg_push"        -> (SqlSurface.txnAggPush _),
     "sql_txn_bloom"           -> (SqlSurface.txnBloomSql _),
@@ -146,6 +147,7 @@ object SparkEntry {
     "dd_substring"            -> (Dedup.substringDedup _),
     "dd_incremental"          -> (Dedup.incremental _),
     "dd_incremental_lsh"      -> (Dedup.incrementalLsh _),
+    "dd_retract"              -> (Dedup.retract _),
     "dd_url"                  -> (Dedup.urlDedup _),
     "dd_semantic"             -> (Dedup.semantic _),
     "ta_domain_mix"           -> (TextAnalysis.domainMix _),
@@ -584,6 +586,8 @@ object SparkEntry {
     // minima, raw-minima band buckets, anchored+chained pairs, Jaccard
     "dd_minhash_lsh" -> graft.operators.Dedup.minhashOracle,
     "dd_incremental_lsh" -> graft.operators.Dedup.incrementalLshOracle,
+    // forgotten fingerprints: the store side is the RETAINED corpus
+    "dd_retract" -> graft.operators.Dedup.retractOracle,
     "st_stream_dedup_lsh" -> graft.operators.Dedup.streamDedupLshOracle,
     "q36_orc_roundtrip" ->
       """SELECT l_linestatus, COUNT(*) AS n,
@@ -1404,6 +1408,16 @@ object SparkEntry {
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS skip_ok
         |FROM b, r WHERE k >= lo AND k < hi""".stripMargin,
+    // the final (refreshed) MV answer == a direct recompute of the base
+    // content after the 'Z' insert — the rewrite is invisible in results
+    "sql_mv_rewrite" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |fin AS (SELECT st, p FROM b
+        |  UNION ALL SELECT 'Z', p FROM b WHERE k % 10 = 0)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS mvr_ok
+        |FROM fin GROUP BY st""".stripMargin,
     // runtime join-driven file pruning: the fact table's content is the
     // four quarter inserts = the full lineitem projection, so the oracle
     // is the plain join with the dim's selective filter replayed

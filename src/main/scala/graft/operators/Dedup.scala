@@ -925,6 +925,99 @@ object Dedup {
     verdicts.withColumn("lshinc_ok", lit(ok))
   }
 
+  /** dd_retract: RIGHT-TO-BE-FORGOTTEN for the near-dup index — the
+    * GDPR cascade a real pipeline owes: deleting a document from the
+    * corpus is not enough, its FINGERPRINTS must go too, or the index
+    * keeps matching against ghost content (a re-submission of retracted
+    * text would be "deduplicated away" against a document that legally
+    * no longer exists — silent data suppression by a ghost). The
+    * retraction is ONE merge-on-read tombstone commit on the band
+    * store ([[TxnTable.deleteKeysMor]] on doc_id — band rows scattered
+    * across every band file, so copy-on-write would rewrite the whole
+    * index; every entry carries byte-verbatim, asserted), and every
+    * probe read anti-joins it atomically. The proof is behavioral: a
+    * re-crawl batch of near-dup copies (corpus %5==1 docs, one token
+    * appended) probes the store — copies of RETAINED docs come back
+    * near-dups (suppressed), copies of RETRACTED docs (%7==2) come
+    * back NOVEL: the store has genuinely forgotten them, and the text
+    * may re-enter the corpus. The corpus text is never read by any of
+    * it ([[probeLshStore]]). `retract_ok` carries the tombstone
+    * accounting + the store row count dropping by exactly the
+    * retracted docs' band rows; the oracle replays signatures over the
+    * RETAINED store side and the full re-crawl batch. */
+  def retract(s: SparkSession, d: String): DataFrame = {
+    val store = {
+      val dir = graft.Fs.scratch("graft_txn", "dd_retract_store")
+      graft.Fs.deleteRecursively(dir)
+      dir
+    }
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    TxnTable.create(s, store, lshBandRows(corpus))
+    val lines0 = TxnTable.manifest(s, store, 0L).entries
+      .map(TxnTable.render).toSet
+    val bandsBefore = TxnTable.snapshot(s, store).count()
+    val retractBands = TxnTable.snapshot(s, store)
+      .filter(col("doc_id") % 7 === 2).count()
+    // the retraction: one tombstone commit, zero band files rewritten
+    val v1 = TxnTable.deleteKeysMor(s, store,
+      corpus.filter(col("doc_id") % 7 === 2).select(col("doc_id")),
+      "doc_id")
+    val m1 = TxnTable.manifest(s, store, v1)
+    val verbatim = lines0.subsetOf(m1.entries.map(TxnTable.render).toSet)
+    val bandsAfter = TxnTable.snapshot(s, store).count()
+    // the re-crawl: near-dup copies of corpus %5==1 docs — RETAINED
+    // ones must match, RETRACTED ones must now be novel
+    val batch = corpus.filter(col("doc_id") % 5 === 1)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" the")).as("text"))
+    val bBands = lshBandRows(batch).localCheckpoint(true)
+    val bFps = batch.select(col("doc_id"),
+      fingerprint(col("text")).as("fp")).localCheckpoint(true)
+    val verdicts = probeLshStore(s, store, bBands, bFps)
+    val ok = verbatim && m1.deletes.size == 1 &&
+      bandsAfter == bandsBefore - retractBands && retractBands > 0
+    verdicts.withColumn("retract_ok", lit(ok))
+  }
+
+  /** DuckDB replay of [[retract]]: the store side is the RETAINED
+    * corpus (retracted docs' signatures gone), the batch side the full
+    * re-crawl — same signature/band/verification machinery as
+    * [[incrementalLshOracle]]. */
+  private[graft] def retractOracle: String = {
+    val matchSum = lshMatchSum
+    s"""WITH corpus0 AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 2),
+       |batch0 AS (SELECT doc_id + 100000 AS doc_id, text || ' the' AS text
+       |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1),
+       |${shingleHashCtesFor("corpus0", "c")},
+       |${shingleHashCtesFor("batch0", "b")},
+       |${lshBandCtesFor("c")},
+       |${lshBandCtesFor("b")},
+       |cands AS (SELECT DISTINCT c.doc_id AS owner, b.doc_id AS b_doc
+       |  FROM cbands c JOIN bbands b
+       |    ON c.band = b.band AND c.k1 = b.k1 AND c.k2 = b.k2
+       |   AND c.k3 = b.k3 AND c.k4 = b.k4),
+       |est AS (SELECT cd.owner, cd.b_doc,
+       |    $matchSum AS matches
+       |  FROM cands cd JOIN csig c ON c.doc_id = cd.owner
+       |                JOIN bsig b ON b.doc_id = cd.b_doc),
+       |hits AS (SELECT b_doc AS doc_id, COUNT(*) AS n_near FROM est
+       |  WHERE matches >= $IncLshMinMatch GROUP BY b_doc),
+       |bfp AS (SELECT doc_id,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM batch0),
+       |brep AS (SELECT doc_id,
+       |    doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS batch_rep
+       |  FROM bfp)
+       |SELECT r.doc_id, r.batch_rep,
+       |  COALESCE(h.n_near, CAST(0 AS BIGINT)) AS n_near,
+       |  h.doc_id IS NULL AS novel,
+       |  (r.batch_rep AND h.doc_id IS NULL) AS keep,
+       |  TRUE AS retract_ok
+       |FROM brep r LEFT JOIN hits h ON r.doc_id = h.doc_id""".stripMargin
+  }
+
   /** [[shingleHashCtes]] parameterized over the source docs CTE — the
     * incremental oracle needs the signature machinery TWICE (corpus and
     * batch sides), each over a derived doc set. */

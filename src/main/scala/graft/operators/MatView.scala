@@ -201,6 +201,22 @@ object MatView {
     RefreshResult(r.version, head, folded)
   }
 
+  // ---- TRANSPARENT QUERY REWRITING ----------------------------------------
+
+  /** Session-wide MV registry: base location → MV location. Exact-string
+    * keyed (both sides come from the same catalog/warehouse path
+    * convention); `register` replaces — latest MV for a base wins. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def register(s: SparkSession, mv: String): Unit =
+    registry.put(readDef(s, mv).base, mv)
+
+  private[graft] def registeredFor(base: String): Option[String] =
+    Option(registry.get(base))
+
+  private[graft] def registryEmpty: Boolean = registry.isEmpty
+
   private def freshDir(name: String): String = {
     val dir = graft.Fs.scratch("graft_mv", name)
     graft.Fs.deleteRecursively(dir)

@@ -205,6 +205,83 @@ object SqlSurface {
     s.sql(sel).withColumn("skip_ok", lit(ok))
   }
 
+  /** sql_mv_rewrite: TRANSPARENT MATERIALIZED-VIEW REWRITING on the SQL
+    * surface — the query author writes a plain GROUP-BY aggregate over
+    * the BASE table and never learns the MV exists: when the registered
+    * MV is FRESH (refresh cursor == base's current version, decided by
+    * the LOG), the analyzer swaps the aggregate for an MV read
+    * (GraftMvRewriteRule — the BigQuery/Calcite rewrite contract);
+    * when the base has moved, the SAME query silently falls through to
+    * the base scan — a stale MV never serves, correctness beats
+    * acceleration. Three phases, each pinned by the OPTIMIZED PLAN'S
+    * scan locations (not timing): (1) fresh → the plan reads the MV
+    * path and never the base; (2) after a cdc-publishing MoR insert of
+    * 'Z' rows → the plan reads the base, and the result contains the
+    * 'Z' group the MV cannot know; (3) after MatView.refresh folds the
+    * feed → the plan reads the MV again, answering identically to the
+    * base scan. `mvr_ok` carries all three plan facts + the fresh/stale
+    * result divergence; the hashed output is the final (refreshed)
+    * answer, which the oracle recomputes directly. At 100 TB: the
+    * dashboard aggregate costs an MV read — orders of magnitude under
+    * the table scan — with staleness decided by the log, never trust. */
+  def mvRewrite(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mvr_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mvr_orders (
+      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvr_orders
+      SELECT o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    val mv = graft.Fs.scratch("graft_mv", "sql_rewrite")
+    graft.Fs.deleteRecursively(mv)
+    graft.operators.MatView.create(s, mv, loc, "o_orderstatus", "price")
+    graft.operators.MatView.register(s, mv)
+    val q = """SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(price) AS DOUBLE) AS total
+      FROM graft.q.mvr_orders GROUP BY o_orderstatus"""
+    // the optimized plan's SCAN SOURCES (toString truncates paths):
+    // parquet LogicalRelations expose their file roots, a surviving
+    // catalog relation its table identifier
+    def scanSrcs: Seq[String] = s.sql(q).queryExecution.optimizedPlan
+      .collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => Seq(s"v2:${r.table.name}")
+      }.flatten
+    def rows() = s.sql(q).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def readsMv(ps: Seq[String]) =
+      ps.nonEmpty && ps.forall(_.contains(mv))
+    def readsBase(ps: Seq[String]) =
+      ps.exists(p => p.contains(loc) || p.startsWith("v2:"))
+    // phase 1: fresh — served from the MV, base never scanned
+    val p1 = scanSrcs
+    val fresh = rows()
+    val servedFresh = readsMv(p1)
+    // phase 2: stale the MV with a cdc-publishing MoR insert
+    val zrows = s.sql("""SELECT o_orderkey + 100000000 AS o_orderkey,
+      'Z' AS o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+      'U' AS op FROM orders WHERE o_orderkey % 10 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, loc, zrows, "o_orderkey",
+      cdc = true)
+    val p2 = scanSrcs
+    val stale = rows()
+    val fellThrough = readsBase(p2) && !readsMv(p2) &&
+      stale.exists(_._1 == "Z") && !fresh.exists(_._1 == "Z")
+    // phase 3: refresh folds the feed — the MV serves again, identically
+    graft.operators.MatView.refresh(s, mv)
+    val p3 = scanSrcs
+    val again = rows()
+    val servedAgain = readsMv(p3) && again == stale
+    val ok = servedFresh && fellThrough && servedAgain
+    s.sql(q).withColumn("mvr_ok", lit(ok))
+  }
+
   /** sql_txn_dpp: RUNTIME join-driven file pruning — the DSv2 dynamic
     * partition pruning contract (`SupportsRuntimeV2Filtering`) answered
     * from MANIFEST stats. The star-join shape: a fact table

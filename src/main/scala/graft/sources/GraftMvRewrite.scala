@@ -1,0 +1,134 @@
+package graft.sources
+
+import graft.operators.{MatView, TxnTable}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** TRANSPARENT MATERIALIZED-VIEW REWRITING — the optimizer half of
+  * [[MatView]]: a plain SQL aggregate over the BASE table is served
+  * from its registered, FRESH materialized view without the query
+  * author knowing the MV exists (the BigQuery/Calcite
+  * materialized-view-rewrite contract). The rule matches
+  * `Aggregate(groupBy def.key, [key, COUNT(*) …, SUM(def.value) …],
+  * relation(base))` — unfiltered, single-key, the exact shape the MV
+  * materializes — checks the MV's refresh cursor against the base's
+  * CURRENT version (one log listing each; a STALE MV never serves:
+  * correctness beats acceleration, the query silently falls through to
+  * the base scan), and substitutes the MV snapshot plan with every
+  * output attribute id preserved (the [[GraftMorReadRule]] swap
+  * pattern), casting the MV's fold columns to the aggregate's result
+  * types. COUNT of a column (null-skipping), DISTINCT aggregates,
+  * extra grouping keys, or any Filter under the aggregate disqualify —
+  * the rewrite only ever fires when the MV provably holds the answer.
+  * At 100 TB: the dashboard query that would scan the table costs an
+  * MV read — typically 5-6 orders of magnitude smaller — and staleness
+  * is decided by the LOG, not by trust. */
+case class GraftMvRewriteRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MatView.registryEmpty) plan else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case agg @ Aggregate(groups, aggExprs, child, _) if agg.resolved =>
+      tryRewrite(agg, groups, aggExprs, child)
+        .getOrElse(agg.mapChildren(rewrite))
+    case other => other.mapChildren(rewrite)
+  }
+
+  /** Unwrap alias wrappers down to the bare relation (a Filter or
+    * Project in between disqualifies — the MV has no residual info). */
+  private def relationOf(p: LogicalPlan): Option[DataSourceV2Relation] =
+    p match {
+      case SubqueryAlias(_, child) => relationOf(child)
+      case r: DataSourceV2Relation => Some(r)
+      case _ => None
+    }
+
+  private def tryRewrite(agg: Aggregate, groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan)
+      : Option[LogicalPlan] = {
+    val r = relationOf(child).getOrElse(return None)
+    val g = r.table match {
+      case t: GraftTable => t
+      case _ => return None
+    }
+    val mvLoc = MatView.registeredFor(g.location).getOrElse(return None)
+    val d = MatView.readDef(session, mvLoc)
+    // single grouping key, and it IS the MV's key column
+    val keyAttr = groups match {
+      case Seq(a: AttributeReference) if a.name == d.key => a
+      case _ => return None
+    }
+    // every aggregate in the output must be answerable from the fold:
+    // COUNT(<literal>) → n, SUM(def.value) → total (both non-distinct,
+    // no filter clause); anything else disqualifies the whole rewrite
+    def answerable(e: Expression): Boolean = e match {
+      case ae: AggregateExpression =>
+        !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+          case Count(Seq(_: Literal)) => true
+          case Sum(c, _) => stripCast(c) match {
+            case a: AttributeReference => a.name == d.value
+            case _ => false
+          }
+          case _ => false
+        })
+      case _: AttributeReference => true
+      case other => other.children.forall(answerable)
+    }
+    if (!aggExprs.forall(answerable)) return None
+    // attribute references outside aggregates must be the group key
+    // (anything else would be a malformed resolved aggregate anyway)
+    val outsideRefs = aggExprs.flatMap(_.collect {
+      case a: AttributeReference => a
+    }).filterNot(a => aggExprs.exists(_.exists {
+      case ae: AggregateExpression => ae.references.contains(a)
+      case _ => false
+    }))
+    if (!outsideRefs.forall(_.exprId == keyAttr.exprId)) return None
+    // FRESHNESS BY THE LOG: a stale MV never serves
+    if (MatView.lastRefreshed(session, mvLoc) !=
+      TxnTable.currentVersion(session, g.location)) return None
+    val mvPlan = TxnTable.snapshot(session, mvLoc)
+      .queryExecution.analyzed
+    val byName = mvPlan.output.map(a => a.name -> a).toMap
+    val (mvKey, mvN, mvTotal) =
+      (byName.get(d.key), byName.get("n"), byName.get("total")) match {
+        case (Some(k), Some(n), Some(t)) => (k, n, t)
+        case _ => return None
+      }
+    // substitute: AggregateExpressions → the fold columns (cast to the
+    // aggregate's result type), the group key → the MV key; outer
+    // expressions (casts, arithmetic) survive untouched. Output ids
+    // are preserved by re-aliasing under the original exprIds.
+    val projected = aggExprs.map { ne =>
+      val swapped = ne.transform {
+        case ae: AggregateExpression => ae.aggregateFunction match {
+          case Count(_) =>
+            if (mvN.dataType == ae.dataType) mvN
+            else Cast(mvN, ae.dataType)
+          case _: Sum => Cast(mvTotal, ae.dataType)
+          case other => throw new IllegalStateException(
+            s"unreachable: unanswerable aggregate $other survived")
+        }
+        case a: AttributeReference if a.exprId == keyAttr.exprId => mvKey
+      }
+      swapped match {
+        case a: Alias => Alias(a.child, a.name)(exprId = a.exprId)
+        case a: AttributeReference =>
+          Alias(mvKey, a.name)(exprId = a.exprId)
+        case other => Alias(other, ne.name)(exprId = ne.exprId)
+      }
+    }
+    Some(Project(projected, mvPlan))
+  }
+
+  private def stripCast(e: Expression): Expression = e match {
+    case c: Cast => stripCast(c.child)
+    case x => x
+  }
+}

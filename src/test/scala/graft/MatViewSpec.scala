@@ -99,6 +99,72 @@ class MatViewSpec extends SparkSpec {
     assert(MatView.lastRefreshed(spark, mv) === 1L)
   }
 
+  test("transparent rewrite DISQUALIFIES on shapes the MV cannot " +
+      "answer: COUNT(col), a filter under the aggregate, extra keys") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.rw")
+    s.sql("CREATE TABLE graft.mvspec.rw (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.rw SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'A' ELSE 'B' END, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(300)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/rw"
+    val mv = fresh("mv_rw_view")
+    MatView.create(spark, mv, loc, "g", "v")
+    MatView.register(spark, mv)
+    // "served from the MV" = the optimized plan holds NO catalog
+    // relation and every parquet root lives under the MV path
+    // (plan.toString truncates paths — collect the nodes instead)
+    def mvServed(q: String): Boolean = {
+      val p = s.sql(q).queryExecution.optimizedPlan
+      val roots = p.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      val hasV2 = p.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.nonEmpty
+      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
+    }
+    def plan(q: String): String = if (mvServed(q)) mv else "base"
+    // the answerable shape rewrites...
+    assert(plan("SELECT g, COUNT(*) AS n, SUM(v) AS t " +
+      "FROM graft.mvspec.rw GROUP BY g").contains(mv))
+    // ...and answers exactly what the base would
+    val got = s.sql("SELECT g, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) " +
+      "AS t FROM graft.mvspec.rw GROUP BY g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = (0 until 300).filter(_ % 3 == 0)
+    val b = (0 until 300).filterNot(_ % 3 == 0)
+    assert(got === Set(("A", a.size.toLong, a.sum.toDouble),
+      ("B", b.size.toLong, b.sum.toDouble)))
+    // COUNT(col) is null-skipping — the fold can't answer it
+    assert(!plan("SELECT g, COUNT(v) AS n FROM graft.mvspec.rw " +
+      "GROUP BY g").contains(mv), "COUNT(col) must not rewrite")
+    // a filter under the aggregate: the MV has no residual info
+    assert(!plan("SELECT g, COUNT(*) AS n FROM graft.mvspec.rw " +
+      "WHERE k > 10 GROUP BY g").contains(mv),
+      "filtered aggregates must not rewrite")
+    // extra grouping keys
+    assert(!plan("SELECT g, k % 2, COUNT(*) AS n FROM graft.mvspec.rw " +
+      "GROUP BY g, k % 2").contains(mv),
+      "multi-key grouping must not rewrite")
+    // SUM of a different column
+    assert(!plan("SELECT g, SUM(k) AS t FROM graft.mvspec.rw " +
+      "GROUP BY g").contains(mv), "SUM(other col) must not rewrite")
+    // DISTINCT aggregates
+    assert(!plan("SELECT g, COUNT(DISTINCT v) AS n FROM graft.mvspec.rw " +
+      "GROUP BY g").contains(mv), "DISTINCT must not rewrite")
+  }
+
   test("a group whose count reaches zero LEAVES the MV; an MV compact " +
       "between refreshes does not disturb the cursor") {
     val t = fresh("mv_del")
