@@ -18,4 +18,12 @@ object Fs {
     * verify and a local Sweep) must not overwrite each other's dirs. */
   def scratch(group: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/${group}_${ProcessHandle.current().pid()}/$name"
+
+  /** [[scratch]] + recursive delete — the fresh-scenario-dir idiom every
+    * store-building operator opens with, as ONE definition. */
+  def freshScratch(group: String, name: String): String = {
+    val dir = scratch(group, name)
+    deleteRecursively(dir)
+    dir
+  }
 }

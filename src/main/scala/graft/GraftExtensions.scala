@@ -48,12 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // relation for the rule above
     // transparent materialized-view rewriting: a plain aggregate over a
     // base table with a registered FRESH MV is served from the MV
-    // (graft.sources.GraftMvRewriteRule); stale MVs never serve. MUST
-    // run BEFORE the merge-on-read swap below: on a tombstoned base the
-    // Mor rule would replace the relation with its snapshot plan in the
-    // same analyzer iteration, and the rewrite — which matches the
-    // relation — would never fire exactly where it matters most (the
-    // merge-heavy table whose scan is expensive)
+    // (graft.sources.GraftMvRewriteRule); stale MVs never serve.
+    // Injected BEFORE the merge-on-read swap below so that when the
+    // aggregate and its tombstoned base relation resolve in the same
+    // analyzer iteration (the common case), the rewrite sees the
+    // relation first — the Mor swap would otherwise hide it. Best
+    // effort, not a guarantee: an aggregate that takes one more
+    // iteration to resolve loses the relation to the swap and pays the
+    // base scan — acceleration lost, correctness untouched
     ext.injectResolutionRule(graft.sources.GraftMvRewriteRule)
     ext.injectResolutionRule(graft.sources.GraftMorReadRule)
   }

@@ -946,11 +946,7 @@ object Dedup {
     * retracted docs' band rows; the oracle replays signatures over the
     * RETAINED store side and the full re-crawl batch. */
   def retract(s: SparkSession, d: String): DataFrame = {
-    val store = {
-      val dir = graft.Fs.scratch("graft_txn", "dd_retract_store")
-      graft.Fs.deleteRecursively(dir)
-      dir
-    }
+    val store = graft.Fs.freshScratch("graft_txn", "dd_retract_store")
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val corpus = docs.filter(col("doc_id") % 3 =!= 0)
     TxnTable.create(s, store, lshBandRows(corpus))
@@ -984,8 +980,7 @@ object Dedup {
     * corpus (retracted docs' signatures gone), the batch side the full
     * re-crawl — same signature/band/verification machinery as
     * [[incrementalLshOracle]]. */
-  private[graft] def retractOracle: String = {
-    val matchSum = lshMatchSum
+  private[graft] def retractOracle: String =
     s"""WITH corpus0 AS (SELECT doc_id, text FROM documents
        |  WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 2),
        |batch0 AS (SELECT doc_id + 100000 AS doc_id, text || ' the' AS text
@@ -994,29 +989,7 @@ object Dedup {
        |${shingleHashCtesFor("batch0", "b")},
        |${lshBandCtesFor("c")},
        |${lshBandCtesFor("b")},
-       |cands AS (SELECT DISTINCT c.doc_id AS owner, b.doc_id AS b_doc
-       |  FROM cbands c JOIN bbands b
-       |    ON c.band = b.band AND c.k1 = b.k1 AND c.k2 = b.k2
-       |   AND c.k3 = b.k3 AND c.k4 = b.k4),
-       |est AS (SELECT cd.owner, cd.b_doc,
-       |    $matchSum AS matches
-       |  FROM cands cd JOIN csig c ON c.doc_id = cd.owner
-       |                JOIN bsig b ON b.doc_id = cd.b_doc),
-       |hits AS (SELECT b_doc AS doc_id, COUNT(*) AS n_near FROM est
-       |  WHERE matches >= $IncLshMinMatch GROUP BY b_doc),
-       |bfp AS (SELECT doc_id,
-       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
-       |  FROM batch0),
-       |brep AS (SELECT doc_id,
-       |    doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS batch_rep
-       |  FROM bfp)
-       |SELECT r.doc_id, r.batch_rep,
-       |  COALESCE(h.n_near, CAST(0 AS BIGINT)) AS n_near,
-       |  h.doc_id IS NULL AS novel,
-       |  (r.batch_rep AND h.doc_id IS NULL) AS keep,
-       |  TRUE AS retract_ok
-       |FROM brep r LEFT JOIN hits h ON r.doc_id = h.doc_id""".stripMargin
-  }
+       |${lshProbeTailSql("retract_ok")}""".stripMargin
 
   /** [[shingleHashCtes]] parameterized over the source docs CTE — the
     * incremental oracle needs the signature machinery TWICE (corpus and
@@ -1070,27 +1043,19 @@ object Dedup {
       (0 until NumPerms).map(i => s"c.m$i = b.m$i").mkString(",\n    ") +
       "], x -> x))"
 
-  private[graft] def incrementalLshOracle: String = {
-    def bandCtes(p: String): String = lshBandCtesFor(p)
-    val matchSum = lshMatchSum
-    s"""WITH corpus0 AS (SELECT doc_id, text FROM documents
-       |  WHERE doc_id % 3 <> 0),
-       |batch0 AS (
-       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
-       |  UNION ALL SELECT doc_id + 100000, text || ' the' FROM documents
-       |    WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
-       |  UNION ALL SELECT doc_id + 200000, text FROM documents
-       |    WHERE doc_id % 15 = 0),
-       |${shingleHashCtesFor("corpus0", "c")},
-       |${shingleHashCtesFor("batch0", "b")},
-       |${bandCtes("c")},
-       |${bandCtes("b")},
-       |cands AS (SELECT DISTINCT c.doc_id AS owner, b.doc_id AS b_doc
+  /** The shared store-probe TAIL of the incremental/retraction oracles:
+    * candidate pairs from shared band buckets (cbands vs bbands),
+    * signature-agreement verification at the integer threshold, and the
+    * per-batch-doc verdict — exactly [[probeLshStore]]'s algebra. ONE
+    * definition so the verification shape can never drift between the
+    * oracles that replay it. */
+  private def lshProbeTailSql(okCol: String): String =
+    s"""cands AS (SELECT DISTINCT c.doc_id AS owner, b.doc_id AS b_doc
        |  FROM cbands c JOIN bbands b
        |    ON c.band = b.band AND c.k1 = b.k1 AND c.k2 = b.k2
        |   AND c.k3 = b.k3 AND c.k4 = b.k4),
        |est AS (SELECT cd.owner, cd.b_doc,
-       |    $matchSum AS matches
+       |    $lshMatchSum AS matches
        |  FROM cands cd JOIN csig c ON c.doc_id = cd.owner
        |                JOIN bsig b ON b.doc_id = cd.b_doc),
        |hits AS (SELECT b_doc AS doc_id, COUNT(*) AS n_near FROM est
@@ -1105,9 +1070,23 @@ object Dedup {
        |  COALESCE(h.n_near, CAST(0 AS BIGINT)) AS n_near,
        |  h.doc_id IS NULL AS novel,
        |  (r.batch_rep AND h.doc_id IS NULL) AS keep,
-       |  TRUE AS lshinc_ok
+       |  TRUE AS $okCol
        |FROM brep r LEFT JOIN hits h ON r.doc_id = h.doc_id""".stripMargin
-  }
+
+  private[graft] def incrementalLshOracle: String =
+    s"""WITH corpus0 AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 3 <> 0),
+       |batch0 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id + 100000, text || ' the' FROM documents
+       |    WHERE doc_id % 3 <> 0 AND doc_id % 5 = 1
+       |  UNION ALL SELECT doc_id + 200000, text FROM documents
+       |    WHERE doc_id % 15 = 0),
+       |${shingleHashCtesFor("corpus0", "c")},
+       |${shingleHashCtesFor("batch0", "b")},
+       |${lshBandCtesFor("c")},
+       |${lshBandCtesFor("b")},
+       |${lshProbeTailSql("lshinc_ok")}""".stripMargin
 
   /** DuckDB replay of [[graft.streaming.Streams.streamDedupLsh]]: the
     * THREE-WAVE sequential fold — wave w's novelty is judged against

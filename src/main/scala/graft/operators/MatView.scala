@@ -107,15 +107,21 @@ object MatView {
     * the truncated string stats). */
   def create(s: SparkSession, mv: String, base: String, key: String,
       value: String): Long = {
-    require(key != "n" && key != "total" && key != "op",
+    require(!Seq("n", "nn", "total", "op").contains(key),
       s"MV key column '$key' collides with the MV's own columns")
     val bv = TxnTable.currentVersion(s, base)
     val snap = TxnTable.snapshot(s, base, bv)
     // the fold column is DECIMAL(18,2) EXACTLY: sum() widens its input
     // (18,2 → 28,2), and letting the widened type into the committed
     // schema would make every refresh (which writes 18,2) drift from
-    // carried files — pin it at create so create and refresh agree
+    // carried files — pin it at create so create and refresh agree.
+    // `nn` counts NON-NULL values: total folds NULLs as 0 (what the
+    // signed algebra needs to telescope), and nn is what lets a reader
+    // — the transparent rewrite especially — reconstruct the
+    // null-skipping SQL semantics (an all-NULL group is nn == 0 with
+    // total 0, which SUM must surface as NULL) and answer COUNT(value)
     val rows = snap.groupBy(col(key)).agg(count(lit(1)).as("n"),
+      count(col(value)).as("nn"),
       sum(coalesce(col(value).cast(D18), lit(0).cast(D18)))
         .cast(D18).as("total"))
     val isStr = snap.schema(key).dataType ==
@@ -177,13 +183,16 @@ object MatView {
       return RefreshResult(v, head, folded)
     }
     val feed = s.read.parquet(refs: _*)
-    // the signed fold: per group, dn = Σw, dtotal = Σ(w·value); a key
-    // appearing in several feeds telescopes here, in ONE aggregate
+    // the signed fold: per group, dn = Σw, dnn = Σw over non-null
+    // values, dtotal = Σ(w·value); a key appearing in several feeds
+    // telescopes here, in ONE aggregate
     val delta = feed.groupBy(col(d.key)).agg(
       sum(col("w").cast("long")).as("dn"),
+      sum(col("w").cast("long") *
+        when(col(d.value).isNull, 0L).otherwise(1L)).as("dnn"),
       sum(col("w") * coalesce(col(d.value).cast(D18), lit(0).cast(D18)))
         .cast(D18).as("dtotal"))
-      .filter(col("dn") =!= 0 || col("dtotal") =!= 0)
+      .filter(col("dn") =!= 0 || col("dnn") =!= 0 || col("dtotal") =!= 0)
     // merge into the current MV rows: the join output is delta-sized;
     // the MV scan is O(MV) — never O(base)
     val mvCur = TxnTable.snapshot(s, mv)
@@ -192,6 +201,7 @@ object MatView {
         "left_outer")
       .select(col(s"d.${d.key}").as(d.key),
         (coalesce(col("m.n"), lit(0L)) + col("dn")).as("n"),
+        (coalesce(col("m.nn"), lit(0L)) + col("dnn")).as("nn"),
         (coalesce(col("m.total"), lit(0).cast(D18)) + col("dtotal"))
           .cast(D18).as("total"))
     val changeSet = merged.withColumn("op",
@@ -203,25 +213,27 @@ object MatView {
 
   // ---- TRANSPARENT QUERY REWRITING ----------------------------------------
 
-  /** Session-wide MV registry: base location → MV location. Exact-string
-    * keyed (both sides come from the same catalog/warehouse path
-    * convention); `register` replaces — latest MV for a base wins. */
+  /** Session-wide MV registry: base location → (MV location, cached
+    * definition). Exact-string keyed (both sides come from the same
+    * catalog/warehouse path convention); `register` replaces — latest
+    * MV for a base wins. The definition is immutable by contract, so
+    * caching it here removes the per-query `_mv` file read the rewrite
+    * rule would otherwise pay on every analyzer iteration. */
   private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, MvDef)]()
 
-  def register(s: SparkSession, mv: String): Unit =
-    registry.put(readDef(s, mv).base, mv)
+  def register(s: SparkSession, mv: String): Unit = {
+    val d = readDef(s, mv)
+    registry.put(d.base, (mv, d))
+  }
 
-  private[graft] def registeredFor(base: String): Option[String] =
+  private[graft] def registeredFor(base: String): Option[(String, MvDef)] =
     Option(registry.get(base))
 
   private[graft] def registryEmpty: Boolean = registry.isEmpty
 
-  private def freshDir(name: String): String = {
-    val dir = graft.Fs.scratch("graft_mv", name)
-    graft.Fs.deleteRecursively(dir)
-    dir
-  }
+  private def freshDir(name: String): String =
+    graft.Fs.freshScratch("graft_mv", name)
 
   private val D12 = DecimalType(12, 2)
 

@@ -784,11 +784,7 @@ object Similarity {
     * row-for-row). `anndel_ok` carries the accounting; the oracle
     * replays the full IVF path over the retained set. */
   def annDelete(s: SparkSession, d: String): DataFrame = {
-    val store = {
-      val dir = graft.Fs.scratch("graft_txn", "sim_ivf_del")
-      graft.Fs.deleteRecursively(dir)
-      dir
-    }
+    val store = graft.Fs.freshScratch("graft_txn", "sim_ivf_del")
     val all = vecs(s, d)
     val cents = ivfCentroids(s, all)
     createIvfStore(s, store, cents, all)

@@ -232,8 +232,7 @@ object SqlSurface {
     s.sql("""INSERT INTO graft.q.mvr_orders
       SELECT o_orderkey, o_orderstatus,
         CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
-    val mv = graft.Fs.scratch("graft_mv", "sql_rewrite")
-    graft.Fs.deleteRecursively(mv)
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_rewrite")
     graft.operators.MatView.create(s, mv, loc, "o_orderstatus", "price")
     graft.operators.MatView.register(s, mv)
     val q = """SELECT o_orderstatus, COUNT(*) AS n,
@@ -250,6 +249,11 @@ object SqlSurface {
               .HadoopFsRelation => h.location.rootPaths.map(_.toString)
           case _ => Nil
         }
+        // by optimization time a surviving catalog read is a
+        // DataSourceV2ScanRelation (pushdown already ran); the plain
+        // relation case covers pre-pushdown callers
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => Seq(s"v2:${r.relation.table.name}")
         case r: org.apache.spark.sql.execution.datasources.v2
             .DataSourceV2Relation => Seq(s"v2:${r.table.name}")
       }.flatten

@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.operators.{MatView, TxnTable}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CaseWhen, Cast, EqualTo, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -13,20 +13,25 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * from its registered, FRESH materialized view without the query
   * author knowing the MV exists (the BigQuery/Calcite
   * materialized-view-rewrite contract). The rule matches
-  * `Aggregate(groupBy def.key, [key, COUNT(*) …, SUM(def.value) …],
-  * relation(base))` — unfiltered, single-key, the exact shape the MV
-  * materializes — checks the MV's refresh cursor against the base's
-  * CURRENT version (one log listing each; a STALE MV never serves:
-  * correctness beats acceleration, the query silently falls through to
-  * the base scan), and substitutes the MV snapshot plan with every
-  * output attribute id preserved (the [[GraftMorReadRule]] swap
-  * pattern), casting the MV's fold columns to the aggregate's result
-  * types. COUNT of a column (null-skipping), DISTINCT aggregates,
-  * extra grouping keys, or any Filter under the aggregate disqualify —
-  * the rewrite only ever fires when the MV provably holds the answer.
-  * At 100 TB: the dashboard query that would scan the table costs an
-  * MV read — typically 5-6 orders of magnitude smaller — and staleness
-  * is decided by the LOG, not by trust. */
+  * `Aggregate(groupBy def.key, [key, COUNT(*) …, COUNT(def.value) …,
+  * SUM(def.value) …], relation(base))` — unfiltered, single-key, the
+  * exact shape the MV materializes — checks the MV's refresh cursor
+  * against the relation's PINNED version (one log walk; a time-travel
+  * read of any other version, or a base that moved, never serves from
+  * the MV: correctness beats acceleration, the query silently falls
+  * through to the base scan), and substitutes the MV snapshot plan
+  * with every output attribute id preserved (the [[GraftMorReadRule]]
+  * swap pattern). SUM reconstructs SQL's null-skipping semantics from
+  * the fold: `CASE WHEN nn = 0 THEN NULL ELSE total END` — an all-NULL
+  * group answers NULL, exactly like the base scan. COUNT(DISTINCT …),
+  * filter clauses, COUNT of a non-fold column, extra grouping keys, or
+  * any Filter under the aggregate disqualify; ANY error while probing
+  * the MV (deleted directory, vacuumed cursor) also just disqualifies
+  * — the rewrite only ever fires when the MV provably holds the
+  * answer, and can never fail a query that would otherwise run. At
+  * 100 TB: the dashboard query that would scan the table costs an MV
+  * read — typically 5-6 orders of magnitude smaller — and staleness is
+  * decided by the LOG, not by trust. */
 case class GraftMvRewriteRule(session: SparkSession)
     extends Rule[LogicalPlan] {
 
@@ -51,26 +56,40 @@ case class GraftMvRewriteRule(session: SparkSession)
 
   private def tryRewrite(agg: Aggregate, groups: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
+      : Option[LogicalPlan] =
+    // an MV that cannot be probed (directory deleted, every cursor
+    // commit vacuumed) must DISQUALIFY, never fail the user's query —
+    // the base scan always remains the sound fallback
+    try tryRewriteUnsafe(agg, groups, aggExprs, child)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def tryRewriteUnsafe(agg: Aggregate, groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
     val r = relationOf(child).getOrElse(return None)
     val g = r.table match {
       case t: GraftTable => t
       case _ => return None
     }
-    val mvLoc = MatView.registeredFor(g.location).getOrElse(return None)
-    val d = MatView.readDef(session, mvLoc)
+    val (mvLoc, d) = MatView.registeredFor(g.location).getOrElse(
+      return None)
     // single grouping key, and it IS the MV's key column
     val keyAttr = groups match {
       case Seq(a: AttributeReference) if a.name == d.key => a
       case _ => return None
     }
     // every aggregate in the output must be answerable from the fold:
-    // COUNT(<literal>) → n, SUM(def.value) → total (both non-distinct,
-    // no filter clause); anything else disqualifies the whole rewrite
+    // COUNT(<non-null literal>) → n, COUNT(def.value) → nn,
+    // SUM(def.value) → total with null-skipping reconstructed from nn
+    // (all non-distinct, no filter clause); anything else disqualifies
     def answerable(e: Expression): Boolean = e match {
       case ae: AggregateExpression =>
         !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-          case Count(Seq(_: Literal)) => true
+          case Count(Seq(l: Literal)) => l.value != null
+          case Count(Seq(c)) => stripCast(c) match {
+            case a: AttributeReference => a.name == d.value
+            case _ => false
+          }
           case Sum(c, _) => stripCast(c) match {
             case a: AttributeReference => a.name == d.value
             case _ => false
@@ -82,7 +101,6 @@ case class GraftMvRewriteRule(session: SparkSession)
     }
     if (!aggExprs.forall(answerable)) return None
     // attribute references outside aggregates must be the group key
-    // (anything else would be a malformed resolved aggregate anyway)
     val outsideRefs = aggExprs.flatMap(_.collect {
       case a: AttributeReference => a
     }).filterNot(a => aggExprs.exists(_.exists {
@@ -90,39 +108,51 @@ case class GraftMvRewriteRule(session: SparkSession)
       case _ => false
     }))
     if (!outsideRefs.forall(_.exprId == keyAttr.exprId)) return None
-    // FRESHNESS BY THE LOG: a stale MV never serves
-    if (MatView.lastRefreshed(session, mvLoc) !=
-      TxnTable.currentVersion(session, g.location)) return None
+    // FRESHNESS BY THE LOG, against the relation's PINNED version: a
+    // stale MV never serves, and neither does a time-travel read of
+    // any version other than the one the MV reflects
+    if (MatView.lastRefreshed(session, mvLoc) != g.pinnedVersion)
+      return None
     val mvPlan = TxnTable.snapshot(session, mvLoc)
       .queryExecution.analyzed
     val byName = mvPlan.output.map(a => a.name -> a).toMap
-    val (mvKey, mvN, mvTotal) =
-      (byName.get(d.key), byName.get("n"), byName.get("total")) match {
-        case (Some(k), Some(n), Some(t)) => (k, n, t)
-        case _ => return None
-      }
+    val (mvKey, mvN, mvNn, mvTotal) = (byName.get(d.key), byName.get("n"),
+        byName.get("nn"), byName.get("total")) match {
+      case (Some(k), Some(n), Some(nn), Some(t)) => (k, n, nn, t)
+      case _ => return None
+    }
     // substitute: AggregateExpressions → the fold columns (cast to the
     // aggregate's result type), the group key → the MV key; outer
     // expressions (casts, arithmetic) survive untouched. Output ids
-    // are preserved by re-aliasing under the original exprIds.
-    val projected = aggExprs.map { ne =>
-      val swapped = ne.transform {
-        case ae: AggregateExpression => ae.aggregateFunction match {
-          case Count(_) =>
-            if (mvN.dataType == ae.dataType) mvN
-            else Cast(mvN, ae.dataType)
-          case _: Sum => Cast(mvTotal, ae.dataType)
-          case other => throw new IllegalStateException(
-            s"unreachable: unanswerable aggregate $other survived")
+    // are preserved by re-aliasing under the original exprIds — the
+    // bare group-key output is handled BEFORE the transform so its
+    // original attribute id survives for operators resolved above.
+    val projected = aggExprs.map {
+      case a: AttributeReference if a.exprId == keyAttr.exprId =>
+        Alias(mvKey, a.name)(exprId = a.exprId)
+      case ne =>
+        val swapped = ne.transform {
+          case ae: AggregateExpression => ae.aggregateFunction match {
+            case Count(Seq(_: Literal)) =>
+              if (mvN.dataType == ae.dataType) mvN else Cast(mvN, ae.dataType)
+            case Count(_) =>
+              if (mvNn.dataType == ae.dataType) mvNn
+              else Cast(mvNn, ae.dataType)
+            case _: Sum =>
+              // SQL SUM skips NULLs but answers NULL for an all-NULL
+              // group; the fold's 0-convention plus nn reconstructs it
+              CaseWhen(Seq((EqualTo(mvNn, Literal(0L)),
+                Cast(Literal(null), ae.dataType))),
+                Some(Cast(mvTotal, ae.dataType)))
+            case other => throw new IllegalStateException(
+              s"unreachable: unanswerable aggregate $other survived")
+          }
+          case a: AttributeReference if a.exprId == keyAttr.exprId => mvKey
         }
-        case a: AttributeReference if a.exprId == keyAttr.exprId => mvKey
-      }
-      swapped match {
-        case a: Alias => Alias(a.child, a.name)(exprId = a.exprId)
-        case a: AttributeReference =>
-          Alias(mvKey, a.name)(exprId = a.exprId)
-        case other => Alias(other, ne.name)(exprId = ne.exprId)
-      }
+        swapped match {
+          case al: Alias => Alias(al.child, al.name)(exprId = al.exprId)
+          case other => Alias(other, ne.name)(exprId = ne.exprId)
+        }
     }
     Some(Project(projected, mvPlan))
   }

@@ -321,8 +321,7 @@ object Streams {
     * the base's final content: continuous incremental maintenance ≡
     * recompute, through the managed object, through a stream. */
   def streamMatView(s: SparkSession, d: String): DataFrame = {
-    val base = graft.Fs.scratch("graft_stream_mv", "run")
-    graft.Fs.deleteRecursively(base)
+    val base = graft.Fs.freshScratch("graft_stream_mv", "run")
     val table = s"$base/table"
     val mv = s"$base/view"
     val k = col("o_orderkey")
@@ -401,8 +400,7 @@ object Streams {
     * maxFilesPerTrigger=1 keep the epoch sequence replayable; the
     * oracle replays the three waves plus the two labeled appends. */
   def streamIdempotent(s: SparkSession, d: String): DataFrame = {
-    val base = graft.Fs.scratch("graft_stream_idem", "run")
-    graft.Fs.deleteRecursively(base)
+    val base = graft.Fs.freshScratch("graft_stream_idem", "run")
     val table = s"$base/table"
     val ddl = "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE"
     val static = s.read.schema(ddl)

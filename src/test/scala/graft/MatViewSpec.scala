@@ -59,13 +59,13 @@ class MatViewSpec extends SparkSpec {
     assert(r.baseVersion === 2L && r.commitsFolded === 2)
     // the refreshed MV equals a direct recompute of the base head
     val direct = TxnTable.snapshot(spark, t).groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), sum(col("v").cast(DecimalType(18, 2)))
-        .as("total"))
-      .collect().map(r => (r.getString(0), r.getLong(1),
-        r.getDecimal(2).toPlainString)).toSet
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nn"),
+        sum(col("v").cast(DecimalType(18, 2))).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toPlainString)).toSet
     val got = TxnTable.snapshot(spark, mv)
-      .collect().map(r => (r.getString(0), r.getLong(1),
-        r.getDecimal(2).toPlainString)).toSet
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toPlainString)).toSet
     assert(got === direct, "incremental refresh diverged from recompute")
   }
 
@@ -130,6 +130,8 @@ class MatViewSpec extends SparkSpec {
       }.flatten
       val hasV2 = p.collect {
         case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.relation
+        case r: org.apache.spark.sql.execution.datasources.v2
             .DataSourceV2Relation => r
       }.nonEmpty
       !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
@@ -146,9 +148,15 @@ class MatViewSpec extends SparkSpec {
     val b = (0 until 300).filterNot(_ % 3 == 0)
     assert(got === Set(("A", a.size.toLong, a.sum.toDouble),
       ("B", b.size.toLong, b.sum.toDouble)))
-    // COUNT(col) is null-skipping — the fold can't answer it
-    assert(!plan("SELECT g, COUNT(v) AS n FROM graft.mvspec.rw " +
-      "GROUP BY g").contains(mv), "COUNT(col) must not rewrite")
+    // COUNT(def.value) is answerable (the nn fold) — and null-correct
+    assert(plan("SELECT g, COUNT(v) AS n FROM graft.mvspec.rw " +
+      "GROUP BY g").contains(mv), "COUNT(value) should rewrite via nn")
+    // COUNT of a NON-fold column is not
+    assert(!plan("SELECT g, COUNT(k) AS n FROM graft.mvspec.rw " +
+      "GROUP BY g").contains(mv), "COUNT(other col) must not rewrite")
+    // COUNT(NULL) is null-skipping of nothing — the n fold can't serve
+    assert(!plan("SELECT g, COUNT(NULL) AS n FROM graft.mvspec.rw " +
+      "GROUP BY g").contains(mv), "COUNT(NULL) must not rewrite")
     // a filter under the aggregate: the MV has no residual info
     assert(!plan("SELECT g, COUNT(*) AS n FROM graft.mvspec.rw " +
       "WHERE k > 10 GROUP BY g").contains(mv),
@@ -163,6 +171,63 @@ class MatViewSpec extends SparkSpec {
     // DISTINCT aggregates
     assert(!plan("SELECT g, COUNT(DISTINCT v) AS n FROM graft.mvspec.rw " +
       "GROUP BY g").contains(mv), "DISTINCT must not rewrite")
+  }
+
+  test("rewrite reconstructs null-skipping SUM (all-NULL group answers " +
+      "NULL) and never serves a time-travel read of another version") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.rwn")
+    s.sql("CREATE TABLE graft.mvspec.rwn (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2))")
+    // group C carries ONLY NULL values
+    s.sql("INSERT INTO graft.mvspec.rwn SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'C' ELSE 'B' END, " +
+      "CASE WHEN id % 3 = 0 THEN CAST(NULL AS DECIMAL(12,2)) " +
+      "ELSE CAST(id AS DECIMAL(12,2)) END FROM RANGE(90)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/rwn"
+    val mv = fresh("mv_rwn_view")
+    MatView.create(spark, mv, loc, "g", "v")
+    MatView.register(spark, mv)
+    val q = "SELECT g, COUNT(*) AS n, COUNT(v) AS nn, SUM(v) AS t " +
+      "FROM graft.mvspec.rwn GROUP BY g"
+    // served from the MV (no catalog relation in the optimized plan)...
+    val optimized = s.sql(q).queryExecution.optimizedPlan
+    assert(optimized.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+    }.isEmpty, "the null-semantics query should be MV-served")
+    // ...and the all-NULL group answers NULL, 0 non-null, full count
+    val rows = s.sql(q).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getDecimal(3))))).toMap
+    assert(rows("C") === ((30L, 0L, None)),
+      s"all-NULL group must SUM to NULL through the rewrite: $rows")
+    assert(rows("B")._2 === 60L)
+    // advance the base + refresh: a pinned read of the OLD version must
+    // fall through to the base scan (and answer from v0, not the MV)
+    s.sql("INSERT INTO graft.mvspec.rwn VALUES (1000, 'D', " +
+      "CAST(7 AS DECIMAL(12,2)))")
+    // plain INSERT publishes no feed: recreate the MV at the new head
+    Fs.deleteRecursively(mv)
+    MatView.create(spark, mv, loc, "g", "v")
+    MatView.register(spark, mv)
+    val tt = "SELECT g, COUNT(*) AS n FROM graft.mvspec.rwn " +
+      "VERSION AS OF 1 GROUP BY g"
+    val pinnedPlan = s.sql(tt).queryExecution.optimizedPlan
+    assert(pinnedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+    }.nonEmpty, "a time-travel read of another version must NOT be " +
+      "served from the current MV")
+    assert(s.sql(tt).collect().map(_.getString(0)).toSet === Set("B", "C"),
+      "the pinned read must answer from its own version")
+    // the CURRENT read serves from the fresh MV and sees group D
+    assert(s.sql("SELECT g, COUNT(*) AS n FROM graft.mvspec.rwn " +
+      "GROUP BY g").collect().map(_.getString(0)).toSet ===
+      Set("B", "C", "D"))
   }
 
   test("a group whose count reaches zero LEAVES the MV; an MV compact " +
