@@ -98,6 +98,7 @@ object SparkEntry {
     "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
     "op_matview"              -> (graft.operators.MatView.matView _),
     "op_txn_multi"            -> (TxnTable.txnMulti _),
+    "op_txn_default"          -> (TxnTable.txnDefault _),
     "op_table_history"        -> (TxnTable.tableHistory _),
     "op_txn_race"             -> (TxnTable.txnRace _),
     "op_txn_race2"            -> (TxnTable.txnRace2 _),
@@ -1710,6 +1711,27 @@ object SparkEntry {
         |  (4, 'append', 3), (5, 'overwrite', 4)) AS t(version, op, n_files)""".stripMargin,
     // the incremental fold (v0 + signed change feeds) must hash-equal the
     // DIRECT recompute of v2, whose content the oracle replays by
+    // initial defaults: pre-add rows answer the default literal, the
+    // merge rewrites keep it, post-add rows keep their real values
+    // (including real NULLs); the oracle replays the algebra directly
+    "op_txn_default" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |fin AS (
+        |  SELECT k, st, price, 'legacy' AS src,
+        |    CAST(50 AS DECIMAL(12,2)) AS boost FROM b WHERE k % 10 <> 0
+        |  UNION ALL
+        |  SELECT k, 'U', CAST(price + 100 AS DECIMAL(12,2)), 'legacy',
+        |    CAST(50 AS DECIMAL(12,2)) FROM b WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT k + 100000000, st, price, 'fresh',
+        |    CASE WHEN k % 5 = 0 THEN CAST(NULL AS DECIMAL(12,2))
+        |         ELSE CAST(k % 100 AS DECIMAL(12,2)) END
+        |  FROM b WHERE k % 13 = 0)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, src,
+        |  CAST(boost AS DOUBLE) AS boost, TRUE AS def_ok
+        |FROM fin""".stripMargin,
     // the three transactional batches partition orders exactly (even
     // keys ∪ 1-mod-4 ∪ 3-mod-4); the ledger consistency travels as the
     // boolean — the hashed corpus is the full slice

@@ -3791,6 +3791,41 @@ object TxnTable {
 
   private val FieldId = "gid"
   private val FieldPhys = "gphys"
+  // INITIAL DEFAULT (the Iceberg-v3 shape): a column added with a
+  // default reads the default — not NULL — from every file that
+  // PREDATES it. The default's SQL literal and the data seq it took
+  // effect at ride the field's schema metadata; readEntries fills it
+  // per entry group, so every consumer (snapshot, box reads, merge
+  // rewrites, compaction) sees one consistent value and a rewrite
+  // MATERIALIZES it (fresh files carry real values at seqs ≥ since,
+  // which is why the fill can key on the entry seq alone)
+  private val FieldDefault = "gdefault"
+  private val FieldDefaultSince = "gdefsince"
+
+  /** The defaulted fields of a schema: (field, default SQL literal,
+    * effective-since data seq). */
+  private[graft] def defaultedFields(
+      sch: org.apache.spark.sql.types.StructType)
+      : Seq[(org.apache.spark.sql.types.StructField, String, Long)] =
+    sch.fields.toSeq.collect {
+      case f if f.metadata.contains(FieldDefault) =>
+        (f, f.metadata.getString(FieldDefault),
+          f.metadata.getLong(FieldDefaultSince))
+    }
+
+  private[graft] def hasDefaults(
+      sch: Option[org.apache.spark.sql.types.StructType]): Boolean =
+    sch.exists(_.fields.exists(_.metadata.contains(FieldDefault)))
+
+  /** The data sequence number the NEXT commit on top of `m` (at version
+    * `cur`) will stamp — the same rule [[commit]] applies: one past the
+    * largest seq the manifest carries. Callers that must bake a
+    * seq-anchored fact into the commit's own metadata (a default's
+    * effective-since) compute it here. */
+  private def nextSeq(m: Manifest, cur: Long): Long =
+    (m.entries.map(_.seq) ++ m.deletes.collect {
+      case (_, _, sq) if sq >= 0 => sq
+    } :+ cur).max + 1
 
   /** The physical column name of one schema field (= logical until the
     * column's first rename). */
@@ -4147,8 +4182,15 @@ object TxnTable {
                              entries: Seq[Entry],
                              keepPos: Boolean): DataFrame = {
     require(entries.nonEmpty, s"$table: readEntries over zero entries")
-    val groups = entries.groupBy(e => m.deletes.filter(_._3 > e.seq))
-    groups.map { case (dels, es) =>
+    // the group key carries BOTH per-seq facets: which tombstones apply
+    // (seq-newer deletes) and which INITIAL DEFAULTS apply (columns
+    // added with a default AFTER the entry's data was written) — so
+    // within one group every entry needs the identical anti-joins and
+    // the identical whole-column default fills
+    val defs = m.schema.map(defaultedFields).getOrElse(Nil)
+    val groups = entries.groupBy(e =>
+      (m.deletes.filter(_._3 > e.seq), defs.filter(_._3 > e.seq)))
+    groups.map { case ((dels, defsHere), es) =>
       // Tombstone keys are PHYSICAL names (stable across RENAME/DROP —
       // the manifest parse boundary guarantees it), so the anti-join
       // runs on the RAW physical frame BEFORE the logical projection:
@@ -4264,6 +4306,14 @@ object TxnTable {
           }.reduce(_ unionByName _).distinct()
           acc.join(keys, Seq(kc), "left_anti")
       }
+      // INITIAL DEFAULTS: every entry in this group predates the same
+      // defaulted columns (part of the group key), so the fill is one
+      // whole-column literal per field — never a per-row NULL test,
+      // which would repaint genuine post-add NULLs
+      val filled = defsHere.foldLeft(cleaned) {
+        case (acc, (f, defSql, _)) =>
+          acc.withColumn(physName(f), expr(defSql).cast(f.dataType))
+      }
       // mapped tables project physical → the committed LOGICAL schema
       // here — the single choke point every library read, rewrite, and
       // compaction funnels through (also drops dead tombstone columns
@@ -4273,11 +4323,11 @@ object TxnTable {
       m.schema match {
         case Some(sch) if hasMappedSchema(m.schema) || deadKeys.nonEmpty ||
             hasBounded || hasPos =>
-          cleaned.select(sch.fields.map(f =>
+          filled.select(sch.fields.map(f =>
             col(physName(f)).as(f.name)).toSeq ++ posCols: _*)
         case _ =>
-          if (keepPos) cleaned.drop("__gseq")
-          else cleaned.drop("__gseq", "__gcanon", "__gpos")
+          if (keepPos) filled.drop("__gseq")
+          else filled.drop("__gseq", "__gcanon", "__gpos")
       }
     }.reduce(_ unionByName _)
   }
@@ -4437,6 +4487,57 @@ object TxnTable {
         have.fields ++ cols.map(guardNewField(_, m, cur + 1))).json,
       deleteLines = m.deletes, idxCols = m.idxCols,
       strIdxCols = m.strIdxCols, blooms = m.blooms, retired = m.retired, checks = m.checks)
+  }
+
+  /** `ALTER TABLE ADD COLUMN … DEFAULT <literal>` — add-column evolution
+    * where EXISTING rows read the default instead of NULL (the
+    * Iceberg-v3 "initial default"): still ONE metadata-only manifest
+    * write, zero files touched at any table size. The default literal
+    * and its effective-since data seq ride the field's schema metadata;
+    * every read path fills the column with the literal for entries
+    * whose seq predates it ([[readEntries]] — the single read choke
+    * point, so merges, deletes, compaction and box reads all see it),
+    * and any rewrite MATERIALIZES it (the rewritten file's seq is ≥
+    * since, so its stored values — the filled defaults — speak for
+    * themselves from then on). Rows written AFTER the add store real
+    * values, including real NULLs, which is why the fill keys on the
+    * entry seq and never on NULL-ness: a post-add NULL stays NULL.
+    * The default must be a foldable literal expression (parsed and
+    * evaluated here — a non-constant default would make old rows
+    * unreproducible). Write-side defaults (INSERT omitting the column)
+    * are deliberately out of scope: appends state every column. */
+  def addColumnsDefault(s: SparkSession, table: String,
+      cols: Seq[(org.apache.spark.sql.types.StructField, String)]): Long = {
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    val have = m.schema.getOrElse(snapshot(s, table, cur).schema)
+    val since = nextSeq(m, cur)
+    val fields = cols.map { case (f, defSql) =>
+      require(!have.fieldNames.contains(f.name),
+        s"column '${f.name}' already exists in $table")
+      // the literal must fold and fit the column's type NOW — a read
+      // failing later on a malformed default would be far worse
+      val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(defSql)
+      require(parsed.foldable,
+        s"default for '${f.name}' must be a literal expression: $defSql")
+      val v = org.apache.spark.sql.catalyst.expressions.Cast(
+        parsed, f.dataType).eval(null)
+      require(v != null,
+        s"default for '${f.name}' must not be (or cast to) NULL — add " +
+          "the column without a default instead")
+      f.copy(nullable = true,
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(FieldDefault, defSql)
+          .putLong(FieldDefaultSince, since).build())
+    }
+    commit(s, table, m.entries.map(render), cur, op = "evolve",
+      schemaJson = org.apache.spark.sql.types.StructType(
+        have.fields ++ fields.map(guardNewField(_, m, cur + 1))).json,
+      deleteLines = m.deletes, idxCols = m.idxCols,
+      strIdxCols = m.strIdxCols, blooms = m.blooms, retired = m.retired,
+      checks = m.checks)
   }
 
   /** Compaction THROUGH the log: stage the current snapshot rewritten at a
@@ -5343,6 +5444,71 @@ object TxnTable {
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("price").cast("double").as("price"))
       .withColumn("multi_ok", lit(ok))
+  }
+
+  /** op_txn_default: INITIAL DEFAULTS ([[addColumnsDefault]] — the
+    * Iceberg-v3 shape) as a checked query: columns added with a
+    * default read the DEFAULT, not NULL, from every pre-add file,
+    * while the add itself stays ONE metadata-only manifest write
+    * (entry lines byte-identical, asserted — zero files touched at any
+    * table size). The scenario drives the fill through every lifecycle
+    * edge: a post-add append stores REAL values including REAL NULLs
+    * (which must stay NULL — the fill keys on the entry seq, never on
+    * NULL-ness), a file-pruned MERGE rewrites some old files (the
+    * rewrite MATERIALIZES the defaults for carried-along rows — the
+    * subtle case where a naive reader would lose them), and compact()
+    * folds everything into stored values with the content
+    * hash-invariant across the fold (asserted via one hash-sum pass
+    * per side). `def_ok` carries the accounting; the oracle replays
+    * the default + change algebra directly. At 100 TB: backfilling a
+    * new column's value for existing rows costs one manifest write,
+    * not a table rewrite — the single most common schema change a
+    * long-lived table sees. */
+  def txnDefault(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("default_orders")
+    val base = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    commit(s, t, stageIndexed(s, t,
+      base.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = base.schema.json)
+    val lines0 = manifest(s, t, 0L).entries.map(render).toSet
+    // the add: metadata-only, defaults for every existing row
+    val v1 = addColumnsDefault(s, t, Seq(
+      (org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.StringType), "'legacy'"),
+      (org.apache.spark.sql.types.StructField("boost", D12),
+        "CAST(50 AS DECIMAL(12,2))")))
+    val m1 = manifest(s, t, v1)
+    val verbatim = m1.entries.map(render).toSet == lines0
+    // post-add append: real values, including REAL NULLs in boost
+    append(s, t, base.filter(pmod(k, lit(13)) === 0)
+      .select((k + 100000000L).as("o_orderkey"), col("o_orderstatus"),
+        col("price"), lit("fresh").as("src"),
+        when(pmod(k, lit(5)) === 0, lit(null).cast(D12))
+          .otherwise(pmod(k, lit(100)).cast(D12)).as("boost")))
+    // a file-pruned merge rewrites SOME old files: carried-along old
+    // rows must keep reading 'legacy'/50 — now materialized
+    val ch = base.filter(pmod(k, lit(10)) === 0)
+      .select(k, lit("U").as("o_orderstatus"),
+        (col("price") + lit(100).cast(D12)).cast(D12).as("price"),
+        lit("legacy").as("src"), lit(50).cast(D12).as("boost"),
+        lit("U").as("op"))
+    val mr = applyChanges(s, t, ch, "o_orderkey")
+    val pruned = mr.untouched > 0
+    // compact folds the fill into stored values, content-invariantly
+    def hashSum(df: DataFrame): java.math.BigDecimal = df.select(
+      sum(xxhash64(col("o_orderkey"), col("o_orderstatus"), col("price"),
+        col("src"), col("boost")).cast(DecimalType(38, 0))))
+      .collect()(0).getDecimal(0)
+    val before = hashSum(snapshot(s, t))
+    compact(s, t)
+    val converged = hashSum(snapshot(s, t)) == before
+    val ok = verbatim && m1.op == "evolve" && pruned && converged
+    snapshot(s, t)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("price").cast("double").as("price"), col("src"),
+        col("boost").cast("double").as("boost"))
+      .withColumn("def_ok", lit(ok))
   }
 
   /** op_txn_days: PARTITION TRANSFORMS (Iceberg hidden partitioning) as

@@ -547,6 +547,14 @@ class GraftTable(ident: String, private[sources] val location: String,
   private[sources] def hasColumnMapping: Boolean =
     TxnTable.hasMappedSchema(m.schema)
 
+  /** Whether this snapshot's schema carries INITIAL DEFAULTS: files
+    * predating a defaulted column must read the default, not NULL, so
+    * SQL reads go through the snapshot plan (the per-entry-group fill
+    * lives in readEntries) — a direct parquet scan would silently
+    * answer NULL. */
+  private[sources] def hasDefaults: Boolean =
+    TxnTable.hasDefaults(m.schema)
+
   override def name(): String = ident
 
   /** Surfaced to `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`: the
@@ -706,7 +714,7 @@ class GraftTable(ident: String, private[sources] val location: String,
         // walk refuses any commit that CHANGES tombstones — a tail
         // started past pending tombstones only ever emits files newer
         // than them (sequenced rule: the tombstones don't apply).
-        if (!hasColumnMapping && !hasTombstones) scan
+        if (!hasColumnMapping && !hasTombstones && !hasDefaults) scan
         else new org.apache.spark.sql.connector.read.Scan {
           override def readSchema(): StructType = scan.readSchema()
           override def description(): String = scan.description()
@@ -717,12 +725,18 @@ class GraftTable(ident: String, private[sources] val location: String,
                   "columns); read through SQL (the analyzer serves the " +
                   "mapped snapshot plan) or TxnTable.snapshot — a " +
                   "direct file scan would resolve mapped columns as NULL"
-              else
+              else if (hasTombstones)
                 s"$ident version $version has pending merge-on-read " +
                   "tombstones; read through SQL (the analyzer serves " +
                   "the anti-join snapshot plan) or TxnTable.snapshot, " +
                   "or compact() — a plain file scan would resurrect " +
-                  "deleted rows")
+                  "deleted rows"
+              else
+                s"$ident: table has columns with INITIAL DEFAULTS; " +
+                  "read through SQL (the analyzer serves the " +
+                  "default-filling snapshot plan) or TxnTable.snapshot, " +
+                  "or compact() — a plain file scan would read NULL " +
+                  "where pre-add rows must read the default")
           override def toMicroBatchStream(checkpointLocation: String)
               : org.apache.spark.sql.connector.read.streaming
                 .MicroBatchStream = scan.toMicroBatchStream(
@@ -1019,7 +1033,11 @@ object GraftTable {
         Array[org.apache.spark.sql.catalyst.InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types.{IntegerType, StructField}
-    if (mapped || tombstoned || dataFilters.nonEmpty ||
+    // defaulted tables refuse too: manifest stats were measured on the
+    // stored bytes, which read NULL where pre-add rows must answer the
+    // default — COUNT(col)/MIN/MAX on such a column would lie
+    if (mapped || tombstoned || TxnTable.hasDefaults(m.schema) ||
+        dataFilters.nonEmpty ||
         agg.groupByExpressions.nonEmpty ||
         (m.idxCols.isEmpty && m.strIdxCols.isEmpty) || m.entries.isEmpty)
       return None

@@ -91,7 +91,8 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
       // tombstoned AND column-mapped snapshots both need the library
       // read plan: the former to anti-join deletes, the latter to
       // request PHYSICAL file columns and project to logical names
-      case g: GraftTable if g.hasTombstones || g.hasColumnMapping =>
+      case g: GraftTable
+          if g.hasTombstones || g.hasColumnMapping || g.hasDefaults =>
         val snap = TxnTable.snapshot(session, g.location, g.pinnedVersion)
         val child = snap.queryExecution.analyzed
         val byName = child.output.map(a => a.name -> a).toMap

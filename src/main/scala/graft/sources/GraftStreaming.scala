@@ -71,7 +71,35 @@ object GraftStreaming {
     * `startingVersion`. */
   private[sources] def resolveStart(ident: String, location: String,
       startingVersion: Option[String], s: SparkSession,
-      startingTimestamp: Option[String] = None): Long =
+      startingTimestamp: Option[String] = None): Long = {
+    val resolved = resolveStartRaw(ident, location, startingVersion, s,
+      startingTimestamp)
+    // INITIAL-DEFAULT guard: a replay range that includes files written
+    // BEFORE a defaulted column was added would emit the stored bytes —
+    // NULL where every batch read answers the default. Refuse the
+    // anchor loudly (silently-different rows are the one thing a
+    // replay must never produce); anchors at or after the add stream
+    // normally — those files carry real values. One manifest parse at
+    // stream START only, never per batch.
+    val head = TxnTable.currentVersion(s, location)
+    val defs = TxnTable.defaultedFields(
+      TxnTable.manifest(s, location, head).schema
+        .getOrElse(org.apache.spark.sql.types.StructType(Nil)))
+    if (defs.nonEmpty) {
+      val maxSince = defs.map(_._3).max
+      require(resolved >= maxSince - 1,
+        s"$ident: a stream starting at version ${resolved + 1} would " +
+          s"replay files that predate a column with an initial DEFAULT " +
+          s"(added at commit $maxSince) and emit NULL where reads " +
+          "answer the default; anchor at or after the add " +
+          s"(startingVersion >= $maxSince)")
+    }
+    resolved
+  }
+
+  private def resolveStartRaw(ident: String, location: String,
+      startingVersion: Option[String], s: SparkSession,
+      startingTimestamp: Option[String]): Long =
     (startingVersion, startingTimestamp) match {
       case (Some(_), Some(_)) => throw new IllegalArgumentException(
         s"$ident: startingVersion and startingTimestamp are mutually " +

@@ -2275,4 +2275,62 @@ class CatalogSpec extends SparkSpec {
     assert(feed("startingVersion" -> "2", "endingVersion" -> "2") > 0)
     assert(feed("startingVersion" -> "5") > 0)
   }
+
+  test("initial defaults on the SQL surface: pre-add rows read the " +
+      "default through the analyzer swap; streams refuse a replay " +
+      "crossing the add; aggregate pushdown stands down") {
+    val t = fresh("defaults")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, CONCAT('r', id) " +
+      "FROM RANGE(100)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    TxnTable.addColumnsDefault(spark, loc, Seq(
+      (org.apache.spark.sql.types.StructField("tier",
+        org.apache.spark.sql.types.StringType), "'bronze'")))
+    // a post-add insert stores a real value AND a real NULL
+    sql(s"INSERT INTO graft.spec.$t VALUES " +
+      "(1000, 'x', 'gold'), (1001, 'y', CAST(NULL AS STRING))")
+    // pre-add rows answer the default through SQL; post-add rows keep
+    // their stored values — including the genuine NULL
+    val tiers = sql(s"SELECT k, tier FROM graft.spec.$t").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tiers(7L) === Some("bronze"), "pre-add row must read default")
+    assert(tiers(1000L) === Some("gold"))
+    assert(tiers(1001L) === None, "a post-add NULL must STAY NULL")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "WHERE tier = 'bronze'").collect()(0).getLong(0) === 100L)
+    // manifest-answered aggregates stand down (stats lie about the
+    // defaulted column); the count comes from a real read, still exact
+    val a0 = GraftCatalog.aggAnswered.get()
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 102L)
+    assert(GraftCatalog.aggAnswered.get() === a0,
+      "aggregate pushdown must refuse a defaulted table")
+    // a stream whose replay crosses the add refuses loudly; anchored
+    // at-or-after the add it serves (those files carry real values)
+    val ckpt = Fs.freshScratch("graft_catspec", "def_ckpt")
+    val e = intercept[Exception] {
+      spark.readStream.table(s"graft.spec.$t").writeStream
+        .format("memory").queryName("def_refuse")
+        .option("checkpointLocation", s"$ckpt/a")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("initial DEFAULT") ||
+        Option(e.getCause).exists(_.getMessage.contains("initial DEFAULT"))),
+      s"wrong refusal: ${e.getMessage}")
+    val q = spark.readStream
+      .option("startingVersion", TxnTable.currentVersion(spark, loc))
+      .table(s"graft.spec.$t").writeStream
+      .format("memory").queryName("def_tail")
+      .option("checkpointLocation", s"$ckpt/b")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(sql("SELECT COUNT(*) AS n FROM def_tail")
+      .collect()(0).getLong(0) === 2L,
+      "an at-or-after anchor must stream the post-add files")
+  }
 }
