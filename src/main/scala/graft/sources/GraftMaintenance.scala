@@ -166,7 +166,8 @@ private[sources] object GraftMaintenance {
       "checkpoint", "restore", "recluster", "reindex",
       "zorder", "tag", "drop_tag", "clone", "publish", "branch",
       "fastforward", "rebase", "drop_branch", "rewrite_tombstones",
-      "dedup", "delete_dv", "build_bloom", "vacuum_preview")
+      "dedup", "delete_dv", "build_bloom", "vacuum_preview",
+      "create_matview", "refresh_matview")
 
   def load(catalog: GraftCatalog, warehouse: String, name: String)
       : UnboundProcedure = {
@@ -217,6 +218,33 @@ private[sources] object GraftMaintenance {
     name match {
       case "compact" => p("compact", Seq(tableParam)) { (s, in) =>
         TxnTable.compact(s, tbl(s, in))
+      }
+      // MANAGED MATERIALIZED VIEWS on the SQL surface: the MV lives AT
+      // a catalog location, so `SELECT * FROM graft.ns.mv` reads it
+      // like any table, and creation registers it for the transparent
+      // rewrite (GraftMvRewriteRule) — a plain aggregate over the BASE
+      // is then served from the MV while fresh
+      case "create_matview" => p("create_matview", Seq(
+        ProcedureParameter.in("view", StringType).build(),
+        ProcedureParameter.in("base", StringType).build(),
+        ProcedureParameter.in("key", StringType).build(),
+        ProcedureParameter.in("value", StringType).build())) { (s, in) =>
+        val mvLoc = resolveTable(warehouse, in.getUTF8String(0).toString)
+        require(TxnTable.versions(s, mvLoc).isEmpty,
+          s"graft procedure: '$mvLoc' already exists")
+        val baseRef = in.getUTF8String(1).toString
+        val baseLoc = resolveTable(warehouse, baseRef)
+        require(TxnTable.versions(s, baseLoc).nonEmpty,
+          s"graft procedure: base '$baseLoc' is not a committed table")
+        val v = graft.operators.MatView.create(s, mvLoc, baseLoc,
+          in.getUTF8String(2).toString, in.getUTF8String(3).toString)
+        graft.operators.MatView.register(s, mvLoc)
+        v
+      }
+      case "refresh_matview" => p("refresh_matview", Seq(
+        ProcedureParameter.in("view", StringType).build())) { (s, in) =>
+        val mvLoc = resolveTable(warehouse, in.getUTF8String(0).toString)
+        graft.operators.MatView.refresh(s, mvLoc).mvVersion
       }
       // OPTIMIZE WHERE: merge only the files whose key box intersects
       // [lo, hi] — the cold bulk carries verbatim

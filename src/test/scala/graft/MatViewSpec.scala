@@ -173,6 +173,46 @@ class MatViewSpec extends SparkSpec {
       "GROUP BY g").contains(mv), "DISTINCT must not rewrite")
   }
 
+  test("CALL create_matview / refresh_matview: the MV is a catalog " +
+      "table, the rewrite serves SQL aggregates over the base") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    Seq("pbase", "pview").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft.mvspec.$t"))
+    Fs.deleteRecursively(s"${GraftCatalog.defaultWarehouse}/mvspec/pview")
+    s.sql("CREATE TABLE graft.mvspec.pbase (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2)) TBLPROPERTIES ('index' = 'k')")
+    s.sql("INSERT INTO graft.mvspec.pbase SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'E' ELSE 'O' END, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(200)")
+    s.sql("CALL graft.system.create_matview('mvspec.pview', " +
+      "'mvspec.pbase', 'g', 'v')")
+    // the MV IS a catalog table
+    val mvRows = s.sql("SELECT g, n FROM graft.mvspec.pview").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mvRows === Map("E" -> 100L, "O" -> 100L))
+    // the transparent rewrite serves the base aggregate from it
+    val q = "SELECT g, COUNT(*) AS n, SUM(v) AS t " +
+      "FROM graft.mvspec.pbase GROUP BY g"
+    assert(s.sql(q).queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+    }.isEmpty, "CALL-created MV must feed the rewrite")
+    // move the base with a cdc-publishing change, refresh via CALL
+    val baseLoc = s"${GraftCatalog.defaultWarehouse}/mvspec/pbase"
+    TxnTable.applyChangesMor(spark, baseLoc,
+      baseDf(0).sparkSession.range(1000, 1010)
+        .selectExpr("id AS k", "'N' AS g",
+          "CAST(id AS DECIMAL(12,2)) AS v", "'U' AS op"),
+      "k", cdc = true)
+    s.sql("CALL graft.system.refresh_matview('mvspec.pview')")
+    val after = s.sql("SELECT g, n FROM graft.mvspec.pview").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after === Map("E" -> 100L, "O" -> 100L, "N" -> 10L))
+  }
+
   test("rewrite reconstructs null-skipping SUM (all-NULL group answers " +
       "NULL) and never serves a time-travel read of another version") {
     val s = spark
