@@ -3817,6 +3817,27 @@ object TxnTable {
       sch: Option[org.apache.spark.sql.types.StructType]): Boolean =
     sch.exists(_.fields.exists(_.metadata.contains(FieldDefault)))
 
+  /** Decorate defaulted fields with Spark's OWN default-column metadata
+    * keys (CURRENT_DEFAULT / EXISTS_DEFAULT): exposing them on the
+    * catalog table's schema lets Spark's analyzer fill the column in
+    * `INSERT INTO t (subset, of, columns)` statements — the WRITE-side
+    * half of the default contract, served entirely by the engine's own
+    * ResolveDefaultColumns machinery. Reads never consult these keys
+    * (the read-side fill keys on [[FieldDefault]]'s seq). */
+  private[graft] def decorateDefaults(
+      sch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+      if (!f.metadata.contains(FieldDefault)) f
+      else {
+        val d = f.metadata.getString(FieldDefault)
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT", d)
+          .putString("EXISTS_DEFAULT", d).build())
+      }
+    })
+
   /** The data sequence number the NEXT commit on top of `m` (at version
     * `cur`) will stamp — the same rule [[commit]] applies: one past the
     * largest seq the manifest carries. Callers that must bake a

@@ -78,6 +78,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** Declares DEFAULT-column support so the parser/analyzer lets
+    * `ADD COLUMN … DEFAULT <literal>` through to [[alterTable]] —
+    * stored as the table format's INITIAL DEFAULT
+    * ([[TxnTable.addColumnsDefault]]). */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def spark: SparkSession = SparkSession.active
 
   private def fs(p: Path) =
@@ -299,11 +308,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "RENAME / DROP COLUMN, ALTER COLUMN TYPE widening, and " +
           "check.* TBLPROPERTIES evolve a table in the log)")
     }
-    // ADD COLUMNS (plural) lands as ONE evolve commit
-    val adds = changes.collect { case a: TableChange.AddColumn =>
-      org.apache.spark.sql.types.StructField(
-        a.fieldNames.head, a.dataType, nullable = true) }
-    if (adds.nonEmpty) TxnTable.addColumns(spark, path, adds)
+    // ADD COLUMNS (plural) lands as ONE evolve commit per flavor:
+    // plain adds read NULL from old files, DEFAULT-carrying adds read
+    // the default (the table format's INITIAL DEFAULT)
+    def defaultSqlOf(
+        dv: org.apache.spark.sql.connector.catalog.ColumnDefaultValue)
+        : String =
+      Option(dv.getSql).getOrElse {
+        val l = dv.getValue
+        org.apache.spark.sql.catalyst.expressions
+          .Literal(l.value, l.dataType).sql
+      }
+    val (defAdds, plainAdds) = changes.collect {
+      case a: TableChange.AddColumn => a
+    }.partition(_.defaultValue() != null)
+    if (plainAdds.nonEmpty) TxnTable.addColumns(spark, path,
+      plainAdds.map(a => org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, nullable = true)))
+    if (defAdds.nonEmpty) TxnTable.addColumnsDefault(spark, path,
+      defAdds.map(a => (org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, nullable = true),
+        defaultSqlOf(a.defaultValue()))))
     changes.foreach {
       case _: TableChange.AddColumn => () // batched above
       case r: TableChange.RenameColumn =>
@@ -580,11 +605,13 @@ class GraftTable(ident: String, private[sources] val location: String,
   }
 
   override def schema(): StructType =
-    m.schema.getOrElse {
+    // defaulted fields surface Spark's CURRENT_DEFAULT/EXISTS_DEFAULT
+    // metadata so the analyzer fills them in column-list INSERTs
+    TxnTable.decorateDefaults(m.schema.getOrElse {
       // pre-#schema manifests: one footer read of the first live file
       spark.read.parquet(
         TxnTable.pathFor(location, m.entries.head.path)).schema
-    }
+    })
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

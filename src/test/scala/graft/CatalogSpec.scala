@@ -2285,12 +2285,18 @@ class CatalogSpec extends SparkSpec {
     sql(s"INSERT INTO graft.spec.$t SELECT id, CONCAT('r', id) " +
       "FROM RANGE(100)")
     val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
-    TxnTable.addColumnsDefault(spark, loc, Seq(
-      (org.apache.spark.sql.types.StructField("tier",
-        org.apache.spark.sql.types.StringType), "'bronze'")))
+    // the PURE-SQL surface: the catalog declares
+    // SUPPORT_COLUMN_DEFAULT_VALUE, so the parser lets DEFAULT through
+    // and alterTable stores it as the table format's initial default
+    sql(s"ALTER TABLE graft.spec.$t ADD COLUMN tier STRING " +
+      "DEFAULT 'bronze'")
     // a post-add insert stores a real value AND a real NULL
     sql(s"INSERT INTO graft.spec.$t VALUES " +
       "(1000, 'x', 'gold'), (1001, 'y', CAST(NULL AS STRING))")
+    // a COLUMN-LIST insert omitting the defaulted column: Spark's own
+    // ResolveDefaultColumns fills it from the CURRENT_DEFAULT metadata
+    // the table's schema exposes — the WRITE-side half, engine-served
+    sql(s"INSERT INTO graft.spec.$t (k, v) VALUES (2000, 'z')")
     // pre-add rows answer the default through SQL; post-add rows keep
     // their stored values — including the genuine NULL
     val tiers = sql(s"SELECT k, tier FROM graft.spec.$t").collect()
@@ -2298,13 +2304,15 @@ class CatalogSpec extends SparkSpec {
     assert(tiers(7L) === Some("bronze"), "pre-add row must read default")
     assert(tiers(1000L) === Some("gold"))
     assert(tiers(1001L) === None, "a post-add NULL must STAY NULL")
+    assert(tiers(2000L) === Some("bronze"),
+      "a column-list INSERT must fill the write-side default")
     assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
-      "WHERE tier = 'bronze'").collect()(0).getLong(0) === 100L)
+      "WHERE tier = 'bronze'").collect()(0).getLong(0) === 101L)
     // manifest-answered aggregates stand down (stats lie about the
     // defaulted column); the count comes from a real read, still exact
     val a0 = GraftCatalog.aggAnswered.get()
     assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
-      .collect()(0).getLong(0) === 102L)
+      .collect()(0).getLong(0) === 103L)
     assert(GraftCatalog.aggAnswered.get() === a0,
       "aggregate pushdown must refuse a defaulted table")
     // a stream whose replay crosses the add refuses loudly; anchored
@@ -2330,7 +2338,8 @@ class CatalogSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     assert(sql("SELECT COUNT(*) AS n FROM def_tail")
-      .collect()(0).getLong(0) === 2L,
-      "an at-or-after anchor must stream the post-add files")
+      .collect()(0).getLong(0) === 1L,
+      "an at-or-after anchor must stream the post-add files " +
+        "(the current version's single-row insert)")
   }
 }
