@@ -1440,7 +1440,7 @@ object TxnTable {
       val parts = line.split('\t')
       if (parts.length % 4 == 2) Some(parts(1).toLong) else None
     } ++ deleteLines.collect { case (_, _, sq) if sq >= 0 => sq }
-    val newSeq = (carriedSeqs :+ (next - 1)).max + 1
+    val newSeq = nextSeqFrom(carriedSeqs, next - 1)
     // a NEW tombstone (seq < 0, assigned here) gets this commit's seq;
     // carried tombstones keep theirs verbatim
     val delLines = deleteLines
@@ -3801,17 +3801,56 @@ object TxnTable {
   // which is why the fill can key on the entry seq alone)
   private val FieldDefault = "gdefault"
   private val FieldDefaultSince = "gdefsince"
+  private val FieldDefaultSinceVer = "gdefsincev"
 
   /** The defaulted fields of a schema: (field, default SQL literal,
-    * effective-since data seq). */
+    * effective-since data SEQ, effective-since VERSION). Seq and
+    * version coincide on a table's own timeline but diverge on shallow
+    * clones (carried entries keep the source's seqs) — the read-side
+    * fill keys on the SEQ, version-addressed surfaces (the streaming
+    * start guard) on the VERSION. Fields written before the version
+    * stamp existed fall back to the seq. */
   private[graft] def defaultedFields(
       sch: org.apache.spark.sql.types.StructType)
-      : Seq[(org.apache.spark.sql.types.StructField, String, Long)] =
+      : Seq[(org.apache.spark.sql.types.StructField, String, Long, Long)] =
     sch.fields.toSeq.collect {
       case f if f.metadata.contains(FieldDefault) =>
-        (f, f.metadata.getString(FieldDefault),
-          f.metadata.getLong(FieldDefaultSince))
+        val since = f.metadata.getLong(FieldDefaultSince)
+        val sinceV =
+          if (f.metadata.contains(FieldDefaultSinceVer))
+            f.metadata.getLong(FieldDefaultSinceVer)
+          else since
+        (f, f.metadata.getString(FieldDefault), since, sinceV)
     }
+
+  /** Whether any LIVE entry of `m` still PREDATES a defaulted column —
+    * i.e. the read-side fill is actually doing work. After a compact
+    * (every file rewritten at the compact's own seq) this answers
+    * false, and the fast paths a pending default must disable — direct
+    * file scans, manifest-answered aggregates — come back; the
+    * write-side CURRENT_DEFAULT metadata stays either way. */
+  private[graft] def pendingDefaults(m: Manifest): Boolean =
+    m.schema.exists(sch => defaultedFields(sch).exists { case (_, _, sq, _) =>
+      m.entries.exists(_.seq < sq)
+    })
+
+  /** Validate one default literal against its column type — shared by
+    * [[addColumnsDefault]] and the SQL catalog's pre-apply validation
+    * pass (a multi-add statement must fail BEFORE any change lands).
+    * The cast carries the session timezone: a TIMESTAMP default must
+    * validate, not crash on a timezone-less Cast. */
+  private[graft] def validateDefault(s: SparkSession, name: String,
+      dt: org.apache.spark.sql.types.DataType, defSql: String): Unit = {
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(defSql)
+    require(parsed.foldable,
+      s"default for '$name' must be a literal expression: $defSql")
+    val v = org.apache.spark.sql.catalyst.expressions.Cast(parsed, dt,
+      Some(s.sessionState.conf.sessionLocalTimeZone)).eval(null)
+    require(v != null,
+      s"default for '$name' must not be (or cast to) NULL — add the " +
+        "column without a default instead")
+  }
 
   private[graft] def hasDefaults(
       sch: Option[org.apache.spark.sql.types.StructType]): Boolean =
@@ -3838,15 +3877,21 @@ object TxnTable {
       }
     })
 
+  /** THE commit-sequence rule — one past the largest carried seq (or
+    * the parent version, whichever is larger). ONE definition: the
+    * commit path derives its carried seqs from rendered lines
+    * ([[manifestBody]]), callers that must bake a seq-anchored fact
+    * into the commit's own metadata derive them from the parsed
+    * [[Manifest]] ([[nextSeq]]) — both feed this. */
+  private def nextSeqFrom(carried: Seq[Long], cur: Long): Long =
+    (carried :+ cur).max + 1
+
   /** The data sequence number the NEXT commit on top of `m` (at version
-    * `cur`) will stamp — the same rule [[commit]] applies: one past the
-    * largest seq the manifest carries. Callers that must bake a
-    * seq-anchored fact into the commit's own metadata (a default's
-    * effective-since) compute it here. */
+    * `cur`) will stamp. */
   private def nextSeq(m: Manifest, cur: Long): Long =
-    (m.entries.map(_.seq) ++ m.deletes.collect {
+    nextSeqFrom(m.entries.map(_.seq) ++ m.deletes.collect {
       case (_, _, sq) if sq >= 0 => sq
-    } :+ cur).max + 1
+    }, cur)
 
   /** The physical column name of one schema field (= logical until the
     * column's first rename). */
@@ -4246,9 +4291,20 @@ object TxnTable {
       val raw0 = reader.parquet(es.map(e => pathFor(table, e.path)): _*)
       // the row's file ordinal must come straight off the file-source
       // relation (a join would detach the metadata column)
-      val raw = if (hasPos)
+      val rawPos = if (hasPos)
         raw0.withColumn("__gpos", col("_metadata.row_index"))
       else raw0
+      // INITIAL DEFAULTS fill BEFORE the tombstone anti-joins: a
+      // tombstone keyed on a defaulted column must match the value the
+      // row READS (the default), not the stored NULL — the same value
+      // every other consumer sees. Every entry in this group predates
+      // the same defaulted columns (part of the group key), so the fill
+      // is one whole-column literal per field — never a per-row NULL
+      // test, which would repaint genuine post-add NULLs
+      val raw = defsHere.foldLeft(rawPos) {
+        case (acc, (f, defSql, _, _)) =>
+          acc.withColumn(physName(f), expr(defSql).cast(f.dataType))
+      }
       val hasBounded = dels.exists(_._2.endsWith("~L"))
       // bounded kills need the row's entry seq: a broadcast-joined
       // (path, seq) frame resolves it from input_file_name() — the
@@ -4327,14 +4383,7 @@ object TxnTable {
           }.reduce(_ unionByName _).distinct()
           acc.join(keys, Seq(kc), "left_anti")
       }
-      // INITIAL DEFAULTS: every entry in this group predates the same
-      // defaulted columns (part of the group key), so the fill is one
-      // whole-column literal per field — never a per-row NULL test,
-      // which would repaint genuine post-add NULLs
-      val filled = defsHere.foldLeft(cleaned) {
-        case (acc, (f, defSql, _)) =>
-          acc.withColumn(physName(f), expr(defSql).cast(f.dataType))
-      }
+      val filled = cleaned
       // mapped tables project physical → the committed LOGICAL schema
       // here — the single choke point every library read, rewrite, and
       // compaction funnels through (also drops dead tombstone columns
@@ -4492,20 +4541,44 @@ object TxnTable {
     * (the existing rows have no value to give a NOT NULL column) and
     * must not collide with existing names. */
   def addColumns(s: SparkSession, table: String,
-      cols: Seq[org.apache.spark.sql.types.StructField]): Long = {
+      cols: Seq[org.apache.spark.sql.types.StructField]): Long =
+    addColumnsWith(s, table, cols.map((_, None)))
+
+  /** The general add-column commit: each field optionally carries an
+    * INITIAL-DEFAULT literal ([[addColumnsDefault]]'s semantics). ONE
+    * evolve commit for the whole batch, declaration order preserved —
+    * a mixed plain/defaulted ADD COLUMNS statement must neither
+    * half-apply nor reorder. */
+  def addColumnsWith(s: SparkSession, table: String,
+      cols: Seq[(org.apache.spark.sql.types.StructField, Option[String])])
+      : Long = {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur)
     val have = m.schema.getOrElse(snapshot(s, table, cur).schema)
-    cols.foreach { f =>
-      require(f.nullable,
+    val since = nextSeq(m, cur)
+    // validate EVERYTHING before building the schema — nothing may
+    // land if any column (or any default literal) is malformed
+    cols.foreach { case (f, d) =>
+      require(f.nullable || d.isDefined,
         s"added column '${f.name}' must be nullable: existing rows read " +
           "it as NULL")
       require(!have.fieldNames.contains(f.name),
         s"column '${f.name}' already exists in $table")
+      d.foreach(validateDefault(s, f.name, f.dataType, _))
+    }
+    val fields = cols.map {
+      case (f, None) => f
+      case (f, Some(defSql)) =>
+        f.copy(nullable = true,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(FieldDefault, defSql)
+            .putLong(FieldDefaultSince, since)
+            .putLong(FieldDefaultSinceVer, cur + 1).build())
     }
     commit(s, table, m.entries.map(render), cur, op = "evolve",
       schemaJson = org.apache.spark.sql.types.StructType(
-        have.fields ++ cols.map(guardNewField(_, m, cur + 1))).json,
+        have.fields ++ fields.map(guardNewField(_, m, cur + 1))).json,
       deleteLines = m.deletes, idxCols = m.idxCols,
       strIdxCols = m.strIdxCols, blooms = m.blooms, retired = m.retired, checks = m.checks)
   }
@@ -4528,38 +4601,8 @@ object TxnTable {
     * unreproducible). Write-side defaults (INSERT omitting the column)
     * are deliberately out of scope: appends state every column. */
   def addColumnsDefault(s: SparkSession, table: String,
-      cols: Seq[(org.apache.spark.sql.types.StructField, String)]): Long = {
-    val cur = currentVersion(s, table)
-    val m = manifest(s, table, cur)
-    val have = m.schema.getOrElse(snapshot(s, table, cur).schema)
-    val since = nextSeq(m, cur)
-    val fields = cols.map { case (f, defSql) =>
-      require(!have.fieldNames.contains(f.name),
-        s"column '${f.name}' already exists in $table")
-      // the literal must fold and fit the column's type NOW — a read
-      // failing later on a malformed default would be far worse
-      val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-        .parseExpression(defSql)
-      require(parsed.foldable,
-        s"default for '${f.name}' must be a literal expression: $defSql")
-      val v = org.apache.spark.sql.catalyst.expressions.Cast(
-        parsed, f.dataType).eval(null)
-      require(v != null,
-        s"default for '${f.name}' must not be (or cast to) NULL — add " +
-          "the column without a default instead")
-      f.copy(nullable = true,
-        metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata)
-          .putString(FieldDefault, defSql)
-          .putLong(FieldDefaultSince, since).build())
-    }
-    commit(s, table, m.entries.map(render), cur, op = "evolve",
-      schemaJson = org.apache.spark.sql.types.StructType(
-        have.fields ++ fields.map(guardNewField(_, m, cur + 1))).json,
-      deleteLines = m.deletes, idxCols = m.idxCols,
-      strIdxCols = m.strIdxCols, blooms = m.blooms, retired = m.retired,
-      checks = m.checks)
-  }
+      cols: Seq[(org.apache.spark.sql.types.StructField, String)]): Long =
+    addColumnsWith(s, table, cols.map { case (f, d) => (f, Some(d)) })
 
   /** Compaction THROUGH the log: stage the current snapshot rewritten at a
     * byte-derived target file count (128 MiB target, same recipe as
@@ -6179,6 +6222,19 @@ object TxnTable {
       s"$table: reindex with pending merge-on-read tombstones would " +
         "record stats covering rows a reader never sees — compact() " +
         "applies the tombstones first")
+    // stats are measured on the STORED bytes; a column with a PENDING
+    // initial default reads the default where the bytes say NULL, so
+    // the measured ranges would be the all-null sentinel — box reads
+    // and pruned DELETEs would then silently skip rows that must
+    // answer the default. Same remedy as tombstones: materialize first
+    if (pendingDefaults(m)) {
+      val defCols = m.schema.toSeq.flatMap(defaultedFields)
+        .map(d => physName(d._1)).toSet
+      (indexCols ++ strCols).foreach(c => require(!defCols.contains(c),
+        s"$table: reindex on '$c' with a PENDING initial default would " +
+          "record all-null sentinel stats for pre-add files — compact() " +
+          "materializes the defaults first"))
+    }
     require(m.schema.forall(_.fields.forall(f => physName(f) == f.name)),
       s"$table: reindex on a column-mapped table is not supported " +
         "(stat groups speak physical names) — compact() restages with " +

@@ -279,6 +279,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "not supported")
       fieldNames.head
     }
+    def defaultSqlOf(
+        dv: org.apache.spark.sql.connector.catalog.ColumnDefaultValue)
+        : String =
+      Option(dv.getSql).getOrElse {
+        val l = dv.getValue
+        org.apache.spark.sql.catalyst.expressions
+          .Literal(l.value, l.dataType).sql
+      }
     // VALIDATE every change's static shape BEFORE applying any — a
     // multi-change statement whose later change is malformed must not
     // leave the table half-altered. (Data-dependent failures — an
@@ -293,6 +301,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(a.isNullable,
           s"$catalogName: added column '$name' must be " +
             "nullable — existing rows read it as NULL")
+        // a malformed DEFAULT must fail HERE, before ANY change lands —
+        // the whole statement's atomicity contract
+        Option(a.defaultValue()).foreach(dv =>
+          TxnTable.validateDefault(spark, name, a.dataType,
+            defaultSqlOf(dv)))
       case r: TableChange.RenameColumn =>
         topLevel(r.fieldNames, "RENAME COLUMN")
       case u: TableChange.UpdateColumnType =>
@@ -308,27 +321,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "RENAME / DROP COLUMN, ALTER COLUMN TYPE widening, and " +
           "check.* TBLPROPERTIES evolve a table in the log)")
     }
-    // ADD COLUMNS (plural) lands as ONE evolve commit per flavor:
-    // plain adds read NULL from old files, DEFAULT-carrying adds read
-    // the default (the table format's INITIAL DEFAULT)
-    def defaultSqlOf(
-        dv: org.apache.spark.sql.connector.catalog.ColumnDefaultValue)
-        : String =
-      Option(dv.getSql).getOrElse {
-        val l = dv.getValue
-        org.apache.spark.sql.catalyst.expressions
-          .Literal(l.value, l.dataType).sql
-      }
-    val (defAdds, plainAdds) = changes.collect {
-      case a: TableChange.AddColumn => a
-    }.partition(_.defaultValue() != null)
-    if (plainAdds.nonEmpty) TxnTable.addColumns(spark, path,
-      plainAdds.map(a => org.apache.spark.sql.types.StructField(
-        a.fieldNames.head, a.dataType, nullable = true)))
-    if (defAdds.nonEmpty) TxnTable.addColumnsDefault(spark, path,
-      defAdds.map(a => (org.apache.spark.sql.types.StructField(
+    // ADD COLUMNS (plural) lands as ONE evolve commit, declaration
+    // order preserved — plain adds read NULL from old files,
+    // DEFAULT-carrying adds read the default (the format's INITIAL
+    // DEFAULT); a mixed statement must neither half-apply nor reorder
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      (org.apache.spark.sql.types.StructField(
         a.fieldNames.head, a.dataType, nullable = true),
-        defaultSqlOf(a.defaultValue()))))
+        Option(a.defaultValue()).map(defaultSqlOf))
+    }
+    if (adds.nonEmpty) TxnTable.addColumnsWith(spark, path, adds)
     changes.foreach {
       case _: TableChange.AddColumn => () // batched above
       case r: TableChange.RenameColumn =>
@@ -572,13 +574,15 @@ class GraftTable(ident: String, private[sources] val location: String,
   private[sources] def hasColumnMapping: Boolean =
     TxnTable.hasMappedSchema(m.schema)
 
-  /** Whether this snapshot's schema carries INITIAL DEFAULTS: files
-    * predating a defaulted column must read the default, not NULL, so
-    * SQL reads go through the snapshot plan (the per-entry-group fill
-    * lives in readEntries) — a direct parquet scan would silently
-    * answer NULL. */
+  /** Whether this snapshot still has LIVE FILES predating an
+    * INITIAL-DEFAULT column: such files must read the default, not
+    * NULL, so SQL reads go through the snapshot plan (the
+    * per-entry-group fill lives in readEntries) — a direct parquet
+    * scan would silently answer NULL. After a compact materializes
+    * every default this answers false and the direct-scan fast path
+    * returns (the write-side CURRENT_DEFAULT metadata stays). */
   private[sources] def hasDefaults: Boolean =
-    TxnTable.hasDefaults(m.schema)
+    TxnTable.pendingDefaults(m)
 
   override def name(): String = ident
 
@@ -1060,10 +1064,12 @@ object GraftTable {
         Array[org.apache.spark.sql.catalyst.InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.types.{IntegerType, StructField}
-    // defaulted tables refuse too: manifest stats were measured on the
-    // stored bytes, which read NULL where pre-add rows must answer the
-    // default — COUNT(col)/MIN/MAX on such a column would lie
-    if (mapped || tombstoned || TxnTable.hasDefaults(m.schema) ||
+    // tables with PENDING defaults refuse too: manifest stats were
+    // measured on the stored bytes, which read NULL where pre-add rows
+    // must answer the default — COUNT(col)/MIN/MAX on such a column
+    // would lie. Once a compact materializes every default (no live
+    // entry predates one), the metadata-answered fast path returns
+    if (mapped || tombstoned || TxnTable.pendingDefaults(m) ||
         dataFilters.nonEmpty ||
         agg.groupByExpressions.nonEmpty ||
         (m.idxCols.isEmpty && m.strIdxCols.isEmpty) || m.entries.isEmpty)

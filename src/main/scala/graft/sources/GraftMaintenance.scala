@@ -244,7 +244,13 @@ private[sources] object GraftMaintenance {
       case "refresh_matview" => p("refresh_matview", Seq(
         ProcedureParameter.in("view", StringType).build())) { (s, in) =>
         val mvLoc = resolveTable(warehouse, in.getUTF8String(0).toString)
-        graft.operators.MatView.refresh(s, mvLoc).mvVersion
+        val r = graft.operators.MatView.refresh(s, mvLoc)
+        // (re-)register for the transparent rewrite: the registry is
+        // session state, and refresh is the natural re-entry point a
+        // NEW session hits first — without this the rewrite would stay
+        // dead after a restart with no SQL path to revive it
+        graft.operators.MatView.register(s, mvLoc)
+        r.mvVersion
       }
       // OPTIMIZE WHERE: merge only the files whose key box intersects
       // [lo, hi] — the cold bulk carries verbatim

@@ -86,7 +86,10 @@ object GraftStreaming {
       TxnTable.manifest(s, location, head).schema
         .getOrElse(org.apache.spark.sql.types.StructType(Nil)))
     if (defs.nonEmpty) {
-      val maxSince = defs.map(_._3).max
+      // compare VERSIONS with versions: the effective-since VERSION
+      // stamp, not the data seq (they diverge on shallow clones, where
+      // a seq-based guard would refuse perfectly safe tails forever)
+      val maxSince = defs.map(_._4).max
       require(resolved >= maxSince - 1,
         s"$ident: a stream starting at version ${resolved + 1} would " +
           s"replay files that predate a column with an initial DEFAULT " +

@@ -2341,5 +2341,36 @@ class CatalogSpec extends SparkSpec {
       .collect()(0).getLong(0) === 1L,
       "an at-or-after anchor must stream the post-add files " +
         "(the current version's single-row insert)")
+    // compact MATERIALIZES the defaults: no live file predates the add
+    // any more, so the fast paths return — manifest-answered aggregates
+    // fire again and the content is unchanged
+    TxnTable.compact(spark, loc)
+    val a1 = GraftCatalog.aggAnswered.get()
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 103L)
+    assert(GraftCatalog.aggAnswered.get() === a1 + 1,
+      "materialized defaults must restore aggregate pushdown")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t " +
+      "WHERE tier = 'bronze'").collect()(0).getLong(0) === 101L)
+  }
+
+  test("a tombstone keyed on a defaulted column matches the value rows " +
+      "READ — the default — not the stored NULL") {
+    val t = fresh("deftomb")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING)")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, CONCAT('r', id) " +
+      "FROM RANGE(50)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    sql(s"ALTER TABLE graft.spec.$t ADD COLUMN grade BIGINT DEFAULT 7")
+    sql(s"INSERT INTO graft.spec.$t VALUES (100, 'x', 7), (101, 'y', 9)")
+    // MoR-delete grade = 7: must kill ALL 50 pre-add rows (they read 7)
+    // plus the one post-add row that stored 7 — never resurrect either
+    val s2 = spark
+    import s2.implicits._
+    TxnTable.deleteKeysMor(spark, loc, Seq(7L).toDF("grade"), "grade")
+    val left = sql(s"SELECT k FROM graft.spec.$t").collect()
+      .map(_.getLong(0)).toSet
+    assert(left === Set(101L),
+      s"default-valued rows must fall to the tombstone: $left")
   }
 }
