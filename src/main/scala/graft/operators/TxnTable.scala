@@ -3246,8 +3246,30 @@ object TxnTable {
     def absPath(p: String) = if (p.startsWith("/")) p else s"$src/$p"
     val abs = m.entries.map(e => e.copy(path = absPath(e.path)))
     val absDels = m.deletes.map { case (p, c, sq) => (absPath(p), c, sq) }
+    // initial defaults cross the graft point on the SEQ axis unchanged
+    // (carried entries keep source seqs, so the read-side fill keys
+    // correctly) — but the effective-since VERSION stamp speaks the
+    // SOURCE's timeline and must be re-anchored to the clone's: 0 when
+    // no cloned entry still predates the default (safe to tail from
+    // the very start), else 1 (v0 itself references pre-default files
+    // a stream must not emit raw; every later clone commit stores real
+    // values). Without this, a source-side 'added at version 8' would
+    // refuse every stream on a clone that never reaches version 8.
+    val cloneSchema = m.schema.map { sch =>
+      org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+        if (!f.metadata.contains(FieldDefault)) f
+        else {
+          val since = f.metadata.getLong(FieldDefaultSince)
+          val sinceV = if (abs.exists(_.seq < since)) 1L else 0L
+          f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(FieldDefaultSinceVer, sinceV).build())
+        }
+      })
+    }
     commit(s, dst, abs.map(render), expected = -1L, op = "clone",
-      schemaJson = m.schema.map(_.json).orNull, deleteLines = absDels,
+      schemaJson = cloneSchema.map(_.json).orNull, deleteLines = absDels,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols,
       blooms = m.blooms.map(b => b.copy(dir = absPath(b.dir))),
       retired = m.retired, checks = m.checks)
@@ -3830,9 +3852,14 @@ object TxnTable {
     * file scans, manifest-answered aggregates — come back; the
     * write-side CURRENT_DEFAULT metadata stays either way. */
   private[graft] def pendingDefaults(m: Manifest): Boolean =
-    m.schema.exists(sch => defaultedFields(sch).exists { case (_, _, sq, _) =>
-      m.entries.exists(_.seq < sq)
-    })
+    m.schema.exists { sch =>
+      val defs = defaultedFields(sch)
+      // min entry seq computed ONCE — this runs on analyzer hot paths
+      defs.nonEmpty && m.entries.nonEmpty && {
+        val minSeq = m.entries.iterator.map(_.seq).min
+        defs.exists(_._3 > minSeq)
+      }
+    }
 
   /** Validate one default literal against its column type — shared by
     * [[addColumnsDefault]] and the SQL catalog's pre-apply validation
@@ -4075,6 +4102,18 @@ object TxnTable {
     val withIds = ensureIds(sch, m.retired)
     val victim = withIds.fields.find(_.name == name).get
     val phys = physName(victim)
+    // dropping a PENDING-defaulted column with a tombstone keyed on it
+    // would resurrect every row that tombstone killed: the fill that
+    // made the tombstone match lives in the schema and leaves with the
+    // column, while the tombstone carries via the dead-keys path and
+    // anti-joins the stored NULLs. Same remedy as every fill hazard:
+    // compact() first (materializes the fill AND applies the tombstone)
+    if (victim.metadata.contains(FieldDefault) &&
+        m.entries.exists(_.seq < victim.metadata.getLong(FieldDefaultSince)))
+      require(!m.deletes.exists(d => d._2.stripSuffix("~L") == phys),
+        s"$table: cannot drop '$name' — a pending merge-on-read " +
+          "tombstone is keyed on it and the column's initial default " +
+          "is still being filled at read time; compact() first")
     val remaining = org.apache.spark.sql.types.StructType(
       withIds.fields.filterNot(_.name == name))
     // checks CARRY: guardConstrained only refuses dropping a column a
@@ -4558,6 +4597,8 @@ object TxnTable {
     val since = nextSeq(m, cur)
     // validate EVERYTHING before building the schema — nothing may
     // land if any column (or any default literal) is malformed
+    require(cols.map(_._1.name).distinct.size == cols.size,
+      s"ADD COLUMNS repeats a name: ${cols.map(_._1.name).mkString(", ")}")
     cols.foreach { case (f, d) =>
       require(f.nullable || d.isDefined,
         s"added column '${f.name}' must be nullable: existing rows read " +
@@ -6227,10 +6268,13 @@ object TxnTable {
     // the measured ranges would be the all-null sentinel — box reads
     // and pruned DELETEs would then silently skip rows that must
     // answer the default. Same remedy as tombstones: materialize first
-    if (pendingDefaults(m)) {
-      val defCols = m.schema.toSeq.flatMap(defaultedFields)
+    locally {
+      // per-column: only a default SOME live entry still predates is a
+      // hazard — a fully-materialized one measures correct stats
+      val pendingCols = m.schema.toSeq.flatMap(defaultedFields)
+        .filter { case (_, _, sq, _) => m.entries.exists(_.seq < sq) }
         .map(d => physName(d._1)).toSet
-      (indexCols ++ strCols).foreach(c => require(!defCols.contains(c),
+      (indexCols ++ strCols).foreach(c => require(!pendingCols.contains(c),
         s"$table: reindex on '$c' with a PENDING initial default would " +
           "record all-null sentinel stats for pre-add files — compact() " +
           "materializes the defaults first"))

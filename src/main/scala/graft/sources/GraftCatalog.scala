@@ -581,8 +581,9 @@ class GraftTable(ident: String, private[sources] val location: String,
     * scan would silently answer NULL. After a compact materializes
     * every default this answers false and the direct-scan fast path
     * returns (the write-side CURRENT_DEFAULT metadata stays). */
-  private[sources] def hasDefaults: Boolean =
-    TxnTable.pendingDefaults(m)
+  private[sources] lazy val hasDefaults: Boolean =
+    TxnTable.pendingDefaults(m) // lazy: m is immutable per snapshot,
+    // and resolution rules revisit the relation to fixpoint
 
   override def name(): String = ident
 
