@@ -2354,6 +2354,19 @@ class CatalogSpec extends SparkSpec {
       "WHERE tier = 'bronze'").collect()(0).getLong(0) === 101L)
   }
 
+  test("CREATE TABLE with DEFAULT: column-list INSERTs fill from the " +
+      "declared default (write-side only — no pre-existing rows)") {
+    val t = fresh("createdef")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING, " +
+      "tier STRING DEFAULT 'basic')")
+    sql(s"INSERT INTO graft.spec.$t (k, v) VALUES (1, 'a')")
+    sql(s"INSERT INTO graft.spec.$t VALUES (2, 'b', 'pro')")
+    val rows = sql(s"SELECT k, tier FROM graft.spec.$t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "basic", 2L -> "pro"),
+      s"declared default must fill omitted columns: $rows")
+  }
+
   test("a tombstone keyed on a defaulted column matches the value rows " +
       "READ — the default — not the stored NULL") {
     val t = fresh("deftomb")
