@@ -1530,6 +1530,18 @@ object TxnTable {
   // Same-process races serialize on the JVM locks; cross-process
   // writers rely on the store's atomic-rename primitive — the exact
   // caveat the single-table CAS above already carries.
+  //
+  // ARBITER RETENTION, a deliberate decision: markers are PERMANENT.
+  // A commit marker may be referenced by an unfinalized pend on ANY
+  // table (recovery needs it — sweeping one would turn a committed
+  // transaction into an aborted-looking orphan: data loss), and even
+  // an abort marker must outlive the losing transaction's own decide
+  // call (deleting it in the window between a writer's abort and the
+  // owner reading the verdict would let the owner's later "commit"
+  // claim a transaction whose pends are already swept). Markers are a
+  // few bytes per transaction in one flat dir — at any realistic
+  // transaction rate this is noise next to one manifest, and
+  // correctness never hinges on a garbage-collection heuristic.
 
   // 8+ digits: %08d renders NINE at version 100,000,000 — anchoring at
   // exactly 8 would make such pends invisible to recovery
