@@ -763,10 +763,16 @@ object TxnTable {
       else s"$bd/$p"
     val bHead = currentVersion(s, bd)
     val ms = manifest(s, bd, bHead)
+    // the branch's default since-version stamps speak the BRANCH's
+    // timeline (re-anchored at creation); transplanting them verbatim
+    // onto the parent would let a parent stream replay pre-default
+    // files raw — re-anchor to the parent's own stamps / this commit
+    val mParent = manifest(s, table, cur)
     val v = commit(s, table,
       ms.entries.map(e => render(e.copy(path = absPath(e.path)))), cur,
       op = "fastforward",
-      schemaJson = ms.schema.map(_.json).orNull,
+      schemaJson = ms.schema
+        .map(reanchorSinceVer(_, mParent.schema, cur + 1).json).orNull,
       deleteLines = ms.deletes.map { case (p, c, sq) => (absPath(p), c, sq) },
       idxCols = ms.idxCols, strIdxCols = ms.strIdxCols,
       blooms = ms.blooms.map(b => b.copy(dir = absPath(b.dir))),
@@ -888,8 +894,14 @@ object TxnTable {
       else throw new IllegalStateException(
         s"$table: rebase of '$name' cannot merge $what — both main " +
           "and the branch changed it since the branch point")
-    val schemaJson = pick(mCur.schema.map(_.json),
-      b0.schema.map(_.json), bLast.schema.map(_.json), "the schema").orNull
+    // schemas compare in since-version-STRIPPED normal form (the stamp
+    // is timeline-local, re-anchored at branch creation — raw equality
+    // would read every branch schema as "changed" from birth); the
+    // winner re-anchors onto the BRANCH's own timeline before landing
+    val schemaJson = pick(mCur.schema.map(stripSinceVer),
+      b0.schema.map(stripSinceVer), bLast.schema.map(stripSinceVer),
+      "the schema")
+      .map(w => reanchorSinceVer(w, bLast.schema, bHead + 1).json).orNull
     val idx = pick(mCur.idxCols, b0.idxCols, bLast.idxCols, "the index set")
     val strIdx = pick(mCur.strIdxCols, b0.strIdxCols, bLast.strIdxCols,
       "the string index set")
@@ -1107,8 +1119,12 @@ object TxnTable {
       else throw new IllegalStateException(
         s"$table: merge of '$from' into '$into' cannot merge $what — " +
           "both branches changed it since the branch point")
-    val schemaJson = pick(mCur.schema.map(_.json),
-      b0.schema.map(_.json), bLast.schema.map(_.json), "the schema").orNull
+    // same normal-form comparison as rebase; the winner re-anchors
+    // onto the INTO branch's timeline (the destination of this merge)
+    val schemaJson = pick(mCur.schema.map(stripSinceVer),
+      b0.schema.map(stripSinceVer), bLast.schema.map(stripSinceVer),
+      "the schema")
+      .map(w => reanchorSinceVer(w, mCur.schema, iHead + 1).json).orNull
     val idx = pick(mCur.idxCols, b0.idxCols, bLast.idxCols, "the index set")
     val strIdx = pick(mCur.strIdxCols, b0.strIdxCols, bLast.strIdxCols,
       "the string index set")
@@ -3856,6 +3872,55 @@ object TxnTable {
           else since
         (f, f.metadata.getString(FieldDefault), since, sinceV)
     }
+
+  /** The schema with the effective-since VERSION stamps removed — the
+    * NORMAL FORM cross-table schema COMPARISONS must use: the stamp is
+    * timeline-LOCAL bookkeeping (re-anchored by every clone), never a
+    * semantic schema difference. Comparing raw schemas would make a
+    * branch's re-anchored copy read as "changed" from birth. */
+  private def stripSinceVer(sch: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+      if (!f.metadata.contains(FieldDefaultSinceVer)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(FieldDefaultSinceVer).build())
+    })
+
+  /** Re-anchor a TRANSPLANTED schema's since-version stamps to the
+    * destination's timeline — what fastForward / rebase / mergeBranch
+    * must do when a schema crosses table dirs (a branch's stamps speak
+    * the branch's version space; carried verbatim onto the parent they
+    * would let a stream replay pre-default files raw): a defaulted
+    * field the destination's current schema already carries (matched
+    * by stable field id, name fallback) keeps the DESTINATION's stamp;
+    * a field new to the destination takes the transplant commit's
+    * version — every pre-transplant destination file predates it. SEQ
+    * stamps cross unchanged: seqs are the shared lineage axis. */
+  private def reanchorSinceVer(
+      sch: org.apache.spark.sql.types.StructType,
+      dst: Option[org.apache.spark.sql.types.StructType],
+      newVer: Long): org.apache.spark.sql.types.StructType = {
+    def idOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
+      if (f.metadata.contains(FieldId)) Some(f.metadata.getLong(FieldId))
+      else None
+    org.apache.spark.sql.types.StructType(sch.fields.map { f =>
+      if (!f.metadata.contains(FieldDefault)) f
+      else {
+        val dstStamp = dst.flatMap(_.fields.find(g =>
+          g.metadata.contains(FieldDefault) &&
+            ((idOf(f), idOf(g)) match {
+              case (Some(a), Some(b)) => a == b
+              case _ => g.name == f.name
+            }))
+          .filter(_.metadata.contains(FieldDefaultSinceVer))
+          .map(_.metadata.getLong(FieldDefaultSinceVer)))
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong(FieldDefaultSinceVer, dstStamp.getOrElse(newVer))
+          .build())
+      }
+    })
+  }
 
   /** Whether any LIVE entry of `m` still PREDATES a defaulted column —
     * i.e. the read-side fill is actually doing work. After a compact

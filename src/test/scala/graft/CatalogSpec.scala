@@ -2354,6 +2354,54 @@ class CatalogSpec extends SparkSpec {
       "WHERE tier = 'bronze'").collect()(0).getLong(0) === 101L)
   }
 
+  test("default since-version stamps survive branch transplants: " +
+      "fastForward keeps the PARENT's stamp, streams stay guarded") {
+    val t = fresh("defbranch")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING)")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, CONCAT('r', id) " +
+      "FROM RANGE(40)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    sql(s"ALTER TABLE graft.spec.$t ADD COLUMN tier STRING " +
+      "DEFAULT 'bronze'") // parent version 2, sinceVer = 2
+    TxnTable.branch(spark, loc, "dev")
+    val bd = TxnTable.branchDir(spark, loc, "dev")
+    val s2 = spark
+    import s2.implicits._
+    TxnTable.append(spark, bd,
+      Seq((500L, "b", "silver")).toDF("k", "v", "tier"))
+    TxnTable.fastForward(spark, loc, "dev") // branch schema → parent
+    // the transplanted schema must carry the PARENT-timeline stamp (2),
+    // not the branch clone's re-anchored one — or the stream guard dies
+    val m = TxnTable.manifest(spark, loc,
+      TxnTable.currentVersion(spark, loc))
+    val sinceV = m.schema.toSeq.flatMap(TxnTable.defaultedFields)
+      .map(_._4)
+    assert(sinceV === Seq(2L),
+      s"fastForward must keep the parent's since-version: $sinceV")
+    // a full replay still refuses (versions 0-1 predate the default)...
+    val ckpt = Fs.freshScratch("graft_catspec", "defbr_ckpt")
+    val e = intercept[Exception] {
+      spark.readStream.table(s"graft.spec.$t").writeStream
+        .format("memory").queryName("defbr_refuse")
+        .option("checkpointLocation", s"$ckpt/a")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert((e.getMessage != null && e.getMessage.contains("initial DEFAULT"))
+      || Option(e.getCause).exists(_.getMessage.contains("initial DEFAULT")),
+      s"guard lost after fastForward: ${e.getMessage}")
+    // ...while an at-or-after anchor serves the branch's published row
+    val q = spark.readStream.option("startingVersion", "3")
+      .table(s"graft.spec.$t").writeStream
+      .format("memory").queryName("defbr_tail")
+      .option("checkpointLocation", s"$ckpt/b")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(sql("SELECT k FROM defbr_tail").collect().map(_.getLong(0))
+      .toSet === Set(500L))
+  }
+
   test("CREATE TABLE with DEFAULT: column-list INSERTs fill from the " +
       "declared default (write-side only — no pre-existing rows)") {
     val t = fresh("createdef")
