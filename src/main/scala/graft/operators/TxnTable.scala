@@ -4673,14 +4673,17 @@ object TxnTable {
     val have = m.schema.getOrElse(snapshot(s, table, cur).schema)
     val since = nextSeq(m, cur)
     // validate EVERYTHING before building the schema — nothing may
-    // land if any column (or any default literal) is malformed
-    require(cols.map(_._1.name).distinct.size == cols.size,
+    // land if any column (or any default literal) is malformed.
+    // Name comparisons are CASE-INSENSITIVE: Spark resolves that way
+    // by default, and a 'Tier'/'tier' pair would commit a schema every
+    // later query finds ambiguous
+    require(cols.map(_._1.name.toLowerCase).distinct.size == cols.size,
       s"ADD COLUMNS repeats a name: ${cols.map(_._1.name).mkString(", ")}")
     cols.foreach { case (f, d) =>
       require(f.nullable || d.isDefined,
         s"added column '${f.name}' must be nullable: existing rows read " +
           "it as NULL")
-      require(!have.fieldNames.contains(f.name),
+      require(!have.fieldNames.exists(_.equalsIgnoreCase(f.name)),
         s"column '${f.name}' already exists in $table")
       d.foreach(validateDefault(s, f.name, f.dataType, _))
     }
