@@ -111,6 +111,27 @@ object MatView {
       s"MV key column '$key' collides with the MV's own columns")
     val bv = TxnTable.currentVersion(s, base)
     val snap = TxnTable.snapshot(s, base, bv)
+    // the fold column is exact DECIMAL(18,2); a value type whose cast
+    // into it can ROUND (float/double, decimal with scale > 2) or whose
+    // integer digits exceed 16 would make the MV — and the transparent
+    // rewrite serving from it — silently answer different SUMs than the
+    // base scan. Refuse at create: correctness beats acceleration.
+    // (Integral types are exact; a Long/sum overflowing 16 digits fails
+    // LOUDLY at fold time under ANSI, never silently.)
+    snap.schema(value).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case dt: DecimalType if dt.scale <= 2 &&
+        dt.precision - dt.scale <= 16 => ()
+      case other => throw new IllegalArgumentException(
+        s"MV value column '$value' is $other, not losslessly " +
+          "representable in the DECIMAL(18,2) fold — an incremental MV " +
+          "over it would drift from the base; use an exact column " +
+          "(integral, or decimal with scale <= 2 and <= 16 integer " +
+          "digits) or recompute the aggregate directly")
+    }
     // the fold column is DECIMAL(18,2) EXACTLY: sum() widens its input
     // (18,2 → 28,2), and letting the widened type into the committed
     // schema would make every refresh (which writes 18,2) drift from

@@ -1642,25 +1642,50 @@ object TxnTable {
     val f = fs(s, ld)
     val src = new Path(ld, name)
     if (!f.exists(src)) return None // raced away already
-    val marker = pendMarkerOf(s, table, name)
+    // the pend can vanish between the exists check and the open (a
+    // concurrent finalizer or an aborting writer got there first) —
+    // that is the same "raced away" outcome, not an error for a reader
+    // that merely listed the log
+    val marker =
+      try pendMarkerOf(s, table, name)
+      catch { case _: java.io.FileNotFoundException => return None }
     val verdict = markerVerdict(s, marker).getOrElse {
       if (abortInFlight) decideTxn(s, marker, "abort") else return None
     }
     if (verdict == "commit") {
       val dst = manifestPath(table, v)
       txnArbiterLock.synchronized {
+        // finalize STRIPS the #pendmarker header: a finalized manifest
+        // is byte-identical to a plain commit's, so the log keeps ONE
+        // dialect (header-walk fast paths like manifestHeaderMetric
+        // rely on the fixed lead order)
+        val txt =
+          try readUtf8(f, src)
+          catch { case _: java.io.FileNotFoundException =>
+            return Some(v) // a concurrent finalizer completed it
+          }
+        val body = txt.substring(txt.indexOf('\n') + 1)
         if (!f.exists(dst)) {
-          // finalize STRIPS the #pendmarker header: a finalized
-          // manifest is byte-identical to a plain commit's, so the log
-          // keeps ONE dialect (header-walk fast paths like
-          // manifestHeaderMetric rely on the fixed lead order)
-          val txt = readUtf8(f, src)
-          val body = txt.substring(txt.indexOf('\n') + 1)
           val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")
           val out = f.create(tmp, false)
           try out.write(body.getBytes(UTF_8)) finally out.close()
           if (!f.rename(tmp, dst)) f.delete(tmp, false)
         }
+        // cross-process, the pend-placement and plain-commit CAS rename
+        // to DIFFERENT destination names, so a plain writer can slip
+        // its manifest into this slot between our exists check and
+        // rename. A committed transaction's version going to someone
+        // else is PARTIAL TRANSACTION APPLICATION — silently deleting
+        // the pend would hide it forever; raise so the inconsistency is
+        // detectable and repairable. (The common benign occupant — a
+        // concurrent recoverer finalizing the same pend — has identical
+        // bytes and passes.)
+        if (f.exists(dst) && readUtf8(f, dst) != body)
+          throw new IllegalStateException(
+            s"$table: version $v was committed by a concurrent plain " +
+              s"writer while transaction pend $name held a COMMIT " +
+              "verdict — the multi-table transaction is partially " +
+              "applied; its pend is preserved for manual repair")
         f.delete(src, false)
       }
       Some(v)
@@ -1767,6 +1792,19 @@ object TxnTable {
       if (m.checks != checks0)
         enforceChecks(s, m.checks, df, s"$t: multi-table append " +
           "(constraint added concurrently)")
+      // schema equality was validated against the STAGE-TIME base; the
+      // pend below renders withMapping(m, df.schema), so if an ADD
+      // COLUMN landed between staging and this (retried) attempt, the
+      // evolve's new column would silently vanish from the committed
+      // schema. Re-require it here and fail LOUDLY — a retry cannot
+      // outrun a permanent schema change, and the catch below aborts
+      // the transaction and cleans this attempt's pends
+      m.schema.foreach { sch =>
+        val have = sch.map(fd => (fd.name, fd.dataType)).toSeq
+        require(df.schema.map(fd => (fd.name, fd.dataType)).toSeq == have,
+          s"$t: table schema changed concurrently during the " +
+            s"multi-table transaction (now $have); re-stage the batch")
+      }
       val body = s"#pendmarker=$marker\n" + manifestBody(s, t,
         m.entries.map(render) ++ fresh, cur, "append",
         withMapping(m, df.schema).json, m.deletes, m.idxCols,

@@ -298,9 +298,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(a.position == null,
           s"$catalogName: ADD COLUMN supports appending at the end only " +
             "(FIRST/AFTER would re-order files' columns)")
-        require(a.isNullable,
-          s"$catalogName: added column '$name' must be " +
-            "nullable — existing rows read it as NULL")
+        // NOT NULL is fine WITH a DEFAULT: existing rows read the
+        // default, so no NULL can surface (the format still commits the
+        // field nullable — addColumnsWith — matching Iceberg's
+        // initial-default contract of never trusting old files)
+        require(a.isNullable || a.defaultValue() != null,
+          s"$catalogName: added column '$name' must be nullable or " +
+            "carry a DEFAULT — existing rows would otherwise read NULL")
         // a malformed DEFAULT must fail HERE, before ANY change lands —
         // the whole statement's atomicity contract
         Option(a.defaultValue()).foreach(dv =>

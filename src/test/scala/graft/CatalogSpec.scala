@@ -2434,4 +2434,23 @@ class CatalogSpec extends SparkSpec {
     assert(left === Set(101L),
       s"default-valued rows must fall to the tombstone: $left")
   }
+
+  test("ADD COLUMN ... NOT NULL DEFAULT is accepted — the default " +
+      "covers existing rows, so no NULL can ever surface; NOT NULL " +
+      "WITHOUT a default still refuses") {
+    val t = fresh("notnull_default")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING)")
+    sql(s"INSERT INTO graft.spec.$t VALUES (1, 'a'), (2, 'b')")
+    sql(s"ALTER TABLE graft.spec.$t ADD COLUMN tier STRING NOT NULL " +
+      "DEFAULT 'bronze'")
+    val tiers = sql(s"SELECT tier FROM graft.spec.$t").collect()
+      .map(_.getString(0)).toSet
+    assert(tiers === Set("bronze"),
+      s"pre-add rows must read the default: $tiers")
+    // the undefaulted NOT NULL is the case that genuinely can't work
+    val e = intercept[Exception] {
+      sql(s"ALTER TABLE graft.spec.$t ADD COLUMN w INT NOT NULL")
+    }
+    assert(e.getMessage.contains("nullable or"), e.getMessage)
+  }
 }

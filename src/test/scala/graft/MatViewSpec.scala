@@ -290,4 +290,31 @@ class MatViewSpec extends SparkSpec {
     val wantN = (0 until 90).count(_ % 3 != 0).toLong
     assert(rows.head.getLong(1) === wantN)
   }
+
+  test("create REFUSES a value column the DECIMAL(18,2) fold cannot " +
+      "hold losslessly — an MV that silently rounds must never exist") {
+    val s = spark
+    import s.implicits._
+    def mk(name: String, cast: String): String = {
+      val base = fresh(name)
+      val df = (0 until 10).map(i => (i.toLong, if (i % 2 == 0) "A" else "B",
+        BigDecimal(i).setScale(4).toDouble)).toDF("k", "g", "v")
+        .withColumn("v", col("v").cast(cast))
+      TxnTable.create(spark, base, df)
+      base
+    }
+    // DOUBLE rounds at scale 2; DECIMAL(20,4) both rounds and overflows
+    Seq(mk("mv_lossy_dbl", "double") -> "double",
+        mk("mv_lossy_dec", "decimal(20,4)") -> "decimal").foreach {
+      case (base, what) =>
+        val e = intercept[IllegalArgumentException] {
+          MatView.create(spark, fresh(s"mv_lossy_view_$what"), base,
+            "g", "v")
+        }
+        assert(e.getMessage.contains("losslessly"), s"$what: ${e.getMessage}")
+    }
+    // the exact shapes still create: integral and decimal(18,2)
+    val okBase = mk("mv_ok_dec", "decimal(18,2)")
+    MatView.create(spark, fresh("mv_ok_view"), okBase, "g", "v")
+  }
 }

@@ -2465,4 +2465,64 @@ class TxnSpec extends SparkSpec {
         s"$t: recovery left the pend behind")
     }
   }
+
+  test("multi-table transaction: an ADD COLUMN landing between staging " +
+      "and prepare fails LOUDLY — the stale schema never commits") {
+    val t1 = freshTable("multi_evolve1")
+    val t2 = freshTable("multi_evolve2")
+    TxnTable.create(spark, t1, baseDf(10))
+    TxnTable.create(spark, t2, baseDf(10))
+    val staged = TxnTable.stageMulti(spark,
+      Seq(t1 -> baseDf(3).withColumn("k", col("k") + 100L),
+        t2 -> baseDf(3).withColumn("k", col("k") + 200L)))
+    // a concurrent evolve widens t1's schema; re-rendering the pend
+    // from the staged df's schema would silently DROP the new column
+    // from the committed table schema
+    TxnTable.addColumns(spark, t1, Seq(
+      org.apache.spark.sql.types.StructField("tier",
+        org.apache.spark.sql.types.StringType)))
+    val e = intercept[IllegalArgumentException] {
+      TxnTable.prepareDecide(spark, staged, finalize = true)
+    }
+    assert(e.getMessage.contains("schema changed concurrently"), e.getMessage)
+    // nothing landed, no pend left anywhere, the evolve SURVIVES
+    assert(TxnTable.versions(spark, t1) === Seq(0L, 1L))
+    assert(TxnTable.versions(spark, t2) === Seq(0L))
+    Seq(t1, t2).foreach { t =>
+      val ld = new org.apache.hadoop.fs.Path(s"$t/_log")
+      val f = ld.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!f.listStatus(ld).exists(_.getPath.getName.contains(".pend.")),
+        s"$t: failed transaction left a pend")
+    }
+    assert(TxnTable.snapshot(spark, t1).columns.contains("tier"))
+  }
+
+  test("a committed pend whose slot a plain writer took raises LOUDLY " +
+      "instead of silently deleting the transaction's manifest") {
+    val t = freshTable("multi_slotrace")
+    TxnTable.create(spark, t, baseDf(10))
+    TxnTable.append(spark, t, baseDf(2).withColumn("k", col("k") + 50L))
+    // hand-plant the cross-process interleave END STATE: slot 1 is the
+    // plain append above, and a pend for the SAME slot whose arbiter
+    // already says COMMIT (the transaction decided before the writer's
+    // rename landed — only reachable cross-process, where the two CAS
+    // paths share no lock)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$t/_txn/deadbeef-1.done")
+    val pend = new org.apache.hadoop.fs.Path(
+      s"$t/_log/00000001.pend.deadbeef-1")
+    val f = pend.getFileSystem(conf)
+    val mo = f.create(marker, false)
+    mo.write("commit".getBytes("UTF-8")); mo.close()
+    val po = f.create(pend, false)
+    po.write(s"#pendmarker=$marker\n#op=append\n#seq=9\n".getBytes("UTF-8"))
+    po.close()
+    // partial transaction application must be DETECTABLE, not silently
+    // erased: the read that discovers it raises, and keeps the evidence
+    val e = intercept[IllegalStateException] {
+      TxnTable.versions(spark, t)
+    }
+    assert(e.getMessage.contains("partially applied"), e.getMessage)
+    assert(f.exists(pend), "the pend must be preserved for repair")
+  }
 }
