@@ -68,6 +68,7 @@ object SparkEntry {
     "sql_txn_skip"            -> (SqlSurface.txnSkip _),
     "sql_txn_dpp"             -> (SqlSurface.txnDpp _),
     "sql_mv_rewrite"          -> (SqlSurface.mvRewrite _),
+    "sql_mv_delta"            -> (SqlSurface.mvDelta _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
     "sql_txn_agg_push"        -> (SqlSurface.txnAggPush _),
     "sql_txn_bloom"           -> (SqlSurface.txnBloomSql _),
@@ -1409,15 +1410,33 @@ object SparkEntry {
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS skip_ok
         |FROM b, r WHERE k >= lo AND k < hi""".stripMargin,
-    // the final (refreshed) MV answer == a direct recompute of the base
-    // content after the 'Z' insert — the rewrite is invisible in results
+    // the final answer (after the 'Z' cdc insert AND the feed-less 'W'
+    // insert) == a direct recompute of the base content — the rewrite,
+    // compensated or fallen-through, is invisible in results
     "sql_mv_rewrite" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
         |fin AS (SELECT st, p FROM b
-        |  UNION ALL SELECT 'Z', p FROM b WHERE k % 10 = 0)
+        |  UNION ALL SELECT 'Z', p FROM b WHERE k % 10 = 0
+        |  UNION ALL SELECT 'W', p FROM b WHERE k % 20 = 0)
         |SELECT st AS o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS mvr_ok
+        |FROM fin GROUP BY st""".stripMargin,
+    // the compensated answer == a direct recompute of the base after
+    // both cdc batches: group 'P' gone, every 7th surviving row
+    // repriced +5, brand-new group 'X' with NULL prices on 3|k
+    "sql_mv_delta" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |kept AS (SELECT st, CASE WHEN k % 7 = 0
+        |      THEN CAST(p + 5 AS DECIMAL(12,2)) ELSE p END AS p
+        |  FROM b WHERE st <> 'P'),
+        |x AS (SELECT 'X' AS st, CASE WHEN k % 3 = 0
+        |      THEN CAST(NULL AS DECIMAL(12,2)) ELSE p END AS p
+        |  FROM b WHERE k % 13 = 0),
+        |fin AS (SELECT st, p FROM kept UNION ALL SELECT st, p FROM x)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n, COUNT(p) AS nn,
+        |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS mvd_ok
         |FROM fin GROUP BY st""".stripMargin,
     // runtime join-driven file pruning: the fact table's content is the
     // four quarter inserts = the full lineitem projection, so the oracle

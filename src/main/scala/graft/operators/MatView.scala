@@ -232,6 +232,49 @@ object MatView {
     RefreshResult(r.version, head, folded)
   }
 
+  /** STALE-MV DELTA COMPENSATION — the query-time half of [[refresh]]'s
+    * fold algebra: the MV snapshot ⊕ the base's signed-feed tail
+    * (cursor, head], as ONE plan the rewrite rule can substitute for
+    * the base aggregate. Some(df) when every content-changing commit in
+    * the tail published a feed (the exact walk refresh performs — refs
+    * resolve from manifest headers alone); None when any tail commit is
+    * feed-less, in which case the rewrite must fall through to the base
+    * scan. Cost is O(MV) + O(changes since the cursor) at ANY base
+    * size — without this, ONE commit after a refresh sends the
+    * dashboard query back to the full base scan, which at 100 TB is the
+    * MV's entire value gone the moment a row lands. Output columns are
+    * exactly the MV's (key, n, nn, total), so the substitution logic is
+    * shared verbatim with the fresh-serve path; groups whose compensated
+    * count reaches 0 leave, mirroring refresh's op-'D' rule. */
+  private[graft] def compensated(s: SparkSession, mv: String, d: MvDef,
+      cursor: Long, head: Long): Option[DataFrame] = {
+    val mvRows = TxnTable.snapshot(s, mv)
+      .select(col(d.key), col("n"), col("nn"), col("total"))
+    if (cursor == head) return Some(mvRows)
+    val perCommit = (cursor + 1 to head).map { v =>
+      val m = TxnTable.manifest(s, d.base, v)
+      if (m.cdcRefs.nonEmpty) Some(m.cdcRefs.map(r => s"${d.base}/$r"))
+      else if (ContentInvariantOps(m.op)) Some(Nil)
+      else None // feed-less content change: cannot compensate
+    }
+    if (perCommit.exists(_.isEmpty)) return None
+    val refs = perCommit.flatten.flatten
+    if (refs.isEmpty) return Some(mvRows) // content-invariant tail
+    // the same signed algebra as refresh's delta, rendered as fold ROWS
+    // (w, w·nonnull, w·value) so one union + one aggregate telescopes
+    // the MV and however many feeds the tail carries
+    val feed = s.read.parquet(refs: _*).select(col(d.key),
+      col("w").cast("long").as("n"),
+      (col("w").cast("long") *
+        when(col(d.value).isNull, 0L).otherwise(1L)).as("nn"),
+      (col("w") * coalesce(col(d.value).cast(D18), lit(0).cast(D18)))
+        .cast(D18).as("total"))
+    Some(mvRows.unionByName(feed).groupBy(col(d.key))
+      .agg(sum(col("n")).as("n"), sum(col("nn")).as("nn"),
+        sum(col("total")).cast(D18).as("total"))
+      .filter(col("n") =!= 0L))
+  }
+
   // ---- TRANSPARENT QUERY REWRITING ----------------------------------------
 
   /** Session-wide MV registry: base location → (MV location, cached

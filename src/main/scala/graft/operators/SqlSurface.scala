@@ -205,43 +205,11 @@ object SqlSurface {
     s.sql(sel).withColumn("skip_ok", lit(ok))
   }
 
-  /** sql_mv_rewrite: TRANSPARENT MATERIALIZED-VIEW REWRITING on the SQL
-    * surface — the query author writes a plain GROUP-BY aggregate over
-    * the BASE table and never learns the MV exists: when the registered
-    * MV is FRESH (refresh cursor == base's current version, decided by
-    * the LOG), the analyzer swaps the aggregate for an MV read
-    * (GraftMvRewriteRule — the BigQuery/Calcite rewrite contract);
-    * when the base has moved, the SAME query silently falls through to
-    * the base scan — a stale MV never serves, correctness beats
-    * acceleration. Three phases, each pinned by the OPTIMIZED PLAN'S
-    * scan locations (not timing): (1) fresh → the plan reads the MV
-    * path and never the base; (2) after a cdc-publishing MoR insert of
-    * 'Z' rows → the plan reads the base, and the result contains the
-    * 'Z' group the MV cannot know; (3) after MatView.refresh folds the
-    * feed → the plan reads the MV again, answering identically to the
-    * base scan. `mvr_ok` carries all three plan facts + the fresh/stale
-    * result divergence; the hashed output is the final (refreshed)
-    * answer, which the oracle recomputes directly. At 100 TB: the
-    * dashboard aggregate costs an MV read — orders of magnitude under
-    * the table scan — with staleness decided by the log, never trust. */
-  def mvRewrite(s: SparkSession, d: String): DataFrame = {
-    val loc = freshSqlTable(s, "mvr_orders")
-    view(s, d, "orders")
-    s.sql("""CREATE TABLE graft.q.mvr_orders (
-      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2))""")
-    s.sql("""INSERT INTO graft.q.mvr_orders
-      SELECT o_orderkey, o_orderstatus,
-        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
-    val mv = graft.Fs.freshScratch("graft_mv", "sql_rewrite")
-    graft.operators.MatView.create(s, mv, loc, "o_orderstatus", "price")
-    graft.operators.MatView.register(s, mv)
-    val q = """SELECT o_orderstatus, COUNT(*) AS n,
-      CAST(SUM(price) AS DOUBLE) AS total
-      FROM graft.q.mvr_orders GROUP BY o_orderstatus"""
-    // the optimized plan's SCAN SOURCES (toString truncates paths):
-    // parquet LogicalRelations expose their file roots, a surviving
-    // catalog relation its table identifier
-    def scanSrcs: Seq[String] = s.sql(q).queryExecution.optimizedPlan
+  /** The optimized plan's SCAN SOURCES (toString truncates paths):
+    * parquet LogicalRelations expose their file roots, a surviving
+    * catalog relation its table identifier. */
+  private def scanSrcsOf(s: SparkSession, q: String): Seq[String] =
+    s.sql(q).queryExecution.optimizedPlan
       .collect {
         case l: org.apache.spark.sql.execution.datasources
             .LogicalRelation => l.relation match {
@@ -257,6 +225,44 @@ object SqlSurface {
         case r: org.apache.spark.sql.execution.datasources.v2
             .DataSourceV2Relation => Seq(s"v2:${r.table.name}")
       }.flatten
+
+  /** sql_mv_rewrite: TRANSPARENT MATERIALIZED-VIEW REWRITING on the SQL
+    * surface — the query author writes a plain GROUP-BY aggregate over
+    * the BASE table and never learns the MV exists: when the registered
+    * MV can PROVE the answer from the log, the analyzer swaps the
+    * aggregate for an MV read (GraftMvRewriteRule — the BigQuery/
+    * Calcite rewrite contract); when it can't, the SAME query silently
+    * falls through to the base scan — a wrong answer is never served,
+    * correctness beats acceleration. Four phases, each pinned by the
+    * OPTIMIZED PLAN'S scan locations (not timing): (1) fresh → the plan
+    * reads the MV path and never the base; (2) after a cdc-publishing
+    * MoR insert of 'Z' rows → the plan reads the MV plus the base's
+    * `_cdc` feed files — NEVER a base data file — and the answer
+    * already contains the 'Z' group (stale-MV delta compensation,
+    * matching a direct base recompute exactly); (3) after
+    * MatView.refresh folds the feed → the MV serves ALONE again,
+    * answering identically; (4) after a FEED-LESS insert of 'W' rows →
+    * compensation is impossible, the plan reads the base, and the
+    * result contains 'W'. `mvr_ok` carries all four plan facts; the
+    * hashed output is the final answer, which the oracle recomputes
+    * directly. At 100 TB: the dashboard aggregate costs an MV read plus
+    * the delta since the last refresh — orders of magnitude under the
+    * table scan — with staleness decided by the log, never trust. */
+  def mvRewrite(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mvr_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mvr_orders (
+      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvr_orders
+      SELECT o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_rewrite")
+    graft.operators.MatView.create(s, mv, loc, "o_orderstatus", "price")
+    graft.operators.MatView.register(s, mv)
+    val q = """SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(price) AS DOUBLE) AS total
+      FROM graft.q.mvr_orders GROUP BY o_orderstatus"""
+    def scanSrcs: Seq[String] = scanSrcsOf(s, q)
     def rows() = s.sql(q).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     def readsMv(ps: Seq[String]) =
@@ -267,7 +273,11 @@ object SqlSurface {
     val p1 = scanSrcs
     val fresh = rows()
     val servedFresh = readsMv(p1)
-    // phase 2: stale the MV with a cdc-publishing MoR insert
+    // phase 2: stale the MV with a cdc-publishing MoR insert — the
+    // rewrite COMPENSATES from the published feed: plan = MV + feed
+    // files, never a base data file, and the answer matches a direct
+    // recompute of the moved base (DataFrame path — no catalog
+    // relation, so the rule can't touch it)
     val zrows = s.sql("""SELECT o_orderkey + 100000000 AS o_orderkey,
       'Z' AS o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
       'U' AS op FROM orders WHERE o_orderkey % 10 = 0""")
@@ -275,15 +285,96 @@ object SqlSurface {
       cdc = true)
     val p2 = scanSrcs
     val stale = rows()
-    val fellThrough = readsBase(p2) && !readsMv(p2) &&
-      stale.exists(_._1 == "Z") && !fresh.exists(_._1 == "Z")
-    // phase 3: refresh folds the feed — the MV serves again, identically
+    val direct = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, loc).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double")
+          .as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    }
+    val compensatedServe = p2.nonEmpty &&
+      p2.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
+      p2.exists(_.contains(s"$loc/_cdc")) && p2.exists(_.contains(mv)) &&
+      stale.exists(_._1 == "Z") && !fresh.exists(_._1 == "Z") &&
+      stale == direct
+    // phase 3: refresh folds the feed — the MV serves ALONE, identically
     graft.operators.MatView.refresh(s, mv)
     val p3 = scanSrcs
     val again = rows()
     val servedAgain = readsMv(p3) && again == stale
-    val ok = servedFresh && fellThrough && servedAgain
+    // phase 4: a FEED-LESS append — compensation impossible, the same
+    // query falls through to the base scan and sees the 'W' rows
+    s.sql("""INSERT INTO graft.q.mvr_orders
+      SELECT o_orderkey + 200000000, 'W', CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey % 20 = 0""")
+    val p4 = scanSrcs
+    val fin = rows()
+    val fellThrough = readsBase(p4) && !p4.exists(_.contains(mv)) &&
+      fin.exists(_._1 == "W")
+    val ok = servedFresh && compensatedServe && servedAgain && fellThrough
     s.sql(q).withColumn("mvr_ok", lit(ok))
+  }
+
+  /** sql_mv_delta: STALE-MV DELTA COMPENSATION end to end — the MV is
+    * TWO cdc batches behind (a whole group deleted, scattered repricing,
+    * a brand-new group with NULL values) and is NEVER refreshed; the
+    * plain SQL aggregate over the base is still served from
+    * `MV ⊕ signed-feed tail (cursor, head]` (GraftMvRewriteRule →
+    * MatView.compensated): the optimized plan's scans are the MV files
+    * plus the base's `_cdc` feed files and NEVER a base data file —
+    * `mvd_ok` pins exactly that — while the answer is hash-equal to a
+    * direct recompute (the oracle). The fold algebra is exercised at
+    * its edges: group 'P' is deleted ENTIRELY (its compensated count
+    * telescopes to 0, so it must LEAVE the result), group 'X' exists
+    * ONLY in the feed tail (born from compensation, with NULL prices
+    * proving the nn/null-skipping reconstruction), and repriced rows
+    * telescope a -old/+new pair. At 100 TB: one commit after a refresh
+    * no longer costs the dashboard a full base scan — the query pays
+    * O(MV + delta), which is the MV's entire point. */
+  def mvDelta(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mvd_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mvd_orders (
+      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvd_orders
+      SELECT o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_delta")
+    graft.operators.MatView.create(s, mv, loc, "o_orderstatus", "price")
+    graft.operators.MatView.register(s, mv)
+    // batch 1: delete group 'P' entirely (compensated count → 0)
+    val b1 = s.sql("""SELECT o_orderkey, o_orderstatus,
+      CAST(o_totalprice AS DECIMAL(12,2)) AS price, 'D' AS op
+      FROM orders WHERE o_orderstatus = 'P'""")
+    graft.operators.TxnTable.applyChangesMor(s, loc, b1, "o_orderkey",
+      cdc = true)
+    // batch 2: reprice every 7th surviving row (+5), and insert a
+    // brand-new 'X' group — every 13th key, with NULL price on every
+    // 3rd — a group the MV has never seen, with nulls in the fold
+    val b2 = s.sql("""SELECT o_orderkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 5 AS DECIMAL(12,2))
+          AS price, 'U' AS op
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderstatus <> 'P'
+      UNION ALL
+      SELECT o_orderkey + 300000000, 'X',
+        CASE WHEN o_orderkey % 3 = 0 THEN CAST(NULL AS DECIMAL(12,2))
+          ELSE CAST(o_totalprice AS DECIMAL(12,2)) END, 'U'
+      FROM orders WHERE o_orderkey % 13 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, loc, b2, "o_orderkey",
+      cdc = true)
+    // NO refresh: the MV cursor is two commits behind head
+    val q = """SELECT o_orderstatus, COUNT(*) AS n, COUNT(price) AS nn,
+      CAST(SUM(price) AS DOUBLE) AS total
+      FROM graft.q.mvd_orders GROUP BY o_orderstatus"""
+    val ps = scanSrcsOf(s, q)
+    val got = s.sql(q).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val ok = ps.nonEmpty &&
+      ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
+      ps.exists(_.contains(s"$loc/_cdc")) && ps.exists(_.contains(mv)) &&
+      !got.exists(_._1 == "P") && got.exists(_._1 == "X")
+    s.sql(q).withColumn("mvd_ok", lit(ok))
   }
 
   /** sql_txn_dpp: RUNTIME join-driven file pruning — the DSv2 dynamic

@@ -108,13 +108,18 @@ case class GraftMvRewriteRule(session: SparkSession)
       case _ => false
     }))
     if (!outsideRefs.forall(_.exprId == keyAttr.exprId)) return None
-    // FRESHNESS BY THE LOG, against the relation's PINNED version: a
-    // stale MV never serves, and neither does a time-travel read of
-    // any version other than the one the MV reflects
-    if (MatView.lastRefreshed(session, mvLoc) != g.pinnedVersion)
-      return None
-    val mvPlan = TxnTable.snapshot(session, mvLoc)
-      .queryExecution.analyzed
+    // FRESHNESS BY THE LOG, against the relation's PINNED version. A
+    // fresh MV (cursor == pinned) serves directly; a STALE one serves
+    // MV ⊕ signed-feed tail (cursor, pinned] — the refresh fold as a
+    // plan fragment — provided every tail commit published a feed
+    // (MatView.compensated; O(MV + delta), never O(base)). A feed-less
+    // tail, or an MV AHEAD of a time-travel read, falls through to the
+    // base scan: the rewrite only fires when the log PROVES the answer.
+    val cursor = MatView.lastRefreshed(session, mvLoc)
+    if (cursor > g.pinnedVersion) return None
+    val mvDf = MatView.compensated(session, mvLoc, d, cursor,
+      g.pinnedVersion).getOrElse(return None)
+    val mvPlan = mvDf.queryExecution.analyzed
     val byName = mvPlan.output.map(a => a.name -> a).toMap
     val (mvKey, mvN, mvNn, mvTotal) = (byName.get(d.key), byName.get("n"),
         byName.get("nn"), byName.get("total")) match {

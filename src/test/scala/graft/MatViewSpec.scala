@@ -291,6 +291,91 @@ class MatViewSpec extends SparkSpec {
     assert(rows.head.getLong(1) === wantN)
   }
 
+  test("stale-MV compensation: the rewrite serves MV ⊕ feed tail when " +
+      "every tail commit published a feed; time travel behind the " +
+      "cursor and feed-less tails fall through; a content-invariant " +
+      "tail serves the MV alone") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.comp")
+    s.sql("CREATE TABLE graft.mvspec.comp (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.comp SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'A' ELSE 'B' END, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(200)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/comp"
+    val mv = fresh("mv_comp_view")
+    MatView.create(spark, mv, loc, "g", "v")
+    MatView.register(spark, mv)
+    val q = "SELECT g, COUNT(*) AS n, COUNT(v) AS nn, " +
+      "CAST(SUM(v) AS DOUBLE) AS t FROM graft.mvspec.comp GROUP BY g"
+    def srcs(query: String): (Seq[String], Boolean) = {
+      val p = s.sql(query).queryExecution.optimizedPlan
+      val roots = p.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      val hasV2 = p.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.relation
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.nonEmpty
+      (roots, hasV2)
+    }
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(count(lit(1)).as("n"),
+        count(col("v")).as("nn"), sum(col("v")).cast("double").as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    // cdc batch: delete EVERY 'A' row (group leaves), insert a new 'C'
+    // group that is ALL NULL values (n > 0, nn == 0 → SUM must be NULL)
+    val ch = s.sql("SELECT k, g, v, 'D' AS op FROM graft.mvspec.comp " +
+      "WHERE g = 'A' UNION ALL SELECT id + 1000, 'C', " +
+      "CAST(NULL AS DECIMAL(12,2)), 'U' FROM RANGE(10)")
+    TxnTable.applyChangesMor(spark, loc, ch, "k", cdc = true)
+    // COMPENSATED serve: MV + feed files only — no base data, no v2
+    val (r1, v1) = srcs(q)
+    assert(!v1 && r1.nonEmpty &&
+      r1.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
+      r1.exists(_.contains(s"$loc/_cdc")) && r1.exists(_.contains(mv)),
+      s"compensated plan must read MV + feeds only: $r1")
+    val compRows = agg(TxnTable.snapshot(spark, loc).select(col("g"),
+      col("v")))
+    val served = s.sql(q).collect().map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(served === compRows, "compensated != direct recompute")
+    assert(!served.exists(_._1 == "A") &&
+      served.exists(t => t._1 == "C" && t._2 == 10L && t._3 == 0L &&
+        t._4.isEmpty),
+      s"deleted group must leave; all-NULL group must SUM to NULL: $served")
+    // refresh → cursor = 1; TIME TRAVEL to v0 is BEHIND the cursor:
+    // the MV (even compensated) can't answer the past — base scan
+    MatView.refresh(spark, mv)
+    val (r2, v2) = srcs(q.replace("graft.mvspec.comp",
+      "graft.mvspec.comp VERSION AS OF 0"))
+    assert(v2 || r2.exists(p => !p.contains(mv)),
+      "a time-travel read behind the cursor must not serve from the MV")
+    // a content-invariant tail (compact) serves the MV ALONE
+    TxnTable.compact(spark, loc)
+    val (r3, v3) = srcs(q)
+    assert(!v3 && r3.nonEmpty && r3.forall(_.contains(mv)),
+      s"content-invariant tail must serve the MV alone: $r3")
+    // a FEED-LESS content commit breaks compensation: base scan again
+    s.sql("INSERT INTO graft.mvspec.comp VALUES (5000, 'Z', 1.00)")
+    val (r4, v4) = srcs(q)
+    assert(v4 || r4.exists(p => !p.contains(mv)),
+      "a feed-less tail must fall through to the base scan")
+    assert(s.sql(q).collect().map(_.getString(0)).toSet.contains("Z"))
+  }
+
   test("create REFUSES a value column the DECIMAL(18,2) fold cannot " +
       "hold losslessly — an MV that silently rounds must never exist") {
     val s = spark
