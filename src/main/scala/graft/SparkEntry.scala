@@ -209,6 +209,7 @@ object SparkEntry {
     "st_stream_upsert"        -> (Streams.streamUpsert _),
     "st_stream_mor"           -> (Streams.streamMorApply _),
     "st_stream_dedup_lsh"     -> (graft.streaming.Streams.streamDedupLsh _),
+    "st_stream_txn_multi"     -> (Streams.streamTxnMulti _),
     "st_stream_idempotent"    -> (Streams.streamIdempotent _),
     "st_stream_matview"       -> (Streams.streamMatView _),
     "st_stream_session_window" -> (Streams.streamSessionWindow _),
@@ -591,6 +592,9 @@ object SparkEntry {
     // forgotten fingerprints: the store side is the RETAINED corpus
     "dd_retract" -> graft.operators.Dedup.retractOracle,
     "st_stream_dedup_lsh" -> graft.operators.Dedup.streamDedupLshOracle,
+    // the corpus table after three atomic (corpus, bands, ledger)
+    // micro-batch transactions = seed corpus + each wave's kept docs
+    "st_stream_txn_multi" -> graft.operators.Dedup.streamTxnMultiOracle,
     "q36_orc_roundtrip" ->
       """SELECT l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

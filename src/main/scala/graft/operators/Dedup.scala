@@ -1095,7 +1095,12 @@ object Dedup {
     * st1 → near2/kept2/st2 → near3). Signatures, band keys, candidate
     * buckets, and the integer agreement threshold are the
     * [[incrementalLshOracle]] machinery verbatim (shared builders). */
-  private[graft] def streamDedupLshOracle: String = {
+  /** The three-wave LSH novelty-cascade CTEs shared by the
+    * st_stream_dedup_lsh and st_stream_txn_multi oracles: per wave,
+    * candidates from shared bands against the ACCRETED store (corpus +
+    * everything kept so far), batch representatives by exact
+    * fingerprint, kept = representative AND novel. */
+  private def lshCascadeCtes: String = {
     val matchSum = lshMatchSum
     s"""WITH corpus0 AS (SELECT doc_id, text FROM documents
        |  WHERE doc_id % 3 <> 0),
@@ -1151,13 +1156,30 @@ object Dedup {
        |near3 AS (SELECT b_doc AS doc_id, COUNT(*) AS n_near FROM good
        |  WHERE b_doc >= 200000 AND owner IN (SELECT doc_id FROM st2)
        |  GROUP BY b_doc),
+       |kept3 AS (SELECT r.doc_id FROM brep r
+       |  LEFT JOIN near3 n ON r.doc_id = n.doc_id
+       |  WHERE r.bt = 3 AND n.doc_id IS NULL AND r.batch_rep),
        |nears AS (SELECT * FROM near1 UNION ALL SELECT * FROM near2
-       |  UNION ALL SELECT * FROM near3)
+       |  UNION ALL SELECT * FROM near3)""".stripMargin
+  }
+
+  private[graft] def streamDedupLshOracle: String =
+    s"""$lshCascadeCtes
        |SELECT r.doc_id, r.batch_rep,
        |  COALESCE(n.n_near, CAST(0 AS BIGINT)) AS n_near,
        |  n.doc_id IS NULL AS novel,
        |  (r.batch_rep AND n.doc_id IS NULL) AS keep,
        |  TRUE AS lshstream_ok
        |FROM brep r LEFT JOIN nears n ON r.doc_id = n.doc_id""".stripMargin
-  }
+
+  /** st_stream_txn_multi's oracle: the final corpus-table content — the
+    * seed corpus plus each wave's kept docs, replayed through the same
+    * cascade. */
+  private[graft] def streamTxnMultiOracle: String =
+    s"""$lshCascadeCtes
+       |SELECT doc_id, TRUE AS txnm_ok FROM (
+       |  SELECT doc_id FROM corpus0
+       |  UNION ALL SELECT doc_id FROM kept1
+       |  UNION ALL SELECT doc_id FROM kept2
+       |  UNION ALL SELECT doc_id FROM kept3)""".stripMargin
 }

@@ -1712,16 +1712,54 @@ object TxnTable {
     * (bounded by `maxAttempts`). Returns table → landed version. */
   def commitMultiAppend(s: SparkSession,
       writes: Seq[(String, DataFrame)],
-      maxAttempts: Int = 8): Map[String, Long] = {
+      maxAttempts: Int = 8): Map[String, Long] =
+    commitMultiImpl(s, writes, None, maxAttempts).getOrElse(
+      throw new IllegalStateException(
+        "unreachable: a ledger-less multi-table append reported skip"))
+
+  /** [[commitMultiAppend]] under the (appId, batchId) idempotence
+    * ledger — the EXACTLY-ONCE multi-table sink primitive: a streaming
+    * foreachBatch that must land a batch in N tables together can be
+    * re-invoked with the same batch after any failure (Spark's
+    * documented at-least-once contract), and this returns None instead
+    * of landing it twice. The ledger rides EVERY pend's manifest
+    * header, so atomicity extends to the bookkeeping itself: after
+    * recovery, either all N tables carry both the batch and its ledger
+    * entry, or none does — the skip decision is readable from ANY of
+    * them. Checked three times, like the single-table form: before
+    * staging (fast path, no work), at prepare against each table's
+    * CURRENT base (a racing retry of the same batch aborts this
+    * attempt's pends and skips), never after. */
+  def commitMultiIdempotent(s: SparkSession,
+      writes: Seq[(String, DataFrame)], appId: String, batchId: Long,
+      maxAttempts: Int = 8): Option[Map[String, Long]] =
+    commitMultiImpl(s, writes, Some((appId, batchId)), maxAttempts)
+
+  private def commitMultiImpl(s: SparkSession,
+      writes: Seq[(String, DataFrame)], txn: Option[(String, Long)],
+      maxAttempts: Int): Option[Map[String, Long]] = {
+    // idempotence fast path: the transaction is atomic, so ANY member
+    // table's ledger answers for all of them — one header-resolved
+    // manifest read, no staging
+    if (txn.exists { case (a, b) => writes.exists { case (t, _) =>
+        val cur = currentVersion(s, t)
+        cur >= 0 && manifest(s, t, cur).txns.get(a).exists(_ >= b)
+      }}) return None
     val staged = stageMulti(s, writes)
     try {
       var attempt = 0
       while (attempt < maxAttempts) {
         attempt += 1
         txnAttempts.incrementAndGet()
-        prepareDecide(s, staged, finalize = true) match {
-          case Some(landed) => return landed
-          case None => // aborted or slot contention: retry at new bases
+        try {
+          prepareDecide(s, staged, finalize = true, txn = txn) match {
+            case Some(landed) => return Some(landed)
+            case None => // aborted or slot contention: retry at new bases
+          }
+        } catch { case _: TxnAlreadyApplied =>
+          // a racing retry of the SAME batch won: clean skip
+          staged.foreach { case (t, _, _, fresh) => dropStaged(s, t, fresh) }
+          return None
         }
       }
       throw new ConcurrentModificationException(
@@ -1770,7 +1808,8 @@ object TxnTable {
   private[graft] def prepareDecide(s: SparkSession,
       staged: Seq[(String, DataFrame, Seq[(String, String)], Seq[String])],
       finalize: Boolean,
-      onPrepared: () => Unit = () => ()): Option[Map[String, Long]] = {
+      onPrepared: () => Unit = () => (),
+      txn: Option[(String, Long)] = None): Option[Map[String, Long]] = {
     val txnId = java.util.UUID.randomUUID().toString
     val marker = new Path(
       new Path(staged.head._1, "_txn"), s"$txnId.done")
@@ -1787,6 +1826,11 @@ object TxnTable {
     try staged.foreach { case (t, df, checks0, fresh) =>
       val cur = currentVersion(s, t)
       val m = manifest(s, t, cur)
+      // idempotence recheck at the CURRENT base: a racing retry of the
+      // same (app, batch) already landed — this attempt must abort (the
+      // catch below decides abort + cleans pends), not land twice
+      if (txn.exists { case (a, b) => m.txns.get(a).exists(_ >= b) })
+        throw new TxnAlreadyApplied
       // same revalidation rule as the single-table resolving append: a
       // constraint added since staging must be enforced before commit
       if (m.checks != checks0)
@@ -1808,7 +1852,7 @@ object TxnTable {
       val body = s"#pendmarker=$marker\n" + manifestBody(s, t,
         m.entries.map(render) ++ fresh, cur, "append",
         withMapping(m, df.schema).json, m.deletes, m.idxCols,
-        m.strIdxCols, m.blooms, Nil, Nil, m.retired, m.checks, None)
+        m.strIdxCols, m.blooms, Nil, Nil, m.retired, m.checks, txn)
       val ld = logDir(t)
       val f = fs(s, ld)
       val tmp = new Path(ld, s".tmp-${java.util.UUID.randomUUID()}")

@@ -638,6 +638,112 @@ object Streams {
       .withColumn("lshstream_ok", lit(ok))
   }
 
+  /** st_stream_txn_multi: the EXACTLY-ONCE MULTI-TABLE STREAMING SINK —
+    * every micro-batch lands its kept documents in the CORPUS table,
+    * their band rows in the LSH STORE, and one audit row in the LEDGER
+    * table as ONE atomic transaction
+    * ([[TxnTable.commitMultiIdempotent]]): a crash between any two
+    * single-table commits would leave a corpus doc invisible to dedup
+    * (or a dedup entry with no corpus doc) FOREVER — the silent
+    * divergence every multi-store pipeline risks. The (appId, batchId)
+    * idempotence ledger rides every pend's header, so foreachBatch's
+    * documented at-least-once retries skip cleanly: the scenario
+    * re-applies every batch a second time (3 retry skips), replays
+    * batch 0 after the stream (skip), and proves the three tables move
+    * in LOCKSTEP — identical version trails, per-batch ledger counts
+    * equal to the landed rows, band rows exactly the kept docs'. Wave
+    * topology is st_stream_dedup_lsh's three-wave novelty cascade, so
+    * the corpus content is deterministic and the oracle replays it.
+    * At 100 TB: the transaction costs one pend write + one marker + one
+    * rename per table per batch — O(1) metadata on top of the data
+    * files, at any batch size, and recovery needs no coordinator. */
+  def streamTxnMulti(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Fs.scratch("graft_stream_txnm", "run")
+    graft.Fs.deleteRecursively(base)
+    val corpusT = s"$base/corpus"
+    val store = s"$base/bands"
+    val ledger = s"$base/ledger"
+    val sx = s
+    import sx.implicits._
+    val docs = graft.Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+    val corpus0 = docs.filter(col("doc_id") % 3 =!= 0)
+    TxnTable.create(s, corpusT, corpus0)
+    TxnTable.create(s, store, graft.operators.Dedup.lshBandRows(corpus0))
+    val ledgerSchema = Seq.empty[(Long, Long, Long)]
+      .toDF("batch_id", "n_in", "n_kept").schema
+    TxnTable.commit(s, ledger, TxnTable.stageEmpty(s, ledger, ledgerSchema),
+      expected = -1L, op = "create", schemaJson = ledgerSchema.json)
+    val corpus0Rows = TxnTable.snapshot(s, corpusT).count()
+    val v0Bands = TxnTable.snapshot(s, store).count()
+    val waves = Seq(
+      docs.filter(col("doc_id") % 3 === 0),
+      corpus0.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" the")).as("text")),
+      docs.filter(col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+    val feed = stageWaveFeed(s, base, waves)
+    val applies = new java.util.concurrent.atomic.AtomicLong
+    val retrySkips = new java.util.concurrent.atomic.AtomicLong
+    val q = s.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(feed)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val bBands = graft.operators.Dedup.lshBandRows(batch)
+          .localCheckpoint(true)
+        val bFps = batch.select(col("doc_id"),
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+          .localCheckpoint(true)
+        val verdicts = graft.operators.Dedup
+          .probeLshStore(s, store, bBands, bFps).localCheckpoint(true)
+        val kept = verdicts.filter(col("keep")).select(col("doc_id"))
+        val keptDocs = batch.join(broadcast(kept), Seq("doc_id"))
+          .select(col("doc_id"), col("text")).localCheckpoint(true)
+        val newBands = bBands.join(broadcast(kept), Seq("doc_id"))
+          .localCheckpoint(true)
+        val audit = Seq((epoch, batch.count(), keptDocs.count()))
+          .toDF("batch_id", "n_in", "n_kept")
+        def land() = TxnTable.commitMultiIdempotent(s,
+          Seq(corpusT -> keptDocs, store -> newBands, ledger -> audit),
+          "txn-sink", epoch)
+        if (land().isDefined) applies.incrementAndGet()
+        // the at-least-once retry: the SAME batch re-lands in NO table
+        if (land().isEmpty) retrySkips.incrementAndGet()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // post-stream replay from an old checkpoint: still a clean skip
+    val replay0 = TxnTable.commitMultiIdempotent(s,
+      Seq(corpusT -> waves(0).limit(0), store -> TxnTable
+        .snapshot(s, store).limit(0),
+        ledger -> Seq((0L, 0L, 0L)).toDF("batch_id", "n_in", "n_kept")),
+      "txn-sink", 0L)
+    // the three tables moved in LOCKSTEP: create + one commit per batch
+    val trails = Seq(corpusT, store, ledger)
+      .map(t => TxnTable.versions(s, t))
+    val led = TxnTable.snapshot(s, ledger).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val corpusRows = TxnTable.snapshot(s, corpusT).count()
+    val bandRows = TxnTable.snapshot(s, store).count()
+    val keptBands = graft.operators.Dedup.lshBandRows(
+      s.read.parquet(feed).join(
+        TxnTable.snapshot(s, corpusT).select("doc_id"), "doc_id")).count()
+    val ok = applies.get == 3L && retrySkips.get == 3L &&
+      replay0.isEmpty &&
+      trails.forall(_ == Seq(0L, 1L, 2L, 3L)) &&
+      led.map(_._1).toSeq == Seq(0L, 1L, 2L) &&
+      led.map(_._3).sum == corpusRows - corpus0Rows &&
+      bandRows == v0Bands + keptBands
+    TxnTable.snapshot(s, corpusT).select(col("doc_id"))
+      .withColumn("txnm_ok", lit(ok))
+  }
+
   /** st_stream_cdc: the change feed as a STREAMING source — the
     * composition the txn log + CDC pieces exist for. The table takes two
     * [[TxnTable.overwriteCdc]] commits (the op_incremental_agg change

@@ -2466,6 +2466,69 @@ class TxnSpec extends SparkSpec {
     }
   }
 
+  test("idempotent multi-table transaction: a crash between prepare " +
+      "and marker leaves the batch invisible in ALL tables; the replay " +
+      "lands it EXACTLY once; later replays skip through the ledger") {
+    val ts = Seq("idem_multi1", "idem_multi2", "idem_multi3")
+      .map(freshTable)
+    ts.foreach(t => TxnTable.create(spark, t, baseDf(10)))
+    def batch(shift: Long) = ts.map(t =>
+      t -> baseDf(4).withColumn("k", col("k") + shift))
+    // CRASH BEFORE THE MARKER: onPrepared fires after every pend is
+    // placed and before the arbiter write — a throw there propagates
+    // with NO abort and NO cleanup, exactly the dead-process state
+    val boom = intercept[RuntimeException] {
+      TxnTable.prepareDecide(spark, TxnTable.stageMulti(spark, batch(100)),
+        finalize = true, onPrepared = () => throw new RuntimeException(
+          "simulated crash"), txn = Some(("sink", 0L)))
+    }
+    assert(boom.getMessage === "simulated crash")
+    ts.foreach { t =>
+      assert(TxnTable.versions(spark, t) === Seq(0L),
+        s"$t: an undecided crashed transaction must be invisible")
+      assert(TxnTable.snapshot(spark, t).count() === 10L)
+      val ld = new org.apache.hadoop.fs.Path(s"$t/_log")
+      val f = ld.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(f.listStatus(ld).exists(_.getPath.getName.contains(".pend.")),
+        s"$t: the crashed attempt's pend should still be parked")
+    }
+    // the REPLAY (the restart re-invoking the batch): aborts the orphan
+    // pends in its way and lands the batch exactly once, in all three
+    val landed = TxnTable.commitMultiIdempotent(spark, batch(100),
+      "sink", 0L)
+    assert(landed.isDefined && landed.get.values.toSet === Set(1L))
+    ts.foreach { t =>
+      assert(TxnTable.snapshot(spark, t).count() === 14L)
+      assert(TxnTable.manifest(spark, t, 1L).txns === Map("sink" -> 0L),
+        s"$t: the ledger must ride the transaction's own commit")
+    }
+    // a second replay of the same (app, batch): clean skip, no commit
+    assert(TxnTable.commitMultiIdempotent(spark, batch(100), "sink", 0L)
+      .isEmpty)
+    ts.foreach(t => assert(TxnTable.versions(spark, t) === Seq(0L, 1L)))
+    // CRASH AFTER THE MARKER (committed, unfinalized): every table
+    // completes on its next read, ledger included — and the replay of
+    // that batch reads the recovered ledger and skips
+    val r2 = TxnTable.prepareDecide(spark,
+      TxnTable.stageMulti(spark, batch(200)), finalize = false,
+      txn = Some(("sink", 1L)))
+    assert(r2.isDefined)
+    ts.foreach { t =>
+      assert(TxnTable.snapshot(spark, t).count() === 18L)
+      assert(TxnTable.manifest(spark, t, 2L).txns === Map("sink" -> 1L))
+    }
+    assert(TxnTable.commitMultiIdempotent(spark, batch(200), "sink", 1L)
+      .isEmpty)
+    // an OLDER batch id of the same app also skips (at-or-below rule)
+    assert(TxnTable.commitMultiIdempotent(spark, batch(300), "sink", 0L)
+      .isEmpty)
+    // a NEWER batch lands and advances the ledger
+    assert(TxnTable.commitMultiIdempotent(spark, batch(300), "sink", 2L)
+      .isDefined)
+    ts.foreach(t => assert(TxnTable.manifest(spark, t,
+      TxnTable.currentVersion(spark, t)).txns === Map("sink" -> 2L)))
+  }
+
   test("multi-table transaction: an ADD COLUMN landing between staging " +
       "and prepare fails LOUDLY — the stale schema never commits") {
     val t1 = freshTable("multi_evolve1")
