@@ -120,6 +120,7 @@ object SparkEntry {
     "op_merge_full"           -> (TxnTable.mergeFull _),
     "op_merge_mor"            -> (TxnTable.mergeMor _),
     "op_tomb_rewrite"         -> (TxnTable.tombRewrite _),
+    "op_dv_rewrite"           -> (TxnTable.dvRewrite _),
     "op_compact_range"        -> (TxnTable.compactRangeQ _),
     "op_mor_cdc"              -> (TxnTable.morCdc _),
     "op_str_skip"             -> (TxnTable.strSkip _),
@@ -2039,6 +2040,21 @@ object SparkEntry {
         |      UNION ALL
         |      SELECT k + mx + 1, 'N', price FROM b, r
         |      WHERE k % 11 = 0)""".stripMargin,
+    // positional-DV consolidation: five coordinate vectors merge into
+    // one sorted vector, content-invariant — the oracle replays the
+    // five-step change algebra (dedup of the doubled seed = base, then
+    // three predicate deletes and one predicate reprice)
+    "op_dv_rewrite" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(CASE WHEN k % 10 = 5
+        |    THEN CAST(price + 50 AS DECIMAL(12,2)) ELSE price END
+        |    AS DOUBLE) AS price,
+        |  TRUE AS dv_ok
+        |FROM b
+        |WHERE k % 9 <> 0 AND NOT (st = 'P' AND k % 4 = 1)
+        |  AND k % 27 <> 1""".stripMargin,
     // merge-on-read delete: both generations (tombstone anti-join, then
     // compacted materialization) must hash to the same surviving rows;
     // zero-rewrite + tombstone accounting travels as a boolean

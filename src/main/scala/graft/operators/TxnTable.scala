@@ -3820,9 +3820,14 @@ object TxnTable {
       val posOut =
         if (posLines.size <= 1) posLines
         else {
+          // distinct() dedupes exact (f, p) collisions across vectors;
+          // the (f, p) sort makes the single output file run-length
+          // friendly AND lets the read-side anti-join's per-file probe
+          // touch one contiguous row range per data file
           val union = posLines.map(f =>
             s.read.parquet(pathFor(table, f._1)))
             .reduce(_ unionByName _).distinct().coalesce(1)
+            .sortWithinPartitions(col("f"), col("p"))
           val staged = stage(s, table, union)
           require(staged.size == 1,
             s"$table: vector union staged ${staged.size} files")
@@ -7018,6 +7023,84 @@ object TxnTable {
     snapshot(s, t)
       .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
       .withColumn("rewrite_ok", lit(ok))
+  }
+
+  /** op_dv_rewrite: POSITIONAL-DV CONSOLIDATION — the maintenance that
+    * keeps merge-on-read-by-coordinate readable. Five DV-producing
+    * commits (a dedupMor over a doubled seed, three predicate deletes,
+    * one predicate update) each park their own `~pos` vector; every
+    * read then pays FIVE anti-join probe groups. [[rewriteTombstones]]
+    * merges the five coordinate parquets into ONE (f, p)-sorted vector
+    * — a pure coordinate union (distinct dedupes exact collisions),
+    * NO data file read or removed, entries carried verbatim — because
+    * exact coordinates can never over-kill: each named file's entry
+    * seq is below its own vector's seq ≤ the carried max. `dv_ok`
+    * certifies: 5 → 1 `~pos` lines, the merged coordinate SET exactly
+    * equals the union of the five originals, the single vector file is
+    * (f, p)-sorted, content hash-invariant at head AND at the pinned
+    * pre-rewrite version, and a compact afterwards folds the vector
+    * away with the row count preserved. Hashed output = the surviving
+    * rows (oracle replays the five-step change algebra). At 100 TB: a
+    * per-batch DV stream accretes one vector per commit — this is the
+    * O(Σ|vectors|) maintenance that caps read cost at one probe group,
+    * touching zero data bytes. */
+  def dvRewrite(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("dvrw_orders")
+    val base = ordersSlice(s, d)
+    val k = col("o_orderkey")
+    // seed DOUBLED: every k % 6 == 0 row appears twice, so the dedup
+    // pass has real victims
+    val seed = base.unionByName(base.filter(pmod(k, lit(6)) === 0))
+    commit(s, t, stage(s, t, seed.repartition(8)), expected = -1L,
+      op = "create", schemaJson = seed.schema.json)
+    val seeded = seed.count()
+    // five positional vectors, five different shapes
+    dedupMor(s, t, Seq("o_orderkey")) // c1: exact-dup coordinates
+    deleteWherePos(s, t, pmod(k, lit(9)) === 0) // c2
+    updateWherePos(s, t, pmod(k, lit(10)) === 5, // c3: DV + fresh files
+      Seq("price" -> (col("price") + lit(50).cast(D12)).cast(D12)))
+    deleteWherePos(s, t, // c4: predicate over an unindexed column
+      col("o_orderstatus") === "P" && pmod(k, lit(4)) === 1)
+    deleteWherePos(s, t, pmod(k, lit(27)) === 1) // c5
+    val cur = currentVersion(s, t)
+    val mBefore = manifest(s, t, cur)
+    def coordSet(m: Manifest): Set[(String, Long)] =
+      s.read.parquet(m.deletes.map(l => pathFor(t, l._1)): _*)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val coordsBefore = coordSet(mBefore)
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("o_orderkey"), col("o_orderstatus"),
+          col("price")).cast(DecimalType(38, 0)))).collect()(0)
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val before = sig(snapshot(s, t))
+    val v = rewriteTombstones(s, t)
+    val mAfter = manifest(s, t, v)
+    val collapsed = mBefore.deletes.size == 5 &&
+      mBefore.deletes.forall(_._2 == "~pos") &&
+      mAfter.deletes.size == 1 && mAfter.deletes.head._2 == "~pos"
+    val verbatim = mAfter.entries == mBefore.entries
+    // the merged vector: the EXACT union, in (f, p) order on disk
+    val mergedRows = s.read
+      .parquet(pathFor(t, mAfter.deletes.head._1)).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exactUnion = mergedRows.toSet == coordsBefore &&
+      mergedRows.length == coordsBefore.size
+    val sorted = mergedRows.sameElements(mergedRows.sortBy(identity))
+    // content invariant at head AND at the pinned pre-rewrite version;
+    // the pre-DV seed still answers through the v0 pin
+    val invariant = sig(snapshot(s, t)) == before &&
+      sig(snapshot(s, t, cur)) == before &&
+      snapshot(s, t, 0L).count() == seeded
+    val vc = compact(s, t)
+    val converged = deleteFiles(s, t, vc).isEmpty &&
+      snapshot(s, t).count() == before._1
+    val ok = collapsed && verbatim && exactUnion && sorted &&
+      invariant && converged
+    snapshot(s, t)
+      .select(k, col("o_orderstatus"), col("price").cast("double").as("price"))
+      .withColumn("dv_ok", lit(ok))
   }
 
   /** op_txn_wap: WRITE–AUDIT–PUBLISH as a checked query — the pattern

@@ -1898,6 +1898,13 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.snapshot(spark, t3).as[(Long, String)].collect()
       .map(_._1).sorted.toSeq === expect3,
       "vector union changed the kill set")
+    // the merged vector is ONE (f, p)-sorted file: the read-side probe
+    // touches one contiguous range per data file
+    val vecRel = m4.deletes.find(_._2 == "~pos").get._1
+    val coords = spark.read.parquet(TxnTable.pathFor(t3, vecRel))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(coords.sameElements(coords.sortBy(identity)),
+      "merged vector must be (f, p)-sorted on disk")
   }
 
   test("vacuum preview predicts the sweep exactly and touches nothing") {
