@@ -173,6 +173,7 @@ object SparkEntry {
     "ta_tfidf"                -> (TextAnalysis.tfidf _),
     "ta_bm25"                 -> (TextAnalysis.bm25 _),
     "ta_index_search"         -> (TextAnalysis.indexSearch _),
+    "ta_index_retract"        -> (TextAnalysis.indexRetract _),
     "ta_feature_hash"         -> (TextAnalysis.featureHash _),
     "ta_cdc_chunk"            -> (TextAnalysis.cdcChunk _),
     "ta_dsir"                 -> (TextAnalysis.dsir _),
@@ -2287,6 +2288,29 @@ object SparkEntry {
         |          / (SELECT COUNT(*) FROM documents)))), 4) AS bm25
         |  FROM tf t JOIN qt q USING (tok) JOIN dl l USING (doc_id))
         |SELECT tok, doc_id, tf, df, bm25, rank, TRUE AS idx_ok FROM (
+        |  SELECT tok, doc_id, tf, df, bm25, ROW_NUMBER() OVER (
+        |    PARTITION BY tok ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM scored) r WHERE rank <= 10""".stripMargin,
+    // retraction oracle: the SAME replay over the RETAINED corpus —
+    // the index must answer as if doc_id % 7 == 0 were never indexed
+    "ta_index_retract" ->
+      """WITH kept AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM kept),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |qt AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 16),
+        |scored AS (SELECT t.tok, t.doc_id, t.tf, q.df,
+        |    ROUND(ln(((SELECT COUNT(*) FROM kept) - q.df + 0.5)
+        |        / (q.df + 0.5) + 1.0)
+        |      * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl /
+        |        ((SELECT SUM(dl) FROM dl) * 1.0
+        |          / (SELECT COUNT(*) FROM kept)))), 4) AS bm25
+        |  FROM tf t JOIN qt q USING (tok) JOIN dl l USING (doc_id))
+        |SELECT tok, doc_id, tf, df, bm25, rank, TRUE AS ridx_ok FROM (
         |  SELECT tok, doc_id, tf, df, bm25, ROW_NUMBER() OVER (
         |    PARTITION BY tok ORDER BY bm25 DESC, doc_id) AS rank
         |  FROM scored) r WHERE rank <= 10""".stripMargin,

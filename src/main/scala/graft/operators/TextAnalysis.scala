@@ -616,64 +616,93 @@ object TextAnalysis {
     * ALONE — same contract, different physics — and the oracle is the
     * same full-corpus replay: the index provably answers what the
     * from-scratch pipeline answers. */
+  /** (tok, doc_id, tf, dl) posting rows of one corpus batch — the
+    * inverted-index unit [[indexSearch]] and [[indexRetract]] share. */
+  private def idxPostings(batch: DataFrame): DataFrame = {
+    val tok = batch.select(col("doc_id"),
+      explode(wsTokens(col("text"))).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    tf.join(dl, "doc_id")
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+  }
+
+  /** (docs, tokens) of one corpus batch. N counts EVERY document —
+    * including empty/whitespace-only ones that produce no postings —
+    * matching ta_bm25's docs.count() and the oracle's COUNT(*) FROM
+    * documents (a tokenized-docs count would shift every idf and avgdl
+    * on a corpus with empty docs). */
+  private def idxStats(batch: DataFrame): (Long, Long) = {
+    val toks = batch.select(explode(wsTokens(col("text")))).count()
+    (batch.count(), toks)
+  }
+
+  private def idxCluster(p: DataFrame): DataFrame =
+    p.repartitionByRange(8, col("tok")).sortWithinPartitions(col("tok"))
+
+  /** Build the two-generation posting store (batch 1 creates, batch 2
+    * appends with every batch-1 entry carried verbatim; cumulative
+    * (docs, toks) in each commit's #metrics header). Returns batch-1's
+    * rendered v0 entry lines (for the carry assertion) and the corpus
+    * totals the head header must restate. */
+  private def buildIdxStore(s: SparkSession, store: String,
+      docs: DataFrame): (Set[String], Long, Long) = {
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val (n1, t1) = idxStats(b1)
+    val p1 = idxPostings(b1)
+    TxnTable.commit(s, store, TxnTable.stageIndexed(s, store,
+      idxCluster(p1), Nil, Seq("tok")), expected = -1L, op = "create",
+      schemaJson = p1.schema.json, strIdxCols = Seq("tok"),
+      metrics = Seq("docs" -> n1, "toks" -> t1))
+    val v0Lines = TxnTable.manifest(s, store, 0L).entries
+      .map(TxnTable.render).toSet
+    val b2 = docs.filter(col("doc_id") % 2 =!= 0)
+    val (n2, t2) = idxStats(b2)
+    val m0 = TxnTable.manifest(s, store, 0L)
+    TxnTable.commit(s, store,
+      m0.entries.map(TxnTable.render) ++ TxnTable.stageIndexed(s, store,
+        idxCluster(idxPostings(b2)), Nil, Seq("tok")),
+      expected = 0L, op = "append", schemaJson = p1.schema.json,
+      strIdxCols = Seq("tok"),
+      metrics = Seq("docs" -> (n1 + n2), "toks" -> (t1 + t2)))
+    (v0Lines, n1 + n2, t1 + t2)
+  }
+
   def indexSearch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val store = graft.Fs.scratch("graft_ta", "idx_store")
     graft.Fs.deleteRecursively(store)
     val docs = Tables.documents(s, d)
-    def postings(batch: DataFrame): DataFrame = {
-      val tok = batch.select(col("doc_id"),
-        explode(wsTokens(col("text"))).as("tok"))
-      val tf = tok.groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      tf.join(dl, "doc_id")
-        .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
-    }
-    // N counts EVERY document — including empty/whitespace-only ones
-    // that produce no postings — matching ta_bm25's docs.count() and
-    // the oracle's COUNT(*) FROM documents (a tokenized-docs count
-    // would shift every idf and avgdl on a corpus with empty docs)
-    def stats(batch: DataFrame): (Long, Long) = {
-      val toks = batch.select(explode(wsTokens(col("text")))).count()
-      (batch.count(), toks)
-    }
-    def cluster(p: DataFrame): DataFrame =
-      p.repartitionByRange(8, col("tok")).sortWithinPartitions(col("tok"))
-    // batch 1 creates the store; stats land in the commit header
-    val b1 = docs.filter(col("doc_id") % 2 === 0)
-    val (n1, t1) = stats(b1)
-    val p1 = postings(b1)
-    TxnTable.commit(s, store, TxnTable.stageIndexed(s, store,
-      cluster(p1), Nil, Seq("tok")), expected = -1L, op = "create",
-      schemaJson = p1.schema.json, strIdxCols = Seq("tok"),
-      metrics = Seq("docs" -> n1, "toks" -> t1))
-    val v0Lines = TxnTable.manifest(s, store, 0L).entries
-      .map(TxnTable.render).toSet
-    // batch 2 appends its postings + CUMULATIVE stats — O(batch) work
-    val b2 = docs.filter(col("doc_id") % 2 =!= 0)
-    val (n2, t2) = stats(b2)
-    val m0 = TxnTable.manifest(s, store, 0L)
-    TxnTable.commit(s, store,
-      m0.entries.map(TxnTable.render) ++ TxnTable.stageIndexed(s, store,
-        cluster(postings(b2)), Nil, Seq("tok")),
-      expected = 0L, op = "append", schemaJson = p1.schema.json,
-      strIdxCols = Seq("tok"),
-      metrics = Seq("docs" -> (n1 + n2), "toks" -> (t1 + t2)))
+    val (v0Lines, nAll, _) = buildIdxStore(s, store, docs)
     // ---- query time: store + manifest header only, no corpus read ----
     val head = TxnTable.manifest(s, store,
       TxnTable.currentVersion(s, store))
     val n = head.metrics("docs")
     val avgdl = head.metrics("toks").toDouble / n
     val carried = v0Lines.subsetOf(head.entries.map(TxnTable.render).toSet)
-    // term selection: highest document frequency, from postings alone
+    val (ranked, okPrune) = idxQuery(s, store, n, avgdl)
+    val ok = okPrune && carried && n == nAll &&
+      TxnTable.versions(s, store) == Seq(0L, 1L)
+    ranked.withColumn("idx_ok", lit(ok))
+  }
+
+  /** The retrieval half of the posting store, shared by
+    * [[indexSearch]] and [[indexRetract]]: top-df term selection from
+    * the (tombstone-applied) store, each term's postings via the
+    * MANIFEST-PRUNED point lookup (the term-clustered layout means O(1)
+    * files per term, per generation), exact ta_bm25 arithmetic from
+    * store rows + the header's (n, avgdl), salted top-k. Returns the
+    * ranked frame and the prune-accounting flag (each term must have
+    * kept ≤2 of the range files). */
+  private def idxQuery(s: SparkSession, store: String, n: Long,
+      avgdl: Double): (DataFrame, Boolean) = {
+    import s.implicits._
     val dfAll = TxnTable.snapshot(s, store).groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
     val qts: Seq[(String, Long)] = dfAll
       .orderBy(col("df").desc, col("tok"))
       .limit(Bm25Queries).as[(String, Long)].collect().toSeq
-    // each term's postings via the MANIFEST-PRUNED point lookup: the
-    // term-clustered layout means O(1) files per term, per generation
     var kept = 0
     var total = 0
     val termFrames = qts.map { case (t, dfT) =>
@@ -689,23 +718,75 @@ object TextAnalysis {
       round(idf * (col("tf") * lit(Bm25K1Plus1)) /
         (col("tf") + lit(Bm25K1) * (lit(Bm25OneMinusB) +
           lit(Bm25B) * col("dl") / lit(avgdl))), 4).as("bm25"))
-    // point lookups must have PRUNED (each term: ≤2 of ~16 range files
-    // — one per generation) and batch-1 entries must have carried
     val okPrune = total >= qts.size * 10 && kept <= qts.size * 2
-    val ok = okPrune && carried && n == n1 + n2 &&
-      TxnTable.versions(s, store) == Seq(0L, 1L)
     val w1 = Window.partitionBy(col("tok"),
         pmod(col("doc_id"), lit(Bm25Salts)))
       .orderBy(col("bm25").desc, col("doc_id"))
     val w2 = Window.partitionBy(col("tok"))
       .orderBy(col("bm25").desc, col("doc_id"))
-    scored.withColumn("prerank", row_number().over(w1))
+    val ranked = scored.withColumn("prerank", row_number().over(w1))
       .filter(col("prerank") <= Bm25TopK)
       .withColumn("rank", row_number().over(w2))
       .filter(col("rank") <= Bm25TopK)
       .select(col("tok"), col("doc_id"), col("tf"), col("df"),
         col("bm25"), col("rank"))
-      .withColumn("idx_ok", lit(ok))
+    (ranked, okPrune)
+  }
+
+  /** ta_index_retract: GDPR RETRACTION from the persisted inverted
+    * index — the posting store was dd_retract's remaining ghost: a doc
+    * scrubbed from the corpus and the fingerprint store still ANSWERS
+    * QUERIES through its postings until retrieval forgets it too. One
+    * [[TxnTable.deleteKeysMor]] commit on doc_id retracts every posting
+    * row of the named docs with ZERO posting files rewritten (the
+    * equality tombstone anti-joins at read), and the SAME commit
+    * restates the cumulative (docs, toks) `#metrics=` header with the
+    * retracted docs' counts subtracted — N and avgdl stay ONE header
+    * read at query time, and the tombstone and the statistics can never
+    * be observed apart. Every downstream number shifts coherently: df
+    * (counted from the tombstone-applied store), idf's N, avgdl's both
+    * terms — so BM25 answers AS IF THE DOCS WERE NEVER INDEXED, which
+    * is exactly what the oracle demands: a full from-scratch replay
+    * over the RETAINED corpus (doc_id % 7 <> 0), hash-equal. `ridx_ok`
+    * carries: entries byte-verbatim across the retraction (zero files
+    * rewritten), exactly one tombstone line, header stats == retained
+    * corpus stats, no retracted doc in any posting the query touched,
+    * and the same manifest-prune accounting as ta_index_search. At
+    * 100 TB: the retraction costs one key-file write + one manifest
+    * commit, at any index size — the alternative (rewrite every
+    * posting file containing the doc) scales with the corpus. */
+  def indexRetract(s: SparkSession, d: String): DataFrame = {
+    val store = graft.Fs.scratch("graft_ta", "idx_retract")
+    graft.Fs.deleteRecursively(store)
+    val docs = Tables.documents(s, d)
+    val (_, nAll, tAll) = buildIdxStore(s, store, docs)
+    // ---- the retraction: doc_id % 7 == 0 must vanish from retrieval ----
+    val entriesBefore = TxnTable.manifest(s, store,
+      TxnTable.currentVersion(s, store)).entries.map(TxnTable.render).toSet
+    val goneDocs = docs.filter(col("doc_id") % 7 === 0)
+    val (nGone, tGone) = idxStats(goneDocs)
+    val mHead = TxnTable.manifest(s, store,
+      TxnTable.currentVersion(s, store))
+    TxnTable.deleteKeysMor(s, store, goneDocs.select(col("doc_id")),
+      "doc_id", metrics = Seq(
+        "docs" -> (mHead.metrics("docs") - nGone),
+        "toks" -> (mHead.metrics("toks") - tGone)))
+    // ---- query time: store + manifest header only, no corpus read ----
+    val head = TxnTable.manifest(s, store,
+      TxnTable.currentVersion(s, store))
+    val n = head.metrics("docs")
+    val avgdl = head.metrics("toks").toDouble / n
+    // zero posting files rewritten: entries byte-verbatim, ONE tombstone
+    val untouched =
+      head.entries.map(TxnTable.render).toSet == entriesBefore &&
+        head.deletes.size == 1
+    val (ranked, okPrune) = idxQuery(s, store, n, avgdl)
+    // behavioral proof on top of the oracle hash: nothing the query
+    // touched names a retracted doc
+    val noGhost = ranked.filter(col("doc_id") % 7 === 0).isEmpty
+    val ok = untouched && okPrune && noGhost &&
+      n == nAll - nGone && head.metrics("toks") == tAll - tGone
+    ranked.withColumn("ridx_ok", lit(ok))
   }
 
   /** Number of BPE merges learned; the oracle unrolls this many rounds.

@@ -3577,7 +3577,8 @@ object TxnTable {
     * tombstone. compact() still materializes everything into a clean
     * tombstone-free version. */
   def deleteKeysMor(s: SparkSession, table: String, keys: DataFrame,
-                    key: String): Long = {
+                    key: String,
+                    metrics: Seq[(String, Long)] = Nil): Long = {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur)
     // a tombstone on a column the table doesn't have would poison every
@@ -3602,9 +3603,14 @@ object TxnTable {
     // later renames/drops, the invariant the anti-join reads by
     val dels = m.deletes ++
       staged.map((_, physMap(m).getOrElse(key, key), -1L)) // -1 → commit seq
+    // caller-supplied metrics ride the SAME commit: a store whose
+    // corpus-level statistics live in #metrics= headers (ta_index_*)
+    // can retract rows and restate its stats atomically — a separate
+    // stats commit would leave a window where reads see the tombstone
+    // but stale statistics
     commit(s, table, m.entries.map(render), cur, op = "delete_mor",
       schemaJson = m.schema.map(_.json).orNull,
-      deleteLines = dels,
+      deleteLines = dels, metrics = metrics,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       retired = m.retired, checks = m.checks)
   }

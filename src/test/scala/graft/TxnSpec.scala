@@ -1907,6 +1907,33 @@ class TxnSpec extends SparkSpec {
       "merged vector must be (f, p)-sorted on disk")
   }
 
+  test("deleteKeysMor with metrics: the tombstone and the restated " +
+      "stats are ONE commit — never observable apart; time travel " +
+      "answers the pre-retract state of both") {
+    val s2 = spark
+    import s2.implicits._
+    val t = freshTable("mor_metrics")
+    TxnTable.create(spark, t, baseDf(20))
+    // hand-stamp v0 stats the way a posting store does
+    TxnTable.commit(spark, t,
+      TxnTable.manifest(spark, t, 0L).entries.map(TxnTable.render), 0L,
+      op = "append", schemaJson = baseDf(20).schema.json,
+      metrics = Seq("docs" -> 20L, "toks" -> 100L))
+    val entries1 = TxnTable.manifest(spark, t, 1L).entries
+      .map(TxnTable.render).toSet
+    val v = TxnTable.deleteKeysMor(spark, t, Seq(1L, 2L, 3L).toDF("k"),
+      "k", metrics = Seq("docs" -> 17L, "toks" -> 85L))
+    val m = TxnTable.manifest(spark, t, v)
+    // one commit: tombstone AND stats, entries untouched
+    assert(m.deletes.size === 1 && m.op === "delete_mor")
+    assert(m.metrics("docs") === 17L && m.metrics("toks") === 85L)
+    assert(m.entries.map(TxnTable.render).toSet === entries1)
+    assert(TxnTable.snapshot(spark, t).count() === 17L)
+    // the pinned pre-retract version answers BOTH the rows and the stats
+    assert(TxnTable.snapshot(spark, t, 1L).count() === 20L)
+    assert(TxnTable.manifest(spark, t, 1L).metrics("docs") === 20L)
+  }
+
   test("vacuum preview predicts the sweep exactly and touches nothing") {
     val s2 = spark
     import s2.implicits._
