@@ -67,6 +67,7 @@ object SparkEntry {
     "sql_txn_timetravel"      -> (SqlSurface.txnTimeTravel _),
     "sql_txn_skip"            -> (SqlSurface.txnSkip _),
     "sql_txn_dpp"             -> (SqlSurface.txnDpp _),
+    "sql_txn_delete_in"       -> (SqlSurface.txnDeleteIn _),
     "sql_mv_rewrite"          -> (SqlSurface.mvRewrite _),
     "sql_mv_delta"            -> (SqlSurface.mvDelta _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
@@ -1416,6 +1417,17 @@ object SparkEntry {
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS skip_ok
         |FROM b, r WHERE k >= lo AND k < hi""".stripMargin,
+    // id-list DELETE: the survivors — every 31st key of quarter 2 gone,
+    // the other three quarters untouched (per-value file pruning)
+    "sql_txn_delete_in" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |m AS (SELECT MIN(k) AS kmin, MAX(k) - MIN(k) AS span FROM b),
+        |r AS (SELECT kmin + (span+1)//4 AS lo,
+        |             kmin + 2*(span+1)//4 AS hi FROM m)
+        |SELECT k AS o_orderkey, st AS o_orderstatus,
+        |  CAST(price AS DOUBLE) AS price, TRUE AS din_ok
+        |FROM b, r WHERE NOT (k >= lo AND k < hi AND k % 31 = 0)""".stripMargin,
     // the final answer (after the 'Z' cdc insert AND the feed-less 'W'
     // insert) == a direct recompute of the base content — the rewrite,
     // compensated or fallen-through, is invisible in results

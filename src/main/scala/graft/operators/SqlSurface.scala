@@ -205,6 +205,72 @@ object SqlSurface {
     s.sql(sel).withColumn("skip_ok", lit(ok))
   }
 
+  /** sql_txn_delete_in: the GDPR-ID-LIST DELETE — `DELETE FROM t WHERE
+    * k IN (v1..vn)` routed through PER-VALUE manifest verdicts
+    * ([[graft.operators.TxnTable.deleteIn]]): a range fold would span
+    * [min(vs), max(vs)] — nearly the whole table for a scattered id
+    * list — while per-value verdicts touch only the files some member
+    * can actually reach. Four single-file quarter inserts give every
+    * file a tight key box; the id list is every 31st key of QUARTER 2
+    * only, so the delete must keep the other three quarters VERBATIM
+    * (same entry lines before and after — never listed or opened),
+    * rewrite exactly the quarter-2 file + the stat-less create
+    * sentinel, and drop nothing; the three-way (drop/rewrite/keep)
+    * accounting rides the commit's `#metrics=` header and `din_ok`
+    * pins it, plus the carried-verbatim entry check. Hashed output =
+    * the surviving rows; the oracle replays the same id arithmetic.
+    * At 100 TB: deleting 10k scattered ids costs O(files the ids
+    * live in), not O(table) — with >10k ids folding to the envelope
+    * so planning itself stays O(#files). */
+  def txnDeleteIn(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "din_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.din_orders (
+      o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    val b = s.sql("SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi " +
+      "FROM orders").collect()(0)
+    val (kmin, kmax) = (b.getLong(0), b.getLong(1))
+    val span = kmax - kmin
+    val qc = (0L to 4L).map(i => kmin + i * (span + 1) / 4)
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO graft.q.din_orders
+        SELECT /*+ REPARTITION(1) */ o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders
+        WHERE o_orderkey >= ${qc(i)} AND o_orderkey < ${qc(i + 1)}""")
+    }
+    val before = graft.operators.TxnTable.manifest(s, loc,
+      graft.operators.TxnTable.currentVersion(s, loc)).entries
+      .map(graft.operators.TxnTable.render)
+    // the id list: every 31st key of quarter 2 — scattered WITHIN the
+    // quarter, disjoint from the other three
+    val ids = s.sql(s"""SELECT o_orderkey FROM orders
+      WHERE o_orderkey >= ${qc(1)} AND o_orderkey < ${qc(2)}
+        AND o_orderkey % 31 = 0""").collect().map(_.getLong(0)).toSeq
+    s.sql(s"DELETE FROM graft.q.din_orders WHERE o_orderkey IN " +
+      s"(${ids.mkString(", ")})")
+    val v = graft.operators.TxnTable.currentVersion(s, loc)
+    val mAfter = graft.operators.TxnTable.manifest(s, loc, v)
+    val metrics = graft.operators.TxnTable.commitMetrics(s, loc, v)
+    // kept = quarters 1/3/4 carried BYTE-VERBATIM; rewritten = the
+    // quarter-2 file + the stat-less create sentinel (conservative);
+    // dropped = none (no single-point file here)
+    val afterLines = mAfter.entries.map(graft.operators.TxnTable.render)
+      .toSet
+    // exactly the three untouched quarter files carry byte-verbatim
+    // (the rewritten quarter-2 file and the sentinel do not)
+    val carried = (before.toSet & afterLines).size == 3
+    val ok = ids.nonEmpty &&
+      metrics.get("kept").contains(3L) &&
+      metrics.get("rewritten").contains(2L) &&
+      metrics.get("dropped").contains(0L) &&
+      carried
+    s.sql("SELECT o_orderkey, o_orderstatus, " +
+      "CAST(price AS DOUBLE) AS price FROM graft.q.din_orders")
+      .withColumn("din_ok", lit(ok))
+  }
+
   /** The optimized plan's SCAN SOURCES (toString truncates paths):
     * parquet LogicalRelations expose their file roots, a surviving
     * catalog relation its table identifier. */

@@ -2955,6 +2955,129 @@ object TxnTable {
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
   }
 
+  /** Past this many distinct values, [[deleteIn]]'s per-file verdicts
+    * fold to the set's [min, max] envelope — planning stays O(#files),
+    * never O(#files × #values); the residual filter stays EXACT (the
+    * same fold the DPP read path applies to oversized runtime IN-sets). */
+  private[graft] val MaxDeleteInValues = 10000
+
+  /** File-pruned DELETE of an explicit VALUE SET over one integral
+    * column — the GDPR-id-list shape `DELETE FROM t WHERE k IN
+    * (v1..vn)`. A range is the wrong tool here: [min(vs), max(vs)]
+    * spans nearly the whole table for a scattered id list, while
+    * PER-VALUE verdicts touch only the files some member can actually
+    * reach. Per file and per value, every stat dimension answers:
+    * range/z-order stats say v may live there only if lo ≤ v ≤ hi;
+    * a `bucketN(key)` transform layout (where raw ranges prune
+    * nothing) says so only if [[bucketOf]](v) lands in the file's
+    * bucket box — the sql_txn_dpp IN-set logic, write-side. Verdicts
+    * compose conservatively: no member reaches the file → kept
+    * VERBATIM (never listed or opened); a single-point file [v, v]
+    * with v in the set and zero nulls → dropped as pure metadata;
+    * anything else rewrites with the exact residual (null keys always
+    * survive — SQL IN three-valued logic). Copy-on-write as always:
+    * pinned readers see the deleted rows until vacuum. */
+  def deleteIn(s: SparkSession, table: String, key: String,
+      values: Seq[Long]): DeleteResult = {
+    require(values.nonEmpty,
+      "deleteIn needs at least one value (an empty IN-list deletes " +
+        "nothing — make the no-op explicit at the call site)")
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    val pm = physMap(m)
+    val pc = pm.getOrElse(key, key)
+    val vset = values.distinct.sorted.toIndexedSeq
+    val folded = vset.size > MaxDeleteInValues
+    val (envLo, envHi) = (vset.head, vset.last)
+    val bucketSpecs = m.idxCols.collect {
+      case sp @ BucketSpec(n, `pc`) => (sp, n.toInt) }
+    def side(e: Entry): Char = {
+      val range: Char = e.statFor(pc) match {
+        case Some((fLo, fHi)) if fLo > fHi => 'k' // all-null file
+        case Some((fLo, fHi)) =>
+          val mayHold =
+            if (folded) !(envHi < fLo || envLo > fHi)
+            // vset is sorted: probe the window [fLo, fHi] by search
+            else {
+              val from = lowerBound(vset, fLo)
+              from < vset.size && vset(from) <= fHi
+            }
+          if (!mayHold) 'k'
+          // single-point file: mayHold on [v, v] means v IS a member,
+          // so with zero nulls every row matches — pure-metadata drop
+          else if (!folded && fLo == fHi &&
+            e.nullsFor(pc).forall(_ == 0L)) 'd'
+          else 'u'
+        case None => 'u'
+      }
+      if (range == 'k') return 'k'
+      // the bucket dimension can only STRENGTHEN a keep: a file whose
+      // bucket box no member's bucket reaches holds none of them
+      val bucketKeeps = !folded && bucketSpecs.exists { case (sp, n) =>
+        e.statFor(sp).exists { case (bLo, bHi) =>
+          bLo <= bHi && !vset.exists { v =>
+            val b = bucketOf(v, n); b >= bLo && b <= bHi } }
+      }
+      if (bucketKeeps) 'k' else range
+    }
+    val verdicts = m.entries.map(e => e -> side(e))
+    val dropped = verdicts.collect { case (e, 'd') => e }
+    val kept = verdicts.collect { case (e, 'k') => e }
+    val rewrite = verdicts.collect { case (e, 'u') => e }
+    val fresh =
+      if (rewrite.isEmpty) Seq.empty
+      else {
+        val prev = readEntries(s, table, m, rewrite)
+        // survivors: rows whose key is NOT a member — a NULL key makes
+        // `k IN (...)` NULL, which DELETE must NOT act on. Small sets
+        // stay a codegen'd isin; oversized sets ship as a broadcast
+        // anti-join instead of a 10k-literal expression tree (null keys
+        // never match an equi-join, so they survive identically)
+        val survivors =
+          if (!folded) prev.filter(!coalesce(col(key).isin(vset: _*),
+            lit(false)))
+          else {
+            val vdf = s.createDataFrame(
+              s.sparkContext.parallelize(vset.map(org.apache.spark.sql.Row(_)), 1),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("__graft_in_v",
+                  org.apache.spark.sql.types.LongType))))
+            prev.join(broadcast(vdf),
+              prev(key) === col("__graft_in_v"), "left_anti")
+          }
+        val c = survivors
+          .repartitionByRange(math.max(rewrite.size, 1), col(key))
+          .sortWithinPartitions(col(key))
+        if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
+          stageIndexed(s, table, toPhysical(c, m), m.idxCols, m.strIdxCols)
+            .filter(hasStats)
+        else stage(s, table, toPhysical(c, m))
+      }
+    val lines = kept.map(render) ++ fresh
+    val finalLines =
+      if (lines.nonEmpty) lines
+      else stage(s, table, snapshot(s, table, cur).limit(0))
+    val v = commit(s, table, finalLines, cur, op = "delete",
+      schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
+      idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
+      metrics = Seq("dropped" -> dropped.size.toLong,
+        "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong),
+      retired = m.retired, checks = m.checks)
+    DeleteResult(v, dropped.size, rewrite.size, kept.size)
+  }
+
+  /** Index of the first element of sorted `xs` that is ≥ `v` (== xs.size
+    * when none) — the per-file membership probe [[deleteIn]] runs per
+    * entry, O(log n) instead of an O(n) exists per file. */
+  private def lowerBound(xs: IndexedSeq[Long], v: Long): Int = {
+    var lo = 0; var hi = xs.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** File-pruned copy-on-write MERGE (latest-wins upsert): batch rows
     * REPLACE current rows with the same key, new keys insert — but only
     * the files whose manifest [min,max] key range can contain a batch key

@@ -832,8 +832,9 @@ class GraftTable(ident: String, private[sources] val location: String,
     * WHERE). */
   private case class ParsedDelete(
       ints: Map[String, (Long, Long)],
-      strs: Map[String, (TxnTable.StrBound, TxnTable.StrBound)]) {
-    def isTautology: Boolean = ints.isEmpty && strs.isEmpty
+      strs: Map[String, (TxnTable.StrBound, TxnTable.StrBound)],
+      in: Option[(String, Seq[Long])]) {
+    def isTautology: Boolean = ints.isEmpty && strs.isEmpty && in.isEmpty
   }
 
   /** Fold the predicate conjunction into per-column bounds, or None when
@@ -913,11 +914,27 @@ class GraftTable(ident: String, private[sources] val location: String,
         case Right(sv) => !ints.contains(c) && narrowStr(c, op, sv)
       }
     var notNullCols = Set.empty[String]
+    var in: Option[(String, Seq[Long])] = None
     def visit(p: Predicate): Boolean = p.name() match {
       case "ALWAYS_TRUE" => true
       case "AND" =>
         val a = p.asInstanceOf[And]
         visit(a.left()) && visit(a.right())
+      case "IN" =>
+        // the GDPR-id-list shape: one integral column against an
+        // explicit value set — routed to the per-value file-pruned
+        // TxnTable.deleteIn. ONE IN per statement, not combined with
+        // other bounds on any column (a mixed conjunction would need
+        // residual composition the per-value verdicts don't model —
+        // loud, never silently unpruned or wrong)
+        val ch = p.children()
+        if (ch.length < 2 || in.isDefined) false
+        else (ref(ch(0)), ch.drop(1).toSeq.map(lim)) match {
+          case (Some(c), vs) if vs.forall(_.exists(_.isLeft)) =>
+            in = Some((c, vs.flatMap(_.flatMap(_.left.toOption))))
+            true
+          case _ => false
+        }
       case "IS_NOT_NULL" =>
         // acceptable ONLY as a redundant guard beside a value bound on
         // the same column (value predicates never match nulls anyway);
@@ -943,8 +960,13 @@ class GraftTable(ident: String, private[sources] val location: String,
       case _ => false
     }
     if (!predicates.forall(visit)) None
-    else if (!notNullCols.subsetOf(ints.keySet ++ strs.keySet)) None
-    else Some(ParsedDelete(ints, strs))
+    // an IN combined with any other bound (even on another column)
+    // falls outside the per-value verdict model — refuse the pushdown
+    else if (in.isDefined && (ints.nonEmpty || strs.nonEmpty ||
+      notNullCols.exists(c => !in.exists(_._1 == c)))) None
+    else if (in.isEmpty &&
+      !notNullCols.subsetOf(ints.keySet ++ strs.keySet)) None
+    else Some(ParsedDelete(ints, strs, in))
   }
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
@@ -956,6 +978,10 @@ class GraftTable(ident: String, private[sources] val location: String,
         val s = spark
         TxnTable.overwrite(s, location,
           TxnTable.snapshot(s, location).limit(0))
+      case Some(ParsedDelete(_, _, Some((c, vs)))) =>
+        // the id-list shape: per-value manifest verdicts (range boxes
+        // AND bucketN transforms), >10k values fold to the envelope
+        TxnTable.deleteIn(spark, location, c, vs)
       case Some(p) =>
         // the DELETE's file accounting lands in the commit's #metrics=
         // header — read it back via TxnTable.commitMetrics
@@ -964,8 +990,8 @@ class GraftTable(ident: String, private[sources] val location: String,
           p.strs.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
       case None => throw new UnsupportedOperationException(
         s"$ident: DELETE supports range/equality conjunctions over " +
-          "integral and string columns (the shapes manifest stats can " +
-          "prune or residual-filter)")
+          "integral and string columns, or one integral IN-list (the " +
+          "shapes manifest stats can prune or residual-filter)")
     }
 }
 

@@ -1934,6 +1934,63 @@ class TxnSpec extends SparkSpec {
     assert(TxnTable.manifest(spark, t, 1L).metrics("docs") === 20L)
   }
 
+  test("deleteIn: per-value verdicts keep untouched files verbatim on " +
+      "range AND bucket16 layouts; a single-point file drops as pure " +
+      "metadata; null keys survive; oversized sets fold to the envelope") {
+    val s2 = spark
+    import s2.implicits._
+    // ---- RANGE layout: 4 tight 25-key files + a null-key row ----
+    val t = freshTable("delin_range")
+    val df = ((0 until 100).map(i => (Option(i.toLong), s"v$i")) :+
+      ((None: Option[Long]) -> "vnull")).toDF("k", "v")
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t,
+      df.repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      "k"), expected = -1L, op = "create", schemaJson = df.schema.json)
+    // scattered members hit ONE file's box; 1000 hits nothing — a
+    // [min,max]=[5,1000] RANGE would have rewritten every file
+    val r1 = TxnTable.deleteIn(spark, t, "k", Seq(5L, 7L, 1000L))
+    assert(r1.rewritten === 1 && r1.dropped === 0,
+      s"per-value verdicts must touch one file: $r1")
+    assert(TxnTable.snapshot(spark, t).count() === 99L)
+    assert(TxnTable.snapshot(spark, t).filter(col("k").isNull)
+      .count() === 1L, "a NULL key must survive an IN delete")
+    // ---- single-point file: every row IS a member → metadata drop ----
+    TxnTable.append(spark, t,
+      Seq.fill(5)((Option(1000L), "x")).toDF("k", "v").coalesce(1))
+    val r2 = TxnTable.deleteIn(spark, t, "k", Seq(1000L, 2000L))
+    assert(r2.dropped === 1 && r2.rewritten === 0,
+      s"a [v,v] file with v in the set must drop as metadata: $r2")
+    assert(TxnTable.snapshot(spark, t).count() === 99L)
+    // ---- bucket16 layout: ranges overlap fully, buckets prune ----
+    val tb = freshTable("delin_bucket")
+    val spec = "bucket16(k)"
+    val base = (0 until 400).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val withB = base.withColumn("__b", TxnTable.idxExpr(spec))
+    TxnTable.commit(spark, tb, TxnTable.stageIndexed(spark, tb,
+      TxnTable.clusterExact(spark, withB, "__b", 0L, 15L, 8).drop("__b"),
+      Seq(spec)), expected = -1L, op = "create",
+      schemaJson = base.schema.json)
+    val nFiles = TxnTable.manifest(spark, tb, 0L).entries.size
+    // two ids from adjacent keys: raw ranges span everything, but the
+    // bucket boxes route them to at most 2 of the 8 bucket files
+    val rb = TxnTable.deleteIn(spark, tb, "k", Seq(13L, 14L))
+    assert(rb.rewritten <= 2 && rb.kept >= nFiles - 2,
+      s"bucket verdicts must prune the id list: $rb of $nFiles files")
+    assert(TxnTable.snapshot(spark, tb).count() === 398L)
+    // ---- oversized set folds to the envelope (exact result, no
+    // O(files × values) planning) ----
+    val tf = freshTable("delin_fold")
+    TxnTable.create(spark, tf, baseDf(50))
+    val big = (0L until 10500L).map(_ * 2 + 1) // odd ids: 1..20999
+    val rf = TxnTable.deleteIn(spark, tf, "k", big)
+    // envelope [1, 20999] overlaps the table: rewrite, exact residual
+    val left = TxnTable.snapshot(spark, tf).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(left === (0L until 50L by 2L).toSeq,
+      "envelope fold must keep the residual EXACT (odd keys deleted)")
+    assert(rf.version > 0)
+  }
+
   test("vacuum preview predicts the sweep exactly and touches nothing") {
     val s2 = spark
     import s2.implicits._
