@@ -45,7 +45,7 @@ object MatView {
 
   private val D18 = DecimalType(18, 2)
 
-  case class MvDef(base: String, key: String, value: String)
+  case class MvDef(base: String, keys: Seq[String], value: String)
 
   private def fs(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -55,7 +55,9 @@ object MatView {
   private def writeDef(s: SparkSession, mv: String, d: MvDef): Unit = {
     val p = defPath(mv)
     val out = fs(s, p).create(p, false)
-    try out.write(s"${d.base}\n${d.key}\n${d.value}\n"
+    // comma-joined keys on one line: a pre-multi-key _mv (single bare
+    // name) parses identically, so old views keep reading
+    try out.write(s"${d.base}\n${d.keys.mkString(",")}\n${d.value}\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -68,7 +70,8 @@ object MatView {
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     txt.linesIterator.toSeq match {
-      case Seq(base, key, value) => MvDef(base, key, value)
+      case Seq(base, keys, value) =>
+        MvDef(base, keys.split(',').toSeq, value)
       case other => throw new IllegalArgumentException(
         s"$mv: malformed _mv definition (${other.size} lines)")
     }
@@ -106,9 +109,41 @@ object MatView {
     * every later refresh merge can file-prune (string keys index via
     * the truncated string stats). */
   def create(s: SparkSession, mv: String, base: String, key: String,
-      value: String): Long = {
-    require(!Seq("n", "nn", "total", "op").contains(key),
-      s"MV key column '$key' collides with the MV's own columns")
+      value: String): Long = create(s, mv, base, Seq(key), value)
+
+  /** Aggregates the fold can answer: `count`/`sum` ARE the fold,
+    * `avg` derives at rewrite time (total / nn — no new state). MIN and
+    * MAX are declared-and-REFUSED: a delete of the group's current
+    * extreme cannot be folded from the feed alone (the new extreme
+    * lives in rows the feed never mentions) — maintaining them
+    * incrementally under deletes requires a group rescan, which is
+    * exactly the cost an MV exists to avoid. Loud beats a silently
+    * wrong or silently expensive view. */
+  def create(s: SparkSession, mv: String, base: String,
+      keys: Seq[String], value: String,
+      aggs: Seq[String] = Seq("count", "sum")): Long = {
+    require(keys.nonEmpty, "MV needs at least one grouping key")
+    aggs.map(_.toLowerCase).foreach {
+      case "count" | "sum" | "avg" => ()
+      case a @ ("min" | "max") => throw new IllegalArgumentException(
+        s"MV cannot maintain ${a.toUpperCase} incrementally: deleting " +
+          "a group's current extreme cannot be folded from the change " +
+          "feed (the new extreme lives in rows the feed never " +
+          "mentions) — recompute the aggregate directly, or drop + " +
+          "create the MV per refresh")
+      case other => throw new IllegalArgumentException(
+        s"unsupported MV aggregate '$other' (count, sum and avg fold " +
+          "incrementally)")
+    }
+    keys.foreach { key =>
+      require(!Seq("n", "nn", "total", "op").contains(key),
+        s"MV key column '$key' collides with the MV's own columns")
+      require(!key.contains(","),
+        s"MV key column '$key' contains a comma (the _mv definition's " +
+          "key separator)")
+    }
+    require(keys.distinct.size == keys.size,
+      s"MV keys repeat a column: ${keys.mkString(", ")}")
     val bv = TxnTable.currentVersion(s, base)
     val snap = TxnTable.snapshot(s, base, bv)
     // the fold column is exact DECIMAL(18,2); a value type whose cast
@@ -141,23 +176,21 @@ object MatView {
     // — the transparent rewrite especially — reconstruct the
     // null-skipping SQL semantics (an all-NULL group is nn == 0 with
     // total 0, which SUM must surface as NULL) and answer COUNT(value)
-    val rows = snap.groupBy(col(key)).agg(count(lit(1)).as("n"),
+    val rows = snap.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"),
       count(col(value)).as("nn"),
       sum(coalesce(col(value).cast(D18), lit(0).cast(D18)))
         .cast(D18).as("total"))
-    val isStr = snap.schema(key).dataType ==
-      org.apache.spark.sql.types.StringType
-    val clustered = rows.repartitionByRange(8, col(key))
-      .sortWithinPartitions(col(key))
-    val staged =
-      if (isStr) TxnTable.stageIndexed(s, mv, clustered, Nil, Seq(key))
-      else TxnTable.stageIndexed(s, mv, clustered, Seq(key))
+    val strKeys = keys.filter(k => snap.schema(k).dataType ==
+      org.apache.spark.sql.types.StringType)
+    val intKeys = keys.filterNot(strKeys.contains)
+    val clustered = rows.repartitionByRange(8, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+    val staged = TxnTable.stageIndexed(s, mv, clustered, intKeys, strKeys)
     val v = TxnTable.commit(s, mv, staged, expected = -1L,
       op = "mv_create", schemaJson = rows.schema.json,
-      idxCols = if (isStr) Nil else Seq(key),
-      strIdxCols = if (isStr) Seq(key) else Nil,
+      idxCols = intKeys, strIdxCols = strKeys,
       metrics = Seq("mv_base_version" -> bv))
-    writeDef(s, mv, MvDef(base, key, value))
+    writeDef(s, mv, MvDef(base, keys, value))
     v
   }
 
@@ -207,7 +240,7 @@ object MatView {
     // the signed fold: per group, dn = Σw, dnn = Σw over non-null
     // values, dtotal = Σ(w·value); a key appearing in several feeds
     // telescopes here, in ONE aggregate
-    val delta = feed.groupBy(col(d.key)).agg(
+    val delta = feed.groupBy(d.keys.map(col): _*).agg(
       sum(col("w").cast("long")).as("dn"),
       sum(col("w").cast("long") *
         when(col(d.value).isNull, 0L).otherwise(1L)).as("dnn"),
@@ -218,16 +251,17 @@ object MatView {
     // the MV scan is O(MV) — never O(base)
     val mvCur = TxnTable.snapshot(s, mv)
     val merged = delta.alias("d")
-      .join(mvCur.alias("m"), col(s"d.${d.key}") <=> col(s"m.${d.key}"),
+      .join(mvCur.alias("m"),
+        d.keys.map(k => col(s"d.$k") <=> col(s"m.$k")).reduce(_ && _),
         "left_outer")
-      .select(col(s"d.${d.key}").as(d.key),
+      .select(d.keys.map(k => col(s"d.$k").as(k)) ++ Seq(
         (coalesce(col("m.n"), lit(0L)) + col("dn")).as("n"),
         (coalesce(col("m.nn"), lit(0L)) + col("dnn")).as("nn"),
         (coalesce(col("m.total"), lit(0).cast(D18)) + col("dtotal"))
-          .cast(D18).as("total"))
+          .cast(D18).as("total")): _*)
     val changeSet = merged.withColumn("op",
       when(col("n") === 0L, lit("D")).otherwise(lit("U")))
-    val r = TxnTable.applyChangesWithMetrics(s, mv, changeSet, d.key,
+    val r = TxnTable.applyChangesWithMetrics(s, mv, changeSet, d.keys,
       Seq("mv_base_version" -> head))
     RefreshResult(r.version, head, folded)
   }
@@ -249,7 +283,8 @@ object MatView {
   private[graft] def compensated(s: SparkSession, mv: String, d: MvDef,
       cursor: Long, head: Long): Option[DataFrame] = {
     val mvRows = TxnTable.snapshot(s, mv)
-      .select(col(d.key), col("n"), col("nn"), col("total"))
+      .select((d.keys.map(col) ++
+        Seq(col("n"), col("nn"), col("total"))): _*)
     if (cursor == head) return Some(mvRows)
     val perCommit = (cursor + 1 to head).map { v =>
       val m = TxnTable.manifest(s, d.base, v)
@@ -263,13 +298,13 @@ object MatView {
     // the same signed algebra as refresh's delta, rendered as fold ROWS
     // (w, w·nonnull, w·value) so one union + one aggregate telescopes
     // the MV and however many feeds the tail carries
-    val feed = s.read.parquet(refs: _*).select(col(d.key),
+    val feed = s.read.parquet(refs: _*).select(d.keys.map(col) ++ Seq(
       col("w").cast("long").as("n"),
       (col("w").cast("long") *
         when(col(d.value).isNull, 0L).otherwise(1L)).as("nn"),
       (col("w") * coalesce(col(d.value).cast(D18), lit(0).cast(D18)))
-        .cast(D18).as("total"))
-    Some(mvRows.unionByName(feed).groupBy(col(d.key))
+        .cast(D18).as("total")): _*)
+    Some(mvRows.unionByName(feed).groupBy(d.keys.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("nn")).as("nn"),
         sum(col("total")).cast(D18).as("total"))
       .filter(col("n") =!= 0L))

@@ -3117,8 +3117,15 @@ object TxnTable {
   def applyChangesWithMetrics(s: SparkSession, table: String,
       changes: DataFrame, key: String,
       extraMetrics: Seq[(String, Long)]): MergeResult =
-    mergeCore(s, table, changes.select(col(key)),
-      changes.filter(col("op") =!= "D").drop("op"), Seq(key),
+    applyChangesWithMetrics(s, table, changes, Seq(key), extraMetrics)
+
+  /** [[applyChangesWithMetrics]] keyed on a COMPOSITE key tuple (the
+    * multi-key materialized-view refresh shape). */
+  def applyChangesWithMetrics(s: SparkSession, table: String,
+      changes: DataFrame, keys: Seq[String],
+      extraMetrics: Seq[(String, Long)]): MergeResult =
+    mergeCore(s, table, changes.select(keys.map(col): _*),
+      changes.filter(col("op") =!= "D").drop("op"), keys,
       extraMetrics)
 
   /** Full-semantics MERGE: apply a CHANGE SET carrying an op column —

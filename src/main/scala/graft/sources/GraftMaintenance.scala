@@ -236,8 +236,11 @@ private[sources] object GraftMaintenance {
         val baseLoc = resolveTable(warehouse, baseRef)
         require(TxnTable.versions(s, baseLoc).nonEmpty,
           s"graft procedure: base '$baseLoc' is not a committed table")
+        // comma-separated key list: CALL create_matview(..., 'g,h', 'v')
+        // materializes the composite-key grouping
         val v = graft.operators.MatView.create(s, mvLoc, baseLoc,
-          in.getUTF8String(2).toString, in.getUTF8String(3).toString)
+          in.getUTF8String(2).toString.split(',').toSeq.map(_.trim),
+          in.getUTF8String(3).toString)
         graft.operators.MatView.register(s, mvLoc)
         v
       }

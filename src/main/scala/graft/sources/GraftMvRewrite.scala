@@ -2,8 +2,9 @@ package graft.sources
 
 import graft.operators.{MatView, TxnTable}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CaseWhen, Cast, EqualTo, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, CaseWhen, Cast, Divide, EqualTo, EvalMode, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -73,15 +74,23 @@ case class GraftMvRewriteRule(session: SparkSession)
     }
     val (mvLoc, d) = MatView.registeredFor(g.location).getOrElse(
       return None)
-    // single grouping key, and it IS the MV's key column
-    val keyAttr = groups match {
-      case Seq(a: AttributeReference) if a.name == d.key => a
-      case _ => return None
+    // the grouping keys must be EXACTLY the MV's key columns (any
+    // order, bare references, no duplicates)
+    val keyAttrs: Seq[AttributeReference] = {
+      val as = groups.collect { case a: AttributeReference => a }
+      if (as.size != groups.size || as.size != d.keys.size ||
+        as.map(_.name).toSet != d.keys.toSet ||
+        as.map(_.name).distinct.size != as.size) return None
+      as
     }
+    val keyIds = keyAttrs.map(_.exprId).toSet
     // every aggregate in the output must be answerable from the fold:
     // COUNT(<non-null literal>) → n, COUNT(def.value) → nn,
-    // SUM(def.value) → total with null-skipping reconstructed from nn
-    // (all non-distinct, no filter clause); anything else disqualifies
+    // SUM(def.value) → total with null-skipping reconstructed from nn,
+    // AVG(def.value) → total / nn for DECIMAL values (the exact mirror
+    // of Average's own decimal arithmetic — a float/double AVG is an
+    // order-dependent FP sum the exact fold can't reproduce bit-for-bit,
+    // so it falls through); all non-distinct, no filter clause
     def answerable(e: Expression): Boolean = e match {
       case ae: AggregateExpression =>
         !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
@@ -94,20 +103,25 @@ case class GraftMvRewriteRule(session: SparkSession)
             case a: AttributeReference => a.name == d.value
             case _ => false
           }
+          case Average(c, _) => c match {
+            case a: AttributeReference => a.name == d.value &&
+              a.dataType.isInstanceOf[DecimalType]
+            case _ => false
+          }
           case _ => false
         })
       case _: AttributeReference => true
       case other => other.children.forall(answerable)
     }
     if (!aggExprs.forall(answerable)) return None
-    // attribute references outside aggregates must be the group key
+    // attribute references outside aggregates must be group keys
     val outsideRefs = aggExprs.flatMap(_.collect {
       case a: AttributeReference => a
     }).filterNot(a => aggExprs.exists(_.exists {
       case ae: AggregateExpression => ae.references.contains(a)
       case _ => false
     }))
-    if (!outsideRefs.forall(_.exprId == keyAttr.exprId)) return None
+    if (!outsideRefs.forall(a => keyIds.contains(a.exprId))) return None
     // FRESHNESS BY THE LOG, against the relation's PINNED version. A
     // fresh MV (cursor == pinned) serves directly; a STALE one serves
     // MV ⊕ signed-feed tail (cursor, pinned] — the refresh fold as a
@@ -121,20 +135,23 @@ case class GraftMvRewriteRule(session: SparkSession)
       g.pinnedVersion).getOrElse(return None)
     val mvPlan = mvDf.queryExecution.analyzed
     val byName = mvPlan.output.map(a => a.name -> a).toMap
-    val (mvKey, mvN, mvNn, mvTotal) = (byName.get(d.key), byName.get("n"),
+    val (mvN, mvNn, mvTotal) = (byName.get("n"),
         byName.get("nn"), byName.get("total")) match {
-      case (Some(k), Some(n), Some(nn), Some(t)) => (k, n, nn, t)
+      case (Some(n), Some(nn), Some(t)) => (n, nn, t)
       case _ => return None
     }
+    val mvKeyOf: Map[Long, Attribute] = keyAttrs.flatMap(a =>
+      byName.get(a.name).map(a.exprId.id -> _)).toMap
+    if (mvKeyOf.size != keyAttrs.size) return None
     // substitute: AggregateExpressions → the fold columns (cast to the
-    // aggregate's result type), the group key → the MV key; outer
+    // aggregate's result type), each group key → its MV column; outer
     // expressions (casts, arithmetic) survive untouched. Output ids
-    // are preserved by re-aliasing under the original exprIds — the
-    // bare group-key output is handled BEFORE the transform so its
-    // original attribute id survives for operators resolved above.
+    // are preserved by re-aliasing under the original exprIds — bare
+    // group-key outputs are handled BEFORE the transform so their
+    // original attribute ids survive for operators resolved above.
     val projected = aggExprs.map {
-      case a: AttributeReference if a.exprId == keyAttr.exprId =>
-        Alias(mvKey, a.name)(exprId = a.exprId)
+      case a: AttributeReference if mvKeyOf.contains(a.exprId.id) =>
+        Alias(mvKeyOf(a.exprId.id), a.name)(exprId = a.exprId)
       case ne =>
         val swapped = ne.transform {
           case ae: AggregateExpression => ae.aggregateFunction match {
@@ -149,10 +166,25 @@ case class GraftMvRewriteRule(session: SparkSession)
               CaseWhen(Seq((EqualTo(mvNn, Literal(0L)),
                 Cast(Literal(null), ae.dataType))),
                 Some(Cast(mvTotal, ae.dataType)))
+            case avg: Average =>
+              // the EXACT mirror of Average.evaluateExpression for a
+              // decimal child: Divide(sum as DecimalType(p+10, s),
+              // count as DecimalType(20, 0)) in LEGACY mode (0 divisor
+              // → NULL: the all-NULL group answers NULL like the base
+              // scan), cast to Average's own result type. total holds
+              // the same numeric value as the true sum (the create
+              // gate), so the derived quotient is identical.
+            val vt = avg.child.dataType.asInstanceOf[DecimalType]
+              val sumType = DecimalType(math.min(38, vt.precision + 10),
+                vt.scale)
+              Cast(Divide(Cast(mvTotal, sumType),
+                Cast(mvNn, DecimalType(20, 0)), EvalMode.LEGACY),
+                ae.dataType)
             case other => throw new IllegalStateException(
               s"unreachable: unanswerable aggregate $other survived")
           }
-          case a: AttributeReference if a.exprId == keyAttr.exprId => mvKey
+          case a: AttributeReference if mvKeyOf.contains(a.exprId.id) =>
+            mvKeyOf(a.exprId.id)
         }
         swapped match {
           case al: Alias => Alias(al.child, al.name)(exprId = al.exprId)

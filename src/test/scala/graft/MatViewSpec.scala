@@ -376,6 +376,174 @@ class MatViewSpec extends SparkSpec {
     assert(s.sql(q).collect().map(_.getString(0)).toSet.contains("Z"))
   }
 
+  test("aggregate widening: AVG over a decimal value rewrites (exactly " +
+      "the base's decimal arithmetic, NULL for all-NULL groups); AVG " +
+      "over a non-decimal falls through; MIN/MAX refuse at create") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.avg")
+    s.sql("CREATE TABLE graft.mvspec.avg (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2))")
+    // group 'N' is ALL NULL values: AVG must answer NULL through the MV
+    s.sql("INSERT INTO graft.mvspec.avg SELECT id, " +
+      "CASE WHEN id % 7 = 0 THEN 'N' WHEN id % 3 = 0 THEN 'A' " +
+      "ELSE 'B' END, CASE WHEN id % 7 = 0 THEN NULL " +
+      "ELSE CAST(id * 1.37 AS DECIMAL(12,2)) END FROM RANGE(210)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/avg"
+    val mv = fresh("mv_avg_view")
+    MatView.create(spark, mv, loc, "g", "v")
+    MatView.register(spark, mv)
+    def servedFromMv(q: String): Boolean = {
+      val p = s.sql(q).queryExecution.optimizedPlan
+      val hasV2 = p.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.nonEmpty
+      val roots = p.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
+    }
+    val q = "SELECT g, AVG(v) AS a FROM graft.mvspec.avg GROUP BY g"
+    assert(servedFromMv(q), "decimal AVG must rewrite via total/nn")
+    // exactness: the MV-served AVG equals the base recompute COLLECTED
+    // — same values, same result type, bit for bit
+    val served = s.sql(q).collect()
+      .map(r => (r.getString(0), Option(r.getDecimal(1)))).toMap
+    MatView.registeredFor(loc) // (registry intact)
+    val direct = TxnTable.snapshot(spark, loc)
+      .groupBy(col("g")).agg(avg(col("v")).as("a")).collect()
+      .map(r => (r.getString(0), Option(r.getDecimal(1)))).toMap
+    assert(served === direct, s"AVG rewrite diverged: $served vs $direct")
+    assert(served("N").isEmpty, "all-NULL group must answer NULL")
+    // AVG wrapped in a cast still rewrites through the outer expression
+    assert(servedFromMv("SELECT g, CAST(AVG(v) AS DOUBLE) AS a " +
+      "FROM graft.mvspec.avg GROUP BY g"))
+    // a LONG value column: AVG is FP arithmetic the exact fold can't
+    // mirror bit-for-bit — falls through (COUNT/SUM still rewrite)
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.avgl")
+    s.sql("CREATE TABLE graft.mvspec.avgl (k BIGINT, g STRING, v BIGINT)")
+    s.sql("INSERT INTO graft.mvspec.avgl SELECT id, 'A', id FROM RANGE(50)")
+    val locL = s"${GraftCatalog.defaultWarehouse}/mvspec/avgl"
+    val mvL = fresh("mv_avgl_view")
+    MatView.create(spark, mvL, locL, "g", "v")
+    MatView.register(spark, mvL)
+    def servedL(q: String): Boolean = {
+      val p = s.sql(q).queryExecution.optimizedPlan
+      p.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l
+      }.nonEmpty && p.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.isEmpty
+    }
+    assert(servedL("SELECT g, SUM(v) AS t FROM graft.mvspec.avgl " +
+      "GROUP BY g"), "SUM over the long value must still rewrite")
+    assert(!servedL("SELECT g, AVG(v) AS a FROM graft.mvspec.avgl " +
+      "GROUP BY g"), "long AVG must fall through to the base")
+    // MIN/MAX: declared-and-refused at create, with the remedy
+    val e = intercept[IllegalArgumentException] {
+      MatView.create(spark, fresh("mv_minmax"), loc, Seq("g"), "v",
+        aggs = Seq("count", "max"))
+    }
+    assert(e.getMessage.contains("cannot maintain MAX"), e.getMessage)
+  }
+
+  test("aggregate widening: a multi-key MV rewrites GROUP BY over the " +
+      "key set in any order, refreshes through the composite-key " +
+      "merge, and disqualifies subset grouping") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.mk")
+    s.sql("CREATE TABLE graft.mvspec.mk (k BIGINT, g STRING, h BIGINT, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.mk SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'A' ELSE 'B' END, id % 4, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(240)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/mk"
+    val mv = fresh("mv_mk_view")
+    MatView.create(spark, mv, loc, Seq("g", "h"), "v")
+    MatView.register(spark, mv)
+    def served(q: String): Boolean = {
+      val p = s.sql(q).queryExecution.optimizedPlan
+      val hasV2 = p.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.nonEmpty
+      val roots = p.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
+    }
+    // both key orders rewrite; a subset grouping falls through (the
+    // rule serves only the exact materialized shape — re-aggregating
+    // MV rows to a coarser grouping is a possible future extension,
+    // but today conservative = correct)
+    assert(served("SELECT g, h, COUNT(*) AS n, SUM(v) AS t " +
+      "FROM graft.mvspec.mk GROUP BY g, h"))
+    assert(served("SELECT h, g, SUM(v) AS t FROM graft.mvspec.mk " +
+      "GROUP BY h, g"))
+    assert(!served("SELECT g, COUNT(*) AS n FROM graft.mvspec.mk " +
+      "GROUP BY g"), "subset grouping must fall through")
+    // answers match the base exactly
+    val q = "SELECT g, h, COUNT(*) AS n, COUNT(v) AS nn, " +
+      "CAST(SUM(v) AS DOUBLE) AS t, AVG(v) AS a " +
+      "FROM graft.mvspec.mk GROUP BY g, h"
+    def rows() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+      Option(r.getDecimal(5)))).toSet
+    val fresh0 = rows()
+    val direct = TxnTable.snapshot(spark, loc)
+      .groupBy(col("g"), col("h")).agg(count(lit(1)).as("n"),
+        count(col("v")).as("nn"), sum(col("v")).cast("double").as("t"),
+        avg(col("v")).as("a")).collect().map(r => (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        Option(r.getDecimal(5)))).toSet
+    assert(fresh0 === direct)
+    // a cdc change batch + refresh: the composite-key merge folds it
+    val ch = s.sql("SELECT k, g, h, v, 'D' AS op FROM graft.mvspec.mk " +
+      "WHERE g = 'A' AND h = 1 UNION ALL " +
+      "SELECT k + 1000, 'C', CAST(9 AS BIGINT), v, 'U' " +
+      "FROM graft.mvspec.mk WHERE k % 10 = 0")
+    TxnTable.applyChangesMor(spark, loc, ch, "k", cdc = true)
+    val r = MatView.refresh(spark, mv)
+    assert(r.commitsFolded === 1)
+    val after = rows()
+    val directAfter = TxnTable.snapshot(spark, loc)
+      .groupBy(col("g"), col("h")).agg(count(lit(1)).as("n"),
+        count(col("v")).as("nn"), sum(col("v")).cast("double").as("t"),
+        avg(col("v")).as("a")).collect().map(r => (r.getString(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        Option(r.getDecimal(5)))).toSet
+    assert(after === directAfter,
+      "multi-key refresh diverged from recompute")
+    assert(!after.exists(t => t._1 == "A" && t._2 == 1L),
+      "the emptied (A,1) group must leave the MV")
+    assert(after.exists(t => t._1 == "C" && t._2 == 9L),
+      "the new (C,9) group must be born")
+  }
+
   test("create REFUSES a value column the DECIMAL(18,2) fold cannot " +
       "hold losslessly — an MV that silently rounds must never exist") {
     val s = spark
