@@ -4578,6 +4578,21 @@ object TxnTable {
                           entries: Seq[Entry]): DataFrame =
     readEntriesPos(s, table, m, entries, keepPos = false)
 
+  /** The current (or pinned) snapshot WITH per-row coordinates — the
+    * table's logical columns plus `__gcanon` (canonical absolute file
+    * path) and `__gpos` (row ordinal within that file): exactly the
+    * coordinate space `~pos` deletion vectors record, which is what
+    * makes a DV debuggable from SQL (`SELECT _metadata.file_path ...`
+    * through the catalog resolves here — [[graft.sources
+    * .GraftMorReadRule]]). Tombstones, column mapping and initial
+    * defaults all apply: the coordinates are the surviving rows'. */
+  private[graft] def snapshotWithCoords(s: SparkSession, table: String,
+      version: Long = -1L): DataFrame = {
+    val v = if (version < 0) currentVersion(s, table) else version
+    val m = manifest(s, table, v)
+    readEntriesPos(s, table, m, m.entries, keepPos = true)
+  }
+
   /** [[readEntries]] with the per-row provenance EXPOSED: `keepPos =
     * true` returns the frame with two extra columns — `__gcanon` (the
     * row's canonical absolute file path) and `__gpos` (its ordinal

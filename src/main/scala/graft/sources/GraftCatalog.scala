@@ -556,7 +556,26 @@ object GraftCatalog {
 class GraftTable(ident: String, private[sources] val location: String,
     version: Long)
     extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
-    with TruncatableTable {
+    with TruncatableTable with SupportsMetadataColumns {
+
+  /** `_metadata.{file_path, row_index}` — per-row provenance in the
+    * table's CANONICAL coordinate space: the exact (file, position)
+    * pairs `~pos` deletion vectors record, which is what makes a DV
+    * debuggable from SQL (`SELECT _metadata.file_path, _metadata
+    * .row_index FROM t` joins directly against a vector's rows). The
+    * analyzer resolves `_metadata` from this declaration; the READ is
+    * served by the library's coordinate-exposing snapshot plan
+    * ([[GraftMorReadRule]] — tombstones, column mapping and defaults
+    * all apply, so the coordinates are the SURVIVING rows'). */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = "_metadata"
+      override def dataType: org.apache.spark.sql.types.DataType =
+        GraftTable.MetadataStruct
+      override def isNullable: Boolean = false
+      override def comment: String = "canonical (file_path, row_index) " +
+        "row coordinates — the space positional deletion vectors speak"
+    })
 
   private def spark: SparkSession = SparkSession.active
   private lazy val m = TxnTable.manifest(spark, location, version)
@@ -996,6 +1015,13 @@ class GraftTable(ident: String, private[sources] val location: String,
 }
 
 object GraftTable {
+  /** The `_metadata` struct type: canonical absolute file path + row
+    * ordinal (what `__gcanon`/`__gpos` carry on the library read). */
+  private[sources] val MetadataStruct: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("row_index", LongType)))
+
   import org.apache.spark.sql.connector.read.{Statistics => V2Stats}
   import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}

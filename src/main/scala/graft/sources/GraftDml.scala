@@ -78,7 +78,24 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.Alias
 
-  override def apply(plan: LogicalPlan): LogicalPlan = swap(plan)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // a still-unresolved `_metadata` reference must resolve against the
+    // RELATION's declared metadata column (AddMetadataColumns) before
+    // any swap: replacing the relation in this iteration would orphan
+    // the reference forever. Defer one analyzer iteration; the
+    // metadata-serving case below then owns the read.
+    val pendingMeta = plan.exists(p =>
+      // resolved against metadataOutput but not yet propagated into the
+      // relation's output by AddMetadataColumns
+      p.missingInput.exists(_.name == "_metadata") ||
+        p.expressions.exists(_.exists {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute =>
+            u.nameParts.headOption.contains("_metadata")
+          case _ => false
+        }))
+    if (pendingMeta) plan else swap(plan)
+  }
 
   private def swap(plan: LogicalPlan): LogicalPlan = plan match {
     // DML targets are compiled by GraftDmlRule / SupportsDeleteV2 and
@@ -88,6 +105,27 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     case u: UpdateTable => u
     case d: DeleteFromTable => d
     case r: DataSourceV2Relation => r.table match {
+      // a query referencing `_metadata` (AddMetadataColumns appended it
+      // to the relation's output from the table's declaration): serve
+      // the library's coordinate-exposing read — __gcanon/__gpos ARE
+      // the declared (file_path, row_index), in the same canonical
+      // space ~pos deletion vectors record. Handled FIRST: the
+      // coordinate read also applies tombstones/mapping/defaults, so a
+      // metadata query over any table state is sound.
+      case g: GraftTable if r.output.exists(_.name == "_metadata") =>
+        val snap = TxnTable.snapshotWithCoords(session, g.location,
+          g.pinnedVersion)
+        val child = snap.queryExecution.analyzed
+        val byName = child.output.map(a => a.name -> a).toMap
+        import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Literal => CatLit}
+        Project(r.output.map { a =>
+          if (a.name == "_metadata")
+            Alias(CreateNamedStruct(Seq(
+              CatLit("file_path"), byName("__gcanon"),
+              CatLit("row_index"), byName("__gpos"))),
+              a.name)(exprId = a.exprId)
+          else Alias(byName(a.name), a.name)(exprId = a.exprId)
+        }, child)
       // tombstoned AND column-mapped snapshots both need the library
       // read plan: the former to anti-join deletes, the latter to
       // request PHYSICAL file columns and project to logical names

@@ -2435,6 +2435,58 @@ class CatalogSpec extends SparkSpec {
       s"default-valued rows must fall to the tombstone: $left")
   }
 
+  test("_metadata on catalog scans: (file_path, row_index) round-trips " +
+      "against the manifest entry list, speaks the DV coordinate " +
+      "space, and applies tombstones") {
+    val t = fresh("metacols")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ id, " +
+      "CONCAT('a', id) FROM RANGE(40)")
+    sql(s"INSERT INTO graft.spec.$t SELECT /*+ REPARTITION(1) */ " +
+      "id + 100, CONCAT('b', id) FROM RANGE(30)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    val rows = sql(s"SELECT k, _metadata.file_path AS fp, " +
+      s"_metadata.row_index AS ri FROM graft.spec.$t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length === 70)
+    // file paths round-trip against the manifest's live entry list
+    // (canonical absolute — the same normalization ~pos vectors store)
+    val live = TxnTable.liveFiles(spark, loc,
+      TxnTable.currentVersion(spark, loc))
+      .map(rel => s"$loc/$rel".replaceFirst("^/+", "/")).toSet
+    val seen = rows.map(_._2).toSet
+    // 2 single-file inserts carry rows; the create sentinel is empty
+    // and so never surfaces a coordinate
+    assert(seen.size === 2, s"expected 2 row-bearing files, saw $seen")
+    assert(seen.forall(p => live.exists(l => p.endsWith(l) || l.endsWith(p))),
+      s"file paths must resolve within the manifest list:\n$seen\nvs\n$live")
+    // row_index is a per-file ordinal: 0-based, dense
+    rows.groupBy(_._2).foreach { case (f, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (0L until rs.length).toSeq,
+        s"$f: row_index must be the dense 0-based file ordinal")
+    }
+    // coordinates ARE the DV space: positionally delete every k % 7 == 0
+    // row, then prove the scan's surviving coordinates exclude exactly
+    // the vector's rows
+    val before = rows.map(r => (r._2, r._3)).toSet
+    TxnTable.deleteWherePos(spark, loc, col("k") % 7 === 0)
+    val m = TxnTable.manifest(spark, loc,
+      TxnTable.currentVersion(spark, loc))
+    val vec = spark.read.parquet(
+      TxnTable.pathFor(loc, m.deletes.find(_._2 == "~pos").get._1))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val after = sql(s"SELECT _metadata.file_path AS fp, " +
+      s"_metadata.row_index AS ri FROM graft.spec.$t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after === before -- vec,
+      "_metadata coordinates must join exactly against the DV's rows")
+    // the pinned pre-delete version still answers every coordinate
+    val pinned = sql(s"SELECT _metadata.file_path AS fp, " +
+      s"_metadata.row_index AS ri FROM graft.spec.$t VERSION AS OF 2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pinned === before)
+  }
+
   test("ADD COLUMN ... NOT NULL DEFAULT is accepted — the default " +
       "covers existing rows, so no NULL can ever surface; NOT NULL " +
       "WITHOUT a default still refuses") {
