@@ -191,6 +191,7 @@ object SparkEntry {
     "sim_ann_ivf"             -> (Similarity.annIvf _),
     "sim_ann_incremental"     -> (Similarity.annIncremental _),
     "sim_ann_delete"          -> (Similarity.annDelete _),
+    "sim_ann_recluster"       -> (Similarity.annRecluster _),
     "st_stream_ann"           -> (Similarity.annStream _),
     "sim_ann_filtered"        -> (Similarity.annFiltered _),
     "sim_hybrid_ivfpq"        -> (Similarity.hybridIvfPq _),
@@ -2463,6 +2464,9 @@ object SparkEntry {
     // retraction never retrains: training sees the full corpus, only
     // the scored candidate set drops the deleted ids
     "sim_ann_delete" -> graft.operators.Similarity.ivfDeleteOracle,
+    // post-recluster probes: the oracle replays the RETRAIN (stride
+    // seeds + Lloyd) over the drifted store content itself
+    "sim_ann_recluster" -> graft.operators.Similarity.ivfReclusterOracle,
     // the same accretion as a stream: append-only + frozen assignment
     // is wave-split-invariant, so the replay is identical
     "st_stream_ann" -> graft.operators.Similarity.ivfStreamOracle,

@@ -163,7 +163,7 @@ private[sources] object GraftMaintenance {
 
   def procedures: Seq[String] =
     Seq("compact", "compact_range", "vacuum", "expire_snapshots",
-      "checkpoint", "restore", "recluster", "reindex",
+      "checkpoint", "restore", "recluster", "recluster_ivf", "reindex",
       "zorder", "tag", "drop_tag", "clone", "publish", "branch",
       "fastforward", "rebase", "drop_branch", "rewrite_tombstones",
       "dedup", "delete_dv", "build_bloom", "vacuum_preview",
@@ -305,6 +305,13 @@ private[sources] object GraftMaintenance {
       case "restore" => p("restore", Seq(tableParam,
         ProcedureParameter.in("version", LongType).build())) { (s, in) =>
         TxnTable.restore(s, tbl(s, in), in.getLong(1))
+      }
+      // IVF quantizer maintenance: retrain coarse centroids on the
+      // store's CURRENT rows and rewrite cell assignment — the cure for
+      // the frozen-quantizer store's recall decay on a drifted corpus.
+      // CALL graft.system.recluster_ivf('ns.vectors')
+      case "recluster_ivf" => p("recluster_ivf", Seq(tableParam)) {
+        (s, in) => graft.operators.Similarity.reclusterIvf(s, tbl(s, in))._1
       }
       case "recluster" => p("recluster", Seq(tableParam,
         ProcedureParameter.in("index_cols", StringType).build(),

@@ -646,6 +646,52 @@ class CatalogSpec extends SparkSpec {
       s"procedures not listed: $listed")
   }
 
+  test("CALL graft.system.recluster_ivf: retrains the coarse quantizer " +
+      "from the store's current rows and rewrites assignment content-" +
+      "invariantly; discoverable via listProcedures") {
+    val t = fresh("ivfrecl")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    val s2 = spark
+    import s2.implicits._
+    // a degenerate store: every vector parked in cell 0 (the worst
+    // possible quantizer — every probe scans everything)
+    val df = (0 until 800).map { id =>
+      (id.toLong,
+        (0 until 64).map(i => ((id * 7 + i * 13) % 29 - 14).toDouble),
+        0L)
+    }.toDF("vec_id", "v", "c_id")
+    TxnTable.commit(spark, loc, TxnTable.stageIndexed(spark, loc,
+      df.repartition(4), "c_id"), expected = -1L, op = "create",
+      schemaJson = df.schema.json)
+    def sig: Set[(Long, String)] = TxnTable.snapshot(spark, loc)
+      .select(col("vec_id"), col("v").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = sig
+    sql(s"CALL graft.system.recluster_ivf('spec.$t')")
+    val v = TxnTable.currentVersion(spark, loc)
+    assert(v === 1L)
+    assert(TxnTable.manifest(spark, loc, v).op === "recluster")
+    assert(sig === before, "recluster must be content-invariant")
+    val cells = TxnTable.snapshot(spark, loc).select("c_id")
+      .distinct().count()
+    assert(cells > 1,
+      s"retraining must spread the degenerate single cell (got $cells)")
+    // a non-IVF table refuses loudly
+    val t2 = fresh("ivfrecl_not")
+    sql(s"CREATE TABLE graft.spec.$t2 (k BIGINT, v STRING)")
+    sql(s"INSERT INTO graft.spec.$t2 VALUES (1, 'a')")
+    val e = intercept[Exception] {
+      sql(s"CALL graft.system.recluster_ivf('spec.$t2')")
+    }
+    assert(e.getMessage.contains("not an IVF store"), e.getMessage)
+    // discoverable, not just loadable (the hand-kept Seq gotcha)
+    val listed = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].listProcedures(Array("system"))
+      .map(_.name()).toSet
+    assert(listed.contains("recluster_ivf"),
+      s"recluster_ivf not listed: $listed")
+  }
+
   test("bloom sidecar prunes SQL point lookups: pre-build full keep, " +
       "post-build prune, uncovered appends conservative, MoR refusal") {
     val t = fresh("sqlbloom")
