@@ -83,7 +83,15 @@ object MatView {
     * compact() of the MV, a checkpoint) — those carry entries, not
     * metrics, and must not reset the cursor. */
   def lastRefreshed(s: SparkSession, mv: String): Long =
-    TxnTable.versions(s, mv).reverse.iterator
+    lastRefreshedAt(s, mv, TxnTable.currentVersion(s, mv))
+
+  /** [[lastRefreshed]] pinned at MV version `upTo` — the rewrite rule
+    * reads the cursor AND the MV rows from ONE pinned version, so a
+    * refresh landing between the two reads can never double-count its
+    * feed tail (cursor from the old head + rows from the new one). */
+  private[graft] def lastRefreshedAt(s: SparkSession, mv: String,
+      upTo: Long): Long =
+    TxnTable.versions(s, mv).filter(_ <= upTo).reverse.iterator
       // header-only metric read per step (−1 = absent; cursors are
       // ≥ 0): the walk costs O(headers), never O(entries) manifest
       // parses, however many maintenance commits interleave
@@ -281,8 +289,11 @@ object MatView {
     * shared verbatim with the fresh-serve path; groups whose compensated
     * count reaches 0 leave, mirroring refresh's op-'D' rule. */
   private[graft] def compensated(s: SparkSession, mv: String, d: MvDef,
-      cursor: Long, head: Long): Option[DataFrame] = {
-    val mvRows = TxnTable.snapshot(s, mv)
+      cursor: Long, head: Long, mvVer: Long): Option[DataFrame] = {
+    // the MV rows come from the SAME pinned version the cursor was read
+    // at: snapshot-at-head here would double-count a feed tail that a
+    // concurrent refresh folded between the caller's two reads
+    val mvRows = TxnTable.snapshot(s, mv, mvVer)
       .select((d.keys.map(col) ++
         Seq(col("n"), col("nn"), col("total"))): _*)
     if (cursor == head) return Some(mvRows)

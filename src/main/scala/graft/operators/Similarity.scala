@@ -944,10 +944,12 @@ object Similarity {
   /** sim_ann_recluster: QUANTIZER DRIFT AND THE RECLUSTER CURE, end to
     * end. The store is built on the original corpus (frozen centroids —
     * the [[annIncremental]] contract), then a DRIFTED batch lands under
-    * that frozen quantizer: every 3rd embedding dimension-reversed (an
-    * isometry — cosine structure WITHIN the drifted population is
-    * intact — that relocates it to a region the original centroids
-    * never shaped: the new-embedding-model shape). Recall for drifted
+    * that frozen quantizer: every 3rd embedding shifted by one of
+    * [[DriftClusters]] integer-lattice prototypes ([[driftedVec]] — the
+    * new-embedding-model shape: tight same-cluster neighborhoods in a
+    * region the original centroids never shaped, with prototype pull
+    * calibrated against the residual so frozen-quantizer assignment is
+    * noise-driven and neighbors SCATTER). Recall for drifted
     * queries against the exact brute-force truth degrades silently —
     * then `CALL graft.system.recluster_ivf` retrains on the current
     * rows and rewrites assignment, and the SAME probes recover:

@@ -2989,8 +2989,13 @@ object TxnTable {
     val vset = values.distinct.sorted.toIndexedSeq
     val folded = vset.size > MaxDeleteInValues
     val (envLo, envHi) = (vset.head, vset.last)
-    val bucketSpecs = m.idxCols.collect {
-      case sp @ BucketSpec(n, `pc`) => (sp, n.toInt) }
+    // the members' bucket images, computed ONCE per spec: bucketOf maps
+    // into [0, n), so each image set is ≤ n values however long the id
+    // list — the per-file probe below is O(n), never O(#values)
+    val bucketImages: Seq[(String, Set[Long])] = m.idxCols.collect {
+      case sp @ BucketSpec(n, `pc`) if !folded =>
+        sp -> vset.map(bucketOf(_, n.toInt)).toSet
+    }
     def side(e: Entry): Char = {
       val range: Char = e.statFor(pc) match {
         case Some((fLo, fHi)) if fLo > fHi => 'k' // all-null file
@@ -3012,11 +3017,10 @@ object TxnTable {
       }
       if (range == 'k') return 'k'
       // the bucket dimension can only STRENGTHEN a keep: a file whose
-      // bucket box no member's bucket reaches holds none of them
-      val bucketKeeps = !folded && bucketSpecs.exists { case (sp, n) =>
+      // bucket box no member's bucket image reaches holds none of them
+      val bucketKeeps = bucketImages.exists { case (sp, bs) =>
         e.statFor(sp).exists { case (bLo, bHi) =>
-          bLo <= bHi && !vset.exists { v =>
-            val b = bucketOf(v, n); b >= bLo && b <= bHi } }
+          bLo <= bHi && !bs.exists(b => b >= bLo && b <= bHi) }
       }
       if (bucketKeeps) 'k' else range
     }

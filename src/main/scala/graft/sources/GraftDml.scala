@@ -91,7 +91,10 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         p.expressions.exists(_.exists {
           case u: org.apache.spark.sql.catalyst.analysis
               .UnresolvedAttribute =>
-            u.nameParts.headOption.contains("_metadata")
+            // case-INSENSITIVE: Spark resolves `_METADATA.file_path`
+            // too, and the resolved attribute carries the declared
+            // lowercase name — only the pre-resolution spelling varies
+            u.nameParts.headOption.exists(_.equalsIgnoreCase("_metadata"))
           case _ => false
         }))
     if (pendingMeta) plan else swap(plan)

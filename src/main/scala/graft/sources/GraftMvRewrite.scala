@@ -129,10 +129,11 @@ case class GraftMvRewriteRule(session: SparkSession)
     // (MatView.compensated; O(MV + delta), never O(base)). A feed-less
     // tail, or an MV AHEAD of a time-travel read, falls through to the
     // base scan: the rewrite only fires when the log PROVES the answer.
-    val cursor = MatView.lastRefreshed(session, mvLoc)
+    val mvVer = TxnTable.currentVersion(session, mvLoc)
+    val cursor = MatView.lastRefreshedAt(session, mvLoc, mvVer)
     if (cursor > g.pinnedVersion) return None
     val mvDf = MatView.compensated(session, mvLoc, d, cursor,
-      g.pinnedVersion).getOrElse(return None)
+      g.pinnedVersion, mvVer).getOrElse(return None)
     val mvPlan = mvDf.queryExecution.analyzed
     val byName = mvPlan.output.map(a => a.name -> a).toMap
     val (mvN, mvNn, mvTotal) = (byName.get("n"),
