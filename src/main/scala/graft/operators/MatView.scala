@@ -45,7 +45,12 @@ object MatView {
 
   private val D18 = DecimalType(18, 2)
 
-  case class MvDef(base: String, keys: Seq[String], value: String)
+  /** `aggs` is the DECLARED aggregate set ([[create]]'s validated
+    * count/sum/avg subset): the rewrite rule serves ONLY declared
+    * aggregates, so a view created as count-only never silently answers
+    * SUM — the declaration is a real contract, not decoration. */
+  case class MvDef(base: String, keys: Seq[String], value: String,
+      aggs: Set[String])
 
   private def fs(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -56,11 +61,15 @@ object MatView {
     val p = defPath(mv)
     val out = fs(s, p).create(p, false)
     // comma-joined keys on one line: a pre-multi-key _mv (single bare
-    // name) parses identically, so old views keep reading
-    try out.write(s"${d.base}\n${d.keys.mkString(",")}\n${d.value}\n"
+    // name) parses identically, so old views keep reading; the 4th
+    // line is the declared aggregate set
+    try out.write((s"${d.base}\n${d.keys.mkString(",")}\n${d.value}\n" +
+      s"${d.aggs.toSeq.sorted.mkString(",")}\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  private val AllAggs = Set("count", "sum", "avg")
 
   def readDef(s: SparkSession, mv: String): MvDef = {
     val p = defPath(mv)
@@ -70,8 +79,13 @@ object MatView {
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     txt.linesIterator.toSeq match {
+      // pre-aggs definitions (3 lines) served every fold-derivable
+      // aggregate — keep that behavior for existing views
       case Seq(base, keys, value) =>
-        MvDef(base, keys.split(',').toSeq, value)
+        MvDef(base, keys.split(',').toSeq, value, AllAggs)
+      case Seq(base, keys, value, aggs) =>
+        MvDef(base, keys.split(',').toSeq, value,
+          aggs.split(',').toSet)
       case other => throw new IllegalArgumentException(
         s"$mv: malformed _mv definition (${other.size} lines)")
     }
@@ -83,7 +97,7 @@ object MatView {
     * compact() of the MV, a checkpoint) — those carry entries, not
     * metrics, and must not reset the cursor. */
   def lastRefreshed(s: SparkSession, mv: String): Long =
-    lastRefreshedAt(s, mv, TxnTable.currentVersion(s, mv))
+    lastRefreshedAt(s, mv, Long.MaxValue) // no bound: one log listing
 
   /** [[lastRefreshed]] pinned at MV version `upTo` — the rewrite rule
     * reads the cursor AND the MV rows from ONE pinned version, so a
@@ -129,7 +143,7 @@ object MatView {
     * wrong or silently expensive view. */
   def create(s: SparkSession, mv: String, base: String,
       keys: Seq[String], value: String,
-      aggs: Seq[String] = Seq("count", "sum")): Long = {
+      aggs: Seq[String] = Seq("count", "sum", "avg")): Long = {
     require(keys.nonEmpty, "MV needs at least one grouping key")
     aggs.map(_.toLowerCase).foreach {
       case "count" | "sum" | "avg" => ()
@@ -198,7 +212,8 @@ object MatView {
       op = "mv_create", schemaJson = rows.schema.json,
       idxCols = intKeys, strIdxCols = strKeys,
       metrics = Seq("mv_base_version" -> bv))
-    writeDef(s, mv, MvDef(base, keys, value))
+    writeDef(s, mv, MvDef(base, keys, value,
+      aggs.map(_.toLowerCase).toSet))
     v
   }
 

@@ -912,8 +912,12 @@ object Similarity {
       lastStaged = lines
       val paths = m.entries.map(_.path).toSet
       // the rewrite read the base THROUGH its tombstones and applied
-      // them (compact's rule); blooms covered only rewritten files
-      TxnTable.Change(lines, paths, paths, op = "recluster",
+      // them (compact's rule); blooms covered only rewritten files.
+      // op is DISTINCT from the metadata-only "recluster": this commit
+      // CHANGES row content (every c_id reassigned), so anything that
+      // special-cases content-invariant ops (MatView's feed-less-range
+      // allow-list especially) must treat it as a content change
+      TxnTable.Change(lines, paths, paths, op = "recluster_ivf",
         deletes = Some(Nil), schemaFallback = m.schema.map(_.json),
         blooms = Some(Nil))
     }
@@ -1007,7 +1011,7 @@ object Similarity {
     val (after, counts) = probeIvfStore(s, store, cents1, full, v2, qPred)
     val recallAfter = recallOf(after)
     val m2 = TxnTable.manifest(s, store, v2)
-    val ok = v2 == v1 + 1 && m2.op == "recluster" &&
+    val ok = v2 == v1 + 1 && m2.op == "recluster_ivf" &&
       contentSig(v2) == sigBefore &&
       recallAfter > recallBefore &&
       counts.forall { case (scanned, total) => scanned < total }

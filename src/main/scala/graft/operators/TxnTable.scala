@@ -4908,8 +4908,8 @@ object TxnTable {
     * a mixed plain/defaulted ADD COLUMNS statement must neither
     * half-apply nor reorder. */
   def addColumnsWith(s: SparkSession, table: String,
-      cols: Seq[(org.apache.spark.sql.types.StructField, Option[String])])
-      : Long = {
+      cols: Seq[(org.apache.spark.sql.types.StructField, Option[String])],
+      extraChecks: Seq[(String, String)] = Nil): Long = {
     val cur = currentVersion(s, table)
     val m = manifest(s, table, cur)
     val have = m.schema.getOrElse(snapshot(s, table, cur).schema)
@@ -4939,11 +4939,19 @@ object TxnTable {
             .putLong(FieldDefaultSince, since)
             .putLong(FieldDefaultSinceVer, cur + 1).build())
     }
+    // caller-supplied CHECKs ride the SAME evolve commit (the
+    // NOT NULL DEFAULT shape: the add and its write-side enforcement
+    // must land together, or a crash between two commits leaves the
+    // declared constraint silently unenforced)
+    extraChecks.foreach { case (n, _) =>
+      require(!m.checks.exists(_._1 == n),
+        s"check '$n' already exists on $table") }
     commit(s, table, m.entries.map(render), cur, op = "evolve",
       schemaJson = org.apache.spark.sql.types.StructType(
         have.fields ++ fields.map(guardNewField(_, m, cur + 1))).json,
       deleteLines = m.deletes, idxCols = m.idxCols,
-      strIdxCols = m.strIdxCols, blooms = m.blooms, retired = m.retired, checks = m.checks)
+      strIdxCols = m.strIdxCols, blooms = m.blooms, retired = m.retired,
+      checks = m.checks ++ extraChecks)
   }
 
   /** `ALTER TABLE ADD COLUMN … DEFAULT <literal>` — add-column evolution

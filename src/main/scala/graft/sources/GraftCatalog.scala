@@ -334,7 +334,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         a.fieldNames.head, a.dataType, nullable = true),
         Option(a.defaultValue()).map(defaultSqlOf))
     }
-    if (adds.nonEmpty) TxnTable.addColumnsWith(spark, path, adds)
+    // a NOT NULL + DEFAULT add keeps its full contract: existing rows
+    // read the (validated non-null) default, and a write-side CHECK in
+    // the SAME evolve commit rejects explicit NULL inserts — accepting
+    // the DDL while silently dropping half of it would be worse than
+    // the old refusal
+    val nnChecks = changes.collect {
+      case a: TableChange.AddColumn
+          if !a.isNullable && a.defaultValue() != null =>
+        (s"${a.fieldNames.head}_not_null",
+          s"${a.fieldNames.head} IS NOT NULL")
+    }
+    if (adds.nonEmpty) TxnTable.addColumnsWith(spark, path, adds, nnChecks)
     changes.foreach {
       case _: TableChange.AddColumn => () // batched above
       case r: TableChange.RenameColumn =>

@@ -78,6 +78,17 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.Alias
 
+  /** The attribute really is the table's DECLARED `_metadata` column
+    * (AddMetadataColumns stamps the metadata-col marker) — a USER
+    * column that happens to be named `_metadata` suppresses the
+    * declared one and must read as the plain data column it is, never
+    * be hijacked into coordinates. */
+  private def isGraftMetaCol(
+      a: org.apache.spark.sql.catalyst.expressions.Attribute): Boolean =
+    a.name == "_metadata" &&
+      org.apache.spark.sql.catalyst.expressions.MetadataAttribute
+        .isValid(a.metadata)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // a still-unresolved `_metadata` reference must resolve against the
     // RELATION's declared metadata column (AddMetadataColumns) before
@@ -115,14 +126,14 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
       // space ~pos deletion vectors record. Handled FIRST: the
       // coordinate read also applies tombstones/mapping/defaults, so a
       // metadata query over any table state is sound.
-      case g: GraftTable if r.output.exists(_.name == "_metadata") =>
+      case g: GraftTable if r.output.exists(isGraftMetaCol) =>
         val snap = TxnTable.snapshotWithCoords(session, g.location,
           g.pinnedVersion)
         val child = snap.queryExecution.analyzed
         val byName = child.output.map(a => a.name -> a).toMap
         import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Literal => CatLit}
         Project(r.output.map { a =>
-          if (a.name == "_metadata")
+          if (isGraftMetaCol(a))
             Alias(CreateNamedStruct(Seq(
               CatLit("file_path"), byName("__gcanon"),
               CatLit("row_index"), byName("__gpos"))),

@@ -91,21 +91,27 @@ case class GraftMvRewriteRule(session: SparkSession)
     // of Average's own decimal arithmetic — a float/double AVG is an
     // order-dependent FP sum the exact fold can't reproduce bit-for-bit,
     // so it falls through); all non-distinct, no filter clause
+    // ...and each must be DECLARED on the view (d.aggs — a count-only
+    // MV never silently answers SUM, however derivable the fold makes it)
     def answerable(e: Expression): Boolean = e match {
       case ae: AggregateExpression =>
         !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
-          case Count(Seq(l: Literal)) => l.value != null
+          case Count(Seq(l: Literal)) =>
+            l.value != null && d.aggs.contains("count")
           case Count(Seq(c)) => stripCast(c) match {
-            case a: AttributeReference => a.name == d.value
+            case a: AttributeReference =>
+              a.name == d.value && d.aggs.contains("count")
             case _ => false
           }
           case Sum(c, _) => stripCast(c) match {
-            case a: AttributeReference => a.name == d.value
+            case a: AttributeReference =>
+              a.name == d.value && d.aggs.contains("sum")
             case _ => false
           }
           case Average(c, _) => c match {
             case a: AttributeReference => a.name == d.value &&
-              a.dataType.isInstanceOf[DecimalType]
+              a.dataType.isInstanceOf[DecimalType] &&
+              d.aggs.contains("avg")
             case _ => false
           }
           case _ => false

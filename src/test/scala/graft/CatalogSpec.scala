@@ -670,8 +670,12 @@ class CatalogSpec extends SparkSpec {
     sql(s"CALL graft.system.recluster_ivf('spec.$t')")
     val v = TxnTable.currentVersion(spark, loc)
     assert(v === 1L)
-    assert(TxnTable.manifest(spark, loc, v).op === "recluster")
-    assert(sig === before, "recluster must be content-invariant")
+    // op is recluster_ivf, NOT the metadata-only "recluster": the
+    // commit changes c_id values, so MatView's content-invariant
+    // allow-list must treat it as a content change
+    assert(TxnTable.manifest(spark, loc, v).op === "recluster_ivf")
+    assert(sig === before,
+      "recluster must be content-invariant in (vec_id, v)")
     val cells = TxnTable.snapshot(spark, loc).select("c_id")
       .distinct().count()
     assert(cells > 1,

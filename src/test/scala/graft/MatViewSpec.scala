@@ -361,8 +361,13 @@ class MatViewSpec extends SparkSpec {
     MatView.refresh(spark, mv)
     val (r2, v2) = srcs(q.replace("graft.mvspec.comp",
       "graft.mvspec.comp VERSION AS OF 0"))
-    assert(v2 || r2.exists(p => !p.contains(mv)),
-      "a time-travel read behind the cursor must not serve from the MV")
+    // a BASE scan, specifically (the v2 relation when the pinned
+    // version is tombstone-free, base data files otherwise) — and
+    // NEVER an MV or feed file: a (wrong) compensated serve would read
+    // MV + _cdc paths, which the old any-non-mv-path check missed
+    assert((v2 || r2.exists(_.contains(s"$loc/data"))) &&
+      !r2.exists(p => p.contains(mv) || p.contains(s"$loc/_cdc")),
+      s"a time-travel read behind the cursor must scan the base: $r2")
     // a content-invariant tail (compact) serves the MV ALONE
     TxnTable.compact(spark, loc)
     val (r3, v3) = srcs(q)
@@ -459,6 +464,33 @@ class MatViewSpec extends SparkSpec {
         aggs = Seq("count", "max"))
     }
     assert(e.getMessage.contains("cannot maintain MAX"), e.getMessage)
+    // the declared aggregate set is a CONTRACT: a count-only MV never
+    // serves SUM, however derivable the fold would make it
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.conly")
+    s.sql("CREATE TABLE graft.mvspec.conly (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.conly SELECT id, 'A', " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(40)")
+    val locC = s"${GraftCatalog.defaultWarehouse}/mvspec/conly"
+    val mvC = fresh("mv_conly_view")
+    MatView.create(spark, mvC, locC, Seq("g"), "v",
+      aggs = Seq("count"))
+    MatView.register(spark, mvC)
+    def servedC(q: String): Boolean = {
+      val p = s.sql(q).queryExecution.optimizedPlan
+      p.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.isEmpty
+    }
+    assert(servedC("SELECT g, COUNT(*) AS n FROM graft.mvspec.conly " +
+      "GROUP BY g"), "declared COUNT must serve")
+    assert(!servedC("SELECT g, SUM(v) AS t FROM graft.mvspec.conly " +
+      "GROUP BY g"), "undeclared SUM must fall through")
+    assert(!servedC("SELECT g, AVG(v) AS a FROM graft.mvspec.conly " +
+      "GROUP BY g"), "undeclared AVG must fall through")
   }
 
   test("aggregate widening: a multi-key MV rewrites GROUP BY over the " +
