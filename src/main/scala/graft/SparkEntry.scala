@@ -70,6 +70,7 @@ object SparkEntry {
     "sql_txn_delete_in"       -> (SqlSurface.txnDeleteIn _),
     "sql_mv_rewrite"          -> (SqlSurface.mvRewrite _),
     "sql_mv_delta"            -> (SqlSurface.mvDelta _),
+    "sql_mv_rollup"           -> (SqlSurface.mvRollup _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
     "sql_txn_agg_push"        -> (SqlSurface.txnAggPush _),
     "sql_txn_bloom"           -> (SqlSurface.txnBloomSql _),
@@ -1440,6 +1441,18 @@ object SparkEntry {
         |  UNION ALL SELECT 'W', p FROM b WHERE k % 20 = 0)
         |SELECT st AS o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS mvr_ok
+        |FROM fin GROUP BY st""".stripMargin,
+    // rollup-over-compensation: the status-level aggregate of the
+    // moved base (deletes %6, repricing %11, a new (R, 9-NEW) group)
+    "sql_mv_rollup" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |fin AS (SELECT st, CASE WHEN k % 11 = 0
+        |      THEN CAST(p + 7 AS DECIMAL(12,2)) ELSE p END AS p
+        |  FROM b WHERE k % 6 <> 0
+        |  UNION ALL SELECT 'R', p FROM b WHERE k % 13 = 0)
+        |SELECT st, COUNT(*) AS n, COUNT(p) AS nn,
+        |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS rollup_ok
         |FROM fin GROUP BY st""".stripMargin,
     // the compensated answer == a direct recompute of the base after
     // both cdc batches: group 'P' gone, every 7th surviving row

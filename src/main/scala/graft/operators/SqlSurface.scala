@@ -443,6 +443,70 @@ object SqlSurface {
     s.sql(q).withColumn("mvd_ok", lit(ok))
   }
 
+  /** sql_mv_rollup: the MATERIALIZED-ROLLUP rewrite — one MV keyed
+    * (status, priority) serves a whole FAMILY of aggregates: the exact
+    * grouping, every coarser grouping (GROUP BY status alone), and the
+    * global aggregate, because the count/sum/avg fold is SUMMABLE —
+    * the rewrite re-aggregates MV rows to the queried level (the
+    * Calcite rollup contract) at O(MV), never O(base). Composed with
+    * delta compensation: the base moves by one cdc batch and the MV is
+    * NEVER refreshed, so the served plan is rollup-over-(MV ⊕ feed
+    * tail) — `rollup_ok` pins the optimized plan's scans as MV files +
+    * `_cdc` feeds and NEVER a base data file, for BOTH the coarse and
+    * the global query, plus the global answer matching a direct
+    * recompute. Hashed output = the status-level rollup; oracle =
+    * direct replay of the moved base. At 100 TB: ONE materialization
+    * pays for every dashboard cut above it — N rollup MVs collapse
+    * into one. */
+  def mvRollup(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mvru_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mvru_orders (
+      o_orderkey BIGINT, st STRING, pri STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvru_orders
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_rollup")
+    graft.operators.MatView.create(s, mv, loc, Seq("st", "pri"), "price")
+    graft.operators.MatView.register(s, mv)
+    // stale the MV: one cdc batch (scattered deletes + repricing + a
+    // brand-new (status, priority) group) — never refreshed
+    val ch = s.sql("""SELECT o_orderkey, o_orderstatus AS st,
+        o_orderpriority AS pri, CAST(o_totalprice AS DECIMAL(12,2))
+          AS price, 'D' AS op
+      FROM orders WHERE o_orderkey % 6 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,  o_orderpriority,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 7 AS DECIMAL(12,2)),
+        'U'
+      FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 6 <> 0
+      UNION ALL
+      SELECT o_orderkey + 400000000, 'R', '9-NEW',
+        CAST(o_totalprice AS DECIMAL(12,2)), 'U'
+      FROM orders WHERE o_orderkey % 13 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, loc, ch, "o_orderkey",
+      cdc = true)
+    val coarse = """SELECT st, COUNT(*) AS n, COUNT(price) AS nn,
+      CAST(SUM(price) AS DOUBLE) AS total
+      FROM graft.q.mvru_orders GROUP BY st"""
+    val global = """SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE)
+      AS total FROM graft.q.mvru_orders"""
+    def mvOnly(ps: Seq[String]) = ps.nonEmpty &&
+      ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
+      ps.exists(_.contains(mv))
+    val pCoarse = scanSrcsOf(s, coarse)
+    val pGlobal = scanSrcsOf(s, global)
+    val g = s.sql(global).collect()(0)
+    val gd = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, loc)
+        .agg(count(lit(1)), sum(col("price")).cast("double")).collect()(0)
+    }
+    val ok = mvOnly(pCoarse) && mvOnly(pGlobal) &&
+      g.getLong(0) == gd.getLong(0) && g.getDouble(1) == gd.getDouble(1)
+    s.sql(coarse).withColumn("rollup_ok", lit(ok))
+  }
+
   /** sql_txn_dpp: RUNTIME join-driven file pruning — the DSv2 dynamic
     * partition pruning contract (`SupportsRuntimeV2Filtering`) answered
     * from MANIFEST stats. The star-join shape: a fact table

@@ -74,15 +74,20 @@ case class GraftMvRewriteRule(session: SparkSession)
     }
     val (mvLoc, d) = MatView.registeredFor(g.location).getOrElse(
       return None)
-    // the grouping keys must be EXACTLY the MV's key columns (any
-    // order, bare references, no duplicates)
+    // the grouping keys must be a SUBSET of the MV's key columns (any
+    // order, bare references, no duplicates — and possibly EMPTY: the
+    // global aggregate). A proper subset serves by ROLLUP: the fold is
+    // summable, so re-aggregating MV rows to the coarser grouping
+    // answers exactly (the Calcite materialized-rollup rewrite) at
+    // O(MV) — never O(base)
     val keyAttrs: Seq[AttributeReference] = {
       val as = groups.collect { case a: AttributeReference => a }
-      if (as.size != groups.size || as.size != d.keys.size ||
-        as.map(_.name).toSet != d.keys.toSet ||
+      if (as.size != groups.size ||
+        !as.map(_.name).toSet.subsetOf(d.keys.toSet) ||
         as.map(_.name).distinct.size != as.size) return None
       as
     }
+    val rollup = keyAttrs.size < d.keys.size
     val keyIds = keyAttrs.map(_.exprId).toSet
     // every aggregate in the output must be answerable from the fold:
     // COUNT(<non-null literal>) → n, COUNT(def.value) → nn,
@@ -138,8 +143,26 @@ case class GraftMvRewriteRule(session: SparkSession)
     val mvVer = TxnTable.currentVersion(session, mvLoc)
     val cursor = MatView.lastRefreshedAt(session, mvLoc, mvVer)
     if (cursor > g.pinnedVersion) return None
-    val mvDf = MatView.compensated(session, mvLoc, d, cursor,
+    val mvDf0 = MatView.compensated(session, mvLoc, d, cursor,
       g.pinnedVersion, mvVer).getOrElse(return None)
+    // the rollup: one more summation of the summable fold. The total
+    // keeps its WIDENED sum type deliberately — re-bounding it to the
+    // fold's decimal could overflow at execution on a sum the base
+    // scan would have answered; the substitution's cast to the query's
+    // own SUM result type has exactly the base scan's overflow
+    // behavior (Sum accumulates in the same bounded type)
+    val mvDf =
+      if (!rollup) mvDf0
+      else {
+        import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, lit => flit, sum => fsum}
+        // counts coalesce to 0 for the empty-MV GLOBAL aggregate (one
+        // row with NULL sums, where COUNT(*) must answer 0); total
+        // stays NULL there — which is exactly SUM-over-nothing
+        mvDf0.groupBy(keyAttrs.map(a => fcol(a.name)): _*)
+          .agg(fcoalesce(fsum(fcol("n")), flit(0L)).as("n"),
+            fcoalesce(fsum(fcol("nn")), flit(0L)).as("nn"),
+            fsum(fcol("total")).as("total"))
+      }
     val mvPlan = mvDf.queryExecution.analyzed
     val byName = mvPlan.output.map(a => a.name -> a).toMap
     val (mvN, mvNn, mvTotal) = (byName.get("n"),

@@ -528,16 +528,39 @@ class MatViewSpec extends SparkSpec {
       }.flatten
       !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
     }
-    // both key orders rewrite; a subset grouping falls through (the
-    // rule serves only the exact materialized shape — re-aggregating
-    // MV rows to a coarser grouping is a possible future extension,
-    // but today conservative = correct)
+    // both key orders rewrite; a SUBSET grouping serves by ROLLUP (the
+    // fold is summable — one more aggregation of MV rows answers the
+    // coarser grouping exactly), including the GLOBAL aggregate; a
+    // non-key grouping still falls through
     assert(served("SELECT g, h, COUNT(*) AS n, SUM(v) AS t " +
       "FROM graft.mvspec.mk GROUP BY g, h"))
     assert(served("SELECT h, g, SUM(v) AS t FROM graft.mvspec.mk " +
       "GROUP BY h, g"))
-    assert(!served("SELECT g, COUNT(*) AS n FROM graft.mvspec.mk " +
-      "GROUP BY g"), "subset grouping must fall through")
+    assert(served("SELECT g, COUNT(*) AS n FROM graft.mvspec.mk " +
+      "GROUP BY g"), "subset grouping must serve by rollup")
+    assert(served("SELECT COUNT(*) AS n, SUM(v) AS t " +
+      "FROM graft.mvspec.mk"), "the global aggregate must serve by rollup")
+    assert(!served("SELECT k, COUNT(*) AS n FROM graft.mvspec.mk " +
+      "GROUP BY k"), "a non-key grouping must fall through")
+    // rollup answers == base recompute, at both levels
+    val gOnly = s.sql("SELECT g, COUNT(*) AS n, COUNT(v) AS nn, " +
+      "CAST(SUM(v) AS DOUBLE) AS t, AVG(v) AS a " +
+      "FROM graft.mvspec.mk GROUP BY g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.getDecimal(4)))).toSet
+    val gDirect = TxnTable.snapshot(spark, loc)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"),
+        count(col("v")).as("nn"), sum(col("v")).cast("double").as("t"),
+        avg(col("v")).as("a")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.getDecimal(4)))).toSet
+    assert(gOnly === gDirect, "rollup diverged from recompute")
+    val glob = s.sql("SELECT COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS t " +
+      "FROM graft.mvspec.mk").collect()(0)
+    val globD = TxnTable.snapshot(spark, loc)
+      .agg(count(lit(1)), sum(col("v")).cast("double")).collect()(0)
+    assert(glob.getLong(0) === globD.getLong(0) &&
+      glob.getDouble(1) === globD.getDouble(1))
     // answers match the base exactly
     val q = "SELECT g, h, COUNT(*) AS n, COUNT(v) AS nn, " +
       "CAST(SUM(v) AS DOUBLE) AS t, AVG(v) AS a " +
