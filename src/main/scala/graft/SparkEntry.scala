@@ -100,6 +100,7 @@ object SparkEntry {
     "op_zorder_manifest"      -> (TxnTable.zorderManifest _),
     "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
     "op_matview"              -> (graft.operators.MatView.matView _),
+    "op_mv_delete"            -> (graft.operators.MatView.mvCowDelete _),
     "op_txn_multi"            -> (TxnTable.txnMulti _),
     "op_txn_default"          -> (TxnTable.txnDefault _),
     "op_table_history"        -> (TxnTable.tableHistory _),
@@ -1792,6 +1793,18 @@ object SparkEntry {
         |  TRUE AS multi_ok
         |FROM orders""".stripMargin,
     // the refreshed MV must hash-equal a DIRECT per-status recompute of
+    // refresh over COPY-ON-WRITE delete feeds: the MV after the
+    // retention double-header == per-status recompute of the retained
+    // base (everything at-or-above the first-fifth cut, minus 9|k)
+    "op_mv_delete" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |m AS (SELECT MIN(k) AS kmin, MAX(k) - MIN(k) AS span FROM b),
+        |r AS (SELECT kmin + (span + 1) // 5 AS cut FROM m),
+        |fin AS (SELECT st, p FROM b, r WHERE k >= cut AND k % 9 <> 0)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS mvdel_ok
+        |FROM fin GROUP BY st""".stripMargin,
     // the base's final content (the op_mor_cdc change algebra, summed)
     "op_matview" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,

@@ -336,6 +336,58 @@ object MatView {
       .filter(col("n") =!= 0L))
   }
 
+  /** op_mv_delete: COPY-ON-WRITE DELETES WITH PUBLISHED FEEDS — closing
+    * the MV's DML gap. Before this, only the merge-on-read paths
+    * published change feeds: one plain `DELETE FROM` on the base and
+    * every MV over it refuses refresh FOREVER (the loud contract) —
+    * honest, but it forces recompute for the most ordinary retention
+    * job there is. `cdc = true` on [[TxnTable.deleteWhere]]/
+    * [[TxnTable.deleteIn]] stages every deleted row (w = −1) as a
+    * signed feed IN the delete commit — naming the rows costs reading
+    * the dropped files too, the price of an exact feed, paid only on
+    * request. The scenario runs the retention double-header: a
+    * contiguous range delete (file-pruned — whole files drop, boundary
+    * files rewrite) and a scattered id-list delete (per-value verdicts;
+    * at sf0.1 the list exceeds the 10k fold so the envelope path
+    * publishes too), then ONE refresh folds BOTH feeds. `mvdel_ok`
+    * pins: two commits folded, both carrying `#cdc=` refs, the range
+    * delete really dropped whole files and kept others verbatim.
+    * Hashed output = the refreshed MV, oracle = direct recompute of
+    * the retained base. At 100 TB: retention DELETEs flow into every
+    * downstream MV at O(deleted rows), never O(base rescan). */
+  def mvCowDelete(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir("mvdel_base")
+    val mv = freshDir("mvdel_view")
+    val src = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice").cast(D12).as("price"))
+    val k = col("o_orderkey")
+    TxnTable.commit(s, base, TxnTable.stageIndexed(s, base,
+      src.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = src.schema.json)
+    create(s, mv, base, "o_orderstatus", "price")
+    val b = src.agg(org.apache.spark.sql.functions.min(k),
+      org.apache.spark.sql.functions.max(k)).collect()(0)
+    val (kmin, kmax) = (b.getLong(0), b.getLong(1))
+    val cut = kmin + (kmax - kmin + 1) / 5
+    // retention pass 1: drop everything below the cut (the age-out
+    // shape) — contiguous, so the clustered layout drops whole files
+    val r1 = TxnTable.deleteWhere(s, base,
+      Seq(("o_orderkey", Long.MinValue, cut - 1)), Nil, cdc = true)
+    // retention pass 2: a scattered id list (the GDPR shape)
+    val ids = src.filter(pmod(k, lit(9)) === 0).select(k)
+      .collect().map(_.getLong(0)).toSeq
+    val r2 = TxnTable.deleteIn(s, base, "o_orderkey", ids, cdc = true)
+    val r = refresh(s, mv)
+    val ok = r.commitsFolded == 2 && r.baseVersion == 2L &&
+      TxnTable.manifest(s, base, r1.version).cdcRefs.nonEmpty &&
+      TxnTable.manifest(s, base, r2.version).cdcRefs.nonEmpty &&
+      r1.dropped > 0 && r1.kept > 0
+    TxnTable.snapshot(s, mv)
+      .select(col("o_orderstatus"), col("n"),
+        col("total").cast("double").as("total"))
+      .withColumn("mvdel_ok", lit(ok))
+  }
+
   // ---- TRANSPARENT QUERY REWRITING ----------------------------------------
 
   /** Session-wide MV registry: base location → (MV location, cached

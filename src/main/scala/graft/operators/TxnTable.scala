@@ -2844,7 +2844,8 @@ object TxnTable {
     * rows until vacuum. */
   def deleteWhere(s: SparkSession, table: String,
       intBounds: Seq[(String, Long, Long)],
-      strBounds: Seq[(String, StrBound, StrBound)]): DeleteResult = {
+      strBounds: Seq[(String, StrBound, StrBound)],
+      cdc: Boolean = false): DeleteResult = {
     require(intBounds.nonEmpty || strBounds.nonEmpty,
       "deleteWhere needs at least one column bound (no-WHERE truncation " +
         "is the caller's empty-overwrite path)")
@@ -2946,13 +2947,37 @@ object TxnTable {
     val finalLines =
       if (lines.nonEmpty) lines
       else stage(s, table, snapshot(s, table, cur).limit(0))
+    val cdcRefs = if (!cdc) Nil else deleteCdcRefs(s, table, m, cur,
+      dropped, rewrite, coalesce(pred, lit(false)))
     val v = commit(s, table, finalLines, cur, op = "delete",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("dropped" -> dropped.size.toLong,
         "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong),
+      cdcFiles = cdcRefs,
       retired = m.retired, checks = m.checks)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
+  }
+
+  /** The signed feed of a copy-on-write DELETE (`cdc = true` on
+    * [[deleteWhere]]/[[deleteIn]]): every deleted row with w = −1 —
+    * what lets an incremental consumer ([[MatView.refresh]] especially)
+    * fold a DELETE instead of refusing or rescanning the base. Naming
+    * the rows costs reading the DROPPED files too (without cdc a drop
+    * is pure metadata) — the price of an exact feed, paid only on
+    * request. Staged for the commit landing at `cur + 1`. */
+  private def deleteCdcRefs(s: SparkSession, table: String, m: Manifest,
+      cur: Long, dropped: Seq[Entry], rewrite: Seq[Entry],
+      deletedPred: Column): Seq[String] = {
+    val droppedRows =
+      if (dropped.isEmpty) None else Some(readEntries(s, table, m, dropped))
+    val removedRows =
+      if (rewrite.isEmpty) None
+      else Some(readEntries(s, table, m, rewrite).filter(deletedPred))
+    (droppedRows.toSeq ++ removedRows.toSeq).reduceOption(_ unionByName _)
+      .map(d => stageCdcFeed(s, table, d.withColumn("w", lit(-1)),
+        cur + 1))
+      .getOrElse(Nil)
   }
 
   /** Past this many distinct values, [[deleteIn]]'s per-file verdicts
@@ -2978,7 +3003,7 @@ object TxnTable {
     * survive — SQL IN three-valued logic). Copy-on-write as always:
     * pinned readers see the deleted rows until vacuum. */
   def deleteIn(s: SparkSession, table: String, key: String,
-      values: Seq[Long]): DeleteResult = {
+      values: Seq[Long], cdc: Boolean = false): DeleteResult = {
     require(values.nonEmpty,
       "deleteIn needs at least one value (an empty IN-list deletes " +
         "nothing — make the no-op explicit at the call site)")
@@ -3061,11 +3086,18 @@ object TxnTable {
     val finalLines =
       if (lines.nonEmpty) lines
       else stage(s, table, snapshot(s, table, cur).limit(0))
+    // the membership predicate stays exact for the feed even when the
+    // verdicts folded to the envelope (isin is fine here: the feed is
+    // written once, not planned per file)
+    val cdcRefs = if (!cdc) Nil else deleteCdcRefs(s, table, m, cur,
+      dropped, rewrite,
+      coalesce(col(key).isin(vset: _*), lit(false)))
     val v = commit(s, table, finalLines, cur, op = "delete",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("dropped" -> dropped.size.toLong,
         "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong),
+      cdcFiles = cdcRefs,
       retired = m.retired, checks = m.checks)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
   }
