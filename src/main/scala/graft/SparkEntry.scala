@@ -1792,7 +1792,6 @@ object SparkEntry {
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
         |  TRUE AS multi_ok
         |FROM orders""".stripMargin,
-    // the refreshed MV must hash-equal a DIRECT per-status recompute of
     // refresh over COPY-ON-WRITE delete feeds: the MV after the
     // retention double-header == per-status recompute of the retained
     // base (everything at-or-above the first-fifth cut, minus 9|k)
@@ -1805,6 +1804,7 @@ object SparkEntry {
         |SELECT st AS o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS mvdel_ok
         |FROM fin GROUP BY st""".stripMargin,
+    // the refreshed MV must hash-equal a DIRECT per-status recompute of
     // the base's final content (the op_mor_cdc change algebra, summed)
     "op_matview" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,

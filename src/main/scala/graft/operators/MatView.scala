@@ -237,7 +237,11 @@ object MatView {
     val refs = (last + 1 to head).flatMap { v =>
       val m = TxnTable.manifest(s, d.base, v)
       if (m.cdcRefs.nonEmpty) m.cdcRefs.map(r => s"${d.base}/$r")
-      else if (ContentInvariantOps(m.op)) Nil
+      // cdc_empty marks a cdc-requested DELETE that removed zero rows
+      // (empty frames stage no feed parquet): a zero-length feed, not
+      // a feed-less content change
+      else if (ContentInvariantOps(m.op) ||
+        m.metrics.get("cdc_empty").contains(1L)) Nil
       else throw new IllegalArgumentException(
         s"${d.base} version $v ('${m.op}') changed content without " +
           "publishing a change feed; incremental refresh cannot cover " +
@@ -315,7 +319,8 @@ object MatView {
     val perCommit = (cursor + 1 to head).map { v =>
       val m = TxnTable.manifest(s, d.base, v)
       if (m.cdcRefs.nonEmpty) Some(m.cdcRefs.map(r => s"${d.base}/$r"))
-      else if (ContentInvariantOps(m.op)) Some(Nil)
+      else if (ContentInvariantOps(m.op) ||
+        m.metrics.get("cdc_empty").contains(1L)) Some(Nil) // empty feed
       else None // feed-less content change: cannot compensate
     }
     if (perCommit.exists(_.isEmpty)) return None

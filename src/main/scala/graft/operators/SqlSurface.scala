@@ -493,7 +493,7 @@ object SqlSurface {
       AS total FROM graft.q.mvru_orders"""
     def mvOnly(ps: Seq[String]) = ps.nonEmpty &&
       ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
-      ps.exists(_.contains(mv))
+      ps.exists(_.contains(mv)) && ps.exists(_.contains(s"$loc/_cdc"))
     val pCoarse = scanSrcsOf(s, coarse)
     val pGlobal = scanSrcsOf(s, global)
     val g = s.sql(global).collect()(0)

@@ -2953,19 +2953,33 @@ object TxnTable {
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("dropped" -> dropped.size.toLong,
-        "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong),
+        "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong) ++
+        cdcEmptyMarker(cdc, cdcRefs),
       cdcFiles = cdcRefs,
       retired = m.retired, checks = m.checks)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
   }
 
+  /** A cdc-requested DELETE that removed ZERO rows (predicate reached
+    * no file, or rewrote boundary files without a matching row) stages
+    * no feed parquet — empty frames write no part file — so without a
+    * marker the commit would look feed-less and permanently break
+    * downstream incremental consumers over a NO-OP. The marker records
+    * the honest fact "this delete's delta is empty": [[MatView]]
+    * accepts it as a zero-length feed. */
+  private def cdcEmptyMarker(cdc: Boolean, refs: Seq[String])
+      : Seq[(String, Long)] =
+    if (cdc && refs.isEmpty) Seq("cdc_empty" -> 1L) else Nil
+
   /** The signed feed of a copy-on-write DELETE (`cdc = true` on
     * [[deleteWhere]]/[[deleteIn]]): every deleted row with w = −1 —
     * what lets an incremental consumer ([[MatView.refresh]] especially)
     * fold a DELETE instead of refusing or rescanning the base. Naming
-    * the rows costs reading the DROPPED files too (without cdc a drop
-    * is pure metadata) — the price of an exact feed, paid only on
-    * request. Staged for the commit landing at `cur + 1`. */
+    * the rows costs reading the DROPPED files too, and boundary
+    * (rewritten) files are read a second time for the feed on top of
+    * the survivor rewrite — the price of an exact feed without holding
+    * the rewrite set in memory, paid only on request. Staged for the
+    * commit landing at `cur + 1`. */
   private def deleteCdcRefs(s: SparkSession, table: String, m: Manifest,
       cur: Long, dropped: Seq[Entry], rewrite: Seq[Entry],
       deletedPred: Column): Seq[String] = {
@@ -3096,7 +3110,8 @@ object TxnTable {
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("dropped" -> dropped.size.toLong,
-        "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong),
+        "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong) ++
+        cdcEmptyMarker(cdc, cdcRefs),
       cdcFiles = cdcRefs,
       retired = m.retired, checks = m.checks)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)

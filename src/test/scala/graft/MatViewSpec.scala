@@ -86,6 +86,26 @@ class MatViewSpec extends SparkSpec {
     assert(TxnTable.manifest(spark, mv, r.mvVersion).entries
       .map(TxnTable.render).toSet === entries0,
       "cursor advance must carry MV entries verbatim")
+    // a cdc-requested DELETE that matches NOTHING stages no feed file
+    // (empty frames write no parquet) but must still refresh cleanly —
+    // the cdc_empty marker records the zero-length feed
+    val rNop = TxnTable.deleteWhere(spark, t,
+      Seq(("k", 900000L, 999999L)), Nil, cdc = true)
+    assert(TxnTable.manifest(spark, t, rNop.version).cdcRefs.isEmpty)
+    val rAfterNop = MatView.refresh(spark, mv)
+    assert(rAfterNop.baseVersion === rNop.version,
+      "a zero-row cdc delete must not block incremental refresh")
+    // a cdc delete that REMOVES rows publishes a real feed and folds
+    val rDel = TxnTable.deleteWhere(spark, t, Seq(("k", 0L, 9L)), Nil,
+      cdc = true)
+    assert(TxnTable.manifest(spark, t, rDel.version).cdcRefs.nonEmpty)
+    MatView.refresh(spark, mv)
+    val direct = TxnTable.snapshot(spark, t).groupBy(col("g"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = TxnTable.snapshot(spark, mv).select(col("g"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === direct, "delete-feed refresh diverged from recompute")
     // a plain append publishes no feed — incremental refresh cannot
     // cover it and must say so, not silently rescan the base
     TxnTable.append(spark, t, baseDf(30)
@@ -96,7 +116,7 @@ class MatViewSpec extends SparkSpec {
     assert(e.getMessage.contains("without publishing a change feed"),
       s"wrong refusal: ${e.getMessage}")
     // the failed refresh moved nothing: cursor intact
-    assert(MatView.lastRefreshed(spark, mv) === 1L)
+    assert(MatView.lastRefreshed(spark, mv) === rDel.version)
   }
 
   test("transparent rewrite DISQUALIFIES on shapes the MV cannot " +
@@ -495,7 +515,7 @@ class MatViewSpec extends SparkSpec {
 
   test("aggregate widening: a multi-key MV rewrites GROUP BY over the " +
       "key set in any order, refreshes through the composite-key " +
-      "merge, and disqualifies subset grouping") {
+      "merge, and serves subset/global groupings by rollup") {
     val s = spark
     import graft.sources.GraftCatalog
     GraftCatalog.register(s)
