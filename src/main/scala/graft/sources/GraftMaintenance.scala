@@ -166,7 +166,7 @@ private[sources] object GraftMaintenance {
       "checkpoint", "restore", "recluster", "recluster_ivf", "reindex",
       "zorder", "tag", "drop_tag", "clone", "publish", "branch",
       "fastforward", "rebase", "drop_branch", "rewrite_tombstones",
-      "dedup", "delete_dv", "build_bloom", "vacuum_preview",
+      "dedup", "delete_dv", "delete_in", "build_bloom", "vacuum_preview",
       "create_matview", "refresh_matview")
 
   def load(catalog: GraftCatalog, warehouse: String, name: String)
@@ -415,6 +415,20 @@ private[sources] object GraftMaintenance {
       // (file, position) coordinate, zero rewrite —
       // CALL graft.system.delete_dv('ns.t', 'm % 7 = 0'); the predicate
       // is SQL text over the table's logical schema
+      // the GDPR id-list DELETE as a procedure: per-value manifest
+      // verdicts (range boxes + bucketN transforms), optional signed
+      // feed for downstream MVs —
+      // CALL graft.system.delete_in('ns.t', 'k', '5,7,1000', true)
+      case "delete_in" => p("delete_in", Seq(tableParam,
+        ProcedureParameter.in("key", StringType).build(),
+        ProcedureParameter.in("values", StringType).build(),
+        ProcedureParameter.in("cdc", BooleanType)
+          .defaultValue("false").build())) { (s, in) =>
+        val vs = in.getUTF8String(2).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+        TxnTable.deleteIn(s, tbl(s, in),
+          in.getUTF8String(1).toString, vs, cdc = in.getBoolean(3)).version
+      }
       case "delete_dv" => p("delete_dv", Seq(tableParam,
         ProcedureParameter.in("predicate", StringType).build())) { (s, in) =>
         TxnTable.deleteWherePos(s, tbl(s, in),

@@ -646,6 +646,34 @@ class CatalogSpec extends SparkSpec {
       s"procedures not listed: $listed")
   }
 
+  test("CALL graft.system.delete_in: the id-list delete as a " +
+      "procedure, with the optional cdc feed; discoverable") {
+    val t = fresh("proc_delin")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    sql(s"INSERT INTO graft.spec.$t SELECT id, CONCAT('r', id) " +
+      "FROM RANGE(100)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    sql(s"CALL graft.system.delete_in('spec.$t', 'k', '5, 7, 500')")
+    assert(sql(s"SELECT COUNT(*) AS n FROM graft.spec.$t")
+      .collect()(0).getLong(0) === 98)
+    assert(TxnTable.manifest(spark, loc,
+      TxnTable.currentVersion(spark, loc)).cdcRefs.isEmpty)
+    // cdc = true publishes the deleted rows as a signed feed
+    sql(s"CALL graft.system.delete_in('spec.$t', 'k', '11,13', true)")
+    val m = TxnTable.manifest(spark, loc,
+      TxnTable.currentVersion(spark, loc))
+    assert(m.cdcRefs.nonEmpty, "cdc=true must publish a feed")
+    val feed = spark.read.parquet(m.cdcRefs.map(r => s"$loc/$r"): _*)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Int]("w"))).toSet
+    assert(feed === Set((11L, -1), (13L, -1)),
+      s"the feed must carry exactly the deleted rows, signed: $feed")
+    val listed = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].listProcedures(Array("system"))
+      .map(_.name()).toSet
+    assert(listed.contains("delete_in"), s"not listed: $listed")
+  }
+
   test("CALL graft.system.recluster_ivf: retrains the coarse quantizer " +
       "from the store's current rows and rewrites assignment content-" +
       "invariantly; discoverable via listProcedures") {
