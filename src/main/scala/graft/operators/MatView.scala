@@ -237,11 +237,11 @@ object MatView {
     val refs = (last + 1 to head).flatMap { v =>
       val m = TxnTable.manifest(s, d.base, v)
       if (m.cdcRefs.nonEmpty) m.cdcRefs.map(r => s"${d.base}/$r")
-      // cdc_empty marks a cdc-requested DELETE that removed zero rows
-      // (empty frames stage no feed parquet): a zero-length feed, not
-      // a feed-less content change
+      // delete_noop marks a DELETE that provably changed no rows
+      // (verdicts touched no file, or the exact cdc feed was empty):
+      // a zero-length feed, not a feed-less content change
       else if (ContentInvariantOps(m.op) ||
-        m.metrics.get("cdc_empty").contains(1L)) Nil
+        m.metrics.get("delete_noop").contains(1L)) Nil
       else throw new IllegalArgumentException(
         s"${d.base} version $v ('${m.op}') changed content without " +
           "publishing a change feed; incremental refresh cannot cover " +
@@ -320,7 +320,7 @@ object MatView {
       val m = TxnTable.manifest(s, d.base, v)
       if (m.cdcRefs.nonEmpty) Some(m.cdcRefs.map(r => s"${d.base}/$r"))
       else if (ContentInvariantOps(m.op) ||
-        m.metrics.get("cdc_empty").contains(1L)) Some(Nil) // empty feed
+        m.metrics.get("delete_noop").contains(1L)) Some(Nil) // no-op delete
       else None // feed-less content change: cannot compensate
     }
     if (perCommit.exists(_.isEmpty)) return None

@@ -2954,22 +2954,25 @@ object TxnTable {
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("dropped" -> dropped.size.toLong,
         "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong) ++
-        cdcEmptyMarker(cdc, cdcRefs),
+        deleteNoopMarker(dropped.nonEmpty || rewrite.nonEmpty, cdc,
+          cdcRefs),
       cdcFiles = cdcRefs,
       retired = m.retired, checks = m.checks)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
   }
 
-  /** A cdc-requested DELETE that removed ZERO rows (predicate reached
-    * no file, or rewrote boundary files without a matching row) stages
-    * no feed parquet — empty frames write no part file — so without a
-    * marker the commit would look feed-less and permanently break
-    * downstream incremental consumers over a NO-OP. The marker records
-    * the honest fact "this delete's delta is empty": [[MatView]]
-    * accepts it as a zero-length feed. */
-  private def cdcEmptyMarker(cdc: Boolean, refs: Seq[String])
-      : Seq[(String, Long)] =
-    if (cdc && refs.isEmpty) Seq("cdc_empty" -> 1L) else Nil
+  /** Marks a DELETE commit that PROVABLY changed no rows: either the
+    * verdicts touched no file at all (provable with or without cdc), or
+    * the cdc feed — exact by construction — came back empty. Without
+    * the marker such a commit looks like a feed-less content change and
+    * permanently breaks downstream incremental consumers ([[MatView]])
+    * over a NO-OP: the weekly retention job whose cutoff reached
+    * nothing would force a full recompute. */
+  private def deleteNoopMarker(filesTouched: Boolean, cdc: Boolean,
+      refs: Seq[String]): Seq[(String, Long)] =
+    if (!filesTouched || (cdc && refs.isEmpty))
+      Seq("delete_noop" -> 1L)
+    else Nil
 
   /** The signed feed of a copy-on-write DELETE (`cdc = true` on
     * [[deleteWhere]]/[[deleteIn]]): every deleted row with w = −1 —
@@ -2989,8 +2992,20 @@ object TxnTable {
       if (rewrite.isEmpty) None
       else Some(readEntries(s, table, m, rewrite).filter(deletedPred))
     (droppedRows.toSeq ++ removedRows.toSeq).reduceOption(_ unionByName _)
-      .map(d => stageCdcFeed(s, table, d.withColumn("w", lit(-1)),
-        cur + 1))
+      .map { d =>
+        val refs = stageCdcFeed(s, table, d.withColumn("w", lit(-1)),
+          cur + 1)
+        // a boundary rewrite can match ZERO rows — Spark still writes
+        // one zero-row file for the empty frame (partition 0's writer
+        // opens eagerly): drop it rather than commit a junk feed, so
+        // "no refs" means exactly "no rows deleted"
+        if (refs.nonEmpty &&
+          s.read.parquet(refs.map(pathFor(table, _)): _*).isEmpty) {
+          val f = fs(s, new Path(table))
+          refs.foreach(r => f.delete(new Path(pathFor(table, r)), false))
+          Nil
+        } else refs
+      }
       .getOrElse(Nil)
   }
 
@@ -3111,7 +3126,8 @@ object TxnTable {
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("dropped" -> dropped.size.toLong,
         "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong) ++
-        cdcEmptyMarker(cdc, cdcRefs),
+        deleteNoopMarker(dropped.nonEmpty || rewrite.nonEmpty, cdc,
+          cdcRefs),
       cdcFiles = cdcRefs,
       retired = m.retired, checks = m.checks)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)

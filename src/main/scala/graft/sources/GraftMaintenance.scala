@@ -415,6 +415,11 @@ private[sources] object GraftMaintenance {
       // (file, position) coordinate, zero rewrite —
       // CALL graft.system.delete_dv('ns.t', 'm % 7 = 0'); the predicate
       // is SQL text over the table's logical schema
+      case "delete_dv" => p("delete_dv", Seq(tableParam,
+        ProcedureParameter.in("predicate", StringType).build())) { (s, in) =>
+        TxnTable.deleteWherePos(s, tbl(s, in),
+          org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))
+      }
       // the GDPR id-list DELETE as a procedure: per-value manifest
       // verdicts (range boxes + bucketN transforms), optional signed
       // feed for downstream MVs —
@@ -428,11 +433,6 @@ private[sources] object GraftMaintenance {
           .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
         TxnTable.deleteIn(s, tbl(s, in),
           in.getUTF8String(1).toString, vs, cdc = in.getBoolean(3)).version
-      }
-      case "delete_dv" => p("delete_dv", Seq(tableParam,
-        ProcedureParameter.in("predicate", StringType).build())) { (s, in) =>
-        TxnTable.deleteWherePos(s, tbl(s, in),
-          org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))
       }
       // collapse accumulated equality tombstones into one bounded file
       // per key column — zero data files touched (the between-

@@ -86,9 +86,17 @@ class MatViewSpec extends SparkSpec {
     assert(TxnTable.manifest(spark, mv, r.mvVersion).entries
       .map(TxnTable.render).toSet === entries0,
       "cursor advance must carry MV entries verbatim")
-    // a cdc-requested DELETE that matches NOTHING stages no feed file
-    // (empty frames write no parquet) but must still refresh cleanly —
-    // the cdc_empty marker records the zero-length feed
+    // a plain (cdc = false) DELETE whose verdicts touch NO file is a
+    // provable no-op — it must carry the delete_noop marker and never
+    // block incremental refresh
+    val rPlainNop = TxnTable.deleteWhere(spark, t,
+      Seq(("k", 800000L, 899999L)), Nil)
+    assert(TxnTable.manifest(spark, t, rPlainNop.version).metrics
+      .get("delete_noop").contains(1L))
+    assert(MatView.refresh(spark, mv).baseVersion === rPlainNop.version,
+      "a zero-file plain delete must not block incremental refresh")
+    // a cdc-requested DELETE that matches nothing publishes no feed
+    // file but marks the zero-length delta the same way
     val rNop = TxnTable.deleteWhere(spark, t,
       Seq(("k", 900000L, 999999L)), Nil, cdc = true)
     assert(TxnTable.manifest(spark, t, rNop.version).cdcRefs.isEmpty)
