@@ -101,6 +101,7 @@ object SparkEntry {
     "op_incremental_agg"      -> (TxnTable.incrementalAgg _),
     "op_matview"              -> (graft.operators.MatView.matView _),
     "op_mv_delete"            -> (graft.operators.MatView.mvCowDelete _),
+    "op_mv_merge"             -> (graft.operators.MatView.mvCowMerge _),
     "op_txn_multi"            -> (TxnTable.txnMulti _),
     "op_txn_default"          -> (TxnTable.txnDefault _),
     "op_table_history"        -> (TxnTable.tableHistory _),
@@ -1792,6 +1793,19 @@ object SparkEntry {
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
         |  TRUE AS multi_ok
         |FROM orders""".stripMargin,
+    // refresh over a COPY-ON-WRITE merge feed: the MV after the
+    // three-shape change set (delete 8|k, reprice k%10=3 by +3,
+    // insert an 'M' group for 17|k) == per-status recompute
+    "op_mv_merge" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |fin AS (SELECT st, CASE WHEN k % 10 = 3
+        |      THEN CAST(p + 3 AS DECIMAL(12,2)) ELSE p END AS p
+        |  FROM b WHERE k % 8 <> 0
+        |  UNION ALL SELECT 'M', p FROM b WHERE k % 17 = 0)
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS mvm_ok
+        |FROM fin GROUP BY st""".stripMargin,
     // refresh over COPY-ON-WRITE delete feeds: the MV after the
     // retention double-header == per-status recompute of the retained
     // base (everything at-or-above the first-fifth cut, minus 9|k)

@@ -237,11 +237,11 @@ object MatView {
     val refs = (last + 1 to head).flatMap { v =>
       val m = TxnTable.manifest(s, d.base, v)
       if (m.cdcRefs.nonEmpty) m.cdcRefs.map(r => s"${d.base}/$r")
-      // delete_noop marks a DELETE that provably changed no rows
+      // change_noop marks a commit that provably changed no rows
       // (verdicts touched no file, or the exact cdc feed was empty):
       // a zero-length feed, not a feed-less content change
       else if (ContentInvariantOps(m.op) ||
-        m.metrics.get("delete_noop").contains(1L)) Nil
+        m.metrics.get("change_noop").contains(1L)) Nil
       else throw new IllegalArgumentException(
         s"${d.base} version $v ('${m.op}') changed content without " +
           "publishing a change feed; incremental refresh cannot cover " +
@@ -320,7 +320,7 @@ object MatView {
       val m = TxnTable.manifest(s, d.base, v)
       if (m.cdcRefs.nonEmpty) Some(m.cdcRefs.map(r => s"${d.base}/$r"))
       else if (ContentInvariantOps(m.op) ||
-        m.metrics.get("delete_noop").contains(1L)) Some(Nil) // no-op delete
+        m.metrics.get("change_noop").contains(1L)) Some(Nil) // no-op change
       else None // feed-less content change: cannot compensate
     }
     if (perCommit.exists(_.isEmpty)) return None
@@ -391,6 +391,61 @@ object MatView {
       .select(col("o_orderstatus"), col("n"),
         col("total").cast("double").as("total"))
       .withColumn("mvdel_ok", lit(ok))
+  }
+
+  /** op_mv_merge: COPY-ON-WRITE MERGE WITH A PUBLISHED FEED — the last
+    * DML gap closed: `cdc = true` on [[TxnTable.applyChangesMulti]]
+    * (the path SQL MERGE and UPDATE compile to) stages −preimage ∪
+    * +postimage as a signed feed in the merge commit, so an MV refresh
+    * folds the batch instead of refusing. With op_matview (MoR apply),
+    * op_mv_delete (CoW delete) and this, EVERY DML path can feed an
+    * incremental view. One change set carries all three shapes —
+    * deletes (every 8th key), whole-row repricing updates (every 10th
+    * ≡ 3), and inserts into a brand-new status group — and ONE refresh
+    * folds it; `mvm_ok` pins the feed's presence, the single folded
+    * commit, and exact signed accounting (feed rows == |preimage| +
+    * |postimage|). Hashed output = the refreshed MV; oracle = direct
+    * recompute of the merged base. At 100 TB: the feed costs one extra
+    * read of the TOUCHED files only — proportional to the change
+    * region, never the table. */
+  def mvCowMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir("mvm_base")
+    val mv = freshDir("mvm_view")
+    val src = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice").cast(D12).as("price"))
+    val k = col("o_orderkey")
+    TxnTable.commit(s, base, TxnTable.stageIndexed(s, base,
+      src.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = src.schema.json)
+    create(s, mv, base, "o_orderstatus", "price")
+    val changes = src.filter(pmod(k, lit(8)) === 0)
+      .select(k, col("o_orderstatus"), col("price"), lit("D").as("op"))
+      .unionByName(src.filter(pmod(k, lit(10)) === 3 &&
+          pmod(k, lit(8)) =!= 0)
+        .select(k, col("o_orderstatus"),
+          (col("price") + lit(3).cast(D12)).cast(D12).as("price"),
+          lit("U").as("op")))
+      .unionByName(src.filter(pmod(k, lit(17)) === 0)
+        .select((k + 500000000L).as("o_orderkey"), lit("M")
+          .as("o_orderstatus"), col("price"), lit("U").as("op")))
+    val r1 = TxnTable.applyChangesMulti(s, base, changes,
+      Seq("o_orderkey"), cdc = true)
+    val m1 = TxnTable.manifest(s, base, r1.version)
+    // exact signed accounting: −(matched preimage) + (non-D change rows)
+    val nDel = changes.filter(col("op") === "D").count()
+    val nUpd = changes.filter(col("op") === "U" &&
+      col("o_orderkey") < 500000000L).count()
+    val nIns = changes.filter(col("o_orderkey") >= 500000000L).count()
+    val feed = s.read.parquet(m1.cdcRefs.map(r => s"$base/$r"): _*)
+    val negRows = feed.filter(col("w") === -1).count()
+    val posRows = feed.filter(col("w") === 1).count()
+    val r = refresh(s, mv)
+    val ok = m1.cdcRefs.nonEmpty && r.commitsFolded == 1 &&
+      negRows == nDel + nUpd && posRows == nUpd + nIns
+    TxnTable.snapshot(s, mv)
+      .select(col("o_orderstatus"), col("n"),
+        col("total").cast("double").as("total"))
+      .withColumn("mvm_ok", lit(ok))
   }
 
   // ---- TRANSPARENT QUERY REWRITING ----------------------------------------

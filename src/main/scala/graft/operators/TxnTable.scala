@@ -2954,25 +2954,40 @@ object TxnTable {
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("dropped" -> dropped.size.toLong,
         "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong) ++
-        deleteNoopMarker(dropped.nonEmpty || rewrite.nonEmpty, cdc,
+        changeNoopMarker(dropped.nonEmpty || rewrite.nonEmpty, cdc,
           cdcRefs),
       cdcFiles = cdcRefs,
       retired = m.retired, checks = m.checks)
     DeleteResult(v, dropped.size, rewrite.size, kept.size)
   }
 
-  /** Marks a DELETE commit that PROVABLY changed no rows: either the
+  /** Marks a commit that PROVABLY changed no rows: either the
     * verdicts touched no file at all (provable with or without cdc), or
     * the cdc feed — exact by construction — came back empty. Without
     * the marker such a commit looks like a feed-less content change and
     * permanently breaks downstream incremental consumers ([[MatView]])
     * over a NO-OP: the weekly retention job whose cutoff reached
     * nothing would force a full recompute. */
-  private def deleteNoopMarker(filesTouched: Boolean, cdc: Boolean,
+  private def changeNoopMarker(filesTouched: Boolean, cdc: Boolean,
       refs: Seq[String]): Seq[(String, Long)] =
     if (!filesTouched || (cdc && refs.isEmpty))
-      Seq("delete_noop" -> 1L)
+      Seq("change_noop" -> 1L)
     else Nil
+
+  /** [[stageCdcFeed]] with the zero-row prune: Spark writes one
+    * zero-row part file even for an empty frame (partition 0's writer
+    * opens eagerly) — drop it rather than commit a junk feed, so
+    * "no refs" means exactly "no rows changed". */
+  private def stageSignedFeed(s: SparkSession, table: String,
+      feed: DataFrame, targetVersion: Long): Seq[String] = {
+    val refs = stageCdcFeed(s, table, feed, targetVersion)
+    if (refs.nonEmpty &&
+      s.read.parquet(refs.map(pathFor(table, _)): _*).isEmpty) {
+      val f = fs(s, new Path(table))
+      refs.foreach(r => f.delete(new Path(pathFor(table, r)), false))
+      Nil
+    } else refs
+  }
 
   /** The signed feed of a copy-on-write DELETE (`cdc = true` on
     * [[deleteWhere]]/[[deleteIn]]): every deleted row with w = −1 —
@@ -2992,20 +3007,8 @@ object TxnTable {
       if (rewrite.isEmpty) None
       else Some(readEntries(s, table, m, rewrite).filter(deletedPred))
     (droppedRows.toSeq ++ removedRows.toSeq).reduceOption(_ unionByName _)
-      .map { d =>
-        val refs = stageCdcFeed(s, table, d.withColumn("w", lit(-1)),
-          cur + 1)
-        // a boundary rewrite can match ZERO rows — Spark still writes
-        // one zero-row file for the empty frame (partition 0's writer
-        // opens eagerly): drop it rather than commit a junk feed, so
-        // "no refs" means exactly "no rows deleted"
-        if (refs.nonEmpty &&
-          s.read.parquet(refs.map(pathFor(table, _)): _*).isEmpty) {
-          val f = fs(s, new Path(table))
-          refs.foreach(r => f.delete(new Path(pathFor(table, r)), false))
-          Nil
-        } else refs
-      }
+      .map(d => stageSignedFeed(s, table, d.withColumn("w", lit(-1)),
+        cur + 1))
       .getOrElse(Nil)
   }
 
@@ -3126,7 +3129,7 @@ object TxnTable {
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("dropped" -> dropped.size.toLong,
         "rewritten" -> rewrite.size.toLong, "kept" -> kept.size.toLong) ++
-        deleteNoopMarker(dropped.nonEmpty || rewrite.nonEmpty, cdc,
+        changeNoopMarker(dropped.nonEmpty || rewrite.nonEmpty, cdc,
           cdcRefs),
       cdcFiles = cdcRefs,
       retired = m.retired, checks = m.checks)
@@ -3223,10 +3226,11 @@ object TxnTable {
     * and pruning stays exact); anything else has no sound manifest
     * stats and the caller must reject it. */
   def applyChangesMulti(s: SparkSession, table: String, changes: DataFrame,
-                        keys: Seq[String], opCol: String = "op")
+                        keys: Seq[String], opCol: String = "op",
+                        cdc: Boolean = false)
       : MergeResult =
     mergeCore(s, table, changes.select(keys.map(col): _*),
-      changes.filter(col(opCol) =!= "D").drop(opCol), keys)
+      changes.filter(col(opCol) =!= "D").drop(opCol), keys, cdc = cdc)
 
   /** MERGE-ON-READ [[applyChanges]]: apply the same 'U'/'D' change set
     * with ZERO data files rewritten. ONE commit carries (a) an equality
@@ -3339,7 +3343,8 @@ object TxnTable {
     * `adds` = the rows that replace/insert (already op-filtered). */
   private def mergeCore(s: SparkSession, table: String, keys: DataFrame,
                         adds: DataFrame, keyCols: Seq[String],
-                        extraMetrics: Seq[(String, Long)] = Nil)
+                        extraMetrics: Seq[(String, Long)] = Nil,
+                        cdc: Boolean = false)
       : MergeResult = {
     require(keyCols.nonEmpty, "mergeCore needs at least one key column")
     val key = keyCols.head // the primary clustering dimension
@@ -3504,11 +3509,30 @@ object TxnTable {
     // the empty sentinel carrying the schema, same guard as deleteRange
     val finalLines =
       if (lines.nonEmpty) lines else stage(s, table, adds.limit(0))
+    // the merge's signed feed on request: −preimage (rows whose key the
+    // change set addresses, read from the touched files — replaced OR
+    // deleted) ∪ +postimage (the change set's non-D rows). Rows the
+    // rewrite carried untouched never enter the feed. Costs one more
+    // read of the touched files; the price of an exact feed, on request
+    val cdcRefs =
+      if (!cdc) Nil
+      else {
+        val pre =
+          if (touched.isEmpty) None
+          else Some(readEntries(s, table, m, touched)
+            .join(keys.distinct(), keyCols, "left_semi")
+            .withColumn("w", lit(-1)))
+        val post = adds.withColumn("w", lit(1))
+        stageSignedFeed(s, table,
+          pre.map(_.unionByName(post)).getOrElse(post), cur + 1)
+      }
     val v = commit(s, table, finalLines, cur, op = "merge",
       schemaJson = withMapping(m, adds.schema).json, deleteLines = m.deletes,
       idxCols = idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("touched" -> touched.size.toLong,
-        "untouched" -> kept.size.toLong) ++ extraMetrics,
+        "untouched" -> kept.size.toLong) ++ extraMetrics ++
+        changeNoopMarker(filesTouched = true, cdc, cdcRefs),
+      cdcFiles = cdcRefs,
       retired = m.retired,
       checks = m.checks)
     MergeResult(v, touched.size, kept.size)

@@ -87,12 +87,12 @@ class MatViewSpec extends SparkSpec {
       .map(TxnTable.render).toSet === entries0,
       "cursor advance must carry MV entries verbatim")
     // a plain (cdc = false) DELETE whose verdicts touch NO file is a
-    // provable no-op — it must carry the delete_noop marker and never
+    // provable no-op — it must carry the change_noop marker and never
     // block incremental refresh
     val rPlainNop = TxnTable.deleteWhere(spark, t,
       Seq(("k", 800000L, 899999L)), Nil)
     assert(TxnTable.manifest(spark, t, rPlainNop.version).metrics
-      .get("delete_noop").contains(1L))
+      .get("change_noop").contains(1L))
     assert(MatView.refresh(spark, mv).baseVersion === rPlainNop.version,
       "a zero-file plain delete must not block incremental refresh")
     // a cdc-requested DELETE that matches nothing publishes no feed
