@@ -431,17 +431,26 @@ object MatView {
     val r1 = TxnTable.applyChangesMulti(s, base, changes,
       Seq("o_orderkey"), cdc = true)
     val m1 = TxnTable.manifest(s, base, r1.version)
-    // exact signed accounting: −(matched preimage) + (non-D change rows)
-    val nDel = changes.filter(col("op") === "D").count()
-    val nUpd = changes.filter(col("op") === "U" &&
-      col("o_orderkey") < 500000000L).count()
-    val nIns = changes.filter(col("o_orderkey") >= 500000000L).count()
-    val feed = s.read.parquet(m1.cdcRefs.map(r => s"$base/$r"): _*)
-    val negRows = feed.filter(col("w") === -1).count()
-    val posRows = feed.filter(col("w") === 1).count()
+    // exact signed accounting: −(matched preimage) + (non-D change
+    // rows) — one aggregate pass per frame, and no read at all if the
+    // feed unexpectedly failed to publish (ok then reports false
+    // instead of crashing on a zero-path parquet read)
+    val cRow = changes.agg(
+      sum(when(col("op") === "D", 1L).otherwise(0L)),
+      sum(when(col("op") === "U" &&
+        col("o_orderkey") < 500000000L, 1L).otherwise(0L)),
+      sum(when(col("o_orderkey") >= 500000000L, 1L).otherwise(0L)))
+      .collect()(0)
+    val (nDel, nUpd, nIns) =
+      (cRow.getLong(0), cRow.getLong(1), cRow.getLong(2))
+    val feedOk = m1.cdcRefs.nonEmpty && {
+      val f = s.read.parquet(m1.cdcRefs.map(r => s"$base/$r"): _*)
+        .agg(sum(when(col("w") === -1, 1L).otherwise(0L)),
+          sum(when(col("w") === 1, 1L).otherwise(0L))).collect()(0)
+      f.getLong(0) == nDel + nUpd && f.getLong(1) == nUpd + nIns
+    }
     val r = refresh(s, mv)
-    val ok = m1.cdcRefs.nonEmpty && r.commitsFolded == 1 &&
-      negRows == nDel + nUpd && posRows == nUpd + nIns
+    val ok = feedOk && r.commitsFolded == 1
     TxnTable.snapshot(s, mv)
       .select(col("o_orderstatus"), col("n"),
         col("total").cast("double").as("total"))

@@ -3001,6 +3001,11 @@ object TxnTable {
   private def deleteCdcRefs(s: SparkSession, table: String, m: Manifest,
       cur: Long, dropped: Seq[Entry], rewrite: Seq[Entry],
       deletedPred: Column): Seq[String] = {
+    // same guard as signedDiff/the merge feed: a data column named 'w'
+    // would be silently clobbered by the sign column
+    require(!m.schema.exists(_.fieldNames.contains("w")),
+      s"$table: cdc delete feeds reserve the column name 'w' for the " +
+        "sign — rename the data column")
     val droppedRows =
       if (dropped.isEmpty) None else Some(readEntries(s, table, m, dropped))
     val removedRows =
@@ -3341,12 +3346,19 @@ object TxnTable {
   /** Shared file-pruned copy-on-write merge machinery: `keys` = every
     * key tuple the change set touches (decides which files rewrite),
     * `adds` = the rows that replace/insert (already op-filtered). */
-  private def mergeCore(s: SparkSession, table: String, keys: DataFrame,
-                        adds: DataFrame, keyCols: Seq[String],
+  private def mergeCore(s: SparkSession, table: String, keys0: DataFrame,
+                        adds0: DataFrame, keyCols: Seq[String],
                         extraMetrics: Seq[(String, Long)] = Nil,
                         cdc: Boolean = false)
       : MergeResult = {
     require(keyCols.nonEmpty, "mergeCore needs at least one key column")
+    // a feed must speak EXACTLY the rows the rewrite committed: pin the
+    // change frames once so a nondeterministic change set (sample,
+    // shuffle-order-dependent expression) cannot diverge between the
+    // staged data and the published feed (the overwriteCdc invariant)
+    val (keys, adds) =
+      if (!cdc) (keys0, adds0)
+      else (keys0.localCheckpoint(true), adds0.localCheckpoint(true))
     val key = keyCols.head // the primary clustering dimension
     // key dimensions are typed by the CHANGE frame (already cast to the
     // table's column types by every caller): string dims prune via the
@@ -3517,6 +3529,11 @@ object TxnTable {
     val cdcRefs =
       if (!cdc) Nil
       else {
+        // same guard as signedDiff: a data column named 'w' would be
+        // silently clobbered by the sign column in the published feed
+        require(!adds.columns.contains("w"),
+          s"$table: cdc merge feeds reserve the column name 'w' for " +
+            "the sign — rename the data column")
         val pre =
           if (touched.isEmpty) None
           else Some(readEntries(s, table, m, touched)
@@ -3531,7 +3548,8 @@ object TxnTable {
       idxCols = idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
       metrics = Seq("touched" -> touched.size.toLong,
         "untouched" -> kept.size.toLong) ++ extraMetrics ++
-        changeNoopMarker(filesTouched = true, cdc, cdcRefs),
+        changeNoopMarker(touched.nonEmpty || fresh.nonEmpty, cdc,
+          cdcRefs),
       cdcFiles = cdcRefs,
       retired = m.retired,
       checks = m.checks)

@@ -114,6 +114,41 @@ class MatViewSpec extends SparkSpec {
     val got = TxnTable.snapshot(spark, mv).select(col("g"), col("n"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got === direct, "delete-feed refresh diverged from recompute")
+    // a cdc MERGE whose change set is EMPTY marks change_noop (the
+    // signed feed is provably empty) and refreshes cleanly
+    val s2 = spark
+    import s2.implicits._
+    val rMNop = TxnTable.applyChangesMulti(spark, t,
+      Seq.empty[(Long, String, java.math.BigDecimal, String)]
+        .toDF("k", "g", "v", "op")
+        .withColumn("v", col("v").cast(D12)),
+      Seq("k"), cdc = true)
+    assert(TxnTable.manifest(spark, t, rMNop.version).metrics
+      .get("change_noop").contains(1L),
+      "an empty cdc merge must mark change_noop")
+    assert(MatView.refresh(spark, mv).baseVersion === rMNop.version)
+    // an all-D cdc MERGE publishes the preimage feed and folds exactly
+    val rMDel = TxnTable.applyChangesMulti(spark, t,
+      TxnTable.snapshot(spark, t).filter(col("k") % 13 === 0)
+        .withColumn("op", lit("D")), Seq("k"), cdc = true)
+    assert(TxnTable.manifest(spark, t, rMDel.version).cdcRefs.nonEmpty)
+    MatView.refresh(spark, mv)
+    val directM = TxnTable.snapshot(spark, t).groupBy(col("g"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val gotM = TxnTable.snapshot(spark, mv).select(col("g"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotM === directM, "merge-feed refresh diverged from recompute")
+    // a table with a data column named 'w' refuses the feed loudly
+    val tw = fresh("mv_wcol")
+    TxnTable.create(spark, tw,
+      Seq((1L, 2.0)).toDF("k", "w"))
+    val ew = intercept[IllegalArgumentException] {
+      TxnTable.applyChangesMulti(spark, tw,
+        Seq((1L, 3.0, "U")).toDF("k", "w", "op"), Seq("k"), cdc = true)
+    }
+    assert(ew.getMessage.contains("reserve the column name 'w'"),
+      ew.getMessage)
     // a plain append publishes no feed — incremental refresh cannot
     // cover it and must say so, not silently rescan the base
     TxnTable.append(spark, t, baseDf(30)
@@ -124,7 +159,7 @@ class MatViewSpec extends SparkSpec {
     assert(e.getMessage.contains("without publishing a change feed"),
       s"wrong refusal: ${e.getMessage}")
     // the failed refresh moved nothing: cursor intact
-    assert(MatView.lastRefreshed(spark, mv) === rDel.version)
+    assert(MatView.lastRefreshed(spark, mv) === rMDel.version)
   }
 
   test("transparent rewrite DISQUALIFIES on shapes the MV cannot " +
