@@ -102,6 +102,7 @@ object SparkEntry {
     "op_matview"              -> (graft.operators.MatView.matView _),
     "op_mv_delete"            -> (graft.operators.MatView.mvCowDelete _),
     "op_mv_merge"             -> (graft.operators.MatView.mvCowMerge _),
+    "op_mv_chain"             -> (graft.operators.MatView.mvChain _),
     "op_txn_multi"            -> (TxnTable.txnMulti _),
     "op_txn_default"          -> (TxnTable.txnDefault _),
     "op_table_history"        -> (TxnTable.tableHistory _),
@@ -1793,6 +1794,23 @@ object SparkEntry {
         |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
         |  TRUE AS multi_ok
         |FROM orders""".stripMargin,
+    // the chained view: mv2 over mv1 over the twice-changed base —
+    // n = #(status, priority) groups per status, total = the status sum
+    "op_mv_chain" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_orderpriority AS pri,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |fin AS (SELECT st, pri, CASE
+        |      WHEN k % 13 = 0 THEN CAST(p + 200 AS DECIMAL(12,2))
+        |      WHEN k % 10 = 0 THEN CAST(p + 100 AS DECIMAL(12,2))
+        |      ELSE p END AS p
+        |  FROM b WHERE k % 9 <> 0 AND k % 11 <> 0
+        |  UNION ALL SELECT 'N', '9-NEW', p FROM b WHERE k % 97 = 0
+        |  UNION ALL SELECT 'M', '8-CHAIN', p FROM b WHERE k % 89 = 0),
+        |m1 AS (SELECT st, pri, SUM(p) AS total FROM fin GROUP BY st, pri)
+        |SELECT st, COUNT(*) AS n, CAST(SUM(total) AS DOUBLE) AS total,
+        |  TRUE AS chain_ok
+        |FROM m1 GROUP BY st""".stripMargin,
     // refresh over a COPY-ON-WRITE merge feed: the MV after the
     // three-shape change set (delete 8|k, reprice k%10=3 by +3,
     // insert an 'M' group for 17|k) == per-status recompute

@@ -123,7 +123,11 @@ object MatView {
     * Everything else without a feed refuses (see object doc). */
   private val ContentInvariantOps = Set("compact", "compact_range",
     "recluster", "reindex", "zorder", "rewrite_tombstones",
-    "build_bloom", "constraint", "evolve", "widen")
+    "build_bloom", "constraint", "evolve", "widen",
+    // an MV's cursor-advance commit (content-invariant range): entries
+    // carried verbatim by construction — a CHAINED view walking this
+    // MV's log must skip it, not refuse
+    "mv_refresh")
 
   /** Create the MV: ONE full compute of the aggregate at the base's
     * current version — the last time the base is ever scanned. The MV
@@ -158,7 +162,9 @@ object MatView {
           "incrementally)")
     }
     keys.foreach { key =>
-      require(!Seq("n", "nn", "total", "op").contains(key),
+      // 'w' included: the refresh merge publishes its own signed feed,
+      // whose sign column would clobber a key of that name
+      require(!Seq("n", "nn", "total", "op", "w").contains(key),
         s"MV key column '$key' collides with the MV's own columns")
       require(!key.contains(","),
         s"MV key column '$key' contains a comma (the _mv definition's " +
@@ -288,8 +294,13 @@ object MatView {
           .cast(D18).as("total")): _*)
     val changeSet = merged.withColumn("op",
       when(col("n") === 0L, lit("D")).otherwise(lit("U")))
+    // the refresh merge publishes ITS OWN signed feed: a refreshed MV
+    // is a feeding base like any other, so views stack into pipelines
+    // (mv over mv — per-level refresh stays O(that level's delta)).
+    // The MV's fold columns never collide with the reserved 'w'
+    // (create refuses them as keys and mints n/nn/total itself).
     val r = TxnTable.applyChangesWithMetrics(s, mv, changeSet, d.keys,
-      Seq("mv_base_version" -> head))
+      Seq("mv_base_version" -> head), cdc = true)
     RefreshResult(r.version, head, folded)
   }
 
@@ -455,6 +466,87 @@ object MatView {
       .select(col("o_orderstatus"), col("n"),
         col("total").cast("double").as("total"))
       .withColumn("mvm_ok", lit(ok))
+  }
+
+  /** op_mv_chain: MATERIALIZED-VIEW PIPELINES — views stacked on views,
+    * each level refreshing from the level below's published feed. The
+    * refresh merge publishes ITS OWN signed feed ([[TxnTable
+    * .applyChangesWithMetrics]] cdc), so a refreshed MV is a feeding
+    * base like any other: base → mv1 (status, priority) → mv2 (status,
+    * value = mv1's fold total). Per-level refresh cost is O(that
+    * level's delta) — mv2 folds mv1's −old/+new GROUP rows, never
+    * mv1's (let alone the base's) data. Content-invariant interleaves
+    * thread through the chain: a base compact makes mv1's refresh a
+    * metadata-only cursor advance (op `mv_refresh`), which mv2's walk
+    * SKIPS like any other invariant op — the chain never stalls on
+    * maintenance. `chain_ok` pins: both real mv1 refreshes published
+    * feeds, mv2 folded exactly the merge commits, and the
+    * cursor-advance + mv1-compact interleave crossed without a feed.
+    * Hashed output = mv2 after two change waves (n = #priority groups
+    * per status, total = the status's sum — the fold OF a fold);
+    * oracle recomputes both levels from the base's final content. At
+    * 100 TB: dashboard DAGs refresh top-down in O(Σ level deltas). */
+  def mvChain(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir("mvc_base")
+    val mv1 = freshDir("mvc_mid")
+    val mv2 = freshDir("mvc_top")
+    val src = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"),
+      col("o_totalprice").cast(D12).as("price"))
+    val k = col("o_orderkey")
+    TxnTable.commit(s, base, TxnTable.stageIndexed(s, base,
+      src.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = src.schema.json)
+    create(s, mv1, base, Seq("st", "pri"), "price")
+    // the fold OF a fold: mv2's value is mv1's exact DECIMAL(18,2)
+    // total (passes the lossless gate by construction)
+    create(s, mv2, mv1, Seq("st"), "total")
+    def del(c: org.apache.spark.sql.Column) = src.filter(c)
+      .select(k, col("st"), col("pri"), col("price"), lit("D").as("op"))
+    def upd(c: org.apache.spark.sql.Column, bump: Int) = src.filter(c)
+      .select(k, col("st"), col("pri"),
+        (col("price") + lit(bump).cast(D12)).cast(D12).as("price"),
+        lit("U").as("op"))
+    def ins(c: org.apache.spark.sql.Column, st: String, pri: String,
+        shift: Long) = src.filter(c)
+      .select((k + shift).as("o_orderkey"), lit(st).as("st"),
+        lit(pri).as("pri"), col("price"), lit("U").as("op"))
+    // wave 1
+    TxnTable.applyChangesMor(s, base,
+      del(pmod(k, lit(9)) === 0)
+        .unionByName(upd(pmod(k, lit(10)) === 0 && pmod(k, lit(9)) =!= 0,
+          100))
+        .unionByName(ins(pmod(k, lit(97)) === 0, "N", "9-NEW",
+          100000000L)),
+      "o_orderkey", cdc = true)
+    val r1a = refresh(s, mv1)
+    val feed1 = TxnTable.manifest(s, mv1, r1a.mvVersion).cdcRefs.nonEmpty
+    val r1b = refresh(s, mv2)
+    // content-invariant interleaves across the chain: base compact →
+    // mv1 cursor-advance (op mv_refresh, feed-less) + an mv1 compact —
+    // mv2's walk must SKIP both
+    TxnTable.compact(s, base)
+    val rAdv = refresh(s, mv1)
+    TxnTable.compact(s, mv1)
+    val rSkip = refresh(s, mv2)
+    // wave 2 (original-key arithmetic only, so the oracle replays)
+    TxnTable.applyChangesMor(s, base,
+      del(pmod(k, lit(11)) === 0 && pmod(k, lit(9)) =!= 0)
+        .unionByName(upd(pmod(k, lit(13)) === 0 && pmod(k, lit(9)) =!= 0
+          && pmod(k, lit(11)) =!= 0, 200))
+        .unionByName(ins(pmod(k, lit(89)) === 0, "M", "8-CHAIN",
+          200000000L)),
+      "o_orderkey", cdc = true)
+    val r2a = refresh(s, mv1)
+    val feed2 = TxnTable.manifest(s, mv1, r2a.mvVersion).cdcRefs.nonEmpty
+    val r2b = refresh(s, mv2)
+    val ok = feed1 && feed2 &&
+      r1b.commitsFolded == 1 && r2b.commitsFolded == 1 &&
+      rAdv.commitsFolded == 1 && rSkip.commitsFolded == 2 &&
+      rSkip.baseVersion == rAdv.mvVersion + 1 // advance + mv1 compact
+    TxnTable.snapshot(s, mv2)
+      .select(col("st"), col("n"), col("total").cast("double").as("total"))
+      .withColumn("chain_ok", lit(ok))
   }
 
   // ---- TRANSPARENT QUERY REWRITING ----------------------------------------

@@ -3195,13 +3195,16 @@ object TxnTable {
     applyChangesWithMetrics(s, table, changes, Seq(key), extraMetrics)
 
   /** [[applyChangesWithMetrics]] keyed on a COMPOSITE key tuple (the
-    * multi-key materialized-view refresh shape). */
+    * multi-key materialized-view refresh shape). `cdc = true` publishes
+    * the merge's own signed feed — what lets a refreshed MV feed
+    * FURTHER MVs (the derived-pipeline chain). */
   def applyChangesWithMetrics(s: SparkSession, table: String,
       changes: DataFrame, keys: Seq[String],
-      extraMetrics: Seq[(String, Long)]): MergeResult =
+      extraMetrics: Seq[(String, Long)],
+      cdc: Boolean = false): MergeResult =
     mergeCore(s, table, changes.select(keys.map(col): _*),
       changes.filter(col("op") =!= "D").drop("op"), keys,
-      extraMetrics)
+      extraMetrics, cdc = cdc)
 
   /** Full-semantics MERGE: apply a CHANGE SET carrying an op column —
     * the canonical "apply CDC into a table" form every production MERGE
