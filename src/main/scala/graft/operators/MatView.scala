@@ -229,7 +229,15 @@ object MatView {
   case class RefreshResult(mvVersion: Long, baseVersion: Long,
       commitsFolded: Int)
 
-  def refresh(s: SparkSession, mv: String): RefreshResult = {
+  def refresh(s: SparkSession, mv: String): RefreshResult =
+    refresh(s, mv, publishFeed = true)
+
+  /** `publishFeed = false` skips the refresh merge's own signed feed —
+    * the view then cannot be CHAINED on ([[mvChain]]), but a
+    * perf-sensitive single-level refresh saves the preimage re-read of
+    * the touched MV files and the feed write. */
+  def refresh(s: SparkSession, mv: String, publishFeed: Boolean)
+      : RefreshResult = {
     val d = readDef(s, mv)
     val last = lastRefreshed(s, mv)
     val head = TxnTable.currentVersion(s, d.base)
@@ -294,13 +302,25 @@ object MatView {
           .cast(D18).as("total")): _*)
     val changeSet = merged.withColumn("op",
       when(col("n") === 0L, lit("D")).otherwise(lit("U")))
+    // a NULL grouping-key group cannot be addressed by the keyed merge
+    // (the anti-join is plain SQL equality — the old null-key row would
+    // SURVIVE while its replacement inserts, silently duplicating the
+    // group on every refresh). LOUD beats silent corruption; null-keyed
+    // groups are a recompute-only shape. One delta-sized pass.
+    if (changeSet.filter(d.keys.map(col(_).isNull).reduce(_ || _))
+        .limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"$mv: the delta touches a NULL grouping-key group, which the " +
+          "keyed refresh merge cannot address — recompute the MV " +
+          "(drop + create)")
     // the refresh merge publishes ITS OWN signed feed: a refreshed MV
     // is a feeding base like any other, so views stack into pipelines
     // (mv over mv — per-level refresh stays O(that level's delta)).
-    // The MV's fold columns never collide with the reserved 'w'
-    // (create refuses them as keys and mints n/nn/total itself).
+    // A legacy view keyed 'w' (reserved only since the feed existed)
+    // skips publication gracefully instead of bricking at refresh.
+    val cdc = publishFeed && !changeSet.columns.contains("w")
     val r = TxnTable.applyChangesWithMetrics(s, mv, changeSet, d.keys,
-      Seq("mv_base_version" -> head), cdc = true)
+      Seq("mv_base_version" -> head), cdc = cdc)
     RefreshResult(r.version, head, folded)
   }
 
@@ -501,6 +521,11 @@ object MatView {
     // the fold OF a fold: mv2's value is mv1's exact DECIMAL(18,2)
     // total (passes the lossless gate by construction)
     create(s, mv2, mv1, Seq("st"), "total")
+    // insert shifts derive from the keyspace so synthetic keys can
+    // never collide with a real order at ANY scale factor (a collision
+    // would silently turn an insert into an update)
+    val shift1 = src.agg(org.apache.spark.sql.functions.max(k))
+      .collect()(0).getLong(0) + 1
     def del(c: org.apache.spark.sql.Column) = src.filter(c)
       .select(k, col("st"), col("pri"), col("price"), lit("D").as("op"))
     def upd(c: org.apache.spark.sql.Column, bump: Int) = src.filter(c)
@@ -517,7 +542,7 @@ object MatView {
         .unionByName(upd(pmod(k, lit(10)) === 0 && pmod(k, lit(9)) =!= 0,
           100))
         .unionByName(ins(pmod(k, lit(97)) === 0, "N", "9-NEW",
-          100000000L)),
+          shift1)),
       "o_orderkey", cdc = true)
     val r1a = refresh(s, mv1)
     val feed1 = TxnTable.manifest(s, mv1, r1a.mvVersion).cdcRefs.nonEmpty
@@ -535,7 +560,7 @@ object MatView {
         .unionByName(upd(pmod(k, lit(13)) === 0 && pmod(k, lit(9)) =!= 0
           && pmod(k, lit(11)) =!= 0, 200))
         .unionByName(ins(pmod(k, lit(89)) === 0, "M", "8-CHAIN",
-          200000000L)),
+          2 * shift1)),
       "o_orderkey", cdc = true)
     val r2a = refresh(s, mv1)
     val feed2 = TxnTable.manifest(s, mv1, r2a.mvVersion).cdcRefs.nonEmpty
