@@ -84,6 +84,10 @@ object MatView {
       case Seq(base, keys, value) =>
         MvDef(base, keys.split(',').toSeq, value, AllAggs)
       case Seq(base, keys, value, aggs) =>
+        // "".split(',') is Array("") — an empty declared-aggs line is a
+        // malformed definition (create refuses it), not a served state
+        require(aggs.nonEmpty, s"$mv: malformed _mv definition " +
+          "(empty declared-aggregate line)")
         MvDef(base, keys.split(',').toSeq, value,
           aggs.split(',').toSet)
       case other => throw new IllegalArgumentException(
@@ -149,6 +153,12 @@ object MatView {
       keys: Seq[String], value: String,
       aggs: Seq[String] = Seq("count", "sum", "avg")): Long = {
     require(keys.nonEmpty, "MV needs at least one grouping key")
+    // an empty declaration would create a view that refreshes normally
+    // but can never serve ANY rewrite — silently useless; the declared-
+    // aggregate contract refuses loudly everywhere else, so here too
+    require(aggs.nonEmpty, "MV needs at least one declared aggregate " +
+      "(count, sum, avg) — an MV no query can be served from is a bug " +
+      "at the call site, not a view")
     aggs.map(_.toLowerCase).foreach {
       case "count" | "sum" | "avg" => ()
       case a @ ("min" | "max") => throw new IllegalArgumentException(
@@ -239,13 +249,20 @@ object MatView {
   def refresh(s: SparkSession, mv: String, publishFeed: Boolean)
       : RefreshResult = {
     val d = readDef(s, mv)
-    val last = lastRefreshed(s, mv)
+    // pin ONE MV version for the cursor, the rows AND the merge's CAS:
+    // two concurrent refreshes otherwise interleave so the second folds
+    // the feed tail onto rows that already include it (cursor from the
+    // old head, rows from the new one) — the same TOCTOU the rewrite
+    // path closes via lastRefreshedAt/compensated(mvVer). With the pin,
+    // the losing refresh fails the commit CAS loudly instead.
+    val mvVer = TxnTable.currentVersion(s, mv)
+    val last = lastRefreshedAt(s, mv, mvVer)
     val head = TxnTable.currentVersion(s, d.base)
     require(head >= last, s"${d.base} is at version $head, behind the " +
       s"MV's cursor $last — the base was restored/recreated; recompute " +
       "the MV")
     if (head == last)
-      return RefreshResult(TxnTable.currentVersion(s, mv), last, 0)
+      return RefreshResult(mvVer, last, 0)
     // resolve the range's published feeds from manifests alone —
     // O(commits in range) header reads, never a base data file
     val refs = (last + 1 to head).flatMap { v =>
@@ -265,11 +282,10 @@ object MatView {
     val folded = (head - last).toInt
     if (refs.isEmpty) {
       // content-invariant range: advance the cursor with ONE
-      // metadata-only commit (entries carried verbatim) so the next
-      // refresh doesn't re-walk these versions
-      val cur = TxnTable.currentVersion(s, mv)
-      val m = TxnTable.manifest(s, mv, cur)
-      val v = TxnTable.commit(s, mv, m.entries.map(TxnTable.render), cur,
+      // metadata-only commit (entries carried verbatim, from the SAME
+      // pinned version — CAS at mvVer, so a racing refresh loses loudly)
+      val m = TxnTable.manifest(s, mv, mvVer)
+      val v = TxnTable.commit(s, mv, m.entries.map(TxnTable.render), mvVer,
         op = "mv_refresh", schemaJson = m.schema.map(_.json).orNull,
         deleteLines = m.deletes, idxCols = m.idxCols,
         strIdxCols = m.strIdxCols, blooms = m.blooms,
@@ -288,9 +304,9 @@ object MatView {
       sum(col("w") * coalesce(col(d.value).cast(D18), lit(0).cast(D18)))
         .cast(D18).as("dtotal"))
       .filter(col("dn") =!= 0 || col("dnn") =!= 0 || col("dtotal") =!= 0)
-    // merge into the current MV rows: the join output is delta-sized;
+    // merge into the PINNED MV rows: the join output is delta-sized;
     // the MV scan is O(MV) — never O(base)
-    val mvCur = TxnTable.snapshot(s, mv)
+    val mvCur = TxnTable.snapshot(s, mv, mvVer)
     val merged = delta.alias("d")
       .join(mvCur.alias("m"),
         d.keys.map(k => col(s"d.$k") <=> col(s"m.$k")).reduce(_ && _),
@@ -320,7 +336,7 @@ object MatView {
     // skips publication gracefully instead of bricking at refresh.
     val cdc = publishFeed && !changeSet.columns.contains("w")
     val r = TxnTable.applyChangesWithMetrics(s, mv, changeSet, d.keys,
-      Seq("mv_base_version" -> head), cdc = cdc)
+      Seq("mv_base_version" -> head), cdc = cdc, expectedVer = mvVer)
     RefreshResult(r.version, head, folded)
   }
 

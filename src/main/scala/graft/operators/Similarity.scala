@@ -884,7 +884,7 @@ object Similarity {
     * current rows ([[ivfCentroids]]: stride-sampled seeds + Lloyd on the
     * fixed-size deterministic sample — retraining cost is CONSTANT at
     * any store size), reassigns map-only, and lands the c_id-clustered
-    * rewrite through [[TxnTable.commitResolving]] (op `recluster`,
+    * rewrite through [[TxnTable.commitResolving]] (op `recluster_ivf`,
     * tombstones applied-and-cleared like compact; an interleaved append
     * forces the honest recompute — the delete-set/read-set rules).
     * Deterministic BY CONSTRUCTION, so readers recover the new
@@ -958,7 +958,7 @@ object Similarity {
     * then `CALL graft.system.recluster_ivf` retrains on the current
     * rows and rewrites assignment, and the SAME probes recover:
     * `recl_ok` pins recallAfter > recallBefore measured against the
-    * exact top-k, plus the commit mechanics (op `recluster`, content
+    * exact top-k, plus the commit mechanics (op `recluster_ivf`, content
     * invariant as a (vec_id, Σv-hash) signature, one version). Hashed
     * output = the post-recluster probe top-k, whose oracle replays the
     * ENTIRE retrain (stride seeds + integer-micro-unit Lloyd over the

@@ -3201,10 +3201,10 @@ object TxnTable {
   def applyChangesWithMetrics(s: SparkSession, table: String,
       changes: DataFrame, keys: Seq[String],
       extraMetrics: Seq[(String, Long)],
-      cdc: Boolean = false): MergeResult =
+      cdc: Boolean = false, expectedVer: Long = -1L): MergeResult =
     mergeCore(s, table, changes.select(keys.map(col): _*),
       changes.filter(col("op") =!= "D").drop("op"), keys,
-      extraMetrics, cdc = cdc)
+      extraMetrics, cdc = cdc, expectedVer = expectedVer)
 
   /** Full-semantics MERGE: apply a CHANGE SET carrying an op column —
     * the canonical "apply CDC into a table" form every production MERGE
@@ -3352,7 +3352,8 @@ object TxnTable {
   private def mergeCore(s: SparkSession, table: String, keys0: DataFrame,
                         adds0: DataFrame, keyCols: Seq[String],
                         extraMetrics: Seq[(String, Long)] = Nil,
-                        cdc: Boolean = false)
+                        cdc: Boolean = false,
+                        expectedVer: Long = -1L)
       : MergeResult = {
     require(keyCols.nonEmpty, "mergeCore needs at least one key column")
     // a feed must speak EXACTLY the rows the rewrite committed: pin the
@@ -3369,7 +3370,12 @@ object TxnTable {
     val isStr: Map[String, Boolean] = keyCols.map(c =>
       c -> (keys.schema(c).dataType ==
         org.apache.spark.sql.types.StringType)).toMap
-    val cur = currentVersion(s, table)
+    // a caller that already pinned the table version (the MV refresh,
+    // whose change set was COMPUTED against that version's rows) passes
+    // it as expectedVer: a racing writer then fails this merge's CAS
+    // commit instead of the fold landing on rows that moved underneath
+    val cur =
+      if (expectedVer >= 0) expectedVer else currentVersion(s, table)
     val m = manifest(s, table, cur) // ONE log read for all facets below
     // constraints check the CHANGE rows, never the table — surviving
     // rows already passed at their own write time
