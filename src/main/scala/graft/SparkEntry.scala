@@ -71,6 +71,7 @@ object SparkEntry {
     "sql_mv_rewrite"          -> (SqlSurface.mvRewrite _),
     "sql_mv_delta"            -> (SqlSurface.mvDelta _),
     "sql_mv_rollup"           -> (SqlSurface.mvRollup _),
+    "sql_mv_filter"           -> (SqlSurface.mvFilter _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
     "sql_txn_agg_push"        -> (SqlSurface.txnAggPush _),
     "sql_txn_bloom"           -> (SqlSurface.txnBloomSql _),
@@ -1457,6 +1458,20 @@ object SparkEntry {
         |SELECT st, COUNT(*) AS n, COUNT(p) AS nn,
         |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS rollup_ok
         |FROM fin GROUP BY st""".stripMargin,
+    // the filtered rollup over the moved base: deletes 5|k, repricing
+    // +9 on 7|k survivors, a feed-born ('Q','1-URGENT') group for
+    // 13|k — then only the '1-URGENT' slice, grouped by status
+    "sql_mv_filter" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_orderpriority AS pri,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |fin AS (SELECT st, pri, CASE WHEN k % 7 = 0
+        |      THEN CAST(p + 9 AS DECIMAL(12,2)) ELSE p END AS p
+        |  FROM b WHERE k % 5 <> 0
+        |  UNION ALL SELECT 'Q', '1-URGENT', p FROM b WHERE k % 13 = 0)
+        |SELECT st, COUNT(*) AS n, COUNT(p) AS nn,
+        |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS mvf_ok
+        |FROM fin WHERE pri = '1-URGENT' GROUP BY st""".stripMargin,
     // the compensated answer == a direct recompute of the base after
     // both cdc batches: group 'P' gone, every 7th surviving row
     // repriced +5, brand-new group 'X' with NULL prices on 3|k

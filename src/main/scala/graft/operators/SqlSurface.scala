@@ -507,6 +507,93 @@ object SqlSurface {
     s.sql(coarse).withColumn("rollup_ok", lit(ok))
   }
 
+  /** sql_mv_filter: the FILTERED-AGGREGATE rewrite — a WHERE under the
+    * aggregate that references ONLY the MV's key columns is served by
+    * filtering the MV's own rows (key predicates select whole groups),
+    * instead of disqualifying to a full base scan. This is the single
+    * most common dashboard shape there is (`WHERE status = 'F' GROUP BY
+    * status`), and before this round it paid the base scan with a
+    * perfectly good MV sitting there. Three probes, composed with
+    * staleness (one unrefreshed cdc batch, so every served plan is
+    * filter-over-(MV ⊕ feed tail)): (1) a predicate on the GROUPED key
+    * (`st IN (…)`); (2) a predicate on a key the query does NOT group
+    * by (`pri = '1-URGENT' GROUP BY st` — the filter applies BEFORE the
+    * rollup re-aggregation, and the feed-born ('Q','1-URGENT') group
+    * must surface); (3) a NON-key predicate (`price > 100`), which must
+    * fall through to the base scan — the MV folded those rows away and
+    * holds no residual to re-check. `mvf_ok` pins all three plans by
+    * their optimized-plan scan roots plus answer-equality of (1) and
+    * (2) against direct recomputes. Hashed output = probe (2); oracle
+    * replays the moved base. At 100 TB: the filtered dashboard cut
+    * costs O(MV rows + feed tail) — and Catalyst pushes the key
+    * predicate into the MV/feed parquet scans, so it reads even less
+    * than the unfiltered rewrite would. */
+  def mvFilter(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mvf_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mvf_orders (
+      o_orderkey BIGINT, st STRING, pri STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvf_orders
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_filter")
+    graft.operators.MatView.create(s, mv, loc, Seq("st", "pri"), "price")
+    graft.operators.MatView.register(s, mv)
+    // stale the MV: scattered deletes + repricing + a brand-new
+    // ('Q', '1-URGENT') group that the FILTERED rollup must surface
+    // from the feed alone — never refreshed
+    val ch = s.sql("""SELECT o_orderkey, o_orderstatus AS st,
+        o_orderpriority AS pri, CAST(o_totalprice AS DECIMAL(12,2))
+          AS price, 'D' AS op
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 9 AS DECIMAL(12,2)),
+        'U'
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey + 500000000, 'Q', '1-URGENT',
+        CAST(o_totalprice AS DECIMAL(12,2)), 'U'
+      FROM orders WHERE o_orderkey % 13 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, loc, ch, "o_orderkey",
+      cdc = true)
+    val qKey = """SELECT st, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE)
+      AS total FROM graft.q.mvf_orders WHERE st IN ('F', 'Q')
+      GROUP BY st"""
+    val qRollup = """SELECT st, COUNT(*) AS n, COUNT(price) AS nn,
+      CAST(SUM(price) AS DOUBLE) AS total
+      FROM graft.q.mvf_orders WHERE pri = '1-URGENT' GROUP BY st"""
+    val qNonKey = """SELECT st, COUNT(*) AS n FROM graft.q.mvf_orders
+      WHERE price > 100 GROUP BY st"""
+    def mvOnly(ps: Seq[String]) = ps.nonEmpty &&
+      ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
+      ps.exists(_.contains(mv)) && ps.exists(_.contains(s"$loc/_cdc"))
+    val (pK, pR, pN) =
+      (scanSrcsOf(s, qKey), scanSrcsOf(s, qRollup), scanSrcsOf(s, qNonKey))
+    // answer-equality against direct recomputes of the moved base
+    import org.apache.spark.sql.functions.{col, count, sum}
+    val snap = graft.operators.TxnTable.snapshot(s, loc)
+    val dirK = snap.filter(col("st").isin("F", "Q")).groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val gotK = s.sql(qKey).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val dirR = snap.filter(col("pri") === "1-URGENT").groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), count(col("price")).as("nn"),
+        sum(col("price")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val gotR = s.sql(qRollup).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val ok = mvOnly(pK) && mvOnly(pR) &&
+      pN.exists(p => p.contains(loc) || p.startsWith("v2:")) &&
+      !pN.exists(_.contains(mv)) &&
+      gotK == dirK && gotR == dirR && gotR.exists(_._1 == "Q")
+    s.sql(qRollup).withColumn("mvf_ok", lit(ok))
+  }
+
   /** sql_txn_dpp: RUNTIME join-driven file pruning — the DSv2 dynamic
     * partition pruning contract (`SupportsRuntimeV2Filtering`) answered
     * from MANIFEST stats. The star-join shape: a fact table

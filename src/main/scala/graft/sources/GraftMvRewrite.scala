@@ -2,10 +2,10 @@ package graft.sources
 
 import graft.operators.{MatView, TxnTable}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, CaseWhen, Cast, Divide, EqualTo, EvalMode, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, CaseWhen, Cast, Divide, EqualTo, EvalMode, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.types.DecimalType
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -24,9 +24,14 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * with every output attribute id preserved (the [[GraftMorReadRule]]
   * swap pattern). SUM reconstructs SQL's null-skipping semantics from
   * the fold: `CASE WHEN nn = 0 THEN NULL ELSE total END` — an all-NULL
-  * group answers NULL, exactly like the base scan. COUNT(DISTINCT …),
-  * filter clauses, COUNT of a non-fold column, extra grouping keys, or
-  * any Filter under the aggregate disqualify; ANY error while probing
+  * group answers NULL, exactly like the base scan. A WHERE under the
+  * aggregate that references ONLY key columns is SERVED by filtering
+  * the MV's own rows (key predicates select whole groups — the
+  * `WHERE status = 'F' GROUP BY status` dashboard shape, including
+  * predicates on keys the query doesn't group by, applied before the
+  * rollup). COUNT(DISTINCT …), filter clauses, COUNT of a non-fold
+  * column, extra grouping keys, or a Filter touching any NON-key
+  * column disqualify; ANY error while probing
   * the MV (deleted directory, vacuumed cursor) also just disqualifies
   * — the rewrite only ever fires when the MV provably holds the
   * answer, and can never fail a query that would otherwise run. At
@@ -46,12 +51,18 @@ case class GraftMvRewriteRule(session: SparkSession)
     case other => other.mapChildren(rewrite)
   }
 
-  /** Unwrap alias wrappers down to the bare relation (a Filter or
-    * Project in between disqualifies — the MV has no residual info). */
-  private def relationOf(p: LogicalPlan): Option[DataSourceV2Relation] =
+  /** Unwrap alias wrappers down to the bare relation, COLLECTING any
+    * Filter conditions on the way (a Project in between still
+    * disqualifies — the MV has no residual info for projected-away or
+    * computed columns). Whether the collected predicates are servable
+    * is decided by the caller: only key-column predicates qualify. */
+  private def relationOf(p: LogicalPlan)
+      : Option[(DataSourceV2Relation, Seq[Expression])] =
     p match {
       case SubqueryAlias(_, child) => relationOf(child)
-      case r: DataSourceV2Relation => Some(r)
+      case Filter(cond, child) =>
+        relationOf(child).map { case (r, ps) => (r, cond +: ps) }
+      case r: DataSourceV2Relation => Some((r, Nil))
       case _ => None
     }
 
@@ -67,13 +78,30 @@ case class GraftMvRewriteRule(session: SparkSession)
   private def tryRewriteUnsafe(agg: Aggregate, groups: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val r = relationOf(child).getOrElse(return None)
+    val (r, preds) = relationOf(child).getOrElse(return None)
     val g = r.table match {
       case t: GraftTable => t
       case _ => return None
     }
     val (mvLoc, d) = MatView.registeredFor(g.location).getOrElse(
       return None)
+    // a WHERE under the aggregate is servable iff it references ONLY
+    // the MV's key columns: MV rows are exactly one row per key
+    // combination, so a key predicate selects whole groups — filtering
+    // the MV's rows answers it (the filtered-aggregate rewrite, the
+    // `WHERE status = 'F' GROUP BY status` dashboard shape). References
+    // may include key columns the query does NOT group by (the filter
+    // then runs BEFORE the rollup re-aggregation). Anything touching a
+    // non-key column — the value, a computed expression's source — or
+    // nondeterminism/subqueries disqualifies: the MV folded those rows
+    // away and holds no residual to re-check.
+    if (!preds.forall(p => p.deterministic &&
+        p.collectFirst { case s: SubqueryExpression => s }.isEmpty &&
+        // every reference must be a key column OF THIS RELATION — a
+        // correlated outer attribute that happens to share a key's name
+        // must disqualify, not silently bind to the MV's column
+        p.references.forall(a => r.outputSet.contains(a) &&
+          d.keys.contains(a.name)))) return None
     // the grouping keys must be a SUBSET of the MV's key columns (any
     // order, bare references, no duplicates — and possibly EMPTY: the
     // global aggregate). A proper subset serves by ROLLUP: the fold is
@@ -143,8 +171,24 @@ case class GraftMvRewriteRule(session: SparkSession)
     val mvVer = TxnTable.currentVersion(session, mvLoc)
     val cursor = MatView.lastRefreshedAt(session, mvLoc, mvVer)
     if (cursor > g.pinnedVersion) return None
-    val mvDf0 = MatView.compensated(session, mvLoc, d, cursor,
+    val mvDf00 = MatView.compensated(session, mvLoc, d, cursor,
       g.pinnedVersion, mvVer).getOrElse(return None)
+    // the qualified key predicates, remapped by name onto the MV's own
+    // attributes and applied BEFORE any rollup re-aggregation (they may
+    // reference key columns the query doesn't group by). Catalyst then
+    // pushes the filter through the compensation union down to both the
+    // MV scan and the feed parquets — the served plan reads even less
+    // than the unfiltered rewrite would.
+    val mvDf0 =
+      if (preds.isEmpty) mvDf00
+      else {
+        val byName = mvDf00.queryExecution.analyzed.output
+          .map(a => a.name -> a).toMap
+        val remapped = preds.map(_.transform {
+          case a: AttributeReference => byName(a.name)
+        }).reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+        mvDf00.filter(org.apache.spark.sql.GraftSqlBridge.column(remapped))
+      }
     // the rollup: one more summation of the summable fold. The total
     // keeps its WIDENED sum type deliberately — re-bounding it to the
     // fold's decimal could overflow at execution on a sum the base

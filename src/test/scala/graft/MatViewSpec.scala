@@ -662,6 +662,106 @@ class MatViewSpec extends SparkSpec {
       "the new (C,9) group must be born")
   }
 
+  test("filtered-aggregate rewrite: key-only predicates serve from the " +
+      "MV (incl. before a rollup); anything touching a non-key column " +
+      "falls through") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.fk")
+    s.sql("CREATE TABLE graft.mvspec.fk (k BIGINT, g STRING, h BIGINT, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.fk SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'A' ELSE 'B' END, id % 4, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(240)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/fk"
+    val mv = fresh("mv_fk_view")
+    MatView.create(spark, mv, loc, Seq("g", "h"), "v")
+    MatView.register(spark, mv)
+    def served(q: String): Boolean = {
+      val p = s.sql(q).queryExecution.optimizedPlan
+      val hasV2 = p.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.nonEmpty
+      val roots = p.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
+    }
+    // predicate on the grouped key
+    assert(served("SELECT g, COUNT(*) AS n, SUM(v) AS t " +
+      "FROM graft.mvspec.fk WHERE g = 'A' GROUP BY g"),
+      "a grouped-key predicate must serve from the MV")
+    // predicate on a key the query does NOT group by: the filter runs
+    // before the rollup re-aggregation
+    assert(served("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
+      "WHERE h IN (1, 2) GROUP BY g"),
+      "a non-grouped key predicate must serve before the rollup")
+    // ...and filtered-to-global
+    assert(served("SELECT COUNT(*) AS n FROM graft.mvspec.fk " +
+      "WHERE g = 'B'"), "filtered global aggregate must serve")
+    // the value column, a non-key column, or a MIX must fall through:
+    // the MV folded those rows away and holds no residual
+    assert(!served("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
+      "WHERE v > 5 GROUP BY g"), "a value predicate must fall through")
+    assert(!served("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
+      "WHERE k > 10 GROUP BY g"), "a non-key predicate must fall through")
+    assert(!served("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
+      "WHERE g = 'A' AND k > 10 GROUP BY g"),
+      "a mixed key/non-key predicate must fall through")
+    // a nondeterministic predicate never serves, even on a key
+    assert(!served("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
+      "WHERE g = CASE WHEN rand() < 2 THEN 'A' ELSE 'B' END GROUP BY g"),
+      "a nondeterministic predicate must fall through")
+    // answers == base recompute, for every served shape (incl. an IN
+    // with a repeated-reference OR form, and a filtered AVG)
+    def q1 = s.sql("SELECT g, COUNT(*) AS n, COUNT(v) AS nn, " +
+      "CAST(SUM(v) AS DOUBLE) AS t, AVG(v) AS a FROM graft.mvspec.fk " +
+      "WHERE h = 1 OR h = 3 GROUP BY g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.getDecimal(4)))).toSet
+    def direct1 = TxnTable.snapshot(spark, loc)
+      .filter(col("h") === 1 || col("h") === 3)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"),
+        count(col("v")).as("nn"), sum(col("v")).cast("double").as("t"),
+        avg(col("v")).as("a")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), Option(r.getDecimal(4)))).toSet
+    assert(served("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
+      "WHERE h = 1 OR h = 3 GROUP BY g"))
+    assert(q1 === direct1, "filtered rollup diverged from recompute")
+    // a predicate selecting NO groups answers empty, still from the MV
+    assert(served("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
+      "WHERE g = 'Z' GROUP BY g"))
+    assert(s.sql("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
+      "WHERE g = 'Z' GROUP BY g").collect().isEmpty)
+    // staleness composes: one unrefreshed cdc batch — the served plan
+    // is filter-over-(MV ⊕ feed tail) and still answers exactly
+    val ch = s.sql("SELECT k, g, h, v, 'D' AS op FROM graft.mvspec.fk " +
+      "WHERE g = 'A' AND h = 1 UNION ALL " +
+      "SELECT k + 1000, 'C', CAST(1 AS BIGINT), v, 'U' " +
+      "FROM graft.mvspec.fk WHERE k % 10 = 0")
+    TxnTable.applyChangesMor(spark, loc, ch, "k", cdc = true)
+    val q2 = s.sql("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
+      "WHERE h = 1 GROUP BY g").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct2 = TxnTable.snapshot(spark, loc).filter(col("h") === 1)
+      .groupBy(col("g")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(q2 === direct2, "filtered compensation diverged")
+    assert(q2.exists(_._1 == "C") && !q2.exists(_._1 == "A"),
+      "the feed-born group must surface and the emptied one must leave")
+  }
+
   test("create REFUSES a value column the DECIMAL(18,2) fold cannot " +
       "hold losslessly — an MV that silently rounds must never exist") {
     val s = spark
