@@ -72,6 +72,7 @@ object SparkEntry {
     "sql_mv_delta"            -> (SqlSurface.mvDelta _),
     "sql_mv_rollup"           -> (SqlSurface.mvRollup _),
     "sql_mv_filter"           -> (SqlSurface.mvFilter _),
+    "sql_mv_join"             -> (SqlSurface.mvJoin _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
     "sql_txn_agg_push"        -> (SqlSurface.txnAggPush _),
     "sql_txn_bloom"           -> (SqlSurface.txnBloomSql _),
@@ -1458,6 +1459,19 @@ object SparkEntry {
         |SELECT st, COUNT(*) AS n, COUNT(p) AS nn,
         |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS rollup_ok
         |FROM fin GROUP BY st""".stripMargin,
+    // the final joined aggregate: fact deletes 6|k + inserts for 9|k
+    // (shifted keys, same customer), dim segment reassignment for
+    // 10|custkey — the oracle replays the star join
+    "sql_mv_join" ->
+      """WITH f0 AS (SELECT o_orderkey AS k, o_custkey AS ck,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |f AS (SELECT k, ck, p FROM f0 WHERE k % 6 <> 0
+        |  UNION ALL SELECT k + 700000000, ck, p FROM f0 WHERE k % 9 = 0),
+        |d AS (SELECT c_custkey AS ck, CASE WHEN c_custkey % 10 = 0
+        |    THEN 'MOVED' ELSE c_mktsegment END AS seg FROM customer)
+        |SELECT seg, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
+        |  TRUE AS mvj_ok
+        |FROM f JOIN d USING (ck) GROUP BY seg""".stripMargin,
     // the filtered rollup over the moved base: deletes 5|k, repricing
     // +9 on 7|k survivors, a feed-born ('Q','1-URGENT') group for
     // 13|k — then only the '1-URGENT' slice, grouped by status

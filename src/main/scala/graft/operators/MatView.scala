@@ -108,15 +108,22 @@ object MatView {
     * refresh landing between the two reads can never double-count its
     * feed tail (cursor from the old head + rows from the new one). */
   private[graft] def lastRefreshedAt(s: SparkSession, mv: String,
-      upTo: Long): Long =
+      upTo: Long): Long = cursorAt(s, mv, upTo, "mv_base_version")
+
+  /** The newest committed value of cursor metric `metric` at or below
+    * MV version `upTo` — the generalized cursor walk (join MVs keep TWO
+    * cursors: the fact's `mv_base_version` and the dim's
+    * `mv_dim_version`, always stamped together by one commit). */
+  private[graft] def cursorAt(s: SparkSession, mv: String,
+      upTo: Long, metric: String): Long =
     TxnTable.versions(s, mv).filter(_ <= upTo).reverse.iterator
       // header-only metric read per step (−1 = absent; cursors are
       // ≥ 0): the walk costs O(headers), never O(entries) manifest
       // parses, however many maintenance commits interleave
-      .map(v => TxnTable.manifestHeaderMetric(s, mv, v, "mv_base_version"))
+      .map(v => TxnTable.manifestHeaderMetric(s, mv, v, metric))
       .collectFirst { case b if b >= 0 => b }
       .getOrElse(throw new IllegalArgumentException(
-        s"$mv: no refresh cursor in any retained commit"))
+        s"$mv: no refresh cursor ($metric) in any retained commit"))
 
   /** Base ops with NO row-content change — a feed-less commit of one of
     * these is safe to skip when folding a version range; the list is
@@ -149,9 +156,7 @@ object MatView {
     * incrementally under deletes requires a group rescan, which is
     * exactly the cost an MV exists to avoid. Loud beats a silently
     * wrong or silently expensive view. */
-  def create(s: SparkSession, mv: String, base: String,
-      keys: Seq[String], value: String,
-      aggs: Seq[String] = Seq("count", "sum", "avg")): Long = {
+  private def validateShape(keys: Seq[String], aggs: Seq[String]): Unit = {
     require(keys.nonEmpty, "MV needs at least one grouping key")
     // an empty declaration would create a view that refreshes normally
     // but can never serve ANY rewrite — silently useless; the declared-
@@ -182,52 +187,71 @@ object MatView {
     }
     require(keys.distinct.size == keys.size,
       s"MV keys repeat a column: ${keys.mkString(", ")}")
-    val bv = TxnTable.currentVersion(s, base)
-    val snap = TxnTable.snapshot(s, base, bv)
-    // the fold column is exact DECIMAL(18,2); a value type whose cast
-    // into it can ROUND (float/double, decimal with scale > 2) or whose
-    // integer digits exceed 16 would make the MV — and the transparent
-    // rewrite serving from it — silently answer different SUMs than the
-    // base scan. Refuse at create: correctness beats acceleration.
-    // (Integral types are exact; a Long/sum overflowing 16 digits fails
-    // LOUDLY at fold time under ANSI, never silently.)
-    snap.schema(value).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => ()
-      case dt: DecimalType if dt.scale <= 2 &&
-        dt.precision - dt.scale <= 16 => ()
-      case other => throw new IllegalArgumentException(
-        s"MV value column '$value' is $other, not losslessly " +
-          "representable in the DECIMAL(18,2) fold — an incremental MV " +
-          "over it would drift from the base; use an exact column " +
-          "(integral, or decimal with scale <= 2 and <= 16 integer " +
-          "digits) or recompute the aggregate directly")
-    }
-    // the fold column is DECIMAL(18,2) EXACTLY: sum() widens its input
-    // (18,2 → 28,2), and letting the widened type into the committed
-    // schema would make every refresh (which writes 18,2) drift from
-    // carried files — pin it at create so create and refresh agree.
-    // `nn` counts NON-NULL values: total folds NULLs as 0 (what the
-    // signed algebra needs to telescope), and nn is what lets a reader
-    // — the transparent rewrite especially — reconstruct the
-    // null-skipping SQL semantics (an all-NULL group is nn == 0 with
-    // total 0, which SUM must surface as NULL) and answer COUNT(value)
-    val rows = snap.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"),
+  }
+
+  /** The lossless-fold gate: a value type whose cast into the exact
+    * DECIMAL(18,2) fold can ROUND (float/double, scale > 2) or overflow
+    * 16 integer digits would make the MV — and the transparent rewrite
+    * serving from it — silently answer different SUMs than the base
+    * scan. Refuse at create: correctness beats acceleration. (Integral
+    * types are exact; a Long sum overflowing 16 digits fails LOUDLY at
+    * fold time under ANSI, never silently.) */
+  private def validateValueType(value: String,
+      dt: org.apache.spark.sql.types.DataType): Unit = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => ()
+    case d: DecimalType if d.scale <= 2 &&
+      d.precision - d.scale <= 16 => ()
+    case other => throw new IllegalArgumentException(
+      s"MV value column '$value' is $other, not losslessly " +
+        "representable in the DECIMAL(18,2) fold — an incremental MV " +
+        "over it would drift from the base; use an exact column " +
+        "(integral, or decimal with scale <= 2 and <= 16 integer " +
+        "digits) or recompute the aggregate directly")
+  }
+
+  /** One full compute of the (n, nn, total) fold of `src`, committed as
+    * the MV's version 0, range-clustered and stat-indexed on the keys
+    * so every later refresh merge can file-prune.
+    *
+    * The fold column is DECIMAL(18,2) EXACTLY: sum() widens its input
+    * (18,2 → 28,2), and letting the widened type into the committed
+    * schema would make every refresh (which writes 18,2) drift from
+    * carried files — pin it at create so create and refresh agree.
+    * `nn` counts NON-NULL values: total folds NULLs as 0 (what the
+    * signed algebra needs to telescope), and nn is what lets a reader
+    * — the transparent rewrite especially — reconstruct the
+    * null-skipping SQL semantics (an all-NULL group is nn == 0 with
+    * total 0, which SUM must surface as NULL) and answer COUNT(value) */
+  private def commitMvRows(s: SparkSession, mv: String, src: DataFrame,
+      keys: Seq[String], value: String,
+      metrics: Seq[(String, Long)]): Long = {
+    val rows = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"),
       count(col(value)).as("nn"),
       sum(coalesce(col(value).cast(D18), lit(0).cast(D18)))
         .cast(D18).as("total"))
-    val strKeys = keys.filter(k => snap.schema(k).dataType ==
+    val strKeys = keys.filter(k => src.schema(k).dataType ==
       org.apache.spark.sql.types.StringType)
     val intKeys = keys.filterNot(strKeys.contains)
     val clustered = rows.repartitionByRange(8, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
     val staged = TxnTable.stageIndexed(s, mv, clustered, intKeys, strKeys)
-    val v = TxnTable.commit(s, mv, staged, expected = -1L,
+    TxnTable.commit(s, mv, staged, expected = -1L,
       op = "mv_create", schemaJson = rows.schema.json,
-      idxCols = intKeys, strIdxCols = strKeys,
-      metrics = Seq("mv_base_version" -> bv))
+      idxCols = intKeys, strIdxCols = strKeys, metrics = metrics)
+  }
+
+  def create(s: SparkSession, mv: String, base: String,
+      keys: Seq[String], value: String,
+      aggs: Seq[String] = Seq("count", "sum", "avg")): Long = {
+    validateShape(keys, aggs)
+    val bv = TxnTable.currentVersion(s, base)
+    val snap = TxnTable.snapshot(s, base, bv)
+    validateValueType(value, snap.schema(value).dataType)
+    val v = commitMvRows(s, mv, snap, keys, value,
+      Seq("mv_base_version" -> bv))
     writeDef(s, mv, MvDef(base, keys, value,
       aggs.map(_.toLowerCase).toSet))
     v
@@ -294,14 +318,25 @@ object MatView {
       return RefreshResult(v, head, folded)
     }
     val feed = s.read.parquet(refs: _*)
+    val v = foldAndMerge(s, mv, mvVer, d.keys, d.value, feed,
+      Seq("mv_base_version" -> head), publishFeed)
+    RefreshResult(v, head, folded)
+  }
+
+  /** The shared refresh tail: fold a signed frame (`keys…, value, w`)
+    * into the MV pinned at `mvVer`, as ONE CAS-guarded merge commit
+    * carrying the cursor metrics. */
+  private def foldAndMerge(s: SparkSession, mv: String, mvVer: Long,
+      keys: Seq[String], value: String, feed: DataFrame,
+      metrics: Seq[(String, Long)], publishFeed: Boolean): Long = {
     // the signed fold: per group, dn = Σw, dnn = Σw over non-null
     // values, dtotal = Σ(w·value); a key appearing in several feeds
     // telescopes here, in ONE aggregate
-    val delta = feed.groupBy(d.keys.map(col): _*).agg(
+    val delta = feed.groupBy(keys.map(col): _*).agg(
       sum(col("w").cast("long")).as("dn"),
       sum(col("w").cast("long") *
-        when(col(d.value).isNull, 0L).otherwise(1L)).as("dnn"),
-      sum(col("w") * coalesce(col(d.value).cast(D18), lit(0).cast(D18)))
+        when(col(value).isNull, 0L).otherwise(1L)).as("dnn"),
+      sum(col("w") * coalesce(col(value).cast(D18), lit(0).cast(D18)))
         .cast(D18).as("dtotal"))
       .filter(col("dn") =!= 0 || col("dnn") =!= 0 || col("dtotal") =!= 0)
     // merge into the PINNED MV rows: the join output is delta-sized;
@@ -309,9 +344,9 @@ object MatView {
     val mvCur = TxnTable.snapshot(s, mv, mvVer)
     val merged = delta.alias("d")
       .join(mvCur.alias("m"),
-        d.keys.map(k => col(s"d.$k") <=> col(s"m.$k")).reduce(_ && _),
+        keys.map(k => col(s"d.$k") <=> col(s"m.$k")).reduce(_ && _),
         "left_outer")
-      .select(d.keys.map(k => col(s"d.$k").as(k)) ++ Seq(
+      .select(keys.map(k => col(s"d.$k").as(k)) ++ Seq(
         (coalesce(col("m.n"), lit(0L)) + col("dn")).as("n"),
         (coalesce(col("m.nn"), lit(0L)) + col("dnn")).as("nn"),
         (coalesce(col("m.total"), lit(0).cast(D18)) + col("dtotal"))
@@ -323,7 +358,7 @@ object MatView {
     // SURVIVE while its replacement inserts, silently duplicating the
     // group on every refresh). LOUD beats silent corruption; null-keyed
     // groups are a recompute-only shape. One delta-sized pass.
-    if (changeSet.filter(d.keys.map(col(_).isNull).reduce(_ || _))
+    if (changeSet.filter(keys.map(col(_).isNull).reduce(_ || _))
         .limit(1).count() > 0)
       throw new IllegalArgumentException(
         s"$mv: the delta touches a NULL grouping-key group, which the " +
@@ -335,9 +370,8 @@ object MatView {
     // A legacy view keyed 'w' (reserved only since the feed existed)
     // skips publication gracefully instead of bricking at refresh.
     val cdc = publishFeed && !changeSet.columns.contains("w")
-    val r = TxnTable.applyChangesWithMetrics(s, mv, changeSet, d.keys,
-      Seq("mv_base_version" -> head), cdc = cdc, expectedVer = mvVer)
-    RefreshResult(r.version, head, folded)
+    TxnTable.applyChangesWithMetrics(s, mv, changeSet, keys,
+      metrics, cdc = cdc, expectedVer = mvVer).version
   }
 
   /** STALE-MV DELTA COMPENSATION — the query-time half of [[refresh]]'s
@@ -382,6 +416,204 @@ object MatView {
         when(col(d.value).isNull, 0L).otherwise(1L)).as("nn"),
       (col("w") * coalesce(col(d.value).cast(D18), lit(0).cast(D18)))
         .cast(D18).as("total")): _*)
+    Some(mvRows.unionByName(feed).groupBy(d.keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("nn")).as("nn"),
+        sum(col("total")).cast(D18).as("total"))
+      .filter(col("n") =!= 0L))
+  }
+
+  // ---- JOIN MATERIALIZED VIEWS ---------------------------------------------
+
+  /** A materialized aggregate OVER A JOIN — the q03/q06 dashboard shape
+    * (fact ⋈ dim, GROUP BY dim attributes, aggregate a fact measure).
+    * The honest incremental contract: FACT-side changes fold from the
+    * fact's published signed feeds (each feed row joins to the dim to
+    * find its group — the dim is the lookup the fold algebra needs);
+    * ANY dim-side content change past the MV's dim cursor REFUSES
+    * refresh and disqualifies serving (a changed dim attribute moves
+    * whole groups in ways no fact feed mentions — recompute is the only
+    * sound answer, and loud beats silent). Dim maintenance commits
+    * (compact/zorder/…) are content-invariant and advance the dim
+    * cursor for free. `keys` are DIM columns; `value` is a FACT column;
+    * fact rows whose key has no dim match fold to nothing — exactly the
+    * inner join's semantics. */
+  case class MvJoinDef(fact: String, dim: String, factKey: String,
+      dimKey: String, keys: Seq[String], value: String, aggs: Set[String])
+
+  private def joinDefPath(mv: String) = new Path(s"$mv/_mvj")
+
+  private def writeJoinDef(s: SparkSession, mv: String, d: MvJoinDef)
+      : Unit = {
+    val p = joinDefPath(mv)
+    val out = fs(s, p).create(p, false)
+    try out.write((s"${d.fact}\n${d.dim}\n${d.factKey}\n${d.dimKey}\n" +
+      s"${d.keys.mkString(",")}\n${d.value}\n" +
+      s"${d.aggs.toSeq.sorted.mkString(",")}\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readJoinDef(s: SparkSession, mv: String): MvJoinDef = {
+    val p = joinDefPath(mv)
+    require(fs(s, p).exists(p), s"$mv is not a join materialized view " +
+      "(no _mvj definition; create it with MatView.createJoin)")
+    val in = fs(s, p).open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.linesIterator.toSeq match {
+      case Seq(fact, dim, fk, dk, keys, value, aggs) =>
+        require(aggs.nonEmpty, s"$mv: malformed _mvj definition " +
+          "(empty declared-aggregate line)")
+        MvJoinDef(fact, dim, fk, dk, keys.split(',').toSeq, value,
+          aggs.split(',').toSet)
+      case other => throw new IllegalArgumentException(
+        s"$mv: malformed _mvj definition (${other.size} lines)")
+    }
+  }
+
+  /** Create the join MV: ONE full compute of fact ⋈ dim at both tables'
+    * current versions — the last time either is scanned whole. Both
+    * cursors (`mv_base_version` for the fact, `mv_dim_version` for the
+    * dim) ride the create commit's metrics, so refresh/serve freshness
+    * is decided by the two logs alone. */
+  def createJoin(s: SparkSession, mv: String, fact: String, dim: String,
+      factKey: String, dimKey: String, keys: Seq[String], value: String,
+      aggs: Seq[String] = Seq("count", "sum", "avg")): Long = {
+    validateShape(keys, aggs)
+    val fv = TxnTable.currentVersion(s, fact)
+    val dv = TxnTable.currentVersion(s, dim)
+    val fsnap = TxnTable.snapshot(s, fact, fv)
+    val dsnap = TxnTable.snapshot(s, dim, dv)
+    validateValueType(value, fsnap.schema(value).dataType)
+    require(keys.forall(dsnap.columns.contains),
+      s"join-MV keys must be DIM columns; missing: " +
+        keys.filterNot(dsnap.columns.contains).mkString(", "))
+    // aliased two-sided select: a dim grouping column may share a name
+    // with a fact column without ambiguity
+    val joined = fsnap.alias("f").join(dsnap.alias("d"),
+        col(s"f.$factKey") === col(s"d.$dimKey"))
+      .select(keys.map(k => col(s"d.$k").as(k)) :+
+        col(s"f.$value").as(value): _*)
+    val v = commitMvRows(s, mv, joined, keys, value,
+      Seq("mv_base_version" -> fv, "mv_dim_version" -> dv))
+    writeJoinDef(s, mv, MvJoinDef(fact, dim, factKey, dimKey, keys,
+      value, aggs.map(_.toLowerCase).toSet))
+    v
+  }
+
+  /** True iff every commit in `(from, to]` of `table` provably changed
+    * no row content — maintenance ops, or changes marked change_noop. */
+  private def contentInvariantRange(s: SparkSession, table: String,
+      from: Long, to: Long): Boolean =
+    (from + 1 to to).forall { v =>
+      val m = TxnTable.manifest(s, table, v)
+      ContentInvariantOps(m.op) ||
+        m.metrics.get("change_noop").contains(1L)
+    }
+
+  def refreshJoin(s: SparkSession, mv: String): RefreshResult =
+    refreshJoin(s, mv, publishFeed = true)
+
+  /** Incremental refresh of a join MV: fold the FACT's signed-feed tail
+    * — each feed row joined to the dim snapshot to recover its group —
+    * into the MV. The dim tail must be content-invariant; a dim content
+    * change REFUSES with the recompute remedy (the fact feed never
+    * mentions the rows a moved dim attribute regroups). Cost is
+    * O(fact changes ⋈ dim) + O(MV) — never O(fact). */
+  def refreshJoin(s: SparkSession, mv: String, publishFeed: Boolean)
+      : RefreshResult = {
+    val d = readJoinDef(s, mv)
+    // same one-version pin as refresh: cursors, rows and the merge CAS
+    // all read MV state at mvVer, so racing refreshes fail loudly
+    val mvVer = TxnTable.currentVersion(s, mv)
+    val last = cursorAt(s, mv, mvVer, "mv_base_version")
+    val dimCur = cursorAt(s, mv, mvVer, "mv_dim_version")
+    val head = TxnTable.currentVersion(s, d.fact)
+    val dimHead = TxnTable.currentVersion(s, d.dim)
+    require(head >= last, s"${d.fact} is at version $head, behind the " +
+      s"MV's cursor $last — the fact was restored/recreated; recompute " +
+      "the MV")
+    require(dimHead >= dimCur, s"${d.dim} is at version $dimHead, " +
+      s"behind the MV's dim cursor $dimCur — the dim was restored/" +
+      "recreated; recompute the MV")
+    if (!contentInvariantRange(s, d.dim, dimCur, dimHead))
+      throw new IllegalArgumentException(
+        s"${d.dim} changed dimension content past the MV's dim cursor " +
+          s"$dimCur; a join MV cannot fold dim changes from the fact " +
+          "feed — recompute the MV (drop + create)")
+    if (head == last && dimHead == dimCur)
+      return RefreshResult(mvVer, last, 0)
+    val refs = (last + 1 to head).flatMap { v =>
+      val m = TxnTable.manifest(s, d.fact, v)
+      if (m.cdcRefs.nonEmpty) m.cdcRefs.map(r => s"${d.fact}/$r")
+      else if (ContentInvariantOps(m.op) ||
+        m.metrics.get("change_noop").contains(1L)) Nil
+      else throw new IllegalArgumentException(
+        s"${d.fact} version $v ('${m.op}') changed content without " +
+          "publishing a change feed; incremental refresh cannot cover " +
+          "it — recompute the MV (drop + create), or write through the " +
+          "cdc-publishing paths")
+    }
+    val folded = (head - last).toInt
+    val metrics = Seq("mv_base_version" -> head,
+      "mv_dim_version" -> dimHead)
+    if (refs.isEmpty) {
+      // content-invariant range on BOTH sides: one metadata-only
+      // cursor-advance commit, CAS-pinned at mvVer
+      val m = TxnTable.manifest(s, mv, mvVer)
+      val v = TxnTable.commit(s, mv, m.entries.map(TxnTable.render),
+        mvVer, op = "mv_refresh",
+        schemaJson = m.schema.map(_.json).orNull,
+        deleteLines = m.deletes, idxCols = m.idxCols,
+        strIdxCols = m.strIdxCols, blooms = m.blooms,
+        metrics = metrics, retired = m.retired, checks = m.checks)
+      return RefreshResult(v, head, folded)
+    }
+    // each signed fact row recovers its group from the dim (inner join:
+    // unmatched fact keys fold to nothing, exactly the base semantics);
+    // the join is feed-sized ⋈ dim — never O(fact)
+    val enriched = s.read.parquet(refs: _*).alias("f")
+      .join(TxnTable.snapshot(s, d.dim, dimHead).alias("d"),
+        col(s"f.${d.factKey}") === col(s"d.${d.dimKey}"))
+      .select(d.keys.map(k => col(s"d.$k").as(k)) ++
+        Seq(col(s"f.${d.value}").as(d.value), col("f.w")): _*)
+    val v = foldAndMerge(s, mv, mvVer, d.keys, d.value, enriched,
+      metrics, publishFeed)
+    RefreshResult(v, head, folded)
+  }
+
+  /** [[compensated]] for a join MV: MV rows ⊕ (fact feed tail ⋈ dim).
+    * Requires the dim content-identical between its cursor and the
+    * query's pinned dim version — otherwise None (the groups themselves
+    * may have moved; only the base join answers). */
+  private[graft] def compensatedJoin(s: SparkSession, mv: String,
+      d: MvJoinDef, cursor: Long, factPinned: Long, dimCursor: Long,
+      dimPinned: Long, mvVer: Long): Option[DataFrame] = {
+    if (!contentInvariantRange(s, d.dim, dimCursor, dimPinned))
+      return None
+    val mvRows = TxnTable.snapshot(s, mv, mvVer)
+      .select((d.keys.map(col) ++
+        Seq(col("n"), col("nn"), col("total"))): _*)
+    if (cursor == factPinned) return Some(mvRows)
+    val perCommit = (cursor + 1 to factPinned).map { v =>
+      val m = TxnTable.manifest(s, d.fact, v)
+      if (m.cdcRefs.nonEmpty) Some(m.cdcRefs.map(r => s"${d.fact}/$r"))
+      else if (ContentInvariantOps(m.op) ||
+        m.metrics.get("change_noop").contains(1L)) Some(Nil)
+      else None // feed-less content change: cannot compensate
+    }
+    if (perCommit.exists(_.isEmpty)) return None
+    val refs = perCommit.flatten.flatten
+    if (refs.isEmpty) return Some(mvRows)
+    val feed = s.read.parquet(refs: _*).alias("f")
+      .join(TxnTable.snapshot(s, d.dim, dimPinned).alias("d"),
+        col(s"f.${d.factKey}") === col(s"d.${d.dimKey}"))
+      .select(d.keys.map(k => col(s"d.$k").as(k)) ++ Seq(
+        col("f.w").cast("long").as("n"),
+        (col("f.w").cast("long") *
+          when(col(s"f.${d.value}").isNull, 0L).otherwise(1L)).as("nn"),
+        (col("f.w") * coalesce(col(s"f.${d.value}").cast(D18),
+          lit(0).cast(D18))).cast(D18).as("total")): _*)
     Some(mvRows.unionByName(feed).groupBy(d.keys.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("nn")).as("nn"),
         sum(col("total")).cast(D18).as("total"))
@@ -609,7 +841,21 @@ object MatView {
   private[graft] def registeredFor(base: String): Option[(String, MvDef)] =
     Option(registry.get(base))
 
-  private[graft] def registryEmpty: Boolean = registry.isEmpty
+  /** Join-MV registry, keyed (fact location, dim location) — the
+    * rewrite rule probes both orientations of the matched join. */
+  private val joinRegistry = new java.util.concurrent
+    .ConcurrentHashMap[(String, String), (String, MvJoinDef)]()
+
+  def registerJoin(s: SparkSession, mv: String): Unit = {
+    val d = readJoinDef(s, mv)
+    joinRegistry.put((d.fact, d.dim), (mv, d))
+  }
+
+  private[graft] def registeredJoinFor(fact: String, dim: String)
+      : Option[(String, MvJoinDef)] = Option(joinRegistry.get((fact, dim)))
+
+  private[graft] def registryEmpty: Boolean =
+    registry.isEmpty && joinRegistry.isEmpty
 
   private def freshDir(name: String): String =
     graft.Fs.freshScratch("graft_mv", name)

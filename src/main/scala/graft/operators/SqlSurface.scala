@@ -594,6 +594,108 @@ object SqlSurface {
     s.sql(qRollup).withColumn("mvf_ok", lit(ok))
   }
 
+  /** sql_mv_join: MATERIALIZED AGGREGATE OVER A JOIN — the q03/q06
+    * dashboard shape (fact ⋈ dim ON fact.fk = dim.pk, GROUP BY a dim
+    * attribute, aggregate a fact measure) served from one join MV
+    * (MatView.createJoin + the GraftMvRewriteRule join branch). The
+    * honest two-log contract: FACT-side changes compensate from the
+    * fact's published signed feeds — each signed row re-joins to the
+    * dim to recover its group, so the served plan reads MV + feed tail
+    * + dim (the small lookup side), NEVER a fact data file; ANY dim
+    * content change past the MV's dim cursor disqualifies serving AND
+    * refuses refresh loudly (a moved dim attribute regroups rows no
+    * fact feed mentions — recompute is the only sound answer). Four
+    * phases pinned by optimized-plan scan roots: (1) fresh → MV only,
+    * == direct; (2) after a fact cdc batch (deletes + inserts),
+    * unrefreshed → MV + fact `_cdc` + dim, no fact data file, == a
+    * direct recompute of the moved join; (3) refreshJoin folds the
+    * feed (one commit) → MV alone, identical answer; (4) a dim segment
+    * reassignment → the SAME query falls through to the base join and
+    * sees the 'MOVED' group, while refreshJoin refuses with the
+    * recompute remedy. Hashed output = the final query; oracle replays
+    * the join. At 100 TB: the star-schema dashboard aggregate costs an
+    * MV read plus the fact delta joined to the dim — the fact table,
+    * the 100 TB side, is never rescanned. */
+  def mvJoin(s: SparkSession, d: String): DataFrame = {
+    val factLoc = freshSqlTable(s, "mvj_fact")
+    val dimLoc = freshSqlTable(s, "mvj_dim")
+    view(s, d, "orders")
+    view(s, d, "customer")
+    s.sql("""CREATE TABLE graft.q.mvj_fact (
+      o_orderkey BIGINT, o_custkey BIGINT, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvj_fact
+      SELECT o_orderkey, o_custkey,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    s.sql("CREATE TABLE graft.q.mvj_dim (c_custkey BIGINT, seg STRING)")
+    s.sql("""INSERT INTO graft.q.mvj_dim
+      SELECT c_custkey, c_mktsegment FROM customer""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_join")
+    graft.operators.MatView.createJoin(s, mv, factLoc, dimLoc,
+      "o_custkey", "c_custkey", Seq("seg"), "price")
+    graft.operators.MatView.registerJoin(s, mv)
+    val q = """SELECT seg, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE)
+      AS total FROM graft.q.mvj_fact f JOIN graft.q.mvj_dim c
+      ON f.o_custkey = c.c_custkey GROUP BY seg"""
+    def ps() = scanSrcsOf(s, q)
+    def rows() = s.sql(q).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, factLoc).alias("f")
+        .join(graft.operators.TxnTable.snapshot(s, dimLoc).alias("c"),
+          col("f.o_custkey") === col("c.c_custkey"))
+        .groupBy(col("c.seg")).agg(count(lit(1)).as("n"),
+          sum(col("f.price")).cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    }
+    // phase 1: fresh — MV only, never fact or dim
+    val p1 = ps()
+    val servedFresh = p1.nonEmpty && p1.forall(_.contains(mv)) &&
+      rows() == direct()
+    // phase 2: a fact-side cdc batch, unrefreshed — served plan = MV +
+    // fact feed + dim lookup; the FACT's data files never appear
+    val ch = s.sql("""SELECT o_orderkey, o_custkey,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price, 'D' AS op
+      FROM orders WHERE o_orderkey % 6 = 0
+      UNION ALL
+      SELECT o_orderkey + 700000000, o_custkey,
+        CAST(o_totalprice AS DECIMAL(12,2)), 'U'
+      FROM orders WHERE o_orderkey % 9 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, factLoc, ch, "o_orderkey",
+      cdc = true)
+    val p2 = ps()
+    val compensatedServe = p2.nonEmpty &&
+      p2.forall(p => p.contains(mv) || p.contains(s"$factLoc/_cdc") ||
+        p.contains(dimLoc)) &&
+      p2.exists(_.contains(mv)) &&
+      p2.exists(_.contains(s"$factLoc/_cdc")) &&
+      !p2.exists(p => p.contains(factLoc) && !p.contains("_cdc")) &&
+      rows() == direct()
+    // phase 3: refresh folds the feed — MV serves alone again
+    val r = graft.operators.MatView.refreshJoin(s, mv)
+    val p3 = ps()
+    val servedAgain = r.commitsFolded == 1 && p3.nonEmpty &&
+      p3.forall(_.contains(mv)) && rows() == direct()
+    // phase 4: the dim moves — serving falls through to the base join,
+    // refresh refuses with the recompute remedy
+    val move = s.sql("""SELECT c_custkey, 'MOVED' AS seg, 'U' AS op
+      FROM customer WHERE c_custkey % 10 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, dimLoc, move, "c_custkey",
+      cdc = true)
+    val p4 = ps()
+    val fin = rows()
+    val fellThrough = !p4.exists(_.contains(mv)) &&
+      fin.exists(_._1 == "MOVED") && fin == direct()
+    val refused =
+      try { graft.operators.MatView.refreshJoin(s, mv); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("recompute the MV") }
+    val ok = servedFresh && compensatedServe && servedAgain &&
+      fellThrough && refused
+    s.sql(q).withColumn("mvj_ok", lit(ok))
+  }
+
   /** sql_txn_dpp: RUNTIME join-driven file pruning — the DSv2 dynamic
     * partition pruning contract (`SupportsRuntimeV2Filtering`) answered
     * from MANIFEST stats. The star-join shape: a fact table

@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, CaseWhen, Cast, Divide, EqualTo, EvalMode, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.types.DecimalType
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -77,6 +78,12 @@ case class GraftMvRewriteRule(session: SparkSession)
 
   private def tryRewriteUnsafe(agg: Aggregate, groups: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
+      : Option[LogicalPlan] =
+    trySingle(groups, aggExprs, child)
+      .orElse(tryJoin(groups, aggExprs, child))
+
+  private def trySingle(groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
     val (r, preds) = relationOf(child).getOrElse(return None)
     val g = r.table match {
@@ -102,6 +109,118 @@ case class GraftMvRewriteRule(session: SparkSession)
         // must disqualify, not silently bind to the MV's column
         p.references.forall(a => r.outputSet.contains(a) &&
           d.keys.contains(a.name)))) return None
+    val owned = (a: AttributeReference) => r.outputSet.contains(a)
+    serve(groups, aggExprs, d.keys, d.value, d.aggs, owned, owned, {
+      // FRESHNESS BY THE LOG, against the relation's PINNED version. A
+      // fresh MV (cursor == pinned) serves directly; a STALE one serves
+      // MV ⊕ signed-feed tail (cursor, pinned] — the refresh fold as a
+      // plan fragment — provided every tail commit published a feed
+      // (MatView.compensated; O(MV + delta), never O(base)). A feed-less
+      // tail, or an MV AHEAD of a time-travel read, falls through to the
+      // base scan: the rewrite only fires when the log PROVES the answer.
+      val mvVer = TxnTable.currentVersion(session, mvLoc)
+      val cursor = MatView.lastRefreshedAt(session, mvLoc, mvVer)
+      if (cursor > g.pinnedVersion) None
+      else MatView.compensated(session, mvLoc, d, cursor,
+        g.pinnedVersion, mvVer).map { mvDf00 =>
+        // the qualified key predicates, remapped by name onto the MV's
+        // own attributes and applied BEFORE any rollup re-aggregation
+        // (they may reference key columns the query doesn't group by).
+        // Catalyst then pushes the filter through the compensation
+        // union down to both the MV scan and the feed parquets — the
+        // served plan reads even less than the unfiltered rewrite would.
+        if (preds.isEmpty) mvDf00
+        else {
+          val byName = mvDf00.queryExecution.analyzed.output
+            .map(a => a.name -> a).toMap
+          val remapped = preds.map(_.transform {
+            case a: AttributeReference => byName(a.name)
+          }).reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+          mvDf00.filter(
+            org.apache.spark.sql.GraftSqlBridge.column(remapped))
+        }
+      }
+    })
+  }
+
+  /** Unwrap alias wrappers down to a bare inner join. */
+  private def joinOf(p: LogicalPlan): Option[Join] = p match {
+    case SubqueryAlias(_, child) => joinOf(child)
+    case j: Join => Some(j)
+    case _ => None
+  }
+
+  /** The JOIN-MV rewrite: `Aggregate(groupBy dim attrs, …, fact ⋈ dim
+    * ON factKey = dimKey)` served from the registered join MV. The
+    * join must be INNER on exactly the definition's key equality, both
+    * sides bare catalog relations (no filters — a join MV holds no
+    * residual info; conservative by design). Freshness needs BOTH logs:
+    * the fact tail compensates from published feeds (each signed row
+    * re-joined to the dim to recover its group), while ANY dim content
+    * change past the MV's dim cursor disqualifies — a moved dim
+    * attribute regroups rows no fact feed mentions. */
+  private def tryJoin(groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan)
+      : Option[LogicalPlan] = {
+    val j = joinOf(child).getOrElse(return None)
+    if (j.joinType != Inner) return None
+    val cond = j.condition.getOrElse(return None)
+    val (lRel, lPreds) = relationOf(j.left).getOrElse(return None)
+    val (rRel, rPreds) = relationOf(j.right).getOrElse(return None)
+    if (lPreds.nonEmpty || rPreds.nonEmpty) return None
+    val lG = lRel.table match {
+      case t: GraftTable => t
+      case _ => return None
+    }
+    val rG = rRel.table match {
+      case t: GraftTable => t
+      case _ => return None
+    }
+    // both orientations: the query may write dim JOIN fact
+    val ((mvLoc, d), factRel, factG, dimRel, dimG) =
+      MatView.registeredJoinFor(lG.location, rG.location)
+        .map(x => (x, lRel, lG, rRel, rG))
+        .orElse(MatView.registeredJoinFor(rG.location, lG.location)
+          .map(x => (x, rRel, rG, lRel, lG)))
+        .getOrElse(return None)
+    val okCond = cond match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        (a.name == d.factKey && factRel.outputSet.contains(a) &&
+          b.name == d.dimKey && dimRel.outputSet.contains(b)) ||
+        (b.name == d.factKey && factRel.outputSet.contains(b) &&
+          a.name == d.dimKey && dimRel.outputSet.contains(a))
+      case _ => false
+    }
+    if (!okCond) return None
+    serve(groups, aggExprs, d.keys, d.value, d.aggs,
+      keyOwned = a => dimRel.outputSet.contains(a),
+      valueOwned = a => factRel.outputSet.contains(a),
+      mvRows = {
+        val mvVer = TxnTable.currentVersion(session, mvLoc)
+        val cursor = MatView.cursorAt(session, mvLoc, mvVer,
+          "mv_base_version")
+        val dimCursor = MatView.cursorAt(session, mvLoc, mvVer,
+          "mv_dim_version")
+        // a time-travel read BEHIND either cursor never serves
+        if (cursor > factG.pinnedVersion ||
+          dimCursor > dimG.pinnedVersion) None
+        else MatView.compensatedJoin(session, mvLoc, d, cursor,
+          factG.pinnedVersion, dimCursor, dimG.pinnedVersion, mvVer)
+      })
+  }
+
+  /** The shared serving tail: shape-check the aggregate against the
+    * MV's declared (keys, value, aggs), then substitute the MV frame —
+    * rolled up when the grouping is a proper key subset — preserving
+    * every output attribute id. `mvRows` (lazy: evaluated only after
+    * every cheap plan-shape check passes) resolves freshness and
+    * returns the servable MV frame, or None to fall through. */
+  private def serve(groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression], keys: Seq[String], value: String,
+      aggsSet: Set[String], keyOwned: AttributeReference => Boolean,
+      valueOwned: AttributeReference => Boolean,
+      mvRows: => Option[org.apache.spark.sql.DataFrame])
+      : Option[LogicalPlan] = {
     // the grouping keys must be a SUBSET of the MV's key columns (any
     // order, bare references, no duplicates — and possibly EMPTY: the
     // global aggregate). A proper subset serves by ROLLUP: the fold is
@@ -111,11 +230,12 @@ case class GraftMvRewriteRule(session: SparkSession)
     val keyAttrs: Seq[AttributeReference] = {
       val as = groups.collect { case a: AttributeReference => a }
       if (as.size != groups.size ||
-        !as.map(_.name).toSet.subsetOf(d.keys.toSet) ||
-        as.map(_.name).distinct.size != as.size) return None
+        !as.map(_.name).toSet.subsetOf(keys.toSet) ||
+        as.map(_.name).distinct.size != as.size ||
+        !as.forall(keyOwned)) return None
       as
     }
-    val rollup = keyAttrs.size < d.keys.size
+    val rollup = keyAttrs.size < keys.size
     val keyIds = keyAttrs.map(_.exprId).toSet
     // every aggregate in the output must be answerable from the fold:
     // COUNT(<non-null literal>) → n, COUNT(def.value) → nn,
@@ -124,27 +244,27 @@ case class GraftMvRewriteRule(session: SparkSession)
     // of Average's own decimal arithmetic — a float/double AVG is an
     // order-dependent FP sum the exact fold can't reproduce bit-for-bit,
     // so it falls through); all non-distinct, no filter clause
-    // ...and each must be DECLARED on the view (d.aggs — a count-only
+    // ...and each must be DECLARED on the view (aggsSet — a count-only
     // MV never silently answers SUM, however derivable the fold makes it)
     def answerable(e: Expression): Boolean = e match {
       case ae: AggregateExpression =>
         !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
           case Count(Seq(l: Literal)) =>
-            l.value != null && d.aggs.contains("count")
+            l.value != null && aggsSet.contains("count")
           case Count(Seq(c)) => stripCast(c) match {
             case a: AttributeReference =>
-              a.name == d.value && d.aggs.contains("count")
+              a.name == value && valueOwned(a) && aggsSet.contains("count")
             case _ => false
           }
           case Sum(c, _) => stripCast(c) match {
             case a: AttributeReference =>
-              a.name == d.value && d.aggs.contains("sum")
+              a.name == value && valueOwned(a) && aggsSet.contains("sum")
             case _ => false
           }
           case Average(c, _) => c match {
-            case a: AttributeReference => a.name == d.value &&
-              a.dataType.isInstanceOf[DecimalType] &&
-              d.aggs.contains("avg")
+            case a: AttributeReference => a.name == value &&
+              valueOwned(a) && a.dataType.isInstanceOf[DecimalType] &&
+              aggsSet.contains("avg")
             case _ => false
           }
           case _ => false
@@ -161,34 +281,7 @@ case class GraftMvRewriteRule(session: SparkSession)
       case _ => false
     }))
     if (!outsideRefs.forall(a => keyIds.contains(a.exprId))) return None
-    // FRESHNESS BY THE LOG, against the relation's PINNED version. A
-    // fresh MV (cursor == pinned) serves directly; a STALE one serves
-    // MV ⊕ signed-feed tail (cursor, pinned] — the refresh fold as a
-    // plan fragment — provided every tail commit published a feed
-    // (MatView.compensated; O(MV + delta), never O(base)). A feed-less
-    // tail, or an MV AHEAD of a time-travel read, falls through to the
-    // base scan: the rewrite only fires when the log PROVES the answer.
-    val mvVer = TxnTable.currentVersion(session, mvLoc)
-    val cursor = MatView.lastRefreshedAt(session, mvLoc, mvVer)
-    if (cursor > g.pinnedVersion) return None
-    val mvDf00 = MatView.compensated(session, mvLoc, d, cursor,
-      g.pinnedVersion, mvVer).getOrElse(return None)
-    // the qualified key predicates, remapped by name onto the MV's own
-    // attributes and applied BEFORE any rollup re-aggregation (they may
-    // reference key columns the query doesn't group by). Catalyst then
-    // pushes the filter through the compensation union down to both the
-    // MV scan and the feed parquets — the served plan reads even less
-    // than the unfiltered rewrite would.
-    val mvDf0 =
-      if (preds.isEmpty) mvDf00
-      else {
-        val byName = mvDf00.queryExecution.analyzed.output
-          .map(a => a.name -> a).toMap
-        val remapped = preds.map(_.transform {
-          case a: AttributeReference => byName(a.name)
-        }).reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
-        mvDf00.filter(org.apache.spark.sql.GraftSqlBridge.column(remapped))
-      }
+    val mvDf0 = mvRows.getOrElse(return None)
     // the rollup: one more summation of the summable fold. The total
     // keeps its WIDENED sum type deliberately — re-bounding it to the
     // fold's decimal could overflow at execution on a sum the base

@@ -762,6 +762,119 @@ class MatViewSpec extends SparkSpec {
       "the feed-born group must surface and the emptied one must leave")
   }
 
+  test("join MV: both join orientations serve; unmatched fact keys " +
+      "fold to nothing; dim maintenance advances the cursor; a dim " +
+      "content change refuses refresh and disqualifies serving") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.jf")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.jd")
+    s.sql("CREATE TABLE graft.mvspec.jf (k BIGINT, fk BIGINT, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.jf SELECT id, id % 20, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(300)")
+    // dim covers keys 0..14 only: fact rows with fk 15..19 are
+    // unmatched and must fold to nothing (inner-join semantics)
+    s.sql("CREATE TABLE graft.mvspec.jd (pk BIGINT, seg STRING)")
+    s.sql("INSERT INTO graft.mvspec.jd SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'X' ELSE 'Y' END FROM RANGE(15)")
+    val factLoc = s"${GraftCatalog.defaultWarehouse}/mvspec/jf"
+    val dimLoc = s"${GraftCatalog.defaultWarehouse}/mvspec/jd"
+    val mv = fresh("mv_join_view")
+    // keys must be DIM columns; the value gate still applies
+    val eKeys = intercept[IllegalArgumentException] {
+      MatView.createJoin(spark, fresh("mv_join_bad"), factLoc, dimLoc,
+        "fk", "pk", Seq("nosuch"), "v")
+    }
+    assert(eKeys.getMessage.contains("DIM columns"), eKeys.getMessage)
+    MatView.createJoin(spark, mv, factLoc, dimLoc, "fk", "pk",
+      Seq("seg"), "v")
+    MatView.registerJoin(spark, mv)
+    def served(q: String): Boolean = {
+      val p = s.sql(q).queryExecution.optimizedPlan
+      val hasV2 = p.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.nonEmpty
+      val roots = p.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
+    }
+    def direct() = TxnTable.snapshot(spark, factLoc).alias("f")
+      .join(TxnTable.snapshot(spark, dimLoc).alias("d"),
+        col("f.fk") === col("d.pk"))
+      .groupBy(col("d.seg")).agg(count(lit(1)).as("n"),
+        sum(col("f.v")).cast("double").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val q1 = "SELECT seg, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS t " +
+      "FROM graft.mvspec.jf f JOIN graft.mvspec.jd d ON f.fk = d.pk " +
+      "GROUP BY seg"
+    def rows() = s.sql(q1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served(q1), "fact JOIN dim must serve from the join MV")
+    // the flipped orientation and the flipped equality serve too
+    assert(served("SELECT seg, COUNT(*) AS n FROM graft.mvspec.jd d " +
+      "JOIN graft.mvspec.jf f ON d.pk = f.fk GROUP BY seg"),
+      "dim JOIN fact must serve")
+    // the global rollup over the join
+    assert(served("SELECT COUNT(*) AS n FROM graft.mvspec.jf f " +
+      "JOIN graft.mvspec.jd d ON f.fk = d.pk"),
+      "the global aggregate over the join must serve by rollup")
+    assert(rows() === direct(), "fresh join-MV serve diverged")
+    // a DIFFERENT equality, an outer join, or a filtered side must
+    // fall through — the MV materializes exactly one join
+    assert(!served("SELECT seg, COUNT(*) AS n FROM graft.mvspec.jf f " +
+      "JOIN graft.mvspec.jd d ON f.k = d.pk GROUP BY seg"),
+      "a different join key must fall through")
+    assert(!served("SELECT seg, COUNT(*) AS n FROM graft.mvspec.jf f " +
+      "LEFT JOIN graft.mvspec.jd d ON f.fk = d.pk GROUP BY seg"),
+      "an outer join must fall through")
+    assert(!served("SELECT seg, COUNT(*) AS n FROM graft.mvspec.jf f " +
+      "JOIN graft.mvspec.jd d ON f.fk = d.pk WHERE f.v > 5 GROUP BY seg"),
+      "a filtered side must fall through")
+    // fact-side cdc staleness compensates; an insert with an UNKNOWN
+    // fk (99) must fold to nothing, exactly like the base join
+    val ch = s.sql("SELECT k, fk, v, 'D' AS op FROM graft.mvspec.jf " +
+      "WHERE k % 4 = 0 UNION ALL " +
+      "SELECT k + 1000, CAST(99 AS BIGINT), v, 'U' FROM graft.mvspec.jf " +
+      "WHERE k % 50 = 0 UNION ALL " +
+      "SELECT k + 2000, CAST(3 AS BIGINT), v, 'U' FROM graft.mvspec.jf " +
+      "WHERE k % 60 = 0")
+    TxnTable.applyChangesMor(spark, factLoc, ch, "k", cdc = true)
+    assert(rows() === direct(), "compensated join serve diverged")
+    // refresh folds the feed; a dim COMPACT is content-invariant and
+    // advances the dim cursor without disturbing anything
+    TxnTable.compact(spark, dimLoc)
+    val r1 = MatView.refreshJoin(spark, mv)
+    assert(r1.commitsFolded === 1)
+    assert(rows() === direct(), "refreshed join MV diverged")
+    assert(served(q1), "post-refresh serve must come from the MV alone")
+    val r2 = MatView.refreshJoin(spark, mv)
+    assert(r2.mvVersion === r1.mvVersion && r2.commitsFolded === 0,
+      "an up-to-date refresh must no-op")
+    // a dim CONTENT change: serving falls through, refresh refuses
+    TxnTable.applyChangesMor(spark, dimLoc,
+      s.sql("SELECT pk, 'Z' AS seg, 'U' AS op FROM graft.mvspec.jd " +
+        "WHERE pk % 5 = 0"), "pk", cdc = true)
+    assert(!served(q1), "a moved dim must disqualify serving")
+    assert(rows() === direct(), "fall-through answer must be the base's")
+    val e = intercept[IllegalArgumentException] {
+      MatView.refreshJoin(spark, mv)
+    }
+    assert(e.getMessage.contains("recompute the MV"), e.getMessage)
+  }
+
   test("create REFUSES a value column the DECIMAL(18,2) fold cannot " +
       "hold losslessly — an MV that silently rounds must never exist") {
     val s = spark
