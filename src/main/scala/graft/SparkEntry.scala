@@ -105,6 +105,7 @@ object SparkEntry {
     "op_mv_delete"            -> (graft.operators.MatView.mvCowDelete _),
     "op_mv_merge"             -> (graft.operators.MatView.mvCowMerge _),
     "op_mv_chain"             -> (graft.operators.MatView.mvChain _),
+    "op_mv_minmax"            -> (graft.operators.MatView.mvMinMax _),
     "op_txn_multi"            -> (TxnTable.txnMulti _),
     "op_txn_default"          -> (TxnTable.txnDefault _),
     "op_table_history"        -> (TxnTable.tableHistory _),
@@ -1840,6 +1841,29 @@ object SparkEntry {
         |SELECT st, COUNT(*) AS n, CAST(SUM(total) AS DOUBLE) AS total,
         |  TRUE AS chain_ok
         |FROM m1 GROUP BY st""".stripMargin,
+    // the extrema MV after both waves: wave 1 deletes interior 'F'
+    // rows (7|k, strictly inside F's extremes) and inserts 'O'-bumps
+    // (21|k, +100000) and an 'N' group (97|k); wave 2 deletes every
+    // row holding F's max and P's min — the second extreme answers
+    "op_mv_minmax" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |lim AS (SELECT MIN(p) AS fmin, MAX(p) AS fmax FROM b
+        |  WHERE st = 'F'),
+        |a1 AS (SELECT k, st, p FROM b, lim
+        |    WHERE NOT (st = 'F' AND k % 7 = 0 AND p > fmin AND p < fmax)
+        |  UNION ALL SELECT k + 800000000, 'O',
+        |    CAST(p + 100000 AS DECIMAL(12,2)) FROM b WHERE k % 21 = 0
+        |  UNION ALL SELECT k + 900000000, 'N', p FROM b WHERE k % 97 = 0),
+        |lim2 AS (SELECT MAX(p) AS fmax2 FROM a1 WHERE st = 'F'),
+        |lim3 AS (SELECT MIN(p) AS pmin2 FROM a1 WHERE st = 'P'),
+        |fin AS (SELECT k, st, p FROM a1, lim2, lim3
+        |  WHERE NOT (st = 'F' AND p = fmax2)
+        |    AND NOT (st = 'P' AND p = pmin2))
+        |SELECT st AS o_orderstatus, COUNT(*) AS n,
+        |  CAST(MIN(p) AS DOUBLE) AS vmin, CAST(MAX(p) AS DOUBLE) AS vmax,
+        |  TRUE AS mm_ok
+        |FROM fin GROUP BY st""".stripMargin,
     // refresh over a COPY-ON-WRITE merge feed: the MV after the
     // three-shape change set (delete 8|k, reprice k%10=3 by +3,
     // insert an 'M' group for 17|k) == per-status recompute

@@ -288,40 +288,50 @@ object MatView {
     if (head == last)
       return RefreshResult(mvVer, last, 0)
     // resolve the range's published feeds from manifests alone —
-    // O(commits in range) header reads, never a base data file
-    val refs = (last + 1 to head).flatMap { v =>
-      val m = TxnTable.manifest(s, d.base, v)
-      if (m.cdcRefs.nonEmpty) m.cdcRefs.map(r => s"${d.base}/$r")
-      // change_noop marks a commit that provably changed no rows
-      // (verdicts touched no file, or the exact cdc feed was empty):
-      // a zero-length feed, not a feed-less content change
-      else if (ContentInvariantOps(m.op) ||
-        m.metrics.get("change_noop").contains(1L)) Nil
-      else throw new IllegalArgumentException(
-        s"${d.base} version $v ('${m.op}') changed content without " +
-          "publishing a change feed; incremental refresh cannot cover " +
-          "it — recompute the MV (drop + create), or write through the " +
-          "cdc-publishing paths")
-    }
+    // O(commits in range) header reads, never a base data file.
+    // change_noop marks a commit that provably changed no rows
+    // (verdicts touched no file, or the exact cdc feed was empty):
+    // a zero-length feed, not a feed-less content change
+    val refs = feedRefs(s, d.base, last, head)
     val folded = (head - last).toInt
-    if (refs.isEmpty) {
-      // content-invariant range: advance the cursor with ONE
-      // metadata-only commit (entries carried verbatim, from the SAME
-      // pinned version — CAS at mvVer, so a racing refresh loses loudly)
-      val m = TxnTable.manifest(s, mv, mvVer)
-      val v = TxnTable.commit(s, mv, m.entries.map(TxnTable.render), mvVer,
-        op = "mv_refresh", schemaJson = m.schema.map(_.json).orNull,
-        deleteLines = m.deletes, idxCols = m.idxCols,
-        strIdxCols = m.strIdxCols, blooms = m.blooms,
-        metrics = Seq("mv_base_version" -> head), retired = m.retired,
-        checks = m.checks)
-      return RefreshResult(v, head, folded)
-    }
+    if (refs.isEmpty)
+      return RefreshResult(advanceCursor(s, mv, mvVer,
+        Seq("mv_base_version" -> head)), head, folded)
     val feed = s.read.parquet(refs: _*)
     val v = foldAndMerge(s, mv, mvVer, d.keys, d.value, feed,
       Seq("mv_base_version" -> head), publishFeed)
     RefreshResult(v, head, folded)
   }
+
+  /** Content-invariant refresh range: advance the cursor(s) with ONE
+    * metadata-only commit — entries carried verbatim from the SAME
+    * pinned version, CAS at mvVer so a racing refresh loses loudly. */
+  private def advanceCursor(s: SparkSession, mv: String, mvVer: Long,
+      metrics: Seq[(String, Long)]): Long = {
+    val m = TxnTable.manifest(s, mv, mvVer)
+    TxnTable.commit(s, mv, m.entries.map(TxnTable.render), mvVer,
+      op = "mv_refresh", schemaJson = m.schema.map(_.json).orNull,
+      deleteLines = m.deletes, idxCols = m.idxCols,
+      strIdxCols = m.strIdxCols, blooms = m.blooms,
+      metrics = metrics, retired = m.retired, checks = m.checks)
+  }
+
+  /** Resolve the published-feed refs for base commits `(last, head]`,
+    * refusing LOUDLY on any feed-less content change (see [[refresh]]'s
+    * object-doc contract). */
+  private def feedRefs(s: SparkSession, base: String, last: Long,
+      head: Long): Seq[String] =
+    (last + 1 to head).flatMap { v =>
+      val m = TxnTable.manifest(s, base, v)
+      if (m.cdcRefs.nonEmpty) m.cdcRefs.map(r => s"$base/$r")
+      else if (ContentInvariantOps(m.op) ||
+        m.metrics.get("change_noop").contains(1L)) Nil
+      else throw new IllegalArgumentException(
+        s"$base version $v ('${m.op}') changed content without " +
+          "publishing a change feed; incremental refresh cannot cover " +
+          "it — recompute the MV (drop + create), or write through the " +
+          "cdc-publishing paths")
+    }
 
   /** The shared refresh tail: fold a signed frame (`keys…, value, w`)
     * into the MV pinned at `mvVer`, as ONE CAS-guarded merge commit
@@ -543,32 +553,14 @@ object MatView {
           "feed — recompute the MV (drop + create)")
     if (head == last && dimHead == dimCur)
       return RefreshResult(mvVer, last, 0)
-    val refs = (last + 1 to head).flatMap { v =>
-      val m = TxnTable.manifest(s, d.fact, v)
-      if (m.cdcRefs.nonEmpty) m.cdcRefs.map(r => s"${d.fact}/$r")
-      else if (ContentInvariantOps(m.op) ||
-        m.metrics.get("change_noop").contains(1L)) Nil
-      else throw new IllegalArgumentException(
-        s"${d.fact} version $v ('${m.op}') changed content without " +
-          "publishing a change feed; incremental refresh cannot cover " +
-          "it — recompute the MV (drop + create), or write through the " +
-          "cdc-publishing paths")
-    }
+    val refs = feedRefs(s, d.fact, last, head)
     val folded = (head - last).toInt
     val metrics = Seq("mv_base_version" -> head,
       "mv_dim_version" -> dimHead)
-    if (refs.isEmpty) {
-      // content-invariant range on BOTH sides: one metadata-only
-      // cursor-advance commit, CAS-pinned at mvVer
-      val m = TxnTable.manifest(s, mv, mvVer)
-      val v = TxnTable.commit(s, mv, m.entries.map(TxnTable.render),
-        mvVer, op = "mv_refresh",
-        schemaJson = m.schema.map(_.json).orNull,
-        deleteLines = m.deletes, idxCols = m.idxCols,
-        strIdxCols = m.strIdxCols, blooms = m.blooms,
-        metrics = metrics, retired = m.retired, checks = m.checks)
-      return RefreshResult(v, head, folded)
-    }
+    if (refs.isEmpty)
+      // content-invariant range on BOTH sides
+      return RefreshResult(advanceCursor(s, mv, mvVer, metrics), head,
+        folded)
     // each signed fact row recovers its group from the dim (inner join:
     // unmatched fact keys fold to nothing, exactly the base semantics);
     // the join is feed-sized ⋈ dim — never O(fact)
@@ -618,6 +610,207 @@ object MatView {
       .agg(sum(col("n")).as("n"), sum(col("nn")).as("nn"),
         sum(col("total")).cast(D18).as("total"))
       .filter(col("n") =!= 0L))
+  }
+
+  // ---- MIN/MAX (EXTREMA) MATERIALIZED VIEWS --------------------------------
+
+  /** A grouped MIN/MAX view — the aggregate [[create]] REFUSES in the
+    * telescoping fold, maintained here under the honest asymmetric
+    * contract: INSERTS merge monotonically (`least`/`greatest` against
+    * the feed's +w extremes — no base read ever), while a DELETE whose
+    * value reaches the group's candidate extreme marks the group DIRTY
+    * and refresh recomputes ONLY dirty groups, with manifest stats
+    * bounding the files re-read (per-group point probes on the base's
+    * key stats). Deleting an interior value updates counts without
+    * dirtying — the common retention case costs nothing extra. This is
+    * the published partial-recompute design (Napa/Calcite call these
+    * non-distributive aggregates): O(feed) when clean, O(dirty groups'
+    * files) when an extreme falls, never O(base). */
+  case class MvExtremaDef(base: String, keys: Seq[String], value: String)
+
+  private def extremaDefPath(mv: String) = new Path(s"$mv/_mvx")
+
+  private def writeExtremaDef(s: SparkSession, mv: String,
+      d: MvExtremaDef): Unit = {
+    val p = extremaDefPath(mv)
+    val out = fs(s, p).create(p, false)
+    try out.write((s"${d.base}\n${d.keys.mkString(",")}\n${d.value}\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readExtremaDef(s: SparkSession, mv: String): MvExtremaDef = {
+    val p = extremaDefPath(mv)
+    require(fs(s, p).exists(p), s"$mv is not an extrema materialized " +
+      "view (no _mvx definition; create it with MatView.createExtrema)")
+    val in = fs(s, p).open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.linesIterator.toSeq match {
+      case Seq(base, keys, value) =>
+        MvExtremaDef(base, keys.split(',').toSeq, value)
+      case other => throw new IllegalArgumentException(
+        s"$mv: malformed _mvx definition (${other.size} lines)")
+    }
+  }
+
+  /** Create the extrema MV: rows are (keys…, n, nn, vmin, vmax), the
+    * extremes carried in the value's OWN type — MIN/MAX do no
+    * arithmetic, so the fold's lossless-decimal gate does not apply. */
+  def createExtrema(s: SparkSession, mv: String, base: String,
+      keys: Seq[String], value: String): Long = {
+    require(keys.nonEmpty, "MV needs at least one grouping key")
+    keys.foreach { key =>
+      require(!Seq("n", "nn", "vmin", "vmax", "op", "w").contains(key),
+        s"extrema-MV key column '$key' collides with the MV's own " +
+          "columns")
+      require(!key.contains(","),
+        s"MV key column '$key' contains a comma (the _mvx definition's " +
+          "key separator)")
+    }
+    require(keys.distinct.size == keys.size,
+      s"MV keys repeat a column: ${keys.mkString(", ")}")
+    val bv = TxnTable.currentVersion(s, base)
+    val snap = TxnTable.snapshot(s, base, bv)
+    val rows = snap.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"), count(col(value)).as("nn"),
+      org.apache.spark.sql.functions.min(col(value)).as("vmin"),
+      org.apache.spark.sql.functions.max(col(value)).as("vmax"))
+    val strKeys = keys.filter(k => snap.schema(k).dataType ==
+      org.apache.spark.sql.types.StringType)
+    val intKeys = keys.filterNot(strKeys.contains)
+    val clustered = rows.repartitionByRange(8, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+    val staged = TxnTable.stageIndexed(s, mv, clustered, intKeys, strKeys)
+    val v = TxnTable.commit(s, mv, staged, expected = -1L,
+      op = "mv_create", schemaJson = rows.schema.json,
+      idxCols = intKeys, strIdxCols = strKeys,
+      metrics = Seq("mv_base_version" -> bv))
+    writeExtremaDef(s, mv, MvExtremaDef(base, keys, value))
+    v
+  }
+
+  /** Refresh the extrema MV from the base's signed feeds. Per touched
+    * group: counts fold exactly (n += Σw, nn += Σ(w·nonnull)); the
+    * candidate extremes merge monotonically from the feed's INSERTED
+    * values; the group is DIRTY iff some DELETED value reaches a
+    * candidate extreme (d ≥ candMax or d ≤ candMin — conservative
+    * under duplicates: a recompute that lands on the same extreme is
+    * wasted work, never a wrong answer; a deleted NULL never dirties).
+    * Dirty groups recompute (n, nn, vmin, vmax) from the base AT HEAD —
+    * for a single-key view with few dirty groups, via per-group
+    * stat-pruned point probes (`mv_dirty_files_kept/total` metrics
+    * carry the prune evidence); otherwise one filtered scan. The merge
+    * is the same CAS-pinned keyed commit as [[refresh]]'s. */
+  def refreshExtrema(s: SparkSession, mv: String): RefreshResult = {
+    val d = readExtremaDef(s, mv)
+    val mvVer = TxnTable.currentVersion(s, mv)
+    val last = cursorAt(s, mv, mvVer, "mv_base_version")
+    val head = TxnTable.currentVersion(s, d.base)
+    require(head >= last, s"${d.base} is at version $head, behind the " +
+      s"MV's cursor $last — the base was restored/recreated; recompute " +
+      "the MV")
+    if (head == last) return RefreshResult(mvVer, last, 0)
+    val refs = feedRefs(s, d.base, last, head)
+    val folded = (head - last).toInt
+    if (refs.isEmpty)
+      return RefreshResult(advanceCursor(s, mv, mvVer,
+        Seq("mv_base_version" -> head)), head, folded)
+    val feed = s.read.parquet(refs: _*)
+    val w = col("w").cast("long")
+    val v = col(d.value)
+    val delta = feed.groupBy(d.keys.map(col): _*).agg(
+      sum(w).as("dn"),
+      sum(w * when(v.isNull, 0L).otherwise(1L)).as("dnn"),
+      org.apache.spark.sql.functions.min(when(w > 0, v)).as("pmin"),
+      org.apache.spark.sql.functions.max(when(w > 0, v)).as("pmax"),
+      org.apache.spark.sql.functions.min(when(w < 0, v)).as("dmin"),
+      org.apache.spark.sql.functions.max(when(w < 0, v)).as("dmax"))
+    val mvCur = TxnTable.snapshot(s, mv, mvVer)
+    val merged = delta.alias("d")
+      .join(mvCur.alias("m"),
+        d.keys.map(k => col(s"d.$k") <=> col(s"m.$k")).reduce(_ && _),
+        "left_outer")
+      .select(d.keys.map(k => col(s"d.$k").as(k)) ++ Seq(
+        (coalesce(col("m.n"), lit(0L)) + col("dn")).as("n"),
+        (coalesce(col("m.nn"), lit(0L)) + col("dnn")).as("nn"),
+        least(col("m.vmin"), col("pmin")).as("vmin"),
+        greatest(col("m.vmax"), col("pmax")).as("vmax"),
+        // least/greatest SKIP nulls, so the candidates are the merged
+        // extremes of (current MV row, inserted values) — exactly the
+        // set a deleted value must be tested against: a delete reaching
+        // either candidate may expose a different survivor
+        ((col("dmax").isNotNull && col("dmax") >= greatest(col("m.vmax"),
+          col("pmax"))) ||
+         (col("dmin").isNotNull && col("dmin") <= least(col("m.vmin"),
+           col("pmin")))).as("dirty")): _*)
+    if (merged.filter(d.keys.map(col(_).isNull).reduce(_ || _))
+        .limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"$mv: the delta touches a NULL grouping-key group, which the " +
+          "keyed refresh merge cannot address — recompute the MV " +
+          "(drop + create)")
+    // the delta-sized split is materialized ONCE: the clean rows, the
+    // dirty key list (driver-sized by construction — it is a set of
+    // GROUP keys, the MV's own cardinality bound) and the merge all
+    // read it
+    val pinned = merged.localCheckpoint(true)
+    val clean = pinned.filter(!col("dirty"))
+      .select(d.keys.map(col) ++ Seq(col("n"), col("nn"), col("vmin"),
+        col("vmax"),
+        when(col("n") === 0L, lit("D")).otherwise(lit("U")).as("op")): _*)
+    val dirtyKeys = pinned.filter(col("dirty")).select(d.keys.map(col): _*)
+    val nDirty = dirtyKeys.count()
+    val (changeSet, keptFiles, totalFiles) =
+      if (nDirty == 0) (clean, 0L, 0L)
+      else {
+        val baseSnap = TxnTable.snapshot(s, d.base, head)
+        val keyType = baseSnap.schema(d.keys.head).dataType
+        // per-group stat-pruned point probes when the shape allows —
+        // the manifest bounds the files each recompute re-reads
+        val (src, kept, total) =
+          if (d.keys.size == 1 && nDirty <= 16 &&
+            keyType == org.apache.spark.sql.types.StringType) {
+            val ks = dirtyKeys.collect().map(_.getString(0))
+            val probes = ks.map(g =>
+              TxnTable.snapshotStrRange(s, d.base, d.keys.head, g, g, head))
+            (probes.map(_._1).reduce(_ unionByName _),
+              probes.map(_._2.toLong).sum, probes.map(_._3.toLong).max)
+          } else if (d.keys.size == 1 && nDirty <= 16 &&
+            keyType == org.apache.spark.sql.types.LongType) {
+            val ks = dirtyKeys.collect().map(_.getLong(0))
+            val probes = ks.map(g =>
+              TxnTable.snapshotRange(s, d.base, d.keys.head, g, g, head))
+            (probes.map(_._1).reduce(_ unionByName _),
+              probes.map(_._2.toLong).sum, probes.map(_._3.toLong).max)
+          } else
+            // the sound fallback: one scan filtered by the dirty key
+            // set (a broadcast semi-join — never a literal tree)
+            (baseSnap.join(broadcast(dirtyKeys), d.keys, "left_semi"),
+              -1L, -1L)
+        val recomputed = src.groupBy(d.keys.map(col): _*).agg(
+          count(lit(1)).as("rn"), count(col(d.value)).as("rnn"),
+          org.apache.spark.sql.functions.min(col(d.value)).as("rvmin"),
+          org.apache.spark.sql.functions.max(col(d.value)).as("rvmax"))
+        // a dirty group absent from the recompute lost its last row
+        val dirtyRows = dirtyKeys.alias("k")
+          .join(recomputed.alias("r"),
+            d.keys.map(k => col(s"k.$k") === col(s"r.$k")).reduce(_ && _),
+            "left_outer")
+          .select(d.keys.map(k => col(s"k.$k").as(k)) ++ Seq(
+            coalesce(col("rn"), lit(0L)).as("n"),
+            coalesce(col("rnn"), lit(0L)).as("nn"),
+            col("rvmin").as("vmin"), col("rvmax").as("vmax"),
+            when(col("rn").isNull, lit("D")).otherwise(lit("U"))
+              .as("op")): _*)
+        (clean.unionByName(dirtyRows), kept, total)
+      }
+    val r = TxnTable.applyChangesWithMetrics(s, mv, changeSet, d.keys,
+      Seq("mv_base_version" -> head, "mv_dirty_groups" -> nDirty,
+        "mv_dirty_files_kept" -> keptFiles,
+        "mv_dirty_files_total" -> totalFiles),
+      cdc = false, expectedVer = mvVer)
+    RefreshResult(r.version, head, folded)
   }
 
   /** op_mv_delete: COPY-ON-WRITE DELETES WITH PUBLISHED FEEDS — closing
@@ -820,6 +1013,86 @@ object MatView {
     TxnTable.snapshot(s, mv2)
       .select(col("st"), col("n"), col("total").cast("double").as("total"))
       .withColumn("chain_ok", lit(ok))
+  }
+
+  /** op_mv_minmax: the EXTREMA MV end to end — create over a
+    * status-clustered base, then the asymmetric maintenance contract
+    * under fire. Wave 1 is the CLEAN shape: inserts above group 'O's
+    * max (monotone greatest — no base read), a brand-new group 'N',
+    * and interior deletes in 'F' (count updates only — deleting
+    * non-extreme rows costs nothing); `mv_dirty_groups` must be 0.
+    * Wave 2 is the ADVERSARIAL shape: delete every row HOLDING group
+    * 'F's max and every row holding 'P's min — exactly the deletes the
+    * telescoping fold cannot answer (the new extreme lives in rows the
+    * feed never mentions); refresh marks BOTH groups dirty
+    * (`mv_dirty_groups` = 2) and recomputes them via per-group
+    * stat-pruned point probes on the status-clustered layout
+    * (`mv_dirty_files_kept` < `mv_dirty_files_total` — the prune
+    * evidence), after which the SECOND-max/min answer. Hashed output =
+    * the refreshed MV (n, vmin, vmax per status); oracle replays both
+    * waves. At 100 TB: MIN/MAX views ride the same feed pipeline as
+    * the fold views — clean changes cost O(feed), and an extreme
+    * falling costs O(that group's files), never a base rescan. */
+  def mvMinMax(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir("mvx_base")
+    val mv = freshDir("mvx_view")
+    val src = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_totalprice").cast(D12).as("price"))
+    val st = col("o_orderstatus")
+    val k = col("o_orderkey")
+    // the base clusters by the GROUP key, so a dirty-group recompute's
+    // point probe prunes to that group's files
+    TxnTable.commit(s, base, TxnTable.stageIndexed(s, base,
+      src.repartitionByRange(8, st, k).sortWithinPartitions(st, k),
+      Nil, Seq("o_orderstatus")),
+      expected = -1L, op = "create", schemaJson = src.schema.json,
+      strIdxCols = Seq("o_orderstatus"))
+    createExtrema(s, mv, base, Seq("o_orderstatus"), "price")
+    // wave 1 (clean): monotone inserts + a new group + interior deletes
+    val lim = src.filter(st === "F").agg(
+      org.apache.spark.sql.functions.min(col("price")),
+      org.apache.spark.sql.functions.max(col("price"))).collect()(0)
+    val (fmin, fmax) = (lim.getDecimal(0), lim.getDecimal(1))
+    val ch1 = src.filter(pmod(k, lit(21)) === 0)
+      .select((k + 800000000L).as("o_orderkey"), lit("O").as(
+        "o_orderstatus"),
+        (col("price") + lit(100000).cast(D12)).cast(D12).as("price"),
+        lit("U").as("op"))
+      .unionByName(src.filter(pmod(k, lit(97)) === 0)
+        .select((k + 900000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("price"), lit("U").as("op")))
+      .unionByName(src.filter(st === "F" && pmod(k, lit(7)) === 0 &&
+          col("price") > lit(fmin) && col("price") < lit(fmax))
+        .select(k, st, col("price"), lit("D").as("op")))
+    TxnTable.applyChangesMor(s, base, ch1, "o_orderkey", cdc = true)
+    val r1 = refreshExtrema(s, mv)
+    val m1 = TxnTable.commitMetrics(s, mv, r1.mvVersion)
+    // wave 2 (adversarial): fell the extremes themselves — every row
+    // holding F's max and P's min (ties included: deterministic both
+    // here and in the oracle)
+    val snap1 = TxnTable.snapshot(s, base)
+    val l2 = snap1.agg(
+      org.apache.spark.sql.functions.max(when(st === "F", col("price"))),
+      org.apache.spark.sql.functions.min(when(st === "P", col("price"))))
+      .collect()(0)
+    val (fmax2, pmin2) = (l2.getDecimal(0), l2.getDecimal(1))
+    val ch2 = snap1.filter(st === "F" && col("price") === lit(fmax2))
+      .unionByName(snap1.filter(st === "P" && col("price") === lit(pmin2)))
+      .select(k, st, col("price"), lit("D").as("op"))
+    TxnTable.applyChangesMor(s, base, ch2, "o_orderkey", cdc = true)
+    val r2 = refreshExtrema(s, mv)
+    val m2 = TxnTable.commitMetrics(s, mv, r2.mvVersion)
+    val r3 = refreshExtrema(s, mv) // at head: no commit
+    val ok = r1.commitsFolded == 1 && r2.commitsFolded == 1 &&
+      m1.get("mv_dirty_groups").contains(0L) &&
+      m2.get("mv_dirty_groups").contains(2L) &&
+      m2.get("mv_dirty_files_kept").exists(kf => kf > 0L &&
+        m2.get("mv_dirty_files_total").exists(tf => kf < tf)) &&
+      r3.mvVersion == r2.mvVersion && r3.commitsFolded == 0
+    TxnTable.snapshot(s, mv)
+      .select(st, col("n"), col("vmin").cast("double").as("vmin"),
+        col("vmax").cast("double").as("vmax"))
+      .withColumn("mm_ok", lit(ok))
   }
 
   // ---- TRANSPARENT QUERY REWRITING ----------------------------------------

@@ -875,6 +875,86 @@ class MatViewSpec extends SparkSpec {
     assert(e.getMessage.contains("recompute the MV"), e.getMessage)
   }
 
+  test("extrema MV: a clean refresh PHYSICALLY reads no base file; " +
+      "ties, in-tail insert+delete, emptied groups and NULLs recompute " +
+      "correctly") {
+    val s2 = spark
+    import s2.implicits._
+    val t = fresh("mvx_spec_base")
+    val mv = fresh("mvx_spec_view")
+    def df(rows: (Long, String, java.lang.Double)*) =
+      rows.toDF("k", "g", "v").withColumn("v", col("v").cast(D12))
+    val base0 = df((1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 20.0),
+      (4L, "B", 5.0), (5L, "B", 7.0), (6L, "B", 9.0),
+      (7L, "C", 1.0), (8L, "C", 2.0), (9L, "A", null))
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t,
+      base0.repartitionByRange(2, col("g"), col("k"))
+        .sortWithinPartitions(col("g"), col("k")), Nil, Seq("g")),
+      expected = -1L, op = "create", schemaJson = base0.schema.json,
+      strIdxCols = Seq("g"))
+    MatView.createExtrema(spark, mv, t, Seq("g"), "v")
+    def mvRows() = TxnTable.snapshot(spark, mv).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getDecimal(3)).map(_.toPlainString),
+        Option(r.getDecimal(4)).map(_.toPlainString))).toSet
+    assert(mvRows() === Set(
+      ("A", 4L, 3L, Some("10.00"), Some("20.00")),
+      ("B", 3L, 3L, Some("5.00"), Some("9.00")),
+      ("C", 2L, 2L, Some("1.00"), Some("2.00"))))
+    // wave 1 — CLEAN: a new A max, interior B churn, a B tie at 9;
+    // the refresh must work with the base's data dir renamed away
+    TxnTable.applyChangesMor(spark, t,
+      df((10L, "A", 100.0), (11L, "B", 6.0), (13L, "B", 9.0))
+        .withColumn("op", lit("U"))
+        .unionByName(df((5L, "B", 7.0)).withColumn("op", lit("D"))),
+      "k", cdc = true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataDir = new org.apache.hadoop.fs.Path(s"$t/data")
+    val hidden = new org.apache.hadoop.fs.Path(s"$t/data_hidden")
+    val hfs = dataDir.getFileSystem(conf)
+    assert(hfs.rename(dataDir, hidden), "test setup: rename failed")
+    val r1 = try MatView.refreshExtrema(spark, mv)
+      finally hfs.rename(hidden, dataDir)
+    assert(TxnTable.commitMetrics(spark, mv, r1.mvVersion)
+      .get("mv_dirty_groups").contains(0L),
+      "monotone inserts + interior deletes must not dirty any group")
+    assert(mvRows() === Set(
+      ("A", 5L, 4L, Some("10.00"), Some("100.00")),
+      ("B", 4L, 4L, Some("5.00"), Some("9.00")),
+      ("C", 2L, 2L, Some("1.00"), Some("2.00"))))
+    // wave 2 — ADVERSARIAL, two commits folded by one refresh:
+    //  - in-tail insert+delete of a would-be A max (500): cancels, but
+    //    conservatively dirties A → recompute answers 100
+    //  - delete ONE of B's two 9s: dirty, the tied survivor answers 9
+    //  - empty group C entirely: dirty, the group LEAVES
+    //  - delete A's NULL row: nn drops, no extra dirt
+    TxnTable.applyChangesMor(spark, t,
+      df((12L, "A", 500.0)).withColumn("op", lit("U")), "k", cdc = true)
+    TxnTable.applyChangesMor(spark, t,
+      df((12L, "A", 500.0), (6L, "B", 9.0), (7L, "C", 1.0),
+        (8L, "C", 2.0), (9L, "A", null)).withColumn("op", lit("D")),
+      "k", cdc = true)
+    val r2 = MatView.refreshExtrema(spark, mv)
+    assert(r2.commitsFolded === 2)
+    assert(TxnTable.commitMetrics(spark, mv, r2.mvVersion)
+      .get("mv_dirty_groups").contains(3L))
+    assert(mvRows() === Set(
+      ("A", 4L, 4L, Some("10.00"), Some("100.00")),
+      ("B", 3L, 3L, Some("5.00"), Some("9.00"))),
+      "tie survival / cancel recompute / group exit diverged")
+    // a recompute equals the direct answer, always
+    val direct = TxnTable.snapshot(spark, t).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nn"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getDecimal(3)).map(_.toPlainString),
+        Option(r.getDecimal(4)).map(_.toPlainString))).toSet
+    assert(mvRows() === direct)
+    // at head: refresh no-ops
+    val r3 = MatView.refreshExtrema(spark, mv)
+    assert(r3.mvVersion === r2.mvVersion && r3.commitsFolded === 0)
+  }
+
   test("create REFUSES a value column the DECIMAL(18,2) fold cannot " +
       "hold losslessly — an MV that silently rounds must never exist") {
     val s = spark
