@@ -68,6 +68,7 @@ object SparkEntry {
     "sql_txn_skip"            -> (SqlSurface.txnSkip _),
     "sql_txn_dpp"             -> (SqlSurface.txnDpp _),
     "sql_txn_delete_in"       -> (SqlSurface.txnDeleteIn _),
+    "sql_txn_delete_in_str"   -> (SqlSurface.txnDeleteInStr _),
     "sql_mv_rewrite"          -> (SqlSurface.mvRewrite _),
     "sql_mv_delta"            -> (SqlSurface.mvDelta _),
     "sql_mv_rollup"           -> (SqlSurface.mvRollup _),
@@ -1435,6 +1436,20 @@ object SparkEntry {
         |             kmin + 2*(span+1)//4 AS hi FROM m)
         |SELECT k AS o_orderkey, st AS o_orderstatus,
         |  CAST(price AS DOUBLE) AS price, TRUE AS din_ok
+        |FROM b, r WHERE NOT (k >= lo AND k < hi AND k % 31 = 0)""".stripMargin,
+    // the string-keyed id-list delete: survivors = everything except
+    // quarter-2 keys divisible by 31, addressed by the synthetic
+    // zero-padded uid (lexicographic == key order)
+    "sql_txn_delete_in_str" ->
+      """WITH b AS (SELECT
+        |    'u' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS uid,
+        |    o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+        |    o_orderkey AS k FROM orders),
+        |m AS (SELECT MIN(k) AS kmin, MAX(k) - MIN(k) AS span FROM b),
+        |r AS (SELECT kmin + (span+1)//4 AS lo,
+        |             kmin + 2*(span+1)//4 AS hi FROM m)
+        |SELECT uid, st, CAST(p AS DOUBLE) AS price, TRUE AS dins_ok
         |FROM b, r WHERE NOT (k >= lo AND k < hi AND k % 31 = 0)""".stripMargin,
     // the final answer (after the 'Z' cdc insert AND the feed-less 'W'
     // insert) == a direct recompute of the base content — the rewrite,

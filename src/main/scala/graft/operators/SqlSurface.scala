@@ -271,6 +271,90 @@ object SqlSurface {
       .withColumn("din_ok", lit(ok))
   }
 
+  /** sql_txn_delete_in_str: the STRING-keyed GDPR-id-list DELETE — the
+    * real retraction list is UUIDs/URLs/emails, not longs.
+    * `CALL graft.system.delete_in(t, 'uid', 'u…,u…', true)` routes by
+    * the key column's type to [[graft.operators.TxnTable.deleteInStr]]:
+    * the same per-value verdict algebra as sql_txn_delete_in, run over
+    * the manifest's TRUNCATED string stats in UTF-8 binary order
+    * (conservative boxes — over-touch possible, misses impossible; the
+    * single-point metadata drop stays sound because lo == hi == v pins
+    * every row). Four single-file quarter inserts of a zero-padded
+    * synthetic uid (lexicographic == key order, so the quarters carry
+    * tight string boxes); the id list is every 31st key of QUARTER 2 as
+    * uids — the other three quarters must carry BYTE-VERBATIM, the
+    * quarter-2 file + the stat-less create sentinel rewrite, nothing
+    * drops. `cdc = true` stages the deleted rows as a signed feed IN
+    * the delete commit, and ONE MatView.refresh folds it — string-keyed
+    * retraction flows into downstream MVs exactly like op_mv_delete.
+    * `dins_ok` pins the three-way accounting, the carried-verbatim
+    * check, the single folded commit and MV == direct recompute.
+    * Hashed output = the surviving rows; the oracle replays the uid
+    * arithmetic. At 100 TB: deleting 10k scattered UUIDs costs O(files
+    * they live in), not O(table), and the downstream views pay O(feed). */
+  def txnDeleteInStr(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "dins_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.dins_orders (
+      uid STRING, st STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('strindex' = 'uid')""")
+    val b = s.sql("SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi " +
+      "FROM orders").collect()(0)
+    val (kmin, kmax) = (b.getLong(0), b.getLong(1))
+    val span = kmax - kmin
+    val qc = (0L to 4L).map(i => kmin + i * (span + 1) / 4)
+    (0 until 4).foreach { i =>
+      s.sql(s"""INSERT INTO graft.q.dins_orders
+        SELECT /*+ REPARTITION(1) */
+          CONCAT('u', LPAD(CAST(o_orderkey AS STRING), 12, '0')),
+          o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2))
+        FROM orders
+        WHERE o_orderkey >= ${qc(i)} AND o_orderkey < ${qc(i + 1)}""")
+    }
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_dins")
+    graft.operators.MatView.create(s, mv, loc, "st", "price")
+    val before = graft.operators.TxnTable.manifest(s, loc,
+      graft.operators.TxnTable.currentVersion(s, loc)).entries
+      .map(graft.operators.TxnTable.render)
+    val ids = s.sql(s"""SELECT
+        CONCAT('u', LPAD(CAST(o_orderkey AS STRING), 12, '0'))
+      FROM orders WHERE o_orderkey >= ${qc(1)} AND o_orderkey < ${qc(2)}
+        AND o_orderkey % 31 = 0""").collect().map(_.getString(0)).toSeq
+    s.sql(s"CALL graft.system.delete_in('q.dins_orders', 'uid', " +
+      s"'${ids.mkString(",")}', true)")
+    val v = graft.operators.TxnTable.currentVersion(s, loc)
+    val mAfter = graft.operators.TxnTable.manifest(s, loc, v)
+    val metrics = graft.operators.TxnTable.commitMetrics(s, loc, v)
+    val afterLines = mAfter.entries.map(graft.operators.TxnTable.render)
+      .toSet
+    val carried = (before.toSet & afterLines).size == 3
+    // the signed feed folds into the MV: string-keyed retraction
+    // reaches downstream views at O(feed)
+    val r = graft.operators.MatView.refresh(s, mv)
+    val mvRows = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, mv)
+        .select(col("st"), col("n"), col("total").cast("double"))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+        .toSet
+    }
+    val direct = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, loc).groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double"))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+        .toSet
+    }
+    val ok = ids.nonEmpty &&
+      metrics.get("kept").contains(3L) &&
+      metrics.get("rewritten").contains(2L) &&
+      metrics.get("dropped").contains(0L) &&
+      carried && mAfter.cdcRefs.nonEmpty &&
+      r.commitsFolded == 1 && mvRows == direct
+    s.sql("SELECT uid, st, CAST(price AS DOUBLE) AS price " +
+      "FROM graft.q.dins_orders").withColumn("dins_ok", lit(ok))
+  }
+
   /** The optimized plan's SCAN SOURCES (toString truncates paths):
     * parquet LogicalRelations expose their file roots, a surviving
     * catalog relation its table identifier. */

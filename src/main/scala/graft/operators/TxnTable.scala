@@ -3087,6 +3087,94 @@ object TxnTable {
       if (bucketKeeps) 'k' else range
     }
     val verdicts = m.entries.map(e => e -> side(e))
+    // survivors: rows whose key is NOT a member — a NULL key makes
+    // `k IN (...)` NULL, which DELETE must NOT act on. Small sets
+    // stay a codegen'd isin; oversized sets ship as a broadcast
+    // anti-join instead of a 10k-literal expression tree (null keys
+    // never match an equi-join, so they survive identically)
+    def survive(prev: DataFrame): DataFrame =
+      if (!folded) prev.filter(!coalesce(col(key).isin(vset: _*),
+        lit(false)))
+      else {
+        val vdf = s.createDataFrame(
+          s.sparkContext.parallelize(vset.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__graft_in_v",
+              org.apache.spark.sql.types.LongType))))
+        prev.join(broadcast(vdf),
+          prev(key) === col("__graft_in_v"), "left_anti")
+      }
+    deleteInFinish(s, table, cur, m, key, verdicts, survive _,
+      cdc, coalesce(col(key).isin(vset: _*), lit(false)))
+  }
+
+  /** [[deleteIn]] for a STRING key — the real GDPR id list is usually
+    * UUIDs/URLs/emails, and the table format already keeps truncated
+    * string stats (strIdxCols). The same per-value verdict algebra in
+    * UTF-8 binary order (u8cmp — Spark's own string comparison, the
+    * order the manifest bounds are recorded in): the recorded box is
+    * conservative (lo ≤ true min, hi ≥ true max after truncation), so
+    * the sorted-window probe can only over-touch, never miss; the
+    * single-point metadata drop stays SOUND under truncation because
+    * lo == hi == v forces every row to equal v exactly. Sets past
+    * [[MaxDeleteInValues]] fold to the envelope for verdicts while the
+    * residual and the feed stay exact. */
+  def deleteInStr(s: SparkSession, table: String, key: String,
+      values: Seq[String], cdc: Boolean = false): DeleteResult = {
+    require(values.nonEmpty,
+      "deleteInStr needs at least one value (an empty IN-list deletes " +
+        "nothing — make the no-op explicit at the call site)")
+    require(values.forall(_ != null),
+      "deleteInStr values must be non-null (IN (..., NULL) never " +
+        "matches under three-valued logic — drop the NULL at the call " +
+        "site)")
+    val cur = currentVersion(s, table)
+    val m = manifest(s, table, cur)
+    val pc = physMap(m).getOrElse(key, key)
+    val u8 = Ordering.fromLessThan[String](u8cmp(_, _) < 0)
+    val vset = values.distinct.sorted(u8).toIndexedSeq
+    val folded = vset.size > MaxDeleteInValues
+    val (envLo, envHi) = (vset.head, vset.last)
+    def side(e: Entry): Char = e.strStatFor(pc) match {
+      case Some((fLo, fHi)) if u8cmp(fLo, fHi) > 0 => 'k' // all-null file
+      case Some((fLo, fHi)) =>
+        val mayHold =
+          if (folded) !(u8cmp(envHi, fLo) < 0 || u8cmp(envLo, fHi) > 0)
+          else {
+            val from = lowerBoundStr(vset, fLo)
+            from < vset.size && u8cmp(vset(from), fHi) <= 0
+          }
+        if (!mayHold) 'k'
+        else if (!folded && fLo == fHi && e.nullsFor(pc).forall(_ == 0L))
+          'd'
+        else 'u'
+      case None => 'u'
+    }
+    val verdicts = m.entries.map(e => e -> side(e))
+    def survive(prev: DataFrame): DataFrame =
+      if (!folded) prev.filter(!coalesce(col(key).isin(vset: _*),
+        lit(false)))
+      else {
+        val vdf = s.createDataFrame(
+          s.sparkContext.parallelize(vset.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__graft_in_v",
+              org.apache.spark.sql.types.StringType))))
+        prev.join(broadcast(vdf),
+          prev(key) === col("__graft_in_v"), "left_anti")
+      }
+    deleteInFinish(s, table, cur, m, key, verdicts, survive _,
+      cdc, coalesce(col(key).isin(vset: _*), lit(false)))
+  }
+
+  /** The shared [[deleteIn]]/[[deleteInStr]] tail: apply the per-file
+    * verdicts (k kept verbatim / d pure-metadata drop / u rewrite with
+    * the exact residual), stage, publish the exact feed on request,
+    * commit with the three-way accounting. */
+  private def deleteInFinish(s: SparkSession, table: String, cur: Long,
+      m: Manifest, key: String, verdicts: Seq[(Entry, Char)],
+      survive: DataFrame => DataFrame, cdc: Boolean,
+      memberPred: Column): DeleteResult = {
     val dropped = verdicts.collect { case (e, 'd') => e }
     val kept = verdicts.collect { case (e, 'k') => e }
     val rewrite = verdicts.collect { case (e, 'u') => e }
@@ -3094,24 +3182,7 @@ object TxnTable {
       if (rewrite.isEmpty) Seq.empty
       else {
         val prev = readEntries(s, table, m, rewrite)
-        // survivors: rows whose key is NOT a member — a NULL key makes
-        // `k IN (...)` NULL, which DELETE must NOT act on. Small sets
-        // stay a codegen'd isin; oversized sets ship as a broadcast
-        // anti-join instead of a 10k-literal expression tree (null keys
-        // never match an equi-join, so they survive identically)
-        val survivors =
-          if (!folded) prev.filter(!coalesce(col(key).isin(vset: _*),
-            lit(false)))
-          else {
-            val vdf = s.createDataFrame(
-              s.sparkContext.parallelize(vset.map(org.apache.spark.sql.Row(_)), 1),
-              org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("__graft_in_v",
-                  org.apache.spark.sql.types.LongType))))
-            prev.join(broadcast(vdf),
-              prev(key) === col("__graft_in_v"), "left_anti")
-          }
-        val c = survivors
+        val c = survive(prev)
           .repartitionByRange(math.max(rewrite.size, 1), col(key))
           .sortWithinPartitions(col(key))
         if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
@@ -3127,8 +3198,7 @@ object TxnTable {
     // verdicts folded to the envelope (isin is fine here: the feed is
     // written once, not planned per file)
     val cdcRefs = if (!cdc) Nil else deleteCdcRefs(s, table, m, cur,
-      dropped, rewrite,
-      coalesce(col(key).isin(vset: _*), lit(false)))
+      dropped, rewrite, memberPred)
     val v = commit(s, table, finalLines, cur, op = "delete",
       schemaJson = m.schema.map(_.json).orNull, deleteLines = m.deletes,
       idxCols = m.idxCols, strIdxCols = m.strIdxCols, blooms = m.blooms,
@@ -3149,6 +3219,16 @@ object TxnTable {
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
       if (xs(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** [[lowerBound]] in UTF-8 binary order, for [[deleteInStr]]. */
+  private def lowerBoundStr(xs: IndexedSeq[String], v: String): Int = {
+    var lo = 0; var hi = xs.size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (u8cmp(xs(mid), v) < 0) lo = mid + 1 else hi = mid
     }
     lo
   }

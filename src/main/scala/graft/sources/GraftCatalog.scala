@@ -863,7 +863,7 @@ class GraftTable(ident: String, private[sources] val location: String,
   private case class ParsedDelete(
       ints: Map[String, (Long, Long)],
       strs: Map[String, (TxnTable.StrBound, TxnTable.StrBound)],
-      in: Option[(String, Seq[Long])]) {
+      in: Option[(String, Either[Seq[Long], Seq[String]])]) {
     def isTautology: Boolean = ints.isEmpty && strs.isEmpty && in.isEmpty
   }
 
@@ -944,24 +944,29 @@ class GraftTable(ident: String, private[sources] val location: String,
         case Right(sv) => !ints.contains(c) && narrowStr(c, op, sv)
       }
     var notNullCols = Set.empty[String]
-    var in: Option[(String, Seq[Long])] = None
+    var in: Option[(String, Either[Seq[Long], Seq[String]])] = None
     def visit(p: Predicate): Boolean = p.name() match {
       case "ALWAYS_TRUE" => true
       case "AND" =>
         val a = p.asInstanceOf[And]
         visit(a.left()) && visit(a.right())
       case "IN" =>
-        // the GDPR-id-list shape: one integral column against an
-        // explicit value set — routed to the per-value file-pruned
-        // TxnTable.deleteIn. ONE IN per statement, not combined with
-        // other bounds on any column (a mixed conjunction would need
-        // residual composition the per-value verdicts don't model —
-        // loud, never silently unpruned or wrong)
+        // the GDPR-id-list shape: one column against an explicit value
+        // set — integral lists route to the per-value file-pruned
+        // TxnTable.deleteIn, string lists (UUIDs/URLs — the usual GDPR
+        // key) to deleteInStr over the truncated string stats. ONE IN
+        // per statement, not combined with other bounds on any column
+        // (a mixed conjunction would need residual composition the
+        // per-value verdicts don't model — loud, never silently
+        // unpruned or wrong)
         val ch = p.children()
         if (ch.length < 2 || in.isDefined) false
         else (ref(ch(0)), ch.drop(1).toSeq.map(lim)) match {
           case (Some(c), vs) if vs.forall(_.exists(_.isLeft)) =>
-            in = Some((c, vs.flatMap(_.flatMap(_.left.toOption))))
+            in = Some((c, Left(vs.flatMap(_.flatMap(_.left.toOption)))))
+            true
+          case (Some(c), vs) if vs.forall(_.exists(_.isRight)) =>
+            in = Some((c, Right(vs.flatMap(_.flatMap(_.toOption)))))
             true
           case _ => false
         }
@@ -1008,10 +1013,14 @@ class GraftTable(ident: String, private[sources] val location: String,
         val s = spark
         TxnTable.overwrite(s, location,
           TxnTable.snapshot(s, location).limit(0))
-      case Some(ParsedDelete(_, _, Some((c, vs)))) =>
+      case Some(ParsedDelete(_, _, Some((c, Left(vs))))) =>
         // the id-list shape: per-value manifest verdicts (range boxes
         // AND bucketN transforms), >10k values fold to the envelope
         TxnTable.deleteIn(spark, location, c, vs)
+      case Some(ParsedDelete(_, _, Some((c, Right(vs))))) =>
+        // the string id-list shape (UUIDs/URLs): per-value verdicts
+        // over the truncated string stats
+        TxnTable.deleteInStr(spark, location, c, vs)
       case Some(p) =>
         // the DELETE's file accounting lands in the commit's #metrics=
         // header — read it back via TxnTable.commitMetrics

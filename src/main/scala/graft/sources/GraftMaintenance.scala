@@ -421,18 +421,27 @@ private[sources] object GraftMaintenance {
           org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString))
       }
       // the GDPR id-list DELETE as a procedure: per-value manifest
-      // verdicts (range boxes + bucketN transforms), optional signed
-      // feed for downstream MVs —
+      // verdicts (range boxes + bucketN transforms for integral keys,
+      // truncated string stats for string keys — the key COLUMN's type
+      // picks the route), optional signed feed for downstream MVs —
       // CALL graft.system.delete_in('ns.t', 'k', '5,7,1000', true)
+      // CALL graft.system.delete_in('ns.t', 'uid', 'u1,u2', true)
       case "delete_in" => p("delete_in", Seq(tableParam,
         ProcedureParameter.in("key", StringType).build(),
         ProcedureParameter.in("values", StringType).build(),
         ProcedureParameter.in("cdc", BooleanType)
           .defaultValue("false").build())) { (s, in) =>
-        val vs = in.getUTF8String(2).toString.split(',')
-          .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
-        TxnTable.deleteIn(s, tbl(s, in),
-          in.getUTF8String(1).toString, vs, cdc = in.getBoolean(3)).version
+        val table = tbl(s, in)
+        val key = in.getUTF8String(1).toString
+        val raw = in.getUTF8String(2).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val keyType = TxnTable.snapshot(s, table).schema(key).dataType
+        if (keyType == StringType)
+          TxnTable.deleteInStr(s, table, key, raw,
+            cdc = in.getBoolean(3)).version
+        else
+          TxnTable.deleteIn(s, table, key, raw.map(_.toLong),
+            cdc = in.getBoolean(3)).version
       }
       // collapse accumulated equality tombstones into one bounded file
       // per key column — zero data files touched (the between-

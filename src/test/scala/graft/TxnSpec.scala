@@ -1991,6 +1991,71 @@ class TxnSpec extends SparkSpec {
     assert(rf.version > 0)
   }
 
+  test("deleteInStr: per-value verdicts over truncated string stats " +
+      "keep untouched files verbatim; single-point drop; null keys " +
+      "survive; oversized sets fold; NULL members refuse") {
+    val s2 = spark
+    import s2.implicits._
+    val t = freshTable("delins_range")
+    // zero-padded uids: lexicographic == numeric order, 4 tight files
+    def uid(i: Long) = f"u$i%06d"
+    val df = ((0 until 100).map(i => (Option(uid(i)), s"v$i")) :+
+      ((None: Option[String]) -> "vnull")).toDF("k", "v")
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t,
+      df.repartitionByRange(4, col("k")).sortWithinPartitions(col("k")),
+      Nil, Seq("k")), expected = -1L, op = "create",
+      schemaJson = df.schema.json, strIdxCols = Seq("k"))
+    val entries0 = TxnTable.manifest(spark, t, 0L).entries
+      .map(TxnTable.render).toSet
+    // scattered members hit ONE file's box; u999999 hits nothing — a
+    // [min,max] string RANGE would have rewritten every file
+    val r1 = TxnTable.deleteInStr(spark, t, "k",
+      Seq(uid(5), uid(7), "u999999"))
+    assert(r1.rewritten === 1 && r1.dropped === 0 && r1.kept === 3,
+      s"per-value string verdicts must touch one file: $r1")
+    // the three untouched files carry BYTE-VERBATIM
+    val after1 = TxnTable.manifest(spark, t,
+      TxnTable.currentVersion(spark, t)).entries
+      .map(TxnTable.render).toSet
+    assert((entries0 & after1).size === 3)
+    assert(TxnTable.snapshot(spark, t).count() === 99L)
+    assert(TxnTable.snapshot(spark, t).filter(col("k").isNull)
+      .count() === 1L, "a NULL key must survive an IN delete")
+    // single-point file: every row IS the member → metadata drop (lo ==
+    // hi == v is truncation-sound: it pins every row to v exactly)
+    TxnTable.append(spark, t,
+      Seq.fill(5)((Option("u999999"), "x")).toDF("k", "v").coalesce(1))
+    val r2 = TxnTable.deleteInStr(spark, t, "k",
+      Seq("u999999", "u888888"))
+    assert(r2.dropped === 1 && r2.rewritten === 0,
+      s"a [v,v] string file with v in the set must drop as metadata: $r2")
+    assert(TxnTable.snapshot(spark, t).count() === 99L)
+    // oversized set folds to the envelope; the residual stays exact
+    val tf = freshTable("delins_fold")
+    val df2 = (0 until 50).map(i => (uid(i), s"v$i")).toDF("k", "v")
+    TxnTable.create(spark, tf, df2)
+    val big = (0L until 10500L).map(i => uid(i * 2 + 1)) // odd uids
+    TxnTable.deleteInStr(spark, tf, "k", big)
+    val left = TxnTable.snapshot(spark, tf).select("k").as[String]
+      .collect().sorted.toSeq
+    assert(left === (0L until 50L by 2L).map(uid),
+      "envelope fold must keep the residual EXACT (odd uids deleted)")
+    // a NULL member refuses loudly (IN (..., NULL) never matches)
+    val eNull = intercept[IllegalArgumentException] {
+      TxnTable.deleteInStr(spark, t, "k", Seq(uid(2), null))
+    }
+    assert(eNull.getMessage.contains("non-null"), eNull.getMessage)
+    // cdc: the feed carries exactly the deleted rows, signed -1
+    val r3 = TxnTable.deleteInStr(spark, t, "k", Seq(uid(11), uid(13)),
+      cdc = true)
+    val m3 = TxnTable.manifest(spark, t, r3.version)
+    assert(m3.cdcRefs.nonEmpty)
+    val feed = spark.read.parquet(m3.cdcRefs.map(r => s"$t/$r"): _*)
+    assert(feed.select("k", "w").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet ===
+      Set((uid(11), -1), (uid(13), -1)))
+  }
+
   test("vacuum preview predicts the sweep exactly and touches nothing") {
     val s2 = spark
     import s2.implicits._
