@@ -136,6 +136,7 @@ object SparkEntry {
     "op_bucketed_join"        -> (StorageRoundtrip.bucketedJoin _),
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "mm_payload_dedup"        -> (Multimodal.payloadDedup _),
+    "mm_blob_retract"         -> (Multimodal.blobRetract _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
     "q36_orc_roundtrip"       -> (StorageRoundtrip.orcRoundtrip _),
     "op_salted_join"          -> (SkewJoin.saltedOrdersBySegment _),
@@ -2347,6 +2348,25 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT o_orderkey, o_totalprice, o_orderstatus
         |  FROM orders WHERE o_orderkey % 2 = 1)""".stripMargin,
+    // the blob store after content-addressed ingest, retraction of two
+    // named payload classes (doc_id % 13 in {3, 7}) and the class-3
+    // re-crawl: retained blobs keep their ingest nrefs, the re-crawled
+    // one comes back with nrefs = 1
+    "mm_blob_retract" ->
+      """WITH items AS (SELECT doc_id,
+        |    'IMG:' || CAST(doc_id % 13 AS VARCHAR) || ':' ||
+        |      repeat('x', CAST((doc_id % 13) * 7 AS INT)) AS pay
+        |  FROM documents),
+        |blobs AS (SELECT md5(pay) AS pmd5, COUNT(*) AS nrefs,
+        |    MIN(strlen(pay)) AS nbytes FROM items GROUP BY 1),
+        |named AS (SELECT DISTINCT md5(pay) AS pmd5 FROM items
+        |  WHERE doc_id % 13 IN (3, 7)),
+        |recrawl AS (SELECT DISTINCT md5(pay) AS pmd5,
+        |    CAST(1 AS BIGINT) AS nrefs, strlen(pay) AS nbytes
+        |  FROM items WHERE doc_id % 13 = 3)
+        |SELECT pmd5, nrefs, nbytes, TRUE AS blob_ok FROM blobs
+        |  WHERE pmd5 NOT IN (SELECT pmd5 FROM named)
+        |UNION ALL SELECT pmd5, nrefs, nbytes, TRUE FROM recrawl""".stripMargin,
     // multimodal dedup: exact payload-hash keep-min + strided-frame
     // containment stats, both pure bytes->md5 arithmetic
     "mm_payload_dedup" ->
