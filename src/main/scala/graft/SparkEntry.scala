@@ -107,6 +107,7 @@ object SparkEntry {
     "op_mv_merge"             -> (graft.operators.MatView.mvCowMerge _),
     "op_mv_chain"             -> (graft.operators.MatView.mvChain _),
     "op_mv_minmax"            -> (graft.operators.MatView.mvMinMax _),
+    "op_mv_branch"            -> (SqlSurface.mvBranch _),
     "op_txn_multi"            -> (TxnTable.txnMulti _),
     "op_txn_default"          -> (TxnTable.txnDefault _),
     "op_table_history"        -> (TxnTable.tableHistory _),
@@ -1857,6 +1858,21 @@ object SparkEntry {
         |SELECT st, COUNT(*) AS n, CAST(SUM(total) AS DOUBLE) AS total,
         |  TRUE AS chain_ok
         |FROM m1 GROUP BY st""".stripMargin,
+    // the final MAIN aggregate after the branch batch (published via
+    // fastforward) and the parent batch: deletes 6|k, the branch-born
+    // 'B' group for 13|k, repricing +11 on 7|k survivors, the parent
+    // 'M' group for 17|k
+    "op_mv_branch" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |fin AS (SELECT st, CASE WHEN k % 7 = 0
+        |      THEN CAST(p + 11 AS DECIMAL(12,2)) ELSE p END AS p
+        |  FROM b WHERE k % 6 <> 0
+        |  UNION ALL SELECT 'B', p FROM b WHERE k % 13 = 0
+        |  UNION ALL SELECT 'M', p FROM b WHERE k % 17 = 0)
+        |SELECT st, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
+        |  TRUE AS mvb_ok
+        |FROM fin GROUP BY st""".stripMargin,
     // the extrema MV after both waves: wave 1 deletes interior 'F'
     // rows (7|k, strictly inside F's extremes) and inserts 'O'-bumps
     // (21|k, +100000) and an 'N' group (97|k); wave 2 deletes every

@@ -108,7 +108,47 @@ object MatView {
     * refresh landing between the two reads can never double-count its
     * feed tail (cursor from the old head + rows from the new one). */
   private[graft] def lastRefreshedAt(s: SparkSession, mv: String,
-      upTo: Long): Long = cursorAt(s, mv, upTo, "mv_base_version")
+      upTo: Long): Long = cursorInfoAt(s, mv, upTo)._1
+
+  /** The cursor AND whether the MV has been TRANSPLANTED onto its
+    * branch's parent timeline ([[transplant]]) — both read from the
+    * SAME newest cursor-carrying commit, so the pair can never mix
+    * timelines: a cursor value is meaningless without knowing which
+    * log it indexes, and reading the flag from any other commit would
+    * reintroduce exactly the two-object race the one-commit transplant
+    * design exists to close. */
+  private[graft] def cursorInfoAt(s: SparkSession, mv: String,
+      upTo: Long): (Long, Boolean) =
+    TxnTable.versions(s, mv).filter(_ <= upTo).reverse.iterator
+      .map(v => (TxnTable.manifestHeaderMetric(s, mv, v,
+        "mv_base_version"), v))
+      .collectFirst { case (b, v) if b >= 0 =>
+        (b, TxnTable.manifestHeaderMetric(s, mv, v, "mv_retarget") == 1L)
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$mv: no refresh cursor in any retained commit"))
+
+  /** The parent table of a branch directory (`<parent>/_branches/<leaf>`)
+    * — what a transplanted MV's cursor speaks against. Refuses a base
+    * that is not a branch dir: only branch MVs can transplant. */
+  private[graft] def parentOf(base: String): String = {
+    val i = base.lastIndexOf("/_branches/")
+    require(i > 0 && !base.drop(i + "/_branches/".length).contains("/"),
+      s"$base is not a branch directory — only an MV over a branch " +
+        "can be transplanted onto a parent timeline")
+    base.take(i)
+  }
+
+  /** The MV's EFFECTIVE definition at `mvVer`: after [[transplant]],
+    * the base is the branch's PARENT and the cursor indexes the
+    * parent's log. The `_mv` def file stays immutable (it records the
+    * branch the view was created on); the retarget lives in the MV's
+    * own LOG, stamped on the same commit as the cursor it applies to. */
+  private[graft] def effectiveDef(s: SparkSession, mv: String, d: MvDef,
+      mvVer: Long): (MvDef, Long) = {
+    val (cursor, retargeted) = cursorInfoAt(s, mv, mvVer)
+    (if (retargeted) d.copy(base = parentOf(d.base)) else d, cursor)
+  }
 
   /** The newest committed value of cursor metric `metric` at or below
     * MV version `upTo` — the generalized cursor walk (join MVs keep TWO
@@ -272,7 +312,7 @@ object MatView {
     * the touched MV files and the feed write. */
   def refresh(s: SparkSession, mv: String, publishFeed: Boolean)
       : RefreshResult = {
-    val d = readDef(s, mv)
+    val d0 = readDef(s, mv)
     // pin ONE MV version for the cursor, the rows AND the merge's CAS:
     // two concurrent refreshes otherwise interleave so the second folds
     // the feed tail onto rows that already include it (cursor from the
@@ -280,7 +320,12 @@ object MatView {
     // path closes via lastRefreshedAt/compensated(mvVer). With the pin,
     // the losing refresh fails the commit CAS loudly instead.
     val mvVer = TxnTable.currentVersion(s, mv)
-    val last = lastRefreshedAt(s, mv, mvVer)
+    // a TRANSPLANTED view refreshes against the branch's PARENT — the
+    // retarget flag rides the same commit as the cursor it applies to,
+    // and every later refresh re-stamps it so the pair stays atomic
+    val (d, last) = effectiveDef(s, mv, d0, mvVer)
+    val retargeted = d.base != d0.base
+    val stamp = if (retargeted) Seq("mv_retarget" -> 1L) else Nil
     val head = TxnTable.currentVersion(s, d.base)
     require(head >= last, s"${d.base} is at version $head, behind the " +
       s"MV's cursor $last — the base was restored/recreated; recompute " +
@@ -296,11 +341,51 @@ object MatView {
     val folded = (head - last).toInt
     if (refs.isEmpty)
       return RefreshResult(advanceCursor(s, mv, mvVer,
-        Seq("mv_base_version" -> head)), head, folded)
+        Seq("mv_base_version" -> head) ++ stamp), head, folded)
     val feed = s.read.parquet(refs: _*)
     val v = foldAndMerge(s, mv, mvVer, d.keys, d.value, feed,
-      Seq("mv_base_version" -> head), publishFeed)
+      Seq("mv_base_version" -> head) ++ stamp, publishFeed)
     RefreshResult(v, head, folded)
+  }
+
+  /** TRANSPLANT a branch MV onto the parent timeline after a
+    * [[TxnTable.fastForward]] publish: the branch ref's invariant —
+    * `branch@localBase ≡ parent@base`, maintained by branch creation,
+    * fastForward and rebase alike — is the content-identity proof, so
+    * a view whose cursor sits EXACTLY at the published point can start
+    * speaking parent versions with ONE metadata-only commit (cursor :=
+    * ref.base, `mv_retarget` stamped on the same line — a cursor value
+    * is meaningless without its timeline, so the two facts are never
+    * separable). A cursor behind the publish point must refresh first;
+    * a branch that moved PAST the publish refuses (the parent does not
+    * have those commits — re-publish, then transplant). After the
+    * transplant the view serves and refreshes against the PARENT: the
+    * dev dashboard follows its table into production for free. */
+  def transplant(s: SparkSession, mv: String): Long = {
+    val d = readDef(s, mv)
+    val parent = parentOf(d.base)
+    val leaf = d.base.drop(parent.length + "/_branches/".length)
+    val ref = TxnTable.branches(s, parent).map(_._1)
+      .flatMap(n => TxnTable.branchInfo(s, parent, n))
+      .find(_.leaf == leaf)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$mv: base ${d.base} is not a live branch of $parent " +
+          "(dropped branches cannot transplant — their publish point " +
+          "is gone)"))
+    require(ref.localBase >= 0,
+      s"$mv: branch '$leaf' predates rebase support (no recorded " +
+        "publish point) — recompute the MV on the parent instead")
+    val mvVer = TxnTable.currentVersion(s, mv)
+    val (cursor, already) = cursorInfoAt(s, mv, mvVer)
+    require(!already, s"$mv: already transplanted onto $parent")
+    require(cursor == ref.localBase,
+      s"$mv: cursor $cursor is not the branch's published point " +
+        s"${ref.localBase} — refresh the MV to the publish point " +
+        "first, or (if the branch moved past the publish) fastForward " +
+        "again before transplanting; the parent does not hold " +
+        "unpublished branch commits")
+    advanceCursor(s, mv, mvVer,
+      Seq("mv_base_version" -> ref.base, "mv_retarget" -> 1L))
   }
 
   /** Content-invariant refresh range: advance the cursor(s) with ONE
@@ -1107,8 +1192,14 @@ object MatView {
     new java.util.concurrent.ConcurrentHashMap[String, (String, MvDef)]()
 
   def register(s: SparkSession, mv: String): Unit = {
-    val d = readDef(s, mv)
-    registry.put(d.base, (mv, d))
+    val d0 = readDef(s, mv)
+    // key by the EFFECTIVE base (a transplanted branch MV serves the
+    // parent); the rule re-resolves per query, so a registration that
+    // goes stale (a transplant after register) disqualifies rather
+    // than serving the wrong timeline — re-register after transplant
+    val (d, _) = effectiveDef(s, mv, d0,
+      TxnTable.currentVersion(s, mv))
+    registry.put(d.base, (mv, d0))
   }
 
   private[graft] def registeredFor(base: String): Option[(String, MvDef)] =

@@ -780,6 +780,110 @@ object SqlSurface {
     s.sql(q).withColumn("mvj_ok", lit(ok))
   }
 
+  /** op_mv_branch: BRANCH-AWARE MATERIALIZED VIEWS — a branch is a full
+    * TxnTable, so an MV created ON the branch dir composes for free:
+    * refresh walks the BRANCH log, and the rewrite serves
+    * branch-addressed reads (`…t.branch_dev`) only — a main reader is
+    * untouched by construction (the registry keys on location). The
+    * new piece is the TRANSPLANT after publish: fastForward maintains
+    * the ref invariant `branch@localBase ≡ parent@base`, which is a
+    * content-identity PROOF — MatView.transplant re-points a view whose
+    * cursor sits exactly at the published point onto the parent
+    * timeline with ONE metadata-only commit (cursor := ref.base,
+    * `mv_retarget` stamped on the SAME line: a cursor is meaningless
+    * without its timeline, so the two facts are never separable — no
+    * def-file rewrite, no two-object crash window). Phases: (1) branch
+    * cdc batch + refresh → the branch query serves from the MV, the
+    * main query reads the base and answers differently; (2)
+    * fastForward + transplant + re-register → the MAIN query serves
+    * from the MV (the dev dashboard followed its table into
+    * production), while a branch-addressed read now DISQUALIFIES (the
+    * per-query effective-base guard — the stale registry key must
+    * never serve the wrong timeline); (3) a parent cdc batch,
+    * unrefreshed → compensated serve from MV + parent `_cdc`; (4)
+    * refresh folds from the PARENT log. `mvb_ok` pins all plans and
+    * answer-equality; oracle replays branch + parent changes. At
+    * 100 TB: the staging pattern — branch, backfill, validate with the
+    * same MVs, publish — keeps its acceleration through the publish
+    * for one metadata commit. */
+  def mvBranch(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mvb_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mvb_orders (
+      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvb_orders
+      SELECT o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    s.sql("CALL graft.system.branch('q.mvb_orders', 'dev')")
+    val bd = graft.operators.TxnTable.branchDir(s, loc, "dev")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_branch")
+    graft.operators.MatView.create(s, mv, bd, "st", "price")
+    graft.operators.MatView.register(s, mv)
+    // the branch moves: deletes + a branch-only 'B' group, cdc feed
+    val ch = s.sql("""SELECT o_orderkey, o_orderstatus AS st,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price, 'D' AS op
+      FROM orders WHERE o_orderkey % 6 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'B',
+        CAST(o_totalprice AS DECIMAL(12,2)), 'U'
+      FROM orders WHERE o_orderkey % 13 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, bd, ch, "o_orderkey",
+      cdc = true)
+    val r1 = graft.operators.MatView.refresh(s, mv) // walks the BRANCH log
+    val qBr = """SELECT st, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE)
+      AS total FROM graft.q.mvb_orders.branch_dev GROUP BY st"""
+    val qMain = """SELECT st, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE)
+      AS total FROM graft.q.mvb_orders GROUP BY st"""
+    def rowsOf(q: String) = s.sql(q).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, loc).groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    }
+    val pBr = scanSrcsOf(s, qBr)
+    val servedBranch = r1.commitsFolded == 1 && pBr.nonEmpty &&
+      pBr.forall(_.contains(mv))
+    val pM1 = scanSrcsOf(s, qMain)
+    val mainUntouched = !pM1.exists(_.contains(mv)) &&
+      rowsOf(qMain) != rowsOf(qBr) && rowsOf(qMain) == direct()
+    // publish the branch; transplant the view onto the parent timeline
+    s.sql("CALL graft.system.fastforward('q.mvb_orders', 'dev')")
+    graft.operators.MatView.transplant(s, mv)
+    graft.operators.MatView.register(s, mv) // re-key on the parent
+    val pM2 = scanSrcsOf(s, qMain)
+    val servedMain = pM2.nonEmpty && pM2.forall(_.contains(mv)) &&
+      rowsOf(qMain) == direct()
+    // the stale branch address must NOT serve the transplanted view
+    val pBr2 = scanSrcsOf(s, qBr)
+    val branchDisqualified = !pBr2.exists(_.contains(mv))
+    // parent moves: compensated serve, then refresh folds PARENT feeds
+    val ch2 = s.sql("""SELECT o_orderkey, o_orderstatus AS st,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 11 AS DECIMAL(12,2))
+          AS price, 'U' AS op
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 6 <> 0
+      UNION ALL
+      SELECT o_orderkey + 200000000, 'M',
+        CAST(o_totalprice AS DECIMAL(12,2)), 'U'
+      FROM orders WHERE o_orderkey % 17 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, loc, ch2, "o_orderkey",
+      cdc = true)
+    val pM3 = scanSrcsOf(s, qMain)
+    val compensatedServe = pM3.nonEmpty &&
+      pM3.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
+      pM3.exists(_.contains(s"$loc/_cdc")) &&
+      rowsOf(qMain) == direct()
+    val r2 = graft.operators.MatView.refresh(s, mv) // folds the PARENT
+    val pM4 = scanSrcsOf(s, qMain)
+    val refreshedServe = r2.commitsFolded == 1 && pM4.nonEmpty &&
+      pM4.forall(_.contains(mv)) && rowsOf(qMain) == direct()
+    val ok = servedBranch && mainUntouched && servedMain &&
+      branchDisqualified && compensatedServe && refreshedServe
+    s.sql(qMain).withColumn("mvb_ok", lit(ok))
+  }
+
   /** sql_txn_dpp: RUNTIME join-driven file pruning — the DSv2 dynamic
     * partition pruning contract (`SupportsRuntimeV2Filtering`) answered
     * from MANIFEST stats. The star-join shape: a fact table

@@ -119,9 +119,15 @@ case class GraftMvRewriteRule(session: SparkSession)
       // tail, or an MV AHEAD of a time-travel read, falls through to the
       // base scan: the rewrite only fires when the log PROVES the answer.
       val mvVer = TxnTable.currentVersion(session, mvLoc)
-      val cursor = MatView.lastRefreshedAt(session, mvLoc, mvVer)
-      if (cursor > g.pinnedVersion) None
-      else MatView.compensated(session, mvLoc, d, cursor,
+      // re-resolve the EFFECTIVE base per query: a branch MV
+      // transplanted onto its parent AFTER registration must
+      // disqualify here (stale registry key) rather than compare a
+      // parent cursor against a branch version — serving the wrong
+      // timeline is the one unforgivable rewrite bug
+      val (dEff, cursor) = MatView.effectiveDef(session, mvLoc, d, mvVer)
+      if (dEff.base != g.location) None
+      else if (cursor > g.pinnedVersion) None
+      else MatView.compensated(session, mvLoc, dEff, cursor,
         g.pinnedVersion, mvVer).map { mvDf00 =>
         // the qualified key predicates, remapped by name onto the MV's
         // own attributes and applied BEFORE any rollup re-aggregation

@@ -955,6 +955,73 @@ class MatViewSpec extends SparkSpec {
     assert(r3.mvVersion === r2.mvVersion && r3.commitsFolded === 0)
   }
 
+  test("transplant: refuses non-branch MVs, unpublished branch work, " +
+      "and double transplants; the retarget stamp survives later " +
+      "refreshes") {
+    val t = fresh("mv_tp_base")
+    mkBase(t, 120)
+    // a non-branch MV can never transplant
+    val mvPlain = fresh("mv_tp_plain")
+    MatView.create(spark, mvPlain, t, "g", "v")
+    val ePlain = intercept[IllegalArgumentException] {
+      MatView.transplant(spark, mvPlain)
+    }
+    assert(ePlain.getMessage.contains("not a branch directory"),
+      ePlain.getMessage)
+    // branch + MV on it
+    TxnTable.branch(spark, t, "dev")
+    val bd = TxnTable.branchDir(spark, t, "dev")
+    val mv = fresh("mv_tp_view")
+    MatView.create(spark, mv, bd, "g", "v")
+    // branch moves + refresh; then ANOTHER branch commit past what we
+    // will publish: transplant must refuse (the parent lacks it)
+    TxnTable.applyChangesMor(spark, bd,
+      change(baseDf(120).filter(col("k") % 5 === 0), "D"), "k",
+      cdc = true)
+    MatView.refresh(spark, mv)
+    TxnTable.fastForward(spark, t, "dev")
+    TxnTable.applyChangesMor(spark, bd,
+      change(baseDf(120).filter(col("k") % 7 === 0 && col("k") % 5 =!= 0),
+        "D"), "k", cdc = true)
+    MatView.refresh(spark, mv) // cursor now PAST the publish point
+    val ePast = intercept[IllegalArgumentException] {
+      MatView.transplant(spark, mv)
+    }
+    assert(ePast.getMessage.contains("not the branch's published point"),
+      ePast.getMessage)
+    // publish the new work too — now the cursor IS the publish point
+    TxnTable.fastForward(spark, t, "dev")
+    val v = MatView.transplant(spark, mv)
+    assert(TxnTable.commitMetrics(spark, mv, v)
+      .get("mv_retarget").contains(1L))
+    // double transplant refuses
+    val eTwice = intercept[IllegalArgumentException] {
+      MatView.transplant(spark, mv)
+    }
+    assert(eTwice.getMessage.contains("already transplanted"),
+      eTwice.getMessage)
+    // the view now refreshes against the PARENT — and the retarget
+    // stamp survives subsequent refreshes (both fold and cursor-advance)
+    TxnTable.applyChangesMor(spark, t,
+      change(baseDf(120).filter(col("k") % 11 === 0 && col("k") % 5 =!= 0
+        && col("k") % 7 =!= 0), "D"), "k", cdc = true)
+    val r1 = MatView.refresh(spark, mv)
+    assert(r1.commitsFolded === 1)
+    TxnTable.compact(spark, t) // content-invariant: cursor advance
+    val r2 = MatView.refresh(spark, mv)
+    val (cur2, still2) = MatView.cursorInfoAt(spark, mv,
+      TxnTable.currentVersion(spark, mv))
+    assert(still2 && cur2 === TxnTable.currentVersion(spark, t),
+      "the retarget stamp must ride every later cursor commit")
+    val direct = TxnTable.snapshot(spark, t).groupBy(col("g"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = TxnTable.snapshot(spark, mv).select(col("g"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === direct, "post-transplant refresh diverged")
+    assert(r2.mvVersion > r1.mvVersion)
+  }
+
   test("create REFUSES a value column the DECIMAL(18,2) fold cannot " +
       "hold losslessly — an MV that silently rounds must never exist") {
     val s = spark
