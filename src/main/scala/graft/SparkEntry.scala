@@ -108,6 +108,7 @@ object SparkEntry {
     "op_mv_chain"             -> (graft.operators.MatView.mvChain _),
     "op_mv_minmax"            -> (graft.operators.MatView.mvMinMax _),
     "op_mv_branch"            -> (SqlSurface.mvBranch _),
+    "st_stream_mv_serve"      -> (graft.streaming.Streams.streamMvServe _),
     "op_txn_multi"            -> (TxnTable.txnMulti _),
     "op_txn_default"          -> (TxnTable.txnDefault _),
     "op_table_history"        -> (TxnTable.tableHistory _),
@@ -1858,6 +1859,20 @@ object SparkEntry {
         |SELECT st, COUNT(*) AS n, CAST(SUM(total) AS DOUBLE) AS total,
         |  TRUE AS chain_ok
         |FROM m1 GROUP BY st""".stripMargin,
+    // the live filtered dashboard after all four CDC batches: deletes
+    // 9|k, repricing +100 on 11|k survivors, the feed-born
+    // ('Q','1-URGENT') group for 13|k — only the '1-URGENT' slice
+    "st_stream_mv_serve" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_orderpriority AS pri,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |fin AS (SELECT st, pri, CASE WHEN k % 11 = 0
+        |      THEN CAST(p + 100 AS DECIMAL(12,2)) ELSE p END AS p
+        |  FROM b WHERE k % 9 <> 0
+        |  UNION ALL SELECT 'Q', '1-URGENT', p FROM b WHERE k % 13 = 0)
+        |SELECT st, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
+        |  TRUE AS serve_ok
+        |FROM fin WHERE pri = '1-URGENT' GROUP BY st""".stripMargin,
     // the final MAIN aggregate after the branch batch (published via
     // fastforward) and the parent batch: deletes 6|k, the branch-born
     // 'B' group for 13|k, repricing +11 on 7|k survivors, the parent
