@@ -401,18 +401,35 @@ object MatView {
       metrics = metrics, retired = m.retired, checks = m.checks)
   }
 
-  /** Resolve the published-feed refs for base commits `(last, head]`,
-    * refusing LOUDLY on any feed-less content change (see [[refresh]]'s
-    * object-doc contract). */
+  /** Resolve the published-feed refs for base commits `(last, head]` —
+    * THE single site encoding which commits count (published feeds,
+    * content-invariant ops, change_noop markers): refresh, the join
+    * refresh, and both compensation paths all read this contract here,
+    * so they can never diverge on the same log. Left = the first
+    * feed-less content change (version, op); Right = every feed ref in
+    * the range. */
+  private def feedRefsE(s: SparkSession, base: String, last: Long,
+      head: Long): Either[(Long, String), Seq[String]] = {
+    val per = (last + 1 to head).map { v =>
+      val m = TxnTable.manifest(s, base, v)
+      if (m.cdcRefs.nonEmpty) Right(m.cdcRefs.map(r => s"$base/$r"))
+      else if (ContentInvariantOps(m.op) ||
+        m.metrics.get("change_noop").contains(1L))
+        Right(Nil)
+      else Left((v, m.op))
+    }
+    per.collectFirst { case Left(bad) => bad }
+      .toLeft(per.collect { case Right(rs) => rs }.flatten)
+  }
+
+  /** [[feedRefsE]] for the refresh paths: a feed-less content change
+    * refuses LOUDLY (see [[refresh]]'s object-doc contract). */
   private def feedRefs(s: SparkSession, base: String, last: Long,
       head: Long): Seq[String] =
-    (last + 1 to head).flatMap { v =>
-      val m = TxnTable.manifest(s, base, v)
-      if (m.cdcRefs.nonEmpty) m.cdcRefs.map(r => s"$base/$r")
-      else if (ContentInvariantOps(m.op) ||
-        m.metrics.get("change_noop").contains(1L)) Nil
-      else throw new IllegalArgumentException(
-        s"$base version $v ('${m.op}') changed content without " +
+    feedRefsE(s, base, last, head) match {
+      case Right(rs) => rs
+      case Left((v, op)) => throw new IllegalArgumentException(
+        s"$base version $v ('$op') changed content without " +
           "publishing a change feed; incremental refresh cannot cover " +
           "it — recompute the MV (drop + create), or write through the " +
           "cdc-publishing paths")
@@ -492,15 +509,9 @@ object MatView {
       .select((d.keys.map(col) ++
         Seq(col("n"), col("nn"), col("total"))): _*)
     if (cursor == head) return Some(mvRows)
-    val perCommit = (cursor + 1 to head).map { v =>
-      val m = TxnTable.manifest(s, d.base, v)
-      if (m.cdcRefs.nonEmpty) Some(m.cdcRefs.map(r => s"${d.base}/$r"))
-      else if (ContentInvariantOps(m.op) ||
-        m.metrics.get("change_noop").contains(1L)) Some(Nil) // no-op change
-      else None // feed-less content change: cannot compensate
-    }
-    if (perCommit.exists(_.isEmpty)) return None
-    val refs = perCommit.flatten.flatten
+    // feed-less content change in the tail → cannot compensate
+    val refs = feedRefsE(s, d.base, cursor, head)
+      .getOrElse(return None)
     if (refs.isEmpty) return Some(mvRows) // content-invariant tail
     // the same signed algebra as refresh's delta, rendered as fold ROWS
     // (w, w·nonnull, w·value) so one union + one aggregate telescopes
@@ -672,15 +683,9 @@ object MatView {
       .select((d.keys.map(col) ++
         Seq(col("n"), col("nn"), col("total"))): _*)
     if (cursor == factPinned) return Some(mvRows)
-    val perCommit = (cursor + 1 to factPinned).map { v =>
-      val m = TxnTable.manifest(s, d.fact, v)
-      if (m.cdcRefs.nonEmpty) Some(m.cdcRefs.map(r => s"${d.fact}/$r"))
-      else if (ContentInvariantOps(m.op) ||
-        m.metrics.get("change_noop").contains(1L)) Some(Nil)
-      else None // feed-less content change: cannot compensate
-    }
-    if (perCommit.exists(_.isEmpty)) return None
-    val refs = perCommit.flatten.flatten
+    // feed-less fact content change in the tail → cannot compensate
+    val refs = feedRefsE(s, d.fact, cursor, factPinned)
+      .getOrElse(return None)
     if (refs.isEmpty) return Some(mvRows)
     val feed = s.read.parquet(refs: _*).alias("f")
       .join(TxnTable.snapshot(s, d.dim, dimPinned).alias("d"),
@@ -829,17 +834,17 @@ object MatView {
           col("pmax"))) ||
          (col("dmin").isNotNull && col("dmin") <= least(col("m.vmin"),
            col("pmin")))).as("dirty")): _*)
-    if (merged.filter(d.keys.map(col(_).isNull).reduce(_ || _))
+    // the delta-sized split is materialized ONCE: the NULL-key check,
+    // the clean rows, the dirty key list (driver-sized by construction
+    // — it is a set of GROUP keys, the MV's own cardinality bound) and
+    // the merge all read the checkpoint, never the raw delta job again
+    val pinned = merged.localCheckpoint(true)
+    if (pinned.filter(d.keys.map(col(_).isNull).reduce(_ || _))
         .limit(1).count() > 0)
       throw new IllegalArgumentException(
         s"$mv: the delta touches a NULL grouping-key group, which the " +
           "keyed refresh merge cannot address — recompute the MV " +
           "(drop + create)")
-    // the delta-sized split is materialized ONCE: the clean rows, the
-    // dirty key list (driver-sized by construction — it is a set of
-    // GROUP keys, the MV's own cardinality bound) and the merge all
-    // read it
-    val pinned = merged.localCheckpoint(true)
     val clean = pinned.filter(!col("dirty"))
       .select(d.keys.map(col) ++ Seq(col("n"), col("nn"), col("vmin"),
         col("vmax"),

@@ -358,7 +358,7 @@ object SqlSurface {
   /** The optimized plan's SCAN SOURCES (toString truncates paths):
     * parquet LogicalRelations expose their file roots, a surviving
     * catalog relation its table identifier. */
-  private def scanSrcsOf(s: SparkSession, q: String): Seq[String] =
+  private[graft] def scanSrcsOf(s: SparkSession, q: String): Seq[String] =
     s.sql(q).queryExecution.optimizedPlan
       .collect {
         case l: org.apache.spark.sql.execution.datasources

@@ -3087,26 +3087,33 @@ object TxnTable {
       if (bucketKeeps) 'k' else range
     }
     val verdicts = m.entries.map(e => e -> side(e))
-    // survivors: rows whose key is NOT a member — a NULL key makes
-    // `k IN (...)` NULL, which DELETE must NOT act on. Small sets
-    // stay a codegen'd isin; oversized sets ship as a broadcast
-    // anti-join instead of a 10k-literal expression tree (null keys
-    // never match an equi-join, so they survive identically)
-    def survive(prev: DataFrame): DataFrame =
-      if (!folded) prev.filter(!coalesce(col(key).isin(vset: _*),
-        lit(false)))
-      else {
-        val vdf = s.createDataFrame(
-          s.sparkContext.parallelize(vset.map(org.apache.spark.sql.Row(_)), 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__graft_in_v",
-              org.apache.spark.sql.types.LongType))))
-        prev.join(broadcast(vdf),
-          prev(key) === col("__graft_in_v"), "left_anti")
-      }
-    deleteInFinish(s, table, cur, m, key, verdicts, survive _,
+    deleteInFinish(s, table, cur, m, key, verdicts,
+      surviveNotIn(s, _, key, folded, vset,
+        org.apache.spark.sql.types.LongType),
       cdc, coalesce(col(key).isin(vset: _*), lit(false)))
   }
+
+  /** Survivors of an IN-delete: rows whose key is NOT a member — a NULL
+    * key makes `k IN (...)` NULL, which DELETE must NOT act on. Small
+    * sets stay a codegen'd isin; oversized sets ship as a broadcast
+    * anti-join instead of a 10k-literal expression tree (null keys
+    * never match an equi-join, so they survive identically). ONE body
+    * for both key types — the per-type drift this prevents is exactly
+    * how the string path's null-guard bug crept in. */
+  private def surviveNotIn(s: SparkSession, prev: DataFrame, key: String,
+      folded: Boolean, values: Seq[Any],
+      dt: org.apache.spark.sql.types.DataType): DataFrame =
+    if (!folded) prev.filter(!coalesce(col(key).isin(values: _*),
+      lit(false)))
+    else {
+      val vdf = s.createDataFrame(
+        s.sparkContext.parallelize(
+          values.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__graft_in_v", dt))))
+      prev.join(broadcast(vdf),
+        prev(key) === col("__graft_in_v"), "left_anti")
+    }
 
   /** [[deleteIn]] for a STRING key — the real GDPR id list is usually
     * UUIDs/URLs/emails, and the table format already keeps truncated
@@ -3135,8 +3142,17 @@ object TxnTable {
     val vset = values.distinct.sorted(u8).toIndexedSeq
     val folded = vset.size > MaxDeleteInValues
     val (envLo, envHi) = (vset.head, vset.last)
+    // a STRING key's null count lives in StrStat — the integral
+    // nullsFor reads ColStat and would be vacuously absent here,
+    // turning the metadata-drop guard into a NULL-row eater
+    def strNulls(e: Entry): Option[Long] =
+      e.strStats.collectFirst { case StrStat(`pc`, _, _, n) => n }
+    // an ALL-NULL string column records ("", "") bounds (the group must
+    // be emitted — see statGroupsByFile); no dedicated sentinel branch
+    // is needed: only the member "" can probe into ["", ""], and the
+    // null-aware drop guard below demotes that case to a rewrite whose
+    // exact residual keeps every NULL row
     def side(e: Entry): Char = e.strStatFor(pc) match {
-      case Some((fLo, fHi)) if u8cmp(fLo, fHi) > 0 => 'k' // all-null file
       case Some((fLo, fHi)) =>
         val mayHold =
           if (folded) !(u8cmp(envHi, fLo) < 0 || u8cmp(envLo, fHi) > 0)
@@ -3145,25 +3161,18 @@ object TxnTable {
             from < vset.size && u8cmp(vset(from), fHi) <= 0
           }
         if (!mayHold) 'k'
-        else if (!folded && fLo == fHi && e.nullsFor(pc).forall(_ == 0L))
+        // the pure-metadata drop needs a KNOWN zero null count: with
+        // nulls present, `v IN (...)` is NULL for those rows and DELETE
+        // must keep them — rewrite with the exact residual instead
+        else if (!folded && fLo == fHi && strNulls(e).exists(_ == 0L))
           'd'
         else 'u'
       case None => 'u'
     }
     val verdicts = m.entries.map(e => e -> side(e))
-    def survive(prev: DataFrame): DataFrame =
-      if (!folded) prev.filter(!coalesce(col(key).isin(vset: _*),
-        lit(false)))
-      else {
-        val vdf = s.createDataFrame(
-          s.sparkContext.parallelize(vset.map(org.apache.spark.sql.Row(_)), 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__graft_in_v",
-              org.apache.spark.sql.types.StringType))))
-        prev.join(broadcast(vdf),
-          prev(key) === col("__graft_in_v"), "left_anti")
-      }
-    deleteInFinish(s, table, cur, m, key, verdicts, survive _,
+    deleteInFinish(s, table, cur, m, key, verdicts,
+      surviveNotIn(s, _, key, folded, vset,
+        org.apache.spark.sql.types.StringType),
       cdc, coalesce(col(key).isin(vset: _*), lit(false)))
   }
 

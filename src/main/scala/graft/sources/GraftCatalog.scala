@@ -1029,8 +1029,9 @@ class GraftTable(ident: String, private[sources] val location: String,
           p.strs.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
       case None => throw new UnsupportedOperationException(
         s"$ident: DELETE supports range/equality conjunctions over " +
-          "integral and string columns, or one integral IN-list (the " +
-          "shapes manifest stats can prune or residual-filter)")
+          "integral and string columns, or one integral or string " +
+          "IN-list (the shapes manifest stats can prune or " +
+          "residual-filter)")
     }
 }
 

@@ -423,17 +423,26 @@ private[sources] object GraftMaintenance {
       // the GDPR id-list DELETE as a procedure: per-value manifest
       // verdicts (range boxes + bucketN transforms for integral keys,
       // truncated string stats for string keys — the key COLUMN's type
-      // picks the route), optional signed feed for downstream MVs —
+      // picks the route), optional signed feed for downstream MVs.
+      // `sep` exists for STRING ids that may legally contain commas
+      // (URLs!): the default comma split would silently target the
+      // wrong values — pick a separator that cannot occur in the ids —
       // CALL graft.system.delete_in('ns.t', 'k', '5,7,1000', true)
-      // CALL graft.system.delete_in('ns.t', 'uid', 'u1,u2', true)
+      // CALL graft.system.delete_in('ns.t', 'url', 'a|b', true, '|')
       case "delete_in" => p("delete_in", Seq(tableParam,
         ProcedureParameter.in("key", StringType).build(),
         ProcedureParameter.in("values", StringType).build(),
         ProcedureParameter.in("cdc", BooleanType)
-          .defaultValue("false").build())) { (s, in) =>
+          .defaultValue("false").build(),
+        ProcedureParameter.in("sep", StringType)
+          .defaultValue("','").build())) { (s, in) =>
         val table = tbl(s, in)
         val key = in.getUTF8String(1).toString
-        val raw = in.getUTF8String(2).toString.split(',')
+        val sep = in.getUTF8String(4).toString
+        require(sep.length == 1,
+          s"delete_in: sep must be one character, got '$sep'")
+        val raw = in.getUTF8String(2).toString
+          .split(java.util.regex.Pattern.quote(sep))
           .map(_.trim).filter(_.nonEmpty).toSeq
         val keyType = TxnTable.snapshot(s, table).schema(key).dataType
         if (keyType == StringType)

@@ -429,17 +429,10 @@ object Streams {
     val q = """SELECT st, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE)
       AS total FROM graft.q.smv_orders WHERE pri = '1-URGENT'
       GROUP BY st"""
+    // one shared plan-introspection helper — a drifted local copy of
+    // the scan-root extraction is how subtle plan assertions go stale
     def scanSrcs(): Seq[String] =
-      s.sql(q).queryExecution.optimizedPlan.collect {
-        case l: org.apache.spark.sql.execution.datasources
-            .LogicalRelation => l.relation match {
-          case h: org.apache.spark.sql.execution.datasources
-              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
-          case _ => Nil
-        }
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2ScanRelation => Seq("v2:" + r.relation.name)
-      }.flatten
+      graft.operators.SqlSurface.scanSrcsOf(s, q)
     def answer(): Set[(String, Long, Double)] = s.sql(q).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     def direct(): Set[(String, Long, Double)] =

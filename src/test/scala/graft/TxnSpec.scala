@@ -2030,6 +2030,27 @@ class TxnSpec extends SparkSpec {
     assert(r2.dropped === 1 && r2.rewritten === 0,
       s"a [v,v] string file with v in the set must drop as metadata: $r2")
     assert(TxnTable.snapshot(spark, t).count() === 99L)
+    // a single-point file that ALSO holds NULL keys must REWRITE, not
+    // drop: the null count lives in StrStat (reading the integral
+    // ColStat here would see no nulls and eat the NULL rows)
+    TxnTable.append(spark, t,
+      (Seq.fill(3)((Option("u777777"), "y")) :+
+        ((None: Option[String]) -> "ynull")).toDF("k", "v").coalesce(1))
+    val r2b = TxnTable.deleteInStr(spark, t, "k", Seq("u777777"))
+    assert(r2b.dropped === 0 && r2b.rewritten >= 1,
+      s"a [v,v] file holding NULL keys must rewrite, never drop: $r2b")
+    assert(TxnTable.snapshot(spark, t).filter(col("k").isNull)
+      .count() === 2L, "NULL keys must survive the single-point delete")
+    // an ALL-NULL-key file records ("","") bounds: deleting the EMPTY
+    // STRING must keep every NULL row (rewrite with exact residual)
+    TxnTable.append(spark, t,
+      Seq.fill(4)((None: Option[String], "z")).toDF("k", "v").coalesce(1))
+    val before = TxnTable.snapshot(spark, t).count()
+    val rEmpty = TxnTable.deleteInStr(spark, t, "k", Seq(""))
+    assert(rEmpty.dropped === 0,
+      s"IN ('') must never metadata-drop an all-NULL file: $rEmpty")
+    assert(TxnTable.snapshot(spark, t).count() === before,
+      "deleting the empty string must not remove NULL-keyed rows")
     // oversized set folds to the envelope; the residual stays exact
     val tf = freshTable("delins_fold")
     val df2 = (0 until 50).map(i => (uid(i), s"v$i")).toDF("k", "v")
