@@ -74,6 +74,7 @@ object SparkEntry {
     "sql_mv_rollup"           -> (SqlSurface.mvRollup _),
     "sql_mv_filter"           -> (SqlSurface.mvFilter _),
     "sql_mv_join"             -> (SqlSurface.mvJoin _),
+    "sql_mv_extrema"          -> (SqlSurface.mvExtrema _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
     "sql_txn_agg_push"        -> (SqlSurface.txnAggPush _),
     "sql_txn_bloom"           -> (SqlSurface.txnBloomSql _),
@@ -1491,6 +1492,18 @@ object SparkEntry {
         |SELECT seg, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
         |  TRUE AS mvj_ok
         |FROM f JOIN d USING (ck) GROUP BY seg""".stripMargin,
+    // per-status extrema after the delete of every row holding F's max:
+    // the second max answers; all other groups keep their extremes
+    "sql_mv_extrema" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |lim AS (SELECT MAX(p) AS fmax FROM b WHERE st = 'F'),
+        |fin AS (SELECT st, p FROM b, lim
+        |  WHERE NOT (st = 'F' AND p = fmax))
+        |SELECT st, COUNT(*) AS n, COUNT(p) AS nn,
+        |  CAST(MIN(p) AS DOUBLE) AS vmin, CAST(MAX(p) AS DOUBLE) AS vmax,
+        |  TRUE AS mve_ok
+        |FROM fin GROUP BY st""".stripMargin,
     // the filtered rollup over the moved base: deletes 5|k, repricing
     // +9 on 7|k survivors, a feed-born ('Q','1-URGENT') group for
     // 13|k — then only the '1-URGENT' slice, grouped by status

@@ -1223,8 +1223,32 @@ object MatView {
   private[graft] def registeredJoinFor(fact: String, dim: String)
       : Option[(String, MvJoinDef)] = Option(joinRegistry.get((fact, dim)))
 
+  /** Extrema-MV registry, base location → (MV location, definition). */
+  private val extremaRegistry = new java.util.concurrent
+    .ConcurrentHashMap[String, (String, MvExtremaDef)]()
+
+  def registerExtrema(s: SparkSession, mv: String): Unit = {
+    val d = readExtremaDef(s, mv)
+    extremaRegistry.put(d.base, (mv, d))
+  }
+
+  private[graft] def registeredExtremaFor(base: String)
+      : Option[(String, MvExtremaDef)] = Option(extremaRegistry.get(base))
+
+  /** True iff base commits `(from, to]` are ALL content-invariant —
+    * the only staleness an extrema MV may serve across: its fold has
+    * no signed compensation (a delete in the tail can fell an extreme
+    * in ways only the dirty-group recompute answers), and peeking at
+    * feed signs would put a data read inside the optimizer. */
+  private[graft] def invariantTail(s: SparkSession, base: String,
+      from: Long, to: Long): Boolean =
+    feedRefsE(s, base, from, to) match {
+      case Right(refs) => refs.isEmpty
+      case Left(_) => false
+    }
+
   private[graft] def registryEmpty: Boolean =
-    registry.isEmpty && joinRegistry.isEmpty
+    registry.isEmpty && joinRegistry.isEmpty && extremaRegistry.isEmpty
 
   private def freshDir(name: String): String =
     graft.Fs.freshScratch("graft_mv", name)

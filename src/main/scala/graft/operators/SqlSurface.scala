@@ -780,6 +780,91 @@ object SqlSurface {
     s.sql(q).withColumn("mvj_ok", lit(ok))
   }
 
+  /** sql_mv_extrema: MIN/MAX DASHBOARDS SERVED FROM THE EXTREMA MV —
+    * the transparent-rewrite half of op_mv_minmax. MIN(value) /
+    * MAX(value) / COUNT(*) / COUNT(value) over the base are answered
+    * from the registered [[graft.operators.MatView.createExtrema]]
+    * view; the extrema carry the value's own type and SQL's null
+    * semantics directly, and they are summable UPWARD, so coarser
+    * groupings, the global aggregate and key-only WHERE clauses all
+    * compose (min-of-mins ≡ min-of-union). Freshness is deliberately
+    * STRICTER than the fold MV's: the extrema algebra has no signed
+    * compensation — a delete in the tail can fell an extreme that only
+    * the dirty-group recompute re-derives — so a stale view serves
+    * only across a provably content-invariant tail (a compact) and
+    * otherwise FALLS THROUGH to the base scan. Phases pinned by plan
+    * roots: (1) fresh → MV only, == direct; (2) after a base compact,
+    * unrefreshed → STILL the MV (invariant tail); (3) after a cdc
+    * delete that fells group F's max → falls through to the base and
+    * answers correctly; (4) refreshExtrema (folds both commits, dirty
+    * recompute runs) → MV again, the SECOND max answering; plus SUM
+    * never serves (no total in the view) and the filtered + global
+    * shapes serve. Hashed output = the final per-status extrema;
+    * oracle replays the delete. At 100 TB: the MIN/MAX dashboard —
+    * the p0 "worst latency / biggest order" pane — costs an MV read
+    * with staleness decided by the log. */
+  def mvExtrema(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mve_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mve_orders (
+      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mve_orders
+      SELECT o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_extrema")
+    graft.operators.MatView.createExtrema(s, mv, loc, Seq("st"), "price")
+    graft.operators.MatView.registerExtrema(s, mv)
+    val q = """SELECT st, COUNT(*) AS n, COUNT(price) AS nn,
+      CAST(MIN(price) AS DOUBLE) AS vmin, CAST(MAX(price) AS DOUBLE)
+      AS vmax FROM graft.q.mve_orders GROUP BY st"""
+    val qSum = """SELECT st, CAST(SUM(price) AS DOUBLE) AS t
+      FROM graft.q.mve_orders GROUP BY st"""
+    val qGlobal = """SELECT COUNT(*) AS n, CAST(MIN(price) AS DOUBLE)
+      AS vmin, CAST(MAX(price) AS DOUBLE) AS vmax
+      FROM graft.q.mve_orders"""
+    val qFiltered = """SELECT st, CAST(MAX(price) AS DOUBLE) AS vmax
+      FROM graft.q.mve_orders WHERE st IN ('F', 'O') GROUP BY st"""
+    def mvOnly(ps: Seq[String]) = ps.nonEmpty && ps.forall(_.contains(mv))
+    def readsBase(ps: Seq[String]) =
+      ps.exists(p => (p.contains(loc) && !p.contains("_cdc")) ||
+        p.startsWith("v2:"))
+    def rows() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, max, min}
+      graft.operators.TxnTable.snapshot(s, loc).groupBy(col("st"))
+        .agg(count(lit(1)), count(col("price")),
+          min(col("price")).cast("double"), max(col("price")).cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+    }
+    // phase 1: fresh — extrema, rollup-to-global and filtered serve;
+    // SUM never does (the view holds no total)
+    val servedFresh = mvOnly(scanSrcsOf(s, q)) &&
+      mvOnly(scanSrcsOf(s, qGlobal)) && mvOnly(scanSrcsOf(s, qFiltered)) &&
+      readsBase(scanSrcsOf(s, qSum)) && rows() == direct()
+    // phase 2: a content-invariant commit — still served, unrefreshed
+    graft.operators.TxnTable.compact(s, loc)
+    val servedInvariant = mvOnly(scanSrcsOf(s, q)) && rows() == direct()
+    // phase 3: fell group F's max (every holder — deterministic); the
+    // stale view must fall through, not guess
+    val snap = graft.operators.TxnTable.snapshot(s, loc)
+    import org.apache.spark.sql.functions.{col, max, when}
+    val fmax = snap.agg(max(when(col("st") === "F", col("price"))))
+      .collect()(0).getDecimal(0)
+    graft.operators.TxnTable.applyChangesMor(s, loc,
+      snap.filter(col("st") === "F" && col("price") === lit(fmax))
+        .withColumn("op", lit("D")), "o_orderkey", cdc = true)
+    val fellThrough = readsBase(scanSrcsOf(s, q)) && rows() == direct()
+    // phase 4: refresh (the dirty recompute re-derives F's extreme) —
+    // served again, the second max answering
+    val r = graft.operators.MatView.refreshExtrema(s, mv)
+    val servedAgain = r.commitsFolded == 2 && mvOnly(scanSrcsOf(s, q)) &&
+      rows() == direct()
+    val ok = servedFresh && servedInvariant && fellThrough && servedAgain
+    s.sql(q).withColumn("mve_ok", lit(ok))
+  }
+
   /** op_mv_branch: BRANCH-AWARE MATERIALIZED VIEWS — a branch is a full
     * TxnTable, so an MV created ON the branch dir composes for free:
     * refresh walks the BRANCH log, and the rewrite serves

@@ -3,7 +3,7 @@ package graft.sources
 import graft.operators.{MatView, TxnTable}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, CaseWhen, Cast, Divide, EqualTo, EvalMode, Expression, Literal, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
@@ -81,6 +81,7 @@ case class GraftMvRewriteRule(session: SparkSession)
       : Option[LogicalPlan] =
     trySingle(groups, aggExprs, child)
       .orElse(tryJoin(groups, aggExprs, child))
+      .orElse(tryExtrema(groups, aggExprs, child))
 
   private def trySingle(groups: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
@@ -213,6 +214,145 @@ case class GraftMvRewriteRule(session: SparkSession)
         else MatView.compensatedJoin(session, mvLoc, d, cursor,
           factG.pinnedVersion, dimCursor, dimG.pinnedVersion, mvVer)
       })
+  }
+
+  /** The EXTREMA-MV rewrite: `MIN(value)` / `MAX(value)` / COUNTs over
+    * the base served from a registered [[MatView.createExtrema]] view —
+    * the non-distributive aggregates the fold MV refuses. The extrema
+    * carry the value's own type and SQL's null semantics directly
+    * (an all-NULL group's vmin/vmax IS NULL), and they are summable
+    * upward: MIN of group-mins answers every coarser grouping and the
+    * global aggregate, so the rollup and key-predicate filters compose
+    * exactly like the fold path. Freshness is STRICTER than the fold
+    * MV's: the extrema algebra has no signed compensation (a delete in
+    * the tail can fell an extreme that only the dirty-group recompute
+    * can re-derive), and deciding insert-only-ness would need a data
+    * read inside the optimizer — so a stale view serves ONLY across a
+    * content-invariant tail and otherwise falls through to the base.
+    * SUM/AVG are never answerable here (the view holds no total). */
+  private def tryExtrema(groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan)
+      : Option[LogicalPlan] = {
+    val (r, preds) = relationOf(child).getOrElse(return None)
+    val g = r.table match {
+      case t: GraftTable => t
+      case _ => return None
+    }
+    val (mvLoc, d) = MatView.registeredExtremaFor(g.location).getOrElse(
+      return None)
+    // key-only predicates: same qualification as the fold path — an
+    // extrema MV also holds exactly one row per key combination
+    if (!preds.forall(p => p.deterministic &&
+        p.collectFirst { case s: SubqueryExpression => s }.isEmpty &&
+        p.references.forall(a => r.outputSet.contains(a) &&
+          d.keys.contains(a.name)))) return None
+    val keyAttrs: Seq[AttributeReference] = {
+      val as = groups.collect { case a: AttributeReference => a }
+      if (as.size != groups.size ||
+        !as.map(_.name).toSet.subsetOf(d.keys.toSet) ||
+        as.map(_.name).distinct.size != as.size ||
+        !as.forall(a => r.outputSet.contains(a))) return None
+      as
+    }
+    val rollup = keyAttrs.size < d.keys.size
+    val keyIds = keyAttrs.map(_.exprId).toSet
+    def valueAttr(c: Expression): Boolean = c match {
+      case a: AttributeReference =>
+        a.name == d.value && r.outputSet.contains(a)
+      case _ => false
+    }
+    def answerable(e: Expression): Boolean = e match {
+      case ae: AggregateExpression =>
+        !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) => l.value != null
+          case Count(Seq(c)) => stripCast(c) match {
+            case a: AttributeReference =>
+              a.name == d.value && r.outputSet.contains(a)
+            case _ => false
+          }
+          // bare attribute only: MIN(CAST(v AS …)) could round through
+          // a narrowing cast — not worth reasoning about monotonicity
+          case Min(c) => valueAttr(c)
+          case Max(c) => valueAttr(c)
+          case _ => false
+        })
+      case _: AttributeReference => true
+      case other => other.children.forall(answerable)
+    }
+    if (!aggExprs.forall(answerable)) return None
+    val outsideRefs = aggExprs.flatMap(_.collect {
+      case a: AttributeReference => a
+    }).filterNot(a => aggExprs.exists(_.exists {
+      case ae: AggregateExpression => ae.references.contains(a)
+      case _ => false
+    }))
+    if (!outsideRefs.forall(a => keyIds.contains(a.exprId))) return None
+    // freshness: serve at the cursor, or across a provably
+    // content-invariant tail; anything else falls through
+    val mvVer = TxnTable.currentVersion(session, mvLoc)
+    val cursor = MatView.cursorAt(session, mvLoc, mvVer,
+      "mv_base_version")
+    if (cursor > g.pinnedVersion) return None
+    if (cursor < g.pinnedVersion &&
+      !MatView.invariantTail(session, g.location, cursor,
+        g.pinnedVersion)) return None
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, lit => flit, max => fmax, min => fmin, sum => fsum}
+    val mvDf00 = TxnTable.snapshot(session, mvLoc, mvVer)
+      .select((d.keys.map(fcol) ++ Seq(fcol("n"), fcol("nn"),
+        fcol("vmin"), fcol("vmax"))): _*)
+    val mvDf0 =
+      if (preds.isEmpty) mvDf00
+      else {
+        val byName = mvDf00.queryExecution.analyzed.output
+          .map(a => a.name -> a).toMap
+        val remapped = preds.map(_.transform {
+          case a: AttributeReference => byName(a.name)
+        }).reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+        mvDf00.filter(org.apache.spark.sql.GraftSqlBridge.column(remapped))
+      }
+    // the rollup: counts re-sum (coalescing to 0 for the empty global),
+    // extremes re-extremize — min-of-mins skips NULL group extremes
+    // exactly like MIN over the union skips NULL values
+    val mvDf =
+      if (!rollup) mvDf0
+      else mvDf0.groupBy(keyAttrs.map(a => fcol(a.name)): _*)
+        .agg(fcoalesce(fsum(fcol("n")), flit(0L)).as("n"),
+          fcoalesce(fsum(fcol("nn")), flit(0L)).as("nn"),
+          fmin(fcol("vmin")).as("vmin"), fmax(fcol("vmax")).as("vmax"))
+    val mvPlan = mvDf.queryExecution.analyzed
+    val byName = mvPlan.output.map(a => a.name -> a).toMap
+    val (mvN, mvNn, mvMin, mvMax) = (byName.get("n"), byName.get("nn"),
+        byName.get("vmin"), byName.get("vmax")) match {
+      case (Some(n), Some(nn), Some(lo), Some(hi)) => (n, nn, lo, hi)
+      case _ => return None
+    }
+    val mvKeyOf: Map[Long, Attribute] = keyAttrs.flatMap(a =>
+      byName.get(a.name).map(a.exprId.id -> _)).toMap
+    if (mvKeyOf.size != keyAttrs.size) return None
+    def castTo(a: Attribute, dt: org.apache.spark.sql.types.DataType)
+        : Expression = if (a.dataType == dt) a else Cast(a, dt)
+    val projected = aggExprs.map {
+      case a: AttributeReference if mvKeyOf.contains(a.exprId.id) =>
+        Alias(mvKeyOf(a.exprId.id), a.name)(exprId = a.exprId)
+      case ne =>
+        val swapped = ne.transform {
+          case ae: AggregateExpression => ae.aggregateFunction match {
+            case Count(Seq(_: Literal)) => castTo(mvN, ae.dataType)
+            case Count(_) => castTo(mvNn, ae.dataType)
+            case _: Min => castTo(mvMin, ae.dataType)
+            case _: Max => castTo(mvMax, ae.dataType)
+            case other => throw new IllegalStateException(
+              s"unreachable: unanswerable aggregate $other survived")
+          }
+          case a: AttributeReference if mvKeyOf.contains(a.exprId.id) =>
+            mvKeyOf(a.exprId.id)
+        }
+        swapped match {
+          case al: Alias => Alias(al.child, al.name)(exprId = al.exprId)
+          case other => Alias(other, ne.name)(exprId = ne.exprId)
+        }
+    }
+    Some(Project(projected, mvPlan))
   }
 
   /** The shared serving tail: shape-check the aggregate against the

@@ -1022,6 +1022,92 @@ class MatViewSpec extends SparkSpec {
     assert(r2.mvVersion > r1.mvVersion)
   }
 
+  test("extrema rewrite: MIN/MAX/COUNT serve with rollup and key " +
+      "filters; SUM, casts inside MIN, non-value columns, DISTINCT, " +
+      "time travel and stale non-invariant tails fall through") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.ex")
+    s.sql("CREATE TABLE graft.mvspec.ex (k BIGINT, g STRING, h BIGINT, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.ex SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'A' ELSE 'B' END, id % 4, " +
+      "CASE WHEN id % 17 = 0 THEN NULL ELSE CAST(id AS DECIMAL(12,2)) " +
+      "END FROM RANGE(240)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/ex"
+    val mv = fresh("mv_ex_view")
+    MatView.createExtrema(spark, mv, loc, Seq("g", "h"), "v")
+    MatView.registerExtrema(spark, mv)
+    def served(q: String): Boolean = {
+      val p = s.sql(q).queryExecution.optimizedPlan
+      val hasV2 = p.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.nonEmpty
+      val roots = p.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
+    }
+    val q = "SELECT g, h, COUNT(*) AS n, COUNT(v) AS nn, MIN(v) AS lo, " +
+      "MAX(v) AS hi FROM graft.mvspec.ex GROUP BY g, h"
+    assert(served(q), "the exact extrema shape must serve")
+    // answers match, incl. the NULL-valued rows (nn < n; extremes skip)
+    def rows() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getLong(3),
+      Option(r.getDecimal(4)).map(_.toPlainString),
+      Option(r.getDecimal(5)).map(_.toPlainString))).toSet
+    def direct() = TxnTable.snapshot(spark, loc)
+      .groupBy(col("g"), col("h")).agg(count(lit(1)).as("n"),
+        count(col("v")).as("nn"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.getDecimal(4)).map(_.toPlainString),
+        Option(r.getDecimal(5)).map(_.toPlainString))).toSet
+    assert(rows() === direct(), "fresh extrema serve diverged")
+    // rollup, global, filtered
+    assert(served("SELECT g, MIN(v) AS lo FROM graft.mvspec.ex " +
+      "GROUP BY g"), "subset rollup must serve (min of mins)")
+    assert(served("SELECT MAX(v) AS hi, COUNT(*) AS n " +
+      "FROM graft.mvspec.ex"), "the global extrema must serve")
+    assert(served("SELECT g, MAX(v) AS hi FROM graft.mvspec.ex " +
+      "WHERE h = 2 GROUP BY g"), "a key predicate must serve")
+    // disqualifications
+    assert(!served("SELECT g, SUM(v) AS t FROM graft.mvspec.ex " +
+      "GROUP BY g"), "SUM must fall through (no total in the view)")
+    assert(!served("SELECT g, MIN(k) AS lo FROM graft.mvspec.ex " +
+      "GROUP BY g"), "MIN of a non-value column must fall through")
+    assert(!served("SELECT g, MIN(CAST(v AS DOUBLE)) AS lo " +
+      "FROM graft.mvspec.ex GROUP BY g"),
+      "MIN through a cast must fall through")
+    assert(!served("SELECT g, COUNT(DISTINCT v) AS n " +
+      "FROM graft.mvspec.ex GROUP BY g"), "DISTINCT must fall through")
+    assert(!served("SELECT g, MAX(v) AS hi FROM graft.mvspec.ex " +
+      "WHERE v > 5 GROUP BY g"), "a value predicate must fall through")
+    // time travel BEHIND the view's creation point never serves
+    s.sql("INSERT INTO graft.mvspec.ex SELECT id + 1000, 'C', 0, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(5)")
+    val eFeed = intercept[IllegalArgumentException] {
+      MatView.refreshExtrema(spark, mv) // refused: feed-less append
+    }
+    assert(eFeed.getMessage.contains("without publishing a change feed"),
+      eFeed.getMessage)
+    assert(!served("SELECT g, MAX(v) AS hi FROM graft.mvspec.ex " +
+      "VERSION AS OF 0 GROUP BY g"),
+      "a time-travel read behind the cursor must fall through")
+    // the feed-less append makes the tail non-invariant: fall through
+    assert(!served(q), "a stale non-invariant tail must fall through")
+  }
+
   test("create REFUSES a value column the DECIMAL(18,2) fold cannot " +
       "hold losslessly — an MV that silently rounds must never exist") {
     val s = spark
