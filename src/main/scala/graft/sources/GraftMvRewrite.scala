@@ -129,33 +129,40 @@ case class GraftMvRewriteRule(session: SparkSession)
       if (dEff.base != g.location) None
       else if (cursor > g.pinnedVersion) None
       else MatView.compensated(session, mvLoc, dEff, cursor,
-        g.pinnedVersion, mvVer).map { mvDf00 =>
-        // the qualified key predicates, remapped by name onto the MV's
-        // own attributes and applied BEFORE any rollup re-aggregation
-        // (they may reference key columns the query doesn't group by).
-        // Catalyst then pushes the filter through the compensation
-        // union down to both the MV scan and the feed parquets — the
-        // served plan reads even less than the unfiltered rewrite would.
-        if (preds.isEmpty) mvDf00
-        else {
-          val byName = mvDf00.queryExecution.analyzed.output
-            .map(a => a.name -> a).toMap
-          val remapped = preds.map(_.transform {
-            case a: AttributeReference => byName(a.name)
-          }).reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
-          mvDf00.filter(
-            org.apache.spark.sql.GraftSqlBridge.column(remapped))
-        }
-      }
+        g.pinnedVersion, mvVer).map(applyKeyPreds(_, preds))
     })
   }
 
-  /** Unwrap alias wrappers down to a bare inner join. */
-  private def joinOf(p: LogicalPlan): Option[Join] = p match {
-    case SubqueryAlias(_, child) => joinOf(child)
-    case j: Join => Some(j)
-    case _ => None
-  }
+  /** Qualified key predicates, remapped BY NAME onto the MV frame's own
+    * attributes and applied before any rollup re-aggregation. Catalyst
+    * then pushes the filter through the compensation union down to the
+    * MV scan and the feed parquets — the served plan reads even less
+    * than the unfiltered rewrite would. (Callers guarantee every
+    * reference names an MV key column.) */
+  private def applyKeyPreds(df: org.apache.spark.sql.DataFrame,
+      preds: Seq[Expression]): org.apache.spark.sql.DataFrame =
+    if (preds.isEmpty) df
+    else {
+      val byName = df.queryExecution.analyzed.output
+        .map(a => a.name -> a).toMap
+      val remapped = preds.map(_.transform {
+        case a: AttributeReference => byName(a.name)
+      }).reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
+      df.filter(org.apache.spark.sql.GraftSqlBridge.column(remapped))
+    }
+
+  /** Unwrap alias wrappers down to a bare inner join, collecting any
+    * ABOVE-JOIN Filter conditions (`WHERE d.attr = …` analyzes as
+    * Filter over Join) — whether they are servable (dim-key-only) is
+    * the caller's decision. */
+  private def joinOf(p: LogicalPlan): Option[(Join, Seq[Expression])] =
+    p match {
+      case SubqueryAlias(_, child) => joinOf(child)
+      case Filter(cond, child) =>
+        joinOf(child).map { case (j, ps) => (j, cond +: ps) }
+      case j: Join => Some((j, Nil))
+      case _ => None
+    }
 
   /** The JOIN-MV rewrite: `Aggregate(groupBy dim attrs, …, fact ⋈ dim
     * ON factKey = dimKey)` served from the registered join MV. The
@@ -169,11 +176,16 @@ case class GraftMvRewriteRule(session: SparkSession)
   private def tryJoin(groups: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val j = joinOf(child).getOrElse(return None)
+    val (j, preds) = joinOf(child).getOrElse(return None)
     if (j.joinType != Inner) return None
     val cond = j.condition.getOrElse(return None)
     val (lRel, lPreds) = relationOf(j.left).getOrElse(return None)
     val (rRel, rPreds) = relationOf(j.right).getOrElse(return None)
+    // BELOW-join (per-side) filters never serve: a fact-side filter
+    // selects ROWS the fold already merged away, and even a dim-side
+    // one may change which fact rows join. ABOVE-join predicates that
+    // reference ONLY the dim's key columns select whole GROUPS — those
+    // qualify below, exactly like the single-table key filter.
     if (lPreds.nonEmpty || rPreds.nonEmpty) return None
     val lG = lRel.table match {
       case t: GraftTable => t
@@ -199,6 +211,15 @@ case class GraftMvRewriteRule(session: SparkSession)
       case _ => false
     }
     if (!okCond) return None
+    // above-join WHERE: servable iff every reference is a DIM key
+    // column — MV rows are one per key combination, so such a
+    // predicate selects whole groups (the sql_mv_filter rule applied
+    // to the join shape); anything touching the fact side, a non-key
+    // dim column, nondeterminism or subqueries falls through
+    if (!preds.forall(p => p.deterministic &&
+        p.collectFirst { case s: SubqueryExpression => s }.isEmpty &&
+        p.references.forall(a => dimRel.outputSet.contains(a) &&
+          d.keys.contains(a.name)))) return None
     serve(groups, aggExprs, d.keys, d.value, d.aggs,
       keyOwned = a => dimRel.outputSet.contains(a),
       valueOwned = a => factRel.outputSet.contains(a),
@@ -213,6 +234,7 @@ case class GraftMvRewriteRule(session: SparkSession)
           dimCursor > dimG.pinnedVersion) None
         else MatView.compensatedJoin(session, mvLoc, d, cursor,
           factG.pinnedVersion, dimCursor, dimG.pinnedVersion, mvVer)
+          .map(applyKeyPreds(_, preds))
       })
   }
 
@@ -300,16 +322,7 @@ case class GraftMvRewriteRule(session: SparkSession)
     val mvDf00 = TxnTable.snapshot(session, mvLoc, mvVer)
       .select((d.keys.map(fcol) ++ Seq(fcol("n"), fcol("nn"),
         fcol("vmin"), fcol("vmax"))): _*)
-    val mvDf0 =
-      if (preds.isEmpty) mvDf00
-      else {
-        val byName = mvDf00.queryExecution.analyzed.output
-          .map(a => a.name -> a).toMap
-        val remapped = preds.map(_.transform {
-          case a: AttributeReference => byName(a.name)
-        }).reduce(org.apache.spark.sql.catalyst.expressions.And(_, _))
-        mvDf00.filter(org.apache.spark.sql.GraftSqlBridge.column(remapped))
-      }
+    val mvDf0 = applyKeyPreds(mvDf00, preds)
     // the rollup: counts re-sum (coalescing to 0 for the empty global),
     // extremes re-extremize — min-of-mins skips NULL group extremes
     // exactly like MIN over the union skips NULL values

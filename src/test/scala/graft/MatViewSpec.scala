@@ -832,8 +832,19 @@ class MatViewSpec extends SparkSpec {
       "JOIN graft.mvspec.jd d ON f.fk = d.pk"),
       "the global aggregate over the join must serve by rollup")
     assert(rows() === direct(), "fresh join-MV serve diverged")
-    // a DIFFERENT equality, an outer join, or a filtered side must
-    // fall through — the MV materializes exactly one join
+    // an above-join WHERE on the DIM KEY columns serves (whole groups);
+    // anything touching the fact side falls through
+    assert(served("SELECT seg, COUNT(*) AS n FROM graft.mvspec.jf f " +
+      "JOIN graft.mvspec.jd d ON f.fk = d.pk WHERE d.seg = 'X' " +
+      "GROUP BY seg"), "a dim-key predicate over the join must serve")
+    val fX = s.sql("SELECT seg, COUNT(*) AS n FROM graft.mvspec.jf f " +
+      "JOIN graft.mvspec.jd d ON f.fk = d.pk WHERE d.seg = 'X' " +
+      "GROUP BY seg").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    assert(fX === direct().filter(_._1 == "X").map(t => (t._1, t._2)),
+      "the filtered join serve diverged")
+    // a DIFFERENT equality, an outer join, or a non-dim-key filter
+    // must fall through — the MV materializes exactly one join
     assert(!served("SELECT seg, COUNT(*) AS n FROM graft.mvspec.jf f " +
       "JOIN graft.mvspec.jd d ON f.k = d.pk GROUP BY seg"),
       "a different join key must fall through")
@@ -842,7 +853,11 @@ class MatViewSpec extends SparkSpec {
       "an outer join must fall through")
     assert(!served("SELECT seg, COUNT(*) AS n FROM graft.mvspec.jf f " +
       "JOIN graft.mvspec.jd d ON f.fk = d.pk WHERE f.v > 5 GROUP BY seg"),
-      "a filtered side must fall through")
+      "a fact-side predicate must fall through")
+    assert(!served("SELECT seg, COUNT(*) AS n FROM graft.mvspec.jf f " +
+      "JOIN graft.mvspec.jd d ON f.fk = d.pk WHERE d.pk > 3 " +
+      "GROUP BY seg"),
+      "a non-key dim-column predicate must fall through")
     // fact-side cdc staleness compensates; an insert with an UNKNOWN
     // fk (99) must fold to nothing, exactly like the base join
     val ch = s.sql("SELECT k, fk, v, 'D' AS op FROM graft.mvspec.jf " +
