@@ -403,36 +403,51 @@ object MatView {
 
   /** Resolve the published-feed refs for base commits `(last, head]` —
     * THE single site encoding which commits count (published feeds,
-    * content-invariant ops, change_noop markers): refresh, the join
-    * refresh, and both compensation paths all read this contract here,
-    * so they can never diverge on the same log. Left = the first
-    * feed-less content change (version, op); Right = every feed ref in
-    * the range. */
+    * content-invariant ops, change_noop markers) AND that the feed
+    * files still EXIST: an expire_snapshots + vacuum can sweep a feed
+    * an MV's cursor still needs, and without the check here a refresh
+    * would die on a raw FileNotFound mid-fold instead of the loud
+    * recompute contract. refresh, the join refresh, and both
+    * compensation paths all read this contract here, so they can never
+    * diverge on the same log. Left = why the range cannot be folded;
+    * Right = every feed ref in the range. */
   private def feedRefsE(s: SparkSession, base: String, last: Long,
-      head: Long): Either[(Long, String), Seq[String]] = {
+      head: Long): Either[String, Seq[String]] = {
     val per = (last + 1 to head).map { v =>
       val m = TxnTable.manifest(s, base, v)
       if (m.cdcRefs.nonEmpty) Right(m.cdcRefs.map(r => s"$base/$r"))
       else if (ContentInvariantOps(m.op) ||
         m.metrics.get("change_noop").contains(1L))
         Right(Nil)
-      else Left((v, m.op))
+      else Left(s"$base version $v ('${m.op}') changed content " +
+        "without publishing a change feed; incremental refresh cannot " +
+        "cover it — recompute the MV (drop + create), or write " +
+        "through the cdc-publishing paths")
     }
-    per.collectFirst { case Left(bad) => bad }
-      .toLeft(per.collect { case Right(rs) => rs }.flatten)
+    per.collectFirst { case Left(bad) => bad }.toLeft(()) match {
+      case Left(bad) => Left(bad)
+      case Right(_) =>
+        val refs = per.collect { case Right(rs) => rs }.flatten
+        // one existence probe per feed dir: O(commits in range)
+        // metadata RPCs, the same order as the manifest walk above
+        refs.find(r => !fs(s, new Path(r)).exists(new Path(r))) match {
+          case Some(gone) => Left(s"$base: feed $gone was vacuumed " +
+            "(expire_snapshots dropped a version this MV's cursor " +
+            "still needs) — recompute the MV (drop + create), and " +
+            "refresh more often than the base's retention window")
+          case None => Right(refs)
+        }
+    }
   }
 
   /** [[feedRefsE]] for the refresh paths: a feed-less content change
-    * refuses LOUDLY (see [[refresh]]'s object-doc contract). */
+    * or a vacuumed feed refuses LOUDLY (see [[refresh]]'s object-doc
+    * contract). */
   private def feedRefs(s: SparkSession, base: String, last: Long,
       head: Long): Seq[String] =
     feedRefsE(s, base, last, head) match {
       case Right(rs) => rs
-      case Left((v, op)) => throw new IllegalArgumentException(
-        s"$base version $v ('$op') changed content without " +
-          "publishing a change feed; incremental refresh cannot cover " +
-          "it — recompute the MV (drop + create), or write through the " +
-          "cdc-publishing paths")
+      case Left(msg) => throw new IllegalArgumentException(msg)
     }
 
   /** The shared refresh tail: fold a signed frame (`keys…, value, w`)

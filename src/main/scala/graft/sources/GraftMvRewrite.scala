@@ -46,6 +46,22 @@ case class GraftMvRewriteRule(session: SparkSession)
     if (MatView.registryEmpty) plan else rewrite(plan)
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    // an Aggregate under a PENDING aggregate-pushdown parent must not
+    // rewrite yet: HAVING parses as UnresolvedHaving(count(*) > …,
+    // Aggregate) and ORDER BY COUNT(*) as Sort with raw aggregate
+    // functions — ResolveAggregateFunctions later pushes those INTO
+    // the child Aggregate, and swapping it for the MV projection first
+    // leaves the parent unresolvable (INVALID_WHERE_CONDITION — the
+    // query would CRASH, not fall through). Skip this subtree; the
+    // analyzer iterates, and once the parent is a plain Filter/Sort
+    // over attribute references the rewrite fires on the extended
+    // Aggregate below it.
+    case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving => h
+    case srt: org.apache.spark.sql.catalyst.plans.logical.Sort
+        if srt.order.exists(_.exists {
+          case _: AggregateExpression => true
+          case _ => false
+        }) => srt
     case agg @ Aggregate(groups, aggExprs, child, _) if agg.resolved =>
       tryRewrite(agg, groups, aggExprs, child)
         .getOrElse(agg.mapChildren(rewrite))

@@ -1123,6 +1123,81 @@ class MatViewSpec extends SparkSpec {
     assert(!served(q), "a stale non-invariant tail must fall through")
   }
 
+  test("a vacuumed feed refuses refresh loudly (and the rewrite falls " +
+      "through); HAVING and ORDER BY compose over a rewritten aggregate") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.hv")
+    s.sql("CREATE TABLE graft.mvspec.hv (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.hv SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'A' WHEN id % 3 = 1 THEN 'B' " +
+      "ELSE 'C' END, CAST(id AS DECIMAL(12,2)) FROM RANGE(300)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/hv"
+    val mv = fresh("mv_hv_view")
+    MatView.create(spark, mv, loc, "g", "v")
+    MatView.register(spark, mv)
+    def served(q: String): Boolean = {
+      val p = s.sql(q).queryExecution.optimizedPlan
+      val hasV2 = p.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.nonEmpty
+      val roots = p.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
+    }
+    // HAVING analyzes as a Filter ABOVE the Aggregate on the agg's own
+    // output ids — the substitution preserves every id, so the whole
+    // pipeline (HAVING + ORDER BY + LIMIT) rides the rewritten plan
+    val qh = "SELECT g, COUNT(*) AS n FROM graft.mvspec.hv GROUP BY g " +
+      "HAVING COUNT(*) > 99 ORDER BY n DESC, g LIMIT 2"
+    assert(served(qh), "HAVING/ORDER BY/LIMIT must ride the rewrite")
+    val got = s.sql(qh).collect().map(r => (r.getString(0), r.getLong(1)))
+    val direct = TxnTable.snapshot(spark, loc).groupBy(col("g"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 99)
+      .orderBy(col("n").desc, col("g")).limit(2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === direct.toSeq, "HAVING pipeline diverged")
+    // a cdc change whose feed is then VACUUMED away: refresh refuses
+    // with the recompute remedy (never a raw FileNotFound), and the
+    // rewrite falls through to the base instead of crashing the query
+    TxnTable.applyChangesMor(spark, loc,
+      s.sql("SELECT k, g, v, 'D' AS op FROM graft.mvspec.hv " +
+        "WHERE k % 7 = 0"), "k", cdc = true)
+    val head = TxnTable.currentVersion(spark, loc)
+    val refs = TxnTable.manifest(spark, loc, head).cdcRefs
+    assert(refs.nonEmpty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    refs.foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(s"$loc/$r")
+      assert(p.getFileSystem(conf).delete(p, true), "test setup: delete")
+    }
+    val e = intercept[IllegalArgumentException] {
+      MatView.refresh(spark, mv)
+    }
+    assert(e.getMessage.contains("was vacuumed"), e.getMessage)
+    assert(!served("SELECT g, COUNT(*) AS n FROM graft.mvspec.hv " +
+      "GROUP BY g"), "a vacuumed feed must fall through, not crash")
+    val after = s.sql("SELECT g, COUNT(*) AS n FROM graft.mvspec.hv " +
+      "GROUP BY g").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    val afterDirect = TxnTable.snapshot(spark, loc).groupBy(col("g"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after === afterDirect)
+  }
+
   test("create REFUSES a value column the DECIMAL(18,2) fold cannot " +
       "hold losslessly — an MV that silently rounds must never exist") {
     val s = spark
