@@ -167,7 +167,10 @@ private[sources] object GraftMaintenance {
       "zorder", "tag", "drop_tag", "clone", "publish", "branch",
       "fastforward", "rebase", "drop_branch", "rewrite_tombstones",
       "dedup", "delete_dv", "delete_in", "build_bloom", "vacuum_preview",
-      "create_matview", "refresh_matview")
+      "create_matview", "refresh_matview",
+      "create_matview_extrema", "refresh_matview_extrema",
+      "create_matview_join", "refresh_matview_join",
+      "transplant_matview")
 
   def load(catalog: GraftCatalog, warehouse: String, name: String)
       : UnboundProcedure = {
@@ -254,6 +257,76 @@ private[sources] object GraftMaintenance {
         // dead after a restart with no SQL path to revive it
         graft.operators.MatView.register(s, mvLoc)
         r.mvVersion
+      }
+      // the MIN/MAX view kind (MatView.createExtrema): the aggregates
+      // the fold MV refuses, maintained by monotone merge + dirty-group
+      // recompute; registered for the extrema rewrite on create/refresh
+      case "create_matview_extrema" => p("create_matview_extrema", Seq(
+        ProcedureParameter.in("view", StringType).build(),
+        ProcedureParameter.in("base", StringType).build(),
+        ProcedureParameter.in("key", StringType).build(),
+        ProcedureParameter.in("value", StringType).build())) { (s, in) =>
+        val mvLoc = resolveTable(warehouse, in.getUTF8String(0).toString)
+        require(TxnTable.versions(s, mvLoc).isEmpty,
+          s"graft procedure: '$mvLoc' already exists")
+        val baseLoc = resolveTable(warehouse, in.getUTF8String(1).toString)
+        require(TxnTable.versions(s, baseLoc).nonEmpty,
+          s"graft procedure: base '$baseLoc' is not a committed table")
+        val v = graft.operators.MatView.createExtrema(s, mvLoc, baseLoc,
+          in.getUTF8String(2).toString.split(',').toSeq.map(_.trim),
+          in.getUTF8String(3).toString)
+        graft.operators.MatView.registerExtrema(s, mvLoc)
+        v
+      }
+      case "refresh_matview_extrema" => p("refresh_matview_extrema", Seq(
+        ProcedureParameter.in("view", StringType).build())) { (s, in) =>
+        val mvLoc = resolveTable(warehouse, in.getUTF8String(0).toString)
+        val r = graft.operators.MatView.refreshExtrema(s, mvLoc)
+        graft.operators.MatView.registerExtrema(s, mvLoc)
+        r.mvVersion
+      }
+      // the JOIN view kind (MatView.createJoin): fact ⋈ dim aggregates
+      // with the two-cursor contract (fact feeds fold, dim content
+      // changes refuse)
+      case "create_matview_join" => p("create_matview_join", Seq(
+        ProcedureParameter.in("view", StringType).build(),
+        ProcedureParameter.in("fact", StringType).build(),
+        ProcedureParameter.in("dim", StringType).build(),
+        ProcedureParameter.in("fact_key", StringType).build(),
+        ProcedureParameter.in("dim_key", StringType).build(),
+        ProcedureParameter.in("key", StringType).build(),
+        ProcedureParameter.in("value", StringType).build())) { (s, in) =>
+        val mvLoc = resolveTable(warehouse, in.getUTF8String(0).toString)
+        require(TxnTable.versions(s, mvLoc).isEmpty,
+          s"graft procedure: '$mvLoc' already exists")
+        val factLoc = resolveTable(warehouse, in.getUTF8String(1).toString)
+        val dimLoc = resolveTable(warehouse, in.getUTF8String(2).toString)
+        require(TxnTable.versions(s, factLoc).nonEmpty &&
+          TxnTable.versions(s, dimLoc).nonEmpty,
+          "graft procedure: fact and dim must be committed tables")
+        val v = graft.operators.MatView.createJoin(s, mvLoc, factLoc,
+          dimLoc, in.getUTF8String(3).toString,
+          in.getUTF8String(4).toString,
+          in.getUTF8String(5).toString.split(',').toSeq.map(_.trim),
+          in.getUTF8String(6).toString)
+        graft.operators.MatView.registerJoin(s, mvLoc)
+        v
+      }
+      case "refresh_matview_join" => p("refresh_matview_join", Seq(
+        ProcedureParameter.in("view", StringType).build())) { (s, in) =>
+        val mvLoc = resolveTable(warehouse, in.getUTF8String(0).toString)
+        val r = graft.operators.MatView.refreshJoin(s, mvLoc)
+        graft.operators.MatView.registerJoin(s, mvLoc)
+        r.mvVersion
+      }
+      // re-point a branch MV onto the parent timeline after a publish
+      // (MatView.transplant) and re-register it for the rewrite
+      case "transplant_matview" => p("transplant_matview", Seq(
+        ProcedureParameter.in("view", StringType).build())) { (s, in) =>
+        val mvLoc = resolveTable(warehouse, in.getUTF8String(0).toString)
+        val v = graft.operators.MatView.transplant(s, mvLoc)
+        graft.operators.MatView.register(s, mvLoc)
+        v
       }
       // OPTIMIZE WHERE: merge only the files whose key box intersects
       // [lo, hi] — the cold bulk carries verbatim

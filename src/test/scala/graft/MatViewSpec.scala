@@ -1198,6 +1198,89 @@ class MatViewSpec extends SparkSpec {
     assert(after === afterDirect)
   }
 
+  test("CALL surface for the new view kinds: create/refresh extrema " +
+      "and join MVs, and transplant_matview — all discoverable") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    // the listing is the discovery contract: every new procedure shows
+    val listed = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog].listProcedures(Array("system"))
+      .map(_.name()).toSet
+    Seq("create_matview_extrema", "refresh_matview_extrema",
+      "create_matview_join", "refresh_matview_join",
+      "transplant_matview").foreach(n =>
+      assert(listed.contains(n), s"procedure $n must be listed"))
+    // extrema via CALL
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.ce")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.ce_mv")
+    s.sql("CREATE TABLE graft.mvspec.ce (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.ce SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(100)")
+    s.sql("CALL graft.system.create_matview_extrema(" +
+      "'mvspec.ce_mv', 'mvspec.ce', 'g', 'v')")
+    val ceLoc = s"${GraftCatalog.defaultWarehouse}/mvspec/ce"
+    val ceMv = s"${GraftCatalog.defaultWarehouse}/mvspec/ce_mv"
+    TxnTable.applyChangesMor(spark, ceLoc,
+      s.sql("SELECT k, g, v, 'D' AS op FROM graft.mvspec.ce " +
+        "WHERE k = 98"), "k", cdc = true) // fell A's max
+    s.sql("CALL graft.system.refresh_matview_extrema('mvspec.ce_mv')")
+    val ce = TxnTable.snapshot(spark, ceMv)
+      .collect().map(r => (r.getString(0), r.getDecimal(4).toPlainString))
+      .toMap
+    assert(ce("A") === "96.00" && ce("B") === "99.00",
+      s"extrema CALL pipeline diverged: $ce")
+    // join MV via CALL
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.cjf")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.cjd")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.cj_mv")
+    s.sql("CREATE TABLE graft.mvspec.cjf (k BIGINT, fk BIGINT, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.cjf SELECT id, id % 5, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(100)")
+    s.sql("CREATE TABLE graft.mvspec.cjd (pk BIGINT, seg STRING)")
+    s.sql("INSERT INTO graft.mvspec.cjd SELECT id, " +
+      "CASE WHEN id < 3 THEN 'X' ELSE 'Y' END FROM RANGE(5)")
+    s.sql("CALL graft.system.create_matview_join('mvspec.cj_mv', " +
+      "'mvspec.cjf', 'mvspec.cjd', 'fk', 'pk', 'seg', 'v')")
+    val cjf = s"${GraftCatalog.defaultWarehouse}/mvspec/cjf"
+    val cjMv = s"${GraftCatalog.defaultWarehouse}/mvspec/cj_mv"
+    TxnTable.applyChangesMor(spark, cjf,
+      s.sql("SELECT k, fk, v, 'D' AS op FROM graft.mvspec.cjf " +
+        "WHERE k % 10 = 0"), "k", cdc = true)
+    s.sql("CALL graft.system.refresh_matview_join('mvspec.cj_mv')")
+    val cj = TxnTable.snapshot(spark, cjMv)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val cjDirect = TxnTable.snapshot(spark, cjf).alias("f")
+      .join(TxnTable.snapshot(spark,
+        s"${GraftCatalog.defaultWarehouse}/mvspec/cjd").alias("d"),
+        col("f.fk") === col("d.pk"))
+      .groupBy(col("d.seg")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(cj === cjDirect, "join-MV CALL pipeline diverged")
+    // transplant via CALL: branch MV published onto the parent
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.ct")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.ct_mv")
+    s.sql("CREATE TABLE graft.mvspec.ct (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.ct SELECT id, 'A', " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(50)")
+    s.sql("CALL graft.system.branch('mvspec.ct', 'dev')")
+    val ctLoc = s"${GraftCatalog.defaultWarehouse}/mvspec/ct"
+    val bd = TxnTable.branchDir(spark, ctLoc, "dev")
+    val ctMv = s"${GraftCatalog.defaultWarehouse}/mvspec/ct_mv"
+    MatView.create(spark, ctMv, bd, "g", "v")
+    s.sql("CALL graft.system.fastforward('mvspec.ct', 'dev')")
+    s.sql("CALL graft.system.transplant_matview('mvspec.ct_mv')")
+    val (cur, retargeted) = MatView.cursorInfoAt(spark, ctMv,
+      TxnTable.currentVersion(spark, ctMv))
+    assert(retargeted && cur === TxnTable.currentVersion(spark, ctLoc),
+      "transplant_matview must re-point the cursor onto the parent")
+  }
+
   test("create REFUSES a value column the DECIMAL(18,2) fold cannot " +
       "hold losslessly — an MV that silently rounds must never exist") {
     val s = spark
