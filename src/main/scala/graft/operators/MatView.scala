@@ -403,14 +403,13 @@ object MatView {
 
   /** Resolve the published-feed refs for base commits `(last, head]` —
     * THE single site encoding which commits count (published feeds,
-    * content-invariant ops, change_noop markers) AND that the feed
-    * files still EXIST: an expire_snapshots + vacuum can sweep a feed
-    * an MV's cursor still needs, and without the check here a refresh
-    * would die on a raw FileNotFound mid-fold instead of the loud
-    * recompute contract. refresh, the join refresh, and both
-    * compensation paths all read this contract here, so they can never
-    * diverge on the same log. Left = why the range cannot be folded;
-    * Right = every feed ref in the range. */
+    * content-invariant ops, change_noop markers): refresh, the join
+    * refresh, and both compensation paths all read this contract here,
+    * so they can never diverge on the same log. Left = why the range
+    * cannot be folded; Right = every feed ref in the range. NO data or
+    * file-existence I/O here — this runs on the OPTIMIZER path, where
+    * a vacuumed feed already falls through safely (the served plan's
+    * parquet resolution throws inside the rule's NonFatal guard). */
   private def feedRefsE(s: SparkSession, base: String, last: Long,
       head: Long): Either[String, Seq[String]] = {
     val per = (last + 1 to head).map { v =>
@@ -424,29 +423,28 @@ object MatView {
         "cover it — recompute the MV (drop + create), or write " +
         "through the cdc-publishing paths")
     }
-    per.collectFirst { case Left(bad) => bad }.toLeft(()) match {
-      case Left(bad) => Left(bad)
-      case Right(_) =>
-        val refs = per.collect { case Right(rs) => rs }.flatten
-        // one existence probe per feed dir: O(commits in range)
-        // metadata RPCs, the same order as the manifest walk above
-        refs.find(r => !fs(s, new Path(r)).exists(new Path(r))) match {
-          case Some(gone) => Left(s"$base: feed $gone was vacuumed " +
-            "(expire_snapshots dropped a version this MV's cursor " +
-            "still needs) — recompute the MV (drop + create), and " +
-            "refresh more often than the base's retention window")
-          case None => Right(refs)
-        }
-    }
+    per.collectFirst { case Left(bad) => bad }
+      .toLeft(per.collect { case Right(rs) => rs }.flatten)
   }
 
-  /** [[feedRefsE]] for the refresh paths: a feed-less content change
-    * or a vacuumed feed refuses LOUDLY (see [[refresh]]'s object-doc
-    * contract). */
+  /** [[feedRefsE]] for the REFRESH paths, where failure must be loud:
+    * a feed-less content change refuses, and so does a feed swept by
+    * expire_snapshots + vacuum (one existence probe per feed dir —
+    * O(commits in range) metadata RPCs, paid on refresh only, never on
+    * the query-planning path, where all feeds existing is the common
+    * case and a missing one falls through via the rule's guard). */
   private def feedRefs(s: SparkSession, base: String, last: Long,
       head: Long): Seq[String] =
     feedRefsE(s, base, last, head) match {
-      case Right(rs) => rs
+      case Right(refs) =>
+        refs.find(r => !fs(s, new Path(r)).exists(new Path(r))) match {
+          case Some(gone) => throw new IllegalArgumentException(
+            s"$base: feed $gone was vacuumed (expire_snapshots " +
+              "dropped a version this MV's cursor still needs) — " +
+              "recompute the MV (drop + create), and refresh more " +
+              "often than the base's retention window")
+          case None => refs
+        }
       case Left(msg) => throw new IllegalArgumentException(msg)
     }
 
@@ -1219,6 +1217,13 @@ object MatView {
     // than serving the wrong timeline — re-register after transplant
     val (d, _) = effectiveDef(s, mv, d0,
       TxnTable.currentVersion(s, mv))
+    // drop OUR stale pre-transplant key (the branch dir): leaving it
+    // would make every branch-addressed aggregate pay a cursor walk
+    // just to disqualify, forever. Only remove an entry this MV owns —
+    // a different view legitimately registered for the branch stays.
+    if (d.base != d0.base)
+      registry.computeIfPresent(d0.base,
+        (_, cur) => if (cur._1 == mv) null else cur)
     registry.put(d.base, (mv, d0))
   }
 

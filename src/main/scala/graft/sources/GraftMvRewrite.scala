@@ -284,16 +284,9 @@ case class GraftMvRewriteRule(session: SparkSession)
         p.collectFirst { case s: SubqueryExpression => s }.isEmpty &&
         p.references.forall(a => r.outputSet.contains(a) &&
           d.keys.contains(a.name)))) return None
-    val keyAttrs: Seq[AttributeReference] = {
-      val as = groups.collect { case a: AttributeReference => a }
-      if (as.size != groups.size ||
-        !as.map(_.name).toSet.subsetOf(d.keys.toSet) ||
-        as.map(_.name).distinct.size != as.size ||
-        !as.forall(a => r.outputSet.contains(a))) return None
-      as
-    }
+    val keyAttrs = groupKeyAttrs(groups, d.keys,
+      a => r.outputSet.contains(a)).getOrElse(return None)
     val rollup = keyAttrs.size < d.keys.size
-    val keyIds = keyAttrs.map(_.exprId).toSet
     def valueAttr(c: Expression): Boolean = c match {
       case a: AttributeReference =>
         a.name == d.value && r.outputSet.contains(a)
@@ -303,11 +296,9 @@ case class GraftMvRewriteRule(session: SparkSession)
       case ae: AggregateExpression =>
         !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
           case Count(Seq(l: Literal)) => l.value != null
-          case Count(Seq(c)) => stripCast(c) match {
-            case a: AttributeReference =>
-              a.name == d.value && r.outputSet.contains(a)
-            case _ => false
-          }
+          // COUNT tolerates a provably-WIDENING cast only (a narrowing
+          // one can null out values, changing the count)
+          case Count(Seq(c)) => valueAttr(stripWideningCast(c))
           // bare attribute only: MIN(CAST(v AS …)) could round through
           // a narrowing cast — not worth reasoning about monotonicity
           case Min(c) => valueAttr(c)
@@ -318,13 +309,7 @@ case class GraftMvRewriteRule(session: SparkSession)
       case other => other.children.forall(answerable)
     }
     if (!aggExprs.forall(answerable)) return None
-    val outsideRefs = aggExprs.flatMap(_.collect {
-      case a: AttributeReference => a
-    }).filterNot(a => aggExprs.exists(_.exists {
-      case ae: AggregateExpression => ae.references.contains(a)
-      case _ => false
-    }))
-    if (!outsideRefs.forall(a => keyIds.contains(a.exprId))) return None
+    if (!outputsAreKeys(aggExprs, keyAttrs)) return None
     // freshness: serve at the cursor, or across a provably
     // content-invariant tail; anything else falls through
     val mvVer = TxnTable.currentVersion(session, mvLoc)
@@ -348,31 +333,67 @@ case class GraftMvRewriteRule(session: SparkSession)
         .agg(fcoalesce(fsum(fcol("n")), flit(0L)).as("n"),
           fcoalesce(fsum(fcol("nn")), flit(0L)).as("nn"),
           fmin(fcol("vmin")).as("vmin"), fmax(fcol("vmax")).as("vmax"))
-    val mvPlan = mvDf.queryExecution.analyzed
+    substitute(aggExprs, keyAttrs, mvDf.queryExecution.analyzed,
+      (ae, byName) => ae.aggregateFunction match {
+        case Count(Seq(_: Literal)) => castTo(byName("n"), ae.dataType)
+        case Count(_) => castTo(byName("nn"), ae.dataType)
+        case _: Min => castTo(byName("vmin"), ae.dataType)
+        case _: Max => castTo(byName("vmax"), ae.dataType)
+        case other => throw new IllegalStateException(
+          s"unreachable: unanswerable aggregate $other survived")
+      })
+  }
+
+  /** The grouping keys must be a SUBSET of the MV's key columns (any
+    * order, bare owned references, no duplicates — and possibly EMPTY:
+    * the global aggregate). */
+  private def groupKeyAttrs(groups: Seq[Expression], keys: Seq[String],
+      owned: AttributeReference => Boolean)
+      : Option[Seq[AttributeReference]] = {
+    val as = groups.collect { case a: AttributeReference => a }
+    if (as.size != groups.size ||
+      !as.map(_.name).toSet.subsetOf(keys.toSet) ||
+      as.map(_.name).distinct.size != as.size ||
+      !as.forall(owned)) None
+    else Some(as)
+  }
+
+  /** Attribute references OUTSIDE aggregates must be group keys. */
+  private def outputsAreKeys(aggExprs: Seq[NamedExpression],
+      keyAttrs: Seq[AttributeReference]): Boolean = {
+    val keyIds = keyAttrs.map(_.exprId).toSet
+    aggExprs.flatMap(_.collect {
+      case a: AttributeReference => a
+    }).filterNot(a => aggExprs.exists(_.exists {
+      case ae: AggregateExpression => ae.references.contains(a)
+      case _ => false
+    })).forall(a => keyIds.contains(a.exprId))
+  }
+
+  private def castTo(a: Attribute,
+      dt: org.apache.spark.sql.types.DataType): Expression =
+    if (a.dataType == dt) a else Cast(a, dt)
+
+  /** The shared substitution tail: swap every AggregateExpression for
+    * its MV column (via `arm`, fed the analyzed MV plan's by-name
+    * attribute map) and every group key for its MV column, preserving
+    * OUTPUT attribute ids by re-aliasing under the original exprIds —
+    * bare group-key outputs are handled BEFORE the transform so their
+    * ids survive for operators resolved above (HAVING, ORDER BY). */
+  private def substitute(aggExprs: Seq[NamedExpression],
+      keyAttrs: Seq[AttributeReference], mvPlan: LogicalPlan,
+      arm: (AggregateExpression, Map[String, Attribute]) => Expression)
+      : Option[LogicalPlan] = {
     val byName = mvPlan.output.map(a => a.name -> a).toMap
-    val (mvN, mvNn, mvMin, mvMax) = (byName.get("n"), byName.get("nn"),
-        byName.get("vmin"), byName.get("vmax")) match {
-      case (Some(n), Some(nn), Some(lo), Some(hi)) => (n, nn, lo, hi)
-      case _ => return None
-    }
     val mvKeyOf: Map[Long, Attribute] = keyAttrs.flatMap(a =>
       byName.get(a.name).map(a.exprId.id -> _)).toMap
     if (mvKeyOf.size != keyAttrs.size) return None
-    def castTo(a: Attribute, dt: org.apache.spark.sql.types.DataType)
-        : Expression = if (a.dataType == dt) a else Cast(a, dt)
     val projected = aggExprs.map {
       case a: AttributeReference if mvKeyOf.contains(a.exprId.id) =>
         Alias(mvKeyOf(a.exprId.id), a.name)(exprId = a.exprId)
       case ne =>
         val swapped = ne.transform {
-          case ae: AggregateExpression => ae.aggregateFunction match {
-            case Count(Seq(_: Literal)) => castTo(mvN, ae.dataType)
-            case Count(_) => castTo(mvNn, ae.dataType)
-            case _: Min => castTo(mvMin, ae.dataType)
-            case _: Max => castTo(mvMax, ae.dataType)
-            case other => throw new IllegalStateException(
-              s"unreachable: unanswerable aggregate $other survived")
-          }
+          case ae: AggregateExpression => arm(ae, byName)
           case a: AttributeReference if mvKeyOf.contains(a.exprId.id) =>
             mvKeyOf(a.exprId.id)
         }
@@ -402,40 +423,35 @@ case class GraftMvRewriteRule(session: SparkSession)
     // summable, so re-aggregating MV rows to the coarser grouping
     // answers exactly (the Calcite materialized-rollup rewrite) at
     // O(MV) — never O(base)
-    val keyAttrs: Seq[AttributeReference] = {
-      val as = groups.collect { case a: AttributeReference => a }
-      if (as.size != groups.size ||
-        !as.map(_.name).toSet.subsetOf(keys.toSet) ||
-        as.map(_.name).distinct.size != as.size ||
-        !as.forall(keyOwned)) return None
-      as
-    }
+    val keyAttrs = groupKeyAttrs(groups, keys, keyOwned)
+      .getOrElse(return None)
     val rollup = keyAttrs.size < keys.size
-    val keyIds = keyAttrs.map(_.exprId).toSet
     // every aggregate in the output must be answerable from the fold:
     // COUNT(<non-null literal>) → n, COUNT(def.value) → nn,
     // SUM(def.value) → total with null-skipping reconstructed from nn,
     // AVG(def.value) → total / nn for DECIMAL values (the exact mirror
     // of Average's own decimal arithmetic — a float/double AVG is an
     // order-dependent FP sum the exact fold can't reproduce bit-for-bit,
-    // so it falls through); all non-distinct, no filter clause
+    // so it falls through); all non-distinct, no filter clause. COUNT
+    // and SUM tolerate a provably-WIDENING cast around the value only:
+    // a narrowing cast can null values out (changing counts) or round
+    // (changing sums), and a cast to float/double makes the base's sum
+    // an order-dependent FP fold the exact total can't mirror.
     // ...and each must be DECLARED on the view (aggsSet — a count-only
     // MV never silently answers SUM, however derivable the fold makes it)
+    def valueAttr(c: Expression): Boolean = c match {
+      case a: AttributeReference => a.name == value && valueOwned(a)
+      case _ => false
+    }
     def answerable(e: Expression): Boolean = e match {
       case ae: AggregateExpression =>
         !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
           case Count(Seq(l: Literal)) =>
             l.value != null && aggsSet.contains("count")
-          case Count(Seq(c)) => stripCast(c) match {
-            case a: AttributeReference =>
-              a.name == value && valueOwned(a) && aggsSet.contains("count")
-            case _ => false
-          }
-          case Sum(c, _) => stripCast(c) match {
-            case a: AttributeReference =>
-              a.name == value && valueOwned(a) && aggsSet.contains("sum")
-            case _ => false
-          }
+          case Count(Seq(c)) =>
+            valueAttr(stripWideningCast(c)) && aggsSet.contains("count")
+          case Sum(c, _) =>
+            valueAttr(stripWideningCast(c)) && aggsSet.contains("sum")
           case Average(c, _) => c match {
             case a: AttributeReference => a.name == value &&
               valueOwned(a) && a.dataType.isInstanceOf[DecimalType] &&
@@ -448,14 +464,7 @@ case class GraftMvRewriteRule(session: SparkSession)
       case other => other.children.forall(answerable)
     }
     if (!aggExprs.forall(answerable)) return None
-    // attribute references outside aggregates must be group keys
-    val outsideRefs = aggExprs.flatMap(_.collect {
-      case a: AttributeReference => a
-    }).filterNot(a => aggExprs.exists(_.exists {
-      case ae: AggregateExpression => ae.references.contains(a)
-      case _ => false
-    }))
-    if (!outsideRefs.forall(a => keyIds.contains(a.exprId))) return None
+    if (!outputsAreKeys(aggExprs, keyAttrs)) return None
     val mvDf0 = mvRows.getOrElse(return None)
     // the rollup: one more summation of the summable fold. The total
     // keeps its WIDENED sum type deliberately — re-bounding it to the
@@ -475,69 +484,67 @@ case class GraftMvRewriteRule(session: SparkSession)
             fcoalesce(fsum(fcol("nn")), flit(0L)).as("nn"),
             fsum(fcol("total")).as("total"))
       }
-    val mvPlan = mvDf.queryExecution.analyzed
-    val byName = mvPlan.output.map(a => a.name -> a).toMap
-    val (mvN, mvNn, mvTotal) = (byName.get("n"),
-        byName.get("nn"), byName.get("total")) match {
-      case (Some(n), Some(nn), Some(t)) => (n, nn, t)
-      case _ => return None
-    }
-    val mvKeyOf: Map[Long, Attribute] = keyAttrs.flatMap(a =>
-      byName.get(a.name).map(a.exprId.id -> _)).toMap
-    if (mvKeyOf.size != keyAttrs.size) return None
     // substitute: AggregateExpressions → the fold columns (cast to the
     // aggregate's result type), each group key → its MV column; outer
-    // expressions (casts, arithmetic) survive untouched. Output ids
-    // are preserved by re-aliasing under the original exprIds — bare
-    // group-key outputs are handled BEFORE the transform so their
-    // original attribute ids survive for operators resolved above.
-    val projected = aggExprs.map {
-      case a: AttributeReference if mvKeyOf.contains(a.exprId.id) =>
-        Alias(mvKeyOf(a.exprId.id), a.name)(exprId = a.exprId)
-      case ne =>
-        val swapped = ne.transform {
-          case ae: AggregateExpression => ae.aggregateFunction match {
-            case Count(Seq(_: Literal)) =>
-              if (mvN.dataType == ae.dataType) mvN else Cast(mvN, ae.dataType)
-            case Count(_) =>
-              if (mvNn.dataType == ae.dataType) mvNn
-              else Cast(mvNn, ae.dataType)
-            case _: Sum =>
-              // SQL SUM skips NULLs but answers NULL for an all-NULL
-              // group; the fold's 0-convention plus nn reconstructs it
-              CaseWhen(Seq((EqualTo(mvNn, Literal(0L)),
-                Cast(Literal(null), ae.dataType))),
-                Some(Cast(mvTotal, ae.dataType)))
-            case avg: Average =>
-              // the EXACT mirror of Average.evaluateExpression for a
-              // decimal child: Divide(sum as DecimalType(p+10, s),
-              // count as DecimalType(20, 0)) in LEGACY mode (0 divisor
-              // → NULL: the all-NULL group answers NULL like the base
-              // scan), cast to Average's own result type. total holds
-              // the same numeric value as the true sum (the create
-              // gate), so the derived quotient is identical.
-            val vt = avg.child.dataType.asInstanceOf[DecimalType]
-              val sumType = DecimalType(math.min(38, vt.precision + 10),
-                vt.scale)
-              Cast(Divide(Cast(mvTotal, sumType),
-                Cast(mvNn, DecimalType(20, 0)), EvalMode.LEGACY),
-                ae.dataType)
-            case other => throw new IllegalStateException(
-              s"unreachable: unanswerable aggregate $other survived")
-          }
-          case a: AttributeReference if mvKeyOf.contains(a.exprId.id) =>
-            mvKeyOf(a.exprId.id)
-        }
-        swapped match {
-          case al: Alias => Alias(al.child, al.name)(exprId = al.exprId)
-          case other => Alias(other, ne.name)(exprId = ne.exprId)
-        }
-    }
-    Some(Project(projected, mvPlan))
+    // expressions (casts, arithmetic) survive untouched
+    substitute(aggExprs, keyAttrs, mvDf.queryExecution.analyzed,
+      (ae, byName) => ae.aggregateFunction match {
+        case Count(Seq(_: Literal)) => castTo(byName("n"), ae.dataType)
+        case Count(_) => castTo(byName("nn"), ae.dataType)
+        case _: Sum =>
+          // SQL SUM skips NULLs but answers NULL for an all-NULL
+          // group; the fold's 0-convention plus nn reconstructs it
+          CaseWhen(Seq((EqualTo(byName("nn"), Literal(0L)),
+            Cast(Literal(null), ae.dataType))),
+            Some(Cast(byName("total"), ae.dataType)))
+        case avg: Average =>
+          // the EXACT mirror of Average.evaluateExpression for a
+          // decimal child: Divide(sum as DecimalType(p+10, s),
+          // count as DecimalType(20, 0)) in LEGACY mode (0 divisor
+          // → NULL: the all-NULL group answers NULL like the base
+          // scan), cast to Average's own result type. total holds
+          // the same numeric value as the true sum (the create
+          // gate), so the derived quotient is identical.
+          val vt = avg.child.dataType.asInstanceOf[DecimalType]
+          val sumType = DecimalType(math.min(38, vt.precision + 10),
+            vt.scale)
+          Cast(Divide(Cast(byName("total"), sumType),
+            Cast(byName("nn"), DecimalType(20, 0)), EvalMode.LEGACY),
+            ae.dataType)
+        case other => throw new IllegalStateException(
+          s"unreachable: unanswerable aggregate $other survived")
+      })
   }
 
-  private def stripCast(e: Expression): Expression = e match {
-    case c: Cast => stripCast(c.child)
+  /** Strip ONLY provably-widening casts: a narrowing cast can null a
+    * value out (COUNT changes) or round it (SUM changes), and any cast
+    * to float/double turns the base's aggregate into an
+    * order-dependent FP fold the exact MV columns cannot mirror. */
+  private def stripWideningCast(e: Expression): Expression = e match {
+    case c: Cast if widens(c.child.dataType, c.dataType) =>
+      stripWideningCast(c.child)
     case x => x
+  }
+
+  private def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intDigits(t: DataType): Option[Int] = t match {
+      case ByteType => Some(3)
+      case ShortType => Some(5)
+      case IntegerType => Some(10)
+      case LongType => Some(19)
+      case _ => None
+    }
+    (from, to) match {
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale && t.precision - t.scale >= f.precision - f.scale
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (f, t: DecimalType) =>
+        intDigits(f).exists(d => t.precision - t.scale >= d)
+      case _ => false
+    }
   }
 }
