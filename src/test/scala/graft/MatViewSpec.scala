@@ -878,6 +878,25 @@ class MatViewSpec extends SparkSpec {
     val r2 = MatView.refreshJoin(spark, mv)
     assert(r2.mvVersion === r1.mvVersion && r2.commitsFolded === 0,
       "an up-to-date refresh must no-op")
+    // the join refresh publishes ITS OWN feed, so a fold view can
+    // CHAIN on the join MV — the dashboard DAG over a star join; the
+    // chained view folds the join MV's group deltas, never its rows
+    assert(TxnTable.manifest(spark, mv,
+      TxnTable.currentVersion(spark, mv)).cdcRefs.nonEmpty,
+      "refreshJoin must publish its merge feed for chaining")
+    val mv2 = fresh("mv_join_chain")
+    MatView.create(spark, mv2, mv, Seq("seg"), "n")
+    TxnTable.applyChangesMor(spark, factLoc,
+      s.sql("SELECT k, fk, v, 'D' AS op FROM graft.mvspec.jf " +
+        "WHERE k % 6 = 0 AND k % 4 <> 0"), "k", cdc = true)
+    MatView.refreshJoin(spark, mv)
+    val rc = MatView.refresh(spark, mv2)
+    assert(rc.commitsFolded === 1)
+    // mv2's n = #(seg) group rows in the join MV = 1 per live segment
+    val chain = TxnTable.snapshot(spark, mv2).select(col("seg"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(chain === direct().map(t => (t._1, 1L)),
+      "the chained view over the join MV diverged")
     // a dim CONTENT change: serving falls through, refresh refuses
     TxnTable.applyChangesMor(spark, dimLoc,
       s.sql("SELECT pk, 'Z' AS seg, 'U' AS op FROM graft.mvspec.jd " +
