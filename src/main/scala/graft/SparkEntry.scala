@@ -75,6 +75,7 @@ object SparkEntry {
     "sql_mv_filter"           -> (SqlSurface.mvFilter _),
     "sql_mv_join"             -> (SqlSurface.mvJoin _),
     "sql_mv_extrema"          -> (SqlSurface.mvExtrema _),
+    "sql_mv_star"             -> (SqlSurface.mvStar _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
     "sql_txn_agg_push"        -> (SqlSurface.txnAggPush _),
     "sql_txn_bloom"           -> (SqlSurface.txnBloomSql _),
@@ -1492,6 +1493,22 @@ object SparkEntry {
         |SELECT seg, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
         |  TRUE AS mvj_ok
         |FROM f JOIN d USING (ck) GROUP BY seg""".stripMargin,
+    // the star aggregate after the fact batch (deletes 6|lid, inserts
+    // for 11|lid) and the dim₂ brand reassignment (7|partkey)
+    "sql_mv_star" ->
+      """WITH f0 AS (SELECT l_orderkey * 10 + l_linenumber AS lid,
+        |    l_orderkey AS ok, l_partkey AS pk,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS p FROM lineitem),
+        |f AS (SELECT lid, ok, pk, p FROM f0 WHERE lid % 6 <> 0
+        |  UNION ALL SELECT lid + 900000000, ok, pk, p FROM f0
+        |    WHERE lid % 11 = 0),
+        |o AS (SELECT o_orderkey AS ok, o_orderstatus AS st FROM orders),
+        |pt AS (SELECT p_partkey AS pk, CASE WHEN p_partkey % 7 = 0
+        |    THEN 'MOVED' ELSE p_brand END AS brand FROM part)
+        |SELECT st, brand, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
+        |  TRUE AS star_ok
+        |FROM f JOIN o USING (ok) JOIN pt USING (pk)
+        |GROUP BY st, brand""".stripMargin,
     // per-status extrema after the delete of every row holding F's max:
     // the second max answers; all other groups keep their extremes
     "sql_mv_extrema" ->

@@ -556,8 +556,17 @@ object MatView {
     * cursor for free. `keys` are DIM columns; `value` is a FACT column;
     * fact rows whose key has no dim match fold to nothing — exactly the
     * inner join's semantics. */
-  case class MvJoinDef(fact: String, dim: String, factKey: String,
-      dimKey: String, keys: Seq[String], value: String, aggs: Set[String])
+  /** One dimension of a star-join MV: the dim table's location and the
+    * fact→dim equality it joins on. */
+  case class MvDimRef(dim: String, factKey: String, dimKey: String)
+
+  /** The star definition: fact ⋈ dim_0 ⋈ … ⋈ dim_{n-1}, each dim on its
+    * own equality, grouping keys drawn from the dims (each key column
+    * must be unique across the dims so ownership is unambiguous —
+    * validated at create, re-resolved via [[keyOwnership]] where the
+    * enrichment join needs the owning alias). */
+  case class MvJoinDef(fact: String, dims: Seq[MvDimRef],
+      keys: Seq[String], value: String, aggs: Set[String])
 
   private def joinDefPath(mv: String) = new Path(s"$mv/_mvj")
 
@@ -565,9 +574,13 @@ object MatView {
       : Unit = {
     val p = joinDefPath(mv)
     val out = fs(s, p).create(p, false)
-    try out.write((s"${d.fact}\n${d.dim}\n${d.factKey}\n${d.dimKey}\n" +
-      s"${d.keys.mkString(",")}\n${d.value}\n" +
-      s"${d.aggs.toSeq.sorted.mkString(",")}\n")
+    // multi-dim format: fact, #dims, (dim TAB factKey TAB dimKey)*,
+    // keys, value, aggs. The legacy 7-line single-dim format (line 2 a
+    // path, not an integer) still parses below.
+    try out.write((Seq(d.fact, d.dims.size.toString) ++
+      d.dims.map(r => s"${r.dim}\t${r.factKey}\t${r.dimKey}") ++
+      Seq(d.keys.mkString(","), d.value,
+        d.aggs.toSeq.sorted.mkString(","))).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -579,44 +592,90 @@ object MatView {
     val in = fs(s, p).open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    txt.linesIterator.toSeq match {
-      case Seq(fact, dim, fk, dk, keys, value, aggs) =>
+    val lines = txt.linesIterator.toSeq
+    val d = lines match {
+      case fact +: nStr +: rest if nStr.toIntOption.isDefined =>
+        val n = nStr.toInt
+        require(rest.size == n + 3, s"$mv: malformed _mvj definition " +
+          s"(${lines.size} lines for $n dims)")
+        val dims = rest.take(n).map { l =>
+          val ps = l.split('\t')
+          require(ps.length == 3, s"$mv: malformed _mvj dim line '$l'")
+          MvDimRef(ps(0), ps(1), ps(2))
+        }
+        val Seq(keys, value, aggs) = rest.drop(n)
         require(aggs.nonEmpty, s"$mv: malformed _mvj definition " +
           "(empty declared-aggregate line)")
-        MvJoinDef(fact, dim, fk, dk, keys.split(',').toSeq, value,
+        MvJoinDef(fact, dims, keys.split(',').toSeq, value,
           aggs.split(',').toSet)
+      case Seq(fact, dim, fk, dk, keys, value, aggs) => // legacy 1-dim
+        require(aggs.nonEmpty, s"$mv: malformed _mvj definition " +
+          "(empty declared-aggregate line)")
+        MvJoinDef(fact, Seq(MvDimRef(dim, fk, dk)),
+          keys.split(',').toSeq, value, aggs.split(',').toSet)
       case other => throw new IllegalArgumentException(
         s"$mv: malformed _mvj definition (${other.size} lines)")
     }
+    d
   }
 
-  /** Create the join MV: ONE full compute of fact ⋈ dim at both tables'
-    * current versions — the last time either is scanned whole. Both
-    * cursors (`mv_base_version` for the fact, `mv_dim_version` for the
-    * dim) ride the create commit's metrics, so refresh/serve freshness
-    * is decided by the two logs alone. */
+  /** key column → owning dim index, validated unique across dims. */
+  private def keyOwnership(s: SparkSession, d: MvJoinDef)
+      : Map[String, Int] = {
+    val dimCols: Seq[Set[String]] = d.dims.map(r =>
+      TxnTable.snapshot(s, r.dim).columns.toSet)
+    d.keys.map { k =>
+      val owners = dimCols.zipWithIndex.collect {
+        case (cs, i) if cs.contains(k) => i }
+      require(owners.size == 1, s"join-MV key '$k' must live in exactly " +
+        s"one dim (found in ${owners.size})")
+      k -> owners.head
+    }.toMap
+  }
+
+  /** The per-dim cursor metric name: dim 0 keeps the original
+    * `mv_dim_version` (single-dim views are unchanged on disk), later
+    * dims suffix their index. */
+  private[graft] def dimCursorMetric(i: Int): String =
+    if (i == 0) "mv_dim_version" else s"mv_dim_version_$i"
+
+  /** Single-dim [[createJoinStar]] — the common star has one dim. */
   def createJoin(s: SparkSession, mv: String, fact: String, dim: String,
       factKey: String, dimKey: String, keys: Seq[String], value: String,
+      aggs: Seq[String] = Seq("count", "sum", "avg")): Long =
+    createJoinStar(s, mv, fact, Seq(MvDimRef(dim, factKey, dimKey)),
+      keys, value, aggs)
+
+  /** Create the star MV: ONE full compute of fact ⋈ dims at every
+    * table's current version — the last time any is scanned whole. The
+    * fact cursor and one cursor PER DIM ride the create commit's
+    * metrics, so refresh/serve freshness is decided by the logs alone. */
+  def createJoinStar(s: SparkSession, mv: String, fact: String,
+      dims: Seq[MvDimRef], keys: Seq[String], value: String,
       aggs: Seq[String] = Seq("count", "sum", "avg")): Long = {
     validateShape(keys, aggs)
+    require(dims.nonEmpty, "a join MV needs at least one dim")
+    require(dims.map(_.dim).distinct.size == dims.size,
+      "join-MV dims repeat a table")
     val fv = TxnTable.currentVersion(s, fact)
-    val dv = TxnTable.currentVersion(s, dim)
+    val dvs = dims.map(r => TxnTable.currentVersion(s, r.dim))
     val fsnap = TxnTable.snapshot(s, fact, fv)
-    val dsnap = TxnTable.snapshot(s, dim, dv)
     validateValueType(value, fsnap.schema(value).dataType)
-    require(keys.forall(dsnap.columns.contains),
-      s"join-MV keys must be DIM columns; missing: " +
-        keys.filterNot(dsnap.columns.contains).mkString(", "))
-    // aliased two-sided select: a dim grouping column may share a name
-    // with a fact column without ambiguity
-    val joined = fsnap.alias("f").join(dsnap.alias("d"),
-        col(s"f.$factKey") === col(s"d.$dimKey"))
-      .select(keys.map(k => col(s"d.$k").as(k)) :+
-        col(s"f.$value").as(value): _*)
+    val d0 = MvJoinDef(fact, dims, keys, value,
+      aggs.map(_.toLowerCase).toSet)
+    val owner = keyOwnership(s, d0) // validates keys live in the dims
+    // aliased N-sided select: grouping columns may share names with
+    // fact columns without ambiguity
+    val joined = dims.zipWithIndex.foldLeft(fsnap.alias("f")) {
+      case (acc, (r, i)) =>
+        acc.join(TxnTable.snapshot(s, r.dim, dvs(i)).alias(s"d$i"),
+          col(s"f.${r.factKey}") === col(s"d$i.${r.dimKey}"))
+    }.select(keys.map(k => col(s"d${owner(k)}.$k").as(k)) :+
+      col(s"f.$value").as(value): _*)
     val v = commitMvRows(s, mv, joined, keys, value,
-      Seq("mv_base_version" -> fv, "mv_dim_version" -> dv))
-    writeJoinDef(s, mv, MvJoinDef(fact, dim, factKey, dimKey, keys,
-      value, aggs.map(_.toLowerCase).toSet))
+      ("mv_base_version" -> fv) +:
+        dvs.zipWithIndex.map { case (dv, i) => dimCursorMetric(i) -> dv })
+    writeJoinDef(s, mv, d0)
     v
   }
 
@@ -633,12 +692,28 @@ object MatView {
   def refreshJoin(s: SparkSession, mv: String): RefreshResult =
     refreshJoin(s, mv, publishFeed = true)
 
-  /** Incremental refresh of a join MV: fold the FACT's signed-feed tail
-    * — each feed row joined to the dim snapshot to recover its group —
-    * into the MV. The dim tail must be content-invariant; a dim content
-    * change REFUSES with the recompute remedy (the fact feed never
-    * mentions the rows a moved dim attribute regroups). Cost is
-    * O(fact changes ⋈ dim) + O(MV) — never O(fact). */
+  /** Chain-join a fact-rowed frame (alias "f") to every dim at the
+    * given versions and project the grouping keys (from their owning
+    * aliases) plus `extra` fact-side columns. The inner joins drop
+    * unmatched fact keys — exactly the base join's semantics — and the
+    * result is feed-sized ⋈ dims, never O(fact). */
+  private def enrichWithDims(s: SparkSession, d: MvJoinDef,
+      feed: DataFrame, dimVers: Seq[Long],
+      extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val owner = keyOwnership(s, d)
+    d.dims.zipWithIndex.foldLeft(feed.alias("f")) {
+      case (acc, (r, i)) =>
+        acc.join(TxnTable.snapshot(s, r.dim, dimVers(i)).alias(s"d$i"),
+          col(s"f.${r.factKey}") === col(s"d$i.${r.dimKey}"))
+    }.select(d.keys.map(k => col(s"d${owner(k)}.$k").as(k)) ++ extra: _*)
+  }
+
+  /** Incremental refresh of a star MV: fold the FACT's signed-feed tail
+    * — each feed row joined to the dim snapshots to recover its group —
+    * into the MV. Every dim tail must be content-invariant; a dim
+    * content change REFUSES with the recompute remedy (the fact feed
+    * never mentions the rows a moved dim attribute regroups). Cost is
+    * O(fact changes ⋈ dims) + O(MV) — never O(fact). */
   def refreshJoin(s: SparkSession, mv: String, publishFeed: Boolean)
       : RefreshResult = {
     val d = readJoinDef(s, mv)
@@ -646,52 +721,53 @@ object MatView {
     // all read MV state at mvVer, so racing refreshes fail loudly
     val mvVer = TxnTable.currentVersion(s, mv)
     val last = cursorAt(s, mv, mvVer, "mv_base_version")
-    val dimCur = cursorAt(s, mv, mvVer, "mv_dim_version")
+    val dimCurs = d.dims.indices.map(i =>
+      cursorAt(s, mv, mvVer, dimCursorMetric(i)))
     val head = TxnTable.currentVersion(s, d.fact)
-    val dimHead = TxnTable.currentVersion(s, d.dim)
+    val dimHeads = d.dims.map(r => TxnTable.currentVersion(s, r.dim))
     require(head >= last, s"${d.fact} is at version $head, behind the " +
       s"MV's cursor $last — the fact was restored/recreated; recompute " +
       "the MV")
-    require(dimHead >= dimCur, s"${d.dim} is at version $dimHead, " +
-      s"behind the MV's dim cursor $dimCur — the dim was restored/" +
-      "recreated; recompute the MV")
-    if (!contentInvariantRange(s, d.dim, dimCur, dimHead))
-      throw new IllegalArgumentException(
-        s"${d.dim} changed dimension content past the MV's dim cursor " +
-          s"$dimCur; a join MV cannot fold dim changes from the fact " +
-          "feed — recompute the MV (drop + create)")
-    if (head == last && dimHead == dimCur)
+    d.dims.indices.foreach { i =>
+      require(dimHeads(i) >= dimCurs(i), s"${d.dims(i).dim} is at " +
+        s"version ${dimHeads(i)}, behind the MV's dim cursor " +
+        s"${dimCurs(i)} — the dim was restored/recreated; recompute " +
+        "the MV")
+      if (!contentInvariantRange(s, d.dims(i).dim, dimCurs(i),
+        dimHeads(i)))
+        throw new IllegalArgumentException(
+          s"${d.dims(i).dim} changed dimension content past the MV's " +
+            s"dim cursor ${dimCurs(i)}; a join MV cannot fold dim " +
+            "changes from the fact feed — recompute the MV " +
+            "(drop + create)")
+    }
+    if (head == last && dimHeads == dimCurs)
       return RefreshResult(mvVer, last, 0)
     val refs = feedRefs(s, d.fact, last, head)
     val folded = (head - last).toInt
-    val metrics = Seq("mv_base_version" -> head,
-      "mv_dim_version" -> dimHead)
+    val metrics = ("mv_base_version" -> head) +:
+      dimHeads.zipWithIndex.map { case (h, i) => dimCursorMetric(i) -> h }
     if (refs.isEmpty)
-      // content-invariant range on BOTH sides
+      // content-invariant range on EVERY side
       return RefreshResult(advanceCursor(s, mv, mvVer, metrics), head,
         folded)
-    // each signed fact row recovers its group from the dim (inner join:
-    // unmatched fact keys fold to nothing, exactly the base semantics);
-    // the join is feed-sized ⋈ dim — never O(fact)
-    val enriched = s.read.parquet(refs: _*).alias("f")
-      .join(TxnTable.snapshot(s, d.dim, dimHead).alias("d"),
-        col(s"f.${d.factKey}") === col(s"d.${d.dimKey}"))
-      .select(d.keys.map(k => col(s"d.$k").as(k)) ++
-        Seq(col(s"f.${d.value}").as(d.value), col("f.w")): _*)
+    val enriched = enrichWithDims(s, d, s.read.parquet(refs: _*),
+      dimHeads, Seq(col(s"f.${d.value}").as(d.value), col("f.w")))
     val v = foldAndMerge(s, mv, mvVer, d.keys, d.value, enriched,
       metrics, publishFeed)
     RefreshResult(v, head, folded)
   }
 
-  /** [[compensated]] for a join MV: MV rows ⊕ (fact feed tail ⋈ dim).
-    * Requires the dim content-identical between its cursor and the
-    * query's pinned dim version — otherwise None (the groups themselves
+  /** [[compensated]] for a star MV: MV rows ⊕ (fact feed tail ⋈ dims).
+    * Requires EVERY dim content-identical between its cursor and the
+    * query's pinned version — otherwise None (the groups themselves
     * may have moved; only the base join answers). */
   private[graft] def compensatedJoin(s: SparkSession, mv: String,
-      d: MvJoinDef, cursor: Long, factPinned: Long, dimCursor: Long,
-      dimPinned: Long, mvVer: Long): Option[DataFrame] = {
-    if (!contentInvariantRange(s, d.dim, dimCursor, dimPinned))
-      return None
+      d: MvJoinDef, cursor: Long, factPinned: Long,
+      dimCursors: Seq[Long], dimPinned: Seq[Long], mvVer: Long)
+      : Option[DataFrame] = {
+    if (d.dims.indices.exists(i => !contentInvariantRange(s,
+      d.dims(i).dim, dimCursors(i), dimPinned(i)))) return None
     val mvRows = TxnTable.snapshot(s, mv, mvVer)
       .select((d.keys.map(col) ++
         Seq(col("n"), col("nn"), col("total"))): _*)
@@ -700,15 +776,12 @@ object MatView {
     val refs = feedRefsE(s, d.fact, cursor, factPinned)
       .getOrElse(return None)
     if (refs.isEmpty) return Some(mvRows)
-    val feed = s.read.parquet(refs: _*).alias("f")
-      .join(TxnTable.snapshot(s, d.dim, dimPinned).alias("d"),
-        col(s"f.${d.factKey}") === col(s"d.${d.dimKey}"))
-      .select(d.keys.map(k => col(s"d.$k").as(k)) ++ Seq(
-        col("f.w").cast("long").as("n"),
+    val feed = enrichWithDims(s, d, s.read.parquet(refs: _*), dimPinned,
+      Seq(col("f.w").cast("long").as("n"),
         (col("f.w").cast("long") *
           when(col(s"f.${d.value}").isNull, 0L).otherwise(1L)).as("nn"),
         (col("f.w") * coalesce(col(s"f.${d.value}").cast(D18),
-          lit(0).cast(D18))).cast(D18).as("total")): _*)
+          lit(0).cast(D18))).cast(D18).as("total")))
     Some(mvRows.unionByName(feed).groupBy(d.keys.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("nn")).as("nn"),
         sum(col("total")).cast(D18).as("total"))
@@ -1230,18 +1303,23 @@ object MatView {
   private[graft] def registeredFor(base: String): Option[(String, MvDef)] =
     Option(registry.get(base))
 
-  /** Join-MV registry, keyed (fact location, dim location) — the
-    * rewrite rule probes both orientations of the matched join. */
+  /** Join-MV registry, keyed (fact location, sorted dim-location set) —
+    * the rewrite rule probes every fact candidate of the matched join
+    * tree. */
   private val joinRegistry = new java.util.concurrent
     .ConcurrentHashMap[(String, String), (String, MvJoinDef)]()
 
+  private def joinKey(fact: String, dims: Seq[String]): (String, String) =
+    (fact, dims.sorted.mkString("|"))
+
   def registerJoin(s: SparkSession, mv: String): Unit = {
     val d = readJoinDef(s, mv)
-    joinRegistry.put((d.fact, d.dim), (mv, d))
+    joinRegistry.put(joinKey(d.fact, d.dims.map(_.dim)), (mv, d))
   }
 
-  private[graft] def registeredJoinFor(fact: String, dim: String)
-      : Option[(String, MvJoinDef)] = Option(joinRegistry.get((fact, dim)))
+  private[graft] def registeredJoinFor(fact: String, dims: Seq[String])
+      : Option[(String, MvJoinDef)] =
+    Option(joinRegistry.get(joinKey(fact, dims)))
 
   /** Extrema-MV registry, base location → (MV location, definition). */
   private val extremaRegistry = new java.util.concurrent

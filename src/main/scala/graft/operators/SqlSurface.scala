@@ -865,6 +865,122 @@ object SqlSurface {
     s.sql(q).withColumn("mve_ok", lit(ok))
   }
 
+  /** sql_mv_star: the FULL STAR-SCHEMA MV — fact ⋈ dim₁ ⋈ dim₂ (the
+    * q06 three-table shape), grouped by attributes drawn from BOTH
+    * dims, served from ONE materialized view. The rewrite flattens the
+    * inner-join tree in any syntactic shape/order and requires its
+    * equality conjuncts to biject with the definition's fact→dim
+    * equalities; grouping keys resolve to their owning dim; the
+    * filtered rollup composes ACROSS dims (`WHERE st = 'F' GROUP BY
+    * brand` — the predicate keys one dim, the grouping the other, and
+    * both are MV columns). Freshness needs every log: the fact tail
+    * compensates from feeds re-joined to the dims; ANY dim content
+    * change disqualifies serving and refuses refresh. Phases by plan
+    * roots: (1) fresh → MV only for the exact grouping, the cross-dim
+    * filtered rollup AND the global; (2) fact cdc batch, unrefreshed →
+    * MV + fact `_cdc` + the dims (the lookup sides), NEVER a fact data
+    * file; (3) refreshJoin (one fold) → MV alone; (4) a dim₂ brand
+    * reassignment → fall-through seeing 'MOVED' + loud refresh refusal.
+    * Hashed output = the final star aggregate; oracle replays it. At
+    * 100 TB: the multi-dim dashboard — THE warehouse workload — costs
+    * an MV read plus the fact delta joined to the small sides; the
+    * fact is never rescanned. */
+  def mvStar(s: SparkSession, d: String): DataFrame = {
+    val factLoc = freshSqlTable(s, "star_li")
+    val ordLoc = freshSqlTable(s, "star_ord")
+    val partLoc = freshSqlTable(s, "star_part")
+    view(s, d, "lineitem"); view(s, d, "orders"); view(s, d, "part")
+    s.sql("""CREATE TABLE graft.q.star_li (
+      lid BIGINT, l_orderkey BIGINT, l_partkey BIGINT,
+      price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.star_li
+      SELECT l_orderkey * 10 + l_linenumber, l_orderkey, l_partkey,
+        CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem""")
+    s.sql("CREATE TABLE graft.q.star_ord (o_orderkey BIGINT, st STRING)")
+    s.sql("""INSERT INTO graft.q.star_ord
+      SELECT o_orderkey, o_orderstatus FROM orders""")
+    s.sql("CREATE TABLE graft.q.star_part (p_partkey BIGINT, brand STRING)")
+    s.sql("""INSERT INTO graft.q.star_part
+      SELECT p_partkey, p_brand FROM part""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_star")
+    graft.operators.MatView.createJoinStar(s, mv, factLoc, Seq(
+      graft.operators.MatView.MvDimRef(ordLoc, "l_orderkey", "o_orderkey"),
+      graft.operators.MatView.MvDimRef(partLoc, "l_partkey", "p_partkey")),
+      Seq("st", "brand"), "price")
+    graft.operators.MatView.registerJoin(s, mv)
+    val q = """SELECT st, brand, COUNT(*) AS n,
+      CAST(SUM(price) AS DOUBLE) AS total
+      FROM graft.q.star_li f
+      JOIN graft.q.star_ord o ON f.l_orderkey = o.o_orderkey
+      JOIN graft.q.star_part p ON f.l_partkey = p.p_partkey
+      GROUP BY st, brand"""
+    // the cross-dim cut: predicate on dim₁'s key, grouping dim₂'s
+    val qCross = """SELECT brand, COUNT(*) AS n
+      FROM graft.q.star_li f
+      JOIN graft.q.star_ord o ON f.l_orderkey = o.o_orderkey
+      JOIN graft.q.star_part p ON f.l_partkey = p.p_partkey
+      WHERE st = 'F' GROUP BY brand"""
+    val qGlobal = """SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE)
+      AS total FROM graft.q.star_li f
+      JOIN graft.q.star_ord o ON f.l_orderkey = o.o_orderkey
+      JOIN graft.q.star_part p ON f.l_partkey = p.p_partkey"""
+    def rows() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, factLoc).alias("f")
+        .join(graft.operators.TxnTable.snapshot(s, ordLoc).alias("o"),
+          col("f.l_orderkey") === col("o.o_orderkey"))
+        .join(graft.operators.TxnTable.snapshot(s, partLoc).alias("p"),
+          col("f.l_partkey") === col("p.p_partkey"))
+        .groupBy(col("o.st"), col("p.brand"))
+        .agg(count(lit(1)).as("n"), sum(col("f.price")).cast("double"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+    }
+    def mvOnly(ps: Seq[String]) = ps.nonEmpty && ps.forall(_.contains(mv))
+    val servedFresh = mvOnly(scanSrcsOf(s, q)) &&
+      mvOnly(scanSrcsOf(s, qCross)) && mvOnly(scanSrcsOf(s, qGlobal)) &&
+      rows() == direct()
+    // fact moves: deletes + inserts, one cdc batch, unrefreshed
+    val ch = s.sql("""SELECT l_orderkey * 10 + l_linenumber AS lid,
+        l_orderkey, l_partkey,
+        CAST(l_extendedprice AS DECIMAL(12,2)) AS price, 'D' AS op
+      FROM lineitem WHERE (l_orderkey * 10 + l_linenumber) % 6 = 0
+      UNION ALL
+      SELECT l_orderkey * 10 + l_linenumber + 900000000, l_orderkey,
+        l_partkey, CAST(l_extendedprice AS DECIMAL(12,2)), 'U'
+      FROM lineitem WHERE (l_orderkey * 10 + l_linenumber) % 11 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, factLoc, ch, "lid",
+      cdc = true)
+    val p2 = scanSrcsOf(s, q)
+    val compensatedServe = p2.nonEmpty &&
+      p2.forall(p => p.contains(mv) || p.contains(s"$factLoc/_cdc") ||
+        p.contains(ordLoc) || p.contains(partLoc)) &&
+      p2.exists(_.contains(mv)) &&
+      p2.exists(_.contains(s"$factLoc/_cdc")) &&
+      !p2.exists(p => p.contains(factLoc) && !p.contains("_cdc")) &&
+      rows() == direct()
+    val r = graft.operators.MatView.refreshJoin(s, mv)
+    val servedAgain = r.commitsFolded == 1 &&
+      mvOnly(scanSrcsOf(s, q)) && rows() == direct()
+    // dim₂ moves: fall through + refuse
+    graft.operators.TxnTable.applyChangesMor(s, partLoc,
+      s.sql("""SELECT p_partkey, 'MOVED' AS brand, 'U' AS op
+        FROM part WHERE p_partkey % 7 = 0"""), "p_partkey", cdc = true)
+    val p4 = scanSrcsOf(s, q)
+    val fin = rows()
+    val fellThrough = !p4.exists(_.contains(mv)) &&
+      fin.exists(_._2 == "MOVED") && fin == direct()
+    val refused =
+      try { graft.operators.MatView.refreshJoin(s, mv); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("recompute the MV") }
+    val ok = servedFresh && compensatedServe && servedAgain &&
+      fellThrough && refused
+    s.sql(q).withColumn("star_ok", lit(ok))
+  }
+
   /** op_mv_branch: BRANCH-AWARE MATERIALIZED VIEWS — a branch is a full
     * TxnTable, so an MV created ON the branch dir composes for free:
     * refresh walks the BRANCH log, and the rewrite serves

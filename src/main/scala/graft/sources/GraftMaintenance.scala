@@ -285,9 +285,11 @@ private[sources] object GraftMaintenance {
         graft.operators.MatView.registerExtrema(s, mvLoc)
         r.mvVersion
       }
-      // the JOIN view kind (MatView.createJoin): fact ⋈ dim aggregates
-      // with the two-cursor contract (fact feeds fold, dim content
-      // changes refuse)
+      // the STAR view kind (MatView.createJoinStar): fact ⋈ dims
+      // aggregates with the per-log cursor contract (fact feeds fold,
+      // any dim content change refuses). Multi-dim via parallel CSV
+      // lists: CALL create_matview_join('v', 'f', 'd1,d2',
+      // 'fk1,fk2', 'dk1,dk2', 'key1,key2', 'val')
       case "create_matview_join" => p("create_matview_join", Seq(
         ProcedureParameter.in("view", StringType).build(),
         ProcedureParameter.in("fact", StringType).build(),
@@ -300,15 +302,23 @@ private[sources] object GraftMaintenance {
         require(TxnTable.versions(s, mvLoc).isEmpty,
           s"graft procedure: '$mvLoc' already exists")
         val factLoc = resolveTable(warehouse, in.getUTF8String(1).toString)
-        val dimLoc = resolveTable(warehouse, in.getUTF8String(2).toString)
-        require(TxnTable.versions(s, factLoc).nonEmpty &&
-          TxnTable.versions(s, dimLoc).nonEmpty,
-          "graft procedure: fact and dim must be committed tables")
-        val v = graft.operators.MatView.createJoin(s, mvLoc, factLoc,
-          dimLoc, in.getUTF8String(3).toString,
-          in.getUTF8String(4).toString,
-          in.getUTF8String(5).toString.split(',').toSeq.map(_.trim),
-          in.getUTF8String(6).toString)
+        def csv(i: Int): Seq[String] = in.getUTF8String(i).toString
+          .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val (dimRefs, fks, dks) = (csv(2), csv(3), csv(4))
+        require(dimRefs.size == fks.size && dimRefs.size == dks.size,
+          "graft procedure: dim, fact_key and dim_key lists must have " +
+            "the same length")
+        val dims = dimRefs.lazyZip(fks).lazyZip(dks).map {
+          (dr, fk, dk) =>
+            val dl = resolveTable(warehouse, dr)
+            require(TxnTable.versions(s, dl).nonEmpty,
+              s"graft procedure: dim '$dl' is not a committed table")
+            graft.operators.MatView.MvDimRef(dl, fk, dk)
+        }
+        require(TxnTable.versions(s, factLoc).nonEmpty,
+          s"graft procedure: fact '$factLoc' is not a committed table")
+        val v = graft.operators.MatView.createJoinStar(s, mvLoc, factLoc,
+          dims, csv(5), in.getUTF8String(6).toString)
         graft.operators.MatView.registerJoin(s, mvLoc)
         v
       }

@@ -167,89 +167,121 @@ case class GraftMvRewriteRule(session: SparkSession)
       df.filter(org.apache.spark.sql.GraftSqlBridge.column(remapped))
     }
 
-  /** Unwrap alias wrappers down to a bare inner join, collecting any
-    * ABOVE-JOIN Filter conditions (`WHERE d.attr = …` analyzes as
-    * Filter over Join) — whether they are servable (dim-key-only) is
-    * the caller's decision. */
-  private def joinOf(p: LogicalPlan): Option[(Join, Seq[Expression])] =
-    p match {
-      case SubqueryAlias(_, child) => joinOf(child)
-      case Filter(cond, child) =>
-        joinOf(child).map { case (j, ps) => (j, cond +: ps) }
-      case j: Join => Some((j, Nil))
-      case _ => None
-    }
+  /** Flatten a tree of INNER joins over bare catalog relations into
+    * (relations, equality conjuncts, above-join filter predicates).
+    * Any alias wrapper unwraps; Filters anywhere above/between inner
+    * joins collect (they are conjunctive over the same row set, so
+    * position is irrelevant); join conditions split into conjuncts.
+    * Anything else — an outer join, a per-side Filter/Project under a
+    * relation wrapper, a non-relation leaf — returns None. */
+  private def flattenJoin(p: LogicalPlan)
+      : Option[(Seq[DataSourceV2Relation], Seq[Expression],
+        Seq[Expression])] = p match {
+    case SubqueryAlias(_, child) => flattenJoin(child)
+    case Filter(cond, child) =>
+      flattenJoin(child).map { case (rs, cs, ps) => (rs, cs, cond +: ps) }
+    case j: Join =>
+      if (j.joinType != Inner) return None
+      val cond = j.condition.getOrElse(return None)
+      for {
+        (lr, lc, lp) <- flattenJoin(j.left)
+        (rr, rc, rp) <- flattenJoin(j.right)
+      } yield (lr ++ rr, splitConjuncts(cond) ++ lc ++ rc, lp ++ rp)
+    case r: DataSourceV2Relation => Some((Seq(r), Nil, Nil))
+    case _ => None
+  }
 
-  /** The JOIN-MV rewrite: `Aggregate(groupBy dim attrs, …, fact ⋈ dim
-    * ON factKey = dimKey)` served from the registered join MV. The
-    * join must be INNER on exactly the definition's key equality, both
-    * sides bare catalog relations (no filters — a join MV holds no
-    * residual info; conservative by design). Freshness needs BOTH logs:
-    * the fact tail compensates from published feeds (each signed row
-    * re-joined to the dim to recover its group), while ANY dim content
-    * change past the MV's dim cursor disqualifies — a moved dim
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** The STAR-MV rewrite: `Aggregate(groupBy dim attrs, …,
+    * fact ⋈ dim_0 ⋈ … ⋈ dim_{n-1})` served from the registered join MV.
+    * The flattened tree must be all-INNER over bare catalog relations,
+    * in ANY syntactic shape or order, and its equality conjuncts must
+    * BIJECT with the definition's fact→dim equalities — exactly one
+    * conjunct per dim, no leftovers (an extra equality would change the
+    * joined row set; a missing one makes the query a cross product the
+    * MV never materialized). Per-side filters never serve (the fold
+    * already merged those rows away); ABOVE-join predicates that
+    * reference only dim KEY columns select whole groups and qualify.
+    * Freshness needs EVERY log: the fact tail compensates from
+    * published feeds (each signed row re-joined to the dims), while
+    * ANY dim content change past its cursor disqualifies — a moved dim
     * attribute regroups rows no fact feed mentions. */
   private def tryJoin(groups: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val (j, preds) = joinOf(child).getOrElse(return None)
-    if (j.joinType != Inner) return None
-    val cond = j.condition.getOrElse(return None)
-    val (lRel, lPreds) = relationOf(j.left).getOrElse(return None)
-    val (rRel, rPreds) = relationOf(j.right).getOrElse(return None)
-    // BELOW-join (per-side) filters never serve: a fact-side filter
-    // selects ROWS the fold already merged away, and even a dim-side
-    // one may change which fact rows join. ABOVE-join predicates that
-    // reference ONLY the dim's key columns select whole GROUPS — those
-    // qualify below, exactly like the single-table key filter.
-    if (lPreds.nonEmpty || rPreds.nonEmpty) return None
-    val lG = lRel.table match {
-      case t: GraftTable => t
-      case _ => return None
+    val (rels0, conds, preds) = flattenJoin(child).getOrElse(return None)
+    if (rels0.size < 2) return None
+    val gts: Seq[(DataSourceV2Relation, GraftTable)] = rels0.map { r =>
+      r.table match {
+        case t: GraftTable => (r, t)
+        case _ => return None
+      }
     }
-    val rG = rRel.table match {
-      case t: GraftTable => t
-      case _ => return None
+    // every relation is a fact CANDIDATE: probe the registry with it
+    // against the remaining locations as the dim set
+    val hit = gts.indices.iterator.flatMap { i =>
+      val (fr, fg) = gts(i)
+      val dims = gts.patch(i, Nil, 1)
+      MatView.registeredJoinFor(fg.location, dims.map(_._2.location))
+        .map(x => (x, fr, fg, dims))
+    }.find { case ((_, d), fr, _, dims) =>
+      // the equality conjuncts must BIJECT with the def's dim joins
+      // (dims may repeat a LOCATION only if the def does not — the
+      // registry key de-dups, so a self-join never matches)
+      val dimByLoc = dims.map(x => x._2.location -> x._1).toMap
+      conds.size == d.dims.size && d.dims.forall { ref =>
+        dimByLoc.get(ref.dim).exists { dimRel =>
+          conds.exists {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              (a.name == ref.factKey && fr.outputSet.contains(a) &&
+                b.name == ref.dimKey && dimRel.outputSet.contains(b)) ||
+              (b.name == ref.factKey && fr.outputSet.contains(b) &&
+                a.name == ref.dimKey && dimRel.outputSet.contains(a))
+            case _ => false
+          }
+        }
+      }
     }
-    // both orientations: the query may write dim JOIN fact
-    val ((mvLoc, d), factRel, factG, dimRel, dimG) =
-      MatView.registeredJoinFor(lG.location, rG.location)
-        .map(x => (x, lRel, lG, rRel, rG))
-        .orElse(MatView.registeredJoinFor(rG.location, lG.location)
-          .map(x => (x, rRel, rG, lRel, lG)))
-        .getOrElse(return None)
-    val okCond = cond match {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        (a.name == d.factKey && factRel.outputSet.contains(a) &&
-          b.name == d.dimKey && dimRel.outputSet.contains(b)) ||
-        (b.name == d.factKey && factRel.outputSet.contains(b) &&
-          a.name == d.dimKey && dimRel.outputSet.contains(a))
-      case _ => false
-    }
-    if (!okCond) return None
+    val ((mvLoc, d), factRel, factG, dimPairs) = hit.getOrElse(return None)
+    val dimRelByLoc = dimPairs.map(x => x._2.location -> x._1).toMap
+    val dimGByLoc = dimPairs.map(x => x._2.location -> x._2).toMap
+    val dimRels = d.dims.map(r => dimRelByLoc(r.dim))
+    val dimGs = d.dims.map(r => dimGByLoc(r.dim))
     // above-join WHERE: servable iff every reference is a DIM key
     // column — MV rows are one per key combination, so such a
     // predicate selects whole groups (the sql_mv_filter rule applied
     // to the join shape); anything touching the fact side, a non-key
     // dim column, nondeterminism or subqueries falls through
+    val dimKeyOwned = (a: AttributeReference) =>
+      dimRels.exists(_.outputSet.contains(a)) && d.keys.contains(a.name)
     if (!preds.forall(p => p.deterministic &&
         p.collectFirst { case s: SubqueryExpression => s }.isEmpty &&
-        p.references.forall(a => dimRel.outputSet.contains(a) &&
-          d.keys.contains(a.name)))) return None
+        p.references.forall(a => a match {
+          case ar: AttributeReference => dimKeyOwned(ar)
+          case _ => false
+        }))) return None
     serve(groups, aggExprs, d.keys, d.value, d.aggs,
-      keyOwned = a => dimRel.outputSet.contains(a),
+      keyOwned = dimKeyOwned,
       valueOwned = a => factRel.outputSet.contains(a),
       mvRows = {
         val mvVer = TxnTable.currentVersion(session, mvLoc)
         val cursor = MatView.cursorAt(session, mvLoc, mvVer,
           "mv_base_version")
-        val dimCursor = MatView.cursorAt(session, mvLoc, mvVer,
-          "mv_dim_version")
-        // a time-travel read BEHIND either cursor never serves
+        val dimCursors = d.dims.indices.map(i =>
+          MatView.cursorAt(session, mvLoc, mvVer,
+            MatView.dimCursorMetric(i)))
+        // a time-travel read BEHIND any cursor never serves
         if (cursor > factG.pinnedVersion ||
-          dimCursor > dimG.pinnedVersion) None
+          d.dims.indices.exists(i =>
+            dimCursors(i) > dimGs(i).pinnedVersion)) None
         else MatView.compensatedJoin(session, mvLoc, d, cursor,
-          factG.pinnedVersion, dimCursor, dimG.pinnedVersion, mvVer)
+          factG.pinnedVersion, dimCursors,
+          dimGs.map(_.pinnedVersion), mvVer)
           .map(applyKeyPreds(_, preds))
       })
   }

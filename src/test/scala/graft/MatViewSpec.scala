@@ -788,7 +788,8 @@ class MatViewSpec extends SparkSpec {
       MatView.createJoin(spark, fresh("mv_join_bad"), factLoc, dimLoc,
         "fk", "pk", Seq("nosuch"), "v")
     }
-    assert(eKeys.getMessage.contains("DIM columns"), eKeys.getMessage)
+    assert(eKeys.getMessage.contains("must live in exactly one dim"),
+      eKeys.getMessage)
     MatView.createJoin(spark, mv, factLoc, dimLoc, "fk", "pk",
       Seq("seg"), "v")
     MatView.registerJoin(spark, mv)
@@ -1298,6 +1299,101 @@ class MatViewSpec extends SparkSpec {
       TxnTable.currentVersion(spark, ctMv))
     assert(retargeted && cur === TxnTable.currentVersion(spark, ctLoc),
       "transplant_matview must re-point the cursor onto the parent")
+  }
+
+  test("star MV: any join-tree shape/order serves; extra or missing " +
+      "equalities, a dim subset, and ambiguous keys fall through/refuse") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    Seq("sf", "sd1", "sd2").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft.mvspec.$t"))
+    s.sql("CREATE TABLE graft.mvspec.sf (k BIGINT, a BIGINT, b BIGINT, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.sf SELECT id, id % 4, id % 3, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(240)")
+    s.sql("CREATE TABLE graft.mvspec.sd1 (pk BIGINT, g1 STRING)")
+    s.sql("INSERT INTO graft.mvspec.sd1 SELECT id, " +
+      "CASE WHEN id < 2 THEN 'P' ELSE 'Q' END FROM RANGE(4)")
+    s.sql("CREATE TABLE graft.mvspec.sd2 (pk2 BIGINT, g2 STRING)")
+    s.sql("INSERT INTO graft.mvspec.sd2 SELECT id, " +
+      "CASE WHEN id = 0 THEN 'X' ELSE 'Y' END FROM RANGE(3)")
+    val w = GraftCatalog.defaultWarehouse
+    val mv = fresh("mv_star_view")
+    // ambiguous grouping keys refuse at create
+    s.sql("CREATE TABLE IF NOT EXISTS graft.mvspec.sd2b (pk2 BIGINT, " +
+      "g1 STRING)")
+    val eAmb = intercept[IllegalArgumentException] {
+      MatView.createJoinStar(spark, fresh("mv_star_amb"),
+        s"$w/mvspec/sf", Seq(
+          MatView.MvDimRef(s"$w/mvspec/sd1", "a", "pk"),
+          MatView.MvDimRef(s"$w/mvspec/sd2b", "b", "pk2")),
+        Seq("g1"), "v")
+    }
+    assert(eAmb.getMessage.contains("exactly one dim"), eAmb.getMessage)
+    MatView.createJoinStar(spark, mv, s"$w/mvspec/sf", Seq(
+      MatView.MvDimRef(s"$w/mvspec/sd1", "a", "pk"),
+      MatView.MvDimRef(s"$w/mvspec/sd2", "b", "pk2")),
+      Seq("g1", "g2"), "v")
+    MatView.registerJoin(spark, mv)
+    def served(q: String): Boolean = {
+      val p = s.sql(q).queryExecution.optimizedPlan
+      val hasV2 = p.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.nonEmpty
+      val roots = p.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
+    }
+    // every tree shape and order serves
+    val shapes = Seq(
+      "graft.mvspec.sf f JOIN graft.mvspec.sd1 d1 ON f.a = d1.pk " +
+        "JOIN graft.mvspec.sd2 d2 ON f.b = d2.pk2",
+      "graft.mvspec.sd2 d2 JOIN graft.mvspec.sf f ON f.b = d2.pk2 " +
+        "JOIN graft.mvspec.sd1 d1 ON d1.pk = f.a",
+      "graft.mvspec.sd1 d1 JOIN (graft.mvspec.sf f JOIN " +
+        "graft.mvspec.sd2 d2 ON f.b = d2.pk2) ON f.a = d1.pk")
+    shapes.foreach(sh => assert(
+      served(s"SELECT g1, g2, COUNT(*) AS n, SUM(v) AS t FROM $sh " +
+        "GROUP BY g1, g2"), s"shape must serve: $sh"))
+    // answers match, including the cross-dim filtered rollup
+    val got = s.sql("SELECT g1, g2, COUNT(*) AS n, " +
+      "CAST(SUM(v) AS DOUBLE) AS t FROM " + shapes.head +
+      " GROUP BY g1, g2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val direct = TxnTable.snapshot(spark, s"$w/mvspec/sf").alias("f")
+      .join(TxnTable.snapshot(spark, s"$w/mvspec/sd1").alias("d1"),
+        col("f.a") === col("d1.pk"))
+      .join(TxnTable.snapshot(spark, s"$w/mvspec/sd2").alias("d2"),
+        col("f.b") === col("d2.pk2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got === direct, "star serve diverged")
+    assert(served("SELECT g2, COUNT(*) AS n FROM " + shapes.head +
+      " WHERE g1 = 'P' GROUP BY g2"),
+      "the cross-dim filtered rollup must serve")
+    // an EXTRA equality changes the joined row set: fall through
+    assert(!served("SELECT g1, g2, COUNT(*) AS n FROM graft.mvspec.sf " +
+      "f JOIN graft.mvspec.sd1 d1 ON f.a = d1.pk JOIN " +
+      "graft.mvspec.sd2 d2 ON f.b = d2.pk2 AND f.a = d2.pk2 " +
+      "GROUP BY g1, g2"), "an extra equality must fall through")
+    // a SUBSET of the dims is a different join: fall through
+    assert(!served("SELECT g1, COUNT(*) AS n FROM graft.mvspec.sf f " +
+      "JOIN graft.mvspec.sd1 d1 ON f.a = d1.pk GROUP BY g1"),
+      "a dim-subset join must fall through")
   }
 
   test("create REFUSES a value column the DECIMAL(18,2) fold cannot " +
