@@ -362,6 +362,14 @@ object MatView {
     * transplant the view serves and refreshes against the PARENT: the
     * dev dashboard follows its table into production for free. */
   def transplant(s: SparkSession, mv: String): Long = {
+    // a join/extrema view has no single transplantable cursor (multiple
+    // dim timelines / a recompute-bound contract) — refuse with the
+    // SPECIFIC reason, not readDef's generic not-a-fold-MV message
+    require(!fs(s, joinDefPath(mv)).exists(joinDefPath(mv)) &&
+      !fs(s, extremaDefPath(mv)).exists(extremaDefPath(mv)),
+      s"$mv: transplant applies to fold MVs only — join and extrema " +
+        "views track multiple or recompute-bound cursors; recompute " +
+        "them on the parent instead")
     val d = readDef(s, mv)
     val parent = parentOf(d.base)
     val leaf = d.base.drop(parent.length + "/_branches/".length)
@@ -412,19 +420,24 @@ object MatView {
     * parquet resolution throws inside the rule's NonFatal guard). */
   private def feedRefsE(s: SparkSession, base: String, last: Long,
       head: Long): Either[String, Seq[String]] = {
-    val per = (last + 1 to head).map { v =>
+    // short-circuit at the FIRST feed-less content change: this runs
+    // on the optimizer path, and a cursor 1000 commits behind a
+    // feed-less write must cost one manifest read, not 1000
+    val acc = Seq.newBuilder[String]
+    var bad: Option[String] = None
+    val it = (last + 1 to head).iterator
+    while (bad.isEmpty && it.hasNext) {
+      val v = it.next()
       val m = TxnTable.manifest(s, base, v)
-      if (m.cdcRefs.nonEmpty) Right(m.cdcRefs.map(r => s"$base/$r"))
+      if (m.cdcRefs.nonEmpty) acc ++= m.cdcRefs.map(r => s"$base/$r")
       else if (ContentInvariantOps(m.op) ||
-        m.metrics.get("change_noop").contains(1L))
-        Right(Nil)
-      else Left(s"$base version $v ('${m.op}') changed content " +
+        m.metrics.get("change_noop").contains(1L)) ()
+      else bad = Some(s"$base version $v ('${m.op}') changed content " +
         "without publishing a change feed; incremental refresh cannot " +
         "cover it — recompute the MV (drop + create), or write " +
         "through the cdc-publishing paths")
     }
-    per.collectFirst { case Left(bad) => bad }
-      .toLeft(per.collect { case Right(rs) => rs }.flatten)
+    bad.toLeft(acc.result())
   }
 
   /** [[feedRefsE]] for the REFRESH paths, where failure must be loud:
@@ -657,6 +670,13 @@ object MatView {
     require(dims.nonEmpty, "a join MV needs at least one dim")
     require(dims.map(_.dim).distinct.size == dims.size,
       "join-MV dims repeat a table")
+    // a self-star (fact as its own dim) would refuse refresh FOREVER:
+    // any fact commit moves the "dim" head with a non-invariant op —
+    // an MV no change can ever refresh is a bug at the call site
+    require(!dims.exists(_.dim == fact),
+      "join-MV dims must not include the fact table itself — every " +
+        "fact commit would trip the dim-content refusal and the view " +
+        "could never refresh")
     val fv = TxnTable.currentVersion(s, fact)
     val dvs = dims.map(r => TxnTable.currentVersion(s, r.dim))
     val fsnap = TxnTable.snapshot(s, fact, fv)
@@ -696,15 +716,26 @@ object MatView {
     * given versions and project the grouping keys (from their owning
     * aliases) plus `extra` fact-side columns. The inner joins drop
     * unmatched fact keys — exactly the base join's semantics — and the
-    * result is feed-sized ⋈ dims, never O(fact). */
+    * result is feed-sized ⋈ dims, never O(fact). Key ownership resolves
+    * against the SAME pinned snapshots being joined (one construction
+    * each), so a dim schema drift since create refuses with its own
+    * message instead of a misleading create-time one. */
   private def enrichWithDims(s: SparkSession, d: MvJoinDef,
       feed: DataFrame, dimVers: Seq[Long],
       extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val owner = keyOwnership(s, d)
-    d.dims.zipWithIndex.foldLeft(feed.alias("f")) {
-      case (acc, (r, i)) =>
-        acc.join(TxnTable.snapshot(s, r.dim, dimVers(i)).alias(s"d$i"),
-          col(s"f.${r.factKey}") === col(s"d$i.${r.dimKey}"))
+    val dimSnaps = d.dims.indices.map(i =>
+      TxnTable.snapshot(s, d.dims(i).dim, dimVers(i)))
+    val owner = d.keys.map { k =>
+      val owners = dimSnaps.indices.filter(i =>
+        dimSnaps(i).columns.contains(k))
+      require(owners.size == 1, s"join-MV key '$k' no longer lives in " +
+        s"exactly one dim (found in ${owners.size} — the dim schemas " +
+        "drifted since create); recompute the MV (drop + create)")
+      k -> owners.head
+    }.toMap
+    d.dims.indices.foldLeft(feed.alias("f")) { (acc, i) =>
+      acc.join(dimSnaps(i).alias(s"d$i"),
+        col(s"f.${d.dims(i).factKey}") === col(s"d$i.${d.dims(i).dimKey}"))
     }.select(d.keys.map(k => col(s"d${owner(k)}.$k").as(k)) ++ extra: _*)
   }
 

@@ -167,13 +167,15 @@ case class GraftMvRewriteRule(session: SparkSession)
       df.filter(org.apache.spark.sql.GraftSqlBridge.column(remapped))
     }
 
-  /** Flatten a tree of INNER joins over bare catalog relations into
-    * (relations, equality conjuncts, above-join filter predicates).
-    * Any alias wrapper unwraps; Filters anywhere above/between inner
-    * joins collect (they are conjunctive over the same row set, so
-    * position is irrelevant); join conditions split into conjuncts.
-    * Anything else — an outer join, a per-side Filter/Project under a
-    * relation wrapper, a non-relation leaf — returns None. */
+  /** Flatten a tree of INNER joins over catalog relations into
+    * (relations, equality conjuncts, filter predicates). Any alias
+    * wrapper unwraps; Filters ANYWHERE in the tree collect — above,
+    * between, or directly over a relation (the DataFrame-API
+    * `dim.filter(...).join(fact, …)` shape): over all-inner joins a
+    * filter's position is semantically irrelevant, so they are gated
+    * UNIFORMLY by the caller's key-only qualification, never by where
+    * they sat. Anything else — an outer join, a Project, a
+    * non-relation leaf — returns None. */
   private def flattenJoin(p: LogicalPlan)
       : Option[(Seq[DataSourceV2Relation], Seq[Expression],
         Seq[Expression])] = p match {
@@ -204,9 +206,11 @@ case class GraftMvRewriteRule(session: SparkSession)
     * BIJECT with the definition's fact→dim equalities — exactly one
     * conjunct per dim, no leftovers (an extra equality would change the
     * joined row set; a missing one makes the query a cross product the
-    * MV never materialized). Per-side filters never serve (the fold
-    * already merged those rows away); ABOVE-join predicates that
-    * reference only dim KEY columns select whole groups and qualify.
+    * MV never materialized). Filter predicates from ANYWHERE in the
+    * tree qualify uniformly: only those referencing dim KEY columns
+    * alone serve (they select whole groups — positionally irrelevant
+    * over inner joins); anything touching the fact or a non-key dim
+    * column falls through.
     * Freshness needs EVERY log: the fact tail compensates from
     * published feeds (each signed row re-joined to the dims), while
     * ANY dim content change past its cursor disqualifies — a moved dim
@@ -366,6 +370,7 @@ case class GraftMvRewriteRule(session: SparkSession)
           fcoalesce(fsum(fcol("nn")), flit(0L)).as("nn"),
           fmin(fcol("vmin")).as("vmin"), fmax(fcol("vmax")).as("vmax"))
     substitute(aggExprs, keyAttrs, mvDf.queryExecution.analyzed,
+      Seq("n", "nn", "vmin", "vmax"),
       (ae, byName) => ae.aggregateFunction match {
         case Count(Seq(_: Literal)) => castTo(byName("n"), ae.dataType)
         case Count(_) => castTo(byName("nn"), ae.dataType)
@@ -414,9 +419,15 @@ case class GraftMvRewriteRule(session: SparkSession)
     * ids survive for operators resolved above (HAVING, ORDER BY). */
   private def substitute(aggExprs: Seq[NamedExpression],
       keyAttrs: Seq[AttributeReference], mvPlan: LogicalPlan,
+      needed: Seq[String],
       arm: (AggregateExpression, Map[String, Attribute]) => Expression)
       : Option[LogicalPlan] = {
     val byName = mvPlan.output.map(a => a.name -> a).toMap
+    // the arm's fold columns must all be present — a typed fall-through
+    // here, not a NoSuchElementException eaten by the NonFatal guard
+    // (which would silently revert every query to base scans with zero
+    // signal if a frame construction ever drops a column)
+    if (!needed.forall(byName.contains)) return None
     val mvKeyOf: Map[Long, Attribute] = keyAttrs.flatMap(a =>
       byName.get(a.name).map(a.exprId.id -> _)).toMap
     if (mvKeyOf.size != keyAttrs.size) return None
@@ -520,6 +531,7 @@ case class GraftMvRewriteRule(session: SparkSession)
     // aggregate's result type), each group key → its MV column; outer
     // expressions (casts, arithmetic) survive untouched
     substitute(aggExprs, keyAttrs, mvDf.queryExecution.analyzed,
+      Seq("n", "nn", "total"),
       (ae, byName) => ae.aggregateFunction match {
         case Count(Seq(_: Literal)) => castTo(byName("n"), ae.dataType)
         case Count(_) => castTo(byName("nn"), ae.dataType)

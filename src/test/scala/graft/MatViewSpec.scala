@@ -17,6 +17,29 @@ class MatViewSpec extends SparkSpec {
     dir
   }
 
+  /** "Served from the MV" = the OPTIMIZED plan holds no catalog (v2)
+    * relation and every parquet root lives under the MV path — the one
+    * plan-inspection contract every rewrite test checks. */
+  private def planServedFrom(df: org.apache.spark.sql.DataFrame,
+      mv: String): Boolean = {
+    val p = df.queryExecution.optimizedPlan
+    val hasV2 = p.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation => r
+    }.nonEmpty
+    val roots = p.collect {
+      case l: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => l.relation match {
+        case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+    !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
+  }
+
   private def baseDf(n: Int) = {
     val s = spark
     import s.implicits._
@@ -573,24 +596,7 @@ class MatViewSpec extends SparkSpec {
     val mv = fresh("mv_mk_view")
     MatView.create(spark, mv, loc, Seq("g", "h"), "v")
     MatView.register(spark, mv)
-    def served(q: String): Boolean = {
-      val p = s.sql(q).queryExecution.optimizedPlan
-      val hasV2 = p.collect {
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2ScanRelation => r
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2Relation => r
-      }.nonEmpty
-      val roots = p.collect {
-        case l: org.apache.spark.sql.execution.datasources
-            .LogicalRelation => l.relation match {
-          case h: org.apache.spark.sql.execution.datasources
-              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
-          case _ => Nil
-        }
-      }.flatten
-      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
-    }
+    def served(q: String): Boolean = planServedFrom(s.sql(q), mv)
     // both key orders rewrite; a SUBSET grouping serves by ROLLUP (the
     // fold is summable — one more aggregation of MV rows answers the
     // coarser grouping exactly), including the GLOBAL aggregate; a
@@ -679,24 +685,7 @@ class MatViewSpec extends SparkSpec {
     val mv = fresh("mv_fk_view")
     MatView.create(spark, mv, loc, Seq("g", "h"), "v")
     MatView.register(spark, mv)
-    def served(q: String): Boolean = {
-      val p = s.sql(q).queryExecution.optimizedPlan
-      val hasV2 = p.collect {
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2ScanRelation => r
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2Relation => r
-      }.nonEmpty
-      val roots = p.collect {
-        case l: org.apache.spark.sql.execution.datasources
-            .LogicalRelation => l.relation match {
-          case h: org.apache.spark.sql.execution.datasources
-              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
-          case _ => Nil
-        }
-      }.flatten
-      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
-    }
+    def served(q: String): Boolean = planServedFrom(s.sql(q), mv)
     // predicate on the grouped key
     assert(served("SELECT g, COUNT(*) AS n, SUM(v) AS t " +
       "FROM graft.mvspec.fk WHERE g = 'A' GROUP BY g"),
@@ -793,24 +782,7 @@ class MatViewSpec extends SparkSpec {
     MatView.createJoin(spark, mv, factLoc, dimLoc, "fk", "pk",
       Seq("seg"), "v")
     MatView.registerJoin(spark, mv)
-    def served(q: String): Boolean = {
-      val p = s.sql(q).queryExecution.optimizedPlan
-      val hasV2 = p.collect {
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2ScanRelation => r
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2Relation => r
-      }.nonEmpty
-      val roots = p.collect {
-        case l: org.apache.spark.sql.execution.datasources
-            .LogicalRelation => l.relation match {
-          case h: org.apache.spark.sql.execution.datasources
-              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
-          case _ => Nil
-        }
-      }.flatten
-      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
-    }
+    def served(q: String): Boolean = planServedFrom(s.sql(q), mv)
     def direct() = TxnTable.snapshot(spark, factLoc).alias("f")
       .join(TxnTable.snapshot(spark, dimLoc).alias("d"),
         col("f.fk") === col("d.pk"))
@@ -1075,24 +1047,7 @@ class MatViewSpec extends SparkSpec {
     val mv = fresh("mv_ex_view")
     MatView.createExtrema(spark, mv, loc, Seq("g", "h"), "v")
     MatView.registerExtrema(spark, mv)
-    def served(q: String): Boolean = {
-      val p = s.sql(q).queryExecution.optimizedPlan
-      val hasV2 = p.collect {
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2ScanRelation => r
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2Relation => r
-      }.nonEmpty
-      val roots = p.collect {
-        case l: org.apache.spark.sql.execution.datasources
-            .LogicalRelation => l.relation match {
-          case h: org.apache.spark.sql.execution.datasources
-              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
-          case _ => Nil
-        }
-      }.flatten
-      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
-    }
+    def served(q: String): Boolean = planServedFrom(s.sql(q), mv)
     val q = "SELECT g, h, COUNT(*) AS n, COUNT(v) AS nn, MIN(v) AS lo, " +
       "MAX(v) AS hi FROM graft.mvspec.ex GROUP BY g, h"
     assert(served(q), "the exact extrema shape must serve")
@@ -1159,24 +1114,7 @@ class MatViewSpec extends SparkSpec {
     val mv = fresh("mv_hv_view")
     MatView.create(spark, mv, loc, "g", "v")
     MatView.register(spark, mv)
-    def served(q: String): Boolean = {
-      val p = s.sql(q).queryExecution.optimizedPlan
-      val hasV2 = p.collect {
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2ScanRelation => r
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2Relation => r
-      }.nonEmpty
-      val roots = p.collect {
-        case l: org.apache.spark.sql.execution.datasources
-            .LogicalRelation => l.relation match {
-          case h: org.apache.spark.sql.execution.datasources
-              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
-          case _ => Nil
-        }
-      }.flatten
-      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
-    }
+    def served(q: String): Boolean = planServedFrom(s.sql(q), mv)
     // HAVING analyzes as a Filter ABOVE the Aggregate on the agg's own
     // output ids — the substitution preserves every id, so the whole
     // pipeline (HAVING + ORDER BY + LIMIT) rides the rewritten plan
@@ -1337,24 +1275,7 @@ class MatViewSpec extends SparkSpec {
       MatView.MvDimRef(s"$w/mvspec/sd2", "b", "pk2")),
       Seq("g1", "g2"), "v")
     MatView.registerJoin(spark, mv)
-    def served(q: String): Boolean = {
-      val p = s.sql(q).queryExecution.optimizedPlan
-      val hasV2 = p.collect {
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2ScanRelation => r
-        case r: org.apache.spark.sql.execution.datasources.v2
-            .DataSourceV2Relation => r
-      }.nonEmpty
-      val roots = p.collect {
-        case l: org.apache.spark.sql.execution.datasources
-            .LogicalRelation => l.relation match {
-          case h: org.apache.spark.sql.execution.datasources
-              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
-          case _ => Nil
-        }
-      }.flatten
-      !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
-    }
+    def served(q: String): Boolean = planServedFrom(s.sql(q), mv)
     // every tree shape and order serves
     val shapes = Seq(
       "graft.mvspec.sf f JOIN graft.mvspec.sd1 d1 ON f.a = d1.pk " +
@@ -1385,6 +1306,24 @@ class MatViewSpec extends SparkSpec {
     assert(served("SELECT g2, COUNT(*) AS n FROM " + shapes.head +
       " WHERE g1 = 'P' GROUP BY g2"),
       "the cross-dim filtered rollup must serve")
+    // the DataFrame-API dim-side filter (Filter directly over the dim
+    // relation): positionally irrelevant over inner joins, so it is
+    // gated and served exactly like the above-join WHERE
+    val dfSide = s.table("graft.mvspec.sd1").alias("d1")
+      .filter(col("g1") === "P")
+      .join(s.table("graft.mvspec.sf").alias("f"),
+        col("f.a") === col("d1.pk"))
+      .join(s.table("graft.mvspec.sd2").alias("d2"),
+        col("f.b") === col("d2.pk2"))
+      .groupBy(col("g2")).agg(count(lit(1)).as("n"))
+    assert(planServedFrom(dfSide, mv),
+      "a dim-side key filter (DataFrame shape) must serve")
+    val sideGot = dfSide.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val sideDirect = s.sql("SELECT g2, COUNT(*) AS n FROM " +
+      shapes.head + " WHERE g1 = 'P' GROUP BY g2").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sideGot === sideDirect, "dim-side filter serve diverged")
     // an EXTRA equality changes the joined row set: fall through
     assert(!served("SELECT g1, g2, COUNT(*) AS n FROM graft.mvspec.sf " +
       "f JOIN graft.mvspec.sd1 d1 ON f.a = d1.pk JOIN " +
