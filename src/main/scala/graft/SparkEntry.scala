@@ -73,6 +73,7 @@ object SparkEntry {
     "sql_mv_delta"            -> (SqlSurface.mvDelta _),
     "sql_mv_rollup"           -> (SqlSurface.mvRollup _),
     "sql_mv_filter"           -> (SqlSurface.mvFilter _),
+    "sql_mv_distinct"         -> (SqlSurface.mvDistinct _),
     "sql_mv_join"             -> (SqlSurface.mvJoin _),
     "sql_mv_extrema"          -> (SqlSurface.mvExtrema _),
     "sql_mv_star"             -> (SqlSurface.mvStar _),
@@ -1480,6 +1481,21 @@ object SparkEntry {
         |SELECT st, COUNT(*) AS n, COUNT(p) AS nn,
         |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS rollup_ok
         |FROM fin GROUP BY st""".stripMargin,
+    // the per-day distinct-users rollup over the moved base: every
+    // cust%10 user's rows deleted, +900000 users born on 17|k,
+    // repricing +11 on 7|k survivors (sums move, distincts don't)
+    "sql_mv_distinct" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderpriority AS day,
+        |    o_custkey AS cust,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |fin AS (SELECT day, cust, CASE WHEN k % 7 = 0
+        |      THEN CAST(p + 11 AS DECIMAL(12,2)) ELSE p END AS p
+        |  FROM b WHERE cust % 10 <> 0
+        |  UNION ALL SELECT day, cust + 900000, p FROM b
+        |    WHERE k % 17 = 0)
+        |SELECT day, COUNT(DISTINCT cust) AS users, COUNT(*) AS n,
+        |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS mvdc_ok
+        |FROM fin GROUP BY day""".stripMargin,
     // the final joined aggregate: fact deletes 6|k + inserts for 9|k
     // (shifted keys, same customer), dim segment reassignment for
     // 10|custkey — the oracle replays the star join

@@ -678,6 +678,100 @@ object SqlSurface {
     s.sql(qRollup).withColumn("mvf_ok", lit(ok))
   }
 
+  /** sql_mv_distinct: EXACT COUNT(DISTINCT key-column) served from the
+    * fold MV — the "distinct users per day" dashboard. MV rows are one
+    * per LIVE key combination (create materializes present groups,
+    * refresh op-'D's emptied ones, compensation filters n != 0), so the
+    * distinct non-null `cust` values within any coarser group are
+    * exactly count_distinct(cust) over the MV's own rows: NO new fold
+    * state, no base-wide distinct expand — a (day, cust) view answers
+    * per-day users, global users, and mixed COUNT(*)/SUM alongside, at
+    * O(MV). Four phases pinned by optimized-plan scan roots: (1) fresh
+    * → MV alone, == direct; (2) one cdc batch, never refreshed (every
+    * cust%10 user deleted row-complete — their groups telescope to
+    * n = 0 and must LEAVE the distinct count — plus brand-new +900000
+    * users and repricings that move sums but not distincts) → MV +
+    * `_cdc` only, == a direct recompute of the moved base; (3) the
+    * GLOBAL distinct rolls up on the same plane; (4) COUNT(DISTINCT
+    * price) — the VALUE column — falls through to the base scan: the
+    * fold collapsed those rows and keeps no value multiset. Hashed
+    * output = the stale per-day query; the oracle replays the change
+    * algebra. At 100 TB: the distinct-users pane costs an MV read —
+    * the one dashboard aggregate that otherwise forces a base-wide
+    * shuffle of every user id. */
+  def mvDistinct(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mvdc_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mvdc_orders (
+      o_orderkey BIGINT, day STRING, cust BIGINT, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvdc_orders
+      SELECT o_orderkey, o_orderpriority, o_custkey,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_distinct")
+    graft.operators.MatView.create(s, mv, loc, Seq("day", "cust"),
+      "price")
+    graft.operators.MatView.register(s, mv)
+    val q = """SELECT day, COUNT(DISTINCT cust) AS users, COUNT(*) AS n,
+      CAST(SUM(price) AS DOUBLE) AS total
+      FROM graft.q.mvdc_orders GROUP BY day"""
+    val qGlobal =
+      "SELECT COUNT(DISTINCT cust) AS users FROM graft.q.mvdc_orders"
+    val qValue = """SELECT day, COUNT(DISTINCT price) AS prices
+      FROM graft.q.mvdc_orders GROUP BY day"""
+    import org.apache.spark.sql.functions.{col, count, countDistinct, sum}
+    def direct() = graft.operators.TxnTable.snapshot(s, loc)
+      .groupBy(col("day"))
+      .agg(countDistinct(col("cust")).as("users"), count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    def got() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // phase 1: FRESH — the distinct rollup serves from the MV alone
+    val pFresh = scanSrcsOf(s, q)
+    val servedFresh = pFresh.nonEmpty && pFresh.forall(_.contains(mv)) &&
+      got() == direct()
+    // phase 2: one cdc batch, never refreshed — every row of cust%10
+    // users deleted (those users must LEAVE the per-day distinct count:
+    // their MV groups telescope to n=0 and the compensation filters
+    // them), brand-new +900000 users inserted on every 17th key, every
+    // 7th surviving row repriced (+11: sums move, distincts don't)
+    val ch = s.sql("""SELECT o_orderkey, o_orderpriority AS day,
+        o_custkey AS cust, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+        'D' AS op
+      FROM orders WHERE o_custkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, o_custkey,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 11 AS DECIMAL(12,2)),
+        'U'
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_custkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderkey + 600000000, o_orderpriority,
+        o_custkey + 900000, CAST(o_totalprice AS DECIMAL(12,2)), 'U'
+      FROM orders WHERE o_orderkey % 17 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, loc, ch, "o_orderkey",
+      cdc = true)
+    def mvFeedOnly(ps: Seq[String]) = ps.nonEmpty &&
+      ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
+      ps.exists(_.contains(mv)) && ps.exists(_.contains(s"$loc/_cdc"))
+    val pStale = scanSrcsOf(s, q)
+    val servedStale = mvFeedOnly(pStale) && got() == direct()
+    // phase 3: the GLOBAL distinct (rollup to no keys) — same plane
+    val pGlobal = scanSrcsOf(s, qGlobal)
+    val gotG = s.sql(qGlobal).collect()(0).getLong(0)
+    val dirG = graft.operators.TxnTable.snapshot(s, loc)
+      .agg(countDistinct(col("cust"))).collect()(0).getLong(0)
+    val servedGlobal = mvFeedOnly(pGlobal) && gotG == dirG
+    // phase 4: COUNT(DISTINCT price) — the VALUE column: the fold
+    // collapsed those rows and keeps no value multiset, so the query
+    // must fall through to the base scan
+    val pValue = scanSrcsOf(s, qValue)
+    val fellThrough = pValue.exists(p => p.contains(loc) ||
+      p.startsWith("v2:")) && !pValue.exists(_.contains(mv))
+    val ok = servedFresh && servedStale && servedGlobal && fellThrough
+    s.sql(q).withColumn("mvdc_ok", lit(ok))
+  }
+
   /** sql_mv_join: MATERIALIZED AGGREGATE OVER A JOIN — the q03/q06
     * dashboard shape (fact ⋈ dim ON fact.fk = dim.pk, GROUP BY a dim
     * attribute, aggregate a fact measure) served from one join MV

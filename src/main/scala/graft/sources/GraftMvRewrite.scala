@@ -30,9 +30,13 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * the MV's own rows (key predicates select whole groups — the
   * `WHERE status = 'F' GROUP BY status` dashboard shape, including
   * predicates on keys the query doesn't group by, applied before the
-  * rollup). COUNT(DISTINCT …), filter clauses, COUNT of a non-fold
-  * column, extra grouping keys, or a Filter touching any NON-key
-  * column disqualify; ANY error while probing
+  * rollup). COUNT(DISTINCT c) where c is a KEY column serves with no
+  * new fold state — MV rows are one per live key combination, so
+  * count_distinct over the MV's own rows IS the base's distinct count
+  * (the "distinct users per day" shape at O(MV)); a distinct count of
+  * the value or any non-key column, filter clauses, COUNT of a
+  * non-fold column, extra grouping keys, or a Filter touching any
+  * NON-key column disqualify; ANY error while probing
   * the MV (deleted directory, vacuumed cursor) also just disqualifies
   * — the rewrite only ever fires when the MV provably holds the
   * answer, and can never fail a query that would otherwise run. At
@@ -468,7 +472,26 @@ case class GraftMvRewriteRule(session: SparkSession)
     // O(MV) — never O(base)
     val keyAttrs = groupKeyAttrs(groups, keys, keyOwned)
       .getOrElse(return None)
-    val rollup = keyAttrs.size < keys.size
+    // COUNT(DISTINCT c) where c is an MV KEY column is answerable with
+    // NO new fold state: MV rows are exactly one per live key
+    // combination (create materializes present groups, refresh op-'D's
+    // emptied ones, compensation filters n != 0), so the distinct
+    // non-null c values within any coarser group are exactly
+    // count_distinct(c) over the MV's own rows — the "distinct users
+    // per day" dashboard at O(MV), never a base-wide expand. A distinct
+    // count of the VALUE column (or any non-key) can never serve: the
+    // fold collapsed those rows and keeps no value multiset.
+    val dcols: Seq[String] = aggExprs.flatMap(_.collect {
+      case ae: AggregateExpression if ae.isDistinct =>
+        ae.aggregateFunction match {
+          case Count(Seq(a: AttributeReference)) => Seq(a.name)
+          case _ => Nil
+        }
+    }.flatten).distinct
+    // the derived columns ride the rollup frame under generated names;
+    // a user key that happens to collide falls through (never misbinds)
+    if (dcols.exists(c => keys.contains(s"gdc_$c"))) return None
+    val rollup = keyAttrs.size < keys.size || dcols.nonEmpty
     // every aggregate in the output must be answerable from the fold:
     // COUNT(<non-null literal>) → n, COUNT(def.value) → nn,
     // SUM(def.value) → total with null-skipping reconstructed from nn,
@@ -487,8 +510,18 @@ case class GraftMvRewriteRule(session: SparkSession)
       case _ => false
     }
     def answerable(e: Expression): Boolean = e match {
+      case ae: AggregateExpression if ae.isDistinct =>
+        // distinct-count of a KEY column only — bare attribute (a cast
+        // could merge values the base kept distinct), no filter clause,
+        // gated on the declared count family like every count
+        ae.filter.isEmpty && (ae.aggregateFunction match {
+          case Count(Seq(a: AttributeReference)) =>
+            keys.contains(a.name) && keyOwned(a) &&
+              aggsSet.contains("count")
+          case _ => false
+        })
       case ae: AggregateExpression =>
-        !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        ae.filter.isEmpty && (ae.aggregateFunction match {
           case Count(Seq(l: Literal)) =>
             l.value != null && aggsSet.contains("count")
           case Count(Seq(c)) =>
@@ -518,21 +551,27 @@ case class GraftMvRewriteRule(session: SparkSession)
     val mvDf =
       if (!rollup) mvDf0
       else {
-        import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, lit => flit, sum => fsum}
+        import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, count_distinct => fcountd, lit => flit, sum => fsum}
         // counts coalesce to 0 for the empty-MV GLOBAL aggregate (one
         // row with NULL sums, where COUNT(*) must answer 0); total
-        // stays NULL there — which is exactly SUM-over-nothing
+        // stays NULL there — which is exactly SUM-over-nothing.
+        // count_distinct skips NULL key values exactly like the base's
+        // COUNT(DISTINCT c) skips NULL rows (and answers 0 over nothing)
+        val folds = Seq(fcoalesce(fsum(fcol("n")), flit(0L)).as("n"),
+          fcoalesce(fsum(fcol("nn")), flit(0L)).as("nn"),
+          fsum(fcol("total")).as("total")) ++
+          dcols.map(c => fcountd(fcol(c)).as(s"gdc_$c"))
         mvDf0.groupBy(keyAttrs.map(a => fcol(a.name)): _*)
-          .agg(fcoalesce(fsum(fcol("n")), flit(0L)).as("n"),
-            fcoalesce(fsum(fcol("nn")), flit(0L)).as("nn"),
-            fsum(fcol("total")).as("total"))
+          .agg(folds.head, folds.tail: _*)
       }
     // substitute: AggregateExpressions → the fold columns (cast to the
     // aggregate's result type), each group key → its MV column; outer
     // expressions (casts, arithmetic) survive untouched
     substitute(aggExprs, keyAttrs, mvDf.queryExecution.analyzed,
-      Seq("n", "nn", "total"),
+      Seq("n", "nn", "total") ++ dcols.map(c => s"gdc_$c"),
       (ae, byName) => ae.aggregateFunction match {
+        case Count(Seq(a: AttributeReference)) if ae.isDistinct =>
+          castTo(byName(s"gdc_${a.name}"), ae.dataType)
         case Count(Seq(_: Literal)) => castTo(byName("n"), ae.dataType)
         case Count(_) => castTo(byName("nn"), ae.dataType)
         case _: Sum =>

@@ -751,6 +751,94 @@ class MatViewSpec extends SparkSpec {
       "the feed-born group must surface and the emptied one must leave")
   }
 
+  test("distinct-count rewrite: COUNT(DISTINCT key-column) serves from " +
+      "the MV's own rows; value/non-key distincts and an undeclared " +
+      "count fall through; deletion keeps it exact") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.dk")
+    s.sql("CREATE TABLE graft.mvspec.dk (k BIGINT, g STRING, h BIGINT, " +
+      "v DECIMAL(12,2))")
+    // h takes 6 values, unevenly across g: distinct-per-group differs
+    s.sql("INSERT INTO graft.mvspec.dk SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'A' ELSE 'B' END, " +
+      "CASE WHEN id % 3 = 0 THEN id % 4 ELSE id % 6 END, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(240)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/dk"
+    val mv = fresh("mv_dk_view")
+    MatView.create(spark, mv, loc, Seq("g", "h"), "v")
+    MatView.register(spark, mv)
+    def served(q: String): Boolean = planServedFrom(s.sql(q), mv)
+    // the canonical shape, mixed with plain fold aggregates
+    val qMix = "SELECT g, COUNT(DISTINCT h) AS dh, COUNT(*) AS n, " +
+      "CAST(SUM(v) AS DOUBLE) AS t FROM graft.mvspec.dk GROUP BY g"
+    assert(served(qMix), "COUNT(DISTINCT key) must serve from the MV")
+    def gotMix = s.sql(qMix).collect().map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    def dirMix = TxnTable.snapshot(spark, loc).groupBy(col("g"))
+      .agg(countDistinct(col("h")).as("dh"), count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(gotMix === dirMix, "distinct rollup diverged from recompute")
+    // the global distinct, and a key-filtered distinct, both serve
+    assert(served("SELECT COUNT(DISTINCT h) AS dh FROM graft.mvspec.dk"))
+    assert(s.sql("SELECT COUNT(DISTINCT h) AS dh FROM graft.mvspec.dk")
+      .collect()(0).getLong(0) === 6L)
+    assert(served("SELECT g, COUNT(DISTINCT h) AS dh " +
+      "FROM graft.mvspec.dk WHERE g = 'A' GROUP BY g"))
+    // DISTINCT of a grouped key is degenerate but exact (1 per group)
+    assert(served("SELECT g, COUNT(DISTINCT g) AS dg " +
+      "FROM graft.mvspec.dk GROUP BY g"))
+    assert(s.sql("SELECT g, COUNT(DISTINCT g) AS dg " +
+      "FROM graft.mvspec.dk GROUP BY g").collect()
+      .forall(_.getLong(1) == 1L))
+    // the VALUE column (fold collapsed its multiset), a non-key, a
+    // cast around the key, and a filter clause all fall through
+    assert(!served("SELECT g, COUNT(DISTINCT v) AS dv " +
+      "FROM graft.mvspec.dk GROUP BY g"),
+      "value-column distinct must fall through")
+    assert(!served("SELECT g, COUNT(DISTINCT k) AS dk " +
+      "FROM graft.mvspec.dk GROUP BY g"),
+      "non-key distinct must fall through")
+    assert(!served("SELECT g, COUNT(DISTINCT CAST(h AS STRING)) AS dh " +
+      "FROM graft.mvspec.dk GROUP BY g"),
+      "a cast around the key must fall through")
+    assert(!served("SELECT g, COUNT(DISTINCT h) FILTER (WHERE h > 1) " +
+      "AS dh FROM graft.mvspec.dk GROUP BY g"),
+      "a filter clause must fall through")
+    // an MV declared WITHOUT the count family never answers distincts
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.dk2")
+    s.sql("CREATE TABLE graft.mvspec.dk2 (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.dk2 SELECT id, 'A', " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(10)")
+    val loc2 = s"${GraftCatalog.defaultWarehouse}/mvspec/dk2"
+    val mv2 = fresh("mv_dk2_view")
+    MatView.create(spark, mv2, loc2, Seq("g"), "v", aggs = Seq("sum"))
+    MatView.register(spark, mv2)
+    assert(!planServedFrom(s.sql("SELECT g, COUNT(DISTINCT g) AS dg " +
+      "FROM graft.mvspec.dk2 GROUP BY g"), mv2),
+      "an undeclared count family must not answer distincts")
+    // deletion keeps the distinct exact THROUGH compensation: delete
+    // every row of (g='B', h=5) — that h value must leave B's count —
+    // and insert a brand-new h=9 under 'A'; never refreshed
+    val ch = s.sql("SELECT k, g, h, v, 'D' AS op FROM graft.mvspec.dk " +
+      "WHERE g = 'B' AND h = 5 UNION ALL " +
+      "SELECT k + 1000, 'A', CAST(9 AS BIGINT), v, 'U' " +
+      "FROM graft.mvspec.dk WHERE k % 30 = 0")
+    TxnTable.applyChangesMor(spark, loc, ch, "k", cdc = true)
+    assert(gotMix === dirMix,
+      "compensated distinct diverged after delete + insert")
+    val dh = s.sql("SELECT g, COUNT(DISTINCT h) AS dh " +
+      "FROM graft.mvspec.dk GROUP BY g").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dh("B") === 3L, "the emptied h value must leave B's count")
+    assert(dh("A") === 5L, "the feed-born h value must join A's count")
+  }
+
   test("join MV: both join orientations serve; unmatched fact keys " +
       "fold to nothing; dim maintenance advances the cursor; a dim " +
       "content change refuses refresh and disqualifies serving") {
