@@ -77,6 +77,21 @@ object Probe {
           .as[(Long, Long)].collect().toSet
         val missed = brute -- cands
         println(s"EMBEDCOVER true=${brute.size} cands=${cands.size} missed=${missed.size} $missed")
+      case "gsets" =>
+        // resolved-plan shape of grouping-set aggregates (what the MV
+        // rewrite's tryGroupingSets must pattern-match)
+        spark.range(20).selectExpr("id AS k",
+          "CASE WHEN id % 3 = 0 THEN 'A' ELSE 'B' END AS g",
+          "id % 4 AS h", "CAST(id AS DECIMAL(12,2)) AS v")
+          .createOrReplaceTempView("gt")
+        for (q <- Seq(
+          "SELECT g, h, COUNT(*) AS n, SUM(v) AS t FROM gt GROUP BY ROLLUP(g, h)",
+          "SELECT g, h, COUNT(*) AS n FROM gt WHERE g = 'A' GROUP BY CUBE(g, h)",
+          "SELECT g, grouping(g) AS gg, grouping_id() AS gid, COUNT(*) FROM gt GROUP BY GROUPING SETS ((g), ())")) {
+          println(s"=== $q")
+          val an = spark.sql(q).queryExecution.analyzed
+          println(an.treeString)
+        }
       case other if SparkEntry.queries.contains(other) =>
         // run any registered query by name and surface its *_ok flags
         val df = SparkEntry.queries(other)(spark, d)

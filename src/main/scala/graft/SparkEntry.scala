@@ -74,6 +74,10 @@ object SparkEntry {
     "sql_mv_rollup"           -> (SqlSurface.mvRollup _),
     "sql_mv_filter"           -> (SqlSurface.mvFilter _),
     "sql_mv_distinct"         -> (SqlSurface.mvDistinct _),
+    "sql_mv_groupsets"        -> (SqlSurface.mvGroupSets _),
+    "sql_mv_show"             -> (SqlSurface.mvShow _),
+    "sql_mv_retention"        -> (SqlSurface.mvRetention _),
+    "sql_mv_timetravel"       -> (SqlSurface.mvTimeTravel _),
     "sql_mv_join"             -> (SqlSurface.mvJoin _),
     "sql_mv_extrema"          -> (SqlSurface.mvExtrema _),
     "sql_mv_star"             -> (SqlSurface.mvStar _),
@@ -142,6 +146,7 @@ object SparkEntry {
     "mm_frame_sample"         -> (Multimodal.frameSample _),
     "mm_payload_dedup"        -> (Multimodal.payloadDedup _),
     "mm_blob_retract"         -> (Multimodal.blobRetract _),
+    "mm_ref_gc"               -> (Multimodal.blobGc _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
     "q36_orc_roundtrip"       -> (StorageRoundtrip.orcRoundtrip _),
     "op_salted_join"          -> (SkewJoin.saltedOrdersBySegment _),
@@ -1481,6 +1486,38 @@ object SparkEntry {
         |SELECT st, COUNT(*) AS n, COUNT(p) AS nn,
         |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS rollup_ok
         |FROM fin GROUP BY st""".stripMargin,
+    // the mid-history time-travel read: batch 1's effect only (group
+    // 'P' deleted), batch 2's 'Z' group not yet born
+    "sql_mv_timetravel" ->
+      """WITH b AS (SELECT o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders)
+        |SELECT st, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
+        |  TRUE AS mvtt_ok
+        |FROM b WHERE st <> 'P' GROUP BY st""".stripMargin,
+    // the refreshed aggregate after a vacuum(1) that kept the feed
+    // tail: deletes 6|k, repricing +13 on 11|k survivors
+    "sql_mv_retention" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |fin AS (SELECT st, CASE WHEN k % 11 = 0
+        |      THEN CAST(p + 13 AS DECIMAL(12,2)) ELSE p END AS p
+        |  FROM b WHERE k % 6 <> 0)
+        |SELECT st, COUNT(*) AS n, COUNT(p) AS nn,
+        |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS mvrt_ok
+        |FROM fin GROUP BY st""".stripMargin,
+    // the final fleet listing is deterministic version arithmetic:
+    // cursor 3 (create@1, cdc@2, compact@3, refreshed), head 4 (the
+    // feed-less append), every view unservable — the mv paths are
+    // scratch-random and stay out of the hashed output
+    "sql_mv_show" ->
+      """SELECT * FROM (VALUES
+        |  ('extrema', FALSE, FALSE, CAST(3 AS BIGINT),
+        |   CAST(4 AS BIGINT), TRUE),
+        |  ('fold', FALSE, FALSE, CAST(3 AS BIGINT),
+        |   CAST(4 AS BIGINT), TRUE),
+        |  ('join', FALSE, FALSE, CAST(3 AS BIGINT),
+        |   CAST(4 AS BIGINT), TRUE))
+        |  AS t(kind, fresh, servable, cursor, head, show_ok)""".stripMargin,
     // the per-day distinct-users rollup over the moved base: every
     // cust%10 user's rows deleted, +900000 users born on 17|k,
     // repricing +11 on 7|k survivors (sums move, distincts don't)
@@ -1496,6 +1533,27 @@ object SparkEntry {
         |SELECT day, COUNT(DISTINCT cust) AS users, COUNT(*) AS n,
         |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS mvdc_ok
         |FROM fin GROUP BY day""".stripMargin,
+    // the three ROLLUP(st, pri) levels over the moved base, replayed
+    // as an explicit union of rollups (no engine grouping_id dialect
+    // dependence): deletes 6|k, repricing +7 on 11|k survivors, a
+    // feed-born (R, 9-NEW) group for 13|k
+    "sql_mv_groupsets" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_orderpriority AS pri,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |fin AS (SELECT st, pri, CASE WHEN k % 11 = 0
+        |      THEN CAST(p + 7 AS DECIMAL(12,2)) ELSE p END AS p
+        |  FROM b WHERE k % 6 <> 0
+        |  UNION ALL SELECT 'R', '9-NEW', p FROM b WHERE k % 13 = 0)
+        |SELECT st, pri, COUNT(*) AS n, COUNT(p) AS nn,
+        |  CAST(SUM(p) AS DOUBLE) AS total, CAST(0 AS BIGINT) AS gid,
+        |  TRUE AS gsets_ok FROM fin GROUP BY st, pri
+        |UNION ALL
+        |SELECT st, NULL, COUNT(*), COUNT(p), CAST(SUM(p) AS DOUBLE),
+        |  CAST(1 AS BIGINT), TRUE FROM fin GROUP BY st
+        |UNION ALL
+        |SELECT NULL, NULL, COUNT(*), COUNT(p), CAST(SUM(p) AS DOUBLE),
+        |  CAST(3 AS BIGINT), TRUE FROM fin""".stripMargin,
     // the final joined aggregate: fact deletes 6|k + inserts for 9|k
     // (shifted keys, same customer), dim segment reassignment for
     // 10|custkey — the oracle replays the star join
@@ -2444,6 +2502,22 @@ object SparkEntry {
         |SELECT pmd5, nrefs, nbytes, TRUE AS blob_ok FROM blobs
         |  WHERE pmd5 NOT IN (SELECT pmd5 FROM named)
         |UNION ALL SELECT pmd5, nrefs, nbytes, TRUE FROM recrawl""".stripMargin,
+    // the post-GC store: every class except the two GDPR-wiped ones,
+    // plus the re-crawled class at its re-ingested size
+    "mm_ref_gc" ->
+      """WITH items AS (SELECT doc_id,
+        |    'IMG:' || CAST(doc_id % 13 AS VARCHAR) || ':' ||
+        |      repeat('x', CAST((doc_id % 13) * 7 AS INT)) AS pay
+        |  FROM documents),
+        |blobs AS (SELECT md5(pay) AS pmd5, MIN(strlen(pay)) AS nbytes
+        |  FROM items GROUP BY 1),
+        |gone AS (SELECT DISTINCT md5(pay) AS pmd5 FROM items
+        |  WHERE doc_id % 13 IN (3, 7)),
+        |recrawl AS (SELECT DISTINCT md5(pay) AS pmd5,
+        |    strlen(pay) AS nbytes FROM items WHERE doc_id % 13 = 3)
+        |SELECT pmd5, nbytes, TRUE AS gc_ok FROM blobs
+        |  WHERE pmd5 NOT IN (SELECT pmd5 FROM gone)
+        |UNION ALL SELECT pmd5, nbytes, TRUE FROM recrawl""".stripMargin,
     // multimodal dedup: exact payload-hash keep-min + strided-frame
     // containment stats, both pure bytes->md5 arithmetic
     "mm_payload_dedup" ->

@@ -1379,6 +1379,111 @@ object MatView {
   private[graft] def registryEmpty: Boolean =
     registry.isEmpty && joinRegistry.isEmpty && extremaRegistry.isEmpty
 
+  /** The version pins an MV-RESPECTING retention pass hands to
+    * [[TxnTable.vacuum]] / [[TxnTable.expireSnapshots]] for `base`: for
+    * every registered view whose incremental contract folds this
+    * base's feed tail — fold and extrema views over it, join views
+    * with it as the FACT (join dims need only their snapshot at head,
+    * which retention always keeps) — the commits `(cursor, head]`, the
+    * exact range refresh and query-time compensation read. Pinned
+    * versions survive the window like tagged ones, so however
+    * aggressive the retention, the registered fleet's refreshes keep
+    * working — without this, ONE vacuum(1) on a busy base turns every
+    * stale view into a drop-and-recompute (at 100 TB: the full base
+    * scan the MV exists to avoid, destroyed by routine maintenance).
+    * A view whose cursor cannot be probed pins nothing — it is already
+    * recompute-only. O(views) header walks, no data reads; the SQL
+    * vacuum / expire_snapshots / vacuum_preview procedures include
+    * these pins automatically. */
+  def retentionPins(s: SparkSession, base: String): Set[Long] = {
+    import scala.jdk.CollectionConverters._
+    def pins(mv: String, b: String): Set[Long] =
+      try {
+        val mvVer = TxnTable.currentVersion(s, mv)
+        val cursor = cursorAt(s, mv, mvVer, "mv_base_version")
+        val head = TxnTable.currentVersion(s, b)
+        if (cursor >= head) Set.empty[Long]
+        else (cursor + 1 to head).toSet
+      } catch { case scala.util.control.NonFatal(_) => Set.empty[Long] }
+    val folds = registry.asScala.toSeq.collect {
+      case (b, (mv, _)) if b == base => pins(mv, b) }
+    val extremas = extremaRegistry.asScala.toSeq.collect {
+      case (b, (mv, _)) if b == base => pins(mv, b) }
+    val joins = joinRegistry.asScala.toSeq.collect {
+      case (_, (mv, d)) if d.fact == base => pins(mv, d.fact) }
+    (folds ++ extremas ++ joins).flatten.toSet
+  }
+
+  /** One registered view's LOG-decided status snapshot: its primary
+    * cursor (the fold/extrema base cursor; the FACT cursor for join
+    * views), that base's head, `fresh` (every cursor at its head) and
+    * `servable` — fresh, or stale in a way the view's own serving
+    * algebra provably covers: a feed-complete tail for fold views, a
+    * content-invariant tail for extrema, fact-feed-complete +
+    * dim-invariant tails for join views. */
+  case class MvStatus(mv: String, kind: String, fresh: Boolean,
+      servable: Boolean, cursor: Long, head: Long)
+
+  /** Every registered view whose definition involves `base` — fold and
+    * extrema views over it, join views where it is the fact or one of
+    * the dims — each probed against the LOG (O(tail headers) per view,
+    * never a data file). A view whose probe throws (vacuumed cursor,
+    * deleted directory) reports (fresh = false, servable = false,
+    * cursor = -1) instead of failing the listing: an operator asking
+    * "which views serve this table?" must see the broken one, not an
+    * exception. Powers the `graft.ns.t.matviews` metadata table. */
+  def statusFor(s: SparkSession, base: String): Seq[MvStatus] = {
+    import scala.jdk.CollectionConverters._
+    def guarded(mv: String, kind: String)(p: => MvStatus): MvStatus =
+      try p catch { case scala.util.control.NonFatal(_) =>
+        MvStatus(mv, kind, fresh = false, servable = false, -1L, -1L) }
+    def compensable(b: String, cursor: Long, head: Long): Boolean =
+      cursor == head ||
+        (cursor < head && feedRefsE(s, b, cursor, head).isRight)
+    val folds = registry.asScala.toSeq.collect {
+      case (b, (mv, d0)) if b == base => guarded(mv, "fold") {
+        val mvVer = TxnTable.currentVersion(s, mv)
+        val (dEff, cursor) = effectiveDef(s, mv, d0, mvVer)
+        val head = TxnTable.currentVersion(s, dEff.base)
+        MvStatus(mv, "fold", fresh = cursor == head,
+          servable = compensable(dEff.base, cursor, head), cursor, head)
+      }
+    }
+    val extremas = extremaRegistry.asScala.toSeq.collect {
+      case (b, (mv, _)) if b == base => guarded(mv, "extrema") {
+        val mvVer = TxnTable.currentVersion(s, mv)
+        val cursor = cursorAt(s, mv, mvVer, "mv_base_version")
+        val head = TxnTable.currentVersion(s, b)
+        MvStatus(mv, "extrema", fresh = cursor == head,
+          servable = cursor == head ||
+            (cursor < head && invariantTail(s, b, cursor, head)),
+          cursor, head)
+      }
+    }
+    val joins = joinRegistry.asScala.toSeq.collect {
+      case (_, (mv, d)) if d.fact == base ||
+          d.dims.exists(_.dim == base) => guarded(mv, "join") {
+        val mvVer = TxnTable.currentVersion(s, mv)
+        val cursor = cursorAt(s, mv, mvVer, "mv_base_version")
+        val head = TxnTable.currentVersion(s, d.fact)
+        val dimCursors = d.dims.indices.map(i =>
+          cursorAt(s, mv, mvVer, dimCursorMetric(i)))
+        val dimHeads = d.dims.map(r => TxnTable.currentVersion(s, r.dim))
+        val dimsFresh = d.dims.indices.forall(i =>
+          dimCursors(i) == dimHeads(i))
+        val dimsInvariant = d.dims.indices.forall(i =>
+          dimCursors(i) == dimHeads(i) ||
+            (dimCursors(i) < dimHeads(i) &&
+              invariantTail(s, d.dims(i).dim, dimCursors(i),
+                dimHeads(i))))
+        MvStatus(mv, "join", fresh = cursor == head && dimsFresh,
+          servable = compensable(d.fact, cursor, head) && dimsInvariant,
+          cursor, head)
+      }
+    }
+    (folds ++ extremas ++ joins).sortBy(st => (st.kind, st.mv))
+  }
+
   private def freshDir(name: String): String =
     graft.Fs.freshScratch("graft_mv", name)
 

@@ -230,6 +230,173 @@ object Multimodal {
       .withColumn("blob_ok", lit(ok))
   }
 
+  /** Outcome of one [[gcOrphans]] run: the store version after the GC
+    * commit (unchanged when nothing was orphaned), how many blobs were
+    * tombstoned, and the payload bytes they pin. */
+  case class GcResult(version: Long, orphans: Long, bytes: Long)
+
+  /** REFERENCE-COUNTED BLOB GC — the companion of [[blobRetract]]'s
+    * ingest dedup: documents reference payloads by content address
+    * (`pmd5`), documents get deleted over time (GDPR, dedup, quality
+    * filtering), and a blob whose referencing documents are ALL gone is
+    * an orphan eating the store forever — at 100 TB the orphan mass is
+    * real money. One GC pass: the LIVE set is the docs table's distinct
+    * `pmd5` (shuffled anti-join against the store — O(store + docrefs),
+    * the planner picks broadcast only when the live set is actually
+    * small), orphans are tombstoned with ONE merge-on-read all-'D'
+    * commit carrying its signed feed (`cdc = true` — downstream caches
+    * and indexes see the retraction like any other) and ZERO store
+    * data files rewritten. A store that MOVED while the orphan set was
+    * being computed refuses loudly (the version guard below, then
+    * applyChangesMor's own commit CAS from its entry onward) instead
+    * of deleting against a stale snapshot.
+    * The DOCS side has the classic collector race: a document inserted
+    * AFTER the live-set read but BEFORE the commit can reference a
+    * blob this pass tombstones — run GC as the store's only writer (a
+    * maintenance op, like compact), and the content-addressed re-crawl
+    * path ([[blobRetract]]'s sequenced-MoR rule) restores any payload
+    * by re-ingesting it. An empty orphan set commits nothing. */
+  def gcOrphans(s: SparkSession, docs: String, store: String)
+      : GcResult = {
+    val sv = TxnTable.currentVersion(s, store)
+    val live = TxnTable.snapshot(s, docs).select(col("pmd5"))
+      .filter(col("pmd5").isNotNull).distinct()
+    val orphanRows = TxnTable.snapshot(s, store, sv)
+      .join(live, Seq("pmd5"), "left_anti")
+    val agg = orphanRows.agg(count(lit(1)),
+      coalesce(sum(octet_length(col("payload"))), lit(0L))).collect()(0)
+    if (agg.getLong(0) == 0L) return GcResult(sv, 0L, 0L)
+    // the orphan set speaks about version sv; a store write since then
+    // must refuse — deleting coordinates computed against a moved
+    // snapshot is the one unforgivable collector bug. This guard closes
+    // the compute window; applyChangesMor's commit CAS covers
+    // everything from its own entry re-read onward, and the hairline
+    // between the two is owned by the documented single-writer contract
+    val now = TxnTable.currentVersion(s, store)
+    require(now == sv, s"$store moved ($sv -> $now) while the orphan " +
+      "set was computed — rerun the GC against the current snapshot")
+    val v = TxnTable.applyChangesMor(s, store,
+      orphanRows.withColumn("op", lit("D")), "pmd5", cdc = true)
+    GcResult(v, agg.getLong(0), agg.getLong(1))
+  }
+
+  /** mm_ref_gc: the blob store's GARBAGE COLLECTION lifecycle end to
+    * end — what keeps a content-addressed media store from growing
+    * monotonically at 100 TB. Two graft tables: `docs` (doc_id → pmd5
+    * content reference) and `store` (pmd5 → payload, ingested
+    * deduplicated — [[blobRetract]]'s shape). The document corpus then
+    * shrinks the two ways real pipelines shrink it: a GDPR wipe of two
+    * whole payload classes (every referencing doc deleted → those
+    * blobs become orphans) and a scattered quality cut (every 5th doc
+    * → every class keeps other refs). [[gcOrphans]] pass 1 tombstones
+    * EXACTLY the two orphaned blobs — `gc_ok` pins the orphan
+    * count/bytes accounting, the byte-verbatim carry of every store
+    * manifest entry, the signed feed naming exactly the orphans, and
+    * survivors sitting at their ORIGINAL `_metadata` coordinates
+    * (zero files rewritten). Pass 2 proves idempotence (no orphans, no
+    * commit, version unchanged). Then a RE-CRAWL re-ingests one wiped
+    * class (new doc + content-addressed re-append): the blob surfaces
+    * at a NEW coordinate (the old tombstone's seq can never name the
+    * fresh file), and GC pass 3 deletes nothing — the re-referenced
+    * blob is live again. Hashed output = the final store; the oracle
+    * replays the class arithmetic in DuckDB. At 100 TB: GC costs one
+    * anti-join + one tombstone commit per pass, never a store rewrite
+    * — and a collector that CAS-fails on concurrent writes instead of
+    * corrupting. */
+  def blobGc(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Fs.freshScratch("graft_mm", "gc_docs")
+    val store = graft.Fs.freshScratch("graft_mm", "gc_store")
+    val items = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("IMG:"), pmod(col("doc_id"), lit(13)), lit(":"),
+        repeat(lit("x"), pmod(col("doc_id"), lit(13)).cast("int") * 7))
+        .cast("binary").as("payload"))
+    val docRows = items.select(col("doc_id"),
+      md5(col("payload")).as("pmd5"))
+    TxnTable.commit(s, docs, TxnTable.stageIndexed(s, docs,
+      docRows.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")), Seq("doc_id"),
+      Seq("pmd5")), expected = -1L, op = "create",
+      schemaJson = docRows.schema.json, idxCols = Seq("doc_id"),
+      strIdxCols = Seq("pmd5"))
+    val blobs = items.groupBy(md5(col("payload")).as("pmd5"))
+      .agg(org.apache.spark.sql.functions.min(col("payload"))
+        .as("payload"))
+    TxnTable.commit(s, store, TxnTable.stageIndexed(s, store,
+      blobs.repartitionByRange(4, col("pmd5"))
+        .sortWithinPartitions(col("pmd5")), Nil, Seq("pmd5")),
+      expected = -1L, op = "create", schemaJson = blobs.schema.json,
+      strIdxCols = Seq("pmd5"))
+    val entries0 = TxnTable.manifest(s, store, 0L).entries
+      .map(TxnTable.render).toSet
+    val coords0 = TxnTable.snapshotWithCoords(s, store)
+      .select(col("pmd5"), col("__gcanon"), col("__gpos")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val nBlobs0 = coords0.size.toLong
+    // the corpus shrinks: GDPR-wipe classes 3 and 7 (docs deleted
+    // row-complete → their blobs orphan) + a scattered quality cut
+    // (5|doc_id — every class keeps other referencing docs)
+    val docDel = TxnTable.snapshot(s, docs)
+      .filter(pmod(col("doc_id"), lit(13)).isin(3, 7) ||
+        pmod(col("doc_id"), lit(5)) === 0)
+      .withColumn("op", lit("D"))
+    TxnTable.applyChangesMor(s, docs, docDel, "doc_id", cdc = true)
+    val orphanMd5 = items
+      .filter(pmod(col("doc_id"), lit(13)).isin(3, 7))
+      .select(md5(col("payload"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    val orphanBytes = items
+      .filter(pmod(col("doc_id"), lit(13)).isin(3, 7))
+      .select(md5(col("payload")).as("pmd5"),
+        octet_length(col("payload")).cast("long").as("nb"))
+      .distinct().agg(sum(col("nb"))).collect()(0).getLong(0)
+    // GC pass 1: exactly the two orphans, one tombstone commit
+    val g1 = gcOrphans(s, docs, store)
+    val m1 = TxnTable.manifest(s, store, g1.version)
+    val carried = m1.entries.map(TxnTable.render).toSet == entries0
+    val feedOk = m1.cdcRefs.nonEmpty && {
+      val f = s.read.parquet(m1.cdcRefs.map(r => s"$store/$r"): _*)
+      f.filter(col("w") === -1).count() == orphanMd5.size &&
+        f.count() == orphanMd5.size &&
+        f.select("pmd5").collect().map(_.getString(0)).toSet == orphanMd5
+    }
+    val coords1 = TxnTable.snapshotWithCoords(s, store)
+      .select(col("pmd5"), col("__gcanon"), col("__gpos")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val gc1Ok = g1.orphans == orphanMd5.size && g1.bytes == orphanBytes &&
+      coords1.subsetOf(coords0) &&
+      coords1.size == nBlobs0 - orphanMd5.size &&
+      !coords1.exists(c => orphanMd5.contains(c._1))
+    // GC pass 2: idempotent — nothing orphaned, nothing committed
+    val g2 = gcOrphans(s, docs, store)
+    val gc2Ok = g2.orphans == 0L && g2.bytes == 0L &&
+      g2.version == g1.version
+    // re-crawl: one wiped class comes back — a fresh doc reference plus
+    // the content-addressed re-ingest; the blob surfaces at a NEW
+    // coordinate and the next GC pass leaves it alone
+    val reDoc = items.filter(pmod(col("doc_id"), lit(13)) === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        md5(col("payload")).as("pmd5")).limit(1)
+    TxnTable.append(s, docs, reDoc.coalesce(1))
+    val reBlob = items.filter(pmod(col("doc_id"), lit(13)) === 3)
+      .groupBy(md5(col("payload")).as("pmd5"))
+      .agg(org.apache.spark.sql.functions.min(col("payload"))
+        .as("payload"))
+    TxnTable.append(s, store, reBlob.coalesce(1))
+    val reMd5 = reBlob.select("pmd5").collect()(0).getString(0)
+    val g3 = gcOrphans(s, docs, store)
+    val coords3 = TxnTable.snapshotWithCoords(s, store)
+      .select(col("pmd5"), col("__gcanon"), col("__gpos")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val recrawlOk = g3.orphans == 0L &&
+      coords3.exists(c => c._1 == reMd5 && !coords0.contains(c))
+    val ok = orphanMd5.size == 2 && carried && feedOk && gc1Ok &&
+      gc2Ok && recrawlOk
+    TxnTable.snapshot(s, store)
+      .select(col("pmd5"),
+        octet_length(col("payload")).cast("long").as("nbytes"))
+      .withColumn("gc_ok", lit(ok))
+  }
+
   /** Resize to fit a max edge, preserving aspect ratio — the arithmetic a
     * real resize kernel uses to pick its output buffer. */
   private def resizeDims(w: Int, h: Int, maxEdge: Int): (Int, Int) = {

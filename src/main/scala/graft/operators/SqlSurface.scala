@@ -772,6 +772,378 @@ object SqlSurface {
     s.sql(q).withColumn("mvdc_ok", lit(ok))
   }
 
+  /** sql_mv_show: the MATERIALIZED-VIEW FLEET as a queryable metadata
+    * table — `graft.ns.t.matviews` (GraftMaintenance.matviewsTable over
+    * MatView.statusFor), answering the operator's question "is my
+    * dashboard accelerated RIGHT NOW, and if not, why not" from
+    * manifest headers alone (a LocalScan — no jobs, no data files).
+    * One row per registered view involving the table — fold, extrema,
+    * and join (as fact or dim) — with the LOG-decided status the
+    * rewrite rule itself would decide: `fresh` (every cursor at its
+    * head) and `servable` (fresh, or stale in a way the view's serving
+    * algebra provably covers — feed-complete tail for fold/join facts,
+    * content-invariant tail for extrema and join dims). The scenario
+    * drives one table through its MV lifecycle and probes the listing
+    * at each state: (1) three fresh views → all (T, T); (2) one cdc
+    * batch → fold and join compensate (F, T) while extrema — whose
+    * algebra has no signed compensation — reports (F, F); (3) a
+    * content-invariant compact leaves all three verdicts unchanged at
+    * the new head; (4) refreshes → all (T, T) at the folded cursor;
+    * (5) a FEED-LESS append → every view reports (F, F): the listing
+    * tells the operator the acceleration is gone and refresh will
+    * refuse, BEFORE the dashboard quietly pays a base scan. Hashed
+    * output = the final listing (kind, fresh, servable, cursor, head —
+    * the mv path is scratch-random and stays out); the oracle is the
+    * deterministic version arithmetic. At 100 TB: fleet observability
+    * costs O(views × tail headers) — and staleness is a fact read off
+    * the log, never a guess. */
+  def mvShow(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mvs_orders")
+    val dimLoc = freshSqlTable(s, "mvs_dim")
+    view(s, d, "orders")
+    view(s, d, "customer")
+    s.sql("""CREATE TABLE graft.q.mvs_orders (
+      o_orderkey BIGINT, o_custkey BIGINT, st STRING,
+      price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvs_orders
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    s.sql("CREATE TABLE graft.q.mvs_dim (c_custkey BIGINT, seg STRING)")
+    s.sql("""INSERT INTO graft.q.mvs_dim
+      SELECT c_custkey, c_mktsegment FROM customer""")
+    val mvFold = graft.Fs.freshScratch("graft_mv", "show_fold")
+    graft.operators.MatView.create(s, mvFold, loc, Seq("st"), "price")
+    graft.operators.MatView.register(s, mvFold)
+    val mvX = graft.Fs.freshScratch("graft_mv", "show_extrema")
+    graft.operators.MatView.createExtrema(s, mvX, loc, Seq("st"),
+      "price")
+    graft.operators.MatView.registerExtrema(s, mvX)
+    val mvJ = graft.Fs.freshScratch("graft_mv", "show_join")
+    graft.operators.MatView.createJoin(s, mvJ, loc, dimLoc,
+      "o_custkey", "c_custkey", Seq("seg"), "price")
+    graft.operators.MatView.registerJoin(s, mvJ)
+    val q = """SELECT kind, fresh, servable, cursor, head
+      FROM graft.q.mvs_orders.matviews ORDER BY kind"""
+    def probe() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getBoolean(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    def all3(p: Seq[(String, Boolean, Boolean, Long, Long)],
+        f: Boolean, sv: Boolean, c: Long, h: Long) =
+      p.map(_._1).sorted == Seq("extrema", "fold", "join") &&
+        p.forall(x => x._2 == f && x._3 == sv && x._4 == c && x._5 == h)
+    // (1) three fresh views, cursor == head == 1
+    val ok1 = all3(probe(), f = true, sv = true, 1L, 1L)
+    // (2) one cdc batch: fold/join compensate, extrema cannot
+    val ch = s.sql("""SELECT o_orderkey, o_custkey, st, price, 'D' AS op
+      FROM graft.q.mvs_orders WHERE o_orderkey % 6 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, loc, ch, "o_orderkey",
+      cdc = true)
+    val p2 = probe()
+    val ok2 = p2.map(x => (x._1, x._2, x._3, x._4, x._5)).toSet == Set(
+      ("fold", false, true, 1L, 2L), ("join", false, true, 1L, 2L),
+      ("extrema", false, false, 1L, 2L))
+    // (3) a content-invariant compact: verdicts unchanged, head moves
+    graft.operators.TxnTable.compact(s, loc)
+    val p3 = probe()
+    val ok3 = p3.toSet == Set(
+      ("fold", false, true, 1L, 3L), ("join", false, true, 1L, 3L),
+      ("extrema", false, false, 1L, 3L))
+    // (4) refresh all three → fresh at the folded cursor
+    graft.operators.MatView.refresh(s, mvFold)
+    graft.operators.MatView.refreshExtrema(s, mvX)
+    graft.operators.MatView.refreshJoin(s, mvJ)
+    val ok4 = all3(probe(), f = true, sv = true, 3L, 3L)
+    // (5) a feed-less append: acceleration gone, the listing says so
+    s.sql("""INSERT INTO graft.q.mvs_orders
+      SELECT o_orderkey + 900000000, o_custkey, 'W',
+        CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey % 20 = 0""")
+    val ok5 = all3(probe(), f = false, sv = false, 3L, 4L)
+    val ok = ok1 && ok2 && ok3 && ok4 && ok5
+    s.sql(q).withColumn("show_ok", lit(ok))
+  }
+
+  /** sql_mv_timetravel: TIME-TRAVEL READS SERVED FROM THE MV — the
+    * capability the pinned-version freshness contract gives for free
+    * and mainstream formats lack: `VERSION AS OF v` on an aggregate is
+    * answered by MV ⊕ the PARTIAL feed tail `(cursor, v]`
+    * (MatView.compensated is keyed on the relation's PINNED version,
+    * not the head), so the dashboard's "as of yesterday" pane costs
+    * O(MV + the slice of history up to v) — never a historical base
+    * scan. Four pins by optimized-plan roots + answer equality against
+    * the pinned snapshot: (1) AS OF the cursor itself → the MV ALONE
+    * (empty tail — no feed file touched); (2) AS OF mid-history
+    * (cursor < v < head) → MV + exactly v2's feed, with v3's changes
+    * provably absent from the answer; (3) the head read → MV + both
+    * feeds; (4) AS OF a version BEHIND the cursor → the MV is AHEAD of
+    * the asked-for past and must fall through to the pinned base scan
+    * (serving it would leak future rows into history). Hashed output =
+    * the mid-history read; the oracle replays batch 1 only. At 100 TB:
+    * audit and repro queries ("what did the dashboard say at version
+    * v?") ride the same MV plane as the live ones, with staleness
+    * arithmetic decided by the log per PINNED version. */
+  def mvTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mvtt_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mvtt_orders (
+      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvtt_orders
+      SELECT o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_tt")
+    graft.operators.MatView.create(s, mv, loc, Seq("st"), "price")
+    graft.operators.MatView.register(s, mv)
+    // v2: delete group 'P' entirely; v3: a brand-new 'Z' group — two
+    // feed batches whose EFFECTS are version-distinguishable
+    val b1 = s.sql("""SELECT o_orderkey, o_orderstatus AS st,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price, 'D' AS op
+      FROM orders WHERE o_orderstatus = 'P'""")
+    graft.operators.TxnTable.applyChangesMor(s, loc, b1, "o_orderkey",
+      cdc = true)
+    val b2 = s.sql("""SELECT o_orderkey + 700000000, 'Z',
+        CAST(o_totalprice AS DECIMAL(12,2)), 'U'
+      FROM orders WHERE o_orderkey % 9 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, loc,
+      b2.toDF("o_orderkey", "st", "price", "op"), "o_orderkey",
+      cdc = true)
+    def q(asOf: String) = s"""SELECT st, COUNT(*) AS n,
+      CAST(SUM(price) AS DOUBLE) AS total
+      FROM graft.q.mvtt_orders $asOf GROUP BY st"""
+    def got(asOf: String) = s.sql(q(asOf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def direct(v: Long) = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, loc, v).groupBy(col("st"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2))).toSet
+    }
+    // (1) AS OF the cursor: the MV alone, no feed file in the plan
+    val p1 = scanSrcsOf(s, q("VERSION AS OF 1"))
+    val ok1 = p1.nonEmpty && p1.forall(_.contains(mv)) &&
+      got("VERSION AS OF 1") == direct(1L)
+    // (2) mid-history: MV + exactly the v2 feed; v3's 'Z' group absent
+    val v2Feed = graft.operators.TxnTable.manifest(s, loc, 2L).cdcRefs
+    val v3Feed = graft.operators.TxnTable.manifest(s, loc, 3L).cdcRefs
+    val p2 = scanSrcsOf(s, q("VERSION AS OF 2"))
+    val g2 = got("VERSION AS OF 2")
+    val ok2 = p2.nonEmpty &&
+      p2.forall(p => p.contains(mv) ||
+        v2Feed.exists(f => p.contains(f))) &&
+      p2.exists(p => v2Feed.exists(f => p.contains(f))) &&
+      !p2.exists(p => v3Feed.exists(f => p.contains(f))) &&
+      g2 == direct(2L) && !g2.exists(_._1 == "P") &&
+      !g2.exists(_._1 == "Z")
+    // (3) the head read: MV + both feeds, the 'Z' group present
+    val p3 = scanSrcsOf(s, q(""))
+    val g3 = got("")
+    val ok3 = p3.nonEmpty &&
+      p3.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
+      g3 == direct(3L) && g3.exists(_._1 == "Z")
+    // (4) BEHIND the cursor: the MV is ahead of the asked-for past —
+    // serving it would leak future rows into history; base scan only
+    val p4 = scanSrcsOf(s, q("VERSION AS OF 0"))
+    val ok4 = p4.exists(p => p.contains(loc) || p.startsWith("v2:")) &&
+      !p4.exists(_.contains(mv)) &&
+      got("VERSION AS OF 0").isEmpty
+    val ok = ok1 && ok2 && ok3 && ok4
+    s.sql(q("VERSION AS OF 2")).withColumn("mvtt_ok", lit(ok))
+  }
+
+  /** sql_mv_retention: RETENTION THAT RESPECTS THE MV FLEET — the
+    * missing half of the vacuumed-feed refusal. The refusal (r18:
+    * feedRefs probes existence, refresh refuses with the recompute
+    * remedy) makes feed loss LOUD; this makes it not happen: the SQL
+    * vacuum / vacuum_preview / expire_snapshots procedures now include
+    * MatView.retentionPins — for every registered view folding this
+    * base's feed tail, the commits (cursor, head], the exact range
+    * refresh and query-time compensation read — alongside the branch
+    * pins, so routine retention can never turn a stale view into a
+    * drop-and-recompute. The scenario stales an MV by two cdc batches,
+    * then: (1) the EVIDENCE — a fleet-blind library vacuumPreview
+    * (retain = 1, no pins) would sweep both feed-carrying manifests
+    * and the older feed's files; (2) CALL vacuum_preview reports only
+    * the two harmless manifests (v0 create + v1 insert, whose parquet
+    * the retained manifests still reference), write-debris _SUCCESS
+    * markers, and ZERO feed files; (3) CALL vacuum(1) — afterwards
+    * only the feed-carrying
+    * versions remain, the stale dashboard STILL serves from MV ⊕ feed
+    * tail (plan-pinned), refresh folds both commits, and the refreshed
+    * answer is hash-equal to the direct recompute (the oracle). At
+    * 100 TB: retention and acceleration stop fighting — vacuum(1) on a
+    * busy base keeps the ~KB of feed tail a registered view needs and
+    * sweeps everything else. */
+  def mvRetention(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mvrt_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mvrt_orders (
+      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvrt_orders
+      SELECT o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_retention")
+    graft.operators.MatView.create(s, mv, loc, Seq("st"), "price")
+    graft.operators.MatView.register(s, mv)
+    // two feed-carrying batches the stale MV will need: v2 deletes,
+    // v3 repricings — never refreshed until after the vacuum
+    val b1 = s.sql("""SELECT o_orderkey, o_orderstatus AS st,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price, 'D' AS op
+      FROM orders WHERE o_orderkey % 6 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, loc, b1, "o_orderkey",
+      cdc = true)
+    val b2 = s.sql("""SELECT o_orderkey, o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 13 AS DECIMAL(12,2)),
+        'U' FROM orders
+      WHERE o_orderkey % 11 = 0 AND o_orderkey % 6 <> 0""")
+    graft.operators.TxnTable.applyChangesMor(s, loc,
+      b2.toDF("o_orderkey", "st", "price", "op"), "o_orderkey",
+      cdc = true)
+    val v2Feed = graft.operators.TxnTable.manifest(s, loc, 2L).cdcRefs
+    // (1) the evidence: a fleet-BLIND vacuum would sweep the feed tail
+    val (blindMs, _, blindCdc) =
+      graft.operators.TxnTable.vacuumPreview(s, loc, 1)
+    val blindWouldBreak = blindMs.toSet == Set(0L, 1L, 2L) &&
+      v2Feed.nonEmpty && v2Feed.forall(r => blindCdc.contains(r))
+    // (2) the SQL preview carries the fleet pins: two harmless
+    // manifests (v0 create, v1 insert — their data files stay
+    // referenced by the retained manifests), zero feed files
+    val previewed = s.sql(
+      "CALL graft.system.vacuum_preview('q.mvrt_orders', 1)")
+      .collect()(0).getLong(0)
+    // the pinned blast radius, itemized: the two harmless manifests
+    // (v0 create, v1 insert), ZERO feed files — dead data files are
+    // write-debris only (_SUCCESS markers; every parquet of v1 stays
+    // referenced by the retained manifests)
+    val (pinMs, pinFls, pinCdc) = graft.operators.TxnTable
+      .vacuumPreview(s, loc, 1,
+        graft.operators.MatView.retentionPins(s, loc))
+    val previewOk = pinMs == Seq(0L, 1L) && pinCdc.isEmpty &&
+      pinFls.forall(_.endsWith("/_SUCCESS")) &&
+      previewed == pinMs.size.toLong + pinFls.size + pinCdc.size
+    // (3) the real vacuum through SQL: the feed tail survives
+    s.sql("CALL graft.system.vacuum('q.mvrt_orders', 1)")
+    val vsAfter = graft.operators.TxnTable.versions(s, loc)
+    val feedAlive = v2Feed.forall { r =>
+      val p = new org.apache.hadoop.fs.Path(s"$loc/$r")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val q = """SELECT st, COUNT(*) AS n, COUNT(price) AS nn,
+      CAST(SUM(price) AS DOUBLE) AS total
+      FROM graft.q.mvrt_orders GROUP BY st"""
+    def mvFeedOnly(ps: Seq[String]) = ps.nonEmpty &&
+      ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
+      ps.exists(_.contains(mv)) && ps.exists(_.contains(s"$loc/_cdc"))
+    val pStale = scanSrcsOf(s, q)
+    def got() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, loc).groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), count(col("price")).as("nn"),
+          sum(col("price")).cast("double").as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    }
+    val servedStale = mvFeedOnly(pStale) && got() == direct()
+    // refresh folds BOTH surviving feeds; the MV then serves alone
+    val r = graft.operators.MatView.refresh(s, mv)
+    val pFresh = scanSrcsOf(s, q)
+    val servedFresh = pFresh.nonEmpty && pFresh.forall(_.contains(mv)) &&
+      got() == direct()
+    val ok = blindWouldBreak && previewOk &&
+      vsAfter == Seq(2L, 3L) && feedAlive && servedStale &&
+      r.commitsFolded == 2 && servedFresh
+    s.sql(q).withColumn("mvrt_ok", lit(ok))
+  }
+
+  /** sql_mv_groupsets: the SUBTOTALS DASHBOARD — `GROUP BY ROLLUP /
+    * CUBE / GROUPING SETS` over the base served from ONE fold MV as a
+    * union of per-set rollups (GraftMvRewriteRule.tryGroupingSets).
+    * Spark plans a cold grouping-set aggregate as an Expand that
+    * MULTIPLIES the base scan by the number of sets — at 100 TB,
+    * ROLLUP(status, priority) is 3× the table pushed through the
+    * shuffle; the rewrite replays exactly that algebra over MV rows
+    * instead (per set: one rollup of the summable fold, NULLs for the
+    * absent keys, the set's grouping-id literal, unioned — O(sets ×
+    * MV), never O(base)), with grouping_id() resolving over the union
+    * frame. Phases pinned by optimized-plan scan roots: (1) fresh
+    * ROLLUP(st, pri) incl. grouping_id() → MV alone, == direct; (2)
+    * one cdc batch (scattered deletes, repricing, a feed-born (R,
+    * 9-NEW) group), never refreshed → every grouping LEVEL of the
+    * union served from MV + `_cdc` only, == direct, the new group
+    * surfacing at the detail level AND inside the subtotals; (3) a
+    * key-filtered CUBE on the same plane; (4) ROLLUP over a NON-key
+    * column falls through to the base scan. Hashed output = the stale
+    * ROLLUP with grouping_id; the oracle replays the union-of-rollups
+    * explicitly (no engine grouping_id dialect dependence). */
+  def mvGroupSets(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mvgs_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mvgs_orders (
+      o_orderkey BIGINT, st STRING, pri STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvgs_orders
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_gsets")
+    graft.operators.MatView.create(s, mv, loc, Seq("st", "pri"), "price")
+    graft.operators.MatView.register(s, mv)
+    val q = """SELECT st, pri, COUNT(*) AS n, COUNT(price) AS nn,
+      CAST(SUM(price) AS DOUBLE) AS total, grouping_id() AS gid
+      FROM graft.q.mvgs_orders GROUP BY ROLLUP(st, pri)"""
+    val qCube = """SELECT st, pri, COUNT(*) AS n
+      FROM graft.q.mvgs_orders WHERE pri = '1-URGENT'
+      GROUP BY CUBE(st, pri)"""
+    val qNonKey = """SELECT o_orderkey, COUNT(*) AS n
+      FROM graft.q.mvgs_orders GROUP BY ROLLUP(o_orderkey)"""
+    def got(sql: String) = s.sql(sql).collect().map(_.toSeq.map {
+      case null => "∅"
+      case x => x.toString
+    }.mkString("|")).sorted.toSeq
+    def direct(sql: String) = {
+      graft.operators.TxnTable.snapshot(s, loc)
+        .createOrReplaceTempView("mvgs_direct")
+      got(sql.replace("graft.q.mvgs_orders", "mvgs_direct"))
+    }
+    // phase 1: FRESH — the whole rollup family serves from the MV alone
+    val pFresh = scanSrcsOf(s, q)
+    val servedFresh = pFresh.nonEmpty && pFresh.forall(_.contains(mv)) &&
+      got(q) == direct(q)
+    // phase 2: one cdc batch, never refreshed — subtotals still exact
+    val ch = s.sql("""SELECT o_orderkey, o_orderstatus AS st,
+        o_orderpriority AS pri, CAST(o_totalprice AS DECIMAL(12,2))
+          AS price, 'D' AS op
+      FROM orders WHERE o_orderkey % 6 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 7 AS DECIMAL(12,2)),
+        'U'
+      FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 6 <> 0
+      UNION ALL
+      SELECT o_orderkey + 800000000, 'R', '9-NEW',
+        CAST(o_totalprice AS DECIMAL(12,2)), 'U'
+      FROM orders WHERE o_orderkey % 13 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, loc, ch, "o_orderkey",
+      cdc = true)
+    def mvFeedOnly(ps: Seq[String]) = ps.nonEmpty &&
+      ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
+      ps.exists(_.contains(mv)) && ps.exists(_.contains(s"$loc/_cdc"))
+    val pStale = scanSrcsOf(s, q)
+    val gotStale = got(q)
+    val servedStale = mvFeedOnly(pStale) && gotStale == direct(q) &&
+      gotStale.exists(_.startsWith("R|9-NEW|")) &&
+      gotStale.exists(_.startsWith("R|∅|"))
+    // phase 3: the key-filtered CUBE on the same MV ⊕ feed plane
+    val pCube = scanSrcsOf(s, qCube)
+    val servedCube = mvFeedOnly(pCube) && got(qCube) == direct(qCube)
+    // phase 4: ROLLUP over a non-key column → the base scan
+    val pNonKey = scanSrcsOf(s, qNonKey)
+    val fellThrough = pNonKey.exists(p => p.contains(loc) ||
+      p.startsWith("v2:")) && !pNonKey.exists(_.contains(mv))
+    val ok = servedFresh && servedStale && servedCube && fellThrough
+    s.sql(q).withColumn("gsets_ok", lit(ok))
+  }
+
   /** sql_mv_join: MATERIALIZED AGGREGATE OVER A JOIN — the q03/q06
     * dashboard shape (fact ⋈ dim ON fact.fk = dim.pk, GROUP BY a dim
     * attribute, aggregate a fact measure) served from one join MV

@@ -150,6 +150,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case "branches" => GraftMaintenance.branchesTable(full, parentPath)
           case "tombstones" =>
             GraftMaintenance.tombstonesTable(full, parentPath)
+          case "matviews" =>
+            GraftMaintenance.matviewsTable(full, parentPath)
           // data-sized, distributed — a real parquet-backed table over
           // the committed change feed, batch AND streaming
           case "changes" => new GraftChangesTable(full, parentPath)
@@ -523,7 +525,7 @@ object GraftCatalog {
   /** The reserved metadata-table suffixes (`graft.ns.t.history`…). */
   private[sources] val metaTables =
     Set("history", "files", "changes", "detail", "tags", "branches",
-      "tombstones")
+      "tombstones", "matviews")
 
   /** The `check.<name>` CHECK-constraint entries of a property map. */
   private[sources] def checkProps(

@@ -108,7 +108,24 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
             u.nameParts.headOption.exists(_.equalsIgnoreCase("_metadata"))
           case _ => false
         }))
-    if (pendingMeta) plan else swap(plan)
+    // grouping analytics (ROLLUP/CUBE/GROUPING SETS) resolve one
+    // analyzer iteration AFTER the relation does: swapping the relation
+    // in that window would hide it from GraftMvRewriteRule's
+    // grouping-sets branch forever (the rewrite needs the bare relation
+    // under the resolved Expand). Defer the swap until
+    // ResolveGroupingAnalytics has rewritten the aggregate — one extra
+    // iteration, after which either the MV rewrite served the query or
+    // the swap below proceeds exactly as before.
+    val pendingGroupingSets = plan.exists {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.exists(_.exists {
+          case _: org.apache.spark.sql.catalyst.expressions
+              .BaseGroupingSets => true
+          case _ => false
+        })
+      case _ => false
+    }
+    if (pendingMeta || pendingGroupingSets) plan else swap(plan)
   }
 
   private def swap(plan: LogicalPlan): LogicalPlan = plan match {

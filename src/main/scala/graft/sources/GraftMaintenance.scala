@@ -90,6 +90,30 @@ private[sources] object GraftMaintenance {
           Array[Any](UTF8String.fromString(n), v)): InternalRow
       }.toArray)
 
+  /** `graft.ns.t.matviews` — the MATERIALIZED-VIEW FLEET over this
+    * table as a metadata table: every registered view whose definition
+    * involves it (fold/extrema views over it, join views where it is
+    * the fact or a dim), with the LOG-decided freshness the rewrite
+    * rule itself would decide — `fresh` (every cursor at its head) and
+    * `servable` (fresh, or stale in a way the view's serving algebra
+    * provably covers). The operator's question — "is my dashboard
+    * accelerated right now, and if not, why not" — answered from
+    * manifest headers alone: a LocalScan, O(tail headers) per view,
+    * no jobs, no data files. */
+  def matviewsTable(ident: String, location: String): Table =
+    new GraftMetaTable(ident,
+      StructType(Seq(StructField("mv", StringType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("fresh", BooleanType, nullable = false),
+        StructField("servable", BooleanType, nullable = false),
+        StructField("cursor", LongType, nullable = false),
+        StructField("head", LongType, nullable = false))),
+      s => graft.operators.MatView.statusFor(s, location).map { st =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(st.mv), UTF8String.fromString(st.kind),
+          st.fresh, st.servable, st.cursor, st.head)): InternalRow
+      }.toArray)
+
   /** `graft.ns.t.branches` — the writable lineages as a metadata
     * table: (name, base parent version, head version of the branch's
     * own lineage, dir leaf). LocalScan over the branch refs. */
@@ -352,7 +376,11 @@ private[sources] object GraftMaintenance {
           .defaultValue("1").build())) { (s, in) =>
         val ref = in.getUTF8String(0).toString
         val loc = tbl(s, in)
-        TxnTable.vacuum(s, loc, in.getInt(1), branchPin(s, ref))
+        // branch pins + the registered MV fleet's feed-tail pins:
+        // routine retention must never turn a stale view into a
+        // drop-and-recompute (MatView.retentionPins)
+        TxnTable.vacuum(s, loc, in.getInt(1), branchPin(s, ref) ++
+          graft.operators.MatView.retentionPins(s, loc))
         TxnTable.currentVersion(s, loc)
       }
       // DRY-RUN vacuum: the blast radius a vacuum(retain) would have —
@@ -366,7 +394,8 @@ private[sources] object GraftMaintenance {
         val ref = in.getUTF8String(0).toString
         val loc = tbl(s, in)
         val (ms, fls, cdc) = TxnTable.vacuumPreview(s, loc,
-          in.getInt(1), branchPin(s, ref))
+          in.getInt(1), branchPin(s, ref) ++
+            graft.operators.MatView.retentionPins(s, loc))
         ms.size.toLong + fls.size + cdc.size
       }
       // AGE-based retention (the Iceberg expire_snapshots shape):
@@ -379,7 +408,8 @@ private[sources] object GraftMaintenance {
         val loc = tbl(s, in)
         val cutoff = System.currentTimeMillis() -
           (in.getDouble(1) * 3600 * 1000).toLong
-        TxnTable.expireSnapshots(s, loc, cutoff, branchPin(s, ref))
+        TxnTable.expireSnapshots(s, loc, cutoff, branchPin(s, ref) ++
+          graft.operators.MatView.retentionPins(s, loc))
         TxnTable.currentVersion(s, loc)
       }
       case "checkpoint" => p("checkpoint", Seq(tableParam)) { (s, in) =>

@@ -102,6 +102,7 @@ case class GraftMvRewriteRule(session: SparkSession)
     trySingle(groups, aggExprs, child)
       .orElse(tryJoin(groups, aggExprs, child))
       .orElse(tryExtrema(groups, aggExprs, child))
+      .orElse(tryGroupingSets(groups, aggExprs, child))
 
   private def trySingle(groups: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
@@ -481,39 +482,55 @@ case class GraftMvRewriteRule(session: SparkSession)
     // per day" dashboard at O(MV), never a base-wide expand. A distinct
     // count of the VALUE column (or any non-key) can never serve: the
     // fold collapsed those rows and keeps no value multiset.
-    val dcols: Seq[String] = aggExprs.flatMap(_.collect {
-      case ae: AggregateExpression if ae.isDistinct =>
-        ae.aggregateFunction match {
-          case Count(Seq(a: AttributeReference)) => Seq(a.name)
-          case _ => Nil
-        }
-    }.flatten).distinct
+    val dcols = distinctKeyTargets(aggExprs)
     // the derived columns ride the rollup frame under generated names;
     // a user key that happens to collide falls through (never misbinds)
     if (dcols.exists(c => keys.contains(s"gdc_$c"))) return None
     val rollup = keyAttrs.size < keys.size || dcols.nonEmpty
-    // every aggregate in the output must be answerable from the fold:
-    // COUNT(<non-null literal>) → n, COUNT(def.value) → nn,
-    // SUM(def.value) → total with null-skipping reconstructed from nn,
-    // AVG(def.value) → total / nn for DECIMAL values (the exact mirror
-    // of Average's own decimal arithmetic — a float/double AVG is an
-    // order-dependent FP sum the exact fold can't reproduce bit-for-bit,
-    // so it falls through); all non-distinct, no filter clause. COUNT
-    // and SUM tolerate a provably-WIDENING cast around the value only:
-    // a narrowing cast can null values out (changing counts) or round
-    // (changing sums), and a cast to float/double makes the base's sum
-    // an order-dependent FP fold the exact total can't mirror.
-    // ...and each must be DECLARED on the view (aggsSet — a count-only
-    // MV never silently answers SUM, however derivable the fold makes it)
+    // every aggregate in the output must be answerable from the fold
+    // (see foldAnswerable for the per-aggregate contract)
+    if (!aggExprs.forall(foldAnswerable(keys, value, aggsSet, keyOwned,
+      valueOwned))) return None
+    if (!outputsAreKeys(aggExprs, keyAttrs)) return None
+    val mvDf0 = mvRows.getOrElse(return None)
+    val mvDf =
+      if (!rollup) mvDf0
+      else rollupAgg(mvDf0, keyAttrs.map(_.name), dcols)
+    // substitute: AggregateExpressions → the fold columns (cast to the
+    // aggregate's result type), each group key → its MV column; outer
+    // expressions (casts, arithmetic) survive untouched
+    substitute(aggExprs, keyAttrs, mvDf.queryExecution.analyzed,
+      Seq("n", "nn", "total") ++ dcols.map(c => s"gdc_$c"), foldArm)
+  }
+
+  /** Whether one output expression is answerable from the fold
+    * vocabulary: COUNT(<non-null literal>) → n, COUNT(def.value) → nn,
+    * SUM(def.value) → total with null-skipping reconstructed from nn,
+    * AVG(def.value) → total / nn for DECIMAL values (the exact mirror
+    * of Average's own decimal arithmetic — a float/double AVG is an
+    * order-dependent FP sum the exact fold can't reproduce
+    * bit-for-bit, so it falls through), COUNT(DISTINCT <key column>) →
+    * a count_distinct over the MV's own rows (bare attribute only — a
+    * cast could merge values the base kept distinct); no filter
+    * clauses anywhere. COUNT and SUM tolerate a provably-WIDENING cast
+    * around the value only: a narrowing cast can null values out
+    * (changing counts) or round (changing sums), and a cast to
+    * float/double makes the base's sum an order-dependent FP fold the
+    * exact total can't mirror. ...and each must be DECLARED on the
+    * view (aggsSet — a count-only MV never silently answers SUM,
+    * however derivable the fold makes it). */
+  private def foldAnswerable(keys: Seq[String], value: String,
+      aggsSet: Set[String], keyOwned: AttributeReference => Boolean,
+      valueOwned: AttributeReference => Boolean)(e: Expression)
+      : Boolean = {
     def valueAttr(c: Expression): Boolean = c match {
       case a: AttributeReference => a.name == value && valueOwned(a)
       case _ => false
     }
-    def answerable(e: Expression): Boolean = e match {
+    def walk(e: Expression): Boolean = e match {
       case ae: AggregateExpression if ae.isDistinct =>
-        // distinct-count of a KEY column only — bare attribute (a cast
-        // could merge values the base kept distinct), no filter clause,
-        // gated on the declared count family like every count
+        // distinct-count of a KEY column only, gated on the declared
+        // count family like every count
         ae.filter.isEmpty && (ae.aggregateFunction match {
           case Count(Seq(a: AttributeReference)) =>
             keys.contains(a.name) && keyOwned(a) &&
@@ -537,67 +554,221 @@ case class GraftMvRewriteRule(session: SparkSession)
           case _ => false
         })
       case _: AttributeReference => true
-      case other => other.children.forall(answerable)
+      case other => other.children.forall(walk)
     }
-    if (!aggExprs.forall(answerable)) return None
-    if (!outputsAreKeys(aggExprs, keyAttrs)) return None
-    val mvDf0 = mvRows.getOrElse(return None)
-    // the rollup: one more summation of the summable fold. The total
-    // keeps its WIDENED sum type deliberately — re-bounding it to the
-    // fold's decimal could overflow at execution on a sum the base
-    // scan would have answered; the substitution's cast to the query's
-    // own SUM result type has exactly the base scan's overflow
-    // behavior (Sum accumulates in the same bounded type)
-    val mvDf =
-      if (!rollup) mvDf0
-      else {
-        import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, count_distinct => fcountd, lit => flit, sum => fsum}
-        // counts coalesce to 0 for the empty-MV GLOBAL aggregate (one
-        // row with NULL sums, where COUNT(*) must answer 0); total
-        // stays NULL there — which is exactly SUM-over-nothing.
-        // count_distinct skips NULL key values exactly like the base's
-        // COUNT(DISTINCT c) skips NULL rows (and answers 0 over nothing)
-        val folds = Seq(fcoalesce(fsum(fcol("n")), flit(0L)).as("n"),
-          fcoalesce(fsum(fcol("nn")), flit(0L)).as("nn"),
-          fsum(fcol("total")).as("total")) ++
-          dcols.map(c => fcountd(fcol(c)).as(s"gdc_$c"))
-        mvDf0.groupBy(keyAttrs.map(a => fcol(a.name)): _*)
-          .agg(folds.head, folds.tail: _*)
-      }
-    // substitute: AggregateExpressions → the fold columns (cast to the
-    // aggregate's result type), each group key → its MV column; outer
-    // expressions (casts, arithmetic) survive untouched
-    substitute(aggExprs, keyAttrs, mvDf.queryExecution.analyzed,
-      Seq("n", "nn", "total") ++ dcols.map(c => s"gdc_$c"),
-      (ae, byName) => ae.aggregateFunction match {
-        case Count(Seq(a: AttributeReference)) if ae.isDistinct =>
-          castTo(byName(s"gdc_${a.name}"), ae.dataType)
-        case Count(Seq(_: Literal)) => castTo(byName("n"), ae.dataType)
-        case Count(_) => castTo(byName("nn"), ae.dataType)
-        case _: Sum =>
-          // SQL SUM skips NULLs but answers NULL for an all-NULL
-          // group; the fold's 0-convention plus nn reconstructs it
-          CaseWhen(Seq((EqualTo(byName("nn"), Literal(0L)),
-            Cast(Literal(null), ae.dataType))),
-            Some(Cast(byName("total"), ae.dataType)))
-        case avg: Average =>
-          // the EXACT mirror of Average.evaluateExpression for a
-          // decimal child: Divide(sum as DecimalType(p+10, s),
-          // count as DecimalType(20, 0)) in LEGACY mode (0 divisor
-          // → NULL: the all-NULL group answers NULL like the base
-          // scan), cast to Average's own result type. total holds
-          // the same numeric value as the true sum (the create
-          // gate), so the derived quotient is identical.
-          val vt = avg.child.dataType.asInstanceOf[DecimalType]
-          val sumType = DecimalType(math.min(38, vt.precision + 10),
-            vt.scale)
-          Cast(Divide(Cast(byName("total"), sumType),
-            Cast(byName("nn"), DecimalType(20, 0)), EvalMode.LEGACY),
-            ae.dataType)
-        case other => throw new IllegalStateException(
-          s"unreachable: unanswerable aggregate $other survived")
-      })
+    walk(e)
   }
+
+  /** ONE summation of the summable fold to `groupNames` (possibly
+    * empty: the global aggregate), plus the requested distinct-count
+    * columns. The total keeps its WIDENED sum type deliberately —
+    * re-bounding it to the fold's decimal could overflow at execution
+    * on a sum the base scan would have answered; the substitution's
+    * cast to the query's own SUM result type has exactly the base
+    * scan's overflow behavior (Sum accumulates in the same bounded
+    * type). Counts coalesce to 0 for the empty-MV GLOBAL aggregate
+    * (one row with NULL sums, where COUNT(*) must answer 0); total
+    * stays NULL there — which is exactly SUM-over-nothing.
+    * count_distinct skips NULL key values exactly like the base's
+    * COUNT(DISTINCT c) skips NULL rows (and answers 0 over nothing). */
+  private def rollupAgg(mvDf0: org.apache.spark.sql.DataFrame,
+      groupNames: Seq[String], dcols: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, count_distinct => fcountd, lit => flit, sum => fsum}
+    val folds = Seq(fcoalesce(fsum(fcol("n")), flit(0L)).as("n"),
+      fcoalesce(fsum(fcol("nn")), flit(0L)).as("nn"),
+      fsum(fcol("total")).as("total")) ++
+      dcols.map(c => fcountd(fcol(c)).as(s"gdc_$c"))
+    mvDf0.groupBy(groupNames.map(fcol): _*)
+      .agg(folds.head, folds.tail: _*)
+  }
+
+  /** The shared aggregate arm: one answerable AggregateExpression →
+    * its expression over the fold columns (callers guarantee
+    * answerability via [[foldAnswerable]]). */
+  private def foldArm(ae: AggregateExpression,
+      byName: Map[String, Attribute]): Expression =
+    ae.aggregateFunction match {
+      case Count(Seq(a: AttributeReference)) if ae.isDistinct =>
+        castTo(byName(s"gdc_${a.name}"), ae.dataType)
+      case Count(Seq(_: Literal)) => castTo(byName("n"), ae.dataType)
+      case Count(_) => castTo(byName("nn"), ae.dataType)
+      case _: Sum =>
+        // SQL SUM skips NULLs but answers NULL for an all-NULL
+        // group; the fold's 0-convention plus nn reconstructs it
+        CaseWhen(Seq((EqualTo(byName("nn"), Literal(0L)),
+          Cast(Literal(null), ae.dataType))),
+          Some(Cast(byName("total"), ae.dataType)))
+      case avg: Average =>
+        // the EXACT mirror of Average.evaluateExpression for a
+        // decimal child: Divide(sum as DecimalType(p+10, s),
+        // count as DecimalType(20, 0)) in LEGACY mode (0 divisor
+        // → NULL: the all-NULL group answers NULL like the base
+        // scan), cast to Average's own result type. total holds
+        // the same numeric value as the true sum (the create
+        // gate), so the derived quotient is identical.
+        val vt = avg.child.dataType.asInstanceOf[DecimalType]
+        val sumType = DecimalType(math.min(38, vt.precision + 10),
+          vt.scale)
+        Cast(Divide(Cast(byName("total"), sumType),
+          Cast(byName("nn"), DecimalType(20, 0)), EvalMode.LEGACY),
+          ae.dataType)
+      case other => throw new IllegalStateException(
+        s"unreachable: unanswerable aggregate $other survived")
+    }
+
+  /** The GROUPING-SETS rewrite: `GROUP BY ROLLUP / CUBE / GROUPING
+    * SETS` over the base — the subtotals dashboard — served from ONE
+    * fold MV as a UNION of per-set rollups. By the time the rule sees
+    * it, ResolveGroupingAnalytics has rewritten the query to
+    * `Aggregate([keyAttrs…, spark_grouping_id], aggs,
+    * Expand(projections, output, Project(child.output ++ aliases,
+    * [Filter] relation)))`: each projection is one grouping set —
+    * child.output verbatim, then per grouping column either its alias
+    * attribute (present) or a NULL literal (rolled up), then the set's
+    * grouping-id literal. The served plan replays exactly that algebra
+    * over MV rows: per set, one [[rollupAgg]] to the set's present
+    * keys, projected to the full key list (NULLs for absent keys, the
+    * gid literal), unioned — O(sets × MV), never O(base), and every
+    * aggregate/grouping()/grouping_id() output substitutes over the
+    * union frame with its attribute id preserved. Grouping columns
+    * must trace through the Expand/Project aliases to bare relation
+    * attributes that are MV keys; predicates under the Expand qualify
+    * key-only exactly like [[trySingle]] (and compose with delta
+    * compensation); aggregates use the shared fold vocabulary incl.
+    * key-column COUNT(DISTINCT). Anything else — computed grouping
+    * expressions, non-key groupings, a non-literal gid — falls
+    * through. At 100 TB: the subtotal dashboard (every level of
+    * ROLLUP(status, priority)) costs a few MV-sized aggregates instead
+    * of an Expand that MULTIPLIES the base scan by the number of
+    * grouping sets. */
+  private def tryGroupingSets(groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan)
+      : Option[LogicalPlan] = {
+    val expand = child match {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+      case _ => return None
+    }
+    val (projList, inner) = expand.child match {
+      case Project(pl, c) => (pl, c)
+      case _ => return None
+    }
+    val (r, preds) = relationOf(inner).getOrElse(return None)
+    val g = r.table match {
+      case t: GraftTable => t
+      case _ => return None
+    }
+    val (mvLoc, d) = MatView.registeredFor(g.location).getOrElse(
+      return None)
+    // groups = the Expand-output grouping attributes :+ the synthetic
+    // grouping id (bare references only; that trailing id is what
+    // certifies this Expand as grouping analytics and nothing else)
+    val gAttrs = groups.collect { case a: AttributeReference => a }
+    if (gAttrs.size != groups.size || gAttrs.isEmpty) return None
+    val gid = gAttrs.last
+    if (gid.name != org.apache.spark.sql.catalyst.expressions
+      .VirtualColumn.groupingIdName) return None
+    val keyAttrs = gAttrs.init
+    if (keyAttrs.map(_.name).distinct.size != keyAttrs.size) return None
+    // position of each grouping attribute (and the gid) in the Expand
+    // output — the projections are aligned to it by construction
+    val posOf = (keyAttrs :+ gid).map(a =>
+      expand.output.indexWhere(_.exprId == a.exprId))
+    if (posOf.exists(_ < 0)) return None
+    val gidPos = posOf.last
+    // trace each grouping position to its BASE column: at a present
+    // position every projection holds the set's alias attribute, whose
+    // Project-side alias child must be a bare relation column that is
+    // one of the MV's keys (GROUP BY ROLLUP(a+b) aliases an expression
+    // → falls through here)
+    val byId = projList.map(ne => ne.exprId -> ne).toMap
+    def baseNameAt(pos: Int): Option[String] =
+      expand.projections.iterator.map(_(pos)).collectFirst {
+        case a: Attribute => a
+      }.flatMap(a => byId.get(a.exprId)).flatMap {
+        case Alias(b: AttributeReference, _)
+            if r.outputSet.contains(b) => Some(b.name)
+        case b: AttributeReference if r.outputSet.contains(b) =>
+          Some(b.name)
+        case _ => None
+      }
+    val keyNames = posOf.init.map(pos => baseNameAt(pos).getOrElse(
+      return None))
+    if (!keyNames.toSet.subsetOf(d.keys.toSet)) return None
+    // the Expand-output attr keeps the base column's NAME; the union
+    // frame binds by name, so a mismatch would misbind — fall through
+    if (keyNames != keyAttrs.map(_.name)) return None
+    // per grouping set: which keys are present, and the set's id —
+    // anything but attr/NULL-literal at a key position (or a
+    // non-literal id) is not the grouping-analytics shape
+    val shapes: Seq[(Seq[Boolean], Any)] = expand.projections.map { p =>
+      val present = posOf.init.map(pos => p(pos) match {
+        case _: Attribute => true
+        case Literal(null, _) => false
+        case _ => return None
+      })
+      val gv = p(gidPos) match {
+        case Literal(v, _) if v != null => v
+        case _ => return None
+      }
+      (present, gv)
+    }
+    // predicates under the Expand qualify exactly like trySingle:
+    // key-column-only, deterministic, no subqueries, this relation's
+    val owned = (a: AttributeReference) => r.outputSet.contains(a)
+    if (!preds.forall(p => p.deterministic &&
+        p.collectFirst { case sq: SubqueryExpression => sq }.isEmpty &&
+        p.references.forall(a => r.outputSet.contains(a) &&
+          d.keys.contains(a.name)))) return None
+    val dcols = distinctKeyTargets(aggExprs)
+    if (dcols.exists(c => d.keys.contains(s"gdc_$c"))) return None
+    if (!aggExprs.forall(foldAnswerable(d.keys, d.value, d.aggs,
+      owned, owned))) return None
+    if (!outputsAreKeys(aggExprs, keyAttrs :+ gid)) return None
+    // freshness: identical to trySingle — fresh serves the MV,
+    // stale serves MV ⊕ signed-feed tail, feed-less tails fall through
+    val mvVer = TxnTable.currentVersion(session, mvLoc)
+    val (dEff, cursor) = MatView.effectiveDef(session, mvLoc, d, mvVer)
+    if (dEff.base != g.location) return None
+    if (cursor > g.pinnedVersion) return None
+    val mvDf0 = MatView.compensated(session, mvLoc, dEff, cursor,
+      g.pinnedVersion, mvVer).map(applyKeyPreds(_, preds))
+      .getOrElse(return None)
+    // one rollup per grouping set, projected to the full key list with
+    // NULLs for the absent keys and the set's grouping-id literal,
+    // then unioned — the Expand algebra replayed over MV rows
+    import org.apache.spark.sql.GraftSqlBridge.column
+    val foldNames = Seq("n", "nn", "total") ++ dcols.map(c => s"gdc_$c")
+    val frames = shapes.map { case (present, gv) =>
+      val presentNames = keyNames.zip(present).collect {
+        case (n2, true) => n2
+      }
+      val agged = rollupAgg(mvDf0, presentNames, dcols)
+      val cols = keyAttrs.zip(keyNames).zip(present).map {
+        case ((a, n2), p) =>
+          if (p) org.apache.spark.sql.functions.col(n2)
+          else column(Literal.create(null, a.dataType)).as(n2)
+      } ++ Seq(column(Literal.create(gv, gid.dataType)).as(gid.name)) ++
+        foldNames.map(org.apache.spark.sql.functions.col)
+      agged.select(cols: _*)
+    }
+    val unioned = frames.reduce(_.unionByName(_))
+    substitute(aggExprs, keyAttrs :+ gid,
+      unioned.queryExecution.analyzed, foldNames, foldArm)
+  }
+
+  /** Distinct-count targets: COUNT(DISTINCT <bare attr>) column names
+    * collected from the output expressions — qualification happens in
+    * [[foldAnswerable]]; this just names the derived gdc_* columns. */
+  private def distinctKeyTargets(aggExprs: Seq[NamedExpression])
+      : Seq[String] =
+    aggExprs.flatMap(_.collect {
+      case ae: AggregateExpression if ae.isDistinct =>
+        ae.aggregateFunction match {
+          case Count(Seq(a: AttributeReference)) => Seq(a.name)
+          case _ => Nil
+        }
+    }.flatten).distinct
 
   /** Strip ONLY provably-widening casts: a narrowing cast can null a
     * value out (COUNT changes) or round it (SUM changes), and any cast

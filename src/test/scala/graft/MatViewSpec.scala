@@ -839,6 +839,107 @@ class MatViewSpec extends SparkSpec {
     assert(dh("A") === 5L, "the feed-born h value must join A's count")
   }
 
+  test("grouping-sets rewrite: ROLLUP/CUBE/GROUPING SETS serve as a " +
+      "union of per-set MV rollups; grouping()/grouping_id() and " +
+      "key filters compose; non-key groupings fall through") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.gs")
+    s.sql("CREATE TABLE graft.mvspec.gs (k BIGINT, g STRING, h BIGINT, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.gs SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'A' ELSE 'B' END, id % 4, " +
+      "CASE WHEN id % 5 = 0 THEN NULL " +
+      "ELSE CAST(id AS DECIMAL(12,2)) END FROM RANGE(240)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/gs"
+    val mv = fresh("mv_gs_view")
+    MatView.create(spark, mv, loc, Seq("g", "h"), "v")
+    MatView.register(spark, mv)
+    def served(q: String): Boolean = planServedFrom(s.sql(q), mv)
+    def rows(q: String) = s.sql(q).collect().map(_.toSeq.map {
+      case null => "∅"
+      case d: java.math.BigDecimal => d.toPlainString
+      case x => x.toString
+    }).map(_.mkString("|")).sorted.toSeq
+    val qRollup = "SELECT g, h, COUNT(*) AS n, COUNT(v) AS nn, " +
+      "CAST(SUM(v) AS DOUBLE) AS t FROM graft.mvspec.gs " +
+      "GROUP BY ROLLUP(g, h)"
+    assert(served(qRollup), "ROLLUP over MV keys must serve")
+    // direct recompute via a temp view over the snapshot (same SQL)
+    TxnTable.snapshot(spark, loc).createOrReplaceTempView("gs_direct")
+    def directRows(q: String) =
+      rows(q.replace("graft.mvspec.gs", "gs_direct"))
+    assert(rows(qRollup) === directRows(qRollup),
+      "ROLLUP served answer diverged from recompute")
+    // CUBE, with a key-only WHERE (composes via applyKeyPreds)
+    val qCube = "SELECT g, h, COUNT(*) AS n FROM graft.mvspec.gs " +
+      "WHERE g = 'A' GROUP BY CUBE(g, h)"
+    assert(served(qCube), "filtered CUBE must serve")
+    assert(rows(qCube) === directRows(qCube), "CUBE diverged")
+    // grouping() / grouping_id() resolve over the union frame's gid
+    val qGid = "SELECT g, grouping(g) AS gg, grouping_id() AS gid, " +
+      "COUNT(*) AS n, AVG(v) AS a FROM graft.mvspec.gs " +
+      "GROUP BY GROUPING SETS ((g), ())"
+    assert(served(qGid), "GROUPING SETS with grouping_id must serve")
+    assert(rows(qGid) === directRows(qGid), "grouping_id diverged")
+    // COUNT(DISTINCT key) composes with grouping sets
+    val qDist = "SELECT g, COUNT(DISTINCT h) AS dh " +
+      "FROM graft.mvspec.gs GROUP BY ROLLUP(g)"
+    assert(served(qDist), "distinct-count under ROLLUP must serve")
+    assert(rows(qDist) === directRows(qDist), "rollup distinct diverged")
+    // non-key grouping column, computed grouping expression, and a
+    // non-key WHERE all fall through
+    assert(!served("SELECT k, COUNT(*) AS n FROM graft.mvspec.gs " +
+      "GROUP BY ROLLUP(k)"), "non-key grouping must fall through")
+    assert(!served("SELECT g, h + 1, COUNT(*) AS n " +
+      "FROM graft.mvspec.gs GROUP BY ROLLUP(g, h + 1)"),
+      "computed grouping expression must fall through")
+    assert(!served("SELECT g, COUNT(*) AS n FROM graft.mvspec.gs " +
+      "WHERE v > 5 GROUP BY ROLLUP(g)"),
+      "non-key predicate must fall through")
+    // staleness composes: one unrefreshed cdc batch (delete the whole
+    // (A,1) group, insert a brand-new g='C') — served plan is the
+    // union-of-rollups over (MV ⊕ feed tail), still exact
+    val ch = s.sql("SELECT k, g, h, v, 'D' AS op FROM graft.mvspec.gs " +
+      "WHERE g = 'A' AND h = 1 UNION ALL " +
+      "SELECT k + 1000, 'C', CAST(0 AS BIGINT), v, 'U' " +
+      "FROM graft.mvspec.gs WHERE k % 24 = 0")
+    TxnTable.applyChangesMor(spark, loc, ch, "k", cdc = true)
+    TxnTable.snapshot(spark, loc).createOrReplaceTempView("gs_direct")
+    // the served plan must stay on the MV ⊕ feed plane — this pins the
+    // MoR-swap DEFERRAL (GraftMorReadRule waits for grouping analytics
+    // to resolve; without it the tombstoned relation is swapped away
+    // before the rewrite can see it and the query silently pays the
+    // base scan)
+    def servedCompensated(q: String): Boolean = {
+      val p = s.sql(q).queryExecution.optimizedPlan
+      val hasV2 = p.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.nonEmpty
+      val roots = p.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      !hasV2 && roots.nonEmpty && roots.exists(_.contains(mv)) &&
+        roots.forall(r2 => r2.contains(mv) || r2.contains(s"$loc/_cdc"))
+    }
+    assert(servedCompensated(qRollup),
+      "stale grouping sets must serve from MV + feed, never the base")
+    assert(rows(qRollup) === directRows(qRollup),
+      "compensated ROLLUP diverged")
+    assert(rows(qRollup).exists(_.startsWith("C|")),
+      "the feed-born group must surface at the detail level")
+  }
+
   test("join MV: both join orientations serve; unmatched fact keys " +
       "fold to nothing; dim maintenance advances the cursor; a dim " +
       "content change refuses refresh and disqualifies serving") {
@@ -1421,6 +1522,110 @@ class MatViewSpec extends SparkSpec {
     assert(!served("SELECT g1, COUNT(*) AS n FROM graft.mvspec.sf f " +
       "JOIN graft.mvspec.sd1 d1 ON f.a = d1.pk GROUP BY g1"),
       "a dim-subset join must fall through")
+  }
+
+  test("the matviews metadata table lists every registered view with " +
+      "log-decided freshness; a broken view reports instead of failing " +
+      "the listing") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.shw")
+    s.sql("CREATE TABLE graft.mvspec.shw (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.shw SELECT id, 'A', " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(40)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/shw"
+    val mv = fresh("mv_shw_fold")
+    MatView.create(spark, mv, loc, Seq("g"), "v")
+    MatView.register(spark, mv)
+    val mvx = fresh("mv_shw_extrema")
+    MatView.createExtrema(spark, mvx, loc, Seq("g"), "v")
+    MatView.registerExtrema(spark, mvx)
+    def listing() = s.sql("SELECT mv, kind, fresh, servable, cursor, " +
+      "head FROM graft.mvspec.shw.matviews ORDER BY kind").collect()
+      .map(r => (r.getString(1), r.getBoolean(2), r.getBoolean(3),
+        r.getLong(4), r.getLong(5)))
+    assert(listing().toSet === Set(("fold", true, true, 1L, 1L),
+      ("extrema", true, true, 1L, 1L)), "two fresh views at cursor 1")
+    // one cdc batch: the fold compensates, the extrema cannot
+    val ch = s.sql("SELECT k, g, v, 'D' AS op FROM graft.mvspec.shw " +
+      "WHERE k % 4 = 0")
+    TxnTable.applyChangesMor(spark, loc, ch, "k", cdc = true)
+    assert(listing().toSet === Set(("fold", false, true, 1L, 2L),
+      ("extrema", false, false, 1L, 2L)),
+      "fold compensable, extrema not, after a feed-carrying commit")
+    // a BROKEN view (directory deleted out from under the registry)
+    // reports (false, false, -1) — the listing never throws
+    Fs.deleteRecursively(mvx)
+    val rows = listing()
+    assert(rows.toSet === Set(("fold", false, true, 1L, 2L),
+      ("extrema", false, false, -1L, -1L)),
+      "a broken view must surface as a row, not an exception")
+    // the listing is a LocalScan: no jobs, no data-file reads
+    val plan = s.sql("SELECT * FROM graft.mvspec.shw.matviews")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") || plan.contains("LocalScan"),
+      s"matviews must plan as a local scan, got:\n$plan")
+  }
+
+  test("retentionPins names exactly the feed tail (cursor, head] per " +
+      "registered view; a pinned vacuum keeps a stale view refreshable " +
+      "while sweeping everything else") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.rp")
+    s.sql("CREATE TABLE graft.mvspec.rp (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.rp SELECT id, 'A', " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(60)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/rp"
+    val mv = fresh("mv_rp_fold")
+    MatView.create(spark, mv, loc, Seq("g"), "v")
+    MatView.register(spark, mv)
+    // a FRESH view pins nothing: cursor == head
+    assert(MatView.retentionPins(spark, loc) === Set.empty[Long])
+    // two feed-carrying batches → the fold view needs (1, 3]
+    TxnTable.applyChangesMor(spark, loc,
+      s.sql("SELECT k, g, v, 'D' AS op FROM graft.mvspec.rp " +
+        "WHERE k % 4 = 0"), "k", cdc = true)
+    TxnTable.applyChangesMor(spark, loc,
+      s.sql("SELECT k, g, CAST(v + 2 AS DECIMAL(12,2)), 'U' " +
+        "FROM graft.mvspec.rp WHERE k % 9 = 0")
+        .toDF("k", "g", "v", "op"), "k", cdc = true)
+    assert(MatView.retentionPins(spark, loc) === Set(2L, 3L))
+    // an extrema view created NOW is fresh and adds nothing; the union
+    // stays the fold view's tail
+    val mvx = fresh("mv_rp_extrema")
+    MatView.createExtrema(spark, mvx, loc, Seq("g"), "v")
+    MatView.registerExtrema(spark, mvx)
+    assert(MatView.retentionPins(spark, loc) === Set(2L, 3L))
+    // vacuum with the pins: only v0/v1 manifests die, the feed tail
+    // survives, and the stale view still refreshes (2 commits folded)
+    TxnTable.vacuum(spark, loc, retain = 1,
+      pinned = MatView.retentionPins(spark, loc))
+    assert(TxnTable.versions(spark, loc) === Seq(2L, 3L))
+    val r = MatView.refresh(spark, mv)
+    assert(r.commitsFolded === 2, "both surviving feeds must fold")
+    val got = TxnTable.snapshot(spark, mv)
+      .select("g", "n").collect().map(r2 => (r2.getString(0),
+        r2.getLong(1))).toSet
+    val direct = TxnTable.snapshot(spark, loc).groupBy(col("g"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r2 => (r2.getString(0), r2.getLong(1))).toSet
+    assert(got === direct, "post-vacuum refresh diverged from recompute")
+    // one more batch: both views go stale at (3, 4]
+    TxnTable.applyChangesMor(spark, loc,
+      s.sql("SELECT k, g, v, 'D' AS op FROM graft.mvspec.rp " +
+        "WHERE k % 25 = 0"), "k", cdc = true)
+    assert(MatView.retentionPins(spark, loc) === Set(4L))
+    // a broken view (dir gone) pins nothing and crashes nothing —
+    // retention never blocks on a view that is already recompute-only
+    Fs.deleteRecursively(mvx)
+    assert(MatView.retentionPins(spark, loc) === Set(4L))
   }
 
   test("create REFUSES a value column the DECIMAL(18,2) fold cannot " +
