@@ -1380,37 +1380,69 @@ object MatView {
     registry.isEmpty && joinRegistry.isEmpty && extremaRegistry.isEmpty
 
   /** The version pins an MV-RESPECTING retention pass hands to
-    * [[TxnTable.vacuum]] / [[TxnTable.expireSnapshots]] for `base`: for
-    * every registered view whose incremental contract folds this
-    * base's feed tail — fold and extrema views over it, join views
-    * with it as the FACT (join dims need only their snapshot at head,
-    * which retention always keeps) — the commits `(cursor, head]`, the
-    * exact range refresh and query-time compensation read. Pinned
-    * versions survive the window like tagged ones, so however
-    * aggressive the retention, the registered fleet's refreshes keep
-    * working — without this, ONE vacuum(1) on a busy base turns every
-    * stale view into a drop-and-recompute (at 100 TB: the full base
-    * scan the MV exists to avoid, destroyed by routine maintenance).
-    * A view whose cursor cannot be probed pins nothing — it is already
-    * recompute-only. O(views) header walks, no data reads; the SQL
-    * vacuum / expire_snapshots / vacuum_preview procedures include
-    * these pins automatically. */
+    * [[TxnTable.vacuum]] / [[TxnTable.expireSnapshots]] for `base`:
+    * for every registered view whose incremental contract READS this
+    * base's log tail, the commits `(cursor, head]`. That is the feed
+    * tail for fold views and join FACTS (the range refresh and
+    * query-time compensation fold), the manifest-header tail for
+    * extrema bases AND join dims (proving a range content-invariant
+    * reads every manifest in it — vacuuming those turns the view
+    * recompute-only just as surely as a lost feed). Fold views match
+    * by their EFFECTIVE base: a transplanted view's registry key may
+    * still be the branch dir while its cursor speaks the parent
+    * timeline, and matching by key alone would leave the parent's
+    * feed tail unpinned while pinning branch versions against the
+    * wrong log. Pinned versions survive the window like tagged ones,
+    * so however aggressive the retention, the registered fleet's
+    * refreshes keep working — without this, ONE vacuum(1) on a busy
+    * base turns every stale view into a drop-and-recompute (at
+    * 100 TB: the full base scan the MV exists to avoid, destroyed by
+    * routine maintenance). A view whose cursor cannot be probed pins
+    * nothing — it is already recompute-only. O(views) header walks,
+    * no data reads; the SQL vacuum / expire_snapshots /
+    * vacuum_preview procedures include these pins automatically. */
   def retentionPins(s: SparkSession, base: String): Set[Long] = {
     import scala.jdk.CollectionConverters._
-    def pins(mv: String, b: String): Set[Long] =
-      try {
+    // ONE head probe for the vacuum target, shared across every view
+    lazy val head = TxnTable.currentVersion(s, base)
+    def tail(cursor: Long): Set[Long] =
+      if (cursor >= head) Set.empty[Long]
+      else (cursor + 1 to head).toSet
+    def guarded(p: => Set[Long]): Set[Long] =
+      try p
+      catch { case scala.util.control.NonFatal(_) => Set.empty[Long] }
+    // cheap pre-filter before the per-view cursor walk: the effective
+    // base is the registered one, or the registered branch's parent
+    def mayServe(b: String): Boolean = b == base ||
+      (try parentOf(b) == base
+       catch { case _: IllegalArgumentException => false })
+    val folds = registry.asScala.values.toSeq.collect {
+      case (mv, d0) if mayServe(d0.base) => guarded {
         val mvVer = TxnTable.currentVersion(s, mv)
-        val cursor = cursorAt(s, mv, mvVer, "mv_base_version")
-        val head = TxnTable.currentVersion(s, b)
-        if (cursor >= head) Set.empty[Long]
-        else (cursor + 1 to head).toSet
-      } catch { case scala.util.control.NonFatal(_) => Set.empty[Long] }
-    val folds = registry.asScala.toSeq.collect {
-      case (b, (mv, _)) if b == base => pins(mv, b) }
+        val (dEff, cursor) = effectiveDef(s, mv, d0, mvVer)
+        if (dEff.base != base) Set.empty[Long] else tail(cursor)
+      }
+    }
     val extremas = extremaRegistry.asScala.toSeq.collect {
-      case (b, (mv, _)) if b == base => pins(mv, b) }
-    val joins = joinRegistry.asScala.toSeq.collect {
-      case (_, (mv, d)) if d.fact == base => pins(mv, d.fact) }
+      case (b, (mv, _)) if b == base => guarded {
+        tail(cursorAt(s, mv, TxnTable.currentVersion(s, mv),
+          "mv_base_version"))
+      }
+    }
+    val joins = joinRegistry.asScala.values.toSeq.collect {
+      case (mv, d) if d.fact == base ||
+          d.dims.exists(_.dim == base) => guarded {
+        val mvVer = TxnTable.currentVersion(s, mv)
+        val factPins =
+          if (d.fact != base) Set.empty[Long]
+          else tail(cursorAt(s, mv, mvVer, "mv_base_version"))
+        val dimPins = d.dims.indices.flatMap { i =>
+          if (d.dims(i).dim != base) Set.empty[Long]
+          else tail(cursorAt(s, mv, mvVer, dimCursorMetric(i)))
+        }.toSet
+        factPins ++ dimPins
+      }
+    }
     (folds ++ extremas ++ joins).flatten.toSet
   }
 
@@ -1440,8 +1472,23 @@ object MatView {
     def compensable(b: String, cursor: Long, head: Long): Boolean =
       cursor == head ||
         (cursor < head && feedRefsE(s, b, cursor, head).isRight)
-    val folds = registry.asScala.toSeq.collect {
-      case (b, (mv, d0)) if b == base => guarded(mv, "fold") {
+    // match by the EFFECTIVE base (the same rule retentionPins and the
+    // rewrite's per-query re-resolution follow): a transplanted view
+    // must list under its parent, never under the branch key with
+    // parent-timeline cursor arithmetic. The effective-base probe has
+    // its own guard: a view whose probe throws STILL lists (broken)
+    // when its registered key names this base directly.
+    def mayServe(b: String): Boolean = b == base ||
+      (try parentOf(b) == base
+       catch { case _: IllegalArgumentException => false })
+    def effBaseOf(mv: String, d0: MvDef): Option[String] =
+      try Some(effectiveDef(s, mv, d0,
+        TxnTable.currentVersion(s, mv))._1.base)
+      catch { case scala.util.control.NonFatal(_) =>
+        Some(d0.base).filter(_ == base) }
+    val folds = registry.asScala.values.toSeq.collect {
+      case (mv, d0) if mayServe(d0.base) &&
+          effBaseOf(mv, d0).contains(base) => guarded(mv, "fold") {
         val mvVer = TxnTable.currentVersion(s, mv)
         val (dEff, cursor) = effectiveDef(s, mv, d0, mvVer)
         val head = TxnTable.currentVersion(s, dEff.base)
@@ -1471,10 +1518,15 @@ object MatView {
         val dimHeads = d.dims.map(r => TxnTable.currentVersion(s, r.dim))
         val dimsFresh = d.dims.indices.forall(i =>
           dimCursors(i) == dimHeads(i))
+        // the OP-based range check, because that is what refreshJoin
+        // and compensatedJoin actually accept: a change_noop dim
+        // commit that recorded an (empty) feed is servable there, and
+        // the listing must never report acceleration lost when the
+        // rewrite would serve
         val dimsInvariant = d.dims.indices.forall(i =>
           dimCursors(i) == dimHeads(i) ||
             (dimCursors(i) < dimHeads(i) &&
-              invariantTail(s, d.dims(i).dim, dimCursors(i),
+              contentInvariantRange(s, d.dims(i).dim, dimCursors(i),
                 dimHeads(i))))
         MvStatus(mv, "join", fresh = cursor == head && dimsFresh,
           servable = compensable(d.fact, cursor, head) && dimsInvariant,

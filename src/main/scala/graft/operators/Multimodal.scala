@@ -259,7 +259,14 @@ object Multimodal {
   def gcOrphans(s: SparkSession, docs: String, store: String)
       : GcResult = {
     val sv = TxnTable.currentVersion(s, store)
-    val live = TxnTable.snapshot(s, docs).select(col("pmd5"))
+    // BOTH inputs pinned: the orphan plan is lazily re-evaluated by
+    // the commit's write job after the counting pass below, and an
+    // unpinned docs read would let a concurrent docs commit change the
+    // tombstoned set between the two evaluations — the feed would no
+    // longer name the counted orphans. Pinned at (dv, sv), the plan is
+    // deterministic: count and commit speak about the same set.
+    val dv = TxnTable.currentVersion(s, docs)
+    val live = TxnTable.snapshot(s, docs, dv).select(col("pmd5"))
       .filter(col("pmd5").isNotNull).distinct()
     val orphanRows = TxnTable.snapshot(s, store, sv)
       .join(live, Seq("pmd5"), "left_anti")

@@ -355,6 +355,16 @@ object SqlSurface {
       "FROM graft.q.dins_orders").withColumn("dins_ok", lit(ok))
   }
 
+  /** "Served from MV ⊕ feed tail": every optimized-plan scan root
+    * lives under the MV or the base's `_cdc` feed dir, with at least
+    * one of each present — the compensated-serve plan assertion every
+    * stale-MV scenario checks (one definition, so a future change to
+    * the served-plan contract edits one place). */
+  private def servedFromMvAndFeed(mv: String, loc: String)(
+      ps: Seq[String]): Boolean = ps.nonEmpty &&
+    ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
+    ps.exists(_.contains(mv)) && ps.exists(_.contains(s"$loc/_cdc"))
+
   /** The optimized plan's SCAN SOURCES (toString truncates paths):
     * parquet LogicalRelations expose their file roots, a surviving
     * catalog relation its table identifier. */
@@ -575,9 +585,7 @@ object SqlSurface {
       FROM graft.q.mvru_orders GROUP BY st"""
     val global = """SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE)
       AS total FROM graft.q.mvru_orders"""
-    def mvOnly(ps: Seq[String]) = ps.nonEmpty &&
-      ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
-      ps.exists(_.contains(mv)) && ps.exists(_.contains(s"$loc/_cdc"))
+    def mvOnly = servedFromMvAndFeed(mv, loc) _
     val pCoarse = scanSrcsOf(s, coarse)
     val pGlobal = scanSrcsOf(s, global)
     val g = s.sql(global).collect()(0)
@@ -649,9 +657,7 @@ object SqlSurface {
       FROM graft.q.mvf_orders WHERE pri = '1-URGENT' GROUP BY st"""
     val qNonKey = """SELECT st, COUNT(*) AS n FROM graft.q.mvf_orders
       WHERE price > 100 GROUP BY st"""
-    def mvOnly(ps: Seq[String]) = ps.nonEmpty &&
-      ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
-      ps.exists(_.contains(mv)) && ps.exists(_.contains(s"$loc/_cdc"))
+    def mvOnly = servedFromMvAndFeed(mv, loc) _
     val (pK, pR, pN) =
       (scanSrcsOf(s, qKey), scanSrcsOf(s, qRollup), scanSrcsOf(s, qNonKey))
     // answer-equality against direct recomputes of the moved base
@@ -751,9 +757,7 @@ object SqlSurface {
       FROM orders WHERE o_orderkey % 17 = 0""")
     graft.operators.TxnTable.applyChangesMor(s, loc, ch, "o_orderkey",
       cdc = true)
-    def mvFeedOnly(ps: Seq[String]) = ps.nonEmpty &&
-      ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
-      ps.exists(_.contains(mv)) && ps.exists(_.contains(s"$loc/_cdc"))
+    def mvFeedOnly = servedFromMvAndFeed(mv, loc) _
     val pStale = scanSrcsOf(s, q)
     val servedStale = mvFeedOnly(pStale) && got() == direct()
     // phase 3: the GLOBAL distinct (rollup to no keys) — same plane
@@ -1031,9 +1035,7 @@ object SqlSurface {
     val q = """SELECT st, COUNT(*) AS n, COUNT(price) AS nn,
       CAST(SUM(price) AS DOUBLE) AS total
       FROM graft.q.mvrt_orders GROUP BY st"""
-    def mvFeedOnly(ps: Seq[String]) = ps.nonEmpty &&
-      ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
-      ps.exists(_.contains(mv)) && ps.exists(_.contains(s"$loc/_cdc"))
+    def mvFeedOnly = servedFromMvAndFeed(mv, loc) _
     val pStale = scanSrcsOf(s, q)
     def got() = s.sql(q).collect().map(r => (r.getString(0),
       r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
@@ -1125,9 +1127,7 @@ object SqlSurface {
       FROM orders WHERE o_orderkey % 13 = 0""")
     graft.operators.TxnTable.applyChangesMor(s, loc, ch, "o_orderkey",
       cdc = true)
-    def mvFeedOnly(ps: Seq[String]) = ps.nonEmpty &&
-      ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
-      ps.exists(_.contains(mv)) && ps.exists(_.contains(s"$loc/_cdc"))
+    def mvFeedOnly = servedFromMvAndFeed(mv, loc) _
     val pStale = scanSrcsOf(s, q)
     val gotStale = got(q)
     val servedStale = mvFeedOnly(pStale) && gotStale == direct(q) &&

@@ -1626,6 +1626,31 @@ class MatViewSpec extends SparkSpec {
     // retention never blocks on a view that is already recompute-only
     Fs.deleteRecursively(mvx)
     assert(MatView.retentionPins(spark, loc) === Set(4L))
+    // join views pin BOTH logs: the dim's manifest-header tail too —
+    // the invariance proof reads every manifest in (dimCursor, dimHead],
+    // so vacuuming them would turn the view recompute-only exactly
+    // like a lost fact feed
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.rpd")
+    s.sql("CREATE TABLE graft.mvspec.rpd (c BIGINT, seg STRING)")
+    s.sql("INSERT INTO graft.mvspec.rpd SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'X' ELSE 'Y' END FROM RANGE(60)")
+    val dimLoc = s"${GraftCatalog.defaultWarehouse}/mvspec/rpd"
+    val mvj = fresh("mv_rp_join")
+    MatView.createJoin(spark, mvj, loc, dimLoc, "k", "c", Seq("seg"),
+      "v")
+    MatView.registerJoin(spark, mvj)
+    assert(MatView.retentionPins(spark, dimLoc) === Set.empty[Long],
+      "a fresh dim cursor pins nothing")
+    TxnTable.compact(spark, dimLoc)
+    TxnTable.compact(spark, dimLoc)
+    assert(MatView.retentionPins(spark, dimLoc) === Set(2L, 3L),
+      "the dim's manifest tail (dimCursor, dimHead] must pin")
+    TxnTable.vacuum(spark, dimLoc, retain = 1,
+      pinned = MatView.retentionPins(spark, dimLoc))
+    // the invariance proof still reads: refreshJoin advances the dim
+    // cursor across the compacts instead of refusing on a swept log
+    MatView.refreshJoin(spark, mvj)
+    assert(MatView.retentionPins(spark, dimLoc) === Set.empty[Long])
   }
 
   test("create REFUSES a value column the DECIMAL(18,2) fold cannot " +
