@@ -1379,6 +1379,14 @@ object MatView {
   private[graft] def registryEmpty: Boolean =
     registry.isEmpty && joinRegistry.isEmpty && extremaRegistry.isEmpty
 
+  /** Whether a view registered with base `b` COULD effectively serve
+    * `base`: directly, or as a branch view whose parent is `base` (the
+    * transplant shape) — the shared cheap pre-filter before the
+    * per-view cursor walk in [[retentionPins]] and [[statusFor]]. */
+  private def mayServe(b: String, base: String): Boolean = b == base ||
+    (try parentOf(b) == base
+     catch { case _: IllegalArgumentException => false })
+
   /** The version pins an MV-RESPECTING retention pass hands to
     * [[TxnTable.vacuum]] / [[TxnTable.expireSnapshots]] for `base`:
     * for every registered view whose incremental contract READS this
@@ -1411,13 +1419,8 @@ object MatView {
     def guarded(p: => Set[Long]): Set[Long] =
       try p
       catch { case scala.util.control.NonFatal(_) => Set.empty[Long] }
-    // cheap pre-filter before the per-view cursor walk: the effective
-    // base is the registered one, or the registered branch's parent
-    def mayServe(b: String): Boolean = b == base ||
-      (try parentOf(b) == base
-       catch { case _: IllegalArgumentException => false })
     val folds = registry.asScala.values.toSeq.collect {
-      case (mv, d0) if mayServe(d0.base) => guarded {
+      case (mv, d0) if mayServe(d0.base, base) => guarded {
         val mvVer = TxnTable.currentVersion(s, mv)
         val (dEff, cursor) = effectiveDef(s, mv, d0, mvVer)
         if (dEff.base != base) Set.empty[Long] else tail(cursor)
@@ -1475,25 +1478,30 @@ object MatView {
     // match by the EFFECTIVE base (the same rule retentionPins and the
     // rewrite's per-query re-resolution follow): a transplanted view
     // must list under its parent, never under the branch key with
-    // parent-timeline cursor arithmetic. The effective-base probe has
-    // its own guard: a view whose probe throws STILL lists (broken)
-    // when its registered key names this base directly.
-    def mayServe(b: String): Boolean = b == base ||
-      (try parentOf(b) == base
-       catch { case _: IllegalArgumentException => false })
-    def effBaseOf(mv: String, d0: MvDef): Option[String] =
-      try Some(effectiveDef(s, mv, d0,
-        TxnTable.currentVersion(s, mv))._1.base)
-      catch { case scala.util.control.NonFatal(_) =>
-        Some(d0.base).filter(_ == base) }
-    val folds = registry.asScala.values.toSeq.collect {
-      case (mv, d0) if mayServe(d0.base) &&
-          effBaseOf(mv, d0).contains(base) => guarded(mv, "fold") {
-        val mvVer = TxnTable.currentVersion(s, mv)
-        val (dEff, cursor) = effectiveDef(s, mv, d0, mvVer)
-        val head = TxnTable.currentVersion(s, dEff.base)
-        MvStatus(mv, "fold", fresh = cursor == head,
-          servable = compensable(dEff.base, cursor, head), cursor, head)
+    // parent-timeline cursor arithmetic. ONE effective-base probe per
+    // candidate, reused by both the match and the status body; a view
+    // whose probe THROWS still lists (broken) when its registry key or
+    // stored base names this base — the operator must SEE it.
+    val folds = registry.asScala.toSeq.flatMap { case (key, (mv, d0)) =>
+      if (!mayServe(d0.base, base) && key != base) None
+      else {
+        val eff =
+          try Some(effectiveDef(s, mv, d0,
+            TxnTable.currentVersion(s, mv)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        eff match {
+          case Some((dEff, cursor)) if dEff.base == base =>
+            Some(guarded(mv, "fold") {
+              val head = TxnTable.currentVersion(s, dEff.base)
+              MvStatus(mv, "fold", fresh = cursor == head,
+                servable = compensable(dEff.base, cursor, head),
+                cursor, head)
+            })
+          case Some(_) => None // effective base is a different table
+          case None =>
+            Some(MvStatus(mv, "fold", fresh = false, servable = false,
+              -1L, -1L))
+        }
       }
     }
     val extremas = extremaRegistry.asScala.toSeq.collect {
