@@ -147,6 +147,7 @@ object SparkEntry {
     "mm_payload_dedup"        -> (Multimodal.payloadDedup _),
     "mm_blob_retract"         -> (Multimodal.blobRetract _),
     "mm_ref_gc"               -> (Multimodal.blobGc _),
+    "mm_blob_stream"          -> (Multimodal.blobStream _),
     "q35_storage_list"        -> (StorageRoundtrip.listDir _),
     "q36_orc_roundtrip"       -> (StorageRoundtrip.orcRoundtrip _),
     "op_salted_join"          -> (SkewJoin.saltedOrdersBySegment _),
@@ -2502,6 +2503,15 @@ object SparkEntry {
         |SELECT pmd5, nrefs, nbytes, TRUE AS blob_ok FROM blobs
         |  WHERE pmd5 NOT IN (SELECT pmd5 FROM named)
         |UNION ALL SELECT pmd5, nrefs, nbytes, TRUE FROM recrawl""".stripMargin,
+    // the streamed store converges to the distinct content addresses,
+    // whatever the crawl volume or re-crawl overlap
+    "mm_blob_stream" ->
+      """WITH items AS (SELECT doc_id,
+        |    'IMG:' || CAST(doc_id % 13 AS VARCHAR) || ':' ||
+        |      repeat('x', CAST((doc_id % 13) * 7 AS INT)) AS pay
+        |  FROM documents)
+        |SELECT DISTINCT md5(pay) AS pmd5, strlen(pay) AS nbytes,
+        |  TRUE AS bstream_ok FROM items""".stripMargin,
     // the post-GC store: every class except the two GDPR-wiped ones,
     // plus the re-crawled class at its re-ingested size
     "mm_ref_gc" ->

@@ -404,6 +404,142 @@ object Multimodal {
       .withColumn("gc_ok", lit(ok))
   }
 
+  /** mm_blob_stream: the STREAMING CRAWLER INGEST of the
+    * content-addressed blob store — the continuous form of
+    * [[blobRetract]]'s batch ingest, which is how a 100 TB media store
+    * is actually built: micro-batches of (doc_id, payload) arrive, each
+    * batch dedups against the STORE SO FAR (one anti-join on the
+    * content address — cross-batch, not per-batch), and lands its doc
+    * references, its NOVEL blobs, and one audit row as ONE atomic
+    * transaction ([[TxnTable.commitMultiIdempotent]]): a crash between
+    * the doc commit and the blob commit would otherwise leave doc rows
+    * pointing at payloads the store never got (or orphan blobs no doc
+    * names) FOREVER. The (appId, batchId) ledger makes foreachBatch's
+    * documented at-least-once retries skip cleanly — the scenario
+    * re-lands every batch a second time (4 retry skips) and replays
+    * batch 0 after the stream (skip). Four waves split by doc_id % 4,
+    * the last a RE-CRAWL (shifted doc ids, byte-identical payloads):
+    * wave 0 covers every payload class, so the audit trail must show
+    * all novelty in batch 0 and ZERO new blobs after — the dedup
+    * accounting is computed independently from the wave payloads and
+    * compared against the committed ledger. The three tables move in
+    * lockstep (identical version trails), the store holds exactly the
+    * distinct content addresses, and the docs table every reference.
+    * Hashed output = the final store; the oracle replays the md5
+    * class arithmetic. At 100 TB: ingest costs one anti-join + one
+    * multi-table pend per batch — exactly-once without a
+    * coordinator, and the store grows by CONTENT, never by crawl
+    * volume. */
+  def blobStream(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Fs.scratch("graft_mm_stream", "run")
+    graft.Fs.deleteRecursively(base)
+    val docsT = s"$base/docs"
+    val store = s"$base/store"
+    val ledger = s"$base/ledger"
+    val sx = s
+    import sx.implicits._
+    val items = Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("IMG:"), pmod(col("doc_id"), lit(13)), lit(":"),
+        repeat(lit("x"), pmod(col("doc_id"), lit(13)).cast("int") * 7))
+        .cast("binary").as("payload"))
+    val waves = Seq(
+      items.filter(pmod(col("doc_id"), lit(4)) === 0),
+      items.filter(pmod(col("doc_id"), lit(4)) === 1),
+      items.filter(pmod(col("doc_id"), lit(4)) === 2),
+      // the re-crawl: shifted doc ids, byte-identical payloads — every
+      // blob must dedup against earlier waves' store rows
+      items.filter(pmod(col("doc_id"), lit(4)) === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          col("payload")))
+    val docsSchema = items.select(col("doc_id"),
+      md5(col("payload")).as("pmd5")).schema
+    val storeSchema = items.select(md5(col("payload")).as("pmd5"),
+      col("payload")).schema
+    val ledgerSchema = Seq.empty[(Long, Long, Long)]
+      .toDF("batch_id", "n_docs", "n_novel").schema
+    TxnTable.commit(s, docsT, TxnTable.stageEmpty(s, docsT, docsSchema),
+      expected = -1L, op = "create", schemaJson = docsSchema.json)
+    TxnTable.commit(s, store, TxnTable.stageEmpty(s, store, storeSchema),
+      expected = -1L, op = "create", schemaJson = storeSchema.json)
+    TxnTable.commit(s, ledger,
+      TxnTable.stageEmpty(s, ledger, ledgerSchema),
+      expected = -1L, op = "create", schemaJson = ledgerSchema.json)
+    val feed = graft.streaming.Streams.stageWaveFeed(s, base, waves)
+    val applies = new java.util.concurrent.atomic.AtomicLong
+    val retrySkips = new java.util.concurrent.atomic.AtomicLong
+    val q = s.readStream.schema("doc_id LONG, payload BINARY")
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(feed)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          epoch: Long) =>
+        val bRows = batch.select(col("doc_id"),
+          md5(col("payload")).as("pmd5"), col("payload"))
+          .localCheckpoint(true)
+        // batch-distinct first, then ONE anti-join against the store's
+        // content addresses — the scan is store-sized, never
+        // crawl-history-sized
+        val bBlobs = bRows.groupBy(col("pmd5"))
+          .agg(org.apache.spark.sql.functions.min(col("payload"))
+            .as("payload"))
+        val novel = bBlobs.join(
+          TxnTable.snapshot(s, store).select(col("pmd5")),
+          Seq("pmd5"), "left_anti").localCheckpoint(true)
+        val docsRows = bRows.select(col("doc_id"), col("pmd5"))
+        val audit = Seq((epoch, docsRows.count(), novel.count()))
+          .toDF("batch_id", "n_docs", "n_novel")
+        def land() = TxnTable.commitMultiIdempotent(s,
+          Seq(docsT -> docsRows,
+            store -> novel.select(col("pmd5"), col("payload")),
+            ledger -> audit),
+          "blob-sink", epoch)
+        if (land().isDefined) applies.incrementAndGet()
+        // the at-least-once retry: the SAME batch re-lands in NO table
+        if (land().isEmpty) retrySkips.incrementAndGet()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // post-stream replay from an old checkpoint: still a clean skip
+    val replay0 = TxnTable.commitMultiIdempotent(s,
+      Seq(docsT -> TxnTable.snapshot(s, docsT).limit(0),
+        store -> TxnTable.snapshot(s, store).limit(0),
+        ledger -> Seq((0L, 0L, 0L)).toDF("batch_id", "n_docs",
+          "n_novel")),
+      "blob-sink", 0L)
+    // the EXPECTED dedup accounting, derived from the wave payloads
+    // independently of anything the stream wrote
+    val waveMd5s = waves.map(_.select(md5(col("payload"))).distinct()
+      .collect().map(_.getString(0)).toSet)
+    val expTrail = waveMd5s.zipWithIndex.map { case (m, i) =>
+      (m -- waveMd5s.take(i).foldLeft(Set.empty[String])(_ ++ _)).size
+        .toLong
+    }
+    val expDocs = waves.map(_.count())
+    val led = TxnTable.snapshot(s, ledger).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val storeMd5s = TxnTable.snapshot(s, store).select(col("pmd5"))
+      .collect().map(_.getString(0)).toSet
+    val trails = Seq(docsT, store, ledger)
+      .map(t => TxnTable.versions(s, t))
+    val ok = applies.get == 4L && retrySkips.get == 4L &&
+      replay0.isEmpty &&
+      trails.forall(_ == Seq(0L, 1L, 2L, 3L, 4L)) &&
+      led.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L) &&
+      led.map(_._2).toSeq == expDocs &&
+      led.map(_._3).toSeq == expTrail &&
+      expTrail.tail.forall(_ == 0L) && expTrail.head > 0L &&
+      storeMd5s == waveMd5s.reduce(_ ++ _) &&
+      TxnTable.snapshot(s, docsT).count() == expDocs.sum
+    TxnTable.snapshot(s, store)
+      .select(col("pmd5"),
+        octet_length(col("payload")).cast("long").as("nbytes"))
+      .withColumn("bstream_ok", lit(ok))
+  }
+
   /** Resize to fit a max edge, preserving aspect ratio — the arithmetic a
     * real resize kernel uses to pick its output buffer. */
   private def resizeDims(w: Int, h: Int, maxEdge: Int): (Int, Int) = {
