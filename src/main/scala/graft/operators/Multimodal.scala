@@ -156,10 +156,7 @@ object Multimodal {
     val store = graft.Fs.freshScratch("graft_mm", "blob_store")
     // deterministic image stubs with deliberate duplicates: payload
     // derives from doc_id % 13, so ~13 distinct blobs serve the corpus
-    val items = Tables.documents(s, d).select(col("doc_id"),
-      concat(lit("IMG:"), pmod(col("doc_id"), lit(13)), lit(":"),
-        repeat(lit("x"), pmod(col("doc_id"), lit(13)).cast("int") * 7))
-        .cast("binary").as("payload"))
+    val items = imgItems(s, d)
     val blobs = items.groupBy(md5(col("payload")).as("pmd5"))
       .agg(org.apache.spark.sql.functions.min(col("payload"))
         .as("payload"), count(lit(1)).as("nrefs"),
@@ -229,6 +226,18 @@ object Multimodal {
         col("nbytes").cast("long").as("nbytes"))
       .withColumn("blob_ok", lit(ok))
   }
+
+  /** The deterministic image-stub corpus shared by the blob-store
+    * scenarios ([[blobRetract]], [[blobGc]], [[blobStream]]): one
+    * payload per doc whose CONTENT is a function of doc_id % 13 alone,
+    * so ~13 distinct blobs serve any corpus size. This builder and its
+    * DuckDB replay (`'IMG:' || class || ':' || repeat('x', class*7)`)
+    * must change together — one definition here, one per oracle. */
+  private def imgItems(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("IMG:"), pmod(col("doc_id"), lit(13)), lit(":"),
+        repeat(lit("x"), pmod(col("doc_id"), lit(13)).cast("int") * 7))
+        .cast("binary").as("payload"))
 
   /** Outcome of one [[gcOrphans]] run: the store version after the GC
     * commit (unchanged when nothing was orphaned), how many blobs were
@@ -313,10 +322,7 @@ object Multimodal {
   def blobGc(s: SparkSession, d: String): DataFrame = {
     val docs = graft.Fs.freshScratch("graft_mm", "gc_docs")
     val store = graft.Fs.freshScratch("graft_mm", "gc_store")
-    val items = Tables.documents(s, d).select(col("doc_id"),
-      concat(lit("IMG:"), pmod(col("doc_id"), lit(13)), lit(":"),
-        repeat(lit("x"), pmod(col("doc_id"), lit(13)).cast("int") * 7))
-        .cast("binary").as("payload"))
+    val items = imgItems(s, d)
     val docRows = items.select(col("doc_id"),
       md5(col("payload")).as("pmd5"))
     TxnTable.commit(s, docs, TxnTable.stageIndexed(s, docs,
@@ -431,17 +437,13 @@ object Multimodal {
     * coordinator, and the store grows by CONTENT, never by crawl
     * volume. */
   def blobStream(s: SparkSession, d: String): DataFrame = {
-    val base = graft.Fs.scratch("graft_mm_stream", "run")
-    graft.Fs.deleteRecursively(base)
+    val base = graft.Fs.freshScratch("graft_mm_stream", "run")
     val docsT = s"$base/docs"
     val store = s"$base/store"
     val ledger = s"$base/ledger"
     val sx = s
     import sx.implicits._
-    val items = Tables.documents(s, d).select(col("doc_id"),
-      concat(lit("IMG:"), pmod(col("doc_id"), lit(13)), lit(":"),
-        repeat(lit("x"), pmod(col("doc_id"), lit(13)).cast("int") * 7))
-        .cast("binary").as("payload"))
+    val items = imgItems(s, d)
     val waves = Seq(
       items.filter(pmod(col("doc_id"), lit(4)) === 0),
       items.filter(pmod(col("doc_id"), lit(4)) === 1),
