@@ -81,6 +81,7 @@ object SparkEntry {
     "sql_mv_join"             -> (SqlSurface.mvJoin _),
     "sql_mv_extrema"          -> (SqlSurface.mvExtrema _),
     "sql_mv_star"             -> (SqlSurface.mvStar _),
+    "sql_mv_star_gsets"       -> (SqlSurface.mvStarGsets _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
     "sql_txn_agg_push"        -> (SqlSurface.txnAggPush _),
     "sql_txn_bloom"           -> (SqlSurface.txnBloomSql _),
@@ -1584,6 +1585,29 @@ object SparkEntry {
         |  TRUE AS star_ok
         |FROM f JOIN o USING (ok) JOIN pt USING (pk)
         |GROUP BY st, brand""".stripMargin,
+    // the three ROLLUP(st, brand) levels over the moved star (fact
+    // deletes 6|lid, shifted inserts 11|lid; dims untouched), replayed
+    // as an explicit union of rollups
+    "sql_mv_star_gsets" ->
+      """WITH f0 AS (SELECT l_orderkey * 10 + l_linenumber AS lid,
+        |    l_orderkey AS ok, l_partkey AS pk,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS p FROM lineitem),
+        |f AS (SELECT lid, ok, pk, p FROM f0 WHERE lid % 6 <> 0
+        |  UNION ALL SELECT lid + 900000000, ok, pk, p FROM f0
+        |    WHERE lid % 11 = 0),
+        |o AS (SELECT o_orderkey AS ok, o_orderstatus AS st FROM orders),
+        |pt AS (SELECT p_partkey AS pk, p_brand AS brand FROM part),
+        |j AS (SELECT st, brand, p FROM f JOIN o USING (ok)
+        |  JOIN pt USING (pk))
+        |SELECT st, brand, COUNT(*) AS n, COUNT(p) AS nn,
+        |  CAST(SUM(p) AS DOUBLE) AS total, CAST(0 AS BIGINT) AS gid,
+        |  TRUE AS sgs_ok FROM j GROUP BY st, brand
+        |UNION ALL
+        |SELECT st, NULL, COUNT(*), COUNT(p), CAST(SUM(p) AS DOUBLE),
+        |  CAST(1 AS BIGINT), TRUE FROM j GROUP BY st
+        |UNION ALL
+        |SELECT NULL, NULL, COUNT(*), COUNT(p), CAST(SUM(p) AS DOUBLE),
+        |  CAST(3 AS BIGINT), TRUE FROM j""".stripMargin,
     // per-status extrema after the delete of every row holding F's max:
     // the second max answers; all other groups keep their extremes
     "sql_mv_extrema" ->

@@ -1351,6 +1351,108 @@ object SqlSurface {
     * 100 TB: the multi-dim dashboard — THE warehouse workload — costs
     * an MV read plus the fact delta joined to the small sides; the
     * fact is never rescanned. */
+  /** sql_mv_star_gsets: the SUBTOTAL STAR DASHBOARD — `GROUP BY
+    * ROLLUP(st, brand)` over fact ⋈ orders ⋈ part served from ONE star
+    * MV (GraftMvRewriteRule.tryGroupingSets' join arm: the same
+    * union-of-per-set-rollups algebra, over the join MV's compensated
+    * frame, with grouping keys traced through the Expand/Project
+    * aliases to DIM key columns of the matched definition). This is
+    * the worst cold plan in the warehouse — grouping sets EXPAND the
+    * joined fact (sets × |fact ⋈ dims| rows through the shuffle) — and
+    * it becomes a few MV-sized aggregates. Phases pinned by
+    * optimized-plan scan roots: (1) fresh ROLLUP + a dim-key-filtered
+    * CUBE with grouping_id → MV alone, == direct recomputes; (2) one
+    * fact cdc batch, unrefreshed → MV + fact `_cdc` + dims, never a
+    * fact data file, every subtotal level still exact; (3) a fact-side
+    * grouping (ROLLUP(l_partkey)) falls through — the MV holds no fact
+    * residual. Hashed output = the stale ROLLUP with grouping_id; the
+    * oracle replays the three levels as an explicit union over the
+    * moved star (no engine grouping_id dialect dependence). At 100 TB:
+    * the subtotal star dashboard stops multiplying the fact scan. */
+  def mvStarGsets(s: SparkSession, d: String): DataFrame = {
+    val factLoc = freshSqlTable(s, "gsets_li")
+    val ordLoc = freshSqlTable(s, "gsets_ord")
+    val partLoc = freshSqlTable(s, "gsets_part")
+    view(s, d, "lineitem"); view(s, d, "orders"); view(s, d, "part")
+    s.sql("""CREATE TABLE graft.q.gsets_li (
+      lid BIGINT, l_orderkey BIGINT, l_partkey BIGINT,
+      price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.gsets_li
+      SELECT l_orderkey * 10 + l_linenumber, l_orderkey, l_partkey,
+        CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem""")
+    s.sql("CREATE TABLE graft.q.gsets_ord (o_orderkey BIGINT, st STRING)")
+    s.sql("""INSERT INTO graft.q.gsets_ord
+      SELECT o_orderkey, o_orderstatus FROM orders""")
+    s.sql("CREATE TABLE graft.q.gsets_part (p_partkey BIGINT, " +
+      "brand STRING)")
+    s.sql("""INSERT INTO graft.q.gsets_part
+      SELECT p_partkey, p_brand FROM part""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_star_gsets")
+    graft.operators.MatView.createJoinStar(s, mv, factLoc, Seq(
+      graft.operators.MatView.MvDimRef(ordLoc, "l_orderkey",
+        "o_orderkey"),
+      graft.operators.MatView.MvDimRef(partLoc, "l_partkey",
+        "p_partkey")),
+      Seq("st", "brand"), "price")
+    graft.operators.MatView.registerJoin(s, mv)
+    val joinSql = """FROM graft.q.gsets_li f
+      JOIN graft.q.gsets_ord o ON f.l_orderkey = o.o_orderkey
+      JOIN graft.q.gsets_part p ON f.l_partkey = p.p_partkey"""
+    val q = s"""SELECT st, brand, COUNT(*) AS n, COUNT(price) AS nn,
+      CAST(SUM(price) AS DOUBLE) AS total, grouping_id() AS gid
+      $joinSql GROUP BY ROLLUP(st, brand)"""
+    val qCube = s"""SELECT st, brand, grouping_id() AS gid,
+      COUNT(*) AS n $joinSql WHERE st = 'F' GROUP BY CUBE(st, brand)"""
+    val qFact = s"""SELECT l_partkey, COUNT(*) AS n
+      $joinSql GROUP BY ROLLUP(l_partkey)"""
+    def got(sql: String) = s.sql(sql).collect().map(_.toSeq.map {
+      case null => "∅"
+      case x => x.toString
+    }.mkString("|")).sorted.toSeq
+    def direct(sql: String) = {
+      graft.operators.TxnTable.snapshot(s, factLoc)
+        .createOrReplaceTempView("gsets_li_d")
+      graft.operators.TxnTable.snapshot(s, ordLoc)
+        .createOrReplaceTempView("gsets_ord_d")
+      graft.operators.TxnTable.snapshot(s, partLoc)
+        .createOrReplaceTempView("gsets_part_d")
+      got(sql.replace("graft.q.gsets_li", "gsets_li_d")
+        .replace("graft.q.gsets_ord", "gsets_ord_d")
+        .replace("graft.q.gsets_part", "gsets_part_d"))
+    }
+    def mvOnly(ps: Seq[String]) = ps.nonEmpty && ps.forall(_.contains(mv))
+    // phase 1: fresh — every subtotal level from the MV alone
+    val servedFresh = mvOnly(scanSrcsOf(s, q)) &&
+      mvOnly(scanSrcsOf(s, qCube)) &&
+      got(q) == direct(q) && got(qCube) == direct(qCube)
+    // phase 2: one fact cdc batch (deletes + shifted inserts),
+    // unrefreshed — union-of-rollups over (MV ⊕ fact feed ⋈ dims)
+    val ch = s.sql("""SELECT l_orderkey * 10 + l_linenumber AS lid,
+        l_orderkey, l_partkey,
+        CAST(l_extendedprice AS DECIMAL(12,2)) AS price, 'D' AS op
+      FROM lineitem WHERE (l_orderkey * 10 + l_linenumber) % 6 = 0
+      UNION ALL
+      SELECT l_orderkey * 10 + l_linenumber + 900000000, l_orderkey,
+        l_partkey, CAST(l_extendedprice AS DECIMAL(12,2)), 'U'
+      FROM lineitem WHERE (l_orderkey * 10 + l_linenumber) % 11 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, factLoc, ch, "lid",
+      cdc = true)
+    val p2 = scanSrcsOf(s, q)
+    val servedStale = p2.nonEmpty &&
+      p2.forall(p => p.contains(mv) || p.contains(s"$factLoc/_cdc") ||
+        p.contains(ordLoc) || p.contains(partLoc)) &&
+      p2.exists(_.contains(mv)) &&
+      p2.exists(_.contains(s"$factLoc/_cdc")) &&
+      !p2.exists(p => p.contains(factLoc) && !p.contains("_cdc")) &&
+      got(q) == direct(q)
+    // phase 3: a FACT-side grouping — no residual in the MV
+    val pFact = scanSrcsOf(s, qFact)
+    val fellThrough = pFact.exists(p => p.contains(factLoc) ||
+      p.startsWith("v2:")) && !pFact.exists(_.contains(mv))
+    val ok = servedFresh && servedStale && fellThrough
+    s.sql(q).withColumn("sgs_ok", lit(ok))
+  }
+
   def mvStar(s: SparkSession, d: String): DataFrame = {
     val factLoc = freshSqlTable(s, "star_li")
     val ordLoc = freshSqlTable(s, "star_ord")

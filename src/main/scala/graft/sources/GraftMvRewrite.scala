@@ -220,10 +220,34 @@ case class GraftMvRewriteRule(session: SparkSession)
     * published feeds (each signed row re-joined to the dims), while
     * ANY dim content change past its cursor disqualifies — a moved dim
     * attribute regroups rows no fact feed mentions. */
-  private def tryJoin(groups: Seq[Expression],
-      aggExprs: Seq[NamedExpression], child: LogicalPlan)
-      : Option[LogicalPlan] = {
-    val (rels0, conds, preds) = flattenJoin(child).getOrElse(return None)
+  /** A join tree resolved against the join-MV registry: the matched
+    * view plus everything the serving tails need — the per-side
+    * ownership checks and the pinned relations the freshness closure
+    * speaks about. */
+  private case class JoinMvMatch(mvLoc: String, d: MatView.MvJoinDef,
+      factRel: DataSourceV2Relation, factG: GraftTable,
+      dimRels: Seq[DataSourceV2Relation], dimGs: Seq[GraftTable]) {
+    /** DIM key column ownership: MV rows are one per key combination,
+      * so only these may appear as grouping keys or servable-filter
+      * references (the fact side, a non-key dim column, or a
+      * same-named column on the wrong side must not bind). */
+    def dimKeyOwned(a: AttributeReference): Boolean =
+      dimRels.exists(_.outputSet.contains(a)) && d.keys.contains(a.name)
+    def valueOwned(a: AttributeReference): Boolean =
+      factRel.outputSet.contains(a)
+  }
+
+  /** Probe the join-MV registry for a flattened all-inner join tree:
+    * every relation is a fact CANDIDATE against the remaining
+    * locations as the dim set, and the equality conjuncts must BIJECT
+    * with the matched definition's fact→dim equalities — one conjunct
+    * per dim, no leftovers (an extra equality would change the joined
+    * row set; a missing one makes the query a cross product the MV
+    * never materialized; dims may repeat a LOCATION only if the def
+    * does not — the registry key de-dups, so a self-join never
+    * matches). */
+  private def matchJoinMv(rels0: Seq[DataSourceV2Relation],
+      conds: Seq[Expression]): Option[JoinMvMatch] = {
     if (rels0.size < 2) return None
     val gts: Seq[(DataSourceV2Relation, GraftTable)] = rels0.map { r =>
       r.table match {
@@ -231,17 +255,12 @@ case class GraftMvRewriteRule(session: SparkSession)
         case _ => return None
       }
     }
-    // every relation is a fact CANDIDATE: probe the registry with it
-    // against the remaining locations as the dim set
     val hit = gts.indices.iterator.flatMap { i =>
       val (fr, fg) = gts(i)
       val dims = gts.patch(i, Nil, 1)
       MatView.registeredJoinFor(fg.location, dims.map(_._2.location))
         .map(x => (x, fr, fg, dims))
     }.find { case ((_, d), fr, _, dims) =>
-      // the equality conjuncts must BIJECT with the def's dim joins
-      // (dims may repeat a LOCATION only if the def does not — the
-      // registry key de-dups, so a self-join never matches)
       val dimByLoc = dims.map(x => x._2.location -> x._1).toMap
       conds.size == d.dims.size && d.dims.forall { ref =>
         dimByLoc.get(ref.dim).exists { dimRel =>
@@ -256,43 +275,57 @@ case class GraftMvRewriteRule(session: SparkSession)
         }
       }
     }
-    val ((mvLoc, d), factRel, factG, dimPairs) = hit.getOrElse(return None)
-    val dimRelByLoc = dimPairs.map(x => x._2.location -> x._1).toMap
-    val dimGByLoc = dimPairs.map(x => x._2.location -> x._2).toMap
-    val dimRels = d.dims.map(r => dimRelByLoc(r.dim))
-    val dimGs = d.dims.map(r => dimGByLoc(r.dim))
-    // above-join WHERE: servable iff every reference is a DIM key
-    // column — MV rows are one per key combination, so such a
-    // predicate selects whole groups (the sql_mv_filter rule applied
-    // to the join shape); anything touching the fact side, a non-key
-    // dim column, nondeterminism or subqueries falls through
-    val dimKeyOwned = (a: AttributeReference) =>
-      dimRels.exists(_.outputSet.contains(a)) && d.keys.contains(a.name)
-    if (!preds.forall(p => p.deterministic &&
-        p.collectFirst { case s: SubqueryExpression => s }.isEmpty &&
-        p.references.forall(a => a match {
-          case ar: AttributeReference => dimKeyOwned(ar)
-          case _ => false
-        }))) return None
-    serve(groups, aggExprs, d.keys, d.value, d.aggs,
-      keyOwned = dimKeyOwned,
-      valueOwned = a => factRel.outputSet.contains(a),
-      mvRows = {
-        val mvVer = TxnTable.currentVersion(session, mvLoc)
-        val cursor = MatView.cursorAt(session, mvLoc, mvVer,
-          "mv_base_version")
-        val dimCursors = d.dims.indices.map(i =>
-          MatView.cursorAt(session, mvLoc, mvVer,
-            MatView.dimCursorMetric(i)))
-        // a time-travel read BEHIND any cursor never serves
-        if (cursor > factG.pinnedVersion ||
-          d.dims.indices.exists(i =>
-            dimCursors(i) > dimGs(i).pinnedVersion)) None
-        else MatView.compensatedJoin(session, mvLoc, d, cursor,
-          factG.pinnedVersion, dimCursors,
-          dimGs.map(_.pinnedVersion), mvVer)
-          .map(applyKeyPreds(_, preds))
+    hit.map { case ((mvLoc, d), factRel, factG, dimPairs) =>
+      val dimRelByLoc = dimPairs.map(x => x._2.location -> x._1).toMap
+      val dimGByLoc = dimPairs.map(x => x._2.location -> x._2).toMap
+      JoinMvMatch(mvLoc, d, factRel, factG,
+        d.dims.map(r => dimRelByLoc(r.dim)),
+        d.dims.map(r => dimGByLoc(r.dim)))
+    }
+  }
+
+  /** Freshness + compensation for a matched join MV, keyed on every
+    * PINNED version: the fact tail compensates from published feeds
+    * re-joined to the dims, dim tails must be content-invariant, and a
+    * time-travel read BEHIND any cursor never serves. */
+  private def joinMvRows(m: JoinMvMatch)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val mvVer = TxnTable.currentVersion(session, m.mvLoc)
+    val cursor = MatView.cursorAt(session, m.mvLoc, mvVer,
+      "mv_base_version")
+    val dimCursors = m.d.dims.indices.map(i =>
+      MatView.cursorAt(session, m.mvLoc, mvVer,
+        MatView.dimCursorMetric(i)))
+    if (cursor > m.factG.pinnedVersion ||
+      m.d.dims.indices.exists(i =>
+        dimCursors(i) > m.dimGs(i).pinnedVersion)) None
+    else MatView.compensatedJoin(session, m.mvLoc, m.d, cursor,
+      m.factG.pinnedVersion, dimCursors,
+      m.dimGs.map(_.pinnedVersion), mvVer)
+  }
+
+  /** Qualify above-join predicates: servable iff every reference is a
+    * DIM key column (whole-group selection); nondeterminism,
+    * subqueries, fact-side or non-key references fall through. */
+  private def dimKeyPredsOk(m: JoinMvMatch,
+      preds: Seq[Expression]): Boolean =
+    preds.forall(p => p.deterministic &&
+      p.collectFirst { case s: SubqueryExpression => s }.isEmpty &&
+      p.references.forall {
+        case ar: AttributeReference => m.dimKeyOwned(ar)
+        case _ => false
       })
+
+  private def tryJoin(groups: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan)
+      : Option[LogicalPlan] = {
+    val (rels0, conds, preds) = flattenJoin(child).getOrElse(return None)
+    val m = matchJoinMv(rels0, conds).getOrElse(return None)
+    if (!dimKeyPredsOk(m, preds)) return None
+    serve(groups, aggExprs, m.d.keys, m.d.value, m.d.aggs,
+      keyOwned = m.dimKeyOwned,
+      valueOwned = m.valueOwned,
+      mvRows = joinMvRows(m).map(applyKeyPreds(_, preds)))
   }
 
   /** The EXTREMA-MV rewrite: `MIN(value)` / `MAX(value)` / COUNTs over
@@ -653,16 +686,100 @@ case class GraftMvRewriteRule(session: SparkSession)
       case Project(pl, c) => (pl, c)
       case _ => return None
     }
-    val (r, preds) = relationOf(inner).getOrElse(return None)
-    val g = r.table match {
-      case t: GraftTable => t
-      case _ => return None
+    val gs = parseGroupingSets(groups, expand).getOrElse(return None)
+    val dcols = distinctKeyTargets(aggExprs)
+    // trace each grouping position to its BASE column through the
+    // projection aliases (GROUP BY ROLLUP(a+b) aliases an expression →
+    // None here); ownership is the arm's to decide
+    val byId = projList.map(ne => ne.exprId -> ne).toMap
+    def tracedBase(pos: Int): Option[AttributeReference] =
+      expand.projections.iterator.map(_(pos)).collectFirst {
+        case a: Attribute => a
+      }.flatMap(a => byId.get(a.exprId)).flatMap {
+        case Alias(b: AttributeReference, _) => Some(b)
+        case b: AttributeReference => Some(b)
+        case _ => None
+      }
+    def keyNamesIf(owned: AttributeReference => Boolean)
+        : Option[Seq[String]] = {
+      val traced = gs.keyPos.map(pos => tracedBase(pos).filter(owned))
+      if (traced.exists(_.isEmpty)) None
+      else Some(traced.map(_.get.name))
+        // the Expand-output attr keeps the base column's NAME; the
+        // union frame binds by name, so a mismatch would misbind
+        .filter(_ == gs.keyAttrs.map(_.name))
+        .filterNot(_ => dcols.exists(c =>
+          gs.keyAttrs.exists(_.name == s"gdc_$c")))
     }
-    val (mvLoc, d) = MatView.registeredFor(g.location).getOrElse(
-      return None)
-    // groups = the Expand-output grouping attributes :+ the synthetic
-    // grouping id (bare references only; that trailing id is what
-    // certifies this Expand as grouping analytics and nothing else)
+    // ARM 1 — a bare relation with its registered fold MV: freshness
+    // identical to trySingle (fresh serves the MV, stale serves
+    // MV ⊕ signed-feed tail, feed-less tails fall through)
+    def single(): Option[LogicalPlan] = {
+      val (r, preds) = relationOf(inner).getOrElse(return None)
+      val g = r.table match {
+        case t: GraftTable => t
+        case _ => return None
+      }
+      val (mvLoc, d) = MatView.registeredFor(g.location).getOrElse(
+        return None)
+      val owned = (a: AttributeReference) =>
+        r.outputSet.contains(a) && d.keys.contains(a.name)
+      val keyNames = keyNamesIf(owned).getOrElse(return None)
+      if (dcols.exists(c => d.keys.contains(s"gdc_$c"))) return None
+      if (!preds.forall(p => p.deterministic &&
+          p.collectFirst { case sq: SubqueryExpression => sq }.isEmpty &&
+          p.references.forall(a => r.outputSet.contains(a) &&
+            d.keys.contains(a.name)))) return None
+      val relOwned = (a: AttributeReference) => r.outputSet.contains(a)
+      if (!aggExprs.forall(foldAnswerable(d.keys, d.value, d.aggs,
+        relOwned, relOwned))) return None
+      if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
+      val mvVer = TxnTable.currentVersion(session, mvLoc)
+      val (dEff, cursor) = MatView.effectiveDef(session, mvLoc, d, mvVer)
+      if (dEff.base != g.location) return None
+      if (cursor > g.pinnedVersion) return None
+      val mvDf0 = MatView.compensated(session, mvLoc, dEff, cursor,
+        g.pinnedVersion, mvVer).map(applyKeyPreds(_, preds))
+        .getOrElse(return None)
+      serveGroupingSets(gs, keyNames, aggExprs, dcols, mvDf0)
+    }
+    // ARM 2 — an all-inner join tree with its registered star MV: the
+    // SUBTOTAL STAR DASHBOARD (ROLLUP/CUBE over fact ⋈ dims) served as
+    // the same union of per-set rollups over the join MV's compensated
+    // frame — grouping keys must trace to DIM key columns, aggregates
+    // to the fact measure, freshness to every pinned log
+    def join(): Option[LogicalPlan] = {
+      val (rels0, conds, preds) = flattenJoin(inner).getOrElse(
+        return None)
+      val m = matchJoinMv(rels0, conds).getOrElse(return None)
+      val keyNames = keyNamesIf(m.dimKeyOwned).getOrElse(return None)
+      if (dcols.exists(c => m.d.keys.contains(s"gdc_$c"))) return None
+      if (!dimKeyPredsOk(m, preds)) return None
+      if (!aggExprs.forall(foldAnswerable(m.d.keys, m.d.value, m.d.aggs,
+        m.dimKeyOwned, m.valueOwned))) return None
+      if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
+      val mvDf0 = joinMvRows(m).map(applyKeyPreds(_, preds))
+        .getOrElse(return None)
+      serveGroupingSets(gs, keyNames, aggExprs, dcols, mvDf0)
+    }
+    single().orElse(join())
+  }
+
+  /** The source-independent STRUCTURAL parse of a resolved
+    * grouping-sets aggregate: the grouping attributes must be bare
+    * references ending in the synthetic grouping id (that trailing id
+    * is what certifies this Expand as grouping analytics and nothing
+    * else), each with a position in the Expand output the projections
+    * are aligned to by construction, and every projection must carry
+    * attr/NULL-literal at the key positions plus a non-null literal
+    * grouping id. */
+  private case class GsShape(keyAttrs: Seq[AttributeReference],
+      gid: AttributeReference, keyPos: Seq[Int], gidPos: Int,
+      shapes: Seq[(Seq[Boolean], Any)])
+
+  private def parseGroupingSets(groups: Seq[Expression],
+      expand: org.apache.spark.sql.catalyst.plans.logical.Expand)
+      : Option[GsShape] = {
     val gAttrs = groups.collect { case a: AttributeReference => a }
     if (gAttrs.size != groups.size || gAttrs.isEmpty) return None
     val gid = gAttrs.last
@@ -670,37 +787,10 @@ case class GraftMvRewriteRule(session: SparkSession)
       .VirtualColumn.groupingIdName) return None
     val keyAttrs = gAttrs.init
     if (keyAttrs.map(_.name).distinct.size != keyAttrs.size) return None
-    // position of each grouping attribute (and the gid) in the Expand
-    // output — the projections are aligned to it by construction
     val posOf = (keyAttrs :+ gid).map(a =>
       expand.output.indexWhere(_.exprId == a.exprId))
     if (posOf.exists(_ < 0)) return None
     val gidPos = posOf.last
-    // trace each grouping position to its BASE column: at a present
-    // position every projection holds the set's alias attribute, whose
-    // Project-side alias child must be a bare relation column that is
-    // one of the MV's keys (GROUP BY ROLLUP(a+b) aliases an expression
-    // → falls through here)
-    val byId = projList.map(ne => ne.exprId -> ne).toMap
-    def baseNameAt(pos: Int): Option[String] =
-      expand.projections.iterator.map(_(pos)).collectFirst {
-        case a: Attribute => a
-      }.flatMap(a => byId.get(a.exprId)).flatMap {
-        case Alias(b: AttributeReference, _)
-            if r.outputSet.contains(b) => Some(b.name)
-        case b: AttributeReference if r.outputSet.contains(b) =>
-          Some(b.name)
-        case _ => None
-      }
-    val keyNames = posOf.init.map(pos => baseNameAt(pos).getOrElse(
-      return None))
-    if (!keyNames.toSet.subsetOf(d.keys.toSet)) return None
-    // the Expand-output attr keeps the base column's NAME; the union
-    // frame binds by name, so a mismatch would misbind — fall through
-    if (keyNames != keyAttrs.map(_.name)) return None
-    // per grouping set: which keys are present, and the set's id —
-    // anything but attr/NULL-literal at a key position (or a
-    // non-literal id) is not the grouping-analytics shape
     val shapes: Seq[(Seq[Boolean], Any)] = expand.projections.map { p =>
       val present = posOf.init.map(pos => p(pos) match {
         case _: Attribute => true
@@ -713,47 +803,37 @@ case class GraftMvRewriteRule(session: SparkSession)
       }
       (present, gv)
     }
-    // predicates under the Expand qualify exactly like trySingle:
-    // key-column-only, deterministic, no subqueries, this relation's
-    val owned = (a: AttributeReference) => r.outputSet.contains(a)
-    if (!preds.forall(p => p.deterministic &&
-        p.collectFirst { case sq: SubqueryExpression => sq }.isEmpty &&
-        p.references.forall(a => r.outputSet.contains(a) &&
-          d.keys.contains(a.name)))) return None
-    val dcols = distinctKeyTargets(aggExprs)
-    if (dcols.exists(c => d.keys.contains(s"gdc_$c"))) return None
-    if (!aggExprs.forall(foldAnswerable(d.keys, d.value, d.aggs,
-      owned, owned))) return None
-    if (!outputsAreKeys(aggExprs, keyAttrs :+ gid)) return None
-    // freshness: identical to trySingle — fresh serves the MV,
-    // stale serves MV ⊕ signed-feed tail, feed-less tails fall through
-    val mvVer = TxnTable.currentVersion(session, mvLoc)
-    val (dEff, cursor) = MatView.effectiveDef(session, mvLoc, d, mvVer)
-    if (dEff.base != g.location) return None
-    if (cursor > g.pinnedVersion) return None
-    val mvDf0 = MatView.compensated(session, mvLoc, dEff, cursor,
-      g.pinnedVersion, mvVer).map(applyKeyPreds(_, preds))
-      .getOrElse(return None)
-    // one rollup per grouping set, projected to the full key list with
-    // NULLs for the absent keys and the set's grouping-id literal,
-    // then unioned — the Expand algebra replayed over MV rows
+    Some(GsShape(keyAttrs, gid, posOf.init, gidPos, shapes))
+  }
+
+  /** The source-independent grouping-sets serving tail: one
+    * [[rollupAgg]] per grouping set over the servable frame (fold or
+    * join MV, fresh or compensated — the caller resolved that),
+    * projected to the full key list with NULLs for the absent keys and
+    * the set's grouping-id literal, unioned — the Expand algebra
+    * replayed over MV rows — then substituted under the original
+    * output attribute ids. */
+  private def serveGroupingSets(gs: GsShape, keyNames: Seq[String],
+      aggExprs: Seq[NamedExpression], dcols: Seq[String],
+      mvDf0: org.apache.spark.sql.DataFrame): Option[LogicalPlan] = {
     import org.apache.spark.sql.GraftSqlBridge.column
     val foldNames = Seq("n", "nn", "total") ++ dcols.map(c => s"gdc_$c")
-    val frames = shapes.map { case (present, gv) =>
+    val frames = gs.shapes.map { case (present, gv) =>
       val presentNames = keyNames.zip(present).collect {
         case (n2, true) => n2
       }
       val agged = rollupAgg(mvDf0, presentNames, dcols)
-      val cols = keyAttrs.zip(keyNames).zip(present).map {
+      val cols = gs.keyAttrs.zip(keyNames).zip(present).map {
         case ((a, n2), p) =>
           if (p) org.apache.spark.sql.functions.col(n2)
           else column(Literal.create(null, a.dataType)).as(n2)
-      } ++ Seq(column(Literal.create(gv, gid.dataType)).as(gid.name)) ++
+      } ++ Seq(column(Literal.create(gv, gs.gid.dataType))
+        .as(gs.gid.name)) ++
         foldNames.map(org.apache.spark.sql.functions.col)
       agged.select(cols: _*)
     }
     val unioned = frames.reduce(_.unionByName(_))
-    substitute(aggExprs, keyAttrs :+ gid,
+    substitute(aggExprs, gs.keyAttrs :+ gs.gid,
       unioned.queryExecution.analyzed, foldNames, foldArm)
   }
 

@@ -1570,6 +1570,91 @@ class MatViewSpec extends SparkSpec {
       s"matviews must plan as a local scan, got:\n$plan")
   }
 
+  test("grouping sets over a star join serve as union-of-rollups from " +
+      "the join MV; fact-side groupings fall through; a fact cdc batch " +
+      "compensates") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.gsf")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.gsd")
+    s.sql("CREATE TABLE graft.mvspec.gsf (k BIGINT, fk BIGINT, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.gsf SELECT id, id % 20, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(300)")
+    s.sql("CREATE TABLE graft.mvspec.gsd (pk BIGINT, seg STRING, " +
+      "region STRING)")
+    s.sql("INSERT INTO graft.mvspec.gsd SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'A' ELSE 'B' END, " +
+      "CASE WHEN id % 2 = 0 THEN 'E' ELSE 'W' END FROM RANGE(20)")
+    val factLoc = s"${GraftCatalog.defaultWarehouse}/mvspec/gsf"
+    val dimLoc = s"${GraftCatalog.defaultWarehouse}/mvspec/gsd"
+    val mv = fresh("mv_gsj_view")
+    MatView.createJoin(spark, mv, factLoc, dimLoc, "fk", "pk",
+      Seq("seg", "region"), "v")
+    MatView.registerJoin(spark, mv)
+    val qRollup = "SELECT seg, region, COUNT(*) AS n, " +
+      "CAST(SUM(v) AS DOUBLE) AS t " +
+      "FROM graft.mvspec.gsf f JOIN graft.mvspec.gsd d " +
+      "ON f.fk = d.pk GROUP BY ROLLUP(seg, region)"
+    def rows(q: String) = s.sql(q).collect().map(_.toSeq.map {
+      case null => "∅"
+      case x => x.toString
+    }.mkString("|")).sorted.toSeq
+    def direct(q: String) = {
+      TxnTable.snapshot(spark, factLoc).createOrReplaceTempView("gsf_d")
+      TxnTable.snapshot(spark, dimLoc).createOrReplaceTempView("gsd_d")
+      rows(q.replace("graft.mvspec.gsf", "gsf_d")
+        .replace("graft.mvspec.gsd", "gsd_d"))
+    }
+    assert(planServedFrom(s.sql(qRollup), mv),
+      "a fresh star ROLLUP must serve from the join MV alone")
+    assert(rows(qRollup) === direct(qRollup), "star ROLLUP diverged")
+    // a key-filtered CUBE with grouping_id, same plane
+    val qCube = "SELECT seg, region, grouping_id() AS gid, " +
+      "COUNT(*) AS n FROM graft.mvspec.gsf f JOIN graft.mvspec.gsd d " +
+      "ON f.fk = d.pk WHERE seg = 'A' GROUP BY CUBE(seg, region)"
+    assert(planServedFrom(s.sql(qCube), mv),
+      "filtered star CUBE must serve")
+    assert(rows(qCube) === direct(qCube), "star CUBE diverged")
+    // a FACT-side grouping column can never serve (the MV has no fk
+    // residual), nor can a rollup over a non-key dim column
+    assert(!planServedFrom(s.sql("SELECT fk, COUNT(*) AS n " +
+      "FROM graft.mvspec.gsf f JOIN graft.mvspec.gsd d " +
+      "ON f.fk = d.pk GROUP BY ROLLUP(fk)"), mv),
+      "fact-side grouping must fall through")
+    // staleness: one fact cdc batch, never refreshed — the served plan
+    // is union-of-rollups over (MV ⊕ fact feed ⋈ dim), still exact
+    val ch = s.sql("SELECT k, fk, v, 'D' AS op FROM graft.mvspec.gsf " +
+      "WHERE k % 5 = 0 UNION ALL " +
+      "SELECT k + 1000, fk, CAST(v + 3 AS DECIMAL(12,2)), 'U' " +
+      "FROM graft.mvspec.gsf WHERE k % 30 = 0")
+    TxnTable.applyChangesMor(spark, factLoc, ch, "k", cdc = true)
+    val p = s.sql(qRollup).queryExecution.optimizedPlan
+    val hasV2 = p.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation => r
+    }.nonEmpty
+    val roots = p.collect {
+      case l: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => l.relation match {
+        case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+    assert(!hasV2 && roots.exists(_.contains(mv)) &&
+      roots.forall(r2 => r2.contains(mv) ||
+        r2.contains(s"$factLoc/_cdc") || r2.contains(dimLoc)),
+      s"stale star grouping sets must serve from MV + feed + dim, " +
+        s"never a fact data file; got $roots")
+    assert(rows(qRollup) === direct(qRollup),
+      "compensated star ROLLUP diverged")
+  }
+
   test("retentionPins names exactly the feed tail (cursor, head] per " +
       "registered view; a pinned vacuum keeps a stale view refreshable " +
       "while sweeping everything else") {
