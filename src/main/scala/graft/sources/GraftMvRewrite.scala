@@ -104,6 +104,19 @@ case class GraftMvRewriteRule(session: SparkSession)
       .orElse(tryExtrema(groups, aggExprs, child))
       .orElse(tryGroupingSets(groups, aggExprs, child))
 
+  /** Qualify under-aggregate predicates against a single relation:
+    * servable iff deterministic, subquery-free, and every reference is
+    * one of the view's KEY columns owned by THIS relation (a
+    * correlated outer attribute sharing a key's name must disqualify,
+    * not silently bind) — whole-group selection, the one shared rule
+    * for the fold, extrema, and grouping-sets single arms. */
+  private def relKeyPredsOk(r: DataSourceV2Relation, keys: Seq[String],
+      preds: Seq[Expression]): Boolean =
+    preds.forall(p => p.deterministic &&
+      p.collectFirst { case s: SubqueryExpression => s }.isEmpty &&
+      p.references.forall(a => r.outputSet.contains(a) &&
+        keys.contains(a.name)))
+
   private def trySingle(groups: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
@@ -124,13 +137,7 @@ case class GraftMvRewriteRule(session: SparkSession)
     // non-key column — the value, a computed expression's source — or
     // nondeterminism/subqueries disqualifies: the MV folded those rows
     // away and holds no residual to re-check.
-    if (!preds.forall(p => p.deterministic &&
-        p.collectFirst { case s: SubqueryExpression => s }.isEmpty &&
-        // every reference must be a key column OF THIS RELATION — a
-        // correlated outer attribute that happens to share a key's name
-        // must disqualify, not silently bind to the MV's column
-        p.references.forall(a => r.outputSet.contains(a) &&
-          d.keys.contains(a.name)))) return None
+    if (!relKeyPredsOk(r, d.keys, preds)) return None
     val owned = (a: AttributeReference) => r.outputSet.contains(a)
     serve(groups, aggExprs, d.keys, d.value, d.aggs, owned, owned, {
       // FRESHNESS BY THE LOG, against the relation's PINNED version. A
@@ -243,9 +250,9 @@ case class GraftMvRewriteRule(session: SparkSession)
     * with the matched definition's fact→dim equalities — one conjunct
     * per dim, no leftovers (an extra equality would change the joined
     * row set; a missing one makes the query a cross product the MV
-    * never materialized; dims may repeat a LOCATION only if the def
-    * does not — the registry key de-dups, so a self-join never
-    * matches). */
+    * never materialized; a self-join never matches because createJoinStar
+    * refuses duplicate dim locations at create, so no registered key
+    * ever names a repeat). */
   private def matchJoinMv(rels0: Seq[DataSourceV2Relation],
       conds: Seq[Expression]): Option[JoinMvMatch] = {
     if (rels0.size < 2) return None
@@ -354,10 +361,7 @@ case class GraftMvRewriteRule(session: SparkSession)
       return None)
     // key-only predicates: same qualification as the fold path — an
     // extrema MV also holds exactly one row per key combination
-    if (!preds.forall(p => p.deterministic &&
-        p.collectFirst { case s: SubqueryExpression => s }.isEmpty &&
-        p.references.forall(a => r.outputSet.contains(a) &&
-          d.keys.contains(a.name)))) return None
+    if (!relKeyPredsOk(r, d.keys, preds)) return None
     val keyAttrs = groupKeyAttrs(groups, d.keys,
       a => r.outputSet.contains(a)).getOrElse(return None)
     val rollup = keyAttrs.size < d.keys.size
@@ -708,8 +712,6 @@ case class GraftMvRewriteRule(session: SparkSession)
         // the Expand-output attr keeps the base column's NAME; the
         // union frame binds by name, so a mismatch would misbind
         .filter(_ == gs.keyAttrs.map(_.name))
-        .filterNot(_ => dcols.exists(c =>
-          gs.keyAttrs.exists(_.name == s"gdc_$c")))
     }
     // ARM 1 — a bare relation with its registered fold MV: freshness
     // identical to trySingle (fresh serves the MV, stale serves
@@ -726,10 +728,7 @@ case class GraftMvRewriteRule(session: SparkSession)
         r.outputSet.contains(a) && d.keys.contains(a.name)
       val keyNames = keyNamesIf(owned).getOrElse(return None)
       if (dcols.exists(c => d.keys.contains(s"gdc_$c"))) return None
-      if (!preds.forall(p => p.deterministic &&
-          p.collectFirst { case sq: SubqueryExpression => sq }.isEmpty &&
-          p.references.forall(a => r.outputSet.contains(a) &&
-            d.keys.contains(a.name)))) return None
+      if (!relKeyPredsOk(r, d.keys, preds)) return None
       val relOwned = (a: AttributeReference) => r.outputSet.contains(a)
       if (!aggExprs.forall(foldAnswerable(d.keys, d.value, d.aggs,
         relOwned, relOwned))) return None
@@ -774,7 +773,7 @@ case class GraftMvRewriteRule(session: SparkSession)
     * attr/NULL-literal at the key positions plus a non-null literal
     * grouping id. */
   private case class GsShape(keyAttrs: Seq[AttributeReference],
-      gid: AttributeReference, keyPos: Seq[Int], gidPos: Int,
+      gid: AttributeReference, keyPos: Seq[Int],
       shapes: Seq[(Seq[Boolean], Any)])
 
   private def parseGroupingSets(groups: Seq[Expression],
@@ -803,7 +802,14 @@ case class GraftMvRewriteRule(session: SparkSession)
       }
       (present, gv)
     }
-    Some(GsShape(keyAttrs, gid, posOf.init, gidPos, shapes))
+    // duplicate (present, id) pairs — e.g. GROUPING SETS ((a,b),(b,a)),
+    // which Spark's Expand dedup does NOT flag (it compares attribute
+    // SEQUENCES) — are executed by Spark as ONE group fed twice
+    // (doubled aggregates), while a union of per-set rollups would
+    // emit two singly-counted rows: neither shape is reproducible from
+    // the fold, so fall through
+    if (shapes.distinct.size != shapes.size) return None
+    Some(GsShape(keyAttrs, gid, posOf.init, shapes))
   }
 
   /** The source-independent grouping-sets serving tail: one
@@ -818,17 +824,30 @@ case class GraftMvRewriteRule(session: SparkSession)
       mvDf0: org.apache.spark.sql.DataFrame): Option[LogicalPlan] = {
     import org.apache.spark.sql.GraftSqlBridge.column
     val foldNames = Seq("n", "nn", "total") ++ dcols.map(c => s"gdc_$c")
+    // the gid column rides the frames under its OWN name — an MV key
+    // or fold column sharing it would misbind in the union
+    if ((keyNames ++ foldNames).contains(gs.gid.name)) return None
     val frames = gs.shapes.map { case (present, gv) =>
       val presentNames = keyNames.zip(present).collect {
         case (n2, true) => n2
       }
-      val agged = rollupAgg(mvDf0, presentNames, dcols)
+      // the set's grouping id enters as a CONSTANT GROUPING COLUMN,
+      // not a post-aggregation literal: over a non-empty frame it
+      // changes nothing (one constant value per set), and over an
+      // EMPTY frame it makes the aggregate produce ZERO rows — which
+      // is what Spark's Expand-based execution answers (zero input
+      // rows yield zero groups even for the () set, unlike a bare
+      // global aggregate's one row). A literal appended after a
+      // groupBy() would mint a phantom grand-total row the base scan
+      // never returns.
+      val withGid = mvDf0.withColumn(gs.gid.name,
+        column(Literal.create(gv, gs.gid.dataType)))
+      val agged = rollupAgg(withGid, presentNames :+ gs.gid.name, dcols)
       val cols = gs.keyAttrs.zip(keyNames).zip(present).map {
         case ((a, n2), p) =>
           if (p) org.apache.spark.sql.functions.col(n2)
           else column(Literal.create(null, a.dataType)).as(n2)
-      } ++ Seq(column(Literal.create(gv, gs.gid.dataType))
-        .as(gs.gid.name)) ++
+      } ++ Seq(org.apache.spark.sql.functions.col(gs.gid.name)) ++
         foldNames.map(org.apache.spark.sql.functions.col)
       agged.select(cols: _*)
     }

@@ -889,6 +889,22 @@ class MatViewSpec extends SparkSpec {
       "FROM graft.mvspec.gs GROUP BY ROLLUP(g)"
     assert(served(qDist), "distinct-count under ROLLUP must serve")
     assert(rows(qDist) === directRows(qDist), "rollup distinct diverged")
+    // an EMPTY selection: Spark's Expand-based execution returns ZERO
+    // rows even for the () grouping set (zero input rows expand to
+    // zero groups) — the served union must match, which is why the
+    // grouping id enters each per-set rollup as a CONSTANT GROUPING
+    // column instead of a post-aggregation literal
+    val qEmpty = "SELECT g, COUNT(*) AS n FROM graft.mvspec.gs " +
+      "WHERE g = 'ZZZ' GROUP BY ROLLUP(g)"
+    assert(served(qEmpty), "an empty key selection must still serve")
+    assert(rows(qEmpty) === directRows(qEmpty),
+      "empty-input grouping sets diverged from Spark's execution")
+    // reorder-duplicated grouping sets: Spark merges them into ONE
+    // group fed twice (doubled aggregates) — irreproducible from the
+    // fold, must fall through
+    assert(!served("SELECT g, h, COUNT(*) AS n FROM graft.mvspec.gs " +
+      "GROUP BY GROUPING SETS ((g, h), (h, g))"),
+      "duplicate grouping sets must fall through")
     // non-key grouping column, computed grouping expression, and a
     // non-key WHERE all fall through
     assert(!served("SELECT k, COUNT(*) AS n FROM graft.mvspec.gs " +
