@@ -82,6 +82,7 @@ object SparkEntry {
     "sql_mv_extrema"          -> (SqlSurface.mvExtrema _),
     "sql_mv_star"             -> (SqlSurface.mvStar _),
     "sql_mv_star_gsets"       -> (SqlSurface.mvStarGsets _),
+    "sql_mv_extrema_gsets"    -> (SqlSurface.mvExtremaGsets _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
     "sql_txn_agg_push"        -> (SqlSurface.txnAggPush _),
     "sql_txn_bloom"           -> (SqlSurface.txnBloomSql _),
@@ -1608,6 +1609,28 @@ object SparkEntry {
         |UNION ALL
         |SELECT NULL, NULL, COUNT(*), COUNT(p), CAST(SUM(p) AS DOUBLE),
         |  CAST(3 AS BIGINT), TRUE FROM j""".stripMargin,
+    // the post-refresh extrema rollup after deleting every row holding
+    // F's max: the second max answers at every subtotal level,
+    // replayed as an explicit union of rollups
+    "sql_mv_extrema_gsets" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_orderpriority AS pri,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |lim AS (SELECT MAX(p) AS fmax FROM b WHERE st = 'F'),
+        |fin AS (SELECT st, pri, p FROM b, lim
+        |  WHERE NOT (st = 'F' AND p = fmax))
+        |SELECT st, pri, COUNT(*) AS n, COUNT(p) AS nn,
+        |  CAST(MIN(p) AS DOUBLE) AS vmin, CAST(MAX(p) AS DOUBLE)
+        |  AS vmax, CAST(0 AS BIGINT) AS gid, TRUE AS xgs_ok
+        |FROM fin GROUP BY st, pri
+        |UNION ALL
+        |SELECT st, NULL, COUNT(*), COUNT(p), CAST(MIN(p) AS DOUBLE),
+        |  CAST(MAX(p) AS DOUBLE), CAST(1 AS BIGINT), TRUE
+        |FROM fin GROUP BY st
+        |UNION ALL
+        |SELECT NULL, NULL, COUNT(*), COUNT(p), CAST(MIN(p) AS DOUBLE),
+        |  CAST(MAX(p) AS DOUBLE), CAST(3 AS BIGINT), TRUE
+        |FROM fin""".stripMargin,
     // per-status extrema after the delete of every row holding F's max:
     // the second max answers; all other groups keep their extremes
     "sql_mv_extrema" ->

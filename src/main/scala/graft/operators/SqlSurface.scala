@@ -1351,6 +1351,89 @@ object SqlSurface {
     * 100 TB: the multi-dim dashboard — THE warehouse workload — costs
     * an MV read plus the fact delta joined to the small sides; the
     * fact is never rescanned. */
+  /** sql_mv_extrema_gsets: MIN/MAX SUBTOTALS FROM THE EXTREMA VIEW —
+    * the "worst latency per (status, priority), per status, and
+    * overall, one pane" dashboard: `GROUP BY ROLLUP(st, pri)` over
+    * MIN/MAX/COUNT served from the `_mvx` view
+    * (GraftMvRewriteRule.tryGroupingSets' extrema arm — the extrema
+    * vocabulary is summable upward exactly like the fold: min-of-mins
+    * ≡ min-of-union at every subtotal level, so the same
+    * union-of-per-set-rollups machinery serves it with
+    * rollupExtrema/extremaArm swapped in). Freshness keeps the extrema
+    * view's STRICTER contract (no signed compensation): serve at the
+    * cursor or across a content-invariant tail only. Phases by plan
+    * roots: (1) fresh ROLLUP + a key-filtered CUBE with grouping_id →
+    * MV alone, == direct; (2) a compact (content-invariant tail) →
+    * still MV alone; (3) delete every row holding F's max → the SAME
+    * query falls through to the base (the fell extreme is only
+    * re-derivable by recompute) while SUM under ROLLUP never serves at
+    * all; (4) refreshExtrema (dirty-group recompute) → served again,
+    * the SECOND max answering at every level. Hashed output = the
+    * post-refresh rollup; the oracle replays the delete and the three
+    * levels as an explicit union. At 100 TB: the extrema subtotal pane
+    * costs an MV read at every level, with the felled-extreme case
+    * paying only the dirty groups' recompute. */
+  def mvExtremaGsets(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mvxg_orders")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mvxg_orders (
+      o_orderkey BIGINT, st STRING, pri STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvxg_orders
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_xgsets")
+    graft.operators.MatView.createExtrema(s, mv, loc, Seq("st", "pri"),
+      "price")
+    graft.operators.MatView.registerExtrema(s, mv)
+    val q = """SELECT st, pri, COUNT(*) AS n, COUNT(price) AS nn,
+      CAST(MIN(price) AS DOUBLE) AS vmin,
+      CAST(MAX(price) AS DOUBLE) AS vmax, grouping_id() AS gid
+      FROM graft.q.mvxg_orders GROUP BY ROLLUP(st, pri)"""
+    val qCube = """SELECT st, pri, grouping_id() AS gid,
+      CAST(MAX(price) AS DOUBLE) AS vmax FROM graft.q.mvxg_orders
+      WHERE st = 'F' GROUP BY CUBE(st, pri)"""
+    val qSum = """SELECT st, CAST(SUM(price) AS DOUBLE) AS t
+      FROM graft.q.mvxg_orders GROUP BY ROLLUP(st)"""
+    def got(sql: String) = s.sql(sql).collect().map(_.toSeq.map {
+      case null => "∅"
+      case x => x.toString
+    }.mkString("|")).sorted.toSeq
+    def direct(sql: String) = {
+      graft.operators.TxnTable.snapshot(s, loc)
+        .createOrReplaceTempView("mvxg_direct")
+      got(sql.replace("graft.q.mvxg_orders", "mvxg_direct"))
+    }
+    def mvOnly(ps: Seq[String]) = ps.nonEmpty && ps.forall(_.contains(mv))
+    // (1) fresh: every subtotal level from the view alone
+    val servedFresh = mvOnly(scanSrcsOf(s, q)) &&
+      mvOnly(scanSrcsOf(s, qCube)) &&
+      got(q) == direct(q) && got(qCube) == direct(qCube)
+    // (2) a content-invariant tail (compact) still serves
+    graft.operators.TxnTable.compact(s, loc)
+    val servedInvariant = mvOnly(scanSrcsOf(s, q)) &&
+      got(q) == direct(q)
+    // (3) fell F's max: the stricter contract falls through; SUM never
+    // serves at all
+    val del = s.sql("""SELECT o_orderkey, st, pri, price, 'D' AS op
+      FROM graft.q.mvxg_orders WHERE st = 'F' AND price =
+        (SELECT MAX(price) FROM graft.q.mvxg_orders WHERE st = 'F')""")
+    graft.operators.TxnTable.applyChangesMor(s, loc, del, "o_orderkey",
+      cdc = true)
+    val pStale = scanSrcsOf(s, q)
+    val fellThrough = pStale.exists(p => p.contains(loc) ||
+      p.startsWith("v2:")) && !pStale.exists(_.contains(mv)) &&
+      got(q) == direct(q)
+    val pSum = scanSrcsOf(s, qSum)
+    val sumNever = !pSum.exists(_.contains(mv))
+    // (4) refreshExtrema recomputes the dirty group; the second max
+    // answers at every level, from the view alone
+    graft.operators.MatView.refreshExtrema(s, mv)
+    val servedAgain = mvOnly(scanSrcsOf(s, q)) && got(q) == direct(q)
+    val ok = servedFresh && servedInvariant && fellThrough &&
+      sumNever && servedAgain
+    s.sql(q).withColumn("xgs_ok", lit(ok))
+  }
+
   /** sql_mv_star_gsets: the SUBTOTAL STAR DASHBOARD — `GROUP BY
     * ROLLUP(st, brand)` over fact ⋈ orders ⋈ part served from ONE star
     * MV (GraftMvRewriteRule.tryGroupingSets' join arm: the same

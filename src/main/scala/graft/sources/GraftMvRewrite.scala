@@ -365,31 +365,79 @@ case class GraftMvRewriteRule(session: SparkSession)
     val keyAttrs = groupKeyAttrs(groups, d.keys,
       a => r.outputSet.contains(a)).getOrElse(return None)
     val rollup = keyAttrs.size < d.keys.size
+    if (!aggExprs.forall(extremaAnswerable(d.value,
+      a => r.outputSet.contains(a)))) return None
+    if (!outputsAreKeys(aggExprs, keyAttrs)) return None
+    val mvDf0 = extremaMvRows(mvLoc, d, g, preds).getOrElse(return None)
+    val mvDf =
+      if (!rollup) mvDf0
+      else rollupExtrema(mvDf0, keyAttrs.map(_.name))
+    substitute(aggExprs, keyAttrs, mvDf.queryExecution.analyzed,
+      Seq("n", "nn", "vmin", "vmax"), extremaArm)
+  }
+
+  /** Answerability against the EXTREMA vocabulary: COUNT(<non-null
+    * literal>) → n, COUNT(value) → nn (a provably-widening cast
+    * tolerated — a narrowing one can null values out), MIN/MAX of the
+    * BARE value attribute only (a cast inside could round through a
+    * narrowing cast — not worth reasoning about monotonicity); all
+    * non-distinct, no filter clauses. SUM/AVG never answer — the view
+    * holds no total. */
+  private def extremaAnswerable(value: String,
+      owned: AttributeReference => Boolean)(e: Expression): Boolean = {
     def valueAttr(c: Expression): Boolean = c match {
-      case a: AttributeReference =>
-        a.name == d.value && r.outputSet.contains(a)
+      case a: AttributeReference => a.name == value && owned(a)
       case _ => false
     }
-    def answerable(e: Expression): Boolean = e match {
+    def walk(e: Expression): Boolean = e match {
       case ae: AggregateExpression =>
         !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
           case Count(Seq(l: Literal)) => l.value != null
-          // COUNT tolerates a provably-WIDENING cast only (a narrowing
-          // one can null out values, changing the count)
           case Count(Seq(c)) => valueAttr(stripWideningCast(c))
-          // bare attribute only: MIN(CAST(v AS …)) could round through
-          // a narrowing cast — not worth reasoning about monotonicity
           case Min(c) => valueAttr(c)
           case Max(c) => valueAttr(c)
           case _ => false
         })
       case _: AttributeReference => true
-      case other => other.children.forall(answerable)
+      case other => other.children.forall(walk)
     }
-    if (!aggExprs.forall(answerable)) return None
-    if (!outputsAreKeys(aggExprs, keyAttrs)) return None
-    // freshness: serve at the cursor, or across a provably
-    // content-invariant tail; anything else falls through
+    walk(e)
+  }
+
+  /** ONE summation of the summable extrema vocabulary to `groupNames`
+    * (possibly with the grouping-id constant column riding along):
+    * counts re-sum (coalescing to 0 for the empty global), extremes
+    * re-extremize — min-of-mins skips NULL group extremes exactly like
+    * MIN over the union skips NULL values. */
+  private def rollupExtrema(mvDf0: org.apache.spark.sql.DataFrame,
+      groupNames: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, lit => flit, max => fmax, min => fmin, sum => fsum}
+    mvDf0.groupBy(groupNames.map(fcol): _*)
+      .agg(fcoalesce(fsum(fcol("n")), flit(0L)).as("n"),
+        fcoalesce(fsum(fcol("nn")), flit(0L)).as("nn"),
+        fmin(fcol("vmin")).as("vmin"), fmax(fcol("vmax")).as("vmax"))
+  }
+
+  private def extremaArm(ae: AggregateExpression,
+      byName: Map[String, Attribute]): Expression =
+    ae.aggregateFunction match {
+      case Count(Seq(_: Literal)) => castTo(byName("n"), ae.dataType)
+      case Count(_) => castTo(byName("nn"), ae.dataType)
+      case _: Min => castTo(byName("vmin"), ae.dataType)
+      case _: Max => castTo(byName("vmax"), ae.dataType)
+      case other => throw new IllegalStateException(
+        s"unreachable: unanswerable aggregate $other survived")
+    }
+
+  /** Freshness + frame for an extrema view against the relation's
+    * PINNED version: serve at the cursor, or across a provably
+    * content-invariant tail — the extrema algebra has no signed
+    * compensation (a delete in the tail can fell an extreme only the
+    * dirty-group recompute re-derives), so anything else falls
+    * through. */
+  private def extremaMvRows(mvLoc: String, d: MatView.MvExtremaDef,
+      g: GraftTable, preds: Seq[Expression])
+      : Option[org.apache.spark.sql.DataFrame] = {
     val mvVer = TxnTable.currentVersion(session, mvLoc)
     val cursor = MatView.cursorAt(session, mvLoc, mvVer,
       "mv_base_version")
@@ -397,30 +445,10 @@ case class GraftMvRewriteRule(session: SparkSession)
     if (cursor < g.pinnedVersion &&
       !MatView.invariantTail(session, g.location, cursor,
         g.pinnedVersion)) return None
-    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, lit => flit, max => fmax, min => fmin, sum => fsum}
-    val mvDf00 = TxnTable.snapshot(session, mvLoc, mvVer)
+    import org.apache.spark.sql.functions.{col => fcol}
+    Some(applyKeyPreds(TxnTable.snapshot(session, mvLoc, mvVer)
       .select((d.keys.map(fcol) ++ Seq(fcol("n"), fcol("nn"),
-        fcol("vmin"), fcol("vmax"))): _*)
-    val mvDf0 = applyKeyPreds(mvDf00, preds)
-    // the rollup: counts re-sum (coalescing to 0 for the empty global),
-    // extremes re-extremize — min-of-mins skips NULL group extremes
-    // exactly like MIN over the union skips NULL values
-    val mvDf =
-      if (!rollup) mvDf0
-      else mvDf0.groupBy(keyAttrs.map(a => fcol(a.name)): _*)
-        .agg(fcoalesce(fsum(fcol("n")), flit(0L)).as("n"),
-          fcoalesce(fsum(fcol("nn")), flit(0L)).as("nn"),
-          fmin(fcol("vmin")).as("vmin"), fmax(fcol("vmax")).as("vmax"))
-    substitute(aggExprs, keyAttrs, mvDf.queryExecution.analyzed,
-      Seq("n", "nn", "vmin", "vmax"),
-      (ae, byName) => ae.aggregateFunction match {
-        case Count(Seq(_: Literal)) => castTo(byName("n"), ae.dataType)
-        case Count(_) => castTo(byName("nn"), ae.dataType)
-        case _: Min => castTo(byName("vmin"), ae.dataType)
-        case _: Max => castTo(byName("vmax"), ae.dataType)
-        case other => throw new IllegalStateException(
-          s"unreachable: unanswerable aggregate $other survived")
-      })
+        fcol("vmin"), fcol("vmax"))): _*), preds))
   }
 
   /** The grouping keys must be a SUBSET of the MV's key columns (any
@@ -740,7 +768,8 @@ case class GraftMvRewriteRule(session: SparkSession)
       val mvDf0 = MatView.compensated(session, mvLoc, dEff, cursor,
         g.pinnedVersion, mvVer).map(applyKeyPreds(_, preds))
         .getOrElse(return None)
-      serveGroupingSets(gs, keyNames, aggExprs, dcols, mvDf0)
+      serveGroupingSets(gs, keyNames, aggExprs, foldGsNames(dcols),
+        rollupAgg(_, _, dcols), foldArm, mvDf0)
     }
     // ARM 2 — an all-inner join tree with its registered star MV: the
     // SUBTOTAL STAR DASHBOARD (ROLLUP/CUBE over fact ⋈ dims) served as
@@ -759,10 +788,43 @@ case class GraftMvRewriteRule(session: SparkSession)
       if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
       val mvDf0 = joinMvRows(m).map(applyKeyPreds(_, preds))
         .getOrElse(return None)
-      serveGroupingSets(gs, keyNames, aggExprs, dcols, mvDf0)
+      serveGroupingSets(gs, keyNames, aggExprs, foldGsNames(dcols),
+        rollupAgg(_, _, dcols), foldArm, mvDf0)
     }
-    single().orElse(join())
+    // ARM 3 — the EXTREMA view: MIN/MAX SUBTOTALS (the "worst latency
+    // per region, with the global worst on the last line" pane) — the
+    // extrema vocabulary is summable upward exactly like the fold, so
+    // the same union-of-per-set-rollups serves it; distinct counts
+    // never answer here, and freshness keeps the extrema view's
+    // stricter contract (at-cursor or content-invariant tail only)
+    def extrema(): Option[LogicalPlan] = {
+      if (dcols.nonEmpty) return None
+      val (r, preds) = relationOf(inner).getOrElse(return None)
+      val g = r.table match {
+        case t: GraftTable => t
+        case _ => return None
+      }
+      val (mvLoc, d) = MatView.registeredExtremaFor(g.location)
+        .getOrElse(return None)
+      val owned = (a: AttributeReference) =>
+        r.outputSet.contains(a) && d.keys.contains(a.name)
+      val keyNames = keyNamesIf(owned).getOrElse(return None)
+      if (!relKeyPredsOk(r, d.keys, preds)) return None
+      if (!aggExprs.forall(extremaAnswerable(d.value,
+        a => r.outputSet.contains(a)))) return None
+      if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
+      val mvDf0 = extremaMvRows(mvLoc, d, g, preds)
+        .getOrElse(return None)
+      serveGroupingSets(gs, keyNames, aggExprs,
+        Seq("n", "nn", "vmin", "vmax"), rollupExtrema, extremaArm,
+        mvDf0)
+    }
+    single().orElse(join()).orElse(extrema())
   }
+
+  /** The fold vocabulary's grouping-sets frame columns. */
+  private def foldGsNames(dcols: Seq[String]): Seq[String] =
+    Seq("n", "nn", "total") ++ dcols.map(c => s"gdc_$c")
 
   /** The source-independent STRUCTURAL parse of a resolved
     * grouping-sets aggregate: the grouping attributes must be bare
@@ -820,10 +882,12 @@ case class GraftMvRewriteRule(session: SparkSession)
     * replayed over MV rows — then substituted under the original
     * output attribute ids. */
   private def serveGroupingSets(gs: GsShape, keyNames: Seq[String],
-      aggExprs: Seq[NamedExpression], dcols: Seq[String],
+      aggExprs: Seq[NamedExpression], foldNames: Seq[String],
+      rollupFn: (org.apache.spark.sql.DataFrame, Seq[String]) =>
+        org.apache.spark.sql.DataFrame,
+      arm: (AggregateExpression, Map[String, Attribute]) => Expression,
       mvDf0: org.apache.spark.sql.DataFrame): Option[LogicalPlan] = {
     import org.apache.spark.sql.GraftSqlBridge.column
-    val foldNames = Seq("n", "nn", "total") ++ dcols.map(c => s"gdc_$c")
     // the gid column rides the frames under its OWN name — an MV key
     // or fold column sharing it would misbind in the union
     if ((keyNames ++ foldNames).contains(gs.gid.name)) return None
@@ -842,7 +906,7 @@ case class GraftMvRewriteRule(session: SparkSession)
       // never returns.
       val withGid = mvDf0.withColumn(gs.gid.name,
         column(Literal.create(gv, gs.gid.dataType)))
-      val agged = rollupAgg(withGid, presentNames :+ gs.gid.name, dcols)
+      val agged = rollupFn(withGid, presentNames :+ gs.gid.name)
       val cols = gs.keyAttrs.zip(keyNames).zip(present).map {
         case ((a, n2), p) =>
           if (p) org.apache.spark.sql.functions.col(n2)
@@ -853,7 +917,7 @@ case class GraftMvRewriteRule(session: SparkSession)
     }
     val unioned = frames.reduce(_.unionByName(_))
     substitute(aggExprs, gs.keyAttrs :+ gs.gid,
-      unioned.queryExecution.analyzed, foldNames, foldArm)
+      unioned.queryExecution.analyzed, foldNames, arm)
   }
 
   /** Distinct-count targets: COUNT(DISTINCT <bare attr>) column names

@@ -1586,6 +1586,65 @@ class MatViewSpec extends SparkSpec {
       s"matviews must plan as a local scan, got:\n$plan")
   }
 
+  test("grouping sets over an extrema view: MIN/MAX subtotals serve " +
+      "as union-of-rollups; SUM falls through; a content change falls " +
+      "back to the base") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.xgs")
+    s.sql("CREATE TABLE graft.mvspec.xgs (k BIGINT, g STRING, " +
+      "h BIGINT, v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.xgs SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'A' ELSE 'B' END, id % 2, " +
+      "CASE WHEN id % 7 = 0 THEN NULL " +
+      "ELSE CAST(id AS DECIMAL(12,2)) END FROM RANGE(200)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/xgs"
+    val mv = fresh("mv_xgs_view")
+    MatView.createExtrema(spark, mv, loc, Seq("g", "h"), "v")
+    MatView.registerExtrema(spark, mv)
+    def served(q: String): Boolean = planServedFrom(s.sql(q), mv)
+    def rows(q: String) = s.sql(q).collect().map(_.toSeq.map {
+      case null => "∅"
+      case d2: java.math.BigDecimal => d2.toPlainString
+      case x => x.toString
+    }.mkString("|")).sorted.toSeq
+    TxnTable.snapshot(spark, loc).createOrReplaceTempView("xgs_direct")
+    def directRows(q: String) =
+      rows(q.replace("graft.mvspec.xgs", "xgs_direct"))
+    val qRollup = "SELECT g, h, MIN(v) AS mn, MAX(v) AS mx, " +
+      "COUNT(*) AS n, COUNT(v) AS nn FROM graft.mvspec.xgs " +
+      "GROUP BY ROLLUP(g, h)"
+    assert(served(qRollup), "extrema ROLLUP must serve")
+    assert(rows(qRollup) === directRows(qRollup),
+      "extrema ROLLUP diverged (incl. NULL-value groups)")
+    val qCube = "SELECT g, h, grouping_id() AS gid, MAX(v) AS mx " +
+      "FROM graft.mvspec.xgs WHERE g = 'A' GROUP BY CUBE(g, h)"
+    assert(served(qCube), "filtered extrema CUBE must serve")
+    assert(rows(qCube) === directRows(qCube), "extrema CUBE diverged")
+    // the empty selection answers ZERO rows, like Spark's execution
+    val qEmpty = "SELECT g, MIN(v) AS mn FROM graft.mvspec.xgs " +
+      "WHERE g = 'Z' GROUP BY ROLLUP(g)"
+    assert(served(qEmpty))
+    assert(rows(qEmpty) === directRows(qEmpty),
+      "empty extrema grouping sets diverged")
+    // SUM is not in the extrema vocabulary
+    assert(!served("SELECT g, SUM(v) AS t FROM graft.mvspec.xgs " +
+      "GROUP BY ROLLUP(g)"), "SUM must fall through")
+    // a content change past the cursor: the stricter extrema contract
+    // refuses (no signed compensation) — base scan, still exact
+    TxnTable.applyChangesMor(spark, loc,
+      s.sql("SELECT k, g, h, v, 'D' AS op FROM graft.mvspec.xgs " +
+        "WHERE v = (SELECT MAX(v) FROM graft.mvspec.xgs)"), "k",
+      cdc = true)
+    TxnTable.snapshot(spark, loc).createOrReplaceTempView("xgs_direct")
+    assert(!served(qRollup),
+      "a non-invariant tail must fall through for extrema")
+    assert(rows(qRollup) === directRows(qRollup),
+      "post-delete fall-through diverged")
+  }
+
   test("grouping sets over a star join serve as union-of-rollups from " +
       "the join MV; fact-side groupings fall through; a fact cdc batch " +
       "compensates") {
