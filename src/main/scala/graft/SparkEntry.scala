@@ -1618,7 +1618,7 @@ object SparkEntry {
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
         |lim AS (SELECT MAX(p) AS fmax FROM b WHERE st = 'F'),
         |fin AS (SELECT st, pri, p FROM b, lim
-        |  WHERE NOT (st = 'F' AND p = fmax))
+        |  WHERE NOT (st = 'F' AND p IS NOT DISTINCT FROM fmax))
         |SELECT st, pri, COUNT(*) AS n, COUNT(p) AS nn,
         |  CAST(MIN(p) AS DOUBLE) AS vmin, CAST(MAX(p) AS DOUBLE)
         |  AS vmax, CAST(0 AS BIGINT) AS gid, TRUE AS xgs_ok
@@ -1638,7 +1638,7 @@ object SparkEntry {
         |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
         |lim AS (SELECT MAX(p) AS fmax FROM b WHERE st = 'F'),
         |fin AS (SELECT st, p FROM b, lim
-        |  WHERE NOT (st = 'F' AND p = fmax))
+        |  WHERE NOT (st = 'F' AND p IS NOT DISTINCT FROM fmax))
         |SELECT st, COUNT(*) AS n, COUNT(p) AS nn,
         |  CAST(MIN(p) AS DOUBLE) AS vmin, CAST(MAX(p) AS DOUBLE) AS vmax,
         |  TRUE AS mve_ok

@@ -1404,7 +1404,10 @@ object SqlSurface {
       got(sql.replace("graft.q.mvxg_orders", "mvxg_direct"))
     }
     def mvOnly(ps: Seq[String]) = ps.nonEmpty && ps.forall(_.contains(mv))
-    // (1) fresh: every subtotal level from the view alone
+    // (1) fresh: every subtotal level from the view alone — and SUM
+    // must fall through HERE, while the view is fresh, so the check
+    // exercises the vocabulary gate rather than staleness
+    val sumNever = !scanSrcsOf(s, qSum).exists(_.contains(mv))
     val servedFresh = mvOnly(scanSrcsOf(s, q)) &&
       mvOnly(scanSrcsOf(s, qCube)) &&
       got(q) == direct(q) && got(qCube) == direct(qCube)
@@ -1423,8 +1426,6 @@ object SqlSurface {
     val fellThrough = pStale.exists(p => p.contains(loc) ||
       p.startsWith("v2:")) && !pStale.exists(_.contains(mv)) &&
       got(q) == direct(q)
-    val pSum = scanSrcsOf(s, qSum)
-    val sumNever = !pSum.exists(_.contains(mv))
     // (4) refreshExtrema recomputes the dirty group; the second max
     // answers at every level, from the view alone
     graft.operators.MatView.refreshExtrema(s, mv)

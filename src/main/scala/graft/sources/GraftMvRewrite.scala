@@ -373,8 +373,14 @@ case class GraftMvRewriteRule(session: SparkSession)
       if (!rollup) mvDf0
       else rollupExtrema(mvDf0, keyAttrs.map(_.name))
     substitute(aggExprs, keyAttrs, mvDf.queryExecution.analyzed,
-      Seq("n", "nn", "vmin", "vmax"), extremaArm)
+      ExtremaGsNames, extremaArm)
   }
+
+  /** The extrema vocabulary's frame columns — ONE definition shared by
+    * tryExtrema's substitution and the grouping-sets extrema arm (and
+    * kept in sync with rollupExtrema's output and createExtrema's
+    * key-collision guard). */
+  private val ExtremaGsNames = Seq("n", "nn", "vmin", "vmax")
 
   /** Answerability against the EXTREMA vocabulary: COUNT(<non-null
     * literal>) → n, COUNT(value) → nn (a provably-widening cast
@@ -816,8 +822,7 @@ case class GraftMvRewriteRule(session: SparkSession)
       val mvDf0 = extremaMvRows(mvLoc, d, g, preds)
         .getOrElse(return None)
       serveGroupingSets(gs, keyNames, aggExprs,
-        Seq("n", "nn", "vmin", "vmax"), rollupExtrema, extremaArm,
-        mvDf0)
+        ExtremaGsNames, rollupExtrema, extremaArm, mvDf0)
     }
     single().orElse(join()).orElse(extrema())
   }
