@@ -116,6 +116,12 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     // ResolveGroupingAnalytics has rewritten the aggregate — one extra
     // iteration, after which either the MV rewrite served the query or
     // the swap below proceeds exactly as before.
+    // Known limitation: `exists` walks the MAIN operator tree only —
+    // a grouping-sets aggregate embedded in a scalar/IN subquery is
+    // swapped before ResolveGroupingAnalytics resolves it. Results
+    // stay correct (the swap IS the correct MoR read) and the MV
+    // rewrite never fires inside subqueries today; if it ever does,
+    // extend this walk over SubqueryExpression plans too.
     val pendingGroupingSets = plan.exists {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
         a.groupingExpressions.exists(_.exists {

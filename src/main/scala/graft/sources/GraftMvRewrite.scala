@@ -894,8 +894,14 @@ case class GraftMvRewriteRule(session: SparkSession)
       mvDf0: org.apache.spark.sql.DataFrame): Option[LogicalPlan] = {
     import org.apache.spark.sql.GraftSqlBridge.column
     // the gid column rides the frames under its OWN name — an MV key
-    // or fold column sharing it would misbind in the union
-    if ((keyNames ++ foldNames).contains(gs.gid.name)) return None
+    // or fold column sharing it would misbind in the union. Guard
+    // against the WHOLE MV frame (withColumn below replaces any
+    // same-named column CASE-INSENSITIVELY — e.g. a gdc_* distinct
+    // column named like the gid would be overwritten by the constant
+    // before rollupAgg counts it), not just keyNames ++ foldNames.
+    if (mvDf0.columns.exists(_.equalsIgnoreCase(gs.gid.name)) ||
+        (keyNames ++ foldNames).exists(_.equalsIgnoreCase(gs.gid.name)))
+      return None
     val frames = gs.shapes.map { case (present, gv) =>
       val presentNames = keyNames.zip(present).collect {
         case (n2, true) => n2
