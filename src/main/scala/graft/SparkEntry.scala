@@ -81,6 +81,7 @@ object SparkEntry {
     "sql_mv_join"             -> (SqlSurface.mvJoin _),
     "sql_mv_extrema"          -> (SqlSurface.mvExtrema _),
     "sql_mv_star"             -> (SqlSurface.mvStar _),
+    "sql_mv_star_scd"         -> (SqlSurface.mvStarScd _),
     "sql_mv_star_gsets"       -> (SqlSurface.mvStarGsets _),
     "sql_mv_extrema_gsets"    -> (SqlSurface.mvExtremaGsets _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
@@ -243,6 +244,7 @@ object SparkEntry {
     "st_stream_catalog"       -> (Streams.streamCatalog _),
     "st_stream_since"         -> (Streams.streamSince _),
     "st_stream_cdc"           -> (Streams.streamCdc _),
+    "st_stream_changes"       -> (Streams.streamChanges _),
     "mr_triangle_count"       -> (MapReduceJobs.triangleCount _),
     "ta_ngram_lm"             -> (TextAnalysis.ngramLm _),
     "ta_contamination"        -> (TextAnalysis.contamination _),
@@ -1584,6 +1586,22 @@ object SparkEntry {
         |    THEN 'MOVED' ELSE p_brand END AS brand FROM part)
         |SELECT st, brand, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
         |  TRUE AS star_ok
+        |FROM f JOIN o USING (ok) JOIN pt USING (pk)
+        |GROUP BY st, brand""".stripMargin,
+    // the moved star after the SCD-1 brand move (3 part keys → 'SCD1')
+    // and the fact cdc batch, both folded by ONE refresh
+    "sql_mv_star_scd" ->
+      """WITH f0 AS (SELECT l_orderkey * 10 + l_linenumber AS lid,
+        |    l_orderkey AS ok, l_partkey AS pk,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS p FROM lineitem),
+        |f AS (SELECT lid, ok, pk, p FROM f0 WHERE lid % 6 <> 0
+        |  UNION ALL SELECT lid + 900000000, ok, pk, p FROM f0
+        |    WHERE lid % 11 = 0),
+        |o AS (SELECT o_orderkey AS ok, o_orderstatus AS st FROM orders),
+        |pt AS (SELECT p_partkey AS pk, CASE WHEN p_partkey IN (5, 77,
+        |    150) THEN 'SCD1' ELSE p_brand END AS brand FROM part)
+        |SELECT st, brand, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
+        |  TRUE AS scd_ok
         |FROM f JOIN o USING (ok) JOIN pt USING (pk)
         |GROUP BY st, brand""".stripMargin,
     // the three ROLLUP(st, brand) levels over the moved star (fact
@@ -2975,6 +2993,31 @@ object SparkEntry {
         |SELECT st AS o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(price) AS DOUBLE) AS total
         |FROM v2 GROUP BY st""".stripMargin,
+    // the readChangeFeed-maintained aggregate after v1 (initial upsert),
+    // v2 (MoR delete %8 / reprice +5 %10=3 / insert %17 shifted), v3
+    // (range delete below the low-fifth cut), v5 (merge: insert %23
+    // shifted + delete %12=5 of ORIGINAL keys — the +300M inserts are
+    // excluded by the k < 300000000 guard); the feed-less v6 insert is
+    // deliberately NOT in the maintained aggregate
+    "st_stream_changes" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |m AS (SELECT MIN(k) AS kmin, MAX(k) - MIN(k) AS span FROM b),
+        |r AS (SELECT kmin + (span + 1) // 5 AS cut FROM m),
+        |s2 AS (SELECT k, st,
+        |    CAST(CASE WHEN k % 10 = 3 THEN p + 5 ELSE p END
+        |      AS DECIMAL(12,2)) AS p
+        |  FROM b WHERE k % 8 <> 0
+        |  UNION ALL
+        |  SELECT k + 300000000, 'Q', p FROM b WHERE k % 17 = 0),
+        |s3 AS (SELECT s2.* FROM s2, r WHERE k >= cut),
+        |s5 AS (SELECT k, st, p FROM s3
+        |    WHERE NOT (k < 300000000 AND k % 12 = 5)
+        |  UNION ALL
+        |  SELECT k + 500000000, 'R', p FROM b WHERE k % 23 = 0)
+        |SELECT st, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
+        |  TRUE AS stch_ok
+        |FROM s5 GROUP BY st""".stripMargin,
     "st_stream_join" ->
       """SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id
         |FROM events p JOIN events c

@@ -418,7 +418,7 @@ object MatView {
     * file-existence I/O here — this runs on the OPTIMIZER path, where
     * a vacuumed feed already falls through safely (the served plan's
     * parquet resolution throws inside the rule's NonFatal guard). */
-  private def feedRefsE(s: SparkSession, base: String, last: Long,
+  private[graft] def feedRefsE(s: SparkSession, base: String, last: Long,
       head: Long): Either[String, Seq[String]] = {
     // short-circuit at the FIRST feed-less content change: this runs
     // on the optimizer path, and a cursor 1000 commits behind a
@@ -741,10 +741,28 @@ object MatView {
 
   /** Incremental refresh of a star MV: fold the FACT's signed-feed tail
     * — each feed row joined to the dim snapshots to recover its group —
-    * into the MV. Every dim tail must be content-invariant; a dim
-    * content change REFUSES with the recompute remedy (the fact feed
-    * never mentions the rows a moved dim attribute regroups). Cost is
-    * O(fact changes ⋈ dims) + O(MV) — never O(fact). */
+    * into the MV, and fold each DIM's signed-feed tail (the SCD type-1
+    * shape: a dim attribute update moves whole groups) by re-grouping
+    * the key-pruned fact slice the changed dim rows touch. A dim
+    * content change WITHOUT a published feed still refuses with the
+    * recompute remedy — the fold needs the −pre/+post rows.
+    *
+    * The exact telescoping, for fact F and dims D₁…Dₙ between cursors
+    * c and heads h (ΔX = X@h − X@c as signed rows):
+    *
+    *   Δ(F⋈D₁⋈…⋈Dₙ) = ΔF ⋈ D₁@h ⋈ … ⋈ Dₙ@h
+    *                + Σᵢ F@c ⋈ D₁@c ⋈ … ⋈ Dᵢ₋₁@c ⋈ ΔDᵢ ⋈ Dᵢ₊₁@h ⋈ … ⋈ Dₙ@h
+    *
+    * — each dim's delta term joins earlier dims at their CURSOR and
+    * later dims at HEAD, so simultaneous multi-table movement folds
+    * without double counting. The fact slice in every dim term is
+    * pinned at the FACT CURSOR (ΔF is already accounted by the first
+    * term) and pruned to the changed dim keys via manifest key stats
+    * ([[TxnTable.snapshotRange]] point probes when few keys; a
+    * broadcast left-semi join otherwise) — the `mv_scd_files_kept/
+    * total` metrics on the refresh commit carry the prune evidence.
+    * Cost is O(fact changes ⋈ dims) + O(dim changes ⋈ touched fact
+    * files) + O(MV) — never O(fact). */
   def refreshJoin(s: SparkSession, mv: String, publishFeed: Boolean)
       : RefreshResult = {
     val d = readJoinDef(s, mv)
@@ -759,18 +777,19 @@ object MatView {
     require(head >= last, s"${d.fact} is at version $head, behind the " +
       s"MV's cursor $last — the fact was restored/recreated; recompute " +
       "the MV")
-    d.dims.indices.foreach { i =>
+    // per-dim feed refs: Nil for a content-invariant tail (cursor
+    // advances for free); a content change resolves the dim's OWN
+    // signed feed, refusing loudly inside feedRefs when any commit in
+    // the tail is feed-less (the honest remainder of the old blanket
+    // dim refusal)
+    val dimFeedRefs: Seq[Seq[String]] = d.dims.indices.map { i =>
       require(dimHeads(i) >= dimCurs(i), s"${d.dims(i).dim} is at " +
         s"version ${dimHeads(i)}, behind the MV's dim cursor " +
         s"${dimCurs(i)} — the dim was restored/recreated; recompute " +
         "the MV")
-      if (!contentInvariantRange(s, d.dims(i).dim, dimCurs(i),
-        dimHeads(i)))
-        throw new IllegalArgumentException(
-          s"${d.dims(i).dim} changed dimension content past the MV's " +
-            s"dim cursor ${dimCurs(i)}; a join MV cannot fold dim " +
-            "changes from the fact feed — recompute the MV " +
-            "(drop + create)")
+      if (contentInvariantRange(s, d.dims(i).dim, dimCurs(i),
+        dimHeads(i))) Nil
+      else feedRefs(s, d.dims(i).dim, dimCurs(i), dimHeads(i))
     }
     if (head == last && dimHeads == dimCurs)
       return RefreshResult(mvVer, last, 0)
@@ -778,15 +797,124 @@ object MatView {
     val folded = (head - last).toInt
     val metrics = ("mv_base_version" -> head) +:
       dimHeads.zipWithIndex.map { case (h, i) => dimCursorMetric(i) -> h }
-    if (refs.isEmpty)
+    val factTerm =
+      if (refs.isEmpty) None
+      else Some(enrichWithDims(s, d, s.read.parquet(refs: _*),
+        dimHeads, Seq(col(s"f.${d.value}").as(d.value), col("f.w"))))
+    var keptSum = 0L; var totalMax = 0L; var unpruned = false
+    val dimTerms = d.dims.indices.flatMap { i =>
+      if (dimFeedRefs(i).isEmpty) None
+      else {
+        val (term, kept, total) = dimDeltaTerm(s, d, i, dimFeedRefs(i),
+          last, dimCurs, dimHeads)
+        if (kept < 0) unpruned = true
+        else { keptSum += kept; totalMax = math.max(totalMax, total) }
+        Some(term)
+      }
+    }
+    val terms = factTerm.toSeq ++ dimTerms
+    if (terms.isEmpty)
       // content-invariant range on EVERY side
       return RefreshResult(advanceCursor(s, mv, mvVer, metrics), head,
         folded)
-    val enriched = enrichWithDims(s, d, s.read.parquet(refs: _*),
-      dimHeads, Seq(col(s"f.${d.value}").as(d.value), col("f.w")))
-    val v = foldAndMerge(s, mv, mvVer, d.keys, d.value, enriched,
-      metrics, publishFeed)
+    val scdMetrics =
+      if (dimTerms.isEmpty) Nil
+      else if (unpruned) Seq("mv_scd_files_kept" -> -1L,
+        "mv_scd_files_total" -> -1L)
+      else Seq("mv_scd_files_kept" -> keptSum,
+        "mv_scd_files_total" -> totalMax)
+    val v = foldAndMerge(s, mv, mvVer, d.keys, d.value,
+      terms.reduce(_ unionByName _), metrics ++ scdMetrics, publishFeed)
     RefreshResult(v, head, folded)
+  }
+
+  /** One dim's delta term of the star telescoping: the fact slice at
+    * the FACT CURSOR whose `factKey` matches a changed dim key, joined
+    * to the dim's signed feed (±w — the feed row carries dim i's key
+    * attributes: old values on −rows, new on +rows) and to every other
+    * dim at its telescoping version (before i: cursor; after i: head).
+    * Returns (term, keptFiles, totalFiles); kept = −1 marks the
+    * unpruned broadcast-semi-join fallback (many changed keys, or a
+    * key type without sound manifest stats). */
+  private def dimDeltaTerm(s: SparkSession, d: MvJoinDef, i: Int,
+      refs: Seq[String], factVer: Long, dimCurs: Seq[Long],
+      dimHeads: Seq[Long]): (DataFrame, Long, Long) = {
+    val r = d.dims(i)
+    val dimFeed = s.read.parquet(refs: _*)
+    val (factSlice, kept, total) = prunedFactSlice(s, d.fact, factVer,
+      r.factKey, dimFeed.select(col(r.dimKey)).distinct())
+    val otherSnaps: Map[Int, DataFrame] =
+      d.dims.indices.filterNot(_ == i).map { j =>
+        j -> TxnTable.snapshot(s, d.dims(j).dim,
+          if (j < i) dimCurs(j) else dimHeads(j))
+      }.toMap
+    // ownership against the FRAMES BEING JOINED (the feed carries dim
+    // i's full schema) — a drifted dim schema refuses here, like
+    // enrichWithDims
+    val owner = d.keys.map { k =>
+      val owners = d.dims.indices.filter { j =>
+        (if (j == i) dimFeed.columns else otherSnaps(j).columns)
+          .contains(k)
+      }
+      require(owners.size == 1, s"join-MV key '$k' no longer lives in " +
+        s"exactly one dim (found in ${owners.size} — the dim schemas " +
+        "drifted since create); recompute the MV (drop + create)")
+      k -> owners.head
+    }.toMap
+    val joined = d.dims.indices.foldLeft(factSlice.alias("f")) {
+      (acc, j) =>
+        if (j == i) acc.join(dimFeed.alias("fd"),
+          col(s"f.${r.factKey}") === col(s"fd.${r.dimKey}"))
+        else acc.join(otherSnaps(j).alias(s"d$j"),
+          col(s"f.${d.dims(j).factKey}") ===
+            col(s"d$j.${d.dims(j).dimKey}"))
+    }
+    (joined.select(d.keys.map(k =>
+      (if (owner(k) == i) col(s"fd.$k") else col(s"d${owner(k)}.$k"))
+        .as(k)) ++
+      Seq(col(s"f.${d.value}").as(d.value), col("fd.w").as("w")): _*),
+      kept, total)
+  }
+
+  /** The fact rows at `factVer` whose `factKey` is one of `keys` (a
+    * dim-feed-sized frame of changed dim keys), manifest-pruned when
+    * the shape allows: ≤16 long/string keys probe per key through
+    * [[TxnTable.snapshotRange]]/[[TxnTable.snapshotStrRange]] (row-
+    * exact: the residual point filter applies inside surviving files,
+    * so the union over DISTINCT keys never duplicates a row);
+    * otherwise one broadcast left-semi join over the pinned snapshot —
+    * map-only, but every file opens (kept = −1 reports the fallback
+    * honestly). */
+  private def prunedFactSlice(s: SparkSession, fact: String,
+      factVer: Long, factKey: String, keys: DataFrame)
+      : (DataFrame, Long, Long) = {
+    val snap = TxnTable.snapshot(s, fact, factVer)
+    val kt = snap.schema(factKey).dataType
+    val few = keys.limit(17).collect()
+    if (few.isEmpty)
+      // an empty cdc feed (a change commit that named zero rows):
+      // the term is empty, no fact file read at all
+      return (snap.filter(lit(false)), 0L, 0L)
+    if (few.length <= 16 &&
+      kt == org.apache.spark.sql.types.LongType) {
+      val probes = few.filterNot(_.isNullAt(0)).map(_.getLong(0))
+        .map(k => TxnTable.snapshotRange(s, fact, factKey, k, k, factVer))
+      if (probes.isEmpty) return (snap.filter(lit(false)), 0L, 0L)
+      (probes.map(_._1).reduce(_ unionByName _),
+        probes.map(_._2.toLong).sum, probes.map(_._3.toLong).max)
+    } else if (few.length <= 16 &&
+      kt == org.apache.spark.sql.types.StringType) {
+      val probes = few.filterNot(_.isNullAt(0)).map(_.getString(0))
+        .map(k =>
+          TxnTable.snapshotStrRange(s, fact, factKey, k, k, factVer))
+      if (probes.isEmpty) return (snap.filter(lit(false)), 0L, 0L)
+      (probes.map(_._1).reduce(_ unionByName _),
+        probes.map(_._2.toLong).sum, probes.map(_._3.toLong).max)
+    } else
+      (snap.alias("s").join(
+        broadcast(keys.toDF(factKey).alias("ck")),
+        col(s"s.$factKey") === col(s"ck.$factKey"), "left_semi"),
+        -1L, -1L)
   }
 
   /** [[compensated]] for a star MV: MV rows ⊕ (fact feed tail ⋈ dims).

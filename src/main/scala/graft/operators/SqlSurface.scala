@@ -1227,12 +1227,13 @@ object SqlSurface {
     val p3 = ps()
     val servedAgain = r.commitsFolded == 1 && p3.nonEmpty &&
       p3.forall(_.contains(mv)) && rows() == direct()
-    // phase 4: the dim moves — serving falls through to the base join,
-    // refresh refuses with the recompute remedy
+    // phase 4: the dim moves WITHOUT a feed — serving falls through to
+    // the base join, refresh refuses with the recompute remedy (a cdc
+    // dim move folds instead — the SCD-1 path sql_mv_star_scd pins)
     val move = s.sql("""SELECT c_custkey, 'MOVED' AS seg, 'U' AS op
       FROM customer WHERE c_custkey % 10 = 0""")
     graft.operators.TxnTable.applyChangesMor(s, dimLoc, move, "c_custkey",
-      cdc = true)
+      cdc = false)
     val p4 = ps()
     val fin = rows()
     val fellThrough = !p4.exists(_.contains(mv)) &&
@@ -1341,12 +1342,13 @@ object SqlSurface {
     * brand` — the predicate keys one dim, the grouping the other, and
     * both are MV columns). Freshness needs every log: the fact tail
     * compensates from feeds re-joined to the dims; ANY dim content
-    * change disqualifies serving and refuses refresh. Phases by plan
+    * change disqualifies serving, and a FEED-LESS one refuses refresh
+    * (a cdc dim change folds — sql_mv_star_scd). Phases by plan
     * roots: (1) fresh → MV only for the exact grouping, the cross-dim
     * filtered rollup AND the global; (2) fact cdc batch, unrefreshed →
     * MV + fact `_cdc` + the dims (the lookup sides), NEVER a fact data
-    * file; (3) refreshJoin (one fold) → MV alone; (4) a dim₂ brand
-    * reassignment → fall-through seeing 'MOVED' + loud refresh refusal.
+    * file; (3) refreshJoin (one fold) → MV alone; (4) a feed-less dim₂
+    * brand reassignment → fall-through seeing 'MOVED' + loud refusal.
     * Hashed output = the final star aggregate; oracle replays it. At
     * 100 TB: the multi-dim dashboard — THE warehouse workload — costs
     * an MV read plus the fact delta joined to the small sides; the
@@ -1616,10 +1618,11 @@ object SqlSurface {
     val r = graft.operators.MatView.refreshJoin(s, mv)
     val servedAgain = r.commitsFolded == 1 &&
       mvOnly(scanSrcsOf(s, q)) && rows() == direct()
-    // dim₂ moves: fall through + refuse
+    // dim₂ moves WITHOUT a feed: fall through + refuse (the cdc=true
+    // dim move — SCD type-1 — folds instead; sql_mv_star_scd pins it)
     graft.operators.TxnTable.applyChangesMor(s, partLoc,
       s.sql("""SELECT p_partkey, 'MOVED' AS brand, 'U' AS op
-        FROM part WHERE p_partkey % 7 = 0"""), "p_partkey", cdc = true)
+        FROM part WHERE p_partkey % 7 = 0"""), "p_partkey", cdc = false)
     val p4 = scanSrcsOf(s, q)
     val fin = rows()
     val fellThrough = !p4.exists(_.contains(mv)) &&
@@ -1631,6 +1634,112 @@ object SqlSurface {
     val ok = servedFresh && compensatedServe && servedAgain &&
       fellThrough && refused
     s.sql(q).withColumn("star_ok", lit(ok))
+  }
+
+  /** sql_mv_star_scd: SCD TYPE-1 DIM FOLDING for the star MV — the
+    * refusal sql_mv_star pins is now only the FEED-LESS case: a dim
+    * UPDATE committed WITH its signed feed (−pre/+post rows) refreshes
+    * the star view incrementally by the exact telescoping
+    * Δ = ΔF ⋈ D@h + F@c ⋈ ΔD — the changed dim rows re-group the fact
+    * slice they touch, and that slice is KEY-PRUNED from the fact's
+    * manifest stats (point probes on the join key), never a full fact
+    * scan. Phases: (1) fresh → MV-only plan roots; (2) an SCD-1 brand
+    * move (3 scattered part keys, cdc) PLUS a fact cdc batch, both
+    * unrefreshed → serving falls through / compensates correctly; (3)
+    * ONE refreshJoin folds BOTH terms — `mv_scd_files_kept <
+    * mv_scd_files_total` on the refresh commit is the zero-full-scan
+    * evidence (the fact is clustered on l_partkey, so 3 point probes
+    * open ≤3 of its 8 files) — and the query serves from the MV alone
+    * again. Hashed output = the post-refresh star aggregate; the
+    * oracle replays the fact batch and the brand move. At 100 TB: the
+    * nightly SCD-1 dim correction costs O(changed dim rows ⋈ touched
+    * fact files) + O(MV) instead of bricking every star view over the
+    * dim into a full recompute. */
+  def mvStarScd(s: SparkSession, d: String): DataFrame = {
+    val factLoc = freshSqlTable(s, "scd_li")
+    val ordLoc = freshSqlTable(s, "scd_ord")
+    val partLoc = freshSqlTable(s, "scd_part")
+    view(s, d, "lineitem"); view(s, d, "orders"); view(s, d, "part")
+    // the fact lands range-clustered + stat-indexed on l_partkey (the
+    // SCD prune key) in a FIXED 8-file layout, so the prune accounting
+    // below is deterministic at every SF
+    val li = s.sql("""SELECT l_orderkey * 10 + l_linenumber AS lid,
+      l_orderkey, l_partkey,
+      CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem""")
+    graft.operators.TxnTable.commit(s, factLoc,
+      graft.operators.TxnTable.stageIndexed(s, factLoc,
+        li.repartitionByRange(8, li("l_partkey"))
+          .sortWithinPartitions(li("l_partkey")), "l_partkey"),
+      expected = -1L, op = "create", schemaJson = li.schema.json,
+      idxCols = Seq("l_partkey"))
+    s.sql("CREATE TABLE graft.q.scd_ord (o_orderkey BIGINT, st STRING)")
+    s.sql("""INSERT INTO graft.q.scd_ord
+      SELECT o_orderkey, o_orderstatus FROM orders""")
+    s.sql("CREATE TABLE graft.q.scd_part (p_partkey BIGINT, brand STRING)")
+    s.sql("""INSERT INTO graft.q.scd_part
+      SELECT p_partkey, p_brand FROM part""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_scd")
+    graft.operators.MatView.createJoinStar(s, mv, factLoc, Seq(
+      graft.operators.MatView.MvDimRef(ordLoc, "l_orderkey", "o_orderkey"),
+      graft.operators.MatView.MvDimRef(partLoc, "l_partkey", "p_partkey")),
+      Seq("st", "brand"), "price")
+    graft.operators.MatView.registerJoin(s, mv)
+    val q = """SELECT st, brand, COUNT(*) AS n,
+      CAST(SUM(price) AS DOUBLE) AS total
+      FROM graft.q.scd_li f
+      JOIN graft.q.scd_ord o ON f.l_orderkey = o.o_orderkey
+      JOIN graft.q.scd_part p ON f.l_partkey = p.p_partkey
+      GROUP BY st, brand"""
+    def rows() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, factLoc).alias("f")
+        .join(graft.operators.TxnTable.snapshot(s, ordLoc).alias("o"),
+          col("f.l_orderkey") === col("o.o_orderkey"))
+        .join(graft.operators.TxnTable.snapshot(s, partLoc).alias("p"),
+          col("f.l_partkey") === col("p.p_partkey"))
+        .groupBy(col("o.st"), col("p.brand"))
+        .agg(count(lit(1)).as("n"), sum(col("f.price")).cast("double"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+    }
+    def mvOnly(ps: Seq[String]) = ps.nonEmpty && ps.forall(_.contains(mv))
+    val servedFresh = mvOnly(scanSrcsOf(s, q)) && rows() == direct()
+    // the SCD-1 move: three scattered part keys change brand, WITH the
+    // signed feed — the fold's raw material
+    graft.operators.TxnTable.applyChangesMor(s, partLoc,
+      s.sql("""SELECT p_partkey, 'SCD1' AS brand, 'U' AS op
+        FROM part WHERE p_partkey IN (5, 77, 150)"""),
+      "p_partkey", cdc = true)
+    // ...and a fact cdc batch on top: ONE refresh must fold BOTH
+    // telescoping terms (ΔF joins the dims at head, ΔD re-groups the
+    // fact at its cursor)
+    val ch = s.sql("""SELECT l_orderkey * 10 + l_linenumber AS lid,
+        l_orderkey, l_partkey,
+        CAST(l_extendedprice AS DECIMAL(12,2)) AS price, 'D' AS op
+      FROM lineitem WHERE (l_orderkey * 10 + l_linenumber) % 6 = 0
+      UNION ALL
+      SELECT l_orderkey * 10 + l_linenumber + 900000000, l_orderkey,
+        l_partkey, CAST(l_extendedprice AS DECIMAL(12,2)), 'U'
+      FROM lineitem WHERE (l_orderkey * 10 + l_linenumber) % 11 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, factLoc, ch, "lid",
+      cdc = true)
+    // stale: a moved dim disqualifies serving outright (no dim-side
+    // query compensation — refresh is the remedy), and the fall-through
+    // answer is the base's
+    val p2 = scanSrcsOf(s, q)
+    val fellThrough = !p2.exists(_.contains(mv)) &&
+      rows() == direct() && rows().exists(_._2 == "SCD1")
+    val r = graft.operators.MatView.refreshJoin(s, mv)
+    val m = graft.operators.TxnTable.commitMetrics(s, mv, r.mvVersion)
+    val kept = m.getOrElse("mv_scd_files_kept", -1L)
+    val total = m.getOrElse("mv_scd_files_total", -1L)
+    val pruned = kept >= 1 && total >= 2 && kept < total
+    val servedAgain = r.commitsFolded == 1 && mvOnly(scanSrcsOf(s, q)) &&
+      rows() == direct()
+    val ok = servedFresh && fellThrough && pruned && servedAgain
+    s.sql(q).withColumn("scd_ok", lit(ok))
   }
 
   /** op_mv_branch: BRANCH-AWARE MATERIALIZED VIEWS — a branch is a full

@@ -502,9 +502,18 @@ class GraftChangesTable(ident: String,
           .map(_.toLong)
         val startingVersion = Option(options.get("startingVersion"))
         val startingTs = Option(options.get("startingTimestamp"))
+        // readChangeFeed=true upgrades the STREAM to the MatView
+        // refresh contract: a feed-less content change in the walked
+        // range throws loudly instead of passing as an empty batch —
+        // the mode a downstream incremental aggregate must run under
+        // (the default stays lenient: observability consumers tailing
+        // whatever feeds exist keep working across feed-less commits)
+        val strict = Option(options.get("readChangeFeed"))
+          .exists(_.toBoolean)
         new GraftStreaming.StreamableScan(super.build(),
           readSchema => new GraftCdcMicroBatchStream(ident, location,
-            readSchema, maxVersions, startingVersion, ev, startingTs))
+            readSchema, maxVersions, startingVersion, ev, startingTs,
+            strict))
       }
     }
   }
@@ -520,7 +529,8 @@ class GraftCdcMicroBatchStream(ident: String, location: String,
     schema: StructType, maxVersions: Option[Long],
     startingVersion: Option[String] = None,
     endingVersion: Option[Long] = None,
-    startingTimestamp: Option[String] = None)
+    startingTimestamp: Option[String] = None,
+    strict: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark: SparkSession = SparkSession.active
@@ -561,7 +571,20 @@ class GraftCdcMicroBatchStream(ident: String, location: String,
     * retention must not silently skip feed history. */
   private def filesIn(s: SparkSession, start: Long, end: Long): Seq[Path] = {
     if (start >= end) return Seq.empty
-    (math.max(start + 1, 0L) to end).flatMap(v =>
+    if (strict)
+      // readChangeFeed=true: the MatView refresh contract, verbatim
+      // from ITS single site (feedRefsE) — a feed-less CONTENT change
+      // in the walked range throws instead of passing as an empty
+      // batch (a downstream aggregate maintained from this stream
+      // would silently diverge on exactly that commit); maintenance
+      // ops and change_noop commits still pass as empty batches
+      graft.operators.MatView.feedRefsE(s, location,
+        math.max(start, -1L), end) match {
+        case Left(msg) => throw new IllegalArgumentException(
+          s"$ident (readChangeFeed): $msg")
+        case Right(refs) => refs.map(new Path(_))
+      }
+    else (math.max(start + 1, 0L) to end).flatMap(v =>
       TxnTable.manifest(s, location, v).cdcRefs
         .map(r => new Path(TxnTable.pathFor(location, r))))
   }

@@ -891,6 +891,159 @@ object Streams {
       .filter(col("n") =!= 0)
   }
 
+  /** st_stream_changes: `readChangeFeed` THROUGH THE CATALOG — the
+    * managed CDC source that retires st_stream_cdc's `_cdc/`-dir
+    * file-tail idiom: `readStream.option("readChangeFeed","true")
+    * .table("graft.q.t.changes")` tails the table's COMMIT LOG
+    * (offsets = versions, each micro-batch = that commit's signed feed
+    * resolved from its manifest's `#cdc=` refs — never a directory
+    * listing) under the MatView refresh contract, verbatim from ITS
+    * single site ([[graft.operators.MatView.feedRefsE]]): maintenance
+    * commits pass as EMPTY batches, and a feed-less CONTENT change
+    * THROWS — the lenient default would pass it silently and the
+    * downstream aggregate would diverge on exactly that commit.
+    *
+    * The scenario maintains a Complete-mode aggregate across every
+    * cdc-publishing write shape: a MoR initial upsert, a MoR
+    * delete/reprice/insert batch, a CoW range DELETE, a compact
+    * (empty batch under strict — asserted via a zero-input progress),
+    * and a CoW MERGE — then pins the contract fork: a plain feed-less
+    * INSERT makes the strict resume THROW (message names the missing
+    * feed), while a lenient re-run from a fresh checkpoint drains past
+    * it fine and lands an aggregate that silently MISSES those rows
+    * (== the strict result — the divergence the option exists to make
+    * loud). Hashed output = the maintained aggregate; the oracle
+    * replays the change algebra. At 100 TB: a year-old minutely table
+    * costs a tail trigger O(new commits), and an incremental consumer
+    * can never silently lose a commit. */
+  def streamChanges(s: SparkSession, d: String): DataFrame = {
+    graft.sources.GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.q")
+    graft.Tables.table(s, d, "orders").createOrReplaceTempView("orders")
+    val t = "stch_orders"
+    val loc = s"${graft.sources.GraftCatalog.defaultWarehouse}/q/$t"
+    s.sql(s"DROP TABLE IF EXISTS graft.q.$t")
+    s.sql(s"""CREATE TABLE graft.q.$t (
+      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))
+      TBLPROPERTIES ('index' = 'o_orderkey')""")
+    // v1: the initial population as a cdc-publishing upsert (+rows)
+    TxnTable.applyChangesMor(s, loc,
+      s.sql("""SELECT o_orderkey, o_orderstatus AS st,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price, 'U' AS op
+        FROM orders"""), "o_orderkey", cdc = true)
+    // v2: MoR deletes (%8), reprices (+5 where %10=3 — odd, so disjoint
+    // from the even %8 deletes), and keyspace-shifted inserts (%17)
+    TxnTable.applyChangesMor(s, loc,
+      s.sql("""SELECT o_orderkey, o_orderstatus AS st,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price, 'D' AS op
+        FROM orders WHERE o_orderkey % 8 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+          CAST(o_totalprice + 5 AS DECIMAL(12,2)), 'U'
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey + 300000000, 'Q',
+          CAST(o_totalprice AS DECIMAL(12,2)), 'U'
+        FROM orders WHERE o_orderkey % 17 = 0"""), "o_orderkey",
+      cdc = true)
+    // v3: CoW range delete of the low fifth of the original keyspace
+    val b = s.sql("SELECT MIN(o_orderkey), MAX(o_orderkey) FROM orders")
+      .collect()(0)
+    val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0) + 1) / 5
+    TxnTable.deleteWhere(s, loc,
+      Seq(("o_orderkey", Long.MinValue, cut - 1)), Nil, cdc = true)
+    // v4: maintenance — must pass as an EMPTY batch under strict
+    TxnTable.compact(s, loc)
+    // v5: CoW MERGE — new-group inserts (%23) + scattered deletes (%12)
+    TxnTable.applyChangesMulti(s, loc,
+      s.sql("""SELECT o_orderkey + 500000000 AS o_orderkey, 'R' AS st,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price, 'U' AS op
+        FROM orders WHERE o_orderkey % 23 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2)), 'D'
+        FROM orders WHERE o_orderkey % 12 = 5"""),
+      Seq("o_orderkey"), cdc = true)
+    val ckpt = graft.Fs.scratch("graft_stream_changes", "ckpt")
+    graft.Fs.deleteRecursively(ckpt)
+    def runStrict(sink: String) = {
+      val q = s.readStream
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1")
+        .table(s"graft.q.$t.changes")
+        .groupBy(col("st"))
+        .agg(sum(col("w")).as("n"),
+          sum(col("w") * col("price")).as("total"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
+    val q1 = runStrict("st_stream_changes_agg")
+    val prog = q1.recentProgress.toSeq
+    // one trigger per version (1..5), the compact's an empty batch
+    val batchesOk = prog.count(_.numInputRows > 0) == 4 &&
+      prog.exists(_.numInputRows == 0)
+    def snap(sink: String) = s.table(sink)
+      .filter(col("n") =!= 0)
+      .select(col("st"), col("n"),
+        col("total").cast("double").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val maintained = snap("st_stream_changes_agg")
+    val direct = TxnTable.snapshot(s, loc).groupBy(col("st"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // v6: a FEED-LESS content change — the strict resume must THROW,
+    // naming the missing feed
+    s.sql(s"""INSERT INTO graft.q.$t
+      SELECT /*+ REPARTITION(1) */ o_orderkey + 700000000, 'X',
+        CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders WHERE o_orderkey % 31 = 0""")
+    val refused =
+      try { runStrict("st_stream_changes_agg2"); false }
+      catch { case e: Throwable =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(c => c.getMessage != null &&
+            c.getMessage.contains("without publishing a change feed"))
+      }
+    // the lenient default drains past v6 fine — and silently MISSES
+    // its rows (== the strict pre-v6 aggregate): the divergence the
+    // option makes loud
+    val ckpt2 = graft.Fs.scratch("graft_stream_changes", "ckpt2")
+    graft.Fs.deleteRecursively(ckpt2)
+    val q3 = s.readStream
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1")
+      .table(s"graft.q.$t.changes")
+      .groupBy(col("st"))
+      .agg(sum(col("w")).as("n"),
+        sum(col("w") * col("price")).as("total"))
+      .writeStream.format("memory").queryName("st_stream_changes_len")
+      .option("checkpointLocation", ckpt2)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination()
+    val lenient = snap("st_stream_changes_len")
+    val nowCount = TxnTable.snapshot(s, loc).count()
+    val ok = batchesOk && maintained == direct && refused &&
+      lenient == maintained &&
+      nowCount == direct.map(_._2).sum +
+        s.sql("SELECT COUNT(*) FROM orders WHERE o_orderkey % 31 = 0")
+          .collect()(0).getLong(0)
+    s.table("st_stream_changes_agg")
+      .filter(col("n") =!= 0)
+      .select(col("st"), col("n"), col("total").cast("double").as("total"))
+      .withColumn("stch_ok", lit(ok))
+  }
+
   // ---- Stateful sessionization --------------------------------------------
 
   case class Event(user_id: Long, ts_us: Long, event_id: Long)

@@ -1105,6 +1105,70 @@ class CatalogSpec extends SparkSpec {
         r._1 == 5L || r._1 == 7L)}")
   }
 
+  test("readChangeFeed=true streams under the MatView contract: " +
+      "maintenance passes empty, a feed-less content change throws, " +
+      "the lenient default passes it silently") {
+    val s2 = spark
+    import s2.implicits._
+    val t = fresh("strictcdc")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    // v1: cdc-publishing population; v2: a cdc MoR batch; v3: compact
+    // (content-invariant — must pass as an EMPTY batch, not throw)
+    TxnTable.applyChangesMor(spark, loc,
+      (0L until 50L).map(i => (i, i, "U")).toDF("k", "v", "op"), "k",
+      cdc = true)
+    TxnTable.applyChangesMor(spark, loc, Seq(
+      (3L, 0L, "D"), (4L, 444L, "U")).toDF("k", "v", "op"), "k",
+      cdc = true)
+    TxnTable.compact(spark, loc)
+    def drain(name: String, ckpt: String, strict: Boolean): Unit = {
+      val r = spark.readStream
+        .option("startingVersion", "1")
+        .option("maxVersionsPerTrigger", "1")
+      val r2 = if (strict) r.option("readChangeFeed", "true") else r
+      val q = r2.table(s"graft.spec.$t.changes")
+        .groupBy(lit(1).as("g"))
+        .agg(sum(col("w")).as("n"), sum(col("w") * col("v")).as("sv"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val ckpt = graft.Fs.scratch("graft_spec_strictcdc", "ckpt")
+    graft.Fs.deleteRecursively(ckpt)
+    drain("spec_strict_cdc", ckpt, strict = true)
+    val (n1, sv1) = spark.table("spec_strict_cdc")
+      .select(col("n"), col("sv")).as[(Long, Long)].collect()(0)
+    // +50 −1 at v2's delete, −1/+1 on the update: net 49 rows, and the
+    // signed value-sum telescopes to the live content's sum
+    assert(n1 === 49L)
+    assert(sv1 === TxnTable.snapshot(spark, loc)
+      .agg(sum(col("v"))).collect()(0).getLong(0))
+    // v4: a feed-less content change — strict resume throws, NAMING the
+    // missing feed; the lenient default from a fresh checkpoint passes
+    // it as an empty batch (and silently misses its rows)
+    TxnTable.append(spark, loc,
+      (1000L until 1010L).map(i => (i, i)).toDF("k", "v"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain("spec_strict_cdc_2", ckpt, strict = true)
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8).exists(c => c.getMessage != null &&
+        c.getMessage.contains("without publishing a change feed")),
+      s"refusal must name the missing feed: ${e.getMessage}")
+    val ckpt2 = graft.Fs.scratch("graft_spec_strictcdc", "ckpt2")
+    graft.Fs.deleteRecursively(ckpt2)
+    drain("spec_lenient_cdc", ckpt2, strict = false)
+    val n2 = spark.table("spec_lenient_cdc")
+      .select(col("n")).as[Long].collect()(0)
+    assert(n2 === 49L, "the lenient walk passes the feed-less append " +
+      "as empty — missing its 10 rows (the divergence strict makes loud)")
+  }
+
   test("CTAS, TRUNCATE TABLE, and SHOW TBLPROPERTIES round out the SQL surface") {
     val t = fresh("ctas")
     // CREATE TABLE AS SELECT carries the schema AND the index property,

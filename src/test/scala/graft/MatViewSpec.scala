@@ -957,8 +957,8 @@ class MatViewSpec extends SparkSpec {
   }
 
   test("join MV: both join orientations serve; unmatched fact keys " +
-      "fold to nothing; dim maintenance advances the cursor; a dim " +
-      "content change refuses refresh and disqualifies serving") {
+      "fold to nothing; dim maintenance advances the cursor; a cdc dim " +
+      "content change FOLDS (SCD-1) while a feed-less one refuses") {
     val s = spark
     import graft.sources.GraftCatalog
     GraftCatalog.register(s)
@@ -1075,16 +1075,38 @@ class MatViewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(chain === direct().map(t => (t._1, 1L)),
       "the chained view over the join MV diverged")
-    // a dim CONTENT change: serving falls through, refresh refuses
+    // a dim CONTENT change WITH a feed (SCD type-1): serving falls
+    // through until refresh, then the dim delta FOLDS — the changed
+    // dim rows re-group the key-pruned fact slice, no full recompute
     TxnTable.applyChangesMor(spark, dimLoc,
       s.sql("SELECT pk, 'Z' AS seg, 'U' AS op FROM graft.mvspec.jd " +
         "WHERE pk % 5 = 0"), "pk", cdc = true)
     assert(!served(q1), "a moved dim must disqualify serving")
     assert(rows() === direct(), "fall-through answer must be the base's")
+    val rScd = MatView.refreshJoin(spark, mv)
+    assert(rScd.commitsFolded === 0,
+      "the SCD refresh folded no FACT commit (only the dim moved)")
+    assert(served(q1), "post-SCD-refresh serve must come from the MV")
+    assert(rows() === direct(), "the SCD-folded join MV diverged")
+    // ...and the chained fold view keeps folding the join MV's deltas
+    val rc2 = MatView.refresh(spark, mv2)
+    assert(rc2.commitsFolded === 1)
+    assert(TxnTable.snapshot(spark, mv2).select(col("seg"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      direct().map(t => (t._1, 1L)),
+      "the chained view over the SCD-refreshed join MV diverged")
+    // a FEED-LESS dim content change is the honest remainder: nothing
+    // names the −pre/+post rows, so refresh refuses with the remedy
+    TxnTable.applyChangesMor(spark, dimLoc,
+      s.sql("SELECT pk, 'Y' AS seg, 'U' AS op FROM graft.mvspec.jd " +
+        "WHERE pk % 7 = 0"), "pk", cdc = false)
+    assert(!served(q1), "a feed-less moved dim must disqualify serving")
     val e = intercept[IllegalArgumentException] {
       MatView.refreshJoin(spark, mv)
     }
     assert(e.getMessage.contains("recompute the MV"), e.getMessage)
+    assert(e.getMessage.contains("change feed"),
+      s"the refusal must name the missing feed: ${e.getMessage}")
   }
 
   test("extrema MV: a clean refresh PHYSICALLY reads no base file; " +
