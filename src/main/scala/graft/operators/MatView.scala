@@ -720,19 +720,26 @@ object MatView {
     * against the SAME pinned snapshots being joined (one construction
     * each), so a dim schema drift since create refuses with its own
     * message instead of a misleading create-time one. */
-  private def enrichWithDims(s: SparkSession, d: MvJoinDef,
-      feed: DataFrame, dimVers: Seq[Long],
-      extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val dimSnaps = d.dims.indices.map(i =>
-      TxnTable.snapshot(s, d.dims(i).dim, dimVers(i)))
-    val owner = d.keys.map { k =>
-      val owners = dimSnaps.indices.filter(i =>
-        dimSnaps(i).columns.contains(k))
+  /** Key-column → owning-dim-index against the FRAMES BEING JOINED —
+    * the refresh-time twin of the create-time [[keyOwnership]], shared
+    * by [[enrichWithDims]] and [[dimDeltaTerm]] so the drift contract
+    * (message, uniqueness rule) can never diverge between them. */
+  private def resolveOwners(d: MvJoinDef, colsOf: Int => Seq[String])
+      : Map[String, Int] =
+    d.keys.map { k =>
+      val owners = d.dims.indices.filter(i => colsOf(i).contains(k))
       require(owners.size == 1, s"join-MV key '$k' no longer lives in " +
         s"exactly one dim (found in ${owners.size} — the dim schemas " +
         "drifted since create); recompute the MV (drop + create)")
       k -> owners.head
     }.toMap
+
+  private def enrichWithDims(s: SparkSession, d: MvJoinDef,
+      feed: DataFrame, dimVers: Seq[Long],
+      extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val dimSnaps = d.dims.indices.map(i =>
+      TxnTable.snapshot(s, d.dims(i).dim, dimVers(i)))
+    val owner = resolveOwners(d, i => dimSnaps(i).columns.toSeq)
     d.dims.indices.foldLeft(feed.alias("f")) { (acc, i) =>
       acc.join(dimSnaps(i).alias(s"d$i"),
         col(s"f.${d.dims(i).factKey}") === col(s"d$i.${d.dims(i).dimKey}"))
@@ -777,19 +784,18 @@ object MatView {
     require(head >= last, s"${d.fact} is at version $head, behind the " +
       s"MV's cursor $last — the fact was restored/recreated; recompute " +
       "the MV")
-    // per-dim feed refs: Nil for a content-invariant tail (cursor
-    // advances for free); a content change resolves the dim's OWN
-    // signed feed, refusing loudly inside feedRefs when any commit in
-    // the tail is feed-less (the honest remainder of the old blanket
-    // dim refusal)
+    // per-dim feed refs straight from THE single site (feedRefsE via
+    // feedRefs): a content-invariant tail resolves to Nil (cursor
+    // advances for free), a cdc tail to its signed refs, and a
+    // feed-less content change refuses loudly inside feedRefs — the
+    // honest remainder of the old blanket dim refusal. One manifest
+    // walk per dim, no separate invariance pre-pass.
     val dimFeedRefs: Seq[Seq[String]] = d.dims.indices.map { i =>
       require(dimHeads(i) >= dimCurs(i), s"${d.dims(i).dim} is at " +
         s"version ${dimHeads(i)}, behind the MV's dim cursor " +
         s"${dimCurs(i)} — the dim was restored/recreated; recompute " +
         "the MV")
-      if (contentInvariantRange(s, d.dims(i).dim, dimCurs(i),
-        dimHeads(i))) Nil
-      else feedRefs(s, d.dims(i).dim, dimCurs(i), dimHeads(i))
+      feedRefs(s, d.dims(i).dim, dimCurs(i), dimHeads(i))
     }
     if (head == last && dimHeads == dimCurs)
       return RefreshResult(mvVer, last, 0)
@@ -801,14 +807,20 @@ object MatView {
       if (refs.isEmpty) None
       else Some(enrichWithDims(s, d, s.read.parquet(refs: _*),
         dimHeads, Seq(col(s"f.${d.value}").as(d.value), col("f.w"))))
-    var keptSum = 0L; var totalMax = 0L; var unpruned = false
+    // prune accounting across the dim terms: kept = fact-file READS
+    // the point probes performed (a file shared by two probes counts
+    // twice — the true read cost), total = the fact-file count a naive
+    // full-slice scan would read once per changed dim (the cost the
+    // probes avoid). kept < total is the "cheaper than a full scan"
+    // evidence; −1/−1 reports the broadcast-semi-join fallback.
+    var keptSum = 0L; var totalSum = 0L; var unpruned = false
     val dimTerms = d.dims.indices.flatMap { i =>
       if (dimFeedRefs(i).isEmpty) None
       else {
         val (term, kept, total) = dimDeltaTerm(s, d, i, dimFeedRefs(i),
           last, dimCurs, dimHeads)
         if (kept < 0) unpruned = true
-        else { keptSum += kept; totalMax = math.max(totalMax, total) }
+        else { keptSum += kept; totalSum += total }
         Some(term)
       }
     }
@@ -822,7 +834,7 @@ object MatView {
       else if (unpruned) Seq("mv_scd_files_kept" -> -1L,
         "mv_scd_files_total" -> -1L)
       else Seq("mv_scd_files_kept" -> keptSum,
-        "mv_scd_files_total" -> totalMax)
+        "mv_scd_files_total" -> totalSum)
     val v = foldAndMerge(s, mv, mvVer, d.keys, d.value,
       terms.reduce(_ unionByName _), metrics ++ scdMetrics, publishFeed)
     RefreshResult(v, head, folded)
@@ -851,16 +863,8 @@ object MatView {
     // ownership against the FRAMES BEING JOINED (the feed carries dim
     // i's full schema) — a drifted dim schema refuses here, like
     // enrichWithDims
-    val owner = d.keys.map { k =>
-      val owners = d.dims.indices.filter { j =>
-        (if (j == i) dimFeed.columns else otherSnaps(j).columns)
-          .contains(k)
-      }
-      require(owners.size == 1, s"join-MV key '$k' no longer lives in " +
-        s"exactly one dim (found in ${owners.size} — the dim schemas " +
-        "drifted since create); recompute the MV (drop + create)")
-      k -> owners.head
-    }.toMap
+    val owner = resolveOwners(d, j =>
+      (if (j == i) dimFeed.columns else otherSnaps(j).columns).toSeq)
     val joined = d.dims.indices.foldLeft(factSlice.alias("f")) {
       (acc, j) =>
         if (j == i) acc.join(dimFeed.alias("fd"),
@@ -895,14 +899,26 @@ object MatView {
       // an empty cdc feed (a change commit that named zero rows):
       // the term is empty, no fact file read at all
       return (snap.filter(lit(false)), 0L, 0L)
-    if (few.length <= 16 &&
+    // probes only when they can BITE: the key frame's own type must
+    // match the fact column's (a BIGINT fact key probed with the dim's
+    // INT values would CCE on collect — the equi-join casts, Row.getLong
+    // does not), and the fact's manifest must carry stats on factKey —
+    // a stat-less fact keeps every file per probe, turning 16 probes
+    // into 16 full scans where the fallback's ONE map-only pass wins
+    val feedKt = keys.schema.head.dataType
+    val m = TxnTable.manifest(s, fact, factVer)
+    val hasStats =
+      if (kt == org.apache.spark.sql.types.LongType)
+        m.idxCols.contains(factKey)
+      else m.strIdxCols.contains(factKey)
+    if (few.length <= 16 && feedKt == kt && hasStats &&
       kt == org.apache.spark.sql.types.LongType) {
       val probes = few.filterNot(_.isNullAt(0)).map(_.getLong(0))
         .map(k => TxnTable.snapshotRange(s, fact, factKey, k, k, factVer))
       if (probes.isEmpty) return (snap.filter(lit(false)), 0L, 0L)
       (probes.map(_._1).reduce(_ unionByName _),
         probes.map(_._2.toLong).sum, probes.map(_._3.toLong).max)
-    } else if (few.length <= 16 &&
+    } else if (few.length <= 16 && feedKt == kt && hasStats &&
       kt == org.apache.spark.sql.types.StringType) {
       val probes = few.filterNot(_.isNullAt(0)).map(_.getString(0))
         .map(k =>
