@@ -303,6 +303,30 @@ object MatView {
   case class RefreshResult(mvVersion: Long, baseVersion: Long,
       commitsFolded: Int)
 
+  /** Closed per-key-column bounds a serving read may prune the MV's
+    * OWN files with — a SUPERSET of the query predicate's satisfying
+    * space, derived by the rewrite from its key-only conjuncts (the
+    * exact predicate still applies as a residual filter, so bounds
+    * only have to be sound, never tight). Empty = no prune (read every
+    * MV file, today's behavior). */
+  case class KeyBounds(ints: Seq[(String, Long, Long)],
+      strs: Seq[(String, String, String)]) {
+    def isEmpty: Boolean = ints.isEmpty && strs.isEmpty
+  }
+  object KeyBounds { val none: KeyBounds = KeyBounds(Nil, Nil) }
+
+  /** The MV's own rows at `mvVer`, file-pruned from the MV's manifest
+    * key stats when the caller extracted bounds — the dashboard-serving
+    * read. The MV commits range-clustered and stat-indexed on its keys
+    * at create AND at every refresh merge (mergeCore re-clusters the
+    * rewritten region), so a key-predicated dashboard over a huge MV
+    * opens only the stat-bearing files its keys can live in instead of
+    * the whole view. */
+  private[graft] def mvRowsAt(s: SparkSession, mv: String, mvVer: Long,
+      kb: KeyBounds): DataFrame =
+    if (kb.isEmpty) TxnTable.snapshot(s, mv, mvVer)
+    else TxnTable.snapshotBoxed(s, mv, kb.ints, kb.strs, mvVer)._1
+
   def refresh(s: SparkSession, mv: String): RefreshResult =
     refresh(s, mv, publishFeed = true)
 
@@ -527,11 +551,12 @@ object MatView {
     * shared verbatim with the fresh-serve path; groups whose compensated
     * count reaches 0 leave, mirroring refresh's op-'D' rule. */
   private[graft] def compensated(s: SparkSession, mv: String, d: MvDef,
-      cursor: Long, head: Long, mvVer: Long): Option[DataFrame] = {
+      cursor: Long, head: Long, mvVer: Long,
+      kb: KeyBounds = KeyBounds.none): Option[DataFrame] = {
     // the MV rows come from the SAME pinned version the cursor was read
     // at: snapshot-at-head here would double-count a feed tail that a
     // concurrent refresh folded between the caller's two reads
-    val mvRows = TxnTable.snapshot(s, mv, mvVer)
+    val mvRows = mvRowsAt(s, mv, mvVer, kb)
       .select((d.keys.map(col) ++
         Seq(col("n"), col("nn"), col("total"))): _*)
     if (cursor == head) return Some(mvRows)
@@ -939,11 +964,12 @@ object MatView {
     * may have moved; only the base join answers). */
   private[graft] def compensatedJoin(s: SparkSession, mv: String,
       d: MvJoinDef, cursor: Long, factPinned: Long,
-      dimCursors: Seq[Long], dimPinned: Seq[Long], mvVer: Long)
+      dimCursors: Seq[Long], dimPinned: Seq[Long], mvVer: Long,
+      kb: KeyBounds = KeyBounds.none)
       : Option[DataFrame] = {
     if (d.dims.indices.exists(i => !contentInvariantRange(s,
       d.dims(i).dim, dimCursors(i), dimPinned(i)))) return None
-    val mvRows = TxnTable.snapshot(s, mv, mvVer)
+    val mvRows = mvRowsAt(s, mv, mvVer, kb)
       .select((d.keys.map(col) ++
         Seq(col("n"), col("nn"), col("total"))): _*)
     if (cursor == factPinned) return Some(mvRows)

@@ -613,9 +613,14 @@ object SqlSurface {
     * rollup re-aggregation, and the feed-born ('Q','1-URGENT') group
     * must surface); (3) a NON-key predicate (`price > 100`), which must
     * fall through to the base scan — the MV folded those rows away and
-    * holds no residual to re-check. `mvf_ok` pins all three plans by
-    * their optimized-plan scan roots plus answer-equality of (1) and
-    * (2) against direct recomputes. Hashed output = probe (2); oracle
+    * holds no residual to re-check; (4) `st = 'F'` — the
+    * MANIFEST-PRUNED MV read: the rewrite extracts closed key bounds
+    * from the conjuncts and reads the MV through its OWN key stats
+    * (MatView.mvRowsAt → snapshotBoxed), so the served plan's parquet
+    * roots list FEWER mv files than the view's live total — file-level
+    * pruning of the view itself, plan-proven. `mvf_ok` pins all four
+    * plans by their optimized-plan scan roots plus answer-equality
+    * against direct recomputes. Hashed output = probe (2); oracle
     * replays the moved base. At 100 TB: the filtered dashboard cut
     * costs O(MV rows + feed tail) — and Catalyst pushes the key
     * predicate into the MV/feed parquet scans, so it reads even less
@@ -677,10 +682,33 @@ object SqlSurface {
     val gotR = s.sql(qRollup).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSet
+    // (4) the MANIFEST-PRUNED MV read: an equality on the first
+    // cluster key opens only the MV files whose key stats can hold it
+    // (MatView.mvRowsAt → TxnTable.snapshotBoxed — the MV is
+    // range-clustered and stat-indexed on its keys at create and at
+    // every refresh merge, so the rewrite's key bounds prune MV FILES
+    // from the manifest, not just rows from the scan). The plan's
+    // parquet roots ARE the kept file list, so the prune is
+    // plan-proven: fewer mv data files in the served plan than the
+    // MV's live total, and the answer still exact.
+    val qPoint = """SELECT pri, COUNT(*) AS n FROM graft.q.mvf_orders
+      WHERE st = 'F' GROUP BY pri"""
+    val pP = scanSrcsOf(s, qPoint)
+    val mvLive = graft.operators.TxnTable.manifest(s, mv,
+      graft.operators.TxnTable.currentVersion(s, mv)).entries.size
+    val mvOpened = pP.count(p => p.contains(mv) && p.endsWith(".parquet"))
+    val dirP = snap.filter(col("st") === "F").groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val gotP = s.sql(qPoint).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val prunedServe = mvOnly(pP) && mvOpened >= 1 && mvOpened < mvLive &&
+      gotP == dirP
     val ok = mvOnly(pK) && mvOnly(pR) &&
       pN.exists(p => p.contains(loc) || p.startsWith("v2:")) &&
       !pN.exists(_.contains(mv)) &&
-      gotK == dirK && gotR == dirR && gotR.exists(_._1 == "Q")
+      gotK == dirK && gotR == dirR && gotR.exists(_._1 == "Q") &&
+      prunedServe
     s.sql(qRollup).withColumn("mvf_ok", lit(ok))
   }
 

@@ -2392,21 +2392,41 @@ object TxnTable {
     * (scanned, total) file counts so callers can assert the skip bit. */
   def snapshotBox(s: SparkSession, table: String,
                   box: Seq[(String, Long, Long)], v: Long = -1L)
+      : (DataFrame, Int, Int) =
+    snapshotBoxed(s, table, box, Nil, v)
+
+  /** [[snapshotBox]] over MIXED integral AND string bounding boxes in
+    * one manifest pass — the serving read for a key-predicated consumer
+    * whose keys span both stat kinds (the MV dashboard rewrite). Every
+    * box is a CLOSED interval; files whose recorded range cannot
+    * intersect EVERY box are pruned, files missing a stat are kept
+    * conservatively, and the residual per-row filter applies inside the
+    * survivors (string bounds compare in UTF8 binary order on both the
+    * manifest and the filter side — [[u8cmp]]). */
+  def snapshotBoxed(s: SparkSession, table: String,
+      intBox: Seq[(String, Long, Long)],
+      strBox: Seq[(String, String, String)], v: Long = -1L)
       : (DataFrame, Int, Int) = {
-    require(box.nonEmpty, "snapshotBox needs at least one (col, lo, hi)")
+    require(intBox.nonEmpty || strBox.nonEmpty,
+      "snapshotBoxed needs at least one (col, lo, hi)")
     val ver = if (v < 0) currentVersion(s, table) else v
     val m = manifest(s, table, ver)
     val pm = physMap(m) // stat groups speak physical; predicates logical
     val kept = m.entries.filter { e =>
-      box.forall { case (c, lo, hi) =>
+      intBox.forall { case (c, lo, hi) =>
         // an EMPTY recorded range (fLo > fHi: the file is all-null in c)
         // intersects no value box; a missing stat keeps the file
         e.statFor(pm.getOrElse(c, c)).forall { case (fLo, fHi) =>
           fLo <= fHi && fHi >= lo && fLo <= hi }
+      } && strBox.forall { case (c, lo, hi) =>
+        e.strStatFor(pm.getOrElse(c, c)).forall { case (fLo, fHi) =>
+          u8cmp(fLo, fHi) <= 0 && u8cmp(fHi, lo) >= 0 &&
+            u8cmp(fLo, hi) <= 0 }
       }
     }
     prunedRead(s, table, m, kept,
-      box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      (intBox.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi } ++
+        strBox.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi })
         .reduce(_ && _))
   }
 

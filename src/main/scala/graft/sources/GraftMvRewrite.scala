@@ -157,8 +157,98 @@ case class GraftMvRewriteRule(session: SparkSession)
       if (dEff.base != g.location) None
       else if (cursor > g.pinnedVersion) None
       else MatView.compensated(session, mvLoc, dEff, cursor,
-        g.pinnedVersion, mvVer).map(applyKeyPreds(_, preds))
+        g.pinnedVersion, mvVer, keyBounds(preds))
+        .map(applyKeyPreds(_, preds))
     })
+  }
+
+  /** Closed per-column bounds extracted from the key-only predicate
+    * conjuncts — the manifest-prune handle for the MV's OWN files
+    * ([[MatView.mvRowsAt]] → [[TxnTable.snapshotBoxed]]). Only shapes
+    * whose satisfying space is provably inside a closed box contribute
+    * (=, IN over literals, and range conjuncts — intersected per
+    * column); anything else (OR, functions, null-safe equality, a
+    * string bound missing one side) contributes NOTHING, which is
+    * always sound: the box must only be a SUPERSET, the exact
+    * predicate still applies as [[applyKeyPreds]]' residual. Strict
+    * `<`/`>` keep the closed endpoint — a superset, never a miss. */
+  private def keyBounds(preds: Seq[Expression]): MatView.KeyBounds = {
+    import org.apache.spark.sql.catalyst.expressions.{And, In,
+      GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // the analyzer wraps a literal narrower than the column in a Cast
+    // (`h >= 2` over BIGINT h arrives as `h >= cast(2 as bigint)`);
+    // fold it here — the optimizer's ConstantFolding runs later
+    object Lit {
+      def unapply(e: Expression): Option[Literal] = e match {
+        case l: Literal => Some(l)
+        case c: Cast if c.foldable && c.child.isInstanceOf[Literal] =>
+          Some(Literal(c.eval(null), c.dataType))
+        case _ => None
+      }
+    }
+    def longOf(l: Literal): Option[Long] = l.value match {
+      case v: java.lang.Byte => Some(v.toLong)
+      case v: java.lang.Short => Some(v.toLong)
+      case v: java.lang.Integer => Some(v.toLong)
+      case v: java.lang.Long => Some(v)
+      case _ => None
+    }
+    def strOf(l: Literal): Option[String] = l.value match {
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None
+    }
+    val u8 = Ordering.fromLessThan[String]((a, b) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String
+          .fromString(b)) < 0)
+    val ints = scala.collection.mutable.Map[String, (Long, Long)]()
+    val strs = scala.collection.mutable.Map[String, (String, String)]()
+    def narrowI(c: String, lo: Long, hi: Long): Unit =
+      ints(c) = ints.get(c).fold((lo, hi)) { case (l0, h0) =>
+        (math.max(l0, lo), math.min(h0, hi)) }
+    def narrowS(c: String, lo: String, hi: String): Unit =
+      strs(c) = strs.get(c).fold((lo, hi)) { case (l0, h0) =>
+        (u8.max(l0, lo), u8.min(h0, hi)) }
+    def point(a: AttributeReference, l: Literal): Unit =
+      longOf(l).map(v => narrowI(a.name, v, v)).getOrElse(
+        strOf(l).foreach(v => narrowS(a.name, v, v)))
+    def low(a: AttributeReference, l: Literal): Unit =
+      longOf(l).foreach(v => narrowI(a.name, v, Long.MaxValue))
+    def high(a: AttributeReference, l: Literal): Unit =
+      longOf(l).foreach(v => narrowI(a.name, Long.MinValue, v))
+    preds.flatMap(conjuncts).foreach {
+      case EqualTo(a: AttributeReference, Lit(l)) => point(a, l)
+      case EqualTo(Lit(l), a: AttributeReference) => point(a, l)
+      case In(a: AttributeReference, es)
+          if es.nonEmpty && es.forall(Lit.unapply(_).isDefined) =>
+        val ls = es.flatMap(Lit.unapply)
+        val lv = ls.map(longOf)
+        val sv = ls.map(strOf)
+        if (lv.forall(_.isDefined))
+          narrowI(a.name, lv.flatten.min, lv.flatten.max)
+        else if (sv.forall(_.isDefined))
+          narrowS(a.name, sv.flatten.min(u8), sv.flatten.max(u8))
+      case GreaterThan(a: AttributeReference, Lit(l)) => low(a, l)
+      case GreaterThanOrEqual(a: AttributeReference, Lit(l)) =>
+        low(a, l)
+      case LessThan(a: AttributeReference, Lit(l)) => high(a, l)
+      case LessThanOrEqual(a: AttributeReference, Lit(l)) =>
+        high(a, l)
+      case GreaterThan(Lit(l), a: AttributeReference) => high(a, l)
+      case GreaterThanOrEqual(Lit(l), a: AttributeReference) =>
+        high(a, l)
+      case LessThan(Lit(l), a: AttributeReference) => low(a, l)
+      case LessThanOrEqual(Lit(l), a: AttributeReference) =>
+        low(a, l)
+      case _ => () // no bound — the superset stays sound
+    }
+    MatView.KeyBounds(
+      ints.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) },
+      strs.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
   }
 
   /** Qualified key predicates, remapped BY NAME onto the MV frame's own
@@ -295,7 +385,7 @@ case class GraftMvRewriteRule(session: SparkSession)
     * PINNED version: the fact tail compensates from published feeds
     * re-joined to the dims, dim tails must be content-invariant, and a
     * time-travel read BEHIND any cursor never serves. */
-  private def joinMvRows(m: JoinMvMatch)
+  private def joinMvRows(m: JoinMvMatch, preds: Seq[Expression])
       : Option[org.apache.spark.sql.DataFrame] = {
     val mvVer = TxnTable.currentVersion(session, m.mvLoc)
     val cursor = MatView.cursorAt(session, m.mvLoc, mvVer,
@@ -308,7 +398,7 @@ case class GraftMvRewriteRule(session: SparkSession)
         dimCursors(i) > m.dimGs(i).pinnedVersion)) None
     else MatView.compensatedJoin(session, m.mvLoc, m.d, cursor,
       m.factG.pinnedVersion, dimCursors,
-      m.dimGs.map(_.pinnedVersion), mvVer)
+      m.dimGs.map(_.pinnedVersion), mvVer, keyBounds(preds))
   }
 
   /** Qualify above-join predicates: servable iff every reference is a
@@ -332,7 +422,7 @@ case class GraftMvRewriteRule(session: SparkSession)
     serve(groups, aggExprs, m.d.keys, m.d.value, m.d.aggs,
       keyOwned = m.dimKeyOwned,
       valueOwned = m.valueOwned,
-      mvRows = joinMvRows(m).map(applyKeyPreds(_, preds)))
+      mvRows = joinMvRows(m, preds).map(applyKeyPreds(_, preds)))
   }
 
   /** The EXTREMA-MV rewrite: `MIN(value)` / `MAX(value)` / COUNTs over
@@ -452,9 +542,10 @@ case class GraftMvRewriteRule(session: SparkSession)
       !MatView.invariantTail(session, g.location, cursor,
         g.pinnedVersion)) return None
     import org.apache.spark.sql.functions.{col => fcol}
-    Some(applyKeyPreds(TxnTable.snapshot(session, mvLoc, mvVer)
-      .select((d.keys.map(fcol) ++ Seq(fcol("n"), fcol("nn"),
-        fcol("vmin"), fcol("vmax"))): _*), preds))
+    Some(applyKeyPreds(
+      MatView.mvRowsAt(session, mvLoc, mvVer, keyBounds(preds))
+        .select((d.keys.map(fcol) ++ Seq(fcol("n"), fcol("nn"),
+          fcol("vmin"), fcol("vmax"))): _*), preds))
   }
 
   /** The grouping keys must be a SUBSET of the MV's key columns (any
@@ -772,8 +863,8 @@ case class GraftMvRewriteRule(session: SparkSession)
       if (dEff.base != g.location) return None
       if (cursor > g.pinnedVersion) return None
       val mvDf0 = MatView.compensated(session, mvLoc, dEff, cursor,
-        g.pinnedVersion, mvVer).map(applyKeyPreds(_, preds))
-        .getOrElse(return None)
+        g.pinnedVersion, mvVer, keyBounds(preds))
+        .map(applyKeyPreds(_, preds)).getOrElse(return None)
       serveGroupingSets(gs, keyNames, aggExprs, foldGsNames(dcols),
         rollupAgg(_, _, dcols), foldArm, mvDf0)
     }
@@ -792,7 +883,7 @@ case class GraftMvRewriteRule(session: SparkSession)
       if (!aggExprs.forall(foldAnswerable(m.d.keys, m.d.value, m.d.aggs,
         m.dimKeyOwned, m.valueOwned))) return None
       if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
-      val mvDf0 = joinMvRows(m).map(applyKeyPreds(_, preds))
+      val mvDf0 = joinMvRows(m, preds).map(applyKeyPreds(_, preds))
         .getOrElse(return None)
       serveGroupingSets(gs, keyNames, aggExprs, foldGsNames(dcols),
         rollupAgg(_, _, dcols), foldArm, mvDf0)

@@ -40,6 +40,24 @@ class MatViewSpec extends SparkSpec {
     !hasV2 && roots.nonEmpty && roots.forall(_.contains(mv))
   }
 
+  /** [[planServedFrom]], accepting the plan-time COLLAPSE a provably
+    * empty key selection now produces: the rewrite's key bounds prune
+    * every MV file, the schema-carrying survivor rides behind an
+    * always-false filter, and PropagateEmptyRelation folds the whole
+    * read to an empty local relation — the metadata-only answer.
+    * Either plan is a win; a BASE scan is the one thing it must never
+    * be (and a folded plan has no scan at all). */
+  private def planServedOrFolded(df: org.apache.spark.sql.DataFrame,
+      mv: String): Boolean =
+    planServedFrom(df, mv) || df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => l
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation => r
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+    }.isEmpty
+
   private def baseDf(n: Int) = {
     val s = spark
     import s.implicits._
@@ -728,11 +746,51 @@ class MatViewSpec extends SparkSpec {
     assert(served("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
       "WHERE h = 1 OR h = 3 GROUP BY g"))
     assert(q1 === direct1, "filtered rollup diverged from recompute")
-    // a predicate selecting NO groups answers empty, still from the MV
-    assert(served("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
+    // a predicate selecting NO groups answers empty — served from the
+    // MV, or collapsed away entirely ([[planServedOrFolded]])
+    def servedOrFolded(q: String): Boolean =
+      planServedOrFolded(s.sql(q), mv)
+    assert(servedOrFolded("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
       "WHERE g = 'Z' GROUP BY g"))
     assert(s.sql("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
       "WHERE g = 'Z' GROUP BY g").collect().isEmpty)
+    // MANIFEST-LEVEL MV FILE PRUNING: the rewrite extracts closed key
+    // bounds from the conjuncts and reads the view through
+    // snapshotBoxed, so the served plan's parquet roots ARE the kept
+    // files — a point predicate over the (g, h)-clustered 8-group view
+    // must open strictly fewer files than the view holds
+    def mvFilesIn(q: String): Int =
+      s.sql(q).queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten.count(p => p.contains(mv) && p.endsWith(".parquet"))
+    val mvLive = TxnTable.manifest(spark, mv,
+      TxnTable.currentVersion(spark, mv)).entries.size
+    val openedPoint = mvFilesIn("SELECT g, COUNT(*) AS n " +
+      "FROM graft.mvspec.fk WHERE g = 'A' AND h = 2 GROUP BY g")
+    assert(openedPoint >= 1 && openedPoint < mvLive,
+      s"the mixed int+string point probe must prune MV files " +
+        s"(opened $openedPoint of $mvLive)")
+    // a RANGE conjunct pair prunes too; an OR contributes no bound —
+    // full MV read, answers stay exact either way
+    val openedRange = mvFilesIn("SELECT g, COUNT(*) AS n " +
+      "FROM graft.mvspec.fk WHERE h >= 2 AND h <= 3 GROUP BY g")
+    assert(openedRange >= 1 && openedRange < mvLive,
+      s"the range probe must prune MV files ($openedRange of $mvLive)")
+    assert(mvFilesIn("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
+      "WHERE h = 1 OR h = 3 GROUP BY g") == mvLive,
+      "an OR predicate contributes no bound — every MV file reads")
+    // provably-empty bounds (h = 1 AND h = 2) keep zero files: the
+    // read degrades to one schema-carrying file behind an always-false
+    // filter (usually folded away at plan time), answering empty
+    assert(servedOrFolded("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
+      "WHERE h = 1 AND h = 2 GROUP BY g"))
+    assert(s.sql("SELECT g, COUNT(*) AS n FROM graft.mvspec.fk " +
+      "WHERE h = 1 AND h = 2 GROUP BY g").collect().isEmpty)
     // staleness composes: one unrefreshed cdc batch — the served plan
     // is filter-over-(MV ⊕ feed tail) and still answers exactly
     val ch = s.sql("SELECT k, g, h, v, 'D' AS op FROM graft.mvspec.fk " +
@@ -896,7 +954,8 @@ class MatViewSpec extends SparkSpec {
     // column instead of a post-aggregation literal
     val qEmpty = "SELECT g, COUNT(*) AS n FROM graft.mvspec.gs " +
       "WHERE g = 'ZZZ' GROUP BY ROLLUP(g)"
-    assert(served(qEmpty), "an empty key selection must still serve")
+    assert(planServedOrFolded(s.sql(qEmpty), mv),
+      "an empty key selection must serve (or fold away at plan time)")
     assert(rows(qEmpty) === directRows(qEmpty),
       "empty-input grouping sets diverged from Spark's execution")
     // reorder-duplicated grouping sets: Spark merges them into ONE
@@ -1648,7 +1707,7 @@ class MatViewSpec extends SparkSpec {
     // the empty selection answers ZERO rows, like Spark's execution
     val qEmpty = "SELECT g, MIN(v) AS mn FROM graft.mvspec.xgs " +
       "WHERE g = 'Z' GROUP BY ROLLUP(g)"
-    assert(served(qEmpty))
+    assert(planServedOrFolded(s.sql(qEmpty), mv))
     assert(rows(qEmpty) === directRows(qEmpty),
       "empty extrema grouping sets diverged")
     // SUM is not in the extrema vocabulary
