@@ -58,5 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // base scan — acceleration lost, correctness untouched
     ext.injectResolutionRule(graft.sources.GraftMvRewriteRule)
     ext.injectResolutionRule(graft.sources.GraftMorReadRule)
+    // CREATE/REFRESH MATERIALIZED VIEW — the declarative DDL front of
+    // MatView (graft.sources.GraftSqlParser); everything else
+    // delegates to Spark's own parser untouched
+    ext.injectParser((_, delegate) => new graft.sources.GraftSqlParser(
+      delegate))
   }
 }

@@ -82,6 +82,8 @@ object SparkEntry {
     "sql_mv_extrema"          -> (SqlSurface.mvExtrema _),
     "sql_mv_star"             -> (SqlSurface.mvStar _),
     "sql_mv_star_scd"         -> (SqlSurface.mvStarScd _),
+    "sql_mv_fact2"            -> (SqlSurface.mvFact2 _),
+    "sql_mv_ddl"              -> (SqlSurface.mvDdl _),
     "sql_mv_star_gsets"       -> (SqlSurface.mvStarGsets _),
     "sql_mv_extrema_gsets"    -> (SqlSurface.mvExtremaGsets _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
@@ -116,6 +118,7 @@ object SparkEntry {
     "op_mv_delete"            -> (graft.operators.MatView.mvCowDelete _),
     "op_mv_merge"             -> (graft.operators.MatView.mvCowMerge _),
     "op_mv_chain"             -> (graft.operators.MatView.mvChain _),
+    "op_mvx_chain"            -> (graft.operators.MatView.mvxChain _),
     "op_mv_minmax"            -> (graft.operators.MatView.mvMinMax _),
     "op_mv_branch"            -> (SqlSurface.mvBranch _),
     "st_stream_mv_serve"      -> (graft.streaming.Streams.streamMvServe _),
@@ -1604,6 +1607,31 @@ object SparkEntry {
         |  TRUE AS scd_ok
         |FROM f JOIN o USING (ok) JOIN pt USING (pk)
         |GROUP BY st, brand""".stripMargin,
+    // the DDL-created fold view's dashboard after the Z batch
+    "sql_mv_ddl" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |f AS (SELECT k, st, p FROM b
+        |  UNION ALL SELECT k + 100000000, 'Z', p FROM b WHERE k % 10 = 0)
+        |SELECT st, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
+        |  TRUE AS ddl_ok
+        |FROM f GROUP BY st""".stripMargin,
+    // the fact-to-fact join after BOTH sides moved: lineitem deletes
+    // %6 / shifted inserts %11, orders' 3 lowest keys → 'Z9'
+    "sql_mv_fact2" ->
+      """WITH f0 AS (SELECT l_orderkey * 10 + l_linenumber AS lid,
+        |    l_orderkey AS ok, l_returnflag AS flag,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS p FROM lineitem),
+        |f AS (SELECT lid, ok, flag, p FROM f0 WHERE lid % 6 <> 0
+        |  UNION ALL SELECT lid + 900000000, ok, flag, p FROM f0
+        |    WHERE lid % 11 = 0),
+        |low3 AS (SELECT o_orderkey AS k FROM orders ORDER BY 1 LIMIT 3),
+        |o AS (SELECT o_orderkey AS ok, CASE WHEN o_orderkey IN
+        |    (SELECT k FROM low3) THEN 'Z9' ELSE o_orderstatus END AS st
+        |  FROM orders)
+        |SELECT flag, st, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
+        |  TRUE AS f2_ok
+        |FROM f JOIN o USING (ok) GROUP BY flag, st""".stripMargin,
     // the three ROLLUP(st, brand) levels over the moved star (fact
     // deletes 6|lid, shifted inserts 11|lid; dims untouched), replayed
     // as an explicit union of rollups
@@ -2014,6 +2042,23 @@ object SparkEntry {
         |FROM orders""".stripMargin,
     // the chained view: mv2 over mv1 over the twice-changed base —
     // n = #(status, priority) groups per status, total = the status sum
+    // fold over the extrema view after both waves: +100000 inserts
+    // (%19, shifted keyspace), then the 'F' inserts deleted again —
+    // per st: group count and sum of per-(st,pri) maxima
+    "op_mvx_chain" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_orderpriority AS pri,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |m AS (SELECT MAX(k) + 1 AS shift FROM b),
+        |ins AS (SELECT k + shift AS k, st, pri,
+        |    CAST(p + 100000 AS DECIMAL(12,2)) AS p FROM b, m
+        |  WHERE k % 19 = 0),
+        |fin AS (SELECT k, st, pri, p FROM b
+        |  UNION ALL SELECT k, st, pri, p FROM ins WHERE st <> 'F'),
+        |g AS (SELECT st, pri, MAX(p) AS vmax FROM fin GROUP BY st, pri)
+        |SELECT st, COUNT(*) AS n, CAST(SUM(vmax) AS DOUBLE) AS total,
+        |  TRUE AS mvxc_ok
+        |FROM g GROUP BY st""".stripMargin,
     "op_mv_chain" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |    o_orderpriority AS pri,

@@ -303,6 +303,17 @@ object MatView {
   case class RefreshResult(mvVersion: Long, baseVersion: Long,
       commitsFolded: Int)
 
+  /** Which definition kind lives at `mv` — "fold" (`_mv`), "join"
+    * (`_mvj`) or "extrema" (`_mvx`); refuses loudly when none does.
+    * The REFRESH MATERIALIZED VIEW dispatch. */
+  private[graft] def kindOf(s: SparkSession, mv: String): String =
+    if (fs(s, defPath(mv)).exists(defPath(mv))) "fold"
+    else if (fs(s, joinDefPath(mv)).exists(joinDefPath(mv))) "join"
+    else if (fs(s, extremaDefPath(mv)).exists(extremaDefPath(mv)))
+      "extrema"
+    else throw new IllegalArgumentException(
+      s"$mv is not a materialized view (no _mv/_mvj/_mvx definition)")
+
   /** Closed per-key-column bounds a serving read may prune the MV's
     * OWN files with — a SUPERSET of the query predicate's satisfying
     * space, derived by the rewrite from its key-only conjuncts (the
@@ -657,16 +668,21 @@ object MatView {
     d
   }
 
-  /** key column → owning dim index, validated unique across dims. */
+  /** key column → owning side, validated unique across the FACT and
+    * every dim: −1 = the fact owns it (the q03 "GROUP BY a fact
+    * attribute over fact ⋈ dim" shape — r19), 0.. = that dim. A key
+    * living on several sides is ambiguous and refuses. */
   private def keyOwnership(s: SparkSession, d: MvJoinDef)
       : Map[String, Int] = {
+    val factCols = TxnTable.snapshot(s, d.fact).columns.toSet
     val dimCols: Seq[Set[String]] = d.dims.map(r =>
       TxnTable.snapshot(s, r.dim).columns.toSet)
     d.keys.map { k =>
-      val owners = dimCols.zipWithIndex.collect {
-        case (cs, i) if cs.contains(k) => i }
+      val owners = (if (factCols.contains(k)) Seq(-1) else Nil) ++
+        dimCols.zipWithIndex.collect {
+          case (cs, i) if cs.contains(k) => i }
       require(owners.size == 1, s"join-MV key '$k' must live in exactly " +
-        s"one dim (found in ${owners.size})")
+        s"one of the fact and the dims (found in ${owners.size})")
       k -> owners.head
     }.toMap
   }
@@ -715,7 +731,9 @@ object MatView {
       case (acc, (r, i)) =>
         acc.join(TxnTable.snapshot(s, r.dim, dvs(i)).alias(s"d$i"),
           col(s"f.${r.factKey}") === col(s"d$i.${r.dimKey}"))
-    }.select(keys.map(k => col(s"d${owner(k)}.$k").as(k)) :+
+    }.select(keys.map(k =>
+      (if (owner(k) < 0) col(s"f.$k") else col(s"d${owner(k)}.$k"))
+        .as(k)) :+
       col(s"f.$value").as(value): _*)
     val v = commitMvRows(s, mv, joined, keys, value,
       ("mv_base_version" -> fv) +:
@@ -745,30 +763,41 @@ object MatView {
     * against the SAME pinned snapshots being joined (one construction
     * each), so a dim schema drift since create refuses with its own
     * message instead of a misleading create-time one. */
-  /** Key-column → owning-dim-index against the FRAMES BEING JOINED —
-    * the refresh-time twin of the create-time [[keyOwnership]], shared
-    * by [[enrichWithDims]] and [[dimDeltaTerm]] so the drift contract
-    * (message, uniqueness rule) can never diverge between them. */
+  /** Key-column → owning-side-index (−1 = fact) against the FRAMES
+    * BEING JOINED — the refresh-time twin of the create-time
+    * [[keyOwnership]], shared by [[enrichWithDims]] and
+    * [[dimDeltaTerm]] so the drift contract (message, uniqueness rule)
+    * can never diverge between them. `colsOf(-1)` answers the
+    * fact-side frame's columns. */
   private def resolveOwners(d: MvJoinDef, colsOf: Int => Seq[String])
       : Map[String, Int] =
     d.keys.map { k =>
-      val owners = d.dims.indices.filter(i => colsOf(i).contains(k))
+      val owners = (-1 +: d.dims.indices.toSeq)
+        .filter(i => colsOf(i).contains(k))
       require(owners.size == 1, s"join-MV key '$k' no longer lives in " +
-        s"exactly one dim (found in ${owners.size} — the dim schemas " +
-        "drifted since create); recompute the MV (drop + create)")
+        s"exactly one of the fact and the dims (found in " +
+        s"${owners.size} — the schemas drifted since create); " +
+        "recompute the MV (drop + create)")
       k -> owners.head
     }.toMap
+
+  /** The owning alias' key column: `f` for a fact-owned key, `d<i>`
+    * for a dim-owned one. */
+  private def keyCol(owner: Map[String, Int], k: String)
+      : org.apache.spark.sql.Column =
+    if (owner(k) < 0) col(s"f.$k") else col(s"d${owner(k)}.$k")
 
   private def enrichWithDims(s: SparkSession, d: MvJoinDef,
       feed: DataFrame, dimVers: Seq[Long],
       extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val dimSnaps = d.dims.indices.map(i =>
       TxnTable.snapshot(s, d.dims(i).dim, dimVers(i)))
-    val owner = resolveOwners(d, i => dimSnaps(i).columns.toSeq)
+    val owner = resolveOwners(d, i =>
+      if (i < 0) feed.columns.toSeq else dimSnaps(i).columns.toSeq)
     d.dims.indices.foldLeft(feed.alias("f")) { (acc, i) =>
       acc.join(dimSnaps(i).alias(s"d$i"),
         col(s"f.${d.dims(i).factKey}") === col(s"d$i.${d.dims(i).dimKey}"))
-    }.select(d.keys.map(k => col(s"d${owner(k)}.$k").as(k)) ++ extra: _*)
+    }.select(d.keys.map(k => keyCol(owner, k).as(k)) ++ extra: _*)
   }
 
   /** Incremental refresh of a star MV: fold the FACT's signed-feed tail
@@ -886,10 +915,12 @@ object MatView {
           if (j < i) dimCurs(j) else dimHeads(j))
       }.toMap
     // ownership against the FRAMES BEING JOINED (the feed carries dim
-    // i's full schema) — a drifted dim schema refuses here, like
-    // enrichWithDims
+    // i's full schema; the fact slice the fact's) — a drifted schema
+    // refuses here, like enrichWithDims
     val owner = resolveOwners(d, j =>
-      (if (j == i) dimFeed.columns else otherSnaps(j).columns).toSeq)
+      (if (j == i) dimFeed.columns
+       else if (j < 0) factSlice.columns
+       else otherSnaps(j).columns).toSeq)
     val joined = d.dims.indices.foldLeft(factSlice.alias("f")) {
       (acc, j) =>
         if (j == i) acc.join(dimFeed.alias("fd"),
@@ -899,7 +930,7 @@ object MatView {
             col(s"d$j.${d.dims(j).dimKey}"))
     }
     (joined.select(d.keys.map(k =>
-      (if (owner(k) == i) col(s"fd.$k") else col(s"d${owner(k)}.$k"))
+      (if (owner(k) == i) col(s"fd.$k") else keyCol(owner, k))
         .as(k)) ++
       Seq(col(s"f.${d.value}").as(d.value), col("fd.w").as("w")): _*),
       kept, total)
@@ -1078,8 +1109,18 @@ object MatView {
     * for a single-key view with few dirty groups, via per-group
     * stat-pruned point probes (`mv_dirty_files_kept/total` metrics
     * carry the prune evidence); otherwise one filtered scan. The merge
-    * is the same CAS-pinned keyed commit as [[refresh]]'s. */
-  def refreshExtrema(s: SparkSession, mv: String): RefreshResult = {
+    * is the same CAS-pinned keyed commit as [[refresh]]'s, and it
+    * PUBLISHES ITS OWN SIGNED FEED (−old/+new extrema rows — the merge
+    * preimage IS the old side, and the dirty-group recompute knows the
+    * new): an extrema view is a feeding base like any other, so fold
+    * views stack ON it (sum/count of per-group extremes — the
+    * "sum of worst-latency per service" pane) at O(changed groups)
+    * per level, never O(view). */
+  def refreshExtrema(s: SparkSession, mv: String): RefreshResult =
+    refreshExtrema(s, mv, publishFeed = true)
+
+  def refreshExtrema(s: SparkSession, mv: String, publishFeed: Boolean)
+      : RefreshResult = {
     val d = readExtremaDef(s, mv)
     val mvVer = TxnTable.currentVersion(s, mv)
     val last = cursorAt(s, mv, mvVer, "mv_base_version")
@@ -1186,7 +1227,7 @@ object MatView {
       Seq("mv_base_version" -> head, "mv_dirty_groups" -> nDirty,
         "mv_dirty_files_kept" -> keptFiles,
         "mv_dirty_files_total" -> totalFiles),
-      cdc = false, expectedVer = mvVer)
+      cdc = publishFeed, expectedVer = mvVer)
     RefreshResult(r.version, head, folded)
   }
 
@@ -1470,6 +1511,79 @@ object MatView {
       .select(st, col("n"), col("vmin").cast("double").as("vmin"),
         col("vmax").cast("double").as("vmax"))
       .withColumn("mm_ok", lit(ok))
+  }
+
+  /** op_mvx_chain: FOLD VIEWS STACKED ON AN EXTREMA VIEW — the piece
+    * [[refreshExtrema]]'s published feed unlocks: base → extrema MV
+    * (max price per (st, pri)) → fold MV over it (per st: group count
+    * + SUM of per-group maxima — the "sum of worst-latency per
+    * service" dashboard). Wave 1 is the CLEAN shape (keyspace-shifted
+    * inserts +100000 above every max): the extrema refresh merges
+    * monotonically (`mv_dirty_groups` = 0), publishes its −old/+new
+    * merge feed in the SAME commit, and the top fold folds exactly
+    * that feed (one commit, O(changed groups)). Wave 2 is the DIRTY
+    * shape (delete the inserted 'F' maxima): the dirty-group recompute
+    * re-derives the previous extremes and the feed carries the fall —
+    * the top view follows at O(delta) again. `mvxc_ok` pins: both
+    * refresh commits carry `#cdc=` refs, wave 1 dirties nothing, wave
+    * 2 dirties ≥1 group, each top refresh folds exactly ONE commit,
+    * and both levels equal direct recomputes. Hashed output = the top
+    * view; the oracle replays both waves. At 100 TB: extrema views
+    * join the derived-pipeline DAG — every level refreshes at O(its
+    * delta), never O(the level below). */
+  def mvxChain(s: SparkSession, dir: String): DataFrame = {
+    val base = freshDir("mvxc_base")
+    val xmv = freshDir("mvxc_x")
+    val top = freshDir("mvxc_top")
+    val src = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_orderstatus").as("st"), col("o_orderpriority").as("pri"),
+      col("o_totalprice").cast(D12).as("price"))
+    val k = col("o_orderkey")
+    TxnTable.commit(s, base, TxnTable.stageIndexed(s, base,
+      src.repartitionByRange(8, k).sortWithinPartitions(k), "o_orderkey"),
+      expected = -1L, op = "create", schemaJson = src.schema.json)
+    createExtrema(s, xmv, base, Seq("st", "pri"), "price")
+    create(s, top, xmv, Seq("st"), "vmax")
+    val shift = src.agg(org.apache.spark.sql.functions.max(k))
+      .collect()(0).getLong(0) + 1
+    // wave 1 — CLEAN: +100000 sits above every group's max at any SF
+    val ins = src.filter(pmod(k, lit(19)) === 0)
+      .select((k + shift).as("o_orderkey"), col("st"), col("pri"),
+        (col("price") + lit(100000).cast(D12)).cast(D12).as("price"))
+    TxnTable.applyChangesMor(s, base, ins.withColumn("op", lit("U")),
+      "o_orderkey", cdc = true)
+    val rx1 = refreshExtrema(s, xmv)
+    val m1 = TxnTable.commitMetrics(s, xmv, rx1.mvVersion)
+    val feed1 = TxnTable.manifest(s, xmv, rx1.mvVersion).cdcRefs.nonEmpty
+    val rt1 = refresh(s, top)
+    def topRows() = TxnTable.snapshot(s, top)
+      .select(col("st"), col("n"), col("total").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    def directTop() = TxnTable.snapshot(s, base)
+      .groupBy(col("st"), col("pri"))
+      .agg(org.apache.spark.sql.functions.max(col("price")).as("vmax"))
+      .groupBy(col("st")).agg(count(lit(1)).as("n"),
+        sum(col("vmax")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val eq1 = topRows() == directTop()
+    // wave 2 — DIRTY: fell the 'F' groups' new maxima
+    TxnTable.applyChangesMor(s, base,
+      ins.filter(col("st") === "F").withColumn("op", lit("D")),
+      "o_orderkey", cdc = true)
+    val rx2 = refreshExtrema(s, xmv)
+    val m2 = TxnTable.commitMetrics(s, xmv, rx2.mvVersion)
+    val feed2 = TxnTable.manifest(s, xmv, rx2.mvVersion).cdcRefs.nonEmpty
+    val rt2 = refresh(s, top)
+    val eq2 = topRows() == directTop()
+    val ok = feed1 && feed2 &&
+      m1.get("mv_dirty_groups").contains(0L) &&
+      m2.get("mv_dirty_groups").exists(_ >= 1L) &&
+      rt1.commitsFolded == 1 && rt2.commitsFolded == 1 && eq1 && eq2
+    TxnTable.snapshot(s, top)
+      .select(col("st"), col("n"), col("total").cast("double").as("total"))
+      .withColumn("mvxc_ok", lit(ok))
   }
 
   // ---- TRANSPARENT QUERY REWRITING ----------------------------------------

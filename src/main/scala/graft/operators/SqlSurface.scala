@@ -1770,6 +1770,194 @@ object SqlSurface {
     s.sql(q).withColumn("scd_ok", lit(ok))
   }
 
+  /** sql_mv_fact2: the FACT-TO-FACT JOIN MV — q03's own shape:
+    * lineitem ⋈ orders on the join key, grouped by a FACT-side
+    * attribute (l_returnflag) alongside a dim-side one (o_orderstatus),
+    * both large tables CHANGING, BOTH logs feeding ONE fold. The r19
+    * generalization: join-MV keys may be owned by the FACT (ownership
+    * −1, validated unique across fact ∪ dims at create, re-derived
+    * per serve so a same-named column on the wrong relation never
+    * binds), and the SCD telescoping makes the orders side a feeding
+    * log like the lineitem side — its delta re-groups the lineitem
+    * slice it touches, key-pruned via point probes on the fact's own
+    * l_orderkey clustering. Phases: (1) fresh → MV-only roots for the
+    * exact grouping AND a filtered cut on the FACT-owned key
+    * (`WHERE flag = 'R' GROUP BY st`), while grouping by the join key
+    * itself falls through (not an MV key); (2) a lineitem cdc batch
+    * PLUS an orders-side status reassignment (3 lowest keys, cdc),
+    * both unrefreshed → fall-through correct; (3) ONE refreshJoin
+    * folds BOTH terms (`mv_scd_files_kept < total` — the orders delta
+    * opened ≤3 of the fact's 8 files) → MV-only again. Hashed output =
+    * the final aggregate; the oracle replays both sides. At 100 TB:
+    * the fact-to-fact dashboard — the shape where BOTH sides are too
+    * big to rescan — maintains at O(each side's delta ⋈ the other's
+    * touched slice). */
+  def mvFact2(s: SparkSession, d: String): DataFrame = {
+    val liLoc = freshSqlTable(s, "f2_li")
+    val ordLoc = freshSqlTable(s, "f2_ord")
+    view(s, d, "lineitem"); view(s, d, "orders")
+    val li = s.sql("""SELECT l_orderkey * 10 + l_linenumber AS lid,
+      l_orderkey, l_returnflag AS flag,
+      CAST(l_extendedprice AS DECIMAL(12,2)) AS price FROM lineitem""")
+    graft.operators.TxnTable.commit(s, liLoc,
+      graft.operators.TxnTable.stageIndexed(s, liLoc,
+        li.repartitionByRange(8, li("l_orderkey"))
+          .sortWithinPartitions(li("l_orderkey")), "l_orderkey"),
+      expected = -1L, op = "create", schemaJson = li.schema.json,
+      idxCols = Seq("l_orderkey"))
+    s.sql("CREATE TABLE graft.q.f2_ord (o_orderkey BIGINT, st STRING)")
+    s.sql("""INSERT INTO graft.q.f2_ord
+      SELECT o_orderkey, o_orderstatus FROM orders""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_fact2")
+    graft.operators.MatView.createJoinStar(s, mv, liLoc, Seq(
+      graft.operators.MatView.MvDimRef(ordLoc, "l_orderkey",
+        "o_orderkey")),
+      Seq("flag", "st"), "price")
+    graft.operators.MatView.registerJoin(s, mv)
+    val q = """SELECT flag, st, COUNT(*) AS n,
+      CAST(SUM(price) AS DOUBLE) AS total
+      FROM graft.q.f2_li f JOIN graft.q.f2_ord o
+      ON f.l_orderkey = o.o_orderkey GROUP BY flag, st"""
+    val qCut = """SELECT st, COUNT(*) AS n FROM graft.q.f2_li f
+      JOIN graft.q.f2_ord o ON f.l_orderkey = o.o_orderkey
+      WHERE flag = 'R' GROUP BY st"""
+    val qJoinKey = """SELECT o.o_orderkey, COUNT(*) AS n
+      FROM graft.q.f2_li f JOIN graft.q.f2_ord o
+      ON f.l_orderkey = o.o_orderkey GROUP BY o.o_orderkey"""
+    def rows() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, liLoc).alias("f")
+        .join(graft.operators.TxnTable.snapshot(s, ordLoc).alias("o"),
+          col("f.l_orderkey") === col("o.o_orderkey"))
+        .groupBy(col("f.flag"), col("o.st"))
+        .agg(count(lit(1)).as("n"), sum(col("f.price")).cast("double"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+    }
+    def mvOnly(ps: Seq[String]) = ps.nonEmpty && ps.forall(_.contains(mv))
+    val servedFresh = mvOnly(scanSrcsOf(s, q)) &&
+      mvOnly(scanSrcsOf(s, qCut)) &&
+      !scanSrcsOf(s, qJoinKey).exists(_.contains(mv)) &&
+      rows() == direct()
+    // both logs move: a lineitem cdc batch...
+    val ch = s.sql("""SELECT l_orderkey * 10 + l_linenumber AS lid,
+        l_orderkey, l_returnflag AS flag,
+        CAST(l_extendedprice AS DECIMAL(12,2)) AS price, 'D' AS op
+      FROM lineitem WHERE (l_orderkey * 10 + l_linenumber) % 6 = 0
+      UNION ALL
+      SELECT l_orderkey * 10 + l_linenumber + 900000000, l_orderkey,
+        l_returnflag, CAST(l_extendedprice AS DECIMAL(12,2)), 'U'
+      FROM lineitem WHERE (l_orderkey * 10 + l_linenumber) % 11 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, liLoc, ch, "lid",
+      cdc = true)
+    // ...and an orders-side reassignment of the 3 lowest keys, cdc
+    graft.operators.TxnTable.applyChangesMor(s, ordLoc,
+      s.sql("""SELECT o_orderkey, 'Z9' AS st, 'U' AS op FROM orders
+        ORDER BY o_orderkey LIMIT 3"""), "o_orderkey", cdc = true)
+    val p2 = scanSrcsOf(s, q)
+    val fellThrough = !p2.exists(_.contains(mv)) &&
+      rows() == direct() && rows().exists(_._2 == "Z9")
+    val r = graft.operators.MatView.refreshJoin(s, mv)
+    val m = graft.operators.TxnTable.commitMetrics(s, mv, r.mvVersion)
+    val kept = m.getOrElse("mv_scd_files_kept", -1L)
+    val total = m.getOrElse("mv_scd_files_total", -1L)
+    val pruned = kept >= 1 && total >= 2 && kept < total
+    val servedAgain = r.commitsFolded == 1 && mvOnly(scanSrcsOf(s, q)) &&
+      rows() == direct()
+    val ok = servedFresh && fellThrough && pruned && servedAgain
+    s.sql(q).withColumn("f2_ok", lit(ok))
+  }
+
+  /** sql_mv_ddl: DECLARATIVE MATERIALIZED-VIEW DDL — sql_mv_rewrite's
+    * whole lifecycle rerun through PURE SQL TEXT (GraftSqlParser,
+    * injected via SparkSessionExtensions): `CREATE MATERIALIZED VIEW …
+    * AS SELECT` dispatches the view KIND from the defining query's
+    * unresolved shape (count/sum → fold, count/min/max → extrema,
+    * aggregate-over-inner-join → star; MIXING sum with max refuses —
+    * no single view kind maintains both honestly — and re-creating an
+    * existing view refuses), and `REFRESH MATERIALIZED VIEW`
+    * dispatches on the view's own `_mv`/`_mvj`/`_mvx` definition and
+    * re-registers it for the transparent rewrite. Phases: (1) both
+    * DDL-created views serve their shapes fresh (fold: COUNT/SUM;
+    * extrema: MAX) — plan roots MV-only; (2) a cdc batch, unrefreshed
+    * → the fold COMPENSATES (MV ⊕ `_cdc`) while the extrema view's
+    * stricter contract falls through to the base; (3) `REFRESH
+    * MATERIALIZED VIEW` on each → both serve alone again, == direct.
+    * Hashed output = the fold dashboard post-refresh; oracle replays
+    * the batch. At 100 TB: the warehouse-standard DDL statement — not
+    * an engine-specific CALL — creates and maintains every view kind. */
+  def mvDdl(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "ddl_orders")
+    val mvLoc = freshSqlTable(s, "ddl_orders_mv")
+    val mvxLoc = freshSqlTable(s, "ddl_orders_mvx")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.ddl_orders (
+      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.ddl_orders
+      SELECT o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    val vF = s.sql("""CREATE MATERIALIZED VIEW graft.q.ddl_orders_mv AS
+      SELECT st, COUNT(*) AS n, SUM(price) AS total
+      FROM graft.q.ddl_orders GROUP BY st""").collect()(0).getLong(0)
+    val vX = s.sql("""CREATE MATERIALIZED VIEW graft.q.ddl_orders_mvx AS
+      SELECT st, COUNT(*) AS n, MIN(price) AS mn, MAX(price) AS mx
+      FROM graft.q.ddl_orders GROUP BY st""").collect()(0).getLong(0)
+    // kind-dispatch refusals: a mixed vocabulary, and a double create
+    val mixedRefused =
+      try { s.sql("""CREATE MATERIALIZED VIEW graft.q.ddl_mixed AS
+        SELECT st, SUM(price) AS t, MAX(price) AS mx
+        FROM graft.q.ddl_orders GROUP BY st"""); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("two views") }
+    val dupRefused =
+      try { s.sql("""CREATE MATERIALIZED VIEW graft.q.ddl_orders_mv AS
+        SELECT st, COUNT(*) AS n, SUM(price) AS total
+        FROM graft.q.ddl_orders GROUP BY st"""); false }
+      catch { case e: Exception =>
+        e.getMessage.contains("already exists") }
+    val q = """SELECT st, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE)
+      AS total FROM graft.q.ddl_orders GROUP BY st"""
+    val qMax = """SELECT st, CAST(MAX(price) AS DOUBLE) AS mx
+      FROM graft.q.ddl_orders GROUP BY st"""
+    def rows() = s.sql(q).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, loc).groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2))).toSet
+    }
+    def only(ps: Seq[String], mv: String) =
+      ps.nonEmpty && ps.forall(_.contains(mv))
+    val servedFresh = vF == 0L && vX == 0L &&
+      only(scanSrcsOf(s, q), mvLoc) &&
+      only(scanSrcsOf(s, qMax), mvxLoc) && rows() == direct()
+    // stale: the fold compensates, the extrema falls through
+    graft.operators.TxnTable.applyChangesMor(s, loc,
+      s.sql("""SELECT o_orderkey + 100000000 AS o_orderkey,
+        'Z' AS st, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+        'U' AS op FROM orders WHERE o_orderkey % 10 = 0"""),
+      "o_orderkey", cdc = true)
+    val p2 = scanSrcsOf(s, q)
+    val compensated = servedFromMvAndFeed(mvLoc, loc)(p2) &&
+      rows() == direct()
+    val xFell = !scanSrcsOf(s, qMax).exists(_.contains(mvxLoc))
+    // pure-SQL refresh, kind-dispatched
+    val rF = s.sql("REFRESH MATERIALIZED VIEW graft.q.ddl_orders_mv")
+      .collect()(0).getLong(0)
+    val rX = s.sql("REFRESH MATERIALIZED VIEW graft.q.ddl_orders_mvx")
+      .collect()(0).getLong(0)
+    val servedAgain = rF >= 1L && rX >= 1L &&
+      only(scanSrcsOf(s, q), mvLoc) &&
+      only(scanSrcsOf(s, qMax), mvxLoc) && rows() == direct()
+    val ok = servedFresh && mixedRefused && dupRefused && compensated &&
+      xFell && servedAgain
+    s.sql(q).withColumn("ddl_ok", lit(ok))
+  }
+
   /** op_mv_branch: BRANCH-AWARE MATERIALIZED VIEWS — a branch is a full
     * TxnTable, so an MV created ON the branch dir composes for free:
     * refresh walks the BRANCH log, and the rewrite serves

@@ -116,13 +116,13 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     // ResolveGroupingAnalytics has rewritten the aggregate — one extra
     // iteration, after which either the MV rewrite served the query or
     // the swap below proceeds exactly as before.
-    // Known limitation: `exists` walks the MAIN operator tree only —
-    // a grouping-sets aggregate embedded in a scalar/IN subquery is
-    // swapped before ResolveGroupingAnalytics resolves it. Results
-    // stay correct (the swap IS the correct MoR read) and the MV
-    // rewrite never fires inside subqueries today; if it ever does,
-    // extend this walk over SubqueryExpression plans too.
-    val pendingGroupingSets = plan.exists {
+    // The walk covers SUBQUERY plans too (subqueriesAll): a
+    // grouping-sets aggregate inside a scalar/IN subquery defers the
+    // swap exactly like one in the main tree, so the deferral contract
+    // already matches a future subquery-aware rewrite (today the
+    // rewrite never fires inside subqueries — the swap is the correct
+    // MoR read either way; this keeps the two walks from diverging).
+    def hasGsets(p: LogicalPlan): Boolean = p.exists {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
         a.groupingExpressions.exists(_.exists {
           case _: org.apache.spark.sql.catalyst.expressions
@@ -131,6 +131,8 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         })
       case _ => false
     }
+    val pendingGroupingSets = hasGsets(plan) ||
+      plan.subqueriesAll.exists(hasGsets)
     if (pendingMeta || pendingGroupingSets) plan else swap(plan)
   }
 

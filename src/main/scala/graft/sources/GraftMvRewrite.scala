@@ -324,12 +324,32 @@ case class GraftMvRewriteRule(session: SparkSession)
   private case class JoinMvMatch(mvLoc: String, d: MatView.MvJoinDef,
       factRel: DataSourceV2Relation, factG: GraftTable,
       dimRels: Seq[DataSourceV2Relation], dimGs: Seq[GraftTable]) {
-    /** DIM key column ownership: MV rows are one per key combination,
-      * so only these may appear as grouping keys or servable-filter
-      * references (the fact side, a non-key dim column, or a
-      * same-named column on the wrong side must not bind). */
+    /** Key column → owning side, re-derived from the RELATIONS being
+      * served: −1 = the fact (the r19 fact-owned grouping-key shape),
+      * 0.. = that dim; None = the column no longer lives on exactly
+      * one side (schema drift since create) — such a key never binds,
+      * so the query falls through instead of binding ambiguously. */
+    private lazy val ownerOf: Map[String, Option[Int]] =
+      d.keys.map { k =>
+        val inFact = factRel.output.exists(_.name == k)
+        val dimIdx = dimRels.indices.filter(i =>
+          dimRels(i).output.exists(_.name == k))
+        k -> ((inFact, dimIdx) match {
+          case (true, Seq()) => Some(-1)
+          case (false, Seq(i)) => Some(i)
+          case _ => None
+        })
+      }.toMap
+    /** MV key column ownership: MV rows are one per key combination,
+      * so only an attribute bound to the key's OWNING relation may
+      * appear as a grouping key or servable-filter reference (a
+      * non-key column, or a same-named column on the wrong side, must
+      * not bind). */
     def dimKeyOwned(a: AttributeReference): Boolean =
-      dimRels.exists(_.outputSet.contains(a)) && d.keys.contains(a.name)
+      ownerOf.get(a.name).flatten.exists {
+        case -1 => factRel.outputSet.contains(a)
+        case i => dimRels(i).outputSet.contains(a)
+      }
     def valueOwned(a: AttributeReference): Boolean =
       factRel.outputSet.contains(a)
   }

@@ -1248,6 +1248,72 @@ class MatViewSpec extends SparkSpec {
     assert(r3.mvVersion === r2.mvVersion && r3.commitsFolded === 0)
   }
 
+  test("refreshExtrema publishes its merge feed (−old/+new extrema " +
+      "rows) so fold views chain on an extrema view; publishFeed=false " +
+      "opts out") {
+    val s2 = spark
+    import s2.implicits._
+    val t = fresh("mvxf_base")
+    val xmv = fresh("mvxf_x")
+    val top = fresh("mvxf_top")
+    def df(rows: (Long, String, String, java.lang.Double)*) =
+      rows.toDF("k", "g", "h", "v").withColumn("v", col("v").cast(D12))
+    val base0 = df((1L, "A", "x", 10.0), (2L, "A", "y", 20.0),
+      (3L, "B", "x", 5.0))
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t,
+      base0.repartitionByRange(2, col("k"))
+        .sortWithinPartitions(col("k")), "k"),
+      expected = -1L, op = "create", schemaJson = base0.schema.json)
+    MatView.createExtrema(spark, xmv, t, Seq("g", "h"), "v")
+    MatView.create(spark, top, xmv, Seq("g"), "vmax")
+    def topRows() = TxnTable.snapshot(spark, top)
+      .select(col("g"), col("n"), col("total").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(topRows() === Set(("A", 2L, 30.0), ("B", 1L, 5.0)))
+    // CLEAN wave: a new (A,x) max — the feed must carry the signed
+    // pair −(A,x,…,10) +(A,x,…,100)
+    TxnTable.applyChangesMor(spark, t,
+      df((4L, "A", "x", 100.0)).withColumn("op", lit("U")), "k",
+      cdc = true)
+    val rx1 = MatView.refreshExtrema(spark, xmv)
+    val refs1 = TxnTable.manifest(spark, xmv, rx1.mvVersion).cdcRefs
+    assert(refs1.nonEmpty, "the extrema refresh must publish its feed")
+    val feed1 = spark.read
+      .parquet(refs1.map(r => s"$xmv/$r"): _*)
+      .select(col("g"), col("h"), col("w"),
+        col("vmax").cast("double"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(feed1 === Set(("A", "x", -1, 10.0), ("A", "x", 1, 100.0)),
+      s"signed extrema pair expected, got $feed1")
+    val rt1 = MatView.refresh(spark, top)
+    assert(rt1.commitsFolded === 1)
+    assert(topRows() === Set(("A", 2L, 120.0), ("B", 1L, 5.0)))
+    // DIRTY wave: fell the new max — the recompute re-derives 10 and
+    // the feed carries the fall; the chain follows at O(delta)
+    TxnTable.applyChangesMor(spark, t,
+      df((4L, "A", "x", 100.0)).withColumn("op", lit("D")), "k",
+      cdc = true)
+    val rx2 = MatView.refreshExtrema(spark, xmv)
+    assert(TxnTable.commitMetrics(spark, xmv, rx2.mvVersion)
+      .get("mv_dirty_groups").contains(1L))
+    val rt2 = MatView.refresh(spark, top)
+    assert(rt2.commitsFolded === 1)
+    assert(topRows() === Set(("A", 2L, 30.0), ("B", 1L, 5.0)))
+    // the opt-out: a feed-less extrema refresh commit
+    TxnTable.applyChangesMor(spark, t,
+      df((5L, "B", "x", 50.0)).withColumn("op", lit("U")), "k",
+      cdc = true)
+    val rx3 = MatView.refreshExtrema(spark, xmv, publishFeed = false)
+    assert(TxnTable.manifest(spark, xmv, rx3.mvVersion).cdcRefs.isEmpty,
+      "publishFeed=false must not publish")
+    val e = intercept[IllegalArgumentException] {
+      MatView.refresh(spark, top)
+    }
+    assert(e.getMessage.contains("change feed"), e.getMessage)
+  }
+
   test("transplant: refuses non-branch MVs, unpublished branch work, " +
       "and double transplants; the retarget stamp survives later " +
       "refreshes") {
@@ -1619,6 +1685,149 @@ class MatViewSpec extends SparkSpec {
     assert(!served("SELECT g1, COUNT(*) AS n FROM graft.mvspec.sf f " +
       "JOIN graft.mvspec.sd1 d1 ON f.a = d1.pk GROUP BY g1"),
       "a dim-subset join must fall through")
+  }
+
+  test("fact-owned join-MV keys: create validates ownership across " +
+      "fact AND dims; both logs fold in ONE refresh; the non-key fact " +
+      "column never binds") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.f2f")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.f2d")
+    s.sql("CREATE TABLE graft.mvspec.f2f (k BIGINT, fk BIGINT, " +
+      "flag STRING, v DECIMAL(12,2)) TBLPROPERTIES ('index' = 'fk')")
+    s.sql("INSERT INTO graft.mvspec.f2f SELECT id, id % 20, " +
+      "CASE WHEN id % 2 = 0 THEN 'E' ELSE 'O' END, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(200)")
+    s.sql("CREATE TABLE graft.mvspec.f2d (pk BIGINT, seg STRING)")
+    s.sql("INSERT INTO graft.mvspec.f2d SELECT id, " +
+      "CASE WHEN id < 10 THEN 'X' ELSE 'Y' END FROM RANGE(20)")
+    val factLoc = s"${GraftCatalog.defaultWarehouse}/mvspec/f2f"
+    val dimLoc = s"${GraftCatalog.defaultWarehouse}/mvspec/f2d"
+    val mv = fresh("mv_f2f_view")
+    // MIXED ownership: 'flag' lives on the FACT, 'seg' on the dim
+    MatView.createJoinStar(spark, mv, factLoc,
+      Seq(MatView.MvDimRef(dimLoc, "fk", "pk")), Seq("flag", "seg"), "v")
+    MatView.registerJoin(spark, mv)
+    // an AMBIGUOUS key (a column on both sides) refuses at create
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.f2amb")
+    s.sql("CREATE TABLE graft.mvspec.f2amb (pk BIGINT, flag STRING)")
+    s.sql("INSERT INTO graft.mvspec.f2amb SELECT id, 'Z' FROM RANGE(20)")
+    val eAmb = intercept[IllegalArgumentException] {
+      MatView.createJoinStar(spark, fresh("mv_f2amb"), factLoc,
+        Seq(MatView.MvDimRef(
+          s"${GraftCatalog.defaultWarehouse}/mvspec/f2amb", "fk", "pk")),
+        Seq("flag"), "v")
+    }
+    assert(eAmb.getMessage.contains("exactly one"), eAmb.getMessage)
+    val q1 = "SELECT flag, seg, COUNT(*) AS n, " +
+      "CAST(SUM(v) AS DOUBLE) AS t FROM graft.mvspec.f2f f " +
+      "JOIN graft.mvspec.f2d d ON f.fk = d.pk GROUP BY flag, seg"
+    def served(q: String): Boolean = planServedFrom(s.sql(q), mv)
+    def rows() = s.sql(q1).collect().map(r => (r.getString(0),
+      r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    def direct() = TxnTable.snapshot(spark, factLoc).alias("f")
+      .join(TxnTable.snapshot(spark, dimLoc).alias("d"),
+        col("f.fk") === col("d.pk"))
+      .groupBy(col("f.flag"), col("d.seg"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(served(q1), "mixed fact/dim keys must serve")
+    assert(rows() === direct(), "fresh fact-owned-key serve diverged")
+    // a fact-owned-key FILTER serves; a non-key fact column never binds
+    assert(served("SELECT seg, COUNT(*) AS n FROM graft.mvspec.f2f f " +
+      "JOIN graft.mvspec.f2d d ON f.fk = d.pk WHERE flag = 'E' " +
+      "GROUP BY seg"), "a fact-owned key predicate must serve")
+    assert(!served("SELECT k, COUNT(*) AS n FROM graft.mvspec.f2f f " +
+      "JOIN graft.mvspec.f2d d ON f.fk = d.pk GROUP BY k"),
+      "a non-key fact column must fall through")
+    // BOTH logs move; ONE refresh folds both telescoping terms
+    TxnTable.applyChangesMor(spark, factLoc,
+      s.sql("SELECT k, fk, flag, v, 'D' AS op FROM graft.mvspec.f2f " +
+        "WHERE k % 4 = 0 UNION ALL " +
+        "SELECT k + 1000, fk, 'N', v, 'U' FROM graft.mvspec.f2f " +
+        "WHERE k % 50 = 0"), "k", cdc = true)
+    TxnTable.applyChangesMor(spark, dimLoc,
+      s.sql("SELECT pk, 'Z' AS seg, 'U' AS op FROM graft.mvspec.f2d " +
+        "WHERE pk IN (3, 7)"), "pk", cdc = true)
+    assert(!served(q1), "a moved dim must disqualify serving")
+    assert(rows() === direct(), "fall-through diverged")
+    val r = MatView.refreshJoin(spark, mv)
+    assert(r.commitsFolded === 1)
+    assert(served(q1), "post-both-sides-refresh must serve from the MV")
+    assert(rows() === direct(), "both-logs fold diverged")
+  }
+
+  test("CREATE/REFRESH MATERIALIZED VIEW DDL: kind dispatch (fold/" +
+      "extrema/star) from the defining query, loud shape refusals, " +
+      "delegation leaves every other statement untouched") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    Seq("ddlf", "ddld").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft.mvspec.$t"))
+    s.sql("CREATE TABLE graft.mvspec.ddlf (k BIGINT, fk BIGINT, " +
+      "g STRING, v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.ddlf SELECT id, id % 10, " +
+      "CASE WHEN id % 2 = 0 THEN 'E' ELSE 'O' END, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(100)")
+    s.sql("CREATE TABLE graft.mvspec.ddld (pk BIGINT, seg STRING)")
+    s.sql("INSERT INTO graft.mvspec.ddld SELECT id, " +
+      "CASE WHEN id < 5 THEN 'X' ELSE 'Y' END FROM RANGE(10)")
+    // the star kind, from SQL text alone — with a trailing semicolon
+    // and mixed case (the grammar is case-insensitive like Spark's)
+    val v = s.sql("""create materialized view graft.mvspec.ddl_star as
+      SELECT seg, COUNT(*) AS n, SUM(v) AS t FROM graft.mvspec.ddlf f
+      JOIN graft.mvspec.ddld d ON f.fk = d.pk GROUP BY seg;""")
+      .collect()(0).getLong(0)
+    assert(v === 0L)
+    val mvLoc = s"${GraftCatalog.defaultWarehouse}/mvspec/ddl_star"
+    assert(planServedFrom(s.sql("SELECT seg, COUNT(*) AS n " +
+      "FROM graft.mvspec.ddlf f JOIN graft.mvspec.ddld d " +
+      "ON f.fk = d.pk GROUP BY seg"), mvLoc),
+      "the DDL-created star view must serve")
+    // a cdc fact batch + pure-SQL refresh through the join dispatch
+    TxnTable.applyChangesMor(spark,
+      s"${GraftCatalog.defaultWarehouse}/mvspec/ddlf",
+      s.sql("SELECT k, fk, g, v, 'D' AS op FROM graft.mvspec.ddlf " +
+        "WHERE k % 3 = 0"), "k", cdc = true)
+    assert(s.sql("REFRESH MATERIALIZED VIEW graft.mvspec.ddl_star")
+      .collect()(0).getLong(0) >= 1L)
+    val got = s.sql("SELECT seg, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) " +
+      "AS t FROM graft.mvspec.ddlf f JOIN graft.mvspec.ddld d " +
+      "ON f.fk = d.pk GROUP BY seg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = TxnTable.snapshot(spark,
+      s"${GraftCatalog.defaultWarehouse}/mvspec/ddlf").alias("f")
+      .join(TxnTable.snapshot(spark,
+        s"${GraftCatalog.defaultWarehouse}/mvspec/ddld").alias("d"),
+        col("f.fk") === col("d.pk"))
+      .groupBy(col("d.seg")).agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    assert(got === want, "post-DDL-refresh star serve diverged")
+    // shape refusals: non-aggregate query, and REFRESH of a non-MV
+    val eShape = intercept[IllegalArgumentException] {
+      s.sql("CREATE MATERIALIZED VIEW graft.mvspec.ddl_bad AS " +
+        "SELECT k, v FROM graft.mvspec.ddlf")
+    }
+    assert(eShape.getMessage.contains("GROUP BY aggregate"),
+      eShape.getMessage)
+    val eNotMv = intercept[IllegalArgumentException] {
+      s.sql("REFRESH MATERIALIZED VIEW graft.mvspec.ddlf")
+    }
+    assert(eNotMv.getMessage.contains("not a materialized view"),
+      eNotMv.getMessage)
+    // delegation: ordinary statements still parse and run through the
+    // wrapped parser (a SELECT with the words inside a string literal
+    // must NOT be intercepted)
+    assert(s.sql("SELECT 'CREATE MATERIALIZED VIEW nope AS x' AS t")
+      .collect()(0).getString(0).startsWith("CREATE"))
   }
 
   test("the matviews metadata table lists every registered view with " +
