@@ -772,13 +772,24 @@ object MatView {
   private def resolveOwners(d: MvJoinDef, colsOf: Int => Seq[String])
       : Map[String, Int] =
     d.keys.map { k =>
-      val owners = (-1 +: d.dims.indices.toSeq)
-        .filter(i => colsOf(i).contains(k))
-      require(owners.size == 1, s"join-MV key '$k' no longer lives in " +
-        s"exactly one of the fact and the dims (found in " +
-        s"${owners.size} — the schemas drifted since create); " +
-        "recompute the MV (drop + create)")
-      k -> owners.head
+      val dimOwners = d.dims.indices.filter(i => colsOf(i).contains(k))
+      val inFact = colsOf(-1).contains(k)
+      // fact + exactly one dim: the DIM owns it — that is the only
+      // binding a CREATE ever accepted (pre-r19 creates validated keys
+      // against dims alone, and the r19 create refuses this shape as
+      // ambiguous), so a legacy view whose fact happens to share a dim
+      // key's name keeps refreshing instead of being bricked by an
+      // upgrade
+      val owner = (inFact, dimOwners) match {
+        case (_, Seq(i)) => i
+        case (true, Seq()) => -1
+        case _ => throw new IllegalArgumentException(
+          s"join-MV key '$k' no longer lives in exactly one of the " +
+            s"fact and the dims (${dimOwners.size} dims" +
+            s"${if (inFact) " + the fact" else ""} — the schemas " +
+            "drifted since create); recompute the MV (drop + create)")
+      }
+      k -> owner
     }.toMap
 
   /** The owning alias' key column: `f` for a fact-owned key, `d<i>`

@@ -1930,8 +1930,11 @@ object SqlSurface {
         .collect().map(r => (r.getString(0), r.getLong(1),
           r.getDouble(2))).toSet
     }
+    // the DIRECTORY boundary matters: `…/ddl_orders_mv` is a substring
+    // of `…/ddl_orders_mvx`, so a bare contains() could not tell the
+    // fold view's files from the extrema view's
     def only(ps: Seq[String], mv: String) =
-      ps.nonEmpty && ps.forall(_.contains(mv))
+      ps.nonEmpty && ps.forall(_.contains(s"$mv/"))
     val servedFresh = vF == 0L && vX == 0L &&
       only(scanSrcsOf(s, q), mvLoc) &&
       only(scanSrcsOf(s, qMax), mvxLoc) && rows() == direct()

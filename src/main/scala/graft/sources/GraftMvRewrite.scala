@@ -336,7 +336,10 @@ case class GraftMvRewriteRule(session: SparkSession)
           dimRels(i).output.exists(_.name == k))
         k -> ((inFact, dimIdx) match {
           case (true, Seq()) => Some(-1)
-          case (false, Seq(i)) => Some(i)
+          // fact + exactly one dim: the DIM owns it — the only binding
+          // any create accepted (matches MatView.resolveOwners, so the
+          // serve and refresh sides can never bind differently)
+          case (_, Seq(i)) => Some(i)
           case _ => None
         })
       }.toMap

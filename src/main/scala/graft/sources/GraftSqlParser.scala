@@ -86,14 +86,27 @@ object GraftSqlParser {
 
   private val CatName = "graft"
 
-  /** `graft.ns.t` / `ns.t` → the warehouse location (the same
-    * resolution the CALL procedures use). */
-  private def locOf(ident: String): String = {
-    val parts = ident.split('.').map(_.stripPrefix("`").stripSuffix("`"))
-      .filterNot(_ == CatName).toSeq
-    GraftMaintenance.resolveTable(GraftCatalog.defaultWarehouse,
-      parts.mkString("."))
+  /** Split a dotted identifier respecting backquotes: `` `a.b`.c `` →
+    * Seq("a.b", "c") — a raw split('.') would break the quoted part. */
+  private def splitIdent(ident: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var quoted = false
+    ident.foreach {
+      case '`' => quoted = !quoted
+      case '.' if !quoted => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result()
   }
+
+  /** `graft.ns.t` / `ns.t` → the warehouse location (the same
+    * resolution the CALL procedures use). Only a LEADING catalog part
+    * strips — a namespace legitimately named 'graft' keeps its name. */
+  private def locOf(ident: String): String =
+    GraftMaintenance.resolveTable(GraftCatalog.defaultWarehouse,
+      stripCat(splitIdent(ident)).mkString("."))
 
   // the statement matched the MATERIALIZED VIEW grammar; what failed
   // is its SHAPE — the engine's loud-refusal idiom, not a parse error
@@ -121,6 +134,18 @@ object GraftSqlParser {
       val aggs = a.aggregateExpressions.flatMap(_.collect {
         case f: UnresolvedFunction =>
           val fn = f.nameParts.last.toLowerCase
+          // DISTINCT and FILTER change the aggregate's semantics in
+          // ways no fold/extrema view materializes — refuse loudly
+          // (the engine's contract), never create a silently-useless
+          // view
+          if (f.isDistinct) fail("CREATE MATERIALIZED VIEW: " +
+            s"${fn.toUpperCase}(DISTINCT …) is not a foldable view " +
+            "aggregate (the fold keeps no value multiset) — " +
+            "materialize the plain aggregate, or use a key-column " +
+            "distinct served by the rewrite")
+          if (f.filter.isDefined) fail("CREATE MATERIALIZED VIEW: " +
+            "FILTER clauses are not materializable — fold the " +
+            "unfiltered aggregate, or pre-filter into a separate table")
           val arg = f.arguments match {
             case Seq(u: UnresolvedAttribute) => Some(u.nameParts.last)
             case Seq(_: UnresolvedStar) => None
@@ -139,18 +164,40 @@ object GraftSqlParser {
       s"${other.getClass.getSimpleName})")
   }
 
+  /** One joined relation: its (catalog-stripped) dotted name and the
+    * alias the query gave it, if any — the alias is what a QUALIFIED
+    * join column (`f.fk = d2.pk`) resolves against. */
+  private case class RelRef(name: String, alias: Option[String]) {
+    /** Does a qualifier name THIS relation? Unqualified columns match
+      * any relation (membership decides); qualified ones must name the
+      * alias or the table's last name part. */
+    def answersTo(qual: Option[String]): Boolean = qual.forall(q =>
+      alias.contains(q) || name.split('.').last == q)
+  }
+
+  /** A join-equality side: (qualifier, column name). */
+  private type QCol = (Option[String], String)
+
   /** Flatten an all-INNER join tree of plain relations into
-    * (relations, equality conjunct name pairs). */
+    * (relations with aliases, qualified equality conjuncts). */
   private def flatJoin(p: LogicalPlan)
-      : Option[(Seq[String], Seq[(String, String)])] = strip(p) match {
-    case r: UnresolvedRelation => Some((Seq(r.multipartIdentifier
-      .filterNot(_ == CatName).mkString(".")), Nil))
+      : Option[(Seq[RelRef], Seq[(QCol, QCol)])] = p match {
+    case SubqueryAlias(id, child) => strip(child) match {
+      case r: UnresolvedRelation => Some((Seq(RelRef(
+        stripCat(r.multipartIdentifier).mkString("."),
+        Some(id.name))), Nil))
+      case other => flatJoin(other) // alias over a join — no binding
+    }
+    case r: UnresolvedRelation => Some((Seq(RelRef(
+      stripCat(r.multipartIdentifier).mkString("."), None)), Nil))
     case j: Join if j.joinType == Inner =>
-      def conj(e: Expression): Seq[(String, String)] = e match {
+      def qcol(u: UnresolvedAttribute): QCol =
+        (u.nameParts.init.lastOption, u.nameParts.last)
+      def conj(e: Expression): Seq[(QCol, QCol)] = e match {
         case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
           conj(l) ++ conj(r)
         case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
-          Seq((a.nameParts.last, b.nameParts.last))
+          Seq((qcol(a), qcol(b)))
         case other => fail("CREATE MATERIALIZED VIEW: join conditions " +
           s"must be column equalities, got '${other.sql}'")
       }
@@ -209,7 +256,7 @@ object GraftSqlParser {
           val (rels, conds) = flatJoin(j).getOrElse(
             fail("CREATE MATERIALIZED VIEW: the FROM tree must be " +
               "plain INNER joins of tables"))
-          val locs = rels.map(locOf)
+          val locs = rels.map(r => locOf(r.name))
           val cols: Seq[Set[String]] =
             locs.map(l => TxnTable.snapshot(s, l).columns.toSet)
           val factIdx = locs.indices.filter(i => cols(i).contains(value))
@@ -221,16 +268,42 @@ object GraftSqlParser {
           require(conds.size == dimIdxs.size,
             "CREATE MATERIALIZED VIEW: expected one fact→dim equality " +
               s"per dim (${dimIdxs.size}), got ${conds.size}")
-          val dims = dimIdxs.map { di =>
-            val hit = conds.collectFirst {
-              case (a, b) if cols(fi).contains(a) &&
-                cols(di).contains(b) => MatView.MvDimRef(locs(di), a, b)
-              case (a, b) if cols(fi).contains(b) &&
-                cols(di).contains(a) => MatView.MvDimRef(locs(di), b, a)
-            }
-            hit.getOrElse(fail("CREATE MATERIALIZED VIEW: no equality " +
-              s"joins the fact to '${rels(di)}'"))
+          // each equality conjunct must bind to exactly ONE dim — two
+          // dims sharing a key column name (the common `pk`
+          // convention) would otherwise silently materialize a
+          // DIFFERENT join than the AS SELECT text declared.
+          // Membership decides where names are unique; QUALIFIERS
+          // (`f.fk2 = d2.pk`) decide where they are not; a conjunct
+          // still bindable to two dims refuses with the remedy.
+          def owns(i: Int, qc: QCol): Boolean =
+            cols(i).contains(qc._2) && rels(i).answersTo(qc._1)
+          val bound: Seq[(Int, MatView.MvDimRef)] = conds.map {
+            case (a, b) =>
+              val hits = dimIdxs.flatMap { di =>
+                (if (owns(fi, a) && owns(di, b))
+                  Some(di -> MatView.MvDimRef(locs(di), a._2, b._2))
+                else None) ++
+                (if (owns(fi, b) && owns(di, a))
+                  Some(di -> MatView.MvDimRef(locs(di), b._2, a._2))
+                else None)
+              }.distinct
+              hits match {
+                case Seq(one) => one
+                case Seq() => fail("CREATE MATERIALIZED VIEW: the " +
+                  s"equality '${a._2} = ${b._2}' joins no fact→dim " +
+                  "pair (each condition must equate a fact column " +
+                  "with one dim's column)")
+                case _ => fail("CREATE MATERIALIZED VIEW: the " +
+                  s"equality '${a._2} = ${b._2}' could join more than " +
+                  "one dim — qualify the join columns with the " +
+                  "table aliases (f.k = d2.pk)")
+              }
           }
+          require(bound.map(_._1).distinct.size == dimIdxs.size,
+            "CREATE MATERIALIZED VIEW: every dim needs exactly one " +
+              "fact→dim equality")
+          val dims = dimIdxs.map(di =>
+            bound.collectFirst { case (`di`, ref) => ref }.get)
           val created = MatView.createJoinStar(s, mvLoc, locs(fi), dims,
             shape.keys, value, shape.aggs.map(_._1).distinct)
           MatView.registerJoin(s, mvLoc)
@@ -242,9 +315,15 @@ object GraftSqlParser {
     }
   }
 
+  /** Strip only a LEADING catalog part from an already-split
+    * multipart identifier — a middle part named 'graft' is a real
+    * namespace name. */
+  private def stripCat(parts: Seq[String]): Seq[String] =
+    if (parts.size > 1 && parts.head == CatName) parts.tail else parts
+
   private def relName(p: LogicalPlan): String = strip(p) match {
-    case r: UnresolvedRelation => r.multipartIdentifier
-      .filterNot(_ == CatName).mkString(".")
+    case r: UnresolvedRelation =>
+      stripCat(r.multipartIdentifier).mkString(".")
     case other => fail("CREATE MATERIALIZED VIEW: expected a table, " +
       s"got ${other.getClass.getSimpleName}")
   }

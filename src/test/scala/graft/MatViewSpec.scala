@@ -1041,7 +1041,7 @@ class MatViewSpec extends SparkSpec {
       MatView.createJoin(spark, fresh("mv_join_bad"), factLoc, dimLoc,
         "fk", "pk", Seq("nosuch"), "v")
     }
-    assert(eKeys.getMessage.contains("must live in exactly one dim"),
+    assert(eKeys.getMessage.contains("must live in exactly one"),
       eKeys.getMessage)
     MatView.createJoin(spark, mv, factLoc, dimLoc, "fk", "pk",
       Seq("seg"), "v")
@@ -1621,7 +1621,7 @@ class MatViewSpec extends SparkSpec {
           MatView.MvDimRef(s"$w/mvspec/sd2b", "b", "pk2")),
         Seq("g1"), "v")
     }
-    assert(eAmb.getMessage.contains("exactly one dim"), eAmb.getMessage)
+    assert(eAmb.getMessage.contains("exactly one"), eAmb.getMessage)
     MatView.createJoinStar(spark, mv, s"$w/mvspec/sf", Seq(
       MatView.MvDimRef(s"$w/mvspec/sd1", "a", "pk"),
       MatView.MvDimRef(s"$w/mvspec/sd2", "b", "pk2")),
@@ -1759,6 +1759,29 @@ class MatViewSpec extends SparkSpec {
     assert(r.commitsFolded === 1)
     assert(served(q1), "post-both-sides-refresh must serve from the MV")
     assert(rows() === direct(), "both-logs fold diverged")
+    // drift tolerance: the FACT gaining a column that shares a DIM
+    // key's name must NOT brick the view — the dim owned 'seg' at
+    // create (the only binding any create accepts), so refresh and
+    // serve keep binding the dim side
+    s.sql("ALTER TABLE graft.mvspec.f2f ADD COLUMN seg STRING")
+    TxnTable.applyChangesMor(spark, factLoc,
+      s.sql("SELECT k, fk, flag, v, CAST(NULL AS STRING) AS seg, " +
+        "'D' AS op FROM graft.mvspec.f2f WHERE k % 30 = 1"), "k",
+      cdc = true)
+    val r2 = MatView.refreshJoin(spark, mv)
+    // 2 commits walked: the evolve (content-invariant) + the change
+    assert(r2.commitsFolded === 2,
+      "a fact column shadowing a dim key must not brick the refresh")
+    // the bare column is now SQL-ambiguous (Spark's own rule); the
+    // QUALIFIED dim reference serves — bound to the owning side
+    val q1q = "SELECT flag, d.seg AS seg, COUNT(*) AS n, " +
+      "CAST(SUM(v) AS DOUBLE) AS t FROM graft.mvspec.f2f f " +
+      "JOIN graft.mvspec.f2d d ON f.fk = d.pk GROUP BY flag, d.seg"
+    assert(served(q1q),
+      "dim-owned binding must survive the fact's shadowing column")
+    assert(s.sql(q1q).collect().map(r => (r.getString(0),
+      r.getString(1), r.getLong(2), r.getDouble(3))).toSet === direct(),
+      "post-shadowing dim-owned serve diverged")
   }
 
   test("CREATE/REFRESH MATERIALIZED VIEW DDL: kind dispatch (fold/" +
