@@ -1685,6 +1685,48 @@ class MatViewSpec extends SparkSpec {
     assert(!served("SELECT g1, COUNT(*) AS n FROM graft.mvspec.sf f " +
       "JOIN graft.mvspec.sd1 d1 ON f.a = d1.pk GROUP BY g1"),
       "a dim-subset join must fall through")
+    // SIMULTANEOUS movement on EVERY log — the exact telescoping's
+    // ordering pin: ONE refresh folds the fact feed (dims at head),
+    // dim₁'s delta (fact at cursor, dim₂ at head) and dim₂'s delta
+    // (fact at cursor, dim₁ at cursor). Each change alone is easy;
+    // the cross terms between them are where a wrong version choice
+    // double- or under-counts — the equality against a direct
+    // recompute is the proof.
+    TxnTable.applyChangesMor(spark, s"$w/mvspec/sf",
+      s.sql("SELECT k, a, b, v, 'D' AS op FROM graft.mvspec.sf " +
+        "WHERE k % 5 = 0 UNION ALL " +
+        "SELECT k + 1000, a, b, CAST(v + 7 AS DECIMAL(12,2)), 'U' " +
+        "FROM graft.mvspec.sf WHERE k % 8 = 0"), "k", cdc = true)
+    TxnTable.applyChangesMor(spark, s"$w/mvspec/sd1",
+      s.sql("SELECT pk, 'R' AS g1, 'U' AS op FROM graft.mvspec.sd1 " +
+        "WHERE pk IN (1, 2)"), "pk", cdc = true)
+    TxnTable.applyChangesMor(spark, s"$w/mvspec/sd2",
+      s.sql("SELECT pk2, 'Z' AS g2, 'U' AS op FROM graft.mvspec.sd2 " +
+        "WHERE pk2 = 0"), "pk2", cdc = true)
+    val r3 = MatView.refreshJoin(spark, mv)
+    assert(r3.commitsFolded === 1)
+    val got3 = s.sql("SELECT g1, g2, COUNT(*) AS n, " +
+      "CAST(SUM(v) AS DOUBLE) AS t FROM " + shapes.head +
+      " GROUP BY g1, g2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val direct3 = TxnTable.snapshot(spark, s"$w/mvspec/sf").alias("f")
+      .join(TxnTable.snapshot(spark, s"$w/mvspec/sd1").alias("d1"),
+        col("f.a") === col("d1.pk"))
+      .join(TxnTable.snapshot(spark, s"$w/mvspec/sd2").alias("d2"),
+        col("f.b") === col("d2.pk2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got3 === direct3,
+      "the three-log simultaneous fold diverged from recompute")
+    assert(planServedFrom(s.sql("SELECT g1, g2, COUNT(*) AS n FROM " +
+      shapes.head + " GROUP BY g1, g2"), mv),
+      "post-three-log-refresh must serve from the MV alone")
+    // and a SECOND refresh no-ops: the cursors landed atomically
+    val r4 = MatView.refreshJoin(spark, mv)
+    assert(r4.mvVersion === r3.mvVersion && r4.commitsFolded === 0)
   }
 
   test("fact-owned join-MV keys: create validates ownership across " +
