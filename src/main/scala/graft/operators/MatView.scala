@@ -1659,6 +1659,35 @@ object MatView {
   private[graft] def registeredExtremaFor(base: String)
       : Option[(String, MvExtremaDef)] = Option(extremaRegistry.get(base))
 
+  /** DROP the materialized view: deregister it from the transparent
+    * rewrite (only the entry THIS view owns — a different view
+    * registered for the same base stays), then delete its directory.
+    * The deregistration happens FIRST so no query window can plan
+    * against files being deleted under it. Returns the view's kind. */
+  def drop(s: SparkSession, mv: String): String = {
+    val kind = kindOf(s, mv) // refuses loudly when mv is not a view
+    kind match {
+      case "fold" =>
+        val d = readDef(s, mv)
+        val (dEff, _) = effectiveDef(s, mv, d,
+          TxnTable.currentVersion(s, mv))
+        Seq(d.base, dEff.base).distinct.foreach(b =>
+          registry.computeIfPresent(b,
+            (_, cur) => if (cur._1 == mv) null else cur))
+      case "join" =>
+        val d = readJoinDef(s, mv)
+        joinRegistry.computeIfPresent(
+          joinKey(d.fact, d.dims.map(_.dim)),
+          (_, cur) => if (cur._1 == mv) null else cur)
+      case "extrema" =>
+        val d = readExtremaDef(s, mv)
+        extremaRegistry.computeIfPresent(d.base,
+          (_, cur) => if (cur._1 == mv) null else cur)
+    }
+    graft.Fs.deleteRecursively(mv)
+    kind
+  }
+
   /** True iff base commits `(from, to]` are ALL content-invariant —
     * the only staleness an extrema MV may serve across: its fold has
     * no signed compensation (a delete in the tail can fell an extreme

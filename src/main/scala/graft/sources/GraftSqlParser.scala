@@ -54,6 +54,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case CreateMv(ident, select) =>
         CreateMatViewCommand(ident.trim, select.trim, delegate)
       case RefreshMv(ident) => RefreshMatViewCommand(ident.trim)
+      case DropMv(ident) => DropMatViewCommand(ident.trim)
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -83,6 +84,8 @@ object GraftSqlParser {
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([`\w.]+)\s+AS\s+(.+?)\s*;?\s*""".r
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([`\w.]+)\s*;?\s*""".r
+  private val DropMv =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+([`\w.]+)\s*;?\s*""".r
 
   private val CatName = "graft"
 
@@ -326,6 +329,17 @@ object GraftSqlParser {
       stripCat(r.multipartIdentifier).mkString(".")
     case other => fail("CREATE MATERIALIZED VIEW: expected a table, " +
       s"got ${other.getClass.getSimpleName}")
+  }
+
+  /** DROP MATERIALIZED VIEW: deregister from the rewrite, delete the
+    * view's data — [[MatView.drop]]; refuses loudly on a non-view. */
+  case class DropMatViewCommand(ident: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(AttributeReference(
+      "kind", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+    override def run(s: SparkSession): Seq[Row] =
+      Seq(Row(MatView.drop(s, locOf(ident))))
   }
 
   case class RefreshMatViewCommand(ident: String)

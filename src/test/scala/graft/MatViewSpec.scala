@@ -1893,6 +1893,20 @@ class MatViewSpec extends SparkSpec {
     // must NOT be intercepted)
     assert(s.sql("SELECT 'CREATE MATERIALIZED VIEW nope AS x' AS t")
       .collect()(0).getString(0).startsWith("CREATE"))
+    // DROP completes the lifecycle: deregisters (the query returns to
+    // the base join) and deletes the view's data; a second drop — or
+    // refreshing the dropped view — refuses
+    assert(s.sql("DROP MATERIALIZED VIEW graft.mvspec.ddl_star")
+      .collect()(0).getString(0) === "join")
+    assert(!planServedFrom(s.sql("SELECT seg, COUNT(*) AS n " +
+      "FROM graft.mvspec.ddlf f JOIN graft.mvspec.ddld d " +
+      "ON f.fk = d.pk GROUP BY seg"), mvLoc),
+      "a dropped view must stop serving")
+    val eGone = intercept[IllegalArgumentException] {
+      s.sql("DROP MATERIALIZED VIEW graft.mvspec.ddl_star")
+    }
+    assert(eGone.getMessage.contains("not a materialized view"),
+      eGone.getMessage)
   }
 
   test("the matviews metadata table lists every registered view with " +
