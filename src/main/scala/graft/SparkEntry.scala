@@ -84,6 +84,7 @@ object SparkEntry {
     "sql_mv_star_scd"         -> (SqlSurface.mvStarScd _),
     "sql_mv_fact2"            -> (SqlSurface.mvFact2 _),
     "sql_mv_ddl"              -> (SqlSurface.mvDdl _),
+    "sql_mv_partial"          -> (SqlSurface.mvPartial _),
     "sql_mv_star_gsets"       -> (SqlSurface.mvStarGsets _),
     "sql_mv_extrema_gsets"    -> (SqlSurface.mvExtremaGsets _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
@@ -1607,6 +1608,27 @@ object SparkEntry {
         |  TRUE AS scd_ok
         |FROM f JOIN o USING (ok) JOIN pt USING (pk)
         |GROUP BY st, brand""".stripMargin,
+    // the partial (price > 100) dashboard after the boundary-crossing
+    // batch: deletes %6, reprice→60 %7=1, reprice+1000 %9=2 (exclusions
+    // mirror the change set's key-uniqueness guards), below-threshold
+    // 'Q' inserts (excluded by the slice), in-slice 'Z' inserts
+    "sql_mv_partial" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |f AS (SELECT k, st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(60 AS DECIMAL(12,2))
+        |         WHEN k % 9 = 2 THEN CAST(p + 1000 AS DECIMAL(12,2))
+        |         ELSE p END AS p
+        |  FROM b WHERE k % 6 <> 0
+        |  UNION ALL
+        |  SELECT k + 400000000, 'Q', CAST(75 AS DECIMAL(12,2))
+        |  FROM b WHERE k % 13 = 0
+        |  UNION ALL
+        |  SELECT k + 500000000, 'Z', CAST(p + 200 AS DECIMAL(12,2))
+        |  FROM b WHERE k % 17 = 0)
+        |SELECT st, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
+        |  TRUE AS par_ok
+        |FROM f WHERE p > 100 GROUP BY st""".stripMargin,
     // the DDL-created fold view's dashboard after the Z batch
     "sql_mv_ddl" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,

@@ -48,9 +48,17 @@ object MatView {
   /** `aggs` is the DECLARED aggregate set ([[create]]'s validated
     * count/sum/avg subset): the rewrite rule serves ONLY declared
     * aggregates, so a view created as count-only never silently answers
-    * SUM — the declaration is a real contract, not decoration. */
+    * SUM — the declaration is a real contract, not decoration.
+    * `pred` makes the view PARTIAL: only base rows satisfying the
+    * stored row-local predicate fold (the warehouse partial-index
+    * shape — `WHERE price > 100` dashboards served from a view that
+    * holds only those rows' groups); refresh filters each signed feed
+    * by the SAME predicate, which is exact because membership is
+    * row-local and an update is a −old/+new pair evaluated
+    * independently (a reprice crossing the boundary folds as the
+    * membership change it is). */
   case class MvDef(base: String, keys: Seq[String], value: String,
-      aggs: Set[String])
+      aggs: Set[String], pred: Option[String] = None)
 
   private def fs(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -62,9 +70,11 @@ object MatView {
     val out = fs(s, p).create(p, false)
     // comma-joined keys on one line: a pre-multi-key _mv (single bare
     // name) parses identically, so old views keep reading; the 4th
-    // line is the declared aggregate set
+    // line is the declared aggregate set; a PARTIAL view appends its
+    // predicate as the 5th line (full views stay 4-line on disk)
     try out.write((s"${d.base}\n${d.keys.mkString(",")}\n${d.value}\n" +
-      s"${d.aggs.toSeq.sorted.mkString(",")}\n")
+      s"${d.aggs.toSeq.sorted.mkString(",")}\n" +
+      d.pred.map(_ + "\n").getOrElse(""))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -90,6 +100,13 @@ object MatView {
           "(empty declared-aggregate line)")
         MvDef(base, keys.split(',').toSeq, value,
           aggs.split(',').toSet)
+      case Seq(base, keys, value, aggs, pred) =>
+        require(aggs.nonEmpty, s"$mv: malformed _mv definition " +
+          "(empty declared-aggregate line)")
+        require(pred.nonEmpty, s"$mv: malformed _mv definition " +
+          "(empty predicate line)")
+        MvDef(base, keys.split(',').toSeq, value,
+          aggs.split(',').toSet, Some(pred))
       case other => throw new IllegalArgumentException(
         s"$mv: malformed _mv definition (${other.size} lines)")
     }
@@ -285,15 +302,47 @@ object MatView {
 
   def create(s: SparkSession, mv: String, base: String,
       keys: Seq[String], value: String,
-      aggs: Seq[String] = Seq("count", "sum", "avg")): Long = {
+      aggs: Seq[String] = Seq("count", "sum", "avg")): Long =
+    create(s, mv, base, keys, value, aggs, pred = None)
+
+  /** [[create]] of a PARTIAL view: only base rows satisfying `pred`
+    * (row-local SQL over the base's columns — `price > 100`) fold.
+    * The predicate must be DETERMINISTIC and subquery-free: membership
+    * is decided per row at fold time, and a nondeterministic predicate
+    * would make −old/+new pairs disagree with the rows the view
+    * actually holds — refuse at create, the one honest moment. */
+  def create(s: SparkSession, mv: String, base: String,
+      keys: Seq[String], value: String, aggs: Seq[String],
+      pred: Option[String]): Long = {
     validateShape(keys, aggs)
     val bv = TxnTable.currentVersion(s, base)
     val snap = TxnTable.snapshot(s, base, bv)
     validateValueType(value, snap.schema(value).dataType)
-    val v = commitMvRows(s, mv, snap, keys, value,
+    pred.foreach { p =>
+      require(p.trim.nonEmpty && !p.contains("\n"),
+        "a partial-view predicate must be one non-empty line")
+      // resolve + type-coerce against the base — unknown columns or
+      // bad syntax refuse here, never at the first refresh
+      val cond = snap.filter(p).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(throw new IllegalArgumentException(
+        s"partial-view predicate '$p' did not analyze to a filter"))
+      require(cond.deterministic, s"partial-view predicate '$p' is " +
+        "nondeterministic — membership must be decidable per row, " +
+        "identically at create and at every refresh")
+      require(cond.collectFirst {
+        case sq: org.apache.spark.sql.catalyst.expressions
+          .SubqueryExpression => sq
+      }.isEmpty, s"partial-view predicate '$p' contains a subquery — " +
+        "its value can change with OTHER tables' content, which no " +
+        "feed of THIS base can fold")
+    }
+    val src = pred.fold(snap)(snap.filter)
+    val v = commitMvRows(s, mv, src, keys, value,
       Seq("mv_base_version" -> bv))
     writeDef(s, mv, MvDef(base, keys, value,
-      aggs.map(_.toLowerCase).toSet))
+      aggs.map(_.toLowerCase).toSet, pred))
     v
   }
 
@@ -377,7 +426,11 @@ object MatView {
     if (refs.isEmpty)
       return RefreshResult(advanceCursor(s, mv, mvVer,
         Seq("mv_base_version" -> head) ++ stamp), head, folded)
-    val feed = s.read.parquet(refs: _*)
+    // a PARTIAL view folds only the feed rows satisfying its stored
+    // predicate: membership is row-local, so a −old/+new update pair
+    // crossing the boundary folds as exactly the membership change
+    val feed = d.pred.fold(s.read.parquet(refs: _*))(
+      s.read.parquet(refs: _*).filter)
     val v = foldAndMerge(s, mv, mvVer, d.keys, d.value, feed,
       Seq("mv_base_version" -> head) ++ stamp, publishFeed)
     RefreshResult(v, head, folded)
@@ -577,8 +630,10 @@ object MatView {
     if (refs.isEmpty) return Some(mvRows) // content-invariant tail
     // the same signed algebra as refresh's delta, rendered as fold ROWS
     // (w, w·nonnull, w·value) so one union + one aggregate telescopes
-    // the MV and however many feeds the tail carries
-    val feed = s.read.parquet(refs: _*).select(d.keys.map(col) ++ Seq(
+    // the MV and however many feeds the tail carries — a PARTIAL
+    // view's stored predicate gates the tail rows exactly like refresh
+    val feed = d.pred.fold(s.read.parquet(refs: _*))(
+      s.read.parquet(refs: _*).filter).select(d.keys.map(col) ++ Seq(
       col("w").cast("long").as("n"),
       (col("w").cast("long") *
         when(col(d.value).isNull, 0L).otherwise(1L)).as("nn"),

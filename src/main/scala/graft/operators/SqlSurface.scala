@@ -1961,6 +1961,110 @@ object SqlSurface {
     s.sql(q).withColumn("ddl_ok", lit(ok))
   }
 
+  /** sql_mv_partial: PARTIAL (FILTERED) MATERIALIZED VIEWS — the
+    * non-key-predicate gap closed: sql_mv_filter pins that
+    * `WHERE price > 100 GROUP BY st` falls through to the base (the
+    * full view folded those rows away and holds no residual), and a
+    * view DEFINED with that predicate now serves it. `CREATE
+    * MATERIALIZED VIEW … AS SELECT st, COUNT(*), SUM(price) FROM t
+    * WHERE price > 100 GROUP BY st` stores the predicate in the view
+    * definition; create folds only the slice, every refresh filters
+    * the signed feed by the SAME predicate — exact, because
+    * membership is row-local and an update is a −old/+new pair
+    * evaluated independently (a reprice crossing the boundary folds
+    * as the membership change it is). The rewrite consumes the stored
+    * predicate from the query's conjuncts (canonicalized set
+    * containment after resolving the stored text against the SAME
+    * relation — identical attribute ids and type coercion) and gates
+    * the residual by the ordinary key-only rule. Phases: (1) the
+    * sliced dashboard + a composed `AND st = 'F'` cut serve MV-only;
+    * a different threshold, and the UNSLICED query, fall through; (2)
+    * a cdc batch crossing the boundary BOTH ways (reprices into and
+    * out of the slice, deletes, in- and out-of-slice inserts),
+    * unrefreshed → compensated serve (MV ⊕ filtered feed) == direct;
+    * (3) refresh → MV alone again. Hashed output = the sliced
+    * dashboard post-refresh; oracle replays the batch and the slice.
+    * At 100 TB: the value-predicate dashboard — previously the ONE
+    * aggregate shape that always paid the base scan — costs O(slice
+    * groups + filtered delta). */
+  def mvPartial(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "par_orders")
+    val mvLoc = freshSqlTable(s, "par_orders_mv")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.par_orders (
+      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.par_orders
+      SELECT o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    s.sql("""CREATE MATERIALIZED VIEW graft.q.par_orders_mv AS
+      SELECT st, COUNT(*) AS n, SUM(price) AS total
+      FROM graft.q.par_orders WHERE price > 100 GROUP BY st""")
+    val q = """SELECT st, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE)
+      AS total FROM graft.q.par_orders WHERE price > 100 GROUP BY st"""
+    val qCut = """SELECT st, COUNT(*) AS n FROM graft.q.par_orders
+      WHERE price > 100 AND st = 'F' GROUP BY st"""
+    val qOther = """SELECT st, COUNT(*) AS n FROM graft.q.par_orders
+      WHERE price > 50 GROUP BY st"""
+    val qAll = """SELECT st, COUNT(*) AS n FROM graft.q.par_orders
+      GROUP BY st"""
+    def rows() = s.sql(q).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, loc)
+        .filter(col("price") > 100).groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2))).toSet
+    }
+    def mvOnly(ps: Seq[String]) =
+      ps.nonEmpty && ps.forall(_.contains(s"$mvLoc/"))
+    val servedFresh = mvOnly(scanSrcsOf(s, q)) &&
+      mvOnly(scanSrcsOf(s, qCut)) &&
+      !scanSrcsOf(s, qOther).exists(_.contains(mvLoc)) &&
+      !scanSrcsOf(s, qAll).exists(_.contains(mvLoc)) &&
+      rows() == direct()
+    // the boundary-crossing batch: deletes, a reprice OUT of the slice
+    // (→ 60), a reprice further IN (+1000), a below-threshold insert
+    // (75 — must never surface) and an in-slice insert (+200)
+    graft.operators.TxnTable.applyChangesMor(s, loc,
+      s.sql("""SELECT o_orderkey, o_orderstatus AS st,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price, 'D' AS op
+        FROM orders WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, CAST(60 AS DECIMAL(12,2)), 'U'
+        FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 6 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+            AS DECIMAL(12,2)), 'U'
+        FROM orders WHERE o_orderkey % 9 = 2 AND o_orderkey % 6 <> 0
+          AND o_orderkey % 7 <> 1
+        UNION ALL
+        SELECT o_orderkey + 400000000, 'Q', CAST(75 AS DECIMAL(12,2)),
+          'U' FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey + 500000000, 'Z',
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 200
+            AS DECIMAL(12,2)), 'U'
+        FROM orders WHERE o_orderkey % 17 = 0"""),
+      "o_orderkey", cdc = true)
+    val p2 = scanSrcsOf(s, q)
+    val compensated = p2.nonEmpty &&
+      p2.forall(p => p.contains(s"$mvLoc/") ||
+        p.contains(s"$loc/_cdc")) &&
+      p2.exists(_.contains(s"$mvLoc/")) &&
+      p2.exists(_.contains(s"$loc/_cdc")) &&
+      rows() == direct() && rows().exists(_._1 == "Z") &&
+      !rows().exists(_._1 == "Q")
+    val rv = s.sql("REFRESH MATERIALIZED VIEW graft.q.par_orders_mv")
+      .collect()(0).getLong(0)
+    val servedAgain = rv >= 1L && mvOnly(scanSrcsOf(s, q)) &&
+      rows() == direct()
+    val ok = servedFresh && compensated && servedAgain
+    s.sql(q).withColumn("par_ok", lit(ok))
+  }
+
   /** op_mv_branch: BRANCH-AWARE MATERIALIZED VIEWS — a branch is a full
     * TxnTable, so an MV created ON the branch dir composes for free:
     * refresh walks the BRANCH log, and the rewrite serves

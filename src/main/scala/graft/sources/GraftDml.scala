@@ -133,7 +133,23 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     val pendingGroupingSets = hasGsets(plan) ||
       plan.subqueriesAll.exists(hasGsets)
-    if (pendingMeta || pendingGroupingSets) plan else swap(plan)
+    // a Filter whose condition is still being TYPE-COERCED (e.g.
+    // `price > 100` over DECIMAL — the literal's promotion casts land
+    // an analyzer iteration after the relation resolves): swapping the
+    // relation in that window would hide it from GraftMvRewriteRule's
+    // partial-view predicate matching forever (the rewrite needs the
+    // bare relation under the RESOLVED filter). Defer one iteration —
+    // an unresolvable filter fails analysis regardless, so this can
+    // never loop; a resolvable one resolves and the swap proceeds.
+    val pendingCoercion = plan.exists {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        !f.condition.resolved
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        !a.resolved
+      case _ => false
+    }
+    if (pendingMeta || pendingGroupingSets || pendingCoercion) plan
+    else swap(plan)
   }
 
   private def swap(plan: LogicalPlan): LogicalPlan = plan match {

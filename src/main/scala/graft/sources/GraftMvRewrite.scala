@@ -94,7 +94,10 @@ case class GraftMvRewriteRule(session: SparkSession)
     // commit vacuumed) must DISQUALIFY, never fail the user's query —
     // the base scan always remains the sound fallback
     try tryRewriteUnsafe(agg, groups, aggExprs, child)
-    catch { case scala.util.control.NonFatal(_) => None }
+    catch { case scala.util.control.NonFatal(e) =>
+      if (sys.env.contains("GRAFT_MV_DEBUG"))
+        System.err.println(s"[mvdbg] tryRewrite threw: $e")
+      None }
 
   private def tryRewriteUnsafe(agg: Aggregate, groups: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
@@ -117,27 +120,83 @@ case class GraftMvRewriteRule(session: SparkSession)
       p.references.forall(a => r.outputSet.contains(a) &&
         keys.contains(a.name)))
 
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  /** A PARTIAL view's predicate consumption: resolve the STORED
+    * predicate against the exact relation being served (analysis
+    * binds it to the same attribute ids and applies the same type
+    * coercion the query's own conjuncts got), require every stored
+    * conjunct to appear among the query's (canonicalized — AND is
+    * idempotent, so set containment is the right test), and return the
+    * RESIDUAL conjuncts for the ordinary key-only gate. None = the
+    * query does not restrict to the view's slice, or the stored
+    * predicate no longer resolves (schema drift) — fall through, the
+    * view holds only a subset of the base's rows. Full views (no
+    * pred) pass their predicates through untouched. */
+  private def partialResidual(r: DataSourceV2Relation,
+      pred: Option[String], preds: Seq[Expression])
+      : Option[Seq[Expression]] = pred match {
+    case None => Some(preds)
+    case Some(sql) =>
+      val dbg = sys.env.contains("GRAFT_MV_DEBUG")
+      val stored = try {
+        val parsed = session.sessionState.sqlParser.parseExpression(sql)
+        org.apache.spark.sql.GraftSqlBridge.ofRows(session,
+          Filter(parsed, r)).queryExecution.analyzed.collectFirst {
+            case f: Filter => conjunctsOf(f.condition)
+          }.getOrElse { if (dbg) System.err.println(
+            "[mvdbg] stored pred analyzed to NO filter"); return None }
+      } catch { case scala.util.control.NonFatal(e) =>
+        if (dbg) System.err.println(s"[mvdbg] stored pred threw: $e")
+        return None }
+      val conjs = preds.flatMap(conjunctsOf)
+      val storedSet = stored.map(_.canonicalized).toSet
+      if (!storedSet.subsetOf(conjs.map(_.canonicalized).toSet)) {
+        if (dbg) System.err.println("[mvdbg] mismatch stored=" +
+          stored.map(_.canonicalized) + " query=" +
+          conjs.map(_.canonicalized))
+        return None
+      }
+      Some(conjs.filterNot(c => storedSet.contains(c.canonicalized)))
+  }
+
   private def trySingle(groups: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val (r, preds) = relationOf(child).getOrElse(return None)
+    val dbg0 = sys.env.contains("GRAFT_MV_DEBUG")
+    val (r, preds) = relationOf(child).getOrElse {
+      if (dbg0) System.err.println("[mvdbg] trySingle: no relation in\n" +
+        child.treeString.take(600))
+      return None }
     val g = r.table match {
       case t: GraftTable => t
-      case _ => return None
+      case _ => if (dbg0) System.err.println(
+        "[mvdbg] trySingle: not a GraftTable"); return None
     }
-    val (mvLoc, d) = MatView.registeredFor(g.location).getOrElse(
-      return None)
-    // a WHERE under the aggregate is servable iff it references ONLY
-    // the MV's key columns: MV rows are exactly one row per key
-    // combination, so a key predicate selects whole groups — filtering
-    // the MV's rows answers it (the filtered-aggregate rewrite, the
+    val (mvLoc, d) = MatView.registeredFor(g.location).getOrElse {
+      if (dbg0) System.err.println(
+        s"[mvdbg] trySingle: not registered ${g.location}")
+      return None }
+    // a PARTIAL view first consumes ITS OWN predicate from the query's
+    // conjuncts (the `WHERE price > 100` dashboard served from the
+    // view that holds exactly those rows' groups); a query that does
+    // not restrict to the view's slice falls through. THEN the
+    // remaining WHERE is servable iff it references ONLY the MV's key
+    // columns: MV rows are exactly one row per key combination, so a
+    // key predicate selects whole groups — filtering the MV's rows
+    // answers it (the filtered-aggregate rewrite, the
     // `WHERE status = 'F' GROUP BY status` dashboard shape). References
     // may include key columns the query does NOT group by (the filter
     // then runs BEFORE the rollup re-aggregation). Anything touching a
     // non-key column — the value, a computed expression's source — or
     // nondeterminism/subqueries disqualifies: the MV folded those rows
     // away and holds no residual to re-check.
-    if (!relKeyPredsOk(r, d.keys, preds)) return None
+    val resid = partialResidual(r, d.pred, preds).getOrElse(return None)
+    if (!relKeyPredsOk(r, d.keys, resid)) return None
     val owned = (a: AttributeReference) => r.outputSet.contains(a)
     serve(groups, aggExprs, d.keys, d.value, d.aggs, owned, owned, {
       // FRESHNESS BY THE LOG, against the relation's PINNED version. A
@@ -157,8 +216,8 @@ case class GraftMvRewriteRule(session: SparkSession)
       if (dEff.base != g.location) None
       else if (cursor > g.pinnedVersion) None
       else MatView.compensated(session, mvLoc, dEff, cursor,
-        g.pinnedVersion, mvVer, keyBounds(preds))
-        .map(applyKeyPreds(_, preds))
+        g.pinnedVersion, mvVer, keyBounds(resid))
+        .map(applyKeyPreds(_, resid))
     })
   }
 
@@ -876,7 +935,11 @@ case class GraftMvRewriteRule(session: SparkSession)
         r.outputSet.contains(a) && d.keys.contains(a.name)
       val keyNames = keyNamesIf(owned).getOrElse(return None)
       if (dcols.exists(c => d.keys.contains(s"gdc_$c"))) return None
-      if (!relKeyPredsOk(r, d.keys, preds)) return None
+      // a PARTIAL view consumes its own predicate first (trySingle's
+      // rule, identically)
+      val resid = partialResidual(r, d.pred, preds).getOrElse(
+        return None)
+      if (!relKeyPredsOk(r, d.keys, resid)) return None
       val relOwned = (a: AttributeReference) => r.outputSet.contains(a)
       if (!aggExprs.forall(foldAnswerable(d.keys, d.value, d.aggs,
         relOwned, relOwned))) return None
@@ -886,8 +949,8 @@ case class GraftMvRewriteRule(session: SparkSession)
       if (dEff.base != g.location) return None
       if (cursor > g.pinnedVersion) return None
       val mvDf0 = MatView.compensated(session, mvLoc, dEff, cursor,
-        g.pinnedVersion, mvVer, keyBounds(preds))
-        .map(applyKeyPreds(_, preds)).getOrElse(return None)
+        g.pinnedVersion, mvVer, keyBounds(resid))
+        .map(applyKeyPreds(_, resid)).getOrElse(return None)
       serveGroupingSets(gs, keyNames, aggExprs, foldGsNames(dcols),
         rollupAgg(_, _, dcols), foldArm, mvDf0)
     }

@@ -123,9 +123,10 @@ object GraftSqlParser {
 
   /** The defining query's shape, read off the UNRESOLVED tree:
     * (grouping key names, aggregate function → bare-column arg pairs,
-    * the FROM tree). */
+    * the FROM tree, the WHERE clause's SQL — a PARTIAL view). */
   private case class MvShape(keys: Seq[String],
-      aggs: Seq[(String, Option[String])], from: LogicalPlan)
+      aggs: Seq[(String, Option[String])], from: LogicalPlan,
+      pred: Option[String])
 
   private def shapeOf(parsed: LogicalPlan): MvShape = strip(parsed) match {
     case a: Aggregate =>
@@ -161,7 +162,15 @@ object GraftSqlParser {
       })
       require(aggs.nonEmpty, "CREATE MATERIALIZED VIEW: the defining " +
         "query declares no aggregate")
-      MvShape(keys, aggs, strip(a.child))
+      // a WHERE between the aggregate and the FROM makes the view
+      // PARTIAL — the predicate's SQL text is the stored membership
+      // rule (round-trips through parseExpression at create/serve)
+      strip(a.child) match {
+        case org.apache.spark.sql.catalyst.plans.logical
+            .Filter(cond, inner) =>
+          MvShape(keys, aggs, strip(inner), Some(cond.sql))
+        case other => MvShape(keys, aggs, other, None)
+      }
     case other => fail("CREATE MATERIALIZED VIEW: the defining query " +
       "must be a GROUP BY aggregate (got " +
       s"${other.getClass.getSimpleName})")
@@ -239,10 +248,15 @@ object GraftSqlParser {
         case _: UnresolvedRelation if fnNames.subsetOf(FoldFns) =>
           val base = locOf(relName(shape.from))
           val created = MatView.create(s, mvLoc, base, shape.keys, value,
-            shape.aggs.map(_._1).distinct)
+            shape.aggs.map(_._1).distinct, shape.pred)
           MatView.register(s, mvLoc)
           created
         case _: UnresolvedRelation if fnNames.subsetOf(ExtremaFns) =>
+          if (shape.pred.isDefined)
+            fail("CREATE MATERIALIZED VIEW: partial (WHERE) extrema " +
+              "views are not maintainable — the dirty-group recompute " +
+              "would need the predicate's slice of the base; fold a " +
+              "count/sum/avg partial view, or drop the WHERE")
           val base = locOf(relName(shape.from))
           val created = MatView.createExtrema(s, mvLoc, base, shape.keys,
             value)
@@ -256,6 +270,10 @@ object GraftSqlParser {
           if (!fnNames.subsetOf(FoldFns))
             fail("CREATE MATERIALIZED VIEW: a join view folds " +
               "count/sum/avg only")
+          if (shape.pred.isDefined)
+            fail("CREATE MATERIALIZED VIEW: partial (WHERE) join " +
+              "views are not supported — key-only predicates are " +
+              "served from the full star view at query time instead")
           val (rels, conds) = flatJoin(j).getOrElse(
             fail("CREATE MATERIALIZED VIEW: the FROM tree must be " +
               "plain INNER joins of tables"))

@@ -1826,6 +1826,79 @@ class MatViewSpec extends SparkSpec {
       "post-shadowing dim-owned serve diverged")
   }
 
+  test("partial (filtered) MV: boundary-crossing updates fold exactly; " +
+      "create refuses nondeterministic and subquery predicates; only " +
+      "slice-restricted queries serve") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.pslice")
+    s.sql("CREATE TABLE graft.mvspec.pslice (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.pslice SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'A' ELSE 'B' END, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(100)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/pslice"
+    val mv = fresh("mv_pslice_view")
+    // predicate validation: nondeterminism and subqueries refuse
+    val eRand = intercept[IllegalArgumentException] {
+      MatView.create(spark, fresh("mv_pbad1"), loc, Seq("g"), "v",
+        Seq("count", "sum"), Some("v > rand() * 100"))
+    }
+    assert(eRand.getMessage.contains("nondeterministic"),
+      eRand.getMessage)
+    val eSub = intercept[IllegalArgumentException] {
+      MatView.create(spark, fresh("mv_pbad2"), loc, Seq("g"), "v",
+        Seq("count", "sum"), Some("v > (SELECT 1)"))
+    }
+    assert(eSub.getMessage.contains("subquery"), eSub.getMessage)
+    MatView.create(spark, mv, loc, Seq("g"), "v", Seq("count", "sum"),
+      Some("v > 50"))
+    assert(MatView.readDef(spark, mv).pred === Some("v > 50"),
+      "the predicate must persist in the definition")
+    MatView.register(spark, mv)
+    val q = "SELECT g, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS t " +
+      "FROM graft.mvspec.pslice WHERE v > 50 GROUP BY g"
+    def got() = s.sql(q).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def direct() = TxnTable.snapshot(spark, loc).filter(col("v") > 50)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    assert(planServedFrom(s.sql(q), mv), "the sliced query must serve")
+    assert(got() === direct(), "fresh partial serve diverged")
+    // slice + key filter composes; wrong slice and no slice fall
+    // through (the view holds only a subset of the base's rows)
+    assert(planServedFrom(s.sql("SELECT g, COUNT(*) AS n FROM " +
+      "graft.mvspec.pslice WHERE v > 50 AND g = 'A' GROUP BY g"), mv))
+    assert(!planServedFrom(s.sql("SELECT g, COUNT(*) AS n FROM " +
+      "graft.mvspec.pslice WHERE v > 40 GROUP BY g"), mv),
+      "a different threshold must fall through")
+    assert(!planServedFrom(s.sql("SELECT g, COUNT(*) AS n FROM " +
+      "graft.mvspec.pslice GROUP BY g"), mv),
+      "the unsliced query must fall through")
+    // the boundary-crossing wave: k%10=3 reprices to 200 (into the
+    // slice for k<50), k%10=7 to 10 (out of it for k>57), k%9=0
+    // deletes — each −old/+new side evaluated independently
+    TxnTable.applyChangesMor(spark, loc,
+      s.sql("SELECT k, g, v, 'D' AS op FROM graft.mvspec.pslice " +
+        "WHERE k % 9 = 0 UNION ALL " +
+        "SELECT k, g, CAST(200 AS DECIMAL(12,2)), 'U' " +
+        "FROM graft.mvspec.pslice WHERE k % 10 = 3 AND k % 9 <> 0 " +
+        "UNION ALL " +
+        "SELECT k, g, CAST(10 AS DECIMAL(12,2)), 'U' " +
+        "FROM graft.mvspec.pslice WHERE k % 10 = 7 AND k % 9 <> 0"),
+      "k", cdc = true)
+    // stale: compensated from MV ⊕ pred-filtered feed, exact
+    assert(got() === direct(), "compensated partial serve diverged")
+    val r = MatView.refresh(spark, mv)
+    assert(r.commitsFolded === 1)
+    assert(planServedFrom(s.sql(q), mv), "post-refresh must serve")
+    assert(got() === direct(), "refreshed partial view diverged")
+  }
+
   test("CREATE/REFRESH MATERIALIZED VIEW DDL: kind dispatch (fold/" +
       "extrema/star) from the defining query, loud shape refusals, " +
       "delegation leaves every other statement untouched") {
