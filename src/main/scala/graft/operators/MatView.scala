@@ -1724,9 +1724,13 @@ object MatView {
     kind match {
       case "fold" =>
         val d = readDef(s, mv)
-        val (dEff, _) = effectiveDef(s, mv, d,
-          TxnTable.currentVersion(s, mv))
-        Seq(d.base, dEff.base).distinct.foreach(b =>
+        // the transplant-retargeted base is a BEST-EFFORT extra key: a
+        // view whose cursor commits were all vacuumed (exactly the
+        // broken view most in need of dropping) must still drop — fall
+        // back to the definition's own base
+        val effBase = scala.util.Try(effectiveDef(s, mv, d,
+          TxnTable.currentVersion(s, mv))._1.base).getOrElse(d.base)
+        Seq(d.base, effBase).distinct.foreach(b =>
           registry.computeIfPresent(b,
             (_, cur) => if (cur._1 == mv) null else cur))
       case "join" =>
@@ -1739,7 +1743,12 @@ object MatView {
         extremaRegistry.computeIfPresent(d.base,
           (_, cur) => if (cur._1 == mv) null else cur)
     }
-    graft.Fs.deleteRecursively(mv)
+    // through the Hadoop FileSystem like every other MatView/TxnTable
+    // path operation — a java.io delete would silently no-op on a
+    // non-local warehouse and leave a "successful" drop fully on disk
+    val p = new Path(mv)
+    require(fs(s, p).delete(p, true),
+      s"$mv: the filesystem refused the recursive delete")
     kind
   }
 

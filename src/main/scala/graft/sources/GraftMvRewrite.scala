@@ -95,9 +95,7 @@ case class GraftMvRewriteRule(session: SparkSession)
     // the base scan always remains the sound fallback
     try tryRewriteUnsafe(agg, groups, aggExprs, child)
     catch { case scala.util.control.NonFatal(e) =>
-      if (sys.env.contains("GRAFT_MV_DEBUG"))
-        System.err.println(s"[mvdbg] tryRewrite threw: $e")
-      None }
+      debug(s"tryRewrite threw: $e"); None }
 
   private def tryRewriteUnsafe(agg: Aggregate, groups: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
@@ -126,6 +124,13 @@ case class GraftMvRewriteRule(session: SparkSession)
     case x => Seq(x)
   }
 
+  /** Opt-in rewrite diagnostics (GRAFT_MV_DEBUG=1): why an attempt
+    * fell through, on stderr — read once, not per analyzer
+    * iteration. */
+  private val mvDebug = sys.env.contains("GRAFT_MV_DEBUG")
+  private def debug(msg: => String): Unit =
+    if (mvDebug) System.err.println(s"[mvdbg] $msg")
+
   /** A PARTIAL view's predicate consumption: resolve the STORED
     * predicate against the exact relation being served (analysis
     * binds it to the same attribute ids and applies the same type
@@ -141,24 +146,25 @@ case class GraftMvRewriteRule(session: SparkSession)
       pred: Option[String], preds: Seq[Expression])
       : Option[Seq[Expression]] = pred match {
     case None => Some(preds)
+    // no WHERE at all can never cover the stored predicate: skip the
+    // nested analysis (which on a tombstoned base also pays the MoR
+    // snapshot construction) before doing any work
+    case Some(_) if preds.isEmpty => None
     case Some(sql) =>
-      val dbg = sys.env.contains("GRAFT_MV_DEBUG")
       val stored = try {
         val parsed = session.sessionState.sqlParser.parseExpression(sql)
         org.apache.spark.sql.GraftSqlBridge.ofRows(session,
           Filter(parsed, r)).queryExecution.analyzed.collectFirst {
             case f: Filter => conjunctsOf(f.condition)
-          }.getOrElse { if (dbg) System.err.println(
-            "[mvdbg] stored pred analyzed to NO filter"); return None }
+          }.getOrElse {
+            debug("stored pred analyzed to NO filter"); return None }
       } catch { case scala.util.control.NonFatal(e) =>
-        if (dbg) System.err.println(s"[mvdbg] stored pred threw: $e")
-        return None }
+        debug(s"stored pred threw: $e"); return None }
       val conjs = preds.flatMap(conjunctsOf)
       val storedSet = stored.map(_.canonicalized).toSet
       if (!storedSet.subsetOf(conjs.map(_.canonicalized).toSet)) {
-        if (dbg) System.err.println("[mvdbg] mismatch stored=" +
-          stored.map(_.canonicalized) + " query=" +
-          conjs.map(_.canonicalized))
+        debug("partial mismatch stored=" + stored.map(_.canonicalized) +
+          " query=" + conjs.map(_.canonicalized))
         return None
       }
       Some(conjs.filterNot(c => storedSet.contains(c.canonicalized)))
@@ -167,19 +173,15 @@ case class GraftMvRewriteRule(session: SparkSession)
   private def trySingle(groups: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val dbg0 = sys.env.contains("GRAFT_MV_DEBUG")
     val (r, preds) = relationOf(child).getOrElse {
-      if (dbg0) System.err.println("[mvdbg] trySingle: no relation in\n" +
-        child.treeString.take(600))
+      debug("trySingle: no relation in\n" + child.treeString.take(600))
       return None }
     val g = r.table match {
       case t: GraftTable => t
-      case _ => if (dbg0) System.err.println(
-        "[mvdbg] trySingle: not a GraftTable"); return None
+      case _ => debug("trySingle: not a GraftTable"); return None
     }
     val (mvLoc, d) = MatView.registeredFor(g.location).getOrElse {
-      if (dbg0) System.err.println(
-        s"[mvdbg] trySingle: not registered ${g.location}")
+      debug(s"trySingle: not registered ${g.location}")
       return None }
     // a PARTIAL view first consumes ITS OWN predicate from the query's
     // conjuncts (the `WHERE price > 100` dashboard served from the
@@ -232,12 +234,8 @@ case class GraftMvRewriteRule(session: SparkSession)
     * predicate still applies as [[applyKeyPreds]]' residual. Strict
     * `<`/`>` keep the closed endpoint — a superset, never a miss. */
   private def keyBounds(preds: Seq[Expression]): MatView.KeyBounds = {
-    import org.apache.spark.sql.catalyst.expressions.{And, In,
+    import org.apache.spark.sql.catalyst.expressions.{In,
       GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
     // the analyzer wraps a literal narrower than the column in a Cast
     // (`h >= 2` over BIGINT h arrives as `h >= cast(2 as bigint)`);
     // fold it here — the optimizer's ConstantFolding runs later
@@ -279,7 +277,7 @@ case class GraftMvRewriteRule(session: SparkSession)
       longOf(l).foreach(v => narrowI(a.name, v, Long.MaxValue))
     def high(a: AttributeReference, l: Literal): Unit =
       longOf(l).foreach(v => narrowI(a.name, Long.MinValue, v))
-    preds.flatMap(conjuncts).foreach {
+    preds.flatMap(conjunctsOf).foreach {
       case EqualTo(a: AttributeReference, Lit(l)) => point(a, l)
       case EqualTo(Lit(l), a: AttributeReference) => point(a, l)
       case In(a: AttributeReference, es)

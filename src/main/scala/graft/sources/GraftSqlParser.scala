@@ -164,11 +164,19 @@ object GraftSqlParser {
         "query declares no aggregate")
       // a WHERE between the aggregate and the FROM makes the view
       // PARTIAL — the predicate's SQL text is the stored membership
-      // rule (round-trips through parseExpression at create/serve)
+      // rule (round-trips through parseExpression at create/serve).
+      // Qualifiers strip to the BARE column name: the stored text is
+      // re-resolved against the base snapshot and the served relation,
+      // neither of which carries the query's alias (`x.price > 100`
+      // must store as `price > 100`)
       strip(a.child) match {
         case org.apache.spark.sql.catalyst.plans.logical
             .Filter(cond, inner) =>
-          MvShape(keys, aggs, strip(inner), Some(cond.sql))
+          val bare = cond.transform {
+            case u: UnresolvedAttribute =>
+              UnresolvedAttribute(Seq(u.nameParts.last))
+          }
+          MvShape(keys, aggs, strip(inner), Some(bare.sql))
         case other => MvShape(keys, aggs, other, None)
       }
     case other => fail("CREATE MATERIALIZED VIEW: the defining query " +
