@@ -1714,6 +1714,22 @@ object MatView {
   private[graft] def registeredExtremaFor(base: String)
       : Option[(String, MvExtremaDef)] = Option(extremaRegistry.get(base))
 
+  /** Every view REGISTERED for the transparent rewrite in this
+    * session, across the three kinds — the SHOW MATERIALIZED VIEWS
+    * listing: (view location, kind, base/fact location). Session
+    * state by design: the durable inventory is the per-table
+    * `.matviews` metadata table; this answers "what can the rewrite
+    * serve RIGHT NOW". */
+  def registered(): Seq[(String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    (registry.asScala.toSeq.map { case (b, (mv, _)) =>
+      (mv, "fold", b) } ++
+      joinRegistry.asScala.toSeq.map { case (_, (mv, d)) =>
+        (mv, "join", d.fact) } ++
+      extremaRegistry.asScala.toSeq.map { case (b, (mv, _)) =>
+        (mv, "extrema", b) }).sortBy(_._1)
+  }
+
   /** DROP the materialized view: deregister it from the transparent
     * rewrite (only the entry THIS view owns — a different view
     * registered for the same base stays), then delete its directory.

@@ -55,6 +55,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         CreateMatViewCommand(ident.trim, select.trim, delegate)
       case RefreshMv(ident) => RefreshMatViewCommand(ident.trim)
       case DropMv(ident) => DropMatViewCommand(ident.trim)
+      case ShowMv() => ShowMatViewsCommand()
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -86,6 +87,8 @@ object GraftSqlParser {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([`\w.]+)\s*;?\s*""".r
   private val DropMv =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+([`\w.]+)\s*;?\s*""".r
+  private val ShowMv =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*""".r
 
   private val CatName = "graft"
 
@@ -355,6 +358,20 @@ object GraftSqlParser {
       stripCat(r.multipartIdentifier).mkString(".")
     case other => fail("CREATE MATERIALIZED VIEW: expected a table, " +
       s"got ${other.getClass.getSimpleName}")
+  }
+
+  /** SHOW MATERIALIZED VIEWS: every view the transparent rewrite can
+    * serve right now (session registry, all three kinds) — the durable
+    * per-table inventory stays the `.matviews` metadata table. */
+  case class ShowMatViewsCommand() extends LeafRunnableCommand {
+    private val str = org.apache.spark.sql.types.StringType
+    override val output: Seq[Attribute] = Seq(
+      AttributeReference("view", str, nullable = false)(),
+      AttributeReference("kind", str, nullable = false)(),
+      AttributeReference("base", str, nullable = false)())
+    override def run(s: SparkSession): Seq[Row] =
+      MatView.registered().map { case (mv, kind, base) =>
+        Row(mv, kind, base) }
   }
 
   /** DROP MATERIALIZED VIEW: deregister from the rewrite, delete the

@@ -1897,6 +1897,18 @@ class MatViewSpec extends SparkSpec {
     assert(r.commitsFolded === 1)
     assert(planServedFrom(s.sql(q), mv), "post-refresh must serve")
     assert(got() === direct(), "refreshed partial view diverged")
+    // the DDL path with an ALIAS-QUALIFIED predicate: the stored text
+    // strips to the bare column, so it re-resolves against both the
+    // unaliased base snapshot (create) and the served relation
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.pslice_ddl")
+    s.sql("CREATE MATERIALIZED VIEW graft.mvspec.pslice_ddl AS " +
+      "SELECT g, COUNT(*) AS n, SUM(v) AS t " +
+      "FROM graft.mvspec.pslice x WHERE x.v > 50 GROUP BY g")
+    val mvDdl = s"${GraftCatalog.defaultWarehouse}/mvspec/pslice_ddl"
+    assert(MatView.readDef(spark, mvDdl).pred === Some("(v > 50)"),
+      "the DDL predicate must store qualifier-free")
+    assert(s.sql("DROP MATERIALIZED VIEW graft.mvspec.pslice_ddl")
+      .collect()(0).getString(0) === "fold")
   }
 
   test("CREATE/REFRESH MATERIALIZED VIEW DDL: kind dispatch (fold/" +
@@ -1966,11 +1978,19 @@ class MatViewSpec extends SparkSpec {
     // must NOT be intercepted)
     assert(s.sql("SELECT 'CREATE MATERIALIZED VIEW nope AS x' AS t")
       .collect()(0).getString(0).startsWith("CREATE"))
+    // SHOW lists the session-servable views with their kinds
+    val shown = s.sql("SHOW MATERIALIZED VIEWS").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(shown.contains((mvLoc, "join")),
+      s"SHOW must list the DDL-created star view, got $shown")
     // DROP completes the lifecycle: deregisters (the query returns to
     // the base join) and deletes the view's data; a second drop — or
     // refreshing the dropped view — refuses
     assert(s.sql("DROP MATERIALIZED VIEW graft.mvspec.ddl_star")
       .collect()(0).getString(0) === "join")
+    assert(!s.sql("SHOW MATERIALIZED VIEWS").collect()
+      .exists(_.getString(0) == mvLoc),
+      "a dropped view must leave the SHOW listing")
     assert(!planServedFrom(s.sql("SELECT seg, COUNT(*) AS n " +
       "FROM graft.mvspec.ddlf f JOIN graft.mvspec.ddld d " +
       "ON f.fk = d.pk GROUP BY seg"), mvLoc),
