@@ -1734,7 +1734,12 @@ object MatView {
     * rewrite (only the entry THIS view owns — a different view
     * registered for the same base stays), then delete its directory.
     * The deregistration happens FIRST so no query window can plan
-    * against files being deleted under it. Returns the view's kind. */
+    * against files being deleted under it. Registration is
+    * LATEST-WINS per base, so dropping the latest view leaves an
+    * earlier view over the same base UNREGISTERED — the remedy is one
+    * idempotent [[register]] of the survivor (spec-pinned); drop
+    * cannot restore it because the registry keeps no history.
+    * Returns the view's kind. */
   def drop(s: SparkSession, mv: String): String = {
     val kind = kindOf(s, mv) // refuses loudly when mv is not a view
     kind match {

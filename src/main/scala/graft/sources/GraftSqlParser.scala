@@ -360,18 +360,39 @@ object GraftSqlParser {
       s"got ${other.getClass.getSimpleName}")
   }
 
-  /** SHOW MATERIALIZED VIEWS: every view the transparent rewrite can
-    * serve right now (session registry, all three kinds) — the durable
-    * per-table inventory stays the `.matviews` metadata table. */
+  /** SHOW MATERIALIZED VIEWS: every view REGISTERED with the
+    * transparent rewrite in this session (all three kinds). View and
+    * base render as CATALOG IDENTIFIERS when they live under the
+    * warehouse — the spelling DROP/REFRESH accept — and as raw
+    * locations otherwise (API-created views at scratch paths).
+    * `defined` probes whether the view's definition still reads: a
+    * registry entry whose directory was dropped out-of-band lists
+    * false here (the rewrite disqualifies it per query) instead of
+    * masquerading as servable. Deep freshness/servability stays the
+    * per-table `.matviews` metadata table's job. */
   case class ShowMatViewsCommand() extends LeafRunnableCommand {
     private val str = org.apache.spark.sql.types.StringType
     override val output: Seq[Attribute] = Seq(
       AttributeReference("view", str, nullable = false)(),
       AttributeReference("kind", str, nullable = false)(),
-      AttributeReference("base", str, nullable = false)())
-    override def run(s: SparkSession): Seq[Row] =
+      AttributeReference("base", str, nullable = false)(),
+      AttributeReference("defined",
+        org.apache.spark.sql.types.BooleanType, nullable = false)())
+    override def run(s: SparkSession): Seq[Row] = {
+      val wh = GraftCatalog.defaultWarehouse
+      def render(loc: String): String =
+        if (loc.startsWith(s"$wh/"))
+          s"$CatName." + loc.stripPrefix(s"$wh/").replace('/', '.')
+        else loc
       MatView.registered().map { case (mv, kind, base) =>
-        Row(mv, kind, base) }
+        val defined = scala.util.Try(kind match {
+          case "fold" => MatView.readDef(s, mv)
+          case "join" => MatView.readJoinDef(s, mv)
+          case _ => MatView.readExtremaDef(s, mv)
+        }).isSuccess
+        Row(render(mv), kind, render(base), defined)
+      }
+    }
   }
 
   /** DROP MATERIALIZED VIEW: deregister from the rewrite, delete the

@@ -1909,6 +1909,15 @@ class MatViewSpec extends SparkSpec {
       "the DDL predicate must store qualifier-free")
     assert(s.sql("DROP MATERIALIZED VIEW graft.mvspec.pslice_ddl")
       .collect()(0).getString(0) === "fold")
+    // register is LATEST-WINS per base: creating pslice_ddl evicted
+    // mv's registration, and dropping it removed its own — the remedy
+    // after dropping the latest view is one idempotent re-register of
+    // the survivor
+    assert(!planServedFrom(s.sql(q), mv),
+      "after the latest view dropped, the base has no registration")
+    MatView.register(spark, mv)
+    assert(planServedFrom(s.sql(q), mv) && got() === direct(),
+      "re-registering the surviving view restores the serve")
   }
 
   test("CREATE/REFRESH MATERIALIZED VIEW DDL: kind dispatch (fold/" +
@@ -1978,18 +1987,21 @@ class MatViewSpec extends SparkSpec {
     // must NOT be intercepted)
     assert(s.sql("SELECT 'CREATE MATERIALIZED VIEW nope AS x' AS t")
       .collect()(0).getString(0).startsWith("CREATE"))
-    // SHOW lists the session-servable views with their kinds
+    // SHOW lists the session-registered views with their kinds, as
+    // CATALOG identifiers (the spelling DROP/REFRESH accept), and
+    // probes that each definition still reads
     val shown = s.sql("SHOW MATERIALIZED VIEWS").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(shown.contains((mvLoc, "join")),
-      s"SHOW must list the DDL-created star view, got $shown")
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(3))).toSet
+    assert(shown.contains(("graft.mvspec.ddl_star", "join", true)),
+      s"SHOW must list the DDL-created star view by identifier, " +
+        s"got $shown")
     // DROP completes the lifecycle: deregisters (the query returns to
     // the base join) and deletes the view's data; a second drop — or
     // refreshing the dropped view — refuses
     assert(s.sql("DROP MATERIALIZED VIEW graft.mvspec.ddl_star")
       .collect()(0).getString(0) === "join")
     assert(!s.sql("SHOW MATERIALIZED VIEWS").collect()
-      .exists(_.getString(0) == mvLoc),
+      .exists(_.getString(0) == "graft.mvspec.ddl_star"),
       "a dropped view must leave the SHOW listing")
     assert(!planServedFrom(s.sql("SELECT seg, COUNT(*) AS n " +
       "FROM graft.mvspec.ddlf f JOIN graft.mvspec.ddld d " +
