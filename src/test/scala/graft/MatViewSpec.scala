@@ -1897,6 +1897,18 @@ class MatViewSpec extends SparkSpec {
     assert(r.commitsFolded === 1)
     assert(planServedFrom(s.sql(q), mv), "post-refresh must serve")
     assert(got() === direct(), "refreshed partial view diverged")
+    // distinct counts COMPOSE with the slice for free (the partial
+    // consumption runs before the ordinary fold gates): COUNT(DISTINCT
+    // key) over the sliced query answers from the partial view's own
+    // rows
+    val qd = "SELECT COUNT(DISTINCT g) AS dg FROM graft.mvspec.pslice " +
+      "WHERE v > 50"
+    assert(planServedFrom(s.sql(qd), mv),
+      "sliced COUNT(DISTINCT key) must serve from the partial view")
+    assert(s.sql(qd).collect()(0).getLong(0) ===
+      TxnTable.snapshot(spark, loc).filter(col("v") > 50)
+        .select(col("g")).distinct().count(),
+      "sliced distinct count diverged")
     // the DDL path with an ALIAS-QUALIFIED predicate: the stored text
     // strips to the bare column, so it re-resolves against both the
     // unaliased base snapshot (create) and the served relation
