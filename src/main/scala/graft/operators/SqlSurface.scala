@@ -2061,7 +2061,22 @@ object SqlSurface {
       .collect()(0).getLong(0)
     val servedAgain = rv >= 1L && mvOnly(scanSrcsOf(s, q)) &&
       rows() == direct()
-    val ok = servedFresh && compensated && servedAgain
+    // the GLOBAL COUNT(DISTINCT key) over the sliced query resolves an
+    // analyzer iteration late (GlobalAggregates converts the Project
+    // after the filter coerces), so it used to lose the relation to
+    // the merge-on-read swap and pay the base scan; the rewrite now
+    // sees THROUGH the swap via its provenance tag — pin the plan root
+    // AND answer-equality against the direct snapshot
+    val qd = """SELECT COUNT(DISTINCT st) AS dst
+      FROM graft.q.par_orders WHERE price > 100"""
+    val servedDistinct = mvOnly(scanSrcsOf(s, qd)) && {
+      import org.apache.spark.sql.functions.col
+      s.sql(qd).collect()(0).getLong(0) ==
+        graft.operators.TxnTable.snapshot(s, loc)
+          .filter(col("price") > 100).select(col("st"))
+          .distinct().count()
+    }
+    val ok = servedFresh && compensated && servedAgain && servedDistinct
     s.sql(q).withColumn("par_ok", lit(ok))
   }
 

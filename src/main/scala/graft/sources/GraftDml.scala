@@ -75,6 +75,26 @@ case class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   * and column pruning still apply to the underlying parquet relations
   * through Catalyst. The scan-builder refusal remains as the loud
   * backstop for paths that bypass analysis. */
+object GraftMorReadRule {
+  /** Provenance of a merge-on-read swap: the swapped snapshot plan's
+    * root Project carries the RELATION it replaced, so a downstream
+    * analysis rule (the MV rewrite) can recognize the table through
+    * the swap regardless of which analyzer iteration each node
+    * resolved in. This is what makes rule ORDER irrelevant for
+    * rewrite eligibility: a query shape that resolves an iteration
+    * after the relation (global aggregates via GlobalAggregates,
+    * grouping sets via ResolveGroupingAnalytics, type-coerced
+    * predicates) no longer loses the relation to the swap — the
+    * rewrite sees through it. The tag lives on the root Project only;
+    * analyzer rules rebuild PARENTS and reuse resolved children by
+    * reference, so it survives until the rewrite fires or the plan
+    * executes (where an unread tag is inert). */
+  val SwappedFrom: org.apache.spark.sql.catalyst.trees.TreeNodeTag[
+    DataSourceV2Relation] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag(
+      "graft.morSwappedFrom")
+}
+
 case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.Alias
 
@@ -108,47 +128,16 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
             u.nameParts.headOption.exists(_.equalsIgnoreCase("_metadata"))
           case _ => false
         }))
-    // grouping analytics (ROLLUP/CUBE/GROUPING SETS) resolve one
-    // analyzer iteration AFTER the relation does: swapping the relation
-    // in that window would hide it from GraftMvRewriteRule's
-    // grouping-sets branch forever (the rewrite needs the bare relation
-    // under the resolved Expand). Defer the swap until
-    // ResolveGroupingAnalytics has rewritten the aggregate — one extra
-    // iteration, after which either the MV rewrite served the query or
-    // the swap below proceeds exactly as before.
-    // The walk covers SUBQUERY plans too (subqueriesAll): a
-    // grouping-sets aggregate inside a scalar/IN subquery defers the
-    // swap exactly like one in the main tree, so the deferral contract
-    // already matches a future subquery-aware rewrite (today the
-    // rewrite never fires inside subqueries — the swap is the correct
-    // MoR read either way; this keeps the two walks from diverging).
-    def hasGsets(p: LogicalPlan): Boolean = p.exists {
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-        a.groupingExpressions.exists(_.exists {
-          case _: org.apache.spark.sql.catalyst.expressions
-              .BaseGroupingSets => true
-          case _ => false
-        })
-      case _ => false
-    }
-    val pendingGroupingSets = hasGsets(plan) ||
-      plan.subqueriesAll.exists(hasGsets)
-    // a Filter whose condition is still being TYPE-COERCED (e.g.
-    // `price > 100` over DECIMAL — the literal's promotion casts land
-    // an analyzer iteration after the relation resolves): swapping the
-    // relation in that window would hide it from GraftMvRewriteRule's
-    // partial-view predicate matching forever (the rewrite needs the
-    // bare relation under the RESOLVED filter). Defer one iteration —
-    // an unresolvable filter fails analysis regardless, so this can
-    // never loop; a resolvable one resolves and the swap proceeds.
-    val pendingCoercion = plan.exists {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        !f.condition.resolved
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-        !a.resolved
-      case _ => false
-    }
-    if (pendingMeta || pendingGroupingSets || pendingCoercion) plan
+    // NO OTHER DEFERRAL: query shapes that resolve an iteration after
+    // the relation (grouping analytics, type-coerced predicates,
+    // global aggregates via GlobalAggregates) used to need the swap
+    // held back so GraftMvRewriteRule could still see the bare
+    // relation — a per-shape race that was lost the moment a new late
+    // shape appeared (the global COUNT(DISTINCT) regression). The swap
+    // now stamps its provenance ([[GraftMorReadRule.SwappedFrom]]) and
+    // the rewrite sees THROUGH it, so rule order is irrelevant and the
+    // swap fires as soon as the relation itself is sound to replace.
+    if (pendingMeta) plan
     else swap(plan)
   }
 
@@ -173,7 +162,7 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         val child = snap.queryExecution.analyzed
         val byName = child.output.map(a => a.name -> a).toMap
         import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Literal => CatLit}
-        Project(r.output.map { a =>
+        val proj = Project(r.output.map { a =>
           if (isGraftMetaCol(a))
             Alias(CreateNamedStruct(Seq(
               CatLit("file_path"), byName("__gcanon"),
@@ -181,6 +170,8 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
               a.name)(exprId = a.exprId)
           else Alias(byName(a.name), a.name)(exprId = a.exprId)
         }, child)
+        proj.setTagValue(GraftMorReadRule.SwappedFrom, r)
+        proj
       // tombstoned AND column-mapped snapshots both need the library
       // read plan: the former to anti-join deletes, the latter to
       // request PHYSICAL file columns and project to logical names
@@ -191,8 +182,10 @@ case class GraftMorReadRule(session: SparkSession) extends Rule[LogicalPlan] {
         val byName = child.output.map(a => a.name -> a).toMap
         // preserve the relation's attribute ids: downstream operators
         // were resolved against them
-        Project(r.output.map(a =>
+        val proj = Project(r.output.map(a =>
           Alias(byName(a.name), a.name)(exprId = a.exprId)), child)
+        proj.setTagValue(GraftMorReadRule.SwappedFrom, r)
+        proj
       case _ => r
     }
     case other => other.mapChildren(swap)

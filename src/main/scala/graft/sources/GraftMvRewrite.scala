@@ -84,6 +84,17 @@ case class GraftMvRewriteRule(session: SparkSession)
       case Filter(cond, child) =>
         relationOf(child).map { case (r, ps) => (r, cond +: ps) }
       case r: DataSourceV2Relation => Some((r, Nil))
+      // a merge-on-read swap that already replaced the relation: the
+      // swapped plan's root carries its source-relation provenance
+      // ([[GraftMorReadRule.SwappedFrom]]), and the swap preserved the
+      // relation's attribute ids — so predicates above still reference
+      // the stashed relation's own attributes and every ownership /
+      // freshness check binds identically. This is what makes analyzer
+      // rule ORDER irrelevant: a query shape that resolves an
+      // iteration late (global aggregates, grouping sets) no longer
+      // pays the base scan just because the swap won the race.
+      case proj: Project =>
+        proj.getTagValue(GraftMorReadRule.SwappedFrom).map((_, Nil))
       case _ => None
     }
 
@@ -349,6 +360,12 @@ case class GraftMvRewriteRule(session: SparkSession)
         (rr, rc, rp) <- flattenJoin(j.right)
       } yield (lr ++ rr, splitConjuncts(cond) ++ lc ++ rc, lp ++ rp)
     case r: DataSourceV2Relation => Some((Seq(r), Nil, Nil))
+    // a MoR-swapped relation, recovered from its provenance tag — the
+    // same see-through [[relationOf]] applies (attribute ids are
+    // preserved by the swap, so join conditions above bind unchanged)
+    case proj: Project =>
+      proj.getTagValue(GraftMorReadRule.SwappedFrom)
+        .map(r => (Seq(r), Nil, Nil))
     case _ => None
   }
 
