@@ -82,6 +82,7 @@ object SparkEntry {
     "sql_mv_extrema"          -> (SqlSurface.mvExtrema _),
     "sql_mv_star"             -> (SqlSurface.mvStar _),
     "sql_mv_star_scd"         -> (SqlSurface.mvStarScd _),
+    "sql_mv_star_live"        -> (SqlSurface.mvStarLive _),
     "sql_mv_fact2"            -> (SqlSurface.mvFact2 _),
     "sql_mv_ddl"              -> (SqlSurface.mvDdl _),
     "sql_mv_partial"          -> (SqlSurface.mvPartial _),
@@ -1606,6 +1607,24 @@ object SparkEntry {
         |    150) THEN 'SCD1' ELSE p_brand END AS brand FROM part)
         |SELECT st, brand, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
         |  TRUE AS scd_ok
+        |FROM f JOIN o USING (ok) JOIN pt USING (pk)
+        |GROUP BY st, brand""".stripMargin,
+    // the LIVE star after the feed-less brand move (%7 → 'LIVE1') and
+    // the fact cdc batch — every phase's answer is the same replay,
+    // because the live view's whole point is that it never diverges
+    // from the current dim state
+    "sql_mv_star_live" ->
+      """WITH f0 AS (SELECT l_orderkey * 10 + l_linenumber AS lid,
+        |    l_orderkey AS ok, l_partkey AS pk,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS p FROM lineitem),
+        |f AS (SELECT lid, ok, pk, p FROM f0 WHERE lid % 6 <> 0
+        |  UNION ALL SELECT lid + 900000000, ok, pk, p FROM f0
+        |    WHERE lid % 11 = 0),
+        |o AS (SELECT o_orderkey AS ok, o_orderstatus AS st FROM orders),
+        |pt AS (SELECT p_partkey AS pk, CASE WHEN p_partkey % 7 = 0
+        |    THEN 'LIVE1' ELSE p_brand END AS brand FROM part)
+        |SELECT st, brand, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
+        |  TRUE AS live_ok
         |FROM f JOIN o USING (ok) JOIN pt USING (pk)
         |GROUP BY st, brand""".stripMargin,
     // the partial (price > 100) dashboard after the boundary-crossing

@@ -360,8 +360,10 @@ object MatView {
     else if (fs(s, joinDefPath(mv)).exists(joinDefPath(mv))) "join"
     else if (fs(s, extremaDefPath(mv)).exists(extremaDefPath(mv)))
       "extrema"
+    else if (fs(s, liveDefPath(mv)).exists(liveDefPath(mv))) "live"
     else throw new IllegalArgumentException(
-      s"$mv is not a materialized view (no _mv/_mvj/_mvx definition)")
+      s"$mv is not a materialized view (no _mv/_mvj/_mvx/_mvl " +
+        "definition)")
 
   /** Closed per-key-column bounds a serving read may prune the MV's
     * OWN files with — a SUPERSET of the query predicate's satisfying
@@ -1086,6 +1088,220 @@ object MatView {
       .filter(col("n") =!= 0L))
   }
 
+  // ---- LIVE (KEY-GRAINED) STAR MATERIALIZED VIEWS --------------------------
+
+  /** The LIVE star view: the fold materialized at the FACT-KEY GRAIN —
+    * grouped by the dims' join keys (plus any fact-owned group keys)
+    * instead of the dim attributes — with the dims joined back AT
+    * QUERY TIME. The payoff is the property [[compensatedJoin]] can
+    * never have: dim movement NEVER stales the view. An SCD type-1
+    * attribute update regroups the serve-time join-back (the dims are
+    * read at the query's own pinned versions), so the dashboard stays
+    * MV-priced between refreshes — no dim cursor exists at all, and
+    * refresh folds ONLY the fact's signed feeds, without reading a
+    * single dim. Serve cost is O(sub-view ⋈ dims): the sub-view holds
+    * one row per live fact-key combination — bounded by the dims'
+    * key-product and typically orders of magnitude under the fact —
+    * and the dims are the small side of every star by definition, so
+    * the planner broadcasts them. This is the classic pre-aggregation-
+    * with-join-back design from the view-matching literature, chosen
+    * over serve-time dim-delta telescoping because the group-grain MV
+    * fundamentally lacks per-dim-key subtotals — no plan fragment over
+    * it can reattribute a moved dim key without re-reading fact rows,
+    * while the key-grain fold answers with ZERO fact data files in the
+    * served plan. */
+  private def liveDefPath(mv: String) = new Path(s"$mv/_mvl")
+
+  private def writeLiveDef(s: SparkSession, mv: String, d: MvJoinDef,
+      grain: Seq[String]): Unit = {
+    val p = liveDefPath(mv)
+    val out = fs(s, p).create(p, false)
+    // the _mvj multi-dim format plus ONE trailing line: the persisted
+    // grain, so refresh never re-resolves ownership (it reads no dim)
+    try out.write((Seq(d.fact, d.dims.size.toString) ++
+      d.dims.map(r => s"${r.dim}\t${r.factKey}\t${r.dimKey}") ++
+      Seq(d.keys.mkString(","), d.value,
+        d.aggs.toSeq.sorted.mkString(","), grain.mkString(",")))
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readLiveDef(s: SparkSession, mv: String)
+      : (MvJoinDef, Seq[String]) = {
+    val p = liveDefPath(mv)
+    require(fs(s, p).exists(p), s"$mv is not a live star " +
+      "materialized view (no _mvl definition; create it with " +
+      "MatView.createStarLive)")
+    val in = fs(s, p).open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = txt.linesIterator.toSeq
+    lines match {
+      case fact +: nStr +: rest if nStr.toIntOption.isDefined &&
+          rest.size == nStr.toInt + 4 =>
+        val n = nStr.toInt
+        val dims = rest.take(n).map { l =>
+          val ps = l.split('\t')
+          require(ps.length == 3, s"$mv: malformed _mvl dim line '$l'")
+          MvDimRef(ps(0), ps(1), ps(2))
+        }
+        val Seq(keys, value, aggs, grain) = rest.drop(n)
+        require(aggs.nonEmpty, s"$mv: malformed _mvl definition " +
+          "(empty declared-aggregate line)")
+        (MvJoinDef(fact, dims, keys.split(',').toSeq, value,
+          aggs.split(',').toSet), grain.split(',').toSeq)
+      case other => throw new IllegalArgumentException(
+        s"$mv: malformed _mvl definition (${other.size} lines)")
+    }
+  }
+
+  /** Single-dim [[createStarLive]]. */
+  def createLive(s: SparkSession, mv: String, fact: String, dim: String,
+      factKey: String, dimKey: String, keys: Seq[String], value: String,
+      aggs: Seq[String] = Seq("count", "sum", "avg")): Long =
+    createStarLive(s, mv, fact, Seq(MvDimRef(dim, factKey, dimKey)),
+      keys, value, aggs)
+
+  /** Create the live star view: ONE scan of the FACT alone (the dims
+    * are read only to validate key ownership — never materialized),
+    * grouped by the grain = every dim's fact-side join key plus the
+    * fact-owned group keys. Fact rows carrying a NULL join key are
+    * excluded at the fold: the inner join the view serves drops them
+    * identically, at create, at every refresh, and at serve — the
+    * three sites can never disagree because membership is the same
+    * row-local non-null test. */
+  def createStarLive(s: SparkSession, mv: String, fact: String,
+      dims: Seq[MvDimRef], keys: Seq[String], value: String,
+      aggs: Seq[String] = Seq("count", "sum", "avg")): Long = {
+    validateShape(keys, aggs)
+    require(dims.nonEmpty, "a live star MV needs at least one dim")
+    require(dims.map(_.dim).distinct.size == dims.size,
+      "live-star-MV dims repeat a table")
+    require(!dims.exists(_.dim == fact),
+      "live-star-MV dims must not include the fact table itself")
+    val fv = TxnTable.currentVersion(s, fact)
+    val fsnap = TxnTable.snapshot(s, fact, fv)
+    validateValueType(value, fsnap.schema(value).dataType)
+    val d0 = MvJoinDef(fact, dims, keys, value,
+      aggs.map(_.toLowerCase).toSet)
+    val owner = keyOwnership(s, d0) // each key owned by exactly one side
+    val grain = (dims.map(_.factKey) ++
+      keys.filter(k => owner(k) < 0)).distinct
+    grain.foreach { g =>
+      require(fsnap.columns.contains(g),
+        s"live-star-MV grain column '$g' is not a fact column")
+      require(!Seq("n", "nn", "total", "op", "w").contains(g),
+        s"live-star-MV grain column '$g' collides with the fold's own " +
+          "columns")
+      // grain columns are the keyed-merge dimensions AND the manifest
+      // prune handles — only integral and string columns have sound
+      // stats; anything else would refresh unpruned forever
+      fsnap.schema(g).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"live-star-MV grain column '$g' is $other — join keys and " +
+            "fact-owned group keys must be integral or string so the " +
+            "keyed refresh merge can file-prune")
+      }
+    }
+    val src = fsnap.filter(dims.map(r => col(r.factKey).isNotNull)
+      .reduce(_ && _))
+    val v = commitMvRows(s, mv, src, grain, value,
+      Seq("mv_base_version" -> fv))
+    writeLiveDef(s, mv, d0, grain)
+    v
+  }
+
+  def refreshLive(s: SparkSession, mv: String): RefreshResult =
+    refreshLive(s, mv, publishFeed = true)
+
+  /** Incremental refresh of a live star view: the FACT's signed-feed
+    * tail folds by the grain — no dim is opened, no dim cursor exists.
+    * Feed rows with a NULL join key are excluded exactly like create's
+    * scan (the served inner join never sees them). */
+  def refreshLive(s: SparkSession, mv: String, publishFeed: Boolean)
+      : RefreshResult = {
+    val (d, grain) = readLiveDef(s, mv)
+    val mvVer = TxnTable.currentVersion(s, mv)
+    val last = cursorAt(s, mv, mvVer, "mv_base_version")
+    val head = TxnTable.currentVersion(s, d.fact)
+    require(head >= last, s"${d.fact} is at version $head, behind the " +
+      s"MV's cursor $last — the fact was restored/recreated; recompute " +
+      "the MV")
+    if (head == last) return RefreshResult(mvVer, last, 0)
+    val refs = feedRefs(s, d.fact, last, head)
+    val folded = (head - last).toInt
+    if (refs.isEmpty)
+      return RefreshResult(advanceCursor(s, mv, mvVer,
+        Seq("mv_base_version" -> head)), head, folded)
+    val feed = s.read.parquet(refs: _*)
+      .filter(d.dims.map(r => col(r.factKey).isNotNull).reduce(_ && _))
+    val v = foldAndMerge(s, mv, mvVer, grain, d.value, feed,
+      Seq("mv_base_version" -> head), publishFeed)
+    RefreshResult(v, head, folded)
+  }
+
+  /** [[compensated]] for a live star view: (sub-view ⊕ fact feed tail)
+    * ⋈ dims at the QUERY's pinned versions, re-grouped to the declared
+    * keys. The dims impose NO freshness condition — they are joined
+    * live, so any dim state (current, moved, time-travelled) serves —
+    * and the fact tail compensates exactly like the fold view's.
+    * Output columns are the MV vocabulary (keys, n, nn, total), so the
+    * rewrite's substitution tail is shared verbatim. */
+  private[graft] def compensatedLive(s: SparkSession, mv: String,
+      d: MvJoinDef, grain: Seq[String], cursor: Long, factPinned: Long,
+      dimPinned: Seq[Long], mvVer: Long): Option[DataFrame] = {
+    val mvRows = TxnTable.snapshot(s, mv, mvVer)
+      .select((grain.map(col) ++
+        Seq(col("n"), col("nn"), col("total"))): _*)
+    val subRows =
+      if (cursor == factPinned) mvRows
+      else {
+        val refs = feedRefsE(s, d.fact, cursor, factPinned)
+          .getOrElse(return None)
+        if (refs.isEmpty) mvRows
+        else {
+          val feed = s.read.parquet(refs: _*)
+            .filter(d.dims.map(r => col(r.factKey).isNotNull)
+              .reduce(_ && _))
+            .select(grain.map(col) ++ Seq(
+              col("w").cast("long").as("n"),
+              (col("w").cast("long") *
+                when(col(d.value).isNull, 0L).otherwise(1L)).as("nn"),
+              (col("w") * coalesce(col(d.value).cast(D18),
+                lit(0).cast(D18))).cast(D18).as("total")): _*)
+          mvRows.unionByName(feed).groupBy(grain.map(col): _*)
+            .agg(sum(col("n")).as("n"), sum(col("nn")).as("nn"),
+              sum(col("total")).cast(D18).as("total"))
+            .filter(col("n") =!= 0L)
+        }
+      }
+    val dimSnaps = d.dims.indices.map(i =>
+      TxnTable.snapshot(s, d.dims(i).dim, dimPinned(i)))
+    // ownership against the frames being joined (schema drift refuses
+    // with resolveOwners' own message, like every join-back site)
+    val owner = resolveOwners(d, i =>
+      if (i < 0) subRows.columns.toSeq else dimSnaps(i).columns.toSeq)
+    val joined = d.dims.indices.foldLeft(subRows.alias("f")) {
+      (acc, i) =>
+        acc.join(dimSnaps(i).alias(s"d$i"),
+          col(s"f.${d.dims(i).factKey}") ===
+            col(s"d$i.${d.dims(i).dimKey}"))
+    }
+    Some(joined.select(d.keys.map(k => keyCol(owner, k).as(k)) ++
+        Seq(col("f.n").as("n"), col("f.nn").as("nn"),
+          col("f.total").as("total")): _*)
+      .groupBy(d.keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("nn")).as("nn"),
+        sum(col("total")).cast(D18).as("total"))
+      .filter(col("n") =!= 0L))
+  }
+
   // ---- MIN/MAX (EXTREMA) MATERIALIZED VIEWS --------------------------------
 
   /** A grouped MIN/MAX view — the aggregate [[create]] REFUSES in the
@@ -1702,6 +1918,23 @@ object MatView {
       : Option[(String, MvJoinDef)] =
     Option(joinRegistry.get(joinKey(fact, dims)))
 
+  /** Live-star registry, keyed exactly like the join registry — the
+    * rewrite probes the same (fact, dim set) key, falling back to the
+    * live view when no group-grain join MV matches (or the matched one
+    * disqualified on dim movement — the live view's reason to exist). */
+  private val liveRegistry = new java.util.concurrent
+    .ConcurrentHashMap[(String, String),
+      (String, MvJoinDef, Seq[String])]()
+
+  def registerLive(s: SparkSession, mv: String): Unit = {
+    val (d, grain) = readLiveDef(s, mv)
+    liveRegistry.put(joinKey(d.fact, d.dims.map(_.dim)), (mv, d, grain))
+  }
+
+  private[graft] def registeredLiveFor(fact: String, dims: Seq[String])
+      : Option[(String, MvJoinDef, Seq[String])] =
+    Option(liveRegistry.get(joinKey(fact, dims)))
+
   /** Extrema-MV registry, base location → (MV location, definition). */
   private val extremaRegistry = new java.util.concurrent
     .ConcurrentHashMap[String, (String, MvExtremaDef)]()
@@ -1727,7 +1960,9 @@ object MatView {
       joinRegistry.asScala.toSeq.map { case (_, (mv, d)) =>
         (mv, "join", d.fact) } ++
       extremaRegistry.asScala.toSeq.map { case (b, (mv, _)) =>
-        (mv, "extrema", b) }).sortBy(_._1)
+        (mv, "extrema", b) } ++
+      liveRegistry.asScala.toSeq.map { case (_, (mv, d, _)) =>
+        (mv, "live", d.fact) }).sortBy(_._1)
   }
 
   /** DROP the materialized view: deregister it from the transparent
@@ -1763,6 +1998,11 @@ object MatView {
         val d = readExtremaDef(s, mv)
         extremaRegistry.computeIfPresent(d.base,
           (_, cur) => if (cur._1 == mv) null else cur)
+      case "live" =>
+        val (d, _) = readLiveDef(s, mv)
+        liveRegistry.computeIfPresent(
+          joinKey(d.fact, d.dims.map(_.dim)),
+          (_, cur) => if (cur._1 == mv) null else cur)
     }
     // through the Hadoop FileSystem like every other MatView/TxnTable
     // path operation — a java.io delete would silently no-op on a
@@ -1786,7 +2026,8 @@ object MatView {
     }
 
   private[graft] def registryEmpty: Boolean =
-    registry.isEmpty && joinRegistry.isEmpty && extremaRegistry.isEmpty
+    registry.isEmpty && joinRegistry.isEmpty &&
+      extremaRegistry.isEmpty && liveRegistry.isEmpty
 
   /** Whether a view registered with base `b` COULD effectively serve
     * `base`: directly, or as a branch view whose parent is `base` (the
@@ -1855,7 +2096,16 @@ object MatView {
         factPins ++ dimPins
       }
     }
-    (folds ++ extremas ++ joins).flatten.toSet
+    // live star views read ONLY the fact's feed tail (the dims join
+    // back at query time from their own snapshots — no log tail of
+    // theirs is ever read, so nothing of theirs needs pinning)
+    val lives = liveRegistry.asScala.values.toSeq.collect {
+      case (mv, d, _) if d.fact == base => guarded {
+        tail(cursorAt(s, mv, TxnTable.currentVersion(s, mv),
+          "mv_base_version"))
+      }
+    }
+    (folds ++ extremas ++ joins ++ lives).flatten.toSet
   }
 
   /** One registered view's LOG-decided status snapshot: its primary
@@ -1950,7 +2200,20 @@ object MatView {
           cursor, head)
       }
     }
-    (folds ++ extremas ++ joins).sortBy(st => (st.kind, st.mv))
+    // a live view's dims can NEVER stale it (they join back at query
+    // time), so freshness and servability speak the fact log alone —
+    // a live view over a moved dim correctly lists fresh
+    val lives = liveRegistry.asScala.toSeq.collect {
+      case (_, (mv, d, _)) if d.fact == base ||
+          d.dims.exists(_.dim == base) => guarded(mv, "live") {
+        val mvVer = TxnTable.currentVersion(s, mv)
+        val cursor = cursorAt(s, mv, mvVer, "mv_base_version")
+        val head = TxnTable.currentVersion(s, d.fact)
+        MvStatus(mv, "live", fresh = cursor == head,
+          servable = compensable(d.fact, cursor, head), cursor, head)
+      }
+    }
+    (folds ++ extremas ++ joins ++ lives).sortBy(st => (st.kind, st.mv))
   }
 
   private def freshDir(name: String): String =

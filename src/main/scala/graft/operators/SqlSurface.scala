@@ -1770,6 +1770,125 @@ object SqlSurface {
     s.sql(q).withColumn("scd_ok", lit(ok))
   }
 
+  /** sql_mv_star_live: the LIVE (key-grained) star view — the star
+    * dashboard that stays MV-priced BETWEEN refreshes even while the
+    * dims move. The view materializes the fold at the FACT-KEY grain
+    * (GROUP BY the join keys) and joins the dims back at QUERY time,
+    * so dim content is never baked into the view: where sql_mv_star
+    * pins that a dim move makes the group-grain view fall through to a
+    * full base join until someone refreshes, the live view keeps
+    * serving — with ZERO fact data files in the plan — because the
+    * moved dim rows regroup the sub-view rows in the serve-time join
+    * itself. Phases, each plan-pinned by optimized-plan scan roots:
+    * (1) fresh → sub-view + dim files only, == direct; (2) an SCD-1
+    * brand move committed WITHOUT a feed (the case that bricks every
+    * other star kind) → STILL served, the 'LIVE1' groups surface, the
+    * plan reads no fact data file, and refreshLive no-ops (the fact
+    * log never moved — dim state is simply not the view's problem);
+    * (3) a fact cdc batch, unrefreshed → sub-view ⊕ fact `_cdc` ⋈
+    * dims, still no fact data file; (4) refreshLive folds exactly the
+    * fact tail (no dim opened) → sub-view + dims again; a dim-key cut
+    * (`WHERE st = 'F' GROUP BY brand`) serves on the same plane.
+    * Hashed output = the final star aggregate; the oracle replays the
+    * brand move and the fact batch. At 100 TB: the SCD-correction
+    * window — hours on a nightly-refresh star — costs O(sub-view ⋈
+    * dims) per query instead of a fact rescan, and refresh never
+    * touches a dim at all. */
+  def mvStarLive(s: SparkSession, d: String): DataFrame = {
+    val factLoc = freshSqlTable(s, "live_li")
+    val ordLoc = freshSqlTable(s, "live_ord")
+    val partLoc = freshSqlTable(s, "live_part")
+    view(s, d, "lineitem"); view(s, d, "orders"); view(s, d, "part")
+    s.sql("""CREATE TABLE graft.q.live_li (
+      lid BIGINT, l_orderkey BIGINT, l_partkey BIGINT,
+      price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.live_li
+      SELECT l_orderkey * 10 + l_linenumber, l_orderkey, l_partkey,
+        CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem""")
+    s.sql("CREATE TABLE graft.q.live_ord (o_orderkey BIGINT, st STRING)")
+    s.sql("""INSERT INTO graft.q.live_ord
+      SELECT o_orderkey, o_orderstatus FROM orders""")
+    s.sql("""CREATE TABLE graft.q.live_part (p_partkey BIGINT,
+      brand STRING)""")
+    s.sql("""INSERT INTO graft.q.live_part
+      SELECT p_partkey, p_brand FROM part""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_live")
+    graft.operators.MatView.createStarLive(s, mv, factLoc, Seq(
+      graft.operators.MatView.MvDimRef(ordLoc, "l_orderkey",
+        "o_orderkey"),
+      graft.operators.MatView.MvDimRef(partLoc, "l_partkey",
+        "p_partkey")),
+      Seq("st", "brand"), "price")
+    graft.operators.MatView.registerLive(s, mv)
+    val q = """SELECT st, brand, COUNT(*) AS n,
+      CAST(SUM(price) AS DOUBLE) AS total
+      FROM graft.q.live_li f
+      JOIN graft.q.live_ord o ON f.l_orderkey = o.o_orderkey
+      JOIN graft.q.live_part p ON f.l_partkey = p.p_partkey
+      GROUP BY st, brand"""
+    val qCut = """SELECT brand, COUNT(*) AS n
+      FROM graft.q.live_li f
+      JOIN graft.q.live_ord o ON f.l_orderkey = o.o_orderkey
+      JOIN graft.q.live_part p ON f.l_partkey = p.p_partkey
+      WHERE st = 'F' GROUP BY brand"""
+    def rows() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, factLoc).alias("f")
+        .join(graft.operators.TxnTable.snapshot(s, ordLoc).alias("o"),
+          col("f.l_orderkey") === col("o.o_orderkey"))
+        .join(graft.operators.TxnTable.snapshot(s, partLoc).alias("p"),
+          col("f.l_partkey") === col("p.p_partkey"))
+        .groupBy(col("o.st"), col("p.brand"))
+        .agg(count(lit(1)).as("n"), sum(col("f.price")).cast("double"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+    }
+    // the live serve contract: sub-view + dim snapshots, and NEVER a
+    // fact data file (the fact's `_cdc` feeds are the one fact-side
+    // read compensation may add)
+    def servedLive(ps: Seq[String]) = ps.nonEmpty &&
+      ps.forall(p => p.contains(s"$mv/") || p.contains(ordLoc) ||
+        p.contains(partLoc) || p.contains(s"$factLoc/_cdc")) &&
+      ps.exists(_.contains(s"$mv/")) &&
+      !ps.exists(p => p.contains(factLoc) && !p.contains("_cdc"))
+    val p1 = scanSrcsOf(s, q)
+    val servedFresh = servedLive(p1) &&
+      !p1.exists(_.contains("_cdc")) && servedLive(scanSrcsOf(s, qCut)) &&
+      rows() == direct()
+    // the SCD-1 move, committed WITHOUT a feed — the live view's
+    // reason to exist: still served, still exact, refresh untouched
+    graft.operators.TxnTable.applyChangesMor(s, partLoc,
+      s.sql("""SELECT p_partkey, 'LIVE1' AS brand, 'U' AS op
+        FROM part WHERE p_partkey % 7 = 0"""), "p_partkey", cdc = false)
+    val p2 = scanSrcsOf(s, q)
+    val r0 = graft.operators.MatView.refreshLive(s, mv)
+    val servedDimMove = servedLive(p2) && rows() == direct() &&
+      rows().exists(_._2 == "LIVE1") && r0.commitsFolded == 0
+    // a fact cdc batch on top, unrefreshed → feed compensation joins
+    // back through the SAME moved dims
+    val ch = s.sql("""SELECT l_orderkey * 10 + l_linenumber AS lid,
+        l_orderkey, l_partkey,
+        CAST(l_extendedprice AS DECIMAL(12,2)) AS price, 'D' AS op
+      FROM lineitem WHERE (l_orderkey * 10 + l_linenumber) % 6 = 0
+      UNION ALL
+      SELECT l_orderkey * 10 + l_linenumber + 900000000, l_orderkey,
+        l_partkey, CAST(l_extendedprice AS DECIMAL(12,2)), 'U'
+      FROM lineitem WHERE (l_orderkey * 10 + l_linenumber) % 11 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, factLoc, ch, "lid",
+      cdc = true)
+    val p3 = scanSrcsOf(s, q)
+    val compensated = servedLive(p3) &&
+      p3.exists(_.contains(s"$factLoc/_cdc")) && rows() == direct()
+    val r = graft.operators.MatView.refreshLive(s, mv)
+    val p4 = scanSrcsOf(s, q)
+    val servedAgain = r.commitsFolded == 1 && servedLive(p4) &&
+      !p4.exists(_.contains("_cdc")) && rows() == direct()
+    val ok = servedFresh && servedDimMove && compensated && servedAgain
+    s.sql(q).withColumn("live_ok", lit(ok))
+  }
+
   /** sql_mv_fact2: the FACT-TO-FACT JOIN MV — q03's own shape:
     * lineitem ⋈ orders on the join key, grouped by a FACT-side
     * attribute (l_returnflag) alongside a dim-side one (o_orderstatus),

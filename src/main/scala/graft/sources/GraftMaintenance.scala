@@ -194,6 +194,7 @@ private[sources] object GraftMaintenance {
       "create_matview", "refresh_matview",
       "create_matview_extrema", "refresh_matview_extrema",
       "create_matview_join", "refresh_matview_join",
+      "create_matview_live", "refresh_matview_live",
       "transplant_matview")
 
   def load(catalog: GraftCatalog, warehouse: String, name: String)
@@ -351,6 +352,48 @@ private[sources] object GraftMaintenance {
         val mvLoc = resolveTable(warehouse, in.getUTF8String(0).toString)
         val r = graft.operators.MatView.refreshJoin(s, mvLoc)
         graft.operators.MatView.registerJoin(s, mvLoc)
+        r.mvVersion
+      }
+      // the LIVE star kind (MatView.createStarLive): the fold at the
+      // fact-key grain with the dims joined back at query time — dim
+      // movement never stales it, refresh folds fact feeds alone
+      case "create_matview_live" => p("create_matview_live", Seq(
+        ProcedureParameter.in("view", StringType).build(),
+        ProcedureParameter.in("fact", StringType).build(),
+        ProcedureParameter.in("dim", StringType).build(),
+        ProcedureParameter.in("fact_key", StringType).build(),
+        ProcedureParameter.in("dim_key", StringType).build(),
+        ProcedureParameter.in("key", StringType).build(),
+        ProcedureParameter.in("value", StringType).build())) { (s, in) =>
+        val mvLoc = resolveTable(warehouse, in.getUTF8String(0).toString)
+        require(TxnTable.versions(s, mvLoc).isEmpty,
+          s"graft procedure: '$mvLoc' already exists")
+        val factLoc = resolveTable(warehouse, in.getUTF8String(1).toString)
+        def csv(i: Int): Seq[String] = in.getUTF8String(i).toString
+          .split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val (dimRefs, fks, dks) = (csv(2), csv(3), csv(4))
+        require(dimRefs.size == fks.size && dimRefs.size == dks.size,
+          "graft procedure: dim, fact_key and dim_key lists must have " +
+            "the same length")
+        val dims = dimRefs.lazyZip(fks).lazyZip(dks).map {
+          (dr, fk, dk) =>
+            val dl = resolveTable(warehouse, dr)
+            require(TxnTable.versions(s, dl).nonEmpty,
+              s"graft procedure: dim '$dl' is not a committed table")
+            graft.operators.MatView.MvDimRef(dl, fk, dk)
+        }
+        require(TxnTable.versions(s, factLoc).nonEmpty,
+          s"graft procedure: fact '$factLoc' is not a committed table")
+        val v = graft.operators.MatView.createStarLive(s, mvLoc,
+          factLoc, dims, csv(5), in.getUTF8String(6).toString)
+        graft.operators.MatView.registerLive(s, mvLoc)
+        v
+      }
+      case "refresh_matview_live" => p("refresh_matview_live", Seq(
+        ProcedureParameter.in("view", StringType).build())) { (s, in) =>
+        val mvLoc = resolveTable(warehouse, in.getUTF8String(0).toString)
+        val r = graft.operators.MatView.refreshLive(s, mvLoc)
+        graft.operators.MatView.registerLive(s, mvLoc)
         r.mvVersion
       }
       // re-point a branch MV onto the parent timeline after a publish

@@ -441,7 +441,17 @@ case class GraftMvRewriteRule(session: SparkSession)
     * refuses duplicate dim locations at create, so no registered key
     * ever names a repeat). */
   private def matchJoinMv(rels0: Seq[DataSourceV2Relation],
-      conds: Seq[Expression]): Option[JoinMvMatch] = {
+      conds: Seq[Expression]): Option[JoinMvMatch] =
+    matchStar(rels0, conds, MatView.registeredJoinFor)
+
+  /** [[matchJoinMv]] generalized over the registry probed — the live
+    * star registry shares the (fact, dim set) key and the definition
+    * shape, so ONE matcher serves both kinds and the
+    * equality-bijection rule can never diverge between them. */
+  private def matchStar(rels0: Seq[DataSourceV2Relation],
+      conds: Seq[Expression],
+      lookup: (String, Seq[String]) =>
+        Option[(String, MatView.MvJoinDef)]): Option[JoinMvMatch] = {
     if (rels0.size < 2) return None
     val gts: Seq[(DataSourceV2Relation, GraftTable)] = rels0.map { r =>
       r.table match {
@@ -452,7 +462,7 @@ case class GraftMvRewriteRule(session: SparkSession)
     val hit = gts.indices.iterator.flatMap { i =>
       val (fr, fg) = gts(i)
       val dims = gts.patch(i, Nil, 1)
-      MatView.registeredJoinFor(fg.location, dims.map(_._2.location))
+      lookup(fg.location, dims.map(_._2.location))
         .map(x => (x, fr, fg, dims))
     }.find { case ((_, d), fr, _, dims) =>
       val dimByLoc = dims.map(x => x._2.location -> x._1).toMap
@@ -514,12 +524,50 @@ case class GraftMvRewriteRule(session: SparkSession)
       aggExprs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
     val (rels0, conds, preds) = flattenJoin(child).getOrElse(return None)
-    val m = matchJoinMv(rels0, conds).getOrElse(return None)
-    if (!dimKeyPredsOk(m, preds)) return None
-    serve(groups, aggExprs, m.d.keys, m.d.value, m.d.aggs,
-      keyOwned = m.dimKeyOwned,
-      valueOwned = m.valueOwned,
-      mvRows = joinMvRows(m, preds).map(applyKeyPreds(_, preds)))
+    def group(): Option[LogicalPlan] = {
+      val m = matchJoinMv(rels0, conds).getOrElse(return None)
+      if (!dimKeyPredsOk(m, preds)) return None
+      serve(groups, aggExprs, m.d.keys, m.d.value, m.d.aggs,
+        keyOwned = m.dimKeyOwned,
+        valueOwned = m.valueOwned,
+        mvRows = joinMvRows(m, preds).map(applyKeyPreds(_, preds)))
+    }
+    // the LIVE star view serves the same query shape when the
+    // group-grain view is absent — or disqualified by dim movement,
+    // which can never disqualify the live kind (its dims join back at
+    // the query's own pinned versions)
+    def live(): Option[LogicalPlan] = {
+      val m = matchLiveMv(rels0, conds).getOrElse(return None)
+      if (!dimKeyPredsOk(m, preds)) return None
+      serve(groups, aggExprs, m.d.keys, m.d.value, m.d.aggs,
+        keyOwned = m.dimKeyOwned,
+        valueOwned = m.valueOwned,
+        mvRows = liveMvRows(m).map(applyKeyPreds(_, preds)))
+    }
+    group().orElse(live())
+  }
+
+  private def matchLiveMv(rels0: Seq[DataSourceV2Relation],
+      conds: Seq[Expression]): Option[JoinMvMatch] =
+    matchStar(rels0, conds,
+      (f, ds) => MatView.registeredLiveFor(f, ds).map(x => (x._1, x._2)))
+
+  /** Freshness + frame for a live star view: the FACT cursor alone
+    * decides (tail compensation from its feeds, exactly the fold
+    * rule); the dims impose nothing — [[MatView.compensatedLive]]
+    * joins them back at the query's pinned versions, so a moved or
+    * even time-travelled dim serves. The grain comes from the
+    * registry (same probe the match just hit). */
+  private def liveMvRows(m: JoinMvMatch)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val grain = MatView.registeredLiveFor(m.factG.location,
+      m.dimGs.map(_.location)).map(_._3).getOrElse(return None)
+    val mvVer = TxnTable.currentVersion(session, m.mvLoc)
+    val cursor = MatView.cursorAt(session, m.mvLoc, mvVer,
+      "mv_base_version")
+    if (cursor > m.factG.pinnedVersion) None
+    else MatView.compensatedLive(session, m.mvLoc, m.d, grain, cursor,
+      m.factG.pinnedVersion, m.dimGs.map(_.pinnedVersion), mvVer)
   }
 
   /** The EXTREMA-MV rewrite: `MIN(value)` / `MAX(value)` / COUNTs over
@@ -1016,7 +1064,24 @@ case class GraftMvRewriteRule(session: SparkSession)
       serveGroupingSets(gs, keyNames, aggExprs,
         ExtremaGsNames, rollupExtrema, extremaArm, mvDf0)
     }
-    single().orElse(join()).orElse(extrema())
+    // ARM 4 — the LIVE star view: the same union-of-per-set-rollups
+    // over the join-back frame; dim movement never disqualifies
+    def live(): Option[LogicalPlan] = {
+      val (rels0, conds, preds) = flattenJoin(inner).getOrElse(
+        return None)
+      val m = matchLiveMv(rels0, conds).getOrElse(return None)
+      val keyNames = keyNamesIf(m.dimKeyOwned).getOrElse(return None)
+      if (dcols.exists(c => m.d.keys.contains(s"gdc_$c"))) return None
+      if (!dimKeyPredsOk(m, preds)) return None
+      if (!aggExprs.forall(foldAnswerable(m.d.keys, m.d.value, m.d.aggs,
+        m.dimKeyOwned, m.valueOwned))) return None
+      if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
+      val mvDf0 = liveMvRows(m).map(applyKeyPreds(_, preds))
+        .getOrElse(return None)
+      serveGroupingSets(gs, keyNames, aggExprs, foldGsNames(dcols),
+        rollupAgg(_, _, dcols), foldArm, mvDf0)
+    }
+    single().orElse(join()).orElse(extrema()).orElse(live())
   }
 
   /** The fold vocabulary's grouping-sets frame columns. */

@@ -388,6 +388,7 @@ object GraftSqlParser {
         val defined = scala.util.Try(kind match {
           case "fold" => MatView.readDef(s, mv)
           case "join" => MatView.readJoinDef(s, mv)
+          case "live" => MatView.readLiveDef(s, mv)
           case _ => MatView.readExtremaDef(s, mv)
         }).isSuccess
         Row(render(mv), kind, render(base), defined)
@@ -423,6 +424,9 @@ object GraftSqlParser {
         case "extrema" =>
           val r = MatView.refreshExtrema(s, mvLoc)
           MatView.registerExtrema(s, mvLoc); r.mvVersion
+        case "live" =>
+          val r = MatView.refreshLive(s, mvLoc)
+          MatView.registerLive(s, mvLoc); r.mvVersion
       }
       Seq(Row(v))
     }

@@ -1729,6 +1729,148 @@ class MatViewSpec extends SparkSpec {
     assert(r4.mvVersion === r3.mvVersion && r4.commitsFolded === 0)
   }
 
+  test("live star MV: dim movement — even FEED-LESS — never stales " +
+      "it (the dims join back at query time); fact feeds compensate; " +
+      "the served plan never opens a fact data file; a feed-less FACT " +
+      "change is the one thing that disqualifies") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    Seq("lf", "ld1", "ld2").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft.mvspec.$t"))
+    s.sql("CREATE TABLE graft.mvspec.lf (k BIGINT, a BIGINT, " +
+      "b BIGINT, v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.lf SELECT id, id % 4, id % 3, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(240)")
+    s.sql("CREATE TABLE graft.mvspec.ld1 (pk BIGINT, g1 STRING)")
+    s.sql("INSERT INTO graft.mvspec.ld1 SELECT id, " +
+      "CASE WHEN id < 2 THEN 'P' ELSE 'Q' END FROM RANGE(4)")
+    s.sql("CREATE TABLE graft.mvspec.ld2 (pk2 BIGINT, g2 STRING)")
+    s.sql("INSERT INTO graft.mvspec.ld2 SELECT id, " +
+      "CASE WHEN id = 0 THEN 'X' ELSE 'Y' END FROM RANGE(3)")
+    val w = GraftCatalog.defaultWarehouse
+    val (fact, d1, d2) =
+      (s"$w/mvspec/lf", s"$w/mvspec/ld1", s"$w/mvspec/ld2")
+    val mv = fresh("mv_live_view")
+    MatView.createStarLive(spark, mv, fact, Seq(
+      MatView.MvDimRef(d1, "a", "pk"),
+      MatView.MvDimRef(d2, "b", "pk2")), Seq("g1", "g2"), "v")
+    MatView.registerLive(spark, mv)
+    assert(MatView.kindOf(spark, mv) === "live")
+    // the live serve contract: parquet roots = sub-view + dims (+ the
+    // fact's `_cdc` when compensating), no v2 relation, and NEVER a
+    // fact data file
+    def servedLive(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = df.queryExecution.optimizedPlan
+      val hasV2 = p.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2Relation => r
+      }.nonEmpty
+      val roots = p.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      !hasV2 && roots.exists(_.contains(s"$mv/")) &&
+        roots.forall(r => r.contains(s"$mv/") || r.contains(d1) ||
+          r.contains(d2) || r.contains(s"$fact/_cdc")) &&
+        !roots.exists(r => r.contains(fact) && !r.contains("_cdc"))
+    }
+    val q = "SELECT g1, g2, COUNT(*) AS n, SUM(v) AS t FROM " +
+      "graft.mvspec.lf f JOIN graft.mvspec.ld1 dd1 ON f.a = dd1.pk " +
+      "JOIN graft.mvspec.ld2 dd2 ON f.b = dd2.pk2 GROUP BY g1, g2"
+    def got() = s.sql(q.replace("SUM(v)", "CAST(SUM(v) AS DOUBLE)"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    def direct() = TxnTable.snapshot(spark, fact).alias("f")
+      .join(TxnTable.snapshot(spark, d1).alias("d1"),
+        col("f.a") === col("d1.pk"))
+      .join(TxnTable.snapshot(spark, d2).alias("d2"),
+        col("f.b") === col("d2.pk2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("t"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(servedLive(s.sql(q)), "fresh live view must serve")
+    assert(got() === direct(), "fresh live serve diverged")
+    // the rollup and the dim-key cut ride the same plane
+    assert(servedLive(s.sql("SELECT g1, COUNT(*) AS n FROM " +
+      "graft.mvspec.lf f JOIN graft.mvspec.ld1 dd1 ON f.a = dd1.pk " +
+      "JOIN graft.mvspec.ld2 dd2 ON f.b = dd2.pk2 GROUP BY g1")),
+      "the rollup must serve")
+    assert(servedLive(s.sql("SELECT g2, COUNT(*) AS n FROM " +
+      "graft.mvspec.lf f JOIN graft.mvspec.ld1 dd1 ON f.a = dd1.pk " +
+      "JOIN graft.mvspec.ld2 dd2 ON f.b = dd2.pk2 WHERE g1 = 'P' " +
+      "GROUP BY g2")), "the dim-key cut must serve")
+    // the headline: a FEED-LESS dim move (cdc = false — the shape that
+    // bricks the group-grain star into a recompute) serves, exactly
+    TxnTable.applyChangesMor(spark, d1,
+      s.sql("SELECT pk, 'R' AS g1, 'U' AS op FROM graft.mvspec.ld1 " +
+        "WHERE pk IN (1, 2)"), "pk", cdc = false)
+    assert(servedLive(s.sql(q)), "a feed-less dim move must not stale " +
+      "the live view")
+    val g2 = got()
+    assert(g2 === direct() && g2.exists(_._1 == "R"),
+      "post-dim-move live serve diverged")
+    // ...and refresh has nothing to do: the fact log never moved
+    val r0 = MatView.refreshLive(spark, mv)
+    assert(r0.commitsFolded === 0, "dim movement must not dirty the " +
+      "live view's cursor")
+    assert(MatView.statusFor(spark, fact).exists(st =>
+      st.kind == "live" && st.fresh && st.servable),
+      "the live view must list FRESH despite the moved dim")
+    // a fact cdc batch, unrefreshed: sub-view ⊕ feed ⋈ (moved) dims
+    TxnTable.applyChangesMor(spark, fact,
+      s.sql("SELECT k, a, b, v, 'D' AS op FROM graft.mvspec.lf " +
+        "WHERE k % 5 = 0 UNION ALL " +
+        "SELECT k + 1000, a, b, CAST(v + 7 AS DECIMAL(12,2)), 'U' " +
+        "FROM graft.mvspec.lf WHERE k % 8 = 0"), "k", cdc = true)
+    assert(servedLive(s.sql(q)), "the fact feed tail must compensate")
+    assert(got() === direct(), "compensated live serve diverged")
+    // refresh folds exactly the fact tail — no dim cursor moves
+    // because none exists
+    val r1 = MatView.refreshLive(spark, mv)
+    assert(r1.commitsFolded === 1)
+    assert(servedLive(s.sql(q)) && got() === direct(),
+      "post-refresh live serve diverged")
+    // the one honest disqualifier: a feed-less FACT content change —
+    // the tail cannot compensate and refresh refuses with the remedy
+    TxnTable.applyChangesMor(spark, fact,
+      s.sql("SELECT k, a, b, CAST(v + 1 AS DECIMAL(12,2)) AS v, " +
+        "'U' AS op FROM graft.mvspec.lf WHERE k = 3"), "k", cdc = false)
+    assert(!servedLive(s.sql(q)),
+      "a feed-less fact change must fall through")
+    assert(got() === direct(), "the fall-through answer must be exact")
+    val eRef = intercept[IllegalArgumentException] {
+      MatView.refreshLive(spark, mv)
+    }
+    assert(eRef.getMessage.contains("recompute the MV"), eRef.getMessage)
+    // grain hygiene: a non-integral/string join key refuses at create
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.lfdec")
+    s.sql("CREATE TABLE graft.mvspec.lfdec (k BIGINT, " +
+      "a DECIMAL(10,2), v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.lfdec SELECT id, " +
+      "CAST(id AS DECIMAL(10,2)), CAST(id AS DECIMAL(12,2)) " +
+      "FROM RANGE(10)")
+    val eGrain = intercept[IllegalArgumentException] {
+      MatView.createStarLive(spark, fresh("mv_live_dec"),
+        s"$w/mvspec/lfdec", Seq(MatView.MvDimRef(d1, "a", "pk")),
+        Seq("g1"), "v")
+    }
+    assert(eGrain.getMessage.contains("integral or string"),
+      eGrain.getMessage)
+    // drop deregisters: the query falls back to the base join
+    assert(MatView.drop(spark, mv) === "live")
+    assert(!servedLive(s.sql(q)) && got() === direct(),
+      "after DROP the base join must answer")
+  }
+
   test("fact-owned join-MV keys: create validates ownership across " +
       "fact AND dims; both logs fold in ONE refresh; the non-key fact " +
       "column never binds") {
