@@ -519,7 +519,11 @@ object MatView {
     while (bad.isEmpty && it.hasNext) {
       val v = it.next()
       val m = TxnTable.manifest(s, base, v)
-      if (m.cdcRefs.nonEmpty) acc ++= m.cdcRefs.map(r => s"$base/$r")
+      // through pathFor: an ABSOLUTE feed ref (clone/branch lineage)
+      // must resolve verbatim, exactly as the lenient CDC reader and
+      // every data-entry read resolve it — "$base/$abs" would 404
+      if (m.cdcRefs.nonEmpty)
+        acc ++= m.cdcRefs.map(r => TxnTable.pathFor(base, r))
       else if (ContentInvariantOps(m.op) ||
         m.metrics.get("change_noop").contains(1L)) ()
       else bad = Some(s"$base version $v ('${m.op}') changed content " +
@@ -536,7 +540,7 @@ object MatView {
     * O(commits in range) metadata RPCs, paid on refresh only, never on
     * the query-planning path, where all feeds existing is the common
     * case and a missing one falls through via the rule's guard). */
-  private def feedRefs(s: SparkSession, base: String, last: Long,
+  private[graft] def feedRefs(s: SparkSession, base: String, last: Long,
       head: Long): Seq[String] =
     feedRefsE(s, base, last, head) match {
       case Right(refs) =>
@@ -1977,6 +1981,31 @@ object MatView {
     * Returns the view's kind. */
   def drop(s: SparkSession, mv: String): String = {
     val kind = kindOf(s, mv) // refuses loudly when mv is not a view
+    // a refreshed view publishes its own signed feed, so views STACK
+    // (fold-over-fold chains, folds over extrema feeds) — deleting a
+    // base out from under a registered dependent would surface later
+    // as a misleading 'base was restored/recreated; recompute' on the
+    // dependent's next refresh. Refuse NOW, naming the dependents,
+    // BEFORE anything deregisters or deletes. (Session registries are
+    // the dependency source of truth the rewrite itself uses; an
+    // unregistered dependent is already serving nothing.)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val dependents = (
+        registry.asScala.values.map { case (m, d) => (m, d.base) } ++
+        extremaRegistry.asScala.values.map { case (m, d) =>
+          (m, d.base) } ++
+        joinRegistry.asScala.values.flatMap { case (m, d) =>
+          (d.fact +: d.dims.map(_.dim)).map((m, _)) } ++
+        liveRegistry.asScala.values.flatMap { case (m, d, _) =>
+          (d.fact +: d.dims.map(_.dim)).map((m, _)) })
+        .collect { case (m, b) if b == mv && m != mv => m }
+        .toSeq.distinct.sorted
+      require(dependents.isEmpty, s"$mv feeds registered view(s) " +
+        s"${dependents.mkString(", ")} — drop those first, or " +
+        "recompute them on a different base; deleting their base " +
+        "would brick their next refresh")
+    }
     kind match {
       case "fold" =>
         val d = readDef(s, mv)

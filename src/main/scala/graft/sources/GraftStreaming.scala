@@ -572,17 +572,22 @@ class GraftCdcMicroBatchStream(ident: String, location: String,
   private def filesIn(s: SparkSession, start: Long, end: Long): Seq[Path] = {
     if (start >= end) return Seq.empty
     if (strict)
-      // readChangeFeed=true: the MatView refresh contract, verbatim
-      // from ITS single site (feedRefsE) — a feed-less CONTENT change
-      // in the walked range throws instead of passing as an empty
-      // batch (a downstream aggregate maintained from this stream
-      // would silently diverge on exactly that commit); maintenance
-      // ops and change_noop commits still pass as empty batches
-      graft.operators.MatView.feedRefsE(s, location,
-        math.max(start, -1L), end) match {
-        case Left(msg) => throw new IllegalArgumentException(
-          s"$ident (readChangeFeed): $msg")
-        case Right(refs) => refs.map(new Path(_))
+      // readChangeFeed=true: the MatView REFRESH contract, verbatim
+      // from ITS single site (feedRefs = feedRefsE + the per-feed
+      // existence probe) — a feed-less CONTENT change in the walked
+      // range throws instead of passing as an empty batch (a
+      // downstream aggregate maintained from this stream would
+      // silently diverge on exactly that commit), and a feed SWEPT by
+      // expire_snapshots + vacuum refuses with the named 'was
+      // vacuumed' remedy instead of a raw FileNotFoundException deep
+      // in the scan; maintenance ops and change_noop commits still
+      // pass as empty batches. This is a refresh-grade path (one
+      // existence RPC per feed per trigger), not the optimizer path.
+      try graft.operators.MatView.feedRefs(s, location,
+        math.max(start, -1L), end).map(new Path(_))
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"$ident (readChangeFeed): ${e.getMessage}")
       }
     else (math.max(start + 1, 0L) to end).flatMap(v =>
       TxnTable.manifest(s, location, v).cdcRefs

@@ -1871,6 +1871,58 @@ class MatViewSpec extends SparkSpec {
       "after DROP the base join must answer")
   }
 
+  test("DROP of a view that feeds a registered dependent refuses, " +
+      "naming the dependent; dropping the dependent first unblocks it") {
+    val s = spark
+    val t = fresh("mv_dropdep_base")
+    mkBase(t, 60)
+    val mvA = fresh("mv_dropdep_a")
+    MatView.create(spark, mvA, t, "g", "v")
+    MatView.register(spark, mvA)
+    // stack a second fold view on the FIRST view's own feed — the
+    // mvChain construction (refresh publishes a signed feed, so a
+    // refreshed MV is a feeding base like any other)
+    val mvB = fresh("mv_dropdep_b")
+    MatView.create(spark, mvB, mvA, "g", "total")
+    MatView.register(spark, mvB)
+    val e = intercept[IllegalArgumentException] {
+      MatView.drop(spark, mvA)
+    }
+    assert(e.getMessage.contains(mvB) &&
+      e.getMessage.contains("drop those first"), e.getMessage)
+    // the refusal mutated nothing: A still serves its base
+    assert(MatView.registeredFor(t).exists(_._1 == mvA),
+      "the refused drop must leave A registered")
+    assert(MatView.drop(spark, mvB) === "fold")
+    assert(MatView.drop(spark, mvA) === "fold",
+      "dropping the dependent first must unblock the base view")
+  }
+
+  test("feed refs resolve through pathFor and a swept feed refuses " +
+      "with the named vacuum remedy (the refresh AND strict-CDC-stream " +
+      "shared contract)") {
+    val s = spark
+    val t = fresh("mv_sweptfeed_base")
+    mkBase(t, 40)
+    TxnTable.applyChangesMor(spark, t,
+      change(baseDf(40).filter(col("k") % 7 === 0), "D"), "k",
+      cdc = true)
+    val head = TxnTable.currentVersion(spark, t)
+    // intact feed: refs resolve (relative refs through pathFor)
+    val refs = MatView.feedRefs(spark, t, head - 1, head)
+    assert(refs.nonEmpty && refs.forall(_.startsWith(t)),
+      refs.toString)
+    // sweep the feed dir out from under the cursor: the refusal names
+    // the vacuumed feed and the remedy, never a raw FileNotFound deep
+    // in a scan
+    refs.foreach(r => Fs.deleteRecursively(r))
+    val e = intercept[IllegalArgumentException] {
+      MatView.feedRefs(spark, t, head - 1, head)
+    }
+    assert(e.getMessage.contains("was vacuumed") &&
+      e.getMessage.contains("recompute the MV"), e.getMessage)
+  }
+
   test("fact-owned join-MV keys: create validates ownership across " +
       "fact AND dims; both logs fold in ONE refresh; the non-key fact " +
       "column never binds") {
