@@ -456,10 +456,11 @@ object MatView {
     // dim timelines / a recompute-bound contract) — refuse with the
     // SPECIFIC reason, not readDef's generic not-a-fold-MV message
     require(!fs(s, joinDefPath(mv)).exists(joinDefPath(mv)) &&
-      !fs(s, extremaDefPath(mv)).exists(extremaDefPath(mv)),
-      s"$mv: transplant applies to fold MVs only — join and extrema " +
-        "views track multiple or recompute-bound cursors; recompute " +
-        "them on the parent instead")
+      !fs(s, extremaDefPath(mv)).exists(extremaDefPath(mv)) &&
+      !fs(s, liveDefPath(mv)).exists(liveDefPath(mv)),
+      s"$mv: transplant applies to fold MVs only — join, extrema and " +
+        "live views track multiple or recompute-bound cursors; " +
+        "recompute them on the parent instead")
     val d = readDef(s, mv)
     val parent = parentOf(d.base)
     val leaf = d.base.drop(parent.length + "/_branches/".length)
@@ -680,53 +681,76 @@ object MatView {
 
   private def joinDefPath(mv: String) = new Path(s"$mv/_mvj")
 
-  private def writeJoinDef(s: SparkSession, mv: String, d: MvJoinDef)
-      : Unit = {
-    val p = joinDefPath(mv)
-    val out = fs(s, p).create(p, false)
-    // multi-dim format: fact, #dims, (dim TAB factKey TAB dimKey)*,
-    // keys, value, aggs. The legacy 7-line single-dim format (line 2 a
-    // path, not an integer) still parses below.
-    try out.write((Seq(d.fact, d.dims.size.toString) ++
+  /** The multi-dim star definition LINE PROTOCOL — ONE render/parse
+    * pair shared by `_mvj` (no trailing lines) and `_mvl` (one
+    * trailing grain line), so a future format change can never
+    * silently diverge the two kinds: fact, #dims,
+    * (dim TAB factKey TAB dimKey)*, keys, value, aggs, trailing*. */
+  private def renderStarDef(d: MvJoinDef, trailing: Seq[String])
+      : String =
+    (Seq(d.fact, d.dims.size.toString) ++
       d.dims.map(r => s"${r.dim}\t${r.factKey}\t${r.dimKey}") ++
       Seq(d.keys.mkString(","), d.value,
-        d.aggs.toSeq.sorted.mkString(","))).mkString("", "\n", "\n")
+        d.aggs.toSeq.sorted.mkString(",")) ++ trailing)
+      .mkString("", "\n", "\n")
+
+  private def parseStarDef(mv: String, kindFile: String,
+      lines: Seq[String], nTrailing: Int): (MvJoinDef, Seq[String]) =
+    lines match {
+      case fact +: nStr +: rest if nStr.toIntOption.isDefined =>
+        val n = nStr.toInt
+        require(rest.size == n + 3 + nTrailing,
+          s"$mv: malformed $kindFile definition " +
+            s"(${lines.size} lines for $n dims)")
+        val dims = rest.take(n).map { l =>
+          val ps = l.split('\t')
+          require(ps.length == 3,
+            s"$mv: malformed $kindFile dim line '$l'")
+          MvDimRef(ps(0), ps(1), ps(2))
+        }
+        val Seq(keys, value, aggs) = rest.slice(n, n + 3)
+        require(aggs.nonEmpty, s"$mv: malformed $kindFile definition " +
+          "(empty declared-aggregate line)")
+        (MvJoinDef(fact, dims, keys.split(',').toSeq, value,
+          aggs.split(',').toSet), rest.drop(n + 3))
+      case other => throw new IllegalArgumentException(
+        s"$mv: malformed $kindFile definition (${other.size} lines)")
+    }
+
+  private def writeDefFile(s: SparkSession, p: Path, content: String)
+      : Unit = {
+    val out = fs(s, p).create(p, false)
+    try out.write(content
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  private def readDefFile(s: SparkSession, p: Path): Seq[String] = {
+    val in = fs(s, p).open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.linesIterator.toSeq
+  }
+
+  private def writeJoinDef(s: SparkSession, mv: String, d: MvJoinDef)
+      : Unit =
+    writeDefFile(s, joinDefPath(mv), renderStarDef(d, Nil))
 
   def readJoinDef(s: SparkSession, mv: String): MvJoinDef = {
     val p = joinDefPath(mv)
     require(fs(s, p).exists(p), s"$mv is not a join materialized view " +
       "(no _mvj definition; create it with MatView.createJoin)")
-    val in = fs(s, p).open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = txt.linesIterator.toSeq
-    val d = lines match {
-      case fact +: nStr +: rest if nStr.toIntOption.isDefined =>
-        val n = nStr.toInt
-        require(rest.size == n + 3, s"$mv: malformed _mvj definition " +
-          s"(${lines.size} lines for $n dims)")
-        val dims = rest.take(n).map { l =>
-          val ps = l.split('\t')
-          require(ps.length == 3, s"$mv: malformed _mvj dim line '$l'")
-          MvDimRef(ps(0), ps(1), ps(2))
-        }
-        val Seq(keys, value, aggs) = rest.drop(n)
-        require(aggs.nonEmpty, s"$mv: malformed _mvj definition " +
-          "(empty declared-aggregate line)")
-        MvJoinDef(fact, dims, keys.split(',').toSeq, value,
-          aggs.split(',').toSet)
-      case Seq(fact, dim, fk, dk, keys, value, aggs) => // legacy 1-dim
+    readDefFile(s, p) match {
+      // the legacy 7-line single-dim format (line 2 a path, not an
+      // integer) still parses
+      case Seq(fact, dim, fk, dk, keys, value, aggs)
+          if dim.toIntOption.isEmpty =>
         require(aggs.nonEmpty, s"$mv: malformed _mvj definition " +
           "(empty declared-aggregate line)")
         MvJoinDef(fact, Seq(MvDimRef(dim, fk, dk)),
           keys.split(',').toSeq, value, aggs.split(',').toSet)
-      case other => throw new IllegalArgumentException(
-        s"$mv: malformed _mvj definition (${other.size} lines)")
+      case lines => parseStarDef(mv, "_mvj", lines, 0)._1
     }
-    d
   }
 
   /** key column → owning side, validated unique across the FACT and
@@ -1116,20 +1140,13 @@ object MatView {
     * served plan. */
   private def liveDefPath(mv: String) = new Path(s"$mv/_mvl")
 
+  /** The `_mvl` format is [[renderStarDef]]'s shared protocol plus ONE
+    * trailing line: the persisted grain, so refresh never re-resolves
+    * ownership (it reads no dim). */
   private def writeLiveDef(s: SparkSession, mv: String, d: MvJoinDef,
-      grain: Seq[String]): Unit = {
-    val p = liveDefPath(mv)
-    val out = fs(s, p).create(p, false)
-    // the _mvj multi-dim format plus ONE trailing line: the persisted
-    // grain, so refresh never re-resolves ownership (it reads no dim)
-    try out.write((Seq(d.fact, d.dims.size.toString) ++
-      d.dims.map(r => s"${r.dim}\t${r.factKey}\t${r.dimKey}") ++
-      Seq(d.keys.mkString(","), d.value,
-        d.aggs.toSeq.sorted.mkString(","), grain.mkString(",")))
-      .mkString("", "\n", "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      grain: Seq[String]): Unit =
+    writeDefFile(s, liveDefPath(mv),
+      renderStarDef(d, Seq(grain.mkString(","))))
 
   def readLiveDef(s: SparkSession, mv: String)
       : (MvJoinDef, Seq[String]) = {
@@ -1137,27 +1154,8 @@ object MatView {
     require(fs(s, p).exists(p), s"$mv is not a live star " +
       "materialized view (no _mvl definition; create it with " +
       "MatView.createStarLive)")
-    val in = fs(s, p).open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val lines = txt.linesIterator.toSeq
-    lines match {
-      case fact +: nStr +: rest if nStr.toIntOption.isDefined &&
-          rest.size == nStr.toInt + 4 =>
-        val n = nStr.toInt
-        val dims = rest.take(n).map { l =>
-          val ps = l.split('\t')
-          require(ps.length == 3, s"$mv: malformed _mvl dim line '$l'")
-          MvDimRef(ps(0), ps(1), ps(2))
-        }
-        val Seq(keys, value, aggs, grain) = rest.drop(n)
-        require(aggs.nonEmpty, s"$mv: malformed _mvl definition " +
-          "(empty declared-aggregate line)")
-        (MvJoinDef(fact, dims, keys.split(',').toSeq, value,
-          aggs.split(',').toSet), grain.split(',').toSeq)
-      case other => throw new IllegalArgumentException(
-        s"$mv: malformed _mvl definition (${other.size} lines)")
-    }
+    val (d, trailing) = parseStarDef(mv, "_mvl", readDefFile(s, p), 1)
+    (d, trailing.head.split(',').toSeq)
   }
 
   /** Single-dim [[createStarLive]]. */
@@ -1991,6 +1989,12 @@ object MatView {
     // unregistered dependent is already serving nothing.)
     locally {
       import scala.jdk.CollectionConverters._
+      // a base MATCHES when it is this view, or lives UNDER it (a
+      // branch of this view, the transplant shape — the recursive
+      // delete below would wipe it too): the same effective-base
+      // reach retentionPins/statusFor apply via mayServe/parentOf
+      def under(b: String): Boolean = b == mv ||
+        b.startsWith(s"$mv/")
       val dependents = (
         registry.asScala.values.map { case (m, d) => (m, d.base) } ++
         extremaRegistry.asScala.values.map { case (m, d) =>
@@ -1999,7 +2003,13 @@ object MatView {
           (d.fact +: d.dims.map(_.dim)).map((m, _)) } ++
         liveRegistry.asScala.values.flatMap { case (m, d, _) =>
           (d.fact +: d.dims.map(_.dim)).map((m, _)) })
-        .collect { case (m, b) if b == mv && m != mv => m }
+        .collect { case (m, b) if under(b) && m != mv => m }
+        // a GHOST dependent — its registry entry survived but its
+        // definition no longer reads (directory removed out-of-band)
+        // — must not wedge the drop: the prescribed remedy ("drop the
+        // dependent first") is impossible for it, and it can never
+        // refresh anyway
+        .filter(m => scala.util.Try(kindOf(s, m)).isSuccess)
         .toSeq.distinct.sorted
       require(dependents.isEmpty, s"$mv feeds registered view(s) " +
         s"${dependents.mkString(", ")} — drop those first, or " +

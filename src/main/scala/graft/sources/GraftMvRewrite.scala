@@ -397,7 +397,12 @@ case class GraftMvRewriteRule(session: SparkSession)
     * speaks about. */
   private case class JoinMvMatch(mvLoc: String, d: MatView.MvJoinDef,
       factRel: DataSourceV2Relation, factG: GraftTable,
-      dimRels: Seq[DataSourceV2Relation], dimGs: Seq[GraftTable]) {
+      dimRels: Seq[DataSourceV2Relation], dimGs: Seq[GraftTable],
+      // the live kind's persisted fact-key grain, captured from the
+      // SAME registry probe the match hit (re-probing at serve time
+      // would race a concurrent re-register — a recreated view's grain
+      // paired with the old view's rows); Nil for group-grain views
+      grain: Seq[String] = Nil) {
     /** Key column → owning side, re-derived from the RELATIONS being
       * served: −1 = the fact (the r19 fact-owned grouping-key shape),
       * 0.. = that dim; None = the column no longer lives on exactly
@@ -442,7 +447,9 @@ case class GraftMvRewriteRule(session: SparkSession)
     * ever names a repeat). */
   private def matchJoinMv(rels0: Seq[DataSourceV2Relation],
       conds: Seq[Expression]): Option[JoinMvMatch] =
-    matchStar(rels0, conds, MatView.registeredJoinFor)
+    matchStar(rels0, conds,
+      (f, ds) => MatView.registeredJoinFor(f, ds)
+        .map { case (mv, d) => (mv, d, Nil) })
 
   /** [[matchJoinMv]] generalized over the registry probed — the live
     * star registry shares the (fact, dim set) key and the definition
@@ -451,7 +458,8 @@ case class GraftMvRewriteRule(session: SparkSession)
   private def matchStar(rels0: Seq[DataSourceV2Relation],
       conds: Seq[Expression],
       lookup: (String, Seq[String]) =>
-        Option[(String, MatView.MvJoinDef)]): Option[JoinMvMatch] = {
+        Option[(String, MatView.MvJoinDef, Seq[String])])
+      : Option[JoinMvMatch] = {
     if (rels0.size < 2) return None
     val gts: Seq[(DataSourceV2Relation, GraftTable)] = rels0.map { r =>
       r.table match {
@@ -464,7 +472,7 @@ case class GraftMvRewriteRule(session: SparkSession)
       val dims = gts.patch(i, Nil, 1)
       lookup(fg.location, dims.map(_._2.location))
         .map(x => (x, fr, fg, dims))
-    }.find { case ((_, d), fr, _, dims) =>
+    }.find { case ((_, d, _), fr, _, dims) =>
       val dimByLoc = dims.map(x => x._2.location -> x._1).toMap
       conds.size == d.dims.size && d.dims.forall { ref =>
         dimByLoc.get(ref.dim).exists { dimRel =>
@@ -479,12 +487,12 @@ case class GraftMvRewriteRule(session: SparkSession)
         }
       }
     }
-    hit.map { case ((mvLoc, d), factRel, factG, dimPairs) =>
+    hit.map { case ((mvLoc, d, grain), factRel, factG, dimPairs) =>
       val dimRelByLoc = dimPairs.map(x => x._2.location -> x._1).toMap
       val dimGByLoc = dimPairs.map(x => x._2.location -> x._2).toMap
       JoinMvMatch(mvLoc, d, factRel, factG,
         d.dims.map(r => dimRelByLoc(r.dim)),
-        d.dims.map(r => dimGByLoc(r.dim)))
+        d.dims.map(r => dimGByLoc(r.dim)), grain)
     }
   }
 
@@ -549,24 +557,21 @@ case class GraftMvRewriteRule(session: SparkSession)
 
   private def matchLiveMv(rels0: Seq[DataSourceV2Relation],
       conds: Seq[Expression]): Option[JoinMvMatch] =
-    matchStar(rels0, conds,
-      (f, ds) => MatView.registeredLiveFor(f, ds).map(x => (x._1, x._2)))
+    matchStar(rels0, conds, MatView.registeredLiveFor)
 
   /** Freshness + frame for a live star view: the FACT cursor alone
     * decides (tail compensation from its feeds, exactly the fold
     * rule); the dims impose nothing — [[MatView.compensatedLive]]
     * joins them back at the query's pinned versions, so a moved or
-    * even time-travelled dim serves. The grain comes from the
-    * registry (same probe the match just hit). */
+    * even time-travelled dim serves. The grain rode the match's own
+    * registry probe ([[JoinMvMatch.grain]]). */
   private def liveMvRows(m: JoinMvMatch)
       : Option[org.apache.spark.sql.DataFrame] = {
-    val grain = MatView.registeredLiveFor(m.factG.location,
-      m.dimGs.map(_.location)).map(_._3).getOrElse(return None)
     val mvVer = TxnTable.currentVersion(session, m.mvLoc)
     val cursor = MatView.cursorAt(session, m.mvLoc, mvVer,
       "mv_base_version")
     if (cursor > m.factG.pinnedVersion) None
-    else MatView.compensatedLive(session, m.mvLoc, m.d, grain, cursor,
+    else MatView.compensatedLive(session, m.mvLoc, m.d, m.grain, cursor,
       m.factG.pinnedVersion, m.dimGs.map(_.pinnedVersion), mvVer)
   }
 

@@ -1894,8 +1894,23 @@ class MatViewSpec extends SparkSpec {
     assert(MatView.registeredFor(t).exists(_._1 == mvA),
       "the refused drop must leave A registered")
     assert(MatView.drop(spark, mvB) === "fold")
+    // a dependent registered over a BRANCH of A (the transplant
+    // lineage): the recursive delete would wipe the branch too, so the
+    // guard must reach bases UNDER the view, not just the exact dir
+    TxnTable.branch(spark, mvA, "dev")
+    val mvC = fresh("mv_dropdep_c")
+    MatView.create(spark, mvC, s"$mvA/_branches/dev", "g", "total")
+    MatView.register(spark, mvC)
+    val eBr = intercept[IllegalArgumentException] {
+      MatView.drop(spark, mvA)
+    }
+    assert(eBr.getMessage.contains(mvC), eBr.getMessage)
+    // a GHOST dependent (registered, directory gone out-of-band) must
+    // NOT wedge the drop: its prescribed remedy is impossible and it
+    // can never refresh anyway
+    Fs.deleteRecursively(mvC)
     assert(MatView.drop(spark, mvA) === "fold",
-      "dropping the dependent first must unblock the base view")
+      "a ghost dependent must not block the drop")
   }
 
   test("feed refs resolve through pathFor and a swept feed refuses " +
