@@ -704,11 +704,29 @@ object SqlSurface {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     val prunedServe = mvOnly(pP) && mvOpened >= 1 && mvOpened < mvLive &&
       gotP == dirP
+    // (5) the prune SURVIVES the refresh merge: foldAndMerge →
+    // mergeCore re-clusters the rewritten region by the MV's own keys
+    // and re-lands stats through the manifest's idx/strIdx columns, so
+    // the key-filtered dashboard keeps opening ≤ the key's
+    // stat-bearing files AFTER the fold — self-clustering at refresh,
+    // plan-proven against the refreshed manifest's live total
+    val rr = graft.operators.MatView.refresh(s, mv)
+    val pP2 = scanSrcsOf(s, qPoint)
+    val mvLive2 = graft.operators.TxnTable.manifest(s, mv,
+      rr.mvVersion).entries.size
+    val mvOpened2 = pP2.count(p => p.contains(mv) &&
+      p.endsWith(".parquet"))
+    val gotP2 = s.sql(qPoint).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val prunedAfterRefresh = rr.commitsFolded == 1 &&
+      pP2.nonEmpty && pP2.forall(_.contains(mv)) &&
+      mvOpened2 >= 1 && mvOpened2 < mvLive2 &&
+      gotP2 == dirP
     val ok = mvOnly(pK) && mvOnly(pR) &&
       pN.exists(p => p.contains(loc) || p.startsWith("v2:")) &&
       !pN.exists(_.contains(mv)) &&
       gotK == dirK && gotR == dirR && gotR.exists(_._1 == "Q") &&
-      prunedServe
+      prunedServe && prunedAfterRefresh
     s.sql(qRollup).withColumn("mvf_ok", lit(ok))
   }
 
