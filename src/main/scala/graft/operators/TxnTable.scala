@@ -3859,7 +3859,16 @@ object TxnTable {
       feed: DataFrame, targetVersion: Long): Seq[String] = {
     val tmp = new Path(s"$table/_cdc/.tmp-${java.util.UUID.randomUUID()}")
     val f = fs(s, tmp)
-    feed.coalesce(1).write.parquet(tmp.toString)
+    // BOUNDED feed files: a giant commit's feed splits at
+    // graft.cdc.maxRecordsPerFile rows per file (default 4M — small
+    // feeds keep landing as the single tidy file they always were),
+    // which is what lets the rows-capped CDC stream admission
+    // (maxRowsPerTrigger) split one commit across micro-batches at
+    // file boundaries instead of swallowing it whole
+    val perFile = s.conf.getOption("graft.cdc.maxRecordsPerFile")
+      .map(_.toLong).getOrElse(1L << 22)
+    feed.coalesce(1).write.option("maxRecordsPerFile", perFile)
+      .parquet(tmp.toString)
     val tag = java.util.UUID.randomUUID()
     val refs = f.listStatus(tmp).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex

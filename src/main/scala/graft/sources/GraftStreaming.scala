@@ -51,6 +51,27 @@ object GraftStreaming {
     override def json: String = v.toString
   }
 
+  /** Sub-version CDC offset: fully consumed through version `v`, PLUS
+    * the first `files` change files of version v+1 — the rows-capped
+    * admission's split point, so one giant commit need not become one
+    * giant micro-batch. Serializes to the plain version number when
+    * files == 0: a checkpoint written before (or without) the rows cap
+    * round-trips unchanged, and removing the cap later resumes a
+    * mid-version checkpoint correctly (the next batch simply drains
+    * the version's remaining files). */
+  case class CdcOffset(v: Long, files: Int) extends Offset {
+    override def json: String =
+      if (files == 0) v.toString else s"$v:$files"
+  }
+  object CdcOffset {
+    def parse(json: String): CdcOffset = json.split(':') match {
+      case Array(v) => CdcOffset(v.toLong, 0)
+      case Array(v, f) => CdcOffset(v.toLong, f.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"malformed cdc offset '$json'")
+    }
+  }
+
   /** Resolve the `startingVersion` / `startingTimestamp` options to the
     * initial offset (= last consumed version): absent → −1 (everything,
     * INCLUDING version 0 — a CTAS or `TxnTable.create(df)` table
@@ -500,6 +521,14 @@ class GraftChangesTable(ident: String,
       override def build(): Scan = {
         val maxVersions = Option(options.get("maxVersionsPerTrigger"))
           .map(_.toLong)
+        // rows-capped admission (sub-version offsets): one giant
+        // commit splits across triggers at change-FILE boundaries —
+        // the cap bounds each batch at maxRows unless a single file
+        // alone exceeds it (at least one file always admits)
+        val maxRows = Option(options.get("maxRowsPerTrigger"))
+          .map(_.toLong)
+        maxRows.foreach(m => require(m > 0,
+          s"$ident: maxRowsPerTrigger must be positive, got $m"))
         val startingVersion = Option(options.get("startingVersion"))
         val startingTs = Option(options.get("startingTimestamp"))
         // readChangeFeed=true upgrades the STREAM to the MatView
@@ -513,7 +542,7 @@ class GraftChangesTable(ident: String,
         new GraftStreaming.StreamableScan(super.build(),
           readSchema => new GraftCdcMicroBatchStream(ident, location,
             readSchema, maxVersions, startingVersion, ev, startingTs,
-            strict))
+            strict, maxRows))
       }
     }
   }
@@ -530,19 +559,22 @@ class GraftCdcMicroBatchStream(ident: String, location: String,
     startingVersion: Option[String] = None,
     endingVersion: Option[Long] = None,
     startingTimestamp: Option[String] = None,
-    strict: Boolean = false)
+    strict: Boolean = false,
+    maxRows: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  import GraftStreaming.CdcOffset
 
   private def spark: SparkSession = SparkSession.active
   @volatile private var availableTarget: Option[Long] = None
   @volatile private var lastFactory: Option[PartitionReaderFactory] = None
 
-  override def initialOffset(): Offset = GraftStreaming.VersionOffset(
+  override def initialOffset(): Offset = CdcOffset(
     GraftStreaming.resolveStart(ident, location, startingVersion, spark,
-      startingTimestamp))
+      startingTimestamp), 0)
 
   override def deserializeOffset(json: String): Offset =
-    GraftStreaming.VersionOffset(json.toLong)
+    CdcOffset.parse(json)
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableTarget = Some(TxnTable.currentVersion(spark, location))
@@ -553,54 +585,96 @@ class GraftCdcMicroBatchStream(ident: String, location: String,
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) drives this admission-controlled source")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s0 = start.asInstanceOf[GraftStreaming.VersionOffset].v
-    val cur = TxnTable.currentVersion(spark, location)
-    val pinned = endingVersion.fold(cur)(math.min(cur, _))
-    val capped = availableTarget.fold(pinned)(math.min(pinned, _))
-    val end = maxVersions.fold(capped)(m => math.min(capped, s0 + m))
-    GraftStreaming.VersionOffset(math.max(s0, end))
-  }
-
-  override def reportLatestOffset(): Offset =
-    GraftStreaming.VersionOffset(TxnTable.currentVersion(spark, location))
-
-  /** The change files versions (start, end] published, from their
-    * manifests' `#cdc=` refs. A vacuumed version in the walk fails
-    * loudly at manifest resolution — a checkpoint resumed past
-    * retention must not silently skip feed history. */
-  private def filesIn(s: SparkSession, start: Long, end: Long): Seq[Path] = {
-    if (start >= end) return Seq.empty
-    if (strict)
-      // readChangeFeed=true: the MatView REFRESH contract, verbatim
-      // from ITS single site (feedRefs = feedRefsE + the per-feed
-      // existence probe) — a feed-less CONTENT change in the walked
-      // range throws instead of passing as an empty batch (a
-      // downstream aggregate maintained from this stream would
-      // silently diverge on exactly that commit), and a feed SWEPT by
-      // expire_snapshots + vacuum refuses with the named 'was
-      // vacuumed' remedy instead of a raw FileNotFoundException deep
-      // in the scan; maintenance ops and change_noop commits still
-      // pass as empty batches. This is a refresh-grade path (one
-      // existence RPC per feed per trigger), not the optimizer path.
-      try graft.operators.MatView.feedRefs(s, location,
-        math.max(start, -1L), end).map(new Path(_))
+  /** ONE version's change-file paths, under the mode's contract — the
+    * per-version grain both the batch plan and the rows-capped
+    * admission walk share, so they can never disagree on which files a
+    * version carries. Strict (`readChangeFeed`) routes through the
+    * MatView refresh contract's single site (feedRefs: a feed-less
+    * content change throws with the remedy; a vacuumed feed names
+    * itself); lenient reads whatever refs the manifest carries. */
+  private def refsOf(s: SparkSession, v: Long): Seq[Path] =
+    if (v < 0) Seq.empty
+    else if (strict)
+      try graft.operators.MatView.feedRefs(s, location, v - 1, v)
+        .map(new Path(_))
       catch { case e: IllegalArgumentException =>
         throw new IllegalArgumentException(
           s"$ident (readChangeFeed): ${e.getMessage}")
       }
-    else (math.max(start + 1, 0L) to end).flatMap(v =>
-      TxnTable.manifest(s, location, v).cdcRefs
-        .map(r => new Path(TxnTable.pathFor(location, r))))
+    else TxnTable.manifest(s, location, v).cdcRefs
+      .map(r => new Path(TxnTable.pathFor(location, r)))
+
+  /** Footer row count of one change file — the admission currency for
+    * maxRowsPerTrigger. One metadata read per not-yet-admitted file
+    * per latestOffset call; never a data scan. */
+  private def feedRows(s: SparkSession, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, s.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val o = start.asInstanceOf[CdcOffset]
+    val cur = TxnTable.currentVersion(spark, location)
+    val pinned = endingVersion.fold(cur)(math.min(cur, _))
+    val capped = availableTarget.fold(pinned)(math.min(pinned, _))
+    val endV = maxVersions.fold(capped)(m => math.min(capped, o.v + m))
+    if (endV <= o.v) return o
+    if (maxRows.isEmpty) return CdcOffset(endV, 0)
+    // ROWS-CAPPED admission: walk forward file by file (footer counts
+    // only), admitting until the budget is spent — a version splits
+    // across triggers at a file boundary via the sub-version offset.
+    // At least ONE file always admits (a single file larger than the
+    // cap would otherwise stall the stream forever): the cap is a
+    // bound on batches, not a promise to split inside a file.
+    var v = o.v
+    var f = o.files
+    var budget = maxRows.get
+    var took = false
+    var done = false
+    while (!done && v < endV) {
+      val refs = refsOf(spark, v + 1)
+      var k = f
+      while (!done && k < refs.size) {
+        val rows = feedRows(spark, refs(k))
+        if (took && rows > budget) done = true
+        else { budget -= rows; took = true; k += 1 }
+      }
+      if (done) f = k
+      else { v += 1; f = 0 }
+    }
+    CdcOffset(v, f)
+  }
+
+  override def reportLatestOffset(): Offset =
+    CdcOffset(TxnTable.currentVersion(spark, location), 0)
+
+  /** The change files in (start, end] — whole versions plus the
+    * sub-version file slices the rows-capped admission cut. A vacuumed
+    * version in the walk fails loudly at manifest resolution — a
+    * checkpoint resumed past retention must not silently skip feed
+    * history. */
+  private def filesIn(s: SparkSession, start: CdcOffset, end: CdcOffset)
+      : Seq[Path] = {
+    if (end.v < start.v ||
+      (end.v == start.v && end.files <= start.files)) return Seq.empty
+    if (start.v == end.v)
+      // one version split mid-stride: the (files0, files1] slice
+      refsOf(s, start.v + 1).slice(start.files, end.files)
+    else
+      refsOf(s, start.v + 1).drop(start.files) ++
+        (start.v + 2 to end.v).flatMap(refsOf(s, _)) ++
+        (if (end.files > 0) refsOf(s, end.v + 1).take(end.files)
+         else Seq.empty)
   }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val s = spark
-    val s0 = start.asInstanceOf[GraftStreaming.VersionOffset].v
-    val e0 = end.asInstanceOf[GraftStreaming.VersionOffset].v
-    val (parts, factory) =
-      StreamBridge.batchFor(s, schema, filesIn(s, s0, e0))
+    val (parts, factory) = StreamBridge.batchFor(s, schema,
+      filesIn(s, start.asInstanceOf[CdcOffset],
+        end.asInstanceOf[CdcOffset]))
     lastFactory = Some(factory)
     parts
   }

@@ -1032,9 +1032,47 @@ object Streams {
       .start()
     q3.awaitTermination()
     val lenient = snap("st_stream_changes_len")
+    // ROWS-CAPPED admission: ONE commit whose feed splits into four
+    // bounded files (graft.cdc.maxRecordsPerFile) streams as FOUR
+    // micro-batches of ≤ maxRowsPerTrigger rows each, via sub-version
+    // (version, fileIdx) offsets — a giant commit no longer becomes
+    // one giant batch. The aggregate over the capped run must equal
+    // the whole feed's, and every batch's numInputRows stays bounded.
+    val t2 = "stch_cap"
+    val loc2 = s"${graft.sources.GraftCatalog.defaultWarehouse}/q/$t2"
+    s.sql(s"DROP TABLE IF EXISTS graft.q.$t2")
+    s.sql(s"CREATE TABLE graft.q.$t2 (k BIGINT, grp STRING)")
+    s.conf.set("graft.cdc.maxRecordsPerFile", "1000")
+    try TxnTable.applyChangesMor(s, loc2,
+      s.sql("""SELECT id AS k, CASE WHEN id % 2 = 0 THEN 'E' ELSE 'O'
+        END AS grp, 'U' AS op FROM RANGE(4000)"""), "k", cdc = true)
+    finally s.conf.unset("graft.cdc.maxRecordsPerFile")
+    val feedFiles = TxnTable.manifest(s, loc2,
+      TxnTable.currentVersion(s, loc2)).cdcRefs.size
+    val ckpt3 = graft.Fs.scratch("graft_stream_changes", "ckpt3")
+    graft.Fs.deleteRecursively(ckpt3)
+    val q4 = s.readStream
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1") // v0 = the feed-less CREATE
+      .option("maxRowsPerTrigger", "1000")
+      .table(s"graft.q.$t2.changes")
+      .groupBy(col("grp"))
+      .agg(sum(col("w")).as("n"))
+      .writeStream.format("memory").queryName("st_stream_changes_cap")
+      .option("checkpointLocation", ckpt3)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q4.awaitTermination()
+    val capProg = q4.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val capAgg = s.table("st_stream_changes_cap")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val capOk = feedFiles == 4 && capProg.size == 4 &&
+      capProg.forall(_.numInputRows <= 1000) &&
+      capAgg == Set(("E", 2000L), ("O", 2000L))
     val nowCount = TxnTable.snapshot(s, loc).count()
     val ok = batchesOk && maintained == direct && refused &&
-      lenient == maintained &&
+      capOk && lenient == maintained &&
       nowCount == direct.map(_._2).sum +
         s.sql("SELECT COUNT(*) FROM orders WHERE o_orderkey % 31 = 0")
           .collect()(0).getLong(0)

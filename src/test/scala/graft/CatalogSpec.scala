@@ -1008,10 +1008,20 @@ class CatalogSpec extends SparkSpec {
         schema, None, Some("2"), false, Some("0")).initialOffset()
     }
     // the CDC stream threads the SAME timestamp anchoring (pins the
-    // 7-arg constructor's trailing-option order)
-    assert(new graft.sources.GraftCdcMicroBatchStream(s"graft.spec.$t",
-      loc, schema, None, None, None, Some(ts2.toString)).initialOffset()
-      === VersionOffset(1))
+    // trailing-option constructor order); its offsets carry the
+    // sub-version file split, 0 at any fresh start — and serialize to
+    // the PLAIN version number there, so pre-split checkpoints
+    // round-trip unchanged
+    val cdcAnchor = new graft.sources.GraftCdcMicroBatchStream(
+      s"graft.spec.$t", loc, schema, None, None, None,
+      Some(ts2.toString))
+    assert(cdcAnchor.initialOffset() ===
+      graft.sources.GraftStreaming.CdcOffset(1, 0))
+    assert(cdcAnchor.initialOffset().json === "1")
+    assert(cdcAnchor.deserializeOffset("3") ===
+      graft.sources.GraftStreaming.CdcOffset(3, 0))
+    assert(cdcAnchor.deserializeOffset("3:2") ===
+      graft.sources.GraftStreaming.CdcOffset(3, 2))
     // end-to-end: a fresh checkpoint starting at version 3 drains ONLY
     // the third insert into the destination
     val d = fresh("streamstartdst")
