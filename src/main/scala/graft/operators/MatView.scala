@@ -318,32 +318,46 @@ object MatView {
     val bv = TxnTable.currentVersion(s, base)
     val snap = TxnTable.snapshot(s, base, bv)
     validateValueType(value, snap.schema(value).dataType)
-    pred.foreach { p =>
-      require(p.trim.nonEmpty && !p.contains("\n"),
-        "a partial-view predicate must be one non-empty line")
-      // resolve + type-coerce against the base — unknown columns or
-      // bad syntax refuse here, never at the first refresh
-      val cond = snap.filter(p).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          f.condition
-      }.getOrElse(throw new IllegalArgumentException(
-        s"partial-view predicate '$p' did not analyze to a filter"))
-      require(cond.deterministic, s"partial-view predicate '$p' is " +
-        "nondeterministic — membership must be decidable per row, " +
-        "identically at create and at every refresh")
-      require(cond.collectFirst {
-        case sq: org.apache.spark.sql.catalyst.expressions
-          .SubqueryExpression => sq
-      }.isEmpty, s"partial-view predicate '$p' contains a subquery — " +
-        "its value can change with OTHER tables' content, which no " +
-        "feed of THIS base can fold")
-    }
+    pred.foreach(validatePartialPred(snap, _, "the base"))
     val src = pred.fold(snap)(snap.filter)
     val v = commitMvRows(s, mv, src, keys, value,
       Seq("mv_base_version" -> bv))
     writeDef(s, mv, MvDef(base, keys, value,
       aggs.map(_.toLowerCase).toSet, pred))
     v
+  }
+
+  /** Validate a PARTIAL view's stored predicate against the frame it
+    * must decide membership on: resolves + type-coerces there (unknown
+    * columns or bad syntax refuse at create, never at the first
+    * refresh), deterministic, subquery-free. `side` names the frame in
+    * the refusal ("the base" for fold views, "the fact" for stars —
+    * where a dim-column reference must fail to resolve, because
+    * dim-dependent membership is exactly what no fact feed folds). */
+  private def validatePartialPred(snap: DataFrame, p: String,
+      side: String): Unit = {
+    require(p.trim.nonEmpty && !p.contains("\n"),
+      "a partial-view predicate must be one non-empty line")
+    val cond = try snap.filter(p).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"partial-view predicate '$p' did not analyze to a filter"))
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalArgumentException(
+        s"partial-view predicate '$p' does not resolve against " +
+          s"$side's columns (membership must be decidable per row " +
+          s"there — ${e.getMessage.linesIterator.next()})")
+    }
+    require(cond.deterministic, s"partial-view predicate '$p' is " +
+      "nondeterministic — membership must be decidable per row, " +
+      "identically at create and at every refresh")
+    require(cond.collectFirst {
+      case sq: org.apache.spark.sql.catalyst.expressions
+        .SubqueryExpression => sq
+    }.isEmpty, s"partial-view predicate '$p' contains a subquery — " +
+      "its value can change with OTHER tables' content, which no " +
+      "feed can fold")
   }
 
   /** Outcome of one refresh: the MV version (unchanged on no-op), the
@@ -676,8 +690,17 @@ object MatView {
     * must be unique across the dims so ownership is unambiguous —
     * validated at create, re-resolved via [[keyOwnership]] where the
     * enrichment join needs the owning alias). */
+  /** `pred`: a PARTIAL star view's stored membership rule — a
+    * deterministic, subquery-free predicate over FACT columns only
+    * (fact-side membership is row-local on the fact log, so it folds
+    * exactly like the single-table partial view: filter the create
+    * scan and every fact feed, and filter the re-grouped fact slice in
+    * each dim-delta term; a DIM-side predicate would change fact-row
+    * membership when the dim moves — no fact feed mentions that — so
+    * create refuses it). */
   case class MvJoinDef(fact: String, dims: Seq[MvDimRef],
-      keys: Seq[String], value: String, aggs: Set[String])
+      keys: Seq[String], value: String, aggs: Set[String],
+      pred: Option[String] = None)
 
   private def joinDefPath(mv: String) = new Path(s"$mv/_mvj")
 
@@ -695,11 +718,13 @@ object MatView {
       .mkString("", "\n", "\n")
 
   private def parseStarDef(mv: String, kindFile: String,
-      lines: Seq[String], nTrailing: Int): (MvJoinDef, Seq[String]) =
+      lines: Seq[String], minTrailing: Int, maxTrailing: Int)
+      : (MvJoinDef, Seq[String]) =
     lines match {
       case fact +: nStr +: rest if nStr.toIntOption.isDefined =>
         val n = nStr.toInt
-        require(rest.size == n + 3 + nTrailing,
+        require(rest.size >= n + 3 + minTrailing &&
+          rest.size <= n + 3 + maxTrailing,
           s"$mv: malformed $kindFile definition " +
             s"(${lines.size} lines for $n dims)")
         val dims = rest.take(n).map { l =>
@@ -734,7 +759,9 @@ object MatView {
 
   private def writeJoinDef(s: SparkSession, mv: String, d: MvJoinDef)
       : Unit =
-    writeDefFile(s, joinDefPath(mv), renderStarDef(d, Nil))
+    // a PARTIAL star stores its predicate as the one trailing line —
+    // full views keep the trailing-free format unchanged on disk
+    writeDefFile(s, joinDefPath(mv), renderStarDef(d, d.pred.toSeq))
 
   def readJoinDef(s: SparkSession, mv: String): MvJoinDef = {
     val p = joinDefPath(mv)
@@ -749,7 +776,9 @@ object MatView {
           "(empty declared-aggregate line)")
         MvJoinDef(fact, Seq(MvDimRef(dim, fk, dk)),
           keys.split(',').toSeq, value, aggs.split(',').toSet)
-      case lines => parseStarDef(mv, "_mvj", lines, 0)._1
+      case lines =>
+        val (d, trailing) = parseStarDef(mv, "_mvj", lines, 0, 1)
+        d.copy(pred = trailing.headOption)
     }
   }
 
@@ -791,7 +820,17 @@ object MatView {
     * metrics, so refresh/serve freshness is decided by the logs alone. */
   def createJoinStar(s: SparkSession, mv: String, fact: String,
       dims: Seq[MvDimRef], keys: Seq[String], value: String,
-      aggs: Seq[String] = Seq("count", "sum", "avg")): Long = {
+      aggs: Seq[String] = Seq("count", "sum", "avg")): Long =
+    createJoinStar(s, mv, fact, dims, keys, value, aggs, pred = None)
+
+  /** [[createJoinStar]] of a PARTIAL star: only fact rows satisfying
+    * `pred` (row-local SQL over FACT columns — `price > 100`) fold.
+    * Validated against the FACT snapshot alone: a dim-column reference
+    * refuses — dim-dependent membership moves when the dim moves, and
+    * no fact feed mentions that. */
+  def createJoinStar(s: SparkSession, mv: String, fact: String,
+      dims: Seq[MvDimRef], keys: Seq[String], value: String,
+      aggs: Seq[String], pred: Option[String]): Long = {
     validateShape(keys, aggs)
     require(dims.nonEmpty, "a join MV needs at least one dim")
     require(dims.map(_.dim).distinct.size == dims.size,
@@ -805,10 +844,12 @@ object MatView {
         "could never refresh")
     val fv = TxnTable.currentVersion(s, fact)
     val dvs = dims.map(r => TxnTable.currentVersion(s, r.dim))
-    val fsnap = TxnTable.snapshot(s, fact, fv)
-    validateValueType(value, fsnap.schema(value).dataType)
+    val fsnap0 = TxnTable.snapshot(s, fact, fv)
+    validateValueType(value, fsnap0.schema(value).dataType)
+    pred.foreach(validatePartialPred(fsnap0, _, "the fact"))
+    val fsnap = pred.fold(fsnap0)(fsnap0.filter)
     val d0 = MvJoinDef(fact, dims, keys, value,
-      aggs.map(_.toLowerCase).toSet)
+      aggs.map(_.toLowerCase).toSet, pred)
     val owner = keyOwnership(s, d0) // validates keys live in the dims
     // aliased N-sided select: grouping columns may share names with
     // fact columns without ambiguity
@@ -955,7 +996,13 @@ object MatView {
       dimHeads.zipWithIndex.map { case (h, i) => dimCursorMetric(i) -> h }
     val factTerm =
       if (refs.isEmpty) None
-      else Some(enrichWithDims(s, d, s.read.parquet(refs: _*),
+      // a PARTIAL star folds only the feed rows satisfying its stored
+      // predicate — row-local, so a −old/+new pair crossing the
+      // boundary folds as exactly the membership change it is (the
+      // fold view's rule, verbatim)
+      else Some(enrichWithDims(s, d,
+        d.pred.fold(s.read.parquet(refs: _*))(
+          s.read.parquet(refs: _*).filter),
         dimHeads, Seq(col(s"f.${d.value}").as(d.value), col("f.w"))))
     // prune accounting across the dim terms: kept = fact-file READS
     // the point probes performed (a file shared by two probes counts
@@ -1003,8 +1050,12 @@ object MatView {
       dimHeads: Seq[Long]): (DataFrame, Long, Long) = {
     val r = d.dims(i)
     val dimFeed = s.read.parquet(refs: _*)
-    val (factSlice, kept, total) = prunedFactSlice(s, d.fact, factVer,
+    val (factSlice0, kept, total) = prunedFactSlice(s, d.fact, factVer,
       r.factKey, dimFeed.select(col(r.dimKey)).distinct())
+    // a PARTIAL star's dim-delta term re-groups only the SLICE's fact
+    // rows: the predicate is row-local on the fact, so it filters the
+    // key-pruned slice exactly like the create scan
+    val factSlice = d.pred.fold(factSlice0)(factSlice0.filter)
     val otherSnaps: Map[Int, DataFrame] =
       d.dims.indices.filterNot(_ == i).map { j =>
         j -> TxnTable.snapshot(s, d.dims(j).dim,
@@ -1104,7 +1155,12 @@ object MatView {
     val refs = feedRefsE(s, d.fact, cursor, factPinned)
       .getOrElse(return None)
     if (refs.isEmpty) return Some(mvRows)
-    val feed = enrichWithDims(s, d, s.read.parquet(refs: _*), dimPinned,
+    // a PARTIAL star's compensation gates the fact tail by the stored
+    // predicate — the same row-local rule refresh folds by
+    val feed = enrichWithDims(s, d,
+      d.pred.fold(s.read.parquet(refs: _*))(
+        s.read.parquet(refs: _*).filter),
+      dimPinned,
       Seq(col("f.w").cast("long").as("n"),
         (col("f.w").cast("long") *
           when(col(s"f.${d.value}").isNull, 0L).otherwise(1L)).as("nn"),
@@ -1154,7 +1210,7 @@ object MatView {
     require(fs(s, p).exists(p), s"$mv is not a live star " +
       "materialized view (no _mvl definition; create it with " +
       "MatView.createStarLive)")
-    val (d, trailing) = parseStarDef(mv, "_mvl", readDefFile(s, p), 1)
+    val (d, trailing) = parseStarDef(mv, "_mvl", readDefFile(s, p), 1, 1)
     (d, trailing.head.split(',').toSeq)
   }
 

@@ -1907,6 +1907,143 @@ object SqlSurface {
     s.sql(q).withColumn("live_ok", lit(ok))
   }
 
+  /** sql_mv_partial_star: PARTIAL (FILTERED) STAR VIEWS — the DDL
+    * refusal retired: `CREATE MATERIALIZED VIEW … AS SELECT st, …
+    * FROM fact JOIN dim ON … WHERE price > 100 GROUP BY st` now
+    * creates a star view over exactly the fact slice. A FACT-side
+    * deterministic predicate folds like the single-table partial view
+    * (membership is row-local on the fact log): create filters the
+    * fact scan, refresh and query-time compensation filter every fact
+    * feed by the SAME predicate — a −old/+new reprice crossing the
+    * boundary folds as the membership change it is — and each SCD
+    * dim-delta term re-groups only the key-pruned fact slice's
+    * IN-SLICE rows. A DIM-column predicate refuses at create with the
+    * named reason (dim-dependent membership moves when the dim moves —
+    * no fact feed mentions that). The rewrite consumes the stored
+    * predicate from the query's conjuncts resolved against the FACT
+    * relation (partialResidual, trySingle's rule verbatim), then gates
+    * the residual dim-key-only. Phases: (1) fresh — the sliced star
+    * query and the composed `AND st = 'F'` cut serve MV-only; a
+    * different threshold and the unsliced query fall through; the
+    * dim-predicate create refuses; (2) a boundary-crossing fact cdc
+    * batch (reprices INTO and OUT of the slice, deletes, below- and
+    * in-slice inserts), unrefreshed → compensated from MV ⊕
+    * pred-filtered feed ⋈ dims, no fact data file in the plan; (3) an
+    * SCD dim move (cdc) + ONE pure-SQL REFRESH folds BOTH telescoping
+    * terms through the predicate → MV-only again. Oracle replays
+    * batch + move + slice. At 100 TB: the sliced star dashboard — the
+    * shape that paid a full base join even with a star view sitting
+    * there — costs O(slice groups + filtered delta). */
+  def mvPartialStar(s: SparkSession, d: String): DataFrame = {
+    val factLoc = freshSqlTable(s, "ps_li")
+    val ordLoc = freshSqlTable(s, "ps_ord")
+    view(s, d, "lineitem"); view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.ps_li (
+      lid BIGINT, l_orderkey BIGINT, price DECIMAL(12,2))""")
+    // keyed-merge tables need a UNIQUE key: the synthetic lineitem
+    // carries duplicate (orderkey, linenumber) pairs, so the fact
+    // dedupes to one row per lid (MAX price — deterministic, and the
+    // oracle replays the same GROUP BY)
+    s.sql("""INSERT INTO graft.q.ps_li
+      SELECT l_orderkey * 10 + l_linenumber, l_orderkey,
+        MAX(CAST(l_extendedprice AS DECIMAL(12,2)))
+      FROM lineitem GROUP BY 1, 2""")
+    s.sql("CREATE TABLE graft.q.ps_ord (o_orderkey BIGINT, st STRING)")
+    s.sql("""INSERT INTO graft.q.ps_ord
+      SELECT o_orderkey, o_orderstatus FROM orders""")
+    freshSqlTable(s, "ps_mv"); freshSqlTable(s, "ps_bad")
+    // a DIM-column predicate refuses at create, with the named reason
+    val dimPredRefused =
+      try { s.sql("""CREATE MATERIALIZED VIEW graft.q.ps_bad AS
+        SELECT st, COUNT(*) AS n, SUM(price) AS total
+        FROM graft.q.ps_li f
+        JOIN graft.q.ps_ord o ON f.l_orderkey = o.o_orderkey
+        WHERE st = 'F' GROUP BY st"""); false }
+      catch { case e: Throwable =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(6)
+          .exists(c => c.getMessage != null &&
+            c.getMessage.contains("does not resolve against the " +
+              "fact's columns"))
+      }
+    s.sql("""CREATE MATERIALIZED VIEW graft.q.ps_mv AS
+      SELECT st, COUNT(*) AS n, SUM(price) AS total
+      FROM graft.q.ps_li f
+      JOIN graft.q.ps_ord o ON f.l_orderkey = o.o_orderkey
+      WHERE price > 1000 GROUP BY st""")
+    val mv = s"${GraftCatalog.defaultWarehouse}/q/ps_mv"
+    val q = """SELECT st, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE)
+      AS total FROM graft.q.ps_li f
+      JOIN graft.q.ps_ord o ON f.l_orderkey = o.o_orderkey
+      WHERE price > 1000 GROUP BY st"""
+    val qCut = q.replace("GROUP BY st", "AND st = 'F' GROUP BY st")
+    val qOther = q.replace("price > 1000", "price > 500")
+    val qAll = q.replace("WHERE price > 1000 ", "")
+    def rows() = s.sql(q).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, factLoc).alias("f")
+        .filter(col("price") > 1000)
+        .join(graft.operators.TxnTable.snapshot(s, ordLoc).alias("o"),
+          col("f.l_orderkey") === col("o.o_orderkey"))
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2))).toSet
+    }
+    def mvOnly(ps: Seq[String]) =
+      ps.nonEmpty && ps.forall(_.contains(s"$mv/"))
+    val servedFresh = mvOnly(scanSrcsOf(s, q)) &&
+      mvOnly(scanSrcsOf(s, qCut)) &&
+      !scanSrcsOf(s, qOther).exists(_.contains(mv)) &&
+      !scanSrcsOf(s, qAll).exists(_.contains(mv)) &&
+      rows() == direct()
+    // the boundary-crossing fact batch: deletes, a reprice OUT of the
+    // slice (→ 600), a reprice further IN (+5000), a below-threshold
+    // insert (750 — must never surface) and an in-slice insert (+5000)
+    graft.operators.TxnTable.applyChangesMor(s, factLoc,
+      s.sql("""SELECT lid, l_orderkey, price, 'D' AS op
+        FROM graft.q.ps_li WHERE lid % 6 = 0
+        UNION ALL
+        SELECT lid, l_orderkey, CAST(600 AS DECIMAL(12,2)), 'U'
+        FROM graft.q.ps_li WHERE lid % 6 <> 0 AND lid % 7 = 1
+        UNION ALL
+        SELECT lid, l_orderkey,
+          CAST(price + 5000 AS DECIMAL(12,2)), 'U'
+        FROM graft.q.ps_li WHERE lid % 6 <> 0 AND lid % 7 <> 1
+          AND lid % 9 = 2
+        UNION ALL
+        SELECT lid + 800000000, l_orderkey,
+          CAST(750 AS DECIMAL(12,2)), 'U'
+        FROM graft.q.ps_li WHERE lid % 13 = 0
+        UNION ALL
+        SELECT lid + 900000000, l_orderkey,
+          CAST(price + 5000 AS DECIMAL(12,2)), 'U'
+        FROM graft.q.ps_li WHERE lid % 17 = 0"""),
+      "lid", cdc = true)
+    val p2 = scanSrcsOf(s, q)
+    val compensated = p2.nonEmpty &&
+      p2.forall(p => p.contains(s"$mv/") ||
+        p.contains(s"$factLoc/_cdc") || p.contains(ordLoc)) &&
+      p2.exists(_.contains(s"$mv/")) &&
+      p2.exists(_.contains(s"$factLoc/_cdc")) &&
+      !p2.exists(p => p.contains(factLoc) && !p.contains("_cdc")) &&
+      rows() == direct()
+    // an SCD dim move on top (cdc): the dim-delta term re-groups the
+    // key-pruned fact slice THROUGH the predicate; one pure-SQL
+    // REFRESH folds both telescoping terms
+    graft.operators.TxnTable.applyChangesMor(s, ordLoc,
+      s.sql("""SELECT o_orderkey, 'Z' AS st, 'U' AS op
+        FROM orders WHERE o_orderkey IN (7, 66, 129)"""),
+      "o_orderkey", cdc = true)
+    val rv = s.sql("REFRESH MATERIALIZED VIEW graft.q.ps_mv")
+      .collect()(0).getLong(0)
+    val servedAgain = rv >= 1L && mvOnly(scanSrcsOf(s, q)) &&
+      rows() == direct()
+    val ok = dimPredRefused && servedFresh && compensated && servedAgain
+    s.sql(q).withColumn("pstar_ok", lit(ok))
+  }
+
   /** sql_mv_fact2: the FACT-TO-FACT JOIN MV — q03's own shape:
     * lineitem ⋈ orders on the join key, grouped by a FACT-side
     * attribute (l_returnflag) alongside a dim-side one (o_orderstatus),

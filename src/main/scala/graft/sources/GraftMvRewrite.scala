@@ -534,11 +534,17 @@ case class GraftMvRewriteRule(session: SparkSession)
     val (rels0, conds, preds) = flattenJoin(child).getOrElse(return None)
     def group(): Option[LogicalPlan] = {
       val m = matchJoinMv(rels0, conds).getOrElse(return None)
-      if (!dimKeyPredsOk(m, preds)) return None
+      // a PARTIAL star first consumes ITS OWN predicate from the
+      // query's conjuncts, resolved against the FACT relation (the
+      // side the stored text speaks) — trySingle's rule, verbatim; a
+      // query not restricted to the view's slice falls through
+      val resid = partialResidual(m.factRel, m.d.pred, preds)
+        .getOrElse(return None)
+      if (!dimKeyPredsOk(m, resid)) return None
       serve(groups, aggExprs, m.d.keys, m.d.value, m.d.aggs,
         keyOwned = m.dimKeyOwned,
         valueOwned = m.valueOwned,
-        mvRows = joinMvRows(m, preds).map(applyKeyPreds(_, preds)))
+        mvRows = joinMvRows(m, resid).map(applyKeyPreds(_, resid)))
     }
     // the LIVE star view serves the same query shape when the
     // group-grain view is absent — or disqualified by dim movement,
@@ -1033,11 +1039,14 @@ case class GraftMvRewriteRule(session: SparkSession)
       val m = matchJoinMv(rels0, conds).getOrElse(return None)
       val keyNames = keyNamesIf(m.dimKeyOwned).getOrElse(return None)
       if (dcols.exists(c => m.d.keys.contains(s"gdc_$c"))) return None
-      if (!dimKeyPredsOk(m, preds)) return None
+      // the partial star's predicate consumption (trySingle's rule)
+      val resid = partialResidual(m.factRel, m.d.pred, preds)
+        .getOrElse(return None)
+      if (!dimKeyPredsOk(m, resid)) return None
       if (!aggExprs.forall(foldAnswerable(m.d.keys, m.d.value, m.d.aggs,
         m.dimKeyOwned, m.valueOwned))) return None
       if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
-      val mvDf0 = joinMvRows(m, preds).map(applyKeyPreds(_, preds))
+      val mvDf0 = joinMvRows(m, resid).map(applyKeyPreds(_, resid))
         .getOrElse(return None)
       serveGroupingSets(gs, keyNames, aggExprs, foldGsNames(dcols),
         rollupAgg(_, _, dcols), foldArm, mvDf0)

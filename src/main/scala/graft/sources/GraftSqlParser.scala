@@ -281,10 +281,10 @@ object GraftSqlParser {
           if (!fnNames.subsetOf(FoldFns))
             fail("CREATE MATERIALIZED VIEW: a join view folds " +
               "count/sum/avg only")
-          if (shape.pred.isDefined)
-            fail("CREATE MATERIALIZED VIEW: partial (WHERE) join " +
-              "views are not supported — key-only predicates are " +
-              "served from the full star view at query time instead")
+          // a WHERE makes the star PARTIAL: the predicate must be
+          // FACT-side (row-local on the fact log) — createJoinStar
+          // validates it against the fact snapshot and refuses a
+          // dim-column reference with the named reason
           val (rels, conds) = flatJoin(j).getOrElse(
             fail("CREATE MATERIALIZED VIEW: the FROM tree must be " +
               "plain INNER joins of tables"))
@@ -337,7 +337,8 @@ object GraftSqlParser {
           val dims = dimIdxs.map(di =>
             bound.collectFirst { case (`di`, ref) => ref }.get)
           val created = MatView.createJoinStar(s, mvLoc, locs(fi), dims,
-            shape.keys, value, shape.aggs.map(_._1).distinct)
+            shape.keys, value, shape.aggs.map(_._1).distinct,
+            shape.pred)
           MatView.registerJoin(s, mvLoc)
           created
         case other => fail("CREATE MATERIALIZED VIEW: unsupported " +

@@ -1871,6 +1871,93 @@ class MatViewSpec extends SparkSpec {
       "after DROP the base join must answer")
   }
 
+  test("partial (filtered) STAR view: fact-side predicate folds " +
+      "boundary-crossing updates exactly through create/refresh/" +
+      "compensation; dim-column and nondeterministic predicates " +
+      "refuse; only slice-restricted queries serve") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    Seq("pjf", "pjd").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft.mvspec.$t"))
+    s.sql("CREATE TABLE graft.mvspec.pjf (k BIGINT, fk BIGINT, " +
+      "v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.pjf SELECT id, id % 10, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(200)")
+    s.sql("CREATE TABLE graft.mvspec.pjd (pk BIGINT, seg STRING)")
+    s.sql("INSERT INTO graft.mvspec.pjd SELECT id, " +
+      "CASE WHEN id < 5 THEN 'X' ELSE 'Y' END FROM RANGE(10)")
+    val w = GraftCatalog.defaultWarehouse
+    val (fact, dim) = (s"$w/mvspec/pjf", s"$w/mvspec/pjd")
+    // a DIM-column predicate refuses: dim-dependent membership moves
+    // when the dim moves — no fact feed folds that
+    val eDim = intercept[IllegalArgumentException] {
+      MatView.createJoinStar(spark, fresh("mv_pjs_dim"), fact,
+        Seq(MatView.MvDimRef(dim, "fk", "pk")), Seq("seg"), "v",
+        Seq("count", "sum"), Some("seg = 'X'"))
+    }
+    assert(eDim.getMessage.contains("does not resolve against the " +
+      "fact's columns"), eDim.getMessage)
+    val eRand = intercept[IllegalArgumentException] {
+      MatView.createJoinStar(spark, fresh("mv_pjs_rand"), fact,
+        Seq(MatView.MvDimRef(dim, "fk", "pk")), Seq("seg"), "v",
+        Seq("count", "sum"), Some("rand() > 0.5"))
+    }
+    assert(eRand.getMessage.contains("nondeterministic"),
+      eRand.getMessage)
+    val mv = fresh("mv_pjs_view")
+    MatView.createJoinStar(spark, mv, fact,
+      Seq(MatView.MvDimRef(dim, "fk", "pk")), Seq("seg"), "v",
+      Seq("count", "sum"), Some("v > 50"))
+    MatView.registerJoin(spark, mv)
+    val q = "SELECT seg, COUNT(*) AS n, SUM(v) AS t FROM " +
+      "graft.mvspec.pjf f JOIN graft.mvspec.pjd d ON f.fk = d.pk " +
+      "WHERE v > 50 GROUP BY seg"
+    def got() = s.sql(q).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue())).toSet
+    def direct() = TxnTable.snapshot(spark, fact).alias("f")
+      .filter(col("v") > 50)
+      .join(TxnTable.snapshot(spark, dim).alias("d"),
+        col("f.fk") === col("d.pk"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue())).toSet
+    assert(planServedFrom(s.sql(q), mv), "the sliced star must serve")
+    assert(got() === direct(), "fresh partial star diverged")
+    // a different threshold and the unsliced query fall through
+    assert(!planServedFrom(s.sql(q.replace("v > 50", "v > 20")), mv),
+      "a different threshold must fall through")
+    assert(!planServedFrom(s.sql(q.replace("WHERE v > 50 ", "")), mv),
+      "the unsliced query must fall through")
+    // boundary crossings BOTH ways + deletes, one cdc batch
+    TxnTable.applyChangesMor(spark, fact,
+      s.sql("SELECT k, fk, v, 'D' AS op FROM graft.mvspec.pjf " +
+        "WHERE k % 9 = 0 UNION ALL " +
+        // out of the slice (→ 10) and INTO it (+500)
+        "SELECT k, fk, CAST(10 AS DECIMAL(12,2)), 'U' " +
+        "FROM graft.mvspec.pjf WHERE k % 9 <> 0 AND k % 5 = 1 " +
+        "UNION ALL " +
+        "SELECT k, fk, CAST(v + 500 AS DECIMAL(12,2)), 'U' " +
+        "FROM graft.mvspec.pjf WHERE k % 9 <> 0 AND k % 5 = 2"),
+      "k", cdc = true)
+    // stale: compensated from MV ⊕ pred-filtered feed ⋈ dim — exact
+    assert(got() === direct(), "compensated partial star diverged")
+    // an SCD dim move on top: ONE refresh folds both telescoping
+    // terms through the predicate
+    TxnTable.applyChangesMor(spark, dim,
+      s.sql("SELECT pk, 'Z' AS seg, 'U' AS op FROM graft.mvspec.pjd " +
+        "WHERE pk IN (1, 7)"), "pk", cdc = true)
+    val r = MatView.refreshJoin(spark, mv)
+    assert(r.commitsFolded === 1)
+    assert(planServedFrom(s.sql(q), mv), "post-refresh must serve")
+    val g = got()
+    assert(g === direct() && g.exists(_._1 == "Z"),
+      "refreshed partial star diverged")
+  }
+
   test("DROP of a view that feeds a registered dependent refuses, " +
       "naming the dependent; dropping the dependent first unblocks it") {
     val s = spark
