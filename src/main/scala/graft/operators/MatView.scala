@@ -338,16 +338,25 @@ object MatView {
       side: String): Unit = {
     require(p.trim.nonEmpty && !p.contains("\n"),
       "a partial-view predicate must be one non-empty line")
+    def firstLine(e: Throwable): String =
+      Option(e.getMessage).flatMap(_.linesIterator.nextOption())
+        .getOrElse(e.getClass.getSimpleName)
     val cond = try snap.filter(p).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition
     }.getOrElse(throw new IllegalArgumentException(
       s"partial-view predicate '$p' did not analyze to a filter"))
-    catch { case e: org.apache.spark.sql.AnalysisException =>
-      throw new IllegalArgumentException(
-        s"partial-view predicate '$p' does not resolve against " +
-          s"$side's columns (membership must be decidable per row " +
-          s"there — ${e.getMessage.linesIterator.next()})")
+    catch {
+      // a SYNTAX error is not a resolution failure — name it as such
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        throw new IllegalArgumentException(
+          s"partial-view predicate '$p' does not parse " +
+            s"(${firstLine(e)})")
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"partial-view predicate '$p' does not resolve against " +
+            s"$side's columns (membership must be decidable per row " +
+            s"there — ${firstLine(e)})")
     }
     require(cond.deterministic, s"partial-view predicate '$p' is " +
       "nondeterministic — membership must be decidable per row, " +
@@ -445,8 +454,9 @@ object MatView {
     // a PARTIAL view folds only the feed rows satisfying its stored
     // predicate: membership is row-local, so a −old/+new update pair
     // crossing the boundary folds as exactly the membership change
-    val feed = d.pred.fold(s.read.parquet(refs: _*))(
-      s.read.parquet(refs: _*).filter)
+    // (fold's FUNCTION argument is strict — build the reader once)
+    val feedDf = s.read.parquet(refs: _*)
+    val feed = d.pred.fold(feedDf)(feedDf.filter)
     val v = foldAndMerge(s, mv, mvVer, d.keys, d.value, feed,
       Seq("mv_base_version" -> head) ++ stamp, publishFeed)
     RefreshResult(v, head, folded)
@@ -653,8 +663,9 @@ object MatView {
     // (w, w·nonnull, w·value) so one union + one aggregate telescopes
     // the MV and however many feeds the tail carries — a PARTIAL
     // view's stored predicate gates the tail rows exactly like refresh
-    val feed = d.pred.fold(s.read.parquet(refs: _*))(
-      s.read.parquet(refs: _*).filter).select(d.keys.map(col) ++ Seq(
+    val feedDf = s.read.parquet(refs: _*)
+    val feed = d.pred.fold(feedDf)(feedDf.filter)
+      .select(d.keys.map(col) ++ Seq(
       col("w").cast("long").as("n"),
       (col("w").cast("long") *
         when(col(d.value).isNull, 0L).otherwise(1L)).as("nn"),
@@ -736,8 +747,15 @@ object MatView {
         val Seq(keys, value, aggs) = rest.slice(n, n + 3)
         require(aggs.nonEmpty, s"$mv: malformed $kindFile definition " +
           "(empty declared-aggregate line)")
+        val trailing = rest.drop(n + 3)
+        // a BLANK trailing line is corruption (a stray newline from a
+        // partial write or hand edit), not an empty predicate/grain —
+        // parsing it as one would silently disable the rewrite and
+        // crash refresh with an unrelated parse error later
+        trailing.foreach(t => require(t.trim.nonEmpty,
+          s"$mv: malformed $kindFile definition (blank trailing line)"))
         (MvJoinDef(fact, dims, keys.split(',').toSeq, value,
-          aggs.split(',').toSet), rest.drop(n + 3))
+          aggs.split(',').toSet), trailing)
       case other => throw new IllegalArgumentException(
         s"$mv: malformed $kindFile definition (${other.size} lines)")
     }
@@ -1000,10 +1018,11 @@ object MatView {
       // predicate — row-local, so a −old/+new pair crossing the
       // boundary folds as exactly the membership change it is (the
       // fold view's rule, verbatim)
-      else Some(enrichWithDims(s, d,
-        d.pred.fold(s.read.parquet(refs: _*))(
-          s.read.parquet(refs: _*).filter),
-        dimHeads, Seq(col(s"f.${d.value}").as(d.value), col("f.w"))))
+      else {
+        val feedDf = s.read.parquet(refs: _*)
+        Some(enrichWithDims(s, d, d.pred.fold(feedDf)(feedDf.filter),
+          dimHeads, Seq(col(s"f.${d.value}").as(d.value), col("f.w"))))
+      }
     // prune accounting across the dim terms: kept = fact-file READS
     // the point probes performed (a file shared by two probes counts
     // twice — the true read cost), total = the fact-file count a naive
@@ -1157,9 +1176,9 @@ object MatView {
     if (refs.isEmpty) return Some(mvRows)
     // a PARTIAL star's compensation gates the fact tail by the stored
     // predicate — the same row-local rule refresh folds by
+    val feedDf = s.read.parquet(refs: _*)
     val feed = enrichWithDims(s, d,
-      d.pred.fold(s.read.parquet(refs: _*))(
-        s.read.parquet(refs: _*).filter),
+      d.pred.fold(feedDf)(feedDf.filter),
       dimPinned,
       Seq(col("f.w").cast("long").as("n"),
         (col("f.w").cast("long") *

@@ -591,27 +591,53 @@ class GraftCdcMicroBatchStream(ident: String, location: String,
     * version carries. Strict (`readChangeFeed`) routes through the
     * MatView refresh contract's single site (feedRefs: a feed-less
     * content change throws with the remedy; a vacuumed feed names
-    * itself); lenient reads whatever refs the manifest carries. */
+    * itself); lenient reads whatever refs the manifest carries.
+    * Resolutions are MEMOIZED per version (the log is immutable): the
+    * rows-capped walk and planInputPartitions resolve the same
+    * versions in one trigger, and without the cache strict mode would
+    * pay its per-feed existence RPCs twice. */
+  private val refsCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[Path]]()
   private def refsOf(s: SparkSession, v: Long): Seq[Path] =
     if (v < 0) Seq.empty
-    else if (strict)
-      try graft.operators.MatView.feedRefs(s, location, v - 1, v)
-        .map(new Path(_))
-      catch { case e: IllegalArgumentException =>
-        throw new IllegalArgumentException(
-          s"$ident (readChangeFeed): ${e.getMessage}")
+    else {
+      // no computeIfAbsent: the strict resolver THROWS on feed-less
+      // content changes, and a throwing mapping function must not be
+      // retried inside the map's lock
+      val hit = refsCache.get(v)
+      if (hit != null) hit
+      else {
+        val refs =
+          if (strict)
+            try graft.operators.MatView.feedRefs(s, location, v - 1, v)
+              .map(new Path(_))
+            catch { case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"$ident (readChangeFeed): ${e.getMessage}")
+            }
+          else TxnTable.manifest(s, location, v).cdcRefs
+            .map(r => new Path(TxnTable.pathFor(location, r)))
+        refsCache.put(v, refs)
+        refs
       }
-    else TxnTable.manifest(s, location, v).cdcRefs
-      .map(r => new Path(TxnTable.pathFor(location, r)))
+    }
 
   /** Footer row count of one change file — the admission currency for
-    * maxRowsPerTrigger. One metadata read per not-yet-admitted file
-    * per latestOffset call; never a data scan. */
+    * maxRowsPerTrigger. One metadata read per file EVER (memoized:
+    * change files are immutable, and the first not-yet-admitted file
+    * would otherwise re-read its footer every trigger until
+    * admitted); never a data scan. */
+  private val rowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def feedRows(s: SparkSession, p: Path): Long = {
+    val hit = rowsCache.get(p.toString)
+    if (hit != null) return hit.longValue()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(p, s.sessionState.newHadoopConf())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getRecordCount finally r.close()
+    val n = try r.getRecordCount finally r.close()
+    rowsCache.put(p.toString, n)
+    n
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
@@ -634,15 +660,31 @@ class GraftCdcMicroBatchStream(ident: String, location: String,
     var took = false
     var done = false
     while (!done && v < endV) {
-      val refs = refsOf(spark, v + 1)
-      var k = f
-      while (!done && k < refs.size) {
-        val rows = feedRows(spark, refs(k))
-        if (took && rows > budget) done = true
-        else { budget -= rows; took = true; k += 1 }
+      // an exhausted budget stops the walk BEFORE probing the next
+      // version: probing past the boundary could throw the strict
+      // feed-less refusal and make the already-admitted (deliverable)
+      // batch undeliverable forever
+      if (took && budget <= 0) done = true
+      else {
+        val refs =
+          // a strict refusal mid-walk with something already admitted:
+          // deliver the admitted prefix now — the NEXT trigger starts
+          // at the refusing version and fails there, exactly like the
+          // versions-capped admission delivers everything up to the
+          // feed-less commit before refusing
+          try refsOf(spark, v + 1)
+          catch { case _: IllegalArgumentException if took =>
+            done = true; Seq.empty
+          }
+        var k = f
+        while (!done && k < refs.size) {
+          val rows = feedRows(spark, refs(k))
+          if (took && rows > budget) done = true
+          else { budget -= rows; took = true; k += 1 }
+        }
+        if (done && refs.nonEmpty) f = k
+        else if (!done) { v += 1; f = 0 }
       }
-      if (done) f = k
-      else { v += 1; f = 0 }
     }
     CdcOffset(v, f)
   }
