@@ -51,6 +51,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     sqlText match {
+      case CreateLiveMv(ident, select) =>
+        CreateLiveMatViewCommand(ident.trim, select.trim, delegate)
       case CreateMv(ident, select) =>
         CreateMatViewCommand(ident.trim, select.trim, delegate)
       case RefreshMv(ident) => RefreshMatViewCommand(ident.trim)
@@ -83,6 +85,8 @@ object GraftSqlParser {
   // and split on '.' after stripping backquotes
   private val CreateMv =
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([`\w.]+)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val CreateLiveMv =
+    """(?is)\s*CREATE\s+LIVE\s+MATERIALIZED\s+VIEW\s+([`\w.]+)\s+AS\s+(.+?)\s*;?\s*""".r
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([`\w.]+)\s*;?\s*""".r
   private val DropMv =
@@ -234,6 +238,122 @@ object GraftSqlParser {
   private val FoldFns = Set("count", "sum", "avg")
   private val ExtremaFns = Set("count", "min", "max")
 
+  /** ONE aggregated value column, or the named refusal. */
+  private def valueOf(shape: MvShape): String = {
+    val values = shape.aggs.flatMap(_._2).distinct
+      .filterNot(shape.keys.contains)
+    values match {
+      case Seq(v) => v
+      case Seq() => fail("CREATE MATERIALIZED VIEW: no aggregated " +
+        "value column (COUNT(*)-only views are a fold over any " +
+        "value — aggregate one column)")
+      case many => fail("CREATE MATERIALIZED VIEW: one view folds " +
+        s"ONE value column, got ${many.mkString(", ")}")
+    }
+  }
+
+  /** Bind a CREATE's inner-join FROM tree to (fact location, dim
+    * refs): the fact is the relation owning the aggregated value
+    * column, every other relation a dim, the equality conjuncts the
+    * fact→dim references — ONE binder shared by the star and LIVE
+    * create commands, so the two kinds can never bind the same
+    * statement differently. */
+  private def bindStar(s: SparkSession, j: Join, value: String)
+      : (String, Seq[MatView.MvDimRef]) = {
+    val (rels, conds) = flatJoin(j).getOrElse(
+      fail("CREATE MATERIALIZED VIEW: the FROM tree must be " +
+        "plain INNER joins of tables"))
+    val locs = rels.map(r => locOf(r.name))
+    val cols: Seq[Set[String]] =
+      locs.map(l => TxnTable.snapshot(s, l).columns.toSet)
+    val factIdx = locs.indices.filter(i => cols(i).contains(value))
+    require(factIdx.size == 1, "CREATE MATERIALIZED VIEW: the " +
+      s"aggregated column '$value' must live in exactly one " +
+      s"joined table (found in ${factIdx.size})")
+    val fi = factIdx.head
+    val dimIdxs = locs.indices.filterNot(_ == fi)
+    require(conds.size == dimIdxs.size,
+      "CREATE MATERIALIZED VIEW: expected one fact→dim equality " +
+        s"per dim (${dimIdxs.size}), got ${conds.size}")
+    // each equality conjunct must bind to exactly ONE dim — two
+    // dims sharing a key column name (the common `pk`
+    // convention) would otherwise silently materialize a
+    // DIFFERENT join than the AS SELECT text declared.
+    // Membership decides where names are unique; QUALIFIERS
+    // (`f.fk2 = d2.pk`) decide where they are not; a conjunct
+    // still bindable to two dims refuses with the remedy.
+    def owns(i: Int, qc: QCol): Boolean =
+      cols(i).contains(qc._2) && rels(i).answersTo(qc._1)
+    val bound: Seq[(Int, MatView.MvDimRef)] = conds.map {
+      case (a, b) =>
+        val hits = dimIdxs.flatMap { di =>
+          (if (owns(fi, a) && owns(di, b))
+            Some(di -> MatView.MvDimRef(locs(di), a._2, b._2))
+          else None) ++
+          (if (owns(fi, b) && owns(di, a))
+            Some(di -> MatView.MvDimRef(locs(di), b._2, a._2))
+          else None)
+        }.distinct
+        hits match {
+          case Seq(one) => one
+          case Seq() => fail("CREATE MATERIALIZED VIEW: the " +
+            s"equality '${a._2} = ${b._2}' joins no fact→dim " +
+            "pair (each condition must equate a fact column " +
+            "with one dim's column)")
+          case _ => fail("CREATE MATERIALIZED VIEW: the " +
+            s"equality '${a._2} = ${b._2}' could join more than " +
+            "one dim — qualify the join columns with the " +
+            "table aliases (f.k = d2.pk)")
+        }
+    }
+    require(bound.map(_._1).distinct.size == dimIdxs.size,
+      "CREATE MATERIALIZED VIEW: every dim needs exactly one " +
+        "fact→dim equality")
+    (locs(fi), dimIdxs.map(di =>
+      bound.collectFirst { case (`di`, ref) => ref }.get))
+  }
+
+  /** CREATE LIVE MATERIALIZED VIEW — the key-grained star kind
+    * ([[MatView.createStarLive]]): same statement shape as the star
+    * create, but materialized at the FACT-KEY grain with the dims
+    * joined back at query time, so dim movement never stales it and
+    * refresh reads no dim. */
+  case class CreateLiveMatViewCommand(ident: String, select: String,
+      @transient delegate: ParserInterface) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(AttributeReference("version", LongType, nullable = false)())
+
+    override def run(s: SparkSession): Seq[Row] = {
+      val mvLoc = locOf(ident)
+      require(TxnTable.versions(s, mvLoc).isEmpty,
+        s"CREATE LIVE MATERIALIZED VIEW: '$mvLoc' already exists")
+      val shape = shapeOf(delegate.parsePlan(select))
+      val fnNames = shape.aggs.map(_._1).toSet
+      if (!fnNames.subsetOf(FoldFns))
+        fail("CREATE LIVE MATERIALIZED VIEW: a live view folds " +
+          "count/sum/avg only")
+      if (shape.pred.isDefined)
+        fail("CREATE LIVE MATERIALIZED VIEW: partial (WHERE) live " +
+          "views are not supported — a partial STAR view folds the " +
+          "fact-side predicate incrementally; drop LIVE or drop the " +
+          "WHERE")
+      strip(shape.from) match {
+        case j: Join =>
+          val (factLoc, dims) = bindStar(s, j, valueOf(shape))
+          val v = MatView.createStarLive(s, mvLoc, factLoc, dims,
+            shape.keys, valueOf(shape),
+            shape.aggs.map(_._1).distinct)
+          MatView.registerLive(s, mvLoc)
+          Seq(Row(v))
+        case _ => fail("CREATE LIVE MATERIALIZED VIEW: a live view " +
+          "joins dims back at query time — the defining query must " +
+          "be an inner join of a fact with dims; over a single " +
+          "table use a plain materialized view (its refresh never " +
+          "reads the base either)")
+      }
+    }
+  }
+
   case class CreateMatViewCommand(ident: String, select: String,
       @transient delegate: ParserInterface) extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
@@ -245,16 +365,7 @@ object GraftSqlParser {
         s"CREATE MATERIALIZED VIEW: '$mvLoc' already exists")
       val shape = shapeOf(delegate.parsePlan(select))
       val fnNames = shape.aggs.map(_._1).toSet
-      val values = shape.aggs.flatMap(_._2).distinct
-        .filterNot(shape.keys.contains)
-      def value: String = values match {
-        case Seq(v) => v
-        case Seq() => fail("CREATE MATERIALIZED VIEW: no aggregated " +
-          "value column (COUNT(*)-only views are a fold over any " +
-          "value — aggregate one column)")
-        case many => fail("CREATE MATERIALIZED VIEW: one view folds " +
-          s"ONE value column, got ${many.mkString(", ")}")
-      }
+      def value: String = valueOf(shape)
       val v = strip(shape.from) match {
         case _: UnresolvedRelation if fnNames.subsetOf(FoldFns) =>
           val base = locOf(relName(shape.from))
@@ -285,58 +396,8 @@ object GraftSqlParser {
           // FACT-side (row-local on the fact log) — createJoinStar
           // validates it against the fact snapshot and refuses a
           // dim-column reference with the named reason
-          val (rels, conds) = flatJoin(j).getOrElse(
-            fail("CREATE MATERIALIZED VIEW: the FROM tree must be " +
-              "plain INNER joins of tables"))
-          val locs = rels.map(r => locOf(r.name))
-          val cols: Seq[Set[String]] =
-            locs.map(l => TxnTable.snapshot(s, l).columns.toSet)
-          val factIdx = locs.indices.filter(i => cols(i).contains(value))
-          require(factIdx.size == 1, "CREATE MATERIALIZED VIEW: the " +
-            s"aggregated column '$value' must live in exactly one " +
-            s"joined table (found in ${factIdx.size})")
-          val fi = factIdx.head
-          val dimIdxs = locs.indices.filterNot(_ == fi)
-          require(conds.size == dimIdxs.size,
-            "CREATE MATERIALIZED VIEW: expected one fact→dim equality " +
-              s"per dim (${dimIdxs.size}), got ${conds.size}")
-          // each equality conjunct must bind to exactly ONE dim — two
-          // dims sharing a key column name (the common `pk`
-          // convention) would otherwise silently materialize a
-          // DIFFERENT join than the AS SELECT text declared.
-          // Membership decides where names are unique; QUALIFIERS
-          // (`f.fk2 = d2.pk`) decide where they are not; a conjunct
-          // still bindable to two dims refuses with the remedy.
-          def owns(i: Int, qc: QCol): Boolean =
-            cols(i).contains(qc._2) && rels(i).answersTo(qc._1)
-          val bound: Seq[(Int, MatView.MvDimRef)] = conds.map {
-            case (a, b) =>
-              val hits = dimIdxs.flatMap { di =>
-                (if (owns(fi, a) && owns(di, b))
-                  Some(di -> MatView.MvDimRef(locs(di), a._2, b._2))
-                else None) ++
-                (if (owns(fi, b) && owns(di, a))
-                  Some(di -> MatView.MvDimRef(locs(di), b._2, a._2))
-                else None)
-              }.distinct
-              hits match {
-                case Seq(one) => one
-                case Seq() => fail("CREATE MATERIALIZED VIEW: the " +
-                  s"equality '${a._2} = ${b._2}' joins no fact→dim " +
-                  "pair (each condition must equate a fact column " +
-                  "with one dim's column)")
-                case _ => fail("CREATE MATERIALIZED VIEW: the " +
-                  s"equality '${a._2} = ${b._2}' could join more than " +
-                  "one dim — qualify the join columns with the " +
-                  "table aliases (f.k = d2.pk)")
-              }
-          }
-          require(bound.map(_._1).distinct.size == dimIdxs.size,
-            "CREATE MATERIALIZED VIEW: every dim needs exactly one " +
-              "fact→dim equality")
-          val dims = dimIdxs.map(di =>
-            bound.collectFirst { case (`di`, ref) => ref }.get)
-          val created = MatView.createJoinStar(s, mvLoc, locs(fi), dims,
+          val (factLoc, dims) = bindStar(s, j, value)
+          val created = MatView.createJoinStar(s, mvLoc, factLoc, dims,
             shape.keys, value, shape.aggs.map(_._1).distinct,
             shape.pred)
           MatView.registerJoin(s, mvLoc)

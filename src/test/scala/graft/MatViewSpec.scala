@@ -2320,6 +2320,72 @@ class MatViewSpec extends SparkSpec {
     }
     assert(eGone.getMessage.contains("not a materialized view"),
       eGone.getMessage)
+    // the LIVE kind's DDL spelling: same statement shape with the LIVE
+    // keyword → key-grained star (dims join back at query time), full
+    // lifecycle through CREATE/SHOW/REFRESH/DROP
+    s.sql("""CREATE LIVE MATERIALIZED VIEW graft.mvspec.ddl_live AS
+      SELECT seg, COUNT(*) AS n, SUM(v) AS t FROM graft.mvspec.ddlf f
+      JOIN graft.mvspec.ddld d ON f.fk = d.pk GROUP BY seg""")
+    val liveLoc = s"${GraftCatalog.defaultWarehouse}/mvspec/ddl_live"
+    assert(MatView.kindOf(spark, liveLoc) === "live")
+    // a dim move WITHOUT a feed — the live kind keeps serving exactly
+    TxnTable.applyChangesMor(spark,
+      s"${GraftCatalog.defaultWarehouse}/mvspec/ddld",
+      s.sql("SELECT pk, 'LQ' AS seg, 'U' AS op FROM graft.mvspec.ddld " +
+        "WHERE pk = 2"), "pk", cdc = false)
+    val liveQ = "SELECT seg, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) " +
+      "AS t FROM graft.mvspec.ddlf f JOIN graft.mvspec.ddld d " +
+      "ON f.fk = d.pk GROUP BY seg"
+    val liveGot = s.sql(liveQ).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val liveWant = TxnTable.snapshot(spark,
+      s"${GraftCatalog.defaultWarehouse}/mvspec/ddlf").alias("f")
+      .join(TxnTable.snapshot(spark,
+        s"${GraftCatalog.defaultWarehouse}/mvspec/ddld").alias("d"),
+        col("f.fk") === col("d.pk"))
+      .groupBy(col("d.seg")).agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    assert(liveGot === liveWant && liveGot.exists(_._1 == "LQ"),
+      "the DDL-created live view must serve the moved dim exactly")
+    // the optimized plan reads the sub-view + dim, never a fact file
+    val roots = s.sql(liveQ).queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => l.relation match {
+        case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+    assert(roots.exists(_.contains(s"$liveLoc/")) &&
+      !roots.exists(r => r.contains("/mvspec/ddlf") &&
+        !r.contains("_cdc")),
+      s"live DDL serve must read no fact data file, got $roots")
+    assert(s.sql("SHOW MATERIALIZED VIEWS").collect()
+      .exists(r => r.getString(0) == "graft.mvspec.ddl_live" &&
+        r.getString(1) == "live" && r.getBoolean(3)))
+    assert(s.sql("REFRESH MATERIALIZED VIEW graft.mvspec.ddl_live")
+      .collect()(0).getLong(0) >= 0L)
+    // WHERE refuses with the partial-star remedy; a single-table LIVE
+    // refuses with the plain-view remedy
+    val eLiveW = intercept[IllegalArgumentException] {
+      s.sql("CREATE LIVE MATERIALIZED VIEW graft.mvspec.ddl_lw AS " +
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS t FROM graft.mvspec.ddlf " +
+        "f JOIN graft.mvspec.ddld d ON f.fk = d.pk WHERE v > 10 " +
+        "GROUP BY seg")
+    }
+    assert(eLiveW.getMessage.contains("partial STAR view"),
+      eLiveW.getMessage)
+    val eLive1 = intercept[IllegalArgumentException] {
+      s.sql("CREATE LIVE MATERIALIZED VIEW graft.mvspec.ddl_l1 AS " +
+        "SELECT g, COUNT(*) AS n, SUM(v) AS t FROM graft.mvspec.ddlf " +
+        "GROUP BY g")
+    }
+    assert(eLive1.getMessage.contains("inner join of a fact"),
+      eLive1.getMessage)
+    assert(s.sql("DROP MATERIALIZED VIEW graft.mvspec.ddl_live")
+      .collect()(0).getString(0) === "live")
   }
 
   test("the matviews metadata table lists every registered view with " +
