@@ -1179,6 +1179,68 @@ class CatalogSpec extends SparkSpec {
       "as empty — missing its 10 rows (the divergence strict makes loud)")
   }
 
+  test("rows-capped strict CDC admission delivers the feed-complete " +
+      "prefix in bounded batches BEFORE a feed-less commit refuses — " +
+      "the refusal never strands deliverable feeds behind it") {
+    val s2 = spark
+    import s2.implicits._
+    val t = fresh("capcdc")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('index' = 'k')")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    // v1: ONE commit whose feed splits into three 20-row files
+    s2.conf.set("graft.cdc.maxRecordsPerFile", "20")
+    try TxnTable.applyChangesMor(spark, loc,
+      (0L until 60L).map(i => (i, i, "U")).toDF("k", "v", "op"), "k",
+      cdc = true)
+    finally s2.conf.unset("graft.cdc.maxRecordsPerFile")
+    // v2: a feed-less content change — strict must refuse, but only
+    // AFTER v1's feed has fully drained
+    TxnTable.append(spark, loc,
+      (1000L until 1010L).map(i => (i, i)).toDF("k", "v"))
+    def run(name: String, cap: String) = {
+      val ckpt = graft.Fs.scratch("graft_spec_capcdc", name)
+      graft.Fs.deleteRecursively(ckpt)
+      val q = spark.readStream
+        .option("startingVersion", "1")
+        .option("readChangeFeed", "true")
+        .option("maxRowsPerTrigger", cap)
+        .table(s"graft.spec.$t.changes")
+        .groupBy(lit(1).as("g")).agg(sum(col("w")).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8).exists(c => c.getMessage != null &&
+          c.getMessage.contains("without publishing a change feed")),
+        s"the refusal must name the missing feed: ${e.getMessage}")
+      q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    }
+    // cap 20: the budget exhausts at each file boundary, so the walk
+    // stops BEFORE probing the feed-less version — three bounded
+    // batches land, THEN the next trigger refuses
+    val p1 = run("spec_cap_cdc", "20")
+    assert(p1.size >= 3 && p1.forall(_.numInputRows <= 20),
+      s"expected >=3 bounded batches, got ${p1.map(_.numInputRows)}")
+    assert(spark.table("spec_cap_cdc").select(col("n")).as[Long]
+      .collect()(0) === 60L,
+      "every feed-complete row must land before the refusal")
+    // cap 100: budget REMAINS when the walk reaches the feed-less
+    // version mid-stride — the admitted prefix still delivers (one
+    // batch of 60), and the refusal lands on the NEXT trigger
+    val p2 = run("spec_cap_cdc_wide", "100")
+    assert(p2.size === 1 && p2.head.numInputRows === 60,
+      s"expected one 60-row prefix batch, got ${p2.map(_.numInputRows)}")
+    assert(spark.table("spec_cap_cdc_wide").select(col("n")).as[Long]
+      .collect()(0) === 60L)
+  }
+
   test("CTAS, TRUNCATE TABLE, and SHOW TBLPROPERTIES round out the SQL surface") {
     val t = fresh("ctas")
     // CREATE TABLE AS SELECT carries the schema AND the index property,
