@@ -84,6 +84,7 @@ object SparkEntry {
     "sql_mv_star_scd"         -> (SqlSurface.mvStarScd _),
     "sql_mv_star_live"        -> (SqlSurface.mvStarLive _),
     "sql_mv_partial_star"     -> (SqlSurface.mvPartialStar _),
+    "sql_mv_partial_live"     -> (SqlSurface.mvPartialLive _),
     "sql_mv_fact2"            -> (SqlSurface.mvFact2 _),
     "sql_mv_ddl"              -> (SqlSurface.mvDdl _),
     "sql_mv_partial"          -> (SqlSurface.mvPartial _),
@@ -1628,6 +1629,31 @@ object SparkEntry {
         |  TRUE AS live_ok
         |FROM f JOIN o USING (ok) JOIN pt USING (pk)
         |GROUP BY st, brand""".stripMargin,
+    // the partial LIVE star after the feed-less st move (%7 → 'Z') and
+    // the boundary-crossing fact batch, sliced at price > 1000 — the
+    // same replay at every phase because the live view never diverges
+    // from the current dim state
+    "sql_mv_partial_live" ->
+      """WITH f0 AS (SELECT l_orderkey * 10 + l_linenumber AS lid,
+        |    l_orderkey AS ok,
+        |    MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS p
+        |  FROM lineitem GROUP BY 1, 2),
+        |f AS (SELECT lid, ok,
+        |    CASE WHEN lid % 7 = 1 THEN CAST(600 AS DECIMAL(12,2))
+        |         WHEN lid % 9 = 2 THEN CAST(p + 5000 AS DECIMAL(12,2))
+        |         ELSE p END AS p
+        |  FROM f0 WHERE lid % 6 <> 0
+        |  UNION ALL
+        |  SELECT lid + 800000000, ok, CAST(750 AS DECIMAL(12,2))
+        |  FROM f0 WHERE lid % 13 = 0
+        |  UNION ALL
+        |  SELECT lid + 900000000, ok, CAST(p + 5000 AS DECIMAL(12,2))
+        |  FROM f0 WHERE lid % 17 = 0),
+        |o AS (SELECT o_orderkey AS ok, CASE WHEN o_orderkey % 7 = 0
+        |    THEN 'Z' ELSE o_orderstatus END AS st FROM orders)
+        |SELECT st, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
+        |  TRUE AS plive_ok
+        |FROM f JOIN o USING (ok) WHERE p > 1000 GROUP BY st""".stripMargin,
     // the partial STAR after the boundary-crossing fact batch (deletes
     // %6, reprice→600 %7=1, reprice+5000 %9=2, below-threshold 750
     // inserts, in-slice +5000 inserts) and the SCD st move, sliced at

@@ -1216,12 +1216,13 @@ object MatView {
   private def liveDefPath(mv: String) = new Path(s"$mv/_mvl")
 
   /** The `_mvl` format is [[renderStarDef]]'s shared protocol plus ONE
-    * trailing line: the persisted grain, so refresh never re-resolves
-    * ownership (it reads no dim). */
+    * mandatory trailing line — the persisted grain, so refresh never
+    * re-resolves ownership (it reads no dim) — and, for a PARTIAL live
+    * view, the stored fact-side predicate as a second. */
   private def writeLiveDef(s: SparkSession, mv: String, d: MvJoinDef,
       grain: Seq[String]): Unit =
     writeDefFile(s, liveDefPath(mv),
-      renderStarDef(d, Seq(grain.mkString(","))))
+      renderStarDef(d, grain.mkString(",") +: d.pred.toSeq))
 
   def readLiveDef(s: SparkSession, mv: String)
       : (MvJoinDef, Seq[String]) = {
@@ -1229,8 +1230,9 @@ object MatView {
     require(fs(s, p).exists(p), s"$mv is not a live star " +
       "materialized view (no _mvl definition; create it with " +
       "MatView.createStarLive)")
-    val (d, trailing) = parseStarDef(mv, "_mvl", readDefFile(s, p), 1, 1)
-    (d, trailing.head.split(',').toSeq)
+    val (d, trailing) = parseStarDef(mv, "_mvl", readDefFile(s, p), 1, 2)
+    (d.copy(pred = trailing.drop(1).headOption),
+      trailing.head.split(',').toSeq)
   }
 
   /** Single-dim [[createStarLive]]. */
@@ -1250,7 +1252,16 @@ object MatView {
     * row-local non-null test. */
   def createStarLive(s: SparkSession, mv: String, fact: String,
       dims: Seq[MvDimRef], keys: Seq[String], value: String,
-      aggs: Seq[String] = Seq("count", "sum", "avg")): Long = {
+      aggs: Seq[String] = Seq("count", "sum", "avg")): Long =
+    createStarLive(s, mv, fact, dims, keys, value, aggs, pred = None)
+
+  /** [[createStarLive]] of a PARTIAL live view: only fact rows
+    * satisfying `pred` (row-local SQL over FACT columns) fold into the
+    * grain — the partial-star rule verbatim, composed with the live
+    * kind's dims-join-back-at-query-time property. */
+  def createStarLive(s: SparkSession, mv: String, fact: String,
+      dims: Seq[MvDimRef], keys: Seq[String], value: String,
+      aggs: Seq[String], pred: Option[String]): Long = {
     validateShape(keys, aggs)
     require(dims.nonEmpty, "a live star MV needs at least one dim")
     require(dims.map(_.dim).distinct.size == dims.size,
@@ -1258,10 +1269,12 @@ object MatView {
     require(!dims.exists(_.dim == fact),
       "live-star-MV dims must not include the fact table itself")
     val fv = TxnTable.currentVersion(s, fact)
-    val fsnap = TxnTable.snapshot(s, fact, fv)
-    validateValueType(value, fsnap.schema(value).dataType)
+    val fsnap0 = TxnTable.snapshot(s, fact, fv)
+    validateValueType(value, fsnap0.schema(value).dataType)
+    pred.foreach(validatePartialPred(fsnap0, _, "the fact"))
+    val fsnap = pred.fold(fsnap0)(fsnap0.filter)
     val d0 = MvJoinDef(fact, dims, keys, value,
-      aggs.map(_.toLowerCase).toSet)
+      aggs.map(_.toLowerCase).toSet, pred)
     val owner = keyOwnership(s, d0) // each key owned by exactly one side
     val grain = (dims.map(_.factKey) ++
       keys.filter(k => owner(k) < 0)).distinct
@@ -1316,8 +1329,11 @@ object MatView {
     if (refs.isEmpty)
       return RefreshResult(advanceCursor(s, mv, mvVer,
         Seq("mv_base_version" -> head)), head, folded)
-    val feed = s.read.parquet(refs: _*)
+    // a PARTIAL live view gates the feed by its stored predicate —
+    // the partial-star rule verbatim (row-local membership)
+    val feed0 = s.read.parquet(refs: _*)
       .filter(d.dims.map(r => col(r.factKey).isNotNull).reduce(_ && _))
+    val feed = d.pred.fold(feed0)(feed0.filter)
     val v = foldAndMerge(s, mv, mvVer, grain, d.value, feed,
       Seq("mv_base_version" -> head), publishFeed)
     RefreshResult(v, head, folded)
@@ -1343,9 +1359,10 @@ object MatView {
           .getOrElse(return None)
         if (refs.isEmpty) mvRows
         else {
-          val feed = s.read.parquet(refs: _*)
+          val feed0 = s.read.parquet(refs: _*)
             .filter(d.dims.map(r => col(r.factKey).isNotNull)
               .reduce(_ && _))
+          val feed = d.pred.fold(feed0)(feed0.filter)
             .select(grain.map(col) ++ Seq(
               col("w").cast("long").as("n"),
               (col("w").cast("long") *

@@ -2044,6 +2044,119 @@ object SqlSurface {
     s.sql(q).withColumn("pstar_ok", lit(ok))
   }
 
+  /** sql_mv_partial_live: PARTIAL × LIVE — the two r20 star
+    * generalizations COMPOSED: `CREATE LIVE MATERIALIZED VIEW … WHERE
+    * price > 1000` materializes the fact-key-grain fold of exactly the
+    * fact slice, and the dims still join back at query time. The
+    * payoff is the strongest serve contract in the MV family: the
+    * sliced dashboard stays accelerated through BOTH a feed-less SCD
+    * dim move (the live property — dim state is never baked in) AND
+    * unrefreshed boundary-crossing fact churn (the partial property —
+    * the stored predicate gates the compensating feed row-locally),
+    * with zero fact data files in every served plan. Phases: (1)
+    * fresh — sliced query serves sub-view + dims only, a different
+    * threshold and the unsliced query fall through; (2) a FEED-LESS
+    * dim move → still served, exact, refreshLive no-ops; (3) a
+    * boundary-crossing fact cdc batch (reprices in/out, deletes,
+    * below- and in-slice inserts), unrefreshed → sub-view ⊕ filtered
+    * feed ⋈ moved dims; (4) pure-SQL REFRESH folds the filtered fact
+    * tail (no dim read) → sub-view + dims again. Oracle replays
+    * dedupe + batch + move + slice. At 100 TB: the sliced star
+    * dashboard keeps MV pricing across the two staleness sources that
+    * each alone used to force a base rescan. */
+  def mvPartialLive(s: SparkSession, d: String): DataFrame = {
+    val factLoc = freshSqlTable(s, "pl_li")
+    val ordLoc = freshSqlTable(s, "pl_ord")
+    view(s, d, "lineitem"); view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.pl_li (
+      lid BIGINT, l_orderkey BIGINT, price DECIMAL(12,2))""")
+    // deduped per lid: keyed merges need a unique key (the synthetic
+    // lineitem repeats (orderkey, linenumber) pairs)
+    s.sql("""INSERT INTO graft.q.pl_li
+      SELECT l_orderkey * 10 + l_linenumber, l_orderkey,
+        MAX(CAST(l_extendedprice AS DECIMAL(12,2)))
+      FROM lineitem GROUP BY 1, 2""")
+    s.sql("CREATE TABLE graft.q.pl_ord (o_orderkey BIGINT, st STRING)")
+    s.sql("""INSERT INTO graft.q.pl_ord
+      SELECT o_orderkey, o_orderstatus FROM orders""")
+    freshSqlTable(s, "pl_mv")
+    s.sql("""CREATE LIVE MATERIALIZED VIEW graft.q.pl_mv AS
+      SELECT st, COUNT(*) AS n, SUM(price) AS total
+      FROM graft.q.pl_li f
+      JOIN graft.q.pl_ord o ON f.l_orderkey = o.o_orderkey
+      WHERE price > 1000 GROUP BY st""")
+    val mv = s"${GraftCatalog.defaultWarehouse}/q/pl_mv"
+    val q = """SELECT st, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE)
+      AS total FROM graft.q.pl_li f
+      JOIN graft.q.pl_ord o ON f.l_orderkey = o.o_orderkey
+      WHERE price > 1000 GROUP BY st"""
+    def rows() = s.sql(q).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, sum}
+      graft.operators.TxnTable.snapshot(s, factLoc).alias("f")
+        .filter(col("price") > 1000)
+        .join(graft.operators.TxnTable.snapshot(s, ordLoc).alias("o"),
+          col("f.l_orderkey") === col("o.o_orderkey"))
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2))).toSet
+    }
+    def servedLive(ps: Seq[String]) = ps.nonEmpty &&
+      ps.forall(p => p.contains(s"$mv/") || p.contains(ordLoc) ||
+        p.contains(s"$factLoc/_cdc")) &&
+      ps.exists(_.contains(s"$mv/")) &&
+      !ps.exists(p => p.contains(factLoc) && !p.contains("_cdc"))
+    val servedFresh = servedLive(scanSrcsOf(s, q)) &&
+      !scanSrcsOf(s, q.replace("price > 1000", "price > 500"))
+        .exists(_.contains(mv)) &&
+      !scanSrcsOf(s, q.replace("WHERE price > 1000 ", ""))
+        .exists(_.contains(mv)) &&
+      rows() == direct()
+    // the FEED-LESS dim move: still served, still exact
+    graft.operators.TxnTable.applyChangesMor(s, ordLoc,
+      s.sql("""SELECT o_orderkey, 'Z' AS st, 'U' AS op
+        FROM orders WHERE o_orderkey % 7 = 0"""),
+      "o_orderkey", cdc = false)
+    val r0 = graft.operators.MatView.refreshLive(s, mv)
+    val servedDimMove = servedLive(scanSrcsOf(s, q)) &&
+      rows() == direct() && rows().exists(_._1 == "Z") &&
+      r0.commitsFolded == 0
+    // the boundary-crossing fact batch, unrefreshed → filtered-feed
+    // compensation through the MOVED dims
+    graft.operators.TxnTable.applyChangesMor(s, factLoc,
+      s.sql("""SELECT lid, l_orderkey, price, 'D' AS op
+        FROM graft.q.pl_li WHERE lid % 6 = 0
+        UNION ALL
+        SELECT lid, l_orderkey, CAST(600 AS DECIMAL(12,2)), 'U'
+        FROM graft.q.pl_li WHERE lid % 6 <> 0 AND lid % 7 = 1
+        UNION ALL
+        SELECT lid, l_orderkey,
+          CAST(price + 5000 AS DECIMAL(12,2)), 'U'
+        FROM graft.q.pl_li WHERE lid % 6 <> 0 AND lid % 7 <> 1
+          AND lid % 9 = 2
+        UNION ALL
+        SELECT lid + 800000000, l_orderkey,
+          CAST(750 AS DECIMAL(12,2)), 'U'
+        FROM graft.q.pl_li WHERE lid % 13 = 0
+        UNION ALL
+        SELECT lid + 900000000, l_orderkey,
+          CAST(price + 5000 AS DECIMAL(12,2)), 'U'
+        FROM graft.q.pl_li WHERE lid % 17 = 0"""),
+      "lid", cdc = true)
+    val p3 = scanSrcsOf(s, q)
+    val compensated = servedLive(p3) &&
+      p3.exists(_.contains(s"$factLoc/_cdc")) && rows() == direct()
+    val rv = s.sql("REFRESH MATERIALIZED VIEW graft.q.pl_mv")
+      .collect()(0).getLong(0)
+    val p4 = scanSrcsOf(s, q)
+    val servedAgain = rv >= 1L && servedLive(p4) &&
+      !p4.exists(_.contains("_cdc")) && rows() == direct()
+    val ok = servedFresh && servedDimMove && compensated && servedAgain
+    s.sql(q).withColumn("plive_ok", lit(ok))
+  }
+
   /** sql_mv_fact2: the FACT-TO-FACT JOIN MV — q03's own shape:
     * lineitem ⋈ orders on the join key, grouped by a FACT-side
     * attribute (l_returnflag) alongside a dim-side one (o_orderstatus),

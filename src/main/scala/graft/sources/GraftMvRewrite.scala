@@ -552,11 +552,15 @@ case class GraftMvRewriteRule(session: SparkSession)
     // the query's own pinned versions)
     def live(): Option[LogicalPlan] = {
       val m = matchLiveMv(rels0, conds).getOrElse(return None)
-      if (!dimKeyPredsOk(m, preds)) return None
+      // a PARTIAL live view consumes its own fact-side predicate
+      // (trySingle's rule, via the fact relation)
+      val resid = partialResidual(m.factRel, m.d.pred, preds)
+        .getOrElse(return None)
+      if (!dimKeyPredsOk(m, resid)) return None
       serve(groups, aggExprs, m.d.keys, m.d.value, m.d.aggs,
         keyOwned = m.dimKeyOwned,
         valueOwned = m.valueOwned,
-        mvRows = liveMvRows(m).map(applyKeyPreds(_, preds)))
+        mvRows = liveMvRows(m).map(applyKeyPreds(_, resid)))
     }
     group().orElse(live())
   }
@@ -1086,11 +1090,14 @@ case class GraftMvRewriteRule(session: SparkSession)
       val m = matchLiveMv(rels0, conds).getOrElse(return None)
       val keyNames = keyNamesIf(m.dimKeyOwned).getOrElse(return None)
       if (dcols.exists(c => m.d.keys.contains(s"gdc_$c"))) return None
-      if (!dimKeyPredsOk(m, preds)) return None
+      // the partial live view's predicate consumption
+      val resid = partialResidual(m.factRel, m.d.pred, preds)
+        .getOrElse(return None)
+      if (!dimKeyPredsOk(m, resid)) return None
       if (!aggExprs.forall(foldAnswerable(m.d.keys, m.d.value, m.d.aggs,
         m.dimKeyOwned, m.valueOwned))) return None
       if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
-      val mvDf0 = liveMvRows(m).map(applyKeyPreds(_, preds))
+      val mvDf0 = liveMvRows(m).map(applyKeyPreds(_, resid))
         .getOrElse(return None)
       serveGroupingSets(gs, keyNames, aggExprs, foldGsNames(dcols),
         rollupAgg(_, _, dcols), foldArm, mvDf0)

@@ -332,17 +332,16 @@ object GraftSqlParser {
       if (!fnNames.subsetOf(FoldFns))
         fail("CREATE LIVE MATERIALIZED VIEW: a live view folds " +
           "count/sum/avg only")
-      if (shape.pred.isDefined)
-        fail("CREATE LIVE MATERIALIZED VIEW: partial (WHERE) live " +
-          "views are not supported — a partial STAR view folds the " +
-          "fact-side predicate incrementally; drop LIVE or drop the " +
-          "WHERE")
       strip(shape.from) match {
         case j: Join =>
+          // a WHERE makes the live view PARTIAL: the same fact-side
+          // row-local rule as the partial star — createStarLive
+          // validates it against the fact snapshot and refuses a
+          // dim-column reference with the named reason
           val (factLoc, dims) = bindStar(s, j, valueOf(shape))
           val v = MatView.createStarLive(s, mvLoc, factLoc, dims,
             shape.keys, valueOf(shape),
-            shape.aggs.map(_._1).distinct)
+            shape.aggs.map(_._1).distinct, shape.pred)
           MatView.registerLive(s, mvLoc)
           Seq(Row(v))
         case _ => fail("CREATE LIVE MATERIALIZED VIEW: a live view " +

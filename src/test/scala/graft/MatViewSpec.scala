@@ -2367,16 +2367,58 @@ class MatViewSpec extends SparkSpec {
         r.getString(1) == "live" && r.getBoolean(3)))
     assert(s.sql("REFRESH MATERIALIZED VIEW graft.mvspec.ddl_live")
       .collect()(0).getLong(0) >= 0L)
-    // WHERE refuses with the partial-star remedy; a single-table LIVE
-    // refuses with the plain-view remedy
-    val eLiveW = intercept[IllegalArgumentException] {
-      s.sql("CREATE LIVE MATERIALIZED VIEW graft.mvspec.ddl_lw AS " +
+    // a FACT-side WHERE makes the live view PARTIAL (the partial-star
+    // rule, composed with join-back): the sliced query serves, the
+    // unsliced falls through; a DIM-column WHERE refuses, named
+    s.sql("CREATE LIVE MATERIALIZED VIEW graft.mvspec.ddl_lw AS " +
+      "SELECT seg, COUNT(*) AS n, SUM(v) AS t FROM graft.mvspec.ddlf " +
+      "f JOIN graft.mvspec.ddld d ON f.fk = d.pk WHERE v > 10 " +
+      "GROUP BY seg")
+    val lwLoc = s"${GraftCatalog.defaultWarehouse}/mvspec/ddl_lw"
+    assert(MatView.kindOf(spark, lwLoc) === "live")
+    assert(MatView.readLiveDef(spark, lwLoc)._1.pred ===
+      Some("(v > 10)"), "the live def must store the predicate")
+    val lwQ = "SELECT seg, COUNT(*) AS n FROM graft.mvspec.ddlf f " +
+      "JOIN graft.mvspec.ddld d ON f.fk = d.pk WHERE v > 10 " +
+      "GROUP BY seg"
+    def lwRoots(q: String) = s.sql(q).queryExecution.optimizedPlan
+      .collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+    assert(lwRoots(lwQ).exists(_.contains(s"$lwLoc/")) &&
+      !lwRoots(lwQ).exists(r => r.contains("/mvspec/ddlf") &&
+        !r.contains("_cdc")),
+      "the sliced live query must serve with no fact data file")
+    val lwGot = s.sql(lwQ).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val lwWant = TxnTable.snapshot(spark,
+      s"${GraftCatalog.defaultWarehouse}/mvspec/ddlf").alias("f")
+      .filter(col("v") > 10)
+      .join(TxnTable.snapshot(spark,
+        s"${GraftCatalog.defaultWarehouse}/mvspec/ddld").alias("d"),
+        col("f.fk") === col("d.pk"))
+      .groupBy(col("d.seg")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(lwGot === lwWant, "partial live DDL serve diverged")
+    assert(!lwRoots(lwQ.replace("WHERE v > 10 ", ""))
+      .exists(_.contains(s"$lwLoc/")),
+      "the unsliced query must fall through")
+    assert(s.sql("DROP MATERIALIZED VIEW graft.mvspec.ddl_lw")
+      .collect()(0).getString(0) === "live")
+    val eLiveDim = intercept[IllegalArgumentException] {
+      s.sql("CREATE LIVE MATERIALIZED VIEW graft.mvspec.ddl_lwd AS " +
         "SELECT seg, COUNT(*) AS n, SUM(v) AS t FROM graft.mvspec.ddlf " +
-        "f JOIN graft.mvspec.ddld d ON f.fk = d.pk WHERE v > 10 " +
+        "f JOIN graft.mvspec.ddld d ON f.fk = d.pk WHERE seg = 'X' " +
         "GROUP BY seg")
     }
-    assert(eLiveW.getMessage.contains("partial STAR view"),
-      eLiveW.getMessage)
+    assert(eLiveDim.getMessage.contains("does not resolve against " +
+      "the fact's columns"), eLiveDim.getMessage)
+    // a single-table LIVE refuses with the plain-view remedy
     val eLive1 = intercept[IllegalArgumentException] {
       s.sql("CREATE LIVE MATERIALIZED VIEW graft.mvspec.ddl_l1 AS " +
         "SELECT g, COUNT(*) AS n, SUM(v) AS t FROM graft.mvspec.ddlf " +
