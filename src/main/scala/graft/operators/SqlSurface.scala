@@ -1962,8 +1962,7 @@ object SqlSurface {
       catch { case e: Throwable =>
         Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(6)
           .exists(c => c.getMessage != null &&
-            c.getMessage.contains("does not resolve against the " +
-              "fact's columns"))
+            c.getMessage.contains("decidable on FACT rows alone"))
       }
     s.sql("""CREATE MATERIALIZED VIEW graft.q.ps_mv AS
       SELECT st, COUNT(*) AS n, SUM(price) AS total

@@ -130,10 +130,13 @@ object GraftSqlParser {
 
   /** The defining query's shape, read off the UNRESOLVED tree:
     * (grouping key names, aggregate function → bare-column arg pairs,
-    * the FROM tree, the WHERE clause's SQL — a PARTIAL view). */
+    * the FROM tree, the WHERE clause's SQL — a PARTIAL view — and the
+    * WHERE's raw (qualifier, column) references, kept so a star/live
+    * create can refuse a dim-side reference BEFORE the stripped text
+    * silently rebinds to a same-named fact column). */
   private case class MvShape(keys: Seq[String],
       aggs: Seq[(String, Option[String])], from: LogicalPlan,
-      pred: Option[String])
+      pred: Option[String], predRefs: Seq[QCol] = Nil)
 
   private def shapeOf(parsed: LogicalPlan): MvShape = strip(parsed) match {
     case a: Aggregate =>
@@ -179,11 +182,15 @@ object GraftSqlParser {
       strip(a.child) match {
         case org.apache.spark.sql.catalyst.plans.logical
             .Filter(cond, inner) =>
+          val refs = cond.collect {
+            case u: UnresolvedAttribute =>
+              (u.nameParts.init.lastOption, u.nameParts.last): QCol
+          }
           val bare = cond.transform {
             case u: UnresolvedAttribute =>
               UnresolvedAttribute(Seq(u.nameParts.last))
           }
-          MvShape(keys, aggs, strip(inner), Some(bare.sql))
+          MvShape(keys, aggs, strip(inner), Some(bare.sql), refs)
         case other => MvShape(keys, aggs, other, None)
       }
     case other => fail("CREATE MATERIALIZED VIEW: the defining query " +
@@ -238,16 +245,18 @@ object GraftSqlParser {
   private val FoldFns = Set("count", "sum", "avg")
   private val ExtremaFns = Set("count", "min", "max")
 
-  /** ONE aggregated value column, or the named refusal. */
-  private def valueOf(shape: MvShape): String = {
+  /** ONE aggregated value column, or the named refusal. `stmt` names
+    * the statement the user actually typed (CREATE [LIVE]
+    * MATERIALIZED VIEW) in every diagnostic. */
+  private def valueOf(shape: MvShape, stmt: String): String = {
     val values = shape.aggs.flatMap(_._2).distinct
       .filterNot(shape.keys.contains)
     values match {
       case Seq(v) => v
-      case Seq() => fail("CREATE MATERIALIZED VIEW: no aggregated " +
+      case Seq() => fail(s"$stmt: no aggregated " +
         "value column (COUNT(*)-only views are a fold over any " +
         "value — aggregate one column)")
-      case many => fail("CREATE MATERIALIZED VIEW: one view folds " +
+      case many => fail(s"$stmt: one view folds " +
         s"ONE value column, got ${many.mkString(", ")}")
     }
   }
@@ -258,22 +267,23 @@ object GraftSqlParser {
     * fact→dim references — ONE binder shared by the star and LIVE
     * create commands, so the two kinds can never bind the same
     * statement differently. */
-  private def bindStar(s: SparkSession, j: Join, value: String)
+  private def bindStar(s: SparkSession, j: Join, value: String,
+      stmt: String, predRefs: Seq[QCol])
       : (String, Seq[MatView.MvDimRef]) = {
     val (rels, conds) = flatJoin(j).getOrElse(
-      fail("CREATE MATERIALIZED VIEW: the FROM tree must be " +
+      fail(s"$stmt: the FROM tree must be " +
         "plain INNER joins of tables"))
     val locs = rels.map(r => locOf(r.name))
     val cols: Seq[Set[String]] =
       locs.map(l => TxnTable.snapshot(s, l).columns.toSet)
     val factIdx = locs.indices.filter(i => cols(i).contains(value))
-    require(factIdx.size == 1, "CREATE MATERIALIZED VIEW: the " +
+    require(factIdx.size == 1, s"$stmt: the " +
       s"aggregated column '$value' must live in exactly one " +
       s"joined table (found in ${factIdx.size})")
     val fi = factIdx.head
     val dimIdxs = locs.indices.filterNot(_ == fi)
     require(conds.size == dimIdxs.size,
-      "CREATE MATERIALIZED VIEW: expected one fact→dim equality " +
+      s"$stmt: expected one fact→dim equality " +
         s"per dim (${dimIdxs.size}), got ${conds.size}")
     // each equality conjunct must bind to exactly ONE dim — two
     // dims sharing a key column name (the common `pk`
@@ -296,19 +306,37 @@ object GraftSqlParser {
         }.distinct
         hits match {
           case Seq(one) => one
-          case Seq() => fail("CREATE MATERIALIZED VIEW: the " +
+          case Seq() => fail(s"$stmt: the " +
             s"equality '${a._2} = ${b._2}' joins no fact→dim " +
             "pair (each condition must equate a fact column " +
             "with one dim's column)")
-          case _ => fail("CREATE MATERIALIZED VIEW: the " +
+          case _ => fail(s"$stmt: the " +
             s"equality '${a._2} = ${b._2}' could join more than " +
             "one dim — qualify the join columns with the " +
             "table aliases (f.k = d2.pk)")
         }
     }
     require(bound.map(_._1).distinct.size == dimIdxs.size,
-      "CREATE MATERIALIZED VIEW: every dim needs exactly one " +
+      s"$stmt: every dim needs exactly one " +
         "fact→dim equality")
+    // a WHERE reference must bind to the FACT, checked against the
+    // statement's OWN qualifiers BEFORE the stripped predicate text
+    // can silently rebind to a same-named fact column: a dim-qualified
+    // reference (d.region) or an unqualified name that also lives on a
+    // dim refuses here with the partial contract's reason — the view
+    // the stripped text would define is NOT the view the statement
+    // declared
+    predRefs.foreach { case qc @ (qual, name) =>
+      val dimOwners = dimIdxs.filter(di => owns(di, qc))
+      if (dimOwners.nonEmpty)
+        fail(s"$stmt: the WHERE references '" +
+          qual.fold(name)(q => s"$q.$name") + "' on a dim — a " +
+          "partial view's predicate must be decidable on FACT rows " +
+          "alone (dim-dependent membership moves when the dim moves, " +
+          "which no fact feed folds)" +
+          (if (qual.isEmpty && cols(fi).contains(name))
+            s"; qualify the fact column explicitly" else ""))
+    }
     (locs(fi), dimIdxs.map(di =>
       bound.collectFirst { case (`di`, ref) => ref }.get))
   }
@@ -335,12 +363,14 @@ object GraftSqlParser {
       strip(shape.from) match {
         case j: Join =>
           // a WHERE makes the live view PARTIAL: the same fact-side
-          // row-local rule as the partial star — createStarLive
-          // validates it against the fact snapshot and refuses a
-          // dim-column reference with the named reason
-          val (factLoc, dims) = bindStar(s, j, valueOf(shape))
+          // row-local rule as the partial star — bindStar refuses a
+          // dim-qualified/ambiguous reference against the statement's
+          // OWN qualifiers, createStarLive the rest
+          val value = valueOf(shape, "CREATE LIVE MATERIALIZED VIEW")
+          val (factLoc, dims) = bindStar(s, j, value,
+            "CREATE LIVE MATERIALIZED VIEW", shape.predRefs)
           val v = MatView.createStarLive(s, mvLoc, factLoc, dims,
-            shape.keys, valueOf(shape),
+            shape.keys, value,
             shape.aggs.map(_._1).distinct, shape.pred)
           MatView.registerLive(s, mvLoc)
           Seq(Row(v))
@@ -364,7 +394,7 @@ object GraftSqlParser {
         s"CREATE MATERIALIZED VIEW: '$mvLoc' already exists")
       val shape = shapeOf(delegate.parsePlan(select))
       val fnNames = shape.aggs.map(_._1).toSet
-      def value: String = valueOf(shape)
+      def value: String = valueOf(shape, "CREATE MATERIALIZED VIEW")
       val v = strip(shape.from) match {
         case _: UnresolvedRelation if fnNames.subsetOf(FoldFns) =>
           val base = locOf(relName(shape.from))
@@ -395,7 +425,8 @@ object GraftSqlParser {
           // FACT-side (row-local on the fact log) — createJoinStar
           // validates it against the fact snapshot and refuses a
           // dim-column reference with the named reason
-          val (factLoc, dims) = bindStar(s, j, value)
+          val (factLoc, dims) = bindStar(s, j, value,
+            "CREATE MATERIALIZED VIEW", shape.predRefs)
           val created = MatView.createJoinStar(s, mvLoc, factLoc, dims,
             shape.keys, value, shape.aggs.map(_._1).distinct,
             shape.pred)

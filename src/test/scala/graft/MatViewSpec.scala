@@ -2416,8 +2416,11 @@ class MatViewSpec extends SparkSpec {
         "f JOIN graft.mvspec.ddld d ON f.fk = d.pk WHERE seg = 'X' " +
         "GROUP BY seg")
     }
-    assert(eLiveDim.getMessage.contains("does not resolve against " +
-      "the fact's columns"), eLiveDim.getMessage)
+    // refused by the DDL binder against the statement's OWN
+    // qualifiers — before the stripped predicate text could silently
+    // rebind to a same-named fact column
+    assert(eLiveDim.getMessage.contains("decidable on FACT rows alone"),
+      eLiveDim.getMessage)
     // a single-table LIVE refuses with the plain-view remedy
     val eLive1 = intercept[IllegalArgumentException] {
       s.sql("CREATE LIVE MATERIALIZED VIEW graft.mvspec.ddl_l1 AS " +
