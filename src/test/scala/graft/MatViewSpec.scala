@@ -1871,6 +1871,90 @@ class MatViewSpec extends SparkSpec {
       "after DROP the base join must answer")
   }
 
+  test("live star MV with a FACT-owned group key: the grain carries " +
+      "it; fact-key cuts, rollups and the global COUNT(DISTINCT " +
+      "dim-key) all serve through the join-back") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    Seq("lfk", "lkd").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft.mvspec.$t"))
+    s.sql("CREATE TABLE graft.mvspec.lfk (k BIGINT, a BIGINT, " +
+      "flag STRING, v DECIMAL(12,2))")
+    s.sql("INSERT INTO graft.mvspec.lfk SELECT id, id % 5, " +
+      "CASE WHEN id % 2 = 0 THEN 'E' ELSE 'O' END, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(200)")
+    s.sql("CREATE TABLE graft.mvspec.lkd (pk BIGINT, g1 STRING)")
+    s.sql("INSERT INTO graft.mvspec.lkd SELECT id, " +
+      "CASE WHEN id < 2 THEN 'P' ELSE 'Q' END FROM RANGE(5)")
+    val w = GraftCatalog.defaultWarehouse
+    val (fact, dim) = (s"$w/mvspec/lfk", s"$w/mvspec/lkd")
+    val mv = fresh("mv_livefk_view")
+    MatView.createStarLive(spark, mv, fact,
+      Seq(MatView.MvDimRef(dim, "a", "pk")), Seq("g1", "flag"), "v")
+    MatView.registerLive(spark, mv)
+    // the persisted grain = the join key + the fact-owned group key
+    assert(MatView.readLiveDef(spark, mv)._2 === Seq("a", "flag"))
+    def servedLive(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val p = df.queryExecution.optimizedPlan
+      val roots = p.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      roots.exists(_.contains(s"$mv/")) &&
+        !roots.exists(r => r.contains(fact) && !r.contains("_cdc"))
+    }
+    val base = "graft.mvspec.lfk f JOIN graft.mvspec.lkd d " +
+      "ON f.a = d.pk"
+    // the exact grouping, a fact-owned-key CUT, and the rollup to the
+    // fact-owned key alone
+    assert(servedLive(s.sql(
+      s"SELECT g1, flag, COUNT(*) AS n, SUM(v) AS t FROM $base " +
+        "GROUP BY g1, flag")), "the mixed-ownership grouping must serve")
+    assert(servedLive(s.sql(
+      s"SELECT g1, COUNT(*) AS n FROM $base WHERE flag = 'E' " +
+        "GROUP BY g1")), "the fact-owned-key cut must serve")
+    assert(servedLive(s.sql(
+      s"SELECT flag, SUM(v) AS t FROM $base GROUP BY flag")),
+      "the fact-owned-key rollup must serve")
+    // the GLOBAL COUNT(DISTINCT dim-key): resolves an analyzer
+    // iteration late (GlobalAggregates) AND sits over a join — pins
+    // the MoR-swap see-through composing with the live join-back and
+    // the key-distinct vocabulary in one plan
+    val qd = s"SELECT COUNT(DISTINCT g1) AS dg FROM $base"
+    assert(servedLive(s.sql(qd)),
+      "the global distinct dim-key count must serve")
+    assert(s.sql(qd).collect()(0).getLong(0) ===
+      TxnTable.snapshot(spark, fact).alias("f")
+        .join(TxnTable.snapshot(spark, dim).alias("d"),
+          col("f.a") === col("d.pk"))
+        .select(col("g1")).distinct().count(),
+      "the distinct count diverged")
+    // answers stay exact through a fact cdc batch + refresh
+    TxnTable.applyChangesMor(spark, fact,
+      s.sql("SELECT k, a, flag, v, 'D' AS op FROM graft.mvspec.lfk " +
+        "WHERE k % 7 = 0"), "k", cdc = true)
+    val got = s.sql(s"SELECT g1, flag, COUNT(*) AS n, " +
+      s"CAST(SUM(v) AS DOUBLE) AS t FROM $base GROUP BY g1, flag")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val want = TxnTable.snapshot(spark, fact).alias("f")
+      .join(TxnTable.snapshot(spark, dim).alias("d"),
+        col("f.a") === col("d.pk"))
+      .groupBy(col("g1"), col("flag"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want, "compensated mixed-ownership serve diverged")
+    val r = MatView.refreshLive(spark, mv)
+    assert(r.commitsFolded === 1)
+  }
+
   test("partial (filtered) STAR view: fact-side predicate folds " +
       "boundary-crossing updates exactly through create/refresh/" +
       "compensation; dim-column and nondeterministic predicates " +
