@@ -88,6 +88,8 @@ object SparkEntry {
     "sql_mv_fact2"            -> (SqlSurface.mvFact2 _),
     "sql_mv_ddl"              -> (SqlSurface.mvDdl _),
     "sql_mv_partial"          -> (SqlSurface.mvPartial _),
+    "sql_mv_partial_extrema"  -> (SqlSurface.mvPartialExtrema _),
+    "sql_mv_percentile"       -> (SqlSurface.mvPercentile _),
     "sql_mv_star_gsets"       -> (SqlSurface.mvStarGsets _),
     "sql_mv_extrema_gsets"    -> (SqlSurface.mvExtremaGsets _),
     "sql_txn_days"            -> (SqlSurface.txnDaysSql _),
@@ -1700,6 +1702,41 @@ object SparkEntry {
         |SELECT st, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total,
         |  TRUE AS par_ok
         |FROM f WHERE p > 100 GROUP BY st""".stripMargin,
+    // the sliced extrema pane after the membership batch: the
+    // in-slice min band deleted, out-of-slice rows entering high,
+    // in-slice rows leaving, an invisible out-of-slice delete
+    "sql_mv_partial_extrema" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_totalprice AS tp,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |f AS (SELECT k, st,
+        |    CASE WHEN tp <= 10000 AND k % 3 = 0
+        |           THEN CAST(p + 100000 AS DECIMAL(12,2))
+        |         WHEN tp > 100000 AND k % 5 = 1
+        |           THEN CAST(500 AS DECIMAL(12,2))
+        |         ELSE p END AS p
+        |  FROM b
+        |  WHERE NOT (tp > 10000 AND tp <= 20000)
+        |    AND NOT (tp <= 10000 AND k % 3 = 1 AND k % 7 = 0))
+        |SELECT st, COUNT(*) AS n, CAST(MIN(p) AS DOUBLE) AS lo,
+        |  CAST(MAX(p) AS DOUBLE) AS hi, TRUE AS parx_ok
+        |FROM f WHERE p > 10000 GROUP BY st""".stripMargin,
+    // the percentile pane after the batch: deletes %6, +1000 reprices
+    // %7, the new 77777.77 value %13 — replayed with quantile_cont
+    // (the q29-proven cross-engine percentile pair)
+    "sql_mv_percentile" ->
+      """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+        |f AS (SELECT k, st,
+        |    CASE WHEN k % 7 = 1 THEN CAST(p + 1000 AS DECIMAL(12,2))
+        |         WHEN k % 13 = 2 THEN CAST(77777.77 AS DECIMAL(12,2))
+        |         ELSE p END AS p
+        |  FROM b WHERE k % 6 <> 0)
+        |SELECT st, quantile_cont(CAST(p AS DOUBLE), 0.5) AS p50,
+        |  quantile_cont(CAST(p AS DOUBLE), 0.95) AS p95,
+        |  quantile_cont(CAST(p AS DOUBLE), 0.5) AS med,
+        |  COUNT(*) AS n, TRUE AS parp_ok
+        |FROM f GROUP BY st""".stripMargin,
     // the DDL-created fold view's dashboard after the Z batch
     "sql_mv_ddl" ->
       """WITH b AS (SELECT o_orderkey AS k, o_orderstatus AS st,

@@ -282,6 +282,22 @@ object MatView {
     * — the transparent rewrite especially — reconstruct the
     * null-skipping SQL semantics (an all-NULL group is nn == 0 with
     * total 0, which SUM must surface as NULL) and answer COUNT(value) */
+  /** The key columns the manifest can stat-index SOUNDLY, by type:
+    * strings carry string bounds, integral types carry long boxes +
+    * NDV sketches; anything else (a DECIMAL value-grain key, a double)
+    * CLUSTERS but carries no stats — per-entry skipping is
+    * conservative, so an unindexed key never mis-prunes (a long-cast
+    * box on a fractional type WOULD: floor(hi) excludes the true
+    * maximum), it just reads. */
+  private def indexableKeys(schema: org.apache.spark.sql.types
+      .StructType, keys: Seq[String]): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.types._
+    val strKeys = keys.filter(k => schema(k).dataType == StringType)
+    val intKeys = keys.filter(k => Seq(ByteType, ShortType,
+      IntegerType, LongType).contains(schema(k).dataType))
+    (intKeys, strKeys)
+  }
+
   private def commitMvRows(s: SparkSession, mv: String, src: DataFrame,
       keys: Seq[String], value: String,
       metrics: Seq[(String, Long)]): Long = {
@@ -289,9 +305,7 @@ object MatView {
       count(col(value)).as("nn"),
       sum(coalesce(col(value).cast(D18), lit(0).cast(D18)))
         .cast(D18).as("total"))
-    val strKeys = keys.filter(k => src.schema(k).dataType ==
-      org.apache.spark.sql.types.StringType)
-    val intKeys = keys.filterNot(strKeys.contains)
+    val (intKeys, strKeys) = indexableKeys(src.schema, keys)
     val clustered = rows.repartitionByRange(8, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
     val staged = TxnTable.stageIndexed(s, mv, clustered, intKeys, strKeys)
@@ -1410,7 +1424,8 @@ object MatView {
     * the published partial-recompute design (Napa/Calcite call these
     * non-distributive aggregates): O(feed) when clean, O(dirty groups'
     * files) when an extreme falls, never O(base). */
-  case class MvExtremaDef(base: String, keys: Seq[String], value: String)
+  case class MvExtremaDef(base: String, keys: Seq[String], value: String,
+      pred: Option[String] = None)
 
   private def extremaDefPath(mv: String) = new Path(s"$mv/_mvx")
 
@@ -1418,7 +1433,10 @@ object MatView {
       d: MvExtremaDef): Unit = {
     val p = extremaDefPath(mv)
     val out = fs(s, p).create(p, false)
-    try out.write((s"${d.base}\n${d.keys.mkString(",")}\n${d.value}\n")
+    // a PARTIAL extrema view appends its predicate as the 4th line —
+    // the `_mv` definition's convention; full views stay 3-line on disk
+    try out.write((s"${d.base}\n${d.keys.mkString(",")}\n${d.value}\n" +
+      d.pred.map(_ + "\n").getOrElse(""))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -1433,6 +1451,10 @@ object MatView {
     txt.linesIterator.toSeq match {
       case Seq(base, keys, value) =>
         MvExtremaDef(base, keys.split(',').toSeq, value)
+      case Seq(base, keys, value, pred) =>
+        require(pred.nonEmpty, s"$mv: malformed _mvx definition " +
+          "(empty predicate line)")
+        MvExtremaDef(base, keys.split(',').toSeq, value, Some(pred))
       case other => throw new IllegalArgumentException(
         s"$mv: malformed _mvx definition (${other.size} lines)")
     }
@@ -1442,7 +1464,21 @@ object MatView {
     * extremes carried in the value's OWN type — MIN/MAX do no
     * arithmetic, so the fold's lossless-decimal gate does not apply. */
   def createExtrema(s: SparkSession, mv: String, base: String,
-      keys: Seq[String], value: String): Long = {
+      keys: Seq[String], value: String): Long =
+    createExtrema(s, mv, base, keys, value, None)
+
+  /** `pred` makes the extrema view PARTIAL — only base rows satisfying
+    * the stored row-local predicate contribute (the `WHERE price >
+    * 1000` worst-latency pane). The same exactness argument as the
+    * fold's partial view (membership is row-local, an update is a
+    * −old/+new pair evaluated independently) extends to the dirty
+    * path: the dirty test sees only IN-SLICE feed rows, and the
+    * dirty-group recompute re-derives extremes from the base's
+    * PREDICATE SLICE — the pruned point probes stay sound because a
+    * probe is a key-superset read with the predicate applied before
+    * the re-aggregation. */
+  def createExtrema(s: SparkSession, mv: String, base: String,
+      keys: Seq[String], value: String, pred: Option[String]): Long = {
     require(keys.nonEmpty, "MV needs at least one grouping key")
     keys.foreach { key =>
       require(!Seq("n", "nn", "vmin", "vmax", "op", "w").contains(key),
@@ -1455,14 +1491,14 @@ object MatView {
     require(keys.distinct.size == keys.size,
       s"MV keys repeat a column: ${keys.mkString(", ")}")
     val bv = TxnTable.currentVersion(s, base)
-    val snap = TxnTable.snapshot(s, base, bv)
+    val snap0 = TxnTable.snapshot(s, base, bv)
+    pred.foreach(validatePartialPred(snap0, _, "the base"))
+    val snap = pred.fold(snap0)(snap0.filter)
     val rows = snap.groupBy(keys.map(col): _*).agg(
       count(lit(1)).as("n"), count(col(value)).as("nn"),
       org.apache.spark.sql.functions.min(col(value)).as("vmin"),
       org.apache.spark.sql.functions.max(col(value)).as("vmax"))
-    val strKeys = keys.filter(k => snap.schema(k).dataType ==
-      org.apache.spark.sql.types.StringType)
-    val intKeys = keys.filterNot(strKeys.contains)
+    val (intKeys, strKeys) = indexableKeys(snap.schema, keys)
     val clustered = rows.repartitionByRange(8, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
     val staged = TxnTable.stageIndexed(s, mv, clustered, intKeys, strKeys)
@@ -1470,7 +1506,7 @@ object MatView {
       op = "mv_create", schemaJson = rows.schema.json,
       idxCols = intKeys, strIdxCols = strKeys,
       metrics = Seq("mv_base_version" -> bv))
-    writeExtremaDef(s, mv, MvExtremaDef(base, keys, value))
+    writeExtremaDef(s, mv, MvExtremaDef(base, keys, value, pred))
     v
   }
 
@@ -1510,7 +1546,13 @@ object MatView {
     if (refs.isEmpty)
       return RefreshResult(advanceCursor(s, mv, mvVer,
         Seq("mv_base_version" -> head)), head, folded)
-    val feed = s.read.parquet(refs: _*)
+    // a PARTIAL view folds only its slice's membership changes: the
+    // signed feed filtered by the stored row-local predicate is exact
+    // (−old/+new pairs evaluate independently — a value crossing the
+    // boundary folds as the membership change it is), and the dirty
+    // test below then sees only in-slice deletes/inserts
+    val feed0 = s.read.parquet(refs: _*)
+    val feed = d.pred.fold(feed0)(feed0.filter)
     val w = col("w").cast("long")
     val v = col(d.value)
     val delta = feed.groupBy(d.keys.map(col): _*).agg(
@@ -1582,7 +1624,13 @@ object MatView {
             // set (a broadcast semi-join — never a literal tree)
             (baseSnap.join(broadcast(dirtyKeys), d.keys, "left_semi"),
               -1L, -1L)
-        val recomputed = src.groupBy(d.keys.map(col): _*).agg(
+        // the dirty-group recompute reads the base's PREDICATE SLICE:
+        // the probes/semi-join bound WHICH files and keys are read,
+        // the predicate then decides membership row-locally — the
+        // felled in-slice extreme re-derives from in-slice survivors
+        // only (an out-of-slice higher value must never surface)
+        val srcSlice = d.pred.fold(src)(src.filter)
+        val recomputed = srcSlice.groupBy(d.keys.map(col): _*).agg(
           count(lit(1)).as("rn"), count(col(d.value)).as("rnn"),
           org.apache.spark.sql.functions.min(col(d.value)).as("rvmin"),
           org.apache.spark.sql.functions.max(col(d.value)).as("rvmax"))

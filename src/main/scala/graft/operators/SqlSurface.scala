@@ -2466,6 +2466,229 @@ object SqlSurface {
     s.sql(q).withColumn("par_ok", lit(ok))
   }
 
+  /** sql_mv_partial_extrema: PARTIAL (FILTERED) EXTREMA VIEWS — the
+    * last partial-DDL refusal retired: `CREATE MATERIALIZED VIEW … AS
+    * SELECT st, COUNT(*), MIN(price), MAX(price) FROM t WHERE price >
+    * 10000 GROUP BY st` — the "worst/best value inside a slice" pane
+    * (p99-band latency, premium-tier order extremes). The predicate
+    * rides the `_mvx` definition as the optional 4th line (full views
+    * stay 3-line on disk) under the SAME validation as the fold's
+    * partial view (deterministic, subquery-free, row-local — shared
+    * validatePartialPred); refresh filters each signed feed by it, so
+    * boundary crossings fold as the membership changes they are, and
+    * the DIRTY-GROUP RECOMPUTE — the extrema algebra's recovery path
+    * when a delete fells a current extreme — re-derives from the
+    * base's PREDICATE SLICE: the key-pruned probes bound WHICH files
+    * are read, the predicate decides membership row-locally on them
+    * (a felled in-slice MIN must re-derive from in-slice survivors;
+    * the out-of-slice values below the threshold must never surface).
+    * The rewrite consumes the stored predicate from the query's
+    * conjuncts (partialResidual, trySingle's rule verbatim) before
+    * the ordinary key-only gate, in both the plain and grouping-sets
+    * extrema arms. Phases: (1) the sliced pane + a composed key cut
+    * serve MV-only; another threshold and the unsliced pane fall
+    * through; (2) a membership batch (the in-slice MIN BAND deleted
+    * across every group, out-of-slice rows entering high, in-slice
+    * rows leaving, an invisible out-of-slice delete) — extrema has no
+    * signed compensation, so the stale pane falls through to the base
+    * (answers exact); (3) pure-SQL REFRESH dirty-recomputes from the
+    * slice (mv_dirty_groups ≥ 1 asserted) and serves MV-only again
+    * with every recomputed MIN strictly above the threshold. Hashed
+    * output = the post-refresh sliced pane; oracle replays the batch
+    * and the slice. At 100 TB: the sliced worst-value dashboard costs
+    * O(slice groups) reads when clean and O(dirty groups' files) when
+    * an extreme falls — never the base. */
+  def mvPartialExtrema(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "parx_orders")
+    val mvLoc = freshSqlTable(s, "parx_orders_mv")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.parx_orders (
+      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.parx_orders
+      SELECT o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    s.sql("""CREATE MATERIALIZED VIEW graft.q.parx_orders_mv AS
+      SELECT st, COUNT(*) AS n, MIN(price) AS lo, MAX(price) AS hi
+      FROM graft.q.parx_orders WHERE price > 10000 GROUP BY st""")
+    val q = """SELECT st, COUNT(*) AS n, CAST(MIN(price) AS DOUBLE)
+      AS lo, CAST(MAX(price) AS DOUBLE) AS hi
+      FROM graft.q.parx_orders WHERE price > 10000 GROUP BY st"""
+    val qCut = """SELECT st, MAX(price) AS hi FROM graft.q.parx_orders
+      WHERE price > 10000 AND st = 'F' GROUP BY st"""
+    val qOther = """SELECT st, MAX(price) AS hi
+      FROM graft.q.parx_orders WHERE price > 500 GROUP BY st"""
+    val qAll = """SELECT st, MAX(price) AS hi FROM graft.q.parx_orders
+      GROUP BY st"""
+    def rows() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, max, min}
+      graft.operators.TxnTable.snapshot(s, loc)
+        .filter(col("price") > 10000).groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), min(col("price")).cast("double"),
+          max(col("price")).cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+    }
+    def mvOnly(ps: Seq[String]) =
+      ps.nonEmpty && ps.forall(_.contains(s"$mvLoc/"))
+    val servedFresh = mvOnly(scanSrcsOf(s, q)) &&
+      mvOnly(scanSrcsOf(s, qCut)) &&
+      !scanSrcsOf(s, qOther).exists(_.contains(mvLoc)) &&
+      !scanSrcsOf(s, qAll).exists(_.contains(mvLoc)) &&
+      rows() == direct()
+    // the membership batch: every group's in-slice MIN BAND deleted
+    // (10000 < p ≤ 20000 → the felled minimum forces the dirty
+    // recompute, which must land ABOVE 20000, never on an
+    // out-of-slice value ≤ 10000); out-of-slice rows entering high
+    // (+100000 → candidate maxes); in-slice rows leaving (→ 500);
+    // an out-of-slice delete the view must never notice
+    graft.operators.TxnTable.applyChangesMor(s, loc,
+      s.sql("""SELECT o_orderkey, o_orderstatus AS st,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price, 'D' AS op
+        FROM orders WHERE o_totalprice > 10000
+          AND o_totalprice <= 20000
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100000
+            AS DECIMAL(12,2)), 'U'
+        FROM orders WHERE o_totalprice <= 10000 AND o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, CAST(500 AS DECIMAL(12,2)),
+          'U' FROM orders WHERE o_totalprice > 100000
+          AND o_orderkey % 5 = 1
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DECIMAL(12,2)), 'D'
+        FROM orders WHERE o_totalprice <= 10000 AND o_orderkey % 3 = 1
+          AND o_orderkey % 7 = 0"""),
+      "o_orderkey", cdc = true)
+    // the extrema algebra has no signed compensation: the stale pane
+    // falls through to the base — answers stay exact
+    val p2 = scanSrcsOf(s, q)
+    val staleFell = p2.nonEmpty && !p2.exists(_.contains(mvLoc)) &&
+      rows() == direct()
+    val rv = s.sql("REFRESH MATERIALIZED VIEW graft.q.parx_orders_mv")
+      .collect()(0).getLong(0)
+    val mvVer = graft.operators.TxnTable.currentVersion(s, mvLoc)
+    val dirtied = graft.operators.TxnTable.commitMetrics(s, mvLoc, mvVer)
+      .get("mv_dirty_groups").exists(_ >= 1L)
+    val servedAgain = rv >= 1L && mvOnly(scanSrcsOf(s, q)) &&
+      rows() == direct() &&
+      rows().forall(_._3 > 10000d) // every recomputed MIN is in-slice
+    val ok = servedFresh && staleFell && dirtied && servedAgain
+    s.sql(q).withColumn("parx_ok", lit(ok))
+  }
+
+  /** sql_mv_percentile: EXACT PERCENTILE/MEDIAN DASHBOARDS FROM A
+    * VALUE-GRAIN FOLD MV — the "p95 latency per service" pane, the one
+    * dashboard shape that otherwise always pays a base-wide sort
+    * (percentile is holistic: no constant-size fold state answers it).
+    * The trick needs NO new view kind: `CREATE MATERIALIZED VIEW … AS
+    * SELECT st, price, COUNT(*), SUM(price) FROM t GROUP BY st, price`
+    * folds at the VALUE GRAIN — one row per live (st, price) with n =
+    * the multiplicity — which IS the value→count map a percentile
+    * computation consumes. The rewrite (GraftMvRewriteRule's pctOf/
+    * pctName arm, riding the same one-row-per-live-key-combination
+    * invariant as COUNT(DISTINCT key)) substitutes PERCENTILE(price,
+    * p) / MEDIAN(price) over the base with the frequency-weighted
+    * percentile(price, p, n) over MV rows: the aggregated map is
+    * IDENTICAL to the base scan's, so rank position and interpolation
+    * land on the same doubles — exact, not approximate, under any
+    * coarser grouping incl. the global, composed with key-only WHERE,
+    * COUNT/SUM/AVG/COUNT(DISTINCT) on the same frame, and delta
+    * compensation (the compensated union keeps the invariant: new
+    * values surface as new rows, emptied ones leave at n == 0).
+    * Non-key children (the fold kept no multiset of non-key columns),
+    * array percentages, explicit non-unit frequencies, distinct/
+    * filter clauses all fall through. Value-grain DDL rides the
+    * valueOf extension (the one aggregated column may BE the finest
+    * grouping key); the decimal grain key CLUSTERS but is not
+    * stat-indexed (indexableKeys: a long-cast box on a fractional
+    * type would mis-prune — floor(hi) excludes the true maximum).
+    * Phases: (1) fresh per-status p50/p95/median + the global
+    * quartile serve MV-only; percentile of a non-key column and array
+    * percentages fall through; (2) a cdc batch (deletes, reprices, a
+    * NEW half-cent value) unrefreshed → compensated serve (MV ⊕
+    * `_cdc`) == direct; (3) pure-SQL REFRESH → MV-only again. Hashed
+    * output = the post-refresh pane; oracle replays the batch with
+    * DuckDB's quantile_cont (the q29-proven cross-engine pair). At
+    * 100 TB: the percentile pane costs O(live value combinations) —
+    * bounded by value cardinality, never row count — instead of a
+    * base-wide shuffle-sort per query. */
+  def mvPercentile(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "parp_orders")
+    val mvLoc = freshSqlTable(s, "parp_orders_mv")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.parp_orders (
+      o_orderkey BIGINT, st STRING, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.parp_orders
+      SELECT o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DECIMAL(12,2)) FROM orders""")
+    s.sql("""CREATE MATERIALIZED VIEW graft.q.parp_orders_mv AS
+      SELECT st, price, COUNT(*) AS n, SUM(price) AS t
+      FROM graft.q.parp_orders GROUP BY st, price""")
+    val q = """SELECT st, percentile(price, 0.5) AS p50,
+      percentile(price, 0.95) AS p95, median(price) AS med,
+      COUNT(*) AS n FROM graft.q.parp_orders GROUP BY st"""
+    val qGlobal = """SELECT percentile(price, 0.25) AS q1
+      FROM graft.q.parp_orders"""
+    val qNonKey = """SELECT st, percentile(o_orderkey, 0.5) AS p
+      FROM graft.q.parp_orders GROUP BY st"""
+    val qArray = """SELECT st, percentile(price, array(0.5, 0.9)) AS p
+      FROM graft.q.parp_orders GROUP BY st"""
+    def rows() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    def direct() = {
+      import org.apache.spark.sql.functions.{col, count, percentile}
+      graft.operators.TxnTable.snapshot(s, loc).groupBy(col("st"))
+        .agg(percentile(col("price"), lit(0.5)).as("p50"),
+          percentile(col("price"), lit(0.95)).as("p95"),
+          percentile(col("price"), lit(0.5)).as("med"),
+          count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3), r.getLong(4))).toSet
+    }
+    def mvOnly(ps: Seq[String]) =
+      ps.nonEmpty && ps.forall(_.contains(s"$mvLoc/"))
+    val servedFresh = mvOnly(scanSrcsOf(s, q)) &&
+      mvOnly(scanSrcsOf(s, qGlobal)) &&
+      !scanSrcsOf(s, qNonKey).exists(_.contains(mvLoc)) &&
+      !scanSrcsOf(s, qArray).exists(_.contains(mvLoc)) &&
+      rows() == direct()
+    // deletes, reprices (an existing-value merge AND a brand-new
+    // half-cent value no base row ever held), disjoint by key
+    graft.operators.TxnTable.applyChangesMor(s, loc,
+      s.sql("""SELECT o_orderkey, o_orderstatus AS st,
+          CAST(o_totalprice AS DECIMAL(12,2)) AS price, 'D' AS op
+        FROM orders WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+            AS DECIMAL(12,2)), 'U'
+        FROM orders WHERE o_orderkey % 7 = 1 AND o_orderkey % 6 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+          CAST(77777.77 AS DECIMAL(12,2)), 'U'
+        FROM orders WHERE o_orderkey % 13 = 2 AND o_orderkey % 6 <> 0
+          AND o_orderkey % 7 <> 1"""),
+      "o_orderkey", cdc = true)
+    val p2 = scanSrcsOf(s, q)
+    val compensated = p2.nonEmpty &&
+      p2.forall(p => p.contains(s"$mvLoc/") ||
+        p.contains(s"$loc/_cdc")) &&
+      p2.exists(_.contains(s"$mvLoc/")) &&
+      p2.exists(_.contains(s"$loc/_cdc")) &&
+      rows() == direct()
+    val rv = s.sql("REFRESH MATERIALIZED VIEW graft.q.parp_orders_mv")
+      .collect()(0).getLong(0)
+    val servedAgain = rv >= 1L && mvOnly(scanSrcsOf(s, q)) &&
+      rows() == direct()
+    val ok = servedFresh && compensated && servedAgain
+    s.sql(q).withColumn("parp_ok", lit(ok))
+  }
+
   /** op_mv_branch: BRANCH-AWARE MATERIALIZED VIEWS — a branch is a full
     * TxnTable, so an MV created ON the branch dir composes for free:
     * refresh walks the BRANCH log, and the rewrite serves

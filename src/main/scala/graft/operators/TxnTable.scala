@@ -2335,6 +2335,21 @@ object TxnTable {
   private def statGroupsByFile(df: DataFrame, indexCols: Seq[String],
       strCols: Seq[String])
       : Map[String, (Seq[ColStat], Seq[HllStat], Seq[StrStat])] = {
+    // fractional index columns refuse BY NAME at the one choke point
+    // every stats write passes (create, refresh merge, reindex): a
+    // long-cast box floors the bounds — hi excludes the true maximum —
+    // and would MIS-PRUNE, the one failure worse than no stats at all.
+    // Cluster without indexing (MatView.indexableKeys does) or index
+    // an integral surrogate instead.
+    indexCols.foreach { c =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+      val dt = df.select(idxExpr(c)).schema.head.dataType
+      require(dt != DoubleType && dt != FloatType &&
+        !dt.isInstanceOf[DecimalType],
+        s"cannot stat-index fractional column '$c' ($dt): a long-cast " +
+          "box would exclude the true maximum and mis-prune — cluster " +
+          "without indexing, or index an integral surrogate")
+    }
     val aggs = indexCols.flatMap(c => Seq(
       min(idxExpr(c)).cast("long").as(s"lo_$c"),
       max(idxExpr(c)).cast("long").as(s"hi_$c"),

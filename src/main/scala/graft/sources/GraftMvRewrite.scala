@@ -3,7 +3,7 @@ package graft.sources
 import graft.operators.{MatView, TxnTable}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, CaseWhen, Cast, Divide, EqualTo, EvalMode, Expression, Literal, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Median, Min, Percentile, Sum}
 import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, SubqueryAlias}
@@ -609,16 +609,19 @@ case class GraftMvRewriteRule(session: SparkSession)
     }
     val (mvLoc, d) = MatView.registeredExtremaFor(g.location).getOrElse(
       return None)
-    // key-only predicates: same qualification as the fold path — an
-    // extrema MV also holds exactly one row per key combination
-    if (!relKeyPredsOk(r, d.keys, preds)) return None
+    // a PARTIAL extrema view first consumes ITS OWN predicate from the
+    // query's conjuncts (trySingle's rule verbatim); the residual then
+    // faces the ordinary key-only qualification — an extrema MV also
+    // holds exactly one row per key combination
+    val resid = partialResidual(r, d.pred, preds).getOrElse(return None)
+    if (!relKeyPredsOk(r, d.keys, resid)) return None
     val keyAttrs = groupKeyAttrs(groups, d.keys,
       a => r.outputSet.contains(a)).getOrElse(return None)
     val rollup = keyAttrs.size < d.keys.size
     if (!aggExprs.forall(extremaAnswerable(d.value,
       a => r.outputSet.contains(a)))) return None
     if (!outputsAreKeys(aggExprs, keyAttrs)) return None
-    val mvDf0 = extremaMvRows(mvLoc, d, g, preds).getOrElse(return None)
+    val mvDf0 = extremaMvRows(mvLoc, d, g, resid).getOrElse(return None)
     val mvDf =
       if (!rollup) mvDf0
       else rollupExtrema(mvDf0, keyAttrs.map(_.name))
@@ -808,21 +811,87 @@ case class GraftMvRewriteRule(session: SparkSession)
     // the derived columns ride the rollup frame under generated names;
     // a user key that happens to collide falls through (never misbinds)
     if (dcols.exists(c => keys.contains(s"gdc_$c"))) return None
-    val rollup = keyAttrs.size < keys.size || dcols.nonEmpty
+    // PERCENTILE(c, p) / MEDIAN(c) where c is an MV KEY column rides
+    // the SAME invariant with the fold's n as the multiplicity: the
+    // frequency-weighted percentile over MV rows aggregates the
+    // identical value→count map the base scan would, so rank position
+    // and interpolation land on the SAME doubles — exact, not
+    // approximate (the "p95 latency per service" pane at O(MV), never
+    // a base-wide sort)
+    val pctOfFn = pctOf(keys, keyOwned, aggsSet) _
+    val pcts: Seq[(String, Double)] = aggExprs.flatMap(_.collect {
+      case ae: AggregateExpression => pctOfFn(ae)
+    }.flatten).distinct
+    if (pcts.exists(t => keys.contains(pctName(t._1, t._2))))
+      return None
+    val rollup = keyAttrs.size < keys.size || dcols.nonEmpty ||
+      pcts.nonEmpty
     // every aggregate in the output must be answerable from the fold
     // (see foldAnswerable for the per-aggregate contract)
     if (!aggExprs.forall(foldAnswerable(keys, value, aggsSet, keyOwned,
-      valueOwned))) return None
+      valueOwned, ae => pctOfFn(ae).isDefined))) return None
     if (!outputsAreKeys(aggExprs, keyAttrs)) return None
     val mvDf0 = mvRows.getOrElse(return None)
     val mvDf =
       if (!rollup) mvDf0
-      else rollupAgg(mvDf0, keyAttrs.map(_.name), dcols)
+      else rollupAgg(mvDf0, keyAttrs.map(_.name), dcols, pcts)
     // substitute: AggregateExpressions → the fold columns (cast to the
     // aggregate's result type), each group key → its MV column; outer
     // expressions (casts, arithmetic) survive untouched
+    val arm: (AggregateExpression, Map[String, Attribute]) => Expression =
+      (ae, byName) => pctOfFn(ae) match {
+        case Some((k, p)) => castTo(byName(pctName(k, p)), ae.dataType)
+        case None => foldArm(ae, byName)
+      }
     substitute(aggExprs, keyAttrs, mvDf.queryExecution.analyzed,
-      Seq("n", "nn", "total") ++ dcols.map(c => s"gdc_$c"), foldArm)
+      Seq("n", "nn", "total") ++ dcols.map(c => s"gdc_$c") ++
+        pcts.map(t => pctName(t._1, t._2)), arm)
+  }
+
+  /** One generated frame-column name per (key, percentage) target —
+    * bit-encoded so distinct percentages can never collide. */
+  private def pctName(key: String, pct: Double): String =
+    s"gpc_${key}_${java.lang.Double.doubleToLongBits(pct)}"
+
+  /** PERCENTILE answerability: PERCENTILE(c, p) (the default unit
+    * frequency only) or MEDIAN(c) — non-distinct, filter-free — where
+    * c is a bare owned MV KEY column and p is a foldable scalar in
+    * [0, 1]. Gated on the declared count family: the serve weights by
+    * the fold's n, which IS the count declaration. Array percentages,
+    * explicit non-unit frequencies, value/non-key children and
+    * non-literal percentages fall through. */
+  private def pctOf(keys: Seq[String],
+      owned: AttributeReference => Boolean, aggsSet: Set[String])(
+      ae: AggregateExpression): Option[(String, Double)] = {
+    if (ae.isDistinct || ae.filter.nonEmpty ||
+      !aggsSet.contains("count")) return None
+    val (child, pctE) = ae.aggregateFunction match {
+      case p: Percentile =>
+        val f = p.frequencyExpression
+        val unitFreq = f.foldable && (f.eval() match {
+          case l: java.lang.Long => l.longValue == 1L
+          case i: java.lang.Integer => i.intValue == 1
+          case _ => false
+        })
+        if (!unitFreq) return None
+        (p.child, p.percentageExpression)
+      case m: Median => (m.child, Literal(0.5d))
+      case _ => return None
+    }
+    child match {
+      case a: AttributeReference if keys.contains(a.name) &&
+          owned(a) && pctE.foldable =>
+        pctE.eval() match {
+          case d: java.lang.Double
+            if d.doubleValue >= 0d && d.doubleValue <= 1d =>
+            Some((a.name, d.doubleValue))
+          case dec: org.apache.spark.sql.types.Decimal
+            if dec.toDouble >= 0d && dec.toDouble <= 1d =>
+            Some((a.name, dec.toDouble))
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   /** Whether one output expression is answerable from the fold
@@ -843,13 +912,15 @@ case class GraftMvRewriteRule(session: SparkSession)
     * however derivable the fold makes it). */
   private def foldAnswerable(keys: Seq[String], value: String,
       aggsSet: Set[String], keyOwned: AttributeReference => Boolean,
-      valueOwned: AttributeReference => Boolean)(e: Expression)
-      : Boolean = {
+      valueOwned: AttributeReference => Boolean,
+      pctAnswerable: AggregateExpression => Boolean = _ => false)(
+      e: Expression): Boolean = {
     def valueAttr(c: Expression): Boolean = c match {
       case a: AttributeReference => a.name == value && valueOwned(a)
       case _ => false
     }
     def walk(e: Expression): Boolean = e match {
+      case ae: AggregateExpression if pctAnswerable(ae) => true
       case ae: AggregateExpression if ae.isDistinct =>
         // distinct-count of a KEY column only, gated on the declared
         // count family like every count
@@ -894,13 +965,18 @@ case class GraftMvRewriteRule(session: SparkSession)
     * count_distinct skips NULL key values exactly like the base's
     * COUNT(DISTINCT c) skips NULL rows (and answers 0 over nothing). */
   private def rollupAgg(mvDf0: org.apache.spark.sql.DataFrame,
-      groupNames: Seq[String], dcols: Seq[String])
+      groupNames: Seq[String], dcols: Seq[String],
+      pcts: Seq[(String, Double)] = Nil)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, count_distinct => fcountd, lit => flit, sum => fsum}
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, col => fcol, count_distinct => fcountd, lit => flit, percentile => fpct, sum => fsum}
     val folds = Seq(fcoalesce(fsum(fcol("n")), flit(0L)).as("n"),
       fcoalesce(fsum(fcol("nn")), flit(0L)).as("nn"),
       fsum(fcol("total")).as("total")) ++
-      dcols.map(c => fcountd(fcol(c)).as(s"gdc_$c"))
+      dcols.map(c => fcountd(fcol(c)).as(s"gdc_$c")) ++
+      // the fold's n as the frequency: MV rows aggregate the identical
+      // value→multiplicity map the base rows would
+      pcts.map { case (c, p) =>
+        fpct(fcol(c), flit(p), fcol("n")).as(pctName(c, p)) }
     mvDf0.groupBy(groupNames.map(fcol): _*)
       .agg(folds.head, folds.tail: _*)
   }
@@ -1073,11 +1149,14 @@ case class GraftMvRewriteRule(session: SparkSession)
       val owned = (a: AttributeReference) =>
         r.outputSet.contains(a) && d.keys.contains(a.name)
       val keyNames = keyNamesIf(owned).getOrElse(return None)
-      if (!relKeyPredsOk(r, d.keys, preds)) return None
+      // the partial extrema view's predicate consumption
+      val resid = partialResidual(r, d.pred, preds)
+        .getOrElse(return None)
+      if (!relKeyPredsOk(r, d.keys, resid)) return None
       if (!aggExprs.forall(extremaAnswerable(d.value,
         a => r.outputSet.contains(a)))) return None
       if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
-      val mvDf0 = extremaMvRows(mvLoc, d, g, preds)
+      val mvDf0 = extremaMvRows(mvLoc, d, g, resid)
         .getOrElse(return None)
       serveGroupingSets(gs, keyNames, aggExprs,
         ExtremaGsNames, rollupExtrema, extremaArm, mvDf0)

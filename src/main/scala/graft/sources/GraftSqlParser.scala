@@ -249,9 +249,14 @@ object GraftSqlParser {
     * the statement the user actually typed (CREATE [LIVE]
     * MATERIALIZED VIEW) in every diagnostic. */
   private def valueOf(shape: MvShape, stmt: String): String = {
-    val values = shape.aggs.flatMap(_._2).distinct
-      .filterNot(shape.keys.contains)
-    values match {
+    val aggCols = shape.aggs.flatMap(_._2).distinct
+    // non-key aggregated columns bind first; when every aggregated
+    // column is itself a grouping key, the VALUE-GRAIN shape binds
+    // instead (`GROUP BY st, price` + SUM(price)) — the view holds one
+    // row per live (keys, value) with n as the multiplicity, exactly
+    // the value→count map the percentile/distinct serving arms read
+    val values = aggCols.filterNot(shape.keys.contains)
+    (if (values.nonEmpty) values else aggCols) match {
       case Seq(v) => v
       case Seq() => fail(s"$stmt: no aggregated " +
         "value column (COUNT(*)-only views are a fold over any " +
@@ -403,14 +408,14 @@ object GraftSqlParser {
           MatView.register(s, mvLoc)
           created
         case _: UnresolvedRelation if fnNames.subsetOf(ExtremaFns) =>
-          if (shape.pred.isDefined)
-            fail("CREATE MATERIALIZED VIEW: partial (WHERE) extrema " +
-              "views are not maintainable — the dirty-group recompute " +
-              "would need the predicate's slice of the base; fold a " +
-              "count/sum/avg partial view, or drop the WHERE")
+          // a WHERE makes the extrema view PARTIAL: createExtrema
+          // validates the predicate row-local (deterministic,
+          // subquery-free) against the base and the dirty-group
+          // recompute re-derives felled extremes from the predicate's
+          // slice — same membership algebra as the partial fold view
           val base = locOf(relName(shape.from))
           val created = MatView.createExtrema(s, mvLoc, base, shape.keys,
-            value)
+            value, shape.pred)
           MatView.registerExtrema(s, mvLoc)
           created
         case _: UnresolvedRelation => fail("CREATE MATERIALIZED VIEW: " +

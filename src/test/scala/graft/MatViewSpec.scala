@@ -1450,6 +1450,206 @@ class MatViewSpec extends SparkSpec {
     assert(!served(q), "a stale non-invariant tail must fall through")
   }
 
+  test("partial (filtered) EXTREMA view: the sliced worst-value pane " +
+      "serves from the view; boundary crossings fold as membership " +
+      "changes and a felled in-slice extreme recomputes from the " +
+      "SLICE; nondeterministic/subquery predicates refuse") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.pxe")
+    s.sql("CREATE TABLE graft.mvspec.pxe (k BIGINT, g STRING, " +
+      "v DECIMAL(12,2))")
+    // v = k; slice v <= 150 — out-of-slice A values (152..198, even)
+    // sit ABOVE every in-slice extreme, so a recompute that ignored
+    // the predicate would surface them
+    s.sql("INSERT INTO graft.mvspec.pxe SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END, " +
+      "CAST(id AS DECIMAL(12,2)) FROM RANGE(200)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/pxe"
+    s.sql("""CREATE MATERIALIZED VIEW graft.mvspec.pxe_mv AS
+      SELECT g, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+      FROM graft.mvspec.pxe WHERE v <= 150 GROUP BY g""")
+    val mv = s"${GraftCatalog.defaultWarehouse}/mvspec/pxe_mv"
+    assert(MatView.readExtremaDef(spark, mv).pred.isDefined,
+      "the DDL predicate must persist in the _mvx definition")
+    def served(q: String): Boolean = planServedFrom(s.sql(q), mv)
+    val q = "SELECT g, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi " +
+      "FROM graft.mvspec.pxe WHERE v <= 150 GROUP BY g"
+    def rows() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getLong(1), r.getDecimal(2).toPlainString,
+      r.getDecimal(3).toPlainString)).toSet
+    def direct() = TxnTable.snapshot(spark, loc)
+      .filter(col("v") <= 150).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString,
+        r.getDecimal(3).toPlainString)).toSet
+    assert(served(q), "the sliced extrema pane must serve")
+    // composed key cut, the sliced GLOBAL, and two fall-throughs: a
+    // different threshold and the unsliced pane need rows the view
+    // folded away
+    assert(served("SELECT g, MAX(v) AS hi FROM graft.mvspec.pxe " +
+      "WHERE v <= 150 AND g = 'A' GROUP BY g"),
+      "slice + key cut must serve")
+    assert(served("SELECT MAX(v) AS hi FROM graft.mvspec.pxe " +
+      "WHERE v <= 150"), "the sliced global must serve")
+    assert(!served("SELECT g, MAX(v) AS hi FROM graft.mvspec.pxe " +
+      "WHERE v <= 100 GROUP BY g"), "another threshold falls through")
+    assert(!served("SELECT g, MAX(v) AS hi FROM graft.mvspec.pxe " +
+      "GROUP BY g"), "the unsliced pane falls through")
+    assert(rows() === direct(), "fresh sliced serve diverged")
+    // predicate validation shares the fold view's rules
+    val eRand = intercept[IllegalArgumentException] {
+      MatView.createExtrema(spark, fresh("mv_pxe_rand"), loc,
+        Seq("g"), "v", Some("rand() > 0.5"))
+    }
+    assert(eRand.getMessage.contains("nondeterministic"),
+      eRand.getMessage)
+    val eSub = intercept[IllegalArgumentException] {
+      MatView.createExtrema(spark, fresh("mv_pxe_sub"), loc,
+        Seq("g"), "v", Some("v > (SELECT 1)"))
+    }
+    assert(eSub.getMessage.contains("subquery"), eSub.getMessage)
+    // the boundary-crossing batch:
+    //  - DELETE A's two in-slice tops (150, 148) → A dirty; the
+    //    recompute must land 146, never the out-of-slice 198
+    //  - B's 161 repriced to 149.50: ENTERS the slice → new B max
+    //  - A's 140 repriced to 190: LEAVES the slice (a membership
+    //    delete — the −old folds, the +new filters away)
+    //  - DELETE B's out-of-slice 199: invisible to the view
+    TxnTable.applyChangesMor(spark, loc, s.sql(
+      """SELECT k, g, v, 'D' AS op FROM graft.mvspec.pxe
+           WHERE k IN (150, 148, 199)
+         UNION ALL
+         SELECT k, g, CAST(149.50 AS DECIMAL(12,2)), 'U'
+           FROM graft.mvspec.pxe WHERE k = 161
+         UNION ALL
+         SELECT k, g, CAST(190 AS DECIMAL(12,2)), 'U'
+           FROM graft.mvspec.pxe WHERE k = 140"""),
+      "k", cdc = true)
+    // the extrema algebra has no signed compensation: a content-
+    // changing tail falls through to the base — answers stay exact
+    assert(!served(q), "a content-changing tail must fall through")
+    assert(rows() === direct(), "fall-through answers diverged")
+    // pure-SQL refresh: the dirty recompute reads the SLICE
+    assert(s.sql("REFRESH MATERIALIZED VIEW graft.mvspec.pxe_mv")
+      .collect()(0).getLong(0) >= 1L)
+    val mvVer = TxnTable.currentVersion(spark, mv)
+    assert(TxnTable.commitMetrics(spark, mv, mvVer)
+      .get("mv_dirty_groups").exists(_ >= 1L),
+      "felling the in-slice max must dirty the group")
+    assert(served(q) && rows() === direct(),
+      "the refreshed sliced pane must serve exactly")
+    val byG = s.sql(q).collect()
+      .map(r => r.getString(0) -> r.getDecimal(3).toPlainString).toMap
+    assert(byG("A") === "146.00",
+      s"A's recomputed max must be the next IN-SLICE value, got $byG")
+    assert(byG("B") === "149.50",
+      s"B's max must reflect the boundary-entering reprice, got $byG")
+    // SHOW knows the kind; DROP completes the lifecycle
+    assert(s.sql("SHOW MATERIALIZED VIEWS").collect().exists(r =>
+      r.getString(0) == "graft.mvspec.pxe_mv" &&
+        r.getString(1) == "extrema" && r.getBoolean(3)))
+    assert(s.sql("DROP MATERIALIZED VIEW graft.mvspec.pxe_mv")
+      .collect()(0).getString(0) === "extrema")
+  }
+
+  test("percentile/median served from a VALUE-GRAIN fold MV: the " +
+      "frequency-weighted percentile over (key, value, n) rows equals " +
+      "the base's exactly, fresh, compensated and refreshed; non-key " +
+      "children, array percentages and non-unit frequencies fall " +
+      "through") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.pct")
+    s.sql("CREATE TABLE graft.mvspec.pct (k BIGINT, st STRING, " +
+      "price DECIMAL(12,2))")
+    // ties on purpose (id % 97): the value→multiplicity map must
+    // aggregate identically through the MV's n
+    s.sql("INSERT INTO graft.mvspec.pct SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'F' ELSE 'O' END, " +
+      "CAST(id % 97 AS DECIMAL(12,2)) FROM RANGE(500)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/pct"
+    // the VALUE column doubles as the finest grouping key — the
+    // value-grain view: one row per live (st, price) with n = the
+    // multiplicity, the exact value→count map percentile needs
+    s.sql("""CREATE MATERIALIZED VIEW graft.mvspec.pct_mv AS
+      SELECT st, price, COUNT(*) AS n, SUM(price) AS t
+      FROM graft.mvspec.pct GROUP BY st, price""")
+    val mv = s"${GraftCatalog.defaultWarehouse}/mvspec/pct_mv"
+    def served(q: String): Boolean = planServedFrom(s.sql(q), mv)
+    val q = "SELECT st, percentile(price, 0.5) AS p50, " +
+      "percentile(price, 0.95) AS p95, median(price) AS med, " +
+      "COUNT(*) AS n FROM graft.mvspec.pct GROUP BY st"
+    def rows() = s.sql(q).collect().map(r => (r.getString(0),
+      r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    def direct() = TxnTable.snapshot(spark, loc).groupBy(col("st"))
+      .agg(percentile(col("price"), lit(0.5)).as("p50"),
+        percentile(col("price"), lit(0.95)).as("p95"),
+        percentile(col("price"), lit(0.5)).as("med"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(served(q), "the percentile pane must serve")
+    assert(rows() === direct(), "fresh percentile serve diverged")
+    // the GLOBAL percentile and a key-filtered cut ride the same plane
+    assert(served("SELECT percentile(price, 0.25) AS q1 " +
+      "FROM graft.mvspec.pct"), "the global percentile must serve")
+    assert(served("SELECT st, median(price) AS med " +
+      "FROM graft.mvspec.pct WHERE st = 'F' GROUP BY st"),
+      "a key-filtered median must serve")
+    // fall-throughs: a non-key child (the fold kept no k multiset),
+    // array percentages, an explicit non-unit frequency
+    assert(!served("SELECT st, percentile(k, 0.5) AS p " +
+      "FROM graft.mvspec.pct GROUP BY st"),
+      "percentile of a non-key column must fall through")
+    assert(!served("SELECT st, percentile(price, array(0.5, 0.9)) " +
+      "AS ps FROM graft.mvspec.pct GROUP BY st"),
+      "array percentages must fall through")
+    assert(!served("SELECT st, percentile(price, 0.5, 2) AS p " +
+      "FROM graft.mvspec.pct GROUP BY st"),
+      "a non-unit frequency must fall through")
+    // a cdc batch (deletes, a reprice, inserts of a NEW value) —
+    // unrefreshed: the compensated frame keeps the one-row-per-live-
+    // (st, price) invariant, so the weighted percentile stays exact
+    TxnTable.applyChangesMor(spark, loc, s.sql(
+      """SELECT k, st, price, 'D' AS op FROM graft.mvspec.pct
+           WHERE k % 11 = 0
+         UNION ALL
+         SELECT k, st, CAST(500 AS DECIMAL(12,2)), 'U'
+           FROM graft.mvspec.pct WHERE k % 13 = 1 AND k % 11 <> 0
+         UNION ALL
+         SELECT k + 9000, 'F', CAST(42.50 AS DECIMAL(12,2)), 'U'
+           FROM graft.mvspec.pct WHERE k % 17 = 2"""),
+      "k", cdc = true)
+    val p2 = s.sql(q).queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => l.relation match {
+        case h: org.apache.spark.sql.execution.datasources
+            .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+    assert(p2.exists(_.contains(mv)) &&
+      p2.exists(_.contains(s"$loc/_cdc")) &&
+      !p2.exists(r => r.contains(s"$loc/data")),
+      s"stale percentile must serve MV ⊕ feed, got $p2")
+    assert(rows() === direct(), "compensated percentile diverged")
+    // refresh → MV alone again
+    assert(s.sql("REFRESH MATERIALIZED VIEW graft.mvspec.pct_mv")
+      .collect()(0).getLong(0) >= 1L)
+    assert(served(q) && rows() === direct(),
+      "the refreshed percentile pane must serve exactly")
+    assert(s.sql("DROP MATERIALIZED VIEW graft.mvspec.pct_mv")
+      .collect()(0).getString(0) === "fold")
+  }
+
   test("a vacuumed feed refuses refresh loudly (and the rewrite falls " +
       "through); HAVING and ORDER BY compose over a rewritten aggregate") {
     val s = spark
