@@ -797,7 +797,7 @@ case class GraftMvRewriteRule(session: SparkSession)
     // answers exactly (the Calcite materialized-rollup rewrite) at
     // O(MV) — never O(base)
     val keyAttrs = groupKeyAttrs(groups, keys, keyOwned)
-      .getOrElse(return None)
+      .getOrElse { debug("serve: groups not a key subset"); return None }
     // COUNT(DISTINCT c) where c is an MV KEY column is answerable with
     // NO new fold state: MV rows are exactly one per live key
     // combination (create materializes present groups, refresh op-'D's
@@ -819,9 +819,7 @@ case class GraftMvRewriteRule(session: SparkSession)
     // approximate (the "p95 latency per service" pane at O(MV), never
     // a base-wide sort)
     val pctOfFn = pctOf(keys, keyOwned, aggsSet) _
-    val pcts: Seq[(String, Double)] = aggExprs.flatMap(_.collect {
-      case ae: AggregateExpression => pctOfFn(ae)
-    }.flatten).distinct
+    val pcts = pctTargets(aggExprs, pctOfFn)
     if (pcts.exists(t => keys.contains(pctName(t._1, t._2))))
       return None
     val rollup = keyAttrs.size < keys.size || dcols.nonEmpty ||
@@ -829,24 +827,42 @@ case class GraftMvRewriteRule(session: SparkSession)
     // every aggregate in the output must be answerable from the fold
     // (see foldAnswerable for the per-aggregate contract)
     if (!aggExprs.forall(foldAnswerable(keys, value, aggsSet, keyOwned,
-      valueOwned, ae => pctOfFn(ae).isDefined))) return None
-    if (!outputsAreKeys(aggExprs, keyAttrs)) return None
-    val mvDf0 = mvRows.getOrElse(return None)
+      valueOwned, ae => pctOfFn(ae).isDefined))) {
+      debug("serve: unanswerable aggregate"); return None }
+    if (!outputsAreKeys(aggExprs, keyAttrs)) {
+      debug("serve: non-key bare output"); return None }
+    val mvDf0 = mvRows.getOrElse {
+      debug("serve: no servable MV frame (freshness/feeds)")
+      return None }
     val mvDf =
       if (!rollup) mvDf0
       else rollupAgg(mvDf0, keyAttrs.map(_.name), dcols, pcts)
     // substitute: AggregateExpressions → the fold columns (cast to the
     // aggregate's result type), each group key → its MV column; outer
     // expressions (casts, arithmetic) survive untouched
-    val arm: (AggregateExpression, Map[String, Attribute]) => Expression =
-      (ae, byName) => pctOfFn(ae) match {
-        case Some((k, p)) => castTo(byName(pctName(k, p)), ae.dataType)
-        case None => foldArm(ae, byName)
-      }
     substitute(aggExprs, keyAttrs, mvDf.queryExecution.analyzed,
       Seq("n", "nn", "total") ++ dcols.map(c => s"gdc_$c") ++
-        pcts.map(t => pctName(t._1, t._2)), arm)
+        pcts.map(t => pctName(t._1, t._2)), withPctArm(pctOfFn))
   }
+
+  /** The deduped (key, percentage) targets the output asks for. */
+  private def pctTargets(aggExprs: Seq[NamedExpression],
+      pctOfFn: AggregateExpression => Option[(String, Double)])
+      : Seq[(String, Double)] =
+    aggExprs.flatMap(_.collect {
+      case ae: AggregateExpression => pctOfFn(ae)
+    }.flatten).distinct
+
+  /** [[foldArm]] extended with the percentile targets: an answerable
+    * percentile substitutes its generated frame column, everything
+    * else takes the fold arm. */
+  private def withPctArm(
+      pctOfFn: AggregateExpression => Option[(String, Double)])
+      : (AggregateExpression, Map[String, Attribute]) => Expression =
+    (ae, byName) => pctOfFn(ae) match {
+      case Some((k, p)) => castTo(byName(pctName(k, p)), ae.dataType)
+      case None => foldArm(ae, byName)
+    }
 
   /** One generated frame-column name per (key, percentage) target —
     * bit-encoded so distinct percentages can never collide. */
@@ -1095,8 +1111,15 @@ case class GraftMvRewriteRule(session: SparkSession)
         return None)
       if (!relKeyPredsOk(r, d.keys, resid)) return None
       val relOwned = (a: AttributeReference) => r.outputSet.contains(a)
+      // percentile subtotals ride the same union-of-rollups: the
+      // weighted percentile at every level aggregates that level's
+      // exact value→count partition of the base rows
+      val pctOfFn = pctOf(d.keys, relOwned, d.aggs) _
+      val pcts = pctTargets(aggExprs, pctOfFn)
+      if (pcts.exists(t => d.keys.contains(pctName(t._1, t._2))))
+        return None
       if (!aggExprs.forall(foldAnswerable(d.keys, d.value, d.aggs,
-        relOwned, relOwned))) return None
+        relOwned, relOwned, ae => pctOfFn(ae).isDefined))) return None
       if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
       val mvVer = TxnTable.currentVersion(session, mvLoc)
       val (dEff, cursor) = MatView.effectiveDef(session, mvLoc, d, mvVer)
@@ -1105,8 +1128,9 @@ case class GraftMvRewriteRule(session: SparkSession)
       val mvDf0 = MatView.compensated(session, mvLoc, dEff, cursor,
         g.pinnedVersion, mvVer, keyBounds(resid))
         .map(applyKeyPreds(_, resid)).getOrElse(return None)
-      serveGroupingSets(gs, keyNames, aggExprs, foldGsNames(dcols),
-        rollupAgg(_, _, dcols), foldArm, mvDf0)
+      serveGroupingSets(gs, keyNames, aggExprs,
+        foldGsNames(dcols) ++ pcts.map(t => pctName(t._1, t._2)),
+        rollupAgg(_, _, dcols, pcts), withPctArm(pctOfFn), mvDf0)
     }
     // ARM 2 — an all-inner join tree with its registered star MV: the
     // SUBTOTAL STAR DASHBOARD (ROLLUP/CUBE over fact ⋈ dims) served as
@@ -1123,13 +1147,19 @@ case class GraftMvRewriteRule(session: SparkSession)
       val resid = partialResidual(m.factRel, m.d.pred, preds)
         .getOrElse(return None)
       if (!dimKeyPredsOk(m, resid)) return None
+      val pctOfFn = pctOf(m.d.keys, m.dimKeyOwned, m.d.aggs) _
+      val pcts = pctTargets(aggExprs, pctOfFn)
+      if (pcts.exists(t => m.d.keys.contains(pctName(t._1, t._2))))
+        return None
       if (!aggExprs.forall(foldAnswerable(m.d.keys, m.d.value, m.d.aggs,
-        m.dimKeyOwned, m.valueOwned))) return None
+        m.dimKeyOwned, m.valueOwned,
+        ae => pctOfFn(ae).isDefined))) return None
       if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
       val mvDf0 = joinMvRows(m, resid).map(applyKeyPreds(_, resid))
         .getOrElse(return None)
-      serveGroupingSets(gs, keyNames, aggExprs, foldGsNames(dcols),
-        rollupAgg(_, _, dcols), foldArm, mvDf0)
+      serveGroupingSets(gs, keyNames, aggExprs,
+        foldGsNames(dcols) ++ pcts.map(t => pctName(t._1, t._2)),
+        rollupAgg(_, _, dcols, pcts), withPctArm(pctOfFn), mvDf0)
     }
     // ARM 3 — the EXTREMA view: MIN/MAX SUBTOTALS (the "worst latency
     // per region, with the global worst on the last line" pane) — the
@@ -1173,13 +1203,19 @@ case class GraftMvRewriteRule(session: SparkSession)
       val resid = partialResidual(m.factRel, m.d.pred, preds)
         .getOrElse(return None)
       if (!dimKeyPredsOk(m, resid)) return None
+      val pctOfFn = pctOf(m.d.keys, m.dimKeyOwned, m.d.aggs) _
+      val pcts = pctTargets(aggExprs, pctOfFn)
+      if (pcts.exists(t => m.d.keys.contains(pctName(t._1, t._2))))
+        return None
       if (!aggExprs.forall(foldAnswerable(m.d.keys, m.d.value, m.d.aggs,
-        m.dimKeyOwned, m.valueOwned))) return None
+        m.dimKeyOwned, m.valueOwned,
+        ae => pctOfFn(ae).isDefined))) return None
       if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
       val mvDf0 = liveMvRows(m).map(applyKeyPreds(_, resid))
         .getOrElse(return None)
-      serveGroupingSets(gs, keyNames, aggExprs, foldGsNames(dcols),
-        rollupAgg(_, _, dcols), foldArm, mvDf0)
+      serveGroupingSets(gs, keyNames, aggExprs,
+        foldGsNames(dcols) ++ pcts.map(t => pctName(t._1, t._2)),
+        rollupAgg(_, _, dcols, pcts), withPctArm(pctOfFn), mvDf0)
     }
     single().orElse(join()).orElse(extrema()).orElse(live())
   }

@@ -1646,8 +1646,101 @@ class MatViewSpec extends SparkSpec {
       .collect()(0).getLong(0) >= 1L)
     assert(served(q) && rows() === direct(),
       "the refreshed percentile pane must serve exactly")
+    // percentile SUBTOTALS: ROLLUP rides the union-of-rollups — the
+    // weighted percentile at each level aggregates that level's exact
+    // value→count partition
+    val qr = "SELECT st, percentile(price, 0.5) AS p50, COUNT(*) AS n " +
+      "FROM graft.mvspec.pct GROUP BY ROLLUP(st)"
+    assert(served(qr), "the percentile ROLLUP must serve")
+    val gotR = s.sql(qr).collect().map(r => (Option(r.getString(0)),
+      r.getDouble(1), r.getLong(2))).toSet
+    val wantR = TxnTable.snapshot(spark, loc)
+      .rollup(col("st"))
+      .agg(percentile(col("price"), lit(0.5)).as("p50"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1),
+        r.getLong(2))).toSet
+    assert(gotR === wantR, "rolled-up percentile diverged")
     assert(s.sql("DROP MATERIALIZED VIEW graft.mvspec.pct_mv")
       .collect()(0).getString(0) === "fold")
+  }
+
+  test("percentile rides the STAR and LIVE serve paths too: the " +
+      "weighted percentile of a fact-owned integral grain key over " +
+      "join-MV rows equals the base join's exactly") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    Seq("pjf", "pjd", "plf", "pld").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS graft.mvspec.$t"))
+    def mkPair(f: String, d: String): (String, String) = {
+      s.sql(s"CREATE TABLE graft.mvspec.$f (k BIGINT, fk BIGINT, " +
+        "m BIGINT, v DECIMAL(12,2))")
+      s.sql(s"INSERT INTO graft.mvspec.$f SELECT id, id % 10, " +
+        "id % 7, CAST(id AS DECIMAL(12,2)) FROM RANGE(300)")
+      s.sql(s"CREATE TABLE graft.mvspec.$d (pk BIGINT, seg STRING)")
+      s.sql(s"INSERT INTO graft.mvspec.$d SELECT id, " +
+        "CASE WHEN id < 4 THEN 'X' ELSE 'Y' END FROM RANGE(10)")
+      val w = GraftCatalog.defaultWarehouse
+      (s"$w/mvspec/$f", s"$w/mvspec/$d")
+    }
+    def direct(f: String, d: String) = TxnTable.snapshot(spark, f)
+      .alias("f").join(TxnTable.snapshot(spark, d).alias("d"),
+        col("f.fk") === col("d.pk"))
+      .groupBy(col("seg"))
+      .agg(percentile(col("m"), lit(0.5)).as("p50"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getLong(2))).toSet
+    def got(f: String, d: String) = {
+      val (fn, dn) = (f.split('/').last, d.split('/').last)
+      s.sql(s"SELECT seg, percentile(m, 0.5) AS p50, COUNT(*) AS n " +
+        s"FROM graft.mvspec.$fn f JOIN graft.mvspec.$dn d " +
+        "ON f.fk = d.pk GROUP BY seg")
+    }
+    // the STAR (group-grain) arm: keys = dim seg + fact-owned m
+    val (f1, d1) = mkPair("pjf", "pjd")
+    val starMv = fresh("mv_pct_star")
+    MatView.createJoinStar(spark, starMv, f1,
+      Seq(MatView.MvDimRef(d1, "fk", "pk")), Seq("seg", "m"), "v")
+    MatView.registerJoin(spark, starMv)
+    assert(planServedFrom(got(f1, d1), starMv),
+      "the star percentile must serve from the join MV")
+    assert(got(f1, d1).collect().map(r => (r.getString(0),
+      r.getDouble(1), r.getLong(2))).toSet === direct(f1, d1),
+      "star-served percentile diverged")
+    // the LIVE arm: same declared keys, dims join back at query time —
+    // a FEED-LESS dim move keeps the percentile served AND exact
+    val (f2, d2) = mkPair("plf", "pld")
+    val liveMv = fresh("mv_pct_live")
+    MatView.createStarLive(spark, liveMv, f2,
+      Seq(MatView.MvDimRef(d2, "fk", "pk")), Seq("seg", "m"), "v")
+    MatView.registerLive(spark, liveMv)
+    // a live serve legitimately opens the DIM at query time — "served"
+    // = the sub-view is in the plan and no FACT data file is
+    def servedLive(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val roots = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+      roots.exists(_.contains(s"$liveMv/")) &&
+        !roots.exists(r => r.contains(f2) && !r.contains("_cdc"))
+    }
+    assert(servedLive(got(f2, d2)),
+      "the live percentile must serve through the join-back")
+    TxnTable.applyChangesMor(spark, d2,
+      s.sql("SELECT pk, 'Z' AS seg, 'U' AS op FROM graft.mvspec.pld " +
+        "WHERE pk = 1"), "pk", cdc = false)
+    assert(servedLive(got(f2, d2)),
+      "a feed-less dim move must not stale the live percentile")
+    assert(got(f2, d2).collect().map(r => (r.getString(0),
+      r.getDouble(1), r.getLong(2))).toSet === direct(f2, d2),
+      "live-served percentile diverged after the dim move")
   }
 
   test("a vacuumed feed refuses refresh loudly (and the rewrite falls " +
