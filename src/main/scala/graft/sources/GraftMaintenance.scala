@@ -256,7 +256,11 @@ private[sources] object GraftMaintenance {
         ProcedureParameter.in("view", StringType).build(),
         ProcedureParameter.in("base", StringType).build(),
         ProcedureParameter.in("key", StringType).build(),
-        ProcedureParameter.in("value", StringType).build())) { (s, in) =>
+        ProcedureParameter.in("value", StringType).build(),
+        // optional row-local predicate → a PARTIAL view (the DDL's
+        // WHERE, as a CALL argument); empty = full view
+        ProcedureParameter.in("where", StringType)
+          .defaultValue("''").build())) { (s, in) =>
         val mvLoc = resolveTable(warehouse, in.getUTF8String(0).toString)
         require(TxnTable.versions(s, mvLoc).isEmpty,
           s"graft procedure: '$mvLoc' already exists")
@@ -268,7 +272,9 @@ private[sources] object GraftMaintenance {
         // materializes the composite-key grouping
         val v = graft.operators.MatView.create(s, mvLoc, baseLoc,
           in.getUTF8String(2).toString.split(',').toSeq.map(_.trim),
-          in.getUTF8String(3).toString)
+          in.getUTF8String(3).toString,
+          Seq("count", "sum", "avg"),
+          Some(in.getUTF8String(4).toString).filter(_.nonEmpty))
         graft.operators.MatView.register(s, mvLoc)
         v
       }
@@ -290,7 +296,11 @@ private[sources] object GraftMaintenance {
         ProcedureParameter.in("view", StringType).build(),
         ProcedureParameter.in("base", StringType).build(),
         ProcedureParameter.in("key", StringType).build(),
-        ProcedureParameter.in("value", StringType).build())) { (s, in) =>
+        ProcedureParameter.in("value", StringType).build(),
+        // optional row-local predicate → a PARTIAL extrema view (the
+        // DDL's WHERE, as a CALL argument); empty = full view
+        ProcedureParameter.in("where", StringType)
+          .defaultValue("''").build())) { (s, in) =>
         val mvLoc = resolveTable(warehouse, in.getUTF8String(0).toString)
         require(TxnTable.versions(s, mvLoc).isEmpty,
           s"graft procedure: '$mvLoc' already exists")
@@ -299,7 +309,8 @@ private[sources] object GraftMaintenance {
           s"graft procedure: base '$baseLoc' is not a committed table")
         val v = graft.operators.MatView.createExtrema(s, mvLoc, baseLoc,
           in.getUTF8String(2).toString.split(',').toSeq.map(_.trim),
-          in.getUTF8String(3).toString)
+          in.getUTF8String(3).toString,
+          Some(in.getUTF8String(4).toString).filter(_.nonEmpty))
         graft.operators.MatView.registerExtrema(s, mvLoc)
         v
       }

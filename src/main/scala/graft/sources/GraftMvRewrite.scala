@@ -1090,6 +1090,29 @@ case class GraftMvRewriteRule(session: SparkSession)
         // union frame binds by name, so a mismatch would misbind
         .filter(_ == gs.keyAttrs.map(_.name))
     }
+    // the fold-vocabulary tail every fold-shaped arm shares (single/
+    // join/live): percentile-subtotal targets (the weighted percentile
+    // at every level aggregates that level's exact value→count
+    // partition of the base rows) + answerability + the
+    // union-of-per-set-rollups serve — one contract, three call sites
+    def serveFoldGs(keys: Seq[String], value: String,
+        aggs: Set[String], keyOwned: AttributeReference => Boolean,
+        valueOwned: AttributeReference => Boolean,
+        keyNames: Seq[String],
+        mvRows: => Option[org.apache.spark.sql.DataFrame])
+        : Option[LogicalPlan] = {
+      val pctOfFn = pctOf(keys, keyOwned, aggs) _
+      val pcts = pctTargets(aggExprs, pctOfFn)
+      if (pcts.exists(t => keys.contains(pctName(t._1, t._2))))
+        return None
+      if (!aggExprs.forall(foldAnswerable(keys, value, aggs, keyOwned,
+        valueOwned, ae => pctOfFn(ae).isDefined))) return None
+      if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
+      val mvDf0 = mvRows.getOrElse(return None)
+      serveGroupingSets(gs, keyNames, aggExprs,
+        foldGsNames(dcols) ++ pcts.map(t => pctName(t._1, t._2)),
+        rollupAgg(_, _, dcols, pcts), withPctArm(pctOfFn), mvDf0)
+    }
     // ARM 1 — a bare relation with its registered fold MV: freshness
     // identical to trySingle (fresh serves the MV, stale serves
     // MV ⊕ signed-feed tail, feed-less tails fall through)
@@ -1111,26 +1134,16 @@ case class GraftMvRewriteRule(session: SparkSession)
         return None)
       if (!relKeyPredsOk(r, d.keys, resid)) return None
       val relOwned = (a: AttributeReference) => r.outputSet.contains(a)
-      // percentile subtotals ride the same union-of-rollups: the
-      // weighted percentile at every level aggregates that level's
-      // exact value→count partition of the base rows
-      val pctOfFn = pctOf(d.keys, relOwned, d.aggs) _
-      val pcts = pctTargets(aggExprs, pctOfFn)
-      if (pcts.exists(t => d.keys.contains(pctName(t._1, t._2))))
-        return None
-      if (!aggExprs.forall(foldAnswerable(d.keys, d.value, d.aggs,
-        relOwned, relOwned, ae => pctOfFn(ae).isDefined))) return None
-      if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
-      val mvVer = TxnTable.currentVersion(session, mvLoc)
-      val (dEff, cursor) = MatView.effectiveDef(session, mvLoc, d, mvVer)
-      if (dEff.base != g.location) return None
-      if (cursor > g.pinnedVersion) return None
-      val mvDf0 = MatView.compensated(session, mvLoc, dEff, cursor,
-        g.pinnedVersion, mvVer, keyBounds(resid))
-        .map(applyKeyPreds(_, resid)).getOrElse(return None)
-      serveGroupingSets(gs, keyNames, aggExprs,
-        foldGsNames(dcols) ++ pcts.map(t => pctName(t._1, t._2)),
-        rollupAgg(_, _, dcols, pcts), withPctArm(pctOfFn), mvDf0)
+      serveFoldGs(d.keys, d.value, d.aggs, relOwned, relOwned,
+        keyNames, {
+          val mvVer = TxnTable.currentVersion(session, mvLoc)
+          val (dEff, cursor) =
+            MatView.effectiveDef(session, mvLoc, d, mvVer)
+          if (dEff.base != g.location || cursor > g.pinnedVersion) None
+          else MatView.compensated(session, mvLoc, dEff, cursor,
+            g.pinnedVersion, mvVer, keyBounds(resid))
+            .map(applyKeyPreds(_, resid))
+        })
     }
     // ARM 2 — an all-inner join tree with its registered star MV: the
     // SUBTOTAL STAR DASHBOARD (ROLLUP/CUBE over fact ⋈ dims) served as
@@ -1147,19 +1160,9 @@ case class GraftMvRewriteRule(session: SparkSession)
       val resid = partialResidual(m.factRel, m.d.pred, preds)
         .getOrElse(return None)
       if (!dimKeyPredsOk(m, resid)) return None
-      val pctOfFn = pctOf(m.d.keys, m.dimKeyOwned, m.d.aggs) _
-      val pcts = pctTargets(aggExprs, pctOfFn)
-      if (pcts.exists(t => m.d.keys.contains(pctName(t._1, t._2))))
-        return None
-      if (!aggExprs.forall(foldAnswerable(m.d.keys, m.d.value, m.d.aggs,
-        m.dimKeyOwned, m.valueOwned,
-        ae => pctOfFn(ae).isDefined))) return None
-      if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
-      val mvDf0 = joinMvRows(m, resid).map(applyKeyPreds(_, resid))
-        .getOrElse(return None)
-      serveGroupingSets(gs, keyNames, aggExprs,
-        foldGsNames(dcols) ++ pcts.map(t => pctName(t._1, t._2)),
-        rollupAgg(_, _, dcols, pcts), withPctArm(pctOfFn), mvDf0)
+      serveFoldGs(m.d.keys, m.d.value, m.d.aggs, m.dimKeyOwned,
+        m.valueOwned, keyNames,
+        joinMvRows(m, resid).map(applyKeyPreds(_, resid)))
     }
     // ARM 3 — the EXTREMA view: MIN/MAX SUBTOTALS (the "worst latency
     // per region, with the global worst on the last line" pane) — the
@@ -1203,19 +1206,9 @@ case class GraftMvRewriteRule(session: SparkSession)
       val resid = partialResidual(m.factRel, m.d.pred, preds)
         .getOrElse(return None)
       if (!dimKeyPredsOk(m, resid)) return None
-      val pctOfFn = pctOf(m.d.keys, m.dimKeyOwned, m.d.aggs) _
-      val pcts = pctTargets(aggExprs, pctOfFn)
-      if (pcts.exists(t => m.d.keys.contains(pctName(t._1, t._2))))
-        return None
-      if (!aggExprs.forall(foldAnswerable(m.d.keys, m.d.value, m.d.aggs,
-        m.dimKeyOwned, m.valueOwned,
-        ae => pctOfFn(ae).isDefined))) return None
-      if (!outputsAreKeys(aggExprs, gs.keyAttrs :+ gs.gid)) return None
-      val mvDf0 = liveMvRows(m).map(applyKeyPreds(_, resid))
-        .getOrElse(return None)
-      serveGroupingSets(gs, keyNames, aggExprs,
-        foldGsNames(dcols) ++ pcts.map(t => pctName(t._1, t._2)),
-        rollupAgg(_, _, dcols, pcts), withPctArm(pctOfFn), mvDf0)
+      serveFoldGs(m.d.keys, m.d.value, m.d.aggs, m.dimKeyOwned,
+        m.valueOwned, keyNames,
+        liveMvRows(m).map(applyKeyPreds(_, resid)))
     }
     single().orElse(join()).orElse(extrema()).orElse(live())
   }

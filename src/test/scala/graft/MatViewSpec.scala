@@ -1836,6 +1836,27 @@ class MatViewSpec extends SparkSpec {
       .toMap
     assert(ce("A") === "96.00" && ce("B") === "99.00",
       s"extrema CALL pipeline diverged: $ce")
+    // the optional `where` argument creates PARTIAL views through the
+    // CALL surface (fold and extrema alike), persisting the predicate
+    // in the definition; the shared validation still refuses loudly
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.ce_pmv")
+    s.sql("CALL graft.system.create_matview_extrema(" +
+      "'mvspec.ce_pmv', 'mvspec.ce', 'g', 'v', 'v <= 50')")
+    assert(MatView.readExtremaDef(spark,
+      s"${GraftCatalog.defaultWarehouse}/mvspec/ce_pmv").pred ===
+      Some("v <= 50"), "the CALL's where must persist in _mvx")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.ce_pf")
+    s.sql("CALL graft.system.create_matview(" +
+      "'mvspec.ce_pf', 'mvspec.ce', 'g', 'v', 'v > 10')")
+    assert(MatView.readDef(spark,
+      s"${GraftCatalog.defaultWarehouse}/mvspec/ce_pf").pred ===
+      Some("v > 10"), "the CALL's where must persist in _mv")
+    val eCallRand = intercept[IllegalArgumentException] {
+      s.sql("CALL graft.system.create_matview_extrema(" +
+        "'mvspec.ce_bad', 'mvspec.ce', 'g', 'v', 'rand() > 0.5')")
+    }
+    assert(eCallRand.getMessage.contains("nondeterministic"),
+      eCallRand.getMessage)
     // join MV via CALL
     s.sql("DROP TABLE IF EXISTS graft.mvspec.cjf")
     s.sql("DROP TABLE IF EXISTS graft.mvspec.cjd")
