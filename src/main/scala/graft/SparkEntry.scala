@@ -115,6 +115,7 @@ object SparkEntry {
     "op_vacuum"               -> (TxnTable.vacuumTable _),
     "op_cdc_read"             -> (TxnTable.cdcRead _),
     "op_manifest_skip"        -> (TxnTable.manifestSkip _),
+    "op_decimal_skip"         -> (TxnTable.decimalSkip _),
     "op_txn_days"             -> (TxnTable.txnDays _),
     "op_txn_bucket"           -> (TxnTable.txnBucket _),
     "op_branch_merge"         -> (TxnTable.branchMerge _),
@@ -2378,6 +2379,21 @@ object SparkEntry {
         |SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total,
         |  TRUE AS skip_ok
         |FROM b, r WHERE o_orderkey >= lo AND o_orderkey <= hi""".stripMargin,
+    // manifest skipping on a DECIMAL index: integral query box over
+    // floor/ceil-widened file stats; the residual filter compares the
+    // exact decimal values, so fractional boundary rows stay excluded
+    // on the hi side and included above lo exactly as the SQL replays
+    "op_decimal_skip" ->
+      """WITH b AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        |    FROM orders),
+        |r AS (SELECT CAST(FLOOR(MIN(price)) AS BIGINT) AS lo,
+        |    CAST(FLOOR(MIN(price)) AS BIGINT) +
+        |    (CAST(FLOOR(MAX(price)) AS BIGINT) -
+        |     CAST(FLOOR(MIN(price)) AS BIGINT)) // 8 AS hi
+        |  FROM b)
+        |SELECT COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total,
+        |  TRUE AS skip_ok
+        |FROM b, r WHERE price >= lo AND price <= hi""".stripMargin,
     // file-pruned DELETE: survivors replayed from the range rule; the
     // three-way file accounting (interior files dropped metadata-only,
     // ≤2 boundary rewrites, rest verbatim) travels as a boolean

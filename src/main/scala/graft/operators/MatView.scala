@@ -2148,8 +2148,22 @@ object MatView {
         // definition no longer reads (directory removed out-of-band)
         // — must not wedge the drop: the prescribed remedy ("drop the
         // dependent first") is impossible for it, and it can never
-        // refresh anyway
-        .filter(m => scala.util.Try(kindOf(s, m)).isSuccess)
+        // refresh anyway. ONLY the definitive not-a-view probe result
+        // counts as ghost: a transient filesystem failure during the
+        // probe must ABORT the drop, not silently wave a live
+        // dependent through to have its base deleted
+        .filter { m =>
+          try { kindOf(s, m); true }
+          catch {
+            case _: IllegalArgumentException => false // no def reads
+            case _: java.io.FileNotFoundException => false
+            case scala.util.control.NonFatal(e) =>
+              throw new IllegalStateException(s"DROP $mv: could not " +
+                s"probe registered dependent '$m' (${e.getMessage}); " +
+                "aborting — a failed probe must not pass for a ghost",
+                e)
+          }
+        }
         .toSeq.distinct.sorted
       require(dependents.isEmpty, s"$mv feeds registered view(s) " +
         s"${dependents.mkString(", ")} — drop those first, or " +

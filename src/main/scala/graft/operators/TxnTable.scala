@@ -2335,29 +2335,54 @@ object TxnTable {
   private def statGroupsByFile(df: DataFrame, indexCols: Seq[String],
       strCols: Seq[String])
       : Map[String, (Seq[ColStat], Seq[HllStat], Seq[StrStat])] = {
-    // fractional index columns refuse BY NAME at the one choke point
-    // every stats write passes (create, refresh merge, reindex): a
-    // long-cast box floors the bounds — hi excludes the true maximum —
-    // and would MIS-PRUNE, the one failure worse than no stats at all.
-    // Cluster without indexing (MatView.indexableKeys does) or index
-    // an integral surrogate instead.
-    indexCols.foreach { c =>
-      import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
-      val dt = df.select(idxExpr(c)).schema.head.dataType
-      require(dt != DoubleType && dt != FloatType &&
-        !dt.isInstanceOf[DecimalType],
-        s"cannot stat-index fractional column '$c' ($dt): a long-cast " +
-          "box would exclude the true maximum and mis-prune — cluster " +
-          "without indexing, or index an integral surrogate")
-    }
-    val aggs = indexCols.flatMap(c => Seq(
-      min(idxExpr(c)).cast("long").as(s"lo_$c"),
-      max(idxExpr(c)).cast("long").as(s"hi_$c"),
-      sum(when(idxExpr(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-      // the per-file NDV sketch rides the SAME stats pass — no extra
-      // scan; sketches union losslessly at read time ([[ndv]])
-      hll_sketch_agg(idxExpr(c), 8).as(s"hs_$c"),
-      count(lit(1)).as(s"cnt_$c"))) ++
+    // fractional index columns at the one choke point every stats
+    // write passes (create, refresh merge, reindex): a plain long cast
+    // TRUNCATES toward zero — hi would exclude the true maximum, lo a
+    // negative minimum — and would MIS-PRUNE, the one failure worse
+    // than no stats at all. DECIMALS (exact fixed-point, no NaN) get
+    // SOUND widened boxes instead — lo = floor(min), hi = ceil(max), a
+    // superset of the values, so overlap AND containment checks stay
+    // conservative (a legacy table whose manifest already carries a
+    // decimal index column keeps writing; money-typed keys prune).
+    // Binary floating point still refuses BY NAME: NaN poisons the box
+    // algebra (min/max propagate it, a NaN cast is 0) — index an
+    // integral surrogate instead.
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    val widened: Set[String] = indexCols.flatMap { c =>
+      df.select(idxExpr(c)).schema.head.dataType match {
+        case DoubleType | FloatType =>
+          throw new IllegalArgumentException(
+            s"cannot stat-index floating-point column '$c': NaN breaks " +
+              "the min/max box algebra — cluster without indexing, or " +
+              "index an integral surrogate")
+        case d: DecimalType if d.precision - d.scale > 18 =>
+          throw new IllegalArgumentException(
+            s"cannot stat-index decimal column '$c' ($d): its integral " +
+              "part can exceed the manifest's long box range — index " +
+              "an integral surrogate")
+        case _: DecimalType => Some(c)
+        case _ => None
+      }
+    }.toSet
+    val aggs = indexCols.flatMap { c =>
+      val (loE, hiE, hllE) =
+        if (widened(c))
+          (floor(min(idxExpr(c))), ceil(max(idxExpr(c))),
+            // hll_sketch_agg takes no decimal input; the canonical
+            // fixed-scale string rendering is injective, so the NDV is
+            // the value NDV
+            hll_sketch_agg(idxExpr(c).cast("string"), 8))
+        else (min(idxExpr(c)), max(idxExpr(c)),
+          hll_sketch_agg(idxExpr(c), 8))
+      Seq(
+        loE.cast("long").as(s"lo_$c"),
+        hiE.cast("long").as(s"hi_$c"),
+        sum(when(idxExpr(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        // the per-file NDV sketch rides the SAME stats pass — no extra
+        // scan; sketches union losslessly at read time ([[ndv]])
+        hllE.as(s"hs_$c"),
+        count(lit(1)).as(s"cnt_$c"))
+    } ++
       strCols.flatMap(c => Seq(
         min(col(c)).cast("string").as(s"slo_$c"),
         max(col(c)).cast("string").as(s"shi_$c"),
@@ -5969,6 +5994,37 @@ object TxnTable {
     val (kmin, kmax) = (bounds.getLong(0), bounds.getLong(1))
     val (lo, hi) = (kmin, kmin + (kmax - kmin) / 8)
     val (snap, scanned, total) = snapshotRange(s, t, "o_orderkey", lo, hi)
+    snap.agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("total"))
+      .withColumn("skip_ok", lit(scanned >= 1 && scanned < total))
+  }
+
+  /** op_decimal_skip: manifest skipping on a DECIMAL index column —
+    * the money-typed-key case (prices, scores, latencies in cents).
+    * The stats choke point floor/ceil-WIDENS decimal boxes (a plain
+    * long cast truncates toward zero, so `hi` would exclude a
+    * fractional maximum and the full-containment delete verdict would
+    * drop a straggler row with the file — the mis-prune worse than no
+    * stats); the widened box is a SUPERSET of the file's values, so
+    * both the overlap and containment checks stay conservative while
+    * fixed-point keys prune like integers. Binary floating point still
+    * refuses by name (NaN poisons the min/max box algebra). The hashed
+    * aggregate proves the pruned read equals the exact filter over the
+    * decimal values — fractional boundary rows included; `skip_ok`
+    * asserts files actually dropped. Bounds derive from data min/max
+    * so the oracle replays them. */
+  def decimalSkip(s: SparkSession, d: String): DataFrame = {
+    val t = freshDir("skip_dec")
+    val base = ordersSlice(s, d)
+    val clustered = base.repartitionByRange(8, col("price"))
+      .sortWithinPartitions(col("price"))
+    commit(s, t, stageIndexed(s, t, clustered, "price"),
+      expected = -1L, op = "create")
+    val b = base.agg(floor(min(col("price"))).cast("long"),
+      floor(max(col("price"))).cast("long")).collect()(0)
+    val (pmin, pmax) = (b.getLong(0), b.getLong(1))
+    val (lo, hi) = (pmin, pmin + (pmax - pmin) / 8)
+    val (snap, scanned, total) = snapshotRange(s, t, "price", lo, hi)
     snap.agg(count(lit(1)).as("n"),
         sum(col("price")).cast("double").as("total"))
       .withColumn("skip_ok", lit(scanned >= 1 && scanned < total))

@@ -341,6 +341,16 @@ object GraftSqlParser {
           "which no fact feed folds)" +
           (if (qual.isEmpty && cols(fi).contains(name))
             s"; qualify the fact column explicitly" else ""))
+      // a reference NO joined relation owns (a qualifier naming
+      // neither the fact nor any dim) must refuse too: the stripped
+      // predicate text would otherwise silently REBIND a same-named
+      // fact column — `x.price > 100` materializing as `f.price > 100`
+      // is not the view the statement declared
+      if (dimOwners.isEmpty && !owns(fi, qc))
+        fail(s"$stmt: the WHERE references '" +
+          qual.fold(name)(q => s"$q.$name") + "', which resolves to " +
+          "no relation joined in this statement — check the " +
+          "qualifier against the declared aliases")
     }
     (locs(fi), dimIdxs.map(di =>
       bound.collectFirst { case (`di`, ref) => ref }.get))

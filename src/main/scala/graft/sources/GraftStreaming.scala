@@ -629,6 +629,11 @@ class GraftCdcMicroBatchStream(ident: String, location: String,
     * admitted); never a data scan. */
   private val rowsCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** (memoized versions, memoized file counts) — spec probe for the
+    * commit-time eviction contract. */
+  private[graft] def cacheFootprint: (Int, Int) =
+    (refsCache.size, rowsCache.size)
   private def feedRows(s: SparkSession, p: Path): Long = {
     val hit = rowsCache.get(p.toString)
     if (hit != null) return hit.longValue()
@@ -724,7 +729,23 @@ class GraftCdcMicroBatchStream(ident: String, location: String,
   override def createReaderFactory(): PartitionReaderFactory =
     lastFactory.getOrElse(StreamBridge.readerFactory(spark, schema))
 
-  override def commit(end: Offset): Unit = ()
+  /** A committed offset is a promise never to re-plan at or below it:
+    * versions ≤ end.v are fully consumed (a partial slice of end.v+1 —
+    * end.files > 0 — still needs its refs next trigger), so their
+    * memoized refs and footer counts evict here. A continuous stream
+    * over a high-commit-rate table holds O(one trigger window) of
+    * metadata, not the table's whole history. */
+  override def commit(end: Offset): Unit = {
+    val o = end.asInstanceOf[CdcOffset]
+    val it = refsCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey <= o.v) {
+        e.getValue.foreach(p => rowsCache.remove(p.toString))
+        it.remove()
+      }
+    }
+  }
 
   override def stop(): Unit = ()
 }

@@ -1241,6 +1241,78 @@ class CatalogSpec extends SparkSpec {
       .collect()(0) === 60L)
   }
 
+  test("committed CDC offsets evict the stream's memoized refs and " +
+      "footer counts — a long-running stream holds one trigger window " +
+      "of metadata, never the table's whole history") {
+    val s2 = spark
+    import s2.implicits._
+    val t = fresh("cdcevict")
+    sql(s"CREATE TABLE graft.spec.$t (k BIGINT, v BIGINT)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/spec/$t"
+    // v1 splits its feed into four 5-row files (the partial-slice
+    // case); v2 and v3 land one file each
+    s2.conf.set("graft.cdc.maxRecordsPerFile", "5")
+    try TxnTable.applyChangesMor(spark, loc,
+      (0L until 20L).map(i => (i, i, "U")).toDF("k", "v", "op"), "k",
+      cdc = true)
+    finally s2.conf.unset("graft.cdc.maxRecordsPerFile")
+    (1 to 2).foreach(i => TxnTable.applyChangesMor(spark, loc,
+      (0L until 10L).map(j => (i * 100L + j, j, "U"))
+        .toDF("k", "v", "op"), "k", cdc = true))
+    import graft.sources.{GraftCdcMicroBatchStream, GraftStreaming}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    def offsets(stream: GraftCdcMicroBatchStream) = {
+      var cur = stream.initialOffset()
+        .asInstanceOf[GraftStreaming.CdcOffset]
+      Iterator.continually {
+        val nxt = stream.latestOffset(cur, ReadLimit.allAvailable())
+          .asInstanceOf[GraftStreaming.CdcOffset]
+        val step = if (nxt == cur) None else Some(nxt)
+        cur = nxt
+        step
+      }.takeWhile(_.isDefined).map(_.get).toSeq
+    }
+    // uncapped: one whole-version batch; its commit evicts EVERYTHING
+    val whole = new GraftCdcMicroBatchStream(t, loc,
+      new org.apache.spark.sql.types.StructType(), None,
+      startingVersion = Some("1"), strict = true,
+      maxRows = Some(1000L))
+    val Seq(end1) = offsets(whole)
+    assert(end1.files === 0, s"uncapped end must sit on a version " +
+      s"boundary, got $end1")
+    assert(whole.cacheFootprint._1 > 0, "the admission walk memoizes")
+    whole.commit(end1)
+    assert(whole.cacheFootprint === ((0, 0)),
+      "a version-boundary commit must evict every memoized entry")
+    // capped: the first offset slices v1 mid-stride — its commit keeps
+    // EXACTLY the sliced version's refs (the next trigger needs them)
+    // and drains to empty once the tail fully commits
+    val sliced = new GraftCdcMicroBatchStream(t, loc,
+      new org.apache.spark.sql.types.StructType(), None,
+      startingVersion = Some("1"), strict = true,
+      maxRows = Some(6L))
+    var cur = sliced.initialOffset()
+      .asInstanceOf[GraftStreaming.CdcOffset]
+    val first = sliced.latestOffset(cur, ReadLimit.allAvailable())
+      .asInstanceOf[GraftStreaming.CdcOffset]
+    assert(first.files > 0, s"cap 6 must slice v1's 4x5-row feed, " +
+      s"got $first")
+    sliced.commit(first)
+    assert(sliced.cacheFootprint._1 === 1,
+      "a mid-version commit must keep only the sliced version's refs")
+    cur = first
+    var nxt = sliced.latestOffset(cur, ReadLimit.allAvailable())
+      .asInstanceOf[GraftStreaming.CdcOffset]
+    while (nxt != cur) {
+      sliced.commit(nxt)
+      cur = nxt
+      nxt = sliced.latestOffset(cur, ReadLimit.allAvailable())
+        .asInstanceOf[GraftStreaming.CdcOffset]
+    }
+    assert(sliced.cacheFootprint === ((0, 0)),
+      "a fully drained, fully committed stream must hold no metadata")
+  }
+
   test("CTAS, TRUNCATE TABLE, and SHOW TBLPROPERTIES round out the SQL surface") {
     val t = fresh("ctas")
     // CREATE TABLE AS SELECT carries the schema AND the index property,

@@ -2819,6 +2819,18 @@ class MatViewSpec extends SparkSpec {
     // rebind to a same-named fact column
     assert(eLiveDim.getMessage.contains("decidable on FACT rows alone"),
       eLiveDim.getMessage)
+    // a qualifier naming NO joined relation refuses too: 'x.v' would
+    // otherwise strip to 'v' and silently rebind to the fact column —
+    // a view the statement never declared (plain Spark would reject
+    // the unresolved x.v outright)
+    val eNoOwner = intercept[IllegalArgumentException] {
+      s.sql("CREATE LIVE MATERIALIZED VIEW graft.mvspec.ddl_lwx AS " +
+        "SELECT seg, COUNT(*) AS n, SUM(v) AS t FROM graft.mvspec.ddlf " +
+        "f JOIN graft.mvspec.ddld d ON f.fk = d.pk WHERE x.v > 10 " +
+        "GROUP BY seg")
+    }
+    assert(eNoOwner.getMessage.contains("resolves to no relation"),
+      eNoOwner.getMessage)
     // a single-table LIVE refuses with the plain-view remedy
     val eLive1 = intercept[IllegalArgumentException] {
       s.sql("CREATE LIVE MATERIALIZED VIEW graft.mvspec.ddl_l1 AS " +

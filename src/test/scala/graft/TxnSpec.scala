@@ -2765,4 +2765,73 @@ class TxnSpec extends SparkSpec {
     assert(e.getMessage.contains("partially applied"), e.getMessage)
     assert(f.exists(pend), "the pend must be preserved for repair")
   }
+
+  test("decimal index columns carry SOUND widened boxes (floor/ceil): " +
+      "a boundary-fractional straggler survives the whole-file-drop " +
+      "delete verdict; pruning still bites; floating point and wide " +
+      "decimals refuse by name") {
+    val s = spark
+    import s.implicits._
+    // ONE file whose true max (24.75) sits ABOVE its truncated long
+    // cast (24) — the exact shape where a truncating box would declare
+    // the file FULLY COVERED by [0, 24] and drop it whole, deleting
+    // the straggler. The widened box must record ceil(24.75) = 25.
+    val t = freshTable("dec_straggler")
+    val one = (0 until 25).map(i => (i.toLong, i * 100L + 75L))
+      .toDF("k", "cents")
+      .select(col("k"), (col("cents") / lit(100))
+        .cast("decimal(12,2)").as("p"))
+      .coalesce(1)
+    TxnTable.commit(spark, t, TxnTable.stageIndexed(spark, t, one, "p"),
+      expected = -1L, op = "create", schemaJson = one.schema.json,
+      idxCols = Seq("p"))
+    val e0 = TxnTable.liveEntries(spark, t, 0)
+    assert(e0.size === 1)
+    assert(e0.head.statFor("p") === Some((0L, 25L)),
+      s"widened box must be [floor(0.75), ceil(24.75)] = [0, 25], " +
+        s"got ${e0.head.statFor("p")}")
+    assert(e0.head.hlls.exists(_.col == "p"),
+      "the NDV sketch must ride the widened stats pass")
+    val del = TxnTable.deleteRange(spark, t, "p", 0L, 24L)
+    assert(del.dropped === 0 && del.rewritten === 1,
+      s"the widened box [0,25] is NOT contained in [0,24] — the file " +
+        s"must rewrite with the exact residual, got $del")
+    val left = TxnTable.snapshot(spark, t).select(col("p").cast("string"))
+      .as[String].collect().toSeq
+    assert(left === Seq("24.75"),
+      s"only the straggler above the integral bound survives: $left")
+    // a 4-file table still PRUNES on the decimal index (boxes sound in
+    // the keep direction too), and the pruned read's content is exact
+    val t4 = freshTable("dec_prune")
+    val wide = (0 until 100).map(i => (i.toLong, i * 100L + 75L))
+      .toDF("k", "cents")
+      .select(col("k"), (col("cents") / lit(100))
+        .cast("decimal(12,2)").as("p"))
+      .repartitionByRange(4, col("p")).sortWithinPartitions(col("p"))
+    TxnTable.commit(spark, t4,
+      TxnTable.stageIndexed(spark, t4, wide, "p"),
+      expected = -1L, op = "create", schemaJson = wide.schema.json,
+      idxCols = Seq("p"))
+    val (pruned, scanned, total) =
+      TxnTable.snapshotRange(spark, t4, "p", 30L, 40L)
+    assert(scanned < total, s"the range read must prune ($scanned/$total)")
+    assert(pruned.select(col("k")).as[Long].collect().sorted.toSeq ===
+      (30L to 39L), "pruned content must equal the exact filter")
+    // binary floating point refuses (NaN poisons the box algebra), a
+    // decimal whose integral part can exceed long refuses too
+    val tf = freshTable("dec_refuse_f")
+    val eF = intercept[IllegalArgumentException] {
+      TxnTable.stageIndexed(spark, tf,
+        Seq((1L, 1.5)).toDF("k", "pd"), "pd")
+    }
+    assert(eF.getMessage.contains("floating-point"), eF.getMessage)
+    val tw = freshTable("dec_refuse_w")
+    val eW = intercept[IllegalArgumentException] {
+      TxnTable.stageIndexed(spark, tw,
+        Seq((1L, "1.50")).toDF("k", "pw")
+          .select(col("k"), col("pw").cast("decimal(25,2)").as("pw")),
+        "pw")
+    }
+    assert(eW.getMessage.contains("long box range"), eW.getMessage)
+  }
 }
