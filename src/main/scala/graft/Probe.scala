@@ -18,6 +18,30 @@ object Probe {
             count(lit(1)).as("n"))
           .orderBy("event_type")
           .show(20, false)
+      case "decin" =>
+        import graft.sources.GraftCatalog
+        import graft.operators.MatView
+        GraftCatalog.register(spark)
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+        spark.sql("DROP TABLE IF EXISTS graft.mvspec.dkp")
+        spark.sql("CREATE TABLE graft.mvspec.dkp (k BIGINT, p DECIMAL(12,2), v BIGINT)")
+        spark.sql("INSERT INTO graft.mvspec.dkp SELECT id, CAST((id % 32) * 10 + 0.75 AS DECIMAL(12,2)), id FROM RANGE(320)")
+        val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/dkp"
+        val mv = Fs.scratch("probe_decin", "mv")
+        Fs.deleteRecursively(mv)
+        MatView.create(spark, mv, loc, Seq("p"), "v")
+        MatView.register(spark, mv)
+        val q = spark.sql("SELECT p, COUNT(*) AS n FROM graft.mvspec.dkp WHERE p IN (0.75, 10.75) GROUP BY p")
+        println("=== analyzed ===")
+        println(q.queryExecution.analyzed.treeString)
+        println("=== optimized ===")
+        println(q.queryExecution.optimizedPlan.treeString)
+      case "q" =>
+        val name = args.drop(2).headOption.getOrElse(
+          sys.error("usage: Probe <datadir> q <queryName>"))
+        val df = SparkEntry.queries(name)(spark, d)
+        df.show(5, false)
+        println("rows=" + df.count())
       case "recall" =>
         import spark.implicits._
         val brute = operators.Similarity.knnBrute(spark, d)

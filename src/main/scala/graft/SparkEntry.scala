@@ -73,6 +73,7 @@ object SparkEntry {
     "sql_mv_delta"            -> (SqlSurface.mvDelta _),
     "sql_mv_rollup"           -> (SqlSurface.mvRollup _),
     "sql_mv_filter"           -> (SqlSurface.mvFilter _),
+    "sql_mv_decimal"          -> (SqlSurface.mvDecimal _),
     "sql_mv_distinct"         -> (SqlSurface.mvDistinct _),
     "sql_mv_groupsets"        -> (SqlSurface.mvGroupSets _),
     "sql_mv_show"             -> (SqlSurface.mvShow _),
@@ -1834,6 +1835,23 @@ object SparkEntry {
         |SELECT st, COUNT(*) AS n, COUNT(p) AS nn,
         |  CAST(SUM(p) AS DOUBLE) AS total, TRUE AS mvf_ok
         |FROM fin WHERE pri = '1-URGENT' GROUP BY st""".stripMargin,
+    // value-grain money view: the sliced per-price aggregate after the
+    // one cdc batch (deletes, +9.50 repricings, a new in-slice price
+    // point), replayed arithmetically; prune/serve mechanics travel as
+    // the mvdec_ok boolean
+    "sql_mv_decimal" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders),
+        |fin AS (SELECT CASE WHEN k % 7 = 0
+        |      THEN CAST(price + 9.50 AS DECIMAL(12,2))
+        |      ELSE price END AS price
+        |  FROM b WHERE k % 5 <> 0
+        |  UNION ALL SELECT CAST(150000.75 AS DECIMAL(12,2))
+        |  FROM b WHERE k % 13 = 0)
+        |SELECT CAST(price AS DOUBLE) AS p, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total, TRUE AS mvdec_ok
+        |FROM fin WHERE price >= 100000.50 AND price <= 200000.25
+        |GROUP BY price""".stripMargin,
     // the compensated answer == a direct recompute of the base after
     // both cdc batches: group 'P' gone, every 7th surviving row
     // repriced +5, brand-new group 'X' with NULL prices on 3|k

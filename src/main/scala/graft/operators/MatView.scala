@@ -283,18 +283,24 @@ object MatView {
     * null-skipping SQL semantics (an all-NULL group is nn == 0 with
     * total 0, which SUM must surface as NULL) and answer COUNT(value) */
   /** The key columns the manifest can stat-index SOUNDLY, by type:
-    * strings carry string bounds, integral types carry long boxes +
-    * NDV sketches; anything else (a DECIMAL value-grain key, a double)
-    * CLUSTERS but carries no stats — per-entry skipping is
-    * conservative, so an unindexed key never mis-prunes (a long-cast
-    * box on a fractional type WOULD: floor(hi) excludes the true
-    * maximum), it just reads. */
+    * strings carry string bounds; integral types carry long boxes +
+    * NDV sketches; NARROW DECIMALS (integral part fits a long) carry
+    * floor/ceil-WIDENED long boxes — a sound superset the stats choke
+    * point produces (TxnTable.statGroupsByFile), so a value-grain MV
+    * keyed on a money column (price, cents, score) range-prunes its
+    * own files. Anything else (double/float — NaN poisons the box
+    * algebra — or a wide decimal) CLUSTERS but carries no stats:
+    * per-entry skipping is conservative, an unindexed key never
+    * mis-prunes, it just reads. */
   private def indexableKeys(schema: org.apache.spark.sql.types
       .StructType, keys: Seq[String]): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.types._
     val strKeys = keys.filter(k => schema(k).dataType == StringType)
-    val intKeys = keys.filter(k => Seq(ByteType, ShortType,
-      IntegerType, LongType).contains(schema(k).dataType))
+    val intKeys = keys.filter(k => schema(k).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.precision - d.scale <= 18
+      case _ => false
+    })
     (intKeys, strKeys)
   }
 

@@ -730,6 +730,84 @@ object SqlSurface {
     s.sql(qRollup).withColumn("mvf_ok", lit(ok))
   }
 
+  /** sql_mv_decimal: a fold view keyed on the DECIMAL money column —
+    * the value-grain "orders at price X" dashboard. The MV
+    * stat-indexes its decimal key with floor/ceil-WIDENED long boxes
+    * (a sound superset — TxnTable.statGroupsByFile; a truncating cast
+    * would mis-box every fractional boundary) and the rewrite extracts
+    * DIRECTION-AWARE long bounds from decimal literals (lo floors, hi
+    * ceils, the attribute unwraps coercion casts —
+    * GraftMvRewrite.keyBounds), so a money-range dashboard opens only
+    * the MV files whose widened boxes can intersect the slice.
+    * `mvdec_ok` asserts: the sliced query serves from MV + feed only
+    * while STALE (one unrefreshed cdc batch: deletes, repricings, and
+    * a brand-new price point landing INSIDE the slice — compensation
+    * must surface it), the served plan opens fewer MV data files than
+    * the view holds, and both the prune and the new price's stats
+    * survive the refresh merge (self-clustering re-lands widened
+    * boxes). Hashed output = the sliced per-price aggregate,
+    * oracle-replayed arithmetically. */
+  def mvDecimal(s: SparkSession, d: String): DataFrame = {
+    val loc = freshSqlTable(s, "mvd_prices")
+    view(s, d, "orders")
+    s.sql("""CREATE TABLE graft.q.mvd_prices (
+      o_orderkey BIGINT, price DECIMAL(12,2))""")
+    s.sql("""INSERT INTO graft.q.mvd_prices
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2))
+      FROM orders""")
+    val mv = graft.Fs.freshScratch("graft_mv", "sql_decimal")
+    graft.operators.MatView.create(s, mv, loc, Seq("price"), "price")
+    graft.operators.MatView.register(s, mv)
+    // stale the MV: scattered deletes + repricings + a new price point
+    // INSIDE the dashboard's slice, visible through compensation alone
+    val ch = s.sql("""SELECT o_orderkey,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price, 'D' AS op
+      FROM orders WHERE o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 9.50
+          AS DECIMAL(12,2)), 'U'
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT o_orderkey + 500000000,
+        CAST(150000.75 AS DECIMAL(12,2)), 'U'
+      FROM orders WHERE o_orderkey % 13 = 0""")
+    graft.operators.TxnTable.applyChangesMor(s, loc, ch, "o_orderkey",
+      cdc = true)
+    val q = """SELECT CAST(price AS DOUBLE) AS p, COUNT(*) AS n,
+      CAST(SUM(price) AS DOUBLE) AS total FROM graft.q.mvd_prices
+      WHERE price >= 100000.50 AND price <= 200000.25 GROUP BY price"""
+    import org.apache.spark.sql.functions.{col, count, sum}
+    def gotNow() = s.sql(q).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = graft.operators.TxnTable.snapshot(s, loc)
+      .filter("price >= 100000.50 AND price <= 200000.25")
+      .groupBy(col("price"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double"))
+      .collect()
+      .map(r => (r.getDecimal(0).doubleValue(), r.getLong(1),
+        r.getDouble(2))).toSet
+    val srcs = scanSrcsOf(s, q)
+    val mvLive = graft.operators.TxnTable.manifest(s, mv,
+      graft.operators.TxnTable.currentVersion(s, mv)).entries.size
+    val opened = srcs.count(p => p.contains(mv) && p.endsWith(".parquet"))
+    val prunedStale = servedFromMvAndFeed(mv, loc)(srcs) &&
+      opened >= 1 && opened < mvLive && gotNow() == dir &&
+      dir.exists(_._1 == 150000.75)
+    // the fold re-clusters and re-indexes: still pruned, still exact
+    val rr = graft.operators.MatView.refresh(s, mv)
+    val srcs2 = scanSrcsOf(s, q)
+    val mvLive2 = graft.operators.TxnTable.manifest(s, mv,
+      rr.mvVersion).entries.size
+    val opened2 = srcs2.count(p => p.contains(mv) &&
+      p.endsWith(".parquet"))
+    val prunedFresh = rr.commitsFolded == 1 &&
+      srcs2.nonEmpty && srcs2.forall(_.contains(mv)) &&
+      opened2 >= 1 && opened2 < mvLive2 && gotNow() == dir
+    val ok = prunedStale && prunedFresh
+    s.sql(q).withColumn("mvdec_ok", lit(ok))
+  }
+
   /** sql_mv_distinct: EXACT COUNT(DISTINCT key-column) served from the
     * fold MV — the "distinct users per day" dashboard. MV rows are one
     * per LIVE key combination (create materializes present groups,
@@ -2603,9 +2681,10 @@ object SqlSurface {
     * array percentages, explicit non-unit frequencies, distinct/
     * filter clauses all fall through. Value-grain DDL rides the
     * valueOf extension (the one aggregated column may BE the finest
-    * grouping key); the decimal grain key CLUSTERS but is not
-    * stat-indexed (indexableKeys: a long-cast box on a fractional
-    * type would mis-prune — floor(hi) excludes the true maximum).
+    * grouping key); the decimal grain key CLUSTERS and stat-indexes
+    * with floor/ceil-WIDENED long boxes (indexableKeys admits narrow
+    * decimals; statGroupsByFile widens, a sound superset — see
+    * sql_mv_decimal for the prune this buys).
     * Phases: (1) fresh per-status p50/p95/median + the global
     * quartile serve MV-only; percentile of a non-key column and array
     * percentages fall through; (2) a cdc batch (deletes, reprices, a

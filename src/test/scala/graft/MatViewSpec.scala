@@ -686,6 +686,93 @@ class MatViewSpec extends SparkSpec {
       "the new (C,9) group must be born")
   }
 
+  test("a fold view keyed on a DECIMAL column stat-indexes floor/ceil-" +
+      "widened boxes: money-range dashboards serve pruned and exact, " +
+      "and the prune survives a refresh merge") {
+    val s = spark
+    import graft.sources.GraftCatalog
+    GraftCatalog.register(s)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft.mvspec")
+    s.sql("DROP TABLE IF EXISTS graft.mvspec.dk")
+    s.sql("CREATE TABLE graft.mvspec.dk (k BIGINT, p DECIMAL(12,2), " +
+      "v BIGINT)")
+    // 32 distinct FRACTIONAL price points — every box boundary is a
+    // non-integer, so a truncating cast would mis-box every file
+    s.sql("INSERT INTO graft.mvspec.dk SELECT id, " +
+      "CAST((id % 32) * 10 + 0.75 AS DECIMAL(12,2)), id FROM RANGE(320)")
+    val loc = s"${GraftCatalog.defaultWarehouse}/mvspec/dk"
+    val mv = fresh("mv_dk_view")
+    MatView.create(spark, mv, loc, Seq("p"), "v")
+    MatView.register(spark, mv)
+    // the MV's own manifest stat-indexes the decimal key, widened:
+    // global box = [floor(0.75), ceil(310.75)] = [0, 311]
+    val m = TxnTable.manifest(spark, mv,
+      TxnTable.currentVersion(spark, mv))
+    assert(m.idxCols === Seq("p"), m.idxCols.toString)
+    val mvLive = m.entries.size
+    assert(mvLive > 1, s"need a multi-file MV, got $mvLive")
+    val boxes = m.entries.flatMap(_.statFor("p"))
+    assert(boxes.size === mvLive && boxes.forall(b => b._1 <= b._2))
+    assert(boxes.map(_._1).min === 0L && boxes.map(_._2).max === 311L,
+      s"widened global box expected [0, 311], got " +
+        s"[${boxes.map(_._1).min}, ${boxes.map(_._2).max}]")
+    def served(q: String): Boolean = planServedFrom(s.sql(q), mv)
+    def mvFilesIn(q: String): Int =
+      s.sql(q).queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten.count(p => p.contains(mv) && p.endsWith(".parquet"))
+    def check(q: String): Unit = {
+      assert(served(q), s"must serve from the MV: $q")
+      val opened = mvFilesIn(q)
+      assert(opened >= 1 && opened < TxnTable.manifest(spark, mv,
+        TxnTable.currentVersion(spark, mv)).entries.size,
+        s"the decimal slice must prune MV files (opened $opened): $q")
+      val got = s.sql(q).collect().map(r =>
+        (r.getDecimal(0).toPlainString, r.getLong(1), r.getLong(2))).toSet
+      val direct = {
+        val pred = q.split("WHERE ")(1).split(" GROUP BY")(0)
+        TxnTable.snapshot(spark, loc).createOrReplaceTempView("dk_direct")
+        s.sql(s"SELECT p, COUNT(*) AS n, SUM(v) AS t FROM dk_direct " +
+          s"WHERE $pred GROUP BY p").collect().map(r =>
+          (r.getDecimal(0).toPlainString, r.getLong(1), r.getLong(2)))
+          .toSet
+      }
+      assert(got === direct, s"served answer diverged from recompute: $q")
+    }
+    check("SELECT p, COUNT(*) AS n, SUM(v) AS t FROM graft.mvspec.dk " +
+      "WHERE p >= 100.50 AND p <= 200.25 GROUP BY p")
+    check("SELECT p, COUNT(*) AS n, SUM(v) AS t FROM graft.mvspec.dk " +
+      "WHERE p = 200.75 GROUP BY p")
+    check("SELECT p, COUNT(*) AS n, SUM(v) AS t FROM graft.mvspec.dk " +
+      "WHERE p IN (0.75, 10.75) GROUP BY p")
+    // a cdc batch + refresh: the self-clustering merge keeps the
+    // decimal key stats, the widened global box grows to the new
+    // maximum, and slices keep pruning
+    val ch = s.sql("SELECT k, p, v, 'D' AS op FROM graft.mvspec.dk " +
+      "WHERE k % 7 = 0 UNION ALL SELECT k + 1000, " +
+      "CAST(500.25 AS DECIMAL(12,2)), v, 'U' FROM graft.mvspec.dk " +
+      "WHERE k % 16 = 0")
+    TxnTable.applyChangesMor(spark, loc, ch, "k", cdc = true)
+    assert(MatView.refresh(spark, mv).commitsFolded === 1)
+    val m2 = TxnTable.manifest(spark, mv,
+      TxnTable.currentVersion(spark, mv))
+    assert(m2.idxCols === Seq("p"),
+      "the refresh merge must keep the decimal index")
+    val boxes2 = m2.entries.flatMap(_.statFor("p"))
+    assert(boxes2.map(_._2).max === 501L,
+      s"the new group's ceil(500.25) must enter the stats, got " +
+        s"${boxes2.map(_._2).max}")
+    check("SELECT p, COUNT(*) AS n, SUM(v) AS t FROM graft.mvspec.dk " +
+      "WHERE p >= 100.50 AND p <= 200.25 GROUP BY p")
+    check("SELECT p, COUNT(*) AS n, SUM(v) AS t FROM graft.mvspec.dk " +
+      "WHERE p = 500.25 GROUP BY p")
+  }
+
   test("filtered-aggregate rewrite: key-only predicates serve from the " +
       "MV (incl. before a rollup); anything touching a non-key column " +
       "falls through") {
