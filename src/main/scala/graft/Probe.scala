@@ -9,6 +9,66 @@ object Probe {
     val spark = Engine.session(16, appName = "graft-probe")
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     args.drop(1).headOption.getOrElse("q30") match {
+      case "jobs" =>
+        // job/stage/task census for a query: separates fixed scheduling
+        // overhead (many tiny jobs) from real compute (task time ≈ wall)
+        val name = args.drop(2).headOption.getOrElse(
+          sys.error("usage: Probe <datadir> jobs <queryName>"))
+        val fn = SparkEntry.queries(name)
+        fn(spark, d).count() // warm
+        @volatile var jobs = 0; @volatile var stages = 0
+        @volatile var tasks = 0; @volatile var taskMs = 0L
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs += 1
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages += 1
+            tasks += sc.stageInfo.numTasks
+            taskMs += sc.stageInfo.taskMetrics.executorRunTime
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val rows = fn(spark, d).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let the listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"JOBS $name rows=$rows wall=$wall%.3f s jobs=$jobs " +
+          f"stages=$stages tasks=$tasks taskTime=${taskMs / 1e3}%.3f s")
+      case "mhstages" =>
+        // stage isolation for dd_minhash_lsh (guide §1.4: noop sink so the
+        // computation is timed, not the sink; warm pass off the clock)
+        import org.apache.spark.sql.DataFrame
+        def time(name: String, mk: () => DataFrame): Unit = {
+          def run(): Double = {
+            val t0 = System.nanoTime()
+            mk().write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          run() // warm
+          val a = run(); val b = run()
+          println(f"MHSTAGE $name%-16s $a%7.3f s  $b%7.3f s")
+        }
+        val docs = Tables.documents(spark, d)
+        val sig = () => docs.select(col("doc_id"),
+          graft.functions.MinHashSignature(col("text")).as("sig"))
+          .filter(col("sig").isNotNull)
+        time("signatures", sig)
+        time("shinglehash", () => docs.select(col("doc_id"),
+          graft.functions.ShingleHashes(col("text")).as("hs")))
+        val bands = () => {
+          val numBands = operators.Dedup.NumBands
+          val bandStructs = array((0 until numBands).map { bnd =>
+            val cols = (0 until 4).map(r => element_at(col("sig"), bnd * 4 + r + 1))
+            struct(lit(bnd).as("band"), struct(cols: _*).as("key"))
+          }: _*)
+          sig().select(col("doc_id"), explode(bandStructs).as("bk"))
+            .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        }
+        time("cands", () => operators.Dedup.bucketPairs(bands()))
+        time("full", () => operators.Dedup.minhashLshDocs(docs))
       case "q30" =>
         Tables.events(spark, d)
           .groupBy(col("event_type"))

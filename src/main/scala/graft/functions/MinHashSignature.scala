@@ -77,12 +77,19 @@ object MinHashSignature {
     val hashes = ShingleHashes.computeModular(text)
     if (hashes.isEmpty) return null
     val mins = Array.fill(NumPerms)(Long.MaxValue)
+    val a = A; val b = B // locals: no per-iteration field loads
     var i = 0
     while (i < hashes.length) {
       val hp = hashes(i) // already in [0, P)
       var j = 0
       while (j < NumPerms) {
-        val v = (A(j) * hp + B(j)) % P
+        // Mersenne fold instead of `% P` (2^31 ≡ 1 mod P): a·hp + b < 2^62,
+        // so two shift-mask-adds + one conditional subtract reduce exactly.
+        // Division-free, so the JIT can pipeline/vectorize the perm loop.
+        val x = a(j) * hp + b(j)
+        var v = (x & P) + (x >>> 31)
+        v = (v & P) + (v >>> 31)
+        if (v >= P) v -= P
         if (v < mins(j)) mins(j) = v
         j += 1
       }

@@ -167,34 +167,43 @@ object Dedup {
     docs.select(col("doc_id"),
       explode(graft.functions.ShingleHashes(col("text"))).as("h"))
 
-  /** Shingle rows of only the docs appearing in the candidate pair set —
-    * a broadcast semi-join prunes the corpus before the (re)shingling
-    * window pass, so verification cost scales with candidates, not corpus. */
-  private def candShingleRows(docs: DataFrame, cands: DataFrame): DataFrame = {
+  /** Per-doc distinct shingle-hash SET (array) for only the docs appearing
+    * in the candidate pair set — a broadcast semi-join prunes the corpus,
+    * then the set is a map-only projection (native shingle kernel +
+    * `array_distinct`): no (doc, shingle) row explosion and no distinct
+    * shuffle, so verification input scales with candidate DOCS, not
+    * candidate-doc × shingle rows. */
+  private def candShingleSets(docs: DataFrame, cands: DataFrame): DataFrame = {
     val candDocs = cands
       .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
-    shingleHashRows(
-      docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")).distinct()
+    docs.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(graft.functions.ShingleHashes(col("text"))).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
   }
 
-  /** Exact Jaccard for candidate pairs (d1, d2) from shared-hash counts.
-    * Both joins key on the tiny candidate set (AQE broadcasts it); the
-    * corpus-side rows are (long, long) pairs. */
-  private def verifiedJaccard(shrows: DataFrame, cands: DataFrame): DataFrame = {
-    val sizes = shrows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = cands
-      .join(shrows.select(col("doc_id").as("d1"), col("h")), "d1")
-      .join(shrows.select(col("doc_id").as("d2b"), col("h").as("h2")),
-        col("d2") === col("d2b") && col("h") === col("h2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2b"), col("n").as("n2")),
-        col("d2") === col("d2b"))
+  /** Exact Jaccard for candidate pairs (d1, d2) by per-pair set
+    * intersection: two joins keyed on the pair's doc ids attach each
+    * side's shingle set, `size(array_intersect(...))` IS the intersection
+    * count. Replaces the pair×shingle expansion plan (cands ⋈ shingle
+    * rows ⋈ shingle rows → groupBy(pair) → two size joins: five
+    * shuffles, an intermediate of |pairs|·|shingles| rows) with two
+    * joins and zero aggregations — same distinct-set semantics, same
+    * double-division J, bit-identical survivors. A doc in k pairs ships
+    * its set k times, exactly the bytes its shingle rows shipped through
+    * the old expansion join, so the 100 TB posture is unchanged. */
+  private def verifiedJaccard(sets: DataFrame, cands: DataFrame): DataFrame =
+    cands
+      .join(sets.select(col("doc_id").as("d1"), col("hs").as("h1"),
+        col("n").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2b"), col("hs").as("h2"),
+        col("n").as("n2")), col("d2") === col("d2b"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("h1"), col("h2"))).as("common"),
+        col("n1"), col("n2"))
       .select(col("d1"), col("d2"),
         (col("common").cast("double") /
           (col("n1") + col("n2") - col("common"))).as("j"))
-  }
 
   /** Shingles shared by more than this many docs are dropped from candidate
     * GENERATION (never from verification, which re-shingles in full). A
@@ -326,7 +335,7 @@ object Dedup {
       // localCheckpoint (not persist): see ngramJaccardDocs — no storage
       // leak across queries, blocks freed when the result is unreferenced
       .localCheckpoint(true)
-    verifiedJaccard(candShingleRows(docs, cands), cands)
+    verifiedJaccard(candShingleSets(docs, cands), cands)
       .filter(col("j") >= 0.8)
       .select(col("d1"), col("d2"))
   }

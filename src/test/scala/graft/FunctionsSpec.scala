@@ -42,6 +42,42 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == Seq(ref("hello world"), ref("héllo wörld")))
   }
 
+  test("prefold modular shingle hashes are bit-identical to the naive " +
+      "split+refold reference on adversarial inputs") {
+    // reference = the historical formulation: regex \s+ split, then a
+    // char-by-char `% P` fold over each concatenated "t0 t1 t2" shingle
+    def ref(text: String): Array[Long] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 3) return Array.empty[Long]
+      Array.tabulate(toks.length - 2) { i =>
+        val sh = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        var h = 0L; var j = 0
+        while (j < sh.length) {
+          val cp = sh.codePointAt(j)
+          h = (h * 31L + cp) % 2147483647L; j += Character.charCount(cp)
+        }
+        h
+      }
+    }
+    val cases = Seq(
+      "a b c", "a b", "", "   ", "a  b\t\tc\nd", " lead and trail ",
+      "héllo wörld ünïcode tökens", "日本 語 テスト 文字",
+      "emoji 😀 pair 👍 here", // surrogate pairs
+      "xy\fz w", "tab\tsep\ttokens\tmany",
+      ("tok " * 200).trim, // long doc
+      "\r\nwindows\r\nline\r\nendings")
+    for (c <- cases) {
+      val got = graft.functions.ShingleHashes
+        .computeModular(org.apache.spark.unsafe.types.UTF8String.fromString(c))
+      assert(got.toSeq == ref(c).toSeq, s"mismatch for: '$c'")
+    }
+    // and the fast Mersenne reduction agrees with % on boundary values
+    val P = 2147483647L
+    for (x <- Seq(0L, 1L, P - 1, P, P + 1, 2 * P, 2 * P + 1, (1L << 62) - 1,
+        31L * (P - 1) + 0x10FFFF, (P - 1) * (P - 1) + (P - 1)))
+      assert(graft.functions.ShingleHashes.modP(x) == x % P, s"modP($x)")
+  }
+
   test("normText collapses whitespace and case") {
     val s = spark
     import s.implicits._
