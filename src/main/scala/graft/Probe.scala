@@ -29,14 +29,151 @@ object Probe {
             taskMs += sc.stageInfo.taskMetrics.executorRunTime
           }
         }
+        // per-job wall time + call site, to attribute scenario machinery
+        val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        val jobWall = new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+        val siteListener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val site = Option(j.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .getOrElse("?")
+            jobStart.put(j.jobId, (System.nanoTime(), site))
+          }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val st = jobStart.remove(j.jobId)
+            if (st != null) {
+              val ms = (System.nanoTime() - st._1) / 1000000
+              jobWall.merge(st._2, (ms, 1),
+                (a, b) => (a._1 + b._1, a._2 + b._2))
+            }
+          }
+        }
         spark.sparkContext.addSparkListener(listener)
+        spark.sparkContext.addSparkListener(siteListener)
         val t0 = System.nanoTime()
         val rows = fn(spark, d).count()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500) // let the listener bus drain
         spark.sparkContext.removeSparkListener(listener)
+        spark.sparkContext.removeSparkListener(siteListener)
         println(f"JOBS $name rows=$rows wall=$wall%.3f s jobs=$jobs " +
           f"stages=$stages tasks=$tasks taskTime=${taskMs / 1e3}%.3f s")
+        import scala.jdk.CollectionConverters._
+        jobWall.asScala.toSeq.sortBy(-_._2._1).take(25).foreach {
+          case (site, (ms, n)) => println(f"JOBSITE ${ms / 1e3}%8.3f s  n=$n%-4d $site")
+        }
+      case "tokbench" =>
+        // in-JVM A/B: native ws_tokens vs filter(split) — same session,
+        // interleaved, noop sink (guide §1.4), immune to machine epochs
+        import org.apache.spark.sql.DataFrame
+        def time2(name: String, mk: () => DataFrame): Unit = {
+          def run(): Double = {
+            val t0 = System.nanoTime()
+            mk().write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          run(); val a = run(); val b = run(); val c = run()
+          println(f"TOKBENCH $name%-28s $a%7.3f  $b%7.3f  $c%7.3f s")
+        }
+        val docsT = Tables.documents(spark, d)
+        val splitToks = filter(split(col("text"), "\\s+"), t => t =!= "")
+        time2("explode(filter(split))", () =>
+          docsT.select(col("doc_id"), explode(splitToks).as("tok")))
+        time2("explode(ws_tokens)", () =>
+          docsT.select(col("doc_id"),
+            explode(graft.functions.WsTokens(col("text"))).as("tok")))
+        time2("qscore-hof", () =>
+          docsT.select(col("doc_id"), size(splitToks).as("n_tok"),
+            size(filter(splitToks,
+              t => t.isin(graft.functions.TextFunctions.Stopwords: _*)))
+              .as("stop_n")))
+        time2("qscore-native", () => {
+          val toks = graft.functions.WsTokens(col("text"))
+          docsT.select(col("doc_id"), size(toks).as("n_tok"),
+            size(filter(toks,
+              t => t.isin(graft.functions.TextFunctions.Stopwords: _*)))
+              .as("stop_n"))
+        })
+      case "commitbench" =>
+        // microbenchmark of the txn commit path: N small indexed appends.
+        // args: [v2] to flip the Hadoop committer to algorithm 2 + no
+        // _SUCCESS marker, for an A/B of per-commit fixed costs.
+        import graft.operators.TxnTable
+        if (args.drop(2).contains("v2")) {
+          val hc = spark.sparkContext.hadoopConfiguration
+          hc.set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+          hc.set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+          println("COMMITBENCH committer=v2,nomarker")
+        } else println("COMMITBENCH committer=default")
+        val t = Fs.scratch("probe_commitbench", "t")
+        Fs.deleteRecursively(t)
+        val base = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+        TxnTable.create(spark, t, base)
+        TxnTable.reindex(spark, t, Seq("k"))
+        def batch(i: Int) = spark.range(100).selectExpr(
+          s"id + ${i * 1000} AS k", "id AS v")
+        // warm
+        TxnTable.append(spark, t, batch(1))
+        val t0 = System.nanoTime()
+        (2 to 21).foreach(i => TxnTable.append(spark, t, batch(i)))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"COMMITBENCH 20 indexed appends: $sec%.3f s (${sec / 20}%.4f s/commit)")
+      case "prof" =>
+        // poor man's driver profiler: sample the main thread's stack while
+        // the query runs, print the hottest frames (guide §7.3 in-process)
+        val name = args.drop(2).headOption.getOrElse(
+          sys.error("usage: Probe <datadir> prof <queryName>"))
+        val fn = SparkEntry.queries(name)
+        fn(spark, d).count() // warm
+        val main = Thread.currentThread()
+        val counts = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+        @volatile var running = 0
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              running += 1
+            override def onJobEnd(
+                j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+              running -= 1
+          })
+        @volatile var sampling = true
+        val sampler = new Thread(() => {
+          while (sampling) {
+            val st = main.getStackTrace
+            if (st.nonEmpty) {
+              val inJob = running > 0
+              // two attributions per sample: the deepest non-JDK frame
+              // (what code is hot) and the first graft.* frame (which
+              // engine phase is on-stack), split by job-running state
+              val deep = st.find { e =>
+                val c = e.getClassName
+                !c.startsWith("java.") && !c.startsWith("jdk.") &&
+                !c.startsWith("scala.") && !c.startsWith("sun.")
+              }.map(e => e.getClassName + "." + e.getMethodName)
+                .getOrElse(st.head.getClassName + "." + st.head.getMethodName)
+              val graftF = st.find(_.getClassName.startsWith("graft."))
+                .map(e => e.getClassName + "." + e.getMethodName + ":" + e.getLineNumber)
+                .getOrElse("(no graft frame)")
+              val tag = if (inJob) "JOB " else "GAP "
+              counts.merge(tag + "deep  " + deep, 1, Integer.sum)
+              counts.merge(tag + "graft " + graftF, 1, Integer.sum)
+            }
+            Thread.sleep(20)
+          }
+        })
+        sampler.setDaemon(true); sampler.start()
+        val t0 = System.nanoTime()
+        fn(spark, d).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        sampling = false; sampler.join(1000)
+        import scala.jdk.CollectionConverters._
+        println(f"PROF $name wall=$wall%.3f s samples=${counts.asScala.values.sum}")
+        counts.asScala.toSeq.sortBy(-_._2).take(30).foreach { case (f, n) =>
+          println(f"PROFFRAME $n%5d  $f")
+        }
       case "mhstages" =>
         // stage isolation for dd_minhash_lsh (guide §1.4: noop sink so the
         // computation is timed, not the sink; warm pass off the clock)

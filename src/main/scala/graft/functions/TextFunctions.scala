@@ -14,9 +14,11 @@ object TextFunctions {
   def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  /** Whitespace tokens, empties dropped. */
-  def wsTokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => t =!= "")
+  /** Whitespace tokens, empties dropped — the native [[WsTokens]] kernel
+    * (byte-scan split, codegen-capable; the historical
+    * `filter(split(c, "\\s+"), t => t =!= "")` formulation is pinned
+    * value-identical by the FunctionsSpec parity test). */
+  def wsTokens(c: Column): Column = WsTokens(c)
 
   /** BPE-ish pre-tokenization: alphanumeric runs or single non-space
     * symbols — the regex shape BPE tokenizers use for their initial split. */

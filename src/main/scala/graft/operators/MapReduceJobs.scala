@@ -23,10 +23,12 @@ object MapReduceJobs {
   /** Tokenize the documents corpus — the "map" of word count. Splitting on
     * runs of whitespace keeps Spark and the DuckDB oracle in lockstep. */
   private def words(s: SparkSession, d: String) =
+    // native byte-scan tokenizer (one pass, codegen'd, empties never
+    // materialize) — value-identical to explode(split(text, "\\s+"))
+    // with the empty-token filter, which walked a regex per row
     Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(split(col("text"), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
+        explode(graft.functions.WsTokens(col("text"))).as("word"))
 
   /** mr_wordcount: flatMap(split) → count by word. Map-side partial agg
     * means the shuffle carries one row per (partition, word), not per

@@ -71,10 +71,16 @@ object Relational {
     // BroadcastHashJoin at any SF where the filtered slice is actually small.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .groupBy(col("l_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"))
+      // group on the RAW o_orderdate and render the string per GROUP, not
+      // per joined row (guide §2.3: shuffle narrower keys — a timestamp,
+      // not a formatted string; o_orderkey is unique in orders, so each
+      // l_orderkey sees one o_orderdate and the group set is unchanged)
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(dbl(sum(m(col("l_extendedprice")) * (lit(1) - r(col("l_discount")))))
         .as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_odate"),
+        col("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }

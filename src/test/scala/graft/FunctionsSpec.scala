@@ -78,6 +78,28 @@ class FunctionsSpec extends SparkSpec {
       assert(graft.functions.ShingleHashes.modP(x) == x % P, s"modP($x)")
   }
 
+  test("native ws_tokens is value-identical to filter(split(text, \\s+)) " +
+      "on adversarial inputs") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "a b c", "", "   ", "a  b\t\tc\nd", " lead and trail ",
+      "héllo wörld ünïcode tökens", "日本 語 テスト 文字",
+      "emoji 😀 pair 👍 here", "xy\fz w", "tab\tsep\ttokens",
+      "\r\nwindows\r\nline\r\nendings", "single", ("tok " * 100).trim,
+      "\u00A0nbsp is NOT \\s\u00A0so it stays inside\u00A0tokens")
+    val df = cases.toDF("text")
+    val got = df.select(graft.functions.WsTokens(col("text")))
+      .as[Seq[String]].collect()
+    val ref = df.select(filter(split(col("text"), "\\s+"), t => t =!= ""))
+      .as[Seq[String]].collect()
+    assert(got.toSeq == ref.toSeq)
+    // null in, null out — matching the split formulation
+    val nullGot = Seq[Option[String]](None).toDF("text")
+      .select(graft.functions.WsTokens(col("text"))).collect().head
+    assert(nullGot.isNullAt(0))
+  }
+
   test("normText collapses whitespace and case") {
     val s = spark
     import s.implicits._
