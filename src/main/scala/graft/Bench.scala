@@ -46,8 +46,14 @@ object Bench {
     // timed pass (a pass-2 crash disqualifies the query's pass-1 time too)
     val failures = results.count(r => r._2 < 0 || r._3 < 0)
     val total = results.filter(r => r._2 >= 0 && r._3 >= 0).map(_._2).sum
+    // self-evidencing parallelism: the RUNTIME core count and master,
+    // straight from the live context — proves the $SPARK_GRAFT_CPUS knob
+    // actually bit (scan-agg queries at sf0.1 are fixed-cost-dominated,
+    // so 8-vs-32-core wall times alone cannot show it)
+    val par = spark.sparkContext.defaultParallelism
+    val master = spark.sparkContext.master
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_rerun":$qs2,"failures":$failures,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_rerun":$qs2,"failures":$failures,"cpus":$par,"master":"$master","sf":"$sfDir"}"""
     // also write to a file: stdout goes through sbt's [info] prefix, which
     // machine parsers choke on
     java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 128-permutation MinHash signature of a document's 3-token shingles,
@@ -20,7 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Returns array<long>[128]; NULL for docs with fewer than 3 tokens
   * (exactly the docs the exploded formulation dropped).
   */
-case class MinHashSignature(child: Expression) extends UnaryExpression {
+case class MinHashSignature(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // a non-string child fails AT ANALYSIS, not as a runtime
+  // ClassCastException inside eval/codegen
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling hash (Rabin–Karp style) over a string's Unicode
@@ -16,7 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * ascii() fold matches for ALL of Unicode, not just ASCII corpora.
   * B = 31, P = 2^31 − 1; result is a non-negative long < P.
   */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // a non-string child fails AT ANALYSIS, not as a runtime
+  // ClassCastException inside eval/codegen
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -19,7 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * than 3 tokens (they have no shingles).
   */
 case class ShingleHashes(child: Expression, modular: Boolean = false)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // a non-string child fails AT ANALYSIS, not as a runtime
+  // ClassCastException inside eval/codegen
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"

@@ -44,6 +44,22 @@ object TextFunctions {
   def stopwordCount(tokens: Column): Column =
     size(filter(tokens, t => t.isin(Stopwords: _*)))
 
+  /** Token count of a TEXT column — `size(wsTokens(text))` as one
+    * allocation-free codegen'd byte scan ([[WsTokenCount]]). */
+  def wsTokenCount(text: Column): Column = WsTokenCount(text)
+
+  /** Count of `text`'s whitespace tokens that are members of `words` —
+    * `size(filter(wsTokens(text), t IN words))` as one allocation-free
+    * codegen'd byte scan ([[WsTokenSetCount]]); the higher-order filter
+    * lambda it replaces forced every enclosing Project into
+    * CodegenFallback. Value parity pinned in FunctionsSpec. */
+  def tokenSetCount(text: Column, words: Seq[String]): Column =
+    WsTokenSetCount(text, words)
+
+  /** [[tokenSetCount]] over the shared [[Stopwords]] list. */
+  def stopwordCountText(text: Column): Column =
+    WsTokenSetCount(text, Stopwords)
+
   /** md5 hex fingerprint of the normal form. */
   def fingerprint(c: Column): Column = md5(normText(c))
 

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -28,8 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * token bytes. Output matches the historical formulation value-for-value
   * (parity spec in FunctionsSpec).
   */
-case class WsTokens(child: Expression) extends UnaryExpression {
+case class WsTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  // a non-string child fails AT ANALYSIS, not as a runtime
+  // ClassCastException inside eval/codegen
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   // containsNull = true matches the `filter(split(...))` schema exactly,
   // so downstream explode/size plans resolve identically
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
@@ -56,8 +60,10 @@ object WsTokens {
 
   /** `b` is an ASCII whitespace byte (Java-regex `\s`). UTF-8
     * continuation/lead bytes are ≥ 0x80 = negative as signed bytes, so
-    * they can never match. */
-  @inline private def isWs(b: Byte): Boolean =
+    * they can never match. Shared with the count-only kernels
+    * ([[WsTokenCount]], [[WsTokenSetCount]]) so the token boundary rule
+    * has ONE definition. */
+  @inline private[functions] def isWs(b: Byte): Boolean =
     b == ' '.toByte || (b >= '\t'.toByte && b <= '\r'.toByte)
 
   def split(text: UTF8String): Array[UTF8String] = {

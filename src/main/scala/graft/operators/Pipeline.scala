@@ -23,10 +23,10 @@ object Pipeline {
     * split expressions are byte-identical to ta_quality_score, dd_exact
     * and ta_split, so the SQL oracle replays the whole chain exactly. */
   def cleanCorpus(s: SparkSession, d: String): DataFrame = {
-    val toks = wsTokens(col("text"))
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
-        size(toks).as("n_tok"), stopwordCount(toks).as("stop_n"))
+        wsTokenCount(col("text")).as("n_tok"),
+        stopwordCountText(col("text")).as("stop_n"))
       .select(col("doc_id"), col("text"),
         (least(lit(1.0), col("n_tok") / 100.0) *
           (lit(1.0) - col("stop_n").cast("double") / col("n_tok")))

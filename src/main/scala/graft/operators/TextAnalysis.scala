@@ -16,7 +16,7 @@ object TextAnalysis {
   def tokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
       col("doc_id"),
-      size(wsTokens(col("text"))).as("ws_n"),
+      wsTokenCount(col("text")).as("ws_n"),
       size(bpeTokens(col("text"))).as("bpe_n"))
 
   /** ta_entropy: per-doc token-distribution entropy — the statistical
@@ -246,11 +246,10 @@ object TextAnalysis {
     * double expression tree is mirrored in the oracle SQL so the score is
     * bit-identical. */
   def qualityScore(s: SparkSession, d: String): DataFrame = {
-    val toks = wsTokens(col("text"))
     Tables.documents(s, d)
       .select(col("doc_id"),
-        size(toks).as("n_tok"),
-        stopwordCount(toks).as("stop_n"))
+        wsTokenCount(col("text")).as("n_tok"),
+        stopwordCountText(col("text")).as("stop_n"))
       .select(col("doc_id"), col("n_tok"),
         (col("stop_n").cast("double") / col("n_tok")).as("stop_ratio"),
         (least(lit(1.0), col("n_tok") / 100.0) *
@@ -269,13 +268,12 @@ object TextAnalysis {
       "de" -> Seq("der", "die", "und", "das", "ein"),
       "es" -> Seq("el", "los", "las", "una", "y"),
       "zh" -> Seq("的", "是", "了", "在", "和"))
-    val toks = wsTokens(col("text"))
     // prior breaks score ties toward the earlier profile (en first), so a
     // zero-hit doc degrades to "en" rather than whichever language sorts
     // last lexicographically
     val scored = array(profiles.zipWithIndex.map { case ((lang, words), i) =>
       struct(
-        size(filter(toks, t => t.isin(words: _*))).as("score"),
+        tokenSetCount(col("text"), words).as("score"),
         lit(-i).as("prior"),
         lit(lang).as("lang"))
     }: _*)
@@ -500,7 +498,7 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, d)
       .select(col("doc_id"), pmod(col("doc_id"), lit(16)).as("shard"),
-        size(wsTokens(col("text"))).cast("long").as("n_tok"))
+        wsTokenCount(col("text")).cast("long").as("n_tok"))
       .withColumn("cum", sum(col("n_tok")).over(w))
       .select(col("shard"),
         floor((col("cum") - col("n_tok")) / lit(budget.toDouble)).as("seq_id"),
@@ -1145,7 +1143,7 @@ object TextAnalysis {
     * shuffles. */
   def domainMix(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
-      size(wsTokens(col("text"))).cast("long").as("n_tok"))
+      wsTokenCount(col("text")).cast("long").as("n_tok"))
     val dom = docs.groupBy(col("source"))
       .agg(sum(col("n_tok")).as("n_d"))
       .withColumn("s_d",

@@ -100,6 +100,41 @@ class FunctionsSpec extends SparkSpec {
     assert(nullGot.isNullAt(0))
   }
 
+  test("native ws_token_count / ws_token_set_count are value-identical " +
+      "to the size(filter(...)) array formulations on adversarial inputs") {
+    val s = spark
+    import s.implicits._
+    val words = TextFunctions.Stopwords
+    val cases = Seq(
+      "the a of and to in is it", "a b c", "", "   ", "a  b\t\tc\nd",
+      " the lead and trail of ", "héllo wörld ünïcode tökens",
+      "日本 語 テスト 文字 的 是", "emoji 😀 pair 👍 here", "xy\fz w",
+      "thé the THE the", // accent/case must NOT match except exact "the"
+      "tab\tthe\ttokens", "\r\nthe\r\nof\r\nendings", "single",
+      ("the tok " * 100).trim,
+      "\u00A0nbsp is NOT \\s\u00A0so it stays inside\u00A0tokens",
+      "and prefix: theater these is-a of, the.") // substrings ≠ members
+    val df = cases.toDF("text")
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val ref = df.select(size(toks),
+      size(filter(toks, t => t.isin(words: _*)))).as[(Int, Int)].collect()
+    val got = df.select(graft.functions.WsTokenCount(col("text")),
+      graft.functions.WsTokenSetCount(col("text"), words))
+      .as[(Int, Int)].collect()
+    assert(got.toSeq == ref.toSeq)
+    // null in, null out — matching size(filter(split(NULL))) = NULL
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(graft.functions.WsTokenCount(col("text")),
+        graft.functions.WsTokenSetCount(col("text"), words)).collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // non-string child refuses at ANALYSIS (ExpectsInputTypes), not with
+    // a runtime ClassCastException
+    val bad = Seq(1L).toDF("n")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(graft.functions.WsTokenCount(col("n"))).collect()
+    }
+  }
+
   test("normText collapses whitespace and case") {
     val s = spark
     import s.implicits._
