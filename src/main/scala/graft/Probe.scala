@@ -96,6 +96,108 @@ object Probe {
               t => t.isin(graft.functions.TextFunctions.Stopwords: _*)))
               .as("stop_n"))
         })
+      case "overhead" =>
+        // fixed-cost calibration: how much does ONE trivial action cost
+        // in this environment? (job scheduling + planning + codegen)
+        def t(name: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime()
+          f
+          println(f"OVERHEAD $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+        }
+        (1 to 3).foreach { i =>
+          t(s"range_sum_$i") {
+            spark.range(1000000).selectExpr("sum(id)").collect() }
+          t(s"tiny_write_$i") {
+            spark.range(100).write.mode("overwrite")
+              .parquet(s"/tmp/probe_ovh_$i") }
+          t(s"tiny_shuffle_$i") {
+            spark.range(10000).selectExpr("id % 7 AS k", "id AS v")
+              .groupBy("k").sum("v").collect() }
+        }
+      case "mvbench" =>
+        // phase-level job census of the MV/txn machinery that dominates
+        // the sweep tail: one base, one MV, then each machinery call
+        // timed with its own job count (the `jobs` probe can't split
+        // phases — foreachBatch swallows every call site)
+        import graft.operators.{MatView, TxnTable}
+        @volatile var jobs = 0
+        val siteWall =
+          new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+        val started =
+          new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+              jobs += 1
+              // attribute the job to its first graft.* frame: the stage's
+              // `details` carries the RDD creation-site stack trace
+              val site = j.stageInfos.iterator
+                .flatMap(_.details.linesIterator)
+                .find(l => l.contains("graft.") && !l.contains("Probe"))
+                .map(_.trim.stripPrefix("at "))
+                .getOrElse(j.stageInfos.headOption
+                  .map(_.name.take(60)).getOrElse("?"))
+              started.put(j.jobId, (System.nanoTime(), site))
+            }
+            override def onJobEnd(
+                j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+              val st = started.remove(j.jobId)
+              if (st != null) {
+                val ms = (System.nanoTime() - st._1) / 1000000
+                siteWall.merge(st._2, (ms, 1),
+                  (a, b) => (a._1 + b._1, a._2 + b._2))
+              }
+            }
+          })
+        def phase[A](name: String)(f: => A): A = {
+          Thread.sleep(200); val j0 = jobs; val t0 = System.nanoTime()
+          val r = f
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(200)
+          println(f"MVPHASE $name%-28s ${wall}%8.3f s  jobs=${jobs - j0}")
+          r
+        }
+        val base = Fs.freshScratch("probe_mvb", "t")
+        val mv = Fs.freshScratch("probe_mvb", "v")
+        val k = col("o_orderkey")
+        val d12 = org.apache.spark.sql.types.DecimalType(12, 2)
+        val sel = spark.read.parquet(s"$d/orders.parquet")
+          .select(k, col("o_orderstatus"),
+            col("o_totalprice").cast(d12).as("price"))
+        phase("create_base") {
+          TxnTable.commit(spark, base, TxnTable.stageIndexed(spark, base,
+            sel.repartitionByRange(8, k).sortWithinPartitions(k),
+            "o_orderkey"),
+            expected = -1L, op = "create", schemaJson = sel.schema.json)
+        }
+        phase("mv_create") {
+          MatView.create(spark, mv, base, "o_orderstatus", "price")
+        }
+        def changes(m: Int) = sel.filter(pmod(k, lit(97)) === m)
+          .select(k, col("o_orderstatus"),
+            (col("price") + lit(m).cast(d12)).cast(d12).as("price"),
+            lit("U").as("op"))
+        (1 to 3).foreach { i =>
+          phase(s"applyChangesMor_$i") {
+            TxnTable.applyChangesMor(spark, base, changes(i), "o_orderkey",
+              cdc = true)
+          }
+          phase(s"refresh_$i") { MatView.refresh(spark, mv) }
+        }
+        phase("serve_read") {
+          TxnTable.snapshot(spark, mv).collect()
+        }
+        phase("direct_agg") {
+          TxnTable.snapshot(spark, base).groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)), sum(col("price"))).collect()
+        }
+        Thread.sleep(300)
+        import scala.jdk.CollectionConverters._
+        siteWall.asScala.toSeq.sortBy(-_._2._1).take(40).foreach {
+          case (site, (ms, n)) =>
+            println(f"MVSITE ${ms / 1e3}%8.3f s  n=$n%-4d $site")
+        }
       case "commitbench" =>
         // microbenchmark of the txn commit path: N small indexed appends.
         // args: [v2] to flip the Hadoop committer to algorithm 2 + no

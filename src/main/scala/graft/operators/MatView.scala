@@ -617,19 +617,39 @@ object MatView {
         .cast(D18).as("dtotal"))
       .filter(col("dn") =!= 0 || col("dnn") =!= 0 || col("dtotal") =!= 0)
     // merge into the PINNED MV rows: the join output is delta-sized;
-    // the MV scan is O(MV) — never O(base)
+    // the MV scan is O(MV) — never O(base). The delta side (touched
+    // groups only) is the small one by construction, but a left-outer
+    // join preserving it cannot broadcast it (outer side ≠ build side),
+    // so the old delta-left formulation shuffled BOTH sides. Instead:
+    // (1) semi-join the MV against the broadcast delta keys — the MV
+    // streams once with zero shuffle and only the TOUCHED groups
+    // survive, then (2) left-outer the delta against that delta-sized
+    // survivor set, broadcast too. Two broadcast hash joins, no
+    // exchange anywhere on the MV side (guide §3.1).
     val mvCur = TxnTable.snapshot(s, mv, mvVer)
+    def keyCond(a: String, b: String) =
+      keys.map(k => col(s"$a.$k") <=> col(s"$b.$k")).reduce(_ && _)
+    val mvTouched = mvCur.alias("t")
+      .join(broadcast(delta.select(keys.map(col): _*).alias("k")),
+        keyCond("t", "k"), "left_semi")
     val merged = delta.alias("d")
-      .join(mvCur.alias("m"),
-        keys.map(k => col(s"d.$k") <=> col(s"m.$k")).reduce(_ && _),
+      .join(broadcast(mvTouched.alias("m")), keyCond("d", "m"),
         "left_outer")
       .select(keys.map(k => col(s"d.$k").as(k)) ++ Seq(
         (coalesce(col("m.n"), lit(0L)) + col("dn")).as("n"),
         (coalesce(col("m.nn"), lit(0L)) + col("dnn")).as("nn"),
         (coalesce(col("m.total"), lit(0).cast(D18)) + col("dtotal"))
           .cast(D18).as("total")): _*)
+    // pin the WHOLE change set once: the delta pipeline (feed scan →
+    // signed fold → merge join against the MV snapshot) otherwise
+    // re-executes for every downstream action — the null-key guard plus
+    // mergeCore's keys/adds materializations ran it three times,
+    // measured 35 jobs per refresh at sf0.1 (Probe mvbench). One
+    // delta-sized materialization; every consumer below reads the
+    // pinned blocks.
     val changeSet = merged.withColumn("op",
       when(col("n") === 0L, lit("D")).otherwise(lit("U")))
+      .localCheckpoint(true)
     // a NULL grouping-key group cannot be addressed by the keyed merge
     // (the anti-join is plain SQL equality — the old null-key row would
     // SURVIVE while its replacement inserts, silently duplicating the
@@ -648,7 +668,7 @@ object MatView {
     // skips publication gracefully instead of bricking at refresh.
     val cdc = publishFeed && !changeSet.columns.contains("w")
     TxnTable.applyChangesWithMetrics(s, mv, changeSet, keys,
-      metrics, cdc = cdc, expectedVer = mvVer).version
+      metrics, cdc = cdc, expectedVer = mvVer, pinned = true).version
   }
 
   /** STALE-MV DELTA COMPENSATION — the query-time half of [[refresh]]'s

@@ -3040,9 +3040,13 @@ object TxnTable {
     * "no refs" means exactly "no rows changed". */
   private def stageSignedFeed(s: SparkSession, table: String,
       feed: DataFrame, targetVersion: Long): Seq[String] = {
-    val refs = stageCdcFeed(s, table, feed, targetVersion)
-    if (refs.nonEmpty &&
-      s.read.parquet(refs.map(pathFor(table, _)): _*).isEmpty) {
+    // the row count rides the staging write as an observed metric — the
+    // read-back `.isEmpty` probe this replaces re-opened the freshly
+    // written feed with one more Spark action per CDC commit
+    val obs = org.apache.spark.sql.Observation()
+    val refs = stageCdcFeed(s, table,
+      feed.observe(obs, count(lit(1)).as("n")), targetVersion)
+    if (refs.nonEmpty && obs.get("n").asInstanceOf[Long] == 0L) {
       val f = fs(s, new Path(table))
       refs.foreach(r => f.delete(new Path(pathFor(table, r)), false))
       Nil
@@ -3350,10 +3354,11 @@ object TxnTable {
   def applyChangesWithMetrics(s: SparkSession, table: String,
       changes: DataFrame, keys: Seq[String],
       extraMetrics: Seq[(String, Long)],
-      cdc: Boolean = false, expectedVer: Long = -1L): MergeResult =
+      cdc: Boolean = false, expectedVer: Long = -1L,
+      pinned: Boolean = false): MergeResult =
     mergeCore(s, table, changes.select(keys.map(col): _*),
       changes.filter(col("op") =!= "D").drop("op"), keys,
-      extraMetrics, cdc = cdc, expectedVer = expectedVer)
+      extraMetrics, cdc = cdc, expectedVer = expectedVer, pinned = pinned)
 
   /** Full-semantics MERGE: apply a CHANGE SET carrying an op column —
     * the canonical "apply CDC into a table" form every production MERGE
@@ -3425,17 +3430,36 @@ object TxnTable {
     // 'U' rows still ride in `adds`, the applyChanges insert semantics)
     val keySet = changes.select(col(key)).filter(col(key).isNotNull)
       .distinct().coalesce(1)
-    val hasKeys = !keySet.isEmpty
+    // row counts ride the STAGING writes as observed metrics (guide
+    // §1.4-adjacent: the separate `.isEmpty` probes each re-executed the
+    // whole change pipeline — distinct shuffle included — once more
+    // before the write ran it again). An empty side stages one junk
+    // zero-row file, dropped below; the common non-empty case pays ONE
+    // pass per side instead of two.
+    val keyObs = org.apache.spark.sql.Observation()
+    // min/max of the touched keys ride the same observation: they bound
+    // the CDC preimage read below to the manifest-pruned file set
+    val tomb0 = stage(s, table,
+      keySet.observe(keyObs, count(lit(1)).as("n"),
+        min(col(key)).as("lo"), max(col(key)).as("hi")))
+    val hasKeys = keyObs.get("n").asInstanceOf[Long] > 0
     // an all-ghost or empty change set commits nothing (an empty
     // tombstone file would tax every future read's anti-join for
     // nothing — deleteKeysMor's rule)
-    val tomb = if (hasKeys) stage(s, table, keySet) else Nil
+    val tomb = if (hasKeys) tomb0 else { dropStaged(s, table, tomb0); Nil }
+    val addsObs = org.apache.spark.sql.Observation()
+    val addsObserved = toPhysical(adds, m)
+      .observe(addsObs, count(lit(1)).as("n"))
+    val indexed = m.idxCols.nonEmpty || m.strIdxCols.nonEmpty
+    val addStaged =
+      if (indexed) stageIndexed(s, table, addsObserved, m.idxCols,
+        m.strIdxCols)
+      else stage(s, table, addsObserved)
     val addLines =
-      if (adds.isEmpty) Nil
-      else if (m.idxCols.nonEmpty || m.strIdxCols.nonEmpty)
-        stageIndexed(s, table, toPhysical(adds, m), m.idxCols,
-          m.strIdxCols).filter(hasStats)
-      else stage(s, table, toPhysical(adds, m))
+      if (addsObs.get("n").asInstanceOf[Long] == 0L) {
+        dropStaged(s, table, addStaged); Nil
+      } else if (indexed) addStaged.filter(hasStats)
+      else addStaged
     if (!hasKeys && addLines.isEmpty) return cur
     // optional SAME-COMMIT change feed (`cdc = true`): signedDiff over
     // the TOUCHED keys only — `a` is a semi-join of the current
@@ -3459,18 +3483,33 @@ object TxnTable {
             .parquet(addLines.map(l =>
               pathFor(table, l.split('\t').head)): _*)
             .toDF(adds.schema.fieldNames.toSeq: _*)
-        val keyDf =
+        // the preimage read prunes to files whose manifest key box can
+        // intersect the touched-key range (observed off the tombstone
+        // staging write) — at scale the preimage costs O(matching
+        // files), never a table scan; the semi-join below stays the
+        // exact filter, so a conservative box only over-reads
+        val old =
           if (tomb.isEmpty)
             s.createDataFrame(s.sparkContext
               .parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
-              org.apache.spark.sql.types.StructType(Seq(
-                adds.schema(key))))
+              adds.schema)
           else {
             val kdf = s.read.parquet(pathFor(table, tomb.head))
-            kdf.select(col(kdf.columns.head).as(key))
+            val keyDf = kdf.select(col(kdf.columns.head).as(key))
+            import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+            val base = (adds.schema(key).dataType,
+                keyObs.get("lo"), keyObs.get("hi")) match {
+              case (LongType, lo: java.lang.Long, hi: java.lang.Long) =>
+                snapshotBox(s, table, Seq((key, lo, hi)), cur)._1
+              case (IntegerType, lo: java.lang.Integer, hi: java.lang.Integer) =>
+                snapshotBox(s, table,
+                  Seq((key, lo.longValue, hi.longValue)), cur)._1
+              case (StringType, lo: String, hi: String) =>
+                snapshotBoxed(s, table, Nil, Seq((key, lo, hi)), cur)._1
+              case _ => snapshot(s, table, cur)
+            }
+            base.join(broadcast(keyDf), Seq(key), "left_semi")
           }
-        val old = snapshot(s, table, cur)
-          .join(broadcast(keyDf), Seq(key), "left_semi")
         stageCdcFeed(s, table, signedDiff(old, newDf, key), cur + 1)
       }
     // ONE commit: carried entries verbatim + fresh adds + the new
@@ -3502,15 +3541,22 @@ object TxnTable {
                         adds0: DataFrame, keyCols: Seq[String],
                         extraMetrics: Seq[(String, Long)] = Nil,
                         cdc: Boolean = false,
-                        expectedVer: Long = -1L)
+                        expectedVer: Long = -1L,
+                        pinned: Boolean = false)
       : MergeResult = {
     require(keyCols.nonEmpty, "mergeCore needs at least one key column")
     // a feed must speak EXACTLY the rows the rewrite committed: pin the
     // change frames once so a nondeterministic change set (sample,
     // shuffle-order-dependent expression) cannot diverge between the
-    // staged data and the published feed (the overwriteCdc invariant)
+    // staged data and the published feed (the overwriteCdc invariant).
+    // `pinned = true` = the CALLER already localCheckpoint'ed the common
+    // change frame both sides derive from (the MV refresh does — its
+    // change pipeline is a join over the fed deltas and the MV snapshot,
+    // and re-materializing it once per side would run that pipeline
+    // twice more); projecting a pinned frame is deterministic, so the
+    // feed invariant holds without a second materialization.
     val (keys, adds) =
-      if (!cdc) (keys0, adds0)
+      if (!cdc || pinned) (keys0, adds0)
       else (keys0.localCheckpoint(true), adds0.localCheckpoint(true))
     val key = keyCols.head // the primary clustering dimension
     // key dimensions are typed by the CHANGE frame (already cast to the
@@ -3614,10 +3660,14 @@ object TxnTable {
         // the fresh files' seq then escapes those tombstones
         val prev = readEntries(s, table, m, touched)
         // anti-join on the key is the MERGE itself: surviving old rows +
-        // the adds. Co-partitioned hash join over touched data only.
+        // the adds. The key side is change-set-sized (the same bound the
+        // CDC path's broadcast(keyDf) already assumes), so BROADCAST it:
+        // the touched-file read then streams through a broadcast hash
+        // anti-join with ZERO shuffles instead of exchanging both sides
+        // (guide §3.1 — at scale the touched region is the heavy side).
         // NULL keys never match a key equality (SQL semantics), so
         // null-key rows always survive the anti-join / always insert.
-        prev.join(keys.distinct(), keyCols, "left_anti")
+        prev.join(broadcast(keys.distinct()), keyCols, "left_anti")
           .unionByName(adds)
       }
     val idxCols = m.idxCols
@@ -3695,7 +3745,7 @@ object TxnTable {
         val pre =
           if (touched.isEmpty) None
           else Some(readEntries(s, table, m, touched)
-            .join(keys.distinct(), keyCols, "left_semi")
+            .join(broadcast(keys.distinct()), keyCols, "left_semi")
             .withColumn("w", lit(-1)))
         val post = adds.withColumn("w", lit(1))
         stageSignedFeed(s, table,
@@ -4878,15 +4928,25 @@ object TxnTable {
                              entries: Seq[Entry],
                              keepPos: Boolean): DataFrame = {
     require(entries.nonEmpty, s"$table: readEntries over zero entries")
-    // the group key carries BOTH per-seq facets: which tombstones apply
-    // (seq-newer deletes) and which INITIAL DEFAULTS apply (columns
-    // added with a default AFTER the entry's data was written) — so
-    // within one group every entry needs the identical anti-joins and
-    // the identical whole-column default fills
+    // entries group ONLY by which INITIAL DEFAULTS apply (columns added
+    // with a default AFTER the entry's data was written) — the fill must
+    // be a whole-column literal per group. Tombstone applicability is
+    // NOT a group axis anymore: each anti-join below guards on the
+    // row's entry seq (`__gseq < tombstone seq`), which is the same
+    // "seq-newer deletes apply" rule the old per-(tombstone-set) groups
+    // encoded structurally — but as ONE scan + one anti-join per key
+    // column instead of one scan and one join chain PER DISTINCT
+    // TOMBSTONE SUBSET (a MoR table with k pending tombstones paid k+1
+    // scans and O(k²) anti-joins; measured 14 jobs for one snapshot
+    // aggregate at 3 tombstones, Probe mvbench).
     val defs = m.schema.map(defaultedFields).getOrElse(Nil)
-    val groups = entries.groupBy(e =>
-      (m.deletes.filter(_._3 > e.seq), defs.filter(_._3 > e.seq)))
-    groups.map { case ((dels, defsHere), es) =>
+    val groups = entries.groupBy(e => defs.filter(_._3 > e.seq))
+    groups.map { case (defsHere, es) =>
+      // only tombstones that can apply to SOME entry of this read:
+      // every tombstoned path/key file references rows strictly older
+      // than the tombstone's seq, so a read of all-newer entries skips
+      // the join outright (the fresh-adds fast path)
+      val dels = m.deletes.filter(d => es.exists(_.seq < d._3))
       // Tombstone keys are PHYSICAL names (stable across RENAME/DROP —
       // the manifest parse boundary guarantees it), so the anti-join
       // runs on the RAW physical frame BEFORE the logical projection:
@@ -4935,8 +4995,18 @@ object TxnTable {
         case (acc, (f, defSql, _, _)) =>
           acc.withColumn(physName(f), expr(defSql).cast(f.dataType))
       }
-      val hasBounded = dels.exists(_._2.endsWith("~L"))
-      // bounded kills need the row's entry seq: a broadcast-joined
+      // which key columns can take the SIMPLE (seq-free) anti-join: every
+      // entry of this read predates every tombstone on that column — the
+      // historical common case (all-plain tombstones over an old table),
+      // which must not start paying the seq machinery it never needed
+      val byCol = keyDels.groupBy(d => joinCol(d._2))
+      val simpleCols = byCol.filter { case (_, fls) =>
+        fls.forall(f => !f._2.endsWith("~L")) &&
+          es.forall(e => fls.forall(e.seq < _._3))
+      }.keySet
+      val seqCols = byCol.keySet -- simpleCols
+      val needSeq = seqCols.nonEmpty
+      // seq-guarded kills need the row's entry seq: a broadcast-joined
       // (path, seq) frame resolves it from input_file_name() — the
       // mapping ships ONCE per executor as a broadcast relation, never
       // as an O(#files) literal serialized into every task's expression
@@ -4949,7 +5019,7 @@ object TxnTable {
       // spaces (or other escaped characters) still resolves after a
       // tombstone rewrite.
       val withSeq =
-        if (!hasBounded && !hasPos) raw
+        if (!needSeq && !hasPos) raw
         else {
           // each variant maps to the entry's (seq, canonical absolute
           // path): seq feeds bounded kills, the canonical path is the
@@ -4984,34 +5054,59 @@ object TxnTable {
             .drop("__gpath")
         }
       // tombstone key FILES may carry the logical-at-delete-time name —
-      // read positionally, join physical
-      val cleaned = dels.groupBy(_._2).foldLeft(withSeq) {
-        case (acc, ("~pos", fls)) =>
+      // read positionally, join physical.
+      // BROADCAST the tombstone side when its on-disk weight is small
+      // (the overwhelmingly common change-set-sized case): the data scan
+      // then streams through broadcast hash anti-joins with zero
+      // exchanges — on a MoR table every read pays these joins, so the
+      // shuffle-free shape is the one that scales (guide §3.1). A
+      // pathologically large tombstone set falls back to the planner's
+      // choice rather than forcing an executor-memory cliff.
+      def hinted(df: DataFrame, files: Seq[String]): DataFrame = {
+        val f = fs(s, new Path(table))
+        val bytes = files.iterator.map { p =>
+          try f.getFileStatus(new Path(pathFor(table, p))).getLen
+          catch { case scala.util.control.NonFatal(_) => 8L << 20 }
+        }.sum
+        if (bytes <= (8L << 20)) broadcast(df) else df
+      }
+      val posCleaned =
+        if (posDels.isEmpty) withSeq
+        else {
           // POSITIONAL tombstones: (f = canonical absolute path,
           // p = row ordinal) pairs — an anti-join on the row's own
           // coordinates, no schema column involved. Path-targeting
-          // makes the seq rule self-enforcing (paths are never
-          // reused), but the entry grouping scopes it anyway.
-          val dv = fls.map(f => s.read.parquet(pathFor(table, f._1)))
+          // makes the seq rule self-enforcing: a vector only ever
+          // records coordinates of files strictly older than it, and a
+          // path is never re-referenced at a different seq.
+          val dv = posDels.map(f => s.read.parquet(pathFor(table, f._1)))
             .reduce(_ unionByName _)
             .select(col("f").as("__gdf"), col("p").as("__gdp"))
             .distinct()
-          acc.join(dv,
-            acc("__gcanon") === dv("__gdf") &&
-              acc("__gpos") === dv("__gdp"),
+          withSeq.join(hinted(dv, posDels.map(_._1)),
+            withSeq("__gcanon") === dv("__gdf") &&
+              withSeq("__gpos") === dv("__gdp"),
             "left_anti")
-        case (acc, (rec, fls)) if rec.endsWith("~L") =>
-          val kc = joinCol(rec)
-          val keys = tombstonePairs(s, table, "__tk", fls)
-          acc.join(keys,
-            acc(kc) === keys("__tk") && acc("__gseq") < keys("__tl"),
-            "left_anti")
-        case (acc, (kc, fls)) =>
+        }
+      // ONE anti-join per tombstoned key column: all its tombstone
+      // files (plain AND collapsed `~L`) union into (key, bound) pairs
+      // — [[tombstonePairs]] — and the row dies iff its key matches and
+      // its entry seq is below the bound: exactly the "seq-newer
+      // tombstones apply" rule, enforced per row instead of per entry
+      // group. Columns where every entry predates every tombstone keep
+      // the seq-free membership join.
+      val cleaned = byCol.toSeq.sortBy(_._1).foldLeft(posCleaned) {
+        case (acc, (kc, fls)) if simpleCols(kc) =>
           val keys = fls.map { f =>
             val kdf = s.read.parquet(pathFor(table, f._1))
             kdf.select(col(kdf.columns.head).as(kc))
           }.reduce(_ unionByName _).distinct()
-          acc.join(keys, Seq(kc), "left_anti")
+          acc.join(hinted(keys, fls.map(_._1)), Seq(kc), "left_anti")
+        case (acc, (kc, fls)) =>
+          val keys = tombstonePairs(s, table, "__tk", fls)
+          acc.join(hinted(keys, fls.map(_._1)),
+            acc(kc) === keys("__tk") && acc("__gseq") < keys("__tl"),
+            "left_anti")
       }
       val filled = cleaned
       // mapped tables project physical → the committed LOGICAL schema
@@ -5022,7 +5117,7 @@ object TxnTable {
         if (keepPos) Seq(col("__gcanon"), col("__gpos")) else Nil
       m.schema match {
         case Some(sch) if hasMappedSchema(m.schema) || deadKeys.nonEmpty ||
-            hasBounded || hasPos =>
+            needSeq || hasPos =>
           filled.select(sch.fields.map(f =>
             col(physName(f)).as(f.name)).toSeq ++ posCols: _*)
         case _ =>
