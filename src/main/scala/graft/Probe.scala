@@ -276,6 +276,27 @@ object Probe {
         counts.asScala.toSeq.sortBy(-_._2).take(30).foreach { case (f, n) =>
           println(f"PROFFRAME $n%5d  $f")
         }
+      case "mhscale" =>
+        // dd_minhash_lsh at a synthetic Nx corpus (doc_ids shifted per
+        // copy, text perturbed by a copy tag so copies don't all collapse
+        // into one LSH bucket): does the r20 38->12 Exchange reduction
+        // pay once data volume grows past the fixed-cost floor?
+        val n = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+        val base = Tables.documents(spark, d).select("doc_id", "text")
+        val shift = 10000000L
+        val big = (0 until n).map(i =>
+          base.select((col("doc_id") + i * shift).as("doc_id"),
+            concat(col("text"), lit(s" copytag$i")).as("text")))
+          .reduce(_ unionByName _)
+          .localCheckpoint(true)
+        def run(): Double = {
+          val t0 = System.nanoTime()
+          operators.Dedup.minhashLshDocs(big)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        run() // warm
+        println(f"MHSCALE n=$n docs=${big.count()} a=${run()}%.3f s b=${run()}%.3f s")
       case "mhstages" =>
         // stage isolation for dd_minhash_lsh (guide §1.4: noop sink so the
         // computation is timed, not the sink; warm pass off the clock)

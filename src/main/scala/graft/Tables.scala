@@ -46,4 +46,25 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Fan a DEGENERATE scan out to the session's parallelism before a
+    * CPU-heavy per-row kernel. Parquet scan parallelism is bounded by
+    * row groups, and the test corpora are single-row-group files — such
+    * a table plans as 1-3 scan tasks however many cores the session
+    * has, so a kernel projection (minhash signatures, PQ encoding,
+    * cosine folds) runs essentially SERIAL (measured: sim_ann_pq was 14
+    * stages × 1 task; 5.2 s of task time on one of 32 cores). A
+    * production-scale input already scans with ≥ cores partitions and
+    * passes through UNTOUCHED — the round-robin shuffle is only ever
+    * paid on inputs so narrow that it is trivially cheap, which is what
+    * keeps this scale-adaptive rather than a local-mode constant
+    * (guide §2: partitioning must derive from the input, not a tuned
+    * number). Callers apply it only where downstream work is per-row /
+    * fold-order-independent, so results are bit-identical. */
+  def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.min(target, 4)) df
+    else df.repartition(target)
+  }
 }

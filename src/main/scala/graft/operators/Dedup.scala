@@ -102,7 +102,8 @@ object Dedup {
 
   private[graft] def substringCore(documents: DataFrame): DataFrame = {
     val L = SubstringGram
-    val docs = documents
+    // fan-out before the tokenize/gram kernels — see minhashLshDocs
+    val docs = Tables.fanOut(documents)
       .select(col("doc_id"), wsTokens(col("text")).as("ws"))
     val starts = when(size(col("ws")) >= L,
       sequence(lit(0), size(col("ws")) - L)).otherwise(array())
@@ -248,7 +249,9 @@ object Dedup {
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardDocs(Tables.documents(s, d))
 
-  private[graft] def ngramJaccardDocs(docs: DataFrame): DataFrame = {
+  private[graft] def ngramJaccardDocs(docs0: DataFrame): DataFrame = {
+    // fan-out before the shingle kernel — see minhashLshDocs
+    val docs = Tables.fanOut(docs0)
     val byH = Window.partitionBy(col("h"))
     val withDf = shingleHashRows(docs).distinct()
       .withColumn("df", count(lit(1)).over(byH))
@@ -314,7 +317,12 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashLshDocs(Tables.documents(s, d))
 
-  private[graft] def minhashLshDocs(docs: DataFrame): DataFrame = {
+  private[graft] def minhashLshDocs(docs0: DataFrame): DataFrame = {
+    // fan a degenerate single-row-group scan out to the cores: the
+    // 128-permutation signature kernel below is the dominant per-row
+    // cost and would otherwise run on ONE scan task (Tables.fanOut is a
+    // no-op on production-scale inputs)
+    val docs = Tables.fanOut(docs0)
     // signatures are a map-only projection: the native MinHashSignature
     // expression tokenizes, shingles, hashes, and folds all 128 minima in
     // one pass per doc — no shingle explosion, no signature shuffle

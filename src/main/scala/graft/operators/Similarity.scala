@@ -23,6 +23,16 @@ object Similarity {
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** [[vecs]] fanned out to the session's cores ([[Tables.fanOut]]) —
+    * use where a CPU-heavy per-row kernel (cosine folds, PQ encode/ADC,
+    * Lloyd assignment) consumes the corpus: the single-row-group test
+    * file otherwise pins the kernel to ONE scan task (measured:
+    * sim_ann_pq ran 14 stages × 1 task). Metadata-cheap actions
+    * (counts, key selects) stay on the raw scan — fanning those would
+    * pay the shuffle without a kernel to parallelize. */
+  private def vecsF(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(vecs(s, d))
+
   /** Two-phase top-k per q_id: a salted pre-rank keeps per-partition work
     * bounded (a single window on q_id would funnel the whole corpus into
     * #queries partitions — a skew wall at scale), then the final rank runs
@@ -47,7 +57,8 @@ object Similarity {
     val all = vecs(s, d)
     val q = all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val scored = Tables.fanOut(all)
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosine(col("qv"), col("v")).as("cos"))
     topKPerQuery(scored)
@@ -84,7 +95,7 @@ object Similarity {
   /** (vec_id, v, table, bucket) — one row per vector per hash table. All
     * 8 bucket ids come from ONE native codegen'd pass per row. */
   private[graft] def lshTables(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("v"),
+    Tables.fanOut(df).select(col("vec_id"), col("v"),
       posexplode(graft.functions.HyperplaneBuckets(col("v")))
         .as(Seq("t", "bucket")))
 
@@ -238,9 +249,12 @@ object Similarity {
     * Janino cache key) stable across runs. */
   private def trainCentroids(all: DataFrame, seeds: Seq[Seq[Double]],
       iters: Int): Seq[Seq[Double]] = {
+    // the per-iteration assignment kernel is the training cost — fan a
+    // degenerate scan out so it does not run on one task per round
+    val allF = Tables.fanOut(all)
     var cents = seeds
     for (_ <- 1 to iters) {
-      val assigned = all.withColumn("cid", bestCentroid(cents))
+      val assigned = allF.withColumn("cid", bestCentroid(cents))
       val sums = (0 until Dim).map(i =>
         sum(floor(element_at(col("v"), i + 1) * 1e6 + 0.5)).as(s"s$i"))
       val updated = assigned.groupBy(col("cid"))
@@ -324,7 +338,7 @@ object Similarity {
     val seeds: Seq[Seq[Double]] = all.filter(col("vec_id") < KmeansK)
       .orderBy("vec_id").select("v").as[Seq[Double]].collect().toSeq
     val cents = trainCentroids(all, seeds, KmeansIters)
-    all.withColumn("cluster", bestCentroid(cents))
+    Tables.fanOut(all).withColumn("cluster", bestCentroid(cents))
   }
 
   /** sim_kmeans: spherical k-means (cosine assignment, mean + renormalize
@@ -473,7 +487,7 @@ object Similarity {
       all.filter(pmod(col("vec_id"), lit(stride)) === 0))
     val codeArr = array((0 until PqM).map(m =>
       bestCentroidOn(books(m), slice(col("v"), m * PqSubDim + 1, PqSubDim))): _*)
-    val encoded = all.select(col("vec_id"), codeArr.as("code"))
+    val encoded = Tables.fanOut(all).select(col("vec_id"), codeArr.as("code"))
     // 8×16 dot-product table per query row; the HOF fold is interpreted
     // but touches only the NumQueries rows, never the corpus
     val qtab = array((0 until PqM).map { m =>
@@ -594,7 +608,7 @@ object Similarity {
       struct((-graft.functions.CosineSimilarity(col("v"), typedLit(c)))
         .as("negcos"), lit(i).as("cid"))
     }: _*)
-    all.select(col("vec_id"), col("v"),
+    Tables.fanOut(all).select(col("vec_id"), col("v"),
         explode(slice(sort_array(centArr), 1, NProbe)).as("p"))
       .select(col("vec_id"), col("v"), col("p.cid").as("c_id"))
   }
@@ -609,7 +623,7 @@ object Similarity {
       : (DataFrame, DataFrame) = {
     val all = vecs(s, d)
     val cents = ivfCentroids(s, all)
-    val assigned = all.withColumn("c_id", bestCentroid(cents))
+    val assigned = Tables.fanOut(all).withColumn("c_id", bestCentroid(cents))
     val centArr = array(cents.zipWithIndex.map { case (c, i) =>
       struct((-graft.functions.CosineSimilarity(col("v"), typedLit(c)))
         .as("negcos"), lit(i).as("cid"))
@@ -834,7 +848,7 @@ object Similarity {
     * the created version's file set for verbatim-carry assertions. */
   private def createIvfStore(s: SparkSession, store: String,
       cents: Seq[Seq[Double]], corpus: DataFrame): Set[String] = {
-    val assigned = corpus
+    val assigned = Tables.fanOut(corpus)
       .withColumn("c_id", bestCentroid(cents).cast("long"))
     TxnTable.commit(s, store, TxnTable.stageIndexed(s, store,
       TxnTable.clusterExact(s, assigned, "c_id",
@@ -1115,7 +1129,7 @@ object Similarity {
     * reconstruction, both rankings — is the same IEEE double tree the
     * oracle replays, so the whole approximate path is hash-checked. */
   def annSq8(s: SparkSession, d: String): DataFrame = {
-    val all = vecs(s, d)
+    val all = Tables.fanOut(vecs(s, d))
     val stats = all.select(posexplode(col("v")).as(Seq("k", "x")))
       .groupBy(col("k")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
       .orderBy(col("k")).collect()
@@ -1348,7 +1362,7 @@ object Similarity {
     val q = all.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val sem = topKPerQuery(
-      all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      Tables.fanOut(all).join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           cosine(col("qv"), col("v")).as("cos")), FuseDepth)
       .select(col("q_id"), col("n_id"), col("rank").as("rank_s"))
@@ -1365,7 +1379,7 @@ object Similarity {
     import graft.functions.TextFunctions.wsTokens
     val docs = Tables.documents(s, d)
     val n = docs.count()
-    val tok = docs.select(col("doc_id"),
+    val tok = Tables.fanOut(docs).select(col("doc_id"),
       explode(wsTokens(col("text"))).as("tok"))
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val avgdl = dl.agg(sum(col("dl"))).collect()(0).getLong(0).toDouble / n
@@ -1530,8 +1544,8 @@ object Similarity {
       bestCentroidOn(books(m),
         slice(col("v"), m * PqSubDim + 1, PqSubDim))): _*)
     // the index: one map-only pass → (vec_id, cell, 8×4-bit code)
-    val encoded = all.select(col("vec_id"), bestCentroid(cents).as("c_id"),
-      codeArr.as("code"))
+    val encoded = Tables.fanOut(all).select(col("vec_id"),
+      bestCentroid(cents).as("c_id"), codeArr.as("code"))
     val centArr = array(cents.zipWithIndex.map { case (c, i) =>
       struct((-graft.functions.CosineSimilarity(col("v"), typedLit(c)))
         .as("negcos"), lit(i).as("cid"))

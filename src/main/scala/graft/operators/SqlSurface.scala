@@ -2859,14 +2859,18 @@ object SqlSurface {
     graft.operators.TxnTable.applyChangesMor(s, loc, ch2, "o_orderkey",
       cdc = true)
     val pM3 = scanSrcsOf(s, qMain)
+    // one direct recompute for phases 3+4: the refresh between them
+    // commits to the MV only, the base is untouched, so both
+    // answer-equality checks compare against the same ground truth
+    val truth34 = direct()
     val compensatedServe = pM3.nonEmpty &&
       pM3.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
       pM3.exists(_.contains(s"$loc/_cdc")) &&
-      rowsOf(qMain) == direct()
+      rowsOf(qMain) == truth34
     val r2 = graft.operators.MatView.refresh(s, mv) // folds the PARENT
     val pM4 = scanSrcsOf(s, qMain)
     val refreshedServe = r2.commitsFolded == 1 && pM4.nonEmpty &&
-      pM4.forall(_.contains(mv)) && rowsOf(qMain) == direct()
+      pM4.forall(_.contains(mv)) && rowsOf(qMain) == truth34
     val ok = servedBranch && mainUntouched && servedMain &&
       branchDisqualified && compensatedServe && refreshedServe
     s.sql(qMain).withColumn("mvb_ok", lit(ok))

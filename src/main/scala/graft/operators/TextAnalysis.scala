@@ -78,7 +78,9 @@ object TextAnalysis {
     * see length, and the bootstrap rule partly encodes it). One explode
     * + one map-side-combined groupBy — a single corpus pass. */
   private[graft] def classifierFeatures(documents: DataFrame): DataFrame = {
-    val hashed = documents
+    // fan a degenerate single-row-group scan out before the tokenize +
+    // explode kernel (Tables.fanOut — no-op on production-scale inputs)
+    val hashed = Tables.fanOut(documents)
       .select(col("doc_id"), explode(wsTokens(col("text"))).as("tok"))
       .withColumn("dim",
         pmod(graft.functions.RollingHash(col("tok")), lit(ClfDims.toLong)))

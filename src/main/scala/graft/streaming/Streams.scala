@@ -452,17 +452,22 @@ object Streams {
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         TxnTable.applyChangesMor(s, loc, batch, "o_orderkey", cdc = true)
+        // ONE direct recompute per batch: the refresh below commits to
+        // the MV only — the BASE is untouched between the stale and
+        // fresh windows, so both answer-equality checks compare against
+        // the same ground truth (was two identical base scans per batch)
+        val truth = direct()
         // STALE window: the dashboard serves filter-over-(MV ⊕ feed) —
         // MV files + `_cdc` only, never a base data file
         val ps = scanSrcs()
         val staleOk = ps.nonEmpty &&
           ps.forall(p => p.contains(mv) || p.contains(s"$loc/_cdc")) &&
-          ps.exists(_.contains(s"$loc/_cdc")) && answer() == direct()
+          ps.exists(_.contains(s"$loc/_cdc")) && answer() == truth
         val r = graft.operators.MatView.refresh(s, mv)
         // FRESH window: the MV alone
         val ps2 = scanSrcs()
         val freshOk = ps2.nonEmpty && ps2.forall(_.contains(mv)) &&
-          answer() == direct()
+          answer() == truth
         facts.add(staleOk && freshOk && r.commitsFolded == 1)
         ()
       }
